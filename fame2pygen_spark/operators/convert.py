@@ -1,0 +1,262 @@
+"""Frequency conversion (FAME ``convert``) — Spark-native resampler.
+
+Reference surface: ``/root/reference/fame2pygen/formulas_generator.py:154-218``
+(argument space) and ``fame2py_converter.py:283-409`` (frequency-bridge
+codegen); the actual math lives in the closed ``polars_econ`` package
+(mocked at ``polars_econ_mock.py:13-36``), so the semantics here are our
+published definition:
+
+Downsampling (target coarser than source)
+    one ``groupBy(period_start)`` aggregation; the *observed* convention
+    picks the aggregate: average→avg, sum→sum, first/beginning→value at
+    earliest date, last/end→value at latest date, high→max, low→min.
+    Map-side partial aggregation means a single shuffle keyed by the
+    period bucket — at 100 TB this is the minimal-shuffle plan, and the
+    bucket key is dense/ordered so AQE coalesces post-shuffle partitions.
+
+Upsampling (target finer than source)
+    a lazily-generated target calendar (``sequence`` + ``explode`` —
+    no driver collect) left-joined with the source, then the
+    *technique* fills gaps: constant/discrete → forward-fill
+    (``last(ignorenulls)`` over an unbounded-preceding window), linear →
+    slope interpolation between the surrounding observations, cubic →
+    not implemented (raises).  The calendar frame is tiny relative to
+    data (one row per target period) so Catalyst broadcast-joins it.
+
+Business frequency
+    daily grid filtered to Mon–Fri (``dayofweek BETWEEN 2 AND 6``);
+    holiday calendars can be layered with an anti-join if supplied.
+
+Output column naming follows the reference's suffix table
+(``formulas_generator.py:58-65``): SOURCE + ``_DD/_BUSD/_WK/_MON/_QTRLY/_ANN``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..parser.grammar import FREQ_INFO, ConvertMeta
+
+#: interval step per canonical frequency for calendar generation
+_INTERVAL = {
+    "daily": "interval 1 day",
+    "business": "interval 1 day",
+    "weekly": "interval 7 day",
+    "monthly": "interval 1 month",
+    "quarterly": "interval 3 month",
+    "annual": "interval 1 year",
+}
+
+_WEEKDAY_INDEX = {  # Spark dayofweek(): Sunday=1 … Saturday=7
+    "sunday": 1, "monday": 2, "tuesday": 3, "wednesday": 4,
+    "thursday": 5, "friday": 6, "saturday": 7,
+}
+
+
+def freq_ordinal(freq: str) -> int:
+    """Fineness ordinal: annual=1 … daily=6.  Bigger = finer."""
+    info = FREQ_INFO.get(freq)
+    if info is None:
+        raise ValueError(f"unknown frequency {freq!r}")
+    return info[1]
+
+
+def period_start(date_col, freq: str, start_by: str | None = None):
+    """Column expr: start date of the *freq* period containing date_col."""
+    d = F.to_date(date_col)
+    if freq == "annual":
+        return F.date_trunc("year", d).cast("date")
+    if freq == "quarterly":
+        return F.date_trunc("quarter", d).cast("date")
+    if freq == "monthly":
+        return F.date_trunc("month", d).cast("date")
+    if freq == "weekly":
+        idx = _WEEKDAY_INDEX.get((start_by or "monday").lower(), 2)
+        return F.date_sub(d, (F.dayofweek(d) - F.lit(idx) + F.lit(7)) % F.lit(7))
+    if freq in ("daily", "business"):
+        return d
+    raise ValueError(f"unknown frequency {freq!r}")
+
+
+def business_day_filter(date_col):
+    """Mon–Fri predicate — Spark has no ``is_business_day`` (the
+    reference uses Polars' ``dt.is_business_day()``,
+    ``fame2py_converter.py:402``)."""
+    return F.dayofweek(date_col).between(2, 6)
+
+
+_OBSERVED_AGG = {
+    "average": lambda v, d: F.avg(v),
+    "sum": lambda v, d: F.sum(v),
+    "first": lambda v, d: F.min_by(v, d),
+    "beginning": lambda v, d: F.min_by(v, d),
+    "last": lambda v, d: F.max_by(v, d),
+    "end": lambda v, d: F.max_by(v, d),
+    "high": lambda v, d: F.max(v),
+    "low": lambda v, d: F.min(v),
+    # annualized ≈ average here; documented divergence (reference math is
+    # closed-source polars_econ)
+    "annualized": lambda v, d: F.avg(v),
+}
+
+
+def infer_frequency(df: DataFrame, date_col: str = "DATE") -> str:
+    """Infer the frame's native frequency from the modal date gap.
+
+    Driver action on a two-column aggregate — O(rows) scan, tiny result.
+    """
+    w = Window.orderBy(date_col)
+    gaps = (
+        df.select(F.datediff(F.col(date_col), F.lag(date_col, 1).over(w)).alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy("g")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .collect()
+    )
+    if not gaps:
+        return "monthly"
+    gap = gaps[0]["g"]
+    if gap <= 1:
+        return "daily"
+    if gap <= 5:
+        return "business"
+    if gap <= 7:
+        return "weekly"
+    if gap <= 31:
+        return "monthly"
+    if gap <= 92:
+        return "quarterly"
+    return "annual"
+
+
+def convert_series(
+    df: DataFrame,
+    meta: ConvertMeta,
+    date_col: str = "DATE",
+    source_freq: str | None = None,
+    entity_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Convert one series to *meta.target_freq*.
+
+    Returns a frame ``[*entity_cols, date_col, meta.out_column]`` on the
+    target calendar, ready to be full-outer-joined back onto the wide
+    frame (reference joins at ``fame2py_converter.py:409``).
+    """
+    from ..parser.expressions import column_name
+
+    src_col = column_name(meta.source)
+    out_col = meta.out_column
+    target = meta.target_freq
+    if target not in FREQ_INFO:
+        raise ValueError(f"convert: unknown target frequency {target!r}")
+
+    if source_freq is None:
+        source_freq = infer_frequency(df, date_col)
+
+    src_ord = freq_ordinal(source_freq)
+    tgt_ord = freq_ordinal(target)
+
+    keys = [*entity_cols, date_col]
+    base = df.select(*entity_cols, date_col, F.col(src_col).alias(out_col)).where(
+        F.col(out_col).isNotNull()
+    )
+
+    if tgt_ord == src_ord:
+        return base.select(*keys, out_col)
+
+    if tgt_ord < src_ord:
+        return _downsample(base, out_col, target, meta, date_col, entity_cols)
+    return _upsample(base, out_col, target, meta, date_col, entity_cols)
+
+
+def _downsample(
+    base: DataFrame,
+    out_col: str,
+    target: str,
+    meta: ConvertMeta,
+    date_col: str,
+    entity_cols: tuple[str, ...],
+) -> DataFrame:
+    # daily → business is a pure filter, not an aggregation
+    if target == "business":
+        return base.where(business_day_filter(F.col(date_col))).select(
+            *entity_cols, date_col, out_col
+        )
+    observed = meta.observed or "average"
+    if observed == "formula":
+        raise NotImplementedError("convert observed=formula is not supported")
+    agg_fn = _OBSERVED_AGG.get(observed)
+    if agg_fn is None:
+        raise ValueError(f"convert: unknown observed convention {observed!r}")
+    bucket = period_start(F.col(date_col), target, meta.start_by).alias(date_col)
+    return (
+        base.groupBy(*entity_cols, bucket)
+        .agg(agg_fn(F.col(out_col), F.col(date_col)).alias(out_col))
+    )
+
+
+def _upsample(
+    base: DataFrame,
+    out_col: str,
+    target: str,
+    meta: ConvertMeta,
+    date_col: str,
+    entity_cols: tuple[str, ...],
+) -> DataFrame:
+    technique = meta.technique or "constant"
+    if technique == "cubic":
+        raise NotImplementedError(
+            "convert technique=cubic not implemented; use linear/constant"
+        )
+
+    # lazily build the target calendar spanning the source range — one
+    # row per target period, no driver collect
+    bounds = base.groupBy(*entity_cols).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    step = _INTERVAL[target]
+    calendar = bounds.select(
+        *entity_cols,
+        F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(date_col),
+    )
+    if target == "business":
+        calendar = calendar.where(business_day_filter(F.col(date_col)))
+
+    joined = calendar.join(base, on=[*entity_cols, date_col], how="left")
+
+    w_past = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    if technique in ("constant", "discrete"):
+        filled = F.last(out_col, ignorenulls=True).over(w_past)
+        return joined.select(*entity_cols, date_col, filled.alias(out_col))
+
+    if technique == "linear":
+        w_future = (
+            Window.partitionBy(*entity_cols)
+            .orderBy(date_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        known_date = F.when(F.col(out_col).isNotNull(), F.col(date_col))
+        prev_v = F.last(out_col, ignorenulls=True).over(w_past)
+        prev_d = F.last(known_date, ignorenulls=True).over(w_past)
+        next_v = F.first(out_col, ignorenulls=True).over(w_future)
+        next_d = F.first(known_date, ignorenulls=True).over(w_future)
+        span = F.datediff(next_d, prev_d)
+        frac = F.datediff(F.col(date_col), prev_d) / span
+        interp = (
+            F.when(F.col(out_col).isNotNull(), F.col(out_col))
+            .when(
+                prev_v.isNotNull() & next_v.isNotNull() & (span > 0),
+                prev_v + (next_v - prev_v) * frac,
+            )
+            .otherwise(F.lit(None))
+        )
+        return joined.select(*entity_cols, date_col, interp.alias(out_col))
+
+    raise ValueError(f"convert: unknown technique {technique!r}")
