@@ -1,0 +1,126 @@
+"""Frequency-conversion (CONVERT) operator tests — FIXTURES.md F3."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from fame2pygen_spark import run_script
+
+
+@pytest.fixture()
+def ts_daily(spark):
+    """Daily calendar 2020-01-01..2020-12-31 with synthetic values."""
+    start = dt.date(2020, 1, 1)
+    rows = []
+    for i in range(366):
+        d = start + dt.timedelta(days=i)
+        monthly = 1000.0 + 10 * (d.month - 1) if d.day == 1 else None
+        rows.append((d, 100.0 * (1.0003 ** i), monthly))
+    return spark.createDataFrame(
+        rows, "DATE date, V_DAILY double, MONTHLY_GDP double"
+    )
+
+
+def test_downsample_daily_to_monthly_average(spark, ts_daily):
+    res = run_script(ts_daily, ["v_mon = convert(v_daily, m, disc, ave)"])
+    out = res.df.where("V_DAILY_MON is not null").orderBy("DATE").collect()
+    assert len(out) == 12
+    assert out[0]["DATE"] == dt.date(2020, 1, 1)
+    # January average of 100*(1.0003^i), i=0..30
+    expected = sum(100.0 * 1.0003 ** i for i in range(31)) / 31
+    assert out[0]["V_DAILY_MON"] == pytest.approx(expected)
+
+
+def test_downsample_observed_variants(spark, ts_daily):
+    res = run_script(
+        ts_daily,
+        [
+            "v_sum = convert(v_daily, q, disc, sum)",
+            "v_first = convert(v_daily, a, disc, first)",
+            "v_last = convert(v_daily, a, disc, last)",
+            "v_hi = convert(v_daily, a, disc, hi)",
+            "v_lo = convert(v_daily, a, disc, lo)",
+        ],
+    )
+    df = res.df
+    q = df.where("V_DAILY_QTRLY is not null").orderBy("DATE").collect()
+    assert len(q) == 4
+    expected_q1 = sum(100.0 * 1.0003 ** i for i in range(91))
+    assert q[0]["V_DAILY_QTRLY"] == pytest.approx(expected_q1)
+    ann = df.where("V_DAILY_ANN is not null").collect()
+    assert len(ann) == 1
+    row = ann[0]
+    assert row["V_DAILY_ANN"] == pytest.approx(100.0)  # first: i=0
+    # sum/first/last/hi/lo all suffix to the same column name per the
+    # reference convention... each convert targets the same source
+    # series so the later ones would collide. Use the rename map:
+    assert res.renames["V_FIRST"] == "V_DAILY_ANN"
+
+
+def test_upsample_monthly_to_daily_constant(spark):
+    months = [dt.date(2020, m, 1) for m in (1, 2, 3)]
+    df = spark.createDataFrame(
+        [(d, float(i + 1)) for i, d in enumerate(months)], "DATE date, GDP double"
+    )
+    res = run_script(df, ["gdp_d = convert(gdp, d, const, ave)"])
+    out = res.df.where("GDP_DD is not null").orderBy("DATE").collect()
+    # calendar spans 2020-01-01..2020-03-01 inclusive
+    assert len(out) == 61
+    jan15 = [r for r in out if r["DATE"] == dt.date(2020, 1, 15)][0]
+    assert jan15["GDP_DD"] == 1.0
+    feb29 = [r for r in out if r["DATE"] == dt.date(2020, 2, 29)][0]
+    assert feb29["GDP_DD"] == 2.0
+
+
+def test_upsample_linear_interpolation(spark):
+    months = [dt.date(2020, 1, 1), dt.date(2020, 1, 11)]
+    df = spark.createDataFrame(
+        [(months[0], 0.0), (months[1], 10.0)], "DATE date, V double"
+    )
+    res = run_script(df, ["v_d = convert(v, d, linear, ave)"])
+    out = {r["DATE"]: r["V_DD"] for r in res.df.where("V_DD is not null").collect()}
+    assert out[dt.date(2020, 1, 6)] == pytest.approx(5.0)
+    assert out[dt.date(2020, 1, 4)] == pytest.approx(3.0)
+
+
+def test_business_day_conversion(spark, ts_daily):
+    res = run_script(ts_daily, ["v_b = convert(v_daily, b, disc, ave)"])
+    out = res.df.where("V_DAILY_BUSD is not null").select("DATE").collect()
+    # all business days Mon-Fri, none on weekends
+    assert all(r["DATE"].weekday() < 5 for r in out)
+    assert len(out) == 262  # business days in 2020
+
+
+def test_weekly_with_start_day(spark, ts_daily):
+    res = run_script(ts_daily, ["v_w = convert(v_daily, w(wed), disc, ave)"])
+    out = res.df.where("V_DAILY_WK is not null").select("DATE").collect()
+    assert all(r["DATE"].weekday() == 2 for r in out)  # Wednesday
+
+
+def test_converted_column_reference_rewrite(spark, ts_daily):
+    """Master-corpus pattern: TOTAL = A + DD referencing converted cols
+    (fame_script_master.inp:132-143)."""
+    res = run_script(
+        ts_daily,
+        [
+            "vm = convert(v_daily, m, disc, ave)",
+            "doubled = vm * 2",
+        ],
+    )
+    out = res.df.where("DOUBLED is not null").orderBy("DATE").collect()
+    assert len(out) == 12
+    assert out[0]["DOUBLED"] == pytest.approx(out[0]["V_DAILY_MON"] * 2)
+
+
+def test_quarterly_to_monthly_upsample(spark):
+    quarters = [dt.date(2020, 1, 1), dt.date(2020, 4, 1), dt.date(2020, 7, 1)]
+    df = spark.createDataFrame(
+        [(d, float((i + 1) * 100)) for i, d in enumerate(quarters)],
+        "DATE date, GDP double",
+    )
+    res = run_script(df, ["gdp_m = convert(gdp, m, const, ave)"])
+    out = res.df.where("GDP_MON is not null").orderBy("DATE").collect()
+    assert len(out) == 7  # 2020-01..2020-07
+    assert [r["GDP_MON"] for r in out] == [100.0, 100.0, 100.0, 200.0, 200.0, 200.0, 300.0]
