@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock seconds across the headline query set (median
+of WARM_RUNS warm runs per query, after one warm-up run that absorbs
+JVM/codegen startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: headline set: the heaviest representative op per family
+HEADLINE = [
+    "flagship_pricing_summary",
+    "s01_projection_arithmetic",
+    "e06_pct_diff",
+    "s08_conditional",
+    "s12_chain_index",
+    "s13_fishvol",
+    "s14_convert_down",
+    "s14_convert_business",
+    "s11_backcast",
+    "s16_first_last",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("fame2pygen_spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fame2pygen_spark.queries import QUERIES
+
+    sf = None
+    tail = os.path.basename(SF_DIR.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            sf = tail
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # warm-up: JIT + file listing
+        runs = []
+        for _ in range(WARM_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

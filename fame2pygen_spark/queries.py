@@ -1,0 +1,761 @@
+"""Operator-coverage query registry: Spark query + DuckDB oracle pairs.
+
+Each entry exercises one or more operators from SURVEY.md §2 through the
+FAME engine against the driver's TPC-H-ish parquet tables, and carries
+an ANSI-SQL oracle producing the identical result in DuckDB.
+
+Determinism rules (so value hashes match bit-for-bit):
+
+* every SUM over a float measure goes through ``DECIMAL(18,2)`` on both
+  sides — decimal addition is exact and order-independent;
+* AVG only ever runs over integer-valued or decimal-exact columns;
+* both sides compute derived floats with the *same* expression shape,
+  so IEEE-754 yields identical doubles;
+* all double outputs are rounded to 6 decimals on both sides, which
+  absorbs last-ulp differences in log/exp/library code.
+
+Operator → query mapping (SURVEY §2):
+  S1/S2/S3  s01_projection_arithmetic     E1   e01_lag_lead
+  S4        s04_scalar_broadcast          E6/E7 e06_pct_diff
+  S5/E18    s05_dynamic_lookup            E8-E11 e08_math_funcs
+  S6/E19    s06_point_in_time             E12  s04_scalar_broadcast
+  S7        s07_date_window               E13  e13_min_max
+  S8/E4/E5  s08_conditional               E14  s09_lsum_exists
+  S9        s09_lsum_exists               E15/S16 s16_first_last
+  S10       s10_shift_pct_forward         E17  e17_dateof_sentinel
+  S11       s11_backcast                  E2/E3 s08_conditional
+  S12       s12_chain_index               S18  s13_fishvol (brace lists)
+  S13       s13_fishvol                   S19  s14_* (freq state)
+  S14/S15   s14_convert_{down,up,business}
+  S17       s17_nlrx (no SQL oracle — rows-only check)
+  S20       s20_local_db
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import FameEngine, run_script
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide monthly frame from orders: DATE, REV (decimal-exact), CNT."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("DATE"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("REV"),
+            F.count("*").cast("double").alias("CNT"),
+        )
+    )
+
+
+#: DuckDB mirror of ``monthly_orders``
+SQL_BASE = """
+WITH base AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS DATE,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS REV,
+         CAST(COUNT(*) AS DOUBLE) AS CNT
+  FROM orders GROUP BY 1
+)
+"""
+
+
+def quarterly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("DATE")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("QREV"),
+            F.count("*").cast("double").alias("QCNT"),
+        )
+    )
+
+
+SQL_QBASE = """
+WITH base AS (
+  SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS DATE,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS QREV,
+         CAST(COUNT(*) AS DOUBLE) AS QCNT
+  FROM orders GROUP BY 1
+)
+"""
+
+
+def daily_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("DATE"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("DREV"),
+            F.count("*").cast("double").alias("DCNT"),
+        )
+    )
+
+
+SQL_DBASE = """
+WITH base AS (
+  SELECT CAST(l_shipdate AS DATE) AS DATE,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS DREV,
+         CAST(COUNT(*) AS DOUBLE) AS DCNT
+  FROM lineitem GROUP BY 1
+)
+"""
+
+
+def monthly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain/Fisher input: monthly quantity + unit price per return flag.
+
+    A/R 'products': QTY sums are integer-valued (exact); price =
+    decimal-exact revenue / decimal-exact quantity → identical doubles.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    month = F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("DATE")
+
+    def agg_for(flag: str, qname: str, pname: str):
+        cond = F.col("l_returnflag") == flag
+        qty = F.sum(F.when(cond, F.col("l_quantity")).cast("decimal(18,2)"))
+        rev = F.sum(F.when(cond, F.col("l_extendedprice")).cast("decimal(18,2)"))
+        return [
+            qty.cast("double").alias(qname),
+            (rev.cast("double") / qty.cast("double")).alias(pname),
+        ]
+
+    return li.groupBy(month).agg(
+        *agg_for("A", "A", "PA"), *agg_for("R", "R", "PR")
+    )
+
+
+SQL_FLAGS_BASE = """
+WITH base AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS DATE,
+         CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+         CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS PA,
+         CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R,
+         CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS PR
+  FROM lineitem GROUP BY 1
+)
+"""
+
+
+def _finish(df: DataFrame, *cols: str, date_col: str = "DATE") -> DataFrame:
+    """Project the output columns, rounding doubles to 6dp."""
+    return df.select(
+        F.col(date_col),
+        *[F.round(F.col(c).cast("double"), 6).alias(c) for c in cols],
+    )
+
+
+# --------------------------------------------------------------- queries
+# Each q_* returns a DataFrame; oracle SQL lives in ORACLES below.
+
+
+def q_s01_projection_arithmetic(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "v_base = 100",
+            "v1 = rev * 2 + cnt",
+            "v2 = rev - cnt * 3",
+            "v3 = (rev + cnt) / 2",
+            "v4 = v1 - v2",  # dependency chain → topological level 2
+        ],
+    )
+    return _finish(res.df, "V_BASE", "V1", "V2", "V3", "V4")
+
+
+def q_e01_lag_lead(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(base, ["prev = rev[t-1]", "nxt = rev[t+1]", "mom = rev - rev[t-1]"])
+    return _finish(res.df, "PREV", "NXT", "MOM")
+
+
+def q_e06_pct_diff(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(base, ["g = pct(rev)", "g3 = pct(rev, 3)", "d1 = diff(rev)"])
+    return _finish(res.df, "G", "G3", "D1")
+
+
+def q_s08_conditional(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "g = pct(rev)",
+            "sig = if g gt 5 then 2 else if g gt 0 then 1 else 0",
+            "mix = if (g gt 0 and cnt gt 150) or g lt -10 then rev else nd",
+            "era = if t ge make(date(m), \"1998-01-01\") then 1 else 0",
+        ],
+    )
+    return _finish(res.df, "G", "SIG", "MIX", "ERA")
+
+
+def q_s09_lsum_exists(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "date 1996-01-01 to 1998-12-31",
+            "part1 = rev",
+            "date *",
+            "total = lsum(part1, cnt)",
+            "has = if exists(part1) then 1 else 0",
+        ],
+    )
+    return _finish(res.df, "PART1", "TOTAL", "HAS")
+
+
+def q_s07_date_window(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "v = rev",
+            "date 1996-01-01 to 1996-12-31",
+            "v = rev * 2",
+            "date 1999-01-01 to *",
+            "w = cnt",
+            "date *",
+        ],
+    )
+    return _finish(res.df, "V", "W")
+
+
+def q_s06_point_in_time(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "gdp = rev",
+            'gdp["1996-01-01"] = 12345',
+            'gdp["1996Q2"] = 500',
+            'gdp["1996-02-01"] = gdp["1996-01-01"] * 2',
+            "set cpi[01Feb1997]=77",
+        ],
+    )
+    return _finish(res.df, "GDP", "CPI")
+
+
+def q_s16_first_last(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        ["fv = firstvalue(rev)", "lv = lastvalue(rev)", "norm = rev / lastvalue(rev)"],
+    )
+    return _finish(res.df, "FV", "LV", "NORM")
+
+
+def q_s04_scalar_broadcast(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "scalar mean_cnt = ave(cnt)",
+            "rel = cnt / mean_cnt",
+            "scalar last_rev = lastvalue(rev)",
+            "idx = rev / last_rev * 100",
+        ],
+    )
+    return _finish(res.df, "REL", "IDX")
+
+
+def q_s05_dynamic_lookup(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            'scalar anchor = make(date(m), "1996-06-01")',
+            "x = rev[anchor]",
+            "rel = rev / x",
+        ],
+    )
+    return _finish(res.df, "X", "REL")
+
+
+def q_e08_math_funcs(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "r1 = sqrt(cnt)",
+            "r2 = abs(cnt - 200)",
+            "r3 = log(cnt)",
+            "r4 = exp(cnt / 200)",
+            "r5 = cnt ** 2",
+        ],
+    )
+    return _finish(res.df, "R1", "R2", "R3", "R4", "R5")
+
+
+def q_e13_min_max(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "mn = min(cnt, 180)",
+            "mx = max(cnt, 180)",
+            "mxall = max(cnt)",
+            "mnall = min(cnt)",
+        ],
+    )
+    return _finish(res.df, "MN", "MX", "MXALL", "MNALL")
+
+
+def q_e17_dateof_sentinel(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        ['r = if t ge dateof(make(date(bus), "10aug2020"), *, contain, end) then rev else nd'],
+    )
+    return _finish(res.df, "R")
+
+
+def q_s10_shift_pct_forward(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "set v21 = pct(rev[t+1])",
+            "adj = rev[t-1]/(1+(pct(cnt[t-1])/100))",
+        ],
+    )
+    return _finish(res.df, "V21", "ADJ")
+
+
+def q_s11_backcast(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    eng = FameEngine(backcast_window=(date(1999, 12, 1), date(1995, 1, 1)))
+    res = eng.run(base, ["set rev[t] = rev[t+1]/(1+(pct(cnt[t+1])/100))"])
+    return _finish(res.df, "REV", "CNT")
+
+
+def q_s12_chain_index(spark, sf_dir):
+    base = monthly_flags(spark, sf_dir)
+    res = run_script(base, ['vol = $chain("a + r", "1997")'])
+    return _finish(res.df, "VOL")
+
+
+def q_s13_fishvol(spark, sf_dir):
+    base = monthly_flags(spark, sf_dir)
+    res = run_script(base, ["fv = fishvol_rebase({a, r},{pa, pr},1997)"])
+    return _finish(res.df, "FV")
+
+
+def q_s14_convert_down(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "freq m",
+            "qc = convert(cnt, q, disc, sum)",
+            "ac = convert(cnt, a, disc, ave)",
+            "qlast = convert(rev, q, disc, last)",
+            "dep = qc * 2",  # S15: reference rewritten to CNT_QTRLY
+        ],
+    )
+    out = res.df.where(F.col("CNT_QTRLY").isNotNull())
+    return _finish(out, "CNT_QTRLY", "CNT_ANN", "REV_QTRLY", "DEP")
+
+
+def q_s14_convert_up(spark, sf_dir):
+    base = quarterly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "freq q",
+            "mconst = convert(qrev, m, const, ave)",
+            "mlin = convert(qcnt, m, linear, ave)",
+        ],
+    )
+    out = res.df.where(F.col("QREV_MON").isNotNull())
+    return _finish(out, "QREV_MON", "QCNT_MON")
+
+
+def q_s14_convert_business(spark, sf_dir):
+    base = daily_lineitem(spark, sf_dir)
+    res = run_script(
+        base,
+        ["freq d", "b = convert(dcnt, b, disc, ave)", "wk = convert(dcnt, w(mon), disc, sum)"],
+    )
+    out = res.df.where(
+        F.col("DCNT_BUSD").isNotNull() | F.col("DCNT_WK").isNotNull()
+    )
+    return _finish(out, "DCNT_BUSD", "DCNT_WK")
+
+
+def q_s17_nlrx(spark, sf_dir):
+    # no SQL oracle (iterative banded solve) — driver records rows-only
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "scale = rev / 1000000",
+            "b1 = 1",
+            "trend = nlrx(1600, scale, b1, b1, b1, b1, b1, b1)",
+        ],
+    )
+    return _finish(res.df, "SCALE", "TREND")
+
+
+def q_s20_local_db(spark, sf_dir):
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(base, ["gg'dbl = rev * 2", "gg'half = cnt / 2"])
+    gg = res.local_databases["GG"]
+    return _finish(gg, "DBL", "HALF")
+
+
+def q_flagship_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the flagship scan/agg query.
+
+    Not a FAME op: demonstrates the engine coexists with plain Spark
+    analytics on the same tables (decimal-exact aggregates).
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").cast("double").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 6).alias("sum_qty"),
+        F.round("sum_base_price", 6).alias("sum_base_price"),
+        F.round("sum_disc_price", 6).alias("sum_disc_price"),
+        F.round("count_order", 6).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------- oracles
+
+_W = "WINDOW w AS (ORDER BY DATE)"
+_WFULL = (
+    "WINDOW wf AS (ORDER BY DATE ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "UNBOUNDED FOLLOWING)"
+)
+
+
+ORACLES: dict[str, str] = {
+    "s01_projection_arithmetic": SQL_BASE + """
+SELECT DATE,
+       ROUND(CAST(100 AS DOUBLE), 6) AS V_BASE,
+       ROUND(REV * 2 + CNT, 6) AS V1,
+       ROUND(REV - CNT * 3, 6) AS V2,
+       ROUND((REV + CNT) / 2, 6) AS V3,
+       ROUND((REV * 2 + CNT) - (REV - CNT * 3), 6) AS V4
+FROM base
+""",
+    "e01_lag_lead": SQL_BASE + f"""
+SELECT DATE,
+       ROUND(LAG(REV) OVER w, 6) AS PREV,
+       ROUND(LEAD(REV) OVER w, 6) AS NXT,
+       ROUND(REV - LAG(REV) OVER w, 6) AS MOM
+FROM base {_W}
+""",
+    "e06_pct_diff": SQL_BASE + f"""
+SELECT DATE,
+       ROUND((REV - LAG(REV) OVER w) / LAG(REV) OVER w * 100, 6) AS G,
+       ROUND((REV - LAG(REV, 3) OVER w) / LAG(REV, 3) OVER w * 100, 6) AS G3,
+       ROUND(REV - LAG(REV) OVER w, 6) AS D1
+FROM base {_W}
+""",
+    "s08_conditional": SQL_BASE + f"""
+SELECT DATE,
+       ROUND(g, 6) AS G,
+       ROUND(CASE WHEN g > 5 THEN 2 WHEN g > 0 THEN 1 ELSE 0 END, 6) AS SIG,
+       ROUND(CASE WHEN (g > 0 AND CNT > 150) OR g < -10 THEN REV END, 6) AS MIX,
+       ROUND(CASE WHEN DATE >= DATE '1998-01-01' THEN 1 ELSE 0 END, 6) AS ERA
+FROM (
+  SELECT *, (REV - LAG(REV) OVER w) / LAG(REV) OVER w * 100 AS g
+  FROM base {_W}
+)
+""",
+    "s09_lsum_exists": SQL_BASE + """
+SELECT DATE,
+       ROUND(part1, 6) AS PART1,
+       ROUND(COALESCE(part1, 0) + COALESCE(CNT, 0), 6) AS TOTAL,
+       ROUND(CASE WHEN part1 IS NOT NULL THEN 1 ELSE 0 END, 6) AS HAS
+FROM (
+  SELECT *, CASE WHEN DATE BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+                 THEN REV END AS part1
+  FROM base
+)
+""",
+    "s07_date_window": SQL_BASE + """
+SELECT DATE,
+       ROUND(CASE WHEN DATE BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+                  THEN REV * 2 ELSE REV END, 6) AS V,
+       ROUND(CASE WHEN DATE >= DATE '1999-01-01' THEN CNT END, 6) AS W
+FROM base
+""",
+    "s06_point_in_time": SQL_BASE + """
+SELECT DATE,
+       ROUND(CASE DATE WHEN DATE '1996-01-01' THEN 12345
+                       WHEN DATE '1996-04-01' THEN 500
+                       WHEN DATE '1996-02-01' THEN 24690
+                       ELSE REV END, 6) AS GDP,
+       ROUND(CASE DATE WHEN DATE '1997-02-01' THEN 77 END, 6) AS CPI
+FROM base
+""",
+    "s16_first_last": SQL_BASE + f"""
+SELECT DATE,
+       ROUND(FIRST_VALUE(REV) OVER wf, 6) AS FV,
+       ROUND(LAST_VALUE(REV) OVER wf, 6) AS LV,
+       ROUND(REV / LAST_VALUE(REV) OVER wf, 6) AS NORM
+FROM base {_WFULL}
+""",
+    # mean over CNT (integer-valued) is exact in any summation order
+    "s04_scalar_broadcast": SQL_BASE + f"""
+SELECT DATE,
+       ROUND(CNT / (AVG(CNT) OVER ()), 6) AS REL,
+       ROUND(REV / (LAST_VALUE(REV) OVER wf) * 100, 6) AS IDX
+FROM base {_WFULL}
+""",
+    "s05_dynamic_lookup": SQL_BASE + """
+SELECT DATE,
+       ROUND(MAX(CASE WHEN DATE = DATE '1996-06-01' THEN REV END) OVER (), 6) AS X,
+       ROUND(REV / (MAX(CASE WHEN DATE = DATE '1996-06-01' THEN REV END) OVER ()), 6) AS REL
+FROM base
+""",
+    "e08_math_funcs": SQL_BASE + """
+SELECT DATE,
+       ROUND(sqrt(CNT), 6) AS R1,
+       ROUND(abs(CNT - 200), 6) AS R2,
+       ROUND(ln(CNT), 6) AS R3,
+       ROUND(exp(CNT / 200), 6) AS R4,
+       ROUND(pow(CNT, 2), 6) AS R5
+FROM base
+""",
+    "e13_min_max": SQL_BASE + """
+SELECT DATE,
+       ROUND(least(CNT, 180), 6) AS MN,
+       ROUND(greatest(CNT, 180), 6) AS MX,
+       ROUND(MAX(CNT) OVER (), 6) AS MXALL,
+       ROUND(MIN(CNT) OVER (), 6) AS MNALL
+FROM base
+""",
+    "e17_dateof_sentinel": SQL_BASE + """
+SELECT DATE,
+       ROUND(CASE WHEN DATE >= DATE '9999-12-31' THEN REV END, 6) AS R
+FROM base
+""",
+    "s10_shift_pct_forward": SQL_BASE + f"""
+SELECT DATE,
+       ROUND((LEAD(REV) OVER w - REV) / REV * 100, 6) AS V21,
+       ROUND(LAG(REV) OVER w /
+             (1 + ((LAG(CNT) OVER w - LAG(CNT, 2) OVER w)
+                   / LAG(CNT, 2) OVER w * 100) / 100), 6) AS ADJ
+FROM base {_W}
+""",
+    # backcast closed form: v_new[t] = v_ref * cnt[t] / cnt_ref inside
+    # [1995-01-01, 1999-12-01]; ref = first row after 1999-12-01
+    "s11_backcast": SQL_BASE + """
+SELECT DATE,
+       ROUND(CASE WHEN DATE BETWEEN DATE '1995-01-01' AND DATE '1999-12-01'
+                  THEN rev_ref * CNT / cnt_ref
+                  ELSE REV END, 6) AS REV,
+       ROUND(CNT, 6) AS CNT
+FROM (
+  SELECT *,
+         MAX(CASE WHEN DATE = ref_date THEN REV END) OVER () AS rev_ref,
+         MAX(CASE WHEN DATE = ref_date THEN CNT END) OVER () AS cnt_ref
+  FROM (
+    SELECT *,
+           MIN(CASE WHEN DATE > DATE '1999-12-01' THEN DATE END) OVER () AS ref_date
+    FROM base
+  )
+)
+""",
+    # annual-overlap chain-linked Laspeyres volume (see functions/econ.py)
+    "s12_chain_index": SQL_FLAGS_BASE + """
+, yearly AS (
+  SELECT year(DATE) AS y,
+         AVG(A) AS qa, AVG(PA) AS pa, AVG(R) AS qr, AVG(PR) AS pr
+  FROM base GROUP BY 1
+),
+links AS (
+  SELECT y, qa, qr,
+         LAG(pa) OVER wy AS pap, LAG(pr) OVER wy AS prp,
+         LAG(qa) OVER wy AS qap, LAG(qr) OVER wy AS qrp,
+         (LAG(pa) OVER wy * qa + LAG(pr) OVER wy * qr)
+           / (LAG(pa) OVER wy * LAG(qa) OVER wy + LAG(pr) OVER wy * LAG(qr) OVER wy)
+           AS link
+  FROM yearly WINDOW wy AS (ORDER BY y)
+),
+levels AS (
+  SELECT *,
+         exp(SUM(ln(link)) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)) AS lvl
+  FROM links
+),
+year_info AS (
+  SELECT y, pap, prp, qap, qrp,
+         COALESCE(LAG(lvl) OVER (ORDER BY y), 1.0) AS prev_lvl,
+         MAX(CASE WHEN y = 1997 THEN COALESCE(lvl, 1.0) END) OVER () AS base_lvl
+  FROM levels
+)
+SELECT b.DATE,
+       ROUND(100.0 * (yi.prev_lvl / yi.base_lvl)
+             * ((yi.pap * b.A + yi.prp * b.R)
+                / (yi.pap * yi.qap + yi.prp * yi.qrp)), 6) AS VOL
+FROM base b JOIN year_info yi ON year(b.DATE) = yi.y
+""",
+    # Fisher ideal volume index vs 1997 base-year averages
+    "s13_fishvol": SQL_FLAGS_BASE + """
+, byear AS (
+  SELECT AVG(A) AS vba, AVG(PA) AS pba, AVG(R) AS vbr, AVG(PR) AS pbr
+  FROM base WHERE year(DATE) = 1997
+)
+SELECT DATE,
+       ROUND(100.0 * sqrt(
+         ((pba * A + pbr * R) / (pba * vba + pbr * vbr))
+         * ((PA * A + PR * R) / (PA * vba + PR * vbr))), 6) AS FV
+FROM base, byear
+""",
+    "s14_convert_down": SQL_BASE + """
+, q AS (
+  SELECT CAST(date_trunc('quarter', DATE) AS DATE) AS QD,
+         SUM(CNT) AS qc, MAX_BY(REV, DATE) AS qlast
+  FROM base GROUP BY 1
+),
+a AS (
+  SELECT CAST(date_trunc('year', DATE) AS DATE) AS AD, AVG(CNT) AS ac
+  FROM base GROUP BY 1
+)
+SELECT b.DATE,
+       ROUND(q.qc, 6) AS CNT_QTRLY,
+       ROUND(a.ac, 6) AS CNT_ANN,
+       ROUND(q.qlast, 6) AS REV_QTRLY,
+       ROUND(q.qc * 2, 6) AS DEP
+FROM base b
+JOIN q ON b.DATE = q.QD
+LEFT JOIN a ON b.DATE = a.AD
+""",
+    # constant-fill: month takes containing quarter's value; linear:
+    # slope interpolation between quarter knots (same formula shape as
+    # operators/convert.py:_upsample)
+    "s14_convert_up": SQL_QBASE + """
+, months AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(DATE) FROM base),
+           (SELECT MAX(DATE) FROM base),
+           INTERVAL 1 MONTH)) AS DATE) AS DATE
+),
+grid AS (
+  SELECT m.DATE,
+         b.QREV AS known_rev, b.QCNT AS known_cnt,
+         CASE WHEN b.QCNT IS NOT NULL THEN m.DATE END AS kd
+  FROM months m LEFT JOIN base b ON m.DATE = b.DATE
+),
+filled AS (
+  SELECT DATE, known_cnt,
+         LAST_VALUE(known_rev IGNORE NULLS) OVER wp AS rev_ff,
+         LAST_VALUE(known_cnt IGNORE NULLS) OVER wp AS prev_v,
+         LAST_VALUE(kd IGNORE NULLS) OVER wp AS prev_d,
+         FIRST_VALUE(known_cnt IGNORE NULLS) OVER wf AS next_v,
+         FIRST_VALUE(kd IGNORE NULLS) OVER wf AS next_d
+  FROM grid
+  WINDOW wp AS (ORDER BY DATE ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY DATE ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT DATE,
+       ROUND(rev_ff, 6) AS QREV_MON,
+       ROUND(CASE WHEN known_cnt IS NOT NULL THEN known_cnt
+                  WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                       AND date_diff('day', prev_d, next_d) > 0
+                  THEN prev_v + (next_v - prev_v)
+                       * (CAST(date_diff('day', prev_d, DATE) AS DOUBLE)
+                          / date_diff('day', prev_d, next_d))
+                  END, 6) AS QCNT_MON
+FROM filled
+""",
+    "s14_convert_business": SQL_DBASE + """
+, wk AS (
+  SELECT DATE - CAST((dayofweek(DATE) + 6) % 7 AS INTEGER) AS WD,
+         SUM(DCNT) AS wsum
+  FROM base GROUP BY 1
+)
+SELECT COALESCE(b.DATE, w.WD) AS DATE,
+       ROUND(CASE WHEN dayofweek(COALESCE(b.DATE, w.WD)) BETWEEN 1 AND 5
+                  THEN b.DCNT END, 6) AS DCNT_BUSD,
+       ROUND(w.wsum, 6) AS DCNT_WK
+FROM base b
+FULL JOIN wk w ON b.DATE = w.WD
+WHERE (CASE WHEN dayofweek(COALESCE(b.DATE, w.WD)) BETWEEN 1 AND 5
+            THEN b.DCNT END) IS NOT NULL
+   OR w.wsum IS NOT NULL
+""",
+    "s20_local_db": SQL_BASE + """
+SELECT DATE, ROUND(REV * 2, 6) AS DBL, ROUND(CNT / 2, 6) AS HALF
+FROM base
+""",
+    "flagship_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price,
+       ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+}
+
+
+QUERIES: dict[str, object] = {
+    "s01_projection_arithmetic": q_s01_projection_arithmetic,
+    "e01_lag_lead": q_e01_lag_lead,
+    "e06_pct_diff": q_e06_pct_diff,
+    "s08_conditional": q_s08_conditional,
+    "s09_lsum_exists": q_s09_lsum_exists,
+    "s07_date_window": q_s07_date_window,
+    "s06_point_in_time": q_s06_point_in_time,
+    "s16_first_last": q_s16_first_last,
+    "s04_scalar_broadcast": q_s04_scalar_broadcast,
+    "s05_dynamic_lookup": q_s05_dynamic_lookup,
+    "e08_math_funcs": q_e08_math_funcs,
+    "e13_min_max": q_e13_min_max,
+    "e17_dateof_sentinel": q_e17_dateof_sentinel,
+    "s10_shift_pct_forward": q_s10_shift_pct_forward,
+    "s11_backcast": q_s11_backcast,
+    "s12_chain_index": q_s12_chain_index,
+    "s13_fishvol": q_s13_fishvol,
+    "s14_convert_down": q_s14_convert_down,
+    "s14_convert_up": q_s14_convert_up,
+    "s14_convert_business": q_s14_convert_business,
+    "s17_nlrx": q_s17_nlrx,
+    "s20_local_db": q_s20_local_db,
+    "flagship_pricing_summary": q_flagship_pricing_summary,
+}

@@ -1,0 +1,104 @@
+"""Differential tests: every registry query vs its DuckDB oracle.
+
+Mimics the driver's t2 gate (``__spark_entry__.py`` contract): run the
+Spark query and the oracle SQL on the same parquet tables, then compare
+row count, column names, and sorted values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from fame2pygen_spark.queries import ORACLES, QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+def normalize(rows, columns):
+    """Sort columns by name and rows by value for order-insensitive compare."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def key(row):
+        out = []
+        for i in order:
+            v = row[i]
+            out.append((v is None, str(v)))
+        return out
+
+    data = [tuple(row[i] for i in order) for row in rows]
+    data.sort(key=lambda r: [(v is None, str(v)) for v in r])
+    return [columns[i] for i in order], data
+
+
+def values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    q = QUERIES[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(
+        c.lower() for c in duck_cols
+    ), f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+
+    _, s_norm = normalize(spark_rows, [c.lower() for c in spark_cols])
+    _, d_norm = normalize(duck_rows, [c.lower() for c in duck_cols])
+    mismatches = []
+    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
+        for j, (sv, dv) in enumerate(zip(sr, dr)):
+            if not values_equal(sv, dv):
+                mismatches.append((i, j, sv, dv))
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_all_queries_have_oracles_or_are_declared():
+    no_oracle = set(QUERIES) - set(ORACLES)
+    # s17_nlrx is the only declared non-SQL-expressible operator
+    assert no_oracle == {"s17_nlrx"}
+
+
+def test_nlrx_runs_and_returns_rows(spark):
+    df = QUERIES["s17_nlrx"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert any(r["TREND"] is not None for r in rows)
