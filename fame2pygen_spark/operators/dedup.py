@@ -1,0 +1,333 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its data model is one wide TS frame) —
+these are the BASELINE.json north-star extensions, designed for 100 TB:
+
+exact_duplicates / dedup_exact
+    fingerprint = md5(normalized text); one shuffle keyed by the
+    fingerprint (map-side partial aggregation), keep the min-id doc.
+    At scale: the groupBy key is a uniform 128-bit hash → no skew; AQE
+    coalesces post-shuffle partitions.
+
+charset_jaccard_pairs
+    character-set Jaccard near-dup pairs with blocking — candidate
+    space is cut by an equi-join on a blocking key (e.g. source) before
+    any pairwise math, so the join is a partitioned equi-join rather
+    than a cross product.
+
+minhash_lsh_pairs
+    shingle → 64 MinHash values → banded LSH: documents sharing any
+    band bucket become candidates, then candidates are *verified* with
+    the exact shingle-set Jaccard.  The only wide operation is a
+    groupBy/self-join keyed by (band, band_hash) — at 100 TB the
+    bucket key is uniformly distributed by construction; giant buckets
+    (degenerate near-identical corpora) are capped with a per-bucket
+    limit to bound the pair blow-up.
+
+simhash64
+    64-bit SimHash over whitespace tokens using xxhash64 — pure column
+    algebra (no UDF): per-bit weighted sums folded with
+    ``aggregate()`` over the token array.
+
+All hash math uses explicitly-constructed hash functions
+(md5-hex → integer, affine transforms mod a Mersenne prime) so an
+external engine (the DuckDB oracle) can reproduce signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: Mersenne prime 2^31-1 — modulus for affine MinHash transforms
+MERSENNE_31 = 2_147_483_647
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def text_fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit fingerprint of normalized text (md5 —
+    reproducible in any engine)."""
+    return F.md5(normalized_text(col))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, keep_id, dup_count).
+
+    ``keep_id`` is the smallest id — the canonical survivor.
+    """
+    fp = text_fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return *df* with exact duplicates removed (min id survives).
+
+    One shuffle: window min over the fingerprint partition, then filter
+    — no join back.
+    """
+    w = Window.partitionBy(text_fingerprint(F.col(text_col)))
+    return (
+        df.withColumn("__keep", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+# ------------------------------------------------------------ shingling
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (array<string>).
+
+    Texts shorter than *n* produce an empty set (guarded explicitly:
+    ``sequence(1, 0)`` in Spark counts *down*, it is not empty).
+    """
+    norm = normalized_text(col)
+    idx = F.when(
+        F.length(norm) >= n,
+        F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm, i, F.lit(n)))
+    )
+
+
+def shingle_set(df: DataFrame, text_col: str, n: int = 5) -> Column:
+    return char_shingles(F.col(text_col), n)
+
+
+def jaccard_arrays(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def charset_jaccard(a: Column, b: Column) -> Column:
+    """Character-set Jaccard — matches DuckDB's ``jaccard()`` (defined
+    on distinct characters), so oracle-checkable."""
+    chars = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+    )
+    return jaccard_arrays(chars(a), chars(b))
+
+
+def charset_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup candidate pairs by char-set Jaccard within blocks.
+
+    Blocking keeps the self-join an equi-join on *block_cols*; output
+    columns: id_a < id_b, jaccard (rounded 6dp).
+    """
+    left = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    right = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    pairs = left.join(right, on=block_cols).where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(charset_jaccard(F.col("text_a"), F.col("text_b")), 6)
+    return (
+        pairs.withColumn("jaccard", sim)
+        .where(F.col("jaccard") >= threshold)
+        .select(*block_cols, "id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+
+def _hex_to_long(hex8: Column) -> Column:
+    """First 8 hex chars of an md5 digest → non-negative int64
+    (same as DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``)."""
+    return F.conv(hex8, 16, 10).cast("long")
+
+
+def shingle_hash(col: Column) -> Column:
+    """Engine-portable integer hash of one shingle string."""
+    return _hex_to_long(F.substring(F.md5(col), 1, 8))
+
+
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_j(x) = (a·x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    text: Column, n: int = 5, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """array<long> MinHash signature of the text's char-n-gram set."""
+    shingles = char_shingles(text, n)
+    hashes = F.transform(shingles, lambda s: shingle_hash(s))
+    sig = [
+        F.array_min(
+            F.transform(
+                hashes, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_31)
+            )
+        )
+        for a, b in _affine_params(num_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
+
+    Pipeline: signature → explode into *bands* band-hashes → self-join
+    on (band, hash) → distinct candidate pairs → verify true shingle
+    Jaccard ≥ *threshold*.  ``max_bucket`` caps pathological buckets
+    (all-identical corpora) so candidate pairs stay bounded.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), n, num_hashes, seed)
+    shingles = char_shingles(F.col(text_col), n)
+
+    base = df.select(
+        F.col(id_col).alias("doc"), sig.alias("sig"), shingles.alias("sh")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                           for r in range(rows_per_band)]
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select(
+        "doc", "sh", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    # cap bucket size to bound the self-join
+    wb = Window.partitionBy("band", "bh").orderBy("doc")
+    banded = banded.withColumn("__rn", F.row_number().over(wb)).where(
+        F.col("__rn") <= max_bucket
+    ).drop("__rn")
+
+    left = banded.select("band", "bh", F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = banded.select("band", "bh", F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        left.join(right, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.withColumn(
+        "jaccard", F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 6)
+    ).where(F.col("jaccard") >= threshold)
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of whitespace tokens (xxhash64 bit votes).
+
+    Pure column algebra: for each bit position the token votes ±1;
+    the sign of the vote sum sets the bit.
+    """
+    tokens = F.filter(F.split(normalized_text(text), " "), lambda t: t != F.lit(""))
+    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+            ).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    sub-bands.
+
+    Recall guarantee: a pair within distance d ≤ 3 must share ≥1 of the
+    4 bands (pigeonhole).  For larger *max_distance* the banding is
+    probabilistic — raise the band count (smaller bands) to recover the
+    guarantee at the cost of more candidates.
+    """
+    sig = simhash64(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    bands = base.select(
+        "doc", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("sig"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc", "sig", "bk.band", "bk.key")
+    left = bands.select("band", "key", F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    right = bands.select("band", "key", F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        left.join(right, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("distance"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("distance") <= max_distance)
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+BASELINE.json north-star extension — approximate nearest neighbor over
+an embedding column, designed Spark-first:
+
+cosine_topk (exact baseline)
+    broadcast the (small) query set against the corpus, compute cosine
+    with pure column algebra (``zip_with`` + sequential ``aggregate``
+    fold — deterministic summation order, reproducible in an external
+    oracle), rank per query with a window.  At 100 TB the corpus side
+    streams through executors once; the only shuffle is the per-query
+    top-k (keyed by query id, k rows per partition survive).
+
+hyperplane_lsh_topk (scale path)
+    random-hyperplane LSH: sign-bit bucket per document (seeded,
+    deterministic planes), candidates = same bucket (plus optional
+    multi-probe neighbors at Hamming distance 1), exact re-rank inside
+    the bucket.  Converts the all-pairs scan into an equi-join on the
+    bucket key — the standard IVF/LSH trade: recall vs. candidate count
+    (``nbits`` tunes bucket granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic order (index 0..n)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, rank, score) with score rounded to
+    6dp and rank = dense position by (score desc, neighbor_id) — fully
+    deterministic even under score ties.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("__q"),
+    )
+    scored = c.join(F.broadcast(q))
+    if not include_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "score", F.round(cosine(F.col("__v"), F.col("__q")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side constants)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of *vec* against the hyperplanes (int64)."""
+    out = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(w) for w in plane]))
+        out = out + F.when(
+            proj >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    nbits: int = 8,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: bucket by random hyperplane signs, exact
+    re-rank within the shared bucket (equi-join on bucket id)."""
+    planes = _hyperplanes(dim, nbits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("__q"),
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__q"), planes))
+
+    cand = c.join(F.broadcast(q), on="__bucket")
+    if not include_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "score", F.round(cosine(F.col("__v"), F.col("__q")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

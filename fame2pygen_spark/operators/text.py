@@ -1,0 +1,154 @@
+"""Text-analysis operators for training-data pipelines.
+
+BASELINE.json north-star extensions — all pure column algebra (JVM-side,
+whole-stage codegen; no Python in the hot path):
+
+* tokenization + token counting (whitespace and word-regex)
+* quality scoring (length / punctuation / stopword / repetition ratios)
+* language identification (stopword-hit heuristic over a fixed
+  marker-word table — deterministic, oracle-reproducible)
+* document fingerprinting (md5 of normalized text; k-gram min-hash
+  sketch for robust fingerprints)
+
+Every function is also expressible in ANSI SQL so the DuckDB oracle can
+verify results value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import normalized_text, text_fingerprint  # re-exported
+
+__all__ = [
+    "tokens", "token_count", "word_token_count", "char_count",
+    "punct_count", "stopword_ratio", "quality_score", "language_scores",
+    "detect_language", "normalized_text", "text_fingerprint",
+    "text_profile",
+]
+
+#: small deterministic stopword tables per language (marker words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text (array<string>, no empties)."""
+    return F.filter(F.split(normalized_text(col), " "), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish word/number/punct token count via regex extraction."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n > 0, _hits(toks, stopwords) / n).otherwise(F.lit(0.0))
+
+
+def repetition_ratio(col: Column) -> Column:
+    """1 - distinct_tokens/tokens — high values flag degenerate text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: rewards stopword presence and sane
+    token lengths, penalizes punctuation soup and repetition.
+
+    score = 0.25·min(1, stopword_ratio·5)
+          + 0.25·(1 − min(1, punct_count/tokens))
+          + 0.25·(1 − repetition_ratio)
+          + 0.25·clamp((mean_len − 1)/6)
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    sw = F.least(F.lit(1.0), stopword_ratio(col) * 5)
+    punct = F.when(n > 0, F.least(F.lit(1.0), punct_count(col) / n)).otherwise(
+        F.lit(1.0)
+    )
+    rep = repetition_ratio(col)
+    mlen = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), (mean_token_length(col) - 1) / 6)
+    )
+    return 0.25 * sw + 0.25 * (1 - punct) + 0.25 * (1 - rep) + 0.25 * mlen
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Marker-hit ratio per language."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return {
+        lang: F.when(n > 0, _hits(toks, words) / n).otherwise(F.lit(0.0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def detect_language(col: Column, min_score: float = 0.01) -> Column:
+    """argmax language by marker ratio; 'und' when nothing scores."""
+    scores = language_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("s"), F.lit(lang).alias("l"))
+            for lang, score in scores.items()
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: by s, tie-break by l
+    return F.when(best["s"] >= min_score, best["l"]).otherwise(F.lit("und"))
+
+
+def text_profile(df: DataFrame, text_col: str) -> DataFrame:
+    """Append the standard text-analysis columns to *df*."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_word_tokens": word_token_count(t),
+            "n_punct": punct_count(t),
+            "stopword_ratio": F.round(stopword_ratio(t), 6),
+            "repetition_ratio": F.round(repetition_ratio(t), 6),
+            "mean_token_len": F.round(mean_token_length(t), 6),
+            "quality": F.round(quality_score(t), 6),
+            "lang_pred": detect_language(t),
+            "fingerprint": text_fingerprint(t),
+        }
+    )

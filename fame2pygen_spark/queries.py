@@ -734,6 +734,10 @@ ORDER BY l_returnflag, l_linestatus
 }
 
 
+from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+ORACLES.update(EXT_ORACLES)
+
 QUERIES: dict[str, object] = {
     "s01_projection_arithmetic": q_s01_projection_arithmetic,
     "e01_lag_lead": q_e01_lag_lead,
@@ -758,4 +762,5 @@ QUERIES: dict[str, object] = {
     "s17_nlrx": q_s17_nlrx,
     "s20_local_db": q_s20_local_db,
     "flagship_pricing_summary": q_flagship_pricing_summary,
+    **EXT_QUERIES,
 }

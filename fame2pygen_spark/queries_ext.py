@@ -1,0 +1,500 @@
+"""Extension query registry: dedup / similarity / text / events /
+multimodal queries with DuckDB oracles.
+
+These cover the BASELINE.json north-star operators over the
+``documents``, ``embeddings`` and ``events`` tables.  Oracle design
+follows queries.py's determinism rules; hash-bearing pipelines (MinHash)
+use engine-portable hash construction (md5-hex → int64, affine mod
+Mersenne-31) so DuckDB reproduces signatures bit-exactly — the oracle
+replicates the *mechanism*, not just the intent.
+
+Mapping to the task checklist:
+  dedup exact          x01_dedup_exact
+  dedup near (charset) x02_dedup_near_charset
+  dedup MinHash-LSH    x03_dedup_minhash_lsh  (full SQL oracle)
+  dedup SimHash        x04_simhash_signatures (signature-level oracle)
+  similarity top-k     x05_similarity_topk (brute force, SQL oracle)
+  similarity LSH       x05b_similarity_lsh (rows-only; recall tested in
+                       tests/test_extensions.py)
+  text analysis        x06_text_profile (tokens/quality/langid/fingerprint)
+  streaming analog     x10_events_hourly, x11_events_sessions (the same
+                       expressions run under Structured Streaming in
+                       streaming/core.py)
+  multimodal           x12_multimodal_binary (binary payload plumbing)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators.dedup import MERSENNE_31, _affine_params
+
+# --------------------------------------------------------------- dedup
+
+
+def q_x01_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dd.exact_duplicates(docs, "text", "doc_id")
+    return out.select(
+        "fingerprint",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+SQL_X01 = """
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         doc_id
+  FROM documents
+)
+SELECT fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_x02_dedup_near_charset(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.charset_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["source"], threshold=0.9
+    ).select(
+        "source",
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+SQL_X02 = """
+SELECT a.source,
+       CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       ROUND(jaccard(a.text, b.text), 6) AS jaccard
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE ROUND(jaccard(a.text, b.text), 6) >= 0.9
+"""
+
+
+def q_x03_dedup_minhash_lsh(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, num_hashes=64, bands=16, threshold=0.6
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _sql_x03() -> str:
+    """Full SQL replication of the MinHash-LSH pipeline — same shingles,
+    same md5-derived integers, same affine hash family, same banding."""
+    params = _affine_params(64, seed=42)
+    values = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, (a, b) in enumerate(params))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT d.doc_id, substr(d.t, CAST(i.i AS INTEGER), 5) AS sh
+  FROM docs d,
+       LATERAL (SELECT unnest(range(1, greatest(length(d.t) - 4, 0) + 1)) AS i) i
+  WHERE length(d.t) >= 5
+),
+hashed AS (
+  SELECT doc_id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+  FROM shingles
+),
+params(j, a, b) AS (VALUES {values}),
+minh AS (
+  SELECT h.doc_id, p.j, MIN((p.a * h.h + p.b) % {MERSENNE_31}) AS mh
+  FROM hashed h CROSS JOIN params p
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY j) AS sig FROM minh GROUP BY 1
+),
+bands AS (
+  SELECT s.doc_id, b.band,
+         md5(array_to_string(s.sig[b.band * 4 + 1 : b.band * 4 + 4], ',')) AS bh
+  FROM sigs s, LATERAL (SELECT unnest(range(0, 16)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1)
+SELECT CAST(c.id_a AS BIGINT) AS id_a,
+       CAST(c.id_b AS BIGINT) AS id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.6
+"""
+
+
+def q_x04_simhash_signatures(spark, sf_dir):
+    """SimHash signatures (not pairs) — signature math is fully
+    column-side but xxhash64 is Spark-specific, so the oracle checks
+    the *shape*: per-doc token counts and the self-distance-0 property
+    via the exact-duplicate groups sharing a signature."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = dd.simhash64(F.col("text"))
+    out = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), sig.alias("sig")
+    )
+    # signature-level invariant, oracle-checkable: identical normalized
+    # text ⇒ identical signature.  Emit (fingerprint, n_distinct_sigs).
+    return (
+        out.join(
+            docs.select(
+                "doc_id", dd.text_fingerprint(F.col("text")).alias("fingerprint")
+            ),
+            on="doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(F.count_distinct("sig").cast("long").alias("n_sigs"),
+             F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .select("fingerprint", "n_sigs", "n_docs")
+    )
+
+
+SQL_X04 = """
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       CAST(1 AS BIGINT) AS n_sigs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------- similarity
+
+
+def q_x05_similarity_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.cosine_topk(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
+SQL_X05 = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(
+           list_reduce(list_transform(range(1, 65),
+                       i -> cv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]),
+                       (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+                        i -> cv[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)]),
+                        (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                        i -> qv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]),
+                        (acc, x) -> acc + x))), 6) AS score
+  FROM c CROSS JOIN q
+  WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_x05b_similarity_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN — rows-only check (random-plane buckets are
+    engine-internal); recall vs exact top-k is pytest-asserted."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.hyperplane_lsh_topk(emb, queries, dim=64, k=5, nbits=6)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
+# ----------------------------------------------------------------- text
+
+
+def q_x06_text_profile(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.text_profile(docs, "text")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        "stopword_ratio", "repetition_ratio", "mean_token_len", "quality",
+        "lang_pred", "fingerprint",
+    )
+
+
+def _sql_x06() -> str:
+    def hits(words: tuple[str, ...]) -> str:
+        arr = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter(toks, t -> list_contains([{arr}], t)))"
+
+    lang_score = {
+        lang: f"(CASE WHEN n > 0 THEN {hits(words)} / n ELSE 0.0 END)"
+        for lang, words in tx.LANG_MARKERS.items()
+    }
+    # array_max over (score, lang) structs == max score, ties to the
+    # lexicographically largest language code
+    langs_desc = sorted(lang_score, reverse=True)
+    best = "CASE " + " ".join(
+        f"WHEN {lang_score[lang]} >= greatest({', '.join(lang_score.values())}) "
+        f"THEN CASE WHEN {lang_score[lang]} >= 0.01 THEN '{lang}' ELSE 'und' END"
+        for lang in langs_desc
+    ) + " ELSE 'und' END"
+    sw = lang_score["en"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, text, norm,
+         list_filter(string_split(norm, ' '), t -> t <> '') AS toks
+  FROM base
+),
+m AS (
+  SELECT doc_id, text, norm, toks, len(toks) AS n,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS nw,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS rep,
+         CASE WHEN len(toks) > 0
+              THEN list_reduce(list_transform(toks, t -> len(t)), (a, x) -> a + x) / len(toks)
+              ELSE 0.0 END AS mlen
+  FROM tok
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(nw AS BIGINT) AS n_word_tokens,
+       CAST(np AS BIGINT) AS n_punct,
+       ROUND(CASE WHEN n > 0 THEN {sw} ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(rep, 6) AS repetition_ratio,
+       ROUND(mlen, 6) AS mean_token_len,
+       ROUND(0.25 * least(1.0, (CASE WHEN n > 0 THEN {sw} ELSE 0.0 END) * 5)
+           + 0.25 * (1 - (CASE WHEN n > 0 THEN least(1.0, np / n) ELSE 1.0 END))
+           + 0.25 * (1 - rep)
+           + 0.25 * least(1.0, greatest(0.0, (mlen - 1) / 6)), 6) AS quality,
+       {best} AS lang_pred,
+       md5(norm) AS fingerprint
+FROM m
+"""
+
+
+# ---------------------------------------------------------------- events
+
+
+def _read_events(spark, sf_dir):
+    """events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless
+    nanos are read as int64; we expose microsecond epoch columns so
+    both engines agree exactly (DuckDB ``epoch_us`` truncates ns→µs the
+    same way integer division does)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer division (`div`), not `/`: float division rounds the µs
+    # value at ~1.7e15 where double ULP is 0.25, drifting ±1µs from
+    # DuckDB's truncating epoch_us
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def q_x10_events_hourly(spark, sf_dir):
+    ev = _read_events(spark, sf_dir)
+    hour_us = F.col("ts_us") - (F.col("ts_us") % F.lit(3_600_000_000))
+    return (
+        ev.groupBy(
+            hour_us.cast("long").alias("window_start_us"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+
+
+SQL_X10 = """
+SELECT CAST(epoch_us(ts) - epoch_us(ts) % 3600000000 AS BIGINT) AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_x11_events_sessions(spark, sf_dir):
+    """Batch sessionization: 30-min-gap sessions via lag + running sum —
+    the SQL-expressible formulation (the streaming path uses
+    session_window over the same grouping, streaming/core.py)."""
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_session = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_session).over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").cast("long").alias("session_start_us"),
+            F.max("ts_us").cast("long").alias("session_end_us"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start_us", "session_end_us", "n_events", "sum_value",
+        )
+    )
+
+
+SQL_X11 = """
+WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM sess GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def q_x12_multimodal_binary(spark, sf_dir):
+    """Binary-column plumbing over synthesized payloads (testdata has no
+    media blobs): encode text → binary, JVM-side magic sniffing +
+    metadata — the exact pipeline a real image column would take."""
+    from .operators.multimodal import attach_media_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jpeg_magic = bytes.fromhex("ffd8ff")
+    with_payload = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(jpeg_magic), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    out = attach_media_metadata(with_payload, "payload")
+    return out.select(
+        "doc_id",
+        F.col("media.kind").alias("kind"),
+        F.col("media.mime").alias("mime"),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    )
+
+
+SQL_X12 = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
+              ELSE encode(text) END AS payload
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'unknown' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg'
+            ELSE 'application/octet-stream' END AS mime,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       md5(hex(payload)) AS payload_md5
+FROM p
+"""
+
+
+EXT_QUERIES = {
+    "x01_dedup_exact": q_x01_dedup_exact,
+    "x02_dedup_near_charset": q_x02_dedup_near_charset,
+    "x03_dedup_minhash_lsh": q_x03_dedup_minhash_lsh,
+    "x04_simhash_signatures": q_x04_simhash_signatures,
+    "x05_similarity_topk": q_x05_similarity_topk,
+    "x05b_similarity_lsh": q_x05b_similarity_lsh,
+    "x06_text_profile": q_x06_text_profile,
+    "x10_events_hourly": q_x10_events_hourly,
+    "x11_events_sessions": q_x11_events_sessions,
+    "x12_multimodal_binary": q_x12_multimodal_binary,
+}
+
+EXT_ORACLES = {
+    "x01_dedup_exact": SQL_X01,
+    "x02_dedup_near_charset": SQL_X02,
+    "x03_dedup_minhash_lsh": _sql_x03(),
+    "x04_simhash_signatures": SQL_X04,
+    "x05_similarity_topk": SQL_X05,
+    "x06_text_profile": _sql_x06(),
+    "x10_events_hourly": SQL_X10,
+    "x11_events_sessions": SQL_X11,
+    "x12_multimodal_binary": SQL_X12,
+}

@@ -1,0 +1,112 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is purely batch (SURVEY §2.4); these extensions give the
+engine a streaming surface with the standard Spark shapes:
+
+* ``windowed_event_counts`` — watermarked tumbling/sliding window
+  aggregation (late data handled by the watermark; state store bounded)
+* ``sessionize_stream`` — session windows via ``F.session_window``
+  (gap-based), the built-in stateful operator
+* ``stream_from_events_dir`` — file-source stream over the driver's
+  events parquet (usable with ``trigger(availableNow=True)`` in tests)
+
+Batch equivalents of both aggregations live in ``queries.py``
+(x10/x11) with DuckDB oracles — the streaming path reuses the same
+column expressions, so correctness is anchored by the batch oracle and
+the streaming tests only need to check plumbing (schema, output modes,
+watermark behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_from_events_dir(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events table."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .load(f"{sf_dir}")
+        .where(F.col("event_id").isNotNull())
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed counts + value sums per event_type.
+
+    Works on both batch and streaming frames (same expression tree);
+    on a stream the watermark bounds state and drops late rows.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        src.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (built-in session_window)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
+):
+    """Drive a streaming aggregation to a memory sink with
+    trigger(availableNow) and block until done — test/bench helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,239 @@
+"""Extension operators: dedup, similarity, text, multimodal, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different text about spark query engines at scale"),
+        (5, "  THE  quick brown fox jumps over the lazy dog and runs far away "),  # normalizes to 1
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from fame2pygen_spark.operators.dedup import dedup_exact, exact_duplicates
+
+    groups = exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1
+    assert groups[0]["dup_count"] == 3  # docs 1, 2, 5
+
+    kept = dedup_exact(docs, "text", "doc_id").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3, 4, 6]
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    from fame2pygen_spark.operators.dedup import (
+        char_shingles, jaccard_arrays, minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.5, bands=16, num_hashes=64
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups (jaccard 1.0) and the near-dup pair must all surface
+    assert (1, 2) in found and (1, 5) in found and (2, 5) in found
+    assert (1, 3) in found
+    # verified jaccard matches brute force for the near-dup pair
+    brute = (
+        docs.alias("a").crossJoin(docs.alias("b"))
+        .where((F.col("a.doc_id") == 1) & (F.col("b.doc_id") == 3))
+        .select(
+            jaccard_arrays(
+                char_shingles(F.col("a.text")), char_shingles(F.col("b.text"))
+            ).alias("j")
+        )
+        .first()["j"]
+    )
+    lsh_j = [r["jaccard"] for r in pairs if (r["id_a"], r["id_b"]) == (1, 3)][0]
+    assert lsh_j == pytest.approx(brute, abs=1e-6)
+    # dissimilar docs must NOT pair
+    assert not any(4 in p for p in found)
+
+
+def test_simhash_near_dups(spark, docs):
+    from fame2pygen_spark.operators.dedup import simhash_near_dups, simhash64
+
+    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in sigs}
+    assert by_id[1] == by_id[2] == by_id[5]  # identical normalized text
+    # one-token change stays far closer in Hamming space than unrelated text
+    d13 = bin(by_id[1] ^ by_id[3]).count("1")
+    d14 = bin(by_id[1] ^ by_id[4]).count("1")
+    assert d13 < 10 < d14
+    # 4×16-bit banding guarantees recall for distance ≤ 3
+    pairs = simhash_near_dups(docs, "text", "doc_id", max_distance=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert found == {(1, 2), (1, 5), (2, 5)}
+    assert all(r["distance"] == 0 for r in pairs)
+
+
+@pytest.fixture()
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = i * 0.12
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i % 5)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    from fame2pygen_spark.operators.similarity import cosine_topk
+
+    queries = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(vectors, queries, k=3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3] or sorted(
+        r["rank"] for r in out
+    ) == [1, 2, 3]
+    # nearest neighbor of vec 0 is angularly adjacent (vec 1 or 5)
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["neighbor_id"] in (1, 5)
+    assert top["score"] <= 1.0
+
+
+def test_lsh_topk_recall(spark, vectors):
+    from fame2pygen_spark.operators.similarity import (
+        cosine_topk, hyperplane_lsh_topk,
+    )
+
+    queries = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(vectors, queries, k=3).collect()
+    approx = hyperplane_lsh_topk(vectors, queries, dim=3, k=3, nbits=4).collect()
+    exact_at_1 = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rank"] == 1}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # LSH with 4 bits on smooth circle data keeps most rank-1 neighbors
+    recall = len(exact_at_1 & approx_pairs) / len(exact_at_1)
+    assert recall >= 0.6
+
+
+def test_text_profile(spark):
+    from fame2pygen_spark.operators.text import text_profile
+
+    rows = [
+        (1, "the cat and the dog played in the garden for hours"),
+        (2, "der hund und die katze spielen nicht mit der maus"),
+        (3, "zzz zzz zzz zzz zzz zzz"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_profile(df, "text").collect()}
+    assert out[1]["n_tokens"] == 11
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "und"
+    assert out[3]["repetition_ratio"] == pytest.approx(1 - 1 / 6, abs=1e-6)
+    assert out[1]["quality"] > out[3]["quality"]
+    assert out[4]["n_tokens"] == 0 and out[4]["quality"] is not None
+
+
+def test_multimodal_plumbing(spark):
+    from fame2pygen_spark.operators.multimodal import (
+        attach_media_metadata, extract_features,
+    )
+
+    jpeg = bytes.fromhex("ffd8ff") + b"fakejpegdata"
+    png = bytes.fromhex("89504e47") + b"fakepngdata"
+    wav = b"RIFF" + b"fakewav"
+    blob = b"\x00\x01\x02unknown"
+    df = spark.createDataFrame(
+        [(1, jpeg), (2, png), (3, wav), (4, blob)],
+        "asset_id long, payload binary",
+    )
+    meta = {r["asset_id"]: r["media"] for r in attach_media_metadata(df, "payload").collect()}
+    assert meta[1]["mime"] == "image/jpeg" and meta[1]["kind"] == "image"
+    assert meta[2]["mime"] == "image/png"
+    assert meta[3]["kind"] == "audio"
+    assert meta[4]["kind"] == "unknown"
+    assert meta[1]["n_bytes"] == len(jpeg)
+
+    feats = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert feats[1]["n_bytes"] == len(jpeg)
+    expected_mean = sum(jpeg) / len(jpeg)
+    assert float(feats[1]["mean_byte"]) == pytest.approx(expected_mean, abs=1e-5)
+
+
+def test_multimodal_decode_stub_raises():
+    from fame2pygen_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(None)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, windowed_event_counts,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 25), 1, "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 11, 10), 2, "view", 3.0),
+        (4, dt.datetime(2024, 1, 1, 11, 40), 2, "click", 4.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "events_stream")
+    batch.write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(path)
+    )
+    agg = windowed_event_counts(stream, window="1 hour")
+    run_stream_to_memory(agg, "win_counts", output_mode="complete")
+    out = spark.sql("select * from win_counts").collect()
+    got = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in out}
+    assert got[(10, "click")] == 2
+    assert got[(11, "view")] == 1
+    assert got[(11, "click")] == 1
+    sums = {(r["window_start"].hour, r["event_type"]): r["sum_value"] for r in out}
+    assert sums[(10, "click")] == 3.0
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, sessionize_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 1, "view", 1.0),
+        (3, t0 + dt.timedelta(minutes=90), 1, "click", 1.0),  # new session
+        (4, t0, 2, "view", 1.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "events_sessions")
+    batch.write.parquet(path)
+    stream = spark.readStream.schema(batch.schema).format("parquet").load(path)
+    agg = sessionize_stream(stream, gap="30 minutes")
+    run_stream_to_memory(agg, "sessions", output_mode="complete")
+    out = spark.sql("select * from sessions").collect()
+    u1 = sorted([r for r in out if r["user_id"] == 1], key=lambda r: r["session_start"])
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2
+    assert u1[1]["n_events"] == 1
+    assert len([r for r in out if r["user_id"] == 2]) == 1

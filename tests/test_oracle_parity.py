@@ -93,8 +93,9 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_all_queries_have_oracles_or_are_declared():
     no_oracle = set(QUERIES) - set(ORACLES)
-    # s17_nlrx is the only declared non-SQL-expressible operator
-    assert no_oracle == {"s17_nlrx"}
+    # declared non-SQL-expressible operators: iterative NLRX solve and
+    # the random-hyperplane LSH buckets (recall pytest-verified instead)
+    assert no_oracle == {"s17_nlrx", "x05b_similarity_lsh"}
 
 
 def test_nlrx_runs_and_returns_rows(spark):
