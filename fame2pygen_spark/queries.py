@@ -735,8 +735,10 @@ ORDER BY l_returnflag, l_linestatus
 
 
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
+ORACLES.update(PANEL_ORACLES)
 
 QUERIES: dict[str, object] = {
     "s01_projection_arithmetic": q_s01_projection_arithmetic,
@@ -763,4 +765,5 @@ QUERIES: dict[str, object] = {
     "s20_local_db": q_s20_local_db,
     "flagship_pricing_summary": q_flagship_pricing_summary,
     **EXT_QUERIES,
+    **PANEL_QUERIES,
 }

@@ -1,0 +1,176 @@
+"""Panel-mode query registry: the 100 TB scale path.
+
+The reference operates on ONE global time series (a single wide frame,
+``/root/reference/fame2py_converter.py:312-313``), so every ordered
+window in reference-parity mode is ``Window.orderBy(DATE)`` — a single
+partition.  That is correct but cannot scale.  The engine's
+``entity_cols`` mode (SURVEY §1.3) runs the *same* FAME script over a
+long-format panel — one independent series per entity — and every
+window/groupBy gains ``partitionBy(entity)``:
+
+* no single-partition stage anywhere in the plan;
+* per-entity windows shuffle once on the entity key and then stream;
+* at 1000 executors the panel partitions by entity hash — adding data
+  adds entities, not rows-per-partition.
+
+These queries prove the mode end-to-end against DuckDB oracles using
+``PARTITION BY`` windows: the per-nation panel here is a stand-in for a
+millions-of-entities panel at full scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import run_script
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def nation_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format panel: one monthly (REV, CNT) series per nation.
+
+    Join strategy (scale-aware): nation is a fixed 25-row dimension →
+    explicit ``broadcast``; orders⋈customer is fact⋈dimension where the
+    dimension grows with SF → left to AQE, which broadcasts while small
+    and shuffle-joins at scale.
+    """
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("NATION"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("DATE"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("REV"),
+            F.count("*").cast("double").alias("CNT"),
+        )
+    )
+
+
+SQL_PANEL_BASE = """
+WITH base AS (
+  SELECT n_name AS NATION,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS DATE,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS REV,
+         CAST(COUNT(*) AS DOUBLE) AS CNT
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def _finish_panel(df: DataFrame, *cols: str) -> DataFrame:
+    return df.select(
+        F.col("NATION"),
+        F.col("DATE"),
+        *[F.round(F.col(c).cast("double"), 6).alias(c) for c in cols],
+    )
+
+
+def q_p01_panel_pct(spark, sf_dir):
+    """E1/E6/E7/S16 in panel mode: every window is
+    ``partitionBy(NATION).orderBy(DATE)`` — lags never cross an entity
+    boundary and the plan has no single-partition exchange."""
+    base = nation_monthly(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "g = pct(rev)",
+            "d1 = diff(rev)",
+            "level = rev / firstvalue(rev) * 100",
+        ],
+        entity_cols=("NATION",),
+    )
+    return _finish_panel(res.df, "G", "D1", "LEVEL")
+
+
+SQL_P01 = SQL_PANEL_BASE + """
+SELECT NATION, DATE,
+       ROUND((REV - LAG(REV) OVER w) / LAG(REV) OVER w * 100, 6) AS G,
+       ROUND(REV - LAG(REV) OVER w, 6) AS D1,
+       ROUND(REV / FIRST_VALUE(REV) OVER wf * 100, 6) AS LEVEL
+FROM base
+WINDOW w AS (PARTITION BY NATION ORDER BY DATE),
+       wf AS (PARTITION BY NATION ORDER BY DATE
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_p02_panel_convert(spark, sf_dir):
+    """S14 in panel mode: the convert bridge groups by
+    ``(NATION, quarter)`` and joins back on ``(NATION, DATE)`` — the
+    downsample aggregation is per-entity, shuffle keyed on the panel
+    key, never a global single-group pass."""
+    base = nation_monthly(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "freq m",
+            "qc = convert(cnt, q, disc, sum)",
+            "qr = convert(rev, q, disc, ave)",
+        ],
+        entity_cols=("NATION",),
+    )
+    out = res.df.where(F.col("CNT_QTRLY").isNotNull())
+    return _finish_panel(out, "CNT_QTRLY", "REV_QTRLY")
+
+
+SQL_P02 = SQL_PANEL_BASE + """
+SELECT NATION, CAST(date_trunc('quarter', DATE) AS DATE) AS DATE,
+       ROUND(SUM(CNT), 6) AS CNT_QTRLY,
+       ROUND(AVG(REV), 6) AS REV_QTRLY
+FROM base GROUP BY 1, 2
+"""
+
+
+def q_p03_panel_date_window(spark, sf_dir):
+    """S7/S8 in panel mode: date-window scoping and conditionals apply
+    per row, so they compose with entity partitioning unchanged."""
+    base = nation_monthly(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "date 1995-01-01 to 1996-12-31",
+            "boom = rev",
+            "date *",
+            "flag = if exists(boom) and cnt gt 20 then 1 else 0",
+        ],
+        entity_cols=("NATION",),
+    )
+    return _finish_panel(res.df, "BOOM", "FLAG")
+
+
+SQL_P03 = SQL_PANEL_BASE + """
+SELECT NATION, DATE,
+       ROUND(CASE WHEN DATE BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+                  THEN REV END, 6) AS BOOM,
+       ROUND(CASE WHEN (DATE BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+                   AND CNT > 20 THEN 1 ELSE 0 END, 6) AS FLAG
+FROM base
+"""
+
+
+PANEL_QUERIES = {
+    "p01_panel_pct": q_p01_panel_pct,
+    "p02_panel_convert": q_p02_panel_convert,
+    "p03_panel_date_window": q_p03_panel_date_window,
+}
+
+PANEL_ORACLES = {
+    "p01_panel_pct": SQL_P01,
+    "p02_panel_convert": SQL_P02,
+    "p03_panel_date_window": SQL_P03,
+}

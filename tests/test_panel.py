@@ -1,0 +1,90 @@
+"""Panel (entity_cols) mode: the long-format scale path of SURVEY §1.3.
+
+Oracle parity at sf0.01 lives in test_oracle_parity.py (p01–p03); here
+we pin the two properties that make the mode scale-safe:
+
+* windows never leak across entity boundaries;
+* with entity_cols set, every window in the physical plan is keyed by
+  the entity (no single-partition exchange).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from fame2pygen_spark import run_script
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    rows = []
+    for ent, base in (("A", 100.0), ("B", 1000.0)):
+        for m in range(1, 7):
+            rows.append((ent, date(2020, m, 1), base * m))
+    return spark.createDataFrame(rows, ["ENT", "DATE", "V"])
+
+
+def _by_entity(df, cols):
+    out = {}
+    for r in df.orderBy("ENT", "DATE").collect():
+        out.setdefault(r["ENT"], []).append(tuple(r[c] for c in cols))
+    return out
+
+
+def test_lag_stays_inside_entity(panel):
+    res = run_script(panel, ["d = diff(v)", "prev = v[t-1]"],
+                     entity_cols=("ENT",))
+    got = _by_entity(res.df, ["D", "PREV"])
+    # first row of EACH entity is null — B's first row must not see A's last
+    assert got["A"][0] == (None, None)
+    assert got["B"][0] == (None, None)
+    assert got["B"][1] == (1000.0, 1000.0)
+
+
+def test_firstvalue_per_entity(panel):
+    res = run_script(panel, ["base = firstvalue(v)", "idx = v / base * 100"],
+                     entity_cols=("ENT",))
+    got = _by_entity(res.df, ["BASE", "IDX"])
+    assert {v[0] for v in got["A"]} == {100.0}
+    assert {v[0] for v in got["B"]} == {1000.0}
+    assert got["A"][-1][1] == pytest.approx(600.0)
+
+
+def test_pct_per_entity(panel):
+    res = run_script(panel, ["g = pct(v)"], entity_cols=("ENT",))
+    got = _by_entity(res.df, ["G"])
+    # month2 vs month1 = +100% in both entities, independent of magnitude
+    assert got["A"][1][0] == pytest.approx(100.0)
+    assert got["B"][1][0] == pytest.approx(100.0)
+    assert got["B"][0][0] is None
+
+
+def test_windows_are_entity_partitioned_in_plan(panel):
+    res = run_script(panel, ["g = pct(v)"], entity_cols=("ENT",))
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    # every window operator in the physical plan carries the ENT key
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "ENT" in line, f"unpartitioned window: {line}"
+
+
+def test_convert_down_per_entity(spark):
+    rows = []
+    for ent in ("A", "B"):
+        for m in range(1, 7):
+            v = float(m) if ent == "A" else float(10 * m)
+            rows.append((ent, date(2021, m, 1), v))
+    df = spark.createDataFrame(rows, ["ENT", "DATE", "V"])
+    res = run_script(df, ["freq m", "q = convert(v, q, disc, sum)"],
+                     entity_cols=("ENT",))
+    out = {
+        (r["ENT"], r["DATE"]): r["V_QTRLY"]
+        for r in res.df.where("V_QTRLY is not null").collect()
+    }
+    assert out[("A", date(2021, 1, 1))] == pytest.approx(6.0)   # 1+2+3
+    assert out[("A", date(2021, 4, 1))] == pytest.approx(15.0)  # 4+5+6
+    assert out[("B", date(2021, 1, 1))] == pytest.approx(60.0)
+    assert out[("B", date(2021, 4, 1))] == pytest.approx(150.0)
