@@ -21,6 +21,10 @@ Public API::
     result.local_databases
 """
 
+from .codegen import (
+    generate_formulas_file, generate_spark_functions, generate_test_script,
+    parse_fame_formula,
+)
 from .engine import FameEngine, FameResult, run_script
 from .parser.expressions import column_name, parse_expression
 from .parser.grammar import parse_script, parse_statement
@@ -29,7 +33,11 @@ __all__ = [
     "FameEngine",
     "FameResult",
     "column_name",
+    "generate_formulas_file",
+    "generate_spark_functions",
+    "generate_test_script",
     "parse_expression",
+    "parse_fame_formula",
     "parse_script",
     "parse_statement",
     "run_script",
