@@ -46,6 +46,7 @@ from .parser.grammar import (
     ScalarAssignStmt, SeriesAssignStmt, column_name, parse_script,
     parse_statement,  # noqa: F401  (re-export: parse_fame_formula parity)
 )
+from .parser.expressions import quoted
 from .plans.planner import Plan, PlannedAssign, build_plan, scalar_names
 
 #: reference-parity sentinel (emitter.DATEOF_SENTINEL)
@@ -78,7 +79,7 @@ class _Renderer:
 
     def resolve(self, name: str) -> str:
         col = column_name(name)
-        return self.renames.get(col, col)
+        return quoted(self.renames.get(col, col))
 
     def stage(self, code: str) -> str:
         name = f"__stage_{self._n}"
@@ -148,22 +149,42 @@ class _Renderer:
                 return f"F.pow({left}, {right})", wl or wr
             return f"({left} {node.op} {right})", wl or wr
         if isinstance(node, X.Compare):
-            left, wl = self.render(node.left)
-            right, wr = self.render(node.right)
+            # days-since-epoch comparison for ``t <op> <number>``
+            # (Polars Date physical-representation parity — emitter.py)
+            def _nvd(a, b):
+                return isinstance(a, X.DateCol) and isinstance(b, X.Num)
+
+            if _nvd(node.left, node.right) or _nvd(node.right, node.left):
+                def as_days(e):
+                    if isinstance(e, X.DateCol):
+                        return (
+                            f'F.datediff(F.col("{self.date_col}"), '
+                            "F.lit(date(1970, 1, 1)))"
+                        ), False
+                    return self.render(e)
+                left, wl = as_days(node.left)
+                right, wr = as_days(node.right)
+            else:
+                left, wl = self.render(node.left)
+                right, wr = self.render(node.right)
             return f"({left} {node.op} {right})", wl or wr
         if isinstance(node, X.BoolOp):
+            # numeric operands coerced to boolean (emitter.py parity)
             parts, ws = zip(*[self.render(i) for i in node.items])
             op = " | " if node.op == "or" else " & "
-            return "(" + op.join(f"({p})" for p in parts) + ")", any(ws)
+            return (
+                "(" + op.join(f'({p}).cast("boolean")' for p in parts) + ")",
+                any(ws),
+            )
         if isinstance(node, X.Not):
             inner, w = self.render(node.operand)
-            return f"~({inner})", w
+            return f'~(({inner}).cast("boolean"))', w
         if isinstance(node, X.IfExpr):
             cond, wc = self.render(node.cond)
             then, wt = self.render(node.then)
             other, wo = self.render(node.otherwise)
             return (
-                f"F.when({cond}, {then}).otherwise({other})",
+                f'F.when(({cond}).cast("boolean"), {then}).otherwise({other})',
                 wc or wt or wo,
             )
         if isinstance(node, X.Func):
@@ -287,7 +308,8 @@ def _window_cond_code(window, date_col: str) -> str:
 def _fallback_code(target: str) -> str:
     """Prior-value fallback, decided at runtime like the engine does —
     input columns are unknown at generation time."""
-    return f'(F.col("{target}") if "{target}" in df.columns else F.lit(None))'
+    return (f'(F.col("{quoted(target)}") if "{target}" in df.columns'
+            " else F.lit(None))")
 
 
 def _apply_filter_code(expr: str, target: str, window, date_col: str) -> str:
@@ -380,6 +402,7 @@ def ts_transformer(df: DataFrame) -> DataFrame:
     if plan.convert_groups:
         lines.add("from fame2pygen_spark.operators.convert import convert_series")
         lines.add("from fame2pygen_spark.parser.grammar import ConvertMeta")
+        lines.add("_base = df  # all converts read the pre-bridge frame")
         join_on = (
             "[" + ", ".join(f'"{e}"' for e in entity_cols)
             + (", " if entity_cols else "") + f'"{date_col}"]'
@@ -389,7 +412,7 @@ def ts_transformer(df: DataFrame) -> DataFrame:
                 stmt: ConvertStmt = pa.stmt  # type: ignore[assignment]
                 meta = stmt.meta
                 freq = pa.freq or "m"
-                lines.add(f"conv = convert_series(df, {meta!r},")
+                lines.add(f"conv = convert_series(_base, {meta!r},")
                 lines.add(f'    date_col="{date_col}", source_freq="{freq}",')
                 lines.add(f"    entity_cols=({ents}))")
                 lines.add(f'if "{meta.out_column}" in df.columns:')
@@ -513,7 +536,7 @@ def _emit_scalar(stmt: ScalarAssignStmt, scalars: set[str], plan: Plan,
         lookup_var = _scalar_var(stmt.expr.var)
         lines.add(
             f'_row = df.where(F.col("{date_col}") == F.lit({lookup_var}))'
-            f'.select(F.col("{col}").alias("v")).first()'
+            f'.select(F.col("{quoted(col)}").alias("v")).first()'
         )
         lines.add(f'{var} = _row["v"] if _row else None')
         return

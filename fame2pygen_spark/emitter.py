@@ -118,14 +118,14 @@ def emit(node: X.Expr, ctx: EmitContext) -> Emitted:
             if node.offset:
                 raise ValueError(f"cannot time-index scalar {node.name!r}")
             return Emitted(F.lit(ctx.scalars[key]))
-        col = F.col(ctx.resolve_column(node.name))
+        col = F.col(X.quoted(ctx.resolve_column(node.name)))
         if node.offset == 0:
             return Emitted(col)
         return Emitted(_shift(ctx, col, node.offset), windowed=True)
 
     if isinstance(node, X.DateIndexRef):
         # value of the series at a fixed date, broadcast to every row
-        col = F.col(ctx.resolve_column(node.name))
+        col = F.col(X.quoted(ctx.resolve_column(node.name)))
         picked = F.max(
             F.when(F.col(ctx.date_col) == F.lit(node.date), col)
         ).over(ctx.full_window())
@@ -138,7 +138,7 @@ def emit(node: X.Expr, ctx: EmitContext) -> Emitted:
             raise ValueError(
                 f"dynamic lookup {node.name}[{node.var}] needs scalar {node.var!r}"
             )
-        col = F.col(ctx.resolve_column(node.name))
+        col = F.col(X.quoted(ctx.resolve_column(node.name)))
         picked = F.max(
             F.when(F.col(ctx.date_col) == F.lit(ctx.scalars[key]), col)
         ).over(ctx.full_window())
@@ -165,8 +165,24 @@ def emit(node: X.Expr, ctx: EmitContext) -> Emitted:
         raise ValueError(f"unknown operator {node.op!r}")
 
     if isinstance(node, X.Compare):
-        left = emit(node.left, ctx)
-        right = emit(node.right, ctx)
+        # ``t gt 100``: Polars compares a Date with an int as
+        # days-since-epoch (its physical representation); match that.
+        def _num_vs_date(a: X.Expr, b: X.Expr) -> bool:
+            return isinstance(a, X.DateCol) and isinstance(b, X.Num)
+
+        if _num_vs_date(node.left, node.right) or _num_vs_date(node.right, node.left):
+            epoch = F.lit(_date(1970, 1, 1))
+
+            def as_days(e: X.Expr) -> Emitted:
+                if isinstance(e, X.DateCol):
+                    return Emitted(F.datediff(F.col(ctx.date_col), epoch))
+                return emit(e, ctx)
+
+            left = as_days(node.left)
+            right = as_days(node.right)
+        else:
+            left = emit(node.left, ctx)
+            right = emit(node.right, ctx)
         windowed = left.windowed or right.windowed
         ops = {
             "==": lambda a, b: a == b,
@@ -179,23 +195,27 @@ def emit(node: X.Expr, ctx: EmitContext) -> Emitted:
         return Emitted(ops[node.op](left.col, right.col), windowed)
 
     if isinstance(node, X.BoolOp):
+        # FAME logicals accept numeric operands (nonzero = true); Spark
+        # requires booleans — cast coerces doubles and is a no-op on
+        # booleans, with null preserved (three-valued logic intact)
         emitted = [emit(item, ctx) for item in node.items]
         windowed = any(e.windowed for e in emitted)
-        out = emitted[0].col
+        out = emitted[0].col.cast("boolean")
         for e in emitted[1:]:
-            out = (out | e.col) if node.op == "or" else (out & e.col)
+            nxt = e.col.cast("boolean")
+            out = (out | nxt) if node.op == "or" else (out & nxt)
         return Emitted(out, windowed)
 
     if isinstance(node, X.Not):
         inner = emit(node.operand, ctx)
-        return Emitted(~inner.col, inner.windowed)
+        return Emitted(~inner.col.cast("boolean"), inner.windowed)
 
     if isinstance(node, X.IfExpr):
         cond = emit(node.cond, ctx)
         then = emit(node.then, ctx)
         other = emit(node.otherwise, ctx)
         return Emitted(
-            F.when(cond.col, then.col).otherwise(other.col),
+            F.when(cond.col.cast("boolean"), then.col).otherwise(other.col),
             cond.windowed or then.windowed or other.windowed,
         )
 

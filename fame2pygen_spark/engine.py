@@ -44,7 +44,7 @@ from datetime import date as _date
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .emitter import EmitContext, emit
-from .parser.expressions import DynLookup
+from .parser.expressions import DynLookup, quoted
 from .parser.grammar import (
     ChainStmt, ConvertStmt, FishvolStmt, NlrxStmt, PointInTimeStmt,
     ScalarAssignStmt, SeriesAssignStmt, Stmt, column_name, parse_script,
@@ -138,7 +138,7 @@ class FameEngine:
         (``formulas_generator.py:1499-1536``): inside the window the
         expression applies; outside, prior values are preserved when the
         column already exists, else null."""
-        fallback = F.col(target_col) if existing else F.lit(None)
+        fallback = F.col(quoted(target_col)) if existing else F.lit(None)
         return F.when(self._window_cond(window), expr).otherwise(fallback)
 
     # ------------------------------------------------------------- stages
@@ -177,25 +177,40 @@ class FameEngine:
             return df
         from .operators.convert import convert_series, infer_frequency
 
+        # All converts read from the pre-bridge frame (their sources are
+        # input columns — the bridge runs before any level assignment).
+        # Deriving each convert from the evolving joined frame would put
+        # the whole join chain inside every convert subplan: plan size
+        # 2^n_converts, a driver OOM on convert-heavy scripts.
+        base_df = df
         inferred: str | None = None
         for key in sorted(plan.convert_groups):
             for pa in plan.convert_groups[key]:
                 stmt: ConvertStmt = pa.stmt  # type: ignore[assignment]
                 meta = stmt.meta
+                source_freq = None
                 if meta.as_freq and meta.as_freq != "*":
+                    # reference normalizers pass unknown values through
+                    # without raising (formulas_generator.py:118-151) —
+                    # treat an unrecognized as_freq hint as absent
+                    from .operators.convert import FREQ_INFO
                     from .parser.grammar import normalize_frequency
 
-                    source_freq, _ = normalize_frequency(meta.as_freq)
+                    cand, _ = normalize_frequency(meta.as_freq)
+                    if cand in FREQ_INFO:
+                        source_freq = cand
+                if source_freq is not None:
+                    pass
                 elif pa.freq:
                     source_freq = pa.freq
                 elif self.default_freq:
                     source_freq = self.default_freq
                 else:
                     if inferred is None:
-                        inferred = infer_frequency(df, self.date_col)
+                        inferred = infer_frequency(base_df, self.date_col)
                     source_freq = inferred
                 conv = convert_series(
-                    df, meta,
+                    base_df, meta,
                     date_col=self.date_col,
                     source_freq=source_freq,
                     entity_cols=self.entity_cols,
@@ -287,7 +302,7 @@ class FameEngine:
                 raise ValueError(f"scalar {stmt.expr.var!r} not defined")
             row = (
                 df.where(F.col(self.date_col) == F.lit(scalars[var]))
-                .select(F.col(column_name(stmt.expr.name)).alias("v"))
+                .select(F.col(quoted(column_name(stmt.expr.name))).alias("v"))
                 .first()
             )
             return row["v"] if row else None
@@ -386,7 +401,7 @@ class FameEngine:
                 ctx = self._ctx(df, plan, scalars, temps)
                 emitted = emit(stmt.expr, ctx)
                 existing = target_col in ctx.columns
-                fallback = F.col(target_col) if existing else F.lit(None)
+                fallback = F.col(quoted(target_col)) if existing else F.lit(None)
                 update = F.when(
                     F.col(self.date_col) == F.lit(stmt.date), emitted.col
                 ).otherwise(fallback)
@@ -404,7 +419,7 @@ class FameEngine:
             for s in sorted(series):
                 prefixed = f"{db}_{s}"
                 if prefixed in df.columns:
-                    cols.append(F.col(prefixed).alias(s))
+                    cols.append(F.col(quoted(prefixed)).alias(s))
             if cols:
                 out[db] = df.select(*cols)
         return out

@@ -48,6 +48,29 @@ def nlrx(
     entity_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Append *out_col* = HP-smoothed *y* with parameter *lamb*."""
+    # applyInPandas resolves each column via df[name], which parses dots
+    # as struct access — temporarily rename dot-bearing columns (FAME
+    # dot targets like RESULT.A are flat names)
+    dotted = {c: c.replace(".", "__DOT__") for c in df.columns if "." in c}
+    if dotted:
+        df = df.select(
+            *[F.col(f"`{c}`").alias(dotted.get(c, c)) for c in df.columns]
+        )
+        y = dotted.get(y, y)
+        out_col = dotted.get(out_col, out_col)
+        weights = tuple(dotted.get(w, w) for w in weights)
+        result = nlrx(
+            df, lamb, y, weights, out_col,
+            date_col=dotted.get(date_col, date_col),
+            entity_cols=tuple(dotted.get(e, e) for e in entity_cols),
+        )
+        back = {v: k for k, v in dotted.items()}
+        if out_col in back or set(back) & set(result.columns):
+            result = result.select(
+                *[F.col(c).alias(back.get(c, c)) for c in result.columns]
+            )
+        return result
+
     schema_cols = df.schema.fieldNames()
     if out_col not in schema_cols:
         df = df.withColumn(out_col, F.lit(None).cast("double"))

@@ -82,6 +82,13 @@ def column_name(name: str) -> str:
     return raw.upper()
 
 
+def quoted(col: str) -> str:
+    """Column name as accepted by ``F.col``: dot-bearing names (FAME dot
+    targets like ``RESULT.A`` are flat column names, not struct fields)
+    need backticks."""
+    return f"`{col}`" if "." in col else col
+
+
 # ---------------------------------------------------------------- AST nodes
 
 

@@ -1,0 +1,111 @@
+"""Master-corpus end-to-end: every construct the reference supports.
+
+``/root/reference/fame_script_master.inp`` (144 lines) consolidates all
+supported FAME scenarios (SURVEY §5).  We read it verbatim at test time
+(skip if absent), parse every line, build a plan, synthesize an input
+frame containing every base series the corpus references, and execute
+the whole script through the engine — the strongest available "a
+reference user could switch" check.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date, timedelta
+
+import pytest
+
+from fame2pygen_spark import FameEngine, parse_script
+from fame2pygen_spark.parser.grammar import column_name, statement_refs
+from fame2pygen_spark.plans.planner import build_plan, scalar_names
+
+CORPUS = "/root/reference/fame_script_master.inp"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CORPUS), reason="reference corpus not available"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_lines():
+    with open(CORPUS) as fh:
+        return [
+            ln.strip()
+            for ln in fh
+            if ln.strip() and not ln.strip().startswith("#")
+        ]
+
+
+def test_every_line_parses(corpus_lines):
+    stmts = parse_script(corpus_lines)
+    # freq/date/list lines collapse into state; everything else is a stmt
+    assert len(stmts) >= 100
+
+
+def test_corpus_plans(corpus_lines):
+    plan = build_plan(parse_script(corpus_lines))
+    assert plan.schedule, "corpus must produce executable stages"
+    assert plan.convert_groups, "corpus has convert statements"
+    assert plan.pit_by_target, "corpus has point-in-time upserts"
+    assert plan.backcasts, "corpus has the SHIFT_PCT backcast pattern"
+
+
+def test_corpus_executes_end_to_end(spark, corpus_lines):
+    stmts = parse_script(corpus_lines)
+    plan = build_plan(stmts)
+    sclrs = scalar_names(plan)
+
+    assigned = {pa.column for pa in plan.assigns}
+    needed: set[str] = set()
+    for pa in plan.assigns:
+        for ref in statement_refs(pa.stmt):
+            if ref.lower() in sclrs or ref.lower() in plan.list_aliases:
+                continue
+            needed.add(column_name(ref))
+    # base inputs = referenced but never assigned, plus backcast sources
+    # (the SHIFT_PCT backcast target IS its own input series — the
+    # pattern rewrites history of an existing column)
+    backcast_inputs = set()
+    for pa in plan.backcasts:
+        backcast_inputs.add(column_name(pa.shift_pct.ser1))
+        backcast_inputs.add(column_name(pa.shift_pct.ser2))
+    # convert sources likewise: the frequency bridge runs before any
+    # level assignments (reference order), so its sources are inputs
+    convert_inputs = {
+        column_name(pa.stmt.meta.source)
+        for grp in plan.convert_groups.values()
+        for pa in grp
+    }
+    base = sorted((needed - assigned) | backcast_inputs | convert_inputs)
+
+    start = date(2019, 1, 1)
+    n = 40  # monthly rows spanning the corpus's date windows
+    rows = []
+    for i in range(n):
+        d = date(start.year + (start.month - 1 + i) // 12,
+                 (start.month - 1 + i) % 12 + 1, 1)
+        rows.append((d, *[float(10 + (i + j) % 7) for j in range(len(base))]))
+    df = spark.createDataFrame(rows, ["DATE", *base])
+
+    res = FameEngine(default_freq="m").run(df, corpus_lines)
+    out_cols = set(res.df.columns)
+    # spot-check families: arithmetic, conditional, windows, convert,
+    # chain/fishvol, nlrx, PIT targets all materialized
+    for col in ("V_ALL", "RESULT", "ABC", "TOTAL", "GDP", "CPI",
+                "A_T", "ABCD", "V25", "START", "MYEND"):
+        assert col in out_cols, f"missing {col}"
+    assert res.df.count() >= n  # convert bridge may add calendar rows
+
+    # executing the full corpus must yield non-null values somewhere in
+    # the core families (not a frame of nulls).  V_ALL is correctly
+    # all-null: v_2020 and v_2021 live in disjoint date windows, so
+    # their plain sum is never fully defined.
+    # GDP is also all-null by the same logic: its surviving upsert
+    # references gdp["2019-12-31"], a date absent from a first-of-month
+    # calendar.  CPI gets a literal at 2020-01-01 (= 2020Q1 start).
+    row = res.df.selectExpr(
+        "count(TOTAL) as total", "count(CPI) as cpi",
+        "count(V_2020) as v2020", "count(ADD_RESULT) as addr",
+    ).first()
+    assert row["total"] > 0 and row["cpi"] > 0
+    assert row["v2020"] > 0 and row["addr"] > 0
