@@ -21,7 +21,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-#: headline set: the heaviest representative op per family
+#: headline set: the heaviest representative op per family — FAME core,
+#: panel (entity-partitioned) mode, and the scale extensions
 HEADLINE = [
     "flagship_pricing_summary",
     "s01_projection_arithmetic",
@@ -33,6 +34,14 @@ HEADLINE = [
     "s14_convert_business",
     "s11_backcast",
     "s16_first_last",
+    "p01_panel_pct",
+    "p02_panel_convert",
+    "x01_dedup_exact",
+    "x03_dedup_minhash_lsh",
+    "x05_similarity_topk",
+    "x06_text_profile",
+    "x10_events_hourly",
+    "x11_events_sessions",
 ]
 
 

