@@ -191,6 +191,68 @@ def charset_jaccard_pairs(
     )
 
 
+def word_ngrams(norm_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of already-normalized text (array<string>).
+
+    Pass a *staged column reference* (not the normalization expression)
+    — HOF lambdas re-evaluate embedded subtrees per element.
+    """
+    toks = F.filter(F.split(norm_col, " "), lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def word_ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard within blocks.
+
+    The n-gram array is projected once per document (normalization
+    staged first), then a blocked equi-join compares arrays pairwise —
+    same shape as :func:`charset_jaccard_pairs` with a stronger
+    similarity notion.
+    """
+    staged = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        normalized_text(F.col(text_col)).alias("__nt"),
+    ).select(
+        *block_cols, "id", word_ngrams(F.col("__nt"), n).alias("__ng")
+    )
+    left = staged.select(
+        *block_cols, F.col("id").alias("id_a"), F.col("__ng").alias("ng_a")
+    )
+    right = staged.select(
+        *block_cols, F.col("id").alias("id_b"), F.col("__ng").alias("ng_b")
+    )
+    # size-ratio prefilter — a NECESSARY condition for J >= t
+    # (|A∩B| <= min(|A|,|B|)), so no recall loss; skips the O(n·m)
+    # intersection for size-incompatible pairs
+    na, nb = F.size("ng_a"), F.size("ng_b")
+    compatible = F.least(na, nb) * F.lit(1 + threshold) >= F.lit(threshold) * (na + nb)
+    return (
+        left.join(right, on=block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(compatible)
+        .withColumn(
+            "jaccard", F.round(jaccard_arrays(F.col("ng_a"), F.col("ng_b")), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(*block_cols, "id_a", "id_b", "jaccard")
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 

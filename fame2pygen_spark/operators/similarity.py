@@ -106,6 +106,44 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, hyperplane-bucket blocked.
+
+    The all-pairs O(n²) cosine space is cut to an equi-join on the
+    sign-bit bucket: vectors within angle θ agree on one hyperplane
+    with probability 1−θ/π, so true near-dups (θ→0) land in the same
+    bucket with probability ≈ (1−θ/π)^nbits.  Everything is
+    deterministic (seeded planes, sequential-fold dot products), so an
+    external oracle reproduces the exact pair set.
+
+    Output: (id_a, id_b, score) with id_a < id_b, score = cosine 6dp.
+    """
+    planes = _hyperplanes(dim, nbits, seed)
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))
+    left = base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"),
+                       "__bucket")
+    right = base.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
+                        "__bucket")
+    return (
+        left.join(right, on="__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -261,6 +261,105 @@ def q_x05b_similarity_lsh(spark, sf_dir):
     )
 
 
+def q_x07_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, hyperplane-bucket blocked; the
+    oracle reproduces the seeded planes as literals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.embedding_neardup_pairs(
+        emb, dim=64, threshold=0.4, nbits=4
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "score",
+    )
+
+
+def _sql_x07() -> str:
+    planes = sim._hyperplanes(64, 4, 42)
+
+    def dot_sql(vec: str, plane: list[float]) -> str:
+        arr = ", ".join(repr(w) for w in plane)
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> {vec}[CAST(i AS INTEGER)] * ([{arr}])[CAST(i AS INTEGER)]), "
+                f"(a, x) -> a + x)")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', plane)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {bucket} AS bucket
+  FROM embeddings
+)
+SELECT CAST(a.id AS BIGINT) AS id_a,
+       CAST(b.id AS BIGINT) AS id_b,
+       ROUND(
+         list_reduce(list_transform(range(1, 65),
+             i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+             (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))), 6) AS score
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+WHERE ROUND(
+         list_reduce(list_transform(range(1, 65),
+             i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+             (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))), 6) >= 0.4
+"""
+
+
+def q_x08_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.word_ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["source"], n=3, threshold=0.5
+    ).select(
+        "source",
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+SQL_X08 = """
+WITH g AS (
+  SELECT source, doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                toks[CAST(i AS INTEGER) + 1] || ' ' ||
+                toks[CAST(i AS INTEGER) + 2])) AS ng
+  FROM (
+    SELECT source, doc_id,
+           list_filter(string_split(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+             t -> t <> '') AS toks
+    FROM documents
+  )
+)
+SELECT a.source,
+       CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       ROUND(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+             / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))),
+             6) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+            / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))),
+            6) >= 0.5
+"""
+
+
 # ----------------------------------------------------------------- text
 
 
@@ -490,6 +589,8 @@ EXT_QUERIES = {
     "x05_similarity_topk": q_x05_similarity_topk,
     "x05b_similarity_lsh": q_x05b_similarity_lsh,
     "x06_text_profile": q_x06_text_profile,
+    "x07_embedding_neardup": q_x07_embedding_neardup,
+    "x08_ngram_jaccard": q_x08_ngram_jaccard,
     "x10_events_hourly": q_x10_events_hourly,
     "x11_events_sessions": q_x11_events_sessions,
     "x12_multimodal_binary": q_x12_multimodal_binary,
@@ -502,6 +603,8 @@ EXT_ORACLES = {
     "x04_simhash_signatures": SQL_X04,
     "x05_similarity_topk": SQL_X05,
     "x06_text_profile": _sql_x06(),
+    "x07_embedding_neardup": _sql_x07(),
+    "x08_ngram_jaccard": SQL_X08,
     "x10_events_hourly": SQL_X10,
     "x11_events_sessions": SQL_X11,
     "x12_multimodal_binary": SQL_X12,
