@@ -147,6 +147,9 @@ class _Renderer:
             right, wr = self.render(node.right)
             if node.op == "**":
                 return f"F.pow({left}, {right})", wl or wr
+            if node.op == "/":
+                # x/0 → null (emitter.py division semantics)
+                return f"F.try_divide({left}, {right})", wl or wr
             return f"({left} {node.op} {right})", wl or wr
         if isinstance(node, X.Compare):
             # days-since-epoch comparison for ``t <op> <number>``
@@ -209,7 +212,7 @@ class _Renderer:
                 cur = self.unwindowed(inner, w)
                 prev = f"F.lag({cur}, {k}).over(W_ORD)"
             if name == "pct":
-                return f"(({cur} - {prev}) / {prev} * F.lit(100))", True
+                return f"(F.try_divide({cur} - {prev}, {prev}) * F.lit(100))", True
             return f"({cur} - {prev})", True
 
         if name in ("sqrt", "abs", "log", "exp"):
@@ -564,7 +567,7 @@ _HELPER_SOURCES: dict[str, str] = {
 def pct(col, k=1):
     """Percent change vs k periods ago x 100."""
     prev = F.lag(col, k).over(W_ORD)
-    return (col - prev) / prev * F.lit(100)
+    return F.try_divide(col - prev, prev) * F.lit(100)
 ''',
     "diff": '''
 def diff(col, k=1):

@@ -159,7 +159,9 @@ def emit(node: X.Expr, ctx: EmitContext) -> Emitted:
         if node.op == "*":
             return Emitted(left.col * right.col, windowed)
         if node.op == "/":
-            return Emitted(left.col / right.col, windowed)
+            # FAME/oracle division semantics: x/0 → null (DuckDB NULL,
+            # FAME ND), not the ANSI error Spark 4 raises by default
+            return Emitted(F.try_divide(left.col, right.col), windowed)
         if node.op == "**":
             return Emitted(F.pow(left.col, right.col), windowed)
         raise ValueError(f"unknown operator {node.op!r}")
@@ -338,7 +340,7 @@ def _pct(ctx: EmitContext, args: tuple[X.Expr, ...]) -> Emitted:
         inner = emit(args[0], ctx)
         cur = _as_unwindowed(ctx, inner)
         prev = F.lag(cur, k).over(ctx.ordered_window())
-    return Emitted((cur - prev) / prev * F.lit(100), True)
+    return Emitted(F.try_divide(cur - prev, prev) * F.lit(100), True)
 
 
 def _diff(ctx: EmitContext, args: tuple[X.Expr, ...]) -> Emitted:

@@ -26,7 +26,7 @@ def pct_change(col: Column, k: int = 1, *, date_col: str = "DATE",
     """FAME ``pct``: percent change vs k periods ago × 100
     (reference ``formulas_generator.py:1285-1292``)."""
     prev = F.lag(col, k).over(ordered_window(date_col, entity_cols))
-    return (col - prev) / prev * F.lit(100)
+    return F.try_divide(col - prev, prev) * F.lit(100)
 
 
 def diff(col: Column, k: int = 1, *, date_col: str = "DATE",

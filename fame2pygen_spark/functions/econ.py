@@ -86,7 +86,7 @@ def chain_index(
         d = F.lit(sign) * F.col(f"__pprev_{p}") * F.col(f"__qprev_{q}")
         num = n if num is None else num + n
         den = d if den is None else den + d
-    links = lagged.withColumn("__link", num / den)
+    links = lagged.withColumn("__link", F.try_divide(num, den))
 
     # chained level C_y = Π links (log-cumsum; first-year link missing → 1)
     wcum = (
@@ -133,8 +133,8 @@ def chain_index(
 
     idx = (
         F.lit(100.0)
-        * (F.col("__prev_level") / F.col("__base_level"))
-        * (qnum / qden)
+        * F.try_divide(F.col("__prev_level"), F.col("__base_level"))
+        * F.try_divide(qnum, qden)
     )
     return joined.withColumn(out_col, idx).drop(*keep)
 
@@ -178,7 +178,7 @@ def fisher_volume(
         paa_n = pn if paa_n is None else paa_n + pn
         paa_d = pd_ if paa_d is None else paa_d + pd_
 
-    fisher = F.lit(100.0) * F.sqrt((las_n / las_d) * (paa_n / paa_d))
+    fisher = F.lit(100.0) * F.sqrt(F.try_divide(las_n, las_d) * F.try_divide(paa_n, paa_d))
     drop = [f"__vb_{v}" for v, _ in cols] + [f"__pb_{p}" for _, p in cols]
     return joined.withColumn(out_col, fisher).drop(*drop)
 
@@ -227,7 +227,7 @@ def backcast(
     for tgt, pct in pairs:
         updates[tgt] = F.when(
             in_window,
-            F.col(f"__ref_{tgt}") * F.col(pct) / F.col(f"__ref_{pct}"),
+            F.try_divide(F.col(f"__ref_{tgt}") * F.col(pct), F.col(f"__ref_{pct}")),
         ).otherwise(F.col(tgt))
     out = out.withColumns(updates)
     return out.drop("__ref_date", *anchor_cols.keys())

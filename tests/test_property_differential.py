@@ -1,0 +1,119 @@
+"""Property-based differential testing (SURVEY §5 'ours' plan).
+
+Hypothesis generates random FAME expression trees; the interpreting
+engine (`FameEngine`) and the source-emission backend
+(`generate_test_script`) are two independent lowering paths that must
+produce identical frames — values, nulls, and NaNs alike.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+from datetime import date
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fame2pygen_spark import run_script
+from fame2pygen_spark.codegen import generate_test_script
+
+# ---------------------------------------------------------- FAME grammar
+
+REFS = ["a", "b", "c"]
+
+
+def _leaf() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.sampled_from(REFS),
+        st.sampled_from([f"{r}[t+1]" for r in REFS]),
+        st.sampled_from([f"{r}[t-1]" for r in REFS]),
+        st.integers(min_value=-20, max_value=20).map(str),
+        st.sampled_from(["nd", "1.5", "0.25"]),
+    )
+
+
+def _expr(depth: int) -> st.SearchStrategy[str]:
+    if depth <= 0:
+        return _leaf()
+    sub = _expr(depth - 1)
+    return st.one_of(
+        _leaf(),
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        sub.map(lambda e: f"abs({e})"),
+        sub.map(lambda e: f"sqrt(abs({e}))"),
+        st.tuples(sub, sub).map(lambda t: f"lsum({t[0]}, {t[1]})"),
+        st.sampled_from(REFS).map(lambda r: f"pct({r})"),
+        st.sampled_from(REFS).map(lambda r: f"diff({r})"),
+        st.sampled_from(REFS).map(lambda r: f"firstvalue({r})"),
+        st.tuples(sub, st.sampled_from(["gt", "lt", "ge", "le", "eq", "ne"]),
+                  sub, sub, sub).map(
+            lambda t: f"if {t[0]} {t[1]} {t[2]} then {t[3]} else {t[4]}"
+        ),
+    )
+
+
+# ------------------------------------------------------------- harness
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = []
+    vals = [3.0, -1.0, None, 7.5, 0.0, 2.0, None, 5.0, 1.0, -4.0, 6.0, 2.5]
+    for i in range(12):
+        rows.append(
+            (
+                date(2021, i + 1, 1),
+                vals[i],
+                float((i * 7) % 5 - 2),
+                None if i % 5 == 4 else float(i),
+            )
+        )
+    return spark.createDataFrame(rows, "DATE date, A double, B double, C double")
+
+
+def _load(src: str, tmp_path, name: str):
+    path = tmp_path / f"{name}.py"
+    path.write_text(src)
+    spec = importlib.util.spec_from_file_location(name, str(path))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _same(x, y) -> bool:
+    if x is None or y is None:
+        return x is None and y is None
+    if isinstance(x, float) and isinstance(y, float):
+        if math.isnan(x) or math.isnan(y):
+            return math.isnan(x) and math.isnan(y)
+        return x == pytest.approx(y, rel=1e-12, abs=1e-12)
+    return x == y
+
+
+_counter = [0]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(e1=_expr(2), e2=_expr(1))
+def test_engine_and_codegen_agree(spark, frame, tmp_path, e1, e2):
+    script = [f"v1 = {e1}", f"v2 = {e2} + v1"]
+    engine_rows = (
+        run_script(frame, script).df.orderBy("DATE").select("V1", "V2").collect()
+    )
+    _counter[0] += 1
+    mod = _load(generate_test_script(script), tmp_path, f"prop_{_counter[0]}")
+    gen_rows = (
+        mod.ts_transformer(frame).orderBy("DATE").select("V1", "V2").collect()
+    )
+    for r_e, r_g in zip(engine_rows, gen_rows):
+        assert _same(r_e["V1"], r_g["V1"]), (script, r_e, r_g)
+        assert _same(r_e["V2"], r_g["V2"]), (script, r_e, r_g)
