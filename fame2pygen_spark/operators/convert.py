@@ -206,10 +206,6 @@ def _upsample(
     entity_cols: tuple[str, ...],
 ) -> DataFrame:
     technique = meta.technique or "constant"
-    if technique == "cubic":
-        raise NotImplementedError(
-            "convert technique=cubic not implemented; use linear/constant"
-        )
 
     # lazily build the target calendar spanning the source range — one
     # row per target period, no driver collect
@@ -223,6 +219,18 @@ def _upsample(
     )
     if target == "business":
         calendar = calendar.where(business_day_filter(F.col(date_col)))
+
+    if technique == "cubic":
+        # neighbor knots computed on the (small) knot frame before the
+        # calendar join, then window-filled onto calendar rows
+        wk = Window.partitionBy(*entity_cols).orderBy(date_col)
+        base = base.select(
+            *entity_cols, date_col, out_col,
+            F.lag(out_col).over(wk).alias("__v_m1"),
+            F.lag(date_col).over(wk).alias("__d_m1"),
+            F.lead(out_col).over(wk).alias("__v_p1"),
+            F.lead(date_col).over(wk).alias("__d_p1"),
+        )
 
     joined = calendar.join(base, on=[*entity_cols, date_col], how="left")
 
@@ -259,4 +267,75 @@ def _upsample(
         )
         return joined.select(*entity_cols, date_col, interp.alias(out_col))
 
+    if technique == "cubic":
+        return _cubic_interp(joined, out_col, date_col, entity_cols)
+
     raise ValueError(f"convert: unknown technique {technique!r}")
+
+
+def _cubic_interp(
+    joined: DataFrame,
+    out_col: str,
+    date_col: str,
+    entity_cols: tuple[str, ...],
+) -> DataFrame:
+    """Piecewise cubic Hermite (Catmull-Rom with finite-difference
+    tangents on non-uniform knots).
+
+    The reference's cubic lives in closed-source ``polars_econ``
+    (mock returns the input, ``polars_econ_mock.py:13-36``), so this is
+    our published definition: passes through every knot, C¹ at interior
+    knots, falls back to the secant slope at the boundary knots.  Pure
+    column algebra — two window fills carrying knot structs.
+    """
+    w_past = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_future = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(date_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    knot = F.when(
+        F.col(out_col).isNotNull(),
+        F.struct(
+            F.col(date_col).alias("d"), F.col(out_col).alias("v"),
+            F.col("__d_m1").alias("dm"), F.col("__v_m1").alias("vm"),
+            F.col("__d_p1").alias("dp"), F.col("__v_p1").alias("vp"),
+        ),
+    )
+    k1 = F.last(knot, ignorenulls=True).over(w_past)
+    k2 = F.first(knot, ignorenulls=True).over(w_future)
+
+    x, x1, x2 = F.col(date_col), k1["d"], k2["d"]
+    v1, v2 = k1["v"], k2["v"]
+    h = F.datediff(x2, x1).cast("double")
+    t = F.try_divide(F.datediff(x, x1).cast("double"), h)
+
+    # tangents: centered finite difference where a neighbor knot exists,
+    # else the secant slope of the bracketing interval
+    secant = F.try_divide(v2 - v1, h)
+    m1 = F.when(
+        k1["dm"].isNotNull(),
+        F.try_divide(v2 - k1["vm"], F.datediff(x2, k1["dm"]).cast("double")),
+    ).otherwise(secant)
+    m2 = F.when(
+        k2["dp"].isNotNull(),
+        F.try_divide(k2["vp"] - v1, F.datediff(k2["dp"], x1).cast("double")),
+    ).otherwise(secant)
+
+    t2, t3 = t * t, t * t * t
+    hermite = (
+        (F.lit(2) * t3 - F.lit(3) * t2 + F.lit(1)) * v1
+        + (t3 - F.lit(2) * t2 + t) * h * m1
+        + (F.lit(-2) * t3 + F.lit(3) * t2) * v2
+        + (t3 - t2) * h * m2
+    )
+    interp = (
+        F.when(F.col(out_col).isNotNull(), F.col(out_col))
+        .when(v1.isNotNull() & v2.isNotNull() & (h > 0), hermite)
+        .otherwise(F.lit(None))
+    )
+    return joined.select(*entity_cols, date_col, interp.alias(out_col))

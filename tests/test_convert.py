@@ -124,3 +124,74 @@ def test_quarterly_to_monthly_upsample(spark):
     out = res.df.where("GDP_MON is not null").orderBy("DATE").collect()
     assert len(out) == 7  # 2020-01..2020-07
     assert [r["GDP_MON"] for r in out] == [100.0, 100.0, 100.0, 200.0, 200.0, 200.0, 300.0]
+
+
+class TestCubicUpsample:
+    def test_cubic_passes_through_knots_and_midpoints(self, spark):
+        """Quarterly knots → monthly cubic Hermite: knots exact, interior
+        points match the hand-computed Catmull-Rom formula."""
+        import datetime as dt
+
+        from fame2pygen_spark import run_script
+
+        knots = [
+            (dt.date(2020, 1, 1), 0.0),
+            (dt.date(2020, 4, 1), 10.0),
+            (dt.date(2020, 7, 1), 8.0),
+            (dt.date(2020, 10, 1), 20.0),
+        ]
+        df = spark.createDataFrame(knots, "DATE date, Q double")
+        res = run_script(df, ["freq q", "m = convert(q, m, cubic, ave)"])
+        out = {
+            r["DATE"]: r["Q_MON"]
+            for r in res.df.where("Q_MON is not null").collect()
+        }
+        # knots preserved exactly
+        for d, v in knots:
+            assert out[d] == pytest.approx(v)
+
+        # hand-computed Hermite at 2020-05-01 (interval Apr 1 → Jul 1,
+        # non-uniform finite-difference tangents)
+        x1, x2 = dt.date(2020, 4, 1), dt.date(2020, 7, 1)
+        v0, v1, v2, v3 = 0.0, 10.0, 8.0, 20.0
+        d0, d3 = dt.date(2020, 1, 1), dt.date(2020, 10, 1)
+        h = (x2 - x1).days
+        m1 = (v2 - v0) / (x2 - d0).days
+        m2 = (v3 - v1) / (d3 - x1).days
+        x = dt.date(2020, 5, 1)
+        t = (x - x1).days / h
+        expected = (
+            (2 * t**3 - 3 * t**2 + 1) * v1
+            + (t**3 - 2 * t**2 + t) * h * m1
+            + (-2 * t**3 + 3 * t**2) * v2
+            + (t**3 - t**2) * h * m2
+        )
+        assert out[x] == pytest.approx(expected)
+        # between two equal-trend knots the curve stays bounded sanely
+        assert all(-30 < v < 40 for v in out.values())
+
+    def test_cubic_entity_partitioned(self, spark):
+        import datetime as dt
+
+        from fame2pygen_spark import run_script
+
+        rows = []
+        for ent, scale in (("A", 1.0), ("B", 100.0)):
+            for q, m in enumerate([1, 4, 7, 10]):
+                rows.append((ent, dt.date(2021, m, 1), scale * (q + 1)))
+        df = spark.createDataFrame(rows, "ENT string, DATE date, Q double")
+        res = run_script(
+            df, ["freq q", "m = convert(q, m, cubic, ave)"],
+            entity_cols=("ENT",),
+        )
+        got = {
+            (r["ENT"], r["DATE"]): r["Q_MON"]
+            for r in res.df.where("Q_MON is not null").collect()
+        }
+        assert got[("A", dt.date(2021, 1, 1))] == pytest.approx(1.0)
+        assert got[("B", dt.date(2021, 1, 1))] == pytest.approx(100.0)
+        # near-linear-trend knots (equal value steps over 90/91/92-day
+        # months) → cubic tracks the line to within 1%
+        assert got[("A", dt.date(2021, 2, 1))] == pytest.approx(
+            1 + 31 / 90, rel=1e-2
+        )
