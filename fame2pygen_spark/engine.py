@@ -184,42 +184,68 @@ class FameEngine:
         # 2^n_converts, a driver OOM on convert-heavy scripts.
         base_df = df
         inferred: str | None = None
+
+        def resolve_freq(pa, meta) -> str:
+            nonlocal inferred
+            if meta.as_freq and meta.as_freq != "*":
+                # reference normalizers pass unknown values through
+                # without raising (formulas_generator.py:118-151) —
+                # treat an unrecognized as_freq hint as absent
+                from .operators.convert import FREQ_INFO
+                from .parser.grammar import normalize_frequency
+
+                cand, _ = normalize_frequency(meta.as_freq)
+                if cand in FREQ_INFO:
+                    return cand
+            if pa.freq:
+                return pa.freq
+            if self.default_freq:
+                return self.default_freq
+            if inferred is None:
+                inferred = infer_frequency(base_df, self.date_col)
+            return inferred
+
+        from .operators.convert import convert_series_multi
+
+        join_keys = [*self.entity_cols, self.date_col]
         for key in sorted(plan.convert_groups):
+            # subgroup by resolved source frequency; each subgroup runs
+            # as ONE aggregation/calendar pass + ONE join (the
+            # reference's bridge batching, done at the plan level)
+            by_freq: dict[str, list] = {}
             for pa in plan.convert_groups[key]:
                 stmt: ConvertStmt = pa.stmt  # type: ignore[assignment]
-                meta = stmt.meta
-                source_freq = None
-                if meta.as_freq and meta.as_freq != "*":
-                    # reference normalizers pass unknown values through
-                    # without raising (formulas_generator.py:118-151) —
-                    # treat an unrecognized as_freq hint as absent
-                    from .operators.convert import FREQ_INFO
-                    from .parser.grammar import normalize_frequency
-
-                    cand, _ = normalize_frequency(meta.as_freq)
-                    if cand in FREQ_INFO:
-                        source_freq = cand
-                if source_freq is not None:
-                    pass
-                elif pa.freq:
-                    source_freq = pa.freq
-                elif self.default_freq:
-                    source_freq = self.default_freq
-                else:
-                    if inferred is None:
-                        inferred = infer_frequency(base_df, self.date_col)
-                    source_freq = inferred
-                conv = convert_series(
-                    base_df, meta,
-                    date_col=self.date_col,
-                    source_freq=source_freq,
-                    entity_cols=self.entity_cols,
+                by_freq.setdefault(
+                    resolve_freq(pa, stmt.meta), []
+                ).append(stmt.meta)
+            for source_freq in sorted(by_freq):
+                metas = by_freq[source_freq]
+                groupable = len(metas) > 1 and all(
+                    (m.technique or "constant") != "cubic" for m in metas
                 )
-                if meta.out_column in df.columns:
-                    df = df.drop(meta.out_column)
-                df = df.join(
-                    conv, on=[*self.entity_cols, self.date_col], how="full"
-                )
+                if groupable:
+                    conv = convert_series_multi(
+                        base_df, metas,
+                        date_col=self.date_col,
+                        source_freq=source_freq,
+                        entity_cols=self.entity_cols,
+                    )
+                    drops = [m.out_column for m in metas
+                             if m.out_column in df.columns]
+                    if drops:
+                        df = df.drop(*drops)
+                    df = df.join(conv, on=join_keys, how="full")
+                    continue
+                for meta in metas:
+                    conv = convert_series(
+                        base_df, meta,
+                        date_col=self.date_col,
+                        source_freq=source_freq,
+                        entity_cols=self.entity_cols,
+                    )
+                    if meta.out_column in df.columns:
+                        df = df.drop(meta.out_column)
+                    df = df.join(conv, on=join_keys, how="full")
         return df
 
     def _run_stage(

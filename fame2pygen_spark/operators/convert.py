@@ -171,6 +171,143 @@ def convert_series(
     return _upsample(base, out_col, target, meta, date_col, entity_cols)
 
 
+def convert_series_multi(
+    df: DataFrame,
+    metas: list[ConvertMeta],
+    date_col: str = "DATE",
+    source_freq: str | None = None,
+    entity_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Convert a GROUP of series sharing (target_freq, technique,
+    observed, start_by) in one pass — the reference's frequency-bridge
+    batching (``fame2py_converter.py:283-301``) done properly for
+    Spark: one groupBy (downsample) or one calendar join + window fills
+    (upsample) for the whole group, instead of one aggregation + join
+    per series.
+
+    Returns ``[*entity_cols, date_col, out_col…]``.  Semantics match
+    per-series :func:`convert_series` exactly: null-skipping aggregates
+    via null-keyed ``min_by``/``max_by``, and per-series calendar
+    bounds so no series is filled beyond its own observed range.
+    """
+    from ..parser.expressions import column_name
+
+    if len(metas) == 1:
+        return convert_series(
+            df, metas[0], date_col=date_col, source_freq=source_freq,
+            entity_cols=entity_cols,
+        )
+    head = metas[0]
+    target = head.target_freq
+    if target not in FREQ_INFO:
+        raise ValueError(f"convert: unknown target frequency {target!r}")
+    if source_freq is None:
+        source_freq = infer_frequency(df, date_col)
+    src_ord, tgt_ord = freq_ordinal(source_freq), freq_ordinal(target)
+    pairs = [(column_name(m.source), m.out_column) for m in metas]
+
+    base = df.select(
+        *entity_cols, date_col,
+        *[F.col(s).alias(o) for s, o in pairs],
+    )
+
+    if tgt_ord == src_ord:
+        return base
+
+    d = F.col(date_col)
+    if tgt_ord < src_ord:
+        if target == "business":
+            return base.where(business_day_filter(d))
+        observed = head.observed or "average"
+        if observed == "formula":
+            raise NotImplementedError("convert observed=formula is not supported")
+        nn_key = {o: F.when(F.col(o).isNotNull(), d) for _, o in pairs}
+        agg_multi = {
+            "average": lambda o: F.avg(o),
+            "sum": lambda o: F.sum(o),
+            "first": lambda o: F.min_by(o, nn_key[o]),
+            "beginning": lambda o: F.min_by(o, nn_key[o]),
+            "last": lambda o: F.max_by(o, nn_key[o]),
+            "end": lambda o: F.max_by(o, nn_key[o]),
+            "high": lambda o: F.max(o),
+            "low": lambda o: F.min(o),
+            "annualized": lambda o: F.avg(o),
+        }.get(observed)
+        if agg_multi is None:
+            raise ValueError(f"convert: unknown observed convention {observed!r}")
+        bucket = period_start(d, target, head.start_by).alias(date_col)
+        return base.groupBy(*entity_cols, bucket).agg(
+            *[agg_multi(o).alias(o) for _, o in pairs]
+        )
+
+    # upsample: shared calendar over the union range, per-series masks
+    bound_aggs = [F.min(d).alias("__lo"), F.max(d).alias("__hi")]
+    for _, o in pairs:
+        nn = F.when(F.col(o).isNotNull(), d)
+        bound_aggs += [F.min(nn).alias(f"__lo_{o}"), F.max(nn).alias(f"__hi_{o}")]
+    bounds = base.groupBy(*entity_cols).agg(*bound_aggs)
+    step = _INTERVAL[target]
+    calendar = bounds.select(
+        *entity_cols,
+        *[F.col(c) for c in bounds.columns if c.startswith("__lo_") or c.startswith("__hi_")],
+        F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(date_col),
+    )
+    if target == "business":
+        calendar = calendar.where(business_day_filter(d))
+    joined = calendar.join(base, on=[*entity_cols, date_col], how="left")
+
+    technique = head.technique or "constant"
+    outs = []
+    for _, o in pairs:
+        single = _fill_one(joined, o, technique, date_col, entity_cols)
+        masked = F.when(
+            d.between(F.col(f"__lo_{o}"), F.col(f"__hi_{o}")), single
+        )
+        outs.append(masked.alias(o))
+    return joined.select(*entity_cols, date_col, *outs)
+
+
+def _fill_one(
+    joined: DataFrame,
+    out_col: str,
+    technique: str,
+    date_col: str,
+    entity_cols: tuple[str, ...],
+):
+    """Gap-fill Column for one series on the shared calendar frame
+    (constant/discrete forward fill or linear interpolation; cubic goes
+    through the per-series path)."""
+    w_past = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if technique in ("constant", "discrete"):
+        return F.last(out_col, ignorenulls=True).over(w_past)
+    if technique == "linear":
+        w_future = (
+            Window.partitionBy(*entity_cols)
+            .orderBy(date_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        known_date = F.when(F.col(out_col).isNotNull(), F.col(date_col))
+        prev_v = F.last(out_col, ignorenulls=True).over(w_past)
+        prev_d = F.last(known_date, ignorenulls=True).over(w_past)
+        next_v = F.first(out_col, ignorenulls=True).over(w_future)
+        next_d = F.first(known_date, ignorenulls=True).over(w_future)
+        span = F.datediff(next_d, prev_d)
+        frac = F.datediff(F.col(date_col), prev_d) / span
+        return (
+            F.when(F.col(out_col).isNotNull(), F.col(out_col))
+            .when(
+                prev_v.isNotNull() & next_v.isNotNull() & (span > 0),
+                prev_v + (next_v - prev_v) * frac,
+            )
+            .otherwise(F.lit(None))
+        )
+    raise ValueError(f"convert: technique {technique!r} not groupable")
+
+
 def _downsample(
     base: DataFrame,
     out_col: str,

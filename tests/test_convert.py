@@ -195,3 +195,95 @@ class TestCubicUpsample:
         assert got[("A", dt.date(2021, 2, 1))] == pytest.approx(
             1 + 31 / 90, rel=1e-2
         )
+
+
+class TestGroupedConvertBridge:
+    """convert_series_multi must match per-series convert_series exactly
+    (the engine batches same-key converts into one pass)."""
+
+    @pytest.fixture()
+    def multi_frame(self, spark):
+        import datetime as dt
+
+        rows = []
+        for i in range(14):
+            d = dt.date(2020, 1 + i % 12, 1) if i < 12 else dt.date(2021, i - 11, 1)
+            a = float(i) if i % 5 != 3 else None   # holes
+            b = 100.0 - i if i > 2 else None       # late start
+            rows.append((d, a, b))
+        return spark.createDataFrame(rows, "DATE date, A double, B double")
+
+    @pytest.mark.parametrize("observed", ["sum", "ave", "first", "last", "hi", "lo"])
+    def test_down_group_matches_single(self, spark, multi_frame, observed):
+        from fame2pygen_spark.operators.convert import (
+            convert_series, convert_series_multi,
+        )
+        from fame2pygen_spark.parser.grammar import parse_statement
+
+        metas = [
+            parse_statement(f"qa = convert(a, q, disc, {observed})").meta,
+            parse_statement(f"qb = convert(b, q, disc, {observed})").meta,
+        ]
+        multi = convert_series_multi(multi_frame, metas, source_freq="monthly")
+        singles = None
+        for m in metas:
+            one = convert_series(multi_frame, m, source_freq="monthly")
+            singles = one if singles is None else singles.join(
+                one, on="DATE", how="full"
+            )
+        got = {r["DATE"]: (r["A_QTRLY"], r["B_QTRLY"]) for r in multi.collect()}
+        want = {r["DATE"]: (r["A_QTRLY"], r["B_QTRLY"]) for r in singles.collect()}
+        assert got == want
+
+    @pytest.mark.parametrize("technique", ["const", "linear"])
+    def test_up_group_matches_single(self, spark, technique):
+        import datetime as dt
+
+        from fame2pygen_spark.operators.convert import (
+            convert_series, convert_series_multi,
+        )
+        from fame2pygen_spark.parser.grammar import parse_statement
+
+        rows = [
+            (dt.date(2020, 1, 1), 10.0, None),
+            (dt.date(2020, 4, 1), 20.0, 5.0),
+            (dt.date(2020, 7, 1), None, 8.0),
+            (dt.date(2020, 10, 1), 40.0, 11.0),
+        ]
+        df = spark.createDataFrame(rows, "DATE date, A double, B double")
+        metas = [
+            parse_statement(f"ma = convert(a, m, {technique}, ave)").meta,
+            parse_statement(f"mb = convert(b, m, {technique}, ave)").meta,
+        ]
+        multi = convert_series_multi(df, metas, source_freq="quarterly")
+        singles = None
+        for m in metas:
+            one = convert_series(df, m, source_freq="quarterly")
+            singles = one if singles is None else singles.join(
+                one, on="DATE", how="full"
+            )
+        got = {r["DATE"]: (r["A_MON"], r["B_MON"]) for r in multi.collect()}
+        want = {
+            r["DATE"]: (r["A_MON"], r["B_MON"])
+            for r in singles.collect()
+            if r["DATE"] in got
+        }
+        for d, vals in want.items():
+            assert got[d] == pytest.approx(vals), (d, got[d], vals)
+
+    def test_engine_groups_converts_into_one_pass(self, spark, multi_frame):
+        """Two same-key converts → the executed plan contains exactly
+        one aggregate pass for the group (not one per series)."""
+        from fame2pygen_spark import run_script
+
+        res = run_script(
+            multi_frame,
+            ["freq m", "qa = convert(a, q, disc, sum)",
+             "qb = convert(b, q, disc, sum)"],
+        )
+        plan = res.df._jdf.queryExecution().optimizedPlan().toString()
+        n_aggregates = plan.count("Aggregate [")
+        assert n_aggregates == 1, f"expected one grouped aggregate:\n{plan}"
+        out = {r["DATE"]: (r["A_QTRLY"], r["B_QTRLY"])
+               for r in res.df.where("A_QTRLY is not null").collect()}
+        assert len(out) >= 4
