@@ -106,6 +106,104 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer (k-means) and return centroids.
+
+    Driver-side constants afterwards — the index is the centroid list
+    plus the cluster-id column, no ANN library required.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, initMode="k-means||").fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<dist,cid>> of squared L2 distances to each centroid."""
+    items = []
+    for cid, c in enumerate(centroids):
+        carr = F.array(*[F.lit(w) for w in c])
+        c2 = sum(w * w for w in c)
+        d2 = dot(vec, vec) - F.lit(2.0) * dot(vec, carr) + F.lit(c2)
+        items.append(F.struct(d2.alias("dist"), F.lit(cid).alias("cid")))
+    return F.array(*items)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, queries probe
+    their *nprobe* nearest cells, exact cosine re-rank inside the cells.
+
+    The corpus shuffles once on the cell id (in production the list
+    file is pre-partitioned/bucketed by cell); queries explode into
+    nprobe rows and broadcast — candidates = corpus rows in probed
+    cells only, ~nprobe/n_clusters of the data.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, vec_col=vec_col, k=n_clusters, seed=seed
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn(
+        "__cell", F.array_min(_centroid_dists(F.col("__v"), centroids))["cid"]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("__q"),
+    ).withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_centroid_dists(F.col("__q"), centroids)),
+                    1, nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    cand = c.join(F.broadcast(q), on="__cell")
+    if not include_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "score", F.round(cosine(F.col("__v"), F.col("__q")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

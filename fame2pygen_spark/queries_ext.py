@@ -363,6 +363,23 @@ WHERE ROUND(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
 # ----------------------------------------------------------------- text
 
 
+def q_x05c_similarity_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + nprobe cell probing + exact
+    re-rank) — rows-only check (centroids are ML-trained); recall vs
+    exact top-k is pytest-asserted in tests/test_extensions.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.ivf_topk(emb, queries, dim=64, k=5, n_clusters=16, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
 def q_x06_text_profile(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = tx.text_profile(docs, "text")
@@ -588,6 +605,7 @@ EXT_QUERIES = {
     "x04_simhash_signatures": q_x04_simhash_signatures,
     "x05_similarity_topk": q_x05_similarity_topk,
     "x05b_similarity_lsh": q_x05b_similarity_lsh,
+    "x05c_similarity_ivf": q_x05c_similarity_ivf,
     "x06_text_profile": q_x06_text_profile,
     "x07_embedding_neardup": q_x07_embedding_neardup,
     "x08_ngram_jaccard": q_x08_ngram_jaccard,

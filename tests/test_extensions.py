@@ -237,3 +237,79 @@ def test_streaming_sessionize(spark, tmp_path):
     assert u1[0]["n_events"] == 2
     assert u1[1]["n_events"] == 1
     assert len([r for r in out if r["user_id"] == 2]) == 1
+
+
+def test_streaming_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    two parquet files -> maxFilesPerTrigger=1 forces two batches; the
+    second batch's output must include the first batch's counts."""
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.stateful import running_user_totals
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    batch1 = spark.createDataFrame(
+        [(1, t0, 1, "click", 2.0), (2, t0, 2, "view", 5.0)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=5), 1, "click", 4.0),
+         (4, t0 + dt.timedelta(minutes=6), 1, "view", None)], schema
+    )
+    path = str(tmp_path / "events_stateful")
+    batch1.write.parquet(path)
+    batch2.write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from running_totals").collect()
+    # last emitted row per user reflects cumulative state
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["sum_value"], r["max_value"])
+    assert final[1] == (3, 6.0, 4.0)   # 2.0 + 4.0, null skipped in sum/max
+    assert final[2] == (1, 5.0, 5.0)
+    # user 1 must have been emitted more than once (cross-batch updates)
+    assert len([r for r in rows if r["user_id"] == 1]) >= 2
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN with nprobe=4/16 cells must recover most of the exact
+    top-5 on the sf0.01 embeddings."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, dim=64, k=5, n_clusters=16, nprobe=4)
+
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+    # scores of overlapping pairs are exact (re-rank is exact cosine)
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"]
+                    for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["score"] == exact_scores[key]
