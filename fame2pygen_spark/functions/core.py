@@ -85,6 +85,49 @@ def last_value(col: Column, *, date_col: str = "DATE",
     return F.last(col, ignorenulls=True).over(full_window(date_col, entity_cols))
 
 
+def salted_agg(
+    df,
+    keys: list[str],
+    aggs: dict[str, Column],
+    *,
+    salt_buckets: int = 16,
+):
+    """Two-stage aggregation for skewed keys: pre-aggregate on
+    (key, salt) — spreading one hot key over *salt_buckets* reducers —
+    then combine the partials on the key alone.
+
+    Only valid for decomposable aggregates; the ``aggs`` mapping gives
+    the PARTIAL expression per output name, and the combine stage picks
+    the matching merge function by the partial's name prefix
+    (``sum_``/``count_`` → sum, ``min_`` → min, ``max_`` → max).
+    AQE's skew-join handling covers joins; this covers groupBys with a
+    pathological key distribution (e.g. one user generating 30% of
+    events) where even map-side combine leaves one reducer hot.
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+    def combine(name: str) -> Column:
+        if name.startswith(("sum_", "count_", "n_")):
+            return F.sum(name)
+        if name.startswith("min_"):
+            return F.min(name)
+        if name.startswith("max_"):
+            return F.max(name)
+        raise ValueError(
+            f"salted_agg: cannot infer combiner for {name!r}; use a "
+            f"sum_/count_/n_/min_/max_ prefix"
+        )
+
+    return partial.groupBy(*keys).agg(
+        *[combine(n).alias(n) for n in aggs]
+    )
+
+
 def last_observed_date(col: Column, *, date_col: str = "DATE",
                        entity_cols: tuple[str, ...] = ()) -> Column:
     """Real DATEOF(series, *, contain, end) semantics: the date of the

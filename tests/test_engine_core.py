@@ -303,3 +303,32 @@ def test_list_alias_dependency(spark):
     )
     res = run_script(df, ["v27 = {a, b, c}", "s = a + b + c"])
     assert res.df.first()["S"] == 6.0
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    """Skew-salted two-stage aggregation must equal the plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.functions.core import salted_agg
+
+    # skewed: key 'hot' holds 80% of rows
+    rows = [("hot" if i % 5 != 0 else f"k{i % 7}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["sum_v"], r["n_rows"], r["max_v"])
+        for r in salted_agg(
+            df, ["k"],
+            {"sum_v": F.sum("v"), "n_rows": F.count("*"), "max_v": F.max("v")},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["sum_v"], r["n_rows"], r["max_v"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("sum_v"), F.count("*").alias("n_rows"),
+            F.max("v").alias("max_v"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0])
+        assert got[k][1:] == want[k][1:]
