@@ -254,10 +254,18 @@ def hyperplane_lsh_topk(
     k: int = 5,
     nbits: int = 8,
     seed: int = 42,
+    multiprobe: bool = True,
     include_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: bucket by random hyperplane signs, exact
-    re-rank within the shared bucket (equi-join on bucket id)."""
+    re-rank within the shared bucket (equi-join on bucket id).
+
+    ``multiprobe`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (nbits+1 probes per query) —
+    near-neighbors that straddle a single hyperplane are recovered at
+    the cost of ~nbits× more candidate rows on the (small, broadcast)
+    query side only.
+    """
     planes = _hyperplanes(dim, nbits, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -266,9 +274,24 @@ def hyperplane_lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("__q"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__q"), planes))
+    ).withColumn("__b0", hyperplane_bucket(F.col("__q"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("__b0"),
+            *[
+                F.col("__b0").bitwiseXOR(
+                    F.shiftleft(F.lit(1).cast("long"), b)
+                )
+                for b in range(nbits)
+            ],
+        )
+        q = q.withColumn("__bucket", F.explode(probes)).drop("__b0")
+    else:
+        q = q.withColumnRenamed("__b0", "__bucket")
 
-    cand = c.join(F.broadcast(q), on="__bucket")
+    cand = c.join(F.broadcast(q), on="__bucket").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
     if not include_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
     cand = cand.withColumn(
