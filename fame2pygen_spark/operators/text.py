@@ -136,6 +136,29 @@ def detect_language(col: Column, min_score: float = 0.01) -> Column:
     return F.when(best["s"] >= min_score, best["l"]).otherwise(F.lit("und"))
 
 
+#: rolling-hash parameters (Rabin–Karp polynomial over code points)
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash of the normalized text (Rabin–Karp:
+    ``h = Σ code(c_i)·B^(n-1-i) mod P``) — an order-sensitive integer
+    fingerprint, cheaper to compare/join than md5 strings and the
+    building block for windowed content-defined chunking.
+
+    One ``aggregate`` pass over the char array; the lambda body touches
+    only the accumulator and element (no invariant subtrees — see the
+    HOF note in dedup.py).
+    """
+    chars = F.filter(F.split(normalized_text(col), ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % F.lit(ROLL_MOD),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str) -> DataFrame:
     """Append the standard text-analysis columns to *df*."""
     t = F.col(text_col)

@@ -313,3 +313,66 @@ def test_ivf_topk_recall(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert r["score"] == exact_scores[key]
+
+
+def test_rolling_hash_fingerprint(spark):
+    """Rabin-Karp rolling hash: deterministic, order-sensitive,
+    normalization-invariant, and equal to the Python reference."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.text import (
+        ROLL_BASE, ROLL_MOD, rolling_hash,
+    )
+
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "world hello"),
+            (4, ""), (5, "a")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["h"] for r in df.select(
+        "id", rolling_hash(F.col("text")).alias("h")).collect()}
+
+    def py_roll(s):
+        import re
+        norm = re.sub(r"\s+", " ", s.lower()).strip()
+        h = 0
+        for ch in norm:
+            h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+        return h
+
+    assert got[1] == got[2] == py_roll("Hello  World")  # normalization
+    assert got[3] != got[1]                             # order-sensitive
+    assert got[4] == 0
+    assert got[5] == ord("a")
+
+
+def test_streaming_parquet_sink(spark, tmp_path):
+    """Stream -> windowed agg -> parquet sink with checkpoint (append
+    mode needs the watermark to close windows)."""
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.core import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=10 * i), 1, "click", 1.0)
+            for i in range(30)]  # spans 9:00-13:50 -> several 1h windows
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src_path = str(tmp_path / "src")
+    batch.write.parquet(src_path)
+    stream = spark.readStream.schema(batch.schema).format("parquet").load(src_path)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="0 seconds")
+    out_path = str(tmp_path / "sink")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(out_path)
+    # closed windows (all but the last, which the watermark holds open)
+    got = {r["window_start"].hour: r["n_events"] for r in sunk.collect()}
+    assert got.get(9) == 6 and got.get(10) == 6
+    assert len(got) >= 4
