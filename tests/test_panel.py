@@ -88,3 +88,60 @@ def test_convert_down_per_entity(spark):
     assert out[("A", date(2021, 4, 1))] == pytest.approx(15.0)  # 4+5+6
     assert out[("B", date(2021, 1, 1))] == pytest.approx(60.0)
     assert out[("B", date(2021, 4, 1))] == pytest.approx(150.0)
+
+
+def test_wide_long_roundtrip_and_panel_run(spark):
+    """Reference-style wide frame -> long panel -> run per-series ->
+    pivot back; values must survive the round trip."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark import run_script
+    from fame2pygen_spark.sources.reshape import long_to_wide, wide_to_long
+
+    rows = [
+        (date(2020, m, 1), 10.0 * m, 100.0 + m) for m in range(1, 7)
+    ]
+    wide = spark.createDataFrame(rows, "DATE date, GDP double, CPI double")
+
+    long = wide_to_long(wide, ["GDP", "CPI"])
+    assert long.count() == 12
+    res = run_script(long, ["g = pct(value)"], entity_cols=("SERIES",))
+    # pct computed independently per series
+    got = {
+        (r["SERIES"], r["DATE"]): r["G"]
+        for r in res.df.where("G is not null").collect()
+    }
+    assert got[("GDP", date(2020, 2, 1))] == pytest.approx(100.0)
+    assert got[("CPI", date(2020, 2, 1))] == pytest.approx(1 / 101 * 100)
+
+    back = long_to_wide(long, series=["GDP", "CPI"])
+    orig = {r["DATE"]: (r["GDP"], r["CPI"]) for r in wide.collect()}
+    rt = {r["DATE"]: (r["GDP"], r["CPI"]) for r in back.collect()}
+    assert rt == orig
+
+
+def test_codegen_panel_mode_matches_engine(spark, panel, tmp_path):
+    """Source-emission backend with entity_cols: generated windows must
+    be entity-partitioned and values must match the engine."""
+    import importlib.util
+
+    from fame2pygen_spark import run_script
+    from fame2pygen_spark.codegen import generate_test_script
+
+    script = ["g = pct(v)", "base = firstvalue(v)", "rel = v / base"]
+    src = generate_test_script(script, entity_cols=("ENT",))
+    assert 'Window.partitionBy("ENT")' in src
+    path = tmp_path / "gen_panel.py"
+    path.write_text(src)
+    spec = importlib.util.spec_from_file_location("gen_panel", str(path))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    eng = run_script(panel, script, entity_cols=("ENT",)).df
+    gen = mod.ts_transformer(panel)
+    cols = ["ENT", "DATE", "G", "BASE", "REL"]
+    e_rows = [tuple(r[c] for c in cols) for r in eng.orderBy("ENT", "DATE").collect()]
+    g_rows = [tuple(r[c] for c in cols) for r in gen.orderBy("ENT", "DATE").collect()]
+    assert e_rows == g_rows
