@@ -85,6 +85,22 @@ def business_day_filter(date_col):
     return F.dayofweek(date_col).between(2, 6)
 
 
+def exclude_holidays(
+    df: DataFrame, holidays: DataFrame, *, date_col: str = "DATE"
+) -> DataFrame:
+    """Drop rows on holiday dates via a broadcast anti-join.
+
+    *holidays* is a one-column frame of dates (any column name — the
+    first column is used).  Holiday tables are small and static, so the
+    anti-join broadcasts: no shuffle of the data side at any scale.
+    """
+    hcol = holidays.columns[0]
+    h = F.broadcast(holidays.select(F.col(hcol).cast("date").alias("__h")))
+    return df.join(
+        h, on=F.col(date_col) == F.col("__h"), how="left_anti"
+    )
+
+
 _OBSERVED_AGG = {
     "average": lambda v, d: F.avg(v),
     "sum": lambda v, d: F.sum(v),

@@ -287,3 +287,25 @@ class TestGroupedConvertBridge:
         out = {r["DATE"]: (r["A_QTRLY"], r["B_QTRLY"])
                for r in res.df.where("A_QTRLY is not null").collect()}
         assert len(out) >= 4
+
+
+def test_business_days_with_holiday_calendar(spark, ts_daily):
+    """Layer a holiday table over the Mon-Fri business grid via the
+    broadcast anti-join."""
+    from fame2pygen_spark.operators.convert import exclude_holidays
+
+    res = run_script(ts_daily, ["v_b = convert(v_daily, b, disc, ave)"])
+    bus = res.df.where("V_DAILY_BUSD is not null")
+    holidays = spark.createDataFrame(
+        [(dt.date(2020, 1, 1),), (dt.date(2020, 12, 25),),
+         (dt.date(2020, 7, 4),)],  # Jul 4 2020 is a Saturday — no-op
+        "holiday date",
+    )
+    trimmed = exclude_holidays(bus, holidays)
+    assert trimmed.count() == 260  # 262 business days - New Year - Christmas
+    dates = {r["DATE"] for r in trimmed.select("DATE").collect()}
+    assert dt.date(2020, 1, 1) not in dates
+    assert dt.date(2020, 12, 25) not in dates
+    # plan check: the anti-join broadcasts the holiday side
+    plan = trimmed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
