@@ -261,7 +261,9 @@ def convert_series_multi(
     for _, o in pairs:
         nn = F.when(F.col(o).isNotNull(), d)
         bound_aggs += [F.min(nn).alias(f"__lo_{o}"), F.max(nn).alias(f"__hi_{o}")]
-    bounds = base.groupBy(*entity_cols).agg(*bound_aggs)
+    bounds = _align_weekly_lo(
+        base.groupBy(*entity_cols).agg(*bound_aggs), target, head.start_by
+    )
     step = _INTERVAL[target]
     calendar = bounds.select(
         *entity_cols,
@@ -350,6 +352,16 @@ def _downsample(
     )
 
 
+def _align_weekly_lo(bounds: DataFrame, target: str, start_by: str | None):
+    """Shift a weekly upsample calendar's start forward to the
+    requested weekday (``w(wed)`` grids must land on Wednesdays)."""
+    if target != "weekly" or not start_by:
+        return bounds
+    idx = _WEEKDAY_INDEX.get(start_by.lower(), 2)
+    shift = (F.lit(idx) - F.dayofweek("__lo") + F.lit(7)) % F.lit(7)
+    return bounds.withColumn("__lo", F.date_add(F.col("__lo"), shift))
+
+
 def _upsample(
     base: DataFrame,
     out_col: str,
@@ -365,6 +377,7 @@ def _upsample(
     bounds = base.groupBy(*entity_cols).agg(
         F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
     )
+    bounds = _align_weekly_lo(bounds, target, meta.start_by)
     step = _INTERVAL[target]
     calendar = bounds.select(
         *entity_cols,

@@ -309,3 +309,14 @@ def test_business_days_with_holiday_calendar(spark, ts_daily):
     # plan check: the anti-join broadcasts the holiday side
     plan = trimmed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_weekly_upsample_aligns_to_start_by(spark):
+    """Monthly -> weekly(wed) upsample: every grid date is a Wednesday."""
+    months = [dt.date(2020, m, 1) for m in (1, 2, 3)]
+    df = spark.createDataFrame(
+        [(d, float(i + 1)) for i, d in enumerate(months)], "DATE date, V double"
+    )
+    res = run_script(df, ["freq m", "vw = convert(v, w(wed), const, ave)"])
+    out = [r["DATE"] for r in res.df.where("V_WK is not null").collect()]
+    assert out and all(d.weekday() == 2 for d in out)

@@ -332,3 +332,23 @@ def test_salted_agg_matches_plain_groupby(spark):
     for k in want:
         assert got[k][0] == pytest.approx(want[k][0])
         assert got[k][1:] == want[k][1:]
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("2020-01-01", dt.date(2020, 1, 1)),
+        ("2020Q1", dt.date(2020, 1, 1)),
+        ("2020q3", dt.date(2020, 7, 1)),
+        ("12jul1985", dt.date(1985, 7, 12)),
+        ("2020", dt.date(2020, 1, 1)),
+        ("2020m03", dt.date(2020, 3, 1)),
+        ("jan2020", dt.date(2020, 1, 1)),
+    ],
+)
+def test_fame_date_formats(text, expected):
+    """E19: the seven FAME date-literal formats
+    (reference convert_fame_date_to_iso, formulas_generator.py:312-380)."""
+    from fame2pygen_spark.parser.dates import parse_fame_date
+
+    assert parse_fame_date(text) == expected
