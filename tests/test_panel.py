@@ -145,3 +145,40 @@ def test_codegen_panel_mode_matches_engine(spark, panel, tmp_path):
     e_rows = [tuple(r[c] for c in cols) for r in eng.orderBy("ENT", "DATE").collect()]
     g_rows = [tuple(r[c] for c in cols) for r in gen.orderBy("ENT", "DATE").collect()]
     assert e_rows == g_rows
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed by the join key on the same bucket count ->
+    SortMergeJoin with NO Exchange (the co-located join layout for the
+    100 TB fact tables)."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.sources.bucketing import (
+        bucketed_join_is_shuffle_free, write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    try:
+        left = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(0, 5_000).select(
+            F.col("id").alias("k2"), (F.col("id") * 3).alias("b")
+        )
+        write_bucketed(left, "t_left_b", buckets=8, bucket_cols=["k"],
+                       sort_cols=["k"])
+        write_bucketed(right, "t_right_b", buckets=8, bucket_cols=["k2"],
+                       sort_cols=["k2"])
+        assert bucketed_join_is_shuffle_free(
+            spark, "t_left_b", "t_right_b", "k", "k2"
+        ), "bucketed join still shuffles"
+        # and the join result is correct
+        j = spark.table("t_left_b").join(
+            spark.table("t_right_b"), F.col("k") == F.col("k2")
+        )
+        assert j.count() == 5_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_left_b")
+        spark.sql("DROP TABLE IF EXISTS t_right_b")
