@@ -442,6 +442,130 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+# ----------------------------------------------- duplicate clustering
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetric closure of an (u, v) edge list."""
+    return edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every strictly-larger neighbor of u is
+    reconnected to min(Γ(u) ∪ {u})."""
+    sym = _sym(edges).distinct()
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("mn"), F.col("u")).alias("mn")
+    )
+    return (
+        sym.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges high→low; every low neighbor (and
+    the center) is reconnected to the minimum neighbor."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    relinked = (
+        oriented.join(mins, on="u")
+        .select(F.col("v").alias("node"), F.col("mn"))
+        .union(mins.select(F.col("u").alias("node"), F.col("mn")))
+        .where(F.col("node") != F.col("mn"))
+        .select(F.col("node").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+    return relinked
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair list → ``(doc,
+    component)`` where ``component`` is the minimum id in the component.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014): converges in
+    O(log²) rounds — each round is one groupBy-min plus one equi-join,
+    both keyed by node id (uniform, no skew).  Lineage is truncated
+    with ``localCheckpoint`` every round, the standard guard for
+    iterative DataFrame algorithms (without it the plan doubles per
+    iteration and the driver OOMs planning round ~20).
+
+    Every doc that appears in *pairs* is returned exactly once;
+    singleton docs (no pairs) are the caller's concern — they are their
+    own component by definition.  Not SQL-expressible in one query;
+    the DuckDB oracle uses a recursive CTE (transitive closure), which
+    is only feasible at test scale — this implementation is the 100 TB
+    path.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not edges.head(1):
+        return edges.select(
+            F.col("u").alias("doc"), F.col("v").alias("component")
+        )
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            # decimal sum: int64 hash values overflow an ANSI long sum
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged edge set is a star forest (node → root); roots appear
+    # only on the v side
+    return edges.select(
+        F.col("u").alias("doc"), F.col("v").alias("component")
+    ).union(
+        edges.select("v", "v").distinct()
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: ``(doc, component,
+    cluster_size, is_canonical)``.
+
+    The post-LSH step every training-data pipeline needs: pair lists
+    from :func:`minhash_lsh_pairs` / :func:`simhash_near_dups` become
+    disjoint clusters; the minimum id is the canonical survivor and
+    everything else is droppable."""
+    comp = connected_components(pairs, id_a, id_b)
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc",
+        "component",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("doc") == F.col("component")).alias("is_canonical"),
+    )
+
+
 # ------------------------------------------------------------- SimHash
 
 

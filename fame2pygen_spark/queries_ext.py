@@ -92,14 +92,16 @@ def q_x03_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _sql_x03() -> str:
-    """Full SQL replication of the MinHash-LSH pipeline — same shingles,
-    same md5-derived integers, same affine hash family, same banding."""
+def _sql_x03_ctes() -> str:
+    """CTE chain replicating the MinHash-LSH pipeline in SQL — same
+    shingles, same md5-derived integers, same affine hash family, same
+    banding.  Ends with ``lsh_pairs(id_a, id_b, jaccard)``; reused by
+    the x03 oracle directly and the x09 clustering oracle as the edge
+    source."""
     params = _affine_params(64, seed=42)
     values = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, (a, b) in enumerate(params))
     min_match = min_sig_matches(0.6, 64)
-    return f"""
-WITH docs AS (
+    return f"""docs AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ),
@@ -146,16 +148,65 @@ inter AS (
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1)
-SELECT CAST(c.id_a AS BIGINT) AS id_a,
-       CAST(c.id_b AS BIGINT) AS id_b,
-       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-FROM pref c
-JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-JOIN sizes sa ON sa.doc_id = c.id_a
-JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.6
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+lsh_pairs AS (
+  SELECT CAST(c.id_a AS BIGINT) AS id_a,
+         CAST(c.id_b AS BIGINT) AS id_b,
+         ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+  FROM pref c
+  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.6
+)"""
+
+
+def _sql_x03() -> str:
+    return f"WITH {_sql_x03_ctes()}\nSELECT id_a, id_b, jaccard FROM lsh_pairs"
+
+
+def _sql_x09() -> str:
+    """Connected components of the x03 LSH pairs via recursive CTE
+    (transitive closure — feasible at oracle scale only; the Spark side
+    runs alternating large-star/small-star)."""
+    return f"""
+WITH RECURSIVE {_sql_x03_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (
+  SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT CAST(doc AS BIGINT) AS doc,
+       CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       doc = component AS is_canonical
+FROM comp
 """
+
+
+def q_x09_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: LSH pairs → connected components →
+    canonical survivor per cluster.  The iterative large-star/small-star
+    runs on Spark; the oracle closes the same edge set with a recursive
+    CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, num_hashes=64, bands=16, threshold=0.6
+    )
+    return dd.duplicate_clusters(pairs).select(
+        F.col("doc").cast("long").alias("doc"),
+        F.col("component").cast("long").alias("component"),
+        "cluster_size",
+        "is_canonical",
+    )
 
 
 def q_x04_simhash_signatures(spark, sf_dir):
@@ -609,6 +660,7 @@ EXT_QUERIES = {
     "x06_text_profile": q_x06_text_profile,
     "x07_embedding_neardup": q_x07_embedding_neardup,
     "x08_ngram_jaccard": q_x08_ngram_jaccard,
+    "x09_dedup_clusters": q_x09_dedup_clusters,
     "x10_events_hourly": q_x10_events_hourly,
     "x11_events_sessions": q_x11_events_sessions,
     "x12_multimodal_binary": q_x12_multimodal_binary,
@@ -623,6 +675,7 @@ EXT_ORACLES = {
     "x06_text_profile": _sql_x06(),
     "x07_embedding_neardup": _sql_x07(),
     "x08_ngram_jaccard": SQL_X08,
+    "x09_dedup_clusters": _sql_x09(),
     "x10_events_hourly": SQL_X10,
     "x11_events_sessions": SQL_X11,
     "x12_multimodal_binary": SQL_X12,

@@ -376,3 +376,45 @@ def test_streaming_parquet_sink(spark, tmp_path):
     got = {r["window_start"].hour: r["n_events"] for r in sunk.collect()}
     assert got.get(9) == 6 and got.get(10) == 6
     assert len(got) >= 4
+
+
+def test_connected_components_star_forest(spark):
+    """Chain 1-2-3-4, pair {10,11}, triangle {20,21,22} with a bridge to
+    23 — min-id labeling must match the hand-computed components."""
+    from fame2pygen_spark.operators.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["doc"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+    clusters = duplicate_clusters(pairs).collect()
+    sizes = {r["doc"]: r["cluster_size"] for r in clusters}
+    assert sizes[3] == 4 and sizes[11] == 2 and sizes[23] == 4
+    canon = {r["doc"] for r in clusters if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+
+
+def test_connected_components_empty_and_long_chain(spark):
+    from fame2pygen_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+    # a 40-node path is the slow-convergence worst case for naive
+    # propagation; alternating star rounds must still settle
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = connected_components(chain).collect()
+    assert len(comp) == 41
+    assert {r["component"] for r in comp} == {0}
