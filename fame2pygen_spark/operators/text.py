@@ -24,7 +24,7 @@ __all__ = [
     "tokens", "token_count", "word_token_count", "char_count",
     "punct_count", "stopword_ratio", "quality_score", "language_scores",
     "detect_language", "normalized_text", "text_fingerprint",
-    "text_profile",
+    "text_profile", "tfidf_top_terms",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -156,6 +156,49 @@ def rolling_hash(col: Column) -> Column:
         chars,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % F.lit(ROLL_MOD),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3
+) -> DataFrame:
+    """Top-*k* TF-IDF terms per document: ``(doc_id, term, rank, tf,
+    tfidf)``.
+
+    tf is the raw in-document term count; idf is the smoothed variant
+    ``ln((N+1)/(df+1)) + 1`` (strictly positive, as in scikit-learn's
+    TfidfTransformer defaults).  Bulk formulation: normalization staged
+    once per doc, tokens exploded once, then two hash aggregations —
+    (doc, term) counts and term doc-frequency — joined back on ``term``.
+    The doc-frequency side has one row per distinct term, so the join
+    broadcasts for real vocabularies; Zipf-hot terms fan out on the
+    probe side only (no build-side skew), and ranking shuffles by
+    ``doc`` — uniform.  Ranks are computed on the 6dp-rounded score
+    with ``term`` as tie-break so ordering is reproducible across
+    engines.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text(F.col(text_col)).alias("__nt"),
+    ).select(
+        "doc_id", F.explode(F.split(F.col("__nt"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, on="term").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tf", "tfidf")
     )
 
 

@@ -501,6 +501,45 @@ FROM m
 """
 
 
+def q_x13_tfidf_top_terms(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.tfidf_top_terms(docs, "text", "doc_id", k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("tf").cast("long").alias("tf"),
+        "tfidf",
+    )
+
+
+SQL_X13 = """
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS term
+  FROM nt
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         ROUND(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(rank AS BIGINT) AS rank, CAST(tf AS BIGINT) AS tf, tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------- events
 
 
@@ -664,6 +703,7 @@ EXT_QUERIES = {
     "x10_events_hourly": q_x10_events_hourly,
     "x11_events_sessions": q_x11_events_sessions,
     "x12_multimodal_binary": q_x12_multimodal_binary,
+    "x13_tfidf_top_terms": q_x13_tfidf_top_terms,
 }
 
 EXT_ORACLES = {
@@ -679,4 +719,5 @@ EXT_ORACLES = {
     "x10_events_hourly": SQL_X10,
     "x11_events_sessions": SQL_X11,
     "x12_multimodal_binary": SQL_X12,
+    "x13_tfidf_top_terms": SQL_X13,
 }

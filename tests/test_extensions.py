@@ -418,3 +418,31 @@ def test_connected_components_empty_and_long_chain(spark):
     comp = connected_components(chain).collect()
     assert len(comp) == 41
     assert {r["component"] for r in comp} == {0}
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-checkable corpus: a term unique to one doc must outrank
+    terms shared across all docs."""
+    from fame2pygen_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the cat and the dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    for rows in by_doc.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+    # doc 1: 'the' tf=2 df=3 → 2·(ln(4/4)+1)=2.0 is rank 1; 'mat'
+    # df=1 → ln(2)+1=1.693147 is rank 2, above df=2 terms like
+    # 'cat'/'sat'/'on' at 1·(ln(4/3)+1)=1.287682.
+    doc1 = {r["rank"]: (r["term"], r["tfidf"]) for r in by_doc[1]}
+    assert doc1[1] == ("the", 2.0)
+    assert doc1[2] == ("mat", 1.693147)
