@@ -1,0 +1,72 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the scale extensions into the filter → exact-dedup →
+near-dedup flow a 100 TB corpus actually runs (the reference has no
+analog — this is BASELINE.json north-star surface):
+
+1. profile every document (quality score, language id — pure column
+   algebra, one scan);
+2. drop low-quality and out-of-language docs *first*, so every later
+   stage works on the reduced corpus (filter before shuffle);
+3. exact dedup: min-id survivor per md5 fingerprint (one shuffle);
+4. near dedup: MinHash-LSH candidate pairs → connected components →
+   drop every non-canonical cluster member.
+
+Each stage is the operator documented in its own module; this is pure
+composition, and the whole pipeline stays oracle-checkable because each
+stage is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import dedup_exact, duplicate_clusters, minhash_lsh_pairs
+from .text import text_profile
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_quality: float = 0.55,
+    languages: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.6,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Curated corpus: quality/language-passed, exact- and near-deduped.
+
+    Returns the surviving rows of *df* extended with ``quality`` and
+    ``lang_pred``.  Near-dup survivors are the minimum-id member of
+    each LSH cluster (see :func:`~.dedup.duplicate_clusters`).
+
+    Scale shape: stage 2's filter cuts the corpus before any shuffle;
+    stage 3 shuffles once on the 128-bit fingerprint (uniform); stage 4
+    runs LSH banding on the already-deduped corpus and the component
+    iterations only touch the pair list (tiny relative to the corpus).
+    The final removal is a broadcastable left-anti join on doc id.
+    """
+    prof = text_profile(df, text_col)
+    passed = prof.where(
+        (F.col("quality") >= F.lit(min_quality))
+        & F.col("lang_pred").isin(*languages)
+    )
+    exact_kept = dedup_exact(passed, text_col, id_col)
+    pairs = minhash_lsh_pairs(
+        exact_kept,
+        text_col,
+        id_col,
+        n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=near_dup_threshold,
+    )
+    drop = (
+        duplicate_clusters(pairs)
+        .where(~F.col("is_canonical"))
+        .select(F.col("doc").alias(id_col))
+    )
+    return exact_kept.join(F.broadcast(drop), on=id_col, how="left_anti")

@@ -92,18 +92,18 @@ def q_x03_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _sql_x03_ctes() -> str:
+def _sql_x03_ctes(source: str = "documents") -> str:
     """CTE chain replicating the MinHash-LSH pipeline in SQL — same
     shingles, same md5-derived integers, same affine hash family, same
     banding.  Ends with ``lsh_pairs(id_a, id_b, jaccard)``; reused by
-    the x03 oracle directly and the x09 clustering oracle as the edge
-    source."""
+    the x03 oracle directly and the x09/x14 clustering oracles as the
+    edge source (*source* must expose ``doc_id, text``)."""
     params = _affine_params(64, seed=42)
     values = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)" for j, (a, b) in enumerate(params))
     min_match = min_sig_matches(0.6, 64)
     return f"""docs AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-  FROM documents
+  FROM {source}
 ),
 shingles AS (
   SELECT DISTINCT d.doc_id, substr(d.t, CAST(i.i AS INTEGER), 5) AS sh
@@ -165,13 +165,9 @@ def _sql_x03() -> str:
     return f"WITH {_sql_x03_ctes()}\nSELECT id_a, id_b, jaccard FROM lsh_pairs"
 
 
-def _sql_x09() -> str:
-    """Connected components of the x03 LSH pairs via recursive CTE
-    (transitive closure — feasible at oracle scale only; the Spark side
-    runs alternating large-star/small-star)."""
-    return f"""
-WITH RECURSIVE {_sql_x03_ctes()},
-edges AS (
+#: transitive closure of ``lsh_pairs`` → ``comp(doc, component)`` —
+#: append after a chain ending in lsh_pairs, under WITH RECURSIVE
+_SQL_COMPONENT_CTES = """edges AS (
   SELECT id_a AS u, id_b AS v FROM lsh_pairs
   UNION
   SELECT id_b AS u, id_a AS v FROM lsh_pairs
@@ -183,7 +179,16 @@ reach(u, v) AS (
 ),
 comp AS (
   SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
-)
+)"""
+
+
+def _sql_x09() -> str:
+    """Connected components of the x03 LSH pairs via recursive CTE
+    (transitive closure — feasible at oracle scale only; the Spark side
+    runs alternating large-star/small-star)."""
+    return f"""
+WITH RECURSIVE {_sql_x03_ctes()},
+{_SQL_COMPONENT_CTES}
 SELECT CAST(doc AS BIGINT) AS doc,
        CAST(component AS BIGINT) AS component,
        CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
@@ -444,7 +449,12 @@ def q_x06_text_profile(spark, sf_dir):
     )
 
 
-def _sql_x06() -> str:
+def _sql_profile_ctes(source: str = "documents") -> str:
+    """CTE chain replicating text_profile in SQL; ends with
+    ``prof(doc_id, text, norm, n_tokens, …, quality, lang_pred,
+    fingerprint)``.  Reused by the x06 oracle and the x14 curation
+    oracle."""
+
     def hits(words: tuple[str, ...]) -> str:
         arr = ", ".join(f"'{w}'" for w in words)
         return f"len(list_filter(toks, t -> list_contains([{arr}], t)))"
@@ -453,8 +463,8 @@ def _sql_x06() -> str:
         lang: f"(CASE WHEN n > 0 THEN {hits(words)} / n ELSE 0.0 END)"
         for lang, words in tx.LANG_MARKERS.items()
     }
-    # array_max over (score, lang) structs == max score, ties to the
-    # lexicographically largest language code
+    # argmax by score, ties to the lexicographically largest language
+    # code (matches array_max over (score, lang) structs on Spark)
     langs_desc = sorted(lang_score, reverse=True)
     best = "CASE " + " ".join(
         f"WHEN {lang_score[lang]} >= greatest({', '.join(lang_score.values())}) "
@@ -462,11 +472,10 @@ def _sql_x06() -> str:
         for lang in langs_desc
     ) + " ELSE 'und' END"
     sw = lang_score["en"]
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, text,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-  FROM documents
+  FROM {source}
 ),
 tok AS (
   SELECT doc_id, text, norm,
@@ -483,21 +492,32 @@ m AS (
               THEN list_reduce(list_transform(toks, t -> len(t)), (a, x) -> a + x) / len(toks)
               ELSE 0.0 END AS mlen
   FROM tok
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(n AS BIGINT) AS n_tokens,
-       CAST(nw AS BIGINT) AS n_word_tokens,
-       CAST(np AS BIGINT) AS n_punct,
-       ROUND(CASE WHEN n > 0 THEN {sw} ELSE 0.0 END, 6) AS stopword_ratio,
-       ROUND(rep, 6) AS repetition_ratio,
-       ROUND(mlen, 6) AS mean_token_len,
-       ROUND(0.25 * least(1.0, (CASE WHEN n > 0 THEN {sw} ELSE 0.0 END) * 5)
-           + 0.25 * (1 - (CASE WHEN n > 0 THEN least(1.0, np / n) ELSE 1.0 END))
-           + 0.25 * (1 - rep)
-           + 0.25 * least(1.0, greatest(0.0, (mlen - 1) / 6)), 6) AS quality,
-       {best} AS lang_pred,
-       md5(norm) AS fingerprint
-FROM m
+),
+prof AS (
+  SELECT doc_id, text, norm,
+         CAST(n AS BIGINT) AS n_tokens,
+         CAST(nw AS BIGINT) AS n_word_tokens,
+         CAST(np AS BIGINT) AS n_punct,
+         ROUND(CASE WHEN n > 0 THEN {sw} ELSE 0.0 END, 6) AS stopword_ratio,
+         ROUND(rep, 6) AS repetition_ratio,
+         ROUND(mlen, 6) AS mean_token_len,
+         ROUND(0.25 * least(1.0, (CASE WHEN n > 0 THEN {sw} ELSE 0.0 END) * 5)
+             + 0.25 * (1 - (CASE WHEN n > 0 THEN least(1.0, np / n) ELSE 1.0 END))
+             + 0.25 * (1 - rep)
+             + 0.25 * least(1.0, greatest(0.0, (mlen - 1) / 6)), 6) AS quality,
+         {best} AS lang_pred,
+         md5(norm) AS fingerprint
+  FROM m
+)"""
+
+
+def _sql_x06() -> str:
+    return f"""
+WITH {_sql_profile_ctes()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_word_tokens,
+       n_punct, stopword_ratio, repetition_ratio, mean_token_len,
+       quality, lang_pred, fingerprint
+FROM prof
 """
 
 
@@ -537,6 +557,44 @@ ranked AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
        CAST(rank AS BIGINT) AS rank, CAST(tf AS BIGINT) AS tf, tfidf
 FROM ranked WHERE rank <= 3
+"""
+
+
+def q_x14_curation_pipeline(spark, sf_dir):
+    """Full corpus-curation flow: quality+language filter → exact dedup
+    → LSH near-dup clusters → canonical survivors only."""
+    from .operators.curation import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_documents(
+        docs, "text", "doc_id", min_quality=0.55, languages=("en",)
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "quality", "lang_pred"
+    )
+
+
+def _sql_x14() -> str:
+    """The curation pipeline end-to-end in SQL: profile CTEs → filter →
+    window exact-dedup → LSH CTEs over the surviving docs → recursive
+    component closure → anti-join of non-canonical members."""
+    return f"""
+WITH RECURSIVE {_sql_profile_ctes()},
+passed AS (
+  SELECT doc_id, text, norm, quality, lang_pred FROM prof
+  WHERE quality >= 0.55 AND lang_pred = 'en'
+),
+exact_kept AS (
+  SELECT doc_id, text, quality, lang_pred FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id
+    FROM passed
+  ) WHERE doc_id = keep_id
+),
+{_sql_x03_ctes(source="exact_kept")},
+{_SQL_COMPONENT_CTES}
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.quality, k.lang_pred
+FROM exact_kept k
+WHERE k.doc_id NOT IN (SELECT doc FROM comp WHERE doc <> component)
 """
 
 
@@ -704,6 +762,7 @@ EXT_QUERIES = {
     "x11_events_sessions": q_x11_events_sessions,
     "x12_multimodal_binary": q_x12_multimodal_binary,
     "x13_tfidf_top_terms": q_x13_tfidf_top_terms,
+    "x14_curation_pipeline": q_x14_curation_pipeline,
 }
 
 EXT_ORACLES = {
@@ -720,4 +779,5 @@ EXT_ORACLES = {
     "x11_events_sessions": SQL_X11,
     "x12_multimodal_binary": SQL_X12,
     "x13_tfidf_top_terms": SQL_X13,
+    "x14_curation_pipeline": _sql_x14(),
 }

@@ -446,3 +446,30 @@ def test_tfidf_top_terms(spark):
     doc1 = {r["rank"]: (r["term"], r["tfidf"]) for r in by_doc[1]}
     assert doc1[1] == ("the", 2.0)
     assert doc1[2] == ("mat", 1.693147)
+
+
+def test_curation_pipeline_drops_each_category(spark):
+    """One good doc, one exact dup of it, one near dup, one low-quality
+    junk doc — only the canonical good doc survives (plus the unrelated
+    control doc)."""
+    from fame2pygen_spark.operators.curation import curate_documents
+
+    good = ("the quick brown fox jumps over the lazy dog and runs into "
+            "the bright green meadow while it is still early in the day")
+    near = good.replace("lazy", "sleepy")
+    control = ("a completely different story about ships and the sea "
+               "where the sailors watch the stars that shine for them")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good.upper()),        # exact dup after normalization
+            (3, near),                # near dup (high shingle overlap)
+            (4, "zzz qqq xxx"),       # junk: no stopwords, low quality
+            (5, control),
+        ],
+        "doc_id long, text string",
+    )
+    kept = curate_documents(
+        docs, "text", "doc_id", min_quality=0.4, near_dup_threshold=0.5
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 5}
