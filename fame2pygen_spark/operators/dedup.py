@@ -113,14 +113,20 @@ def shingle_set(df: DataFrame, text_col: str, n: int = 5) -> Column:
 def exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 5
 ) -> DataFrame:
-    """Distinct ``(doc, s)`` shingle rows — the bulk formulation.
+    """``(doc, s)`` shingle rows — the bulk formulation.
 
     The normalized text is staged as a real column *before* the
     explode, so the regexp normalization runs once per document; Spark
     does not hoist loop-invariant subtrees out of higher-order-function
     lambdas, which makes the array formulation (``char_shingles``)
     re-normalize per shingle.
-    """
+
+    Rows are NOT deduplicated — both consumers are duplicate-
+    insensitive (``min`` aggregates for MinHash, ``collect_set`` for
+    exact verification), and skipping the distinct saves a full
+    shuffle of the exploded shingle strings; the remaining aggregates
+    combine map-side, so the only wide exchange carries one partial
+    row per (partition, doc)."""
     nt = df.select(
         F.col(id_col).alias("doc"),
         normalized_text(F.col(text_col)).alias("__nt"),
@@ -132,7 +138,6 @@ def exploded_shingles(
     return (
         nt.select("doc", "__nt", F.explode(idx).alias("i"))
         .select("doc", F.col("__nt").substr(F.col("i"), F.lit(n)).alias("s"))
-        .dropDuplicates(["doc", "s"])
     )
 
 
@@ -405,20 +410,25 @@ def minhash_lsh_pairs(
     # this is part of the operator's definition, not an approximation
     # bolted on.  Bound: for a true-Jaccard-0.6 pair, matches ~
     # Binomial(64, 0.6); P(X < min_sig_matches(0.6)=28) < 1e-4.
+    # signatures packed into one array column: the joins carry 2 columns
+    # instead of 2×num_hashes, and the match count is a single zip_with
+    # (per-element work is one comparison — no invariant subtrees, so
+    # the HOF re-evaluation pitfall doesn't apply)
     min_match = min_sig_matches(threshold, num_hashes)
-    sig_a = sigs.select(F.col("doc").alias("id_a"),
-                        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)])
-    sig_b = sigs.select(F.col("doc").alias("id_b"),
-                        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)])
-    matches = None
-    for j in range(num_hashes):
-        m = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        matches = m if matches is None else matches + m
+    packed = sigs.select(
+        "doc", F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
     prefiltered = (
-        cand.join(sig_a, on="id_a")
-        .join(sig_b, on="id_b")
-        .withColumn("__m", matches)
-        .where(F.col("__m") >= min_match)
+        cand.join(packed.select(F.col("doc").alias("id_a"),
+                                F.col("sig").alias("sig_a")), on="id_a")
+        .join(packed.select(F.col("doc").alias("id_b"),
+                            F.col("sig").alias("sig_b")), on="id_b")
+        .where(matches >= min_match)
         .select("id_a", "id_b")
     )
 
