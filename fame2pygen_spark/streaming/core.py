@@ -96,6 +96,34 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins,
+    duplicates arriving within the watermark horizon are dropped.
+
+    Uses ``dropDuplicatesWithinWatermark`` — state for a key is
+    retained only until the watermark passes its event time, so state
+    is bounded (a plain ``dropDuplicates`` on a stream retains every
+    key forever).  This is the ingest-side companion of
+    :func:`~..operators.dedup.dedup_exact`: dedup-at-ingest bounds the
+    work the batch pipeline re-does per day at 100 TB.
+
+    On a batch frame it degrades to plain ``dropDuplicates`` so the
+    same pipeline code runs in both modes.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, *, output_mode: str = "complete"
 ):

@@ -473,3 +473,52 @@ def test_curation_pipeline_drops_each_category(spark):
         docs, "text", "doc_id", min_quality=0.4, near_dup_threshold=0.5
     )
     assert {r["doc_id"] for r in kept.collect()} == {1, 5}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Same event_id in two micro-batches (maxFilesPerTrigger=1): the
+    second arrival is inside the watermark horizon and must be dropped;
+    batch mode degrades to plain dropDuplicates."""
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.core import dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    b1 = spark.createDataFrame(
+        [(1, t0, 1, "click", 1.0), (2, t0, 2, "view", 2.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=1), 1, "click", 1.0),  # dup id
+         (3, t0 + dt.timedelta(minutes=2), 3, "click", 3.0)], schema
+    )
+    path = str(tmp_path / "events_dedup")
+    b1.write.parquet(path + "/f1")
+    b2.write.parquet(path + "/f2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path + "/*")
+    )
+    out = dedup_stream(stream, keys=["event_id"], watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select event_id from dedup_stream_t").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]
+
+    # batch fallback
+    batch_ids = sorted(
+        r["event_id"]
+        for r in dedup_stream(b1.union(b2), keys=["event_id"]).collect()
+    )
+    assert batch_ids == [1, 2, 3]
