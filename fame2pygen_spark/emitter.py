@@ -319,7 +319,7 @@ def _arg_offset_base(ctx: EmitContext, arg: X.Expr) -> tuple[Column, int] | None
     base column and offset so shifts can be pushed into lag/lead args
     instead of nesting window functions."""
     if isinstance(arg, X.Ref) and arg.name.lower() not in ctx.scalars:
-        return F.col(ctx.resolve_column(arg.name)), arg.offset
+        return F.col(X.quoted(ctx.resolve_column(arg.name))), arg.offset
     return None
 
 

@@ -409,7 +409,7 @@ def minhash_lsh_pairs(
     # engines), so the DuckDB oracle applies the identical filter —
     # this is part of the operator's definition, not an approximation
     # bolted on.  Bound: for a true-Jaccard-0.6 pair, matches ~
-    # Binomial(64, 0.6); P(X < min_sig_matches(0.6)=28) < 1e-4.
+    # Binomial(64, 0.6); P(X < min_sig_matches(0.6, 64)=29) < 7e-3.
     # signatures packed into one array column: the joins carry 2 columns
     # instead of 2×num_hashes, and the match count is a single zip_with
     # (per-element work is one comparison — no invariant subtrees, so
@@ -535,6 +535,7 @@ def connected_components(
         )
 
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         sig = edges.agg(
@@ -544,8 +545,17 @@ def connected_components(
         ).first()
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a non-converged edge set is not a star forest; returning it
+        # silently would yield wrong (doc, component) assignments
+        raise RuntimeError(
+            f"connected_components did not reach the large-star/small-star "
+            f"fixpoint within {max_iterations} iterations; raise "
+            f"max_iterations (needs O(log^2 n) rounds)"
+        )
 
     # converged edge set is a star forest (node → root); roots appear
     # only on the v side

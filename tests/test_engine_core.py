@@ -66,6 +66,22 @@ def test_pct_and_diff(spark, ts_monthly):
     assert rows[1]["D1"] == pytest.approx(a1 - a0)
 
 
+def test_pct_diff_on_dotted_name(spark):
+    # FAME dot targets (RESULT.A) are flat columns; the pct/diff offset
+    # fast path must backtick-quote them instead of resolving a struct
+    # field (same quoting as the plain Ref path, emitter.py:121)
+    df = spark.createDataFrame(
+        [(dt.date(2020, m, 1), float(m * 10)) for m in range(1, 5)],
+        "DATE date, A double",
+    )
+    res = run_script(
+        df, ["result.a = a * 2", "g = pct(result.a)", "d = diff(result.a)"]
+    )
+    rows = res.df.orderBy("DATE").collect()
+    assert rows[1]["G"] == pytest.approx((40.0 - 20.0) / 20.0 * 100)
+    assert rows[1]["D"] == pytest.approx(20.0)
+
+
 def test_pct_of_lead_pushdown(spark, ts_monthly):
     # pct(x[t+1]) = (x[t+1] - x[t]) / x[t] * 100 — offsets pushed into
     # lag/lead, no nested windows

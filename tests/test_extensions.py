@@ -419,6 +419,11 @@ def test_connected_components_empty_and_long_chain(spark):
     assert len(comp) == 41
     assert {r["component"] for r in comp} == {0}
 
+    # too few rounds to converge must raise, never return a non-star
+    # edge set as if it were a clustering
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iterations=1)
+
 
 def test_tfidf_top_terms(spark):
     """Hand-checkable corpus: a term unique to one doc must outrank
