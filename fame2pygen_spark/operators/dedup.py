@@ -664,7 +664,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_distance: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     sub-bands.
@@ -673,6 +674,14 @@ def simhash_near_dups(
     4 bands (pigeonhole).  For larger *max_distance* the banding is
     probabilistic — raise the band count (smaller bands) to recover the
     guarantee at the cost of more candidates.
+
+    Each (band, key) bucket is capped at *max_bucket* members
+    (deterministic ``row_number`` by doc id, same guard as
+    ``minhash_lsh_pairs``) so template-heavy corpora — thousands of
+    docs sharing a band key — cannot make the self-join quadratic.
+    Capping trades recall only inside degenerate buckets, where the
+    survivors are near-identical anyway and cluster resolution
+    (``duplicate_clusters``) recovers transitive membership.
     """
     base = simhash_signatures(df, text_col, id_col)
     bands = base.select(
@@ -689,6 +698,10 @@ def simhash_near_dups(
             ])
         ).alias("bk"),
     ).select("doc", "sig", "bk.band", "bk.key")
+    wb = Window.partitionBy("band", "key").orderBy("doc")
+    bands = bands.withColumn("__rn", F.row_number().over(wb)).where(
+        F.col("__rn") <= max_bucket
+    ).drop("__rn")
     left = bands.select("band", "key", F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
     right = bands.select("band", "key", F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
     return (

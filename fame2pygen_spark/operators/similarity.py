@@ -211,31 +211,73 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    nbits: int = 8,
+    nbits: int = 16,
+    bands: int = 4,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, hyperplane-bucket blocked.
+    """Embedding-cosine near-duplicate pairs, banded-hyperplane blocked.
 
-    The all-pairs O(n²) cosine space is cut to an equi-join on the
-    sign-bit bucket: vectors within angle θ agree on one hyperplane
-    with probability 1−θ/π, so true near-dups (θ→0) land in the same
-    bucket with probability ≈ (1−θ/π)^nbits.  Everything is
-    deterministic (seeded planes, sequential-fold dot products), so an
-    external oracle reproduces the exact pair set.
+    The all-pairs O(n²) cosine space is cut to an equi-join on banded
+    sign-bit keys (the MinHash-LSH shape, ``dedup.minhash_lsh_pairs``):
+    *bands* independent signatures of *nbits* hyperplane sign bits
+    each; a pair is a candidate iff it agrees on ≥1 full band.  Vectors
+    within angle θ agree on one hyperplane with probability 1−θ/π, so
+    recall for a pair at angle θ is 1−(1−p^nbits)^bands with p=1−θ/π —
+    banding restores the recall a single fine signature gives up, while
+    2^nbits keys per band keep buckets small.  Each bucket is further
+    capped at *max_bucket* members (deterministic ``row_number`` by id,
+    same guard as ``minhash_lsh_pairs``) so degenerate corpora — many
+    identical vectors — cannot make the in-bucket self-join quadratic.
+    Only (id, band, key) rows are shuffled into the join; embedding
+    arrays are joined back for exact scoring on the surviving
+    candidates alone.
+
+    Everything is deterministic (seeded planes, sequential-fold dot
+    products, id-ordered cap), so an external oracle reproduces the
+    exact pair set.
 
     Output: (id_a, id_b, score) with id_a < id_b, score = cosine 6dp.
     """
-    planes = _hyperplanes(dim, nbits, seed)
+    planes = _hyperplanes(dim, nbits * bands, seed)
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))
-    left = base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"),
-                       "__bucket")
-    right = base.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
-                        "__bucket")
-    return (
-        left.join(right, on="__bucket")
+    )
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_bucket(
+                F.col("__v"), planes[b * nbits : (b + 1) * nbits]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select(
+        "id", F.explode(F.array(*band_keys)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    # cap bucket membership to bound the self-join (cf. dedup.py
+    # minhash max_bucket guard)
+    wb = Window.partitionBy("band", "key").orderBy("id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+
+    left = banded.select("band", "key", F.col("id").alias("id_a"))
+    right = banded.select("band", "key", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, on=["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("__v").alias("__va")), on="id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("__v").alias("__vb")), on="id_b")
         .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")

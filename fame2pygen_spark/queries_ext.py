@@ -318,11 +318,12 @@ def q_x05b_similarity_lsh(spark, sf_dir):
 
 
 def q_x07_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, hyperplane-bucket blocked; the
-    oracle reproduces the seeded planes as literals."""
+    """Embedding-cosine near-dup pairs, banded-hyperplane blocked; the
+    oracle reproduces the seeded planes as literals and the same
+    band/cap mechanism."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sim.embedding_neardup_pairs(
-        emb, dim=64, threshold=0.4, nbits=4
+        emb, dim=64, threshold=0.4, nbits=4, bands=2, max_bucket=1000
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -331,7 +332,8 @@ def q_x07_embedding_neardup(spark, sf_dir):
 
 
 def _sql_x07() -> str:
-    planes = sim._hyperplanes(64, 4, 42)
+    nbits, bands, max_bucket = 4, 2, 1000
+    planes = sim._hyperplanes(64, nbits * bands, 42)
 
     def dot_sql(vec: str, plane: list[float]) -> str:
         arr = ", ".join(repr(w) for w in plane)
@@ -339,39 +341,54 @@ def _sql_x07() -> str:
                 f"i -> {vec}[CAST(i AS INTEGER)] * ([{arr}])[CAST(i AS INTEGER)]), "
                 f"(a, x) -> a + x)")
 
-    bucket = " + ".join(
-        f"(CASE WHEN {dot_sql('v', plane)} >= 0 THEN {1 << b} ELSE 0 END)"
-        for b, plane in enumerate(planes)
+    def band_key(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot_sql('v', planes[b * nbits + j])} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(nbits)
+        )
+
+    key_cols = ",\n         ".join(
+        f"{band_key(b)} AS key{b}" for b in range(bands)
     )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, key{b} AS key FROM e" for b in range(bands)
+    )
+    cos = """ROUND(
+         list_reduce(list_transform(range(1, 65),
+             i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+             (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))), 6)"""
     return f"""
 WITH e AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-         {bucket} AS bucket
+         {key_cols}
   FROM embeddings
+),
+banded AS (
+  SELECT id, band, key FROM (
+    SELECT id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+    FROM (
+{band_union}
+    )
+  ) WHERE rn <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.id < r.id
 )
-SELECT CAST(a.id AS BIGINT) AS id_a,
-       CAST(b.id AS BIGINT) AS id_b,
-       ROUND(
-         list_reduce(list_transform(range(1, 65),
-             i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
-             (acc, x) -> acc + x)
-         / (sqrt(list_reduce(list_transform(range(1, 65),
-                 i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
-                 (acc, x) -> acc + x))
-            * sqrt(list_reduce(list_transform(range(1, 65),
-                 i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
-                 (acc, x) -> acc + x))), 6) AS score
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
-WHERE ROUND(
-         list_reduce(list_transform(range(1, 65),
-             i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
-             (acc, x) -> acc + x)
-         / (sqrt(list_reduce(list_transform(range(1, 65),
-                 i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
-                 (acc, x) -> acc + x))
-            * sqrt(list_reduce(list_transform(range(1, 65),
-                 i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
-                 (acc, x) -> acc + x))), 6) >= 0.4
+SELECT CAST(c.id_a AS BIGINT) AS id_a,
+       CAST(c.id_b AS BIGINT) AS id_b,
+       {cos} AS score
+FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+WHERE {cos} >= 0.4
 """
 
 

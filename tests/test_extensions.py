@@ -106,6 +106,53 @@ def test_cosine_topk_exact(spark, vectors):
     assert top["score"] <= 1.0
 
 
+def test_embedding_neardup_banded(spark, vectors):
+    from fame2pygen_spark.operators.similarity import embedding_neardup_pairs
+
+    # angularly-adjacent vectors (Δθ=0.12 rad → cosine ≈ 0.99) must
+    # surface as near-dups through the banded buckets
+    out = embedding_neardup_pairs(
+        vectors, dim=3, threshold=0.95, nbits=3, bands=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    adjacent = sum((i, i + 1) in found for i in range(49))
+    assert adjacent >= 35  # banding keeps most adjacent pairs
+    assert all(r["score"] >= 0.95 for r in out)
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    from fame2pygen_spark.operators.similarity import embedding_neardup_pairs
+
+    # degenerate corpus: 100 identical vectors.  Uncapped, every band
+    # bucket holds all 100 → C(100,2)=4950 candidate pairs; the cap
+    # keeps `max_bucket` members per bucket → exactly C(10,2)=45.
+    ident = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_neardup_pairs(
+        ident, dim=3, threshold=0.9, nbits=4, bands=2, max_bucket=10
+    ).collect()
+    assert len(out) == 45
+    # deterministic survivors: the id-ordered first 10
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert ids == set(range(10))
+
+
+def test_simhash_bucket_cap(spark):
+    from fame2pygen_spark.operators.dedup import simhash_near_dups
+
+    # 80 identical docs share every band key; cap at 8 → C(8,2)=28 pairs
+    ident = spark.createDataFrame(
+        [(i, "the same exact template text repeated") for i in range(80)],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dups(ident, "text", "doc_id", max_bucket=8).collect()
+    assert len(out) == 28
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert ids == set(range(8))
+
+
 def test_lsh_topk_recall(spark, vectors):
     from fame2pygen_spark.operators.similarity import (
         cosine_topk, hyperplane_lsh_topk,
