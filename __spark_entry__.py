@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (tables pre-registered
-    as views).  ``s17_nlrx`` is intentionally absent — iterative banded
-    solve, not SQL-expressible; driver records the rows-only check."""
+    as views).  Every query has an oracle: the ANN variants inject
+    their seeded constants (x05b hyperplanes, x05c pinned centroids)
+    and ``s17_nlrx`` compares against a golden parquet keyed by the
+    orders row count (regenerate: scripts/make_s17_golden.py)."""
     return dict(ORACLES)

@@ -27,7 +27,7 @@ Operator → query mapping (SURVEY §2):
   S12       s12_chain_index               S18  s13_fishvol (brace lists)
   S13       s13_fishvol                   S19  s14_* (freq state)
   S14/S15   s14_convert_{down,up,business}
-  S17       s17_nlrx (no SQL oracle — rows-only check)
+  S17       s17_nlrx (golden-parquet oracle, scripts/make_s17_golden.py)
   S20       s20_local_db
 """
 
@@ -717,6 +717,17 @@ WHERE (CASE WHEN dayofweek(COALESCE(b.DATE, w.WD)) BETWEEN 1 AND 5
     "s20_local_db": SQL_BASE + """
 SELECT DATE, ROUND(REV * 2, 6) AS DBL, ROUND(CNT / 2, 6) AS HALF
 FROM base
+""",
+    # NLRX is an iterative banded solve, not SQL-expressible; its
+    # oracle is a golden parquet (regenerate: scripts/make_s17_golden.py)
+    # whose input series was derived independently in DuckDB and whose
+    # solve is asserted against the HP optimality conditions at
+    # generation time.  One file covers every test SF, keyed by the
+    # orders row count read from the live view.
+    "s17_nlrx": """
+SELECT DATE, ROUND(SCALE, 6) AS SCALE, ROUND(TREND, 6) AS TREND
+FROM read_parquet('/root/repo/tests/golden/s17_nlrx.parquet')
+WHERE sf_tag = (SELECT COUNT(*) FROM orders)
 """,
     "flagship_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

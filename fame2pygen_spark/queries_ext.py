@@ -14,8 +14,8 @@ Mapping to the task checklist:
   dedup MinHash-LSH    x03_dedup_minhash_lsh  (full SQL oracle)
   dedup SimHash        x04_simhash_signatures (signature-level oracle)
   similarity top-k     x05_similarity_topk (brute force, SQL oracle)
-  similarity LSH       x05b_similarity_lsh (rows-only; recall tested in
-                       tests/test_extensions.py)
+  similarity LSH       x05b_similarity_lsh (full oracle, planes injected)
+  similarity IVF       x05c_similarity_ivf (full oracle, pinned centroids)
   text analysis        x06_text_profile (tokens/quality/langid/fingerprint)
   streaming analog     x10_events_hourly, x11_events_sessions (the same
                        expressions run under Structured Streaming in
@@ -302,8 +302,9 @@ FROM ranked WHERE rank <= 5
 
 
 def q_x05b_similarity_lsh(spark, sf_dir):
-    """Hyperplane-LSH ANN — rows-only check (random-plane buckets are
-    engine-internal); recall vs exact top-k is pytest-asserted."""
+    """Hyperplane-LSH ANN — full oracle: the seeded planes are
+    driver-side constants, so the DuckDB side reproduces bucketing,
+    multiprobe, and the exact re-rank literal-for-literal."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -315,6 +316,71 @@ def q_x05b_similarity_lsh(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "score",
     )
+
+
+def _sql_x05b() -> str:
+    """Replicates hyperplane_lsh_topk(nbits=6, k=5, multiprobe=True):
+    same seeded planes (literal-injected, cf. _sql_x07), same sign-bit
+    bucket, Hamming-1 multiprobe via xor, cosine re-rank with the
+    (score desc, neighbor_id) tie-break."""
+    nbits = 6
+    planes = sim._hyperplanes(64, nbits, 42)
+
+    def dot_sql(vec: str, plane: list[float]) -> str:
+        arr = ", ".join(repr(w) for w in plane)
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> {vec}[CAST(i AS INTEGER)] * ([{arr}])[CAST(i AS INTEGER)]), "
+                f"(a, x) -> a + x)")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('v', plane)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    probes = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, xor(b0, {1 << b}) AS bucket FROM q"
+        for b in range(nbits)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT id AS query_id, bucket AS b0 FROM e WHERE id < 10),
+probes AS (
+  SELECT query_id, b0 AS bucket FROM q
+  UNION ALL
+{probes}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.id AS neighbor_id
+  FROM probes p JOIN e c ON c.bucket = p.bucket
+  WHERE c.id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(
+           list_reduce(list_transform(range(1, 65),
+               i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+               (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+                   (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
+                   (acc, x) -> acc + x))), 6) AS score
+  FROM cand cd JOIN e a ON a.id = cd.query_id JOIN e b ON b.id = cd.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_x07_embedding_neardup(spark, sf_dir):
@@ -437,20 +503,99 @@ WHERE ROUND(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
 
 
 def q_x05c_similarity_ivf(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer + nprobe cell probing + exact
-    re-rank) — rows-only check (centroids are ML-trained); recall vs
-    exact top-k is pytest-asserted in tests/test_extensions.py."""
+    """IVF ANN (coarse quantizer + nprobe cell probing + exact
+    re-rank) — full oracle: the quantizer here is the precomputed
+    ``centroids=`` path (``ivf_topk`` accepts any centroid list; the
+    ML-trained ``ivf_centroids`` variant is pytest-recall-checked).
+    Centroids are pinned to the embeddings of ``vec_id < 16`` — a rule
+    the oracle reproduces from the same view, so cell assignment,
+    probing, and re-rank are deterministic at any SF."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = sim.ivf_topk(emb, queries, dim=64, k=5, n_clusters=16, nprobe=4)
+    out = sim.ivf_topk(
+        emb, queries, dim=64, k=5, n_clusters=16, nprobe=4, centroids=cents
+    )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         F.col("rank").cast("long").alias("rank"),
         "score",
     )
+
+
+#: Replicates ivf_topk(nprobe=4, k=5) with centroids = embeddings of
+#: vec_id<16.  Distances use the identical float expression shape as
+#: ``similarity._centroid_dists`` — d² = v·v − 2·(v·c) + c·c with
+#: sequential-fold dots — ties broken by centroid id, probe order by
+#: (dist, cid), re-rank by (score desc, neighbor_id).
+SQL_X05C = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT id AS cid, v AS cv,
+         list_reduce(list_transform(range(1, 65),
+             i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)]),
+             (a, x) -> a + x) AS c2
+  FROM e WHERE id < 16
+),
+dists AS (
+  SELECT e.id, cent.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.v[CAST(i AS INTEGER)] * e.v[CAST(i AS INTEGER)]),
+             (a, x) -> a + x)
+         - 2.0 * list_reduce(list_transform(range(1, 65),
+             i -> e.v[CAST(i AS INTEGER)] * cent.cv[CAST(i AS INTEGER)]),
+             (a, x) -> a + x)
+         + cent.c2 AS d2
+  FROM e CROSS JOIN cent
+),
+cells AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT id AS query_id, cid AS cell FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dists WHERE id < 10
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT q.query_id, c.id AS neighbor_id
+  FROM qprobe q JOIN cells c ON c.cell = q.cell
+  WHERE c.id <> q.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(
+           list_reduce(list_transform(range(1, 65),
+               i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+               (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+                   (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
+                   (acc, x) -> acc + x))), 6) AS score
+  FROM cand cd JOIN e a ON a.id = cd.query_id JOIN e b ON b.id = cd.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_x06_text_profile(spark, sf_dir):
@@ -788,6 +933,8 @@ EXT_ORACLES = {
     "x03_dedup_minhash_lsh": _sql_x03(),
     "x04_simhash_signatures": SQL_X04,
     "x05_similarity_topk": SQL_X05,
+    "x05b_similarity_lsh": _sql_x05b(),
+    "x05c_similarity_ivf": SQL_X05C,
     "x06_text_profile": _sql_x06(),
     "x07_embedding_neardup": _sql_x07(),
     "x08_ngram_jaccard": SQL_X08,

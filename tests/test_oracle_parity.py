@@ -92,12 +92,10 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_all_queries_have_oracles_or_are_declared():
-    no_oracle = set(QUERIES) - set(ORACLES)
-    # declared non-SQL-expressible operators: iterative NLRX solve, the
-    # random-hyperplane LSH buckets, and the k-means-trained IVF cells
-    # (recall for both ANN variants is pytest-verified instead)
-    assert no_oracle == {"s17_nlrx", "x05b_similarity_lsh",
-                         "x05c_similarity_ivf"}
+    # every query has an oracle: the ANN variants inject their seeded
+    # constants (x05b planes, x05c pinned centroids) and s17 compares
+    # against the sf0.01 golden parquet
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_nlrx_runs_and_returns_rows(spark):
