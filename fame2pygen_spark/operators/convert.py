@@ -113,6 +113,17 @@ _OBSERVED_AGG = {
     # annualized ≈ average here; documented divergence (reference math is
     # closed-source polars_econ)
     "annualized": lambda v, d: F.avg(v),
+    # FAME's observed=formula delegates to a user-supplied aggregation;
+    # the reference accepts the spelling as a first-class convention
+    # (formulas_generator.py:114) but its math lives in closed
+    # polars_econ.  Documented engine semantics: geometric mean of the
+    # in-period observations — the conventional formula-observed choice
+    # for index/ratio series — with null when any observation is
+    # non-positive (log domain), matching the null-propagation style of
+    # the other conventions.
+    "formula": lambda v, d: F.when(F.min(v) <= 0, F.lit(None)).otherwise(
+        F.exp(F.avg(F.when(v > 0, F.log(v))))
+    ),
 }
 
 
@@ -235,8 +246,6 @@ def convert_series_multi(
         if target == "business":
             return base.where(business_day_filter(d))
         observed = head.observed or "average"
-        if observed == "formula":
-            raise NotImplementedError("convert observed=formula is not supported")
         nn_key = {o: F.when(F.col(o).isNotNull(), d) for _, o in pairs}
         agg_multi = {
             "average": lambda o: F.avg(o),
@@ -248,6 +257,10 @@ def convert_series_multi(
             "high": lambda o: F.max(o),
             "low": lambda o: F.min(o),
             "annualized": lambda o: F.avg(o),
+            # geometric mean; see _OBSERVED_AGG["formula"]
+            "formula": lambda o: F.when(
+                F.min(o) <= 0, F.lit(None)
+            ).otherwise(F.exp(F.avg(F.when(F.col(o) > 0, F.log(o))))),
         }.get(observed)
         if agg_multi is None:
             raise ValueError(f"convert: unknown observed convention {observed!r}")
@@ -340,8 +353,6 @@ def _downsample(
             *entity_cols, date_col, out_col
         )
     observed = meta.observed or "average"
-    if observed == "formula":
-        raise NotImplementedError("convert observed=formula is not supported")
     agg_fn = _OBSERVED_AGG.get(observed)
     if agg_fn is None:
         raise ValueError(f"convert: unknown observed convention {observed!r}")

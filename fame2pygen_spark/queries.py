@@ -390,6 +390,26 @@ def q_s14_convert_up(spark, sf_dir):
     return _finish(out, "QREV_MON", "QCNT_MON")
 
 
+def q_s14_convert_formula(spark, sf_dir):
+    """S14 observed=formula: geometric-mean aggregation (documented
+    engine semantics for FAME's user-formula convention; reference
+    accepts the spelling at ``formulas_generator.py:114`` but its math
+    is closed-source).  Exercises both the single-series and the
+    batched multi-series convert paths."""
+    base = monthly_orders(spark, sf_dir)
+    res = run_script(
+        base,
+        [
+            "freq m",
+            "gq = convert(rev, q, disc, formula)",
+            "gq2 = convert(cnt, q, disc, formula)",  # same group → batched
+            "ga = convert(cnt, a, disc, formula)",
+        ],
+    )
+    out = res.df.where(F.col("REV_QTRLY").isNotNull())
+    return _finish(out, "REV_QTRLY", "CNT_QTRLY", "CNT_ANN")
+
+
 def q_s14_convert_business(spark, sf_dir):
     base = daily_lineitem(spark, sf_dir)
     res = run_script(
@@ -660,6 +680,31 @@ FROM base b
 JOIN q ON b.DATE = q.QD
 LEFT JOIN a ON b.DATE = a.AD
 """,
+    # geometric mean per target period, null-gated on non-positive
+    # observations — the documented observed=formula convention
+    "s14_convert_formula": SQL_BASE + """
+, q AS (
+  SELECT CAST(date_trunc('quarter', DATE) AS DATE) AS QD,
+         CASE WHEN MIN(REV) <= 0 THEN NULL
+              ELSE exp(AVG(CASE WHEN REV > 0 THEN ln(REV) END)) END AS gq,
+         CASE WHEN MIN(CNT) <= 0 THEN NULL
+              ELSE exp(AVG(CASE WHEN CNT > 0 THEN ln(CNT) END)) END AS gq2
+  FROM base GROUP BY 1
+),
+a AS (
+  SELECT CAST(date_trunc('year', DATE) AS DATE) AS AD,
+         CASE WHEN MIN(CNT) <= 0 THEN NULL
+              ELSE exp(AVG(CASE WHEN CNT > 0 THEN ln(CNT) END)) END AS ga
+  FROM base GROUP BY 1
+)
+SELECT b.DATE,
+       ROUND(q.gq, 6) AS REV_QTRLY,
+       ROUND(q.gq2, 6) AS CNT_QTRLY,
+       ROUND(a.ga, 6) AS CNT_ANN
+FROM base b
+JOIN q ON b.DATE = q.QD
+LEFT JOIN a ON b.DATE = a.AD
+""",
     # constant-fill: month takes containing quarter's value; linear:
     # slope interpolation between quarter knots (same formula shape as
     # operators/convert.py:_upsample)
@@ -771,6 +816,7 @@ QUERIES: dict[str, object] = {
     "s13_fishvol": q_s13_fishvol,
     "s14_convert_down": q_s14_convert_down,
     "s14_convert_up": q_s14_convert_up,
+    "s14_convert_formula": q_s14_convert_formula,
     "s14_convert_business": q_s14_convert_business,
     "s17_nlrx": q_s17_nlrx,
     "s20_local_db": q_s20_local_db,

@@ -59,6 +59,35 @@ def test_downsample_observed_variants(spark, ts_daily):
     assert res.renames["V_FIRST"] == "V_DAILY_ANN"
 
 
+def test_downsample_observed_formula_geomean(spark):
+    """observed=formula = in-period geometric mean, null when any
+    observation is non-positive (documented engine semantics for FAME's
+    user-formula convention, reference formulas_generator.py:114)."""
+    import math
+
+    rows = [
+        (dt.date(2020, 1, 1), 2.0),
+        (dt.date(2020, 2, 1), 8.0),
+        (dt.date(2020, 3, 1), 4.0),
+        (dt.date(2020, 4, 1), 0.0),   # Q2 contains a non-positive → null
+        (dt.date(2020, 5, 1), 9.0),
+        (dt.date(2020, 6, 1), 3.0),
+        (dt.date(2020, 7, 1), None),  # nulls are skipped, not gating
+        (dt.date(2020, 8, 1), 5.0),
+        (dt.date(2020, 9, 1), 20.0),
+    ]
+    frame = spark.createDataFrame(rows, "DATE date, V double")
+    res = run_script(frame, ["freq m", "g = convert(v, q, disc, formula)"])
+    out = {r["DATE"]: r["V_QTRLY"]
+           for r in res.df.where("V_QTRLY is not null or DATE = date'2020-04-01'")
+           .collect()}
+    assert out[dt.date(2020, 1, 1)] == pytest.approx(
+        (2.0 * 8.0 * 4.0) ** (1 / 3)
+    )
+    assert out[dt.date(2020, 4, 1)] is None
+    assert out[dt.date(2020, 7, 1)] == pytest.approx(math.sqrt(5.0 * 20.0))
+
+
 def test_upsample_monthly_to_daily_constant(spark):
     months = [dt.date(2020, m, 1) for m in (1, 2, 3)]
     df = spark.createDataFrame(
@@ -213,7 +242,8 @@ class TestGroupedConvertBridge:
             rows.append((d, a, b))
         return spark.createDataFrame(rows, "DATE date, A double, B double")
 
-    @pytest.mark.parametrize("observed", ["sum", "ave", "first", "last", "hi", "lo"])
+    @pytest.mark.parametrize("observed", ["sum", "ave", "first", "last", "hi", "lo",
+                                          "formula"])
     def test_down_group_matches_single(self, spark, multi_frame, observed):
         from fame2pygen_spark.operators.convert import (
             convert_series, convert_series_multi,
