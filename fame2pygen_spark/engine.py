@@ -202,7 +202,9 @@ class FameEngine:
             if self.default_freq:
                 return self.default_freq
             if inferred is None:
-                inferred = infer_frequency(base_df, self.date_col)
+                inferred = infer_frequency(
+                    base_df, self.date_col, tuple(self.entity_cols)
+                )
             return inferred
 
         from .operators.convert import convert_series_multi

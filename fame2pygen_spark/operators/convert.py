@@ -127,21 +127,40 @@ _OBSERVED_AGG = {
 }
 
 
-def infer_frequency(df: DataFrame, date_col: str = "DATE") -> str:
-    """Infer the frame's native frequency from the modal date gap.
-
-    Driver action on a two-column aggregate — O(rows) scan, tiny result.
-    """
-    w = Window.orderBy(date_col)
-    gaps = (
+def _modal_gap_frame(
+    df: DataFrame, date_col: str, entity_cols: tuple[str, ...]
+) -> DataFrame:
+    """(g, count) ordered by modal-first — the plan behind
+    :func:`infer_frequency`, split out so tests can assert its shape."""
+    if entity_cols:
+        w = Window.partitionBy(*entity_cols).orderBy(date_col)
+    else:
+        # wide mode: one series per frame — bounded by the calendar, so
+        # the single-partition sort is a few thousand rows at most
+        w = Window.orderBy(date_col)
+    return (
         df.select(F.datediff(F.col(date_col), F.lag(date_col, 1).over(w)).alias("g"))
         .where(F.col("g").isNotNull())
         .groupBy("g")
         .count()
-        .orderBy(F.desc("count"))
-        .limit(1)
-        .collect()
+        .orderBy(F.desc("count"), F.asc("g"))
     )
+
+
+def infer_frequency(
+    df: DataFrame,
+    date_col: str = "DATE",
+    entity_cols: tuple[str, ...] = (),
+) -> str:
+    """Infer the frame's native frequency from the modal date gap.
+
+    Driver action on a two-column aggregate — O(rows) scan, tiny result.
+    With *entity_cols* the lag window partitions per entity (gaps are
+    only meaningful within a series) and the mode is taken over all
+    per-entity gaps — no single-partition global sort ever runs on a
+    panel frame.  Ties break toward the smaller gap, deterministically.
+    """
+    gaps = _modal_gap_frame(df, date_col, entity_cols).limit(1).collect()
     if not gaps:
         return "monthly"
     gap = gaps[0]["g"]
@@ -180,7 +199,7 @@ def convert_series(
         raise ValueError(f"convert: unknown target frequency {target!r}")
 
     if source_freq is None:
-        source_freq = infer_frequency(df, date_col)
+        source_freq = infer_frequency(df, date_col, entity_cols)
 
     src_ord = freq_ordinal(source_freq)
     tgt_ord = freq_ordinal(target)
@@ -229,7 +248,7 @@ def convert_series_multi(
     if target not in FREQ_INFO:
         raise ValueError(f"convert: unknown target frequency {target!r}")
     if source_freq is None:
-        source_freq = infer_frequency(df, date_col)
+        source_freq = infer_frequency(df, date_col, entity_cols)
     src_ord, tgt_ord = freq_ordinal(source_freq), freq_ordinal(target)
     pairs = [(column_name(m.source), m.out_column) for m in metas]
 

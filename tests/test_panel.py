@@ -90,6 +90,43 @@ def test_convert_down_per_entity(spark):
     assert out[("B", date(2021, 4, 1))] == pytest.approx(150.0)
 
 
+def test_infer_frequency_is_entity_partitioned(spark):
+    """A panel convert with no freq statement and no default must infer
+    the source frequency WITHOUT a global single-partition window —
+    gaps are computed per entity and the mode taken across them."""
+    from fame2pygen_spark.operators.convert import infer_frequency
+
+    rows = []
+    for ent in ("A", "B", "C"):
+        for m in range(1, 7):
+            rows.append((ent, date(2021, m, 1), float(m)))
+    df = spark.createDataFrame(rows, ["ENT", "DATE", "V"])
+
+    assert infer_frequency(df, "DATE", ("ENT",)) == "monthly"
+
+    # plan shape: the gap-lag window must carry the entity key
+    from fame2pygen_spark.operators.convert import _modal_gap_frame
+
+    plan = (
+        _modal_gap_frame(df, "DATE", ("ENT",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "ENT" in line, f"unpartitioned window: {line}"
+    assert saw_window
+
+    # end-to-end: panel convert with inferred frequency matches explicit
+    res = run_script(df, ["q = convert(v, q, disc, sum)"],
+                     entity_cols=("ENT",))
+    out = {(r["ENT"], r["DATE"]): r["V_QTRLY"]
+           for r in res.df.where("V_QTRLY is not null").collect()}
+    assert out[("A", date(2021, 1, 1))] == pytest.approx(6.0)
+    assert out[("B", date(2021, 4, 1))] == pytest.approx(15.0)
+
+
 def test_wide_long_roundtrip_and_panel_run(spark):
     """Reference-style wide frame -> long panel -> run per-series ->
     pivot back; values must survive the round trip."""
