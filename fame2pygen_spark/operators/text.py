@@ -203,18 +203,76 @@ def tfidf_top_terms(
 
 
 def text_profile(df: DataFrame, text_col: str) -> DataFrame:
-    """Append the standard text-analysis columns to *df*."""
+    """Append the standard text-analysis columns to *df*.
+
+    Single-pass plan: the normalize+split token array and every count
+    derived from it are staged ONCE in intermediate projections, and
+    all nine metrics are arithmetic over the staged columns.  (Calling
+    the per-metric helpers directly would re-derive ``tokens(t)``
+    inside each of ~6 metric columns — Catalyst's CollapseProject
+    keeps a multiply-referenced non-cheap alias in its own projection,
+    so the staging is what guarantees one tokenization per row.)
+    Values are bit-identical to the per-metric helpers: same formulas,
+    shared subtrees.
+    """
     t = F.col(text_col)
-    return df.withColumns(
+    staged = df.withColumn("__toks", tokens(t))
+    toks = F.col("__toks")
+    hit_cols = {
+        f"__hits_{lang}": _hits(toks, words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    staged = staged.withColumns(
         {
-            "n_tokens": token_count(t),
-            "n_word_tokens": word_token_count(t),
-            "n_punct": punct_count(t),
-            "stopword_ratio": F.round(stopword_ratio(t), 6),
-            "repetition_ratio": F.round(repetition_ratio(t), 6),
-            "mean_token_len": F.round(mean_token_length(t), 6),
-            "quality": F.round(quality_score(t), 6),
-            "lang_pred": detect_language(t),
-            "fingerprint": text_fingerprint(t),
+            "__n": F.size(toks),
+            "__dist": F.size(F.array_distinct(toks)),
+            "__tlen": F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, tk: acc + F.length(tk)
+            ),
+            "__npunct": punct_count(t),
+            **hit_cols,
         }
     )
+    n = F.col("__n")
+    swr = F.when(n > 0, F.col("__hits_en") / n).otherwise(F.lit(0.0))
+    rep = F.when(
+        n > 0, F.lit(1.0) - F.col("__dist") / n
+    ).otherwise(F.lit(0.0))
+    mlen = F.when(n > 0, F.col("__tlen") / n).otherwise(F.lit(0.0))
+    punct_norm = F.when(
+        n > 0, F.least(F.lit(1.0), F.col("__npunct") / n)
+    ).otherwise(F.lit(1.0))
+    mlen_clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), (mlen - 1) / 6))
+    quality = (
+        0.25 * F.least(F.lit(1.0), swr * 5)
+        + 0.25 * (1 - punct_norm)
+        + 0.25 * (1 - rep)
+        + 0.25 * mlen_clamped
+    )
+    lang_pairs = F.array(
+        *[
+            F.struct(
+                F.when(n > 0, F.col(f"__hits_{lang}") / n)
+                .otherwise(F.lit(0.0))
+                .alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang in LANG_MARKERS
+        ]
+    )
+    best = F.array_max(lang_pairs)  # struct compare: by s, tie-break by l
+    return staged.withColumns(
+        {
+            "n_tokens": n,
+            "n_word_tokens": word_token_count(t),
+            "n_punct": F.col("__npunct"),
+            "stopword_ratio": F.round(swr, 6),
+            "repetition_ratio": F.round(rep, 6),
+            "mean_token_len": F.round(mlen, 6),
+            "quality": F.round(quality, 6),
+            "lang_pred": F.when(best["s"] >= 0.01, best["l"]).otherwise(
+                F.lit("und")
+            ),
+            "fingerprint": text_fingerprint(t),
+        }
+    ).drop("__toks", "__n", "__dist", "__tlen", "__npunct", *hit_cols)
