@@ -17,6 +17,8 @@ Mapping to the task checklist:
   similarity LSH       x05b_similarity_lsh (full oracle, planes injected)
   similarity IVF       x05c_similarity_ivf (full oracle, pinned centroids)
   text analysis        x06_text_profile (tokens/quality/langid/fingerprint)
+  stateful cumulative  x15_running_totals (batch twin of the
+                       applyInPandasWithState operator, window oracle)
   streaming analog     x10_events_hourly, x11_events_sessions (the same
                        expressions run under Structured Streaming in
                        streaming/core.py)
@@ -863,6 +865,39 @@ FROM sess GROUP BY 1, 2
 # ------------------------------------------------------------ multimodal
 
 
+def q_x15_running_totals(spark, sf_dir):
+    """Batch equivalent of the arbitrary-stateful streaming operator
+    (streaming/stateful.py:running_user_totals): per-event cumulative
+    (count, sum, max) per user.  Row i of a user's time-ordered stream
+    is exactly the state the streaming operator emits after event i —
+    a pytest bridges the two; this query makes the cumulative math
+    oracle-checked."""
+    from .streaming.stateful import running_user_totals_batch
+
+    ev = _read_events(spark, sf_dir)
+    out = running_user_totals_batch(ev)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+        "max_value",
+    )
+
+
+SQL_X15 = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+         AS sum_value,
+       ROUND(MAX(value) OVER w, 6) AS max_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_x12_multimodal_binary(spark, sf_dir):
     """Binary-column plumbing over synthesized payloads (testdata has no
     media blobs): encode text → binary, JVM-side magic sniffing +
@@ -925,6 +960,7 @@ EXT_QUERIES = {
     "x12_multimodal_binary": q_x12_multimodal_binary,
     "x13_tfidf_top_terms": q_x13_tfidf_top_terms,
     "x14_curation_pipeline": q_x14_curation_pipeline,
+    "x15_running_totals": q_x15_running_totals,
 }
 
 EXT_ORACLES = {
@@ -944,4 +980,5 @@ EXT_ORACLES = {
     "x12_multimodal_binary": SQL_X12,
     "x13_tfidf_top_terms": SQL_X13,
     "x14_curation_pipeline": _sql_x14(),
+    "x15_running_totals": SQL_X15,
 }

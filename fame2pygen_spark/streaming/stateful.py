@@ -14,7 +14,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType, LongType, StructField, StructType,
@@ -58,6 +58,43 @@ def _update_running(
             "sum_value": [s],
             "max_value": [None if mx == float("-inf") else mx],
         }
+    )
+
+
+def running_user_totals_batch(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts_us",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-event running (count, sum, max) per user — the batch/backfill
+    equivalent of :func:`running_user_totals`: row *i* of a user's
+    time-ordered stream carries exactly the state the streaming
+    operator holds after processing that event.  Used to backfill or
+    verify streaming state by batch reprocessing, and it is plain
+    window SQL, so an external oracle checks it value-for-value.
+
+    The cumulative sum runs over ``decimal(18,6)`` so partial-order
+    differences can't drift the float result between engines; the
+    window orders by (*ts_col*, *order_cols*) for a total, deterministic
+    order.  Nulls are skipped by sum/max but counted by n_events,
+    matching the streaming semantics.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        *order_cols,
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+            .cast("double"),
+            6,
+        ).alias("sum_value"),
+        F.round(F.max("value").over(w), 6).alias("max_value"),
     )
 
 

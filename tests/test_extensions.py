@@ -333,6 +333,19 @@ def test_streaming_stateful_running_totals(spark, tmp_path):
     # user 1 must have been emitted more than once (cross-batch updates)
     assert len([r for r in rows if r["user_id"] == 1]) >= 2
 
+    # batch-reprocessing bridge: the last cumulative row per user from
+    # running_user_totals_batch must equal the streaming final state
+    from fame2pygen_spark.streaming.stateful import running_user_totals_batch
+
+    allrows = batch1.unionByName(batch2).withColumn(
+        "ts_us", (F.unix_timestamp("ts") * 1_000_000).cast("long")
+    )
+    cum = running_user_totals_batch(allrows).collect()
+    last = {}
+    for r in sorted(cum, key=lambda r: (r["user_id"], r["n_events"])):
+        last[r["user_id"]] = (r["n_events"], r["sum_value"], r["max_value"])
+    assert last == final
+
 
 def test_ivf_topk_recall(spark):
     """IVF ANN with nprobe=4/16 cells must recover most of the exact
