@@ -82,17 +82,31 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # scale-validation tier: the three heaviest pipeline ops on a 10×
+    # replicated corpus (scripts/bench_scale.py).  Separate key — the
+    # headline total stays comparable to BASELINE.md.  Only runs at the
+    # default sf0.1 tier (at smaller SFs it would measure nothing).
+    if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0" and sf == 0.1:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scripts")
+            )
+            from bench_scale import run_scale_tier
+
+            result["scale_tier"] = run_scale_tier(spark)
+        except Exception as exc:  # tier failure must not sink the bench
+            result["scale_tier"] = {"error": str(exc)[:200]}
+
+    print(json.dumps(result))
     spark.stop()
 
 

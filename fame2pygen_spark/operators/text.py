@@ -16,7 +16,7 @@ verify results value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import normalized_text, text_fingerprint  # re-exported
 
@@ -276,3 +276,185 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
             "fingerprint": text_fingerprint(t),
         }
     ).drop("__toks", "__n", "__dist", "__tlen", "__npunct", *hit_cols)
+
+
+# ------------------------------------------- within-document repetition
+
+
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Word *n*-grams of a token array, space-joined (array<string>).
+
+    ``slice`` is 1-based; documents with fewer than *n* tokens produce
+    an empty array (explicit guard — ``sequence(1, 0)`` counts down).
+    """
+    m = F.size(toks)
+    idx = F.when(
+        m >= n, F.sequence(F.lit(1), m - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al.
+    2021, "Scaling Language Models", §A.1.1 repetition filters —
+    public-paper semantics, deterministic re-definition):
+
+    ``top_{top_n}gram_char_frac``
+        chars covered by the single most frequent word *top_n*-gram:
+        ``count · len(gram) / len(normalized_text)`` (ties broken by
+        lexicographically smallest gram, so cross-engine stable).
+    ``dup_{dup_n}gram_frac``
+        fraction of word *dup_n*-gram occurrences that are repeats:
+        ``1 − distinct/total``.
+    ``symbol_word_ratio``
+        punctuation marks per token.
+    plus ``n_tokens``, ``mean_token_len`` — the inputs a Gopher-rule
+    filter needs.
+
+    Bulk formulation: normalize+tokenize staged once per document, one
+    explode per metric family, aggregations keyed by ``doc`` (uniform,
+    map-side combinable).  Both metric joins are on the document id —
+    at 100 TB the joins co-partition with AQE and nothing is quadratic.
+    Returns ``(doc, n_chars_norm, n_tokens, mean_token_len,
+    symbol_word_ratio, top_gram, top_gram_count, top_Ngram_char_frac,
+    dup_Ngram_frac)``.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        normalized_text(t).alias("__nt"),
+        tokens(t).alias("__toks"),
+        punct_count(t).alias("__npunct"),
+    ).withColumns(
+        {
+            "__n": F.size("__toks"),
+            "__tlen": F.aggregate(
+                F.col("__toks"),
+                F.lit(0).cast("long"),
+                lambda acc, tk: acc + F.length(tk),
+            ),
+        }
+    )
+
+    base = staged.select(
+        "doc",
+        F.length("__nt").alias("n_chars_norm"),
+        F.col("__n").alias("n_tokens"),
+        F.round(
+            F.when(F.col("__n") > 0, F.col("__tlen") / F.col("__n")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("mean_token_len"),
+        F.round(
+            F.when(
+                F.col("__n") > 0, F.col("__npunct") / F.col("__n")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("symbol_word_ratio"),
+    )
+
+    # most frequent top_n-gram per doc: explode → count → rank
+    g_top = (
+        staged.select(
+            "doc", F.explode(token_ngrams(F.col("__toks"), top_n)).alias("g")
+        )
+        .groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("c").desc(), F.col("g").asc())
+    top1 = (
+        g_top.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc", F.col("g").alias("top_gram"), F.col("c").alias("top_gram_count"))
+    )
+
+    # duplicate dup_n-gram occurrence fraction per doc
+    g_dup = (
+        staged.select(
+            "doc", F.explode(token_ngrams(F.col("__toks"), dup_n)).alias("g")
+        )
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("__tot"),
+            F.count_distinct(F.col("g")).alias("__dist"),
+        )
+        .select(
+            "doc",
+            F.round(F.lit(1.0) - F.col("__dist") / F.col("__tot"), 6).alias(
+                f"dup_{dup_n}gram_frac"
+            ),
+        )
+    )
+
+    out = (
+        base.join(top1, on="doc", how="left")
+        .join(g_dup, on="doc", how="left")
+        .withColumn(
+            f"top_{top_n}gram_char_frac",
+            F.round(
+                F.coalesce(
+                    F.col("top_gram_count")
+                    * F.length("top_gram")
+                    / F.col("n_chars_norm"),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            f"dup_{dup_n}gram_frac",
+            F.coalesce(F.col(f"dup_{dup_n}gram_frac"), F.lit(0.0)),
+        )
+    )
+    return out
+
+
+#: Gopher-rule thresholds (public-paper values where the corpus makes
+#: them meaningful; tightened top-2gram bound so synthetic word-soup
+#: corpora exercise both branches)
+GOPHER_RULES = {
+    "min_tokens": 25,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_top_2gram_char_frac": 0.08,
+    "max_dup_5gram_frac": 0.15,
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    rules: dict | None = None,
+) -> DataFrame:
+    """Repetition/quality document filter: :func:`repetition_profile`
+    plus a boolean ``keep`` column applying the Gopher-style rules.
+
+    Pure composition — one profile pass, one final column; filter the
+    result on ``keep`` to materialize the curated corpus.
+    """
+    r = dict(GOPHER_RULES, **(rules or {}))
+    prof = repetition_profile(df, text_col, id_col)
+    keep = (
+        (F.col("n_tokens") >= r["min_tokens"])
+        & (F.col("n_tokens") <= r["max_tokens"])
+        & (F.col("mean_token_len") >= r["min_mean_token_len"])
+        & (F.col("mean_token_len") <= r["max_mean_token_len"])
+        & (F.col("symbol_word_ratio") <= r["max_symbol_word_ratio"])
+        & (F.col("top_2gram_char_frac") <= r["max_top_2gram_char_frac"])
+        & (F.col("dup_5gram_frac") <= r["max_dup_5gram_frac"])
+    )
+    return prof.withColumn("keep", keep)

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scale-validation tier: the three heaviest pipeline operators on a
+10× replicated corpus (50k docs from sf0.1's 5k), so the 100 TB design
+claims have a measured scaling point beyond sf0.1.
+
+The corpus is sf0.1 documents replicated 10× with per-replica doc_id
+offsets and a replica token appended to the text — replicas are
+near-duplicates (Jaccard ≈ 1 for long docs), so the dedup pipeline is
+stressed in its hard direction: dense candidate buckets, large
+connected components.  Prints ONE JSON line:
+  {"metric": "scale_tier_total_wall_sec", "value": N, "unit": "sec",
+   "queries": {...}, "n_docs": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+CORPUS = os.environ.get(
+    "SPARK_GRAFT_SCALE_CORPUS", f"/tmp/spark_graft_scale_{REPLICAS}x"
+)
+
+
+def build_corpus(spark):
+    """Replicate sf0.1 documents REPLICAS× (cached as parquet)."""
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(CORPUS):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n = docs.count()
+        out = (
+            docs.crossJoin(
+                spark.range(REPLICAS).select(F.col("id").alias("rep"))
+            )
+            .select(
+                (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
+                ).alias("text"),
+                "source",
+            )
+        )
+        out.repartition(int(CPUS)).write.mode("overwrite").parquet(CORPUS)
+    return spark.read.parquet(CORPUS)
+
+
+def run_scale_tier(spark) -> dict:
+    """Run the tier on an existing session; returns the result dict.
+    Importable from bench.py so BENCH_r{N} records the tier."""
+    from fame2pygen_spark.operators import dedup as dd
+    from fame2pygen_spark.operators.curation import curate_documents
+
+    docs = build_corpus(spark)
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        return out
+
+    timed(
+        "x03_minhash_lsh_pairs",
+        lambda: dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=5, num_hashes=64, bands=16,
+            threshold=0.6,
+        ).count(),
+    )
+    timed(
+        "x09_duplicate_clusters",
+        lambda: dd.duplicate_clusters(
+            dd.minhash_lsh_pairs(
+                docs, "text", "doc_id", n=5, num_hashes=64, bands=16,
+                threshold=0.6,
+            )
+        ).count(),
+    )
+    timed(
+        "x14_curation_pipeline",
+        lambda: curate_documents(docs, "text", "doc_id").count(),
+    )
+
+    return {
+        "metric": "scale_tier_total_wall_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "n_docs": n_docs,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("fame2pygen_spark-bench-scale")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "32g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_scale_tier(spark)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
