@@ -718,3 +718,75 @@ def simhash_near_dups(
         .where(F.col("distance") <= max_distance)
     )
 
+
+# ----------------------------------------------- passage-level dedup
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    passage_tokens: int = 20,
+) -> DataFrame:
+    """Global passage-level exact dedup: split each document into
+    consecutive fixed-size token windows ("passages" — the line /
+    paragraph split of structured pipelines, degenerating to fixed
+    windows for unstructured text), keep only the globally-first
+    occurrence of each distinct passage, and reassemble documents from
+    their surviving passages.
+
+    This is the within-corpus repeated-substring scrub of public
+    pipelines (CCNet dedups by line; Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" removes repeated
+    spans) re-expressed relationally: the survivor of a passage is its
+    minimum ``(doc, pos)`` occurrence, a deterministic total order, so
+    a SQL oracle reproduces the output byte-for-byte.
+
+    Scale shape: passage construction is map-side (one normalize +
+    tokenize + `transform` per doc); the global survivor choice is a
+    window over ``partitionBy(passage)`` — one shuffle on the passage
+    string (uniform unless the corpus is one repeated template, and
+    then the dedup is doing its job); reassembly is one groupBy on doc
+    id.  Two shuffles total, both on uniform keys, nothing quadratic.
+
+    Returns ``(doc, text, n_passages, n_kept)`` — documents whose
+    every token vanished (empty input) produce no row, matching the
+    SQL formulation.
+    """
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda t: t != F.lit(""),
+    )
+    p = int(passage_tokens)
+    staged = df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+    n_windows = F.ceil(F.size("__toks") / F.lit(p)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * p + 1, p)),
+    )
+    exploded = staged.where(F.size("__toks") > 0).select(
+        "doc", F.posexplode(passages).alias("pos", "passage")
+    )
+    w = Window.partitionBy("passage").orderBy("doc", "pos")
+    flagged = exploded.withColumn(
+        "__keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    rows = F.array_sort(
+        F.collect_list(F.struct("pos", "__keep", "passage"))
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum("__keep").cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(rows, lambda s: s["__keep"] == 1),
+                    lambda s: s["passage"],
+                ),
+            ).alias("text"),
+        )
+        .select("doc", "text", "n_passages", "n_kept")
+    )

@@ -1,0 +1,162 @@
+"""Data-mixing operators: deterministic stratified sampling and
+token-budget sharding for training-corpus assembly.
+
+Not present in the reference (its data model is one wide TS frame) —
+BASELINE.json north-star extensions.  A pretraining mix is defined by
+per-source sampling rates ("2 parts web, 1 part code, 0.1 parts
+forums"); the sampler here is *deterministic* — membership is a pure
+function of (salt, doc id), not an RNG state — so
+
+* reruns and retried tasks select the identical subset (critical for
+  resumable 100 TB jobs: Spark's ``sample()`` changes membership on
+  task retry, this does not);
+* an external engine (the DuckDB oracle) reproduces the exact sample;
+* disjoint splits fall out for free (different salts, or disjoint
+  hash ranges for train/val/test).
+
+Scale shape: sampling is a map-side filter — zero shuffles, predicate
+evaluated inside the scan stage.  Shard assignment windows per
+*partition column* (source/domain), never globally: a global ordered
+cumsum would be a single-partition sort at 100 TB and is refused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens
+
+#: 2^32 — range of the 8-hex-digit md5 prefix used as the uniform hash
+_HASH_RANGE = 4_294_967_296
+
+
+def uniform_hash01(id_col: Column, salt: str = "mix") -> Column:
+    """Deterministic uniform [0, 1) from ``md5(salt ':' id)``.
+
+    First 8 hex chars of the digest → int64 / 2^32.  Engine-portable:
+    DuckDB spells it ``('0x' || substr(md5(s), 1, 8))::BIGINT``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(_HASH_RANGE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value → keep probability in [0, 1]; strata
+    absent from the map use *default_rate*.  Membership is
+    ``uniform_hash01(id) < rate`` — a map-side filter with the rate
+    table inlined as a literal ``map`` expression (no join, no
+    shuffle; the predicate rides inside the scan's WholeStageCodegen).
+
+    For rate tables too large to inline (thousands of strata) use
+    :func:`stratified_sample_join`.
+    """
+    entries: list[Column] = []
+    for k, v in rates.items():
+        entries.extend([F.lit(k), F.lit(float(v))])
+    rate = F.coalesce(
+        F.create_map(*entries)[F.col(strata_col)] if entries else F.lit(None),
+        F.lit(float(default_rate)),
+    )
+    return df.where(uniform_hash01(F.col(id_col), salt) < rate)
+
+
+def stratified_sample_join(
+    df: DataFrame,
+    rates_df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Sampler variant for large rate tables: broadcast-join
+    ``rates_df`` (columns ``(strata_col, rate)``) onto *df*; rows whose
+    stratum has no rate row are dropped (rate 0).
+    """
+    joined = df.join(F.broadcast(rates_df), on=strata_col, how="inner")
+    return joined.where(
+        uniform_hash01(F.col(id_col), salt) < F.col("rate")
+    ).drop("rate")
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str,
+    *,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Disjoint train/val/test-style splits from one hash draw.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1); rows
+    falling past the last boundary get NULL (dropped by convention).
+    Adds a ``split`` column; same determinism contract as
+    :func:`stratified_sample` — and because membership is by disjoint
+    hash *ranges* of the same draw, the splits cannot overlap even
+    across separate runs or engines.
+    """
+    h = uniform_hash01(F.col(id_col), salt)
+    expr: Column = F.lit(None).cast("string")
+    bounds: list[tuple[str, float, float]] = []
+    lo = 0.0
+    for name, frac in fractions.items():
+        bounds.append((name, lo, lo + float(frac)))
+        lo += float(frac)
+    for name, a, b in reversed(bounds):
+        expr = F.when((h >= F.lit(a)) & (h < F.lit(b)), F.lit(name)).otherwise(
+            expr
+        )
+    return df.withColumn("split", expr)
+
+
+def assign_token_shards(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shard_tokens: int,
+    partition_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Greedy in-order token-budget sharding: within each
+    *partition_col* group, documents (ordered by *order_col*, default
+    the id) are packed into consecutive shards of ~*shard_tokens*
+    whitespace tokens; a document starts a new shard when the running
+    total before it has crossed the budget.
+
+    ``shard = floor((cumsum_inclusive − n_tokens) / shard_tokens)``
+    — i.e. the shard a document *starts* in.  Deterministic, and the
+    window is keyed by *partition_col*: the sort is per-source, so the
+    operator distributes (a global ordered cumsum would serialize onto
+    one partition at 100 TB, which is why *partition_col* is
+    mandatory).  Returns *df* plus ``n_tokens`` and ``shard``.
+    """
+    order_col = order_col or id_col
+    out = df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return out.withColumn(
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(shard_tokens))).cast(
+            "long"
+        ),
+    )

@@ -943,6 +943,354 @@ FROM p
 """
 
 
+
+# ----------------------------------------------- repetition / mixing
+
+
+def q_x16_gopher_filter(spark, sf_dir):
+    """Gopher-style within-document repetition filter
+    (operators/text.py:repetition_profile / gopher_filter): top-2gram
+    char fraction, duplicate-5gram fraction, symbol/word ratio,
+    token-count and mean-token-length bounds -> boolean keep."""
+    from .operators.text import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_filter(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "symbol_word_ratio",
+        F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+        F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long").alias(
+            "top_gram_count"
+        ),
+        "top_2gram_char_frac",
+        "dup_5gram_frac",
+        F.col("keep").cast("int").cast("long").alias("keep"),
+    )
+
+
+SQL_X16 = """
+WITH t AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), ta AS (
+  SELECT doc_id, text, nt,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS toks
+  FROM t
+), base AS (
+  SELECT doc_id,
+         CAST(length(nt) AS BIGINT) AS n_chars_norm,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(CASE WHEN len(toks) > 0
+               THEN (length(nt) - (len(toks) - 1)) * 1.0 / len(toks)
+               ELSE 0.0 END, 6) AS mean_token_len,
+         ROUND(CASE WHEN len(toks) > 0
+               THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / len(toks)
+               ELSE 0.0 END, 6) AS symbol_word_ratio
+  FROM ta
+), g2 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM ta, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+), g2c AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+), top1 AS (
+  SELECT doc_id, g AS top_gram, c AS top_gram_count
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM g2c)
+  WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, array_to_string(toks[i:i + 4], ' ') AS g
+  FROM ta, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+), dup5 AS (
+  SELECT doc_id,
+         ROUND(1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*), 6) AS dup_5gram_frac
+  FROM g5 GROUP BY 1
+), prof AS (
+  SELECT b.doc_id, b.n_chars_norm, b.n_tokens, b.mean_token_len,
+         b.symbol_word_ratio,
+         COALESCE(t1.top_gram, '') AS top_gram,
+         CAST(COALESCE(t1.top_gram_count, 0) AS BIGINT) AS top_gram_count,
+         ROUND(COALESCE(t1.top_gram_count * length(t1.top_gram) * 1.0
+                        / b.n_chars_norm, 0.0), 6) AS top_2gram_char_frac,
+         COALESCE(d5.dup_5gram_frac, 0.0) AS dup_5gram_frac
+  FROM base b
+  LEFT JOIN top1 t1 USING (doc_id)
+  LEFT JOIN dup5 d5 USING (doc_id)
+)
+SELECT *,
+       CAST(CASE WHEN n_tokens >= 25 AND n_tokens <= 100000
+                  AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                  AND symbol_word_ratio <= 0.1
+                  AND top_2gram_char_frac <= 0.08
+                  AND dup_5gram_frac <= 0.15
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM prof
+"""
+
+
+def q_x17_corpus_mixing(spark, sf_dir):
+    """Deterministic data-mixing sample + disjoint splits
+    (operators/mixing.py): per-source keep rates via an md5-hash draw,
+    then train/val/test ranges over a second independent draw.  Both
+    draws are pure functions of the doc id, so the oracle reproduces
+    the exact membership."""
+    from .operators.mixing import split_corpus, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {
+        f"src{i}": (0.9 if i < 5 else 0.5 if i < 10 else 0.2)
+        for i in range(20)
+    }
+    out = stratified_sample(docs, "source", rates, "doc_id", salt="mix")
+    out = split_corpus(
+        out, "doc_id",
+        fractions={"train": 0.5, "val": 0.25, "test": 0.25}, salt="split",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "split"
+    )
+
+
+SQL_X17 = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS hm,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS hs
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CASE WHEN hs < 0.5 THEN 'train'
+            WHEN hs < 0.75 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+WHERE hm < CASE
+  WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 0.9
+  WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 0.5
+  ELSE 0.2 END
+"""
+
+
+def q_x18_token_shards(spark, sf_dir):
+    """Token-budget sharding (operators/mixing.py:assign_token_shards):
+    greedy in-order packing of documents into ~500-token shards,
+    windowed per source so the cumsum distributes."""
+    from .operators.mixing import assign_token_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_token_shards(
+        docs, "text", "doc_id", shard_tokens=500, partition_col="source"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+SQL_X18 = """
+WITH t AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), tok AS (
+  SELECT doc_id, source,
+         CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END
+           AS n_tokens
+  FROM t
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 500.0) AS BIGINT) AS shard
+FROM c
+"""
+
+
+def q_x19_decontamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): documents
+    sharing any distinct normalized word 8-gram with a held-out
+    "benchmark" slice (doc_id % 97 == 0) are flagged.  The benchmark
+    n-gram set is broadcast; the corpus probe is map-side."""
+    from .operators.decontam import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    out = contamination(train, bench, "text", "doc_id", n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_contaminated_ngrams",
+        F.col("contaminated").cast("int").cast("long").alias("contaminated"),
+    )
+
+
+SQL_X19 = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), ta AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS toks
+  FROM t
+), bench AS (
+  SELECT DISTINCT array_to_string(toks[i:i + 7], ' ') AS g
+  FROM ta, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE doc_id % 97 = 0
+), docg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i + 7], ' ') AS g
+  FROM ta, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE doc_id % 97 <> 0
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS c FROM docg JOIN bench USING (g) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_contaminated_ngrams,
+       CAST(CASE WHEN COALESCE(c.c, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN cnt c USING (doc_id)
+"""
+
+
+def q_x20_pii_scrub(spark, sf_dir):
+    """PII scrub (operators/pii.py): the corpus text is decorated with
+    deterministic synthetic PII (emails/IPs/SSNs/phones derived from
+    doc_id — the raw corpus is PII-free word soup), then counted and
+    redacted.  Both engines build the identical input, so redaction is
+    compared byte-for-byte."""
+    from .operators.pii import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    decorated = docs.select(
+        d.cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" from 192.168."), (d % 256).cast("string"),
+                         F.lit("."), (d % 100).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return scrub_pii(decorated, "text").select(
+        "doc_id", "text", "n_pii_email", "n_pii_ipv4", "n_pii_ssn",
+        "n_pii_phone", "n_pii",
+    )
+
+
+SQL_X20 = r"""
+WITH dec AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+           AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_pii_email,
+         CAST(len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+           AS n_pii_ipv4,
+         CAST(len(regexp_extract_all(text,
+           '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_pii_ssn,
+         CAST(len(regexp_extract_all(text,
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_pii_phone
+  FROM dec
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text,
+       n_pii_email, n_pii_ipv4, n_pii_ssn, n_pii_phone,
+       n_pii_email + n_pii_ipv4 + n_pii_ssn + n_pii_phone AS n_pii
+FROM counted
+"""
+
+
+def q_x21_passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup (operators/dedup.py:passage_dedup):
+    20-token windows, globally-first survivor, reassembled text."""
+    from .operators.dedup import passage_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = passage_dedup(docs, "text", "doc_id", passage_tokens=20)
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "text",
+        "n_passages",
+        "n_kept",
+    )
+
+
+SQL_X21 = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), ta AS (
+  SELECT doc_id, string_split(nt, ' ') AS toks FROM t WHERE nt <> ''
+), pw AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' ') AS passage
+  FROM ta, unnest(generate_series(
+         0, CAST(ceil(len(toks) / 20.0) AS INT) - 1)) AS u(i)
+), fl AS (
+  SELECT doc_id, pos, passage,
+         CASE WHEN row_number() OVER (PARTITION BY passage
+                                      ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM pw
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COALESCE(string_agg(passage, ' ' ORDER BY pos)
+                  FILTER (WHERE keep = 1), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(keep) AS BIGINT) AS n_kept
+FROM fl
+GROUP BY doc_id
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -961,6 +1309,12 @@ EXT_QUERIES = {
     "x13_tfidf_top_terms": q_x13_tfidf_top_terms,
     "x14_curation_pipeline": q_x14_curation_pipeline,
     "x15_running_totals": q_x15_running_totals,
+    "x16_gopher_filter": q_x16_gopher_filter,
+    "x17_corpus_mixing": q_x17_corpus_mixing,
+    "x18_token_shards": q_x18_token_shards,
+    "x19_decontamination": q_x19_decontamination,
+    "x20_pii_scrub": q_x20_pii_scrub,
+    "x21_passage_dedup": q_x21_passage_dedup,
 }
 
 EXT_ORACLES = {
@@ -981,4 +1335,10 @@ EXT_ORACLES = {
     "x13_tfidf_top_terms": SQL_X13,
     "x14_curation_pipeline": _sql_x14(),
     "x15_running_totals": SQL_X15,
+    "x16_gopher_filter": SQL_X16,
+    "x17_corpus_mixing": SQL_X17,
+    "x18_token_shards": SQL_X18,
+    "x19_decontamination": SQL_X19,
+    "x20_pii_scrub": SQL_X20,
+    "x21_passage_dedup": SQL_X21,
 }

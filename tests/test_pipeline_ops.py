@@ -1,0 +1,197 @@
+"""Training-pipeline operators: repetition/quality filters, data
+mixing, decontamination, PII scrub, passage dedup (x16–x21)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ repetition / gopher
+
+
+def test_repetition_profile_planted(spark):
+    from fame2pygen_spark.operators.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d e a b c d e"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: r
+        for r in repetition_profile(df, "text", "doc_id").collect()
+    }
+    # doc 1: 3 occurrences of "spam spam" (9 chars) over 19 norm chars
+    assert out[1]["top_gram"] == "spam spam"
+    assert out[1]["top_gram_count"] == 3
+    assert out[1]["top_2gram_char_frac"] == pytest.approx(27 / 19, abs=1e-6)
+    # 4 tokens -> no 5-grams -> dup fraction 0
+    assert out[1]["dup_5gram_frac"] == 0.0
+    # doc 2: 6 5-grams, 5 distinct -> 1/6 duplicated
+    assert out[2]["dup_5gram_frac"] == pytest.approx(1 - 5 / 6, abs=1e-6)
+    # doc 3: no repeats at all
+    assert out[3]["top_gram_count"] == 1
+    assert out[3]["dup_5gram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 7
+
+
+def test_gopher_filter_branches(spark):
+    from fame2pygen_spark.operators.text import gopher_filter
+
+    good = " ".join(f"word{i}" for i in range(40))
+    spammy = "buy now " * 30
+    df = spark.createDataFrame(
+        [(1, good), (2, spammy), (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r["keep"] for r in gopher_filter(df, "text", "doc_id").collect()}
+    assert out[1] is True
+    assert out[2] is False  # top-2gram fraction ~1
+    assert out[3] is False  # under min_tokens
+
+
+# --------------------------------------------------------- mixing
+
+
+def test_stratified_sample_deterministic(spark):
+    from fame2pygen_spark.operators.mixing import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    kept1 = stratified_sample(df, "source", {"a": 1.0, "b": 0.5}, "doc_id")
+    kept2 = stratified_sample(df, "source", {"a": 1.0, "b": 0.5}, "doc_id")
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    ids2 = sorted(r["doc_id"] for r in kept2.collect())
+    assert ids1 == ids2  # pure function of (salt, id)
+    # rate 1.0 keeps every a-row; rate 0.5 keeps a strict subset of b
+    a_rows = [i for i in ids1 if i % 2 == 0]
+    b_rows = [i for i in ids1 if i % 2 == 1]
+    assert len(a_rows) == 100
+    assert 0 < len(b_rows) < 100
+    # default_rate=0 drops strata missing from the map
+    none_kept = stratified_sample(df, "source", {"zzz": 1.0}, "doc_id")
+    assert none_kept.count() == 0
+
+
+def test_split_corpus_disjoint_total(spark):
+    from fame2pygen_spark.operators.mixing import split_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = split_corpus(
+        df, "doc_id", fractions={"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    rows = out.collect()
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    assert len(rows) == 300  # fractions sum to 1 -> nothing dropped
+    by = {s: sum(1 for r in rows if r["split"] == s) for s in ("train", "val", "test")}
+    assert by["train"] > by["val"]  # rough proportionality
+
+
+def test_assign_token_shards_greedy(spark):
+    from fame2pygen_spark.operators.mixing import assign_token_shards
+
+    text10 = " ".join(["tok"] * 10)
+    df = spark.createDataFrame(
+        [(i, "s", text10) for i in range(1, 6)],
+        "doc_id long, source string, text string",
+    )
+    out = assign_token_shards(
+        df, "text", "doc_id", shard_tokens=25, partition_col="source"
+    )
+    shards = {r["doc_id"]: r["shard"] for r in out.collect()}
+    # cums 10,20,30,40,50 -> floor((cum-10)/25) = 0,0,0,1,1
+    assert shards == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+
+
+# -------------------------------------------------- decontamination
+
+
+def test_contamination_and_decontaminate(spark):
+    from fame2pygen_spark.operators.decontam import (
+        contamination, decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta closing words")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the full leading 8-gram with the benchmark doc
+            (1, "alpha beta gamma delta epsilon zeta eta theta more stuff"),
+            (2, "totally unrelated text with enough tokens to form grams ok"),
+            (3, "short"),  # < 8 tokens: out of scope, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination(train, bench, "text", "doc_id", n=8).collect()
+    }
+    assert out[1]["contaminated"] is True
+    assert out[1]["n_contaminated_ngrams"] >= 1
+    assert out[2]["contaminated"] is False
+    assert out[3]["contaminated"] is False
+
+    surv = decontaminate(train, bench, "text", "doc_id", n=8)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [2, 3]
+    assert surv.columns == train.columns
+
+
+# ------------------------------------------------------------- PII
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    from fame2pygen_spark.operators.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@site.co.uk or 10.0.0.1 ssn 123-45-6789 "
+                "call 555-123-4567 end"),
+            (2, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df, "text").collect()}
+    r1 = out[1]
+    assert r1["n_pii_email"] == 1
+    assert r1["n_pii_ipv4"] == 1
+    assert r1["n_pii_ssn"] == 1
+    assert r1["n_pii_phone"] == 1
+    assert r1["n_pii"] == 4
+    assert r1["text"] == (
+        "mail <EMAIL> or <IP> ssn <SSN> call <PHONE> end"
+    )
+    assert out[2]["n_pii"] == 0
+    assert out[2]["text"] == "clean text with no identifiers at all"
+
+
+# ------------------------------------------------- passage dedup
+
+
+def test_passage_dedup_planted(spark):
+    from fame2pygen_spark.operators.dedup import passage_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),  # first window duplicates doc 1's
+            (3, "  "),  # empty after normalization -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: r
+        for r in passage_dedup(df, "text", "doc_id", passage_tokens=3).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "a b c d e f"
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["text"] == "x y z"
+    assert out[2]["n_passages"] == 2 and out[2]["n_kept"] == 1
