@@ -18,7 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .dedup import normalized_text, text_fingerprint  # re-exported
+from .dedup import (  # noqa: F401  (normalized_text/fingerprint re-exported)
+    _parallelize_input,
+    normalized_text,
+    text_fingerprint,
+)
 
 __all__ = [
     "tokens", "token_count", "word_token_count", "char_count",
@@ -180,6 +184,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     n_docs = df.count()
+    df = _parallelize_input(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         normalized_text(F.col(text_col)).alias("__nt"),
@@ -216,7 +221,7 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
     shared subtrees.
     """
     t = F.col(text_col)
-    staged = df.withColumn("__toks", tokens(t))
+    staged = _parallelize_input(df).withColumn("__toks", tokens(t))
     toks = F.col("__toks")
     hit_cols = {
         f"__hits_{lang}": _hits(toks, words)
@@ -329,7 +334,7 @@ def repetition_profile(
     dup_Ngram_frac)``.
     """
     t = F.col(text_col)
-    staged = df.select(
+    staged = _parallelize_input(df).select(
         F.col(id_col).alias("doc"),
         normalized_text(t).alias("__nt"),
         tokens(t).alias("__toks"),
