@@ -347,3 +347,68 @@ def hyperplane_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+# -------------------------------------------- embedding quantization
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str, *, bits: int = 8
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization of an embedding column
+    (the faiss ``SQ8``-style storage cut: float32 → int8 is 4×).
+
+    ``scale = max(|v_i|) / (2^(bits-1) − 1)``; each component becomes
+    ``floor(v_i / scale + 0.5)`` (explicit half-up — Spark's and
+    DuckDB's ``round`` disagree on negative halves, ``floor(x+0.5)``
+    does not).  Zero vectors quantize to zeros with scale 0.
+
+    Everything is row-local column algebra — the operator is a pure
+    map, NO shuffle at any scale; it rides inside the scan stage.
+    (Per-dimension global-minmax quantization would need a corpus
+    aggregate; the per-vector variant is what similarity search
+    actually uses, since dequantization needs only the row's scale.)
+
+    Returns ``(id, scale, q  array<int>, max_abs_err)`` where
+    ``max_abs_err`` is the row's worst reconstruction error
+    ``max |dequant − v|`` (rounded 6dp) — the quality metric a
+    pipeline monitors when deciding bits.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = _as_double(F.col(vec_col))
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(qmax)
+    out = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        scale.alias("scale"),
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(F.col("scale") > 0, F.floor(x / F.col("scale") + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    out = out.withColumn("q", q)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col("q"),
+            lambda x, qi: F.abs(qi.cast("double") * F.col("scale") - x),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    # err is staged BEFORE the select that re-aliases "scale" to its
+    # rounded form: Spark's lateral column alias resolution would
+    # otherwise bind err's `scale` reference to the rounded alias
+    # defined earlier in the same select list (measured: max_abs_err
+    # drifts by ~2e-6 against the oracle)
+    out = out.withColumn("max_abs_err", F.round(err, 6))
+    return out.select(
+        id_col,
+        F.round(F.col("scale"), 6).alias("scale"),
+        "q",
+        "max_abs_err",
+    )

@@ -1291,6 +1291,166 @@ GROUP BY doc_id
 """
 
 
+def q_x22_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization
+    (operators/similarity.py:quantize_embeddings): scale, quantized
+    components (comma-joined for engine-portable compare), worst
+    per-row reconstruction error."""
+    from .operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb, "embedding", "vec_id", bits=8)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "scale",
+        F.array_join(F.col("q"), ",").alias("q_str"),
+        "max_abs_err",
+    )
+
+
+SQL_X22 = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vd,
+         list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, vd, scale,
+         list_transform(
+           vd,
+           x -> CASE WHEN scale > 0
+                THEN CAST(floor(x / scale + 0.5) AS INT)
+                ELSE 0 END) AS qv
+  FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(scale, 6) AS scale,
+       array_to_string(qv, ',') AS q_str,
+       ROUND(list_max(list_transform(
+         list_zip(qv, vd),
+         p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_abs_err
+FROM q
+"""
+
+
+def q_x23_url_domains(spark, sf_dir):
+    """URL extraction + domain blocklist (operators/web.py): corpus
+    text is decorated with deterministic synthetic URLs (the raw
+    corpus has none), then URLs are extracted, reduced to domains and
+    checked against a blocklist."""
+    from .operators.web import doc_domains, extract_urls, flag_blocked_domains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    decorated = docs.select(
+        d.cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit(" visit https://www.site"),
+                         (d % 5).cast("string"), F.lit(".com/a")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 6 == 0, F.lit(" ref http://tracker.badsite.net/x?q=1")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    flagged = flag_blocked_domains(
+        decorated, "text", ["tracker.badsite.net"]
+    )
+    return flagged.select(
+        "doc_id",
+        F.size(extract_urls(F.col("text"))).cast("long").alias("n_urls"),
+        F.array_join(
+            F.array_sort(doc_domains(F.col("text"))), ","
+        ).alias("domains_str"),
+        "n_blocked_domains",
+        F.col("blocked").cast("int").cast("long").alias("blocked"),
+    )
+
+
+SQL_X23 = r"""
+WITH dec AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' visit https://www.site' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.com/a' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' ref http://tracker.badsite.net/x?q=1' ELSE '' END
+           AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?', 0) AS urls
+  FROM dec
+), dom AS (
+  SELECT doc_id, urls,
+         list_sort(list_distinct(list_transform(urls,
+           x -> lower(regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1)))))
+           AS domains
+  FROM u
+)
+SELECT doc_id,
+       CAST(len(urls) AS BIGINT) AS n_urls,
+       COALESCE(array_to_string(domains, ','), '') AS domains_str,
+       CAST(len(list_intersect(domains, ['tracker.badsite.net'])) AS BIGINT)
+         AS n_blocked_domains,
+       CAST(CASE WHEN len(list_intersect(domains,
+         ['tracker.badsite.net'])) > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM dom
+"""
+
+
+def q_x24_stream_join(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream attribution join
+    (streaming/core.py:join_streams): purchases within 30 minutes of a
+    click by the same user.  The streaming path runs the identical
+    expression tree with watermarks and the range bound inside the
+    join condition (state-bounded)."""
+    from .streaming.core import join_streams
+
+    ev = _read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    out = join_streams(
+        clicks, purchases, on="user_id", ts_col="ts_us", max_delay_sec=1800
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("click_id"),
+        F.col("ts_us").cast("long").alias("click_ts_us"),
+        F.col("r_event_id").cast("long").alias("purchase_id"),
+        F.col("r_ts_us").cast("long").alias("purchase_ts_us"),
+        F.round(F.col("r_value"), 6).alias("value"),
+    )
+
+
+SQL_X24 = """
+SELECT CAST(l.user_id AS BIGINT) AS user_id,
+       CAST(l.event_id AS BIGINT) AS click_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS click_ts_us,
+       CAST(r.event_id AS BIGINT) AS purchase_id,
+       CAST(epoch_us(r.ts) AS BIGINT) AS purchase_ts_us,
+       ROUND(r.value, 6) AS value
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND epoch_us(r.ts) >= epoch_us(l.ts)
+ AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -1315,6 +1475,9 @@ EXT_QUERIES = {
     "x19_decontamination": q_x19_decontamination,
     "x20_pii_scrub": q_x20_pii_scrub,
     "x21_passage_dedup": q_x21_passage_dedup,
+    "x22_embedding_quantize": q_x22_embedding_quantize,
+    "x23_url_domains": q_x23_url_domains,
+    "x24_stream_join": q_x24_stream_join,
 }
 
 EXT_ORACLES = {
@@ -1341,4 +1504,7 @@ EXT_ORACLES = {
     "x19_decontamination": SQL_X19,
     "x20_pii_scrub": SQL_X20,
     "x21_passage_dedup": SQL_X21,
+    "x22_embedding_quantize": SQL_X22,
+    "x23_url_domains": SQL_X23,
+    "x24_stream_join": SQL_X24,
 }

@@ -138,3 +138,54 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    max_delay_sec: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each *left* row pairs with
+    *right* rows of the same *on* key whose timestamp falls in
+    ``[left.ts, left.ts + max_delay_sec]`` — the attribution shape
+    (click → purchase within the window).
+
+    On streams both sides get watermarks and the time-range predicate
+    is part of the JOIN CONDITION (not a post-filter), which is what
+    lets Spark bound join state: a buffered left row expires once the
+    right watermark passes ``left.ts + max_delay_sec``.  On batch
+    frames the identical tree is a partitioned equi-join on *on* with
+    the range as a join filter — at 100 TB both sides co-partition on
+    the key and nothing is quadratic (per-key fanout is the true
+    output size).
+
+    *ts_col* may be a timestamp (streaming path) or an int64 epoch-µs
+    column (the batch twin over the nanos-encoded events parquet) —
+    the bound arithmetic adapts to the column type.
+
+    Column naming: left columns keep their names; every right column
+    arrives with an ``r_`` prefix (including the join key, dropped
+    after the equality).
+    """
+    if left.isStreaming:
+        left = left.withWatermark(ts_col, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(ts_col, watermark)
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    lts, rts = F.col(ts_col), F.col(f"r_{ts_col}")
+    if dict(left.dtypes)[ts_col] in ("bigint", "long", "int"):
+        upper = lts + F.lit(int(max_delay_sec) * 1_000_000)
+    else:
+        upper = lts + F.expr(f"INTERVAL {int(max_delay_sec)} SECOND")
+    cond = (
+        (F.col(on) == F.col(f"r_{on}"))
+        & (rts >= lts)
+        & (rts <= upper)
+    )
+    return left.join(r, cond, "inner").drop(f"r_{on}")

@@ -195,3 +195,103 @@ def test_passage_dedup_planted(spark):
     assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
     assert out[2]["text"] == "x y z"
     assert out[2]["n_passages"] == 2 and out[2]["n_kept"] == 1
+
+
+# -------------------------------------------- embedding quantization
+
+
+def test_quantize_embeddings_planted(spark):
+    from fame2pygen_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.27, -0.635, 0.0]),     # scale 0.01 -> q 127, -64, 0
+            (2, [0.0, 0.0, 0.0]),          # zero vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, "embedding", "vec_id").collect()}
+    assert out[1]["scale"] == pytest.approx(0.01, abs=1e-9)
+    assert out[1]["q"] == [127, -63, 0]  # floor(-63.5+0.5) = -63
+    assert out[2]["scale"] == 0.0
+    assert out[2]["q"] == [0, 0, 0]
+    assert out[2]["max_abs_err"] == 0.0
+    # error bounded by scale/2 per component
+    assert out[1]["max_abs_err"] <= 0.01 / 2 + 1e-9
+
+
+# ------------------------------------------------------ URL / domains
+
+
+def test_url_extraction_and_blocklist(spark):
+    from fame2pygen_spark.operators.web import (
+        domain_counts, flag_blocked_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.Example.com/x and http://b.org plus "
+                "https://a.example.com/y"),
+            (2, "no urls here"),
+            (3, "bad link http://spam.bad.net/z?q=1 ok https://b.org/ok"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = {r["domain"]: r for r in domain_counts(df, "text").collect()}
+    assert counts["a.example.com"]["n_docs"] == 1
+    assert counts["a.example.com"]["n_urls"] == 2  # two URLs, one doc
+    assert counts["b.org"]["n_docs"] == 2
+
+    flagged = {
+        r["doc_id"]: r
+        for r in flag_blocked_domains(df, "text", ["spam.bad.net"]).collect()
+    }
+    assert flagged[3]["blocked"] is True
+    assert flagged[1]["blocked"] is False
+    assert flagged[2]["n_blocked_domains"] == 0
+
+
+# ------------------------------------------------ stream-stream join
+
+
+def test_join_streams_batch_and_stream(spark, tmp_path):
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.core import join_streams
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    clicks = [
+        (1, base, 7, "click", 0.0),
+        (2, base + dt.timedelta(hours=2), 7, "click", 0.0),
+    ]
+    purchases = [
+        (10, base + dt.timedelta(minutes=10), 7, "purchase", 5.0),  # joins click 1
+        (11, base + dt.timedelta(minutes=50), 7, "purchase", 6.0),  # outside 30min
+        (12, base + dt.timedelta(hours=2, minutes=5), 7, "purchase", 7.0),  # joins click 2
+        (13, base + dt.timedelta(minutes=5), 8, "purchase", 8.0),  # other user
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    cdf = spark.createDataFrame(clicks, schema)
+    pdf = spark.createDataFrame(purchases, schema)
+
+    out = join_streams(cdf, pdf, on="user_id", ts_col="ts", max_delay_sec=1800)
+    got = sorted((r["event_id"], r["r_event_id"]) for r in out.collect())
+    assert got == [(1, 10), (2, 12)]
+
+    # same operator on real streams: watermarked, range inside the join
+    cpath, ppath = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cdf.write.parquet(cpath)
+    pdf.write.parquet(ppath)
+    cs = spark.readStream.schema(cdf.schema).format("parquet").load(cpath)
+    ps = spark.readStream.schema(pdf.schema).format("parquet").load(ppath)
+    sj = join_streams(cs, ps, on="user_id", ts_col="ts", max_delay_sec=1800)
+    q = (
+        sj.writeStream.format("memory").queryName("sj_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    srows = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.sql("select * from sj_out").collect()
+    )
+    assert srows == [(1, 10), (2, 12)]
