@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .dedup import _parallelize_input
 from .text import tokens
 
 #: 2^32 — range of the 8-hex-digit md5 prefix used as the uniform hash
@@ -147,7 +148,11 @@ def assign_token_shards(
     mandatory).  Returns *df* plus ``n_tokens`` and ``shard``.
     """
     order_col = order_col or id_col
-    out = df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+    # tokenize before the keyed exchange, on >= defaultParallelism
+    # partitions (no-op at real scale; see dedup._parallelize_input)
+    out = _parallelize_input(df).withColumn(
+        "n_tokens", F.size(tokens(F.col(text_col)))
+    )
     w = (
         Window.partitionBy(partition_col)
         .orderBy(order_col)
@@ -159,4 +164,70 @@ def assign_token_shards(
         F.floor((cum - F.col("n_tokens")) / F.lit(float(shard_tokens))).cast(
             "long"
         ),
+    )
+
+
+def pack_context_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window_tokens: int,
+    partition_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: concatenate documents (ordered by *order_col*,
+    default the id) within each *partition_col* group into a virtual
+    token stream and cut it into fixed *window_tokens* context windows.
+    Documents straddle window boundaries — exactly what a pretraining
+    packer does — so the output has one row per (document, window it
+    touches): ``window_id``, the document's token offset where that
+    window starts (``tok_offset``), and how many of its tokens land in
+    the window (``win_tok``).  ``SUM(win_tok)`` over a document always
+    equals its ``n_tokens``.
+
+    Same scale contract as :func:`assign_token_shards`: the cumsum
+    window is keyed by *partition_col* (a global ordered cumsum would
+    serialize at 100 TB); the explode emits ``ceil(n_tokens/W)+1``
+    rows per document at most, O(total_tokens / W) overall.
+
+    Zero-token documents occupy no window span but are still emitted
+    (one row, ``win_tok = 0``) so packing never silently drops a row.
+    """
+    if window_tokens <= 0:
+        raise ValueError("window_tokens must be positive")
+    order_col = order_col or id_col
+    wlit = F.lit(int(window_tokens))
+
+    out = _parallelize_input(df).withColumn(
+        "n_tokens", F.size(tokens(F.col(text_col)))
+    )
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("__end", F.sum("n_tokens").over(w))
+    out = out.withColumn("__start", F.col("__end") - F.col("n_tokens"))
+    # windows floor(start/W) .. floor((end-1)/W); greatest() keeps the
+    # empty-document case (end-1 < start) at exactly one window
+    out = out.withColumn(
+        "window_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__start") / wlit),
+                F.floor(F.greatest(F.col("__end") - 1, F.col("__start")) / wlit),
+            )
+        ),
+    )
+    win_lo = F.col("window_id") * wlit
+    win_hi = win_lo + wlit
+    clip_lo = F.greatest(F.col("__start"), win_lo)
+    return (
+        out.withColumn("tok_offset", (clip_lo - F.col("__start")).cast("long"))
+        .withColumn(
+            "win_tok",
+            (F.least(F.col("__end"), win_hi) - clip_lo).cast("long"),
+        )
+        .drop("__start", "__end")
     )

@@ -1,0 +1,172 @@
+"""Temporal join operators: as-of join and bucketed range join.
+
+BASELINE.json north-star extensions.  The reference engine's
+point-in-time machinery (see ``engine._run_point_in_time``, modeled on
+/root/reference/fame2pygen/formulas_generator.py date handling) covers
+keyed snapshot lookups inside the FAME surface; these operators expose
+the same temporal-correlation semantics as standalone, scale-first
+dataset joins:
+
+* ``asof_join`` — for every left row, the most recent right row at or
+  before the left timestamp, matched on equi-keys.  Implemented as a
+  union + single keyed window (``last(..., ignorenulls=True)``), NOT a
+  range join: one shuffle on the key, running-state scan, zero
+  candidate-pair blowup.  This is the only formulation that survives
+  100 TB — an inequality join explodes to O(left x right-per-key)
+  candidates before filtering, while the union-window form is linear
+  in input and never materializes pairs.
+
+* ``range_join_points`` — point-in-interval join with NO equi-key.
+  Naive formulations are cross products; this one buckets the numeric
+  domain at a caller-chosen width, replicates each interval only into
+  the ceil(span/width)+1 buckets it overlaps, tags each point with its
+  single containing bucket, equi-joins on the bucket, and post-filters
+  the exact range predicate.  Each (interval, point) pair is produced
+  at most once because a point lives in exactly one bucket, so no
+  dedup pass is needed.  Shuffle is keyed by bucket — choose
+  ``bucket_width`` near the typical interval span so interval
+  replication stays O(1) and bucket population stays bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_join_points"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+    right_order: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each *left* row the values of the
+    most recent *right* row with ``right_time <= left_time`` sharing the
+    *on* keys (inclusive at equal timestamps).
+
+    Determinism: among right rows tied on ``right_time``, the row with
+    the greatest *right_order* (default: the first value column) wins —
+    pass an unambiguous ordering column (an id) for reproducible output.
+
+    Scale notes: one shuffle, keyed on *on*; per-key state is a running
+    "last seen right row", so memory is O(1) per key and no candidate
+    pairs are ever materialized.  A pathologically hot key serializes
+    its own partition (inherent to ordered as-of semantics); salt
+    upstream if a single key exceeds an executor.
+
+    Returns *left*'s columns plus ``{right_time}{suffix}`` and
+    ``{c}{suffix}`` for each value column (null when no prior right row
+    exists).
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    order = right_order or value_cols[0]
+
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("__is_left"),
+        F.col(left_time).alias("__t"),
+        F.lit(None).cast("long").alias("__ro"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__vt"),
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on],
+        *on,
+        F.lit(0).alias("__is_left"),
+        F.col(right_time).alias("__t"),
+        F.col(order).cast("long").alias("__ro"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(right_time).alias("__vt"),
+    ).select(*lhs.columns)
+
+    # rights sort before lefts at equal __t (inclusive semantics); among
+    # tied rights the greatest __ro is nearest-preceding and wins
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__is_left", F.col("__ro").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs)
+    carried = carried.select(
+        *carried.columns,
+        F.last("__vt", ignorenulls=True).over(w).alias(f"{right_time}{suffix}"),
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__is_left") == 1).drop(
+        "__is_left", "__t", "__ro", "__vt", *[f"__v_{c}" for c in value_cols]
+    )
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start_col <= point_col < end_col`` — no equi-key required —
+    without a cross product.
+
+    *point_col*, *start_col*, *end_col* must be integral and
+    non-negative (cast timestamps to epoch units first; bucketing uses
+    truncating ``div``, which equals floor division only for ``>= 0``).
+    Empty or inverted intervals (``end <= start``) match nothing and
+    are dropped.
+
+    Plan shape: intervals explode into ``floor(start/w)..floor((end-1)/w)``
+    bucket copies (``ceil(span/w)+1`` at most), points map to their one
+    bucket, the join is an equi-join on ``__bucket``, and the exact
+    range predicate filters the bucket-local candidates.  Each
+    (interval, point) pair arises in exactly one bucket — the point's —
+    so the output needs no distinct.  Intermediate size is
+    O(points + intervals * ceil(span/w)) rows shuffled, never
+    O(points * intervals).
+
+    Returns the interval columns followed by the point columns
+    (colliding names keep the interval side; rename upstream).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = int(bucket_width)
+
+    # integer `div`, not `/` + floor: float division of µs-scale epochs
+    # can misround at exact bucket boundaries
+    iv = intervals.where(F.col(end_col) > F.col(start_col))
+    iv = iv.select(
+        *intervals.columns,
+        F.explode(
+            F.sequence(
+                F.expr(f"`{start_col}` div {w}"),
+                F.expr(f"(`{end_col}` - 1) div {w}"),
+            )
+        ).alias("__bucket"),
+    )
+    pt_cols = [c for c in points.columns if c not in intervals.columns]
+    pt = points.select(
+        *points.columns, F.expr(f"`{point_col}` div {w}").alias("__bucket")
+    )
+
+    joined = iv.join(pt, on="__bucket").where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.select(*intervals.columns, *pt_cols)

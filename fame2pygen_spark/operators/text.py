@@ -28,7 +28,7 @@ __all__ = [
     "tokens", "token_count", "word_token_count", "char_count",
     "punct_count", "stopword_ratio", "quality_score", "language_scores",
     "detect_language", "normalized_text", "text_fingerprint",
-    "text_profile", "tfidf_top_terms",
+    "text_profile", "tfidf_top_terms", "chunk_documents",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -463,3 +463,49 @@ def gopher_filter(
         & (F.col("dup_5gram_frac") <= r["max_dup_5gram_frac"])
     )
     return prof.withColumn("keep", keep)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_chars: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks for
+    embedding / retrieval pipelines: chunks of *chunk_chars* characters
+    starting every *stride* characters (default: non-overlapping,
+    ``stride = chunk_chars``; a smaller stride overlaps neighbors).
+
+    Row-local: start offsets are a ``sequence`` + ``posexplode`` and the
+    slice is ``substring`` — zero shuffles, rides inside the scan's
+    codegen stage, embarrassingly parallel at any scale.  Empty
+    documents still emit one (empty) chunk so no row disappears.
+
+    Output: *id_col*, ``chunk_idx`` (0-based), ``chunk_start`` (1-based
+    char offset), ``chunk_len``, ``chunk_text``.
+    """
+    if chunk_chars <= 0:
+        raise ValueError("chunk_chars must be positive")
+    stride = stride or chunk_chars
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(int(stride))
+    )
+    out = df.select(
+        F.col(id_col),
+        t.alias("__text"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.substring(F.col("__text"), F.col("chunk_start"), chunk_chars)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk_text"),
+    )

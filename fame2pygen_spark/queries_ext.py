@@ -1451,6 +1451,208 @@ JOIN events r
 """
 
 
+def q_x25_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py:asof_join): each click gets
+    the user's most recent purchase at or before it.  Union + keyed
+    window — one shuffle, no candidate pairs (vs x24's bounded range
+    join, which materializes pairs)."""
+    from .operators.temporal import asof_join
+
+    ev = _read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="ts_us",
+        right_time="p_ts_us",
+        value_cols=["p_value"],
+        suffix="",
+        right_order="p_event_id",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "value",
+        F.col("p_ts_us").cast("long").alias("p_ts_us"),
+        "p_value",
+    )
+
+
+SQL_X25 = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+), u AS (
+  SELECT event_id, user_id, ts_us, value, 1 AS is_left,
+         NULL::BIGINT AS ro, NULL::BIGINT AS r_ts, NULL::DOUBLE AS r_val
+  FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT NULL, user_id, ts_us, NULL, 0, event_id, ts_us, value
+  FROM ev WHERE event_type = 'purchase'
+), c AS (
+  SELECT *,
+         LAST_VALUE(r_ts IGNORE NULLS) OVER w AS p_ts_us,
+         LAST_VALUE(r_val IGNORE NULLS) OVER w AS p_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts_us, is_left, ro ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(ts_us AS BIGINT) AS ts_us, value,
+       CAST(p_ts_us AS BIGINT) AS p_ts_us, p_value
+FROM c WHERE is_left = 1
+"""
+
+
+def q_x26_range_join(spark, sf_dir):
+    """Keyless point-in-interval join (operators/temporal.py:
+    range_join_points): lineitems shipped inside the 7-day window after
+    a high-value order's date, bucketed at the interval width so the
+    plan is an equi-join on bucket, never a cross product."""
+    from .operators.temporal import range_join_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    iv = orders.where(F.col("o_totalprice") > 494000).select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400").alias("start_day"),
+        (F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400") + 7).alias("end_day"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400").alias("ship_day"),
+        "l_quantity",
+    )
+    pairs = range_join_points(
+        li, iv,
+        point_col="ship_day", start_col="start_day", end_col="end_day",
+        bucket_width=7,
+    )
+    return pairs.groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_qty"),
+    )
+
+
+SQL_X26 = """
+WITH iv AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS start_day
+  FROM orders WHERE o_totalprice > 494000
+), li AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 AS ship_day, l_quantity
+  FROM lineitem
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_qty
+FROM iv JOIN li
+  ON li.ship_day >= iv.start_day AND li.ship_day < iv.start_day + 7
+GROUP BY 1
+"""
+
+
+def q_x27_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping character chunking for embedding /
+    retrieval pipelines (operators/text.py:chunk_documents) — row-local
+    sequence+posexplode+substring, zero shuffles."""
+    from .operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = chunk_documents(docs, "text", "doc_id", chunk_chars=200, stride=150)
+    return ch.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "chunk_start",
+        "chunk_len",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+SQL_X27 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((cs - 1) // 150 AS BIGINT) AS chunk_idx,
+       CAST(cs AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(cs AS BIGINT), 200)) AS BIGINT)
+         AS chunk_len,
+       md5(substr(text, CAST(cs AS BIGINT), 200)) AS chunk_md5
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 150)) AS cs
+  FROM documents
+)
+"""
+
+
+def q_x28_context_windows(spark, sf_dir):
+    """Sequence packing into fixed token context windows
+    (operators/mixing.py:pack_context_windows): documents straddle
+    window boundaries; one row per (doc, window touched) with the token
+    span.  Per-source cumsum window + bounded explode."""
+    from .operators.mixing import pack_context_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_context_windows(
+        docs, "text", "doc_id", window_tokens=100, partition_col="source"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("window_id").cast("long").alias("window_id"),
+        "tok_offset",
+        "win_tok",
+    )
+
+
+SQL_X28 = """
+WITH t AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), tok AS (
+  SELECT doc_id, source,
+         CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END
+           AS n_tokens
+  FROM t
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS e
+  FROM tok
+), b AS (
+  SELECT doc_id, source, n_tokens, CAST(e AS BIGINT) AS e,
+         CAST(e - n_tokens AS BIGINT) AS s FROM c
+), x AS (
+  SELECT doc_id, source, n_tokens, s, e,
+         unnest(generate_series(CAST(s // 100 AS BIGINT),
+                                CAST(greatest(e - 1, s) // 100 AS BIGINT)))
+           AS window_id
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(window_id AS BIGINT) AS window_id,
+       CAST(greatest(s, window_id * 100) - s AS BIGINT) AS tok_offset,
+       CAST(least(e, window_id * 100 + 100) - greatest(s, window_id * 100)
+            AS BIGINT) AS win_tok
+FROM x
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -1478,6 +1680,10 @@ EXT_QUERIES = {
     "x22_embedding_quantize": q_x22_embedding_quantize,
     "x23_url_domains": q_x23_url_domains,
     "x24_stream_join": q_x24_stream_join,
+    "x25_asof_join": q_x25_asof_join,
+    "x26_range_join": q_x26_range_join,
+    "x27_doc_chunks": q_x27_doc_chunks,
+    "x28_context_windows": q_x28_context_windows,
 }
 
 EXT_ORACLES = {
@@ -1507,4 +1713,8 @@ EXT_ORACLES = {
     "x22_embedding_quantize": SQL_X22,
     "x23_url_domains": SQL_X23,
     "x24_stream_join": SQL_X24,
+    "x25_asof_join": SQL_X25,
+    "x26_range_join": SQL_X26,
+    "x27_doc_chunks": SQL_X27,
+    "x28_context_windows": SQL_X28,
 }

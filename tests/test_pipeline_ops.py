@@ -295,3 +295,62 @@ def test_join_streams_batch_and_stream(spark, tmp_path):
         for r in spark.sql("select * from sj_out").collect()
     )
     assert srows == [(1, 10), (2, 12)]
+
+
+def test_chunk_documents_reassembles(spark):
+    from fame2pygen_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, "")],
+        "doc_id long, text string",
+    )
+    # non-overlapping chunks concatenate back to the original text
+    ch = chunk_documents(docs, "text", "doc_id", chunk_chars=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(ch, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert "".join(r["chunk_text"] for r in by_doc[1]) == "abcdefghij"
+    assert [r["chunk_len"] for r in by_doc[1]] == [4, 4, 2]
+    assert [r["chunk_start"] for r in by_doc[1]] == [1, 5, 9]
+    assert "".join(r["chunk_text"] for r in by_doc[2]) == "abc"
+    # empty document still emits exactly one empty chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 0
+
+    # overlapping stride: every char position is covered >= once
+    ov = chunk_documents(
+        docs, "text", "doc_id", chunk_chars=4, stride=2
+    ).where(F.col("doc_id") == 1).collect()
+    assert [r["chunk_start"] for r in sorted(ov, key=lambda r: r["chunk_idx"])] \
+        == [1, 3, 5, 7, 9]
+
+
+def test_pack_context_windows_partitions_tokens(spark):
+    from fame2pygen_spark.operators.mixing import pack_context_windows
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a " * 30), (2, "s", "b " * 85), (3, "s", "c " * 10),
+         (4, "s", ""), (5, "t", "d " * 5)],
+        "doc_id long, source string, text string",
+    )
+    out = pack_context_windows(
+        docs, "text", "doc_id", window_tokens=50, partition_col="source"
+    )
+    rows = out.collect()
+    # every document's window spans sum to its token count
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["win_tok"]
+    assert by_doc == {1: 30, 2: 85, 3: 10, 4: 0, 5: 5}
+    # doc 2 straddles: starts at token 30, ends at 115 -> windows 0,1,2
+    w2 = sorted(
+        (r["window_id"], r["tok_offset"], r["win_tok"])
+        for r in rows if r["doc_id"] == 2
+    )
+    assert w2 == [(0, 0, 20), (1, 20, 50), (2, 70, 15)]
+    # every window except the last per source is exactly full
+    per_win: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["source"], r["window_id"])
+        per_win[key] = per_win.get(key, 0) + r["win_tok"]
+    assert per_win[("s", 0)] == 50 and per_win[("s", 1)] == 50
+    assert per_win[("s", 2)] == 25 and per_win[("t", 0)] == 5

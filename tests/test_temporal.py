@@ -1,0 +1,131 @@
+"""Temporal join operators (operators/temporal.py): as-of join and
+bucketed range join — semantics on hand cases, determinism, and the
+scale invariants (no cross product, exact bucket boundaries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fame2pygen_spark.operators.temporal import asof_join, range_join_points
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 300), (4, "b", 150),
+         (5, "c", 50)],
+        "lid long, k string, t long",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [(10, "a", 100, 1.0), (11, "a", 200, 2.0), (12, "a", 205, 3.0),
+         (13, "a", 400, 4.0), (14, "b", 150, 5.0), (15, "b", 150, 6.0)],
+        "rid long, k string, rt long, v double",
+    )
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    out = asof_join(
+        _left(spark), _right(spark),
+        on=["k"], left_time="t", right_time="rt",
+        value_cols=["v"], right_order="rid",
+    ).orderBy("lid")
+    rows = {r["lid"]: (r["rt_asof"], r["v_asof"]) for r in out.collect()}
+    assert rows[1] == (100, 1.0)      # tie at t=100 is inclusive
+    assert rows[2] == (205, 3.0)      # equal-ts right beats earlier one
+    assert rows[3] == (205, 3.0)      # rt=400 is in the future, skipped
+    assert rows[4] == (150, 6.0)      # tied rights: greatest rid wins
+    assert rows[5] == (None, None)    # no prior right for key c
+    assert out.count() == 5           # left rows preserved exactly
+
+
+def test_asof_carries_multiple_value_cols(spark):
+    right = _right(spark).withColumn("w", F.col("v") * 10)
+    out = asof_join(
+        _left(spark), right,
+        on=["k"], left_time="t", right_time="rt",
+        value_cols=["v", "w"], right_order="rid",
+    )
+    r = {x["lid"]: (x["v_asof"], x["w_asof"]) for x in out.collect()}
+    # both carried columns come from the same winning right row
+    assert r[4] == (6.0, 60.0)
+
+
+def test_asof_plan_has_no_join(spark):
+    """The union+window formulation must not plan any join operator —
+    that absence IS the scale guarantee (no candidate pairs)."""
+    out = asof_join(
+        _left(spark), _right(spark),
+        on=["k"], left_time="t", right_time="rt",
+        value_cols=["v"], right_order="rid",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def _naive_pairs(points, intervals, pc, sc, ec):
+    return (
+        intervals.crossJoin(points)
+        .where((F.col(pc) >= F.col(sc)) & (F.col(pc) < F.col(ec)))
+    )
+
+
+def test_range_join_matches_naive(spark):
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 6), (3, 7, 21), (4, 30, 30), (5, 8, 3)],
+        "ivid long, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([0, 3, 5, 6, 7, 9, 10, 13, 20, 21, 29, 30])],
+        "pid long, p long",
+    )
+    for width in (1, 3, 7, 100):
+        got = sorted(
+            (r["ivid"], r["pid"])
+            for r in range_join_points(
+                pts, iv, point_col="p", start_col="s", end_col="e",
+                bucket_width=width,
+            ).collect()
+        )
+        want = sorted(
+            (r["ivid"], r["pid"])
+            for r in _naive_pairs(pts, iv, "p", "s", "e").collect()
+        )
+        assert got == want, f"width={width}"
+    # empty (4) and inverted (5) intervals match nothing
+    assert all(ivid not in (4, 5) for ivid, _ in got)
+
+
+def test_range_join_exact_epoch_boundaries(spark):
+    """µs-scale epochs at exact bucket multiples — the case float
+    division misrounds; the operator must use integer div."""
+    day_us = 86_400_000_000
+    base = 1_700_000_000_000_000
+    iv = spark.createDataFrame(
+        [(1, base, base + 7 * day_us)], "ivid long, s long, e long"
+    )
+    pts = spark.createDataFrame(
+        [(1, base), (2, base + 7 * day_us - 1), (3, base + 7 * day_us)],
+        "pid long, p long",
+    )
+    got = sorted(
+        r["pid"]
+        for r in range_join_points(
+            pts, iv, point_col="p", start_col="s", end_col="e",
+            bucket_width=day_us,
+        ).collect()
+    )
+    assert got == [1, 2]  # end-exclusive
+
+
+def test_range_join_replication_is_bounded(spark):
+    """Interval copies = ceil(span/width)+1 at most — the shuffle-size
+    contract; no point duplication ever."""
+    iv = spark.createDataFrame([(1, 0, 70)], "ivid long, s long, e long")
+    pts = spark.createDataFrame([(1, 35)], "pid long, p long")
+    out = range_join_points(
+        pts, iv, point_col="p", start_col="s", end_col="e", bucket_width=7
+    )
+    assert out.count() == 1  # matched once despite 10 interval copies
