@@ -1,0 +1,155 @@
+"""Sketch-style summary operators: KMV distinct-count estimation and
+per-group quantiles.
+
+BASELINE.json north-star extensions.  Exact ``COUNT(DISTINCT x)`` per
+group is a full shuffle of every distinct value; at 100 TB the scale
+path is a bounded-state sketch.  Spark's built-in
+``approx_count_distinct`` (HLL++) is engine-internal and cannot be
+replicated by an external oracle, so alongside it this module provides
+a KMV (k-minimum-values / bottom-k) sketch whose every intermediate is
+deterministic column algebra — md5-based uniform hashing, a distinct
+pass, a bottom-k window — and therefore value-for-value reproducible in
+ANSI SQL.  The estimator is the classic bottom-k one (Bar-Yossef et
+al., "Counting distinct elements in a data stream", RANDOM 2002):
+with ``kth`` the k-th smallest of distinct uniform hashes on [0, R),
+``D ≈ (k-1) * R / kth``.
+
+Quantiles: ``group_quantiles`` uses Spark's exact ``percentile``
+(linear interpolation at ``p*(n-1)``, identical definition to DuckDB's
+``quantile_cont``) — exact answers shuffle every value per group, the
+right default below ~10⁸ rows per group; the operator takes
+``approx=True`` to switch to ``approx_percentile`` (t-digest, bounded
+state) as the 100 TB path, at the cost of oracle-checkability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["kmv_distinct", "group_quantiles"]
+
+#: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
+#: as mixing.uniform_hash01; DuckDB spells the hash
+#: ``('0x' || substr(md5(s), 1, 8))::BIGINT``)
+_HASH_RANGE = 4_294_967_296
+
+
+def _hash64(col: Column, salt: str) -> Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group distinct-count estimate via a bottom-k (KMV) sketch.
+
+    Pipeline: hash each value to a uniform 32-bit integer (md5 prefix —
+    deterministic, engine-portable), dedupe ``(group, hash)``, keep the
+    k smallest hashes per group (``row_number`` window), and estimate
+    ``(k-1) * 2^32 / kth_hash``.  Groups with fewer than *k* distinct
+    hashes report their exact count.
+
+    Output: *group_cols* + ``n_kept`` (= min(distinct, k)),
+    ``n_hash_distinct`` (exact count of distinct hashes — the
+    collision-limited truth the sketch targets), ``est_distinct``
+    (rounded to 6 dp; exact when ``n_kept < k``).
+
+    Scale shape: the dedupe is one shuffle on ``(group, hash)`` with
+    map-side partial aggregation absorbing duplicate-heavy corpora;
+    the bottom-k window then shuffles only *distinct hashes* — already
+    collision-bounded at ~2^32 rows per group worst case, and both the
+    per-group count and the window are over that reduced set.  No
+    per-group state ever exceeds the distinct-hash count, and the
+    sketch itself is k values — mergeable across partitions, shards,
+    or days (union the bottom-k sets, re-take the bottom k).  The
+    32-bit hash caps resolvable cardinality at ~2^32; widen the prefix
+    for more (the estimator is unchanged).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    group_cols = list(group_cols)
+
+    hashed = df.select(
+        *group_cols, _hash64(F.col(value_col), salt).alias("__h")
+    )
+    distinct = hashed.distinct()
+
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    bottom_k = (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("__h").alias("__kth"),
+        )
+    )
+    totals = distinct.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_hash_distinct")
+    )
+
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(_HASH_RANGE)) / F.col("__kth"),
+            6,
+        )
+    )
+    return (
+        bottom_k.join(totals, on=group_cols)
+        .withColumn("est_distinct", est)
+        .drop("__kth")
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    *,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles of *value_col* at each probability in
+    *probs*, as columns ``p<prob*100>`` (dots stripped: p25, p50, p99,
+    p99_9), plus ``n`` — rounded to 6 dp.
+
+    ``approx=False`` (default): Spark's exact ``percentile`` — linear
+    interpolation at ``p*(n-1)``, the same definition as DuckDB
+    ``quantile_cont``, so results are oracle-checkable.  Exact
+    quantiles buffer each group's values on the aggregating executor;
+    fine to ~10⁸ rows per group.
+
+    ``approx=True``: ``approx_percentile`` with *accuracy* — bounded
+    state, the 100 TB path; same output schema, not bitwise
+    oracle-reproducible (pytest bounds its error vs exact instead).
+    """
+    group_cols = list(group_cols)
+    cols = []
+    for p in probs:
+        name = f"p{p * 100:g}".replace(".", "_")
+        if approx:
+            q = F.expr(
+                f"approx_percentile(`{value_col}`, {float(p)}, {int(accuracy)})"
+            )
+        else:
+            q = F.expr(f"percentile(`{value_col}`, {float(p)})")
+        cols.append(F.round(q, 6).alias(name))
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).cast("long").alias("n"), *cols
+    )

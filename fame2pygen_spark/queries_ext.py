@@ -1653,6 +1653,77 @@ FROM x
 """
 
 
+def q_x29_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch (operators/sketch.py:kmv_distinct):
+    per-source distinct-token estimate.  Every intermediate — md5
+    uniform hash, distinct pass, bottom-k window, (k-1)*R/kth
+    estimator — is deterministic column algebra, so the oracle
+    replicates the full mechanism, not just the answer."""
+    from .operators.sketch import kmv_distinct
+    from .operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return kmv_distinct(words, ["source"], "word", k=64)
+
+
+SQL_X29 = """
+WITH t AS (
+  SELECT source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), words AS (
+  SELECT source, unnest(string_split(nt, ' ')) AS word
+  FROM t WHERE nt <> ''
+), h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('kmv:' || word), 1, 8))::BIGINT AS hh
+  FROM words
+), r AS (
+  SELECT source, hh,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh) AS rn
+  FROM h
+), bk AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hh) AS kth
+  FROM r WHERE rn <= 64 GROUP BY source
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hash_distinct
+  FROM h GROUP BY source
+)
+SELECT bk.source, bk.n_kept, tot.n_hash_distinct,
+       CASE WHEN bk.n_kept < 64 THEN CAST(bk.n_kept AS DOUBLE)
+            ELSE ROUND(63.0 * 4294967296.0 / kth, 6) END AS est_distinct
+FROM bk JOIN tot ON bk.source = tot.source
+"""
+
+
+def q_x30_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (operators/sketch.py:group_quantiles):
+    event value distribution per event_type.  Spark `percentile` and
+    DuckDB `quantile_cont` share the p*(n-1) linear-interpolation
+    definition; the approx_percentile scale path is pytest-bounded
+    against this exact one."""
+    from .operators.sketch import group_quantiles
+
+    ev = _read_events(spark, sf_dir)
+    return group_quantiles(
+        ev, ["event_type"], "value", [0.25, 0.5, 0.9, 0.99]
+    )
+
+
+SQL_X30 = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -1684,6 +1755,8 @@ EXT_QUERIES = {
     "x26_range_join": q_x26_range_join,
     "x27_doc_chunks": q_x27_doc_chunks,
     "x28_context_windows": q_x28_context_windows,
+    "x29_kmv_distinct": q_x29_kmv_distinct,
+    "x30_group_quantiles": q_x30_group_quantiles,
 }
 
 EXT_ORACLES = {
@@ -1717,4 +1790,6 @@ EXT_ORACLES = {
     "x26_range_join": SQL_X26,
     "x27_doc_chunks": SQL_X27,
     "x28_context_windows": SQL_X28,
+    "x29_kmv_distinct": SQL_X29,
+    "x30_group_quantiles": SQL_X30,
 }
