@@ -766,16 +766,23 @@ WHERE k.doc_id NOT IN (SELECT doc FROM comp WHERE doc <> component)
 
 
 def _read_events(spark, sf_dir):
-    """events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless
-    nanos are read as int64; we expose microsecond epoch columns so
-    both engines agree exactly (DuckDB ``epoch_us`` truncates ns→µs the
-    same way integer division does)."""
+    """Expose a microsecond-epoch ``ts_us`` column both engines agree
+    on exactly, across testdata generations: events.ts has been parquet
+    TIMESTAMP(NANOS) (Spark 4 rejects it unless nanos are read as
+    int64) and TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ), so adapt to
+    whichever type the scan yields."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division (`div`), not `/`: float division rounds the µs
-    # value at ~1.7e15 where double ULP is 0.25, drifting ±1µs from
-    # DuckDB's truncating epoch_us
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        # nanos-as-long: integer division (`div`), not `/` — float
+        # division rounds the µs value at ~1.7e15 where double ULP is
+        # 0.25, drifting ±1µs from DuckDB's truncating epoch_us
+        ts_us = F.expr("ts div 1000")
+    else:
+        # TIMESTAMP_NTZ µs: session tz is UTC, so the NTZ→TZ cast is
+        # identity and unix_micros matches DuckDB's epoch_us
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us.cast("long"))
 
 
 def q_x10_events_hourly(spark, sf_dir):
