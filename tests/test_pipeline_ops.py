@@ -354,3 +354,69 @@ def test_pack_context_windows_partitions_tokens(spark):
         per_win[key] = per_win.get(key, 0) + r["win_tok"]
     assert per_win[("s", 0)] == 50 and per_win[("s", 1)] == 50
     assert per_win[("s", 2)] == 25 and per_win[("t", 0)] == 5
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    from fame2pygen_spark.operators.sketch import kmv_distinct
+
+    # 10 distinct values repeated 7x each: below k -> exact count
+    rows = [("g", f"v{i}") for i in range(10) for _ in range(7)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = kmv_distinct(df, ["grp"], "val", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_kept"] == 10 and r["n_hash_distinct"] == 10
+    assert r["est_distinct"] == 10.0
+
+
+def test_kmv_distinct_estimate_accuracy_and_dup_insensitivity(spark):
+    from fame2pygen_spark.operators.sketch import kmv_distinct
+
+    n_true = 5000
+    uniq = [("g", f"v{i}") for i in range(n_true)]
+    df = spark.createDataFrame(uniq, "grp string, val string")
+    # k=256 -> relative std error ~ 1/sqrt(k-2) ~ 6.3%; assert 4 sigma
+    r = kmv_distinct(df, ["grp"], "val", k=256).collect()[0]
+    assert r["n_kept"] == 256
+    assert abs(r["est_distinct"] - n_true) / n_true < 0.25
+    # duplicates cannot change the sketch: same estimate bit-for-bit
+    dup = spark.createDataFrame(uniq * 3, "grp string, val string")
+    r2 = kmv_distinct(dup, ["grp"], "val", k=256).collect()[0]
+    assert r2["est_distinct"] == r["est_distinct"]
+    assert r2["n_hash_distinct"] == r["n_hash_distinct"]
+
+
+def test_group_quantiles_exact_interpolation(spark):
+    from fame2pygen_spark.operators.sketch import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)] + [("b", 10.0)],
+        "grp string, value double",
+    )
+    out = {r["grp"]: r for r in group_quantiles(
+        df, ["grp"], "value", [0.25, 0.5, 0.999]
+    ).collect()}
+    # linear interpolation at p*(n-1): n=4 -> p50 at idx 1.5 = 2.5
+    a = out["a"]
+    assert a["n"] == 4
+    assert a["p25"] == 1.75 and a["p50"] == 2.5
+    assert abs(a["p99_9"] - (3 + 0.997)) < 1e-6
+    b = out["b"]
+    assert b["n"] == 1 and b["p50"] == 10.0
+
+
+def test_group_quantiles_approx_bounds_error(spark):
+    from fame2pygen_spark.operators.sketch import group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(10_000)], "grp string, value double"
+    )
+    probs = [0.25, 0.5, 0.9]
+    exact = group_quantiles(df, ["grp"], "value", probs).collect()[0]
+    approx = group_quantiles(
+        df, ["grp"], "value", probs, approx=True, accuracy=10_000
+    ).collect()[0]
+    assert approx["n"] == exact["n"] == 10_000
+    for c in ("p25", "p50", "p90"):
+        # t-digest rank error <= n/accuracy = 1 rank -> value error <= 2
+        assert abs(approx[c] - exact[c]) <= 2.0
