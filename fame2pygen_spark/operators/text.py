@@ -16,6 +16,9 @@ verify results value-for-value.
 
 from __future__ import annotations
 
+import math
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import (  # noqa: F401  (normalized_text/fingerprint re-exported)
@@ -28,7 +31,7 @@ __all__ = [
     "tokens", "token_count", "word_token_count", "char_count",
     "punct_count", "stopword_ratio", "quality_score", "language_scores",
     "detect_language", "normalized_text", "text_fingerprint",
-    "text_profile", "tfidf_top_terms", "chunk_documents",
+    "text_profile", "tfidf_top_terms", "chunk_documents", "bm25_rank",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -508,4 +511,87 @@ def chunk_documents(
         F.col("chunk_start").cast("long").alias("chunk_start"),
         F.length(chunk).cast("long").alias("chunk_len"),
         chunk.alias("chunk_text"),
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-*top_n* documents for a bag-of-words query under BM25
+    (Robertson/Sparck-Jones; the ``ln(1 + (N-df+0.5)/(df+0.5))``
+    non-negative idf variant used by Lucene): ``(doc_id, score, dl)``
+    plus one ``tf_<i>`` count per query term.
+
+    Plan shape — fully row-local scoring, one 1-row reduce, one top-n:
+    per-document term frequencies come from ``F.filter`` over the
+    staged token array (no explode, no (doc, term) shuffle — the query
+    has only a handful of terms, so k array scans per row beat a
+    vocabulary-wide aggregation), corpus statistics (N, avgdl, per-term
+    df) are a single global aggregate, and the final ranking is an
+    ``ORDER BY … LIMIT n`` — Spark plans TakeOrderedAndProject, a
+    per-partition heap + driver merge of n rows, never a full sort.
+    Scores round to 6 dp with the doc id as tie-break so the ranking
+    is reproducible across engines.
+
+    The corpus-stats aggregate is materialized driver-side into
+    literals (same documented pattern as ``tfidf_top_terms``'s
+    ``df.count()``): one job over the already-reduced per-doc counts,
+    whose 1-row result parameterizes the scoring expressions.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    df = _parallelize_input(df)
+
+    toks = tokens(F.col(text_col))
+
+    # single-arg lambda via a factory: a second (default) parameter
+    # would make F.filter treat the lambda as (element, index)
+    def _eq(term: str):
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    tf_cols = {
+        f"tf_{i}": F.size(F.filter(toks, _eq(t))).cast("long")
+        for i, t in enumerate(terms)
+    }
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[c.alias(n) for n, c in tf_cols.items()],
+    )
+
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["avgdl"] or 0.0)
+
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        dfreq = float(stats[f"df_{i}"])
+        idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        tf = F.col(f"tf_{i}").cast("double")
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(max(avgdl, 1e-9))
+        )
+        score = score + F.lit(idf) * F.try_divide(tf * F.lit(k1 + 1.0), norm)
+
+    scored = per_doc.withColumn("score", F.round(score, 6))
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(top_n))
     )

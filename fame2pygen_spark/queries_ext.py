@@ -1731,6 +1731,163 @@ FROM events GROUP BY event_type
 """
 
 
+def q_x31_funnel(spark, sf_dir):
+    """Ordered funnel (operators/behavior.py:funnel_conversion):
+    signup → click → purchase within 7 days of the signup.  The oracle
+    replicates the sequential-conditional-minimum mechanism step by
+    step, not just the counts."""
+    from .operators.behavior import funnel_conversion
+
+    ev = _read_events(spark, sf_dir)
+    return funnel_conversion(
+        ev,
+        ["signup", "click", "purchase"],
+        within_us=7 * 86_400_000_000,
+    )
+
+
+SQL_X31 = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_us) AS t1
+  FROM e WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MAX(s1.t1) AS t1,
+         MIN(CASE WHEN e.ts_us > s1.t1
+                   AND e.ts_us - s1.t1 <= 604800000000
+                  THEN e.ts_us END) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+  HAVING MIN(CASE WHEN e.ts_us > s1.t1
+                   AND e.ts_us - s1.t1 <= 604800000000
+                  THEN e.ts_us END) IS NOT NULL
+), s3 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.ts_us > s2.t2
+                   AND e.ts_us - s2.t1 <= 604800000000
+                  THEN e.ts_us END) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+  HAVING MIN(CASE WHEN e.ts_us > s2.t2
+                   AND e.ts_us - s2.t1 <= 604800000000
+                  THEN e.ts_us END) IS NOT NULL
+), counts AS (
+  SELECT 1 AS step_idx, 'signup' AS step, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / FIRST_VALUE(CAST(n_users AS DOUBLE))
+               OVER (ORDER BY step_idx), 6) AS pct_of_first
+FROM counts
+"""
+
+
+def q_x32_cohort_retention(spark, sf_dir):
+    """Cohort retention (operators/behavior.py:cohort_retention):
+    day-bucketed first-activity cohorts, retention at offsets 0/1/7."""
+    from .operators.behavior import cohort_retention
+
+    ev = _read_events(spark, sf_dir)
+    return cohort_retention(ev, offsets=(0, 1, 7))
+
+
+SQL_X32 = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), c AS (
+  SELECT u, MIN(day) AS cohort_day FROM a GROUP BY u
+), per AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM a JOIN c USING (u)
+  WHERE a.day - c.cohort_day IN (0, 1, 7)
+  GROUP BY 1, 2
+), s AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM c GROUP BY 1
+)
+SELECT per.cohort_day, per.day_offset, per.n_active, s.n_cohort,
+       ROUND(CAST(per.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+FROM per JOIN s USING (cohort_day)
+"""
+
+
+#: x33 query terms + BM25 parameters (shared by query and oracle)
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1, _BM25_B, _BM25_TOPN = 1.2, 0.75, 10
+
+
+def q_x33_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (operators/text.py:bm25_rank): top-10
+    documents for a 3-term query.  The oracle recomputes the entire
+    mechanism in SQL — per-doc tf via list_filter, corpus stats (N,
+    avgdl, df) as a CTE aggregate, the Lucene ln(1+(N-df+.5)/(df+.5))
+    idf, and the (k1, b) normalization — no literal injection."""
+    from .operators.text import bm25_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_rank(
+        docs, "text", "doc_id", _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B, top_n=_BM25_TOPN,
+    )
+
+
+def _sql_x33() -> str:
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(string_split(nt, ' '), x -> x = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    score_terms = " + ".join(
+        f"ln(1 + (st.n - st.df_{i} + 0.5) / (st.df_{i} + 0.5))"
+        f" * (d.tf_{i} * {k1 + 1.0})"
+        f" / (d.tf_{i} + {k1} * ({1.0 - b} + {b} * d.dl / st.avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_cols = ", ".join(
+        f"CAST(d.tf_{i} AS BIGINT) AS tf_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN 0
+              ELSE len(string_split(nt, ' ')) END AS dl,
+         {tf_exprs}
+  FROM t
+), st AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+         {df_exprs}
+  FROM d
+), sc AS (
+  SELECT d.doc_id, CAST(d.dl AS BIGINT) AS dl, {tf_cols},
+         ROUND({score_terms}, 6) AS score
+  FROM d, st
+)
+SELECT * FROM sc WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOPN}
+"""
+
+
+SQL_X33 = _sql_x33()
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -1764,6 +1921,9 @@ EXT_QUERIES = {
     "x28_context_windows": q_x28_context_windows,
     "x29_kmv_distinct": q_x29_kmv_distinct,
     "x30_group_quantiles": q_x30_group_quantiles,
+    "x31_funnel": q_x31_funnel,
+    "x32_cohort_retention": q_x32_cohort_retention,
+    "x33_bm25": q_x33_bm25,
 }
 
 EXT_ORACLES = {
@@ -1799,4 +1959,7 @@ EXT_ORACLES = {
     "x28_context_windows": SQL_X28,
     "x29_kmv_distinct": SQL_X29,
     "x30_group_quantiles": SQL_X30,
+    "x31_funnel": SQL_X31,
+    "x32_cohort_retention": SQL_X32,
+    "x33_bm25": SQL_X33,
 }

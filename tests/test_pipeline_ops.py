@@ -420,3 +420,74 @@ def test_group_quantiles_approx_bounds_error(spark):
     for c in ("p25", "p50", "p90"):
         # t-digest rank error <= n/accuracy = 1 rank -> value error <= 2
         assert abs(approx[c] - exact[c]) <= 2.0
+
+
+def test_funnel_conversion_ordering_and_window(spark):
+    from fame2pygen_spark.operators.behavior import funnel_conversion
+
+    H = 3_600_000_000  # 1h in µs
+    rows = [
+        # u1 completes in order
+        (1, "signup", 1 * H), (1, "click", 2 * H), (1, "purchase", 3 * H),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "signup", 1 * H), (2, "purchase", 2 * H), (2, "click", 3 * H),
+        # u3: click only -> never enters the funnel
+        (3, "click", 1 * H),
+        # u4: click at exactly t1 (not strictly after) -> stops at signup
+        (4, "signup", 5 * H), (4, "click", 5 * H),
+        # u5: completes but the purchase is outside the window
+        (5, "signup", 0), (5, "click", 1 * H), (5, "purchase", 50 * H),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    out = {r["step"]: r for r in funnel_conversion(
+        ev, ["signup", "click", "purchase"], within_us=10 * H
+    ).collect()}
+    assert out["signup"]["n_users"] == 4      # u1 u2 u4 u5
+    assert out["click"]["n_users"] == 3       # u1 u2 u5 (u4 tie excluded)
+    assert out["purchase"]["n_users"] == 1    # u1 only (u5 out of window)
+    assert out["signup"]["pct_of_first"] == 1.0
+    assert out["purchase"]["pct_of_first"] == 0.25
+
+
+def test_cohort_retention_planted(spark):
+    from fame2pygen_spark.operators.behavior import cohort_retention
+
+    D = 86_400_000_000
+    rows = [
+        # cohort day 0: u1 returns day 1 and 7; u2 only day 0
+        (1, 0), (1, 1 * D), (1, 7 * D),
+        (2, 0),
+        # cohort day 2: u3 returns day 3 (offset 1)
+        (3, 2 * D), (3, 3 * D),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    out = {(r["cohort_day"], r["day_offset"]): r for r in
+           cohort_retention(ev, offsets=(0, 1, 7)).collect()}
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["n_cohort"] == 2
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+    assert out[(0, 7)]["n_active"] == 1
+    assert out[(2, 1)]["n_active"] == 1 and out[(2, 1)]["n_cohort"] == 1
+    assert (2, 7) not in out  # no activity -> no row
+
+
+def test_bm25_rank_formula_and_ordering(spark):
+    import math
+
+    from fame2pygen_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "spark other words here"),
+         (3, "nothing relevant at all"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = bm25_rank(docs, "text", "doc_id", ["spark"], top_n=10).collect()
+    # doc 3 and the empty doc score 0 -> excluded
+    ids = [r["doc_id"] for r in out]
+    assert ids == [1, 2]  # higher tf and shorter dl rank first
+    # replicate the closed form for doc 1: N=4, df=2, avgdl=(3+4+4+0)/4
+    n, dfq, avgdl, k1, b = 4, 2, 11 / 4, 1.2, 0.75
+    idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+    tf, dl = 2, 3
+    expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(out[0]["score"] - round(expect, 6)) < 1e-9
+    assert out[0]["tf_0"] == 2 and out[0]["dl"] == 3
