@@ -20,7 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["funnel_conversion", "cohort_retention"]
+__all__ = ["funnel_conversion", "cohort_retention", "event_transitions"]
 
 #: one day in microseconds — the default cohort/retention bucket
 DAY_US = 86_400_000_000
@@ -154,6 +154,55 @@ def cohort_retention(
             F.try_divide(
                 F.col("n_active").cast("double"),
                 F.col("n_cohort").cast("double"),
+            ),
+            6,
+        ),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order path transitions: for each consecutive event pair in
+    a user's timeline, ``(from_type, to_type, n, p)`` where ``p`` is
+    the row-normalized transition probability (the empirical Markov
+    chain over event types).
+
+    Plan shape: one user-keyed window (``lag`` over the per-user
+    timeline — the single shuffle), then an aggregation to the
+    |types|² transition matrix, which is tiny; the normalizing row sum
+    is a window over that tiny frame.  *id_col* breaks timestamp ties
+    deterministically (same-µs events would otherwise make ``lag``
+    nondeterministic across engines); pass ``None`` if the timestamp
+    is already unique per user.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            *([F.col(id_col)] if id_col else []),
+            F.col(ts_col),
+            F.col(type_col).alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    row = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.try_divide(
+                F.col("n").cast("double"),
+                F.sum("n").over(row).cast("double"),
             ),
             6,
         ),

@@ -1888,6 +1888,35 @@ ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOPN}
 SQL_X33 = _sql_x33()
 
 
+def q_x34_event_transitions(spark, sf_dir):
+    """Empirical Markov transition matrix over per-user event paths
+    (operators/behavior.py:event_transitions), event_id as the
+    deterministic same-µs tie-break."""
+    from .operators.behavior import event_transitions
+
+    ev = _read_events(spark, sf_dir)
+    return event_transitions(ev)
+
+
+SQL_X34 = """
+WITH p AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS from_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -1924,6 +1953,7 @@ EXT_QUERIES = {
     "x31_funnel": q_x31_funnel,
     "x32_cohort_retention": q_x32_cohort_retention,
     "x33_bm25": q_x33_bm25,
+    "x34_event_transitions": q_x34_event_transitions,
 }
 
 EXT_ORACLES = {
@@ -1962,4 +1992,5 @@ EXT_ORACLES = {
     "x31_funnel": SQL_X31,
     "x32_cohort_retention": SQL_X32,
     "x33_bm25": SQL_X33,
+    "x34_event_transitions": SQL_X34,
 }

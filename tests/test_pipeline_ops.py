@@ -491,3 +491,29 @@ def test_bm25_rank_formula_and_ordering(spark):
     expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
     assert abs(out[0]["score"] - round(expect, 6)) < 1e-9
     assert out[0]["tf_0"] == 2 and out[0]["dl"] == 3
+
+
+def test_event_transitions_counts_and_rownorm(spark):
+    from fame2pygen_spark.operators.behavior import event_transitions
+
+    rows = [
+        # u1 path: a -> b -> a -> c ; u2 path: a -> b
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "c"),
+        (5, 2, 10, "a"), (6, 2, 20, "b"),
+        # tie on ts: event_id orders 7 before 8 -> b -> c, not c -> b
+        (7, 3, 10, "b"), (8, 3, 10, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    )
+    out = {(r["from_type"], r["to_type"]): r
+           for r in event_transitions(ev).collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "c")]["n"] == 1
+    assert out[("b", "c")]["n"] == 1
+    assert ("c", "b") not in out
+    # row-normalized: from 'a' -> b (2/3), c (1/3); from 'b' -> a,c (1/2)
+    assert out[("a", "b")]["p"] == round(2 / 3, 6)
+    assert out[("a", "c")]["p"] == round(1 / 3, 6)
+    assert out[("b", "a")]["p"] == 0.5
