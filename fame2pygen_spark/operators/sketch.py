@@ -28,7 +28,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["kmv_distinct", "group_quantiles"]
+__all__ = [
+    "kmv_distinct", "group_quantiles", "countmin_sketch",
+    "countmin_estimate",
+]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
 #: as mixing.uniform_hash01; DuckDB spells the hash
@@ -152,4 +155,114 @@ def group_quantiles(
         cols.append(F.round(q, 6).alias(name))
     return df.groupBy(*group_cols).agg(
         F.count(value_col).cast("long").alias("n"), *cols
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 3,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of a value stream (Cormode & Muthukrishnan,
+    J. Algorithms 2005): a ``depth × width`` counter table
+    ``(r, bucket, c)`` where row *r* hashes each value with an
+    independent md5-derived function and counts per bucket.
+
+    Deterministic column algebra end-to-end (md5-prefix hashing, one
+    explode into *depth* (r, bucket) keys, one groupBy) — so, unlike
+    engine-internal sketches, every counter is reproducible in ANSI
+    SQL.  The sketch is ``depth × width`` cells regardless of input
+    size, mergeable by cell-wise addition across partitions, shards,
+    or days; the build is one uniform-key shuffle of *depth* rows per
+    input value with map-side partial aggregation absorbing the
+    duplicate-heavy mass.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    cells = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (_hash64(F.col(value_col), f"{salt}:{r}") % width)
+            .cast("long")
+            .alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*cells)).alias("cell"))
+        .groupBy(
+            F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def countmin_estimate(
+    df: DataFrame,
+    value_col: str,
+    probes: Sequence[str],
+    *,
+    depth: int = 3,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min frequency estimates for *probes*: ``(term, true_n,
+    est_n)`` with the sketch guarantee ``est_n >= true_n`` (collisions
+    only ever add).
+
+    The probe side is a literal frame of |probes| × depth (r, bucket)
+    keys; the sketch (``depth × width`` rows — KBs) joins broadcast,
+    and the estimate is the min counter across rows.  True counts come
+    from one filtered aggregation of the same stream — included so the
+    estimate is self-auditing; at 100 TB you would keep only the
+    sketch path (bounded state) and drop the exact pass.
+    """
+    probes = [str(p) for p in probes]
+    sketch = countmin_sketch(
+        df, value_col, depth=depth, width=width, salt=salt
+    )
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes], f"term string"
+    )
+    keys = probe_df.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (_hash64(F.col("term"), f"{salt}:{r}") % width)
+                        .cast("long")
+                        .alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", F.col("cell.r").alias("r"),
+             F.col("cell.bucket").alias("bucket"))
+
+    from pyspark.sql.functions import broadcast
+
+    est = (
+        keys.join(broadcast(sketch), on=["r", "bucket"], how="left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
+    )
+    true_n = (
+        df.where(F.col(value_col).isin(probes))
+        .groupBy(F.col(value_col).alias("term"))
+        .agg(F.count("*").cast("long").alias("true_n"))
+    )
+    return (
+        est.join(true_n, on="term", how="left")
+        .select(
+            "term",
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+            F.col("est_n").cast("long").alias("est_n"),
+        )
     )

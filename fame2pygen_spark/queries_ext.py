@@ -1917,6 +1917,76 @@ FROM c
 """
 
 
+#: x35 probe terms + CMS parameters (shared by query and oracle)
+_CMS_PROBES = ["spark", "table", "the", "vector", "query", "zzz_absent"]
+_CMS_DEPTH, _CMS_WIDTH = 3, 1024
+
+
+def q_x35_countmin(spark, sf_dir):
+    """Count-min frequency estimates (operators/sketch.py): token
+    stream over documents, 3×1024 sketch, probe terms incl. an absent
+    one.  Every counter is md5-derived column algebra, so the oracle
+    rebuilds the full sketch in SQL."""
+    from .operators.sketch import countmin_estimate
+    from .operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    return countmin_estimate(
+        words, "word", _CMS_PROBES, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+def _sql_x35() -> str:
+    w = _CMS_WIDTH
+
+    def bucket(expr: str, r: int) -> str:
+        return (
+            f"('0x' || substr(md5('cms:{r}:' || {expr}), 1, 8))::BIGINT"
+            f" % {w}"
+        )
+
+    cell_rows = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket('word', r)} AS bucket FROM words"
+        for r in range(_CMS_DEPTH)
+    )
+    key_rows = "\n  UNION ALL ".join(
+        f"SELECT term, {r} AS r, {bucket('term', r)} AS bucket FROM probes"
+        for r in range(_CMS_DEPTH)
+    )
+    probe_list = ", ".join(f"'{p}'" for p in _CMS_PROBES)
+    return f"""
+WITH t AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), words AS (
+  SELECT unnest(string_split(nt, ' ')) AS word FROM t WHERE nt <> ''
+), cells AS (
+  {cell_rows}
+), sk AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cells GROUP BY 1, 2
+), probes AS (
+  SELECT unnest([{probe_list}]) AS term
+), keys AS (
+  {key_rows}
+), est AS (
+  SELECT term, MIN(COALESCE(sk.c, 0)) AS est_n
+  FROM keys LEFT JOIN sk USING (r, bucket) GROUP BY term
+), tr AS (
+  SELECT word AS term, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM words WHERE word IN ({probe_list}) GROUP BY 1
+)
+SELECT est.term,
+       CAST(COALESCE(tr.true_n, 0) AS BIGINT) AS true_n,
+       CAST(est.est_n AS BIGINT) AS est_n
+FROM est LEFT JOIN tr ON est.term = tr.term
+"""
+
+
+SQL_X35 = _sql_x35()
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -1954,6 +2024,7 @@ EXT_QUERIES = {
     "x32_cohort_retention": q_x32_cohort_retention,
     "x33_bm25": q_x33_bm25,
     "x34_event_transitions": q_x34_event_transitions,
+    "x35_countmin": q_x35_countmin,
 }
 
 EXT_ORACLES = {
@@ -1993,4 +2064,5 @@ EXT_ORACLES = {
     "x32_cohort_retention": SQL_X32,
     "x33_bm25": SQL_X33,
     "x34_event_transitions": SQL_X34,
+    "x35_countmin": SQL_X35,
 }

@@ -517,3 +517,25 @@ def test_event_transitions_counts_and_rownorm(spark):
     assert out[("a", "b")]["p"] == round(2 / 3, 6)
     assert out[("a", "c")]["p"] == round(1 / 3, 6)
     assert out[("b", "a")]["p"] == 0.5
+
+
+def test_countmin_overestimates_never_under(spark):
+    from fame2pygen_spark.operators.sketch import (
+        countmin_estimate, countmin_sketch,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "word string")
+    out = {r["term"]: r for r in countmin_estimate(
+        df, "word", ["a", "b", "c", "absent"], depth=3, width=64
+    ).collect()}
+    for term, true_n in (("a", 100), ("b", 10), ("c", 1), ("absent", 0)):
+        r = out[term]
+        assert r["true_n"] == true_n
+        assert r["est_n"] >= true_n  # CMS guarantee: only overestimates
+    # total mass conservation per sketch row
+    sk = countmin_sketch(df, "word", depth=3, width=64).collect()
+    per_row: dict[int, int] = {}
+    for cell in sk:
+        per_row[cell["r"]] = per_row.get(cell["r"], 0) + cell["c"]
+    assert per_row == {0: 111, 1: 111, 2: 111}
