@@ -95,7 +95,43 @@ def stratified_sample_join(
     ).drop("rate")
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    id_col: str,
+    *,
+    k: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic uniform sample: rank rows
+    inside each group by their md5 hash (a uniform random order that
+    every engine and every rerun agrees on) and keep the k smallest.
+
+    Distributionally equivalent to per-group reservoir sampling, but
+    stateless and mergeable: the bottom-k of a union is the bottom-k
+    of the per-shard bottom-k's, so shards/days can be sampled
+    independently and re-reduced.  One shuffle on the group key; the
+    rank window never holds more than a partition's rows, and groups
+    with fewer than k rows pass through whole.  Output adds
+    ``sample_rank`` (1-based hash rank).
+
+    For probability (rate-based) sampling use
+    :func:`stratified_sample`; this is the fixed-quota variant.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(
+        uniform_hash01(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
 def split_corpus(
+
     df: DataFrame,
     id_col: str,
     *,

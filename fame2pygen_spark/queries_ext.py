@@ -1987,6 +1987,36 @@ FROM est LEFT JOIN tr ON est.term = tr.term
 SQL_X35 = _sql_x35()
 
 
+def q_x36_group_sample(spark, sf_dir):
+    """Exactly-k-per-group deterministic sample
+    (operators/mixing.py:sample_per_group): 20 documents per source by
+    md5-hash rank — the mergeable bottom-k equivalent of per-group
+    reservoir sampling."""
+    from .operators.mixing import sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_per_group(
+        docs.select("doc_id", "source"), ["source"], "doc_id", k=20
+    )
+
+
+SQL_X36 = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS hm
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY hm ASC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 20
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2025,6 +2055,7 @@ EXT_QUERIES = {
     "x33_bm25": q_x33_bm25,
     "x34_event_transitions": q_x34_event_transitions,
     "x35_countmin": q_x35_countmin,
+    "x36_group_sample": q_x36_group_sample,
 }
 
 EXT_ORACLES = {
@@ -2065,4 +2096,5 @@ EXT_ORACLES = {
     "x33_bm25": SQL_X33,
     "x34_event_transitions": SQL_X34,
     "x35_countmin": SQL_X35,
+    "x36_group_sample": SQL_X36,
 }

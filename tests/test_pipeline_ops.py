@@ -539,3 +539,32 @@ def test_countmin_overestimates_never_under(spark):
     for cell in sk:
         per_row[cell["r"]] = per_row.get(cell["r"], 0) + cell["c"]
     assert per_row == {0: 111, 1: 111, 2: 111}
+
+
+def test_sample_per_group_quota_and_mergeability(spark):
+    from fame2pygen_spark.operators.mixing import sample_per_group
+
+    rows = [(i, "big") for i in range(100)] + [(1000, "tiny"), (1001, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sample_per_group(df, ["grp"], "doc_id", k=5).collect()
+    by_grp: dict[str, list] = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert len(by_grp["big"]) == 5
+    assert sorted(r["sample_rank"] for r in by_grp["big"]) == [1, 2, 3, 4, 5]
+    # short group passes through whole
+    assert len(by_grp["tiny"]) == 2
+    # mergeable: bottom-k of shard-wise bottom-k == global bottom-k
+    shard_a = df.where(F.col("doc_id") % 2 == 0)
+    shard_b = df.where(F.col("doc_id") % 2 == 1)
+    merged = sample_per_group(
+        sample_per_group(shard_a, ["grp"], "doc_id", k=5)
+        .drop("sample_rank")
+        .unionByName(
+            sample_per_group(shard_b, ["grp"], "doc_id", k=5)
+            .drop("sample_rank")
+        ),
+        ["grp"], "doc_id", k=5,
+    )
+    direct = {(r["grp"], r["doc_id"]) for r in out}
+    assert {(r["grp"], r["doc_id"]) for r in merged.collect()} == direct
