@@ -20,7 +20,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["funnel_conversion", "cohort_retention", "event_transitions"]
+__all__ = [
+    "funnel_conversion", "cohort_retention", "event_transitions",
+    "value_outliers", "inter_arrival_quantiles",
+]
 
 #: one day in microseconds — the default cohort/retention bucket
 DAY_US = 86_400_000_000
@@ -213,3 +216,75 @@ def event_transitions(
             6,
         ),
     )
+
+
+def value_outliers(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: appends ``z`` (population
+    z-score of *value_col* within its group, 6 dp) and ``is_outlier``
+    (``|z| > z_threshold``; false where the group is constant).
+
+    Plan shape: one tiny per-group aggregate (mean + population
+    stddev — |groups| rows), broadcast-joined back onto the stream;
+    the score itself is row-local arithmetic inside the scan stage.
+    Population stddev (``stddev_pop``) rather than sample: its
+    definition is engine-identical, so the oracle reproduces it
+    bit-for-bit.
+    """
+    stats = events.groupBy(group_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sigma"),
+    )
+    z = F.round(
+        F.try_divide(F.col(value_col) - F.col("__mu"), F.col("__sigma")), 6
+    )
+    return (
+        events.join(F.broadcast(stats), on=group_col)
+        .withColumn("z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("z")) > F.lit(float(z_threshold)),
+                       F.lit(False)),
+        )
+        .drop("__mu", "__sigma")
+    )
+
+
+def inter_arrival_quantiles(
+    events: DataFrame,
+    probs: Sequence[float] = (0.5, 0.9),
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Distribution of same-user inter-arrival gaps per event type:
+    for each type, the exact quantiles (µs) of the gap between a
+    user's consecutive events of that type, plus the gap count.
+
+    Plan shape: one (user, type)-keyed window (``lag`` — the single
+    big shuffle), then :func:`~fame2pygen_spark.operators.sketch.
+    group_quantiles` over the gap stream grouped by type (|types|
+    rows).  *id_col* breaks same-µs ties deterministically.
+    """
+    from .sketch import group_quantiles
+
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(user_col, type_col).orderBy(*order)
+    gaps = (
+        events.select(
+            F.col(user_col), F.col(type_col).alias("event_type"),
+            *([F.col(id_col)] if id_col else []), F.col(ts_col),
+        )
+        .withColumn(
+            "gap_us", F.col(ts_col) - F.lag(ts_col).over(w)
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    return group_quantiles(gaps, ["event_type"], "gap_us", list(probs))

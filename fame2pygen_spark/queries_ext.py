@@ -2017,6 +2017,61 @@ SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 20
 """
 
 
+def q_x37_value_outliers(spark, sf_dir):
+    """Per-type z-score outlier flagging
+    (operators/behavior.py:value_outliers) — only the flagged rows, so
+    the result is small and the broadcast-join + row-local arithmetic
+    mechanism is what the oracle checks."""
+    from .operators.behavior import value_outliers
+
+    ev = _read_events(spark, sf_dir)
+    out = value_outliers(ev, z_threshold=3.0)
+    return out.where(F.col("is_outlier")).select(
+        "event_id", "event_type", "value", "z", "is_outlier"
+    )
+
+
+SQL_X37 = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND((e.value - s.mu) / s.sigma, 6) AS z
+  FROM events e JOIN s USING (event_type)
+)
+SELECT event_id, event_type, value, z, TRUE AS is_outlier
+FROM z WHERE abs(z) > 3.0
+"""
+
+
+def q_x38_inter_arrival(spark, sf_dir):
+    """Same-user inter-arrival gap quantiles per event type
+    (operators/behavior.py:inter_arrival_quantiles): one
+    (user, type)-keyed lag window feeding exact group quantiles."""
+    from .operators.behavior import inter_arrival_quantiles
+
+    ev = _read_events(spark, sf_dir)
+    return inter_arrival_quantiles(ev, (0.5, 0.9))
+
+
+SQL_X38 = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n,
+       ROUND(quantile_cont(gap_us, 0.5), 6) AS p50,
+       ROUND(quantile_cont(gap_us, 0.9), 6) AS p90
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2056,6 +2111,8 @@ EXT_QUERIES = {
     "x34_event_transitions": q_x34_event_transitions,
     "x35_countmin": q_x35_countmin,
     "x36_group_sample": q_x36_group_sample,
+    "x37_value_outliers": q_x37_value_outliers,
+    "x38_inter_arrival": q_x38_inter_arrival,
 }
 
 EXT_ORACLES = {
@@ -2097,4 +2154,6 @@ EXT_ORACLES = {
     "x34_event_transitions": SQL_X34,
     "x35_countmin": SQL_X35,
     "x36_group_sample": SQL_X36,
+    "x37_value_outliers": SQL_X37,
+    "x38_inter_arrival": SQL_X38,
 }

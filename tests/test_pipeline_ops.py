@@ -568,3 +568,34 @@ def test_sample_per_group_quota_and_mergeability(spark):
     )
     direct = {(r["grp"], r["doc_id"]) for r in out}
     assert {(r["grp"], r["doc_id"]) for r in merged.collect()} == direct
+
+
+def test_value_outliers_flags_planted_spike(spark):
+    from fame2pygen_spark.operators.behavior import value_outliers
+
+    rows = [(i, "a", 10.0 + (i % 2)) for i in range(40)] + [(99, "a", 1e6)]
+    rows += [(200, "b", 5.0), (201, "b", 5.0)]  # constant group
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in value_outliers(ev).collect()}
+    assert out[99]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    # constant group: sigma 0 -> null z -> flagged false, never null
+    assert out[200]["is_outlier"] is False and out[200]["z"] is None
+
+
+def test_inter_arrival_quantiles_planted(spark):
+    from fame2pygen_spark.operators.behavior import inter_arrival_quantiles
+
+    rows = [
+        (1, 1, "a", 0), (2, 1, "a", 10), (3, 1, "a", 30),   # gaps 10, 20
+        (4, 2, "a", 100), (5, 2, "a", 140),                 # gap 40
+        (6, 3, "b", 0),                                     # no gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    )
+    out = {r["event_type"]: r for r in
+           inter_arrival_quantiles(ev, (0.5,)).collect()}
+    a = out["a"]
+    assert a["n"] == 3 and a["p50"] == 20.0  # median of 10, 20, 40
+    assert "b" not in out  # single event -> no gaps -> no row
