@@ -32,6 +32,7 @@ __all__ = [
     "punct_count", "stopword_ratio", "quality_score", "language_scores",
     "detect_language", "normalized_text", "text_fingerprint",
     "text_profile", "tfidf_top_terms", "chunk_documents", "bm25_rank",
+    "term_cooccurrence_pmi",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -594,4 +595,83 @@ def bm25_rank(
         scored.where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(top_n))
+    )
+
+
+def term_cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_count: int = 5,
+    max_terms_per_doc: int = 50,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top document-level term-pair associations by pointwise mutual
+    information: ``(term_a, term_b, n_ab, n_a, n_b, pmi)`` with
+    ``term_a < term_b``, ranked by ``pmi`` (6 dp, pair as tie-break).
+
+    PMI over document co-occurrence: ``ln(N * n_ab / (n_a * n_b))``
+    with N the document count and n_* document frequencies.
+
+    Scale shape — the quadratic step is explicitly bounded: each
+    document contributes its DISTINCT terms only, capped at
+    *max_terms_per_doc* by in-document frequency (count desc, term asc
+    — deterministic), so pair generation is an in-doc self-join of at
+    most m terms → ≤ m(m-1)/2 rows per doc, linear in corpus size for
+    fixed m.  Pairs and unigram frequencies are uniform-key hash
+    aggregations; the *min_count* filter prunes the long tail BEFORE
+    the final ranking, and the ranking itself is ORDER BY + LIMIT
+    (TakeOrderedAndProject heap).  One driver-side ``count()`` for N
+    (the documented literal-stats pattern).
+    """
+    n_docs = df.count()
+    df = _parallelize_input(df)
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("__c"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__c").desc(), F.col("term").asc()
+    )
+    kept = (
+        per_doc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_terms_per_doc)
+        .select("doc_id", "term")
+    )
+
+    uni = kept.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), on="doc_id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n").alias("n_b"))
+    scored = (
+        pairs.join(ua, on="term_a")
+        .join(ub, on="term_b")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("n_ab")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(int(top_n)).select(
+        "term_a", "term_b", "n_ab", "n_a", "n_b", "pmi"
     )

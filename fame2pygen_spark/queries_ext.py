@@ -2072,6 +2072,57 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
 """
 
 
+def q_x39_term_pmi(spark, sf_dir):
+    """Document-level PMI term associations
+    (operators/text.py:term_cooccurrence_pmi): bounded per-doc pair
+    generation (distinct terms capped at 50 by in-doc frequency),
+    min_count=5 tail pruning, top-100 by PMI."""
+    from .operators.text import term_cooccurrence_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return term_cooccurrence_pmi(
+        docs, "text", "doc_id", min_count=5, max_terms_per_doc=50,
+        top_n=100,
+    )
+
+
+SQL_X39 = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+  FROM t WHERE nt <> ''
+), pd AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), kept AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY c DESC, term ASC
+           ) AS rn
+    FROM pd
+  ) WHERE rn <= 50
+), uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY 1
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.term_a, p.term_b, p.n_ab,
+       ua.n AS n_a, ub.n AS n_b,
+       ROUND(ln((SELECT COUNT(*) FROM documents) * p.n_ab
+                / (ua.n * ub.n)), 6) AS pmi
+FROM pairs p
+JOIN uni ua ON p.term_a = ua.term
+JOIN uni ub ON p.term_b = ub.term
+ORDER BY pmi DESC, p.term_a ASC, p.term_b ASC LIMIT 100
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2113,6 +2164,7 @@ EXT_QUERIES = {
     "x36_group_sample": q_x36_group_sample,
     "x37_value_outliers": q_x37_value_outliers,
     "x38_inter_arrival": q_x38_inter_arrival,
+    "x39_term_pmi": q_x39_term_pmi,
 }
 
 EXT_ORACLES = {
@@ -2156,4 +2208,5 @@ EXT_ORACLES = {
     "x36_group_sample": SQL_X36,
     "x37_value_outliers": SQL_X37,
     "x38_inter_arrival": SQL_X38,
+    "x39_term_pmi": SQL_X39,
 }

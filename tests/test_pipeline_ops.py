@@ -599,3 +599,34 @@ def test_inter_arrival_quantiles_planted(spark):
     a = out["a"]
     assert a["n"] == 3 and a["p50"] == 20.0  # median of 10, 20, 40
     assert "b" not in out  # single event -> no gaps -> no row
+
+
+def test_term_cooccurrence_pmi_planted(spark):
+    import math
+
+    from fame2pygen_spark.operators.text import term_cooccurrence_pmi
+
+    # "x y" co-occur in 3 of 6 docs; "x z" in only 1 (below min_count)
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x y"), (4, "x z"), (5, "y q"), (6, "q r")],
+        "doc_id long, text string",
+    )
+    out = term_cooccurrence_pmi(
+        docs, "text", "doc_id", min_count=2, max_terms_per_doc=10
+    ).collect()
+    pairs = {(r["term_a"], r["term_b"]): r for r in out}
+    assert ("x", "z") not in pairs  # pruned by min_count
+    xy = pairs[("x", "y")]
+    assert xy["n_ab"] == 3 and xy["n_a"] == 4 and xy["n_b"] == 4
+    assert xy["pmi"] == round(math.log(6 * 3 / (4 * 4)), 6)
+    # cap: a doc with many distinct terms contributes at most m
+    wide = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))] * 2
+        + [(2, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string",
+    ).dropDuplicates(["doc_id"])
+    capped = term_cooccurrence_pmi(
+        wide, "text", "doc_id", min_count=2, max_terms_per_doc=4
+    ).collect()
+    # 4 kept terms -> at most C(4,2)=6 distinct pairs
+    assert len(capped) <= 6
