@@ -2123,6 +2123,54 @@ ORDER BY pmi DESC, p.term_a ASC, p.term_b ASC LIMIT 100
 """
 
 
+def q_x40_revenue_rollup(spark, sf_dir):
+    """Hierarchical revenue rollup over the star schema
+    (operators/olap.py:rollup_summary): lineitem facts with
+    broadcast-joined supplier→nation→region dims, subtotals at
+    (region, nation) / (region) / grand total in ONE Expand+hash-agg
+    pass.  Decimal-cast sum for order-insensitive float stability
+    (the x10 idiom)."""
+    from .operators.olap import rollup_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    fact = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .withColumn(
+            "__rev",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            ),
+        )
+    )
+    return rollup_summary(
+        fact,
+        ["r_name", "n_name"],
+        {
+            "n_rows": F.count("*").cast("long"),
+            "revenue": F.round(F.sum("__rev").cast("double"), 6),
+        },
+    )
+
+
+SQL_X40 = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS grouping_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2165,6 +2213,7 @@ EXT_QUERIES = {
     "x37_value_outliers": q_x37_value_outliers,
     "x38_inter_arrival": q_x38_inter_arrival,
     "x39_term_pmi": q_x39_term_pmi,
+    "x40_revenue_rollup": q_x40_revenue_rollup,
 }
 
 EXT_ORACLES = {
@@ -2209,4 +2258,5 @@ EXT_ORACLES = {
     "x37_value_outliers": SQL_X37,
     "x38_inter_arrival": SQL_X38,
     "x39_term_pmi": SQL_X39,
+    "x40_revenue_rollup": SQL_X40,
 }

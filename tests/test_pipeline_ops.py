@@ -630,3 +630,28 @@ def test_term_cooccurrence_pmi_planted(spark):
     ).collect()
     # 4 kept terms -> at most C(4,2)=6 distinct pairs
     assert len(capped) <= 6
+
+
+def test_rollup_and_cube_summary_grouping_ids(spark):
+    from fame2pygen_spark.operators.olap import cube_summary, rollup_summary
+
+    df = spark.createDataFrame(
+        [("r1", "n1", 1.0), ("r1", "n2", 2.0), ("r2", "n3", 4.0)],
+        "r string, n string, v double",
+    )
+    measures = {"total": F.sum("v")}
+    roll = {(r["r"], r["n"]): r for r in
+            rollup_summary(df, ["r", "n"], measures).collect()}
+    # detail + per-r subtotal + grand total = 3 + 2 + 1 rows
+    assert len(roll) == 6
+    assert roll[("r1", None)]["total"] == 3.0
+    assert roll[("r1", None)]["grouping_id"] == 1
+    assert roll[(None, None)]["total"] == 7.0
+    assert roll[(None, None)]["grouping_id"] == 3
+    assert roll[("r1", "n1")]["grouping_id"] == 0
+
+    cube = cube_summary(df, ["r", "n"], measures).collect()
+    # cube adds the per-n slice: 6 rollup rows + 3 (None, n) rows
+    assert len(cube) == 9
+    per_n = {r["n"]: r for r in cube if r["grouping_id"] == 2}
+    assert per_n["n1"]["total"] == 1.0 and per_n["n3"]["total"] == 4.0
