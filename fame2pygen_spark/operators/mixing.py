@@ -130,7 +130,46 @@ def sample_per_group(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    salt: str = "wmix",
+) -> DataFrame:
+    """Weighted k-per-group sample without replacement — the
+    Efraimidis-Spirakis A-ES scheme (IPL 2006): each row draws key
+    ``-ln(u) / w`` from its deterministic uniform ``u`` and weight
+    ``w``; the k SMALLEST keys per group are the sample, giving each
+    row inclusion probability proportional to its weight at every
+    prefix.
+
+    Same scale/mergeability contract as :func:`sample_per_group` (the
+    key is row-local, so shard-wise bottom-k then re-reduce is exact);
+    ``u`` is offset by half a hash step so it is never 0 and the key
+    stays finite.  Rows with null or non-positive weight are excluded
+    — a zero-weight row must never be sampled.  Output adds
+    ``sample_rank``.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    group_cols = list(group_cols)
+    u = uniform_hash01(F.col(id_col), salt) + F.lit(0.5 / _HASH_RANGE)
+    key = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
 def split_corpus(
+
 
     df: DataFrame,
     id_col: str,

@@ -2171,6 +2171,38 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_x41_weighted_sample(spark, sf_dir):
+    """Weighted k-per-group sample (operators/mixing.py:
+    weighted_sample_per_group, Efraimidis-Spirakis keys): 15 docs per
+    source weighted by n_chars.  The oracle recomputes the
+    -ln(u)/w key exactly."""
+    from .operators.mixing import weighted_sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"], "doc_id", "n_chars", k=15,
+    )
+
+
+SQL_X41 = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         -ln(('0x' || substr(md5('wmix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 + 0.5 / 4294967296.0) / n_chars AS key
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY key ASC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, n_chars, sample_rank
+FROM r WHERE sample_rank <= 15
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2214,6 +2246,7 @@ EXT_QUERIES = {
     "x38_inter_arrival": q_x38_inter_arrival,
     "x39_term_pmi": q_x39_term_pmi,
     "x40_revenue_rollup": q_x40_revenue_rollup,
+    "x41_weighted_sample": q_x41_weighted_sample,
 }
 
 EXT_ORACLES = {
@@ -2259,4 +2292,5 @@ EXT_ORACLES = {
     "x38_inter_arrival": SQL_X38,
     "x39_term_pmi": SQL_X39,
     "x40_revenue_rollup": SQL_X40,
+    "x41_weighted_sample": SQL_X41,
 }

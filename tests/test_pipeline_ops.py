@@ -655,3 +655,32 @@ def test_rollup_and_cube_summary_grouping_ids(spark):
     assert len(cube) == 9
     per_n = {r["n"]: r for r in cube if r["grouping_id"] == 2}
     assert per_n["n1"]["total"] == 1.0 and per_n["n3"]["total"] == 4.0
+
+
+def test_weighted_sample_per_group_bias_and_exclusions(spark):
+    from fame2pygen_spark.operators.mixing import weighted_sample_per_group
+
+    # one heavy row among many light ones; zero/null weights excluded
+    rows = [(i, "g", 1.0) for i in range(200)]
+    rows[7] = (7, "g", 10_000.0)
+    rows += [(900, "g", 0.0), (901, "g", None)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = weighted_sample_per_group(df, ["grp"], "doc_id", "w", k=20).collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(out) == 20
+    assert 7 in ids          # ~10k× weight -> virtually certain inclusion
+    assert 900 not in ids and 901 not in ids
+    assert sorted(r["sample_rank"] for r in out) == list(range(1, 21))
+    # mergeability: shard-wise bottom-k then re-reduce equals direct
+    a = df.where(F.col("doc_id") % 2 == 0)
+    b = df.where(F.col("doc_id") % 2 == 1)
+    merged = weighted_sample_per_group(
+        weighted_sample_per_group(a, ["grp"], "doc_id", "w", k=20)
+        .drop("sample_rank")
+        .unionByName(
+            weighted_sample_per_group(b, ["grp"], "doc_id", "w", k=20)
+            .drop("sample_rank")
+        ),
+        ["grp"], "doc_id", "w", k=20,
+    )
+    assert {r["doc_id"] for r in merged.collect()} == ids
