@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "kmv_distinct", "group_quantiles", "countmin_sketch",
-    "countmin_estimate",
+    "countmin_estimate", "group_histogram",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -265,4 +265,48 @@ def countmin_estimate(
             F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
             F.col("est_n").cast("long").alias("est_n"),
         )
+    )
+
+
+def group_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Per-group equi-width histogram over [*lo*, *hi*): ``(group,
+    bin, bin_lo, bin_hi, n)`` with ``bin = floor((v - lo) / width)``,
+    values below *lo* clamped into bin 0 and values ≥ *hi* into the
+    last bin (so every non-null value is counted exactly once and the
+    bin count is fixed).
+
+    The bin edges are caller-supplied constants, so the histogram is
+    one map-side bin assignment plus one hash aggregation bounded by
+    |groups| × *bins* — no data-dependent statistics pass, no driver
+    action, deterministic across engines.  Empty bins emit no row
+    (sparse output; densify by joining a ``sequence`` frame if a
+    fixed-shape vector is needed).
+    """
+    if bins < 1:
+        raise ValueError("bins must be positive")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    group_cols = list(group_cols)
+    width = (float(hi) - float(lo)) / bins
+    raw = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "bin_lo", F.round(F.lit(float(lo)) + F.col("bin") * width, 6)
+        )
+        .withColumn(
+            "bin_hi", F.round(F.lit(float(lo)) + (F.col("bin") + 1) * width, 6)
+        )
+        .select(*group_cols, "bin", "bin_lo", "bin_hi", "n")
     )

@@ -2203,6 +2203,34 @@ FROM r WHERE sample_rank <= 15
 """
 
 
+def q_x42_histogram(spark, sf_dir):
+    """Per-type equi-width histogram of event values
+    (operators/sketch.py:group_histogram): 20 bins over [0, 1000) with
+    boundary clamping — one map-side bin assignment + one bounded
+    hash aggregation."""
+    from .operators.sketch import group_histogram
+
+    ev = _read_events(spark, sf_dir)
+    return group_histogram(
+        ev, ["event_type"], "value", lo=0.0, hi=1000.0, bins=20
+    )
+
+
+SQL_X42 = """
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 50.0), 0), 19)
+              AS BIGINT) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin,
+       ROUND(0.0 + bin * 50.0, 6) AS bin_lo,
+       ROUND(0.0 + (bin + 1) * 50.0, 6) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2247,6 +2275,7 @@ EXT_QUERIES = {
     "x39_term_pmi": q_x39_term_pmi,
     "x40_revenue_rollup": q_x40_revenue_rollup,
     "x41_weighted_sample": q_x41_weighted_sample,
+    "x42_histogram": q_x42_histogram,
 }
 
 EXT_ORACLES = {
@@ -2293,4 +2322,5 @@ EXT_ORACLES = {
     "x39_term_pmi": SQL_X39,
     "x40_revenue_rollup": SQL_X40,
     "x41_weighted_sample": SQL_X41,
+    "x42_histogram": SQL_X42,
 }

@@ -684,3 +684,22 @@ def test_weighted_sample_per_group_bias_and_exclusions(spark):
         ["grp"], "doc_id", "w", k=20,
     )
     assert {r["doc_id"] for r in merged.collect()} == ids
+
+
+def test_group_histogram_bins_and_clamping(spark):
+    from fame2pygen_spark.operators.sketch import group_histogram
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.0), ("g", 9.9), ("g", 10.0), ("g", 25.0),
+         ("g", 100.0), ("g", 999.0), ("g", None)],
+        "grp string, v double",
+    )
+    out = {r["bin"]: r for r in group_histogram(
+        df, ["grp"], "v", lo=0.0, hi=100.0, bins=10
+    ).collect()}
+    assert out[0]["n"] == 3          # -5 clamped in, 0.0, 9.9
+    assert out[1]["n"] == 1          # 10.0 opens bin 1
+    assert out[2]["n"] == 1          # 25.0
+    assert out[9]["n"] == 2          # 100.0 and 999.0 clamp to last bin
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 10.0
+    assert sum(r["n"] for r in out.values()) == 7  # null dropped
