@@ -1,16 +1,19 @@
-"""User-behavior analytics over event tables: ordered funnels and
-cohort retention.
+"""User-behavior analytics over event tables: ordered funnels, cohort
+retention, Markov path transitions, outlier flagging, and
+inter-arrival statistics.
 
 Not present in the reference — north-star training/product-analytics
 surface (the published formulations: ordered funnel via sequential
-conditional minima, cohort retention via first-activity bucketing —
-both standard SQL-era analytics, no proprietary semantics).
+conditional minima, cohort retention via first-activity bucketing,
+first-order transition matrices, z-score outliers — all standard
+SQL-era analytics, no proprietary semantics).
 
-Scale shape: every aggregation and join in this module is keyed by the
-user id — a uniform high-cardinality key — so each operator is a small
-fixed number of co-partitioned user-keyed shuffles.  Event-type
-filters sit directly on the scan (predicate pushdown), and the final
-per-step / per-cohort outputs are tiny (≤ steps, ≤ cohorts×offsets
+Scale shape: every large aggregation, window, and join in this module
+is keyed by the user id — a uniform high-cardinality key — so each
+operator is a small fixed number of co-partitioned user-keyed
+shuffles (plus broadcast joins of tiny per-group statistics).
+Event-type filters sit directly on the scan (predicate pushdown), and
+the final outputs are tiny (≤ steps, ≤ cohorts×offsets, ≤ |types|²
 rows).  No driver-side actions, no per-row Python.
 """
 
