@@ -2231,6 +2231,41 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_x43_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy self-match on part names
+    (operators/linkage.py:fuzzy_self_pairs): head-noun blocking,
+    length-band prune, Levenshtein ≤ 3."""
+    from .operators.linkage import fuzzy_self_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_self_pairs(
+        part.select("p_partkey", "p_name"), "p_name", "p_partkey",
+        max_distance=3,
+    )
+
+
+SQL_X43 = """
+WITH base AS (
+  SELECT p_partkey AS id, p_name AS text,
+         regexp_extract(lower(p_name), '[^ ]+$') AS bk,
+         length(p_name) AS len
+  FROM part
+), capped AS (
+  SELECT id, text, bk, len FROM (
+    SELECT id, text, bk, len,
+           ROW_NUMBER() OVER (PARTITION BY bk ORDER BY id) AS rn
+    FROM base
+  ) WHERE rn <= 1000
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       a.text AS text_a, b.text AS text_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS distance
+FROM capped a JOIN capped b
+  ON a.bk = b.bk AND a.id < b.id AND abs(a.len - b.len) <= 3
+WHERE levenshtein(a.text, b.text) <= 3
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2276,6 +2311,7 @@ EXT_QUERIES = {
     "x40_revenue_rollup": q_x40_revenue_rollup,
     "x41_weighted_sample": q_x41_weighted_sample,
     "x42_histogram": q_x42_histogram,
+    "x43_fuzzy_match": q_x43_fuzzy_match,
 }
 
 EXT_ORACLES = {
@@ -2323,4 +2359,5 @@ EXT_ORACLES = {
     "x40_revenue_rollup": SQL_X40,
     "x41_weighted_sample": SQL_X41,
     "x42_histogram": SQL_X42,
+    "x43_fuzzy_match": SQL_X43,
 }
