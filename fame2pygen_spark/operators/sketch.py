@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "kmv_distinct", "group_quantiles", "countmin_sketch",
-    "countmin_estimate", "group_histogram",
+    "countmin_estimate", "group_histogram", "winsorize",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -309,4 +309,51 @@ def group_histogram(
             "bin_hi", F.round(F.lit(float(lo)) + (F.col("bin") + 1) * width, 6)
         )
         .select(*group_cols, "bin", "bin_lo", "bin_hi", "n")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+) -> DataFrame:
+    """Per-group quantile clipping (winsorization): appends
+    ``<value>_w`` (the value clipped into the group's
+    [*lower_p*, *upper_p*] exact quantiles, 6 dp) and ``clipped``
+    (whether the row was moved).
+
+    Standard robust preprocessing before scaling-sensitive models.
+    Plan shape: one exact-percentile aggregate per group (|groups|
+    rows — see :func:`group_quantiles` for the exact-vs-t-digest
+    trade-off), broadcast back onto the stream; clipping is row-local
+    arithmetic inside the scan stage.  Null values pass through
+    unclipped.
+    """
+    if not 0.0 <= lower_p < upper_p <= 1.0:
+        raise ValueError("need 0 <= lower_p < upper_p <= 1")
+    group_cols = list(group_cols)
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile(`{value_col}`, {float(lower_p)})").alias("__lo"),
+        F.expr(f"percentile(`{value_col}`, {float(upper_p)})").alias("__hi"),
+    )
+    v = F.col(value_col)
+    # explicit null passthrough: Spark's greatest/least SKIP nulls, so
+    # a bare least(greatest(v, lo), hi) would clip null to lo
+    clipped = F.when(
+        v.isNotNull(),
+        F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6),
+    )
+    return (
+        df.join(F.broadcast(bounds), on=group_cols)
+        .withColumn(f"{value_col}_w", clipped)
+        .withColumn(
+            "clipped",
+            F.when(v.isNull(), F.lit(False)).otherwise(
+                (v < F.col("__lo")) | (v > F.col("__hi"))
+            ),
+        )
+        .drop("__lo", "__hi")
     )

@@ -2266,6 +2266,37 @@ WHERE levenshtein(a.text, b.text) <= 3
 """
 
 
+def q_x44_winsorize(spark, sf_dir):
+    """Per-type quantile winsorization (operators/sketch.py:
+    winsorize): clip event values into [p01, p99]; only clipped rows
+    returned so the result is small."""
+    from .operators.sketch import winsorize
+
+    ev = _read_events(spark, sf_dir)
+    out = winsorize(ev, ["event_type"], "value")
+    return out.where(F.col("clipped")).select(
+        "event_id", "event_type", "value", "value_w", "clipped"
+    )
+
+
+SQL_X44 = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+), w AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS value_w,
+         (e.value < b.lo OR e.value > b.hi) AS clipped
+  FROM events e JOIN b USING (event_type)
+  WHERE e.value IS NOT NULL
+)
+SELECT event_id, event_type, value, value_w, clipped
+FROM w WHERE clipped
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2312,6 +2343,7 @@ EXT_QUERIES = {
     "x41_weighted_sample": q_x41_weighted_sample,
     "x42_histogram": q_x42_histogram,
     "x43_fuzzy_match": q_x43_fuzzy_match,
+    "x44_winsorize": q_x44_winsorize,
 }
 
 EXT_ORACLES = {
@@ -2360,4 +2392,5 @@ EXT_ORACLES = {
     "x41_weighted_sample": SQL_X41,
     "x42_histogram": SQL_X42,
     "x43_fuzzy_match": SQL_X43,
+    "x44_winsorize": SQL_X44,
 }

@@ -734,3 +734,17 @@ def test_fuzzy_self_pairs_block_cap_bounds_candidates(spark):
     )
     out = fuzzy_self_pairs(df, "name", "id", max_distance=0, max_block=10)
     assert out.count() == 45  # C(10,2)
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from fame2pygen_spark.operators.sketch import winsorize
+
+    vals = [float(i) for i in range(101)]  # p01=1.0, p99=99.0 exactly
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", None)], "grp string, value double"
+    )
+    out = {r["value"]: r for r in winsorize(df, ["grp"], "value").collect()}
+    assert out[0.0]["value_w"] == 1.0 and out[0.0]["clipped"] is True
+    assert out[100.0]["value_w"] == 99.0 and out[100.0]["clipped"] is True
+    assert out[50.0]["value_w"] == 50.0 and out[50.0]["clipped"] is False
+    assert out[None]["value_w"] is None and out[None]["clipped"] is False
