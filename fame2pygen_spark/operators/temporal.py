@@ -34,7 +34,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join_points"]
+__all__ = ["asof_join", "range_join_points", "fill_gaps_daily"]
 
 
 def asof_join(
@@ -170,3 +170,67 @@ def range_join_points(
         & (F.col(point_col) < F.col(end_col))
     )
     return joined.select(*intervals.columns, *pt_cols)
+
+
+def fill_gaps_daily(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    order_tiebreak: str | None = "event_id",
+    day_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Regularize an irregular event stream onto a dense per-entity
+    daily grid with forward fill: one row per (entity, day) between the
+    entity's first and last activity — ``value_filled`` carries the
+    day's closing value (last event of the day, deterministic
+    tie-break) forward across gap days, ``is_observed`` marks real
+    observations.
+
+    The time-series scaffold pattern: per-entity span (min/max day, one
+    reduce), ``sequence`` + ``explode`` to the dense grid (bounded by
+    the span, row-local), LEFT join of the per-day closing values
+    (entity-keyed, co-partitioned), then a forward-fill window
+    (``last(..., ignorenulls=True)`` over an unbounded-preceding
+    frame).  Every shuffle is keyed by the entity id; grid size — not
+    event count — bounds the output.
+    """
+    day = (F.col(ts_col) - (F.col(ts_col) % F.lit(day_us))) / F.lit(day_us)
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        day.cast("long").alias("day"),
+        F.col(ts_col).alias("__ts"),
+        *([F.col(order_tiebreak).alias("__tb")] if order_tiebreak else []),
+        F.col(value_col).alias("__v"),
+    )
+    order = [F.col("__ts").desc()] + (
+        [F.col("__tb").desc()] if order_tiebreak else []
+    )
+    w_close = Window.partitionBy("entity", "day").orderBy(*order)
+    closing = (
+        base.withColumn("__rn", F.row_number().over(w_close))
+        .where(F.col("__rn") == 1)
+        .select("entity", "day", F.col("__v").alias("day_close"))
+    )
+    grid = (
+        base.groupBy("entity")
+        .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(
+            "entity",
+            F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias("day"),
+        )
+    )
+    w_ff = (
+        Window.partitionBy("entity")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(closing, on=["entity", "day"], how="left")
+        .withColumn(
+            "value_filled", F.last("day_close", ignorenulls=True).over(w_ff)
+        )
+        .withColumn("is_observed", F.col("day_close").isNotNull())
+        .select("entity", "day", "value_filled", "is_observed")
+    )

@@ -2297,6 +2297,47 @@ FROM w WHERE clipped
 """
 
 
+def q_x45_gap_fill(spark, sf_dir):
+    """Dense per-user daily grid with forward fill
+    (operators/temporal.py:fill_gaps_daily): scaffold each user's
+    activity span, carry the day-close value across gap days."""
+    from .operators.temporal import fill_gaps_daily
+
+    ev = _read_events(spark, sf_dir)
+    return fill_gaps_daily(ev).withColumnRenamed("entity", "user_id")
+
+
+SQL_X45 = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+), closing AS (
+  SELECT user_id, day, value AS day_close FROM (
+    SELECT user_id, day, value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, day
+             ORDER BY ts_us DESC, event_id DESC
+           ) AS rn
+    FROM e
+  ) WHERE rn = 1
+), span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+)
+SELECT g.user_id, g.day,
+       LAST_VALUE(c.day_close IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       c.day_close IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN closing c
+  ON g.user_id = c.user_id AND g.day = c.day
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2344,6 +2385,7 @@ EXT_QUERIES = {
     "x42_histogram": q_x42_histogram,
     "x43_fuzzy_match": q_x43_fuzzy_match,
     "x44_winsorize": q_x44_winsorize,
+    "x45_gap_fill": q_x45_gap_fill,
 }
 
 EXT_ORACLES = {
@@ -2393,4 +2435,5 @@ EXT_ORACLES = {
     "x42_histogram": SQL_X42,
     "x43_fuzzy_match": SQL_X43,
     "x44_winsorize": SQL_X44,
+    "x45_gap_fill": SQL_X45,
 }

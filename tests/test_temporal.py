@@ -129,3 +129,28 @@ def test_range_join_replication_is_bounded(spark):
         pts, iv, point_col="p", start_col="s", end_col="e", bucket_width=7
     )
     assert out.count() == 1  # matched once despite 10 interval copies
+
+
+def test_fill_gaps_daily_scaffold_and_ffill(spark):
+    from fame2pygen_spark.operators.temporal import fill_gaps_daily
+
+    D = 86_400_000_000
+    rows = [
+        # u1: day 0 (two events, later one closes at 9.0), gap, day 3
+        (1, 1, 0 * D + 100, 5.0), (2, 1, 0 * D + 200, 9.0),
+        (3, 1, 3 * D, 7.0),
+        # u2: single day
+        (4, 2, 10 * D, 1.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    out = {(r["entity"], r["day"]): r for r in fill_gaps_daily(ev).collect()}
+    assert len(out) == 5  # u1 days 0..3, u2 day 10
+    assert out[(1, 0)]["value_filled"] == 9.0   # day close, not first event
+    assert out[(1, 0)]["is_observed"] is True
+    assert out[(1, 1)]["value_filled"] == 9.0   # forward-filled
+    assert out[(1, 1)]["is_observed"] is False
+    assert out[(1, 2)]["value_filled"] == 9.0
+    assert out[(1, 3)]["value_filled"] == 7.0
+    assert out[(2, 10)]["value_filled"] == 1.5
