@@ -2338,6 +2338,55 @@ FROM grid g LEFT JOIN closing c
 """
 
 
+def q_x46_pivot(spark, sf_dir):
+    """Explicit-value cross-tab (sources/reshape.py:pivot_table):
+    per-weekday event counts and value sums per event type — one hash
+    aggregation, static schema, no pivot-inference job."""
+    from .sources.reshape import pivot_table
+
+    ev = _read_events(spark, sf_dir)
+    # ISO weekday 1..7 from the µs epoch (1970-01-01 was a Thursday=4)
+    ev = ev.withColumn(
+        "weekday", (F.expr("ts_us div 86400000000") + 3) % 7 + 1
+    )
+    counts = pivot_table(
+        ev, ["event_type"], "weekday", [1, 2, 3, 4, 5, 6, 7]
+    )
+    sums = pivot_table(
+        ev, ["event_type"], "weekday", [6, 7], "value", agg="sum"
+    )
+    sums = sums.select(
+        "event_type",
+        F.col("weekday_6").alias("wknd_sat_value"),
+        F.col("weekday_7").alias("wknd_sun_value"),
+    )
+    return counts.join(sums, on="event_type")
+
+
+SQL_X46 = """
+WITH e AS (
+  SELECT event_type, value,
+         (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS weekday
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN weekday = 1 THEN 1 ELSE 0 END) AS BIGINT) AS weekday_1,
+       CAST(SUM(CASE WHEN weekday = 2 THEN 1 ELSE 0 END) AS BIGINT) AS weekday_2,
+       CAST(SUM(CASE WHEN weekday = 3 THEN 1 ELSE 0 END) AS BIGINT) AS weekday_3,
+       CAST(SUM(CASE WHEN weekday = 4 THEN 1 ELSE 0 END) AS BIGINT) AS weekday_4,
+       CAST(SUM(CASE WHEN weekday = 5 THEN 1 ELSE 0 END) AS BIGINT) AS weekday_5,
+       CAST(SUM(CASE WHEN weekday = 6 THEN 1 ELSE 0 END) AS BIGINT) AS weekday_6,
+       CAST(SUM(CASE WHEN weekday = 7 THEN 1 ELSE 0 END) AS BIGINT) AS weekday_7,
+       ROUND(CAST(SUM(CASE WHEN weekday = 6
+                           THEN CAST(value AS DECIMAL(18,6)) END)
+                  AS DOUBLE), 6) AS wknd_sat_value,
+       ROUND(CAST(SUM(CASE WHEN weekday = 7
+                           THEN CAST(value AS DECIMAL(18,6)) END)
+                  AS DOUBLE), 6) AS wknd_sun_value
+FROM e GROUP BY event_type
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2386,6 +2435,7 @@ EXT_QUERIES = {
     "x43_fuzzy_match": q_x43_fuzzy_match,
     "x44_winsorize": q_x44_winsorize,
     "x45_gap_fill": q_x45_gap_fill,
+    "x46_pivot": q_x46_pivot,
 }
 
 EXT_ORACLES = {
@@ -2436,4 +2486,5 @@ EXT_ORACLES = {
     "x43_fuzzy_match": SQL_X43,
     "x44_winsorize": SQL_X44,
     "x45_gap_fill": SQL_X45,
+    "x46_pivot": SQL_X46,
 }

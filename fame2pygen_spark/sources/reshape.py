@@ -53,3 +53,49 @@ def long_to_wide(
     """
     p = df.groupBy(date_col).pivot(entity_col, series)
     return p.agg(F.first(value_col))
+
+
+def pivot_table(
+    df,
+    row_cols,
+    pivot_col: str,
+    pivot_values,
+    value_col: str | None = None,
+    *,
+    agg: str = "count",
+):
+    """Cross-tabulation with an EXPLICIT pivot-value list: one output
+    column per value in *pivot_values* (``<pivot_col>_<value>``), one
+    row per *row_cols* group.
+
+    ``agg``: ``count`` (rows matching the pivot value) or ``sum`` (of
+    *value_col*, decimal-cast for order-insensitive float stability).
+
+    Passing the value list explicitly matters twice at scale: the
+    output schema is static (no schema-inference pass over the data —
+    Spark's ``pivot()`` without values runs a distinct job first), and
+    the plan is a single hash aggregation with one conditional
+    aggregate per column — no Expand, no second shuffle.  Unlisted
+    pivot values are ignored (add an 'other' bucket explicitly if
+    needed).
+    """
+    from pyspark.sql import functions as F
+
+    row_cols = list(row_cols)
+    cols = []
+    for v in pivot_values:
+        name = f"{pivot_col}_{v}"
+        match = F.col(pivot_col) == v
+        if agg == "count":
+            c = F.sum(F.when(match, 1).otherwise(0)).cast("long")
+        elif agg == "sum":
+            c = F.round(
+                F.sum(
+                    F.when(match, F.col(value_col).cast("decimal(18,6)"))
+                ).cast("double"),
+                6,
+            )
+        else:
+            raise ValueError(f"unsupported agg: {agg}")
+        cols.append(c.alias(name))
+    return df.groupBy(*row_cols).agg(*cols)

@@ -748,3 +748,23 @@ def test_winsorize_clips_to_group_quantiles(spark):
     assert out[100.0]["value_w"] == 99.0 and out[100.0]["clipped"] is True
     assert out[50.0]["value_w"] == 50.0 and out[50.0]["clipped"] is False
     assert out[None]["value_w"] is None and out[None]["clipped"] is False
+
+
+def test_pivot_table_counts_and_sums(spark):
+    from fame2pygen_spark.sources.reshape import pivot_table
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 4.0),
+         ("b", "y", 8.0), ("b", "z", 16.0)],  # z not in the value list
+        "grp string, piv string, v double",
+    )
+    out = {r["grp"]: r for r in pivot_table(
+        df, ["grp"], "piv", ["x", "y"]
+    ).collect()}
+    assert out["a"]["piv_x"] == 2 and out["a"]["piv_y"] == 1
+    assert out["b"]["piv_x"] == 0 and out["b"]["piv_y"] == 1  # z ignored
+    sums = {r["grp"]: r for r in pivot_table(
+        df, ["grp"], "piv", ["x", "y"], "v", agg="sum"
+    ).collect()}
+    assert sums["a"]["piv_x"] == 3.0 and sums["a"]["piv_y"] == 4.0
+    assert sums["b"]["piv_x"] is None  # no matching rows -> null sum
