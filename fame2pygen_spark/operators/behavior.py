@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = [
     "funnel_conversion", "cohort_retention", "event_transitions",
     "value_outliers", "inter_arrival_quantiles",
+    "last_touch_attribution",
 ]
 
 #: one day in microseconds — the default cohort/retention bucket
@@ -291,3 +292,66 @@ def inter_arrival_quantiles(
         .where(F.col("gap_us").isNotNull())
     )
     return group_quantiles(gaps, ["event_type"], "gap_us", list(probs))
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    lookback_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    same user's most recent *touch_type* event at-or-before it, when
+    that touch falls within *lookback_us*; ``attributed`` is false (and
+    the touch columns null) otherwise.
+
+    Composition of :func:`~fame2pygen_spark.operators.temporal.
+    asof_join` (the union+window zero-candidate-pairs formulation) over
+    the two type-filtered event subsets — one user-keyed shuffle, O(1)
+    per-key state, no pair materialization.  Because the as-of picks
+    the LATEST prior touch, applying the lookback afterwards is
+    lossless: if the latest touch is too old, every earlier touch is
+    older still.
+
+    Output: *user_col*, ``conversion_id``, ``conv_ts_us``,
+    ``touch_id``, ``touch_ts_us``, ``attributed``.
+    """
+    from .temporal import asof_join
+
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col),
+    )
+    touch = events.where(F.col(type_col) == touch_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col),
+    )
+    j = asof_join(
+        conv,
+        touch,
+        on=[user_col],
+        left_time=ts_col,
+        right_time=ts_col,
+        value_cols=["touch_id"],
+        right_order="touch_id",
+        suffix="_touch",
+    )
+    in_window = (
+        F.col(f"{ts_col}_touch").isNotNull()
+        & (F.col(ts_col) - F.col(f"{ts_col}_touch") <= F.lit(lookback_us))
+    )
+    return j.select(
+        F.col(user_col),
+        F.col("conversion_id"),
+        F.col(ts_col).alias("conv_ts_us"),
+        F.when(in_window, F.col("touch_id_touch")).alias("touch_id"),
+        F.when(in_window, F.col(f"{ts_col}_touch")).alias("touch_ts_us"),
+        in_window.alias("attributed"),
+    )

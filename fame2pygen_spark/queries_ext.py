@@ -2387,6 +2387,43 @@ FROM e GROUP BY event_type
 """
 
 
+def q_x47_attribution(spark, sf_dir):
+    """Last-touch attribution (operators/behavior.py:
+    last_touch_attribution, composed from temporal.asof_join):
+    purchases credited to the same user's most recent click within
+    3 days."""
+    from .operators.behavior import last_touch_attribution
+
+    ev = _read_events(spark, sf_dir)
+    return last_touch_attribution(ev, lookback_us=3 * 86_400_000_000)
+
+
+SQL_X47 = """
+WITH c AS (
+  SELECT user_id, event_id AS conversion_id, epoch_us(ts) AS conv_ts_us
+  FROM events WHERE event_type = 'purchase'
+), k AS (
+  SELECT user_id, event_id AS touch_id, epoch_us(ts) AS touch_ts_us
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT c.user_id, c.conversion_id, c.conv_ts_us,
+         k.touch_id, k.touch_ts_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.conversion_id
+           ORDER BY k.touch_ts_us DESC NULLS LAST,
+                    k.touch_id DESC NULLS LAST
+         ) AS rn
+  FROM c LEFT JOIN k
+    ON c.user_id = k.user_id
+   AND k.touch_ts_us <= c.conv_ts_us
+   AND c.conv_ts_us - k.touch_ts_us <= 259200000000
+)
+SELECT user_id, conversion_id, conv_ts_us, touch_id, touch_ts_us,
+       touch_id IS NOT NULL AS attributed
+FROM j WHERE rn = 1
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2436,6 +2473,7 @@ EXT_QUERIES = {
     "x44_winsorize": q_x44_winsorize,
     "x45_gap_fill": q_x45_gap_fill,
     "x46_pivot": q_x46_pivot,
+    "x47_attribution": q_x47_attribution,
 }
 
 EXT_ORACLES = {
@@ -2487,4 +2525,5 @@ EXT_ORACLES = {
     "x44_winsorize": SQL_X44,
     "x45_gap_fill": SQL_X45,
     "x46_pivot": SQL_X46,
+    "x47_attribution": SQL_X47,
 }

@@ -768,3 +768,31 @@ def test_pivot_table_counts_and_sums(spark):
     ).collect()}
     assert sums["a"]["piv_x"] == 3.0 and sums["a"]["piv_y"] == 4.0
     assert sums["b"]["piv_x"] is None  # no matching rows -> null sum
+
+
+def test_last_touch_attribution_window_and_ties(spark):
+    from fame2pygen_spark.operators.behavior import last_touch_attribution
+
+    H = 3_600_000_000
+    rows = [
+        # u1: clicks at 1h and 2h, purchase at 3h -> credited to click@2h
+        (10, 1, "click", 1 * H), (11, 1, "click", 2 * H),
+        (12, 1, "purchase", 3 * H),
+        # u1 second purchase at 50h: last click 48h earlier -> outside 24h
+        (13, 1, "purchase", 50 * H),
+        # u2: click tie on ts -> greatest touch_id wins
+        (20, 2, "click", 1 * H), (21, 2, "click", 1 * H),
+        (22, 2, "purchase", 1 * H),  # inclusive at equal ts
+        # u3: purchase with no clicks at all
+        (30, 3, "purchase", 5 * H),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    )
+    out = {r["conversion_id"]: r for r in last_touch_attribution(
+        ev, lookback_us=24 * H
+    ).collect()}
+    assert out[12]["touch_id"] == 11 and out[12]["attributed"] is True
+    assert out[13]["touch_id"] is None and out[13]["attributed"] is False
+    assert out[22]["touch_id"] == 21  # tie -> greatest id
+    assert out[30]["attributed"] is False and out[30]["touch_ts_us"] is None
