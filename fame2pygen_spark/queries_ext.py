@@ -2424,6 +2424,34 @@ FROM j WHERE rn = 1
 """
 
 
+def q_x48_group_ranks(spark, sf_dir):
+    """Per-type percent-rank / empirical CDF / deciles
+    (operators/ranking.py:group_ranks) over event values, event_id as
+    the ntile tie-break."""
+    from .operators.ranking import group_ranks
+
+    ev = _read_events(spark, sf_dir)
+    return group_ranks(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], "value", "event_id",
+    )
+
+
+SQL_X48 = """
+SELECT event_id, event_type, value,
+       ROUND(PERCENT_RANK() OVER (
+         PARTITION BY event_type ORDER BY value ASC
+       ), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (
+         PARTITION BY event_type ORDER BY value ASC
+       ), 6) AS cdf,
+       CAST(NTILE(10) OVER (
+         PARTITION BY event_type ORDER BY value ASC, event_id ASC
+       ) AS BIGINT) AS bucket
+FROM events
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2474,6 +2502,7 @@ EXT_QUERIES = {
     "x45_gap_fill": q_x45_gap_fill,
     "x46_pivot": q_x46_pivot,
     "x47_attribution": q_x47_attribution,
+    "x48_group_ranks": q_x48_group_ranks,
 }
 
 EXT_ORACLES = {
@@ -2526,4 +2555,5 @@ EXT_ORACLES = {
     "x45_gap_fill": SQL_X45,
     "x46_pivot": SQL_X46,
     "x47_attribution": SQL_X47,
+    "x48_group_ranks": SQL_X48,
 }

@@ -796,3 +796,25 @@ def test_last_touch_attribution_window_and_ties(spark):
     assert out[13]["touch_id"] is None and out[13]["attributed"] is False
     assert out[22]["touch_id"] == 21  # tie -> greatest id
     assert out[30]["attributed"] is False and out[30]["touch_ts_us"] is None
+
+
+def test_group_ranks_definitions(spark):
+    from fame2pygen_spark.operators.ranking import group_ranks
+
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", 20.0), (3, "g", 20.0), (4, "g", 40.0)],
+        "id long, grp string, value double",
+    )
+    out = {r["id"]: r for r in group_ranks(
+        df, ["grp"], "value", "id", buckets=2
+    ).collect()}
+    # percent_rank = (rank-1)/(n-1); ties share rank
+    assert out[1]["pct_rank"] == 0.0
+    assert out[2]["pct_rank"] == out[3]["pct_rank"] == round(1 / 3, 6)
+    assert out[4]["pct_rank"] == 1.0
+    # cume_dist counts peers inclusively
+    assert out[1]["cdf"] == 0.25
+    assert out[2]["cdf"] == out[3]["cdf"] == 0.75
+    assert out[4]["cdf"] == 1.0
+    # ntile(2) splits 4 ordered rows deterministically (tie by id)
+    assert [out[i]["bucket"] for i in (1, 2, 3, 4)] == [1, 1, 2, 2]
