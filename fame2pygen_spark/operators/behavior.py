@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = [
     "funnel_conversion", "cohort_retention", "event_transitions",
     "value_outliers", "inter_arrival_quantiles",
-    "last_touch_attribution",
+    "last_touch_attribution", "top_session_paths",
 ]
 
 #: one day in microseconds — the default cohort/retention bucket
@@ -354,4 +354,65 @@ def last_touch_attribution(
         F.when(in_window, F.col("touch_id_touch")).alias("touch_id"),
         F.when(in_window, F.col(f"{ts_col}_touch")).alias("touch_ts_us"),
         in_window.alias("attributed"),
+    )
+
+
+def top_session_paths(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+    max_steps: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Most common session-opening paths: sessionize by inactivity gap
+    (the lag + running-sum formulation), render each session's first
+    *max_steps* event types as a ``'a>b>c'`` path string, and count —
+    ``(path, n_sessions)`` ranked by count (path as tie-break).
+
+    Plan shape: one user-keyed window pass assigns session ids; the
+    per-session path is a sort_array over the session's collected
+    (ts, id, type) structs TRUNCATED to *max_steps* — session row
+    groups are bounded by real user activity, and the slice bounds the
+    rendered path.  Path counting is a uniform hash aggregation and
+    the ranking a top-n heap.  Deterministic: (ts, id) orders events
+    inside a session identically in both engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    new_session = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("__sid", F.sum(new_session).over(w))
+    paths = (
+        sess.groupBy(user_col, "__sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("__evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(F.col("__evs"), 1, max_steps), lambda s: s["e"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(int(top_n))
     )

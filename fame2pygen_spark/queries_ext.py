@@ -2452,6 +2452,46 @@ FROM events
 """
 
 
+def q_x49_session_paths(spark, sf_dir):
+    """Top session-opening paths (operators/behavior.py:
+    top_session_paths): 30-min-gap sessions, first 5 event types as a
+    '>'-joined path, top 50 by frequency."""
+    from .operators.behavior import top_session_paths
+
+    ev = _read_events(spark, sf_dir)
+    return top_session_paths(ev)
+
+
+SQL_X49 = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events
+), s AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sid AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM s
+), paths AS (
+  SELECT array_to_string(
+           (list(event_type ORDER BY ts_us, event_id))[1:5], '>'
+         ) AS path
+  FROM sid GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 50
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2503,6 +2543,7 @@ EXT_QUERIES = {
     "x46_pivot": q_x46_pivot,
     "x47_attribution": q_x47_attribution,
     "x48_group_ranks": q_x48_group_ranks,
+    "x49_session_paths": q_x49_session_paths,
 }
 
 EXT_ORACLES = {
@@ -2556,4 +2597,5 @@ EXT_ORACLES = {
     "x46_pivot": SQL_X46,
     "x47_attribution": SQL_X47,
     "x48_group_ranks": SQL_X48,
+    "x49_session_paths": SQL_X49,
 }

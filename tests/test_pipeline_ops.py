@@ -818,3 +818,27 @@ def test_group_ranks_definitions(spark):
     assert out[4]["cdf"] == 1.0
     # ntile(2) splits 4 ordered rows deterministically (tie by id)
     assert [out[i]["bucket"] for i in (1, 2, 3, 4)] == [1, 1, 2, 2]
+
+
+def test_top_session_paths_gap_and_truncation(spark):
+    from fame2pygen_spark.operators.behavior import top_session_paths
+
+    M = 60_000_000  # 1 min in µs
+    rows = [
+        # u1 session 1: a,b within 30min; session 2 after a 2h gap: c
+        (1, 1, "a", 0), (2, 1, "b", 10 * M), (3, 1, "c", 150 * M),
+        # u2: one session with 7 events -> path truncated to 5
+        *[(10 + i, 2, f"e{i}", i * M) for i in range(7)],
+        # u3: same opening as u1 session 1
+        (30, 3, "a", 0), (31, 3, "b", 5 * M),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    )
+    out = {r["path"]: r["n_sessions"] for r in top_session_paths(
+        ev, max_steps=5
+    ).collect()}
+    assert out["a>b"] == 2        # u1 session 1 and u3
+    assert out["c"] == 1          # the post-gap session
+    assert out["e0>e1>e2>e3>e4"] == 1  # truncated at 5 steps
+    assert "e0>e1>e2>e3>e4>e5" not in out
