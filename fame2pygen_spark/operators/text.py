@@ -32,7 +32,7 @@ __all__ = [
     "punct_count", "stopword_ratio", "quality_score", "language_scores",
     "detect_language", "normalized_text", "text_fingerprint",
     "text_profile", "tfidf_top_terms", "chunk_documents", "bm25_rank",
-    "term_cooccurrence_pmi",
+    "term_cooccurrence_pmi", "unigram_surprisal",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -674,4 +674,49 @@ def term_cooccurrence_pmi(
         F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
     ).limit(int(top_n)).select(
         "term_a", "term_b", "n_ab", "n_a", "n_b", "pmi"
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's own
+    unigram model: ``(doc_id, n_tokens, mean_surprisal)`` where
+    surprisal of a token is ``-log2(count(term)/total_tokens)`` (bits).
+
+    A self-contained perplexity-style quality signal — no external
+    language model: boilerplate-heavy documents score low (their
+    tokens are corpus-frequent), lexically-rich ones score high, so
+    thresholding both tails is a standard curation filter.  No
+    smoothing is needed: every scored token is in the model's own
+    corpus by construction.
+
+    Plan shape: tokens explode once; term frequencies are one
+    uniform-key aggregation; scoring joins the (term, count) frame
+    back on the term key — Zipf-hot terms fan out on the probe side
+    only — and reduces per doc.  The total-token count is one 1-row
+    aggregate materialized as a literal (the documented
+    ``tfidf_top_terms`` pattern).
+    """
+    df = _parallelize_input(df)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("__n"))
+    total = float(freq.agg(F.sum("__n")).first()[0] or 0.0)
+    if total == 0:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("mean_surprisal"),
+        )
+    surprisal = -F.log2(F.col("__n") / F.lit(total))
+    return (
+        toks.join(freq, on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(surprisal), 6).alias("mean_surprisal"),
+        )
     )

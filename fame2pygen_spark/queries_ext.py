@@ -2492,6 +2492,37 @@ ORDER BY n_sessions DESC, path ASC LIMIT 50
 """
 
 
+def q_x50_surprisal(spark, sf_dir):
+    """Per-document mean unigram surprisal
+    (operators/text.py:unigram_surprisal) — the self-contained
+    perplexity-style curation signal."""
+    from .operators.text import unigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_surprisal(docs, "text", "doc_id")
+
+
+SQL_X50 = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+  FROM t WHERE nt <> ''
+), freq AS (
+  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+), tot AS (
+  SELECT SUM(n) AS total FROM freq
+)
+SELECT toks.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-log2(freq.n / tot.total)), 6) AS mean_surprisal
+FROM toks JOIN freq USING (term), tot
+GROUP BY toks.doc_id
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2544,6 +2575,7 @@ EXT_QUERIES = {
     "x47_attribution": q_x47_attribution,
     "x48_group_ranks": q_x48_group_ranks,
     "x49_session_paths": q_x49_session_paths,
+    "x50_surprisal": q_x50_surprisal,
 }
 
 EXT_ORACLES = {
@@ -2598,4 +2630,5 @@ EXT_ORACLES = {
     "x47_attribution": SQL_X47,
     "x48_group_ranks": SQL_X48,
     "x49_session_paths": SQL_X49,
+    "x50_surprisal": SQL_X50,
 }

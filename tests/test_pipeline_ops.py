@@ -842,3 +842,22 @@ def test_top_session_paths_gap_and_truncation(spark):
     assert out["c"] == 1          # the post-gap session
     assert out["e0>e1>e2>e3>e4"] == 1  # truncated at 5 steps
     assert "e0>e1>e2>e3>e4>e5" not in out
+
+
+def test_unigram_surprisal_closed_form(spark):
+    import math
+
+    from fame2pygen_spark.operators.text import unigram_surprisal
+
+    # corpus: "a a a b" -> P(a)=3/4, P(b)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_surprisal(docs, "text", "doc_id").collect()}
+    sa, sb = -math.log2(3 / 4), -math.log2(1 / 4)
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["mean_surprisal"] - round(sa, 6)) < 1e-9
+    assert out[2]["mean_surprisal"] == round(sb, 6) == 2.0
+    # rare-token doc scores strictly higher than the common-token doc
+    assert out[2]["mean_surprisal"] > out[1]["mean_surprisal"]
