@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "kmv_distinct", "group_quantiles", "countmin_sketch",
     "countmin_estimate", "group_histogram", "winsorize",
+    "mad_outliers",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -356,4 +357,53 @@ def winsorize(
             ),
         )
         .drop("__lo", "__hi")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flagging via the median absolute
+    deviation: appends ``robust_z`` (``0.6745·(v − median)/MAD``, the
+    consistency-scaled score of Iglewicz & Hoaglin's modified z-test,
+    6 dp) and ``is_outlier`` (``|robust_z| > threshold``; false when
+    MAD is 0 or the value is null).
+
+    Unlike the mean/stddev z-score (:func:`~fame2pygen_spark.
+    operators.behavior.value_outliers`), the breakdown point is 50% —
+    a contaminated tail cannot mask itself.  Two exact-percentile
+    aggregates (group medians, then medians of absolute deviations —
+    both |groups|-sized, broadcast back); scoring is row-local.
+    """
+    group_cols = list(group_cols)
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile(`{value_col}`, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), on=group_cols).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr("percentile(`__ad`, 0.5)").alias("__mad"),
+        F.max("__med").alias("__med"),
+    )
+    z = F.round(
+        F.lit(0.6745)
+        * F.try_divide(F.col(value_col) - F.col("__med"), F.col("__mad")),
+        6,
+    )
+    return (
+        df.join(F.broadcast(mad), on=group_cols)
+        .withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.abs(F.col("robust_z")) > F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
+        .drop("__med", "__mad")
     )

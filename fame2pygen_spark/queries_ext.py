@@ -2523,6 +2523,38 @@ GROUP BY toks.doc_id
 """
 
 
+def q_x51_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier flagging (operators/sketch.py:mad_outliers):
+    modified z-test per event type; only flagged rows returned."""
+    from .operators.sketch import mad_outliers
+
+    ev = _read_events(spark, sf_dir)
+    out = mad_outliers(ev, ["event_type"], "value", threshold=3.5)
+    return out.where(F.col("is_outlier")).select(
+        "event_id", "event_type", "value", "robust_z", "is_outlier"
+    )
+
+
+SQL_X51 = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, med.med,
+         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med.med
+), z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND(0.6745 * (e.value - mad.med) / mad.mad, 6) AS robust_z
+  FROM events e JOIN mad USING (event_type)
+  WHERE e.value IS NOT NULL AND mad.mad > 0
+)
+SELECT event_id, event_type, value, robust_z, TRUE AS is_outlier
+FROM z WHERE abs(robust_z) > 3.5
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2576,6 +2608,7 @@ EXT_QUERIES = {
     "x48_group_ranks": q_x48_group_ranks,
     "x49_session_paths": q_x49_session_paths,
     "x50_surprisal": q_x50_surprisal,
+    "x51_mad_outliers": q_x51_mad_outliers,
 }
 
 EXT_ORACLES = {
@@ -2631,4 +2664,5 @@ EXT_ORACLES = {
     "x48_group_ranks": SQL_X48,
     "x49_session_paths": SQL_X49,
     "x50_surprisal": SQL_X50,
+    "x51_mad_outliers": SQL_X51,
 }

@@ -861,3 +861,22 @@ def test_unigram_surprisal_closed_form(spark):
     assert out[2]["mean_surprisal"] == round(sb, 6) == 2.0
     # rare-token doc scores strictly higher than the common-token doc
     assert out[2]["mean_surprisal"] > out[1]["mean_surprisal"]
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    from fame2pygen_spark.operators.sketch import mad_outliers
+
+    # 20% contamination at 1e6: classic z-score masks it (sigma blows
+    # up), MAD does not
+    rows = [("g", 10.0 + (i % 3)) for i in range(40)]
+    rows += [("g", 1e6)] * 10
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = mad_outliers(df, ["grp"], "value", threshold=3.5).collect()
+    flagged = [r for r in out if r["is_outlier"]]
+    assert len(flagged) == 10
+    assert all(r["value"] == 1e6 for r in flagged)
+    # constant group: MAD 0 -> no flags, null z
+    cdf = spark.createDataFrame([("c", 5.0)] * 4, "grp string, value double")
+    cout = mad_outliers(cdf, ["grp"], "value").collect()
+    assert all(r["is_outlier"] is False and r["robust_z"] is None
+               for r in cout)
