@@ -816,3 +816,48 @@ def passage_dedup(
         )
         .select("doc", "text", "n_passages", "n_kept")
     )
+
+
+def source_overlap(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Cross-group content-overlap matrix: for each unordered group
+    pair, ``(group_a, group_b, n_a, n_b, n_common, jaccard,
+    containment_a, containment_b)`` over distinct normalized-text
+    fingerprints — the corpus-level diagnostic for cross-source
+    duplication (which sources feed each other / share boilerplate).
+
+    Plan shape: distinct ``(group, fingerprint)`` is one reduce; the
+    pair counts come from a self-equi-join on the fingerprint — a
+    uniform 128-bit key, so the join fans out only where a fingerprint
+    genuinely appears in multiple groups — followed by a |groups|²-
+    bounded aggregation.  Group sizes broadcast onto the tiny matrix.
+    """
+    sets = df.select(
+        F.col(group_col).alias("g"),
+        text_fingerprint(F.col(text_col)).alias("fp"),
+    ).distinct()
+    sizes = sets.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    a = sets.select(F.col("g").alias("group_a"), "fp")
+    b = sets.select(F.col("g").alias("group_b"), "fp")
+    common = (
+        a.join(b, on="fp")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("group_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("group_b"), F.col("n").alias("n_b"))
+    out = common.join(F.broadcast(sa), on="group_a").join(
+        F.broadcast(sb), on="group_b"
+    )
+    inter = F.col("n_common").cast("double")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "n_common",
+        F.round(
+            F.try_divide(inter, F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+        F.round(F.try_divide(inter, F.col("n_a")), 6).alias("containment_a"),
+        F.round(F.try_divide(inter, F.col("n_b")), 6).alias("containment_b"),
+    )

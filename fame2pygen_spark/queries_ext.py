@@ -2555,6 +2555,40 @@ FROM z WHERE abs(robust_z) > 3.5
 """
 
 
+def q_x52_source_overlap(spark, sf_dir):
+    """Cross-source duplicate-overlap matrix
+    (operators/dedup.py:source_overlap): pairwise Jaccard/containment
+    of distinct content fingerprints between sources."""
+    from .operators.dedup import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_overlap(docs, "text", "source")
+
+
+SQL_X52 = """
+WITH sets AS (
+  SELECT DISTINCT source AS g,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), sizes AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sets GROUP BY g
+), common AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sets a JOIN sets b ON a.fp = b.fp AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT c.group_a, c.group_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+       ROUND(CAST(c.n_common AS DOUBLE)
+             / (sa.n + sb.n - c.n_common), 6) AS jaccard,
+       ROUND(CAST(c.n_common AS DOUBLE) / sa.n, 6) AS containment_a,
+       ROUND(CAST(c.n_common AS DOUBLE) / sb.n, 6) AS containment_b
+FROM common c
+JOIN sizes sa ON c.group_a = sa.g
+JOIN sizes sb ON c.group_b = sb.g
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2609,6 +2643,7 @@ EXT_QUERIES = {
     "x49_session_paths": q_x49_session_paths,
     "x50_surprisal": q_x50_surprisal,
     "x51_mad_outliers": q_x51_mad_outliers,
+    "x52_source_overlap": q_x52_source_overlap,
 }
 
 EXT_ORACLES = {
@@ -2665,4 +2700,5 @@ EXT_ORACLES = {
     "x49_session_paths": SQL_X49,
     "x50_surprisal": SQL_X50,
     "x51_mad_outliers": SQL_X51,
+    "x52_source_overlap": SQL_X52,
 }

@@ -880,3 +880,24 @@ def test_mad_outliers_robust_to_contamination(spark):
     cout = mad_outliers(cdf, ["grp"], "value").collect()
     assert all(r["is_outlier"] is False and r["robust_z"] is None
                for r in cout)
+
+
+def test_source_overlap_jaccard_and_containment(spark):
+    from fame2pygen_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        # s1: {A, B, C}; s2: {B, C, D}; s3: {E} (disjoint)
+        [(1, "s1", "doc A"), (2, "s1", "doc B"), (3, "s1", "doc C"),
+         (4, "s2", "doc B"), (5, "s2", "doc C"), (6, "s2", "doc D"),
+         (7, "s2", "DOC  c"),  # normalizes to doc C -> same fingerprint
+         (8, "s3", "doc E")],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["group_a"], r["group_b"]): r
+           for r in source_overlap(docs, "text", "source").collect()}
+    r = out[("s1", "s2")]
+    assert r["n_a"] == 3 and r["n_b"] == 3 and r["n_common"] == 2
+    assert r["jaccard"] == 0.5          # 2 / (3 + 3 - 2)
+    assert r["containment_a"] == round(2 / 3, 6)
+    # disjoint pairs emit no row (sparse matrix)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
