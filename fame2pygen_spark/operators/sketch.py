@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "kmv_distinct", "group_quantiles", "countmin_sketch",
     "countmin_estimate", "group_histogram", "winsorize",
-    "mad_outliers",
+    "mad_outliers", "corr_pairs",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -407,3 +407,74 @@ def mad_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def corr_pairs(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-group Pearson correlation for every unordered pair of
+    *cols*: ``(group, col_x, col_y, n, corr)`` (6 dp).
+
+    Built from exact decimal moment sums — n, Σx, Σy, Σxy, Σx², Σy² —
+    rather than the engine's ``corr`` aggregate: float aggregates
+    depend on accumulation order, so ``corr()`` is not bitwise
+    reproducible across partitionings or engines, while decimal sums
+    are order-insensitive (the repo's x10 idiom applied to second
+    moments).  One hash aggregation computes every moment for every
+    pair; rows where either value is null are excluded per pair
+    (pairwise deletion).  ``corr`` is null for constant columns.
+    """
+    group_cols = list(group_cols)
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    dec = "decimal(28,6)"
+    aggs = []
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        cx = F.when(both, F.col(x))
+        cy = F.when(both, F.col(y))
+        tag = f"{x}__{y}"
+        # every moment must use the pair-filtered columns: a raw y*y
+        # would include rows where only x is null and skew syy
+        aggs += [
+            F.count(F.when(both, 1)).cast("long").alias(f"__n_{tag}"),
+            F.sum(cx.cast(dec)).alias(f"__sx_{tag}"),
+            F.sum(cy.cast(dec)).alias(f"__sy_{tag}"),
+            F.sum((cx * cy).cast(dec)).alias(f"__sxy_{tag}"),
+            F.sum((cx * cx).cast(dec)).alias(f"__sxx_{tag}"),
+            F.sum((cy * cy).cast(dec)).alias(f"__syy_{tag}"),
+        ]
+    m = df.groupBy(*group_cols).agg(*aggs)
+
+    rows = []
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        n = F.col(f"__n_{tag}").cast("double")
+        sx = F.col(f"__sx_{tag}").cast("double")
+        sy = F.col(f"__sy_{tag}").cast("double")
+        sxy = F.col(f"__sxy_{tag}").cast("double")
+        sxx = F.col(f"__sxx_{tag}").cast("double")
+        syy = F.col(f"__syy_{tag}").cast("double")
+        corr = F.try_divide(
+            n * sxy - sx * sy,
+            F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col(f"__n_{tag}").alias("n"),
+                F.round(corr, 6).alias("corr"),
+            )
+        )
+    return m.select(
+        *group_cols, F.explode(F.array(*rows)).alias("s")
+    ).select(*group_cols, "s.*")

@@ -34,7 +34,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join_points", "fill_gaps_daily"]
+__all__ = ["asof_join", "range_join_points", "fill_gaps_daily", "time_weighted_avg"]
 
 
 def asof_join(
@@ -233,4 +233,55 @@ def fill_gaps_daily(
         )
         .withColumn("is_observed", F.col("day_close").isNotNull())
         .select("entity", "day", "value_filled", "is_observed")
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Per-entity time-weighted average under step-function (hold-last)
+    semantics: each observation's value holds until the next one, so
+    ``twa = Σ v_i·Δt_i / Σ Δt_i`` with ``Δt_i`` the interval to the
+    next observation; the final observation has no interval and
+    contributes nothing.  The irregular-sampling replacement for the
+    plain mean, which over-weights burst periods.
+
+    Output: *entity_col*, ``n_intervals``, ``span_us``, ``twa``
+    (6 dp; null for entities with fewer than 2 observations).
+
+    Plan shape: one entity-keyed ``lead`` window (the single shuffle),
+    then one reduce per entity with decimal-cast weighted sums so the
+    result is accumulation-order-insensitive (the x10 idiom).  *id_col*
+    breaks same-µs ties deterministically.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    dt = F.lead(ts_col).over(w) - F.col(ts_col)
+    # dt must be computed before the projection renames/drops the
+    # window's partition and order columns
+    weighted = events.withColumn("__dt", dt).select(
+        F.col(entity_col).alias("entity"),
+        F.col(value_col).alias("__v"),
+        "__dt",
+    )
+    dec = "decimal(28,6)"
+    return (
+        weighted.groupBy("entity")
+        .agg(
+            F.count("__dt").cast("long").alias("n_intervals"),
+            F.coalesce(F.sum("__dt"), F.lit(0)).cast("long").alias("span_us"),
+            F.round(
+                F.try_divide(
+                    F.sum((F.col("__v") * F.col("__dt")).cast(dec))
+                    .cast("double"),
+                    F.sum(F.col("__dt").cast(dec)).cast("double"),
+                ),
+                6,
+            ).alias("twa"),
+        )
     )

@@ -2589,6 +2589,80 @@ JOIN sizes sb ON c.group_b = sb.g
 """
 
 
+def q_x53_corr(spark, sf_dir):
+    """Per-returnflag Pearson correlations over lineitem numerics
+    (operators/sketch.py:corr_pairs) via order-insensitive decimal
+    moment sums."""
+    from .operators.sketch import corr_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return corr_pairs(
+        li, ["l_returnflag"], ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+SQL_X53 = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS s_p,
+         SUM(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS s_qp,
+         SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS s_qd,
+         SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS s_pd,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS s_qq,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS s_pp,
+         SUM(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS s_dd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+       ROUND((n * s_qp::DOUBLE - s_q::DOUBLE * s_p::DOUBLE)
+             / sqrt((n * s_qq::DOUBLE - s_q::DOUBLE * s_q::DOUBLE)
+                    * (n * s_pp::DOUBLE - s_p::DOUBLE * s_p::DOUBLE)), 6)
+         AS corr
+FROM m
+UNION ALL
+SELECT l_returnflag, 'l_quantity', 'l_discount', n,
+       ROUND((n * s_qd::DOUBLE - s_q::DOUBLE * s_d::DOUBLE)
+             / sqrt((n * s_qq::DOUBLE - s_q::DOUBLE * s_q::DOUBLE)
+                    * (n * s_dd::DOUBLE - s_d::DOUBLE * s_d::DOUBLE)), 6)
+FROM m
+UNION ALL
+SELECT l_returnflag, 'l_extendedprice', 'l_discount', n,
+       ROUND((n * s_pd::DOUBLE - s_p::DOUBLE * s_d::DOUBLE)
+             / sqrt((n * s_pp::DOUBLE - s_p::DOUBLE * s_p::DOUBLE)
+                    * (n * s_dd::DOUBLE - s_d::DOUBLE * s_d::DOUBLE)), 6)
+FROM m
+"""
+
+
+def q_x54_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average event value under hold-last
+    semantics (operators/temporal.py:time_weighted_avg)."""
+    from .operators.temporal import time_weighted_avg
+
+    ev = _read_events(spark, sf_dir)
+    return time_weighted_avg(ev).withColumnRenamed("entity", "user_id")
+
+
+SQL_X54 = """
+WITH w AS (
+  SELECT user_id, value,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(dt) AS BIGINT) AS n_intervals,
+       CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(dt AS DECIMAL(28,6))) AS DOUBLE), 6) AS twa
+FROM w GROUP BY user_id
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2644,6 +2718,8 @@ EXT_QUERIES = {
     "x50_surprisal": q_x50_surprisal,
     "x51_mad_outliers": q_x51_mad_outliers,
     "x52_source_overlap": q_x52_source_overlap,
+    "x53_corr": q_x53_corr,
+    "x54_time_weighted_avg": q_x54_time_weighted_avg,
 }
 
 EXT_ORACLES = {
@@ -2701,4 +2777,6 @@ EXT_ORACLES = {
     "x50_surprisal": SQL_X50,
     "x51_mad_outliers": SQL_X51,
     "x52_source_overlap": SQL_X52,
+    "x53_corr": SQL_X53,
+    "x54_time_weighted_avg": SQL_X54,
 }

@@ -901,3 +901,44 @@ def test_source_overlap_jaccard_and_containment(spark):
     assert r["containment_a"] == round(2 / 3, 6)
     # disjoint pairs emit no row (sparse matrix)
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_corr_pairs_known_values_and_null_handling(spark):
+    from fame2pygen_spark.operators.sketch import corr_pairs
+
+    # y = 2x exactly -> corr 1; z anti-correlates with x -> corr -1
+    rows = [("g", float(x), 2.0 * x, -float(x)) for x in range(1, 6)]
+    rows.append(("g", None, 1.0, 1.0))  # pairwise-deleted row
+    df = spark.createDataFrame(rows, "grp string, x double, y double, z double")
+    out = {(r["col_x"], r["col_y"]): r
+           for r in corr_pairs(df, ["grp"], ["x", "y", "z"]).collect()}
+    assert out[("x", "y")]["corr"] == 1.0 and out[("x", "y")]["n"] == 5
+    assert out[("x", "z")]["corr"] == -1.0
+    assert out[("y", "z")]["n"] == 6  # no nulls in that pair
+    # constant column -> null corr
+    cdf = spark.createDataFrame(
+        [("g", float(x), 7.0) for x in range(5)], "grp string, x double, c double"
+    )
+    cout = corr_pairs(cdf, ["grp"], ["x", "c"]).collect()[0]
+    assert cout["corr"] is None
+
+
+def test_time_weighted_avg_step_function(spark):
+    from fame2pygen_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        # u1: v=10 holds 1µs... use seconds-scale: 10 for 3s, 40 for 1s
+        (1, 1, 0, 10.0), (2, 1, 3_000_000, 40.0), (3, 1, 4_000_000, 99.0),
+        # u2: single event -> no intervals
+        (4, 2, 0, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    out = {r["entity"]: r for r in time_weighted_avg(ev).collect()}
+    u1 = out[1]
+    # twa = (10*3s + 40*1s) / 4s = 17.5 ; final value 99 contributes 0
+    assert u1["twa"] == 17.5 and u1["n_intervals"] == 2
+    assert u1["span_us"] == 4_000_000
+    u2 = out[2]
+    assert u2["twa"] is None and u2["n_intervals"] == 0 and u2["span_us"] == 0
