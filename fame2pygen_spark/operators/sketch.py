@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "kmv_distinct", "group_quantiles", "countmin_sketch",
     "countmin_estimate", "group_histogram", "winsorize",
-    "mad_outliers", "corr_pairs",
+    "mad_outliers", "corr_pairs", "skew_profile",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -478,3 +478,65 @@ def corr_pairs(
     return m.select(
         *group_cols, F.explode(F.array(*rows)).alias("s")
     ).select(*group_cols, "s.*")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-distribution skew diagnostic for a prospective shuffle key:
+    the *top_k* heaviest keys with their shares, plus distribution-wide
+    concentration stats repeated on every row — ``(rank, key, n,
+    share, n_keys, gini)``.
+
+    ``gini`` is the Gini coefficient of the per-key count distribution
+    (0 = perfectly uniform keys, → 1 = one key dominates), computed
+    with the sorted-index formula ``G = 2·Σ(i·cᵢ)/(K·Σc) − (K+1)/K``
+    over counts sorted ascending (key as tie-break, so both engines
+    index identically).  Run this before keying a 100 TB join or
+    aggregation: a high gini or a top-key share over a few percent is
+    the signal to salt (``functions.core.salted_agg``) or isolate hot
+    keys.
+
+    Plan shape: one uniform-key count aggregation; the gini window and
+    the summary reduce run over |keys| rows (already reduced), and the
+    1-row summary broadcast-joins onto the top-k.
+    """
+    key_cols = list(key_cols)
+    counts = df.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n")
+    ).withColumn(
+        "__key", F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    )
+    w_asc = Window.orderBy(F.col("n").asc(), F.col("__key").asc())
+    indexed = counts.withColumn("__i", F.row_number().over(w_asc))
+    summary = indexed.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("double").alias("__tot"),
+        F.sum(F.col("__i").cast("double") * F.col("n")).alias("__iw"),
+    ).select(
+        "n_keys",
+        "__tot",
+        F.round(
+            F.lit(2.0)
+            * F.col("__iw")
+            / (F.col("n_keys") * F.col("__tot"))
+            - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    )
+    w_desc = Window.orderBy(F.col("n").desc(), F.col("__key").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(w_desc).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )
+    return top.crossJoin(F.broadcast(summary)).select(
+        "rank",
+        F.col("__key").alias("key"),
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+        "n_keys",
+        "gini",
+    )

@@ -2663,6 +2663,42 @@ FROM w GROUP BY user_id
 """
 
 
+def q_x55_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostic (operators/sketch.py:skew_profile):
+    top suppliers by lineitem count + Gini concentration of the full
+    key distribution."""
+    from .operators.sketch import skew_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return skew_profile(li, ["l_suppkey"], top_k=10)
+
+
+SQL_X55 = """
+WITH counts AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), idx AS (
+  SELECT key, n, ROW_NUMBER() OVER (ORDER BY n ASC, key ASC) AS i
+  FROM counts
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS DOUBLE) AS tot,
+         ROUND(2.0 * CAST(SUM(i * n) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(n) AS DOUBLE))
+               - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+  FROM idx
+), top AS (
+  SELECT key, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS BIGINT)
+           AS rank
+  FROM counts
+)
+SELECT top.rank, top.key, top.n,
+       ROUND(top.n / g.tot, 6) AS share, g.n_keys, g.gini
+FROM top, g WHERE top.rank <= 10
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2720,6 +2756,7 @@ EXT_QUERIES = {
     "x52_source_overlap": q_x52_source_overlap,
     "x53_corr": q_x53_corr,
     "x54_time_weighted_avg": q_x54_time_weighted_avg,
+    "x55_skew_profile": q_x55_skew_profile,
 }
 
 EXT_ORACLES = {
@@ -2779,4 +2816,5 @@ EXT_ORACLES = {
     "x52_source_overlap": SQL_X52,
     "x53_corr": SQL_X53,
     "x54_time_weighted_avg": SQL_X54,
+    "x55_skew_profile": SQL_X55,
 }

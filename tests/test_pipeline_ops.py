@@ -942,3 +942,24 @@ def test_time_weighted_avg_step_function(spark):
     assert u1["span_us"] == 4_000_000
     u2 = out[2]
     assert u2["twa"] is None and u2["n_intervals"] == 0 and u2["span_us"] == 0
+
+
+def test_skew_profile_gini_extremes(spark):
+    from fame2pygen_spark.operators.sketch import skew_profile
+
+    # uniform: 4 keys x 25 rows -> gini 0
+    uni = spark.createDataFrame(
+        [(f"k{i % 4}",) for i in range(100)], "k string"
+    )
+    u = skew_profile(uni, ["k"], top_k=2).collect()
+    assert len(u) == 2
+    assert all(r["gini"] == 0.0 and r["share"] == 0.25 and r["n_keys"] == 4
+               for r in u)
+    # one dominant key: 97 rows on k0, 1 row each on k1..k3
+    hot = spark.createDataFrame(
+        [("k0",)] * 97 + [("k1",), ("k2",), ("k3",)], "k string"
+    )
+    h = skew_profile(hot, ["k"], top_k=1).collect()[0]
+    assert h["key"] == "k0" and h["share"] == 0.97
+    # sorted counts (1,1,1,97): G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
+    assert h["gini"] == 0.72
