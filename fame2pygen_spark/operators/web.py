@@ -79,3 +79,68 @@ def flag_blocked_domains(
             "blocked": hits > 0,
         }
     )
+
+
+#: query parameters stripped by canonicalize_url (tracking only)
+TRACKING_PARAM_PATTERN = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of one URL for dedup/aggregation: lower-cased
+    host without ``www.`` or default port, path without trailing
+    slashes, query without tracking parameters (``utm_*``, ``gclid``,
+    ``fbclid``), fragment dropped, scheme dropped.
+
+    Built from anchored extracts plus an array filter over the split
+    query string — deliberately NO regex backreferences (Java and RE2
+    spell them differently, which would break oracle parity) and no
+    positional replace (Spark's regexp_replace replaces all matches,
+    DuckDB's replaces the first).  Row-local; rides inside the scan.
+    """
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"https?://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"https?://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    return F.concat(
+        host,
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_counts(
+    df: DataFrame, text_col: str, *, top_n: int = 100
+) -> DataFrame:
+    """Reference counts per canonical URL across a corpus:
+    ``(canonical_url, n_refs)``, top-*top_n* by count (URL as
+    tie-break) — the dedup view of outbound links that raw-string
+    counting fragments across tracking params, schemes, and casing.
+
+    One explode + canonicalization inside the scan stage, one
+    uniform-key count, a top-n heap.
+    """
+    urls = df.select(
+        F.explode(extract_urls(F.col(text_col))).alias("url")
+    ).select(canonicalize_url(F.col("url")).alias("canonical_url"))
+    return (
+        urls.where(F.col("canonical_url") != "")
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("long").alias("n_refs"))
+        .orderBy(F.col("n_refs").desc(), F.col("canonical_url").asc())
+        .limit(int(top_n))
+    )

@@ -2699,6 +2699,53 @@ FROM top, g WHERE top.rank <= 10
 """
 
 
+def q_x56_canonical_urls(spark, sf_dir):
+    """Canonical-URL reference counts
+    (operators/web.py:canonical_url_counts): scheme/www/port/tracking-
+    param/fragment-insensitive outbound-link dedup, top 100."""
+    from .operators.web import canonical_url_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return canonical_url_counts(docs, "text", top_n=100)
+
+
+SQL_X56 = """
+WITH u AS (
+  SELECT unnest(regexp_extract_all(
+           text, 'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\\s]*)?', 0
+         )) AS url
+  FROM documents
+), parts AS (
+  SELECT
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, 'https?://([^/?#]+)', 1)),
+        '^www\\.', ''),
+      ':(80|443)$', '') AS host,
+    regexp_replace(
+      regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1), '/+$', ''
+    ) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+), canon AS (
+  SELECT host || path ||
+         CASE WHEN len(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT regexp_matches(
+                  p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)='))) > 0
+              THEN '?' || array_to_string(
+                list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(
+                    p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)=')), '&')
+              ELSE '' END AS canonical_url
+  FROM parts
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM canon WHERE canonical_url <> ''
+GROUP BY canonical_url
+ORDER BY n_refs DESC, canonical_url ASC LIMIT 100
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2757,6 +2804,7 @@ EXT_QUERIES = {
     "x53_corr": q_x53_corr,
     "x54_time_weighted_avg": q_x54_time_weighted_avg,
     "x55_skew_profile": q_x55_skew_profile,
+    "x56_canonical_urls": q_x56_canonical_urls,
 }
 
 EXT_ORACLES = {
@@ -2817,4 +2865,5 @@ EXT_ORACLES = {
     "x53_corr": SQL_X53,
     "x54_time_weighted_avg": SQL_X54,
     "x55_skew_profile": SQL_X55,
+    "x56_canonical_urls": SQL_X56,
 }

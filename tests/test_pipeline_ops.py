@@ -963,3 +963,20 @@ def test_skew_profile_gini_extremes(spark):
     assert h["key"] == "k0" and h["share"] == 0.97
     # sorted counts (1,1,1,97): G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
     assert h["gini"] == 0.72
+
+
+def test_canonicalize_url_rules(spark):
+    from fame2pygen_spark.operators.web import canonicalize_url
+
+    cases = [
+        ("https://WWW.Example.com:443/a/b/?utm_source=x&q=1#frag",
+         "example.com/a/b?q=1"),
+        ("http://example.com:80/page?gclid=abc&fbclid=z", "example.com/page"),
+        ("https://example.com/", "example.com"),
+        ("http://www.example.com/a?b=2&utm_campaign=spring&c=3",
+         "example.com/a?b=2&c=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = [r[0] for r in
+           df.select(canonicalize_url(F.col("url"))).collect()]
+    assert out == [want for _, want in cases]
