@@ -1,0 +1,88 @@
+"""Physical-plan regression tests for the extension operators.
+
+The scale claims in the operator docstrings (broadcast-only joins,
+top-n heaps instead of full sorts, bounded shuffle counts) are pinned
+here so a refactor that silently degrades a plan — a broadcast that
+falls back to sort-merge, a limit that stops collapsing into
+TakeOrderedAndProject — fails the suite instead of surfacing at 100 TB.
+
+Plans are inspected at sf0.001 (plan shape is data-size-independent at
+these sizes; AQE may re-plan at runtime but the static plan is the
+contract the operator writes).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from fame2pygen_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x33_bm25",            # ranked retrieval
+        "x39_term_pmi",        # bounded pair top-n
+        "x49_session_paths",   # path counting top-n
+        "x56_canonical_urls",  # canonical link counts top-n
+    ],
+)
+def test_topn_queries_plan_a_heap_not_a_full_sort(spark, name):
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x35_countmin",        # KB-sized sketch joins
+        "x37_value_outliers",  # tiny per-group stats
+        "x40_revenue_rollup",  # dimension tables
+        "x44_winsorize",       # quantile bounds
+        "x51_mad_outliers",    # median/MAD frames
+    ],
+)
+def test_small_side_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_skew_profile_summary_broadcasts_without_equi_key(spark):
+    # the 1-row summary attaches via a broadcast nested-loop cross
+    # join — there is no equi-key, so BHJ cannot apply; the assertion
+    # is that the build side broadcasts and nothing sort-merges
+    plan = plan_of(spark, "x55_skew_profile")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["x41_weighted_sample", "x42_histogram", "x48_group_ranks"],
+)
+def test_single_pass_operators_do_not_join(spark, name):
+    plan = plan_of(spark, name)
+    assert "Join" not in plan, name
+
+
+def test_rollup_is_one_expand_pass(spark):
+    plan = plan_of(spark, "x40_revenue_rollup")
+    # Expand appears (grouping sets), and exactly one aggregation pass
+    # over the expanded fact — not one job per rollup level
+    assert "Expand" in plan
