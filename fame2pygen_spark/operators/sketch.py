@@ -32,6 +32,7 @@ __all__ = [
     "kmv_distinct", "group_quantiles", "countmin_sketch",
     "countmin_estimate", "group_histogram", "winsorize",
     "mad_outliers", "corr_pairs", "skew_profile",
+    "group_entropy", "distribution_drift",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -539,4 +540,90 @@ def skew_profile(
         F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
         "n_keys",
         "gini",
+    )
+
+
+def group_entropy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Shannon entropy (bits) of the categorical *value_col*
+    distribution within each group: ``(group, n, n_distinct,
+    entropy)`` — the diversity metric behind "does this user/source
+    do one thing or many" questions; 0 for single-valued groups,
+    ``log2(k)`` for k uniform categories.
+
+    Two stacked uniform-key aggregations — (group, value) counts,
+    then ``−Σ p·log2 p`` per group — all column algebra, no window.
+    Null values count as their own category is avoided: nulls are
+    excluded (entropy of observed categories).
+    """
+    group_cols = list(group_cols)
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count("*").alias("__c"))
+    )
+    tot = Window.partitionBy(*group_cols)
+    p = F.col("__c") / F.sum("__c").over(tot)
+    return (
+        counts.withColumn("__plp", -p * F.log2(p))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(F.sum("__plp"), 6).alias("entropy"),
+        )
+    )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric
+    column: one row — ``(n_a, n_b, psi)`` with
+    ``PSI = Σ (pₐ−p_b)·ln(pₐ/p_b)`` over shared equi-width bins
+    (clamped at the boundaries, so every value lands in a bin).
+
+    The standard drift gate between a reference window and a fresh
+    batch (rule of thumb: <0.1 stable, >0.25 shifted).  *epsilon*
+    floors empty-bin shares so the log stays finite — the same
+    smoothing both engines reproduce exactly.
+
+    Plan shape: each side is one bounded histogram aggregation
+    (≤ |bins| rows); the bin join, the broadcast of the 1-row totals,
+    and the final reduce all run over those few rows.
+    """
+    ha = group_histogram(
+        df_a.select(F.lit(1).alias("__g"), value_col),
+        ["__g"], value_col, lo=lo, hi=hi, bins=bins,
+    ).select("bin", F.col("n").alias("n_a"))
+    hb = group_histogram(
+        df_b.select(F.lit(1).alias("__g"), value_col),
+        ["__g"], value_col, lo=lo, hi=hi, bins=bins,
+    ).select("bin", F.col("n").alias("n_b"))
+    j = ha.join(hb, on="bin", how="full").select(
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = j.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    x = j.crossJoin(F.broadcast(tot))
+    eps = F.lit(float(epsilon))
+    pa = F.greatest(F.col("n_a") / F.col("ta"), eps)
+    pb = F.greatest(F.col("n_b") / F.col("tb"), eps)
+    return x.groupBy().agg(
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
     )

@@ -2746,6 +2746,73 @@ ORDER BY n_refs DESC, canonical_url ASC LIMIT 100
 """
 
 
+def q_x57_entropy(spark, sf_dir):
+    """Per-user event-type Shannon entropy
+    (operators/sketch.py:group_entropy) — behavioral diversity."""
+    from .operators.sketch import group_entropy
+
+    ev = _read_events(spark, sf_dir)
+    return group_entropy(ev, ["user_id"], "event_type")
+
+
+SQL_X57 = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT user_id, SUM(c) AS tot FROM c GROUP BY 1
+)
+SELECT c.user_id, CAST(t.tot AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(SUM(-(c.c / t.tot) * log2(c.c / t.tot)), 6) AS entropy
+FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.tot
+"""
+
+
+#: x58 cutoff — 2024-01-16 00:00 UTC in epoch µs (events span January)
+_X58_CUTOFF_US = 1_705_363_200_000_000
+
+
+def q_x58_drift(spark, sf_dir):
+    """Value-distribution drift (operators/sketch.py:
+    distribution_drift): PSI between the first and second half of the
+    event month over the x42 histogram bins."""
+    from .operators.sketch import distribution_drift
+
+    ev = _read_events(spark, sf_dir)
+    a = ev.where(F.col("ts_us") < _X58_CUTOFF_US)
+    b = ev.where(F.col("ts_us") >= _X58_CUTOFF_US)
+    return distribution_drift(a, b, "value", lo=0.0, hi=1000.0, bins=10)
+
+
+SQL_X58 = f"""
+WITH ha AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(value / 100.0), 0), 9) AS BIGINT)
+           AS bin, COUNT(*) AS n_a
+  FROM events
+  WHERE value IS NOT NULL AND epoch_us(ts) < {_X58_CUTOFF_US}
+  GROUP BY 1
+), hb AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(value / 100.0), 0), 9) AS BIGINT)
+           AS bin, COUNT(*) AS n_b
+  FROM events
+  WHERE value IS NOT NULL AND epoch_us(ts) >= {_X58_CUTOFF_US}
+  GROUP BY 1
+), j AS (
+  SELECT COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ha FULL JOIN hb USING (bin)
+), t AS (
+  SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j
+)
+SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+       ROUND(SUM((GREATEST(j.n_a / t.ta, 1e-6)
+                  - GREATEST(j.n_b / t.tb, 1e-6))
+                 * ln(GREATEST(j.n_a / t.ta, 1e-6)
+                      / GREATEST(j.n_b / t.tb, 1e-6))), 6) AS psi
+FROM j, t GROUP BY t.ta, t.tb
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2805,6 +2872,8 @@ EXT_QUERIES = {
     "x54_time_weighted_avg": q_x54_time_weighted_avg,
     "x55_skew_profile": q_x55_skew_profile,
     "x56_canonical_urls": q_x56_canonical_urls,
+    "x57_entropy": q_x57_entropy,
+    "x58_drift": q_x58_drift,
 }
 
 EXT_ORACLES = {
@@ -2866,4 +2935,6 @@ EXT_ORACLES = {
     "x54_time_weighted_avg": SQL_X54,
     "x55_skew_profile": SQL_X55,
     "x56_canonical_urls": SQL_X56,
+    "x57_entropy": SQL_X57,
+    "x58_drift": SQL_X58,
 }

@@ -980,3 +980,38 @@ def test_canonicalize_url_rules(spark):
     out = [r[0] for r in
            df.select(canonicalize_url(F.col("url"))).collect()]
     assert out == [want for _, want in cases]
+
+
+def test_group_entropy_known_distributions(spark):
+    from fame2pygen_spark.operators.sketch import group_entropy
+
+    rows = (
+        [("u1", "a")] * 4                       # single category -> 0 bits
+        + [("u2", "a"), ("u2", "b")] * 2        # uniform 2 -> 1 bit
+        + [("u3", "a")] * 3 + [("u3", "b")]     # 3:1 split
+        + [("u4", None)] * 2 + [("u4", "a")]    # nulls excluded
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r["grp"]: r for r in group_entropy(df, ["grp"], "v").collect()}
+    assert out["u1"]["entropy"] == 0.0 and out["u1"]["n_distinct"] == 1
+    assert out["u2"]["entropy"] == 1.0
+    import math
+    expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(out["u3"]["entropy"] - round(expect, 6)) < 1e-9
+    assert out["u4"]["n"] == 1 and out["u4"]["entropy"] == 0.0
+
+
+def test_distribution_drift_identical_and_shifted(spark):
+    from fame2pygen_spark.operators.sketch import distribution_drift
+
+    a = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "value double"
+    )
+    same = distribution_drift(a, a, "value", lo=0.0, hi=100.0).collect()[0]
+    assert same["psi"] == 0.0 and same["n_a"] == same["n_b"] == 100
+    # shift the whole distribution up by 50: strong drift
+    b = spark.createDataFrame(
+        [(float(v) + 50,) for v in range(100)], "value double"
+    )
+    drift = distribution_drift(a, b, "value", lo=0.0, hi=100.0).collect()[0]
+    assert drift["psi"] > 0.25
