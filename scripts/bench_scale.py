@@ -90,13 +90,54 @@ def run_scale_tier(spark) -> dict:
         lambda: curate_documents(docs, "text", "doc_id").count(),
     )
 
+    n_events = _events_tier(spark, timed)
+
     return {
         "metric": "scale_tier_total_wall_sec",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": timings,
         "n_docs": n_docs,
+        "n_events": n_events,
     }
+
+
+def _events_tier(spark, timed) -> int:
+    """Behavioral-operator tier: sf0.1 events replicated REPLICAS× with
+    per-replica user offsets — user count scales, per-user event volume
+    stays constant, which is the real 100 TB growth direction for the
+    user-keyed operators (windows and joins must parallelize across
+    users, not deepen per-user state)."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.behavior import (
+        event_transitions, funnel_conversion,
+    )
+    from fame2pygen_spark.queries_ext import _read_events
+
+    ev = _read_events(spark, SF_DIR)
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    big = ev.crossJoin(
+        spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("user_id") + F.col("rep") * n_users).alias("user_id"),
+        (F.col("event_id") * REPLICAS + F.col("rep")).alias("event_id"),
+        "event_type", "ts_us", "value",
+    ).localCheckpoint()
+    n_events = big.count()
+
+    timed(
+        "x31_funnel_events10x",
+        lambda: funnel_conversion(
+            big, ["signup", "click", "purchase"],
+            within_us=7 * 86_400_000_000,
+        ).count(),
+    )
+    timed(
+        "x34_transitions_events10x",
+        lambda: event_transitions(big).count(),
+    )
+    return n_events
 
 
 def main() -> None:
