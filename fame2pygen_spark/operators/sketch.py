@@ -33,6 +33,7 @@ __all__ = [
     "countmin_estimate", "group_histogram", "winsorize",
     "mad_outliers", "corr_pairs", "skew_profile",
     "group_entropy", "distribution_drift",
+    "mutual_information", "benford_profile",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -626,4 +627,93 @@ def distribution_drift(
         F.max("ta").alias("n_a"),
         F.max("tb").alias("n_b"),
         F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns: one
+    row — ``(n, h_a, h_b, h_ab, mi, nmi)`` with ``MI = H(a) + H(b) −
+    H(a,b)`` and ``nmi = MI / max(H(a), H(b))`` (0 when either margin
+    is constant) — the dependence screen for feature/label pairs that
+    correlation cannot see (it is order-free and nonlinear-safe).
+
+    Plan shape: ONE (a, b) joint-count aggregation (the only shuffle
+    over data); both margins reduce from the joint counts, and the
+    three entropies are sums over the joint/margin frames (≤ |a|·|b|
+    rows).  Null in either column drops the row (observed-pairs MI).
+    """
+    pairs = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+
+    def _entropy(counts, out):
+        tot = counts.agg(F.sum("c").alias("t"))
+        x = counts.crossJoin(F.broadcast(tot))
+        p = F.col("c") / F.col("t")
+        return x.agg(
+            F.max("t").alias(f"__n_{out}"),
+            F.sum(-p * F.log2(p)).alias(out),
+        )
+
+    h_ab = _entropy(pairs, "h_ab")
+    h_a = _entropy(pairs.groupBy("a").agg(F.sum("c").alias("c")), "h_a")
+    h_b = _entropy(pairs.groupBy("b").agg(F.sum("c").alias("c")), "h_b")
+    j = h_ab.crossJoin(F.broadcast(h_a)).crossJoin(F.broadcast(h_b))
+    mi = F.col("h_a") + F.col("h_b") - F.col("h_ab")
+    return j.select(
+        F.col("__n_h_ab").cast("long").alias("n"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("h_ab", 6).alias("h_ab"),
+        F.round(mi, 6).alias("mi"),
+        F.round(
+            F.coalesce(
+                F.try_divide(mi, F.greatest(F.col("h_a"), F.col("h_b"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law: one row
+    per digit 1–9 — ``(digit, n, share, expected, deviation)`` with
+    ``expected = log10(1 + 1/d)`` and ``deviation = share − expected``.
+
+    The classic fabricated-data / unit-mixing screen for positive
+    numeric columns spanning orders of magnitude.  The first
+    significant digit comes from the decimal string of ``abs(value)``
+    stripped of zeros and the point — pure string algebra, identical
+    in both engines (no float-log edge cases at powers of ten).
+    Zero/null values are excluded.  One bounded (≤9-row) aggregation.
+    """
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col(value_col)), 10), r"[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("long")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull() & (F.col("digit") > 0))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    x = counts.crossJoin(F.broadcast(tot))
+    share = F.col("n") / F.col("t")
+    expected = F.log10(1.0 + F.try_divide(F.lit(1.0), F.col("digit")))
+    return x.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected"),
+        F.round(share - expected, 6).alias("deviation"),
     )

@@ -2813,6 +2813,70 @@ FROM j, t GROUP BY t.ta, t.tb
 """
 
 
+def q_x59_mutual_info(spark, sf_dir):
+    """Mutual information between event type and weekday
+    (operators/sketch.py:mutual_information) — nonlinear dependence
+    screen from one joint-count aggregation."""
+    from .operators.sketch import mutual_information
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "weekday", (F.expr("ts_us div 86400000000") + 3) % 7 + 1
+    )
+    return mutual_information(ev, "event_type", "weekday")
+
+
+SQL_X59 = """
+WITH pairs AS (
+  SELECT event_type AS a,
+         (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS b,
+         COUNT(*) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT SUM(c) AS t FROM pairs),
+hab AS (
+  SELECT SUM(-(c / tot.t) * log2(c / tot.t)) AS h_ab FROM pairs, tot
+), ma AS (SELECT a, SUM(c) AS c FROM pairs GROUP BY a),
+ha AS (SELECT SUM(-(c / tot.t) * log2(c / tot.t)) AS h_a FROM ma, tot),
+mb AS (SELECT b, SUM(c) AS c FROM pairs GROUP BY b),
+hb AS (SELECT SUM(-(c / tot.t) * log2(c / tot.t)) AS h_b FROM mb, tot)
+SELECT CAST(tot.t AS BIGINT) AS n,
+       ROUND(ha.h_a, 6) AS h_a, ROUND(hb.h_b, 6) AS h_b,
+       ROUND(hab.h_ab, 6) AS h_ab,
+       ROUND(ha.h_a + hb.h_b - hab.h_ab, 6) AS mi,
+       ROUND((ha.h_a + hb.h_b - hab.h_ab)
+             / GREATEST(ha.h_a, hb.h_b), 6) AS nmi
+FROM tot, ha, hb, hab
+"""
+
+
+def q_x60_benford(spark, sf_dir):
+    """Benford first-digit profile of lineitem extended prices
+    (operators/sketch.py:benford_profile)."""
+    from .operators.sketch import benford_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_profile(li, "l_extendedprice")
+
+
+SQL_X60 = """
+WITH d AS (
+  SELECT CAST(substr(
+           regexp_replace(printf('%.10f', abs(l_extendedprice)),
+                          '[0.]', '', 'g'), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d WHERE digit IS NOT NULL AND digit > 0 GROUP BY digit
+), tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT digit, n,
+       ROUND(n / tot.t, 6) AS share,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+       ROUND(n / tot.t - log10(1.0 + 1.0 / digit), 6) AS deviation
+FROM counts, tot
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2874,6 +2938,8 @@ EXT_QUERIES = {
     "x56_canonical_urls": q_x56_canonical_urls,
     "x57_entropy": q_x57_entropy,
     "x58_drift": q_x58_drift,
+    "x59_mutual_info": q_x59_mutual_info,
+    "x60_benford": q_x60_benford,
 }
 
 EXT_ORACLES = {
@@ -2937,4 +3003,6 @@ EXT_ORACLES = {
     "x56_canonical_urls": SQL_X56,
     "x57_entropy": SQL_X57,
     "x58_drift": SQL_X58,
+    "x59_mutual_info": SQL_X59,
+    "x60_benford": SQL_X60,
 }

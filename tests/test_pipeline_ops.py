@@ -1015,3 +1015,39 @@ def test_distribution_drift_identical_and_shifted(spark):
     )
     drift = distribution_drift(a, b, "value", lo=0.0, hi=100.0).collect()[0]
     assert drift["psi"] > 0.25
+
+
+def test_mutual_information_extremes(spark):
+    from fame2pygen_spark.operators.sketch import mutual_information
+
+    # perfectly dependent: b = a -> MI = H(a) = 1 bit, nmi = 1
+    dep = spark.createDataFrame(
+        [("x", "x"), ("y", "y")] * 10, "a string, b string"
+    )
+    d = mutual_information(dep, "a", "b").collect()[0]
+    assert d["mi"] == 1.0 and d["nmi"] == 1.0 and d["h_ab"] == 1.0
+    # independent uniform 2x2 -> MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq"] * 5, "a string, b string"
+    )
+    i = mutual_information(ind, "a", "b").collect()[0]
+    assert i["mi"] == 0.0 and i["h_ab"] == 2.0
+    # constant margin -> nmi defined as 0, not null
+    const = spark.createDataFrame([("x", "p")] * 4, "a string, b string")
+    c = mutual_information(const, "a", "b").collect()[0]
+    assert c["nmi"] == 0.0
+
+
+def test_benford_profile_digits(spark):
+    from fame2pygen_spark.operators.sketch import benford_profile
+
+    vals = [123.0, 0.00145, 1900.0, 2.5, 23.0, 0.31, 9000.0, -150.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    # digits: 1 (123, 0.00145, 1900, 150) =4, 2 (2.5, 23) =2, 3 (0.31), 9 (9000)
+    assert out[1]["n"] == 4 and out[2]["n"] == 2
+    assert out[3]["n"] == 1 and out[9]["n"] == 1
+    assert sum(r["n"] for r in out.values()) == 8  # 0 and null excluded
+    import math
+    assert out[1]["expected"] == round(math.log10(2), 6)
+    assert out[1]["share"] == 0.5
