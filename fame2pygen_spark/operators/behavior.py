@@ -27,6 +27,7 @@ __all__ = [
     "funnel_conversion", "cohort_retention", "event_transitions",
     "value_outliers", "inter_arrival_quantiles",
     "last_touch_attribution", "top_session_paths",
+    "activity_streaks",
 ]
 
 #: one day in microseconds — the default cohort/retention bucket
@@ -415,4 +416,40 @@ def top_session_paths(
         .agg(F.count("*").cast("long").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(int(top_n))
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    day_us: int = DAY_US,
+) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    gaps-and-islands pattern: ``(user, n_active_days, n_streaks,
+    longest_streak, current_streak_end)``.
+
+    Island id = ``day − dense-index(day)`` per user (consecutive days
+    share it, any gap shifts it) — one user-keyed window over the
+    distinct (user, day) frame, one reduce per island, one per user.
+    State is bounded by active days, not events.
+    """
+    day = (F.col(ts_col) - (F.col(ts_col) % F.lit(day_us))) / F.lit(day_us)
+    days = events.select(
+        F.col(user_col).alias("user"), day.cast("long").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user").orderBy("day")
+    islands = days.withColumn(
+        "__island", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user", "__island").agg(
+        F.count("*").cast("long").alias("len"),
+        F.max("day").alias("end_day"),
+    )
+    return streaks.groupBy("user").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.max("end_day").cast("long").alias("current_streak_end"),
     )

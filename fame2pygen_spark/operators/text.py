@@ -33,6 +33,7 @@ __all__ = [
     "detect_language", "normalized_text", "text_fingerprint",
     "text_profile", "tfidf_top_terms", "chunk_documents", "bm25_rank",
     "term_cooccurrence_pmi", "unigram_surprisal",
+    "source_js_divergence",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -719,4 +720,67 @@ def unigram_surprisal(
             F.count("*").cast("long").alias("n_tokens"),
             F.round(F.avg(surprisal), 6).alias("mean_surprisal"),
         )
+    )
+
+
+def source_js_divergence(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (bits) between the unigram
+    term distributions of each group: ``(group_a, group_b, jsd)`` with
+    ``group_a < group_b`` — the symmetric, bounded-[0,1] lexical
+    distance between sources (0 = identical vocabularies, 1 =
+    disjoint).
+
+    ``JSD = 0.5·KL(p‖m) + 0.5·KL(q‖m)`` with ``m = (p+q)/2``; terms
+    absent from one side contribute ``0.5·p·log2(2)`` — handled
+    exactly by the full outer join with zero fills, no smoothing
+    needed.
+
+    Plan shape: one (group, term) count aggregation plus a group-share
+    normalization (broadcast totals); the pairwise comparison is a
+    term-keyed self-join (fans out only on shared vocabulary — the
+    same shape as :func:`~fame2pygen_spark.operators.dedup.
+    source_overlap`) — except a FULL join cannot express ``a < b``
+    pairing directly, so one-sided terms are recovered as the residual
+    probability mass ``1 − Σ shared p`` per pair, keeping the join an
+    inner one.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("g", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("g").agg(F.sum("c").alias("t"))
+    shares = counts.join(F.broadcast(totals), on="g").select(
+        "g", "term", (F.col("c") / F.col("t")).alias("p")
+    )
+    a = shares.select(
+        F.col("g").alias("group_a"), "term", F.col("p").alias("pa")
+    )
+    b = shares.select(
+        F.col("g").alias("group_b"), "term", F.col("p").alias("pb")
+    )
+    shared = a.join(b, on="term").where(F.col("group_a") < F.col("group_b"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    # contribution of shared terms; one-sided terms add 0.5*p*log2(2)
+    # = 0.5*p, recovered from the residual mass 1 - Σ shared p
+    contrib = 0.5 * F.col("pa") * F.log2(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log2(F.col("pb") / m)
+    agg = shared.groupBy("group_a", "group_b").agg(
+        F.sum(contrib).alias("__shared"),
+        F.sum("pa").alias("__mass_a"),
+        F.sum("pb").alias("__mass_b"),
+    )
+    jsd = (
+        F.col("__shared")
+        + 0.5 * (1.0 - F.col("__mass_a"))
+        + 0.5 * (1.0 - F.col("__mass_b"))
+    )
+    return agg.select(
+        "group_a", "group_b", F.round(jsd, 6).alias("jsd")
     )

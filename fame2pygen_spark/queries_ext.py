@@ -2877,6 +2877,72 @@ FROM counts, tot
 """
 
 
+def q_x61_js_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between sources' unigram
+    distributions (operators/text.py:source_js_divergence)."""
+    from .operators.text import source_js_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_js_divergence(docs, "text", "source")
+
+
+SQL_X61 = """
+WITH t AS (
+  SELECT source AS g,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT g, unnest(string_split(nt, ' ')) AS term FROM t WHERE nt <> ''
+), c AS (
+  SELECT g, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT g, SUM(c) AS t FROM c GROUP BY 1
+), sh AS (
+  SELECT c.g, c.term, c.c / tot.t AS p FROM c JOIN tot USING (g)
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.p AS pa, b.p AS pb
+  FROM sh a JOIN sh b ON a.term = b.term AND a.g < b.g
+)
+SELECT group_a, group_b,
+       ROUND(SUM(0.5 * pa * log2(pa / ((pa + pb) / 2))
+                 + 0.5 * pb * log2(pb / ((pa + pb) / 2)))
+             + 0.5 * (1 - SUM(pa)) + 0.5 * (1 - SUM(pb)), 6) AS jsd
+FROM pairs GROUP BY group_a, group_b
+"""
+
+
+def q_x62_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streaks per user
+    (operators/behavior.py:activity_streaks, gaps-and-islands)."""
+    from .operators.behavior import activity_streaks
+
+    ev = _read_events(spark, sf_dir)
+    return activity_streaks(ev).withColumnRenamed("user", "user_id")
+
+
+SQL_X62 = """
+WITH days AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), isl AS (
+  SELECT u, day,
+         day - ROW_NUMBER() OVER (PARTITION BY u ORDER BY day)
+           AS island
+  FROM days
+), streaks AS (
+  SELECT u, island, CAST(COUNT(*) AS BIGINT) AS len,
+         MAX(day) AS end_day
+  FROM isl GROUP BY u, island
+)
+SELECT u AS user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(MAX(end_day) AS BIGINT) AS current_streak_end
+FROM streaks GROUP BY u
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -2940,6 +3006,8 @@ EXT_QUERIES = {
     "x58_drift": q_x58_drift,
     "x59_mutual_info": q_x59_mutual_info,
     "x60_benford": q_x60_benford,
+    "x61_js_divergence": q_x61_js_divergence,
+    "x62_streaks": q_x62_streaks,
 }
 
 EXT_ORACLES = {
@@ -3005,4 +3073,6 @@ EXT_ORACLES = {
     "x58_drift": SQL_X58,
     "x59_mutual_info": SQL_X59,
     "x60_benford": SQL_X60,
+    "x61_js_divergence": SQL_X61,
+    "x62_streaks": SQL_X62,
 }

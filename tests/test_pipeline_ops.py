@@ -1051,3 +1051,48 @@ def test_benford_profile_digits(spark):
     import math
     assert out[1]["expected"] == round(math.log10(2), 6)
     assert out[1]["share"] == 0.5
+
+
+def test_source_js_divergence_extremes(spark):
+    from fame2pygen_spark.operators.text import source_js_divergence
+
+    docs = spark.createDataFrame(
+        # s1 and s2: identical distributions -> jsd 0
+        # s3: disjoint vocabulary -> jsd 1 vs both
+        [(1, "s1", "a b"), (2, "s2", "a b"), (3, "s3", "x y")],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["group_a"], r["group_b"]): r["jsd"] for r in
+           source_js_divergence(docs, "text", "source").collect()}
+    assert out[("s1", "s2")] == 0.0
+    # fully disjoint pairs never join on a term -> no row; their JSD
+    # is 1 by definition (residual mass only) — absence marks them
+    assert ("s1", "s3") not in out
+    # partial overlap: s4 {a:1/2, c:1/2} vs s1 {a:1/2, b:1/2}
+    docs2 = spark.createDataFrame(
+        [(1, "s1", "a b"), (4, "s4", "a c")],
+        "doc_id long, source string, text string",
+    )
+    import math
+    r = source_js_divergence(docs2, "text", "source").collect()[0]
+    # shared a: both p=1/2, m=1/2 -> contributes 0; residuals 1/2 each
+    assert r["jsd"] == 0.5
+
+
+def test_activity_streaks_islands(spark):
+    from fame2pygen_spark.operators.behavior import activity_streaks
+
+    D = 86_400_000_000
+    rows = [
+        # u1: days 0,1,2 then 5,6 -> streaks 3 and 2
+        (1, 0), (1, 1 * D), (1, 1 * D + 5), (1, 2 * D), (1, 5 * D), (1, 6 * D),
+        # u2: single day
+        (2, 10 * D),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    out = {r["user"]: r for r in activity_streaks(ev).collect()}
+    u1 = out[1]
+    assert u1["n_active_days"] == 5 and u1["n_streaks"] == 2
+    assert u1["longest_streak"] == 3 and u1["current_streak_end"] == 6
+    u2 = out[2]
+    assert u2["longest_streak"] == 1 and u2["n_streaks"] == 1
