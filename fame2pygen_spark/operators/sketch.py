@@ -34,6 +34,7 @@ __all__ = [
     "mad_outliers", "corr_pairs", "skew_profile",
     "group_entropy", "distribution_drift",
     "mutual_information", "benford_profile",
+    "weighted_quantiles", "ks_statistic",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -716,4 +717,120 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round(expected, 6).alias("expected"),
         F.round(share - expected, 6).alias("deviation"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float],
+) -> DataFrame:
+    """Per-group weight-aware quantiles: for each probability *p* the
+    smallest value whose cumulative weight reaches ``p · Σw`` (the
+    lower-bound rule — exact, deterministic, and engine-portable,
+    unlike interpolating weighted-percentile variants that differ by
+    library).  Columns ``p<prob*100>`` plus ``n`` and ``w_total``.
+
+    The estimator for "median document length in TOKENS" style
+    questions where each row should count by its weight, not once.
+    Rows with null or non-positive weight are excluded.
+
+    Plan shape: one group-keyed sort window for the running weight,
+    then a min-conditional aggregation per probability — a single
+    shuffle, no per-group collect.
+    """
+    group_cols = list(group_cols)
+    filtered = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        & F.col(value_col).isNotNull()
+    )
+    # windows order by the STAGED column — referencing value_col after
+    # the rename would fail analysis (cf. time_weighted_avg)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    staged = filtered.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).alias("__w"),
+    ).withColumn("__cw", F.sum("__w").over(w)).withColumn(
+        "__tw", F.sum("__w").over(tot)
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.round(F.max("__tw"), 6).alias("w_total"),
+    ]
+    for p in probs:
+        name = f"p{p * 100:g}".replace(".", "_")
+        aggs.append(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("__cw") >= F.lit(float(p)) * F.col("__tw"),
+                        F.col("__v"),
+                    )
+                ),
+                6,
+            ).alias(name)
+        )
+    return staged.groupBy(*group_cols).agg(*aggs)
+
+
+def ks_statistic(
+    df_a: DataFrame, df_b: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: one row — ``(n_a, n_b,
+    ks)`` with ``ks = max |ECDF_a(v) − ECDF_b(v)|`` over the pooled
+    support — the nonparametric complement to the binned PSI
+    (:func:`distribution_drift`): no bins to choose, sensitive to any
+    distributional difference.
+
+    Exact, not sampled: per-sample value counts reduce each side to
+    its distinct support; the pooled support is a full outer join of
+    the two count frames; running sums over the pooled values give
+    both ECDFs at every support point (a missing side carries its
+    last value forward via the running sum of zero-filled counts).
+    One sort window over |distinct values| rows.
+    """
+    ca = (
+        df_a.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count("*").alias("na"))
+    )
+    cb = (
+        df_b.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count("*").alias("nb"))
+    )
+    pooled = ca.join(cb, on="v", how="full").select(
+        "v",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    tot = pooled.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = pooled.select(
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    return ecdf.agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+                )
+            ),
+            6,
+        ).alias("ks"),
     )

@@ -34,7 +34,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join_points", "fill_gaps_daily", "time_weighted_avg"]
+__all__ = [
+    "asof_join", "range_join_points", "fill_gaps_daily",
+    "time_weighted_avg", "group_trend",
+]
 
 
 def asof_join(
@@ -284,4 +287,59 @@ def time_weighted_avg(
                 6,
             ).alias("twa"),
         )
+    )
+
+
+def group_trend(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    day_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Per-entity linear trend of *value_col* over time: ``(entity, n,
+    slope_per_day, intercept, r2)`` from an ordinary least-squares fit
+    of value against the integer day index.
+
+    Built on exact decimal moment sums (the
+    :func:`~fame2pygen_spark.operators.sketch.corr_pairs` technique):
+    the day index is an INTEGER regressor, so Σx and Σx² are exact by
+    construction and the fit is accumulation-order-insensitive —
+    ``slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)``, ``r² = corr²``.  One
+    hash aggregation per entity; null values excluded; entities with a
+    constant day index report null slope.
+    """
+    day = F.expr(f"{ts_col} div {int(day_us)}")
+    dec = "decimal(28,6)"
+    staged = events.where(F.col(value_col).isNotNull()).select(
+        F.col(entity_col).alias("entity"),
+        day.alias("__x"),
+        F.col(value_col).alias("__y"),
+    )
+    m = staged.groupBy("entity").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("double").alias("sx"),
+        F.sum(F.col("__y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.try_divide(dxy, dxx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.try_divide(dxy * dxy, dxx * dyy)
+    return m.select(
+        "entity",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
     )

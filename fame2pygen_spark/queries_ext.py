@@ -2943,6 +2943,115 @@ FROM streaks GROUP BY u
 """
 
 
+def q_x63_weighted_quantiles(spark, sf_dir):
+    """Token-weighted document-length quantiles per source
+    (operators/sketch.py:weighted_quantiles): n_chars weighted by
+    itself — 'the char count of the char-median document'."""
+    from .operators.sketch import weighted_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_quantiles(
+        docs, ["source"], "n_chars", "n_chars", [0.5, 0.9]
+    )
+
+
+SQL_X63 = """
+WITH f AS (
+  SELECT source, n_chars AS v, n_chars AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), s AS (
+  SELECT source, v, w,
+         SUM(w) OVER (
+           PARTITION BY source ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cw,
+         SUM(w) OVER (PARTITION BY source) AS tw
+  FROM f
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(tw), 6) AS w_total,
+       ROUND(MIN(CASE WHEN cw >= 0.5 * tw THEN v END), 6) AS p50,
+       ROUND(MIN(CASE WHEN cw >= 0.9 * tw THEN v END), 6) AS p90
+FROM s GROUP BY source
+"""
+
+
+def q_x64_ks(spark, sf_dir):
+    """Two-sample KS statistic (operators/sketch.py:ks_statistic)
+    between first- and second-half-of-month event values — the
+    binless complement to the x58 PSI."""
+    from .operators.sketch import ks_statistic
+
+    ev = _read_events(spark, sf_dir)
+    a = ev.where(F.col("ts_us") < _X58_CUTOFF_US)
+    b = ev.where(F.col("ts_us") >= _X58_CUTOFF_US)
+    return ks_statistic(a, b, "value")
+
+
+SQL_X64 = f"""
+WITH ca AS (
+  SELECT value AS v, COUNT(*) AS na FROM events
+  WHERE value IS NOT NULL AND epoch_us(ts) < {_X58_CUTOFF_US}
+  GROUP BY 1
+), cb AS (
+  SELECT value AS v, COUNT(*) AS nb FROM events
+  WHERE value IS NOT NULL AND epoch_us(ts) >= {_X58_CUTOFF_US}
+  GROUP BY 1
+), pooled AS (
+  SELECT v, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+  FROM ca FULL JOIN cb USING (v)
+), ecdf AS (
+  SELECT SUM(na) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+         SUM(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+  FROM pooled
+), tot AS (
+  SELECT SUM(na) AS ta, SUM(nb) AS tb FROM pooled
+)
+SELECT CAST(tot.ta AS BIGINT) AS n_a, CAST(tot.tb AS BIGINT) AS n_b,
+       ROUND(MAX(abs(ecdf.cca / tot.ta - ecdf.ccb / tot.tb)), 6) AS ks
+FROM ecdf, tot GROUP BY tot.ta, tot.tb
+"""
+
+
+def q_x65_trend(spark, sf_dir):
+    """Per-user linear value trend over day index
+    (operators/temporal.py:group_trend, exact decimal moments)."""
+    from .operators.temporal import group_trend
+
+    ev = _read_events(spark, sf_dir)
+    return group_trend(ev).withColumnRenamed("entity", "user_id")
+
+
+SQL_X65 = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS x, value AS y
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n,
+       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+         AS slope_per_day,
+       ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                   * sx) / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+         AS r2
+FROM m
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -3008,6 +3117,9 @@ EXT_QUERIES = {
     "x60_benford": q_x60_benford,
     "x61_js_divergence": q_x61_js_divergence,
     "x62_streaks": q_x62_streaks,
+    "x63_weighted_quantiles": q_x63_weighted_quantiles,
+    "x64_ks": q_x64_ks,
+    "x65_trend": q_x65_trend,
 }
 
 EXT_ORACLES = {
@@ -3075,4 +3187,7 @@ EXT_ORACLES = {
     "x60_benford": SQL_X60,
     "x61_js_divergence": SQL_X61,
     "x62_streaks": SQL_X62,
+    "x63_weighted_quantiles": SQL_X63,
+    "x64_ks": SQL_X64,
+    "x65_trend": SQL_X65,
 }

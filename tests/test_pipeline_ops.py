@@ -1096,3 +1096,49 @@ def test_activity_streaks_islands(spark):
     assert u1["longest_streak"] == 3 and u1["current_streak_end"] == 6
     u2 = out[2]
     assert u2["longest_streak"] == 1 and u2["n_streaks"] == 1
+
+
+def test_weighted_quantiles_lower_bound_rule(spark):
+    from fame2pygen_spark.operators.sketch import weighted_quantiles
+
+    # values 1,2,3 with weights 1,1,8: cum 1,2,10 of 10
+    # p50 -> first cum >= 5 -> value 3; p10 -> value 1
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 8.0),
+         ("g", 9.0, 0.0), ("g", 9.0, None)],  # excluded weights
+        "grp string, v double, w double",
+    )
+    r = weighted_quantiles(df, ["grp"], "v", "w", [0.1, 0.5]).collect()[0]
+    assert r["p10"] == 1.0 and r["p50"] == 3.0
+    assert r["n"] == 3 and r["w_total"] == 10.0
+
+
+def test_ks_statistic_extremes(spark):
+    from fame2pygen_spark.operators.sketch import ks_statistic
+
+    a = spark.createDataFrame([(float(v),) for v in range(10)], "v double")
+    same = ks_statistic(a, a, "v").collect()[0]
+    assert same["ks"] == 0.0 and same["n_a"] == same["n_b"] == 10
+    # disjoint supports -> ks = 1
+    b = spark.createDataFrame(
+        [(float(v) + 100,) for v in range(10)], "v double"
+    )
+    d = ks_statistic(a, b, "v").collect()[0]
+    assert d["ks"] == 1.0
+
+
+def test_group_trend_exact_line_and_r2(spark):
+    from fame2pygen_spark.operators.temporal import group_trend
+
+    D = 86_400_000_000
+    # u1: y = 2*day + 5 exactly -> slope 2, intercept 5, r2 = 1
+    rows = [(1, d * D, 2.0 * d + 5.0) for d in range(5)]
+    # u2: constant day index -> null slope
+    rows += [(2, 3 * D, 1.0), (2, 3 * D + 100, 9.0)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    out = {r["entity"]: r for r in group_trend(ev).collect()}
+    u1 = out[1]
+    assert u1["slope_per_day"] == 2.0 and u1["intercept"] == 5.0
+    assert u1["r2"] == 1.0
+    u2 = out[2]
+    assert u2["slope_per_day"] is None and u2["r2"] is None
