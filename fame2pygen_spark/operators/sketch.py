@@ -604,17 +604,19 @@ def distribution_drift(
     (≤ |bins| rows); the bin join, the broadcast of the 1-row totals,
     and the final reduce all run over those few rows.
     """
-    ha = group_histogram(
-        df_a.select(F.lit(1).alias("__g"), value_col),
-        ["__g"], value_col, lo=lo, hi=hi, bins=bins,
-    ).select("bin", F.col("n").alias("n_a"))
-    hb = group_histogram(
-        df_b.select(F.lit(1).alias("__g"), value_col),
-        ["__g"], value_col, lo=lo, hi=hi, bins=bins,
-    ).select("bin", F.col("n").alias("n_b"))
-    j = ha.join(hb, on="bin", how="full").select(
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    # union + conditional aggregation, NOT a full outer bin join: full
+    # outer cannot broadcast, so the join form sort-merges even over
+    # <= |bins| rows; the tagged union needs no join at all
+    tagged = df_a.select(
+        F.lit(0).alias("__side"), F.col(value_col)
+    ).unionByName(df_b.select(F.lit(1).alias("__side"), F.col(value_col)))
+    h = group_histogram(tagged, ["__side"], value_col, lo=lo, hi=hi,
+                        bins=bins)
+    j = h.groupBy("bin").agg(
+        F.coalesce(F.sum(F.when(F.col("__side") == 0, F.col("n"))),
+                   F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("__side") == 1, F.col("n"))),
+                   F.lit(0)).alias("n_b"),
     )
     tot = j.agg(
         F.sum("n_a").cast("long").alias("ta"),
@@ -797,20 +799,19 @@ def ks_statistic(
     last value forward via the running sum of zero-filled counts).
     One sort window over |distinct values| rows.
     """
-    ca = (
+    # tagged union + one conditional aggregation — the full-outer
+    # support join would sort-merge (full outer cannot broadcast)
+    tagged = (
         df_a.where(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
-        .agg(F.count("*").alias("na"))
+        .select(F.lit(0).alias("__side"), F.col(value_col).alias("v"))
+        .unionByName(
+            df_b.where(F.col(value_col).isNotNull())
+            .select(F.lit(1).alias("__side"), F.col(value_col).alias("v"))
+        )
     )
-    cb = (
-        df_b.where(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
-        .agg(F.count("*").alias("nb"))
-    )
-    pooled = ca.join(cb, on="v", how="full").select(
-        "v",
-        F.coalesce("na", F.lit(0)).alias("na"),
-        F.coalesce("nb", F.lit(0)).alias("nb"),
+    pooled = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("nb"),
     )
     tot = pooled.agg(
         F.sum("na").alias("ta"), F.sum("nb").alias("tb")

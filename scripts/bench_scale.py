@@ -137,6 +137,24 @@ def _events_tier(spark, timed) -> int:
         "x34_transitions_events10x",
         lambda: event_transitions(big).count(),
     )
+
+    from fame2pygen_spark.operators.behavior import (
+        activity_streaks, top_session_paths,
+    )
+    from fame2pygen_spark.operators.temporal import group_trend
+
+    timed(
+        "x49_session_paths_events10x",
+        lambda: top_session_paths(big).count(),
+    )
+    timed(
+        "x62_streaks_events10x",
+        lambda: activity_streaks(big).count(),
+    )
+    timed(
+        "x65_trend_events10x",
+        lambda: group_trend(big).count(),
+    )
     return n_events
 
 

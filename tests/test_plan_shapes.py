@@ -86,3 +86,29 @@ def test_rollup_is_one_expand_pass(spark):
     # Expand appears (grouping sets), and exactly one aggregation pass
     # over the expanded fact — not one job per rollup level
     assert "Expand" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x58_drift",           # histogram frames + 1-row totals
+        "x59_mutual_info",     # joint counts + entropy frames
+        "x64_ks",              # pooled support + totals
+    ],
+)
+def test_stat_operators_broadcast_their_tiny_frames(spark, name):
+    plan = plan_of(spark, name)
+    assert "SortMergeJoin" not in plan, name
+    assert ("BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["x57_entropy", "x60_benford", "x62_streaks", "x63_weighted_quantiles",
+     "x65_trend"],
+)
+def test_stat_operators_never_sort_merge_or_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "SortMergeJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
