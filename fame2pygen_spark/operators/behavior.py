@@ -27,7 +27,7 @@ __all__ = [
     "funnel_conversion", "cohort_retention", "event_transitions",
     "value_outliers", "inter_arrival_quantiles",
     "last_touch_attribution", "top_session_paths",
-    "activity_streaks",
+    "activity_streaks", "ab_conversion_test", "survival_curve",
 ]
 
 #: one day in microseconds — the default cohort/retention bucket
@@ -453,3 +453,117 @@ def activity_streaks(
         F.max("len").cast("long").alias("longest_streak"),
         F.max("end_day").cast("long").alias("current_streak_end"),
     )
+
+
+def ab_conversion_test(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-proportion conversion comparison over a deterministic 50/50
+    hash split of users: one row — ``(n_a, n_b, conv_a, conv_b,
+    rate_a, rate_b, z)`` with the pooled two-proportion z-statistic
+    ``(p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))``.
+
+    The assignment is ``uniform_hash01(user) < 0.5`` — the same
+    deterministic membership primitive as
+    :func:`~fame2pygen_spark.operators.mixing.split_corpus`, so the
+    split is reproducible across engines and runs (a hash-based A/A
+    test; supply real assignments by pre-computing a variant column
+    and grouping on it for production use).
+
+    Plan shape: one user-keyed reduce (per-user converted flag), one
+    tiny per-variant aggregate, row-local arithmetic.
+    """
+    from .mixing import uniform_hash01
+
+    per_user = events.groupBy(user_col).agg(
+        F.max(
+            (F.col(type_col) == conversion_type).cast("int")
+        ).alias("__conv")
+    ).select(
+        F.when(
+            uniform_hash01(F.col(user_col), salt) < 0.5, F.lit("a")
+        ).otherwise(F.lit("b")).alias("__variant"),
+        "__conv",
+    )
+    is_a = (F.col("__variant") == "a").cast("long")
+    is_b = (F.col("__variant") == "b").cast("long")
+    agg = per_user.agg(
+        F.sum(is_a).alias("a_n"),
+        F.sum(is_b).alias("b_n"),
+        F.sum(is_a * F.col("__conv")).alias("a_conv"),
+        F.sum(is_b * F.col("__conv")).alias("b_conv"),
+    )
+    n_a, n_b = F.col("a_n").cast("double"), F.col("b_n").cast("double")
+    c_a, c_b = F.col("a_conv").cast("double"), F.col("b_conv").cast("double")
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pooled = (c_a + c_b) / (n_a + n_b)
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)),
+    )
+    return agg.select(
+        F.col("a_n").cast("long").alias("n_a"),
+        F.col("b_n").cast("long").alias("n_b"),
+        F.col("a_conv").cast("long").alias("conv_a"),
+        F.col("b_conv").cast("long").alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def survival_curve(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    max_days: int = 30,
+    day_us: int = DAY_US,
+) -> DataFrame:
+    """Activity survival function: for each day offset d in
+    ``0..max_days``, the fraction of users whose observed lifetime
+    (last activity day − first activity day) is at least *d* —
+    ``(day_offset, n_surviving, survival)``.  ``S(0) = 1`` by
+    definition; the curve is the retention complement to
+    :func:`cohort_retention` (which measures exact-day returns, not
+    lifetime).
+
+    Plan shape: one user-keyed reduce to per-user lifetimes, then one
+    1-row conditional aggregate with ``max_days+1`` counters unpivoted
+    via ``explode`` — the same tiny-output shape as the funnel.
+    """
+    day = (F.col(ts_col) - (F.col(ts_col) % F.lit(day_us))) / F.lit(day_us)
+    lifetimes = events.select(
+        F.col(user_col).alias("user"), day.cast("long").alias("day")
+    ).groupBy("user").agg(
+        (F.max("day") - F.min("day")).alias("lifetime")
+    )
+    counters = lifetimes.agg(
+        F.count("*").cast("long").alias("__total"),
+        *[
+            F.sum((F.col("lifetime") >= d).cast("long")).alias(f"__s{d}")
+            for d in range(max_days + 1)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("day_offset"),
+                F.col(f"__s{d}").cast("long").alias("n_surviving"),
+                F.round(
+                    F.try_divide(
+                        F.col(f"__s{d}").cast("double"),
+                        F.col("__total").cast("double"),
+                    ),
+                    6,
+                ).alias("survival"),
+            )
+            for d in range(max_days + 1)
+        ]
+    )
+    return counters.select(F.explode(rows).alias("s")).select("s.*")

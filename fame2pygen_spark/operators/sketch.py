@@ -34,7 +34,7 @@ __all__ = [
     "mad_outliers", "corr_pairs", "skew_profile",
     "group_entropy", "distribution_drift",
     "mutual_information", "benford_profile",
-    "weighted_quantiles", "ks_statistic",
+    "weighted_quantiles", "ks_statistic", "trimmed_mean",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -834,4 +834,48 @@ def ks_statistic(
             ),
             6,
         ).alias("ks"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    lower_p: float = 0.05,
+    upper_p: float = 0.95,
+) -> DataFrame:
+    """Per-group trimmed mean: the mean of values INSIDE the group's
+    exact [*lower_p*, *upper_p*] quantile band (inclusive) —
+    ``(group, n, n_kept, trimmed_mean)``.  The dropping counterpart to
+    :func:`winsorize` (which clips): robust location that discards the
+    tails entirely.
+
+    One exact-percentile aggregate broadcast back, then a filtered
+    decimal-sum mean (order-insensitive, the x10 idiom).
+    """
+    if not 0.0 <= lower_p < upper_p <= 1.0:
+        raise ValueError("need 0 <= lower_p < upper_p <= 1")
+    group_cols = list(group_cols)
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile(`{value_col}`, {float(lower_p)})").alias("__lo"),
+        F.expr(f"percentile(`{value_col}`, {float(upper_p)})").alias("__hi"),
+    )
+    v = F.col(value_col)
+    inside = v.isNotNull() & (v >= F.col("__lo")) & (v <= F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), on=group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(value_col).cast("long").alias("n"),
+            F.sum(inside.cast("long")).alias("n_kept"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.when(inside, v).cast("decimal(28,6)"))
+                    .cast("double"),
+                    F.sum(inside.cast("long")).cast("double"),
+                ),
+                6,
+            ).alias("trimmed_mean"),
+        )
     )

@@ -3052,6 +3052,106 @@ FROM m
 """
 
 
+def q_x66_ab_test(spark, sf_dir):
+    """Hash-split two-proportion conversion z-test
+    (operators/behavior.py:ab_conversion_test) — an A/A test on the
+    deterministic 50/50 user split."""
+    from .operators.behavior import ab_conversion_test
+
+    ev = _read_events(spark, sf_dir)
+    return ab_conversion_test(ev)
+
+
+SQL_X66 = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS variant,
+         conv
+  FROM pu
+), agg AS (
+  SELECT SUM(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN variant = 'a' THEN conv ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN variant = 'b' THEN conv ELSE 0 END) AS conv_b
+  FROM v
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       ROUND((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM agg
+"""
+
+
+def q_x67_survival(spark, sf_dir):
+    """Lifetime survival function over 0..30 day offsets
+    (operators/behavior.py:survival_curve)."""
+    from .operators.behavior import survival_curve
+
+    ev = _read_events(spark, sf_dir)
+    return survival_curve(ev, max_days=30)
+
+
+SQL_X67 = """
+WITH lt AS (
+  SELECT user_id,
+         MAX(epoch_us(ts) // 86400000000)
+           - MIN(epoch_us(ts) // 86400000000) AS lifetime
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT COUNT(*) AS total FROM lt
+), d AS (
+  SELECT unnest(generate_series(0, 30)) AS day_offset
+)
+SELECT d.day_offset,
+       CAST(SUM(CASE WHEN lt.lifetime >= d.day_offset THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_surviving,
+       ROUND(SUM(CASE WHEN lt.lifetime >= d.day_offset THEN 1 ELSE 0 END)
+             / CAST(t.total AS DOUBLE), 6) AS survival
+FROM d CROSS JOIN lt CROSS JOIN t
+GROUP BY d.day_offset, t.total
+"""
+
+
+def q_x68_trimmed_mean(spark, sf_dir):
+    """Per-type 5–95% trimmed mean of event values
+    (operators/sketch.py:trimmed_mean)."""
+    from .operators.sketch import trimmed_mean
+
+    ev = _read_events(spark, sf_dir)
+    return trimmed_mean(ev, ["event_type"], "value")
+
+
+SQL_X68 = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(e.value) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+                           THEN CAST(e.value AS DECIMAL(28,6)) END)
+                  AS DOUBLE)
+             / SUM(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+                        THEN 1 ELSE 0 END), 6) AS trimmed_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -3120,6 +3220,9 @@ EXT_QUERIES = {
     "x63_weighted_quantiles": q_x63_weighted_quantiles,
     "x64_ks": q_x64_ks,
     "x65_trend": q_x65_trend,
+    "x66_ab_test": q_x66_ab_test,
+    "x67_survival": q_x67_survival,
+    "x68_trimmed_mean": q_x68_trimmed_mean,
 }
 
 EXT_ORACLES = {
@@ -3190,4 +3293,7 @@ EXT_ORACLES = {
     "x63_weighted_quantiles": SQL_X63,
     "x64_ks": SQL_X64,
     "x65_trend": SQL_X65,
+    "x66_ab_test": SQL_X66,
+    "x67_survival": SQL_X67,
+    "x68_trimmed_mean": SQL_X68,
 }

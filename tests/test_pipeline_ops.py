@@ -1142,3 +1142,59 @@ def test_group_trend_exact_line_and_r2(spark):
     assert u1["r2"] == 1.0
     u2 = out[2]
     assert u2["slope_per_day"] is None and u2["r2"] is None
+
+
+def test_ab_conversion_test_deterministic_and_z(spark):
+    import math
+
+    from fame2pygen_spark.operators.behavior import ab_conversion_test
+
+    rows = [(u, "purchase" if u % 3 == 0 else "view") for u in range(200)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r1 = ab_conversion_test(ev).collect()[0]
+    r2 = ab_conversion_test(ev).collect()[0]
+    assert r1 == r2  # deterministic split
+    assert r1["n_a"] + r1["n_b"] == 200
+    assert r1["conv_a"] + r1["conv_b"] == 67  # users 0,3,...,198
+    # replicate the pooled z
+    pa, pb = r1["conv_a"] / r1["n_a"], r1["conv_b"] / r1["n_b"]
+    pp = (r1["conv_a"] + r1["conv_b"]) / 200
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / r1["n_a"] + 1 / r1["n_b"]))
+    assert abs(r1["z"] - round(z, 6)) < 1e-9
+
+
+def test_survival_curve_monotone_and_exact(spark):
+    from fame2pygen_spark.operators.behavior import survival_curve
+
+    D = 86_400_000_000
+    # lifetimes: u1=0, u2=2, u3=5 days
+    rows = [(1, 0), (2, 0), (2, 2 * D), (3, 0), (3, 5 * D)]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    out = {r["day_offset"]: r for r in
+           survival_curve(ev, max_days=6).collect()}
+    assert len(out) == 7
+    assert out[0]["survival"] == 1.0 and out[0]["n_surviving"] == 3
+    assert out[1]["n_surviving"] == 2 and out[2]["n_surviving"] == 2
+    assert out[3]["n_surviving"] == 1 and out[5]["n_surviving"] == 1
+    assert out[6]["n_surviving"] == 0
+    vals = [out[d]["survival"] for d in range(7)]
+    assert vals == sorted(vals, reverse=True)  # monotone non-increasing
+
+
+def test_trimmed_mean_drops_tails(spark):
+    from fame2pygen_spark.operators.sketch import trimmed_mean
+
+    # 1..100: p5=5.95, p95=95.05 -> keeps 6..95, mean 50.5
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "grp string, value double"
+    )
+    r = trimmed_mean(df, ["grp"], "value").collect()[0]
+    assert r["n"] == 100 and r["n_kept"] == 90
+    assert r["trimmed_mean"] == 50.5
+    # an extreme outlier barely moves the trimmed mean but not inside band
+    df2 = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)] + [("g", 1e9)],
+        "grp string, value double",
+    )
+    r2 = trimmed_mean(df2, ["grp"], "value").collect()[0]
+    assert r2["trimmed_mean"] < 60  # outlier trimmed away
