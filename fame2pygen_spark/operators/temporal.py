@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "asof_join", "range_join_points", "fill_gaps_daily",
-    "time_weighted_avg", "group_trend",
+    "time_weighted_avg", "group_trend", "cusum_scan", "autocorrelation",
 ]
 
 
@@ -343,3 +343,129 @@ def group_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def cusum_scan(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Per-entity CUSUM changepoint scan: walking the entity's ordered
+    series, the cumulative sum of deviations from the entity mean
+    peaks where the level shifts — ``(entity, n, max_abs_cusum,
+    change_idx, change_ts)`` with the peak's 1-based position and
+    timestamp (Page's CUSUM statistic; threshold downstream against a
+    permutation or σ·√n bound).
+
+    Plan shape: one entity-keyed reduce for the mean (broadcast back),
+    one ordered window for the running sum, one reduce for the peak —
+    all keyed by the entity; ties on |cusum| resolve to the earliest
+    position so both engines pick the same row.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    stats = events.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(entity_col).alias("entity")
+    ).agg(F.avg(value_col).alias("__mu"))
+    staged = (
+        events.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(entity_col).alias("entity"),
+            *order,
+            F.col(value_col).alias("__v"),
+        )
+        .join(F.broadcast(stats), on="entity")
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(*[c for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("entity").orderBy(*[c for c in order])
+    cur = staged.select(
+        "entity",
+        F.col(ts_col),
+        F.row_number().over(wn).alias("__idx"),
+        F.sum(F.col("__v") - F.col("__mu")).over(w).alias("__cusum"),
+    ).withColumn(
+        # series length must be taken BEFORE the peak filter
+        "__n", F.count("*").over(Window.partitionBy("entity"))
+    )
+    peak = Window.partitionBy("entity").orderBy(
+        F.abs(F.col("__cusum")).desc(), F.col("__idx").asc()
+    )
+    return (
+        cur.withColumn("__rn", F.row_number().over(peak))
+        .where(F.col("__rn") == 1)
+        .select(
+            "entity",
+            F.col("__n").cast("long").alias("n"),
+            F.round(F.abs(F.col("__cusum")), 6).alias("max_abs_cusum"),
+            F.col("__idx").cast("long").alias("change_idx"),
+            F.col(ts_col).cast("long").alias("change_ts"),
+        )
+    )
+
+
+def autocorrelation(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    lag: int = 1,
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Per-entity lag-*k* autocorrelation of the ordered value series:
+    ``(entity, n_pairs, acf)`` — the Pearson correlation between the
+    series and itself shifted by *lag* positions (the sample-pairs
+    definition; entities with fewer than ``lag+2`` observations or a
+    constant segment report null).
+
+    Plan shape: one entity-keyed ``lag`` window, then the exact
+    decimal-moment correlation (:func:`~fame2pygen_spark.operators.
+    sketch.corr_pairs` technique) in one reduce — order-insensitive
+    and engine-reproducible, unlike a float ``corr`` aggregate.
+    """
+    if lag < 1:
+        raise ValueError("lag must be positive")
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    paired = (
+        events.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(entity_col).alias("entity"),
+            F.col(value_col).alias("__y"),
+            *[c for c in order],
+        )
+        .withColumn("__x", F.lag("__y", lag).over(
+            Window.partitionBy("entity").orderBy(*[c for c in order])
+        ))
+        .where(F.col("__x").isNotNull())
+    )
+    dec = "decimal(28,6)"
+    m = paired.groupBy("entity").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("__x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("__y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    acf = F.try_divide(
+        n * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+    )
+    return m.select("entity", "n_pairs", F.round(acf, 6).alias("acf"))

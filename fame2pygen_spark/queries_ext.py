@@ -3152,6 +3152,85 @@ GROUP BY e.event_type
 """
 
 
+def q_x69_cusum(spark, sf_dir):
+    """Per-user CUSUM changepoint scan
+    (operators/temporal.py:cusum_scan)."""
+    from .operators.temporal import cusum_scan
+
+    ev = _read_events(spark, sf_dir)
+    return cusum_scan(ev).withColumnRenamed("entity", "user_id")
+
+
+SQL_X69 = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE value IS NOT NULL
+), mu AS (
+  SELECT user_id, AVG(value) AS mu FROM s GROUP BY user_id
+), cur AS (
+  SELECT s.user_id, s.ts_us,
+         ROW_NUMBER() OVER w AS idx,
+         SUM(s.value - mu.mu) OVER (
+           PARTITION BY s.user_id ORDER BY s.ts_us, s.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cusum,
+         COUNT(*) OVER (PARTITION BY s.user_id) AS n
+  FROM s JOIN mu USING (user_id)
+  WINDOW w AS (PARTITION BY s.user_id ORDER BY s.ts_us, s.event_id)
+), peak AS (
+  SELECT user_id, n, ts_us, idx, cusum,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY abs(cusum) DESC, idx ASC
+         ) AS rn
+  FROM cur
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       ROUND(abs(cusum), 6) AS max_abs_cusum,
+       CAST(idx AS BIGINT) AS change_idx,
+       CAST(ts_us AS BIGINT) AS change_ts
+FROM peak WHERE rn = 1
+"""
+
+
+def q_x70_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values
+    (operators/temporal.py:autocorrelation, exact decimal moments)."""
+    from .operators.temporal import autocorrelation
+
+    ev = _read_events(spark, sf_dir)
+    return autocorrelation(ev, lag=1).withColumnRenamed(
+        "entity", "user_id"
+    )
+
+
+SQL_X70 = """
+WITH s AS (
+  SELECT user_id,
+         value AS y,
+         LAG(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS x
+  FROM events WHERE value IS NOT NULL
+), p AS (
+  SELECT user_id, x, y FROM s WHERE x IS NOT NULL
+), m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM p GROUP BY user_id
+)
+SELECT user_id, n_pairs,
+       ROUND((n_pairs * sxy - sx * sy)
+             / NULLIF(sqrt((n_pairs * sxx - sx * sx)
+                           * (n_pairs * syy - sy * sy)), 0), 6) AS acf
+FROM m
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -3223,6 +3302,8 @@ EXT_QUERIES = {
     "x66_ab_test": q_x66_ab_test,
     "x67_survival": q_x67_survival,
     "x68_trimmed_mean": q_x68_trimmed_mean,
+    "x69_cusum": q_x69_cusum,
+    "x70_autocorr": q_x70_autocorr,
 }
 
 EXT_ORACLES = {
@@ -3296,4 +3377,6 @@ EXT_ORACLES = {
     "x66_ab_test": SQL_X66,
     "x67_survival": SQL_X67,
     "x68_trimmed_mean": SQL_X68,
+    "x69_cusum": SQL_X69,
+    "x70_autocorr": SQL_X70,
 }

@@ -154,3 +154,37 @@ def test_fill_gaps_daily_scaffold_and_ffill(spark):
     assert out[(1, 2)]["value_filled"] == 9.0
     assert out[(1, 3)]["value_filled"] == 7.0
     assert out[(2, 10)]["value_filled"] == 1.5
+
+
+def test_cusum_scan_finds_level_shift(spark):
+    from fame2pygen_spark.operators.temporal import cusum_scan
+
+    # u1: 10 values at 0, then 10 at 10 -> cusum peaks exactly at the
+    # shift (idx 10): sum of (0 - 5) over first 10 = -50
+    rows = [(i, 1, i * 100, 0.0) for i in range(10)]
+    rows += [(i + 10, 1, (i + 10) * 100, 10.0) for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    r = cusum_scan(ev).collect()[0]
+    assert r["n"] == 20
+    assert r["change_idx"] == 10 and r["max_abs_cusum"] == 50.0
+    assert r["change_ts"] == 900
+
+
+def test_autocorrelation_alternating_and_constant(spark):
+    from fame2pygen_spark.operators.temporal import autocorrelation
+
+    # u1 alternates +1/-1 -> lag-1 acf = -1
+    rows = [(i, 1, i * 10, 1.0 if i % 2 == 0 else -1.0) for i in range(20)]
+    # u2 constant -> null acf
+    rows += [(100 + i, 2, i * 10, 7.0) for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    out = {r["entity"]: r for r in autocorrelation(ev, lag=1).collect()}
+    assert out[1]["acf"] == -1.0 and out[1]["n_pairs"] == 19
+    assert out[2]["acf"] is None
+    # lag-2 on the alternating series: perfectly positive
+    out2 = {r["entity"]: r for r in autocorrelation(ev, lag=2).collect()}
+    assert out2[1]["acf"] == 1.0
