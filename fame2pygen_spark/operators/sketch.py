@@ -35,6 +35,7 @@ __all__ = [
     "group_entropy", "distribution_drift",
     "mutual_information", "benford_profile",
     "weighted_quantiles", "ks_statistic", "trimmed_mean",
+    "concentration_index",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -877,5 +878,41 @@ def trimmed_mean(
                 ),
                 6,
             ).alias("trimmed_mean"),
+        )
+    )
+
+
+def concentration_index(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    member_col: str,
+    weight_col,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of *weight_col* across the
+    members of each group: ``(group, n_members, hhi, top_share)`` with
+    ``hhi = Σ shareᵢ²`` over per-member weight shares (1/n for perfect
+    uniformity → 1.0 for a single dominant member) — the classic
+    market-concentration index, here the "is this nation's revenue one
+    supplier or many" diagnostic.
+
+    *weight_col* may be a column name or a Column expression.  Two
+    stacked aggregations: (group, member) weight sums — decimal-cast
+    so shares are order-insensitive — then the share moments per
+    group.  Output is |groups| rows.
+    """
+    group_cols = list(group_cols)
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    per_member = df.groupBy(*group_cols, member_col).agg(
+        F.sum(w.cast("decimal(28,6)")).alias("__w")
+    )
+    tot = Window.partitionBy(*group_cols)
+    share = (F.col("__w") / F.sum("__w").over(tot)).cast("double")
+    return (
+        per_member.withColumn("__s", share)
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.sum(F.col("__s") * F.col("__s")), 6).alias("hhi"),
+            F.round(F.max("__s"), 6).alias("top_share"),
         )
     )

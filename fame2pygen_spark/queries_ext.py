@@ -3231,6 +3231,44 @@ FROM m
 """
 
 
+def q_x71_concentration(spark, sf_dir):
+    """Supplier revenue concentration per nation
+    (operators/sketch.py:concentration_index): HHI over supplier
+    revenue shares, dims broadcast onto the lineitem facts."""
+    from .operators.sketch import concentration_index
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    fact = li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).join(
+        F.broadcast(na), su.s_nationkey == na.n_nationkey
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return concentration_index(fact, ["n_name"], "s_suppkey", rev)
+
+
+SQL_X71 = """
+WITH pm AS (
+  SELECT n_name, s_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(28,6))) AS w
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+), sh AS (
+  SELECT n_name,
+         CAST(w / SUM(w) OVER (PARTITION BY n_name) AS DOUBLE) AS s
+  FROM pm
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(SUM(s * s), 6) AS hhi,
+       ROUND(MAX(s), 6) AS top_share
+FROM sh GROUP BY n_name
+"""
+
+
 EXT_QUERIES = {
     "x01_dedup_exact": q_x01_dedup_exact,
     "x02_dedup_near_charset": q_x02_dedup_near_charset,
@@ -3304,6 +3342,7 @@ EXT_QUERIES = {
     "x68_trimmed_mean": q_x68_trimmed_mean,
     "x69_cusum": q_x69_cusum,
     "x70_autocorr": q_x70_autocorr,
+    "x71_concentration": q_x71_concentration,
 }
 
 EXT_ORACLES = {
@@ -3379,4 +3418,5 @@ EXT_ORACLES = {
     "x68_trimmed_mean": SQL_X68,
     "x69_cusum": SQL_X69,
     "x70_autocorr": SQL_X70,
+    "x71_concentration": SQL_X71,
 }

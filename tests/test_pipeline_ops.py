@@ -1198,3 +1198,21 @@ def test_trimmed_mean_drops_tails(spark):
     )
     r2 = trimmed_mean(df2, ["grp"], "value").collect()[0]
     assert r2["trimmed_mean"] < 60  # outlier trimmed away
+
+
+def test_concentration_index_extremes(spark):
+    from fame2pygen_spark.operators.sketch import concentration_index
+
+    df = spark.createDataFrame(
+        # g1: 4 members x equal weight -> hhi 0.25
+        [("g1", f"m{i}", 5.0) for i in range(4)]
+        # g2: one member holds 90%
+        + [("g2", "big", 90.0), ("g2", "small", 10.0)],
+        "grp string, member string, w double",
+    )
+    out = {r["grp"]: r for r in concentration_index(
+        df, ["grp"], "member", "w"
+    ).collect()}
+    assert out["g1"]["hhi"] == 0.25 and out["g1"]["top_share"] == 0.25
+    assert out["g2"]["hhi"] == 0.82  # 0.81 + 0.01
+    assert out["g2"]["top_share"] == 0.9 and out["g2"]["n_members"] == 2
