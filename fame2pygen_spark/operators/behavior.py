@@ -270,16 +270,26 @@ def inter_arrival_quantiles(
     id_col: str | None = "event_id",
 ) -> DataFrame:
     """Distribution of same-user inter-arrival gaps per event type:
-    for each type, the exact quantiles (µs) of the gap between a
-    user's consecutive events of that type, plus the gap count.
+    for each type, nearest-rank (type-1) quantiles (µs) of the gap
+    between a user's consecutive events of that type, plus the gap
+    count.
 
-    Plan shape: one (user, type)-keyed window (``lag`` — the single
-    big shuffle), then :func:`~fame2pygen_spark.operators.sketch.
-    group_quantiles` over the gap stream grouped by type (|types|
-    rows).  *id_col* breaks same-µs ties deterministically.
+    Nearest-rank, not interpolated, deliberately: gaps are integral
+    microseconds at ~10¹¹–10¹² magnitude, where double ulp (~1e-4)
+    exceeds what ROUND(..., 6) can stabilize — interpolated quantiles
+    are not engine-reproducible there, while element selection at rank
+    ``ceil(p·n)`` is exact BIGINT end to end.  The rank itself is
+    computed as ``ceil`` of a double product, the identical IEEE
+    expression the SQL oracle uses, so both engines pick the same
+    element even when ``p·n`` carries float noise near an integer.
+
+    Plan shape: one (user, type)-keyed lag window (the single big
+    shuffle), then a type-keyed rank window over the gap stream and
+    one conditional aggregation — |types| output rows.  Exact ranks
+    buffer each type's gaps on one executor's sort partition; for
+    >10⁸ gaps per type switch to ``group_quantiles(approx=True)``.
+    *id_col* breaks same-µs ties deterministically.
     """
-    from .sketch import group_quantiles
-
     order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
     w = Window.partitionBy(user_col, type_col).orderBy(*order)
     gaps = (
@@ -292,7 +302,22 @@ def inter_arrival_quantiles(
         )
         .where(F.col("gap_us").isNotNull())
     )
-    return group_quantiles(gaps, ["event_type"], "gap_us", list(probs))
+    rank_w = Window.partitionBy("event_type").orderBy(F.col("gap_us").asc())
+    ranked = gaps.select("event_type", "gap_us").withColumn(
+        "__rn", F.row_number().over(rank_w)
+    ).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in probs:
+        name = f"p{p * 100:g}".replace(".", "_")
+        rank = F.ceil(F.lit(float(p)) * F.col("__n")).cast("long")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == rank, F.col("gap_us")))
+            .cast("long")
+            .alias(name)
+        )
+    return ranked.groupBy("event_type").agg(*aggs)
 
 
 def last_touch_attribution(

@@ -120,9 +120,17 @@ _OBSERVED_AGG = {
     # in-period observations — the conventional formula-observed choice
     # for index/ratio series — with null when any observation is
     # non-positive (log domain), matching the null-propagation style of
-    # the other conventions.
+    # the other conventions.  The log sum goes through decimal(28,18)
+    # (the corr_pairs moment idiom) so the mean is accumulation-order
+    # insensitive: a double Σln differs across engines/partitionings by
+    # an ulp that can straddle the 6-dp ROUND boundary after exp().
     "formula": lambda v, d: F.when(F.min(v) <= 0, F.lit(None)).otherwise(
-        F.exp(F.avg(F.when(v > 0, F.log(v))))
+        F.exp(
+            F.sum(F.when(v > 0, F.log(v)).cast("decimal(28,18)")).cast(
+                "double"
+            )
+            / F.count(F.when(v > 0, v))
+        )
     ),
 }
 
@@ -276,10 +284,19 @@ def convert_series_multi(
             "high": lambda o: F.max(o),
             "low": lambda o: F.min(o),
             "annualized": lambda o: F.avg(o),
-            # geometric mean; see _OBSERVED_AGG["formula"]
+            # geometric mean via order-insensitive decimal log sums;
+            # MUST stay formula-identical to _OBSERVED_AGG["formula"]
+            # (the bridge test compares batched vs single bit-for-bit)
             "formula": lambda o: F.when(
                 F.min(o) <= 0, F.lit(None)
-            ).otherwise(F.exp(F.avg(F.when(F.col(o) > 0, F.log(o))))),
+            ).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(F.col(o) > 0, F.log(o)).cast("decimal(28,18)")
+                    ).cast("double")
+                    / F.count(F.when(F.col(o) > 0, F.col(o)))
+                )
+            ),
         }.get(observed)
         if agg_multi is None:
             raise ValueError(f"convert: unknown observed convention {observed!r}")

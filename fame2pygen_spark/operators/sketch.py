@@ -764,9 +764,13 @@ def weighted_quantiles(
     ).withColumn("__cw", F.sum("__w").over(w)).withColumn(
         "__tw", F.sum("__w").over(tot)
     )
+    # outputs are cast to double explicitly: with integral value/weight
+    # columns F.round preserves LONG while a SQL oracle's ROUND yields
+    # DOUBLE, and the stringified hash compare fails on type alone
+    # (7949 vs 7949.0)
     aggs = [
         F.count("*").cast("long").alias("n"),
-        F.round(F.max("__tw"), 6).alias("w_total"),
+        F.round(F.max("__tw"), 6).cast("double").alias("w_total"),
     ]
     for p in probs:
         name = f"p{p * 100:g}".replace(".", "_")
@@ -779,7 +783,7 @@ def weighted_quantiles(
                     )
                 ),
                 6,
-            ).alias(name)
+            ).cast("double").alias(name)
         )
     return staged.groupBy(*group_cols).agg(*aggs)
 
@@ -898,7 +902,11 @@ def concentration_index(
     *weight_col* may be a column name or a Column expression.  Two
     stacked aggregations: (group, member) weight sums — decimal-cast
     so shares are order-insensitive — then the share moments per
-    group.  Output is |groups| rows.
+    group.  Shares are a single double division of exact decimal sums,
+    and the second moment Σs² goes through decimal(28,18) (corr_pairs
+    idiom) so hhi is accumulation-order insensitive — a plain double
+    F.sum differs across engines in the 6th decimal.  Output is
+    |groups| rows.
     """
     group_cols = list(group_cols)
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
@@ -906,13 +914,20 @@ def concentration_index(
         F.sum(w.cast("decimal(28,6)")).alias("__w")
     )
     tot = Window.partitionBy(*group_cols)
-    share = (F.col("__w") / F.sum("__w").over(tot)).cast("double")
+    share = F.col("__w").cast("double") / F.sum("__w").over(tot).cast(
+        "double"
+    )
     return (
         per_member.withColumn("__s", share)
         .groupBy(*group_cols)
         .agg(
             F.count("*").cast("long").alias("n_members"),
-            F.round(F.sum(F.col("__s") * F.col("__s")), 6).alias("hhi"),
+            F.round(
+                F.sum(
+                    (F.col("__s") * F.col("__s")).cast("decimal(28,18)")
+                ).cast("double"),
+                6,
+            ).alias("hhi"),
             F.round(F.max("__s"), 6).alias("top_share"),
         )
     )

