@@ -1,8 +1,15 @@
 """Differential tests: every registry query vs its DuckDB oracle.
 
-Mimics the driver's t2 gate (``__spark_entry__.py`` contract): run the
-Spark query and the oracle SQL on the same parquet tables, then compare
-row count, column names, and sorted values.
+Driver-faithful STRICT mode (the default): exact stringified value
+compare at sf0.01 — the same gate the round driver applies (sort
+columns by name, stringify every value, hash).  ``rel_tol`` compares
+at sf0.001 proved strictly weaker: four boundary-straddling rounding
+bugs survived a fully green 300-test suite in round 2 because a 1-ulp
+engine difference under ``ROUND(..., 6)`` passes 1e-9 tolerance but
+fails the driver's hash.
+
+Set ``SPARK_GRAFT_PARITY_MODE=loose`` (with ``SPARK_GRAFT_TEST_SF``)
+to fall back to tolerance compare while debugging a new operator.
 """
 
 from __future__ import annotations
@@ -15,7 +22,11 @@ import pytest
 
 from fame2pygen_spark.queries import ORACLES, QUERIES
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+STRICT = os.environ.get("SPARK_GRAFT_PARITY_MODE", "strict") != "loose"
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF",
+    "/root/testdata/sf0.01" if STRICT else "/root/testdata/sf0.001",
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -37,22 +48,15 @@ def duck():
 
 
 def normalize(rows, columns):
-    """Sort columns by name and rows by value for order-insensitive compare."""
+    """Sort columns by name and rows by stringified value — the same
+    order-insensitive shape the driver hashes."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def key(row):
-        out = []
-        for i in order:
-            v = row[i]
-            out.append((v is None, str(v)))
-        return out
-
     data = [tuple(row[i] for i in order) for row in rows]
     data.sort(key=lambda r: [(v is None, str(v)) for v in r])
     return [columns[i] for i in order], data
 
 
-def values_equal(a, b) -> bool:
+def values_equal_loose(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
@@ -60,6 +64,15 @@ def values_equal(a, b) -> bool:
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
         return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+def values_equal_strict(a, b) -> bool:
+    """The driver's compare: stringified equality — ``7949`` (long) and
+    ``7949.0`` (double) are DIFFERENT, as are values differing in the
+    last rounded decimal."""
+    if a is None or b is None:
+        return a is None and b is None
     return str(a) == str(b)
 
 
@@ -83,12 +96,16 @@ def test_query_matches_oracle(spark, duck, name):
 
     _, s_norm = normalize(spark_rows, [c.lower() for c in spark_cols])
     _, d_norm = normalize(duck_rows, [c.lower() for c in duck_cols])
+    eq = values_equal_strict if STRICT else values_equal_loose
     mismatches = []
     for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
         for j, (sv, dv) in enumerate(zip(sr, dr)):
-            if not values_equal(sv, dv):
+            if not eq(sv, dv):
                 mismatches.append((i, j, sv, dv))
-    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+    assert not mismatches, (
+        f"{name} [{'strict' if STRICT else 'loose'} @ {SF_DIR}]: "
+        f"first mismatches {mismatches[:5]}"
+    )
 
 
 def test_all_queries_have_oracles_or_are_declared():
