@@ -489,24 +489,39 @@ def skew_profile(
     key_cols: Sequence[str],
     *,
     top_k: int = 10,
+    gini_buckets: int = 1024,
 ) -> DataFrame:
     """Key-distribution skew diagnostic for a prospective shuffle key:
     the *top_k* heaviest keys with their shares, plus distribution-wide
     concentration stats repeated on every row — ``(rank, key, n,
     share, n_keys, gini)``.
 
-    ``gini`` is the Gini coefficient of the per-key count distribution
-    (0 = perfectly uniform keys, → 1 = one key dominates), computed
-    with the sorted-index formula ``G = 2·Σ(i·cᵢ)/(K·Σc) − (K+1)/K``
-    over counts sorted ascending (key as tie-break, so both engines
-    index identically).  Run this before keying a 100 TB join or
-    aggregation: a high gini or a top-key share over a few percent is
-    the signal to salt (``functions.core.salted_agg``) or isolate hot
-    keys.
+    ``gini`` is the EXACT Gini coefficient of the per-key count
+    distribution (0 = perfectly uniform keys, → 1 = one key dominates),
+    i.e. the sorted-index formula ``G = 2·Σ(i·cᵢ)/(K·Σc) − (K+1)/K``
+    over counts sorted ascending.  Run this before keying a 100 TB
+    join or aggregation: a high gini or a top-key share over a few
+    percent is the signal to salt (``functions.core.salted_agg``) or
+    isolate hot keys.
 
-    Plan shape: one uniform-key count aggregation; the gini window and
-    the summary reduce run over |keys| rows (already reduced), and the
-    1-row summary broadcast-joins onto the top-k.
+    Plan shape — deliberately NO unpartitioned window (this is the
+    very diagnostic you run when |keys| is 10⁹, so it must not
+    single-partition-sort the keys it profiles):
+
+    - top-k via ``orderBy().limit()`` → TakeOrderedAndProject (a
+      per-partition heap + driver merge of k·P rows); ranks for the
+      surviving ≤k rows come from a k² broadcast self-join.
+    - Σ i·cᵢ never materializes per-key ranks.  Keys tied on the same
+      count contribute ``c·(m·s + m(m+1)/2)`` regardless of intra-tie
+      order (s = #keys with smaller count, m = tie size), so the sum
+      decomposes over the DISTINCT COUNT VALUES: group counts by
+      value (|V| ≤ |keys|, typically ≪), bucket values by fixed-width
+      range into ≤*gini_buckets* buckets, compute cross-bucket prefix
+      offsets with a bounded bucket²-pair broadcast join and
+      within-bucket prefixes with a bucket-PARTITIONED window, then
+      one decimal-exact aggregation.  Every per-key / per-value stage
+      is hash-partitioned; only ≤gini_buckets-row frames are ever
+      driver-bounded.
     """
     key_cols = list(key_cols)
     counts = df.groupBy(*key_cols).agg(
@@ -514,12 +529,49 @@ def skew_profile(
     ).withColumn(
         "__key", F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     )
-    w_asc = Window.orderBy(F.col("n").asc(), F.col("__key").asc())
-    indexed = counts.withColumn("__i", F.row_number().over(w_asc))
-    summary = indexed.agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.sum("n").cast("double").alias("__tot"),
-        F.sum(F.col("__i").cast("double") * F.col("n")).alias("__iw"),
+
+    # --- distribution summary: exact Gini via tie-block decomposition
+    vals = counts.groupBy("n").agg(F.count("*").cast("long").alias("m"))
+    mx = vals.agg(F.max("n").alias("__mx"))  # 1 row
+    width = F.greatest(
+        F.ceil(F.col("__mx") / F.lit(int(gini_buckets))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    vals = vals.crossJoin(F.broadcast(mx)).withColumn(
+        "__b", ((F.col("n") - 1) / width).cast("long")
+    ).drop("__mx")
+    bsum = vals.groupBy("__b").agg(F.sum("m").alias("__mb"))
+    lower = bsum.select(
+        F.col("__b").alias("__b2"), F.col("__mb").alias("__mb2")
+    )
+    off = (
+        bsum.join(F.broadcast(lower), F.col("__b2") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(F.coalesce(F.sum("__mb2"), F.lit(0)).alias("__off"))
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("n").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        vals.join(off, on="__b")
+        .withColumn(
+            "__start",
+            F.col("__off") + F.coalesce(F.sum("m").over(w_in), F.lit(0)),
+        )
+    )
+    # c·(m·s + m(m+1)/2): inner products fit long to ~3e9 keys; the
+    # outer product and the sum go through decimal(38,0) (exact, and
+    # matching DuckDB's exact HUGEINT SUM(i*n) after the double cast)
+    inner = F.col("m") * F.col("__start") + F.expr("m * (m + 1) div 2")
+    term = F.col("n").cast("decimal(38,0)") * inner.cast("decimal(38,0)")
+    summary = staged.agg(
+        F.sum("m").cast("long").alias("n_keys"),
+        F.sum((F.col("n") * F.col("m")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__tot"),
+        F.sum(term).cast("double").alias("__iw"),
     ).select(
         "n_keys",
         "__tot",
@@ -531,12 +583,25 @@ def skew_profile(
             6,
         ).alias("gini"),
     )
-    w_desc = Window.orderBy(F.col("n").desc(), F.col("__key").asc())
-    top = (
-        counts.withColumn("rank", F.row_number().over(w_desc).cast("long"))
-        .where(F.col("rank") <= top_k)
+
+    # --- top-k: TakeOrderedAndProject, then rank by bounded self-join
+    top = counts.orderBy(F.col("n").desc(), F.col("__key").asc()).limit(
+        int(top_k)
     )
-    return top.crossJoin(F.broadcast(summary)).select(
+    better = top.select(
+        F.col("__key").alias("__k2"), F.col("n").alias("__n2")
+    )
+    ranked = (
+        top.join(
+            F.broadcast(better),
+            (F.col("__n2") > F.col("n"))
+            | ((F.col("__n2") == F.col("n")) & (F.col("__k2") < F.col("__key"))),
+            "left",
+        )
+        .groupBy("__key", "n")
+        .agg((F.count("__k2") + 1).cast("long").alias("rank"))
+    )
+    return ranked.crossJoin(F.broadcast(summary)).select(
         "rank",
         F.col("__key").alias("key"),
         "n",
@@ -789,20 +854,36 @@ def weighted_quantiles(
 
 
 def ks_statistic(
-    df_a: DataFrame, df_b: DataFrame, value_col: str
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    bins: int | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic: one row — ``(n_a, n_b,
-    ks)`` with ``ks = max |ECDF_a(v) − ECDF_b(v)|`` over the pooled
-    support — the nonparametric complement to the binned PSI
-    (:func:`distribution_drift`): no bins to choose, sensitive to any
-    distributional difference.
+    ks)`` with ``ks = max |ECDF_a(v) − ECDF_b(v)|`` — the
+    nonparametric complement to the binned PSI
+    (:func:`distribution_drift`).
 
-    Exact, not sampled: per-sample value counts reduce each side to
-    its distinct support; the pooled support is a full outer join of
-    the two count frames; running sums over the pooled values give
-    both ECDFs at every support point (a missing side carries its
-    last value forward via the running sum of zero-filled counts).
-    One sort window over |distinct values| rows.
+    ``bins=None`` (default) is EXACT: per-sample value counts reduce
+    each side to its distinct support, and running sums over the
+    pooled values give both ECDFs at every support point (a missing
+    side carries its last value forward via the running sum of
+    zero-filled counts).  The sort window runs over |distinct values|
+    rows — for continuous columns that approaches |rows| in a single
+    partition, so the exact path is the small/categorical-data choice.
+
+    ``bins=K`` is the SCALE path (the shared-equi-width shape of
+    :func:`distribution_drift`): values bucket into K clamped bins
+    over [*lo*, *hi*] (derived from the pooled min/max via a 1-row
+    broadcast when not given), ECDFs are evaluated at bin upper
+    edges, and the only window runs over ≤K rows — bounded regardless
+    of data size.  Binned KS is a lower bound on exact KS and
+    converges from below as K grows (error ≤ the largest probability
+    mass inside one bin); ``tests/test_extensions.py`` pins
+    binned-vs-exact agreement on a planted shift.
     """
     # tagged union + one conditional aggregation — the full-outer
     # support join would sort-merge (full outer cannot broadcast)
@@ -814,10 +895,33 @@ def ks_statistic(
             .select(F.lit(1).alias("__side"), F.col(value_col).alias("v"))
         )
     )
-    pooled = tagged.groupBy("v").agg(
-        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("nb"),
-    )
+    if bins is not None:
+        if lo is None or hi is None:
+            rng = tagged.agg(
+                F.min("v").cast("double").alias("__lo"),
+                F.max("v").cast("double").alias("__hi"),
+            )
+            tagged = tagged.crossJoin(F.broadcast(rng))
+            c_lo, c_hi = F.col("__lo"), F.col("__hi")
+        else:
+            c_lo, c_hi = F.lit(float(lo)), F.lit(float(hi))
+        width = (c_hi - c_lo) / F.lit(int(bins))
+        # try_divide: a constant column (hi == lo → width 0) yields
+        # null, and every value lands in bin 0 via the coalesce
+        raw = F.floor(F.try_divide(F.col("v") - c_lo, width)).cast("long")
+        bucket = F.coalesce(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1)),
+            F.lit(0),
+        )
+        pooled = tagged.groupBy(bucket.alias("v")).agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("nb"),
+        )
+    else:
+        pooled = tagged.groupBy("v").agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("nb"),
+        )
     tot = pooled.agg(
         F.sum("na").alias("ta"), F.sum("nb").alias("tb")
     )

@@ -587,3 +587,36 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in dedup_stream(b1.union(b2), keys=["event_id"]).collect()
     )
     assert batch_ids == [1, 2, 3]
+
+
+def test_ks_binned_tracks_exact_on_planted_shift(spark):
+    from fame2pygen_spark.operators.sketch import ks_statistic
+
+    # planted location shift of 0.2 between two uniform samples:
+    # exact two-sample KS = 0.2
+    a = spark.range(0, 1000).select(
+        (F.col("id").cast("double") / 1000).alias("v")
+    )
+    b = spark.range(0, 1000).select(
+        (F.col("id").cast("double") / 1000 + 0.2).alias("v")
+    )
+    exact = ks_statistic(a, b, "v").collect()[0]
+    binned = ks_statistic(a, b, "v", bins=100).collect()[0]
+    # float grid: 0.2 + k/1000 lands an ulp off (k+200)/1000, shifting
+    # a couple of support points across each other → 0.2 ± 2e-3
+    assert exact["ks"] == pytest.approx(0.2, abs=2e-3)
+    # binned KS lower-bounds exact and converges within one bin's mass
+    assert binned["ks"] <= exact["ks"] + 1e-9
+    assert binned["ks"] == pytest.approx(exact["ks"], abs=0.02)
+    assert (binned["n_a"], binned["n_b"]) == (exact["n_a"], exact["n_b"])
+    # explicit [lo, hi) agrees with the derived range on the same data
+    pinned = ks_statistic(a, b, "v", bins=100, lo=0.0, hi=1.2).collect()[0]
+    assert pinned["ks"] == pytest.approx(binned["ks"], abs=0.02)
+
+
+def test_ks_binned_degenerate_constant_column(spark):
+    from fame2pygen_spark.operators.sketch import ks_statistic
+
+    const = spark.range(5).select(F.lit(1.0).alias("v"))
+    deg = ks_statistic(const, const, "v", bins=10).collect()[0]
+    assert deg["ks"] == 0.0 and deg["n_a"] == 5 and deg["n_b"] == 5

@@ -72,6 +72,41 @@ def test_skew_profile_summary_broadcasts_without_equi_key(spark):
     assert "SortMergeJoin" not in plan
 
 
+def unpartitioned_windows(spark, name: str) -> list[str]:
+    """Window operator lines whose partition spec is empty — a global
+    single-partition sort, the one shape a skew/scale diagnostic must
+    never plan."""
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = []
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            # partition columns precede the first ORDER-BY clause; an
+            # empty partition spec starts directly with the sort column
+            # followed by ASC/DESC — detect by the FIRST comma-field
+            # not naming a partition column (heuristic: partitioned
+            # specs have >=1 arg before a field containing ' ASC' or
+            # ' DESC' appears as the first argument)
+            first_arg = spec.split(",", 1)[0]
+            if " ASC" in first_arg or " DESC" in first_arg:
+                bad.append(line.strip())
+    return bad
+
+
+@pytest.mark.parametrize("name", ["x55_skew_profile", "x38_inter_arrival"])
+def test_no_global_window_in_key_scale_diagnostics(spark, name):
+    # x55 profiles the key distribution of a prospective 100 TB
+    # shuffle; x38's rank selection partitions by event_type.  Neither
+    # may plan an unpartitioned window over the full key/value space.
+    assert unpartitioned_windows(spark, name) == []
+
+
+def test_skew_profile_topk_is_a_heap(spark):
+    plan = plan_of(spark, "x55_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     ["x41_weighted_sample", "x42_histogram", "x48_group_ranks"],
