@@ -10,12 +10,15 @@ typed metadata struct::
 
 The Spark-side plumbing here is real and tested — schemas, Arrow batch
 shape, ``mapInPandas`` partition flow, metadata extraction in pure
-column algebra.  The actual codec work (JPEG decode, resampling, frame
-sampling) is STUBBED: this container has no image/audio libraries, so
-the decode hook either raises ``NotImplementedError`` or runs a
-clearly-marked deterministic fake that derives pixel statistics from
-the payload bytes.  Swap ``decode_fn`` for a real decoder (PIL/ffmpeg)
-in production; the pipeline shape does not change.
+column algebra.  Decode is REAL for the uncompressed formats pure
+Python can parse (BMP/PPM images via :func:`image_features` with
+nearest-neighbor thumbnailing, PCM WAV via :func:`audio_features`);
+compressed codecs (JPEG/PNG/MP3/video) genuinely require external
+libraries absent from this container, so those payloads degrade to
+``decoded='needs-codec'`` rows (never failing the batch) and the
+column-level hooks raise ``NotImplementedError``.  Swap ``decode_fn``
+for a real codec (PIL/ffmpeg) in production; the pipeline shape does
+not change.
 
 Scale notes: payloads never pass through Python row-at-a-time — binary
 columns travel as Arrow buffers into ``mapInPandas`` batches; metadata
@@ -50,7 +53,9 @@ _MAGIC = [
     ("ffd8ff", "image", "image/jpeg"),
     ("89504e47", "image", "image/png"),
     ("47494638", "image", "image/gif"),
-    ("52494646", "audio", "audio/wav"),  # RIFF
+    ("424d", "image", "image/bmp"),      # decodable here (pure layout)
+    ("5036", "image", "image/x-portable-pixmap"),  # P6, decodable here
+    ("52494646", "audio", "audio/wav"),  # RIFF; PCM decodable here
     ("494433", "audio", "audio/mpeg"),   # ID3
     ("1a45dfa3", "video", "video/webm"),
 ]
@@ -139,12 +144,246 @@ def extract_features(
     return df.select(*names).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------
+# Real decoders for container-decodable formats.
+#
+# Compressed codecs (JPEG/PNG/MP3/video) genuinely need external
+# libraries and stay stubbed below — but the UNCOMPRESSED formats are
+# pure byte layout, so their decode path is real and tested here:
+#   - BMP (BI_RGB 24/32-bit)  — struct header + numpy pixel grid
+#   - PPM (P6 binary)         — ASCII header + numpy pixel grid
+#   - WAV (PCM 8/16-bit)      — RIFF chunks + numpy sample frame
+# This keeps the mapInPandas plumbing exercised end to end with real
+# pixels/samples: swap in PIL/ffmpeg for the compressed kinds and
+# nothing about the pipeline shape changes.
+# ---------------------------------------------------------------------
+
+
+def decode_image_bytes(payload: bytes):
+    """Decode BMP (uncompressed 24/32bpp) or binary PPM (P6) to an
+    ``(h, w, 3)`` uint8 numpy array (RGB).  Raises ``ValueError`` on
+    formats that need an external codec."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(f"BMP variant needs a codec (bpp={bpp})")
+        flipped = height > 0
+        height = abs(height)
+        nch = bpp // 8
+        stride = ((width * nch + 3) // 4) * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_off
+        ).reshape(height, stride)[:, : width * nch].reshape(height, width, nch)
+        rgb = rows[..., 2::-1]  # BGR(A) → RGB
+        return np.ascontiguousarray(rgb[::-1] if flipped else rgb)
+    if payload[:2] == b"P6":
+        # header: P6 <w> <h> <maxval> with #-comments, then raw RGB
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM needs widening")
+        return (
+            np.frombuffer(
+                payload, dtype=np.uint8, count=width * height * 3, offset=pos
+            )
+            .reshape(height, width, 3)
+            .copy()
+        )
+    raise ValueError("compressed image format — needs PIL/opencv")
+
+
+def resize_image(arr, out_h: int, out_w: int):
+    """Deterministic nearest-neighbor resize of an ``(h, w, c)`` array —
+    the batch-shape-preserving thumbnail step of a multimodal pipeline
+    (no interpolation library needed; indices are exact integers, so
+    results are bit-reproducible across partitionings)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return arr[ri][:, ci]
+
+
+def decode_audio_bytes(payload: bytes) -> dict:
+    """Decode a PCM WAV (8/16-bit) to sample statistics: ``sample_rate,
+    n_channels, n_samples, duration_ms, rms, peak``.  Raises
+    ``ValueError`` on compressed audio."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"compressed audio needs a codec (fmt={audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.float64) / 32768.0
+    else:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    n_samples = len(samples) // max(n_channels, 1)
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_samples": int(n_samples),
+        "duration_ms": int(n_samples * 1000 // max(sample_rate, 1)),
+        "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+        "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
+    }
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", StringType()),
+        StructField("mean_g", StringType()),
+        StructField("mean_b", StringType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("decoded", StringType()),  # "ok" | error class
+    ]
+)
+
+
+def image_features(
+    df: DataFrame,
+    *,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    thumb: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode + feature-extract + thumbnail over binary image payloads
+    via ``mapInPandas`` — REAL for BMP/PPM; compressed formats yield a
+    ``decoded='needs-codec'`` row instead of failing the batch, so one
+    JPEG in a 100 TB corpus cannot poison a partition."""
+    th, tw = int(thumb[1]), int(thumb[0])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_FEATURE_SCHEMA.fields}
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                out["asset_id"].append(int(aid))
+                try:
+                    arr = decode_image_bytes(bytes(p) if p is not None else b"")
+                    small = resize_image(arr, th, tw)
+                    means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+                    out["width"].append(int(arr.shape[1]))
+                    out["height"].append(int(arr.shape[0]))
+                    out["mean_r"].append(f"{means[0]:.6f}")
+                    out["mean_g"].append(f"{means[1]:.6f}")
+                    out["mean_b"].append(f"{means[2]:.6f}")
+                    out["thumb_w"].append(int(small.shape[1]))
+                    out["thumb_h"].append(int(small.shape[0]))
+                    out["decoded"].append("ok")
+                except (ValueError, IndexError):
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                    out["thumb_w"].append(None)
+                    out["thumb_h"].append(None)
+                    out["decoded"].append("needs-codec")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", StringType()),
+        StructField("decoded", StringType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """PCM WAV feature extraction via ``mapInPandas`` (real decode);
+    compressed audio degrades to ``decoded='needs-codec'`` rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                out["asset_id"].append(int(aid))
+                try:
+                    f = decode_audio_bytes(bytes(p) if p is not None else b"")
+                    out["sample_rate"].append(f["sample_rate"])
+                    out["n_samples"].append(f["n_samples"])
+                    out["duration_ms"].append(f["duration_ms"])
+                    out["rms"].append(f"{f['rms']:.6f}")
+                    out["decoded"].append("ok")
+                except (ValueError, IndexError):
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_ms"].append(None)
+                    out["rms"].append(None)
+                    out["decoded"].append("needs-codec")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
-    """Real image decode requires a codec library not present in this
-    container."""
+    """Column-level compressed-image decode requires a codec library
+    not present in this container; BMP/PPM decode IS implemented —
+    use :func:`image_features`."""
     raise NotImplementedError(
-        "image decoding needs PIL/opencv — not available here; use "
-        "extract_features(decode_fn=...) with a real decoder in production"
+        "compressed image decoding needs PIL/opencv — not available "
+        "here; BMP/PPM are decoded for real via image_features()"
     )
 
 

@@ -436,6 +436,40 @@ def q_s14_convert_business(spark, sf_dir):
     return _finish(out, "DCNT_BUSD", "DCNT_WK")
 
 
+# fixed deterministic holiday calendar over the TPC-H shipdate range —
+# shared verbatim between the Spark query and the SQL oracle
+_HOLIDAYS = [
+    f"{y:04d}-{md}" for y in range(1992, 1999)
+    for md in ("01-01", "07-04", "12-25")
+]
+
+
+def q_s14_convert_holiday(spark, sf_dir):
+    """S14/S15 business-day convert with a holiday calendar: drop
+    weekends AND listed holidays before the monthly downsample —
+    reference ``tests/test_convert_grouping.py:233-237`` exercises the
+    business-day filter; ``exclude_holidays`` (operators/convert.py:88)
+    is its calendar-aware extension (broadcast anti-join, no shuffle
+    of the data side)."""
+    import datetime as dt
+
+    from .operators.convert import (
+        business_day_filter, convert_series, exclude_holidays,
+    )
+    from .parser.grammar import parse_statement
+
+    base = daily_lineitem(spark, sf_dir)
+    holidays = spark.createDataFrame(
+        [(dt.date.fromisoformat(h),) for h in _HOLIDAYS], "H date"
+    )
+    bus = exclude_holidays(
+        base.where(business_day_filter(F.col("DATE"))), holidays
+    )
+    meta = parse_statement("hm = convert(dcnt, m, disc, ave)").meta
+    out = convert_series(bus, meta, source_freq="daily")
+    return _finish(out, "DCNT_MON")
+
+
 def q_s17_nlrx(spark, sf_dir):
     # no SQL oracle (iterative banded solve) — driver records rows-only
     base = monthly_orders(spark, sf_dir)
@@ -787,6 +821,21 @@ WHERE (CASE WHEN dayofweek(COALESCE(b.DATE, w.WD)) BETWEEN 1 AND 5
 SELECT DATE, ROUND(REV * 2, 6) AS DBL, ROUND(CNT / 2, 6) AS HALF
 FROM base
 """,
+    # weekday filter + holiday anti-join, then monthly observed=ave.
+    # AVG of integral-valued doubles sums exactly in both engines, so
+    # the compare is exact without decimal staging.
+    "s14_convert_holiday": SQL_DBASE + """
+, hol AS (
+  SELECT unnest([""" + ", ".join(f"DATE '{h}'" for h in _HOLIDAYS) + """]) AS H
+), bus AS (
+  SELECT * FROM base
+  WHERE dayofweek(DATE) BETWEEN 1 AND 5
+    AND DATE NOT IN (SELECT H FROM hol)
+)
+SELECT CAST(date_trunc('month', DATE) AS DATE) AS DATE,
+       ROUND(AVG(DCNT), 6) AS DCNT_MON
+FROM bus GROUP BY 1
+""",
     # NLRX is an iterative banded solve, not SQL-expressible; its
     # oracle is a golden parquet (regenerate: scripts/make_s17_golden.py)
     # whose input series was derived independently in DuckDB and whose
@@ -842,6 +891,7 @@ _ALL_QUERIES: dict[str, object] = {
     "s14_convert_up": q_s14_convert_up,
     "s14_convert_formula": q_s14_convert_formula,
     "s14_convert_business": q_s14_convert_business,
+    "s14_convert_holiday": q_s14_convert_holiday,
     "s17_nlrx": q_s17_nlrx,
     "s20_local_db": q_s20_local_db,
     "flagship_pricing_summary": q_flagship_pricing_summary,
@@ -867,8 +917,9 @@ CHECKED_WINDOW: list[str] = [
     "e17_dateof_sentinel", "s10_shift_pct_forward", "s11_backcast",
     "s12_chain_index", "s13_fishvol", "s14_convert_down",
     "s14_convert_up", "s14_convert_formula", "s14_convert_business",
-    "s17_nlrx", "s20_local_db", "flagship_pricing_summary",
-    # --- extension family representatives (26) ---
+    "s14_convert_holiday", "s17_nlrx", "s20_local_db",
+    "flagship_pricing_summary",
+    # --- extension family representatives (25) ---
     "x01_dedup_exact",        # dedup: exact
     "x03_dedup_minhash_lsh",  # dedup: MinHash-LSH
     "x05_similarity_topk",    # ANN: brute-force cosine top-k
@@ -877,7 +928,6 @@ CHECKED_WINDOW: list[str] = [
     "x10_events_hourly",      # streaming: windowed agg (batch twin)
     "x12_multimodal_binary",  # multimodal: binary column algebra
     "x14_curation_pipeline",  # curation: end-to-end pipeline
-    "x16_gopher_filter",      # text: Gopher quality rules
     "x17_corpus_mixing",      # mixing: weighted corpus blend
     "x19_decontamination",    # decontamination
     "x20_pii_scrub",          # PII scrubbing

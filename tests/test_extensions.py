@@ -620,3 +620,108 @@ def test_ks_binned_degenerate_constant_column(spark):
     const = spark.range(5).select(F.lit(1.0).alias("v"))
     deg = ks_statistic(const, const, "v", bins=10).collect()[0]
     assert deg["ks"] == 0.0 and deg["n_a"] == 5 and deg["n_b"] == 5
+
+
+def _make_bmp(width, height, rgb_rows):
+    """Minimal 24bpp BI_RGB bottom-up BMP from [[(r,g,b)...]...] rows."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    pixel_bytes = b""
+    for row in reversed(rgb_rows):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for r, g, b in row)
+        pixel_bytes += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + pixel_bytes
+
+
+def _make_wav(sample_rate, samples16):
+    """Minimal PCM16 mono WAV."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_multimodal_real_image_decode(spark):
+    from fame2pygen_spark.operators.multimodal import (
+        decode_image_bytes, image_features, resize_image,
+    )
+
+    # 2x2 BMP: known pixels — red, green / blue, white
+    bmp = _make_bmp(2, 2, [[(255, 0, 0), (0, 255, 0)],
+                           [(0, 0, 255), (255, 255, 255)]])
+    arr = decode_image_bytes(bmp)
+    assert arr.shape == (2, 2, 3)
+    assert tuple(arr[0, 0]) == (255, 0, 0) and tuple(arr[1, 1]) == (255, 255, 255)
+    # PPM of the same image
+    ppm = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    assert (decode_image_bytes(ppm) == arr).all()
+    # nearest-neighbor resize: 2x2 -> 4x4 repeats each pixel 2x2
+    big = resize_image(arr, 4, 4)
+    assert big.shape == (4, 4, 3) and tuple(big[0, 1]) == (255, 0, 0)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm)), (3, bytearray(b"\xff\xd8\xffJPEG"))],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in image_features(df, thumb=(2, 2)).collect()}
+    assert out[1]["decoded"] == "ok" and out[1]["width"] == 2
+    assert out[1]["mean_r"] == f"{(255 + 0 + 0 + 255) / 4:.6f}"
+    assert out[2]["decoded"] == "ok" and out[2]["height"] == 2
+    assert out[3]["decoded"] == "needs-codec" and out[3]["width"] is None
+
+
+def test_multimodal_real_audio_decode(spark):
+    import math
+
+    from fame2pygen_spark.operators.multimodal import (
+        audio_features, decode_audio_bytes,
+    )
+
+    # 1 kHz-ish square wave, 100 samples at 8 kHz
+    samples = [16384 if i % 8 < 4 else -16384 for i in range(100)]
+    wav = _make_wav(8000, samples)
+    f = decode_audio_bytes(wav)
+    assert f["sample_rate"] == 8000 and f["n_samples"] == 100
+    assert f["duration_ms"] == 100 * 1000 // 8000
+    assert f["rms"] == pytest.approx(16384 / 32768, abs=1e-9)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"ID3\x03mp3data"))],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in audio_features(df).collect()}
+    assert out[1]["decoded"] == "ok"
+    assert out[1]["rms"] == f"{16384 / 32768:.6f}"
+    assert out[2]["decoded"] == "needs-codec"
+
+
+def test_multimodal_sniff_knows_decodable_kinds(spark):
+    from fame2pygen_spark.operators.multimodal import attach_media_metadata
+
+    bmp = _make_bmp(1, 1, [[(0, 0, 0)]])
+    wav = _make_wav(8000, [0])
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"P6\n1 1\n255\n\x00\x00\x00")),
+         (3, bytearray(wav))],
+        "asset_id long, payload binary",
+    )
+    out = {
+        r["asset_id"]: r["media"]
+        for r in attach_media_metadata(df, "payload").collect()
+    }
+    assert out[1]["mime"] == "image/bmp"
+    assert out[2]["mime"] == "image/x-portable-pixmap"
+    assert out[3]["mime"] == "audio/wav"

@@ -17,7 +17,8 @@ SECTION2 = [
     "e17_dateof_sentinel", "s10_shift_pct_forward", "s11_backcast",
     "s12_chain_index", "s13_fishvol", "s14_convert_down",
     "s14_convert_up", "s14_convert_formula", "s14_convert_business",
-    "s17_nlrx", "s20_local_db", "flagship_pricing_summary",
+    "s14_convert_holiday", "s17_nlrx", "s20_local_db",
+    "flagship_pricing_summary",
 ]
 
 FAMILY_REPS = {
@@ -61,7 +62,7 @@ def test_family_reps_inside_checked_window():
 
 
 def test_registry_complete_and_oracled():
-    assert len(QUERIES) == 100
+    assert len(QUERIES) == 101
     assert set(QUERIES) == set(ORACLES)
     # reorder must not drop or duplicate anything
     assert len(set(QUERIES)) == len(QUERIES)
