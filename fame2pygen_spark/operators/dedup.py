@@ -203,12 +203,17 @@ def word_ngrams(norm_col: Column, n: int = 3) -> Column:
     — HOF lambdas re-evaluate embedded subtrees per element.
     """
     toks = F.filter(F.split(norm_col, " "), lambda t: t != F.lit(""))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    # NB: sequence(1, 0) in Spark DESCENDS ([1, 0]) — guard short docs
+    # (fewer than n tokens) explicitly instead of clamping the stop.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -861,3 +866,104 @@ def source_overlap(
         F.round(F.try_divide(inter, F.col("n_a")), 6).alias("containment_a"),
         F.round(F.try_divide(inter, F.col("n_b")), 6).alias("containment_b"),
     )
+
+
+# ----------------------------------------- prefix-filtered similarity join
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """EXACT global set-similarity self-join via prefix filtering
+    (AllPairs, Bayardo et al. WWW'07; length filter from PPJoin).
+
+    Returns every pair of documents whose word-*n*-gram-set Jaccard is
+    ``>= threshold`` — over the WHOLE corpus, no blocking key, no
+    bucket caps, and provably no recall loss (unlike the MinHash-LSH
+    and SimHash variants, which are probabilistic).
+
+    The prefix principle: order every document's gram set by ascending
+    global document frequency (rarest grams first; ties broken by the
+    gram string so the order is total and engine-reproducible).  If
+    ``J(A, B) >= t`` then ``A`` and ``B`` must share at least one gram
+    among each other's first ``p = |S| - ceil(t * |S|) + 1`` grams.  So
+    an equi-join on PREFIX grams only finds every qualifying pair —
+    and because prefixes are dominated by rare grams, the frequent-gram
+    floods that make a naive token equi-join quadratic never reach the
+    join.  At 100 TB: the gram-DF table is a plain groupBy (uniform
+    key), the prefix join's per-key fan-out is bounded by each gram's
+    true rarity, and the PPJoin length filter
+    (``t * max(|A|,|B|) <= min(|A|,|B|)``) prunes size-incompatible
+    candidates before verification.  No driver-side state at any step.
+
+    Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, exactly the
+    brute-force answer (the DuckDB oracle computes all O(n^2) pairs).
+    """
+    staged = (
+        df.select(
+            F.col(id_col).alias("id"),
+            normalized_text(F.col(text_col)).alias("__nt"),
+        )
+        .select("id", word_ngrams(F.col("__nt"), n).alias("ng"))
+        .where(F.size("ng") > 0)
+    )
+    sized = staged.select(
+        "id", "ng", F.size("ng").cast("long").alias("sz")
+    )
+
+    grams = sized.select("id", "sz", F.explode("ng").alias("gram"))
+    gram_df = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    # Per-doc prefix: rank this doc's grams by (global df, gram) and
+    # keep the first p.  The window partitions by doc id — partitions
+    # are document-sized, never global.
+    ranked = grams.join(gram_df, on="gram").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "gram")
+        ),
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    )
+    prefix = ranked.where(F.col("rn") <= prefix_len).select(
+        "gram", F.col("id"), F.col("sz")
+    )
+
+    la = prefix.select(
+        "gram", F.col("id").alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    lb = prefix.select(
+        "gram", F.col("id").alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    cand = (
+        la.join(lb, on="gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        # PPJoin length filter: necessary for J >= t
+        .where(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(float(threshold))
+            * F.greatest("sz_a", "sz_b").cast("double")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    va = sized.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"))
+    vb = sized.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"))
+    verified = (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(jaccard_arrays(F.col("ng_a"), F.col("ng_b")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

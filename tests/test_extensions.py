@@ -725,3 +725,50 @@ def test_multimodal_sniff_knows_decodable_kinds(spark):
     assert out[1]["mime"] == "image/bmp"
     assert out[2]["mime"] == "image/x-portable-pixmap"
     assert out[3]["mime"] == "audio/wav"
+
+
+def test_prefix_jaccard_join_matches_bruteforce(spark, docs):
+    """Prefix filtering is EXACT: its output must equal the brute-force
+    all-pairs Jaccard at the same threshold (no recall loss)."""
+    from itertools import combinations
+
+    from fame2pygen_spark.operators import dedup as dd
+
+    out = dd.prefix_jaccard_join(
+        docs, "text", "doc_id", n=3, threshold=0.3
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()
+    }
+
+    # brute force on the driver (6 docs)
+    def grams(text: str) -> set[str]:
+        toks = " ".join(text.lower().split()).split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    rows = {r["doc_id"]: grams(r["text"]) for r in docs.collect()}
+    want = {}
+    for a, b in combinations(sorted(rows), 2):
+        ga, gb = rows[a], rows[b]
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if round(j, 6) >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    # planted structure: 1-2 exact, 1-5 normalizes equal, 1-3 near
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 5) in got and got[(1, 5)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+
+
+def test_prefix_jaccard_plan_has_no_cartesian(spark, docs):
+    from fame2pygen_spark.operators import dedup as dd
+
+    plan = dd.prefix_jaccard_join(
+        docs, "text", "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
