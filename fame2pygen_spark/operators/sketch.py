@@ -1035,3 +1035,92 @@ def concentration_index(
             F.round(F.max("__s"), 6).alias("top_share"),
         )
     )
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    b: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group distinct-count estimate via HyperLogLog registers
+    (Flajolet et al. 2007) — the mergeable, fixed-size counterpart to
+    the bottom-k KMV sketch (:func:`kmv_distinct`).
+
+    ``m = 2^b`` registers.  Each value hashes to an md5 digest; the
+    first byte (mod m — exact uniform, 256 % 64 == 0) picks a register
+    and the next 32 bits give the rank (number of leading zeros + 1,
+    computed as ``33 - bit_length`` via base-2 string conversion —
+    pure integer/string ops, no libm, so DuckDB reproduces every
+    register exactly).  The raw HLL estimate ``alpha_m * m^2 /
+    sum(2^-M_j)`` is also engine-exact: every ``2^-M_j`` is an exact
+    power of two from an integer shift, their sum spans < 53 mantissa
+    bits (ranks are 1..33), and IEEE division is deterministic.
+
+    Scale shape: ONE shuffle to ``(group, register)`` with map-side
+    max partial aggregation, then a tiny per-group rollup — state is
+    exactly m integers per group no matter how many rows, and two
+    register sets merge by pairwise max (shard/day/stream mergeable).
+    ``exact_distinct`` (a count-distinct, i.e. a full dedupe shuffle)
+    is included for accuracy display at test SF; drop it at 100 TB.
+
+    Output: *group_cols* + ``m``, ``n_zero_regs``, ``est_distinct``
+    (raw HLL, no small-range correction — the linear-counting branch
+    needs ``ln`` whose last ulp is libm-specific), ``exact_distinct``,
+    ``rel_err``.
+    """
+    m = 1 << b
+    group_cols = list(group_cols)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    hexd = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
+    )
+    w_hex = F.substring(hexd, 3, 8)
+    w = F.conv(w_hex, 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
+    )
+    hashed = df.select(
+        *group_cols,
+        (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m).alias(
+            "__idx"
+        ),
+        rank.cast("int").alias("__rank"),
+    )
+    regs = hashed.groupBy(*group_cols, "__idx").agg(
+        F.max("__rank").alias("__reg")
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("__n_present"),
+        F.sum(
+            F.expr("1.0 / shiftleft(cast(1 as bigint), __reg)")
+        ).alias("__s_present"),
+    )
+    sum_inv = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("__n_present")).cast("double")
+    )
+    est = F.round(F.lit(alpha * m * m) / sum_inv, 6)
+
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).cast("long").alias("exact_distinct")
+    )
+    out = per_group.join(exact, on=group_cols)
+    return out.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("__n_present")).cast("long").alias("n_zero_regs"),
+        est.alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(est - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )

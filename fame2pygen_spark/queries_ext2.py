@@ -65,10 +65,70 @@ WHERE ROUND(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
 """
 
 
+# ------------------------------------------------- x73: HyperLogLog
+
+
+def q_x73_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct users per event type
+    (operators/sketch.py:hll_distinct) — fixed-size mergeable
+    registers; full-mechanism oracle rebuilds every register in SQL
+    (md5-byte register index, leading-zero rank via base-2 strings,
+    integer-shift harmonic sum — no libm anywhere)."""
+    from .queries_ext import _read_events
+    from .operators.sketch import hll_distinct
+
+    ev = _read_events(spark, sf_dir)
+    return hll_distinct(ev, ["event_type"], "user_id", b=6).orderBy(
+        "event_type"
+    )
+
+
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 64) * 64 * 64)
+
+SQL_X73 = f"""
+WITH h AS (
+  SELECT event_type,
+         md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), r AS (
+  SELECT event_type,
+         ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS idx,
+         CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0 THEN 33
+              ELSE 33 - length(bin(('0x' || substr(hx, 3, 8))::BIGINT))
+         END AS rank
+  FROM h
+), regs AS (
+  SELECT event_type, idx, max(rank) AS reg
+  FROM r GROUP BY event_type, idx
+), agg AS (
+  SELECT event_type,
+         count(*) AS n_present,
+         sum(1.0 / (1::BIGINT << reg)) AS s_present
+  FROM regs GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(64 AS BIGINT) AS m,
+       CAST(64 - a.n_present AS BIGINT) AS n_zero_regs,
+       ROUND({_HLL_ALPHA_M2} / (a.s_present + (64 - a.n_present)), 6)
+         AS est_distinct,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(abs(ROUND({_HLL_ALPHA_M2}
+                       / (a.s_present + (64 - a.n_present)), 6)
+                 - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
+FROM agg a JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
+    "x73_hll_distinct": q_x73_hll_distinct,
 }
 
 EXT2_ORACLES = {
     "x72_prefix_jaccard": SQL_X72,
+    "x73_hll_distinct": SQL_X73,
 }

@@ -772,3 +772,25 @@ def test_prefix_jaccard_plan_has_no_cartesian(spark, docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    """HLL estimate lands within the expected error band and register
+    sets merge by pairwise max (shard-mergeability)."""
+    from fame2pygen_spark.operators.sketch import hll_distinct
+
+    n = 2000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    out = hll_distinct(df, ["grp"], "v", b=6).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["exact_distinct"] == n
+    assert row["m"] == 64
+    # standard error of HLL at m=64 is ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert row["rel_err"] < 0.40
+    # duplicates must not move the estimate (only distinct hashes count)
+    dup = df.union(df).union(df)
+    out_dup = hll_distinct(dup, ["grp"], "v", b=6).collect()[0]
+    assert out_dup["est_distinct"] == row["est_distinct"]
