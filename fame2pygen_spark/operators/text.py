@@ -784,3 +784,68 @@ def source_js_divergence(
     return agg.select(
         "group_a", "group_b", F.round(jsd, 6).alias("jsd")
     )
+
+
+def dup_span_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """CROSS-document duplicated n-gram span profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr criterion at token granularity): for each document,
+    the fraction of its positional token n-grams that also occur in at
+    least one OTHER document.  Complements :func:`repetition_profile`
+    (within-doc) and the pair-level dedup operators: this one scores
+    every document by how much of its *content* is corpus-duplicated,
+    which is the signal used to cut boilerplate/licence/template spans
+    before training.
+
+    Shape: explode positional n-grams once, aggregate to
+    ``(doc, gram) -> positions`` (map-side combine absorbs within-doc
+    repeats), then a gram-keyed count of *documents* per gram over that
+    already-deduped set, a join back on the gram key, and a final
+    per-doc rollup.  Two shuffles on uniform keys (gram md5-ish
+    distribution), no windows, no driver state — the 100 TB plan is
+    the same plan.  Documents shorter than *n* tokens have no n-gram
+    positions and are excluded (mirrored by the oracle).
+
+    Output: ``doc`` + ``n_positions``, ``n_dup_positions``,
+    ``dup_frac`` (exact integer ratio, rounded to 6 dp).
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") >= n)
+    pos = toked.select(
+        "doc", F.explode(token_ngrams(F.col("__toks"), n)).alias("__g")
+    )
+    per_doc_gram = pos.groupBy("doc", "__g").agg(
+        F.count("*").cast("long").alias("__n_pos_g")
+    )
+    gram_docs = per_doc_gram.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n_docs")
+    )
+    joined = per_doc_gram.join(gram_docs, on="__g")
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.sum("__n_pos_g").cast("long").alias("n_positions"),
+            F.sum(
+                F.when(F.col("__n_docs") >= 2, F.col("__n_pos_g")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_positions").cast("double")
+                / F.col("n_positions"),
+                6,
+            ),
+        )
+    )

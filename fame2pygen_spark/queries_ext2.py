@@ -123,12 +123,59 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------- x74: duplicated n-gram spans
+
+
+def q_x74_dup_spans(spark, sf_dir):
+    """Cross-document duplicated 13-gram span fraction per document
+    (operators/text.py:dup_span_profile) — the ExactSubstr signal of
+    Lee et al. 2022 at token granularity."""
+    from .operators.text import dup_span_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_span_profile(docs, "text", "doc_id", n=13).select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "n_positions",
+        "n_dup_positions",
+        "dup_frac",
+    )
+
+
+SQL_X74 = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT doc_id, array_to_string(toks[i : i + 12], ' ') AS g
+  FROM t, unnest(range(1, len(toks) - 13 + 2)) AS u(i)
+  WHERE len(toks) >= 13
+), pg AS (
+  SELECT doc_id, g, count(*) AS n_pos_g FROM p GROUP BY doc_id, g
+), gd AS (
+  SELECT g, count(*) AS n_docs FROM pg GROUP BY g
+)
+SELECT CAST(pg.doc_id AS BIGINT) AS doc_id,
+       CAST(sum(pg.n_pos_g) AS BIGINT) AS n_positions,
+       CAST(sum(CASE WHEN gd.n_docs >= 2 THEN pg.n_pos_g ELSE 0 END)
+            AS BIGINT) AS n_dup_positions,
+       ROUND(CAST(sum(CASE WHEN gd.n_docs >= 2 THEN pg.n_pos_g ELSE 0 END)
+                  AS DOUBLE) / sum(pg.n_pos_g), 6) AS dup_frac
+FROM pg JOIN gd USING (g)
+GROUP BY pg.doc_id
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
+    "x74_dup_spans": q_x74_dup_spans,
 }
 
 EXT2_ORACLES = {
     "x72_prefix_jaccard": SQL_X72,
     "x73_hll_distinct": SQL_X73,
+    "x74_dup_spans": SQL_X74,
 }

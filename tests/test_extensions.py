@@ -794,3 +794,29 @@ def test_hll_distinct_accuracy_and_merge(spark):
     dup = df.union(df).union(df)
     out_dup = hll_distinct(dup, ["grp"], "v", b=6).collect()[0]
     assert out_dup["est_distinct"] == row["est_distinct"]
+
+
+def test_dup_span_profile_planted(spark):
+    """A doc sharing a long span with another scores dup_frac > 0 on
+    exactly the shared positions; unique docs score 0."""
+    from fame2pygen_spark.operators.text import dup_span_profile
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens
+    rows = [
+        (1, shared + " one two three"),
+        (2, shared + " four five six"),
+        (3, "seven eight nine ten eleven twelve thirteen fourteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc"]: r
+        for r in dup_span_profile(df, "text", "doc_id", n=5).collect()
+    }
+    # doc 1/2: tokens = 8, positions = 4; only position 1 (the shared
+    # 5-gram) is cross-doc duplicated
+    assert out[1]["n_positions"] == 4
+    assert out[1]["n_dup_positions"] == 1
+    assert out[1]["dup_frac"] == 0.25
+    assert out[2]["n_dup_positions"] == 1
+    assert out[3]["n_dup_positions"] == 0
+    assert out[3]["dup_frac"] == 0.0
