@@ -412,3 +412,138 @@ def quantize_embeddings(
         "q",
         "max_abs_err",
     )
+
+
+def _fold_sq_dist(vec: Column, carr: Column) -> Column:
+    """Squared L2 distance as a SEQUENTIAL left fold over dims (index
+    order) — bitwise reproducible by any engine that folds a list left
+    to right (DuckDB ``list_reduce``), unlike a tree-reduced sum."""
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_step(
+    df: DataFrame,
+    *,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    inertia_bits: int = 20,
+    mean_bits: int = 30,
+    shift_bits: int = 40,
+) -> DataFrame:
+    """ONE Lloyd iteration of k-means against pinned *centroids*:
+    assign every vector to its nearest centroid (squared L2, ties to
+    the lowest cluster id), then report per cluster the member count,
+    the mean squared distance (inertia / n), and how far the recomputed
+    mean moved from the old centroid.
+
+    Distributed shape — the iteration is two narrow aggregations:
+    ``groupBy(cluster)`` for n/inertia and ``groupBy(cluster, dim)``
+    for the per-dimension mean (posexplode, map-side partial sums).
+    Centroids are broadcast literals; nothing driver-side grows with
+    the data, so the same plan is the 100 TB plan (k·dim aggregate
+    cells).  Iterating to convergence = re-invoking with the new
+    means; each step is one job.
+
+    Engine-exactness: every float reduction is either a sequential
+    left fold in index order (:func:`_fold_sq_dist`) or a sum of
+    ``floor(x * 2^bits)`` integers (multiplying by a power of two is
+    exact, ``floor`` is exact, integer sums are order-insensitive) —
+    so a SQL engine reproduces n, msd, and shift to the last bit.
+    The scaled sums stay exact in double below 2^53 (document counts
+    ~10^12 at 100 TB: keep ``mean_bits`` ≤ 40 and they still fit
+    decimal(38,0) with room).
+
+    Output: ``cluster, n, msd, shift`` (6 dp).
+    """
+    v = _as_double(F.col(vec_col))
+    items = []
+    for cid, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(w)) for w in c])
+        items.append(
+            F.struct(
+                _fold_sq_dist(v, carr).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    best = F.array_min(F.array(*items))
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("__v"),
+        best["cid"].alias("cluster"),
+        best["dist"].alias("__d2"),
+    )
+
+    dec = "decimal(38,0)"
+    per_cluster = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("__d2") * F.lit(float(1 << inertia_bits))).cast(dec)
+        ).alias("__inertia_s"),
+    )
+
+    dims = assigned.select(
+        "cluster", F.posexplode("__v").alias("dim0", "val")
+    ).select(
+        "cluster", (F.col("dim0") + 1).alias("dim"), F.col("val")
+    )
+    dim_sums = dims.groupBy("cluster", "dim").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(
+            F.floor(F.col("val") * F.lit(float(1 << mean_bits))).cast(dec)
+        ).alias("__s"),
+    )
+
+    spark = df.sparkSession
+    cent_rows = [
+        (cid, d + 1, float(c[d]))
+        for cid, c in enumerate(centroids)
+        for d in range(len(c))
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster int, dim int, cval double"
+    )
+
+    mean_d = (
+        F.col("__s").cast("double") / F.lit(float(1 << mean_bits))
+    ) / F.col("__n")
+    shifts = (
+        dim_sums.join(F.broadcast(cent_df), on=["cluster", "dim"])
+        .withColumn("__diff", mean_d - F.col("cval"))
+        .groupBy("cluster")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("__diff") * F.col("__diff")
+                    * F.lit(float(1 << shift_bits))
+                ).cast(dec)
+            ).alias("__shift_s")
+        )
+    )
+
+    return (
+        per_cluster.join(shifts, on="cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n",
+            F.round(
+                (
+                    F.col("__inertia_s").cast("double")
+                    / F.lit(float(1 << inertia_bits))
+                )
+                / F.col("n"),
+                6,
+            ).alias("msd"),
+            F.round(
+                F.sqrt(
+                    F.col("__shift_s").cast("double")
+                    / F.lit(float(1 << shift_bits))
+                ),
+                6,
+            ).alias("shift"),
+        )
+    )

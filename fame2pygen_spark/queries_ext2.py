@@ -168,14 +168,94 @@ GROUP BY pg.doc_id
 """
 
 
+# ------------------------------------------------ x75: k-means step
+
+
+def q_x75_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration (operators/similarity.py:kmeans_step)
+    against centroids pinned to the embeddings of ``vec_id < 8`` — a
+    rule the oracle reproduces from the same view (the x05c idiom), so
+    assignment, counts, inertia, and centroid shift are deterministic
+    at any SF.  Every float reduction is a sequential index-order fold
+    or a floor-scaled integer sum, so the SQL engine matches bitwise."""
+    from .operators.similarity import kmeans_step
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return kmeans_step(emb, centroids=cents).orderBy("cluster")
+
+
+SQL_X75 = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+dists AS (
+  SELECT e.id, cent.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (e.v[CAST(i AS INTEGER)] - cent.cv[CAST(i AS INTEGER)])
+                * (e.v[CAST(i AS INTEGER)] - cent.cv[CAST(i AS INTEGER)])),
+           (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN cent
+),
+asg AS (
+  SELECT id, cid AS cluster, d2 FROM (
+    SELECT id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+percl AS (
+  SELECT cluster, count(*) AS n,
+         sum(CAST(floor(d2 * 1048576.0) AS DECIMAL(38,0))) AS inertia_s
+  FROM asg GROUP BY cluster
+),
+dims AS (
+  SELECT a.cluster, i AS dim, e.v[CAST(i AS INTEGER)] AS val
+  FROM asg a JOIN e ON e.id = a.id, unnest(range(1, 65)) AS u(i)
+),
+ds AS (
+  SELECT cluster, dim, count(*) AS n,
+         sum(CAST(floor(val * 1073741824.0) AS DECIMAL(38,0))) AS s
+  FROM dims GROUP BY cluster, dim
+),
+cd AS (
+  SELECT cid AS cluster, i AS dim, cv[CAST(i AS INTEGER)] AS cval
+  FROM cent, unnest(range(1, 65)) AS u(i)
+),
+sh AS (
+  SELECT ds.cluster,
+         sum(CAST(floor(
+           ((CAST(ds.s AS DOUBLE) / 1073741824.0) / ds.n - cd.cval)
+           * ((CAST(ds.s AS DOUBLE) / 1073741824.0) / ds.n - cd.cval)
+           * 1099511627776.0) AS DECIMAL(38,0))) AS shift_s
+  FROM ds JOIN cd ON cd.cluster = ds.cluster AND cd.dim = ds.dim
+  GROUP BY ds.cluster
+)
+SELECT CAST(p.cluster AS BIGINT) AS cluster,
+       CAST(p.n AS BIGINT) AS n,
+       ROUND((CAST(p.inertia_s AS DOUBLE) / 1048576.0) / p.n, 6) AS msd,
+       ROUND(sqrt(CAST(sh.shift_s AS DOUBLE) / 1099511627776.0), 6)
+         AS shift
+FROM percl p JOIN sh USING (cluster)
+ORDER BY cluster
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
     "x74_dup_spans": q_x74_dup_spans,
+    "x75_kmeans_step": q_x75_kmeans_step,
 }
 
 EXT2_ORACLES = {
     "x72_prefix_jaccard": SQL_X72,
     "x73_hll_distinct": SQL_X73,
     "x74_dup_spans": SQL_X74,
+    "x75_kmeans_step": SQL_X75,
 }

@@ -820,3 +820,34 @@ def test_dup_span_profile_planted(spark):
     assert out[2]["n_dup_positions"] == 1
     assert out[3]["n_dup_positions"] == 0
     assert out[3]["dup_frac"] == 0.0
+
+
+def test_kmeans_step_converges_on_separated_blobs(spark):
+    """On two well-separated blobs, one Lloyd step from rough guesses
+    assigns every point to its blob and moves each centroid to the
+    blob mean (second step from the true means has shift ~0)."""
+    from fame2pygen_spark.operators.similarity import kmeans_step
+
+    rows = []
+    vid = 0
+    for cx, n in ((0.0, 10), (10.0, 14)):
+        for i in range(n):
+            rows.append((vid, [cx + 0.1 * (i % 3), cx - 0.1 * (i % 2)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    guesses = [[1.0, 1.0], [9.0, 9.0]]
+    out = {
+        r["cluster"]: r
+        for r in kmeans_step(df, centroids=guesses).collect()
+    }
+    assert out[0]["n"] == 10 and out[1]["n"] == 14
+    # step 2 from the (quantized) new means: shift must collapse
+    means = []
+    for cid in (0, 1):
+        sub = [r[1] for r in rows if (r[1][0] < 5) == (cid == 0)]
+        means.append([sum(v[d] for v in sub) / len(sub) for d in (0, 1)])
+    out2 = {
+        r["cluster"]: r for r in kmeans_step(df, centroids=means).collect()
+    }
+    assert out2[0]["shift"] < 1e-6 and out2[1]["shift"] < 1e-6
+    assert out2[0]["msd"] <= out[0]["msd"]
