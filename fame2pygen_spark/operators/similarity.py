@@ -547,3 +547,62 @@ def kmeans_step(
             ).alias("shift"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    retrieval lists: ``score(d) = sum_i 1 / (k + rank_i(d))`` over the
+    lists where *d* appears.  The standard way to combine lexical
+    (BM25) and dense (embedding) retrieval without score calibration —
+    only RANKS cross the fusion boundary, so the lists' scoring scales
+    never have to be commensurable.
+
+    Each input must have (*id_col*, *rank_col*).  Fusion is an N-way
+    full outer join on the id (each list is already top-n sized — tiny
+    — so at scale these are broadcast joins of bounded row counts no
+    matter the corpus size; the heavy lifting happened inside each
+    retriever).  The RRF sum adds terms in list order — a fixed
+    expression shape any engine reproduces bitwise.
+
+    Output: ``(id, rank_1..rank_N (null where absent), rrf,
+    fused_rank)`` limited to *top_n* by (rrf desc, id).
+    """
+    if len(ranked) < 2:
+        raise ValueError("need at least 2 ranked lists")
+    out = None
+    terms = []
+    for i, df in enumerate(ranked, start=1):
+        part = df.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("long").alias(f"rank_{i}"),
+        )
+        out = part if out is None else out.join(part, on="id", how="full")
+        terms.append(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")),
+                F.lit(0.0),
+            )
+        )
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    out = out.withColumn("rrf", F.round(score, 6))
+    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    # unpartitioned window, but over |lists| * top_n rows only
+    return (
+        out.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= top_n)
+        .select(
+            "id",
+            *[f"rank_{i}" for i in range(1, len(ranked) + 1)],
+            "rrf",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )

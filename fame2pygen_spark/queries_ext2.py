@@ -246,11 +246,142 @@ ORDER BY cluster
 """
 
 
+# ------------------------------------------ x76: hybrid-retrieval RRF
+
+
+def q_x76_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of lexical and dense retrieval
+    (operators/similarity.py:rrf_fuse): BM25 top-20 for the x33 query
+    terms fused with cosine top-20 around the ``vec_id = 0`` embedding
+    (embeddings align 1:1 with documents).  Only ranks cross the
+    fusion boundary, so the oracle needs rank parity (already pinned
+    by x33/x05's 6-dp round + id tie-break), not score parity."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import cosine_topk, rrf_fuse
+    from .operators.text import bm25_rank
+    from .queries_ext import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    bm = bm25_rank(
+        docs, "text", "doc_id", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+        top_n=20,
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cos = cosine_topk(emb, q, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+    fused = rrf_fuse([bm, cos], id_col="doc_id", k=60, top_n=20)
+    return fused.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("rank_1").alias("bm25_rank"),
+        F.col("rank_2").alias("cos_rank"),
+        "rrf",
+        "fused_rank",
+    )
+
+
+def _sql_x76() -> str:
+    from .queries_ext import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    k1, b = _BM25_K1, _BM25_B
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(string_split(nt, ' '), x -> x = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"ln(1 + (st.n - st.df_{i} + 0.5) / (st.df_{i} + 0.5))"
+        f" * (d.tf_{i} * {k1 + 1.0})"
+        f" / (d.tf_{i} + {k1} * ({1.0 - b} + {b} * d.dl / st.avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN 0
+              ELSE len(string_split(nt, ' ')) END AS dl,
+         {tf_exprs}
+  FROM t
+), st AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {df_exprs} FROM d
+), bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank_1
+  FROM (
+    SELECT d.doc_id, ROUND({score_terms}, 6) AS score
+    FROM d, st
+  ) WHERE score > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 20
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT neighbor_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, neighbor_id ASC)
+           AS rank_2
+  FROM (
+    SELECT c.vec_id AS neighbor_id,
+           ROUND(
+             list_reduce(list_transform(range(1, 65),
+                 i -> cv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> cv[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)]),
+                      (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> qv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]),
+                      (acc, x) -> acc + x))), 6) AS score
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c
+    CROSS JOIN q
+    WHERE c.vec_id <> 0
+  ) ORDER BY score DESC, neighbor_id ASC LIMIT 20
+), fused AS (
+  SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+         bm.rank_1, cos.rank_2,
+         ROUND(COALESCE(1.0 / (60.0 + bm.rank_1), 0.0)
+               + COALESCE(1.0 / (60.0 + cos.rank_2), 0.0), 6) AS rrf
+  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank_1 AS BIGINT) AS bm25_rank,
+       CAST(rank_2 AS BIGINT) AS cos_rank,
+       rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 20
+"""
+
+
+SQL_X76 = _sql_x76()
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
     "x74_dup_spans": q_x74_dup_spans,
     "x75_kmeans_step": q_x75_kmeans_step,
+    "x76_rrf_fusion": q_x76_rrf_fusion,
 }
 
 EXT2_ORACLES = {
@@ -258,4 +389,5 @@ EXT2_ORACLES = {
     "x73_hll_distinct": SQL_X73,
     "x74_dup_spans": SQL_X74,
     "x75_kmeans_step": SQL_X75,
+    "x76_rrf_fusion": SQL_X76,
 }

@@ -851,3 +851,24 @@ def test_kmeans_step_converges_on_separated_blobs(spark):
     }
     assert out2[0]["shift"] < 1e-6 and out2[1]["shift"] < 1e-6
     assert out2[0]["msd"] <= out[0]["msd"]
+
+
+def test_rrf_fuse_prefers_doc_on_both_lists(spark):
+    from fame2pygen_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2), (1, 5)], "doc_id long, rank long"
+    )
+    out = rrf_fuse([a, b], top_n=10).collect()
+    by_id = {r["id"]: r for r in out}
+    # doc 1: 1/61 + 1/65; doc 3: 1/63 + 1/61 — both on both lists
+    assert by_id[1]["rank_1"] == 1 and by_id[1]["rank_2"] == 5
+    assert by_id[2]["rank_2"] is None
+    # docs appearing on both lists outrank single-list docs here
+    fused_order = [r["id"] for r in sorted(out, key=lambda r: r["fused_rank"])]
+    assert set(fused_order[:2]) == {1, 3}
+    expected_doc1 = round(1 / 61 + 1 / 65, 6)
+    assert abs(by_id[1]["rrf"] - expected_doc1) < 1e-9
