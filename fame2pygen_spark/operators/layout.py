@@ -1,0 +1,138 @@
+"""Data-layout operators: space-filling-curve clustering for
+multi-dimensional scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the data:
+parquet row-group (and partition) pruning works off per-file min/max
+statistics, which a single-column sort only makes tight for ONE
+predicate column.  Interleaving the bits of several columns' bin
+numbers (a Z-order / Morton curve) and range-partitioning + sorting by
+that key makes the min/max envelopes tight on EVERY interleaved column
+at once — the same technique Delta Lake's ``OPTIMIZE ZORDER BY`` and
+ClickHouse's ``mortonEncode`` use.
+
+Everything here is integer column algebra (fixed-width bins from
+global min/max, shifts and masks) — engine-reproducible and
+whole-stage-codegen friendly; no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _bin_col(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
+    """Fixed-width bin number in [0, 2^bits):
+    ``floor((x - min) * 2^bits / (max - min + 1))``.
+
+    The quotient goes through double division; floor is exact while
+    ``(x - min) * 2^bits * (max - min + 1) < 2^53`` — i.e. value
+    ranges up to ~2^45 at bits=4 — far past any bin-key use.  Both
+    engines produce the identical double, so bins agree bitwise."""
+    nbins = 1 << bits
+    span = (cmax - cmin + F.lit(1)).cast("long")
+    return F.floor(
+        (col.cast("long") - cmin.cast("long")) * F.lit(nbins) / span
+    ).cast("long")
+
+
+def zorder_key(
+    bin_cols: Sequence[Column], *, bits: int = 8
+) -> Column:
+    """Morton interleave of *bin_cols* (each already a bin number in
+    ``[0, 2^bits)``): bit *i* of column *j* lands at position
+    ``i * n_cols + j``.  Shift-and-mask only — no UDF, stays inside
+    whole-stage codegen."""
+    ncols = len(bin_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(bin_cols):
+        for i in range(bits):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * ncols + j)
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    bits: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Physically cluster *df* along the Z-order curve of *cols*:
+    compute the Morton key from fixed-width bins (bin edges from a
+    1-row global min/max aggregate, broadcast — the repo's scalar
+    pattern), then ``repartitionByRange`` + ``sortWithinPartitions``
+    on it.  Writing the result gives parquet files whose min/max
+    stats are tight on every clustered column, so predicates on ANY
+    of them prune row groups — not just the leading sort column.
+
+    The range partitioner samples the z-key distribution, so skewed
+    dimensions still yield balanced files.  Adds a ``__z`` column
+    (drop after write)."""
+    cols = list(cols)
+    mins_maxs = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cols],
+    )
+    with_stats = df.join(F.broadcast(mins_maxs))
+    bins = [
+        _bin_col(
+            F.col(c),
+            F.col(f"__min_{c}"),
+            F.col(f"__max_{c}"),
+            bits,
+        )
+        for c in cols
+    ]
+    keyed = with_stats.withColumn("__z", zorder_key(bins, bits=bits)).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+    if num_partitions:
+        keyed = keyed.repartitionByRange(num_partitions, "__z")
+    else:
+        keyed = keyed.repartitionByRange("__z")
+    return keyed.sortWithinPartitions("__z")
+
+
+def zorder_extent_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    bits: int = 4,
+) -> DataFrame:
+    """Pruning-quality diagnostic: bucket rows by their Z-order key
+    (``bits`` per dimension) and report each bucket's row count plus
+    the min/max envelope and span fraction of every dimension — the
+    exact statistics a reader would consult to skip the bucket.  Tight
+    span fractions (≪ 1) on all dimensions are what Z-ordering buys
+    over a single-column sort (tight on one, ~1.0 on the rest).
+
+    One global 1-row min/max aggregate (broadcast) + one groupBy on
+    the z key — integer math throughout, oracle-reproducible."""
+    cols = list(cols)
+    mins_maxs = df.agg(
+        *[F.min(c).cast("long").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"__max_{c}") for c in cols],
+    )
+    with_stats = df.join(F.broadcast(mins_maxs))
+    bins = [
+        _bin_col(F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits)
+        for c in cols
+    ]
+    keyed = with_stats.withColumn("zbucket", zorder_key(bins, bits=bits))
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).cast("long").alias(f"min_{c}"),
+            F.max(c).cast("long").alias(f"max_{c}"),
+            F.round(
+                (F.max(c) - F.min(c) + F.lit(1)).cast("double")
+                / (
+                    F.max(f"__max_{c}") - F.max(f"__min_{c}") + F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias(f"span_frac_{c}"),
+        ]
+    return keyed.groupBy("zbucket").agg(*aggs)

@@ -376,12 +376,69 @@ QUALIFY fused_rank <= 20
 SQL_X76 = _sql_x76()
 
 
+# ----------------------------------------------- x77: Z-order layout
+
+
+def q_x77_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering diagnostic
+    (operators/layout.py:zorder_extent_profile): bucket lineitem by
+    the interleaved (l_partkey, l_suppkey) bin key and report each
+    bucket's min/max envelope + span fraction per dimension — the
+    statistics a parquet reader consults for row-group pruning.  The
+    write path is cluster_by_zorder (repartitionByRange + sort on the
+    same key, pytest-verified); this query checks the curve math."""
+    from .operators.layout import zorder_extent_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return zorder_extent_profile(
+        li, ["l_partkey", "l_suppkey"], bits=4
+    )
+
+
+SQL_X77 = """
+WITH st AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS minp,
+         CAST(max(l_partkey) AS BIGINT) AS maxp,
+         CAST(min(l_suppkey) AS BIGINT) AS mins,
+         CAST(max(l_suppkey) AS BIGINT) AS maxs
+  FROM lineitem
+), b AS (
+  SELECT l_partkey, l_suppkey, minp, maxp, mins, maxs,
+         CAST(floor((l_partkey - minp) * 16 / (maxp - minp + 1))
+              AS BIGINT) AS bp,
+         CAST(floor((l_suppkey - mins) * 16 / (maxs - mins + 1))
+              AS BIGINT) AS bs
+  FROM lineitem, st
+), z AS (
+  SELECT *,
+         (((bp >> 0) & 1) << 0) + (((bs >> 0) & 1) << 1)
+       + (((bp >> 1) & 1) << 2) + (((bs >> 1) & 1) << 3)
+       + (((bp >> 2) & 1) << 4) + (((bs >> 2) & 1) << 5)
+       + (((bp >> 3) & 1) << 6) + (((bs >> 3) & 1) << 7) AS zbucket
+  FROM b
+)
+SELECT CAST(zbucket AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_l_partkey,
+       CAST(max(l_partkey) AS BIGINT) AS max_l_partkey,
+       ROUND(CAST(max(l_partkey) - min(l_partkey) + 1 AS DOUBLE)
+             / (max(maxp) - max(minp) + 1), 6) AS span_frac_l_partkey,
+       CAST(min(l_suppkey) AS BIGINT) AS min_l_suppkey,
+       CAST(max(l_suppkey) AS BIGINT) AS max_l_suppkey,
+       ROUND(CAST(max(l_suppkey) - min(l_suppkey) + 1 AS DOUBLE)
+             / (max(maxs) - max(mins) + 1), 6) AS span_frac_l_suppkey
+FROM z
+GROUP BY zbucket
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
     "x74_dup_spans": q_x74_dup_spans,
     "x75_kmeans_step": q_x75_kmeans_step,
     "x76_rrf_fusion": q_x76_rrf_fusion,
+    "x77_zorder_layout": q_x77_zorder_layout,
 }
 
 EXT2_ORACLES = {
@@ -390,4 +447,5 @@ EXT2_ORACLES = {
     "x74_dup_spans": SQL_X74,
     "x75_kmeans_step": SQL_X75,
     "x76_rrf_fusion": SQL_X76,
+    "x77_zorder_layout": SQL_X77,
 }

@@ -872,3 +872,36 @@ def test_rrf_fuse_prefers_doc_on_both_lists(spark):
     assert set(fused_order[:2]) == {1, 3}
     expected_doc1 = round(1 / 61 + 1 / 65, 6)
     assert abs(by_id[1]["rrf"] - expected_doc1) < 1e-9
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from fame2pygen_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101)], "a long, b long"
+    ).select(zorder_key([F.col("a"), F.col("b")], bits=4).alias("z"))
+    # a bits land at even positions, b bits at odd:
+    # a=1010 -> positions 2,6; b=0101 -> positions 1,5
+    assert df.collect()[0]["z"] == (1 << 2) + (1 << 6) + (1 << 1) + (1 << 5)
+
+
+def test_cluster_by_zorder_orders_partitions(spark):
+    """After clustering, rows within each partition are sorted by the
+    z key and both dimensions' per-partition extents are bounded."""
+    from fame2pygen_spark.operators.layout import cluster_by_zorder
+
+    rows = [(i % 31, (i * 7) % 29) for i in range(1000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = cluster_by_zorder(df, ["x", "y"], bits=4, num_partitions=4)
+    parts = out.select("__z").rdd.glom().collect()
+    nonempty = [p for p in parts if p]
+    assert len(nonempty) >= 2
+    seen = []
+    for p in nonempty:
+        zs = [r["__z"] for r in p]
+        assert zs == sorted(zs)  # sortWithinPartitions
+        seen.append((zs[0], zs[-1]))
+    # range partitioning: partition z-ranges must not interleave
+    seen.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(seen, seen[1:]):
+        assert hi1 <= lo2
