@@ -432,6 +432,54 @@ GROUP BY zbucket
 """
 
 
+# ------------------------------------------- x78: Theil-Sen robust trend
+
+
+def q_x78_theil_sen(spark, sf_dir):
+    """Per-user Theil-Sen robust slope over daily mean values
+    (operators/temporal.py:theil_sen_trend) — median-of-pairwise-
+    slopes companion to x65's OLS fit; pair stage bounded at
+    max_days^2/2 per entity regardless of event volume."""
+    from .queries_ext import _read_events
+    from .operators.temporal import theil_sen_trend
+
+    ev = _read_events(spark, sf_dir)
+    return theil_sen_trend(ev, max_days=40).withColumnRenamed(
+        "entity", "user_id"
+    )
+
+
+SQL_X78 = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d, value AS y
+  FROM events WHERE value IS NOT NULL
+), daily AS (
+  SELECT user_id, d,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS ym
+  FROM s GROUP BY user_id, d
+), recent AS (
+  SELECT user_id, d, ym FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d DESC)
+      AS rn
+    FROM daily
+  ) WHERE rn <= 40
+), pairs AS (
+  SELECT a.user_id, (b.ym - a.ym) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM recent a JOIN recent b
+    ON a.user_id = b.user_id AND a.d < b.d
+), sl AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope
+  FROM pairs GROUP BY user_id
+), dc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM recent GROUP BY user_id
+)
+SELECT sl.user_id, dc.n_days, sl.n_pairs, sl.ts_slope
+FROM sl JOIN dc USING (user_id)
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -439,6 +487,7 @@ EXT2_QUERIES = {
     "x75_kmeans_step": q_x75_kmeans_step,
     "x76_rrf_fusion": q_x76_rrf_fusion,
     "x77_zorder_layout": q_x77_zorder_layout,
+    "x78_theil_sen": q_x78_theil_sen,
 }
 
 EXT2_ORACLES = {
@@ -448,4 +497,5 @@ EXT2_ORACLES = {
     "x75_kmeans_step": SQL_X75,
     "x76_rrf_fusion": SQL_X76,
     "x77_zorder_layout": SQL_X77,
+    "x78_theil_sen": SQL_X78,
 }

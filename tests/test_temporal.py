@@ -188,3 +188,36 @@ def test_autocorrelation_alternating_and_constant(spark):
     # lag-2 on the alternating series: perfectly positive
     out2 = {r["entity"]: r for r in autocorrelation(ev, lag=2).collect()}
     assert out2[1]["acf"] == 1.0
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A single wild outlier day shifts the OLS slope but leaves the
+    Theil-Sen median slope at the true trend."""
+    from fame2pygen_spark.operators.temporal import group_trend, theil_sen_trend
+
+    day_us = 86_400_000_000
+    rows = []
+    for d in range(10):
+        v = 2.0 * d + 1.0  # clean slope 2/day
+        if d == 5:
+            v = 1000.0  # outlier
+        rows.append((1, d * day_us, v))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    ts = theil_sen_trend(df).collect()[0]
+    ols = group_trend(df).collect()[0]
+    assert ts["n_days"] == 10
+    assert ts["n_pairs"] == 45
+    assert abs(ts["ts_slope"] - 2.0) < 0.3
+    assert abs(ols["slope_per_day"] - 2.0) > 5.0  # OLS chased the spike
+
+
+def test_theil_sen_max_days_cap(spark):
+    from fame2pygen_spark.operators.temporal import theil_sen_trend
+
+    day_us = 86_400_000_000
+    rows = [(1, d * day_us, float(d)) for d in range(100)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    out = theil_sen_trend(df, max_days=40).collect()[0]
+    assert out["n_days"] == 40
+    assert out["n_pairs"] == 40 * 39 // 2
+    assert out["ts_slope"] == 1.0
