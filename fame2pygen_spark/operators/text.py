@@ -849,3 +849,52 @@ def dup_span_profile(
             ),
         )
     )
+
+
+#: GPT-2-style pre-tokenizer pattern (Radford et al. 2019 — the
+#: regex that splits text into BPE merge units: contractions, space-
+#: prefixed letter runs, digit runs, punctuation runs, whitespace).
+#: Ordered alternation; no lookarounds, so Java regex (Spark) and RE2
+#: (DuckDB) produce the identical piece sequence.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_pretoken_profile(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document BPE pre-tokenization profile: how a GPT-2-style
+    tokenizer would segment the text BEFORE byte-pair merges — the
+    standard denominator for token-budget accounting ("this corpus is
+    N billion tokens") and a compression proxy (chars per pre-token
+    correlates with post-merge token counts).
+
+    Entirely row-local column algebra (one regexp_extract_all + array
+    filters) — zero shuffles, stays in whole-stage codegen, scales
+    embarrassingly.  Whitespace-run matches are excluded from the
+    token count (GPT-2 folds single leading spaces into the following
+    piece; standalone runs are layout, not tokens).
+
+    Output: ``doc_id, n_chars, n_ws_tokens, n_bpe_tokens,
+    n_contractions, chars_per_bpe_token`` (6 dp).
+    """
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), 0
+    )
+    non_ws = F.filter(pieces, lambda x: F.trim(x) != F.lit(""))
+    contractions = F.filter(
+        pieces, lambda x: x.startswith(F.lit("'"))
+    )
+    n_bpe = F.size(non_ws).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(contractions).cast("long").alias("n_contractions"),
+        F.round(
+            F.try_divide(F.length(text_col).cast("double"), n_bpe), 6
+        ).alias("chars_per_bpe_token"),
+    )

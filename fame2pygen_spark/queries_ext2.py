@@ -480,6 +480,51 @@ FROM sl JOIN dc USING (user_id)
 """
 
 
+# --------------------------------------- x79: BPE pre-tokenizer profile
+
+
+def q_x79_bpe_pretokens(spark, sf_dir):
+    """GPT-2-style BPE pre-tokenization profile per document
+    (operators/text.py:bpe_pretoken_profile) — token-budget accounting
+    with the exact Radford et al. pre-tokenizer regex; ordered
+    alternation reproduces identically under Java regex and RE2."""
+    from .operators.text import bpe_pretoken_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pretoken_profile(docs, "text", "doc_id")
+
+
+# the pre-tokenizer pattern as a DuckDB SQL string literal
+# (apostrophes doubled)
+_SQL_BPE_PAT = (
+    "''s|''t|''re|''ve|''m|''ll|''d"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+)
+
+SQL_X79 = f"""
+WITH p AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS n_ws_tokens,
+         regexp_extract_all(text, '{_SQL_BPE_PAT}') AS pieces
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(pieces, x -> trim(x) <> '')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(list_filter(pieces, x -> x LIKE '''%')) AS BIGINT)
+         AS n_contractions,
+       ROUND(CAST(n_chars AS DOUBLE)
+             / NULLIF(len(list_filter(pieces, x -> trim(x) <> '')), 0),
+             6) AS chars_per_bpe_token
+FROM p
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -488,6 +533,7 @@ EXT2_QUERIES = {
     "x76_rrf_fusion": q_x76_rrf_fusion,
     "x77_zorder_layout": q_x77_zorder_layout,
     "x78_theil_sen": q_x78_theil_sen,
+    "x79_bpe_pretokens": q_x79_bpe_pretokens,
 }
 
 EXT2_ORACLES = {
@@ -498,4 +544,5 @@ EXT2_ORACLES = {
     "x76_rrf_fusion": SQL_X76,
     "x77_zorder_layout": SQL_X77,
     "x78_theil_sen": SQL_X78,
+    "x79_bpe_pretokens": SQL_X79,
 }

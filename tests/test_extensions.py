@@ -905,3 +905,18 @@ def test_cluster_by_zorder_orders_partitions(spark):
     seen.sort()
     for (lo1, hi1), (lo2, hi2) in zip(seen, seen[1:]):
         assert hi1 <= lo2
+
+
+def test_bpe_pretoken_profile(spark):
+    from fame2pygen_spark.operators.text import bpe_pretoken_profile
+
+    df = spark.createDataFrame(
+        [(1, "Hello world's 3rd-best test, isn't it? 42")],
+        "doc_id long, text string",
+    )
+    row = bpe_pretoken_profile(df, "text", "doc_id").collect()[0]
+    # pieces: Hello/ world/'s/ 3/rd/-/best/ test/,/ isn/'t/ it/?/ 42
+    assert row["n_bpe_tokens"] == 14
+    assert row["n_contractions"] == 2
+    assert row["n_ws_tokens"] == 7
+    assert row["n_chars"] == 41
