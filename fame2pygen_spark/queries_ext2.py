@@ -525,6 +525,82 @@ FROM p
 """
 
 
+# --------------------------------------- x80: KMV sketch set algebra
+
+
+def q_x80_kmv_set_ops(spark, sf_dir):
+    """Pairwise source-overlap estimates from MERGED bottom-k sketches
+    (operators/sketch.py:kmv_set_ops) — union size, Jaccard, and
+    intersection size for every source pair computed from the k-length
+    sketches alone (Beyer et al. SIGMOD'07), never joining raw data
+    across sources.  Oracle rebuilds sketches, merge, and estimators."""
+    from .operators.dedup import text_fingerprint
+    from .operators.sketch import kmv_set_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = docs.select(
+        "source", text_fingerprint(F.col("text")).alias("fp")
+    )
+    return kmv_set_ops(fps, "source", "fp", k=64).orderBy(
+        "group_a", "group_b"
+    )
+
+
+SQL_X80 = """
+WITH fp AS (
+  SELECT source AS g,
+         ('0x' || substr(md5('kmvset:' ||
+            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+            1, 8))::BIGINT AS h
+  FROM documents
+), d AS (
+  SELECT DISTINCT g, h FROM fp
+), sk AS (
+  SELECT g, list_sort(list(h)) AS arr FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM d
+  ) WHERE rn <= 64 GROUP BY g
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.arr AS aa, b.arr AS bb,
+         list_sort(list_distinct(list_concat(a.arr, b.arr)))[1:64] AS mm
+  FROM sk a JOIN sk b ON a.g < b.g
+), est AS (
+  SELECT group_a, group_b,
+         len(mm) AS n_merged,
+         len(list_intersect(list_intersect(mm, aa), bb)) AS in_both,
+         CASE WHEN len(mm) < 64 THEN CAST(len(mm) AS DOUBLE)
+              ELSE ROUND(63 * 4294967296.0 / mm[64], 6) END AS est_union,
+         ROUND(CAST(len(list_intersect(list_intersect(mm, aa), bb))
+                    AS DOUBLE)
+               / (CASE WHEN len(mm) < 64 THEN len(mm) ELSE 64 END), 6)
+           AS est_jaccard
+  FROM pairs
+), ex AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         count(*) AS exact_intersection
+  FROM d a JOIN d b ON a.h = b.h AND a.g < b.g
+  GROUP BY a.g, b.g
+), sizes AS (
+  SELECT g, count(*) AS n FROM d GROUP BY g
+)
+SELECT e.group_a, e.group_b,
+       CAST(64 AS BIGINT) AS k,
+       CAST(e.n_merged AS BIGINT) AS n_merged,
+       e.est_union,
+       e.est_jaccard,
+       ROUND(e.est_jaccard * e.est_union, 6) AS est_intersection,
+       CAST(sa.n + sb.n - COALESCE(ex.exact_intersection, 0) AS BIGINT)
+         AS exact_union,
+       CAST(COALESCE(ex.exact_intersection, 0) AS BIGINT)
+         AS exact_intersection
+FROM est e
+LEFT JOIN ex ON ex.group_a = e.group_a AND ex.group_b = e.group_b
+JOIN sizes sa ON sa.g = e.group_a
+JOIN sizes sb ON sb.g = e.group_b
+ORDER BY e.group_a, e.group_b
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -534,6 +610,7 @@ EXT2_QUERIES = {
     "x77_zorder_layout": q_x77_zorder_layout,
     "x78_theil_sen": q_x78_theil_sen,
     "x79_bpe_pretokens": q_x79_bpe_pretokens,
+    "x80_kmv_set_ops": q_x80_kmv_set_ops,
 }
 
 EXT2_ORACLES = {
@@ -545,4 +622,5 @@ EXT2_ORACLES = {
     "x77_zorder_layout": SQL_X77,
     "x78_theil_sen": SQL_X78,
     "x79_bpe_pretokens": SQL_X79,
+    "x80_kmv_set_ops": SQL_X80,
 }

@@ -920,3 +920,35 @@ def test_bpe_pretoken_profile(spark):
     assert row["n_contractions"] == 2
     assert row["n_ws_tokens"] == 7
     assert row["n_chars"] == 41
+
+
+def test_kmv_set_ops_exact_when_small(spark):
+    """With fewer than k distinct values per group, the sketch is the
+    full set: union/Jaccard/intersection estimates become exact."""
+    from fame2pygen_spark.operators.sketch import kmv_set_ops
+
+    rows = [("a", f"v{i}") for i in range(20)] + [
+        ("b", f"v{i}") for i in range(10, 30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = kmv_set_ops(df, "g", "v", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["exact_union"] == 30 and r["exact_intersection"] == 10
+    assert r["est_union"] == 30.0
+    assert abs(r["est_jaccard"] - 10 / 30) < 1e-6
+    assert abs(r["est_intersection"] - 10.0) < 1e-3
+
+
+def test_kmv_set_ops_estimates_track_truth(spark):
+    from fame2pygen_spark.operators.sketch import kmv_set_ops
+
+    rows = [("a", f"v{i}") for i in range(1000)] + [
+        ("b", f"v{i}") for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_set_ops(df, "g", "v", k=128).collect()[0]
+    assert r["exact_union"] == 1500
+    # bottom-k estimator: ~1/sqrt(k) relative error, allow 3 sigma
+    assert abs(r["est_union"] - 1500) / 1500 < 0.3
+    assert abs(r["est_jaccard"] - 500 / 1500) < 0.2
