@@ -1248,3 +1248,68 @@ def kmv_set_ops(
         .alias("exact_union"),
         "exact_intersection",
     )
+
+
+def table_stats(
+    df: DataFrame,
+    canon: "dict[str, Column]",
+    *,
+    b: int = 6,
+) -> DataFrame:
+    """ANALYZE-style per-column table statistics — the inputs a
+    cost-based optimizer needs to pick join orders and strategies:
+    row count, null count/fraction, and NDV (distinct values) per
+    column, with NDV estimated by the mergeable HyperLogLog registers
+    of :func:`hll_distinct` so the scan stays one pass + bounded state
+    per column at any scale.
+
+    *canon* maps column name -> canonical STRING expression (the NDV
+    hash input).  Canonicalization is what makes the profile engine-
+    portable: doubles go through ``decimal(28,6)`` (identical
+    rendering in Spark and DuckDB, unlike raw double-to-string),
+    timestamps through dates, integers/strings verbatim.
+
+    Shape: one explode stacks the columns into ``(column, value)``
+    rows — a single scan feeding one (column, register) aggregation;
+    state is m registers + 2 counters per column.  ``exact_distinct``
+    / ``rel_err`` come from :func:`hll_distinct`'s accuracy-display
+    join (drop at 100 TB).
+
+    Output: ``column, n_rows, n_nulls, null_frac, m, n_zero_regs,
+    est_distinct, exact_distinct, rel_err``.
+    """
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column"),
+                        expr.cast("string").alias("v"),
+                    )
+                    for name, expr in canon.items()
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    counts = stacked.groupBy("column").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).cast("long").alias(
+            "n_nulls"
+        ),
+    )
+    ndv = hll_distinct(
+        stacked.where(F.col("v").isNotNull()), ["column"], "v", b=b
+    )
+    return counts.join(ndv, on="column").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(
+            F.col("n_nulls").cast("double") / F.col("n_rows"), 6
+        ).alias("null_frac"),
+        "m",
+        "n_zero_regs",
+        "est_distinct",
+        "exact_distinct",
+        "rel_err",
+    )

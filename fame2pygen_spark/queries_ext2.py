@@ -601,6 +601,107 @@ ORDER BY e.group_a, e.group_b
 """
 
 
+# --------------------------------------- x81: ANALYZE-style table stats
+
+
+def q_x81_table_stats(spark, sf_dir):
+    """Per-column CBO statistics for lineitem
+    (operators/sketch.py:table_stats): row/null counts and HLL NDV
+    from one stacked scan.  Doubles canonicalize through
+    decimal(28,6), the timestamp through its date — renderings both
+    engines produce byte-identically."""
+    from .operators.sketch import table_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = "decimal(28,6)"
+    canon = {
+        "l_orderkey": F.col("l_orderkey"),
+        "l_partkey": F.col("l_partkey"),
+        "l_suppkey": F.col("l_suppkey"),
+        "l_linenumber": F.col("l_linenumber"),
+        "l_quantity": F.col("l_quantity").cast(dec),
+        "l_extendedprice": F.col("l_extendedprice").cast(dec),
+        "l_discount": F.col("l_discount").cast(dec),
+        "l_tax": F.col("l_tax").cast(dec),
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+        "l_shipdate": F.col("l_shipdate").cast("date"),
+    }
+    return table_stats(li, canon).orderBy("column")
+
+
+def _sql_x81() -> str:
+    canon_sql = {
+        "l_orderkey": "CAST(l_orderkey AS VARCHAR)",
+        "l_partkey": "CAST(l_partkey AS VARCHAR)",
+        "l_suppkey": "CAST(l_suppkey AS VARCHAR)",
+        "l_linenumber": "CAST(l_linenumber AS VARCHAR)",
+        "l_quantity": "CAST(CAST(l_quantity AS DECIMAL(28,6)) AS VARCHAR)",
+        "l_extendedprice":
+            "CAST(CAST(l_extendedprice AS DECIMAL(28,6)) AS VARCHAR)",
+        "l_discount": "CAST(CAST(l_discount AS DECIMAL(28,6)) AS VARCHAR)",
+        "l_tax": "CAST(CAST(l_tax AS DECIMAL(28,6)) AS VARCHAR)",
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+        "l_shipdate": "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)",
+    }
+    stacked = "\n  UNION ALL\n  ".join(
+        f"SELECT '{name}' AS \"column\", {expr} AS v FROM lineitem"
+        for name, expr in canon_sql.items()
+    )
+    return f"""
+WITH stacked AS (
+  {stacked}
+), counts AS (
+  SELECT "column",
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls
+  FROM stacked GROUP BY "column"
+), h AS (
+  SELECT "column", md5('hll:' || v) AS hx
+  FROM stacked WHERE v IS NOT NULL
+), r AS (
+  SELECT "column",
+         ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS idx,
+         CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0 THEN 33
+              ELSE 33 - length(bin(('0x' || substr(hx, 3, 8))::BIGINT))
+         END AS rank
+  FROM h
+), regs AS (
+  SELECT "column", idx, max(rank) AS reg
+  FROM r GROUP BY "column", idx
+), agg AS (
+  SELECT "column",
+         count(*) AS n_present,
+         sum(1.0 / (1::BIGINT << reg)) AS s_present
+  FROM regs GROUP BY "column"
+), ex AS (
+  SELECT "column", count(DISTINCT v) AS exact_distinct
+  FROM stacked WHERE v IS NOT NULL GROUP BY "column"
+)
+SELECT c."column",
+       c.n_rows,
+       c.n_nulls,
+       ROUND(CAST(c.n_nulls AS DOUBLE) / c.n_rows, 6) AS null_frac,
+       CAST(64 AS BIGINT) AS m,
+       CAST(64 - a.n_present AS BIGINT) AS n_zero_regs,
+       ROUND({_HLL_ALPHA_M2} / (a.s_present + (64 - a.n_present)), 6)
+         AS est_distinct,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(abs(ROUND({_HLL_ALPHA_M2}
+                       / (a.s_present + (64 - a.n_present)), 6)
+                 - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_err
+FROM counts c
+JOIN agg a USING ("column")
+JOIN ex USING ("column")
+ORDER BY c."column"
+"""
+
+
+SQL_X81 = _sql_x81()
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -611,6 +712,7 @@ EXT2_QUERIES = {
     "x78_theil_sen": q_x78_theil_sen,
     "x79_bpe_pretokens": q_x79_bpe_pretokens,
     "x80_kmv_set_ops": q_x80_kmv_set_ops,
+    "x81_table_stats": q_x81_table_stats,
 }
 
 EXT2_ORACLES = {
@@ -623,4 +725,5 @@ EXT2_ORACLES = {
     "x78_theil_sen": SQL_X78,
     "x79_bpe_pretokens": SQL_X79,
     "x80_kmv_set_ops": SQL_X80,
+    "x81_table_stats": SQL_X81,
 }

@@ -952,3 +952,26 @@ def test_kmv_set_ops_estimates_track_truth(spark):
     # bottom-k estimator: ~1/sqrt(k) relative error, allow 3 sigma
     assert abs(r["est_union"] - 1500) / 1500 < 0.3
     assert abs(r["est_jaccard"] - 500 / 1500) < 0.2
+
+
+def test_table_stats_counts_and_ndv(spark):
+    from fame2pygen_spark.operators.sketch import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", 2.5), (None, "a", 2.5)],
+        "k long, s string, v double",
+    )
+    canon = {
+        "k": F.col("k"),
+        "s": F.col("s"),
+        "v": F.col("v").cast("decimal(28,6)"),
+    }
+    out = {r["column"]: r for r in table_stats(df, canon).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["exact_distinct"] == 3
+    assert out["s"]["n_nulls"] == 0 and out["s"]["exact_distinct"] == 2
+    assert out["v"]["n_nulls"] == 1 and out["v"]["exact_distinct"] == 2
+    assert out["v"]["null_frac"] == 0.25
+    # raw HLL (no linear-counting branch, by design: libm-free) is
+    # biased high for n << m — just sanity-check it's present
+    assert out["s"]["est_distinct"] > 0
