@@ -871,6 +871,17 @@ def source_overlap(
 # ----------------------------------------- prefix-filtered similarity join
 
 
+def gram_hash60(col: Column) -> Column:
+    """60-bit integer hash of a gram string (first 15 hex chars of the
+    md5 — DuckDB: ``('0x' || substr(md5(g), 1, 15))::BIGINT``).  Used
+    so the similarity join ships 8-byte longs instead of ~20-byte gram
+    strings; at 60 bits a within-pair collision (which would nudge one
+    Jaccard) has probability ~|S|²/2^61 ≈ 5e-14 per pair — and because
+    the oracle hashes identically, even a collision cannot produce an
+    engine mismatch."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def prefix_jaccard_join(
     df: DataFrame,
     text_col: str,
@@ -889,7 +900,7 @@ def prefix_jaccard_join(
 
     The prefix principle: order every document's gram set by ascending
     global document frequency (rarest grams first; ties broken by the
-    gram string so the order is total and engine-reproducible).  If
+    gram hash so the order is total and engine-reproducible).  If
     ``J(A, B) >= t`` then ``A`` and ``B`` must share at least one gram
     among each other's first ``p = |S| - ceil(t * |S|) + 1`` grams.  So
     an equi-join on PREFIX grams only finds every qualifying pair —
@@ -901,20 +912,53 @@ def prefix_jaccard_join(
     (``t * max(|A|,|B|) <= min(|A|,|B|)``) prunes size-incompatible
     candidates before verification.  No driver-side state at any step.
 
+    Two cost traps are designed out.  (1) All gram math runs on
+    :func:`gram_hash60` longs, not strings — the verify stage shuffles
+    candidate pairs with their full gram sets, and 8-byte sorted-long
+    arrays are ~25× smaller than string arrays.  (2) The token array
+    is materialized BEHIND A SHUFFLE (the :func:`_parallelize_input`
+    round-robin): with chained projections Catalyst collapses them,
+    and the gram-building lambdas then re-evaluate the embedded
+    normalize+split subtree once per array element — ~700 regex
+    evaluations per document.  The exchange pins ``toks`` as a bound
+    attribute, so normalization runs exactly once per doc.  Measured
+    at sf0.1 (5k docs, local[32]): 75 s → ~12 s warm for the fixes
+    together; the remainder is the candidate/verify shuffles shared
+    with every set-similarity join at this scale (cf. x03 at ~6 s).
+
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, exactly the
-    brute-force answer (the DuckDB oracle computes all O(n^2) pairs).
+    brute-force answer (the DuckDB oracle computes all O(n^2) pairs on
+    the same hashed grams).
     """
-    staged = (
+    toked = _parallelize_input(
         df.select(
             F.col(id_col).alias("id"),
-            normalized_text(F.col(text_col)).alias("__nt"),
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            ).alias("__toks"),
         )
-        .select("id", word_ngrams(F.col("__nt"), n).alias("ng"))
-        .where(F.size("ng") > 0)
     )
+    toks = F.col("__toks")
+    m = F.size(toks)
+    idx = F.when(
+        m >= n, F.sequence(F.lit(1), m - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams_arr = F.transform(
+        idx, lambda i: gram_hash60(F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    staged = toked.select(
+        "id",
+        F.array_sort(F.array_distinct(grams_arr)).alias("ng"),
+    ).where(F.size("ng") > 0)
+    # Four branches consume the gram sets (DF counts, prefix ranking,
+    # and both verify sides).  Repartitioning by id pins ONE exchange
+    # whose canonical plan all branches share, so ReuseExchange
+    # computes the tokenize+hash subtree once instead of four times
+    # (the x03 exchange-reuse idiom).
     sized = staged.select(
         "id", "ng", F.size("ng").cast("long").alias("sz")
-    )
+    ).repartition("id")
 
     grams = sized.select("id", "sz", F.explode("ng").alias("gram"))
     gram_df = grams.groupBy("gram").agg(

@@ -38,11 +38,13 @@ def q_x72_prefix_jaccard(spark, sf_dir):
 SQL_X72 = """
 WITH g AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 0) + 1),
-           i -> toks[CAST(i AS INTEGER)] || ' ' ||
-                toks[CAST(i AS INTEGER) + 1] || ' ' ||
-                toks[CAST(i AS INTEGER) + 2])) AS ng
+         list_sort(list_distinct(list_transform(
+           list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                  toks[CAST(i AS INTEGER) + 1] || ' ' ||
+                  toks[CAST(i AS INTEGER) + 2]),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS ng
   FROM (
     SELECT doc_id,
            list_filter(string_split(
