@@ -147,3 +147,40 @@ def test_stat_operators_never_sort_merge_or_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "SortMergeJoin" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x72_prefix_jaccard",   # prefix-filtered similarity join
+        "x74_dup_spans",        # duplicated n-gram spans
+        "x78_theil_sen",        # Theil-Sen pairwise slopes
+        "x80_kmv_set_ops",      # merged bottom-k set algebra
+        "x81_table_stats",      # stacked-scan column profile
+    ],
+)
+def test_r3_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x72_prefix_jaccard",   # doc-partitioned prefix ranking only
+        "x74_dup_spans",        # pure aggregate pipeline — no windows
+        "x78_theil_sen",        # entity-partitioned recency cap only
+        "x81_table_stats",      # pure aggregate pipeline — no windows
+    ],
+)
+def test_r3_operators_have_no_global_window(spark, name):
+    assert unpartitioned_windows(spark, name) == []
+
+
+def test_zorder_layout_is_aggregate_only(spark):
+    # the extent profile is one broadcast stats join + one hash
+    # aggregate — no sort, no window, no shuffle beyond the groupBy
+    plan = plan_of(spark, "x77_zorder_layout")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
