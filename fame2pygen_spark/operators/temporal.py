@@ -553,3 +553,54 @@ def theil_sen_trend(
     return slopes.join(day_counts, on="entity").select(
         "entity", "n_days", "n_pairs", "ts_slope"
     )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts_us", "event_id"),
+    value_col: str = "value",
+    alpha: float = 0.5,
+    horizon: int = 16,
+) -> DataFrame:
+    """Per-entity exponentially-weighted moving average with a finite
+    horizon — pandas ``ewm(adjust=True)`` semantics truncated at
+    *horizon* terms: ``s_t = Σ_j w_j·y_{t-j} / Σ_j w_j`` with
+    ``w_j = (1-alpha)^j`` over the last ``horizon`` observations.
+    Truncation is what makes the recursion distributable: the exact
+    recursive EWMA needs the entire history per row (a sequential
+    scan), while the finite form is one entity-partitioned window with
+    *horizon* lag terms — embarrassingly parallel across entities and
+    exact to ``(1-alpha)^horizon`` (≈1.5e-5 at the defaults).
+
+    The weighted sum is a FIXED left-to-right chain of ``horizon``
+    terms, so any engine reproduces it bitwise; with ``alpha = 0.5``
+    every weight is an exact power of two and the result is
+    engine-exact even before rounding.  Null values propagate nulls
+    for their own row but are skipped (weight renormalized) as lags.
+
+    Output: ``(entity, *order_cols, value, ewma)`` (6 dp).
+    """
+    beta = 1.0 - alpha
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    y = F.col(value_col)
+    num = None
+    den = None
+    for j in range(horizon):
+        weight = beta ** j
+        lagged = F.lag(y, j).over(w) if j else y
+        term = F.when(lagged.isNotNull(), lagged * F.lit(weight))
+        dterm = F.when(lagged.isNotNull(), F.lit(weight))
+        num = term if num is None else num + F.coalesce(term, F.lit(0.0))
+        den = dterm if den is None else den + F.coalesce(
+            dterm, F.lit(0.0)
+        )
+    return events.select(
+        F.col(entity_col).alias("entity"),
+        *[F.col(c) for c in order_cols],
+        y.alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )

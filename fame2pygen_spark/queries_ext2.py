@@ -704,6 +704,54 @@ ORDER BY c."column"
 SQL_X81 = _sql_x81()
 
 
+# ------------------------------------------------ x82: EWMA smoothing
+
+
+def q_x82_ewma(spark, sf_dir):
+    """Per-user finite-horizon EWMA of event values
+    (operators/temporal.py:ewma_smooth, pandas ewm-adjusted semantics
+    truncated at 16 terms).  alpha = 0.5 makes every weight an exact
+    power of two, so the fixed left-to-right weighted chain is
+    engine-exact before rounding."""
+    from .queries_ext import _read_events
+    from .operators.temporal import ewma_smooth
+
+    ev = _read_events(spark, sf_dir)
+    return ewma_smooth(
+        ev, alpha=0.5, horizon=16
+    ).withColumnRenamed("entity", "user_id")
+
+
+def _sql_x82(horizon: int = 16) -> str:
+    over = "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+    num_terms, den_terms = [], []
+    for j in range(horizon):
+        wgt = repr(0.5 ** j)
+        lag = "value" if j == 0 else f"lag(value, {j}) {over}"
+        t = f"CASE WHEN {lag} IS NOT NULL THEN {lag} * {wgt} END"
+        d = f"CASE WHEN {lag} IS NOT NULL THEN {wgt} END"
+        if j == 0:
+            num_terms.append(t)
+            den_terms.append(d)
+        else:
+            num_terms.append(f"COALESCE({t}, 0.0)")
+            den_terms.append(f"COALESCE({d}, 0.0)")
+    num = "\n           + ".join(num_terms)
+    den = "\n           + ".join(den_terms)
+    return f"""
+SELECT user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_id,
+       value,
+       ROUND(({num})
+             / ({den}), 6) AS ewma
+FROM events
+"""
+
+
+SQL_X82 = _sql_x82()
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -715,6 +763,7 @@ EXT2_QUERIES = {
     "x79_bpe_pretokens": q_x79_bpe_pretokens,
     "x80_kmv_set_ops": q_x80_kmv_set_ops,
     "x81_table_stats": q_x81_table_stats,
+    "x82_ewma": q_x82_ewma,
 }
 
 EXT2_ORACLES = {
@@ -728,4 +777,5 @@ EXT2_ORACLES = {
     "x79_bpe_pretokens": SQL_X79,
     "x80_kmv_set_ops": SQL_X80,
     "x81_table_stats": SQL_X81,
+    "x82_ewma": SQL_X82,
 }

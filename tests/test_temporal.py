@@ -221,3 +221,38 @@ def test_theil_sen_max_days_cap(spark):
     assert out["n_days"] == 40
     assert out["n_pairs"] == 40 * 39 // 2
     assert out["ts_slope"] == 1.0
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    """Within the horizon, the finite EWMA equals pandas
+    ewm(alpha, adjust=True); a planted step responds geometrically."""
+    import pandas as pd
+
+    from fame2pygen_spark.operators.temporal import ewma_smooth
+
+    vals = [1.0, 2.0, 4.0, 8.0, 8.0, 8.0, 0.0, 0.0]
+    rows = [(1, i * 1000, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value double"
+    )
+    out = (
+        ewma_smooth(df, alpha=0.5, horizon=16)
+        .orderBy("ts_us")
+        .collect()
+    )
+    expected = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    for r, e in zip(out, expected):
+        assert abs(r["ewma"] - round(e, 6)) < 1e-9
+
+
+def test_ewma_skips_null_lags(spark):
+    from fame2pygen_spark.operators.temporal import ewma_smooth
+
+    rows = [(1, 0, 0, 2.0), (1, 1, 1, None), (1, 2, 2, 4.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value double"
+    )
+    out = {r["ts_us"]: r["ewma"] for r in ewma_smooth(df).collect()}
+    assert out[1] is None  # null value -> null smoothed row
+    # row 2: weights 1 (self) and 0.25 (lag2); null lag1 renormalized
+    assert abs(out[2] - round((4.0 + 0.25 * 2.0) / 1.25, 6)) < 1e-9
