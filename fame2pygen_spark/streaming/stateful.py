@@ -17,7 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 RUNNING_OUTPUT = StructType(
@@ -114,6 +115,96 @@ def running_user_totals(
         _update_running,
         outputStructType=RUNNING_OUTPUT,
         stateStructType=RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HLL_M = 64
+
+HLL_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_zero_regs", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+
+HLL_STATE = StructType(
+    [StructField("regs", ArrayType(IntegerType()))]
+)
+
+
+def _hll_rank_idx(value: Any) -> tuple[int, int]:
+    """Register index + rank for one value — BYTE-IDENTICAL to the
+    batch operator (operators/sketch.py:hll_distinct): md5 of
+    'hll:<value>', first byte mod 64 picks the register, the next 32
+    bits give 33 - bit_length (33 when zero)."""
+    import hashlib
+
+    h = hashlib.md5(f"hll:{value}".encode()).hexdigest()
+    idx = int(h[:2], 16) % HLL_M
+    w = int(h[2:10], 16)
+    rank = 33 if w == 0 else 33 - w.bit_length()
+    return idx, rank
+
+
+def _update_hll(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        regs, n_seen = list(state.get[0]), state.get[1]
+    else:
+        regs, n_seen = [0] * HLL_M, 0
+    for pdf in pdfs:
+        for v in pdf["user_id"].dropna():
+            idx, rank = _hll_rank_idx(int(v))
+            if rank > regs[idx]:
+                regs[idx] = rank
+            n_seen += 1
+    state.update((regs, n_seen))
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+    s = sum(2.0 ** -r for r in regs if r > 0)
+    n_zero = sum(1 for r in regs if r == 0)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n_seen],
+            "n_zero_regs": [n_zero],
+            "est_distinct": [round(alpha_m2 / (s + n_zero), 6)],
+        }
+    )
+
+
+def streaming_hll_distinct(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Cross-batch distinct-user estimate per event type: the
+    HyperLogLog registers of the batch operator
+    (operators/sketch.py:hll_distinct) maintained as streaming state.
+
+    HLL is the canonical STREAMING sketch: state is exactly 64 small
+    ints per key regardless of stream length, updates are pairwise-max
+    (idempotent and mergeable — replayed micro-batches cannot corrupt
+    it), and the estimate after N batches equals the batch operator on
+    the union of those batches, which is how the pytest verifies it.
+    Output mode: update.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy("event_type").applyInPandasWithState(
+        _update_hll,
+        outputStructType=HLL_OUTPUT,
+        stateStructType=StructType(
+            [
+                StructField("regs", ArrayType(IntegerType())),
+                StructField("n_seen", LongType()),
+            ]
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

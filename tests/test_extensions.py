@@ -975,3 +975,56 @@ def test_table_stats_counts_and_ndv(spark):
     # raw HLL (no linear-counting branch, by design: libm-free) is
     # biased high for n << m — just sanity-check it's present
     assert out["s"]["est_distinct"] > 0
+
+
+def test_streaming_hll_matches_batch_union(spark, tmp_path):
+    """Streaming HLL registers accumulate across micro-batches and the
+    final estimate equals the BATCH hll_distinct on the union of the
+    batches (register-exact mergeability across the stream/batch
+    boundary)."""
+    import datetime as dt
+
+    from fame2pygen_spark.operators.sketch import hll_distinct
+    from fame2pygen_spark.streaming.stateful import streaming_hll_distinct
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    batch1 = spark.createDataFrame(
+        [(i, t0, i % 40, "click", 1.0) for i in range(100)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [(1000 + i, t0 + dt.timedelta(minutes=5), 20 + (i % 50),
+          "click", 1.0) for i in range(100)],
+        schema,
+    )
+    path = str(tmp_path / "events_hll")
+    batch1.write.parquet(path)
+    batch2.write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    q = (
+        streaming_hll_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from hll_stream").collect()
+    assert len(rows) >= 2  # one emission per micro-batch
+    final = max(rows, key=lambda r: r["n_seen"])
+    assert final["n_seen"] == 200
+
+    batch = hll_distinct(
+        batch1.unionByName(batch2), ["event_type"], "user_id", b=6
+    ).collect()[0]
+    assert batch["exact_distinct"] == 70
+    assert final["est_distinct"] == batch["est_distinct"]
+    assert final["n_zero_regs"] == batch["n_zero_regs"]
