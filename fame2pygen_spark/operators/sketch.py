@@ -1313,3 +1313,151 @@ def table_stats(
         "exact_distinct",
         "rel_err",
     )
+
+
+# ----------------------------------- incremental aggregate maintenance
+
+
+def partial_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str,
+    *,
+    b: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Mergeable per-group partial-aggregate state: ``n``, a decimal
+    ``sum`` (order-insensitive), ``vmin``/``vmax``, and the HLL
+    register array for distinct-``distinct_col`` — every component an
+    element of a commutative monoid, which is the whole trick of
+    incremental view maintenance: yesterday's state plus today's delta
+    merges in O(|keys|) with :func:`merge_profiles`, no re-scan of
+    history.
+    """
+    m = 1 << b
+    group_cols = list(group_cols)
+    hexd = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(distinct_col).cast("string"))
+    )
+    w_hex = F.substring(hexd, 3, 8)
+    w = F.conv(w_hex, 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
+    )
+    idx = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m
+    hashed = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        idx.alias("__idx"),
+        rank.cast("int").alias("__rank"),
+    )
+    regs = (
+        hashed.groupBy(*group_cols, "__idx")
+        .agg(F.max("__rank").alias("__reg"))
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct("__idx", "__reg"))
+                )
+            ).alias("__regmap")
+        )
+        .select(
+            *group_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__regmap", i.cast("long")), F.lit(0)
+                ),
+            ).alias("regs"),
+        )
+    )
+    base = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("vsum"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+    return base.join(regs, on=group_cols)
+
+
+def merge_profiles(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge two :func:`partial_profile` states: counts/sums add,
+    min/max take least/greatest, HLL registers take pairwise max.
+    Full outer join on the keys — O(|keys|), independent of the row
+    volume either state summarizes."""
+    group_cols = list(group_cols)
+    an = a.select(
+        *group_cols,
+        *[F.col(c).alias(f"__a_{c}") for c in ("n", "vsum", "vmin", "vmax", "regs")],
+    )
+    bn = b.select(
+        *group_cols,
+        *[F.col(c).alias(f"__b_{c}") for c in ("n", "vsum", "vmin", "vmax", "regs")],
+    )
+    m = an.join(bn, on=group_cols, how="full")
+    zero_regs = F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda _: F.lit(0)
+    )
+    return m.select(
+        *group_cols,
+        (
+            F.coalesce("__a_n", F.lit(0)) + F.coalesce("__b_n", F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("__a_vsum"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("__b_vsum"), F.lit(0).cast("decimal(28,6)"))
+        ).cast("decimal(28,6)").alias("vsum"),
+        F.least(
+            F.coalesce("__a_vmin", "__b_vmin"),
+            F.coalesce("__b_vmin", "__a_vmin"),
+        ).alias("vmin"),
+        F.greatest(
+            F.coalesce("__a_vmax", "__b_vmax"),
+            F.coalesce("__b_vmax", "__a_vmax"),
+        ).alias("vmax"),
+        F.zip_with(
+            F.coalesce("__a_regs", zero_regs),
+            F.coalesce("__b_regs", zero_regs),
+            lambda x, y: F.greatest(x, y),
+        ).alias("regs"),
+    )
+
+
+def profile_estimates(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Render a profile state (from :func:`partial_profile` /
+    :func:`merge_profiles`) into reportable statistics — the raw HLL
+    estimate uses the same libm-free harmonic sum as
+    :func:`hll_distinct`."""
+    group_cols = list(group_cols)
+    m = 64
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    exploded = df.select(
+        *group_cols, "n", "vsum", "vmin", "vmax",
+        F.posexplode("regs").alias("__i", "__r"),
+    )
+    per_group = exploded.groupBy(
+        *group_cols, "n", "vsum", "vmin", "vmax"
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("__r") > 0,
+                F.expr("1.0 / shiftleft(cast(1 as bigint), __r)"),
+            ).otherwise(F.lit(1.0))
+        ).alias("__sum_inv"),
+        F.sum((F.col("__r") == 0).cast("long")).alias("__nzero"),
+    )
+    return per_group.select(
+        *group_cols,
+        "n",
+        F.round(F.col("vsum").cast("double"), 6).alias("total"),
+        F.round(F.col("vmin"), 6).alias("vmin"),
+        F.round(F.col("vmax"), 6).alias("vmax"),
+        F.col("__nzero").cast("long").alias("n_zero_regs"),
+        F.round(F.lit(alpha_m2) / F.col("__sum_inv"), 6).alias(
+            "est_distinct"
+        ),
+    )

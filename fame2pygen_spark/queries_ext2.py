@@ -752,6 +752,74 @@ FROM events
 SQL_X82 = _sql_x82()
 
 
+# ------------------------------- x83: incremental aggregate maintenance
+
+
+def q_x83_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance (operators/sketch.py:
+    partial_profile / merge_profiles / profile_estimates): the events
+    table is split into a 'state' half and a 'delta' half (even/odd
+    event_id), each reduced to mergeable per-key partial aggregates
+    (count, decimal sum, min/max, HLL registers), then MERGED in
+    O(|keys|).  The oracle aggregates the FULL table directly — the
+    comparison is the IVM correctness proof: merge(partial(A),
+    partial(B)) must equal aggregate(A ∪ B) exactly, because every
+    component is a commutative monoid."""
+    from .queries_ext import _read_events
+    from .operators.sketch import (
+        merge_profiles, partial_profile, profile_estimates,
+    )
+
+    ev = _read_events(spark, sf_dir)
+    state = ev.where(F.col("event_id") % 2 == 0)
+    delta = ev.where(F.col("event_id") % 2 == 1)
+    keys = ["event_type"]
+    merged = merge_profiles(
+        partial_profile(state, keys, "value", "user_id"),
+        partial_profile(delta, keys, "value", "user_id"),
+        keys,
+    )
+    return profile_estimates(merged, keys).orderBy("event_type")
+
+
+SQL_X83 = f"""
+WITH h AS (
+  SELECT event_type,
+         md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), r AS (
+  SELECT event_type,
+         ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS idx,
+         CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0 THEN 33
+              ELSE 33 - length(bin(('0x' || substr(hx, 3, 8))::BIGINT))
+         END AS rank
+  FROM h
+), regs AS (
+  SELECT event_type, idx, max(rank) AS reg
+  FROM r GROUP BY event_type, idx
+), agg AS (
+  SELECT event_type,
+         count(*) AS n_present,
+         sum(1.0 / (1::BIGINT << reg)) AS s_present
+  FROM regs GROUP BY event_type
+), base AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS total,
+         ROUND(min(value), 6) AS vmin,
+         ROUND(max(value), 6) AS vmax
+  FROM events GROUP BY event_type
+)
+SELECT b.event_type, b.n, b.total, b.vmin, b.vmax,
+       CAST(64 - a.n_present AS BIGINT) AS n_zero_regs,
+       ROUND({_HLL_ALPHA_M2} / (a.s_present + (64 - a.n_present)), 6)
+         AS est_distinct
+FROM base b JOIN agg a USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -764,6 +832,7 @@ EXT2_QUERIES = {
     "x80_kmv_set_ops": q_x80_kmv_set_ops,
     "x81_table_stats": q_x81_table_stats,
     "x82_ewma": q_x82_ewma,
+    "x83_incremental_agg": q_x83_incremental_agg,
 }
 
 EXT2_ORACLES = {
@@ -778,4 +847,5 @@ EXT2_ORACLES = {
     "x80_kmv_set_ops": SQL_X80,
     "x81_table_stats": SQL_X81,
     "x82_ewma": SQL_X82,
+    "x83_incremental_agg": SQL_X83,
 }

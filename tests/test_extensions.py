@@ -1028,3 +1028,44 @@ def test_streaming_hll_matches_batch_union(spark, tmp_path):
     assert batch["exact_distinct"] == 70
     assert final["est_distinct"] == batch["est_distinct"]
     assert final["n_zero_regs"] == batch["n_zero_regs"]
+
+
+def test_incremental_agg_merge_equals_full(spark):
+    """IVM correctness on a 3-way split with disjoint and overlapping
+    keys: folding partial profiles must equal the one-shot profile."""
+    from fame2pygen_spark.operators.sketch import (
+        merge_profiles, partial_profile, profile_estimates,
+    )
+
+    rows = [("a", i % 7, float(i)) for i in range(30)] + [
+        ("b", i % 3, float(-i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, u long, value double")
+    thirds = [
+        spark.createDataFrame(rows[i::3], "g string, u long, value double")
+        for i in range(3)
+    ]
+    keys = ["g"]
+    merged = merge_profiles(
+        merge_profiles(
+            partial_profile(thirds[0], keys, "value", "u"),
+            partial_profile(thirds[1], keys, "value", "u"),
+            keys,
+        ),
+        partial_profile(thirds[2], keys, "value", "u"),
+        keys,
+    )
+    got = {
+        r["g"]: r for r in profile_estimates(merged, keys).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in profile_estimates(
+            partial_profile(df, keys, "value", "u"), keys
+        ).collect()
+    }
+    assert set(got) == set(want) == {"a", "b"}
+    for g in got:
+        for c in ("n", "total", "vmin", "vmax", "n_zero_regs",
+                  "est_distinct"):
+            assert got[g][c] == want[g][c], (g, c)
