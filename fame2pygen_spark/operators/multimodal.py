@@ -390,3 +390,78 @@ def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
 def frame_sample(payload: Column, every_ms: int) -> Column:  # pragma: no cover
     """Video frame sampling stub (needs ffmpeg)."""
     raise NotImplementedError("video frame sampling needs ffmpeg bindings")
+
+
+# ------------------------------------------------ perceptual hashing
+
+
+def ahash64_bits(gray_flat) -> tuple[int, int]:
+    """Average-hash of 64 grayscale bytes (row-major): bit j is set
+    when ``p_j * 64 >= sum(p)`` — integer threshold, no float mean, so
+    any engine reproduces it exactly.  Returned as two unsigned 32-bit
+    halves (hi = bits 63..32 ↔ pixels 0..31) to stay clear of signed
+    64-bit overflow in engines whose BIGINT shifts wrap."""
+    total = int(sum(int(v) for v in gray_flat))
+    hi = lo = 0
+    for j, v in enumerate(gray_flat[:64]):
+        if int(v) * 64 >= total:
+            if j < 32:
+                hi |= 1 << (31 - j)
+            else:
+                lo |= 1 << (63 - j)
+    return hi, lo
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("ahash", StringType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Perceptual average-hash of REAL image payloads: decode
+    (BMP/PPM, :func:`decode_image_bytes`), nearest-neighbor thumbnail
+    to 8×8, grayscale by integer channel mean, then the integer-
+    threshold aHash — emitted as a 16-hex-char string.  mapInPandas
+    batch flow; undecodable payloads yield null ahash.
+
+    Near-dup usage: equal aHashes (or small Hamming distances —
+    compare 16-bit bands, verify with ``bit_count(xor)``) mark
+    visually-identical thumbnails; the banding shape is the SimHash
+    pipeline (dedup.py) applied to pixels instead of tokens.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "h": [], "w": [], "ahash": []}
+            for _, row in pdf.iterrows():
+                out["doc_id"].append(row[id_col])
+                try:
+                    arr = decode_image_bytes(bytes(row[payload_col]))
+                except ValueError:
+                    out["h"].append(None)
+                    out["w"].append(None)
+                    out["ahash"].append(None)
+                    continue
+                h, w = arr.shape[:2]
+                thumb = resize_image(arr, 8, 8)
+                gray = (
+                    thumb[:, :, 0].astype(int)
+                    + thumb[:, :, 1].astype(int)
+                    + thumb[:, :, 2].astype(int)
+                ) // 3
+                hi, lo = ahash64_bits(gray.reshape(-1))
+                out["h"].append(h)
+                out["w"].append(w)
+                out["ahash"].append(f"{hi:08x}{lo:08x}")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )

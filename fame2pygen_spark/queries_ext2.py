@@ -820,6 +820,114 @@ ORDER BY b.event_type
 """
 
 
+# --------------------------------- x84: real-decode perceptual hashing
+
+#: fixed 54-byte header of an 8x8 24bpp top-down BMP (height = -8)
+_BMP88_HEADER_HEX = (
+    "424d" "f6000000" "00000000" "36000000"          # BITMAPFILEHEADER
+    "28000000" "08000000" "f8ffffff" "0100" "1800"   # BITMAPINFOHEADER
+    "00000000" "c0000000" + "00000000" * 4
+)
+
+_AHASH_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ahash_pixel_counts_spark(nt):
+    """The 64 deterministic grayscale bytes both engines derive from a
+    document: letter-occurrence counts (mod 256) for bytes 0..25, a
+    length-seeded filler for 26..63."""
+    counts = []
+    for j in range(64):
+        if j < 26:
+            ch = _AHASH_LETTERS[j]
+            c = (
+                F.length(nt) - F.length(F.replace(nt, F.lit(ch), F.lit("")))
+            ) % 256
+        else:
+            c = (F.length(nt) * (j + 1)) % 256
+        counts.append(c.cast("int"))
+    return counts
+
+
+def q_x84_image_ahash(spark, sf_dir):
+    """REAL-decode perceptual hashing end to end
+    (operators/multimodal.py:image_ahash): each document renders a
+    deterministic 8x8 grayscale fingerprint image as a genuine BMP
+    byte payload (pure column algebra — header literal + hex-encoded
+    pixel rows), the operator DECODES those bytes with the real BMP
+    parser inside mapInPandas and computes the integer-threshold
+    average-hash.  The oracle never sees the bytes: it derives the
+    same hash arithmetically from the pixel definition — so an exact
+    match proves the encode → decode → thumbnail → hash pipeline is
+    lossless and bit-correct."""
+    from .operators.multimodal import image_ahash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), nt.alias("__nt")
+    )
+    counts = _ahash_pixel_counts_spark(F.col("__nt"))
+    pixel_hex = F.concat_ws(
+        "",
+        *[
+            F.repeat(F.lpad(F.hex(c), 2, "0"), 3)  # gray -> BGR triplet
+            for c in counts
+        ],
+    )
+    payload = F.concat(
+        F.unhex(F.lit(_BMP88_HEADER_HEX)), F.unhex(pixel_hex)
+    )
+    with_img = staged.select("doc_id", payload.alias("payload"))
+    return image_ahash(with_img, "doc_id", "payload")
+
+
+def _sql_x84() -> str:
+    cols = []
+    for j in range(64):
+        if j < 26:
+            ch = _AHASH_LETTERS[j]
+            cols.append(
+                f"(length(nt) - length(replace(nt, '{ch}', ''))) % 256"
+            )
+        else:
+            cols.append(f"(length(nt) * {j + 1}) % 256")
+    px = ",\n           ".join(cols)
+    hi = " + ".join(
+        f"CASE WHEN px[{j + 1}] * 64 >= s THEN {1 << (31 - j)} ELSE 0 END"
+        for j in range(32)
+    )
+    lo = " + ".join(
+        f"CASE WHEN px[{j + 1}] * 64 >= s THEN {1 << (63 - j)} ELSE 0 END"
+        for j in range(32, 64)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         list_value(
+           {px}) AS px
+  FROM t
+), s AS (
+  SELECT doc_id, px,
+         list_reduce(px, (a, x) -> a + x) AS s
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8 AS INTEGER) AS h,
+       CAST(8 AS INTEGER) AS w,
+       lpad(lower(hex({hi})), 8, '0') ||
+       lpad(lower(hex({lo})), 8, '0') AS ahash
+FROM s
+"""
+
+
+SQL_X84 = _sql_x84()
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -833,6 +941,7 @@ EXT2_QUERIES = {
     "x81_table_stats": q_x81_table_stats,
     "x82_ewma": q_x82_ewma,
     "x83_incremental_agg": q_x83_incremental_agg,
+    "x84_image_ahash": q_x84_image_ahash,
 }
 
 EXT2_ORACLES = {
@@ -848,4 +957,5 @@ EXT2_ORACLES = {
     "x81_table_stats": SQL_X81,
     "x82_ewma": SQL_X82,
     "x83_incremental_agg": SQL_X83,
+    "x84_image_ahash": SQL_X84,
 }

@@ -1069,3 +1069,43 @@ def test_incremental_agg_merge_equals_full(spark):
         for c in ("n", "total", "vmin", "vmax", "n_zero_regs",
                   "est_distinct"):
             assert got[g][c] == want[g][c], (g, c)
+
+
+def _bmp88(pixels):
+    """Build a real top-down 8x8 24bpp BMP from 64 grayscale bytes."""
+    import struct
+
+    header = (
+        b"BM" + struct.pack("<I", 246) + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIIIII", 40, 8, -8, 1, 24, 0, 192, 0, 0, 0, 0)
+    )
+    body = b"".join(bytes([p, p, p]) for p in pixels)
+    return header + body
+
+
+def test_image_ahash_real_decode_and_neardup(spark):
+    from fame2pygen_spark.operators.multimodal import image_ahash
+
+    base = [(i * 4) % 256 for i in range(64)]
+    near = list(base)
+    near[10] = 255  # one bright pixel: thumbnail-identical elsewhere
+    far = [255 - p for p in base]
+    rows = [
+        (1, bytearray(_bmp88(base))),
+        (2, bytearray(_bmp88(base))),   # identical
+        (3, bytearray(_bmp88(near))),   # near duplicate
+        (4, bytearray(_bmp88(far))),    # inverted
+        (5, bytearray(b"GIF89a not decodable")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_ahash(df, "doc_id", "payload").collect()}
+    assert out[1]["h"] == 8 and out[1]["w"] == 8
+    assert out[1]["ahash"] == out[2]["ahash"]          # exact dup
+    assert out[5]["ahash"] is None                     # undecodable
+
+    def hamming(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert hamming(out[1]["ahash"], out[3]["ahash"]) <= 3   # near dup
+    assert hamming(out[1]["ahash"], out[4]["ahash"]) >= 30  # inverted

@@ -62,7 +62,9 @@ def test_family_reps_inside_checked_window():
 
 
 def test_registry_complete_and_oracled():
-    assert len(QUERIES) == 101
+    # 101 entries through round 2; round-3 additions (x72+) append to
+    # the tail without disturbing the driver-checked first-50 window
+    assert len(QUERIES) >= 113
     assert set(QUERIES) == set(ORACLES)
     # reorder must not drop or duplicate anything
     assert len(set(QUERIES)) == len(QUERIES)
