@@ -440,10 +440,12 @@ def image_ahash(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "h": [], "w": [], "ahash": []}
-            for _, row in pdf.iterrows():
-                out["doc_id"].append(row[id_col])
+            # zip over columns, not iterrows — per-row Series
+            # construction dominates at 50k+ payloads per partition
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
                 try:
-                    arr = decode_image_bytes(bytes(row[payload_col]))
+                    arr = decode_image_bytes(bytes(payload))
                 except ValueError:
                     out["h"].append(None)
                     out["w"].append(None)

@@ -90,6 +90,44 @@ def run_scale_tier(spark) -> dict:
         lambda: curate_documents(docs, "text", "doc_id").count(),
     )
 
+    from fame2pygen_spark.operators.text import dup_span_profile
+
+    timed(
+        "x74_dup_spans_docs10x",
+        lambda: dup_span_profile(docs, "text", "doc_id", n=13).count(),
+    )
+
+    from fame2pygen_spark.operators.multimodal import image_ahash
+    from fame2pygen_spark.queries_ext2 import (
+        _BMP88_HEADER_HEX, _ahash_pixel_counts_spark,
+    )
+    from pyspark.sql import functions as F
+
+    def _ahash_50k():
+        nt = F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+        )
+        staged = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), nt.alias("__nt")
+        )
+        pixel_hex = F.concat_ws(
+            "",
+            *[
+                F.repeat(F.lpad(F.hex(c), 2, "0"), 3)
+                for c in _ahash_pixel_counts_spark(F.col("__nt"))
+            ],
+        )
+        payload = F.concat(
+            F.unhex(F.lit(_BMP88_HEADER_HEX)), F.unhex(pixel_hex)
+        )
+        return image_ahash(
+            staged.select("doc_id", payload.alias("payload")),
+            "doc_id",
+            "payload",
+        ).count()
+
+    timed("x84_image_ahash_docs10x", _ahash_50k)
+
     n_events = _events_tier(spark, timed)
 
     return {
@@ -154,6 +192,19 @@ def _events_tier(spark, timed) -> int:
     timed(
         "x65_trend_events10x",
         lambda: group_trend(big).count(),
+    )
+
+    from fame2pygen_spark.operators.temporal import (
+        ewma_smooth, theil_sen_trend,
+    )
+
+    timed(
+        "x78_theil_sen_events10x",
+        lambda: theil_sen_trend(big).count(),
+    )
+    timed(
+        "x82_ewma_events10x",
+        lambda: ewma_smooth(big).count(),
     )
     return n_events
 
