@@ -928,6 +928,45 @@ FROM s
 SQL_X84 = _sql_x84()
 
 
+# --------------------------------------- x85: sliding-window rates
+
+
+def q_x85_sliding_windows(spark, sf_dir):
+    """Sliding 1-hour windows every 15 minutes
+    (streaming/core.py:sliding_event_counts_batch — the batch twin of
+    windowed_event_counts(window, slide)): every event lands in
+    exactly 4 overlapping windows via integer-µs math, then one
+    (window, type) aggregation."""
+    from .queries_ext import _read_events
+    from .streaming.core import sliding_event_counts_batch
+
+    ev = _read_events(spark, sf_dir)
+    return sliding_event_counts_batch(
+        ev, window_us=3_600_000_000, slide_us=900_000_000
+    )
+
+
+SQL_X85 = """
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+), x AS (
+  SELECT event_type, value, ts_us,
+         (ts_us // 900000000) * 900000000 - j * 900000000
+           AS window_start_us
+  FROM e, unnest(range(0, 4)) AS u(j)
+)
+SELECT CAST(window_start_us AS BIGINT) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value
+FROM x
+WHERE ts_us >= window_start_us
+  AND ts_us < window_start_us + 3600000000
+GROUP BY window_start_us, event_type
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -942,6 +981,7 @@ EXT2_QUERIES = {
     "x82_ewma": q_x82_ewma,
     "x83_incremental_agg": q_x83_incremental_agg,
     "x84_image_ahash": q_x84_image_ahash,
+    "x85_sliding_windows": q_x85_sliding_windows,
 }
 
 EXT2_ORACLES = {
@@ -958,4 +998,5 @@ EXT2_ORACLES = {
     "x82_ewma": SQL_X82,
     "x83_incremental_agg": SQL_X83,
     "x84_image_ahash": SQL_X84,
+    "x85_sliding_windows": SQL_X85,
 }

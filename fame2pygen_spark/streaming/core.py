@@ -189,3 +189,47 @@ def join_streams(
         & (rts <= upper)
     )
     return left.join(r, cond, "inner").drop(f"r_{on}")
+
+
+def sliding_event_counts_batch(
+    events: DataFrame,
+    *,
+    window_us: int = 3_600_000_000,
+    slide_us: int = 900_000_000,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Batch twin of ``windowed_event_counts(window, slide)`` on the
+    integer-µs timestamp: each event explodes into the
+    ``window_us / slide_us`` sliding windows that contain it (pure
+    integer math — engine-exact, unlike timestamp bucketing), then one
+    (window, event_type) aggregation with map-side combine.
+
+    The explode factor is the overlap count k (4 at the defaults) — a
+    constant, so the shuffle is k× the input, never quadratic; the
+    streaming path (``windowed_event_counts`` with ``slide``) holds
+    only open windows in state thanks to the watermark.
+    """
+    if window_us % slide_us != 0:
+        raise ValueError("window_us must be a multiple of slide_us")
+    k = window_us // slide_us
+    ts = F.col(ts_col)
+    anchor = F.expr(f"({ts_col} div {slide_us}) * {slide_us}")
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: anchor - j.cast("long") * F.lit(slide_us),
+    )
+    exploded = events.select(
+        F.col("event_type"),
+        F.col("value"),
+        ts.alias("__ts"),
+        F.explode(starts).alias("window_start_us"),
+    ).where(
+        (F.col("__ts") >= F.col("window_start_us"))
+        & (F.col("__ts") < F.col("window_start_us") + F.lit(window_us))
+    )
+    return exploded.groupBy("window_start_us", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )

@@ -1109,3 +1109,49 @@ def test_image_ahash_real_decode_and_neardup(spark):
 
     assert hamming(out[1]["ahash"], out[3]["ahash"]) <= 3   # near dup
     assert hamming(out[1]["ahash"], out[4]["ahash"]) >= 30  # inverted
+
+
+def test_sliding_window_batch_twin_matches_spark_window(spark):
+    """The integer-math sliding twin must equal Spark's own
+    window(ts, '1 hour', '15 minutes') bucketing on a batch frame."""
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.core import sliding_event_counts_batch
+
+    t0 = dt.datetime(2024, 1, 1, 9, 7)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=11 * i), "click", float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    ours = sliding_event_counts_batch(
+        df.withColumn("ts_us", F.unix_micros("ts")),
+        window_us=3_600_000_000,
+        slide_us=900_000_000,
+    )
+    theirs = (
+        df.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    a = {tuple(r) for r in ours.collect()}
+    b = {tuple(r) for r in theirs.collect()}
+    assert a == b
+    # every event lands in exactly 4 windows
+    total = sum(r[2] for r in a)
+    assert total == 40 * 4
