@@ -967,6 +967,53 @@ GROUP BY window_start_us, event_type
 """
 
 
+# --------------------------------------- x86: salted skew aggregation
+
+
+def q_x86_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation (functions/core.py:salted_agg):
+    partials on (key, salt) spread a hot key over 16 reducers, then
+    combine on the key alone.  The oracle is the DIRECT aggregation —
+    equality holds for ANY salt assignment because every aggregate is
+    decomposable and the value sum runs in decimal (order-insensitive),
+    which is exactly the property that makes salting safe at 100 TB."""
+    from .functions.core import salted_agg
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count("*").cast("long"),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+SQL_X86 = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value,
+       ROUND(min(value), 6) AS min_value,
+       ROUND(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -982,6 +1029,7 @@ EXT2_QUERIES = {
     "x83_incremental_agg": q_x83_incremental_agg,
     "x84_image_ahash": q_x84_image_ahash,
     "x85_sliding_windows": q_x85_sliding_windows,
+    "x86_salted_agg": q_x86_salted_agg,
 }
 
 EXT2_ORACLES = {
@@ -999,4 +1047,5 @@ EXT2_ORACLES = {
     "x83_incremental_agg": SQL_X83,
     "x84_image_ahash": SQL_X84,
     "x85_sliding_windows": SQL_X85,
+    "x86_salted_agg": SQL_X86,
 }
