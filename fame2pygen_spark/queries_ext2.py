@@ -1014,6 +1014,105 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------- x87: Bloom semi-join prefilter
+
+
+def q_x87_bloom_semijoin(spark, sf_dir):
+    """Bloom-prefiltered exact semi-join (operators/bloom.py):
+    lineitem against the p_size=1 part subset.  The filter (k=3
+    md5-derived positions in m=1024) is broadcast and eliminates the
+    non-matching bulk map-side; the exact join removes the bounded,
+    fully deterministic false-positive set.  Single-row stats prove
+    zero false negatives (n_matches equals the plain semi-join count
+    in the oracle) and quantify the candidate reduction."""
+    from .operators.bloom import bloom_positions, bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_size") == 1
+    )
+    candidates, matches = bloom_semi_join(
+        li, part, big_key="l_partkey", small_key="p_partkey",
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+    stats = (
+        part.agg(
+            F.countDistinct("p_partkey").cast("long").alias("n_small_keys")
+        )
+        .crossJoin(
+            bloom_positions(part, "p_partkey").agg(
+                F.count("*").cast("long").alias("n_bits_set")
+            )
+        )
+        .crossJoin(
+            li.agg(F.count("*").cast("long").alias("n_big_rows"))
+        )
+        .crossJoin(
+            candidates.agg(
+                F.count("*").cast("long").alias("n_candidates")
+            )
+        )
+        .crossJoin(
+            matches.agg(F.count("*").cast("long").alias("n_matches"))
+        )
+    )
+    return stats.select(
+        "n_small_keys",
+        "n_bits_set",
+        "n_big_rows",
+        "n_candidates",
+        "n_matches",
+        (F.col("n_candidates") - F.col("n_matches")).alias(
+            "n_false_positives"
+        ),
+    )
+
+
+SQL_X87 = """
+WITH sk AS (
+  SELECT DISTINCT p_partkey FROM part WHERE p_size = 1
+), pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('bloom:' || i || ':' ||
+            CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS pos
+  FROM sk, unnest(range(0, 3)) AS u(i)
+), probes AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         list_distinct(list_transform(range(0, 3),
+           i -> ('0x' || substr(md5('bloom:' || i || ':' ||
+                  CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 1024))
+           AS pp
+  FROM lineitem
+), pr AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, len(pp) AS np,
+         unnest(pp) AS pos
+  FROM probes
+), hits AS (
+  SELECT pr.l_orderkey, pr.l_linenumber, pr.l_partkey,
+         max(pr.np) AS np, count(*) AS nhit
+  FROM pr JOIN pos USING (pos)
+  GROUP BY pr.l_orderkey, pr.l_linenumber, pr.l_partkey
+), cand AS (
+  SELECT * FROM hits WHERE nhit = np
+), stats AS (
+  SELECT
+    (SELECT count(*) FROM sk) AS n_small_keys,
+    (SELECT count(*) FROM pos) AS n_bits_set,
+    (SELECT count(*) FROM lineitem) AS n_big_rows,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM cand JOIN sk ON cand.l_partkey = sk.p_partkey)
+      AS n_matches
+)
+SELECT CAST(n_small_keys AS BIGINT) AS n_small_keys,
+       CAST(n_bits_set AS BIGINT) AS n_bits_set,
+       CAST(n_big_rows AS BIGINT) AS n_big_rows,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(n_candidates - n_matches AS BIGINT) AS n_false_positives
+FROM stats
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -1030,6 +1129,7 @@ EXT2_QUERIES = {
     "x84_image_ahash": q_x84_image_ahash,
     "x85_sliding_windows": q_x85_sliding_windows,
     "x86_salted_agg": q_x86_salted_agg,
+    "x87_bloom_semijoin": q_x87_bloom_semijoin,
 }
 
 EXT2_ORACLES = {
@@ -1048,4 +1148,5 @@ EXT2_ORACLES = {
     "x84_image_ahash": SQL_X84,
     "x85_sliding_windows": SQL_X85,
     "x86_salted_agg": SQL_X86,
+    "x87_bloom_semijoin": SQL_X87,
 }

@@ -1155,3 +1155,29 @@ def test_sliding_window_batch_twin_matches_spark_window(spark):
     # every event lands in exactly 4 windows
     total = sum(r[2] for r in a)
     assert total == 40 * 4
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """Every true match must pass the Bloom prefilter (zero false
+    negatives by construction); false positives are removed by the
+    exact join; with a saturated filter everything is a candidate."""
+    from fame2pygen_spark.operators.bloom import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(3,), (17,), (42,)], "k long")
+    cand, match = bloom_semi_join(
+        big, small, big_key="k", small_key="k", id_cols=["row_id"]
+    )
+    match_keys = {r["k"] for r in match.collect()}
+    assert match_keys == {3, 17, 42}
+    assert match.count() == 30  # 10 rows per key
+    # candidates superset of matches
+    assert cand.count() >= 30
+    # tiny m saturates the filter: everything passes, exactness holds
+    cand2, match2 = bloom_semi_join(
+        big, small, big_key="k", small_key="k", id_cols=["row_id"], m=4
+    )
+    assert match2.count() == 30
+    assert cand2.count() >= match2.count()
