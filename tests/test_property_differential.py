@@ -197,3 +197,117 @@ def test_hll_registers_merge_like_sets(spark, values):
     dup = hll_distinct(df.union(df), ["g"], "v", b=4).collect()[0]
     assert one["est_distinct"] == dup["est_distinct"]
     assert one["exact_distinct"] == len(set(values))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ewma_matches_pandas_on_random_series(spark, vals):
+    import pandas as pd
+
+    from fame2pygen_spark.operators.temporal import ewma_smooth
+
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value double"
+    )
+    out = ewma_smooth(df, alpha=0.5, horizon=16).orderBy("ts_us").collect()
+    # pandas adjusted ewm == our finite form exactly within the horizon
+    exp = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    for i, (r, e) in enumerate(zip(out, exp)):
+        if i < 16:
+            assert abs(r["ewma"] - round(e, 6)) < 1e-6, i
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-50, max_value=50,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_theil_sen_matches_reference(spark, vals):
+    import statistics
+
+    from fame2pygen_spark.operators.temporal import theil_sen_trend
+
+    day_us = 86_400_000_000
+    rows = [(1, d * day_us, v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, value double"
+    )
+    out = theil_sen_trend(df, max_days=40).collect()
+    slopes = [
+        (vals[j] - vals[i]) / (j - i)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    ]
+    want = round(statistics.median(slopes), 6)
+    assert len(out) == 1
+    assert abs(out[0]["ts_slope"] - want) < 1e-6
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcd"), min_size=0, max_size=10
+        ).map(lambda ts: " ".join(ts)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dup_span_profile_matches_bruteforce(spark, docs):
+    from fame2pygen_spark.operators.text import dup_span_profile
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc"]: (r["n_positions"], r["n_dup_positions"])
+        for r in dup_span_profile(df, "text", "doc_id", n=n).collect()
+    }
+
+    def grams(t):
+        toks = " ".join(t.lower().split()).split()
+        return [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+
+    gs = {i: grams(t) for i, t in enumerate(docs)}
+    want = {}
+    for i, g in gs.items():
+        if not g:
+            continue
+        dup = sum(
+            1
+            for x in g
+            if any(x in gs[j] for j in gs if j != i)
+        )
+        want[i] = (len(g), dup)
+    assert got == want
