@@ -163,14 +163,58 @@ FROM base
 """
 
 
+def q_p04_panel_backcast(spark, sf_dir):
+    """S11 backcast (batched telescoped closed form) in panel mode:
+    the reversed-recursion window and the reference-point lookup both
+    gain ``PARTITION BY NATION`` — each entity backcasts from its own
+    reference observation, and the plan stays entity-parallel (no
+    global window), which is what makes a million-entity backfill one
+    shuffle instead of a sequential scan."""
+    from datetime import date
+
+    from .engine import FameEngine
+
+    base = nation_monthly(spark, sf_dir)
+    eng = FameEngine(
+        backcast_window=(date(1999, 12, 1), date(1995, 1, 1)),
+        entity_cols=("NATION",),
+    )
+    res = eng.run(base, ["set rev[t] = rev[t+1]/(1+(pct(cnt[t+1])/100))"])
+    return _finish_panel(res.df, "REV", "CNT")
+
+
+SQL_P04 = SQL_PANEL_BASE + """
+SELECT NATION, DATE,
+       ROUND(CASE WHEN DATE BETWEEN DATE '1995-01-01' AND DATE '1999-12-01'
+                  THEN rev_ref * CNT / cnt_ref
+                  ELSE REV END, 6) AS REV,
+       ROUND(CNT, 6) AS CNT
+FROM (
+  SELECT *,
+         MAX(CASE WHEN DATE = ref_date THEN REV END)
+           OVER (PARTITION BY NATION) AS rev_ref,
+         MAX(CASE WHEN DATE = ref_date THEN CNT END)
+           OVER (PARTITION BY NATION) AS cnt_ref
+  FROM (
+    SELECT *,
+           MIN(CASE WHEN DATE > DATE '1999-12-01' THEN DATE END)
+             OVER (PARTITION BY NATION) AS ref_date
+    FROM base
+  )
+)
+"""
+
+
 PANEL_QUERIES = {
     "p01_panel_pct": q_p01_panel_pct,
     "p02_panel_convert": q_p02_panel_convert,
     "p03_panel_date_window": q_p03_panel_date_window,
+    "p04_panel_backcast": q_p04_panel_backcast,
 }
 
 PANEL_ORACLES = {
     "p01_panel_pct": SQL_P01,
     "p02_panel_convert": SQL_P02,
     "p03_panel_date_window": SQL_P03,
+    "p04_panel_backcast": SQL_P04,
 }

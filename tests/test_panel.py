@@ -219,3 +219,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_left_b")
         spark.sql("DROP TABLE IF EXISTS t_right_b")
+
+
+def test_p04_backcast_windows_are_entity_partitioned(spark):
+    from fame2pygen_spark.queries import QUERIES
+
+    df = QUERIES["p04_panel_backcast"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            first_arg = spec.split(",", 1)[0]
+            assert not (
+                " ASC" in first_arg or " DESC" in first_arg
+            ), f"unpartitioned window in p04 plan: {line.strip()}"
