@@ -1461,3 +1461,58 @@ def profile_estimates(df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
             "est_distinct"
         ),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram: bucket boundaries at the
+    exact ``k/n`` quantiles, so every bucket holds ~the same row count
+    — the histogram form CBOs prefer for skewed columns, where
+    equi-width (:func:`group_histogram`) wastes resolution on empty
+    ranges.  Companion to :func:`table_stats` (the two together are
+    the classic ANALYZE output).
+
+    Shape: ONE exact-percentile aggregate produces the boundary array
+    (1 row, broadcast); bucket assignment is a fold over that literal-
+    sized array inside the scan; one hash aggregation counts per
+    bucket.  Exact percentiles buffer the column once (the x30
+    trade-off); swap approx_percentile for the sketch path at extreme
+    scale.  Quantile interpolation is the engine-paired
+    ``percentile`` ↔ ``quantile_cont`` definition, so boundaries are
+    bitwise identical and bucket assignment (strict ``>``) cannot
+    disagree.
+
+    Output: ``bucket, lo, hi, n_rows`` — lo/hi are the observed
+    min/max inside the bucket (6 dp), n_rows the exact count.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.array(
+            *[
+                F.expr(f"percentile(`{value_col}`, {p!r})")
+                for p in probs
+            ]
+        ).alias("__bounds")
+    )
+    with_b = df.where(F.col(value_col).isNotNull()).join(
+        F.broadcast(bounds)
+    )
+    idx = F.aggregate(
+        F.col("__bounds"),
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(value_col) > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        with_b.withColumn("bucket", idx.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(value_col), 6).alias("lo"),
+            F.round(F.max(value_col), 6).alias("hi"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )

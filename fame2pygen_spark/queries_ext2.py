@@ -1113,6 +1113,42 @@ FROM stats
 """
 
 
+# --------------------------------------- x88: equi-depth histogram
+
+
+def q_x88_equidepth_hist(spark, sf_dir):
+    """Equi-depth histogram of l_extendedprice
+    (operators/sketch.py:equidepth_histogram): boundaries at exact
+    octile quantiles (percentile <-> quantile_cont pairing), bucket
+    assignment by fold over the broadcast boundary array — the ANALYZE
+    histogram a CBO consults for selectivity on skewed columns."""
+    from .operators.sketch import equidepth_histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return equidepth_histogram(li, "l_extendedprice", n_buckets=8)
+
+
+_X88_PROBS = [i / 8 for i in range(1, 8)]
+
+SQL_X88 = f"""
+WITH b AS (
+  SELECT [{", ".join(f"quantile_cont(l_extendedprice, {p!r})" for p in _X88_PROBS)}]
+    AS bounds
+  FROM lineitem
+), v AS (
+  SELECT l_extendedprice AS v, bounds
+  FROM lineitem, b
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT CAST(len(list_filter(bounds, x -> v > x)) AS BIGINT) AS bucket,
+       ROUND(min(v), 6) AS lo,
+       ROUND(max(v), 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM v
+GROUP BY 1
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -1130,6 +1166,7 @@ EXT2_QUERIES = {
     "x85_sliding_windows": q_x85_sliding_windows,
     "x86_salted_agg": q_x86_salted_agg,
     "x87_bloom_semijoin": q_x87_bloom_semijoin,
+    "x88_equidepth_hist": q_x88_equidepth_hist,
 }
 
 EXT2_ORACLES = {
@@ -1149,4 +1186,5 @@ EXT2_ORACLES = {
     "x85_sliding_windows": SQL_X85,
     "x86_salted_agg": SQL_X86,
     "x87_bloom_semijoin": SQL_X87,
+    "x88_equidepth_hist": SQL_X88,
 }

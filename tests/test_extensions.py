@@ -1181,3 +1181,22 @@ def test_bloom_semi_join_no_false_negatives(spark):
     )
     assert match2.count() == 30
     assert cand2.count() >= match2.count()
+
+
+def test_equidepth_histogram_balanced_buckets(spark):
+    from fame2pygen_spark.operators.sketch import equidepth_histogram
+
+    # heavily skewed data: equi-depth must still balance counts
+    rows = [(float(i), ) for i in range(100)] + [(10000.0,)] * 100
+    df = spark.createDataFrame(rows, "v double")
+    out = sorted(
+        equidepth_histogram(df, "v", n_buckets=4).collect(),
+        key=lambda r: r["bucket"],
+    )
+    counts = [r["n_rows"] for r in out]
+    assert sum(counts) == 200
+    # no bucket more than ~2x the ideal depth despite the huge spike
+    assert max(counts) <= 110
+    # buckets are ordered and non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] <= b["lo"]
