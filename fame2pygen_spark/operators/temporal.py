@@ -604,3 +604,74 @@ def ewma_smooth(
         y.alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply a snapshot of
+    *updates* (one row per key, effective on the *effective* date
+    column) to a versioned *history*, closing the current row of every
+    key whose attributes actually changed and opening a new version.
+
+    Semantics (the warehouse-standard ones):
+    * only CURRENT rows (``valid_to IS NULL``) can close;
+    * a key whose update matches its current attributes is untouched
+      (no-op updates create no versions);
+    * updates for unknown keys insert a first version;
+    * closed rows get ``valid_to = effective``; new versions get
+      ``valid_from = effective``, ``valid_to = NULL``.
+
+    Scale shape: one key-partitioned equi-join of history against the
+    (dimension-sized, usually broadcast) update snapshot plus unions —
+    no windows, no per-key state beyond the join row, so the merge is
+    the same plan at any history length.  This is the batch form of
+    the reference's point-in-time upsert (engine._run_point_in_time):
+    that one answers "as of t", this one MAINTAINS the bitemporal
+    table those queries read.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    cur = history.where(F.col(valid_to).isNull())
+    closed_hist = history.where(F.col(valid_to).isNotNull())
+
+    upd = updates.select(
+        *keys,
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(effective).alias("__eff"),
+    )
+    j = cur.join(upd, on=keys, how="full")
+
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~(
+            F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        )
+    has_cur = F.col(valid_from).isNotNull()
+    has_upd = F.col("__eff").isNotNull()
+
+    unchanged = j.where(
+        has_cur & (~has_upd | ~differs)
+    ).select(*keys, *attrs, valid_from, valid_to)
+    closing = j.where(has_cur & has_upd & differs).select(
+        *keys, *attrs, valid_from, F.col("__eff").alias(valid_to)
+    )
+    opening = j.where(has_upd & (~has_cur | differs)).select(
+        *keys,
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+    )
+    return (
+        closed_hist.select(*keys, *attrs, valid_from, valid_to)
+        .unionByName(unchanged)
+        .unionByName(closing)
+        .unionByName(opening)
+    )

@@ -1149,6 +1149,107 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------ x89: SCD2 dimension merge
+
+
+def q_x89_scd2_merge(spark, sf_dir):
+    """Type-2 slowly-changing-dimension merge
+    (operators/temporal.py:scd2_merge): the customer dimension as
+    version-1 history, a deterministic update snapshot (every 7th key
+    changes balance, every 13th sends a no-op, every 97th inserts an
+    unknown key), applied effective 1996-01-01.  The oracle implements
+    the same full-outer-join merge in SQL — no-op suppression, closing
+    rows, and first-version inserts all checked exactly."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    history = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal"), 6).alias("acctbal"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changed = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 1.1, 6).alias("acctbal"),
+    )
+    noop = cust.where(
+        (F.col("c_custkey") % 13 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal"), 6).alias("acctbal"),
+    )
+    inserted = cust.where(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit(0).cast("long").alias("c_nationkey"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    updates = (
+        changed.unionByName(noop)
+        .unionByName(inserted)
+        .withColumn("eff", F.lit("1996-01-01").cast("date"))
+    )
+
+    from .operators.temporal import scd2_merge
+
+    out = scd2_merge(
+        history, updates,
+        key_cols=["c_custkey"],
+        attr_cols=["c_nationkey", "acctbal"],
+        effective="eff",
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "acctbal",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+    )
+
+
+SQL_X89 = """
+WITH hist AS (
+  SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 6) AS acctbal,
+         DATE '1990-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_nationkey, ROUND(c_acctbal * 1.1, 6) AS acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 6)
+  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 0, 0.0
+  FROM customer WHERE c_custkey % 97 = 0
+), j AS (
+  SELECT COALESCE(h.c_custkey, u.c_custkey) AS c_custkey,
+         h.c_nationkey AS h_nat, h.acctbal AS h_bal,
+         h.valid_from, h.valid_to,
+         u.c_nationkey AS u_nat, u.acctbal AS u_bal,
+         CASE WHEN u.c_custkey IS NOT NULL
+              THEN DATE '1996-01-01' END AS eff,
+         h.c_custkey IS NOT NULL AS has_cur,
+         u.c_custkey IS NOT NULL AS has_upd,
+         NOT (h.c_nationkey IS NOT DISTINCT FROM u.c_nationkey
+              AND h.acctbal IS NOT DISTINCT FROM u.acctbal) AS differs
+  FROM hist h FULL OUTER JOIN upd u ON h.c_custkey = u.c_custkey
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(h_nat AS BIGINT) AS c_nationkey, h_bal AS acctbal,
+       CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(valid_to AS VARCHAR) AS valid_to
+FROM j WHERE has_cur AND (NOT has_upd OR NOT differs)
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), CAST(h_nat AS BIGINT), h_bal,
+       CAST(valid_from AS VARCHAR), CAST(eff AS VARCHAR)
+FROM j WHERE has_cur AND has_upd AND differs
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), CAST(u_nat AS BIGINT), u_bal,
+       CAST(eff AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM j WHERE has_upd AND (NOT has_cur OR differs)
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -1167,6 +1268,7 @@ EXT2_QUERIES = {
     "x86_salted_agg": q_x86_salted_agg,
     "x87_bloom_semijoin": q_x87_bloom_semijoin,
     "x88_equidepth_hist": q_x88_equidepth_hist,
+    "x89_scd2_merge": q_x89_scd2_merge,
 }
 
 EXT2_ORACLES = {
@@ -1187,4 +1289,5 @@ EXT2_ORACLES = {
     "x86_salted_agg": SQL_X86,
     "x87_bloom_semijoin": SQL_X87,
     "x88_equidepth_hist": SQL_X88,
+    "x89_scd2_merge": SQL_X89,
 }

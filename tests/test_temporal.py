@@ -256,3 +256,41 @@ def test_ewma_skips_null_lags(spark):
     assert out[1] is None  # null value -> null smoothed row
     # row 2: weights 1 (self) and 0.25 (lag2); null lag1 renormalized
     assert abs(out[2] - round((4.0 + 0.25 * 2.0) / 1.25, 6)) < 1e-9
+
+
+def test_scd2_merge_semantics(spark):
+    """Closing, opening, no-op suppression, and unknown-key insert."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.temporal import scd2_merge
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a", dt.date(1990, 1, 1), dt.date(1995, 1, 1)),  # closed v1
+            (1, "b", dt.date(1995, 1, 1), None),                 # current
+            (2, "x", dt.date(1990, 1, 1), None),
+            (3, "z", dt.date(1990, 1, 1), None),
+        ],
+        "k long, attr string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "c"),   # change -> close + open
+            (2, "x"),   # no-op -> untouched
+            (9, "new"), # unknown key -> first version
+        ],
+        "k long, attr string",
+    ).withColumn("eff", F.lit("2000-06-01").cast("date"))
+    out = scd2_merge(
+        hist, upd, key_cols=["k"], attr_cols=["attr"], effective="eff"
+    ).collect()
+    rows = {(r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"])) for r in out}
+    assert (1, "a", "1990-01-01", "1995-01-01") in rows   # old history kept
+    assert (1, "b", "1995-01-01", "2000-06-01") in rows   # closed
+    assert (1, "c", "2000-06-01", "None") in rows         # opened
+    assert (2, "x", "1990-01-01", "None") in rows         # no-op untouched
+    assert (3, "z", "1990-01-01", "None") in rows         # unaffected
+    assert (9, "new", "2000-06-01", "None") in rows       # inserted
+    assert len(out) == 6
