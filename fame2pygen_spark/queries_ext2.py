@@ -1250,6 +1250,82 @@ FROM j WHERE has_upd AND (NOT has_cur OR differs)
 """
 
 
+# --------------------------------------- x90: most-common-value stats
+
+
+def q_x90_mcv_stats(spark, sf_dir):
+    """Most-common-value statistics (the third classic ANALYZE output
+    beside x81's NDV/nulls and x88's equi-depth histogram): top-5
+    values per profiled column with frequency fractions, from one
+    stacked scan — (column, value) counts with map-side combine, then
+    a column-partitioned top-k window over the already-aggregated
+    distinct values."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in (
+                        "l_returnflag", "l_linestatus", "l_suppkey",
+                    )
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    total = li.count()
+    counts = stacked.groupBy("column", "value").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.desc("n_rows"), F.asc("value")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "column",
+            "value",
+            "n_rows",
+            F.round(F.col("n_rows") / F.lit(float(total)), 6).alias(
+                "freq"
+            ),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+SQL_X90 = """
+WITH stacked AS (
+  SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS value
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+), counts AS (
+  SELECT "column", value, CAST(count(*) AS BIGINT) AS n_rows
+  FROM stacked GROUP BY "column", value
+), total AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM lineitem
+)
+SELECT "column", value, n_rows,
+       ROUND(n_rows / t, 6) AS freq,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY "column"
+                               ORDER BY n_rows DESC, value ASC) AS rank
+  FROM counts
+), total
+WHERE rank <= 5
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -1269,6 +1345,7 @@ EXT2_QUERIES = {
     "x87_bloom_semijoin": q_x87_bloom_semijoin,
     "x88_equidepth_hist": q_x88_equidepth_hist,
     "x89_scd2_merge": q_x89_scd2_merge,
+    "x90_mcv_stats": q_x90_mcv_stats,
 }
 
 EXT2_ORACLES = {
@@ -1290,4 +1367,5 @@ EXT2_ORACLES = {
     "x87_bloom_semijoin": SQL_X87,
     "x88_equidepth_hist": SQL_X88,
     "x89_scd2_merge": SQL_X89,
+    "x90_mcv_stats": SQL_X90,
 }
