@@ -1216,3 +1216,47 @@ def test_concentration_index_extremes(spark):
     assert out["g1"]["hhi"] == 0.25 and out["g1"]["top_share"] == 0.25
     assert out["g2"]["hhi"] == 0.82  # 0.81 + 0.01
     assert out["g2"]["top_share"] == 0.9 and out["g2"]["n_members"] == 2
+
+
+def test_jsonl_ingest_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from fame2pygen_spark.sources.ingest import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good doc"}\n'
+        '{"doc_id": 2, "text": "another", "extra": "ignored"}\n'
+        '{"doc_id": oops not json\n'
+        '{"doc_id": 4}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = read_jsonl_corpus(spark, str(p), schema)
+    g = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert g == {1: "good doc", 2: "another", 4: None}
+    b = [r["raw_line"] for r in bad.collect()]
+    assert len(b) == 1 and "oops" in b[0]
+
+
+def test_csv_ingest_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from fame2pygen_spark.sources.ingest import read_csv_corpus
+
+    p = tmp_path / "corpus.csv"
+    p.write_text(
+        "doc_id,score,label\n"
+        "1,0.5,ok\n"
+        "2,not_a_number,bad\n"
+        "3,0.9,fine\n"
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("label", StringType()),
+    ])
+    good, bad = read_csv_corpus(spark, str(p), schema)
+    assert {r["doc_id"] for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
