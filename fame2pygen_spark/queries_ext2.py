@@ -1326,6 +1326,104 @@ WHERE rank <= 5
 """
 
 
+# ------------------------------------------- x91: PageRank iteration
+
+
+def q_x91_pagerank_step(spark, sf_dir):
+    """One weighted PageRank power-iteration step on the bipartite
+    customer→supplier trade graph (edges = order lineitems joining
+    the two, weight = lineitem count).  Iterative graph algorithms
+    beyond connected components (x09): rank mass flows along
+    out-degree-normalized edges with damping 0.85 — one edge-keyed
+    join + one destination-keyed aggregation per iteration, the plan
+    GraphX/Pregel would run, expressed as DataFrames.  Contributions
+    sum in decimal (order-insensitive), so the oracle matches the
+    iteration bitwise.  Returns the top-20 suppliers by rank after
+    the step."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    n_cust = edges.select("src").distinct().count()
+    n_supp = edges.select("dst").distinct().count()
+    n_nodes = float(n_cust + n_supp)
+    r0 = 1.0 / n_nodes
+    d = 0.85
+
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("wout")
+    )
+    contribs = edges.join(outw, on="src").select(
+        "dst",
+        (
+            F.lit(r0) * (F.col("w").cast("double") / F.col("wout"))
+        ).cast("decimal(28,18)").alias("__c"),
+    )
+    # NB: literal 0.15, not (1.0 - d) — Python's 1.0-0.85 is
+    # 0.15000000000000002, an ulp off the SQL literal 0.15; invisible
+    # after ROUND until a value straddles a rounding boundary
+    ranks = contribs.groupBy("dst").agg(
+        (
+            F.lit(0.15 / n_nodes)
+            + F.lit(d) * F.sum("__c").cast("double")
+        ).alias("__r")
+    )
+    w = Window.orderBy(F.desc("__r"), F.asc("dst"))
+    return (
+        ranks.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 20)
+        .select(
+            F.col("dst").cast("long").alias("supplier"),
+            F.round("__r", 6).alias("pagerank"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )
+
+
+SQL_X91 = """
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+), n AS (
+  SELECT (SELECT count(DISTINCT src) FROM edges)
+         + (SELECT count(DISTINCT dst) FROM edges) AS n_nodes
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
+), contribs AS (
+  SELECT e.dst,
+         CAST((1.0 / n.n_nodes)
+              * (CAST(e.w AS DOUBLE) / o.wout)
+              AS DECIMAL(28,18)) AS c
+  FROM edges e JOIN outw o ON e.src = o.src, n
+), ranks AS (
+  SELECT dst,
+         0.15 / (SELECT n_nodes FROM n)
+           + 0.85 * CAST(sum(c) AS DOUBLE) AS r
+  FROM contribs GROUP BY dst
+)
+SELECT CAST(dst AS BIGINT) AS supplier,
+       ROUND(r, 6) AS pagerank,
+       CAST(ROW_NUMBER() OVER (ORDER BY r DESC, dst ASC) AS BIGINT)
+         AS pos
+FROM ranks
+QUALIFY pos <= 20
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -1346,6 +1444,7 @@ EXT2_QUERIES = {
     "x88_equidepth_hist": q_x88_equidepth_hist,
     "x89_scd2_merge": q_x89_scd2_merge,
     "x90_mcv_stats": q_x90_mcv_stats,
+    "x91_pagerank_step": q_x91_pagerank_step,
 }
 
 EXT2_ORACLES = {
@@ -1368,4 +1467,5 @@ EXT2_ORACLES = {
     "x88_equidepth_hist": SQL_X88,
     "x89_scd2_merge": SQL_X89,
     "x90_mcv_stats": SQL_X90,
+    "x91_pagerank_step": SQL_X91,
 }

@@ -1200,3 +1200,19 @@ def test_equidepth_histogram_balanced_buckets(spark):
     # buckets are ordered and non-overlapping
     for a, b in zip(out, out[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_pagerank_step_mass_conservation(spark):
+    """On a simple graph the damped step preserves the structure: rank
+    mass entering each destination is proportional to normalized
+    in-weights, and a sink fed by every source outranks the rest."""
+    from fame2pygen_spark.queries import QUERIES
+
+    out = QUERIES["x91_pagerank_step"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # sf0.001 has only 10 suppliers; top-20 returns all of them
+    assert 1 <= len(rows) <= 20
+    ranks = [r["pagerank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
