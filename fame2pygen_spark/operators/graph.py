@@ -1,0 +1,120 @@
+"""Iterative graph algorithms as DataFrame supersteps.
+
+Connected components live in ``dedup.connected_components`` (the
+alternating large-star/small-star algorithm backing x09); this module
+holds rank propagation.  The execution model is the Pregel superstep
+expressed relationally: one edge-keyed join distributes each node's
+state along its out-edges, one destination-keyed aggregation combines
+incoming messages — no driver-side graph, no per-node memory beyond
+the join row, and each iteration is a fixed two-shuffle plan whatever
+the graph size.
+
+Engine-exactness: per-edge contributions are deterministic scalar
+expressions and the message combine is a decimal sum
+(order-insensitive), so an external engine replays any single
+iteration bitwise — which is how the x91 oracle checks the superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank_step(
+    edges: DataFrame,
+    ranks: DataFrame,
+    *,
+    n_nodes: float,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    rank_col: str = "rank",
+    teleport: float | None = None,
+) -> DataFrame:
+    """One damped, weighted PageRank superstep: returns new
+    ``(node, rank)`` for every node RECEIVING mass.
+
+    ``new_rank(v) = teleport + damping * Σ_u rank(u) * w(u,v)/wout(u)``
+    with ``teleport`` defaulting to ``0.15 / n_nodes`` (pass it
+    explicitly when damping ≠ 0.85 — and pass a LITERAL, not
+    ``(1-damping)/n``: Python's ``1.0 - 0.85`` is an ulp away from
+    ``0.15``, the classic cross-engine boundary bug).
+
+    Dangling nodes (no out-edges) leak their mass — standard for the
+    bipartite half-step; add a dangling-mass redistribution term
+    outside if running to a stationary distribution on a general
+    graph.
+    """
+    if teleport is None:
+        teleport = 0.15 / n_nodes
+    outw = edges.groupBy(src_col).agg(
+        F.sum(weight_col).cast("long").alias("__wout")
+    )
+    contribs = (
+        edges.join(outw, on=src_col)
+        .join(
+            ranks.select(
+                F.col("node").alias(src_col),
+                F.col(rank_col).alias("__r"),
+            ),
+            on=src_col,
+        )
+        .select(
+            F.col(dst_col).alias("node"),
+            (
+                F.col("__r")
+                * (F.col(weight_col).cast("double") / F.col("__wout"))
+            )
+            .cast("decimal(28,18)")
+            .alias("__c"),
+        )
+    )
+    return contribs.groupBy("node").agg(
+        (
+            F.lit(float(teleport))
+            + F.lit(float(damping)) * F.sum("__c").cast("double")
+        ).alias(rank_col)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Run *n_iter* supersteps from the uniform distribution over all
+    nodes appearing in the edge list.  Nodes that stop receiving mass
+    fall back to the teleport floor each round (they re-enter the rank
+    frame so later iterations see them).
+
+    Lineage is truncated each iteration with ``localCheckpoint`` —
+    without it the plan doubles per superstep (the x09 CC discipline).
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n_nodes = float(nodes.count())
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    teleport = 0.15 / n_nodes
+    for _ in range(n_iter):
+        stepped = pagerank_step(
+            edges, ranks, n_nodes=n_nodes, damping=damping,
+            src_col=src_col, dst_col=dst_col, weight_col=weight_col,
+            teleport=teleport,
+        )
+        ranks = (
+            nodes.join(stepped, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce("rank", F.lit(float(teleport))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1356,37 +1356,22 @@ def q_x91_pagerank_step(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("w"))
     )
+    from .operators.graph import pagerank_step
+
     n_cust = edges.select("src").distinct().count()
     n_supp = edges.select("dst").distinct().count()
     n_nodes = float(n_cust + n_supp)
-    r0 = 1.0 / n_nodes
-    d = 0.85
-
-    outw = edges.groupBy("src").agg(
-        F.sum("w").cast("long").alias("wout")
+    uniform = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(1.0 / n_nodes)
     )
-    contribs = edges.join(outw, on="src").select(
-        "dst",
-        (
-            F.lit(r0) * (F.col("w").cast("double") / F.col("wout"))
-        ).cast("decimal(28,18)").alias("__c"),
-    )
-    # NB: literal 0.15, not (1.0 - d) — Python's 1.0-0.85 is
-    # 0.15000000000000002, an ulp off the SQL literal 0.15; invisible
-    # after ROUND until a value straddles a rounding boundary
-    ranks = contribs.groupBy("dst").agg(
-        (
-            F.lit(0.15 / n_nodes)
-            + F.lit(d) * F.sum("__c").cast("double")
-        ).alias("__r")
-    )
-    w = Window.orderBy(F.desc("__r"), F.asc("dst"))
+    stepped = pagerank_step(edges, uniform, n_nodes=n_nodes)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (
-        ranks.withColumn("pos", F.row_number().over(w))
+        stepped.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= 20)
         .select(
-            F.col("dst").cast("long").alias("supplier"),
-            F.round("__r", 6).alias("pagerank"),
+            F.col("node").cast("long").alias("supplier"),
+            F.round("rank", 6).alias("pagerank"),
             F.col("pos").cast("long").alias("pos"),
         )
     )

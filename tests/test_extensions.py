@@ -1216,3 +1216,38 @@ def test_pagerank_step_mass_conservation(spark):
     assert ranks == sorted(ranks, reverse=True)
     assert all(r > 0 for r in ranks)
     assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_pagerank_converges_to_numpy_power_iteration(spark):
+    """5 supersteps on a small directed graph must match the numpy
+    power iteration with identical teleport/damping handling."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.graph import pagerank
+
+    edge_list = [
+        (0, 1, 1), (0, 2, 1), (1, 2, 2), (2, 0, 1), (3, 2, 1), (2, 3, 1)
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()
+    }
+
+    n = 4
+    teleport = 0.15 / n
+    r = np.full(n, 1.0 / n)
+    wout = {u: sum(w for s, _, w in edge_list if s == u) for u, _, _ in edge_list}
+    for _ in range(5):
+        nxt = np.full(n, teleport)
+        for u, v, w in edge_list:
+            nxt[v] += 0.85 * r[u] * (w / wout[u])
+        # nodes with no in-edges fall back to the teleport floor
+        has_in = {v for _, v, _ in edge_list}
+        for v in range(n):
+            if v not in has_in:
+                nxt[v] = teleport
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, v
+    # hub node 2 (most in-mass) leads
+    assert max(got, key=got.get) == 2
