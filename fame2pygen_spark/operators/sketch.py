@@ -1191,7 +1191,11 @@ def kmv_set_ops(
             F.array_intersect("__m", "__arr_a"), "__arr_b"
         )
     )
-    kth = F.element_at("__m", k)
+    # greatest(kth, 1): the k-th smallest hash is 0 only when a value
+    # md5-hashes to exactly 0 (p = 2^-32 per distinct value) — rare but
+    # a guaranteed ANSI division-by-zero crash at 100 TB scale.  The
+    # oracle guards identically, so parity is unaffected.
+    kth = F.greatest(F.element_at("__m", k), F.lit(1))
     complete = F.col("__n_merged") < k
     est_union = F.when(
         complete, F.col("__n_merged").cast("double")

@@ -571,7 +571,7 @@ WITH fp AS (
          len(mm) AS n_merged,
          len(list_intersect(list_intersect(mm, aa), bb)) AS in_both,
          CASE WHEN len(mm) < 64 THEN CAST(len(mm) AS DOUBLE)
-              ELSE ROUND(63 * 4294967296.0 / mm[64], 6) END AS est_union,
+              ELSE ROUND(63 * 4294967296.0 / greatest(mm[64], 1), 6) END AS est_union,
          ROUND(CAST(len(list_intersect(list_intersect(mm, aa), bb))
                     AS DOUBLE)
                / (CASE WHEN len(mm) < 64 THEN len(mm) ELSE 64 END), 6)
