@@ -592,3 +592,72 @@ def survival_curve(
         ]
     )
     return counters.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    lookback_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every touch
+    inside the lookback window before a conversion receives credit —
+    40% to the first touch, 40% to the last, the middle 20% split
+    evenly — generalizing :func:`last_touch_attribution` (which is the
+    degenerate all-credit-to-last rule).
+
+    Plan shape: a user-keyed equi-join of the two type-filtered
+    subsets with the window predicate as a post-filter — candidate
+    pairs are bounded by per-user activity (touches × conversions for
+    ONE user), never cross users, so the join scales with users like
+    every behavior operator here.  Position and touch count come from
+    conversion-partitioned windows over those bounded groups.
+
+    Credit fractions are exact decimal arithmetic (1.0, 0.5, 0.4,
+    0.2/(n-2)) rounded to 6 dp — engine-reproducible.
+
+    Output: ``(user, conversion_id, touch_id, position, n_touches,
+    credit)``, one row per attributed (conversion, touch) pair.
+    """
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("__cts"),
+    )
+    touch = events.where(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("__tts"),
+    )
+    pairs = conv.join(touch, on="user").where(
+        (F.col("__tts") <= F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - F.lit(int(lookback_us)))
+    )
+    w = Window.partitionBy("user", "conversion_id").orderBy(
+        "__tts", "touch_id"
+    )
+    wn = Window.partitionBy("user", "conversion_id")
+    pairs = pairs.withColumn("position", F.row_number().over(w)).withColumn(
+        "n_touches", F.count("*").over(wn)
+    )
+    n = F.col("n_touches")
+    pos = F.col("position")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
+    )
+    return pairs.select(
+        F.col("user"),
+        "conversion_id",
+        "touch_id",
+        F.col("position").cast("long").alias("position"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.round(credit, 6).alias("credit"),
+    )

@@ -1409,6 +1409,54 @@ QUALIFY pos <= 20
 """
 
 
+# ------------------------------------- x92: multi-touch attribution
+
+
+def q_x92_multi_touch(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution
+    (operators/behavior.py:multi_touch_attribution): clicks within a
+    7-day lookback before each purchase share credit 40/20/40 —
+    the generalization of x47's last-touch rule, with the same
+    user-keyed plan shape."""
+    from .queries_ext import _read_events
+    from .operators.behavior import multi_touch_attribution
+
+    ev = _read_events(spark, sf_dir)
+    return multi_touch_attribution(
+        ev, lookback_us=7 * 86_400_000_000
+    ).withColumnRenamed("user", "user_id")
+
+
+SQL_X92 = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), conv AS (
+  SELECT user_id, event_id AS conversion_id, ts_us AS cts
+  FROM e WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, event_id AS touch_id, ts_us AS tts
+  FROM e WHERE event_type = 'click'
+), pairs AS (
+  SELECT c.user_id, c.conversion_id, t.touch_id, t.tts,
+         ROW_NUMBER() OVER (PARTITION BY c.user_id, c.conversion_id
+                            ORDER BY t.tts, t.touch_id) AS position,
+         COUNT(*) OVER (PARTITION BY c.user_id, c.conversion_id)
+           AS n_touches
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+  WHERE t.tts <= c.cts AND t.tts >= c.cts - 604800000000
+)
+SELECT user_id, conversion_id, touch_id,
+       CAST(position AS BIGINT) AS position,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       ROUND(CASE WHEN n_touches = 1 THEN 1.0
+                  WHEN n_touches = 2 THEN 0.5
+                  WHEN position = 1 OR position = n_touches THEN 0.4
+                  ELSE 0.2 / CAST(n_touches - 2 AS DOUBLE) END, 6)
+         AS credit
+FROM pairs
+"""
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -1430,6 +1478,7 @@ EXT2_QUERIES = {
     "x89_scd2_merge": q_x89_scd2_merge,
     "x90_mcv_stats": q_x90_mcv_stats,
     "x91_pagerank_step": q_x91_pagerank_step,
+    "x92_multi_touch": q_x92_multi_touch,
 }
 
 EXT2_ORACLES = {
@@ -1453,4 +1502,5 @@ EXT2_ORACLES = {
     "x89_scd2_merge": SQL_X89,
     "x90_mcv_stats": SQL_X90,
     "x91_pagerank_step": SQL_X91,
+    "x92_multi_touch": SQL_X92,
 }

@@ -1251,3 +1251,35 @@ def test_pagerank_converges_to_numpy_power_iteration(spark):
         assert abs(got[v] - r[v]) < 1e-9, v
     # hub node 2 (most in-mass) leads
     assert max(got, key=got.get) == 2
+
+
+def test_multi_touch_credit_sums_to_one(spark):
+    from fame2pygen_spark.operators.behavior import multi_touch_attribution
+
+    day = 86_400_000_000
+    rows = [
+        # user 1: 4 clicks then purchase -> 0.4, 0.1, 0.1, 0.4
+        (1, 1, "click", 0),
+        (2, 1, "click", day),
+        (3, 1, "click", 2 * day),
+        (4, 1, "click", 3 * day),
+        (5, 1, "purchase", 4 * day),
+        # user 2: single click -> full credit
+        (6, 2, "click", 0),
+        (7, 2, "purchase", day),
+        # user 3: click outside the lookback -> no attribution rows
+        (8, 3, "click", 0),
+        (9, 3, "purchase", 30 * day),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    )
+    out = multi_touch_attribution(df, lookback_us=7 * day).collect()
+    u1 = sorted(
+        (r for r in out if r["user"] == 1), key=lambda r: r["position"]
+    )
+    assert [r["credit"] for r in u1] == [0.4, 0.1, 0.1, 0.4]
+    assert abs(sum(r["credit"] for r in u1) - 1.0) < 1e-9
+    u2 = [r for r in out if r["user"] == 2]
+    assert len(u2) == 1 and u2[0]["credit"] == 1.0
+    assert not [r for r in out if r["user"] == 3]
