@@ -33,7 +33,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_STRUCT = StructType(
@@ -466,4 +467,97 @@ def image_ahash(
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=AHASH_SCHEMA
+    )
+
+
+# ------------------------------------------------- Y4M video decode
+
+
+def decode_y4m_bytes(payload: bytes) -> list:
+    """Decode an uncompressed YUV4MPEG2 (Y4M) video payload into a
+    list of per-frame dicts ``{frame_idx, luma_sum, n_pixels}`` —
+    REAL video parsing for the one container pure Python can handle
+    (raw 4:2:0 planes, no codec).  Compressed video still raises
+    (see :func:`frame_sample` — the declared ffmpeg boundary).
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\x0a")
+    header = payload[:nl].decode("ascii", "replace")
+    width = height = None
+    for tok in header.split(" ")[1:]:
+        if tok.startswith("W"):
+            width = int(tok[1:])
+        elif tok.startswith("H"):
+            height = int(tok[1:])
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    y_size = width * height
+    c_size = (width // 2) * (height // 2)
+    frame_bytes = y_size + 2 * c_size
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = payload.index(b"\x0a", pos) + 1
+        y = payload[pos : pos + y_size]
+        if len(y) < y_size:
+            raise ValueError("truncated frame")
+        frames.append(
+            {
+                "frame_idx": len(frames),
+                "luma_sum": sum(y),
+                "n_pixels": y_size,
+            }
+        )
+        pos += frame_bytes
+    return frames
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("luma_mean", DoubleType()),
+    ]
+)
+
+
+def frame_sample_y4m(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    every: int = 2,
+) -> DataFrame:
+    """Sample every *every*-th frame of Y4M payloads and emit per-frame
+    luma statistics — the real decode path of the video pipeline
+    (schema, batching, partition flow identical to what an ffmpeg-
+    backed decoder would use; only the codec layer differs).
+    Undecodable payloads contribute no rows.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [],
+                   "luma_mean": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = decode_y4m_bytes(bytes(payload))
+                except ValueError:
+                    continue
+                for fr in frames:
+                    if fr["frame_idx"] % every != 0:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fr["frame_idx"])
+                    out["n_frames"].append(len(frames))
+                    out["luma_mean"].append(
+                        round(fr["luma_sum"] / fr["n_pixels"], 6)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
     )

@@ -1457,6 +1457,93 @@ FROM pairs
 """
 
 
+# ------------------------------------- x93: real video frame sampling
+
+_Y4M_HEADER_HEX = (
+    "YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420jpeg\n".encode().hex()
+)
+_Y4M_FRAME_MARK_HEX = "FRAME\n".encode().hex()
+_Y4M_N_FRAMES = 4
+
+
+def q_x93_frame_sample(spark, sf_dir):
+    """REAL video frame sampling end to end
+    (operators/multimodal.py:frame_sample_y4m): each document renders
+    a deterministic 4-frame 8x8 YUV4MPEG2 clip as genuine container
+    bytes (header + FRAME markers + raw 4:2:0 planes, pure column
+    algebra), the operator parses the container inside mapInPandas and
+    samples every 2nd frame's luma mean.  The oracle derives the same
+    statistics arithmetically from the frame-generation formula — an
+    exact match proves the video container round trip, like x84 does
+    for images."""
+    from .operators.multimodal import frame_sample_y4m
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), nt.alias("__nt")
+    )
+    counts = _ahash_pixel_counts_spark(F.col("__nt"))
+    frame_hexes = []
+    for f in range(_Y4M_N_FRAMES):
+        y_hex = F.concat_ws(
+            "",
+            *[
+                F.lpad(F.hex((c + f * 17) % 256), 2, "0")
+                for c in counts
+            ],
+        )
+        frame_hexes.append(
+            F.concat(F.lit(_Y4M_FRAME_MARK_HEX), y_hex, F.lit("80" * 32))
+        )
+    payload = F.unhex(
+        F.concat(F.lit(_Y4M_HEADER_HEX), *frame_hexes)
+    )
+    with_vid = staged.select("doc_id", payload.alias("payload"))
+    return frame_sample_y4m(with_vid, "doc_id", "payload", every=2)
+
+
+def _sql_x93() -> str:
+    cols = []
+    for j in range(64):
+        if j < 26:
+            ch = _AHASH_LETTERS[j]
+            cols.append(
+                f"(length(nt) - length(replace(nt, '{ch}', ''))) % 256"
+            )
+        else:
+            cols.append(f"(length(nt) * {j + 1}) % 256")
+    px = ",\n           ".join(cols)
+    frames = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {f} AS frame_idx, px FROM c"
+        for f in range(0, _Y4M_N_FRAMES, 2)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         list_value(
+           {px}) AS px
+  FROM t
+), f AS (
+  {frames}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST({_Y4M_N_FRAMES} AS BIGINT) AS n_frames,
+       ROUND(CAST(list_reduce(list_transform(px,
+               x -> (x + frame_idx * 17) % 256),
+               (a, x) -> a + x) AS DOUBLE) / 64, 6) AS luma_mean
+FROM f
+"""
+
+
+SQL_X93 = _sql_x93()
+
+
 EXT2_QUERIES = {
     "x72_prefix_jaccard": q_x72_prefix_jaccard,
     "x73_hll_distinct": q_x73_hll_distinct,
@@ -1479,6 +1566,7 @@ EXT2_QUERIES = {
     "x90_mcv_stats": q_x90_mcv_stats,
     "x91_pagerank_step": q_x91_pagerank_step,
     "x92_multi_touch": q_x92_multi_touch,
+    "x93_frame_sample": q_x93_frame_sample,
 }
 
 EXT2_ORACLES = {
@@ -1503,4 +1591,5 @@ EXT2_ORACLES = {
     "x90_mcv_stats": SQL_X90,
     "x91_pagerank_step": SQL_X91,
     "x92_multi_touch": SQL_X92,
+    "x93_frame_sample": SQL_X93,
 }

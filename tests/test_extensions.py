@@ -1283,3 +1283,28 @@ def test_multi_touch_credit_sums_to_one(spark):
     u2 = [r for r in out if r["user"] == 2]
     assert len(u2) == 1 and u2[0]["credit"] == 1.0
     assert not [r for r in out if r["user"] == 3]
+
+
+def test_y4m_frame_sampling_real_container(spark):
+    from fame2pygen_spark.operators.multimodal import frame_sample_y4m
+
+    header = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n"
+    frames = b""
+    for f in range(3):
+        y = bytes([(10 * f + i) % 256 for i in range(16)])
+        uv = bytes([128] * 8)
+        frames += b"FRAME\n" + y + uv
+    rows = [
+        (1, bytearray(header + frames)),
+        (2, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = frame_sample_y4m(df, "doc_id", "payload", every=2).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    # every=2 over 3 frames -> frames 0 and 2; doc 2 undecodable
+    assert set(got) == {(1, 0), (1, 2)}
+    assert got[(1, 0)]["n_frames"] == 3
+    assert got[(1, 0)]["luma_mean"] == round(sum(range(16)) / 16, 6)
+    assert got[(1, 2)]["luma_mean"] == round(
+        sum((20 + i) % 256 for i in range(16)) / 16, 6
+    )
