@@ -12,9 +12,10 @@ The Spark-side plumbing here is real and tested — schemas, Arrow batch
 shape, ``mapInPandas`` partition flow, metadata extraction in pure
 column algebra.  Decode is REAL for the uncompressed formats pure
 Python can parse (BMP/PPM images via :func:`image_features` with
-nearest-neighbor thumbnailing, PCM WAV via :func:`audio_features`);
-compressed codecs (JPEG/PNG/MP3/video) genuinely require external
-libraries absent from this container, so those payloads degrade to
+nearest-neighbor thumbnailing, PCM WAV via :func:`audio_features`,
+YUV4MPEG2 video via :func:`frame_sample_y4m`); compressed codecs
+(JPEG/PNG/MP3/H.264) genuinely require external libraries absent
+from this container, so those payloads degrade to
 ``decoded='needs-codec'`` rows (never failing the batch) and the
 column-level hooks raise ``NotImplementedError``.  Swap ``decode_fn``
 for a real codec (PIL/ffmpeg) in production; the pipeline shape does
