@@ -311,3 +311,73 @@ def test_dup_span_profile_matches_bruteforce(spark, docs):
         )
         want[i] = (len(g), dup)
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1, max_size=30, unique=True,
+    ),
+    probes=st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1, max_size=50,
+    ),
+    m=st.sampled_from([8, 64, 1024]),
+)
+def test_bloom_never_drops_a_true_match(spark, keys, probes, m):
+    """The Bloom prefilter's contract: zero false negatives at ANY
+    filter size; matches equal the plain semi-join."""
+    from fame2pygen_spark.operators.bloom import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probes)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(k,) for k in keys], "k long")
+    _, matches = bloom_semi_join(
+        big, small, big_key="k", small_key="k", id_cols=["row_id"], m=m
+    )
+    want = {i for i, k in enumerate(probes) if k in set(keys)}
+    got = {r["row_id"] for r in matches.collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ts_list=st.lists(
+        st.integers(min_value=0, max_value=10_000_000_000),
+        min_size=1, max_size=40,
+    )
+)
+def test_sliding_windows_match_bruteforce(spark, ts_list):
+    """Integer-math sliding windows equal the brute-force definition
+    for arbitrary timestamps (window 1h, slide 15min)."""
+    from collections import Counter
+
+    from fame2pygen_spark.streaming.core import sliding_event_counts_batch
+
+    win, slide = 3_600_000_000, 900_000_000
+    rows = [(i, "t", float(i), ts) for i, ts in enumerate(ts_list)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts_us long"
+    )
+    out = sliding_event_counts_batch(
+        df, window_us=win, slide_us=slide
+    ).collect()
+    got = {(r["window_start_us"]): r["n_events"] for r in out}
+
+    want = Counter()
+    starts = {(t // slide) * slide - j * slide for t in ts_list for j in range(4)}
+    for s in starts:
+        c = sum(1 for t in ts_list if s <= t < s + win)
+        if c:
+            want[s] = c
+    assert got == dict(want)
