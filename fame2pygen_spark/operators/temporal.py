@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = [
     "asof_join", "range_join_points", "fill_gaps_daily",
     "time_weighted_avg", "group_trend", "cusum_scan", "autocorrelation",
+    "theil_sen_trend", "ewma_smooth", "scd2_merge",
+    "prorate_intervals", "decayed_sum",
 ]
 
 
@@ -674,4 +676,139 @@ def scd2_merge(
         .unionByName(unchanged)
         .unionByName(closing)
         .unionByName(opening)
+    )
+
+
+def prorate_intervals(
+    df: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    amount_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Calendarize interval-valued amounts: allocate each row's
+    *amount* across the calendar months its ``[start, end)`` day
+    interval overlaps, proportional to overlap days.
+
+    The classic warehouse "proration" (revenue recognition, contract
+    spreading): a 30-day order starting Jan 20 books 12/30 of its
+    amount to January and 18/30 to February.  The reference's
+    frequency converter (operators/convert.py, reference
+    fame2pygen/formulas_generator.py:154-218) resamples point series
+    between frequencies; this is the interval-valued counterpart that
+    has no FAME analog but every billing pipeline needs.
+
+    Mechanics, scale-first:
+    * each interval explodes to exactly the months it overlaps —
+      replication is O(interval span / month), row-local, no join;
+    * overlap math is integer day arithmetic (``datediff``), exact;
+    * the per-month allocation ``amount * overlap_days / total_days``
+      is one double multiply + divide per row (deterministic), then
+      decimal-cast before the sum so the final aggregate is
+      accumulation-order-insensitive;
+    * one hash aggregation keyed by (keys..., month) — a single
+      shuffle whose width is bounded by |keys| x months, not rows.
+
+    Returns ``(keys..., month, n_intervals, alloc_amount)`` with the
+    allocation rounded to 6 dp.
+    """
+    keys = list(keys)
+    start = F.col(start_col).cast("date")
+    # exclusive end; last covered day = end - 1
+    end = F.col(end_col).cast("date")
+    total_days = F.datediff(end, start)
+    base = (
+        df.where(total_days > 0)
+        .withColumn(
+            "__month",
+            F.explode(
+                F.sequence(
+                    F.trunc(start, "month"),
+                    F.trunc(F.date_sub(end, 1), "month"),
+                    F.expr("interval 1 month"),
+                )
+            ),
+        )
+    )
+    month_end = F.add_months(F.col("__month"), 1)
+    overlap = F.datediff(
+        F.least(end, month_end), F.greatest(start, F.col("__month"))
+    )
+    alloc = (
+        F.col(amount_col).cast("double")
+        * overlap.cast("double")
+        / total_days.cast("double")
+    )
+    return (
+        base.withColumn("__alloc", alloc.cast("decimal(38,12)"))
+        .groupBy(*keys, F.col("__month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.round(F.sum("__alloc").cast("double"), 6).alias(
+                "alloc_amount"
+            ),
+        )
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    half_life_days: int,
+    ref_date=None,
+) -> DataFrame:
+    """Exponentially time-decayed aggregate per key: each value is
+    weighted by ``0.5 ** (age_days / half_life_days)`` relative to
+    *ref_date* (default: the global max event date, computed in the
+    same job), so recent activity dominates without any cutoff cliff.
+
+    The standard recency-weighted feature for ranking/user-scoring
+    pipelines — a decayed sum is the fixpoint-free alternative to
+    "sum over the last N days" that needs no backfill when N changes.
+
+    Scale shape: the reference date is a 1-row global aggregate
+    broadcast back via cross join (the repo's scalar idiom, see
+    engine._eval_scalar); the weighted terms are row-local doubles
+    (one ``pow`` per row, deterministic), decimal-cast before
+    summation so the per-key result is independent of partitioning
+    and accumulation order.  One shuffle, keyed by *keys*.
+
+    Returns ``(keys..., n, decayed_sum_value, plain_sum_value)``,
+    sums rounded to 6 dp.
+    """
+    keys = list(keys)
+    if ref_date is None:
+        ref = df.agg(F.max(F.col(ts_col).cast("date")).alias("__ref"))
+        base = df.crossJoin(F.broadcast(ref))
+        ref_col = F.col("__ref")
+    else:
+        base = df
+        ref_col = F.lit(ref_date).cast("date")
+    age = F.datediff(ref_col, F.col(ts_col).cast("date")).cast("double")
+    weight = F.pow(
+        F.lit(0.5), age / F.lit(float(half_life_days))
+    )
+    term = (F.col(value_col).cast("double") * weight).cast(
+        "decimal(38,12)"
+    )
+    return (
+        base.groupBy(*keys)
+        .agg(
+            F.count(F.when(F.col(value_col).isNotNull(), 1))
+            .cast("long")
+            .alias("n"),
+            F.round(F.sum(term).cast("double"), 6).alias(
+                "decayed_sum_value"
+            ),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("plain_sum_value"),
+        )
     )

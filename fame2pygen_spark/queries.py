@@ -865,10 +865,12 @@ ORDER BY l_returnflag, l_linestatus
 
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from .queries_ext2 import EXT2_ORACLES, EXT2_QUERIES  # noqa: E402
+from .queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(EXT2_ORACLES)
+ORACLES.update(EXT3_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -900,6 +902,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT_QUERIES,
     **PANEL_QUERIES,
     **EXT2_QUERIES,
+    **EXT3_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against

@@ -78,3 +78,48 @@ def read_csv_corpus(
         F.col(CORRUPT).alias("raw_line")
     )
     return good, bad
+
+
+def extract_json_props(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, str],
+    *,
+    keep_raw: bool = False,
+) -> DataFrame:
+    """Typed extraction of scalar fields from a JSON string column.
+
+    *fields* maps field name -> Spark SQL type (``{"k": "bigint"}``).
+    One ``from_json`` per row parses the document ONCE for all fields
+    (N ``get_json_object`` calls would re-parse N times); malformed
+    JSON yields nulls for every field plus ``json_valid = false`` so
+    damage is measurable, matching the quarantine contract of the
+    readers above.
+
+    Everything is JVM-side Catalyst (``JsonToStructs``) — no Python in
+    the row path, so the extraction rides whole-stage codegen and is
+    safe in a 100 TB scan.  Column pruning still applies to every
+    other column; only *json_col* is materialized for parsing.
+    """
+    # PERMISSIVE from_json yields a struct of nulls for malformed
+    # input, indistinguishable from valid-but-null fields — the
+    # corrupt-record column disambiguates (same contract as the
+    # quarantining readers above).
+    schema = ", ".join(f"`{k}` {t}" for k, t in fields.items())
+    schema += f", `{CORRUPT}` string"
+    parsed = F.from_json(
+        F.col(json_col),
+        schema,
+        {"columnNameOfCorruptRecord": CORRUPT},
+    )
+    out = df.withColumn("__p", parsed)
+    for k in fields:
+        out = out.withColumn(k, F.col(f"__p.{k}"))
+    out = out.withColumn(
+        "json_valid",
+        F.col(json_col).isNotNull()
+        & F.col(f"__p.{CORRUPT}").isNull(),
+    ).drop("__p")
+    if not keep_raw:
+        out = out.drop(json_col)
+    return out

@@ -1308,3 +1308,129 @@ def test_y4m_frame_sampling_real_container(spark):
     assert got[(1, 2)]["luma_mean"] == round(
         sum((20 + i) % 256 for i in range(16)) / 16, 6
     )
+
+
+# --------------------------------- x94-x97: warehouse infrastructure
+
+
+def test_extract_json_props_typed_and_quarantined(spark):
+    from fame2pygen_spark.sources.ingest import extract_json_props
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tag": "a"}'),
+            (2, '{"k": null}'),
+            (3, "not json at all"),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    out = extract_json_props(
+        df, "props", {"k": "bigint", "tag": "string"}
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["k"] == 5 and rows[1]["tag"] == "a"
+    assert rows[1]["json_valid"] is True
+    assert rows[2]["k"] is None and rows[2]["json_valid"] is True
+    assert rows[3]["k"] is None and rows[3]["json_valid"] is False
+    assert rows[4]["json_valid"] is False
+    assert "props" not in out.columns  # keep_raw defaults off
+
+
+def test_prorate_intervals_conserves_and_splits(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.temporal import prorate_intervals
+
+    df = spark.createDataFrame(
+        [
+            # Jan 20 + 30 days -> 12 days Jan, 18 days Feb
+            (dt.date(1995, 1, 20), dt.date(1995, 2, 19), 300.0),
+            # fully inside March
+            (dt.date(1995, 3, 2), dt.date(1995, 3, 12), 50.0),
+            # zero-length interval: dropped, allocates nothing
+            (dt.date(1995, 4, 1), dt.date(1995, 4, 1), 999.0),
+        ],
+        "s date, e date, amt double",
+    )
+    out = prorate_intervals(
+        df, start_col="s", end_col="e", amount_col="amt"
+    )
+    rows = {r["month"]: r for r in out.collect()}
+    assert rows[dt.date(1995, 1, 1)]["alloc_amount"] == 300.0 * 12 / 30
+    assert rows[dt.date(1995, 2, 1)]["alloc_amount"] == 300.0 * 18 / 30
+    assert rows[dt.date(1995, 3, 1)]["alloc_amount"] == 50.0
+    assert dt.date(1995, 4, 1) not in rows
+    # conservation: total allocation equals total amount of kept rows
+    total = out.agg(F.sum("alloc_amount")).first()[0]
+    assert abs(total - 350.0) < 1e-6
+
+
+def test_dq_report_counts_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.quality import (
+        dq_report,
+        standard_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "A"), (-2.0, "A"), (None, "B"), (3.0, "Z")],
+        "qty double, flag string",
+    )
+    rules = standard_rules(
+        not_null=["qty"],
+        positive=["qty"],
+        domains={"flag": ["A", "B"]},
+    )
+    # cross-field rule with a narrower checked population
+    rules["qty_big_when_A"] = (
+        F.col("flag") == "A",
+        F.coalesce(F.col("qty") < 0, F.lit(True)),
+    )
+    out = {r["rule"]: r for r in dq_report(df, rules).collect()}
+    assert out["qty__not_null"]["n_violations"] == 1
+    assert out["qty__positive"]["n_violations"] == 2  # -2 and null
+    assert out["flag__domain"]["n_violations"] == 1  # Z
+    assert out["qty_big_when_A"]["n_checked"] == 2
+    assert out["qty_big_when_A"]["n_violations"] == 1  # the -2 row
+    assert out["qty__not_null"]["violation_rate"] == 0.25
+
+
+def test_decayed_sum_half_life_semantics(spark):
+    import datetime as dt
+
+    from fame2pygen_spark.operators.temporal import decayed_sum
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2020, 1, 8), 10.0),  # age 0
+            ("a", dt.datetime(2020, 1, 1), 10.0),  # age 7 -> weight 1/2
+            ("b", dt.datetime(2019, 12, 25), 8.0),  # age 14 -> 1/4
+        ],
+        "k string, ts timestamp, value double",
+    )
+    out = {
+        r["k"]: r
+        for r in decayed_sum(
+            df,
+            ["k"],
+            "ts",
+            "value",
+            half_life_days=7,
+            ref_date=dt.date(2020, 1, 8),
+        ).collect()
+    }
+    assert out["a"]["decayed_sum_value"] == 15.0  # 10 + 5
+    assert out["b"]["decayed_sum_value"] == 2.0  # 8/4
+    assert out["a"]["plain_sum_value"] == 20.0
+    # default reference = global max date, same result here
+    auto = {
+        r["k"]: r
+        for r in decayed_sum(
+            df, ["k"], "ts", "value", half_life_days=7
+        ).collect()
+    }
+    assert auto["a"]["decayed_sum_value"] == 15.0
