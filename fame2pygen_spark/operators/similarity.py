@@ -606,3 +606,67 @@ def rrf_fuse(
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, id_col: str, *, dims: int | None = None
+) -> DataFrame:
+    """Exact covariance matrix of the leading *dims* embedding
+    dimensions: ``(i, j, n, cov)`` for every ``i <= j`` (0-indexed,
+    population covariance, 6 dp) — the input to PCA whitening,
+    anisotropy diagnostics, and Mahalanobis outlier scoring over an
+    embedding corpus.
+
+    *id_col* must uniquely identify rows; the pair stage self-joins on
+    it.  (A generated ``monotonically_increasing_id`` is NOT usable
+    here: Catalyst's self-join attribute dedup collapses a join keyed
+    on a nondeterministic synthetic id from shared lineage into the
+    degenerate row-with-itself pairing.)
+
+    Mechanism (exact path): each vector posexplodes to its leading
+    components; the component table self-joins on the row id with
+    ``i <= j``, so one row becomes ``d(d+1)/2`` product terms; moments
+    ``n, Σx_i, Σx_j, Σx_i·x_j`` accumulate in one hash aggregation
+    with decimal-cast sums (accumulation-order-insensitive — the
+    ``corr_pairs`` idiom).  ``cov = Σxy/n − (Σx/n)(Σy/n)`` over exact
+    moments.
+
+    Scale note: the exact path shuffles O(rows · d²/2) product terms —
+    acceptable for d ≤ 32 slices; for full-width production runs the
+    right plan is per-partition float64 outer-product partials via
+    ``mapInPandas`` (one d×d matrix per partition, tiny combine),
+    which this function intentionally does not hide behind the same
+    name because its float sums are not bitwise reproducible across
+    partitionings.  Float32 inputs upcast to float64 exactly, so both
+    paths agree to float64 ulp.
+    """
+    d = int(dims) if dims else None
+    comps = df.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode(
+            F.slice(F.col(vec_col), 1, d) if d else F.col(vec_col)
+        ).alias("i", "x"),
+    ).select("__rid", "i", F.col("x").cast("double").alias("x"))
+    b = comps.select(
+        F.col("__rid"),
+        F.col("i").alias("j"),
+        F.col("x").alias("y"),
+    )
+    dec = "decimal(38,12)"
+    pairs = comps.join(b, on="__rid").where(F.col("i") <= F.col("j"))
+    m = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("__sx"),
+        F.sum(F.col("y").cast(dec)).alias("__sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.try_divide(F.col("__sxy").cast("double"), n) - (
+        F.try_divide(F.col("__sx").cast("double"), n)
+        * F.try_divide(F.col("__sy").cast("double"), n)
+    )
+    # + 0.0 canonicalizes IEEE negative zero (round(-1e-9, 6) is -0.0,
+    # which stringifies differently from 0.0 in the driver's hash)
+    return m.select(
+        "i", "j", "n", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
+    )

@@ -812,3 +812,105 @@ def decayed_sum(
             ).alias("plain_sum_value"),
         )
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    val_cols: Sequence[str],
+    op_col: str,
+    seq_cols: Sequence[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot: latest-wins upsert/delete
+    per key — the batch MERGE a lakehouse table maintenance job runs.
+
+    Semantics:
+    * among a key's change rows, the one greatest by *seq_cols*
+      (lexicographic) wins — earlier changes to the same key are
+      superseded without ever being applied;
+    * a winning ``delete_op`` removes the key from the snapshot;
+    * any other winning op REPLACES the key's *val_cols* (upsert:
+      unknown keys insert);
+    * keys with no change row pass through untouched.
+
+    Scale shape: one key-partitioned window over the changelog picks
+    winners (the changelog, not the snapshot, pays the window — it is
+    normally orders of magnitude smaller); the snapshot is touched by
+    exactly one left-anti equi-join plus a union — no window over the
+    base table, so the plan is independent of snapshot width/history.
+    Pass unambiguous *seq_cols* (e.g. ``(ts, change_id)``): ties must
+    be impossible or the winner is nondeterministic.
+
+    This is the key-value complement of :func:`scd2_merge` — that one
+    preserves history as versioned rows, this one maintains the
+    current-state snapshot.
+    """
+    keys = list(key_cols)
+    vals = list(val_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(s).desc() for s in seq_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = base.join(latest.select(*keys), on=keys, how="left_anti")
+    upserts = latest.where(F.col(op_col) != F.lit(delete_op)).select(
+        *keys, *vals
+    )
+    return kept.select(*keys, *vals).unionByName(upserts)
+
+
+def seasonal_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Month-of-year seasonal decomposition per key: for each
+    ``(key, month 1..12)``, the month's mean value and its seasonal
+    index (month mean / overall mean — 1.0 means no seasonality).
+
+    The classical multiplicative seasonal-index method — the
+    first-order answer to "is this series seasonal, and when" that
+    gates whether a pipeline needs deseasonalized features at all.
+
+    Scale shape: one hash aggregation keyed by (keys..., month) with
+    decimal moment sums; the overall mean comes from a window over the
+    ≤12 aggregated rows per key — the window input is |keys| x 12,
+    never the fact table.  All divisions are double ops over exact
+    decimal sums, so results are partitioning-independent.
+
+    Returns ``(keys..., month, n, month_avg, seasonal_index)``, 6 dp.
+    """
+    keys = list(keys)
+    dec = "decimal(38,12)"
+    m = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.month(F.col(ts_col)).alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(value_col).cast(dec)).alias("__s"),
+        )
+    )
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    tot_n = F.sum("n").over(wk)
+    tot_s = F.sum("__s").over(wk)
+    month_avg = F.try_divide(
+        F.col("__s").cast("double"), F.col("n").cast("double")
+    )
+    overall_avg = F.try_divide(
+        tot_s.cast("double"), tot_n.cast("double")
+    )
+    return (
+        m.withColumn("month_avg", F.round(month_avg, 6))
+        .withColumn(
+            "seasonal_index",
+            F.round(F.try_divide(month_avg, overall_avg), 6),
+        )
+        .select(*keys, "month", "n", "month_avg", "seasonal_index")
+    )

@@ -898,3 +898,67 @@ def bpe_pretoken_profile(
             F.try_divide(F.length(text_col).cast("double"), n_bpe), 6
         ).alias("chars_per_bpe_token"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str, id_col: str, *, k: float = 0.5
+) -> DataFrame:
+    """Per-document mean BIGRAM surprisal under the corpus's own
+    add-k-smoothed bigram model: ``(doc_id, n_bigrams,
+    mean_surprisal)`` in bits.
+
+    The contextual upgrade of :func:`unigram_surprisal`: a document of
+    individually-common words in unnatural ORDER (shuffled text, SEO
+    keyword stuffing, template churn) scores high here while scoring
+    low on the unigram signal — the difference between the two is a
+    cheap fluency proxy used in corpus quality filtering.
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` where ``c(w1·)``
+    counts bigrams starting with ``w1`` and ``V`` is corpus vocabulary
+    size; surprisal is ``-log2 P``.  Smoothing matters here (unlike
+    the unigram case) because conditional contexts CAN be unseen when
+    scoring with per-document leave-nothing-out counts.
+
+    Plan shape: tokens posexplode once; bigrams come from a ``lead``
+    over the (doc, position) window — row-linear, no self-join of the
+    token table; model counts are two keyed aggregations (bigram,
+    context) joined on the bigram key with Zipf fanout on the probe
+    side only; V is a 1-row aggregate injected as a literal.  Each
+    per-bigram surprisal is decimal-cast before the per-doc mean so
+    results are accumulation-order-insensitive.
+    """
+    df = _parallelize_input(df)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    vocab = float(toks.select("w1").distinct().count())
+    bg_counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    ctx_counts = bg_counts.groupBy("w1").agg(
+        F.sum("__cb").alias("__cw")
+    )
+    model = bg_counts.join(ctx_counts, on="w1")
+    p = (F.col("__cb") + F.lit(float(k))) / (
+        F.col("__cw").cast("double") + F.lit(float(k)) * F.lit(vocab)
+    )
+    surprisal = (-F.log2(p)).cast("decimal(38,12)")
+    return (
+        big.join(model, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.try_divide(
+                    F.sum(surprisal).cast("double"),
+                    F.count(F.lit(1)).cast("double"),
+                ),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )

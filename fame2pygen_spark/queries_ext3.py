@@ -28,7 +28,9 @@ def q_x94_json_props(spark, sf_dir):
     event pipeline starts with.  One JVM-side ``from_json`` parse per
     row (not one re-parse per field); malformed documents surface as
     ``json_valid = false`` instead of nulls-without-provenance."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
     ex = extract_json_props(ev, "props", {"k": "bigint"}, keep_raw=True)
     return (
         ex.groupBy("event_type")
@@ -229,9 +231,19 @@ def q_x97_decayed_agg(spark, sf_dir):
     cliff-free alternative to trailing-window sums.  Reference date is
     a 1-row broadcast; weighted terms are decimal-cast before the sum
     so results are partitioning-independent."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .queries_ext import _read_events
+
+    # date from integer µs (ts physical type varies by generation —
+    # never read events.ts raw; see _read_events)
+    ev = _read_events(spark, sf_dir).withColumn(
+        "__d",
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.expr("int(ts_us div 86400000000)"),
+        ),
+    )
     return tp.decayed_sum(
-        ev, ["event_type"], "ts", "value", half_life_days=7
+        ev, ["event_type"], "__d", "value", half_life_days=7
     ).orderBy("event_type")
 
 
@@ -272,3 +284,339 @@ EXT3_ORACLES = {
     "x96_dq_report": SQL_X96,
     "x97_decayed_agg": SQL_X97,
 }
+
+
+# ------------------------------------------ x98: bigram LM surprisal
+
+
+def q_x98_bigram_surprisal(spark, sf_dir):
+    """Add-k-smoothed bigram surprisal (operators/text.py:
+    bigram_surprisal) over documents, top-20 most-surprising docs —
+    the contextual fluency signal that catches shuffled/stuffed text
+    the unigram model (x50) cannot.  Bigrams come from a lead window
+    over (doc, position) — row-linear, no token self-join; per-bigram
+    surprisals are decimal-cast before the per-doc mean."""
+    from .operators.text import bigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_surprisal(docs, "text", "doc_id", k=0.5)
+    return (
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_bigrams",
+            "mean_surprisal",
+        )
+        .orderBy(F.col("mean_surprisal").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_X98 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '') AS tk
+  FROM documents
+), uni AS (
+  SELECT unnest(tk) AS w FROM toks
+), big AS (
+  SELECT doc_id, b.w1, b.w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+             i -> {'w1': tk[CAST(i AS INTEGER)],
+                   'w2': tk[CAST(i AS INTEGER) + 1]})) AS b
+    FROM toks
+  )
+), v AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vocab FROM uni
+), cb AS (
+  SELECT w1, w2, count(*) AS cbn FROM big GROUP BY w1, w2
+), cw AS (
+  SELECT w1, sum(cbn) AS cwn FROM cb GROUP BY w1
+), scored AS (
+  SELECT g.doc_id,
+         CAST(-log2((cb.cbn + 0.5)
+                    / (CAST(cw.cwn AS DOUBLE) + 0.5 * v.vocab))
+              AS DECIMAL(38,12)) AS s
+  FROM big g
+  JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2
+  JOIN cw ON g.w1 = cw.w1
+  CROSS JOIN v
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_surprisal
+FROM scored
+GROUP BY doc_id
+ORDER BY mean_surprisal DESC, doc_id
+LIMIT 20
+"""
+
+
+# ------------------------------------------------- x99: CDC apply
+
+
+def q_x99_cdc_apply(spark, sf_dir):
+    """Latest-wins CDC snapshot maintenance (operators/temporal.py:
+    cdc_apply): the customer table is the base snapshot, orders act as
+    a changelog on the customer key ((o_orderdate, o_orderkey)
+    sequence; finalized orders with key % 10 == 0 are deletes, the
+    rest upsert balance + priority segment).  The oracle rebuilds the
+    same merge with a SQL window — the aggregated final snapshot must
+    match exactly, proving winner selection, delete, upsert, and
+    passthrough semantics."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = cust.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderkey") % 10 == 0),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("acctbal"),
+        F.col("o_orderpriority").alias("segment"),
+    )
+    snap = tp.cdc_apply(
+        base,
+        changes,
+        key_cols=["cust_key"],
+        val_cols=["acctbal", "segment"],
+        op_col="op",
+        seq_cols=["seq_ts", "seq_id"],
+    )
+    return (
+        snap.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.round(
+                F.sum(F.col("acctbal").cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_acctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_X99 = """
+WITH changes AS (
+  SELECT o_custkey AS cust_key, o_orderdate AS seq_ts,
+         o_orderkey AS seq_id,
+         CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+              THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS acctbal, o_orderpriority AS segment
+  FROM orders
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cust_key ORDER BY seq_ts DESC, seq_id DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+), snap AS (
+  SELECT c.c_custkey AS cust_key, c.c_acctbal AS acctbal,
+         c.c_mktsegment AS segment
+  FROM customer c
+  WHERE c.c_custkey NOT IN (SELECT cust_key FROM latest)
+  UNION ALL
+  SELECT cust_key, acctbal, segment FROM latest WHERE op <> 'D'
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       ROUND(CAST(sum(CAST(acctbal AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS sum_acctbal
+FROM snap
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+# -------------------------------------------- x100: seasonal profile
+
+
+def q_x100_seasonal(spark, sf_dir):
+    """Month-of-year seasonal decomposition (operators/temporal.py:
+    seasonal_profile) of event values per event type: month means and
+    multiplicative seasonal indices from one decimal-moment hash
+    aggregation; the normalizing overall mean is a window over the
+    <=12 aggregated rows per key, never the fact table."""
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir).withColumn(
+        "__d",
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.expr("int(ts_us div 86400000000)"),
+        ),
+    )
+    return tp.seasonal_profile(
+        ev, ["event_type"], "__d", "value"
+    ).orderBy("event_type", "month")
+
+
+SQL_X100 = """
+WITH m AS (
+  SELECT event_type,
+         month(CAST(to_timestamp(epoch_us(ts) // 86400000000 * 86400)
+                    AS DATE)) AS month,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,12))) AS s
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(month AS BIGINT) AS month,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS month_avg,
+       ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)),
+             6) AS seasonal_index
+FROM m
+ORDER BY event_type, month
+"""
+
+
+# ------------------------------------- x101: embedding covariance
+
+
+def q_x101_embedding_cov(spark, sf_dir):
+    """Exact covariance of the leading 16 embedding dimensions
+    (operators/similarity.py:embedding_covariance): posexplode +
+    rowid self-join to d(d+1)/2 product terms, decimal moment sums —
+    the PCA/whitening input computed the order-insensitive way."""
+    from .operators.similarity import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(
+        emb, "embedding", "vec_id", dims=16
+    ).orderBy(
+        "i", "j"
+    )
+
+
+SQL_X101 = """
+WITH comp AS (
+  SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+  FROM embeddings, range(1, 17) AS t(i)
+), pairs AS (
+  SELECT a.i AS i, b.i AS j, a.x AS x, b.x AS y
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+), m AS (
+  SELECT i, j, count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,12))) AS sx,
+         sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM pairs GROUP BY i, j
+)
+SELECT i, j, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)),
+             6) + 0.0 AS cov
+FROM m
+ORDER BY i, j
+"""
+
+
+# ------------------------------------------- x102: audio features
+
+
+def _wav_header_hex() -> str:
+    """RIFF/WAVE header for 64-sample 16-bit mono PCM @ 8 kHz."""
+    import struct
+
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 164)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", 128)
+    )
+    return hdr.hex()
+
+
+_WAV_SAMPLE_HEX = (
+    "transform(sequence(0, 63), i -> concat("
+    "substring(lpad(hex(((doc_id * 31 + i * 17) % 2001 - 1000 + 65536)"
+    " % 65536), 4, '0'), 3, 2), "
+    "substring(lpad(hex(((doc_id * 31 + i * 17) % 2001 - 1000 + 65536)"
+    " % 65536), 4, '0'), 1, 2)))"
+)
+
+
+def q_x102_audio_features(spark, sf_dir):
+    """REAL-decode audio feature extraction end to end
+    (operators/multimodal.py:audio_features): each document renders a
+    deterministic 64-sample 16-bit PCM WAV payload in pure column
+    algebra (RIFF header literal + little-endian sample hex), the
+    operator parses the RIFF chunks and computes RMS with numpy inside
+    mapInPandas.  The oracle never sees the bytes — it derives RMS
+    arithmetically from the sample formula (all addends are dyadic
+    rationals, so the float sum is exact in any order), proving the
+    encode -> chunk-walk -> decode -> feature pipeline is bit-correct."""
+    from .operators.multimodal import audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.concat(
+        F.unhex(F.lit(_wav_header_hex())),
+        F.unhex(F.concat_ws("", F.expr(_WAV_SAMPLE_HEX))),
+    )
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("asset_id"),
+        payload.alias("payload"),
+    )
+    return audio_features(staged).orderBy("asset_id")
+
+
+SQL_X102 = """
+WITH sq AS (
+  SELECT d.doc_id,
+         sum(CAST(((d.doc_id * 31 + t.i * 17) % 2001 - 1000)
+                  * ((d.doc_id * 31 + t.i * 17) % 2001 - 1000)
+                  AS DOUBLE)) AS ssq
+  FROM documents d, range(0, 64) AS t(i)
+  GROUP BY d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(8 AS BIGINT) AS duration_ms,
+       printf('%.6f', sqrt(ssq / 68719476736.0)) AS rms,
+       'ok' AS decoded
+FROM sq
+ORDER BY asset_id
+"""
+
+EXT3_QUERIES.update({
+    "x98_bigram_surprisal": q_x98_bigram_surprisal,
+    "x99_cdc_apply": q_x99_cdc_apply,
+    "x100_seasonal": q_x100_seasonal,
+    "x101_embedding_cov": q_x101_embedding_cov,
+    "x102_audio_features": q_x102_audio_features,
+})
+
+EXT3_ORACLES.update({
+    "x98_bigram_surprisal": SQL_X98,
+    "x99_cdc_apply": SQL_X99,
+    "x100_seasonal": SQL_X100,
+    "x101_embedding_cov": SQL_X101,
+    "x102_audio_features": SQL_X102,
+})

@@ -1434,3 +1434,147 @@ def test_decayed_sum_half_life_semantics(spark):
         ).collect()
     }
     assert auto["a"]["decayed_sum_value"] == 15.0
+
+
+# ------------------------------ x98-x102: second infrastructure batch
+
+
+def test_bigram_surprisal_closed_form(spark):
+    import math
+
+    from fame2pygen_spark.operators.text import bigram_surprisal
+
+    # corpus: two identical docs "x y" -> one bigram type (x,y), c=2;
+    # contexts c(x.)=2; V=2; P = (2+0.5)/(2+0.5*2) = 2.5/3
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal(df, "text", "doc_id").collect()}
+    expect = round(-math.log2(2.5 / 3.0), 6)
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["mean_surprisal"] - expect) < 1e-9
+    assert out[1]["mean_surprisal"] == out[2]["mean_surprisal"]
+
+
+def test_bigram_surprisal_ranks_shuffled_text_higher(spark):
+    from fame2pygen_spark.operators.text import bigram_surprisal
+
+    fluent = "the cat sat on the mat " * 5
+    shuffled = "mat the on sat cat the " * 5
+    df = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, fluent), (4, shuffled)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal(df, "text", "doc_id").collect()}
+    # same unigrams, unusual order -> higher bigram surprisal
+    assert out[4]["mean_surprisal"] > out[1]["mean_surprisal"]
+
+
+def test_cdc_apply_semantics(spark):
+    from fame2pygen_spark.operators.temporal import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: two updates, later one wins
+            (1, 1, "U", 11.0),
+            (1, 2, "U", 12.0),
+            # k=2: update then delete -> gone
+            (2, 1, "U", 21.0),
+            (2, 2, "D", 0.0),
+            # k=4: insert via update for unknown key
+            (4, 1, "U", 40.0),
+            # k=5: delete of unknown key -> nothing
+            (5, 1, "D", 0.0),
+        ],
+        "k long, seq long, op string, v double",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in cdc_apply(
+            base,
+            changes,
+            key_cols=["k"],
+            val_cols=["v"],
+            op_col="op",
+            seq_cols=["seq"],
+        ).collect()
+    }
+    assert out == {1: 12.0, 3: 30.0, 4: 40.0}
+
+
+def test_seasonal_profile_indices(spark):
+    import datetime as dt
+
+    from fame2pygen_spark.operators.temporal import seasonal_profile
+
+    rows = []
+    # key "a": January mean 2.0 (two obs), February mean 1.0 (two obs)
+    rows += [("a", dt.datetime(2020, 1, 3), 1.5), ("a", dt.datetime(2021, 1, 9), 2.5)]
+    rows += [("a", dt.datetime(2020, 2, 5), 0.5), ("a", dt.datetime(2021, 2, 7), 1.5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r["month"]: r
+        for r in seasonal_profile(df, ["k"], "ts", "value").collect()
+    }
+    assert out[1]["month_avg"] == 2.0 and out[2]["month_avg"] == 1.0
+    assert out[1]["seasonal_index"] == round(2.0 / 1.5, 6)
+    assert out[2]["seasonal_index"] == round(1.0 / 1.5, 6)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from fame2pygen_spark.operators.similarity import embedding_covariance
+
+    rng = [
+        [float(((i * 7 + j * 13) % 11) - 5) / 3.0 for j in range(6)]
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding", "vec_id", dims=4).collect()
+    }
+    C = np.cov(np.array(rng)[:, :4], rowvar=False, bias=True)
+    assert len(out) == 10  # 4*5/2 upper-triangle pairs
+    for (i, j), v in out.items():
+        assert abs(v - round(float(C[i, j]), 6)) < 1e-6, (i, j)
+
+
+def test_audio_features_wav_roundtrip_formula(spark):
+    """The x102 column-algebra WAV payload decodes to exactly the RMS
+    the sample formula predicts (dyadic rationals -> exact float sums)."""
+    import math
+
+    from fame2pygen_spark.queries_ext3 import (
+        _WAV_SAMPLE_HEX,
+        _wav_header_hex,
+    )
+    from fame2pygen_spark.operators.multimodal import audio_features
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    payload = F.concat(
+        F.unhex(F.lit(_wav_header_hex())),
+        F.unhex(F.concat_ws("", F.expr(_WAV_SAMPLE_HEX))),
+    )
+    staged = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    out = {r["asset_id"]: r for r in audio_features(staged).collect()}
+    for did in (7, 123):
+        ssq = sum(
+            ((did * 31 + i * 17) % 2001 - 1000) ** 2 for i in range(64)
+        )
+        expect = f"{math.sqrt(ssq / 68719476736.0):.6f}"
+        assert out[did]["decoded"] == "ok"
+        assert out[did]["sample_rate"] == 8000
+        assert out[did]["n_samples"] == 64
+        assert out[did]["duration_ms"] == 8
+        assert out[did]["rms"] == expect
