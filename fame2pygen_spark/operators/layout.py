@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _bin_col(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
@@ -136,3 +136,60 @@ def zorder_extent_profile(
             ).alias(f"span_frac_{c}"),
         ]
     return keyed.groupBy("zbucket").agg(*aggs)
+
+
+def compaction_plan(
+    files: DataFrame,
+    *,
+    partition_cols: Sequence[str],
+    file_col: str,
+    size_col: str,
+    target_size: int,
+) -> DataFrame:
+    """Small-file compaction planning: within each table partition,
+    assign files (ordered by *file_col* for determinism) to compaction
+    groups of ~*target_size* bytes via exclusive-cumulative-sum
+    bucketing — the table-maintenance step that turns a
+    million-small-files partition back into scan-efficient objects.
+
+    ``group = floor(cumsum_before / target)``: each group closes as
+    soon as it reaches the target, so every group except a partition's
+    last is >= target only when single files exceed it — the same
+    one-pass rule Delta/Iceberg compactors use (greedy by declared
+    order, not true bin packing, which is NP-hard and order-unstable).
+
+    Scale shape: this operates on FILE METADATA (one row per file),
+    orders of magnitude smaller than the data; the window partitions
+    by table partition, so no global sort.  All arithmetic is integer
+    — exact everywhere.
+
+    Returns one row per ``(partition_cols..., compaction_group)``:
+    ``n_files, total_bytes, reaches_target``.
+    """
+    if target_size <= 0:
+        raise ValueError("target_size must be positive")
+    parts = list(partition_cols)
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(
+        F.sum(F.col(size_col).cast("long")).over(w), F.lit(0)
+    )
+    grouped = (
+        files.withColumn("__before", before)
+        .withColumn(
+            "compaction_group",
+            F.expr(f"__before div {int(target_size)}").cast("long"),
+        )
+    )
+    return grouped.groupBy(*parts, "compaction_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.col(size_col).cast("long")).cast("long").alias(
+            "total_bytes"
+        ),
+        (
+            F.sum(F.col(size_col).cast("long")) >= F.lit(int(target_size))
+        ).alias("reaches_target"),
+    )

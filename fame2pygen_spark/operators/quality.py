@@ -104,3 +104,29 @@ def standard_rules(
             F.coalesce(~F.col(c).isin(list(vals)), F.lit(True)),
         )
     return rules
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], *, k: int
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one row
+    per distinct QI group with its size and whether it violates the
+    anonymity threshold (``group_size < k`` — individuals in such a
+    group are re-identifiable by joining public attributes).
+
+    The standard pre-release privacy gate: before publishing or
+    sharing a derived dataset, every QI equivalence class must reach
+    size >= k, else those rows need suppression or generalization
+    (coarser buckets).  Complements the content-level PII scrub
+    (operators/pii.py) — that removes identifiers IN values, this
+    measures identifiability FROM attribute combinations.
+
+    One hash aggregation keyed by the QI columns; the output is
+    |distinct QI combos|, not rows — safe to collect for dimension-
+    sized QI spaces and still a DataFrame for wide ones.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    ).withColumn("violates_k", F.col("group_size") < F.lit(int(k)))

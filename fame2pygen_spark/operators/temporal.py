@@ -914,3 +914,97 @@ def seasonal_profile(
         )
         .select(*keys, "month", "n", "month_avg", "seasonal_index")
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    threshold: float = 3.5,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Seasonality-adjusted robust outliers: subtract each key's
+    month-of-year mean (:func:`seasonal_profile`) from every value,
+    then flag residuals via the MAD modified z-test
+    (sketch.mad_outliers) — so a December spike in a series that
+    always spikes in December is NOT an anomaly, and a mild July value
+    in a series that should dip in July IS.
+
+    This is the composition every monitoring pipeline converges on:
+    plain z-scores over seasonal data alert on the season, not the
+    anomaly.  Plan: the month-mean join is broadcast (|keys| x 12
+    rows); residual scoring inherits mad_outliers' two exact-
+    percentile aggregates; everything else is row-local.
+
+    Returns flagged rows only: ``(keys..., month, value, residual,
+    robust_z)`` with residual/robust_z at 6 dp.
+    """
+    from .sketch import mad_outliers
+
+    keys = list(keys)
+    prof = seasonal_profile(df, keys, ts_col, value_col)
+    base = df.withColumn(
+        "month", F.month(F.col(ts_col))
+    ).join(
+        F.broadcast(prof.select(*keys, "month", "month_avg")),
+        on=[*keys, "month"],
+    )
+    resid = base.withColumn(
+        "residual", F.col(value_col) - F.col("month_avg")
+    )
+    flagged = mad_outliers(
+        resid, keys, "residual", threshold=threshold
+    ).where(F.col("is_outlier"))
+    return flagged.select(
+        *keep_cols,
+        *keys,
+        "month",
+        F.col(value_col).alias("value"),
+        F.round(F.col("residual"), 6).alias("residual"),
+        "robust_z",
+    )
+
+
+def late_data_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    arrival_col: str,
+    *,
+    watermark: int,
+) -> DataFrame:
+    """Watermark late-data accounting, the batch twin of a streaming
+    watermark: replaying events in arrival order (*arrival_col*), a
+    row is DROPPED-LATE when its event time trails the running
+    event-time maximum seen so far by more than *watermark* (same
+    units as *ts_col*; use integer epoch units).
+
+    This measures what a given ``withWatermark`` delay WOULD discard
+    before you deploy it — the number every streaming-job sizing
+    decision needs and almost nobody computes.  One window per key
+    ordered by arrival (running max over the preceding frame, exact
+    integer comparison); one aggregation for the report.
+
+    Returns ``(keys..., n_events, n_late, max_lateness)`` where
+    max_lateness is the worst observed event-time lag (0 when none).
+    """
+    keys = list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    high = F.max(F.col(ts_col)).over(w)
+    lag = F.greatest(
+        F.coalesce(high - F.col(ts_col), F.lit(0)), F.lit(0)
+    )
+    scored = df.withColumn("__lag", lag)
+    return scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("__lag") > F.lit(int(watermark)), 1))
+        .cast("long")
+        .alias("n_late"),
+        F.max("__lag").cast("long").alias("max_lateness"),
+    )

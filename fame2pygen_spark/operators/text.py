@@ -962,3 +962,98 @@ def bigram_surprisal(
             ).alias("mean_surprisal"),
         )
     )
+
+
+RAKE_STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "if", "then", "else", "of",
+    "in", "on", "at", "to", "for", "with", "by", "from", "as", "is",
+    "are", "was", "were", "be", "been", "it", "its", "this", "that",
+    "these", "those", "not", "no", "so", "we", "you", "they", "he",
+    "she", "i", "my", "our", "their", "your",
+]
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    top_n: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores ``degree/frequency`` where ``degree(w) = Σ |phrase|`` over
+    phrases containing w (co-occurrence-weighted) and ``freq(w)`` its
+    candidate count; a phrase scores the sum of its word scores.
+    Returns the corpus top-*top_n*: ``(phrase, n_occurrences,
+    score)`` (6 dp; ties broken by phrase text).
+
+    Spark-first mechanics: phrase segmentation is the gaps-and-islands
+    idiom — non-stopword tokens keep their position, ``pos −
+    row_number`` is constant within a run — one window per doc, no
+    per-row Python and no HOF lambda over whole documents (the
+    re-evaluation pitfall documented in prefix_jaccard_join).  Word
+    statistics are one aggregation over exploded phrase words; phrase
+    scores decimal-cast word scores before summing so corpus-wide
+    ranking is partitioning-independent.  ``max_phrase_len`` caps
+    degenerate runs (a stopword-free spam page is otherwise one giant
+    phrase with an enormous score).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    nonstop = toks.where(~F.col("w").isin(RAKE_STOPWORDS))
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    runs = nonstop.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(wn)
+    )
+    inst = (
+        runs.groupBy("doc_id", "__grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("int").alias("plen"),
+        )
+        .where(F.col("plen") <= F.lit(int(max_phrase_len)))
+    )
+    words = inst.select(
+        "doc_id",
+        "__grp",
+        "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("plen").cast("long").alias("__deg"),
+    )
+    score_w = F.try_divide(
+        F.col("__deg").cast("double"), F.col("__freq").cast("double")
+    )
+    scored_words = stats.withColumn("__ws", score_w)
+    inst_scores = (
+        words.join(scored_words, on="w")
+        .groupBy("doc_id", "__grp")
+        .agg(
+            F.sum(F.col("__ws").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("__ps")
+        )
+    )
+    phrases = inst.join(inst_scores, on=["doc_id", "__grp"]).groupBy(
+        "phrase"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.round(F.max("__ps"), 6).alias("score"),
+    )
+    return phrases.orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    ).limit(int(top_n))

@@ -620,3 +620,313 @@ EXT3_ORACLES.update({
     "x101_embedding_cov": SQL_X101,
     "x102_audio_features": SQL_X102,
 })
+
+
+# --------------------------------------------- x103: k-anonymity
+
+
+def q_x103_k_anonymity(spark, sf_dir):
+    """k-anonymity privacy audit (operators/quality.py:k_anonymity)
+    over the (market segment, nation) quasi-identifier pair, rolled up
+    per segment: how many equivalence classes fall below k=3 and how
+    many individuals sit in them — the pre-release gate complementing
+    content-level PII scrubbing (x20)."""
+    from .operators.quality import k_anonymity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    groups = k_anonymity(
+        cust, ["c_mktsegment", "c_nationkey"], k=3
+    )
+    return (
+        groups.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.count(F.when(F.col("violates_k"), 1))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(
+                F.when(F.col("violates_k"), F.col("group_size")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.min("group_size").cast("long").alias("min_group_size"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_X103 = """
+WITH g AS (
+  SELECT c_mktsegment AS segment, c_nationkey,
+         count(*) AS group_size,
+         count(*) < 3 AS violates_k
+  FROM customer GROUP BY 1, 2
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(CASE WHEN violates_k THEN 1 END) AS BIGINT)
+         AS n_violating,
+       CAST(sum(CASE WHEN violates_k THEN group_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(min(group_size) AS BIGINT) AS min_group_size
+FROM g
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+# --------------------------------------- x104: seasonal anomalies
+
+
+def q_x104_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-adjusted robust outliers (operators/temporal.py:
+    seasonal_anomalies = seasonal_profile ∘ mad_outliers): event
+    values minus their type's month-of-year mean, flagged by the MAD
+    modified z-test — December spikes in December-spiking series stay
+    quiet; off-season drifts fire."""
+    from .queries_ext import _read_events
+    from .operators.temporal import seasonal_anomalies
+
+    ev = _read_events(spark, sf_dir).withColumn(
+        "__d",
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.expr("int(ts_us div 86400000000)"),
+        ),
+    )
+    return seasonal_anomalies(
+        ev,
+        ["event_type"],
+        "__d",
+        "value",
+        threshold=3.5,
+        keep_cols=["event_id"],
+    ).orderBy("event_id")
+
+
+SQL_X104 = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         month(CAST(to_timestamp(epoch_us(ts) // 86400000000 * 86400)
+                    AS DATE)) AS month
+  FROM events
+), prof AS (
+  SELECT event_type, month,
+         ROUND(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS month_avg
+  FROM e WHERE value IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT e.event_id, e.event_type, e.month, e.value,
+         e.value - p.month_avg AS residual
+  FROM e JOIN prof p USING (event_type, month)
+), med AS (
+  SELECT event_type, quantile_cont(residual, 0.5) AS med
+  FROM r GROUP BY event_type
+), mad AS (
+  SELECT r.event_type, med.med,
+         quantile_cont(abs(r.residual - med.med), 0.5) AS mad
+  FROM r JOIN med USING (event_type)
+  GROUP BY r.event_type, med.med
+), z AS (
+  SELECT r.event_id, r.event_type, r.month, r.value, r.residual,
+         ROUND(0.6745 * (r.residual - mad.med) / mad.mad, 6) AS robust_z
+  FROM r JOIN mad USING (event_type)
+  WHERE r.residual IS NOT NULL AND mad.mad > 0
+)
+SELECT event_id, event_type, CAST(month AS BIGINT) AS month, value,
+       ROUND(residual, 6) AS residual, robust_z
+FROM z
+WHERE abs(robust_z) > 3.5
+ORDER BY event_id
+"""
+
+
+# --------------------------------------- x105: compaction planning
+
+
+def q_x105_compaction(spark, sf_dir):
+    """Small-file compaction planning (operators/layout.py:
+    compaction_plan): synthetic file metadata — one file per
+    (returnflag, ship month) with a deterministic integer size — is
+    binned into ~8-file compaction groups by exclusive-cumsum
+    bucketing, the greedy one-pass rule lakehouse compactors use.
+    Pure integer metadata math: exact at any scale."""
+    from .operators.layout import compaction_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        (
+            F.year(F.col("l_shipdate")) * 100
+            + F.month(F.col("l_shipdate"))
+        )
+        .cast("long")
+        .alias("file_id"),
+    ).agg((F.count(F.lit(1)) * 4096).cast("long").alias("size_bytes"))
+    plan = compaction_plan(
+        files,
+        partition_cols=["rf"],
+        file_col="file_id",
+        size_col="size_bytes",
+        target_size=8_000_000,
+    )
+    return plan.orderBy("rf", "compaction_group")
+
+
+SQL_X105 = """
+WITH files AS (
+  SELECT l_returnflag AS rf,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS file_id,
+         CAST(count(*) * 4096 AS BIGINT) AS size_bytes
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT rf, file_id, size_bytes,
+         coalesce(sum(size_bytes) OVER (
+           PARTITION BY rf ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM files
+)
+SELECT rf,
+       CAST(before // 8000000 AS BIGINT) AS compaction_group,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+       sum(size_bytes) >= 8000000 AS reaches_target
+FROM cum
+GROUP BY rf, CAST(before // 8000000 AS BIGINT)
+ORDER BY rf, compaction_group
+"""
+
+
+# ------------------------------------------ x106: RAKE keywords
+
+
+def q_x106_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (operators/text.py:rake_keywords):
+    stopword-split candidate phrases via the gaps-and-islands window
+    (no HOF lambda over documents), degree/frequency word scores, and
+    decimal-summed phrase scores — corpus top-20."""
+    from .operators.text import rake_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rake_keywords(docs, "text", "doc_id", top_n=20)
+
+
+def _sql_x106() -> str:
+    from .operators.text import RAKE_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u['pos'] AS pos, u['w'] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1),
+             i -> {{'pos': i - 1,
+                    'w': tk[CAST(i AS INTEGER)]}})) AS u
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS tk
+      FROM documents
+    )
+  )
+), nonstop AS (
+  SELECT doc_id, pos, w,
+         pos - row_number() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks WHERE w NOT IN ({stop})
+), inst AS (
+  SELECT doc_id, grp,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM nonstop GROUP BY doc_id, grp
+  HAVING count(*) <= 4
+), words AS (
+  SELECT doc_id, grp, plen, unnest(string_split(phrase, ' ')) AS w
+  FROM inst
+), stats AS (
+  SELECT w, count(*) AS freq, sum(plen) AS deg FROM words GROUP BY w
+), inst_scores AS (
+  SELECT wo.doc_id, wo.grp,
+         CAST(sum(CAST(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ps
+  FROM words wo JOIN stats s USING (w)
+  GROUP BY wo.doc_id, wo.grp
+), phrases AS (
+  SELECT i.phrase,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         ROUND(max(sc.ps), 6) AS score
+  FROM inst i JOIN inst_scores sc
+    ON i.doc_id = sc.doc_id AND i.grp = sc.grp
+  GROUP BY i.phrase
+)
+SELECT phrase, n_occurrences, score
+FROM phrases
+ORDER BY score DESC, phrase ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------- x107: late-data accounting
+
+
+def q_x107_late_data(spark, sf_dir):
+    """Watermark sizing report (operators/temporal.py:
+    late_data_profile): replay events in arrival order (event_id) per
+    type and count rows a 1-second streaming watermark WOULD drop,
+    plus the worst event-time lag — the number that decides
+    withWatermark() before deployment.  Exact integer µs arithmetic."""
+    from .queries_ext import _read_events
+    from .operators.temporal import late_data_profile
+
+    ev = _read_events(spark, sf_dir)
+    return late_data_profile(
+        ev,
+        ["event_type"],
+        "ts_us",
+        "event_id",
+        watermark=1_000_000,
+    ).orderBy("event_type")
+
+
+SQL_X107 = """
+WITH s AS (
+  SELECT event_type,
+         greatest(coalesce(
+           max(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch_us(ts), 0), 0) AS lag
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CASE WHEN lag > 1000000 THEN 1 END) AS BIGINT)
+         AS n_late,
+       CAST(max(lag) AS BIGINT) AS max_lateness
+FROM s
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+EXT3_QUERIES.update({
+    "x103_k_anonymity": q_x103_k_anonymity,
+    "x104_seasonal_anomaly": q_x104_seasonal_anomaly,
+    "x105_compaction": q_x105_compaction,
+    "x106_rake_keywords": q_x106_rake_keywords,
+    "x107_late_data": q_x107_late_data,
+})
+
+EXT3_ORACLES.update({
+    "x103_k_anonymity": SQL_X103,
+    "x104_seasonal_anomaly": SQL_X104,
+    "x105_compaction": SQL_X105,
+    "x106_rake_keywords": _sql_x106(),
+    "x107_late_data": SQL_X107,
+})

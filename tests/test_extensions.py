@@ -1578,3 +1578,117 @@ def test_audio_features_wav_roundtrip_formula(spark):
         assert out[did]["n_samples"] == 64
         assert out[did]["duration_ms"] == 8
         assert out[did]["rms"] == expect
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from fame2pygen_spark.operators.quality import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)],
+        "seg string, nat int",
+    )
+    out = {
+        (r["seg"], r["nat"]): r
+        for r in k_anonymity(df, ["seg", "nat"], k=3).collect()
+    }
+    assert out[("a", 1)]["group_size"] == 5
+    assert out[("a", 1)]["violates_k"] is False
+    assert out[("a", 2)]["violates_k"] is True
+    assert out[("b", 1)]["violates_k"] is True
+
+
+def test_seasonal_anomalies_ignores_seasonal_spikes(spark):
+    import datetime as dt
+
+    from fame2pygen_spark.operators.temporal import seasonal_anomalies
+
+    rows = []
+    # series spikes EVERY December across years -> that's seasonality;
+    # small per-year variation keeps the residual MAD nonzero (an
+    # exactly-repeating series has MAD 0 and flags nothing by design)
+    for y in range(2015, 2021):
+        for m in range(1, 13):
+            v = (100.0 if m == 12 else 10.0) + (y % 5) * 0.3
+            rows.append((f"e{y}{m:02d}", "k", dt.datetime(y, m, 15), v))
+    # one off-season spike: July 2020 at December levels
+    rows.append(("anom", "k", dt.datetime(2020, 7, 20), 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id string, k string, ts timestamp, value double"
+    )
+    out = seasonal_anomalies(
+        df, ["k"], "ts", "value", keep_cols=["event_id"]
+    ).collect()
+    ids = {r["event_id"] for r in out}
+    assert "anom" in ids
+    # no regular December spike is flagged
+    assert not any(i.startswith("e") and i.endswith("12") for i in ids)
+
+
+def test_compaction_plan_grouping(spark):
+    from fame2pygen_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [
+            ("p", 1, 600), ("p", 2, 600), ("p", 3, 600),  # grp 0,0,1
+            ("p", 4, 5000),                                # oversize
+            ("p", 5, 100),
+            ("q", 1, 50),
+        ],
+        "part string, file_id int, size long",
+    )
+    out = {
+        (r["part"], r["compaction_group"]): r
+        for r in compaction_plan(
+            files,
+            partition_cols=["part"],
+            file_col="file_id",
+            size_col="size",
+            target_size=1000,
+        ).collect()
+    }
+    # cumsum-before: f1=0,f2=600 -> grp0 {f1,f2}; f3 before=1200 -> grp1
+    assert out[("p", 0)]["n_files"] == 2
+    assert out[("p", 0)]["total_bytes"] == 1200
+    assert out[("p", 0)]["reaches_target"] is True
+    # f4 (5000) before=1800 -> grp1 with f3; f5 before=6800 -> grp6
+    assert out[("p", 1)]["n_files"] == 2
+    assert out[("p", 6)]["n_files"] == 1
+    assert out[("q", 0)]["reaches_target"] is False
+
+
+def test_rake_scores_multiword_phrases(spark):
+    from fame2pygen_spark.operators.text import rake_keywords
+
+    docs = [
+        (1, "deep learning models and the deep learning stack"),
+        (2, "deep learning is the future of learning"),
+        (3, "shallow models are fast"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = rake_keywords(df, "text", "doc_id", top_n=5).collect()
+    phrases = [r["phrase"] for r in out]
+    # co-occurrence degree makes "deep learning"-family phrases beat
+    # standalone common words; the longest run tops (classic RAKE)
+    assert phrases[0] == "deep learning stack"
+    top = {r["phrase"]: r for r in out}
+    assert "deep learning" in top
+    assert top["deep learning"]["n_occurrences"] == 1
+    assert top["deep learning stack"]["score"] > top["deep learning"]["score"]
+
+
+def test_late_data_profile_counts(spark):
+    from fame2pygen_spark.operators.temporal import late_data_profile
+
+    rows = [
+        # arrival order 1..5; ts: 100, 200, 90 (late by 110), 300,
+        # 295 (late by 5 — under watermark 10? no, 5 <= 10 keeps it)
+        ("k", 1, 100), ("k", 2, 200), ("k", 3, 90),
+        ("k", 4, 300), ("k", 5, 295),
+    ]
+    df = spark.createDataFrame(rows, "k string, arr int, t long")
+    out = late_data_profile(
+        df, ["k"], "t", "arr", watermark=10
+    ).collect()[0]
+    assert out["n_events"] == 5
+    assert out["n_late"] == 1  # only the 110-lag row exceeds 10
+    assert out["max_lateness"] == 110
