@@ -184,3 +184,82 @@ def test_zorder_layout_is_aggregate_only(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+# ---------------------------- x94-x107: infrastructure batch (r3 cont.)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x94_json_props",       # single-scan JSON aggregate
+        "x95_prorate",          # row-local month explode + one agg
+        "x96_dq_report",        # one stacked scan
+        "x97_decayed_agg",      # broadcast ref date + one agg
+        "x99_cdc_apply",        # changelog window + anti-join
+        "x100_seasonal",        # decimal moments + tiny window
+        "x101_embedding_cov",   # rowid-keyed pair join
+        "x103_k_anonymity",     # one hash agg
+        "x105_compaction",      # metadata window + agg
+        "x107_late_data",       # keyed arrival window
+    ],
+)
+def test_infra_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x94_json_props",   # pure aggregate — no window at all
+        "x95_prorate",      # explode + aggregate — no window
+        "x96_dq_report",    # stacked scan — no window
+        "x103_k_anonymity", # hash agg — no window
+    ],
+)
+def test_infra_aggregates_have_no_window(spark, name):
+    plan = plan_of(spark, name)
+    assert "Window" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # every window in these plans must be partitioned (no global
+        # single-partition sort): x99/x107 key their windows, x100's
+        # normalizer windows over the per-key aggregate, x105 windows
+        # over file metadata partitions
+        "x99_cdc_apply",
+        "x100_seasonal",
+        "x105_compaction",
+        "x107_late_data",
+        "x98_bigram_surprisal",
+    ],
+)
+def test_infra_windows_are_partitioned(spark, name):
+    assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_dq_report_is_one_scan_of_the_fact_table(spark):
+    # N rules must not become N scans: exactly one parquet scan of
+    # lineitem in the whole plan
+    plan = plan_of(spark, "x96_dq_report")
+    # formatted plans mention each scan twice (tree + node details):
+    # two tables (lineitem + orders) -> at most 4 mentions; N rules
+    # adding N scans would show immediately
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_decayed_agg_broadcasts_reference_date(spark):
+    plan = plan_of(spark, "x97_decayed_agg")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the 1-row reference-date cross join must never be a shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_anomaly_broadcasts_profile(spark):
+    # month means (|keys| x 12 rows) and MAD stats join broadcast
+    plan = plan_of(spark, "x104_seasonal_anomaly")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
