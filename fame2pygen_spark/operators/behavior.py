@@ -661,3 +661,166 @@ def multi_touch_attribution(
         F.col("n_touches").cast("long").alias("n_touches"),
         F.round(credit, 6).alias("credit"),
     )
+
+
+def cuped_lift(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    cutoff,
+    salt: str = "ab",
+) -> DataFrame:
+    """CUPED variance-reduced A/B comparison (Deng et al. 2013): each
+    user's post-period metric ``y`` is adjusted by their PRE-period
+    covariate ``x`` — ``y' = y − θ(x − x̄)`` with
+    ``θ = cov(x,y)/var(x)`` pooled across arms — which removes the
+    between-user variance the experiment randomized over, typically
+    shrinking confidence intervals 30-50% at zero bias (the covariate
+    predates assignment, so E[x|arm] is equal by construction).
+
+    *cutoff* (same units as *ts_col*) splits pre/post; users with no
+    pre-period activity take ``x = 0`` (the constant-imputation
+    convention — any constant is unbiased).  Assignment is the
+    deterministic ``uniform_hash01`` 50/50 split (an A/A harness; feed
+    a real variant column for production use).
+
+    Plan shape: one user-keyed reduce builds (x, y); θ and x̄ come
+    from ONE 1-row decimal-moment aggregate broadcast back; the final
+    per-arm reduce is decimal-cast.  Three aggregations total, no
+    windows, nothing keyed wider than the user.
+
+    Returns one row per variant: ``(variant, n_users, mean_y,
+    mean_y_cuped, var_y, var_y_cuped)`` at 6 dp — the variance
+    columns demonstrate the reduction.
+    """
+    from .mixing import uniform_hash01
+
+    dec = "decimal(38,12)"
+    pre = F.when(
+        F.col(ts_col) < F.lit(cutoff), F.col(value_col)
+    ).otherwise(F.lit(0.0))
+    post = F.when(
+        F.col(ts_col) >= F.lit(cutoff), F.col(value_col)
+    ).otherwise(F.lit(0.0))
+    per_user = events.groupBy(user_col).agg(
+        F.sum(pre.cast(dec)).cast("double").alias("x"),
+        F.sum(post.cast(dec)).cast("double").alias("y"),
+    ).select(
+        F.when(
+            uniform_hash01(F.col(user_col), salt) < 0.5, F.lit("a")
+        )
+        .otherwise(F.lit("b"))
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("__sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("__sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("double")
+        .alias("__sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("__sxx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom))
+    mean_x = F.col("__sx") / F.col("__n")
+    theta = F.try_divide(
+        F.col("__sxy") / F.col("__n") - mean_x * (F.col("__sy") / F.col("__n")),
+        F.col("__sxx") / F.col("__n") - mean_x * mean_x,
+    )
+    y_adj = F.col("y") - F.coalesce(theta, F.lit(0.0)) * (
+        F.col("x") - mean_x
+    )
+    scored = adj.withColumn("y_cuped", y_adj)
+    out = scored.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("__ty"),
+        F.sum(F.col("y_cuped").cast(dec)).cast("double").alias("__tc"),
+        F.sum((F.col("y") * F.col("y")).cast(dec))
+        .cast("double")
+        .alias("__tyy"),
+        F.sum((F.col("y_cuped") * F.col("y_cuped")).cast(dec))
+        .cast("double")
+        .alias("__tcc"),
+    )
+    n = F.col("n_users").cast("double")
+    return out.select(
+        "variant",
+        "n_users",
+        F.round(F.col("__ty") / n, 6).alias("mean_y"),
+        F.round(F.col("__tc") / n, 6).alias("mean_y_cuped"),
+        F.round(
+            F.col("__tyy") / n - (F.col("__ty") / n) * (F.col("__ty") / n),
+            6,
+        ).alias("var_y"),
+        F.round(
+            F.col("__tcc") / n - (F.col("__tc") / n) * (F.col("__tc") / n),
+            6,
+        ).alias("var_y_cuped"),
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Model-calibration curve: rows bucketed into equal-population
+    score bins (exact-quantile boundaries), each bin reporting its
+    mean score vs. observed outcome rate — a well-calibrated scorer
+    tracks the diagonal.  The standard acceptance gate for quality
+    classifiers feeding curation thresholds (x16's Gopher filter &c.).
+
+    Mechanics: boundary array from ONE exact-percentile aggregate
+    (1 row, broadcast; the x88 equi-depth idiom with the same
+    ``percentile`` ↔ ``quantile_cont`` engine pairing); bin assignment
+    is a strict-``>`` fold over that literal-sized array inside the
+    scan; one hash aggregation with decimal sums finishes.  Swap
+    approx_percentile at extreme scale.
+
+    Returns ``(bin, n, mean_score, outcome_rate)``, 6 dp.
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.array(
+            *[
+                F.expr(f"percentile(`{score_col}`, {p!r})")
+                for p in probs
+            ]
+        ).alias("__b")
+    )
+    dec = "decimal(38,12)"
+    binned = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.aggregate(
+            F.col("__b"),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(score_col) > b, 1).otherwise(0),
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col(score_col).cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.col(outcome_col).cast("int").cast(dec))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outcome_rate"),
+        )
+        .orderBy("bin")
+    )

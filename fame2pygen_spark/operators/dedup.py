@@ -1011,3 +1011,51 @@ def prefix_jaccard_join(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def novelty_rate(
+    df: DataFrame,
+    fp_col: str,
+    day_col: str,
+) -> DataFrame:
+    """Corpus novelty monitoring: per ingest day, the fraction of rows
+    whose content fingerprint is seen for the FIRST time that day —
+    the early-warning signal for a crawl gone stale (novelty collapses
+    toward 0) or a source switch (novelty spikes).
+
+    A row is novel when its day equals its fingerprint's global
+    first-seen day; re-crawls of a fingerprint on its debut day still
+    count as novel (the fingerprint is new to the corpus), duplicates
+    arriving later never do.
+
+    Plan: one fingerprint-keyed min-day aggregate joined back on the
+    fingerprint (Zipf-hot fingerprints fan out probe-side only), then
+    one day-keyed reduce — two shuffles, both on natural keys, no
+    windows.
+
+    Returns ``(day, n_rows, n_novel, novelty_rate)``, rate at 6 dp.
+    """
+    first = df.groupBy(F.col(fp_col).alias("__fp")).agg(
+        F.min(F.col(day_col)).alias("__first_day")
+    )
+    tagged = df.join(
+        first,
+        df[fp_col] == first["__fp"],
+    ).withColumn(
+        "__novel", (F.col(day_col) == F.col("__first_day")).cast("int")
+    )
+    return (
+        tagged.groupBy(F.col(day_col).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__novel").cast("long").alias("n_novel"),
+            F.round(
+                F.try_divide(
+                    F.sum("__novel").cast("double"),
+                    F.count(F.lit(1)).cast("double"),
+                ),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("day")
+    )

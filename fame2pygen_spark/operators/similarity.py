@@ -670,3 +670,59 @@ def embedding_covariance(
     return m.select(
         "i", "j", "n", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
     )
+
+
+def pca_power_step(
+    cov: DataFrame,
+    *,
+    dims: int,
+    steps: int = 2,
+) -> DataFrame:
+    """Leading-eigenvector power iteration over a covariance matrix in
+    upper-triangle form (the :func:`embedding_covariance` output):
+    ``v ← normalize(C·v)`` from ``v₀ = 1⃗``, *steps* times — the PC1
+    direction used for whitening, anisotropy correction, and
+    dominant-axis pruning of an embedding corpus.
+
+    Pregel-as-DataFrames, the x91 PageRank shape applied to dense
+    linear algebra: the matrix stays distributed (one row per ``i<=j``
+    entry, mirrored on the fly), the d-element vector rides a
+    broadcast join, each matvec is one keyed aggregation with
+    decimal-cast product sums, and the norm is a 1-row aggregate
+    folded back in.  Every step is deterministic double arithmetic
+    over exact sums, so iterates are engine-reproducible bitwise.
+
+    Returns ``(i, v)`` — the unit-norm iterate, 6 dp.
+    """
+    full = cov.select("i", "j", "cov").unionByName(
+        cov.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    dec = "decimal(38,12)"
+    vec = None  # None means v0 = all-ones
+    for _ in range(int(steps)):
+        if vec is None:
+            prod = full.select("i", F.col("cov").alias("__p"))
+        else:
+            prod = full.join(
+                F.broadcast(vec.select(F.col("i").alias("j"), "v")),
+                on="j",
+            ).select("i", (F.col("cov") * F.col("v")).alias("__p"))
+        w = prod.groupBy("i").agg(
+            F.sum(F.col("__p").cast(dec)).cast("double").alias("w")
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")
+            ).alias("__norm")
+        )
+        vec = w.crossJoin(F.broadcast(norm)).select(
+            "i",
+            F.try_divide(F.col("w"), F.col("__norm")).alias("v"),
+        )
+        # truncate lineage: an iterative plan without checkpoints
+        # deepens exponentially in the optimizer (the graph.pagerank
+        # lesson) — the vector is d rows, checkpointing is free
+        vec = vec.localCheckpoint(eager=True)
+    return vec.select("i", F.round(F.col("v"), 6).alias("v"))

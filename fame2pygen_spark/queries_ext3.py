@@ -930,3 +930,255 @@ EXT3_ORACLES.update({
     "x106_rake_keywords": _sql_x106(),
     "x107_late_data": SQL_X107,
 })
+
+
+# ---------------------------------------------- x108: CUPED A/B
+
+
+def q_x108_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout
+    (operators/behavior.py:cuped_lift): pre-period user value sums as
+    the covariate, post-period sums as the metric (cutoff = midpoint
+    of the observed time range, integer µs), deterministic hash A/A
+    split.  var_y_cuped < var_y is the whole point — the oracle
+    rebuilds θ, the adjustment, and both variances exactly."""
+    from .queries_ext import _read_events
+    from .operators.behavior import cuped_lift
+
+    ev = _read_events(spark, sf_dir)
+    mm = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cutoff = (mm[0] + mm[1]) // 2
+    return cuped_lift(
+        ev, ts_col="ts_us", value_col="value", cutoff=cutoff
+    ).orderBy("variant")
+
+
+SQL_X108 = """
+WITH cut AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c FROM events
+), pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(CASE WHEN epoch_us(ts) < cut.c THEN value
+                        ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS x,
+         CAST(sum(CAST(CASE WHEN epoch_us(ts) >= cut.c THEN value
+                        ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS y
+  FROM events CROSS JOIN cut
+  GROUP BY user_id, cut.c
+), v AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS variant,
+         x, y
+  FROM pu
+), mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM v
+), adj AS (
+  SELECT v.variant, v.y,
+         v.y - coalesce(
+           (m.sxy / m.n - (m.sx / m.n) * (m.sy / m.n))
+           / NULLIF(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n), 0.0),
+           0.0) * (v.x - m.sx / m.n) AS yc
+  FROM v CROSS JOIN mom m
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       ROUND(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_y,
+       ROUND(CAST(sum(CAST(yc AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_y_cuped,
+       ROUND(CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+             - (CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE))
+               * (CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)), 6) AS var_y,
+       ROUND(CAST(sum(CAST(yc * yc AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+             - (CAST(sum(CAST(yc AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE))
+               * (CAST(sum(CAST(yc AS DECIMAL(38,12))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)), 6) AS var_y_cuped
+FROM adj
+GROUP BY variant
+ORDER BY variant
+"""
+
+
+# ------------------------------------- x109: calibration curve
+
+
+def q_x109_calibration(spark, sf_dir):
+    """Score-calibration curve (operators/behavior.py:
+    calibration_curve): event value as the score, purchase as the
+    outcome, ten equal-population bins from exact-quantile boundaries
+    (the engine-paired percentile ↔ quantile_cont definition), one
+    decimal-moment aggregation."""
+    from .queries_ext import _read_events
+    from .operators.behavior import calibration_curve
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    scored = ev.withColumn(
+        "outcome", (F.col("event_type") == "purchase").cast("int")
+    )
+    return calibration_curve(scored, "value", "outcome", n_bins=10)
+
+
+SQL_X109 = """
+WITH src AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outcome
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT [quantile_cont(score, 0.1), quantile_cont(score, 0.2),
+          quantile_cont(score, 0.3), quantile_cont(score, 0.4),
+          quantile_cont(score, 0.5), quantile_cont(score, 0.6),
+          quantile_cont(score, 0.7), quantile_cont(score, 0.8),
+          quantile_cont(score, 0.9)] AS bounds
+  FROM src
+), binned AS (
+  SELECT CAST(len(list_filter(b.bounds, x -> s.score > x)) AS BIGINT)
+           AS bin,
+         s.score, s.outcome
+  FROM src s CROSS JOIN b
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(sum(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+       ROUND(CAST(sum(CAST(outcome AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS outcome_rate
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+# --------------------------------- x110: PCA power iteration
+
+
+def q_x110_pca_power(spark, sf_dir):
+    """Leading-eigenvector power iteration (operators/similarity.py:
+    pca_power_step) over the exact 16-dim embedding covariance (x101):
+    two matvec supersteps with broadcast vector joins and decimal
+    product sums — distributed dense linear algebra in the x91
+    Pregel-as-DataFrames shape."""
+    from .operators.similarity import (
+        embedding_covariance,
+        pca_power_step,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cov = embedding_covariance(emb, "embedding", "vec_id", dims=16)
+    return pca_power_step(cov, dims=16, steps=2).orderBy("i")
+
+
+SQL_X110 = """
+WITH comp AS (
+  SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+  FROM embeddings, range(1, 17) AS t(i)
+), pairs AS (
+  SELECT a.i AS i, b.i AS j, a.x AS x, b.x AS y
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+), mo AS (
+  SELECT i, j, count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,12))) AS sx,
+         sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM pairs GROUP BY i, j
+), covu AS (
+  SELECT i, j,
+         ROUND(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)),
+               6) + 0.0 AS cov
+  FROM mo
+), cf AS (
+  SELECT i, j, cov FROM covu
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+), w1 AS (
+  SELECT i, CAST(sum(CAST(cov AS DECIMAL(38,12))) AS DOUBLE) AS w
+  FROM cf GROUP BY i
+), n1 AS (
+  SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE))
+           AS nrm
+  FROM w1
+), v1 AS (
+  SELECT w1.i, w1.w / NULLIF(n1.nrm, 0.0) AS v
+  FROM w1 CROSS JOIN n1
+), w2 AS (
+  SELECT cf.i,
+         CAST(sum(CAST(cf.cov * v1.v AS DECIMAL(38,12))) AS DOUBLE)
+           AS w
+  FROM cf JOIN v1 ON cf.j = v1.i
+  GROUP BY cf.i
+), n2 AS (
+  SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE))
+           AS nrm
+  FROM w2
+)
+SELECT w2.i, ROUND(w2.w / NULLIF(n2.nrm, 0.0), 6) AS v
+FROM w2 CROSS JOIN n2
+ORDER BY w2.i
+"""
+
+
+# ---------------------------------------- x111: corpus novelty
+
+
+def q_x111_novelty(spark, sf_dir):
+    """Ingest novelty monitoring (operators/dedup.py:novelty_rate):
+    per synthetic ingest day (doc_id mod 28 + 1), the fraction of
+    documents whose content fingerprint debuts that day — the crawl
+    health signal that catches staleness collapse and source
+    switches."""
+    from .operators.dedup import novelty_rate, text_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        text_fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % 28 + 1).cast("long").alias("ingest_day"),
+    )
+    return novelty_rate(staged, "fp", "ingest_day")
+
+
+SQL_X111 = """
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(doc_id % 28 + 1 AS BIGINT) AS day
+  FROM documents
+), first AS (
+  SELECT fp, min(day) AS first_day FROM fp GROUP BY fp
+)
+SELECT f.day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN f.day = fi.first_day THEN 1 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CAST(count(CASE WHEN f.day = fi.first_day THEN 1 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS novelty_rate
+FROM fp f JOIN first fi USING (fp)
+GROUP BY f.day
+ORDER BY f.day
+"""
+
+
+EXT3_QUERIES.update({
+    "x108_cuped": q_x108_cuped,
+    "x109_calibration": q_x109_calibration,
+    "x110_pca_power": q_x110_pca_power,
+    "x111_novelty": q_x111_novelty,
+})
+
+EXT3_ORACLES.update({
+    "x108_cuped": SQL_X108,
+    "x109_calibration": SQL_X109,
+    "x110_pca_power": SQL_X110,
+    "x111_novelty": SQL_X111,
+})

@@ -1692,3 +1692,82 @@ def test_late_data_profile_counts(spark):
     assert out["n_events"] == 5
     assert out["n_late"] == 1  # only the 110-lag row exceeds 10
     assert out["max_lateness"] == 110
+
+
+def test_cuped_reduces_variance_on_correlated_metric(spark):
+    from fame2pygen_spark.operators.behavior import cuped_lift
+
+    rows = []
+    # each user has a stable personal level: pre and post strongly
+    # correlated -> CUPED should slash variance
+    for u in range(200):
+        level = float((u * 37) % 50)
+        rows.append((u, 10, level + 1.0))        # pre  (ts 10 < 100)
+        rows.append((u, 200, level + 2.0))       # post (ts 200 >= 100)
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    out = {r["variant"]: r for r in cuped_lift(df, cutoff=100).collect()}
+    for v in ("a", "b"):
+        assert out[v]["var_y_cuped"] < out[v]["var_y"] * 0.05
+        # adjustment is mean-preserving up to arm imbalance noise
+        assert abs(out[v]["mean_y_cuped"] - out[v]["mean_y"]) < 3.0
+
+
+def test_calibration_curve_bins_and_rates(spark):
+    from fame2pygen_spark.operators.behavior import calibration_curve
+
+    # outcome fires exactly when score >= 50 -> perfect separation
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, outcome int")
+    out = calibration_curve(df, "score", "outcome", n_bins=10).collect()
+    assert len(out) == 10
+    assert all(r["n"] == 10 for r in out)  # equal-population bins
+    rates = [r["outcome_rate"] for r in out]
+    assert rates[:5] == [0.0] * 5 and rates[5:] == [1.0] * 5
+    scores = [r["mean_score"] for r in out]
+    assert scores == sorted(scores)
+
+
+def test_pca_power_converges_to_numpy_eigenvector(spark):
+    import numpy as np
+
+    from fame2pygen_spark.operators.similarity import (
+        embedding_covariance,
+        pca_power_step,
+    )
+
+    vecs = [
+        [
+            float(((i * 13 + j * 7) % 19) - 9) / 5.0
+            + (2.0 if j == 0 else 0.0) * float(i % 3)
+            for j in range(5)
+        ]
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cov = embedding_covariance(df, "embedding", "vec_id", dims=5)
+    out = pca_power_step(cov, dims=5, steps=25).orderBy("i").collect()
+    v = np.array([r["v"] for r in out])
+    C = np.cov(np.array(vecs), rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    lead = evecs[:, -1]
+    cos = abs(float(np.dot(v, lead)))
+    assert cos > 0.999, cos
+
+
+def test_novelty_rate_planted(spark):
+    from fame2pygen_spark.operators.dedup import novelty_rate
+
+    rows = [
+        ("f1", 1), ("f2", 1),          # day 1: both novel
+        ("f1", 2), ("f3", 2),          # day 2: f3 novel, f1 dup
+        ("f4", 3), ("f4", 3), ("f1", 3),  # day 3: both f4 rows novel
+    ]
+    df = spark.createDataFrame(rows, "fp string, day long")
+    out = {r["day"]: r for r in novelty_rate(df, "fp", "day").collect()}
+    assert out[1]["novelty_rate"] == 1.0
+    assert out[2]["n_novel"] == 1 and out[2]["n_rows"] == 2
+    assert out[3]["n_novel"] == 2  # debut-day duplicates both count
+    assert out[3]["novelty_rate"] == round(2 / 3, 6)
