@@ -1771,3 +1771,74 @@ def test_novelty_rate_planted(spark):
     assert out[2]["n_novel"] == 1 and out[2]["n_rows"] == 2
     assert out[3]["n_novel"] == 2  # debut-day duplicates both count
     assert out[3]["novelty_rate"] == round(2 / 3, 6)
+
+
+def test_late_data_profile_predicts_streaming_watermark_drop(spark, tmp_path):
+    """x107's batch accounting and a REAL watermarked streaming query
+    agree: the row late_data_profile marks as exceeding the watermark
+    is exactly the row the append-mode streaming aggregation drops."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.temporal import late_data_profile
+    from fame2pygen_spark.streaming.core import windowed_event_counts
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    on_time = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=30), 1, "click", 1.0),
+        (3, t0 + dt.timedelta(minutes=90), 1, "click", 1.0),  # 11:30
+    ]
+    late = [
+        # event time 10:15 arrives AFTER the 11:30 row: 75 min lag,
+        # beyond a 10-minute watermark -> dropped from [10:00, 11:00)
+        (4, t0 + dt.timedelta(minutes=15), 1, "click", 1.0),
+    ]
+    b1 = spark.createDataFrame(on_time, schema)
+    b2 = spark.createDataFrame(late, schema)
+    path = str(tmp_path / "late_src")
+    b1.write.parquet(path)
+    b2.write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    agg = windowed_event_counts(
+        stream, window="1 hour", watermark="10 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from late_drop_check").collect()
+    }
+    # the 10:00 window closed with 2 rows — the late one was dropped
+    assert closed[(10, "click")] == 2
+
+    # batch twin predicts the same single drop
+    both = b1.unionByName(b2).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    prof = late_data_profile(
+        both,
+        ["event_type"],
+        "ts_us",
+        "event_id",
+        watermark=10 * 60 * 1_000_000,
+    ).collect()[0]
+    assert prof["n_late"] == 1
+    assert prof["max_lateness"] == 75 * 60 * 1_000_000
