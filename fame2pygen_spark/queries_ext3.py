@@ -1182,3 +1182,88 @@ EXT3_ORACLES.update({
     "x110_pca_power": SQL_X110,
     "x111_novelty": SQL_X111,
 })
+
+
+# --------------------------------- x112: entity-resolution clusters
+
+
+def q_x112_er_clusters(spark, sf_dir):
+    """End-to-end entity resolution: blocked fuzzy matching (x43's
+    operators/linkage.py:fuzzy_self_pairs) feeds alternating-star
+    connected components (x09's operators/dedup.py:
+    connected_components) — near-identical part names collapse into
+    clusters with a canonical (minimum-id) representative.  The
+    oracle rebuilds the pair list AND the transitive closure via a
+    recursive CTE, proving the two operators compose correctly."""
+    from .operators.dedup import connected_components
+    from .operators.linkage import fuzzy_self_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pairs = fuzzy_self_pairs(
+        part.select("p_partkey", "p_name"), "p_name", "p_partkey",
+        max_distance=3,
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+    )
+    clusters = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    named = clusters.join(
+        part.select(
+            F.col("p_partkey").cast("long").alias("component"),
+            F.col("p_name").alias("canonical_name"),
+        ),
+        on="component",
+    )
+    return named.select(
+        F.col("component").cast("long").alias("component"),
+        "n_members",
+        "canonical_name",
+    ).orderBy("component")
+
+
+SQL_X112 = """
+WITH RECURSIVE base AS (
+  SELECT p_partkey AS id, p_name AS text,
+         regexp_extract(lower(p_name), '[^ ]+$') AS bk,
+         length(p_name) AS len
+  FROM part
+), capped AS (
+  SELECT id, text, bk, len FROM (
+    SELECT id, text, bk, len,
+           ROW_NUMBER() OVER (PARTITION BY bk ORDER BY id) AS rn
+    FROM base
+  ) WHERE rn <= 1000
+), lsh_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b
+    ON a.bk = b.bk AND a.id < b.id AND abs(a.len - b.len) <= 3
+  WHERE levenshtein(a.text, b.text) <= 3
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM lsh_pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (
+  SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT CAST(c.component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       p.p_name AS canonical_name
+FROM comp c JOIN part p ON p.p_partkey = c.component
+GROUP BY c.component, p.p_name
+ORDER BY component
+"""
+
+
+EXT3_QUERIES.update({"x112_er_clusters": q_x112_er_clusters})
+EXT3_ORACLES.update({"x112_er_clusters": SQL_X112})
