@@ -726,3 +726,50 @@ def pca_power_step(
         # lesson) — the vector is d rows, checkpointing is free
         vec = vec.localCheckpoint(eager=True)
     return vec.select("i", F.round(F.col("v"), 6).alias("v"))
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    centroids: list[list[list[float]]],
+    sub_dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``len(centroids)`` contiguous subspaces of *sub_dims* dims, assign
+    each slice to its nearest subspace centroid (squared L2, ties to
+    the lowest code), and report the total reconstruction error — the
+    memory-side compression ANN systems (IVF-PQ) pair with the x05c
+    coarse quantizer: 64 float32 dims collapse to ``m`` one-byte
+    codes, a 32× shrink at recall governed by codebook quality.
+
+    Engine-exactness: slice distances are sequential index-order folds
+    (:func:`_fold_sq_dist` — the x75 idiom), the per-vector error is
+    the fixed-order sum of the ``m`` subspace minima, so every code
+    and error is bitwise reproducible in SQL.  Centroids are broadcast
+    literals; encoding is row-local (zero shuffle) — the 100 TB plan
+    is the scan itself.
+
+    Returns ``(id, c0..c{m-1}, recon_err)`` with the error at 6 dp.
+    """
+    m = len(centroids)
+    v = _as_double(F.col(vec_col))
+    cols = [F.col(id_col).alias("id")]
+    err = None
+    for s, cset in enumerate(centroids):
+        sub = F.slice(v, s * sub_dims + 1, sub_dims)
+        items = []
+        for code, c in enumerate(cset):
+            carr = F.array(*[F.lit(float(w)) for w in c])
+            items.append(
+                F.struct(
+                    _fold_sq_dist(sub, carr).alias("dist"),
+                    F.lit(code).alias("code"),
+                )
+            )
+        best = F.array_min(F.array(*items))
+        cols.append(best["code"].cast("int").alias(f"c{s}"))
+        err = best["dist"] if err is None else err + best["dist"]
+    cols.append(F.round(err, 6).alias("recon_err"))
+    return df.select(*cols)

@@ -1267,3 +1267,137 @@ ORDER BY component
 
 EXT3_QUERIES.update({"x112_er_clusters": q_x112_er_clusters})
 EXT3_ORACLES.update({"x112_er_clusters": SQL_X112})
+
+
+# --------------------------------- x113: language confusion matrix
+
+
+def q_x113_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the declared
+    ``lang`` column against the marker-ratio detector
+    (operators/text.py:detect_language) — per (declared, predicted)
+    cell, count and share of the declared language.  The eval-harness
+    side of x06's lang-ID: a production pipeline tracks this matrix
+    to catch detector drift when the corpus mix shifts."""
+    from .operators.text import detect_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = docs.select(
+        F.col("lang").alias("declared_lang"),
+        detect_language(F.col("text")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "predicted_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wd).cast("double"),
+            6,
+        ).alias("share_of_declared"),
+    ).orderBy("declared_lang", "predicted_lang")
+
+
+def _sql_x113() -> str:
+    from .queries_ext import _sql_profile_ctes
+
+    return f"""
+WITH {_sql_profile_ctes()}
+SELECT d.lang AS declared_lang,
+       p.lang_pred AS predicted_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY d.lang) AS DOUBLE),
+             6) AS share_of_declared
+FROM prof p JOIN documents d USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+ORDER BY declared_lang, predicted_lang
+"""
+
+
+EXT3_QUERIES.update({"x113_lang_confusion": q_x113_lang_confusion})
+EXT3_ORACLES.update({"x113_lang_confusion": _sql_x113()})
+
+
+# ------------------------------------- x114: product quantization
+
+
+def q_x114_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py:
+    pq_encode): 64-dim embeddings → 4 subspace codes (8-entry
+    codebooks pinned to the vec_id<8 slices, the x75/x05c rule) plus
+    exact reconstruction error.  Row-local, zero shuffle; every
+    distance is the sequential index-order fold, so the oracle
+    reproduces codes and errors bitwise."""
+    from .operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pinned = (
+        emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [
+        [
+            [float(x) for x in r["embedding"][s * 16 : (s + 1) * 16]]
+            for r in pinned
+        ]
+        for s in range(4)
+    ]
+    out = pq_encode(
+        emb, centroids=cents, sub_dims=16
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "c0", "c1", "c2", "c3", "recon_err",
+    ).orderBy("id")
+
+
+SQL_X114 = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT id AS code, v AS cv FROM e WHERE id < 8),
+subd AS (
+  SELECT e.id, s.s, cent.code,
+         list_reduce(list_transform(range(1, 17),
+           i -> (e.v[CAST(s.s * 16 + i AS INTEGER)]
+                 - cent.cv[CAST(s.s * 16 + i AS INTEGER)])
+                * (e.v[CAST(s.s * 16 + i AS INTEGER)]
+                   - cent.cv[CAST(s.s * 16 + i AS INTEGER)])),
+           (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN cent, range(0, 4) AS s(s)
+),
+best AS (
+  SELECT id, s, code, d2 FROM (
+    SELECT id, s, code, d2,
+           ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d2, code) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+pivoted AS (
+  SELECT id,
+         CAST(max(CASE WHEN s = 0 THEN code END) AS INTEGER) AS c0,
+         CAST(max(CASE WHEN s = 1 THEN code END) AS INTEGER) AS c1,
+         CAST(max(CASE WHEN s = 2 THEN code END) AS INTEGER) AS c2,
+         CAST(max(CASE WHEN s = 3 THEN code END) AS INTEGER) AS c3,
+         max(CASE WHEN s = 0 THEN d2 END)
+           + max(CASE WHEN s = 1 THEN d2 END)
+           + max(CASE WHEN s = 2 THEN d2 END)
+           + max(CASE WHEN s = 3 THEN d2 END) AS err
+  FROM best GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS id, c0, c1, c2, c3,
+       ROUND(err, 6) AS recon_err
+FROM pivoted
+ORDER BY id
+"""
+
+
+EXT3_QUERIES.update({"x114_pq_encode": q_x114_pq_encode})
+EXT3_ORACLES.update({"x114_pq_encode": SQL_X114})

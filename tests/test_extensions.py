@@ -1842,3 +1842,48 @@ def test_late_data_profile_predicts_streaming_watermark_drop(spark, tmp_path):
     ).collect()[0]
     assert prof["n_late"] == 1
     assert prof["max_lateness"] == 75 * 60 * 1_000_000
+
+
+def test_pq_encode_exact_on_codebook_members(spark):
+    from fame2pygen_spark.operators.similarity import pq_encode
+
+    # vectors 0..3 ARE the codebook -> they encode to themselves with
+    # zero reconstruction error; vector 4 is near codebook entry 1
+    base = [[float(i * 8 + j) for j in range(8)] for i in range(4)]
+    near1 = [v + (0.1 if j == 0 else 0.0) for j, v in enumerate(base[1])]
+    rows = [(i, v) for i, v in enumerate(base)] + [(4, near1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [
+        [b[s * 4 : (s + 1) * 4] for b in base] for s in range(2)
+    ]
+    out = {
+        r["id"]: r
+        for r in pq_encode(df, centroids=cents, sub_dims=4).collect()
+    }
+    for i in range(4):
+        assert (out[i]["c0"], out[i]["c1"]) == (i, i)
+        assert out[i]["recon_err"] == 0.0
+    assert (out[4]["c0"], out[4]["c1"]) == (1, 1)
+    assert abs(out[4]["recon_err"] - 0.01) < 1e-9
+
+
+def test_detect_language_on_marker_text(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.text import detect_language
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["lang"]
+        for r in df.select(
+            "id", detect_language(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
