@@ -128,6 +128,19 @@ def run_scale_tier(spark) -> dict:
 
     timed("x84_image_ahash_docs10x", _ahash_50k)
 
+    from fame2pygen_spark.operators.text import (
+        bigram_surprisal, rake_keywords,
+    )
+
+    timed(
+        "x98_bigram_surprisal_docs10x",
+        lambda: bigram_surprisal(docs, "text", "doc_id").count(),
+    )
+    timed(
+        "x106_rake_keywords_docs10x",
+        lambda: rake_keywords(docs, "text", "doc_id", top_n=20).count(),
+    )
+
     n_events = _events_tier(spark, timed)
 
     return {
@@ -206,6 +219,17 @@ def _events_tier(spark, timed) -> int:
         "x82_ewma_events10x",
         lambda: ewma_smooth(big).count(),
     )
+
+    from fame2pygen_spark.operators.behavior import cuped_lift
+
+    def _cuped():
+        mm = big.agg(F.min("ts_us"), F.max("ts_us")).first()
+        return cuped_lift(
+            big, ts_col="ts_us", value_col="value",
+            cutoff=(mm[0] + mm[1]) // 2,
+        ).count()
+
+    timed("x108_cuped_events10x", _cuped)
     return n_events
 
 
