@@ -390,6 +390,21 @@ def q_s14_convert_up(spark, sf_dir):
     return _finish(out, "QREV_MON", "QCNT_MON")
 
 
+def q_s14_convert_cubic(spark, sf_dir):
+    """Quarterly -> monthly upsample with technique=cubic (operators/
+    convert.py:_cubic_interp): piecewise cubic Hermite, Catmull-Rom
+    finite-difference tangents on non-uniform knots, secant fallback
+    at boundary knots.  The reference delegates cubic to closed-source
+    polars_econ (mock passes input through, polars_econ_mock.py:13-36);
+    this is the published-definition implementation, and the oracle
+    rebuilds the exact Hermite arithmetic in SQL so every interior
+    month matches bitwise."""
+    base = quarterly_orders(spark, sf_dir)
+    res = run_script(base, ["freq q", "mcub = convert(qcnt, m, cubic, ave)"])
+    out = res.df.where(F.col("QCNT_MON").isNotNull())
+    return _finish(out, "QCNT_MON")
+
+
 def q_s14_convert_formula(spark, sf_dir):
     """S14 observed=formula: geometric-mean aggregation (documented
     engine semantics for FAME's user-formula convention; reference
@@ -801,6 +816,68 @@ SELECT DATE,
                   END, 6) AS QCNT_MON
 FROM filled
 """,
+    # cubic Hermite: mirror _cubic_interp's exact expression shapes —
+    # same association order, so doubles match bitwise
+    "s14_convert_cubic": SQL_QBASE + """
+, knots AS (
+  SELECT DATE AS d, QCNT AS v,
+         LAG(QCNT)  OVER (ORDER BY DATE) AS vm,
+         LAG(DATE)  OVER (ORDER BY DATE) AS dm,
+         LEAD(QCNT) OVER (ORDER BY DATE) AS vp,
+         LEAD(DATE) OVER (ORDER BY DATE) AS dp
+  FROM base
+), months AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(DATE) FROM base),
+           (SELECT MAX(DATE) FROM base),
+           INTERVAL 1 MONTH)) AS DATE) AS DATE
+), grid AS (
+  SELECT m.DATE,
+         k.v AS known,
+         CASE WHEN k.v IS NOT NULL THEN
+           {'d': k.d, 'v': k.v, 'dm': k.dm, 'vm': k.vm,
+            'dp': k.dp, 'vp': k.vp} END AS kn
+  FROM months m LEFT JOIN knots k ON m.DATE = k.d
+), filled AS (
+  SELECT DATE, known,
+         LAST_VALUE(kn IGNORE NULLS) OVER wp AS k1,
+         FIRST_VALUE(kn IGNORE NULLS) OVER wf AS k2
+  FROM grid
+  WINDOW wp AS (ORDER BY DATE ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY DATE ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), calc AS (
+  SELECT DATE, known,
+         k1.v AS v1, k2.v AS v2,
+         CAST(date_diff('day', k1.d, k2.d) AS DOUBLE) AS h,
+         CAST(date_diff('day', k1.d, DATE) AS DOUBLE)
+           / NULLIF(CAST(date_diff('day', k1.d, k2.d) AS DOUBLE), 0.0) AS t,
+         CASE WHEN k1.dm IS NOT NULL
+              THEN (k2.v - k1.vm)
+                   / NULLIF(CAST(date_diff('day', k1.dm, k2.d) AS DOUBLE), 0.0)
+              ELSE (k2.v - k1.v)
+                   / NULLIF(CAST(date_diff('day', k1.d, k2.d) AS DOUBLE), 0.0)
+         END AS m1,
+         CASE WHEN k2.dp IS NOT NULL
+              THEN (k2.vp - k1.v)
+                   / NULLIF(CAST(date_diff('day', k1.d, k2.dp) AS DOUBLE), 0.0)
+              ELSE (k2.v - k1.v)
+                   / NULLIF(CAST(date_diff('day', k1.d, k2.d) AS DOUBLE), 0.0)
+         END AS m2
+  FROM filled
+)
+SELECT DATE,
+       ROUND(CASE WHEN known IS NOT NULL THEN known
+                  WHEN v1 IS NOT NULL AND v2 IS NOT NULL AND h > 0
+                  THEN (2 * (t * t * t) - 3 * (t * t) + 1) * v1
+                       + ((t * t * t) - 2 * (t * t) + t) * h * m1
+                       + (-2 * (t * t * t) + 3 * (t * t)) * v2
+                       + ((t * t * t) - (t * t)) * h * m2
+             END, 6) AS QCNT_MON
+FROM calc
+WHERE (CASE WHEN known IS NOT NULL THEN known
+            WHEN v1 IS NOT NULL AND v2 IS NOT NULL AND h > 0 THEN 1.0
+       END) IS NOT NULL
+""",
     "s14_convert_business": SQL_DBASE + """
 , wk AS (
   SELECT DATE - CAST((dayofweek(DATE) + 6) % 7 AS INTEGER) AS WD,
@@ -893,6 +970,7 @@ _ALL_QUERIES: dict[str, object] = {
     "s13_fishvol": q_s13_fishvol,
     "s14_convert_down": q_s14_convert_down,
     "s14_convert_up": q_s14_convert_up,
+    "s14_convert_cubic": q_s14_convert_cubic,
     "s14_convert_formula": q_s14_convert_formula,
     "s14_convert_business": q_s14_convert_business,
     "s14_convert_holiday": q_s14_convert_holiday,
