@@ -1,0 +1,65 @@
+"""Partitioning-invariance: the repo's central determinism claim.
+
+Operator docstrings repeatedly assert "decimal-cast sums make the
+result accumulation-order-insensitive".  This suite puts that claim
+under load: each query runs twice with DIFFERENT shuffle-partition
+counts (different partition boundaries → different accumulation
+orders → different task interleavings) and the stringified results
+must be IDENTICAL — the same bar the driver's value hash applies
+between engines, applied here between partitionings.
+
+A float aggregate that slipped through without decimal staging passes
+the oracle test by luck (same partitioning each run) but fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fame2pygen_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans carry float aggregation / iteration — the ones
+# where accumulation order could leak if an operator regressed
+SENSITIVE = [
+    "s12_chain_index",
+    "s14_convert_formula",
+    "x06_text_profile",
+    "x53_corr",
+    "x63_weighted_quantiles",
+    "x71_concentration",
+    "x83_incremental_agg",
+    "x95_prorate",
+    "x97_decayed_agg",
+    "x98_bigram_surprisal",
+    "x100_seasonal",
+    "x101_embedding_cov",
+    "x108_cuped",
+    "x110_pca_power",
+    "x114_pq_encode",
+]
+
+
+def snapshot(spark, name: str):
+    df = QUERIES[name](spark, SF)
+    cols = sorted(df.columns)
+    rows = [
+        tuple(str(r[c]) for c in cols) for r in df.collect()
+    ]
+    rows.sort()
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_is_partitioning_invariant(spark, name):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = snapshot(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = snapshot(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a[0] == b[0]
+    assert a[1] == b[1], f"{name}: results differ across partitionings"
