@@ -208,3 +208,92 @@ def streaming_hll_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DECAYED_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ref_us", LongType()),
+        StructField("decayed_sum", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+DECAYED_STATE = StructType(
+    [
+        StructField("ref_us", LongType()),
+        StructField("acc", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+#: half-life for the streaming decayed counter, microseconds
+DECAY_HALF_LIFE_US = 7 * 86_400_000_000
+
+
+def _update_decayed(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    ref, acc, n = (
+        state.get if state.exists else (None, 0.0, 0)
+    )
+    hl = float(DECAY_HALF_LIFE_US)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        ts = pdf["ts_us"].astype("int64")
+        vals = pdf["value"].fillna(0.0).astype("float64")
+        batch_max = int(ts.max())
+        new_ref = batch_max if ref is None else max(ref, batch_max)
+        if ref is not None and new_ref > ref:
+            acc = acc * 0.5 ** ((new_ref - ref) / hl)
+        # exponential decay is associative: fold the batch against the
+        # advanced reference in one vectorized expression
+        acc = float(
+            acc + (vals * 0.5 ** ((new_ref - ts) / hl)).sum()
+        )
+        n += int(len(pdf))
+        ref = new_ref
+    state.update((ref, acc, n))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "ref_us": [ref],
+            "decayed_sum": [acc],
+            "n_seen": [n],
+        }
+    )
+
+
+def streaming_decayed_sum(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Cross-batch recency-weighted value sum per event type — the
+    streaming twin of ``operators/temporal.decayed_sum`` (x97),
+    maintained incrementally instead of recomputed.
+
+    The trick that makes the state O(1): exponential decay is
+    ASSOCIATIVE — ``sum_t = sum_{t'} · λ^(t−t')`` re-references the
+    whole history in one multiply, so the state is just
+    ``(reference_ts, accumulated_sum, n)`` per key and each
+    micro-batch costs one vectorized fold.  A trailing-window sum
+    ("last 30 days") would need per-event state to expire events;
+    the decayed form never does — this is WHY recency weighting is
+    the streaming-native formulation.
+
+    Caveat vs the HLL twin: the update is additive, not idempotent —
+    exactly-once sinks (checkpointed, the Spark default) are required;
+    a replayed batch would double-count.  Output mode: update.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy("event_type").applyInPandasWithState(
+        _update_decayed,
+        outputStructType=DECAYED_OUTPUT,
+        stateStructType=DECAYED_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1887,3 +1887,70 @@ def test_detect_language_on_marker_text(spark):
         ).collect()
     }
     assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_streaming_decayed_sum_matches_batch_twin(spark, tmp_path):
+    """Two micro-batches through the stateful decayed counter equal
+    operators/temporal.decayed_sum on the union (gaps are exact
+    multiples of the half-life, so decay factors are powers of 1/2 and
+    the float math is exact in both paths)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.temporal import decayed_sum
+    from fame2pygen_spark.streaming.stateful import (
+        DECAY_HALF_LIFE_US, streaming_decayed_sum,
+    )
+
+    day = dt.datetime(2024, 1, 1)
+    wk = dt.timedelta(days=7)
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    b1 = spark.createDataFrame(
+        [(1, day, 1, "click", 8.0), (2, day + wk, 1, "click", 4.0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, day + 2 * wk, 1, "click", 2.0)], schema
+    )
+    path = str(tmp_path / "decay_src")
+    b1.write.parquet(path)
+    b2.write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    staged = stream.withColumn("ts_us", F.unix_micros("ts"))
+    q = (
+        streaming_decayed_sum(staged)
+        .writeStream.format("memory")
+        .queryName("decay_check")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from decay_check order by ref_us desc"
+    ).collect()
+    final = rows[0]
+    # 8 aged 14d (2 half-lives) + 4 aged 7d + 2 at ref = 2 + 2 + 2
+    assert final["decayed_sum"] == 6.0
+    assert final["n_seen"] == 3
+
+    both = b1.unionByName(b2).withColumn(
+        "ts_us", F.unix_micros("ts")
+    ).withColumn(
+        "d", F.to_date("ts")
+    )
+    batch = decayed_sum(
+        both, ["event_type"], "d", "value",
+        half_life_days=DECAY_HALF_LIFE_US // 86_400_000_000,
+    ).collect()[0]
+    assert batch["decayed_sum_value"] == final["decayed_sum"]
