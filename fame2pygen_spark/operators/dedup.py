@@ -1059,3 +1059,108 @@ def novelty_rate(
         )
         .orderBy("day")
     )
+
+
+def prefix_containment_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT asymmetric set-CONTAINMENT self-join:
+    ``C(A→B) = |A∩B| / |A| >= threshold`` over word-*n*-gram sets —
+    every ordered pair where most of document A's content appears
+    inside document B.
+
+    Jaccard (:func:`prefix_jaccard_join`) misses exactly the pairs
+    that matter most for corpus hygiene: a paragraph quoted inside a
+    long article has tiny Jaccard but containment ≈ 1.  Containment is
+    the quote/subset/boilerplate-inclusion detector — the relation
+    behind "this document is 90% lifted from that one".
+
+    Prefix principle, asymmetric form: if ``C(A→B) >= t`` then B must
+    hit one of A's first ``|A| - ceil(t·|A|) + 1`` grams (rarest
+    first, df-ordered) — only the PROBE side prefixes; the index side
+    must stay complete because any of B's grams can be the witness.
+    There is deliberately NO length filter: a 50-gram quote inside a
+    5000-gram article is the target, not noise.  Hot grams stay
+    tractable because they almost never appear in a (rare-gram-
+    dominated) prefix: the join fan-out per gram is
+    ``df(gram) × |prefixes containing it|``, and the second factor
+    collapses for frequent grams.  Same hashed-gram (8-byte long) and
+    exchange-reuse staging as the Jaccard join.
+
+    Output: ``(id_a, id_b, containment)`` — ordered pairs
+    (``id_a != id_b``), A's content inside B, 6 dp, exactly the
+    brute-force answer.
+    """
+    toked = _parallelize_input(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            ).alias("__toks"),
+        )
+    )
+    toks = F.col("__toks")
+    m = F.size(toks)
+    idx = F.when(
+        m >= n, F.sequence(F.lit(1), m - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams_arr = F.transform(
+        idx, lambda i: gram_hash60(F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    staged = toked.select(
+        "id",
+        F.array_sort(F.array_distinct(grams_arr)).alias("ng"),
+    ).where(F.size("ng") > 0)
+    sized = staged.select(
+        "id", "ng", F.size("ng").cast("long").alias("sz")
+    ).repartition("id")
+
+    grams = sized.select("id", "sz", F.explode("ng").alias("gram"))
+    gram_df = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    ranked = grams.join(gram_df, on="gram").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "gram")
+        ),
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    )
+    probe = ranked.where(F.col("rn") <= prefix_len).select(
+        "gram", F.col("id").alias("id_a")
+    )
+    index = grams.select("gram", F.col("id").alias("id_b"))
+    cand = (
+        probe.join(index, on="gram")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    va = sized.select(
+        F.col("id").alias("id_a"),
+        F.col("ng").alias("ng_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    vb = sized.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"))
+    inter = F.size(F.array_intersect(F.col("ng_a"), F.col("ng_b")))
+    verified = (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                inter.cast("double") / F.col("sz_a").cast("double"), 6
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "containment")

@@ -1401,3 +1401,61 @@ ORDER BY id
 
 EXT3_QUERIES.update({"x114_pq_encode": q_x114_pq_encode})
 EXT3_ORACLES.update({"x114_pq_encode": SQL_X114})
+
+
+# ------------------------------- x115: asymmetric containment join
+
+
+def q_x115_containment(spark, sf_dir):
+    """Exact asymmetric containment self-join (operators/dedup.py:
+    prefix_containment_join): ordered pairs where >= 60% of A's
+    3-gram set appears in B — the quote/subset detector Jaccard-based
+    dedup (x03/x72) structurally misses.  Probe-side-only prefix
+    filtering, complete index side, no length filter (small-inside-
+    large is the target).  Oracle: brute-force ordered pairs on the
+    same hashed grams."""
+    from .operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.prefix_containment_join(
+        docs, "text", "doc_id", n=3, threshold=0.6
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "containment",
+    ).orderBy("id_a", "id_b")
+
+
+SQL_X115 = """
+WITH g AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                  toks[CAST(i AS INTEGER) + 1] || ' ' ||
+                  toks[CAST(i AS INTEGER) + 2]),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS ng
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+             t -> t <> '') AS toks
+    FROM documents
+  )
+), gg AS (
+  SELECT doc_id, ng FROM g WHERE len(ng) > 0
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       ROUND(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+             / CAST(len(a.ng) AS DOUBLE), 6) AS containment
+FROM gg a JOIN gg b ON a.doc_id <> b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+            / CAST(len(a.ng) AS DOUBLE), 6) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+EXT3_QUERIES.update({"x115_containment": q_x115_containment})
+EXT3_ORACLES.update({"x115_containment": SQL_X115})

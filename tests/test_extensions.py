@@ -1954,3 +1954,87 @@ def test_streaming_decayed_sum_matches_batch_twin(spark, tmp_path):
         half_life_days=DECAY_HALF_LIFE_US // 86_400_000_000,
     ).collect()[0]
     assert batch["decayed_sum_value"] == final["decayed_sum"]
+
+
+def test_containment_join_finds_quotes_jaccard_misses(spark):
+    from fame2pygen_spark.operators.dedup import (
+        prefix_containment_join, prefix_jaccard_join,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again today"
+    article = quote + " " + " ".join(
+        f"filler{i} word{i} extra{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "totally unrelated content here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in prefix_containment_join(
+            df, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    # the quote is fully inside the article (asymmetric, 1 -> 2 only)
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont
+    assert not any(3 in k for k in cont)
+    # Jaccard at the same bar misses it: shared grams are a small
+    # fraction of the article's gram set
+    jac = prefix_jaccard_join(
+        df, "text", "doc_id", n=3, threshold=0.8
+    ).collect()
+    assert not any(
+        {r["id_a"], r["id_b"]} == {1, 2} for r in jac
+    )
+
+
+def test_containment_exact_vs_bruteforce(spark):
+    """Prefix filtering loses no recall: every ordered pair from the
+    O(n^2) brute force appears with the same containment."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.dedup import (
+        gram_hash60, normalized_text, prefix_containment_join,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "gamma delta epsilon zeta eta theta",
+        "one two three four five six seven",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in prefix_containment_join(
+            df, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    # brute force on the same hashed grams
+    toks = df.select(
+        "doc_id",
+        F.filter(
+            F.split(normalized_text(F.col("text")), " "),
+            lambda t: t != F.lit(""),
+        ).alias("tk"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("tk") - F.lit(2)),
+            lambda i: gram_hash60(F.concat_ws(" ", F.slice(F.col("tk"), i, 3))),
+        ))).alias("ng"),
+    )
+    rows = {r["doc_id"]: set(r["ng"]) for r in grams.collect()}
+    expect = {}
+    for a, ga in rows.items():
+        for b, gb in rows.items():
+            if a == b or not ga:
+                continue
+            c = round(len(ga & gb) / len(ga), 6)
+            if c >= 0.5:
+                expect[(a, b)] = c
+    assert got == expect
