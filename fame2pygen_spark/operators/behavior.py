@@ -824,3 +824,90 @@ def calibration_curve(
         )
         .orderBy("bin")
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    censor_horizon_days: int = 7,
+    day_us: int = DAY_US,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator with right-censoring — the
+    statistically correct upgrade of :func:`survival_curve`, which
+    treats every user's observed lifetime as complete and therefore
+    UNDERESTIMATES survival: a user still active near the end of the
+    observation window hasn't churned, their lifetime is merely
+    censored at the cutoff.  KM handles exactly this: censored users
+    leave the risk set without counting as deaths.
+
+    Definitions: lifetime = last activity day − first activity day; a
+    user whose last activity falls within *censor_horizon_days* of the
+    global observation end is CENSORED (still alive at cutoff), anyone
+    else is an observed churn event at their lifetime.
+    ``S(t) = Π_{tᵢ<=t} (1 − dᵢ/nᵢ)`` over event times, with nᵢ the
+    at-risk count (lifetime >= tᵢ).
+
+    Plan shape: one user-keyed reduce to (lifetime, censored); one
+    aggregation keyed by lifetime-day (output bounded by the day
+    range, not users); risk-set and product cumulations are windows
+    over THOSE bounded rows — the product via ``exp(Σ ln(1−d/n))``
+    with decimal-cast log sums (the S12 chain-index idiom), so the
+    curve is accumulation-order-insensitive; an all-churn day forces
+    S = 0 downstream via a cumulative zero flag rather than ln(0).
+
+    Returns ``(t_day, n_at_risk, d_events, n_censored, survival)``
+    for event days only (KM steps), survival at 6 dp.
+    """
+    day = (F.col(ts_col) - (F.col(ts_col) % F.lit(day_us))) / F.lit(day_us)
+    per_user = events.select(
+        F.col(user_col).alias("user"), day.cast("long").alias("day")
+    ).groupBy("user").agg(
+        F.min("day").alias("__first"), F.max("day").alias("__last")
+    )
+    end = per_user.agg(F.max("__last").alias("__end"))
+    lifed = per_user.crossJoin(F.broadcast(end)).select(
+        (F.col("__last") - F.col("__first")).alias("t"),
+        (
+            F.col("__last")
+            >= F.col("__end") - F.lit(int(censor_horizon_days))
+        ).cast("int").alias("censored"),
+    )
+    per_t = lifed.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_t"),
+        F.sum(1 - F.col("censored")).cast("long").alias("d_events"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w_ord = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_t.agg(F.sum("__n_t").alias("__N"))
+    risked = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        (
+            F.col("__N") - F.coalesce(F.sum("__n_t").over(w_ord), F.lit(0))
+        ).cast("long"),
+    )
+    frac = F.try_divide(
+        F.col("d_events").cast("double"), F.col("n_at_risk").cast("double")
+    )
+    log_term = F.when(
+        F.col("d_events") < F.col("n_at_risk"),
+        F.log(F.lit(1.0) - frac).cast("decimal(28,18)"),
+    ).otherwise(F.lit(0).cast("decimal(28,18)"))
+    zero_flag = F.max(
+        (F.col("d_events") >= F.col("n_at_risk")).cast("int")
+    ).over(w_cum)
+    surv = F.when(zero_flag == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(w_cum).cast("double"))
+    )
+    return (
+        risked.withColumn("survival", F.round(surv, 6))
+        .where(F.col("d_events") > 0)
+        .select("t", "n_at_risk", "d_events", "n_censored", "survival")
+        .orderBy("t")
+    )

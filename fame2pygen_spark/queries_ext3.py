@@ -1459,3 +1459,75 @@ ORDER BY id_a, id_b
 
 EXT3_QUERIES.update({"x115_containment": q_x115_containment})
 EXT3_ORACLES.update({"x115_containment": SQL_X115})
+
+
+# --------------------------------- x116: Kaplan-Meier survival
+
+
+def q_x116_kaplan_meier(spark, sf_dir):
+    """Right-censored Kaplan-Meier survival (operators/behavior.py:
+    kaplan_meier): users last active within 7 days of the observation
+    end are censored (leave the risk set without counting as churn) —
+    the estimator x67's naive lifetime curve approximates and biases
+    low.  Product via exp of decimal-cast log sums (the S12 chain
+    idiom); all cumulations run over day-bounded aggregate rows."""
+    from .queries_ext import _read_events
+    from .operators.behavior import kaplan_meier
+
+    ev = _read_events(spark, sf_dir)
+    return kaplan_meier(ev, censor_horizon_days=7)
+
+
+SQL_X116 = """
+WITH pu AS (
+  SELECT user_id,
+         min(epoch_us(ts) // 86400000000) AS fd,
+         max(epoch_us(ts) // 86400000000) AS ld
+  FROM events GROUP BY user_id
+), endd AS (
+  SELECT max(ld) AS e FROM pu
+), lifed AS (
+  SELECT pu.ld - pu.fd AS t,
+         CASE WHEN pu.ld >= endd.e - 7 THEN 1 ELSE 0 END AS censored
+  FROM pu CROSS JOIN endd
+), per_t AS (
+  SELECT t, count(*) AS n_t,
+         sum(1 - censored) AS d_events,
+         sum(censored) AS n_censored
+  FROM lifed GROUP BY t
+), tot AS (
+  SELECT sum(n_t) AS N FROM per_t
+), risked AS (
+  SELECT p.t, p.d_events, p.n_censored,
+         CAST(tot.N - coalesce(sum(p.n_t) OVER (
+           ORDER BY p.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_at_risk
+  FROM per_t p CROSS JOIN tot
+), surv AS (
+  SELECT t, n_at_risk, d_events, n_censored,
+         max(CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END) OVER wc
+           AS zflag,
+         CAST(sum(CASE WHEN d_events < n_at_risk
+             THEN CAST(ln(1.0 - CAST(d_events AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE))
+                       AS DECIMAL(28,18))
+             ELSE CAST(0 AS DECIMAL(28,18)) END) OVER wc AS DOUBLE)
+           AS lsum
+  FROM risked
+  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+)
+SELECT CAST(t AS BIGINT) AS t,
+       n_at_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       ROUND(CASE WHEN zflag = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+         AS survival
+FROM surv
+WHERE d_events > 0
+ORDER BY t
+"""
+
+
+EXT3_QUERIES.update({"x116_kaplan_meier": q_x116_kaplan_meier})
+EXT3_ORACLES.update({"x116_kaplan_meier": SQL_X116})

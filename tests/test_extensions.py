@@ -2038,3 +2038,42 @@ def test_containment_exact_vs_bruteforce(spark):
             if c >= 0.5:
                 expect[(a, b)] = c
     assert got == expect
+
+
+def test_kaplan_meier_censoring_vs_lifelines_hand_calc(spark):
+    """Planted cohort checked against the textbook KM estimate: with
+    censored users in the risk set but not the death count, survival
+    stays HIGHER than the naive all-churn curve."""
+    from fame2pygen_spark.operators.behavior import kaplan_meier
+
+    DAY = 86_400_000_000
+    rows = []
+    uid = 0
+    # 4 users churn at t=2 (active day 0..2, end long after)
+    for _ in range(4):
+        rows += [(uid, 0), (uid, 2 * DAY)]
+        uid += 1
+    # 2 users churn at t=5
+    for _ in range(2):
+        rows += [(uid, 0), (uid, 5 * DAY)]
+        uid += 1
+    # 2 users still active at the end -> censored (lifetime 20)
+    for _ in range(2):
+        rows += [(uid, 0), (uid, 20 * DAY)]
+        uid += 1
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts_us long"
+    )
+    out = {r["t"]: r for r in kaplan_meier(df, censor_horizon_days=3).collect()}
+    # t=2: n=8 at risk, d=4 -> S = 1 - 4/8 = 0.5
+    assert out[2]["n_at_risk"] == 8 and out[2]["d_events"] == 4
+    assert out[2]["survival"] == 0.5
+    # t=5: n=4, d=2 -> S = 0.5 * (1 - 2/4) = 0.25
+    assert out[5]["n_at_risk"] == 4 and out[5]["d_events"] == 2
+    assert out[5]["survival"] == 0.25
+    # the censored users never produce a death step
+    assert 20 not in out
+    # KM with censoring sits above the naive curve that counts the
+    # censored pair as churning at 20: naive S(5) = 2/8 = 0.25 then
+    # drops to 0; KM stays at 0.25
+    assert all(r["survival"] >= 0.25 for r in out.values())
