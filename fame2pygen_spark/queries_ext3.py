@@ -1531,3 +1531,122 @@ ORDER BY t
 
 EXT3_QUERIES.update({"x116_kaplan_meier": q_x116_kaplan_meier})
 EXT3_ORACLES.update({"x116_kaplan_meier": SQL_X116})
+
+
+# ------------------------------------ x117: LSH quality evaluation
+
+
+def q_x117_lsh_eval(spark, sf_dir):
+    """Probabilistic-dedup audit: MinHash-LSH pairs (x03's
+    operators/dedup.py:minhash_lsh_pairs) scored against the EXACT
+    all-pairs shingle-Jaccard ground truth at the same threshold —
+    pair counts, precision, recall in one row.  Because the LSH
+    pipeline verifies true Jaccard after banding, precision is 1.0 by
+    construction and recall isolates banding misses — the number that
+    justifies (or indicts) the band/row parameters before a 100 TB
+    run.  The exact side is an eval harness, quadratic in shingle
+    document frequency — both sides run on the same deterministic
+    1-in-5 sample (doc_id % 5 == 0), the way LSH quality is audited
+    in production: exactly on a sample, probabilistically on the
+    corpus."""
+    from .operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 5 == 0
+    )
+    lsh = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, num_hashes=64, bands=16,
+        threshold=0.6,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select(F.col("doc_id").cast("long").alias("id"), norm.alias("t"))
+    sh = staged.where(F.length("t") >= 5).select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - F.lit(4)),
+                    lambda i: F.substring(F.col("t"), i, F.lit(5)),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), on="id_b")
+        .withColumn(
+            "j",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("j") >= 0.6)
+        .select("id_a", "id_b")
+    )
+    common = exact.join(lsh, on=["id_a", "id_b"]).select("id_a")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = common.count()
+    row = [(
+        int(n_exact), int(n_lsh), int(n_common),
+        round(n_common / n_lsh, 6) if n_lsh else None,
+        round(n_common / n_exact, 6) if n_exact else None,
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_exact long, n_lsh long, n_common long, "
+        "precision double, recall double",
+    )
+
+
+def _sql_x117() -> str:
+    from .queries_ext import _sql_x03_ctes
+
+    sample = "(SELECT * FROM documents WHERE doc_id % 5 = 0)"
+    return f"""
+WITH {_sql_x03_ctes(source=sample)},
+exact AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+              / (sa.n + sb.n - i.n_inter), 6) >= 0.6
+),
+common AS (
+  SELECT e.id_a FROM exact e
+  JOIN lsh_pairs l ON l.id_a = e.id_a AND l.id_b = e.id_b
+),
+c AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+         (SELECT count(*) FROM common) AS n_common
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n_lsh AS DOUBLE), 6)
+         AS precision,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+         AS recall
+FROM c
+"""
+
+
+EXT3_QUERIES.update({"x117_lsh_eval": q_x117_lsh_eval})
+EXT3_ORACLES.update({"x117_lsh_eval": _sql_x117()})
