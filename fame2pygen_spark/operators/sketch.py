@@ -1520,3 +1520,72 @@ def equidepth_histogram(
             F.count("*").cast("long").alias("n_rows"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation: Pearson over mid-rank
+    (tie-averaged) transforms — the robust, monotonicity-sensitive
+    complement to :func:`corr_pairs`, immune to outliers and to any
+    monotone rescaling of either column.
+
+    Ranks are the classical average-of-ties: ``min_rank +
+    (tie_count − 1)/2`` from a per-group ``rank()`` window plus a
+    per-(group, value) tie count — both keyed by the group, so
+    partitions are group-sized, never global (ranking inherently
+    sorts each group; shard groups, not the ranking).  The rank pairs
+    then flow through the exact decimal-moment Pearson (the
+    ``corr_pairs`` idiom), so the coefficient is accumulation-order-
+    insensitive and engine-reproducible.
+
+    Returns ``(group_cols..., n, spearman)`` at 6 dp; null for
+    constant columns.
+    """
+    group_cols = list(group_cols)
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    base = df.where(both).select(
+        *group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    )
+
+    def midrank(col: str, out: str) -> DataFrame:
+        nonlocal base
+        wr = Window.partitionBy(*group_cols).orderBy(col)
+        ties = Window.partitionBy(*group_cols, col)
+        base = base.withColumn(
+            out,
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(ties).cast("double") - 1.0) / 2.0,
+        )
+        return base
+
+    midrank("__x", "__rx")
+    midrank("__y", "__ry")
+
+    dec = "decimal(38,12)"
+    m = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__rx").cast(dec)).alias("__sx"),
+        F.sum(F.col("__ry").cast(dec)).alias("__sy"),
+        F.sum((F.col("__rx") * F.col("__ry")).cast(dec)).alias("__sxy"),
+        F.sum((F.col("__rx") * F.col("__rx")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__ry") * F.col("__ry")).cast(dec)).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = sxy - sx * sy / n
+    den = F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return m.select(
+        *group_cols,
+        "n",
+        (F.round(F.try_divide(num, den), 6) + F.lit(0.0)).alias(
+            "spearman"
+        ),
+    )

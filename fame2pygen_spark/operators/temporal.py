@@ -1008,3 +1008,74 @@ def late_data_profile(
         .alias("n_late"),
         F.max("__lag").cast("long").alias("max_lateness"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval × interval overlap join with NO equi-key: every
+    (left, right) pair whose half-open ranges ``[start, end)``
+    intersect — the general form of :func:`range_join_points` (which
+    handles point-in-interval) and the third member of the temporal
+    join family with :func:`asof_join`.
+
+    Bounds must be integral and non-negative (cast timestamps to
+    epoch units; bucketing uses truncating ``div``).  Empty/inverted
+    intervals match nothing.
+
+    Mechanics: both sides replicate into the coarse time cells they
+    span; candidates are cell-local equi-join matches.  Each
+    overlapping pair would surface once per SHARED cell, so instead of
+    a distinct pass the pair is emitted only in its RESPONSIBILITY
+    cell — the one containing ``max(start_l, start_r)``, the first
+    cell where both intervals are live.  One equi-join, no dedup
+    shuffle, output exactly once per pair.  Choose *bucket_width* near
+    the typical interval span: replication stays O(1) per row and
+    cell population bounded (same guidance as range_join_points).
+
+    Returns left columns + right columns (collisions keep the left
+    side; rename upstream) + ``overlap`` (integer units of shared
+    range).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = int(bucket_width)
+
+    def cells(df, s, e):
+        return df.where(F.col(e) > F.col(s)).select(
+            *df.columns,
+            F.explode(
+                F.sequence(
+                    F.expr(f"`{s}` div {w}"),
+                    F.expr(f"(`{e}` - 1) div {w}"),
+                )
+            ).alias("__cell"),
+        )
+
+    lt = cells(left, left_start, left_end)
+    rcols = [c for c in right.columns if c not in left.columns]
+    rt = cells(right, right_start, right_end)
+
+    joined = lt.join(rt, on="__cell").where(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+    )
+    responsible = joined.where(
+        F.expr(
+            f"greatest(`{left_start}`, `{right_start}`) div {w}"
+        )
+        == F.col("__cell")
+    )
+    overlap = F.least(F.col(left_end), F.col(right_end)) - F.greatest(
+        F.col(left_start), F.col(right_start)
+    )
+    return responsible.select(
+        *left.columns, *rcols, overlap.cast("long").alias("overlap")
+    )

@@ -1650,3 +1650,144 @@ FROM c
 
 EXT3_QUERIES.update({"x117_lsh_eval": q_x117_lsh_eval})
 EXT3_ORACLES.update({"x117_lsh_eval": _sql_x117()})
+
+
+# ----------------------------------- x118: interval overlap join
+
+
+def q_x118_interval_overlap(spark, sf_dir):
+    """General interval × interval overlap join (operators/
+    temporal.py:interval_overlap_join): per-user daily activity
+    intervals of 'error' events joined to overlapping 'purchase'
+    intervals of OTHER users — bucketed cells, responsibility-cell
+    emission (no distinct pass), exact integer-µs overlap.  The
+    oracle is the brute-force inequality join."""
+    from .queries_ext import _read_events
+    from .operators.temporal import interval_overlap_join
+
+    ev = _read_events(spark, sf_dir)
+
+    def spans(etype, ida, s, e):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(F.col("user_id").alias(ida))
+            .agg(
+                F.min("ts_us").cast("long").alias(s),
+                (F.max("ts_us") + 1).cast("long").alias(e),
+            )
+        )
+
+    err = spans("error", "user_a", "s_a", "e_a")
+    pur = spans("purchase", "user_b", "s_b", "e_b")
+    out = interval_overlap_join(
+        err, pur,
+        left_start="s_a", left_end="e_a",
+        right_start="s_b", right_end="e_b",
+        bucket_width=7 * 86_400_000_000,
+    ).where(F.col("user_a") != F.col("user_b"))
+    return (
+        out.groupBy("user_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.sum("overlap").cast("long").alias("total_overlap_us"),
+        )
+        .orderBy("user_a")
+    )
+
+
+SQL_X118 = """
+WITH err AS (
+  SELECT user_id AS user_a,
+         min(epoch_us(ts)) AS s_a, max(epoch_us(ts)) + 1 AS e_a
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+), pur AS (
+  SELECT user_id AS user_b,
+         min(epoch_us(ts)) AS s_b, max(epoch_us(ts)) + 1 AS e_b
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), pairs AS (
+  SELECT e.user_a,
+         least(e.e_a, p.e_b) - greatest(e.s_a, p.s_b) AS ov
+  FROM err e JOIN pur p
+    ON e.s_a < p.e_b AND p.s_b < e.e_a AND e.user_a <> p.user_b
+)
+SELECT CAST(user_a AS BIGINT) AS user_a,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(ov) AS BIGINT) AS total_overlap_us
+FROM pairs
+GROUP BY user_a
+ORDER BY user_a
+"""
+
+
+# ------------------------------------- x119: Spearman correlation
+
+
+def q_x119_spearman(spark, sf_dir):
+    """Per-type Spearman rank correlation (operators/sketch.py:
+    spearman_corr) between event value and the JSON props field k
+    (extracted via x94's typed path) — the monotonicity-sensitive
+    robust complement to Pearson (x53), exact mid-rank ties and
+    decimal-moment Pearson over ranks."""
+    from .queries_ext import _read_events
+    from .operators.sketch import spearman_corr
+    from .sources.ingest import extract_json_props
+
+    ev = _read_events(spark, sf_dir)
+    ex = extract_json_props(ev, "props", {"k": "bigint"})
+    return spearman_corr(
+        ex, ["event_type"], "value", "k"
+    ).orderBy("event_type")
+
+
+SQL_X119 = """
+WITH src AS (
+  SELECT event_type, value AS x,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL
+), ranked AS (
+  SELECT event_type,
+         CAST(rank() OVER (PARTITION BY event_type ORDER BY x)
+              AS DOUBLE)
+           + (CAST(count(*) OVER (PARTITION BY event_type, x)
+                   AS DOUBLE) - 1.0) / 2.0 AS rx,
+         CAST(rank() OVER (PARTITION BY event_type ORDER BY y)
+              AS DOUBLE)
+           + (CAST(count(*) OVER (PARTITION BY event_type, y)
+                   AS DOUBLE) - 1.0) / 2.0 AS ry
+  FROM src
+), m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(rx AS DECIMAL(38,12))) AS sx,
+         sum(CAST(ry AS DECIMAL(38,12))) AS sy,
+         sum(CAST(rx * ry AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(rx * rx AS DECIMAL(38,12))) AS sxx,
+         sum(CAST(ry * ry AS DECIMAL(38,12))) AS syy
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND(
+         (CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                * (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE))),
+         6) + 0.0 AS spearman
+FROM m
+ORDER BY event_type
+"""
+
+
+EXT3_QUERIES.update({
+    "x118_interval_overlap": q_x118_interval_overlap,
+    "x119_spearman": q_x119_spearman,
+})
+EXT3_ORACLES.update({
+    "x118_interval_overlap": SQL_X118,
+    "x119_spearman": SQL_X119,
+})

@@ -2077,3 +2077,55 @@ def test_kaplan_meier_censoring_vs_lifelines_hand_calc(spark):
     # censored pair as churning at 20: naive S(5) = 2/8 = 0.25 then
     # drops to 0; KM stays at 0.25
     assert all(r["survival"] >= 0.25 for r in out.values())
+
+
+def test_interval_overlap_join_exact_vs_naive(spark):
+    from fame2pygen_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 150), (3, 500, 510), (4, 7, 7)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 120), (11, 0, 5), (12, 100, 200), (13, 505, 600)],
+        "rid long, rs long, re long",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["overlap"]
+        for r in interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_width=30,
+        ).collect()
+    }
+    # naive inequality join ground truth (half-open intervals)
+    naive = {}
+    for lid, ls, le in [(1, 0, 100), (2, 50, 150), (3, 500, 510), (4, 7, 7)]:
+        for rid, rs, re in [(10, 90, 120), (11, 0, 5), (12, 100, 200), (13, 505, 600)]:
+            if le > ls and re > rs and ls < re and rs < le:
+                naive[(lid, rid)] = min(le, re) - max(ls, rs)
+    assert got == naive
+    # each pair appears exactly once despite spanning many cells
+    assert got[(1, 10)] == 10 and got[(2, 12)] == 50
+
+
+def test_spearman_invariant_to_monotone_transform(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.sketch import spearman_corr
+
+    rows = [("g", float(i), float(i * i)) for i in range(20)]
+    rows += [("h", float(i), float(20 - i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r["spearman"] for r in spearman_corr(df, ["g"], "x", "y").collect()}
+    # y = x^2 is a monotone transform on x >= 0 -> perfect rank corr
+    assert out["g"] == 1.0
+    assert out["h"] == -1.0
+    # tie handling: duplicate values get the mid-rank
+    tied = spark.createDataFrame(
+        [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)],
+        "g string, x double, y double",
+    )
+    r = spearman_corr(tied, ["g"], "x", "y").collect()[0]
+    assert abs(r["spearman"] - 0.866025) < 1e-6  # sqrt(3)/2
