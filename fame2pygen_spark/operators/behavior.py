@@ -911,3 +911,160 @@ def kaplan_meier(
         .select("t", "n_at_risk", "d_events", "n_censored", "survival")
         .orderBy("t")
     )
+
+
+def funnel_step_latency(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    probs: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for users
+    who reach step *i*, exact quantiles of ``t_i − t_{i−1}`` under the
+    same sequential-conditional-minimum semantics as
+    :func:`funnel_conversion` — the "how long does each step take"
+    companion to its "how many make it".
+
+    Same single-pass join chain as the funnel (k−1 type-filtered
+    left joins, all shuffles on the user key); one quantile aggregate
+    per transition over the final per-user frame.  Quantile outputs
+    are truncated to integer µs (interpolated quantiles of integral
+    microsecond gaps straddle double ulp at 1e11 µs — the x38
+    lesson), so the report is engine-exact.
+
+    Returns ``(step_idx, step, n_users, p50_us, p90_us)`` for
+    transitions (step_idx >= 2).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    user, ts = F.col(user_col), F.col(ts_col)
+    reached = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("t1"))
+    )
+    prev = "t1"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            user, ts.alias("__ts")
+        )
+        reached = (
+            reached.join(nxt, on=user_col, how="left")
+            .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
+            .agg(
+                F.min(
+                    F.when(F.col("__ts") > F.col(prev), F.col("__ts"))
+                ).alias(f"t{i}")
+            )
+        )
+        prev = f"t{i}"
+    lat_rows = []
+    for i, step in enumerate(steps[1:], start=2):
+        gap = (F.col(f"t{i}") - F.col(f"t{i-1}")).cast("long")
+        aggs = [
+            F.count(F.when(F.col(f"t{i}").isNotNull(), 1))
+            .cast("long")
+            .alias("n_users")
+        ]
+        for p in probs:
+            aggs.append(
+                F.expr(
+                    f"percentile(CAST(t{i} - t{i-1} AS BIGINT), {p!r})"
+                )
+                .cast("long")
+                .alias(f"p{int(p * 100)}_us")
+            )
+        del gap
+        lat_rows.append(
+            reached.agg(*aggs).select(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "*",
+            )
+        )
+    out = lat_rows[0]
+    for extra in lat_rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("step_idx")
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    n_tiles: int = 3,
+    day_us: int = DAY_US,
+) -> DataFrame:
+    """RFM segmentation — the classic lifecycle taxonomy: each user
+    scored 1..*n_tiles* on Recency (days since last activity, lower is
+    better), Frequency (event count), and Monetary (value sum), cut at
+    exact corpus quantiles, then rolled up per R-F-M cell.
+
+    Plan shape: one user-keyed reduce to (r, f, m); the 3×(n_tiles−1)
+    cut points come from ONE exact-percentile aggregate (1 row,
+    broadcast — the x88 idiom); scoring is a strict-``>`` fold over
+    each literal-sized boundary array; one final cell-keyed reduce
+    (output bounded by n_tiles³).  Monetary sums are decimal-cast.
+
+    Returns ``(r_score, f_score, m_score, n_users, total_value)``,
+    value at 6 dp.  Recency scores INVERT (freshest activity = highest
+    score), matching the marketing convention.
+    """
+    dec = "decimal(38,12)"
+    ref = events.agg(F.max(F.col(ts_col)).alias("__ref"))
+    per_user = (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy(user_col)
+        .agg(
+            F.expr(f"(first(__ref) - max(`{ts_col}`)) div {day_us}")
+            .cast("long")
+            .alias("r"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum(F.col(value_col).cast(dec))
+            .cast("double")
+            .alias("m"),
+        )
+    )
+    probs = [i / n_tiles for i in range(1, n_tiles)]
+    cuts = per_user.agg(
+        *[
+            F.array(
+                *[F.expr(f"percentile(`{c}`, {p!r})") for p in probs]
+            ).alias(f"__b_{c}")
+            for c in ("r", "f", "m")
+        ]
+    )
+
+    def score(col: str) -> F.Column:
+        return (
+            F.aggregate(
+                F.col(f"__b_{col}"),
+                F.lit(1),
+                lambda acc, b: acc
+                + F.when(F.col(col) > b, 1).otherwise(0),
+            )
+        ).cast("long")
+
+    scored = per_user.crossJoin(F.broadcast(cuts)).select(
+        user_col,
+        # recency: fewer days since last activity = better = higher
+        (F.lit(n_tiles + 1) - score("r")).alias("r_score"),
+        score("f").alias("f_score"),
+        score("m").alias("m_score"),
+        "m",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.sum(F.col("m").cast(dec)).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1791,3 +1791,114 @@ EXT3_ORACLES.update({
     "x118_interval_overlap": SQL_X118,
     "x119_spearman": SQL_X119,
 })
+
+
+# ------------------------------------- x120: funnel step latency
+
+
+def q_x120_funnel_latency(spark, sf_dir):
+    """Time-to-convert quantiles per funnel transition
+    (operators/behavior.py:funnel_step_latency): signup → click →
+    purchase under the x31 sequential-conditional-minimum semantics,
+    with p50/p90 truncated to integer µs (the x38 ulp lesson)."""
+    from .queries_ext import _read_events
+    from .operators.behavior import funnel_step_latency
+
+    ev = _read_events(spark, sf_dir)
+    return funnel_step_latency(ev, ["signup", "click", "purchase"])
+
+
+SQL_X120 = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT s1.user_id, s1.t1,
+         min(CASE WHEN epoch_us(e.ts) > s1.t1
+                  THEN epoch_us(e.ts) END) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+  GROUP BY s1.user_id, s1.t1
+), s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2,
+         min(CASE WHEN epoch_us(e.ts) > s2.t2
+                  THEN epoch_us(e.ts) END) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+  GROUP BY s2.user_id, s2.t1, s2.t2
+)
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS step_idx, 'click' AS step,
+         CAST(count(t2) AS BIGINT) AS n_users,
+         CAST(quantile_cont(t2 - t1, 0.5) AS BIGINT) AS p50_us,
+         CAST(quantile_cont(t2 - t1, 0.9) AS BIGINT) AS p90_us
+  FROM s3
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase',
+         CAST(count(t3) AS BIGINT),
+         CAST(quantile_cont(t3 - t2, 0.5) AS BIGINT),
+         CAST(quantile_cont(t3 - t2, 0.9) AS BIGINT)
+  FROM s3
+)
+ORDER BY step_idx
+"""
+
+
+# -------------------------------------------- x121: RFM segments
+
+
+def q_x121_rfm(spark, sf_dir):
+    """RFM lifecycle segmentation (operators/behavior.py:
+    rfm_segments): recency/frequency/monetary tercile scores cut at
+    exact corpus quantiles (one broadcast boundary aggregate),
+    rolled up per R-F-M cell with decimal value sums."""
+    from .queries_ext import _read_events
+    from .operators.behavior import rfm_segments
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    return rfm_segments(ev)
+
+
+SQL_X121 = """
+WITH ref AS (
+  SELECT max(epoch_us(ts)) AS r FROM events WHERE value IS NOT NULL
+), pu AS (
+  SELECT e.user_id,
+         (ref.r - max(epoch_us(e.ts))) // 86400000000 AS r,
+         count(*) AS f,
+         CAST(sum(CAST(e.value AS DECIMAL(38,12))) AS DOUBLE) AS m
+  FROM events e CROSS JOIN ref
+  WHERE e.value IS NOT NULL
+  GROUP BY e.user_id, ref.r
+), cuts AS (
+  SELECT [quantile_cont(r, 1.0/3), quantile_cont(r, 2.0/3)] AS br,
+         [quantile_cont(f, 1.0/3), quantile_cont(f, 2.0/3)] AS bf,
+         [quantile_cont(m, 1.0/3), quantile_cont(m, 2.0/3)] AS bm
+  FROM pu
+), scored AS (
+  SELECT 4 - (1 + len(list_filter(c.br, b -> pu.r > b))) AS r_score,
+         1 + len(list_filter(c.bf, b -> pu.f > b)) AS f_score,
+         1 + len(list_filter(c.bm, b -> pu.m > b)) AS m_score,
+         pu.m
+  FROM pu CROSS JOIN cuts c
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       ROUND(CAST(sum(CAST(m AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS total_value
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+EXT3_QUERIES.update({
+    "x120_funnel_latency": q_x120_funnel_latency,
+    "x121_rfm": q_x121_rfm,
+})
+EXT3_ORACLES.update({
+    "x120_funnel_latency": SQL_X120,
+    "x121_rfm": SQL_X121,
+})

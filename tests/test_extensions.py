@@ -1776,9 +1776,19 @@ def test_novelty_rate_planted(spark):
 def test_late_data_profile_predicts_streaming_watermark_drop(spark, tmp_path):
     """x107's batch accounting and a REAL watermarked streaming query
     agree: the row late_data_profile marks as exceeding the watermark
-    is exactly the row the append-mode streaming aggregation drops."""
-    import datetime as dt
+    is exactly the row the append-mode streaming aggregation drops.
 
+    File-source subtlety pinned here: the effective watermark for
+    batch N is the one computed after batch N-1's COMMIT, and progress
+    reports it post-batch — so the late file must arrive two
+    micro-batches after the watermark-advancing row for the drop to
+    engage.  Files are one-per-batch with pinned mtimes because
+    FileStreamSource orders batches by modification time."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     from fame2pygen_spark.operators.temporal import late_data_profile
@@ -1789,24 +1799,31 @@ def test_late_data_profile_predicts_streaming_watermark_drop(spark, tmp_path):
         "event_type string, value double"
     )
     t0 = dt.datetime(2024, 1, 1, 10, 0)
-    on_time = [
-        (1, t0, 1, "click", 1.0),
-        (2, t0 + dt.timedelta(minutes=30), 1, "click", 1.0),
-        (3, t0 + dt.timedelta(minutes=90), 1, "click", 1.0),  # 11:30
+    batches = [
+        [(1, t0, 1, "click", 1.0),
+         (2, t0 + dt.timedelta(minutes=30), 1, "click", 1.0)],
+        [(3, t0 + dt.timedelta(minutes=90), 1, "click", 1.0)],  # 11:30
+        [(4, t0 + dt.timedelta(minutes=95), 1, "click", 1.0)],  # settle wm
+        # 80 min event-time lag >> 10 min watermark -> dropped
+        [(5, t0 + dt.timedelta(minutes=15), 1, "click", 1.0)],
     ]
-    late = [
-        # event time 10:15 arrives AFTER the 11:30 row: 75 min lag,
-        # beyond a 10-minute watermark -> dropped from [10:00, 11:00)
-        (4, t0 + dt.timedelta(minutes=15), 1, "click", 1.0),
-    ]
-    b1 = spark.createDataFrame(on_time, schema)
-    b2 = spark.createDataFrame(late, schema)
     path = str(tmp_path / "late_src")
-    b1.write.parquet(path)
-    b2.write.mode("append").parquet(path)
+    dfs = [spark.createDataFrame(rows, schema) for rows in batches]
+    dfs[0].coalesce(1).write.parquet(path)
+    for d in dfs[1:]:
+        d.coalesce(1).write.mode("append").parquet(path)
+    order = {1: 0, 3: 1, 4: 2, 5: 3}
+    now = _time.time()
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, f)
+        eid = pq.read_table(fp).column("event_id")[0].as_py()
+        ts = now - 240 + order[eid] * 60
+        os.utime(fp, (ts, ts))
 
     stream = (
-        spark.readStream.schema(b1.schema)
+        spark.readStream.schema(dfs[0].schema)
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(path)
@@ -1829,10 +1846,11 @@ def test_late_data_profile_predicts_streaming_watermark_drop(spark, tmp_path):
     # the 10:00 window closed with 2 rows — the late one was dropped
     assert closed[(10, "click")] == 2
 
-    # batch twin predicts the same single drop
-    both = b1.unionByName(b2).withColumn(
-        "ts_us", F.unix_micros("ts")
-    )
+    # batch twin predicts the same single drop on the full arrival log
+    both = dfs[0]
+    for d in dfs[1:]:
+        both = both.unionByName(d)
+    both = both.withColumn("ts_us", F.unix_micros("ts"))
     prof = late_data_profile(
         both,
         ["event_type"],
@@ -1841,7 +1859,9 @@ def test_late_data_profile_predicts_streaming_watermark_drop(spark, tmp_path):
         watermark=10 * 60 * 1_000_000,
     ).collect()[0]
     assert prof["n_late"] == 1
-    assert prof["max_lateness"] == 75 * 60 * 1_000_000
+    assert prof["max_lateness"] == 80 * 60 * 1_000_000
+
+
 
 
 def test_pq_encode_exact_on_codebook_members(spark):
@@ -1917,8 +1937,8 @@ def test_streaming_decayed_sum_matches_batch_twin(spark, tmp_path):
         [(3, day + 2 * wk, 1, "click", 2.0)], schema
     )
     path = str(tmp_path / "decay_src")
-    b1.write.parquet(path)
-    b2.write.mode("append").parquet(path)
+    b1.coalesce(1).write.parquet(path)
+    b2.coalesce(1).write.mode("append").parquet(path)
 
     stream = (
         spark.readStream.schema(b1.schema)
