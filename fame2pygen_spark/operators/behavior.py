@@ -923,17 +923,23 @@ def funnel_step_latency(
     probs: Sequence[float] = (0.5, 0.9),
 ) -> DataFrame:
     """Time-to-convert distribution per funnel transition: for users
-    who reach step *i*, exact quantiles of ``t_i − t_{i−1}`` under the
-    same sequential-conditional-minimum semantics as
+    who reach step *i*, quantiles of ``t_i − t_{i−1}`` under the same
+    sequential-conditional-minimum semantics as
     :func:`funnel_conversion` — the "how long does each step take"
     companion to its "how many make it".
 
-    Same single-pass join chain as the funnel (k−1 type-filtered
-    left joins, all shuffles on the user key); one quantile aggregate
-    per transition over the final per-user frame.  Quantile outputs
-    are truncated to integer µs (interpolated quantiles of integral
-    microsecond gaps straddle double ulp at 1e11 µs — the x38
-    lesson), so the report is engine-exact.
+    Quantiles are NEAREST-RANK (exact element selection at rank
+    ``ceil(p·n)``), not interpolated — gaps are integral microseconds
+    at ~10¹¹ magnitude where interpolation arithmetic differs across
+    engines by an ulp that truncation then amplifies to a full unit
+    (the x38 lesson, applied before the bug this time).  Everything
+    stays BIGINT end to end.
+
+    Plan shape: the same single-pass k−1 join chain as the funnel
+    (all shuffles on the user key); gap streams unpivot into one
+    (transition)-keyed frame, ranks come from a transition-keyed
+    window (each transition's gaps sort on one partition — switch to
+    approx quantiles beyond ~10⁸ converting users per step).
 
     Returns ``(step_idx, step, n_users, p50_us, p90_us)`` for
     transitions (step_idx >= 2).
@@ -961,34 +967,46 @@ def funnel_step_latency(
             )
         )
         prev = f"t{i}"
-    lat_rows = []
+
+    gap_selects = []
     for i, step in enumerate(steps[1:], start=2):
-        gap = (F.col(f"t{i}") - F.col(f"t{i-1}")).cast("long")
-        aggs = [
-            F.count(F.when(F.col(f"t{i}").isNotNull(), 1))
-            .cast("long")
-            .alias("n_users")
-        ]
-        for p in probs:
-            aggs.append(
-                F.expr(
-                    f"percentile(CAST(t{i} - t{i-1} AS BIGINT), {p!r})"
-                )
-                .cast("long")
-                .alias(f"p{int(p * 100)}_us")
-            )
-        del gap
-        lat_rows.append(
-            reached.agg(*aggs).select(
+        gap_selects.append(
+            reached.where(F.col(f"t{i}").isNotNull()).select(
                 F.lit(i).cast("long").alias("step_idx"),
                 F.lit(step).alias("step"),
-                "*",
+                (F.col(f"t{i}") - F.col(f"t{i-1}"))
+                .cast("long")
+                .alias("gap_us"),
             )
         )
-    out = lat_rows[0]
-    for extra in lat_rows[1:]:
-        out = out.unionByName(extra)
-    return out.orderBy("step_idx")
+    gaps = gap_selects[0]
+    for g in gap_selects[1:]:
+        gaps = gaps.unionByName(g)
+
+    wr = Window.partitionBy("step_idx").orderBy("gap_us")
+    wn = Window.partitionBy("step_idx")
+    ranked = gaps.withColumn("__rn", F.row_number().over(wr)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [
+        F.max("step").alias("step"),
+        F.max("__n").cast("long").alias("n_users"),
+    ]
+    for p in probs:
+        target = F.ceil(F.lit(float(p)) * F.col("__n").cast("double"))
+        aggs.append(
+            F.max(
+                F.when(F.col("__rn") == target, F.col("gap_us"))
+            )
+            .cast("long")
+            .alias(f"p{int(p * 100)}_us")
+        )
+    return (
+        ranked.groupBy("step_idx").agg(*aggs)
+        .select("step_idx", "step", "n_users",
+                *[f"p{int(p * 100)}_us" for p in probs])
+        .orderBy("step_idx")
+    )
 
 
 def rfm_segments(

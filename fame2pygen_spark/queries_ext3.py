@@ -1800,7 +1800,8 @@ def q_x120_funnel_latency(spark, sf_dir):
     """Time-to-convert quantiles per funnel transition
     (operators/behavior.py:funnel_step_latency): signup → click →
     purchase under the x31 sequential-conditional-minimum semantics,
-    with p50/p90 truncated to integer µs (the x38 ulp lesson)."""
+    with nearest-rank p50/p90 (exact BIGINT selection — the x38 ulp
+    lesson applied up front)."""
     from .queries_ext import _read_events
     from .operators.behavior import funnel_step_latency
 
@@ -1826,20 +1827,30 @@ WITH s1 AS (
   FROM s2 LEFT JOIN events e
     ON e.user_id = s2.user_id AND e.event_type = 'purchase'
   GROUP BY s2.user_id, s2.t1, s2.t2
-)
-SELECT * FROM (
+), gaps AS (
   SELECT CAST(2 AS BIGINT) AS step_idx, 'click' AS step,
-         CAST(count(t2) AS BIGINT) AS n_users,
-         CAST(quantile_cont(t2 - t1, 0.5) AS BIGINT) AS p50_us,
-         CAST(quantile_cont(t2 - t1, 0.9) AS BIGINT) AS p90_us
-  FROM s3
+         t2 - t1 AS gap_us FROM s3 WHERE t2 IS NOT NULL
   UNION ALL
-  SELECT CAST(3 AS BIGINT), 'purchase',
-         CAST(count(t3) AS BIGINT),
-         CAST(quantile_cont(t3 - t2, 0.5) AS BIGINT),
-         CAST(quantile_cont(t3 - t2, 0.9) AS BIGINT)
-  FROM s3
+  SELECT CAST(3 AS BIGINT), 'purchase', t3 - t2
+  FROM s3 WHERE t3 IS NOT NULL
+), ranked AS (
+  SELECT step_idx, step, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY step_idx ORDER BY gap_us)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY step_idx) AS n
+  FROM gaps
 )
+SELECT step_idx,
+       MAX(step) AS step,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE)
+                * CAST(n AS DOUBLE)) AS BIGINT)
+                THEN gap_us END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE)
+                * CAST(n AS DOUBLE)) AS BIGINT)
+                THEN gap_us END) AS BIGINT) AS p90_us
+FROM ranked
+GROUP BY step_idx
 ORDER BY step_idx
 """
 

@@ -2149,3 +2149,48 @@ def test_spearman_invariant_to_monotone_transform(spark):
     )
     r = spearman_corr(tied, ["g"], "x", "y").collect()[0]
     assert abs(r["spearman"] - 0.866025) < 1e-6  # sqrt(3)/2
+
+
+def test_funnel_step_latency_nearest_rank(spark):
+    from fame2pygen_spark.operators.behavior import funnel_step_latency
+
+    rows = []
+    # three users complete signup->click with gaps 10, 20, 30
+    for u, gap in [(1, 10), (2, 20), (3, 30)]:
+        rows += [(u, "signup", 1000), (u, "click", 1000 + gap)]
+    # one user signs up but never clicks
+    rows.append((4, "signup", 1000))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    out = {r["step_idx"]: r for r in funnel_step_latency(
+        df, ["signup", "click"]
+    ).collect()}
+    r = out[2]
+    assert r["n_users"] == 3
+    assert r["p50_us"] == 20  # nearest rank ceil(0.5*3)=2 -> element 20
+    assert r["p90_us"] == 30  # ceil(0.9*3)=3 -> element 30
+
+
+def test_rfm_segments_partition_users(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.behavior import rfm_segments
+
+    DAY = 86_400_000_000
+    rows = []
+    # 9 users spread over recency/frequency/monetary extremes
+    for u in range(9):
+        n_ev = 1 + (u % 3) * 5           # frequency tiers
+        last = (u // 3) * 10             # recency tiers (days ago)
+        for i in range(n_ev):
+            rows.append((u, (30 - last) * DAY - i, float(u + 1)))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    out = rfm_segments(df).collect()
+    assert sum(r["n_users"] for r in out) == 9
+    # scores stay in 1..3 and the value conserves
+    for r in out:
+        assert 1 <= r["r_score"] <= 3
+        assert 1 <= r["f_score"] <= 3
+        assert 1 <= r["m_score"] <= 3
+    total = sum(r["total_value"] for r in out)
+    expect = sum((u + 1) * (1 + (u % 3) * 5) for u in range(9))
+    assert abs(total - expect) < 1e-6
