@@ -218,3 +218,135 @@ PANEL_ORACLES = {
     "p03_panel_date_window": SQL_P03,
     "p04_panel_backcast": SQL_P04,
 }
+
+
+def region_monthly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain/Fisher panel input: monthly A/R quantity + unit price per
+    REGION (supplier → nation → region lineage; region and nation are
+    fixed tiny dimensions → explicit broadcast)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_returnflag",
+        "l_quantity", "l_extendedprice",
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = _read(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    month = F.date_trunc("month", F.col("l_shipdate")).cast("date").alias(
+        "DATE"
+    )
+
+    def agg_for(flag: str, qname: str, pname: str):
+        cond = F.col("l_returnflag") == flag
+        qty = F.sum(F.when(cond, F.col("l_quantity")).cast("decimal(18,2)"))
+        rev = F.sum(
+            F.when(cond, F.col("l_extendedprice")).cast("decimal(18,2)")
+        )
+        return [
+            qty.cast("double").alias(qname),
+            (rev.cast("double") / qty.cast("double")).alias(pname),
+        ]
+
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("REGION"), month)
+        .agg(*agg_for("A", "A", "PA"), *agg_for("R", "R", "PR"))
+    )
+
+
+SQL_PANEL_FLAGS = """
+WITH base AS (
+  SELECT r_name AS REGION,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS DATE,
+         CAST(SUM(CASE WHEN l_returnflag='A'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS A,
+         CAST(SUM(CASE WHEN l_returnflag='A'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+              AS DOUBLE)
+           / CAST(SUM(CASE WHEN l_returnflag='A'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS PA,
+         CAST(SUM(CASE WHEN l_returnflag='R'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS R,
+         CAST(SUM(CASE WHEN l_returnflag='R'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+              AS DOUBLE)
+           / CAST(SUM(CASE WHEN l_returnflag='R'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS PR
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def q_p05_panel_chain(spark, sf_dir):
+    """S12 chain-linked volume index in panel mode: the full
+    annual-overlap machinery (yearly averages, linking factors,
+    exp-sum-log cumulation, base-year rebasing) with every window
+    ``partitionBy(REGION)`` — the hardest econ operator at the 100 TB
+    layout, proven against a PARTITION BY oracle."""
+    base = region_monthly_flags(spark, sf_dir)
+    res = run_script(
+        base,
+        ['vol = $chain("a + r", "1997")'],
+        entity_cols=("REGION",),
+    )
+    return res.df.select(
+        "REGION", "DATE",
+        F.round(F.col("VOL").cast("double"), 6).alias("VOL"),
+    )
+
+
+SQL_P05 = SQL_PANEL_FLAGS + """
+, yearly AS (
+  SELECT REGION, year(DATE) AS y,
+         AVG(A) AS qa, AVG(PA) AS pa, AVG(R) AS qr, AVG(PR) AS pr
+  FROM base GROUP BY 1, 2
+),
+links AS (
+  SELECT REGION, y, qa, qr,
+         LAG(pa) OVER wy AS pap, LAG(pr) OVER wy AS prp,
+         LAG(qa) OVER wy AS qap, LAG(qr) OVER wy AS qrp,
+         (LAG(pa) OVER wy * qa + LAG(pr) OVER wy * qr)
+           / (LAG(pa) OVER wy * LAG(qa) OVER wy
+              + LAG(pr) OVER wy * LAG(qr) OVER wy) AS link
+  FROM yearly WINDOW wy AS (PARTITION BY REGION ORDER BY y)
+),
+levels AS (
+  SELECT *,
+         exp(SUM(ln(link)) OVER (PARTITION BY REGION ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS lvl
+  FROM links
+),
+year_info AS (
+  SELECT REGION, y, pap, prp, qap, qrp,
+         COALESCE(LAG(lvl) OVER (PARTITION BY REGION ORDER BY y), 1.0)
+           AS prev_lvl,
+         MAX(CASE WHEN y = 1997 THEN COALESCE(lvl, 1.0) END)
+           OVER (PARTITION BY REGION) AS base_lvl
+  FROM levels
+)
+SELECT b.REGION, b.DATE,
+       ROUND(100.0 * (yi.prev_lvl / yi.base_lvl)
+             * ((yi.pap * b.A + yi.prp * b.R)
+                / (yi.pap * yi.qap + yi.prp * yi.qrp)), 6) AS VOL
+FROM base b
+JOIN year_info yi ON b.REGION = yi.REGION AND year(b.DATE) = yi.y
+"""
+
+
+PANEL_QUERIES.update({"p05_panel_chain": q_p05_panel_chain})
+PANEL_ORACLES.update({"p05_panel_chain": SQL_P05})
