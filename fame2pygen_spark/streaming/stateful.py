@@ -297,3 +297,101 @@ def streaming_decayed_sum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MINHASH_K = 64
+
+MINHASH_OUTPUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("sig", ArrayType(LongType())),
+        StructField("n_docs", LongType()),
+    ]
+)
+
+MINHASH_STATE = StructType(
+    [
+        StructField("sig", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _py_shingle_hashes(text: str, n: int = 5) -> list[int]:
+    """Python replica of dedup.shingle_hash: first 8 md5 hex chars as
+    int — identical values to the JVM path, so streaming and batch
+    signatures agree bitwise."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(t) < n:
+        return []
+    out = []
+    seen = set()
+    for i in range(len(t) - n + 1):
+        sh = t[i : i + n]
+        if sh in seen:
+            continue
+        seen.add(sh)
+        out.append(
+            int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:8], 16)
+        )
+    return out
+
+
+def _update_minhash(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from fame2pygen_spark.operators.dedup import (
+        MERSENNE_31, _affine_params,
+    )
+
+    params = _affine_params(MINHASH_K, seed=42)
+    if state.exists:
+        sig, n = state.get
+        sig = list(sig)
+    else:
+        sig, n = [MERSENNE_31] * MINHASH_K, 0
+    for pdf in pdfs:
+        for text in pdf["text"]:
+            hs = _py_shingle_hashes(text or "")
+            if not hs:
+                n += 1
+                continue
+            for j, (a, b) in enumerate(params):
+                m = min((a * h + b) % MERSENNE_31 for h in hs)
+                if m < sig[j]:
+                    sig[j] = m
+            n += 1
+    state.update((sig, n))
+    yield pd.DataFrame(
+        {"source": [key[0]], "sig": [sig], "n_docs": [n]}
+    )
+
+
+def streaming_minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Cross-batch MinHash signature per source — the content sketch
+    of everything a source has EVER emitted, maintained in O(64 longs)
+    state per key: downstream, pairwise signature agreement estimates
+    cross-source content overlap (the x52/x80 question) without
+    storing a single document.
+
+    Like the streaming HLL twin, the update is PAIRWISE MIN — 
+    idempotent and mergeable, so replayed micro-batches cannot corrupt
+    the state and the streamed signature equals the batch
+    ``dedup.minhash_signatures`` on the union of all batches (the
+    pytest proof).  Hashing runs Python-side inside the state
+    operator (`applyInPandasWithState` owns the row loop); the batch
+    path stays the JVM explode+groupBy formulation — use that for
+    backfills.  Output mode: update.
+    """
+    return docs.groupBy("source").applyInPandasWithState(
+        _update_minhash,
+        outputStructType=MINHASH_OUTPUT,
+        stateStructType=MINHASH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

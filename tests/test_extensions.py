@@ -2194,3 +2194,68 @@ def test_rfm_segments_partition_users(spark):
     total = sum(r["total_value"] for r in out)
     expect = sum((u + 1) * (1 + (u % 3) * 5) for u in range(9))
     assert abs(total - expect) < 1e-6
+
+
+def test_streaming_minhash_matches_batch_signatures(spark, tmp_path):
+    """Two micro-batches through the stateful MinHash equal the batch
+    explode+groupBy signatures on the union, bitwise (integer mins)."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.dedup import (
+        MERSENNE_31, _affine_params, exploded_shingles, shingle_hash,
+    )
+    from fame2pygen_spark.streaming.stateful import (
+        streaming_minhash_signatures,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "web"),
+         (2, "lorem ipsum dolor sit amet", "web"),
+         (3, "completely different text here", "books")],
+        "doc_id long, text string, source string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "the quick brown fox returns", "web"),
+         (5, "another book paragraph entirely", "books")],
+        "doc_id long, text string, source string",
+    )
+    path = str(tmp_path / "mh_src")
+    b1.coalesce(1).write.parquet(path)
+    b2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    q = (
+        streaming_minhash_signatures(stream)
+        .writeStream.format("memory")
+        .queryName("mh_check")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per source wins
+    rows = spark.sql("select * from mh_check").collect()
+    streamed = {}
+    for r in rows:
+        if r["source"] not in streamed or r["n_docs"] > streamed[r["source"]]["n_docs"]:
+            streamed[r["source"]] = r
+
+    both = b1.unionByName(b2)
+    ex = exploded_shingles(both, "text", "doc_id").join(
+        both.select(F.col("doc_id").alias("doc"), "source"), on="doc"
+    ).withColumn("h", shingle_hash(F.col("s")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_affine_params(64))
+    ]
+    batch = {r["source"]: r for r in ex.groupBy("source").agg(*aggs).collect()}
+    for src_name in ("web", "books"):
+        got = list(streamed[src_name]["sig"])
+        want = [batch[src_name][f"mh{j}"] for j in range(64)]
+        assert got == want, src_name
+    assert streamed["web"]["n_docs"] == 3
