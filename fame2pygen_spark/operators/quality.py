@@ -130,3 +130,72 @@ def k_anonymity(
     return df.groupBy(*qi_cols).agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
     ).withColumn("violates_k", F.col("group_size") < F.lit(int(k)))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed reconciliation of two table snapshots: every key tagged
+    ``added | removed | changed | unchanged`` with per-column change
+    flags — the diff a data-reconciliation / CDC-validation job
+    publishes after each load (and the inverse check for
+    :func:`~fame2pygen_spark.operators.temporal.cdc_apply`: applying a
+    changelog then diffing against the expected snapshot must yield
+    all-unchanged).
+
+    One full outer join on the key — the only scalable formulation;
+    comparisons are null-safe (``<=>``) so NULL→value transitions
+    count as changes, not as matches.
+
+    Returns ``(key_cols..., change_type, changed_cols)`` where
+    changed_cols is a sorted comma-joined list (empty string when not
+    'changed').
+    """
+    keys = list(key_cols)
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_arr = F.array_sort(
+        F.filter(F.array(*diffs), lambda x: x.isNotNull())
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_arr) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
+            for k in keys
+        ],
+        change_type.alias("change_type"),
+        F.when(
+            change_type == "changed", F.array_join(changed_arr, ",")
+        )
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )

@@ -52,3 +52,52 @@ def group_ranks(
             "bucket": F.ntile(buckets).over(w).cast("long"),
         }
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    maximize_col: str,
+    minimize_col: str,
+) -> DataFrame:
+    """Per-group 2-D Pareto frontier (skyline): rows not dominated by
+    any other row of the group — no other row is simultaneously >= on
+    *maximize_col* and <= on *minimize_col* with at least one strict
+    ("largest part at every price point").
+
+    Spark-first formulation, NO pairwise dominance join (the naive
+    NOT EXISTS plans O(n²)):
+
+    1. reduce to one candidate per distinct maximize-value — the
+       group's min *minimize_col* there (anything above that min at
+       the same maximize-value is dominated);
+    2. over the per-group distinct-value frame (bounded by |distinct
+       maximize values|, not rows), sort maximize desc and keep
+       candidates whose minimize value strictly undercuts the running
+       minimum of everything sorted before — a single keyed window;
+    3. semi-join the frontier (maximize, minimize) points back to
+       recover all co-equal rows (exact ties are mutually
+       non-dominated and all survive).
+
+    Two keyed shuffles + one bounded window; the full table is never
+    self-joined.  Returns the frontier rows with original columns.
+    """
+    groups = list(group_cols)
+    per_x = df.groupBy(*groups, maximize_col).agg(
+        F.min(minimize_col).alias("__besty")
+    )
+    wd = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(maximize_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = per_x.withColumn(
+        "__prior", F.min("__besty").over(wd)
+    ).where(
+        F.col("__prior").isNull() | (F.col("__besty") < F.col("__prior"))
+    )
+    return df.join(
+        front.select(*groups, maximize_col, "__besty"),
+        on=[*groups, maximize_col],
+    ).where(F.col(minimize_col) == F.col("__besty")).drop("__besty")

@@ -1913,3 +1913,140 @@ EXT3_ORACLES.update({
     "x120_funnel_latency": SQL_X120,
     "x121_rfm": SQL_X121,
 })
+
+
+# ---------------------------------------- x122: snapshot diff
+
+
+def q_x122_snapshot_diff(spark, sf_dir):
+    """Keyed table reconciliation (operators/quality.py:
+    snapshot_diff): the customer table diffed against a derived
+    second snapshot (balances bumped for a deterministic subset, some
+    keys dropped, some added) — change-type counts per type with
+    null-safe column comparison.  The load-validation counterpart to
+    CDC apply (x99)."""
+    from .operators.quality import snapshot_diff
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = (
+        cust.where(F.col("c_custkey") % 11 != 0)  # removals
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+    )
+    added = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    ).where(F.col("c_custkey") % 97 == 0)
+    new = new.unionByName(added)
+    d = snapshot_diff(
+        cust,
+        new,
+        key_cols=["c_custkey"],
+        compare_cols=["c_acctbal", "c_mktsegment"],
+    )
+    return (
+        d.groupBy("change_type", "changed_cols")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("change_type", "changed_cols")
+    )
+
+
+SQL_X122 = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+  FROM customer WHERE (c_custkey + 1000000) % 97 = 0
+), j AS (
+  SELECT coalesce(n.c_custkey, o.c_custkey) AS k,
+         CASE WHEN o.c_custkey IS NULL THEN 'added'
+              WHEN n.c_custkey IS NULL THEN 'removed'
+              WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+                OR NOT (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+              THEN 'changed' ELSE 'unchanged' END AS change_type,
+         CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+              THEN array_to_string(list_sort(list_filter([
+                     CASE WHEN NOT (o.c_acctbal IS NOT DISTINCT FROM
+                                    n.c_acctbal)
+                          THEN 'c_acctbal' END,
+                     CASE WHEN NOT (o.c_mktsegment IS NOT DISTINCT FROM
+                                    n.c_mktsegment)
+                          THEN 'c_mktsegment' END],
+                     x -> x IS NOT NULL)), ',')
+              ELSE '' END AS cc
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT change_type,
+       CASE WHEN change_type = 'changed' THEN cc ELSE '' END
+         AS changed_cols,
+       CAST(count(*) AS BIGINT) AS n
+FROM j
+GROUP BY 1, 2
+ORDER BY change_type, changed_cols
+"""
+
+
+# --------------------------------------- x123: Pareto frontier
+
+
+def q_x123_pareto(spark, sf_dir):
+    """Per-brand 2-D skyline (operators/ranking.py:
+    pareto_frontier_2d): parts not dominated on (size max, retail
+    price min) — the distinct-value window formulation, never a
+    pairwise dominance join.  Oracle: the NOT EXISTS dominance
+    definition, feasible at oracle scale only."""
+    from .operators.ranking import pareto_frontier_2d
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = pareto_frontier_2d(
+        part.select("p_partkey", "p_brand", "p_size", "p_retailprice"),
+        ["p_brand"],
+        maximize_col="p_size",
+        minimize_col="p_retailprice",
+    )
+    return out.select(
+        "p_brand",
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_size").cast("long").alias("p_size"),
+        "p_retailprice",
+    ).orderBy("p_brand", "p_partkey")
+
+
+SQL_X123 = """
+SELECT p_brand,
+       CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(p_size AS BIGINT) AS p_size,
+       p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_brand = a.p_brand
+    AND b.p_size >= a.p_size
+    AND b.p_retailprice <= a.p_retailprice
+    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+)
+ORDER BY p_brand, p_partkey
+"""
+
+
+EXT3_QUERIES.update({
+    "x122_snapshot_diff": q_x122_snapshot_diff,
+    "x123_pareto": q_x123_pareto,
+})
+EXT3_ORACLES.update({
+    "x122_snapshot_diff": SQL_X122,
+    "x123_pareto": SQL_X123,
+})

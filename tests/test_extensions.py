@@ -2259,3 +2259,62 @@ def test_streaming_minhash_matches_batch_signatures(spark, tmp_path):
         want = [batch[src_name][f"mh{j}"] for j in range(64)]
         assert got == want, src_name
     assert streamed["web"]["n_docs"] == 3
+
+
+def test_snapshot_diff_change_classes(spark):
+    from fame2pygen_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),      # unchanged
+            (2, 21.0, "b"),      # changed: v
+            (3, 30.0, "zz"),     # changed: v (NULL->value) and s
+            (5, 50.0, "e"),      # added; 4 removed
+        ],
+        "k long, v double, s string",
+    )
+    out = {
+        r["k"]: r
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], compare_cols=["v", "s"]
+        ).collect()
+    }
+    assert out[1]["change_type"] == "unchanged"
+    assert out[2]["change_type"] == "changed"
+    assert out[2]["changed_cols"] == "v"
+    assert out[3]["changed_cols"] == "s,v"  # null-safe compare fires
+    assert out[4]["change_type"] == "removed"
+    assert out[5]["change_type"] == "added"
+
+
+def test_pareto_frontier_vs_bruteforce(spark):
+    from fame2pygen_spark.operators.ranking import pareto_frontier_2d
+
+    rows = []
+    pts = [(5, 10.0), (5, 8.0), (4, 6.0), (4, 6.0), (3, 7.0),
+           (2, 5.0), (1, 4.0), (1, 9.0)]
+    for i, (x, y) in enumerate(pts):
+        rows.append((i, "g", x, y))
+    df = spark.createDataFrame(rows, "id long, g string, x long, y double")
+    got = sorted(
+        r["id"]
+        for r in pareto_frontier_2d(
+            df, ["g"], maximize_col="x", minimize_col="y"
+        ).collect()
+    )
+    # brute force dominance
+    keep = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (bx >= x and by <= y and (bx > x or by < y))
+            for j, (bx, by) in enumerate(pts) if j != i
+        )
+        if not dominated:
+            keep.append(i)
+    assert got == sorted(keep)
+    # co-equal points (ids 2,3) both survive
+    assert 2 in got and 3 in got
