@@ -263,3 +263,42 @@ def test_seasonal_anomaly_broadcasts_profile(spark):
     plan = plan_of(spark, "x104_seasonal_anomaly")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x108_cuped",          # 1-row moment broadcast only
+        "x109_calibration",    # boundary-array broadcast only
+        "x110_pca_power",      # matrix-vector broadcast joins
+        "x111_novelty",        # fingerprint-keyed joins
+        "x112_er_clusters",    # blocked pairs + CC
+        "x115_containment",    # prefix probe join
+        "x119_spearman",       # group-keyed rank windows
+        "x120_funnel_latency", # user-keyed funnel chain
+        "x121_rfm",            # tercile-cut broadcast
+        "x122_snapshot_diff",  # single full-outer join
+        "x123_pareto",         # distinct-value skyline window
+    ],
+)
+def test_r3_cont_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # every window keyed; x116's day-bounded global cumulation and
+        # x118's cell windows are intentionally absent from this list
+        # (their windows run over aggregate frames bounded by the day
+        # range / cell count, documented in the docstrings)
+        "x115_containment",
+        "x119_spearman",
+        "x120_funnel_latency",
+        "x121_rfm",
+        "x123_pareto",
+    ],
+)
+def test_r3_cont_windows_are_partitioned(spark, name):
+    assert unpartitioned_windows(spark, name) == [], name
