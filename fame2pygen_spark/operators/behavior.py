@@ -827,52 +827,39 @@ def calibration_curve(
 
 
 def kaplan_meier(
-    events: DataFrame,
+    durations: DataFrame,
     *,
-    user_col: str = "user_id",
-    ts_col: str = "ts_us",
-    censor_horizon_days: int = 7,
-    day_us: int = DAY_US,
+    t_col: str = "t",
+    censored_col: str = "censored",
 ) -> DataFrame:
-    """Kaplan–Meier survival estimator with right-censoring — the
-    statistically correct upgrade of :func:`survival_curve`, which
-    treats every user's observed lifetime as complete and therefore
-    UNDERESTIMATES survival: a user still active near the end of the
-    observation window hasn't churned, their lifetime is merely
-    censored at the cutoff.  KM handles exactly this: censored users
-    leave the risk set without counting as deaths.
+    """Kaplan–Meier survival estimator with right-censoring over a
+    prepared (duration, censored) frame: one row per subject, integer
+    duration and a 0/1 censoring flag (1 = still event-free when
+    observation ended; leaves the risk set without counting as an
+    event).  The statistically correct upgrade of
+    :func:`survival_curve`, which treats every observed lifetime as
+    complete and biases survival low.
 
-    Definitions: lifetime = last activity day − first activity day; a
-    user whose last activity falls within *censor_horizon_days* of the
-    global observation end is CENSORED (still alive at cutoff), anyone
-    else is an observed churn event at their lifetime.
     ``S(t) = Π_{tᵢ<=t} (1 − dᵢ/nᵢ)`` over event times, with nᵢ the
-    at-risk count (lifetime >= tᵢ).
+    at-risk count (duration >= tᵢ).  Callers shape the analysis:
+    time-to-conversion (duration = first purchase − first activity,
+    censored = never purchased), churn (lifetime vs observation end),
+    hardware survival, &c.
 
-    Plan shape: one user-keyed reduce to (lifetime, censored); one
-    aggregation keyed by lifetime-day (output bounded by the day
-    range, not users); risk-set and product cumulations are windows
-    over THOSE bounded rows — the product via ``exp(Σ ln(1−d/n))``
-    with decimal-cast log sums (the S12 chain-index idiom), so the
-    curve is accumulation-order-insensitive; an all-churn day forces
-    S = 0 downstream via a cumulative zero flag rather than ln(0).
+    Plan shape: one aggregation keyed by duration (output bounded by
+    the duration range, not subjects); risk-set and product
+    cumulations are windows over THOSE bounded rows — the product via
+    ``exp(Σ ln(1−d/n))`` with decimal-cast log sums (the S12
+    chain-index idiom), so the curve is accumulation-order-
+    insensitive; an all-event day forces S = 0 downstream via a
+    cumulative zero flag rather than ln(0).
 
-    Returns ``(t_day, n_at_risk, d_events, n_censored, survival)``
-    for event days only (KM steps), survival at 6 dp.
+    Returns ``(t, n_at_risk, d_events, n_censored, survival)`` for
+    event times only (KM steps), survival at 6 dp.
     """
-    day = (F.col(ts_col) - (F.col(ts_col) % F.lit(day_us))) / F.lit(day_us)
-    per_user = events.select(
-        F.col(user_col).alias("user"), day.cast("long").alias("day")
-    ).groupBy("user").agg(
-        F.min("day").alias("__first"), F.max("day").alias("__last")
-    )
-    end = per_user.agg(F.max("__last").alias("__end"))
-    lifed = per_user.crossJoin(F.broadcast(end)).select(
-        (F.col("__last") - F.col("__first")).alias("t"),
-        (
-            F.col("__last")
-            >= F.col("__end") - F.lit(int(censor_horizon_days))
-        ).cast("int").alias("censored"),
+    lifed = durations.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(censored_col).cast("int").alias("censored"),
     )
     per_t = lifed.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("__n_t"),

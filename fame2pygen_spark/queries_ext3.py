@@ -1465,31 +1465,51 @@ EXT3_ORACLES.update({"x115_containment": SQL_X115})
 
 
 def q_x116_kaplan_meier(spark, sf_dir):
-    """Right-censored Kaplan-Meier survival (operators/behavior.py:
-    kaplan_meier): users last active within 7 days of the observation
-    end are censored (leave the risk set without counting as churn) —
-    the estimator x67's naive lifetime curve approximates and biases
-    low.  Product via exp of decimal-cast log sums (the S12 chain
-    idiom); all cumulations run over day-bounded aggregate rows."""
+    """Right-censored Kaplan-Meier time-to-conversion
+    (operators/behavior.py:kaplan_meier): duration = days from a
+    user's first activity to their first purchase; users who never
+    purchase are CENSORED at their observation span (they leave the
+    risk set without counting as conversions) — the estimator the
+    naive conversion curve biases low.  Product via exp of
+    decimal-cast log sums; all cumulations over day-bounded aggregate
+    rows."""
     from .queries_ext import _read_events
     from .operators.behavior import kaplan_meier
 
     ev = _read_events(spark, sf_dir)
-    return kaplan_meier(ev, censor_horizon_days=7)
+    DAY = 86_400_000_000
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.expr("ts_us div 86400000000")).alias("__fd"),
+        F.max(F.expr("ts_us div 86400000000")).alias("__ld"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("ts_us div 86400000000"),
+            )
+        ).alias("__pd"),
+    )
+    durations = per_user.select(
+        F.coalesce(
+            F.col("__pd") - F.col("__fd"),
+            F.col("__ld") - F.col("__fd"),
+        ).alias("t"),
+        F.col("__pd").isNull().cast("int").alias("censored"),
+    )
+    return kaplan_meier(durations)
 
 
 SQL_X116 = """
 WITH pu AS (
   SELECT user_id,
          min(epoch_us(ts) // 86400000000) AS fd,
-         max(epoch_us(ts) // 86400000000) AS ld
+         max(epoch_us(ts) // 86400000000) AS ld,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 86400000000 END) AS pd
   FROM events GROUP BY user_id
-), endd AS (
-  SELECT max(ld) AS e FROM pu
 ), lifed AS (
-  SELECT pu.ld - pu.fd AS t,
-         CASE WHEN pu.ld >= endd.e - 7 THEN 1 ELSE 0 END AS censored
-  FROM pu CROSS JOIN endd
+  SELECT coalesce(pd - fd, ld - fd) AS t,
+         CASE WHEN pd IS NULL THEN 1 ELSE 0 END AS censored
+  FROM pu
 ), per_t AS (
   SELECT t, count(*) AS n_t,
          sum(1 - censored) AS d_events,

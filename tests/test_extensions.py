@@ -2062,41 +2062,30 @@ def test_containment_exact_vs_bruteforce(spark):
 
 def test_kaplan_meier_censoring_vs_lifelines_hand_calc(spark):
     """Planted cohort checked against the textbook KM estimate: with
-    censored users in the risk set but not the death count, survival
-    stays HIGHER than the naive all-churn curve."""
+    censored subjects in the risk set but not the death count,
+    survival stays HIGHER than the naive all-event curve."""
     from fame2pygen_spark.operators.behavior import kaplan_meier
 
-    DAY = 86_400_000_000
-    rows = []
-    uid = 0
-    # 4 users churn at t=2 (active day 0..2, end long after)
-    for _ in range(4):
-        rows += [(uid, 0), (uid, 2 * DAY)]
-        uid += 1
-    # 2 users churn at t=5
-    for _ in range(2):
-        rows += [(uid, 0), (uid, 5 * DAY)]
-        uid += 1
-    # 2 users still active at the end -> censored (lifetime 20)
-    for _ in range(2):
-        rows += [(uid, 0), (uid, 20 * DAY)]
-        uid += 1
-    df = spark.createDataFrame(
-        [(u, t) for u, t in rows], "user_id long, ts_us long"
+    rows = (
+        [(2, 0)] * 4      # 4 events at t=2
+        + [(5, 0)] * 2    # 2 events at t=5
+        + [(20, 1)] * 2   # 2 censored at t=20
     )
-    out = {r["t"]: r for r in kaplan_meier(df, censor_horizon_days=3).collect()}
-    # t=2: n=8 at risk, d=4 -> S = 1 - 4/8 = 0.5
+    df = spark.createDataFrame(rows, "t long, censored int")
+    out = {r["t"]: r for r in kaplan_meier(df).collect()}
+    # t=2: n=8 at risk, d=4 -> S = 0.5
     assert out[2]["n_at_risk"] == 8 and out[2]["d_events"] == 4
     assert out[2]["survival"] == 0.5
-    # t=5: n=4, d=2 -> S = 0.5 * (1 - 2/4) = 0.25
+    # t=5: n=4, d=2 -> S = 0.25
     assert out[5]["n_at_risk"] == 4 and out[5]["d_events"] == 2
     assert out[5]["survival"] == 0.25
-    # the censored users never produce a death step
+    # censored subjects never produce an event step
     assert 20 not in out
-    # KM with censoring sits above the naive curve that counts the
-    # censored pair as churning at 20: naive S(5) = 2/8 = 0.25 then
-    # drops to 0; KM stays at 0.25
     assert all(r["survival"] >= 0.25 for r in out.values())
+    # all-event final time forces S = 0 via the zero flag, not ln(0)
+    df2 = spark.createDataFrame([(1, 0), (1, 0), (3, 0)], "t long, censored int")
+    out2 = {r["t"]: r["survival"] for r in kaplan_meier(df2).collect()}
+    assert out2[3] == 0.0
 
 
 def test_interval_overlap_join_exact_vs_naive(spark):
