@@ -37,8 +37,36 @@ from .operators.dedup import MERSENNE_31, _affine_params, min_sig_matches
 # --------------------------------------------------------------- dedup
 
 
-def q_x01_dedup_exact(spark, sf_dir):
+def _docs_with_recrawls(spark, sf_dir):
+    """Documents plus deterministic re-crawl copies (every 10th doc
+    re-emitted under a new id and the 'recrawl' source).  The round-3
+    testdata generation produces no exact/near duplicates at sf0.01,
+    which made the dedup-family oracles trivially green on empty
+    results — this staging plants a KNOWN duplicate structure both
+    engines construct identically, so the operators have real signal
+    to find and the oracles verify they find exactly it."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("recrawl").alias("source"),
+        "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+#: DuckDB mirror of ``_docs_with_recrawls``
+SQL_RECRAWL_DOCS = """(
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, 'recrawl', n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def q_x01_dedup_exact(spark, sf_dir):
+    docs = _docs_with_recrawls(spark, sf_dir)
     out = dd.exact_duplicates(docs, "text", "doc_id")
     return out.select(
         "fingerprint",
@@ -47,11 +75,11 @@ def q_x01_dedup_exact(spark, sf_dir):
     )
 
 
-SQL_X01 = """
+SQL_X01 = f"""
 WITH fp AS (
   SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
          doc_id
-  FROM documents
+  FROM {SQL_RECRAWL_DOCS} d
 )
 SELECT fingerprint,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -221,7 +249,7 @@ def q_x04_simhash_signatures(spark, sf_dir):
     column-side but xxhash64 is Spark-specific, so the oracle checks
     the *shape*: per-doc token counts and the self-distance-0 property
     via the exact-duplicate groups sharing a signature."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_with_recrawls(spark, sf_dir)
     out = dd.simhash_signatures(docs, "text", "doc_id")
     # signature-level invariant, oracle-checkable: identical normalized
     # text ⇒ identical signature.  Emit (fingerprint, n_distinct_sigs).
@@ -241,10 +269,10 @@ def q_x04_simhash_signatures(spark, sf_dir):
     )
 
 
-SQL_X04 = """
+SQL_X04 = f"""
 WITH fp AS (
   SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-  FROM documents
+  FROM {SQL_RECRAWL_DOCS} d
 )
 SELECT fingerprint,
        CAST(1 AS BIGINT) AS n_sigs,
@@ -2575,15 +2603,15 @@ def q_x52_source_overlap(spark, sf_dir):
     of distinct content fingerprints between sources."""
     from .operators.dedup import source_overlap
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_with_recrawls(spark, sf_dir)
     return source_overlap(docs, "text", "source")
 
 
-SQL_X52 = """
+SQL_X52 = f"""
 WITH sets AS (
   SELECT DISTINCT source AS g,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents
+  FROM {SQL_RECRAWL_DOCS} d
 ), sizes AS (
   SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sets GROUP BY g
 ), common AS (
@@ -2716,19 +2744,42 @@ FROM top, g WHERE top.rank <= 10
 def q_x56_canonical_urls(spark, sf_dir):
     """Canonical-URL reference counts
     (operators/web.py:canonical_url_counts): scheme/www/port/tracking-
-    param/fragment-insensitive outbound-link dedup, top 100."""
+    param/fragment-insensitive outbound-link dedup, top 100.  The
+    round-3 corpus carries no URLs, so each document gets a
+    deterministic outbound link (source-keyed host, id-keyed page,
+    alternating tracking params) — canonicalization must collapse the
+    utm variants onto one canonical per (source, page)."""
     from .operators.web import canonical_url_counts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return canonical_url_counts(docs, "text", top_n=100)
+    linked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://www."),
+            F.col("source"),
+            F.lit(".example.com/page/"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return canonical_url_counts(linked, "text", top_n=100)
 
 
 SQL_X56 = """
-WITH u AS (
+WITH linked AS (
+  SELECT text || ' https://www.' || source || '.example.com/page/'
+           || CAST(doc_id % 5 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed'
+                   ELSE '' END AS text
+  FROM documents
+), u AS (
   SELECT unnest(regexp_extract_all(
            text, 'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\\s]*)?', 0
          )) AS url
-  FROM documents
+  FROM linked
 ), parts AS (
   SELECT
     regexp_replace(
