@@ -1018,8 +1018,8 @@ CHECKED_WINDOW: list[str] = [
     "x23_url_domains",        # web: URL/domain parsing
     "x24_stream_join",        # streaming: stream-stream join twin
     "x25_asof_join",          # temporal: as-of join
-    "x29_kmv_distinct",       # sketch: KMV distinct
-    "x30_group_quantiles",    # sketch: exact group quantiles
+    "x96_dq_report",          # quality: declarative DQ audit (r3)
+    "x99_cdc_apply",          # maintenance: CDC snapshot merge (r3)
     "x31_funnel",             # behavior: funnel
     "x38_inter_arrival",      # behavior: nearest-rank gap quantiles
     "x40_revenue_rollup",     # OLAP: rollup/cube

@@ -36,7 +36,9 @@ FAMILY_REPS = {
     "web": "x23_url_domains",
     "stream_join": "x24_stream_join",
     "temporal": "x25_asof_join",
-    "sketch": "x29_kmv_distinct",
+    "sketch": "x55_skew_profile",
+    "quality": "x96_dq_report",
+    "maintenance": "x99_cdc_apply",
     "behavior": "x31_funnel",
     "olap": "x40_revenue_rollup",
     "linkage": "x43_fuzzy_match",
