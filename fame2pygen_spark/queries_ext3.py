@@ -2070,3 +2070,87 @@ EXT3_ORACLES.update({
     "x122_snapshot_diff": SQL_X122,
     "x123_pareto": SQL_X123,
 })
+
+
+# --------------------------------- x124: corpus health scorecard
+
+
+def q_x124_source_scorecard(spark, sf_dir):
+    """Per-source corpus health scorecard — the capstone composition a
+    crawl-operations dashboard polls: document counts, mean quality
+    (x06's profile), exact-duplicate rate (x01's fingerprints over the
+    planted re-crawl corpus), English share (x06's lang-ID), and mean
+    token length, in one result.  Every metric reuses the exact
+    mechanism of its standalone operator, so the oracle is assembled
+    from the same SQL building blocks (profile CTEs + recrawl union)."""
+    from .operators.text import text_profile
+    from .queries_ext import _docs_with_recrawls
+
+    docs = _docs_with_recrawls(spark, sf_dir)
+    prof = text_profile(docs, "text")
+    dupc = prof.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("__g")
+    )
+    j = prof.join(dupc, on="fingerprint")
+    dec = "decimal(38,12)"
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast(dec)).cast("double") / n, 6
+            ).alias("mean_quality"),
+            F.round(
+                F.count(F.when(F.col("__g") > 1, 1)).cast("double") / n,
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.count(F.when(F.col("lang_pred") == "en", 1)).cast(
+                    "double"
+                )
+                / n,
+                6,
+            ).alias("en_share"),
+            F.round(
+                F.sum(F.col("n_tokens").cast("long")).cast("double") / n,
+                6,
+            ).alias("mean_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_x124() -> str:
+    from .queries_ext import SQL_RECRAWL_DOCS, _sql_profile_ctes
+
+    return f"""
+WITH {_sql_profile_ctes(source=SQL_RECRAWL_DOCS + " rd")},
+src AS (
+  SELECT doc_id, source FROM {SQL_RECRAWL_DOCS} rd2
+), dupc AS (
+  SELECT fingerprint, count(*) AS g FROM prof GROUP BY fingerprint
+), j AS (
+  SELECT s.source, p.quality, p.lang_pred, p.n_tokens, d.g
+  FROM prof p
+  JOIN src s USING (doc_id)
+  JOIN dupc d USING (fingerprint)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(sum(CAST(quality AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+       ROUND(CAST(count(CASE WHEN g > 1 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       ROUND(CAST(count(CASE WHEN lang_pred = 'en' THEN 1 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS en_share,
+       ROUND(CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+             6) AS mean_tokens
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
+EXT3_QUERIES.update({"x124_source_scorecard": q_x124_source_scorecard})
+EXT3_ORACLES.update({"x124_source_scorecard": _sql_x124()})
