@@ -499,8 +499,17 @@ def _sym(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round: every strictly-larger neighbor of u is
-    reconnected to min(Γ(u) ∪ {u})."""
-    sym = _sym(edges).distinct()
+    reconnected to min(Γ(u) ∪ {u}).
+
+    Relies on the loop invariant that *edges* is distinct and oriented
+    high→low (u > v): the symmetric closure of such a set is already
+    duplicate-free, so no ``distinct()`` shuffle is spent on it.  The
+    output is again oriented high→low (mn ≤ u < v for every emitted
+    (v, mn)), re-establishing the invariant for :func:`_small_star`.
+    The groupBy-min keeps map-side partial aggregation, so a
+    high-degree hub node costs one combiner per map partition — the
+    skew-safety property the Kiveris formulation is chosen for."""
+    sym = _sym(edges)
     mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
         "u", F.least(F.col("mn"), F.col("u")).alias("mn")
     )
@@ -513,14 +522,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Small-star round: orient edges high→low; every low neighbor (and
-    the center) is reconnected to the minimum neighbor."""
-    oriented = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
-    mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    """Small-star round: every low neighbor (and the center) is
+    reconnected to the minimum neighbor.
+
+    Input is already distinct and oriented high→low (the
+    :func:`_large_star` output invariant), so the textbook
+    greatest/least re-orientation + distinct pass is a no-op and is
+    skipped — one full shuffle saved per round.  Output rows (node, mn)
+    satisfy node > mn, preserving the orientation invariant."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("mn"))
     relinked = (
-        oriented.join(mins, on="u")
+        edges.join(mins, on="u")
         .select(F.col("v").alias("node"), F.col("mn"))
         .union(mins.select(F.col("u").alias("node"), F.col("mn")))
         .where(F.col("node") != F.col("mn"))
@@ -555,10 +567,15 @@ def connected_components(
     is only feasible at test scale — this implementation is the 100 TB
     path.
     """
+    # canonical high→low orientation up front: the star rounds rely on
+    # this invariant to skip their re-orientation/dedup shuffles
+    raw = pairs.select(
+        F.col(id_a).cast("long").alias("a"),
+        F.col(id_b).cast("long").alias("b"),
+    )
     edges = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("u"),
-            F.col(id_b).cast("long").alias("v"),
+        raw.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
