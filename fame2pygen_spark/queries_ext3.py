@@ -2154,3 +2154,84 @@ ORDER BY source
 
 EXT3_QUERIES.update({"x124_source_scorecard": q_x124_source_scorecard})
 EXT3_ORACLES.update({"x124_source_scorecard": _sql_x124()})
+
+
+# ------------------------------- x125: train/val split-leakage audit
+
+
+def q_x125_split_leakage(spark, sf_dir):
+    """Train/val split-leakage audit: assign every document to a
+    deterministic hash split (the ``split_corpus`` draw, salt
+    ``split``), find near-duplicate pairs with the x03 MinHash-LSH
+    mechanism over the planted re-crawl corpus, and report every val
+    document that has a near-duplicate *in train* — the contamination
+    that silently inflates eval scores when a re-crawl of a val page
+    lands in the training set.
+
+    Distinct from x19 (decontamination = exact-gram probe against a
+    known benchmark) and x117 (LSH precision/recall eval): this audits
+    the *split boundary* itself.  Scale shape: the split is a pure
+    column expression of ``doc_id`` (no join against a membership
+    table — zero extra shuffles on top of the pair generation), and
+    the final per-val-doc rollup is one map-side-combinable groupBy.
+    """
+    from .operators import dedup as dd
+    from .operators.mixing import uniform_hash01
+    from .queries_ext import _docs_with_recrawls
+
+    docs = _docs_with_recrawls(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, num_hashes=64, bands=16, threshold=0.6
+    )
+
+    def split_of(c):
+        return F.when(
+            uniform_hash01(c, "split") < 0.8, F.lit("train")
+        ).otherwise(F.lit("val"))
+
+    sa, sb = split_of(F.col("id_a")), split_of(F.col("id_b"))
+    leaks = pairs.where(sa != sb).select(
+        F.when(sa == "val", F.col("id_a")).otherwise(F.col("id_b")).alias("val_doc"),
+        F.when(sa == "val", F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc"),
+        "jaccard",
+    )
+    return leaks.groupBy("val_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_matches"),
+        F.min("train_doc").cast("long").alias("example_train_doc"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    ).select(
+        F.col("val_doc").cast("long").alias("val_doc"),
+        "n_train_matches",
+        "example_train_doc",
+        "max_jaccard",
+    )
+
+
+def _sql_x125() -> str:
+    from .queries_ext import SQL_RECRAWL_DOCS, _sql_x03_ctes
+
+    split = (
+        "CASE WHEN ('0x' || substr(md5('split:' || CAST({c} AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0 < 0.8 THEN 'train' ELSE 'val' END"
+    )
+    sa, sb = split.format(c="id_a"), split.format(c="id_b")
+    return f"""
+WITH {_sql_x03_ctes(source=SQL_RECRAWL_DOCS + " rd")},
+leaks AS (
+  SELECT CASE WHEN {sa} = 'val' THEN id_a ELSE id_b END AS val_doc,
+         CASE WHEN {sa} = 'val' THEN id_b ELSE id_a END AS train_doc,
+         jaccard
+  FROM lsh_pairs
+  WHERE {sa} <> {sb}
+)
+SELECT CAST(val_doc AS BIGINT) AS val_doc,
+       CAST(count(*) AS BIGINT) AS n_train_matches,
+       CAST(min(train_doc) AS BIGINT) AS example_train_doc,
+       ROUND(max(jaccard), 6) AS max_jaccard
+FROM leaks
+GROUP BY val_doc
+"""
+
+
+EXT3_QUERIES.update({"x125_split_leakage": q_x125_split_leakage})
+EXT3_ORACLES.update({"x125_split_leakage": _sql_x125()})
