@@ -2307,3 +2307,35 @@ def test_pareto_frontier_vs_bruteforce(spark):
     assert got == sorted(keep)
     # co-equal points (ids 2,3) both survive
     assert 2 in got and 3 in got
+
+
+def test_split_leakage_reports_planted_cross_split_recrawls(spark):
+    """x125: recrawl copies whose hash-split lands opposite their
+    original MUST surface as leaks (doc 40 is val / copy 1000040
+    train; doc 50 train / copy 1000050 val at sf0.001 — verified
+    against the python md5 mirror of uniform_hash01), and every
+    reported id must sit on the side the draw assigns it."""
+    import hashlib
+
+    from fame2pygen_spark.queries_ext3 import q_x125_split_leakage
+
+    def draw(i):
+        return int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    rows = {
+        r["val_doc"]: r
+        for r in q_x125_split_leakage(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows, "no leaks reported over the planted recrawl corpus"
+    # planted: original val, copy train → the ORIGINAL is the leaked val doc
+    assert 40 in rows and rows[40]["example_train_doc"] == 1000040
+    assert rows[40]["max_jaccard"] == 1.0
+    # planted: original train, copy val → the COPY is the leaked val doc
+    # (example_train_doc is the MIN train match — doc 50 sits in a
+    # near-dup cluster with doc 0, so the example is 0, not 50)
+    assert 1000050 in rows and rows[1000050]["max_jaccard"] == 1.0
+    # split-side consistency for every reported row
+    for v, r in rows.items():
+        assert draw(v) >= 0.8, f"val_doc {v} hashes train-side"
+        assert draw(r["example_train_doc"]) < 0.8
+        assert r["n_train_matches"] >= 1 and r["max_jaccard"] >= 0.6
