@@ -396,10 +396,36 @@ def minhash_lsh_pairs(
     the pair set is small.
     """
     df = _parallelize_input(df)
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
     )
+    banded = _banded_buckets(sigs, num_hashes, bands, max_bucket)
+
+    left = banded.select("band", "bh", F.col("doc").alias("id_a"))
+    right = banded.select("band", "bh", F.col("doc").alias("id_b"))
+    cand = (
+        left.join(right, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    return _prefilter_and_verify(
+        df, cand, sigs, text_col, id_col,
+        n=n, num_hashes=num_hashes, threshold=threshold,
+    )
+
+
+def _banded_buckets(
+    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """(doc, band, bh) LSH bucket membership from bulk signatures.
+
+    Buckets are capped at *max_bucket* members (row_number within the
+    bucket, doc-ordered — deterministic, so an oracle can reproduce the
+    cap) to bound the candidate join on pathological all-identical
+    corpora."""
+    rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -416,33 +442,39 @@ def minhash_lsh_pairs(
         "doc", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    # cap bucket size to bound the self-join
     wb = Window.partitionBy("band", "bh").orderBy("doc")
-    banded = banded.withColumn("__rn", F.row_number().over(wb)).where(
+    return banded.withColumn("__rn", F.row_number().over(wb)).where(
         F.col("__rn") <= max_bucket
     ).drop("__rn")
 
-    left = banded.select("band", "bh", F.col("doc").alias("id_a"))
-    right = banded.select("band", "bh", F.col("doc").alias("id_b"))
-    cand = (
-        left.join(right, on=["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
 
-    # prefilter: signature-agreement estimate.  Band collisions admit
-    # ~2% of all pairs on template-heavy corpora; exact verification
-    # ships two ~3 KB shingle arrays per pair, while signatures are 64
-    # longs.  The estimate is fully deterministic (same hash family both
-    # engines), so the DuckDB oracle applies the identical filter —
-    # this is part of the operator's definition, not an approximation
-    # bolted on.  Bound: for a true-Jaccard-0.6 pair, matches ~
-    # Binomial(64, 0.6); P(X < min_sig_matches(0.6, 64)=29) < 7e-3.
-    # signatures packed into one array column: the joins carry 2 columns
-    # instead of 2×num_hashes, and the match count is a single zip_with
-    # (per-element work is one comparison — no invariant subtrees, so
-    # the HOF re-evaluation pitfall doesn't apply)
+def _prefilter_and_verify(
+    df: DataFrame,
+    cand: DataFrame,
+    sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Signature-agreement prefilter + exact shingle-Jaccard verify of
+    an (id_a, id_b) candidate pair set.
+
+    Prefilter: band collisions admit ~2% of all pairs on
+    template-heavy corpora; exact verification ships two ~3 KB shingle
+    arrays per pair, while signatures are 64 longs.  The estimate is
+    fully deterministic (same hash family both engines), so the DuckDB
+    oracle applies the identical filter — this is part of the
+    operator's definition, not an approximation bolted on.  Bound: for
+    a true-Jaccard-0.6 pair, matches ~ Binomial(64, 0.6);
+    P(X < min_sig_matches(0.6, 64)=29) < 7e-3.
+    Signatures are packed into one array column: the joins carry 2
+    columns instead of 2×num_hashes, and the match count is a single
+    zip_with (per-element work is one comparison — no invariant
+    subtrees, so the HOF re-evaluation pitfall doesn't apply).
+    """
     min_match = min_sig_matches(threshold, num_hashes)
     packed = sigs.select(
         "doc", F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
@@ -485,6 +517,70 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def incremental_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_new: Column,
+    *,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Daily-increment near-dup pairing: every verified pair touching a
+    NEW document (new-vs-corpus and new-vs-new), without re-pairing the
+    existing corpus against itself.
+
+    At 100 TB you never re-run all-pairs dedup on every ingest — the
+    operational shape is "yesterday's corpus is already deduped; which
+    of today's documents duplicate anything?".  The LSH bucket join
+    here probes only new docs' buckets against the full bucket index:
+    with |new| ≪ |corpus| the candidate volume drops from O(Σ|bucket|²)
+    to O(Σ|bucket∩new|·|bucket|), and the old×old quadratic term —
+    the bulk of the batch cost — disappears entirely.  Result is
+    EXACTLY ``minhash_lsh_pairs`` restricted to pairs with ≥1 new side
+    (same signatures, same banding, same prefilter + exact verify), so
+    a full-batch oracle filtered on pair membership checks it.
+
+    *is_new* is a Column predicate over *df*'s columns (e.g.
+    ``F.col("ingest_day") == today``).  In production the signature /
+    bucket index for the existing corpus would be a persisted table
+    (see ``streaming/stateful.streaming_minhash_signatures`` for the
+    maintenance path); here it is recomputed from *df*, which keeps
+    the operator self-contained and the oracle exact.
+    """
+    df = _parallelize_input(df)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+    banded = _banded_buckets(sigs, num_hashes, bands, max_bucket)
+    flags = df.select(F.col(id_col).alias("doc"), is_new.alias("__new"))
+    probe = (
+        banded.join(flags, on="doc")
+        .where(F.col("__new"))
+        .select("band", "bh", F.col("doc").alias("pid"))
+    )
+    index = banded.select("band", "bh", F.col("doc").alias("iid"))
+    # canonicalize so new-new pairs (seen from both probe rows) and
+    # multi-band collisions collapse in one distinct
+    cand = (
+        probe.join(index, on=["band", "bh"])
+        .where(F.col("pid") != F.col("iid"))
+        .select(
+            F.least("pid", "iid").alias("id_a"),
+            F.greatest("pid", "iid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _prefilter_and_verify(
+        df, cand, sigs, text_col, id_col,
+        n=n, num_hashes=num_hashes, threshold=threshold,
+    )
 
 
 # ----------------------------------------------- duplicate clustering

@@ -2235,3 +2235,50 @@ GROUP BY val_doc
 
 EXT3_QUERIES.update({"x125_split_leakage": q_x125_split_leakage})
 EXT3_ORACLES.update({"x125_split_leakage": _sql_x125()})
+
+
+# ------------------------------ x126: incremental ingest dedup probe
+
+
+def q_x126_incremental_dedup(spark, sf_dir):
+    """Daily-increment dedup probe (dedup.incremental_lsh_pairs): every
+    verified near-dup pair the day's 'recrawl' batch introduces —
+    new-vs-corpus and new-vs-new — WITHOUT re-pairing the existing
+    corpus against itself.  The batch x03 answers "what duplicates
+    exist"; this answers the operational question "what did today's
+    ingest duplicate", with candidate work proportional to the probe
+    side.  The oracle runs the full-batch pair chain and restricts to
+    pairs touching the batch — the incremental path must reproduce it
+    exactly."""
+    from .operators import dedup as dd
+    from .queries_ext import _docs_with_recrawls
+
+    docs = _docs_with_recrawls(spark, sf_dir)
+    pairs = dd.incremental_lsh_pairs(
+        docs, "text", "doc_id", F.col("source") == "recrawl",
+        n=5, num_hashes=64, bands=16, threshold=0.6,
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _sql_x126() -> str:
+    from .queries_ext import SQL_RECRAWL_DOCS, _sql_x03_ctes
+
+    return f"""
+WITH {_sql_x03_ctes(source=SQL_RECRAWL_DOCS + " rd")},
+newdocs AS (
+  SELECT doc_id FROM {SQL_RECRAWL_DOCS} rd2 WHERE source = 'recrawl'
+)
+SELECT id_a, id_b, jaccard
+FROM lsh_pairs
+WHERE id_a IN (SELECT doc_id FROM newdocs)
+   OR id_b IN (SELECT doc_id FROM newdocs)
+"""
+
+
+EXT3_QUERIES.update({"x126_incremental_dedup": q_x126_incremental_dedup})
+EXT3_ORACLES.update({"x126_incremental_dedup": _sql_x126()})

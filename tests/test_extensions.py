@@ -2339,3 +2339,49 @@ def test_split_leakage_reports_planted_cross_split_recrawls(spark):
         assert draw(v) >= 0.8, f"val_doc {v} hashes train-side"
         assert draw(r["example_train_doc"]) < 0.8
         assert r["n_train_matches"] >= 1 and r["max_jaccard"] >= 0.6
+
+
+def test_incremental_lsh_equals_full_batch_filtered(spark):
+    """x126 mechanism: the probe-side incremental pairing must equal
+    the full self-join pairing restricted to pairs with >=1 new doc —
+    across new-vs-old, new-vs-new, and untouched old-vs-old pairs."""
+    from fame2pygen_spark.operators.dedup import (
+        incremental_lsh_pairs, minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light arrives"
+    )
+    rows = [
+        (1, base, 0),
+        (2, base.replace("quiet", "silent"), 0),        # old near-dup pair (1,2)
+        (3, "an entirely unrelated document about query planning", 0),
+        (10, base, 1),                                   # new dup of old 1/2
+        (11, base.replace("morning", "evening"), 1),     # new near-dup
+        (12, base.replace("morning", "evening"), 1),     # new-new exact pair w/ 11
+        (13, "another unrelated new document about shuffle hygiene", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new int")
+    kw = dict(n=5, num_hashes=64, bands=16, threshold=0.6)
+
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(
+            df, "text", "doc_id", F.col("is_new") == 1, **kw
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, "text", "doc_id", **kw).collect()
+    }
+    new_ids = {10, 11, 12, 13}
+    expected = {
+        p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids
+    }
+    assert inc == expected
+    # sanity on the planted structure: old-old pair exists in full but
+    # is excluded; new-vs-old and new-vs-new pairs are found
+    assert (1, 2) in full and (1, 2) not in inc
+    assert (1, 10) in inc and inc[(1, 10)] == 1.0
+    assert (11, 12) in inc and inc[(11, 12)] == 1.0
