@@ -45,6 +45,10 @@ HEADLINE = [
 ]
 
 
+_SPARK_TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".spark-tmp")
+os.makedirs(_SPARK_TMP, exist_ok=True)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -56,6 +60,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # shuffle/spill temp inside the repo: host /tmp reapers have
+        # deleted active blockmgr dirs mid-job (shows up as roaming
+        # "temp_shuffle... No such file" stalls)
+        .config("spark.local.dir", _SPARK_TMP)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -24,9 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# cached corpus + spark temp live INSIDE the repo (gitignored): host
+# /tmp reapers have deleted both cached corpora and active blockmgr
+# shuffle dirs mid-job
 CORPUS = os.environ.get(
-    "SPARK_GRAFT_SCALE_CORPUS", f"/tmp/spark_graft_scale_{REPLICAS}x"
+    "SPARK_GRAFT_SCALE_CORPUS",
+    os.path.join(_REPO, ".scale-corpus", f"{REPLICAS}x"),
 )
+_SPARK_TMP = os.path.join(_REPO, ".spark-tmp")
+os.makedirs(_SPARK_TMP, exist_ok=True)
 
 
 def build_corpus(spark):
@@ -62,11 +69,17 @@ def run_scale_tier(spark) -> dict:
     n_docs = docs.count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
 
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 2)
+        # every tier lambda returns a .count() — record it so scaling
+        # runs can normalize wall time by output volume (pair counts
+        # grow quadratically in the replica factor by construction)
+        if isinstance(out, int):
+            rows[name] = out
         return out
 
     timed(
@@ -148,6 +161,7 @@ def run_scale_tier(spark) -> dict:
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": timings,
+        "rows": rows,
         "n_docs": n_docs,
         "n_events": n_events,
     }
@@ -244,6 +258,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "32g")
+        .config("spark.local.dir", _SPARK_TMP)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,9 +1,17 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import SparkSession
+
+# spark temp inside the repo: host /tmp reapers have deleted active
+# blockmgr shuffle dirs mid-job (see scripts/bench_scale.py)
+_SPARK_TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".spark-tmp"
+)
+os.makedirs(_SPARK_TMP, exist_ok=True)
 
 
 @pytest.fixture(scope="session")
@@ -15,6 +23,7 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.local.dir", _SPARK_TMP)
         .getOrCreate()
     )
     yield spark
