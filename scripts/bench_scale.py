@@ -89,6 +89,20 @@ def run_scale_tier(spark) -> dict:
             threshold=0.6,
         ).count(),
     )
+    # incremental probe with a 10%-of-corpus "today's batch": measures
+    # the probe-side saving vs the full batch pairing above (the
+    # old-vs-old quadratic term is gone; signatures still recomputed
+    # corpus-wide here — production loads them persisted)
+    from pyspark.sql import functions as _F
+
+    batch_cut = n_docs // REPLICAS
+    timed(
+        "x126_incremental_10pct",
+        lambda: dd.incremental_lsh_pairs(
+            docs, "text", "doc_id", _F.col("doc_id") < batch_cut,
+            n=5, num_hashes=64, bands=16, threshold=0.6,
+        ).count(),
+    )
     timed(
         "x09_duplicate_clusters",
         lambda: dd.duplicate_clusters(
