@@ -458,9 +458,21 @@ def _prefilter_and_verify(
     n: int,
     num_hashes: int,
     threshold: float,
+    participants_only: bool = False,
 ) -> DataFrame:
     """Signature-agreement prefilter + exact shingle-Jaccard verify of
     an (id_a, id_b) candidate pair set.
+
+    *participants_only*: restrict shingle-set construction to docs
+    appearing in *cand*.  Default False — when the caller just
+    computed signatures from *df*, the unrestricted
+    exploded_shingles→groupBy subtree is IDENTICAL to the one inside
+    minhash_signatures, Catalyst reuses that exchange, and a semi-join
+    restriction measurably loses (see the inline note below).  Set
+    True when signatures came from a PERSISTED table instead: there is
+    no exchange to reuse, and re-shingling the whole corpus to verify
+    a small pair set would dominate the cost the persisted signatures
+    just saved.
 
     Prefilter: band collisions admit ~2% of all pairs on
     template-heavy corpora; exact verification ships two ~3 KB shingle
@@ -502,7 +514,23 @@ def _prefilter_and_verify(
     # Measured (local[32]): sf0.1 sparse corpus 8.05 s vs 7.83 s
     # (semi-join ~3% better); 10× dense near-dup corpus 33.7 s vs
     # 50.1 s (semi-join 1.5× WORSE).  Exchange reuse wins.
-    sh = exploded_shingles(df, text_col, id_col, n).groupBy("doc").agg(
+    base = df
+    if participants_only:
+        # the surviving pair set feeds THREE plan branches below (two
+        # participant projections + the verify join); without
+        # materialization each branch re-evaluates the whole
+        # bucket-join + prefilter subtree — measured 45.6 s vs 13 s at
+        # the 10× tier.  The set is tiny (pairs, 2 longs) — checkpoint.
+        prefiltered = prefiltered.localCheckpoint(eager=True)
+        participants = (
+            prefiltered.select(F.col("id_a").alias("__pid"))
+            .union(prefiltered.select(F.col("id_b").alias("__pid")))
+            .distinct()
+        )
+        base = df.join(
+            participants, on=F.col(id_col) == F.col("__pid"), how="leftsemi"
+        )
+    sh = exploded_shingles(base, text_col, id_col, n).groupBy("doc").agg(
         F.collect_set("s").alias("sh")
     )
     verified = (
@@ -531,6 +559,7 @@ def incremental_lsh_pairs(
     threshold: float = 0.6,
     seed: int = 42,
     max_bucket: int = 1000,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-increment near-dup pairing: every verified pair touching a
     NEW document (new-vs-corpus and new-vs-new), without re-pairing the
@@ -548,16 +577,33 @@ def incremental_lsh_pairs(
     a full-batch oracle filtered on pair membership checks it.
 
     *is_new* is a Column predicate over *df*'s columns (e.g.
-    ``F.col("ingest_day") == today``).  In production the signature /
-    bucket index for the existing corpus would be a persisted table
-    (see ``streaming/stateful.streaming_minhash_signatures`` for the
-    maintenance path); here it is recomputed from *df*, which keeps
-    the operator self-contained and the oracle exact.
+    ``F.col("ingest_day") == today``).
+
+    *corpus_sigs* is the PRODUCTION path: the persisted signature
+    table of the existing corpus (``minhash_signatures`` schema —
+    ``doc, mh0..mh{k-1}`` — covering exactly *df*'s non-new docs; the
+    same family/seed/n must have produced it).  With it, signatures
+    are computed only for the new batch, and exact verification
+    re-shingles only pair PARTICIPANTS instead of the whole corpus
+    (``participants_only`` — there is no signature exchange to reuse,
+    so the batch path's whole-corpus shingle reuse argument inverts).
+    Total work becomes O(|new| + |touched pairs|), independent of
+    corpus size apart from the bucket-index join.  Without it the
+    operator recomputes everything from *df* — self-contained, and
+    the form the exact oracle checks; a differential pytest pins both
+    paths equal.
     """
     df = _parallelize_input(df)
-    sigs = minhash_signatures(
-        df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
-    )
+    if corpus_sigs is None:
+        sigs = minhash_signatures(
+            df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
+        )
+    else:
+        new_sigs = minhash_signatures(
+            df.where(is_new), text_col, id_col,
+            n=n, num_hashes=num_hashes, seed=seed,
+        )
+        sigs = corpus_sigs.select(*new_sigs.columns).unionByName(new_sigs)
     banded = _banded_buckets(sigs, num_hashes, bands, max_bucket)
     flags = df.select(F.col(id_col).alias("doc"), is_new.alias("__new"))
     probe = (
@@ -580,6 +626,7 @@ def incremental_lsh_pairs(
     return _prefilter_and_verify(
         df, cand, sigs, text_col, id_col,
         n=n, num_hashes=num_hashes, threshold=threshold,
+        participants_only=corpus_sigs is not None,
     )
 
 

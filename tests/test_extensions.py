@@ -2385,3 +2385,44 @@ def test_incremental_lsh_equals_full_batch_filtered(spark):
     assert (1, 2) in full and (1, 2) not in inc
     assert (1, 10) in inc and inc[(1, 10)] == 1.0
     assert (11, 12) in inc and inc[(11, 12)] == 1.0
+
+
+def test_incremental_lsh_presigned_equals_recompute(spark):
+    """x126 production path: incremental pairing fed a PERSISTED
+    signature table for the old corpus (signatures computed only for
+    the new batch, shingles only for pair participants) must equal the
+    self-contained recompute path exactly."""
+    from fame2pygen_spark.operators.dedup import (
+        incremental_lsh_pairs, minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light arrives"
+    )
+    rows = [
+        (1, base, 0),
+        (2, base.replace("quiet", "silent"), 0),
+        (3, "an entirely unrelated document about query planning", 0),
+        (10, base, 1),
+        (11, base.replace("morning", "evening"), 1),
+        (12, base.replace("morning", "evening"), 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new int")
+    kw = dict(n=5, num_hashes=64, bands=16, threshold=0.6)
+
+    old_sigs = minhash_signatures(
+        df.where(F.col("is_new") == 0), "text", "doc_id", n=5, num_hashes=64
+    )
+    got = sorted(
+        tuple(r) for r in incremental_lsh_pairs(
+            df, "text", "doc_id", F.col("is_new") == 1,
+            corpus_sigs=old_sigs, **kw
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in incremental_lsh_pairs(
+            df, "text", "doc_id", F.col("is_new") == 1, **kw
+        ).collect()
+    )
+    assert got == want and len(got) >= 3
