@@ -38,6 +38,10 @@ SENSITIVE = [
     "x108_cuped",
     "x110_pca_power",
     "x114_pq_encode",
+    "x119_spearman",
+    "x121_rfm",
+    "x124_source_scorecard",
+    "x126_incremental_dedup",
 ]
 
 
