@@ -106,10 +106,6 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     )
 
 
-def shingle_set(df: DataFrame, text_col: str, n: int = 5) -> Column:
-    return char_shingles(F.col(text_col), n)
-
-
 def exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 5
 ) -> DataFrame:

@@ -1260,3 +1260,112 @@ def test_csv_ingest_quarantines_bad_rows(spark, tmp_path):
     good, bad = read_csv_corpus(spark, str(p), schema)
     assert {r["doc_id"] for r in good.collect()} == {1, 3}
     assert bad.count() == 1
+
+
+# ----------------------- library-form helpers match their bulk twins
+
+
+def test_column_form_minhash_signature_matches_bulk(spark):
+    """dedup.minhash_signature (column form, point use) must produce
+    bitwise the same signature as the bulk explode+groupBy formulation
+    — the docstring's equivalence claim, pinned."""
+    from fame2pygen_spark.operators.dedup import (
+        minhash_signature, minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "tiny"),  # shorter than the shingle width -> empty set
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    bulk = minhash_signatures(df, "text", "doc_id")
+    k = len([c for c in bulk.columns if c.startswith("mh")])
+    bulk_form = {
+        r["doc"]: [r[f"mh{j}"] for j in range(k)] for r in bulk.collect()
+    }
+    for doc, sig in bulk_form.items():
+        assert list(col_form[doc]) == sig, doc
+    # doc 3 has no shingles: absent from bulk, all-null column form
+    assert 3 not in bulk_form
+    assert all(v is None for v in col_form[3])
+
+
+def test_charset_jaccard_matches_pairs_operator(spark):
+    from fame2pygen_spark.operators.dedup import (
+        charset_jaccard, charset_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcde", "g"), (2, "abcdf", "g"), (3, "xyz", "g")],
+        "doc_id long, text string, source string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in charset_jaccard_pairs(
+            df, "text", "doc_id", block_cols=["source"], threshold=0.0
+        ).collect()
+    }
+    direct = df.alias("a").join(df.alias("b")).where(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("ia"),
+        F.col("b.doc_id").alias("ib"),
+        F.round(
+            charset_jaccard(F.col("a.text"), F.col("b.text")), 6
+        ).alias("j"),
+    ).collect()
+    for r in direct:
+        assert pairs[(r["ia"], r["ib"])] == r["j"]
+    # hand value: |{a,b,c,d}∩{a,b,c,d,f}|... {abcde}∩{abcdf}=4, ∪=6
+    assert pairs[(1, 2)] == round(4 / 6, 6)
+
+
+def test_library_series_helpers_match_engine(spark):
+    """functions.core pct_change / first_value / last_value /
+    forward_fill — the public library forms of the reference helpers —
+    must agree with the engine's emitted semantics on the same frame."""
+    import datetime as dt
+
+    from fame2pygen_spark import run_script
+    from fame2pygen_spark.functions.core import (
+        first_value, forward_fill, last_value, pct_change,
+    )
+
+    rows = [
+        (dt.date(2020, 1, 1), None),
+        (dt.date(2020, 2, 1), 10.0),
+        (dt.date(2020, 3, 1), 12.0),
+        (dt.date(2020, 4, 1), None),
+        (dt.date(2020, 5, 1), 15.0),
+    ]
+    df = spark.createDataFrame(rows, "DATE date, x double")
+    lib = df.select(
+        "DATE",
+        pct_change(F.col("x")).alias("g"),
+        first_value(F.col("x")).alias("fv"),
+        last_value(F.col("x")).alias("lv"),
+        forward_fill(F.col("x")).alias("ff"),
+    ).orderBy("DATE").collect()
+
+    eng = run_script(
+        df, ["g = pct(x)", "fv = firstvalue(x)", "lv = lastvalue(x)"]
+    ).df.orderBy("DATE").collect()
+
+    # the engine uppercases FAME identifiers (reference convention)
+    for a, b in zip(lib, eng):
+        assert (a["g"] is None) == (b["G"] is None)
+        if a["g"] is not None:
+            assert abs(a["g"] - b["G"]) < 1e-9
+        assert a["fv"] == b["FV"] == 10.0
+        assert a["lv"] == b["LV"] == 15.0
+    # forward fill: nulls carry the last seen value, leading null stays
+    assert [r["ff"] for r in lib] == [None, 10.0, 12.0, 12.0, 15.0]
