@@ -64,6 +64,9 @@ def main() -> None:
         # deleted active blockmgr dirs mid-job (shows up as roaming
         # "temp_shuffle... No such file" stalls)
         .config("spark.local.dir", _SPARK_TMP)
+        # keep stderr clean: the driver records the output tail, and
+        # console progress bars drown the JSON line in stage spam
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
