@@ -2426,3 +2426,98 @@ def test_incremental_lsh_presigned_equals_recompute(spark):
         ).collect()
     )
     assert got == want and len(got) >= 3
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Streaming form of the daily-ingest dedup operation: each
+    micro-batch is probed against the persisted signature/corpus
+    tables via incremental_lsh_pairs(corpus_sigs=...), then appended
+    to them.  The union of per-micro-batch pair outputs must equal the
+    full-batch pairing restricted to pairs NOT internal to the day-0
+    corpus — regardless of micro-batch arrival order (when the later
+    batch arrives, the earlier one is already corpus)."""
+    from fame2pygen_spark.operators.dedup import (
+        incremental_lsh_pairs, minhash_lsh_pairs, minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light arrives"
+    )
+    corpus_rows = [
+        (1, base),
+        (2, base.replace("quiet", "silent")),
+        (3, "an unrelated corpus document about adaptive execution"),
+    ]
+    b1_rows = [(10, base), (11, "a new unrelated doc about watermarks")]
+    b2_rows = [
+        (20, base.replace("quiet", "silent")),
+        (21, base),  # dups corpus 1 AND stream doc 10
+    ]
+    schema = "doc_id long, text string"
+    corpus_dir = str(tmp_path / "corpus")
+    sig_dir = str(tmp_path / "sigs")
+    out_dir = str(tmp_path / "pairs")
+    src_dir = str(tmp_path / "incoming")
+    kw = dict(n=5, num_hashes=64)
+
+    corpus0 = spark.createDataFrame(corpus_rows, schema)
+    corpus0.write.parquet(corpus_dir)
+    minhash_signatures(corpus0, "text", "doc_id", **kw).write.parquet(sig_dir)
+    spark.createDataFrame(b1_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    spark.createDataFrame(b2_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    def process(batch_df, batch_id):
+        from pyspark.sql import functions as SF
+
+        sess = batch_df.sparkSession
+        corpus = sess.read.parquet(corpus_dir)
+        ingest = corpus.withColumn("is_new", SF.lit(False)).unionByName(
+            batch_df.withColumn("is_new", SF.lit(True))
+        )
+        incremental_lsh_pairs(
+            ingest, "text", "doc_id", SF.col("is_new"),
+            bands=16, threshold=0.6,
+            corpus_sigs=sess.read.parquet(sig_dir), **kw,
+        ).write.mode("append").parquet(out_dir)
+        minhash_signatures(batch_df, "text", "doc_id", **kw).write.mode(
+            "append"
+        ).parquet(sig_dir)
+        batch_df.write.mode("append").parquet(corpus_dir)
+
+    (
+        spark.readStream.schema(corpus0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    all_docs = spark.createDataFrame(
+        corpus_rows + b1_rows + b2_rows, schema
+    )
+    day0 = {1, 2, 3}
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            all_docs, "text", "doc_id", n=5, num_hashes=64, bands=16,
+            threshold=0.6,
+        ).collect()
+        if not (r["id_a"] in day0 and r["id_b"] in day0)
+    }
+    assert got == want
+    # the planted structure: 21 pairs with corpus doc 1 and stream doc 10
+    assert (1, 21) in got and got[(1, 21)] == 1.0
+    assert (10, 21) in got and got[(10, 21)] == 1.0
