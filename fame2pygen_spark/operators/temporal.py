@@ -1079,3 +1079,91 @@ def interval_overlap_join(
     return responsible.select(
         *left.columns, *rcols, overlap.cast("long").alias("overlap")
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB 2014):
+    per series, split the time range into *n_buckets* equal-width
+    buckets and keep exactly the min/max/first/last points of each —
+    the provably error-free point set for line rendering at a given
+    pixel width.  The way a dashboard draws a 100 TB series.
+
+    Scale shape: one partitioned window pass for the per-series time
+    extent, then ONE map-side-combinable groupBy — the four
+    representative points come from lexicographic struct min/max
+    aggregates, so there is no join-back to locate the rows and no
+    per-bucket sort.  Ties are deterministic (min value → earliest ts,
+    max value → latest ts, first ts → smallest value, last ts →
+    largest value), which is what makes the operator exactly
+    oracle-checkable.  Null values are dropped (they have no pixel).
+
+    Output: ``group_cols, bucket, role, <ts_col>, <value_col>`` with
+    role ∈ {vmin, vmax, first, last} — up to 4 rows per bucket, not
+    deduplicated across roles (a bucket's min may also be its first;
+    renderers want the roles explicit).
+    """
+    gcols = list(group_cols)
+    ts, v = F.col(ts_col), F.col(value_col)
+    base = df.where(v.isNotNull()).select(
+        *gcols, ts.cast("long").alias("__ts"), v.cast("double").alias("__v")
+    )
+    w = Window.partitionBy(*gcols)
+    ext = base.withColumn("__tmin", F.min("__ts").over(w)).withColumn(
+        "__tmax", F.max("__ts").over(w)
+    )
+    # integer bucket arithmetic (div, not float division): both engines
+    # agree exactly, and the +1 span keeps ts == tmax inside bucket n-1
+    bucket = F.expr(
+        f"((__ts - __tmin) * {n_buckets}) div (__tmax - __tmin + 1)"
+    )
+    agg = (
+        ext.withColumn("__b", bucket)
+        .groupBy(*gcols, "__b")
+        .agg(
+            F.min(F.struct("__v", "__ts")).alias("__vmin"),
+            F.max(F.struct("__v", "__ts")).alias("__vmax"),
+            F.min(F.struct("__ts", "__v")).alias("__first"),
+            F.max(F.struct("__ts", "__v")).alias("__last"),
+        )
+    )
+    roles = F.array(
+        F.struct(
+            F.lit("vmin").alias("role"),
+            F.col("__vmin.__ts").alias("ts"),
+            F.col("__vmin.__v").alias("v"),
+        ),
+        F.struct(
+            F.lit("vmax").alias("role"),
+            F.col("__vmax.__ts").alias("ts"),
+            F.col("__vmax.__v").alias("v"),
+        ),
+        F.struct(
+            F.lit("first").alias("role"),
+            F.col("__first.__ts").alias("ts"),
+            F.col("__first.__v").alias("v"),
+        ),
+        F.struct(
+            F.lit("last").alias("role"),
+            F.col("__last.__ts").alias("ts"),
+            F.col("__last.__v").alias("v"),
+        ),
+    )
+    return agg.select(
+        *gcols,
+        F.col("__b").cast("long").alias("bucket"),
+        F.explode(roles).alias("__r"),
+    ).select(
+        *gcols,
+        "bucket",
+        F.col("__r.role").alias("role"),
+        F.col("__r.ts").alias(ts_col),
+        F.col("__r.v").alias(value_col),
+    )

@@ -2282,3 +2282,74 @@ WHERE id_a IN (SELECT doc_id FROM newdocs)
 
 EXT3_QUERIES.update({"x126_incremental_dedup": q_x126_incremental_dedup})
 EXT3_ORACLES.update({"x126_incremental_dedup": _sql_x126()})
+
+
+# -------------------------------- x127: M4 dashboard downsampling
+
+
+def q_x127_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (temporal.m4_downsample, Jugel et
+    al. VLDB 2014) of the events value series per event type: 24
+    equal-width time buckets, min/max/first/last point of each — the
+    error-free point set a dashboard renders instead of shipping the
+    raw series.  One partitioned window for the extent + one
+    map-side-combinable groupBy; no join-back, no per-bucket sort."""
+    from .operators.temporal import m4_downsample
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    out = m4_downsample(
+        ev, "ts_us", "value", ["event_type"], n_buckets=24
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "role",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _sql_x127() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value
+  FROM events WHERE value IS NOT NULL
+), ext AS (
+  SELECT *,
+         min(ts_us) OVER (PARTITION BY event_type) AS tmin,
+         max(ts_us) OVER (PARTITION BY event_type) AS tmax
+  FROM e
+), bkt AS (
+  SELECT event_type, ts_us, value,
+         ((ts_us - tmin) * 24) // (tmax - tmin + 1) AS bucket
+  FROM ext
+), agg AS (
+  SELECT event_type, bucket,
+         min(value) AS vmin, max(value) AS vmax,
+         min(ts_us) AS tsf, max(ts_us) AS tsl
+  FROM bkt GROUP BY 1, 2
+), j AS (
+  SELECT b.*, a.vmin, a.vmax, a.tsf, a.tsl
+  FROM bkt b JOIN agg a USING (event_type, bucket)
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, 'vmin' AS role,
+       CAST(min(ts_us) AS BIGINT) AS ts_us, ROUND(min(value), 6) AS value
+FROM j WHERE value = vmin GROUP BY 1, 2
+UNION ALL
+SELECT event_type, CAST(bucket AS BIGINT), 'vmax',
+       CAST(max(ts_us) AS BIGINT), ROUND(max(value), 6)
+FROM j WHERE value = vmax GROUP BY 1, 2
+UNION ALL
+SELECT event_type, CAST(bucket AS BIGINT), 'first',
+       CAST(tsf AS BIGINT), ROUND(min(value), 6)
+FROM j WHERE ts_us = tsf GROUP BY 1, 2, tsf
+UNION ALL
+SELECT event_type, CAST(bucket AS BIGINT), 'last',
+       CAST(tsl AS BIGINT), ROUND(max(value), 6)
+FROM j WHERE ts_us = tsl GROUP BY 1, 2, tsl
+"""
+
+
+EXT3_QUERIES.update({"x127_m4_downsample": q_x127_m4_downsample})
+EXT3_ORACLES.update({"x127_m4_downsample": _sql_x127()})

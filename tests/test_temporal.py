@@ -294,3 +294,49 @@ def test_scd2_merge_semantics(spark):
     assert (3, "z", "1990-01-01", "None") in rows         # unaffected
     assert (9, "new", "2000-06-01", "None") in rows       # inserted
     assert len(out) == 6
+
+
+def test_m4_downsample_keeps_exact_extrema_per_bucket(spark):
+    """x127: every bucket's emitted points must be exactly the
+    bucket's true min/max/first/last under the documented tie rules —
+    checked against a brute-force python computation, including a
+    bucket where one row plays several roles and a tied-minimum
+    bucket."""
+    from fame2pygen_spark.operators.temporal import m4_downsample
+
+    rows = [
+        # series "a": 10 points over ts 0..90
+        ("a", 0, 5.0), ("a", 10, 1.0), ("a", 20, 9.0), ("a", 30, 1.0),
+        ("a", 40, 4.0), ("a", 50, 8.0), ("a", 60, 2.0), ("a", 70, 2.0),
+        ("a", 80, 7.0), ("a", 90, 3.0),
+        # series "b": single point (degenerate span)
+        ("b", 5, 42.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = m4_downsample(df, "ts", "v", ["g"], n_buckets=2)
+    got = {
+        (r["g"], r["bucket"], r["role"]): (r["ts"], r["v"])
+        for r in out.collect()
+    }
+
+    def brute(pts):
+        vmin = min(pts, key=lambda p: (p[1], p[0]))
+        vmax = max(pts, key=lambda p: (p[1], p[0]))
+        first = min(pts, key=lambda p: (p[0], p[1]))
+        last = max(pts, key=lambda p: (p[0], p[1]))
+        return {"vmin": vmin, "vmax": vmax, "first": first, "last": last}
+
+    # bucket arithmetic: ((ts - 0) * 2) div 91 -> bucket 0 is ts 0..45
+    a_pts = [(t, v) for g, t, v in rows if g == "a"]
+    b0 = [p for p in a_pts if (p[0] * 2) // 91 == 0]
+    b1 = [p for p in a_pts if (p[0] * 2) // 91 == 1]
+    for b, pts in ((0, b0), (1, b1)):
+        for role, want in brute(pts).items():
+            assert got[("a", b, role)] == want, (b, role)
+    # tied min in bucket 0 (1.0 at ts 10 and 30): earliest ts wins
+    assert got[("a", 0, "vmin")] == (10, 1.0)
+    # degenerate single-point series: all four roles, bucket 0
+    for role in ("vmin", "vmax", "first", "last"):
+        assert got[("b", 0, role)] == (5, 42.0)
+    # row count: 4 roles per non-empty bucket
+    assert out.count() == 4 * 3
