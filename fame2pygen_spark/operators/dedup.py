@@ -556,6 +556,7 @@ def incremental_lsh_pairs(
     seed: int = 42,
     max_bucket: int = 1000,
     corpus_sigs: DataFrame | None = None,
+    validate_corpus: bool = False,
 ) -> DataFrame:
     """Daily-increment near-dup pairing: every verified pair touching a
     NEW document (new-vs-corpus and new-vs-new), without re-pairing the
@@ -588,6 +589,19 @@ def incremental_lsh_pairs(
     operator recomputes everything from *df* — self-contained, and
     the form the exact oracle checks; a differential pytest pins both
     paths equal.
+
+    **Drift hazard**: correctness of the *corpus_sigs* path depends on
+    the persisted table covering EXACTLY *df*'s non-new docs.  Drift
+    fails silently in both directions — a doc missing from
+    *corpus_sigs* never enters any bucket (it can't pair with new
+    docs: silent recall loss), and an extra signature whose doc is
+    absent from *df* produces candidates that are then dropped at the
+    exact-verify join for lack of shingles (wasted candidates, and
+    masked recall loss if the id was supposed to be in *df*).  Pass
+    ``validate_corpus=True`` on the production path to fail loudly
+    instead: it anti-joins the two id sets both ways (one extra
+    aggregate over ids only) and raises ``ValueError`` with the drift
+    counts on mismatch.
     """
     df = _parallelize_input(df)
     if corpus_sigs is None:
@@ -595,6 +609,25 @@ def incremental_lsh_pairs(
             df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
         )
     else:
+        if validate_corpus:
+            old_ids = df.where(~is_new).select(F.col(id_col).alias("doc"))
+            sig_ids = corpus_sigs.select("doc")
+            drift = (
+                old_ids.join(sig_ids, on="doc", how="left_anti")
+                .select(F.lit("missing_from_corpus_sigs").alias("kind"))
+                .unionAll(
+                    sig_ids.join(old_ids, on="doc", how="left_anti")
+                    .select(F.lit("not_in_df_non_new").alias("kind"))
+                )
+                .groupBy("kind").count().collect()
+            )
+            if drift:
+                detail = ", ".join(f"{r['kind']}={r['count']}" for r in drift)
+                raise ValueError(
+                    "incremental_lsh_pairs: corpus_sigs drifted from df's "
+                    f"non-new docs ({detail}); rebuild or backfill the "
+                    "signature table before probing"
+                )
         new_sigs = minhash_signatures(
             df.where(is_new), text_col, id_col,
             n=n, num_hashes=num_hashes, seed=seed,

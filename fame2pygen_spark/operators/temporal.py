@@ -1103,7 +1103,8 @@ def m4_downsample(
     per-bucket sort.  Ties are deterministic (min value → earliest ts,
     max value → latest ts, first ts → smallest value, last ts →
     largest value), which is what makes the operator exactly
-    oracle-checkable.  Null values are dropped (they have no pixel).
+    oracle-checkable.  Null values and null timestamps are dropped
+    (neither has a pixel).
 
     Output: ``group_cols, bucket, role, <ts_col>, <value_col>`` with
     role ∈ {vmin, vmax, first, last} — up to 4 rows per bucket, not
@@ -1111,8 +1112,9 @@ def m4_downsample(
     renderers want the roles explicit).
     """
     gcols = list(group_cols)
+    n_buckets = int(n_buckets)
     ts, v = F.col(ts_col), F.col(value_col)
-    base = df.where(v.isNotNull()).select(
+    base = df.where(v.isNotNull() & ts.isNotNull()).select(
         *gcols, ts.cast("long").alias("__ts"), v.cast("double").alias("__v")
     )
     w = Window.partitionBy(*gcols)

@@ -2428,14 +2428,70 @@ def test_incremental_lsh_presigned_equals_recompute(spark):
     assert got == want and len(got) >= 3
 
 
+def test_incremental_lsh_validate_corpus_drift(spark):
+    """validate_corpus=True turns silent corpus/signature drift into a
+    loud ValueError, in both directions: a non-new doc missing from
+    corpus_sigs (recall loss) and an orphan signature absent from df
+    (dropped candidates).  A matching table passes."""
+    import pytest as _pytest
+    from fame2pygen_spark.operators.dedup import (
+        incremental_lsh_pairs, minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light arrives"
+    )
+    rows = [(1, base, 0), (2, base.replace("quiet", "silent"), 0),
+            (10, base, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new int")
+    kw = dict(n=5, num_hashes=64, bands=16, threshold=0.6)
+    good = minhash_signatures(
+        df.where(F.col("is_new") == 0), "text", "doc_id", n=5, num_hashes=64
+    )
+
+    ok = incremental_lsh_pairs(
+        df, "text", "doc_id", F.col("is_new") == 1,
+        corpus_sigs=good, validate_corpus=True, **kw,
+    )
+    assert ok.count() >= 1  # matching table: no raise, pairs flow
+
+    with _pytest.raises(ValueError, match="missing_from_corpus_sigs=1"):
+        incremental_lsh_pairs(
+            df, "text", "doc_id", F.col("is_new") == 1,
+            corpus_sigs=good.where(F.col("doc") != 2),
+            validate_corpus=True, **kw,
+        )
+    orphan = minhash_signatures(
+        spark.createDataFrame([(99, "an orphan row")], "doc_id long, text string"),
+        "text", "doc_id", n=5, num_hashes=64,
+    )
+    with _pytest.raises(ValueError, match="not_in_df_non_new=1"):
+        incremental_lsh_pairs(
+            df, "text", "doc_id", F.col("is_new") == 1,
+            corpus_sigs=good.unionByName(orphan),
+            validate_corpus=True, **kw,
+        )
+
+
 def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     """Streaming form of the daily-ingest dedup operation: each
     micro-batch is probed against the persisted signature/corpus
-    tables via incremental_lsh_pairs(corpus_sigs=...), then appended
+    tables via incremental_lsh_pairs(corpus_sigs=...), then added
     to them.  The union of per-micro-batch pair outputs must equal the
     full-batch pairing restricted to pairs NOT internal to the day-0
     corpus — regardless of micro-batch arrival order (when the later
-    batch arrives, the earlier one is already corpus)."""
+    batch arrives, the earlier one is already corpus).
+
+    foreachBatch is AT-LEAST-ONCE: after a partial failure Spark
+    replays the whole batch, so a plain triple ``mode("append")``
+    would double-append pairs/signatures/corpus and desync the
+    signature table from the corpus.  The production shape used here
+    is batch_id-keyed partition OVERWRITE (``.../batch=<id>``): a
+    replay rewrites the same three partitions and the state converges
+    to exactly-once.  The retry is simulated at the end by re-invoking
+    the batch function with the last (batch_df, batch_id) and
+    re-asserting the final state is unchanged."""
     from fame2pygen_spark.operators.dedup import (
         incremental_lsh_pairs, minhash_lsh_pairs, minhash_signatures,
     )
@@ -2462,8 +2518,10 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     kw = dict(n=5, num_hashes=64)
 
     corpus0 = spark.createDataFrame(corpus_rows, schema)
-    corpus0.write.parquet(corpus_dir)
-    minhash_signatures(corpus0, "text", "doc_id", **kw).write.parquet(sig_dir)
+    corpus0.write.parquet(f"{corpus_dir}/batch=init")
+    minhash_signatures(corpus0, "text", "doc_id", **kw).write.parquet(
+        f"{sig_dir}/batch=init"
+    )
     spark.createDataFrame(b1_rows, schema).coalesce(1).write.mode(
         "append"
     ).parquet(src_dir)
@@ -2475,19 +2533,25 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
         from pyspark.sql import functions as SF
 
         sess = batch_df.sparkSession
-        corpus = sess.read.parquet(corpus_dir)
+        # partition discovery over batch=<id> dirs; drop the partition col
+        corpus = sess.read.parquet(corpus_dir).select("doc_id", "text")
         ingest = corpus.withColumn("is_new", SF.lit(False)).unionByName(
             batch_df.withColumn("is_new", SF.lit(True))
         )
+        # idempotent under replay: each output keyed by batch_id and
+        # OVERWRITTEN, never appended — a retried batch rewrites its
+        # own three partitions instead of duplicating rows
         incremental_lsh_pairs(
             ingest, "text", "doc_id", SF.col("is_new"),
             bands=16, threshold=0.6,
             corpus_sigs=sess.read.parquet(sig_dir), **kw,
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         minhash_signatures(batch_df, "text", "doc_id", **kw).write.mode(
-            "append"
-        ).parquet(sig_dir)
-        batch_df.write.mode("append").parquet(corpus_dir)
+            "overwrite"
+        ).parquet(f"{sig_dir}/batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch={batch_id}"
+        )
 
     (
         spark.readStream.schema(corpus0.schema)
@@ -2521,3 +2585,19 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     # the planted structure: 21 pairs with corpus doc 1 and stream doc 10
     assert (1, 21) in got and got[(1, 21)] == 1.0
     assert (10, 21) in got and got[(10, 21)] == 1.0
+
+    # simulate an at-least-once replay of the last micro-batch (id 1 =
+    # b2): with the batch_id-overwrite pattern the rewritten partitions
+    # leave pairs, signature table, and corpus byte-identical
+    process(spark.createDataFrame(b2_rows, schema), 1)
+    again = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert again == want
+    assert sorted(
+        tuple(r) for r in
+        spark.read.parquet(corpus_dir).select("doc_id", "text").collect()
+    ) == sorted(corpus_rows + b1_rows + b2_rows)
+    sigs_now = spark.read.parquet(sig_dir)
+    assert sigs_now.count() == sigs_now.select("doc").distinct().count() == 7

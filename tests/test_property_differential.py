@@ -262,7 +262,14 @@ def test_theil_sen_matches_reference(spark, vals):
         for i in range(len(vals))
         for j in range(i + 1, len(vals))
     ]
-    want = round(statistics.median(slopes), 6)
+    # round HALF_UP like Spark's ROUND (and DuckDB's) — python round()
+    # is half-even and differs by exactly 1e-6 on .xxxxxx5 medians
+    from decimal import ROUND_HALF_UP, Decimal
+
+    med = statistics.median(slopes)
+    want = float(
+        Decimal(repr(med)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
     assert len(out) == 1
     assert abs(out[0]["ts_slope"] - want) < 1e-6
 

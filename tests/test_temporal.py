@@ -340,3 +340,18 @@ def test_m4_downsample_keeps_exact_extrema_per_bucket(spark):
         assert got[("b", 0, role)] == (5, 42.0)
     # row count: 4 roles per non-empty bucket
     assert out.count() == 4 * 3
+
+
+def test_m4_downsample_drops_null_ts_and_coerces_buckets(spark):
+    """ADVICE r3: a null timestamp must be dropped like a null value
+    (no bucket=NULL rows), and a float n_buckets must be coerced to
+    int before entering the bucket expression."""
+    from fame2pygen_spark.operators.temporal import m4_downsample
+
+    rows = [("a", 0, 5.0), ("a", None, 99.0), ("a", 10, None),
+            ("a", 20, 1.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = m4_downsample(df, "ts", "v", ["g"], n_buckets=2.0).collect()
+    assert all(r["bucket"] is not None for r in out)
+    assert not any(r["v"] == 99.0 for r in out)  # null-ts row gone
+    assert {r["v"] for r in out} == {5.0, 1.0}
