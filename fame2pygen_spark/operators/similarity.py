@@ -773,3 +773,84 @@ def pq_encode(
         err = best["dist"] if err is None else err + best["dist"]
     cols.append(F.round(err, 6).alias("recon_err"))
     return df.select(*cols)
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to k-means clusters.  Assign every vector to
+    its nearest centroid (squared L2, ties to the lowest cluster id —
+    the ``kmeans_step``/``ivf_topk`` assignment rule), then inside each
+    cluster mark a vector a DUPLICATE iff some lower-id cluster member
+    has cosine ≥ *threshold*; the lowest-id member of every semantic
+    group survives.
+
+    Why cluster-scoped: the paper's point is that the all-pairs cosine
+    matrix is intractable at web scale, but near-duplicates land in the
+    same k-means cell, so the quadratic term drops from O(n²) to
+    O(Σ|cell|²) with |cell| ≈ n/k — the same bound the IVF index uses
+    for search.  Distributed shape: assignment is a map-only pass over
+    broadcast literal centroids (zero shuffles), then ONE shuffle keyed
+    by cluster feeds both the deterministic size cap (``row_number`` by
+    id, the ``max_bucket`` guard of ``minhash_lsh_pairs``) and the
+    in-cluster self-join; the per-vector verdict is a groupBy on the
+    higher id.  Nothing driver-side grows with the data.
+
+    Engine-exactness: sequential-fold dot products, scores rounded to
+    6 dp BEFORE thresholding, witness = min id / max score (both
+    order-insensitive) — an external SQL oracle reproduces the exact
+    keep set.
+
+    Output: one row per (capped) vector —
+    ``id, cluster, keep, dup_of, n_dups, max_cos`` where *dup_of* is
+    the lowest-id duplicate witness (null when kept) and *max_cos* the
+    best lower-id score at-or-above threshold (null when kept).
+    """
+    v = _as_double(F.col(vec_col))
+    assigned = df.select(
+        F.col(id_col).alias("id"), v.alias("__v")
+    ).withColumn(
+        "cluster", F.array_min(_centroid_dists(F.col("__v"), centroids))["cid"]
+    )
+    wc = Window.partitionBy("cluster").orderBy("id")
+    members = (
+        assigned.withColumn("__rn", F.row_number().over(wc))
+        .where(F.col("__rn") <= max_cluster)
+        .drop("__rn")
+    )
+    lo = members.select(
+        "cluster", F.col("id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    hi = members.select(
+        "cluster", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    edges = (
+        lo.join(hi, on="cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("score") >= threshold)
+    )
+    verdict = edges.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("dup_of"),
+        F.count("*").alias("n_dups"),
+        F.max("score").alias("max_cos"),
+    )
+    return (
+        members.select("id", "cluster")
+        .join(verdict, on="id", how="left")
+        .select(
+            "id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            "max_cos",
+        )
+    )

@@ -1,0 +1,110 @@
+"""Round-4 extension queries (x128+): training-data curation
+operators from the 2023-era LLM data literature — semantic dedup
+(SemDeDup), hashed-n-gram importance resampling (DSIR), per-source
+boilerplate n-gram detection, label-agreement auditing (Cohen's
+kappa), and preference-strength fitting (Bradley–Terry) for
+RLHF-style comparison data.
+
+Same contract as :mod:`fame2pygen_spark.queries_ext`: every query is
+``(spark, sf_dir) -> DataFrame`` with column names/types matching its
+ANSI-SQL DuckDB oracle exactly (driver compare = exact stringified
+value hash after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+EXT4_QUERIES: dict = {}
+EXT4_ORACLES: dict = {}
+
+
+# ------------------------------------------- x128: SemDeDup
+
+#: sequential-fold dot product over the 64 dims, DuckDB side
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[CAST(i AS INTEGER)] * {b}[CAST(i AS INTEGER)]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def q_x128_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/similarity.py:semdedup,
+    Abbas et al. 2023): nearest-centroid assignment against centroids
+    pinned to the embeddings of ``vec_id < 8`` (the x75 rule, so the
+    oracle reproduces them from the same view), then within-cluster
+    cosine ≥ 0.35 marks every vector with a lower-id semantic twin as
+    a duplicate.  Scale shape: map-only assignment over broadcast
+    literal centroids, one cluster-keyed shuffle for the capped
+    self-join — the paper's O(Σ|cell|²) bound instead of O(n²)."""
+    from .operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = semdedup(emb, centroids=cents, threshold=0.35)
+    return out.select(
+        F.col("id").cast("long").alias("vec_id"),
+        "cluster",
+        F.col("keep").cast("int").cast("long").alias("keep"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "n_dups",
+        "max_cos",
+    )
+
+
+def _sql_x128() -> str:
+    dot_vv = _SQL_DOT.format(a="v", b="v")
+    dot_vc = _SQL_DOT.format(a="e.v", b="cent.cv")
+    dot_ee = _SQL_DOT.format(a="e.v", b="e.v")
+    dot_ab = _SQL_DOT.format(a="a.v", b="b.v")
+    dot_aa = _SQL_DOT.format(a="a.v", b="a.v")
+    dot_bb = _SQL_DOT.format(a="b.v", b="b.v")
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT id AS cid, v AS cv, {dot_vv} AS c2
+  FROM e WHERE id < 8
+),
+dists AS (
+  SELECT e.id, cent.cid,
+         {dot_ee} - 2.0 * {dot_vc} + cent.c2 AS d2
+  FROM e CROSS JOIN cent
+),
+asg AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+m AS (SELECT a.id, a.cluster, e.v FROM asg a JOIN e ON e.id = a.id),
+edges AS (
+  SELECT * FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) AS score
+    FROM m a JOIN m b ON a.cluster = b.cluster AND a.id < b.id
+  ) WHERE score >= 0.35
+),
+verdict AS (
+  SELECT id_b AS id, min(id_a) AS dup_of, count(*) AS n_dups,
+         max(score) AS max_cos
+  FROM edges GROUP BY id_b
+)
+SELECT CAST(m.id AS BIGINT) AS vec_id,
+       CAST(m.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN v.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(v.dup_of AS BIGINT) AS dup_of,
+       CAST(coalesce(v.n_dups, 0) AS BIGINT) AS n_dups,
+       v.max_cos
+FROM m LEFT JOIN verdict v ON v.id = m.id
+"""
+
+
+EXT4_QUERIES.update({"x128_semdedup": q_x128_semdedup})
+EXT4_ORACLES.update({"x128_semdedup": _sql_x128()})

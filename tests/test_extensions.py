@@ -2601,3 +2601,42 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     ) == sorted(corpus_rows + b1_rows + b2_rows)
     sigs_now = spark.read.parquet(sig_dir)
     assert sigs_now.count() == sigs_now.select("doc").distinct().count() == 7
+
+
+def test_semdedup_planted_duplicates(spark):
+    """x128: a planted near-identical pair inside one cluster must be
+    collapsed to its lowest id; an orthogonal vector in another
+    cluster survives; keep-set is exactly one survivor per semantic
+    group.  Centroids chosen so cluster membership is unambiguous."""
+    from fame2pygen_spark.operators.similarity import semdedup
+
+    def vec(*nonzero):
+        v = [0.0] * 8
+        for i, x in nonzero:
+            v[i] = x
+        return v
+
+    rows = [
+        (1, vec((0, 1.0))),            # group A survivor
+        (2, vec((0, 1.0), (1, 0.01))),  # ~dup of 1
+        (3, vec((0, 1.0), (1, 0.02))),  # ~dup of 1 and 2
+        (4, vec((2, 1.0))),            # cluster B, alone
+        (5, vec((0, -1.0))),           # cluster A region, anti-parallel: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [vec((0, 1.0)), vec((2, 1.0))]
+    out = {
+        r["id"]: r
+        for r in semdedup(
+            df, centroids=cents, threshold=0.9, id_col="vec_id"
+        ).collect()
+    }
+    assert out[1]["keep"] and out[4]["keep"] and out[5]["keep"]
+    assert not out[2]["keep"] and out[2]["dup_of"] == 1
+    assert not out[3]["keep"] and out[3]["dup_of"] == 1 and out[3]["n_dups"] == 2
+    assert out[3]["max_cos"] >= 0.999
+    # max_cluster cap: with cap 1 every cluster keeps only its first id
+    capped = semdedup(
+        df, centroids=cents, threshold=0.9, id_col="vec_id", max_cluster=1
+    ).collect()
+    assert sorted(r["id"] for r in capped) in ([1, 4], [1, 4, 5])
