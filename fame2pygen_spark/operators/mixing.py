@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import _parallelize_input
-from .text import tokens
+from .text import token_ngrams, tokens
 
 #: 2^32 — range of the 8-hex-digit md5 prefix used as the uniform hash
 _HASH_RANGE = 4_294_967_296
@@ -305,4 +305,94 @@ def pack_context_windows(
             (F.least(F.col("__end"), win_hi) - clip_lo).cast("long"),
         )
         .drop("__start", "__end")
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    *,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how target-like its hashed-bigram
+    distribution is — ``log w(x) = Σ_features log p̂_target(f)/p̂_raw(f)``
+    — the standard recipe for carving a domain-matched pretraining
+    subset out of a web crawl (resample raw docs ∝ w).
+
+    Features are word bigrams hashed into *n_buckets* buckets
+    (md5-prefix hash, engine-portable like ``uniform_hash01``), so the
+    feature model is a fixed-width table independent of vocabulary
+    size: both unigram/bigram estimators collapse to two
+    ``groupBy(bucket)`` counts — target docs (the *target* predicate)
+    and all docs — Laplace-smoothed by *alpha*.  Distributed shape:
+    one explode + two map-side-combinable aggregates build the model
+    (2·n_buckets cells, broadcast back as a 1-row-per-bucket join);
+    per-doc scoring is one groupBy(doc, bucket) + one broadcast join +
+    one groupBy(doc).  Nothing scales with vocabulary; only the
+    explode scales with tokens.
+
+    Engine-exactness: per-(doc, bucket) term = n · (ln p_t − ln p_r)
+    is a deterministic double product; the per-doc sum goes through
+    ``decimal(28,18)`` (the ``convert`` log-sum idiom) so accumulation
+    order cannot straddle the 6-dp ROUND boundary.
+
+    Output: ``doc, n_grams, logw`` (6 dp) — one row per document with
+    ≥1 bigram; docs with no in-vocabulary features have no estimate
+    and are omitted (a selector treats them as weight 1).
+    """
+    df = _parallelize_input(df)
+    n_buckets = int(n_buckets)
+    toks = tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        target.alias("__t"),
+        F.explode(token_ngrams(toks, 2)).alias("g"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("g"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    ).alias("b")
+    gb = grams.select("doc", "__t", bucket)
+    model = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("__t"), 1)).alias("n_t"),
+    )
+    tot = model.agg(
+        F.sum("n_raw").alias("nn_raw"), F.sum("n_t").alias("nn_t")
+    )
+    a, bmod = float(alpha), float(alpha) * n_buckets
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("n_t") + F.lit(a)) / (F.col("nn_t") + F.lit(bmod)))
+            - F.log(
+                (F.col("n_raw") + F.lit(a)) / (F.col("nn_raw") + F.lit(bmod))
+            )
+        ).alias("lr"),
+    )
+    per_db = gb.groupBy("doc", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_db.join(F.broadcast(lr), on="b")
+        .groupBy("doc")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(
+                    (F.col("n") * F.col("lr")).cast("decimal(28,18)")
+                ).cast("double"),
+                6,
+            ).alias("logw"),
+        )
     )

@@ -108,3 +108,68 @@ FROM m LEFT JOIN verdict v ON v.id = m.id
 
 EXT4_QUERIES.update({"x128_semdedup": q_x128_semdedup})
 EXT4_ORACLES.update({"x128_semdedup": _sql_x128()})
+
+
+# --------------------------- x129: DSIR importance resampling weights
+
+
+def q_x129_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/mixing.py:dsir_logweights,
+    Xie et al. 2023): score every document by the log-likelihood ratio
+    of its hashed-bigram features under the target domain
+    (``lang = 'en'``) vs the full raw corpus — the selection signal
+    for carving a domain-matched pretraining subset from a crawl.
+    Model = two counts over 256 md5-hashed buckets (fixed-width,
+    vocabulary-independent, broadcast back); scoring = one
+    groupBy(doc, bucket) + broadcast join + decimal-summed groupBy."""
+    from .operators.mixing import dsir_logweights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_logweights(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=256
+    )
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"), "n_grams", "logw"
+    )
+
+
+SQL_X129 = """
+WITH t AS (
+  SELECT doc_id AS doc, (lang = 'en') AS tgt,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc, tgt, array_to_string(toks[i : i + 1], ' ') AS g
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), gb AS (
+  SELECT doc, tgt,
+         ('0x' || substr(md5('dsir:' || g), 1, 8))::BIGINT % 256 AS b
+  FROM g
+), model AS (
+  SELECT b, count(*) AS n_raw,
+         count(*) FILTER (WHERE tgt) AS n_t
+  FROM gb GROUP BY b
+), tot AS (
+  SELECT sum(n_raw) AS nn_raw, sum(n_t) AS nn_t FROM model
+), lr AS (
+  SELECT b,
+         ln((n_t + 0.5) / (nn_t + 128.0))
+         - ln((n_raw + 0.5) / (nn_raw + 128.0)) AS lr
+  FROM model CROSS JOIN tot
+), per AS (
+  SELECT doc, b, count(*) AS n FROM gb GROUP BY doc, b
+)
+SELECT CAST(per.doc AS BIGINT) AS doc_id,
+       CAST(sum(per.n) AS BIGINT) AS n_grams,
+       ROUND(CAST(sum(CAST(per.n * lr.lr AS DECIMAL(28,18))) AS DOUBLE), 6)
+         AS logw
+FROM per JOIN lr ON lr.b = per.b
+GROUP BY per.doc
+"""
+
+
+EXT4_QUERIES.update({"x129_dsir_weights": q_x129_dsir_weights})
+EXT4_ORACLES.update({"x129_dsir_weights": SQL_X129})

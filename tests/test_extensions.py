@@ -2640,3 +2640,36 @@ def test_semdedup_planted_duplicates(spark):
         df, centroids=cents, threshold=0.9, id_col="vec_id", max_cluster=1
     ).collect()
     assert sorted(r["id"] for r in capped) in ([1, 4], [1, 4, 5])
+
+
+def test_dsir_logweights_ranks_target_like_docs_higher(spark):
+    """x129: DSIR log-importance must rank a raw doc built from the
+    target domain's bigrams above one built from off-domain bigrams,
+    and every target doc scores positive (its features are over-
+    represented in the target estimate vs the raw mixture).
+    n_buckets=256 keeps the four test bigrams collision-free (at 64,
+    'beta alpha' and 'gamma delta' share bucket 35 and the off-domain
+    mass drags target scores negative — correct behavior, wrong test
+    vocabulary); alpha=0.01 keeps the smoothing pseudo-mass (α·B)
+    small next to this tiny corpus' 30 observations."""
+    from fame2pygen_spark.operators.mixing import dsir_logweights
+
+    tgt = "alpha beta alpha beta alpha beta"
+    off = "gamma delta gamma delta gamma delta"
+    rows = [
+        (1, tgt, 1), (2, tgt, 1), (3, off, 0), (4, off, 0),
+        (5, tgt, 0),   # raw doc that looks like the target
+        (6, off, 0),   # raw doc that doesn't
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    out = {
+        r["doc"]: r["logw"]
+        for r in dsir_logweights(
+            df, "text", "doc_id", F.col("is_t") == 1,
+            n_buckets=256, alpha=0.01,
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[5] > out[6]
+    assert out[5] == out[1] == out[2]  # identical text, identical score
+    assert out[1] > 0 > out[6]
