@@ -1057,3 +1057,83 @@ def rake_keywords(
     return phrases.orderBy(
         F.col("score").desc(), F.col("phrase").asc()
     ).limit(int(top_n))
+
+
+def boilerplate_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    n: int = 2,
+    min_frac: float = 0.2,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate n-gram profile (the C4 / RefinedWeb
+    "frequent line" removal signal, Raffel et al. 2020 §2.2 /
+    Penedo et al. 2023 — re-expressed at n-gram granularity): an
+    n-gram is BOILERPLATE within a group (source/domain) when it
+    occurs in ≥ *min_docs* AND ≥ *min_frac* of the group's documents
+    — navigation chrome, cookie banners, footers repeat across a
+    domain's pages while real content doesn't.  Output is the per-doc
+    contamination profile a curation filter thresholds on.
+
+    Distinct from x74 ``dup_span_profile`` (global cross-doc duplicate
+    positions, any 2 docs) — this is group-relative *template*
+    detection: a gram in 2 of 10 000 domain pages is a coincidence,
+    in 30% of them it's chrome.
+
+    Scale shape: one ``distinct`` on (group, doc, gram), one
+    map-side-combinable ``groupBy(group, gram)`` doc count, group
+    sizes as a tiny broadcast, and the boilerplate gram set — by
+    construction ≤ |grams| · min_frac⁻¹ / |group docs|, i.e. small —
+    broadcast back onto the per-doc rollup.  No self-joins, nothing
+    quadratic; the heavy explode shuffles once.
+
+    Output: ``group_col, doc, n_grams_distinct, n_boiler,
+    boiler_frac`` (6 dp) — one row per document with ≥1 n-gram (docs
+    shorter than *n* tokens have no profile).
+    """
+    df = _parallelize_input(df)
+    gid, doc = F.col(group_col), F.col(id_col)
+    pd_ = (
+        df.select(
+            gid.alias("__grp"),
+            doc.alias("doc"),
+            F.explode(token_ngrams(tokens(F.col(text_col)), int(n))).alias(
+                "g"
+            ),
+        )
+        .distinct()
+    )
+    sz = df.groupBy(gid.alias("__grp")).agg(
+        F.countDistinct(doc).alias("__n_group_docs")
+    )
+    gc = pd_.groupBy("__grp", "g").agg(F.count(F.lit(1)).alias("__nd"))
+    bl = (
+        gc.join(F.broadcast(sz), on="__grp")
+        .where(
+            (F.col("__nd") >= F.lit(int(min_docs)))
+            & (
+                F.col("__nd")
+                >= F.lit(float(min_frac)) * F.col("__n_group_docs")
+            )
+        )
+        .select("__grp", "g", F.lit(True).alias("__bl"))
+    )
+    return (
+        pd_.join(F.broadcast(bl), on=["__grp", "g"], how="left")
+        .groupBy(F.col("__grp").alias(group_col), "doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams_distinct"),
+            F.count(F.when(F.col("__bl"), 1)).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(
+                F.col("n_boiler").cast("double")
+                / F.col("n_grams_distinct"),
+                6,
+            ),
+        )
+    )

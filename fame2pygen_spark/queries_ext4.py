@@ -173,3 +173,64 @@ GROUP BY per.doc
 
 EXT4_QUERIES.update({"x129_dsir_weights": q_x129_dsir_weights})
 EXT4_ORACLES.update({"x129_dsir_weights": SQL_X129})
+
+
+# ----------------------- x130: per-source boilerplate n-gram profile
+
+
+def q_x130_boilerplate(spark, sf_dir):
+    """Group-relative boilerplate detection (operators/text.py:
+    boilerplate_profile): bigrams occurring in ≥20% (and ≥2) of a
+    source's documents are template chrome; per-doc output is the
+    distinct-gram count, boilerplate-gram count, and contamination
+    fraction a curation filter thresholds on."""
+    from .operators.text import boilerplate_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = boilerplate_profile(
+        docs, "text", "doc_id", "source", n=2, min_frac=0.2, min_docs=2
+    )
+    return out.select(
+        "source",
+        F.col("doc").cast("long").alias("doc_id"),
+        "n_grams_distinct",
+        "n_boiler",
+        "boiler_frac",
+    )
+
+
+SQL_X130 = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), pd AS (
+  SELECT DISTINCT source, doc_id,
+         array_to_string(toks[i : i + 1], ' ') AS g
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), sz AS (
+  SELECT source, count(DISTINCT doc_id) AS n_group_docs
+  FROM documents GROUP BY source
+), gc AS (
+  SELECT source, g, count(*) AS nd FROM pd GROUP BY source, g
+), bl AS (
+  SELECT gc.source, gc.g
+  FROM gc JOIN sz ON sz.source = gc.source
+  WHERE gc.nd >= 2 AND gc.nd >= 0.2 * sz.n_group_docs
+)
+SELECT pd.source,
+       CAST(pd.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams_distinct,
+       CAST(count(*) FILTER (WHERE bl.g IS NOT NULL) AS BIGINT) AS n_boiler,
+       ROUND(CAST(count(*) FILTER (WHERE bl.g IS NOT NULL) AS DOUBLE)
+             / count(*), 6) AS boiler_frac
+FROM pd LEFT JOIN bl ON bl.source = pd.source AND bl.g = pd.g
+GROUP BY pd.source, pd.doc_id
+"""
+
+
+EXT4_QUERIES.update({"x130_boilerplate": q_x130_boilerplate})
+EXT4_ORACLES.update({"x130_boilerplate": SQL_X130})

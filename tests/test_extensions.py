@@ -2673,3 +2673,36 @@ def test_dsir_logweights_ranks_target_like_docs_higher(spark):
     assert out[5] > out[6]
     assert out[5] == out[1] == out[2]  # identical text, identical score
     assert out[1] > 0 > out[6]
+
+
+def test_boilerplate_profile_group_relative(spark):
+    """x130: a gram repeated across most docs of a group is
+    boilerplate IN THAT GROUP only; the same gram in another group
+    below the frequency floor is not.  Docs shorter than n tokens
+    have no profile row."""
+    from fame2pygen_spark.operators.text import boilerplate_profile
+
+    rows = [
+        # group A: "cookie banner" in 3/4 docs -> boilerplate
+        (1, "cookie banner real content one", "A"),
+        (2, "cookie banner other words here", "A"),
+        (3, "cookie banner yet more text", "A"),
+        (4, "totally organic sentence here", "A"),
+        # group B: "cookie banner" in 1/4 docs -> not boilerplate
+        (5, "cookie banner unique in b", "B"),
+        (6, "some other b document text", "B"),
+        (7, "more b words entirely fresh", "B"),
+        (8, "final b doc nothing shared", "B"),
+        (9, "short", "B"),  # < 2 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {
+        r["doc"]: r
+        for r in boilerplate_profile(
+            df, "text", "doc_id", "grp", n=2, min_frac=0.5, min_docs=2
+        ).collect()
+    }
+    assert 9 not in out and len(out) == 8
+    assert out[1]["n_boiler"] == 1 and out[1]["boiler_frac"] == 0.25
+    assert out[4]["n_boiler"] == 0
+    assert out[5]["n_boiler"] == 0  # same gram, group B floor not met
