@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["dq_report", "standard_rules"]
+__all__ = ["dq_report", "standard_rules", "cohens_kappa"]
 
 
 def dq_report(
@@ -198,4 +198,78 @@ def snapshot_diff(
         )
         .otherwise(F.lit(""))
         .alias("changed_cols"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    label_a_col: str,
+    label_b_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two labelers
+    over paired items (Cohen 1960) — the standard QC statistic for
+    annotation pipelines: raw percent-agreement overstates label
+    quality when the class distribution is skewed (two raters who
+    both answer the majority class 90% of the time "agree" 81% by
+    luck); kappa = (p_o − p_e)/(1 − p_e) subtracts that chance floor.
+    For RLHF/preference datasets this is the per-task gate before
+    labels are trusted for reward-model training.
+
+    Input: one row per doubly-labeled item with the two labels (rows
+    where either label is null are excluded — not co-labeled).
+
+    Scale shape: three map-side-combinable aggregations (the agree/n
+    counts, and one marginal count per rater), joined on the tiny
+    (group × label) key set — no shuffle touches item granularity
+    twice, nothing is quadratic.  Engine-exactness: p_e is assembled
+    from the INTEGER cross-moment Σ_k nA_k·nB_k divided once by n²
+    (integer sums are order-insensitive; one double division is
+    deterministic), p_o = agree/n likewise — no float accumulation
+    anywhere.
+
+    Output: ``*group_cols, n_items, po, pe, kappa`` (6 dp), one row
+    per group.  Degenerate group where p_e = 1 (both raters constant
+    and identical): kappa is null (0/0 chance correction).
+    """
+    g = [F.col(c) for c in group_cols]
+    a, b = F.col(label_a_col), F.col(label_b_col)
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        *g, a.alias("__a"), b.alias("__b")
+    )
+    gnames = list(group_cols)
+
+    def by(keys):
+        return base.groupBy(*keys) if keys else base.groupBy()
+
+    totals = by(gnames).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col("__a") == F.col("__b"), 1)).alias("__agree"),
+    )
+    ma = base.groupBy(*gnames, F.col("__a").alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    mb = base.groupBy(*gnames, F.col("__b").alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    cross = (
+        ma.join(mb, on=[*gnames, "__lbl"])
+        .groupBy(*gnames)
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__cross"))
+    )
+    joined = (
+        totals.join(cross, on=gnames)
+        if gnames
+        else totals.crossJoin(cross)
+    )
+    n = F.col("__n")
+    po = F.col("__agree").cast("double") / n
+    pe = F.col("__cross").cast("double") / (n * n)
+    return joined.select(
+        *gnames,
+        n.alias("n_items"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )

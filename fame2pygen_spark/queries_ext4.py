@@ -234,3 +234,91 @@ GROUP BY pd.source, pd.doc_id
 
 EXT4_QUERIES.update({"x130_boilerplate": q_x130_boilerplate})
 EXT4_ORACLES.update({"x130_boilerplate": SQL_X130})
+
+
+# ------------------------- x131: inter-rater agreement (Cohen kappa)
+
+
+def q_x131_rater_kappa(spark, sf_dir):
+    """Chance-corrected label agreement (operators/quality.py:
+    cohens_kappa): treat each user's modal event type over the odd
+    vs the even positions of their timeline as two independent
+    'annotations' of the same behavioral label and compute Cohen's
+    kappa across users — the split-half label-stability audit run on
+    annotation pipelines before labels feed a reward model.  Users
+    with events on only one side are not co-labeled and drop out."""
+    from pyspark.sql import Window
+    from .operators.quality import cohens_kappa
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).withColumn("parity", F.col("rn") % 2)
+    counts = seq.groupBy("user_id", "parity", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wm = Window.partitionBy("user_id", "parity").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    modal = (
+        counts.withColumn("mr", F.row_number().over(wm))
+        .where(F.col("mr") == 1)
+        .select("user_id", "parity", "event_type")
+    )
+    paired = (
+        modal.where(F.col("parity") == 1)
+        .select("user_id", F.col("event_type").alias("label_a"))
+        .join(
+            modal.where(F.col("parity") == 0).select(
+                "user_id", F.col("event_type").alias("label_b")
+            ),
+            on="user_id",
+        )
+    )
+    return cohens_kappa(paired, "label_a", "label_b")
+
+
+SQL_X131 = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events
+), seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) % 2 AS parity
+  FROM e
+), counts AS (
+  SELECT user_id, parity, event_type, count(*) AS c
+  FROM seq GROUP BY user_id, parity, event_type
+), modal AS (
+  SELECT user_id, parity, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, parity
+                                 ORDER BY c DESC, event_type ASC) AS mr
+    FROM counts
+  ) WHERE mr = 1
+), paired AS (
+  SELECT a.user_id, a.event_type AS label_a, b.event_type AS label_b
+  FROM modal a JOIN modal b
+    ON a.user_id = b.user_id AND a.parity = 1 AND b.parity = 0
+), totals AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE label_a = label_b) AS agree
+  FROM paired
+), ma AS (SELECT label_a AS lbl, count(*) AS na FROM paired GROUP BY 1),
+mb AS (SELECT label_b AS lbl, count(*) AS nb FROM paired GROUP BY 1),
+crossm AS (
+  SELECT sum(na * nb) AS x FROM ma JOIN mb ON ma.lbl = mb.lbl
+)
+SELECT CAST(n AS BIGINT) AS n_items,
+       ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+       ROUND(CAST(x AS DOUBLE) / (n * n), 6) AS pe,
+       ROUND((CAST(agree AS DOUBLE) / n - CAST(x AS DOUBLE) / (n * n))
+             / (1.0 - CAST(x AS DOUBLE) / (n * n)), 6) AS kappa
+FROM totals CROSS JOIN crossm
+"""
+
+
+EXT4_QUERIES.update({"x131_rater_kappa": q_x131_rater_kappa})
+EXT4_ORACLES.update({"x131_rater_kappa": SQL_X131})

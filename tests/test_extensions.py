@@ -2706,3 +2706,30 @@ def test_boilerplate_profile_group_relative(spark):
     assert out[1]["n_boiler"] == 1 and out[1]["boiler_frac"] == 0.25
     assert out[4]["n_boiler"] == 0
     assert out[5]["n_boiler"] == 0  # same gram, group B floor not met
+
+
+def test_cohens_kappa_textbook_and_edges(spark):
+    """x131: the classic 2x2 worked example (po=0.7, pe=0.5 ->
+    kappa=0.4), null-label exclusion, per-group output, and the
+    degenerate pe=1 group yielding null kappa."""
+    from fame2pygen_spark.operators.quality import cohens_kappa
+
+    # 20 items: a=yes 10 (7 agree), a=no 10 (7 agree); marginals 10/10
+    rows = (
+        [("g1", "y", "y")] * 7 + [("g1", "y", "n")] * 3
+        + [("g1", "n", "n")] * 7 + [("g1", "n", "y")] * 3
+        + [("g1", None, "y")]          # not co-labeled: excluded
+        + [("g2", "y", "y")] * 4       # constant raters: pe=1, kappa null
+    )
+    df = spark.createDataFrame(rows, "grp string, a string, b string")
+    out = {
+        r["grp"]: r
+        for r in cohens_kappa(df, "a", "b", group_cols=("grp",)).collect()
+    }
+    assert out["g1"]["n_items"] == 20
+    assert out["g1"]["po"] == 0.7 and out["g1"]["pe"] == 0.5
+    assert out["g1"]["kappa"] == 0.4
+    assert out["g2"]["pe"] == 1.0 and out["g2"]["kappa"] is None
+    # ungrouped: one global row
+    glob = cohens_kappa(df, "a", "b").collect()
+    assert len(glob) == 1 and glob[0]["n_items"] == 24
