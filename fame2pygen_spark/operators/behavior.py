@@ -1073,3 +1073,97 @@ def rfm_segments(
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def bradley_terry(
+    pairs: DataFrame,
+    item_a_col: str,
+    item_b_col: str,
+    wins_a_col: str,
+    wins_b_col: str,
+) -> DataFrame:
+    """Two fixed minorization–maximization iterations of the
+    Bradley–Terry preference-strength model (Bradley & Terry 1952;
+    MM update of Hunter 2004: ``s_i ← W_i / Σ_j n_ij/(s_i+s_j)``)
+    over an aggregated pairwise-comparison table — the standard fit
+    behind preference-data QC for reward models: are the comparisons
+    consistent enough that a single strength scale explains them?
+
+    Input: one row per unordered item pair with win totals
+    (``item_a, item_b, wins_a, wins_b``).  Two MM steps from the
+    uniform start (s=1) are computed exactly — the first reduces to
+    ``s1_i = 2·W_i / N_i``; the second uses the mutual term
+    ``n_ij/(s1_i + s1_j)``.  Strengths are gauge-free (the model is
+    invariant to a global scale; no normalization is applied), so
+    compare RATIOS.  Iterating to convergence = re-feeding the
+    output, one aggregation per step.
+
+    Scale shape: the comparison table is |items|²-bounded (already
+    aggregated — the caller reduces raw comparisons, which is where
+    the data volume lives); each MM step is one symmetric edge
+    expansion + one map-side-combinable groupBy(item) + one join of
+    per-item strengths back onto edges.  Engine-exactness: every
+    cross-edge float sum goes through ``decimal(28,18)``; W/N are
+    integer sums.
+
+    Output: ``item, wins, n_comparisons, s1, s2`` (6 dp), one row
+    per item appearing in any comparison.  An item pair with both
+    win counts zero contributes nothing (no comparisons happened).
+    """
+    ia, ib = F.col(item_a_col), F.col(item_b_col)
+    wa = F.col(wins_a_col).cast("long")
+    wb = F.col(wins_b_col).cast("long")
+    base = pairs.where((wa + wb) > 0).select(
+        ia.alias("__a"), ib.alias("__b"), wa.alias("__wa"), wb.alias("__wb")
+    )
+    edges = base.select(
+        F.col("__a").alias("i"), F.col("__b").alias("j"),
+        F.col("__wa").alias("w"), (F.col("__wa") + F.col("__wb")).alias("n"),
+    ).unionAll(
+        base.select(
+            F.col("__b").alias("i"), F.col("__a").alias("j"),
+            F.col("__wb").alias("w"),
+            (F.col("__wa") + F.col("__wb")).alias("n"),
+        )
+    )
+    per = edges.groupBy("i").agg(
+        F.sum("w").alias("wins"), F.sum("n").alias("n_comparisons")
+    )
+    s1 = per.select(
+        "i",
+        (
+            F.lit(2.0) * F.col("wins").cast("double")
+            / F.col("n_comparisons")
+        ).alias("s1"),
+    )
+    denom = (
+        edges.join(s1.select(F.col("i"), F.col("s1").alias("si")), on="i")
+        .join(
+            s1.select(F.col("i").alias("j"), F.col("s1").alias("sj")),
+            on="j",
+        )
+        .groupBy("i")
+        .agg(
+            F.sum(
+                (
+                    F.col("n").cast("double")
+                    / (F.col("si") + F.col("sj"))
+                ).cast("decimal(28,18)")
+            )
+            .cast("double")
+            .alias("__d")
+        )
+    )
+    return (
+        per.join(s1, on="i")
+        .join(denom, on="i")
+        .select(
+            F.col("i").alias("item"),
+            "wins",
+            "n_comparisons",
+            F.round("s1", 6).alias("s1"),
+            F.round(
+                F.try_divide(F.col("wins").cast("double"), F.col("__d")), 6
+            ).alias("s2"),
+        )
+    )

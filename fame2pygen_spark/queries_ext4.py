@@ -322,3 +322,91 @@ FROM totals CROSS JOIN crossm
 
 EXT4_QUERIES.update({"x131_rater_kappa": q_x131_rater_kappa})
 EXT4_ORACLES.update({"x131_rater_kappa": SQL_X131})
+
+
+# -------------------- x132: Bradley–Terry preference strengths
+
+
+def q_x132_bradley_terry(spark, sf_dir):
+    """Preference-strength fit (operators/behavior.py:bradley_terry):
+    every user who performed both of two event types casts one
+    comparison — the type they performed more often wins (ties
+    abstain) — and two exact Bradley–Terry MM iterations turn the
+    win matrix into per-type strengths.  The shape of reward-model
+    preference-data QC: raw pairwise labels → aggregated win table →
+    strength scale + consistency check."""
+    from .operators.behavior import bradley_terry
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = counts.select(
+        "user_id", F.col("event_type").alias("x"), F.col("c").alias("cx")
+    )
+    b = counts.select(
+        "user_id", F.col("event_type").alias("y"), F.col("c").alias("cy")
+    )
+    agg = (
+        a.join(b, on="user_id")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("item_a"), F.col("y").alias("item_b"))
+        .agg(
+            F.count(F.when(F.col("cx") > F.col("cy"), 1)).alias("wins_a"),
+            F.count(F.when(F.col("cy") > F.col("cx"), 1)).alias("wins_b"),
+        )
+    )
+    out = bradley_terry(agg, "item_a", "item_b", "wins_a", "wins_b")
+    return out.select(
+        F.col("item").alias("event_type"), "wins", "n_comparisons",
+        "s1", "s2",
+    )
+
+
+SQL_X132 = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+), pc AS (
+  SELECT a.event_type AS x, b.event_type AS y, a.c AS cx, b.c AS cy
+  FROM counts a JOIN counts b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+), agg AS (
+  SELECT x AS item_a, y AS item_b,
+         count(*) FILTER (WHERE cx > cy) AS wins_a,
+         count(*) FILTER (WHERE cy > cx) AS wins_b
+  FROM pc GROUP BY x, y
+), base AS (
+  SELECT * FROM agg WHERE wins_a + wins_b > 0
+), edges AS (
+  SELECT item_a AS i, item_b AS j, wins_a AS w, wins_a + wins_b AS n
+  FROM base
+  UNION ALL
+  SELECT item_b AS i, item_a AS j, wins_b AS w, wins_a + wins_b AS n
+  FROM base
+), per AS (
+  SELECT i, sum(w) AS wins, sum(n) AS n_comparisons
+  FROM edges GROUP BY i
+), s1 AS (
+  SELECT i, 2.0 * CAST(wins AS DOUBLE) / n_comparisons AS s1 FROM per
+), denom AS (
+  SELECT e.i,
+         CAST(sum(CAST(CAST(e.n AS DOUBLE) / (si.s1 + sj.s1)
+                       AS DECIMAL(28,18))) AS DOUBLE) AS d
+  FROM edges e
+  JOIN s1 si ON si.i = e.i
+  JOIN s1 sj ON sj.i = e.j
+  GROUP BY e.i
+)
+SELECT per.i AS event_type,
+       CAST(per.wins AS BIGINT) AS wins,
+       CAST(per.n_comparisons AS BIGINT) AS n_comparisons,
+       ROUND(s1.s1, 6) AS s1,
+       ROUND(CAST(per.wins AS DOUBLE) / denom.d, 6) AS s2
+FROM per JOIN s1 ON s1.i = per.i JOIN denom ON denom.i = per.i
+"""
+
+
+EXT4_QUERIES.update({"x132_bradley_terry": q_x132_bradley_terry})
+EXT4_ORACLES.update({"x132_bradley_terry": SQL_X132})

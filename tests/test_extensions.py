@@ -2733,3 +2733,25 @@ def test_cohens_kappa_textbook_and_edges(spark):
     # ungrouped: one global row
     glob = cohens_kappa(df, "a", "b").collect()
     assert len(glob) == 1 and glob[0]["n_items"] == 24
+
+
+def test_bradley_terry_recovers_strength_order(spark):
+    """x132: a dominant item must come out strongest, a winless item
+    weakest; MM step 1 equals 2W/N exactly; strengths are finite and
+    ordered consistently across both iterations."""
+    from fame2pygen_spark.operators.behavior import bradley_terry
+
+    # A beats B 9-1, A beats C 8-2, B beats C 7-3, D never wins
+    rows = [("A", "B", 9, 1), ("A", "C", 8, 2), ("B", "C", 7, 3),
+            ("A", "D", 5, 0)]
+    df = spark.createDataFrame(
+        rows, "item_a string, item_b string, wins_a int, wins_b int"
+    )
+    out = {r["item"]: r for r in bradley_terry(
+        df, "item_a", "item_b", "wins_a", "wins_b").collect()}
+    assert out["A"]["wins"] == 22 and out["A"]["n_comparisons"] == 25
+    assert out["A"]["s1"] == round(2 * 22 / 25, 6)
+    assert out["D"]["wins"] == 0 and out["D"]["s2"] == 0.0
+    for col in ("s1", "s2"):
+        vals = {k: out[k][col] for k in out}
+        assert vals["A"] > vals["B"] > vals["C"] > vals["D"]
