@@ -825,16 +825,37 @@ def semdedup(
         .where(F.col("__rn") <= max_cluster)
         .drop("__rn")
     )
+    # norms once per member, not once per pair: the in-cluster join
+    # evaluates O(|cell|²) score expressions and each l2_norm is a
+    # 64-element fold — same float values (identical fold), 3× less
+    # per-pair work
+    members = members.withColumn("__nrm", l2_norm(F.col("__v")))
+    # three plan branches consume members (both self-join sides + the
+    # final verdict join-back); the differing column pruning per branch
+    # defeats exchange reuse, so without materialization the scan +
+    # centroid assignment + cap window run three times — checkpoint
+    # once instead (on a cluster prefer checkpoint() with a reliable
+    # dir if executor loss matters, cf. connected_components)
+    members = members.localCheckpoint(eager=True)
     lo = members.select(
-        "cluster", F.col("id").alias("id_a"), F.col("__v").alias("__va")
+        "cluster", F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"), F.col("__nrm").alias("__na"),
     )
     hi = members.select(
-        "cluster", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
+        "cluster", F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"), F.col("__nrm").alias("__nb"),
     )
     edges = (
         lo.join(hi, on="cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .where(F.col("score") >= threshold)
     )
     verdict = edges.groupBy(F.col("id_b").alias("id")).agg(
