@@ -63,19 +63,28 @@ def cosine_topk(
     6dp and rank = dense position by (score desc, neighbor_id) — fully
     deterministic even under score ties.
     """
+    # norms hoisted below the join: the cross join evaluates |Q| score
+    # expressions per corpus row, and each l2_norm is a dim-element
+    # fold — computing them once per row (not once per pair) is the
+    # same float value (identical fold) at 1/|Q| the corpus-side cost
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__v"),
-    )
+    ).withColumn("__nv", l2_norm(F.col("__v")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("__q"),
-    )
+    ).withColumn("__nq", l2_norm(F.col("__q")))
     scored = c.join(F.broadcast(q))
     if not include_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.withColumn(
-        "score", F.round(cosine(F.col("__v"), F.col("__q")), 6)
+        "score",
+        F.round(
+            dot(F.col("__v"), F.col("__q"))
+            / (F.col("__nv") * F.col("__nq")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -172,11 +181,11 @@ def ivf_topk(
         _as_double(F.col(vec_col)).alias("__v"),
     ).withColumn(
         "__cell", F.array_min(_centroid_dists(F.col("__v"), centroids))["cid"]
-    )
+    ).withColumn("__nv", l2_norm(F.col("__v")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("__q"),
-    ).withColumn(
+    ).withColumn("__nq", l2_norm(F.col("__q"))).withColumn(
         "__cell",
         F.explode(
             F.transform(
@@ -191,8 +200,14 @@ def ivf_topk(
     cand = c.join(F.broadcast(q), on="__cell")
     if not include_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    # per-row (not per-pair) norms, cf. cosine_topk
     cand = cand.withColumn(
-        "score", F.round(cosine(F.col("__v"), F.col("__q")), 6)
+        "score",
+        F.round(
+            dot(F.col("__v"), F.col("__q"))
+            / (F.col("__nv") * F.col("__nq")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -273,12 +288,23 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # per-row (not per-pair) norms, cf. cosine_topk
+    withn = base.withColumn("__n", l2_norm(F.col("__v")))
     return (
-        cand.join(base.select(F.col("id").alias("id_a"),
-                              F.col("__v").alias("__va")), on="id_a")
-        .join(base.select(F.col("id").alias("id_b"),
-                          F.col("__v").alias("__vb")), on="id_b")
-        .withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        cand.join(withn.select(F.col("id").alias("id_a"),
+                               F.col("__v").alias("__va"),
+                               F.col("__n").alias("__na")), on="id_a")
+        .join(withn.select(F.col("id").alias("id_b"),
+                           F.col("__v").alias("__vb"),
+                           F.col("__n").alias("__nb")), on="id_b")
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -312,11 +338,15 @@ def hyperplane_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__v"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))
+    ).withColumn(
+        "__bucket", hyperplane_bucket(F.col("__v"), planes)
+    ).withColumn("__nv", l2_norm(F.col("__v")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("__q"),
-    ).withColumn("__b0", hyperplane_bucket(F.col("__q"), planes))
+    ).withColumn(
+        "__b0", hyperplane_bucket(F.col("__q"), planes)
+    ).withColumn("__nq", l2_norm(F.col("__q")))
     if multiprobe:
         probes = F.array(
             F.col("__b0"),
@@ -336,8 +366,14 @@ def hyperplane_lsh_topk(
     )
     if not include_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    # per-row (not per-pair) norms, cf. cosine_topk
     cand = cand.withColumn(
-        "score", F.round(cosine(F.col("__v"), F.col("__q")), 6)
+        "score",
+        F.round(
+            dot(F.col("__v"), F.col("__q"))
+            / (F.col("__nv") * F.col("__nq")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
