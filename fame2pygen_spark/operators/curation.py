@@ -55,6 +55,16 @@ def curate_documents(
         & F.col("lang_pred").isin(*languages)
     )
     exact_kept = dedup_exact(passed, text_col, id_col)
+    # the reduced corpus feeds the LSH stage (itself several plan
+    # branches: signatures, verify shingles, participants) AND the
+    # final anti-join left side — without materialization each branch
+    # re-runs the profile (the tokenization regexes dominate) and the
+    # fingerprint window.  One checkpoint of the already-filtered,
+    # already-deduped corpus replaces them all; duplicate_clusters
+    # checkpoints its own iterations anyway, so this adds the only
+    # remaining redundant subtree.  (Cluster: prefer checkpoint() with
+    # a reliable dir if executor loss matters.)
+    exact_kept = exact_kept.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(
         exact_kept,
         text_col,
