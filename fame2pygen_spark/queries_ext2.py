@@ -1258,8 +1258,9 @@ def q_x90_mcv_stats(spark, sf_dir):
     beside x81's NDV/nulls and x88's equi-depth histogram): top-5
     values per profiled column with frequency fractions, from one
     stacked scan — (column, value) counts with map-side combine, then
-    a column-partitioned top-k window over the already-aggregated
-    distinct values."""
+    a two-phase salted top-k (phase 1 per (column, salt-of-value),
+    phase 2 over the pruned remainder) so no single task ever sorts a
+    whole column's distinct values."""
     from pyspark.sql import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1282,11 +1283,27 @@ def q_x90_mcv_stats(spark, sf_dir):
     counts = stacked.groupBy("column", "value").agg(
         F.count("*").cast("long").alias("n_rows")
     )
+    # two-phase top-k: partitionBy(column) alone has only 3 partition
+    # keys, so at scale every distinct value of a column funnels into
+    # ONE task's sort (the x55 skew rule).  Phase 1 prunes to the
+    # top-5 per (column, salt-of-value) — each value lives in exactly
+    # one salt group, so the global top-5 always survive and the salt
+    # function never affects the result; phase 2 ranks the ≤
+    # 3·32·5-row remainder with the original window.
+    w1 = Window.partitionBy("column", "__salt").orderBy(
+        F.desc("n_rows"), F.asc("value")
+    )
+    pruned = (
+        counts.withColumn("__salt", F.pmod(F.xxhash64("value"), F.lit(32)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= 5)
+        .drop("__salt", "__r1")
+    )
     w = Window.partitionBy("column").orderBy(
         F.desc("n_rows"), F.asc("value")
     )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select(
             "column",
@@ -1365,9 +1382,13 @@ def q_x91_pagerank_step(spark, sf_dir):
         "rank", F.lit(1.0 / n_nodes)
     )
     stepped = pagerank_step(edges, uniform, n_nodes=n_nodes)
+    # top-20 via orderBy().limit() (TakeOrderedAndProject) FIRST, so
+    # the global row_number window only ever sees 20 rows — never a
+    # single-partition sort over all nodes (the x55 skew_profile rule)
+    top = stepped.orderBy(F.desc("rank"), F.asc("node")).limit(20)
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (
-        stepped.withColumn("pos", F.row_number().over(w))
+        top.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= 20)
         .select(
             F.col("node").cast("long").alias("supplier"),
