@@ -1353,3 +1353,55 @@ def prefix_containment_join(
         .where(F.col("containment") >= threshold)
     )
     return verified.select("id_a", "id_b", "containment")
+
+
+def canonical_by_priority(
+    clusters: DataFrame,
+    priority: DataFrame,
+    priority_col: str,
+    *,
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Re-elect each near-dup cluster's survivor by PRIORITY instead of
+    lowest id: the kept member is the one with the highest
+    *priority_col* (ties → lowest doc id).  Production dedup rarely
+    wants "first crawl wins" — it wants "best copy wins": highest
+    quality score, longest text, most recent fetch, preferred source.
+
+    *clusters* is :func:`duplicate_clusters` output (``doc, component,
+    cluster_size, is_canonical``); *priority* maps ``doc_col →
+    priority_col`` (e.g. ``text_profile``'s quality).  Docs missing a
+    priority row sort below every scored member (null = last), ties
+    broken by id, so the election is total and deterministic.
+
+    Scale shape: one join on the doc id and one component-keyed
+    min-struct window — no sort within components (hash aggregation
+    of a 2-field struct), no new shuffles beyond the component key the
+    cluster frame already carries.  Engine-exactness: comparisons
+    only, no float accumulation.
+
+    Output: ``doc, component, cluster_size, <priority_col>,
+    canonical_doc, is_canonical`` — *is_canonical* re-derived from the
+    election (the input's min-id flag is discarded).
+    """
+    pr = priority.select(
+        F.col(doc_col).alias("doc"), F.col(priority_col).alias("__p")
+    )
+    joined = clusters.drop("is_canonical").join(pr, on="doc", how="left")
+    w = Window.partitionBy("component")
+    # min over (−priority, doc): highest priority wins, nulls last
+    # (coalesce to +inf keeps unscored docs out of the election unless
+    # the whole cluster is unscored), ties to the lowest id
+    key = F.struct(
+        F.coalesce(-F.col("__p"), F.lit(float("inf"))).alias("np"),
+        F.col("doc").alias("d"),
+    )
+    elected = joined.withColumn("__win", F.min(key).over(w))
+    return elected.select(
+        "doc",
+        "component",
+        "cluster_size",
+        F.col("__p").alias(priority_col),
+        F.col("__win.d").alias("canonical_doc"),
+        (F.col("doc") == F.col("__win.d")).alias("is_canonical"),
+    )

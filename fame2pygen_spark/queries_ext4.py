@@ -410,3 +410,71 @@ FROM per JOIN s1 ON s1.i = per.i JOIN denom ON denom.i = per.i
 
 EXT4_QUERIES.update({"x132_bradley_terry": q_x132_bradley_terry})
 EXT4_ORACLES.update({"x132_bradley_terry": SQL_X132})
+
+
+# ---------------- x133: quality-priority dedup survivor election
+
+
+def q_x133_priority_dedup(spark, sf_dir):
+    """Best-copy dedup (operators/dedup.py:canonical_by_priority): the
+    x09 near-dup clusters re-elect their survivor by text_profile
+    quality (ties → lowest id) instead of lowest id — production
+    dedup keeps the best copy, not the first crawl.  One doc-id join
+    + one component-keyed min-struct window on top of the cluster
+    frame; comparisons only, no float accumulation."""
+    from .operators import dedup as dd
+    from .operators.text import text_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, num_hashes=64, bands=16, threshold=0.6
+    )
+    clusters = dd.duplicate_clusters(pairs)
+    prof = text_profile(docs, "text").select(
+        F.col("doc_id").alias("doc"), "quality"
+    )
+    out = dd.canonical_by_priority(clusters, prof, "quality")
+    return out.select(
+        F.col("doc").cast("long").alias("doc"),
+        F.col("component").cast("long").alias("component"),
+        "cluster_size",
+        "quality",
+        F.col("canonical_doc").cast("long").alias("canonical_doc"),
+        F.col("is_canonical").cast("int").cast("long").alias("is_canonical"),
+    )
+
+
+def _sql_x133() -> str:
+    from .queries_ext import (
+        _SQL_COMPONENT_CTES, _sql_profile_ctes, _sql_x03_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_sql_x03_ctes()},
+{_SQL_COMPONENT_CTES},
+{_sql_profile_ctes()},
+member AS (
+  SELECT c.doc, c.component,
+         COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+         p.quality
+  FROM comp c JOIN prof p ON p.doc_id = c.doc
+), elect AS (
+  SELECT *, FIRST_VALUE(doc) OVER (
+           PARTITION BY component
+           ORDER BY coalesce(-quality, 'infinity'::DOUBLE), doc
+         ) AS canonical_doc
+  FROM member
+)
+SELECT CAST(doc AS BIGINT) AS doc,
+       CAST(component AS BIGINT) AS component,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       quality,
+       CAST(canonical_doc AS BIGINT) AS canonical_doc,
+       CAST(CASE WHEN doc = canonical_doc THEN 1 ELSE 0 END AS BIGINT)
+         AS is_canonical
+FROM elect
+"""
+
+
+EXT4_QUERIES.update({"x133_priority_dedup": q_x133_priority_dedup})
+EXT4_ORACLES.update({"x133_priority_dedup": _sql_x133()})

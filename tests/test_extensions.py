@@ -2755,3 +2755,27 @@ def test_bradley_terry_recovers_strength_order(spark):
     for col in ("s1", "s2"):
         vals = {k: out[k][col] for k in out}
         assert vals["A"] > vals["B"] > vals["C"] > vals["D"]
+
+
+def test_canonical_by_priority_election(spark):
+    """x133: highest priority wins, ties break to the lowest id,
+    unscored docs lose to any scored member, and a fully-unscored
+    cluster falls back to lowest id."""
+    from fame2pygen_spark.operators.dedup import canonical_by_priority
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3, True), (2, 1, 3, False), (3, 1, 3, False),
+         (10, 10, 2, True), (11, 10, 2, False)],
+        "doc long, component long, cluster_size long, is_canonical boolean",
+    )
+    prio = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, None), (11, None)],
+        "doc long, q double",
+    )
+    out = {r["doc"]: r for r in canonical_by_priority(
+        clusters, prio, "q").collect()}
+    # cluster 1: docs 2 and 3 tie at 0.9 -> 2 wins (lowest id)
+    assert out[2]["is_canonical"] and out[2]["canonical_doc"] == 2
+    assert not out[1]["is_canonical"] and out[1]["canonical_doc"] == 2
+    # cluster 10: nobody scored -> lowest id survives
+    assert out[10]["is_canonical"] and not out[11]["is_canonical"]
