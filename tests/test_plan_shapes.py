@@ -302,3 +302,43 @@ def test_r3_cont_operators_never_plan_cartesian(spark, name):
 )
 def test_r3_cont_windows_are_partitioned(spark, name):
     assert unpartitioned_windows(spark, name) == [], name
+
+
+# ---------------------------------------------------------- round 4
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x128_semdedup",       # cluster-capped self-join
+        "x129_dsir_weights",   # broadcast feature model
+        "x130_boilerplate",    # broadcast boilerplate set
+        "x131_rater_kappa",    # marginal joins on tiny label keys
+        "x132_bradley_terry",  # |items|^2-bounded edges
+        "x133_priority_dedup", # component-keyed election
+    ],
+)
+def test_r4_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_r4_windows_are_partitioned(spark):
+    # x128's cap window and x133's election window must stay keyed
+    for name in ("x128_semdedup", "x133_priority_dedup"):
+        assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_mcv_top5_never_sorts_a_whole_column_in_one_task(spark):
+    """x90: the only windows allowed are the salted phase-1 spec
+    (partitioned by column AND salt) and the phase-2 spec over the
+    pruned remainder — the naked partitionBy(column) row_number over
+    ALL distinct values must not come back."""
+    plan = plan_of(spark, "x90_mcv_stats")
+    assert "pmod" in plan  # salt survives into the physical plan
+    assert unpartitioned_windows(spark, "x90_mcv_stats") == []
+
+
+def test_pagerank_top20_plans_a_heap(spark):
+    plan = plan_of(spark, "x91_pagerank_step")
+    assert "TakeOrderedAndProject" in plan
