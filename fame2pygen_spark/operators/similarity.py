@@ -911,3 +911,67 @@ def semdedup(
             "max_cos",
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE-style negative selection step, Xiong et al. 2021,
+    arXiv:2007.00808): for each query, the *k* most cosine-similar
+    corpus items with a DIFFERENT label — the near-misses that teach
+    a retriever the decision boundary, where random negatives are
+    trivially easy.
+
+    The label filter sits BELOW the rank window (a same-label
+    neighbor must not occupy a top-k slot), and both it and the
+    self-exclusion ride the broadcast-join output before any shuffle.
+    Plan: corpus streams once past the broadcast query set; the only
+    shuffle is the per-query top-k (``cosine_topk``'s shape) — k rows
+    per query survive.  Per-row (not per-pair) norms, cf.
+    ``cosine_topk``.
+
+    Output: ``query_id, neighbor_id, rank, score, neighbor_label``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv", l2_norm(F.col("__v")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_label_col).alias("__ql"),
+        _as_double(F.col(query_vec_col)).alias("__q"),
+    ).withColumn("__nq", l2_norm(F.col("__q")))
+    cand = (
+        c.join(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("__ql"))
+        )
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("__v"), F.col("__q"))
+                / (F.col("__nv") * F.col("__nq")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score", "neighbor_label")
+    )

@@ -478,3 +478,63 @@ FROM elect
 
 EXT4_QUERIES.update({"x133_priority_dedup": q_x133_priority_dedup})
 EXT4_ORACLES.update({"x133_priority_dedup": _sql_x133()})
+
+
+# -------------------- x134: contrastive hard-negative mining
+
+
+def q_x134_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py:hard_negatives,
+    ANCE-style): for each query vector (``vec_id < 10``) the 5 most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives contrastive retriever training pairs against
+    each query.  Label filter below the rank window; corpus streams
+    once past the broadcast query set."""
+    from .operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+    )
+
+
+def _sql_x134() -> str:
+    dot_ab = _SQL_DOT.format(a="c.v", b="q.qv")
+    dot_cc = _SQL_DOT.format(a="c.v", b="c.v")
+    dot_qq = _SQL_DOT.format(a="q.qv", b="q.qv")
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT id AS query_id, label AS ql, v AS qv FROM e WHERE id < 10
+), c AS (SELECT id AS neighbor_id, label AS nl, v FROM e),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, c.nl,
+         ROUND({dot_ab} / (sqrt({dot_cc}) * sqrt({dot_qq})), 6) AS score
+  FROM c CROSS JOIN q
+  WHERE c.neighbor_id <> q.query_id AND c.nl <> q.ql
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, score,
+       CAST(nl AS BIGINT) AS neighbor_label
+FROM ranked WHERE rank <= 5
+"""
+
+
+EXT4_QUERIES.update({"x134_hard_negatives": q_x134_hard_negatives})
+EXT4_ORACLES.update({"x134_hard_negatives": _sql_x134()})

@@ -2779,3 +2779,31 @@ def test_canonical_by_priority_election(spark):
     assert not out[1]["is_canonical"] and out[1]["canonical_doc"] == 2
     # cluster 10: nobody scored -> lowest id survives
     assert out[10]["is_canonical"] and not out[11]["is_canonical"]
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    """x134: the nearest same-label vector must NOT appear in the
+    top-k even when it is the closest overall; self is excluded; ranks
+    are contiguous from 1."""
+    from fame2pygen_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),   # query
+        (1, [0.99, 0.1, 0.0], 1),  # closest, same label -> excluded
+        (2, [0.9, 0.2, 0.0], 2),   # hard negative (closest other-label)
+        (3, [0.0, 1.0, 0.0], 2),
+        (4, [0.0, 0.0, 1.0], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(df, q, k=3).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids == [2, 3, 4]          # 1 (same label) and 0 (self) absent
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    assert all(r["neighbor_label"] != 1 for r in out)
