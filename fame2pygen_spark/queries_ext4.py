@@ -538,3 +538,67 @@ FROM ranked WHERE rank <= 5
 
 EXT4_QUERIES.update({"x134_hard_negatives": q_x134_hard_negatives})
 EXT4_ORACLES.update({"x134_hard_negatives": _sql_x134()})
+
+
+# ------------------ x135: per-language adaptive quality cutoff
+
+
+def q_x135_quality_cutoff(spark, sf_dir):
+    """Language-relative quality filtering (text_profile +
+    sketch.group_quantiles composition): drop each language's worst
+    quartile instead of applying one global threshold — a global
+    cutoff tuned on the majority language guts low-resource languages
+    whose score distribution sits lower (the per-language
+    calibration step in multilingual curation).  Per-lang p25 is a
+    tiny broadcast joined back as the floor; output is the per-lang
+    audit row (docs, cutoff, kept, kept fraction)."""
+    from .operators.sketch import group_quantiles
+    from .operators.text import text_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = text_profile(docs, "text").select(
+        F.col("doc_id"), F.col("lang_pred"), F.col("quality")
+    )
+    cuts = group_quantiles(prof, ["lang_pred"], "quality", [0.25]).select(
+        "lang_pred", F.col("p25").alias("cutoff")
+    )
+    return (
+        prof.join(F.broadcast(cuts), on="lang_pred")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("cutoff").alias("cutoff"),
+            F.count(F.when(F.col("quality") >= F.col("cutoff"), 1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .withColumn(
+            "kept_frac",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+
+
+def _sql_x135() -> str:
+    from .queries_ext import _sql_profile_ctes
+
+    return f"""
+WITH {_sql_profile_ctes()},
+cuts AS (
+  SELECT lang_pred, ROUND(quantile_cont(quality, 0.25), 6) AS cutoff
+  FROM prof GROUP BY lang_pred
+)
+SELECT p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(c.cutoff) AS cutoff,
+       CAST(count(*) FILTER (WHERE p.quality >= c.cutoff) AS BIGINT)
+         AS n_kept,
+       ROUND(CAST(count(*) FILTER (WHERE p.quality >= c.cutoff) AS DOUBLE)
+             / count(*), 6) AS kept_frac
+FROM prof p JOIN cuts c ON c.lang_pred = p.lang_pred
+GROUP BY p.lang_pred
+"""
+
+
+EXT4_QUERIES.update({"x135_quality_cutoff": q_x135_quality_cutoff})
+EXT4_ORACLES.update({"x135_quality_cutoff": _sql_x135()})
