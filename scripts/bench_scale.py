@@ -168,6 +168,36 @@ def run_scale_tier(spark) -> dict:
         lambda: rake_keywords(docs, "text", "doc_id", top_n=20).count(),
     )
 
+    # semdedup on a REPLICAS× embedding corpus: identical replica
+    # vectors land in the same cell by construction, so within-cluster
+    # pair volume grows quadratically in the replica factor — the
+    # max_cluster cap is what the tier exercises (64 pinned centroids
+    # ≈ the paper's k ≈ √n regime at this size)
+    from fame2pygen_spark.operators.similarity import semdedup
+
+    def _semdedup_10x():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_emb = emb.count()
+        rep = (
+            emb.crossJoin(
+                spark.range(REPLICAS).select(F.col("id").alias("rep"))
+            )
+            .select(
+                (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+                "embedding",
+            )
+        )
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.where(F.col("vec_id") < 64)
+            .select("vec_id", "embedding").orderBy("vec_id").collect()
+        ]
+        return semdedup(
+            rep, centroids=cents, threshold=0.35, max_cluster=1000
+        ).count()
+
+    timed("x128_semdedup_emb10x", _semdedup_10x)
+
     n_events = _events_tier(spark, timed)
 
     return {
