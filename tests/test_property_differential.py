@@ -257,21 +257,35 @@ def test_theil_sen_matches_reference(spark, vals):
         rows, "user_id long, ts_us long, value double"
     )
     out = theil_sen_trend(df, max_days=40).collect()
-    slopes = [
-        (vals[j] - vals[i]) / (j - i)
-        for i in range(len(vals))
-        for j in range(i + 1, len(vals))
-    ]
-    # round HALF_UP like Spark's ROUND (and DuckDB's) — python round()
-    # is half-even and differs by exactly 1e-6 on .xxxxxx5 medians
+    # the operator's daily means go through decimal(28,6) (the
+    # order-insensitive sum idiom), so the reference must quantize
+    # each daily value to 6 dp HALF_UP — Spark's cast-to-decimal mode
+    # — before forming slopes (hypothesis found 0.00390625, whose
+    # raw-vs-quantized slopes straddle the final ROUND boundary).
     from decimal import ROUND_HALF_UP, Decimal
 
+    def q6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    qv = [q6(v) for v in vals]
+    slopes = [
+        (qv[j] - qv[i]) / (j - i)
+        for i in range(len(qv))
+        for j in range(i + 1, len(qv))
+    ]
+    # final 6-dp rounding: python round() is half-even and a Decimal
+    # HALF_UP model of the DOUBLE mis-predicts on dyadic boundaries
+    # (-0.64453125 → both engines emit -0.644531).  The engines agree
+    # with EACH OTHER (the strict parity gate pins that), so use
+    # DuckDB's ROUND as the rounding reference for the python median.
+    import duckdb
+
     med = statistics.median(slopes)
-    want = float(
-        Decimal(repr(med)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-    )
+    want = duckdb.sql(f"SELECT ROUND({med!r}::DOUBLE, 6)").fetchone()[0]
     assert len(out) == 1
-    assert abs(out[0]["ts_slope"] - want) < 1e-6
+    assert abs(out[0]["ts_slope"] - want) < 1e-9
 
 
 @settings(
