@@ -1137,3 +1137,114 @@ def boilerplate_profile(
             ),
         )
     )
+
+
+def lang_span_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Code-switching / mixed-language span profile: language-id each
+    consecutive *span_tokens*-token window of a document (same marker
+    rule as the whole-doc ``lang_pred``: argmax marker-hit ratio,
+    ``und`` below 1%), then summarize the per-doc language mixture —
+    the span-level signal monolingual corpus filters need: a document
+    that is 60% English and 40% Spanish passes a doc-level langid
+    threshold while poisoning both monolingual training sets, and the
+    switch count separates translation-pair pages (1 switch) from
+    boilerplate-interleaved spam (many).
+
+    Per doc: ``n_spans``, ``n_langs`` (distinct identified languages),
+    ``dominant_lang`` (modal span language incl. ``und``, ties →
+    lexicographically smallest), ``dominant_frac``, and ``switches``
+    (adjacent span pairs whose language differs).
+
+    Scale shape: the span explode is the only row multiplier
+    (|tokens|/span_tokens rows per doc); every aggregate and the modal
+    window are doc-keyed.  Engine-exactness: marker hits are integer
+    counts, ratios are single divisions, the argmax is a struct
+    compare — no float accumulation.
+
+    Docs with no tokens produce no row.
+    """
+    df = _parallelize_input(df)
+    k = int(span_tokens)
+    nt = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    n_spans_doc = F.ceil(F.size("__toks") / F.lit(k)).cast("int")
+    spans = nt.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans_doc - 1),
+                lambda i: F.slice(F.col("__toks"), i * k + 1, k),
+            )
+        ).alias("pos", "__span"),
+    )
+    n = F.size("__span")
+    lang_pairs = F.array(
+        *[
+            F.struct(
+                (_hits(F.col("__span"), words) / n).alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang, words in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(lang_pairs)
+    tagged = spans.select(
+        "doc",
+        "pos",
+        F.when(best["s"] >= 0.01, best["l"]).otherwise(F.lit("und")).alias(
+            "lang"
+        ),
+    )
+    wlag = Window.partitionBy("doc").orderBy("pos")
+    seq = tagged.withColumn("__prev", F.lag("lang").over(wlag))
+    per_doc = seq.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.countDistinct(F.when(F.col("lang") != "und", F.col("lang")))
+        .cast("long")
+        .alias("n_langs"),
+        F.count(
+            F.when(
+                F.col("__prev").isNotNull()
+                & (F.col("lang") != F.col("__prev")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("switches"),
+    )
+    modal = (
+        tagged.groupBy("doc", "lang")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(
+                    F.desc("__c"), F.asc("lang")
+                )
+            ),
+        )
+        .where(F.col("__r") == 1)
+        .select(
+            "doc",
+            F.col("lang").alias("dominant_lang"),
+            F.col("__c").alias("__cm"),
+        )
+    )
+    return (
+        per_doc.join(modal, on="doc")
+        .withColumn(
+            "dominant_frac",
+            F.round(F.col("__cm").cast("double") / F.col("n_spans"), 6),
+        )
+        .select(
+            "doc", "n_spans", "n_langs", "dominant_lang",
+            "dominant_frac", "switches",
+        )
+    )

@@ -602,3 +602,91 @@ GROUP BY p.lang_pred
 
 EXT4_QUERIES.update({"x135_quality_cutoff": q_x135_quality_cutoff})
 EXT4_ORACLES.update({"x135_quality_cutoff": _sql_x135()})
+
+
+# ------------------- x136: code-switching language-span profile
+
+
+def q_x136_lang_spans(spark, sf_dir):
+    """Span-level language mixture (operators/text.py:
+    lang_span_profile): language-id every 10-token window and report
+    each doc's span count, language count, dominant language + share,
+    and adjacent-span switch count — the mixed-language filter signal
+    a doc-level langid threshold misses."""
+    from .operators.text import lang_span_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lang_span_profile(docs, "text", "doc_id", span_tokens=10)
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "n_spans", "n_langs", "dominant_lang", "dominant_frac", "switches",
+    )
+
+
+def _sql_x136() -> str:
+    from .operators.text import LANG_MARKERS
+
+    per_lang = "\nUNION ALL\n".join(
+        f"""  SELECT doc, pos, '{lang}' AS l,
+         CAST(len(list_filter(span, x -> list_contains(
+           [{', '.join(repr(w) for w in words)}], x))) AS DOUBLE)
+           / len(span) AS s
+  FROM sp"""
+        for lang, words in LANG_MARKERS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), nz AS (SELECT * FROM t WHERE len(toks) > 0),
+sp AS (
+  SELECT doc, i AS pos, toks[i * 10 + 1 : i * 10 + 10] AS span
+  FROM nz, unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(i)
+),
+scored AS (
+{per_lang}
+),
+best AS (
+  SELECT doc, pos,
+         CASE WHEN s >= 0.01 THEN l ELSE 'und' END AS lang
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc, pos
+                                 ORDER BY s DESC, l DESC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+seq AS (
+  SELECT *, lag(lang) OVER (PARTITION BY doc ORDER BY pos) AS prev
+  FROM best
+),
+per_doc AS (
+  SELECT doc,
+         count(*) AS n_spans,
+         count(DISTINCT CASE WHEN lang <> 'und' THEN lang END) AS n_langs,
+         count(*) FILTER (WHERE prev IS NOT NULL AND lang <> prev)
+           AS switches
+  FROM seq GROUP BY doc
+),
+modal AS (
+  SELECT doc, lang AS dominant_lang, c AS cm FROM (
+    SELECT doc, lang, count(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY doc
+                              ORDER BY count(*) DESC, lang ASC) AS r
+    FROM best GROUP BY doc, lang
+  ) WHERE r = 1
+)
+SELECT CAST(p.doc AS BIGINT) AS doc_id,
+       CAST(p.n_spans AS BIGINT) AS n_spans,
+       CAST(p.n_langs AS BIGINT) AS n_langs,
+       m.dominant_lang,
+       ROUND(CAST(m.cm AS DOUBLE) / p.n_spans, 6) AS dominant_frac,
+       CAST(p.switches AS BIGINT) AS switches
+FROM per_doc p JOIN modal m ON m.doc = p.doc
+"""
+
+
+EXT4_QUERIES.update({"x136_lang_spans": q_x136_lang_spans})
+EXT4_ORACLES.update({"x136_lang_spans": _sql_x136()})

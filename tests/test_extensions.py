@@ -2807,3 +2807,24 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert ids == [2, 3, 4]          # 1 (same label) and 0 (self) absent
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
     assert all(r["neighbor_label"] != 1 for r in out)
+
+
+def test_lang_span_profile_detects_code_switching(spark):
+    """x136: a half-English half-Spanish doc shows 2 languages and 1
+    switch; a pure-English doc shows 1 language and 0 switches; a doc
+    with no markers is dominated by 'und'."""
+    from fame2pygen_spark.operators.text import lang_span_profile
+
+    en = "the cat and the dog sat in the house for a while and it was the best day"
+    es = "el gato y la casa de los perros una tarde por la ciudad con el sol que brilla"
+    mixed = " ".join(en.split()[:20] + es.split()[:20])
+    rows = [(1, en), (2, mixed), (3, "zz qq ww rr tt yy uu ii oo pp aa ss dd ff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc"]: r
+        for r in lang_span_profile(df, "text", "doc_id", span_tokens=10).collect()
+    }
+    assert out[1]["dominant_lang"] == "en" and out[1]["switches"] == 0
+    assert out[1]["n_langs"] == 1
+    assert out[2]["n_langs"] == 2 and out[2]["switches"] == 1
+    assert out[3]["dominant_lang"] == "und" and out[3]["n_langs"] == 0
