@@ -690,3 +690,76 @@ FROM per_doc p JOIN modal m ON m.doc = p.doc
 
 EXT4_QUERIES.update({"x136_lang_spans": q_x136_lang_spans})
 EXT4_ORACLES.update({"x136_lang_spans": _sql_x136()})
+
+
+# ------------------------ x137: label-propagation superstep
+
+
+def q_x137_lpa_step(spark, sf_dir):
+    """One LPA community-detection superstep (operators/graph.py:
+    label_propagation_step) on the customer–supplier trade graph (the
+    x91 edge set, node ids disjoint via even/odd encoding): every
+    node adopts its neighbors' heaviest label, ties to the smallest —
+    integer weights end to end, so the superstep is engine-exact.
+    Returns the 50 heaviest adoptions for a bounded result."""
+    from .operators.graph import label_propagation_step
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    out = label_propagation_step(edges)
+    return (
+        out.orderBy(
+            F.desc("label_weight"), F.asc("node"), F.asc("label")
+        )
+        .limit(50)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("long").alias("label"),
+            F.col("label_weight").cast("long").alias("label_weight"),
+        )
+    )
+
+
+SQL_X137 = """
+WITH base AS (
+  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src AS u, dst AS v, w FROM base
+  UNION ALL
+  SELECT dst AS u, src AS v, w FROM base
+), votes AS (
+  SELECT u AS node, v AS label, sum(w) AS label_weight
+  FROM sym GROUP BY u, v
+), adopted AS (
+  SELECT node, label, label_weight FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY label_weight DESC, label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(label AS BIGINT) AS label,
+       CAST(label_weight AS BIGINT) AS label_weight
+FROM adopted
+ORDER BY label_weight DESC, node ASC, label ASC
+LIMIT 50
+"""
+
+
+EXT4_QUERIES.update({"x137_lpa_step": q_x137_lpa_step})
+EXT4_ORACLES.update({"x137_lpa_step": SQL_X137})

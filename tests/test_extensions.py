@@ -2828,3 +2828,27 @@ def test_lang_span_profile_detects_code_switching(spark):
     assert out[1]["n_langs"] == 1
     assert out[2]["n_langs"] == 2 and out[2]["switches"] == 1
     assert out[3]["dominant_lang"] == "und" and out[3]["n_langs"] == 0
+
+
+def test_label_propagation_step_adopts_heaviest_neighbor(spark):
+    """x137: weighted adoption picks the heaviest incident label, ties
+    go to the smallest label, and iterating with explicit labels
+    converges a two-community barbell."""
+    from fame2pygen_spark.operators.graph import label_propagation_step
+
+    # two triangles {1,2,3} and {4,5,6} bridged by a weak 3-4 edge
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5), (4, 5, 5), (5, 6, 5),
+         (4, 6, 5), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    s1 = label_propagation_step(edges)
+    got = {r["node"]: r for r in s1.collect()}
+    assert got[2]["label"] == 1          # tie 1 vs 3 -> smallest
+    assert got[4]["label"] == 5          # 5,6 (w=5 each) beat 3 (w=1)
+    assert got[1]["label"] == 2 and got[1]["label_weight"] == 5
+    # feed step-1 labels back in: communities stay within their side
+    s2 = label_propagation_step(edges, s1.select("node", "label"))
+    side = {r["node"]: r["label"] for r in s2.collect()}
+    assert all(side[n] in (1, 2, 3) for n in (1, 2, 3))
+    assert all(side[n] in (4, 5, 6) for n in (4, 5, 6))
