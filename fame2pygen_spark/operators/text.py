@@ -1248,3 +1248,85 @@ def lang_span_profile(
             "dominant_frac", "switches",
         )
     )
+
+
+#: symbol separator inside BPE sequences — ASCII unit separator, never
+#: present in normalized text
+BPE_SEP = "\x1f"
+
+
+def bpe_init_seqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency table with character-level symbol sequences —
+    the BPE training start state: ``(word, freq, seq)`` where *seq* is
+    the word's characters joined by :data:`BPE_SEP`."""
+    df = _parallelize_input(df)
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # '(.)' -> '$1<SEP>' appends a separator after every char; strip
+    # the trailing one.  Built with the identical regexp in the SQL
+    # oracle, so sequences match byte-for-byte.
+    seq = F.regexp_replace(
+        F.regexp_replace(F.col("word"), "(.)", "$1" + BPE_SEP),
+        BPE_SEP + "$",
+        "",
+    )
+    return words.withColumn("seq", seq)
+
+
+def bpe_merge_step(seqs: DataFrame) -> DataFrame:
+    """One byte-pair-encoding merge (Sennrich et al. 2016,
+    arXiv:1508.07909 — the tokenizer-training iteration): count every
+    adjacent symbol pair weighted by word frequency, pick the most
+    frequent pair (ties → lexicographically smallest), and merge its
+    non-overlapping occurrences left-to-right in every word.  Repeated
+    V times this trains the V-entry merge table; each step is one
+    bounded aggregation over the word table — at 100 TB the word-freq
+    table (not the corpus) is the iteration state, exactly why BPE
+    training scales.
+
+    The greedy left-to-right merge is ``replace(seq, a⊔b, ab)`` on the
+    separator-joined sequence — string ``replace`` is non-overlapping
+    left-to-right in Spark and ANSI SQL alike (verified on the
+    ``a,a,a`` self-overlap case), so the step needs no per-row loop
+    and an external engine reproduces it bitwise.
+
+    Plan shape: pair counts = one explode of the zipped symbol array +
+    one map-side-combinable groupBy; the argmax is ``orderBy().limit
+    (1)`` (a heap, no global sort) broadcast back onto the word table;
+    the merge itself is a map-only expression.  Integer counts
+    end to end.
+
+    Input/output: ``(word, freq, seq)`` — re-feed the output for the
+    next merge.  Output adds ``pair_a, pair_b, pair_count`` (the
+    learned merge-table entry, identical on every row).
+    """
+    arr = F.split(F.col("seq"), BPE_SEP)
+    m = F.size(arr)
+    zipped = F.arrays_zip(
+        F.slice(arr, 1, m - 1).alias("a"), F.slice(arr, 2, m - 1).alias("b")
+    )
+    pairs = (
+        seqs.where(m >= 2)
+        .select("freq", F.explode(zipped).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    best = pairs.orderBy(
+        F.desc("pair_count"), F.asc("a"), F.asc("b")
+    ).limit(1)
+    merged = F.replace(
+        F.col("seq"),
+        F.concat(F.col("a"), F.lit(BPE_SEP), F.col("b")),
+        F.concat(F.col("a"), F.col("b")),
+    )
+    return seqs.crossJoin(F.broadcast(best)).select(
+        "word",
+        "freq",
+        merged.alias("seq"),
+        F.col("a").alias("pair_a"),
+        F.col("b").alias("pair_b"),
+        F.col("pair_count").cast("long").alias("pair_count"),
+    )

@@ -763,3 +763,78 @@ LIMIT 50
 
 EXT4_QUERIES.update({"x137_lpa_step": q_x137_lpa_step})
 EXT4_ORACLES.update({"x137_lpa_step": SQL_X137})
+
+
+# ------------------------------ x138: BPE merge training steps
+
+
+def q_x138_bpe_merges(spark, sf_dir):
+    """Three byte-pair-encoding merge-training iterations
+    (operators/text.py:bpe_init_seqs + bpe_merge_step, Sennrich et
+    al. 2016) over the documents word table: each step learns the
+    most frequent adjacent symbol pair and merges it greedily
+    left-to-right in every word.  The iteration state is the
+    word-frequency table, not the corpus — the reason BPE training
+    scales; steps are checkpointed like every iterative operator
+    here.  Output: the word table after 3 merges plus the third
+    learned pair."""
+    from .operators.text import bpe_init_seqs, bpe_merge_step
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bpe_init_seqs(docs, "text").localCheckpoint(eager=True)
+    for _ in range(3):
+        s = bpe_merge_step(s).localCheckpoint(eager=True)
+        last = s
+        s = s.select("word", "freq", "seq")
+    return last.select(
+        "word", "freq",
+        F.replace(F.col("seq"), F.lit("\x1f"), F.lit(" ")).alias("seq"),
+        "pair_a", "pair_b", "pair_count",
+    )
+
+
+def _sql_x138() -> str:
+    steps = []
+    prev = "s0"
+    for i in (1, 2, 3):
+        steps.append(f"""p{i} AS (
+  SELECT arr[i] AS a, arr[i + 1] AS b, sum(freq) AS pair_count
+  FROM (SELECT freq, string_split(seq, chr(31)) AS arr FROM {prev}),
+       unnest(range(1, len(arr))) AS u(i)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT a, b, pair_count FROM p{i}
+  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+), s{i} AS (
+  SELECT word, freq,
+         replace(seq, a || chr(31) || b, a || b) AS seq
+  FROM {prev} CROSS JOIN b{i}
+)""")
+        prev = f"s{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split(
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+), s0 AS (
+  SELECT word, freq,
+         regexp_replace(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'),
+                        chr(31) || '$', '') AS seq
+  FROM words
+),
+{chain}
+SELECT s3.word, CAST(s3.freq AS BIGINT) AS freq,
+       replace(s3.seq, chr(31), ' ') AS seq,
+       b3.a AS pair_a, b3.b AS pair_b,
+       CAST(b3.pair_count AS BIGINT) AS pair_count
+FROM s3 CROSS JOIN b3
+"""
+
+
+EXT4_QUERIES.update({"x138_bpe_merges": q_x138_bpe_merges})
+EXT4_ORACLES.update({"x138_bpe_merges": _sql_x138()})

@@ -2852,3 +2852,27 @@ def test_label_propagation_step_adopts_heaviest_neighbor(spark):
     side = {r["node"]: r["label"] for r in s2.collect()}
     assert all(side[n] in (1, 2, 3) for n in (1, 2, 3))
     assert all(side[n] in (4, 5, 6) for n in (4, 5, 6))
+
+
+def test_bpe_merge_steps_learn_the_sennrich_example(spark):
+    """x138: on the classic {low, lower, newest, widest} corpus the
+    first three learned merges are (e,s) -> (es,t) -> (l,o), with
+    greedy left-to-right application in every word."""
+    from fame2pygen_spark.operators.text import bpe_init_seqs, bpe_merge_step
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    s = bpe_init_seqs(df, "text")
+    learned = []
+    for _ in range(3):
+        s = bpe_merge_step(s)
+        row = s.select("pair_a", "pair_b", "pair_count").first()
+        learned.append((row["pair_a"], row["pair_b"], row["pair_count"]))
+        s = s.select("word", "freq", "seq").localCheckpoint(eager=True)
+    assert learned == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7)]
+    seqs = {r["word"]: r["seq"].split("\x1f") for r in s.collect()}
+    assert seqs["newest"] == ["n", "e", "w", "est"]
+    assert seqs["low"] == ["lo", "w"]
+    assert seqs["widest"] == ["w", "i", "d", "est"]
+    assert seqs["lower"] == ["lo", "w", "e", "r"]
