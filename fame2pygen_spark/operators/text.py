@@ -1330,3 +1330,57 @@ def bpe_merge_step(seqs: DataFrame) -> DataFrame:
         F.col("b").alias("pair_b"),
         F.col("pair_count").cast("long").alias("pair_count"),
     )
+
+
+def bpe_encode_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize every document with a learned BPE merge table and
+    report the per-doc token economics: ``(doc, n_words, n_subwords,
+    fertility)`` where fertility = subwords per word — the number a
+    tokenizer team watches per language/source (fertility ≫ 1 on a
+    domain means the vocab under-serves it and training pays the
+    context-length tax).
+
+    Encoding applies the merges IN LEARNED ORDER, each as the same
+    greedy left-to-right ``replace`` the training step used — so
+    encode(train corpus) is consistent with the merge table by
+    construction.
+
+    Scale shape: the merge chain is applied to the DISTINCT word
+    vocabulary, not to every token occurrence — the vocab table is
+    the bounded object (the x138 insight again); occurrences then
+    join the encoded vocab (uniform word key) and roll up per doc.
+    """
+    df = _parallelize_input(df)
+    occ = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    vocab = occ.select("word").distinct()
+    seq = F.regexp_replace(
+        F.regexp_replace(F.col("word"), "(.)", "$1" + BPE_SEP),
+        BPE_SEP + "$",
+        "",
+    )
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(a + BPE_SEP + b), F.lit(a + b))
+    encoded = vocab.select(
+        "word", F.size(F.split(seq, BPE_SEP)).alias("__n_sub")
+    )
+    return (
+        occ.join(encoded, on="word")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__n_sub").cast("long").alias("n_subwords"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words"), 6
+            ),
+        )
+    )

@@ -838,3 +838,84 @@ FROM s3 CROSS JOIN b3
 
 EXT4_QUERIES.update({"x138_bpe_merges": q_x138_bpe_merges})
 EXT4_ORACLES.update({"x138_bpe_merges": _sql_x138()})
+
+
+# ----------------- x139: BPE encoding fertility per document
+
+
+def q_x139_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit (operators/text.py:
+    bpe_encode_profile): learn 5 BPE merges on the corpus word table
+    (x138's iteration), encode every document with them — merges
+    applied in learned order to the DISTINCT vocabulary, occurrences
+    joined back — and report words, subwords, and fertility
+    (subwords/word) per doc: the context-length tax a vocab charges
+    each document."""
+    from .operators.text import (
+        bpe_encode_profile, bpe_init_seqs, bpe_merge_step,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bpe_init_seqs(docs, "text").localCheckpoint(eager=True)
+    merges = []
+    for _ in range(5):
+        s = bpe_merge_step(s)
+        row = s.select("pair_a", "pair_b").first()
+        merges.append((row["pair_a"], row["pair_b"]))
+        s = s.select("word", "freq", "seq").localCheckpoint(eager=True)
+    out = bpe_encode_profile(docs, "text", "doc_id", merges)
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"),
+        "n_words", "n_subwords", "fertility",
+    )
+
+
+def _sql_x139() -> str:
+    steps = []
+    prev = "s0"
+    for i in (1, 2, 3, 4, 5):
+        steps.append(f"""p{i} AS (
+  SELECT arr[i] AS a, arr[i + 1] AS b, sum(freq) AS pair_count
+  FROM (SELECT freq, string_split(seq, chr(31)) AS arr FROM {prev}),
+       unnest(range(1, len(arr))) AS u(i)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT a, b FROM p{i}
+  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+), s{i} AS (
+  SELECT word, freq,
+         replace(seq, a || chr(31) || b, a || b) AS seq
+  FROM {prev} CROSS JOIN b{i}
+)""")
+        prev = f"s{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH occ AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS word
+  FROM documents
+), words AS (
+  SELECT word, count(*) AS freq FROM occ GROUP BY word
+), s0 AS (
+  SELECT word, freq,
+         regexp_replace(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'),
+                        chr(31) || '$', '') AS seq
+  FROM words
+),
+{chain},
+encoded AS (
+  SELECT word, len(string_split(seq, chr(31))) AS n_sub FROM s5
+)
+SELECT CAST(o.doc AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+       ROUND(CAST(sum(e.n_sub) AS DOUBLE) / count(*), 6) AS fertility
+FROM occ o JOIN encoded e ON e.word = o.word
+GROUP BY o.doc
+"""
+
+
+EXT4_QUERIES.update({"x139_bpe_fertility": q_x139_bpe_fertility})
+EXT4_ORACLES.update({"x139_bpe_fertility": _sql_x139()})

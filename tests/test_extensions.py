@@ -2876,3 +2876,21 @@ def test_bpe_merge_steps_learn_the_sennrich_example(spark):
     assert seqs["low"] == ["lo", "w"]
     assert seqs["widest"] == ["w", "i", "d", "est"]
     assert seqs["lower"] == ["lo", "w", "e", "r"]
+
+
+def test_bpe_encode_profile_fertility(spark):
+    """x139: with merges (e,s)+(es,t), 'newest' encodes to 4 subwords
+    and 'low' stays 3 chars; fertility = subwords/words exactly."""
+    from fame2pygen_spark.operators.text import bpe_encode_profile
+
+    df = spark.createDataFrame(
+        [(1, "newest newest low")], "doc_id long, text string"
+    )
+    out = bpe_encode_profile(
+        df, "text", "doc_id", [("e", "s"), ("es", "t")]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # newest -> n e w est (4), low -> l o w (3): 2*4 + 3 = 11 over 3 words
+    assert r["n_words"] == 3 and r["n_subwords"] == 11
+    assert r["fertility"] == round(11 / 3, 6)
