@@ -975,3 +975,63 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score", "neighbor_label")
     )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nbits: int = 4,
+    bands: int = 2,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs over the banded-
+    hyperplane candidate graph: a pair survives iff each side ranks
+    the other within its own top-*k* candidates.  RNN filtering is the
+    density-aware edge pruning graph clustering and SNN-style dedup
+    use: a hub vector that is "near everything" holds one-sided
+    edges into sparse regions, and requiring reciprocity removes
+    exactly those — the standard cure for hubness in high dimensions
+    (Radovanović et al. 2010).
+
+    Candidates and exact scores come from the same blocked mechanism
+    as :func:`embedding_neardup_pairs` (bands × nbits sign-bit keys,
+    deterministic ``max_bucket`` cap) — at 100 TB the rank windows
+    run over each node's CANDIDATES (bucket-bounded), never over the
+    corpus.  Ranks are per-node ``row_number`` by (score desc, id),
+    so ties are deterministic and an external oracle reproduces the
+    exact pair set.
+
+    Output: ``id_a < id_b, score, rank_ab, rank_ba`` (a's rank of b,
+    b's rank of a), both ≤ k.
+    """
+    scored = embedding_neardup_pairs(
+        df, dim=dim, id_col=id_col, vec_col=vec_col, threshold=-1.0,
+        nbits=nbits, bands=bands, seed=seed, max_bucket=max_bucket,
+    )
+    directed = scored.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr"), "score"
+    ).unionAll(
+        scored.select(
+            F.col("id_b").alias("node"), F.col("id_a").alias("nbr"), "score"
+        )
+    )
+    wr = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("nbr"))
+    ranked = directed.withColumn("__r", F.row_number().over(wr))
+    ab = ranked.where(F.col("node") < F.col("nbr")).select(
+        F.col("node").alias("id_a"), F.col("nbr").alias("id_b"),
+        "score", F.col("__r").alias("rank_ab"),
+    )
+    ba = ranked.where(F.col("node") > F.col("nbr")).select(
+        F.col("nbr").alias("id_a"), F.col("node").alias("id_b"),
+        F.col("__r").alias("rank_ba"),
+    )
+    return (
+        ab.join(ba, on=["id_a", "id_b"])
+        .where((F.col("rank_ab") <= k) & (F.col("rank_ba") <= k))
+        .select("id_a", "id_b", "score", "rank_ab", "rank_ba")
+    )

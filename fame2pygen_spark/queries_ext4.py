@@ -919,3 +919,118 @@ GROUP BY o.doc
 
 EXT4_QUERIES.update({"x139_bpe_fertility": q_x139_bpe_fertility})
 EXT4_ORACLES.update({"x139_bpe_fertility": _sql_x139()})
+
+
+# -------------------- x140: reciprocal k-NN (mutual) pairs
+
+
+def q_x140_mutual_knn(spark, sf_dir):
+    """Reciprocal k-NN pairs (operators/similarity.py:
+    mutual_knn_pairs): banded-hyperplane candidates (the x07
+    mechanism), per-node top-5 ranks, pair kept only when BOTH sides
+    rank each other within k — the hubness-robust edge set graph
+    clustering builds on instead of raw near-dup pairs."""
+    from .operators.similarity import mutual_knn_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = mutual_knn_pairs(
+        emb, dim=64, k=5, nbits=4, bands=2, max_bucket=1000
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "score",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+    )
+
+
+def _sql_x140() -> str:
+    from .operators import similarity as sim
+
+    nbits, bands, max_bucket, k = 4, 2, 1000, 5
+    planes = sim._hyperplanes(64, nbits * bands, 42)
+
+    def dot_sql(vec: str, plane: list[float]) -> str:
+        arr = ", ".join(repr(w) for w in plane)
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> {vec}[CAST(i AS INTEGER)] * ([{arr}])[CAST(i AS INTEGER)]), "
+                f"(a, x) -> a + x)")
+
+    def band_key(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot_sql('v', planes[b * nbits + j])} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(nbits)
+        )
+
+    key_cols = ",\n         ".join(
+        f"{band_key(b)} AS key{b}" for b in range(bands)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, key{b} AS key FROM e" for b in range(bands)
+    )
+    cos = """ROUND(
+         list_reduce(list_transform(range(1, 65),
+             i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+             (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+                 (acc, x) -> acc + x))), 6)"""
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {key_cols}
+  FROM embeddings
+),
+banded AS (
+  SELECT id, band, key FROM (
+    SELECT id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+    FROM (
+{band_union}
+    )
+  ) WHERE rn <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.id < r.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, {cos} AS score
+  FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+),
+directed AS (
+  SELECT id_a AS node, id_b AS nbr, score FROM scored
+  UNION ALL
+  SELECT id_b AS node, id_a AS nbr, score FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY node
+                               ORDER BY score DESC, nbr ASC) AS r
+  FROM directed
+),
+ab AS (
+  SELECT node AS id_a, nbr AS id_b, score, r AS rank_ab
+  FROM ranked WHERE node < nbr
+),
+ba AS (
+  SELECT nbr AS id_a, node AS id_b, r AS rank_ba
+  FROM ranked WHERE node > nbr
+)
+SELECT CAST(ab.id_a AS BIGINT) AS id_a,
+       CAST(ab.id_b AS BIGINT) AS id_b,
+       ab.score,
+       CAST(ab.rank_ab AS BIGINT) AS rank_ab,
+       CAST(ba.rank_ba AS BIGINT) AS rank_ba
+FROM ab JOIN ba ON ba.id_a = ab.id_a AND ba.id_b = ab.id_b
+WHERE ab.rank_ab <= {k} AND ba.rank_ba <= {k}
+"""
+
+
+EXT4_QUERIES.update({"x140_mutual_knn": q_x140_mutual_knn})
+EXT4_ORACLES.update({"x140_mutual_knn": _sql_x140()})

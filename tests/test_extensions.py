@@ -2894,3 +2894,34 @@ def test_bpe_encode_profile_fertility(spark):
     # newest -> n e w est (4), low -> l o w (3): 2*4 + 3 = 11 over 3 words
     assert r["n_words"] == 3 and r["n_subwords"] == 11
     assert r["fertility"] == round(11 / 3, 6)
+
+
+def test_mutual_knn_drops_one_sided_hub_edges(spark):
+    """x140: a hub close to everything holds one-sided edges into a
+    tight cluster whose members mutually prefer each other; with k
+    small the hub->cluster edges fail reciprocity and are pruned,
+    while intra-cluster pairs survive with both ranks <= k."""
+    from fame2pygen_spark.operators.similarity import mutual_knn_pairs
+
+    import math
+
+    def unit(angle):
+        v = [0.0] * 8
+        v[0], v[1] = math.cos(angle), math.sin(angle)
+        return v
+
+    # tight cluster of 4 (angles ~0) + hub at 45deg + outlier at 90deg
+    rows = [
+        (1, unit(0.00)), (2, unit(0.01)), (3, unit(0.02)), (4, unit(0.03)),
+        (10, unit(0.785398)),  # hub: equally mediocre to everyone
+        (20, unit(1.570796)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mutual_knn_pairs(df, dim=8, k=2, nbits=1, bands=1, max_bucket=100)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # cluster members keep mutual edges to their 2 nearest neighbors
+    assert (1, 2) in pairs and (3, 4) in pairs
+    # the hub is nobody's top-2: no surviving hub edges
+    assert not any(10 in p or 20 in p for p in pairs)
+    for r in out.collect():
+        assert r["rank_ab"] <= 2 and r["rank_ba"] <= 2
