@@ -599,9 +599,10 @@ def incremental_lsh_pairs(
     exact-verify join for lack of shingles (wasted candidates, and
     masked recall loss if the id was supposed to be in *df*).  Pass
     ``validate_corpus=True`` on the production path to fail loudly
-    instead: it anti-joins the two id sets both ways (one extra
-    aggregate over ids only) and raises ``ValueError`` with the drift
-    counts on mismatch.
+    instead: it anti-joins the two id sets both ways and checks
+    per-doc signature multiplicity (duplicate rows = the at-least-once
+    double-append corruption; id sets alone cannot see it), all over
+    ids only, raising ``ValueError`` with the drift counts.
     """
     df = _parallelize_input(df)
     if corpus_sigs is None:
@@ -612,13 +613,25 @@ def incremental_lsh_pairs(
         if validate_corpus:
             old_ids = df.where(~is_new).select(F.col(id_col).alias("doc"))
             sig_ids = corpus_sigs.select("doc")
+            # duplicate signature rows are the at-least-once double-
+            # append corruption (cf. DEPLOYMENT.md): every id still
+            # matches set-wise, but each dup doc enters its buckets
+            # twice and inflates candidates — check multiplicity too
+            dup_ids = (
+                sig_ids.groupBy("doc")
+                .count()
+                .where(F.col("count") > 1)
+                .select(F.lit("duplicate_sig_rows").alias("kind"))
+            )
             drift = (
                 old_ids.join(sig_ids, on="doc", how="left_anti")
                 .select(F.lit("missing_from_corpus_sigs").alias("kind"))
                 .unionAll(
                     sig_ids.join(old_ids, on="doc", how="left_anti")
                     .select(F.lit("not_in_df_non_new").alias("kind"))
+                    .distinct()
                 )
+                .unionAll(dup_ids)
                 .groupBy("kind").count().collect()
             )
             if drift:

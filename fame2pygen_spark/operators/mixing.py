@@ -364,7 +364,10 @@ def dsir_logweights(
         ).cast("long")
         % n_buckets
     ).alias("b")
-    gb = grams.select("doc", "__t", bucket)
+    # gb feeds two aggregations with different keys (the model and the
+    # per-doc counts) — materialize once or the tokenize+explode+md5
+    # subtree runs twice (the semdedup/curation lesson)
+    gb = grams.select("doc", "__t", bucket).localCheckpoint(eager=True)
     model = gb.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.count(F.when(F.col("__t"), 1)).alias("n_t"),

@@ -258,14 +258,18 @@ def cohens_kappa(
         .groupBy(*gnames)
         .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__cross"))
     )
+    # LEFT join + coalesce: raters with fully DISJOINT label sets have
+    # an empty marginal intersection — the group must surface with
+    # pe = 0 (and kappa = po), not vanish or go null; a label-schema
+    # mismatch is exactly what this gate exists to flag
     joined = (
-        totals.join(cross, on=gnames)
+        totals.join(cross, on=gnames, how="left")
         if gnames
         else totals.crossJoin(cross)
     )
     n = F.col("__n")
     po = F.col("__agree").cast("double") / n
-    pe = F.col("__cross").cast("double") / (n * n)
+    pe = F.coalesce(F.col("__cross"), F.lit(0)).cast("double") / (n * n)
     return joined.select(
         *gnames,
         n.alias("n_items"),

@@ -46,6 +46,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def prenormed_cosine(
+    v: Column, q: Column, nv: Column, nq: Column
+) -> Column:
+    """6-dp cosine from PREcomputed norms — the shared per-pair score
+    of every scorer here (norms are hoisted to once-per-row before the
+    join; a dim-element fold per pair would triple the hot-path cost).
+    One definition on purpose: the oracles depend on every scorer
+    producing float-identical values."""
+    return F.round(dot(v, q) / (nv * nq), 6)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,11 +91,10 @@ def cosine_topk(
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.withColumn(
         "score",
-        F.round(
-            dot(F.col("__v"), F.col("__q"))
-            / (F.col("__nv") * F.col("__nq")),
-            6,
-        ),
+        prenormed_cosine(
+                F.col("__v"), F.col("__q"),
+                F.col("__nv"), F.col("__nq"),
+            ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -203,11 +213,10 @@ def ivf_topk(
     # per-row (not per-pair) norms, cf. cosine_topk
     cand = cand.withColumn(
         "score",
-        F.round(
-            dot(F.col("__v"), F.col("__q"))
-            / (F.col("__nv") * F.col("__nq")),
-            6,
-        ),
+        prenormed_cosine(
+                F.col("__v"), F.col("__q"),
+                F.col("__nv"), F.col("__nq"),
+            ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -299,10 +308,9 @@ def embedding_neardup_pairs(
                            F.col("__n").alias("__nb")), on="id_b")
         .withColumn(
             "score",
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
+            prenormed_cosine(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"),
             ),
         )
         .where(F.col("score") >= threshold)
@@ -369,11 +377,10 @@ def hyperplane_lsh_topk(
     # per-row (not per-pair) norms, cf. cosine_topk
     cand = cand.withColumn(
         "score",
-        F.round(
-            dot(F.col("__v"), F.col("__q"))
-            / (F.col("__nv") * F.col("__nq")),
-            6,
-        ),
+        prenormed_cosine(
+                F.col("__v"), F.col("__q"),
+                F.col("__nv"), F.col("__nq"),
+            ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -886,10 +893,9 @@ def semdedup(
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "score",
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
+            prenormed_cosine(
+                F.col("__va"), F.col("__vb"),
+                F.col("__na"), F.col("__nb"),
             ),
         )
         .where(F.col("score") >= threshold)
@@ -960,10 +966,9 @@ def hard_negatives(
         )
         .withColumn(
             "score",
-            F.round(
-                dot(F.col("__v"), F.col("__q"))
-                / (F.col("__nv") * F.col("__nq")),
-                6,
+            prenormed_cosine(
+                F.col("__v"), F.col("__q"),
+                F.col("__nv"), F.col("__nq"),
             ),
         )
     )

@@ -1105,6 +1105,9 @@ def boilerplate_profile(
             ),
         )
         .distinct()
+        # feeds the gram-frequency count AND the per-doc rollup —
+        # materialize once (cf. the curation-pipeline checkpoint)
+        .localCheckpoint(eager=True)
     )
     sz = df.groupBy(gid.alias("__grp")).agg(
         F.countDistinct(doc).alias("__n_group_docs")
@@ -1201,7 +1204,8 @@ def lang_span_profile(
         F.when(best["s"] >= 0.01, best["l"]).otherwise(F.lit("und")).alias(
             "lang"
         ),
-    )
+    # feeds the switch scan AND the modal election — materialize once
+    ).localCheckpoint(eager=True)
     wlag = Window.partitionBy("doc").orderBy("pos")
     seq = tagged.withColumn("__prev", F.lag("lang").over(wlag))
     per_doc = seq.groupBy("doc").agg(
@@ -1255,13 +1259,34 @@ def lang_span_profile(
 BPE_SEP = "\x1f"
 
 
+def _bpe_apply_merge(seq, a, b):
+    """Greedy LTR application of ONE merge (a, b) to a SEP-joined
+    symbol sequence, as a left fold: fuse x onto the accumulator with
+    no separator iff the accumulator's last symbol == a and x == b.
+    Exact greedy semantics (fuzz-pinned) — ``ab`` can never equal *a*,
+    so a fused symbol never re-matches within the same step."""
+    arr = F.split(seq, BPE_SEP)
+    return F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: F.when(
+            (F.element_at(F.split(acc, BPE_SEP), -1) == a) & (x == b),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+    )
+
+
 def bpe_init_seqs(df: DataFrame, text_col: str) -> DataFrame:
     """Word-frequency table with character-level symbol sequences —
     the BPE training start state: ``(word, freq, seq)`` where *seq* is
-    the word's characters joined by :data:`BPE_SEP`."""
+    the word's characters joined by :data:`BPE_SEP`.  Tokens that
+    contain the separator byte itself (C0 control chars survive the
+    whitespace normalizer) are excluded — they would split into
+    phantom empty symbols and poison the pair statistics."""
     df = _parallelize_input(df)
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(~F.col("word").contains(BPE_SEP))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
@@ -1287,11 +1312,18 @@ def bpe_merge_step(seqs: DataFrame) -> DataFrame:
     table (not the corpus) is the iteration state, exactly why BPE
     training scales.
 
-    The greedy left-to-right merge is ``replace(seq, a⊔b, ab)`` on the
-    separator-joined sequence — string ``replace`` is non-overlapping
-    left-to-right in Spark and ANSI SQL alike (verified on the
-    ``a,a,a`` self-overlap case), so the step needs no per-row loop
-    and an external engine reproduces it bitwise.
+    The greedy left-to-right merge is a left FOLD over the symbol
+    array: fuse the next symbol onto the accumulator (no separator)
+    exactly when the accumulator's LAST symbol equals *a* and the next
+    equals *b*; the fused symbol ``ab`` can never equal *a* (b is
+    non-empty), so the fold reproduces greedy non-overlapping LTR
+    including self-pair runs — fuzz-pinned against a brute-force
+    reference in tests.  (A plain string ``replace`` on the joined
+    sequence is WRONG here: it matches across symbol boundaries —
+    symbols ``[th, e]`` with merge (h, e) would fuse — and a fully
+    delimited pattern consumes the shared separator of adjacent
+    occurrences.)  Both engines express the fold identically
+    (``aggregate`` / ``list_reduce`` with a string accumulator).
 
     Plan shape: pair counts = one explode of the zipped symbol array +
     one map-side-combinable groupBy; the argmax is ``orderBy().limit
@@ -1312,16 +1344,29 @@ def bpe_merge_step(seqs: DataFrame) -> DataFrame:
         seqs.where(m >= 2)
         .select("freq", F.explode(zipped).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.sum("freq").alias("pair_count"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
     )
-    best = pairs.orderBy(
-        F.desc("pair_count"), F.asc("a"), F.asc("b")
-    ).limit(1)
-    merged = F.replace(
-        F.col("seq"),
-        F.concat(F.col("a"), F.lit(BPE_SEP), F.col("b")),
-        F.concat(F.col("a"), F.col("b")),
+    # a null sentinel keeps the step total when NO pair remains (fully
+    # merged vocabulary): the word table passes through unchanged with
+    # null pair columns instead of being annihilated by an empty join
+    sentinel = seqs.limit(1).select(
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("long").alias("pair_count"),
     )
+    best = (
+        pairs.unionByName(sentinel)
+        .orderBy(
+            F.desc_nulls_last("pair_count"),
+            F.asc_nulls_last("a"),
+            F.asc_nulls_last("b"),
+        )
+        .limit(1)
+    )
+    merged = F.when(
+        F.col("a").isNotNull(),
+        _bpe_apply_merge(F.col("seq"), F.col("a"), F.col("b")),
+    ).otherwise(F.col("seq"))
     return seqs.crossJoin(F.broadcast(best)).select(
         "word",
         "freq",
@@ -1358,7 +1403,7 @@ def bpe_encode_profile(
     df = _parallelize_input(df)
     occ = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("word")
-    )
+    ).where(~F.col("word").contains(BPE_SEP))
     vocab = occ.select("word").distinct()
     seq = F.regexp_replace(
         F.regexp_replace(F.col("word"), "(.)", "$1" + BPE_SEP),
@@ -1366,7 +1411,7 @@ def bpe_encode_profile(
         "",
     )
     for a, b in merges:
-        seq = F.replace(seq, F.lit(a + BPE_SEP + b), F.lit(a + b))
+        seq = _bpe_apply_merge(seq, F.lit(a), F.lit(b))
     encoded = vocab.select(
         "word", F.size(F.split(seq, BPE_SEP)).alias("__n_sub")
     )

@@ -313,9 +313,10 @@ crossm AS (
 )
 SELECT CAST(n AS BIGINT) AS n_items,
        ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
-       ROUND(CAST(x AS DOUBLE) / (n * n), 6) AS pe,
-       ROUND((CAST(agree AS DOUBLE) / n - CAST(x AS DOUBLE) / (n * n))
-             / (1.0 - CAST(x AS DOUBLE) / (n * n)), 6) AS kappa
+       ROUND(CAST(coalesce(x, 0) AS DOUBLE) / (n * n), 6) AS pe,
+       ROUND((CAST(agree AS DOUBLE) / n
+              - CAST(coalesce(x, 0) AS DOUBLE) / (n * n))
+             / (1.0 - CAST(coalesce(x, 0) AS DOUBLE) / (n * n)), 6) AS kappa
 FROM totals CROSS JOIN crossm
 """
 
@@ -807,7 +808,7 @@ def _sql_x138() -> str:
   ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
 ), s{i} AS (
   SELECT word, freq,
-         replace(seq, a || chr(31) || b, a || b) AS seq
+         list_reduce(string_split(seq, chr(31)), (acc, t) -> CASE WHEN string_split(acc, chr(31))[-1] = a AND t = b THEN acc || t ELSE acc || chr(31) || t END) AS seq
   FROM {prev} CROSS JOIN b{i}
 )""")
         prev = f"s{i}"
@@ -820,7 +821,7 @@ WITH words AS (
       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
       x -> x <> '')) AS w
     FROM documents
-  ) GROUP BY w
+  ) WHERE NOT contains(w, chr(31)) GROUP BY w
 ), s0 AS (
   SELECT word, freq,
          regexp_replace(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'),
@@ -859,10 +860,12 @@ def q_x139_bpe_fertility(spark, sf_dir):
     s = bpe_init_seqs(docs, "text").localCheckpoint(eager=True)
     merges = []
     for _ in range(5):
-        s = bpe_merge_step(s)
+        # checkpoint BEFORE reading the learned pair — first() on the
+        # raw step output would run the pair aggregation a second time
+        s = bpe_merge_step(s).localCheckpoint(eager=True)
         row = s.select("pair_a", "pair_b").first()
         merges.append((row["pair_a"], row["pair_b"]))
-        s = s.select("word", "freq", "seq").localCheckpoint(eager=True)
+        s = s.select("word", "freq", "seq")
     out = bpe_encode_profile(docs, "text", "doc_id", merges)
     return out.select(
         F.col("doc").cast("long").alias("doc_id"),
@@ -884,18 +887,20 @@ def _sql_x139() -> str:
   ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
 ), s{i} AS (
   SELECT word, freq,
-         replace(seq, a || chr(31) || b, a || b) AS seq
+         list_reduce(string_split(seq, chr(31)), (acc, t) -> CASE WHEN string_split(acc, chr(31))[-1] = a AND t = b THEN acc || t ELSE acc || chr(31) || t END) AS seq
   FROM {prev} CROSS JOIN b{i}
 )""")
         prev = f"s{i}"
     chain = ",\n".join(steps)
     return f"""
-WITH occ AS (
+WITH occ0 AS (
   SELECT doc_id AS doc,
          unnest(list_filter(string_split(
            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
            x -> x <> '')) AS word
   FROM documents
+), occ AS (
+  SELECT * FROM occ0 WHERE NOT contains(word, chr(31))
 ), words AS (
   SELECT word, count(*) AS freq FROM occ GROUP BY word
 ), s0 AS (

@@ -2472,6 +2472,15 @@ def test_incremental_lsh_validate_corpus_drift(spark):
             corpus_sigs=good.unionByName(orphan),
             validate_corpus=True, **kw,
         )
+    # regression (r4 review): duplicated signature rows (the
+    # at-least-once double-append) pass the id-set checks but must
+    # still fail validation
+    with _pytest.raises(ValueError, match="duplicate_sig_rows=2"):
+        incremental_lsh_pairs(
+            df, "text", "doc_id", F.col("is_new") == 1,
+            corpus_sigs=good.unionByName(good),
+            validate_corpus=True, **kw,
+        )
 
 
 def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
@@ -2733,6 +2742,17 @@ def test_cohens_kappa_textbook_and_edges(spark):
     # ungrouped: one global row
     glob = cohens_kappa(df, "a", "b").collect()
     assert len(glob) == 1 and glob[0]["n_items"] == 24
+    # regression (r4 review): fully disjoint label sets must surface
+    # with pe=0 and kappa=po, not vanish from the output
+    dj = spark.createDataFrame(
+        [("g3", "x", "y")] * 4 + [("g1", "y", "y")],
+        "grp string, a string, b string",
+    )
+    djo = {r["grp"]: r for r in cohens_kappa(
+        dj, "a", "b", group_cols=("grp",)).collect()}
+    assert djo["g3"]["pe"] == 0.0 and djo["g3"]["kappa"] == 0.0
+    djg = cohens_kappa(dj.where(F.col("grp") == "g3"), "a", "b").collect()
+    assert djg[0]["pe"] == 0.0 and djg[0]["kappa"] == 0.0
 
 
 def test_bradley_terry_recovers_strength_order(spark):
@@ -2925,3 +2945,60 @@ def test_mutual_knn_drops_one_sided_hub_edges(spark):
     assert not any(10 in p or 20 in p for p in pairs)
     for r in out.collect():
         assert r["rank_ab"] <= 2 and r["rank_ba"] <= 2
+
+
+def test_bpe_merge_is_symbol_boundary_safe(spark):
+    """Regression (r4 review): a merge must never match across symbol
+    boundaries.  With symbols [th, e] present (from a prior (t,h)
+    merge), learning (h, e) elsewhere must NOT fuse th+e into 'the';
+    self-pair runs merge left-aligned like reference BPE."""
+    from pyspark.sql import functions as SF
+    from fame2pygen_spark.operators.text import (
+        BPE_SEP, _bpe_apply_merge, bpe_encode_profile,
+    )
+
+    cases = spark.createDataFrame(
+        [
+            (BPE_SEP.join(["th", "e"]), "h", "e", ["th", "e"]),
+            (BPE_SEP.join(["a", "a", "a", "a", "a"]), "a", "a",
+             ["aa", "aa", "a"]),
+            (BPE_SEP.join(["ba"] * 5), "ba", "ba",
+             ["baba", "baba", "ba"]),
+            (BPE_SEP.join(["a", "bc"]), "a", "b", ["a", "bc"]),
+            (BPE_SEP.join(["x", "a", "b", "a", "b"]), "a", "b",
+             ["x", "ab", "ab"]),
+        ],
+        "seq string, a string, b string, want array<string>",
+    )
+    out = cases.select(
+        SF.split(
+            _bpe_apply_merge(SF.col("seq"), SF.col("a"), SF.col("b")),
+            BPE_SEP,
+        ).alias("got"),
+        "want",
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+    # separator-containing tokens are excluded from encoding
+    df = spark.createDataFrame(
+        [(1, "ok ok bad\x1ftoken")], "doc_id long, text string"
+    )
+    prof = bpe_encode_profile(df, "text", "doc_id", [("o", "k")]).collect()
+    assert prof[0]["n_words"] == 2 and prof[0]["n_subwords"] == 2
+
+
+def test_bpe_merge_step_survives_exhausted_vocabulary(spark):
+    """Regression (r4 review): when no adjacent pair remains the step
+    must pass the word table through with null pair columns instead of
+    annihilating it."""
+    from fame2pygen_spark.operators.text import bpe_merge_step
+
+    # every word is a single symbol already
+    seqs = spark.createDataFrame(
+        [("a", 3, "a"), ("b", 2, "b")], "word string, freq long, seq string"
+    )
+    out = bpe_merge_step(seqs).collect()
+    assert sorted(r["word"] for r in out) == ["a", "b"]
+    assert all(r["pair_a"] is None and r["pair_count"] is None for r in out)
+    assert {r["seq"] for r in out} == {"a", "b"}
