@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import _parallelize_input
-from .text import token_ngrams, tokens
+from .text import token_count, token_ngrams, tokens
 
 #: 2^32 — range of the 8-hex-digit md5 prefix used as the uniform hash
 _HASH_RANGE = 4_294_967_296
@@ -398,4 +398,87 @@ def dsir_logweights(
                 6,
             ).alias("logw"),
         )
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    weights: dict[str, float] | None = None,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Token-budget mixture planning: given per-source token inventories
+    and target mixture *weights*, compute each source's sampling rate,
+    expected token yield, and repeat (epoch) factor — the planning
+    table a pretraining run derives before any sampling happens
+    (and the data-constrained regime of Muennighoff et al. 2023,
+    arXiv:2305.16264: a repeat factor > 1 means the target share
+    exceeds the unique supply and the source must be epoched).
+
+    ``budget = floor(budget_frac · total_tokens)`` and each source's
+    planned allocation is ``floor(w_s · budget)`` — integer floors so
+    both engines agree exactly.  *weights* defaults to uniform over
+    the observed sources; weights are normalized over the sources
+    PRESENT (a target for an absent source is dead weight the caller
+    should know about — it is dropped, and normalization makes the
+    remaining shares honest).
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus
+    (token counting rides the scan), a 1-row broadcast total, and a
+    |sources|-row output — nothing else touches the data.  Feed the
+    ``rate`` column to :func:`stratified_sample` for the actual draw.
+
+    Output per source: ``group, n_docs, tokens, target_share,
+    planned_tokens, rate, repeat_factor, expected_tokens`` (6 dp).
+    """
+    g = F.col(group_col)
+    per = df.groupBy(g.alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("tokens"),
+    )
+    if weights is not None:
+        entries: list[Column] = []
+        for k, v in weights.items():
+            entries.extend([F.lit(k), F.lit(float(v))])
+        raw_w = F.create_map(*entries)[F.col("group")]
+    else:
+        raw_w = F.lit(1.0)
+    per = per.withColumn("__w", raw_w).where(F.col("__w").isNotNull())
+    tot = per.agg(
+        F.sum("tokens").alias("__total"),
+        F.sum(F.col("__w").cast("decimal(28,18)"))
+        .cast("double")
+        .alias("__wsum"),
+    )
+    planned = F.floor(
+        (F.col("__w") / F.col("__wsum"))
+        * F.floor(F.lit(float(budget_frac)) * F.col("__total"))
+    ).cast("long")
+    out = per.crossJoin(F.broadcast(tot)).withColumn(
+        "planned_tokens", planned
+    )
+    share = F.round(F.col("__w") / F.col("__wsum"), 6)
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("planned_tokens").cast("double") / F.col("tokens"),
+        ),
+        6,
+    )
+    repeat = F.round(
+        F.col("planned_tokens").cast("double") / F.col("tokens"), 6
+    )
+    return out.select(
+        "group",
+        "n_docs",
+        "tokens",
+        share.alias("target_share"),
+        "planned_tokens",
+        rate.alias("rate"),
+        repeat.alias("repeat_factor"),
+        F.least(F.col("planned_tokens"), F.col("tokens")).alias(
+            "expected_tokens"
+        ),
     )

@@ -1039,3 +1039,60 @@ WHERE ab.rank_ab <= {k} AND ba.rank_ba <= {k}
 
 EXT4_QUERIES.update({"x140_mutual_knn": q_x140_mutual_knn})
 EXT4_ORACLES.update({"x140_mutual_knn": _sql_x140()})
+
+
+# ---------------------- x141: token-budget mixture planning
+
+
+def q_x141_mixture_plan(spark, sf_dir):
+    """Pretraining mixture planning (operators/mixing.py:mixture_plan):
+    per-source token inventories vs a target mixture (3× weight on
+    src0-src2) at a 50% token budget — sampling rate, planned tokens,
+    and the repeat factor that flags sources whose target share
+    exceeds their unique supply (the data-constrained epoching
+    regime).  One aggregate over the corpus; the plan feeds
+    stratified_sample for the actual draw."""
+    from .operators.mixing import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {f"src{i}": (3.0 if i < 3 else 1.0) for i in range(20)}
+    return mixture_plan(
+        docs, "source", "text", weights=weights, budget_frac=0.5
+    ).withColumnRenamed("group", "source")
+
+
+SQL_X141 = """
+WITH per AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> ''))) AS tokens,
+         CASE WHEN source IN ('src0', 'src1', 'src2')
+              THEN 3.0 ELSE 1.0 END AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(tokens) AS total,
+         CAST(sum(CAST(w AS DECIMAL(28,18))) AS DOUBLE) AS wsum
+  FROM per
+), x AS (
+  SELECT per.*, tot.total, tot.wsum,
+         CAST(floor((w / wsum) * floor(0.5 * total)) AS BIGINT)
+           AS planned_tokens
+  FROM per CROSS JOIN tot
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tokens AS BIGINT) AS tokens,
+       ROUND(w / wsum, 6) AS target_share,
+       planned_tokens,
+       ROUND(least(1.0, CAST(planned_tokens AS DOUBLE) / tokens), 6)
+         AS rate,
+       ROUND(CAST(planned_tokens AS DOUBLE) / tokens, 6) AS repeat_factor,
+       CAST(least(planned_tokens, tokens) AS BIGINT) AS expected_tokens
+FROM x
+"""
+
+
+EXT4_QUERIES.update({"x141_mixture_plan": q_x141_mixture_plan})
+EXT4_ORACLES.update({"x141_mixture_plan": SQL_X141})

@@ -3002,3 +3002,29 @@ def test_bpe_merge_step_survives_exhausted_vocabulary(spark):
     assert sorted(r["word"] for r in out) == ["a", "b"]
     assert all(r["pair_a"] is None and r["pair_count"] is None for r in out)
     assert {r["seq"] for r in out} == {"a", "b"}
+
+
+def test_mixture_plan_rates_and_repeat_factors(spark):
+    """x141: over-demanded sources get rate=1 and repeat>1, abundant
+    sources get fractional rates; absent-weight sources are dropped;
+    planned tokens follow the normalized shares of floor(budget)."""
+    from fame2pygen_spark.operators.mixing import mixture_plan
+
+    # srcA: 100 tokens, srcB: 900 tokens, srcC unweighted
+    rows = (
+        [(i, "w " * 10, "srcA") for i in range(10)]
+        + [(100 + i, "w " * 90, "srcB") for i in range(10)]
+        + [(200, "w " * 50, "srcC")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["group"]: r for r in mixture_plan(
+        df, "source", "text",
+        weights={"srcA": 1.0, "srcB": 1.0}, budget_frac=0.5,
+    ).collect()}
+    assert set(out) == {"srcA", "srcB"}  # srcC dropped (no weight)
+    # budget = floor(0.5 * 1000) = 500; each share 0.5 -> planned 250
+    assert out["srcA"]["planned_tokens"] == 250
+    assert out["srcA"]["rate"] == 1.0 and out["srcA"]["repeat_factor"] == 2.5
+    assert out["srcA"]["expected_tokens"] == 100
+    assert out["srcB"]["rate"] == round(250 / 900, 6)
+    assert out["srcB"]["expected_tokens"] == 250
