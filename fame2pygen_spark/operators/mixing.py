@@ -482,3 +482,63 @@ def mixture_plan(
             "expected_tokens"
         ),
     )
+
+
+def importance_resample(
+    weights: DataFrame,
+    id_col: str,
+    logw_col: str,
+    *,
+    target_frac: float = 0.3,
+    salt: str = "dsir-rs",
+) -> DataFrame:
+    """Deterministic importance resampling over log-weights (the draw
+    that closes the DSIR loop: :func:`dsir_logweights` scores, this
+    selects): each doc is kept with probability
+    ``p = min(1, n·target_frac · w / Σw)`` — expected sample size
+    ``n·target_frac`` with inclusion ∝ importance — using the same
+    md5-hash membership as :func:`stratified_sample`, so reruns,
+    retries, and the external oracle select the identical subset.
+
+    Engine-exactness: Σw goes through ``decimal(38,18)``
+    (order-insensitive); each doc's p is a deterministic scalar
+    expression of its own weight and the two broadcast totals.
+
+    Scale shape: one aggregate for (n, Σw), broadcast back, map-side
+    keep decision — the draw adds zero wide shuffles on top of the
+    scoring pass.
+
+    Output: ``doc, logw, p, kept`` (p at 6 dp, kept ∈ {0, 1}).
+    """
+    w = F.exp(F.col(logw_col))
+    base = weights.select(
+        F.col(id_col).alias("doc"),
+        F.col(logw_col).alias("logw"),
+        w.alias("__w"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__w").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("__z"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(target_frac))
+        * F.col("__n")
+        * F.col("__w")
+        / F.col("__z"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn("__p", p)
+        .select(
+            "doc",
+            "logw",
+            F.round("__p", 6).alias("p"),
+            (uniform_hash01(F.col("doc"), salt) < F.col("__p"))
+            .cast("int")
+            .cast("long")
+            .alias("kept"),
+        )
+    )

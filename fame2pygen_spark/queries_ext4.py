@@ -1096,3 +1096,53 @@ FROM x
 
 EXT4_QUERIES.update({"x141_mixture_plan": q_x141_mixture_plan})
 EXT4_ORACLES.update({"x141_mixture_plan": SQL_X141})
+
+
+# ------------------- x142: DSIR importance resampling draw
+
+
+def q_x142_dsir_resample(spark, sf_dir):
+    """The DSIR loop closed (operators/mixing.py:importance_resample
+    over dsir_logweights): score every document's target-likeness,
+    then keep each with probability ∝ its importance weight at an
+    expected 30% sample — deterministic md5 membership, so the drawn
+    subset is identical across reruns, retries, and the oracle."""
+    from .operators.mixing import dsir_logweights, importance_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lw = dsir_logweights(
+        docs, "text", "doc_id", F.col("lang") == "en", n_buckets=256
+    )
+    out = importance_resample(lw, "doc", "logw", target_frac=0.3)
+    return out.select(
+        F.col("doc").cast("long").alias("doc_id"), "logw", "p", "kept"
+    )
+
+
+def _sql_x142() -> str:
+    split_hash = (
+        "('0x' || substr(md5('dsir-rs:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0"
+    )
+    return f"""
+WITH w AS (
+  SELECT * FROM ({SQL_X129}) x129
+), tot AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(exp(logw) AS DECIMAL(38,18))) AS DOUBLE) AS z
+  FROM w
+), drawn AS (
+  SELECT w.doc_id, w.logw,
+         least(1.0, 0.3 * tot.n * exp(w.logw) / tot.z) AS p
+  FROM w CROSS JOIN tot
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       logw,
+       ROUND(p, 6) AS p,
+       CAST(CASE WHEN {split_hash} < p THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM drawn
+"""
+
+
+EXT4_QUERIES.update({"x142_dsir_resample": q_x142_dsir_resample})
+EXT4_ORACLES.update({"x142_dsir_resample": _sql_x142()})

@@ -3028,3 +3028,26 @@ def test_mixture_plan_rates_and_repeat_factors(spark):
     assert out["srcA"]["expected_tokens"] == 100
     assert out["srcB"]["rate"] == round(250 / 900, 6)
     assert out["srcB"]["expected_tokens"] == 250
+
+
+def test_importance_resample_proportional_and_deterministic(spark):
+    """x142: inclusion probability is proportional to the weight
+    (capped at 1), the draw is identical across invocations, and the
+    expected sample size tracks target_frac."""
+    import math
+    from fame2pygen_spark.operators.mixing import importance_resample
+
+    rows = [(i, math.log(10.0) if i < 10 else math.log(0.1))
+            for i in range(110)]
+    df = spark.createDataFrame(rows, "doc long, logw double")
+    out = importance_resample(df, "doc", "logw", target_frac=0.5).collect()
+    ps = {r["doc"]: r["p"] for r in out}
+    # z = 10*10 + 100*0.1 = 110; heavy docs: p = 0.5*110*10/110 = 5 -> 1.0
+    assert all(ps[i] == 1.0 for i in range(10))
+    # light docs: p = 0.5*110*0.1/110 = 0.05
+    assert all(ps[i] == 0.05 for i in range(10, 110))
+    k1 = {r["doc"]: r["kept"] for r in out}
+    k2 = {r["doc"]: r["kept"] for r in importance_resample(
+        df, "doc", "logw", target_frac=0.5).collect()}
+    assert k1 == k2                       # deterministic
+    assert all(k1[i] == 1 for i in range(10))  # p=1 always kept
