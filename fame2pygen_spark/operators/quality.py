@@ -277,3 +277,54 @@ def cohens_kappa(
         F.round(pe, 6).alias("pe"),
         F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def corpus_manifest(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Content-addressed corpus manifest: per group (source/partition),
+    the document count, byte/char totals, and an ORDER-INSENSITIVE
+    content checksum — the attestation row a data-versioning layer
+    stores so "same manifest ⇒ same corpus" holds across reruns,
+    engine versions, and partitionings without sorting anything.
+
+    The checksum is ``Σ md5-prefix(id ‖ fingerprint) mod 2⁶³`` — an
+    integer sum, so it commutes across partitions and engines (the
+    repo's md5 idiom), and binding the doc id into the hash makes id
+    reassignment visible, not just content membership.  A second
+    text-only checksum (content regardless of ids) distinguishes
+    "re-keyed" from "re-crawled".
+
+    Scale shape: ONE map-side-combinable aggregate riding the scan —
+    the same cost as a count.
+
+    Output per group: ``n_docs, n_chars, content_sum, text_sum``.
+    """
+    g = [F.col(c) for c in group_cols]
+    fp = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.col(text_col))
+    )
+    tfp = F.md5(F.col(text_col))
+    h = F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    th = F.conv(F.substring(tfp, 1, 15), 16, 10).cast("long")
+    base = df.select(
+        *g,
+        F.length(F.col(text_col)).cast("long").alias("__len"),
+        h.alias("__h"),
+        th.alias("__th"),
+    )
+    grouped = base.groupBy(*g) if group_cols else base.groupBy()
+    m = 9_223_372_036_854_775_783  # largest prime < 2^63
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__len").cast("long").alias("n_chars"),
+        (F.sum(F.col("__h").cast("decimal(38,0)")) % F.lit(m))
+        .cast("long")
+        .alias("content_sum"),
+        (F.sum(F.col("__th").cast("decimal(38,0)")) % F.lit(m))
+        .cast("long")
+        .alias("text_sum"),
+    )

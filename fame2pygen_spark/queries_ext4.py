@@ -1146,3 +1146,38 @@ FROM drawn
 
 EXT4_QUERIES.update({"x142_dsir_resample": q_x142_dsir_resample})
 EXT4_ORACLES.update({"x142_dsir_resample": _sql_x142()})
+
+
+# ---------------------- x143: content-addressed corpus manifest
+
+
+def q_x143_corpus_manifest(spark, sf_dir):
+    """Data-versioning attestation (operators/quality.py:
+    corpus_manifest): per-source doc counts, char totals, and
+    order-insensitive md5-sum checksums (id-bound and text-only) —
+    the manifest row that makes 'same manifest ⇒ same corpus' checkable
+    across reruns and engines at the cost of a count."""
+    from .operators.quality import corpus_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_manifest(docs, "text", "doc_id", group_cols=("source",))
+
+
+SQL_X143 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       CAST(CAST(sum(CAST(('0x' || substr(
+           md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT
+           AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           % 9223372036854775783 AS BIGINT) AS content_sum,
+       CAST(CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::BIGINT
+           AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           % 9223372036854775783 AS BIGINT) AS text_sum
+FROM documents
+GROUP BY source
+"""
+
+
+EXT4_QUERIES.update({"x143_corpus_manifest": q_x143_corpus_manifest})
+EXT4_ORACLES.update({"x143_corpus_manifest": SQL_X143})

@@ -3051,3 +3051,37 @@ def test_importance_resample_proportional_and_deterministic(spark):
         df, "doc", "logw", target_frac=0.5).collect()}
     assert k1 == k2                       # deterministic
     assert all(k1[i] == 1 for i in range(10))  # p=1 always kept
+
+
+def test_corpus_manifest_order_insensitive_and_id_binding(spark):
+    """x143: identical content in any row order yields the identical
+    manifest; re-keying ids changes content_sum but not text_sum; a
+    text change flips both."""
+    from fame2pygen_spark.operators.quality import corpus_manifest
+
+    rows = [(1, "alpha", "s"), (2, "beta", "s"), (3, "gamma", "s")]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df2 = spark.createDataFrame(rows[::-1], "doc_id long, text string, source string")
+    m1 = corpus_manifest(df1, "text", "doc_id", ("source",)).collect()[0]
+    m2 = corpus_manifest(
+        df2.repartition(7), "text", "doc_id", ("source",)
+    ).collect()[0]
+    assert m1 == m2
+
+    rekeyed = spark.createDataFrame(
+        [(10, "alpha", "s"), (20, "beta", "s"), (30, "gamma", "s")],
+        "doc_id long, text string, source string",
+    )
+    m3 = corpus_manifest(rekeyed, "text", "doc_id", ("source",)).collect()[0]
+    assert m3["text_sum"] == m1["text_sum"]
+    assert m3["content_sum"] != m1["content_sum"]
+
+    edited = spark.createDataFrame(
+        [(1, "alpha", "s"), (2, "beta!", "s"), (3, "gamma", "s")],
+        "doc_id long, text string, source string",
+    )
+    m4 = corpus_manifest(edited, "text", "doc_id", ("source",)).collect()[0]
+    assert m4["text_sum"] != m1["text_sum"]
+    assert m4["content_sum"] != m1["content_sum"]
+    # ungrouped: one global row
+    assert len(corpus_manifest(df1, "text", "doc_id").collect()) == 1
