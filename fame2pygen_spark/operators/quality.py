@@ -328,3 +328,30 @@ def corpus_manifest(
         .cast("long")
         .alias("text_sum"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int,
+) -> DataFrame:
+    """Distinct-l-diversity audit (Machanavajjhala et al. 2007): a
+    quasi-identifier equivalence class whose *sensitive_col* takes
+    fewer than *l* distinct values leaks the sensitive attribute to
+    anyone who can place an individual in the class — even when
+    k-anonymity holds (a size-50 class where everyone shares one
+    diagnosis is k-anonymous and fully disclosive).  The companion
+    gate to :func:`k_anonymity`, run together before any release.
+
+    One aggregation over the QI key (map-side combinable count +
+    distinct); output one row per class: ``*qi_cols, group_size,
+    n_sensitive, violates_l``.
+    """
+    return df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(F.col(sensitive_col)).cast("long").alias(
+            "n_sensitive"
+        ),
+    ).withColumn("violates_l", F.col("n_sensitive") < F.lit(int(l)))

@@ -1181,3 +1181,64 @@ GROUP BY source
 
 EXT4_QUERIES.update({"x143_corpus_manifest": q_x143_corpus_manifest})
 EXT4_ORACLES.update({"x143_corpus_manifest": SQL_X143})
+
+
+# -------------------------- x144: l-diversity privacy audit
+
+
+def q_x144_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/quality.py:l_diversity) over the
+    x103 quasi-identifier pair (market segment, nation) with the
+    account-balance band as the sensitive attribute: classes where
+    fewer than l=3 distinct bands occur leak the attribute even when
+    k-anonymity holds — the homogeneity gap k alone misses.  Rolled
+    up per segment."""
+    from .operators.quality import l_diversity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    groups = l_diversity(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_band", l=3
+    )
+    return (
+        groups.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.count(F.when(F.col("violates_l"), 1))
+            .cast("long")
+            .alias("n_violating"),
+            F.min("n_sensitive").cast("long").alias("min_diversity"),
+            F.sum(F.when(F.col("violates_l"), F.col("group_size")))
+            .cast("long")
+            .alias("individuals_at_risk"),
+        )
+        .withColumn(
+            "individuals_at_risk",
+            F.coalesce(F.col("individuals_at_risk"), F.lit(0)),
+        )
+    )
+
+
+SQL_X144 = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         count(*) AS group_size,
+         count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+           AS n_sensitive
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE n_sensitive < 3) AS BIGINT)
+         AS n_violating,
+       CAST(min(n_sensitive) AS BIGINT) AS min_diversity,
+       CAST(coalesce(sum(group_size) FILTER (WHERE n_sensitive < 3), 0)
+            AS BIGINT) AS individuals_at_risk
+FROM g GROUP BY c_mktsegment
+"""
+
+
+EXT4_QUERIES.update({"x144_l_diversity": q_x144_l_diversity})
+EXT4_ORACLES.update({"x144_l_diversity": SQL_X144})

@@ -3085,3 +3085,20 @@ def test_corpus_manifest_order_insensitive_and_id_binding(spark):
     assert m4["content_sum"] != m1["content_sum"]
     # ungrouped: one global row
     assert len(corpus_manifest(df1, "text", "doc_id").collect()) == 1
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    """x144: a large but sensitive-homogeneous class violates l while
+    a small diverse one passes — the case k-anonymity alone misses."""
+    from fame2pygen_spark.operators.quality import l_diversity
+
+    rows = (
+        [("A", 1, "flu")] * 50              # k-anonymous, fully disclosive
+        + [("B", 2, s) for s in ("flu", "cold", "ok")]  # small but diverse
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int, dx string")
+    out = {(r["seg"], r["nat"]): r for r in l_diversity(
+        df, ["seg", "nat"], "dx", l=2).collect()}
+    assert out[("A", 1)]["violates_l"] and out[("A", 1)]["group_size"] == 50
+    assert not out[("B", 2)]["violates_l"]
+    assert out[("B", 2)]["n_sensitive"] == 3
