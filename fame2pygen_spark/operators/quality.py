@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["dq_report", "standard_rules", "cohens_kappa"]
+__all__ = ["dq_report", "standard_rules", "cohens_kappa", "auc_rank"]
 
 
 def dq_report(
@@ -355,3 +355,77 @@ def l_diversity(
             "n_sensitive"
         ),
     ).withColumn("violates_l", F.col("n_sensitive") < F.lit(int(l)))
+
+
+def auc_rank(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_cols=(),
+) -> DataFrame:
+    """Mann–Whitney AUC of *score_col* as a ranker for the boolean
+    *label_col* — the probability a random positive outscores a random
+    negative, ties counted half (exactly the rank-sum estimator, so it
+    equals the ROC area with trapezoidal tie handling).  The standard
+    one-number audit for a quality-classifier score before using it as
+    a corpus filter threshold.
+
+    Exactness: AUC = (2·Σ_s pos_s·neg_below_s + Σ_s pos_s·neg_s)
+    / (2·P·N).  Every term is an INTEGER product, so the whole
+    computation stays in integers until one final division — bitwise
+    reproducible in any engine with no decimal tricks needed.
+
+    Shape: one hash aggregation to per-(group, score) pos/neg counts
+    (map-side combine does the heavy lifting), then a cumulative
+    window over the DISTINCT scores of each group — never the fact
+    table.  At 100 TB quantize or bin continuous scores first (e.g.
+    ``F.round(score, 3)``) so the distinct support stays bounded; AUC
+    over binned scores is the same trapezoidal ROC area at bin
+    resolution.
+
+    Output per group: ``(*group_cols, n_pos, n_neg, auc)`` (6 dp);
+    null AUC when a group lacks both classes.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    lbl = label_col if not isinstance(label_col, str) else F.col(label_col)
+    per_score = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(*group_cols, score_col)
+        .agg(
+            F.count(F.when(lbl, 1)).cast("long").alias("__pos"),
+            F.count(F.when(~lbl, 1)).cast("long").alias("__neg"),
+        )
+    )
+    wg = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy()
+    )
+    w = wg.orderBy(F.col(score_col).asc())
+    cum = per_score.select(
+        *group_cols,
+        "__pos",
+        "__neg",
+        (F.sum("__neg").over(w) - F.col("__neg")).alias("__neg_below"),
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__pos") * (2 * F.col("__neg_below") + F.col("__neg"))
+        ).cast("long").alias("__num2"),
+    )
+    auc = F.try_divide(
+        F.col("__num2").cast("double"),
+        2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
+        ).alias("auc"),
+    )

@@ -35,7 +35,7 @@ __all__ = [
     "group_entropy", "distribution_drift",
     "mutual_information", "benford_profile",
     "weighted_quantiles", "ks_statistic", "trimmed_mean",
-    "concentration_index",
+    "concentration_index", "chi_square_independence",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -1588,4 +1588,95 @@ def spearman_corr(
         (F.round(F.try_divide(num, den), 6) + F.lit(0.0)).alias(
             "spearman"
         ),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the standard audit for
+    "is attribute A associated with attribute B" (e.g. is language
+    independent of source in a crawl, a core stratification check
+    before fixing a corpus mixture).
+
+    The reference engine has no categorical-association surface; this
+    is the distribution-drift companion for two-way tables (drift =
+    one-way, :func:`distribution_drift`).
+
+    Shape: one hash aggregation to the ``(row, col)`` contingency
+    cells — the only pass over the data.  The grid is then COMPLETED
+    (row margins × col margins within each group, left-joined back to
+    the observed cells) because unobserved combinations still carry an
+    ``E > 0`` expectation that the statistic must charge — a
+    groupBy-only table silently drops them (scipy charges them too).
+    Every post-scan step runs over ≤ |rows|×|cols| rows, never the
+    fact table.  Each cell's ``(O−E)²/E`` term is a deterministic
+    double expression; the cross-cell sum is decimal-cast
+    (order-insensitive, the ``corr_pairs`` idiom) so the statistic is
+    reproducible across partitionings and engines.  Nulls in either
+    column are excluded (complete-case, scipy's crosstab convention).
+
+    Output, one row per group: ``(*group_cols, n, n_rows, n_cols,
+    dof, chi2, cramers_v)`` (6 dp).  Groups whose table is degenerate
+    (a single row or column level — dof = 0) return null chi2/V.
+    """
+    group_cols = list(group_cols)
+    cells = (
+        df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(*group_cols, row_col, col_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
+    rmarg = cells.groupBy(*group_cols, row_col).agg(
+        F.sum("__o").alias("__rt")
+    )
+    cmarg = cells.groupBy(*group_cols, col_col).agg(
+        F.sum("__o").alias("__ct")
+    )
+    grid = (
+        rmarg.join(cmarg, on=group_cols) if group_cols
+        else rmarg.crossJoin(cmarg)
+    )
+    full = grid.join(
+        cells, on=[*group_cols, row_col, col_col], how="left"
+    ).withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    wg = (
+        Window.partitionBy(*group_cols) if group_cols
+        else Window.partitionBy()
+    )
+    with_m = full.withColumn(
+        "__n", F.sum(F.col("__o")).over(wg)
+    )
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    term = (
+        (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e)
+        / e
+    ).cast("decimal(38,12)")
+    agg = with_m.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.countDistinct(F.col(row_col)).cast("long").alias("n_rows"),
+        F.countDistinct(F.col(col_col)).cast("long").alias("n_cols"),
+        F.sum(term).alias("__chi2"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    chi2 = F.col("__chi2").cast("double")
+    vmin = F.least(F.col("n_rows"), F.col("n_cols")) - 1
+    v = F.sqrt(
+        F.try_divide(chi2, F.col("n").cast("double") * vmin.cast("double"))
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_rows",
+        "n_cols",
+        dof.cast("long").alias("dof"),
+        F.when(dof > 0, F.round(chi2, 6)).alias("chi2"),
+        F.when(dof > 0, F.round(v, 6)).alias("cramers_v"),
     )

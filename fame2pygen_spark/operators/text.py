@@ -33,7 +33,7 @@ __all__ = [
     "detect_language", "normalized_text", "text_fingerprint",
     "text_profile", "tfidf_top_terms", "chunk_documents", "bm25_rank",
     "term_cooccurrence_pmi", "unigram_surprisal",
-    "source_js_divergence",
+    "source_js_divergence", "zipf_fit",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -1428,4 +1428,83 @@ def bpe_encode_profile(
                 F.col("n_subwords").cast("double") / F.col("n_words"), 6
             ),
         )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 500,
+    min_rank: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution: OLS
+    of ``ln(freq)`` on ``ln(rank)`` across the *top_n* most frequent
+    terms.  A healthy natural-language corpus fits slope ≈ −1
+    (Zipf 1949); a slope far from −1 or a poor R² flags template spam,
+    boilerplate floods, or tokenizer breakage — a one-row corpus
+    health check run before committing a crawl to training.
+
+    Shape: the only full pass is the token explode + term groupBy
+    (map-side combined).  The top-*n* cut is ``orderBy().limit()`` —
+    Spark plans TakeOrderedAndProject (a per-partition heap + driver
+    merge of n·partitions rows), NEVER a global sort.  Ranking and the
+    OLS moments then run over ≤ *top_n* rows, bounded by the parameter
+    regardless of corpus size.  Moment sums are decimal-cast
+    (order-insensitive, the ``corr_pairs`` idiom).
+
+    *min_rank* drops the first ranks from the fit (the classic Zipf
+    departure zone for function words).  Ties rank by
+    ``(freq DESC, term ASC)`` so the cut is deterministic.
+
+    Output, one row: ``(n_terms, total_tokens, slope, intercept, r2)``
+    (6 dp).  ``total_tokens`` counts the whole corpus, not the top-n.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    total = counts.agg(
+        F.sum("freq").cast("long").alias("total_tokens")
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("term")).limit(int(top_n))
+    w = Window.partitionBy().orderBy(F.desc("freq"), F.asc("term"))
+    ranked = (
+        top.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") >= int(min_rank))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("__x"),
+            F.log(F.col("freq").cast("double")).alias("__y"),
+        )
+    )
+    dec = "decimal(38,12)"
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec)).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec)).alias("__syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = F.try_divide(
+        r_num * r_num, (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.crossJoin(F.broadcast(total)).select(
+        "n_terms",
+        "total_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
     )

@@ -1242,3 +1242,184 @@ FROM g GROUP BY c_mktsegment
 
 EXT4_QUERIES.update({"x144_l_diversity": q_x144_l_diversity})
 EXT4_ORACLES.update({"x144_l_diversity": SQL_X144})
+
+
+# ------------------- x145: chi-square independence (lang × source)
+
+
+def q_x145_chi2_independence(spark, sf_dir):
+    """Categorical-association audit (operators/sketch.py:
+    chi_square_independence): Pearson chi² + Cramér's V for the
+    lang × source two-way table over the document corpus — the check
+    that a crawl's language mix is (or is not) uniform across sources
+    before fixing per-source mixture weights.  One groupBy to the
+    contingency cells; margins are window sums over the cells only;
+    the (O−E)²/E sum is decimal-cast for order-insensitivity."""
+    from .operators.sketch import chi_square_independence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi_square_independence(docs, "lang", "source")
+
+
+SQL_X145 = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+),
+rmarg AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY lang),
+cmarg AS (SELECT source, sum(o) AS ct FROM cells GROUP BY source),
+m AS (
+  SELECT coalesce(c.o, 0) AS o, r.rt, cm.ct,
+         sum(coalesce(c.o, 0)) OVER () AS n
+  FROM rmarg r CROSS JOIN cmarg cm
+  LEFT JOIN cells c ON c.lang = r.lang AND c.source = cm.source
+),
+agg AS (
+  SELECT max(n) AS n,
+         (SELECT count(DISTINCT lang) FROM cells) AS n_rows,
+         (SELECT count(DISTINCT source) FROM cells) AS n_cols,
+         sum((((o::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+               * (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE))
+              / (rt::DOUBLE * ct::DOUBLE / n::DOUBLE))::DECIMAL(38,12))
+           AS chi2d
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_cols AS BIGINT) AS n_cols,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+            THEN round(chi2d::DOUBLE, 6) END AS chi2,
+       CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+            THEN round(sqrt(chi2d::DOUBLE
+                 / (n::DOUBLE * (least(n_rows, n_cols) - 1)::DOUBLE)), 6)
+            END AS cramers_v
+FROM agg
+"""
+
+
+EXT4_QUERIES.update({"x145_chi2_independence": q_x145_chi2_independence})
+EXT4_ORACLES.update({"x145_chi2_independence": SQL_X145})
+
+
+# ---------------------- x146: Mann-Whitney AUC of a filter score
+
+
+def q_x146_auc(spark, sf_dir):
+    """Ranker audit (operators/quality.py:auc_rank): per-source
+    Mann–Whitney AUC of raw document length as a predictor of
+    ``lang = 'en'`` — the one-number check run on any candidate
+    quality score before it becomes a corpus filter threshold.
+    Integer-exact end to end: per-(source, length) pos/neg counts,
+    a cumulative window over each source's distinct lengths, and a
+    single integer rank-sum divided once at the end."""
+    from .operators.quality import auc_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "score", F.length("text").cast("long")
+    )
+    return auc_rank(
+        docs, "score", F.col("lang") == "en", group_cols=["source"]
+    )
+
+
+SQL_X146 = """
+WITH per AS (
+  SELECT source, len(text) AS s,
+         count(*) FILTER (WHERE lang = 'en') AS pos,
+         count(*) FILTER (WHERE NOT (lang = 'en')) AS neg
+  FROM documents
+  WHERE text IS NOT NULL
+  GROUP BY source, len(text)
+),
+cum AS (
+  SELECT source, pos, neg,
+         sum(neg) OVER (PARTITION BY source ORDER BY s ASC) - neg
+           AS neg_below
+  FROM per
+),
+agg AS (
+  SELECT source, sum(pos) AS n_pos, sum(neg) AS n_neg,
+         sum(pos * (2 * neg_below + neg)) AS num2
+  FROM cum GROUP BY source
+)
+SELECT source,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(num2::DOUBLE
+                 / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
+FROM agg
+"""
+
+
+EXT4_QUERIES.update({"x146_auc": q_x146_auc})
+EXT4_ORACLES.update({"x146_auc": SQL_X146})
+
+
+# --------------------------- x147: Zipf rank-frequency fit
+
+
+def q_x147_zipf_fit(spark, sf_dir):
+    """Corpus-health fit (operators/text.py:zipf_fit): OLS of
+    ln(freq) on ln(rank) over the 500 most frequent terms — slope
+    ≈ −1 is the Zipf signature of natural text; departures flag
+    template floods or tokenizer breakage.  Top-500 cut is
+    TakeOrderedAndProject (heap, no global sort); the OLS moments run
+    over ≤500 rows with decimal-cast sums."""
+    from .operators.text import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs, "text", top_n=500)
+
+
+SQL_X147 = """
+WITH nt AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tok AS (
+  SELECT unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS term
+  FROM nt
+),
+counts AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+total AS (SELECT sum(freq) AS total_tokens FROM counts),
+top AS (
+  SELECT term, freq FROM counts ORDER BY freq DESC, term ASC LIMIT 500
+),
+ranked AS (
+  SELECT ln((ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC))::DOUBLE)
+           AS x,
+         ln(freq::DOUBLE) AS y
+  FROM top
+),
+m AS (
+  SELECT count(*) AS n_terms,
+         sum(x::DECIMAL(38,12)) AS sx, sum(y::DECIMAL(38,12)) AS sy,
+         sum((x * y)::DECIMAL(38,12)) AS sxy,
+         sum((x * x)::DECIMAL(38,12)) AS sxx,
+         sum((y * y)::DECIMAL(38,12)) AS syy
+  FROM ranked
+)
+SELECT CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       round((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+             6) AS slope,
+       round((sy::DOUBLE - ((n_terms::DOUBLE * sxy::DOUBLE
+                              - sx::DOUBLE * sy::DOUBLE)
+             / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+             * sx::DOUBLE) / n_terms::DOUBLE, 6) AS intercept,
+       round(((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+              * (n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+             / ((n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * (n_terms::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6) AS r2
+FROM m CROSS JOIN total
+"""
+
+
+EXT4_QUERIES.update({"x147_zipf_fit": q_x147_zipf_fit})
+EXT4_ORACLES.update({"x147_zipf_fit": SQL_X147})

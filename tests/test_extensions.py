@@ -3102,3 +3102,89 @@ def test_l_diversity_flags_homogeneous_classes(spark):
     assert out[("A", 1)]["violates_l"] and out[("A", 1)]["group_size"] == 50
     assert not out[("B", 2)]["violates_l"]
     assert out[("B", 2)]["n_sensitive"] == 3
+
+
+def test_chi_square_independence_detects_association(spark):
+    """x145: a perfectly dependent 2x2 table hits Cramer's V = 1 and
+    chi2 = n; an exactly independent table gives chi2 = 0; a
+    single-level column yields dof = 0 and null statistics."""
+    from fame2pygen_spark.operators.sketch import chi_square_independence
+
+    dep = spark.createDataFrame(
+        [("a", "x")] * 30 + [("b", "y")] * 20, "r string, c string"
+    )
+    row = chi_square_independence(dep, "r", "c").collect()[0]
+    assert row["n"] == 50 and row["dof"] == 1
+    assert row["chi2"] == 50.0 and row["cramers_v"] == 1.0
+
+    # 2x2 with O == E everywhere: rows 3:1, cols 1:1, n = 80
+    ind = spark.createDataFrame(
+        [("a", "x")] * 30 + [("a", "y")] * 30
+        + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "r string, c string",
+    )
+    row = chi_square_independence(ind, "r", "c").collect()[0]
+    assert row["chi2"] == 0.0 and row["cramers_v"] == 0.0
+
+    degen = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "r string, c string"
+    )
+    row = chi_square_independence(degen, "r", "c").collect()[0]
+    assert row["dof"] == 0
+    assert row["chi2"] is None and row["cramers_v"] is None
+
+
+def test_auc_rank_separation_ties_and_groups(spark):
+    """x146: perfect separation -> 1.0, inverted -> 0.0, all-tied
+    scores -> 0.5, and the half-credit tie estimator matches the
+    hand-computed Mann-Whitney value."""
+    from pyspark.sql import functions as F
+    from fame2pygen_spark.operators.quality import auc_rank
+
+    rows = (
+        [("sep", 10 + i, True) for i in range(5)]
+        + [("sep", i, False) for i in range(5)]
+        + [("inv", i, True) for i in range(5)]
+        + [("inv", 10 + i, False) for i in range(5)]
+        + [("tie", 7, True)] * 4 + [("tie", 7, False)] * 6
+        # mixed: pos at 3,5 / neg at 1,3 -> pairs: (3>1)=1, (3=3)=.5,
+        # (5>1)=1, (5>3)=1 -> AUC = 3.5/4
+        + [("mix", 3, True), ("mix", 5, True),
+           ("mix", 1, False), ("mix", 3, False)]
+    )
+    df = spark.createDataFrame(rows, "g string, s long, y boolean")
+    out = {
+        r["g"]: r
+        for r in auc_rank(df, "s", F.col("y"), group_cols=["g"]).collect()
+    }
+    assert out["sep"]["auc"] == 1.0
+    assert out["inv"]["auc"] == 0.0
+    assert out["tie"]["auc"] == 0.5
+    assert out["mix"]["auc"] == 0.875
+    assert out["mix"]["n_pos"] == 2 and out["mix"]["n_neg"] == 2
+
+    # single-class group: null AUC
+    one = spark.createDataFrame(
+        [("g", 1, True), ("g", 2, True)], "g string, s long, y boolean"
+    )
+    assert auc_rank(one, "s", F.col("y"), ["g"]).collect()[0]["auc"] is None
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """x147: a corpus whose term frequencies follow freq ~ 1000/rank
+    fits slope ~ -1 with r2 ~ 1; top_n caps the fit set; ties rank
+    deterministically by term."""
+    from fame2pygen_spark.operators.text import zipf_fit
+
+    terms = [f"w{i:03d}" for i in range(1, 21)]
+    words = []
+    for i, t in enumerate(terms, start=1):
+        words.extend([t] * round(1000 / i))
+    docs = spark.createDataFrame(
+        [(" ".join(words[i::7]),) for i in range(7)], "text string"
+    )
+    row = zipf_fit(docs, "text", top_n=15).collect()[0]
+    assert row["n_terms"] == 15
+    assert row["total_tokens"] == sum(round(1000 / i) for i in range(1, 21))
+    assert -1.05 < row["slope"] < -0.95
+    assert row["r2"] > 0.999
