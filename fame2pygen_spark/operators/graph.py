@@ -185,3 +185,203 @@ def label_propagation_step(
         .where(F.col("__r") == 1)
         .select("node", "label", "label_weight")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_weight: int = 1,
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients via
+    the degree-ordered wedge join (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer") — the community-
+    cohesion primitive behind spam-graph and link-farm detection.
+
+    Edges are undirected: canonicalized to ``u < v``, self-loops
+    dropped, multiplicity collapsed with a count; *min_weight* keeps
+    only ties observed at least that often (graph sparsification — the
+    knob that keeps co-occurrence graphs from going near-complete).
+
+    Scale shape: every edge is ORIENTED from its lower-``(degree, id)``
+    endpoint to the higher one, so each wedge ``b ← a → c`` is
+    enumerated at its lowest-degree vertex — per-pivot fan-out is
+    bounded by O(√m) whatever the degree skew (the curse-of-the-last-
+    reducer fix; an unoriented join would square the hub degree).  One
+    self-join builds wedges, one more equi-join closes them; each
+    triangle materializes exactly once.  All counts are integers —
+    engine-exact.
+
+    Output: ``(node, degree, triangles, clustering)`` for every node
+    of the sparsified graph, ``clustering = 2T/(d(d−1))`` (6 dp, null
+    for degree-1 nodes).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .where(F.col("__w") >= F.lit(int(min_weight)))
+        .select("u", "v")
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("degree").alias("__du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("degree").alias("__dv")
+    )
+    oriented = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("__du") < F.col("__dv"))
+                | (
+                    (F.col("__du") == F.col("__dv"))
+                    & (F.col("u") < F.col("v"))
+                ),
+                F.struct(
+                    F.col("u").alias("a"),
+                    F.col("v").alias("b"),
+                    F.col("__du").alias("da"),
+                    F.col("__dv").alias("db"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("a"),
+                    F.col("u").alias("b"),
+                    F.col("__dv").alias("da"),
+                    F.col("__du").alias("db"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b", "e.da", "e.db")
+    )
+    e1 = oriented.select(
+        F.col("a").alias("p"),
+        F.col("b").alias("x"),
+        F.col("db").alias("dx"),
+    )
+    e2 = oriented.select(
+        F.col("a").alias("p"),
+        F.col("b").alias("y"),
+        F.col("db").alias("dy"),
+    )
+    wedges = e1.join(e2, "p").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closure = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tri = wedges.join(closure, ["x", "y"]).select("p", "x", "y")
+    per_node = (
+        tri.select(
+            F.explode(
+                F.array(F.col("p"), F.col("x"), F.col("y"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").withColumn(
+        "triangles", F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    )
+    d = F.col("degree").cast("double")
+    return out.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0 * F.col("triangles").cast("double") / (d * (d - 1.0)),
+                6,
+            ),
+        ).alias("clustering"),
+    )
+
+
+def hits_step(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One HITS iteration (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment") from the uniform start: authority(v) =
+    Σ_{u→v} w·hub(u), then hub(u) = Σ_{u→v} w·authority(v), each
+    L1-normalized.  Unlike PageRank, HITS is meaningful on BIPARTITE
+    graphs (buyers→suppliers, queries→documents): hubs and
+    authorities live on opposite sides instead of collapsing to the
+    stationary distribution.
+
+    From hub⁰ = 1 with integer weights, both raw scores are INTEGER
+    sums — two edge-keyed aggregations, no floats until the two final
+    normalizing divisions — so the superstep is engine-exact (the
+    integer analogue of ``pagerank_step``'s decimal-sum discipline).
+
+    Output: ``(node, auth, hub)`` (6 dp) for every node incident to an
+    edge; pure hubs have auth 0 and vice versa.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    base = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w.alias("w")
+    )
+    auth_raw = base.groupBy(F.col("v").alias("node")).agg(
+        F.sum("w").alias("__a")
+    )
+    hub_raw = (
+        base.join(
+            auth_raw.select(
+                F.col("node").alias("v"), F.col("__a").alias("__av")
+            ),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum(F.col("w") * F.col("__av")).alias("__h"))
+    )
+    totals = auth_raw.agg(F.sum("__a").alias("__ta")).crossJoin(
+        hub_raw.agg(F.sum("__h").alias("__th"))
+    )
+    joined = (
+        auth_raw.join(hub_raw, "node", "full")
+        .select(
+            "node",
+            F.coalesce(F.col("__a"), F.lit(0)).alias("__a"),
+            F.coalesce(F.col("__h"), F.lit(0)).alias("__h"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        "node",
+        F.round(
+            F.try_divide(
+                F.col("__a").cast("double"), F.col("__ta").cast("double")
+            ),
+            6,
+        ).alias("auth"),
+        F.round(
+            F.try_divide(
+                F.col("__h").cast("double"), F.col("__th").cast("double")
+            ),
+            6,
+        ).alias("hub"),
+    )

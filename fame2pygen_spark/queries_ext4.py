@@ -1423,3 +1423,174 @@ FROM m CROSS JOIN total
 
 EXT4_QUERIES.update({"x147_zipf_fit": q_x147_zipf_fit})
 EXT4_ORACLES.update({"x147_zipf_fit": SQL_X147})
+
+
+# -------------------- x148: triangle census of a co-supply graph
+
+
+def q_x148_triangles(spark, sf_dir):
+    """Triangle census (operators/graph.py:triangle_count) of the
+    supplier co-occurrence graph — suppliers tied when they appear in
+    ≥2 common orders (min_weight sparsification).  Degree-ordered
+    wedge enumeration keeps the pivot fan-out O(√m) under hub skew;
+    every count is an integer.  Top 30 nodes by triangle count."""
+    from .operators.graph import triangle_count
+
+    ls = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"),
+        F.col("b.l_suppkey").alias("dst"),
+    )
+    out = triangle_count(pairs, min_weight=2)
+    return (
+        out.orderBy(F.desc("triangles"), F.asc("node"))
+        .limit(30)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            "clustering",
+        )
+    )
+
+
+SQL_X148 = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+pairs AS (
+  SELECT a.s AS u, b.s AS v FROM ls a JOIN ls b
+  ON a.o = b.o AND a.s < b.s
+),
+canon AS (
+  SELECT u, v FROM (
+    SELECT u, v, count(*) AS w FROM pairs GROUP BY u, v
+  ) WHERE w >= 2
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+  FROM (
+    SELECT c.u, c.v, d1.degree AS du, d2.degree AS dv
+    FROM canon c
+    JOIN deg d1 ON d1.node = c.u
+    JOIN deg d2 ON d2.node = c.v
+  )
+),
+wedges AS (
+  SELECT e1.a AS p, e1.b AS x, e2.b AS y
+  FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a
+  WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)
+),
+tri AS (
+  SELECT w.p, w.x, w.y
+  FROM wedges w JOIN oriented o ON o.a = w.x AND o.b = w.y
+),
+per_node AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT p AS node FROM tri
+    UNION ALL SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(t.triangles, 0)
+                 / (d.degree * (d.degree - 1.0)), 6) END AS clustering
+FROM deg d LEFT JOIN per_node t ON t.node = d.node
+ORDER BY triangles DESC, node ASC
+LIMIT 30
+"""
+
+
+EXT4_QUERIES.update({"x148_triangles": q_x148_triangles})
+EXT4_ORACLES.update({"x148_triangles": SQL_X148})
+
+
+# ------------------------ x149: HITS hubs and authorities step
+
+
+def q_x149_hits(spark, sf_dir):
+    """One HITS superstep (operators/graph.py:hits_step) on the
+    customer→supplier purchase graph (even/odd node encoding, the
+    x91/x137 edge set): authorities = suppliers weighted by purchase
+    volume, hubs = customers weighted by the authority of who they
+    buy from.  Integer sums until the two final normalizations.
+    Top 30 nodes by max(auth, hub)."""
+    from .operators.graph import hits_step
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    out = hits_step(edges, weight_col="w")
+    return (
+        out.orderBy(
+            F.desc(F.greatest("auth", "hub")), F.asc("node")
+        )
+        .limit(30)
+        .select(F.col("node").cast("long").alias("node"), "auth", "hub")
+    )
+
+
+SQL_X149 = """
+WITH base AS (
+  SELECT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+auth_raw AS (SELECT v AS node, sum(w) AS a FROM base GROUP BY v),
+hub_raw AS (
+  SELECT b.u AS node, sum(b.w * ar.a) AS h
+  FROM base b JOIN auth_raw ar ON ar.node = b.v
+  GROUP BY b.u
+),
+tot AS (
+  SELECT (SELECT sum(a) FROM auth_raw) AS ta,
+         (SELECT sum(h) FROM hub_raw) AS th
+),
+joined AS (
+  SELECT coalesce(ar.node, hr.node) AS node,
+         coalesce(ar.a, 0) AS a, coalesce(hr.h, 0) AS h
+  FROM auth_raw ar FULL OUTER JOIN hub_raw hr ON ar.node = hr.node
+)
+SELECT CAST(node AS BIGINT) AS node,
+       round(a::DOUBLE / ta::DOUBLE, 6) AS auth,
+       round(h::DOUBLE / th::DOUBLE, 6) AS hub
+FROM joined CROSS JOIN tot
+ORDER BY greatest(round(a::DOUBLE / ta::DOUBLE, 6),
+                  round(h::DOUBLE / th::DOUBLE, 6)) DESC, node ASC
+LIMIT 30
+"""
+
+
+EXT4_QUERIES.update({"x149_hits": q_x149_hits})
+EXT4_ORACLES.update({"x149_hits": SQL_X149})

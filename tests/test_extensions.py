@@ -3188,3 +3188,48 @@ def test_zipf_fit_recovers_power_law(spark):
     assert row["total_tokens"] == sum(round(1000 / i) for i in range(1, 21))
     assert -1.05 < row["slope"] < -0.95
     assert row["r2"] > 0.999
+
+
+def test_triangle_count_k4_path_and_sparsification(spark):
+    """x148: K4 gives every node 3 triangles and clustering 1.0, a
+    pendant path node gets 0, and min_weight drops once-seen ties."""
+    from fame2pygen_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    rows = [(u, v) for (u, v) in k4 for _ in range(2)]  # seen twice
+    rows += [(3, 9), (3, 9)]          # pendant: degree 1, no triangle
+    rows += [(0, 7)]                  # seen once -> dropped at w >= 2
+    df = spark.createDataFrame(rows, "src long, dst long")
+    out = {r["node"]: r for r in triangle_count(df, min_weight=2).collect()}
+    assert 7 not in out
+    for n in range(4):
+        assert out[n]["triangles"] == 3
+    assert out[0]["degree"] == 3 and out[0]["clustering"] == 1.0
+    assert out[3]["degree"] == 4  # K4 plus the pendant tie
+    assert out[9]["triangles"] == 0 and out[9]["clustering"] is None
+
+    # orientation invariance: reversed edge directions change nothing
+    rev = spark.createDataFrame(
+        [(v, u) for (u, v) in rows], "src long, dst long"
+    )
+    out2 = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(rev, min_weight=2).collect()
+    }
+    assert out2 == {n: r["triangles"] for n, r in out.items()}
+
+
+def test_hits_step_bipartite_hand_values(spark):
+    """x149: one HITS superstep on a 2-hub / 2-authority graph
+    matches the hand-computed normalized scores."""
+    from fame2pygen_spark.operators.graph import hits_step
+
+    df = spark.createDataFrame(
+        [(10, 20, 1), (10, 21, 1), (11, 20, 1)], "src long, dst long, w long"
+    )
+    out = {r["node"]: r for r in hits_step(df, weight_col="w").collect()}
+    # auth_raw: 20 -> 2, 21 -> 1 (ta = 3); hub_raw: 10 -> 3, 11 -> 2 (th = 5)
+    assert out[20]["auth"] == round(2 / 3, 6) and out[20]["hub"] == 0.0
+    assert out[21]["auth"] == round(1 / 3, 6)
+    assert out[10]["hub"] == 0.6 and out[10]["auth"] == 0.0
+    assert out[11]["hub"] == 0.4
