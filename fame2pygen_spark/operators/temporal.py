@@ -38,7 +38,7 @@ __all__ = [
     "asof_join", "range_join_points", "fill_gaps_daily",
     "time_weighted_avg", "group_trend", "cusum_scan", "autocorrelation",
     "theil_sen_trend", "ewma_smooth", "scd2_merge",
-    "prorate_intervals", "decayed_sum",
+    "prorate_intervals", "decayed_sum", "holt_winters",
 ]
 
 
@@ -1168,4 +1168,124 @@ def m4_downsample(
         F.col("__r.role").alias("role"),
         F.col("__r.ts").alias(ts_col),
         F.col("__r.v").alias(value_col),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    *,
+    entity_col: str = "entity",
+    order_col: str = "ord",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+    period: int = 4,
+    horizon: int = 4,
+) -> DataFrame:
+    """Additive Holt–Winters triple exponential smoothing per entity
+    (Winters 1960), the classic seasonal forecaster: level, trend and
+    a *period*-slot seasonal cycle updated by one sequential pass, plus
+    the first *horizon* out-of-sample forecasts
+    ``ŷ_{n+k} = l + k·b + s_{(n+k) mod period}``.
+
+    The recursion is inherently sequential IN TIME but embarrassingly
+    parallel ACROSS entities — the same distribution contract as the
+    BPE merge fold: each entity's series is collected into one row
+    (sorted array) and smoothed by a single left-to-right ``aggregate``
+    fold with a ``(level, trend, seasonal-queue)`` struct accumulator.
+    A fixed fold order makes every float op a deterministic IEEE
+    sequence, so any engine replays it bitwise — no decimal tricks
+    needed.  The per-row state is O(period); a 100 TB panel of
+    million-point series would need the windowed ``ewma_smooth``
+    treatment instead, but seasonal state at daily/monthly grain is
+    a few dozen doubles.
+
+    Initialization (Hyndman & Athanasopoulos, "Forecasting: principles
+    and practice" §7.3 conventions): ``l0`` = mean of season 1, ``b0``
+    = (mean of season 2 − mean of season 1)/period, ``s0_i = y_i −
+    l0``; smoothing starts at observation ``period`` (season 1 is
+    consumed by the init).  Entities with fewer than ``2·period``
+    observations are dropped — their init would be undefined.
+
+    Output per entity: ``(entity, n_obs, level, trend, fc_1..fc_h)``
+    (6 dp).  *horizon* must be ≤ *period* (one future cycle).
+    """
+    m = int(period)
+    h = int(horizon)
+    if h > m:
+        raise ValueError("horizon must be <= period")
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    one_a, one_b, one_g = 1.0 - a, 1.0 - b_, 1.0 - g
+
+    grouped = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.col(order_col).alias("__o"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+        .groupBy("entity")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__o, __v))),"
+                " p -> p.__v)"
+            ).alias("vals")
+        )
+        .where(F.size("vals") >= 2 * m)
+    )
+    fold = F.expr(
+        f"""
+aggregate(
+  slice(vals, {m} + 1, size(vals) - {m}),
+  named_struct('l', l0, 'b', b0, 's', s0),
+  (acc, y) -> named_struct(
+    'l', {a}D * (y - element_at(acc.s, 1))
+         + {one_a}D * (acc.l + acc.b),
+    'b', {b_}D * (({a}D * (y - element_at(acc.s, 1))
+                   + {one_a}D * (acc.l + acc.b)) - acc.l)
+         + {one_b}D * acc.b,
+    's', concat(
+      slice(acc.s, 2, {m} - 1),
+      array({g}D * (y - ({a}D * (y - element_at(acc.s, 1))
+                          + {one_a}D * (acc.l + acc.b)))
+            + {one_g}D * element_at(acc.s, 1))
+    )
+  )
+)"""
+    )
+    state = (
+        grouped.withColumn(
+            "l0",
+            F.expr(
+                f"aggregate(slice(vals, 1, {m}), cast(0.0 as double),"
+                f" (acc, x) -> acc + x) / {m}.0"
+            ),
+        )
+        .withColumn(
+            "b0",
+            F.expr(
+                f"(aggregate(slice(vals, {m} + 1, {m}),"
+                f" cast(0.0 as double), (acc, x) -> acc + x) / {m}.0"
+                f" - l0) / {m}.0"
+            ),
+        )
+        .withColumn("s0", F.expr(f"transform(slice(vals, 1, {m}), v -> v - l0)"))
+        .withColumn("hw", fold)
+    )
+    fcs = [
+        F.round(
+            F.col("hw.l")
+            + F.lit(float(k)) * F.col("hw.b")
+            + F.element_at(F.col("hw.s"), k),
+            6,
+        ).alias(f"fc_{k}")
+        for k in range(1, h + 1)
+    ]
+    return state.select(
+        "entity",
+        F.size("vals").cast("long").alias("n_obs"),
+        F.round(F.col("hw.l"), 6).alias("level"),
+        F.round(F.col("hw.b"), 6).alias("trend"),
+        *fcs,
     )

@@ -1594,3 +1594,108 @@ LIMIT 30
 
 EXT4_QUERIES.update({"x149_hits": q_x149_hits})
 EXT4_ORACLES.update({"x149_hits": SQL_X149})
+
+
+# ---------------- x150: Holt-Winters seasonal smoothing + forecast
+
+
+def q_x150_holt_winters(spark, sf_dir):
+    """Additive Holt–Winters smoothing (operators/temporal.py:
+    holt_winters) of the monthly revenue series per region, period 12,
+    alpha = beta = gamma = 0.5: final level/trend state plus the next
+    four monthly forecasts.  The smoothing recursion is one
+    left-to-right array fold per entity (sequential in time, parallel
+    across entities — the BPE-fold contract), so both engines replay
+    the identical IEEE op sequence; the input series itself is built
+    from decimal sums for order-insensitivity."""
+    from .operators.temporal import holt_winters
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    series = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("entity"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("ym"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return holt_winters(
+        series,
+        entity_col="entity",
+        order_col="ym",
+        value_col="v",
+        alpha=0.5,
+        beta=0.5,
+        gamma=0.5,
+        period=12,
+        horizon=4,
+    )
+
+
+# NOTE: the oracle replays the smoothing recursion as a RECURSIVE CTE,
+# one row per (entity, step), rather than a struct-accumulator
+# list_reduce: DuckDB evaluates struct-literal lambda fields
+# sequentially against a mutating accumulator (after 'l' is assigned,
+# acc.l is already the NEW level when 'b' evaluates), which silently
+# breaks any recurrence whose update uses the previous level.  The CTE
+# computes l_new once in a derived table and is plain ANSI SQL.
+SQL_X150 = """
+WITH RECURSIVE series AS (
+  SELECT r.r_name AS entity,
+         date_part('year', o.o_orderdate) * 12
+           + date_part('month', o.o_orderdate) AS ym,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+arr AS (
+  SELECT entity, list(v ORDER BY ym) AS vals
+  FROM series GROUP BY entity HAVING count(*) >= 24
+),
+ini AS (
+  SELECT entity, vals, len(vals) AS n,
+         list_reduce(vals[1:12], (acc, x) -> acc + x) / 12 AS l0
+  FROM arr
+),
+st AS (
+  SELECT entity, vals, n, CAST(12 AS BIGINT) AS i, l0 AS l,
+         (list_reduce(vals[13:24], (acc, x) -> acc + x) / 12 - l0) / 12
+           AS b,
+         list_transform(vals[1:12], v -> v - l0) AS s
+  FROM ini
+  UNION ALL
+  SELECT entity, vals, n, i + 1, ln,
+         0.5 * (ln - l) + 0.5 * b,
+         s[2:] || [0.5 * (y - ln) + 0.5 * s[1]]
+  FROM (
+    SELECT entity, vals, n, i, l, b, s, vals[i + 1] AS y,
+           0.5 * (vals[i + 1] - s[1]) + 0.5 * (l + b) AS ln
+    FROM st WHERE i < n
+  )
+)
+SELECT entity, CAST(n AS BIGINT) AS n_obs,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + 1 * b + s[1], 6) AS fc_1,
+       round(l + 2 * b + s[2], 6) AS fc_2,
+       round(l + 3 * b + s[3], 6) AS fc_3,
+       round(l + 4 * b + s[4], 6) AS fc_4
+FROM st WHERE i = n
+"""
+
+
+EXT4_QUERIES.update({"x150_holt_winters": q_x150_holt_winters})
+EXT4_ORACLES.update({"x150_holt_winters": SQL_X150})

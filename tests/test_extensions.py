@@ -3233,3 +3233,41 @@ def test_hits_step_bipartite_hand_values(spark):
     assert out[21]["auth"] == round(1 / 3, 6)
     assert out[10]["hub"] == 0.6 and out[10]["auth"] == 0.0
     assert out[11]["hub"] == 0.4
+
+
+def test_holt_winters_matches_sequential_reference(spark):
+    """x150: the array-fold Holt-Winters equals a plain sequential
+    Python implementation bit-for-bit (same IEEE op order), entities
+    shorter than two seasons are dropped, and horizon > period is
+    rejected."""
+    import pytest as _pytest
+    from fame2pygen_spark.operators.temporal import holt_winters
+
+    vals = [10.0, 12, 14, 16, 11, 13, 15, 17, 12, 14, 16, 18]
+    rows = [("e", i, float(v)) for i, v in enumerate(vals)]
+    rows += [("short", i, float(i)) for i in range(7)]  # < 2*period
+    df = spark.createDataFrame(rows, "entity string, ord int, value double")
+    out = holt_winters(df, period=4, horizon=4).collect()
+    assert [r["entity"] for r in out] == ["e"]
+    r = out[0]
+
+    m, a = 4, 0.5
+    l = sum(vals[:m]) / float(m)
+    bt = (sum(vals[m:2 * m]) / float(m) - l) / float(m)
+    s = [v - l for v in vals[:m]]
+    for y in vals[m:]:
+        s_old = s[0]
+        ln = a * (y - s_old) + (1 - a) * (l + bt)
+        bn = a * (ln - l) + (1 - a) * bt
+        s = s[1:] + [a * (y - ln) + (1 - a) * s_old]
+        l, bt = ln, bn
+    assert r["n_obs"] == 12
+    assert r["level"] == _pytest.approx(l, abs=1e-6)
+    assert r["trend"] == _pytest.approx(bt, abs=1e-6)
+    for k in range(1, 5):
+        assert r[f"fc_{k}"] == _pytest.approx(
+            l + k * bt + s[k - 1], abs=1e-6
+        )
+
+    with _pytest.raises(ValueError):
+        holt_winters(df, period=4, horizon=5)
