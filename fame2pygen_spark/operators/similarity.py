@@ -1040,3 +1040,74 @@ def mutual_knn_pairs(
         .where((F.col("rank_ab") <= k) & (F.col("rank_ba") <= k))
         .select("id_a", "id_b", "score", "rank_ab", "rank_ba")
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Embedding-space fingerprint per group: each group's mean vector
+    compared to the corpus mean by cosine and L2 distance — the drift
+    audit run per source/shard/snapshot to catch an encoder version
+    skew or a topical collapse before the vectors feed dedup and ANN
+    (a source whose centroid swings away from the corpus mean gets
+    systematically under-linked in cosine-threshold dedup).
+
+    Shape: one ``posexplode`` + (group, dim) hash aggregation over
+    decimal sums — order-insensitive, so the centroids are engine-
+    exact — then all remaining math runs on |groups|×dim rows.  The
+    global centroid is the weighted combine of the group sums (no
+    second pass over the vectors); per-group cosine/L2 are decimal-
+    summed dim folds.
+
+    Output per group: ``(group, n, cos_global, l2_dist)`` (6 dp).
+    """
+    dec = "decimal(38,12)"
+    ex = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("d", "__x"),
+    ).select("grp", "d", F.col("__x").cast("double").alias("__x"))
+    sums = ex.groupBy("grp", "d").agg(
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    glob = sums.groupBy("d").agg(
+        F.sum("__sx").alias("__gx"), F.sum("__n").alias("__gn")
+    )
+    m = sums.join(F.broadcast(glob), "d").select(
+        "grp",
+        "d",
+        "__n",
+        (F.col("__sx").cast("double") / F.col("__n").cast("double")).alias(
+            "__mgrp"
+        ),
+        (F.col("__gx").cast("double") / F.col("__gn").cast("double")).alias(
+            "__mglob"
+        ),
+    )
+    agg = m.groupBy("grp").agg(
+        F.max("__n").alias("n"),
+        F.sum((F.col("__mgrp") * F.col("__mglob")).cast(dec)).alias("__dot"),
+        F.sum((F.col("__mgrp") * F.col("__mgrp")).cast(dec)).alias("__aa"),
+        F.sum((F.col("__mglob") * F.col("__mglob")).cast(dec)).alias("__bb"),
+        F.sum(
+            (
+                (F.col("__mgrp") - F.col("__mglob"))
+                * (F.col("__mgrp") - F.col("__mglob"))
+            ).cast(dec)
+        ).alias("__d2"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(
+            F.try_divide(
+                F.col("__dot").cast("double"),
+                F.sqrt(F.col("__aa").cast("double"))
+                * F.sqrt(F.col("__bb").cast("double")),
+            ),
+            6,
+        ).alias("cos_global"),
+        F.round(F.sqrt(F.col("__d2").cast("double")), 6).alias("l2_dist"),
+    )

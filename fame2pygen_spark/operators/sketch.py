@@ -36,6 +36,7 @@ __all__ = [
     "mutual_information", "benford_profile",
     "weighted_quantiles", "ks_statistic", "trimmed_mean",
     "concentration_index", "chi_square_independence",
+    "quantile_normalize",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -1679,4 +1680,74 @@ def chi_square_independence(
         dof.cast("long").alias("dof"),
         F.when(dof > 0, F.round(chi2, 6)).alias("chi2"),
         F.when(dof > 0, F.round(v, 6)).alias("cramers_v"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Cross-group quantile normalization (the microarray/batch-effect
+    classic, Bolstad et al. 2003, at bin resolution): each value is
+    replaced by the GLOBAL distribution's representative at its
+    within-group quantile, so every group ends up with the same
+    marginal distribution — the corpus-curation use is making
+    per-source quality scores comparable before applying one global
+    threshold (a fixed cutoff otherwise over-prunes sources whose
+    scorer runs hot).
+
+    Shape: one hash aggregation to per-(group, value) counts — the
+    only pass over the data — then mid-rank quantiles
+    ``q = (below + cnt/2)/n`` via a cumulative window over each
+    group's DISTINCT values (the x146 AUC discipline: quantize
+    continuous scores first so the support stays bounded).  The global
+    quantile function is evaluated once as ``n_bins`` exact
+    percentiles (one ``percentile(value, array(...))`` pass —
+    identical interpolation to DuckDB's ``quantile_cont``) and
+    broadcast back by bin index.  No full-table sort anywhere.
+
+    Output: one row per distinct ``(group, value)``: ``(group, value,
+    n, q, bin, norm_value)`` (q and norm_value 6 dp).
+    """
+    b = int(n_bins)
+    if b < 2:
+        raise ValueError("n_bins must be >= 2")
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wcum = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    wg = Window.partitionBy(group_col)
+    q = (
+        (F.sum("n").over(wcum) - F.col("n")).cast("double")
+        + F.col("n").cast("double") / 2.0
+    ) / F.sum("n").over(wg).cast("double")
+    binned = per.withColumn("__q", q).withColumn(
+        "bin",
+        F.least(F.floor(F.col("__q") * b), F.lit(b - 1)).cast("long"),
+    )
+    fracs = ", ".join(f"{(k + 0.5) / b!r}D" for k in range(b))
+    reps = (
+        df.where(F.col(value_col).isNotNull())
+        .agg(
+            F.expr(
+                f"percentile({value_col}, array({fracs}))"
+            ).alias("__reps")
+        )
+        .select(
+            F.posexplode("__reps").alias("bin", "__rep")
+        )
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+    return binned.join(F.broadcast(reps), "bin").select(
+        group_col,
+        value_col,
+        "n",
+        F.round(F.col("__q"), 6).alias("q"),
+        "bin",
+        F.round(F.col("__rep"), 6).alias("norm_value"),
     )

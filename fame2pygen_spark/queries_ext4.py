@@ -1699,3 +1699,194 @@ FROM st WHERE i = n
 
 EXT4_QUERIES.update({"x150_holt_winters": q_x150_holt_winters})
 EXT4_ORACLES.update({"x150_holt_winters": SQL_X150})
+
+
+# ------------------ x151: LPA communities after three supersteps
+
+
+def q_x151_lpa_communities(spark, sf_dir):
+    """Community detection (operators/graph.py:label_propagation):
+    three synchronous LPA supersteps over the customer–supplier trade
+    graph (x137's edge set), then the 20 largest communities by
+    member count.  Fixed round count in BOTH engines — synchronous
+    LPA can oscillate on bipartite structure, so 'run to convergence'
+    is not a cross-engine contract; integer weights keep each round
+    engine-exact."""
+    from .operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    labels = label_propagation(edges, n_iter=3)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(20)
+        .select(F.col("label").cast("long").alias("label"), "size")
+    )
+
+
+SQL_X151 = """
+WITH RECURSIVE base AS (
+  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src AS u, dst AS v, w FROM base
+  UNION ALL
+  SELECT dst AS u, src AS v, w FROM base
+),
+st AS (
+  SELECT 0 AS i, node, node AS label
+  FROM (SELECT DISTINCT u AS node FROM sym)
+  UNION ALL
+  SELECT i + 1, u AS node,
+         (min({'nw': -sw, 'lab': label})).lab AS label
+  FROM (
+    SELECT st.i, sym.u, st.label, sum(sym.w) AS sw
+    FROM sym JOIN st ON st.node = sym.v
+    GROUP BY st.i, sym.u, st.label
+  ) GROUP BY i, u HAVING i < 3
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS size
+FROM st WHERE i = 3
+GROUP BY label
+ORDER BY size DESC, label ASC
+LIMIT 20
+"""
+
+
+EXT4_QUERIES.update({"x151_lpa_communities": q_x151_lpa_communities})
+EXT4_ORACLES.update({"x151_lpa_communities": SQL_X151})
+
+
+# -------------- x152: cross-source quantile normalization
+
+
+def q_x152_quantile_normalize(spark, sf_dir):
+    """Batch-effect correction (operators/sketch.py:
+    quantile_normalize): per-source document lengths mapped onto the
+    global length distribution at 20-bin resolution, so one global
+    threshold treats every source fairly.  One pass to (source,
+    value) counts; mid-rank quantiles over distinct values only; the
+    global quantile function is a single broadcast percentile array."""
+    from .operators.sketch import quantile_normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "value", F.length("text").cast("long")
+    )
+    out = quantile_normalize(docs, "value", "source", n_bins=20)
+    return out.select(
+        "source", "value", "n", "q", "bin", "norm_value"
+    )
+
+
+def _sql_x152() -> str:
+    fracs = ", ".join(repr((k + 0.5) / 20) for k in range(20))
+    return f"""
+WITH per AS (
+  SELECT source, len(text) AS value, count(*) AS n
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source, len(text)
+),
+q AS (
+  SELECT source, value, n,
+         ((sum(n) OVER (PARTITION BY source ORDER BY value ASC)
+           - n)::DOUBLE + n::DOUBLE / 2.0)
+         / (sum(n) OVER (PARTITION BY source))::DOUBLE AS qv
+  FROM per
+),
+binned AS (
+  SELECT source, value, n, qv,
+         least(CAST(floor(qv * 20) AS BIGINT), 19) AS bin
+  FROM q
+),
+reps AS (
+  SELECT CAST(u.i - 1 AS BIGINT) AS bin, t.l[u.i] AS rep
+  FROM (SELECT quantile_cont(len(text), [{fracs}]) AS l
+        FROM documents WHERE text IS NOT NULL) t,
+       unnest(range(1, len(t.l) + 1)) AS u(i)
+)
+SELECT b.source, CAST(b.value AS BIGINT) AS value,
+       CAST(b.n AS BIGINT) AS n, round(b.qv, 6) AS q, b.bin,
+       round(r.rep, 6) AS norm_value
+FROM binned b JOIN reps r ON r.bin = b.bin
+"""
+
+
+EXT4_QUERIES.update({"x152_quantile_normalize": q_x152_quantile_normalize})
+EXT4_ORACLES.update({"x152_quantile_normalize": _sql_x152()})
+
+
+# ------------------- x153: per-group embedding centroid drift
+
+
+def q_x153_centroid_drift(spark, sf_dir):
+    """Embedding-space source fingerprint (operators/similarity.py:
+    centroid_drift): each label group's mean vector vs the corpus
+    mean, by cosine and L2 — the encoder-skew audit run before
+    vectors feed cosine-threshold dedup.  One posexplode + decimal
+    (group, dim) aggregation; everything after runs on
+    |groups|×64 rows."""
+    from .operators.similarity import centroid_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = centroid_drift(emb, "embedding", "label")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        "cos_global",
+        "l2_dist",
+    )
+
+
+SQL_X153 = """
+WITH ex AS (
+  SELECT label AS grp, u.d AS d, CAST(embedding[u.d] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+  WHERE embedding IS NOT NULL
+),
+sums AS (
+  SELECT grp, d, sum(CAST(x AS DECIMAL(38,12))) AS sx, count(*) AS n
+  FROM ex GROUP BY grp, d
+),
+gtot AS (SELECT d, sum(sx) AS gx, sum(n) AS gn FROM sums GROUP BY d),
+m AS (
+  SELECT s.grp, s.n,
+         s.sx::DOUBLE / s.n::DOUBLE AS mg,
+         g.gx::DOUBLE / g.gn::DOUBLE AS mbig
+  FROM sums s JOIN gtot g ON g.d = s.d
+),
+agg AS (
+  SELECT grp, max(n) AS n,
+         sum((mg * mbig)::DECIMAL(38,12)) AS dot,
+         sum((mg * mg)::DECIMAL(38,12)) AS aa,
+         sum((mbig * mbig)::DECIMAL(38,12)) AS bb,
+         sum(((mg - mbig) * (mg - mbig))::DECIMAL(38,12)) AS d2
+  FROM m GROUP BY grp
+)
+SELECT CAST(grp AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+       round(dot::DOUBLE / (sqrt(aa::DOUBLE) * sqrt(bb::DOUBLE)), 6)
+         AS cos_global,
+       round(sqrt(d2::DOUBLE), 6) AS l2_dist
+FROM agg
+"""
+
+
+EXT4_QUERIES.update({"x153_centroid_drift": q_x153_centroid_drift})
+EXT4_ORACLES.update({"x153_centroid_drift": SQL_X153})

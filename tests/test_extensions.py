@@ -3271,3 +3271,66 @@ def test_holt_winters_matches_sequential_reference(spark):
 
     with _pytest.raises(ValueError):
         holt_winters(df, period=4, horizon=5)
+
+
+def test_label_propagation_converges_on_disjoint_cliques(spark):
+    """x151: two disjoint triangles collapse to their minimum node
+    label within three rounds; early_stop reaches the same fixpoint
+    and n_iter < 1 is rejected."""
+    import pytest as _pytest
+    from fame2pygen_spark.operators.graph import label_propagation
+
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(
+        [(u, v, 1) for u, v in tri], "src long, dst long, w long"
+    )
+    out = {r["node"]: r["label"]
+           for r in label_propagation(df, n_iter=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    es = {r["node"]: r["label"]
+          for r in label_propagation(df, n_iter=10, early_stop=True)
+          .collect()}
+    assert es == out
+    with _pytest.raises(ValueError):
+        label_propagation(df, n_iter=0)
+
+
+def test_quantile_normalize_equalizes_groups(spark):
+    """x152: two disjoint-range groups map onto the SAME global
+    representatives after normalization — the whole point of the
+    transform; mid-rank quantiles match hand values."""
+    import pytest as _pytest
+    from fame2pygen_spark.operators.sketch import quantile_normalize
+
+    rows = [("A", v) for v in (1, 2, 3, 4)] + [
+        ("B", v) for v in (11, 12, 13, 14)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = quantile_normalize(df, "v", "g", n_bins=4).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["v"], r["q"], r["norm_value"]))
+    a = sorted(by_g["A"])
+    b = sorted(by_g["B"])
+    assert [q for _, q, _ in a] == [0.125, 0.375, 0.625, 0.875]
+    assert [q for _, q, _ in b] == [0.125, 0.375, 0.625, 0.875]
+    # identical post-normalization distributions, from the global
+    # percentiles of [1..4, 11..14] at 0.125/0.375/0.625/0.875
+    assert [n for _, _, n in a] == [1.875, 3.625, 11.375, 13.125]
+    assert [n for _, _, n in a] == [n for _, _, n in b]
+    with _pytest.raises(ValueError):
+        quantile_normalize(df, "v", "g", n_bins=1)
+
+
+def test_centroid_drift_symmetric_groups(spark):
+    """x153: two orthogonal single-direction groups sit symmetrically
+    around the global centroid: equal cosine ~0.7071 and equal L2."""
+    from fame2pygen_spark.operators.similarity import centroid_drift
+
+    rows = [(1, [1.0, 0.0])] * 2 + [(2, [0.0, 1.0])] * 2
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r["label"]: r for r in
+           centroid_drift(df, "embedding", "label").collect()}
+    assert out[1]["n"] == 2 and out[2]["n"] == 2
+    assert out[1]["cos_global"] == out[2]["cos_global"] == 0.707107
+    assert out[1]["l2_dist"] == out[2]["l2_dist"] == 0.707107
