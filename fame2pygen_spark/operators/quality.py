@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["dq_report", "standard_rules", "cohens_kappa", "auc_rank"]
+__all__ = ["dq_report", "standard_rules", "cohens_kappa", "auc_rank", "kappa_from_confusion"]
 
 
 def dq_report(
@@ -428,4 +428,58 @@ def auc_rank(
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
         ).alias("auc"),
+    )
+
+
+def kappa_from_confusion(
+    cells: DataFrame,
+    label_a_col: str = "label_a",
+    label_b_col: str = "label_b",
+    n_col: str = "n",
+) -> DataFrame:
+    """Finalize Cohen's kappa from an aggregated confusion table —
+    ``(label_a, label_b, n)`` cells — instead of raw paired rows:
+    the streaming-twin finalizer (``streaming.core.
+    streaming_label_agreement`` emits exactly this shape) and the
+    path for auditing a published confusion matrix.  Identical
+    moments to :func:`cohens_kappa`: p_o = agree/n and the integer
+    cross-moment Σ_k nA_k·nB_k for p_e, with one double division
+    each — bitwise equal to the raw-row operator on the same data.
+
+    Output: one row ``(n_items, po, pe, kappa)`` (6 dp); kappa null
+    when p_e = 1 (both raters constant and identical).
+    """
+    a, b = F.col(label_a_col), F.col(label_b_col)
+    n = F.col(n_col).cast("long")
+    base = cells.select(a.alias("__a"), b.alias("__b"), n.alias("__n"))
+    ma = base.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("__n").alias("__na")
+    )
+    mb = base.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("__n").alias("__nb")
+    )
+    cross = (
+        ma.join(mb, "__k", "inner")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__cross"))
+    )
+    tot = base.agg(
+        F.sum("__n").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")))
+        .cast("long")
+        .alias("__agree"),
+    ).select(
+        "n_items", F.coalesce(F.col("__agree"), F.lit(0)).alias("__agree")
+    )
+    out = tot.crossJoin(F.broadcast(cross))
+    po = F.col("__agree").cast("double") / F.col("n_items").cast("double")
+    # coalesce, same as cohens_kappa: raters with fully disjoint label
+    # sets must surface with pe = 0 (kappa = po), not a null
+    pe = F.coalesce(F.col("__cross"), F.lit(0)).cast("double") / (
+        F.col("n_items").cast("double") * F.col("n_items").cast("double")
+    )
+    return out.select(
+        "n_items",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )

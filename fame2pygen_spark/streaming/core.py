@@ -233,3 +233,57 @@ def sliding_event_counts_batch(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+def streaming_pair_wins(
+    stream: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Streaming half of the Bradley–Terry pipeline (the x132 batch
+    twin): reduce a stream of raw preference comparisons to the
+    |items|²-bounded unordered-pair win table — ``(item_a, item_b,
+    wins_a, wins_b)`` with ``item_a < item_b`` — in complete output
+    mode.  The raw-comparison volume is where the data lives; the
+    aggregate this emits is tiny, so the MM fit
+    (``behavior.bradley_terry``) runs as a cheap per-trigger batch
+    step on the sink table.  Counts are integers — restarting the
+    stream or changing the micro-batch split cannot change the table.
+    """
+    w, l_ = F.col(winner_col), F.col(loser_col)
+    a = F.least(w, l_)
+    b = F.greatest(w, l_)
+    return (
+        stream.where(w != l_)
+        .select(a.alias("item_a"), b.alias("item_b"), w.alias("__w"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.when(F.col("__w") == F.col("item_a"), 1))
+            .cast("long")
+            .alias("wins_a"),
+            F.count(F.when(F.col("__w") == F.col("item_b"), 1))
+            .cast("long")
+            .alias("wins_b"),
+        )
+    )
+
+
+def streaming_label_agreement(
+    stream: DataFrame,
+    label_a_col: str = "label_a",
+    label_b_col: str = "label_b",
+) -> DataFrame:
+    """Streaming half of the Cohen's-kappa pipeline (the x131 batch
+    twin): reduce a stream of doubly-labeled items to the confusion
+    cells ``(label_a, label_b, n)`` in complete output mode — the
+    k×k-bounded sufficient statistic from which
+    ``quality.kappa_from_confusion`` finalizes kappa per trigger.
+    Null-labeled rows are excluded (not co-labeled), matching the
+    batch operator's contract.
+    """
+    a, b = F.col(label_a_col), F.col(label_b_col)
+    return (
+        stream.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("label_a"), b.alias("label_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -3334,3 +3334,80 @@ def test_centroid_drift_symmetric_groups(spark):
     assert out[1]["n"] == 2 and out[2]["n"] == 2
     assert out[1]["cos_global"] == out[2]["cos_global"] == 0.707107
     assert out[1]["l2_dist"] == out[2]["l2_dist"] == 0.707107
+
+
+def test_streaming_bradley_terry_twin(spark, tmp_path):
+    """Streaming BT pipeline: raw comparisons stream into the
+    complete-mode pair-win table, the MM fit runs on the sink table,
+    and the result equals the batch path on the same comparisons."""
+    from pyspark.sql import functions as F
+    from fame2pygen_spark.operators.behavior import bradley_terry
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, streaming_pair_wins,
+    )
+
+    raw = [("a", "b")] * 3 + [("b", "a")] + [("a", "c")] * 2 + [
+        ("c", "b"), ("b", "c"), ("b", "c")
+    ]
+    batch = spark.createDataFrame(raw, "winner string, loser string")
+    path = str(tmp_path / "comparisons")
+    batch.write.parquet(path)
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(path)
+    )
+    agg = streaming_pair_wins(stream)
+    run_stream_to_memory(agg, "pair_wins", output_mode="complete")
+    sink = spark.sql("select * from pair_wins")
+    assert {
+        (r["item_a"], r["item_b"]): (r["wins_a"], r["wins_b"])
+        for r in sink.collect()
+    } == {("a", "b"): (3, 1), ("a", "c"): (2, 0), ("b", "c"): (2, 1)}
+
+    streamed_fit = bradley_terry(sink, "item_a", "item_b", "wins_a", "wins_b")
+    a, b = F.least("winner", "loser"), F.greatest("winner", "loser")
+    batch_pairs = batch.groupBy(a.alias("item_a"), b.alias("item_b")).agg(
+        F.count(F.when(F.col("winner") == F.least("winner", "loser"), 1))
+        .cast("long").alias("wins_a"),
+        F.count(F.when(F.col("winner") == F.greatest("winner", "loser"), 1))
+        .cast("long").alias("wins_b"),
+    )
+    batch_fit = bradley_terry(
+        batch_pairs, "item_a", "item_b", "wins_a", "wins_b"
+    )
+    got = {r["item"]: (r["s1"], r["s2"]) for r in streamed_fit.collect()}
+    want = {r["item"]: (r["s1"], r["s2"]) for r in batch_fit.collect()}
+    assert got == want and got["a"][1] > got["c"][1]
+
+
+def test_streaming_kappa_twin(spark, tmp_path):
+    """Streaming kappa pipeline: doubly-labeled items stream into the
+    confusion-cell table; kappa_from_confusion on the sink equals
+    cohens_kappa on the raw rows."""
+    from fame2pygen_spark.operators.quality import (
+        cohens_kappa, kappa_from_confusion,
+    )
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, streaming_label_agreement,
+    )
+
+    raw = (
+        [("good", "good")] * 6 + [("bad", "bad")] * 2
+        + [("good", "bad")] + [("bad", "good")] + [(None, "good")]
+    )
+    batch = spark.createDataFrame(raw, "label_a string, label_b string")
+    path = str(tmp_path / "labels")
+    batch.write.parquet(path)
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(path)
+    )
+    cells = streaming_label_agreement(stream)
+    run_stream_to_memory(cells, "agreement_cells", output_mode="complete")
+    sink = spark.sql("select * from agreement_cells")
+    assert sink.count() == 4  # null-labeled row excluded
+
+    got = kappa_from_confusion(sink).collect()[0]
+    want = cohens_kappa(batch, "label_a", "label_b").collect()[0]
+    assert got["n_items"] == want["n_items"] == 10
+    assert (got["po"], got["pe"], got["kappa"]) == (
+        want["po"], want["pe"], want["kappa"]
+    )
