@@ -198,6 +198,59 @@ def run_scale_tier(spark) -> dict:
 
     timed("x128_semdedup_emb10x", _semdedup_10x)
 
+    # ANN tier on the same REPLICAS× embedding corpus: 256 query
+    # vectors against 10× corpus.  LSH multiprobe buckets and IVF
+    # probed cells must keep candidate volume at ~nprobe/n_cells of
+    # the corpus — if either degrades toward brute force, wall time
+    # here blows up REPLICAS× instead of staying near-flat
+    from fame2pygen_spark.operators.similarity import (
+        hyperplane_lsh_topk, ivf_topk,
+    )
+
+    def _ann_corpus():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n_emb = emb.count()
+        rep = (
+            emb.crossJoin(
+                spark.range(REPLICAS).select(F.col("id").alias("rep"))
+            )
+            .select(
+                (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+                "embedding",
+            )
+            # the base parquet is one row group; without a parallelism
+            # floor the whole scoring pipeline runs on one core (the
+            # x03 lesson, commit 22266fd) — a real 10× corpus would be
+            # many files, which build_corpus emulates the same way
+            .repartition(int(CPUS))
+        )
+        qs = emb.where(F.col("vec_id") < 256).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.where(F.col("vec_id") < 16)
+            .select("vec_id", "embedding").orderBy("vec_id").collect()
+        ]
+        return rep, qs, cents
+
+    def _lsh_topk_10x():
+        rep, qs, _ = _ann_corpus()
+        return hyperplane_lsh_topk(
+            rep, qs, dim=64, k=10, nbits=8, multiprobe=True
+        ).count()
+
+    def _ivf_topk_10x():
+        rep, qs, cents = _ann_corpus()
+        return ivf_topk(
+            rep, qs, dim=64, k=10, n_clusters=16, nprobe=4,
+            centroids=cents,
+        ).count()
+
+    timed("x05b_lsh_topk_emb10x", _lsh_topk_10x)
+    timed("x05c_ivf_topk_emb10x", _ivf_topk_10x)
+
     n_events = _events_tier(spark, timed)
 
     return {
