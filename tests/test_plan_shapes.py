@@ -342,3 +342,40 @@ def test_mcv_top5_never_sorts_a_whole_column_in_one_task(spark):
 def test_pagerank_top20_plans_a_heap(spark):
     plan = plan_of(spark, "x91_pagerank_step")
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x145_chi2_independence",  # margins from cells, not fact table
+        "x146_auc",                # distinct-score cumulative window
+        "x148_triangles",          # degree-oriented wedge joins
+        "x149_hits",               # two edge-keyed aggregations
+        "x151_lpa_communities",    # three checkpointed supersteps
+        "x152_quantile_normalize", # broadcast percentile reps
+        "x153_centroid_drift",     # broadcast global centroid
+    ],
+)
+def test_r4_cont_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_zipf_top500_is_a_heap(spark):
+    """x147: the top-n term cut must stay TakeOrderedAndProject — a
+    full term-frequency sort would be vocabulary-sized at 100 TB.
+    (The rank window after the cut is global by design: it runs over
+    <= top_n rows, bounded by the parameter.)"""
+    plan = plan_of(spark, "x147_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["x146_auc", "x152_quantile_normalize"]
+)
+def test_r4_cont_windows_are_partitioned(spark, name):
+    """The cumulative score/value windows must stay keyed by group —
+    an unkeyed variant would single-partition-sort the whole distinct
+    support."""
+    assert unpartitioned_windows(spark, name) == [], name
