@@ -228,12 +228,20 @@ def triangle_count(
         .where(F.col("__w") >= F.lit(int(min_weight)))
         .select("u", "v")
     )
+    # canon feeds the degree count AND the orientation join; deg feeds
+    # the orientation AND the final output join; oriented feeds BOTH
+    # wedge sides AND the closure probe.  Spark does not reuse an
+    # exchange across consumers with different downstream pruning, so
+    # without materialization the whole canon pipeline replays once
+    # per consumer (~4x the edge shuffles) — the semdedup/
+    # curate_documents localCheckpoint discipline applies
+    canon = canon.localCheckpoint(eager=True)
     deg = (
         canon.select(F.col("u").alias("node"))
         .unionAll(canon.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
+    ).localCheckpoint(eager=True)
     du = deg.select(
         F.col("node").alias("u"), F.col("degree").alias("__du")
     )
@@ -268,7 +276,7 @@ def triangle_count(
             .alias("e")
         )
         .select("e.a", "e.b", "e.da", "e.db")
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(
         F.col("a").alias("p"),
         F.col("b").alias("x"),
@@ -344,10 +352,10 @@ def hits_step(
     )
     base = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w.alias("w")
-    )
+    ).localCheckpoint(eager=True)
     auth_raw = base.groupBy(F.col("v").alias("node")).agg(
         F.sum("w").alias("__a")
-    )
+    ).localCheckpoint(eager=True)
     hub_raw = (
         base.join(
             auth_raw.select(
@@ -357,7 +365,10 @@ def hits_step(
         )
         .groupBy(F.col("u").alias("node"))
         .agg(F.sum(F.col("w") * F.col("__av")).alias("__h"))
-    )
+    ).localCheckpoint(eager=True)
+    # base/auth_raw/hub_raw each feed two consumers (aggregate +
+    # join); uncheckpointed, the edge build replays per consumer
+    # (24 fact scans measured at sf0.01)
     totals = auth_raw.agg(F.sum("__a").alias("__ta")).crossJoin(
         hub_raw.agg(F.sum("__h").alias("__th"))
     )

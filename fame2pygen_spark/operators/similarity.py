@@ -1072,6 +1072,9 @@ def centroid_drift(
         F.sum(F.col("__x").cast(dec)).alias("__sx"),
         F.count(F.lit(1)).cast("long").alias("__n"),
     )
+    # sums feeds the global combine AND the per-group join — one
+    # explode pass only if materialized (it is |groups|x dim rows)
+    sums = sums.localCheckpoint(eager=True)
     glob = sums.groupBy("d").agg(
         F.sum("__sx").alias("__gx"), F.sum("__n").alias("__gn")
     )

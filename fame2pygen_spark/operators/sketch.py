@@ -1631,6 +1631,10 @@ def chi_square_independence(
         .groupBy(*group_cols, row_col, col_col)
         .agg(F.count(F.lit(1)).cast("long").alias("__o"))
     )
+    # cells feeds both margins AND the completed-grid join-back; the
+    # "one pass over the data" claim holds only if the fact-table
+    # aggregation is materialized once (6 fact scans without this)
+    cells = cells.localCheckpoint(eager=True)
     rmarg = cells.groupBy(*group_cols, row_col).agg(
         F.sum("__o").alias("__rt")
     )
