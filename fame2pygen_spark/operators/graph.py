@@ -448,3 +448,141 @@ def label_propagation(
                 return stepped
         labels = stepped
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    n_iter: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    early_stop: bool = False,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983): drop
+    every node whose degree within the REMAINING graph is below *k*,
+    repeat — the fixpoint is the maximal subgraph where everyone keeps
+    ≥ k ties.  The density gate behind engagement-ring / link-farm
+    detection: a clique of colluding accounts survives peeling that
+    strips organically-sparse neighborhoods.
+
+    Fixed *n_iter* peels by default (peeling is idempotent at the
+    fixpoint, so extra rounds are no-ops — the cross-engine contract
+    that lets a fixed-round oracle replay it); *early_stop* probes for
+    convergence per round at one extra count job.  Each round is two
+    semi-joins (endpoint membership) + one degree aggregation, with
+    the membership frame checkpointed (the iterative-operator lineage
+    discipline).
+
+    Output: ``(node, core_degree)`` for surviving nodes — degree
+    counted within the final core.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = canon.unionAll(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    remaining = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(n_iter)):
+        deg = (
+            sym.join(
+                remaining.select(F.col("node").alias("u")), "u", "semi"
+            )
+            .join(
+                remaining.select(F.col("node").alias("v")), "v", "semi"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+        new_remaining = (
+            deg.where(F.col("core_degree") >= k)
+            .localCheckpoint(eager=True)
+        )
+        if early_stop and new_remaining.count() == remaining.count():
+            remaining = new_remaining
+            break
+        remaining = new_remaining
+    return remaining.select("node", "core_degree")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the directed-both-ways edge
+    list — positive means hubs link to hubs (social-graph signature),
+    negative means hubs link to leaves (web/biology signature).  A
+    one-number structural fingerprint: a spam farm wired hub-to-leaf
+    shows up as sharply disassortative against an assortative
+    organic baseline.
+
+    Shape: canonical distinct edges, one degree aggregation, two
+    broadcast-joined degree lookups, and decimal moment sums over the
+    symmetric edge list (the ``corr_pairs`` idiom) — engine-exact,
+    one pass per step, nothing quadratic.
+
+    Output, one row: ``(n_nodes, n_edges, assortativity)`` (6 dp;
+    null for degree-regular graphs where the variance is 0).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ).localCheckpoint(eager=True)
+    sym = canon.unionAll(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dy"))
+    ed = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    dec = "decimal(38,6)"
+    x = F.col("__dx").cast("double")
+    y = F.col("__dy").cast("double")
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__dx").cast(dec)).alias("__sx"),
+        F.sum(F.col("__dy").cast(dec)).alias("__sy"),
+        F.sum((x * y).cast(dec)).alias("__sxy"),
+        F.sum((x * x).cast(dec)).alias("__sxx"),
+        F.sum((y * y).cast(dec)).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    r = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+    )
+    n_nodes = deg.count()
+    n_edges = canon.count()
+    return m.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )

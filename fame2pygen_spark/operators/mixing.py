@@ -542,3 +542,63 @@ def importance_resample(
             .alias("kept"),
         )
     )
+
+
+def split_audit(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: "Sequence[str]",
+    *,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Per-stratum balance audit of the deterministic
+    :func:`split_corpus` assignment: for every (stratum, split) the
+    achieved count and rate vs the target fraction — the release gate
+    that catches a skewed split BEFORE training (hash splits are
+    uniform corpus-wide, but a small language or source can land
+    lopsided; this is where that surfaces, alongside the leakage
+    check in x125 which re-derives membership from ids alone).
+
+    Shape: the assignment is the same row-local hash-band CASE as
+    ``split_corpus`` (map-side, no shuffle); the audit is one hash
+    aggregation keyed by (strata, split) plus a window over that
+    bounded aggregate.  Re-runs, retries, and the DuckDB oracle all
+    assign identical splits — no RNG state anywhere.
+
+    Output: ``(*strata_cols, split, n, stratum_total, rate,
+    target_rate, rate_gap)`` (6 dp), one row per observed pair.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    strata = list(strata_cols)
+    assigned = split_corpus(
+        df, id_col, fractions=fractions, salt=salt
+    )
+    counts = (
+        assigned.groupBy(*strata, "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wg = Window.partitionBy(*strata)
+    target_expr = None
+    for name, f in fractions.items():
+        c = F.col("split") == name
+        target_expr = (
+            F.when(c, F.lit(float(f)))
+            if target_expr is None
+            else target_expr.when(c, F.lit(float(f)))
+        )
+    out = counts.withColumn(
+        "stratum_total", F.sum("n").over(wg).cast("long")
+    ).withColumn(
+        "rate",
+        F.round(
+            F.col("n").cast("double")
+            / F.col("stratum_total").cast("double"),
+            6,
+        ),
+    ).withColumn("target_rate", target_expr)
+    return out.withColumn(
+        "rate_gap", F.round(F.col("rate") - F.col("target_rate"), 6)
+    )

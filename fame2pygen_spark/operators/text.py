@@ -1508,3 +1508,99 @@ def zipf_fit(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def source_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Pairwise unigram cross-entropy matrix between groups:
+    ``CE(s→t) = −Σ_w p_s(w)·ln q_t(w)`` with add-α smoothed
+    ``q_t(w) = (c_t(w)+α)/(N_t+α·V)`` over the union vocabulary — the
+    domain-similarity table behind model-based data selection (score
+    every candidate source by how well the target domain's LM
+    predicts it; DSIR/DoGE-style mixtures start from exactly this
+    matrix).  The diagonal is each source's smoothed self-entropy.
+
+    Absent-term mass is folded ANALYTICALLY: splitting the sum at the
+    vocabulary intersection gives ``CE = ln D_t − Σ_{w∈s∩t}
+    p_s(w)·ln(c_t(w)+α) − (1−P_st)·ln α`` with ``P_st`` the source-s
+    probability mass landing inside t's vocabulary — so the join is
+    INNER on shared terms only; no |S|×V dense grid is ever built.
+
+    Shape: one tokenize pass to (group, term) counts, an inner
+    self-join on term (each term row fans out only to the groups that
+    contain it), one decimal-summed (s, t) aggregation, and broadcast
+    joins of the |S|-sized totals.  Engine-exact: per-term products
+    are decimal-cast before summing; P_st is an integer count ratio.
+
+    Output: ``(p_source, q_source, n_shared_terms, p_mass_covered,
+    cross_entropy, perplexity)`` (6 dp), |S|² rows.
+    """
+    a = float(alpha)
+    dec = "decimal(38,12)"
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).localCheckpoint(eager=True)
+    totals = counts.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n_tok")
+    )
+    vocab = counts.select("term").distinct().count()
+    cs = counts.select(
+        F.col("grp").alias("p_source"),
+        "term",
+        F.col("cnt").alias("__cs"),
+    )
+    ct = counts.select(
+        F.col("grp").alias("q_source"),
+        "term",
+        F.col("cnt").alias("__ct"),
+    )
+    pair = (
+        cs.join(ct, "term")
+        .groupBy("p_source", "q_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum("__cs").cast("long").alias("__cov"),
+            F.sum(
+                (
+                    F.col("__cs").cast("double")
+                    * F.log(F.col("__ct").cast("double") + F.lit(a))
+                ).cast(dec)
+            ).alias("__slq"),
+        )
+    )
+    np_ = totals.select(
+        F.col("grp").alias("p_source"), F.col("n_tok").alias("__np")
+    )
+    nq = totals.select(
+        F.col("grp").alias("q_source"), F.col("n_tok").alias("__nq")
+    )
+    j = pair.join(F.broadcast(np_), "p_source").join(
+        F.broadcast(nq), "q_source"
+    )
+    p_mass = F.col("__cov").cast("double") / F.col("__np").cast("double")
+    log_dt = F.log(
+        F.col("__nq").cast("double") + F.lit(a) * F.lit(float(vocab))
+    )
+    ce = (
+        log_dt
+        - F.col("__slq").cast("double") / F.col("__np").cast("double")
+        - (F.lit(1.0) - p_mass) * F.lit(math.log(a))
+    )
+    return j.select(
+        "p_source",
+        "q_source",
+        "n_shared_terms",
+        F.round(p_mass, 6).alias("p_mass_covered"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )

@@ -1890,3 +1890,288 @@ FROM agg
 
 EXT4_QUERIES.update({"x153_centroid_drift": q_x153_centroid_drift})
 EXT4_ORACLES.update({"x153_centroid_drift": SQL_X153})
+
+
+# ------------------------ x154: stratified split balance audit
+
+
+def q_x154_split_audit(spark, sf_dir):
+    """Split release gate (operators/mixing.py:split_audit): the
+    deterministic 80/10/10 hash-band split (x-family membership
+    discipline: pure function of doc_id, no RNG state) audited per
+    language — achieved rate vs target per (lang, split), the check
+    that catches a small stratum landing lopsided before training.
+    Assignment is a map-side CASE in the scan stage; the audit is one
+    bounded aggregation."""
+    from .operators.mixing import split_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_audit(
+        docs,
+        "doc_id",
+        ["lang"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+SQL_X154 = """
+WITH h AS (
+  SELECT lang,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+          1, 8))::BIGINT::DOUBLE / 4294967296.0 AS hv
+  FROM documents
+),
+asg AS (
+  SELECT lang,
+         CASE WHEN hv >= 0.0 AND hv < 0.8 THEN 'train'
+              WHEN hv >= 0.8 AND hv < 0.9 THEN 'val'
+              WHEN hv >= 0.9 AND hv < 1.0 THEN 'test' END AS split
+  FROM h
+),
+counts AS (
+  SELECT lang, split, count(*) AS n FROM asg GROUP BY lang, split
+),
+tot AS (
+  SELECT lang, split, n, sum(n) OVER (PARTITION BY lang)
+           AS stratum_total
+  FROM counts
+)
+SELECT lang, split, CAST(n AS BIGINT) AS n,
+       CAST(stratum_total AS BIGINT) AS stratum_total,
+       round(n::DOUBLE / stratum_total::DOUBLE, 6) AS rate,
+       CASE WHEN split = 'train' THEN 0.8
+            WHEN split = 'val' THEN 0.1
+            WHEN split = 'test' THEN 0.1 END AS target_rate,
+       round(round(n::DOUBLE / stratum_total::DOUBLE, 6)
+             - CASE WHEN split = 'train' THEN 0.8
+                    WHEN split = 'val' THEN 0.1
+                    WHEN split = 'test' THEN 0.1 END, 6) AS rate_gap
+FROM tot
+"""
+
+
+EXT4_QUERIES.update({"x154_split_audit": q_x154_split_audit})
+EXT4_ORACLES.update({"x154_split_audit": SQL_X154})
+
+
+# ------------------ x155: cross-source LM cross-entropy matrix
+
+
+def q_x155_source_cross_entropy(spark, sf_dir):
+    """Domain-similarity matrix (operators/text.py:
+    source_cross_entropy): add-0.5-smoothed unigram cross-entropy of
+    every source under every other source's LM — the table
+    model-based data selection starts from.  Absent-vocabulary mass
+    folds in analytically, so the term join is INNER on shared terms
+    only; per-term products are decimal-summed."""
+    from .operators.text import source_cross_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_cross_entropy(docs, "text", "source", alpha=0.5)
+
+
+SQL_X155 = """
+WITH nt AS (
+  SELECT source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS term
+  FROM nt
+),
+counts AS (SELECT grp, term, count(*) AS cnt FROM tok GROUP BY grp, term),
+totals AS (SELECT grp, sum(cnt) AS n_tok FROM counts GROUP BY grp),
+v AS (SELECT count(DISTINCT term) AS vocab FROM counts),
+pair AS (
+  SELECT cs.grp AS p_source, ct.grp AS q_source,
+         count(*) AS n_shared_terms,
+         sum(cs.cnt) AS cov,
+         sum((cs.cnt::DOUBLE * ln(ct.cnt::DOUBLE + 0.5))::DECIMAL(38,12))
+           AS slq
+  FROM counts cs JOIN counts ct ON cs.term = ct.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p_source, q_source, n_shared_terms,
+         cov::DOUBLE / tp.n_tok::DOUBLE AS p_mass,
+         ln(tq.n_tok::DOUBLE + 0.5 * v.vocab::DOUBLE)
+           - slq::DOUBLE / tp.n_tok::DOUBLE
+           - (1.0 - cov::DOUBLE / tp.n_tok::DOUBLE) * ln(0.5) AS ce
+  FROM pair
+  JOIN totals tp ON tp.grp = p_source
+  JOIN totals tq ON tq.grp = q_source
+  CROSS JOIN v
+)
+SELECT p_source, q_source,
+       CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+       round(p_mass, 6) AS p_mass_covered,
+       round(ce, 6) AS cross_entropy,
+       round(exp(ce), 6) AS perplexity
+FROM scored
+"""
+
+
+EXT4_QUERIES.update({"x155_source_cross_entropy": q_x155_source_cross_entropy})
+EXT4_ORACLES.update({"x155_source_cross_entropy": SQL_X155})
+
+
+# -------------------------- x156: k-core of the co-purchase graph
+
+
+def q_x156_kcore(spark, sf_dir):
+    """k-core peeling (operators/graph.py:kcore): the 2-core of the
+    part co-purchase graph (parts sharing >= 2 orders), eight fixed
+    peels — idempotent at the fixpoint, so the fixed-round oracle
+    replays it exactly.  The 100 heaviest surviving nodes by in-core
+    degree."""
+    from .operators.graph import kcore
+
+    ls = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    out = kcore(pairs, k=2, n_iter=8)
+    return (
+        out.orderBy(F.desc("core_degree"), F.asc("node"))
+        .limit(100)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("core_degree").cast("long").alias("core_degree"),
+        )
+    )
+
+
+SQL_X156 = """
+WITH RECURSIVE ls AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+),
+pairs AS (
+  SELECT a.s AS u, b.s AS v FROM ls a JOIN ls b
+  ON a.o = b.o AND a.s < b.s
+),
+canon AS (
+  SELECT u, v FROM (
+    SELECT u, v, count(*) AS w FROM pairs GROUP BY u, v
+  ) WHERE w >= 2
+),
+sym AS (SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon),
+st AS (
+  SELECT 0 AS i, (SELECT list(DISTINCT u) FROM sym) AS members
+  UNION ALL
+  SELECT i + 1,
+         (SELECT list(t.u) FROM (
+            SELECT e.u FROM sym e
+            WHERE list_contains(st.members, e.u)
+              AND list_contains(st.members, e.v)
+            GROUP BY e.u HAVING count(*) >= 2) t)
+  FROM st WHERE i < 7
+),
+fin AS (SELECT members FROM st WHERE i = 7)
+SELECT CAST(e.u AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS core_degree
+FROM sym e, fin
+WHERE list_contains(fin.members, e.u) AND list_contains(fin.members, e.v)
+GROUP BY e.u HAVING count(*) >= 2
+ORDER BY core_degree DESC, node ASC
+LIMIT 100
+"""
+
+
+EXT4_QUERIES.update({"x156_kcore": q_x156_kcore})
+EXT4_ORACLES.update({"x156_kcore": SQL_X156})
+
+
+# --------------------- x157: degree assortativity fingerprint
+
+
+def q_x157_assortativity(spark, sf_dir):
+    """Degree-mixing fingerprint (operators/graph.py:
+    degree_assortativity): Newman's assortativity coefficient of the
+    part co-purchase graph — one Pearson correlation of endpoint
+    degrees over the symmetric edge list, decimal moment sums,
+    broadcast degree lookups."""
+    from .operators.graph import degree_assortativity
+
+    ls = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return degree_assortativity(pairs)
+
+
+SQL_X157 = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+),
+pairs AS (
+  SELECT a.s AS u, b.s AS v FROM ls a JOIN ls b
+  ON a.o = b.o AND a.s < b.s
+),
+canon AS (
+  SELECT u, v FROM (
+    SELECT u, v, count(*) AS w FROM pairs GROUP BY u, v
+  ) WHERE w >= 2
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon
+  ) GROUP BY node
+),
+sym AS (SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon),
+ed AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM sym JOIN deg du ON du.node = sym.u JOIN deg dv ON dv.node = sym.v
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(dx::DECIMAL(38,6)) AS sx, sum(dy::DECIMAL(38,6)) AS sy,
+         sum((dx::DOUBLE * dy::DOUBLE)::DECIMAL(38,6)) AS sxy,
+         sum((dx::DOUBLE * dx::DOUBLE)::DECIMAL(38,6)) AS sxx,
+         sum((dy::DOUBLE * dy::DOUBLE)::DECIMAL(38,6)) AS syy
+  FROM ed
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM canon) AS BIGINT) AS n_edges,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6) AS assortativity
+FROM m
+"""
+
+
+EXT4_QUERIES.update({"x157_assortativity": q_x157_assortativity})
+EXT4_ORACLES.update({"x157_assortativity": SQL_X157})

@@ -3411,3 +3411,90 @@ def test_streaming_kappa_twin(spark, tmp_path):
     assert (got["po"], got["pe"], got["kappa"]) == (
         want["po"], want["pe"], want["kappa"]
     )
+
+
+def test_split_audit_balance_and_determinism(spark):
+    """x154: rates per stratum sum to 1, assignment is identical
+    across calls (no RNG state), and bad fractions are rejected."""
+    import pytest as _pytest
+    from fame2pygen_spark.operators.mixing import split_audit
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out1 = split_audit(df, "doc_id", ["lang"]).collect()
+    out2 = split_audit(df, "doc_id", ["lang"]).collect()
+    key = lambda r: (r["lang"], r["split"])
+    assert sorted(map(key, out1)) == sorted(map(key, out2))
+    assert {r["split"] for r in out1} <= {"train", "val", "test"}
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r["lang"], []).append(r)
+        assert r["n"] <= r["stratum_total"]
+    for lang, rows in by_lang.items():
+        assert abs(sum(r["rate"] for r in rows) - 1.0) < 1e-5, lang
+        train = next(r for r in rows if r["split"] == "train")
+        assert abs(train["rate"] - 0.8) < 0.15  # hash split ~balanced
+    with _pytest.raises(ValueError):
+        split_audit(df, "doc_id", ["lang"], fractions={"a": 0.5, "b": 0.3})
+
+
+def test_source_cross_entropy_self_is_minimal(spark):
+    """x155: each source's own LM predicts it best (diagonal CE is the
+    row minimum), self-coverage is 1, and disjoint-vocabulary pairs
+    cover zero mass."""
+    from fame2pygen_spark.operators.text import source_cross_entropy
+
+    rows = (
+        [("news", "the cat sat on the mat")] * 3
+        + [("code", "def foo bar return foo")] * 3
+        + [("mixed", "the cat def foo")] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["p_source"], r["q_source"]): r
+           for r in source_cross_entropy(df, "text", "source").collect()}
+    for s in ("news", "code", "mixed"):
+        assert out[(s, s)]["p_mass_covered"] == 1.0
+        row_ces = {t: out[(s, t)]["cross_entropy"]
+                   for t in ("news", "code", "mixed") if (s, t) in out}
+        assert min(row_ces, key=row_ces.get) == s
+    assert ("news", "code") not in out  # disjoint vocab: no shared terms
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """x156: a pendant chain hanging off a triangle peels away over
+    multiple rounds (each round exposes the next endpoint) while the
+    triangle survives as the 2-core; early_stop agrees."""
+    import pytest as _pytest
+    from fame2pygen_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["core_degree"]
+           for r in kcore(df, k=2, n_iter=8).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    es = {r["node"]: r["core_degree"]
+          for r in kcore(df, k=2, n_iter=20, early_stop=True).collect()}
+    assert es == out
+    assert kcore(df, k=3, n_iter=8).count() == 0  # no 3-core anywhere
+    with _pytest.raises(ValueError):
+        kcore(df, k=0)
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    """x157: a star graph is perfectly disassortative (r = -1); a
+    degree-regular graph has zero degree variance -> null r."""
+    from fame2pygen_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 3
+    assert r["assortativity"] == -1.0
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    assert degree_assortativity(cycle).collect()[0]["assortativity"] is None
