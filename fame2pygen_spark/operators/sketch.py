@@ -1755,3 +1755,70 @@ def quantile_normalize(
         "bin",
         F.round(F.col("__rep"), 6).alias("norm_value"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
+    treatment groups, one test per ``partition_cols`` stratum — the
+    non-parametric complement to the t-test A/B operator
+    (behavior.py:ab_test): robust to the heavy-tailed value
+    distributions where mean comparisons mislead.
+
+    Scale shape: rows collapse to ``(stratum, value) -> (cnt_a,
+    cnt_b)`` FIRST (one shuffle), so the rank window runs over the
+    distinct-value support per stratum, not the raw rows — the same
+    bounded-support discipline as ``distribution_drift``.  Tied ranks
+    use the midrank convention, carried as DOUBLED integer ranks
+    (``2*prior + cnt + 1``) so every sum is exact integer arithmetic;
+    the only float math is the final z/effect division from integer
+    totals — engine-exact.
+
+    Output per stratum: ``n_a``, ``n_b``, ``u_a`` (U statistic of
+    group A, 1 dp of exactness guaranteed by construction), ``z``
+    (normal approximation, no tie correction, 6 dp), ``effect``
+    (common-language effect size U/(n_a*n_b), 6 dp).
+    """
+    parts = [F.col(c) for c in partition_cols]
+    v = F.col(value_col)
+    g = F.col(group_col)
+    base = df.where(g.isin([group_a, group_b])).where(v.isNotNull())
+    per_val = base.groupBy(*parts, v.alias("__v")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("__cb"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
+        "__v"
+    )
+    cnt = F.col("__ca") + F.col("__cb")
+    prior = F.coalesce(
+        F.sum(cnt).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    # doubled midrank: 2*avg_rank = 2*prior + cnt + 1 (exact integer)
+    ranked = per_val.withColumn("__r2", 2 * prior + cnt + 1)
+    agg = ranked.groupBy(*parts).agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(F.col("__ca") * F.col("__r2")).cast("long").alias("__r2a"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # U_A = R_A - nA(nA+1)/2, with R_A = __r2a / 2
+    u_a = F.col("__r2a").cast("double") / 2.0 - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(na * nb * (na + nb + 1.0) / 12.0)
+    return agg.select(
+        *partition_cols,
+        "n_a",
+        "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round(F.try_divide(u_a - mu, sigma), 6).alias("z"),
+        F.round(F.try_divide(u_a, na * nb), 6).alias("effect"),
+    )

@@ -1289,3 +1289,185 @@ aggregate(
         F.round(F.col("hw.b"), 6).alias("trend"),
         *fcs,
     )
+
+
+#: SAX breakpoints for alphabet size 4 (equiprobable N(0,1) cells,
+#: Lin et al. 2003): symbols a|b|c|d split at these z-scores.
+SAX_BREAKPOINTS_4 = (-0.6745, 0.0, 0.6745)
+
+
+def sax_words(
+    df: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = (),
+    n_segments: int = 8,
+) -> DataFrame:
+    """Symbolic Aggregate approXimation (Lin et al. 2003): each
+    entity's ordered value series is z-normalized, averaged into
+    ``n_segments`` equal-count PAA segments, and each segment mapped
+    to a 4-letter alphabet at the equiprobable N(0,1) breakpoints —
+    collapsing every series to a short word like ``'abdc…'``.  The
+    words index motif/novelty search over millions of series: equal
+    words = similar shapes, word frequency = motif support.
+
+    Scale shape: everything is entity-partitioned — one row_number
+    window, one (entity, segment) aggregation, one word-assembly
+    aggregation; no global window.  Mean/variance and segment means
+    use decimal-cast sums, so the z-scores and breakpoint
+    comparisons are engine-exact.
+
+    Output per entity: ``(entity, n_obs, sax_word)``.  Ties in
+    *ts_col* are broken by *order_cols* — pass a unique id for a
+    deterministic word.
+    """
+    n_segments = int(n_segments)
+    e = F.col(entity_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        e.alias("__e"),
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c) for c in order_cols],
+        v.alias("__v"),
+    )
+    wo = Window.partitionBy("__e").orderBy(
+        "__ts", *[F.col(c) for c in order_cols]
+    )
+    dec = "decimal(38,12)"
+    st = base.groupBy("__e").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__v").cast(dec)).alias("__sx"),
+        F.sum((F.col("__v") * F.col("__v")).cast(dec)).alias("__sxx"),
+    )
+    nn = F.col("__n").cast("double")
+    mean = F.col("__sx").cast("double") / nn
+    var = F.col("__sxx").cast("double") / nn - mean * mean
+    st = st.select(
+        "__e", "__n", mean.alias("__mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sd"),
+    )
+    rn = F.row_number().over(wo)
+    seq = base.withColumn("__rn", rn).join(st, "__e")
+    z = F.when(
+        F.col("__sd") > 0, (F.col("__v") - F.col("__mu")) / F.col("__sd")
+    ).otherwise(F.lit(0.0))
+    seg = F.floor(
+        F.lit(n_segments) * (F.col("__rn") - 1) / F.col("__n")
+    ).cast("long")
+    paa = seq.select(
+        "__e", F.col("__n"), seg.alias("__seg"),
+        z.cast("decimal(38,12)").alias("__z"),
+    ).groupBy("__e", "__n", "__seg").agg(
+        (F.sum("__z").cast("double") / F.count(F.lit(1))).alias("__paa")
+    )
+    b1, b2, b3 = SAX_BREAKPOINTS_4
+    sym = (
+        F.when(F.col("__paa") < F.lit(b1), F.lit("a"))
+        .when(F.col("__paa") < F.lit(b2), F.lit("b"))
+        .when(F.col("__paa") < F.lit(b3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        paa.withColumn("__sym", sym)
+        .groupBy("__e", "__n")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__seg", "__sym"))
+                    ),
+                    lambda s: s["__sym"],
+                ),
+            ).alias("sax_word")
+        )
+        .select(
+            F.col("__e").alias(entity_col),
+            F.col("__n").alias("n_obs"),
+            "sax_word",
+        )
+    )
+
+
+def changepoint(
+    df: DataFrame,
+    *,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single change-point detection per entity (CUSUM-style binary
+    segmentation, the scan statistic of Page 1954 / Sen & Srivastava
+    1975): the daily-total series is split at the index k maximizing
+    ``|mean_left - mean_right| * sqrt(k*(n-k)/n)`` — the two-sample
+    scan that powers drift alarms on ingest volumes and engagement
+    metrics.  Complements the sequential CUSUM operator
+    (temporal.py:cusum) with a retrospective most-likely-break
+    estimate.
+
+    Scale shape: one (entity, day) aggregation, then entity-
+    partitioned prefix-sum windows over the DAILY series (bounded per
+    entity), one row_number argmax window — no global sort.  Daily
+    sums and prefix sums stay in decimal, so split scores are
+    engine-exact.
+
+    Output per entity: ``(entity, n_days, break_day, score,
+    mean_before, mean_after)`` — *break_day* is the first day of the
+    right segment (6 dp on floats).
+    """
+    e = F.col(entity_col)
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.where(v.isNotNull())
+        .groupBy(
+            e.alias("__e"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+        )
+        .agg(F.sum(v.cast("decimal(38,9)")).alias("__dv"))
+    )
+    wo = Window.partitionBy("__e").orderBy("__d")
+    cum = F.sum("__dv").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    seq = daily.select(
+        "__e", "__d", "__dv",
+        F.row_number().over(wo).alias("__k"),
+        cum.alias("__ck"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("__e").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__n"),
+        F.sum("__dv").over(
+            Window.partitionBy("__e").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__cn"),
+        F.lead("__d", 1).over(wo).alias("__next_d"),
+    ).where(F.col("__k") < F.col("__n"))
+    k = F.col("__k").cast("double")
+    n = F.col("__n").cast("double")
+    ml = F.col("__ck").cast("double") / k
+    mr = (F.col("__cn") - F.col("__ck")).cast("double") / (n - k)
+    score = F.abs(ml - mr) * F.sqrt(k * (n - k) / n)
+    scored = seq.select(
+        "__e", "__n", "__next_d",
+        ml.alias("__ml"), mr.alias("__mr"), score.alias("__sc"),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("__e").orderBy(
+            F.desc("__sc"), F.asc("__next_d")
+        )
+    )
+    return (
+        scored.withColumn("__pick", pick)
+        .where(F.col("__pick") == 1)
+        .select(
+            F.col("__e").alias(entity_col),
+            F.col("__n").alias("n_days"),
+            F.col("__next_d").alias("break_day"),
+            F.round(F.col("__sc"), 6).alias("score"),
+            F.round(F.col("__ml"), 6).alias("mean_before"),
+            F.round(F.col("__mr"), 6).alias("mean_after"),
+        )
+    )

@@ -1604,3 +1604,69 @@ def source_cross_entropy(
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
     )
+
+
+def readability_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document readability metrics: Flesch-Kincaid grade level
+    and the Automated Readability Index (Kincaid et al. 1975; Senter &
+    Smith 1967) from three integer counts — words (lowercase alpha
+    runs), sentence terminators (``[.!?]+`` groups, floored at 1), and
+    a vowel-group syllable estimate (runs of ``[aeiouy]``, floored at
+    1 per word).  The classic cheap quality-filter signal: grade
+    levels far outside ~[2, 16] flag boilerplate, code soup, or
+    degenerate text (reference analogue: the quality screens around
+    text.py's gopher_filter).
+
+    Scale shape: map-only — two regex extractions and one
+    higher-order fold per row, no shuffle, whole-stage codegen
+    throughout.  All inputs to the float formulas are integers, so the
+    per-row doubles are engine-exact.
+
+    Output: input columns plus ``n_words``, ``n_sentences``,
+    ``n_syllables``, ``n_letters``, ``fk_grade``, ``ari`` (6 dp; docs
+    with zero words are dropped).
+    """
+    col = F.col(text_col)
+    # ASCII-letter runs WITHOUT lower(): unicode lowercasing (Kelvin
+    # sign, dotted-I) is locale/engine-dependent, a case class is not
+    words = F.regexp_extract_all(col, F.lit("[A-Za-z]+"), 0)
+    out = df.withColumn("__words", words).withColumn(
+        "n_words", F.size(F.col("__words")).cast("long")
+    )
+    out = out.where(F.col("n_words") > 0)
+    syll = F.aggregate(
+        F.col("__words"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.size(
+                F.regexp_extract_all(w, F.lit("[aeiouyAEIOUY]+"), 0)
+            ).cast("long"),
+        ),
+    )
+    letters = F.aggregate(
+        F.col("__words"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"),
+    )
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(col, F.lit("[.!?]+"), 0)).cast("long"),
+    )
+    out = (
+        out.withColumn("n_sentences", sents)
+        .withColumn("n_syllables", syll)
+        .withColumn("n_letters", letters)
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    sy = F.col("n_syllables").cast("double")
+    le = F.col("n_letters").cast("double")
+    fk = F.lit(0.39) * (w / s) + F.lit(11.8) * (sy / w) - F.lit(15.59)
+    ari = F.lit(4.71) * (le / w) + F.lit(0.58) * (w / s) - F.lit(21.43)
+    return (
+        out.withColumn("fk_grade", F.round(fk, 6))
+        .withColumn("ari", F.round(ari, 6))
+        .drop("__words")
+    )

@@ -3498,3 +3498,124 @@ def test_degree_assortativity_star_is_minus_one(spark):
         [(1, 2), (2, 3), (3, 1)], "src long, dst long"
     )
     assert degree_assortativity(cycle).collect()[0]["assortativity"] is None
+
+
+def test_readability_counts_and_grades(spark):
+    """x158: hand-counted words/sentences/syllables on a two-sentence
+    doc, and the FK/ARI formulas from those integers."""
+    from fame2pygen_spark.operators.text import readability_profile
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "!!! ...")],
+        "doc_id long, text string",
+    )
+    rows = readability_profile(df, "text").collect()
+    assert len(rows) == 1  # zero-word doc dropped
+    r = rows[0]
+    assert r["n_words"] == 5
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 5
+    assert r["n_letters"] == 14
+    fk = 0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59
+    ari = 4.71 * (14 / 5) + 0.58 * (5 / 2) - 21.43
+    assert abs(r["fk_grade"] - fk) < 1e-6
+    assert abs(r["ari"] - ari) < 1e-6
+
+
+def test_mann_whitney_midranks_and_u(spark):
+    """x159: A=[1,2,3] vs B=[2,4] -> midranks 1, 2.5, 2.5, 4, 5;
+    R_A = 7.5, U_A = 1.5, effect = 0.25, z = -1.5/sqrt(3)."""
+    import math
+
+    from fame2pygen_spark.operators.sketch import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u_a"] == 1.5
+    assert r["effect"] == 0.25
+    assert abs(r["z"] - (-1.5 / math.sqrt(3.0))) < 1e-6
+
+
+def test_adamic_adar_path_and_hub_cap(spark):
+    """x160: path 1-2-3 predicts (1,3) via neighbor 2 (deg 2) with
+    score 1/ln(2); max_degree=1 drops every intermediate."""
+    import math
+
+    from fame2pygen_spark.operators.graph import adamic_adar
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = adamic_adar(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["u"], r["w"], r["n_common"]) == (1, 3, 1)
+    assert abs(r["aa_score"] - 1.0 / math.log(2.0)) < 1e-6
+    assert adamic_adar(df, max_degree=1).count() == 0
+
+
+def test_t_closeness_skewed_class_breaches(spark):
+    """x161: global = uniform 0..9 plus ten 9s; the all-9 class and
+    the uniform class both sit t = 2.25/9 = 0.25 from the global
+    distribution (ordinal EMD), breaching the 0.2 gate."""
+    from fame2pygen_spark.operators.quality import t_closeness
+
+    rows = [("u", float(v)) for v in range(10)]
+    rows += [("s", 9.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in t_closeness(df, ["g"], "v").collect()}
+    assert out["s"]["group_size"] == 10
+    assert abs(out["s"]["t"] - 0.25) < 1e-6
+    assert out["s"]["breach"] is True
+    assert abs(out["u"]["t"] - 0.25) < 1e-6
+
+
+def test_sax_word_of_linear_ramp(spark):
+    """x162: values 1..8 z-normalize to symmetric z-scores whose 8
+    one-point PAA segments straddle the 4-letter breakpoints as
+    'aabbccdd'."""
+    import datetime
+
+    from fame2pygen_spark.operators.temporal import sax_words
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (7, base + datetime.timedelta(hours=i), i, float(v))
+        for i, v in enumerate(range(1, 9))
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    r = sax_words(
+        df, entity_col="user_id", ts_col="ts", value_col="value",
+        order_cols=("event_id",), n_segments=8,
+    ).collect()[0]
+    assert r["n_obs"] == 8
+    assert r["sax_word"] == "aabbccdd"
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """x163: five days at 0 then five at 10 -> break at day 6 with
+    score 10*sqrt(2.5) and exact segment means."""
+    import datetime
+    import math
+
+    from fame2pygen_spark.operators.temporal import changepoint
+
+    base = datetime.datetime(2024, 3, 1, 12)
+    rows = [
+        ("a", base + datetime.timedelta(days=i),
+         0.0 if i < 5 else 10.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    r = changepoint(df).collect()[0]
+    assert r["n_days"] == 10
+    assert r["break_day"] == datetime.date(2024, 3, 6)
+    assert r["mean_before"] == 0.0
+    assert r["mean_after"] == 10.0
+    assert abs(r["score"] - 10.0 * math.sqrt(2.5)) < 1e-6
