@@ -26,7 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["dq_report", "standard_rules", "cohens_kappa", "auc_rank", "kappa_from_confusion"]
+__all__ = [
+    "dq_report", "standard_rules", "cohens_kappa", "auc_rank",
+    "kappa_from_confusion", "t_closeness", "average_precision",
+]
 
 
 def dq_report(
@@ -579,4 +582,61 @@ def t_closeness(
         "group_size",
         F.round(t, 6).alias("t"),
         (F.round(t, 6) > F.lit(float(threshold))).alias("breach"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-class average precision (the PR-curve summary, Zhu 2004):
+    one global ranking by score, then for each class AP = mean over
+    its positives of precision@rank — the retrieval-quality
+    companion to the ROC-style :func:`auc_rank` (x146), and the
+    better metric under class imbalance (AUC saturates, AP doesn't).
+
+    Scale shape: ONE global row_number window establishes the
+    ranking (the same bounded-support caveat as x146 — quantize
+    scores first at 100 TB scale), after which everything is
+    per-class partitioned: within-class row_number over the global
+    rank gives the positive count at each hit, so precision@rank =
+    k/rank needs no cross join.  Per-positive precisions are
+    decimal-cast before the class sum (order-insensitive).
+
+    Output per class: ``n_pos, best_rank, ap`` (6 dp).
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(id_col).alias("__id"),
+    ).withColumn(
+        "__rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("__s"), F.asc("__id"))
+        ),
+    )
+    k = F.row_number().over(
+        Window.partitionBy("__lbl").orderBy("__rank")
+    )
+    prec = (
+        k.cast("double") / F.col("__rank").cast("double")
+    ).cast("decimal(38,18)")
+    per = ranked.select(
+        "__lbl", "__rank", prec.alias("__p")
+    )
+    out = per.groupBy("__lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.min("__rank").cast("long").alias("best_rank"),
+        F.sum("__p").alias("__sp"),
+    )
+    ap = F.col("__sp").cast("double") / F.col("n_pos").cast("double")
+    return out.select(
+        F.col("__lbl").alias(label_col),
+        "n_pos",
+        "best_rank",
+        F.round(ap, 6).alias("ap"),
     )

@@ -1822,3 +1822,150 @@ def mann_whitney_u(
         F.round(F.try_divide(u_a - mu, sigma), 6).alias("z"),
         F.round(F.try_divide(u_a, na * nb), 6).alias("effect"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    max_rows: int = 20000,
+) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall 1938) per group — the
+    concordance-based complement to Spearman (x119): robust to
+    monotone transforms AND exact under heavy ties, at the price of a
+    pairwise count.  tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with
+    n0 = n(n-1)/2, n1/n2 = tied pairs in x/y.
+
+    Scale shape: the O(n²) pair join is bounded per group by
+    ``max_rows`` — groups larger than the cap keep the lowest
+    *max_rows* ids (deterministic, documented truncation; at 100 TB
+    run it on a stratified sample, the estimator converges at ~10⁴
+    pairs).  All counts are integers, so tau is engine-exact.
+
+    Output per group: ``n_rows, n_pairs, concordant, discordant,
+    tau_b`` (6 dp; null when either tie term degenerates).
+    """
+    parts = [F.col(c) for c in group_cols]
+    base = df.select(
+        *parts,
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    rn = F.row_number().over(
+        Window.partitionBy(*parts).orderBy("__id")
+    )
+    capped = (
+        base.withColumn("__rn", rn)
+        .where(F.col("__rn") <= int(max_rows))
+        .drop("__rn")
+    ).localCheckpoint(eager=True)
+    a, b = capped.alias("a"), capped.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in group_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    dx = F.col("a.__x") - F.col("b.__x")
+    dy = F.col("a.__y") - F.col("b.__y")
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in group_cols],
+        F.when((dx * dy) > 0, 1).otherwise(0).alias("__c"),
+        F.when((dx * dy) < 0, 1).otherwise(0).alias("__d"),
+        F.when(dx == 0, 1).otherwise(0).alias("__tx"),
+        F.when(dy == 0, 1).otherwise(0).alias("__ty"),
+    )
+    cnt = capped.groupBy(*parts).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    agg = pairs.groupBy(*parts).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__c").cast("long").alias("concordant"),
+        F.sum("__d").cast("long").alias("discordant"),
+        F.sum("__tx").cast("long").alias("__n1"),
+        F.sum("__ty").cast("long").alias("__n2"),
+    )
+    j = agg.join(cnt, list(group_cols)) if group_cols else agg.crossJoin(
+        F.broadcast(cnt)
+    )
+    n0 = F.col("n_pairs").cast("double")
+    tau = F.try_divide(
+        (F.col("concordant") - F.col("discordant")).cast("double"),
+        F.sqrt(n0 - F.col("__n1").cast("double"))
+        * F.sqrt(n0 - F.col("__n2").cast("double")),
+    )
+    return j.select(
+        *group_cols,
+        "n_rows",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+def eb_shrink_rates(
+    df: DataFrame,
+    key_col: str,
+    success_col,
+    *,
+    min_n: int = 5,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-key success
+    rates (Robbins 1956; the method-of-moments prior of Morris 1983):
+    small-sample keys get pulled toward the corpus prior, so a 2/3
+    defect rate stops outranking a stable 400/1000 — the standard fix
+    for rate leaderboards over heavy-tailed key frequencies.
+
+    Prior: keys with ``n >= min_n`` give rate mean m and variance v;
+    alpha + beta = m(1-m)/v - 1 (method of moments), shrunk rate =
+    (x + alpha)/(n + alpha + beta).  Degenerate priors (v = 0 or
+    v >= m(1-m)) yield null shrunk rates rather than a fabricated
+    prior.
+
+    Scale shape: one key aggregation, one 1-row prior aggregate
+    broadcast back — two shuffles total, moment sums decimal-cast
+    (order-insensitive).
+
+    Output per key: ``n, x, raw_rate, alpha, beta, shrunk_rate``
+    (6 dp).
+    """
+    s = success_col if not isinstance(success_col, str) else F.col(
+        success_col
+    )
+    per = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(s, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    rated = per.withColumn("__r", rate)
+    dec = "decimal(38,18)"
+    prior = rated.where(F.col("n") >= int(min_n)).agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum(F.col("__r").cast(dec)).alias("__sr"),
+        F.sum((F.col("__r") * F.col("__r")).cast(dec)).alias("__srr"),
+    )
+    kk = F.col("__k").cast("double")
+    m = F.col("__sr").cast("double") / kk
+    v = F.col("__srr").cast("double") / kk - m * m
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = prior.select(
+        F.when((v > 0) & (ab > 0), m * ab).alias("__alpha"),
+        F.when((v > 0) & (ab > 0), (F.lit(1.0) - m) * ab).alias(
+            "__beta"
+        ),
+    )
+    j = rated.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("x").cast("double") + F.col("__alpha")) / (
+        F.col("n").cast("double") + F.col("__alpha") + F.col("__beta")
+    )
+    return j.select(
+        F.col(key_col),
+        "n",
+        "x",
+        F.round(F.col("__r"), 6).alias("raw_rate"),
+        F.round(F.col("__alpha"), 6).alias("alpha"),
+        F.round(F.col("__beta"), 6).alias("beta"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )

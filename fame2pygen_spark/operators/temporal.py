@@ -1471,3 +1471,101 @@ def changepoint(
             F.round(F.col("__mr"), 6).alias("mean_after"),
         )
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    *,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 7,
+    min_overlap: int = 30,
+) -> DataFrame:
+    """Lagged cross-correlation scan between every ordered pair of
+    entity series (the lead-lag detector of Box & Jenkins):
+    Pearson correlation of a's daily total at day t against b's at
+    day t+lag for every lag in [-max_lag, +max_lag], keeping each
+    pair's best |corr| — surfaces which metric LEADS which, and by
+    how many days.
+
+    Scale shape: series collapse to daily totals first (one
+    aggregation), then the lag spine (2·max_lag+1 literal rows) is
+    broadcast and the shifted join is a date equi-join — cost is
+    |pairs| × lags × days, a series-level diagnostic meant for
+    10³-entity panels, parallel across pairs.  Moment sums are
+    decimal-cast (the ``corr_pairs`` idiom) so correlations are
+    engine-exact.
+
+    Output per ordered pair: ``entity_a, entity_b, best_lag,
+    n_days, xcorr`` (6 dp; pairs with fewer than *min_overlap*
+    overlapping days at the best lag are dropped).
+    """
+    spark = df.sparkSession
+    e = F.col(entity_col)
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.where(v.isNotNull())
+        .groupBy(e.alias("__e"), F.to_date(F.col(ts_col)).alias("__d"))
+        .agg(
+            F.sum(v.cast("decimal(38,9)")).cast("double").alias("__v")
+        )
+    ).localCheckpoint(eager=True)
+    max_lag = int(max_lag)
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("__lag")
+    )
+    a = daily.select(
+        F.col("__e").alias("__ea"),
+        F.col("__d").alias("__da"),
+        F.col("__v").alias("__va"),
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("__e").alias("__eb"),
+        F.col("__d").alias("__db"),
+        F.col("__v").alias("__vb"),
+    )
+    j = a.join(
+        b,
+        (F.date_add(F.col("__da"), F.col("__lag")) == F.col("__db"))
+        & (F.col("__ea") != F.col("__eb")),
+    )
+    dec = "decimal(38,12)"
+    va, vb = F.col("__va"), F.col("__vb")
+    m = j.groupBy("__ea", "__eb", "__lag").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(va.cast(dec)).alias("__sx"),
+        F.sum(vb.cast(dec)).alias("__sy"),
+        F.sum((va * vb).cast(dec)).alias("__sxy"),
+        F.sum((va * va).cast(dec)).alias("__sxx"),
+        F.sum((vb * vb).cast(dec)).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+    )
+    scored = m.where(F.col("__n") >= int(min_overlap)).select(
+        "__ea", "__eb", "__lag", "__n", corr.alias("__c")
+    ).where(F.col("__c").isNotNull())
+    pick = F.row_number().over(
+        Window.partitionBy("__ea", "__eb").orderBy(
+            F.abs(F.col("__c")).desc(), F.col("__lag").asc()
+        )
+    )
+    return (
+        scored.withColumn("__p", pick)
+        .where(F.col("__p") == 1)
+        .select(
+            F.col("__ea").alias("entity_a"),
+            F.col("__eb").alias("entity_b"),
+            F.col("__lag").cast("long").alias("best_lag"),
+            F.col("__n").alias("n_days"),
+            F.round(F.col("__c"), 6).alias("xcorr"),
+        )
+    )

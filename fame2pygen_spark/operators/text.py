@@ -1670,3 +1670,154 @@ def readability_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("ari", F.round(ari, 6))
         .drop("__words")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Vocabulary-richness and coverage estimates per group: observed
+    vocab, hapax/dis legomena, the Chao1 unseen-species floor (Chao
+    1984, bias-corrected: V + f1(f1-1)/(2(f2+1))) and Good-Turing
+    sample coverage (1 - f1/N, Good 1953) — answers "how much of this
+    source's vocabulary has the crawl actually seen", the saturation
+    signal for deciding whether another crawl round buys new data.
+    Complements the Zipf slope (x147) and Heaps-style growth checks.
+
+    Scale shape: one explode + (group, term) count, one group
+    aggregation — both map-side combinable; every output is an
+    integer or a two-integer ratio, engine-exact.
+
+    Output per group: ``n_tokens, vocab, f1, f2, chao1, coverage``
+    (6 dp).
+    """
+    toks = tokens(F.col(text_col))
+    parts = [F.col(c) for c in group_cols]
+    term = (
+        df.select(*parts, F.explode(toks).alias("__term"))
+        .groupBy(*parts, "__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    agg = term.groupBy(*parts).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("vocab").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (f2 + 1.0)
+    )
+    cov = F.lit(1.0) - f1 / F.col("n_tokens").cast("double")
+    return agg.select(
+        *group_cols,
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(cov, 6).alias("coverage"),
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    *,
+    top_k: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance (Burrows 2002): each
+    group's relative frequencies of the corpus's *top_k* most common
+    terms are z-scored across groups, and every group pair is scored
+    by the mean |z_a - z_b| — the standard authorship/register
+    fingerprint, here a provenance audit: two "independent" sources
+    with near-zero Delta are the same upstream generator in disguise.
+
+    Scale shape: top-k terms via one TakeOrderedAndProject cut, the
+    (group × term) grid COMPLETED by a broadcast cross join (absent
+    terms charge z at freq 0, which is the signal), per-term moments
+    across groups (decimal sums), and a |groups|²·k-bounded pair
+    join — groups are sources/shards (10²-10³), never documents.
+
+    Output per unordered pair: ``(source_a, source_b, n_terms,
+    delta)`` (6 dp), ascending delta — most-suspicious first.
+    """
+    toks = tokens(F.col(text_col))
+    g = F.col(group_col)
+    term = (
+        df.select(g.alias("__g"), F.explode(toks).alias("__term"))
+        .groupBy("__g", "__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    ).localCheckpoint(eager=True)
+    top = (
+        term.groupBy("__term")
+        .agg(F.sum("__c").cast("long").alias("__tot"))
+        .orderBy(F.desc("__tot"), F.asc("__term"))
+        .limit(int(top_k))
+        .select("__term")
+    )
+    gtot = term.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__gn")
+    )
+    grid = gtot.crossJoin(F.broadcast(top))
+    freq = grid.join(term, ["__g", "__term"], "left").select(
+        "__g",
+        "__term",
+        (
+            F.coalesce(F.col("__c"), F.lit(0).cast("long")).cast(
+                "double"
+            )
+            / F.col("__gn").cast("double")
+        ).alias("__f"),
+    ).localCheckpoint(eager=True)
+    dec = "decimal(38,18)"
+    mom = freq.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum(F.col("__f").cast(dec)).alias("__sf"),
+        F.sum((F.col("__f") * F.col("__f")).cast(dec)).alias("__sff"),
+    )
+    kk = F.col("__k").cast("double")
+    mean = F.col("__sf").cast("double") / kk
+    var = F.col("__sff").cast("double") / kk - mean * mean
+    mom = mom.select(
+        "__term",
+        mean.alias("__mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sd"),
+    ).where(F.col("__sd") > 0)
+    z = freq.join(F.broadcast(mom), "__term").select(
+        "__g",
+        "__term",
+        ((F.col("__f") - F.col("__mu")) / F.col("__sd")).alias("__z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__term") == F.col("b.__term"))
+        & (F.col("a.__g") < F.col("b.__g")),
+    ).select(
+        F.col("a.__g").alias("source_a"),
+        F.col("b.__g").alias("source_b"),
+        F.abs(F.col("a.__z") - F.col("b.__z"))
+        .cast(dec)
+        .alias("__dz"),
+    )
+    out = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("__dz").alias("__sdz"),
+    )
+    delta = F.col("__sdz").cast("double") / F.col("n_terms").cast(
+        "double"
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_terms",
+        F.round(delta, 6).alias("delta"),
+    ).orderBy(F.asc("delta"), F.asc("source_a"), F.asc("source_b"))

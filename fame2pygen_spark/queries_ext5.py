@@ -510,3 +510,441 @@ FROM pick WHERE p = 1 ORDER BY event_type
 
 EXT5_QUERIES.update({"x163_changepoint": q_x163_changepoint})
 EXT5_ORACLES.update({"x163_changepoint": SQL_X163})
+
+
+# ----------------------- x164: Kendall tau-b rank concordance
+
+
+def q_x164_kendall_tau(spark, sf_dir):
+    """Kendall tau-b (operators/sketch.py:kendall_tau): concordance
+    of customer account balance vs realized order spend per market
+    segment — exact integer pair counts, capped pair join."""
+    from .operators.sketch import kendall_tau
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,9)"))
+        .cast("double")
+        .alias("spend")
+    )
+    j = cust.join(
+        spend, cust["c_custkey"] == spend["o_custkey"]
+    ).select("c_mktsegment", "c_custkey", "c_acctbal", "spend")
+    out = kendall_tau(
+        j,
+        "c_acctbal",
+        "spend",
+        id_col="c_custkey",
+        group_cols=("c_mktsegment",),
+    )
+    return out.orderBy("c_mktsegment")
+
+
+SQL_X164 = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice::DECIMAL(38,9))::DOUBLE AS spend
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT c.c_mktsegment AS g, c.c_custkey AS id,
+         c.c_acctbal::DOUBLE AS x, s.spend AS y
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+  WHERE c.c_acctbal IS NOT NULL AND s.spend IS NOT NULL
+),
+pairs AS (
+  SELECT a.g,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS c,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS d,
+         CASE WHEN a.x - b.x = 0 THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.y - b.y = 0 THEN 1 ELSE 0 END AS ty
+  FROM base a JOIN base b ON a.g = b.g AND a.id < b.id
+),
+cnt AS (SELECT g, count(*)::BIGINT AS n_rows FROM base GROUP BY g),
+agg AS (
+  SELECT g, count(*)::BIGINT AS n_pairs,
+         SUM(c)::BIGINT AS concordant, SUM(d)::BIGINT AS discordant,
+         SUM(tx)::BIGINT AS n1, SUM(ty)::BIGINT AS n2
+  FROM pairs GROUP BY g
+)
+SELECT a.g AS c_mktsegment, cnt.n_rows, a.n_pairs,
+       a.concordant, a.discordant,
+       ROUND((a.concordant - a.discordant)::DOUBLE
+             / (sqrt(a.n_pairs::DOUBLE - a.n1::DOUBLE)
+                * sqrt(a.n_pairs::DOUBLE - a.n2::DOUBLE)), 6) AS tau_b
+FROM agg a JOIN cnt ON cnt.g = a.g
+ORDER BY c_mktsegment
+"""
+
+
+EXT5_QUERIES.update({"x164_kendall_tau": q_x164_kendall_tau})
+EXT5_ORACLES.update({"x164_kendall_tau": SQL_X164})
+
+
+# ------------------- x165: per-class average precision (PR summary)
+
+
+def q_x165_average_precision(spark, sf_dir):
+    """Average precision per label class (operators/quality.py:
+    average_precision): vectors ranked by cosine to the corpus mean
+    embedding, AP of each class's members — which classes cluster
+    near the centroid, the PR-curve companion to x146's AUC."""
+    from .operators.quality import average_precision
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id", "label", "pos", F.col("val").cast("double").alias("val")
+    )
+    meanv = ex.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mval")
+    )
+    dec = "decimal(38,18)"
+    dots = (
+        ex.join(F.broadcast(meanv), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("val") * F.col("mval")).cast(dec)).alias(
+                "__dot"
+            ),
+            F.sum((F.col("val") * F.col("val")).cast(dec)).alias("__v2"),
+            F.sum((F.col("mval") * F.col("mval")).cast(dec)).alias(
+                "__m2"
+            ),
+        )
+    )
+    scored = dots.select(
+        "vec_id",
+        "label",
+        (
+            F.col("__dot").cast("double")
+            / (
+                F.sqrt(F.col("__v2").cast("double"))
+                * F.sqrt(F.col("__m2").cast("double"))
+            )
+        ).alias("score"),
+    )
+    out = average_precision(scored, "score", "label", "vec_id")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_pos",
+        "best_rank",
+        "ap",
+    ).orderBy("label")
+
+
+SQL_X165 = """
+WITH ex AS (
+  SELECT vec_id, label, u.d AS pos, CAST(embedding[u.d] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+),
+meanv AS (
+  SELECT pos, SUM(val::DECIMAL(38,12))::DOUBLE / count(*) AS mval
+  FROM ex GROUP BY pos
+),
+dots AS (
+  SELECT e.vec_id, e.label,
+         SUM((e.val * m.mval)::DECIMAL(38,18)) AS dot,
+         SUM((e.val * e.val)::DECIMAL(38,18)) AS v2,
+         SUM((m.mval * m.mval)::DECIMAL(38,18)) AS m2
+  FROM ex e JOIN meanv m ON m.pos = e.pos
+  GROUP BY e.vec_id, e.label
+),
+scored AS (
+  SELECT vec_id, label,
+         dot::DOUBLE / (sqrt(v2::DOUBLE) * sqrt(m2::DOUBLE)) AS score
+  FROM dots
+),
+ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM scored
+),
+hits AS (
+  SELECT label, rnk,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY rnk) AS k
+  FROM ranked
+)
+SELECT CAST(label AS BIGINT) AS label,
+       count(*)::BIGINT AS n_pos,
+       min(rnk)::BIGINT AS best_rank,
+       ROUND(SUM((k::DOUBLE / rnk::DOUBLE)::DECIMAL(38,18))::DOUBLE
+             / count(*)::DOUBLE, 6) AS ap
+FROM hits GROUP BY label ORDER BY label
+"""
+
+
+EXT5_QUERIES.update({"x165_average_precision": q_x165_average_precision})
+EXT5_ORACLES.update({"x165_average_precision": SQL_X165})
+
+
+# --------------- x166: lead-lag cross-correlation between series
+
+
+def q_x166_xcorr(spark, sf_dir):
+    """Lagged cross-correlation scan (operators/temporal.py:
+    cross_correlation): best lead/lag in [-7, +7] days between every
+    ordered pair of event-type daily-total series."""
+    from .operators.temporal import cross_correlation
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "ts_day", F.to_date(F.timestamp_micros(F.col("ts_us")))
+    )
+    out = cross_correlation(
+        ev,
+        entity_col="event_type",
+        ts_col="ts_day",
+        value_col="value",
+        max_lag=7,
+        min_overlap=30,
+    )
+    return out.orderBy("entity_a", "entity_b")
+
+
+SQL_X166 = """
+WITH daily AS (
+  SELECT event_type AS e, CAST(ts AS DATE) AS d,
+         SUM(value::DECIMAL(38,9))::DOUBLE AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-7, 8)),
+j AS (
+  SELECT a.e AS ea, b.e AS eb, l.lag, a.v AS va, b.v AS vb
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + l.lag AND a.e <> b.e
+),
+m AS (
+  SELECT ea, eb, lag, count(*)::BIGINT AS n,
+         SUM(va::DECIMAL(38,12)) AS sx, SUM(vb::DECIMAL(38,12)) AS sy,
+         SUM((va * vb)::DECIMAL(38,12)) AS sxy,
+         SUM((va * va)::DECIMAL(38,12)) AS sxx,
+         SUM((vb * vb)::DECIMAL(38,12)) AS syy
+  FROM j GROUP BY ea, eb, lag
+),
+c AS (
+  SELECT ea, eb, lag, n,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / NULLIF(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+                  0) AS corr
+  FROM m WHERE n >= 30
+),
+pick AS (
+  SELECT ea, eb, lag, n, corr,
+         ROW_NUMBER() OVER (PARTITION BY ea, eb
+                            ORDER BY abs(corr) DESC, lag ASC) AS p
+  FROM c WHERE corr IS NOT NULL
+)
+SELECT ea AS entity_a, eb AS entity_b,
+       CAST(lag AS BIGINT) AS best_lag, n AS n_days,
+       ROUND(corr, 6) AS xcorr
+FROM pick WHERE p = 1 ORDER BY entity_a, entity_b
+"""
+
+
+EXT5_QUERIES.update({"x166_xcorr": q_x166_xcorr})
+EXT5_ORACLES.update({"x166_xcorr": SQL_X166})
+
+
+# --------------- x167: vocabulary coverage (Chao1 / Good-Turing)
+
+
+def q_x167_vocab_coverage(spark, sf_dir):
+    """Vocabulary saturation per source (operators/text.py:
+    vocab_coverage): hapax/dis counts, the Chao1 unseen-vocab floor,
+    and Good-Turing sample coverage — 'is another crawl round worth
+    it' per source."""
+    from .operators.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, "text", ("source",)).orderBy("source")
+
+
+SQL_X167 = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT source, term, count(*)::BIGINT AS c
+  FROM tok GROUP BY source, term
+),
+agg AS (
+  SELECT source, SUM(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       ROUND(vocab::DOUBLE + f1::DOUBLE * (f1::DOUBLE - 1.0)
+             / (2.0 * (f2::DOUBLE + 1.0)), 6) AS chao1,
+       ROUND(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) AS coverage
+FROM agg ORDER BY source
+"""
+
+
+EXT5_QUERIES.update({"x167_vocab_coverage": q_x167_vocab_coverage})
+EXT5_ORACLES.update({"x167_vocab_coverage": SQL_X167})
+
+
+# ------------------------ x168: Burrows' Delta provenance audit
+
+
+def q_x168_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometry (operators/text.py:burrows_delta):
+    mean |z| distance over the corpus top-30 terms between every
+    source pair — near-zero pairs are the same upstream generator."""
+    from .operators.text import burrows_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return burrows_delta(docs, "text", "source", top_k=30)
+
+
+SQL_X168 = """
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT g, term, count(*)::BIGINT AS c FROM tok GROUP BY g, term
+),
+top AS (
+  SELECT term FROM (
+    SELECT term, SUM(c)::BIGINT AS tot FROM tc GROUP BY term
+  ) ORDER BY tot DESC, term ASC LIMIT 30
+),
+gtot AS (SELECT g, SUM(c)::BIGINT AS gn FROM tc GROUP BY g),
+freq AS (
+  SELECT gt.g, t.term,
+         COALESCE(tc.c, 0)::DOUBLE / gt.gn::DOUBLE AS f
+  FROM gtot gt CROSS JOIN top t
+  LEFT JOIN tc ON tc.g = gt.g AND tc.term = t.term
+),
+mom AS (
+  SELECT term, count(*)::BIGINT AS k,
+         SUM(f::DECIMAL(38,18)) AS sf,
+         SUM((f * f)::DECIMAL(38,18)) AS sff
+  FROM freq GROUP BY term
+),
+mom2 AS (
+  SELECT term,
+         sf::DOUBLE / k::DOUBLE AS mu,
+         sqrt(greatest(sff::DOUBLE / k::DOUBLE
+              - (sf::DOUBLE / k::DOUBLE) * (sf::DOUBLE / k::DOUBLE),
+              0.0)) AS sd
+  FROM mom
+),
+z AS (
+  SELECT f.g, f.term, (f.f - m.mu) / m.sd AS z
+  FROM freq f JOIN mom2 m ON m.term = f.term
+  WHERE m.sd > 0
+),
+pairs AS (
+  SELECT a.g AS source_a, b.g AS source_b,
+         (abs(a.z - b.z))::DECIMAL(38,18) AS dz
+  FROM z a JOIN z b ON a.term = b.term AND a.g < b.g
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_terms,
+       ROUND(SUM(dz)::DOUBLE / count(*)::DOUBLE, 6) AS delta
+FROM pairs GROUP BY source_a, source_b
+ORDER BY delta ASC, source_a ASC, source_b ASC
+"""
+
+
+EXT5_QUERIES.update({"x168_burrows_delta": q_x168_burrows_delta})
+EXT5_ORACLES.update({"x168_burrows_delta": SQL_X168})
+
+
+# --------------- x169: empirical-Bayes shrunk rate leaderboard
+
+
+def q_x169_eb_rates(spark, sf_dir):
+    """Empirical-Bayes return-rate shrinkage per part (operators/
+    sketch.py:eb_shrink_rates): beta-binomial method-of-moments prior
+    pulls small-sample parts toward the corpus rate — the honest
+    defect leaderboard."""
+    from .operators.sketch import eb_shrink_rates
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = eb_shrink_rates(
+        li, "l_partkey", F.col("l_returnflag") == "R", min_n=5
+    )
+    return out.select(
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        "n",
+        "x",
+        "raw_rate",
+        "alpha",
+        "beta",
+        "shrunk_rate",
+    ).orderBy("l_partkey")
+
+
+SQL_X169 = """
+WITH per AS (
+  SELECT l_partkey, count(*)::BIGINT AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS x
+  FROM lineitem GROUP BY l_partkey
+),
+rated AS (SELECT *, x::DOUBLE / n::DOUBLE AS r FROM per),
+prior0 AS (
+  SELECT count(*)::BIGINT AS k,
+         SUM(r::DECIMAL(38,18)) AS sr,
+         SUM((r * r)::DECIMAL(38,18)) AS srr
+  FROM rated WHERE n >= 5
+),
+prior AS (
+  SELECT
+    CASE WHEN (srr::DOUBLE / k::DOUBLE
+               - (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE)) > 0
+          AND ((sr::DOUBLE / k::DOUBLE) * (1.0 - sr::DOUBLE / k::DOUBLE)
+               / (srr::DOUBLE / k::DOUBLE
+                  - (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE))
+               - 1.0) > 0
+    THEN (sr::DOUBLE / k::DOUBLE)
+         * ((sr::DOUBLE / k::DOUBLE) * (1.0 - sr::DOUBLE / k::DOUBLE)
+            / (srr::DOUBLE / k::DOUBLE
+               - (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE))
+            - 1.0)
+    ELSE NULL END AS alpha,
+    CASE WHEN (srr::DOUBLE / k::DOUBLE
+               - (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE)) > 0
+          AND ((sr::DOUBLE / k::DOUBLE) * (1.0 - sr::DOUBLE / k::DOUBLE)
+               / (srr::DOUBLE / k::DOUBLE
+                  - (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE))
+               - 1.0) > 0
+    THEN (1.0 - sr::DOUBLE / k::DOUBLE)
+         * ((sr::DOUBLE / k::DOUBLE) * (1.0 - sr::DOUBLE / k::DOUBLE)
+            / (srr::DOUBLE / k::DOUBLE
+               - (sr::DOUBLE / k::DOUBLE) * (sr::DOUBLE / k::DOUBLE))
+            - 1.0)
+    ELSE NULL END AS beta
+  FROM prior0
+)
+SELECT CAST(r.l_partkey AS BIGINT) AS l_partkey, r.n, r.x,
+       ROUND(r.r, 6) AS raw_rate,
+       ROUND(p.alpha, 6) AS alpha,
+       ROUND(p.beta, 6) AS beta,
+       ROUND((r.x::DOUBLE + p.alpha)
+             / (r.n::DOUBLE + p.alpha + p.beta), 6) AS shrunk_rate
+FROM rated r CROSS JOIN prior p
+ORDER BY l_partkey
+"""
+
+
+EXT5_QUERIES.update({"x169_eb_rates": q_x169_eb_rates})
+EXT5_ORACLES.update({"x169_eb_rates": SQL_X169})

@@ -3619,3 +3619,137 @@ def test_changepoint_finds_planted_shift(spark):
     assert r["mean_before"] == 0.0
     assert r["mean_after"] == 10.0
     assert abs(r["score"] - 10.0 * math.sqrt(2.5)) < 1e-6
+
+
+def test_kendall_tau_one_swap_and_cap(spark):
+    """x164: x=[1,2,3,4], y=[1,3,2,4] has one discordant pair ->
+    tau_b = (5-1)/6; max_rows=2 keeps only the two lowest ids."""
+    from fame2pygen_spark.operators.sketch import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 3.0), (3, 3.0, 2.0), (4, 4.0, 4.0)],
+        "id long, x double, y double",
+    )
+    r = kendall_tau(df, "x", "y", id_col="id").collect()[0]
+    assert (r["n_rows"], r["n_pairs"]) == (4, 6)
+    assert (r["concordant"], r["discordant"]) == (5, 1)
+    assert abs(r["tau_b"] - 4.0 / 6.0) < 1e-6
+    capped = kendall_tau(df, "x", "y", id_col="id", max_rows=2)
+    rc = capped.collect()[0]
+    assert (rc["n_rows"], rc["n_pairs"]) == (2, 1)
+
+
+def test_eb_shrink_rates_moment_prior(spark):
+    """x169: prior from rates {0.5, 0.25} (n>=2) -> m=0.375,
+    v=0.015625, alpha+beta=14, so the 1/1 key shrinks to 6.25/15."""
+    from fame2pygen_spark.operators.sketch import eb_shrink_rates
+
+    rows = (
+        [("a", True)] * 2 + [("a", False)] * 2
+        + [("b", True)] + [("b", False)] * 3
+        + [("c", True)]
+    )
+    df = spark.createDataFrame(rows, "k string, ok boolean")
+    out = {
+        r["k"]: r
+        for r in eb_shrink_rates(df, "k", "ok", min_n=2).collect()
+    }
+    assert abs(out["a"]["alpha"] - 5.25) < 1e-6
+    assert abs(out["a"]["beta"] - 8.75) < 1e-6
+    assert abs(out["c"]["shrunk_rate"] - 6.25 / 15.0) < 1e-6
+    assert abs(out["a"]["shrunk_rate"] - 7.25 / 18.0) < 1e-6
+    # Degenerate prior (zero variance) -> null shrunk rates.
+    flat = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True), ("b", False)],
+        "k string, ok boolean",
+    )
+    for r in eb_shrink_rates(flat, "k", "ok", min_n=2).collect():
+        assert r["shrunk_rate"] is None
+
+
+def test_average_precision_interleaved(spark):
+    """x165: global ranking p,n,p,n -> AP(p) = (1 + 2/3)/2 = 5/6,
+    AP(n) = (1/2 + 1/2)/2 = 1/2."""
+    from fame2pygen_spark.operators.quality import average_precision
+
+    df = spark.createDataFrame(
+        [(1, 0.9, "p"), (2, 0.8, "n"), (3, 0.7, "p"), (4, 0.6, "n")],
+        "id long, score double, lbl string",
+    )
+    out = {
+        r["lbl"]: r
+        for r in average_precision(df, "score", "lbl", "id").collect()
+    }
+    assert (out["p"]["n_pos"], out["p"]["best_rank"]) == (2, 1)
+    assert abs(out["p"]["ap"] - 5.0 / 6.0) < 1e-6
+    assert (out["n"]["n_pos"], out["n"]["best_rank"]) == (2, 2)
+    assert abs(out["n"]["ap"] - 0.5) < 1e-6
+
+
+def test_cross_correlation_planted_one_day_lead(spark):
+    """x166: series b is exactly series a shifted one day later, so
+    the (a, b) scan peaks at lag +1 with corr 1.0 (values are
+    non-linear so no other lag is perfect)."""
+    import datetime
+
+    from fame2pygen_spark.operators.temporal import cross_correlation
+
+    base = datetime.datetime(2024, 1, 1, 6)
+    vals = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 10.0]
+    rows = [
+        ("a", base + datetime.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ] + [
+        ("b", base + datetime.timedelta(days=i + 1), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in cross_correlation(df, min_overlap=5).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["best_lag"], ab["n_days"]) == (1, 10)
+    assert abs(ab["xcorr"] - 1.0) < 1e-6
+    ba = out[("b", "a")]
+    assert (ba["best_lag"], ba["n_days"]) == (-1, 10)
+    assert abs(ba["xcorr"] - 1.0) < 1e-6
+
+
+def test_vocab_coverage_chao1_hand_counts(spark):
+    """x167: tokens {a:2, b:1, c:1} -> vocab 3, f1=2, f2=1,
+    chao1 = 3 + 2*1/(2*2) = 3.5, coverage = 1 - 2/4 = 0.5."""
+    from fame2pygen_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("s1", "aa aa bb cc")], "source string, text string"
+    )
+    r = vocab_coverage(df, "text", ("source",)).collect()[0]
+    assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (4, 3, 2, 1)
+    assert abs(r["chao1"] - 3.5) < 1e-6
+    assert abs(r["coverage"] - 0.5) < 1e-6
+
+
+def test_burrows_delta_symmetric_three_groups(spark):
+    """x168: freqs of x are 2/3, 1/3, 1/2 across groups A,B,C (y
+    mirrored), so z = ±sqrt(1.5), 0 and delta(A,B) = 2*sqrt(1.5),
+    delta(A,C) = delta(B,C) = sqrt(1.5)."""
+    import math
+
+    from fame2pygen_spark.operators.text import burrows_delta
+
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "x y y"), ("C", "x y")],
+        "source string, text string",
+    )
+    rows = burrows_delta(df, "text", "source", top_k=2).collect()
+    d = {(r["source_a"], r["source_b"]): r for r in rows}
+    s15 = math.sqrt(1.5)
+    assert all(r["n_terms"] == 2 for r in rows)
+    assert abs(d[("A", "B")]["delta"] - 2 * s15) < 1e-5
+    assert abs(d[("A", "C")]["delta"] - s15) < 1e-5
+    assert abs(d[("B", "C")]["delta"] - s15) < 1e-5
+    # ascending order, most-similar pair first
+    assert rows[-1]["source_a"] == "A" and rows[-1]["source_b"] == "B"
