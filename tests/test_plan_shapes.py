@@ -379,3 +379,45 @@ def test_r4_cont_windows_are_partitioned(spark, name):
     an unkeyed variant would single-partition-sort the whole distinct
     support."""
     assert unpartitioned_windows(spark, name) == [], name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x159_mann_whitney",   # stratum-keyed midrank windows
+        "x160_adamic_adar",    # neighbor equi-join, hub-capped
+        "x161_t_closeness",    # broadcast bin spine
+        "x164_kendall_tau",    # segment-keyed pair join
+        "x166_xcorr",          # broadcast lag spine, date equi-join
+        "x167_vocab_coverage", # pure two-level aggregation
+        "x169_eb_rates",       # broadcast 1-row prior
+    ],
+)
+def test_r4_batch3_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # x162 windows are entity-keyed; x164's cap/rank windows are
+        # segment-keyed; x166's best-lag pick is pair-keyed.  x165 is
+        # intentionally absent: its single global ranking window IS
+        # the operator (documented bounded-support caveat, as x146).
+        "x162_sax_words",
+        "x164_kendall_tau",
+        "x166_xcorr",
+    ],
+)
+def test_r4_batch3_windows_are_partitioned(spark, name):
+    assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_burrows_delta_grid_and_moments_broadcast(spark):
+    """x168: the top-k term spine and the per-term moment table are
+    both tiny (k rows) — they must reach the grid/z-score joins as
+    broadcasts, never shuffled exchanges."""
+    plan = plan_of(spark, "x168_burrows_delta")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
