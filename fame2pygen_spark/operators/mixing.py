@@ -602,3 +602,62 @@ def split_audit(
     return out.withColumn(
         "rate_gap", F.round(F.col("rate") - F.col("target_rate"), 6)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    value_col: str,
+    strata_cols: Sequence[str],
+    *,
+    budget: int = 10000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934):
+    given a total annotation/inspection budget, each stratum gets
+    n_h ∝ N_h·σ_h — big AND internally-varied strata get the labels,
+    homogeneous ones are measured cheaply — the planning step before
+    ``stratified_sample`` draws the actual rows.  Proportional
+    allocation is reported alongside as the naive baseline.
+
+    Scale shape: one stratum aggregation (decimal moments, population
+    σ), one 1-row broadcast total — two shuffles, no sort.
+
+    Output per stratum: ``n_rows, sd, neyman_share, alloc_neyman,
+    alloc_prop`` (6 dp; zero-variance strata get share 0 — they need
+    one look, not a sample, and the caller can floor allocations).
+    """
+    dec = "decimal(38,18)"
+    v = F.col(value_col).cast("double")
+    parts = [F.col(c) for c in strata_cols]
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(*parts)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(v.cast(dec)).alias("__sv"),
+            F.sum((v * v).cast(dec)).alias("__svv"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    mean = F.col("__sv").cast("double") / n
+    var = F.greatest(
+        F.col("__svv").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    per = per.withColumn("__sd", F.sqrt(var)).withColumn(
+        "__w", n * F.col("__sd")
+    )
+    tot = per.agg(
+        F.sum(F.col("__w").cast(dec)).alias("__tw"),
+        F.sum("n_rows").cast("long").alias("__tn"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.try_divide(F.col("__w"), F.col("__tw").cast("double"))
+    prop = F.col("n_rows").cast("double") / F.col("__tn").cast("double")
+    b = F.lit(float(int(budget)))
+    return j.select(
+        *strata_cols,
+        "n_rows",
+        F.round(F.col("__sd"), 6).alias("sd"),
+        F.round(share, 6).alias("neyman_share"),
+        F.round(share * b, 6).alias("alloc_neyman"),
+        F.round(prop * b, 6).alias("alloc_prop"),
+    )

@@ -24,11 +24,14 @@ singleton reduce); the unpivot to per-rule rows is a driver-free
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "dq_report", "standard_rules", "cohens_kappa", "auc_rank",
     "kappa_from_confusion", "t_closeness", "average_precision",
+    "calibration_report", "krippendorff_alpha", "conformal_threshold",
 ]
 
 
@@ -639,4 +642,213 @@ def average_precision(
         "n_pos",
         "best_rank",
         F.round(ap, 6).alias("ap"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_cols: Sequence[str] = (),
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration audit (Brier 1950; ECE of Naeini 2015)
+    of a scorer against binary outcomes: equal-width score bins give
+    expected calibration error ECE = Σ_b (n_b/n)·|mean_score_b −
+    rate_b|, alongside the Brier mean-squared error — the gate run on
+    quality/toxicity classifier scores before they drive corpus
+    filtering (a miscalibrated 0.9 means the threshold is lying).
+
+    Scale shape: one (group, bin) hash aggregation then one group
+    aggregation, both map-side combinable; scores clamped to [0, 1];
+    all float sums decimal-cast (order-insensitive).
+
+    Output per group: ``n, n_bins_used, brier, ece`` (6 dp).
+    """
+    lbl = label_col if not isinstance(label_col, str) else F.col(label_col)
+    parts = [F.col(c) for c in group_cols]
+    nb = int(n_bins)
+    dec = "decimal(38,18)"
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    y = F.when(lbl, 1.0).otherwise(0.0)
+    base = df.select(
+        *parts,
+        s.alias("__s"),
+        y.alias("__y"),
+        F.least(F.floor(s * nb).cast("int"), F.lit(nb - 1)).alias("__b"),
+    ).where(F.col("__s").isNotNull())
+    bins = base.groupBy(*parts, "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum(F.col("__s").cast(dec)).alias("__ss"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum(
+            ((F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y"))).cast(dec)
+        ).alias("__sq"),
+    )
+    nbd = F.col("__nb").cast("double")
+    gap = F.abs(F.col("__ss").cast("double") / nbd - F.col("__sy").cast("double") / nbd)
+    out = bins.groupBy(*parts).agg(
+        F.sum("__nb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum("__sq").alias("__tsq"),
+        F.sum((nbd * gap).cast(dec)).alias("__te"),
+    )
+    n = F.col("n").cast("double")
+    return out.select(
+        *group_cols,
+        "n",
+        "n_bins_used",
+        F.round(F.col("__tsq").cast("double") / n, 6).alias("brier"),
+        F.round(F.col("__te").cast("double") / n, 6).alias("ece"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha for nominal labels (Krippendorff 1970) —
+    the multi-rater, missing-tolerant generalization of Cohen's kappa
+    (:func:`cohens_kappa`): agreement over ALL rater pairs within
+    each unit, chance-corrected by the pooled label marginals.  Units
+    with a single rating are unpairable and drop out, so ragged
+    annotation tables need no alignment step.
+
+    alpha = 1 − (n−1)·Σ_u Σ_c n_uc(m_u − n_uc)/(m_u−1) / (n² − Σ_c n_c²)
+    with n_uc the unit×label counts, m_u the unit totals, n_c the
+    marginals, n the pairable-rating total — every term an integer
+    count or a decimal-cast ratio, engine-exact.
+
+    Scale shape: two hash aggregations (unit×label, then totals) and
+    two 1-row broadcast combines — no pair join materializes.
+
+    Output (one row): ``n_units, n_ratings, n_labels, alpha`` (6 dp).
+    """
+    dec = "decimal(38,18)"
+    uc = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"), F.col(label_col).alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    mu = uc.groupBy("__u").agg(F.sum("__n").cast("long").alias("__m"))
+    pair = uc.join(mu, "__u").where(F.col("__m") >= 2)
+    disagree = pair.select(
+        "__u",
+        "__c",
+        "__n",
+        "__m",
+        # per-row double division (identical bits in both engines),
+        # THEN the decimal cast — decimal/decimal division scale
+        # rules differ across engines, double->decimal rounding does
+        # not
+        (
+            (F.col("__n") * (F.col("__m") - F.col("__n"))).cast("double")
+            / (F.col("__m") - 1).cast("double")
+        )
+        .cast(dec)
+        .alias("__do"),
+    )
+    marg = disagree.groupBy("__c").agg(F.sum("__n").cast("long").alias("__nc"))
+    tot = disagree.agg(
+        F.count_distinct(F.col("__u")).alias("n_units"),
+        F.sum("__n").cast("long").alias("n_ratings"),
+        F.sum("__do").alias("__dosum"),
+    )
+    mtot = marg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("__sc2"),
+    )
+    j = tot.crossJoin(F.broadcast(mtot))
+    n = F.col("n_ratings").cast("double")
+    alpha = F.lit(1.0) - F.try_divide(
+        (n - 1.0) * F.col("__dosum").cast("double"),
+        n * n - F.col("__sc2").cast("double"),
+    )
+    return j.select(
+        "n_units",
+        "n_ratings",
+        "n_labels",
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    alpha: float = 0.1,
+    calib_frac: float = 0.5,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal threshold with a coverage audit (Vovk 2005;
+    the split recipe of Lei 2018): a deterministic hash band carves a
+    calibration set, the threshold is the ⌈(n+1)(1−α)⌉-th smallest
+    calibration score (exact order statistic), and the held-out rows
+    report achieved coverage — turns any nonconformity score into a
+    filter cutoff with a finite-sample guarantee, per group.
+
+    Scale shape: membership is the same md5 uniform draw as
+    ``mixing.split_corpus`` (no shuffle, reproducible); the order
+    statistic is a group-keyed window over calibration rows only;
+    coverage is a broadcast threshold probe of the eval side.
+
+    Output per group: ``n_calib, n_eval, threshold, target,
+    coverage`` (6 dp).
+    """
+    from .mixing import uniform_hash01
+
+    parts = [F.col(c) for c in group_cols]
+    from pyspark.sql import Window
+
+    base = df.select(
+        *parts,
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__s"),
+        (uniform_hash01(F.col(id_col), salt) < F.lit(float(calib_frac))).alias(
+            "__cal"
+        ),
+    ).where(F.col("__s").isNotNull())
+    calib = base.where(F.col("__cal"))
+    nc = calib.groupBy(*parts).agg(F.count(F.lit(1)).cast("long").alias("n_calib"))
+    k = F.least(
+        F.ceil((F.col("n_calib") + 1) * F.lit(1.0 - float(alpha))).cast("long"),
+        F.col("n_calib"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*parts).orderBy(F.asc("__s"), F.asc("__id"))
+    )
+    ranked = calib.withColumn("__rn", rn)
+    join_cols = list(group_cols)
+    thr = (
+        ranked.join(nc.withColumn("__k", k), join_cols)
+        if join_cols
+        else ranked.crossJoin(F.broadcast(nc.withColumn("__k", k)))
+    )
+    thr = thr.where(F.col("__rn") == F.col("__k")).select(
+        *group_cols, "n_calib", F.col("__s").alias("__thr")
+    )
+    ev = base.where(~F.col("__cal"))
+    evt = (
+        ev.join(thr, join_cols) if join_cols else ev.crossJoin(F.broadcast(thr))
+    )
+    out = evt.groupBy(*parts, "n_calib", "__thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("__s") <= F.col("__thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("__cov"),
+    )
+    return out.select(
+        *group_cols,
+        "n_calib",
+        "n_eval",
+        F.round(F.col("__thr"), 6).alias("threshold"),
+        F.round(F.lit(1.0 - float(alpha)), 6).alias("target"),
+        F.round(
+            F.col("__cov").cast("double") / F.col("n_eval").cast("double"), 6
+        ).alias("coverage"),
     )

@@ -1114,3 +1114,112 @@ def centroid_drift(
         ).alias("cos_global"),
         F.round(F.sqrt(F.col("__d2").cast("double")), 6).alias("l2_dist"),
     )
+
+
+def embedding_top_pc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    *,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Top principal direction of the embedding cloud by fixed-round
+    power iteration (Mises 1929), plus the anisotropy audit of Mu
+    2018 ("all-but-the-top"): contextual embedding spaces concentrate
+    in a few rogue directions, which inflates every cosine and blinds
+    threshold dedup — this measures how much (anisotropy = λ₁ share
+    of total variance) and where each group sits along PC1.
+
+    Scale shape: one ``posexplode`` + centering against a broadcast
+    per-dim mean; each of the *n_iter* supersteps is two keyed
+    aggregations (scores per row, loadings per dim) with the 64-row
+    direction vector broadcast back — never a dim×dim Gram matrix.
+    Fixed iteration count keeps the result deterministic and
+    oracle-replayable (the x149 HITS contract); the start vector is
+    the normalized all-ones.  All float sums decimal-cast.
+
+    Output per group: ``(group, n, mean_proj, sd_proj, anisotropy)``
+    — anisotropy is global, repeated per row (6 dp).
+    """
+    dec = "decimal(38,18)"
+    ex = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("grp"),
+            F.posexplode(F.col(vec_col)).alias("__p", "__x"),
+        )
+        .select(
+            "__id",
+            "grp",
+            (F.col("__p") + 1).alias("d"),
+            F.col("__x").cast("double").alias("__x"),
+        )
+    )
+    mu = ex.groupBy("d").agg(
+        (
+            F.sum(F.col("__x").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mu")
+    )
+    cent = (
+        ex.join(F.broadcast(mu), "d")
+        .select("__id", "grp", "d", (F.col("__x") - F.col("__mu")).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    dim = mu.select(F.count(F.lit(1)).alias("k"))
+    v = (
+        mu.crossJoin(F.broadcast(dim))
+        .select("d", (F.lit(1.0) / F.sqrt(F.col("k").cast("double"))).alias("__v"))
+    )
+    for _ in range(int(n_iter)):
+        s = (
+            cent.join(F.broadcast(v), "d")
+            .groupBy("__id")
+            .agg(F.sum((F.col("__c") * F.col("__v")).cast(dec)).cast("double").alias("__s"))
+        )
+        u = (
+            cent.join(s, "__id")
+            .groupBy("d")
+            .agg(F.sum((F.col("__c") * F.col("__s")).cast(dec)).cast("double").alias("__u"))
+        )
+        nrm = u.agg(
+            F.sqrt(F.sum((F.col("__u") * F.col("__u")).cast(dec)).cast("double")).alias("__nm")
+        )
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("d", F.try_divide(F.col("__u"), F.col("__nm")).alias("__v"))
+            .localCheckpoint(eager=True)
+        )
+    proj = (
+        cent.join(F.broadcast(v), "d")
+        .groupBy("__id", "grp")
+        .agg(F.sum((F.col("__c") * F.col("__v")).cast(dec)).cast("double").alias("__s"))
+    ).localCheckpoint(eager=True)
+    trace = cent.agg(
+        F.sum((F.col("__c") * F.col("__c")).cast(dec)).cast("double").alias("__tr")
+    )
+    lam = proj.agg(
+        F.sum((F.col("__s") * F.col("__s")).cast(dec)).cast("double").alias("__l1")
+    )
+    aniso = lam.crossJoin(F.broadcast(trace)).select(
+        F.round(F.try_divide(F.col("__l1"), F.col("__tr")), 6).alias("anisotropy")
+    )
+    per = proj.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__s").cast(dec)).alias("__ss"),
+        F.sum((F.col("__s") * F.col("__s")).cast(dec)).alias("__sss"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("__ss").cast("double") / n
+    sd = F.sqrt(
+        F.greatest(F.col("__sss").cast("double") / n - m * m, F.lit(0.0))
+    )
+    return per.crossJoin(F.broadcast(aniso)).select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(m, 6).alias("mean_proj"),
+        F.round(sd, 6).alias("sd_proj"),
+        "anisotropy",
+    )

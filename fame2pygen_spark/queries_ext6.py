@@ -1,0 +1,393 @@
+"""Round-4 extension queries, third batch (x170+): classifier
+calibration, multi-rater agreement, embedding-space anisotropy,
+conformal filtering thresholds, and stratified-labeling budgets —
+the model-in-the-loop QC surface of a training-data pipeline.
+
+Same contract as :mod:`fame2pygen_spark.queries_ext`: every query is
+``(spark, sf_dir) -> DataFrame`` with column names/types matching its
+ANSI-SQL DuckDB oracle exactly (driver compare = exact stringified
+value hash after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .queries_ext import _read_events
+
+EXT6_QUERIES: dict = {}
+EXT6_ORACLES: dict = {}
+
+
+# ------------------------------ x170: classifier calibration audit
+
+
+def q_x170_calibration(spark, sf_dir):
+    """ECE + Brier calibration audit (operators/quality.py:
+    calibration_report): treat each customer's min-max-normalized
+    account balance as a pseudo-probability that the customer places
+    an urgent order, and score the calibration of that 'model' per
+    market segment — the audit run on quality-classifier scores
+    before they drive corpus filtering."""
+    from .operators.quality import calibration_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mm = cust.agg(
+        F.min(F.col("c_acctbal").cast("double")).alias("__lo"),
+        F.max(F.col("c_acctbal").cast("double")).alias("__hi"),
+    )
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    base = (
+        cust.crossJoin(F.broadcast(mm))
+        .join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left")
+        .select(
+            "c_mktsegment",
+            F.try_divide(
+                F.col("c_acctbal").cast("double") - F.col("__lo"),
+                F.col("__hi") - F.col("__lo"),
+            ).alias("score"),
+            F.col("o_custkey").isNotNull().alias("lbl"),
+        )
+    )
+    out = calibration_report(base, "score", "lbl", ("c_mktsegment",), n_bins=10)
+    return out.orderBy("c_mktsegment")
+
+
+SQL_X170 = """
+WITH mm AS (
+  SELECT MIN(c_acctbal::DOUBLE) AS lo, MAX(c_acctbal::DOUBLE) AS hi
+  FROM customer
+),
+urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+b AS (
+  SELECT c.c_mktsegment,
+         LEAST(GREATEST((c.c_acctbal::DOUBLE - mm.lo) / (mm.hi - mm.lo),
+                        0.0), 1.0) AS s,
+         CASE WHEN u.o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END AS y
+  FROM customer c
+  CROSS JOIN mm
+  LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+),
+binned AS (
+  SELECT c_mktsegment, LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bb, s, y
+  FROM b
+),
+bins AS (
+  SELECT c_mktsegment, bb, COUNT(*)::BIGINT AS nb,
+         SUM(s::DECIMAL(38,18)) AS ss,
+         SUM(y::DECIMAL(38,18)) AS sy,
+         SUM(((s - y) * (s - y))::DECIMAL(38,18)) AS sq
+  FROM binned GROUP BY c_mktsegment, bb
+),
+agg AS (
+  SELECT c_mktsegment, SUM(nb)::BIGINT AS n,
+         COUNT(*)::BIGINT AS n_bins_used,
+         SUM(sq) AS tsq,
+         SUM((nb::DOUBLE * ABS(ss::DOUBLE / nb::DOUBLE
+                               - sy::DOUBLE / nb::DOUBLE))::DECIMAL(38,18))
+           AS te
+  FROM bins GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n, n_bins_used,
+       ROUND(tsq::DOUBLE / n::DOUBLE, 6) AS brier,
+       ROUND(te::DOUBLE / n::DOUBLE, 6) AS ece
+FROM agg ORDER BY c_mktsegment
+"""
+
+
+EXT6_QUERIES.update({"x170_calibration": q_x170_calibration})
+EXT6_ORACLES.update({"x170_calibration": SQL_X170})
+
+
+# -------------------------- x171: Krippendorff multi-rater agreement
+
+
+def q_x171_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (operators/quality.py:
+    krippendorff_alpha): split each user's timeline into three
+    position-parity thirds, take the modal event type of each third
+    as an independent 'annotation' of the user's behavioral label,
+    and measure chance-corrected agreement across all rater pairs —
+    the multi-rater, missing-tolerant upgrade of x131's kappa (users
+    with fewer than two thirds populated drop out, no alignment
+    step)."""
+    from .operators.quality import krippendorff_alpha
+
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).withColumn("rater", F.col("rn") % 3)
+    counts = seq.groupBy("user_id", "rater", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wm = Window.partitionBy("user_id", "rater").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    modal = (
+        counts.withColumn("mr", F.row_number().over(wm))
+        .where(F.col("mr") == 1)
+        .select("user_id", "rater", "event_type")
+    )
+    return krippendorff_alpha(modal, "user_id", "rater", "event_type")
+
+
+SQL_X171 = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS rn
+  FROM e
+),
+cnt AS (
+  SELECT user_id, rn % 3 AS rater, event_type, COUNT(*) AS c
+  FROM seq GROUP BY user_id, rn % 3, event_type
+),
+modal AS (
+  SELECT user_id, rater, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, rater
+                                 ORDER BY c DESC, event_type ASC) AS mr
+    FROM cnt
+  ) WHERE mr = 1
+),
+uc AS (
+  SELECT user_id AS u, event_type AS lc, COUNT(*)::BIGINT AS n
+  FROM modal GROUP BY user_id, event_type
+),
+m AS (SELECT u, SUM(n)::BIGINT AS mu FROM uc GROUP BY u),
+dis AS (
+  SELECT uc.u, uc.lc, uc.n, m.mu,
+         ((uc.n * (m.mu - uc.n))::DOUBLE
+          / (m.mu - 1)::DOUBLE)::DECIMAL(38,18) AS dd
+  FROM uc JOIN m ON uc.u = m.u WHERE m.mu >= 2
+),
+marg AS (SELECT lc, SUM(n)::BIGINT AS nc FROM dis GROUP BY lc),
+tot AS (
+  SELECT COUNT(DISTINCT u)::BIGINT AS n_units,
+         SUM(n)::BIGINT AS n_ratings, SUM(dd) AS dosum
+  FROM dis
+),
+mt AS (
+  SELECT COUNT(*)::BIGINT AS n_labels, SUM(nc * nc)::BIGINT AS sc2
+  FROM marg
+)
+SELECT n_units, n_ratings, n_labels,
+       ROUND(1.0 - ((n_ratings::DOUBLE - 1.0) * dosum::DOUBLE)
+             / (n_ratings::DOUBLE * n_ratings::DOUBLE - sc2::DOUBLE),
+             6) AS alpha
+FROM tot, mt
+"""
+
+
+EXT6_QUERIES.update({"x171_krippendorff": q_x171_krippendorff})
+EXT6_ORACLES.update({"x171_krippendorff": SQL_X171})
+
+
+# ------------------- x172: embedding anisotropy via power iteration
+
+
+def q_x172_embedding_pc(spark, sf_dir):
+    """Top principal direction + anisotropy (operators/similarity.py:
+    embedding_top_pc): four deterministic power-iteration supersteps
+    from the normalized all-ones start, then per-label PC1 projection
+    stats and the global λ₁/trace anisotropy share — the
+    'all-but-the-top' audit run before cosine-threshold dedup."""
+    from .operators.similarity import embedding_top_pc
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_top_pc(
+        emb, "embedding", "vec_id", "label", n_iter=4
+    )
+    return out.orderBy("label")
+
+
+def _pc_iteration_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    return f"""
+s{i} AS (
+  SELECT vec_id, SUM((c * v)::DECIMAL(38,18))::DOUBLE AS s
+  FROM c JOIN {prev} USING (d) GROUP BY vec_id
+),
+u{i} AS (
+  SELECT d, SUM((c * s)::DECIMAL(38,18))::DOUBLE AS u
+  FROM c JOIN s{i} USING (vec_id) GROUP BY d
+),
+n{i} AS (
+  SELECT sqrt(SUM((u * u)::DECIMAL(38,18))::DOUBLE) AS nm FROM u{i}
+),
+v{i} AS (SELECT d, u / nm AS v FROM u{i}, n{i})"""
+
+
+SQL_X172 = (
+    """
+WITH e AS (
+  SELECT vec_id, label, u.d AS d, embedding[u.d]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+  WHERE embedding IS NOT NULL
+),
+mu AS (
+  SELECT d, SUM(x::DECIMAL(38,18))::DOUBLE / COUNT(*)::DOUBLE AS mu
+  FROM e GROUP BY d
+),
+c AS (
+  SELECT e.vec_id, e.label, e.d, e.x - mu.mu AS c
+  FROM e JOIN mu ON e.d = mu.d
+),
+k AS (SELECT COUNT(*)::DOUBLE AS k FROM mu),
+v0 AS (SELECT d, 1.0 / sqrt(k) AS v FROM mu, k),"""
+    + ",".join(_pc_iteration_sql(i) for i in (1, 2, 3, 4))
+    + """,
+proj AS (
+  SELECT c.vec_id, c.label,
+         SUM((c.c * v4.v)::DECIMAL(38,18))::DOUBLE AS s
+  FROM c JOIN v4 USING (d) GROUP BY c.vec_id, c.label
+),
+tr AS (SELECT SUM((c * c)::DECIMAL(38,18))::DOUBLE AS tr FROM c),
+l1 AS (SELECT SUM((s * s)::DECIMAL(38,18))::DOUBLE AS l1 FROM proj),
+an AS (SELECT ROUND(l1 / tr, 6) AS anisotropy FROM l1, tr),
+per AS (
+  SELECT label, COUNT(*)::BIGINT AS n,
+         SUM(s::DECIMAL(38,18)) AS ss,
+         SUM((s * s)::DECIMAL(38,18)) AS sss
+  FROM proj GROUP BY label
+)
+SELECT label, n,
+       ROUND(ss::DOUBLE / n::DOUBLE, 6) AS mean_proj,
+       ROUND(sqrt(GREATEST(sss::DOUBLE / n::DOUBLE
+                           - (ss::DOUBLE / n::DOUBLE)
+                             * (ss::DOUBLE / n::DOUBLE), 0.0)),
+             6) AS sd_proj,
+       anisotropy
+FROM per, an ORDER BY label
+"""
+)
+
+
+EXT6_QUERIES.update({"x172_embedding_pc": q_x172_embedding_pc})
+EXT6_ORACLES.update({"x172_embedding_pc": SQL_X172})
+
+
+# ----------------------- x173: split-conformal filtering threshold
+
+
+def q_x173_conformal(spark, sf_dir):
+    """Split-conformal threshold + coverage (operators/quality.py:
+    conformal_threshold): per language, calibrate a document-length
+    nonconformity cutoff on a deterministic hash half and audit the
+    finite-sample coverage guarantee on the held-out half — how a
+    corpus filter gets a cutoff with a stated miss rate instead of a
+    folklore constant."""
+    from .operators.quality import conformal_threshold
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "lang", "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    out = conformal_threshold(
+        base, "score", "doc_id", ("lang",),
+        alpha=0.1, calib_frac=0.5, salt="conformal",
+    )
+    return out.orderBy("lang")
+
+
+SQL_X173 = """
+WITH b AS (
+  SELECT lang, doc_id, n_chars::DOUBLE AS s,
+         (('0x' || substr(md5('conformal:' || CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT / 4294967296.0) < 0.5 AS cal
+  FROM documents WHERE n_chars IS NOT NULL
+),
+nc AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_calib,
+         LEAST(CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT),
+               COUNT(*)::BIGINT) AS k
+  FROM b WHERE cal GROUP BY lang
+),
+ranked AS (
+  SELECT lang, s,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY s ASC, doc_id ASC) AS rn
+  FROM b WHERE cal
+),
+thr AS (
+  SELECT r.lang, nc.n_calib, r.s AS thr
+  FROM ranked r JOIN nc ON r.lang = nc.lang AND r.rn = nc.k
+),
+ev AS (
+  SELECT b.lang, t.n_calib, t.thr,
+         COUNT(*)::BIGINT AS n_eval,
+         SUM(CASE WHEN b.s <= t.thr THEN 1 ELSE 0 END)::BIGINT AS cov
+  FROM b JOIN thr t ON b.lang = t.lang
+  WHERE NOT b.cal GROUP BY b.lang, t.n_calib, t.thr
+)
+SELECT lang, n_calib, n_eval, ROUND(thr, 6) AS threshold,
+       0.9 AS target,
+       ROUND(cov::DOUBLE / n_eval::DOUBLE, 6) AS coverage
+FROM ev ORDER BY lang
+"""
+
+
+EXT6_QUERIES.update({"x173_conformal": q_x173_conformal})
+EXT6_ORACLES.update({"x173_conformal": SQL_X173})
+
+
+# ------------------------- x174: Neyman-optimal labeling allocation
+
+
+def q_x174_neyman(spark, sf_dir):
+    """Neyman allocation (operators/mixing.py: neyman_allocation):
+    split a 10,000-row inspection budget across order priorities by
+    N_h·σ_h of total price — the planning table that decides where
+    annotation effort buys the most variance reduction, with
+    proportional allocation as the baseline column."""
+    from .operators.mixing import neyman_allocation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    out = neyman_allocation(base, "price", ("o_orderpriority",), budget=10000)
+    return out.orderBy("o_orderpriority")
+
+
+SQL_X174 = """
+WITH per AS (
+  SELECT o_orderpriority, COUNT(*)::BIGINT AS n_rows,
+         SUM((o_totalprice::DOUBLE)::DECIMAL(38,18)) AS sv,
+         SUM((o_totalprice::DOUBLE * o_totalprice::DOUBLE)
+             ::DECIMAL(38,18)) AS svv
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY o_orderpriority
+),
+w AS (
+  SELECT o_orderpriority, n_rows,
+         sqrt(GREATEST(svv::DOUBLE / n_rows::DOUBLE
+                       - (sv::DOUBLE / n_rows::DOUBLE)
+                         * (sv::DOUBLE / n_rows::DOUBLE), 0.0)) AS sd
+  FROM per
+),
+ww AS (SELECT *, n_rows::DOUBLE * sd AS wgt FROM w),
+tot AS (
+  SELECT SUM(wgt::DECIMAL(38,18)) AS tw, SUM(n_rows)::BIGINT AS tn
+  FROM ww
+)
+SELECT o_orderpriority, n_rows, ROUND(sd, 6) AS sd,
+       ROUND(wgt / tw::DOUBLE, 6) AS neyman_share,
+       ROUND(wgt / tw::DOUBLE * 10000.0, 6) AS alloc_neyman,
+       ROUND(n_rows::DOUBLE / tn::DOUBLE * 10000.0, 6) AS alloc_prop
+FROM ww, tot ORDER BY o_orderpriority
+"""
+
+
+EXT6_QUERIES.update({"x174_neyman": q_x174_neyman})
+EXT6_ORACLES.update({"x174_neyman": SQL_X174})

@@ -3753,3 +3753,109 @@ def test_burrows_delta_symmetric_three_groups(spark):
     assert abs(d[("B", "C")]["delta"] - s15) < 1e-5
     # ascending order, most-similar pair first
     assert rows[-1]["source_a"] == "A" and rows[-1]["source_b"] == "B"
+
+
+def test_calibration_report_two_bins(spark):
+    """x170: scores .2,.4 in bin0 (mean .3, rate .5) and .8,.6 in
+    bin1 (mean .7, rate 1.0) -> ECE = .5*.2 + .5*.3 = .25, Brier =
+    (.04+.36+.04+.16)/4 = .15."""
+    from fame2pygen_spark.operators.quality import calibration_report
+
+    df = spark.createDataFrame(
+        [(0.2, False), (0.4, True), (0.8, True), (0.6, True)],
+        "score double, lbl boolean",
+    )
+    r = calibration_report(df, "score", "lbl", (), n_bins=2).collect()[0]
+    assert (r["n"], r["n_bins_used"]) == (4, 2)
+    assert abs(r["brier"] - 0.15) < 1e-6
+    assert abs(r["ece"] - 0.25) < 1e-6
+
+
+def test_krippendorff_alpha_textbook(spark):
+    """x171: units (A,A), (A,B), (B,B) and one unpairable single
+    rating -> Do_sum=2, n=6, marginals 3/3 -> alpha = 1 - 5*2/18 =
+    4/9."""
+    from fame2pygen_spark.operators.quality import krippendorff_alpha
+
+    rows = [
+        (1, "r1", "A"), (1, "r2", "A"),
+        (2, "r1", "A"), (2, "r2", "B"),
+        (3, "r1", "B"), (3, "r2", "B"),
+        (4, "r1", "A"),
+    ]
+    df = spark.createDataFrame(rows, "u long, rater string, lab string")
+    r = krippendorff_alpha(df, "u", "rater", "lab").collect()[0]
+    assert (r["n_units"], r["n_ratings"], r["n_labels"]) == (3, 6, 2)
+    assert abs(r["alpha"] - 4.0 / 9.0) < 1e-6
+
+
+def test_conformal_threshold_matches_order_statistic(spark):
+    """x173: recompute the hash split and the ceil((n+1)(1-a))-th
+    smallest calibration score in plain Python and pin the operator
+    to it, coverage included."""
+    import math
+
+    from fame2pygen_spark.operators.mixing import uniform_hash01
+    from fame2pygen_spark.operators.quality import conformal_threshold
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 201)], "id long, score double"
+    )
+    r = conformal_threshold(
+        df, "score", "id", (), alpha=0.1, calib_frac=0.5, salt="t"
+    ).collect()[0]
+    marked = df.select(
+        "id", "score",
+        (uniform_hash01(F.col("id"), "t") < 0.5).alias("cal"),
+    ).collect()
+    calib = sorted(m["score"] for m in marked if m["cal"])
+    ev = [m["score"] for m in marked if not m["cal"]]
+    k = min(math.ceil((len(calib) + 1) * 0.9), len(calib))
+    thr = calib[k - 1]
+    assert (r["n_calib"], r["n_eval"]) == (len(calib), len(ev))
+    assert abs(r["threshold"] - thr) < 1e-6
+    assert abs(r["coverage"] - sum(s <= thr for s in ev) / len(ev)) < 1e-6
+
+
+def test_neyman_allocation_hand_strata(spark):
+    """x174: strata weights N_h*sd_h = 2, 0, 4 -> shares 1/3, 0, 2/3
+    of a 600 budget; proportional gives 200 each."""
+    from fame2pygen_spark.operators.mixing import neyman_allocation
+
+    rows = [("a", 0.0), ("a", 2.0), ("b", 5.0), ("b", 5.0),
+            ("c", 0.0), ("c", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in neyman_allocation(df, "v", ("g",), budget=600).collect()
+    }
+    assert abs(out["a"]["neyman_share"] - 1.0 / 3.0) < 1e-6
+    assert abs(out["a"]["alloc_neyman"] - 200.0) < 1e-6
+    assert out["b"]["neyman_share"] == 0.0
+    assert abs(out["c"]["alloc_neyman"] - 400.0) < 1e-6
+    assert all(abs(r["alloc_prop"] - 200.0) < 1e-6 for r in out.values())
+
+
+def test_embedding_top_pc_axis_aligned(spark):
+    """x172: all vectors on the x-axis -> one iteration lands v on
+    (1,0) exactly, projections are the x-coords, anisotropy 1."""
+    from fame2pygen_spark.operators.similarity import embedding_top_pc
+
+    rows = [
+        (1, [2.0, 0.0], "A"), (2, [-2.0, 0.0], "A"),
+        (3, [1.0, 0.0], "B"), (4, [-1.0, 0.0], "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {
+        r["label"]: r
+        for r in embedding_top_pc(
+            df, "embedding", "vec_id", "label", n_iter=4
+        ).collect()
+    }
+    assert out["A"]["n"] == 2 and out["B"]["n"] == 2
+    assert abs(out["A"]["mean_proj"]) < 1e-6
+    assert abs(out["A"]["sd_proj"] - 2.0) < 1e-6
+    assert abs(out["B"]["sd_proj"] - 1.0) < 1e-6
+    assert abs(out["A"]["anisotropy"] - 1.0) < 1e-6
