@@ -421,3 +421,24 @@ def test_burrows_delta_grid_and_moments_broadcast(spark):
     plan = plan_of(spark, "x168_burrows_delta")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x170_calibration",   # broadcast min-max, bin aggregations
+        "x171_krippendorff",  # two hash aggs, 1-row combines
+        "x172_embedding_pc",  # broadcast direction vector supersteps
+        "x174_neyman",        # stratum agg + broadcast total
+    ],
+)
+def test_r4_batch4_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_conformal_windows_stay_group_keyed(spark):
+    """x173: the order-statistic window must stay partitioned by the
+    group — an unkeyed rank would single-partition-sort the whole
+    calibration set."""
+    assert unpartitioned_windows(spark, "x173_conformal") == []
