@@ -1223,3 +1223,110 @@ def embedding_top_pc(
         F.round(sd, 6).alias("sd_proj"),
         "anisotropy",
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    query_vec,
+    k: int = 5,
+    lam: float = 0.7,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick *k* items maximizing ``λ·rel − (1−λ)·max
+    sim-to-selected`` — relevant to the query but not redundant with
+    each other.  The standard diverse-exemplar picker for few-shot
+    prompts, eval sets, and dedup-aware retrieval.
+
+    Scale shape: ONE distributed pass scores relevance against the
+    broadcast query vector and a TakeOrdered heap cuts the candidate
+    pool to *n_candidates*; the k−1 greedy supersteps then run on
+    that bounded pool (≤ n_candidates×k sim pairs, every score the
+    shared :func:`prenormed_cosine` fold, norms hoisted once).  Fixed
+    greedy order is deterministic — ties break by id — so the whole
+    trajectory is oracle-replayable.
+
+    Output per pick: ``(vec_id, rank, rel, max_sim, mmr)`` (6 dp;
+    rank 1 is pure relevance, its ``max_sim``/``mmr`` are null).
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    lam = float(lam)
+    cand = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__nv", l2_norm(F.col("__v")))
+        .withColumn(
+            "rel",
+            prenormed_cosine(F.col("__v"), qlit, F.col("__nv"), l2_norm(qlit)),
+        )
+        .orderBy(F.desc("rel"), F.asc("__id"))
+        .limit(int(n_candidates))
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("__id"))
+        .limit(1)
+        .select(
+            "__id",
+            "__v",
+            "__nv",
+            "rel",
+            F.lit(1).cast("long").alias("rank"),
+            F.lit(None).cast("double").alias("max_sim"),
+            F.lit(None).cast("double").alias("mmr"),
+        )
+    )
+    selected = first.localCheckpoint(eager=True)
+    for step in range(2, int(k) + 1):
+        sel = selected.select(
+            F.col("__id").alias("__sid"),
+            F.col("__v").alias("__sv"),
+            F.col("__nv").alias("__snv"),
+        )
+        remaining = cand.join(
+            selected.select(F.col("__id").alias("__sid")),
+            cand["__id"] == F.col("__sid"),
+            "left_anti",
+        )
+        ms = (
+            remaining.crossJoin(F.broadcast(sel))
+            .withColumn(
+                "__sim",
+                prenormed_cosine(
+                    F.col("__v"), F.col("__sv"), F.col("__nv"), F.col("__snv")
+                ),
+            )
+            .groupBy("__id", "__v", "__nv", "rel")
+            .agg(F.max("__sim").alias("max_sim"))
+        )
+        pick = (
+            ms.withColumn(
+                "mmr",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim"),
+                    6,
+                ),
+            )
+            .orderBy(F.desc("mmr"), F.asc("__id"))
+            .limit(1)
+            .select(
+                "__id",
+                "__v",
+                "__nv",
+                "rel",
+                F.lit(step).cast("long").alias("rank"),
+                "max_sim",
+                "mmr",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        F.col("__id").alias(id_col), "rank", "rel", "max_sim", "mmr"
+    ).orderBy("rank")

@@ -391,3 +391,102 @@ FROM ww, tot ORDER BY o_orderpriority
 
 EXT6_QUERIES.update({"x174_neyman": q_x174_neyman})
 EXT6_ORACLES.update({"x174_neyman": SQL_X174})
+
+
+# --------------------------- x175: MMR diverse exemplar selection
+
+
+def q_x175_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance (operators/similarity.py:
+    mmr_select): pick 5 exemplars relevant to vector 0 but mutually
+    diverse (λ=0.7) from a 50-candidate relevance heap — the
+    diverse few-shot/eval-set picker.  The query vector is the
+    stored embedding of vec_id 0 (1-row bounded collect, the x05c
+    pinned-literal precedent)."""
+    from .operators.similarity import mmr_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = mmr_select(
+        emb.where(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        query_vec=[float(x) for x in qv],
+        k=5,
+        lam=0.7,
+        n_candidates=50,
+    )
+    return out
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> {a}[CAST(i AS INTEGER)] * {b}[CAST(i AS INTEGER)]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _mmr_step_sql(i: int) -> str:
+    prev = f"sel{i - 1}"
+    sim = f"ROUND({_dot_sql('c.cv', 's.cv')} / (c.nv * s.nv), 6)"
+    return f"""
+ms{i} AS (
+  SELECT c.vec_id, c.rel, MAX({sim}) AS ms
+  FROM cand c JOIN {prev} s ON TRUE
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.vec_id, c.rel
+),
+p{i} AS (
+  SELECT c.vec_id, c.cv, c.nv, c.rel, m.ms AS max_sim,
+         ROUND(0.7 * c.rel - 0.3 * m.ms, 6) AS mmr
+  FROM cand c JOIN ms{i} m ON c.vec_id = m.vec_id
+  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+),
+sel{i} AS (
+  SELECT vec_id, cv, nv FROM {prev}
+  UNION ALL SELECT vec_id, cv, nv FROM p{i}
+)"""
+
+
+SQL_X175 = (
+    f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+),
+c0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id <> 0
+),
+scored AS (
+  SELECT c0.vec_id, c0.cv,
+         sqrt({_dot_sql('c0.cv', 'c0.cv')}) AS nv,
+         ROUND({_dot_sql('c0.cv', 'q.qv')}
+               / (sqrt({_dot_sql('c0.cv', 'c0.cv')})
+                  * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS rel
+  FROM c0 CROSS JOIN q
+),
+cand AS (
+  SELECT * FROM scored ORDER BY rel DESC, vec_id ASC LIMIT 50
+),
+p1 AS (
+  SELECT vec_id, cv, nv, rel FROM cand
+  ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+sel1 AS (SELECT vec_id, cv, nv FROM p1),"""
+    + ",".join(_mmr_step_sql(i) for i in (2, 3, 4, 5))
+    + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, 1::BIGINT AS rank, rel,
+       CAST(NULL AS DOUBLE) AS max_sim, CAST(NULL AS DOUBLE) AS mmr
+FROM p1
+UNION ALL SELECT vec_id, 2, rel, max_sim, mmr FROM p2
+UNION ALL SELECT vec_id, 3, rel, max_sim, mmr FROM p3
+UNION ALL SELECT vec_id, 4, rel, max_sim, mmr FROM p4
+UNION ALL SELECT vec_id, 5, rel, max_sim, mmr FROM p5
+ORDER BY rank
+"""
+)
+
+
+EXT6_QUERIES.update({"x175_mmr_select": q_x175_mmr_select})
+EXT6_ORACLES.update({"x175_mmr_select": SQL_X175})

@@ -3859,3 +3859,27 @@ def test_embedding_top_pc_axis_aligned(spark):
     assert abs(out["A"]["sd_proj"] - 2.0) < 1e-6
     assert abs(out["B"]["sd_proj"] - 1.0) < 1e-6
     assert abs(out["A"]["anisotropy"] - 1.0) < 1e-6
+
+
+def test_mmr_select_prefers_diverse_pick(spark):
+    """x175: duplicate of the top hit loses to an orthogonal vector
+    at lambda=0.4 (mmr 0 vs -0.2), then gets picked last with
+    max_sim 1."""
+    from fame2pygen_spark.operators.similarity import mmr_select
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_select(
+        df, "embedding", "vec_id", query_vec=[1.0, 0.0], k=3, lam=0.4
+    ).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["max_sim"] is None and out[0]["mmr"] is None
+    assert (out[1]["rel"], out[1]["max_sim"], out[1]["mmr"]) == (0.0, 0.0, 0.0)
+    assert (out[2]["max_sim"], out[2]["mmr"]) == (1.0, -0.2)
+    # candidate cap: with the pool cut to 2, the orthogonal vector
+    # never enters and the duplicate is picked second
+    capped = mmr_select(
+        df, "embedding", "vec_id",
+        query_vec=[1.0, 0.0], k=2, lam=0.4, n_candidates=2,
+    ).collect()
+    assert [r["vec_id"] for r in capped] == [1, 2]

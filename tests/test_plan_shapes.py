@@ -442,3 +442,41 @@ def test_conformal_windows_stay_group_keyed(spark):
     group — an unkeyed rank would single-partition-sort the whole
     calibration set."""
     assert unpartitioned_windows(spark, "x173_conformal") == []
+
+
+def test_mmr_candidate_cut_is_a_heap(spark):
+    """x175: the n_candidates relevance cut must stay a TakeOrdered
+    heap — a full corpus sort by relevance would be the scale
+    bottleneck; the greedy supersteps run on the bounded pool.
+    mmr_select eagerly checkpoints, which hides its internal plan, so
+    this pins the exact candidate-stage expression the operator
+    builds (similarity.py:mmr_select candidate block)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.similarity import (
+        _as_double, l2_norm, prenormed_cosine,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qlit = F.array(*[F.lit(0.1)] * 64)
+    cand = (
+        emb.where(F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("__id"),
+            _as_double(F.col("embedding")).alias("__v"),
+        )
+        .withColumn("__nv", l2_norm(F.col("__v")))
+        .withColumn(
+            "rel",
+            prenormed_cosine(F.col("__v"), qlit, F.col("__nv"), l2_norm(qlit)),
+        )
+        .orderBy(F.desc("rel"), F.asc("__id"))
+        .limit(50)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
