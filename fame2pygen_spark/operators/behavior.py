@@ -1167,3 +1167,86 @@ def bradley_terry(
             ).alias("s2"),
         )
     )
+
+
+def stationary_distribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str | None = "event_id",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Fixed-round Markov stationary distribution over the empirical
+    event-type chain (the long-run occupancy vector of the
+    :func:`event_transitions` matrix): π ← πP from the uniform start,
+    *n_iter* times — where users actually spend their sessions once
+    transients wash out, the ranking that orders funnel investment.
+
+    States are the types observed as transition SOURCES; transitions
+    into never-source (absorbing, last-event-only) types are dropped
+    and rows renormalized over the kept mass, so P is a proper
+    stochastic matrix and the iterate stays a distribution.  Fixed
+    iteration count keeps it deterministic and oracle-replayable.
+
+    Scale shape: one user-keyed lag window builds the pair list (the
+    x34 shape), after which everything runs on the ≤|types|² matrix:
+    each superstep is one broadcast join + one keyed aggregation with
+    decimal-cast mass sums.
+
+    Output per state: ``(event_type, stationary, pos)`` (6 dp, pos
+    by stationary desc / type asc).
+    """
+    dec = "decimal(38,18)"
+    trans = event_transitions(
+        events,
+        user_col=user_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    ).select("from_type", "to_type", "n")
+    states = trans.select(
+        F.col("from_type").alias("state")
+    ).distinct().localCheckpoint(eager=True)
+    kept = trans.join(
+        states.select(F.col("state").alias("to_type")), "to_type"
+    )
+    tot = kept.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("__tot")
+    )
+    pmat = kept.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.col("__tot").cast("double")).alias(
+            "__p"
+        ),
+    ).localCheckpoint(eager=True)
+    n_states = float(states.count())
+    pi = states.withColumn("prob", F.lit(1.0 / n_states))
+    for _ in range(int(n_iter)):
+        contribs = pmat.join(
+            F.broadcast(pi.select(F.col("state").alias("from_type"), "prob")),
+            "from_type",
+        ).select(
+            F.col("to_type").alias("state"),
+            (F.col("prob") * F.col("__p")).cast(dec).alias("__c"),
+        )
+        stepped = contribs.groupBy("state").agg(
+            F.sum("__c").cast("double").alias("prob")
+        )
+        pi = (
+            states.join(stepped, "state", "left")
+            .select(
+                "state", F.coalesce("prob", F.lit(0.0)).alias("prob")
+            )
+            .localCheckpoint(eager=True)
+        )
+    pos = F.row_number().over(
+        Window.orderBy(F.desc("prob"), F.asc("state"))
+    )
+    return pi.select(
+        F.col("state").alias(type_col),
+        F.round(F.col("prob"), 6).alias("stationary"),
+        pos.cast("long").alias("pos"),
+    )

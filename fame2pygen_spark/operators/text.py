@@ -1821,3 +1821,161 @@ def burrows_delta(
         "n_terms",
         F.round(delta, 6).alias("delta"),
     ).orderBy(F.asc("delta"), F.asc("source_a"), F.asc("source_b"))
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 2,
+    min_len: int = 4,
+    n_iter: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — content terms (length ≥
+    *min_len*) linked when they fall within *window* positions of
+    each other in a document, symmetric, weighted by co-occurrence
+    count — surfaces corpus-level keyphrases without any training.
+
+    Scale shape: co-occurrence pairs come from *window* positional
+    EQUI-joins on ``(doc, position + offset)`` — linear in tokens,
+    never a per-doc quadratic self-join; the graph collapses to one
+    (src, dst) count aggregation and the fixed-round PageRank reuses
+    :func:`fame2pygen_spark.operators.graph.pagerank` (decimal
+    contribution sums, checkpointed supersteps, x91's engine-exact
+    contract).  The final cut is a *top_n* heap; the position column
+    is a window over ≤ top_n rows.
+
+    Output: ``(term, score, pos)`` — 6 dp, rank by (score desc,
+    term asc).
+    """
+    from .graph import pagerank
+
+    base = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(tokens(F.col(text_col))).alias("__p", "__t"),
+        )
+        .where(F.length(F.col("__t")) >= int(min_len))
+    )
+    rp = F.row_number().over(
+        Window.partitionBy("__doc").orderBy("__p")
+    )
+    seq = base.select("__doc", rp.alias("__rp"), "__t").localCheckpoint(
+        eager=True
+    )
+    pair_parts = []
+    for off in range(1, int(window) + 1):
+        a = seq.alias("a")
+        b = seq.alias("b")
+        pair_parts.append(
+            a.join(
+                b,
+                (F.col("a.__doc") == F.col("b.__doc"))
+                & (F.col("b.__rp") == F.col("a.__rp") + off)
+                & (F.col("a.__t") != F.col("b.__t")),
+            ).select(
+                F.col("a.__t").alias("src"), F.col("b.__t").alias("dst")
+            )
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    ).localCheckpoint(eager=True)
+    ranks = pagerank(edges, n_iter=int(n_iter))
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(int(top_n))
+    pos = F.row_number().over(Window.orderBy(F.desc("rank"), F.asc("node")))
+    return top.select(
+        F.col("node").alias("term"),
+        F.round(F.col("rank"), 6).alias("score"),
+        pos.cast("long").alias("pos"),
+    )
+
+
+def memorization_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: Sequence[str] = ("source",),
+    *,
+    n: int = 8,
+    train_frac: float = 0.9,
+    salt: str = "memsplit",
+) -> DataFrame:
+    """Train/held-out n-gram memorization audit (the overlap metric
+    of Lee 2022 "Deduplicating Training Data Makes Language Models
+    Better"): hash-split the corpus, build the train side's distinct
+    n-gram set, and measure how much of each held-out document is
+    already covered — high coverage means eval numbers will be
+    memorization, not generalization.  The split-aware sibling of the
+    x19 decontamination probe.
+
+    Scale shape: per-doc DISTINCT grams (one explode + distinct),
+    membership by the same md5 hash band as ``mixing.split_corpus``
+    (no shuffle for the split), one gram equi-join against the train
+    set, one doc rollup, one group rollup — per-doc novelty ratios
+    decimal-cast before the group mean.  Docs shorter than *n* tokens
+    carry no grams and drop out.
+
+    Output per group: ``n_test_docs, mean_novelty, memorized_share``
+    (6 dp; memorized = every gram of the doc appears in train).
+    """
+    from .mixing import uniform_hash01
+
+    parts = [F.col(c) for c in group_cols]
+    base = (
+        df.select(
+            *parts,
+            F.col(id_col).alias("__id"),
+            F.explode(token_ngrams(tokens(F.col(text_col)), int(n))).alias(
+                "__g"
+            ),
+        )
+        .distinct()
+        .withColumn(
+            "__train",
+            uniform_hash01(F.col("__id"), salt) < F.lit(float(train_frac)),
+        )
+    )
+    train = base.where(F.col("__train")).select(F.col("__g")).distinct()
+    test = base.where(~F.col("__train"))
+    per_doc = (
+        test.join(
+            train.withColumn("__hit", F.lit(1)), on="__g", how="left"
+        )
+        .groupBy(*parts, "__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ng"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("__seen"),
+        )
+    )
+    dec = "decimal(38,18)"
+    novelty = F.lit(1.0) - F.col("__seen").cast("double") / F.col(
+        "__ng"
+    ).cast("double")
+    out = per_doc.groupBy(*parts).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+        F.sum(novelty.cast(dec)).alias("__sn"),
+        F.sum(F.when(F.col("__seen") == F.col("__ng"), 1).otherwise(0))
+        .cast("long")
+        .alias("__mem"),
+    )
+    nd = F.col("n_test_docs").cast("double")
+    return out.select(
+        *group_cols,
+        "n_test_docs",
+        F.round(F.col("__sn").cast("double") / nd, 6).alias("mean_novelty"),
+        F.round(F.col("__mem").cast("double") / nd, 6).alias(
+            "memorized_share"
+        ),
+    )

@@ -490,3 +490,234 @@ ORDER BY rank
 
 EXT6_QUERIES.update({"x175_mmr_select": q_x175_mmr_select})
 EXT6_ORACLES.update({"x175_mmr_select": SQL_X175})
+
+
+# ----------------------------------- x176: TextRank corpus keywords
+
+
+def q_x176_textrank(spark, sf_dir):
+    """TextRank keywords (operators/text.py: textrank_keywords):
+    PageRank over the window-2 word co-occurrence graph of content
+    terms (length >= 4), three supersteps, top-20 heap — the
+    training-free keyphrase surface of the corpus."""
+    from .operators.text import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(
+        docs, "text", "doc_id", window=2, min_len=4, n_iter=3, top_n=20
+    )
+
+
+def _tr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST({prev}.r * (CAST(e.w AS DOUBLE) / o.wout)
+              AS DECIMAL(28,18)) AS c
+  FROM edges e
+  JOIN outw o ON e.src = o.src
+  JOIN {prev} ON {prev}.node = e.src
+),
+s{i} AS (
+  SELECT node, tp.t + 0.85 * CAST(sum(c) AS DOUBLE) AS r
+  FROM c{i}, tp GROUP BY node, tp.t
+),
+r{i} AS (
+  SELECT nodes.node, COALESCE(s{i}.r, tp.t) AS r
+  FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node, tp
+)"""
+
+
+SQL_X176 = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, u.p AS p, toks[u.p] AS term
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(p)
+),
+content AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS rp
+  FROM pos WHERE length(term) >= 4
+),
+raw AS (
+  SELECT a.term AS src, b.term AS dst
+  FROM content a JOIN content b
+    ON a.doc_id = b.doc_id
+   AND b.rp - a.rp BETWEEN 1 AND 2
+   AND a.term <> b.term
+),
+sym AS (
+  SELECT src, dst FROM raw
+  UNION ALL SELECT dst AS src, src AS dst FROM raw
+),
+edges AS (
+  SELECT src, dst, count(*)::BIGINT AS w FROM sym GROUP BY src, dst
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n_nodes FROM nodes),
+tp AS (SELECT 0.15 / n_nodes AS t FROM n),
+outw AS (SELECT src, SUM(w)::BIGINT AS wout FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / n_nodes AS r FROM nodes, n),"""
+    + ",".join(_tr_iter_sql(i) for i in (1, 2, 3))
+    + """
+SELECT term, ROUND(r, 6) AS score,
+       CAST(ROW_NUMBER() OVER (ORDER BY r DESC, term ASC) AS BIGINT) AS pos
+FROM (SELECT node AS term, r FROM r3)
+QUALIFY pos <= 20
+ORDER BY pos
+"""
+)
+
+
+EXT6_QUERIES.update({"x176_textrank": q_x176_textrank})
+EXT6_ORACLES.update({"x176_textrank": SQL_X176})
+
+
+# -------------------- x177: Markov stationary session distribution
+
+
+def q_x177_stationary(spark, sf_dir):
+    """Markov stationary distribution (operators/behavior.py:
+    stationary_distribution): four π←πP supersteps over the
+    empirical event-type transition chain — where sessions spend
+    their long-run time, the companion ranking to x34's raw
+    transition matrix."""
+    from .operators.behavior import stationary_distribution
+
+    ev = _read_events(spark, sf_dir)
+    out = stationary_distribution(
+        ev, user_col="user_id", type_col="event_type",
+        ts_col="ts_us", id_col="event_id", n_iter=4,
+    )
+    return out.orderBy("pos")
+
+
+def _pi_iter_sql(i: int) -> str:
+    prev = f"pi{i - 1}"
+    return f"""
+c{i} AS (
+  SELECT p.to_type AS state,
+         ({prev}.prob * p.p)::DECIMAL(38,18) AS c
+  FROM p JOIN {prev} ON p.from_type = {prev}.state
+),
+s{i} AS (SELECT state, SUM(c)::DOUBLE AS prob FROM c{i} GROUP BY state),
+pi{i} AS (
+  SELECT states.state, COALESCE(s{i}.prob, 0.0) AS prob
+  FROM states LEFT JOIN s{i} ON states.state = s{i}.state
+)"""
+
+
+SQL_X177 = (
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS from_type
+  FROM e
+),
+trans AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+),
+states AS (SELECT DISTINCT from_type AS state FROM trans),
+kept AS (
+  SELECT t.* FROM trans t JOIN states s ON t.to_type = s.state
+),
+tot AS (
+  SELECT from_type, SUM(n)::BIGINT AS tot FROM kept GROUP BY from_type
+),
+p AS (
+  SELECT k.from_type, k.to_type, k.n::DOUBLE / tot.tot::DOUBLE AS p
+  FROM kept k JOIN tot ON k.from_type = tot.from_type
+),
+ns AS (SELECT COUNT(*)::DOUBLE AS ns FROM states),
+pi0 AS (SELECT state, 1.0 / ns AS prob FROM states, ns),"""
+    + ",".join(_pi_iter_sql(i) for i in (1, 2, 3, 4))
+    + """
+SELECT state AS event_type, ROUND(prob, 6) AS stationary,
+       CAST(ROW_NUMBER() OVER (ORDER BY prob DESC, state ASC) AS BIGINT)
+         AS pos
+FROM pi4 ORDER BY pos
+"""
+)
+
+
+EXT6_QUERIES.update({"x177_stationary": q_x177_stationary})
+EXT6_ORACLES.update({"x177_stationary": SQL_X177})
+
+
+# --------------------------- x178: train/held-out memorization audit
+
+
+def q_x178_memorization(spark, sf_dir):
+    """Held-out 8-gram memorization audit (operators/text.py:
+    memorization_audit): hash-split 90/10, build the train-side
+    distinct gram set, and report per source how novel the held-out
+    docs actually are — the Lee-2022 overlap gate on eval
+    contamination by memorization."""
+    from .operators.text import memorization_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = memorization_audit(
+        docs, "text", "doc_id", ("source",),
+        n=8, train_frac=0.9, salt="memsplit",
+    )
+    return out.orderBy("source")
+
+
+SQL_X178 = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT source, doc_id,
+         array_to_string(toks[i : i + 7], ' ') AS gg
+  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+  WHERE len(toks) >= 8
+),
+m AS (
+  SELECT *,
+         (('0x' || substr(md5('memsplit:' || CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT / 4294967296.0) < 0.9 AS train
+  FROM g
+),
+tr AS (SELECT DISTINCT gg FROM m WHERE train),
+te AS (SELECT * FROM m WHERE NOT train),
+pd AS (
+  SELECT te.source, te.doc_id, COUNT(*)::BIGINT AS ng,
+         COUNT(tr.gg)::BIGINT AS seen
+  FROM te LEFT JOIN tr ON te.gg = tr.gg
+  GROUP BY te.source, te.doc_id
+),
+agg AS (
+  SELECT source, COUNT(*)::BIGINT AS n_test_docs,
+         SUM((1.0 - seen::DOUBLE / ng::DOUBLE)::DECIMAL(38,18)) AS sn,
+         SUM(CASE WHEN seen = ng THEN 1 ELSE 0 END)::BIGINT AS mem
+  FROM pd GROUP BY source
+)
+SELECT source, n_test_docs,
+       ROUND(sn::DOUBLE / n_test_docs::DOUBLE, 6) AS mean_novelty,
+       ROUND(mem::DOUBLE / n_test_docs::DOUBLE, 6) AS memorized_share
+FROM agg ORDER BY source
+"""
+
+
+EXT6_QUERIES.update({"x178_memorization": q_x178_memorization})
+EXT6_ORACLES.update({"x178_memorization": SQL_X178})

@@ -3883,3 +3883,78 @@ def test_mmr_select_prefers_diverse_pick(spark):
         query_vec=[1.0, 0.0], k=2, lam=0.4, n_candidates=2,
     ).collect()
     assert [r["vec_id"] for r in capped] == [1, 2]
+
+
+def test_textrank_hand_graph_one_iteration(spark):
+    """x176: 'alpha beta alpha gamma' with window=1 gives the
+    3-node graph whose single damped superstep is hand-computable:
+    alpha 0.05+0.85*2/3, beta 0.05+0.85*2/9, gamma 0.05+0.85/9."""
+    from fame2pygen_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma")], "doc_id long, text string"
+    )
+    rows = textrank_keywords(
+        df, "text", "doc_id", window=1, min_len=4, n_iter=1, top_n=10
+    ).collect()
+    got = {r["term"]: r for r in rows}
+    assert [r["term"] for r in rows] == ["alpha", "beta", "gamma"]
+    assert abs(got["alpha"]["score"] - (0.05 + 0.85 * 2 / 3)) < 1e-6
+    assert abs(got["beta"]["score"] - (0.05 + 0.85 * 2 / 9)) < 1e-6
+    assert abs(got["gamma"]["score"] - (0.05 + 0.85 / 9)) < 1e-6
+    assert [r["pos"] for r in rows] == [1, 2, 3]
+
+
+def test_stationary_distribution_two_state_chain(spark):
+    """x177: transitions A->A, A->B, B->A give P(A)=.5/.5, P(B)=1;
+    four iterations from uniform land on (0.65625, 0.34375)."""
+    from fame2pygen_spark.operators.behavior import stationary_distribution
+
+    rows = [(1, "A", 1, 1), (1, "A", 2, 2), (1, "B", 3, 3), (1, "A", 4, 4)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long, event_id long"
+    )
+    out = {r["event_type"]: r for r in stationary_distribution(df).collect()}
+    assert abs(out["A"]["stationary"] - 0.65625) < 1e-6
+    assert abs(out["B"]["stationary"] - 0.34375) < 1e-6
+    assert (out["A"]["pos"], out["B"]["pos"]) == (1, 2)
+
+
+def test_memorization_audit_matches_python_replay(spark):
+    """x178: replay the hash split, bigram sets, and novelty math in
+    plain Python over 8 tiny docs and pin the operator to it."""
+    from fame2pygen_spark.operators.mixing import uniform_hash01
+    from fame2pygen_spark.operators.text import memorization_audit
+
+    texts = {
+        1: "a b c", 2: "a b d", 3: "c d e", 4: "a b c",
+        5: "e f g", 6: "a b", 7: "b c d", 8: "x y z",
+    }
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in texts.items()],
+        "doc_id long, text string, source string",
+    )
+    marked = {
+        r["doc_id"]: r["tr"]
+        for r in df.select(
+            "doc_id", (uniform_hash01(F.col("doc_id"), "t") < 0.5).alias("tr")
+        ).collect()
+    }
+    grams = {
+        i: {f"{a} {b}" for a, b in zip(t.split(), t.split()[1:])}
+        for i, t in texts.items()
+    }
+    train = set().union(*(grams[i] for i in grams if marked[i]))
+    test_ids = [i for i in grams if not marked[i] and grams[i]]
+    novl = {i: 1 - len(grams[i] & train) / len(grams[i]) for i in test_ids}
+    out = memorization_audit(
+        df, "text", "doc_id", ("source",), n=2, train_frac=0.5, salt="t"
+    ).collect()
+    if not test_ids:
+        assert out == []
+    else:
+        r = out[0]
+        assert r["n_test_docs"] == len(test_ids)
+        assert abs(r["mean_novelty"] - sum(novl.values()) / len(novl)) < 1e-6
+        mem = sum(1 for i in test_ids if novl[i] == 0) / len(test_ids)
+        assert abs(r["memorized_share"] - mem) < 1e-6

@@ -480,3 +480,16 @@ def test_mmr_candidate_cut_is_a_heap(spark):
     with contextlib.redirect_stdout(buf):
         cand.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x176_textrank",      # positional equi-joins, decimal pagerank
+        "x177_stationary",    # broadcast pi supersteps on |types|^2
+        "x178_memorization",  # gram equi-join, group rollups
+    ],
+)
+def test_r4_batch5_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
