@@ -661,3 +661,59 @@ def neyman_allocation(
         F.round(share * b, 6).alias("alloc_neyman"),
         F.round(prop * b, 6).alias("alloc_prop"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: Sequence[str] = ("lang",),
+    *,
+    alpha: float = 0.3,
+    token_budget: int = 1000000,
+) -> DataFrame:
+    """Temperature-based sampling shares (the multilingual rebalance
+    rule of Conneau 2019, XLM-R: p_l ∝ w_l^α): exponentiating the
+    natural token shares flattens the head and boosts the tail, so
+    low-resource groups are seen more than their raw share without
+    drowning the high-resource ones.  α=1 is natural sampling, α→0
+    uniform.
+
+    Scale shape: one group aggregation (decimal token sums), one
+    1-row broadcast total for both the natural and the tempered
+    normalizer — two shuffles, no sort.  ``epochs`` > 1 flags groups
+    the budget would force to repeat — the overfitting warning the
+    rule exists to surface.
+
+    Output per group: ``tokens, natural_share, sampled_share,
+    sampled_tokens, epochs`` (6 dp).
+    """
+    dec = "decimal(38,18)"
+    parts = [F.col(c) for c in group_cols]
+    w = F.col(weight_col).cast("double")
+    per = (
+        df.where(w.isNotNull())
+        .groupBy(*parts)
+        .agg(F.sum(w.cast("decimal(38,9)")).cast("double").alias("__w"))
+        .where(F.col("__w") > 0)
+        # exp(a*ln(w)), not pow(w, a): both engines then evaluate the
+        # SAME exp/ln composition (the convert-formula precedent) --
+        # platform pow() implementations are only 1-ulp-correct and
+        # disagree across engines more often than exp/ln do
+        .withColumn("__wa", F.exp(F.lit(float(alpha)) * F.log(F.col("__w"))))
+    )
+    tot = per.agg(
+        F.sum(F.col("__w").cast(dec)).alias("__tw"),
+        F.sum(F.col("__wa").cast(dec)).alias("__twa"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nat = F.col("__w") / F.col("__tw").cast("double")
+    smp = F.col("__wa") / F.col("__twa").cast("double")
+    budget = F.lit(float(int(token_budget)))
+    return j.select(
+        *group_cols,
+        F.col("__w").cast("long").alias("tokens"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(smp, 6).alias("sampled_share"),
+        F.round(smp * budget, 6).alias("sampled_tokens"),
+        F.round(F.try_divide(smp * budget, F.col("__w")), 6).alias("epochs"),
+    )

@@ -721,3 +721,57 @@ FROM agg ORDER BY source
 
 EXT6_QUERIES.update({"x178_memorization": q_x178_memorization})
 EXT6_ORACLES.update({"x178_memorization": SQL_X178})
+
+
+# ------------------- x179: temperature-based multilingual sampling
+
+
+def q_x179_temperature(spark, sf_dir):
+    """Temperature sampling shares (operators/mixing.py:
+    temperature_mixture): per-language token masses tempered at
+    α=0.3 against a 1M-token budget — the XLM-R rebalance table,
+    with the epochs column flagging languages the budget forces to
+    repeat."""
+    from .operators.mixing import temperature_mixture
+    from .operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = temperature_mixture(
+        base, "n_tokens", ("lang",), alpha=0.3, token_budget=1000000
+    )
+    return out.orderBy("lang")
+
+
+SQL_X179 = """
+WITH d AS (
+  SELECT lang,
+         len(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS nt
+  FROM documents
+),
+per AS (
+  SELECT lang, SUM((nt::DOUBLE)::DECIMAL(38,9))::DOUBLE AS w
+  FROM d WHERE nt IS NOT NULL GROUP BY lang
+),
+pw AS (
+  SELECT lang, w, exp(0.3 * ln(w)) AS wa FROM per WHERE w > 0
+),
+tot AS (
+  SELECT SUM(w::DECIMAL(38,18)) AS tw, SUM(wa::DECIMAL(38,18)) AS twa
+  FROM pw
+)
+SELECT lang, CAST(w AS BIGINT) AS tokens,
+       ROUND(w / tw::DOUBLE, 6) AS natural_share,
+       ROUND(wa / twa::DOUBLE, 6) AS sampled_share,
+       ROUND(wa / twa::DOUBLE * 1000000.0, 6) AS sampled_tokens,
+       ROUND(wa / twa::DOUBLE * 1000000.0 / w, 6) AS epochs
+FROM pw, tot ORDER BY lang
+"""
+
+
+EXT6_QUERIES.update({"x179_temperature": q_x179_temperature})
+EXT6_ORACLES.update({"x179_temperature": SQL_X179})

@@ -3958,3 +3958,25 @@ def test_memorization_audit_matches_python_replay(spark):
         assert abs(r["mean_novelty"] - sum(novl.values()) / len(novl)) < 1e-6
         mem = sum(1 for i in test_ids if novl[i] == 0) / len(test_ids)
         assert abs(r["memorized_share"] - mem) < 1e-6
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """x179: masses 900/100 at alpha=0.5 give tempered shares
+    3/4 vs 1/4 (sqrt ratio 3:1); epochs flag the tail repeating."""
+    from fame2pygen_spark.operators.mixing import temperature_mixture
+
+    rows = [("en", 900.0), ("sw", 100.0)]
+    df = spark.createDataFrame(rows, "lang string, nt double")
+    out = {
+        r["lang"]: r
+        for r in temperature_mixture(
+            df, "nt", ("lang",), alpha=0.5, token_budget=1000
+        ).collect()
+    }
+    assert out["en"]["tokens"] == 900 and out["sw"]["tokens"] == 100
+    assert abs(out["en"]["natural_share"] - 0.9) < 1e-6
+    assert abs(out["en"]["sampled_share"] - 0.75) < 1e-6
+    assert abs(out["sw"]["sampled_share"] - 0.25) < 1e-6
+    assert abs(out["sw"]["sampled_tokens"] - 250.0) < 1e-6
+    assert abs(out["sw"]["epochs"] - 2.5) < 1e-6
+    assert abs(out["en"]["epochs"] - 750.0 / 900.0) < 1e-5
