@@ -1418,3 +1418,122 @@ def canonical_by_priority(
         F.col("__win.d").alias("canonical_doc"),
         (F.col("doc") == F.col("__win.d")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------- winnowing (MOSS)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every word *k*-gram, slide a window of
+    *w* consecutive hashes over the sequence, and in each window keep
+    the minimum hash (rightmost occurrence on ties).  The selected
+    (position, hash) set is the fingerprint: any shared substring of
+    at least ``w + k − 1`` tokens between two documents is GUARANTEED
+    to share a fingerprint — the recall guarantee plain every-i-th
+    sampling lacks — while storing only ~``2/(w+1)`` of the hashes.
+
+    Output: ``(doc, pos, fp)`` — one row per selected fingerprint,
+    ``pos`` the k-gram position it was selected at.
+
+    Engine-exactness: the rightmost-min rule is arithmetic, not a
+    struct comparator — each candidate is encoded as
+    ``h·2^26 + (2^26−1−pos)`` so an integer window ``min`` picks the
+    smallest hash and, on ties, the largest position; both engines
+    evaluate the identical BIGINT expression.  Hash = md5-prefix
+    (:func:`shingle_hash`), portable by construction.
+
+    Plan shape: posexplode tokens → lead-concat k-grams (row-linear,
+    no self-join) → one doc-keyed running window (frame ``[0, w−1]``,
+    full windows only) → distinct.  Everything is partitioned by the
+    document id; no global sort, no shuffle beyond the doc key.
+    Positions are clamped to 2^26 (67M k-grams per doc) — beyond that
+    the encoding would collide; split such documents upstream.
+    """
+    POS_M = 1 << 26
+    toks = _parallelize_input(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "w0"),
+    )
+    seq = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w0"),
+        *[F.lead("w0", i + 1).over(seq) for i in range(k - 1)]
+    )
+    last = F.lead("w0", k - 1).over(seq)
+    grams = toks.select(
+        "doc", "pos", gram.alias("g"), last.isNotNull().alias("__full")
+    ).where(F.col("__full"))
+    enc = (
+        shingle_hash(F.col("g")) * F.lit(POS_M)
+        + (F.lit(POS_M - 1) - F.col("pos"))
+    ).alias("key")
+    keyed = grams.select("doc", "pos", enc)
+    frame = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    picked = keyed.select(
+        "doc",
+        F.min("key").over(frame).alias("sel"),
+        F.count("key").over(frame).alias("__n"),
+    ).where(F.col("__n") == w)
+    return (
+        picked.select(
+            "doc",
+            (F.lit(POS_M - 1) - (F.col("sel") % F.lit(POS_M))).alias("pos"),
+            # integer DIV, not float /: keys reach 2^58, past double's
+            # 2^53 exact range
+            F.expr(f"sel DIV {POS_M}").cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+    max_bucket: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by shared winnowing fingerprints:
+    ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b`` and at least
+    *min_shared* distinct shared fingerprint hashes.
+
+    Scale shape: the fingerprint set is ~``2/(w+1)`` of the k-gram
+    stream; pair generation joins on the fingerprint hash with the
+    standard frequent-bucket cap (*max_bucket* — boilerplate grams
+    shared by more than that many docs are diagnostic noise and would
+    otherwise emit a |bucket|² blow-up, exactly the LSH ``max_bucket``
+    rule at dedup.py:441).
+    """
+    fps = winnowing_fingerprints(
+        df, text_col, id_col, k=k, w=w
+    ).select("doc", "fp").distinct()
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__b"))
+    kept = fps.join(
+        sizes.where(F.col("__b") <= max_bucket).select("fp"), on="fp"
+    )
+    a = kept.select(F.col("doc").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -32,6 +32,7 @@ __all__ = [
     "dq_report", "standard_rules", "cohens_kappa", "auc_rank",
     "kappa_from_confusion", "t_closeness", "average_precision",
     "calibration_report", "krippendorff_alpha", "conformal_threshold",
+    "clustering_agreement",
 ]
 
 
@@ -851,4 +852,83 @@ def conformal_threshold(
         F.round(
             F.col("__cov").cast("double") / F.col("n_eval").cast("double"), 6
         ).alias("coverage"),
+    )
+
+
+def clustering_agreement(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Adjusted Rand Index between two cluster assignments (Hubert &
+    Arabie 1985) — the standard agreement score for comparing a cheap
+    clustering (LSH buckets, prefix keys, blocking keys) against a
+    reference clustering (exact-duplicate groups, gold labels).
+    ARI = 0 ⇒ chance-level agreement, 1 ⇒ identical partitions.
+
+    Pair-counting form from the contingency table: with ``n_ij`` the
+    size of cell (a=i, b=j), ``a_i``/``b_j`` the marginals and
+    ``P(x) = x(x−1)/2``::
+
+        index     = Σ_ij P(n_ij)
+        expected  = Σ_i P(a_i) · Σ_j P(b_j) / P(n)
+        ARI       = (index − expected) / ((ΣP(a_i)+ΣP(b_j))/2 − expected)
+
+    Output: one row per *group_cols* group: ``(…, n, n_clusters_a,
+    n_clusters_b, ari)`` (6 dp).
+
+    Scale shape: three keyed hash aggregations (cell, marginal a,
+    marginal b) that combine map-side, then 1-row-per-group combines —
+    never materializes pairs (the naive pair formulation is O(n²); the
+    contingency form is O(#cells)).  Engine-exactness: every Σ is an
+    exact BIGINT sum of integer pair counts; the ARI division is one
+    double expression over those exact integers, composed identically
+    in the oracle.
+    """
+    g = list(group_cols)
+
+    def pairs2(c: Column) -> Column:
+        # 2·P(c) = c(c−1): keep everything integral (halving once at
+        # the end avoids fractional intermediates)
+        return (c * (c - F.lit(1))).cast("long")
+
+    cells = df.groupBy(*g, label_a, label_b).agg(
+        F.count(F.lit(1)).alias("__nij")
+    )
+    idx = cells.groupBy(*g).agg(
+        F.sum(pairs2(F.col("__nij"))).alias("__idx2"),
+        F.sum("__nij").alias("__n"),
+    )
+    ma = (
+        df.groupBy(*g, label_a).agg(F.count(F.lit(1)).alias("__ai"))
+        .groupBy(*g)
+        .agg(
+            F.sum(pairs2(F.col("__ai"))).alias("__a2"),
+            F.count(F.lit(1)).alias("n_clusters_a"),
+        )
+    )
+    mb = (
+        df.groupBy(*g, label_b).agg(F.count(F.lit(1)).alias("__bj"))
+        .groupBy(*g)
+        .agg(
+            F.sum(pairs2(F.col("__bj"))).alias("__b2"),
+            F.count(F.lit(1)).alias("n_clusters_b"),
+        )
+    )
+    joined = idx.join(ma, on=g or None, how="inner") if g else idx.crossJoin(ma)
+    joined = joined.join(mb, on=g or None, how="inner") if g else joined.crossJoin(mb)
+    t2 = pairs2(F.col("__n")).cast("double")
+    expected2 = F.col("__a2").cast("double") * F.col("__b2") / t2
+    ari = F.try_divide(
+        F.col("__idx2").cast("double") - expected2,
+        (F.col("__a2") + F.col("__b2")).cast("double") / F.lit(2.0)
+        - expected2,
+    )
+    return joined.select(
+        *g,
+        F.col("__n").cast("long").alias("n"),
+        F.col("n_clusters_a").cast("long").alias("n_clusters_a"),
+        F.col("n_clusters_b").cast("long").alias("n_clusters_b"),
+        F.round(ari, 6).alias("ari"),
     )

@@ -1330,3 +1330,78 @@ def mmr_select(
     return selected.select(
         F.col("__id").alias(id_col), "rank", "rel", "max_sim", "mmr"
     ).orderBy("rank")
+
+
+# ------------------------------------------------- hubness audit
+
+
+def hubness_profile(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Hubness audit of an embedding space (Radovanović et al. 2010):
+    the distribution of k-occurrences ``N_k(x)`` — how many other
+    points count *x* among their *k* nearest neighbors.  High-dim
+    embedding spaces grow "hubs" (points in everyone's neighbor list)
+    and antihubs (in no one's); a right-skewed ``N_k`` distribution
+    degrades retrieval diversity, kNN-based dedup recall, and RAG
+    index quality, so this is the pre-flight check before trusting
+    any kNN-derived signal on a corpus.
+
+    Output: ONE row — ``(n_points, k, max_occ, mean_occ, skewness,
+    zero_frac)``; ``skewness`` is the moment skewness
+    ``g1 = m3 / m2^1.5`` of ``N_k`` (the standard hubness score),
+    ``zero_frac`` the antihub share.
+
+    Engine-exactness: occurrence counts are exact integers, so the raw
+    power sums Σx, Σx², Σx³ are exact BIGINTs; μ and the central
+    moments are one double composition over them, identical in the
+    oracle.  Scale shape: built on :func:`cosine_topk`'s exact
+    pairwise scores — an AUDIT on a bounded sample (the broadcast
+    query side caps it); for full-corpus hubness feed ANN neighbor
+    lists (lsh_topk / ivf_topk) into the same occurrence aggregation.
+    """
+    pts = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    topk = cosine_topk(emb, pts, id_col=id_col, vec_col=vec_col, k=k)
+    occ = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    per_point = (
+        emb.select(F.col(id_col).alias("neighbor_id"))
+        .join(occ, on="neighbor_id", how="left")
+        .select(
+            F.coalesce(F.col("occ"), F.lit(0)).cast("long").alias("occ")
+        )
+    )
+    sums = per_point.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("occ").alias("mx"),
+        F.sum("occ").alias("s1"),
+        F.sum(F.col("occ") * F.col("occ")).alias("s2"),
+        F.sum(F.col("occ") * F.col("occ") * F.col("occ")).alias("s3"),
+        F.sum((F.col("occ") == 0).cast("long")).alias("nz"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * mu * F.col("s2").cast("double") / n
+        + F.lit(2.0) * mu * mu * mu
+    )
+    # m2·sqrt(m2), not pow(m2, 1.5): sqrt is IEEE-754-exact (correctly
+    # rounded) in every engine, pow is libm-dependent
+    skew = F.when(m2 > 0, F.try_divide(m3, m2 * F.sqrt(m2)))
+    return sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.lit(int(k)).cast("long").alias("k"),
+        F.col("mx").cast("long").alias("max_occ"),
+        F.round(mu, 6).alias("mean_occ"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(F.col("nz").cast("double") / n, 6).alias("zero_frac"),
+    )

@@ -1979,3 +1979,176 @@ def memorization_audit(
             "memorized_share"
         ),
     )
+
+
+# ------------------------------------------ ROUGE-N pair overlap
+
+
+def rouge_ngram_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    n: int = 2,
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """ROUGE-N overlap (Lin 2004) for explicit document pairs:
+    clipped n-gram matching, the workhorse metric for summarization
+    eval, paraphrase mining, and template-churn detection in corpus QC.
+
+    ``match = Σ_g min(count_ref(g), count_cand(g))``;
+    ``recall = match / n_ref``, ``precision = match / n_cand``,
+    ``f1 = 2PR/(P+R)``.  Clipping (the ``min``) is what distinguishes
+    ROUGE from raw n-gram recall: a candidate repeating one reference
+    gram 50× scores the gram once, so keyword-stuffed near-copies
+    don't saturate the metric.
+
+    Output: ``(ref_id, cand_id, n_match, n_ref, n_cand, precision,
+    recall, f1)`` — one row per input pair (6 dp; pairs whose docs
+    have no n-grams yield null ratios via try_divide).
+
+    Scale shape: n-gram counts are ONE doc-keyed aggregation over a
+    lead-window gram stream (row-linear, no token self-join), computed
+    once per doc regardless of how many pairs reference it; the match
+    join is keyed by (doc, gram) equi-keys.  Counts are exact BIGINTs;
+    the three ratios are single double divisions composed identically
+    in the oracle.
+    """
+    toks = _parallelize_input(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w0"),
+    )
+    seq = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w0"),
+        *[F.lead("w0", i + 1).over(seq) for i in range(n - 1)]
+    )
+    full = (
+        F.lead("w0", n - 1).over(seq).isNotNull() if n > 1 else F.lit(True)
+    )
+    counts = (
+        toks.select("doc", gram.alias("g"), full.alias("__f"))
+        .where(F.col("__f"))
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("doc").agg(F.sum("c").alias("tot"))
+    p = pairs.select(
+        F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id")
+    )
+    rc = counts.select(
+        F.col("doc").alias("ref_id"), "g", F.col("c").alias("cr")
+    )
+    cc = counts.select(
+        F.col("doc").alias("cand_id"), "g", F.col("c").alias("cc")
+    )
+    matches = (
+        p.join(rc, on="ref_id")
+        .join(cc, on=["cand_id", "g"])
+        .groupBy("ref_id", "cand_id")
+        .agg(F.sum(F.least("cr", "cc")).alias("n_match"))
+    )
+    out = (
+        p.join(matches, on=["ref_id", "cand_id"], how="left")
+        .join(
+            totals.select(F.col("doc").alias("ref_id"), F.col("tot").alias("n_ref")),
+            on="ref_id", how="left",
+        )
+        .join(
+            totals.select(F.col("doc").alias("cand_id"), F.col("tot").alias("n_cand")),
+            on="cand_id", how="left",
+        )
+        .select(
+            "ref_id", "cand_id",
+            F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+        )
+    )
+    prec = F.try_divide(
+        F.col("n_match").cast("double"), F.col("n_cand").cast("double")
+    )
+    rec = F.try_divide(
+        F.col("n_match").cast("double"), F.col("n_ref").cast("double")
+    )
+    f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+    return out.select(
+        "ref_id", "cand_id", "n_match", "n_ref", "n_cand",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+# ---------------------------------- CCNet-style perplexity buckets
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    *,
+    n_buckets: int = 3,
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): rank every document WITHIN its language by LM surprisal
+    (here the corpus's own add-k bigram model,
+    :func:`bigram_surprisal`) and split each language into equal
+    head / middle / tail buckets.  Head = most fluent; CCNet keeps
+    head+middle and drops tail — per-language ranking is the point,
+    as a fixed global threshold would throw away whole low-resource
+    languages.
+
+    Output: one row per (lang, bucket): ``(lang, bucket, bucket_name,
+    n_docs, share, mean_surprisal)`` — bucket 1..n_buckets by rising
+    surprisal; ``share`` is within-language.  Docs with no bigrams
+    (< 2 tokens) are excluded.
+
+    Engine-exactness: the ntile ranking key is the ROUNDED 6-dp
+    surprisal with the doc id as tie-break — a total deterministic
+    order both engines reproduce; ntile's extra-row rule (first
+    ``n mod b`` buckets get the extra) is identical in Spark and
+    DuckDB.  Scale shape: surprisal is the x98 pipeline (doc-keyed);
+    the ntile window is keyed by language — parallel across languages,
+    and within one language the sort is of doc-level rows (already
+    ~6 orders of magnitude smaller than the token stream).
+    """
+    scored = bigram_surprisal(df, text_col, id_col, k=k).join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+        ),
+        on="doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy("mean_surprisal", "doc_id")
+    binned = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    names = F.when(F.col("bucket") == 1, F.lit("head")).otherwise(
+        F.when(F.col("bucket") == n_buckets, F.lit("tail")).otherwise(
+            F.lit("middle")
+        )
+    )
+    per = binned.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("mean_surprisal").cast("decimal(38,12)")).alias("__s"),
+    )
+    lang_tot = per.groupBy("lang").agg(F.sum("n_docs").alias("__lt"))
+    return (
+        per.join(lang_tot, on="lang")
+        .select(
+            "lang",
+            F.col("bucket").cast("long").alias("bucket"),
+            names.alias("bucket_name"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__lt").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("__s").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )

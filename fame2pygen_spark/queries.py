@@ -946,6 +946,7 @@ from .queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
 from .queries_ext4 import EXT4_ORACLES, EXT4_QUERIES  # noqa: E402
 from .queries_ext5 import EXT5_ORACLES, EXT5_QUERIES  # noqa: E402
 from .queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
+from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -954,6 +955,7 @@ ORACLES.update(EXT3_ORACLES)
 ORACLES.update(EXT4_ORACLES)
 ORACLES.update(EXT5_ORACLES)
 ORACLES.update(EXT6_ORACLES)
+ORACLES.update(EXT7_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -990,6 +992,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT4_QUERIES,
     **EXT5_QUERIES,
     **EXT6_QUERIES,
+    **EXT7_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against

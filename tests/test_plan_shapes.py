@@ -493,3 +493,42 @@ def test_mmr_candidate_cut_is_a_heap(spark):
 def test_r4_batch5_operators_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x180_winnowing",     # doc-keyed windows, fp equi-join
+        "x181_ari_langid",    # three keyed hash aggs, per-group combines
+        "x182_rouge",         # (doc, gram) equi-joins, lead windows
+        "x183_ppl_buckets",   # x98 pipeline + lang-keyed ntile
+    ],
+)
+def test_r4_batch6_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_winnowing_windows_stay_doc_keyed(spark):
+    """x180: gram/lead/selection windows are all partitioned by the
+    document id — an unkeyed window would serialize the whole token
+    stream through one partition."""
+    assert unpartitioned_windows(spark, "x180_winnowing") == []
+
+
+def test_ppl_bucket_ntile_stays_language_keyed(spark):
+    """x183: the ntile ranking window must be keyed by language —
+    CCNet bucketing is per-language by construction, and an unkeyed
+    ntile would single-partition-sort every doc."""
+    assert unpartitioned_windows(spark, "x183_ppl_buckets") == []
+
+
+def test_hubness_query_side_broadcasts(spark):
+    """x184: the kNN scoring join must broadcast the (bounded) query
+    side — sort-merge over the pairwise score space would shuffle
+    |corpus|·|queries| rows.  (The later id→occurrence LEFT join is
+    corpus-sized on both sides, so a keyed sort-merge there is the
+    correct scale plan and is not banned.)"""
+    plan = plan_of(spark, "x184_hubness")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
