@@ -1250,3 +1250,62 @@ def stationary_distribution(
         F.round(F.col("prob"), 6).alias("stationary"),
         pos.cast("long").alias("pos"),
     )
+
+
+def burstiness(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Burstiness coefficient of same-user inter-arrival gaps per
+    event type (Goh & Barabási 2008): ``B = (σ − μ)/(σ + μ)`` over the
+    gap distribution — ``−1`` for a perfectly periodic stream, ``0``
+    for Poisson, ``→ +1`` for heavy-tailed bursts.  The single-number
+    companion to x38's gap quantiles: quantiles show WHERE the mass
+    sits, B says whether the process is clocklike, random, or bursty —
+    the signal that picks sessionization timeouts and bot heuristics.
+
+    Engine-exactness: gaps are integral microseconds; power sums use
+    exact DECIMAL accumulation (``Σg`` at (38,0) and ``Σg²`` via a
+    (19,0)×(19,0)→(38,0) product — gap² ≈ 10²³ overflows BIGINT, the
+    x38 magnitude lesson) so both engines see identical integers; μ,
+    σ = √(m₂) (IEEE-exact sqrt) and B are one double composition.
+
+    Plan shape: one (user, type)-keyed lag window — the same single
+    shuffle as inter_arrival_quantiles — then a type-keyed hash agg;
+    |types| output rows, no rank window at all (cheaper than x38).
+
+    Output: ``(event_type, n_gaps, mean_gap_us, std_gap_us,
+    burstiness)`` (6 dp).
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(user_col, type_col).orderBy(*order)
+    gaps = (
+        events.select(
+            F.col(user_col), F.col(type_col).alias("event_type"),
+            *([F.col(id_col)] if id_col else []), F.col(ts_col),
+        )
+        .withColumn("gap_us", F.col(ts_col) - F.lag(ts_col).over(w))
+        .where(F.col("gap_us").isNotNull())
+    )
+    gd = F.col("gap_us").cast("decimal(19,0)")
+    sums = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(gd).alias("s1"),
+        F.sum(gd * gd).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+    sd = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    b = F.try_divide(sd - mu, sd + mu)
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_us"),
+        F.round(sd, 6).alias("std_gap_us"),
+        F.round(b, 6).alias("burstiness"),
+    )

@@ -1569,3 +1569,114 @@ def cross_correlation(
             F.round(F.col("__c"), 6).alias("xcorr"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    period: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method, Kendall & Stuart): ``y = trend + seasonal + resid`` for a
+    regular series — the descriptive complement to Holt–Winters
+    (x150): HW *forecasts* with recursive smoothing; this *explains*
+    an observed series with a symmetric, non-recursive decomposition.
+
+    trend
+        centered 2×*period* moving average (for even periods the
+        standard half-weighted ends: ``(½·y₋ₚ/₂ + Σ|i|<p/2 y_i +
+        ½·y₊ₚ/₂)/p``); null where the window is incomplete (series
+        edges) — nulls propagate through the lag/lead sum naturally
+        and identically in both engines.
+    seasonal
+        per-phase mean of the detrended series (decimal-cast sums —
+        accumulation-order-insensitive), re-centered so the seasonal
+        components sum to zero across one cycle.
+    resid
+        ``y − trend − seasonal`` (null at the edges, like trend).
+
+    Assumes one row per period per group with no gaps (run
+    ``gap_fill`` upstream otherwise) — a missing period silently
+    widens the MA window to non-adjacent values.
+
+    Scale shape: one group-keyed ordered window for the lag/lead MA,
+    one (group, phase)-keyed agg, one group-keyed 1-row re-centering
+    join — each group's series sorts independently; nothing global.
+
+    Output: ``(*group_cols, ts, y, trend, seasonal, resid)``, floats
+    at 6 dp.
+    """
+    g = list(group_cols)
+    half = period // 2
+    w = (
+        Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    ).orderBy("ts")
+    y = F.col("y")
+    if period % 2 == 0:
+        terms = [F.lag(y, half).over(w) * F.lit(0.5)]
+        terms += [
+            F.lag(y, i).over(w) for i in range(half - 1, 0, -1)
+        ]
+        terms += [y]
+        terms += [F.lead(y, i).over(w) for i in range(1, half)]
+        terms += [F.lead(y, half).over(w) * F.lit(0.5)]
+    else:
+        terms = [F.lag(y, i).over(w) for i in range(half, 0, -1)]
+        terms += [y]
+        terms += [F.lead(y, i).over(w) for i in range(1, half + 1)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    trend = acc / F.lit(float(period))
+    phase = F.col("__rn") % F.lit(period)
+    staged = (
+        df.select(
+            *g,
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("y"),
+        )
+        .withColumn("__rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("trend", F.round(trend, 6))
+        .withColumn("phase", phase)
+        .withColumn("detr", F.col("y") - F.col("trend"))
+    )
+    staged = staged.localCheckpoint(eager=True)
+    ph = staged.where(F.col("detr").isNotNull()).groupBy(*g, "phase").agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.col("detr").cast("decimal(38,12)")).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("__sraw")
+    )
+    center = ph.groupBy(*g).agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.col("__sraw").cast("decimal(38,12)")).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("__c")
+    )
+    seas = (
+        ph.join(center, on=g or None) if g
+        else ph.crossJoin(F.broadcast(center))
+    ).select(
+        *g, "phase",
+        F.round(F.col("__sraw") - F.col("__c"), 6).alias("seasonal"),
+    )
+    out = staged.join(seas, on=g + ["phase"])
+    return out.select(
+        *g,
+        "ts",
+        F.round(F.col("y"), 6).alias("y"),
+        "trend",
+        "seasonal",
+        F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias(
+            "resid"
+        ),
+    )

@@ -947,6 +947,7 @@ from .queries_ext4 import EXT4_ORACLES, EXT4_QUERIES  # noqa: E402
 from .queries_ext5 import EXT5_ORACLES, EXT5_QUERIES  # noqa: E402
 from .queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
 from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
+from .queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -956,6 +957,7 @@ ORACLES.update(EXT4_ORACLES)
 ORACLES.update(EXT5_ORACLES)
 ORACLES.update(EXT6_ORACLES)
 ORACLES.update(EXT7_ORACLES)
+ORACLES.update(EXT8_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -993,6 +995,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT5_QUERIES,
     **EXT6_QUERIES,
     **EXT7_QUERIES,
+    **EXT8_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against

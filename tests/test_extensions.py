@@ -4167,3 +4167,125 @@ def test_hubness_profile_planted_hub(spark):
     assert out["mean_occ"] == round(1.0, 6)
     assert out["max_occ"] >= 1
     assert 0.0 <= out["zero_frac"] < 1.0
+
+
+# ---------------------------------------------------------------- x185
+
+
+def test_association_rules_hand_values(spark):
+    """x185: 4 baskets, hand-checked support/confidence/lift in both
+    rule directions; the basket cap prunes deterministically by item
+    order."""
+    from fame2pygen_spark.operators.olap import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"), (4, "c"),  # dup collapses
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            df, "basket", "item", min_pair_count=1
+        ).collect()
+    }
+    # n(a)=3, n(b)=3, n(c)=2, n(ab)=2, N=4
+    r = out[("a", "b")]
+    assert r["n_both"] == 2 and r["n_ante"] == 3 and r["n_cons"] == 3
+    assert abs(r["support"] - 0.5) < 1e-9
+    assert abs(r["confidence"] - 2 / 3) < 1e-6
+    assert abs(r["lift"] - (2 / 3) / (3 / 4)) < 1e-6
+    # reverse direction exists with its own confidence
+    assert abs(out[("b", "a")]["confidence"] - 2 / 3) < 1e-6
+    # cap: with max_items_per_basket=1 only the lexical min survives
+    capped = association_rules(
+        df, "basket", "item", min_pair_count=1, max_items_per_basket=1
+    ).collect()
+    assert capped == []
+
+
+# ---------------------------------------------------------------- x186
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """x186: a series built as linear trend + exact period-4 seasonal
+    decomposes back to ~those components (interior points), seasonal
+    sums to ~0, residuals ~0."""
+    from datetime import date
+
+    from fame2pygen_spark.operators.temporal import seasonal_decompose
+
+    seas = [2.0, -1.0, -3.0, 2.0]  # sums to zero
+    rows = []
+    for i in range(16):
+        y = 10.0 + 1.0 * i + seas[i % 4]
+        rows.append(("g", date(2020, 1 + (i % 12), 1) if False else date(2020 + i // 12, 1 + i % 12, 1), y))
+    df = spark.createDataFrame(rows, "grp string, ts date, y double")
+    out = sorted(
+        seasonal_decompose(df, "ts", "y", ("grp",), period=4).collect(),
+        key=lambda r: r["ts"],
+    )
+    # interior trend = 10 + i (the MA of a linear trend is exact once
+    # the window is full; seasonal averages out by construction)
+    for i, r in enumerate(out):
+        if r["trend"] is not None and 2 <= i <= 13:
+            assert abs(r["trend"] - (10.0 + i)) < 1e-6, (i, r)
+            assert abs(r["resid"]) < 1e-5, (i, r)
+    seas_by_phase = {}
+    for i, r in enumerate(out):
+        seas_by_phase[i % 4] = r["seasonal"]
+    assert abs(sum(seas_by_phase.values())) < 1e-5
+    for p in range(4):
+        assert abs(seas_by_phase[p] - seas[p]) < 1e-5
+
+
+# ---------------------------------------------------------------- x187
+
+
+def test_woe_iv_two_bins(spark):
+    """x187: 2 bins × 10 rows with known good/bad splits — WOE and IV
+    match the formula by hand."""
+    import math
+
+    from fame2pygen_spark.operators.quality import woe_iv
+
+    # bin 1 (scores 0..9): 8 good / 2 bad; bin 2 (10..19): 2 good / 8 bad
+    rows = [(float(i), i, i < 8) for i in range(10)]
+    rows += [(float(10 + i), 10 + i, i >= 8) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, id long, label boolean")
+    out = {r["bin"]: r for r in woe_iv(
+        df, "score", "label", "id", n_bins=2, smooth=0.5
+    ).collect()}
+    G = B = 10
+    gs1, bs1 = (8 + 0.5) / (G + 1.0), (2 + 0.5) / (B + 1.0)
+    gs2, bs2 = (2 + 0.5) / (G + 1.0), (8 + 0.5) / (B + 1.0)
+    assert out[1]["n_good"] == 8 and out[1]["n_bad"] == 2
+    assert abs(out[1]["woe"] - round(math.log(gs1 / bs1), 6)) < 1e-9
+    iv = (gs1 - bs1) * math.log(gs1 / bs1) + (gs2 - bs2) * math.log(gs2 / bs2)
+    assert abs(out[1]["iv_total"] - round(iv, 6)) < 1e-6
+    assert out[1]["iv_total"] == out[2]["iv_total"]
+
+
+# ---------------------------------------------------------------- x188
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    """x188: a perfectly periodic stream scores B = −1 (σ=0); a
+    heavy-tailed gap stream scores B > 0."""
+    from fame2pygen_spark.operators.behavior import burstiness
+
+    rows = [(1, "tick", i, 1000 * i) for i in range(10)]
+    rows += [(1, "burst", 100 + i, ts) for i, ts in enumerate(
+        [0, 1, 2, 3, 4, 100000]
+    )]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts_us long"
+    )
+    out = {r["event_type"]: r for r in burstiness(df).collect()}
+    assert out["tick"]["burstiness"] == -1.0
+    assert out["tick"]["std_gap_us"] == 0.0
+    assert out["tick"]["n_gaps"] == 9
+    # gaps [1,1,1,1,99996]: μ=2e4, σ=4e4 → B = 2e4/6e4 = 1/3 exactly
+    assert abs(out["burst"]["burstiness"] - 0.333311) < 1e-4

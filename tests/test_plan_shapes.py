@@ -532,3 +532,29 @@ def test_hubness_query_side_broadcasts(spark):
     plan = plan_of(spark, "x184_hubness")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x185_assoc_rules",   # basket equi-join, item-keyed marginals
+        "x186_decompose",     # group-keyed MA windows, phase aggs
+        "x187_woe_iv",        # segment-keyed ntile + group combines
+        "x188_burstiness",    # (user, type)-keyed lag, type agg
+    ],
+)
+def test_r4_batch7_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x186_decompose",     # MA/row_number windows keyed by region
+        "x187_woe_iv",        # ntile keyed by market segment
+        "x188_burstiness",    # lag keyed by (user, type)
+    ],
+)
+def test_r4_batch7_windows_stay_group_keyed(spark, name):
+    assert unpartitioned_windows(spark, name) == [], name
