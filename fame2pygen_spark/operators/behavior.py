@@ -1309,3 +1309,54 @@ def burstiness(
         F.round(sd, 6).alias("std_gap_us"),
         F.round(b, 6).alias("burstiness"),
     )
+
+
+def session_step_flow(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+    max_steps: int = 5,
+) -> DataFrame:
+    """Step-indexed session transition counts — the Sankey-diagram
+    frame: for each step position 1..*max_steps* within a session,
+    how many sessions moved ``from_type → to_type`` at that step.
+    The positional refinement of x34's global transition matrix (which
+    marginalizes steps away) and x49's whole-path strings (which
+    explode combinatorially past a few steps): step-indexed edges stay
+    |steps|·|types|² no matter how long sessions get.
+
+    Sessionization is the same lag + running-sum formulation as
+    :func:`top_session_paths` (inactivity gap *gap_us*); events inside
+    a session are ordered by (ts, id) — deterministic in both engines.
+
+    Scale shape: one user-keyed window pass (sessions + step index +
+    lead), then a (step, from, to) hash aggregation — no joins, no
+    per-session collect.
+
+    Output: ``(step, from_type, to_type, n_sessions)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    new_session = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = events.withColumn("__sid", F.sum(new_session).over(w))
+    ws = Window.partitionBy(user_col, "__sid").orderBy(ts_col, id_col)
+    steps = sess.select(
+        F.row_number().over(ws).alias("step"),
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(ws).alias("to_type"),
+    ).where(
+        F.col("to_type").isNotNull() & (F.col("step") <= max_steps)
+    )
+    return steps.groupBy("step", "from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    ).select(
+        F.col("step").cast("long").alias("step"),
+        "from_type", "to_type", "n_sessions",
+    )

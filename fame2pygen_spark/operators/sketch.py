@@ -1969,3 +1969,226 @@ def eb_shrink_rates(
         F.round(F.col("__beta"), 6).alias("beta"),
         F.round(shrunk, 6).alias("shrunk_rate"),
     )
+
+
+def hll_merge_rollup(
+    df: DataFrame,
+    fine_col: str,
+    coarse_col: str,
+    value_col: str,
+    *,
+    b: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """HLL register rollup across time grains — the DAU→WAU/MAU
+    pattern: build per-*fine* (e.g. daily) HyperLogLog registers once,
+    then MERGE them by pairwise register max into each *coarse* (e.g.
+    weekly) estimate, and prove the merge lossless by computing the
+    coarse registers directly from the raw rows too.  At 100 TB this
+    is why sketches beat count-distinct: yesterday's registers never
+    need the raw rows again, yet every coarser rollup is exact-as-if-
+    direct (max is associative/commutative/idempotent).
+
+    Register/hash/estimate math is byte-identical to
+    :func:`hll_distinct` (md5 first-byte register, 33−bit_length rank,
+    exact power-of-two inverse sums) so the oracle reproduces every
+    register.
+
+    Scale shape: one shuffle to (fine, register) with map-side max,
+    a (coarse, register) re-max — |fine grains|·m rows, trivial — and
+    the verification path's own (coarse, register) agg; the exact
+    count-distinct column is test-SF display only, drop it at scale.
+
+    Output: ``(coarse, n_fine_units, m, est_merged, est_direct,
+    merge_consistent, exact_distinct)`` — *merge_consistent* must be
+    true everywhere; a false is a broken merge, not noise.
+    """
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    hexd = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
+    )
+    w_hex = F.substring(hexd, 3, 8)
+    w = F.conv(w_hex, 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
+    )
+    hashed = df.select(
+        F.col(fine_col).alias("fine"),
+        F.col(coarse_col).alias("coarse"),
+        (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m).alias(
+            "__idx"
+        ),
+        rank.cast("int").alias("__rank"),
+        F.col(value_col).alias("__v"),
+    )
+    hashed = hashed.localCheckpoint(eager=True)
+
+    def estimate(regs: DataFrame, label: str) -> DataFrame:
+        per = regs.groupBy("coarse").agg(
+            F.count("*").cast("long").alias("__np"),
+            F.sum(
+                F.expr("1.0 / shiftleft(cast(1 as bigint), __reg)")
+            ).alias("__sp"),
+        )
+        sum_inv = (
+            F.col("__sp") + (F.lit(m) - F.col("__np")).cast("double")
+        )
+        return per.select(
+            "coarse",
+            F.round(F.lit(alpha * m * m) / sum_inv, 6).alias(label),
+        )
+
+    fine_regs = hashed.groupBy("fine", "coarse", "__idx").agg(
+        F.max("__rank").alias("__reg")
+    )
+    merged = fine_regs.groupBy("coarse", "__idx").agg(
+        F.max("__reg").alias("__reg")
+    )
+    direct = hashed.groupBy("coarse", "__idx").agg(
+        F.max("__rank").alias("__reg")
+    )
+    est_m = estimate(merged, "est_merged")
+    est_d = estimate(direct, "est_direct")
+    meta = hashed.groupBy("coarse").agg(
+        F.countDistinct("fine").cast("long").alias("n_fine_units"),
+        F.countDistinct("__v").cast("long").alias("exact_distinct"),
+    )
+    return (
+        meta.join(est_m, on="coarse")
+        .join(est_d, on="coarse")
+        .select(
+            "coarse",
+            "n_fine_units",
+            F.lit(m).cast("long").alias("m"),
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias(
+                "merge_consistent"
+            ),
+            "exact_distinct",
+        )
+    )
+
+
+#: cumulative Poisson(1) pmf — deterministic-bootstrap weight cutoffs
+_POIS1_CDF = (
+    0.36787944117144233,  # k = 0
+    0.7357588823428847,   # k = 1
+    0.9196986029286058,   # k = 2
+    0.9810118431238462,   # k = 3
+    0.9963401531726563,   # k = 4
+    0.9994058151824183,   # k = 5
+)
+
+
+def bootstrap_se(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    n_boot: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap standard error of a per-group
+    mean (the Chamandy et al. 2012 "Estimating Uncertainty for
+    Massive Data Streams" construction): each (replicate, row) draws a
+    Poisson(1)-distributed resample weight by inverting the Poisson
+    CDF at ``uniform_hash01(b ':' id)`` — fully deterministic, so both
+    engines build the SAME *n_boot* resamples, embarrassingly parallel
+    (no shared RNG state, the property that makes bootstrap feasible
+    on a cluster at all), and weights beyond k = 6 are truncated
+    (mass 6×10⁻⁵).
+
+    SE = sample std-dev of the replicate means; the normal-theory
+    95% interval ``mean ± 1.96·SE`` is attached for dashboard use.
+
+    Engine-exactness: resample weights are exact integers from literal
+    CDF cutoffs; weighted sums are decimal-cast; replicate means and
+    the moment-based SE are one double composition over decimal-exact
+    sums (σ via ``sqrt`` only — IEEE-exact).
+
+    Scale shape: the ×*n_boot* expansion is a row-local explode (no
+    shuffle); one (group, replicate) hash agg, one group-level
+    combine over *n_boot* rows per group, one broadcast-sized join
+    with the point estimate.
+
+    Output: ``(*group_cols, n, mean, boot_se, ci_lo, ci_hi)`` (6 dp).
+    """
+    from .mixing import uniform_hash01
+
+    g = list(group_cols)
+    # (25,12): the (25,12)×(4,0) weight product is (30,12) in Spark
+    # and (29,12) in DuckDB — exact in both; a (38,12) operand would
+    # overflow DuckDB's width-additive multiply
+    xdec = F.col(value_col).cast("decimal(25,12)")
+    point = df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.try_divide(
+                F.sum(xdec).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("mean"),
+    )
+    rep = df.select(
+        *g,
+        F.col(id_col).alias("__id"),
+        xdec.alias("__x"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("__b"),
+    )
+    u = uniform_hash01(
+        F.concat_ws(":", F.col("__b").cast("string"), F.col("__id").cast("string")),
+        salt,
+    )
+    wexpr = F.lit(len(_POIS1_CDF)).cast("int")
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        wexpr = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(wexpr)
+    weighted = rep.withColumn("__w", wexpr.cast("long")).where(
+        F.col("__w") > 0
+    )
+    rep_means = weighted.groupBy(*g, "__b").agg(
+        F.try_divide(
+            F.sum(
+                F.col("__x") * F.col("__w").cast("decimal(4,0)")
+            ).cast("double"),
+            F.sum("__w").cast("double"),
+        ).alias("__rm")
+    )
+    # (20,8)×(15,8) → (35,16): inside precision 38 in BOTH engines so
+    # the product is exact, and the width-20 operand forces DuckDB
+    # onto its int128 multiply path ((15,8)² overflows its int64
+    # fast path); (38,18)² would trip precision-loss rounding
+    rmd = F.col("__rm").cast("decimal(15,8)")
+    rmd_w = F.col("__rm").cast("decimal(20,8)")
+    moments = rep_means.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(rmd).alias("__s1"),
+        F.sum(rmd_w * rmd).alias("__s2"),
+    )
+    nb = F.col("__nb").cast("double")
+    mu_b = F.col("__s1").cast("double") / nb
+    var_pop = F.col("__s2").cast("double") / nb - mu_b * mu_b
+    se = F.when(
+        (F.col("__nb") > 1) & (var_pop > 0),
+        F.sqrt(var_pop * nb / (nb - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    stats = moments.select(*g, F.round(se, 6).alias("boot_se"))
+    out = point.join(stats, on=g or None) if g else point.crossJoin(
+        F.broadcast(stats)
+    )
+    return out.select(
+        *g,
+        "n",
+        "mean",
+        "boot_se",
+        F.round(F.col("mean") - F.lit(1.96) * F.col("boot_se"), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.col("mean") + F.lit(1.96) * F.col("boot_se"), 6).alias(
+            "ci_hi"
+        ),
+    )

@@ -2152,3 +2152,82 @@ def perplexity_buckets(
             ).alias("mean_surprisal"),
         )
     )
+
+
+# ------------------------------------ category lexicon flag rates
+
+
+def lexicon_category_rates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols: Sequence[str],
+    lexicon: dict[str, Sequence[str]],
+) -> DataFrame:
+    """Content-flag audit against a category lexicon: per (*group*,
+    category) the share of documents with at least one term hit and
+    the hit volume — the blocklist / safety-wordlist screening pass a
+    corpus pipeline runs per source before deciding what needs model-
+    based review.  (Wordlist screening is a triage signal, not a
+    verdict — hence rates per group, not per-doc verdicts.)
+
+    *lexicon* maps category → term list; matching is on normalized
+    whitespace tokens (exact term match — substring matching inflates
+    on morphology and is not engine-portable for multi-byte text).
+
+    Scale shape: ONE tokenization pass (explode), an equi-join against
+    the broadcast (term → category) table — the lexicon is KBs — and a
+    (group, category) hash agg; the (group × category) spine is
+    completed with a broadcast cross join so zero-hit categories
+    report 0, not absence.
+
+    Output: ``(*group_cols, category, n_docs, docs_flagged, flag_rate,
+    total_hits, hits_per_doc)`` (6 dp).
+    """
+    g = list(group_cols)
+    spark = df.sparkSession
+    terms = spark.createDataFrame(
+        [(t, c) for c, ts in sorted(lexicon.items()) for t in sorted(set(ts))],
+        "term string, category string",
+    )
+    toks = _parallelize_input(df).select(
+        *g,
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    hits = (
+        toks.join(F.broadcast(terms), on="term")
+        .groupBy(*g, "category", "doc")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    per = hits.groupBy(*g, "category").agg(
+        F.count(F.lit(1)).alias("docs_flagged"),
+        F.sum("__h").alias("total_hits"),
+    )
+    groups = df.groupBy(*g).agg(F.count(F.lit(1)).alias("n_docs"))
+    cats = spark.createDataFrame(
+        [(c,) for c in sorted(lexicon)], "category string"
+    )
+    spine = groups.crossJoin(F.broadcast(cats))
+    out = spine.join(per, on=g + ["category"], how="left")
+    return out.select(
+        *g,
+        "category",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(F.col("docs_flagged"), F.lit(0)).cast("long").alias(
+            "docs_flagged"
+        ),
+        F.round(
+            F.coalesce(F.col("docs_flagged"), F.lit(0)).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("flag_rate"),
+        F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias(
+            "total_hits"
+        ),
+        F.round(
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("hits_per_doc"),
+    )

@@ -330,3 +330,286 @@ ORDER BY event_type
 
 EXT8_QUERIES.update({"x188_burstiness": q_x188_burstiness})
 EXT8_ORACLES.update({"x188_burstiness": SQL_X188})
+
+
+# --------------------------------- x189: lexicon category flags
+
+
+def q_x189_lexicon_flags(spark, sf_dir):
+    """Category-lexicon screening rates (operators/text.py:
+    lexicon_category_rates): per (source, category) document flag
+    rates against three wordlists — the blocklist triage pass a
+    corpus pipeline runs per source before model-based review."""
+    from .operators.text import lexicon_category_rates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = {
+        "infra": ["spark", "table", "join", "shuffle"],
+        "perf": ["slow", "fast", "latency"],
+        "data": ["row", "value", "key"],
+    }
+    out = lexicon_category_rates(docs, "text", "doc_id", ("source",), lex)
+    return out.orderBy("source", "category")
+
+
+SQL_X189 = """
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM documents
+),
+lex(term, category) AS (
+  VALUES ('join','infra'),('shuffle','infra'),('spark','infra'),
+         ('table','infra'),
+         ('fast','perf'),('latency','perf'),('slow','perf'),
+         ('key','data'),('row','data'),('value','data')
+),
+hits AS (
+  SELECT t.source, l.category, t.doc_id, COUNT(*) AS h
+  FROM toks t JOIN lex l USING (term)
+  GROUP BY t.source, l.category, t.doc_id
+),
+per AS (
+  SELECT source, category, COUNT(*) AS dflag, SUM(h) AS th
+  FROM hits GROUP BY source, category
+),
+grp AS (SELECT source, COUNT(*) AS nd FROM documents GROUP BY source),
+cats AS (SELECT DISTINCT category FROM lex),
+spine AS (SELECT g.source, g.nd, c.category FROM grp g CROSS JOIN cats c)
+SELECT s.source, s.category,
+       CAST(s.nd AS BIGINT) AS n_docs,
+       CAST(COALESCE(p.dflag, 0) AS BIGINT) AS docs_flagged,
+       ROUND(COALESCE(p.dflag, 0)::DOUBLE / s.nd::DOUBLE, 6) AS flag_rate,
+       CAST(COALESCE(p.th, 0) AS BIGINT) AS total_hits,
+       ROUND(COALESCE(p.th, 0)::DOUBLE / s.nd::DOUBLE, 6) AS hits_per_doc
+FROM spine s
+LEFT JOIN per p ON p.source = s.source AND p.category = s.category
+ORDER BY s.source, s.category
+"""
+
+EXT8_QUERIES.update({"x189_lexicon_flags": q_x189_lexicon_flags})
+EXT8_ORACLES.update({"x189_lexicon_flags": SQL_X189})
+
+
+# ------------------------------- x190: step-indexed session flow
+
+
+def q_x190_step_flow(spark, sf_dir):
+    """Sankey frame (operators/behavior.py:session_step_flow):
+    session transition counts indexed by step position 1..5 — the
+    positional refinement of x34's global transition matrix, bounded
+    at |steps|·|types|² rows however long sessions get."""
+    from .operators.behavior import session_step_flow
+
+    ev = _read_events(spark, sf_dir)
+    return session_step_flow(ev, max_steps=5).orderBy(
+        "step", "from_type", "to_type"
+    )
+
+
+SQL_X190 = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+s AS (
+  SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sid AS (
+  SELECT *,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS sess
+  FROM s
+),
+st AS (
+  SELECT ROW_NUMBER() OVER ws AS step,
+         event_type AS from_type,
+         LEAD(event_type) OVER ws AS to_type
+  FROM sid
+  WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts_us, event_id)
+)
+SELECT CAST(step AS BIGINT) AS step, from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM st
+WHERE to_type IS NOT NULL AND step <= 5
+GROUP BY step, from_type, to_type
+ORDER BY step, from_type, to_type
+"""
+
+EXT8_QUERIES.update({"x190_step_flow": q_x190_step_flow})
+EXT8_ORACLES.update({"x190_step_flow": SQL_X190})
+
+
+# ------------------------------------ x191: HLL register rollup
+
+
+def q_x191_hll_rollup(spark, sf_dir):
+    """DAU→WAU HLL register rollup (operators/sketch.py:
+    hll_merge_rollup): daily active-user registers merged by register
+    max into weekly estimates, verified exactly equal to the
+    direct-from-rows weekly registers — the mergeability identity
+    that lets yesterday's sketch replace yesterday's raw rows at
+    100 TB."""
+    from .operators.sketch import hll_merge_rollup
+
+    ev = _read_events(spark, sf_dir).select(
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.expr("(ts_us div 86400000000) div 7").alias("week"),
+        "user_id",
+    )
+    out = hll_merge_rollup(ev, "day", "week", "user_id", b=6)
+    return out.withColumnRenamed("coarse", "week").orderBy("week")
+
+
+_HLL_A = repr(0.7213 / (1.0 + 1.079 / 64) * 64 * 64)
+
+SQL_X191 = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+),
+h AS (
+  SELECT ts_us // 86400000000 AS fine,
+         (ts_us // 86400000000) // 7 AS coarse,
+         user_id,
+         md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM e
+),
+r AS (
+  SELECT fine, coarse, user_id,
+         ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS idx,
+         CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0 THEN 33
+              ELSE 33 - length(bin(('0x' || substr(hx, 3, 8))::BIGINT))
+         END AS rank
+  FROM h
+),
+fr AS (
+  SELECT fine, coarse, idx, MAX(rank) AS reg
+  FROM r GROUP BY fine, coarse, idx
+),
+mg AS (SELECT coarse, idx, MAX(reg) AS reg FROM fr GROUP BY coarse, idx),
+dr AS (SELECT coarse, idx, MAX(rank) AS reg FROM r GROUP BY coarse, idx),
+em AS (
+  SELECT coarse, COUNT(*) AS np, SUM(1.0 / (1::BIGINT << reg)) AS sp
+  FROM mg GROUP BY coarse
+),
+ed AS (
+  SELECT coarse, COUNT(*) AS np, SUM(1.0 / (1::BIGINT << reg)) AS sp
+  FROM dr GROUP BY coarse
+),
+mt AS (
+  SELECT coarse, COUNT(DISTINCT fine) AS nf,
+         COUNT(DISTINCT user_id) AS ex
+  FROM r GROUP BY coarse
+)
+SELECT mt.coarse AS week,
+       CAST(mt.nf AS BIGINT) AS n_fine_units,
+       CAST(64 AS BIGINT) AS m,
+       ROUND({_HLL_A} / (em.sp + (64 - em.np)), 6) AS est_merged,
+       ROUND({_HLL_A} / (ed.sp + (64 - ed.np)), 6) AS est_direct,
+       ROUND({_HLL_A} / (em.sp + (64 - em.np)), 6)
+         = ROUND({_HLL_A} / (ed.sp + (64 - ed.np)), 6)
+         AS merge_consistent,
+       CAST(mt.ex AS BIGINT) AS exact_distinct
+FROM mt JOIN em USING (coarse) JOIN ed USING (coarse)
+ORDER BY week
+"""
+
+EXT8_QUERIES.update({"x191_hll_rollup": q_x191_hll_rollup})
+EXT8_ORACLES.update({"x191_hll_rollup": SQL_X191})
+
+
+# ----------------------------- x192: deterministic bootstrap SE
+
+
+def q_x192_bootstrap_se(spark, sf_dir):
+    """Deterministic Poisson-bootstrap standard errors (operators/
+    sketch.py:bootstrap_se): mean event value per event type with a
+    32-replicate hash-seeded bootstrap SE and normal 95% interval —
+    uncertainty for massive data without shared RNG state."""
+    from .operators.sketch import bootstrap_se
+
+    ev = _read_events(spark, sf_dir)
+    return bootstrap_se(
+        ev, "value", "event_id", ("event_type",), n_boot=32
+    ).orderBy("event_type")
+
+
+SQL_X192 = """
+WITH base AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(25,12)) AS x
+  FROM events
+),
+point AS (
+  SELECT event_type, COUNT(*) AS n,
+         ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mean
+  FROM base GROUP BY event_type
+),
+rep AS (
+  SELECT event_type, event_id, x, unnest(range(0, 32)) AS b FROM base
+),
+uu AS (
+  SELECT event_type, b, x,
+         ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                             || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM rep
+),
+wt AS (
+  SELECT event_type, b, x,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              ELSE 6 END AS w
+  FROM uu
+),
+rm AS (
+  SELECT event_type, b,
+         CAST(SUM(x * CAST(w AS DECIMAL(4,0))) AS DOUBLE)
+           / CAST(SUM(w) AS DOUBLE) AS m
+  FROM wt WHERE w > 0
+  GROUP BY event_type, b
+),
+mo AS (
+  SELECT event_type, COUNT(*) AS nb,
+         SUM(CAST(m AS DECIMAL(15,8))) AS s1,
+         SUM(CAST(m AS DECIMAL(20,8)) * CAST(m AS DECIMAL(15,8))) AS s2
+  FROM rm GROUP BY event_type
+),
+se AS (
+  SELECT event_type,
+         ROUND(
+           CASE WHEN nb > 1
+                     AND s2::DOUBLE / nb::DOUBLE
+                         - (s1::DOUBLE / nb::DOUBLE)
+                           * (s1::DOUBLE / nb::DOUBLE) > 0
+                THEN sqrt((s2::DOUBLE / nb::DOUBLE
+                           - (s1::DOUBLE / nb::DOUBLE)
+                             * (s1::DOUBLE / nb::DOUBLE))
+                          * nb::DOUBLE / (nb::DOUBLE - 1.0))
+                ELSE 0.0 END, 6) AS boot_se
+  FROM mo
+)
+SELECT p.event_type,
+       CAST(p.n AS BIGINT) AS n,
+       p.mean,
+       se.boot_se,
+       ROUND(p.mean - 1.96 * se.boot_se, 6) AS ci_lo,
+       ROUND(p.mean + 1.96 * se.boot_se, 6) AS ci_hi
+FROM point p JOIN se USING (event_type)
+ORDER BY p.event_type
+"""
+
+EXT8_QUERIES.update({"x192_bootstrap_se": q_x192_bootstrap_se})
+EXT8_ORACLES.update({"x192_bootstrap_se": SQL_X192})

@@ -4289,3 +4289,112 @@ def test_burstiness_periodic_vs_bursty(spark):
     assert out["tick"]["n_gaps"] == 9
     # gaps [1,1,1,1,99996]: μ=2e4, σ=4e4 → B = 2e4/6e4 = 1/3 exactly
     assert abs(out["burst"]["burstiness"] - 0.333311) < 1e-4
+
+
+# ---------------------------------------------------------------- x189
+
+
+def test_lexicon_rates_hand_counts(spark):
+    """x189: hand-checked flag rates; zero-hit categories report 0
+    rows, not absence."""
+    from fame2pygen_spark.operators.text import lexicon_category_rates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "s1"),
+            (2, "beta gamma", "s1"),
+            (3, "delta delta", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    lex = {"greek": ["alpha", "gamma"], "nothing": ["zzz"]}
+    out = {
+        (r["source"], r["category"]): r
+        for r in lexicon_category_rates(
+            docs, "text", "doc_id", ("source",), lex
+        ).collect()
+    }
+    assert len(out) == 4
+    r = out[("s1", "greek")]
+    assert r["n_docs"] == 2 and r["docs_flagged"] == 2
+    assert r["total_hits"] == 3  # alpha×2 + gamma×1
+    assert abs(r["hits_per_doc"] - 1.5) < 1e-9
+    assert out[("s2", "greek")]["docs_flagged"] == 0
+    assert out[("s1", "nothing")]["total_hits"] == 0
+
+
+# ---------------------------------------------------------------- x190
+
+
+def test_session_step_flow_hand_sessions(spark):
+    """x190: a 3-event session yields step-1 and step-2 edges; a gap
+    larger than the timeout starts a new session (its edge counts at
+    step 1 again)."""
+    from fame2pygen_spark.operators.behavior import session_step_flow
+
+    M = 60 * 1_000_000
+    rows = [
+        (1, "a", 1, 0 * M),
+        (1, "b", 2, 1 * M),
+        (1, "c", 3, 2 * M),
+        # gap > 30 min → new session
+        (1, "a", 4, 100 * M),
+        (1, "b", 5, 101 * M),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts_us long"
+    )
+    out = {
+        (r["step"], r["from_type"], r["to_type"]): r["n_sessions"]
+        for r in session_step_flow(df, max_steps=5).collect()
+    }
+    assert out == {(1, "a", "b"): 2, (2, "b", "c"): 1}
+
+
+# ---------------------------------------------------------------- x191
+
+
+def test_hll_rollup_merge_is_lossless(spark):
+    """x191: merged fine-grain registers give EXACTLY the direct
+    coarse estimate (max-merge identity), for every coarse unit."""
+    from fame2pygen_spark.operators.sketch import hll_merge_rollup
+
+    rows = []
+    for day in range(14):
+        for u in range(50 + day * 3):
+            rows.append((day, day // 7, u * 7 + day % 3))
+    df = spark.createDataFrame(rows, "day long, week long, uid long")
+    out = hll_merge_rollup(df, "day", "week", "uid", b=6).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["merge_consistent"] is True
+        assert r["est_merged"] == r["est_direct"]
+        assert r["n_fine_units"] == 7
+        # raw HLL at m=64: loose accuracy sanity only
+        assert abs(r["est_merged"] - r["exact_distinct"]) < 0.5 * r["exact_distinct"]
+
+
+# ---------------------------------------------------------------- x192
+
+
+def test_bootstrap_se_constant_and_varied(spark):
+    """x192: constant values give SE exactly 0; varied values give a
+    positive SE with the CI bracketing the mean."""
+    from fame2pygen_spark.operators.sketch import bootstrap_se
+
+    const = spark.createDataFrame(
+        [("g", i, 5.0) for i in range(200)], "grp string, id long, v double"
+    )
+    r = bootstrap_se(const, "v", "id", ("grp",), n_boot=16).collect()[0]
+    assert r["mean"] == 5.0 and r["boot_se"] == 0.0
+    assert r["ci_lo"] == 5.0 and r["ci_hi"] == 5.0
+
+    varied = spark.createDataFrame(
+        [("g", i, float(i % 13)) for i in range(300)],
+        "grp string, id long, v double",
+    )
+    r = bootstrap_se(varied, "v", "id", ("grp",), n_boot=32).collect()[0]
+    assert r["boot_se"] > 0
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    # SE of a mean of 300 iid values in [0,12]: σ/√n ≈ 3.74/17.3 ≈ 0.22
+    assert 0.05 < r["boot_se"] < 0.6

@@ -558,3 +558,30 @@ def test_r4_batch7_operators_never_plan_cartesian(spark, name):
 )
 def test_r4_batch7_windows_stay_group_keyed(spark, name):
     assert unpartitioned_windows(spark, name) == [], name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x189_lexicon_flags",  # broadcast lexicon + spine cross join
+        "x190_step_flow",      # user/session-keyed windows, one agg
+        "x191_hll_rollup",     # register aggs, coarse-keyed joins
+        "x192_bootstrap_se",   # row-local explode, keyed combines
+    ],
+)
+def test_r4_batch8_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_step_flow_windows_stay_user_keyed(spark):
+    """x190: sessionization and step windows are keyed by user (and
+    session) — never a global event sort."""
+    assert unpartitioned_windows(spark, "x190_step_flow") == []
+
+
+def test_lexicon_join_broadcasts(spark):
+    """x189: the KB-sized lexicon must broadcast against the token
+    stream."""
+    plan = plan_of(spark, "x189_lexicon_flags")
+    assert "BroadcastHashJoin" in plan
