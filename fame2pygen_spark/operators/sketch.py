@@ -2192,3 +2192,32 @@ def bootstrap_se(
             "ci_hi"
         ),
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: Sequence[str], *, b: int = 6
+) -> DataFrame:
+    """Finalize HLL registers — ``(*group_cols, __idx, __reg)`` rows
+    from :func:`hll_distinct`'s internals, :func:`hll_merge_rollup`,
+    or the streaming twin (``streaming.core.streaming_hll_registers``)
+    — into per-group raw estimates: ``(*group_cols, m, n_zero_regs,
+    est_distinct)``.  Identical estimate math to :func:`hll_distinct`
+    (exact power-of-two inverse sums, no libm), so batch, merged, and
+    streamed register sets all finalize to the same number.
+    """
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    g = list(group_cols)
+    per = regs.groupBy(*g).agg(
+        F.count("*").cast("long").alias("__np"),
+        F.sum(
+            F.expr("1.0 / shiftleft(cast(1 as bigint), __reg)")
+        ).alias("__sp"),
+    )
+    sum_inv = F.col("__sp") + (F.lit(m) - F.col("__np")).cast("double")
+    return per.select(
+        *g,
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("__np")).cast("long").alias("n_zero_regs"),
+        F.round(F.lit(alpha * m * m) / sum_inv, 6).alias("est_distinct"),
+    )

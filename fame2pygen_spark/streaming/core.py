@@ -19,6 +19,8 @@ watermark behavior).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -286,4 +288,44 @@ def streaming_label_agreement(
         stream.where(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("label_a"), b.alias("label_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    b: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Streaming half of the HLL distinct-count pipeline (the
+    x73/x191 batch twin): reduce a raw event stream to per-group
+    HyperLogLog registers — ``(*group_cols, __idx, __reg)`` — in
+    complete output mode.  State is exactly ``|groups| · 2^b`` integer
+    rows no matter how many events arrive, max-merge is idempotent
+    and commutative, so restarts, replays, and micro-batch splits
+    cannot change the table — the streaming-native property exact
+    count-distinct lacks.  Finalize per trigger with
+    ``sketch.hll_estimate_from_registers`` on the sink table; register
+    hash math is byte-identical to ``sketch.hll_distinct``.
+    """
+    m = 1 << b
+    hexd = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
+    )
+    w_hex = F.substring(hexd, 3, 8)
+    w = F.conv(w_hex, 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
+    )
+    return (
+        stream.select(
+            *group_cols,
+            (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m)
+            .alias("__idx"),
+            rank.cast("int").alias("__rank"),
+        )
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rank").alias("__reg"))
     )

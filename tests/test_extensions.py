@@ -4398,3 +4398,36 @@ def test_bootstrap_se_constant_and_varied(spark):
     assert r["ci_lo"] < r["mean"] < r["ci_hi"]
     # SE of a mean of 300 iid values in [0,12]: σ/√n ≈ 3.74/17.3 ≈ 0.22
     assert 0.05 < r["boot_se"] < 0.6
+
+
+def test_streaming_hll_twin(spark, tmp_path):
+    """Streaming HLL pipeline: raw events stream into the bounded
+    complete-mode register table; finalizing the sink registers gives
+    EXACTLY hll_distinct's batch estimate on the same rows."""
+    from fame2pygen_spark.operators.sketch import (
+        hll_distinct, hll_estimate_from_registers,
+    )
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, streaming_hll_registers,
+    )
+
+    rows = [("d%d" % (i % 3), i % 97) for i in range(500)]
+    batch = spark.createDataFrame(rows, "day string, uid long")
+    path = str(tmp_path / "hll_events")
+    batch.write.parquet(path)
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(path)
+    )
+    regs = streaming_hll_registers(stream, ["day"], "uid", b=6)
+    run_stream_to_memory(regs, "hll_regs", output_mode="complete")
+    sink = spark.sql("select * from hll_regs")
+    assert sink.count() <= 3 * 64  # bounded state
+    streamed = {
+        r["day"]: r["est_distinct"]
+        for r in hll_estimate_from_registers(sink, ["day"], b=6).collect()
+    }
+    batched = {
+        r["day"]: r["est_distinct"]
+        for r in hll_distinct(batch, ["day"], "uid", b=6).collect()
+    }
+    assert streamed == batched and len(streamed) == 3
