@@ -32,7 +32,7 @@ __all__ = [
     "dq_report", "standard_rules", "cohens_kappa", "auc_rank",
     "kappa_from_confusion", "t_closeness", "average_precision",
     "calibration_report", "krippendorff_alpha", "conformal_threshold",
-    "clustering_agreement", "woe_iv",
+    "clustering_agreement", "woe_iv", "normal_p_two_sided", "bh_fdr",
 ]
 
 
@@ -1012,4 +1012,82 @@ def woe_iv(
         F.round(F.sum(contrib).over(wiv).cast("double"), 6).alias(
             "iv_total"
         ),
+    )
+
+
+#: Abramowitz & Stegun 7.1.26 erf coefficients (max abs err 1.5e-7)
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+_INV_SQRT2 = 0.7071067811865476
+
+
+def normal_p_two_sided(z: Column) -> Column:
+    """Two-sided normal p-value ``2·(1 − Φ(|z|))`` via the
+    Abramowitz–Stegun 7.1.26 erf polynomial — plain arithmetic plus
+    one ``exp``, so both engines evaluate the identical composition
+    (erf itself is not in either engine's SQL surface).  Max absolute
+    error 1.5e-7, far below any decision threshold FDR control uses.
+    """
+    x = F.abs(z) * F.lit(_INV_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    a1, a2, a3, a4, a5 = (F.lit(c) for c in _AS_ERF)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    phi = F.lit(0.5) * (F.lit(1.0) + erf)
+    return F.lit(2.0) * (F.lit(1.0) - phi)
+
+
+def bh_fdr(
+    tests: DataFrame,
+    p_col: str,
+    id_cols: Sequence[str],
+    *,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment (1995) over a family of
+    hypothesis tests: rank p-values ascending, adjusted_i =
+    ``min_{j ≥ i} (p_j · m / j)`` clamped to 1 — the multiple-testing
+    guard an experimentation platform applies before declaring any of
+    m simultaneous segment tests significant (at m = 35 strata, a raw
+    0.05 threshold yields ~1.75 false positives per sweep by
+    construction; BH caps the FALSE DISCOVERY RATE at *q* instead).
+
+    Deterministic: ranking ties broken by *id_cols*; the adjustment
+    is a reverse running MIN (order-insensitive) over exact ranks.
+
+    Scale shape: both windows run over the m test rows — the raw
+    per-row data was already reduced by the upstream test operator
+    (mann_whitney_u / ab_test); m is dashboard-sized by construction.
+
+    Output: ``(*id_cols, p_value, rank, m, p_adjusted, significant)``
+    ordered by rank (p and adjustment at 6 dp).
+    """
+    ids = [F.col(c) for c in id_cols]
+    m_w = Window.partitionBy(F.lit(1))
+    rank_w = m_w.orderBy(F.col(p_col).asc(), *ids)
+    ranked = tests.select(
+        *id_cols,
+        F.col(p_col).alias("__p"),
+        F.row_number().over(rank_w).alias("rank"),
+        F.count(F.lit(1)).over(m_w).alias("m"),
+    ).withColumn(
+        "__step",
+        F.col("__p") * F.col("m").cast("double") / F.col("rank").cast("double"),
+    )
+    rev = m_w.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = F.least(F.lit(1.0), F.min("__step").over(rev))
+    return (
+        ranked.withColumn("p_adjusted", adj)
+        .select(
+            *id_cols,
+            F.round(F.col("__p"), 6).alias("p_value"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("m").cast("long").alias("m"),
+            F.round(F.col("p_adjusted"), 6).alias("p_adjusted"),
+            (F.col("p_adjusted") <= F.lit(float(q))).alias("significant"),
+        )
+        .orderBy("rank")
     )

@@ -2231,3 +2231,117 @@ def lexicon_category_rates(
             6,
         ).alias("hits_per_doc"),
     )
+
+
+# -------------------------------------- Heaps'-law vocab growth
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): bucket the
+    corpus into *n_buckets* equal-width ingestion slices (by the doc
+    id range — ingestion order is the id order), track cumulative
+    token count N and cumulative vocabulary V per slice, and fit
+    ``V = k·N^β`` by OLS on (ln N, ln V).  β ≈ 0.4–0.6 is natural
+    text; β → 1 means vocabulary growing as fast as the corpus
+    (unbounded noise: OCR garbage, ids, hashes) and β → 0 a closed
+    vocabulary (template churn) — the scaling-law twin of the static
+    Zipf fit (x147), and the projection tool for "how big does the
+    tokenizer vocab need to be at 10× corpus".
+
+    Engine-exactness: a term's first occurrence is ``min(doc id)``
+    (exact), cumulative sums are integer, the OLS moments are
+    decimal-cast log sums.
+
+    Scale shape: bucketing is arithmetic on the id against a 1-row
+    broadcast min/max (NO global ordering window); first occurrences
+    are one term-keyed agg; everything after runs on *n_buckets* rows
+    (the tiny cumulative/fit windows included).
+
+    Output: one row per bucket: ``(bucket, n_docs, cum_tokens,
+    cum_vocab, beta, k, r2)`` — fit columns repeated per row (6 dp).
+    """
+    toks = _parallelize_input(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    mm = df.agg(
+        F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi")
+    )
+    bucket_of = lambda c: F.least(  # noqa: E731
+        F.lit(n_buckets - 1),
+        F.floor(
+            (c - F.col("__lo")).cast("double")
+            * F.lit(float(n_buckets))
+            / (F.col("__hi") - F.col("__lo") + F.lit(1)).cast("double")
+        ).cast("int"),
+    )
+    tok_b = toks.crossJoin(F.broadcast(mm)).withColumn(
+        "bucket", bucket_of(F.col("doc"))
+    )
+    per_tok = tok_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__ntok")
+    )
+    first = tok_b.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    per_new = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__nnew")
+    )
+    docs_b = df.crossJoin(F.broadcast(mm)).select(
+        bucket_of(F.col(id_col)).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    base = (
+        docs_b.join(per_tok, on="bucket", how="left")
+        .join(per_new, on="bucket", how="left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("__ntok", F.lit(0)).alias("__ntok"),
+            F.coalesce("__nnew", F.lit(0)).alias("__nnew"),
+        )
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = base.select(
+        "bucket",
+        "n_docs",
+        F.sum("__ntok").over(wc).cast("long").alias("cum_tokens"),
+        F.sum("__nnew").over(wc).cast("long").alias("cum_vocab"),
+    ).where((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("cum_vocab").cast("double"))
+    pts = cum.select(
+        "bucket", "n_docs", "cum_tokens", "cum_vocab",
+        lx.cast("decimal(38,18)").alias("__x"),
+        ly.cast("decimal(38,18)").alias("__y"),
+        (lx * ly).cast("decimal(38,18)").alias("__xy"),
+        (lx * lx).cast("decimal(38,18)").alias("__xx"),
+        (ly * ly).cast("decimal(38,18)").alias("__yy"),
+    )
+    wf = Window.partitionBy(F.lit(1))
+    n = F.count(F.lit(1)).over(wf).cast("double")
+    sx = F.sum("__x").over(wf).cast("double")
+    sy = F.sum("__y").over(wf).cast("double")
+    sxy = F.sum("__xy").over(wf).cast("double")
+    sxx = F.sum("__xx").over(wf).cast("double")
+    syy = F.sum("__yy").over(wf).cast("double")
+    beta = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    intercept = (sy - beta * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = F.try_divide(
+        r_num * r_num, (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pts.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "cum_tokens",
+        "cum_vocab",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(intercept), 6).alias("k"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -613,3 +613,279 @@ ORDER BY p.event_type
 
 EXT8_QUERIES.update({"x192_bootstrap_se": q_x192_bootstrap_se})
 EXT8_ORACLES.update({"x192_bootstrap_se": SQL_X192})
+
+
+# ----------------------------- x193: 1-Wasserstein drift
+
+
+def q_x193_wasserstein(spark, sf_dir):
+    """Exact earth-mover distance (operators/sketch.py:wasserstein1)
+    between even- and odd-user value distributions per event type —
+    the drift metric that weighs HOW FAR mass moved, complementing
+    PSI (x58), JS (x61), and KS (x64) which only see share or
+    sup-norm changes."""
+    from .operators.sketch import wasserstein1
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    a = ev.where(F.col("user_id") % 2 == 0).select("event_type", "value")
+    b = ev.where(F.col("user_id") % 2 == 1).select("event_type", "value")
+    return wasserstein1(a, b, "value", ("event_type",)).orderBy(
+        "event_type"
+    )
+
+
+SQL_X193 = """
+WITH e AS (
+  SELECT event_type, user_id, value AS v FROM events
+  WHERE value IS NOT NULL
+),
+t AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b,
+         v
+  FROM e
+),
+pv AS (
+  SELECT event_type, v, SUM(a)::BIGINT AS ca, SUM(b)::BIGINT AS cb
+  FROM t WHERE a = 1 OR b = 1 GROUP BY event_type, v
+),
+win AS (
+  SELECT event_type, v, ca, cb,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumb,
+         LEAD(v) OVER (PARTITION BY event_type ORDER BY v) AS nv,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM pv
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CAST(COALESCE(SUM(
+         CASE WHEN nv IS NOT NULL THEN
+           CAST(abs(cuma::DOUBLE / na::DOUBLE - cumb::DOUBLE / nb::DOUBLE)
+                * (nv::DOUBLE - v::DOUBLE) AS DECIMAL(38,12))
+         END), 0) AS DOUBLE), 6) AS w1
+FROM win
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+EXT8_QUERIES.update({"x193_wasserstein": q_x193_wasserstein})
+EXT8_ORACLES.update({"x193_wasserstein": SQL_X193})
+
+
+# ------------------------------ x194: Heaps'-law vocab growth
+
+
+def q_x194_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth fit (operators/text.py:heaps_law):
+    cumulative vocabulary vs cumulative tokens over ten ingestion
+    slices with the OLS log-log β — the scaling-law twin of the Zipf
+    fit (x147) and the tokenizer-vocab sizing projection."""
+    from .operators.text import heaps_law
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_law(docs, "text", "doc_id", n_buckets=10).orderBy("bucket")
+
+
+SQL_X194 = """
+WITH mm AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM documents
+),
+tb AS (
+  SELECT LEAST(9, CAST(FLOOR((t.doc_id - mm.lo)::DOUBLE * 10.0
+                             / (mm.hi - mm.lo + 1)::DOUBLE) AS INT))
+           AS bucket,
+         t.term
+  FROM toks t CROSS JOIN mm
+),
+per_tok AS (SELECT bucket, COUNT(*) AS ntok FROM tb GROUP BY bucket),
+first_b AS (SELECT term, MIN(bucket) AS bucket FROM tb GROUP BY term),
+per_new AS (SELECT bucket, COUNT(*) AS nnew FROM first_b GROUP BY bucket),
+docs_b AS (
+  SELECT LEAST(9, CAST(FLOOR((d.doc_id - mm.lo)::DOUBLE * 10.0
+                             / (mm.hi - mm.lo + 1)::DOUBLE) AS INT))
+           AS bucket,
+         COUNT(*) AS n_docs
+  FROM documents d CROSS JOIN mm
+  GROUP BY 1
+),
+base AS (
+  SELECT d.bucket, d.n_docs,
+         COALESCE(pt.ntok, 0) AS ntok, COALESCE(pn.nnew, 0) AS nnew
+  FROM docs_b d
+  LEFT JOIN per_tok pt ON pt.bucket = d.bucket
+  LEFT JOIN per_new pn ON pn.bucket = d.bucket
+),
+cum AS (
+  SELECT bucket, n_docs,
+         CAST(SUM(ntok) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(nnew) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_vocab
+  FROM base
+),
+pts AS (
+  SELECT bucket, n_docs, cum_tokens, cum_vocab,
+         CAST(ln(cum_tokens::DOUBLE) AS DECIMAL(38,18)) AS x,
+         CAST(ln(cum_vocab::DOUBLE) AS DECIMAL(38,18)) AS y,
+         CAST(ln(cum_tokens::DOUBLE) * ln(cum_vocab::DOUBLE)
+              AS DECIMAL(38,18)) AS xy,
+         CAST(ln(cum_tokens::DOUBLE) * ln(cum_tokens::DOUBLE)
+              AS DECIMAL(38,18)) AS xx,
+         CAST(ln(cum_vocab::DOUBLE) * ln(cum_vocab::DOUBLE)
+              AS DECIMAL(38,18)) AS yy
+  FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+),
+mo AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+         CAST(SUM(yy) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT CAST(p.bucket AS BIGINT) AS bucket,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       p.cum_tokens, p.cum_vocab,
+       ROUND((mo.n * mo.sxy - mo.sx * mo.sy)
+             / (mo.n * mo.sxx - mo.sx * mo.sx), 6) AS beta,
+       ROUND(exp((mo.sy - (mo.n * mo.sxy - mo.sx * mo.sy)
+                          / (mo.n * mo.sxx - mo.sx * mo.sx) * mo.sx)
+                 / mo.n), 6) AS k,
+       ROUND((mo.n * mo.sxy - mo.sx * mo.sy)
+             * (mo.n * mo.sxy - mo.sx * mo.sy)
+             / ((mo.n * mo.sxx - mo.sx * mo.sx)
+                * (mo.n * mo.syy - mo.sy * mo.sy)), 6) AS r2
+FROM pts p CROSS JOIN mo
+ORDER BY bucket
+"""
+
+EXT8_QUERIES.update({"x194_heaps_law": q_x194_heaps_law})
+EXT8_ORACLES.update({"x194_heaps_law": SQL_X194})
+
+
+# --------------------------------- x195: Benjamini–Hochberg FDR
+
+
+def q_x195_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR over x159's Mann-Whitney family
+    (operators/quality.py:bh_fdr + normal_p_two_sided): 24
+    hour-of-day purchase-vs-click tests, normal p-values via the
+    engine-portable Abramowitz–Stegun erf, ranked and
+    step-up-adjusted — the multiple-testing guard an experimentation
+    platform applies before declaring any segment significant."""
+    from .operators.quality import bh_fdr, normal_p_two_sided
+    from .operators.sketch import mann_whitney_u
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "hr",
+        (
+            (F.col("ts_us") - (F.col("ts_us") % F.lit(3_600_000_000)))
+            / F.lit(3_600_000_000)
+        ).cast("long")
+        % 24,
+    )
+    mw = mann_whitney_u(
+        ev, "value", "event_type", "purchase", "click",
+        partition_cols=("hr",),
+    )
+    tests = mw.select(
+        "hr", normal_p_two_sided(F.col("z")).alias("p")
+    ).where(F.col("p").isNotNull())
+    return bh_fdr(tests, "p", ("hr",), q=0.05)
+
+
+SQL_X195 = """
+WITH b AS (
+  SELECT ((epoch_us(ts) - (epoch_us(ts) % 3600000000))
+          / 3600000000)::BIGINT % 24 AS hr,
+         value AS v, event_type AS g
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+pv AS (
+  SELECT hr, v,
+         SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM b GROUP BY hr, v
+),
+r AS (
+  SELECT hr, ca, cb,
+         2 * COALESCE(SUM(ca + cb) OVER (
+               PARTITION BY hr ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ca + cb) + 1 AS r2
+  FROM pv
+),
+a AS (
+  SELECT hr, SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b,
+         SUM(ca * r2)::BIGINT AS r2a
+  FROM r GROUP BY hr
+),
+zt AS (
+  SELECT hr,
+         ROUND((r2a::DOUBLE / 2.0 - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0
+                - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+               / sqrt(n_a::DOUBLE * n_b::DOUBLE
+                      * (n_a::DOUBLE + n_b::DOUBLE + 1.0) / 12.0), 6) AS z
+  FROM a
+),
+pp AS (
+  SELECT hr,
+         2.0 * (1.0 - 0.5 * (1.0 + (1.0
+           - ((((1.061405429
+                 * (1.0 / (1.0 + 0.3275911 * (abs(z) * 0.7071067811865476)))
+                 + (-1.453152027))
+                * (1.0 / (1.0 + 0.3275911 * (abs(z) * 0.7071067811865476)))
+                + 1.421413741)
+               * (1.0 / (1.0 + 0.3275911 * (abs(z) * 0.7071067811865476)))
+               + (-0.284496736))
+              * (1.0 / (1.0 + 0.3275911 * (abs(z) * 0.7071067811865476)))
+              + 0.254829592)
+             * (1.0 / (1.0 + 0.3275911 * (abs(z) * 0.7071067811865476)))
+             * exp(-((abs(z) * 0.7071067811865476)
+                     * (abs(z) * 0.7071067811865476)))))) AS p
+  FROM zt WHERE z IS NOT NULL
+),
+ranked AS (
+  SELECT hr, p,
+         ROW_NUMBER() OVER (ORDER BY p ASC, hr ASC) AS rank,
+         COUNT(*) OVER () AS m
+  FROM pp
+),
+stepped AS (
+  SELECT *, p * m::DOUBLE / rank::DOUBLE AS s FROM ranked
+),
+adj AS (
+  SELECT *,
+         LEAST(1.0, MIN(s) OVER (ORDER BY rank DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS pa
+  FROM stepped
+)
+SELECT hr,
+       ROUND(p, 6) AS p_value,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(m AS BIGINT) AS m,
+       ROUND(pa, 6) AS p_adjusted,
+       pa <= 0.05 AS significant
+FROM adj
+ORDER BY rank
+"""
+
+EXT8_QUERIES.update({"x195_fdr": q_x195_fdr})
+EXT8_ORACLES.update({"x195_fdr": SQL_X195})

@@ -4431,3 +4431,86 @@ def test_streaming_hll_twin(spark, tmp_path):
         for r in hll_distinct(batch, ["day"], "uid", b=6).collect()
     }
     assert streamed == batched and len(streamed) == 3
+
+
+# ---------------------------------------------------------------- x193
+
+
+def test_wasserstein_hand_values(spark):
+    """x193: uniform{0,1} vs uniform{1,2} is W1 = 1 exactly; identical
+    samples are 0."""
+    from fame2pygen_spark.operators.sketch import wasserstein1
+
+    a = spark.createDataFrame([(0.0,), (1.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    r = wasserstein1(a, b, "v").collect()[0]
+    assert r["w1"] == 1.0 and r["n_a"] == 2 and r["n_b"] == 2
+    r = wasserstein1(a, a, "v").collect()[0]
+    assert r["w1"] == 0.0
+
+
+# ---------------------------------------------------------------- x194
+
+
+def test_heaps_law_sublinear_vocab(spark):
+    """x194: doc i holds tokens w0..wi → vocab grows ~√tokens; the
+    log-log fit recovers β ≈ 0.5 with near-perfect r², and cumulative
+    columns are monotone."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from fame2pygen_spark.operators.text import heaps_law
+
+    out = sorted(
+        heaps_law(df, "text", "doc_id", n_buckets=5).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3, 4]
+    toks = [r["cum_tokens"] for r in out]
+    voc = [r["cum_vocab"] for r in out]
+    assert toks == sorted(toks) and voc == sorted(voc)
+    assert voc[-1] == 20  # w0..w19
+    assert toks[-1] == 20 * 21 // 2
+    assert 0.35 < out[0]["beta"] < 0.65
+    assert out[0]["r2"] > 0.97
+    assert out[0]["beta"] == out[-1]["beta"]  # fit repeated per row
+
+
+# ---------------------------------------------------------------- x195
+
+
+def test_normal_p_and_bh_fdr(spark):
+    """x195: the A-S p-value hits the textbook 1.96 → 0.05 point, and
+    BH adjustment matches the hand-computed step-up on 5 p-values."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.quality import (
+        bh_fdr, normal_p_two_sided,
+    )
+
+    zs = spark.createDataFrame([(1.959964,), (0.0,)], "z double")
+    ps = [
+        r["p"]
+        for r in zs.select(
+            normal_p_two_sided(F.col("z")).alias("p")
+        ).collect()
+    ]
+    assert abs(ps[0] - 0.05) < 1e-4
+    assert abs(ps[1] - 1.0) < 1e-7
+
+    tests = spark.createDataFrame(
+        [("t1", 0.001), ("t2", 0.01), ("t3", 0.02), ("t4", 0.04),
+         ("t5", 0.9)],
+        "test string, p double",
+    )
+    out = {r["test"]: r for r in bh_fdr(tests, "p", ("test",)).collect()}
+    assert out["t1"]["p_adjusted"] == 0.005
+    assert out["t2"]["p_adjusted"] == 0.025
+    assert abs(out["t3"]["p_adjusted"] - round(0.02 * 5 / 3, 6)) < 1e-9
+    assert out["t4"]["p_adjusted"] == 0.05
+    assert out["t5"]["p_adjusted"] == 0.9
+    assert [out[f"t{i}"]["significant"] for i in range(1, 6)] == [
+        True, True, True, True, False,
+    ]
+    assert out["t5"]["m"] == 5 and out["t5"]["rank"] == 5

@@ -585,3 +585,22 @@ def test_lexicon_join_broadcasts(spark):
     stream."""
     plan = plan_of(spark, "x189_lexicon_flags")
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x193_wasserstein",  # type-keyed support windows
+        "x194_heaps_law",    # broadcast min/max, bucket aggs
+        "x195_fdr",          # stratum-keyed ranks + m-row windows
+    ],
+)
+def test_r4_batch9_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_wasserstein_windows_stay_group_keyed(spark):
+    """x193: ECDF windows run over the per-event-type distinct
+    support — never an unkeyed global sort."""
+    assert unpartitioned_windows(spark, "x193_wasserstein") == []
