@@ -717,3 +717,68 @@ def temperature_mixture(
         F.round(smp * budget, 6).alias("sampled_tokens"),
         F.round(F.try_divide(smp * budget, F.col("__w")), 6).alias("epochs"),
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    length_col: str,
+    boundaries: Sequence[int],
+    *,
+    scheme: str = "scheme",
+) -> DataFrame:
+    """Length-bucketed padding-waste report for training batch
+    assembly: given bucket *boundaries* (ascending caps; sequences
+    longer than the last cap are truncated to it), every sequence
+    pads to its bucket cap — the report quantifies the padding the
+    boundary choice costs, the number the sequence-bucketing /
+    packing decision (x27/x28) is made on.
+
+    ``waste = Σ (cap − min(len, cap))`` per bucket;
+    ``truncated = Σ max(len − last_cap, 0)`` tokens lost to the final
+    cap.  Compare schemes by unioning reports (each tagged with
+    *scheme*).
+
+    Engine-exactness and scale: pure integer row-local bucketing
+    (a CASE ladder over the literal boundaries — no join, no window)
+    into one hash agg; |buckets| output rows.
+
+    Output: ``(scheme, cap, n_seqs, real_tokens, padded_tokens,
+    pad_waste, trunc_tokens, waste_share)`` (6 dp).
+    """
+    caps = sorted(int(b) for b in boundaries)
+    if not caps:
+        raise ValueError("need at least one boundary")
+    ln = F.col(length_col).cast("long")
+    cap_expr = F.lit(caps[-1])
+    for c in reversed(caps[:-1]):
+        cap_expr = F.when(ln <= F.lit(c), F.lit(c)).otherwise(cap_expr)
+    kept = F.least(ln, F.lit(caps[-1]))
+    staged = df.select(
+        F.lit(scheme).alias("scheme"),
+        cap_expr.cast("long").alias("cap"),
+        kept.alias("__kept"),
+        (ln - kept).alias("__trunc"),
+    )
+    per = staged.groupBy("scheme", "cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("__kept").cast("long").alias("real_tokens"),
+        F.sum("__trunc").cast("long").alias("trunc_tokens"),
+    )
+    return per.select(
+        "scheme",
+        "cap",
+        "n_seqs",
+        "real_tokens",
+        (F.col("n_seqs") * F.col("cap")).cast("long").alias("padded_tokens"),
+        (F.col("n_seqs") * F.col("cap") - F.col("real_tokens"))
+        .cast("long")
+        .alias("pad_waste"),
+        "trunc_tokens",
+        F.round(
+            (F.col("n_seqs") * F.col("cap") - F.col("real_tokens")).cast(
+                "double"
+            )
+            / (F.col("n_seqs") * F.col("cap")).cast("double"),
+            6,
+        ).alias("waste_share"),
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "kappa_from_confusion", "t_closeness", "average_precision",
     "calibration_report", "krippendorff_alpha", "conformal_threshold",
     "clustering_agreement", "woe_iv", "normal_p_two_sided", "bh_fdr",
+    "smd_balance",
 ]
 
 
@@ -1090,4 +1091,87 @@ def bh_fdr(
             (F.col("p_adjusted") <= F.lit(float(q))).alias("significant"),
         )
         .orderBy("rank")
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    covariate_cols: Sequence[str],
+    *,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Standardized-mean-difference covariate balance check (the
+    propensity-score / A-B randomization audit, Austin 2009): per
+    covariate, ``SMD = (μ_a − μ_b) / √((σ²_a + σ²_b)/2)`` with the
+    |SMD| > *threshold* imbalance flag (0.1 is the published rule of
+    thumb).  Run it BEFORE reading any treatment effect — an
+    imbalanced covariate means the split, not the treatment, may
+    explain the difference.
+
+    Engine-exactness: per-group moments are decimal power sums with
+    the square formed as a (25,12)×(12,6) product — (38,18), inside
+    both engines' exact multiply range (the x192 width lesson); the
+    (12,6) operand quantizes values at 6 dp identically in both
+    engines.  μ, σ² (population), and the SMD are then one double
+    composition over those exact sums.
+
+    Scale shape: covariates melt to (covariate, value) rows in one
+    projection (no extra scan per covariate), then a single
+    (covariate, group) hash agg and a covariate-keyed 1-row combine.
+
+    Output: ``(covariate, n_a, n_b, mean_a, mean_b, sd_pooled, smd,
+    balanced)`` (6 dp).
+    """
+    cases = []
+    for c in covariate_cols:
+        cases += [F.lit(c), F.col(c).cast("double")]
+    melted = df.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.stack(F.lit(len(covariate_cols)), *cases).alias("cov", "__v"),
+    ).where(F.col("__v").isNotNull())
+    xd = F.col("__v").cast("decimal(25,12)")
+    xw = F.col("__v").cast("decimal(12,6)")
+    per = melted.groupBy("cov", "__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xd).alias("__s1"),
+        F.sum(xd * xw).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    mu = F.col("__s1").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mu * mu
+    sided = per.select(
+        "cov",
+        F.when(F.col("__g") == group_a, F.col("__n")).alias("__na"),
+        F.when(F.col("__g") == group_b, F.col("__n")).alias("__nb"),
+        F.when(F.col("__g") == group_a, mu).alias("__ma"),
+        F.when(F.col("__g") == group_b, mu).alias("__mb"),
+        F.when(F.col("__g") == group_a, var).alias("__va"),
+        F.when(F.col("__g") == group_b, var).alias("__vb"),
+    )
+    both = sided.groupBy("cov").agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.max("__ma").alias("__ma"),
+        F.max("__mb").alias("__mb"),
+        F.max("__va").alias("__va"),
+        F.max("__vb").alias("__vb"),
+    )
+    sd_pool = F.sqrt((F.col("__va") + F.col("__vb")) / F.lit(2.0))
+    smd = F.try_divide(F.col("__ma") - F.col("__mb"), sd_pool)
+    return both.select(
+        F.col("cov").alias("covariate"),
+        "n_a",
+        "n_b",
+        F.round(F.col("__ma"), 6).alias("mean_a"),
+        F.round(F.col("__mb"), 6).alias("mean_b"),
+        F.round(sd_pool, 6).alias("sd_pooled"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(F.coalesce(smd, F.lit(0.0))) <= F.lit(float(threshold))).alias(
+            "balanced"
+        ),
     )

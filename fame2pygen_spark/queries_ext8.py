@@ -889,3 +889,217 @@ ORDER BY rank
 
 EXT8_QUERIES.update({"x195_fdr": q_x195_fdr})
 EXT8_ORACLES.update({"x195_fdr": SQL_X195})
+
+
+# ------------------------------------ x196: SPRT sequential test
+
+
+def q_x196_sprt(spark, sf_dir):
+    """Wald SPRT early-stopping decision per event type (operators/
+    behavior.py:sprt_decision): walk each type's event stream in time
+    order testing H1: P(value>500) = 0.55 vs H0: 0.45 at α = β = 0.05
+    — the sequential-testing primitive that stops experiments early
+    with controlled error instead of peeking at fixed-horizon tests."""
+    from .operators.behavior import sprt_decision
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    out = sprt_decision(
+        ev,
+        F.col("value") > 500.0,
+        ("event_type",),
+        ("ts_us", "event_id"),
+        p0=0.45, p1=0.55, alpha=0.05, beta=0.05,
+    )
+    return out.orderBy("event_type")
+
+
+def _sql_x196() -> str:
+    import math
+
+    l1 = repr(math.log(0.55 / 0.45))
+    l0 = repr(math.log(0.45 / 0.55))
+    ln_a = repr(math.log(0.95 / 0.05))
+    ln_b = repr(math.log(0.05 / 0.95))
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id, value,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE value IS NOT NULL
+),
+st AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS cs
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+),
+mk AS (
+  SELECT event_type, rn, cs,
+         cs::DOUBLE * {l1} + (rn - cs)::DOUBLE * {l0} AS llr
+  FROM st
+),
+ag AS (
+  SELECT event_type, MAX(rn) AS n_total, MAX(cs) AS n_success,
+         MIN(CASE WHEN llr >= {ln_a} THEN rn END) AS r1,
+         MIN(CASE WHEN llr <= {ln_b} THEN rn END) AS r0
+  FROM mk GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_success AS BIGINT) AS n_success,
+       CASE WHEN r1 IS NULL AND r0 IS NULL THEN 'continue'
+            WHEN r0 IS NULL OR (r1 IS NOT NULL AND r1 <= r0)
+              THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(LEAST(COALESCE(r1, r0), COALESCE(r0, r1)) AS BIGINT)
+         AS n_at_decision,
+       ROUND(n_success::DOUBLE * {l1}
+             + (n_total - n_success)::DOUBLE * {l0}, 6) AS llr_final
+FROM ag
+ORDER BY event_type
+"""
+
+
+EXT8_QUERIES.update({"x196_sprt": q_x196_sprt})
+EXT8_ORACLES.update({"x196_sprt": _sql_x196()})
+
+
+# ------------------------------ x197: SMD covariate balance
+
+
+def q_x197_smd_balance(spark, sf_dir):
+    """Standardized-mean-difference randomization audit (operators/
+    quality.py:smd_balance): account balance and nation key between
+    the even/odd customer-key split — the covariate balance check
+    read BEFORE any treatment effect (|SMD| > 0.1 means the split
+    explains differences, not the treatment)."""
+    from .operators.quality import smd_balance
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "grp",
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
+    out = smd_balance(
+        cust, "grp", "a", "b", ("c_acctbal", "c_nationkey")
+    )
+    return out.orderBy("covariate")
+
+
+SQL_X197 = """
+WITH m AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+         'c_acctbal' AS cov, c_acctbal::DOUBLE AS v
+  FROM customer
+  UNION ALL
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+         'c_nationkey' AS cov, c_nationkey::DOUBLE AS v
+  FROM customer
+),
+f AS (SELECT * FROM m WHERE v IS NOT NULL),
+per AS (
+  SELECT cov, g, COUNT(*) AS n,
+         SUM(CAST(v AS DECIMAL(25,12))) AS s1,
+         SUM(CAST(v AS DECIMAL(25,12)) * CAST(v AS DECIMAL(12,6))) AS s2
+  FROM f GROUP BY cov, g
+),
+sided AS (
+  SELECT cov,
+         MAX(CASE WHEN g = 'a' THEN n END) AS na,
+         MAX(CASE WHEN g = 'b' THEN n END) AS nb,
+         MAX(CASE WHEN g = 'a'
+                  THEN s1::DOUBLE / n::DOUBLE END) AS ma,
+         MAX(CASE WHEN g = 'b'
+                  THEN s1::DOUBLE / n::DOUBLE END) AS mb,
+         MAX(CASE WHEN g = 'a'
+                  THEN s2::DOUBLE / n::DOUBLE
+                       - (s1::DOUBLE / n::DOUBLE)
+                         * (s1::DOUBLE / n::DOUBLE) END) AS va,
+         MAX(CASE WHEN g = 'b'
+                  THEN s2::DOUBLE / n::DOUBLE
+                       - (s1::DOUBLE / n::DOUBLE)
+                         * (s1::DOUBLE / n::DOUBLE) END) AS vb
+  FROM per GROUP BY cov
+)
+SELECT cov AS covariate,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ROUND(ma, 6) AS mean_a,
+       ROUND(mb, 6) AS mean_b,
+       ROUND(sqrt((va + vb) / 2.0), 6) AS sd_pooled,
+       ROUND(CASE WHEN sqrt((va + vb) / 2.0) = 0 THEN NULL
+                  ELSE (ma - mb) / sqrt((va + vb) / 2.0) END, 6) AS smd,
+       abs(COALESCE(CASE WHEN sqrt((va + vb) / 2.0) = 0 THEN NULL
+                         ELSE (ma - mb) / sqrt((va + vb) / 2.0) END,
+                    0.0)) <= 0.1 AS balanced
+FROM sided
+ORDER BY covariate
+"""
+
+EXT8_QUERIES.update({"x197_smd_balance": q_x197_smd_balance})
+EXT8_ORACLES.update({"x197_smd_balance": SQL_X197})
+
+
+# --------------------------------- x198: padding-waste report
+
+
+def q_x198_padding_waste(spark, sf_dir):
+    """Length-bucketed padding-waste comparison (operators/mixing.py:
+    padding_waste): document token lengths padded under a quantized
+    {32,64,128,256} bucket scheme vs a single 256 cap — the number
+    the sequence-bucketing decision is made on before training batch
+    assembly."""
+    from .operators.mixing import padding_waste
+    from .operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("len")
+    )
+    a = padding_waste(docs, "len", [32, 64, 128, 256], scheme="quantized")
+    b = padding_waste(docs, "len", [256], scheme="single_cap")
+    return a.unionByName(b).orderBy("scheme", "cap")
+
+
+SQL_X198 = """
+WITH lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS l
+  FROM documents
+),
+q AS (
+  SELECT 'quantized' AS scheme,
+         CASE WHEN l <= 32 THEN 32
+              WHEN l <= 64 THEN 64
+              WHEN l <= 128 THEN 128
+              ELSE 256 END AS cap,
+         LEAST(l, 256) AS kept,
+         l - LEAST(l, 256) AS trunc
+  FROM lens
+  UNION ALL
+  SELECT 'single_cap', 256, LEAST(l, 256), l - LEAST(l, 256) FROM lens
+),
+per AS (
+  SELECT scheme, cap, COUNT(*) AS n_seqs, SUM(kept) AS real_tokens,
+         SUM(trunc) AS trunc_tokens
+  FROM q GROUP BY scheme, cap
+)
+SELECT scheme,
+       CAST(cap AS BIGINT) AS cap,
+       CAST(n_seqs AS BIGINT) AS n_seqs,
+       CAST(real_tokens AS BIGINT) AS real_tokens,
+       CAST(n_seqs * cap AS BIGINT) AS padded_tokens,
+       CAST(n_seqs * cap - real_tokens AS BIGINT) AS pad_waste,
+       CAST(trunc_tokens AS BIGINT) AS trunc_tokens,
+       ROUND((n_seqs * cap - real_tokens)::DOUBLE
+             / (n_seqs * cap)::DOUBLE, 6) AS waste_share
+FROM per
+ORDER BY scheme, cap
+"""
+
+EXT8_QUERIES.update({"x198_padding_waste": q_x198_padding_waste})
+EXT8_ORACLES.update({"x198_padding_waste": SQL_X198})

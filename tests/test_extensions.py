@@ -4514,3 +4514,87 @@ def test_normal_p_and_bh_fdr(spark):
         True, True, True, True, False,
     ]
     assert out["t5"]["m"] == 5 and out["t5"]["rank"] == 5
+
+
+# ---------------------------------------------------------------- x196
+
+
+def test_sprt_decisions_hand_streams(spark):
+    """x196: an all-success stream crosses the H1 boundary at the
+    first rank where cs·l1 ≥ ln(19) (= 15 at p0/p1 = .45/.55); an
+    all-failure stream accepts H0 symmetrically; a short alternating
+    stream continues."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.behavior import sprt_decision
+
+    rows = [("win", i, 1) for i in range(40)]
+    rows += [("lose", i, 0) for i in range(40)]
+    rows += [("mix", i, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "exp string, seq long, s int")
+    out = {
+        r["exp"]: r
+        for r in sprt_decision(
+            df, F.col("s") == 1, ("exp",), ("seq",),
+            p0=0.45, p1=0.55, alpha=0.05, beta=0.05,
+        ).collect()
+    }
+    l1 = math.log(0.55 / 0.45)
+    n_cross = math.ceil(math.log(19) / l1)  # 15
+    assert out["win"]["decision"] == "accept_h1"
+    assert out["win"]["n_at_decision"] == n_cross
+    assert out["lose"]["decision"] == "accept_h0"
+    assert out["lose"]["n_at_decision"] == n_cross
+    assert out["mix"]["decision"] == "continue"
+    assert out["mix"]["n_at_decision"] is None
+    assert out["win"]["n_success"] == 40
+
+
+# ---------------------------------------------------------------- x197
+
+
+def test_smd_balance_planted_shift(spark):
+    """x197: identical groups are balanced (SMD 0); a one-sd planted
+    shift scores |SMD| ≈ 1 and flags imbalanced."""
+    rows = []
+    for i in range(200):
+        v = float(i % 10)
+        rows.append(("a", v, v))
+        rows.append(("b", v, v + 3.0))  # sd ≈ 2.87 → SMD ≈ −1.05
+    df = spark.createDataFrame(rows, "grp string, same double, shifted double")
+    from fame2pygen_spark.operators.quality import smd_balance
+
+    out = {
+        r["covariate"]: r
+        for r in smd_balance(
+            df, "grp", "a", "b", ("same", "shifted")
+        ).collect()
+    }
+    assert out["same"]["smd"] == 0.0 and out["same"]["balanced"] is True
+    assert abs(out["shifted"]["smd"] + 3.0 / 2.872281) < 1e-3
+    assert out["shifted"]["balanced"] is False
+
+
+# ---------------------------------------------------------------- x198
+
+
+def test_padding_waste_hand_lengths(spark):
+    """x198: lengths {10, 60, 300} under caps [32, 64]: 10 pads to
+    32, 60 to 64, 300 truncates to 64."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 60), (3, 300)], "id long, len long"
+    )
+    from fame2pygen_spark.operators.mixing import padding_waste
+
+    out = {
+        r["cap"]: r
+        for r in padding_waste(df, "len", [32, 64], scheme="t").collect()
+    }
+    assert out[32]["n_seqs"] == 1 and out[32]["pad_waste"] == 22
+    assert out[64]["n_seqs"] == 2
+    assert out[64]["real_tokens"] == 60 + 64
+    assert out[64]["pad_waste"] == 128 - 124
+    assert out[64]["trunc_tokens"] == 300 - 64
+    assert abs(out[32]["waste_share"] - 22 / 32) < 1e-9

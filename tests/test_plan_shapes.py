@@ -604,3 +604,29 @@ def test_wasserstein_windows_stay_group_keyed(spark):
     """x193: ECDF windows run over the per-event-type distinct
     support — never an unkeyed global sort."""
     assert unpartitioned_windows(spark, "x193_wasserstein") == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x196_sprt",           # type-keyed running counts, one agg
+        "x197_smd_balance",    # melt + two hash aggs
+        "x198_padding_waste",  # row-local CASE ladder + one agg
+    ],
+)
+def test_r4_batch10_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_sprt_windows_stay_experiment_keyed(spark):
+    """x196: the running LLR windows are keyed by the experiment
+    group — never an unkeyed global event sort."""
+    assert unpartitioned_windows(spark, "x196_sprt") == []
+
+
+def test_padding_waste_is_aggregate_only(spark):
+    """x198: pure row-local bucketing into one hash agg — no joins,
+    no windows."""
+    plan = plan_of(spark, "x198_padding_waste")
+    assert "Join" not in plan and "Window" not in plan
