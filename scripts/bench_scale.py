@@ -124,6 +124,17 @@ def run_scale_tier(spark) -> dict:
         lambda: dup_span_profile(docs, "text", "doc_id", n=13).count(),
     )
 
+    # winnowing on the replicated corpus: replicas share ~every
+    # fingerprint, so the fp buckets are dense by construction — the
+    # max_bucket cap (tightened to 20 here) is what the tier
+    # exercises, exactly like the LSH/semdedup cap runs above
+    timed(
+        "x180_winnowing_docs10x",
+        lambda: dd.winnowing_pairs(
+            docs, "text", "doc_id", k=3, w=4, max_bucket=20, min_shared=3
+        ).count(),
+    )
+
     from fame2pygen_spark.operators.multimodal import image_ahash
     from fame2pygen_spark.queries_ext2 import (
         _BMP88_HEADER_HEX, _ahash_pixel_counts_spark,
