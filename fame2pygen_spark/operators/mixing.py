@@ -782,3 +782,103 @@ def padding_waste(
             6,
         ).alias("waste_share"),
     )
+
+
+def raking_weights(
+    sample: DataFrame,
+    population: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    *,
+    iters: int = 2,
+) -> DataFrame:
+    """Two-way raking / iterative proportional fitting (Deming &
+    Stephan 1940): reweight a sample's (dim_a × dim_b) cells so both
+    marginals match the population's — the survey-statistics repair
+    for a hash-drawn eval split whose (lang × source) mix drifted
+    from the corpus, applied before any benchmark number is read.
+
+    Each iteration scales cell weights to the dim_a marginal targets
+    then the dim_b targets (targets = population marginals scaled to
+    the sample size); *iters* is fixed and unrolled — the oracle
+    replays every superstep.
+
+    Engine-exactness: initial weights and all targets are exact
+    integer counts; every marginal sum along the way is decimal-cast
+    (order-insensitive) and each scaling is one double ratio composed
+    identically in both engines.
+
+    Scale shape: the raw tables reduce to cell/marginal counts first
+    (one keyed agg each); the supersteps run on the |dim_a|·|dim_b|
+    cell frame with broadcast marginal joins — dashboard-sized by
+    construction.
+
+    Output: ``(dim_a, dim_b, n_cell, weight, cell_weight)`` — *weight*
+    is per-ROW (``cell_weight / n_cell``; 1.0 ⇒ unadjusted), 6 dp.
+    """
+    cells = (
+        sample.groupBy(dim_a, dim_b)
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+        .localCheckpoint(eager=True)
+    )
+    n_samp = cells.agg(F.sum("n_cell").alias("__ns"))
+    pop_a = population.groupBy(dim_a).agg(F.count(F.lit(1)).alias("__pa"))
+    pop_b = population.groupBy(dim_b).agg(F.count(F.lit(1)).alias("__pb"))
+    n_pop = population.agg(F.count(F.lit(1)).alias("__np"))
+    targ_a = pop_a.crossJoin(F.broadcast(n_pop)).crossJoin(
+        F.broadcast(n_samp)
+    ).select(
+        dim_a,
+        (
+            F.col("__pa").cast("double")
+            * F.col("__ns").cast("double")
+            / F.col("__np").cast("double")
+        ).alias("__ta"),
+    )
+    targ_b = pop_b.crossJoin(F.broadcast(n_pop)).crossJoin(
+        F.broadcast(n_samp)
+    ).select(
+        dim_b,
+        (
+            F.col("__pb").cast("double")
+            * F.col("__ns").cast("double")
+            / F.col("__np").cast("double")
+        ).alias("__tb"),
+    )
+    w = cells.withColumn("__w", F.col("n_cell").cast("double"))
+    for _ in range(int(iters)):
+        row_sum = w.groupBy(dim_a).agg(
+            F.sum(F.col("__w").cast("decimal(28,12)")).cast("double").alias(
+                "__ra"
+            )
+        )
+        w = (
+            w.join(F.broadcast(row_sum), on=dim_a)
+            .join(F.broadcast(targ_a), on=dim_a)
+            .withColumn(
+                "__w", F.col("__w") * F.col("__ta") / F.col("__ra")
+            )
+            .drop("__ra", "__ta")
+        )
+        col_sum = w.groupBy(dim_b).agg(
+            F.sum(F.col("__w").cast("decimal(28,12)")).cast("double").alias(
+                "__rb"
+            )
+        )
+        w = (
+            w.join(F.broadcast(col_sum), on=dim_b)
+            .join(F.broadcast(targ_b), on=dim_b)
+            .withColumn(
+                "__w", F.col("__w") * F.col("__tb") / F.col("__rb")
+            )
+            .drop("__rb", "__tb")
+        )
+    return w.select(
+        dim_a,
+        dim_b,
+        F.col("n_cell").cast("long").alias("n_cell"),
+        F.round(
+            F.col("__w") / F.col("n_cell").cast("double"), 6
+        ).alias("weight"),
+        F.round(F.col("__w"), 6).alias("cell_weight"),
+    )

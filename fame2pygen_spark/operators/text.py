@@ -2345,3 +2345,66 @@ def heaps_law(
         F.round(F.exp(intercept), 6).alias("k"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# --------------------------- vocabulary coverage (Good-Turing/Chao1)
+
+
+def vocabulary_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Vocabulary coverage estimate per group: the Good-Turing unseen
+    probability mass ``P₀ = n₁/N`` (Good 1953 — the chance the NEXT
+    token is a type never seen in this group) and the bias-corrected
+    Chao1 richness estimate ``V + n₁(n₁−1)/(2(n₂+1))`` (Chao 1984 —
+    how many types exist INCLUDING unseen ones), from singleton/
+    doubleton counts.  The coverage answer Heaps' β (x194) only
+    trends toward: is this source's vocabulary nearly exhausted
+    (P₀ → 0) or barely sampled?
+
+    Engine-exactness: N, V, n₁, n₂ are exact integers; the two
+    estimates are single double compositions.
+
+    Scale shape: one tokenization explode, one (group, term) agg, one
+    group agg — the same two-shuffle shape as TF-IDF.
+
+    Output: ``(*group_cols, n_tokens, n_types, n_singletons,
+    n_doubletons, p_unseen, chao1_types)`` (6 dp).
+    """
+    g = list(group_cols)
+    toks = _parallelize_input(df).select(
+        *g, F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    per_term = toks.groupBy(*g, "term").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = per_term.groupBy(*g).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias(
+            "n_singletons"
+        ),
+        F.sum((F.col("__c") == 2).cast("long")).cast("long").alias(
+            "n_doubletons"
+        ),
+    )
+    p0 = F.col("n_singletons").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    chao1 = F.col("n_types").cast("double") + (
+        F.col("n_singletons").cast("double")
+        * (F.col("n_singletons").cast("double") - F.lit(1.0))
+        / (F.lit(2.0) * (F.col("n_doubletons").cast("double") + F.lit(1.0)))
+    )
+    return agg.select(
+        *g,
+        "n_tokens",
+        "n_types",
+        "n_singletons",
+        "n_doubletons",
+        F.round(p0, 6).alias("p_unseen"),
+        F.round(chao1, 6).alias("chao1_types"),
+    )

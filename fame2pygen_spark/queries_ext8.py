@@ -1103,3 +1103,132 @@ ORDER BY scheme, cap
 
 EXT8_QUERIES.update({"x198_padding_waste": q_x198_padding_waste})
 EXT8_ORACLES.update({"x198_padding_waste": SQL_X198})
+
+
+# ---------------------------------- x199: IPF raking weights
+
+
+def q_x199_raking(spark, sf_dir):
+    """Two-way IPF raking (operators/mixing.py:raking_weights): a 20%
+    hash-drawn eval split reweighted so its (lang × source) marginals
+    match the full corpus — the survey-statistics repair applied
+    before reading any benchmark number off a drifted split."""
+    from .operators.mixing import raking_weights, uniform_hash01
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = docs.where(
+        uniform_hash01(F.col("doc_id"), "ipf") < 0.2
+    ).select("lang", "source")
+    pop = docs.select("lang", "source")
+    out = raking_weights(sample, pop, "lang", "source", iters=2)
+    return out.orderBy("lang", "source")
+
+
+SQL_X199 = """
+WITH s AS (
+  SELECT lang, source FROM documents
+  WHERE ('0x' || substr(md5('ipf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT / 4294967296.0 < 0.2
+),
+cells AS (SELECT lang, source, COUNT(*) AS n_cell FROM s GROUP BY lang, source),
+ns AS (SELECT SUM(n_cell) AS nsamp FROM cells),
+pa AS (SELECT lang, COUNT(*) AS pa FROM documents GROUP BY lang),
+pb AS (SELECT source, COUNT(*) AS pb FROM documents GROUP BY source),
+np AS (SELECT COUNT(*) AS np FROM documents),
+ta AS (
+  SELECT pa.lang,
+         pa.pa::DOUBLE * ns.nsamp::DOUBLE / np.np::DOUBLE AS ta
+  FROM pa CROSS JOIN np CROSS JOIN ns
+),
+tb AS (
+  SELECT pb.source,
+         pb.pb::DOUBLE * ns.nsamp::DOUBLE / np.np::DOUBLE AS tb
+  FROM pb CROSS JOIN np CROSS JOIN ns
+),
+w0 AS (SELECT lang, source, n_cell, n_cell::DOUBLE AS w FROM cells),
+r1 AS (SELECT lang, SUM(CAST(w AS DECIMAL(28,12))) AS ra FROM w0 GROUP BY lang),
+w1 AS (
+  SELECT w0.lang, w0.source, w0.n_cell,
+         w0.w * ta.ta / CAST(r1.ra AS DOUBLE) AS w
+  FROM w0 JOIN r1 USING (lang) JOIN ta USING (lang)
+),
+c1 AS (SELECT source, SUM(CAST(w AS DECIMAL(28,12))) AS rb FROM w1 GROUP BY source),
+w2 AS (
+  SELECT w1.lang, w1.source, w1.n_cell,
+         w1.w * tb.tb / CAST(c1.rb AS DOUBLE) AS w
+  FROM w1 JOIN c1 USING (source) JOIN tb USING (source)
+),
+r2 AS (SELECT lang, SUM(CAST(w AS DECIMAL(28,12))) AS ra FROM w2 GROUP BY lang),
+w3 AS (
+  SELECT w2.lang, w2.source, w2.n_cell,
+         w2.w * ta.ta / CAST(r2.ra AS DOUBLE) AS w
+  FROM w2 JOIN r2 USING (lang) JOIN ta USING (lang)
+),
+c2 AS (SELECT source, SUM(CAST(w AS DECIMAL(28,12))) AS rb FROM w3 GROUP BY source),
+w4 AS (
+  SELECT w3.lang, w3.source, w3.n_cell,
+         w3.w * tb.tb / CAST(c2.rb AS DOUBLE) AS w
+  FROM w3 JOIN c2 USING (source) JOIN tb USING (source)
+)
+SELECT lang, source,
+       CAST(n_cell AS BIGINT) AS n_cell,
+       ROUND(w / n_cell::DOUBLE, 6) AS weight,
+       ROUND(w, 6) AS cell_weight
+FROM w4
+ORDER BY lang, source
+"""
+
+EXT8_QUERIES.update({"x199_raking": q_x199_raking})
+EXT8_ORACLES.update({"x199_raking": SQL_X199})
+
+
+# ----------------------- x200: vocabulary coverage (GT / Chao1)
+
+
+def q_x200_vocab_coverage(spark, sf_dir):
+    """Good-Turing unseen mass + Chao1 richness per source
+    (operators/text.py:vocabulary_coverage): is each source's
+    vocabulary nearly exhausted (P₀ → 0) or barely sampled? — the
+    coverage answer Heaps' β (x194) only trends toward."""
+    from .operators.text import vocabulary_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocabulary_coverage(docs, "text", "doc_id", ("source",)).orderBy(
+        "source"
+    )
+
+
+SQL_X200 = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM documents
+),
+per AS (
+  SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+),
+agg AS (
+  SELECT source,
+         SUM(c) AS n_tokens,
+         COUNT(*) AS n_types,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+  FROM per GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n1 AS BIGINT) AS n_singletons,
+       CAST(n2 AS BIGINT) AS n_doubletons,
+       ROUND(n1::DOUBLE / n_tokens::DOUBLE, 6) AS p_unseen,
+       ROUND(n_types::DOUBLE
+             + n1::DOUBLE * (n1::DOUBLE - 1.0)
+               / (2.0 * (n2::DOUBLE + 1.0)), 6) AS chao1_types
+FROM agg
+ORDER BY source
+"""
+
+EXT8_QUERIES.update({"x200_vocab_coverage": q_x200_vocab_coverage})
+EXT8_ORACLES.update({"x200_vocab_coverage": SQL_X200})

@@ -4598,3 +4598,55 @@ def test_padding_waste_hand_lengths(spark):
     assert out[64]["pad_waste"] == 128 - 124
     assert out[64]["trunc_tokens"] == 300 - 64
     assert abs(out[32]["waste_share"] - 22 / 32) < 1e-9
+
+
+# ---------------------------------------------------------------- x199
+
+
+def test_raking_matches_marginals(spark):
+    """x199: after 2 IPF iterations on a skewed 2×2 sample, the
+    weighted column marginals match the targets exactly (the last
+    scaling pass is column-wise) and row marginals are near-target."""
+    # row marginals drift (en 12 vs de 8, targets 10/10); columns
+    # balanced — IPF must pull rows to target while keeping columns
+    sample = spark.createDataFrame(
+        [("en", "a")] * 8 + [("en", "b")] * 4
+        + [("de", "a")] * 2 + [("de", "b")] * 6,
+        "lang string, src string",
+    )
+    pop = spark.createDataFrame(
+        [("en", "a")] * 25 + [("en", "b")] * 25
+        + [("de", "a")] * 25 + [("de", "b")] * 25,
+        "lang string, src string",
+    )
+    from fame2pygen_spark.operators.mixing import raking_weights
+
+    out = raking_weights(sample, pop, "lang", "src", iters=2).collect()
+    cells = {(r["lang"], r["src"]): r["cell_weight"] for r in out}
+    # sample n=20, pop marginals 50/50 → every target marginal is 10
+    for s in ("a", "b"):
+        col_sum = sum(v for (l, ss), v in cells.items() if ss == s)
+        assert abs(col_sum - 10.0) < 1e-4, (s, col_sum)
+    for l in ("en", "de"):
+        row_sum = sum(v for (ll, s), v in cells.items() if ll == l)
+        assert abs(row_sum - 10.0) < 0.5, (l, row_sum)
+    # per-row weights compensate the drift: undersampled de rows
+    # weigh more than oversampled en rows
+    w = {(r["lang"], r["src"]): r["weight"] for r in out}
+    assert w[("de", "a")] > 1.0 > w[("en", "a")]
+
+
+# ---------------------------------------------------------------- x200
+
+
+def test_vocab_coverage_hand_counts(spark):
+    """x200: 'a a b c' → N=4, V=3, n1=2 (b, c), n2=1 (a); P0=0.5;
+    chao1 = 3 + 2·1/(2·(1+1)) = 3.5."""
+    df = spark.createDataFrame([(1, "a a b c")], "doc_id long, text string")
+    from fame2pygen_spark.operators.text import vocabulary_coverage
+
+    r = vocabulary_coverage(df, "text", "doc_id").collect()[0]
+    assert r["n_tokens"] == 4 and r["n_types"] == 3
+    assert r["n_singletons"] == 2 and r["n_doubletons"] == 1
+    assert r["p_unseen"] == 0.5
+    assert r["chao1_types"] == 3.5

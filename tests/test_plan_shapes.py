@@ -630,3 +630,20 @@ def test_padding_waste_is_aggregate_only(spark):
     no windows."""
     plan = plan_of(spark, "x198_padding_waste")
     assert "Join" not in plan and "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x199_raking",         # cell-frame supersteps, broadcast targets
+        "x200_vocab_coverage", # two keyed aggs, no windows
+    ],
+)
+def test_r4_batch11_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_vocab_coverage_is_window_free(spark):
+    plan = plan_of(spark, "x200_vocab_coverage")
+    assert "Window" not in plan
