@@ -822,9 +822,12 @@ def raking_weights(
         .localCheckpoint(eager=True)
     )
     n_samp = cells.agg(F.sum("n_cell").alias("__ns"))
-    pop_a = population.groupBy(dim_a).agg(F.count(F.lit(1)).alias("__pa"))
+    pop_a = population.groupBy(dim_a).agg(
+        F.count(F.lit(1)).alias("__pa")
+    ).localCheckpoint(eager=True)
     pop_b = population.groupBy(dim_b).agg(F.count(F.lit(1)).alias("__pb"))
-    n_pop = population.agg(F.count(F.lit(1)).alias("__np"))
+    # total from the already-computed marginal — not a third scan
+    n_pop = pop_a.agg(F.sum("__pa").alias("__np"))
     targ_a = pop_a.crossJoin(F.broadcast(n_pop)).crossJoin(
         F.broadcast(n_samp)
     ).select(
@@ -873,6 +876,11 @@ def raking_weights(
             )
             .drop("__rb", "__tb")
         )
+        # the scaling frame feeds BOTH next-iteration marginal sums
+        # AND the next w — without materialization each superstep
+        # replays the whole prior chain twice (the graph-superstep
+        # localCheckpoint discipline; the frame is |dims|² rows)
+        w = w.localCheckpoint(eager=True)
     return w.select(
         dim_a,
         dim_b,
