@@ -1455,8 +1455,10 @@ def winnowing_fingerprints(
     no self-join) → one doc-keyed running window (frame ``[0, w−1]``,
     full windows only) → distinct.  Everything is partitioned by the
     document id; no global sort, no shuffle beyond the doc key.
-    Positions are clamped to 2^26 (67M k-grams per doc) — beyond that
-    the encoding would collide; split such documents upstream.
+    Positions are bounded at 2^26 (67M k-grams per doc): grams past
+    that position are EXCLUDED from fingerprinting (the arithmetic
+    encoding would otherwise bleed into the hash bits) — split such
+    documents upstream if tail coverage matters.
     """
     POS_M = 1 << 26
     toks = _parallelize_input(df).select(
@@ -1476,7 +1478,7 @@ def winnowing_fingerprints(
     last = F.lead("w0", k - 1).over(seq)
     grams = toks.select(
         "doc", "pos", gram.alias("g"), last.isNotNull().alias("__full")
-    ).where(F.col("__full"))
+    ).where(F.col("__full") & (F.col("pos") < F.lit(POS_M)))
     enc = (
         shingle_hash(F.col("g")) * F.lit(POS_M)
         + (F.lit(POS_M - 1) - F.col("pos"))

@@ -1171,7 +1171,11 @@ def smd_balance(
         F.round(F.col("__mb"), 6).alias("mean_b"),
         F.round(sd_pool, 6).alias("sd_pooled"),
         F.round(smd, 6).alias("smd"),
-        (F.abs(F.coalesce(smd, F.lit(0.0))) <= F.lit(float(threshold))).alias(
-            "balanced"
-        ),
+        # an undefined SMD (zero pooled variance — e.g. a deterministic
+        # fully-confounded covariate, or a side missing entirely) is
+        # the WORST case, not a pass: propagate null, never coalesce
+        # it into "balanced"
+        F.when(
+            smd.isNotNull(), F.abs(smd) <= F.lit(float(threshold))
+        ).alias("balanced"),
     )

@@ -1041,6 +1041,31 @@ def concentration_index(
 # ------------------------------------------------------------ HyperLogLog
 
 
+def hll_register_cols(
+    value_col: str, *, b: int = 6, salt: str = "hll"
+) -> tuple[Column, Column]:
+    """The one shared HLL hashing definition: ``(register_index,
+    rank)`` Columns for *value_col* — md5 first byte (mod 2^b) picks
+    the register, the next 32 bits give the rank (``33 −
+    bit_length``, pure integer/string ops).  Every HLL producer
+    (:func:`hll_distinct`, :func:`hll_merge_rollup`,
+    ``streaming.core.streaming_hll_registers``) builds registers
+    through THIS function, so merge/finalize equivalence is enforced
+    structurally, not by copy discipline.
+    """
+    m = 1 << b
+    hexd = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
+    )
+    w_hex = F.substring(hexd, 3, 8)
+    w = F.conv(w_hex, 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
+    )
+    idx = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m
+    return idx, rank
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -1079,19 +1104,10 @@ def hll_distinct(
     group_cols = list(group_cols)
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    hexd = F.md5(
-        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
-    )
-    w_hex = F.substring(hexd, 3, 8)
-    w = F.conv(w_hex, 16, 10).cast("long")
-    rank = F.when(w == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
-    )
+    idx, rank = hll_register_cols(value_col, b=b, salt=salt)
     hashed = df.select(
         *group_cols,
-        (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m).alias(
-            "__idx"
-        ),
+        idx.alias("__idx"),
         rank.cast("int").alias("__rank"),
     )
     regs = hashed.groupBy(*group_cols, "__idx").agg(
@@ -2004,41 +2020,20 @@ def hll_merge_rollup(
     true everywhere; a false is a broken merge, not noise.
     """
     m = 1 << b
-    alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    hexd = F.md5(
-        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
-    )
-    w_hex = F.substring(hexd, 3, 8)
-    w = F.conv(w_hex, 16, 10).cast("long")
-    rank = F.when(w == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
-    )
+    idx, rank = hll_register_cols(value_col, b=b, salt=salt)
     hashed = df.select(
         F.col(fine_col).alias("fine"),
         F.col(coarse_col).alias("coarse"),
-        (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m).alias(
-            "__idx"
-        ),
+        idx.alias("__idx"),
         rank.cast("int").alias("__rank"),
         F.col(value_col).alias("__v"),
     )
     hashed = hashed.localCheckpoint(eager=True)
 
     def estimate(regs: DataFrame, label: str) -> DataFrame:
-        per = regs.groupBy("coarse").agg(
-            F.count("*").cast("long").alias("__np"),
-            F.sum(
-                F.expr("1.0 / shiftleft(cast(1 as bigint), __reg)")
-            ).alias("__sp"),
-        )
-        sum_inv = (
-            F.col("__sp") + (F.lit(m) - F.col("__np")).cast("double")
-        )
-        return per.select(
-            "coarse",
-            F.round(F.lit(alpha * m * m) / sum_inv, 6).alias(label),
-        )
+        est = hll_estimate_from_registers(regs, ["coarse"], b=b)
+        return est.select("coarse", F.col("est_distinct").alias(label))
 
     fine_regs = hashed.groupBy("fine", "coarse", "__idx").agg(
         F.max("__rank").alias("__reg")
@@ -2120,6 +2115,10 @@ def bootstrap_se(
     from .mixing import uniform_hash01
 
     g = list(group_cols)
+    # null values carry no information but would still draw resample
+    # weights — inflating denominators and fabricating replicate
+    # variance — so they are excluded up front
+    df = df.where(F.col(value_col).isNotNull())
     # (25,12): the (25,12)×(4,0) weight product is (30,12) in Spark
     # and (29,12) in DuckDB — exact in both; a (38,12) operand would
     # overflow DuckDB's width-additive multiply
@@ -2292,10 +2291,16 @@ def wasserstein1(
         nb.alias("__nb"),
         F.when(nxt.isNotNull(), term).alias("__t"),
     )
-    return stepped.groupBy(*g).agg(
+    agg = stepped.groupBy(*g).agg(
         F.max("__na").cast("long").alias("n_a"),
         F.max("__nb").cast("long").alias("n_b"),
-        F.round(F.coalesce(F.sum("__t"), F.lit(0)).cast("double"), 6).alias(
-            "w1"
-        ),
+        F.sum("__t").alias("__w1"),
     )
+    # a group present on only one side has no defined distance — the
+    # NaN ECDF terms must surface as null, never be coalesced to
+    # "zero drift"
+    w1 = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round(F.coalesce(F.col("__w1"), F.lit(0)).cast("double"), 6),
+    )
+    return agg.select(*g, "n_a", "n_b", w1.alias("w1"))

@@ -1669,7 +1669,11 @@ def seasonal_decompose(
         *g, "phase",
         F.round(F.col("__sraw") - F.col("__c"), 6).alias("seasonal"),
     )
-    out = staged.join(seas, on=g + ["phase"])
+    # LEFT join: a phase with no full-MA row yet (short/new series,
+    # n ≤ period) must still emit its input rows — with null
+    # seasonal/resid, per the nulls-at-the-edges contract — not
+    # silently drop them
+    out = staged.join(seas, on=g + ["phase"], how="left")
     return out.select(
         *g,
         "ts",

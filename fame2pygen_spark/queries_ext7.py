@@ -57,6 +57,7 @@ grams AS (
          tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1]
            || ' ' || tk[CAST(i AS INTEGER) + 2] AS g
   FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks)
+  WHERE i - 1 < 67108864
 ),
 keyed AS (
   SELECT doc_id, pos,

@@ -182,7 +182,7 @@ SELECT d.r_name, d.ts,
        d.trend,
        s.seasonal,
        ROUND(d.y - d.trend - s.seasonal, 6) AS resid
-FROM detr d JOIN seas s ON s.r_name = d.r_name AND s.phase = d.phase
+FROM detr d LEFT JOIN seas s ON s.r_name = d.r_name AND s.phase = d.phase
 ORDER BY d.r_name, d.ts
 """
 
@@ -545,7 +545,7 @@ def q_x192_bootstrap_se(spark, sf_dir):
 SQL_X192 = """
 WITH base AS (
   SELECT event_type, event_id, CAST(value AS DECIMAL(25,12)) AS x
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 point AS (
   SELECT event_type, COUNT(*) AS n,
@@ -664,11 +664,13 @@ win AS (
 SELECT event_type,
        CAST(MAX(na) AS BIGINT) AS n_a,
        CAST(MAX(nb) AS BIGINT) AS n_b,
-       ROUND(CAST(COALESCE(SUM(
-         CASE WHEN nv IS NOT NULL THEN
-           CAST(abs(cuma::DOUBLE / na::DOUBLE - cumb::DOUBLE / nb::DOUBLE)
-                * (nv::DOUBLE - v::DOUBLE) AS DECIMAL(38,12))
-         END), 0) AS DOUBLE), 6) AS w1
+       CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+         ROUND(CAST(COALESCE(SUM(
+           CASE WHEN nv IS NOT NULL THEN
+             CAST(abs(cuma::DOUBLE / na::DOUBLE - cumb::DOUBLE / nb::DOUBLE)
+                  * (nv::DOUBLE - v::DOUBLE) AS DECIMAL(38,12))
+           END), 0) AS DOUBLE), 6)
+       END AS w1
 FROM win
 GROUP BY event_type
 ORDER BY event_type
@@ -1032,9 +1034,9 @@ SELECT cov AS covariate,
        ROUND(sqrt((va + vb) / 2.0), 6) AS sd_pooled,
        ROUND(CASE WHEN sqrt((va + vb) / 2.0) = 0 THEN NULL
                   ELSE (ma - mb) / sqrt((va + vb) / 2.0) END, 6) AS smd,
-       abs(COALESCE(CASE WHEN sqrt((va + vb) / 2.0) = 0 THEN NULL
-                         ELSE (ma - mb) / sqrt((va + vb) / 2.0) END,
-                    0.0)) <= 0.1 AS balanced
+       CASE WHEN sqrt((va + vb) / 2.0) = 0 THEN NULL
+            ELSE abs((ma - mb) / sqrt((va + vb) / 2.0)) <= 0.1
+       END AS balanced
 FROM sided
 ORDER BY covariate
 """

@@ -308,22 +308,17 @@ def streaming_hll_registers(
     cannot change the table — the streaming-native property exact
     count-distinct lacks.  Finalize per trigger with
     ``sketch.hll_estimate_from_registers`` on the sink table; register
-    hash math is byte-identical to ``sketch.hll_distinct``.
+    hashing goes through the ONE shared definition
+    (``sketch.hll_register_cols``), so batch/merge/stream equivalence
+    is structural.
     """
-    m = 1 << b
-    hexd = F.md5(
-        F.concat_ws(":", F.lit(salt), F.col(value_col).cast("string"))
-    )
-    w_hex = F.substring(hexd, 3, 8)
-    w = F.conv(w_hex, 16, 10).cast("long")
-    rank = F.when(w == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(w_hex, 16, 2))
-    )
+    from ..operators.sketch import hll_register_cols
+
+    idx, rank = hll_register_cols(value_col, b=b, salt=salt)
     return (
         stream.select(
             *group_cols,
-            (F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long") % m)
-            .alias("__idx"),
+            idx.alias("__idx"),
             rank.cast("int").alias("__rank"),
         )
         .groupBy(*group_cols, "__idx")

@@ -4650,3 +4650,56 @@ def test_vocab_coverage_hand_counts(spark):
     assert r["n_singletons"] == 2 and r["n_doubletons"] == 1
     assert r["p_unseen"] == 0.5
     assert r["chao1_types"] == 3.5
+
+
+# ------------------------------------- review-fix regression pins
+
+
+def test_smd_null_variance_is_not_balanced(spark):
+    """Review fix: a deterministic fully-confounded covariate (zero
+    pooled variance, different means) must yield smd=null and
+    balanced=null — never balanced=True."""
+    rows = [("a", 0.0)] * 5 + [("b", 1.0)] * 5
+    df = spark.createDataFrame(rows, "grp string, v double")
+    from fame2pygen_spark.operators.quality import smd_balance
+
+    r = smd_balance(df, "grp", "a", "b", ("v",)).collect()[0]
+    assert r["smd"] is None and r["balanced"] is None
+
+
+def test_bootstrap_se_ignores_null_values(spark):
+    """Review fix: null values must not enter the denominator or draw
+    resample weight — constant real values give mean=const, se=0."""
+    rows = [("g", i, 10.0) for i in range(50)]
+    rows += [("g", 100 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    from fame2pygen_spark.operators.sketch import bootstrap_se
+
+    r = bootstrap_se(df, "v", "id", ("grp",), n_boot=16).collect()[0]
+    assert r["n"] == 50 and r["mean"] == 10.0 and r["boot_se"] == 0.0
+
+
+def test_seasonal_decompose_keeps_short_series_rows(spark):
+    """Review fix: a series shorter than the MA window must emit ALL
+    its rows (null trend/seasonal/resid), not vanish."""
+    from datetime import date
+
+    from fame2pygen_spark.operators.temporal import seasonal_decompose
+
+    rows = [("g", date(2020, 1 + i, 1), float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "grp string, ts date, y double")
+    out = seasonal_decompose(df, "ts", "y", ("grp",), period=12).collect()
+    assert len(out) == 8
+    assert all(r["trend"] is None and r["resid"] is None for r in out)
+
+
+def test_wasserstein_one_sided_group_is_null(spark):
+    """Review fix: a group present on only one side has no defined
+    distance — w1 must be null, not 0.0."""
+    from fame2pygen_spark.operators.sketch import wasserstein1
+
+    a = spark.createDataFrame([("t", 1.0), ("only_a", 5.0)], "g string, v double")
+    b = spark.createDataFrame([("t", 1.0)], "g string, v double")
+    out = {r["g"]: r for r in wasserstein1(a, b, "v", ("g",)).collect()}
+    assert out["t"]["w1"] == 0.0
+    assert out["only_a"]["w1"] is None and out["only_a"]["n_b"] == 0
