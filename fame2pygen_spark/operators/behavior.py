@@ -1455,3 +1455,80 @@ def sprt_decision(
         ),
         F.round(llr_final, 6).alias("llr_final"),
     )
+
+
+#: two-sided Pocock critical values for K equally-spaced looks, α=0.05
+#: (Pocock 1977, table 2)
+POCOCK_BOUNDS = {1: 1.960, 2: 2.178, 3: 2.289, 4: 2.361, 5: 2.413}
+
+
+def group_sequential_looks(
+    events: DataFrame,
+    success: Column,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    *,
+    p0: float = 0.5,
+    n_looks: int = 5,
+) -> DataFrame:
+    """Group-sequential interim analysis with Pocock boundaries
+    (Pocock 1977): split each group's event stream into *n_looks*
+    equally-sized interim looks, compute the one-sample proportion
+    z-statistic against H0: p = *p0* at each look, and flag
+    boundary crossings — the scheduled-peeking counterpart to the
+    continuous SPRT monitor (x196): SPRT decides per event, this
+    decides at K planned looks with the constant Pocock critical
+    value holding family-wise α at 0.05.
+
+    Engine-exactness: look assignment is integer arithmetic on the
+    within-group rank against the exact total (``ceil(rn·K/N)``);
+    z is one double composition over exact cumulative counts.
+
+    Scale shape: one group-keyed ordered window (rank + running
+    successes), a 1-row-per-group total joined back on the group key,
+    and a (group, look) max — |groups|·K output rows.
+
+    Output: ``(*group_cols, look, n_at_look, successes, z, crossed,
+    bound)`` — *crossed* per look; the first true look is where a
+    monitored experiment stops.
+    """
+    if n_looks not in POCOCK_BOUNDS:
+        raise ValueError(f"no Pocock bound tabulated for K={n_looks}")
+    bound = POCOCK_BOUNDS[n_looks]
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy(*[F.col(c) for c in order_cols])
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    staged = events.select(
+        *g, *order_cols, success.cast("long").alias("__s")
+    ).select(
+        *g,
+        F.row_number().over(w).alias("__rn"),
+        F.sum("__s").over(run).alias("__cs"),
+    )
+    totals = staged.groupBy(*g).agg(F.max("__rn").alias("__n"))
+    # look k contains ranks in (N·(k−1)/K, N·k/K]: assignment is
+    # ceil(rn·K/N) via integer arithmetic — exact in both engines
+    looked = staged.join(totals, on=g).withColumn(
+        "look",
+        # integer DIV, not float /: exact ceil for any stream length
+        F.expr(f"(__rn * {int(n_looks)} + __n - 1) DIV __n").cast("long"),
+    )
+    per_look = looked.groupBy(*g, "look").agg(
+        F.max(F.struct("__rn", "__cs")).alias("__last"),
+    )
+    n_at = F.col("__last.__rn").cast("double")
+    phat = F.col("__last.__cs").cast("double") / n_at
+    z = (
+        (phat - F.lit(float(p0)))
+        * F.sqrt(n_at)
+        / F.sqrt(F.lit(float(p0) * (1.0 - float(p0))))
+    )
+    return per_look.select(
+        *g,
+        F.col("look").cast("long").alias("look"),
+        F.col("__last.__rn").cast("long").alias("n_at_look"),
+        F.col("__last.__cs").cast("long").alias("successes"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.lit(bound)).alias("crossed"),
+        F.lit(bound).alias("bound"),
+    )

@@ -1234,3 +1234,154 @@ ORDER BY source
 
 EXT8_QUERIES.update({"x200_vocab_coverage": q_x200_vocab_coverage})
 EXT8_ORACLES.update({"x200_vocab_coverage": SQL_X200})
+
+
+# ------------------------------ x201: quantile treatment effects
+
+
+def q_x201_qte(spark, sf_dir):
+    """Quantile treatment effects (operators/sketch.py:
+    quantile_treatment_effects): per event type, the even-vs-odd-user
+    value distribution difference at five quantiles — WHERE the
+    distribution moved, the readout the mean test (x66) averages away
+    and MWU (x159) only flags."""
+    from .operators.sketch import quantile_treatment_effects
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")),
+    )
+    out = quantile_treatment_effects(
+        ev, "value", "arm", "a", "b", ("event_type",),
+        probs=(0.1, 0.25, 0.5, 0.75, 0.9),
+    )
+    return out.orderBy("event_type", "p")
+
+
+SQL_X201 = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+         value
+  FROM events WHERE value IS NOT NULL
+),
+q AS (
+  SELECT event_type, arm,
+         COUNT(value) AS n,
+         ROUND(quantile_cont(value, 0.1), 6) AS q10,
+         ROUND(quantile_cont(value, 0.25), 6) AS q25,
+         ROUND(quantile_cont(value, 0.5), 6) AS q50,
+         ROUND(quantile_cont(value, 0.75), 6) AS q75,
+         ROUND(quantile_cont(value, 0.9), 6) AS q90
+  FROM e GROUP BY event_type, arm
+),
+w AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 'a' THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 'b' THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 'a' THEN q10 END) AS a10,
+         MAX(CASE WHEN arm = 'b' THEN q10 END) AS b10,
+         MAX(CASE WHEN arm = 'a' THEN q25 END) AS a25,
+         MAX(CASE WHEN arm = 'b' THEN q25 END) AS b25,
+         MAX(CASE WHEN arm = 'a' THEN q50 END) AS a50,
+         MAX(CASE WHEN arm = 'b' THEN q50 END) AS b50,
+         MAX(CASE WHEN arm = 'a' THEN q75 END) AS a75,
+         MAX(CASE WHEN arm = 'b' THEN q75 END) AS b75,
+         MAX(CASE WHEN arm = 'a' THEN q90 END) AS a90,
+         MAX(CASE WHEN arm = 'b' THEN q90 END) AS b90
+  FROM q GROUP BY event_type
+),
+long AS (
+  SELECT event_type, 0.1 AS p, n_a, n_b, a10 AS q_a, b10 AS q_b FROM w
+  UNION ALL
+  SELECT event_type, 0.25, n_a, n_b, a25, b25 FROM w
+  UNION ALL
+  SELECT event_type, 0.5, n_a, n_b, a50, b50 FROM w
+  UNION ALL
+  SELECT event_type, 0.75, n_a, n_b, a75, b75 FROM w
+  UNION ALL
+  SELECT event_type, 0.9, n_a, n_b, a90, b90 FROM w
+)
+SELECT event_type,
+       CAST(p AS DOUBLE) AS p,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       q_a, q_b,
+       ROUND(q_b - q_a, 6) AS qte
+FROM long
+ORDER BY event_type, p
+"""
+
+EXT8_QUERIES.update({"x201_qte": q_x201_qte})
+EXT8_ORACLES.update({"x201_qte": SQL_X201})
+
+
+# --------------------- x202: group-sequential Pocock interim looks
+
+
+def q_x202_group_sequential(spark, sf_dir):
+    """Group-sequential interim analysis (operators/behavior.py:
+    group_sequential_looks): five planned Pocock looks per event type
+    testing P(value > 500) = 0.5 — the scheduled-peeking counterpart
+    to x196's continuous SPRT, with family-wise α held at 0.05 by the
+    constant 2.413 critical value."""
+    from .operators.behavior import group_sequential_looks
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    out = group_sequential_looks(
+        ev,
+        F.col("value") > 500.0,
+        ("event_type",),
+        ("ts_us", "event_id"),
+        p0=0.5,
+        n_looks=5,
+    )
+    return out.orderBy("event_type", "look")
+
+
+def _sql_x202() -> str:
+    v = repr(0.5 * (1.0 - 0.5))
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id, value,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE value IS NOT NULL
+),
+st AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS cs
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+),
+tot AS (SELECT event_type, MAX(rn) AS n FROM st GROUP BY event_type),
+lk AS (
+  SELECT st.event_type, st.rn, st.cs,
+         (st.rn * 5 + tot.n - 1) // tot.n AS look
+  FROM st JOIN tot USING (event_type)
+),
+per AS (
+  SELECT event_type, look,
+         MAX(rn) AS n_at_look,
+         max_by(cs, rn) AS successes
+  FROM lk GROUP BY event_type, look
+)
+SELECT event_type,
+       CAST(look AS BIGINT) AS look,
+       CAST(n_at_look AS BIGINT) AS n_at_look,
+       CAST(successes AS BIGINT) AS successes,
+       ROUND((successes::DOUBLE / n_at_look::DOUBLE - 0.5)
+             * sqrt(n_at_look::DOUBLE) / sqrt({v}), 6) AS z,
+       abs((successes::DOUBLE / n_at_look::DOUBLE - 0.5)
+           * sqrt(n_at_look::DOUBLE) / sqrt({v})) > 2.413 AS crossed,
+       2.413 AS bound
+FROM per
+ORDER BY event_type, look
+"""
+
+
+EXT8_QUERIES.update({"x202_group_sequential": q_x202_group_sequential})
+EXT8_ORACLES.update({"x202_group_sequential": _sql_x202()})

@@ -4703,3 +4703,57 @@ def test_wasserstein_one_sided_group_is_null(spark):
     out = {r["g"]: r for r in wasserstein1(a, b, "v", ("g",)).collect()}
     assert out["t"]["w1"] == 0.0
     assert out["only_a"]["w1"] is None and out["only_a"]["n_b"] == 0
+
+
+# ---------------------------------------------------------------- x201
+
+
+def test_qte_planted_tail_shift(spark):
+    """x201: arm b equals arm a except its top decile is shifted +100
+    — QTE ≈ 0 at the median, large at p=0.9 (the readout a mean test
+    averages away)."""
+    rows = []
+    for i in range(200):
+        v = float(i % 100)
+        rows.append(("a", v))
+        rows.append(("b", v + (100.0 if v >= 90 else 0.0)))
+    df = spark.createDataFrame(rows, "arm string, v double")
+    from fame2pygen_spark.operators.sketch import quantile_treatment_effects
+
+    out = {
+        r["p"]: r
+        for r in quantile_treatment_effects(
+            df, "v", "arm", "a", "b", probs=(0.5, 0.95)
+        ).collect()
+    }
+    assert abs(out[0.5]["qte"]) < 1e-6
+    # p=0.95 sits fully inside the shifted decile: QTE = +100 exactly
+    assert abs(out[0.95]["qte"] - 100.0) < 1e-6
+    assert out[0.5]["n_a"] == 200 and out[0.5]["n_b"] == 200
+
+
+# ---------------------------------------------------------------- x202
+
+
+def test_group_sequential_crossing(spark):
+    """x202: a stream at p̂=0.9 vs p0=0.5 crosses the Pocock bound by
+    the first look; a fair stream never crosses; looks partition the
+    stream into 5 near-equal slices."""
+    rows = [("hot", i, 1 if i % 10 else 0) for i in range(100)]
+    rows += [("fair", i, i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "exp string, seq long, s int")
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.behavior import group_sequential_looks
+
+    out = group_sequential_looks(
+        df, F.col("s") == 1, ("exp",), ("seq",), p0=0.5, n_looks=5
+    ).collect()
+    by = {(r["exp"], r["look"]): r for r in out}
+    assert [by[("hot", k)]["n_at_look"] for k in range(1, 6)] == [
+        20, 40, 60, 80, 100,
+    ]
+    assert all(by[("hot", k)]["crossed"] for k in range(1, 6))
+    assert not any(by[("fair", k)]["crossed"] for k in range(1, 6))
+    assert by[("fair", 5)]["z"] == 0.0
+    assert by[("hot", 5)]["successes"] == 90

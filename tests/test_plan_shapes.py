@@ -647,3 +647,19 @@ def test_r4_batch11_operators_never_plan_cartesian(spark, name):
 def test_vocab_coverage_is_window_free(spark):
     plan = plan_of(spark, "x200_vocab_coverage")
     assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x201_qte",               # per-arm quantile aggs, stratum join
+        "x202_group_sequential",  # type-keyed running counts + look agg
+    ],
+)
+def test_r4_batch12_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_group_sequential_windows_stay_keyed(spark):
+    assert unpartitioned_windows(spark, "x202_group_sequential") == []
