@@ -2374,3 +2374,128 @@ def quantile_treatment_effects(
         "q_b",
         F.round(F.col("q_b") - F.col("q_a"), 6).alias("qte"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order partial correlation per group: the x–y association
+    with the confounder z held fixed, ``r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²))`` — the difference between "wealth
+    correlates with spend" and "wealth correlates with spend beyond
+    what order volume already explains"; the confounder check run
+    before any correlation is reported as signal.
+
+    Rows are LISTWISE-complete (all three columns non-null) — partial
+    correlation is undefined on pairwise-complete moments.
+
+    Engine-exactness: the 9 power sums use the ``corr_pairs`` decimal
+    idiom (values quantized at (28,6) identically in both engines,
+    sums exact); the three r's and the partial composition are one
+    double expression mirrored in the oracle.
+
+    Scale shape: ONE hash aggregation (map-side combinable) per
+    group — same cost as a single correlation.
+
+    Output: ``(*group_cols, n, r_xy, r_xz, r_yz, r_xy_given_z)``
+    (6 dp; null when any marginal correlation is degenerate).
+    """
+    g = list(group_cols)
+    dec = "decimal(28,6)"
+    base = df.where(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+    cx, cy, cz = F.col(x_col), F.col(y_col), F.col(z_col)
+    m = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(cx.cast(dec)).alias("__sx"),
+        F.sum(cy.cast(dec)).alias("__sy"),
+        F.sum(cz.cast(dec)).alias("__sz"),
+        F.sum((cx * cy).cast(dec)).alias("__sxy"),
+        F.sum((cx * cz).cast(dec)).alias("__sxz"),
+        F.sum((cy * cz).cast(dec)).alias("__syz"),
+        F.sum((cx * cx).cast(dec)).alias("__sxx"),
+        F.sum((cy * cy).cast(dec)).alias("__syy"),
+        F.sum((cz * cz).cast(dec)).alias("__szz"),
+    )
+    n = F.col("__n").cast("double")
+
+    def mom(name: str):
+        return F.col(f"__{name}").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return F.try_divide(
+            n * sab - sa * sb,
+            F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+        )
+
+    r_xy = corr(mom("sxy"), mom("sx"), mom("sy"), mom("sxx"), mom("syy"))
+    r_xz = corr(mom("sxz"), mom("sx"), mom("sz"), mom("sxx"), mom("szz"))
+    r_yz = corr(mom("syz"), mom("sy"), mom("sz"), mom("syy"), mom("szz"))
+    partial = F.try_divide(
+        r_xy - r_xz * r_yz,
+        F.sqrt(
+            (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+        ),
+    )
+    return m.select(
+        *g,
+        F.col("__n").cast("long").alias("n"),
+        F.round(r_xy, 6).alias("r_xy"),
+        F.round(r_xz, 6).alias("r_xz"),
+        F.round(r_yz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("r_xy_given_z"),
+    )
+
+
+def weight_diagnostics(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Survey-weight health report per group (Kish 1965): effective
+    sample size ``ESS = (Σw)²/Σw²``, design effect ``deff = n/ESS``,
+    and the weight coefficient of variation — read IMMEDIATELY after
+    raking (x199): weights that fixed the marginals at deff = 3 have
+    silently cut the split's statistical power to a third, which is
+    usually a worse problem than the drift was.
+
+    Engine-exactness: Σw and Σw² use the exact (20,8)×(15,8) decimal
+    product (the x192 width rule); the ratios are one double
+    composition.  Null or non-positive weights are excluded (a
+    negative weight is an upstream bug, not a design choice).
+
+    Scale shape: one map-side-combinable hash aggregation.
+
+    Output: ``(*group_cols, n, sum_w, ess, deff, cv_w)`` (6 dp).
+    """
+    g = list(group_cols)
+    base = df.where(F.col(weight_col) > 0)
+    wn = F.col(weight_col).cast("decimal(15,8)")
+    ww = F.col(weight_col).cast("decimal(20,8)")
+    m = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(wn).alias("__s1"),
+        F.sum(ww * wn).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    ess = F.try_divide(s1 * s1, s2)
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    cv = F.when(var > 0, F.sqrt(var) / mu).otherwise(F.lit(0.0))
+    return m.select(
+        *g,
+        F.col("__n").cast("long").alias("n"),
+        F.round(s1, 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(F.try_divide(n, ess), 6).alias("deff"),
+        F.round(cv, 6).alias("cv_w"),
+    )

@@ -1385,3 +1385,205 @@ ORDER BY event_type, look
 
 EXT8_QUERIES.update({"x202_group_sequential": q_x202_group_sequential})
 EXT8_ORACLES.update({"x202_group_sequential": _sql_x202()})
+
+
+# ------------------------------- x203: partial correlation
+
+
+def q_x203_partial_corr(spark, sf_dir):
+    """Partial correlation (operators/sketch.py:partial_correlation):
+    per market segment, does account balance correlate with total
+    spend BEYOND what order count already explains — the confounder
+    check run before any correlation ships as signal."""
+    from .operators.sketch import partial_correlation
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    base = cust.join(
+        per_cust, cust["c_custkey"] == per_cust["ck"]
+    ).select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        "spend",
+        "n_orders",
+    )
+    out = partial_correlation(
+        base, "bal", "spend", "n_orders", ("c_mktsegment",)
+    )
+    return out.orderBy("c_mktsegment")
+
+
+SQL_X203 = """
+WITH per_cust AS (
+  SELECT o_custkey AS ck,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT c.c_mktsegment,
+         c.c_acctbal::DOUBLE AS x, p.spend AS y, p.n_orders AS z
+  FROM customer c JOIN per_cust p ON c.c_custkey = p.ck
+  WHERE c.c_acctbal IS NOT NULL AND p.spend IS NOT NULL
+        AND p.n_orders IS NOT NULL
+),
+m AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+         SUM(CAST(z AS DECIMAL(28,6))) AS sz,
+         SUM(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+         SUM(CAST(x * z AS DECIMAL(28,6))) AS sxz,
+         SUM(CAST(y * z AS DECIMAL(28,6))) AS syz,
+         SUM(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(28,6))) AS syy,
+         SUM(CAST(z * z AS DECIMAL(28,6))) AS szz
+  FROM b GROUP BY c_mktsegment
+),
+r AS (
+  SELECT c_mktsegment, n,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+           AS rxy,
+         (n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE)
+           / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE))
+           AS rxz,
+         (n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz::DOUBLE)
+           / sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                  * (n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE))
+           AS ryz
+  FROM m
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n,
+       ROUND(rxy, 6) AS r_xy,
+       ROUND(rxz, 6) AS r_xz,
+       ROUND(ryz, 6) AS r_yz,
+       ROUND((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         AS r_xy_given_z
+FROM r
+ORDER BY c_mktsegment
+"""
+
+EXT8_QUERIES.update({"x203_partial_corr": q_x203_partial_corr})
+EXT8_ORACLES.update({"x203_partial_corr": SQL_X203})
+
+
+# -------------------------- x204: raking weight diagnostics
+
+
+def q_x204_weight_diag(spark, sf_dir):
+    """Kish weight diagnostics (operators/sketch.py:
+    weight_diagnostics) on the x199 raking output: effective sample
+    size, design effect, and weight CV per language — the health
+    check that catches marginal-matching weights quietly destroying
+    the split's statistical power."""
+    from .operators.mixing import raking_weights, uniform_hash01
+    from .operators.sketch import weight_diagnostics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = docs.where(
+        uniform_hash01(F.col("doc_id"), "ipf") < 0.2
+    ).select("lang", "source")
+    pop = docs.select("lang", "source")
+    cells = raking_weights(sample, pop, "lang", "source", iters=2)
+    # expand cell weights to per-row weights: n_cell rows at `weight`
+    rows = cells.select(
+        "lang",
+        F.col("weight"),
+        F.explode(F.sequence(F.lit(1), F.col("n_cell"))).alias("__i"),
+    )
+    return weight_diagnostics(rows, "weight", ("lang",)).orderBy("lang")
+
+
+SQL_X204 = """
+WITH s AS (
+  SELECT lang, source FROM documents
+  WHERE ('0x' || substr(md5('ipf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT / 4294967296.0 < 0.2
+),
+cells AS (SELECT lang, source, COUNT(*) AS n_cell FROM s GROUP BY lang, source),
+ns AS (SELECT SUM(n_cell) AS nsamp FROM cells),
+pa AS (SELECT lang, COUNT(*) AS pa FROM documents GROUP BY lang),
+pb AS (SELECT source, COUNT(*) AS pb FROM documents GROUP BY source),
+np AS (SELECT COUNT(*) AS np FROM documents),
+ta AS (
+  SELECT pa.lang,
+         pa.pa::DOUBLE * ns.nsamp::DOUBLE / np.np::DOUBLE AS ta
+  FROM pa CROSS JOIN np CROSS JOIN ns
+),
+tb AS (
+  SELECT pb.source,
+         pb.pb::DOUBLE * ns.nsamp::DOUBLE / np.np::DOUBLE AS tb
+  FROM pb CROSS JOIN np CROSS JOIN ns
+),
+w0 AS (SELECT lang, source, n_cell, n_cell::DOUBLE AS w FROM cells),
+r1 AS (SELECT lang, SUM(CAST(w AS DECIMAL(28,12))) AS ra FROM w0 GROUP BY lang),
+w1 AS (
+  SELECT w0.lang, w0.source, w0.n_cell,
+         w0.w * ta.ta / CAST(r1.ra AS DOUBLE) AS w
+  FROM w0 JOIN r1 USING (lang) JOIN ta USING (lang)
+),
+c1 AS (SELECT source, SUM(CAST(w AS DECIMAL(28,12))) AS rb FROM w1 GROUP BY source),
+w2 AS (
+  SELECT w1.lang, w1.source, w1.n_cell,
+         w1.w * tb.tb / CAST(c1.rb AS DOUBLE) AS w
+  FROM w1 JOIN c1 USING (source) JOIN tb USING (source)
+),
+r2 AS (SELECT lang, SUM(CAST(w AS DECIMAL(28,12))) AS ra FROM w2 GROUP BY lang),
+w3 AS (
+  SELECT w2.lang, w2.source, w2.n_cell,
+         w2.w * ta.ta / CAST(r2.ra AS DOUBLE) AS w
+  FROM w2 JOIN r2 USING (lang) JOIN ta USING (lang)
+),
+c2 AS (SELECT source, SUM(CAST(w AS DECIMAL(28,12))) AS rb FROM w3 GROUP BY source),
+w4 AS (
+  SELECT w3.lang, w3.source, w3.n_cell,
+         w3.w * tb.tb / CAST(c2.rb AS DOUBLE) AS w
+  FROM w3 JOIN c2 USING (source) JOIN tb USING (source)
+),
+perrow AS (
+  SELECT lang, ROUND(w / n_cell::DOUBLE, 6) AS rw, n_cell FROM w4
+),
+expanded AS (
+  SELECT lang, rw FROM (
+    SELECT lang, rw, unnest(range(1, n_cell + 1)) AS i FROM perrow
+  )
+),
+m AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CAST(rw AS DECIMAL(15,8))) AS s1,
+         SUM(CAST(rw AS DECIMAL(20,8)) * CAST(rw AS DECIMAL(15,8))) AS s2
+  FROM expanded WHERE rw > 0
+  GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s1 AS DOUBLE), 6) AS sum_w,
+       ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             / CAST(s2 AS DOUBLE), 6) AS ess,
+       ROUND(n::DOUBLE / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(s2 AS DOUBLE)), 6) AS deff,
+       ROUND(CASE WHEN CAST(s2 AS DOUBLE) / n::DOUBLE
+                       - (CAST(s1 AS DOUBLE) / n::DOUBLE)
+                         * (CAST(s1 AS DOUBLE) / n::DOUBLE) > 0
+                  THEN sqrt(CAST(s2 AS DOUBLE) / n::DOUBLE
+                            - (CAST(s1 AS DOUBLE) / n::DOUBLE)
+                              * (CAST(s1 AS DOUBLE) / n::DOUBLE))
+                       / (CAST(s1 AS DOUBLE) / n::DOUBLE)
+                  ELSE 0.0 END, 6) AS cv_w
+FROM m
+ORDER BY lang
+"""
+
+EXT8_QUERIES.update({"x204_weight_diag": q_x204_weight_diag})
+EXT8_ORACLES.update({"x204_weight_diag": SQL_X204})

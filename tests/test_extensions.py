@@ -4757,3 +4757,45 @@ def test_group_sequential_crossing(spark):
     assert not any(by[("fair", k)]["crossed"] for k in range(1, 6))
     assert by[("fair", 5)]["z"] == 0.0
     assert by[("hot", 5)]["successes"] == 90
+
+
+# ---------------------------------------------------------------- x203
+
+
+def test_partial_correlation_removes_confounder(spark):
+    """x203: y = z + noise and x = z + independent noise → strong
+    marginal r_xy driven entirely by z; the partial correlation
+    collapses toward 0."""
+    rows = []
+    for i in range(400):
+        z = float(i % 20)
+        # coprime moduli so the two pseudo-noise streams decorrelate
+        x = z + float((i * 7) % 13) / 2.0
+        y = z + float((i * 11) % 17) / 2.0
+        rows.append((x, y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    from fame2pygen_spark.operators.sketch import partial_correlation
+
+    r = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert r["r_xy"] > 0.6
+    # controlling for the shared driver must collapse the association
+    assert abs(r["r_xy_given_z"]) < r["r_xy"] - 0.4
+    assert r["n"] == 400
+
+
+# ---------------------------------------------------------------- x204
+
+
+def test_weight_diagnostics_kish(spark):
+    """x204: uniform weights give ESS = n, deff = 1, cv = 0; a
+    half-1/half-3 mix gives the textbook Kish ESS = (Σw)²/Σw²."""
+    uni = spark.createDataFrame([(1.0,)] * 10, "w double")
+    from fame2pygen_spark.operators.sketch import weight_diagnostics
+
+    r = weight_diagnostics(uni, "w").collect()[0]
+    assert r["ess"] == 10.0 and r["deff"] == 1.0 and r["cv_w"] == 0.0
+
+    mixed = spark.createDataFrame([(1.0,)] * 5 + [(3.0,)] * 5, "w double")
+    r = weight_diagnostics(mixed, "w").collect()[0]
+    # Σw = 20, Σw² = 5 + 45 = 50 → ESS = 400/50 = 8, deff = 1.25
+    assert r["sum_w"] == 20.0 and r["ess"] == 8.0 and r["deff"] == 1.25

@@ -663,3 +663,15 @@ def test_r4_batch12_operators_never_plan_cartesian(spark, name):
 
 def test_group_sequential_windows_stay_keyed(spark):
     assert unpartitioned_windows(spark, "x202_group_sequential") == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x203_partial_corr",  # one hash agg of 10 decimal moments
+        "x204_weight_diag",   # raking supersteps + one diagnostics agg
+    ],
+)
+def test_r4_batch13_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
