@@ -33,7 +33,7 @@ __all__ = [
     "kappa_from_confusion", "t_closeness", "average_precision",
     "calibration_report", "krippendorff_alpha", "conformal_threshold",
     "clustering_agreement", "woe_iv", "normal_p_two_sided", "bh_fdr",
-    "smd_balance",
+    "smd_balance", "wilson_intervals",
 ]
 
 
@@ -1178,4 +1178,55 @@ def smd_balance(
         F.when(
             smd.isNotNull(), F.abs(smd) <= F.lit(float(threshold))
         ).alias("balanced"),
+    )
+
+
+def wilson_intervals(
+    df: DataFrame,
+    success: Column,
+    group_cols: Sequence[str],
+    *,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score interval for a proportion per group (Wilson 1927)
+    — the rate CI that behaves at the boundaries where the naive
+    normal interval fails (p̂ near 0/1, small n): the dashboard
+    default for conversion/violation/flag rates.
+
+    ``center = (p̂ + z²/2n) / (1 + z²/n)``;
+    ``half = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)``.
+
+    Engine-exactness: counts are exact; the interval is one double
+    composition with *z* a shared literal.  Scale: one hash agg.
+
+    Output: ``(*group_cols, n, successes, rate, ci_lo, ci_hi)``
+    (6 dp).
+    """
+    g = list(group_cols)
+    agg = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(success.cast("long")).alias("__s"),
+    )
+    n = F.col("__n").cast("double")
+    p = F.col("__s").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + F.lit(z2) / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return agg.select(
+        *g,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__s").cast("long").alias("successes"),
+        F.round(p, 6).alias("rate"),
+        # + 0.0 normalizes the −0.0 that center−half produces at p̂ = 0
+        # (the two sides differ by an ulp; stringified −0.0 ≠ 0.0)
+        (F.round(center - half, 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(center + half, 6) + F.lit(0.0)).alias("ci_hi"),
     )

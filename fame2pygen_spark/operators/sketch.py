@@ -2499,3 +2499,89 @@ def weight_diagnostics(
         F.round(F.try_divide(n, ess), 6).alias("deff"),
         F.round(cv, 6).alias("cv_w"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Theil T inequality index with its exact within/between
+    decomposition (Theil 1967) — the property Gini lacks: total
+    inequality splits ADDITIVELY into within-group and between-group
+    parts, answering "is doc-length (or cost, or token-budget)
+    inequality driven by differences AMONG sources or WITHIN them?"
+
+    ``T = Σ yᵢ·ln(yᵢ/μ) / Y`` computed per group and pooled;
+    ``T_total = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ)`` with ``s_g`` the
+    group's value share.  Only positive values enter (ln).
+
+    Engine-exactness: the only data-scale sums are N, Y = Σy and
+    Σ y·ln y per group (y·ln y decimal-cast — accumulation-order
+    free); every T and share is then one double composition over
+    those sums; group-level combines are decimal-cast again.
+
+    Scale shape: one group-keyed hash agg over the rows, a 1-row
+    broadcast global, |groups| output rows.
+
+    Output: one row per group: ``(group, n, total, mean, share,
+    theil_within_g, between_term, theil_total, theil_within,
+    theil_between)`` — the three totals repeated per row (6 dp).
+    """
+    base = df.where(F.col(value_col) > 0).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    ylny = (F.col("__y") * F.log(F.col("__y"))).cast("decimal(38,18)")
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__y").cast("decimal(25,12)")).alias("__Y"),
+        F.sum(ylny).alias("__sylny"),
+    )
+    # __ntot/__ytot, NOT __N/__Y: Spark resolution is case-insensitive
+    tot = per.agg(
+        F.sum("__n").alias("__ntot"),
+        F.sum("__Y").alias("__ytot"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    yg = F.col("__Y").cast("double")
+    ng = F.col("__n").cast("double")
+    yt = F.col("__ytot").cast("double")
+    nt = F.col("__ntot").cast("double")
+    mu_g = yg / ng
+    mu = yt / nt
+    t_g = F.col("__sylny").cast("double") / yg - F.log(mu_g)
+    share = yg / yt
+    between_term = share * F.log(mu_g / mu)
+    out = j.select(
+        F.col("grp").alias(group_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(yg, 6).alias("total"),
+        F.round(mu_g, 6).alias("mean"),
+        F.round(share, 6).alias("share"),
+        F.round(t_g, 6).alias("theil_within_g"),
+        F.round(between_term, 6).alias("between_term"),
+        (share * t_g).cast("decimal(38,18)").alias("__wterm"),
+        between_term.cast("decimal(38,18)").alias("__bterm"),
+    )
+    wsum = Window.partitionBy(F.lit(1))
+    return out.select(
+        group_col,
+        "n",
+        "total",
+        "mean",
+        "share",
+        "theil_within_g",
+        "between_term",
+        F.round(
+            (F.sum("__wterm").over(wsum) + F.sum("__bterm").over(wsum))
+            .cast("double"),
+            6,
+        ).alias("theil_total"),
+        F.round(F.sum("__wterm").over(wsum).cast("double"), 6).alias(
+            "theil_within"
+        ),
+        F.round(F.sum("__bterm").over(wsum).cast("double"), 6).alias(
+            "theil_between"
+        ),
+    )

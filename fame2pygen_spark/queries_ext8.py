@@ -1587,3 +1587,193 @@ ORDER BY lang
 
 EXT8_QUERIES.update({"x204_weight_diag": q_x204_weight_diag})
 EXT8_ORACLES.update({"x204_weight_diag": SQL_X204})
+
+
+# ----------------------- x205: Theil inequality decomposition
+
+
+def q_x205_theil(spark, sf_dir):
+    """Theil T inequality with exact within/between decomposition
+    (operators/sketch.py:theil_decomposition) of document lengths
+    across sources — is length inequality driven by differences AMONG
+    sources or WITHIN them, the additive split Gini (x55) cannot
+    give."""
+    from .operators.sketch import theil_decomposition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return theil_decomposition(docs, "n_chars", "source").orderBy("source")
+
+
+SQL_X205 = """
+WITH base AS (
+  SELECT source AS grp, n_chars::DOUBLE AS y
+  FROM documents WHERE n_chars > 0
+),
+per AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CAST(y AS DECIMAL(25,12))) AS yg,
+         SUM(CAST(y * ln(y) AS DECIMAL(38,18))) AS sylny
+  FROM base GROUP BY grp
+),
+tot AS (SELECT SUM(n) AS nt, SUM(yg) AS yt FROM per),
+j AS (
+  SELECT per.grp, per.n,
+         per.yg::DOUBLE AS yg, per.sylny::DOUBLE AS sylny,
+         per.n::DOUBLE AS ng, tot.nt::DOUBLE AS nt, tot.yt::DOUBLE AS yt
+  FROM per CROSS JOIN tot
+),
+terms AS (
+  SELECT grp, n, yg, ng, yt, nt,
+         sylny / yg - ln(yg / ng) AS tg,
+         yg / yt AS share,
+         (yg / yt) * ln((yg / ng) / (yt / nt)) AS bterm
+  FROM j
+),
+sums AS (
+  SELECT SUM(CAST(share * tg AS DECIMAL(38,18))) AS wsum,
+         SUM(CAST(bterm AS DECIMAL(38,18))) AS bsum
+  FROM terms
+)
+SELECT t.grp AS source,
+       CAST(t.n AS BIGINT) AS n,
+       ROUND(t.yg, 6) AS total,
+       ROUND(t.yg / t.ng, 6) AS mean,
+       ROUND(t.share, 6) AS share,
+       ROUND(t.tg, 6) AS theil_within_g,
+       ROUND(t.bterm, 6) AS between_term,
+       ROUND((s.wsum + s.bsum)::DOUBLE, 6) AS theil_total,
+       ROUND(s.wsum::DOUBLE, 6) AS theil_within,
+       ROUND(s.bsum::DOUBLE, 6) AS theil_between
+FROM terms t CROSS JOIN sums s
+ORDER BY source
+"""
+
+EXT8_QUERIES.update({"x205_theil": q_x205_theil})
+EXT8_ORACLES.update({"x205_theil": SQL_X205})
+
+
+# ------------------------------- x206: Wilson rate intervals
+
+
+def q_x206_wilson(spark, sf_dir):
+    """Wilson score intervals (operators/quality.py:wilson_intervals)
+    for the high-value rate per event type — the boundary-safe rate
+    CI a dashboard shows instead of the naive normal interval."""
+    from .operators.quality import wilson_intervals
+
+    ev = _read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    return wilson_intervals(
+        ev, F.col("value") > 50.0, ("event_type",)
+    ).orderBy("event_type")
+
+
+SQL_X206 = """
+WITH a AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS s
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS successes,
+       ROUND(s::DOUBLE / n::DOUBLE, 6) AS rate,
+       ROUND((s::DOUBLE / n::DOUBLE + 3.841458881296 / (2.0 * n::DOUBLE))
+             / (1.0 + 3.841458881296 / n::DOUBLE)
+             - 1.959964 * sqrt(s::DOUBLE / n::DOUBLE
+                               * (1.0 - s::DOUBLE / n::DOUBLE) / n::DOUBLE
+                               + 3.841458881296
+                                 / (4.0 * n::DOUBLE * n::DOUBLE))
+               / (1.0 + 3.841458881296 / n::DOUBLE), 6) + 0.0 AS ci_lo,
+       ROUND((s::DOUBLE / n::DOUBLE + 3.841458881296 / (2.0 * n::DOUBLE))
+             / (1.0 + 3.841458881296 / n::DOUBLE)
+             + 1.959964 * sqrt(s::DOUBLE / n::DOUBLE
+                               * (1.0 - s::DOUBLE / n::DOUBLE) / n::DOUBLE
+                               + 3.841458881296
+                                 / (4.0 * n::DOUBLE * n::DOUBLE))
+               / (1.0 + 3.841458881296 / n::DOUBLE), 6) + 0.0 AS ci_hi
+FROM a
+ORDER BY event_type
+"""
+
+EXT8_QUERIES.update({"x206_wilson": q_x206_wilson})
+EXT8_ORACLES.update({"x206_wilson": SQL_X206})
+
+
+# ------------------------------------ x207: graph modularity
+
+
+def q_x207_modularity(spark, sf_dir):
+    """Newman modularity (operators/graph.py:modularity) of the
+    3-round LPA communities (x151) on the customer–supplier trade
+    graph — the single number that says whether the detected
+    communities beat a degree-preserving random graph (Q ≈ 0 ⇒
+    noise)."""
+    from .operators.graph import label_propagation, modularity
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    labels = label_propagation(edges, n_iter=3)
+    return modularity(edges, labels)
+
+
+SQL_X207 = """
+WITH RECURSIVE base AS (
+  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src AS u, dst AS v, w FROM base
+  UNION ALL
+  SELECT dst AS u, src AS v, w FROM base
+),
+st AS (
+  SELECT 0 AS i, node, node AS label
+  FROM (SELECT DISTINCT u AS node FROM sym)
+  UNION ALL
+  SELECT i + 1, u AS node,
+         (min({'nw': -sw, 'lab': label})).lab AS label
+  FROM (
+    SELECT st.i, sym.u, st.label, sum(sym.w) AS sw
+    FROM sym JOIN st ON st.node = sym.v
+    GROUP BY st.i, sym.u, st.label
+  ) GROUP BY i, u HAVING i < 3
+),
+lab AS (SELECT node, label FROM st WHERE i = 3),
+tagged AS (
+  SELECT s.u, s.v, s.w, lu.label AS cu, lv.label AS cv
+  FROM sym s
+  JOIN lab lu ON lu.node = s.u
+  JOIN lab lv ON lv.node = s.v
+),
+per_c AS (
+  SELECT cu, SUM(w) AS deg,
+         SUM(CASE WHEN cu = cv THEN w END) AS inw
+  FROM tagged GROUP BY cu
+),
+tot AS (SELECT SUM(deg) AS m2 FROM per_c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(MAX(tot.m2) AS BIGINT) AS total_weight2,
+       ROUND(CAST(SUM(CAST(
+         COALESCE(inw, 0)::DOUBLE / tot.m2::DOUBLE
+         - (deg::DOUBLE / tot.m2::DOUBLE) * (deg::DOUBLE / tot.m2::DOUBLE)
+         AS DECIMAL(38,18))) AS DOUBLE), 6) AS q
+FROM per_c CROSS JOIN tot
+"""
+
+EXT8_QUERIES.update({"x207_modularity": q_x207_modularity})
+EXT8_ORACLES.update({"x207_modularity": SQL_X207})

@@ -4799,3 +4799,82 @@ def test_weight_diagnostics_kish(spark):
     r = weight_diagnostics(mixed, "w").collect()[0]
     # Σw = 20, Σw² = 5 + 45 = 50 → ESS = 400/50 = 8, deff = 1.25
     assert r["sum_w"] == 20.0 and r["ess"] == 8.0 and r["deff"] == 1.25
+
+
+# ---------------------------------------------------------------- x205
+
+
+def test_theil_decomposition_additivity(spark):
+    """x205: within + between must equal the total Theil computed
+    directly on the pooled values; equal values give T = 0."""
+    import math
+
+    rows = [("a", 10.0)] * 5 + [("a", 30.0)] * 5 + [("b", 20.0)] * 10
+    df = spark.createDataFrame(rows, "src string, y double")
+    from fame2pygen_spark.operators.sketch import theil_decomposition
+
+    out = theil_decomposition(df, "y", "src").collect()
+    r = out[0]
+    assert abs(r["theil_total"] - (r["theil_within"] + r["theil_between"])) < 2e-6
+    ys = [10.0] * 5 + [30.0] * 5 + [20.0] * 10
+    mu = sum(ys) / len(ys)
+    t = sum(y / mu * math.log(y / mu) for y in ys) / len(ys)
+    assert abs(r["theil_total"] - t) < 1e-5
+
+    eq = spark.createDataFrame([("a", 5.0)] * 4 + [("b", 5.0)] * 4, "src string, y double")
+    r = theil_decomposition(eq, "y", "src").collect()[0]
+    assert r["theil_total"] == 0.0
+
+
+# ---------------------------------------------------------------- x206
+
+
+def test_wilson_interval_textbook(spark):
+    """x206: 8/10 successes → the textbook Wilson 95% interval
+    (0.490, 0.943); p̂ = 0 keeps a positive upper bound and a
+    clean 0.0 lower bound (no −0.0)."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.quality import wilson_intervals
+
+    df = spark.createDataFrame(
+        [("g", i < 8) for i in range(10)], "grp string, s boolean"
+    )
+    r = wilson_intervals(df, F.col("s"), ("grp",)).collect()[0]
+    assert r["successes"] == 8 and r["rate"] == 0.8
+    assert abs(r["ci_lo"] - 0.490092) < 1e-3
+    assert abs(r["ci_hi"] - 0.943139) < 1e-3
+
+    zero = spark.createDataFrame(
+        [("g", False) for _ in range(50)], "grp string, s boolean"
+    )
+    r = wilson_intervals(zero, F.col("s"), ("grp",)).collect()[0]
+    assert str(r["ci_lo"]) == "0.0"
+    assert r["ci_hi"] > 0.0
+
+
+# ---------------------------------------------------------------- x207
+
+
+def test_modularity_two_cliques(spark):
+    """x207: two disjoint triangles with matching labels give the
+    textbook Q = 0.5; a single community gives Q = 0."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 1), (4, 5, 1), (5, 6, 1), (4, 6, 1)],
+        "src long, dst long, w long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node long, label long",
+    )
+    from fame2pygen_spark.operators.graph import modularity
+
+    r = modularity(edges, labels).collect()[0]
+    assert r["n_communities"] == 2 and r["total_weight2"] == 12
+    assert r["q"] == 0.5
+
+    one = spark.createDataFrame(
+        [(i, 99) for i in range(1, 7)], "node long, label long"
+    )
+    r = modularity(edges, one).collect()[0]
+    assert r["q"] == 0.0

@@ -675,3 +675,21 @@ def test_group_sequential_windows_stay_keyed(spark):
 def test_r4_batch13_operators_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x205_theil",       # group agg + broadcast totals
+        "x206_wilson",      # one hash agg
+        "x207_modularity",  # label equi-joins + community agg
+    ],
+)
+def test_r4_batch14_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_wilson_is_single_agg(spark):
+    plan = plan_of(spark, "x206_wilson")
+    assert "Join" not in plan and "Window" not in plan
