@@ -352,6 +352,24 @@ def _events_tier(spark, timed) -> int:
         ).count()
 
     timed("x108_cuped_events10x", _cuped)
+
+    from fame2pygen_spark.operators.behavior import (
+        burstiness, sprt_decision,
+    )
+
+    timed(
+        "x188_burstiness_events10x",
+        lambda: burstiness(big).count(),
+    )
+    timed(
+        "x196_sprt_events10x",
+        lambda: sprt_decision(
+            big.where(F.col("value").isNotNull()),
+            F.col("value") > 50.0,
+            ("event_type",),
+            ("ts_us", "event_id"),
+        ).count(),
+    )
     return n_events
 
 
