@@ -1198,7 +1198,34 @@ def stationary_distribution(
     Output per state: ``(event_type, stationary, pos)`` (6 dp, pos
     by stationary desc / type asc).
     """
-    dec = "decimal(38,18)"
+    states, pmat = _renormalized_chain(
+        events, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        id_col=id_col,
+    )
+    pi = _stationary_pi(states, pmat, n_iter)
+    pos = F.row_number().over(
+        Window.orderBy(F.desc("prob"), F.asc("state"))
+    )
+    return pi.select(
+        F.col("state").alias(type_col),
+        F.round(F.col("prob"), 6).alias("stationary"),
+        pos.cast("long").alias("pos"),
+    )
+
+
+def _renormalized_chain(
+    events: DataFrame,
+    *,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str | None,
+):
+    """Shared chain construction for :func:`stationary_distribution`
+    and :func:`entropy_rate`: states = types observed as transition
+    sources, transitions into never-source types dropped and rows
+    renormalized — returns ``(states(state), pmat(from_type, to_type,
+    __p))``, both materialized."""
     trans = event_transitions(
         events,
         user_col=user_col,
@@ -1222,6 +1249,13 @@ def stationary_distribution(
             "__p"
         ),
     ).localCheckpoint(eager=True)
+    return states, pmat
+
+
+def _stationary_pi(states, pmat, n_iter: int):
+    """π ← πP fixed supersteps from the uniform start (decimal-cast
+    mass sums each round); returns ``(state, prob)`` unrounded."""
+    dec = "decimal(38,18)"
     n_states = float(states.count())
     pi = states.withColumn("prob", F.lit(1.0 / n_states))
     for _ in range(int(n_iter)):
@@ -1242,13 +1276,72 @@ def stationary_distribution(
             )
             .localCheckpoint(eager=True)
         )
-    pos = F.row_number().over(
-        Window.orderBy(F.desc("prob"), F.asc("state"))
+    return pi
+
+
+def entropy_rate(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    id_col: str | None = "event_id",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Entropy rate of the empirical session Markov chain:
+    ``H = −Σ_i π_i Σ_j p_ij log₂ p_ij`` (bits/event) — how
+    PREDICTABLE the behavior stream is in the long run: H → 0 means
+    the next event is nearly determined (bots, rigid funnels), H near
+    log₂|types| means a near-uniform wander.  The single-number
+    summary on top of x34's matrix and x177's occupancy vector, and
+    a behavioral-drift tripwire (a falling H often precedes a bot
+    wave).
+
+    π is the same fixed-superstep iterate as
+    :func:`stationary_distribution` (shared construction — no copy),
+    ROUNDED to 6 dp before weighting so both engines weight identical
+    values; per-state conditional entropies and the final Σ are
+    decimal-cast sums.
+
+    Scale shape: the x34 pair window, then everything on the
+    ≤|types|² matrix.
+
+    Output per state: ``(event_type, stationary, h_state, contrib,
+    entropy_rate)`` — the chain-level H repeated per row (6 dp).
+    """
+    dec = "decimal(38,18)"
+    states, pmat = _renormalized_chain(
+        events, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        id_col=id_col,
     )
-    return pi.select(
-        F.col("state").alias(type_col),
-        F.round(F.col("prob"), 6).alias("stationary"),
-        pos.cast("long").alias("pos"),
+    pi = _stationary_pi(states, pmat, n_iter)
+    h = pmat.groupBy(F.col("from_type").alias("state")).agg(
+        F.sum(
+            (-(F.col("__p") * F.log2(F.col("__p")))).cast(dec)
+        ).alias("__h")
+    )
+    terms = (
+        pi.select("state", F.round(F.col("prob"), 6).alias("__pi"))
+        .join(h, on="state")
+        .select(
+            "state",
+            "__pi",
+            F.col("__h").cast("double").alias("__hs"),
+            (F.col("__pi") * F.col("__h").cast("double")).alias("__ct"),
+        )
+    )
+    tot = terms.agg(
+        F.sum(F.col("__ct").cast(dec)).cast("double").alias("__hr")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("state").alias(type_col),
+            F.col("__pi").alias("stationary"),
+            F.round(F.col("__hs"), 6).alias("h_state"),
+            F.round(F.col("__ct"), 6).alias("contrib"),
+            F.round(F.col("__hr"), 6).alias("entropy_rate"),
+        )
     )
 
 

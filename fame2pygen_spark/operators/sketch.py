@@ -2585,3 +2585,46 @@ def theil_decomposition(
             "theil_between"
         ),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    count_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Count-dispersion audit per group: variance-to-mean ratio (the
+    index of dispersion — 1 for Poisson counts) and the
+    method-of-moments negative-binomial overdispersion
+    ``alpha = (σ² − μ)/μ²`` — the check run on per-bucket event/error
+    counts before any Poisson-assuming alert threshold or sample-size
+    formula is trusted (real traffic is almost always VMR >> 1).
+
+    Engine-exactness: counts are integers, so Σc and Σc² are exact
+    decimal sums ((19,0)² product — the burstiness width rule); VMR
+    and alpha are one double composition.
+
+    Scale shape: one map-side-combinable hash aggregation.
+
+    Output: ``(*group_cols, n_buckets, mean_count, vmr, nb_alpha,
+    overdispersed)`` (6 dp; alpha clamped at 0).
+    """
+    g = list(group_cols)
+    cd = F.col(count_col).cast("decimal(19,0)")
+    m = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(cd).alias("__s1"),
+        F.sum(cd * cd).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    mu = F.col("__s1").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mu * mu
+    vmr = F.try_divide(var, mu)
+    alpha = F.greatest(F.lit(0.0), F.try_divide(var - mu, mu * mu))
+    return m.select(
+        *g,
+        F.col("__n").cast("long").alias("n_buckets"),
+        F.round(mu, 6).alias("mean_count"),
+        F.round(vmr, 6).alias("vmr"),
+        F.round(alpha, 6).alias("nb_alpha"),
+        (vmr > F.lit(1.0)).alias("overdispersed"),
+    )

@@ -1777,3 +1777,143 @@ FROM per_c CROSS JOIN tot
 
 EXT8_QUERIES.update({"x207_modularity": q_x207_modularity})
 EXT8_ORACLES.update({"x207_modularity": SQL_X207})
+
+
+# -------------------------------- x208: count dispersion audit
+
+
+def q_x208_dispersion(spark, sf_dir):
+    """Count-dispersion audit (operators/sketch.py:dispersion_index):
+    variance-to-mean ratio and NB overdispersion of DAILY event
+    counts per type — the Poisson-assumption check run before alert
+    thresholds or sample-size formulas are trusted."""
+    from .operators.sketch import dispersion_index
+
+    ev = _read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return dispersion_index(daily, "c", ("event_type",)).orderBy(
+        "event_type"
+    )
+
+
+SQL_X208 = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS c
+  FROM events GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(c AS DECIMAL(19,0))) AS s1,
+         SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_buckets,
+       ROUND(s1::DOUBLE / n::DOUBLE, 6) AS mean_count,
+       ROUND((s2::DOUBLE / n::DOUBLE
+              - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+             / (s1::DOUBLE / n::DOUBLE), 6) AS vmr,
+       ROUND(GREATEST(0.0,
+             (s2::DOUBLE / n::DOUBLE
+              - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+              - s1::DOUBLE / n::DOUBLE)
+             / ((s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))),
+             6) AS nb_alpha,
+       (s2::DOUBLE / n::DOUBLE
+        - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+       / (s1::DOUBLE / n::DOUBLE) > 1.0 AS overdispersed
+FROM m
+ORDER BY event_type
+"""
+
+EXT8_QUERIES.update({"x208_dispersion": q_x208_dispersion})
+EXT8_ORACLES.update({"x208_dispersion": SQL_X208})
+
+
+# --------------------------- x209: session-chain entropy rate
+
+
+def q_x209_entropy_rate(spark, sf_dir):
+    """Markov entropy rate (operators/behavior.py:entropy_rate):
+    bits/event of the empirical session chain — H → 0 means the next
+    event is nearly determined (bots, rigid funnels); the
+    predictability summary over x34's matrix and x177's occupancy."""
+    from .operators.behavior import entropy_rate
+
+    ev = _read_events(spark, sf_dir)
+    return entropy_rate(ev, n_iter=4).orderBy("event_type")
+
+
+def _pi_iter_sql209(i: int) -> str:
+    prev = f"pi{i - 1}"
+    return f"""
+c{i} AS (
+  SELECT p.to_type AS state,
+         ({prev}.prob * p.p)::DECIMAL(38,18) AS c
+  FROM p JOIN {prev} ON p.from_type = {prev}.state
+),
+s{i} AS (SELECT state, SUM(c)::DOUBLE AS prob FROM c{i} GROUP BY state),
+pi{i} AS (
+  SELECT states.state, COALESCE(s{i}.prob, 0.0) AS prob
+  FROM states LEFT JOIN s{i} ON states.state = s{i}.state
+)"""
+
+
+SQL_X209 = (
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS from_type
+  FROM e
+),
+trans AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+),
+states AS (SELECT DISTINCT from_type AS state FROM trans),
+kept AS (
+  SELECT t.* FROM trans t JOIN states s ON t.to_type = s.state
+),
+tot AS (
+  SELECT from_type, SUM(n)::BIGINT AS tot FROM kept GROUP BY from_type
+),
+p AS (
+  SELECT k.from_type, k.to_type, k.n::DOUBLE / tot.tot::DOUBLE AS p
+  FROM kept k JOIN tot ON k.from_type = tot.from_type
+),
+ns AS (SELECT COUNT(*)::DOUBLE AS ns FROM states),
+pi0 AS (SELECT state, 1.0 / ns AS prob FROM states, ns),"""
+    + ",".join(_pi_iter_sql209(i) for i in (1, 2, 3, 4))
+    + """,
+h AS (
+  SELECT from_type AS state,
+         SUM(CAST(-(p * log2(p)) AS DECIMAL(38,18))) AS hsum
+  FROM p GROUP BY from_type
+),
+terms AS (
+  SELECT pi4.state, ROUND(pi4.prob, 6) AS pi,
+         h.hsum::DOUBLE AS hs,
+         ROUND(pi4.prob, 6) * h.hsum::DOUBLE AS ct
+  FROM pi4 JOIN h USING (state)
+),
+hr AS (SELECT SUM(CAST(ct AS DECIMAL(38,18)))::DOUBLE AS hr FROM terms)
+SELECT t.state AS event_type,
+       t.pi AS stationary,
+       ROUND(t.hs, 6) AS h_state,
+       ROUND(t.ct, 6) AS contrib,
+       ROUND(hr.hr, 6) AS entropy_rate
+FROM terms t CROSS JOIN hr
+ORDER BY event_type
+"""
+)
+
+EXT8_QUERIES.update({"x209_entropy_rate": q_x209_entropy_rate})
+EXT8_ORACLES.update({"x209_entropy_rate": SQL_X209})

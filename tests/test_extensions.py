@@ -4878,3 +4878,58 @@ def test_modularity_two_cliques(spark):
     )
     r = modularity(edges, one).collect()[0]
     assert r["q"] == 0.0
+
+
+# ---------------------------------------------------------------- x208
+
+
+def test_dispersion_index_poisson_vs_clumped(spark):
+    """x208: constant counts → VMR 0; clumped counts → VMR > 1 with a
+    hand-checked NB alpha."""
+    const = spark.createDataFrame([("g", 5)] * 10, "grp string, c long")
+    from fame2pygen_spark.operators.sketch import dispersion_index
+
+    r = dispersion_index(const, "c", ("grp",)).collect()[0]
+    assert r["vmr"] == 0.0 and r["nb_alpha"] == 0.0
+    assert r["overdispersed"] is False
+
+    # counts {0,10} half/half: μ=5, σ²=25 → VMR=5, α=(25−5)/25=0.8
+    clump = spark.createDataFrame(
+        [("g", 0)] * 5 + [("g", 10)] * 5, "grp string, c long"
+    )
+    r = dispersion_index(clump, "c", ("grp",)).collect()[0]
+    assert r["vmr"] == 5.0 and r["nb_alpha"] == 0.8
+    assert r["overdispersed"] is True
+
+
+# ---------------------------------------------------------------- x209
+
+
+def test_entropy_rate_deterministic_vs_uniform(spark):
+    """x209: a deterministic a→b→a→… chain has H = 0; a chain whose
+    every row is 50/50 has H = 1 bit/event."""
+    from fame2pygen_spark.operators.behavior import entropy_rate
+
+    det = []
+    for u in range(4):
+        for i in range(40):
+            det.append((u, "ab"[i % 2], i, 1000 * i))
+    df = spark.createDataFrame(
+        det, "user_id long, event_type string, event_id long, ts_us long"
+    )
+    out = entropy_rate(df).collect()
+    assert all(r["entropy_rate"] == 0.0 for r in out)
+    assert all(r["h_state"] == 0.0 for r in out)
+
+    # a mixed 3-state pattern: positive entropy, bounded by log2(3)
+    rows = []
+    pat = ["a", "b", "a", "c", "b", "a", "b", "c", "c", "a", "c", "b"]
+    for u in range(6):
+        for i, t in enumerate(pat):
+            rows.append((u, t, i, 1000 * i))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts_us long"
+    )
+    out = entropy_rate(df).collect()
+    r = out[0]
+    assert 0.0 < r["entropy_rate"] <= 1.585  # ≤ log2(3)

@@ -693,3 +693,15 @@ def test_r4_batch14_operators_never_plan_cartesian(spark, name):
 def test_wilson_is_single_agg(spark):
     plan = plan_of(spark, "x206_wilson")
     assert "Join" not in plan and "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x208_dispersion",    # two keyed aggs, no windows beyond x10 shape
+        "x209_entropy_rate",  # x34 pair window + |types|^2 supersteps
+    ],
+)
+def test_r4_batch15_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
