@@ -1405,3 +1405,112 @@ def hubness_profile(
         F.round(skew, 6).alias("skewness"),
         F.round(F.col("nz").cast("double") / n, 6).alias("zero_frac"),
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_item_col: str = "item_id",
+) -> DataFrame:
+    """Ranked-retrieval quality metrics per query — the evaluation
+    harness for the ANN stack (cosine_topk / hyperplane_lsh_topk /
+    ivf_topk): given a ranked candidate list and a ground-truth
+    relevance set, score each query with the standard IR metrics so
+    an index change (nbits, nlist, k) can be regression-gated on
+    recall instead of eyeballed.
+
+    *ranked*: ``(query_id, neighbor_id, rank)`` with rank 1..k per
+    query (the output shape of every scorer in this module).
+    *relevance*: ``(query_id, item_id)`` relevant pairs; queries with
+    zero relevant items are dropped (their metrics are undefined).
+
+    Metrics at cutoff *k* (binary gain):
+    ``hits`` — relevant retrieved; ``precision`` — hits/k; ``recall``
+    — hits/n_rel; ``rr`` — 1/rank of first hit (0 when none, MRR
+    numerator); ``ap`` — sum of precision@i at hit positions i,
+    normalized by min(n_rel, k) (MAP numerator); ``ndcg`` — DCG with
+    1/log2(i+1) discounts over IDCG of the ideal min(n_rel, k) hits.
+
+    Engine exactness: per-position terms are double arithmetic on
+    identical operands; the per-query sums (ap, dcg) are
+    decimal(38,18)-cast so grouped-sum order cannot shift the 6-dp
+    output; IDCG is a sequential ``aggregate`` fold over
+    ``sequence(1, min(n_rel, k))`` — deterministic order, mirrored by
+    an oracle ``list_reduce``.
+
+    Scale shape: one broadcast-join of the ranked lists (|Q|·k rows)
+    against the relevance pairs, one window cumsum keyed by query,
+    one hash agg — the corpus itself is never touched; n_rel comes
+    from a pre-aggregated count on the relevance side.
+
+    Output: ``(query_id, n_rel, hits, precision, recall, rr, ap,
+    ndcg)`` (6 dp).
+    """
+    kk = int(k)
+    q = F.col(query_id_col)
+    rel_pairs = relevance.select(
+        q.alias("__q"), F.col(rel_item_col).alias("__item")
+    ).dropDuplicates(["__q", "__item"])
+    n_rel = rel_pairs.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    r = ranked.where(F.col(rank_col) <= kk).select(
+        q.alias("__q"),
+        F.col(neighbor_id_col).alias("__item"),
+        F.col(rank_col).cast("long").alias("__rk"),
+    )
+    flagged = r.join(
+        rel_pairs.withColumn("__rel", F.lit(1)), on=["__q", "__item"], how="left"
+    ).withColumn("__rel", F.coalesce(F.col("__rel"), F.lit(0)))
+    w = Window.partitionBy("__q").orderBy("__rk")
+    scored = (
+        flagged.withColumn("__cum", F.sum("__rel").over(w))
+        .withColumn(
+            "__ap_t",
+            (
+                F.col("__rel")
+                * (F.col("__cum").cast("double") / F.col("__rk"))
+            ).cast("decimal(38,18)"),
+        )
+        .withColumn(
+            "__dcg_t",
+            (
+                F.col("__rel") / F.log2(F.col("__rk").cast("double") + 1.0)
+            ).cast("decimal(38,18)"),
+        )
+        .withColumn(
+            "__rr_t",
+            F.when(
+                F.col("__rel") == 1, F.lit(1.0) / F.col("__rk")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    per_q = scored.groupBy("__q").agg(
+        F.sum("__rel").cast("long").alias("hits"),
+        F.sum("__ap_t").alias("__ap_sum"),
+        F.sum("__dcg_t").alias("__dcg"),
+        F.max("__rr_t").alias("__rr"),
+    )
+    out = per_q.join(n_rel, on="__q")
+    denom = F.least(F.col("n_rel"), F.lit(kk)).cast("double")
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {kk}))), cast(0.0 as double),"
+        " (acc, i) -> acc + 1.0 / log2(cast(i as double) + 1.0))"
+    )
+    return out.select(
+        F.col("__q").alias(query_id_col),
+        "n_rel",
+        "hits",
+        F.round(F.col("hits") / F.lit(float(kk)), 6).alias("precision"),
+        F.round(F.col("hits") / F.col("n_rel").cast("double"), 6).alias(
+            "recall"
+        ),
+        F.round(F.col("__rr"), 6).alias("rr"),
+        F.round(F.col("__ap_sum").cast("double") / denom, 6).alias("ap"),
+        F.round(F.col("__dcg").cast("double") / idcg, 6).alias("ndcg"),
+    )

@@ -1684,3 +1684,89 @@ def seasonal_decompose(
             "resid"
         ),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    delta: float = 0.0,
+    lam: float = 10.0,
+) -> DataFrame:
+    """Page-Hinkley upward-shift detector per entity — the sequential
+    mean-shift test that complements the retrospective CUSUM scan
+    (temporal.py:cusum_scan): CUSUM locates the most likely historical
+    break, Page-Hinkley answers the monitoring question "has this
+    series drifted up, and when did the alarm first fire?".
+
+    Mechanics (classic PH): with running mean ``mu_t`` over the first
+    ``t`` points, ``m_t = sum_{i<=t} (x_i - mu_i - delta)`` and
+    ``PH_t = m_t - min_{i<=t} m_i``; the alarm fires at the first
+    ``t`` with ``PH_t > lam``.  *delta* is the magnitude tolerance,
+    *lam* the detection threshold.
+
+    Engine exactness: the two cumulative sums are evaluated in frame
+    order (deterministic given unique *order_col*), but both are
+    decimal(38,18)-cast so the running totals are exact and the
+    running min compares exact values; ``mu`` and the per-row
+    deviation are double arithmetic on identical operands in either
+    engine.
+
+    Scale shape: three window passes over the same
+    ``(entity, order)`` partitioning — ONE shuffle, no joins, state
+    per row O(1).  Series per entity are assumed to fit a partition
+    (they are per-entity time series, not raw events; pre-aggregate
+    to the monitoring grain first).
+
+    Output: ``(entity_col, n, ph_max, alarmed, alarm_at)`` where
+    ``alarm_at`` is the first *order_col* value whose PH statistic
+    exceeds *lam* (null when never).
+    """
+    w = Window.partitionBy(entity_col).orderBy("__ord")
+    cum = (
+        df.select(
+            entity_col,
+            F.col(order_col).alias("__ord"),
+            F.col(value_col).cast("double").alias("__x"),
+        )
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__cumx",
+            F.sum(F.col("__x").cast("decimal(38,18)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "__mu", F.col("__cumx").cast("double") / F.col("__i")
+        )
+        .withColumn(
+            "__dev", F.col("__x") - F.col("__mu") - F.lit(float(delta))
+        )
+    )
+    m = cum.withColumn(
+        "__m",
+        F.sum(F.col("__dev").cast("decimal(38,18)")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "__mmin",
+        F.min("__m").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ph = m.withColumn(
+        "__ph", F.round((F.col("__m") - F.col("__mmin")).cast("double"), 6)
+    )
+    return (
+        ph.groupBy(entity_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("__ph"), 6).alias("ph_max"),
+            F.max(F.when(F.col("__ph") > F.lit(float(lam)), 1).otherwise(0))
+            .cast("boolean")
+            .alias("alarmed"),
+            F.min(
+                F.when(F.col("__ph") > F.lit(float(lam)), F.col("__ord"))
+            ).alias("alarm_at"),
+        )
+    )

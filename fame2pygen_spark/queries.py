@@ -948,6 +948,7 @@ from .queries_ext5 import EXT5_ORACLES, EXT5_QUERIES  # noqa: E402
 from .queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
 from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
 from .queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
+from .queries_ext9 import EXT9_ORACLES, EXT9_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -958,6 +959,7 @@ ORACLES.update(EXT5_ORACLES)
 ORACLES.update(EXT6_ORACLES)
 ORACLES.update(EXT7_ORACLES)
 ORACLES.update(EXT8_ORACLES)
+ORACLES.update(EXT9_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -996,6 +998,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT6_QUERIES,
     **EXT7_QUERIES,
     **EXT8_QUERIES,
+    **EXT9_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against

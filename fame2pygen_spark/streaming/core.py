@@ -324,3 +324,55 @@ def streaming_hll_registers(
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__rank").alias("__reg"))
     )
+
+
+def streaming_lexicon_flag_counts(
+    stream: DataFrame,
+    text_col: str,
+    group_cols: Sequence[str],
+    lexicon: dict[str, Sequence[str]],
+) -> DataFrame:
+    """Streaming half of the lexicon-screening pipeline (the x189
+    batch twin, operators/text.py:lexicon_category_rates): reduce a
+    document stream to per ``(*group_cols, category)`` flag counters
+    — ``(…, category, docs_flagged, total_hits, n_docs)`` — in
+    complete output mode.
+
+    The batch operator joins an exploded token table against the
+    broadcast lexicon; a stream cannot hold per-doc token state, so
+    the per-document category hit count is computed ROW-LOCALLY (a
+    sequential fold over the document's own tokens against the
+    literal term set — same normalized tokenizer, same exact-term
+    match) before the bounded aggregation.  State is exactly
+    |groups| × |categories| counter rows no matter how many documents
+    stream through; the counters are sums, so micro-batch splits and
+    complete-mode re-emission cannot change the totals.  Finalize
+    rates (flag_rate, hits_per_doc) on the sink table per trigger.
+    """
+    from ..operators.text import tokens
+
+    g = list(group_cols)
+    toks = tokens(F.col(text_col))
+    cats = []
+    for cat in sorted(lexicon):
+        terms = sorted(set(lexicon[cat]))
+        hits = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(t.isin(*terms), F.lit(1)).otherwise(F.lit(0)),
+        )
+        cats.append(
+            F.struct(F.lit(cat).alias("category"), hits.alias("hits"))
+        )
+    exploded = stream.select(
+        *g, F.explode(F.array(*cats)).alias("__c")
+    ).select(*g, F.col("__c.category").alias("category"),
+             F.col("__c.hits").alias("__h"))
+    return exploded.groupBy(*g, "category").agg(
+        F.sum(F.when(F.col("__h") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_flagged"),
+        F.sum("__h").cast("long").alias("total_hits"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

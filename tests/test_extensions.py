@@ -4933,3 +4933,156 @@ def test_entropy_rate_deterministic_vs_uniform(spark):
     out = entropy_rate(df).collect()
     r = out[0]
     assert 0.0 < r["entropy_rate"] <= 1.585  # ≤ log2(3)
+
+
+def test_page_hinkley_detects_planted_shift(spark):
+    """x210: a flat series never alarms; a mid-series upward level
+    shift alarms at (or just after) the break, and the pre-break
+    prefix of the shifted series matches the flat series' PH stats."""
+    from fame2pygen_spark.operators.temporal import page_hinkley
+
+    flat = [("flat", i, 10.0) for i in range(40)]
+    shifted = [("shift", i, 10.0 if i < 20 else 14.0) for i in range(40)]
+    df = spark.createDataFrame(
+        flat + shifted, "entity string, t long, x double"
+    )
+    out = {
+        r["entity"]: r
+        for r in page_hinkley(
+            df, "entity", "t", "x", delta=0.5, lam=5.0
+        ).collect()
+    }
+    assert out["flat"]["n"] == out["shift"]["n"] == 40
+    assert not out["flat"]["alarmed"]
+    assert out["flat"]["alarm_at"] is None
+    assert out["flat"]["ph_max"] == 0.0  # dev = -delta always, min=cur
+    assert out["shift"]["alarmed"]
+    assert 20 <= out["shift"]["alarm_at"] <= 25
+    assert out["shift"]["ph_max"] > 5.0
+
+
+def test_retrieval_eval_hand_ranking(spark):
+    """x211: hand-checked AP/RR/NDCG on a tiny ranking with known
+    hit positions, including a zero-hit query."""
+    import math
+
+    from fame2pygen_spark.operators.similarity import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [("q1", f"d{i}", i) for i in range(1, 6)]
+        + [("q2", f"d{i}", i) for i in range(1, 6)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    # q1 relevant = d1, d3 (hits at ranks 1 and 3); q2 relevant = d9
+    rel = spark.createDataFrame(
+        [("q1", "d1"), ("q1", "d3"), ("q2", "d9")],
+        "query_id string, item_id string",
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_eval(ranked, rel, k=5).collect()
+    }
+    q1 = out["q1"]
+    assert q1["hits"] == 2 and q1["n_rel"] == 2
+    assert q1["precision"] == round(2 / 5, 6)
+    assert q1["recall"] == 1.0
+    assert q1["rr"] == 1.0
+    assert q1["ap"] == round((1.0 + 2.0 / 3.0) / 2, 6)
+    dcg = 1.0 / math.log2(2.0) + 1.0 / math.log2(4.0)
+    idcg = 1.0 / math.log2(2.0) + 1.0 / math.log2(3.0)
+    assert q1["ndcg"] == round(dcg / idcg, 6)
+    q2 = out["q2"]
+    assert q2["hits"] == 0 and q2["rr"] == 0.0 and q2["ap"] == 0.0
+    assert q2["ndcg"] == 0.0 and q2["recall"] == 0.0
+
+
+def test_drift_dashboard_identical_and_shifted(spark):
+    """x212: identical halves give zero drift on every metric; a
+    one-bin-width location shift gives KS ≈ the shifted mass share and
+    W1 ≈ shift distance, and the __all__ roll-up blends the slices."""
+    from fame2pygen_spark.operators.sketch import drift_dashboard
+
+    base = [("a", float(v)) for v in range(0, 100)]
+    a = spark.createDataFrame(base, "g string, v double")
+    b_same = spark.createDataFrame(base, "g string, v double")
+    same = {
+        r["dimension"]: r
+        for r in drift_dashboard(
+            a, b_same, "g", "v", lo=0.0, hi=100.0, bins=10
+        ).collect()
+    }
+    for d in ("a", "__all__"):
+        assert same[d]["psi"] == 0.0
+        assert same[d]["ks"] == 0.0
+        assert same[d]["w1"] == 0.0
+        assert same[d]["n_a"] == same[d]["n_b"] == 100
+    # shift every value up by exactly one bin width (10.0)
+    b_shift = spark.createDataFrame(
+        [("a", float(v) + 10.0) for v in range(0, 100)],
+        "g string, v double",
+    )
+    moved = {
+        r["dimension"]: r
+        for r in drift_dashboard(
+            a, b_shift, "g", "v", lo=0.0, hi=100.0, bins=10
+        ).collect()
+    }["a"]
+    # each ECDF gap is 0.1 across 9 interior boundaries; last bin
+    # absorbs the clamped top decile so the gap closes there
+    assert moved["ks"] == round(0.1, 6)
+    assert moved["w1"] == round(9 * 0.1 * 10.0, 6)
+    assert moved["psi"] > 0.0
+
+
+def test_streaming_lexicon_twin(spark, tmp_path):
+    """Streaming lexicon counters equal the batch
+    lexicon_category_rates sufficient statistics on the same docs,
+    and rates finalized from the sink match the batch operator."""
+    from pyspark.sql import functions as F
+    from fame2pygen_spark.operators.text import lexicon_category_rates
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, streaming_lexicon_flag_counts,
+    )
+
+    lex = {"infra": ["spark", "join"], "perf": ["slow", "fast"]}
+    rows = [
+        ("s1", 1, "spark join spark is fast"),
+        ("s1", 2, "nothing to see"),
+        ("s2", 3, "slow slow join"),
+        ("s2", 4, "Spark  SPARK fast"),
+        ("s2", 5, ""),
+    ]
+    batch = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    path = str(tmp_path / "docs")
+    batch.write.parquet(path)
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(path)
+    )
+    agg = streaming_lexicon_flag_counts(stream, "text", ("source",), lex)
+    run_stream_to_memory(agg, "lexicon_counts", output_mode="complete")
+    sink = spark.sql("select * from lexicon_counts")
+    got = {
+        (r["source"], r["category"]): (
+            r["docs_flagged"], r["total_hits"], r["n_docs"]
+        )
+        for r in sink.collect()
+    }
+    assert got == {
+        ("s1", "infra"): (1, 3, 2),
+        ("s1", "perf"): (1, 1, 2),
+        ("s2", "infra"): (2, 3, 3),
+        ("s2", "perf"): (2, 3, 3),
+    }
+    # finalize rates from the sink and compare to the batch operator
+    fin = sink.select(
+        "source", "category", "n_docs", "docs_flagged",
+        F.round(F.col("docs_flagged") / F.col("n_docs").cast("double"), 6)
+        .alias("flag_rate"),
+        "total_hits",
+        F.round(F.col("total_hits") / F.col("n_docs").cast("double"), 6)
+        .alias("hits_per_doc"),
+    )
+    want = lexicon_category_rates(batch, "text", "doc_id", ("source",), lex)
+    assert {tuple(r) for r in fin.collect()} == {
+        tuple(r) for r in want.collect()
+    }

@@ -42,6 +42,9 @@ SENSITIVE = [
     "x121_rfm",
     "x124_source_scorecard",
     "x126_incremental_dedup",
+    "x210_page_hinkley",
+    "x211_retrieval_eval",
+    "x212_drift_dashboard",
 ]
 
 

@@ -705,3 +705,32 @@ def test_wilson_is_single_agg(spark):
 def test_r4_batch15_operators_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x210_page_hinkley",    # entity-keyed PH windows
+        "x211_retrieval_eval",  # broadcast query side + |Q|k-row agg
+        "x212_drift_dashboard", # bounded histogram, dim-keyed windows
+    ],
+)
+def test_r4_batch16_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_page_hinkley_windows_stay_entity_keyed(spark):
+    # every window in the PH scan partitions by the entity — a global
+    # (unpartitioned) running-sum window would single-thread the scan
+    plan = plan_of(spark, "x210_page_hinkley")
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in spec, spec
+
+
+def test_drift_dashboard_windows_stay_dimension_keyed(spark):
+    plan = plan_of(spark, "x212_drift_dashboard")
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__dim" in spec, spec
