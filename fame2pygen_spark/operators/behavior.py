@@ -1625,3 +1625,99 @@ def group_sequential_looks(
         (F.abs(z) > F.lit(bound)).alias("crossed"),
         F.lit(bound).alias("bound"),
     )
+
+
+def logrank_test(
+    durations: DataFrame,
+    *,
+    group_col: str = "cohort",
+    t_col: str = "t",
+    censored_col: str = "censored",
+) -> DataFrame:
+    """Two-group log-rank test over right-censored durations — "do
+    these two survival curves differ", the inferential companion to
+    the Kaplan–Meier estimator (behavior.kaplan_meier): same input
+    shape (one row per subject, integer duration, 0/1 censoring
+    flag) plus a binary 0/1 *group_col*.
+
+    At each event time: observed group-1 events ``d1`` vs expected
+    ``E1 = d·n1/n`` under the null (hypergeometric draw from the
+    pooled risk set), variance ``V = d·(n1/n)·(1−n1/n)·(n−d)/(n−1)``;
+    ``χ² = (Σ(d1−E1))² / ΣV`` with 1 df, so the p-value is exactly
+    ``2·(1−Φ(√χ²))`` via the shared A&S tail — no chi-square
+    approximation needed.
+
+    Plan shape (the kaplan_meier contract): ONE aggregation keyed by
+    duration bounds everything after it by the distinct-duration
+    count; risk sets come from exclusive cumulative sums over those
+    bounded rows, totals from a broadcast 1-row agg, and the two
+    score sums are decimal(38,18)-cast.  The windows on the bounded
+    t-table are unpartitioned BY DESIGN — |rows| = distinct
+    durations (the monitoring grain, e.g. days), not subjects.
+
+    Output: one row ``(n1, n0, events1, events0, o_minus_e, var_sum,
+    chi2, p_value)``.
+    """
+    from .quality import normal_p_two_sided
+
+    g1 = F.col(group_col).cast("int")
+    ev = F.lit(1) - F.col(censored_col).cast("int")
+    per_t = (
+        durations.groupBy(F.col(t_col).cast("long").alias("__t"))
+        .agg(
+            F.sum(g1).alias("__m1"),
+            F.sum(F.lit(1) - g1).alias("__m0"),
+            F.sum(g1 * ev).alias("__d1"),
+            F.sum((F.lit(1) - g1) * ev).alias("__d0"),
+        )
+    )
+    tot = per_t.agg(
+        F.sum("__m1").cast("long").alias("__T1"),
+        F.sum("__m0").cast("long").alias("__T0"),
+    )
+    w_excl = (
+        Window.orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        per_t.withColumn(
+            "__c1", F.coalesce(F.sum("__m1").over(w_excl), F.lit(0))
+        )
+        .withColumn(
+            "__c0", F.coalesce(F.sum("__m0").over(w_excl), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__n1", F.col("__T1") - F.col("__c1"))
+        .withColumn("__n0", F.col("__T0") - F.col("__c0"))
+        .where((F.col("__d1") + F.col("__d0")) > 0)
+    )
+    n1 = F.col("__n1").cast("double")
+    n = (F.col("__n1") + F.col("__n0")).cast("double")
+    d = (F.col("__d1") + F.col("__d0")).cast("double")
+    e1 = d * n1 / n
+    v = F.try_divide(
+        d * (n1 / n) * (F.lit(1.0) - n1 / n) * (n - d), n - F.lit(1.0)
+    )
+    agg = risk.groupBy().agg(
+        F.max("__T1").alias("n1"),
+        F.max("__T0").alias("n0"),
+        F.sum("__d1").cast("long").alias("events1"),
+        F.sum("__d0").cast("long").alias("events0"),
+        F.sum((F.col("__d1").cast("double") - e1).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("__oe"),
+        F.sum(F.coalesce(v, F.lit(0.0)).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("__v"),
+    )
+    chi2 = F.try_divide(F.col("__oe") * F.col("__oe"), F.col("__v"))
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        "events1",
+        "events0",
+        F.round(F.col("__oe"), 6).alias("o_minus_e"),
+        F.round(F.col("__v"), 6).alias("var_sum"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(normal_p_two_sided(F.sqrt(chi2)), 6).alias("p_value"),
+    )

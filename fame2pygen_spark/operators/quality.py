@@ -32,7 +32,7 @@ __all__ = [
     "dq_report", "standard_rules", "cohens_kappa", "auc_rank",
     "kappa_from_confusion", "t_closeness", "average_precision",
     "calibration_report", "krippendorff_alpha", "conformal_threshold",
-    "clustering_agreement", "woe_iv", "normal_p_two_sided", "bh_fdr",
+    "clustering_agreement", "woe_iv", "normal_p_two_sided", "normal_sf", "bh_fdr",
     "smd_balance", "wilson_intervals",
 ]
 
@@ -1021,6 +1021,21 @@ _AS_ERF = (0.254829592, -0.284496736, 1.421413741,
            -1.453152027, 1.061405429)
 _AS_P = 0.3275911
 _INV_SQRT2 = 0.7071067811865476
+
+
+def normal_sf(z: Column) -> Column:
+    """Upper-tail normal survival ``P(Z > z)`` for signed *z*, via the
+    same Abramowitz–Stegun 7.1.26 erf polynomial as
+    :func:`normal_p_two_sided` (the polynomial only covers x ≥ 0, so
+    the signed tail reflects: ``sf(z) = 1 − sf(−z)``).  Needed by the
+    Wilson–Hilferty chi-square tail (x213), which is one-sided."""
+    x = F.abs(z) * F.lit(_INV_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    a1, a2, a3, a4, a5 = (F.lit(c) for c in _AS_ERF)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    upper = F.lit(0.5) * (F.lit(1.0) - erf)  # P(Z > |z|)
+    return F.when(z >= 0, upper).otherwise(F.lit(1.0) - upper)
 
 
 def normal_p_two_sided(z: Column) -> Column:

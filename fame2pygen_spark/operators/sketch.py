@@ -2752,3 +2752,221 @@ def drift_dashboard(
             F.round(F.sum("__w1_t").cast("double"), 6).alias("w1"),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, with Cramér's V effect size and a Wilson–Hilferty normal
+    approximation p-value — the categorical counterpart to the
+    correlation screens (x53/x119/x203): is the association real, and
+    how strong.
+
+    Mechanics: contingency counts, expected ``e = row·col/N``,
+    ``χ² = Σ (o−e)²/e`` over the COMPLETE r×c grid (zero-observed
+    cells contribute their expected mass — dropping them understates
+    χ²), ``V = sqrt(χ²/(N·min(r−1, c−1)))``.  The p-value uses the
+    Wilson–Hilferty cube-root normalization
+    ``z = ((χ²/ν)^⅓ − (1 − 2/9ν)) / sqrt(2/9ν)`` with the cube root
+    as ``exp(ln(x)/3)`` (pow is not engine-portable) and the shared
+    A&S normal tail (quality.normal_sf) — accurate to ~1e-3 in p for
+    ν ≥ 1, far inside any decision threshold.
+
+    Scale shape: ONE hash aggregation over the raw rows bounded by
+    r×c cells; grid completion, marginals, and the final reduce run
+    on those bounded rows (broadcast 1-row totals, decimal-cast term
+    sums — order-insensitive).
+
+    Output: one row ``(n, r, c, dof, chi2, cramers_v, p_value)``.
+    """
+    from .quality import normal_sf
+
+    joint = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("__a"),
+            F.col(col_b).cast("string").alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    grid = (
+        joint.select("__a")
+        .distinct()
+        .crossJoin(F.broadcast(joint.select("__b").distinct()))
+        .join(joint, on=["__a", "__b"], how="left")
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    tot = grid.agg(
+        F.sum("__n").cast("long").alias("__tot"),
+        F.count_distinct(F.col("__a")).alias("__nr"),
+        F.count_distinct(F.col("__b")).alias("__nc"),
+    )
+    cells = (
+        grid.withColumn("__ra", F.sum("__n").over(wa))
+        .withColumn("__cb", F.sum("__n").over(wb))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("__tot").cast("double")
+    )
+    term = F.try_divide(
+        (F.col("__n").cast("double") - e) * (F.col("__n").cast("double") - e),
+        e,
+    )
+    agg = cells.groupBy().agg(
+        F.max("__tot").alias("n"),
+        F.max("__nr").alias("r"),
+        F.max("__nc").alias("c"),
+        F.sum(term.cast("decimal(38,18)")).cast("double").alias("__chi2"),
+    )
+    dof = ((F.col("r") - 1) * (F.col("c") - 1)).cast("double")
+    chi2 = F.col("__chi2")
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n").cast("double")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        )
+    )
+    wh_z = (
+        F.exp(F.log(chi2 / dof) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    p = F.when(chi2 <= 0, F.lit(1.0)).otherwise(normal_sf(wh_z))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        dof.cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def oneway_anova(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA over an integer-valued measure: F statistic and
+    eta² effect size for "does the group mean differ across k groups"
+    — the k-group generalization the two-sample screens (SMD x197,
+    Mann-Whitney) can't answer in one pass.
+
+    Sums of squares from per-group exact decimal moments (the
+    dispersion_index (19,0)² idiom): ``SSW = Σ_g (S2_g − S1_g²/n_g)``,
+    ``SSB = Σ_g S1_g²/n_g − S1²/N``, ``SST = S2 − S1²/N``;
+    ``F = (SSB/(k−1)) / (SSW/(N−k))``, ``η² = SSB/SST``.  The
+    per-group double terms are decimal(38,18)-cast before the final
+    k-term sum, so group accumulation order cannot shift the output.
+    No p-value: the F tail needs the incomplete beta, which neither
+    engine exposes and no 6-dp-stable polynomial covers across (df1,
+    df2) — gate on F against a looked-up critical value instead.
+
+    Scale shape: one keyed hash agg (k rows) + one k-row reduce.
+
+    Output: one row ``(k, n, ss_between, ss_within, df1, df2, f_stat,
+    eta_sq)``.
+    """
+    cd = F.col(value_col).cast("decimal(19,0)")
+    g = (
+        df.where(F.col(value_col).isNotNull()
+                 & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(cd).alias("__s1"),
+            F.sum(cd * cd).alias("__s2"),
+        )
+    )
+    ng = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    per = g.select(
+        F.col("__n"),
+        F.col("__s1"),
+        F.col("__s2"),
+        ((s1 * s1) / ng).cast("decimal(38,18)").alias("__b_t"),
+        (s2 - (s1 * s1) / ng).cast("decimal(38,18)").alias("__w_t"),
+    )
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s1").alias("__S1"),
+        F.sum("__s2").alias("__S2"),
+        F.sum("__b_t").cast("double").alias("__bsum"),
+        F.sum("__w_t").cast("double").alias("__ssw"),
+    )
+    N = F.col("n").cast("double")
+    grand = (
+        F.col("__S1").cast("double") * F.col("__S1").cast("double") / N
+    )
+    ssb = F.col("__bsum") - grand
+    sst = F.col("__S2").cast("double") - grand
+    df1 = (F.col("k") - 1).cast("double")
+    df2 = (F.col("n") - F.col("k")).cast("double")
+    fstat = F.try_divide(ssb / df1, F.col("__ssw") / df2)
+    return agg.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(F.col("__ssw"), 6).alias("ss_within"),
+        df1.cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(F.try_divide(ssb, sst), 6).alias("eta_sq"),
+    )
+
+
+def poisson_rate_test(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    count_a_col: str,
+    count_b_col: str,
+    exposure_a_col: str,
+    exposure_b_col: str,
+) -> DataFrame:
+    """Two-sample Poisson rate comparison on a prepared per-group
+    count/exposure frame: rate ratio plus the exact-conditional
+    binomial test (given ``n = c_a + c_b``, under H₀ ``c_a ~
+    Binomial(n, t_a/(t_a+t_b))``) with a normal approximation and the
+    shared A&S two-sided tail — "did the event rate change between
+    two exposure windows", per group, in one row-local pass.
+
+    The caller aggregates raw events to ``(group, c_a, c_b, t_a,
+    t_b)`` (counts + exposures per condition); this operator is pure
+    column algebra on that bounded frame — no shuffle of its own, so
+    it composes with whatever keyed aggregation produced the counts.
+
+    Output: ``(*group_cols, c_a, c_b, rate_a, rate_b, rate_ratio, z,
+    p_value)`` (6 dp); z/p null when either count is zero-exposure or
+    n = 0.
+    """
+    from .quality import normal_p_two_sided
+
+    g = list(group_cols)
+    ca = F.col(count_a_col).cast("double")
+    cb = F.col(count_b_col).cast("double")
+    ta = F.col(exposure_a_col).cast("double")
+    tb = F.col(exposure_b_col).cast("double")
+    n = ca + cb
+    p0 = ta / (ta + tb)
+    z = F.try_divide(ca - n * p0, F.sqrt(n * p0 * (F.lit(1.0) - p0)))
+    return counts.select(
+        *g,
+        F.col(count_a_col).cast("long").alias("c_a"),
+        F.col(count_b_col).cast("long").alias("c_b"),
+        F.round(F.try_divide(ca, ta), 6).alias("rate_a"),
+        F.round(F.try_divide(cb, tb), 6).alias("rate_b"),
+        F.round(F.try_divide(F.try_divide(ca, ta), F.try_divide(cb, tb)), 6)
+        .alias("rate_ratio"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.when(n > 0, normal_p_two_sided(z)), 6
+        ).alias("p_value"),
+    )

@@ -320,3 +320,375 @@ ORDER BY dimension
 
 EXT9_QUERIES.update({"x212_drift_dashboard": q_x212_drift_dashboard})
 EXT9_ORACLES.update({"x212_drift_dashboard": SQL_X212})
+
+
+# ----------------------------- shared SQL: A&S normal tails
+
+
+def _erf_sql(z: str) -> str:
+    """DuckDB mirror of quality._AS_ERF / normal_* helpers: the
+    Abramowitz-Stegun 7.1.26 erf polynomial applied to |z|/sqrt(2),
+    injected from the SAME constants the Spark operators use."""
+    from .operators.quality import _AS_ERF, _AS_P, _INV_SQRT2
+
+    x = f"(abs({z}) * {_INV_SQRT2!r})"
+    t = f"(1.0 / (1.0 + {_AS_P!r} * {x}))"
+    a1, a2, a3, a4, a5 = (repr(c) for c in _AS_ERF)
+    poly = (
+        f"(((({a5} * {t} + ({a4})) * {t} + {a3}) * {t} + ({a2}))"
+        f" * {t} + {a1}) * {t}"
+    )
+    return f"(1.0 - {poly} * exp(-({x} * {x})))"
+
+
+def _normal_p_two_sided_sql(z: str) -> str:
+    return f"(2.0 * (1.0 - 0.5 * (1.0 + {_erf_sql(z)})))"
+
+
+def _normal_sf_sql(z: str) -> str:
+    upper = f"(0.5 * (1.0 - {_erf_sql(z)}))"
+    return (
+        f"(CASE WHEN {z} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+    )
+
+
+# ----------------------------- x213: chi-square independence
+
+
+def q_x213_chi_square(spark, sf_dir):
+    """Language × source independence screen (operators/sketch.py:
+    chi_square_independence): is the language mix uniform across
+    corpus sources, with Cramér's V effect size and a
+    Wilson–Hilferty p-value — the categorical association test the
+    correlation screens (x53/x119) can't express."""
+    from .operators.sketch import chi_square_independence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi_square_independence(docs, "lang", "source")
+
+
+def _sql_x213() -> str:
+    chi2 = "chi2"
+    dof = "CAST((r - 1) * (c - 1) AS DOUBLE)"
+    wh_z = (
+        f"((exp(ln({chi2} / {dof}) / 3.0)"
+        f" - (1.0 - 2.0 / (9.0 * {dof})))"
+        f" / sqrt(2.0 / (9.0 * {dof})))"
+    )
+    return f"""
+WITH joint AS (
+  SELECT lang AS a, source AS b, COUNT(*) AS n
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT da.a, db.b, COALESCE(j.n, 0) AS n
+  FROM (SELECT DISTINCT a FROM joint) da
+  CROSS JOIN (SELECT DISTINCT b FROM joint) db
+  LEFT JOIN joint j ON j.a = da.a AND j.b = db.b
+),
+tot AS (
+  SELECT SUM(n) AS N, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+  FROM grid
+),
+cells AS (
+  SELECT g.n,
+         SUM(g.n) OVER (PARTITION BY g.a) AS ra,
+         SUM(g.n) OVER (PARTITION BY g.b) AS cb
+  FROM grid g
+),
+terms AS (
+  SELECT n, ra, cb,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+           / (SELECT CAST(N AS DOUBLE) FROM tot) AS e
+  FROM cells
+),
+agg AS (
+  SELECT (SELECT N FROM tot) AS n,
+         (SELECT r FROM tot) AS r,
+         (SELECT c FROM tot) AS c,
+         CAST(SUM(CAST((nd - e) * (nd - e) / e AS DECIMAL(38,18)))
+              AS DOUBLE) AS chi2
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS r,
+       CAST(c AS BIGINT) AS c,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v,
+       ROUND(CASE WHEN chi2 <= 0 THEN 1.0
+                  ELSE {_normal_sf_sql(wh_z)} END, 6) AS p_value
+FROM agg
+"""
+
+
+EXT9_QUERIES.update({"x213_chi_square": q_x213_chi_square})
+EXT9_ORACLES.update({"x213_chi_square": _sql_x213()})
+
+
+# ----------------------------- x214: one-way ANOVA
+
+
+def q_x214_anova(spark, sf_dir):
+    """Document-length ANOVA across sources (operators/sketch.py:
+    oneway_anova): F statistic + eta-squared from exact decimal
+    moments — does mean document length differ by source, the
+    k-group mean screen SMD (x197) answers only pairwise."""
+    from .operators.sketch import oneway_anova
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return oneway_anova(docs, "source", "n_chars")
+
+
+SQL_X214 = """
+WITH g AS (
+  SELECT source,
+         COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(19,0))) AS s1,
+         SUM(CAST(n_chars AS DECIMAL(19,0))
+             * CAST(n_chars AS DECIMAL(19,0))) AS s2
+  FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1
+),
+per AS (
+  SELECT n, s1, s2,
+         CAST((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / CAST(n AS DOUBLE) AS DECIMAL(38,18)) AS b_t,
+         CAST(CAST(s2 AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / CAST(n AS DOUBLE) AS DECIMAL(38,18)) AS w_t
+  FROM g
+),
+agg AS (
+  SELECT COUNT(*) AS k,
+         SUM(n) AS n,
+         SUM(s1) AS S1,
+         SUM(s2) AS S2,
+         CAST(SUM(b_t) AS DOUBLE) AS bsum,
+         CAST(SUM(w_t) AS DOUBLE) AS ssw
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       ROUND(bsum - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                    / CAST(n AS DOUBLE), 6) AS ss_between,
+       ROUND(ssw, 6) AS ss_within,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2,
+       ROUND(((bsum - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+       ROUND((bsum - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+             / (CAST(S2 AS DOUBLE) - CAST(S1 AS DOUBLE)
+                * CAST(S1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS eta_sq
+FROM agg
+"""
+
+EXT9_QUERIES.update({"x214_anova": q_x214_anova})
+EXT9_ORACLES.update({"x214_anova": SQL_X214})
+
+
+# ----------------------------- x215: log-rank test
+
+
+def q_x215_logrank(spark, sf_dir):
+    """Two-cohort log-rank test on time-to-first-purchase
+    (operators/behavior.py:logrank_test): users split by id parity,
+    durations in whole days from first activity, administratively
+    censored at the mid-month cutoff — do the cohorts' conversion
+    survival curves differ (the inferential companion to the
+    Kaplan–Meier estimator, x*kaplan)."""
+    from .operators.behavior import logrank_test
+
+    ev = _read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("__fe"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("__fp"),
+    )
+    cut = F.lit(_X58_CUTOFF_US)
+    obs = per_user.where(F.col("__fe") < cut)
+    event = F.col("__fp").isNotNull() & (F.col("__fp") < cut)
+    durations = obs.select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"),
+        F.when(event, F.expr("(__fp - __fe) div 86400000000"))
+        .otherwise(
+            F.expr(f"({_X58_CUTOFF_US} - __fe) div 86400000000")
+        )
+        .cast("long")
+        .alias("t"),
+        F.when(event, F.lit(0)).otherwise(F.lit(1)).alias("censored"),
+    )
+    return logrank_test(durations)
+
+
+def _sql_x215() -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS fe,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS fp
+  FROM events GROUP BY 1
+),
+durations AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS cohort,
+         CASE WHEN fp IS NOT NULL AND fp < {_X58_CUTOFF_US}
+              THEN (fp - fe) // 86400000000
+              ELSE ({_X58_CUTOFF_US} - fe) // 86400000000 END AS t,
+         CASE WHEN fp IS NOT NULL AND fp < {_X58_CUTOFF_US}
+              THEN 0 ELSE 1 END AS censored
+  FROM per_user WHERE fe < {_X58_CUTOFF_US}
+),
+per_t AS (
+  SELECT CAST(t AS BIGINT) AS t,
+         SUM(cohort) AS m1,
+         SUM(1 - cohort) AS m0,
+         SUM(cohort * (1 - censored)) AS d1,
+         SUM((1 - cohort) * (1 - censored)) AS d0
+  FROM durations GROUP BY 1
+),
+tot AS (SELECT SUM(m1) AS T1, SUM(m0) AS T0 FROM per_t),
+risk AS (
+  SELECT p.*,
+         (SELECT T1 FROM tot)
+           - COALESCE(SUM(m1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n1,
+         (SELECT T0 FROM tot)
+           - COALESCE(SUM(m0) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n0
+  FROM per_t p
+),
+ev AS (SELECT * FROM risk WHERE d1 + d0 > 0),
+agg AS (
+  SELECT (SELECT T1 FROM tot) AS n1_subj,
+         (SELECT T0 FROM tot) AS n0_subj,
+         SUM(d1) AS events1,
+         SUM(d0) AS events0,
+         CAST(SUM(CAST(CAST(d1 AS DOUBLE)
+             - CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(n1 + n0 AS DOUBLE) AS DECIMAL(38,18)))
+           AS DOUBLE) AS oe,
+         CAST(SUM(CAST(COALESCE(
+             CAST(d1 + d0 AS DOUBLE)
+             * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+             * (1.0 - CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+             * (CAST(n1 + n0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE))
+             / NULLIF(CAST(n1 + n0 AS DOUBLE) - 1.0, 0.0), 0.0)
+           AS DECIMAL(38,18))) AS DOUBLE) AS v
+  FROM ev
+)
+SELECT CAST(n1_subj AS BIGINT) AS n1,
+       CAST(n0_subj AS BIGINT) AS n0,
+       CAST(events1 AS BIGINT) AS events1,
+       CAST(events0 AS BIGINT) AS events0,
+       ROUND(oe, 6) AS o_minus_e,
+       ROUND(v, 6) AS var_sum,
+       ROUND(oe * oe / v, 6) AS chi2,
+       ROUND({_normal_p_two_sided_sql("sqrt(oe * oe / v)")}, 6)
+         AS p_value
+FROM agg
+"""
+
+
+EXT9_QUERIES.update({"x215_logrank": q_x215_logrank})
+EXT9_ORACLES.update({"x215_logrank": _sql_x215()})
+
+
+# ----------------------------- x216: Poisson rate test
+
+
+def q_x216_poisson_rates(spark, sf_dir):
+    """Weekend vs weekday event-rate comparison per event type
+    (operators/sketch.py:poisson_rate_test): exact-conditional
+    binomial z on counts with distinct-day exposures — did the
+    arrival RATE change between the two exposure windows (the
+    dispersion audit x208 asks a different question: is it Poisson
+    at all)."""
+    from .operators.sketch import poisson_rate_test
+
+    ev = _read_events(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000")
+    wknd = ((day + 3) % 7).isin(5, 6)
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(wknd, 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(wknd, 0).otherwise(1)).alias("__cb"),
+    )
+    days = (
+        ev.select(day.cast("long").alias("__day"))
+        .distinct()
+        .agg(
+            F.sum(
+                F.when(((F.col("__day") + 3) % 7).isin(5, 6), 1).otherwise(0)
+            ).alias("__ta"),
+            F.sum(
+                F.when(((F.col("__day") + 3) % 7).isin(5, 6), 0).otherwise(1)
+            ).alias("__tb"),
+        )
+    )
+    prepared = counts.crossJoin(F.broadcast(days))
+    out = poisson_rate_test(
+        prepared,
+        ["event_type"],
+        count_a_col="__ca",
+        count_b_col="__cb",
+        exposure_a_col="__ta",
+        exposure_b_col="__tb",
+    )
+    return out.orderBy("event_type")
+
+
+def _sql_x216() -> str:
+    z = (
+        "((CAST(ca AS DOUBLE) - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))"
+        " * (CAST(ta AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))"
+        " / sqrt((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))"
+        " * (CAST(ta AS DOUBLE) / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))"
+        " * (1.0 - CAST(ta AS DOUBLE)"
+        " / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+counts AS (
+  SELECT event_type,
+         SUM(CASE WHEN (day + 3) % 7 IN (5, 6) THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN (day + 3) % 7 IN (5, 6) THEN 0 ELSE 1 END) AS cb
+  FROM base GROUP BY 1
+),
+expo AS (
+  SELECT SUM(CASE WHEN (day + 3) % 7 IN (5, 6) THEN 1 ELSE 0 END) AS ta,
+         SUM(CASE WHEN (day + 3) % 7 IN (5, 6) THEN 0 ELSE 1 END) AS tb
+  FROM (SELECT DISTINCT day FROM base)
+)
+SELECT event_type,
+       CAST(ca AS BIGINT) AS c_a,
+       CAST(cb AS BIGINT) AS c_b,
+       ROUND(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS rate_b,
+       ROUND((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+             / (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6)
+         AS rate_ratio,
+       ROUND({z}, 6) AS z,
+       ROUND(CASE WHEN CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE) > 0
+                  THEN {_normal_p_two_sided_sql(z)} END, 6) AS p_value
+FROM counts CROSS JOIN expo
+ORDER BY event_type
+"""
+
+
+EXT9_QUERIES.update({"x216_poisson_rates": q_x216_poisson_rates})
+EXT9_ORACLES.update({"x216_poisson_rates": _sql_x216()})

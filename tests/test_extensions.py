@@ -5086,3 +5086,114 @@ def test_streaming_lexicon_twin(spark, tmp_path):
     assert {tuple(r) for r in fin.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_chi_square_independence_hand_2x2(spark):
+    """x213: textbook 2x2 table chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d));
+    an independent table scores ~0 with p ~1."""
+    rows = (
+        [("x", "u")] * 30 + [("x", "v")] * 10
+        + [("y", "u")] * 10 + [("y", "v")] * 30
+    )
+    from fame2pygen_spark.operators.sketch import chi_square_independence
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    a, b, c, d = 30.0, 10.0, 10.0, 30.0
+    n = a + b + c + d
+    want = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert r["n"] == 80 and r["r"] == 2 and r["c"] == 2 and r["dof"] == 1
+    assert r["chi2"] == round(want, 6)
+    assert r["cramers_v"] == round((want / n) ** 0.5, 6)
+    assert r["p_value"] < 0.001
+    flat = spark.createDataFrame(
+        [("x", "u")] * 20 + [("x", "v")] * 20
+        + [("y", "u")] * 20 + [("y", "v")] * 20,
+        "a string, b string",
+    )
+    r0 = chi_square_independence(flat, "a", "b").collect()[0]
+    assert r0["chi2"] == 0.0 and r0["p_value"] == 1.0
+
+
+def test_oneway_anova_hand_groups(spark):
+    """x214: equal group means give F = 0; a planted mean difference
+    reproduces the hand-computed F and eta-squared."""
+    from fame2pygen_spark.operators.sketch import oneway_anova
+
+    same = spark.createDataFrame(
+        [("g1", v) for v in (1, 2, 3)] + [("g2", v) for v in (1, 2, 3)],
+        "g string, v long",
+    )
+    r0 = oneway_anova(same, "g", "v").collect()[0]
+    assert r0["ss_between"] == 0.0 and r0["f_stat"] == 0.0
+
+    # g1 = 1,2,3 (mean 2), g2 = 5,6,7 (mean 6): SSB = 24, SSW = 4
+    moved = spark.createDataFrame(
+        [("g1", v) for v in (1, 2, 3)] + [("g2", v) for v in (5, 6, 7)],
+        "g string, v long",
+    )
+    r = oneway_anova(moved, "g", "v").collect()[0]
+    assert r["k"] == 2 and r["n"] == 6
+    assert r["ss_between"] == 24.0 and r["ss_within"] == 4.0
+    assert r["df1"] == 1 and r["df2"] == 4
+    assert r["f_stat"] == 24.0  # (24/1)/(4/4)
+    assert r["eta_sq"] == round(24.0 / 28.0, 6)
+
+
+def test_logrank_identical_and_separated(spark):
+    """x215: identical duration distributions give chi2 ~ 0 / p ~ 1;
+    fully separated survival gives a large chi2 and tiny p."""
+    from fame2pygen_spark.operators.behavior import logrank_test
+
+    same = spark.createDataFrame(
+        [(g, t, 0) for g in (0, 1) for t in (1, 2, 3, 4, 5)],
+        "cohort int, t long, censored int",
+    )
+    r0 = logrank_test(same).collect()[0]
+    assert r0["n1"] == r0["n0"] == 5
+    assert r0["o_minus_e"] == 0.0
+    assert r0["chi2"] == 0.0 and r0["p_value"] == 1.0
+
+    sep = spark.createDataFrame(
+        [(1, t, 0) for t in (1, 2, 3, 4, 5)]
+        + [(0, t, 0) for t in (11, 12, 13, 14, 15)],
+        "cohort int, t long, censored int",
+    )
+    r = logrank_test(sep).collect()[0]
+    assert r["events1"] == r["events0"] == 5
+    assert r["chi2"] > 6.0 and r["p_value"] < 0.01
+    # censored subjects leave the risk set without counting as events
+    cen = spark.createDataFrame(
+        [(1, 1, 0), (1, 3, 1), (0, 2, 0), (0, 3, 1)],
+        "cohort int, t long, censored int",
+    )
+    rc = logrank_test(cen).collect()[0]
+    assert rc["events1"] == 1 and rc["events0"] == 1
+
+
+def test_poisson_rate_test_hand_counts(spark):
+    """x216: equal rates under equal exposure give z = 0 / p = 1;
+    a doubled rate reproduces the hand-computed conditional z."""
+    from fame2pygen_spark.operators.sketch import poisson_rate_test
+
+    df = spark.createDataFrame(
+        [("eq", 50, 50, 10.0, 10.0), ("up", 100, 50, 10.0, 10.0)],
+        "k string, ca long, cb long, ta double, tb double",
+    )
+    out = {
+        r["k"]: r
+        for r in poisson_rate_test(
+            df, ["k"],
+            count_a_col="ca", count_b_col="cb",
+            exposure_a_col="ta", exposure_b_col="tb",
+        ).collect()
+    }
+    eq = out["eq"]
+    assert eq["z"] == 0.0 and eq["p_value"] == 1.0
+    assert eq["rate_ratio"] == 1.0
+    up = out["up"]
+    # n=150, p0=0.5: z = (100 - 75)/sqrt(150*0.25)
+    want_z = 25.0 / (150 * 0.25) ** 0.5
+    assert up["z"] == round(want_z, 6)
+    assert up["p_value"] < 0.001
+    assert up["rate_a"] == 10.0 and up["rate_b"] == 5.0

@@ -45,6 +45,9 @@ SENSITIVE = [
     "x210_page_hinkley",
     "x211_retrieval_eval",
     "x212_drift_dashboard",
+    "x213_chi_square",
+    "x214_anova",
+    "x215_logrank",
 ]
 
 

@@ -734,3 +734,17 @@ def test_drift_dashboard_windows_stay_dimension_keyed(spark):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "__dim" in spec, spec
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x213_chi_square",     # r x c bounded grid, broadcast totals
+        "x214_anova",          # one keyed agg + k-row reduce
+        "x215_logrank",        # duration-keyed agg, bounded t-table
+        "x216_poisson_rates",  # one keyed agg + broadcast exposures
+    ],
+)
+def test_r4_batch17_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
