@@ -2754,14 +2754,16 @@ def drift_dashboard(
     )
 
 
-def chi_square_independence(
+def chi_square_test(
     df: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:
     """Pearson chi-square test of independence between two categorical
     columns, with Cramér's V effect size and a Wilson–Hilferty normal
-    approximation p-value — the categorical counterpart to the
-    correlation screens (x53/x119/x203): is the association real, and
-    how strong.
+    approximation p-value — the p-value-carrying single-table variant
+    of :func:`chi_square_independence` (which is group-capable but
+    reports no p; distinct names keep both callable — a same-name
+    redefinition here once shadowed the grouped one and silently broke
+    its registered query's schema).
 
     Mechanics: contingency counts, expected ``e = row·col/N``,
     ``χ² = Σ (o−e)²/e`` over the COMPLETE r×c grid (zero-observed

@@ -356,15 +356,20 @@ def _normal_sf_sql(z: str) -> str:
 
 
 def q_x213_chi_square(spark, sf_dir):
-    """Language × source independence screen (operators/sketch.py:
-    chi_square_independence): is the language mix uniform across
-    corpus sources, with Cramér's V effect size and a
-    Wilson–Hilferty p-value — the categorical association test the
-    correlation screens (x53/x119) can't express."""
-    from .operators.sketch import chi_square_independence
+    """Event-mix × day-of-week independence screen (operators/
+    sketch.py: chi_square_test): is the event-type mix stable across
+    weekdays, with Cramér's V effect size and a Wilson–Hilferty
+    p-value — the p-value-carrying complement to the lang×source
+    association audit (x145, chi_square_independence), on a different
+    table and pairing so the two registry rows exercise different
+    scans."""
+    from .operators.sketch import chi_square_test
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return chi_square_independence(docs, "lang", "source")
+    ev = _read_events(spark, sf_dir)
+    d = ev.withColumn(
+        "dow", F.expr("(ts_us div 86400000000) % 7").cast("long")
+    )
+    return chi_square_test(d, "event_type", "dow")
 
 
 def _sql_x213() -> str:
@@ -377,9 +382,11 @@ def _sql_x213() -> str:
     )
     return f"""
 WITH joint AS (
-  SELECT lang AS a, source AS b, COUNT(*) AS n
-  FROM documents
-  WHERE lang IS NOT NULL AND source IS NOT NULL
+  SELECT event_type AS a,
+         (epoch_us(ts) // 86400000000) % 7 AS b,
+         COUNT(*) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
   GROUP BY 1, 2
 ),
 grid AS (

@@ -5095,10 +5095,10 @@ def test_chi_square_independence_hand_2x2(spark):
         [("x", "u")] * 30 + [("x", "v")] * 10
         + [("y", "u")] * 10 + [("y", "v")] * 30
     )
-    from fame2pygen_spark.operators.sketch import chi_square_independence
+    from fame2pygen_spark.operators.sketch import chi_square_test
 
     df = spark.createDataFrame(rows, "a string, b string")
-    r = chi_square_independence(df, "a", "b").collect()[0]
+    r = chi_square_test(df, "a", "b").collect()[0]
     a, b, c, d = 30.0, 10.0, 10.0, 30.0
     n = a + b + c + d
     want = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
@@ -5111,7 +5111,7 @@ def test_chi_square_independence_hand_2x2(spark):
         + [("y", "u")] * 20 + [("y", "v")] * 20,
         "a string, b string",
     )
-    r0 = chi_square_independence(flat, "a", "b").collect()[0]
+    r0 = chi_square_test(flat, "a", "b").collect()[0]
     assert r0["chi2"] == 0.0 and r0["p_value"] == 1.0
 
 
