@@ -1721,3 +1721,137 @@ def logrank_test(
         F.round(chi2, 6).alias("chi2"),
         F.round(normal_p_two_sided(F.sqrt(chi2)), 6).alias("p_value"),
     )
+
+
+def cochran_armitage_trend(
+    counts: DataFrame,
+    score_col: str,
+    success_col: str,
+    total_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954, Armitage 1955) on a
+    pre-aggregated dose table: is a binary outcome's success rate
+    monotonically trending across ORDERED exposure levels — the
+    categorical-trend complement to the two-group rate tests (x66,
+    x216): chi-square asks "any association", this asks "a trend in
+    the stated order", with one dof and correspondingly more power.
+
+    Input is one row per (group, level): an integer *score_col*
+    (the level's order/dose), *success_col* successes out of
+    *total_col* trials.  ``T = Σsᵢx₁ᵢ − (N₁/N)Σsᵢnᵢ``,
+    ``Var(T) = p̄(1−p̄)·[Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N]``, ``z = T/√Var``,
+    two-sided A&S p-value.  Every sum is over the BOUNDED level rows
+    (integers until the final z), so the statistic is engine-exact.
+
+    Scale shape: pure column algebra on the counts frame — callers
+    produce it with ONE keyed aggregation over the fact table; this
+    adds one tiny groupBy over |levels| rows per group.
+
+    Output per group: ``(*group_cols, n_levels, n, n_success, z,
+    p_value)`` — null z/p for degenerate tables (one level, or
+    all-success/all-failure).
+    """
+    from .quality import normal_p_two_sided
+
+    g = list(group_cols)
+    s = F.col(score_col).cast("long")
+    x1 = F.col(success_col).cast("long")
+    nt = F.col(total_col).cast("long")
+    agg = counts.groupBy(*[F.col(c) for c in g]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum(nt).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("n_success"),
+        F.sum(s * x1).cast("long").alias("__sx"),
+        F.sum(s * nt).cast("long").alias("__sn"),
+        F.sum(s * s * nt).cast("long").alias("__s2n"),
+    )
+    nd = F.col("n").cast("double")
+    n1 = F.col("n_success").cast("double")
+    pbar = n1 / nd
+    t_stat = (
+        F.col("__sx").cast("double") - pbar * F.col("__sn").cast("double")
+    )
+    var_t = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("__s2n").cast("double")
+            - F.col("__sn").cast("double")
+            * F.col("__sn").cast("double")
+            / nd
+        )
+    )
+    z = F.try_divide(t_stat, F.sqrt(var_t))
+    ok = (F.col("n_levels") >= 2) & (var_t > 0)
+    return agg.select(
+        *g,
+        "n_levels",
+        "n",
+        "n_success",
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.round(F.when(ok, normal_p_two_sided(z)), 6).alias("p_value"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    pre_col: str,
+    post_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """McNemar paired-proportion test (McNemar 1947): did a binary
+    per-subject state flip between two paired observations — the
+    within-subject counterpart to the independent-groups A/B test
+    (x66), and the right test for before/after questions (did the
+    same users keep purchasing after a change) where pairing removes
+    between-user variance.
+
+    Input: one row per subject (*id_cols*) with boolean/0-1 *pre_col*
+    and *post_col*.  Only the discordant cells carry information:
+    ``b = #(1→0)``, ``c = #(0→1)``,
+    ``χ² = (|b−c|−1)²/(b+c)`` (Edwards continuity correction), and
+    the 1-dof chi-square tail is computed EXACTLY as
+    ``p = 2·Φ̄(√χ²)`` — an identity, not an approximation, so the
+    only inexactness is the shared A&S erf polynomial.
+
+    Scale shape: one hash aggregation over subjects per group —
+    counts only, no pairwise anything; subjects arrive pre-collapsed
+    by the caller's keyed aggregation.
+
+    Output per group: ``(*group_cols, n, n_pre, n_post, b, c, chi2,
+    p_value)`` — null chi2/p when b + c = 0 (no discordant pairs).
+    """
+    from .quality import normal_p_two_sided
+
+    g = list(group_cols)
+    pre = F.col(pre_col).cast("boolean")
+    post = F.col(post_col).cast("boolean")
+    agg = df.groupBy(*[F.col(c) for c in g]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_pre"),
+        F.sum(F.when(post, 1).otherwise(0)).cast("long").alias("n_post"),
+        F.sum(F.when(pre & ~post, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~pre & post, 1).otherwise(0)).cast("long").alias("c"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    num = (F.abs(bd - cd) - F.lit(1.0))
+    chi2 = F.try_divide(
+        F.greatest(num, F.lit(0.0)) * F.greatest(num, F.lit(0.0)),
+        bd + cd,
+    )
+    ok = (F.col("b") + F.col("c")) > 0
+    return agg.select(
+        *g,
+        "n",
+        "n_pre",
+        "n_post",
+        "b",
+        "c",
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.round(
+            F.when(ok, normal_p_two_sided(F.sqrt(chi2))), 6
+        ).alias("p_value"),
+    )

@@ -2972,3 +2972,106 @@ def poisson_rate_test(
             F.when(n > 0, normal_p_two_sided(z)), 6
         ).alias("p_value"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kruskal–Wallis H test (Kruskal & Wallis 1952): the k-group
+    rank-sum generalization of Mann–Whitney (x159) and the
+    non-parametric complement to one-way ANOVA (x214) — does at least
+    one group's value distribution sit above the others, without
+    assuming normality.  The corpus-curation use: heavy-tailed
+    document lengths / quality scores across k sources or languages,
+    where ANOVA's mean comparison is dominated by the tail.
+
+    Mechanics: pooled midranks with the same DOUBLED-integer-rank
+    trick as ``mann_whitney_u`` (``2·avg_rank = 2·prior + cnt + 1`` —
+    exact integer arithmetic through every rank sum), then
+    ``H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)``, tie-corrected by
+    ``C = 1 − Σ(t³−t)/(N³−N)`` (``H_adj = H/C``), p-value via the
+    Wilson–Hilferty chi-square tail with k−1 dof (the x213 pairing).
+
+    Scale shape: rows collapse to ``(stratum, value, group) → cnt``
+    FIRST, the rank window runs over the distinct-value support per
+    stratum (the ``distribution_drift`` bounded-support discipline —
+    quantize continuous metrics before calling, rank tests are
+    invariant to the monotone binning).  Per-group R_g² terms are
+    decimal-cast before the cross-group sum (order-insensitive).
+    Tie cubes stay in BIGINT — exact while N < 2²¹ per stratum;
+    quantized supports at 100 TB keep per-value counts inside that.
+
+    Output per stratum: ``(*partition_cols, k, n, h, h_adj,
+    p_value)`` (6 dp; null h/p when k < 2 or every value ties).
+    """
+    from .quality import normal_sf
+
+    parts = [F.col(c) for c in partition_cols]
+    v, g = F.col(value_col), F.col(group_col)
+    base = df.where(v.isNotNull() & g.isNotNull())
+    lvl = base.groupBy(*parts, v.alias("__v"), g.alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    lvl = lvl.localCheckpoint(eager=True)  # feeds val_tot AND join-back
+    val_tot = lvl.groupBy(*parts, "__v").agg(
+        F.sum("__c").cast("long").alias("__cv")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
+        "__v"
+    )
+    prior = F.coalesce(
+        F.sum("__cv").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    ranked = val_tot.withColumn("__r2", 2 * prior + F.col("__cv") + 1)
+    per_group = (
+        lvl.join(ranked, on=[*partition_cols, "__v"])
+        .groupBy(*parts, "__g")
+        .agg(
+            F.sum("__c").cast("long").alias("__ng"),
+            F.sum(F.col("__c") * F.col("__r2")).cast("long").alias("__r2g"),
+        )
+    )
+    # R_g = __r2g/2; term_g = R_g²/n_g, decimal-cast for the k-sum
+    term = (
+        (F.col("__r2g").cast("double") / F.lit(2.0))
+        * (F.col("__r2g").cast("double") / F.lit(2.0))
+        / F.col("__ng").cast("double")
+    ).cast("decimal(38,12)")
+    gagg = per_group.groupBy(*parts).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.sum(term).cast("double").alias("__rsum"),
+    )
+    ties = val_tot.groupBy(*parts).agg(
+        F.sum(
+            F.col("__cv") * F.col("__cv") * F.col("__cv") - F.col("__cv")
+        ).cast("long").alias("__t3")
+    )
+    both = (
+        gagg.join(ties, on=list(partition_cols))
+        if partition_cols
+        else gagg.crossJoin(F.broadcast(ties))
+    )
+    nd = F.col("n").cast("double")
+    h = F.lit(12.0) / (nd * (nd + 1.0)) * F.col("__rsum") - 3.0 * (nd + 1.0)
+    c_tie = F.lit(1.0) - F.col("__t3").cast("double") / (nd * nd * nd - nd)
+    h_adj = F.try_divide(h, c_tie)
+    dof = (F.col("k") - 1).cast("double")
+    wh_z = (
+        F.exp(F.log(F.try_divide(h_adj, dof)) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    p = F.when(h_adj <= 0, F.lit(1.0)).otherwise(normal_sf(wh_z))
+    ok = (F.col("k") >= 2) & (c_tie > 0)
+    return both.select(
+        *partition_cols,
+        "k",
+        "n",
+        F.round(F.when(ok, h), 6).alias("h"),
+        F.round(F.when(ok, h_adj), 6).alias("h_adj"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )

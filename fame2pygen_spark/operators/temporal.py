@@ -1770,3 +1770,103 @@ def page_hinkley(
             ).alias("alarm_at"),
         )
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    max_points: int = 60,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test (Mann 1945, Kendall 1975) per
+    series: ``S = Σ_{i<j} sign(y_j − y_i)`` over time-ordered points,
+    tie-corrected variance ``Var(S) = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)]/18``, continuity-corrected
+    ``z = (S∓1)/√Var``, two-sided A&S p-value.  The significance
+    companion to the Theil–Sen slope (x78): Theil–Sen says how steep,
+    Mann–Kendall says whether the monotone drift is real — the
+    standard pairing for metric-drift monitoring (is per-day mean
+    latency/quality actually trending, or wandering).
+
+    Scale containment mirrors ``theil_sen_trend``: callers pass an
+    already-collapsed one-row-per-(entity, period) frame; the
+    *max_points* most recent periods are kept per entity (row_number
+    window, entity-partitioned), bounding the pairwise stage at
+    max_points²/2 rows per entity; the pair join is an entity-keyed
+    equi-join — co-partitioned, no cross-entity traffic.  Values are
+    rounded to 6 dp BEFORE the sign comparison so the discrete
+    sign() agrees across engines on float-boundary pairs; S and the
+    tie terms are then exact integers, the only float math is the
+    final z/p from integer totals.
+
+    Output: ``(entity, n_points, s_stat, var_s, z, p_value)`` — z/p
+    null when n_points < 2 or Var(S) = 0 (all values tied).
+    """
+    from .quality import normal_p_two_sided
+
+    pts = series.select(
+        F.col(entity_col).alias("entity"),
+        F.col(order_col).alias("__d"),
+        F.round(F.col(value_col).cast("double"), 6).alias("__y"),
+    ).where(F.col("__y").isNotNull())
+    recent = (
+        pts.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("entity").orderBy(F.desc("__d"))
+            ),
+        )
+        .where(F.col("__rn") <= int(max_points))
+        .drop("__rn")
+    ).localCheckpoint(eager=True)  # feeds pairs (x2), ties, counts
+    a = recent.select(
+        "entity", F.col("__d").alias("__d1"), F.col("__y").alias("__y1")
+    )
+    b = recent.select(
+        "entity", F.col("__d").alias("__d2"), F.col("__y").alias("__y2")
+    )
+    s = (
+        a.join(b, on="entity")
+        .where(F.col("__d1") < F.col("__d2"))
+        .groupBy("entity")
+        .agg(
+            F.sum(
+                F.when(F.col("__y2") > F.col("__y1"), 1)
+                .when(F.col("__y2") < F.col("__y1"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    cnt = recent.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    t = F.col("__t").cast("long")
+    ties = (
+        recent.groupBy("entity", "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy("entity")
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("__tsum")
+        )
+    )
+    out = cnt.join(s, on="entity", how="left").join(ties, on="entity")
+    n = F.col("n_points").cast("double")
+    var_s = (
+        n * (n - 1.0) * (2.0 * n + 5.0)
+        - F.col("__tsum").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var_s)).when(
+        F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    ok = (F.col("n_points") >= 2) & (var_s > 0)
+    return out.select(
+        "entity",
+        "n_points",
+        "s_stat",
+        F.round(F.when(F.col("n_points") >= 2, var_s), 6).alias("var_s"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.round(F.when(ok, normal_p_two_sided(z)), 6).alias("p_value"),
+    )

@@ -699,3 +699,353 @@ ORDER BY event_type
 
 EXT9_QUERIES.update({"x216_poisson_rates": q_x216_poisson_rates})
 EXT9_ORACLES.update({"x216_poisson_rates": _sql_x216()})
+
+
+# ----------------------------- x217: Kruskal-Wallis H
+
+
+def q_x217_kruskal_wallis(spark, sf_dir):
+    """Document-length Kruskal-Wallis across languages (operators/
+    sketch.py: kruskal_wallis): the k-group rank test — does at least
+    one language's length distribution dominate — robust to the
+    heavy-tailed lengths where the ANOVA mean screen (x214, which
+    tests sources) chases the tail.  Doubled-integer midranks over
+    the distinct-length support keep every rank sum exact."""
+    from .operators.sketch import kruskal_wallis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kruskal_wallis(docs, "n_chars", "lang")
+
+
+def _sql_x217() -> str:
+    dof = "CAST(k - 1 AS DOUBLE)"
+    wh_z = (
+        f"((exp(ln(h_adj / {dof}) / 3.0)"
+        f" - (1.0 - 2.0 / (9.0 * {dof})))"
+        f" / sqrt(2.0 / (9.0 * {dof})))"
+    )
+    return f"""
+WITH lvl AS (
+  SELECT n_chars AS v, lang AS g, COUNT(*) AS c
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+vt AS (SELECT v, SUM(c) AS cv FROM lvl GROUP BY v),
+rk AS (
+  SELECT v, cv,
+         2 * COALESCE(SUM(cv) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cv + 1 AS r2
+  FROM vt
+),
+pg AS (
+  SELECT l.g, SUM(l.c) AS ng, SUM(l.c * r.r2) AS r2g
+  FROM lvl l JOIN rk r ON l.v = r.v
+  GROUP BY l.g
+),
+ga AS (
+  SELECT COUNT(*) AS k, SUM(ng) AS n,
+         CAST(SUM(CAST((CAST(r2g AS DOUBLE) / 2.0)
+                       * (CAST(r2g AS DOUBLE) / 2.0)
+                       / CAST(ng AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) AS rsum
+  FROM pg
+),
+tt AS (SELECT SUM(cv * cv * cv - cv) AS t3 FROM vt),
+m1 AS (
+  SELECT k, CAST(n AS DOUBLE) AS nd, n, rsum, t3,
+         12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rsum
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+         1.0 - CAST(t3 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c_tie
+  FROM ga CROSS JOIN tt
+),
+m2 AS (SELECT *, h / c_tie AS h_adj FROM m1)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN k >= 2 AND c_tie > 0 THEN ROUND(h, 6) END AS h,
+       CASE WHEN k >= 2 AND c_tie > 0 THEN ROUND(h_adj, 6) END AS h_adj,
+       CASE WHEN k >= 2 AND c_tie > 0
+            THEN ROUND(CASE WHEN h_adj <= 0 THEN 1.0
+                            ELSE {_normal_sf_sql(wh_z)} END, 6)
+       END AS p_value
+FROM m2
+"""
+
+
+EXT9_QUERIES.update({"x217_kruskal_wallis": q_x217_kruskal_wallis})
+EXT9_ORACLES.update({"x217_kruskal_wallis": _sql_x217()})
+
+
+# ----------------------------- x218: Mann-Kendall trend test
+
+
+def q_x218_mann_kendall(spark, sf_dir):
+    """Per-event-type Mann-Kendall monotone-trend test on the daily
+    mean value series (operators/temporal.py: mann_kendall) — the
+    significance companion to the Theil-Sen slope (x78): S counts
+    concordant-minus-discordant day pairs, tie-corrected variance,
+    continuity-corrected z, A&S two-sided p."""
+    from .operators.temporal import mann_kendall
+
+    ev = _read_events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    out = mann_kendall(daily, "event_type", "day", "x", max_points=60)
+    return out.withColumnRenamed("entity", "event_type").orderBy(
+        "event_type"
+    )
+
+
+def _sql_x218() -> str:
+    z = (
+        "(CASE WHEN s_stat > 0"
+        " THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)"
+        " WHEN s_stat < 0"
+        " THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)"
+        " ELSE 0.0 END)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+               / COUNT(*), 6) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+cnt AS (SELECT event_type, COUNT(*) AS n_points FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tsum
+  FROM (SELECT event_type, x, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+m AS (
+  SELECT c.event_type, c.n_points,
+         COALESCE(s.s_stat, 0) AS s_stat,
+         (CAST(c.n_points AS DOUBLE) * (CAST(c.n_points AS DOUBLE) - 1.0)
+          * (2.0 * CAST(c.n_points AS DOUBLE) + 5.0)
+          - CAST(t.tsum AS DOUBLE)) / 18.0 AS var_s
+  FROM cnt c LEFT JOIN s ON s.event_type = c.event_type
+  JOIN ties t ON t.event_type = c.event_type
+)
+SELECT event_type,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       CASE WHEN n_points >= 2 THEN ROUND(var_s, 6) END AS var_s,
+       CASE WHEN n_points >= 2 AND var_s > 0
+            THEN ROUND({z}, 6) END AS z,
+       CASE WHEN n_points >= 2 AND var_s > 0
+            THEN ROUND({_normal_p_two_sided_sql(z)}, 6) END AS p_value
+FROM m
+ORDER BY event_type
+"""
+
+
+EXT9_QUERIES.update({"x218_mann_kendall": q_x218_mann_kendall})
+EXT9_ORACLES.update({"x218_mann_kendall": _sql_x218()})
+
+
+# ----------------------------- x219: Cochran-Armitage trend
+
+
+_X219_THRESH = 50.0
+
+
+def q_x219_cochran_armitage(spark, sf_dir):
+    """Weekly high-value-share trend per event type (operators/
+    behavior.py: cochran_armitage_trend): dose = calendar week
+    (ordered), outcome = event value above the alert threshold — the
+    one-dof ordered-trend test that x213's any-association chi-square
+    has no power for.  One keyed aggregation to the (type, week)
+    dose table; the test is column algebra on those rows."""
+    from .operators.behavior import cochran_armitage_trend
+
+    ev = _read_events(spark, sf_dir)
+    counts = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 604800000000").cast("long").alias("week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(
+                F.when(F.col("value") > F.lit(_X219_THRESH), 1).otherwise(0)
+            ).cast("long").alias("succ"),
+        )
+    )
+    out = cochran_armitage_trend(
+        counts, "week", "succ", "total", ["event_type"]
+    )
+    return out.orderBy("event_type")
+
+
+def _sql_x219() -> str:
+    z = "(t_stat / sqrt(var_t))"
+    return f"""
+WITH counts AS (
+  SELECT event_type,
+         epoch_us(ts) // 604800000000 AS week,
+         COUNT(*) AS total,
+         SUM(CASE WHEN value > {_X219_THRESH!r} THEN 1 ELSE 0 END) AS succ
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_levels,
+         SUM(total) AS n,
+         SUM(succ) AS n_success,
+         SUM(week * succ) AS sx,
+         SUM(week * total) AS sn,
+         SUM(week * week * total) AS s2n
+  FROM counts
+  GROUP BY 1
+),
+m AS (
+  SELECT event_type, n_levels, n, n_success,
+         CAST(sx AS DOUBLE)
+           - (CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+             * CAST(sn AS DOUBLE) AS t_stat,
+         (CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1.0 - CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s2n AS DOUBLE)
+              - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS var_t
+  FROM agg
+)
+SELECT event_type,
+       CAST(n_levels AS BIGINT) AS n_levels,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_success AS BIGINT) AS n_success,
+       CASE WHEN n_levels >= 2 AND var_t > 0
+            THEN ROUND({z}, 6) END AS z,
+       CASE WHEN n_levels >= 2 AND var_t > 0
+            THEN ROUND({_normal_p_two_sided_sql(z)}, 6) END AS p_value
+FROM m
+ORDER BY event_type
+"""
+
+
+EXT9_QUERIES.update({"x219_cochran_armitage": q_x219_cochran_armitage})
+EXT9_ORACLES.update({"x219_cochran_armitage": _sql_x219()})
+
+
+# ----------------------------- x220: McNemar paired flip test
+
+
+_X220_CUT_DAY = 19738  # 2024-01-16 — midpoint of the 30-day window
+
+
+def q_x220_mcnemar(spark, sf_dir):
+    """Before/after user-activity flips per event type (operators/
+    behavior.py: mcnemar_test): subject = user, pre/post = any
+    activity of the type in each half of the window — the paired
+    test that removes between-user variance from "did the same users
+    keep doing this".  Subjects are the full user x type grid
+    (broadcast type side) so concordant-absent pairs count in n."""
+    from .operators.behavior import mcnemar_test
+
+    ev = _read_events(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000")
+    flags = ev.groupBy("user_id", "event_type").agg(
+        F.max(
+            F.when(day < F.lit(_X220_CUT_DAY), 1).otherwise(0)
+        ).alias("pre_raw"),
+        F.max(
+            F.when(day >= F.lit(_X220_CUT_DAY), 1).otherwise(0)
+        ).alias("post_raw"),
+    )
+    grid = ev.select("user_id").distinct().crossJoin(
+        F.broadcast(ev.select("event_type").distinct())
+    )
+    subj = grid.join(flags, on=["user_id", "event_type"], how="left").select(
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("pre_raw"), F.lit(0)).alias("pre"),
+        F.coalesce(F.col("post_raw"), F.lit(0)).alias("post"),
+    )
+    out = mcnemar_test(
+        subj, ["user_id"], "pre", "post", ["event_type"]
+    )
+    return out.orderBy("event_type")
+
+
+def _sql_x220() -> str:
+    chi2 = (
+        "(GREATEST(ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0, 0.0)"
+        " * GREATEST(ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0, 0.0)"
+        " / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)))"
+    )
+    return f"""
+WITH ev2 AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+flags AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN day < {_X220_CUT_DAY} THEN 1 ELSE 0 END) AS pre,
+         MAX(CASE WHEN day >= {_X220_CUT_DAY} THEN 1 ELSE 0 END) AS post
+  FROM ev2
+  GROUP BY 1, 2
+),
+subj AS (
+  SELECT u.user_id, t.event_type,
+         COALESCE(f.pre, 0) AS pre, COALESCE(f.post, 0) AS post
+  FROM (SELECT DISTINCT user_id FROM ev2) u
+  CROSS JOIN (SELECT DISTINCT event_type FROM ev2) t
+  LEFT JOIN flags f
+    ON f.user_id = u.user_id AND f.event_type = t.event_type
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(pre) AS n_pre,
+         SUM(post) AS n_post,
+         SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS c
+  FROM subj
+  GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pre AS BIGINT) AS n_pre,
+       CAST(n_post AS BIGINT) AS n_post,
+       CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c,
+       CASE WHEN b + c > 0 THEN ROUND({chi2}, 6) END AS chi2,
+       CASE WHEN b + c > 0
+            THEN ROUND({_normal_p_two_sided_sql(f"sqrt({chi2})")}, 6)
+       END AS p_value
+FROM agg
+ORDER BY event_type
+"""
+
+
+EXT9_QUERIES.update({"x220_mcnemar": q_x220_mcnemar})
+EXT9_ORACLES.update({"x220_mcnemar": _sql_x220()})

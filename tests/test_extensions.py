@@ -5197,3 +5197,139 @@ def test_poisson_rate_test_hand_counts(spark):
     assert up["z"] == round(want_z, 6)
     assert up["p_value"] < 0.001
     assert up["rate_a"] == 10.0 and up["rate_b"] == 5.0
+
+
+def test_kruskal_wallis_hand_three_groups(spark):
+    """x217: separated groups 1-3/4-6/7-9 give the textbook H = 7.2
+    (rank sums 6/15/24, no ties); all-tied values degenerate to null;
+    a single group is null too."""
+    from fame2pygen_spark.operators.sketch import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3),
+         ("b", 4), ("b", 5), ("b", 6),
+         ("c", 7), ("c", 8), ("c", 9)],
+        "g string, v long",
+    )
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert r["k"] == 3 and r["n"] == 9
+    assert r["h"] == 7.2 and r["h_adj"] == 7.2
+    assert 0.02 < r["p_value"] < 0.04  # scipy: 0.0273
+
+    tied = spark.createDataFrame(
+        [("a", 5)] * 4 + [("b", 5)] * 4, "g string, v long"
+    )
+    r0 = kruskal_wallis(tied, "v", "g").collect()[0]
+    assert r0["h"] is None and r0["p_value"] is None
+
+    one = spark.createDataFrame([("a", v) for v in (1, 2, 3)],
+                                "g string, v long")
+    r1 = kruskal_wallis(one, "v", "g").collect()[0]
+    assert r1["k"] == 1 and r1["h"] is None
+
+
+def test_kruskal_wallis_midranks_match_scipy(spark):
+    """Tie-heavy table agrees with scipy.stats.kruskal to 1e-6
+    (midranks + tie correction)."""
+    from fame2pygen_spark.operators.sketch import kruskal_wallis
+
+    ga = [1, 1, 2, 2, 3, 5, 5]
+    gb = [2, 3, 3, 4, 5, 5, 8]
+    df = spark.createDataFrame(
+        [("a", v) for v in ga] + [("b", v) for v in gb],
+        "g string, v long",
+    )
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    try:
+        from scipy.stats import kruskal as _kw
+        want = _kw(ga, gb).statistic
+        assert abs(r["h_adj"] - round(want, 6)) <= 1e-6
+    except ImportError:
+        assert r["h_adj"] is not None and r["h_adj"] > 0
+
+
+def test_mann_kendall_hand_series(spark):
+    """x218: a strictly increasing 5-point series has S = 10,
+    Var = 50/3, z = 9/sqrt(50/3); decreasing mirrors the sign; a
+    constant series has zero variance -> null z."""
+    import math
+
+    from fame2pygen_spark.operators.temporal import mann_kendall
+
+    up = [("s", d, float(d)) for d in range(1, 6)]
+    down = [("t", d, float(6 - d)) for d in range(1, 6)]
+    flat = [("u", d, 2.0) for d in range(1, 6)]
+    df = spark.createDataFrame(
+        up + down + flat, "e string, d long, y double"
+    )
+    out = {r["entity"]: r for r in
+           mann_kendall(df, "e", "d", "y").collect()}
+    z_want = round(9.0 / math.sqrt(50.0 / 3.0), 6)
+    assert out["s"]["s_stat"] == 10 and out["s"]["z"] == z_want
+    assert out["t"]["s_stat"] == -10 and out["t"]["z"] == -z_want
+    assert out["s"]["var_s"] == round(50.0 / 3.0, 6)
+    assert 0.02 < out["s"]["p_value"] < 0.04  # exact normal: 0.0275
+    assert out["u"]["s_stat"] == 0 and out["u"]["z"] is None
+    # max_points keeps the most RECENT points: with the first 3 of
+    # the rising series cut, S recomputes over days 4..5 only
+    capped = {r["entity"]: r for r in
+              mann_kendall(df, "e", "d", "y", max_points=2).collect()}
+    assert capped["s"]["n_points"] == 2 and capped["s"]["s_stat"] == 1
+
+
+def test_cochran_armitage_hand_and_shift_invariance(spark):
+    """x219: the textbook 1/5/9-of-10 dose response gives
+    z = 8/sqrt(5); adding a constant to every dose score leaves the
+    statistic unchanged (location invariance of the trend score)."""
+    import math
+
+    from fame2pygen_spark.operators.behavior import cochran_armitage_trend
+
+    rows = [("g", 0, 1, 10), ("g", 1, 5, 10), ("g", 2, 9, 10)]
+    df = spark.createDataFrame(rows, "grp string, s long, x1 long, n long")
+    r = cochran_armitage_trend(df, "s", "x1", "n", ["grp"]).collect()[0]
+    z_want = round(8.0 / math.sqrt(5.0), 6)
+    assert r["n"] == 30 and r["n_success"] == 15
+    assert r["z"] == z_want and r["p_value"] < 0.001
+
+    shifted = spark.createDataFrame(
+        [("g", s + 10, x1, n) for (_, s, x1, n) in rows],
+        "grp string, s long, x1 long, n long",
+    )
+    r2 = cochran_armitage_trend(
+        shifted, "s", "x1", "n", ["grp"]
+    ).collect()[0]
+    assert r2["z"] == r["z"] and r2["p_value"] == r["p_value"]
+
+    flat = spark.createDataFrame(
+        [("g", 0, 5, 10), ("g", 1, 5, 10)],
+        "grp string, s long, x1 long, n long",
+    )
+    r3 = cochran_armitage_trend(flat, "s", "x1", "n", ["grp"]).collect()[0]
+    assert r3["z"] == 0.0 and r3["p_value"] == 1.0
+
+
+def test_mcnemar_hand_cells(spark):
+    """x220: b=5/c=15 discordant pairs give the continuity-corrected
+    chi2 = 81/20 = 4.05; b=c gives chi2 = 0 (clamped |b-c|-1) with
+    p = 1; no discordant pairs -> null."""
+    from fame2pygen_spark.operators.behavior import mcnemar_test
+
+    def frame(b, c, both=10, neither=20):
+        rows = (
+            [(i, 1, 0) for i in range(b)]
+            + [(100 + i, 0, 1) for i in range(c)]
+            + [(200 + i, 1, 1) for i in range(both)]
+            + [(300 + i, 0, 0) for i in range(neither)]
+        )
+        return spark.createDataFrame(rows, "uid long, pre int, post int")
+
+    r = mcnemar_test(frame(5, 15), ["uid"], "pre", "post").collect()[0]
+    assert r["b"] == 5 and r["c"] == 15 and r["n"] == 50
+    assert r["chi2"] == 4.05 and 0.03 < r["p_value"] < 0.06  # exact .0442
+
+    r0 = mcnemar_test(frame(3, 3), ["uid"], "pre", "post").collect()[0]
+    assert r0["chi2"] == 0.0 and r0["p_value"] == 1.0
+
+    rn = mcnemar_test(frame(0, 0), ["uid"], "pre", "post").collect()[0]
+    assert rn["chi2"] is None and rn["p_value"] is None

@@ -48,6 +48,10 @@ SENSITIVE = [
     "x213_chi_square",
     "x214_anova",
     "x215_logrank",
+    "x217_kruskal_wallis",
+    "x218_mann_kendall",
+    "x219_cochran_armitage",
+    "x220_mcnemar",
 ]
 
 

@@ -748,3 +748,25 @@ def test_drift_dashboard_windows_stay_dimension_keyed(spark):
 def test_r4_batch17_operators_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x217_kruskal_wallis",   # bounded distinct-support rank window
+        "x218_mann_kendall",     # entity-keyed pair join, <=60 pts/entity
+        "x219_cochran_armitage", # one keyed agg + k-level reduce
+        "x220_mcnemar",          # keyed flags + broadcast type grid
+    ],
+)
+def test_r4_batch18_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_mann_kendall_pair_join_stays_entity_keyed(spark):
+    # the O(n^2) pair stage must be an entity equi-join (SortMerge or
+    # Hash on entity), never a cross product filtered afterwards
+    plan = plan_of(spark, "x218_mann_kendall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
