@@ -1855,3 +1855,151 @@ def mcnemar_test(
             F.when(ok, normal_p_two_sided(F.sqrt(chi2))), 6
         ).alias("p_value"),
     )
+
+
+def delta_method_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Closed-form delta-method variance of a ratio-of-sums metric
+    with unit-level clustering (Deng, Knoblich & Lu 2018, "Applying
+    the Delta Method in Metric Analytics"): for ``R = ΣY_u / ΣN_u``
+    over units u,
+
+    ``Var(R) ≈ (s_yy − 2R·s_yn + R²·s_nn) / (k · n̄²)``
+
+    with s_* the sample (co)variances of the per-unit pairs
+    ``(Y_u, N_u)`` and ``n̄`` the mean denominator.  The analytic
+    counterpart to the bucketed jackknife (``sketch.
+    jackknife_ratio_se``): no replicates at all, one pass of decimal
+    moments — the two should (and in the registry do) agree to a few
+    percent, which is itself a useful health check on either.
+
+    Engine-exactness: per-unit sums use decimal(15,8); moment
+    products are the asymmetric (20,8)x(15,8) pairing — the width
+    that is exact in BOTH engines (a symmetric square trips DuckDB's
+    int64 fast path at runtime); all cross-unit sums are decimal;
+    the variance composition is one double expression over those
+    exact totals.
+
+    Scale shape: one keyed agg to units, one keyed agg to groups —
+    nothing else.
+
+    Output: ``(*group_cols, n_units, ratio, se, ci_lo, ci_hi)``
+    (6 dp); se null when k < 2 or the denominator total is 0.
+    """
+    g = list(group_cols)
+    dec = "decimal(15,8)"
+    wide = "decimal(20,8)"
+    per_unit = (
+        df.where(F.col(num_col).isNotNull() & F.col(den_col).isNotNull())
+        .groupBy(*g, F.col(unit_col).alias("__u"))
+        .agg(
+            F.sum(F.col(num_col).cast(dec)).cast(dec).alias("__yu"),
+            F.sum(F.col(den_col).cast(dec)).cast(dec).alias("__nu"),
+        )
+    )
+    # (20,8)x(15,8): the one decimal product width that is exact in
+    # BOTH engines (Spark 36, DuckDB 35; a symmetric (18,6)^2 trips
+    # DuckDB's int64 fast path at runtime)
+    agg = per_unit.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__yu").cast("double").alias("__sy"),
+        F.sum("__nu").cast("double").alias("__sn"),
+        F.sum(F.col("__yu").cast(wide) * F.col("__yu"))
+        .cast("double").alias("__syy"),
+        F.sum(F.col("__nu").cast(wide) * F.col("__nu"))
+        .cast("double").alias("__snn"),
+        F.sum(F.col("__yu").cast(wide) * F.col("__nu"))
+        .cast("double").alias("__syn"),
+    )
+    k = F.col("n_units").cast("double")
+    r = F.try_divide(F.col("__sy"), F.col("__sn"))
+    nbar = F.col("__sn") / k
+    s_yy = (F.col("__syy") - F.col("__sy") * F.col("__sy") / k) / (k - 1.0)
+    s_nn = (F.col("__snn") - F.col("__sn") * F.col("__sn") / k) / (k - 1.0)
+    s_yn = (F.col("__syn") - F.col("__sy") * F.col("__sn") / k) / (k - 1.0)
+    var = F.try_divide(
+        s_yy - 2.0 * r * s_yn + r * r * s_nn, k * nbar * nbar
+    )
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ok = (F.col("n_units") >= 2) & (F.col("__sn") != 0.0)
+    return agg.select(
+        *g,
+        "n_units",
+        F.round(r, 6).alias("ratio"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, r - F.lit(float(z)) * se), 6).alias("ci_lo"),
+        F.round(F.when(ok, r + F.lit(float(z)) * se), 6).alias("ci_hi"),
+    )
+
+
+def mde_table(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    alpha_z: float = 1.959964,
+    power_z: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect at current traffic: for each group,
+    the absolute and relative lift a 50/50 two-arm experiment on the
+    per-unit metric could detect at two-sided α (z_{α/2} =
+    *alpha_z*) and power 1−β (z_β = *power_z*):
+
+    ``MDE = (z_{α/2} + z_β) · sqrt(2·s² / (k/2))``
+
+    with s² the sample variance of per-unit values and k the unit
+    count — the pre-experiment feasibility readout every A/B
+    program keeps on a dashboard ("can this segment even detect a
+    2% move?").  Normal-quantile constants are injected as literals
+    (neither engine exposes an inverse normal CDF; the defaults are
+    α = 0.05, power = 0.80).
+
+    Engine-exactness: decimal(15,8) per-unit sums and the
+    (20,8)x(15,8) moment product (the ``delta_method_ratio``
+    discipline); the MDE is one double composition over exact
+    totals.
+
+    Scale shape: one keyed agg to units, one to groups.
+
+    Output: ``(*group_cols, n_units, n_per_arm, mean, sd, mde_abs,
+    mde_rel)`` (6 dp); null MDE when k < 4 or zero variance.
+    """
+    g = list(group_cols)
+    dec = "decimal(15,8)"
+    per_unit = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*g, F.col(unit_col).alias("__u"))
+        .agg(F.sum(F.col(value_col).cast(dec)).cast(dec).alias("__yu"))
+    )
+    agg = per_unit.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__yu").cast("double").alias("__sy"),
+        F.sum(F.col("__yu").cast("decimal(20,8)") * F.col("__yu"))
+        .cast("double").alias("__syy"),
+    )
+    k = F.col("n_units").cast("double")
+    mean = F.col("__sy") / k
+    var = (F.col("__syy") - F.col("__sy") * F.col("__sy") / k) / (k - 1.0)
+    n_arm = F.floor(F.col("n_units") / 2).cast("long")
+    mde = (
+        F.lit(float(alpha_z) + float(power_z))
+        * F.sqrt(2.0 * var / n_arm.cast("double"))
+    )
+    ok = (F.col("n_units") >= 4) & (var > 0)
+    return agg.select(
+        *g,
+        "n_units",
+        n_arm.alias("n_per_arm"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(F.col("n_units") >= 2, F.sqrt(var)), 6).alias("sd"),
+        F.round(F.when(ok, mde), 6).alias("mde_abs"),
+        F.round(F.when(ok, F.try_divide(mde, mean)), 6).alias("mde_rel"),
+    )

@@ -1245,3 +1245,114 @@ def wilson_intervals(
         (F.round(center - half, 6) + F.lit(0.0)).alias("ci_lo"),
         (F.round(center + half, 6) + F.lit(0.0)).alias("ci_hi"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table for a scorer against a binary
+    outcome — the decile view every targeting model ships with: sort
+    by score descending, cut into *n_bins* equal-count bins, and ask
+    "how much of the positive class do the top k bins capture, and
+    at what lift over base rate".  The rank-free companion to AUC
+    (x146: one number) and the calibration curve (x109/x170:
+    probability quality) — gains answer the operational question
+    "where do I set the budget cutoff".
+
+    Binning discipline: rows collapse to the distinct-score support
+    first (the ``mann_whitney_u`` bounded-support shape), bins come
+    from integer arithmetic on the DESCENDING cumulative count
+    (``bin = 1 + prior·n_bins div N``), and a whole tie-group lands
+    in ONE bin (the bin of its first row) — deterministic in both
+    engines, no per-row ntile over a global sort (the skew_profile
+    lesson: a row-level global window dies at 10⁹ rows; the distinct
+    support after 6-dp score rounding is the bounded object).  Bin
+    sizes are therefore equal only up to tie-group granularity —
+    the honest behavior when a score has mass points.
+
+    Scale shape: one keyed agg to (group, score) cells, one window
+    over the distinct support per group, one n_bins-row window for
+    the cumulative columns.
+
+    Output per (group, bin): ``(*group_cols, bin, n, n_pos,
+    pos_rate, lift, cum_n, cum_pos, cum_capture, cum_lift)`` (6 dp);
+    lift null when the group has no positives.
+    """
+    g = list(group_cols)
+    score = F.round(F.col(score_col).cast("double"), 6)
+    lab = F.col(label_col).cast("boolean")
+    cells = (
+        df.where(score.isNotNull() & lab.isNotNull())
+        .groupBy(*g, score.alias("__s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("__p"),
+        )
+    )
+    wdesc = Window.partitionBy(*[F.col(c) for c in g]).orderBy(
+        F.desc("__s")
+    )
+    prior = F.coalesce(
+        F.sum("__n").over(wdesc.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in g])
+    binned = (
+        cells.withColumn("__prior", prior)
+        .withColumn("__tot", F.sum("__n").over(wall))
+        .withColumn("__totp", F.sum("__p").over(wall))
+        .withColumn(
+            "bin",
+            (
+                F.lit(1)
+                + F.expr(f"(__prior * {int(n_bins)}) div __tot")
+            ).cast("long"),
+        )
+    )
+    per_bin = binned.groupBy(*g, "bin").agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.max("__tot").cast("long").alias("__tot"),
+        F.max("__totp").cast("long").alias("__totp"),
+    )
+    wcum = Window.partitionBy(*[F.col(c) for c in g]).orderBy("bin")
+    cum = per_bin.withColumn(
+        "__cn",
+        F.sum("n").over(wcum.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "__cp",
+        F.sum("n_pos").over(
+            wcum.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    base = F.try_divide(
+        F.col("__totp").cast("double"), F.col("__tot").cast("double")
+    )
+    pos_rate = F.try_divide(
+        F.col("n_pos").cast("double"), F.col("n").cast("double")
+    )
+    cum_rate = F.try_divide(
+        F.col("__cp").cast("double"), F.col("__cn").cast("double")
+    )
+    return cum.select(
+        *g,
+        "bin",
+        "n",
+        "n_pos",
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.try_divide(pos_rate, base), 6).alias("lift"),
+        F.col("__cn").cast("long").alias("cum_n"),
+        F.col("__cp").cast("long").alias("cum_pos"),
+        F.round(
+            F.try_divide(
+                F.col("__cp").cast("double"), F.col("__totp").cast("double")
+            ),
+            6,
+        ).alias("cum_capture"),
+        F.round(F.try_divide(cum_rate, base), 6).alias("cum_lift"),
+    ).orderBy(*g, "bin")

@@ -3075,3 +3075,130 @@ def kruskal_wallis(
         F.round(F.when(ok, h_adj), 6).alias("h_adj"),
         F.round(F.when(ok, p), 6).alias("p_value"),
     )
+
+
+def jackknife_ratio_se(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    n_buckets: int = 32,
+    salt: str = "jk",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of a ratio metric
+    (the production technique for cluster-correlated ratio metrics —
+    Google's "bucketed jackknife", cf. Chamandy et al. 2012): units
+    are hashed into *n_buckets* deterministic buckets, the ratio is
+    recomputed leaving each bucket out (cheap: totals minus the
+    bucket's sums — no second pass), and
+    ``SE² = (B−1)/B · Σ_b (R₍b₎ − R̄)²``.  The clustered complement
+    to the row-bootstrap (``bootstrap_se``): per-unit collapse first
+    means repeated events of one unit move between replicates
+    TOGETHER, which is what makes the SE honest under within-unit
+    correlation.
+
+    Mechanics: (1) one keyed agg to per-unit (num, den) decimal sums;
+    (2) bucket = md5-prefix(salt ':' unit) mod B (the
+    ``uniform_hash01`` integer idiom — engine-portable, so both
+    engines build identical buckets); (3) per-bucket decimal sums;
+    (4) leave-one-out ratios from broadcast totals — decimal
+    subtraction keeps them exact before the one double division;
+    (5) moment-form SS with decimal-cast replicate terms
+    (order-insensitive).  Empty buckets simply don't appear: B_eff =
+    buckets actually hit (standard practice when k < B).
+
+    Scale shape: two keyed aggs (unit, then bucket) + a B-row reduce
+    per group; nothing grows with raw row count past the first agg.
+
+    Output: ``(*group_cols, n_units, n_buckets_used, ratio, se_jk,
+    ci_lo, ci_hi)`` (6 dp); SE null when fewer than 2 buckets are hit.
+    """
+    g = list(group_cols)
+    dec = "decimal(25,12)"
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("__u").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(n_buckets)
+    )
+    per_unit = (
+        df.where(F.col(num_col).isNotNull() & F.col(den_col).isNotNull())
+        .groupBy(*g, F.col(unit_col).alias("__u"))
+        .agg(
+            F.sum(F.col(num_col).cast(dec)).alias("__yu"),
+            F.sum(F.col(den_col).cast(dec)).alias("__du"),
+        )
+        .withColumn("__b", bucket)
+    )
+    per_bucket = per_unit.groupBy(*g, "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__ku"),
+        F.sum("__yu").alias("__yb"),
+        F.sum("__du").alias("__db"),
+    )
+    totals = per_bucket.groupBy(*g).agg(
+        F.sum("__ku").cast("long").alias("n_units"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum("__yb").alias("__yt"),
+        F.sum("__db").alias("__dt"),
+    )
+    joined = (
+        per_bucket.join(totals, on=g)
+        if g
+        else per_bucket.crossJoin(F.broadcast(totals))
+    )
+    loo = F.try_divide(
+        (F.col("__yt") - F.col("__yb")).cast("double"),
+        (F.col("__dt") - F.col("__db")).cast("double"),
+    )
+    rep = joined.select(
+        *g,
+        "n_units",
+        "n_buckets_used",
+        F.col("__yt"),
+        F.col("__dt"),
+        loo.alias("__r"),
+    )
+    agg = rep.groupBy(*g).agg(
+        F.max("n_units").alias("n_units"),
+        F.max("n_buckets_used").alias("bused"),
+        F.max("__yt").alias("__yt"),
+        F.max("__dt").alias("__dt"),
+        F.sum(F.col("__r").cast("decimal(38,18)")).cast("double").alias(
+            "__s1"
+        ),
+        F.sum(
+            (F.col("__r") * F.col("__r")).cast("decimal(38,18)")
+        ).cast("double").alias("__s2"),
+        F.count(F.col("__r")).cast("long").alias("__kr"),
+    )
+    bd = F.col("__kr").cast("double")
+    ss = F.col("__s2") - F.col("__s1") * F.col("__s1") / bd
+    se = F.sqrt(
+        F.greatest((bd - 1.0) / bd * ss, F.lit(0.0))
+    )
+    ratio = F.try_divide(
+        F.col("__yt").cast("double"), F.col("__dt").cast("double")
+    )
+    ok = F.col("__kr") >= 2
+    return agg.select(
+        *g,
+        "n_units",
+        F.col("bused").alias("n_buckets_used"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(F.when(ok, se), 6).alias("se_jk"),
+        F.round(F.when(ok, ratio - F.lit(float(z)) * se), 6).alias("ci_lo"),
+        F.round(F.when(ok, ratio + F.lit(float(z)) * se), 6).alias("ci_hi"),
+    )

@@ -1049,3 +1049,301 @@ ORDER BY event_type
 
 EXT9_QUERIES.update({"x220_mcnemar": q_x220_mcnemar})
 EXT9_ORACLES.update({"x220_mcnemar": _sql_x220()})
+
+
+# ----------------------------- x221: bucketed jackknife ratio SE
+
+
+def q_x221_jackknife(spark, sf_dir):
+    """User-clustered jackknife SE of mean event value per type
+    (operators/sketch.py: jackknife_ratio_se): 32 deterministic
+    md5 buckets over users, leave-one-bucket-out ratios from totals
+    minus bucket sums — the production-shape uncertainty for ratio
+    metrics whose rows are correlated within users (the row
+    bootstrap x192 understates this)."""
+    from .operators.sketch import jackknife_ratio_se
+
+    ev = _read_events(spark, sf_dir).withColumn("one", F.lit(1))
+    out = jackknife_ratio_se(
+        ev, "value", "one", "user_id", ["event_type"]
+    )
+    return out.orderBy("event_type")
+
+
+def _sql_x221() -> str:
+    z = repr(1.959964)
+    return f"""
+WITH pu AS (
+  SELECT event_type, user_id AS u,
+         SUM(CAST(value AS DECIMAL(25,12))) AS yu,
+         SUM(CAST(1 AS DECIMAL(25,12))) AS du
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pb AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('jk:' || CAST(u AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS b,
+         COUNT(*) AS ku, SUM(yu) AS yb, SUM(du) AS db_
+  FROM pu
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(ku) AS n_units, COUNT(*) AS bused,
+         SUM(yb) AS yt, SUM(db_) AS dt
+  FROM pb
+  GROUP BY 1
+),
+rep AS (
+  SELECT p.event_type, t.n_units, t.bused, t.yt, t.dt,
+         CAST(t.yt - p.yb AS DOUBLE) / CAST(t.dt - p.db_ AS DOUBLE) AS r
+  FROM pb p JOIN tot t USING (event_type)
+),
+agg AS (
+  SELECT event_type,
+         MAX(n_units) AS n_units, MAX(bused) AS bused,
+         MAX(yt) AS yt, MAX(dt) AS dt,
+         CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+         COUNT(r) AS kr
+  FROM rep
+  GROUP BY 1
+),
+m AS (
+  SELECT event_type, n_units, bused, kr,
+         CAST(yt AS DOUBLE) / CAST(dt AS DOUBLE) AS ratio,
+         sqrt(GREATEST(
+           (CAST(kr AS DOUBLE) - 1.0) / CAST(kr AS DOUBLE)
+           * (s2 - s1 * s1 / CAST(kr AS DOUBLE)), 0.0)) AS se
+  FROM agg
+)
+SELECT event_type,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(bused AS BIGINT) AS n_buckets_used,
+       ROUND(ratio, 6) AS ratio,
+       CASE WHEN kr >= 2 THEN ROUND(se, 6) END AS se_jk,
+       CASE WHEN kr >= 2 THEN ROUND(ratio - {z} * se, 6) END AS ci_lo,
+       CASE WHEN kr >= 2 THEN ROUND(ratio + {z} * se, 6) END AS ci_hi
+FROM m
+ORDER BY event_type
+"""
+
+
+EXT9_QUERIES.update({"x221_jackknife": q_x221_jackknife})
+EXT9_ORACLES.update({"x221_jackknife": _sql_x221()})
+
+
+# ----------------------------- x222: delta-method ratio CI
+
+
+def q_x222_delta_method(spark, sf_dir):
+    """Closed-form delta-method SE for the same user-clustered
+    mean-value-per-event metric as x221 (operators/behavior.py:
+    delta_method_ratio) — no replicates, one pass of decimal
+    moments; agreeing with the jackknife within a few percent is
+    the standing health check on both."""
+    from .operators.behavior import delta_method_ratio
+
+    ev = _read_events(spark, sf_dir).withColumn("one", F.lit(1))
+    out = delta_method_ratio(
+        ev, "value", "one", "user_id", ["event_type"]
+    )
+    return out.orderBy("event_type")
+
+
+def _sql_x222() -> str:
+    z = repr(1.959964)
+    return f"""
+WITH pu AS (
+  SELECT event_type, user_id AS u,
+         CAST(SUM(CAST(value AS DECIMAL(15,8))) AS DECIMAL(15,8)) AS yu,
+         CAST(SUM(CAST(1 AS DECIMAL(15,8))) AS DECIMAL(15,8)) AS nu
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_units,
+         CAST(SUM(yu) AS DOUBLE) AS sy,
+         CAST(SUM(nu) AS DOUBLE) AS sn,
+         CAST(SUM(CAST(yu AS DECIMAL(20,8)) * yu) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(nu AS DECIMAL(20,8)) * nu) AS DOUBLE) AS snn,
+         CAST(SUM(CAST(yu AS DECIMAL(20,8)) * nu) AS DOUBLE) AS syn
+  FROM pu
+  GROUP BY 1
+),
+m AS (
+  SELECT event_type, n_units, sy, sn,
+         sy / sn AS r,
+         sn / CAST(n_units AS DOUBLE) AS nbar,
+         (syy - sy * sy / CAST(n_units AS DOUBLE))
+           / (CAST(n_units AS DOUBLE) - 1.0) AS e_yy,
+         (snn - sn * sn / CAST(n_units AS DOUBLE))
+           / (CAST(n_units AS DOUBLE) - 1.0) AS e_nn,
+         (syn - sy * sn / CAST(n_units AS DOUBLE))
+           / (CAST(n_units AS DOUBLE) - 1.0) AS e_yn
+  FROM agg
+),
+v AS (
+  SELECT event_type, n_units, sn, r,
+         sqrt(GREATEST(
+           (e_yy - 2.0 * r * e_yn + r * r * e_nn)
+           / (CAST(n_units AS DOUBLE) * nbar * nbar), 0.0)) AS se
+  FROM m
+)
+SELECT event_type,
+       CAST(n_units AS BIGINT) AS n_units,
+       ROUND(r, 6) AS ratio,
+       CASE WHEN n_units >= 2 AND sn <> 0.0
+            THEN ROUND(se, 6) END AS se,
+       CASE WHEN n_units >= 2 AND sn <> 0.0
+            THEN ROUND(r - {z} * se, 6) END AS ci_lo,
+       CASE WHEN n_units >= 2 AND sn <> 0.0
+            THEN ROUND(r + {z} * se, 6) END AS ci_hi
+FROM v
+ORDER BY event_type
+"""
+
+
+EXT9_QUERIES.update({"x222_delta_method": q_x222_delta_method})
+EXT9_ORACLES.update({"x222_delta_method": _sql_x222()})
+
+
+# ----------------------------- x223: minimum detectable effect
+
+
+def q_x223_mde(spark, sf_dir):
+    """Pre-experiment MDE feasibility per event type (operators/
+    behavior.py: mde_table): the absolute/relative lift a 50/50
+    split on per-user total value could detect at alpha=.05 /
+    power=.80 with today's traffic — the dashboard row every A/B
+    program checks before committing a segment."""
+    from .operators.behavior import mde_table
+
+    ev = _read_events(spark, sf_dir)
+    return mde_table(ev, "value", "user_id", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+def _sql_x223() -> str:
+    zsum = repr(1.959964 + 0.841621)
+    return f"""
+WITH pu AS (
+  SELECT event_type, user_id AS u,
+         CAST(SUM(CAST(value AS DECIMAL(15,8))) AS DECIMAL(15,8)) AS yu
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_units,
+         CAST(SUM(yu) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(yu AS DECIMAL(20,8)) * yu) AS DOUBLE) AS syy
+  FROM pu
+  GROUP BY 1
+),
+m AS (
+  SELECT event_type, n_units,
+         sy / CAST(n_units AS DOUBLE) AS mean,
+         (syy - sy * sy / CAST(n_units AS DOUBLE))
+           / (CAST(n_units AS DOUBLE) - 1.0) AS var,
+         n_units // 2 AS n_arm
+  FROM agg
+),
+d AS (
+  SELECT event_type, n_units, n_arm, mean, var,
+         {zsum} * sqrt(2.0 * var / CAST(n_arm AS DOUBLE)) AS mde
+  FROM m
+)
+SELECT event_type,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_arm AS BIGINT) AS n_per_arm,
+       ROUND(mean, 6) AS mean,
+       CASE WHEN n_units >= 2 THEN ROUND(sqrt(var), 6) END AS sd,
+       CASE WHEN n_units >= 4 AND var > 0
+            THEN ROUND(mde, 6) END AS mde_abs,
+       CASE WHEN n_units >= 4 AND var > 0
+            THEN ROUND(mde / mean, 6) END AS mde_rel
+FROM d
+ORDER BY event_type
+"""
+
+
+EXT9_QUERIES.update({"x223_mde": q_x223_mde})
+EXT9_ORACLES.update({"x223_mde": _sql_x223()})
+
+
+# ----------------------------- x224: cumulative gains / lift table
+
+
+def q_x224_gains(spark, sf_dir):
+    """Gains/lift deciles for a length-based English screen
+    (operators/quality.py: gains_table): score = n_chars, outcome =
+    lang = 'en' — the budget-cutoff view (top-k capture and lift)
+    that AUC (x146) compresses away.  Tie-group binning over the
+    distinct-score support, no row-level global ntile."""
+    from .operators.quality import gains_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.where(F.col("lang").isNotNull()).withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    return gains_table(d, "n_chars", "is_en", n_bins=10)
+
+
+SQL_X224 = """
+WITH cells AS (
+  SELECT ROUND(CAST(n_chars AS DOUBLE), 6) AS s,
+         COUNT(*) AS n,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1
+),
+b AS (
+  SELECT s, n, p,
+         COALESCE(SUM(n) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior,
+         SUM(n) OVER () AS tot,
+         SUM(p) OVER () AS totp
+  FROM cells
+),
+pb AS (
+  SELECT 1 + (prior * 10) // tot AS bin,
+         SUM(n) AS n, SUM(p) AS n_pos,
+         MAX(tot) AS tot, MAX(totp) AS totp
+  FROM b
+  GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, n_pos, tot, totp,
+         SUM(n) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM pb
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(totp AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS lift,
+       CAST(cn AS BIGINT) AS cum_n,
+       CAST(cp AS BIGINT) AS cum_pos,
+       ROUND(CAST(cp AS DOUBLE) / CAST(totp AS DOUBLE), 6)
+         AS cum_capture,
+       ROUND((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+             / (CAST(totp AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+         AS cum_lift
+FROM cum
+ORDER BY bin
+"""
+
+EXT9_QUERIES.update({"x224_gains": q_x224_gains})
+EXT9_ORACLES.update({"x224_gains": SQL_X224})

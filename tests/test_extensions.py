@@ -5333,3 +5333,129 @@ def test_mcnemar_hand_cells(spark):
 
     rn = mcnemar_test(frame(0, 0), ["uid"], "pre", "post").collect()[0]
     assert rn["chi2"] is None and rn["p_value"] is None
+
+
+def test_jackknife_ratio_se_python_replica(spark):
+    """x221: the bucketed leave-one-out SE reproduces an independent
+    Python replica of the same md5 bucketing and moment algebra; a
+    constant per-unit metric gives SE = 0."""
+    import hashlib
+    import math
+
+    from fame2pygen_spark.operators.sketch import jackknife_ratio_se
+
+    rows = [(u, float(u % 7 + 1), 1) for u in range(40)]
+    df = spark.createDataFrame(rows, "uid long, y double, one int")
+    r = jackknife_ratio_se(df, "y", "one", "uid", n_buckets=8).collect()[0]
+
+    B = 8
+    buckets = {}
+    for u, y, one in rows:
+        h = int(hashlib.md5(f"jk:{u}".encode()).hexdigest()[:8], 16) % B
+        yb, db, ku = buckets.get(h, (0.0, 0.0, 0))
+        buckets[h] = (yb + y, db + 1.0, ku + 1)
+    yt = sum(v[0] for v in buckets.values())
+    dt = sum(v[1] for v in buckets.values())
+    reps = [(yt - yb) / (dt - db) for yb, db, _ in buckets.values()]
+    k = len(reps)
+    s1, s2 = sum(reps), sum(x * x for x in reps)
+    se = math.sqrt(max((k - 1) / k * (s2 - s1 * s1 / k), 0.0))
+    assert r["n_units"] == 40 and r["n_buckets_used"] == k
+    assert r["ratio"] == round(yt / dt, 6)
+    assert r["se_jk"] == round(se, 6)
+
+    const = spark.createDataFrame(
+        [(u, 5.0, 1) for u in range(20)], "uid long, y double, one int"
+    )
+    r0 = jackknife_ratio_se(
+        const, "y", "one", "uid", n_buckets=8
+    ).collect()[0]
+    assert r0["se_jk"] == 0.0 and r0["ratio"] == 5.0
+
+
+def test_delta_method_ratio_hand_two_units(spark):
+    """x222: units (1,1) and (3,1) give R=2 with delta-method
+    se = 1 exactly; identical units give se = 0."""
+    from fame2pygen_spark.operators.behavior import delta_method_ratio
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1), (2, 3.0, 1)], "uid long, y double, one int"
+    )
+    r = delta_method_ratio(df, "y", "one", "uid").collect()[0]
+    assert r["ratio"] == 2.0 and r["se"] == 1.0
+    assert r["ci_lo"] == round(2.0 - 1.959964, 6)
+    assert r["ci_hi"] == round(2.0 + 1.959964, 6)
+
+    same = spark.createDataFrame(
+        [(u, 4.0, 2) for u in range(6)], "uid long, y double, one int"
+    )
+    r0 = delta_method_ratio(same, "y", "one", "uid").collect()[0]
+    assert r0["ratio"] == 2.0 and r0["se"] == 0.0
+
+
+def test_delta_method_agrees_with_jackknife(spark):
+    """The two ratio-SE mechanisms agree within 25% on a well-behaved
+    metric — the cross-check both docstrings advertise."""
+    from fame2pygen_spark.operators.behavior import delta_method_ratio
+    from fame2pygen_spark.operators.sketch import jackknife_ratio_se
+
+    rows = [
+        (u, float((u * 37) % 11 + (u % 3)), 1)
+        for u in range(200)
+        for _ in range((u % 4) + 1)
+    ]
+    df = spark.createDataFrame(rows, "uid long, y double, one int")
+    dm = delta_method_ratio(df, "y", "one", "uid").collect()[0]
+    jk = jackknife_ratio_se(df, "y", "one", "uid").collect()[0]
+    assert dm["ratio"] == jk["ratio"]
+    assert abs(dm["se"] - jk["se_jk"]) / dm["se"] < 0.25
+
+
+def test_mde_table_hand_four_units(spark):
+    """x223: per-unit totals 10/10/20/20 give mean 15, var 100/3,
+    n_per_arm 2, MDE = 2.801585*sqrt(var)."""
+    import math
+
+    from fame2pygen_spark.operators.behavior import mde_table
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 20.0), (4, 20.0)],
+        "uid long, y double",
+    )
+    r = mde_table(df, "y", "uid").collect()[0]
+    var = 100.0 / 3.0
+    assert r["n_units"] == 4 and r["n_per_arm"] == 2
+    assert r["mean"] == 15.0 and r["sd"] == round(math.sqrt(var), 6)
+    want = (1.959964 + 0.841621) * math.sqrt(2.0 * var / 2.0)
+    assert r["mde_abs"] == round(want, 6)
+    assert r["mde_rel"] == round(want / 15.0, 6)
+
+    tiny = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "uid long, y double"
+    )
+    r0 = mde_table(tiny, "y", "uid").collect()[0]
+    assert r0["mde_abs"] is None  # k < 4: no feasible split readout
+
+
+def test_gains_table_hand_deciles(spark):
+    """x224: perfect separation (top half positive) doubles the lift
+    in the top bins; an all-tied score collapses to one bin with
+    lift 1."""
+    from fame2pygen_spark.operators.quality import gains_table
+
+    rows = [(i, float(100 - i), i < 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, y boolean")
+    out = {r["bin"]: r for r in
+           gains_table(df, "score", "y", n_bins=5).collect()}
+    assert len(out) == 5 and out[1]["n"] == 2
+    assert out[1]["pos_rate"] == 1.0 and out[1]["lift"] == 2.0
+    assert out[1]["cum_capture"] == 0.4
+    assert out[3]["cum_capture"] == 1.0  # bins 1-3 hold all 5 positives
+    assert out[5]["cum_lift"] == 1.0 and out[5]["cum_n"] == 10
+
+    tied = spark.createDataFrame(
+        [(i, 7.0, i % 2 == 0) for i in range(10)],
+        "id long, score double, y boolean",
+    )
+    t = gains_table(tied, "score", "y", n_bins=5).collect()
+    assert len(t) == 1 and t[0]["bin"] == 1 and t[0]["lift"] == 1.0

@@ -52,6 +52,10 @@ SENSITIVE = [
     "x218_mann_kendall",
     "x219_cochran_armitage",
     "x220_mcnemar",
+    "x221_jackknife",
+    "x222_delta_method",
+    "x223_mde",
+    "x224_gains",
 ]
 
 

@@ -770,3 +770,17 @@ def test_mann_kendall_pair_join_stays_entity_keyed(spark):
     plan = plan_of(spark, "x218_mann_kendall")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x221_jackknife",     # unit agg -> 32-bucket agg -> B-row reduce
+        "x222_delta_method",  # two keyed aggs, pure column algebra
+        "x223_mde",           # two keyed aggs
+        "x224_gains",         # distinct-support window, tie-group bins
+    ],
+)
+def test_r4_batch19_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
