@@ -2003,3 +2003,138 @@ def mde_table(
         F.round(F.when(ok, mde), 6).alias("mde_abs"),
         F.round(F.when(ok, F.try_divide(mde, mean)), 6).alias("mde_rel"),
     )
+
+
+def randomization_test(
+    units: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    y_col: str,
+    *,
+    n_perm: int = 100,
+    salt: str = "perm",
+) -> DataFrame:
+    """Hash-randomization test for a difference in unit-level means:
+    the observed ``mean_a − mean_b`` is ranked against *n_perm*
+    pseudo-random reassignments of units to arms, and the p-value is
+    the fraction of reassignments at least as extreme —
+    ``p = (1 + #{|Δ_b| ≥ |Δ_obs|}) / (n_perm + 1)`` (Monte-Carlo
+    randomization inference, Edgington 1969 / Fisher's exact logic
+    without any normality or variance assumption — the
+    distribution-free cross-check on the z/t screens x66/x222 for
+    heavy-tailed metrics where CLT-based SEs lie).
+
+    Reassignment b for unit u is the parity of a salted md5 hash of
+    ``(salt, b, u)`` — fully deterministic, replayable in ANSI SQL,
+    and independent across b.  (This is RANDOMIZATION inference —
+    arms are re-drawn 50/50 per unit, Binomial sizes — not the
+    fixed-margin permutation variant, which would need a global
+    shuffle-sort per replicate; at n_units → ∞ the two coincide.)
+
+    Engine-exactness: y is quantized at decimal(28,6) (the
+    ``corr_pairs`` idiom) so every per-arm sum is exact; each Δ_b is
+    then one double expression, and the ≥ comparison is on exact
+    doubles — replicate accumulation order cannot flip the count.
+
+    Scale shape: the *n_perm*-fold explode replicates the UNIT table
+    (already collapsed from the event grain), not the fact table:
+    cost is O(n_units · n_perm) rows into ONE map-side-combinable
+    hash agg of 2·n_perm cells.  No global sorts, no windows.
+
+    Output: one row ``(n_units, n_a, n_b, n_perm, diff_obs,
+    n_as_extreme, p_value)`` (6 dp).
+    """
+    n_perm = int(n_perm)
+    dec = "decimal(28,6)"
+    u = units.where(
+        F.col(unit_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(unit_col).cast("string").alias("__u"),
+        F.col(variant_col).alias("__v"),
+        F.col(y_col).cast(dec).alias("__y"),
+    )
+    obs = u.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(F.col("__v") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__v") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__v") == "a", F.col("__y"))).alias("__sa"),
+        F.sum(F.when(F.col("__v") == "b", F.col("__y"))).alias("__sb"),
+    )
+    d_obs = (
+        F.col("__sa").cast("double") / F.col("n_a").cast("double")
+        - F.col("__sb").cast("double") / F.col("n_b").cast("double")
+    )
+    obs = obs.select(
+        "n_units", "n_a", "n_b", d_obs.alias("__d_obs")
+    )
+    rep = u.select(
+        "__u",
+        "__y",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("__b"),
+    )
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("__b").cast("string"),
+                        F.col("__u"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_b = (
+        rep.withColumn("__arm", parity)
+        .groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("__na"),
+            F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__nb"),
+            F.sum(F.when(F.col("__arm") == 0, F.col("__y"))).alias("__pa"),
+            F.sum(F.when(F.col("__arm") == 1, F.col("__y"))).alias("__pb"),
+        )
+        .select(
+            (
+                F.col("__pa").cast("double") / F.col("__na").cast("double")
+                - F.col("__pb").cast("double") / F.col("__nb").cast("double")
+            ).alias("__d")
+        )
+    )
+    ranked = per_b.crossJoin(F.broadcast(obs)).groupBy(
+        "n_units", "n_a", "n_b", "__d_obs"
+    ).agg(
+        F.sum(
+            F.when(F.abs(F.col("__d")) >= F.abs(F.col("__d_obs")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_as_extreme")
+    )
+    return ranked.select(
+        "n_units",
+        "n_a",
+        "n_b",
+        F.lit(n_perm).cast("long").alias("n_perm"),
+        F.round(F.col("__d_obs"), 6).alias("diff_obs"),
+        "n_as_extreme",
+        F.round(
+            (F.col("n_as_extreme") + 1).cast("double")
+            / F.lit(float(n_perm + 1)),
+            6,
+        ).alias("p_value"),
+    )

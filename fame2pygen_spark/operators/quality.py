@@ -1356,3 +1356,112 @@ def gains_table(
         ).alias("cum_capture"),
         F.round(F.try_divide(cum_rate, base), 6).alias("cum_lift"),
     ).orderBy(*g, "bin")
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: Column | None = None,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over a
+    (subject × item) score matrix: ``α = k/(k−1) · (1 − Σσ²_i/σ²_T)``
+    where σ²_i is the per-item score variance and σ²_T the variance
+    of per-subject totals (Cronbach 1951) — "do these k signals
+    measure one underlying trait", the reliability gate a composite
+    quality score (k heuristic columns summed into one number) needs
+    before the composite is trusted.
+
+    *value_col* defaults to a count of rows (a (subject, item)
+    event-count matrix); missing cells are ZERO, implemented without
+    densifying — the zero cells change neither Σx nor Σx² per item,
+    and the per-subject totals are sums over observed cells only, so
+    no subject×item grid is ever materialized.
+
+    Engine-exactness: scores are integers (counts or an integer
+    measure) so every moment is an exact decimal(38,0) sum; only the
+    final variance ratio is double.  Population (N-denominator)
+    variances — the α value is denominator-invariant since the n's
+    cancel.
+
+    Scale shape: one (subject, item) hash agg, then one k-row item
+    agg + one |subjects|-row total agg, both map-side combinable.
+    k (items) must be small (it is a questionnaire width, not data
+    scale); subjects are unbounded.
+
+    Output: one row ``(k_items, n_subjects, sum_item_var,
+    total_var, alpha)`` (6 dp).
+    """
+    v = (F.lit(1) if value_col is None else value_col).cast("decimal(19,0)")
+    cell = (
+        df.where(F.col(subject_col).isNotNull()
+                 & F.col(item_col).isNotNull())
+        .groupBy(
+            F.col(subject_col).alias("__s"), F.col(item_col).alias("__i")
+        )
+        .agg(F.sum(v).alias("__x"))
+    )
+    # distinct subject count first: items may not all touch every
+    # subject, and zero cells must count in every item's N
+    n_subj = cell.select(
+        F.countDistinct("__s").cast("long").alias("n_subjects")
+    )
+    items = (
+        cell.groupBy("__i")
+        .agg(
+            F.sum("__x").alias("__s1"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+        )
+        .crossJoin(F.broadcast(n_subj))
+        .select(
+            F.col("n_subjects"),
+            (
+                F.col("__s2").cast("double")
+                / F.col("n_subjects").cast("double")
+                - (
+                    F.col("__s1").cast("double")
+                    / F.col("n_subjects").cast("double")
+                )
+                ** 2
+            )
+            .cast("decimal(38,18)")
+            .alias("__var_i"),
+        )
+        .groupBy("n_subjects")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_items"),
+            F.sum("__var_i").cast("double").alias("__sum_var"),
+        )
+    )
+    totals = (
+        cell.groupBy("__s")
+        .agg(F.sum("__x").alias("__t"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__t").alias("__t1"),
+            F.sum(F.col("__t") * F.col("__t")).alias("__t2"),
+        )
+        .select(
+            (
+                F.col("__t2").cast("double") / F.col("__n").cast("double")
+                - (
+                    F.col("__t1").cast("double")
+                    / F.col("__n").cast("double")
+                )
+                ** 2
+            ).alias("__tot_var")
+        )
+    )
+    out = items.crossJoin(F.broadcast(totals))
+    k = F.col("k_items").cast("double")
+    alpha = F.try_divide(k, k - 1.0) * (
+        F.lit(1.0) - F.try_divide(F.col("__sum_var"), F.col("__tot_var"))
+    )
+    return out.select(
+        "k_items",
+        "n_subjects",
+        F.round(F.col("__sum_var"), 6).alias("sum_item_var"),
+        F.round(F.col("__tot_var"), 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )

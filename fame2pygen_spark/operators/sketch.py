@@ -3202,3 +3202,150 @@ def jackknife_ratio_se(
         F.round(F.when(ok, ratio - F.lit(float(z)) * se), 6).alias("ci_lo"),
         F.round(F.when(ok, ratio + F.lit(float(z)) * se), 6).alias("ci_hi"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test: one-way ANOVA F
+    computed on ``z = |x − median_g|`` — "do these k groups have the
+    same SPREAD", the assumption check that should run before the
+    mean-comparison ANOVA (x214) is trusted (Brown & Forsythe 1974;
+    the median-centered Levene variant, robust to non-normality).
+
+    Engine-exactness: the group center is the LOWER median (the
+    element at rank ``(n+1) div 2`` of the group's sort order) — an
+    order statistic both engines select identically, with none of
+    interpolation's float averaging; z is then a single IEEE double
+    subtraction (deterministic), and the z-moments use the
+    ``partial_correlation`` (28,6) quantized-decimal sums so group
+    accumulation order cannot move the F statistic.
+
+    Scale shape: one keyed rank window for the medians (same shape as
+    ``weighted_quantiles``), a k-row broadcast join back, then ONE
+    hash aggregation.  No global windows.
+
+    Output: one row ``(k, n, f_stat, df1, df2)`` (6 dp).
+    """
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__x"))
+    # row_number ties among equal values are assignment-arbitrary, but
+    # the VALUE at any rank is unique — the order statistic is stable
+    ranked = base.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__g").orderBy("__x"))
+    ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__g")))
+    med = (
+        ranked.where(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("__g", F.col("__x").alias("__med"))
+    )
+    z = base.join(F.broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__x") - F.col("__med")).alias("__z")
+    )
+    dec = "decimal(28,6)"
+    cz = F.col("__z")
+    g = z.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(cz.cast(dec)).alias("__s1"),
+        F.sum((cz * cz).cast(dec)).alias("__s2"),
+    )
+    ng = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    per = g.select(
+        "__n",
+        "__s1",
+        "__s2",
+        ((s1 * s1) / ng).cast("decimal(38,18)").alias("__b_t"),
+        (s2 - (s1 * s1) / ng).cast("decimal(38,18)").alias("__w_t"),
+    )
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s1").alias("__S1"),
+        F.sum("__b_t").cast("double").alias("__bsum"),
+        F.sum("__w_t").cast("double").alias("__ssw"),
+    )
+    N = F.col("n").cast("double")
+    grand = F.col("__S1").cast("double") * F.col("__S1").cast("double") / N
+    ssb = F.col("__bsum") - grand
+    df1 = (F.col("k") - 1).cast("double")
+    df2 = (F.col("n") - F.col("k")).cast("double")
+    fstat = F.try_divide(ssb / df1, F.col("__ssw") / df2)
+    return agg.select(
+        "k",
+        "n",
+        F.round(fstat, 6).alias("f_stat"),
+        df1.cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way intraclass correlation ICC(1): the share of total
+    variance that lives BETWEEN groups — "how much does knowing the
+    user tell you about the next value", the clustering-strength
+    number that decides whether per-unit collapse (the jackknife
+    x221 / delta-method x222 prerequisite) is actually necessary.
+
+    ICC(1) = (MSB − MSW) / (MSB + (k₀−1)·MSW) with the unbalanced
+    correction k₀ = (N − Σn_g²/N)/(G−1) (Donner 1986).  All moments
+    are the exact (19,0)² integer-decimal sums of ``oneway_anova``;
+    Σn_g² is an exact BIGINT-as-decimal sum, so nothing depends on
+    accumulation order.
+
+    Scale shape: ONE keyed hash aggregation (G rows) + one G-row
+    reduce — identical cost to the ANOVA it extends.
+
+    Output: one row ``(k, n, k0, msb, msw, icc1)`` (6 dp).
+    """
+    cd = F.col(value_col).cast("decimal(19,0)")
+    g = (
+        df.where(F.col(value_col).isNotNull()
+                 & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(cd).alias("__s1"),
+            F.sum(cd * cd).alias("__s2"),
+        )
+    )
+    ng = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    per = g.select(
+        "__n",
+        "__s1",
+        "__s2",
+        (F.col("__n") * F.col("__n")).cast("decimal(38,0)").alias("__n2"),
+        ((s1 * s1) / ng).cast("decimal(38,18)").alias("__b_t"),
+        (s2 - (s1 * s1) / ng).cast("decimal(38,18)").alias("__w_t"),
+    )
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__n2").alias("__sn2"),
+        F.sum("__s1").alias("__S1"),
+        F.sum("__b_t").cast("double").alias("__bsum"),
+        F.sum("__w_t").cast("double").alias("__ssw"),
+    )
+    N = F.col("n").cast("double")
+    G = F.col("k").cast("double")
+    grand = F.col("__S1").cast("double") * F.col("__S1").cast("double") / N
+    ssb = F.col("__bsum") - grand
+    msb = F.try_divide(ssb, G - 1.0)
+    msw = F.try_divide(F.col("__ssw"), N - G)
+    k0 = F.try_divide(
+        N - F.col("__sn2").cast("double") / N, G - 1.0
+    )
+    icc = F.try_divide(msb - msw, msb + (k0 - 1.0) * msw)
+    return agg.select(
+        "k",
+        "n",
+        F.round(k0, 6).alias("k0"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(icc, 6).alias("icc1"),
+    )

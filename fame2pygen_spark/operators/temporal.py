@@ -1870,3 +1870,193 @@ def mann_kendall(
         F.round(F.when(ok, z), 6).alias("z"),
         F.round(F.when(ok, normal_p_two_sided(z)), 6).alias("p_value"),
     )
+
+
+def durbin_watson(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Durbin–Watson serial-correlation test on the residuals of a
+    per-group OLS trend fit: ``DW = Σ(e_t − e_{t−1})² / Σe_t²``
+    (Durbin & Watson 1950) — "after removing the trend, are the
+    errors independent?"; DW ≈ 2 means yes, → 0 positive
+    autocorrelation (the trend's SEs are overconfident), → 4
+    negative.  The residual-side companion to the raw-series
+    autocorrelation scan (x70): x70 answers "does the SERIES remember
+    itself", this answers "does the MODEL's leftover".
+
+    *x_col* must be an integer time index (day number) — Σx, Σx² are
+    then exact; y-moments are quantized at decimal(28,6) (the
+    ``group_trend`` idiom) so the fitted (slope, intercept) is one
+    deterministic double expression.  Each residual is a single IEEE
+    double expression of (y, x, slope, intercept) — identical in any
+    engine — and the DW terms are decimal(38,12)-cast before the
+    keyed sum, so row order cannot move the statistic.
+
+    Scale shape: one keyed hash agg (moments), a per-group-row join
+    back (group cardinality rows — broadcastable), one keyed lag
+    window, one keyed agg.  All shuffles are on *group_cols*.
+
+    Output: ``(*group_cols, n, slope, dw, rho1)`` — rho1 = 1 − DW/2,
+    the implied lag-1 residual correlation (6 dp).
+    """
+    g = list(group_cols)
+    dec = "decimal(28,6)"
+    staged = series.where(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(*g, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    m = staged.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).cast("double").alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    dxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.try_divide(
+        n * F.col("__sxy") - F.col("__sx") * F.col("__sy"), dxx
+    )
+    fit = m.select(
+        *g,
+        F.col("__n"),
+        slope.alias("__slope"),
+        ((F.col("__sy") - slope * F.col("__sx")) / n).alias("__icept"),
+    )
+    resid = staged.join(fit, g).select(
+        *g,
+        F.col("__n"),
+        F.col("__slope"),
+        F.col("__x"),
+        (
+            F.col("__y")
+            - (F.col("__icept") + F.col("__slope") * F.col("__x"))
+        ).alias("__e"),
+    )
+    w = Window.partitionBy(*g).orderBy("__x")
+    terms = resid.withColumn("__el", F.lag("__e").over(w)).select(
+        *g,
+        F.col("__n"),
+        F.col("__slope"),
+        (F.col("__e") * F.col("__e")).cast("decimal(38,12)").alias("__e2"),
+        F.when(
+            F.col("__el").isNotNull(),
+            (
+                (F.col("__e") - F.col("__el"))
+                * (F.col("__e") - F.col("__el"))
+            ).cast("decimal(38,12)"),
+        ).alias("__d2"),
+    )
+    out = terms.groupBy(*g, "__n", "__slope").agg(
+        F.sum("__e2").cast("double").alias("__se2"),
+        F.sum("__d2").cast("double").alias("__sd2"),
+    )
+    dw = F.try_divide(F.col("__sd2"), F.col("__se2"))
+    return out.select(
+        *g,
+        F.col("__n").alias("n"),
+        F.round(F.col("__slope"), 6).alias("slope"),
+        F.round(dw, 6).alias("dw"),
+        F.round(F.lit(1.0) - dw / 2.0, 6).alias("rho1"),
+    )
+
+
+def periodicity_scan(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    periods: Sequence[int] = (2, 3, 4, 5, 6, 7, 10, 14),
+) -> DataFrame:
+    """Dominant-period detection without trigonometry: for each
+    candidate period p, the seasonal strength is the share of total
+    variance explained by the phase means, ``R²(p) = SS_between(
+    day mod p) / SS_total`` — the fixed-effects periodogram (an
+    eta-squared per candidate period; the ANOVA view of seasonality,
+    same quantity an intraclass correlation measures over phase
+    classes).  Trig-free means ENGINE-EXACT: a DFT periodogram hinges
+    on libm cos/sin ulps, while every term here is an integer count
+    or a quantized-decimal sum.
+
+    Picks ``best_period = argmax_p R²(p)`` with ties to the SMALLEST
+    p (p and any multiple explain nested variance; the fundamental
+    wins).  Caller supplies a regular integer index in *x_col* (day
+    number from ``ts div day_us``); gaps are fine — phases just thin.
+
+    Scale shape: the series (already one row per (group, x) — the
+    caller's aggregation grain, NOT the event grain) explodes
+    |periods|-fold, then ONE (group, p, phase) hash agg, a
+    (group, p) term-sum, and a struct-max argmax agg per group.  No
+    windows, no sorts; everything map-side combinable.
+
+    Output: ``(*group_cols, n_points, best_period, strength)``
+    (strength 6 dp; ties broken by smaller period deterministically).
+    """
+    g = list(group_cols)
+    plist = [int(p) for p in periods]
+    dec = "decimal(28,6)"
+    staged = series.where(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(*g, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    tot = staged.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__y").cast(dec)).alias("__s1"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec)).alias("__s2"),
+    )
+    ph = (
+        staged.select(
+            *g,
+            "__x",
+            "__y",
+            F.explode(
+                F.array(*[F.lit(p) for p in plist])
+            ).alias("__p"),
+        )
+        .groupBy(*g, "__p", F.expr("__x % __p").alias("__phase"))
+        .agg(
+            F.count(F.lit(1)).alias("__np"),
+            F.sum(F.col("__y").cast(dec)).alias("__sp"),
+        )
+        .select(
+            *g,
+            "__p",
+            (
+                F.col("__sp").cast("double")
+                * F.col("__sp").cast("double")
+                / F.col("__np").cast("double")
+            )
+            .cast("decimal(38,12)")
+            .alias("__bt"),
+        )
+        .groupBy(*g, "__p")
+        .agg(F.sum("__bt").cast("double").alias("__bsum"))
+    )
+    joined = ph.join(tot, g)
+    N = F.col("__n").cast("double")
+    grand = F.col("__s1").cast("double") * F.col("__s1").cast("double") / N
+    sst = F.col("__s2").cast("double") - grand
+    strength = F.try_divide(F.col("__bsum") - grand, sst)
+    scored = joined.select(
+        *g,
+        F.col("__n"),
+        F.col("__p"),
+        F.round(strength, 6).alias("__r2"),
+    )
+    best = scored.groupBy(*g, "__n").agg(
+        F.max(
+            F.struct(
+                F.col("__r2").alias("s"), (-F.col("__p")).alias("negp")
+            )
+        ).alias("__best")
+    )
+    return best.select(
+        *g,
+        F.col("__n").alias("n_points"),
+        (-F.col("__best.negp")).cast("long").alias("best_period"),
+        F.col("__best.s").alias("strength"),
+    )

@@ -949,6 +949,7 @@ from .queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
 from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
 from .queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
 from .queries_ext9 import EXT9_ORACLES, EXT9_QUERIES  # noqa: E402
+from .queries_ext10 import EXT10_ORACLES, EXT10_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -960,6 +961,7 @@ ORACLES.update(EXT6_ORACLES)
 ORACLES.update(EXT7_ORACLES)
 ORACLES.update(EXT8_ORACLES)
 ORACLES.update(EXT9_ORACLES)
+ORACLES.update(EXT10_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -999,6 +1001,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT7_QUERIES,
     **EXT8_QUERIES,
     **EXT9_QUERIES,
+    **EXT10_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against

@@ -1,0 +1,489 @@
+"""Round-5 extension queries, first batch (x225+): assumption checks
+and design diagnostics for the experimentation stack — variance
+homogeneity (Brown–Forsythe), clustering strength (ICC), composite
+reliability (Cronbach's alpha), distribution-free randomization
+inference, residual serial correlation (Durbin–Watson), and trig-free
+dominant-period detection.
+
+Same contract as :mod:`fame2pygen_spark.queries_ext`: every query is
+``(spark, sf_dir) -> DataFrame`` with column names/types matching its
+ANSI-SQL DuckDB oracle exactly (driver compare = exact stringified
+value hash after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries_ext import _read_events
+
+EXT10_QUERIES: dict = {}
+EXT10_ORACLES: dict = {}
+
+
+# ----------------------------- x225: Brown–Forsythe variance test
+
+
+def q_x225_brown_forsythe(spark, sf_dir):
+    """Variance-homogeneity screen (operators/sketch.py:
+    brown_forsythe) on event value across event types — the
+    equal-spread assumption the mean-comparison ANOVA (x214) and the
+    pooled-variance A/B tests silently make; median-centered so
+    heavy tails don't masquerade as unequal variance."""
+    from .operators.sketch import brown_forsythe
+
+    ev = _read_events(spark, sf_dir)
+    return brown_forsythe(
+        ev.where(F.col("value").isNotNull()), "event_type", "value"
+    )
+
+
+SQL_X225 = """
+WITH base AS (
+  SELECT event_type AS g, value AS x
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+ranked AS (
+  SELECT g, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS nn
+  FROM base
+),
+med AS (SELECT g, x AS med FROM ranked WHERE rn = (nn + 1) // 2),
+z AS (
+  SELECT b.g, ABS(b.x - m.med) AS z
+  FROM base b JOIN med m ON b.g = m.g
+),
+grp AS (
+  SELECT g, COUNT(*) AS n,
+         SUM(CAST(z AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(z * z AS DECIMAL(28,6))) AS s2
+  FROM z GROUP BY 1
+),
+per AS (
+  SELECT n, s1,
+         CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE) AS DECIMAL(38,18)) AS b_t,
+         CAST(CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE) AS DECIMAL(38,18)) AS w_t
+  FROM grp
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s1) AS S1,
+         CAST(SUM(b_t) AS DOUBLE) AS bsum,
+         CAST(SUM(w_t) AS DOUBLE) AS ssw
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       ROUND(((bsum - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2
+FROM agg
+"""
+
+EXT10_QUERIES.update({"x225_brown_forsythe": q_x225_brown_forsythe})
+EXT10_ORACLES.update({"x225_brown_forsythe": SQL_X225})
+
+
+# ----------------------------- x226: intraclass correlation ICC(1)
+
+
+def q_x226_icc(spark, sf_dir):
+    """Clustering-strength diagnostic (operators/sketch.py:
+    icc_oneway): ICC(1) of daily event counts clustered by user —
+    "how much of day-to-day volume variance is user identity", the
+    number that justifies (or waives) the per-unit collapse the
+    jackknife (x221) and delta-method (x222) SEs require."""
+    from .operators.sketch import icc_oneway
+
+    ev = _read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.expr("ts_us div 86400000000").alias("__day")
+    ).agg(F.count(F.lit(1)).alias("n_day"))
+    return icc_oneway(daily, "user_id", "n_day")
+
+
+SQL_X226 = """
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n_day
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(CAST(n_day AS DECIMAL(19,0))) AS s1,
+         SUM(CAST(n_day AS DECIMAL(19,0))
+             * CAST(n_day AS DECIMAL(19,0))) AS s2
+  FROM daily GROUP BY 1
+),
+per AS (
+  SELECT n, s1,
+         CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS n2,
+         CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE) AS DECIMAL(38,18)) AS b_t,
+         CAST(CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE) AS DECIMAL(38,18)) AS w_t
+  FROM g
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n, SUM(n2) AS sn2, SUM(s1) AS S1,
+         CAST(SUM(b_t) AS DOUBLE) AS bsum,
+         CAST(SUM(w_t) AS DOUBLE) AS ssw
+  FROM per
+),
+fin AS (
+  SELECT k, n,
+         (bsum - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE) AS msb,
+         ssw / CAST(n - k AS DOUBLE) AS msw,
+         (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(k - 1 AS DOUBLE) AS k0
+  FROM agg
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       ROUND(k0, 6) AS k0,
+       ROUND(msb, 6) AS msb,
+       ROUND(msw, 6) AS msw,
+       ROUND((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+FROM fin
+"""
+
+EXT10_QUERIES.update({"x226_icc": q_x226_icc})
+EXT10_ORACLES.update({"x226_icc": SQL_X226})
+
+
+# ----------------------------- x227: Cronbach's alpha
+
+
+def q_x227_cronbach(spark, sf_dir):
+    """Composite reliability (operators/quality.py:cronbach_alpha):
+    treating the k event types as k items scored by per-user event
+    counts — do the channels move together enough that a single
+    "activity score" summing them is internally consistent."""
+    from .operators.quality import cronbach_alpha
+
+    ev = _read_events(spark, sf_dir)
+    return cronbach_alpha(ev, "user_id", "event_type")
+
+
+SQL_X227 = """
+WITH cell AS (
+  SELECT user_id AS s, event_type AS i,
+         SUM(CAST(1 AS DECIMAL(19,0))) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+ns AS (SELECT COUNT(DISTINCT s) AS n_subjects FROM cell),
+items AS (
+  SELECT n_subjects,
+         COUNT(*) AS k_items,
+         CAST(SUM(var_i) AS DOUBLE) AS sum_var
+  FROM (
+    SELECT ns.n_subjects,
+           CAST(CAST(s2 AS DOUBLE) / CAST(ns.n_subjects AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(ns.n_subjects AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(ns.n_subjects AS DOUBLE))
+                AS DECIMAL(38,18)) AS var_i
+    FROM (
+      SELECT i, SUM(x) AS s1, SUM(x * x) AS s2 FROM cell GROUP BY 1
+    ) CROSS JOIN ns
+  ) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE)) AS tot_var
+  FROM (
+    SELECT COUNT(*) AS n, SUM(t) AS t1, SUM(t * t) AS t2
+    FROM (SELECT s, SUM(x) AS t FROM cell GROUP BY 1)
+  )
+)
+SELECT CAST(k_items AS BIGINT) AS k_items,
+       CAST(n_subjects AS BIGINT) AS n_subjects,
+       ROUND(sum_var, 6) AS sum_item_var,
+       ROUND(tot_var, 6) AS total_var,
+       ROUND(CAST(k_items AS DOUBLE) / CAST(k_items - 1 AS DOUBLE)
+             * (1 - sum_var / tot_var), 6) AS alpha
+FROM items CROSS JOIN tot
+"""
+
+EXT10_QUERIES.update({"x227_cronbach": q_x227_cronbach})
+EXT10_ORACLES.update({"x227_cronbach": SQL_X227})
+
+
+# ----------------------------- x228: hash-randomization test
+
+
+_X228_NPERM = 100
+
+
+def q_x228_randomization(spark, sf_dir):
+    """Distribution-free inference (operators/behavior.py:
+    randomization_test): the x66 A/A split's per-user total value,
+    re-randomized 100 times by salted hash — the p-value that needs
+    no normality, the cross-check for heavy-tailed revenue metrics
+    where the z-test's pooled SE misleads."""
+    from .operators.behavior import randomization_test
+
+    ev = _read_events(spark, sf_dir)
+    units = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,12)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ab:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(4294967296.0)
+                < 0.5,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("variant"),
+            "y",
+        )
+    )
+    return randomization_test(
+        units, "user_id", "variant", "y", n_perm=_X228_NPERM, salt="perm"
+    )
+
+
+SQL_X228 = f"""
+WITH units AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS v,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+              AS DECIMAL(28,6)) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+obs AS (
+  SELECT COUNT(*) AS n_units,
+         SUM(CASE WHEN v = 'a' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN v = 'b' THEN 1 ELSE 0 END) AS n_b,
+         CAST(SUM(CASE WHEN v = 'a' THEN y END) AS DOUBLE)
+           / SUM(CASE WHEN v = 'a' THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN v = 'b' THEN y END) AS DOUBLE)
+           / SUM(CASE WHEN v = 'b' THEN 1 ELSE 0 END) AS d_obs
+  FROM units
+),
+rep AS (
+  SELECT u, y, b.b AS b,
+         ('0x' || substr(md5('perm:' || CAST(b.b AS VARCHAR) || ':' || u),
+          1, 8))::BIGINT % 2 AS arm
+  FROM units CROSS JOIN
+       (SELECT unnest(generate_series(0, {_X228_NPERM - 1})) AS b) b
+),
+per_b AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE)
+           / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE)
+           / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d
+  FROM rep GROUP BY 1
+)
+SELECT CAST(o.n_units AS BIGINT) AS n_units,
+       CAST(o.n_a AS BIGINT) AS n_a,
+       CAST(o.n_b AS BIGINT) AS n_b,
+       CAST({_X228_NPERM} AS BIGINT) AS n_perm,
+       ROUND(o.d_obs, 6) AS diff_obs,
+       CAST(SUM(CASE WHEN ABS(p.d) >= ABS(o.d_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_as_extreme,
+       ROUND((SUM(CASE WHEN ABS(p.d) >= ABS(o.d_obs) THEN 1 ELSE 0 END)
+              + 1) / CAST({_X228_NPERM + 1} AS DOUBLE), 6) AS p_value
+FROM per_b p CROSS JOIN obs o
+GROUP BY o.n_units, o.n_a, o.n_b, o.d_obs
+"""
+
+EXT10_QUERIES.update({"x228_randomization": q_x228_randomization})
+EXT10_ORACLES.update({"x228_randomization": SQL_X228})
+
+
+# ----------------------------- x229: Durbin–Watson residual test
+
+
+def q_x229_durbin_watson(spark, sf_dir):
+    """Residual serial correlation (operators/temporal.py:
+    durbin_watson) of the per-day mean event value per event type
+    after a linear trend fit — are the trend's (x65) leftovers
+    independent, or is its SE lying; the residual-side companion to
+    the raw-series autocorrelation (x70)."""
+    from .operators.temporal import durbin_watson
+
+    ev = _read_events(spark, sf_dir)
+    day = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    out = durbin_watson(day, ["event_type"], "day", "x")
+    return out.orderBy("event_type")
+
+
+SQL_X229 = """
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(day) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(day * x AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(day * day) AS DOUBLE) AS sxx
+  FROM day GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS icept
+  FROM m
+),
+resid AS (
+  SELECT d.event_type, f.n, f.slope, d.day,
+         d.x - (f.icept + f.slope * d.day) AS e
+  FROM day d JOIN fit f ON d.event_type = f.event_type
+),
+terms AS (
+  SELECT event_type, n, slope,
+         CAST(e * e AS DECIMAL(38,12)) AS e2,
+         CASE WHEN el IS NOT NULL
+              THEN CAST((e - el) * (e - el) AS DECIMAL(38,12)) END AS d2
+  FROM (
+    SELECT *, LAG(e) OVER (PARTITION BY event_type ORDER BY day) AS el
+    FROM resid
+  )
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND(slope, 6) AS slope,
+       ROUND(CAST(SUM(d2) AS DOUBLE) / CAST(SUM(e2) AS DOUBLE), 6) AS dw,
+       ROUND(1 - CAST(SUM(d2) AS DOUBLE) / CAST(SUM(e2) AS DOUBLE) / 2,
+             6) AS rho1
+FROM terms
+GROUP BY event_type, n, slope
+ORDER BY event_type
+"""
+
+EXT10_QUERIES.update({"x229_durbin_watson": q_x229_durbin_watson})
+EXT10_ORACLES.update({"x229_durbin_watson": SQL_X229})
+
+
+# ----------------------------- x230: trig-free periodicity scan
+
+
+_X230_PERIODS = (2, 3, 4, 5, 6, 7, 10, 14)
+
+
+def q_x230_periodicity(spark, sf_dir):
+    """Dominant-period detection (operators/temporal.py:
+    periodicity_scan) on daily event counts per event type: the
+    variance-ratio periodogram — which cycle length (2..14 days)
+    explains the most volume variance, found without a single libm
+    cos() so both engines agree to the last bit."""
+    from .operators.temporal import periodicity_scan
+
+    ev = _read_events(spark, sf_dir)
+    day = ev.groupBy(
+        "event_type",
+        F.expr("ts_us div 86400000000").cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    out = periodicity_scan(
+        day, ["event_type"], "day", "n_ev", periods=_X230_PERIODS
+    )
+    return out.orderBy("event_type")
+
+
+SQL_X230 = f"""
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(n_ev AS DECIMAL(28,6))) AS s1,
+         SUM(CAST(n_ev * n_ev AS DECIMAL(28,6))) AS s2
+  FROM day GROUP BY 1
+),
+ph AS (
+  SELECT event_type, p,
+         CAST(SUM(bt) AS DOUBLE) AS bsum
+  FROM (
+    SELECT event_type, p.p AS p, day % p.p AS phase,
+           CAST(CAST(SUM(CAST(n_ev AS DECIMAL(28,6))) AS DOUBLE)
+                * CAST(SUM(CAST(n_ev AS DECIMAL(28,6))) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(38,12)) AS bt
+    FROM day CROSS JOIN
+         (SELECT unnest({list(_X230_PERIODS)}) AS p) p
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.event_type, t.n, p.p,
+         ROUND((p.bsum - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)
+                         / CAST(t.n AS DOUBLE))
+               / (CAST(t.s2 AS DOUBLE)
+                  - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)
+                    / CAST(t.n AS DOUBLE)), 6) AS r2
+  FROM ph p JOIN tot t ON p.event_type = t.event_type
+),
+best AS (
+  SELECT event_type, n, r2, p,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY r2 DESC, p ASC) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(p AS BIGINT) AS best_period,
+       r2 AS strength
+FROM best WHERE rk = 1
+ORDER BY event_type
+"""
+
+EXT10_QUERIES.update({"x230_periodicity": q_x230_periodicity})
+EXT10_ORACLES.update({"x230_periodicity": SQL_X230})

@@ -5459,3 +5459,171 @@ def test_gains_table_hand_deciles(spark):
     )
     t = gains_table(tied, "score", "y", n_bins=5).collect()
     assert len(t) == 1 and t[0]["bin"] == 1 and t[0]["lift"] == 1.0
+
+
+def test_brown_forsythe_planted_spread(spark):
+    """x225: group b has 10x group a's spread around its median ->
+    large F; two identically-shaped groups -> F == 0 exactly (their
+    |x - median| distributions coincide)."""
+    from fame2pygen_spark.operators.sketch import brown_forsythe
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+        + [("b", float(v)) for v in (10, 20, 30, 40, 50)],
+        "g string, v double",
+    )
+    r = brown_forsythe(df, "g", "v").collect()[0]
+    assert r["k"] == 2 and r["n"] == 10
+    assert r["df1"] == 1 and r["df2"] == 8
+    # hand: z_a=(2,1,0,1,2), z_b=(20,10,0,10,20); SSB=291.6, SSW=282.8
+    assert abs(r["f_stat"] - round(291.6 / (282.8 / 8), 6)) < 1e-9
+    try:
+        from scipy.stats import levene
+
+        want = levene(
+            [1, 2, 3, 4, 5], [10, 20, 30, 40, 50], center="median"
+        ).statistic
+        assert abs(r["f_stat"] - want) < 1e-6
+    except ImportError:
+        pass
+
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3)]
+        + [("b", float(v + 100)) for v in (1, 2, 3)],
+        "g string, v double",
+    )
+    r0 = brown_forsythe(same, "g", "v").collect()[0]
+    assert r0["f_stat"] == 0.0
+
+
+def test_icc_oneway_perfect_and_degenerate(spark):
+    """x226: zero within-group variance -> ICC(1) = 1; a single
+    group -> null (between-group variance undefined); balanced
+    design reports k0 = group size."""
+    from fame2pygen_spark.operators.sketch import icc_oneway
+
+    perfect = spark.createDataFrame(
+        [("a", 5)] * 3 + [("b", 9)] * 3, "g string, v long"
+    )
+    r = icc_oneway(perfect, "g", "v").collect()[0]
+    assert r["k"] == 2 and r["n"] == 6
+    assert r["k0"] == 3.0 and r["msw"] == 0.0 and r["icc1"] == 1.0
+
+    one = icc_oneway(
+        spark.createDataFrame([("a", v) for v in (1, 2, 3)],
+                              "g string, v long"),
+        "g",
+        "v",
+    ).collect()[0]
+    assert one["k"] == 1 and one["icc1"] is None
+
+
+def test_cronbach_alpha_hand_matrix(spark):
+    """x227: two perfectly-parallel items (counts 1/2/3 per subject
+    on both) give alpha = 1; item variances 2/3 each, total variance
+    8/3.  Perfectly compensating items -> zero total variance ->
+    null alpha."""
+    from fame2pygen_spark.operators.quality import cronbach_alpha
+
+    def rows(counts):
+        out = []
+        for s, (a, b) in counts.items():
+            out += [(s, "i1")] * a + [(s, "i2")] * b
+        return out
+
+    par = spark.createDataFrame(
+        rows({"s1": (1, 1), "s2": (2, 2), "s3": (3, 3)}),
+        "subj string, item string",
+    )
+    r = cronbach_alpha(par, "subj", "item").collect()[0]
+    assert r["k_items"] == 2 and r["n_subjects"] == 3
+    assert abs(r["sum_item_var"] - round(4 / 3, 6)) < 1e-9
+    assert abs(r["total_var"] - round(8 / 3, 6)) < 1e-9
+    assert r["alpha"] == 1.0
+
+    anti = spark.createDataFrame(
+        rows({"s1": (1, 3), "s2": (2, 2), "s3": (3, 1)}),
+        "subj string, item string",
+    )
+    r0 = cronbach_alpha(anti, "subj", "item").collect()[0]
+    assert r0["total_var"] == 0.0 and r0["alpha"] is None
+
+
+def test_randomization_test_planted_and_null(spark):
+    """x228: a 100-vs-0 separation between arms is more extreme than
+    every hash reassignment (p = 1/(B+1)); a constant metric makes
+    every reassignment exactly as extreme (p = 1)."""
+    from fame2pygen_spark.operators.behavior import randomization_test
+
+    strong = spark.createDataFrame(
+        [(f"u{i}", "a", 100.0) for i in range(10)]
+        + [(f"v{i}", "b", 0.0) for i in range(10)],
+        "u string, v string, y double",
+    )
+    r = randomization_test(strong, "u", "v", "y", n_perm=50).collect()[0]
+    assert r["n_units"] == 20 and r["n_a"] == 10 and r["n_b"] == 10
+    assert r["n_perm"] == 50 and r["diff_obs"] == 100.0
+    # only degenerate all-one-arm draws could tie; accept a tiny tail
+    assert r["p_value"] <= round(3 / 51, 6)
+
+    flat = spark.createDataFrame(
+        [(f"u{i}", "a" if i % 2 == 0 else "b", 7.0) for i in range(12)],
+        "u string, v string, y double",
+    )
+    r0 = randomization_test(flat, "u", "v", "y", n_perm=20).collect()[0]
+    assert r0["diff_obs"] == 0.0 and r0["p_value"] == 1.0
+
+
+def test_durbin_watson_python_replica(spark):
+    """x229: the operator reproduces a pure-Python replica of the
+    same OLS-residual DW computation exactly (6 dp), and the planted
+    shapes land on the right side of 2: a smooth run of +/- blocks
+    -> DW well below 2, an alternating series -> well above 2."""
+    from fame2pygen_spark.operators.temporal import durbin_watson
+
+    def replica(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        e = [y - (icept + slope * x) for x, y in zip(xs, ys)]
+        dw = sum(
+            (a - b) ** 2 for a, b in zip(e[1:], e[:-1])
+        ) / sum(v * v for v in e)
+        return round(dw, 6)
+
+    smooth = [0.0, 2.0, 4.0, 6.0, 8.0, 6.0, 4.0, 2.0, 0.0]
+    alt = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+    rows = [("s", i, v) for i, v in enumerate(smooth)] + [
+        ("t", i, v) for i, v in enumerate(alt)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {
+        r["g"]: r for r in durbin_watson(df, ["g"], "x", "y").collect()
+    }
+    assert got["s"]["dw"] == replica(list(range(9)), smooth)
+    assert got["t"]["dw"] == replica(list(range(8)), alt)
+    assert got["s"]["dw"] < 1.5 and got["t"]["dw"] > 2.5
+    assert got["s"]["rho1"] == round(1 - got["s"]["dw"] / 2, 6)
+
+
+def test_periodicity_scan_planted_cycle(spark):
+    """x230: a pure 3-day cycle scores strength 1.0 at p=3 AND at its
+    multiple p=6 — the tie must break to the fundamental (3); a
+    noise-free weekly ramp picks 7 over 14 the same way."""
+    from fame2pygen_spark.operators.temporal import periodicity_scan
+
+    cyc3 = [("a", d, float([10, 0, 0][d % 3])) for d in range(30)]
+    week = [("b", d, float(1 + d % 7)) for d in range(28)]
+    df = spark.createDataFrame(
+        cyc3 + week, "g string, day long, y double"
+    )
+    got = {
+        r["g"]: r
+        for r in periodicity_scan(df, ["g"], "day", "y").collect()
+    }
+    assert got["a"]["best_period"] == 3 and got["a"]["strength"] == 1.0
+    assert got["b"]["best_period"] == 7 and got["b"]["strength"] == 1.0
+    assert got["a"]["n_points"] == 30 and got["b"]["n_points"] == 28
