@@ -740,3 +740,64 @@ def modularity(
         F.max("__m2").cast("long").alias("total_weight2"),
         F.round(F.sum(contrib).cast("double"), 6).alias("q"),
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Bounded-depth breadth-first search from a seed set: every node
+    reachable within *max_depth* undirected hops, labeled with its
+    MINIMUM hop distance — the "influence horizon" query (which
+    suppliers are ≤3 ties from this watchlist; which users are ≤2
+    co-session hops from a flagged account) that a full
+    shortest-paths pass wildly over-serves.
+
+    Classic synchronous frontier BFS as *max_depth* unrolled
+    supersteps (Pregel-style, same shape as the label-propagation and
+    alternating-star loops here): each superstep is one join of the
+    CURRENT frontier against the adjacency list plus one anti-join
+    against the visited set, so a node is expanded exactly once, at
+    its first (= minimum) depth — cost O(Σ frontier degree) per step,
+    never O(V·E).  Lineage is truncated per superstep with
+    ``localCheckpoint`` (the connected-components discipline,
+    dedup.py).
+
+    Edges are treated as UNDIRECTED (symmetrized + deduped here);
+    seeds absent from the edge set still report depth 0.
+
+    Output: ``(node, depth)`` — one row per reached node,
+    depth ∈ [0, max_depth].
+    """
+    max_depth = int(max_depth)
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    sym = (
+        e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("depth").cast("long").alias("depth"))

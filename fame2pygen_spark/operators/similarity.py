@@ -1514,3 +1514,158 @@ def retrieval_eval(
         F.round(F.col("__ap_sum").cast("double") / denom, 6).alias("ap"),
         F.round(F.col("__dcg").cast("double") / idcg, 6).alias("ndcg"),
     )
+
+
+def cluster_quality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster quality scores for ANY assignment (labels, k-means
+    output, LSH buckets): the simplified silhouette (Hruschka et al.
+    2004 — distances to CENTROIDS, not the O(n²) pairwise original)
+    and the Davies–Bouldin ratio (Davies & Bouldin 1979) — "are these
+    clusters tight and separated", the acceptance gate for an IVF
+    nlist choice or a semdedup threshold, scored without a single
+    pairwise point join.
+
+    Per point: a = ‖x − c_own‖, b = min over other centroids of
+    ‖x − c_h‖, s = (b − a)/max(a, b) ∈ [−1, 1].  Per cluster g:
+    silhouette = mean s, scatter S_g = mean a, and
+    ``DB_g = max_{h≠g} (S_g + S_h)/‖c_g − c_h‖`` (lower is better;
+    the classic index is the mean of DB_g over g).
+
+    Scale shape: centroids from ONE posexplode + (cluster, dim)
+    decimal aggregation (the ``centroid_drift`` pass, k·dim rows,
+    then broadcast); point-to-centroid terms at (point, dim) × k via
+    the broadcast join — O(n·dim·k) row fragments into a map-side
+    combinable sum, never an n×n join.  k (clusters) is the fan-out
+    knob: this is for dashboard-sized k (≤10³), not k ~ n.
+
+    Engine-exactness: centroid means are exact-decimal-sum ratios;
+    every squared-difference term and every per-cluster mean term is
+    decimal(38,12)-cast before summing, so neither dim order nor row
+    order moves a digit.  Clusters of one score s = 1 when another
+    cluster exists (a = 0); with a single cluster overall, silhouette
+    and DB are null.
+
+    Output: ``(cluster_col, n, silhouette, scatter, davies_bouldin)``
+    (6 dp).
+    """
+    dec = "decimal(38,12)"
+    ex = (
+        df.where(F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(cluster_col).alias("__g"),
+            F.posexplode(F.col(vec_col)).alias("__d", "__x"),
+        )
+        .select(
+            "__id", "__g", "__d", F.col("__x").cast("double").alias("__x")
+        )
+    )
+    cent = (
+        ex.groupBy("__g", "__d")
+        .agg(
+            F.sum(F.col("__x").cast(dec)).alias("__sx"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.col("__g").alias("__h"),
+            "__d",
+            (F.col("__sx").cast("double") / F.col("__n").cast("double"))
+            .alias("__m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "__d")
+        .groupBy("__id", "__g", "__h")
+        .agg(
+            F.sum(
+                (
+                    (F.col("__x") - F.col("__m"))
+                    * (F.col("__x") - F.col("__m"))
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("__d2")
+        )
+    )
+    per_point = d2.groupBy("__id", "__g").agg(
+        F.max(F.when(F.col("__h") == F.col("__g"), F.col("__d2"))).alias(
+            "__a2"
+        ),
+        F.min(F.when(F.col("__h") != F.col("__g"), F.col("__d2"))).alias(
+            "__b2"
+        ),
+    )
+    a = F.sqrt("__a2")
+    b = F.sqrt("__b2")
+    pp = per_point.select(
+        "__g",
+        a.alias("__a"),
+        F.try_divide(b - a, F.greatest(a, b)).alias("__s"),
+    )
+    per_cluster = pp.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__s").cast(dec)).alias("__ssum"),
+        F.sum(F.col("__a").cast(dec)).alias("__asum"),
+    ).select(
+        "__g",
+        "n",
+        (F.col("__ssum").cast("double") / F.col("n").cast("double")).alias(
+            "__sil"
+        ),
+        (F.col("__asum").cast("double") / F.col("n").cast("double")).alias(
+            "__scat"
+        ),
+    )
+    ca, cb = cent.alias("ca"), cent.alias("cb")
+    cdist = (
+        ca.join(cb, (F.col("ca.__d") == F.col("cb.__d"))
+                & (F.col("ca.__h") != F.col("cb.__h")))
+        .groupBy(
+            F.col("ca.__h").alias("__g"), F.col("cb.__h").alias("__h2")
+        )
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (
+                        (F.col("ca.__m") - F.col("cb.__m"))
+                        * (F.col("ca.__m") - F.col("cb.__m"))
+                    ).cast(dec)
+                ).cast("double")
+            ).alias("__dc")
+        )
+    )
+    sg = per_cluster.select("__g", "__scat")
+    db = (
+        cdist.join(sg, "__g")
+        .join(
+            sg.select(
+                F.col("__g").alias("__h2"), F.col("__scat").alias("__scat2")
+            ),
+            "__h2",
+        )
+        .groupBy("__g")
+        .agg(
+            F.max(
+                F.round(
+                    F.try_divide(
+                        F.col("__scat") + F.col("__scat2"), F.col("__dc")
+                    ),
+                    6,
+                )
+            ).alias("davies_bouldin")
+        )
+    )
+    out = per_cluster.join(db, "__g", "left")
+    return out.select(
+        F.col("__g").alias(cluster_col),
+        "n",
+        F.round(F.col("__sil"), 6).alias("silhouette"),
+        F.round(F.col("__scat"), 6).alias("scatter"),
+        "davies_bouldin",
+    )

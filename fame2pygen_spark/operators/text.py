@@ -2415,3 +2415,147 @@ def vocabulary_coverage(
         F.round(p0, 6).alias("p_unseen"),
         F.round(chao1, 6).alias("chao1_types"),
     )
+
+
+def word_repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    family, Rae et al. 2021 §A1.1): duplicate-word fraction, top-word
+    share, and top-bigram share per document — the quality tripwire
+    for template spam, keyword stuffing, and decoding loops, which
+    length/stopword profiles (x06) and cross-doc dedup both miss
+    (a document can be globally unique and still be one phrase
+    repeated 400 times).
+
+    Tokenization matches the corpus convention (``bigram_surprisal``):
+    lowercase, whitespace-collapse, split on single space, drop
+    empties.  All three ratios are integer-count quotients rounded at
+    6 dp — engine-exact by construction.
+
+    Scale shape: two explode → keyed-hash-agg chains (words, bigrams)
+    joined back per document; everything is keyed by *id_col* — no
+    global state, no windows over the corpus.
+
+    Output: ``(id_col, n_tokens, dup_word_frac, top_word_share,
+    top_bigram_share)`` — top_bigram_share null for single-token
+    docs.
+    """
+    tk = F.expr(
+        f"filter(split(trim(regexp_replace(lower({text_col}), "
+        f"'\\\\s+', ' ')), ' '), t -> t <> '')"
+    )
+    toks = df.select(F.col(id_col).alias("__id"), tk.alias("__tk")).where(
+        F.size("__tk") > 0
+    )
+    words = (
+        toks.select("__id", F.explode("__tk").alias("__w"))
+        .groupBy("__id", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("__nd"),
+            F.max("__c").cast("long").alias("__topw"),
+        )
+    )
+    bigrams = (
+        toks.where(F.size("__tk") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__tk) - 1), "
+                    "i -> struct(__tk[i-1] as w1, __tk[i] as w2))"
+                )
+            ).alias("__b"),
+        )
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("__nb"),
+            F.max("__c").cast("long").alias("__topb"),
+        )
+    )
+    out = words.join(bigrams, "__id", "left")
+    nt = F.col("n_tokens").cast("double")
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.round(F.lit(1.0) - F.col("__nd").cast("double") / nt, 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("__topw").cast("double") / nt, 6).alias(
+            "top_word_share"
+        ),
+        F.round(
+            F.try_divide(
+                F.col("__topb").cast("double"),
+                F.col("__nb").cast("double"),
+            ),
+            6,
+        ).alias("top_bigram_share"),
+    )
+
+
+def byte_anomaly_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Encoding-health audit per group: multibyte-character ratio,
+    control-character count, and U+FFFD replacement-character
+    incidence — the mojibake tripwire run per source/snapshot BEFORE
+    text operators consume the corpus (a double-encoded or
+    latin-1-mislabeled feed shows up here as a multibyte-ratio jump
+    long before any downstream metric moves).
+
+    Everything is row-local column algebra on two portable
+    primitives: characters (``length``) vs bytes (``octet_length`` /
+    DuckDB ``strlen``) — their difference counts multibyte chars
+    exactly, with no regex over the raw bytes — plus one control-char
+    strip (C0 minus tab/newline/CR) and one replacement-char scan.
+
+    Scale shape: ONE map-side-combinable hash aggregation; the
+    per-row expressions all run inside the scan stage.
+
+    Output: ``(*group_cols, n_docs, total_chars, multibyte_chars,
+    multibyte_ratio, control_chars, n_docs_nonascii,
+    n_docs_replacement)``.
+    """
+    g = list(group_cols)
+    t = F.col(text_col)
+    chars = F.length(t)
+    mbytes = F.octet_length(t) - chars
+    ctrl = chars - F.length(
+        F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    base = df.where(t.isNotNull()).groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.sum(mbytes).cast("long").alias("multibyte_chars"),
+        F.sum(ctrl).cast("long").alias("control_chars"),
+        F.sum(F.when(mbytes > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_nonascii"),
+        F.sum(F.when(F.contains(t, F.lit("�")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_replacement"),
+    )
+    return base.select(
+        *g,
+        "n_docs",
+        "total_chars",
+        "multibyte_chars",
+        F.round(
+            F.try_divide(
+                F.col("multibyte_chars").cast("double"),
+                F.col("total_chars").cast("double"),
+            ),
+            6,
+        ).alias("multibyte_ratio"),
+        "control_chars",
+        "n_docs_nonascii",
+        "n_docs_replacement",
+    )

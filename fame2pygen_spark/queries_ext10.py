@@ -487,3 +487,264 @@ ORDER BY event_type
 
 EXT10_QUERIES.update({"x230_periodicity": q_x230_periodicity})
 EXT10_ORACLES.update({"x230_periodicity": SQL_X230})
+
+
+# ----------------------------- x231: cluster quality scores
+
+
+def q_x231_cluster_quality(spark, sf_dir):
+    """Simplified silhouette + Davies–Bouldin per label cluster
+    (operators/similarity.py:cluster_quality) over the embeddings
+    table — the acceptance gate for any clustering the pipeline
+    produces (IVF nlist, semdedup groups): tight-and-separated or
+    not, without an O(n²) pairwise join."""
+    from .operators.similarity import cluster_quality
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_quality(emb, "embedding", "label", "vec_id")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        "silhouette",
+        "scatter",
+        "davies_bouldin",
+    ).orderBy("label")
+
+
+SQL_X231 = """
+WITH ex AS (
+  SELECT vec_id AS id, label AS g, u.d AS d,
+         CAST(embedding[u.d] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(d)
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cent AS (
+  SELECT g AS h, d,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+  FROM ex GROUP BY 1, 2
+),
+d2 AS (
+  SELECT e.id, e.g, c.h,
+         CAST(sum(CAST((e.x - c.m) * (e.x - c.m) AS DECIMAL(38,12)))
+              AS DOUBLE) AS d2
+  FROM ex e JOIN cent c ON e.d = c.d
+  GROUP BY 1, 2, 3
+),
+pp AS (
+  SELECT id, g,
+         sqrt(max(CASE WHEN h = g THEN d2 END)) AS a,
+         sqrt(min(CASE WHEN h <> g THEN d2 END)) AS b
+  FROM d2 GROUP BY 1, 2
+),
+per AS (
+  SELECT g, count(*) AS n,
+         CAST(sum(CAST((b - a) / greatest(a, b) AS DECIMAL(38,12)))
+              AS DOUBLE) / count(*) AS sil,
+         CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS scat
+  FROM pp GROUP BY 1
+),
+cd AS (
+  SELECT a.h AS g, b.h AS h2,
+         sqrt(CAST(sum(CAST((a.m - b.m) * (a.m - b.m)
+                            AS DECIMAL(38,12))) AS DOUBLE)) AS dc
+  FROM cent a JOIN cent b ON a.d = b.d AND a.h <> b.h
+  GROUP BY 1, 2
+),
+db AS (
+  SELECT c.g,
+         max(round((p1.scat + p2.scat) / c.dc, 6)) AS davies_bouldin
+  FROM cd c
+  JOIN per p1 ON p1.g = c.g
+  JOIN per p2 ON p2.g = c.h2
+  GROUP BY 1
+)
+SELECT CAST(p.g AS BIGINT) AS label,
+       CAST(p.n AS BIGINT) AS n,
+       round(p.sil, 6) AS silhouette,
+       round(p.scat, 6) AS scatter,
+       d.davies_bouldin
+FROM per p LEFT JOIN db d ON d.g = p.g
+ORDER BY label
+"""
+
+EXT10_QUERIES.update({"x231_cluster_quality": q_x231_cluster_quality})
+EXT10_ORACLES.update({"x231_cluster_quality": SQL_X231})
+
+
+# ----------------------------- x232: bounded-depth BFS horizon
+
+
+def q_x232_bfs_horizon(spark, sf_dir):
+    """3-hop influence horizon (operators/graph.py:bfs_depths) on the
+    sparsified supplier co-occurrence graph (x148's edge rule:
+    suppliers tied by ≥2 common orders) from the suppkey%25 == 0
+    watchlist — which suppliers are within 3 ties of the seeds, at
+    what minimum distance; the reach query a full shortest-paths
+    pass over-serves."""
+    from .operators.graph import bfs_depths
+
+    ls = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_suppkey") % 25 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    out = bfs_depths(pairs, seeds, max_depth=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"), "depth"
+    ).orderBy("node")
+
+
+SQL_X232 = """
+WITH RECURSIVE ls AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+pairs AS (
+  SELECT a.s AS u, b.s AS v FROM ls a JOIN ls b
+  ON a.o = b.o AND a.s < b.s
+),
+canon AS (
+  SELECT u, v FROM (
+    SELECT u, v, count(*) AS w FROM pairs GROUP BY 1, 2
+  ) WHERE w >= 2
+),
+sym AS (
+  SELECT u AS s, v AS d FROM canon
+  UNION
+  SELECT v AS s, u AS d FROM canon
+),
+seeds AS (
+  SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 25 = 0
+),
+walk(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT sym.d, w.depth + 1
+  FROM walk w JOIN sym ON sym.s = w.node
+  WHERE w.depth < 3
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(depth) AS BIGINT) AS depth
+FROM walk GROUP BY node ORDER BY node
+"""
+
+EXT10_QUERIES.update({"x232_bfs_horizon": q_x232_bfs_horizon})
+EXT10_ORACLES.update({"x232_bfs_horizon": SQL_X232})
+
+
+# ----------------------------- x233: encoding-health audit
+
+
+def q_x233_byte_anomaly(spark, sf_dir):
+    """Per-source encoding-health scan (operators/text.py:
+    byte_anomaly_profile): multibyte ratio, control characters,
+    U+FFFD incidence — the mojibake tripwire that catches a
+    mislabeled-charset feed at ingest (this corpus is clean ASCII,
+    which is exactly what the audit should report)."""
+    from .operators.text import byte_anomaly_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return byte_anomaly_profile(docs, "text", ["source"]).orderBy("source")
+
+
+SQL_X233 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(strlen(text) - length(text)) AS BIGINT) AS multibyte_chars,
+       round(CAST(sum(strlen(text) - length(text)) AS DOUBLE)
+             / CAST(sum(length(text)) AS DOUBLE), 6) AS multibyte_ratio,
+       CAST(sum(length(text) - length(regexp_replace(text,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))
+            AS BIGINT) AS control_chars,
+       CAST(sum(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_nonascii,
+       CAST(sum(CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_replacement
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source
+ORDER BY source
+"""
+
+EXT10_QUERIES.update({"x233_byte_anomaly": q_x233_byte_anomaly})
+EXT10_ORACLES.update({"x233_byte_anomaly": SQL_X233})
+
+
+# ----------------------------- x234: within-doc repetition
+
+
+def q_x234_repetition(spark, sf_dir):
+    """Gopher-family repetition screen (operators/text.py:
+    word_repetition_profile): duplicate-word fraction, top-word and
+    top-bigram share per document — catches template spam and
+    decoding loops that are globally unique (so every dedup pass
+    keeps them) yet internally degenerate."""
+    from .operators.text import word_repetition_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return word_repetition_profile(docs, "text", "doc_id").orderBy("doc_id")
+
+
+SQL_X234 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '') AS tk
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE len(tk) > 0),
+words AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS nd, max(c) AS topw
+  FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS w FROM toks2)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+bigr AS (
+  SELECT doc_id, sum(c) AS nb, max(c) AS topb
+  FROM (
+    SELECT doc_id, b.w1, b.w2, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+               i -> {'w1': tk[CAST(i AS INTEGER)],
+                     'w2': tk[CAST(i AS INTEGER) + 1]})) AS b
+      FROM toks2 WHERE len(tk) >= 2
+    ) GROUP BY 1, 2, 3
+  ) GROUP BY 1
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       round(1 - CAST(w.nd AS DOUBLE) / CAST(w.n_tokens AS DOUBLE), 6)
+         AS dup_word_frac,
+       round(CAST(w.topw AS DOUBLE) / CAST(w.n_tokens AS DOUBLE), 6)
+         AS top_word_share,
+       round(CAST(b.topb AS DOUBLE) / CAST(b.nb AS DOUBLE), 6)
+         AS top_bigram_share
+FROM words w LEFT JOIN bigr b ON b.doc_id = w.doc_id
+ORDER BY doc_id
+"""
+
+EXT10_QUERIES.update({"x234_repetition": q_x234_repetition})
+EXT10_ORACLES.update({"x234_repetition": SQL_X234})

@@ -5627,3 +5627,106 @@ def test_periodicity_scan_planted_cycle(spark):
     assert got["a"]["best_period"] == 3 and got["a"]["strength"] == 1.0
     assert got["b"]["best_period"] == 7 and got["b"]["strength"] == 1.0
     assert got["a"]["n_points"] == 30 and got["b"]["n_points"] == 28
+
+
+def test_bfs_depths_hand_graph(spark):
+    """x232: path graph 1-2-3-4-5 seeded at 1 labels nodes by hop
+    count and STOPS at max_depth; an isolated seed still reports
+    depth 0; min-depth wins when two seeds reach the same node."""
+    from fame2pygen_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(edges, seeds, max_depth=3).collect()
+    }
+    assert got == {1: 0, 99: 0, 2: 1, 3: 2, 4: 3}
+
+    two = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(edges, two, max_depth=3).collect()
+    }
+    assert got2[3] == 2 and got2[2] == 1 and got2[4] == 1
+
+
+def test_cluster_quality_separated_vs_merged(spark):
+    """x231: two tight far-apart clusters score silhouette near 1
+    and tiny Davies-Bouldin; moving them on top of each other drives
+    silhouette toward 0 and DB up; a lone cluster yields nulls."""
+    from fame2pygen_spark.operators.similarity import cluster_quality
+
+    far = spark.createDataFrame(
+        [(1, [0.0, 0.1], 0), (2, [0.1, 0.0], 0),
+         (3, [10.0, 10.1], 1), (4, [10.1, 10.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["label"]: r for r in
+           cluster_quality(far, "embedding", "label").collect()}
+    assert got[0]["n"] == 2 and got[0]["silhouette"] > 0.98
+    assert got[0]["davies_bouldin"] < 0.05
+
+    near = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [2.0, 2.0], 0),
+         (3, [1.0, 0.0], 1), (4, [3.0, 2.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    g2 = {r["label"]: r for r in
+          cluster_quality(near, "embedding", "label").collect()}
+    assert g2[0]["silhouette"] < 0.3 and g2[0]["davies_bouldin"] > 1.0
+
+    lone = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [1.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    g3 = cluster_quality(lone, "embedding", "label").collect()[0]
+    assert g3["silhouette"] is None and g3["davies_bouldin"] is None
+
+
+def test_repetition_profile_planted(spark):
+    """x234: a looped phrase scores dup_word_frac and bigram share
+    near 1; all-distinct text scores 0 duplication; a one-word doc
+    has null bigram share."""
+    from fame2pygen_spark.operators.text import word_repetition_profile
+
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 10), (2, "a b c d e f g h"), (3, "word")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           word_repetition_profile(docs).collect()}
+    assert got[1]["n_tokens"] == 20
+    assert got[1]["dup_word_frac"] == 0.9  # 2 distinct / 20 tokens
+    assert got[1]["top_bigram_share"] == round(10 / 19, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_share"] == 0.125
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["top_bigram_share"] is None
+
+
+def test_byte_anomaly_profile_planted(spark):
+    """x233: multibyte text, C0 control bytes and U+FFFD all show up
+    in the right counters; pure ASCII reports zeros."""
+    from fame2pygen_spark.operators.text import byte_anomaly_profile
+
+    docs = spark.createDataFrame(
+        [("clean", "plain ascii text"),
+         ("dirty", "café résumé"),
+         ("dirty", "bad\x01byte and � marker")],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in
+           byte_anomaly_profile(docs, "text", ["source"]).collect()}
+    c = got["clean"]
+    assert c["multibyte_chars"] == 0 and c["control_chars"] == 0
+    assert c["n_docs_nonascii"] == 0 and c["n_docs_replacement"] == 0
+    d = got["dirty"]
+    # café résumé: 3 two-byte chars; ufffd is 3 bytes -> +2
+    assert d["multibyte_chars"] == 5 and d["n_docs_nonascii"] == 2
+    assert d["control_chars"] == 1 and d["n_docs_replacement"] == 1
+    assert d["multibyte_ratio"] == round(
+        5 / d["total_chars"], 6
+    )
