@@ -2138,3 +2138,72 @@ def randomization_test(
             6,
         ).alias("p_value"),
     )
+
+
+def welch_t(
+    units: DataFrame,
+    variant_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test on unit-level means (Welch
+    1947): ``t = (m_a − m_b)/√(v_a/n_a + v_b/n_b)`` with the
+    Welch–Satterthwaite effective df — the default two-sample mean
+    test when arms differ in size or spread, sitting between the
+    conversion z-test (x66, binary) and the randomization test
+    (x228, assumption-free but 100× the compute).  The p-value uses
+    the normal tail (the x213/x195 A&S polynomial) — indistinguishable
+    from the t tail at unit counts where Spark is involved; gate on
+    |t| against t-table criticals below n ≈ 30.
+
+    Engine-exactness: the per-arm power sums quantize y at
+    decimal(28,6) (the ``corr_pairs`` idiom); means, SAMPLE variances
+    (n−1), t, and df are then one double expression mirrored in the
+    oracle.
+
+    Scale shape: ONE map-side-combinable hash aggregation over the
+    unit frame; output is a single row.
+
+    Output: ``(n_a, n_b, mean_a, mean_b, t_stat, df, p_value)``
+    (6 dp; null t when either arm has < 2 units or zero variance
+    in both).
+    """
+    from .quality import normal_p_two_sided
+
+    dec = "decimal(28,6)"
+    y = F.col(y_col).cast(dec)
+    is_a = F.col(variant_col) == "a"
+    is_b = F.col(variant_col) == "b"
+    agg = units.where(F.col(y_col).isNotNull()).groupBy().agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, y)).alias("__sa"),
+        F.sum(F.when(is_b, y)).alias("__sb"),
+        F.sum(F.when(is_a, y * y)).alias("__qa"),
+        F.sum(F.when(is_b, y * y)).alias("__qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    qa = F.col("__qa").cast("double")
+    qb = F.col("__qb").cast("double")
+    ma = sa / na
+    mb = sb / nb
+    va = F.try_divide(qa - sa * sa / na, na - 1.0)
+    vb = F.try_divide(qb - sb * sb / nb, nb - 1.0)
+    se2 = va / na + vb / nb
+    t = F.try_divide(ma - mb, F.sqrt(se2))
+    df = F.try_divide(
+        se2 * se2,
+        F.try_divide(va * va, na * na * (na - 1.0))
+        + F.try_divide(vb * vb, nb * nb * (nb - 1.0)),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+        F.round(normal_p_two_sided(t), 6).alias("p_value"),
+    )

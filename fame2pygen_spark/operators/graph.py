@@ -801,3 +801,93 @@ def bfs_depths(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited.select("node", F.col("depth").cast("long").alias("depth"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    restart: float = 0.15,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to the SEED
+    set, Haveliwala 2002): stationary-ish mass after *n_iter*
+    supersteps of ``r ← restart·s + damping·Pᵀr`` where the prior
+    ``s`` is uniform over the seeds — proximity to a watchlist in a
+    way raw PageRank (global importance, x91) can't express, and the
+    weighted/attenuated refinement of the hard 3-hop horizon
+    (``bfs_depths``): BFS says WHO is within k ties, PPR says HOW
+    STRONGLY each of them is tied.
+
+    Pass *restart* as a LITERAL alongside *damping* (the
+    ``pagerank_step`` rule: Python's ``1.0 - 0.85`` is an ulp off
+    ``0.15``, the classic cross-engine boundary bug).
+
+    Per superstep: out-weight normalize, one edge⋈rank join, a
+    decimal(28,18)-cast contribution sum (accumulation-order-proof),
+    and a full-outer combine with the seed prior; nodes receiving no
+    mass and holding no prior drop out (their rank is exactly 0) —
+    the frontier grows like BFS instead of touching all V every
+    round.  Lineage truncated per superstep (``localCheckpoint``,
+    the x09 discipline).  Dangling mass is NOT redistributed — with
+    restart > 0 the walk is still proper; document the leak if
+    comparing to a power-iteration reference.
+
+    Output: ``(node, rank)`` for every node with nonzero mass
+    (6 dp).
+    """
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    # undirected co-occurrence graphs arrive as canonical pairs;
+    # walk both directions
+    sym = e.union(
+        e.select(
+            F.col("__d").alias("__s"),
+            F.col("__s").alias("__d"),
+            F.col("__w"),
+        )
+    )
+    outw = sym.groupBy("__s").agg(F.sum("__w").alias("__wo"))
+    adj = sym.join(outw, "__s").select(
+        "__s", "__d", (F.col("__w") / F.col("__wo")).alias("__p")
+    ).localCheckpoint(eager=True)
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = sd.count()
+    prior = sd.withColumn(
+        "__prior", F.lit(1.0 / float(n_seeds))
+    ).localCheckpoint(eager=True)
+    ranks = prior.select("node", F.col("__prior").alias("rank"))
+    for _ in range(int(n_iter)):
+        contrib = (
+            ranks.join(adj, ranks["node"] == adj["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("rank") * F.col("__p"))
+                .cast("decimal(28,18)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("double").alias("__m"))
+        )
+        ranks = (
+            prior.join(contrib, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.lit(float(restart))
+                    * F.coalesce(F.col("__prior"), F.lit(0.0))
+                    + F.lit(float(damping))
+                    * F.coalesce(F.col("__m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

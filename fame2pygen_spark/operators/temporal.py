@@ -2060,3 +2060,75 @@ def periodicity_scan(
         (-F.col("__best.negp")).cast("long").alias("best_period"),
         F.col("__best.s").alias("strength"),
     )
+
+
+def ar1_halflife(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """AR(1) persistence per group: the lag-1 autoregression
+    ``y_t = c + ρ·y_{t−1} + ε`` fit by OLS over CONSECUTIVE index
+    pairs (x_t = x_{t−1} + 1; gaps break pairs rather than faking a
+    one-step transition), plus the mean-reversion half-life
+    ``ln(2)/(−ln ρ)`` for 0 < ρ < 1 — "how many days until a shock
+    decays halfway", the forecast-horizon number the trend (x65) and
+    autocorrelation (x70) scans stop short of.
+
+    Engine-exactness: the pair moments use the ``group_trend``
+    decimal(28,6) quantized sums (both y_t and y_{t−1} are data
+    values, so BOTH sides quantize); ρ and the intercept are then one
+    double expression.  ``ln`` enters only the final half-life
+    composition (the x213 portability rule: plain arithmetic plus
+    libm monotone calls, rounded at 6 dp).
+
+    Scale shape: one keyed lag window + one keyed hash agg.
+
+    Output: ``(*group_cols, n_pairs, rho, intercept, half_life)`` —
+    half_life null outside ρ ∈ (0, 1) (no reversion to measure).
+    """
+    g = list(group_cols)
+    dec = "decimal(28,6)"
+    w = Window.partitionBy(*g).orderBy(x_col)
+    pairs = (
+        series.where(F.col(y_col).isNotNull() & F.col(x_col).isNotNull())
+        .withColumn("__yl", F.lag(y_col).over(w))
+        .withColumn("__xl", F.lag(x_col).over(w))
+        .where(
+            F.col("__yl").isNotNull()
+            & (F.col(x_col) == F.col("__xl") + 1)
+        )
+        .select(
+            *g,
+            F.col(y_col).alias("__y"),
+            F.col("__yl"),
+        )
+    )
+    m = pairs.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("__yl").cast(dec)).cast("double").alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).cast("double").alias("__sy"),
+        F.sum((F.col("__yl") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("__sxy"),
+        F.sum((F.col("__yl") * F.col("__yl")).cast(dec))
+        .cast("double")
+        .alias("__sxx"),
+    )
+    n = F.col("n_pairs").cast("double")
+    rho = F.try_divide(
+        n * F.col("__sxy") - F.col("__sx") * F.col("__sy"),
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
+    )
+    icept = (F.col("__sy") - rho * F.col("__sx")) / n
+    half = F.when(
+        (rho > 0) & (rho < 1), F.log(F.lit(2.0)) / -F.log(rho)
+    )
+    return m.select(
+        *g,
+        "n_pairs",
+        F.round(rho, 6).alias("rho"),
+        F.round(icept, 6).alias("intercept"),
+        F.round(half, 6).alias("half_life"),
+    )

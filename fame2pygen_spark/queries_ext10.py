@@ -748,3 +748,338 @@ ORDER BY doc_id
 
 EXT10_QUERIES.update({"x234_repetition": q_x234_repetition})
 EXT10_ORACLES.update({"x234_repetition": SQL_X234})
+
+
+# ----------------------------- x235: personalized PageRank
+
+
+def q_x235_ppr(spark, sf_dir):
+    """Random-walk-with-restart proximity (operators/graph.py:
+    personalized_pagerank) from the suppkey%25 watchlist over the
+    x148 co-occurrence graph — the weighted refinement of the hard
+    3-hop horizon (x232): not just who is within reach, but how
+    strongly each node is tied to the seeds."""
+    from .operators.graph import personalized_pagerank
+
+    ls = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_suppkey") % 25 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    out = personalized_pagerank(
+        pairs, seeds, n_iter=3, damping=0.85, restart=0.15
+    )
+    return out.select(
+        F.col("node").cast("long").alias("node"), "rank"
+    ).orderBy("node")
+
+
+def _ppr_sql(n_iter: int = 3) -> str:
+    head = """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+pairs AS (
+  SELECT a.s AS u, b.s AS v FROM ls a JOIN ls b
+  ON a.o = b.o AND a.s < b.s
+),
+canon AS (
+  SELECT u, v, count(*) AS w FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT u AS s, v AS d, CAST(w AS DOUBLE) AS w FROM canon
+  UNION ALL
+  SELECT v AS s, u AS d, CAST(w AS DOUBLE) AS w FROM canon
+),
+outw AS (SELECT s, SUM(w) AS wo FROM sym GROUP BY 1),
+adj AS (
+  SELECT sym.s, sym.d, sym.w / outw.wo AS p
+  FROM sym JOIN outw ON outw.s = sym.s
+),
+seeds AS (
+  SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 25 = 0
+),
+prior AS (
+  SELECT node, 1.0 / (SELECT COUNT(*) FROM seeds) AS pr FROM seeds
+),
+r0 AS (SELECT node, pr AS rank FROM prior)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT a.d AS node,
+         CAST(SUM(CAST(r.rank * a.p AS DECIMAL(28,18))) AS DOUBLE) AS m
+  FROM r{i - 1} r JOIN adj a ON a.s = r.node GROUP BY 1
+),
+r{i} AS (
+  SELECT COALESCE(p.node, c.node) AS node,
+         0.15 * COALESCE(p.pr, 0) + 0.85 * COALESCE(c.m, 0) AS rank
+  FROM prior p FULL OUTER JOIN c{i} c ON c.node = p.node
+)""")
+    tail = f"""
+SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank
+FROM r{n_iter} ORDER BY node
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_X235 = _ppr_sql(3)
+
+EXT10_QUERIES.update({"x235_ppr": q_x235_ppr})
+EXT10_ORACLES.update({"x235_ppr": SQL_X235})
+
+
+# ----------------------------- x236: AR(1) persistence / half-life
+
+
+def q_x236_ar1(spark, sf_dir):
+    """Shock persistence (operators/temporal.py:ar1_halflife): lag-1
+    autoregression of the per-day mean event value per event type
+    over consecutive days — the mean-reversion half-life that turns
+    the autocorrelation scan (x70) and residual check (x229) into a
+    forecastable horizon."""
+    from .operators.temporal import ar1_halflife
+
+    ev = _read_events(spark, sf_dir)
+    day = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    return ar1_halflife(day, ["event_type"], "day", "x").orderBy(
+        "event_type"
+    )
+
+
+SQL_X236 = """
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type, x AS y, yl
+  FROM (
+    SELECT event_type, day, x,
+           LAG(x) OVER w AS yl,
+           LAG(day) OVER w AS xl
+    FROM day
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+  )
+  WHERE yl IS NOT NULL AND day = xl + 1
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(yl AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(yl * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(yl * yl AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM pairs GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS rho,
+         sy, sx
+  FROM m
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND(rho, 6) AS rho,
+       ROUND((sy - rho * sx) / n, 6) AS intercept,
+       ROUND(CASE WHEN rho > 0 AND rho < 1
+                  THEN ln(2.0) / -ln(rho) END, 6) AS half_life
+FROM fit
+ORDER BY event_type
+"""
+
+EXT10_QUERIES.update({"x236_ar1": q_x236_ar1})
+EXT10_ORACLES.update({"x236_ar1": SQL_X236})
+
+
+# ----------------------------- x237: Welch's unequal-variance t
+
+
+def q_x237_welch(spark, sf_dir):
+    """Welch's t on the x66 hash split's per-user total value
+    (operators/behavior.py:welch_t) — the mean test that doesn't
+    assume equal arm variances; its p should agree with the
+    randomization test (x228) on this A/A split."""
+    from .operators.behavior import welch_t
+
+    ev = _read_events(spark, sf_dir)
+    units = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,12)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ab:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(4294967296.0)
+                < 0.5,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("variant"),
+            "y",
+        )
+    )
+    return welch_t(units, "variant", "y")
+
+
+def _sql_x237() -> str:
+    from .queries_ext9 import _normal_p_two_sided_sql
+
+    t = "((sa / n_a - sb / n_b) / sqrt(va / n_a + vb / n_b))"
+    return f"""
+WITH units AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS v,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+              AS DECIMAL(28,6)) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN v = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN v = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN v = 'a' THEN y END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN v = 'b' THEN y END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN v = 'a' THEN y * y END) AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN v = 'b' THEN y * y END) AS DOUBLE) AS qb
+  FROM units
+),
+vv AS (
+  SELECT n_a, n_b, sa, sb,
+         (qa - sa * sa / n_a) / (n_a - 1.0) AS va,
+         (qb - sb * sb / n_b) / (n_b - 1.0) AS vb
+  FROM agg
+)
+SELECT n_a, n_b,
+       ROUND(sa / n_a, 6) AS mean_a,
+       ROUND(sb / n_b, 6) AS mean_b,
+       ROUND({t}, 6) AS t_stat,
+       ROUND((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+             / (va * va / (n_a * n_a * (n_a - 1.0))
+                + vb * vb / (n_b * n_b * (n_b - 1.0))), 6) AS df,
+       ROUND({_normal_p_two_sided_sql(t)}, 6) AS p_value
+FROM vv
+"""
+
+
+SQL_X237 = _sql_x237()
+
+EXT10_QUERIES.update({"x237_welch": q_x237_welch})
+EXT10_ORACLES.update({"x237_welch": SQL_X237})
+
+
+# ----------------------------- x238: sampled overlap estimator
+
+
+_X238_MOD = 4
+
+
+def q_x238_sampled_overlap(spark, sf_dir):
+    """Fingerprint-space-sampled cross-source overlap estimate
+    (operators/dedup.py:sampled_overlap_estimate) on the recrawl
+    corpus — the 1/m-cost screen that decides which source pairs
+    deserve the exact matrix (x52); sampling by fingerprint keeps
+    both sides of every duplicate together, so the scaled count is
+    unbiased."""
+    from .operators.dedup import sampled_overlap_estimate
+
+    from .queries_ext import _docs_with_recrawls
+
+    docs = _docs_with_recrawls(spark, sf_dir)
+    out = sampled_overlap_estimate(
+        docs, "text", "source", sample_mod=_X238_MOD, salt="ovl"
+    )
+    return out.orderBy("group_a", "group_b")
+
+
+def _sql_x238() -> str:
+    from .queries_ext import SQL_RECRAWL_DOCS
+
+    return f"""
+WITH sets AS (
+  SELECT DISTINCT source AS g,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM {SQL_RECRAWL_DOCS} d
+),
+sampled AS (
+  SELECT g, fp FROM sets
+  WHERE ('0x' || substr(md5('ovl:' || fp), 1, 8))::BIGINT
+        % {_X238_MOD} = 0
+),
+sizes AS (SELECT g, COUNT(*) AS n FROM sampled GROUP BY g),
+common AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS nc
+  FROM sampled a JOIN sampled b ON a.fp = b.fp AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT c.group_a, c.group_b,
+       CAST(sa.n AS BIGINT) AS n_a_sampled,
+       CAST(sb.n AS BIGINT) AS n_b_sampled,
+       CAST(c.nc AS BIGINT) AS n_common_sampled,
+       CAST(c.nc * {_X238_MOD} AS BIGINT) AS est_n_common,
+       ROUND({_X238_MOD}.0 * sqrt(CAST(c.nc AS DOUBLE)), 6) AS se_est
+FROM common c
+JOIN sizes sa ON c.group_a = sa.g
+JOIN sizes sb ON c.group_b = sb.g
+ORDER BY c.group_a, c.group_b
+"""
+
+
+SQL_X238 = _sql_x238()
+
+EXT10_QUERIES.update({"x238_sampled_overlap": q_x238_sampled_overlap})
+EXT10_ORACLES.update({"x238_sampled_overlap": SQL_X238})

@@ -5730,3 +5730,106 @@ def test_byte_anomaly_profile_planted(spark):
     assert d["multibyte_ratio"] == round(
         5 / d["total_chars"], 6
     )
+
+
+def test_personalized_pagerank_locality(spark):
+    """x235: on a barbell (1-2-3 | 4-5-6 bridged 3-4), seeding at 1
+    concentrates mass on the seed side; total mass stays <= 1 (the
+    walk is a proper restart walk, dangling leak only shrinks it);
+    seed rank exceeds the far side's."""
+    from fame2pygen_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1), (5, 6, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["rank"] for r in
+           personalized_pagerank(edges, seeds, n_iter=5).collect()}
+    assert got[1] > got[6] and got[2] > got[5]
+    assert 0.99 * sum(got.values()) <= 1.0 + 1e-9
+    # restart mass keeps the seed on top of distant nodes
+    assert got[1] >= 0.15 / 1.0 - 1e-9
+
+
+def test_ar1_halflife_planted_decay(spark):
+    """x236: a geometric decay y_t = 0.5^t fits rho = 0.5 exactly ->
+    half-life = 1 day; a gap in the index breaks the pair chain; a
+    non-reverting rho >= 1 reports null half-life."""
+    from fame2pygen_spark.operators.temporal import ar1_halflife
+
+    # scaled so every value AND every cross-product is exact at the
+    # operator's decimal(28,6) quantization grid
+    decay = [("d", t, 1000.0 * 0.5 ** t) for t in range(6)]
+    grow = [("g", t, float(2 ** t)) for t in range(6)]
+    gap = [("h", t, 1000.0 * 0.5 ** t) for t in (0, 1, 2, 5, 6)]
+    df = spark.createDataFrame(
+        decay + grow + gap, "g string, x long, y double"
+    )
+    got = {r["g"]: r for r in
+           ar1_halflife(df, ["g"], "x", "y").collect()}
+    assert got["d"]["rho"] == 0.5 and got["d"]["half_life"] == 1.0
+    assert got["d"]["intercept"] == 0.0
+    assert got["g"]["rho"] == 2.0 and got["g"]["half_life"] is None
+    assert got["h"]["n_pairs"] == 3  # (0,1),(1,2),(5,6) — gap dropped
+
+
+def test_welch_t_hand_and_aa(spark):
+    """x237: textbook two-sample case matches scipy's Welch t (the
+    statistic and df are exact; p is the normal approximation); an
+    identical-arms A/A gives t = 0, p = 1."""
+    from fame2pygen_spark.operators.behavior import welch_t
+
+    ga = [27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1]
+    gb = [27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "v string, y double")
+    r = welch_t(df, "v", "y").collect()[0]
+    assert r["n_a"] == 8 and r["n_b"] == 8
+    try:
+        from scipy import stats
+
+        t, _ = stats.ttest_ind(ga, gb, equal_var=False)
+        assert abs(r["t_stat"] - round(float(t), 6)) < 1e-6
+    except ImportError:
+        assert r["t_stat"] < 0
+    same = spark.createDataFrame(
+        [("a", 5.0), ("a", 7.0), ("b", 5.0), ("b", 7.0)],
+        "v string, y double",
+    )
+    r0 = welch_t(same, "v", "y").collect()[0]
+    assert r0["t_stat"] == 0.0 and r0["p_value"] == 1.0
+
+
+def test_sampled_overlap_unbiased_mechanism(spark):
+    """x238: with sample_mod=1 the estimator IS the exact overlap
+    (est = n_common, se = sqrt(n)); with mod=m every sampled common
+    fingerprint scales by m; fingerprint-space sampling keeps both
+    sides of a duplicate together (no half-sampled pairs)."""
+    from fame2pygen_spark.operators.dedup import (
+        sampled_overlap_estimate,
+        source_overlap,
+    )
+
+    rows = [("s1", f"shared text {i}") for i in range(40)] + [
+        ("s2", f"shared text {i}") for i in range(40)
+    ] + [("s2", f"only two {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    exact = source_overlap(df, "text", "source").collect()[0]
+    full = sampled_overlap_estimate(
+        df, "text", "source", sample_mod=1
+    ).collect()[0]
+    assert full["est_n_common"] == exact["n_common"] == 40
+    assert full["se_est"] == round(40 ** 0.5, 6)
+
+    s4 = sampled_overlap_estimate(
+        df, "text", "source", sample_mod=4
+    ).collect()
+    assert len(s4) == 1
+    r = s4[0]
+    assert r["est_n_common"] == r["n_common_sampled"] * 4
+    # both sides sampled together: sampled common <= min sampled size
+    assert r["n_common_sampled"] <= min(
+        r["n_a_sampled"], r["n_b_sampled"]
+    )
+    assert 0 < r["n_common_sampled"] < 40
