@@ -376,3 +376,42 @@ def streaming_lexicon_flag_counts(
         F.sum("__h").cast("long").alias("total_hits"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+def streaming_byte_anomaly(
+    stream: DataFrame,
+    text_col: str = "text",
+    group_cols=("source",),
+) -> DataFrame:
+    """Streaming half of the encoding-health audit (the x233 batch
+    twin, operators/text.py:byte_anomaly_profile): reduce a document
+    stream to the per-group byte/char counters — ``(n_docs,
+    total_chars, multibyte_chars, control_chars, n_docs_nonascii,
+    n_docs_replacement)`` — in complete output mode.  Every per-row
+    expression is scan-stage column algebra (char vs byte length,
+    one control-strip regex, one U+FFFD scan), so state is
+    |groups| × 6 integers; the ratio finalizer runs per trigger on
+    the sink table and reproduces the batch operator bitwise.  The
+    mojibake tripwire belongs AT INGEST — a mislabeled-charset feed
+    should alarm on the first micro-batch, not at the nightly batch
+    audit.
+    """
+    g = list(group_cols)
+    t = F.col(text_col)
+    chars = F.length(t)
+    mbytes = F.octet_length(t) - chars
+    ctrl = chars - F.length(
+        F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    return stream.where(t.isNotNull()).groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.sum(mbytes).cast("long").alias("multibyte_chars"),
+        F.sum(ctrl).cast("long").alias("control_chars"),
+        F.sum(F.when(mbytes > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_nonascii"),
+        F.sum(F.when(F.contains(t, F.lit("�")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_replacement"),
+    )

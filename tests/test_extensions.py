@@ -5833,3 +5833,46 @@ def test_sampled_overlap_unbiased_mechanism(spark):
         r["n_a_sampled"], r["n_b_sampled"]
     )
     assert 0 < r["n_common_sampled"] < 40
+
+
+def test_streaming_byte_anomaly_twin(spark, tmp_path):
+    """Streaming encoding-health counters equal the batch
+    byte_anomaly_profile on the same docs once the ratio finalizer
+    runs on the sink."""
+    from pyspark.sql import functions as F
+    from fame2pygen_spark.operators.text import byte_anomaly_profile
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, streaming_byte_anomaly,
+    )
+
+    rows = [
+        ("s1", "plain ascii"),
+        ("s1", "café au lait"),
+        ("s2", "bad\x01byte"),
+        ("s2", "marker � here"),
+        ("s2", "clean"),
+    ]
+    batch = spark.createDataFrame(rows, "source string, text string")
+    path = str(tmp_path / "docs")
+    batch.write.parquet(path)
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(path)
+    )
+    agg = streaming_byte_anomaly(stream, "text", ("source",))
+    run_stream_to_memory(agg, "byte_anomaly", output_mode="complete")
+    sink = spark.sql("select * from byte_anomaly")
+    fin = sink.select(
+        "source", "n_docs", "total_chars", "multibyte_chars",
+        F.round(
+            F.try_divide(
+                F.col("multibyte_chars").cast("double"),
+                F.col("total_chars").cast("double"),
+            ),
+            6,
+        ).alias("multibyte_ratio"),
+        "control_chars", "n_docs_nonascii", "n_docs_replacement",
+    )
+    want = byte_anomaly_profile(batch, "text", ["source"])
+    assert {tuple(r) for r in fin.collect()} == {
+        tuple(r) for r in want.collect()
+    }

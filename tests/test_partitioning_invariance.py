@@ -56,6 +56,16 @@ SENSITIVE = [
     "x222_delta_method",
     "x223_mde",
     "x224_gains",
+    "x225_brown_forsythe",
+    "x226_icc",
+    "x227_cronbach",
+    "x228_randomization",
+    "x229_durbin_watson",
+    "x230_periodicity",
+    "x231_cluster_quality",
+    "x235_ppr",
+    "x236_ar1",
+    "x237_welch",
 ]
 
 

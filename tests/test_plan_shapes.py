@@ -784,3 +784,63 @@ def test_mann_kendall_pair_join_stays_entity_keyed(spark):
 def test_r4_batch19_operators_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x225_brown_forsythe",  # keyed median window + broadcast join back
+        "x226_icc",             # one keyed agg + G-row reduce
+        "x227_cronbach",        # cell agg + k-item/|subjects| reduces
+        "x228_randomization",   # unit explode -> 2B-cell hash agg
+        "x229_durbin_watson",   # keyed lag window, group-row join back
+        "x230_periodicity",     # |periods|-fold explode, keyed aggs only
+    ],
+)
+def test_r5_batch1_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x231_cluster_quality",  # broadcast centroid join, no n x n
+        "x232_bfs_horizon",      # frontier equi-joins
+        "x233_byte_anomaly",     # single scan-stage hash agg
+        "x234_repetition",       # doc-keyed explode chains
+        "x235_ppr",              # rank x adjacency equi-joins
+        "x236_ar1",              # keyed lag window + keyed agg
+        "x237_welch",            # one hash agg
+        "x238_sampled_overlap",  # scan-stage sample filter + fp equi-join
+    ],
+)
+def test_r5_batch2_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_cluster_quality_centroid_join_broadcasts(spark):
+    # the point x centroid stage must broadcast the k x dim centroid
+    # table; a shuffle join there means the explode output is being
+    # co-shuffled on dim — wrong at any scale
+    plan = plan_of(spark, "x231_cluster_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampled_overlap_filter_precedes_shuffle(spark):
+    # the 1/m hash-band sample must run in the scan stage (a Filter
+    # before the first Exchange), so the shuffle and self-join see
+    # only the thinned fingerprint set
+    # formatted plans print root-first, so compare NODE IDS (assigned
+    # bottom-up): the lowest Filter id must precede the lowest
+    # Exchange id — the predicate sits under the first shuffle
+    import re
+
+    plan = plan_of(spark, "x238_sampled_overlap")
+    filters = [int(m) for m in re.findall(r"Filter \((\d+)\)", plan)]
+    exchanges = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert filters and exchanges
+    assert min(filters) < min(exchanges)
+    assert "pmod" in plan or "% 4" in plan
