@@ -2207,3 +2207,84 @@ def welch_t(
         F.round(df, 6).alias("df"),
         F.round(normal_p_two_sided(t), 6).alias("p_value"),
     )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """Two-period difference-in-differences on unit-level outcomes:
+    ``DID = (post_t − pre_t) − (post_c − pre_c)`` with the SE from the
+    unit-level per-arm variance of the within-unit change Δ = post −
+    pre (Bertrand et al. 2004's unit-collapse prescription — serial
+    correlation within a unit is absorbed into Δ, so the SE is honest
+    where a pooled four-cell variance is not).  The launch-impact
+    estimator when assignment wasn't randomized but both arms share a
+    pre-period trend; CUPED (x108) adjusts a randomized experiment,
+    DID de-biases an observational rollout.
+
+    *units* must already be one row per unit with its pre-period and
+    post-period outcome (the x221/x222 unit-collapse discipline);
+    units missing either period are excluded (Δ undefined).
+
+    Engine-exactness: Δ is one IEEE subtraction; per-arm power sums
+    quantize Δ at decimal(28,6) (the ``corr_pairs`` idiom); the DID,
+    Welch-style SE, z, and the A&S normal p are one double
+    composition.
+
+    Scale shape: ONE map-side-combinable hash aggregation; single
+    output row.
+
+    Output: ``(n_t, n_c, pre_t, post_t, pre_c, post_c, did, se, z,
+    p_value)`` (6 dp).
+    """
+    from .quality import normal_p_two_sided
+
+    dec = "decimal(28,6)"
+    base = units.where(
+        F.col(pre_col).isNotNull() & F.col(post_col).isNotNull()
+    ).select(
+        F.col(variant_col).alias("__v"),
+        F.col(pre_col).cast(dec).alias("__pre"),
+        F.col(post_col).cast(dec).alias("__post"),
+        (F.col(post_col) - F.col(pre_col)).cast(dec).alias("__d"),
+    )
+    is_t = F.col("__v") == "t"
+    is_c = F.col("__v") == "c"
+    agg = base.groupBy().agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(is_t, F.col("__pre"))).alias("__pt"),
+        F.sum(F.when(is_t, F.col("__post"))).alias("__ot"),
+        F.sum(F.when(is_c, F.col("__pre"))).alias("__pc"),
+        F.sum(F.when(is_c, F.col("__post"))).alias("__oc"),
+        F.sum(F.when(is_t, F.col("__d"))).alias("__dt"),
+        F.sum(F.when(is_c, F.col("__d"))).alias("__dc"),
+        F.sum(F.when(is_t, F.col("__d") * F.col("__d"))).alias("__qt"),
+        F.sum(F.when(is_c, F.col("__d") * F.col("__d"))).alias("__qc"),
+    )
+    nt = F.col("n_t").cast("double")
+    nc = F.col("n_c").cast("double")
+    dt = F.col("__dt").cast("double")
+    dc = F.col("__dc").cast("double")
+    qt = F.col("__qt").cast("double")
+    qc = F.col("__qc").cast("double")
+    vt = F.try_divide(qt - dt * dt / nt, nt - 1.0)
+    vc = F.try_divide(qc - dc * dc / nc, nc - 1.0)
+    did = dt / nt - dc / nc
+    se = F.sqrt(vt / nt + vc / nc)
+    z = F.try_divide(did, se)
+    return agg.select(
+        "n_t",
+        "n_c",
+        F.round(F.col("__pt").cast("double") / nt, 6).alias("pre_t"),
+        F.round(F.col("__ot").cast("double") / nt, 6).alias("post_t"),
+        F.round(F.col("__pc").cast("double") / nc, 6).alias("pre_c"),
+        F.round(F.col("__oc").cast("double") / nc, 6).alias("post_c"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(normal_p_two_sided(z), 6).alias("p_value"),
+    )

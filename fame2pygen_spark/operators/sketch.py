@@ -3349,3 +3349,92 @@ def icc_oneway(
         F.round(msw, 6).alias("msw"),
         F.round(icc, 6).alias("icc1"),
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    id_cols: Sequence[str],
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier ranking per group: ``D² = δᵀΣ⁻¹δ``
+    with the 2×2 covariance inverted in CLOSED FORM — the joint-tail
+    screen the per-column z/MAD scans (x37/x51) can't do: a row can be
+    unremarkable on every margin and still be a correlation-breaking
+    outlier (high quantity at a low price), and D² is exactly the
+    statistic that sees it.
+
+    Two passes: ONE keyed hash aggregation for the five (28,6)
+    quantized power sums (population covariance, exact up to the
+    final double division), then a scan that scores every row with a
+    single deterministic double expression and keeps the per-group
+    top-*top_n* via ``row_number`` over (D² desc, id) — rank on the
+    6-dp-ROUNDED D² so an ulp cannot reorder engines; the id
+    tiebreak makes ties deterministic.  Degenerate covariance
+    (|Σ| ≤ 0, a constant or perfectly collinear group) yields no
+    rows for that group rather than fake distances.
+
+    Output: ``(*group_cols, *id_cols, x, y, d2, rank)``.
+    """
+    g = list(group_cols)
+    ids = list(id_cols)
+    dec = "decimal(28,6)"
+    cx, cy = F.col(x_col), F.col(y_col)
+    base = df.where(cx.isNotNull() & cy.isNotNull())
+    m = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(cx.cast(dec)).alias("__sx"),
+        F.sum(cy.cast(dec)).alias("__sy"),
+        F.sum((cx * cx).cast(dec)).alias("__sxx"),
+        F.sum((cy * cy).cast(dec)).alias("__syy"),
+        F.sum((cx * cy).cast(dec)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    mx = F.col("__sx").cast("double") / n
+    my = F.col("__sy").cast("double") / n
+    vxx = F.col("__sxx").cast("double") / n - mx * mx
+    vyy = F.col("__syy").cast("double") / n - my * my
+    vxy = F.col("__sxy").cast("double") / n - mx * my
+    det = vxx * vyy - vxy * vxy
+    stats = m.select(
+        *g,
+        mx.alias("__mx"),
+        my.alias("__my"),
+        vxx.alias("__vxx"),
+        vyy.alias("__vyy"),
+        vxy.alias("__vxy"),
+        det.alias("__det"),
+    ).where(F.col("__det") > 0)
+    scored = base.join(F.broadcast(stats), g).select(
+        *g,
+        *ids,
+        cx.alias("x"),
+        cy.alias("y"),
+        F.round(
+            (
+                F.col("__vyy")
+                * (cx - F.col("__mx"))
+                * (cx - F.col("__mx"))
+                - 2.0
+                * F.col("__vxy")
+                * (cx - F.col("__mx"))
+                * (cy - F.col("__my"))
+                + F.col("__vxx")
+                * (cy - F.col("__my"))
+                * (cy - F.col("__my"))
+            )
+            / F.col("__det"),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy(*g).orderBy(
+        F.desc("d2"), *[F.asc(c) for c in ids]
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_n))
+        .select(*g, *ids, "x", "y", "d2", F.col("rank").cast("long").alias("rank"))
+    )

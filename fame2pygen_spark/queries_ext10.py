@@ -1083,3 +1083,221 @@ SQL_X238 = _sql_x238()
 
 EXT10_QUERIES.update({"x238_sampled_overlap": q_x238_sampled_overlap})
 EXT10_ORACLES.update({"x238_sampled_overlap": SQL_X238})
+
+
+# ----------------------------- x239: difference-in-differences
+
+
+def q_x239_did(spark, sf_dir):
+    """Observational launch-impact estimate (operators/behavior.py:
+    diff_in_diff): per-user pre/post total value around the x58
+    cutoff, arms from the x66 hash split relabeled t/c — the
+    parallel-trends estimator for rollouts that weren't randomized;
+    on this A/A-like split the DID should be statistically flat."""
+    from .operators.behavior import diff_in_diff
+    from .queries_ext import _X58_CUTOFF_US
+
+    ev = _read_events(spark, sf_dir)
+    cut = F.lit(_X58_CUTOFF_US)
+    per = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts_us") < cut,
+                    F.col("value").cast("decimal(25,12)"),
+                )
+            )
+            .cast("double")
+            .alias("pre"),
+            F.sum(
+                F.when(
+                    F.col("ts_us") >= cut,
+                    F.col("value").cast("decimal(25,12)"),
+                )
+            )
+            .cast("double")
+            .alias("post"),
+        )
+    )
+    units = per.select(
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+            < 0.5,
+            F.lit("t"),
+        )
+        .otherwise(F.lit("c"))
+        .alias("variant"),
+        "pre",
+        "post",
+    )
+    return diff_in_diff(units, "variant", "pre", "post")
+
+
+def _sql_x239() -> str:
+    from .queries_ext import _X58_CUTOFF_US
+    from .queries_ext9 import _normal_p_two_sided_sql
+
+    z = "((dt / n_t - dc / n_c) / sqrt(vt / n_t + vc / n_c))"
+    return f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(ts) < {_X58_CUTOFF_US}
+                  THEN CAST(value AS DECIMAL(25,12)) END) AS DOUBLE)
+           AS pre,
+         CAST(SUM(CASE WHEN epoch_us(ts) >= {_X58_CUTOFF_US}
+                  THEN CAST(value AS DECIMAL(25,12)) END) AS DOUBLE)
+           AS post
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+),
+units AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 't' ELSE 'c' END AS v,
+         CAST(pre AS DECIMAL(28,6)) AS pre,
+         CAST(post AS DECIMAL(28,6)) AS post,
+         CAST(post - pre AS DECIMAL(28,6)) AS d
+  FROM per
+  WHERE pre IS NOT NULL AND post IS NOT NULL
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN v = 't' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN v = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN v = 't' THEN pre END) AS DOUBLE) AS pt,
+         CAST(SUM(CASE WHEN v = 't' THEN post END) AS DOUBLE) AS ot,
+         CAST(SUM(CASE WHEN v = 'c' THEN pre END) AS DOUBLE) AS pc,
+         CAST(SUM(CASE WHEN v = 'c' THEN post END) AS DOUBLE) AS oc,
+         CAST(SUM(CASE WHEN v = 't' THEN d END) AS DOUBLE) AS dt,
+         CAST(SUM(CASE WHEN v = 'c' THEN d END) AS DOUBLE) AS dc,
+         CAST(SUM(CASE WHEN v = 't' THEN d * d END) AS DOUBLE) AS qt,
+         CAST(SUM(CASE WHEN v = 'c' THEN d * d END) AS DOUBLE) AS qc
+  FROM units
+),
+vv AS (
+  SELECT n_t, n_c, pt, ot, pc, oc, dt, dc,
+         (qt - dt * dt / n_t) / (n_t - 1.0) AS vt,
+         (qc - dc * dc / n_c) / (n_c - 1.0) AS vc
+  FROM agg
+)
+SELECT n_t, n_c,
+       ROUND(pt / n_t, 6) AS pre_t,
+       ROUND(ot / n_t, 6) AS post_t,
+       ROUND(pc / n_c, 6) AS pre_c,
+       ROUND(oc / n_c, 6) AS post_c,
+       ROUND(dt / n_t - dc / n_c, 6) AS did,
+       ROUND(sqrt(vt / n_t + vc / n_c), 6) AS se,
+       ROUND({z}, 6) AS z,
+       ROUND({_normal_p_two_sided_sql(z)}, 6) AS p_value
+FROM vv
+"""
+
+
+SQL_X239 = _sql_x239()
+
+EXT10_QUERIES.update({"x239_did": q_x239_did})
+EXT10_ORACLES.update({"x239_did": SQL_X239})
+
+
+# ----------------------------- x240: Mahalanobis joint outliers
+
+
+def q_x240_mahalanobis(spark, sf_dir):
+    """Joint-tail outlier ranking (operators/sketch.py:
+    mahalanobis_outliers): top-20 (quantity, extendedprice) rows per
+    returnflag by closed-form 2x2 Mahalanobis distance — the
+    correlation-breaking rows the per-column screens (x37, x51)
+    cannot see."""
+    from .operators.sketch import mahalanobis_outliers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = mahalanobis_outliers(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        top_n=20,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "x",
+        "y",
+        "d2",
+        "rank",
+    ).orderBy("l_returnflag", "rank")
+
+
+SQL_X240 = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+              AS DOUBLE) AS sxy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+stats AS (
+  SELECT l_returnflag,
+         sx / n AS mx, sy / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS vxx,
+         syy / n - (sy / n) * (sy / n) AS vyy,
+         sxy / n - (sx / n) * (sy / n) AS vxy,
+         (sxx / n - (sx / n) * (sx / n))
+           * (syy / n - (sy / n) * (sy / n))
+           - (sxy / n - (sx / n) * (sy / n))
+             * (sxy / n - (sx / n) * (sy / n)) AS det
+  FROM m
+),
+scored AS (
+  SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+         l.l_quantity AS x, l.l_extendedprice AS y,
+         ROUND((s.vyy * (l.l_quantity - s.mx) * (l.l_quantity - s.mx)
+                - 2.0 * s.vxy * (l.l_quantity - s.mx)
+                      * (l.l_extendedprice - s.my)
+                + s.vxx * (l.l_extendedprice - s.my)
+                        * (l.l_extendedprice - s.my)) / s.det,
+               6) AS d2
+  FROM lineitem l JOIN stats s
+  ON l.l_returnflag = s.l_returnflag AND s.det > 0
+  WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY d2 DESC, l_orderkey, l_linenumber) AS rank
+  FROM scored
+)
+SELECT l_returnflag,
+       CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       x, y, d2,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+ORDER BY l_returnflag, rank
+"""
+
+EXT10_QUERIES.update({"x240_mahalanobis": q_x240_mahalanobis})
+EXT10_ORACLES.update({"x240_mahalanobis": SQL_X240})

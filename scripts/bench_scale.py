@@ -370,6 +370,33 @@ def _events_tier(spark, timed) -> int:
             ("ts_us", "event_id"),
         ).count(),
     )
+
+    from fame2pygen_spark.operators.behavior import randomization_test
+
+    def _randomization():
+        # unit collapse first (the operator's contract) — the B-fold
+        # explode then replicates |users| rows, not the event table
+        units = (
+            big.where(F.col("value").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.col("value").cast("decimal(25,12)"))
+                .cast("double")
+                .alias("y")
+            )
+            .select(
+                "user_id",
+                F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+                .otherwise(F.lit("b"))
+                .alias("variant"),
+                "y",
+            )
+        )
+        return randomization_test(
+            units, "user_id", "variant", "y", n_perm=100
+        ).count()
+
+    timed("x228_randomization_events10x", _randomization)
     return n_events
 
 

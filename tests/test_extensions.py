@@ -5876,3 +5876,46 @@ def test_streaming_byte_anomaly_twin(spark, tmp_path):
     assert {tuple(r) for r in fin.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_diff_in_diff_planted_lift(spark):
+    """x239: a +5 planted post-period lift on the treated arm with
+    parallel pre-trends recovers did = 5 exactly; units missing a
+    period are excluded; zero-delta-variance arms give se = 0."""
+    from fame2pygen_spark.operators.behavior import diff_in_diff
+
+    rows = (
+        [(f"t{i}", "t", 10.0 + i, 17.0 + i) for i in range(6)]
+        + [(f"c{i}", "c", 20.0 + i, 22.0 + i) for i in range(6)]
+        + [("dropme", "t", None, 99.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "u string, variant string, pre double, post double"
+    )
+    r = diff_in_diff(df, "variant", "pre", "post").collect()[0]
+    assert r["n_t"] == 6 and r["n_c"] == 6
+    # deltas are constant 7 vs 2 -> did exactly 5, zero variance
+    assert r["did"] == 5.0 and r["se"] == 0.0
+    assert r["post_t"] - r["pre_t"] == 7.0
+    assert r["z"] is None  # 5/0 -> null, flagged not faked
+
+
+def test_mahalanobis_outliers_correlation_breaker(spark):
+    """x240: on a tight x=y line plus one correlation-breaking point
+    (high x, low y), the breaker ranks first even though both its
+    margins are in range; constant groups emit nothing."""
+    from fame2pygen_spark.operators.sketch import mahalanobis_outliers
+
+    line = [("g", i, float(i), float(i)) for i in range(1, 21)]
+    breaker = [("g", 99, 18.0, 3.0)]
+    const = [("flat", i, 1.0, 1.0) for i in range(5)]
+    df = spark.createDataFrame(
+        line + breaker + const, "grp string, id long, x double, y double"
+    )
+    out = mahalanobis_outliers(
+        df, ["grp"], "x", "y", ["id"], top_n=3
+    ).collect()
+    grps = {r["grp"] for r in out}
+    assert grps == {"g"}  # degenerate 'flat' group emits no rows
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["id"] == 99 and top["d2"] > 9.0

@@ -66,6 +66,8 @@ SENSITIVE = [
     "x235_ppr",
     "x236_ar1",
     "x237_welch",
+    "x239_did",
+    "x240_mahalanobis",
 ]
 
 

@@ -844,3 +844,23 @@ def test_sampled_overlap_filter_precedes_shuffle(spark):
     assert filters and exchanges
     assert min(filters) < min(exchanges)
     assert "pmod" in plan or "% 4" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x239_did",          # one hash agg over the unit frame
+        "x240_mahalanobis",  # keyed moments broadcast onto the scan
+    ],
+)
+def test_r5_batch3_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_mahalanobis_stats_join_broadcasts(spark):
+    # the per-group moment row must broadcast onto the scoring scan —
+    # a shuffle there would re-partition the whole fact table for a
+    # k-row join
+    plan = plan_of(spark, "x240_mahalanobis")
+    assert "BroadcastHashJoin" in plan
