@@ -1465,3 +1465,74 @@ def cronbach_alpha(
         F.round(F.col("__tot_var"), 6).alias("total_var"),
         F.round(alpha, 6).alias("alpha"),
     )
+
+
+def hash_width_audit(
+    df: DataFrame,
+    key_col: str,
+    *,
+    bit_widths: Sequence[int] = (16, 24, 32, 40, 48),
+    salt: str = "hw",
+) -> DataFrame:
+    """Join-key hash-width audit: for each candidate truncation width
+    b, the EXACT number of colliding distinct keys when the key is
+    replaced by a b-bit hash — the empirical answer to "can this
+    pipeline carry 32-bit surrogate keys", next to the birthday
+    expectation ``E[collisions] ≈ n²/2^(b+1)`` it should track.  At
+    100 TB every byte of join key is shuffle bandwidth; this is the
+    measurement that licenses (or forbids) the truncation.
+
+    One distinct pass over the keys, then per width one md5-prefix
+    hash agg: ``n_colliding = Σ_buckets (size − 1)`` over occupied
+    buckets (keys that would silently merge with another key).
+    Widths are hex-prefix truncations of the same md5, so the audit
+    costs |widths| hash aggs over the DISTINCT key set, not the fact
+    table.
+
+    Output per width: ``(bits, n_keys, n_colliding, collision_rate,
+    birthday_expected)`` (6 dp).
+    """
+    widths = sorted({int(b) for b in bit_widths})
+    for b in widths:
+        if b % 4 != 0 or not 4 <= b <= 60:
+            raise ValueError(f"bit width {b} must be a multiple of 4 in [4, 60]")
+    keys = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("__k"))
+        .distinct()
+        .select(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col("__k"))).alias("__h")
+        )
+        .localCheckpoint(eager=True)
+    )
+    outs = None
+    for b in widths:
+        bucket = F.substring(F.col("__h"), 1, b // 4)
+        per = (
+            keys.groupBy(bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy()
+            .agg(
+                F.sum("__c").cast("long").alias("n_keys"),
+                F.sum(F.col("__c") - 1).cast("long").alias("n_colliding"),
+            )
+            .select(
+                F.lit(b).cast("long").alias("bits"),
+                "n_keys",
+                "n_colliding",
+            )
+        )
+        outs = per if outs is None else outs.union(per)
+    n = F.col("n_keys").cast("double")
+    return outs.select(
+        "bits",
+        "n_keys",
+        "n_colliding",
+        F.round(
+            F.try_divide(F.col("n_colliding").cast("double"), n), 6
+        ).alias("collision_rate"),
+        F.round(
+            n * n / F.pow(F.lit(2.0), (F.col("bits") + 1).cast("double")),
+            6,
+        ).alias("birthday_expected"),
+    )

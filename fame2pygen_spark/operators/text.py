@@ -2559,3 +2559,74 @@ def byte_anomaly_profile(
         "n_docs_nonascii",
         "n_docs_replacement",
     )
+
+
+def watermark_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    salt: str = "wm",
+    z_flag: float = 4.0,
+) -> DataFrame:
+    """Green-list watermark detector (Kirchenbauer et al. 2023, "A
+    Watermark for Large Language Models" — detection side only): a
+    soft-watermarked generator over-samples tokens from a
+    pseudo-random "green" half of the vocabulary, so watermarked text
+    shows a green-token excess the one-proportion z-test sees:
+    ``z = (g − n/2)/√(n/4)`` under H₀ green-rate ½.  The
+    synthetic-text screen a 100 TB crawl needs BEFORE model-generated
+    content recycles into training data; complements the perplexity
+    bucketing (x183), which needs an LM — this needs only a hash.
+
+    The green list here is the salted-md5 parity of the token itself
+    (the simplest fixed-list variant — detecting a SPECIFIC vendor's
+    watermark means substituting their keyed hash; the plumbing,
+    counters, and test are identical).  Tokenization matches the
+    corpus convention (lowercase, whitespace split).
+
+    Engine-exactness: g and n are integers; z is one double
+    expression.  Scale shape: one explode → (doc, parity) count →
+    per-doc reduce; doc-keyed throughout.
+
+    Output: ``(id_col, n_tokens, n_green, green_rate, z, flagged)``
+    — flagged when z ≥ *z_flag* (4.0 ≈ the paper's operating point,
+    false-positive rate ~3e-5).
+    """
+    tk = F.expr(
+        f"filter(split(trim(regexp_replace(lower({text_col}), "
+        f"'\\\\s+', ' ')), ' '), t -> t <> '')"
+    )
+    toks = df.select(F.col(id_col).alias("__id"), tk.alias("__tk")).where(
+        F.size("__tk") > 0
+    )
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("__w"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per = (
+        toks.select("__id", F.explode("__tk").alias("__w"))
+        .select("__id", parity.alias("__green"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__green").cast("long").alias("n_green"),
+        )
+    )
+    n = F.col("n_tokens").cast("double")
+    g = F.col("n_green").cast("double")
+    z = (g - n / 2.0) / F.sqrt(n / 4.0)
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_green",
+        F.round(g / n, 6).alias("green_rate"),
+        F.round(z, 6).alias("z"),
+        (F.round(z, 6) >= F.lit(float(z_flag))).alias("flagged"),
+    )

@@ -1301,3 +1301,102 @@ ORDER BY l_returnflag, rank
 
 EXT10_QUERIES.update({"x240_mahalanobis": q_x240_mahalanobis})
 EXT10_ORACLES.update({"x240_mahalanobis": SQL_X240})
+
+
+# ----------------------------- x241: green-list watermark screen
+
+
+def q_x241_watermark(spark, sf_dir):
+    """Synthetic-text watermark screen (operators/text.py:
+    watermark_screen): per-doc green-token excess z under the
+    Kirchenbauer-style hash green list — the recycled-model-output
+    tripwire; on organic text green_rate sits at 1/2 and nothing
+    flags."""
+    from .operators.text import watermark_screen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return watermark_screen(docs, "text", "doc_id").orderBy("doc_id")
+
+
+SQL_X241 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '') AS tk
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(('0x' || substr(md5('wm:' || w), 1, 8))::BIGINT % 2)
+           AS n_green
+  FROM (SELECT doc_id, unnest(tk) AS w FROM toks WHERE len(tk) > 0)
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_green AS BIGINT) AS n_green,
+       ROUND(CAST(n_green AS DOUBLE) / n_tokens, 6) AS green_rate,
+       ROUND((n_green - n_tokens / 2.0) / sqrt(n_tokens / 4.0), 6) AS z,
+       ROUND((n_green - n_tokens / 2.0) / sqrt(n_tokens / 4.0), 6)
+         >= 4.0 AS flagged
+FROM per
+ORDER BY doc_id
+"""
+
+EXT10_QUERIES.update({"x241_watermark": q_x241_watermark})
+EXT10_ORACLES.update({"x241_watermark": SQL_X241})
+
+
+# ----------------------------- x242: join-key hash-width audit
+
+
+_X242_WIDTHS = (16, 24, 32, 40)
+
+
+def q_x242_hash_widths(spark, sf_dir):
+    """Surrogate-key truncation audit (operators/quality.py:
+    hash_width_audit) over lineitem order keys: exact colliding-key
+    counts per candidate bit width next to the birthday expectation
+    — the measurement that licenses a narrow shuffle key at 100 TB."""
+    from .operators.quality import hash_width_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hash_width_audit(
+        li, "l_orderkey", bit_widths=_X242_WIDTHS, salt="hw"
+    ).orderBy("bits")
+
+
+def _sql_x242() -> str:
+    parts = []
+    for b in _X242_WIDTHS:
+        parts.append(f"""
+  SELECT CAST({b} AS BIGINT) AS bits,
+         CAST(SUM(c) AS BIGINT) AS n_keys,
+         CAST(SUM(c - 1) AS BIGINT) AS n_colliding
+  FROM (
+    SELECT substr(h, 1, {b // 4}) AS bkt, COUNT(*) AS c
+    FROM keys GROUP BY 1
+  )""")
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH keys AS (
+  SELECT md5('hw:' || CAST(l_orderkey AS VARCHAR)) AS h
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL)
+),
+w AS ({body})
+SELECT bits, n_keys, n_colliding,
+       ROUND(CAST(n_colliding AS DOUBLE) / n_keys, 6) AS collision_rate,
+       ROUND(CAST(n_keys AS DOUBLE) * n_keys
+             / pow(2.0, CAST(bits + 1 AS DOUBLE)), 6) AS birthday_expected
+FROM w
+ORDER BY bits
+"""
+
+
+SQL_X242 = _sql_x242()
+
+EXT10_QUERIES.update({"x242_hash_widths": q_x242_hash_widths})
+EXT10_ORACLES.update({"x242_hash_widths": SQL_X242})

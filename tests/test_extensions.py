@@ -5919,3 +5919,58 @@ def test_mahalanobis_outliers_correlation_breaker(spark):
     assert grps == {"g"}  # degenerate 'flat' group emits no rows
     top = [r for r in out if r["rank"] == 1][0]
     assert top["id"] == 99 and top["d2"] > 9.0
+
+
+def test_watermark_screen_planted_greenlist(spark):
+    """x241: a doc written entirely from green-parity words flags at
+    z = sqrt(n); a balanced half-green doc sits at z = 0; organic
+    mixed text never crosses the 4.0 operating point."""
+    from fame2pygen_spark.operators.text import watermark_screen
+
+    # find words on each side of the hash parity, same as the operator
+    import hashlib
+
+    def parity(w):
+        return int(hashlib.md5(f"wm:{w}".encode()).hexdigest()[:8], 16) % 2
+
+    vocab = [f"w{i}" for i in range(200)]
+    green = [w for w in vocab if parity(w) == 1][:25]
+    red = [w for w in vocab if parity(w) == 0][:25]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(green)),          # all green
+            (2, " ".join(green[:10] + red[:10])),  # balanced
+            (3, " ".join(red)),            # all red
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in watermark_screen(docs).collect()}
+    assert got[1]["n_green"] == 25 and got[1]["flagged"] is True
+    assert got[1]["z"] == round(25 ** 0.5, 6)
+    assert got[2]["z"] == 0.0 and got[2]["flagged"] is False
+    assert got[3]["n_green"] == 0 and got[3]["flagged"] is False
+
+
+def test_hash_width_audit_exact_and_birthday(spark):
+    """x242: tiny widths force collisions that the exact count sees
+    and the birthday term predicts in magnitude; at generous widths
+    collisions vanish; n_keys is the distinct-key count at every
+    width."""
+    from fame2pygen_spark.operators.quality import hash_width_audit
+
+    df = spark.createDataFrame(
+        [(i % 500,) for i in range(2000)], "k long"
+    )
+    rows = {r["bits"]: r for r in
+            hash_width_audit(df, "k", bit_widths=(4, 16, 40)).collect()}
+    assert all(r["n_keys"] == 500 for r in rows.values())
+    # 500 keys into 16 buckets: at least 484 must collide
+    assert rows[4]["n_colliding"] >= 484
+    assert rows[40]["n_colliding"] == 0
+    assert rows[16]["birthday_expected"] == round(
+        500 * 500 / 2.0 ** 17, 6
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hash_width_audit(df, "k", bit_widths=(10,)).collect()

@@ -68,6 +68,7 @@ SENSITIVE = [
     "x237_welch",
     "x239_did",
     "x240_mahalanobis",
+    "x241_watermark",
 ]
 
 

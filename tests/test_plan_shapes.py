@@ -864,3 +864,15 @@ def test_mahalanobis_stats_join_broadcasts(spark):
     # k-row join
     plan = plan_of(spark, "x240_mahalanobis")
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x241_watermark",    # doc-keyed explode + count
+        "x242_hash_widths",  # distinct keys -> per-width hash aggs
+    ],
+)
+def test_r5_batch4_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
