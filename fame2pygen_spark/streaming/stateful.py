@@ -17,8 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 RUNNING_OUTPUT = StructType(
@@ -392,6 +392,139 @@ def streaming_minhash_signatures(docs: DataFrame) -> DataFrame:
         _update_minhash,
         outputStructType=MINHASH_OUTPUT,
         stateStructType=MINHASH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------- streaming Page-Hinkley drift detector
+
+PH_OUTPUT = StructType(
+    [
+        StructField("entity", StringType()),
+        StructField("n", LongType()),
+        StructField("ph_max", DoubleType()),
+        StructField("alarmed", BooleanType()),
+        StructField("alarm_at", LongType()),
+    ]
+)
+
+PH_STATE = StructType(
+    [
+        StructField("i", LongType()),
+        StructField("cumx", StringType()),   # decimal(38,18) as text
+        StructField("m", StringType()),      # decimal(38,18) as text
+        StructField("mmin", StringType()),   # decimal(38,18) as text
+        StructField("ph_max", DoubleType()),
+        StructField("alarmed", BooleanType()),
+        StructField("alarm_at", LongType()),
+    ]
+)
+
+
+def _ph_update_factory(delta: float, lam: float):
+    """Build the per-key fold.  The arithmetic REPLICATES the batch
+    operator (temporal.page_hinkley) step for step so the twin test
+    can demand bitwise equality: running sums are exact decimals
+    quantized at 18 dp with HALF_UP (Spark's double→decimal(38,18)
+    cast), decimal→double conversions round to nearest (both
+    engines), and the 6-dp PH rounding goes through the shortest
+    -repr HALF_UP path Spark's ``round(double, 6)`` uses."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    Q18 = Decimal("1e-18")
+    Q6 = Decimal("1e-6")
+
+    def q18(x: float) -> Decimal:
+        return Decimal(x).quantize(Q18, rounding=ROUND_HALF_UP)
+
+    def round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Q6, rounding=ROUND_HALF_UP)
+        )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            i, cumx_s, m_s, mmin_s, ph_max, alarmed, alarm_at = state.get
+            cumx, m = Decimal(cumx_s), Decimal(m_s)
+            mmin: Decimal | None = Decimal(mmin_s)
+        else:
+            i, cumx, m, mmin = 0, Decimal(0), Decimal(0), None
+            ph_max, alarmed, alarm_at = 0.0, False, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__ord")
+            for ordv, x in zip(pdf["__ord"], pdf["__x"]):
+                if x is None or pd.isna(x):
+                    continue
+                x = float(x)
+                i += 1
+                cumx += q18(x)
+                dev = x - float(cumx) / i - delta
+                m += q18(dev)
+                mmin = m if mmin is None else min(mmin, m)
+                ph = round6(float(m - mmin))
+                if ph > ph_max:
+                    ph_max = ph
+                if ph > lam and not alarmed:
+                    alarmed, alarm_at = True, int(ordv)
+        state.update(
+            (i, str(cumx), str(m),
+             str(mmin if mmin is not None else Decimal(0)),
+             ph_max, alarmed, alarm_at)
+        )
+        yield pd.DataFrame(
+            {
+                "entity": [str(key[0])],
+                "n": [i],
+                "ph_max": [round6(ph_max)],
+                "alarmed": [alarmed],
+                "alarm_at": [alarm_at],
+            }
+        )
+
+    return update
+
+
+def streaming_page_hinkley(
+    series: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    delta: float = 0.0,
+    lam: float = 10.0,
+) -> DataFrame:
+    """Streaming half of the Page-Hinkley monitor (the x210 batch
+    twin, operators/temporal.py:page_hinkley): per-entity sequential
+    drift state — (i, Σx, m_t, min m_t, running PH max, alarm) — one
+    tuple per key in the state store, updated as monitoring-grain
+    rows arrive.  This is where PH actually belongs: it is an ONLINE
+    test; the batch operator is its backfill/verification twin, and
+    the cross-batch pytest pins the fold to it bitwise.
+
+    ORDERED-ARRIVAL CONTRACT: PH is prefix-dependent.  Rows are
+    sorted by *order_col* inside each micro-batch, but a row arriving
+    in a LATER batch with an earlier order value is folded late (the
+    statistic it produces is the out-of-order one).  Feed the
+    monitoring grain through an ordered source (the per-day rollup
+    the batch twin consumes), or accept the approximation.
+
+    Output mode: update — one row per (entity, trigger) with the
+    current ``(n, ph_max, alarmed, alarm_at)``.
+    """
+    src = series.select(
+        F.col(entity_col).cast("string").alias("entity"),
+        F.col(order_col).cast("long").alias("__ord"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    return src.groupBy("entity").applyInPandasWithState(
+        _ph_update_factory(float(delta), float(lam)),
+        outputStructType=PH_OUTPUT,
+        stateStructType=PH_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -5974,3 +5974,64 @@ def test_hash_width_audit_exact_and_birthday(spark):
 
     with _pt.raises(ValueError):
         hash_width_audit(df, "k", bit_widths=(10,)).collect()
+
+
+def test_streaming_page_hinkley_matches_batch(spark, tmp_path):
+    """The stateful streaming PH fold over two ordered micro-batches
+    equals the batch page_hinkley on the union — bitwise on ph_max,
+    alarmed and alarm_at — including an alarm that fires mid-stream."""
+    from fame2pygen_spark.operators.temporal import page_hinkley
+    from fame2pygen_spark.streaming.stateful import (
+        streaming_page_hinkley,
+    )
+
+    # entity "up" drifts +20 after day 9 (alarm fires); "flat" never
+    up1 = [("up", d, 10.0 + (d % 3) * 0.5) for d in range(10)]
+    up2 = [("up", d, 30.0 + (d % 3) * 0.5) for d in range(10, 20)]
+    flat1 = [("flat", d, 5.0 + (d % 2) * 0.1) for d in range(10)]
+    flat2 = [("flat", d, 5.0 + (d % 2) * 0.1) for d in range(10, 20)]
+    schema = "entity string, day long, x double"
+    b1 = spark.createDataFrame(up1 + flat1, schema)
+    b2 = spark.createDataFrame(up2 + flat2, schema)
+    path = str(tmp_path / "ph_src")
+    b1.coalesce(1).write.parquet(path)
+    b2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    q = (
+        streaming_page_hinkley(
+            stream, "entity", "day", "x", delta=1.0, lam=8.0
+        )
+        .writeStream.format("memory")
+        .queryName("ph_check")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ph_check").collect()
+    streamed = {}
+    for r in rows:  # last update per entity wins
+        if r["entity"] not in streamed or r["n"] > streamed[r["entity"]]["n"]:
+            streamed[r["entity"]] = r
+
+    batch = {
+        r["entity"]: r
+        for r in page_hinkley(
+            spark.createDataFrame(up1 + up2 + flat1 + flat2, schema),
+            "entity", "day", "x", delta=1.0, lam=8.0,
+        ).collect()
+    }
+    for ent in ("up", "flat"):
+        s, b = streamed[ent], batch[ent]
+        assert s["n"] == b["n"]
+        assert s["ph_max"] == b["ph_max"], ent
+        assert s["alarmed"] == b["alarmed"]
+        assert s["alarm_at"] == b["alarm_at"]
+    assert batch["up"]["alarmed"] is True
+    assert batch["flat"]["alarmed"] is False
