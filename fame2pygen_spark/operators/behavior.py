@@ -2288,3 +2288,71 @@ def diff_in_diff(
         F.round(z, 6).alias("z"),
         F.round(normal_p_two_sided(z), 6).alias("p_value"),
     )
+
+
+def session_gap_sweep(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    thresholds_us: Sequence[int] = (
+        900_000_000,
+        1_800_000_000,
+        3_600_000_000,
+        7_200_000_000,
+    ),
+) -> DataFrame:
+    """Session-count sensitivity sweep: how many sessions (and events
+    per session) the corpus yields at EACH candidate inactivity gap —
+    from ONE pass.  A session count is Σ_users (1 + #gaps > T), so
+    after the single lag-window gap table every threshold is one
+    conditional counter in the same hash aggregation; the naive
+    approach re-sessionizes (re-shuffles, re-windows) per threshold.
+    This is the calibration table consulted BEFORE the 30-minute
+    industry default gets hard-coded into x11's sessionizer.
+
+    Everything is integer counting — engine-exact by construction.
+
+    Output per threshold: ``(threshold_us, n_users, n_events,
+    n_sessions, events_per_session)`` (6 dp).
+    """
+    ths = sorted({int(t) for t in thresholds_us})
+    w = Window.partitionBy("__u").orderBy("__ts")
+    gaps = events.select(
+        F.col(entity_col).alias("__u"), F.col(ts_col).alias("__ts")
+    ).withColumn("__gap", F.col("__ts") - F.lag("__ts").over(w))
+    agg = gaps.groupBy().agg(
+        F.countDistinct("__u").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.sum(F.when(F.col("__gap") > t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__breaks_{t}")
+            for t in ths
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("threshold_us"),
+                (F.col("n_users") + F.col(f"__breaks_{t}"))
+                .cast("long")
+                .alias("n_sessions"),
+            )
+            for t in ths
+        ]
+    )
+    return (
+        agg.select("n_users", "n_events", F.explode(rows).alias("__r"))
+        .select(
+            F.col("__r.threshold_us").alias("threshold_us"),
+            "n_users",
+            "n_events",
+            F.col("__r.n_sessions").alias("n_sessions"),
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("__r.n_sessions").cast("double"),
+                6,
+            ).alias("events_per_session"),
+        )
+    )

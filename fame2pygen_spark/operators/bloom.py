@@ -102,3 +102,105 @@ def bloom_semi_join(
     ).distinct()
     matches = candidates.join(F.broadcast(small_keys), on=big_key)
     return candidates, matches
+
+
+def bloom_fpr_audit(
+    members: DataFrame,
+    probes: DataFrame,
+    member_key: str,
+    probe_key: str,
+    *,
+    m: int = 1024,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Measured false-positive rate of the Bloom pre-filter against
+    a DISJOINT probe population — the sizing audit run before
+    ``bloom_semi_join`` ships: theory gives the fill-based estimate
+    ``(bits_set/m)^k``; this measures the real thing on real keys, so
+    an (m, k) choice is a measurement, not a formula guess.  At
+    100 TB an under-sized filter silently turns the pre-filter into a
+    pass-through and the join pays full freight — this is the gauge.
+
+    True members are anti-joined out of the probe set first (a probe
+    that IS a member is a true positive, not a false one), so the
+    caller may pass overlapping populations.  The fill-based
+    expectation multiplies k times instead of calling pow — exact in
+    both engines.
+
+    Scale shape: the filter build and the bits-set count are one tiny
+    aggregation (broadcast); probing is the ``bloom_semi_join``
+    explode(k) + broadcast-join + count==k shape over the probe set.
+
+    Output: one row ``(m, k, n_members, bits_set, fill_ratio,
+    n_probes, n_false_pos, fpr_measured, fpr_expected)`` (6 dp).
+    """
+    m, k = int(m), int(k)
+    positions = bloom_positions(members, member_key, m=m, k=k, salt=salt)
+    filt = positions.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("bits_set")
+    )
+    nm = (
+        members.select(F.col(member_key).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    pr = (
+        probes.select(F.col(probe_key).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+        .join(
+            members.select(F.col(member_key).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+    )
+    probe_arr = F.array_distinct(
+        F.array(
+            *[
+                (_hash64(F.col("__k"), f"{salt}:{i}") % m).cast("int")
+                for i in range(k)
+            ]
+        )
+    )
+    probed = pr.select("__k", F.size(probe_arr).alias("__np"),
+                       F.explode(probe_arr).alias("pos"))
+    hits = (
+        probed.join(F.broadcast(positions), on="pos")
+        .groupBy("__k", "__np")
+        .agg(F.count(F.lit(1)).alias("__nhit"))
+    )
+    fp = hits.where(F.col("__nhit") == F.col("__np")).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_false_pos")
+    )
+    n_probes = pr.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes")
+    )
+    out = (
+        nm.crossJoin(F.broadcast(filt))
+        .crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(fp))
+    )
+    fill = F.col("bits_set").cast("double") / F.lit(float(m))
+    expected = fill
+    for _ in range(k - 1):
+        expected = expected * fill
+    return out.select(
+        F.lit(m).cast("long").alias("m"),
+        F.lit(k).cast("long").alias("k"),
+        "n_members",
+        "bits_set",
+        F.round(fill, 6).alias("fill_ratio"),
+        "n_probes",
+        F.coalesce(F.col("n_false_pos"), F.lit(0)).alias("n_false_pos"),
+        F.round(
+            F.try_divide(
+                F.coalesce(F.col("n_false_pos"), F.lit(0)).cast("double"),
+                F.col("n_probes").cast("double"),
+            ),
+            6,
+        ).alias("fpr_measured"),
+        F.round(expected, 6).alias("fpr_expected"),
+    )

@@ -1400,3 +1400,148 @@ SQL_X242 = _sql_x242()
 
 EXT10_QUERIES.update({"x242_hash_widths": q_x242_hash_widths})
 EXT10_ORACLES.update({"x242_hash_widths": SQL_X242})
+
+
+# ----------------------------- x243: Bloom filter FPR audit
+
+
+_X243_M, _X243_K = 4096, 3
+
+
+def q_x243_bloom_fpr(spark, sf_dir):
+    """Bloom pre-filter sizing gauge (operators/bloom.py:
+    bloom_fpr_audit): even part keys build the filter, odd keys probe
+    it — measured false-positive rate next to the fill-based
+    expectation, the audit that sizes (m, k) before x87's semi-join
+    trusts the filter."""
+    from .operators.bloom import bloom_fpr_audit
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    members = part.where(F.col("p_partkey") % 2 == 0)
+    probes = part.where(F.col("p_partkey") % 2 == 1)
+    return bloom_fpr_audit(
+        members, probes, "p_partkey", "p_partkey",
+        m=_X243_M, k=_X243_K, salt="bloom",
+    )
+
+
+def _sql_x243() -> str:
+    m, k = _X243_M, _X243_K
+    pos_arms = "\n  UNION\n".join(
+        f"""  SELECT ('0x' || substr(md5('bloom:{i}:' || CAST(k AS VARCHAR)),
+         1, 8))::BIGINT % {m} AS pos FROM mem"""
+        for i in range(k)
+    )
+    probe_cols = ", ".join(
+        f"""('0x' || substr(md5('bloom:{i}:' || CAST(k AS VARCHAR)),
+         1, 8))::BIGINT % {m}"""
+        for i in range(k)
+    )
+    fill = " * ".join(["(CAST(f.bits_set AS DOUBLE) / {m})".format(m=m)] * k)
+    return f"""
+WITH mem AS (
+  SELECT DISTINCT p_partkey AS k FROM part
+  WHERE p_partkey % 2 = 0 AND p_partkey IS NOT NULL
+),
+pos AS (
+{pos_arms}
+),
+f AS (SELECT COUNT(*) AS bits_set FROM pos),
+nm AS (SELECT COUNT(*) AS n_members FROM mem),
+pr AS (
+  SELECT DISTINCT p_partkey AS k FROM part
+  WHERE p_partkey % 2 = 1 AND p_partkey IS NOT NULL
+    AND p_partkey NOT IN (SELECT k FROM mem)
+),
+pp AS (
+  SELECT k, list_distinct([{probe_cols}]) AS plist FROM pr
+),
+hits AS (
+  SELECT p.k, len(p.plist) AS np, COUNT(*) AS nhit
+  FROM (SELECT k, plist, unnest(plist) AS pos FROM pp) p
+  JOIN pos ON pos.pos = p.pos
+  GROUP BY p.k, len(p.plist)
+),
+fp AS (
+  SELECT COUNT(*) AS n_false_pos FROM hits WHERE nhit = np
+),
+npr AS (SELECT COUNT(*) AS n_probes FROM pr)
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST({k} AS BIGINT) AS k,
+       CAST(nm.n_members AS BIGINT) AS n_members,
+       CAST(f.bits_set AS BIGINT) AS bits_set,
+       ROUND(CAST(f.bits_set AS DOUBLE) / {m}, 6) AS fill_ratio,
+       CAST(npr.n_probes AS BIGINT) AS n_probes,
+       CAST(fp.n_false_pos AS BIGINT) AS n_false_pos,
+       ROUND(CAST(fp.n_false_pos AS DOUBLE) / npr.n_probes, 6)
+         AS fpr_measured,
+       ROUND({fill}, 6) AS fpr_expected
+FROM nm CROSS JOIN f CROSS JOIN npr CROSS JOIN fp
+"""
+
+
+SQL_X243 = _sql_x243()
+
+EXT10_QUERIES.update({"x243_bloom_fpr": q_x243_bloom_fpr})
+EXT10_ORACLES.update({"x243_bloom_fpr": SQL_X243})
+
+
+# ----------------------------- x244: session gap-threshold sweep
+
+
+_X244_THS = (900_000_000, 1_800_000_000, 3_600_000_000, 7_200_000_000)
+
+
+def q_x244_gap_sweep(spark, sf_dir):
+    """Sessionization calibration (operators/behavior.py:
+    session_gap_sweep): session counts at four candidate inactivity
+    gaps from ONE lag pass — the table consulted before the 30-minute
+    default is hard-coded into the x11 sessionizer."""
+    from .operators.behavior import session_gap_sweep
+
+    ev = _read_events(spark, sf_dir)
+    return session_gap_sweep(
+        ev, entity_col="user_id", ts_col="ts_us",
+        thresholds_us=_X244_THS,
+    ).orderBy("threshold_us")
+
+
+def _sql_x244() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT CAST({t} AS BIGINT) AS threshold_us,
+         n_users, n_events,
+         CAST(n_users + b_{t} AS BIGINT) AS n_sessions
+  FROM agg"""
+        for t in _X244_THS
+    )
+    counters = ",\n         ".join(
+        f"SUM(CASE WHEN gap > {t} THEN 1 ELSE 0 END) AS b_{t}"
+        for t in _X244_THS
+    )
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+  FROM events
+),
+agg AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {counters}
+  FROM gaps
+),
+sw AS (
+{arms}
+)
+SELECT threshold_us, n_users, n_events, n_sessions,
+       ROUND(CAST(n_events AS DOUBLE) / n_sessions, 6)
+         AS events_per_session
+FROM sw ORDER BY threshold_us
+"""
+
+
+SQL_X244 = _sql_x244()
+
+EXT10_QUERIES.update({"x244_gap_sweep": q_x244_gap_sweep})
+EXT10_ORACLES.update({"x244_gap_sweep": SQL_X244})

@@ -6035,3 +6035,61 @@ def test_streaming_page_hinkley_matches_batch(spark, tmp_path):
         assert s["alarm_at"] == b["alarm_at"]
     assert batch["up"]["alarmed"] is True
     assert batch["flat"]["alarmed"] is False
+
+
+def test_bloom_fpr_audit_mechanism(spark):
+    """x243: a filter so small the fill ratio saturates makes every
+    probe a false positive (measured == expected == 1 at full fill);
+    a generous filter keeps the measured FPR near the fill-based
+    expectation; true members never count as false positives."""
+    from fame2pygen_spark.operators.bloom import bloom_fpr_audit
+
+    members = spark.createDataFrame(
+        [(i,) for i in range(200)], "k long"
+    )
+    probes = spark.createDataFrame(
+        [(i,) for i in range(200, 600)], "k long"
+    )
+    tiny = bloom_fpr_audit(
+        members, probes, "k", "k", m=8, k=2
+    ).collect()[0]
+    assert tiny["fill_ratio"] == 1.0
+    assert tiny["fpr_measured"] == 1.0 and tiny["fpr_expected"] == 1.0
+
+    big = bloom_fpr_audit(
+        members, probes, "k", "k", m=8192, k=3
+    ).collect()[0]
+    assert big["n_members"] == 200 and big["n_probes"] == 400
+    assert big["fpr_measured"] < 0.01
+    # overlapping populations: members are anti-joined out of probes
+    both = bloom_fpr_audit(
+        members, members, "k", "k", m=8, k=2
+    ).collect()[0]
+    assert both["n_probes"] == 0 and both["n_false_pos"] == 0
+
+
+def test_session_gap_sweep_hand_counts(spark):
+    """x244: two users with known gaps — session counts step down as
+    the threshold grows, events/sessions are conserved at every
+    threshold, and the counts match hand sessionization."""
+    from fame2pygen_spark.operators.behavior import session_gap_sweep
+
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 100), ("u1", 101),
+        ("u2", 0), ("u2", 50),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_us long")
+    got = {
+        r["threshold_us"]: r
+        for r in session_gap_sweep(
+            df, entity_col="user_id", ts_col="ts_us",
+            thresholds_us=(5, 30, 1000),
+        ).collect()
+    }
+    # gaps: u1 -> 10, 90, 1; u2 -> 50
+    assert got[5]["n_sessions"] == 2 + 3  # u1 breaks at 10,90; u2 at 50
+    assert got[30]["n_sessions"] == 2 + 2  # u1 breaks at 90; u2 at 50
+    assert got[1000]["n_sessions"] == 2
+    for r in got.values():
+        assert r["n_users"] == 2 and r["n_events"] == 6
+    assert got[1000]["events_per_session"] == 3.0

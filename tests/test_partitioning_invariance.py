@@ -69,6 +69,7 @@ SENSITIVE = [
     "x239_did",
     "x240_mahalanobis",
     "x241_watermark",
+    "x243_bloom_fpr",
 ]
 
 

@@ -876,3 +876,24 @@ def test_mahalanobis_stats_join_broadcasts(spark):
 def test_r5_batch4_operators_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x243_bloom_fpr",  # broadcast filter, tiny summary joins
+        "x244_gap_sweep",  # ONE lag pass, CASE-ladder counters
+    ],
+)
+def test_r5_batch5_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_gap_sweep_is_one_window_pass(spark):
+    # four thresholds must NOT mean four sessionizations: exactly one
+    # windowspecdefinition (the lag) in the whole plan
+    df = QUERIES["x244_gap_sweep"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_windows = plan.count("windowspecdefinition(")
+    assert n_windows <= 2, plan  # lag spec appears once (maybe echoed)
