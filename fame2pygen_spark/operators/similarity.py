@@ -1669,3 +1669,103 @@ def cluster_quality(
         F.round(F.col("__scat"), 6).alias("scatter"),
         "davies_bouldin",
     )
+
+
+def pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    *,
+    centroids: list[list[list[float]]],
+    sub_dims: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance PQ search (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" §IV): the base side is
+    held ONLY as its PQ codes (the 32×-compressed form ``pq_encode``
+    produces), and each query's distance to a base vector is the sum
+    of per-subspace lookup-table entries ``LUT_s[code_s(x)] =
+    ‖q_s − centroid_s[code]‖²`` — the search path that pairs with the
+    x05c IVF coarse quantizer to complete the IVF-PQ stack: x05c
+    prunes WHICH vectors to score, this scores them WITHOUT ever
+    touching the original floats.
+
+    Scale shape: the LUT is |queries|·m·|codebook| tiny rows built
+    row-locally from broadcast centroid literals; base codes melt to
+    (id, subspace, code) and take ONE broadcast join against the LUT
+    — cost O(|base|·m·|queries|) narrow rows into a pivoted
+    fixed-order sum; top-k per query is a query-keyed rank window on
+    the 6-dp-rounded distance with an id tiebreak (engine-stable).
+
+    Engine-exactness: every LUT entry is the sequential index-order
+    fold (the x75/x114 idiom); the m-term ADC sum is pivoted into a
+    FIXED addition order, so no aggregation order exists to drift.
+
+    Output: ``(query_id, id, adist, rank)`` for rank ≤ k.
+    """
+    m = len(centroids)
+    codes = pq_encode(
+        base, centroids=centroids, sub_dims=sub_dims,
+        vec_col=vec_col, id_col=id_col,
+    )
+    qv = _as_double(F.col(query_vec_col))
+    entries = []
+    for s, cset in enumerate(centroids):
+        sub = F.slice(qv, s * sub_dims + 1, sub_dims)
+        for code, c in enumerate(cset):
+            carr = F.array(*[F.lit(float(w)) for w in c])
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(code).alias("code"),
+                    _fold_sq_dist(sub, carr).alias("d2"),
+                )
+            )
+    lut = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select("qid", F.col("e.s").alias("s"), F.col("e.code").alias("code"),
+             F.col("e.d2").alias("d2"))
+    melted = codes.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.col(f"c{s}").alias("code"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.s").alias("s"), F.col("e.code").alias("code"))
+    joined = melted.join(F.broadcast(lut), ["s", "code"])
+    per = joined.groupBy("qid", "id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"__d{s}")
+            for s in range(m)
+        ]
+    )
+    total = F.col("__d0")
+    for s in range(1, m):
+        total = total + F.col(f"__d{s}")
+    scored = per.select(
+        F.col("qid").alias(query_id_col),
+        "id",
+        F.round(total, 6).alias("adist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adist"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            query_id_col, "id", "adist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1545,3 +1545,102 @@ SQL_X244 = _sql_x244()
 
 EXT10_QUERIES.update({"x244_gap_sweep": q_x244_gap_sweep})
 EXT10_ORACLES.update({"x244_gap_sweep": SQL_X244})
+
+
+# ----------------------------- x245: PQ asymmetric-distance search
+
+
+def q_x245_pq_search(spark, sf_dir):
+    """IVF-PQ's scoring half (operators/similarity.py:pq_topk):
+    top-10 neighbors per query scored entirely from one-byte PQ
+    codes via ADC lookup tables — the memory-compressed search that
+    completes the x114 encoder and the x05c coarse quantizer into
+    the full IVF-PQ stack.  Codebooks pinned to the vec_id<8 slices
+    (the x114 rule); queries are vec_id<5."""
+    from .operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pinned = (
+        emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [
+        [
+            [float(x) for x in r["embedding"][s * 16 : (s + 1) * 16]]
+            for r in pinned
+        ]
+        for s in range(4)
+    ]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = pq_topk(
+        emb, queries, centroids=cents, sub_dims=16, k=10
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("id").cast("long").alias("id"),
+        "adist",
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+SQL_X245 = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT id AS code, v AS cv FROM e WHERE id < 8),
+subd AS (
+  SELECT e.id, s.s, cent.code,
+         list_reduce(list_transform(range(1, 17),
+           i -> (e.v[CAST(s.s * 16 + i AS INTEGER)]
+                 - cent.cv[CAST(s.s * 16 + i AS INTEGER)])
+                * (e.v[CAST(s.s * 16 + i AS INTEGER)]
+                   - cent.cv[CAST(s.s * 16 + i AS INTEGER)])),
+           (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN cent, range(0, 4) AS s(s)
+),
+codes AS (
+  SELECT id, s, code FROM (
+    SELECT id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d2, code) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+q AS (SELECT id AS qid, v FROM e WHERE id < 5),
+lut AS (
+  SELECT q.qid, s.s, cent.code,
+         list_reduce(list_transform(range(1, 17),
+           i -> (q.v[CAST(s.s * 16 + i AS INTEGER)]
+                 - cent.cv[CAST(s.s * 16 + i AS INTEGER)])
+                * (q.v[CAST(s.s * 16 + i AS INTEGER)]
+                   - cent.cv[CAST(s.s * 16 + i AS INTEGER)])),
+           (a, x) -> a + x) AS d2
+  FROM q CROSS JOIN cent, range(0, 4) AS s(s)
+),
+adc AS (
+  SELECT l.qid, c.id,
+         max(CASE WHEN c.s = 0 THEN l.d2 END)
+           + max(CASE WHEN c.s = 1 THEN l.d2 END)
+           + max(CASE WHEN c.s = 2 THEN l.d2 END)
+           + max(CASE WHEN c.s = 3 THEN l.d2 END) AS total
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  GROUP BY l.qid, c.id
+),
+ranked AS (
+  SELECT qid, id, ROUND(total, 6) AS adist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND(total, 6), id) AS rank
+  FROM adc
+)
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(id AS BIGINT) AS id,
+       adist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+EXT10_QUERIES.update({"x245_pq_search": q_x245_pq_search})
+EXT10_ORACLES.update({"x245_pq_search": SQL_X245})

@@ -6093,3 +6093,36 @@ def test_session_gap_sweep_hand_counts(spark):
     for r in got.values():
         assert r["n_users"] == 2 and r["n_events"] == 6
     assert got[1000]["events_per_session"] == 3.0
+
+
+def test_pq_topk_exact_on_codebook_points(spark):
+    """x245: base vectors sitting exactly on codebook points have
+    zero reconstruction error, so ADC distance equals true distance:
+    the query's own point ranks first at adist 0, and a far point
+    scores the exact inter-centroid distance."""
+    from fame2pygen_spark.operators.similarity import pq_topk
+
+    # 2 subspaces x 2 codes, sub_dims=2: centroids [0,0],[10,10]
+    cents = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 0.0], [10.0, 10.0]],
+    ]
+    base = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [10.0, 10.0, 10.0, 10.0]),
+            (3, [0.0, 0.0, 10.0, 10.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    out = pq_topk(
+        base, queries, centroids=cents, sub_dims=2, k=3
+    ).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["id"] == 1 and by_rank[1]["adist"] == 0.0
+    assert by_rank[2]["id"] == 3 and by_rank[2]["adist"] == 200.0
+    assert by_rank[3]["id"] == 2 and by_rank[3]["adist"] == 400.0

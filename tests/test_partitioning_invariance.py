@@ -70,6 +70,7 @@ SENSITIVE = [
     "x240_mahalanobis",
     "x241_watermark",
     "x243_bloom_fpr",
+    "x245_pq_search",
 ]
 
 

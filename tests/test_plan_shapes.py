@@ -897,3 +897,11 @@ def test_gap_sweep_is_one_window_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_windows = plan.count("windowspecdefinition(")
     assert n_windows <= 2, plan  # lag spec appears once (maybe echoed)
+
+
+def test_pq_search_lut_join_broadcasts(spark):
+    # the ADC lookup table must broadcast onto the melted code
+    # table — a shuffle there re-partitions the compressed base
+    plan = plan_of(spark, "x245_pq_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
