@@ -1769,3 +1769,125 @@ def pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    *,
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[list[float]]],
+    sub_dims: int,
+    nprobe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The full IVF-PQ stack in one operator (Jégou 2011 §V, the
+    non-residual "IVFADC-flat" variant — codes are of the raw
+    vectors, documented so the recall comparison to residual-coded
+    systems is honest): the coarse quantizer prunes WHICH inverted
+    lists each query visits (*nprobe* of them), and ADC lookup
+    tables score ONLY those candidates from their one-byte PQ codes.
+    x05c does the pruning with exact re-rank; x245 does ADC over
+    everything; this is the shape that serves 100 TB of vectors —
+    touch nprobe/n_cells of the corpus, never the original floats.
+
+    Scale shape: base assigns to cells and PQ-encodes in the scan
+    (row-local, broadcast centroid literals); the probe table
+    (|queries|·nprobe rows) and the LUT broadcast; candidates =
+    one equi-join on the cell id, then the x245 melt + pivoted
+    fixed-order ADC sum and a query-keyed rank window.
+
+    Output: ``(query_id, id, cell, adist, rank)`` for rank ≤ k.
+    """
+    m = len(pq_centroids)
+    codes = pq_encode(
+        base, centroids=pq_centroids, sub_dims=sub_dims,
+        vec_col=vec_col, id_col=id_col,
+    )
+    cells = base.select(
+        F.col(id_col).alias("id"),
+        F.array_min(
+            _centroid_dists(_as_double(F.col(vec_col)), coarse_centroids)
+        )["cid"].alias("cell"),
+    )
+    coded = codes.join(cells, "id")
+    qv = _as_double(F.col(query_vec_col))
+    qcells = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_centroid_dists(qv, coarse_centroids)),
+                    1,
+                    int(nprobe),
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("cell"),
+    )
+    entries = []
+    for s, cset in enumerate(pq_centroids):
+        sub = F.slice(qv, s * sub_dims + 1, sub_dims)
+        for code, c in enumerate(cset):
+            carr = F.array(*[F.lit(float(w)) for w in c])
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(code).alias("code"),
+                    _fold_sq_dist(sub, carr).alias("d2"),
+                )
+            )
+    lut = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select("qid", F.col("e.s").alias("s"),
+             F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
+    cand = coded.join(F.broadcast(qcells), "cell")
+    melted = cand.select(
+        "qid",
+        "id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.col(f"c{s}").alias("code"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("qid", "id", "cell", F.col("e.s").alias("s"),
+             F.col("e.code").alias("code"))
+    joined = melted.join(F.broadcast(lut), ["qid", "s", "code"])
+    per = joined.groupBy("qid", "id", "cell").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"__d{s}")
+            for s in range(m)
+        ]
+    )
+    total = F.col("__d0")
+    for s in range(1, m):
+        total = total + F.col(f"__d{s}")
+    scored = per.select(
+        F.col("qid").alias(query_id_col),
+        "id",
+        F.col("cell").cast("long").alias("cell"),
+        F.round(total, 6).alias("adist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adist"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            query_id_col, "id", "cell", "adist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1644,3 +1644,150 @@ ORDER BY query_id, rank
 
 EXT10_QUERIES.update({"x245_pq_search": q_x245_pq_search})
 EXT10_ORACLES.update({"x245_pq_search": SQL_X245})
+
+
+# ----------------------------- x246: full IVF-PQ search
+
+
+def q_x246_ivfpq(spark, sf_dir):
+    """The assembled IVF-PQ stack (operators/similarity.py:
+    ivf_pq_topk): coarse cells pinned to vec_id 8..15 prune the
+    lists (nprobe=2), PQ codebooks pinned to vec_id<8 slices score
+    candidates from one-byte codes via ADC — touch nprobe/n_cells of
+    the corpus and never the original floats; x05c (exact re-rank)
+    and x245 (full-scan ADC) are its two halves."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pinned = (
+        emb.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    pq_cents = [
+        [
+            [float(x) for x in r["embedding"][s * 16 : (s + 1) * 16]]
+            for r in pinned
+            if r["vec_id"] < 8
+        ]
+        for s in range(4)
+    ]
+    coarse = [
+        [float(x) for x in r["embedding"]]
+        for r in pinned
+        if r["vec_id"] >= 8
+    ]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_pq_topk(
+        emb, queries,
+        coarse_centroids=coarse, pq_centroids=pq_cents,
+        sub_dims=16, nprobe=2, k=10,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("id").cast("long").alias("id"),
+        "cell",
+        "adist",
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+SQL_X246 = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+pqcent AS (SELECT id AS code, v AS cv FROM e WHERE id < 8),
+coarse AS (
+  SELECT id - 8 AS cid, v AS cv,
+         list_reduce(list_transform(range(1, 65),
+             i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)]),
+             (a, x) -> a + x) AS c2
+  FROM e WHERE id >= 8 AND id < 16
+),
+cdists AS (
+  SELECT e.id, coarse.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.v[CAST(i AS INTEGER)] * e.v[CAST(i AS INTEGER)]),
+             (a, x) -> a + x)
+         - 2.0 * list_reduce(list_transform(range(1, 65),
+             i -> e.v[CAST(i AS INTEGER)] * coarse.cv[CAST(i AS INTEGER)]),
+             (a, x) -> a + x)
+         + coarse.c2 AS d2
+  FROM e CROSS JOIN coarse
+),
+cells AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM cdists
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT id AS qid, cid AS cell FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM cdists WHERE id < 5
+  ) WHERE rn <= 2
+),
+subd AS (
+  SELECT e.id, s.s, pqcent.code,
+         list_reduce(list_transform(range(1, 17),
+           i -> (e.v[CAST(s.s * 16 + i AS INTEGER)]
+                 - pqcent.cv[CAST(s.s * 16 + i AS INTEGER)])
+                * (e.v[CAST(s.s * 16 + i AS INTEGER)]
+                   - pqcent.cv[CAST(s.s * 16 + i AS INTEGER)])),
+           (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN pqcent, range(0, 4) AS s(s)
+),
+codes AS (
+  SELECT id, s, code FROM (
+    SELECT id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d2, code) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.id AS qid, s.s, pqcent.code,
+         list_reduce(list_transform(range(1, 17),
+           i -> (q.v[CAST(s.s * 16 + i AS INTEGER)]
+                 - pqcent.cv[CAST(s.s * 16 + i AS INTEGER)])
+                * (q.v[CAST(s.s * 16 + i AS INTEGER)]
+                   - pqcent.cv[CAST(s.s * 16 + i AS INTEGER)])),
+           (a, x) -> a + x) AS d2
+  FROM (SELECT id, v FROM e WHERE id < 5) q
+  CROSS JOIN pqcent, range(0, 4) AS s(s)
+),
+cand AS (
+  SELECT p.qid, c.id, p.cell
+  FROM qprobe p JOIN cells c ON c.cell = p.cell
+),
+adc AS (
+  SELECT cd.qid, cd.id, cd.cell,
+         max(CASE WHEN k.s = 0 THEN l.d2 END)
+           + max(CASE WHEN k.s = 1 THEN l.d2 END)
+           + max(CASE WHEN k.s = 2 THEN l.d2 END)
+           + max(CASE WHEN k.s = 3 THEN l.d2 END) AS total
+  FROM cand cd
+  JOIN codes k ON k.id = cd.id
+  JOIN lut l ON l.qid = cd.qid AND l.s = k.s AND l.code = k.code
+  GROUP BY cd.qid, cd.id, cd.cell
+),
+ranked AS (
+  SELECT qid, id, cell, ROUND(total, 6) AS adist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND(total, 6), id) AS rank
+  FROM adc
+)
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(id AS BIGINT) AS id,
+       CAST(cell AS BIGINT) AS cell,
+       adist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+EXT10_QUERIES.update({"x246_ivfpq": q_x246_ivfpq})
+EXT10_ORACLES.update({"x246_ivfpq": SQL_X246})

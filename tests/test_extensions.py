@@ -6126,3 +6126,39 @@ def test_pq_topk_exact_on_codebook_points(spark):
     assert by_rank[1]["id"] == 1 and by_rank[1]["adist"] == 0.0
     assert by_rank[2]["id"] == 3 and by_rank[2]["adist"] == 200.0
     assert by_rank[3]["id"] == 2 and by_rank[3]["adist"] == 400.0
+
+
+def test_ivf_pq_topk_prunes_and_scores(spark):
+    """x246: candidates come ONLY from probed cells (a far vector in
+    an unprobed cell never appears), and on codebook-exact points the
+    ADC distance is exact, so the query's own cell-mate ranks first."""
+    from fame2pygen_spark.operators.similarity import ivf_pq_topk
+
+    pq_cents = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 0.0], [10.0, 10.0]],
+    ]
+    coarse = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0]]
+    base = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),     # cell 0
+            (2, [0.0, 0.0, 10.0, 10.0]),   # equidistant -> cell 0 (tie)
+            (3, [10.0, 10.0, 10.0, 10.0]), # cell 1 — must not appear
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    out = ivf_pq_topk(
+        base, queries,
+        coarse_centroids=coarse, pq_centroids=pq_cents,
+        sub_dims=2, nprobe=1, k=5,
+    ).collect()
+    ids = {r["id"] for r in out}
+    assert 3 not in ids  # unprobed cell pruned
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["id"] == 1 and by_rank[1]["adist"] == 0.0
+    assert by_rank[2]["id"] == 2 and by_rank[2]["adist"] == 200.0
+    assert all(r["cell"] == 0 for r in out)

@@ -71,6 +71,7 @@ SENSITIVE = [
     "x241_watermark",
     "x243_bloom_fpr",
     "x245_pq_search",
+    "x246_ivfpq",
 ]
 
 

@@ -905,3 +905,12 @@ def test_pq_search_lut_join_broadcasts(spark):
     plan = plan_of(spark, "x245_pq_search")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_probe_and_lut_broadcast(spark):
+    # both the probe table and the LUT are query-sized — they must
+    # broadcast; the only shuffles are the cell-candidate join input
+    # and the final rank window
+    plan = plan_of(spark, "x246_ivfpq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
