@@ -262,6 +262,24 @@ def run_scale_tier(spark) -> dict:
     timed("x05b_lsh_topk_emb10x", _lsh_topk_10x)
     timed("x05c_ivf_topk_emb10x", _ivf_topk_10x)
 
+    def _ivfpq_10x():
+        # codes-only scoring must stay near-flat as the corpus grows:
+        # the per-row work is m LUT lookups, never a 64-dim fold
+        from fame2pygen_spark.operators.similarity import ivf_pq_topk
+
+        rep, qs, cents = _ann_corpus()
+        pq_cents = [
+            [c[s * 16:(s + 1) * 16] for c in cents[:8]]
+            for s in range(4)
+        ]
+        return ivf_pq_topk(
+            rep, qs,
+            coarse_centroids=cents[8:16], pq_centroids=pq_cents,
+            sub_dims=16, nprobe=4, k=10,
+        ).count()
+
+    timed("x246_ivfpq_emb10x", _ivfpq_10x)
+
     n_events = _events_tier(spark, timed)
 
     return {
