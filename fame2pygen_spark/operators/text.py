@@ -2630,3 +2630,120 @@ def watermark_screen(
         F.round(z, 6).alias("z"),
         (F.round(z, 6) >= F.lit(float(z_flag))).alias("flagged"),
     )
+
+
+def self_bleu_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 32,
+    salt: str = "sb",
+) -> DataFrame:
+    """Corpus diversity via sampled self-BLEU-2 (Zhu et al. 2018,
+    "Texygen" — the diversity metric, inverted: HIGH self-BLEU means
+    a homogeneous, template-heavy corpus): each document is scored
+    against ONE deterministic partner (the next doc_id inside its
+    md5 hash bucket) by modified bigram precision ``Σ_g min(c_a(g),
+    c_b(g)) / Σ_g c_a(g)``.  The full metric is all-pairs (O(n²),
+    dead at corpus scale); hash-bucketed adjacent pairing keeps n−B
+    pairs, unbiased for the corpus-level mean because buckets are
+    content-independent.  Complements x234: repetition is
+    WITHIN-doc degeneracy, self-BLEU is ACROSS-doc homogeneity that
+    exact dedup (distinct fingerprints) cannot see.
+
+    Everything is integer bigram counting; per-pair precision is an
+    integer ratio, and the corpus mean is a decimal-cast sum — engine
+    -exact throughout.
+
+    Scale shape: one bigram-count pass (doc-keyed), one bucket-keyed
+    lag window for the pairing, one gram-keyed join WITHIN pairs
+    (each doc joins exactly one partner), one reduce.
+
+    Output: one row ``(n_docs, n_pairs, mean_p2, share_high)`` —
+    share_high = fraction of pairs with precision > 0.5, the
+    near-template alarm (6 dp).
+    """
+    tk = F.expr(
+        f"filter(split(trim(regexp_replace(lower({text_col}), "
+        f"'\\\\s+', ' ')), ' '), t -> t <> '')"
+    )
+    toks = df.select(F.col(id_col).alias("__id"), tk.alias("__tk")).where(
+        F.size("__tk") >= 2
+    )
+    grams = (
+        toks.select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__tk) - 1), "
+                    "i -> concat(__tk[i-1], ' ', __tk[i]))"
+                )
+            ).alias("__g"),
+        )
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("__id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(n_buckets)
+    )
+    w = Window.partitionBy("__b").orderBy("__id")
+    pairs = (
+        toks.select("__id", bucket.alias("__b"))
+        .withColumn("__partner", F.lead("__id").over(w))
+        .where(F.col("__partner").isNotNull())
+        .select(F.col("__id").alias("__a"), F.col("__partner").alias("__p"))
+    )
+    ga = grams.select(
+        F.col("__id").alias("__a"), "__g", F.col("__c").alias("__ca")
+    )
+    gb = grams.select(
+        F.col("__id").alias("__p"), "__g", F.col("__c").alias("__cb")
+    )
+    per_pair = (
+        pairs.join(ga, "__a")
+        .join(gb, ["__p", "__g"], "left")
+        .groupBy("__a", "__p")
+        .agg(
+            F.sum("__ca").alias("__tot"),
+            F.sum(
+                F.least(F.col("__ca"), F.coalesce(F.col("__cb"), F.lit(0)))
+            ).alias("__match"),
+        )
+        .select(
+            F.round(
+                F.col("__match").cast("double") / F.col("__tot").cast("double"),
+                6,
+            ).alias("__p2")
+        )
+    )
+    n_docs = toks.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    out = per_pair.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("__p2").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_p2"),
+        F.round(
+            F.sum(F.when(F.col("__p2") > 0.5, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("share_high"),
+    )
+    return n_docs.crossJoin(F.broadcast(out))

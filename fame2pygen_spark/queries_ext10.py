@@ -1791,3 +1791,69 @@ ORDER BY query_id, rank
 
 EXT10_QUERIES.update({"x246_ivfpq": q_x246_ivfpq})
 EXT10_ORACLES.update({"x246_ivfpq": SQL_X246})
+
+
+# ----------------------------- x247: sampled self-BLEU diversity
+
+
+def q_x247_self_bleu(spark, sf_dir):
+    """Corpus homogeneity audit (operators/text.py:self_bleu_sample):
+    modified bigram precision over hash-bucketed adjacent doc pairs —
+    the across-doc template alarm that exact dedup can't raise
+    (distinct fingerprints can still be 90% the same phrasing)."""
+    from .operators.text import self_bleu_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return self_bleu_sample(docs, "text", "doc_id", n_buckets=32)
+
+
+SQL_X247 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '') AS tk
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE len(tk) >= 2),
+grams AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+             i -> tk[CAST(i AS INTEGER)] || ' '
+                  || tk[CAST(i AS INTEGER) + 1])) AS g
+    FROM toks2
+  ) GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id AS a, partner AS p FROM (
+    SELECT doc_id,
+           LEAD(doc_id) OVER (
+             PARTITION BY ('0x' || substr(md5('sb:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32
+             ORDER BY doc_id) AS partner
+    FROM toks2
+  ) WHERE partner IS NOT NULL
+),
+per_pair AS (
+  SELECT ROUND(CAST(SUM(LEAST(ga.c, COALESCE(gb.c, 0))) AS DOUBLE)
+               / SUM(ga.c), 6) AS p2
+  FROM pairs
+  JOIN grams ga ON ga.doc_id = pairs.a
+  LEFT JOIN grams gb ON gb.doc_id = pairs.p AND gb.g = ga.g
+  GROUP BY pairs.a, pairs.p
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM toks2)
+SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(p2 AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_p2,
+       ROUND(CAST(SUM(CASE WHEN p2 > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS share_high
+FROM per_pair CROSS JOIN nd
+GROUP BY nd.n_docs
+"""
+
+EXT10_QUERIES.update({"x247_self_bleu": q_x247_self_bleu})
+EXT10_ORACLES.update({"x247_self_bleu": SQL_X247})

@@ -6162,3 +6162,28 @@ def test_ivf_pq_topk_prunes_and_scores(spark):
     assert by_rank[1]["id"] == 1 and by_rank[1]["adist"] == 0.0
     assert by_rank[2]["id"] == 2 and by_rank[2]["adist"] == 200.0
     assert all(r["cell"] == 0 for r in out)
+
+
+def test_self_bleu_sample_extremes(spark):
+    """x247: identical docs in the same bucket score pairwise
+    precision 1 (mean_p2 = 1, share_high = 1); disjoint-vocabulary
+    docs score 0; single-token docs are excluded (no bigram)."""
+    from fame2pygen_spark.operators.text import self_bleu_sample
+
+    same = spark.createDataFrame(
+        [(i, "the quick brown fox") for i in range(8)],
+        "doc_id long, text string",
+    )
+    r = self_bleu_sample(same, n_buckets=2).collect()[0]
+    assert r["n_docs"] == 8 and r["n_pairs"] == 6
+    assert r["mean_p2"] == 1.0 and r["share_high"] == 1.0
+
+    mixed = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+         (3, "eta theta iota"), (4, "kappa"), (5, "mu nu xi")],
+        "doc_id long, text string",
+    )
+    r2 = self_bleu_sample(mixed, n_buckets=1).collect()[0]
+    assert r2["n_docs"] == 4  # the single-token doc drops
+    assert r2["n_pairs"] == 3
+    assert r2["mean_p2"] == 0.0 and r2["share_high"] == 0.0

@@ -72,6 +72,7 @@ SENSITIVE = [
     "x243_bloom_fpr",
     "x245_pq_search",
     "x246_ivfpq",
+    "x247_self_bleu",
 ]
 
 

@@ -914,3 +914,9 @@ def test_ivfpq_probe_and_lut_broadcast(spark):
     plan = plan_of(spark, "x246_ivfpq")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_self_bleu_pairing_never_plans_cartesian(spark):
+    # the pairing is a bucket-keyed lead window, never an n x n join
+    plan = plan_of(spark, "x247_self_bleu")
+    assert "CartesianProduct" not in plan
