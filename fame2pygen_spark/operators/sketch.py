@@ -3438,3 +3438,95 @@ def mahalanobis_outliers(
         .where(F.col("rank") <= int(top_n))
         .select(*g, *ids, "x", "y", "d2", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ams_join_size(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    *,
+    rows: int = 9,
+    salt: str = "ams",
+    exact: bool = True,
+) -> DataFrame:
+    """AMS tug-of-war join-size estimate (Alon–Matias–Szegedy 1996,
+    STOC; the two-table inner-product form of the F2 sketch): each key
+    draws a deterministic ±1 sign per sketch row, each side folds to
+    ``X_r = Σ sign_r(key)`` in ONE map-side-combinable hash agg, and
+    ``X_r^A · X_r^B`` is an unbiased estimate of
+    ``|A ⋈ B| = Σ_k n_A(k)·n_B(k)``.  The median over an odd number of
+    rows tames the heavy-tailed single-row variance.
+
+    This is the pre-flight gauge for the 100 TB join: two full scans
+    that reduce to *rows* signed counters each — no shuffle wider than
+    a 1-row summary — tell you whether the join you are about to key
+    will produce 10⁹ or 10¹⁵ rows (the same question
+    ``hash_width_audit`` answers for key truncation and
+    ``skew_profile`` for per-key hotspots).  Set ``exact=False`` at
+    scale: the exact term is a distinct-key count join provided here
+    so small-data runs can report the estimator's realized error.
+
+    Signs come from the engine-portable md5 family (`_hash64`), so a
+    SQL oracle reproduces the estimate bit-for-bit: products are
+    decimal(38,0)-cast before the double conversion (X_r can reach
+    ±|rows(A)| — the product overflows BIGINT at petabyte row counts),
+    and the median is the explicit middle element of the sorted
+    product array, not an interpolating quantile.
+
+    Output (single row): ``rows, est_join_size, exact_join_size,
+    rel_err`` (the last two only when *exact*).
+
+    Reference parity: the reference has no sketch tier; this extends
+    the x29/x35/x73 mergeable-summary family to join planning.
+    """
+    R = int(rows)
+    if R % 2 == 0 or R < 1:
+        raise ValueError("rows must be odd and positive")
+
+    def _sketch(df: DataFrame, key: str, side: str) -> DataFrame:
+        aggs = []
+        for r in range(R):
+            bit = _hash64(F.col(key), f"{salt}:{r}") % 2
+            sign = (F.lit(1) - F.lit(2) * bit).cast("long")
+            aggs.append(F.sum(sign).alias(f"__x{r}{side}"))
+        return df.where(F.col(key).isNotNull()).agg(*aggs)
+
+    both = _sketch(df_a, key_a, "a").crossJoin(_sketch(df_b, key_b, "b"))
+    prods = F.array(
+        *[
+            (
+                F.col(f"__x{r}a").cast("decimal(38,0)")
+                * F.col(f"__x{r}b").cast("decimal(38,0)")
+            ).cast("double")
+            for r in range(R)
+        ]
+    )
+    est = F.element_at(F.array_sort(prods), (R + 1) // 2)
+    out = both.select(
+        F.lit(R).cast("long").alias("rows"),
+        est.alias("est_join_size"),
+    )
+    if not exact:
+        return out
+    ca = (
+        df_a.where(F.col(key_a).isNotNull())
+        .groupBy(F.col(key_a).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__na"))
+    )
+    cb = (
+        df_b.where(F.col(key_b).isNotNull())
+        .groupBy(F.col(key_b).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    ex = ca.join(cb, "__k").agg(
+        F.sum(F.col("__na") * F.col("__nb")).cast("long").alias("exact_join_size")
+    )
+    return out.crossJoin(ex).withColumn(
+        "rel_err",
+        F.round(
+            (F.col("est_join_size") - F.col("exact_join_size"))
+            / F.col("exact_join_size"),
+            6,
+        ),
+    )

@@ -6187,3 +6187,39 @@ def test_self_bleu_sample_extremes(spark):
     assert r2["n_docs"] == 4  # the single-token doc drops
     assert r2["n_pairs"] == 3
     assert r2["mean_p2"] == 0.0 and r2["share_high"] == 0.0
+
+
+def test_ams_join_size_exact_and_estimate(spark):
+    from fame2pygen_spark.operators.sketch import ams_join_size
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, None]], "k int"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k int"
+    )
+    row = ams_join_size(a, "k", b, "k", rows=9).collect()[0]
+    # exact join size: key1 3*1 + key2 2*3 = 9 (nulls never join)
+    assert row["exact_join_size"] == 9
+    assert row["rows"] == 9
+    assert row["rel_err"] == round(
+        (row["est_join_size"] - 9) / 9, 6
+    )
+    # estimator is the median of 9 integer products — sane magnitude
+    assert abs(row["est_join_size"]) <= 7 * 5
+
+    # identical single-key tables: every sign product is n_a*n_b
+    c = spark.createDataFrame([(7,)] * 4, "k int")
+    d = spark.createDataFrame([(7,)] * 3, "k int")
+    row2 = ams_join_size(c, "k", d, "k", rows=3).collect()[0]
+    assert row2["est_join_size"] == 12.0
+    assert row2["exact_join_size"] == 12
+    assert row2["rel_err"] == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ams_join_size(a, "k", b, "k", rows=4)
+
+    slim = ams_join_size(a, "k", b, "k", rows=3, exact=False)
+    assert slim.columns == ["rows", "est_join_size"]
