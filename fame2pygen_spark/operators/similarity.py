@@ -1891,3 +1891,101 @@ def ivf_pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def als_user_step(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    *,
+    lam: float = 0.1,
+    salt: str = "als",
+) -> DataFrame:
+    """One ALS-WR user-side half-step (Zhou, Wilkinson, Schreiber &
+    Pan 2008, "Large-Scale Parallel Collaborative Filtering for the
+    Netflix Prize"): with item factors Y held fixed, every user's
+    rank-2 factor solves its own ridge system
+    ``x_u = (Yᵀ_u Y_u + λ n_u I)⁻¹ Yᵀ_u r_u`` — embarrassingly
+    parallel across users, which is exactly why ALS (not SGD) is the
+    classic Spark factorization.  The 2×2 system is inverted in closed
+    form, the same determinant idiom as ``sketch.mahalanobis_outliers``.
+
+    Scale shape: one pair-grain hash agg (mean rating per user×item),
+    one broadcast-sized join of the item-factor table, one user-keyed
+    hash agg of five integer power sums, then row-local algebra — no
+    window, no driver loop.  A full ALS run is this operator alternated
+    user/item; a single audited superstep is what an oracle can check
+    exactly.
+
+    Determinism: item factors are md5-derived milli-unit INTEGERS
+    (``y = (500 + h % 1000)/1000 ∈ [0.5, 1.5)``) carried unscaled, and
+    ratings are quantized to micro-units after a decimal-sum mean, so
+    every per-user sum is an exact BIGINT in both engines; floats only
+    appear in the final closed-form solve (identical IEEE ops on
+    identical inputs).
+
+    Output: ``user, n_items, x1, x2`` — rounded factor coordinates per
+    user; ``n_items`` is the user's observed-item count that weights
+    the regularizer (the "-WR" in ALS-WR).
+    """
+    from .sketch import _hash64
+
+    lam = float(lam)
+    pair = (
+        ratings.where(
+            F.col(user_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(rating_col).isNotNull()
+        )
+        .groupBy(
+            F.col(user_col).cast("long").alias("__u"),
+            F.col(item_col).cast("long").alias("__i"),
+        )
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.sum(F.col(rating_col).cast("decimal(28,6)")).cast(
+                        "double"
+                    ),
+                    F.count(F.lit(1)),
+                ),
+                6,
+            ).alias("__r")
+        )
+        .withColumn("__rm", F.round(F.col("__r") * F.lit(1e6)).cast("long"))
+    )
+    items = pair.select("__i").distinct()
+    y = items.select(
+        "__i",
+        (F.lit(500) + _hash64(F.col("__i"), f"{salt}y1") % 1000)
+        .cast("long")
+        .alias("__y1m"),
+        (F.lit(500) + _hash64(F.col("__i"), f"{salt}y2") % 1000)
+        .cast("long")
+        .alias("__y2m"),
+    )
+    sums = (
+        pair.join(F.broadcast(y), "__i")
+        .groupBy("__u")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__y1m") * F.col("__y1m")).alias("__s11"),
+            F.sum(F.col("__y1m") * F.col("__y2m")).alias("__s12"),
+            F.sum(F.col("__y2m") * F.col("__y2m")).alias("__s22"),
+            F.sum(F.col("__rm") * F.col("__y1m")).alias("__b1"),
+            F.sum(F.col("__rm") * F.col("__y2m")).alias("__b2"),
+        )
+    )
+    a11 = F.col("__s11") * F.lit(1e-6) + F.lit(lam) * F.col("__n")
+    a12 = F.col("__s12") * F.lit(1e-6)
+    a22 = F.col("__s22") * F.lit(1e-6) + F.lit(lam) * F.col("__n")
+    b1 = F.col("__b1") * F.lit(1e-9)
+    b2 = F.col("__b2") * F.lit(1e-9)
+    det = a11 * a22 - a12 * a12
+    return sums.select(
+        F.col("__u").alias("user"),
+        F.col("__n").cast("long").alias("n_items"),
+        F.round(F.try_divide(a22 * b1 - a12 * b2, det), 6).alias("x1"),
+        F.round(F.try_divide(a11 * b2 - a12 * b1, det), 6).alias("x2"),
+    )

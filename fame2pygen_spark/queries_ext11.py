@@ -72,3 +72,67 @@ FROM med CROSS JOIN ex
 
 EXT11_QUERIES.update({"x248_ams_join_size": q_x248_ams_join_size})
 EXT11_ORACLES.update({"x248_ams_join_size": SQL_X248})
+
+
+# ----------------------------- x249: ALS-WR user superstep
+
+
+def q_x249_als_step(spark, sf_dir):
+    """One ALS-WR user-factor solve (operators/similarity.py:
+    als_user_step) on the customer × part quantity matrix — the
+    embarrassingly-parallel per-user ridge systems that make ALS the
+    canonical distributed factorization; item factors md5-pinned so
+    the superstep is exactly oracle-checkable."""
+    from .operators.similarity import als_user_step
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ratings = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    ).select("o_custkey", "l_partkey", "l_quantity")
+    return als_user_step(ratings, "o_custkey", "l_partkey", "l_quantity")
+
+
+SQL_X249 = """
+WITH pair AS (
+  SELECT CAST(o_custkey AS BIGINT) AS u, CAST(l_partkey AS BIGINT) AS i,
+         CAST(ROUND(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                               AS DOUBLE) / COUNT(*), 6) * 1e6)
+              AS BIGINT) AS rm
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+        AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+y AS (
+  SELECT i,
+         500 + (('0x' || substr(md5('alsy1:' || CAST(i AS VARCHAR)), 1, 8))
+                ::BIGINT % 1000) AS y1m,
+         500 + (('0x' || substr(md5('alsy2:' || CAST(i AS VARCHAR)), 1, 8))
+                ::BIGINT % 1000) AS y2m
+  FROM (SELECT DISTINCT i FROM pair)
+),
+s AS (
+  SELECT u, COUNT(*) AS n,
+         SUM(y1m * y1m) AS s11, SUM(y1m * y2m) AS s12,
+         SUM(y2m * y2m) AS s22,
+         SUM(rm * y1m) AS sb1, SUM(rm * y2m) AS sb2
+  FROM pair JOIN y USING (i) GROUP BY u
+),
+f AS (
+  SELECT u, n,
+         s11 * 1e-6 + 0.1 * n AS a11,
+         s12 * 1e-6 AS a12,
+         s22 * 1e-6 + 0.1 * n AS a22,
+         sb1 * 1e-9 AS b1, sb2 * 1e-9 AS b2
+  FROM s
+)
+SELECT u AS "user", CAST(n AS BIGINT) AS n_items,
+       ROUND((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 6) AS x1,
+       ROUND((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) AS x2
+FROM f
+"""
+
+EXT11_QUERIES.update({"x249_als_step": q_x249_als_step})
+EXT11_ORACLES.update({"x249_als_step": SQL_X249})

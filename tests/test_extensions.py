@@ -6223,3 +6223,58 @@ def test_ams_join_size_exact_and_estimate(spark):
 
     slim = ams_join_size(a, "k", b, "k", rows=3, exact=False)
     assert slim.columns == ["rows", "est_join_size"]
+
+
+def test_als_user_step_python_replica(spark):
+    import hashlib
+
+    from fame2pygen_spark.operators.similarity import als_user_step
+
+    def h64(salt, v):
+        return int(
+            hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:8], 16
+        )
+
+    rows = [
+        (1, 10, 4.0), (1, 10, 6.0), (1, 20, 2.0),
+        (2, 20, 7.5), (3, 10, 1.25), (3, 30, 9.0), (3, 20, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, i long, r double")
+    got = {
+        r["user"]: r
+        for r in als_user_step(df, "u", "i", "r").collect()
+    }
+
+    # independent replica: exact integer milli/micro-unit sums
+    from collections import defaultdict
+
+    pair = defaultdict(list)
+    for u, i, r in rows:
+        pair[(u, i)].append(r)
+    per_user = defaultdict(list)
+    for (u, i), rs in pair.items():
+        rm = round(round(sum(rs) / len(rs), 6) * 1e6)
+        y1m = 500 + h64("alsy1", i) % 1000
+        y2m = 500 + h64("alsy2", i) % 1000
+        per_user[u].append((rm, y1m, y2m))
+    for u, obs in per_user.items():
+        n = len(obs)
+        s11 = sum(y1 * y1 for _, y1, _ in obs)
+        s12 = sum(y1 * y2 for _, y1, y2 in obs)
+        s22 = sum(y2 * y2 for _, _, y2 in obs)
+        b1 = sum(rm * y1 for rm, y1, _ in obs)
+        b2 = sum(rm * _y2 for rm, _, _y2 in obs)
+        a11 = s11 * 1e-6 + 0.1 * n
+        a12 = s12 * 1e-6
+        a22 = s22 * 1e-6 + 0.1 * n
+        B1, B2 = b1 * 1e-9, b2 * 1e-9
+        det = a11 * a22 - a12 * a12
+        assert got[u]["n_items"] == n
+        assert got[u]["x1"] == round((a22 * B1 - a12 * B2) / det, 6)
+        assert got[u]["x2"] == round((a11 * B2 - a12 * B1) / det, 6)
+
+    # single-item user: x ∝ y exactly (ridge shrinks along y only)
+    y1 = (500 + h64("alsy1", 20) % 1000) / 1000.0
+    y2 = (500 + h64("alsy2", 20) % 1000) / 1000.0
+    r2 = got[2]
+    assert abs(r2["x1"] / r2["x2"] - y1 / y2) < 1e-3
