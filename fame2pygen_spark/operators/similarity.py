@@ -1989,3 +1989,78 @@ def als_user_step(
         F.round(F.try_divide(a22 * b1 - a12 * b2, det), 6).alias("x1"),
         F.round(F.try_divide(a11 * b2 - a12 * b1, det), 6).alias("x2"),
     )
+
+
+def kmeanspp_oversample(
+    df: DataFrame,
+    *,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    l: float = 8.0,
+    salt: str = "kpp",
+    d2_bits: int = 20,
+) -> DataFrame:
+    """One k-means|| oversampling round (Bahmani, Moseley, Vattani,
+    Kumar & Vassilvitskii 2012, "Scalable k-means++", VLDB): given the
+    current center set C, every point is admitted to the candidate
+    pool with probability ``min(1, ℓ·d²(x,C)/φ_X(C))`` — the
+    oversampled parallel analogue of k-means++'s sequential D²
+    sampling.  O(log n) such rounds replace n sequential seeding
+    passes; the pooled candidates then get weighted and reclustered
+    (``kmeans_step`` on the pool).
+
+    Scale shape: centers are broadcast literals, d² is a row-local
+    fold, φ is ONE map-side-combinable integer sum crossJoin-broadcast
+    back (1-row summary), and admission is a scan-stage filter — no
+    shuffle beyond the 1-row φ exchange, so the round costs one pass
+    regardless of |X|.
+
+    Determinism: the Bernoulli draw is derandomized with the engine-
+    portable md5 uniform (``u(id) = h64(id)/2³²``) — the mechanism an
+    oracle replays exactly — and φ is summed as ``floor(d²·2^bits)``
+    integers (the ``kmeans_step`` idiom), so the admission threshold
+    is bit-identical across engines and partitionings.
+
+    Output: admitted candidates ``id, near, d2, p`` (nearest current
+    center, squared distance 6 dp, admission probability 6 dp);
+    expected pool growth ≈ ℓ per round.
+    """
+    from .sketch import _hash64
+
+    v = _as_double(F.col(vec_col))
+    items = []
+    for cid, c in enumerate(centers):
+        carr = F.array(*[F.lit(float(w)) for w in c])
+        items.append(
+            F.struct(
+                _fold_sq_dist(v, carr).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    best = F.array_min(F.array(*items))
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        best["cid"].alias("near"),
+        best["dist"].alias("__d2"),
+    ).withColumn(
+        "__d2q",
+        F.floor(F.col("__d2") * F.lit(float(1 << d2_bits))).cast("long"),
+    )
+    phi = scored.agg(
+        F.sum(F.col("__d2q").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__phi")
+    )
+    p = F.try_divide(F.lit(float(l)) * F.col("__d2q"), F.col("__phi"))
+    u = _hash64(F.col("id"), salt) / F.lit(4294967296.0)
+    return (
+        scored.crossJoin(F.broadcast(phi))
+        .where(u < p)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("near").cast("long").alias("near"),
+            F.round(F.col("__d2"), 6).alias("d2"),
+            F.round(p, 6).alias("p"),
+        )
+    )

@@ -136,3 +136,64 @@ FROM f
 
 EXT11_QUERIES.update({"x249_als_step": q_x249_als_step})
 EXT11_ORACLES.update({"x249_als_step": SQL_X249})
+
+
+# ----------------------------- x250: k-means|| oversampling round
+
+
+def q_x250_kmeanspp(spark, sf_dir):
+    """One scalable-k-means++ oversampling round
+    (operators/similarity.py:kmeanspp_oversample) against centers
+    pinned to the ``vec_id < 4`` embeddings (the x75 idiom) — ℓ·D²/φ
+    admission derandomized through the md5 uniform, so the sampled
+    candidate pool is exactly oracle-checkable."""
+    from .operators.similarity import kmeanspp_oversample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return kmeanspp_oversample(emb, centers=cents, l=8.0)
+
+
+SQL_X250 = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < 4),
+dists AS (
+  SELECT e.id, cent.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> (e.v[CAST(i AS INTEGER)] - cent.cv[CAST(i AS INTEGER)])
+                * (e.v[CAST(i AS INTEGER)] - cent.cv[CAST(i AS INTEGER)])),
+           (a, x) -> a + x) AS d2
+  FROM e CROSS JOIN cent
+),
+asg AS (
+  SELECT id, cid AS near, d2 FROM (
+    SELECT id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT id, near, d2,
+         CAST(floor(d2 * 1048576.0) AS BIGINT) AS d2q
+  FROM asg
+),
+phi AS (
+  SELECT CAST(SUM(CAST(d2q AS DECIMAL(38,0))) AS DOUBLE) AS phi FROM q
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(near AS BIGINT) AS near,
+       ROUND(d2, 6) AS d2,
+       ROUND(8.0 * d2q / phi, 6) AS p
+FROM q CROSS JOIN phi
+WHERE ('0x' || substr(md5('kpp:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < 8.0 * d2q / phi
+"""
+
+EXT11_QUERIES.update({"x250_kmeanspp": q_x250_kmeanspp})
+EXT11_ORACLES.update({"x250_kmeanspp": SQL_X250})

@@ -6278,3 +6278,36 @@ def test_als_user_step_python_replica(spark):
     y2 = (500 + h64("alsy2", 20) % 1000) / 1000.0
     r2 = got[2]
     assert abs(r2["x1"] / r2["x2"] - y1 / y2) < 1e-3
+
+
+def test_kmeanspp_oversample_mechanism(spark):
+    import hashlib
+
+    from fame2pygen_spark.operators.similarity import kmeanspp_oversample
+
+    # 2-d vectors: one point ON the center (d2=0, can never be
+    # admitted), others at known distances
+    rows = [
+        (0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [0.0, 2.0]),
+        (3, [10.0, 0.0]), (4, [0.1, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeanspp_oversample(
+        df, centers=[[0.0, 0.0]], l=2.0, salt="t"
+    ).collect()
+    got = {r["id"]: r for r in out}
+    assert 0 not in got  # d2 = 0 → p = 0
+
+    d2 = {0: 0.0, 1: 25.0, 2: 4.0, 3: 100.0, 4: 0.02}
+    d2q = {k: int(v * (1 << 20)) for k, v in d2.items()}
+    phi = float(sum(d2q.values()))
+    for vid, r in got.items():
+        p = 2.0 * d2q[vid] / phi
+        u = int(
+            hashlib.md5(f"t:{vid}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        assert u < p
+        assert r["p"] == round(p, 6)
+        assert r["d2"] == round(d2[vid], 6)
+    # point 3 carries ~77% of φ with ℓ=2 → p>1, always admitted
+    assert 3 in got and got[3]["p"] > 1.0
