@@ -2356,3 +2356,100 @@ def session_gap_sweep(
             ).alias("events_per_session"),
         )
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel common odds ratio + Cochran–Mantel–Haenszel
+    1-dof chi-square (Mantel & Haenszel 1959, JNCI) over per-stratum
+    2×2 tables, with the collapsed (pooled) odds ratio alongside —
+    the stratified-vs-pooled pair IS the Simpson's-paradox audit: when
+    ``or_pooled`` sits on the other side of 1 from ``or_mh``, the
+    strata are confounding the marginal table.
+
+    Input: ONE ROW PER UNIT — ``stratum, arm ∈ {0,1},
+    outcome ∈ {0,1}`` (callers collapse to unit grain first, the
+    x221/x226 discipline).  Cells, margins, and every MH term
+    (``a·d/n``, ``b·c/n``, ``E_s = n1·m1/n``,
+    ``V_s = n1·n0·m1·m0/(n²(n−1))``) come from ONE stratum-keyed hash
+    agg; the cross-stratum reduce is a second 1-row agg of
+    decimal(38,12)-quantized terms (order-insensitive), so both
+    engines produce identical doubles.  Strata with n < 2 are dropped
+    (V undefined).
+
+    χ²_CMH = (Σa − ΣE)²/ΣV, uncorrected; its exact 1-dof tail is
+    ``p = 2·Φ̄(√χ²)`` via the shared A&S polynomial.
+
+    Output (single row): ``n_strata, n_units, or_mh, or_pooled,
+    chi2, p_value`` (6 dp; ORs null when a zero margin empties the
+    denominator sum).
+    """
+    from .quality import normal_p_two_sided
+
+    arm = F.col(arm_col).cast("long")
+    out = F.col(outcome_col).cast("long")
+    cells = (
+        df.groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.sum(arm * out).alias("a"),
+            F.sum(arm * (1 - out)).alias("b"),
+            F.sum((1 - arm) * out).alias("c"),
+            F.sum((1 - arm) * (1 - out)).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    n1, n0 = a + b, c + d
+    m1, m0 = a + c, b + d
+    dec = "decimal(38,12)"
+    terms = cells.select(
+        F.col("a").alias("__a"),
+        F.col("b").alias("__b"),
+        F.col("c").alias("__c"),
+        F.col("d").alias("__d"),
+        F.col("n").alias("__n"),
+        (a * d / nd).cast(dec).alias("__num"),
+        (b * c / nd).cast(dec).alias("__den"),
+        (n1 * m1 / nd).cast(dec).alias("__e"),
+        (n1 * n0 * m1 * m0 / (nd * nd * (nd - F.lit(1.0))))
+        .cast(dec)
+        .alias("__v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("__n").cast("long").alias("n_units"),
+        F.sum("__a").cast("long").alias("__sa"),
+        F.sum("__b").cast("long").alias("__sb"),
+        F.sum("__c").cast("long").alias("__sc"),
+        F.sum("__d").cast("long").alias("__sd"),
+        F.sum("__num").cast("double").alias("__snum"),
+        F.sum("__den").cast("double").alias("__sden"),
+        F.sum("__e").cast("double").alias("__se"),
+        F.sum("__v").cast("double").alias("__sv"),
+    )
+    chi2 = F.try_divide(
+        (F.col("__sa") - F.col("__se")) * (F.col("__sa") - F.col("__se")),
+        F.col("__sv"),
+    )
+    return agg.select(
+        "n_strata",
+        "n_units",
+        F.round(F.try_divide(F.col("__snum"), F.col("__sden")), 6).alias(
+            "or_mh"
+        ),
+        F.round(
+            F.try_divide(
+                F.col("__sa").cast("double") * F.col("__sd"),
+                F.col("__sb").cast("double") * F.col("__sc"),
+            ),
+            6,
+        ).alias("or_pooled"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(normal_p_two_sided(F.sqrt(chi2)), 6).alias("p_value"),
+    )

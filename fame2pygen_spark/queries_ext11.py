@@ -197,3 +197,104 @@ WHERE ('0x' || substr(md5('kpp:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT
 
 EXT11_QUERIES.update({"x250_kmeanspp": q_x250_kmeanspp})
 EXT11_ORACLES.update({"x250_kmeanspp": SQL_X250})
+
+
+# ----------------------------- x251: Mantel–Haenszel stratified odds
+
+
+def q_x251_mantel_haenszel(spark, sf_dir):
+    """Stratified conversion-odds audit (operators/behavior.py:
+    mantel_haenszel): user×weekday unit cells, the x66 hash split as
+    the exposure, purchase-that-weekday as the outcome — MH common
+    odds ratio vs the pooled ratio (the Simpson check) with the CMH
+    1-dof chi-square on an A/A split."""
+    from .operators.behavior import mantel_haenszel
+    from .operators.sketch import _hash64
+
+    ev = _read_events(spark, sf_dir)
+    unit = (
+        ev.groupBy(
+            F.col("user_id"),
+            F.expr("(ts_us div 86400000000) % 7").cast("long").alias("dow"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("outcome")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                _hash64(F.col("user_id"), "ab") / F.lit(4294967296.0)
+                < F.lit(0.5),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return mantel_haenszel(unit, "dow", "arm", "outcome")
+
+
+def _sql_x251() -> str:
+    from .queries_ext9 import _normal_p_two_sided_sql
+
+    chi2 = (
+        "((CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se) / sv)"
+    )
+    return f"""
+WITH unit AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000) % 7 AS dow,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS outcome,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 1 ELSE 0 END AS arm
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT dow,
+         SUM(arm * outcome) AS a,
+         SUM(arm * (1 - outcome)) AS b,
+         SUM((1 - arm) * outcome) AS c,
+         SUM((1 - arm) * (1 - outcome)) AS d,
+         COUNT(*) AS n
+  FROM unit GROUP BY dow HAVING COUNT(*) >= 2
+),
+terms AS (
+  SELECT a, b, c, d, n,
+    CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+         AS DECIMAL(38,12)) AS num,
+    CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+         AS DECIMAL(38,12)) AS den,
+    CAST((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+         * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS DECIMAL(38,12)) AS e,
+    CAST((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+         * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+         * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+         * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            * (CAST(n AS DOUBLE) - 1.0))
+         AS DECIMAL(38,12)) AS v
+  FROM cells
+),
+agg AS (
+  SELECT COUNT(*) AS n_strata, SUM(n) AS n_units,
+         SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd,
+         CAST(SUM(num) AS DOUBLE) AS snum,
+         CAST(SUM(den) AS DOUBLE) AS sden,
+         CAST(SUM(e) AS DOUBLE) AS se,
+         CAST(SUM(v) AS DOUBLE) AS sv
+  FROM terms
+)
+SELECT CAST(n_strata AS BIGINT) AS n_strata,
+       CAST(n_units AS BIGINT) AS n_units,
+       ROUND(snum / sden, 6) AS or_mh,
+       ROUND(CAST(sa AS DOUBLE) * sd / (CAST(sb AS DOUBLE) * sc), 6)
+         AS or_pooled,
+       ROUND({chi2}, 6) AS chi2,
+       ROUND({_normal_p_two_sided_sql(f"sqrt({chi2})")}, 6) AS p_value
+FROM agg
+"""
+
+
+EXT11_QUERIES.update({"x251_mantel_haenszel": q_x251_mantel_haenszel})
+EXT11_ORACLES.update({"x251_mantel_haenszel": _sql_x251()})

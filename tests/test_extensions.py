@@ -6311,3 +6311,38 @@ def test_kmeanspp_oversample_mechanism(spark):
         assert r["d2"] == round(d2[vid], 6)
     # point 3 carries ~77% of φ with ℓ=2 → p>1, always admitted
     assert 3 in got and got[3]["p"] > 1.0
+
+
+def test_mantel_haenszel_hand_cells(spark):
+    from fame2pygen_spark.operators.behavior import mantel_haenszel
+
+    # stratum A: a=6 b=2 c=2 d=6 (n=16); stratum B: a=1 b=3 c=3 d=1
+    # (n=8); plus a singleton stratum that must be dropped (n=1)
+    rows = (
+        [("A", 1, 1)] * 6 + [("A", 1, 0)] * 2
+        + [("A", 0, 1)] * 2 + [("A", 0, 0)] * 6
+        + [("B", 1, 1)] * 1 + [("B", 1, 0)] * 3
+        + [("B", 0, 1)] * 3 + [("B", 0, 0)] * 1
+        + [("Z", 1, 1)]
+    )
+    df = spark.createDataFrame(rows, "s string, arm int, outcome int")
+    r = mantel_haenszel(df, "s", "arm", "outcome").collect()[0]
+    assert r["n_strata"] == 2 and r["n_units"] == 24
+    # MH: num = 6*6/16 + 1*1/8 = 2.375 ; den = 2*2/16 + 3*3/8 = 1.375
+    assert r["or_mh"] == round(2.375 / 1.375, 6)
+    # pooled: a=7 b=5 c=5 d=7 -> OR = 49/25
+    assert r["or_pooled"] == round(49 / 25, 6)
+    # CMH: E = 8*8/16 + 4*4/8 = 6.0 ; sa = 7
+    # V = 8*8*8*8/(16*16*15) + 4*4*4*4/(8*8*7)
+    v = 4096 / 3840 + 256 / 448
+    chi2 = (7 - 6.0) ** 2 / v
+    assert abs(r["chi2"] - round(chi2, 6)) <= 1e-6
+    assert 0.0 <= r["p_value"] <= 1.0
+
+    # A/A-shaped balanced table: chi2 ~ 0, OR = 1
+    bal = spark.createDataFrame(
+        [("A", 1, 1), ("A", 1, 0), ("A", 0, 1), ("A", 0, 0)] * 3,
+        "s string, arm int, outcome int",
+    )
+    rb = mantel_haenszel(bal, "s", "arm", "outcome").collect()[0]
+    assert rb["or_mh"] == 1.0 and rb["chi2"] == 0.0
