@@ -298,3 +298,57 @@ FROM agg
 
 EXT11_QUERIES.update({"x251_mantel_haenszel": q_x251_mantel_haenszel})
 EXT11_ORACLES.update({"x251_mantel_haenszel": _sql_x251()})
+
+
+# ----------------------------- x252: Kneser–Ney continuation
+
+
+def q_x252_kn_continuation(spark, sf_dir):
+    """Continuation-probability vs raw-frequency table
+    (operators/text.py:kn_continuation) for the 25 most frequent
+    corpus words — the Kneser–Ney type-count view that separates
+    genuinely productive vocabulary from collocation-bound and
+    template words."""
+    from .operators.text import kn_continuation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kn_continuation(docs, "text", "doc_id", top_n=25)
+
+
+SQL_X252 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '') AS tk
+  FROM documents
+),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+big AS (
+  SELECT DISTINCT b.w1, b.w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+             i -> {'w1': tk[CAST(i AS INTEGER)],
+                   'w2': tk[CAST(i AS INTEGER) + 1]})) AS b
+    FROM toks
+  )
+),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM big),
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM uni),
+ctx AS (SELECT w2 AS word, COUNT(*) AS n_contexts FROM big GROUP BY 1),
+freq AS (SELECT w AS word, COUNT(*) AS n_tokens FROM uni GROUP BY 1),
+top AS (
+  SELECT f.word, f.n_tokens, COALESCE(c.n_contexts, 0) AS n_contexts
+  FROM freq f LEFT JOIN ctx c ON f.word = c.word
+  ORDER BY f.n_tokens DESC, f.word ASC LIMIT 25
+)
+SELECT word,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_contexts AS BIGINT) AS n_contexts,
+       ROUND(n_tokens / n_tok, 6) AS p_unigram,
+       ROUND(n_contexts / n_types, 6) AS p_continuation
+FROM top CROSS JOIN nt CROSS JOIN tt
+"""
+
+EXT11_QUERIES.update({"x252_kn_continuation": q_x252_kn_continuation})
+EXT11_ORACLES.update({"x252_kn_continuation": SQL_X252})

@@ -6346,3 +6346,26 @@ def test_mantel_haenszel_hand_cells(spark):
     )
     rb = mantel_haenszel(bal, "s", "arm", "outcome").collect()[0]
     assert rb["or_mh"] == 1.0 and rb["chi2"] == 0.0
+
+
+def test_kn_continuation_collocation_signal(spark):
+    from fame2pygen_spark.operators.text import kn_continuation
+
+    # "san francisco" repeated: 'francisco' is frequent but has ONE
+    # left context; 'the' precedes many distinct words
+    rows = [
+        (1, "san francisco the cat the dog the bird"),
+        (2, "san francisco the fish san francisco"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["word"]: r for r in kn_continuation(
+        df, "text", "doc_id", top_n=10
+    ).collect()}
+    fr, the = out["francisco"], out["the"]
+    assert fr["n_contexts"] == 1          # only after 'san'
+    assert the["n_contexts"] >= 1
+    # frequency comparable, continuation much lower for 'francisco'
+    assert fr["p_continuation"] < the["p_continuation"]
+    # first word of a doc has no left bigram within-doc only if absent
+    # elsewhere; totals: 13 tokens, distinct bigram types known
+    assert out["the"]["n_tokens"] == 4 and fr["n_tokens"] == 3
