@@ -2819,3 +2819,52 @@ def kn_continuation(
             ).alias("p_continuation"),
         )
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+    salt: str = "fh",
+) -> DataFrame:
+    """Signed feature hashing (Weinberger, Dasgupta, Langford, Smola
+    & Attenberg 2009, ICML — the "hashing trick"): every token maps to
+    bucket ``h(t) mod dim`` with sign ``ξ(t) ∈ {±1}`` from an
+    independent hash, and a document's feature vector is the signed
+    term-frequency sum per bucket.  The sign makes bucket collisions
+    cancel in expectation (E[φ_i·φ_j] is unbiased for the true inner
+    product), which is what lets a FIXED 64-wide vector stand in for
+    an unbounded vocabulary — no dictionary to build, broadcast, or
+    version, the property that matters when the 100 TB corpus's vocab
+    won't fit anywhere.
+
+    Plan shape: one tokenization pass (explode), bucket/sign as scan-
+    stage column algebra on the md5 family, ONE (doc, dim) hash agg of
+    exact integer signed counts — output is the sparse triplet form
+    ``doc_id, dim, value`` that joins straight into the similarity
+    stack (``dot`` on triplets = equi-join on dim + sum).
+
+    Output: ``doc_id, dim ∈ [0, dim), value`` — only nonzero cells
+    (values are exact BIGINTs; downstream normalization is the
+    caller's choice).
+    """
+    from .sketch import _hash64
+
+    df = _parallelize_input(df)
+    d = int(dim)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    bucket = (_hash64(F.col("t"), salt) % d).cast("long")
+    sign = (
+        F.lit(1) - F.lit(2) * (_hash64(F.col("t"), f"{salt}s") % 2)
+    ).cast("long")
+    return (
+        toks.select("doc_id", bucket.alias("dim"), sign.alias("__s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("__s").cast("long").alias("value"))
+        .where(F.col("value") != 0)
+    )

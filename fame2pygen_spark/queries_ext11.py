@@ -352,3 +352,48 @@ FROM top CROSS JOIN nt CROSS JOIN tt
 
 EXT11_QUERIES.update({"x252_kn_continuation": q_x252_kn_continuation})
 EXT11_ORACLES.update({"x252_kn_continuation": SQL_X252})
+
+
+# ----------------------------- x253: signed feature hashing
+
+
+def q_x253_feature_hashing(spark, sf_dir):
+    """Hashing-trick corpus profile (operators/text.py:
+    hashed_features): 64-dim signed-tf document vectors, audited per
+    dimension — nonzero support, signed mass, and second moment are
+    exact integers, so the whole hashed matrix is oracle-pinned
+    without materializing 50k×64 rows in the comparison."""
+    from .operators.text import hashed_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = hashed_features(docs, "text", "doc_id", dim=64)
+    return feats.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("nnz_docs"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.sum(F.col("value") * F.col("value")).cast("long").alias("sum_sq"),
+    )
+
+
+SQL_X253 = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS t
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('fh:' || t), 1, 8))::BIGINT % 64 AS dim,
+         SUM(1 - 2 * (('0x' || substr(md5('fhs:' || t), 1, 8))::BIGINT % 2))
+           AS value
+  FROM toks GROUP BY 1, 2
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS nnz_docs,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       CAST(SUM(value * value) AS BIGINT) AS sum_sq
+FROM cells WHERE value <> 0 GROUP BY 1
+"""
+
+EXT11_QUERIES.update({"x253_feature_hashing": q_x253_feature_hashing})
+EXT11_ORACLES.update({"x253_feature_hashing": SQL_X253})

@@ -6369,3 +6369,32 @@ def test_kn_continuation_collocation_signal(spark):
     # first word of a doc has no left bigram within-doc only if absent
     # elsewhere; totals: 13 tokens, distinct bigram types known
     assert out["the"]["n_tokens"] == 4 and fr["n_tokens"] == 3
+
+
+def test_hashed_features_replica_and_cancellation(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from fame2pygen_spark.operators.text import hashed_features
+
+    def h64(salt, v):
+        return int(
+            hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:8], 16
+        )
+
+    rows = [(1, "a b a c"), (2, "b b d"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["dim"]): r["value"]
+        for r in hashed_features(df, "text", "doc_id", dim=8).collect()
+    }
+    exp = defaultdict(int)
+    for did, text in rows:
+        for t in text.split():
+            d = h64("fh", t) % 8
+            s = 1 - 2 * (h64("fhs", t) % 2)
+            exp[(did, d)] += s
+    exp = {k: v for k, v in exp.items() if v != 0}
+    assert got == exp
+    # empty doc emits nothing
+    assert not any(k[0] == 3 for k in got)
