@@ -93,3 +93,33 @@ def test_range_partitioned_write_bounds_file_count(spark, tmp_path):
     # a range predicate touches a subset of files via rowgroup stats
     back = spark.read.parquet(path).where(F.col("id") < 2500)
     assert back.count() == 2500
+
+
+def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
+    """Replaying a batch id (foreachBatch at-least-once) must REPLACE
+    its partition, not append — and other batches stay untouched."""
+    from fame2pygen_spark.streaming.sinks import idempotent_batch_writer
+
+    path = str(tmp_path / "sink")
+    write = idempotent_batch_writer(path)
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    write(b0, 0)
+    write(b1, 1)
+    assert spark.read.parquet(path).count() == 3
+
+    # replay batch 0 — same id, possibly different physical attempt
+    write(b0, 0)
+    got = spark.read.parquet(path)
+    assert got.count() == 3  # NOT 5: replay replaced, never appended
+    assert sorted(
+        r["batch"] for r in got.select("batch").distinct().collect()
+    ) == [0, 1]
+
+    # replay with a CHANGED recomputation still converges to one copy
+    b0_fixed = spark.createDataFrame([(1, "a2")], "id long, v string")
+    write(b0_fixed, 0)
+    got2 = spark.read.parquet(path)
+    assert got2.where("batch = 0").count() == 1
+    assert got2.where("batch = 1").count() == 1
