@@ -3484,15 +3484,9 @@ def ams_join_size(
     if R % 2 == 0 or R < 1:
         raise ValueError("rows must be odd and positive")
 
-    def _sketch(df: DataFrame, key: str, side: str) -> DataFrame:
-        aggs = []
-        for r in range(R):
-            bit = _hash64(F.col(key), f"{salt}:{r}") % 2
-            sign = (F.lit(1) - F.lit(2) * bit).cast("long")
-            aggs.append(F.sum(sign).alias(f"__x{r}{side}"))
-        return df.where(F.col(key).isNotNull()).agg(*aggs)
-
-    both = _sketch(df_a, key_a, "a").crossJoin(_sketch(df_b, key_b, "b"))
+    both = ams_sign_counters(df_a, key_a, rows=R, salt=salt, side="a").crossJoin(
+        ams_sign_counters(df_b, key_b, rows=R, salt=salt, side="b")
+    )
     prods = F.array(
         *[
             (
@@ -3530,3 +3524,29 @@ def ams_join_size(
             6,
         ),
     )
+
+
+def ams_sign_counters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    rows: int = 9,
+    salt: str = "ams",
+    side: str = "a",
+) -> DataFrame:
+    """The per-side reduction of :func:`ams_join_size`, factored out
+    so the streaming twin (``streaming/core.streaming_ams_counters``)
+    is STRUCTURALLY the same computation: one hash agg folding every
+    record into *rows* signed ±1 counters (columns
+    ``__x{r}{side}``).  Signed sums are additive and mergeable —
+    micro-batch splits and map-side combines cannot change them — but
+    NOT idempotent: an at-least-once replay double-counts (same caveat
+    as the count-min twin, streaming/stateful.py); pair the streaming
+    form with an idempotent sink keyed by batch id.
+    """
+    aggs = []
+    for r in range(int(rows)):
+        bit = _hash64(F.col(key_col), f"{salt}:{r}") % 2
+        sign = (F.lit(1) - F.lit(2) * bit).cast("long")
+        aggs.append(F.sum(sign).alias(f"__x{r}{side}"))
+    return df.where(F.col(key_col).isNotNull()).agg(*aggs)

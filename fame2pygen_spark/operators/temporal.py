@@ -2132,3 +2132,106 @@ def ar1_halflife(
         F.round(icept, 6).alias("intercept"),
         F.round(half, 6).alias("half_life"),
     )
+
+
+def cooks_distance(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    top_n: int = 3,
+) -> DataFrame:
+    """Cook's distance influence ranking (Cook 1977, Technometrics)
+    for the per-group OLS trend fit: which observations are DRIVING
+    the slope — ``D_i = e_i²·h_i / (p·s²·(1−h_i)²)`` with leverage
+    ``h_i = 1/n + (x_i−x̄)²/S_xx`` and p = 2.  The companion
+    diagnostic to the trend stack (x65 fits, x229 checks residual
+    independence, x218 checks monotonicity): a single launch-day spike
+    with D ≈ 1 means the "trend" is one influential day, not a trend.
+
+    Everything derives from ONE keyed moments agg — SSE comes closed
+    form (``S_yy − β·S_xy``), so no residual pre-pass: the fit row
+    broadcasts back onto the series scan, residual/leverage/D are
+    row-local double expressions, and the per-group top-n is a keyed
+    rank window on 6-dp-ROUNDED D with the x-index tiebreak (the x240
+    engine-stable-rank idiom).  Shuffles: moments, join-back, rank —
+    all keyed by *group_cols*.
+
+    *x_col* must be an integer index (exact Σx, Σx²); *y_col* should
+    arrive 6-dp-quantized (the prepared-table discipline of x229).
+    Groups need n ≥ 4 (p + 2 dof); perfect fits (s² = 0) emit
+    nothing (D undefined).
+
+    Output: ``(*group_cols, x, resid, leverage, cooks_d, rank)``.
+    """
+    g = list(group_cols)
+    staged = series.where(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(*g, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    dec6 = "decimal(28,6)"
+    dec12 = "decimal(38,12)"
+    m = (
+        staged.groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__x").cast("double").alias("__sx"),
+            F.sum(F.col("__y").cast(dec6)).cast("double").alias("__sy"),
+            F.sum((F.col("__x") * F.col("__y")).cast(dec6))
+            .cast("double")
+            .alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+            F.sum((F.col("__y") * F.col("__y")).cast(dec12))
+            .cast("double")
+            .alias("__syy"),
+        )
+        .where(F.col("__n") >= 4)
+    )
+    n = F.col("__n").cast("double")
+    xbar = F.col("__sx") / n
+    stt = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    sxy_c = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    syy_c = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    slope = F.try_divide(sxy_c, stt)
+    fit = m.select(
+        *g,
+        F.col("__n"),
+        xbar.alias("__xbar"),
+        stt.alias("__stt"),
+        slope.alias("__slope"),
+        ((F.col("__sy") - slope * F.col("__sx")) / n).alias("__icept"),
+        (
+            F.try_divide(
+                syy_c - slope * sxy_c, n - F.lit(2.0)
+            )
+        ).alias("__s2"),
+    )
+    e = F.col("__y") - (F.col("__icept") + F.col("__slope") * F.col("__x"))
+    h = (
+        F.lit(1.0) / F.col("__n").cast("double")
+        + F.try_divide(
+            (F.col("__x") - F.col("__xbar"))
+            * (F.col("__x") - F.col("__xbar")),
+            F.col("__stt"),
+        )
+    )
+    d = F.try_divide(
+        e * e * h,
+        F.lit(2.0) * F.col("__s2") * (F.lit(1.0) - h) * (F.lit(1.0) - h),
+    )
+    scored = (
+        staged.join(fit, g)
+        .select(
+            *g,
+            F.col("__x").cast("long").alias("x"),
+            F.round(e, 6).alias("resid"),
+            F.round(h, 6).alias("leverage"),
+            F.round(d, 6).alias("cooks_d"),
+        )
+        .where(F.col("cooks_d").isNotNull())
+    )
+    w = Window.partitionBy(*g).orderBy(F.desc("cooks_d"), F.asc("x"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(top_n))
+    )

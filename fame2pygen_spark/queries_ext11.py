@@ -397,3 +397,93 @@ FROM cells WHERE value <> 0 GROUP BY 1
 
 EXT11_QUERIES.update({"x253_feature_hashing": q_x253_feature_hashing})
 EXT11_ORACLES.update({"x253_feature_hashing": SQL_X253})
+
+
+# ----------------------------- x254: Cook's distance influence
+
+
+def q_x254_cooks_distance(spark, sf_dir):
+    """Trend-influence audit (operators/temporal.py:cooks_distance):
+    the 3 most influential days per event type for the x65/x229 daily
+    mean-value trend fit — e²h/(p·s²(1−h)²) from one closed-form
+    moments pass; D ≈ 1 on a single day means the slope is that day,
+    not a trend."""
+    from .operators.temporal import cooks_distance
+
+    ev = _read_events(spark, sf_dir)
+    day = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    out = cooks_distance(day, ["event_type"], "day", "x", top_n=3)
+    return out.orderBy("event_type", "rank")
+
+
+SQL_X254 = """
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(day) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(day * x AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(day * day) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM day GROUP BY 1 HAVING COUNT(*) >= 4
+),
+fit AS (
+  SELECT event_type, n,
+         sx / n AS xbar,
+         sxx - sx * sx / n AS stt,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n AS icept,
+         ((syy - sy * sy / n)
+          - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+            * (sxy - sx * sy / n)) / (n - 2.0) AS s2
+  FROM m
+),
+scored AS (
+  SELECT d.event_type,
+         CAST(d.day AS BIGINT) AS x,
+         ROUND(d.x - (f.icept + f.slope * d.day), 6) AS resid,
+         ROUND(1.0 / f.n + (d.day - f.xbar) * (d.day - f.xbar) / f.stt,
+               6) AS leverage,
+         ROUND((d.x - (f.icept + f.slope * d.day))
+               * (d.x - (f.icept + f.slope * d.day))
+               * (1.0 / f.n + (d.day - f.xbar) * (d.day - f.xbar) / f.stt)
+               / (2.0 * f.s2
+                  * (1.0 - (1.0 / f.n
+                            + (d.day - f.xbar) * (d.day - f.xbar) / f.stt))
+                  * (1.0 - (1.0 / f.n
+                            + (d.day - f.xbar) * (d.day - f.xbar) / f.stt))),
+               6) AS cooks_d
+  FROM day d JOIN fit f ON d.event_type = f.event_type
+)
+SELECT event_type, x, resid, leverage, cooks_d,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY cooks_d DESC, x ASC) AS rank
+  FROM scored WHERE cooks_d IS NOT NULL
+) WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+EXT11_QUERIES.update({"x254_cooks_distance": q_x254_cooks_distance})
+EXT11_ORACLES.update({"x254_cooks_distance": SQL_X254})

@@ -415,3 +415,35 @@ def streaming_byte_anomaly(
         .cast("long")
         .alias("n_docs_replacement"),
     )
+
+
+def streaming_ams_counters(
+    stream: DataFrame,
+    key_col: str,
+    *,
+    rows: int = 9,
+    salt: str = "ams",
+    side: str = "a",
+) -> DataFrame:
+    """Streaming half of the AMS join-size gauge (the x248 batch
+    twin, operators/sketch.py:ams_join_size): reduce a keyed record
+    stream to *rows* signed ±1 counters — ONE global aggregate row in
+    complete output mode, state bounded at *rows* integers no matter
+    the arrival volume.  Maintain one such table per join side as
+    events land; the estimate for "what would |A ⋈ B| be right now"
+    is the median of the per-row counter products — join sizing as a
+    continuously-current dashboard number instead of a pre-flight
+    batch scan.
+
+    Reduction goes through the ONE shared definition
+    (``sketch.ams_sign_counters``), so batch/stream equivalence is
+    structural.  Signed sums are additive and mergeable but NOT
+    idempotent — at-least-once replays double-count; land the sink
+    with ``sinks.idempotent_batch_writer`` (or any batch-id-keyed
+    overwrite) when the counter table is persisted.
+    """
+    from ..operators.sketch import ams_sign_counters
+
+    return ams_sign_counters(
+        stream, key_col, rows=rows, salt=salt, side=side
+    )

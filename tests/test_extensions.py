@@ -6398,3 +6398,61 @@ def test_hashed_features_replica_and_cancellation(spark):
     assert got == exp
     # empty doc emits nothing
     assert not any(k[0] == 3 for k in got)
+
+
+def test_streaming_ams_counters_match_batch(spark, tmp_path):
+    """Streaming AMS sign counters equal the batch per-side reduction
+    bitwise, and finalizing two streamed sides reproduces the batch
+    ams_join_size estimate."""
+    from fame2pygen_spark.operators.sketch import (
+        ams_join_size, ams_sign_counters,
+    )
+    from fame2pygen_spark.streaming.core import (
+        run_stream_to_memory, streaming_ams_counters,
+    )
+
+    rows_a = [(k,) for k in [1, 1, 2, 3, 3, 3, 5, None]]
+    rows_b = [(k,) for k in [1, 2, 2, 3, 9]]
+    a = spark.createDataFrame(rows_a, "k int")
+    b = spark.createDataFrame(rows_b, "k int")
+    pa = str(tmp_path / "a")
+    a.write.parquet(pa)
+    stream = spark.readStream.schema(a.schema).format("parquet").load(pa)
+    agg = streaming_ams_counters(stream, "k", rows=5, side="a")
+    run_stream_to_memory(agg, "ams_a", output_mode="complete")
+    got = spark.sql("select * from ams_a").collect()[0]
+    want = ams_sign_counters(a, "k", rows=5, side="a").collect()[0]
+    assert got.asDict() == want.asDict()
+
+    # finalizer on streamed counters == batch estimate
+    est = ams_join_size(a, "k", b, "k", rows=5, exact=False).collect()[0]
+    cb = ams_sign_counters(b, "k", rows=5, side="b").collect()[0]
+    prods = sorted(
+        float(got[f"__x{r}a"]) * float(cb[f"__x{r}b"]) for r in range(5)
+    )
+    assert est["est_join_size"] == prods[2]
+
+
+def test_cooks_distance_planted_influence(spark):
+    from fame2pygen_spark.operators.temporal import cooks_distance
+
+    # clean line y = 2x + 1 with ONE corrupted endpoint at x=9
+    rows = [("g", x, 2.0 * x + 1.0) for x in range(9)] + [("g", 9, 60.0)]
+    rows += [("h", x, 5.0) for x in range(3)]  # n=3 < 4: dropped
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = cooks_distance(df, ["g"], "x", "y", top_n=3).collect()
+    assert all(r["g"] == "g" for r in out)
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["x"] == 9  # the corrupted endpoint dominates
+    assert top["cooks_d"] > 1.0  # classic D > 1 influence alarm
+    assert all(
+        top["cooks_d"] >= r["cooks_d"] for r in out
+    )
+    # endpoint leverage is the max leverage of the design
+    assert top["leverage"] == max(r["leverage"] for r in out)
+
+    # perfect fit (s2 = 0) emits nothing
+    clean = spark.createDataFrame(
+        [("p", x, 3.0 * x) for x in range(6)], "g string, x long, y double"
+    )
+    assert cooks_distance(clean, ["g"], "x", "y").count() == 0
