@@ -2453,3 +2453,109 @@ def mantel_haenszel(
         F.round(chi2, 6).alias("chi2"),
         F.round(normal_p_two_sided(F.sqrt(chi2)), 6).alias("p_value"),
     )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str,
+    arm_col: str,
+    value_col: str,
+    *,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Always-valid mixture-SPRT monitor (Johari, Koomen, Pekelis &
+    Walsh 2017/2022, "Peeking at A/B tests"): per look *n*, the
+    mixture likelihood ratio against a N(0, τ²) effect prior,
+
+    ``Λ_n = √(V_n/(V_n+τ²)) · exp(δ̂_n²·τ² / (2·V_n·(V_n+τ²)))``
+
+    with ``V_n = σ̂²·(1/n_a + 1/n_b)``, and the ALWAYS-VALID p-value
+    ``p_n = min(1, 1/max_{m≤n} Λ_m)`` — monotone non-increasing, so
+    stakeholders can peek every day without inflating type-I error
+    (the fixed-boundary alternative to the x202 Pocock looks; x196's
+    simple SPRT needs a point alternative, the mixture doesn't).
+
+    Scale shape: one (group, day) hash agg of exact decimal per-arm
+    moments, then TWO group-keyed cumulative windows (running moment
+    sums; running max of Λ) — day cardinality per group is bounded, so
+    the windows are short; every cross-day reduce is over exact
+    decimals, and Λ is a single IEEE expression both engines evaluate
+    identically.
+
+    Output per (group, day): ``(*group_cols, day, n_a, n_b, delta,
+    lam, p_always)`` — null Λ until both arms have ≥2 units and
+    σ̂² > 0.
+    """
+    g = list(group_cols)
+    t2 = float(tau) * float(tau)
+    arm = F.col(arm_col).cast("string")
+    v = F.col(value_col).cast("double")
+    dec6, dec12 = "decimal(28,6)", "decimal(38,12)"
+    daily = df.where(v.isNotNull()).groupBy(
+        *g, F.col(day_col).alias("day")
+    ).agg(
+        F.sum(F.when(arm == "a", 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(arm == "a", v).otherwise(0.0).cast(dec6)).alias("__sa"),
+        F.sum(F.when(arm == "a", v * v).otherwise(0.0).cast(dec12)).alias(
+            "__ssa"
+        ),
+        F.sum(F.when(arm == "b", 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(arm == "b", v).otherwise(0.0).cast(dec6)).alias("__sb"),
+        F.sum(F.when(arm == "b", v * v).otherwise(0.0).cast(dec12)).alias(
+            "__ssb"
+        ),
+    )
+    wc = (
+        Window.partitionBy(*g)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        *g,
+        "day",
+        F.sum("__na").over(wc).cast("long").alias("cna"),
+        F.sum("__sa").over(wc).cast("double").alias("csa"),
+        F.sum("__ssa").over(wc).cast("double").alias("cssa"),
+        F.sum("__nb").over(wc).cast("long").alias("cnb"),
+        F.sum("__sb").over(wc).cast("double").alias("csb"),
+        F.sum("__ssb").over(wc).cast("double").alias("cssb"),
+    )
+    na, nb = F.col("cna").cast("double"), F.col("cnb").cast("double")
+    delta = F.col("csa") / na - F.col("csb") / nb
+    s2 = (
+        (F.col("cssa") - F.col("csa") * F.col("csa") / na)
+        + (F.col("cssb") - F.col("csb") * F.col("csb") / nb)
+    ) / (na + nb - F.lit(2.0))
+    vn = s2 * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    a_ = vn + F.lit(t2)
+    lam = F.when(
+        (F.col("cna") >= 2) & (F.col("cnb") >= 2) & (s2 > 0),
+        F.sqrt(vn / a_)
+        * F.exp(delta * delta * F.lit(t2) / (F.lit(2.0) * vn * a_)),
+    )
+    scored = cum.select(
+        *g, "day",
+        F.col("cna").alias("n_a"),
+        F.col("cnb").alias("n_b"),
+        F.round(delta, 6).alias("delta"),
+        lam.alias("__lam"),
+    )
+    wmax = (
+        Window.partitionBy(*g)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return scored.withColumn(
+        "__mx", F.max("__lam").over(wmax)
+    ).select(
+        *g, "day", "n_a", "n_b", "delta",
+        F.round(F.col("__lam"), 6).alias("lam"),
+        F.round(
+            F.when(
+                F.col("__mx").isNotNull(),
+                F.least(F.lit(1.0), F.lit(1.0) / F.col("__mx")),
+            ),
+            6,
+        ).alias("p_always"),
+    )

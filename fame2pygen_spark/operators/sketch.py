@@ -3550,3 +3550,68 @@ def ams_sign_counters(
         sign = (F.lit(1) - F.lit(2) * bit).cast("long")
         aggs.append(F.sum(sign).alias(f"__x{r}{side}"))
     return df.where(F.col(key_col).isNotNull()).agg(*aggs)
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 200,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975, Annals of Statistics):
+    ``α̂ = [ (1/k)·Σ_{i=1..k} ln X_(i) − ln X_(k) ]⁻¹`` over the top-k
+    order statistics — the standard measure of HOW heavy a
+    heavy-tailed distribution is (Pareto exponent; α ≤ 2 means
+    infinite variance).  The sizing companion to ``skew_profile``:
+    skew tells you the head keys, Hill tells you whether the
+    doc-length / per-key-volume tail decays fast enough for fixed
+    ``maxPartitionBytes`` partitions, or whether the top percentile
+    will dominate task time at 100 TB no matter how you split.
+
+    Scale shape: per group ONE TakeOrdered heap (top-k by value desc
+    with a stable tiebreak — k·P rows to the driver-side merge, never
+    a global sort), then a k-row aggregate of decimal(38,12)-quantized
+    logs.  Values must be positive; non-positive rows are dropped.
+
+    Output per group: ``(*group_cols, k, x_k, alpha)`` — threshold
+    order statistic and tail index (6 dp; null alpha when all top-k
+    values are equal — zero log spread).
+    """
+    g = list(group_cols)
+    kk = int(k)
+    base = df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+    if g:
+        w = Window.partitionBy(*g).orderBy(F.desc(value_col))
+        top = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= kk)
+        )
+    else:
+        top = (
+            base.orderBy(F.desc(value_col))
+            .limit(kk)
+            .withColumn("__rn", F.lit(0))
+        )
+    logs = top.select(
+        *g,
+        F.col(value_col).cast("double").alias("__x"),
+        F.log(F.col(value_col).cast("double"))
+        .cast("decimal(38,12)")
+        .alias("__lx"),
+    )
+    agg = logs.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min("__x").alias("x_k"),
+        F.sum("__lx").cast("double").alias("__slx"),
+    )
+    mean_lx = F.col("__slx") / F.col("k").cast("double")
+    gap = mean_lx - F.log(F.col("x_k"))
+    return agg.select(
+        *g,
+        "k",
+        F.round(F.col("x_k"), 6).alias("x_k"),
+        F.round(
+            F.when(gap > 0, F.lit(1.0) / gap), 6
+        ).alias("alpha"),
+    )

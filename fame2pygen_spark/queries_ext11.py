@@ -487,3 +487,169 @@ ORDER BY event_type, rank
 
 EXT11_QUERIES.update({"x254_cooks_distance": q_x254_cooks_distance})
 EXT11_ORACLES.update({"x254_cooks_distance": SQL_X254})
+
+
+# ----------------------------- x255: Hill tail index
+
+
+def q_x255_hill_tail(spark, sf_dir):
+    """Per-source document-length tail heaviness (operators/sketch.py:
+    hill_tail_index): Pareto exponent from the top-200 order
+    statistics — the partition-sizing answer skew_profile's head view
+    doesn't give: does the length tail decay fast enough for uniform
+    maxPartitionBytes splits at 100 TB."""
+    from .operators.sketch import hill_tail_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hill_tail_index(docs, "n_chars", k=200, group_cols=["source"])
+
+
+SQL_X255 = """
+WITH base AS (
+  SELECT source, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+top AS (
+  SELECT source, n_chars FROM (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC)
+             AS rn
+    FROM base
+  ) WHERE rn <= 200
+),
+agg AS (
+  SELECT source, COUNT(*) AS k,
+         MIN(CAST(n_chars AS DOUBLE)) AS x_k,
+         CAST(SUM(CAST(ln(CAST(n_chars AS DOUBLE)) AS DECIMAL(38,12)))
+              AS DOUBLE) AS slx
+  FROM top GROUP BY 1
+)
+SELECT source, CAST(k AS BIGINT) AS k,
+       ROUND(x_k, 6) AS x_k,
+       ROUND(CASE WHEN slx / CAST(k AS DOUBLE) - ln(x_k) > 0
+                  THEN 1.0 / (slx / CAST(k AS DOUBLE) - ln(x_k)) END,
+             6) AS alpha
+FROM agg
+"""
+
+EXT11_QUERIES.update({"x255_hill_tail": q_x255_hill_tail})
+EXT11_ORACLES.update({"x255_hill_tail": SQL_X255})
+
+
+# ----------------------------- x256: always-valid mSPRT monitor
+
+
+def q_x256_msprt(spark, sf_dir):
+    """Daily always-valid p-value sequence per event type
+    (operators/behavior.py:msprt_monitor) on the x66 hash A/A split —
+    the peek-proof monitor: p is monotone non-increasing by
+    construction and should stay high on a null split."""
+    from .operators.behavior import msprt_monitor
+    from .operators.sketch import _hash64
+
+    ev = _read_events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        F.when(
+            _hash64(F.col("user_id"), "ab") / F.lit(4294967296.0)
+            < F.lit(0.5),
+            "a",
+        )
+        .otherwise("b")
+        .alias("arm"),
+        "value",
+    )
+    out = msprt_monitor(base, ["event_type"], "day", "arm", "value", tau=1.0)
+    return out.orderBy("event_type", "day")
+
+
+SQL_X256 = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS arm,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day,
+         SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+         SUM(CAST(CASE WHEN arm = 'a' THEN v ELSE 0.0 END
+             AS DECIMAL(28,6))) AS sa,
+         SUM(CAST(CASE WHEN arm = 'a' THEN v * v ELSE 0.0 END
+             AS DECIMAL(38,12))) AS ssa,
+         SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+         SUM(CAST(CASE WHEN arm = 'b' THEN v ELSE 0.0 END
+             AS DECIMAL(28,6))) AS sb,
+         SUM(CAST(CASE WHEN arm = 'b' THEN v * v ELSE 0.0 END
+             AS DECIMAL(38,12))) AS ssb
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day,
+         CAST(SUM(na) OVER w AS BIGINT) AS cna,
+         CAST(SUM(sa) OVER w AS DOUBLE) AS csa,
+         CAST(SUM(ssa) OVER w AS DOUBLE) AS cssa,
+         CAST(SUM(nb) OVER w AS BIGINT) AS cnb,
+         CAST(SUM(sb) OVER w AS DOUBLE) AS csb,
+         CAST(SUM(ssb) OVER w AS DOUBLE) AS cssb
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_type, day, cna AS n_a, cnb AS n_b,
+         ROUND(csa / CAST(cna AS DOUBLE) - csb / CAST(cnb AS DOUBLE), 6)
+           AS delta,
+         CASE WHEN cna >= 2 AND cnb >= 2
+                   AND ((cssa - csa * csa / CAST(cna AS DOUBLE))
+                        + (cssb - csb * csb / CAST(cnb AS DOUBLE)))
+                       / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
+                       > 0
+         THEN
+           sqrt(
+             (((cssa - csa * csa / CAST(cna AS DOUBLE))
+               + (cssb - csb * csb / CAST(cnb AS DOUBLE)))
+              / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
+              * (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE)))
+             / ((((cssa - csa * csa / CAST(cna AS DOUBLE))
+                  + (cssb - csb * csb / CAST(cnb AS DOUBLE)))
+                 / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
+                 * (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE)))
+                + 1.0))
+           * exp((csa / CAST(cna AS DOUBLE) - csb / CAST(cnb AS DOUBLE))
+                 * (csa / CAST(cna AS DOUBLE) - csb / CAST(cnb AS DOUBLE))
+                 * 1.0
+                 / (2.0
+                    * (((cssa - csa * csa / CAST(cna AS DOUBLE))
+                        + (cssb - csb * csb / CAST(cnb AS DOUBLE)))
+                       / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
+                       * (1.0 / CAST(cna AS DOUBLE)
+                          + 1.0 / CAST(cnb AS DOUBLE)))
+                    * ((((cssa - csa * csa / CAST(cna AS DOUBLE))
+                         + (cssb - csb * csb / CAST(cnb AS DOUBLE)))
+                        / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
+                        * (1.0 / CAST(cna AS DOUBLE)
+                           + 1.0 / CAST(cnb AS DOUBLE)))
+                       + 1.0)))
+         END AS lam
+  FROM cum
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       n_a, n_b, delta,
+       ROUND(lam, 6) AS lam,
+       ROUND(CASE WHEN mx IS NOT NULL
+                  THEN LEAST(1.0, 1.0 / mx) END, 6) AS p_always
+FROM (
+  SELECT *, MAX(lam) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+  FROM scored
+)
+ORDER BY event_type, day
+"""
+
+EXT11_QUERIES.update({"x256_msprt": q_x256_msprt})
+EXT11_ORACLES.update({"x256_msprt": SQL_X256})

@@ -6456,3 +6456,66 @@ def test_cooks_distance_planted_influence(spark):
         [("p", x, 3.0 * x) for x in range(6)], "g string, x long, y double"
     )
     assert cooks_distance(clean, ["g"], "x", "y").count() == 0
+
+
+def test_hill_tail_index_recovers_pareto(spark):
+    from fame2pygen_spark.operators.sketch import hill_tail_index
+
+    # exact Pareto(alpha=2) quantiles: x = (1/u)^(1/2), u on a grid
+    n = 2000
+    rows = [
+        (i, float((n / (i + 0.5)) ** 0.5)) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = hill_tail_index(df, "v", k=200).collect()[0]
+    assert r["k"] == 200
+    assert abs(r["alpha"] - 2.0) < 0.25  # Hill consistency on the tail
+
+    # all-equal top block -> zero log spread -> null alpha
+    flat = spark.createDataFrame(
+        [(i, 7.0) for i in range(50)], "id long, v double"
+    )
+    rf = hill_tail_index(flat, "v", k=10).collect()[0]
+    assert rf["alpha"] is None and rf["x_k"] == 7.0
+
+    # non-positive values dropped
+    mixed = spark.createDataFrame(
+        [(1, -1.0), (2, 0.0), (3, 2.0), (4, 4.0), (5, 8.0)],
+        "id long, v double",
+    )
+    rm = hill_tail_index(mixed, "v", k=3).collect()[0]
+    assert rm["k"] == 3 and rm["x_k"] == 2.0
+
+
+def test_msprt_monitor_monotone_and_detects(spark):
+    from fame2pygen_spark.operators.behavior import msprt_monitor
+
+    # planted +3 shift in arm b, 20 units/arm/day over 6 days
+    rows = []
+    for day in range(6):
+        for i in range(20):
+            noise = ((i * 7 + day * 3) % 10) / 10.0
+            rows.append(("g", day, "a", 10.0 + noise))
+            rows.append(("g", day, "b", 13.0 + noise))
+    df = spark.createDataFrame(rows, "g string, day long, arm string, v double")
+    out = msprt_monitor(df, ["g"], "day", "arm", "v", tau=1.0).orderBy(
+        "day"
+    ).collect()
+    ps = [r["p_always"] for r in out]
+    # monotone non-increasing by construction
+    assert all(ps[i + 1] <= ps[i] + 1e-12 for i in range(len(ps) - 1))
+    assert ps[-1] < 0.05  # clear shift detected
+    assert out[-1]["delta"] == -3.0
+
+    # A/A: identical arms -> delta 0, lambda < 1, p stays 1
+    null_rows = [
+        ("g", d, arm, 10.0 + ((i * 7 + d) % 10) / 10.0)
+        for d in range(4) for i in range(15) for arm in ("a", "b")
+    ]
+    dfn = spark.createDataFrame(
+        null_rows, "g string, day long, arm string, v double"
+    )
+    outn = msprt_monitor(dfn, ["g"], "day", "arm", "v").orderBy(
+        "day"
+    ).collect()
+    assert all(r["p_always"] == 1.0 for r in outn)
