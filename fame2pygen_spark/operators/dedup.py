@@ -1624,3 +1624,116 @@ def sampled_overlap_estimate(
         .alias("est_n_common"),
         F.round(F.lit(float(sample_mod)) * F.sqrt(nc), 6).alias("se_est"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    *,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Chapman-corrected Lincoln–Petersen population estimate
+    (Petersen 1896 / Lincoln 1930; Chapman 1951 correction) from
+    pairwise source overlap: treating two independent crawls/sources
+    as two "captures" of the same underlying document population,
+    ``N̂ = (n₁+1)(n₂+1)/(m+1) − 1`` estimates how many distinct
+    documents EXIST — including the ones neither source collected.
+    The coverage question the x52 overlap matrix (which documents do
+    we hold twice) cannot answer: what fraction of the reachable
+    corpus do we hold at all.  The independence caveat is real
+    (correlated crawls bias N̂ low) — read it as a lower bound.
+
+    Scale shape: one scan → per-source DISTINCT fingerprint sets
+    (dedup within source first: recapture counts documents, not
+    copies), per-source totals broadcast, overlap m from a
+    fingerprint equi-join aggregated per source pair — the same
+    |sources|²-bounded shape as ``cross_source_overlap``.
+
+    With *shingle_n* set, the capture unit is the distinct character
+    n-gram SHINGLE instead of the whole document — estimating the
+    passage population, which overlaps across sources long before two
+    crawls collect byte-identical documents (the document-grain
+    estimate degenerates to zero overlap on disjoint crawls).
+
+    Output per unordered pair (source_a < source_b, m > 0):
+    ``source_a, source_b, n_a, n_b, m, n_hat, coverage_union`` —
+    coverage_union = (n_a + n_b − m)/N̂, the share of the estimated
+    population the two sources jointly hold (6 dp).
+    """
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    )
+    if shingle_n is None:
+        fps = base.select(
+            F.col(source_col).alias("src"),
+            text_fingerprint(F.col(text_col)).alias("fp"),
+        ).distinct()
+    else:
+        n = int(shingle_n)
+        nt = base.select(
+            F.col(source_col).alias("src"),
+            normalized_text(F.col(text_col)).alias("__nt"),
+        )
+        idx = F.when(
+            F.length("__nt") >= n,
+            F.sequence(F.lit(1), F.length("__nt") - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        fps = (
+            nt.select("src", F.explode(idx).alias("__i"), "__nt")
+            .select(
+                "src",
+                F.md5(F.substring(F.col("__nt"), F.col("__i"), n)).alias(
+                    "fp"
+                ),
+            )
+            .distinct()
+        )
+    totals = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    ta = totals.select(
+        F.col("src").alias("source_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("src").alias("source_b"), F.col("n").alias("n_b")
+    )
+    nhat = (
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("n_b") + 1).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "m",
+            F.round(nhat, 6).alias("n_hat"),
+            F.round(
+                F.try_divide(
+                    (F.col("n_a") + F.col("n_b") - F.col("m")).cast(
+                        "double"
+                    ),
+                    nhat,
+                ),
+                6,
+            ).alias("coverage_union"),
+        )
+    )

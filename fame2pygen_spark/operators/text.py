@@ -2868,3 +2868,67 @@ def hashed_features(
         .agg(F.sum("__s").cast("long").alias("value"))
         .where(F.col("value") != 0)
     )
+
+
+def good_turing_profile(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_r: int = 5,
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies profile (Good 1953,
+    Biometrika; estimator notation per Gale & Sampson 1995): the
+    count-of-counts table ``N_r`` with the Turing adjusted counts
+    ``r* = (r+1)·N_{r+1}/N_r`` for the low ranks.  The ``r = 1`` row's
+    token share ``1·N_1/N`` IS the Good–Turing unseen-species mass —
+    the probability the NEXT token drawn from this corpus is a word
+    never seen in it, i.e. how open the vocabulary still is (the
+    saturation question Heaps' law (x194) answers by curve shape,
+    answered here by a single distribution-free estimate).
+
+    Scale shape: one tokenization pass → word-count agg → count-of-
+    counts agg (|distinct counts| rows, tiny) → a broadcast self-join
+    on ``r+1`` for r*.  Totals ride along from a 1-row summary; the
+    heavy shuffles are the same two keyed aggs every vocabulary
+    operator pays.
+
+    Output: the *max_r* SMALLEST observed frequency classes (a corpus
+    with no hapaxes still reports its rarest classes) — ``r, n_r,
+    token_share (= r·N_r/N), r_star`` — null r* where ``N_{r+1}`` is
+    empty; when the minimum observed r is 1, the first row's
+    token_share is the unseen mass.
+    """
+    df = _parallelize_input(df)
+    wc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    nr = wc.groupBy(F.col("__c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("double").alias("__n")
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("__rp"), F.col("n_r").alias("__n_next")
+    )
+    return (
+        nr.orderBy("r")
+        .limit(int(max_r))
+        .join(F.broadcast(nxt), F.col("r") == F.col("__rp"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.round(
+                F.col("r").cast("double") * F.col("n_r") / F.col("__n"), 6
+            ).alias("token_share"),
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.col("__n_next")
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+        )
+    )

@@ -653,3 +653,95 @@ ORDER BY event_type, day
 
 EXT11_QUERIES.update({"x256_msprt": q_x256_msprt})
 EXT11_ORACLES.update({"x256_msprt": SQL_X256})
+
+
+# ----------------------------- x257: Good–Turing unseen mass
+
+
+def q_x257_good_turing(spark, sf_dir):
+    """Count-of-counts vocabulary profile (operators/text.py:
+    good_turing_profile): the r=1 row's token share is the
+    Good–Turing unseen-word mass — the distribution-free 'how open is
+    this corpus's vocabulary' estimate next to Heaps' law (x194)."""
+    from .operators.text import good_turing_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return good_turing_profile(docs, "text", max_r=5)
+
+
+SQL_X257 = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+nr AS (SELECT c AS r, COUNT(*) AS n_r FROM wc GROUP BY 1),
+tot AS (SELECT CAST(SUM(r * n_r) AS DOUBLE) AS n FROM nr)
+SELECT CAST(a.r AS BIGINT) AS r,
+       CAST(a.n_r AS BIGINT) AS n_r,
+       ROUND(CAST(a.r AS DOUBLE) * a.n_r / t.n, 6) AS token_share,
+       ROUND(CAST(a.r + 1 AS DOUBLE) * b.n_r / a.n_r, 6) AS r_star
+FROM (SELECT * FROM nr ORDER BY r LIMIT 5) a
+LEFT JOIN nr b ON b.r = a.r + 1
+CROSS JOIN tot t
+"""
+
+EXT11_QUERIES.update({"x257_good_turing": q_x257_good_turing})
+EXT11_ORACLES.update({"x257_good_turing": SQL_X257})
+
+
+# ----------------------------- x258: capture–recapture coverage
+
+
+def q_x258_capture_recapture(spark, sf_dir):
+    """Chapman–Lincoln–Petersen population estimate per source pair
+    (operators/dedup.py:capture_recapture) over distinct 30-char
+    passage shingles — treating sources as independent captures of
+    the passage population: how many distinct passages exist, and
+    what share do two sources jointly hold; the coverage question
+    x52's overlap matrix can't answer."""
+    from .operators.dedup import capture_recapture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return capture_recapture(
+        docs, "text", "doc_id", "source", shingle_n=30
+    )
+
+
+SQL_X258 = """
+WITH docs AS (
+  SELECT source AS src,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+fps AS (
+  SELECT DISTINCT d.src, md5(substr(d.t, CAST(i.i AS INTEGER), 30)) AS fp
+  FROM docs d,
+       LATERAL (SELECT unnest(range(1, greatest(length(d.t) - 29, 0) + 1))
+                AS i) i
+  WHERE length(d.t) >= 30
+),
+totals AS (SELECT src, COUNT(*) AS n FROM fps GROUP BY 1),
+pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS m
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       CAST(p.m AS BIGINT) AS m,
+       ROUND(CAST(ta.n + 1 AS DOUBLE) * CAST(tb.n + 1 AS DOUBLE)
+             / CAST(p.m + 1 AS DOUBLE) - 1.0, 6) AS n_hat,
+       ROUND(CAST(ta.n + tb.n - p.m AS DOUBLE)
+             / (CAST(ta.n + 1 AS DOUBLE) * CAST(tb.n + 1 AS DOUBLE)
+                / CAST(p.m + 1 AS DOUBLE) - 1.0), 6) AS coverage_union
+FROM pairs p
+JOIN totals ta ON ta.src = p.source_a
+JOIN totals tb ON tb.src = p.source_b
+"""
+
+EXT11_QUERIES.update({"x258_capture_recapture": q_x258_capture_recapture})
+EXT11_ORACLES.update({"x258_capture_recapture": SQL_X258})

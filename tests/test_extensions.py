@@ -6519,3 +6519,47 @@ def test_msprt_monitor_monotone_and_detects(spark):
         "day"
     ).collect()
     assert all(r["p_always"] == 1.0 for r in outn)
+
+
+def test_good_turing_profile_hand_counts(spark):
+    from fame2pygen_spark.operators.text import good_turing_profile
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "d e")], "doc_id long, text string"
+    )
+    got = {r["r"]: r for r in good_turing_profile(df, "text").collect()}
+    # counts: a:3 b:2 c:1 d:1 e:1 -> N1=3 N2=1 N3=1, N=8
+    assert got[1]["n_r"] == 3 and got[2]["n_r"] == 1 and got[3]["n_r"] == 1
+    assert got[1]["token_share"] == round(3 / 8, 6)   # unseen mass
+    assert got[1]["r_star"] == round(2 * 1 / 3, 6)
+    assert got[2]["r_star"] == round(3 * 1 / 1, 6)
+    assert got[3]["r_star"] is None                   # no N4
+
+
+def test_capture_recapture_chapman(spark):
+    from fame2pygen_spark.operators.dedup import capture_recapture
+
+    # document grain: sources A and B share 2 of their docs
+    rows = [
+        (1, "A", "shared one"), (2, "A", "shared two"), (3, "A", "only a"),
+        (4, "B", "shared one"), (5, "B", "shared two"), (6, "B", "only b"),
+        (7, "B", "only b2"),
+        (8, "C", "isolated"),  # no overlap: pair must not appear
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = capture_recapture(df, "text", "doc_id", "source").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert (r["n_a"], r["n_b"], r["m"]) == (3, 4, 2)
+    # Chapman: (4*5)/3 - 1 = 17/3 ≈ 5.667 (true pop is 5 docs)
+    assert r["n_hat"] == round(4 * 5 / 3 - 1, 6)
+    assert r["coverage_union"] == round((3 + 4 - 2) / (4 * 5 / 3 - 1), 6)
+
+    # within-source copies collapse before counting
+    dup = spark.createDataFrame(
+        [(1, "A", "x"), (2, "A", "x"), (3, "B", "x")],
+        "doc_id long, source string, text string",
+    )
+    rd = capture_recapture(dup, "text", "doc_id", "source").collect()[0]
+    assert (rd["n_a"], rd["n_b"], rd["m"]) == (1, 1, 1)
