@@ -2235,3 +2235,74 @@ def cooks_distance(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= int(top_n))
     )
+
+
+def forecast_mase(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    y_col: str,
+    *,
+    season: int = 7,
+) -> DataFrame:
+    """Mean Absolute Scaled Error audit (Hyndman & Koehler 2006,
+    "Another look at measures of forecast accuracy"): per group, the
+    in-sample MAE of the SEASONAL-NAIVE forecast ``ŷ_t = y_{t−m}``
+    scaled by the MAE of the plain naive ``ŷ_t = y_{t−1}`` —
+    ``mase < 1`` means the seasonal pattern is real (knowing last
+    week's value beats knowing yesterday's), the scale-free screen to
+    run before fitting anything seasonal (x150 Holt–Winters, x186
+    decomposition) to a million entities.
+
+    *t_col* must be an integer period index; both error terms demand
+    CONSECUTIVE spacing (t − t_lag exactly 1 / exactly *season*) —
+    gaps break pairs rather than silently comparing across them (the
+    x236 discipline).  Absolute errors are decimal(28,6)-quantized
+    before the keyed mean, so partitioning cannot move the ratio.
+
+    Scale shape: one keyed lag window (two offsets from the same
+    sort), one keyed hash agg.  Output per group: ``(*group_cols,
+    n_naive, n_seasonal, mae_naive, mae_seasonal, mase)`` — null
+    mase when either error set is empty or mae_naive is 0.
+    """
+    g = list(group_cols)
+    dec6 = "decimal(28,6)"
+    staged = series.where(
+        F.col(y_col).isNotNull() & F.col(t_col).isNotNull()
+    ).select(*g, F.col(t_col).alias("__t"), F.col(y_col).alias("__y"))
+    w = Window.partitionBy(*g).orderBy("__t")
+    m = int(season)
+    lagged = staged.select(
+        *g,
+        "__t",
+        "__y",
+        F.lag("__y", 1).over(w).alias("__y1"),
+        F.lag("__t", 1).over(w).alias("__t1"),
+        F.lag("__y", m).over(w).alias("__ym"),
+        F.lag("__t", m).over(w).alias("__tm"),
+    )
+    e1 = F.when(
+        F.col("__t") - F.col("__t1") == 1, F.abs(F.col("__y") - F.col("__y1"))
+    )
+    em = F.when(
+        F.col("__t") - F.col("__tm") == m,
+        F.abs(F.col("__y") - F.col("__ym")),
+    )
+    agg = lagged.groupBy(*g).agg(
+        F.count(e1).cast("long").alias("n_naive"),
+        F.count(em).cast("long").alias("n_seasonal"),
+        F.sum(e1.cast(dec6)).cast("double").alias("__s1"),
+        F.sum(em.cast(dec6)).cast("double").alias("__sm"),
+    )
+    mae1 = F.try_divide(F.col("__s1"), F.col("n_naive").cast("double"))
+    maem = F.try_divide(F.col("__sm"), F.col("n_seasonal").cast("double"))
+    return agg.select(
+        *g,
+        "n_naive",
+        "n_seasonal",
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(maem, 6).alias("mae_seasonal"),
+        F.round(
+            F.when(mae1 > 0, maem / mae1), 6
+        ).alias("mase"),
+    )

@@ -745,3 +745,76 @@ JOIN totals tb ON tb.src = p.source_b
 
 EXT11_QUERIES.update({"x258_capture_recapture": q_x258_capture_recapture})
 EXT11_ORACLES.update({"x258_capture_recapture": SQL_X258})
+
+
+# ----------------------------- x259: MASE seasonal screen
+
+
+def q_x259_mase(spark, sf_dir):
+    """Seasonal-naive vs naive forecastability screen
+    (operators/temporal.py:forecast_mase) on the daily mean event
+    value per type — mase < 1 means the weekly pattern is real; the
+    scale-free gate before fitting x150/x186 to every entity."""
+    from .operators.temporal import forecast_mase
+
+    ev = _read_events(spark, sf_dir)
+    day = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    return forecast_mase(day, ["event_type"], "day", "x", season=7).orderBy(
+        "event_type"
+    )
+
+
+SQL_X259 = """
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, x,
+         LAG(x, 1) OVER w AS y1, LAG(day, 1) OVER w AS t1,
+         LAG(x, 7) OVER w AS ym, LAG(day, 7) OVER w AS tm
+  FROM day
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN day - t1 = 1 THEN 1 END) AS n_naive,
+         COUNT(CASE WHEN day - tm = 7 THEN 1 END) AS n_seasonal,
+         CAST(SUM(CASE WHEN day - t1 = 1
+                  THEN CAST(ABS(x - y1) AS DECIMAL(28,6)) END)
+              AS DOUBLE) AS s1,
+         CAST(SUM(CASE WHEN day - tm = 7
+                  THEN CAST(ABS(x - ym) AS DECIMAL(28,6)) END)
+              AS DOUBLE) AS sm
+  FROM lagged GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_naive AS BIGINT) AS n_naive,
+       CAST(n_seasonal AS BIGINT) AS n_seasonal,
+       ROUND(s1 / CAST(n_naive AS DOUBLE), 6) AS mae_naive,
+       ROUND(sm / CAST(n_seasonal AS DOUBLE), 6) AS mae_seasonal,
+       ROUND(CASE WHEN s1 / CAST(n_naive AS DOUBLE) > 0
+                  THEN (sm / CAST(n_seasonal AS DOUBLE))
+                       / (s1 / CAST(n_naive AS DOUBLE)) END, 6) AS mase
+FROM agg
+ORDER BY event_type
+"""
+
+EXT11_QUERIES.update({"x259_mase": q_x259_mase})
+EXT11_ORACLES.update({"x259_mase": SQL_X259})

@@ -6563,3 +6563,25 @@ def test_capture_recapture_chapman(spark):
     )
     rd = capture_recapture(dup, "text", "doc_id", "source").collect()[0]
     assert (rd["n_a"], rd["n_b"], rd["m"]) == (1, 1, 1)
+
+
+def test_forecast_mase_planted_weekly_cycle(spark):
+    from fame2pygen_spark.operators.temporal import forecast_mase
+
+    # pure period-7 cycle: seasonal naive is PERFECT, naive is not
+    cyc = [5.0, 9.0, 4.0, 8.0, 6.0, 10.0, 3.0]
+    rows = [("c", t, cyc[t % 7]) for t in range(28)]
+    # white-ish series: no seasonality advantage
+    rows += [("w", t, float((t * 13) % 5)) for t in range(28)]
+    # gapped series: day 10 missing breaks pairs crossing it
+    rows += [("g", t, float(t)) for t in range(8)]
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    out = {r["g"]: r for r in forecast_mase(
+        df, ["g"], "t", "y", season=7
+    ).collect()}
+    assert out["c"]["mae_seasonal"] == 0.0 and out["c"]["mase"] == 0.0
+    assert out["c"]["n_naive"] == 27 and out["c"]["n_seasonal"] == 21
+    assert out["w"]["mase"] is not None and out["w"]["mase"] > 0.5
+    # linear series shorter than the season: no seasonal pairs
+    assert out["g"]["n_seasonal"] == 1 and out["g"]["n_naive"] == 7
+    assert out["g"]["mae_naive"] == 1.0 and out["g"]["mase"] == 7.0
