@@ -562,3 +562,47 @@ def frame_sample_y4m(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+def shot_boundaries(
+    frames: DataFrame,
+    id_col: str,
+    frame_col: str,
+    luma_col: str,
+    *,
+    threshold: float = 30.0,
+) -> DataFrame:
+    """Luma-delta shot-boundary detection (the classic pixel/histogram
+    difference cut detector — Boreczky & Rowe 1996's baseline family)
+    over an already-decoded per-frame statistics table: a CUT is a
+    consecutive-frame luma-mean jump ``|Δ| ≥ threshold`` (0–255
+    scale).  Runs downstream of :func:`frame_sample_y4m` (or any
+    ffmpeg-backed decoder emitting the same ``doc, frame_idx,
+    luma_mean`` schema) — the decode boundary stays in the decoder;
+    detection itself is pure keyed column algebra, so it scales as
+    one video-keyed window over frame rows, no Python in the loop.
+
+    Output: one row per detected boundary — ``(id, frame_idx,
+    luma_prev, luma, delta)`` (6 dp), frame_idx = the first frame of
+    the new shot.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    lagged = frames.withColumn(
+        "__prev", F.lag(F.col(luma_col)).over(w)
+    )
+    delta = F.col(luma_col) - F.col("__prev")
+    return (
+        lagged.where(
+            F.col("__prev").isNotNull()
+            & (F.abs(delta) >= F.lit(float(threshold)))
+        )
+        .select(
+            F.col(id_col),
+            F.col(frame_col).cast("long").alias(frame_col),
+            F.round(F.col("__prev"), 6).alias("luma_prev"),
+            F.round(F.col(luma_col), 6).alias("luma"),
+            F.round(delta, 6).alias("delta"),
+        )
+    )

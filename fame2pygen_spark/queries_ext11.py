@@ -818,3 +818,108 @@ ORDER BY event_type
 
 EXT11_QUERIES.update({"x259_mase": q_x259_mase})
 EXT11_ORACLES.update({"x259_mase": SQL_X259})
+
+
+# ----------------------------- x260: video shot boundaries
+
+
+def q_x260_shot_boundaries(spark, sf_dir):
+    """Cut detection through the REAL video path
+    (operators/multimodal.py:shot_boundaries after frame_sample_y4m):
+    each document renders a 4-frame Y4M clip whose pixels sit in a
+    wrap-free mid-gray band with a planted +120 luma cut entering
+    frame 2; the container is genuinely parsed frame by frame, and
+    the detector must find exactly that one cut per document.  The oracle
+    re-derives frame luma arithmetically from the generation formula
+    (the x93 idiom), so the full decode→detect pipeline is
+    value-checked."""
+    from .operators.multimodal import frame_sample_y4m, shot_boundaries
+    from .queries_ext2 import (
+        _Y4M_FRAME_MARK_HEX,
+        _Y4M_HEADER_HEX,
+        _ahash_pixel_counts_spark,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), nt.alias("__nt")
+    )
+    counts = _ahash_pixel_counts_spark(F.col("__nt"))
+    frame_hexes = []
+    for f in range(4):
+        shift = f + (120 if f >= 2 else 0)
+        # wrap-free mid-gray remap: 40 + (c mod 64) + shift <= 226,
+        # so the +120 cut moves EVERY pixel by exactly +120 and each
+        # doc detects exactly one boundary at frame 2
+        y_hex = F.concat_ws(
+            "",
+            *[
+                F.lpad(F.hex(F.lit(40) + (c % 64) + shift), 2, "0")
+                for c in counts
+            ],
+        )
+        frame_hexes.append(
+            F.concat(F.lit(_Y4M_FRAME_MARK_HEX), y_hex, F.lit("80" * 32))
+        )
+    payload = F.unhex(F.concat(F.lit(_Y4M_HEADER_HEX), *frame_hexes))
+    clips = staged.select("doc_id", payload.alias("payload"))
+    frames = frame_sample_y4m(clips, "doc_id", "payload", every=1)
+    return shot_boundaries(
+        frames, "doc_id", "frame_idx", "luma_mean", threshold=30.0
+    )
+
+
+def _sql_x260() -> str:
+    from .queries_ext2 import _AHASH_LETTERS
+
+    cols = []
+    for j in range(64):
+        if j < 26:
+            ch = _AHASH_LETTERS[j]
+            cols.append(
+                f"(length(nt) - length(replace(nt, '{ch}', ''))) % 256"
+            )
+        else:
+            cols.append(f"(length(nt) * {j + 1}) % 256")
+    px = ",\n           ".join(cols)
+    frames = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {f} AS frame_idx, px FROM c" for f in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\\\s+', ' ', 'g')) AS nt
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         list_value(
+           {px}) AS px
+  FROM t
+), f AS (
+  {frames}
+), luma AS (
+  SELECT doc_id, frame_idx,
+         ROUND(CAST(list_reduce(list_transform(px,
+                 x -> 40 + (x % 64) + frame_idx
+                      + CASE WHEN frame_idx >= 2 THEN 120 ELSE 0 END),
+                 (a, x) -> a + x) AS DOUBLE) / 64, 6) AS luma_mean
+  FROM f
+), lagged AS (
+  SELECT doc_id, frame_idx, luma_mean,
+         LAG(luma_mean) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev
+  FROM luma
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       ROUND(prev, 6) AS luma_prev,
+       ROUND(luma_mean, 6) AS luma,
+       ROUND(luma_mean - prev, 6) AS delta
+FROM lagged
+WHERE prev IS NOT NULL AND ABS(luma_mean - prev) >= 30.0
+"""
+
+
+EXT11_QUERIES.update({"x260_shot_boundaries": q_x260_shot_boundaries})
+EXT11_ORACLES.update({"x260_shot_boundaries": _sql_x260()})

@@ -6585,3 +6585,21 @@ def test_forecast_mase_planted_weekly_cycle(spark):
     # linear series shorter than the season: no seasonal pairs
     assert out["g"]["n_seasonal"] == 1 and out["g"]["n_naive"] == 7
     assert out["g"]["mae_naive"] == 1.0 and out["g"]["mase"] == 7.0
+
+
+def test_shot_boundaries_hand_frames(spark):
+    from fame2pygen_spark.operators.multimodal import shot_boundaries
+
+    rows = [
+        (1, 0, 50.0), (1, 1, 51.0), (1, 2, 171.0), (1, 3, 172.0),
+        (2, 0, 100.0), (2, 1, 100.5),          # no cut
+        (3, 0, 200.0), (3, 1, 40.0),           # downward cut
+    ]
+    df = spark.createDataFrame(rows, "vid long, frame_idx long, luma double")
+    out = shot_boundaries(
+        df, "vid", "frame_idx", "luma", threshold=30.0
+    ).collect()
+    got = {(r["vid"], r["frame_idx"]): r["delta"] for r in out}
+    assert got == {(1, 2): 120.0, (3, 1): -160.0}
+    # first frame of each video can never be a boundary
+    assert all(r["frame_idx"] > 0 for r in out)
