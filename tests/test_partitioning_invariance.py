@@ -73,6 +73,14 @@ SENSITIVE = [
     "x245_pq_search",
     "x246_ivfpq",
     "x247_self_bleu",
+    "x248_ams_join_size",
+    "x249_als_step",
+    "x250_kmeanspp",
+    "x251_mantel_haenszel",
+    "x254_cooks_distance",
+    "x255_hill_tail",
+    "x256_msprt",
+    "x259_mase",
 ]
 
 
