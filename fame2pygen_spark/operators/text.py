@@ -2932,3 +2932,112 @@ def good_turing_profile(
             ).alias("r_star"),
         )
     )
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and evaluated in-corpus
+    (McCallum & Nigam 1998's event model; add-1 smoothing per
+    Laplace): class-conditional word log-probabilities
+    ``log((c(w,ℓ)+1)/(T_ℓ+V))`` and log priors from ONE tokenization
+    pass, then every document scored for every class and argmaxed —
+    reported as the label × prediction confusion matrix.  The trained
+    complement of the heuristic lang-id confusion (x113): when NB
+    can't separate the stored labels IN SAMPLE, the labels themselves
+    are noise (label-quality audit), and class pairs that confuse are
+    near-duplicate strata candidates.
+
+    Scale shape: training is two keyed aggs (word×class counts, class
+    totals); scoring fans doc-words across the (broadcast-small)
+    class list, left-joins the count table on the word key — the one
+    wide shuffle — and reduces per (doc, class) with
+    decimal(38,12)-quantized log terms.  Argmax is a doc-keyed rank
+    window on the 6-dp-rounded score with the class-name tiebreak
+    (engine-stable, the x240 idiom).
+
+    Output: ``label, predicted, n_docs`` confusion cells (docs with
+    no tokens are skipped — no likelihood evidence).
+    """
+    df = _parallelize_input(df)
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).alias("label"),
+        tokens(F.col(text_col)).alias("__tk"),
+    )
+    dw = (
+        base.select("doc", "label", F.explode("__tk").alias("w"))
+        .groupBy("doc", "label", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = dw.groupBy(F.col("w"), F.col("label").alias("cls")).agg(
+        F.sum("cnt").alias("cwl")
+    )
+    ct = wc.groupBy("cls").agg(F.sum("cwl").alias("tl"))
+    vocab = dw.select("w").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    ndocs = base.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    ntot = base.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    classes = (
+        ct.join(F.broadcast(ndocs), "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "cls",
+            F.col("tl").cast("double").alias("tl"),
+            "v",
+            F.log(F.col("nd") / F.col("nt")).alias("lprior"),
+        )
+    )
+    scored = (
+        dw.crossJoin(F.broadcast(classes))
+        .join(
+            wc.withColumnRenamed("cwl", "__cwl"),
+            ["w", "cls"],
+            "left",
+        )
+        .select(
+            "doc",
+            "label",
+            "cls",
+            "lprior",
+            (
+                F.col("cnt").cast("double")
+                * F.log(
+                    (F.coalesce(F.col("__cwl"), F.lit(0)) + 1).cast(
+                        "double"
+                    )
+                    / (F.col("tl") + F.col("v"))
+                )
+            )
+            .cast("decimal(38,12)")
+            .alias("__term"),
+        )
+        .groupBy("doc", "label", "cls", "lprior")
+        .agg(F.sum("__term").cast("double").alias("__ll"))
+        .select(
+            "doc",
+            "label",
+            "cls",
+            F.round(F.col("lprior") + F.col("__ll"), 6).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("__score"), F.asc("cls")
+    )
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc", "label", F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

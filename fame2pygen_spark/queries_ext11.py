@@ -923,3 +923,66 @@ WHERE prev IS NOT NULL AND ABS(luma_mean - prev) >= 30.0
 
 EXT11_QUERIES.update({"x260_shot_boundaries": q_x260_shot_boundaries})
 EXT11_ORACLES.update({"x260_shot_boundaries": _sql_x260()})
+
+
+# ----------------------------- x261: Naive Bayes label audit
+
+
+def q_x261_nb_confusion(spark, sf_dir):
+    """In-sample multinomial NB confusion over stored language labels
+    (operators/text.py:naive_bayes_confusion) — the trained
+    label-quality audit next to the heuristic x113: classes NB cannot
+    separate in sample are label noise or duplicate strata."""
+    from .operators.text import naive_bayes_confusion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return naive_bayes_confusion(docs, "text", "doc_id", "lang")
+
+
+SQL_X261 = """
+WITH base AS (
+  SELECT doc_id AS doc, lang AS label,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '') AS tk
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+),
+dw AS (
+  SELECT doc, label, w, COUNT(*) AS cnt
+  FROM (SELECT doc, label, unnest(tk) AS w FROM base)
+  GROUP BY 1, 2, 3
+),
+wc AS (SELECT w, label AS cls, SUM(cnt) AS cwl FROM dw GROUP BY 1, 2),
+ct AS (SELECT cls, SUM(cwl) AS tl FROM wc GROUP BY 1),
+vocab AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM dw),
+nd AS (SELECT label AS cls, COUNT(*) AS nd FROM base GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM base),
+classes AS (
+  SELECT ct.cls, CAST(ct.tl AS DOUBLE) AS tl, v.v,
+         ln(nd.nd / nt.nt) AS lprior
+  FROM ct JOIN nd ON nd.cls = ct.cls CROSS JOIN vocab v CROSS JOIN nt
+),
+scored AS (
+  SELECT dw.doc, dw.label, c.cls,
+         ROUND(ANY_VALUE(c.lprior)
+               + CAST(SUM(CAST(CAST(dw.cnt AS DOUBLE)
+                     * ln(CAST(COALESCE(wc.cwl, 0) + 1 AS DOUBLE)
+                          / (c.tl + c.v))
+                     AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+  FROM dw CROSS JOIN classes c
+  LEFT JOIN wc ON wc.w = dw.w AND wc.cls = c.cls
+  GROUP BY dw.doc, dw.label, c.cls
+),
+pred AS (
+  SELECT doc, label, cls AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc ORDER BY score DESC, cls ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+EXT11_QUERIES.update({"x261_nb_confusion": q_x261_nb_confusion})
+EXT11_ORACLES.update({"x261_nb_confusion": SQL_X261})

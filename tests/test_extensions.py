@@ -6603,3 +6603,27 @@ def test_shot_boundaries_hand_frames(spark):
     assert got == {(1, 2): 120.0, (3, 1): -160.0}
     # first frame of each video can never be a boundary
     assert all(r["frame_idx"] > 0 for r in out)
+
+
+def test_naive_bayes_confusion_separable_and_mislabeled(spark):
+    from fame2pygen_spark.operators.text import naive_bayes_confusion
+
+    rows = [
+        (1, "en", "cat dog"), (2, "en", "dog bird cat"),
+        (3, "en", "cat cat dog bird"),
+        (4, "fr", "chat chien"), (5, "fr", "chien oiseau"),
+        (6, "fr", "chat oiseau chien"),
+        (7, "en", "chat chien oiseau"),  # mislabeled: French text
+        (8, "de", None),                  # null text dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["label"], r["predicted"]): r["n_docs"]
+        for r in naive_bayes_confusion(df, "text", "doc_id", "lang").collect()
+    }
+    # separable vocab: in-sample diagonal, EXCEPT the planted
+    # mislabeled doc which NB routes to the French class
+    assert got[("en", "en")] == 3
+    assert got[("fr", "fr")] == 3
+    assert got[("en", "fr")] == 1
+    assert ("fr", "en") not in got
