@@ -2559,3 +2559,101 @@ def msprt_monitor(
             6,
         ).alias("p_always"),
     )
+
+
+def markov_prediction_eval(
+    df: DataFrame,
+    user_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    day_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Temporally-split evaluation of the first-order Markov
+    next-event predictor: train the x34 transition matrix on the
+    FIRST half of the time range, predict ``argmax P(next|prev)`` on
+    the SECOND half, and report per-state top-1 accuracy.  This is
+    the eval protocol the transition matrix itself never gets — and
+    the protocol matters: an in-sample argmax overstates accuracy
+    exactly when behavior drifts (compare with x58's drift view).
+    The split is BY TIME, not by user — the x125 leakage rule: a
+    random row split would train on a user's later events and eval
+    on their earlier ones.
+
+    Scale shape: one user-keyed lag window builds transitions tagged
+    by eval-side; the cutoff is a 1-row (min+max)/2 summary broadcast
+    back; the model is a train-side (prev, next) count agg argmaxed
+    per prev (count desc, next asc — deterministic); eval joins the
+    broadcast-small model on prev and reduces per prev.
+
+    Output per prev state: ``state, predicted, n_train, n_eval,
+    n_correct, accuracy`` (6 dp) — states with no eval transitions
+    are omitted; eval transitions whose prev state was never seen in
+    training predict nothing and count as wrong (cold-start honesty).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    trans = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.col(state_col).alias("__to"),
+            F.col(ts_col).alias("__ts"),
+            F.lag(F.col(state_col)).over(w).alias("__from"),
+        )
+        .where(F.col("__from").isNotNull())
+    )
+    span = df.agg(
+        F.min(F.col(ts_col)).alias("__mn"), F.max(F.col(ts_col)).alias("__mx")
+    ).select(
+        (
+            (F.col("__mn") + (F.col("__mx") - F.col("__mn")) / F.lit(2))
+        )
+        .cast("long")
+        .alias("__cut")
+    )
+    tagged = trans.crossJoin(F.broadcast(span)).withColumn(
+        "__is_eval", F.col("__ts") >= F.col("__cut")
+    )
+    counts = (
+        tagged.where(~F.col("__is_eval"))
+        .groupBy("__from", "__to")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    wm = Window.partitionBy("__from").orderBy(
+        F.desc("__n"), F.asc("__to")
+    )
+    model = (
+        counts.withColumn("__rn", F.row_number().over(wm))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__from"),
+            F.col("__to").alias("predicted"),
+            F.col("__n").cast("long").alias("n_train"),
+        )
+    )
+    ev = tagged.where(F.col("__is_eval")).join(
+        F.broadcast(model), "__from", "left"
+    )
+    return (
+        ev.groupBy(
+            F.col("__from").alias("state"),
+            F.col("predicted"),
+            F.col("n_train"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("__to") == F.col("predicted"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.round(
+                F.col("n_correct") / F.col("n_eval").cast("double"), 6
+            ),
+        )
+    )

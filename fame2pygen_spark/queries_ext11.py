@@ -986,3 +986,65 @@ FROM pred GROUP BY 1, 2
 
 EXT11_QUERIES.update({"x261_nb_confusion": q_x261_nb_confusion})
 EXT11_ORACLES.update({"x261_nb_confusion": SQL_X261})
+
+
+# ----------------------------- x262: Markov next-event eval
+
+
+def q_x262_markov_eval(spark, sf_dir):
+    """Time-split top-1 next-event accuracy per state
+    (operators/behavior.py:markov_prediction_eval) — the x34
+    transition matrix finally gets an eval protocol: train on the
+    first half of the range, predict argmax on the second, split by
+    TIME (the x125 leakage rule)."""
+    from .operators.behavior import markov_prediction_eval
+
+    ev = _read_events(spark, sf_dir)
+    out = markov_prediction_eval(
+        ev, "user_id", "event_type", "ts_us", "event_id"
+    )
+    return out.orderBy("state")
+
+
+SQL_X262 = """
+WITH trans AS (
+  SELECT user_id AS u, event_type AS t2, epoch_us(ts) AS ts_us,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS t1
+  FROM events
+),
+base AS (SELECT * FROM trans WHERE t1 IS NOT NULL),
+span AS (
+  SELECT CAST(MIN(epoch_us(ts))
+              + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 2 AS BIGINT)
+           AS cut
+  FROM events
+),
+tagged AS (
+  SELECT b.*, b.ts_us >= s.cut AS is_eval FROM base b CROSS JOIN span s
+),
+counts AS (
+  SELECT t1, t2, COUNT(*) AS n FROM tagged WHERE NOT is_eval GROUP BY 1, 2
+),
+model AS (
+  SELECT t1, t2 AS predicted, CAST(n AS BIGINT) AS n_train FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY t1 ORDER BY n DESC, t2 ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT e.t1 AS state, m.predicted, m.n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN e.t2 = m.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN e.t2 = m.predicted THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM tagged e LEFT JOIN model m ON m.t1 = e.t1
+WHERE e.is_eval
+GROUP BY 1, 2, 3
+ORDER BY state
+"""
+
+EXT11_QUERIES.update({"x262_markov_eval": q_x262_markov_eval})
+EXT11_ORACLES.update({"x262_markov_eval": SQL_X262})

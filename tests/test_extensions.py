@@ -6627,3 +6627,33 @@ def test_naive_bayes_confusion_separable_and_mislabeled(spark):
     assert got[("fr", "fr")] == 3
     assert got[("en", "fr")] == 1
     assert ("fr", "en") not in got
+
+
+def test_markov_prediction_eval_split_and_coldstart(spark):
+    from fame2pygen_spark.operators.behavior import markov_prediction_eval
+
+    # times 0..99: train < 50, eval >= 50.  User 1 follows a->b
+    # always in train; in eval a->b twice, a->c once.
+    rows = []
+    seq_train = ["a", "b", "a", "b", "a", "b"]
+    for i, s in enumerate(seq_train):
+        rows.append((1, s, i * 10, i))          # ts 0..50 -> last pair crosses
+    seq_eval = ["a", "b", "a", "b", "a", "c"]
+    for i, s in enumerate(seq_eval):
+        rows.append((1, s, 60 + i * 5, 100 + i))
+    # user 2 only appears in eval with a state never trained
+    rows.append((2, "z", 70, 200))
+    rows.append((2, "q", 80, 201))
+    df = spark.createDataFrame(rows, "u long, s string, ts long, id long")
+    out = {r["state"]: r for r in markov_prediction_eval(
+        df, "u", "s", "ts", "id"
+    ).collect()}
+    # cutoff = (0+95)/2 = 47 -> pairs whose DEST ts >= 47 are eval:
+    # a@40->b@50 (straddles the cut), a@60->b, a@70->b, a@80->c
+    a = out["a"]
+    assert a["predicted"] == "b"
+    assert a["n_eval"] == 4 and a["n_correct"] == 3
+    assert a["accuracy"] == 0.75
+    # cold-start state: no prediction, counted wrong
+    z = out["z"]
+    assert z["predicted"] is None and z["n_correct"] == 0
