@@ -2657,3 +2657,96 @@ def markov_prediction_eval(
             ),
         )
     )
+
+
+def mix_shift_decomposition(
+    df: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    metric_col: str,
+    *,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-fold Oaxaca–Blinder / mix-shift decomposition (Kitagawa
+    1955; Oaxaca 1973; Blinder 1973) of a mean metric difference:
+
+    ``Δ = Σ_s w_b(s)·(r_a(s) − r_b(s))  +  Σ_s r_a(s)·(w_a(s) − w_b(s))``
+            └──────── rate effect ────────┘  └──────── mix effect ────────┘
+
+    — did the metric move because WITHIN-stratum rates moved, or
+    because the stratum MIX moved?  The first question every
+    period-over-period metric review asks, answered exactly: the two
+    effects sum to Δ by identity (strata absent from one group take
+    rate 0 and weight 0 there, which preserves the identity).
+
+    Scale shape: ONE (stratum, group) hash agg of exact decimal
+    count/sum moments; everything after is arithmetic on a
+    |strata|-row frame with decimal(38,12)-quantized term sums.
+
+    Output (single row): ``n_a, n_b, mean_a, mean_b, delta,
+    rate_effect, mix_effect`` (6 dp) — ``rate_effect + mix_effect``
+    reproduces ``delta`` to rounding.
+    """
+    dec6 = "decimal(28,6)"
+    dec12 = "decimal(38,12)"
+    grp = F.col(group_col).cast("string")
+    v = F.col(metric_col).cast("double")
+    cells = (
+        df.where(
+            v.isNotNull()
+            & F.col(stratum_col).isNotNull()
+            & grp.isin(str(group_a), str(group_b))
+        )
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.sum(F.when(grp == str(group_a), 1).otherwise(0)).alias("__na"),
+            F.sum(
+                F.when(grp == str(group_a), v).otherwise(0.0).cast(dec6)
+            ).alias("__sa"),
+            F.sum(F.when(grp == str(group_b), 1).otherwise(0)).alias("__nb"),
+            F.sum(
+                F.when(grp == str(group_b), v).otherwise(0.0).cast(dec6)
+            ).alias("__sb"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("__na").cast("long").alias("ta"),
+        F.sum("__nb").cast("long").alias("tb"),
+    )
+    t = cells.crossJoin(F.broadcast(tot))
+    ra = F.when(
+        F.col("__na") > 0,
+        F.col("__sa").cast("double") / F.col("__na").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rb = F.when(
+        F.col("__nb") > 0,
+        F.col("__sb").cast("double") / F.col("__nb").cast("double"),
+    ).otherwise(F.lit(0.0))
+    wa = F.col("__na").cast("double") / F.col("ta").cast("double")
+    wb = F.col("__nb").cast("double") / F.col("tb").cast("double")
+    terms = t.select(
+        "ta",
+        "tb",
+        F.col("__sa"),
+        F.col("__sb"),
+        (wb * (ra - rb)).cast(dec12).alias("__rate"),
+        (ra * (wa - wb)).cast(dec12).alias("__mix"),
+    )
+    agg = terms.groupBy("ta", "tb").agg(
+        F.sum("__sa").cast("double").alias("__tsa"),
+        F.sum("__sb").cast("double").alias("__tsb"),
+        F.sum("__rate").cast("double").alias("__re"),
+        F.sum("__mix").cast("double").alias("__me"),
+    )
+    mean_a = F.try_divide(F.col("__tsa"), F.col("ta").cast("double"))
+    mean_b = F.try_divide(F.col("__tsb"), F.col("tb").cast("double"))
+    return agg.select(
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("delta"),
+        F.round(F.col("__re"), 6).alias("rate_effect"),
+        F.round(F.col("__me"), 6).alias("mix_effect"),
+    )

@@ -1048,3 +1048,95 @@ ORDER BY state
 
 EXT11_QUERIES.update({"x262_markov_eval": q_x262_markov_eval})
 EXT11_ORACLES.update({"x262_markov_eval": SQL_X262})
+
+
+# ----------------------------- x263: period mix-shift decomposition
+
+
+def q_x263_mix_shift(spark, sf_dir):
+    """Why did mean event value move between the first and second half
+    of the range (operators/behavior.py:mix_shift_decomposition):
+    within-type rate movement vs event-type mix movement, summing to
+    the observed delta by identity — the Kitagawa/Oaxaca answer to
+    every period-over-period review."""
+    from .operators.behavior import mix_shift_decomposition
+
+    ev = _read_events(spark, sf_dir)
+    span = ev.agg(
+        F.min("ts_us").alias("__mn"), F.max("ts_us").alias("__mx")
+    ).select(
+        ((F.col("__mn") + (F.col("__mx") - F.col("__mn")) / F.lit(2)))
+        .cast("long")
+        .alias("__cut")
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).withColumn(
+        "period",
+        F.when(F.col("ts_us") >= F.col("__cut"), "h2").otherwise("h1"),
+    )
+    return mix_shift_decomposition(
+        tagged, "event_type", "period", "value", group_a="h2", group_b="h1"
+    )
+
+
+SQL_X263 = """
+WITH span AS (
+  SELECT CAST(MIN(epoch_us(ts))
+              + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 2 AS BIGINT)
+           AS cut
+  FROM events
+),
+base AS (
+  SELECT event_type AS s,
+         CASE WHEN epoch_us(ts) >= span.cut THEN 'h2' ELSE 'h1' END AS g,
+         CAST(value AS DOUBLE) AS v
+  FROM events CROSS JOIN span
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (
+  SELECT s,
+         SUM(CASE WHEN g = 'h2' THEN 1 ELSE 0 END) AS na,
+         SUM(CAST(CASE WHEN g = 'h2' THEN v ELSE 0.0 END
+             AS DECIMAL(28,6))) AS sa,
+         SUM(CASE WHEN g = 'h1' THEN 1 ELSE 0 END) AS nb,
+         SUM(CAST(CASE WHEN g = 'h1' THEN v ELSE 0.0 END
+             AS DECIMAL(28,6))) AS sb
+  FROM base GROUP BY 1
+),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM cells),
+terms AS (
+  SELECT t.ta, t.tb, c.sa, c.sb,
+    CAST((CAST(c.nb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+         * ((CASE WHEN c.na > 0
+                  THEN CAST(c.sa AS DOUBLE) / CAST(c.na AS DOUBLE)
+                  ELSE 0.0 END)
+            - (CASE WHEN c.nb > 0
+                    THEN CAST(c.sb AS DOUBLE) / CAST(c.nb AS DOUBLE)
+                    ELSE 0.0 END)) AS DECIMAL(38,12)) AS rate_t,
+    CAST((CASE WHEN c.na > 0
+               THEN CAST(c.sa AS DOUBLE) / CAST(c.na AS DOUBLE)
+               ELSE 0.0 END)
+         * (CAST(c.na AS DOUBLE) / CAST(t.ta AS DOUBLE)
+            - CAST(c.nb AS DOUBLE) / CAST(t.tb AS DOUBLE))
+         AS DECIMAL(38,12)) AS mix_t
+  FROM cells c CROSS JOIN tot t
+),
+agg AS (
+  SELECT ta, tb,
+         CAST(SUM(sa) AS DOUBLE) AS tsa,
+         CAST(SUM(sb) AS DOUBLE) AS tsb,
+         CAST(SUM(rate_t) AS DOUBLE) AS re,
+         CAST(SUM(mix_t) AS DOUBLE) AS me
+  FROM terms GROUP BY 1, 2
+)
+SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       ROUND(tsa / CAST(ta AS DOUBLE), 6) AS mean_a,
+       ROUND(tsb / CAST(tb AS DOUBLE), 6) AS mean_b,
+       ROUND(tsa / CAST(ta AS DOUBLE) - tsb / CAST(tb AS DOUBLE), 6)
+         AS delta,
+       ROUND(re, 6) AS rate_effect,
+       ROUND(me, 6) AS mix_effect
+FROM agg
+"""
+
+EXT11_QUERIES.update({"x263_mix_shift": q_x263_mix_shift})
+EXT11_ORACLES.update({"x263_mix_shift": SQL_X263})

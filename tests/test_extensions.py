@@ -6657,3 +6657,39 @@ def test_markov_prediction_eval_split_and_coldstart(spark):
     # cold-start state: no prediction, counted wrong
     z = out["z"]
     assert z["predicted"] is None and z["n_correct"] == 0
+
+
+def test_mix_shift_decomposition_identity(spark):
+    from fame2pygen_spark.operators.behavior import mix_shift_decomposition
+
+    # pure MIX shift: identical within-stratum rates, different mix
+    rows = (
+        [("s1", "a", 10.0)] * 8 + [("s2", "a", 20.0)] * 2
+        + [("s1", "b", 10.0)] * 2 + [("s2", "b", 20.0)] * 8
+    )
+    df = spark.createDataFrame(rows, "s string, g string, v double")
+    r = mix_shift_decomposition(
+        df, "s", "g", "v", group_a="a", group_b="b"
+    ).collect()[0]
+    assert r["rate_effect"] == 0.0
+    assert r["mix_effect"] == r["delta"] == round(12.0 - 18.0, 6)
+
+    # pure RATE shift: same mix, shifted values in one stratum
+    rows2 = (
+        [("s1", "a", 15.0)] * 5 + [("s2", "a", 20.0)] * 5
+        + [("s1", "b", 10.0)] * 5 + [("s2", "b", 20.0)] * 5
+    )
+    df2 = spark.createDataFrame(rows2, "s string, g string, v double")
+    r2 = mix_shift_decomposition(
+        df2, "s", "g", "v", group_a="a", group_b="b"
+    ).collect()[0]
+    assert r2["mix_effect"] == 0.0
+    assert r2["rate_effect"] == r2["delta"] == 2.5
+
+    # identity holds with a stratum absent from one group
+    rows3 = rows2 + [("s3", "a", 100.0)] * 2
+    df3 = spark.createDataFrame(rows3, "s string, g string, v double")
+    r3 = mix_shift_decomposition(
+        df3, "s", "g", "v", group_a="a", group_b="b"
+    ).collect()[0]
+    assert abs(r3["rate_effect"] + r3["mix_effect"] - r3["delta"]) <= 2e-6
