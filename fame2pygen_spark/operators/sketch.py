@@ -3615,3 +3615,74 @@ def hill_tail_index(
             F.when(gap > 0, F.lit(1.0) / gap), 6
         ).alias("alpha"),
     )
+
+
+def reducer_load_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    partitions: Sequence[int] = (32, 256),
+    salt: str = "rl",
+) -> DataFrame:
+    """Predicted reducer-load profile for a shuffle on *key_cols*:
+    assign every key to its reducer under a P-way hash partitioning
+    (engine-portable md5 hash, so the prediction is oracle-checkable)
+    and report the realized load distribution per candidate P — the
+    balls-into-weighted-bins answer to "what does the slowest reducer
+    get if I shuffle on this key with P partitions".  ``skew_ratio =
+    max/mean`` near 1 means the shuffle balances; a ratio that stays
+    high as P grows is the signature of a single hot key that only
+    salting (``salted_agg``) or AQE skew splitting will fix —
+    re-partitioning can't.  Complements ``skew_profile`` (which keys)
+    and ``ams_join_size`` (how many rows): this one predicts the
+    actual task histogram.
+
+    Scale shape: ONE key-count aggregation (the same shuffle the real
+    job would pay, done once), then per candidate P a reducer-keyed
+    re-aggregation of the |keys|-row count table — map-side
+    combinable, output P rows each.
+
+    Output per P: ``p, n_rows, n_keys, mean_load, max_load,
+    skew_ratio, nonempty`` (6 dp).
+    """
+    key_cols = list(key_cols)
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    ).select(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols]
+        ).alias("__key"),
+        "__n",
+    )
+    outs = []
+    for p in partitions:
+        p = int(p)
+        red = (_hash64(F.col("__key"), salt) % p).alias("__r")
+        loads = (
+            counts.groupBy(red)
+            .agg(
+                F.sum("__n").alias("__load"),
+                F.count(F.lit(1)).alias("__k"),
+            )
+            .agg(
+                F.lit(p).cast("long").alias("p"),
+                F.sum("__load").cast("long").alias("n_rows"),
+                F.sum("__k").cast("long").alias("n_keys"),
+                F.max("__load").cast("long").alias("max_load"),
+                F.count(F.lit(1)).cast("long").alias("nonempty"),
+            )
+        )
+        outs.append(loads)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    mean_load = F.col("n_rows").cast("double") / F.col("p").cast("double")
+    return out.select(
+        "p",
+        "n_rows",
+        "n_keys",
+        F.round(mean_load, 6).alias("mean_load"),
+        "max_load",
+        F.round(F.col("max_load") / mean_load, 6).alias("skew_ratio"),
+        "nonempty",
+    )

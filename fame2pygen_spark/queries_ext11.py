@@ -1140,3 +1140,49 @@ FROM agg
 
 EXT11_QUERIES.update({"x263_mix_shift": q_x263_mix_shift})
 EXT11_ORACLES.update({"x263_mix_shift": SQL_X263})
+
+
+# ----------------------------- x264: reducer-load prediction
+
+
+def q_x264_reducer_loads(spark, sf_dir):
+    """Predicted shuffle-task histogram for keying lineitem by
+    orderkey at P ∈ {32, 256} (operators/sketch.py:
+    reducer_load_profile) — the max/mean reducer ratio that decides
+    between plain repartitioning and salting before the real job
+    runs."""
+    from .operators.sketch import reducer_load_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return reducer_load_profile(
+        li, ["l_orderkey"], partitions=(32, 256)
+    ).orderBy("p")
+
+
+SQL_X264 = """
+WITH counts AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS key, COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+),
+loads AS (
+  SELECT p,
+         ('0x' || substr(md5('rl:' || key), 1, 8))::BIGINT % p AS r,
+         SUM(n) AS load, COUNT(*) AS k
+  FROM counts CROSS JOIN (SELECT unnest([32, 256]) AS p)
+  GROUP BY 1, 2
+)
+SELECT CAST(p AS BIGINT) AS p,
+       CAST(SUM(load) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS n_keys,
+       ROUND(CAST(SUM(load) AS DOUBLE) / CAST(p AS DOUBLE), 6)
+         AS mean_load,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       ROUND(MAX(load) / (CAST(SUM(load) AS DOUBLE) / CAST(p AS DOUBLE)),
+             6) AS skew_ratio,
+       CAST(COUNT(*) AS BIGINT) AS nonempty
+FROM loads GROUP BY p
+ORDER BY p
+"""
+
+EXT11_QUERIES.update({"x264_reducer_loads": q_x264_reducer_loads})
+EXT11_ORACLES.update({"x264_reducer_loads": SQL_X264})

@@ -6693,3 +6693,36 @@ def test_mix_shift_decomposition_identity(spark):
         df3, "s", "g", "v", group_a="a", group_b="b"
     ).collect()[0]
     assert abs(r3["rate_effect"] + r3["mix_effect"] - r3["delta"]) <= 2e-6
+
+
+def test_reducer_load_profile_replica(spark):
+    import hashlib
+    from collections import Counter
+
+    from fame2pygen_spark.operators.sketch import reducer_load_profile
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["p"]: r for r in reducer_load_profile(
+        df, ["k"], partitions=(4, 16)
+    ).collect()}
+
+    def red(key, p):
+        return int(
+            hashlib.md5(f"rl:{key}".encode()).hexdigest()[:8], 16
+        ) % p
+
+    for p in (4, 16):
+        loads = Counter()
+        for key, n in [("hot", 90)] + [(f"k{i}", 1) for i in range(10)]:
+            loads[red(key, p)] += n
+        r = out[p]
+        assert r["n_rows"] == 100 and r["n_keys"] == 11
+        assert r["max_load"] == max(loads.values())
+        assert r["nonempty"] == len(loads)
+        assert r["skew_ratio"] == round(
+            max(loads.values()) / (100 / p), 6
+        )
+    # hot key dominates: growing P cannot shrink max below 90
+    assert out[16]["max_load"] >= 90
+    assert out[16]["skew_ratio"] > out[4]["skew_ratio"]
