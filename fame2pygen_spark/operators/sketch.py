@@ -3686,3 +3686,97 @@ def reducer_load_profile(
         F.round(F.col("max_load") / mean_load, 6).alias("skew_ratio"),
         "nonempty",
     )
+
+
+def tail_dependence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    q: float = 0.9,
+) -> DataFrame:
+    """Empirical upper-tail dependence coefficient (Joe 1997, ch. 2;
+    the copula diagnostic): ``λ_U(q) = P(Y > y_q | X > x_q)`` at the
+    shared quantile level *q* — do EXTREMES co-occur, which linear
+    correlation (x53) systematically understates (a Gaussian copula
+    has λ_U = 0 at any ρ < 1).  The risk question for pipelines: when
+    doc length blows out, does processing cost blow out WITH it on
+    the same rows, or independently (the answer decides whether the
+    long tail needs its own partition strategy).
+
+    Thresholds are per-group EXACT order statistics from one keyed
+    rank window — the lower-median idiom of ``brown_forsythe``
+    generalized to rank ``ceil(q·n)`` (the selected VALUE is
+    tie-invariant even though row_number is not; strictly-greater
+    comparison, so ties at the threshold count as non-exceedance in
+    both engines).  Counting is then one keyed hash agg.
+
+    Output per group: ``(*group_cols, n, x_q, y_q, n_x, n_y, n_xy,
+    lambda_u, lift)`` — lambda_u = n_xy/n_x, lift = λ_U / P(Y > y_q)
+    (lift ≈ 1 ⇒ tail-independent) (6 dp).
+    """
+    g = list(group_cols)
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *g,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    qq = float(q)
+
+    def thresh(col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy(*g).orderBy(F.col(col))
+        ranked = base.select(
+            *g,
+            F.col(col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(*g)).alias("__nn"),
+        )
+        return ranked.where(
+            F.col("__rn") == F.ceil(F.lit(qq) * F.col("__nn")).cast("int")
+        ).select(*g, F.col(col).alias(alias))
+
+    tx = thresh("__x", "x_q")
+    ty = thresh("__y", "y_q")
+    joined = (
+        base.join(F.broadcast(tx), g) if g else base.crossJoin(F.broadcast(tx))
+    )
+    joined = (
+        joined.join(F.broadcast(ty), g)
+        if g
+        else joined.crossJoin(F.broadcast(ty))
+    )
+    agg = joined.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("x_q").alias("x_q"),
+        F.first("y_q").alias("y_q"),
+        F.sum(F.when(F.col("__x") > F.col("x_q"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_x"),
+        F.sum(F.when(F.col("__y") > F.col("y_q"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_y"),
+        F.sum(
+            F.when(
+                (F.col("__x") > F.col("x_q")) & (F.col("__y") > F.col("y_q")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_xy"),
+    )
+    lam = F.try_divide(F.col("n_xy").cast("double"), F.col("n_x"))
+    py = F.try_divide(F.col("n_y").cast("double"), F.col("n"))
+    return agg.select(
+        *g,
+        "n",
+        F.round(F.col("x_q"), 6).alias("x_q"),
+        F.round(F.col("y_q"), 6).alias("y_q"),
+        "n_x",
+        "n_y",
+        "n_xy",
+        F.round(lam, 6).alias("lambda_u"),
+        F.round(F.try_divide(lam, py), 6).alias("lift"),
+    )

@@ -1186,3 +1186,88 @@ ORDER BY p
 
 EXT11_QUERIES.update({"x264_reducer_loads": q_x264_reducer_loads})
 EXT11_ORACLES.update({"x264_reducer_loads": SQL_X264})
+
+
+# ----------------------------- x265: upper-tail dependence
+
+
+def q_x265_tail_dependence(spark, sf_dir):
+    """Do extreme order prices and extreme line quantities co-occur
+    (operators/sketch.py:tail_dependence): λ_U at q=0.9 between
+    o_totalprice and the order's total quantity, per order priority —
+    the copula tail question x53's linear correlation can't answer."""
+    from .operators.sketch import tail_dependence
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_qty")
+    )
+    base = orders.join(
+        qty, orders["o_orderkey"] == qty["l_orderkey"]
+    ).select("o_orderpriority", "o_totalprice", "total_qty")
+    return tail_dependence(
+        base,
+        "o_totalprice",
+        "total_qty",
+        ["o_orderpriority"],
+        q=0.9,
+    ).orderBy("o_orderpriority")
+
+
+SQL_X265 = """
+WITH qty AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+           AS total_qty
+  FROM lineitem GROUP BY 1
+),
+base AS (
+  SELECT o_orderpriority AS g,
+         CAST(o_totalprice AS DOUBLE) AS x,
+         total_qty AS y
+  FROM orders JOIN qty ON o_orderkey = l_orderkey
+  WHERE o_totalprice IS NOT NULL AND total_qty IS NOT NULL
+),
+tx AS (
+  SELECT g, x AS x_q FROM (
+    SELECT g, x,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS nn
+    FROM base
+  ) WHERE rn = CAST(CEIL(0.9 * nn) AS INTEGER)
+),
+ty AS (
+  SELECT g, y AS y_q FROM (
+    SELECT g, y,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY y) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS nn
+    FROM base
+  ) WHERE rn = CAST(CEIL(0.9 * nn) AS INTEGER)
+),
+agg AS (
+  SELECT b.g, COUNT(*) AS n,
+         ANY_VALUE(tx.x_q) AS x_q, ANY_VALUE(ty.y_q) AS y_q,
+         SUM(CASE WHEN b.x > tx.x_q THEN 1 ELSE 0 END) AS n_x,
+         SUM(CASE WHEN b.y > ty.y_q THEN 1 ELSE 0 END) AS n_y,
+         SUM(CASE WHEN b.x > tx.x_q AND b.y > ty.y_q
+                  THEN 1 ELSE 0 END) AS n_xy
+  FROM base b JOIN tx ON tx.g = b.g JOIN ty ON ty.g = b.g
+  GROUP BY b.g
+)
+SELECT g AS o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       ROUND(x_q, 6) AS x_q, ROUND(y_q, 6) AS y_q,
+       CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+       CAST(n_xy AS BIGINT) AS n_xy,
+       ROUND(CAST(n_xy AS DOUBLE) / n_x, 6) AS lambda_u,
+       ROUND((CAST(n_xy AS DOUBLE) / n_x)
+             / (CAST(n_y AS DOUBLE) / n), 6) AS lift
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+EXT11_QUERIES.update({"x265_tail_dependence": q_x265_tail_dependence})
+EXT11_ORACLES.update({"x265_tail_dependence": SQL_X265})

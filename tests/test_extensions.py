@@ -6726,3 +6726,29 @@ def test_reducer_load_profile_replica(spark):
     # hot key dominates: growing P cannot shrink max below 90
     assert out[16]["max_load"] >= 90
     assert out[16]["skew_ratio"] > out[4]["skew_ratio"]
+
+
+def test_tail_dependence_comonotone_vs_independent(spark):
+    from fame2pygen_spark.operators.sketch import tail_dependence
+
+    # comonotone: y = x exactly -> lambda_u = 1
+    co = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(100)], "x double, y double"
+    )
+    r = tail_dependence(co, "x", "y", q=0.9).collect()[0]
+    assert r["lambda_u"] == 1.0 and r["n_x"] == r["n_xy"] == 10
+    # threshold is the ceil(0.9*100)=90th order statistic = value 89
+    assert r["x_q"] == 89.0 and r["lift"] == 10.0
+
+    # checkerboard-independent tails: x extreme iff i%10==9,
+    # y extreme iff i%10==4 -> no co-exceedance at all
+    ind = spark.createDataFrame(
+        [
+            (float(100 + i) if i % 10 == 9 else float(i % 10),
+             float(100 + i) if i % 10 == 4 else float(i % 10))
+            for i in range(100)
+        ],
+        "x double, y double",
+    )
+    r2 = tail_dependence(ind, "x", "y", q=0.9).collect()[0]
+    assert r2["n_xy"] == 0 and r2["lambda_u"] == 0.0
