@@ -2306,3 +2306,91 @@ def forecast_mase(
             F.when(mae1 > 0, maem / mae1), 6
         ).alias("mase"),
     )
+
+
+def pacf_profile(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    recursion (Durbin 1960; Box & Jenkins 1970's AR-order tool): the
+    ACF (x70) says WHETHER the series remembers itself; the PACF says
+    at WHICH order the memory stops — an AR(p) process has φ_kk ≈ 0
+    for all k > p, so pacf2/pacf3 vanishing while pacf1 stands is the
+    empirical license for the AR(1) modeling x236 assumes.
+
+    Mechanics: centered lag-k products over CONSECUTIVE index pairs
+    only (``t − t_lag == k``, the x236 gap discipline), normalized by
+    the full centered sum of squares; the three autocorrelations then
+    feed the closed-form recursion (φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    φ33 from the order-2 coefficients) — row-local arithmetic on one
+    result row per group.
+
+    Scale shape: one keyed moments agg (mean), a group-row join-back,
+    one keyed window carrying three lags from the SAME sort, one
+    keyed agg of decimal(38,12) products.
+
+    Output per group: ``(*group_cols, n, r1, r2, r3, pacf1, pacf2,
+    pacf3)`` (6 dp; nulls where a denominator degenerates).
+    """
+    g = list(group_cols)
+    dec12 = "decimal(38,12)"
+    staged = series.where(
+        F.col(y_col).isNotNull() & F.col(t_col).isNotNull()
+    ).select(*g, F.col(t_col).alias("__t"), F.col(y_col).alias("__y"))
+    m = staged.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        (
+            F.sum(F.col("__y").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mu"),
+    )
+    w = Window.partitionBy(*g).orderBy("__t")
+    lagged = staged.join(m, g).select(
+        *g,
+        "__n",
+        "__mu",
+        "__t",
+        (F.col("__y") - F.col("__mu")).alias("__c"),
+        *[
+            F.when(
+                F.col("__t") - F.lag("__t", k).over(w) == k,
+                F.lag("__y", k).over(w) - F.col("__mu"),
+            ).alias(f"__c{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    agg = lagged.groupBy(*g).agg(
+        F.first("__n").alias("n"),
+        F.sum((F.col("__c") * F.col("__c")).cast(dec12))
+        .cast("double")
+        .alias("__s0"),
+        *[
+            F.sum((F.col("__c") * F.col(f"__c{k}")).cast(dec12))
+            .cast("double")
+            .alias(f"__s{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r1 = F.try_divide(F.col("__s1"), F.col("__s0"))
+    r2 = F.try_divide(F.col("__s2"), F.col("__s0"))
+    r3 = F.try_divide(F.col("__s3"), F.col("__s0"))
+    p11 = r1
+    p22 = F.try_divide(r2 - r1 * r1, F.lit(1.0) - r1 * r1)
+    p21 = p11 - p22 * p11
+    p33 = F.try_divide(
+        r3 - p21 * r2 - p22 * r1,
+        F.lit(1.0) - p21 * r1 - p22 * r2,
+    )
+    return agg.select(
+        *g,
+        F.col("n"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r3, 6).alias("r3"),
+        F.round(p11, 6).alias("pacf1"),
+        F.round(p22, 6).alias("pacf2"),
+        F.round(p33, 6).alias("pacf3"),
+    )

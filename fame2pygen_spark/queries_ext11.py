@@ -1271,3 +1271,93 @@ ORDER BY o_orderpriority
 
 EXT11_QUERIES.update({"x265_tail_dependence": q_x265_tail_dependence})
 EXT11_ORACLES.update({"x265_tail_dependence": SQL_X265})
+
+
+# ----------------------------- x266: PACF AR-order diagnosis
+
+
+def q_x266_pacf(spark, sf_dir):
+    """Lag 1-3 partial autocorrelations of the daily mean event value
+    per type (operators/temporal.py:pacf_profile) — where does the
+    memory stop: the AR-order license check behind x236's AR(1)
+    assumption."""
+    from .operators.temporal import pacf_profile
+
+    ev = _read_events(spark, sf_dir)
+    day = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    return pacf_profile(day, ["event_type"], "day", "x").orderBy(
+        "event_type"
+    )
+
+
+SQL_X266 = """
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM day GROUP BY 1
+),
+lagged AS (
+  SELECT d.event_type, m.n, d.x - m.mu AS c,
+         CASE WHEN d.day - LAG(d.day, 1) OVER w = 1
+              THEN LAG(d.x, 1) OVER w - m.mu END AS c1,
+         CASE WHEN d.day - LAG(d.day, 2) OVER w = 2
+              THEN LAG(d.x, 2) OVER w - m.mu END AS c2,
+         CASE WHEN d.day - LAG(d.day, 3) OVER w = 3
+              THEN LAG(d.x, 3) OVER w - m.mu END AS c3
+  FROM day d JOIN m ON m.event_type = d.event_type
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+),
+agg AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS s0,
+         CAST(SUM(CAST(c * c1 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c * c2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(c * c3 AS DECIMAL(38,12))) AS DOUBLE) AS s3
+  FROM lagged GROUP BY 1
+),
+r AS (
+  SELECT event_type, n,
+         s1 / s0 AS r1, s2 / s0 AS r2, s3 / s0 AS r3
+  FROM agg
+),
+p AS (
+  SELECT event_type, n, r1, r2, r3,
+         r1 AS p11,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+  FROM r
+),
+p2 AS (
+  SELECT *, p11 - p22 * p11 AS p21 FROM p
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2, ROUND(r3, 6) AS r3,
+       ROUND(p11, 6) AS pacf1,
+       ROUND(p22, 6) AS pacf2,
+       ROUND((r3 - p21 * r2 - p22 * r1)
+             / (1.0 - p21 * r1 - p22 * r2), 6) AS pacf3
+FROM p2
+ORDER BY event_type
+"""
+
+EXT11_QUERIES.update({"x266_pacf": q_x266_pacf})
+EXT11_ORACLES.update({"x266_pacf": SQL_X266})

@@ -6752,3 +6752,32 @@ def test_tail_dependence_comonotone_vs_independent(spark):
     )
     r2 = tail_dependence(ind, "x", "y", q=0.9).collect()[0]
     assert r2["n_xy"] == 0 and r2["lambda_u"] == 0.0
+
+
+def test_pacf_profile_ar1_signature(spark):
+    from fame2pygen_spark.operators.temporal import pacf_profile
+
+    # deterministic AR(1)-like: y_t = 0.8*y_{t-1} + bounded drive
+    ys, y = [], 10.0
+    for t in range(200):
+        noise = ((t * 2654435761) % 97) / 97.0 - 0.5
+        y = 0.8 * y + noise
+        ys.append(y)
+    df = spark.createDataFrame(
+        [("g", t, float(v)) for t, v in enumerate(ys)],
+        "g string, t long, y double",
+    )
+    r = pacf_profile(df, ["g"], "t", "y").collect()[0]
+    # lag-1 memory strong; partials beyond order 1 collapse
+    assert r["r1"] > 0.5
+    assert abs(r["pacf2"]) < abs(r["pacf1"]) / 2
+    # Durbin–Levinson order-1 identity
+    assert r["pacf1"] == r["r1"]
+
+    # independent-ish alternation: scipy-free sanity via replica
+    import numpy as np
+
+    arr = np.array(ys)
+    c = arr - arr.mean()
+    r1 = float((c[1:] * c[:-1]).sum() / (c * c).sum())
+    assert abs(r["r1"] - round(r1, 6)) < 1e-4
