@@ -1361,3 +1361,58 @@ ORDER BY event_type
 
 EXT11_QUERIES.update({"x266_pacf": q_x266_pacf})
 EXT11_ORACLES.update({"x266_pacf": SQL_X266})
+
+
+# ----------------------------- x267: Holm FWER step-down
+
+
+def q_x267_holm(spark, sf_dir):
+    """Holm step-down over the same 24 hour-of-day Mann-Whitney
+    tests as x195 (operators/quality.py:holm_bonferroni) — the
+    familywise-error gate for ship/no-ship decisions, beside BH's
+    screening-rate gate; identical p family, stricter guarantee."""
+    from .operators.quality import holm_bonferroni, normal_p_two_sided
+    from .operators.sketch import mann_whitney_u
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "hr",
+        (
+            (F.col("ts_us") - (F.col("ts_us") % F.lit(3_600_000_000)))
+            / F.lit(3_600_000_000)
+        ).cast("long")
+        % 24,
+    )
+    mw = mann_whitney_u(
+        ev, "value", "event_type", "purchase", "click",
+        partition_cols=("hr",),
+    )
+    tests = mw.select(
+        "hr", normal_p_two_sided(F.col("z")).alias("p")
+    ).where(F.col("p").isNotNull())
+    return holm_bonferroni(tests, "p", ("hr",), alpha=0.05)
+
+
+def _sql_x267() -> str:
+    from .queries_ext8 import SQL_X195
+
+    s = SQL_X195
+    old_step = "p * m::DOUBLE / rank::DOUBLE AS s"
+    new_step = "p * (m - rank + 1)::DOUBLE AS s"
+    assert old_step in s
+    s = s.replace(old_step, new_step)
+    old_adj = """LEAST(1.0, MIN(s) OVER (ORDER BY rank DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS pa"""
+    new_adj = """LEAST(1.0, MAX(s) OVER (ORDER BY rank ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS pa"""
+    assert old_adj in s
+    s = s.replace(old_adj, new_adj)
+    assert "pa <= 0.05 AS significant" in s
+    s = s.replace("pa <= 0.05 AS significant", "pa < 0.05 AS significant")
+    return s
+
+
+EXT11_QUERIES.update({"x267_holm": q_x267_holm})
+EXT11_ORACLES.update({"x267_holm": _sql_x267()})

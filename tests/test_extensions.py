@@ -6781,3 +6781,27 @@ def test_pacf_profile_ar1_signature(spark):
     c = arr - arr.mean()
     r1 = float((c[1:] * c[:-1]).sum() / (c * c).sum())
     assert abs(r["r1"] - round(r1, 6)) < 1e-4
+
+
+def test_holm_bonferroni_textbook(spark):
+    from fame2pygen_spark.operators.quality import holm_bonferroni
+
+    # classic example: p = .01, .02, .03, .04 with m=4
+    # steps: .01*4=.04, .02*3=.06, .03*2=.06, .04*1=.04
+    # running max: .04, .06, .06, .06
+    df = spark.createDataFrame(
+        [("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.04)],
+        "tid string, p double",
+    )
+    out = holm_bonferroni(df, "p", ("tid",), alpha=0.05).collect()
+    adj = {r["tid"]: r["p_adjusted"] for r in out}
+    assert adj == {"t1": 0.04, "t2": 0.06, "t3": 0.06, "t4": 0.06}
+    sig = {r["tid"]: r["significant"] for r in out}
+    # step-down: once t2 fails, everything after fails too
+    assert sig == {"t1": True, "t2": False, "t3": False, "t4": False}
+    # monotone non-decreasing in rank, clamped at 1
+    big = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9)], "tid string, p double"
+    )
+    outb = holm_bonferroni(big, "p", ("tid",)).collect()
+    assert [r["p_adjusted"] for r in outb] == [1.0, 1.0]
