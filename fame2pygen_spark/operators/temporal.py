@@ -2394,3 +2394,141 @@ def pacf_profile(
         F.round(p22, 6).alias("pacf2"),
         F.round(p33, 6).alias("pacf3"),
     )
+
+
+def segmented_trend(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    y_col: str,
+    *,
+    min_side: int = 3,
+) -> DataFrame:
+    """One-knot segmented (broken-stick) regression by exact search
+    (piecewise-linear changepoint; Muggeo 2003's problem solved by
+    enumeration instead of iteration): for EVERY candidate knot, fit
+    independent OLS lines left (t ≤ knot) and right (t > knot) and
+    take the SSE-minimizing split — the slope-change complement to
+    the mean-shift changepoint (x163): x163 finds level breaks, this
+    finds the day the TREND bent.
+
+    Exhaustive search is affordable because both segment SSEs come
+    closed-form from ONE cumulative-moment window pass: prefix sums
+    (n, Σt, Σy, Σt², Σty, Σy²) give the left moments at each row and
+    totals-minus-prefix give the right — every candidate knot is then
+    row-local arithmetic, and the argmin is a keyed rank on the
+    6-dp-rounded SSE with the knot tiebreak (engine-stable).  No
+    iteration, no quadratic pass; y-moments are decimal-quantized so
+    the cumulative sums are exact.
+
+    Output per group: ``(*group_cols, knot, n_left, n_right,
+    slope_left, slope_right, sse_single, sse_split, improvement)``
+    (6 dp; improvement = 1 − sse_split/sse_single) — groups with
+    fewer than ``2·min_side`` usable points emit nothing.
+    """
+    g = list(group_cols)
+    dec6, dec12 = "decimal(28,6)", "decimal(38,12)"
+    staged = series.where(
+        F.col(y_col).isNotNull() & F.col(t_col).isNotNull()
+    ).select(*g, F.col(t_col).alias("__t"), F.col(y_col).alias("__y"))
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = staged.select(
+        *g,
+        "__t",
+        F.count(F.lit(1)).over(w).cast("long").alias("cn"),
+        F.sum("__t").over(w).cast("double").alias("ct"),
+        F.sum(F.col("__y").cast(dec6)).over(w).cast("double").alias("cy"),
+        F.sum(F.col("__t") * F.col("__t")).over(w).cast("double").alias(
+            "ctt"
+        ),
+        F.sum((F.col("__t") * F.col("__y")).cast(dec6))
+        .over(w)
+        .cast("double")
+        .alias("cty"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec12))
+        .over(w)
+        .cast("double")
+        .alias("cyy"),
+    )
+    tot = staged.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("tn"),
+        F.sum("__t").cast("double").alias("tt"),
+        F.sum(F.col("__y").cast(dec6)).cast("double").alias("ty"),
+        F.sum(F.col("__t") * F.col("__t")).cast("double").alias("ttt"),
+        F.sum((F.col("__t") * F.col("__y")).cast(dec6))
+        .cast("double")
+        .alias("tty"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec12))
+        .cast("double")
+        .alias("tyy"),
+    )
+
+    def _sse(n, st, sy, stt, sty, syy):
+        syy_c = syy - sy * sy / n
+        sxy_c = sty - st * sy / n
+        sxx_c = stt - st * st / n
+        return (
+            syy_c - F.try_divide(sxy_c * sxy_c, sxx_c),
+            F.try_divide(sxy_c, sxx_c),
+        )
+
+    ms = int(min_side)
+    cand = pre.join(tot, g).where(
+        (F.col("cn") >= ms) & (F.col("tn") - F.col("cn") >= ms)
+    )
+    nl = F.col("cn").cast("double")
+    nr = (F.col("tn") - F.col("cn")).cast("double")
+    sse_l, slope_l = _sse(
+        nl, F.col("ct"), F.col("cy"), F.col("ctt"), F.col("cty"), F.col("cyy")
+    )
+    sse_r, slope_r = _sse(
+        nr,
+        F.col("tt") - F.col("ct"),
+        F.col("ty") - F.col("cy"),
+        F.col("ttt") - F.col("ctt"),
+        F.col("tty") - F.col("cty"),
+        F.col("tyy") - F.col("cyy"),
+    )
+    scored = cand.select(
+        *g,
+        F.col("__t").cast("long").alias("knot"),
+        F.col("cn").alias("n_left"),
+        (F.col("tn") - F.col("cn")).cast("long").alias("n_right"),
+        F.round(slope_l, 6).alias("slope_left"),
+        F.round(slope_r, 6).alias("slope_right"),
+        F.round(sse_l + sse_r, 6).alias("sse_split"),
+        F.col("tn"),
+        F.col("tt"),
+        F.col("ty"),
+        F.col("ttt"),
+        F.col("tty"),
+        F.col("tyy"),
+    )
+    wbest = Window.partitionBy(*g).orderBy(
+        F.asc("sse_split"), F.asc("knot")
+    )
+    best = scored.withColumn("__rn", F.row_number().over(wbest)).where(
+        F.col("__rn") == 1
+    )
+    tn = F.col("tn").cast("double")
+    sse_s, _ = _sse(
+        tn, F.col("tt"), F.col("ty"), F.col("ttt"), F.col("tty"), F.col("tyy")
+    )
+    return best.select(
+        *g,
+        "knot",
+        "n_left",
+        "n_right",
+        "slope_left",
+        "slope_right",
+        F.round(sse_s, 6).alias("sse_single"),
+        "sse_split",
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("sse_split"), F.round(sse_s, 6)),
+            6,
+        ).alias("improvement"),
+    )

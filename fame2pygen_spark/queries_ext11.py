@@ -1416,3 +1416,115 @@ def _sql_x267() -> str:
 
 EXT11_QUERIES.update({"x267_holm": q_x267_holm})
 EXT11_ORACLES.update({"x267_holm": _sql_x267()})
+
+
+# ----------------------------- x268: segmented (broken-stick) trend
+
+
+def q_x268_segmented_trend(spark, sf_dir):
+    """Where did the daily mean-value trend BEND per event type
+    (operators/temporal.py:segmented_trend) — exhaustive one-knot
+    broken-stick search from a single cumulative-moment pass; the
+    slope-change complement to x163's level changepoint."""
+    from .operators.temporal import segmented_trend
+
+    ev = _read_events(spark, sf_dir)
+    day = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    return segmented_trend(day, ["event_type"], "day", "x").orderBy(
+        "event_type"
+    )
+
+
+SQL_X268 = """
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS t,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, t,
+         COUNT(*) OVER w AS cn,
+         CAST(SUM(t) OVER w AS DOUBLE) AS ct,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER w AS DOUBLE) AS cy,
+         CAST(SUM(t * t) OVER w AS DOUBLE) AS ctt,
+         CAST(SUM(CAST(t * x AS DECIMAL(28,6))) OVER w AS DOUBLE) AS cty,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS cyy
+  FROM day
+  WINDOW w AS (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT event_type, COUNT(*) AS tn,
+         CAST(SUM(t) AS DOUBLE) AS tt,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS ty,
+         CAST(SUM(t * t) AS DOUBLE) AS ttt,
+         CAST(SUM(CAST(t * x AS DECIMAL(28,6))) AS DOUBLE) AS tty,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS tyy
+  FROM day GROUP BY 1
+),
+scored AS (
+  SELECT p.event_type, p.t AS knot, p.cn AS n_left,
+         o.tn - p.cn AS n_right,
+         ROUND((p.cty - p.ct * p.cy / p.cn)
+               / (p.ctt - p.ct * p.ct / p.cn), 6) AS slope_left,
+         ROUND(((o.tty - p.cty) - (o.tt - p.ct) * (o.ty - p.cy)
+                / (o.tn - p.cn))
+               / ((o.ttt - p.ctt) - (o.tt - p.ct) * (o.tt - p.ct)
+                  / (o.tn - p.cn)), 6) AS slope_right,
+         ROUND(
+           ((p.cyy - p.cy * p.cy / p.cn)
+            - (p.cty - p.ct * p.cy / p.cn) * (p.cty - p.ct * p.cy / p.cn)
+              / (p.ctt - p.ct * p.ct / p.cn))
+           + (((o.tyy - p.cyy) - (o.ty - p.cy) * (o.ty - p.cy)
+               / (o.tn - p.cn))
+              - ((o.tty - p.cty) - (o.tt - p.ct) * (o.ty - p.cy)
+                 / (o.tn - p.cn))
+                * ((o.tty - p.cty) - (o.tt - p.ct) * (o.ty - p.cy)
+                   / (o.tn - p.cn))
+                / ((o.ttt - p.ctt) - (o.tt - p.ct) * (o.tt - p.ct)
+                   / (o.tn - p.cn))), 6) AS sse_split,
+         o.tn, o.tt, o.ty, o.ttt, o.tty, o.tyy
+  FROM pre p JOIN tot o ON o.event_type = p.event_type
+  WHERE p.cn >= 3 AND o.tn - p.cn >= 3
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY sse_split ASC, knot ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT event_type,
+       CAST(knot AS BIGINT) AS knot,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       slope_left, slope_right,
+       ROUND((tyy - ty * ty / tn)
+             - (tty - tt * ty / tn) * (tty - tt * ty / tn)
+               / (ttt - tt * tt / tn), 6) AS sse_single,
+       sse_split,
+       ROUND(1.0 - sse_split
+             / ROUND((tyy - ty * ty / tn)
+                     - (tty - tt * ty / tn) * (tty - tt * ty / tn)
+                       / (ttt - tt * tt / tn), 6), 6) AS improvement
+FROM best
+ORDER BY event_type
+"""
+
+EXT11_QUERIES.update({"x268_segmented_trend": q_x268_segmented_trend})
+EXT11_ORACLES.update({"x268_segmented_trend": SQL_X268})

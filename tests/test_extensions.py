@@ -6805,3 +6805,32 @@ def test_holm_bonferroni_textbook(spark):
     )
     outb = holm_bonferroni(big, "p", ("tid",)).collect()
     assert [r["p_adjusted"] for r in outb] == [1.0, 1.0]
+
+
+def test_segmented_trend_planted_bend(spark):
+    from fame2pygen_spark.operators.temporal import segmented_trend
+
+    # perfect V: slope +2 through t=9, slope -1 after
+    rows = [("v", t, 2.0 * t) for t in range(10)]
+    rows += [("v", t, 18.0 - 1.0 * (t - 9)) for t in range(10, 20)]
+    # straight line: split can't beat single fit meaningfully
+    rows += [("s", t, 3.0 * t + 1.0) for t in range(12)]
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    out = {r["g"]: r for r in segmented_trend(
+        df, ["g"], "t", "y"
+    ).collect()}
+    v = out["v"]
+    # the apex point (t=9) lies on BOTH lines, so knots 8 and 9 tie
+    # at SSE 0 and the deterministic tiebreak picks the smaller
+    assert v["knot"] == 8
+    assert v["slope_left"] == 2.0 and v["slope_right"] == -1.0
+    assert v["sse_split"] == 0.0 and v["improvement"] == 1.0
+    s = out["s"]
+    assert s["sse_single"] == 0.0 and s["sse_split"] == 0.0
+    assert s["improvement"] is None  # 0/0: no signal to improve
+
+    # too few points per side -> no output
+    tiny = spark.createDataFrame(
+        [("t", t, float(t)) for t in range(5)], "g string, t long, y double"
+    )
+    assert segmented_trend(tiny, ["g"], "t", "y").count() == 0
