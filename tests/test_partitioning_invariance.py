@@ -81,6 +81,11 @@ SENSITIVE = [
     "x255_hill_tail",
     "x256_msprt",
     "x259_mase",
+    "x261_nb_confusion",
+    "x263_mix_shift",
+    "x265_tail_dependence",
+    "x266_pacf",
+    "x268_segmented_trend",
 ]
 
 
