@@ -2750,3 +2750,101 @@ def mix_shift_decomposition(
         F.round(F.col("__re"), 6).alias("rate_effect"),
         F.round(F.col("__me"), 6).alias("mix_effect"),
     )
+
+
+def hitting_probability(
+    df: DataFrame,
+    user_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    target: str,
+    horizon: int = 5,
+) -> DataFrame:
+    """Finite-horizon hitting probability over the empirical event
+    Markov chain (the bounded form of absorbing-chain absorption,
+    Kemeny & Snell 1960 ch. 3): ``h_k(s) = P(s,T) + Σ_{s'≠T}
+    P(s,s')·h_{k−1}(s')`` — the probability a user in state *s*
+    reaches *target* within *horizon* steps under the x34 transition
+    matrix.  The funnel (x31) asks "did the fixed sequence happen";
+    this asks the planning question: from HERE, how likely is
+    conversion in the next k actions, with no fixed path assumed.
+
+    Scale shape: transitions are one user-keyed lag window + one
+    (from, to) count agg — the |states|² model table is tiny
+    thereafter, so the *horizon* supersteps are joins on a frame that
+    never touches the raw events again.  Each superstep's expected
+    value is a decimal(38,18) product sum rounded to 12 dp — the
+    fixpoint iteration stays bit-identical across engines and
+    partitionings.
+
+    Output per state: ``state, p_direct, p_hit`` — one-step and
+    *horizon*-step probabilities (6 dp), target row included
+    (``p_hit = 1`` trivially, stated explicitly for dashboards).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    trans = (
+        df.select(
+            F.col(state_col).alias("__to"),
+            F.lag(F.col(state_col)).over(w).alias("__from"),
+        )
+        .where(F.col("__from").isNotNull())
+        .groupBy("__from", "__to")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    totals = trans.groupBy("__from").agg(F.sum("__n").alias("__tot"))
+    p = trans.join(totals, "__from").select(
+        "__from",
+        "__to",
+        (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias(
+            "__p"
+        ),
+    )
+    direct = (
+        p.where(F.col("__to") == str(target))
+        .select(F.col("__from").alias("state"), F.col("__p").alias("h"))
+    )
+    states = p.select(F.col("__from").alias("state")).distinct()
+    h = states.join(direct, "state", "left").select(
+        "state", F.round(F.coalesce(F.col("h"), F.lit(0.0)), 12).alias("h")
+    )
+    p_direct = h
+    for _ in range(int(horizon) - 1):
+        step = (
+            p.where(F.col("__to") != str(target))
+            .join(h.withColumnRenamed("state", "__to"), "__to")
+            .groupBy(F.col("__from").alias("state"))
+            .agg(
+                F.sum((F.col("__p") * F.col("h")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("__exp")
+            )
+        )
+        h = (
+            p_direct.withColumnRenamed("h", "__d")
+            .join(step, "state", "left")
+            .select(
+                "state",
+                F.round(
+                    F.col("__d") + F.coalesce(F.col("__exp"), F.lit(0.0)),
+                    12,
+                ).alias("h"),
+            )
+        )
+    return (
+        p_direct.withColumnRenamed("h", "__pd")
+        .join(h, "state")
+        .select(
+            "state",
+            F.round(F.col("__pd"), 6).alias("p_direct"),
+            F.round(
+                F.when(F.col("state") == str(target), F.lit(1.0)).otherwise(
+                    F.col("h")
+                ),
+                6,
+            ).alias("p_hit"),
+        )
+    )

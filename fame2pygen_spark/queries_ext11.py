@@ -1528,3 +1528,75 @@ ORDER BY event_type
 
 EXT11_QUERIES.update({"x268_segmented_trend": q_x268_segmented_trend})
 EXT11_ORACLES.update({"x268_segmented_trend": SQL_X268})
+
+
+# ----------------------------- x269: bounded-horizon hitting prob
+
+
+def q_x269_hitting_prob(spark, sf_dir):
+    """Conversion-within-5-actions probability per current state
+    (operators/behavior.py:hitting_probability) under the empirical
+    transition matrix — the planning question the fixed-path funnel
+    (x31) doesn't answer."""
+    from .operators.behavior import hitting_probability
+
+    ev = _read_events(spark, sf_dir)
+    return hitting_probability(
+        ev, "user_id", "event_type", "ts_us", "event_id",
+        target="purchase", horizon=5,
+    ).orderBy("state")
+
+
+def _sql_x269() -> str:
+    base = """
+WITH trans AS (
+  SELECT event_type AS t2,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS t1
+  FROM events
+),
+counts AS (
+  SELECT t1, t2, COUNT(*) AS n FROM trans WHERE t1 IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT t1, SUM(n) AS tot FROM counts GROUP BY 1),
+p AS (
+  SELECT c.t1, c.t2, CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+  FROM counts c JOIN totals t ON t.t1 = c.t1
+),
+states AS (SELECT DISTINCT t1 AS state FROM p),
+h0 AS (
+  SELECT s.state, ROUND(COALESCE(d.p, 0.0), 12) AS h
+  FROM states s
+  LEFT JOIN (SELECT t1, p FROM p WHERE t2 = 'purchase') d
+    ON d.t1 = s.state
+)"""
+    steps = []
+    for k in range(1, 5):
+        prev = f"h{k - 1}"
+        steps.append(f""",
+h{k} AS (
+  SELECT d.state, ROUND(d.h + COALESCE(e.ex, 0.0), 12) AS h
+  FROM h0 d
+  LEFT JOIN (
+    SELECT p.t1 AS state,
+           CAST(SUM(CAST(p.p * h.h AS DECIMAL(38,18))) AS DOUBLE) AS ex
+    FROM p JOIN {prev} h ON h.state = p.t2
+    WHERE p.t2 <> 'purchase'
+    GROUP BY 1
+  ) e ON e.state = d.state
+)""")
+    final = """
+SELECT h0.state,
+       ROUND(h0.h, 6) AS p_direct,
+       ROUND(CASE WHEN h0.state = 'purchase' THEN 1.0 ELSE h4.h END, 6)
+         AS p_hit
+FROM h0 JOIN h4 ON h4.state = h0.state
+ORDER BY h0.state
+"""
+    return base + "".join(steps) + final
+
+
+EXT11_QUERIES.update({"x269_hitting_prob": q_x269_hitting_prob})
+EXT11_ORACLES.update({"x269_hitting_prob": _sql_x269()})

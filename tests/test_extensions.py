@@ -6834,3 +6834,35 @@ def test_segmented_trend_planted_bend(spark):
         [("t", t, float(t)) for t in range(5)], "g string, t long, y double"
     )
     assert segmented_trend(tiny, ["g"], "t", "y").count() == 0
+
+
+def test_hitting_probability_hand_chain(spark):
+    from fame2pygen_spark.operators.behavior import hitting_probability
+
+    # u1: a->T ; u2: a->b->T  => P(a,T)=.5, P(a,b)=.5, P(b,T)=1
+    rows = [
+        (1, "a", 0, 0), (1, "T", 1, 1),
+        (2, "a", 0, 2), (2, "b", 1, 3), (2, "T", 2, 4),
+    ]
+    df = spark.createDataFrame(rows, "u long, s string, ts long, id long")
+    out = {r["state"]: r for r in hitting_probability(
+        df, "u", "s", "ts", "id", target="T", horizon=5
+    ).collect()}
+    assert out["a"]["p_direct"] == 0.5
+    assert out["b"]["p_direct"] == 1.0
+    # two-step closure: a reaches T surely within 2 steps
+    assert out["a"]["p_hit"] == 1.0 and out["b"]["p_hit"] == 1.0
+
+    # horizon=1 equals the direct probability
+    h1 = {r["state"]: r for r in hitting_probability(
+        df, "u", "s", "ts", "id", target="T", horizon=1
+    ).collect()}
+    assert h1["a"]["p_hit"] == 0.5
+
+    # absorbing cycle that never reaches T scores 0
+    rows2 = rows + [(3, "x", 0, 5), (3, "y", 1, 6), (3, "x", 2, 7)]
+    out2 = {r["state"]: r for r in hitting_probability(
+        spark.createDataFrame(rows2, "u long, s string, ts long, id long"),
+        "u", "s", "ts", "id", target="T", horizon=5
+    ).collect()}
+    assert out2["x"]["p_hit"] == 0.0 and out2["y"]["p_hit"] == 0.0
