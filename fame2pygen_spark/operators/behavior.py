@@ -2529,10 +2529,17 @@ def msprt_monitor(
     ) / (na + nb - F.lit(2.0))
     vn = s2 * (F.lit(1.0) / na + F.lit(1.0) / nb)
     a_ = vn + F.lit(t2)
+    # Λ is capped at 1e6 (p floors at a decisive 1e-6): beyond that
+    # magnitude the exp() implementations of different engines differ
+    # in the last ulp by more than the 6-dp rounding can absorb, and
+    # the always-valid decision is identical either way
     lam = F.when(
         (F.col("cna") >= 2) & (F.col("cnb") >= 2) & (s2 > 0),
-        F.sqrt(vn / a_)
-        * F.exp(delta * delta * F.lit(t2) / (F.lit(2.0) * vn * a_)),
+        F.least(
+            F.sqrt(vn / a_)
+            * F.exp(delta * delta * F.lit(t2) / (F.lit(2.0) * vn * a_)),
+            F.lit(1e6),
+        ),
     )
     scored = cum.select(
         *g, "day",

@@ -610,7 +610,7 @@ scored AS (
                        / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
                        > 0
          THEN
-           sqrt(
+           LEAST(sqrt(
              (((cssa - csa * csa / CAST(cna AS DOUBLE))
                + (cssb - csb * csb / CAST(cnb AS DOUBLE)))
               / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
@@ -634,7 +634,7 @@ scored AS (
                         / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0)
                         * (1.0 / CAST(cna AS DOUBLE)
                            + 1.0 / CAST(cnb AS DOUBLE)))
-                       + 1.0)))
+                       + 1.0))), 1000000.0)
          END AS lam
   FROM cum
 )

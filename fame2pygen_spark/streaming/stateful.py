@@ -528,3 +528,165 @@ def streaming_page_hinkley(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MSPRT_OUTPUT = StructType(
+    [
+        StructField("grp", StringType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+        StructField("delta", DoubleType()),
+        StructField("lam", DoubleType()),
+        StructField("p_always", DoubleType()),
+    ]
+)
+
+MSPRT_STATE = StructType(
+    [
+        StructField("na", LongType()),
+        StructField("sa", StringType()),
+        StructField("ssa", StringType()),
+        StructField("nb", LongType()),
+        StructField("sb", StringType()),
+        StructField("ssb", StringType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def _msprt_update_factory(t2: float):
+    """Per-key mSPRT fold replicating the batch operator
+    (behavior.msprt_monitor) value for value: per-row decimal
+    quantization (28,6)/(38,12) exactly as Spark's double→decimal
+    casts do it, cumulative decimal sums, then the identical IEEE
+    Λ expression.  One LOOK per micro-batch trigger — the always-
+    valid guarantee is per-look, so feed the stream at the cadence
+    you want looks at (daily rollup for daily peeking)."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    Q6 = Decimal("1e-6")
+    Q12 = Decimal("1e-12")
+
+    def q(x: float, quantum: Decimal) -> Decimal:
+        return Decimal(x).quantize(quantum, rounding=ROUND_HALF_UP)
+
+    def round6(x: float) -> float:
+        # Λ can reach 1e200+ (or overflow to inf) under a strong
+        # effect; Spark's round(double, 6) is a no-op at those
+        # magnitudes, so pass non-finite through and quantize with
+        # enough precision otherwise
+        import math as _m
+
+        if not _m.isfinite(x):
+            return x
+        with localcontext() as ctx:
+            ctx.prec = 400
+            return float(
+                Decimal(repr(x)).quantize(Q6, rounding=ROUND_HALF_UP)
+            )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            na, sa_s, ssa_s, nb, sb_s, ssb_s, mx = state.get
+            sa, ssa = Decimal(sa_s), Decimal(ssa_s)
+            sb, ssb = Decimal(sb_s), Decimal(ssb_s)
+        else:
+            na, nb, mx = 0, 0, None
+            sa = ssa = sb = ssb = Decimal(0)
+        for pdf in pdfs:
+            for arm, v in zip(pdf["__arm"], pdf["__v"]):
+                if v is None or pd.isna(v):
+                    continue
+                v = float(v)
+                if arm == "a":
+                    na += 1
+                    sa += q(v, Q6)
+                    ssa += q(v * v, Q12)
+                else:
+                    nb += 1
+                    sb += q(v, Q6)
+                    ssb += q(v * v, Q12)
+        lam = delta = None
+        if na >= 1 and nb >= 1:
+            csa, cssa = float(sa), float(ssa)
+            csb, cssb = float(sb), float(ssb)
+            fa, fb = float(na), float(nb)
+            delta = csa / fa - csb / fb
+            if na >= 2 and nb >= 2:
+                s2 = (
+                    (cssa - csa * csa / fa) + (cssb - csb * csb / fb)
+                ) / (fa + fb - 2.0)
+                if s2 > 0:
+                    vn = s2 * (1.0 / fa + 1.0 / fb)
+                    a_ = vn + t2
+                    import math
+
+                    # Spark's EXP saturates to +inf past ~709 where
+                    # Python raises — replicate the saturation
+                    try:
+                        e = math.exp(
+                            delta * delta * t2 / (2.0 * vn * a_)
+                        )
+                    except OverflowError:
+                        e = float("inf")
+                    # 1e6 cap: see the batch twin — past it, engine
+                    # exp() ulp differences exceed the 6-dp absorber
+                    lam = min(math.sqrt(vn / a_) * e, 1e6)
+                    if mx is None or lam > mx:
+                        mx = lam
+        state.update(
+            (na, str(sa), str(ssa), nb, str(sb), str(ssb), mx)
+        )
+        p = None if mx is None else round6(min(1.0, 1.0 / mx))
+        yield pd.DataFrame(
+            {
+                "grp": [str(key[0])],
+                "n_a": [na],
+                "n_b": [nb],
+                "delta": [None if delta is None else round6(delta)],
+                "lam": [None if lam is None else round6(lam)],
+                "p_always": [p],
+            }
+        )
+
+    return update
+
+
+def streaming_msprt(
+    stream: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    *,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Streaming half of the always-valid mSPRT monitor (the x256
+    batch twin, behavior.msprt_monitor): per-group cumulative exact
+    decimal arm moments in the state store, Λ evaluated once per
+    micro-batch trigger — each trigger IS a look, and the always-
+    valid p (min over looks of 1/max Λ) is monotone by construction,
+    so the sink can be polled at any cadence without alpha
+    inflation.  When micro-batches align with the batch operator's
+    day grain, the streamed p equals the batch ``p_always`` at every
+    day boundary bitwise (pinned by the cross-batch pytest).
+
+    Output mode: update — ``(grp, n_a, n_b, delta, lam, p_always)``
+    per trigger.
+    """
+    t2 = float(tau) * float(tau)
+    src = stream.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(arm_col).cast("string").alias("__arm"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    return src.groupBy("grp").applyInPandasWithState(
+        _msprt_update_factory(t2),
+        outputStructType=MSPRT_OUTPUT,
+        stateStructType=MSPRT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
