@@ -415,6 +415,57 @@ def _events_tier(spark, timed) -> int:
         ).count()
 
     timed("x228_randomization_events10x", _randomization)
+
+    # round-6 additions: join-size gauge + shuffle predictor (pure
+    # single-pass aggs — should stay flat as events scale), time-split
+    # Markov eval (one lag window + broadcast model), segmented trend
+    # (one cumulative window over daily rows)
+    from fame2pygen_spark.operators.sketch import (
+        ams_join_size, reducer_load_profile,
+    )
+
+    timed(
+        "x248_ams_selfjoin_events10x",
+        lambda: ams_join_size(
+            big, "user_id", big, "user_id", rows=9, exact=False
+        ).count(),
+    )
+    timed(
+        "x264_reducer_loads_events10x",
+        lambda: reducer_load_profile(
+            big, ["user_id"], partitions=(32, 256)
+        ).count(),
+    )
+
+    from fame2pygen_spark.operators.behavior import markov_prediction_eval
+
+    timed(
+        "x262_markov_eval_events10x",
+        lambda: markov_prediction_eval(
+            big, "user_id", "event_type", "ts_us", "event_id"
+        ).count(),
+    )
+
+    from fame2pygen_spark.operators.temporal import segmented_trend
+
+    def _segmented():
+        day = (
+            big.where(F.col("value").isNotNull())
+            .groupBy(
+                "user_id",
+                F.expr("ts_us div 86400000000").cast("long").alias("day"),
+            )
+            .agg(
+                (
+                    F.sum(F.col("value").cast("decimal(25,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("x")
+            )
+        )
+        return segmented_trend(day, ["user_id"], "day", "x").count()
+
+    timed("x268_segmented_trend_events10x", _segmented)
     return n_events
 
 
