@@ -1596,3 +1596,93 @@ def holm_bonferroni(
         )
         .orderBy("rank")
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Brier 1950; Murphy
+    1973): with forecasts binned into *n_bins* equal-width bins,
+
+    ``BS ≈ REL − RES + UNC``  where
+    ``REL = Σ n_k(p̄_k − ȳ_k)²/N`` (reliability: calibration error),
+    ``RES = Σ n_k(ȳ_k − ȳ)²/N`` (resolution: discrimination),
+    ``UNC = ȳ(1 − ȳ)`` (irreducible base-rate uncertainty).
+
+    The diagnosis the raw calibration curve (x109/x170) doesn't
+    summarize: a model can be perfectly calibrated (REL = 0) and
+    useless (RES = 0 — it always predicts the base rate), or sharp
+    but miscalibrated; the decomposition separates the two failure
+    modes.  With binned forecasts the identity carries a within-bin
+    variance remainder, reported as ``wbv = BS − (REL − RES + UNC)``
+    (≥ 0, shrinks with finer bins).
+
+    Scale shape: ONE bin-keyed hash agg of exact decimal moments plus
+    a 1-row overall reduce — scores arrive already computed, so this
+    runs over N rows once regardless of model complexity.
+
+    Output (single row): ``n, base_rate, brier, reliability,
+    resolution, uncertainty, wbv`` (6 dp).
+    """
+    dec12 = "decimal(38,12)"
+    p = F.col(score_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    nb = int(n_bins)
+    base = df.where(p.isNotNull() & y.isNotNull()).select(
+        p.alias("__p"),
+        y.alias("__y"),
+        F.least(
+            F.floor(p * F.lit(float(nb))).cast("int"), F.lit(nb - 1)
+        ).alias("__b"),
+    )
+    bins = base.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__p").cast(dec12)).cast("double").alias("__sp"),
+        F.sum(F.col("__y").cast(dec12)).cast("double").alias("__sy"),
+        F.sum(
+            ((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y")))
+            .cast(dec12)
+        )
+        .cast("double")
+        .alias("__sq"),
+    )
+    tot = bins.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(F.col("__sy").cast(dec12)).cast("double").alias("__ty"),
+        F.sum(F.col("__sq").cast(dec12)).cast("double").alias("__tsq"),
+    )
+    t = bins.crossJoin(F.broadcast(tot))
+    nd = F.col("__n").cast("double")
+    pbar = F.col("__sp") / nd
+    ybar_k = F.col("__sy") / nd
+    ybar = F.col("__ty") / F.col("n").cast("double")
+    terms = t.select(
+        "n",
+        F.col("__ty"),
+        F.col("__tsq"),
+        (nd * (pbar - ybar_k) * (pbar - ybar_k)).cast(dec12).alias("__rel"),
+        (nd * (ybar_k - ybar) * (ybar_k - ybar)).cast(dec12).alias("__res"),
+    )
+    agg = terms.groupBy("n", "__ty", "__tsq").agg(
+        F.sum("__rel").cast("double").alias("__srel"),
+        F.sum("__res").cast("double").alias("__sres"),
+    )
+    ndn = F.col("n").cast("double")
+    br = F.col("__tsq") / ndn
+    rel = F.col("__srel") / ndn
+    res = F.col("__sres") / ndn
+    yb = F.col("__ty") / ndn
+    unc = yb * (F.lit(1.0) - yb)
+    return agg.select(
+        "n",
+        F.round(yb, 6).alias("base_rate"),
+        F.round(br, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(br - (rel - res + unc), 6).alias("wbv"),
+    )

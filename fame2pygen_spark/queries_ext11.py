@@ -1600,3 +1600,95 @@ ORDER BY h0.state
 
 EXT11_QUERIES.update({"x269_hitting_prob": q_x269_hitting_prob})
 EXT11_ORACLES.update({"x269_hitting_prob": _sql_x269()})
+
+
+# ----------------------------- x270: Brier decomposition
+
+
+def q_x270_brier(spark, sf_dir):
+    """Murphy decomposition of a value-based conversion forecast
+    (operators/quality.py:brier_decomposition): logistic score from
+    each user's mean event value vs whether they purchased —
+    separating miscalibration from lack of discrimination, the
+    summary the x170 calibration curve doesn't give."""
+    from .operators.quality import brier_decomposition
+
+    ev = _read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+            / F.count(F.col("value"))
+        ).alias("vbar"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    scored = per_user.select(
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("vbar") - F.lit(50.0)) / F.lit(10.0)))
+        ).alias("p"),
+        "y",
+    )
+    return brier_decomposition(scored, "p", "y", n_bins=10)
+
+
+SQL_X270 = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+           / COUNT(value) AS vbar,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS y
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT 1.0 / (1.0 + exp(-(vbar - 50.0) / 10.0)) AS p, y
+  FROM per_user
+),
+base AS (
+  SELECT p, y, LEAST(CAST(FLOOR(p * 10.0) AS INTEGER), 9) AS b
+  FROM scored WHERE p IS NOT NULL AND y IS NOT NULL
+),
+bins AS (
+  SELECT b, COUNT(*) AS n,
+         CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sq
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(sy AS DECIMAL(38,12))) AS DOUBLE) AS ty,
+         CAST(SUM(CAST(sq AS DECIMAL(38,12))) AS DOUBLE) AS tsq
+  FROM bins
+),
+terms AS (
+  SELECT t.n, t.ty, t.tsq,
+    CAST(CAST(b.n AS DOUBLE)
+         * (b.sp / b.n - b.sy / b.n) * (b.sp / b.n - b.sy / b.n)
+         AS DECIMAL(38,12)) AS relt,
+    CAST(CAST(b.n AS DOUBLE)
+         * (b.sy / b.n - t.ty / t.n) * (b.sy / b.n - t.ty / t.n)
+         AS DECIMAL(38,12)) AS rest
+  FROM bins b CROSS JOIN tot t
+),
+agg AS (
+  SELECT n, ty, tsq,
+         CAST(SUM(relt) AS DOUBLE) AS srel,
+         CAST(SUM(rest) AS DOUBLE) AS sres
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT n,
+       ROUND(ty / n, 6) AS base_rate,
+       ROUND(tsq / n, 6) AS brier,
+       ROUND(srel / n, 6) AS reliability,
+       ROUND(sres / n, 6) AS resolution,
+       ROUND((ty / n) * (1.0 - ty / n), 6) AS uncertainty,
+       ROUND(tsq / n - (srel / n - sres / n
+             + (ty / n) * (1.0 - ty / n)), 6) AS wbv
+FROM agg
+"""
+
+EXT11_QUERIES.update({"x270_brier": q_x270_brier})
+EXT11_ORACLES.update({"x270_brier": SQL_X270})

@@ -6931,3 +6931,33 @@ def test_streaming_msprt_matches_batch(spark, tmp_path):
         assert s["p_always"] == b["p_always"], f"day with n_a={n_a}"
     # the planted shift drives p to significance by the last look
     assert batch[max(batch)]["p_always"] < 0.05
+
+
+def test_brier_decomposition_extremes(spark):
+    from fame2pygen_spark.operators.quality import brier_decomposition
+
+    # constant base-rate forecaster: p = 0.5 always, y balanced
+    # -> RES = 0, REL = 0 (p equals the base rate), BS = UNC = 0.25
+    rows = [(0.5, float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "p double, y double")
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    assert r["resolution"] == 0.0 and r["reliability"] == 0.0
+    assert r["brier"] == r["uncertainty"] == 0.25 and r["wbv"] == 0.0
+
+    # oracle forecaster: p = y exactly -> BS = 0, REL = 0,
+    # RES = UNC (all uncertainty resolved)
+    rows2 = [(0.05, 0.0)] * 10 + [(0.95, 1.0)] * 10
+    df2 = spark.createDataFrame(rows2, "p double, y double")
+    r2 = brier_decomposition(df2, "p", "y").collect()[0]
+    assert r2["brier"] == round(0.05 ** 2, 6)
+    assert r2["reliability"] == round(0.05 ** 2, 6)
+    assert r2["resolution"] == r2["uncertainty"] == 0.25
+    assert r2["wbv"] == 0.0
+
+    # miscalibrated but sharp: bins pure, p shifted from bin rates
+    rows3 = [(0.30, 0.0)] * 10 + [(0.70, 1.0)] * 10
+    r3 = brier_decomposition(
+        spark.createDataFrame(rows3, "p double, y double"), "p", "y"
+    ).collect()[0]
+    assert r3["reliability"] == round(0.3 ** 2, 6)
+    assert r3["resolution"] == 0.25
