@@ -2855,3 +2855,102 @@ def hitting_probability(
             ).alias("p_hit"),
         )
     )
+
+
+def meta_analysis(
+    effects: DataFrame,
+    effect_col: str,
+    var_col: str,
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """Fixed-effect inverse-variance meta-analysis with Cochran's Q
+    heterogeneity and Higgins' I² (Cochran 1954; Higgins & Thompson
+    2002): pooled effect ``θ̂ = Σwθ/Σw`` (w = 1/var), its standard
+    error ``√(1/Σw)``, and the heterogeneity pair that says whether
+    pooling was legitimate — ``Q = Σw(θ−θ̂)²`` against k−1 dof
+    (Wilson–Hilferty tail, the shared x213 approximation) and
+    ``I² = max(0, (Q − df)/Q)``, the share of between-stratum
+    variance that is NOT sampling noise.  The aggregation layer for
+    any per-stratum effect family (x237 Welch deltas, x239 DID
+    units, per-source lifts): one pooled number, plus the license to
+    quote it.
+
+    Input: one row per stratum with its effect and variance
+    (callers reduce raw data first — the x221 discipline).  Strata
+    with null or non-positive variance are dropped.
+
+    Scale shape: two 1-row aggs over the k-row effect table with
+    decimal(38,12) term sums; θ̂ broadcasts back for Q.  k is
+    dashboard-sized by construction.
+
+    Output (single row): ``k, theta, se, z, q_stat, df, i2,
+    p_homogeneity`` (6 dp).
+    """
+    from .quality import normal_sf
+
+    dec12 = "decimal(38,12)"
+    eff = F.col(effect_col).cast("double")
+    var = F.col(var_col).cast("double")
+    base = effects.where(
+        eff.isNotNull() & var.isNotNull() & (var > 0)
+    ).select(
+        *id_cols,
+        eff.alias("__e"),
+        (F.lit(1.0) / var).alias("__w"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__w").cast(dec12)).cast("double").alias("__sw"),
+        F.sum((F.col("__w") * F.col("__e")).cast(dec12))
+        .cast("double")
+        .alias("__swe"),
+    )
+    theta = F.col("__sw_t") / F.col("__sw_w")
+    q = base.crossJoin(
+        F.broadcast(
+            tot.select(
+                "k",
+                F.col("__sw").alias("__sw_w"),
+                F.col("__swe").alias("__sw_t"),
+            )
+        )
+    ).select(
+        "k",
+        "__sw_w",
+        "__sw_t",
+        (
+            F.col("__w")
+            * (F.col("__e") - theta)
+            * (F.col("__e") - theta)
+        )
+        .cast(dec12)
+        .alias("__qt"),
+    )
+    agg = q.groupBy("k", "__sw_w", "__sw_t").agg(
+        F.sum("__qt").cast("double").alias("__q")
+    )
+    th = F.col("__sw_t") / F.col("__sw_w")
+    se = F.sqrt(F.lit(1.0) / F.col("__sw_w"))
+    qs = F.col("__q")
+    dof = (F.col("k") - 1).cast("double")
+    i2 = F.when(
+        (F.col("k") > 1) & (qs > 0),
+        F.greatest(F.lit(0.0), (qs - dof) / qs),
+    ).otherwise(F.lit(0.0))
+    wh_z = (
+        F.exp(F.log(qs / dof) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    p_hom = F.when(F.col("k") <= 1, F.lit(None).cast("double")).otherwise(
+        F.when(qs <= 0, F.lit(1.0)).otherwise(normal_sf(wh_z))
+    )
+    return agg.select(
+        "k",
+        F.round(th, 6).alias("theta"),
+        F.round(se, 6).alias("se"),
+        F.round(F.try_divide(th, se), 6).alias("z"),
+        F.round(qs, 6).alias("q_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(i2, 6).alias("i2"),
+        F.round(p_hom, 6).alias("p_homogeneity"),
+    )

@@ -1692,3 +1692,147 @@ FROM agg
 
 EXT11_QUERIES.update({"x270_brier": q_x270_brier})
 EXT11_ORACLES.update({"x270_brier": SQL_X270})
+
+
+# ----------------------------- x271: inverse-variance meta-analysis
+
+
+def q_x271_meta_analysis(spark, sf_dir):
+    """Pooled weekday-stratum A/A effect with heterogeneity license
+    (operators/behavior.py:meta_analysis): per-weekday Welch effects
+    and variances reduced first (the x221 discipline), then the
+    Cochran/Higgins fixed-effect pool — Q and I² say whether one
+    pooled number was legitimate at all."""
+    from .operators.behavior import meta_analysis
+    from .operators.sketch import _hash64
+
+    ev = _read_events(spark, sf_dir)
+    arm = F.when(
+        _hash64(F.col("user_id"), "ab") / F.lit(4294967296.0) < F.lit(0.5),
+        "a",
+    ).otherwise("b")
+    v = F.col("value").cast("double")
+    cells = (
+        ev.where(v.isNotNull())
+        .select(
+            F.expr("(ts_us div 86400000000) % 7").cast("long").alias("dow"),
+            arm.alias("arm"),
+            v.alias("v"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).alias("na"),
+            F.sum(
+                F.when(F.col("arm") == "a", F.col("v"))
+                .otherwise(0.0)
+                .cast("decimal(28,6)")
+            ).alias("sa"),
+            F.sum(
+                F.when(F.col("arm") == "a", F.col("v") * F.col("v"))
+                .otherwise(0.0)
+                .cast("decimal(38,12)")
+            ).alias("ssa"),
+            F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).alias("nb"),
+            F.sum(
+                F.when(F.col("arm") == "b", F.col("v"))
+                .otherwise(0.0)
+                .cast("decimal(28,6)")
+            ).alias("sb"),
+            F.sum(
+                F.when(F.col("arm") == "b", F.col("v") * F.col("v"))
+                .otherwise(0.0)
+                .cast("decimal(38,12)")
+            ).alias("ssb"),
+        )
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    csa, cssa = F.col("sa").cast("double"), F.col("ssa").cast("double")
+    csb, cssb = F.col("sb").cast("double"), F.col("ssb").cast("double")
+    eff = cells.select(
+        "dow",
+        (csa / na - csb / nb).alias("effect"),
+        (
+            ((cssa - csa * csa / na) / (na - F.lit(1.0))) / na
+            + ((cssb - csb * csb / nb) / (nb - F.lit(1.0))) / nb
+        ).alias("var"),
+    )
+    return meta_analysis(eff, "effect", "var", ["dow"])
+
+
+def _sql_x271() -> str:
+    from .queries_ext9 import _normal_sf_sql
+
+    wh = (
+        "(exp(ln(q / df2) / 3.0) - (1.0 - 2.0 / (9.0 * df2)))"
+        " / sqrt(2.0 / (9.0 * df2))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+         SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+         SUM(CAST(CASE WHEN arm = 'a' THEN v ELSE 0.0 END
+             AS DECIMAL(28,6))) AS sa,
+         SUM(CAST(CASE WHEN arm = 'a' THEN v * v ELSE 0.0 END
+             AS DECIMAL(38,12))) AS ssa,
+         SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+         SUM(CAST(CASE WHEN arm = 'b' THEN v ELSE 0.0 END
+             AS DECIMAL(28,6))) AS sb,
+         SUM(CAST(CASE WHEN arm = 'b' THEN v * v ELSE 0.0 END
+             AS DECIMAL(38,12))) AS ssb
+  FROM (
+    SELECT ts,
+           CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                      1, 8))::BIGINT / 4294967296.0 < 0.5
+                THEN 'a' ELSE 'b' END AS arm,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+  ) GROUP BY 1
+),
+eff AS (
+  SELECT dow,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS effect,
+         ((CAST(ssa AS DOUBLE)
+           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+          / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+         + ((CAST(ssb AS DOUBLE)
+             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+            / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS var
+  FROM cells
+),
+base AS (
+  SELECT effect AS e, 1.0 / var AS w FROM eff
+  WHERE effect IS NOT NULL AND var IS NOT NULL AND var > 0
+),
+tot AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+         CAST(SUM(CAST(w * e AS DECIMAL(38,12))) AS DOUBLE) AS swe
+  FROM base
+),
+qq AS (
+  SELECT t.k, t.sw, t.swe,
+         CAST(SUM(CAST(b.w * (b.e - t.swe / t.sw) * (b.e - t.swe / t.sw)
+              AS DECIMAL(38,12))) AS DOUBLE) AS q
+  FROM base b CROSS JOIN tot t GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT k, sw, swe, q, CAST(k - 1 AS DOUBLE) AS df2 FROM qq
+)
+SELECT CAST(k AS BIGINT) AS k,
+       ROUND(swe / sw, 6) AS theta,
+       ROUND(sqrt(1.0 / sw), 6) AS se,
+       ROUND((swe / sw) / sqrt(1.0 / sw), 6) AS z,
+       ROUND(q, 6) AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df,
+       ROUND(CASE WHEN k > 1 AND q > 0
+                  THEN GREATEST(0.0, (q - df2) / q) ELSE 0.0 END, 6) AS i2,
+       ROUND(CASE WHEN k <= 1 THEN NULL
+                  WHEN q <= 0 THEN 1.0
+                  ELSE {_normal_sf_sql(wh)} END, 6) AS p_homogeneity
+FROM fin
+"""
+
+
+EXT11_QUERIES.update({"x271_meta_analysis": q_x271_meta_analysis})
+EXT11_ORACLES.update({"x271_meta_analysis": _sql_x271()})

@@ -6961,3 +6961,39 @@ def test_brier_decomposition_extremes(spark):
     ).collect()[0]
     assert r3["reliability"] == round(0.3 ** 2, 6)
     assert r3["resolution"] == 0.25
+
+
+def test_meta_analysis_pooling_and_heterogeneity(spark):
+    from fame2pygen_spark.operators.behavior import meta_analysis
+
+    # homogeneous strata: same effect, different precision
+    hom = spark.createDataFrame(
+        [("s1", 2.0, 0.5), ("s2", 2.0, 1.0), ("s3", 2.0, 0.25)],
+        "s string, effect double, var double",
+    )
+    r = meta_analysis(hom, "effect", "var", ["s"]).collect()[0]
+    assert r["k"] == 3 and r["theta"] == 2.0
+    # w = 2, 1, 4 -> se = 1/sqrt(7)
+    assert r["se"] == round(1 / 7 ** 0.5, 6)
+    assert r["q_stat"] == 0.0 and r["i2"] == 0.0
+    assert r["p_homogeneity"] == 1.0
+
+    # heterogeneous strata: opposite effects, equal weight
+    het = spark.createDataFrame(
+        [("s1", 5.0, 1.0), ("s2", -5.0, 1.0)],
+        "s string, effect double, var double",
+    )
+    r2 = meta_analysis(het, "effect", "var", ["s"]).collect()[0]
+    assert r2["theta"] == 0.0
+    assert r2["q_stat"] == 50.0  # 1*(5-0)^2 + 1*(-5-0)^2
+    assert r2["i2"] == round((50.0 - 1.0) / 50.0, 6)
+    assert r2["p_homogeneity"] < 0.001
+
+    # non-positive variance rows dropped
+    bad = spark.createDataFrame(
+        [("s1", 1.0, 1.0), ("s2", 9.0, 0.0)],
+        "s string, effect double, var double",
+    )
+    rb = meta_analysis(bad, "effect", "var", ["s"]).collect()[0]
+    assert rb["k"] == 1 and rb["theta"] == 1.0
+    assert rb["p_homogeneity"] is None
