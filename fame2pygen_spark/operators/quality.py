@@ -1686,3 +1686,101 @@ def brier_decomposition(
         F.round(unc, 6).alias("uncertainty"),
         F.round(br - (rel - res + unc), 6).alias("wbv"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    *,
+    grid_decimals: int = 3,
+) -> DataFrame:
+    """Operating-point selection by exhaustive threshold sweep:
+    Youden's J (Youden 1950, ``J = TPR − FPR`` — the balanced
+    epidemiology cut) and the F1-optimal point (the retrieval cut),
+    from ONE cumulative pass over the score grid.  AUC (x146) ranks
+    the model; gains (x224) describe capture by decile; this picks
+    the actual deployment threshold, with both criteria reported so
+    the imbalance-sensitivity of F1 vs J is visible side by side.
+
+    Scores are quantized to *grid_decimals* before the sweep: the
+    candidate-threshold table is then bounded (≤ 10^d + 1 rows), so
+    the descending-cumulative window runs over a FIXED-size frame
+    instead of the raw distinct support — the ``skew_profile`` lesson
+    applied to ROC sweeps (an unquantized sweep over 100 TB of
+    distinct floats would single-partition-sort billions of rows).
+
+    Output: two rows — ``criterion ∈ {youden, f1}`` with
+    ``threshold, tp, fp, fn, tn, tpr, fpr, precision, f1, j``
+    (6 dp; ties broken toward the LOWER threshold).
+    """
+    p = F.col(score_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    grid = df.where(p.isNotNull() & y.isNotNull()).select(
+        F.round(p, int(grid_decimals)).alias("__t"),
+        y.alias("__y"),
+    )
+    cells = grid.groupBy("__t").agg(
+        F.sum(F.when(F.col("__y") > 0, 1).otherwise(0)).alias("__pos"),
+        F.sum(F.when(F.col("__y") > 0, 0).otherwise(1)).alias("__neg"),
+    )
+    tot = cells.agg(
+        F.sum("__pos").cast("long").alias("__P"),
+        F.sum("__neg").cast("long").alias("__N"),
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.desc("__t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "__t",
+        F.sum("__pos").over(w).cast("long").alias("tp"),
+        F.sum("__neg").over(w).cast("long").alias("fp"),
+    ).crossJoin(F.broadcast(tot))
+    tpr = F.try_divide(F.col("tp").cast("double"), F.col("__P"))
+    fpr = F.try_divide(F.col("fp").cast("double"), F.col("__N"))
+    prec = F.try_divide(
+        F.col("tp").cast("double"), (F.col("tp") + F.col("fp")).cast("double")
+    )
+    f1 = F.try_divide(
+        F.lit(2.0) * F.col("tp").cast("double"),
+        (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("__P") - F.col("tp"))
+        .cast("double"),
+    )
+    j = tpr - fpr
+    scored = cum.select(
+        "__t",
+        "tp",
+        "fp",
+        (F.col("__P") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("__N") - F.col("fp")).cast("long").alias("tn"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(prec, 6).alias("precision"),
+        F.round(f1, 6).alias("f1"),
+        F.round(j, 6).alias("j"),
+    )
+    outs = []
+    for crit, key in (("youden", "j"), ("f1", "f1")):
+        wb = Window.partitionBy(F.lit(1)).orderBy(
+            F.desc(key), F.asc("__t")
+        )
+        outs.append(
+            scored.withColumn("__rn", F.row_number().over(wb))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.lit(crit).alias("criterion"),
+                F.col("__t").alias("threshold"),
+                "tp",
+                "fp",
+                "fn",
+                "tn",
+                "tpr",
+                "fpr",
+                "precision",
+                "f1",
+                "j",
+            )
+        )
+    return outs[0].unionByName(outs[1])

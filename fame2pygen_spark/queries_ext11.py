@@ -1836,3 +1836,99 @@ FROM fin
 
 EXT11_QUERIES.update({"x271_meta_analysis": q_x271_meta_analysis})
 EXT11_ORACLES.update({"x271_meta_analysis": _sql_x271()})
+
+
+# ----------------------------- x272: operating-point selection
+
+
+def q_x272_threshold_sweep(spark, sf_dir):
+    """Deployment-threshold pick for the x270 conversion forecast
+    (operators/quality.py:threshold_sweep) — Youden-J and F1-optimal
+    operating points from one bounded-grid cumulative sweep; AUC
+    ranks, this one ships."""
+    from .operators.quality import threshold_sweep
+
+    ev = _read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+            / F.count(F.col("value"))
+        ).alias("vbar"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 2,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    scored = per_user.select(
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("vbar") - F.lit(50.0)) / F.lit(10.0)))
+        ).alias("p"),
+        "y",
+    )
+    return threshold_sweep(scored, "p", "y", grid_decimals=3)
+
+
+SQL_X272 = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+           / COUNT(value) AS vbar,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 2 THEN 1.0 ELSE 0.0 END AS y
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-(vbar - 50.0) / 10.0)), 3) AS t, y
+  FROM per_user
+),
+cells AS (
+  SELECT t,
+         SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN y > 0 THEN 0 ELSE 1 END) AS neg
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+  FROM cells
+),
+cum AS (
+  SELECT t,
+         CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+         CAST(SUM(neg) OVER w AS BIGINT) AS fp
+  FROM cells
+  WINDOW w AS (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scoredrows AS (
+  SELECT c.t, c.tp, c.fp,
+         CAST(o.p - c.tp AS BIGINT) AS fn,
+         CAST(o.n - c.fp AS BIGINT) AS tn,
+         ROUND(c.tp / CAST(o.p AS DOUBLE), 6) AS tpr,
+         ROUND(c.fp / CAST(o.n AS DOUBLE), 6) AS fpr,
+         ROUND(CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fp AS DOUBLE), 6)
+           AS precision,
+         ROUND(2.0 * CAST(c.tp AS DOUBLE)
+               / CAST(2.0 * c.tp + c.fp + o.p - c.tp AS DOUBLE), 6) AS f1,
+         ROUND(c.tp / CAST(o.p AS DOUBLE) - c.fp / CAST(o.n AS DOUBLE), 6)
+           AS j
+  FROM cum c CROSS JOIN tot o
+)
+SELECT 'youden' AS criterion, t AS threshold, tp, fp, fn, tn,
+       tpr, fpr, precision, f1, j
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY j DESC, t ASC) AS rn
+      FROM scoredrows) WHERE rn = 1
+UNION ALL
+SELECT 'f1' AS criterion, t AS threshold, tp, fp, fn, tn,
+       tpr, fpr, precision, f1, j
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY f1 DESC, t ASC) AS rn
+      FROM scoredrows) WHERE rn = 1
+"""
+
+EXT11_QUERIES.update({"x272_threshold_sweep": q_x272_threshold_sweep})
+EXT11_ORACLES.update({"x272_threshold_sweep": SQL_X272})

@@ -6997,3 +6997,32 @@ def test_meta_analysis_pooling_and_heterogeneity(spark):
     rb = meta_analysis(bad, "effect", "var", ["s"]).collect()[0]
     assert rb["k"] == 1 and rb["theta"] == 1.0
     assert rb["p_homogeneity"] is None
+
+
+def test_threshold_sweep_separable(spark):
+    from fame2pygen_spark.operators.quality import threshold_sweep
+
+    # perfectly separable at t = 0.5
+    rows = [(0.2 + (i % 3) * 0.05, 0.0) for i in range(30)]
+    rows += [(0.8 + (i % 3) * 0.05, 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "p double, y double")
+    out = {r["criterion"]: r for r in threshold_sweep(
+        df, "p", "y"
+    ).collect()}
+    for crit in ("youden", "f1"):
+        r = out[crit]
+        assert r["tp"] == 20 and r["fp"] == 0
+        assert r["tpr"] == 1.0 and r["fpr"] == 0.0
+        assert r["j"] == 1.0 and r["f1"] == 1.0
+        assert r["threshold"] == 0.8  # lowest all-positive cut
+
+    # imbalanced noisy case: F1 and J may pick different cuts, and
+    # both rows must report internally-consistent confusion counts
+    rows2 = [(0.1 * (i % 10), float(1 if i % 7 == 0 else 0))
+             for i in range(140)]
+    out2 = threshold_sweep(
+        spark.createDataFrame(rows2, "p double, y double"), "p", "y"
+    ).collect()
+    for r in out2:
+        assert r["tp"] + r["fn"] == 20
+        assert r["fp"] + r["tn"] == 120

@@ -86,6 +86,9 @@ SENSITIVE = [
     "x265_tail_dependence",
     "x266_pacf",
     "x268_segmented_trend",
+    "x269_hitting_prob",
+    "x270_brier",
+    "x271_meta_analysis",
 ]
 
 
