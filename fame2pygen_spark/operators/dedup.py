@@ -1737,3 +1737,102 @@ def capture_recapture(
             ).alias("coverage_union"),
         )
     )
+
+
+def schnabel_estimate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    *,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Multi-list Schnabel census (Schnabel 1938, Am. Math. Monthly;
+    the k-source generalization of the x258 two-source
+    Lincoln–Petersen): treat each source as one sampling occasion in
+    a deterministic order, and estimate the population as
+    ``N̂ = Σ_t C_t·M_t / Σ_t R_t`` — C_t the occasion's catch, M_t
+    the number "marked" before occasion t (seen in ANY earlier
+    source), R_t the recaptures (occasion items already marked).
+    Uses ALL pairwise-and-higher overlap structure at once, where
+    x258 discards everything beyond each pair.
+
+    Scale shape: one distinct (source, unit) pass; each unit's FIRST
+    source comes from one unit-keyed min; occasion tallies
+    (C_t, R_t) are one source-keyed agg; the M_t prefix runs over the
+    |sources|-row occasion table.  Occasion order = lexicographic
+    source name (any fixed order is valid for the estimator and
+    deterministic for the oracle).
+
+    Output (single row): ``k_sources, n_units_seen, sum_cm, sum_r,
+    n_hat, coverage`` — coverage = distinct units held / N̂ (6 dp;
+    null N̂ when no recaptures ever happen).
+    """
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    )
+    if shingle_n is None:
+        units = base.select(
+            F.col(source_col).alias("src"),
+            text_fingerprint(F.col(text_col)).alias("fp"),
+        ).distinct()
+    else:
+        n = int(shingle_n)
+        nt = base.select(
+            F.col(source_col).alias("src"),
+            normalized_text(F.col(text_col)).alias("__nt"),
+        )
+        idx = F.when(
+            F.length("__nt") >= n,
+            F.sequence(F.lit(1), F.length("__nt") - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        units = (
+            nt.select("src", F.explode(idx).alias("__i"), "__nt")
+            .select(
+                "src",
+                F.md5(F.substring(F.col("__nt"), F.col("__i"), n)).alias(
+                    "fp"
+                ),
+            )
+            .distinct()
+        )
+    first = units.groupBy("fp").agg(F.min("src").alias("__first"))
+    tagged = units.join(first, "fp").withColumn(
+        "__recap", (F.col("src") > F.col("__first")).cast("long")
+    )
+    occ = tagged.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum("__recap").cast("long").alias("__r"),
+        F.sum(F.lit(1) - F.col("__recap")).cast("long").alias("__new"),
+    )
+    wm = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("src")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = occ.select(
+        "src",
+        "__c",
+        "__r",
+        F.coalesce(F.sum("__new").over(wm), F.lit(0)).alias("__m"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_sources"),
+        F.sum("__c").cast("long").alias("__sumc"),
+        F.sum(F.col("__c") * F.col("__m")).cast("long").alias("sum_cm"),
+        F.sum("__r").cast("long").alias("sum_r"),
+        (F.sum("__c") - F.sum("__r")).cast("long").alias("n_units_seen"),
+    )
+    nhat = F.try_divide(
+        F.col("sum_cm").cast("double"), F.col("sum_r").cast("double")
+    )
+    return agg.select(
+        "k_sources",
+        "n_units_seen",
+        "sum_cm",
+        "sum_r",
+        F.round(nhat, 6).alias("n_hat"),
+        F.round(
+            F.try_divide(F.col("n_units_seen").cast("double"), nhat), 6
+        ).alias("coverage"),
+    )

@@ -1932,3 +1932,71 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY f1 DESC, t ASC) AS rn
 
 EXT11_QUERIES.update({"x272_threshold_sweep": q_x272_threshold_sweep})
 EXT11_ORACLES.update({"x272_threshold_sweep": SQL_X272})
+
+
+# ----------------------------- x273: Schnabel multi-list census
+
+
+def q_x273_schnabel(spark, sf_dir):
+    """All-sources Schnabel census of the passage population
+    (operators/dedup.py:schnabel_estimate over 30-char shingles) —
+    the k-list generalization of x258 that uses every recapture, not
+    one pair at a time."""
+    from .operators.dedup import schnabel_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return schnabel_estimate(
+        docs, "text", "doc_id", "source", shingle_n=30
+    )
+
+
+SQL_X273 = """
+WITH docs AS (
+  SELECT source AS src,
+         trim(regexp_replace(lower(text), '\\\\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+units AS (
+  SELECT DISTINCT d.src, md5(substr(d.t, CAST(i.i AS INTEGER), 30)) AS fp
+  FROM docs d,
+       LATERAL (SELECT unnest(range(1, greatest(length(d.t) - 29, 0) + 1))
+                AS i) i
+  WHERE length(d.t) >= 30
+),
+first AS (SELECT fp, MIN(src) AS fsrc FROM units GROUP BY 1),
+tagged AS (
+  SELECT u.src, CASE WHEN u.src > f.fsrc THEN 1 ELSE 0 END AS recap
+  FROM units u JOIN first f ON f.fp = u.fp
+),
+occ AS (
+  SELECT src, COUNT(*) AS c, SUM(recap) AS r,
+         SUM(1 - recap) AS newu
+  FROM tagged GROUP BY 1
+),
+terms AS (
+  SELECT src, c, r,
+         COALESCE(SUM(newu) OVER (ORDER BY src
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+  FROM occ
+),
+agg AS (
+  SELECT COUNT(*) AS k_sources,
+         SUM(c) AS sumc,
+         SUM(c * m) AS sum_cm,
+         SUM(r) AS sum_r,
+         SUM(c) - SUM(r) AS n_units_seen
+  FROM terms
+)
+SELECT CAST(k_sources AS BIGINT) AS k_sources,
+       CAST(n_units_seen AS BIGINT) AS n_units_seen,
+       CAST(sum_cm AS BIGINT) AS sum_cm,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       ROUND(CAST(sum_cm AS DOUBLE) / CAST(sum_r AS DOUBLE), 6) AS n_hat,
+       ROUND(CAST(n_units_seen AS DOUBLE)
+             / (CAST(sum_cm AS DOUBLE) / CAST(sum_r AS DOUBLE)), 6)
+         AS coverage
+FROM agg
+"""
+
+EXT11_QUERIES.update({"x273_schnabel": q_x273_schnabel})
+EXT11_ORACLES.update({"x273_schnabel": SQL_X273})

@@ -7026,3 +7026,30 @@ def test_threshold_sweep_separable(spark):
     for r in out2:
         assert r["tp"] + r["fn"] == 20
         assert r["fp"] + r["tn"] == 120
+
+
+def test_schnabel_estimate_hand_census(spark):
+    from fame2pygen_spark.operators.dedup import schnabel_estimate
+
+    # population {1..5}; occasions A={1,2,3}, B={2,3,4}, C={1,4,5}
+    # order A,B,C: C=(3,3,3)  M=(0,3,4)  R=(0,2,2)
+    # sum CM = 0 + 9 + 12 = 21 ; sum R = 4 -> N_hat = 5.25
+    def docs(src, ids):
+        return [(src, i, f"doc number {i}") for i in ids]
+
+    rows = docs("A", [1, 2, 3]) + docs("B", [2, 3, 4]) + docs("C", [1, 4, 5])
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    r = schnabel_estimate(df, "text", "doc_id", "source").collect()[0]
+    assert r["k_sources"] == 3
+    assert r["n_units_seen"] == 5
+    assert r["sum_cm"] == 21 and r["sum_r"] == 4
+    assert r["n_hat"] == 5.25
+    assert r["coverage"] == round(5 / 5.25, 6)
+
+    # disjoint sources: no recaptures -> null estimate
+    dis = docs("A", [1, 2]) + docs("B", [3, 4])
+    rd = schnabel_estimate(
+        spark.createDataFrame(dis, "source string, doc_id long, text string"),
+        "text", "doc_id", "source",
+    ).collect()[0]
+    assert rd["sum_r"] == 0 and rd["n_hat"] is None

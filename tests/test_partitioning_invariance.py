@@ -89,6 +89,7 @@ SENSITIVE = [
     "x269_hitting_prob",
     "x270_brier",
     "x271_meta_analysis",
+    "x272_threshold_sweep",
 ]
 
 
