@@ -3041,3 +3041,123 @@ def naive_bayes_confusion(
     return pred.groupBy("label", "predicted").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+def text_tiling_boundaries(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    block_tokens: int = 20,
+    z_cut: float = 1.0,
+) -> DataFrame:
+    """TextTiling-style topic-boundary detection (Hearst 1997,
+    Computational Linguistics — the block-comparison variant): tile
+    each document into fixed *block_tokens* blocks, score every
+    adjacent block pair by term-vector cosine, and flag boundaries
+    where cohesion drops more than *z_cut* standard deviations below
+    the document's mean gap score.  The structural chunker behind
+    retrieval-corpus preparation: fixed-size chunking (x27) cuts
+    mid-topic; tiling cuts WHERE THE VOCABULARY SHIFTS, which is what
+    you want embedded as one unit.
+
+    Scale shape: one tokenization pass → (doc, block, term) counts →
+    adjacent-pair cosine via ONE equi-join on (doc, term) with
+    block+1 (integer sums; the norm join is per-(doc, block)) → a
+    doc-keyed mean/std window for the z-score.  Everything is keyed
+    by doc; no cross-document work at all.
+
+    Output: one row per interior gap — ``doc_id, gap (block index of
+    the right block), cos_sim, z, is_boundary`` (6 dp; documents
+    with < 3 blocks emit nothing — no gap statistics).
+    """
+    df = _parallelize_input(df)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    ).withColumn("block", (F.col("pos") / F.lit(int(block_tokens))).cast("int"))
+    tc = toks.groupBy("doc_id", "block", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    norms = tc.groupBy("doc_id", "block").agg(
+        F.sum(F.col("c") * F.col("c")).alias("__n2")
+    )
+    nblocks = norms.groupBy("doc_id").agg(
+        F.max("block").alias("__maxb")
+    )
+    dots = (
+        tc.alias("a")
+        .join(
+            tc.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("b.block") == F.col("a.block") + 1),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            (F.col("a.block") + 1).alias("gap"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("__dot"))
+    )
+    # gaps with zero shared terms have no dot row: rebuild the full
+    # gap list from the block table so cos = 0 gaps still score
+    gaps = (
+        norms.select("doc_id", (F.col("block") + 1).alias("gap"))
+        .join(
+            norms.select("doc_id", F.col("block").alias("gap"), "__n2"),
+            ["doc_id", "gap"],
+        )
+        .select("doc_id", "gap", F.col("__n2").alias("__n2r"))
+    )
+    left = norms.select(
+        "doc_id", (F.col("block") + 1).alias("gap"), F.col("__n2").alias("__n2l")
+    )
+    scored = (
+        gaps.join(left, ["doc_id", "gap"])
+        .join(dots, ["doc_id", "gap"], "left")
+        .select(
+            "doc_id",
+            "gap",
+            F.round(
+                F.coalesce(F.col("__dot"), F.lit(0)).cast("double")
+                / (
+                    F.sqrt(F.col("__n2l").cast("double"))
+                    * F.sqrt(F.col("__n2r").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    k = F.count(F.lit(1)).over(wd)
+    stats = scored.select(
+        "doc_id",
+        "gap",
+        "cos_sim",
+        k.alias("__k"),
+        (
+            F.sum(F.col("cos_sim").cast("decimal(28,6)")).over(wd)
+            .cast("double")
+            / k
+        ).alias("__mu"),
+        (
+            F.sum(
+                (F.col("cos_sim") * F.col("cos_sim")).cast("decimal(38,12)")
+            ).over(wd)
+            .cast("double")
+            / k
+        ).alias("__m2"),
+    ).where(F.col("__k") >= 2)
+    sd = F.sqrt(
+        F.greatest(
+            F.col("__m2") - F.col("__mu") * F.col("__mu"), F.lit(0.0)
+        )
+    )
+    z = F.try_divide(F.col("cos_sim") - F.col("__mu"), sd)
+    return stats.select(
+        "doc_id",
+        F.col("gap").cast("long").alias("gap"),
+        "cos_sim",
+        F.round(z, 6).alias("z"),
+        (z < F.lit(-float(z_cut))).alias("is_boundary"),
+    )

@@ -2000,3 +2000,77 @@ FROM agg
 
 EXT11_QUERIES.update({"x273_schnabel": q_x273_schnabel})
 EXT11_ORACLES.update({"x273_schnabel": SQL_X273})
+
+
+# ----------------------------- x274: TextTiling topic boundaries
+
+
+def q_x274_text_tiling(spark, sf_dir):
+    """Vocabulary-shift chunk boundaries per document
+    (operators/text.py:text_tiling_boundaries): 20-token blocks,
+    adjacent-block cosine, boundaries where cohesion drops a full
+    standard deviation below the doc mean — where retrieval chunks
+    SHOULD be cut, vs x27's fixed-size cuts."""
+    from .operators.text import text_tiling_boundaries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_tiling_boundaries(
+        docs, "text", "doc_id", block_tokens=20, z_cut=1.0
+    )
+
+
+SQL_X274 = """
+WITH toks AS (
+  SELECT doc_id, (i - 1) // 20 AS block, tk[CAST(i AS INTEGER)] AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+             t -> t <> '') AS tk
+    FROM documents
+  ), LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) i
+),
+tc AS (
+  SELECT doc_id, block, w, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3
+),
+norms AS (
+  SELECT doc_id, block, SUM(c * c) AS n2 FROM tc GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.doc_id, a.block + 1 AS gap, SUM(a.c * b.c) AS dot
+  FROM tc a JOIN tc b
+    ON a.doc_id = b.doc_id AND a.w = b.w AND b.block = a.block + 1
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT l.doc_id, l.gap,
+         ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+               / (sqrt(CAST(l.n2l AS DOUBLE)) * sqrt(CAST(r.n2 AS DOUBLE))),
+               6) AS cos_sim
+  FROM (SELECT doc_id, block + 1 AS gap, n2 AS n2l FROM norms) l
+  JOIN norms r ON r.doc_id = l.doc_id AND r.block = l.gap
+  LEFT JOIN dots d ON d.doc_id = l.doc_id AND d.gap = l.gap
+),
+stats AS (
+  SELECT doc_id, gap, cos_sim,
+         COUNT(*) OVER wd AS k,
+         CAST(SUM(CAST(cos_sim AS DECIMAL(28,6))) OVER wd AS DOUBLE)
+           / COUNT(*) OVER wd AS mu,
+         CAST(SUM(CAST(cos_sim * cos_sim AS DECIMAL(38,12))) OVER wd
+              AS DOUBLE) / COUNT(*) OVER wd AS m2
+  FROM scored
+  WINDOW wd AS (PARTITION BY doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gap AS BIGINT) AS gap,
+       cos_sim,
+       ROUND((cos_sim - mu)
+             / NULLIF(sqrt(GREATEST(m2 - mu * mu, 0.0)), 0.0), 6) AS z,
+       (cos_sim - mu)
+         / NULLIF(sqrt(GREATEST(m2 - mu * mu, 0.0)), 0.0) < -1.0
+         AS is_boundary
+FROM stats WHERE k >= 2
+"""
+
+EXT11_QUERIES.update({"x274_text_tiling": q_x274_text_tiling})
+EXT11_ORACLES.update({"x274_text_tiling": SQL_X274})

@@ -7053,3 +7053,27 @@ def test_schnabel_estimate_hand_census(spark):
         "text", "doc_id", "source",
     ).collect()[0]
     assert rd["sum_r"] == 0 and rd["n_hat"] is None
+
+
+def test_text_tiling_planted_topic_shift(spark):
+    from fame2pygen_spark.operators.text import text_tiling_boundaries
+
+    # 3 blocks of 5 tokens: blocks 0,1 share vocab; block 2 disjoint
+    topic_a = "cat dog bird fish mouse"
+    topic_b = "quark lepton boson gluon photon"
+    doc = f"{topic_a} {topic_a} {topic_b}"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = {r["gap"]: r for r in text_tiling_boundaries(
+        df, "text", "doc_id", block_tokens=5, z_cut=0.5
+    ).collect()}
+    assert out[1]["cos_sim"] == 1.0      # identical blocks
+    assert out[2]["cos_sim"] == 0.0      # disjoint vocabulary
+    assert out[2]["is_boundary"] and not out[1]["is_boundary"]
+
+    # short doc (< 3 blocks) emits nothing
+    short = spark.createDataFrame(
+        [(2, "one two three four five six")], "doc_id long, text string"
+    )
+    assert text_tiling_boundaries(
+        short, "text", "doc_id", block_tokens=5
+    ).count() == 0
