@@ -2532,3 +2532,77 @@ def segmented_trend(
             6,
         ).alias("improvement"),
     )
+
+
+def decomposition_strength(
+    decomposed: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Trend and seasonal strength indices (Hyndman & Athanasopoulos,
+    *Forecasting: Principles and Practice* §STL features; Wang,
+    Smith & Hyndman 2006):
+
+    ``F_t = max(0, 1 − Var(resid)/Var(trend + resid))``
+    ``F_s = max(0, 1 − Var(resid)/Var(seasonal + resid))``
+
+    — computed over the output of :func:`seasonal_decompose`, turning
+    a per-row decomposition into the two per-series numbers a fleet
+    dashboard ranks by: which of a million series are genuinely
+    trending / seasonal, and which are noise (the triage x259's MASE
+    answers from the forecasting side; x230 finds the period, this
+    scores how much of the variance the period explains).
+
+    One keyed hash agg of decimal-quantized component moments over
+    rows where all components are defined (the moving-average trend
+    is null at series edges).
+
+    Output per group: ``(*group_cols, n, trend_strength,
+    seasonal_strength)`` (6 dp; null when a denominator variance
+    degenerates to 0).
+    """
+    g = list(group_cols)
+    dec12 = "decimal(38,12)"
+    base = decomposed.where(
+        F.col("trend").isNotNull()
+        & F.col("seasonal").isNotNull()
+        & F.col("resid").isNotNull()
+    )
+
+    def _moments(col: Column, tag: str):
+        return [
+            F.sum(col.cast(dec12)).cast("double").alias(f"__s{tag}"),
+            F.sum((col * col).cast(dec12)).cast("double").alias(
+                f"__q{tag}"
+            ),
+        ]
+
+    tr = F.col("trend") + F.col("resid")
+    sr = F.col("seasonal") + F.col("resid")
+    agg = base.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *_moments(F.col("resid"), "r"),
+        *_moments(tr, "t"),
+        *_moments(sr, "s"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _var(tag: str):
+        return (
+            F.col(f"__q{tag}") / nd
+            - (F.col(f"__s{tag}") / nd) * (F.col(f"__s{tag}") / nd)
+        )
+
+    ft = F.when(
+        _var("t") > 0,
+        F.greatest(F.lit(0.0), F.lit(1.0) - _var("r") / _var("t")),
+    )
+    fs = F.when(
+        _var("s") > 0,
+        F.greatest(F.lit(0.0), F.lit(1.0) - _var("r") / _var("s")),
+    )
+    return agg.select(
+        *g,
+        "n",
+        F.round(ft, 6).alias("trend_strength"),
+        F.round(fs, 6).alias("seasonal_strength"),
+    )

@@ -2074,3 +2074,88 @@ FROM stats WHERE k >= 2
 
 EXT11_QUERIES.update({"x274_text_tiling": q_x274_text_tiling})
 EXT11_ORACLES.update({"x274_text_tiling": SQL_X274})
+
+
+# ----------------------------- x275: trend/seasonal strength
+
+
+def q_x275_strength(spark, sf_dir):
+    """Per-region trend and seasonal strength of monthly revenue
+    (operators/temporal.py:decomposition_strength over the x186
+    decomposition) — the two numbers that triage a million series:
+    how much variance the trend and the period actually explain."""
+    from .operators.temporal import (
+        decomposition_strength, seasonal_decompose,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+    )
+    monthly = base.groupBy(
+        F.col("r_name"),
+        F.trunc(F.col("o_orderdate"), "month").alias("month"),
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("rev")
+    )
+    dec = seasonal_decompose(monthly, "month", "rev", ("r_name",), period=12)
+    return decomposition_strength(dec, ("r_name",)).orderBy("r_name")
+
+
+def _sql_x275() -> str:
+    from .queries_ext8 import _sql_x186
+
+    inner = _sql_x186().strip()
+    tail = "ORDER BY d.r_name, d.ts"
+    assert inner.endswith(tail)
+    inner = inner[: -len(tail)].strip()
+    return f"""
+WITH dec AS (
+{inner}
+),
+agg AS (
+  SELECT r_name, COUNT(*) AS n,
+    CAST(SUM(CAST(resid AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+    CAST(SUM(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE) AS qr,
+    CAST(SUM(CAST(trend + resid AS DECIMAL(38,12))) AS DOUBLE) AS st,
+    CAST(SUM(CAST((trend + resid) * (trend + resid) AS DECIMAL(38,12)))
+         AS DOUBLE) AS qt,
+    CAST(SUM(CAST(seasonal + resid AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+    CAST(SUM(CAST((seasonal + resid) * (seasonal + resid)
+         AS DECIMAL(38,12))) AS DOUBLE) AS qs
+  FROM dec
+  WHERE trend IS NOT NULL AND seasonal IS NOT NULL AND resid IS NOT NULL
+  GROUP BY 1
+)
+SELECT r_name, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN qt / n - (st / n) * (st / n) > 0
+    THEN GREATEST(0.0, 1.0 - (qr / n - (sr / n) * (sr / n))
+                        / (qt / n - (st / n) * (st / n))) END, 6)
+    AS trend_strength,
+  ROUND(CASE WHEN qs / n - (ss / n) * (ss / n) > 0
+    THEN GREATEST(0.0, 1.0 - (qr / n - (sr / n) * (sr / n))
+                        / (qs / n - (ss / n) * (ss / n))) END, 6)
+    AS seasonal_strength
+FROM agg
+ORDER BY r_name
+"""
+
+
+EXT11_QUERIES.update({"x275_strength": q_x275_strength})
+EXT11_ORACLES.update({"x275_strength": _sql_x275()})

@@ -7077,3 +7077,32 @@ def test_text_tiling_planted_topic_shift(spark):
     assert text_tiling_boundaries(
         short, "text", "doc_id", block_tokens=5
     ).count() == 0
+
+
+def test_decomposition_strength_planted(spark):
+    from fame2pygen_spark.operators.temporal import (
+        decomposition_strength, seasonal_decompose,
+    )
+
+    season = [8.0, -2.0, -5.0, -1.0]
+    rows = []
+    for t in range(24):
+        # strong trend + strong period-4 seasonal, tiny deterministic noise
+        rows.append(
+            ("strong", t, 5.0 * t + season[t % 4] * 10 + ((t * 7) % 3) * 0.1)
+        )
+        # pure bounded pseudo-noise: no trend, no stable seasonality
+        rows.append(("noise", t, float((t * 2654435761) % 97) / 10.0))
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    dec = seasonal_decompose(df, "t", "y", ("g",), period=4)
+    out = {r["g"]: r for r in decomposition_strength(
+        dec, ("g",)
+    ).collect()}
+    s, n = out["strong"], out["noise"]
+    assert s["trend_strength"] > 0.99
+    assert s["seasonal_strength"] > 0.99
+    # MA-smoothed noise picks up some apparent trend (Slutsky–Yule);
+    # the comparative ordering is the robust claim
+    assert n["trend_strength"] < s["trend_strength"] - 0.2
+    assert n["seasonal_strength"] < s["seasonal_strength"] - 0.2
+    assert n["seasonal_strength"] < 0.8
