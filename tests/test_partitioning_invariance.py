@@ -90,6 +90,8 @@ SENSITIVE = [
     "x270_brier",
     "x271_meta_analysis",
     "x272_threshold_sweep",
+    "x274_text_tiling",
+    "x275_strength",
 ]
 
 
