@@ -2606,3 +2606,142 @@ def decomposition_strength(
         F.round(ft, 6).alias("trend_strength"),
         F.round(fs, 6).alias("seasonal_strength"),
     )
+
+
+def block_bootstrap_se(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    y_col: str,
+    *,
+    block_len: int = 7,
+    n_boot: int = 200,
+    salt: str = "bb",
+) -> DataFrame:
+    """Circular block bootstrap SE of the series mean (Künsch 1989;
+    circular variant Politis & Romano 1992): resample length-L blocks
+    with wraparound until n points are drawn, B times, and read the
+    SE off the replicate means — the uncertainty estimate that
+    SURVIVES autocorrelation, where the iid bootstrap (x192) and the
+    naive s/√n are anticonservative exactly when x70/x229 say the
+    series remembers itself.  ``inflation = se_block/se_iid`` is the
+    effective-sample-size deflation a day-grain metric carries into
+    any CI.
+
+    Derandomized like every sampling operator here: block offsets are
+    md5 draws keyed by (group, replicate, block), so the B replicates
+    are a fixed function of the data and an oracle replays them.  Per
+    group the ordered value array is collected once (day grain —
+    thousands of points, not raw events; the x221 unit-collapse
+    discipline), block sums are SEQUENTIAL index-order folds, and
+    cross-replicate moments are decimal-quantized.
+
+    Output per group: ``(*group_cols, n, n_boot, mean, se_block,
+    se_iid, inflation)`` (6 dp; groups with n < 2·block_len emit
+    nothing — too short to block-resample meaningfully).
+    """
+    from .sketch import _hash64
+
+    g = list(group_cols)
+    L = int(block_len)
+    B = int(n_boot)
+    dec12 = "decimal(38,12)"
+    arr = (
+        series.where(F.col(y_col).isNotNull() & F.col(t_col).isNotNull())
+        .groupBy(*g)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(t_col).alias("t"),
+                        F.col(y_col).cast("double").alias("y"),
+                    )
+                )
+            ).alias("__s"),
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.sum(F.col(y_col).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("__sy"),
+            F.sum(
+                (F.col(y_col) * F.col(y_col)).cast(dec12)
+            )
+            .cast("double")
+            .alias("__syy"),
+        )
+        .where(F.col("n") >= 2 * L)
+        .withColumn("__v", F.transform("__s", lambda s: s["y"]))
+        .drop("__s")
+        .withColumn(
+            "__gkey", F.concat_ws("|", *[F.col(c).cast("string") for c in g])
+        )
+    )
+    nblocks = F.ceil(F.col("n") / F.lit(L)).cast("int")
+    grid = arr.select(
+        *g,
+        "__gkey",
+        "n",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+    ).select(
+        *g,
+        "__gkey",
+        "n",
+        "__v",
+        "__b",
+        F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("__j"),
+        nblocks.alias("__nb"),
+    )
+    off = _hash64(
+        F.concat_ws(":", F.col("__gkey"), F.col("__b"), F.col("__j")), salt
+    ) % F.col("n")
+    blen = F.when(
+        F.col("__j") < F.col("__nb") - 1, F.lit(L)
+    ).otherwise(F.col("n") - (F.col("__nb") - 1) * F.lit(L))
+    bsum = F.aggregate(
+        F.sequence(F.lit(0), blen - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("__v"),
+            (((F.col("__o") + i) % F.col("n")) + 1).cast("int"),
+        ),
+    )
+    blocks = grid.withColumn("__o", off).select(
+        *g,
+        "n",
+        "__b",
+        bsum.cast(dec12).alias("__bs"),
+    )
+    reps = blocks.groupBy(*g, "n", "__b").agg(
+        (F.sum("__bs").cast("double") / F.col("n").cast("double")).alias(
+            "__m"
+        )
+    )
+    boot = reps.groupBy(*g, "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        F.sum(F.col("__m").cast(dec12)).cast("double").alias("__sm"),
+        F.sum((F.col("__m") * F.col("__m")).cast(dec12))
+        .cast("double")
+        .alias("__smm"),
+    )
+    base = arr.select(*g, F.col("n"), "__sy", "__syy")
+    nd = F.col("n").cast("double")
+    bm = F.col("__sm") / F.col("n_boot").cast("double")
+    var_b = (
+        F.col("__smm") - F.col("__sm") * F.col("__sm") / F.col("n_boot")
+    ) / (F.col("n_boot") - F.lit(1)).cast("double")
+    se_b = F.sqrt(F.greatest(var_b, F.lit(0.0)))
+    out = boot.join(base, [*g, "n"])
+    var_iid = (
+        F.col("__syy") - F.col("__sy") * F.col("__sy") / nd
+    ) / (nd - F.lit(1.0))
+    se_iid = F.sqrt(F.greatest(var_iid, F.lit(0.0)) / nd)
+    return out.select(
+        *g,
+        F.col("n").cast("long").alias("n"),
+        "n_boot",
+        F.round(F.col("__sy") / nd, 6).alias("mean"),
+        F.round(se_b, 6).alias("se_block"),
+        F.round(se_iid, 6).alias("se_iid"),
+        F.round(F.try_divide(se_b, se_iid), 6).alias("inflation"),
+    )

@@ -2159,3 +2159,102 @@ ORDER BY r_name
 
 EXT11_QUERIES.update({"x275_strength": q_x275_strength})
 EXT11_ORACLES.update({"x275_strength": _sql_x275()})
+
+
+# ----------------------------- x276: circular block bootstrap
+
+
+def q_x276_block_bootstrap(spark, sf_dir):
+    """Autocorrelation-honest SE of the daily mean value per event
+    type (operators/temporal.py:block_bootstrap_se): 200 derandomized
+    circular length-7-block replicates; inflation = se_block/se_iid
+    is the effective-sample deflation x192's iid bootstrap misses."""
+    from .operators.temporal import block_bootstrap_se
+
+    ev = _read_events(spark, sf_dir)
+    day = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("x")
+        )
+    )
+    return block_bootstrap_se(
+        day, ["event_type"], "day", "x", block_len=7, n_boot=200
+    ).orderBy("event_type")
+
+
+SQL_X276 = """
+WITH day AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+               / COUNT(*), 6) AS x
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type,
+         list(x ORDER BY day) AS v,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM day GROUP BY 1 HAVING COUNT(*) >= 14
+),
+grid AS (
+  SELECT a.event_type, a.v, a.n, a.sy, a.syy, b.b, j.j,
+         CAST(CEIL(a.n / 7.0) AS INTEGER) AS nb
+  FROM arr a
+  CROSS JOIN (SELECT unnest(range(200)) AS b) b,
+  LATERAL (SELECT unnest(range(CAST(CEIL(a.n / 7.0) AS INTEGER))) AS j) j
+),
+blocks AS (
+  SELECT event_type, n, sy, syy, b,
+    CAST(list_reduce(list_transform(
+      range(0, CASE WHEN j < nb - 1 THEN 7 ELSE n - (nb - 1) * 7 END),
+      i -> v[CAST((((('0x' || substr(md5('bb:' || event_type || ':'
+                || CAST(b AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))
+                ::BIGINT % n) + i) % n) + 1 AS INTEGER)]),
+      (acc, x) -> acc + x) AS DECIMAL(38,12)) AS bs
+  FROM grid
+),
+reps AS (
+  SELECT event_type, n, sy, syy, b,
+         CAST(SUM(bs) AS DOUBLE) / CAST(n AS DOUBLE) AS m
+  FROM blocks GROUP BY 1, 2, 3, 4, 5
+),
+boot AS (
+  SELECT event_type, n, sy, syy,
+         COUNT(*) AS n_boot,
+         CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS smm
+  FROM reps GROUP BY 1, 2, 3, 4
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_boot AS BIGINT) AS n_boot,
+       ROUND(sy / CAST(n AS DOUBLE), 6) AS mean,
+       ROUND(sqrt(GREATEST((smm - sm * sm / n_boot)
+             / CAST(n_boot - 1 AS DOUBLE), 0.0)), 6) AS se_block,
+       ROUND(sqrt(GREATEST((syy - sy * sy / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0), 0.0) / CAST(n AS DOUBLE)), 6)
+         AS se_iid,
+       ROUND(sqrt(GREATEST((smm - sm * sm / n_boot)
+             / CAST(n_boot - 1 AS DOUBLE), 0.0))
+             / sqrt(GREATEST((syy - sy * sy / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0), 0.0) / CAST(n AS DOUBLE)), 6)
+         AS inflation
+FROM boot
+ORDER BY event_type
+"""
+
+EXT11_QUERIES.update({"x276_block_bootstrap": q_x276_block_bootstrap})
+EXT11_ORACLES.update({"x276_block_bootstrap": SQL_X276})

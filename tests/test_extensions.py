@@ -7106,3 +7106,35 @@ def test_decomposition_strength_planted(spark):
     assert n["trend_strength"] < s["trend_strength"] - 0.2
     assert n["seasonal_strength"] < s["seasonal_strength"] - 0.2
     assert n["seasonal_strength"] < 0.8
+
+
+def test_block_bootstrap_se_autocorrelation_inflation(spark):
+    from fame2pygen_spark.operators.temporal import block_bootstrap_se
+
+    # strongly autocorrelated series (slow sine-ish ramp cycles) vs
+    # hash-white series of the same length and scale
+    rows = []
+    for t in range(84):
+        rows.append(("smooth", t, float(t % 28)))  # long runs, high rho1
+        rows.append(
+            ("white", t, float((t * 2654435761) % 29))
+        )
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    out = {r["g"]: r for r in block_bootstrap_se(
+        df, ["g"], "t", "y", block_len=7, n_boot=100
+    ).collect()}
+    s, w = out["smooth"], out["white"]
+    assert s["n"] == 84 and s["n_boot"] == 100
+    # autocorrelated series: block SE well above the iid SE
+    assert s["inflation"] > 1.5
+    # white series: block SE in the same ballpark as iid
+    assert 0.4 < w["inflation"] < 2.0
+    assert s["mean"] == round(sum(t % 28 for t in range(84)) / 84, 6)
+
+    # too-short group emits nothing
+    short = spark.createDataFrame(
+        [("s", t, 1.0 * t) for t in range(10)], "g string, t long, y double"
+    )
+    assert block_bootstrap_se(
+        short, ["g"], "t", "y", block_len=7
+    ).count() == 0
