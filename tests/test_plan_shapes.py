@@ -920,3 +920,65 @@ def test_self_bleu_pairing_never_plans_cartesian(spark):
     # the pairing is a bucket-keyed lead window, never an n x n join
     plan = plan_of(spark, "x247_self_bleu")
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x248_ams_join_size",     # two single-pass counter aggs
+        "x249_als_step",          # pair agg + broadcast factors
+        "x250_kmeanspp",          # scan filter + 1-row phi exchange
+        "x251_mantel_haenszel",   # stratum agg + 1-row reduce
+        "x253_feature_hashing",   # tokenize + (doc,dim) agg
+        "x257_good_turing",       # two keyed aggs + broadcast joins
+        "x261_nb_confusion",      # class fanout + word-key join
+        "x263_mix_shift",         # one stratum agg + term reduce
+        "x264_reducer_loads",     # key-count agg + per-P re-aggs
+        "x271_meta_analysis",     # k-row effect table reduces
+    ],
+)
+def test_r4_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x248_ams_join_size",   # pure aggregate pipeline
+        "x250_kmeanspp",        # scan-stage admission filter only
+        "x253_feature_hashing", # aggregate pipeline
+        "x263_mix_shift",       # aggregate pipeline
+        "x264_reducer_loads",   # aggregate pipeline
+        "x270_brier",           # bin-keyed aggregate pipeline
+        "x271_meta_analysis",   # aggregate pipeline
+    ],
+)
+def test_r4_aggregate_operators_have_no_window(spark, name):
+    plan = plan_of(spark, name)
+    assert "Window" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # keyed diagnostics: every window must carry a PartitionBy —
+        # the skew_profile rule for the round-6 additions.  (x272's
+        # sweep window is over the bounded quantized grid and x255's
+        # global top-k collapses to a heap; both audited separately.)
+        "x254_cooks_distance",
+        "x259_mase",
+        "x262_markov_eval",
+        "x266_pacf",
+        "x268_segmented_trend",
+        "x274_text_tiling",
+        "x276_block_bootstrap",
+    ],
+)
+def test_r4_keyed_windows_are_partitioned(spark, name):
+    assert unpartitioned_windows(spark, name) == []
+
+
+def test_hill_tail_global_topk_is_a_heap(spark):
+    plan = plan_of(spark, "x255_hill_tail")
+    assert "CartesianProduct" not in plan
