@@ -92,6 +92,7 @@ SENSITIVE = [
     "x272_threshold_sweep",
     "x274_text_tiling",
     "x275_strength",
+    "x276_block_bootstrap",
 ]
 
 
