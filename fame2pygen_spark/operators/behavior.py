@@ -2954,3 +2954,123 @@ def meta_analysis(
         F.round(i2, 6).alias("i2"),
         F.round(p_hom, 6).alias("p_homogeneity"),
     )
+
+
+def yuen_trimmed_test(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    *,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test (Yuen 1974, Biometrika):
+    Welch's t computed on γ-trimmed means with WINSORIZED variances —
+    the robust A/B readout for heavy-tailed metrics, where the raw
+    Welch test (x237) hands a single whale user the whole verdict and
+    winsorizing alone (x44) biases the SE.  Trimmed mean + winsorized
+    variance is the matched pair with known asymptotics; Yuen's df is
+    the Satterthwaite form on effective sizes ``h = n − 2g``.
+
+    Per arm: one keyed rank window (value asc, the exact-order-
+    statistic idiom) marks the g-th and (n−g+1)-th order statistics;
+    values clamp to them for the winsorized moments, rows inside the
+    window feed the trimmed mean — both from ONE pass after the rank;
+    all means/variances from decimal-quantized sums.
+
+    Output (single row): ``n_a, n_b, h_a, h_b, mean_a, mean_b,
+    delta, se, t, df, p_value`` (6 dp; the p uses the shared A&S
+    normal tail — exact enough at the h this test needs anyway).
+    """
+    from .quality import normal_p_two_sided
+
+    dec6, dec12 = "decimal(28,6)", "decimal(38,12)"
+    gam = float(trim)
+    v = F.col(value_col).cast("double")
+    arm = F.col(arm_col).cast("string")
+    base = df.where(v.isNotNull() & arm.isin("a", "b")).select(
+        arm.alias("__arm"), v.alias("__v")
+    )
+    w = Window.partitionBy("__arm").orderBy("__v")
+    wn = Window.partitionBy("__arm")
+    ranked = base.select(
+        "__arm",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    ).withColumn("__g", F.floor(F.lit(gam) * F.col("__n")).cast("long"))
+    lo = F.max(
+        F.when(F.col("__rn") == F.col("__g") + 1, F.col("__v"))
+    ).over(wn)
+    hi = F.max(
+        F.when(F.col("__rn") == F.col("__n") - F.col("__g"), F.col("__v"))
+    ).over(wn)
+    staged = ranked.select(
+        "__arm",
+        "__v",
+        "__rn",
+        "__n",
+        "__g",
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    )
+    wins = F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi"))
+    inside = (F.col("__rn") > F.col("__g")) & (
+        F.col("__rn") <= F.col("__n") - F.col("__g")
+    )
+    per_arm = staged.groupBy("__arm").agg(
+        F.first("__n").alias("n"),
+        F.first("__g").alias("g"),
+        F.sum(F.when(inside, F.col("__v")).cast(dec6))
+        .cast("double")
+        .alias("__st"),
+        F.sum(wins.cast(dec6)).cast("double").alias("__sw"),
+        F.sum((wins * wins).cast(dec12)).cast("double").alias("__sww"),
+    )
+    h = (F.col("n") - 2 * F.col("g")).cast("double")
+    nd = F.col("n").cast("double")
+    mt = F.col("__st") / h
+    sw2 = (
+        F.col("__sww") - F.col("__sw") * F.col("__sw") / nd
+    ) / (nd - F.lit(1.0))
+    flat = per_arm.select(
+        "__arm",
+        F.col("n").cast("long").alias("n"),
+        h.alias("__h"),
+        mt.alias("__mt"),
+        sw2.alias("__sw2"),
+    )
+    a = flat.where(F.col("__arm") == "a").select(
+        F.col("n").alias("n_a"),
+        F.col("__h").alias("__ha"),
+        F.col("__mt").alias("__ma"),
+        F.col("__sw2").alias("__va"),
+    )
+    b = flat.where(F.col("__arm") == "b").select(
+        F.col("n").alias("n_b"),
+        F.col("__h").alias("__hb"),
+        F.col("__mt").alias("__mb"),
+        F.col("__sw2").alias("__vb"),
+    )
+    j = a.crossJoin(b)
+    da = F.col("__va") / (F.col("__ha") * (F.col("__ha") - F.lit(1.0)))
+    db = F.col("__vb") / (F.col("__hb") * (F.col("__hb") - F.lit(1.0)))
+    se = F.sqrt(da + db)
+    t = F.try_divide(F.col("__ma") - F.col("__mb"), se)
+    dfree = F.try_divide(
+        (da + db) * (da + db),
+        da * da / (F.col("__ha") - F.lit(1.0))
+        + db * db / (F.col("__hb") - F.lit(1.0)),
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.col("__ha").cast("long").alias("h_a"),
+        F.col("__hb").cast("long").alias("h_b"),
+        F.round(F.col("__ma"), 6).alias("mean_a"),
+        F.round(F.col("__mb"), 6).alias("mean_b"),
+        F.round(F.col("__ma") - F.col("__mb"), 6).alias("delta"),
+        F.round(se, 6).alias("se"),
+        F.round(t, 6).alias("t"),
+        F.round(dfree, 6).alias("df"),
+        F.round(normal_p_two_sided(t), 6).alias("p_value"),
+    )

@@ -2258,3 +2258,114 @@ ORDER BY event_type
 
 EXT11_QUERIES.update({"x276_block_bootstrap": q_x276_block_bootstrap})
 EXT11_ORACLES.update({"x276_block_bootstrap": SQL_X276})
+
+
+# ----------------------------- x277: Yuen trimmed-mean A/B
+
+
+def q_x277_yuen(spark, sf_dir):
+    """Robust A/A readout on per-user mean value
+    (operators/behavior.py:yuen_trimmed_test, 10% trim): trimmed
+    means with winsorized variances — the heavy-tail-proof companion
+    to the raw Welch test (x237)."""
+    from .operators.behavior import yuen_trimmed_test
+    from .operators.sketch import _hash64
+
+    ev = _read_events(spark, sf_dir)
+    per_user = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("y")
+        )
+        .select(
+            F.when(
+                _hash64(F.col("user_id"), "ab") / F.lit(4294967296.0)
+                < F.lit(0.5),
+                "a",
+            )
+            .otherwise("b")
+            .alias("arm"),
+            "y",
+        )
+    )
+    return yuen_trimmed_test(per_user, "arm", "y", trim=0.1)
+
+
+def _sql_x277() -> str:
+    from .queries_ext9 import _normal_p_two_sided_sql
+
+    return f"""
+WITH per_user AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS arm,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+               / COUNT(*), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+ranked AS (
+  SELECT arm, v,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY arm) AS n
+  FROM per_user
+),
+gstage AS (
+  SELECT *, CAST(FLOOR(0.1 * n) AS BIGINT) AS g FROM ranked
+),
+bounds AS (
+  SELECT arm,
+         MAX(CASE WHEN rn = g + 1 THEN v END) AS lo,
+         MAX(CASE WHEN rn = n - g THEN v END) AS hi
+  FROM gstage GROUP BY arm
+),
+per_arm AS (
+  SELECT s.arm, ANY_VALUE(s.n) AS n, ANY_VALUE(s.g) AS g,
+    CAST(SUM(CAST(CASE WHEN s.rn > s.g AND s.rn <= s.n - s.g
+              THEN s.v END AS DECIMAL(28,6))) AS DOUBLE) AS st,
+    CAST(SUM(CAST(LEAST(GREATEST(s.v, b.lo), b.hi) AS DECIMAL(28,6)))
+         AS DOUBLE) AS sw,
+    CAST(SUM(CAST(LEAST(GREATEST(s.v, b.lo), b.hi)
+              * LEAST(GREATEST(s.v, b.lo), b.hi) AS DECIMAL(38,12)))
+         AS DOUBLE) AS sww
+  FROM gstage s JOIN bounds b ON b.arm = s.arm
+  GROUP BY s.arm
+),
+flat AS (
+  SELECT arm, n,
+         CAST(n - 2 * g AS DOUBLE) AS h,
+         st / CAST(n - 2 * g AS DOUBLE) AS mt,
+         (sww - sw * sw / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+           AS sw2
+  FROM per_arm
+),
+j AS (
+  SELECT a.n AS n_a, b.n AS n_b, a.h AS ha, b.h AS hb,
+         a.mt AS ma, b.mt AS mb,
+         a.sw2 / (a.h * (a.h - 1.0)) AS da,
+         b.sw2 / (b.h * (b.h - 1.0)) AS db
+  FROM (SELECT * FROM flat WHERE arm = 'a') a
+  CROSS JOIN (SELECT * FROM flat WHERE arm = 'b') b
+),
+fin AS (
+  SELECT *, (ma - mb) / sqrt(da + db) AS traw FROM j
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND(ma - mb, 6) AS delta,
+       ROUND(sqrt(da + db), 6) AS se,
+       ROUND(traw, 6) AS t,
+       ROUND((da + db) * (da + db)
+             / (da * da / (ha - 1.0) + db * db / (hb - 1.0)), 6) AS df,
+       ROUND({_normal_p_two_sided_sql("traw")}, 6) AS p_value
+FROM fin
+"""
+
+
+EXT11_QUERIES.update({"x277_yuen": q_x277_yuen})
+EXT11_ORACLES.update({"x277_yuen": _sql_x277()})

@@ -7138,3 +7138,27 @@ def test_block_bootstrap_se_autocorrelation_inflation(spark):
     assert block_bootstrap_se(
         short, ["g"], "t", "y", block_len=7
     ).count() == 0
+
+
+def test_yuen_trimmed_test_whale_resistance(spark):
+    from fame2pygen_spark.operators.behavior import yuen_trimmed_test
+
+    # identical arms except one whale in arm a: Yuen must shrug it off
+    base = [float(10 + (i % 5)) for i in range(40)]
+    rows = [("a", v) for v in base] + [("b", v) for v in base]
+    rows.append(("a", 10_000.0))  # the whale
+    df = spark.createDataFrame(rows, "arm string, y double")
+    r = yuen_trimmed_test(df, "arm", "y", trim=0.1).collect()[0]
+    # g = floor(0.1*41) = 4 for arm a — the whale is trimmed AND
+    # winsorized away; the trimmed means stay near-identical
+    assert abs(r["delta"]) < 0.5
+    assert abs(r["t"]) < 2.0
+    assert r["n_a"] == 41 and r["h_a"] == 41 - 8
+    assert r["p_value"] > 0.05
+
+    # genuine shift survives trimming
+    rows2 = [("a", v + 5.0) for v in base] + [("b", v) for v in base]
+    r2 = yuen_trimmed_test(
+        spark.createDataFrame(rows2, "arm string, y double"), "arm", "y"
+    ).collect()[0]
+    assert r2["delta"] == 5.0 and r2["p_value"] < 0.001
