@@ -93,6 +93,7 @@ SENSITIVE = [
     "x274_text_tiling",
     "x275_strength",
     "x276_block_bootstrap",
+    "x277_yuen",
 ]
 
 
