@@ -193,3 +193,64 @@ def compaction_plan(
             F.sum(F.col(size_col).cast("long")) >= F.lit(int(target_size))
         ).alias("reaches_target"),
     )
+
+
+def zone_map_skip_audit(
+    file_stats: DataFrame,
+    predicates: DataFrame,
+    *,
+    layout_cols: Sequence[str] = ("layout",),
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+    rows_col: str = "n_rows",
+    pred_id_col: str = "pred_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Zone-map pruning audit: replay a predicate workload against a
+    file manifest's per-file min/max statistics and report, per
+    (layout, predicate), how many files a stats-aware reader would
+    SKIP without opening them — the number that decides whether a
+    100 TB scan touches 100 TB or 1 TB.
+
+    A file is *hit* by ``[lo, hi]`` iff its envelope overlaps:
+    ``NOT (max < lo OR min > hi)`` — the exact test parquet readers
+    (and Delta/Iceberg data skipping) apply to row-group / file
+    statistics.  ``rows_bound`` is the upper bound on rows read (sum
+    of hit files' row counts): the honest cost model for a layout,
+    since a reader cannot skip inside a hit file without page stats.
+
+    Run it on candidate layouts side by side (hash-scattered vs
+    key-sorted vs predicate-column-sorted manifests) before choosing
+    a table's clustering: the layout whose ``skip_frac`` stays near 1
+    under the real workload is the one to ship.
+
+    Scale shape: the manifest is metadata (one row per file — a 100 TB
+    table is ~10^5 files), the workload is tiny and broadcast, so the
+    audit is a broadcast nested-loop over metadata only — it never
+    touches the data files themselves.  Integer column algebra
+    throughout; the single ratio is a ratio of integers rounded at 6.
+    """
+    parts = [F.col(c) for c in layout_cols]
+    joined = file_stats.join(F.broadcast(predicates))
+    hit = ~(
+        (F.col(max_col) < F.col(lo_col))
+        | (F.col(min_col) > F.col(hi_col))
+    )
+    return (
+        joined.withColumn("__hit", hit.cast("long"))
+        .groupBy(*parts, F.col(pred_id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum("__hit").cast("long").alias("files_hit"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("__hit").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("skip_frac"),
+            F.sum(
+                F.col("__hit") * F.col(rows_col).cast("long")
+            ).cast("long").alias("rows_bound"),
+        )
+    )

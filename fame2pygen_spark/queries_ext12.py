@@ -1,0 +1,153 @@
+"""Round-7 extension queries (x278+): storage-layout economics and
+decision statistics — zone-map skip audits, differentially-private
+release gauges, propensity-weighted effects, posterior A/B readouts.
+
+Same contract as :mod:`fame2pygen_spark.queries_ext`: every query is
+``(spark, sf_dir) -> DataFrame`` with column names/types matching its
+ANSI-SQL DuckDB oracle exactly (driver compare = exact stringified
+value hash after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries_ext import _read_events
+
+EXT12_QUERIES: dict = {}
+EXT12_ORACLES: dict = {}
+
+
+# ----------------------------- x278: zone-map skip audit
+
+
+def q_x278_zone_map(spark, sf_dir):
+    """Data-skipping audit (operators/layout.py:zone_map_skip_audit):
+    replay eight 90-day range predicates against per-file min/max day
+    stats of three candidate orders layouts — hash-scattered,
+    key-range, and date-clustered 64-file manifests.  The date layout
+    should skip ~7/8 of files per predicate; the hash layout ~0 —
+    measured, not assumed, before choosing a table's clustering."""
+    from .operators.layout import zone_map_skip_audit
+    from .operators.sketch import _hash64
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.where(
+        F.col("o_orderkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("day"),
+    )
+    mm = base.agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+    wb = base.join(F.broadcast(mm))
+    tagged = (
+        wb.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("hash").alias("layout"),
+                        (_hash64(F.col("k"), "zm") % 64)
+                        .cast("long")
+                        .alias("file"),
+                    ),
+                    F.struct(
+                        F.lit("key").alias("layout"),
+                        F.expr("((k - min_k) * 64) div (max_k - min_k + 1)")
+                        .cast("long")
+                        .alias("file"),
+                    ),
+                    F.struct(
+                        F.lit("date").alias("layout"),
+                        F.expr(
+                            "((day - min_day) * 64)"
+                            " div (max_day - min_day + 1)"
+                        )
+                        .cast("long")
+                        .alias("file"),
+                    ),
+                )
+            ).alias("lf"),
+            "day",
+        )
+        .select(
+            F.col("lf.layout").alias("layout"),
+            F.col("lf.file").alias("file"),
+            "day",
+        )
+    )
+    fs = tagged.groupBy("layout", "file").agg(
+        F.min("day").alias("min_v"),
+        F.max("day").alias("max_v"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    preds = spark.range(8).join(F.broadcast(mm)).select(
+        F.col("id").cast("long").alias("pred_id"),
+        (F.col("min_day") + F.col("id") * 90).alias("lo"),
+        (F.col("min_day") + F.col("id") * 90 + 89).alias("hi"),
+    )
+    return zone_map_skip_audit(fs, preds).orderBy("layout", "pred_id")
+
+
+SQL_X278 = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+mm AS (
+  SELECT MIN(k) AS min_k, MAX(k) AS max_k,
+         MIN(day) AS min_day, MAX(day) AS max_day
+  FROM base
+),
+tagged AS (
+  SELECT 'hash' AS layout,
+         ('0x' || substr(md5('zm:' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+           % 64 AS file,
+         day
+  FROM base
+  UNION ALL
+  SELECT 'key', ((k - mm.min_k) * 64) // (mm.max_k - mm.min_k + 1), day
+  FROM base, mm
+  UNION ALL
+  SELECT 'date',
+         ((day - mm.min_day) * 64) // (mm.max_day - mm.min_day + 1), day
+  FROM base, mm
+),
+fs AS (
+  SELECT layout, file, MIN(day) AS min_v, MAX(day) AS max_v,
+         COUNT(*) AS n_rows
+  FROM tagged GROUP BY layout, file
+),
+preds AS (
+  SELECT r AS pred_id, mm.min_day + r * 90 AS lo,
+         mm.min_day + r * 90 + 89 AS hi
+  FROM range(8) t(r), mm
+),
+j AS (
+  SELECT f.layout, p.pred_id,
+         CASE WHEN NOT (f.max_v < p.lo OR f.min_v > p.hi)
+              THEN 1 ELSE 0 END AS hit,
+         f.n_rows
+  FROM fs f CROSS JOIN preds p
+)
+SELECT layout, CAST(pred_id AS BIGINT) AS pred_id,
+       CAST(COUNT(*) AS BIGINT) AS files_total,
+       CAST(SUM(hit) AS BIGINT) AS files_hit,
+       ROUND(1.0 - CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+             6) AS skip_frac,
+       CAST(SUM(hit * n_rows) AS BIGINT) AS rows_bound
+FROM j
+GROUP BY layout, pred_id
+ORDER BY layout, pred_id
+"""
+
+EXT12_QUERIES.update({"x278_zone_map": q_x278_zone_map})
+EXT12_ORACLES.update({"x278_zone_map": SQL_X278})

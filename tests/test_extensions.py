@@ -7162,3 +7162,39 @@ def test_yuen_trimmed_test_whale_resistance(spark):
         spark.createDataFrame(rows2, "arm string, y double"), "arm", "y"
     ).collect()[0]
     assert r2["delta"] == 5.0 and r2["p_value"] < 0.001
+
+
+def test_zone_map_skip_audit_layout_separation(spark):
+    from fame2pygen_spark.operators.layout import zone_map_skip_audit
+
+    # 4 files per layout over value space 0..39; predicates [0,9], [20,29]
+    # "sorted": file f holds [10f, 10f+9] -> exactly one hit per pred
+    # "scattered": every file spans the whole range -> zero skipping
+    fs = spark.createDataFrame(
+        [("sorted", f, 10 * f, 10 * f + 9, 100) for f in range(4)]
+        + [("scattered", f, 0, 39, 100) for f in range(4)],
+        "layout string, file long, min_v long, max_v long, n_rows long",
+    )
+    preds = spark.createDataFrame(
+        [(0, 0, 9), (1, 20, 29)], "pred_id long, lo long, hi long"
+    )
+    out = {
+        (r["layout"], r["pred_id"]): r
+        for r in zone_map_skip_audit(fs, preds).collect()
+    }
+    for p in (0, 1):
+        s = out[("sorted", p)]
+        assert s["files_hit"] == 1 and s["skip_frac"] == 0.75
+        assert s["rows_bound"] == 100
+        sc = out[("scattered", p)]
+        assert sc["files_hit"] == 4 and sc["skip_frac"] == 0.0
+        assert sc["rows_bound"] == 400
+
+    # boundary touch counts as a hit (envelope overlap is inclusive)
+    touch = spark.createDataFrame(
+        [("t", 0, 9, 9, 5)],
+        "layout string, file long, min_v long, max_v long, n_rows long",
+    )
+    p0 = spark.createDataFrame([(0, 9, 20)], "pred_id long, lo long, hi long")
+    r = zone_map_skip_audit(touch, p0).collect()[0]
+    assert r["files_hit"] == 1 and r["rows_bound"] == 5
