@@ -1784,3 +1784,108 @@ def threshold_sweep(
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    epsilons: Sequence[float] = (0.1, 1.0, 10.0),
+    salt: str = "dp",
+    sensitivity: float = 1.0,
+) -> DataFrame:
+    """Differential-privacy utility gauge: release per-group counts
+    under the Laplace mechanism (Dwork-McSherry-Nissim-Smith 2006) at
+    an epsilon ladder and measure what each privacy level costs in
+    count accuracy — run on NON-sensitive calibration data to pick
+    the epsilon a production release can afford.
+
+    Count queries have L1 sensitivity *sensitivity* (=1: one
+    individual moves one group), so adding ``Laplace(sensitivity/eps)``
+    noise to every group count is eps-DP.  The noise draw is
+    derandomized: uniform ``u = (h64(salt:eps_idx:groupkey)+0.5)/2^32``
+    through the Laplace inverse CDF ``-b*sgn(u-.5)*ln(1-2|u-.5|)`` —
+    reproducible across engines and partitionings, the repo's standard
+    md5 derandomization (cf. sketch._hash64).  Release is clamped at 0
+    and rounded to an integer, the usual post-processing (both DP-safe:
+    post-processing cannot leak).
+
+    THIS IS THE AUDIT HARNESS: it emits true and released counts side
+    by side to measure utility.  A production release keeps only
+    ``(group, epsilon, n_released)`` — never ship ``n_true`` or the
+    error columns next to a release of actually-sensitive data.
+
+    Scale: one hash aggregation for the counts, then a tiny
+    literal-array explode (|epsilons| rows per group) of pure per-row
+    column algebra — no extra shuffle, no float accumulation at all,
+    so the result is trivially partition-invariant."""
+    parts = [F.col(c) for c in group_cols]
+    counts = df.groupBy(*parts).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    eps_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ei"), F.lit(float(e)).alias("epsilon")
+            )
+            for i, e in enumerate(epsilons)
+        ]
+    )
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in group_cols]
+    )
+    expl = counts.select(
+        *[F.col(c) for c in group_cols],
+        "n_true",
+        F.explode(eps_structs).alias("e"),
+        key.alias("__key"),
+    ).select(
+        *[F.col(c) for c in group_cols],
+        "n_true",
+        F.col("e.ei").alias("__ei"),
+        F.col("e.epsilon").alias("epsilon"),
+        "__key",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("__ei").cast("string"),
+                        F.col("__key"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = (
+        F.lit(-float(sensitivity))
+        / F.col("epsilon")
+        * F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    released = F.greatest(
+        F.lit(0.0), F.round(F.col("n_true") + noise, 0)
+    ).cast("long")
+    return expl.select(
+        *[F.col(c) for c in group_cols],
+        "epsilon",
+        "n_true",
+        released.alias("n_released"),
+        F.abs(released - F.col("n_true")).cast("long").alias("abs_err"),
+        F.round(
+            F.try_divide(
+                F.abs(released - F.col("n_true")).cast("double"),
+                F.col("n_true").cast("double"),
+            ),
+            6,
+        ).alias("rel_err"),
+    )

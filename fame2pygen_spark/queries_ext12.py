@@ -151,3 +151,68 @@ ORDER BY layout, pred_id
 
 EXT12_QUERIES.update({"x278_zone_map": q_x278_zone_map})
 EXT12_ORACLES.update({"x278_zone_map": SQL_X278})
+
+
+# ----------------------------- x279: DP noisy counts
+
+
+def q_x279_dp_counts(spark, sf_dir):
+    """Laplace-mechanism utility gauge (operators/quality.py:
+    dp_noisy_counts) on documents (source, lang) counts at
+    epsilon in {0.1, 1, 10}: how much count accuracy each privacy
+    budget costs — derandomized draws, measured on release-shaped
+    non-sensitive data."""
+    from .operators.quality import dp_noisy_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dp_noisy_counts(
+        docs.where(
+            F.col("source").isNotNull() & F.col("lang").isNotNull()
+        ),
+        ["source", "lang"],
+        epsilons=(0.1, 1.0, 10.0),
+    )
+    return out.orderBy("source", "lang", "epsilon")
+
+
+SQL_X279 = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n_true
+  FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY source, lang
+),
+eps AS (
+  SELECT * FROM (VALUES (0, 0.1), (1, 1.0), (2, 10.0)) e(ei, epsilon)
+),
+j AS (
+  SELECT c.source, c.lang, c.n_true, e.ei, e.epsilon,
+         (('0x' || substr(md5('dp:' || CAST(e.ei AS VARCHAR) || ':'
+             || c.source || '|' || c.lang), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0 AS u
+  FROM counts c CROSS JOIN eps e
+),
+n AS (
+  SELECT *,
+         -(1.0 / epsilon)
+           * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+  FROM j
+),
+rel AS (
+  SELECT source, lang, epsilon, n_true,
+         CAST(GREATEST(0.0, ROUND(n_true + noise, 0)) AS BIGINT)
+           AS n_released
+  FROM n
+)
+SELECT source, lang, epsilon, n_true,
+       n_released,
+       CAST(ABS(n_released - n_true) AS BIGINT) AS abs_err,
+       ROUND(CAST(ABS(n_released - n_true) AS DOUBLE)
+             / CAST(n_true AS DOUBLE), 6) AS rel_err
+FROM rel
+ORDER BY source, lang, epsilon
+"""
+
+EXT12_QUERIES.update({"x279_dp_counts": q_x279_dp_counts})
+EXT12_ORACLES.update({"x279_dp_counts": SQL_X279})

@@ -7198,3 +7198,25 @@ def test_zone_map_skip_audit_layout_separation(spark):
     p0 = spark.createDataFrame([(0, 9, 20)], "pred_id long, lo long, hi long")
     r = zone_map_skip_audit(touch, p0).collect()[0]
     assert r["files_hit"] == 1 and r["rows_bound"] == 5
+
+
+def test_dp_noisy_counts_epsilon_ladder(spark):
+    from fame2pygen_spark.operators.quality import dp_noisy_counts
+
+    rows = [(f"g{i % 20}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string")  # 20 groups x 100
+    out = dp_noisy_counts(df, ["g"], epsilons=(0.1, 1.0, 10.0))
+    rs = out.collect()
+    assert len(rs) == 60 and all(r["n_true"] == 100 for r in rs)
+    assert all(r["n_released"] >= 0 for r in rs)
+    # mean absolute error must fall as epsilon rises (b = 1/eps)
+    mae = {}
+    for eps in (0.1, 1.0, 10.0):
+        errs = [r["abs_err"] for r in rs if r["epsilon"] == eps]
+        mae[eps] = sum(errs) / len(errs)
+    assert mae[0.1] > mae[1.0] >= mae[10.0]
+    # eps=10 releases are near-exact (b = 0.1)
+    assert mae[10.0] <= 1.0
+    # derandomized: a second run is bitwise identical
+    again = dp_noisy_counts(df, ["g"], epsilons=(0.1, 1.0, 10.0)).collect()
+    assert sorted(map(str, rs)) == sorted(map(str, again))
