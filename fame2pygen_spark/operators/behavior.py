@@ -3074,3 +3074,162 @@ def yuen_trimmed_test(
         F.round(dfree, 6).alias("df"),
         F.round(normal_p_two_sided(t), 6).alias("p_value"),
     )
+
+
+def ipw_ate(
+    units: DataFrame,
+    *,
+    treat_col: str = "t",
+    outcome_col: str = "y",
+    covariate_col: str = "x",
+    clip: tuple = (0.01, 0.99),
+) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Horvitz-Thompson 1952 /
+    Rosenbaum-Rubin 1983, Hajek form): when treatment take-up is
+    CONFOUNDED with a covariate, the raw treated-vs-control mean
+    difference is selection bias, not effect — reweighting each unit
+    by ``1/P(T=t|x)`` recovers the population contrast.
+
+    The propensity model is one closed-form Newton step of logistic
+    regression from ``beta = 0`` (where ``p = 1/2`` uniformly, so the
+    Hessian is exactly ``X'X/4`` and the step is
+    ``beta = 4 (X'X)^{-1} X'(T - 1/2)`` — a deterministic 2x2 solve,
+    no iterative fitting to seed-drift across engines).  One step
+    captures the monotone confounding direction, which is what the
+    reweighting needs; it is NOT a converged MLE and the docvalue is
+    the audit contrast, not the coefficients.
+
+    Propensities are clipped to *clip* (overlap trimming) and weights
+    are STABILIZED (``pbar/p`` and ``(1-pbar)/(1-p)``), the standard
+    variance guard.  ``ess_treat``/``ess_ctrl`` report Kish effective
+    sample sizes ``(sum w)^2 / sum w^2`` — an IPW readout whose ESS
+    collapsed is a failed overlap diagnostic, not an estimate.
+
+    Plan shape: two 1-row decimal-moment aggregates (Newton step;
+    final contrast) with a broadcast join between them — no windows,
+    no per-unit state, partition-invariant by decimal staging.
+
+    Input: one row per unit with ``treat_col`` in {0,1},
+    ``outcome_col`` and ``covariate_col`` numeric.  Returns one row:
+    ``(n, n_treat, b0, b1, ate_raw, ate_ipw, ess_treat, ess_ctrl)``.
+    """
+    dec = "decimal(38,12)"
+    t = F.col(treat_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    base = units.select(
+        t.alias("__t"), x.alias("__x"), y.alias("__y")
+    ).where(
+        F.col("__t").isNotNull()
+        & F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col("__t").cast(dec)).cast("double").alias("__st"),
+        F.sum(F.col("__x").cast(dec)).cast("double").alias("__sx"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec))
+        .cast("double")
+        .alias("__sxx"),
+        F.sum(
+            (F.col("__x") * (F.col("__t") - F.lit(0.5))).cast(dec)
+        )
+        .cast("double")
+        .alias("__sg1"),
+    )
+    det = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    g0 = F.col("__st") - F.lit(0.5) * F.col("__n")
+    b0 = F.lit(4.0) * F.try_divide(
+        F.col("__sxx") * g0 - F.col("__sx") * F.col("__sg1"), det
+    )
+    b1 = F.lit(4.0) * F.try_divide(
+        F.col("__n") * F.col("__sg1") - F.col("__sx") * g0, det
+    )
+    params = mom.select(
+        "__n",
+        "__st",
+        b0.alias("__b0"),
+        b1.alias("__b1"),
+        (F.col("__st") / F.col("__n")).alias("__pbar"),
+    )
+    scored = base.crossJoin(F.broadcast(params))
+    z = F.greatest(
+        F.lit(-30.0),
+        F.least(
+            F.lit(30.0), F.col("__b0") + F.col("__b1") * F.col("__x")
+        ),
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p_c = F.greatest(
+        F.lit(float(clip[0])), F.least(F.lit(float(clip[1])), p)
+    )
+    w = F.when(
+        F.col("__t") > 0.5, F.col("__pbar") / p_c
+    ).otherwise((F.lit(1.0) - F.col("__pbar")) / (F.lit(1.0) - p_c))
+    ww = scored.withColumn("__w", w)
+    fin = ww.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__t").cast(dec)).cast("long").alias("n_treat"),
+        F.max("__b0").alias("b0r"),
+        F.max("__b1").alias("b1r"),
+        F.sum((F.col("__y") * F.col("__t")).cast(dec))
+        .cast("double")
+        .alias("syt"),
+        F.sum((F.col("__y") * (1 - F.col("__t"))).cast(dec))
+        .cast("double")
+        .alias("syc"),
+        F.sum((F.col("__w") * F.col("__y") * F.col("__t")).cast(dec))
+        .cast("double")
+        .alias("swyt"),
+        F.sum((F.col("__w") * F.col("__t")).cast(dec))
+        .cast("double")
+        .alias("swt"),
+        F.sum(
+            (F.col("__w") * F.col("__y") * (1 - F.col("__t"))).cast(dec)
+        )
+        .cast("double")
+        .alias("swyc"),
+        F.sum((F.col("__w") * (1 - F.col("__t"))).cast(dec))
+        .cast("double")
+        .alias("swc"),
+        F.sum(
+            (F.col("__w") * F.col("__w") * F.col("__t")).cast(dec)
+        )
+        .cast("double")
+        .alias("swwt"),
+        F.sum(
+            (F.col("__w") * F.col("__w") * (1 - F.col("__t"))).cast(dec)
+        )
+        .cast("double")
+        .alias("swwc"),
+    )
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n").cast("double") - nt
+    return fin.select(
+        "n",
+        "n_treat",
+        F.round(F.col("b0r"), 6).alias("b0"),
+        F.round(F.col("b1r"), 6).alias("b1"),
+        F.round(
+            F.try_divide(F.col("syt"), nt)
+            - F.try_divide(F.col("syc"), nc),
+            6,
+        ).alias("ate_raw"),
+        F.round(
+            F.try_divide(F.col("swyt"), F.col("swt"))
+            - F.try_divide(F.col("swyc"), F.col("swc")),
+            6,
+        ).alias("ate_ipw"),
+        F.round(
+            F.try_divide(
+                F.col("swt") * F.col("swt"), F.col("swwt")
+            ),
+            6,
+        ).alias("ess_treat"),
+        F.round(
+            F.try_divide(
+                F.col("swc") * F.col("swc"), F.col("swwc")
+            ),
+            6,
+        ).alias("ess_ctrl"),
+    )

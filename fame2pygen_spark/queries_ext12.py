@@ -216,3 +216,120 @@ ORDER BY source, lang, epsilon
 
 EXT12_QUERIES.update({"x279_dp_counts": q_x279_dp_counts})
 EXT12_ORACLES.update({"x279_dp_counts": SQL_X279})
+
+
+# ----------------------------- x280: IPW average treatment effect
+
+
+def q_x280_ipw_ate(spark, sf_dir):
+    """Propensity-corrected treatment contrast (operators/behavior.py:
+    ipw_ate) on a planted confounded take-up: treatment probability
+    rises with user activity x = ln(1+n_events) while the outcome
+    (total value) also rises with x, so the raw contrast is selection
+    bias — the stabilized-IPW readout is the corrected one."""
+    from .operators.behavior import ipw_ate
+    from .operators.mixing import uniform_hash01
+
+    ev = _read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,12)")).cast("double"),
+            6,
+        ).alias("y"),
+    )
+    x = F.log(F.lit(1.0) + F.col("n_ev").cast("double"))
+    take_p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(x - F.lit(3.0)))
+    )
+    units = per_user.where(F.col("y").isNotNull()).select(
+        x.alias("x"),
+        "y",
+        F.when(
+            uniform_hash01(F.col("user_id"), "ipw") < take_p, F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t"),
+    )
+    return ipw_ate(units, treat_col="t", outcome_col="y", covariate_col="x")
+
+
+SQL_X280 = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_ev,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE), 6)
+           AS y
+  FROM events GROUP BY user_id
+),
+units AS (
+  SELECT ln(1.0 + CAST(n_ev AS DOUBLE)) AS x, y,
+         CASE WHEN ('0x' || substr(md5('ipw:' || CAST(user_id AS
+                VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+              < 1.0 / (1.0 + exp(-(ln(1.0 + CAST(n_ev AS DOUBLE))
+                                   - 3.0)))
+              THEN 1.0 ELSE 0.0 END AS t
+  FROM per_user WHERE y IS NOT NULL
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS st,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * (t - 0.5) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sg1
+  FROM units
+),
+params AS (
+  SELECT n, st,
+         4.0 * (sxx * (st - 0.5 * n) - sx * sg1)
+           / (n * sxx - sx * sx) AS b0,
+         4.0 * (n * sg1 - sx * (st - 0.5 * n))
+           / (n * sxx - sx * sx) AS b1,
+         st / n AS pbar
+  FROM mom
+),
+scored AS (
+  SELECT u.t, u.x, u.y, p.b0, p.b1, p.pbar,
+         GREATEST(0.01, LEAST(0.99,
+           1.0 / (1.0 + exp(-GREATEST(-30.0, LEAST(30.0,
+                p.b0 + p.b1 * u.x)))))) AS pc
+  FROM units u CROSS JOIN params p
+),
+ww AS (
+  SELECT *, CASE WHEN t > 0.5 THEN pbar / pc
+                 ELSE (1.0 - pbar) / (1.0 - pc) END AS w
+  FROM scored
+),
+fin AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(t AS DECIMAL(38,12))) AS BIGINT) AS n_treat,
+         MAX(b0) AS b0r, MAX(b1) AS b1r,
+         CAST(SUM(CAST(y * t AS DECIMAL(38,12))) AS DOUBLE) AS syt,
+         CAST(SUM(CAST(y * (1 - t) AS DECIMAL(38,12))) AS DOUBLE)
+           AS syc,
+         CAST(SUM(CAST(w * y * t AS DECIMAL(38,12))) AS DOUBLE)
+           AS swyt,
+         CAST(SUM(CAST(w * t AS DECIMAL(38,12))) AS DOUBLE) AS swt,
+         CAST(SUM(CAST(w * y * (1 - t) AS DECIMAL(38,12))) AS DOUBLE)
+           AS swyc,
+         CAST(SUM(CAST(w * (1 - t) AS DECIMAL(38,12))) AS DOUBLE)
+           AS swc,
+         CAST(SUM(CAST(w * w * t AS DECIMAL(38,12))) AS DOUBLE)
+           AS swwt,
+         CAST(SUM(CAST(w * w * (1 - t) AS DECIMAL(38,12))) AS DOUBLE)
+           AS swwc
+  FROM ww
+)
+SELECT n, n_treat,
+       ROUND(b0r, 6) AS b0, ROUND(b1r, 6) AS b1,
+       ROUND(syt / CAST(n_treat AS DOUBLE)
+             - syc / (CAST(n AS DOUBLE) - CAST(n_treat AS DOUBLE)), 6)
+         AS ate_raw,
+       ROUND(swyt / swt - swyc / swc, 6) AS ate_ipw,
+       ROUND(swt * swt / swwt, 6) AS ess_treat,
+       ROUND(swc * swc / swwc, 6) AS ess_ctrl
+FROM fin
+"""
+
+EXT12_QUERIES.update({"x280_ipw_ate": q_x280_ipw_ate})
+EXT12_ORACLES.update({"x280_ipw_ate": SQL_X280})

@@ -7220,3 +7220,31 @@ def test_dp_noisy_counts_epsilon_ladder(spark):
     # derandomized: a second run is bitwise identical
     again = dp_noisy_counts(df, ["g"], epsilons=(0.1, 1.0, 10.0)).collect()
     assert sorted(map(str, rs)) == sorted(map(str, again))
+
+
+def test_ipw_ate_corrects_confounded_takeup(spark):
+    from fame2pygen_spark.operators.behavior import ipw_ate
+
+    # x = activity decile; take-up probability rises with x; outcome
+    # y = 10x (+ effect*t).  Raw contrast inherits the x gradient.
+    def units(effect):
+        rows = []
+        for i in range(1000):
+            x = float(i % 10)
+            u = ((i * 2654435761) % 997) / 997.0  # deterministic uniform
+            t = 1.0 if u < (0.1 + 0.08 * x) else 0.0
+            rows.append((t, x, 10.0 * x + effect * t))
+        return spark.createDataFrame(rows, "t double, x double, y double")
+
+    null_r = ipw_ate(units(0.0)).collect()[0]
+    # no true effect: IPW must strip most of the selection bias
+    assert abs(null_r["ate_raw"]) > 5.0
+    assert abs(null_r["ate_ipw"]) < abs(null_r["ate_raw"]) * 0.5
+    # propensity slope must point with the confounding
+    assert null_r["b1"] > 0
+    # ESS sane: positive, bounded by arm sizes
+    assert 0 < null_r["ess_treat"] <= null_r["n_treat"]
+    assert 0 < null_r["ess_ctrl"] <= null_r["n"] - null_r["n_treat"]
+
+    eff_r = ipw_ate(units(5.0)).collect()[0]
+    assert abs(eff_r["ate_ipw"] - 5.0) < abs(eff_r["ate_raw"] - 5.0)
