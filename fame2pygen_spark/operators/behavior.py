@@ -3233,3 +3233,170 @@ def ipw_ate(
             6,
         ).alias("ess_ctrl"),
     )
+
+
+def bayes_ab_binomial(
+    arms: DataFrame,
+    *,
+    arm_col: str = "arm",
+    n_col: str = "n",
+    s_col: str = "s",
+    grid: int = 400,
+    prior_a: float = 1.0,
+    prior_b: float = 1.0,
+) -> DataFrame:
+    """Bayesian A/B readout for binomial conversion: posterior
+    ``P(p_b > p_a)`` and the expected loss of shipping either arm —
+    the decision quantities a Beta-Binomial analysis (e.g. VWO/Chris
+    Stucchio's "Bayesian A/B testing" formulation) reports instead of
+    a p-value.  Expected loss caps regret: ship B when
+    ``E[max(p_a - p_b, 0)]`` is below the cost you can tolerate.
+
+    Posteriors are ``Beta(s + prior_a, n - s + prior_b)``, evaluated
+    on a shared midpoint grid ``p_j = (2j+1)/(2*grid)`` in log space
+    and self-normalized — no incomplete-beta special function, so both
+    engines compute it from ``ln``/``exp`` alone.  Cross-engine bit
+    discipline: log-weights are max-shifted and rounded at 9 dp
+    BEFORE ``exp``, weights rounded at 12 dp AFTER — a 1-ulp ``ln``
+    divergence (~1e-13) dies at the 9 dp gate instead of straddling
+    the final 6 dp round.  All grid reductions are decimal-cast;
+    prefix sums run over the deterministic grid order.
+
+    ``P(B>A) = sum_j P_B(j) (F_A(j-) + P_A(j)/2)`` (half-tie rule for
+    the shared discretization);
+    ``loss_b = sum_j P_A(j) (p_j F_B(j-) - S_B(j-))`` via the same
+    one-pass prefix moments, and symmetrically for ``loss_a``.
+
+    Scale shape: *arms* is a 2-row aggregate; the grid is metadata
+    (``grid`` rows per arm, constant in data size), so every window
+    here is bounded by ``grid``, never by the data.  Returns one row:
+    ``(n_a, s_a, n_b, s_b, post_mean_a, post_mean_b, p_b_gt_a,
+    exp_loss_a, exp_loss_b)``.
+    """
+    dec = "decimal(38,18)"
+    spark = arms.sparkSession
+    g = spark.range(int(grid)).select(F.col("id").alias("j"))
+    p = (F.lit(2.0) * F.col("j").cast("double") + F.lit(1.0)) / F.lit(
+        2.0 * grid
+    )
+    lab = arms.select(
+        F.min(arm_col).alias("__arm_a"), F.max(arm_col).alias("__arm_b")
+    )
+    tagged = arms.crossJoin(F.broadcast(lab)).select(
+        F.when(F.col(arm_col) == F.col("__arm_a"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+        F.col(arm_col).alias("arm"),
+        F.col(n_col).cast("double").alias("n"),
+        F.col(s_col).cast("double").alias("s"),
+    )
+    gridded = tagged.crossJoin(F.broadcast(g)).withColumn("p", p)
+    lw = (
+        (F.col("s") + F.lit(float(prior_a) - 1.0)) * F.log(F.col("p"))
+        + (
+            F.col("n")
+            - F.col("s")
+            + F.lit(float(prior_b) - 1.0)
+        )
+        * F.log(F.lit(1.0) - F.col("p"))
+    )
+    w_arm = Window.partitionBy("side")
+    shifted = gridded.withColumn("__lw", lw).withColumn(
+        "__w",
+        F.round(
+            F.exp(
+                F.round(
+                    F.col("__lw") - F.max("__lw").over(w_arm), 9
+                )
+            ),
+            12,
+        ),
+    )
+    normed = shifted.withColumn(
+        "__P",
+        F.col("__w")
+        / F.sum(F.col("__w").cast(dec)).over(w_arm).cast("double"),
+    )
+    a_side = normed.where(F.col("side") == "a").select(
+        "j",
+        "p",
+        F.col("arm").alias("arm_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("__P").alias("pa"),
+    )
+    b_side = normed.where(F.col("side") == "b").select(
+        "j",
+        F.col("arm").alias("arm_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("__P").alias("pb"),
+    )
+    both = a_side.join(b_side, "j")
+    w_prev = (
+        Window.orderBy("j").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fa_prev = F.coalesce(
+        F.sum(F.col("pa").cast(dec)).over(w_prev).cast("double"),
+        F.lit(0.0),
+    )
+    fb_prev = F.coalesce(
+        F.sum(F.col("pb").cast(dec)).over(w_prev).cast("double"),
+        F.lit(0.0),
+    )
+    sa_prev = F.coalesce(
+        F.sum((F.col("pa") * F.col("p")).cast(dec))
+        .over(w_prev)
+        .cast("double"),
+        F.lit(0.0),
+    )
+    sb_prev = F.coalesce(
+        F.sum((F.col("pb") * F.col("p")).cast(dec))
+        .over(w_prev)
+        .cast("double"),
+        F.lit(0.0),
+    )
+    terms = both.select(
+        "na",
+        "sa",
+        "nb",
+        "sb",
+        (
+            F.col("pb") * (fa_prev + F.lit(0.5) * F.col("pa"))
+        ).alias("__t_gt"),
+        (
+            F.col("pb") * (F.col("p") * fa_prev - sa_prev)
+        ).alias("__t_loss_a"),
+        (
+            F.col("pa") * (F.col("p") * fb_prev - sb_prev)
+        ).alias("__t_loss_b"),
+    )
+    out = terms.groupBy("na", "sa", "nb", "sb").agg(
+        F.sum(F.col("__t_gt").cast(dec)).cast("double").alias("__gt"),
+        F.sum(F.col("__t_loss_a").cast(dec))
+        .cast("double")
+        .alias("__la"),
+        F.sum(F.col("__t_loss_b").cast(dec))
+        .cast("double")
+        .alias("__lb"),
+    )
+    pa0, pb0 = float(prior_a), float(prior_b)
+    return out.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("sa").cast("long").alias("s_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("sb").cast("long").alias("s_b"),
+        F.round(
+            (F.col("sa") + F.lit(pa0))
+            / (F.col("na") + F.lit(pa0 + pb0)),
+            6,
+        ).alias("post_mean_a"),
+        F.round(
+            (F.col("sb") + F.lit(pa0))
+            / (F.col("nb") + F.lit(pa0 + pb0)),
+            6,
+        ).alias("post_mean_b"),
+        F.round(F.col("__gt"), 6).alias("p_b_gt_a"),
+        F.round(F.col("__la"), 6).alias("exp_loss_a"),
+        F.round(F.col("__lb"), 6).alias("exp_loss_b"),
+    )

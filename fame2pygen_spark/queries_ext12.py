@@ -333,3 +333,119 @@ FROM fin
 
 EXT12_QUERIES.update({"x280_ipw_ate": q_x280_ipw_ate})
 EXT12_ORACLES.update({"x280_ipw_ate": SQL_X280})
+
+
+# ----------------------------- x281: Bayesian Beta-Binomial A/B
+
+
+def q_x281_bayes_ab(spark, sf_dir):
+    """Posterior decision readout (operators/behavior.py:
+    bayes_ab_binomial) on per-user purchase conversion under the
+    deterministic 50/50 hash split: P(p_b > p_a) and both expected
+    losses from a shared 400-point log-space grid — the ship/hold
+    quantities, no incomplete beta required."""
+    from .operators.behavior import bayes_ab_binomial
+    from .operators.mixing import uniform_hash01
+
+    ev = _read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    arms = per_user.select(
+        F.when(uniform_hash01(F.col("user_id"), "ab") < 0.5, "a")
+        .otherwise("b")
+        .alias("arm"),
+        "conv",
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("s"),
+    )
+    return bayes_ab_binomial(arms, grid=400)
+
+
+SQL_X281 = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+),
+arms0 AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS
+              VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS arm,
+         conv
+  FROM per_user
+),
+arms AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS s FROM arms0
+         GROUP BY arm),
+lab AS (SELECT MIN(arm) AS arm_a, MAX(arm) AS arm_b FROM arms),
+tagged AS (
+  SELECT CASE WHEN a.arm = l.arm_a THEN 'a' ELSE 'b' END AS side,
+         CAST(a.n AS DOUBLE) AS n, CAST(a.s AS DOUBLE) AS s
+  FROM arms a CROSS JOIN lab l
+),
+grid AS (SELECT r AS j, (2.0 * r + 1.0) / 800.0 AS p
+         FROM range(400) t(r)),
+gw AS (
+  SELECT side, n, s, j, p,
+         (s + 0.0) * ln(p) + (n - s + 0.0) * ln(1.0 - p) AS lw
+  FROM tagged CROSS JOIN grid
+),
+sw AS (
+  SELECT *, ROUND(exp(ROUND(lw - MAX(lw) OVER (PARTITION BY side),
+                            9)), 12) AS w
+  FROM gw
+),
+nm AS (
+  SELECT *, w / CAST(SUM(CAST(w AS DECIMAL(38,18)))
+                     OVER (PARTITION BY side) AS DOUBLE) AS pnorm
+  FROM sw
+),
+a_side AS (SELECT j, p, n AS na, s AS sa, pnorm AS pa FROM nm
+           WHERE side = 'a'),
+b_side AS (SELECT j, n AS nb, s AS sb, pnorm AS pb FROM nm
+           WHERE side = 'b'),
+ab AS (
+  SELECT a.j, a.p, a.na, a.sa, b.nb, b.sb, a.pa, b.pb
+  FROM a_side a JOIN b_side b USING (j)
+),
+pre AS (
+  SELECT *,
+    COALESCE(CAST(SUM(CAST(pa AS DECIMAL(38,18))) OVER wprev
+                  AS DOUBLE), 0.0) AS fa_prev,
+    COALESCE(CAST(SUM(CAST(pb AS DECIMAL(38,18))) OVER wprev
+                  AS DOUBLE), 0.0) AS fb_prev,
+    COALESCE(CAST(SUM(CAST(pa * p AS DECIMAL(38,18))) OVER wprev
+                  AS DOUBLE), 0.0) AS sa_prev,
+    COALESCE(CAST(SUM(CAST(pb * p AS DECIMAL(38,18))) OVER wprev
+                  AS DOUBLE), 0.0) AS sb_prev
+  FROM ab
+  WINDOW wprev AS (ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+fin AS (
+  SELECT ANY_VALUE(na) AS na, ANY_VALUE(sa) AS sa,
+         ANY_VALUE(nb) AS nb, ANY_VALUE(sb) AS sb,
+    CAST(SUM(CAST(pb * (fa_prev + 0.5 * pa) AS DECIMAL(38,18)))
+         AS DOUBLE) AS gt,
+    CAST(SUM(CAST(pb * (p * fa_prev - sa_prev) AS DECIMAL(38,18)))
+         AS DOUBLE) AS la,
+    CAST(SUM(CAST(pa * (p * fb_prev - sb_prev) AS DECIMAL(38,18)))
+         AS DOUBLE) AS lb
+  FROM pre
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(sa AS BIGINT) AS s_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(sb AS BIGINT) AS s_b,
+       ROUND((sa + 1.0) / (na + 2.0), 6) AS post_mean_a,
+       ROUND((sb + 1.0) / (nb + 2.0), 6) AS post_mean_b,
+       ROUND(gt, 6) AS p_b_gt_a,
+       ROUND(la, 6) AS exp_loss_a,
+       ROUND(lb, 6) AS exp_loss_b
+FROM fin
+"""
+
+EXT12_QUERIES.update({"x281_bayes_ab": q_x281_bayes_ab})
+EXT12_ORACLES.update({"x281_bayes_ab": SQL_X281})

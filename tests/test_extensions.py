@@ -7248,3 +7248,31 @@ def test_ipw_ate_corrects_confounded_takeup(spark):
 
     eff_r = ipw_ate(units(5.0)).collect()[0]
     assert abs(eff_r["ate_ipw"] - 5.0) < abs(eff_r["ate_raw"] - 5.0)
+
+
+def test_bayes_ab_binomial_decision_quantities(spark):
+    from fame2pygen_spark.operators.behavior import bayes_ab_binomial
+
+    arms = spark.createDataFrame(
+        [("a", 1000, 100), ("b", 1000, 130)], "arm string, n long, s long"
+    )
+    r = bayes_ab_binomial(arms).collect()[0]
+    # 10% vs 13% at n=1000: B is almost certainly better
+    assert r["p_b_gt_a"] > 0.95
+    assert r["exp_loss_a"] > r["exp_loss_b"]
+    # identity: E[loss_A] - E[loss_B] = E[p_b] - E[p_a] (grid-exact)
+    gap = (r["exp_loss_a"] - r["exp_loss_b"]) - (
+        r["post_mean_b"] - r["post_mean_a"]
+    )
+    assert abs(gap) < 1e-4
+    # posterior means match the Beta closed form
+    assert abs(r["post_mean_a"] - 101 / 1002) < 1e-6
+
+    # symmetric arms: indifference
+    sym = bayes_ab_binomial(
+        spark.createDataFrame(
+            [("a", 500, 50), ("b", 500, 50)], "arm string, n long, s long"
+        )
+    ).collect()[0]
+    assert abs(sym["p_b_gt_a"] - 0.5) < 1e-6
+    assert abs(sym["exp_loss_a"] - sym["exp_loss_b"]) < 1e-6
