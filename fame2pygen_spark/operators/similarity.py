@@ -2064,3 +2064,163 @@ def kmeanspp_oversample(
             F.round(p, 6).alias("p"),
         )
     )
+
+
+def jl_projection_audit(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    dims: int,
+    k: int = 16,
+    sample_frac: float = 0.05,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection with a measured distortion
+    certificate: project *dims*-dim embeddings to *k* dims with a
+    derandomized +/-1 sign matrix (Achlioptas 2003 — database-friendly
+    random projections need only Rademacher signs, no Gaussians) and
+    report how well squared pairwise distances survive on a
+    deterministic vector sample.
+
+    The JL lemma guarantees ratios concentrate near 1 with spread
+    ~sqrt(2/k); the audit MEASURES it for your data and your k before
+    you commit the cheap k-dim representation to a 100 TB ANN or
+    clustering pipeline: ``mean_ratio`` far from 1 or a wide
+    min..max band says this k loses the geometry.
+
+    Derandomization: sign(d, j) = 1 - 2*(md5(salt:d:j) % 2);
+    the audit sample is the ``uniform_hash01 < sample_frac`` slice —
+    both reproducible across engines and partitionings.
+
+    Plan shape: projection = posexplode (rows x dims) joined to the
+    broadcast dims x k sign grid, one (id, j) hash aggregate with
+    decimal sums — embarrassingly parallel, never wider than one
+    vector's coordinates.  The PAIRWISE stage is deliberately bounded:
+    only the hash sample self-joins (|sample|^2/2 pairs), never the
+    full corpus — the full-corpus analogue is the LSH/IVF stack, not
+    this audit.  Returns one row: ``(n_pairs, mean_ratio, min_ratio,
+    max_ratio, frac_within_50pct)``.
+    """
+    from .mixing import uniform_hash01
+    from .sketch import _hash64
+
+    dec = "decimal(38,12)"
+    spark = emb.sparkSession
+    samp = emb.where(
+        uniform_hash01(F.col(id_col), salt + "p") < F.lit(float(sample_frac))
+    ).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    coords = samp.select(
+        "vid", F.posexplode("v").alias("d", "xf")
+    ).where(F.col("d") < int(dims)).select(
+        "vid",
+        F.col("d").cast("long").alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    dgrid = spark.range(int(dims)).select(F.col("id").alias("d"))
+    kgrid = spark.range(int(k)).select(F.col("id").alias("kk"))
+    signs = dgrid.crossJoin(kgrid).select(
+        "d",
+        "kk",
+        (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                _hash64(
+                    F.concat_ws(
+                        ":",
+                        F.col("d").cast("string"),
+                        F.col("kk").cast("string"),
+                    ),
+                    salt,
+                )
+                % 2
+            )
+        ).cast("double").alias("sgn"),
+    )
+    import math
+
+    proj = (
+        coords.join(F.broadcast(signs), "d")
+        .groupBy("vid", "kk")
+        .agg(
+            (
+                F.sum((F.col("x") * F.col("sgn")).cast(dec)).cast(
+                    "double"
+                )
+                / F.lit(math.sqrt(float(k)))
+            ).alias("y")
+        )
+    )
+    ids_a = samp.select(F.col("vid").alias("ia"))
+    ids_b = samp.select(F.col("vid").alias("ib"))
+    pairs = ids_a.join(ids_b, F.col("ia") < F.col("ib"))
+    ca = coords.select(
+        F.col("vid").alias("ia"), "d", F.col("x").alias("xa")
+    )
+    cb = coords.select(
+        F.col("vid").alias("ib"), "d", F.col("x").alias("xb")
+    )
+    d_orig = (
+        pairs.join(ca, "ia")
+        .join(cb, ["ib", "d"])
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(
+                (
+                    (F.col("xa") - F.col("xb"))
+                    * (F.col("xa") - F.col("xb"))
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("d2o")
+        )
+    )
+    pa = proj.select(
+        F.col("vid").alias("ia"), "kk", F.col("y").alias("ya")
+    )
+    pb = proj.select(
+        F.col("vid").alias("ib"), "kk", F.col("y").alias("yb")
+    )
+    d_proj = (
+        pairs.join(pa, "ia")
+        .join(pb, ["ib", "kk"])
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(
+                (
+                    (F.col("ya") - F.col("yb"))
+                    * (F.col("ya") - F.col("yb"))
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("d2p")
+        )
+    )
+    ratios = (
+        d_orig.join(d_proj, ["ia", "ib"])
+        .where(F.col("d2o") > 0)
+        .select((F.col("d2p") / F.col("d2o")).alias("ratio"))
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("ratio").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("ratio") >= 0.5) & (F.col("ratio") <= 1.5),
+                    1,
+                )
+                .otherwise(0)
+                .cast("double")
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_within_50pct"),
+    )

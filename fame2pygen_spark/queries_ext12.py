@@ -449,3 +449,87 @@ FROM fin
 
 EXT12_QUERIES.update({"x281_bayes_ab": q_x281_bayes_ab})
 EXT12_ORACLES.update({"x281_bayes_ab": SQL_X281})
+
+
+# ----------------------------- x282: JL projection distortion audit
+
+
+def q_x282_jl_audit(spark, sf_dir):
+    """Random-projection distortion certificate (operators/
+    similarity.py:jl_projection_audit): 64-dim embeddings down to
+    k=16 via derandomized Rademacher signs, squared-distance ratios
+    measured on the 5% hash sample's pairs — the go/no-go gauge
+    before committing the cheap representation downstream."""
+    from .operators.similarity import jl_projection_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return jl_projection_audit(
+        emb, "embedding", "vec_id", dims=64, k=16, sample_frac=0.05
+    )
+
+
+SQL_X282 = """
+WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ('0x' || substr(md5('jlp:' || CAST(vec_id AS VARCHAR)), 1, 8))
+          ::BIGINT / 4294967296.0 < 0.05
+),
+coords AS (
+  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS d,
+         CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+  FROM samp, range(1, 65) t(i)
+),
+signs AS (
+  SELECT dd.r AS d, kk.r AS kk,
+         CAST(1 - 2 * (('0x' || substr(md5('jl:' || CAST(dd.r AS
+             VARCHAR) || ':' || CAST(kk.r AS VARCHAR)), 1, 8))
+             ::BIGINT % 2) AS DOUBLE) AS sgn
+  FROM range(64) dd(r) CROSS JOIN range(16) kk(r)
+),
+proj AS (
+  SELECT c.vec_id, s.kk,
+         CAST(SUM(CAST(c.x * s.sgn AS DECIMAL(38,12))) AS DOUBLE)
+           / 4.0 AS y
+  FROM coords c JOIN signs s ON s.d = c.d
+  GROUP BY c.vec_id, s.kk
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+),
+d_orig AS (
+  SELECT p.ia, p.ib,
+         CAST(SUM(CAST((ca.x - cb.x) * (ca.x - cb.x)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS d2o
+  FROM pairs p
+  JOIN coords ca ON ca.vec_id = p.ia
+  JOIN coords cb ON cb.vec_id = p.ib AND cb.d = ca.d
+  GROUP BY p.ia, p.ib
+),
+d_proj AS (
+  SELECT p.ia, p.ib,
+         CAST(SUM(CAST((pa.y - pb.y) * (pa.y - pb.y)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS d2p
+  FROM pairs p
+  JOIN proj pa ON pa.vec_id = p.ia
+  JOIN proj pb ON pb.vec_id = p.ib AND pb.kk = pa.kk
+  GROUP BY p.ia, p.ib
+),
+r AS (
+  SELECT o.d2o, pj.d2p, pj.d2p / o.d2o AS ratio
+  FROM d_orig o JOIN d_proj pj ON pj.ia = o.ia AND pj.ib = o.ib
+  WHERE o.d2o > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ratio,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       ROUND(MAX(ratio), 6) AS max_ratio,
+       ROUND(CAST(SUM(CASE WHEN ratio BETWEEN 0.5 AND 1.5
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS frac_within_50pct
+FROM r
+"""
+
+EXT12_QUERIES.update({"x282_jl_audit": q_x282_jl_audit})
+EXT12_ORACLES.update({"x282_jl_audit": SQL_X282})

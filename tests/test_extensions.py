@@ -7276,3 +7276,32 @@ def test_bayes_ab_binomial_decision_quantities(spark):
     ).collect()[0]
     assert abs(sym["p_b_gt_a"] - 0.5) < 1e-6
     assert abs(sym["exp_loss_a"] - sym["exp_loss_b"]) < 1e-6
+
+
+def test_jl_projection_audit_concentration(spark):
+    from fame2pygen_spark.operators.similarity import jl_projection_audit
+
+    # deterministic 32-dim vectors; sample everything (frac=1.0)
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 19) - 9) for d in range(32)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    wide = jl_projection_audit(
+        df, "embedding", "vec_id", dims=32, k=64, sample_frac=1.0
+    ).collect()[0]
+    # 435 unordered pairs minus the 11 zero-distance duplicates the
+    # period-19 generator plants (i and i+19 coincide) — d2o>0 filter
+    assert wide["n_pairs"] == 30 * 29 // 2 - 11
+    # E[ratio] = 1 for Rademacher projections; k=64 concentrates tightly
+    assert abs(wide["mean_ratio"] - 1.0) < 0.25
+    assert wide["frac_within_50pct"] > 0.9
+
+    narrow = jl_projection_audit(
+        df, "embedding", "vec_id", dims=32, k=4, sample_frac=1.0
+    ).collect()[0]
+    # fewer target dims -> visibly wider distortion band
+    assert (narrow["max_ratio"] - narrow["min_ratio"]) > (
+        wide["max_ratio"] - wide["min_ratio"]
+    )
