@@ -3161,3 +3161,81 @@ def text_tiling_boundaries(
         F.round(z, 6).alias("z"),
         (z < F.lit(-float(z_cut))).alias("is_boundary"),
     )
+
+
+def query_likelihood_rank(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    *,
+    mu: float = 2000.0,
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-*top_n* documents under the Dirichlet-smoothed query
+    likelihood language model (Zhai-Lafferty 2001): ``score(d) =
+    sum_t ln((tf_td + mu * P(t|C)) / (dl_d + mu))`` with ``P(t|C)``
+    the collection unigram model — the probabilistic retrieval
+    counterpart to BM25 (cf. bm25_rank), whose single ``mu`` knob
+    replaces (k1, b) and whose background model scores documents
+    even for terms they lack.
+
+    Plan shape mirrors ``bm25_rank`` exactly: row-local tf via
+    ``F.filter`` over the staged token array (k array scans per row,
+    no vocabulary shuffle), ONE 1-row corpus aggregate (total tokens
+    + per-term collection tf) materialized driver-side into literals
+    (the documented literal-stats pattern, cf. tfidf_top_terms), and
+    a TakeOrderedAndProject top-n — never a full sort.  Only
+    documents matching >=1 query term are ranked (the standard
+    candidate-set restriction; the background model still
+    discriminates among them via dl).  Scores at 6 dp, doc id
+    tie-break.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    df = _parallelize_input(df)
+
+    toks = tokens(F.col(text_col))
+
+    def _eq(term: str):
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    tf_cols = {
+        f"tf_{i}": F.size(F.filter(toks, _eq(t))).cast("long")
+        for i, t in enumerate(terms)
+    }
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[c.alias(n) for n, c in tf_cols.items()],
+    )
+
+    stats = per_doc.agg(
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum(f"tf_{i}").alias(f"ctf_{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    total = float(stats["total_tokens"] or 0.0)
+
+    score = F.lit(0.0)
+    any_tf = F.lit(False)
+    for i in range(len(terms)):
+        # P(t|C) then mu*P — association order matches the oracle SQL
+        pc = float(stats[f"ctf_{i}"] or 0) / max(total, 1.0)
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + F.log(
+            (tf + F.lit(mu * pc))
+            / (F.col("dl").cast("double") + F.lit(float(mu)))
+        )
+        any_tf = any_tf | (F.col(f"tf_{i}") > 0)
+
+    scored = per_doc.withColumn("score", F.round(score, 6))
+    return (
+        scored.where(any_tf)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(top_n))
+    )

@@ -533,3 +533,70 @@ FROM r
 
 EXT12_QUERIES.update({"x282_jl_audit": q_x282_jl_audit})
 EXT12_ORACLES.update({"x282_jl_audit": SQL_X282})
+
+
+# ----------------------------- x283: Dirichlet query likelihood
+
+_QL_TERMS = ["data", "query", "table"]
+_QL_MU = 2000.0
+_QL_TOPN = 10
+
+
+def q_x283_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed LM retrieval (operators/text.py:
+    query_likelihood_rank): top-10 documents for a 3-term query under
+    the Zhai-Lafferty model — the probabilistic twin of x33's BM25,
+    oracle recomputing collection stats and scoring fully in SQL."""
+    from .operators.text import query_likelihood_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return query_likelihood_rank(
+        docs, "text", "doc_id", _QL_TERMS, mu=_QL_MU, top_n=_QL_TOPN
+    )
+
+
+def _sql_x283() -> str:
+    mu = _QL_MU
+    tf_exprs = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_QL_TERMS)
+    )
+    ctf_exprs = ", ".join(
+        f"SUM(tf_{i}) AS ctf_{i}" for i in range(len(_QL_TERMS))
+    )
+    score_terms = " + ".join(
+        f"ln((CAST(tf_{i} AS DOUBLE) + {mu!r} * (CAST(ctf_{i} AS DOUBLE)"
+        f" / CAST(GREATEST(total_tokens, 1) AS DOUBLE)))"
+        f" / (CAST(dl AS DOUBLE) + {mu!r}))"
+        for i in range(len(_QL_TERMS))
+    )
+    any_tf = " OR ".join(
+        f"tf_{i} > 0" for i in range(len(_QL_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), ta AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS toks
+  FROM t
+), per_doc AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_exprs}
+  FROM ta
+), stats AS (
+  SELECT SUM(dl) AS total_tokens, {ctf_exprs} FROM per_doc
+)
+SELECT doc_id, dl, {', '.join(f'tf_{i}' for i in range(len(_QL_TERMS)))},
+       ROUND({score_terms}, 6) AS score
+FROM per_doc CROSS JOIN stats
+WHERE {any_tf}
+ORDER BY score DESC, doc_id ASC LIMIT {_QL_TOPN}
+"""
+
+
+EXT12_QUERIES.update({"x283_query_likelihood": q_x283_query_likelihood})
+EXT12_ORACLES.update({"x283_query_likelihood": _sql_x283()})

@@ -7305,3 +7305,29 @@ def test_jl_projection_audit_concentration(spark):
     assert (narrow["max_ratio"] - narrow["min_ratio"]) > (
         wide["max_ratio"] - wide["min_ratio"]
     )
+
+
+def test_query_likelihood_rank_ordering(spark):
+    from fame2pygen_spark.operators.text import query_likelihood_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat fish"),          # tf(cat)=2, dl=4
+            (2, "cat dog fish bird"),          # tf(cat)=1, dl=4
+            (3, "cat dog fish bird " * 8),     # tf(cat)=8 but dl=32
+            (4, "whale shark squid"),          # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    out = query_likelihood_rank(
+        docs, "text", "doc_id", ["cat"], mu=10.0, top_n=10
+    ).collect()
+    ranked = [r["doc_id"] for r in out]
+    # doc 4 never matches; doc 1 (densest) beats doc 2 (same dl, lower tf)
+    assert 4 not in ranked
+    assert ranked.index(1) < ranked.index(2)
+    # every score is a log-probability (negative) at 6dp
+    assert all(r["score"] < 0 for r in out)
+    # smoothing sanity: same tf density, mu dominates -> near-equal
+    r13 = {r["doc_id"]: r["score"] for r in out}
+    assert r13[1] > r13[2]
