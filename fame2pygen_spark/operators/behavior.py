@@ -3400,3 +3400,114 @@ def bayes_ab_binomial(
         F.round(F.col("__la"), 6).alias("exp_loss_a"),
         F.round(F.col("__lb"), 6).alias("exp_loss_b"),
     )
+
+
+def rdd_sharp(
+    units: DataFrame,
+    *,
+    running_col: str = "x",
+    outcome_col: str = "y",
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite-
+    Campbell 1960 / Imbens-Lemieux 2008): when treatment switches ON
+    deterministically at ``running_col >= cutoff``, the causal jump is
+    the difference of the two boundary intercepts from separate local
+    linear fits on either side of the cutoff within *bandwidth* — the
+    design that identifies an effect with NO overlap assumption, where
+    IPW (ipw_ate) cannot.
+
+    Each side fits OLS ``y ~ 1 + (x - cutoff)`` on its window by
+    closed-form moment algebra; the estimate is
+    ``tau = a_right - a_left`` with the homoskedastic intercept SEs
+    combined as ``se = sqrt(se_r^2 + se_l^2)`` (the conventional
+    parametric-RD readout; bandwidth sensitivity is the caller's
+    robustness axis).  A side with fewer than 3 points or zero
+    variance in ``x`` yields NULL coefficients rather than a fake
+    zero-SE estimate.
+
+    Plan shape: ONE grouped decimal-moment aggregate over the two
+    window sides (5 sums each), then pure 1-row column algebra — no
+    windows, no iteration, partition-invariant by decimal staging.
+
+    Returns one row: ``(n_left, n_right, a_left, b_left, a_right,
+    b_right, tau, se, t)`` at 6 dp.
+    """
+    dec = "decimal(38,12)"
+    c = float(cutoff)
+    h = float(bandwidth)
+    xc = F.col(running_col).cast("double") - F.lit(c)
+    y = F.col(outcome_col).cast("double")
+    base = units.select(
+        xc.alias("__x"), y.alias("__y")
+    ).where(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & (F.col("__x") >= -h)
+        & (F.col("__x") < h)
+    ).withColumn(
+        "side",
+        F.when(F.col("__x") < 0, F.lit("l")).otherwise(F.lit("r")),
+    )
+    mom = base.groupBy("side").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("__x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("__y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ok = (F.col("n") >= 3) & (det > 0)
+    b = F.when(
+        ok,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det,
+    )
+    a = F.when(
+        ok, (F.col("sy") - b * F.col("sx")) / F.col("n")
+    )
+    # residual SS = syy - a*sy - b*sxy ; sigma2 = SS/(n-2)
+    ss = F.col("syy") - a * F.col("sy") - b * F.col("sxy")
+    sigma2 = F.when(ok, F.greatest(ss, F.lit(0.0)) / (F.col("n") - 2))
+    # Var(intercept) = sigma2 * sxx / det
+    va = F.when(ok, sigma2 * F.col("sxx") / det)
+    sides = mom.select(
+        "side",
+        F.col("n").cast("long").alias("n_side"),
+        a.alias("__a"),
+        b.alias("__b"),
+        va.alias("__va"),
+    )
+    left = sides.where(F.col("side") == "l").select(
+        F.col("n_side").alias("n_left"),
+        F.col("__a").alias("al"),
+        F.col("__b").alias("bl"),
+        F.col("__va").alias("val"),
+    )
+    right = sides.where(F.col("side") == "r").select(
+        F.col("n_side").alias("n_right"),
+        F.col("__a").alias("ar"),
+        F.col("__b").alias("br"),
+        F.col("__va").alias("var_"),
+    )
+    j = left.crossJoin(right)
+    tau = F.col("ar") - F.col("al")
+    se = F.sqrt(F.col("var_") + F.col("val"))
+    return j.select(
+        "n_left",
+        "n_right",
+        F.round(F.col("al"), 6).alias("a_left"),
+        F.round(F.col("bl"), 6).alias("b_left"),
+        F.round(F.col("ar"), 6).alias("a_right"),
+        F.round(F.col("br"), 6).alias("b_right"),
+        F.round(tau, 6).alias("tau"),
+        F.round(se, 6).alias("se"),
+        F.round(F.try_divide(tau, se), 6).alias("t"),
+    )

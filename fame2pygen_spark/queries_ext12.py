@@ -600,3 +600,115 @@ ORDER BY score DESC, doc_id ASC LIMIT {_QL_TOPN}
 
 EXT12_QUERIES.update({"x283_query_likelihood": q_x283_query_likelihood})
 EXT12_ORACLES.update({"x283_query_likelihood": _sql_x283()})
+
+
+# ----------------------------- x284: sharp regression discontinuity
+
+
+def q_x284_rdd(spark, sf_dir):
+    """Sharp-RD boundary contrast (operators/behavior.py:rdd_sharp)
+    on per-user mean value with activity (event count) as the running
+    variable, cutoff 67, bandwidth 30 — an A/A-shaped audit: nothing
+    switches at 67, so the honest readout is a small jump with a
+    non-significant t."""
+    from .operators.behavior import rdd_sharp
+
+    ev = _read_events(spark, sf_dir)
+    per_user = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("y"),
+        )
+    )
+    units = per_user.select(
+        F.col("n_ev").cast("double").alias("x"), "y"
+    )
+    return rdd_sharp(
+        units, running_col="x", outcome_col="y", cutoff=67.0,
+        bandwidth=30.0,
+    )
+
+
+SQL_X284 = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_ev,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,12))) AS DOUBLE)
+               / COUNT(*), 6) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+base AS (
+  SELECT CAST(n_ev AS DOUBLE) - 67.0 AS x, y,
+         CASE WHEN CAST(n_ev AS DOUBLE) - 67.0 < 0
+              THEN 'l' ELSE 'r' END AS side
+  FROM per_user
+  WHERE CAST(n_ev AS DOUBLE) - 67.0 >= -30.0
+    AND CAST(n_ev AS DOUBLE) - 67.0 < 30.0
+    AND y IS NOT NULL
+),
+mom AS (
+  SELECT side,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM base GROUP BY side
+),
+coef AS (
+  SELECT side, n,
+         CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b,
+         sx, sy, sxx, sxy, syy,
+         n * sxx - sx * sx AS det
+  FROM mom
+),
+coef2 AS (
+  SELECT side, n, b, det, sxx, sy, sxy,
+         CASE WHEN b IS NOT NULL THEN (sy - b * sx) / n END AS a
+  FROM coef
+),
+coef3 AS (
+  SELECT side, n, a, b, det, sxx,
+         CASE WHEN b IS NOT NULL THEN
+           GREATEST(syy - a * sy - b * sxy, 0.0) / (n - 2)
+         END AS sigma2
+  FROM coef2 JOIN (SELECT side AS s2, syy FROM mom) m
+    ON m.s2 = coef2.side
+),
+sides AS (
+  SELECT side, CAST(n AS BIGINT) AS n_side, a, b,
+         CASE WHEN b IS NOT NULL THEN sigma2 * sxx / det END AS va
+  FROM coef3
+),
+fin AS (
+  SELECT
+    MAX(CASE WHEN side = 'l' THEN n_side END) AS n_left,
+    MAX(CASE WHEN side = 'r' THEN n_side END) AS n_right,
+    MAX(CASE WHEN side = 'l' THEN a END) AS al,
+    MAX(CASE WHEN side = 'l' THEN b END) AS bl,
+    MAX(CASE WHEN side = 'l' THEN va END) AS val,
+    MAX(CASE WHEN side = 'r' THEN a END) AS ar,
+    MAX(CASE WHEN side = 'r' THEN b END) AS br,
+    MAX(CASE WHEN side = 'r' THEN va END) AS var_
+  FROM sides
+)
+SELECT n_left, n_right,
+       ROUND(al, 6) AS a_left, ROUND(bl, 6) AS b_left,
+       ROUND(ar, 6) AS a_right, ROUND(br, 6) AS b_right,
+       ROUND(ar - al, 6) AS tau,
+       ROUND(sqrt(var_ + val), 6) AS se,
+       ROUND((ar - al) / sqrt(var_ + val), 6) AS t
+FROM fin
+"""
+
+EXT12_QUERIES.update({"x284_rdd": q_x284_rdd})
+EXT12_ORACLES.update({"x284_rdd": SQL_X284})

@@ -7331,3 +7331,36 @@ def test_query_likelihood_rank_ordering(spark):
     # smoothing sanity: same tf density, mu dominates -> near-equal
     r13 = {r["doc_id"]: r["score"] for r in out}
     assert r13[1] > r13[2]
+
+
+def test_rdd_sharp_recovers_planted_jump(spark):
+    from fame2pygen_spark.operators.behavior import rdd_sharp
+
+    def units(jump):
+        rows = []
+        for i in range(400):
+            x = i / 4.0  # 0..100, cutoff at 50
+            noise = (((i * 2654435761) % 97) - 48) / 97.0  # +-0.5 det.
+            y = 2.0 + 0.5 * x + (jump if x >= 50 else 0.0) + noise
+            rows.append((x, y))
+        return spark.createDataFrame(rows, "x double, y double")
+
+    r = rdd_sharp(
+        units(3.0), cutoff=50.0, bandwidth=20.0
+    ).collect()[0]
+    assert abs(r["tau"] - 3.0) < 0.3
+    assert r["t"] > 10  # unambiguous jump
+    assert abs(r["b_left"] - 0.5) < 0.1 and abs(r["b_right"] - 0.5) < 0.1
+
+    aa = rdd_sharp(
+        units(0.0), cutoff=50.0, bandwidth=20.0
+    ).collect()[0]
+    assert abs(aa["tau"]) < 0.3 and abs(aa["t"]) < 3
+
+    # degenerate side (no x variance) -> NULL estimate, not fake zero-SE
+    deg = spark.createDataFrame(
+        [(49.0, 1.0)] * 5 + [(51.0, 2.0), (52.0, 2.5), (53.0, 3.0)],
+        "x double, y double",
+    )
+    d = rdd_sharp(deg, cutoff=50.0, bandwidth=10.0).collect()[0]
+    assert d["a_left"] is None and d["tau"] is None
