@@ -94,6 +94,11 @@ SENSITIVE = [
     "x275_strength",
     "x276_block_bootstrap",
     "x277_yuen",
+    "x280_ipw_ate",
+    "x281_bayes_ab",
+    "x282_jl_audit",
+    "x283_query_likelihood",
+    "x284_rdd",
 ]
 
 
