@@ -712,3 +712,82 @@ FROM fin
 
 EXT12_QUERIES.update({"x284_rdd": q_x284_rdd})
 EXT12_ORACLES.update({"x284_rdd": SQL_X284})
+
+
+# ----------------------------- x285: energy VAD segments
+
+
+def q_x285_vad(spark, sf_dir):
+    """Voice-activity segmentation through the real PCM decode path
+    (operators/multimodal.py:vad_segments): every document renders
+    the deterministic 64-sample WAV (the x102 payload), frames of 8
+    samples are thresholded at half the max frame RMS, and adjacent
+    active frames merge into segments.  The oracle re-derives frame
+    RMS arithmetically from the sample formula — dyadic-exact — and
+    replays the threshold + islands logic in SQL."""
+    from .queries_ext3 import _WAV_SAMPLE_HEX, _wav_header_hex
+    from .operators.multimodal import vad_segments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.concat(
+        F.unhex(F.lit(_wav_header_hex())),
+        F.unhex(F.concat_ws("", F.expr(_WAV_SAMPLE_HEX))),
+    )
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("asset_id"),
+        payload.alias("payload"),
+    )
+    return vad_segments(staged, frame=8, threshold_frac=0.5).orderBy(
+        "asset_id", "seg_id"
+    )
+
+
+SQL_X285 = """
+WITH fr AS (
+  SELECT d.doc_id AS asset_id, t.i // 8 AS j,
+         SUM(((d.doc_id * 31 + t.i * 17) % 2001 - 1000)
+             * ((d.doc_id * 31 + t.i * 17) % 2001 - 1000)) AS ssq
+  FROM documents d, range(0, 64) AS t(i)
+  GROUP BY d.doc_id, t.i // 8
+),
+r AS (
+  SELECT asset_id, j,
+         sqrt(CAST(ssq AS DOUBLE) / 8589934592.0) AS rms
+  FROM fr
+),
+thr AS (
+  SELECT asset_id, 0.5 * MAX(rms) AS thr FROM r GROUP BY asset_id
+),
+act AS (
+  SELECT r.asset_id, r.j, r.rms
+  FROM r JOIN thr ON thr.asset_id = r.asset_id
+  WHERE r.rms >= thr.thr
+),
+isl AS (
+  SELECT asset_id, j, rms,
+         j - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY j)
+           AS grp
+  FROM act
+),
+seg AS (
+  SELECT asset_id, grp,
+         MIN(j) AS start_frame, MAX(j) AS end_frame,
+         COUNT(*) AS n_frames,
+         SUM(CAST(FLOOR(rms * 1000000.0 + 0.5) AS BIGINT))
+           AS rms_micro_sum
+  FROM isl GROUP BY asset_id, grp
+)
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY asset_id
+                               ORDER BY start_frame) - 1 AS BIGINT)
+         AS seg_id,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(end_frame AS BIGINT) AS end_frame,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(rms_micro_sum AS BIGINT) AS rms_micro_sum
+FROM seg
+ORDER BY asset_id, seg_id
+"""
+
+EXT12_QUERIES.update({"x285_vad": q_x285_vad})
+EXT12_ORACLES.update({"x285_vad": SQL_X285})

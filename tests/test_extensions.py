@@ -7364,3 +7364,36 @@ def test_rdd_sharp_recovers_planted_jump(spark):
     )
     d = rdd_sharp(deg, cutoff=50.0, bandwidth=10.0).collect()[0]
     assert d["a_left"] is None and d["tau"] is None
+
+
+def test_vad_segments_planted_speech(spark):
+    import struct
+
+    from fame2pygen_spark.operators.multimodal import vad_segments
+
+    def wav(samples16):
+        data = b"".join(struct.pack("<h", s) for s in samples16)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                     16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # 32 samples, frame=4: loud frames 0-1, quiet 2-5, loud 6-7
+    loud, quiet = 20000, 100
+    sig = [loud] * 8 + [quiet] * 16 + [loud] * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(sig))), (2, bytearray(b"notawav"))],
+        "asset_id long, payload binary",
+    )
+    rows = vad_segments(df, frame=4, threshold_frac=0.5).collect()
+    segs = sorted(
+        (r["asset_id"], r["seg_id"], r["start_frame"], r["end_frame"],
+         r["n_frames"]) for r in rows
+    )
+    # two speech islands; the undecodable asset contributes nothing
+    assert segs == [(1, 0, 0, 1, 2), (1, 1, 6, 7, 2)]
+    # constant-amplitude frames: rms = loud/32768, micro-units exact
+    exp_micro = int((loud / 32768.0) * 1e6 + 0.5)
+    assert all(r["rms_micro_sum"] == 2 * exp_micro for r in rows)
