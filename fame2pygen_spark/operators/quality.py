@@ -1889,3 +1889,101 @@ def dp_noisy_counts(
             6,
         ).alias("rel_err"),
     )
+
+
+def randomized_response_gauge(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    p_truths: Sequence[float] = (0.6, 0.75, 0.9),
+    salt: str = "rr",
+) -> DataFrame:
+    """Local-DP frequency estimation gauge (Warner 1965 randomized
+    response — the mechanism behind RAPPOR-style telemetry): each
+    respondent reports their binary attribute TRUTHFULLY with
+    probability ``p`` and FLIPPED otherwise, so no individual report
+    is trustworthy (local privacy: ``eps = ln(p/(1-p))``), yet the
+    population rate debiases exactly:
+    ``pi_hat = (lambda - (1-p)) / (2p - 1)`` for observed rate
+    ``lambda``.
+
+    The local-DP counterpart of :func:`dp_noisy_counts` (central
+    model): there the curator sees truth and noises the AGGREGATE;
+    here each row is noised BEFORE collection — the right model when
+    the collector itself is untrusted.  Flips are derandomized per
+    (respondent, ladder index) through the repo's md5-uniform, so the
+    gauge is reproducible across engines and partitionings.
+
+    AUDIT HARNESS: emits true vs estimated rate side by side to pick
+    the p (privacy level) a telemetry rollout can afford — run it on
+    non-sensitive calibration data; a production collector never sees
+    ``true_rate``.
+
+    Scale shape: one |ladder|-way literal explode of per-row column
+    algebra, one integer count aggregate per ladder rung — no float
+    accumulation anywhere (rates are ratios of exact integers).
+
+    Returns one row per rung: ``(p_truth, epsilon, n, true_rate,
+    observed_rate, est_rate, abs_err)`` at 6 dp."""
+    rungs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ri"), F.lit(float(p)).alias("p_truth")
+            )
+            for i, p in enumerate(p_truths)
+        ]
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("ri").cast("string"),
+                        F.col("__id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    truth = (F.col(value_col).cast("long") > 0).cast("long")
+    expl = df.select(
+        F.col(id_col).alias("__id"), truth.alias("__v"),
+        F.explode(rungs).alias("r"),
+    ).select(
+        "__id",
+        "__v",
+        F.col("r.ri").alias("ri"),
+        F.col("r.p_truth").alias("p_truth"),
+    )
+    report = F.when(u < F.col("p_truth"), F.col("__v")).otherwise(
+        F.lit(1) - F.col("__v")
+    )
+    agg = expl.groupBy("ri", "p_truth").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("n_true"),
+        F.sum(report).cast("long").alias("n_obs"),
+    )
+    lam = F.col("n_obs").cast("double") / F.col("n").cast("double")
+    p = F.col("p_truth")
+    est = (lam - (F.lit(1.0) - p)) / (F.lit(2.0) * p - F.lit(1.0))
+    true_rate = F.col("n_true").cast("double") / F.col("n").cast(
+        "double"
+    )
+    return agg.select(
+        "p_truth",
+        F.round(F.log(p / (F.lit(1.0) - p)), 6).alias("epsilon"),
+        "n",
+        F.round(true_rate, 6).alias("true_rate"),
+        F.round(lam, 6).alias("observed_rate"),
+        F.round(est, 6).alias("est_rate"),
+        F.round(F.abs(est - true_rate), 6).alias("abs_err"),
+    ).orderBy("p_truth")

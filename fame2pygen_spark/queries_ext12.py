@@ -791,3 +791,69 @@ ORDER BY asset_id, seg_id
 
 EXT12_QUERIES.update({"x285_vad": q_x285_vad})
 EXT12_ORACLES.update({"x285_vad": SQL_X285})
+
+
+# ----------------------------- x286: randomized-response local DP
+
+
+def q_x286_rr_gauge(spark, sf_dir):
+    """Warner randomized-response utility gauge (operators/quality.py:
+    randomized_response_gauge) on the per-user purchase-conversion
+    bit at p_truth in {0.6, 0.75, 0.9}: the local-DP companion to
+    x279 — reports are flipped per respondent BEFORE collection,
+    the debiased population rate is compared to truth."""
+    from .operators.quality import randomized_response_gauge
+
+    ev = _read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    return randomized_response_gauge(per_user, "user_id", "conv")
+
+
+SQL_X286 = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+),
+rungs AS (
+  SELECT ri, CAST(p_truth AS DOUBLE) AS p_truth
+  FROM (VALUES (0, 0.6), (1, 0.75), (2, 0.9)) e(ri, p_truth)
+),
+expl AS (
+  SELECT u.user_id, CAST(u.conv > 0 AS BIGINT) AS v,
+         r.ri, r.p_truth,
+         (('0x' || substr(md5('rr:' || CAST(r.ri AS VARCHAR) || ':'
+             || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0 AS u
+  FROM per_user u CROSS JOIN rungs r
+),
+agg AS (
+  SELECT ri, p_truth, COUNT(*) AS n, SUM(v) AS n_true,
+         SUM(CASE WHEN u < p_truth THEN v ELSE 1 - v END) AS n_obs
+  FROM expl GROUP BY ri, p_truth
+)
+SELECT p_truth,
+       ROUND(ln(p_truth / (1.0 - p_truth)), 6) AS epsilon,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS true_rate,
+       ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS observed_rate,
+       ROUND((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+              - (1.0 - p_truth)) / (2.0 * p_truth - 1.0), 6)
+         AS est_rate,
+       ROUND(ABS((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (1.0 - p_truth)) / (2.0 * p_truth - 1.0)
+                 - CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS abs_err
+FROM agg
+ORDER BY p_truth
+"""
+
+EXT12_QUERIES.update({"x286_rr_gauge": q_x286_rr_gauge})
+EXT12_ORACLES.update({"x286_rr_gauge": SQL_X286})

@@ -7397,3 +7397,31 @@ def test_vad_segments_planted_speech(spark):
     # constant-amplitude frames: rms = loud/32768, micro-units exact
     exp_micro = int((loud / 32768.0) * 1e6 + 0.5)
     assert all(r["rms_micro_sum"] == 2 * exp_micro for r in rows)
+
+
+def test_randomized_response_gauge_debiases(spark):
+    from fame2pygen_spark.operators.quality import (
+        randomized_response_gauge,
+    )
+
+    # 5000 respondents, true rate 0.3
+    rows = [(i, 1 if i % 10 < 3 else 0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "uid long, flag long")
+    out = {
+        r["p_truth"]: r
+        for r in randomized_response_gauge(
+            df, "uid", "flag", p_truths=(0.6, 0.75, 0.9)
+        ).collect()
+    }
+    for p, r in out.items():
+        assert r["true_rate"] == 0.3 and r["n"] == 5000
+        # observed rate is pulled toward 1/2 by flipping...
+        assert abs(r["observed_rate"] - 0.5) < abs(0.3 - 0.5)
+        # ...but the debiased estimate lands near truth
+        assert r["abs_err"] < 0.05
+    # weaker privacy (higher p) -> tighter estimate
+    assert out[0.9]["abs_err"] <= out[0.6]["abs_err"] + 0.01
+    # epsilon ladder: ln(p/(1-p))
+    import math
+
+    assert abs(out[0.75]["epsilon"] - math.log(3)) < 1e-6
