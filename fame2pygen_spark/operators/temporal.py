@@ -2745,3 +2745,91 @@ def block_bootstrap_se(
         F.round(se_iid, 6).alias("se_iid"),
         F.round(F.try_divide(se_b, se_iid), 6).alias("inflation"),
     )
+
+
+def rolling_origin_backtest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    value_col: str,
+    *,
+    season: int = 7,
+    n_origins: int = 28,
+) -> DataFrame:
+    """Rolling-origin one-step forecast backtest (the Tashman 2000 /
+    Hyndman "forecast evaluation on a rolling origin" protocol): at
+    each of the last *n_origins* observed time points, the naive
+    (last value) and seasonal-naive (value one *season* back)
+    forecasters predict that point using ONLY earlier observations,
+    and the realized errors aggregate to per-(group, method) MAE and
+    mean bias.
+
+    This is the out-of-sample complement to the in-sample MASE screen
+    (cf. mase_screen): MASE says "is there seasonal structure worth
+    forecasting"; the backtest MEASURES each baseline's achieved
+    error on genuinely held-out points — the go/no-go evidence before
+    a heavier model earns its keep, and the floor it must beat.
+
+    Operates on the observed grid: "one step" means the previous
+    OBSERVED row of the group, so run gap_fill first if calendar
+    steps matter.  Forecast lags are per-group window shifts; a point
+    enters the evaluation only when its lag exists, so early rows
+    never leak a fabricated forecast.
+
+    Plan shape: one group-keyed sort window builds both lags and the
+    recency rank in a single pass; the 2-method literal explode and
+    the final keyed aggregate (decimal error sums) add no extra
+    shuffle.  Returns one row per (group, method):
+    ``(..., method, n_evals, mae, bias)`` at 6 dp."""
+    dec = "decimal(38,12)"
+    parts = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*parts).orderBy(F.col("__t"))
+    wd = Window.partitionBy(*parts).orderBy(F.col("__t").desc())
+    staged = df.select(
+        *parts,
+        F.col(t_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__y"),
+    ).withColumn(
+        "__fc_naive", F.lag("__y", 1).over(w)
+    ).withColumn(
+        "__fc_snaive", F.lag("__y", int(season)).over(w)
+    ).withColumn(
+        "__recency", F.row_number().over(wd)
+    )
+    evals = staged.where(F.col("__recency") <= int(n_origins))
+    methods = F.array(
+        F.struct(
+            F.lit("naive").alias("method"),
+            F.col("__fc_naive").alias("fc"),
+        ),
+        F.struct(
+            F.lit("snaive").alias("method"),
+            F.col("__fc_snaive").alias("fc"),
+        ),
+    )
+    expl = evals.select(
+        *parts, "__y", F.explode(methods).alias("m")
+    ).select(
+        *parts,
+        "__y",
+        F.col("m.method").alias("method"),
+        F.col("m.fc").alias("fc"),
+    ).where(F.col("fc").isNotNull())
+    return (
+        expl.groupBy(*parts, "method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            F.round(
+                F.sum(F.abs(F.col("fc") - F.col("__y")).cast(dec))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum((F.col("fc") - F.col("__y")).cast(dec))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("bias"),
+        )
+    )

@@ -857,3 +857,63 @@ ORDER BY p_truth
 
 EXT12_QUERIES.update({"x286_rr_gauge": q_x286_rr_gauge})
 EXT12_ORACLES.update({"x286_rr_gauge": SQL_X286})
+
+
+# ----------------------------- x287: rolling-origin backtest
+
+
+def q_x287_backtest(spark, sf_dir):
+    """Out-of-sample baseline shootout (operators/temporal.py:
+    rolling_origin_backtest): naive vs seasonal-naive one-step
+    forecasts of daily per-type event volume at the last 28 observed
+    origins — the measured floor a heavier forecaster must beat
+    (x259's MASE is the in-sample screen; this is the held-out
+    verdict)."""
+    from .operators.temporal import rolling_origin_backtest
+
+    ev = _read_events(spark, sf_dir)
+    day = ev.groupBy(
+        "event_type",
+        F.expr("ts_us div 86400000000").cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    out = rolling_origin_backtest(
+        day, ["event_type"], "day", "n_ev", season=7, n_origins=28
+    )
+    return out.orderBy("event_type", "method")
+
+
+SQL_X287 = """
+WITH day AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n_ev
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+staged AS (
+  SELECT event_type, day, CAST(n_ev AS DOUBLE) AS y,
+         LAG(CAST(n_ev AS DOUBLE), 1) OVER w AS fc_naive,
+         LAG(CAST(n_ev AS DOUBLE), 7) OVER w AS fc_snaive,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day DESC) AS recency
+  FROM day
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+expl AS (
+  SELECT event_type, y, 'naive' AS method, fc_naive AS fc
+  FROM staged WHERE recency <= 28 AND fc_naive IS NOT NULL
+  UNION ALL
+  SELECT event_type, y, 'snaive', fc_snaive
+  FROM staged WHERE recency <= 28 AND fc_snaive IS NOT NULL
+)
+SELECT event_type, method,
+       CAST(COUNT(*) AS BIGINT) AS n_evals,
+       ROUND(CAST(SUM(CAST(ABS(fc - y) AS DECIMAL(38,12)))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+       ROUND(CAST(SUM(CAST(fc - y AS DECIMAL(38,12)))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS bias
+FROM expl
+GROUP BY event_type, method
+ORDER BY event_type, method
+"""
+
+EXT12_QUERIES.update({"x287_backtest": q_x287_backtest})
+EXT12_ORACLES.update({"x287_backtest": SQL_X287})

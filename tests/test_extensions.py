@@ -7425,3 +7425,33 @@ def test_randomized_response_gauge_debiases(spark):
     import math
 
     assert abs(out[0.75]["epsilon"] - math.log(3)) < 1e-6
+
+
+def test_rolling_origin_backtest_seasonal_series(spark):
+    from fame2pygen_spark.operators.temporal import rolling_origin_backtest
+
+    # perfect weekly cycle: snaive is exact, naive is not
+    rows = [("g", t, float(10 + (t % 7))) for t in range(60)]
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    out = {
+        r["method"]: r
+        for r in rolling_origin_backtest(
+            df, ["g"], "t", "y", season=7, n_origins=20
+        ).collect()
+    }
+    assert out["snaive"]["mae"] == 0.0 and out["snaive"]["bias"] == 0.0
+    assert out["naive"]["mae"] > 0.5
+    assert out["naive"]["n_evals"] == 20 and out["snaive"]["n_evals"] == 20
+
+    # short series: origins without a lag are excluded, not fabricated
+    short = spark.createDataFrame(
+        [("g", t, float(t)) for t in range(5)], "g string, t long, y double"
+    )
+    s = {
+        r["method"]: r
+        for r in rolling_origin_backtest(
+            short, ["g"], "t", "y", season=7, n_origins=10
+        ).collect()
+    }
+    assert s["naive"]["n_evals"] == 4  # t=1..4
+    assert "snaive" not in s  # no point has a 7-back observation
