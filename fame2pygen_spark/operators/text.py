@@ -3239,3 +3239,119 @@ def query_likelihood_rank(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(top_n))
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    mask_rate: float = 0.15,
+    mean_span: int = 3,
+    salt: str = "t5",
+) -> DataFrame:
+    """T5-style span-corruption mask plan (Raffel et al. 2020): pick
+    deterministic corruption spans over each document's token grid and
+    report the realized masking profile — the plan a seq2seq
+    pretraining pipeline materializes into (inputs, targets) pairs,
+    audited BEFORE the expensive tokenize-and-write pass.
+
+    Mechanism (set-based, no sequential scan): every token index i is
+    a candidate span START with probability ``mask_rate / mean_span``
+    (derandomized: ``uniform_hash01(id:i) < p``); a started span
+    covers ``[i, i + mean_span)``; overlapping/adjacent spans merge by
+    the standard islands technique (interval union via running max of
+    span ends — cf. interval_overlap).  Expected coverage ~= mask_rate
+    with geometric-ish span lengths after merging, and the whole plan
+    is reproducible from (salt, doc id) alone — no RNG state to ship.
+
+    Output one row per document: ``(doc_id, n_tokens, n_spans,
+    n_masked, mask_frac)`` (6 dp).  Documents with zero tokens are
+    dropped (nothing to corrupt).
+
+    Plan shape: one posexplode to the token grid, per-doc keyed
+    windows (running max of candidate span ends -> island ids ->
+    span/mask counts) — everything keyed by doc, no global state,
+    linear in corpus tokens."""
+    p_start = float(mask_rate) / float(mean_span)
+    L = int(mean_span)
+    base = _parallelize_input(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).withColumn("n_tokens", F.size("__t").cast("long")).where(
+        F.col("n_tokens") > 0
+    )
+    grid = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(F.col("__t")).alias("i", "__tok"),
+    ).drop("__tok")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("doc_id").cast("string"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    cand = grid.withColumn(
+        "__end",
+        F.when(
+            u < F.lit(p_start),
+            F.least(
+                F.col("i").cast("long") + F.lit(L),
+                F.col("n_tokens"),
+            ),
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # a token is MASKED iff some earlier-or-here span covers it:
+    # running max of ends over strictly-previous rows vs current start
+    cov_prev = F.max("__end").over(w)
+    w2 = Window.partitionBy("doc_id").orderBy("i")
+    marked = cand.withColumn(
+        "__covered",
+        (
+            F.col("__end").isNotNull()
+            | (F.coalesce(cov_prev, F.lit(-1)) > F.col("i"))
+        ).cast("long"),
+    ).withColumn(
+        # a merged span OPENS at an uncovered->covered transition, so
+        # overlapping AND back-to-back spans count as one masked run
+        "__opens",
+        (
+            (F.col("__covered") == 1)
+            & (F.coalesce(F.lag("__covered").over(w2), F.lit(0)) == 0)
+        ).cast("long"),
+    )
+    return (
+        marked.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum("__opens").cast("long").alias("n_spans"),
+            F.sum("__covered").cast("long").alias("n_masked"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "n_masked",
+            F.round(
+                F.col("n_masked").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mask_frac"),
+        )
+    )

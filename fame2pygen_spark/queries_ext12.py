@@ -917,3 +917,79 @@ ORDER BY event_type, method
 
 EXT12_QUERIES.update({"x287_backtest": q_x287_backtest})
 EXT12_ORACLES.update({"x287_backtest": SQL_X287})
+
+
+# ----------------------------- x288: span-corruption mask plan
+
+
+def q_x288_span_corruption(spark, sf_dir):
+    """T5 span-corruption planning audit (operators/text.py:
+    span_corruption_plan): deterministic 15%-budget mean-3 spans over
+    every document's token grid, overlap-merged — per-doc span and
+    coverage profile, reproducible from (salt, doc_id) alone."""
+    from .operators.text import span_corruption_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = span_corruption_plan(
+        docs, "text", "doc_id", mask_rate=0.15, mean_span=3
+    )
+    return out.orderBy("doc_id")
+
+
+SQL_X288 = """
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+ta AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS toks
+  FROM t
+),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens FROM ta WHERE len(toks) > 0
+),
+grid AS (
+  SELECT doc_id, n_tokens,
+         unnest(range(0, n_tokens)) AS i
+  FROM base
+),
+cand AS (
+  SELECT doc_id, n_tokens, i,
+         CASE WHEN ('0x' || substr(md5('t5:' || CAST(doc_id AS
+                VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))
+                ::BIGINT / 4294967296.0 < 0.05
+              THEN LEAST(i + 3, n_tokens) END AS end_
+  FROM grid
+),
+cov AS (
+  SELECT *,
+         CASE WHEN end_ IS NOT NULL
+                OR COALESCE(MAX(end_) OVER (PARTITION BY doc_id
+                     ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), -1) > i
+              THEN 1 ELSE 0 END AS covered
+  FROM cand
+),
+op AS (
+  SELECT *,
+         CASE WHEN covered = 1
+                AND COALESCE(LAG(covered) OVER (PARTITION BY doc_id
+                      ORDER BY i), 0) = 0
+              THEN 1 ELSE 0 END AS opens
+  FROM cov
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(opens) AS BIGINT) AS n_spans,
+       CAST(SUM(covered) AS BIGINT) AS n_masked,
+       ROUND(CAST(SUM(covered) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 6) AS mask_frac
+FROM op
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""
+
+EXT12_QUERIES.update({"x288_span_corruption": q_x288_span_corruption})
+EXT12_ORACLES.update({"x288_span_corruption": SQL_X288})

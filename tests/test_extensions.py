@@ -7455,3 +7455,34 @@ def test_rolling_origin_backtest_seasonal_series(spark):
     }
     assert s["naive"]["n_evals"] == 4  # t=1..4
     assert "snaive" not in s  # no point has a 7-back observation
+
+
+def test_span_corruption_plan_coverage(spark):
+    from fame2pygen_spark.operators.text import span_corruption_plan
+
+    # one long synthetic doc: realized mask_frac should sit near the
+    # 15% budget (hash-uniform starts, merge shrinkage is small)
+    text = " ".join(f"w{i}" for i in range(4000))
+    df = spark.createDataFrame(
+        [(1, text), (2, ""), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in span_corruption_plan(
+        df, "text", "doc_id", mask_rate=0.15, mean_span=3
+    ).collect()}
+    assert 2 not in rows  # empty doc dropped
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4000
+    assert 0.10 < r1["mask_frac"] < 0.20
+    # merged spans: every span covers >= mean_span tokens unless it
+    # hit the doc end, so n_masked >= 3*n_spans - 2
+    assert r1["n_masked"] >= 3 * r1["n_spans"] - 2
+    # deterministic replan is identical
+    again = {r["doc_id"]: r for r in span_corruption_plan(
+        df, "text", "doc_id", mask_rate=0.15, mean_span=3
+    ).collect()}
+    assert str(sorted(map(str, rows.values()))) == str(
+        sorted(map(str, again.values()))
+    )
+    # the one-token doc: either fully masked or untouched, no crash
+    r3 = rows.get(3)
+    assert r3 is None or r3["mask_frac"] in (0.0, 1.0)
