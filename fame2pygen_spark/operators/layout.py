@@ -254,3 +254,124 @@ def zone_map_skip_audit(
             ).cast("long").alias("rows_bound"),
         )
     )
+
+
+def bloom_skip_audit(
+    df: DataFrame,
+    file_col: str,
+    key_col: str,
+    probes: DataFrame,
+    *,
+    probe_col: str = "probe_key",
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """File-level Bloom-filter skipping audit — the point-lookup
+    companion to :func:`zone_map_skip_audit`: zone maps prune RANGE
+    predicates, but an equality probe on a high-cardinality column
+    (user id, join key) hits every file whose min/max straddles it;
+    per-file Bloom filters (Parquet bloom_filter columns, Delta
+    BLOOMFILTER indexes) are the structure that skips those.
+
+    Builds one *m_bits*-bit filter per file (bit positions
+    ``md5(salt+i : key) % m``, *k_hashes* probes, stored as 32-bit
+    words under ``bit_or`` — shifts stay < 32 so the word algebra is
+    portable), then replays a probe-key workload: a file is a MAYBE
+    only when all k bits are set, and joining truth back in splits
+    maybes into genuine hits and false positives — the measured FPR
+    at this (m, k, rows/file) before you pay to write the filters.
+
+    Scale shape: filter construction is one explode (k rows per data
+    row) into a (file, word) ``bit_or`` aggregate — map-side
+    combinable integers; the replay is (probes x files) against
+    metadata only.  Everything is integer-exact.
+
+    Returns one row per probe: ``(probe_key, files_total,
+    files_actual, files_maybe, files_skipped, fp_files, skip_frac)``.
+    """
+    from .sketch import _hash64  # local import, no cycle
+
+    words = int(m_bits) // 32
+    kf = int(k_hashes)
+
+    def bits_for(col):
+        return F.array(
+            *[
+                (_hash64(col.cast("string"), f"{salt}{i}") % int(m_bits))
+                .cast("long")
+                for i in range(kf)
+            ]
+        )
+
+    word = F.expr("bit div 32")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))")
+    fb = (
+        df.select(
+            F.col(file_col).alias("file"),
+            F.explode(bits_for(F.col(key_col))).alias("bit"),
+        )
+        .select("file", word.alias("word"), mask.alias("mask"))
+        .groupBy("file", "word")
+        .agg(F.bit_or("mask").alias("bloom"))
+    )
+    files = fb.select("file").distinct()
+    pb = probes.select(
+        F.col(probe_col).alias("probe_key"),
+        F.explode(bits_for(F.col(probe_col))).alias("bit"),
+    ).select("probe_key", word.alias("word"), mask.alias("mask"))
+    cand = files.crossJoin(F.broadcast(pb))
+    hit = cand.join(fb, ["file", "word"], "left").withColumn(
+        "__bit_set",
+        (
+            F.col("bloom").isNotNull()
+            & (
+                F.expr("bloom & mask") == F.col("mask")
+            )
+        ).cast("long"),
+    )
+    per_pf = hit.groupBy("probe_key", "file").agg(
+        (F.sum("__bit_set") == F.lit(kf)).cast("long").alias("maybe")
+    )
+    truth = (
+        df.select(
+            F.col(file_col).alias("file"),
+            F.col(key_col).alias("probe_key"),
+        )
+        .distinct()
+        .withColumn("actual", F.lit(1).cast("long"))
+    )
+    joined = per_pf.join(
+        F.broadcast(probes.select(F.col(probe_col).alias("probe_key"))),
+        "probe_key",
+    ).join(truth, ["probe_key", "file"], "left")
+    return (
+        joined.groupBy("probe_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.coalesce(F.col("actual"), F.lit(0)))
+            .cast("long")
+            .alias("files_actual"),
+            F.sum("maybe").cast("long").alias("files_maybe"),
+            (F.count(F.lit(1)) - F.sum("maybe"))
+            .cast("long")
+            .alias("files_skipped"),
+            F.sum(
+                F.when(
+                    (F.col("maybe") == 1)
+                    & F.col("actual").isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp_files"),
+            F.round(
+                (
+                    F.count(F.lit(1)).cast("double")
+                    - F.sum("maybe").cast("double")
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("skip_frac"),
+        )
+    )

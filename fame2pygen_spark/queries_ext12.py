@@ -993,3 +993,108 @@ ORDER BY doc_id
 
 EXT12_QUERIES.update({"x288_span_corruption": q_x288_span_corruption})
 EXT12_ORACLES.update({"x288_span_corruption": SQL_X288})
+
+
+# ----------------------------- x289: per-file Bloom skipping audit
+
+_X289_PROBES = [1, 2, 3, 5, 8, 13, -7, 999999999]
+
+
+def q_x289_bloom_skip(spark, sf_dir):
+    """Point-lookup data-skipping audit (operators/layout.py:
+    bloom_skip_audit): 1024-bit, 3-hash Bloom filters per synthetic
+    orders file (o_orderkey % 128), replayed against an 8-key
+    customer-id probe workload including two absent keys — measured
+    skip fraction and false-positive files, the evidence for paying
+    the filter-write cost that zone maps (x278) can't earn on
+    equality probes."""
+    from .operators.layout import bloom_skip_audit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.where(
+        F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull()
+    ).select(
+        (F.col("o_orderkey") % 128).alias("file"),
+        F.col("o_custkey").alias("key"),
+    )
+    probes = spark.createDataFrame(
+        [(v,) for v in _X289_PROBES], "probe_key long"
+    )
+    out = bloom_skip_audit(
+        base, "file", "key", probes, m_bits=1024, k_hashes=3
+    )
+    return out.orderBy("probe_key")
+
+
+SQL_X289 = """
+WITH base AS (
+  SELECT o_orderkey % 128 AS file, o_custkey AS key
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+),
+hh AS (SELECT r AS hi FROM range(3) t(r)),
+bits AS (
+  SELECT b.file, b.key, h.hi,
+         ('0x' || substr(md5('bf' || CAST(h.hi AS VARCHAR) || ':'
+             || CAST(b.key AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bit
+  FROM base b CROSS JOIN hh h
+),
+fb AS (
+  SELECT file, bit // 32 AS word,
+         bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bloom
+  FROM bits GROUP BY file, bit // 32
+),
+probes AS (
+  SELECT CAST(probe_key AS BIGINT) AS probe_key
+  FROM (VALUES (1), (2), (3), (5), (8), (13), (-7), (999999999))
+    p(probe_key)
+),
+pb AS (
+  SELECT p.probe_key, h.hi,
+         ('0x' || substr(md5('bf' || CAST(h.hi AS VARCHAR) || ':'
+             || CAST(p.probe_key AS VARCHAR)), 1, 8))::BIGINT % 1024
+           AS bit
+  FROM probes p CROSS JOIN hh h
+),
+files AS (SELECT DISTINCT file FROM fb),
+cand AS (
+  SELECT f.file, p.probe_key, p.bit // 32 AS word,
+         1::BIGINT << CAST(p.bit % 32 AS INTEGER) AS mask
+  FROM files f CROSS JOIN pb p
+),
+hit AS (
+  SELECT c.probe_key, c.file,
+         CASE WHEN fb.bloom IS NOT NULL
+                AND (fb.bloom & c.mask) = c.mask
+              THEN 1 ELSE 0 END AS bit_set
+  FROM cand c LEFT JOIN fb ON fb.file = c.file AND fb.word = c.word
+),
+per_pf AS (
+  SELECT probe_key, file,
+         CASE WHEN SUM(bit_set) = 3 THEN 1 ELSE 0 END AS maybe
+  FROM hit GROUP BY probe_key, file
+),
+truth AS (SELECT DISTINCT file, key AS probe_key FROM base),
+joined AS (
+  SELECT p.probe_key, p.file, p.maybe,
+         CASE WHEN t.probe_key IS NOT NULL THEN 1 ELSE 0 END AS actual
+  FROM per_pf p
+  LEFT JOIN truth t
+    ON t.probe_key = p.probe_key AND t.file = p.file
+)
+SELECT probe_key,
+       CAST(COUNT(*) AS BIGINT) AS files_total,
+       CAST(SUM(actual) AS BIGINT) AS files_actual,
+       CAST(SUM(maybe) AS BIGINT) AS files_maybe,
+       CAST(COUNT(*) - SUM(maybe) AS BIGINT) AS files_skipped,
+       CAST(SUM(CASE WHEN maybe = 1 AND actual = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp_files,
+       ROUND((CAST(COUNT(*) AS DOUBLE) - CAST(SUM(maybe) AS DOUBLE))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS skip_frac
+FROM joined
+GROUP BY probe_key
+ORDER BY probe_key
+"""
+
+EXT12_QUERIES.update({"x289_bloom_skip": q_x289_bloom_skip})
+EXT12_ORACLES.update({"x289_bloom_skip": SQL_X289})

@@ -7486,3 +7486,41 @@ def test_span_corruption_plan_coverage(spark):
     # the one-token doc: either fully masked or untouched, no crash
     r3 = rows.get(3)
     assert r3 is None or r3["mask_frac"] in (0.0, 1.0)
+
+
+def test_bloom_skip_audit_point_lookups(spark):
+    from fame2pygen_spark.operators.layout import bloom_skip_audit
+
+    # key k lives only in file k % 8
+    df = spark.createDataFrame(
+        [(k % 8, k) for k in range(200)], "file long, key long"
+    )
+    probes = spark.createDataFrame(
+        [(5,), (12,), (10_000,)], "probe_key long"
+    )
+    out = {
+        r["probe_key"]: r
+        for r in bloom_skip_audit(
+            df, "file", "key", probes, m_bits=4096, k_hashes=3
+        ).collect()
+    }
+    for k in (5, 12):
+        r = out[k]
+        assert r["files_total"] == 8 and r["files_actual"] == 1
+        # the owning file is always a maybe (no false negatives)
+        assert r["files_maybe"] >= 1
+        assert r["files_maybe"] == r["files_actual"] + r["fp_files"]
+    # absent key: every maybe is a false positive; big m -> mostly skipped
+    absent = out[10_000]
+    assert absent["files_actual"] == 0
+    assert absent["fp_files"] == absent["files_maybe"]
+    assert absent["files_skipped"] >= 6
+
+    # saturation: tiny m sets every bit -> no skipping, still no FN
+    sat = {
+        r["probe_key"]: r
+        for r in bloom_skip_audit(
+            df, "file", "key", probes, m_bits=32, k_hashes=3
+        ).collect()
+    }
+    assert sat[5]["files_maybe"] == 8 and sat[5]["files_skipped"] == 0
