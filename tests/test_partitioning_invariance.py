@@ -99,6 +99,7 @@ SENSITIVE = [
     "x282_jl_audit",
     "x283_query_likelihood",
     "x284_rdd",
+    "x287_backtest",
 ]
 
 
