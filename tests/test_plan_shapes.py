@@ -982,3 +982,63 @@ def test_r4_keyed_windows_are_partitioned(spark, name):
 def test_hill_tail_global_topk_is_a_heap(spark):
     plan = plan_of(spark, "x255_hill_tail")
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x278_zone_map",       # manifest x broadcast predicate replay
+        "x279_dp_counts",      # one agg + literal explode
+        "x280_ipw_ate",        # two 1-row moment aggs, broadcast back
+        "x282_jl_audit",       # sign grid broadcast, bounded pairs
+        "x284_rdd",            # one grouped moment agg + 1-row algebra
+        "x286_rr_gauge",       # literal explode + integer agg
+        "x287_backtest",       # keyed lag windows + keyed agg
+        "x288_span_corruption",  # token grid + keyed islands windows
+        "x289_bloom_skip",     # word bit_or agg + metadata replay
+    ],
+)
+def test_r7_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x279_dp_counts",   # per-row noise, no ordering anywhere
+        "x286_rr_gauge",    # per-row flips, integer aggregate
+        "x289_bloom_skip",  # bit_or aggregates + joins only
+    ],
+)
+def test_r7_aggregate_operators_have_no_window(spark, name):
+    plan = plan_of(spark, name)
+    assert "Window" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # keyed windows must carry PartitionBy (x281's grid windows
+        # are bounded by the 400-point grid — audited separately)
+        "x287_backtest",
+        "x288_span_corruption",
+        "x285_vad",
+    ],
+)
+def test_r7_keyed_windows_are_partitioned(spark, name):
+    assert unpartitioned_windows(spark, name) == []
+
+
+def test_query_likelihood_plans_a_heap(spark):
+    plan = plan_of(spark, "x283_query_likelihood")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zone_map_predicate_side_broadcasts(spark):
+    # the workload replay must never shuffle the manifest against the
+    # predicate list — predicates ride a broadcast nested loop
+    plan = plan_of(spark, "x278_zone_map")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
