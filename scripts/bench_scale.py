@@ -179,6 +179,37 @@ def run_scale_tier(spark) -> dict:
         lambda: rake_keywords(docs, "text", "doc_id", top_n=20).count(),
     )
 
+    # span-corruption planning on the 10x corpus: token-grid explode
+    # + doc-keyed islands windows — linear in corpus tokens, the
+    # masking-plan pass a T5 pipeline runs before materializing pairs
+    from fame2pygen_spark.operators.text import span_corruption_plan
+
+    timed(
+        "x288_span_corruption_docs10x",
+        lambda: span_corruption_plan(docs, "text", "doc_id").count(),
+    )
+
+    # VAD through the real PCM decode path at 10x: every doc renders
+    # the deterministic 64-sample WAV, mapInPandas decodes + segments
+    # — the Arrow-batched Python lane under replica load
+    def _vad_10x():
+        from fame2pygen_spark.operators.multimodal import vad_segments
+        from fame2pygen_spark.queries_ext3 import (
+            _WAV_SAMPLE_HEX, _wav_header_hex,
+        )
+
+        payload = F.concat(
+            F.unhex(F.lit(_wav_header_hex())),
+            F.unhex(F.concat_ws("", F.expr(_WAV_SAMPLE_HEX))),
+        )
+        staged = docs.select(
+            F.col("doc_id").cast("long").alias("asset_id"),
+            payload.alias("payload"),
+        )
+        return vad_segments(staged, frame=8, threshold_frac=0.5).count()
+
+    timed("x285_vad_docs10x", _vad_10x)
+
     # semdedup on a REPLICAS× embedding corpus: identical replica
     # vectors land in the same cell by construction, so within-cluster
     # pair volume grows quadratically in the replica factor — the
