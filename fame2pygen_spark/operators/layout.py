@@ -256,6 +256,47 @@ def zone_map_skip_audit(
     )
 
 
+def _bloom_bits(col: Column, m_bits: int, k_hashes: int, salt: str) -> Column:
+    from .sketch import _hash64  # local import, no cycle
+
+    return F.array(
+        *[
+            (_hash64(col.cast("string"), f"{salt}{i}") % int(m_bits))
+            .cast("long")
+            for i in range(int(k_hashes))
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    file_col: str,
+    key_col: str,
+    *,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """Per-file Bloom filters as ``(file, word, bloom)`` 32-bit-word
+    rows (bit ``md5(salt+i : key) % m``, ``bit_or`` packed) — the
+    construction half of :func:`bloom_skip_audit`, exposed so
+    incremental paths (cf. streaming.stateful.streaming_bloom_filter)
+    can prove word-for-word agreement with the batch build."""
+    word = F.expr("bit div 32")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))")
+    return (
+        df.select(
+            F.col(file_col).alias("file"),
+            F.explode(
+                _bloom_bits(F.col(key_col), m_bits, k_hashes, salt)
+            ).alias("bit"),
+        )
+        .select("file", word.alias("word"), mask.alias("mask"))
+        .groupBy("file", "word")
+        .agg(F.bit_or("mask").alias("bloom"))
+    )
+
+
 def bloom_skip_audit(
     df: DataFrame,
     file_col: str,
@@ -290,35 +331,18 @@ def bloom_skip_audit(
     Returns one row per probe: ``(probe_key, files_total,
     files_actual, files_maybe, files_skipped, fp_files, skip_frac)``.
     """
-    from .sketch import _hash64  # local import, no cycle
-
-    words = int(m_bits) // 32
     kf = int(k_hashes)
-
-    def bits_for(col):
-        return F.array(
-            *[
-                (_hash64(col.cast("string"), f"{salt}{i}") % int(m_bits))
-                .cast("long")
-                for i in range(kf)
-            ]
-        )
-
-    word = F.expr("bit div 32")
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))")
-    fb = (
-        df.select(
-            F.col(file_col).alias("file"),
-            F.explode(bits_for(F.col(key_col))).alias("bit"),
-        )
-        .select("file", word.alias("word"), mask.alias("mask"))
-        .groupBy("file", "word")
-        .agg(F.bit_or("mask").alias("bloom"))
+    fb = bloom_build(
+        df, file_col, key_col, m_bits=m_bits, k_hashes=kf, salt=salt
     )
     files = fb.select("file").distinct()
+    word = F.expr("bit div 32")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))")
     pb = probes.select(
         F.col(probe_col).alias("probe_key"),
-        F.explode(bits_for(F.col(probe_col))).alias("bit"),
+        F.explode(
+            _bloom_bits(F.col(probe_col), m_bits, kf, salt)
+        ).alias("bit"),
     ).select("probe_key", word.alias("word"), mask.alias("mask"))
     cand = files.crossJoin(F.broadcast(pb))
     hit = cand.join(fb, ["file", "word"], "left").withColumn(

@@ -7524,3 +7524,62 @@ def test_bloom_skip_audit_point_lookups(spark):
         ).collect()
     }
     assert sat[5]["files_maybe"] == 8 and sat[5]["files_skipped"] == 0
+
+
+def test_streaming_bloom_filter_matches_batch_build(spark, tmp_path):
+    """Two micro-batches through the stateful Bloom maintenance equal
+    the batch bit_or build on the union, bit for bit."""
+    from fame2pygen_spark.operators.layout import bloom_build
+    from fame2pygen_spark.streaming.stateful import streaming_bloom_filter
+
+    b1 = spark.createDataFrame(
+        [("f0", k) for k in range(40)] + [("f1", k) for k in range(20)],
+        "file string, key long",
+    )
+    b2 = spark.createDataFrame(
+        [("f0", k) for k in range(40, 60)] + [("f1", 99)],
+        "file string, key long",
+    )
+    path = str(tmp_path / "bloom_src")
+    b1.coalesce(1).write.parquet(path)
+    b2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    q = (
+        streaming_bloom_filter(stream, m_bits=1024, k_hashes=3)
+        .writeStream.format("memory")
+        .queryName("bloom_check")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from bloom_check").collect()
+    streamed = {}
+    for r in rows:  # last update per file wins
+        if (
+            r["file"] not in streamed
+            or r["n_keys"] > streamed[r["file"]]["n_keys"]
+        ):
+            streamed[r["file"]] = r
+    assert streamed["f0"]["n_keys"] == 60
+    assert streamed["f1"]["n_keys"] == 21
+
+    both = b1.unionByName(b2)
+    batch = bloom_build(both, "file", "key", m_bits=1024, k_hashes=3)
+    for fname in ("f0", "f1"):
+        bitmap = int(streamed[fname]["bloom_hex"], 16)
+        words = {
+            r["word"]: r["bloom"]
+            for r in batch.where(F.col("file") == fname).collect()
+        }
+        for w in range(1024 // 32):
+            got = (bitmap >> (32 * w)) & 0xFFFFFFFF
+            assert got == words.get(w, 0), (fname, w)
+        # fill gauge consistent with the bitmap
+        assert streamed[fname]["bits_set"] == bitmap.bit_count()
