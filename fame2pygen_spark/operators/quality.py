@@ -1987,3 +1987,93 @@ def randomized_response_gauge(
         F.round(est, 6).alias("est_rate"),
         F.round(F.abs(est - true_rate), 6).alias("abs_err"),
     ).orderBy("p_truth")
+
+
+def corrected_prevalence(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pred_col: str,
+    truth_col: str,
+    calib_col: str,
+) -> DataFrame:
+    """Misclassification-corrected prevalence (Rogan-Gladen 1978 —
+    the two-class case of BBSE label-shift correction, Lipton et al.
+    2018): a cheap classifier's APPARENT positive rate on a target
+    group mixes true prevalence with the classifier's error rates;
+    with sensitivity and specificity measured once on a labeled
+    calibration slice, ``pi = (apparent + spec - 1)/(sens + spec - 1)``
+    recovers the true rate — the standard way to track a label's
+    prevalence across 100 TB with a classifier you only trust enough
+    to calibrate.
+
+    Rows where *calib_col* is true form the calibration slice (truth
+    labels required there); every other row is target, grouped by
+    *group_cols*.  The correction needs a better-than-chance
+    classifier: Youden ``sens + spec - 1 <= 0`` yields NULL corrected
+    rates, not a sign-flipped estimate.  Estimates clamp to [0, 1]
+    (the usual truncation) and carry the delta-method SE
+    ``sqrt(apparent(1-apparent)/n) / (sens + spec - 1)``.
+
+    Plan shape: ONE 1-row integer aggregate for (sens, spec),
+    broadcast onto one integer aggregate per target group — counts
+    only, no float accumulation, so the result is trivially
+    partition-invariant.
+
+    Returns one row per target group: ``(..., n, apparent, sens,
+    spec, corrected, se)`` at 6 dp."""
+    parts = [F.col(c) for c in group_cols]
+    pred = (F.col(pred_col).cast("long") > 0).cast("long")
+    truth = (F.col(truth_col).cast("long") > 0).cast("long")
+    base = df.select(
+        *parts,
+        pred.alias("__p"),
+        truth.alias("__t"),
+        F.col(calib_col).cast("boolean").alias("__cal"),
+    )
+    cal = base.where(F.col("__cal")).agg(
+        F.try_divide(
+            F.sum(F.col("__p") * F.col("__t")).cast("double"),
+            F.sum("__t").cast("double"),
+        ).alias("__sens"),
+        F.try_divide(
+            F.sum((1 - F.col("__p")) * (1 - F.col("__t"))).cast(
+                "double"
+            ),
+            F.sum(F.lit(1) - F.col("__t")).cast("double"),
+        ).alias("__spec"),
+    )
+    tgt = (
+        base.where(~F.col("__cal"))
+        .groupBy(*parts)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__p").cast("long").alias("__np"),
+        )
+    )
+    j = tgt.crossJoin(F.broadcast(cal))
+    apparent = F.col("__np").cast("double") / F.col("n").cast("double")
+    youden = F.col("__sens") + F.col("__spec") - F.lit(1.0)
+    corrected = F.when(
+        youden > 0,
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                (apparent + F.col("__spec") - F.lit(1.0)) / youden,
+            ),
+        ),
+    )
+    se = F.when(
+        youden > 0,
+        F.sqrt(apparent * (F.lit(1.0) - apparent) / F.col("n"))
+        / youden,
+    )
+    return j.select(
+        *parts,
+        "n",
+        F.round(apparent, 6).alias("apparent"),
+        F.round(F.col("__sens"), 6).alias("sens"),
+        F.round(F.col("__spec"), 6).alias("spec"),
+        F.round(corrected, 6).alias("corrected"),
+        F.round(se, 6).alias("se"),
+    )

@@ -1098,3 +1098,78 @@ ORDER BY probe_key
 
 EXT12_QUERIES.update({"x289_bloom_skip": q_x289_bloom_skip})
 EXT12_ORACLES.update({"x289_bloom_skip": SQL_X289})
+
+
+# ----------------------------- x290: corrected prevalence
+
+
+def q_x290_corrected_prevalence(spark, sf_dir):
+    """Rogan-Gladen prevalence tracking (operators/quality.py:
+    corrected_prevalence): the marker-ratio lang-ID (x113's detector)
+    predicts 'en' per document; sensitivity/specificity calibrate on
+    src0+src1's labels, and every other source's English share is
+    corrected for the detector's error rates — label-shift-safe
+    prevalence from a classifier you only trust enough to calibrate."""
+    from .operators.quality import corrected_prevalence
+    from .operators.text import detect_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "source",
+        (detect_language(F.col("text")) == "en").cast("long").alias(
+            "pred_en"
+        ),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        F.col("source").isin("src0", "src1").alias("is_calib"),
+    )
+    out = corrected_prevalence(
+        staged, ["source"], "pred_en", "is_en", "is_calib"
+    )
+    return out.orderBy("source")
+
+
+def _sql_x290() -> str:
+    from .queries_ext import _sql_profile_ctes
+
+    return f"""
+WITH {_sql_profile_ctes()},
+rg_base AS (
+  SELECT d.source,
+         CASE WHEN p.lang_pred = 'en' THEN 1 ELSE 0 END AS pred,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS truth,
+         d.source IN ('src0', 'src1') AS cal
+  FROM prof p JOIN documents d USING (doc_id)
+),
+cal AS (
+  SELECT CAST(SUM(pred * truth) AS DOUBLE)
+           / CAST(SUM(truth) AS DOUBLE) AS sens,
+         CAST(SUM((1 - pred) * (1 - truth)) AS DOUBLE)
+           / CAST(SUM(1 - truth) AS DOUBLE) AS spec
+  FROM rg_base WHERE cal
+),
+tgt AS (
+  SELECT source, COUNT(*) AS n, SUM(pred) AS np
+  FROM rg_base WHERE NOT cal GROUP BY source
+),
+j AS (
+  SELECT t.source, t.n,
+         CAST(t.np AS DOUBLE) / CAST(t.n AS DOUBLE) AS apparent,
+         c.sens, c.spec, c.sens + c.spec - 1.0 AS youden
+  FROM tgt t CROSS JOIN cal c
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       ROUND(apparent, 6) AS apparent,
+       ROUND(sens, 6) AS sens, ROUND(spec, 6) AS spec,
+       ROUND(CASE WHEN youden > 0 THEN
+         LEAST(1.0, GREATEST(0.0, (apparent + spec - 1.0) / youden))
+       END, 6) AS corrected,
+       ROUND(CASE WHEN youden > 0 THEN
+         sqrt(apparent * (1.0 - apparent) / n) / youden
+       END, 6) AS se
+FROM j
+ORDER BY source
+"""
+
+
+EXT12_QUERIES.update({"x290_corrected_prevalence": q_x290_corrected_prevalence})
+EXT12_ORACLES.update({"x290_corrected_prevalence": _sql_x290()})

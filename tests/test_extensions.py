@@ -7583,3 +7583,41 @@ def test_streaming_bloom_filter_matches_batch_build(spark, tmp_path):
             assert got == words.get(w, 0), (fname, w)
         # fill gauge consistent with the bitmap
         assert streamed[fname]["bits_set"] == bitmap.bit_count()
+
+
+def test_corrected_prevalence_recovers_truth(spark):
+    from fame2pygen_spark.operators.quality import corrected_prevalence
+
+    # classifier with sens=0.8, spec=0.9 planted exactly; target group
+    # true prevalence 0.4 -> apparent = .8*.4 + .1*.6 = 0.38
+    rows = []
+    # calibration: 100 positives (80 detected), 100 negatives (10 FP)
+    for i in range(100):
+        rows.append(("cal", 1 if i < 80 else 0, 1, True))
+        rows.append(("cal", 1 if i < 10 else 0, 0, True))
+    # target g1: 200 true positives, 300 true negatives, same rates
+    for i in range(200):
+        rows.append(("g1", 1 if i < 160 else 0, 1, False))
+    for i in range(300):
+        rows.append(("g1", 1 if i < 30 else 0, 0, False))
+    df = spark.createDataFrame(
+        rows, "g string, pred long, truth long, cal boolean"
+    )
+    r = corrected_prevalence(df, ["g"], "pred", "truth", "cal").collect()
+    assert len(r) == 1 and r[0]["g"] == "g1"
+    assert r[0]["sens"] == 0.8 and r[0]["spec"] == 0.9
+    assert r[0]["apparent"] == 0.38
+    # corrected = (0.38 + 0.9 - 1) / 0.7 = 0.4 exactly
+    assert abs(r[0]["corrected"] - 0.4) < 1e-6
+    assert r[0]["se"] > 0
+
+    # chance-level classifier: NULL, never a sign-flipped estimate
+    bad = [("cal", i % 2, (i // 2) % 2, True) for i in range(200)]
+    bad += [("g1", i % 2, None, False) for i in range(100)]
+    b = corrected_prevalence(
+        spark.createDataFrame(
+            bad, "g string, pred long, truth long, cal boolean"
+        ),
+        ["g"], "pred", "truth", "cal",
+    ).collect()[0]
+    assert b["corrected"] is None and b["se"] is None
