@@ -231,3 +231,169 @@ def backcast(
         ).otherwise(F.col(tgt))
     out = out.withColumns(updates)
     return out.drop("__ref_date", *anchor_cols.keys())
+
+
+def tornqvist_index(
+    panel: DataFrame,
+    *,
+    item_col: str = "item",
+    t_col: str = "midx",
+    price_col: str = "p",
+    value_col: str = "v",
+) -> DataFrame:
+    """Chained Törnqvist price index over an (item, period) panel —
+    the superlative index the reference's econ family (chain/fishvol,
+    ``formulas_generator.py:613-620``) stops short of: a
+    share-weighted geometric mean of matched-item price relatives,
+    exact for translog preferences (Diewert 1976).
+
+    Per consecutive period pair (t-1, t) and the MATCHED item set
+    (present in both periods):
+
+    * shares   s_{i,t} = v_{i,t} / Σ_matched v_{·,t}  (and s_{i,t-1})
+    * link     ln L_t = Σ_i ½(s_{i,t-1} + s_{i,t}) · ln(p_{i,t}/p_{i,t-1})
+    * level    T_t = 100 · exp(Σ_{s ≤ t} ln L_s),  first period = 100.
+
+    Matching requires t_prev == t-1 (an item re-entering after a gap
+    contributes nothing that period — no spurious multi-period
+    relatives).  Cross-engine exactness: the per-period log link is a
+    decimal(38,18) sum rounded to 12 dp, and the cumulative sum runs
+    over decimals, so ``exp`` sees bit-identical arguments in any
+    partitioning and in the DuckDB oracle.
+
+    Scale shape: one lag window partitioned by item, two share
+    windows partitioned by period, one bounded groupBy(period), and a
+    final single-partition cumsum over #periods rows (dozens, not
+    data-sized).  No shuffle touches row-level data more than once.
+
+    Output: one row per period ``(t_col, n_items, tq_index)``.
+    """
+    wi = Window.partitionBy(item_col).orderBy(t_col)
+    lagged = panel.select(
+        F.col(item_col).alias("__it"),
+        F.col(t_col).alias("__t"),
+        F.col(price_col).cast("double").alias("__p"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lag(t_col, 1).over(wi).alias("__tprev"),
+        F.lag(price_col, 1).over(wi).cast("double").alias("__pprev"),
+        F.lag(value_col, 1).over(wi).cast("double").alias("__vprev"),
+    )
+    matched = lagged.where(
+        (F.col("__tprev") == F.col("__t") - 1)
+        & F.col("__pprev").isNotNull()
+        & (F.col("__pprev") > 0)
+        & (F.col("__p") > 0)
+    )
+    wt = Window.partitionBy("__t")
+    shared = matched.select(
+        "__t",
+        (
+            F.lit(0.5)
+            * (
+                F.col("__vprev")
+                / F.sum(F.col("__vprev").cast("decimal(38,12)"))
+                .over(wt)
+                .cast("double")
+                + F.col("__v")
+                / F.sum(F.col("__v").cast("decimal(38,12)"))
+                .over(wt)
+                .cast("double")
+            )
+            * F.log(F.col("__p") / F.col("__pprev"))
+        ).alias("__term"),
+    )
+    links = shared.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("__term").cast("decimal(38,18)")).cast("double"),
+            12,
+        ).alias("__lnl"),
+    )
+    periods = panel.select(F.col(t_col).alias("__t")).distinct()
+    wc = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        periods.join(links, on="__t", how="left")
+        .withColumn(
+            "__cum",
+            F.sum(
+                F.coalesce(F.col("__lnl"), F.lit(0.0)).cast(
+                    "decimal(28,16)"
+                )
+            ).over(wc),
+        )
+        .select(
+            F.col("__t").alias(t_col),
+            F.coalesce(F.col("n_items"), F.lit(0)).cast("long").alias(
+                "n_items"
+            ),
+            F.round(
+                F.lit(100.0) * F.exp(F.col("__cum").cast("double")), 6
+            ).alias("tq_index"),
+        )
+    )
+    return out
+
+
+def growth_contributions(
+    panel: DataFrame,
+    *,
+    entity_col: str = "entity",
+    t_col: str = "midx",
+    value_col: str = "v",
+) -> DataFrame:
+    """Additive contribution-to-growth decomposition — the standard
+    national-accounts readout (who drove this period's growth):
+    ``contrib_{i,t} = (v_{i,t} − v_{i,t−1}) / V_{t−1}`` with
+    ``V = Σ_i v``; both V's are computed over the MATCHED entity set
+    (present in t−1 and t with consecutive period index), so the
+    per-entity contributions sum EXACTLY to the reported
+    ``total_growth`` by construction — an entity appearing or
+    vanishing mid-series narrows the matched set rather than silently
+    breaking the additivity the decomposition exists to provide.
+
+    Cross-engine exactness: period totals are decimal(38,12) sums, so
+    V_t is bit-identical in any partitioning and in the oracle.
+
+    Scale shape: one lag window per entity, one total window per
+    period — both shuffle the (entity × period) frame the caller
+    already aggregated, never raw rows.
+
+    Output: ``(t_col, entity_col, value, contrib, total_growth)``,
+    one row per (period, entity) with a complete previous period.
+    """
+    we = Window.partitionBy(entity_col).orderBy(t_col)
+    lagged = panel.select(
+        F.col(entity_col).alias("__e"),
+        F.col(t_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lag(t_col, 1).over(we).alias("__tprev"),
+        F.lag(value_col, 1).over(we).cast("double").alias("__vprev"),
+    ).where(F.col("__tprev") == F.col("__t") - 1)
+    wt = Window.partitionBy("__t")
+    tot = lagged.select(
+        "__e",
+        "__t",
+        "__v",
+        "__vprev",
+        F.sum(F.col("__v").cast("decimal(38,12)"))
+        .over(wt)
+        .cast("double")
+        .alias("__tot_v"),
+        F.sum(F.col("__vprev").cast("decimal(38,12)"))
+        .over(wt)
+        .cast("double")
+        .alias("__tot_vprev"),
+    )
+    return tot.select(
+        F.col("__t").alias(t_col),
+        F.col("__e").alias(entity_col),
+        F.round(F.col("__v"), 6).alias("value"),
+        F.round(
+            (F.col("__v") - F.col("__vprev")) / F.col("__tot_vprev"), 6
+        ).alias("contrib"),
+        F.round(
+            (F.col("__tot_v") - F.col("__tot_vprev"))
+            / F.col("__tot_vprev"),
+            6,
+        ).alias("total_growth"),
+    )

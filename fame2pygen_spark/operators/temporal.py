@@ -39,7 +39,97 @@ __all__ = [
     "time_weighted_avg", "group_trend", "cusum_scan", "autocorrelation",
     "theil_sen_trend", "ewma_smooth", "scd2_merge",
     "prorate_intervals", "decayed_sum", "holt_winters",
+    "henderson_weights", "henderson_trend",
 ]
+
+
+def henderson_weights(terms: int = 13) -> list[float]:
+    """Closed-form Henderson moving-average weights (the trend filter
+    at the core of X-11/X-13 seasonal adjustment, Henderson 1916): for
+    length ``2m+1`` with ``n = m+2``,
+
+    ``w_j ∝ ((n−1)²−j²)(n²−j²)((n+1)²−j²)(3n²−16−11j²)``
+
+    normalized by ``8n(n²−1)(4n²−1)(4n²−9)(4n²−25)/315`` — the filter
+    that minimizes the sum of squared third differences of the output
+    (smoothest trend passing cubics exactly).  For terms=13 this
+    reproduces the published X-11 weights (−0.01935, −0.02786, 0,
+    0.06549, 0.14736, 0.21434, 0.24006, mirrored) and sums to 1.0
+    exactly in IEEE doubles.  Computed in Python and injected as
+    literals into BOTH engines, so parity never depends on either
+    engine's arithmetic deriving them."""
+    if terms < 5 or terms % 2 == 0:
+        raise ValueError("henderson_weights: terms must be odd and >= 5")
+    m = (terms - 1) // 2
+    n = m + 2
+    den = 8.0 * n * (n * n - 1) * (4 * n * n - 1) * (4 * n * n - 9) * (
+        4 * n * n - 25
+    )
+    return [
+        315.0
+        * ((n - 1) ** 2 - j * j)
+        * (n * n - j * j)
+        * ((n + 1) ** 2 - j * j)
+        * (3 * n * n - 16 - 11 * j * j)
+        / den
+        for j in range(-m, m + 1)
+    ]
+
+
+def henderson_trend(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    terms: int = 13,
+) -> DataFrame:
+    """Henderson trend extraction per entity: the symmetric
+    ``terms``-point weighted moving average with
+    :func:`henderson_weights`, the standard trend-cycle filter of
+    X-11/X-13 seasonal adjustment (paired with the ratio-to-MA
+    decomposition in x186).  Emits only rows with a COMPLETE window
+    of consecutive periods (``lag(t, m) == t−m`` and
+    ``lead(t, m) == t+m``) — a gap in the series yields no row rather
+    than a trend silently computed from the wrong neighbours; run
+    gap-fill (x45) first for gappy series.
+
+    Cross-engine exactness: the weighted sum is a fixed left-to-right
+    fold of 2m+1 ``lit(w_j)·lag/lead`` products written identically in
+    the SQL oracle — neither engine reassociates float addition, so
+    the doubles match bit-for-bit before the final round.
+
+    Scale shape: ONE window shuffle partitioned by entity (all 2m+1
+    lags/leads share the same window frame — Spark plans a single
+    exchange + sort, not 13); no global window anywhere.
+
+    Output: ``(entity_col, t_col, value, trend)``.
+    """
+    m = (terms - 1) // 2
+    ws = henderson_weights(terms)
+    w = Window.partitionBy(entity_col).orderBy(t_col)
+    v = F.col(value_col).cast("double")
+    acc = None
+    for idx, j in enumerate(range(-m, m + 1)):
+        term = (
+            F.lead(v, -j).over(w)
+            if j < 0
+            else (F.lag(v, j).over(w) if j > 0 else v)
+        )
+        piece = F.lit(ws[idx]) * term
+        acc = piece if acc is None else acc + piece
+    complete = (F.lag(F.col(t_col), m).over(w) == F.col(t_col) - m) & (
+        F.lead(F.col(t_col), m).over(w) == F.col(t_col) + m
+    )
+    return (
+        df.select(
+            F.col(entity_col),
+            F.col(t_col),
+            F.round(v, 6).alias("value"),
+            F.when(complete, F.round(acc, 6)).alias("trend"),
+        )
+        .where(F.col("trend").isNotNull())
+    )
 
 
 def asof_join(

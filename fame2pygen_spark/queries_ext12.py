@@ -1173,3 +1173,282 @@ ORDER BY source
 
 EXT12_QUERIES.update({"x290_corrected_prevalence": q_x290_corrected_prevalence})
 EXT12_ORACLES.update({"x290_corrected_prevalence": _sql_x290()})
+
+
+# ----------------------------- x291: chained Törnqvist price index
+
+
+def q_x291_tornqvist(spark, sf_dir):
+    """Chained Törnqvist price index (functions/econ.py:
+    tornqvist_index) over the lineitem panel — 25 synthetic items
+    (partkey buckets) × ship-month, unit price = Σ price / Σ qty,
+    matched-item share-weighted geometric mean of price relatives
+    chained to a 100-based level.  The superlative complement to the
+    reference's Laspeyres chain (s12) and Fisher volume (s13)."""
+    from .functions.econ import tornqvist_index
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    panel = (
+        li.where(
+            F.col("l_partkey").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & (F.col("l_quantity") > 0)
+        )
+        .groupBy(
+            (F.col("l_partkey") % 25).alias("item"),
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("val"),
+            F.sum(F.col("l_quantity").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .select(
+            "item",
+            "midx",
+            "val",
+            (F.col("val") / F.col("qty")).alias("p"),
+        )
+    )
+    out = tornqvist_index(
+        panel, item_col="item", t_col="midx", price_col="p",
+        value_col="val",
+    )
+    return out.select(
+        F.col("midx").cast("long").alias("midx"), "n_items", "tq_index"
+    )
+
+
+def _sql_x291() -> str:
+    return """
+WITH t291_panel AS (
+  SELECT l_partkey % 25 AS item,
+         year(l_shipdate) * 12 + month(l_shipdate) AS midx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
+           AS val,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_quantity > 0
+  GROUP BY 1, 2
+),
+t291_p AS (SELECT item, midx, val, val / qty AS p FROM t291_panel),
+t291_lag AS (
+  SELECT item, midx, p, val,
+         LAG(midx) OVER w AS tprev,
+         LAG(p) OVER w AS pprev,
+         LAG(val) OVER w AS vprev
+  FROM t291_p WINDOW w AS (PARTITION BY item ORDER BY midx)
+),
+t291_m AS (
+  SELECT * FROM t291_lag
+  WHERE tprev = midx - 1 AND pprev IS NOT NULL AND pprev > 0 AND p > 0
+),
+t291_sh AS (
+  SELECT midx,
+         0.5 * (vprev / CAST(SUM(CAST(vprev AS DECIMAL(38,12)))
+                               OVER wt AS DOUBLE)
+              + val / CAST(SUM(CAST(val AS DECIMAL(38,12)))
+                             OVER wt AS DOUBLE))
+             * ln(p / pprev) AS term
+  FROM t291_m WINDOW wt AS (PARTITION BY midx)
+),
+t291_l AS (
+  SELECT midx, CAST(COUNT(*) AS BIGINT) AS n_items,
+         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 12)
+           AS lnl
+  FROM t291_sh GROUP BY midx
+),
+t291_per AS (SELECT DISTINCT midx FROM t291_p),
+t291_c AS (
+  SELECT per.midx,
+         CAST(COALESCE(l.n_items, 0) AS BIGINT) AS n_items,
+         SUM(CAST(COALESCE(l.lnl, 0.0) AS DECIMAL(28,16)))
+           OVER (ORDER BY per.midx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t291_per per LEFT JOIN t291_l l ON l.midx = per.midx
+)
+SELECT CAST(midx AS BIGINT) AS midx, n_items,
+       ROUND(100.0 * exp(CAST(cum AS DOUBLE)), 6) AS tq_index
+FROM t291_c
+ORDER BY midx
+"""
+
+
+# ----------------------------- x292: Henderson 13-term trend
+
+
+def q_x292_henderson(spark, sf_dir):
+    """Henderson 13-term trend filter (operators/temporal.py:
+    henderson_trend) over monthly order revenue per order priority —
+    the X-11 trend-cycle smoother with exact closed-form weights,
+    complete-window-only semantics (edge months emit nothing)."""
+    from .operators.temporal import henderson_trend
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    panel = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    out = henderson_trend(
+        panel, entity_col="priority", t_col="midx", value_col="v",
+        terms=13,
+    )
+    return out.select(
+        "priority", F.col("midx").cast("long").alias("midx"), "value",
+        "trend",
+    )
+
+
+def _sql_x292() -> str:
+    from .operators.temporal import henderson_weights
+
+    ws = henderson_weights(13)
+    terms = []
+    for idx, j in enumerate(range(-6, 7)):
+        if j < 0:
+            t = f"LEAD(v, {-j}) OVER w"
+        elif j > 0:
+            t = f"LAG(v, {j}) OVER w"
+        else:
+            t = "v"
+        terms.append(f"{ws[idx]!r} * {t}")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return f"""
+WITH t292_panel AS (
+  SELECT o_orderpriority AS priority,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+t292_f AS (
+  SELECT priority, midx, ROUND(v, 6) AS value,
+         CASE WHEN LAG(midx, 6) OVER w = midx - 6
+               AND LEAD(midx, 6) OVER w = midx + 6
+              THEN ROUND({acc}, 6) END AS trend
+  FROM t292_panel WINDOW w AS (PARTITION BY priority ORDER BY midx)
+)
+SELECT priority, CAST(midx AS BIGINT) AS midx, value, trend
+FROM t292_f
+WHERE trend IS NOT NULL
+ORDER BY priority, midx
+"""
+
+
+# ----------------------------- x293: growth contributions
+
+
+def q_x293_growth_contrib(spark, sf_dir):
+    """Additive contribution-to-growth decomposition (functions/
+    econ.py: growth_contributions): which market segment drove each
+    month's aggregate order-revenue growth — per-segment contributions
+    that sum exactly to the matched-set total growth rate.  Dimension
+    join is an explicit broadcast (customer is the small side at any
+    scale that matters here)."""
+    from .functions.econ import growth_contributions
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_custkey").isNotNull()
+    ).join(
+        F.broadcast(
+            c.where(F.col("c_mktsegment").isNotNull()).select(
+                "c_custkey", "c_mktsegment"
+            )
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    panel = j.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "midx"
+        ),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("v")
+    )
+    out = growth_contributions(
+        panel, entity_col="segment", t_col="midx", value_col="v"
+    )
+    return out.select(
+        F.col("midx").cast("long").alias("midx"), "segment", "value",
+        "contrib", "total_growth",
+    )
+
+
+def _sql_x293() -> str:
+    return """
+WITH t293_panel AS (
+  SELECT c.c_mktsegment AS segment,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS midx,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+           AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+    AND o.o_custkey IS NOT NULL AND c.c_mktsegment IS NOT NULL
+  GROUP BY 1, 2
+),
+t293_lag AS (
+  SELECT segment, midx, v,
+         LAG(midx) OVER w AS tprev, LAG(v) OVER w AS vprev
+  FROM t293_panel WINDOW w AS (PARTITION BY segment ORDER BY midx)
+),
+t293_m AS (
+  SELECT * FROM t293_lag WHERE tprev = midx - 1
+),
+t293_tot AS (
+  SELECT segment, midx, v, vprev,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) OVER wt AS DOUBLE) AS vt,
+         CAST(SUM(CAST(vprev AS DECIMAL(38,12))) OVER wt AS DOUBLE)
+           AS vtprev
+  FROM t293_m WINDOW wt AS (PARTITION BY midx)
+)
+SELECT CAST(midx AS BIGINT) AS midx, segment,
+       ROUND(v, 6) AS value,
+       ROUND((v - vprev) / vtprev, 6) AS contrib,
+       ROUND((vt - vtprev) / vtprev, 6) AS total_growth
+FROM t293_tot
+ORDER BY midx, segment
+"""
+
+
+EXT12_QUERIES.update({
+    "x291_tornqvist": q_x291_tornqvist,
+    "x292_henderson": q_x292_henderson,
+    "x293_growth_contrib": q_x293_growth_contrib,
+})
+EXT12_ORACLES.update({
+    "x291_tornqvist": _sql_x291(),
+    "x292_henderson": _sql_x292(),
+    "x293_growth_contrib": _sql_x293(),
+})

@@ -7621,3 +7621,103 @@ def test_corrected_prevalence_recovers_truth(spark):
         ["g"], "pred", "truth", "cal",
     ).collect()[0]
     assert b["corrected"] is None and b["se"] is None
+
+
+def test_tornqvist_matches_hand_computation(spark):
+    import math
+
+    from fame2pygen_spark.functions.econ import tornqvist_index
+
+    # two items, two periods: prices (1->1.1, 2->2.4), values giving
+    # shares (.5,.5) then (.4,.6); matched-sample Törnqvist by hand
+    rows = [
+        ("a", 1, 1.0, 50.0), ("b", 1, 2.0, 50.0),
+        ("a", 2, 1.1, 40.0), ("b", 2, 2.4, 60.0),
+    ]
+    df = spark.createDataFrame(rows, "item string, midx int, p double, v double")
+    out = {
+        r["midx"]: r
+        for r in tornqvist_index(
+            df, item_col="item", t_col="midx", price_col="p", value_col="v"
+        ).collect()
+    }
+    lnl = 0.5 * (0.5 + 0.4) * math.log(1.1 / 1.0) + 0.5 * (
+        0.5 + 0.6
+    ) * math.log(2.4 / 2.0)
+    assert out[1]["tq_index"] == 100.0 and out[1]["n_items"] == 0
+    assert abs(out[2]["tq_index"] - 100.0 * math.exp(lnl)) < 1e-6
+    assert out[2]["n_items"] == 2
+
+    # gap in item b's series: period 4 matches only item a
+    df2 = spark.createDataFrame(
+        rows + [("a", 3, 1.2, 40.0), ("a", 4, 1.3, 40.0), ("b", 4, 2.5, 60.0)],
+        "item string, midx int, p double, v double",
+    )
+    out2 = {
+        r["midx"]: r
+        for r in tornqvist_index(
+            df2, item_col="item", t_col="midx", price_col="p", value_col="v"
+        ).collect()
+    }
+    assert out2[4]["n_items"] == 1  # b re-enters after a gap: excluded
+
+
+def test_henderson_weights_and_cubic_passthrough(spark):
+    from fame2pygen_spark.functions.econ import growth_contributions  # noqa: F401
+    from fame2pygen_spark.operators.temporal import (
+        henderson_trend, henderson_weights,
+    )
+
+    ws = henderson_weights(13)
+    assert abs(sum(ws) - 1.0) < 1e-12
+    assert [round(w, 5) for w in ws[:7]] == [
+        -0.01935, -0.02786, 0.0, 0.06549, 0.14736, 0.21434, 0.24006,
+    ]
+    assert ws == ws[::-1]  # symmetric
+
+    # Henderson passes cubics exactly: trend(t) == v(t) for v cubic
+    rows = [
+        ("e", t, 2.0 + 0.5 * t - 0.03 * t * t + 0.001 * t**3)
+        for t in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "e string, midx int, v double")
+    out = henderson_trend(
+        df, entity_col="e", t_col="midx", value_col="v"
+    ).collect()
+    assert len(out) == 29 - 12  # 6 trimmed each end
+    for r in out:
+        assert abs(r["trend"] - r["value"]) < 1e-6
+
+    # gap at midx=15: windows straddling it emit nothing
+    gappy = spark.createDataFrame(
+        [r for r in rows if r[1] != 15], "e string, midx int, v double"
+    )
+    got = {r["midx"] for r in henderson_trend(
+        gappy, entity_col="e", t_col="midx", value_col="v"
+    ).collect()}
+    assert all(abs(t - 15) > 6 for t in got) and got
+
+
+def test_growth_contributions_sum_to_total(spark):
+    from fame2pygen_spark.functions.econ import growth_contributions
+
+    rows = [
+        ("a", 1, 100.0), ("b", 1, 300.0),
+        ("a", 2, 120.0), ("b", 2, 280.0),
+        ("a", 3, 150.0), ("b", 3, 350.0),
+    ]
+    df = spark.createDataFrame(rows, "e string, midx int, v double")
+    out = growth_contributions(
+        df, entity_col="e", t_col="midx", value_col="v"
+    ).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["midx"], []).append(r)
+    assert sorted(by_t) == [2, 3]
+    # t=2: total 400 -> 400, growth 0; contribs +0.05 / -0.05
+    c2 = {r["e"]: r for r in by_t[2]}
+    assert c2["a"]["contrib"] == 0.05 and c2["b"]["contrib"] == -0.05
+    assert c2["a"]["total_growth"] == 0.0
+    # contributions sum to total growth each period
+    for t, rs in by_t.items():
+        assert abs(sum(r["contrib"] for r in rs) - rs[0]["total_growth"]) < 1e-9
