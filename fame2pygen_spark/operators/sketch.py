@@ -3780,3 +3780,107 @@ def tail_dependence(
         F.round(lam, 6).alias("lambda_u"),
         F.round(F.try_divide(lam, py), 6).alias("lift"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per entity: is the sequence of
+    above/below-mean signs random, or does it cluster (trend /
+    positive autocorrelation → too few runs) or alternate (negative
+    autocorrelation → too many)?  The distribution-free companion to
+    Durbin–Watson (x229) and Ljung–Box (x294) — it sees ANY
+    sign-pattern departure, not just linear lag-1 structure.
+
+    Mechanics: signs ``s_t = x_t > x̄`` over the ordered series with
+    exact-mean ties dropped (the standard treatment), run count
+    ``R = 1 + Σ 1[s_t ≠ s_{t−1}]``, and the normal approximation
+    ``μ = 2n₁n₂/(n₁+n₂) + 1``,
+    ``σ² = 2n₁n₂(2n₁n₂−n₁−n₂) / ((n₁+n₂)²(n₁+n₂−1))``,
+    two-sided p from the shared A&S tail (quality.normal_p_two_sided).
+    No continuity correction (both engines would apply it
+    identically, but the uncorrected form is the textbook default).
+
+    Cross-engine exactness: x̄ is a decimal-sum mean, signs are exact
+    double comparisons against it, and R/n₁/n₂ are integers — the
+    z-score is the only float expression and both engines evaluate
+    the identical composition.
+
+    Scale shape: one bounded mean agg joined back on the entity key,
+    one entity-keyed lag window, one final agg — same shape as every
+    entity-series diagnostic here.  Entities with n₁=0 or n₂=0
+    report null z/p (the test is undefined on one-sided data).
+
+    Output: ``(entity_col, n1, n2, runs, z, p_value)``.
+    """
+    from .quality import normal_p_two_sided
+
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(t_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(t_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    mean = base.groupBy("__e").agg(
+        (
+            F.sum(F.col("__x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__xbar")
+    )
+    w = Window.partitionBy("__e").orderBy("__t")
+    signs = (
+        base.join(mean, on="__e")
+        .where(F.col("__x") != F.col("__xbar"))
+        .select(
+            "__e",
+            "__t",
+            (F.col("__x") > F.col("__xbar")).alias("__s"),
+        )
+        .withColumn("__sprev", F.lag("__s", 1).over(w))
+    )
+    m = signs.groupBy("__e").agg(
+        F.sum(F.when(F.col("__s"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("__s"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("__sprev").isNotNull()
+                    & (F.col("__s") != F.col("__sprev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0)
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    return m.select(
+        F.col("__e").alias(entity_col),
+        "n1",
+        "n2",
+        "runs",
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.round(F.when(ok, normal_p_two_sided(z)), 6).alias("p_value"),
+    )

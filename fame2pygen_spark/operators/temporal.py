@@ -39,7 +39,7 @@ __all__ = [
     "time_weighted_avg", "group_trend", "cusum_scan", "autocorrelation",
     "theil_sen_trend", "ewma_smooth", "scd2_merge",
     "prorate_intervals", "decayed_sum", "holt_winters",
-    "henderson_weights", "henderson_trend",
+    "henderson_weights", "henderson_trend", "ljung_box",
 ]
 
 
@@ -2922,4 +2922,104 @@ def rolling_origin_backtest(
                 6,
             ).alias("bias"),
         )
+    )
+
+
+def ljung_box(
+    series: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    lags: int = 8,
+) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test (Ljung & Box 1978) per
+    entity: ``Q = n(n+2) Σ_{k=1..m} ρ̂_k²/(n−k)`` over the first *m*
+    sample autocorrelations of the ordered value series, with the
+    Wilson–Hilferty chi-square(m) p-value (same tail idiom as x213) —
+    the standard "is anything left in the residuals" readout that
+    complements the single-lag ACF (x70), PACF (x266), and
+    Durbin–Watson (x229).
+
+    ρ̂_k is the BIASED estimator the test is defined on — centered
+    cross-products over the FULL-series sum of squares (not the
+    pairs-Pearson x70 uses), so ``Σ d_t d_{t−k} / Σ d_t²`` with
+    ``d = x − x̄``.  Cross-engine exactness: x̄ is a decimal-sum mean,
+    every numerator and the denominator are decimal(38,18) sums of
+    doubles, and the Q fold over k is written in the same fixed order
+    in both engines.
+
+    Scale shape: one bounded agg for the per-entity mean joined back
+    on the entity key, ONE entity-keyed window carrying all *m* lags
+    (single exchange+sort), one final agg — nothing global.  Entities
+    with ``n ≤ lags + 1`` report null Q/p.
+
+    Output: ``(entity_col, n, rho1, q_stat, dof, p_value)``.
+    """
+    from .quality import normal_sf
+
+    if lags < 1:
+        raise ValueError("ljung_box: lags must be >= 1")
+    base = series.where(
+        F.col(value_col).isNotNull() & F.col(t_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(t_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    mean = base.groupBy("__e").agg(
+        (
+            F.sum(F.col("__x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__xbar")
+    )
+    w = Window.partitionBy("__e").orderBy("__t")
+    d = (F.col("__x") - F.col("__xbar")).alias("__d")
+    devs = base.join(mean, on="__e").select("__e", "__t", d)
+    lagged = devs.select(
+        "__e",
+        "__d",
+        *[
+            F.lag("__d", k).over(w).alias(f"__d{k}")
+            for k in range(1, lags + 1)
+        ],
+    )
+    dec = "decimal(38,18)"
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("__d") * F.col("__d")).cast(dec))
+        .cast("double")
+        .alias("__den"),
+    ]
+    for k in range(1, lags + 1):
+        aggs.append(
+            F.sum((F.col("__d") * F.col(f"__d{k}")).cast(dec))
+            .cast("double")
+            .alias(f"__num{k}")
+        )
+    m = lagged.groupBy("__e").agg(*aggs)
+    n = F.col("n").cast("double")
+    q = None
+    for k in range(1, lags + 1):
+        rho = F.try_divide(F.col(f"__num{k}"), F.col("__den"))
+        piece = rho * rho / (n - F.lit(float(k)))
+        q = piece if q is None else q + piece
+    q = n * (n + F.lit(2.0)) * q
+    dof = F.lit(float(lags))
+    wh_z = (
+        F.exp(F.log(q / dof) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    ok = (F.col("n") > lags + 1) & (F.col("__den") > 0)
+    p = F.when(q <= 0, F.lit(1.0)).otherwise(normal_sf(wh_z))
+    return m.select(
+        F.col("__e").alias(entity_col),
+        F.col("n"),
+        F.round(
+            F.when(ok, F.try_divide(F.col("__num1"), F.col("__den"))),
+            6,
+        ).alias("rho1"),
+        F.round(F.when(ok, q), 6).alias("q_stat"),
+        F.lit(lags).cast("long").alias("dof"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
     )

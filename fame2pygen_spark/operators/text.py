@@ -3355,3 +3355,98 @@ def span_corruption_plan(
             ).alias("mask_frac"),
         )
     )
+
+
+def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
+    """Nonparametric vocabulary-richness estimators over the corpus:
+    Chao1 (Chao 1984, bias-corrected form) and ACE (Chao & Lee 1992)
+    — "how many word types exist that this corpus hasn't shown yet",
+    from the frequency-of-frequencies alone.  The forward-looking
+    complement to the Heaps'-law growth fit (x194) and Good–Turing
+    unseen-mass estimate (x257):
+
+    * ``chao1 = S_obs + f1(f1−1) / (2(f2+1))`` — defined even with no
+      doubletons (the classical f1²/2f2 form is not).
+    * ACE over the rare tail (counts ≤ 10): coverage
+      ``C = 1 − f1/N_rare``,
+      ``γ² = max(0, S_rare·Σk(k−1)f_k / (C·N_rare(N_rare−1)) − 1)``,
+      ``ace = S_abund + S_rare/C + f1·γ²/C`` — null when every rare
+      type is a singleton (C = 0: the estimator is undefined, not
+      infinite).
+
+    Cross-engine exactness: everything up to the final formulas is
+    integer (type counts → frequency-of-frequencies), so the handful
+    of closing double divisions see identical operands in any
+    partitioning and in the oracle.
+
+    Scale shape: tokenize+explode → ONE term-keyed count agg → one
+    count-keyed agg over the (tiny) distinct-count support → single
+    reduce.  The same two-shuffle shape as every corpus-vocab query;
+    no windows.
+
+    Output: one row ``(s_obs, n_tokens, f1, f2, chao1, ace)``.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = counts.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+    agg = fof.agg(
+        F.sum("f").cast("long").alias("s_obs"),
+        F.sum(F.col("c") * F.col("f")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, F.col("f")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, F.col("f")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("f2"),
+        F.sum(
+            F.when(F.col("c") <= 10, F.col("f")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("__s_rare"),
+        F.sum(
+            F.when(F.col("c") <= 10, F.col("c") * F.col("f")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__n_rare"),
+        F.sum(
+            F.when(
+                F.col("c") <= 10,
+                F.col("c") * (F.col("c") - 1) * F.col("f"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("__kk1"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("s_obs").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (f2 + 1.0)
+    )
+    s_rare = F.col("__s_rare").cast("double")
+    n_rare = F.col("__n_rare").cast("double")
+    s_abund = (F.col("s_obs") - F.col("__s_rare")).cast("double")
+    cov = F.lit(1.0) - f1 / n_rare
+    gamma2 = F.greatest(
+        F.lit(0.0),
+        s_rare
+        * F.col("__kk1").cast("double")
+        / (cov * n_rare * (n_rare - 1.0))
+        - F.lit(1.0),
+    )
+    ace = F.when(
+        (F.col("__n_rare") > 1) & (cov > 0),
+        s_abund + s_rare / cov + f1 * gamma2 / cov,
+    )
+    return agg.select(
+        "s_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(ace, 6).alias("ace"),
+    )

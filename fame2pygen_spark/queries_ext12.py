@@ -1452,3 +1452,289 @@ EXT12_ORACLES.update({
     "x292_henderson": _sql_x292(),
     "x293_growth_contrib": _sql_x293(),
 })
+
+
+# ----------------------------- x294: Ljung-Box white-noise test
+
+
+def q_x294_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test (operators/temporal.py: ljung_box)
+    over the daily event-value series per event type, m=8 lags — "is
+    anything autocorrelated left", the portmanteau complement to the
+    single-lag ACF (x70), PACF (x266) and Durbin-Watson (x229)."""
+    from .operators.temporal import ljung_box
+
+    ev = _read_events(spark, sf_dir)
+    daily = (
+        ev.where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            (F.col("ts_us") - (F.col("ts_us") % F.lit(86_400_000_000)))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    return ljung_box(
+        daily, entity_col="event_type", t_col="day", value_col="x",
+        lags=8,
+    )
+
+
+def _sql_x294() -> str:
+    from .queries_ext9 import _normal_sf_sql
+
+    lags = 8
+    lagcols = ",\n         ".join(
+        f"LAG(d, {k}) OVER w AS d{k}" for k in range(1, lags + 1)
+    )
+    nums = ",\n         ".join(
+        f"CAST(SUM(CAST(d * d{k} AS DECIMAL(38,18))) AS DOUBLE)"
+        f" AS num{k}"
+        for k in range(1, lags + 1)
+    )
+    # fixed-order left fold of the Q pieces, identical to the Spark
+    # column composition
+    pieces = [
+        f"(num{k} / den) * (num{k} / den) / (CAST(n AS DOUBLE) - {float(k)!r})"
+        for k in range(1, lags + 1)
+    ]
+    acc = pieces[0]
+    for p in pieces[1:]:
+        acc = f"({acc} + {p})"
+    q = f"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * {acc}"
+    dof = f"{float(lags)!r}"
+    wh_z = (
+        f"((exp(ln(q / {dof}) / 3.0)"
+        f" - (1.0 - 2.0 / (9.0 * {dof})))"
+        f" / sqrt(2.0 / (9.0 * {dof})))"
+    )
+    return f"""
+WITH t294_daily AS (
+  SELECT event_type,
+         epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+t294_mean AS (
+  SELECT event_type,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS xbar
+  FROM t294_daily GROUP BY 1
+),
+t294_d AS (
+  SELECT d.event_type, d.day, d.x - m.xbar AS d
+  FROM t294_daily d JOIN t294_mean m ON d.event_type = m.event_type
+),
+t294_lags AS (
+  SELECT event_type, d,
+         {lagcols}
+  FROM t294_d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+t294_m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,18))) AS DOUBLE) AS den,
+         {nums}
+  FROM t294_lags GROUP BY 1
+),
+t294_q AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n, den, num1,
+         {q} AS q,
+         (n > 9 AND den > 0) AS ok
+  FROM t294_m
+)
+SELECT event_type, n,
+       ROUND(CASE WHEN ok THEN num1 / den END, 6) AS rho1,
+       ROUND(CASE WHEN ok THEN q END, 6) AS q_stat,
+       CAST({lags} AS BIGINT) AS dof,
+       ROUND(CASE WHEN ok THEN
+         CASE WHEN q <= 0 THEN 1.0 ELSE {_normal_sf_sql("q_wh")} END
+       END, 6) AS p_value
+FROM (SELECT *, {wh_z} AS q_wh FROM t294_q)
+ORDER BY event_type
+"""
+
+
+# ----------------------------- x295: Chao1 / ACE vocabulary richness
+
+
+def q_x295_vocab_richness(spark, sf_dir):
+    """Chao1 and ACE unseen-vocabulary estimators (operators/text.py:
+    vocab_richness) over the documents corpus — how many word types
+    the corpus hasn't shown yet, from singleton/doubleton counts; the
+    forward-looking complement to Heaps'-law (x194) and Good-Turing
+    (x257)."""
+    from .operators.text import vocab_richness
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_richness(docs, "text")
+
+
+def _sql_x295() -> str:
+    return """
+WITH t295_toks AS (
+  SELECT unnest(list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '')) AS term
+  FROM documents
+),
+t295_counts AS (SELECT term, COUNT(*) AS c FROM t295_toks GROUP BY 1),
+t295_fof AS (SELECT c, COUNT(*) AS f FROM t295_counts GROUP BY 1),
+t295_agg AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS s_obs,
+         CAST(SUM(c * f) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN f ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN f ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(CASE WHEN c <= 10 THEN f ELSE 0 END) AS BIGINT)
+           AS s_rare,
+         CAST(SUM(CASE WHEN c <= 10 THEN c * f ELSE 0 END) AS BIGINT)
+           AS n_rare,
+         CAST(SUM(CASE WHEN c <= 10 THEN c * (c - 1) * f ELSE 0 END)
+              AS BIGINT) AS kk1
+  FROM t295_fof
+)
+SELECT s_obs, n_tokens, f1, f2,
+       ROUND(CAST(s_obs AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1,
+       ROUND(CASE WHEN n_rare > 1
+                   AND 1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE) > 0
+             THEN CAST(s_obs - s_rare AS DOUBLE)
+                  + CAST(s_rare AS DOUBLE)
+                    / (1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE))
+                  + CAST(f1 AS DOUBLE)
+                    * GREATEST(0.0,
+                        CAST(s_rare AS DOUBLE) * CAST(kk1 AS DOUBLE)
+                        / ((1.0 - CAST(f1 AS DOUBLE)
+                                  / CAST(n_rare AS DOUBLE))
+                           * CAST(n_rare AS DOUBLE)
+                           * (CAST(n_rare AS DOUBLE) - 1.0))
+                        - 1.0)
+                    / (1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE))
+             END, 6) AS ace
+FROM t295_agg
+"""
+
+
+# ----------------------------- x296: Wald-Wolfowitz runs test
+
+
+def q_x296_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/sketch.py: runs_test) on
+    the daily order-revenue series per order priority — sign-pattern
+    randomness about the mean, the distribution-free companion to
+    Durbin-Watson (x229) and Ljung-Box (x294)."""
+    from .operators.sketch import runs_test
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT)"
+                " div 86400"
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    return runs_test(
+        daily, entity_col="priority", t_col="day", value_col="x"
+    )
+
+
+def _sql_x296() -> str:
+    from .queries_ext9 import _normal_p_two_sided_sql
+
+    return f"""
+WITH t296_daily AS (
+  SELECT o_orderpriority AS priority,
+         epoch(o_orderdate) // 86400 AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS x
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+t296_mean AS (
+  SELECT priority,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS xbar
+  FROM t296_daily GROUP BY 1
+),
+t296_s AS (
+  SELECT d.priority, d.day, d.x > m.xbar AS s
+  FROM t296_daily d JOIN t296_mean m ON d.priority = m.priority
+  WHERE d.x <> m.xbar
+),
+t296_lag AS (
+  SELECT priority, s, LAG(s) OVER w AS sprev
+  FROM t296_s WINDOW w AS (PARTITION BY priority ORDER BY day)
+),
+t296_m AS (
+  SELECT priority,
+         CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN sprev IS NOT NULL AND s <> sprev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM t296_lag GROUP BY 1
+),
+t296_z AS (
+  SELECT priority, n1, n2, runs,
+         CAST(n1 AS DOUBLE) AS d1, CAST(n2 AS DOUBLE) AS d2,
+         (CAST(runs AS DOUBLE)
+          - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+         / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+           AS z,
+         (n1 > 0 AND n2 > 0
+          AND 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) > 0) AS ok
+  FROM t296_m
+)
+SELECT priority, n1, n2, runs,
+       ROUND(CASE WHEN ok THEN z END, 6) AS z,
+       ROUND(CASE WHEN ok THEN {_normal_p_two_sided_sql("z")} END, 6)
+         AS p_value
+FROM t296_z
+ORDER BY priority
+"""
+
+
+EXT12_QUERIES.update({
+    "x294_ljung_box": q_x294_ljung_box,
+    "x295_vocab_richness": q_x295_vocab_richness,
+    "x296_runs_test": q_x296_runs_test,
+})
+EXT12_ORACLES.update({
+    "x294_ljung_box": _sql_x294(),
+    "x295_vocab_richness": _sql_x295(),
+    "x296_runs_test": _sql_x296(),
+})

@@ -7721,3 +7721,92 @@ def test_growth_contributions_sum_to_total(spark):
     # contributions sum to total growth each period
     for t, rs in by_t.items():
         assert abs(sum(r["contrib"] for r in rs) - rs[0]["total_growth"]) < 1e-9
+
+
+def test_ljung_box_detects_ar1_passes_alternating_null(spark):
+    from fame2pygen_spark.operators.temporal import ljung_box
+
+    import random
+
+    rng = random.Random(5)  # seed picked for a clearly-null wn draw
+    noise = [rng.uniform(-0.5, 0.5) for _ in range(400)]
+    # strong AR(1): x_t = 0.9 x_{t-1} + seeded iid noise
+    rows, x = [], 0.0
+    for t in range(200):
+        x = 0.9 * x + noise[t]
+        rows.append(("ar", t, x))
+    # the iid noise alone: white by construction
+    for t in range(200):
+        rows.append(("wn", t, noise[200 + t]))
+    df = spark.createDataFrame(rows, "e string, t int, x double")
+    out = {
+        r["e"]: r
+        for r in ljung_box(
+            df, entity_col="e", t_col="t", value_col="x", lags=8
+        ).collect()
+    }
+    assert out["ar"]["p_value"] < 0.001 and out["ar"]["rho1"] > 0.5
+    assert out["wn"]["p_value"] > 0.05
+    assert out["ar"]["dof"] == 8 and out["ar"]["n"] == 200
+
+    # short series: null Q/p, not garbage
+    short = spark.createDataFrame(
+        [("s", t, float(t)) for t in range(5)], "e string, t int, x double"
+    )
+    r = ljung_box(
+        short, entity_col="e", t_col="t", value_col="x", lags=8
+    ).collect()[0]
+    assert r["q_stat"] is None and r["p_value"] is None
+
+
+def test_vocab_richness_hand_computed(spark):
+    from fame2pygen_spark.operators.text import vocab_richness
+
+    # counts: a->4, b->2, c->1, d->1  => S=4, f1=2, f2=1, N=8
+    df = spark.createDataFrame(
+        [("a a b c",), ("a a b d",)], "text string"
+    )
+    r = vocab_richness(df, "text").collect()[0]
+    assert r["s_obs"] == 4 and r["n_tokens"] == 8
+    assert r["f1"] == 2 and r["f2"] == 1
+    # chao1 = 4 + 2*1/(2*2) = 4.5
+    assert r["chao1"] == 4.5
+    # all types rare (<=10): S_rare=4, N_rare=8, kk1 = 4*3 + 2*1 = 14
+    # C = 1 - 2/8 = 0.75; gamma2 = max(0, 4*14/(0.75*8*7) - 1) = 1/3
+    # ace = 0 + 4/0.75 + 2*(1/3)/0.75 = 16/3 + 8/9 = 56/9
+    assert abs(r["ace"] - 56.0 / 9.0) < 1e-6
+
+    # all singletons: coverage 0 -> ACE null, chao1 still defined
+    r2 = vocab_richness(
+        spark.createDataFrame([("p q r s",)], "text string"), "text"
+    ).collect()[0]
+    assert r2["ace"] is None and r2["chao1"] == 4 + 4 * 3 / 2.0
+
+
+def test_runs_test_alternating_vs_clustered(spark):
+    from fame2pygen_spark.operators.sketch import runs_test
+
+    # perfectly alternating around mean 0 -> max runs, z >> 0
+    alt = [("alt", t, 1.0 if t % 2 == 0 else -1.0) for t in range(60)]
+    # fully clustered: 30 lows then 30 highs -> 2 runs, z << 0
+    clu = [("clu", t, -1.0 if t < 30 else 1.0) for t in range(60)]
+    df = spark.createDataFrame(alt + clu, "e string, t int, x double")
+    out = {
+        r["e"]: r
+        for r in runs_test(
+            df, entity_col="e", t_col="t", value_col="x"
+        ).collect()
+    }
+    assert out["alt"]["runs"] == 60 and out["alt"]["n1"] == 30
+    assert out["alt"]["z"] > 7 and out["alt"]["p_value"] < 1e-6
+    assert out["clu"]["runs"] == 2
+    assert out["clu"]["z"] < -7 and out["clu"]["p_value"] < 1e-6
+
+    # constant series: every value equals the mean -> all ties dropped,
+    # no row survives the sign filter
+    const = spark.createDataFrame(
+        [("c", t, 5.0) for t in range(10)], "e string, t int, x double"
+    )
+    assert runs_test(
+        const, entity_col="e", t_col="t", value_col="x"
+    ).count() == 0
