@@ -100,6 +100,12 @@ SENSITIVE = [
     "x283_query_likelihood",
     "x284_rdd",
     "x287_backtest",
+    "x291_tornqvist",
+    "x292_henderson",
+    "x293_growth_contrib",
+    "x294_ljung_box",
+    "x295_vocab_richness",
+    "x296_runs_test",
 ]
 
 

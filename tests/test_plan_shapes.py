@@ -1042,3 +1042,48 @@ def test_zone_map_predicate_side_broadcasts(spark):
     plan = plan_of(spark, "x278_zone_map")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x291_tornqvist",      # item/period keyed windows + bounded cumsum
+        "x292_henderson",      # one keyed exchange for all 13 lags
+        "x293_growth_contrib",  # entity lag + period total windows
+        "x294_ljung_box",      # mean join-back + keyed 8-lag window
+        "x295_vocab_richness",  # two aggs, no windows at all
+        "x296_runs_test",      # mean join-back + keyed sign window
+    ],
+)
+def test_r8_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # keyed windows must carry PartitionBy.  x291 is excluded: its
+        # closing cumsum window is deliberately unpartitioned over the
+        # bounded #periods frame (dozens of rows after the per-period
+        # reduce), the same audited pattern as x281's grid windows.
+        "x292_henderson",
+        "x293_growth_contrib",
+        "x294_ljung_box",
+        "x296_runs_test",
+    ],
+)
+def test_r8_keyed_windows_are_partitioned(spark, name):
+    assert unpartitioned_windows(spark, name) == []
+
+
+def test_vocab_richness_has_no_window(spark):
+    plan = plan_of(spark, "x295_vocab_richness")
+    assert "Window" not in plan
+
+
+def test_henderson_plans_single_window_exchange(spark):
+    # all 13 lag/lead terms must share one window frame: exactly one
+    # Window node in the physical plan, not a cascade
+    plan = plan_of(spark, "x292_henderson")
+    assert plan.count("Window") <= 2  # logical node name appears once
