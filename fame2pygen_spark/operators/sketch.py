@@ -3884,3 +3884,183 @@ def runs_test(
         F.round(F.when(ok, z), 6).alias("z"),
         F.round(F.when(ok, normal_p_two_sided(z)), 6).alias("p_value"),
     )
+
+
+def cochran_q_test(
+    df: DataFrame,
+    *,
+    subject_col: str,
+    treatment_col: str,
+) -> DataFrame:
+    """Cochran's Q test (1950) for k correlated binary outcomes: do
+    the k treatments have the same success rate when every subject is
+    its own control?  The k-treatment generalization of McNemar
+    (x220), as Kruskal–Wallis (x217) generalizes Mann–Whitney.  Input
+    is the POSITIVE (subject, treatment) pairs — a subject–treatment
+    pair present means success, absent means failure; the full grid is
+    never materialized.
+
+    With b treatments, column totals C_j, row totals R_i, N = ΣR_i:
+
+    ``Q = b(b−1) Σ_j (C_j − N/b)² / (b·N − ΣR_i²)``,  chi-square(b−1)
+    via the shared Wilson–Hilferty tail.
+
+    Everything is integer until the closing division — C_j, N, ΣR_i²
+    are exact counts, so both engines see identical operands.
+
+    Scale shape: one distinct + two keyed count aggs (subject-keyed
+    and treatment-keyed), then 1-row + b-row combines — no windows,
+    no grid completion (absent cells are zeros by construction).
+
+    Output: one row ``(b, n_subjects, n_pos, q_stat, dof, p_value)``.
+    """
+    from .quality import normal_sf
+
+    pairs = df.where(
+        F.col(subject_col).isNotNull() & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(subject_col).alias("__s"),
+        F.col(treatment_col).alias("__tr"),
+    ).distinct()
+    rows = pairs.groupBy("__s").agg(F.count(F.lit(1)).alias("__r"))
+    row_m = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("__r").cast("long").alias("n_pos"),
+        F.sum(F.col("__r") * F.col("__r")).cast("long").alias("__r2"),
+    )
+    cols = pairs.groupBy("__tr").agg(F.count(F.lit(1)).alias("__c"))
+    b_ct = cols.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    # Σ (C_j − N/b)² expands to Σ C_j² − N²/b: integer moments only,
+    # so the treatment frame reduces without carrying N around
+    col_m = cols.agg(
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__c2")
+    )
+    j = row_m.crossJoin(F.broadcast(b_ct)).crossJoin(F.broadcast(col_m))
+    b = F.col("b").cast("double")
+    n = F.col("n_pos").cast("double")
+    num = b * (b - 1.0) * (
+        F.col("__c2").cast("double") - n * n / b
+    )
+    den = b * n - F.col("__r2").cast("double")
+    q = F.try_divide(num, den)
+    dof = b - F.lit(1.0)
+    wh_z = (
+        F.exp(F.log(q / dof) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    ok = (F.col("b") > 1) & (den > 0)
+    p = F.when(q <= 0, F.lit(1.0)).otherwise(normal_sf(wh_z))
+    return j.select(
+        "b",
+        "n_subjects",
+        "n_pos",
+        F.round(F.when(ok, q), 6).alias("q_stat"),
+        (F.col("b") - 1).cast("long").alias("dof"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test (1937) of variance homogeneity across k groups
+    — the parametric sharp-nosed counterpart of Brown–Forsythe
+    (x225): more powerful under normality, sensitive to heavy tails
+    (run both; disagreement is itself the signal).
+
+    Per group: unbiased variance from decimal moments
+    ``s² = (Σx² − (Σx)²/n)/(n−1)``; then with N = Σnᵢ and pooled
+    ``sp² = Σ(nᵢ−1)sᵢ²/(N−k)``:
+
+    ``T = [(N−k)·ln sp² − Σ(nᵢ−1)·ln sᵢ²] /
+          [1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))]``,
+
+    chi-square(k−1) via the shared Wilson–Hilferty tail.  Groups with
+    n < 2 or zero variance are excluded (their log is undefined), and
+    the test reports null with fewer than 2 surviving groups.
+
+    Scale shape: ONE decimal-moment hash agg over the raw rows, then
+    every remaining step on the k-row group frame (decimal-cast k-row
+    sums so the combine is order-insensitive too).  No windows.
+
+    Output: one row ``(k, n, t_stat, dof, p_value)``.
+    """
+    from .quality import normal_sf
+
+    dec = "decimal(38,12)"
+    g = (
+        df.where(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col(value_col).cast(dec)).cast("double").alias("__sx"),
+            F.sum(
+                (
+                    F.col(value_col).cast("double")
+                    * F.col(value_col).cast("double")
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("__sxx"),
+        )
+        .withColumn(
+            "__var",
+            (
+                F.col("__sxx")
+                - F.col("__sx") * F.col("__sx") / F.col("__n").cast("double")
+            )
+            / (F.col("__n").cast("double") - 1.0),
+        )
+        .where((F.col("__n") >= 2) & (F.col("__var") > 0))
+    )
+    dec18 = "decimal(38,18)"
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(
+            ((F.col("__n").cast("double") - 1.0) * F.col("__var")).cast(
+                dec18
+            )
+        )
+        .cast("double")
+        .alias("__ssw"),
+        F.sum(
+            (
+                (F.col("__n").cast("double") - 1.0) * F.log(F.col("__var"))
+            ).cast(dec18)
+        )
+        .cast("double")
+        .alias("__slnv"),
+        F.sum(
+            (F.lit(1.0) / (F.col("__n").cast("double") - 1.0)).cast(dec18)
+        )
+        .cast("double")
+        .alias("__sinv"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    sp2 = F.col("__ssw") / (nd - kd)
+    t_num = (nd - kd) * F.log(sp2) - F.col("__slnv")
+    t_den = F.lit(1.0) + (
+        F.col("__sinv") - F.lit(1.0) / (nd - kd)
+    ) / (F.lit(3.0) * (kd - 1.0))
+    t = t_num / t_den
+    dof = kd - F.lit(1.0)
+    wh_z = (
+        F.exp(F.log(t / dof) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    ok = F.col("k") > 1
+    p = F.when(t <= 0, F.lit(1.0)).otherwise(normal_sf(wh_z))
+    return m.select(
+        "k",
+        "n",
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )

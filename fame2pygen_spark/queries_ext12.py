@@ -1738,3 +1738,156 @@ EXT12_ORACLES.update({
     "x295_vocab_richness": _sql_x295(),
     "x296_runs_test": _sql_x296(),
 })
+
+
+# ----------------------------- x297: Cochran's Q test
+
+
+def q_x297_cochran_q(spark, sf_dir):
+    """Cochran's Q (operators/sketch.py: cochran_q_test): do the event
+    types have the same per-user adoption rate when every user is its
+    own control — the k-treatment generalization of McNemar (x220),
+    on the positive (user, event_type) pairs only."""
+    from .operators.sketch import cochran_q_test
+
+    ev = _read_events(spark, sf_dir)
+    return cochran_q_test(
+        ev, subject_col="user_id", treatment_col="event_type"
+    )
+
+
+def _sql_x297() -> str:
+    from .queries_ext9 import _normal_sf_sql
+
+    return f"""
+WITH t297_pairs AS (
+  SELECT DISTINCT user_id AS s, event_type AS tr
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+t297_rows AS (SELECT s, COUNT(*) AS r FROM t297_pairs GROUP BY 1),
+t297_rm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+         CAST(SUM(r) AS BIGINT) AS n_pos,
+         CAST(SUM(r * r) AS BIGINT) AS r2
+  FROM t297_rows
+),
+t297_cols AS (SELECT tr, COUNT(*) AS c FROM t297_pairs GROUP BY 1),
+t297_cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b,
+         CAST(SUM(c * c) AS BIGINT) AS c2
+  FROM t297_cols
+),
+t297_q AS (
+  SELECT b, n_subjects, n_pos,
+         CAST(b AS DOUBLE) * (CAST(b AS DOUBLE) - 1.0)
+           * (CAST(c2 AS DOUBLE)
+              - CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                / CAST(b AS DOUBLE))
+           / (CAST(b AS DOUBLE) * CAST(n_pos AS DOUBLE)
+              - CAST(r2 AS DOUBLE)) AS q,
+         (b > 1 AND CAST(b AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                    - CAST(r2 AS DOUBLE) > 0) AS ok,
+         CAST(b AS DOUBLE) - 1.0 AS dofd
+  FROM t297_rm CROSS JOIN t297_cm
+),
+t297_z AS (
+  SELECT *,
+         ((exp(ln(q / dofd) / 3.0) - (1.0 - 2.0 / (9.0 * dofd)))
+          / sqrt(2.0 / (9.0 * dofd))) AS q_wh
+  FROM t297_q
+)
+SELECT b, n_subjects, n_pos,
+       ROUND(CASE WHEN ok THEN q END, 6) AS q_stat,
+       CAST(b - 1 AS BIGINT) AS dof,
+       ROUND(CASE WHEN ok THEN
+         CASE WHEN q <= 0 THEN 1.0 ELSE {_normal_sf_sql("q_wh")} END
+       END, 6) AS p_value
+FROM t297_z
+"""
+
+
+# ----------------------------- x298: Bartlett variance homogeneity
+
+
+def q_x298_bartlett(spark, sf_dir):
+    """Bartlett's variance-homogeneity test (operators/sketch.py:
+    bartlett_test) of account balances across market segments — the
+    parametric counterpart of Brown-Forsythe (x225) on the same kind
+    of grouping, from one decimal-moment aggregation."""
+    from .operators.sketch import bartlett_test
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return bartlett_test(
+        c, group_col="c_mktsegment", value_col="c_acctbal"
+    )
+
+
+def _sql_x298() -> str:
+    from .queries_ext9 import _normal_sf_sql
+
+    return f"""
+WITH t298_g AS (
+  SELECT c_mktsegment AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(c_acctbal AS DOUBLE)
+                       * CAST(c_acctbal AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM customer
+  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+  GROUP BY 1
+),
+t298_v AS (
+  SELECT g, n,
+         (sxx - sx * sx / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) AS var
+  FROM t298_g
+),
+t298_f AS (SELECT * FROM t298_v WHERE n >= 2 AND var > 0),
+t298_m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(CAST((CAST(n AS DOUBLE) - 1.0) * var
+                       AS DECIMAL(38,18))) AS DOUBLE) AS ssw,
+         CAST(SUM(CAST((CAST(n AS DOUBLE) - 1.0) * ln(var)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS slnv,
+         CAST(SUM(CAST(1.0 / (CAST(n AS DOUBLE) - 1.0)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS sinv
+  FROM t298_f
+),
+t298_t AS (
+  SELECT k, n,
+         ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+            * ln(ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+          - slnv)
+         / (1.0 + (sinv - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                  / (3.0 * (CAST(k AS DOUBLE) - 1.0))) AS t,
+         CAST(k AS DOUBLE) - 1.0 AS dofd,
+         k > 1 AS ok
+  FROM t298_m
+),
+t298_z AS (
+  SELECT *,
+         ((exp(ln(t / dofd) / 3.0) - (1.0 - 2.0 / (9.0 * dofd)))
+          / sqrt(2.0 / (9.0 * dofd))) AS t_wh
+  FROM t298_t
+)
+SELECT k, n,
+       ROUND(CASE WHEN ok THEN t END, 6) AS t_stat,
+       CAST(k - 1 AS BIGINT) AS dof,
+       ROUND(CASE WHEN ok THEN
+         CASE WHEN t <= 0 THEN 1.0 ELSE {_normal_sf_sql("t_wh")} END
+       END, 6) AS p_value
+FROM t298_z
+"""
+
+
+EXT12_QUERIES.update({
+    "x297_cochran_q": q_x297_cochran_q,
+    "x298_bartlett": q_x298_bartlett,
+})
+EXT12_ORACLES.update({
+    "x297_cochran_q": _sql_x297(),
+    "x298_bartlett": _sql_x298(),
+})

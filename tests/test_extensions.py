@@ -7810,3 +7810,59 @@ def test_runs_test_alternating_vs_clustered(spark):
     assert runs_test(
         const, entity_col="e", t_col="t", value_col="x"
     ).count() == 0
+
+
+def test_cochran_q_hand_computed(spark):
+    from fame2pygen_spark.operators.sketch import cochran_q_test
+
+    # 4 subjects x 3 treatments; everyone did A,B, only s1 did C:
+    # C=[4,4,1], N=9, R=[3,2,2,2], sumR2=21
+    # Q = 3*2*(33 - 81/3) / (27 - 21) = 6*6/6 = 6, dof 2
+    pairs = [
+        (s, t)
+        for s in ["s1", "s2", "s3", "s4"]
+        for t in ["A", "B"]
+    ] + [("s1", "C"), ("s1", "C")]  # duplicate pair must not double-count
+    df = spark.createDataFrame(pairs, "subj string, tr string")
+    r = cochran_q_test(df, subject_col="subj", treatment_col="tr").collect()[0]
+    assert r["b"] == 3 and r["n_subjects"] == 4 and r["n_pos"] == 9
+    assert r["q_stat"] == 6.0 and r["dof"] == 2
+    assert 0 < r["p_value"] < 1
+
+    # single treatment: test undefined
+    one = spark.createDataFrame([("s1", "A"), ("s2", "A")], "subj string, tr string")
+    r1 = cochran_q_test(one, subject_col="subj", treatment_col="tr").collect()[0]
+    assert r1["q_stat"] is None and r1["p_value"] is None
+
+
+def test_bartlett_equal_vs_unequal_variance(spark):
+    from fame2pygen_spark.operators.sketch import bartlett_test
+
+    eq = [("a", float(i)) for i in range(1, 21)] + [
+        ("b", float(i)) for i in range(1, 21)
+    ]
+    r = bartlett_test(
+        spark.createDataFrame(eq, "g string, v double"),
+        group_col="g", value_col="v",
+    ).collect()[0]
+    # identical variances: T = 0 exactly, p = 1
+    assert r["k"] == 2 and r["n"] == 40
+    assert r["t_stat"] == 0.0 and r["p_value"] == 1.0
+
+    # one group 10x scaled (100x variance): decisive rejection
+    uneq = [("a", float(i)) for i in range(1, 21)] + [
+        ("b", 10.0 * i) for i in range(1, 21)
+    ]
+    r2 = bartlett_test(
+        spark.createDataFrame(uneq, "g string, v double"),
+        group_col="g", value_col="v",
+    ).collect()[0]
+    assert r2["t_stat"] > 30 and r2["p_value"] < 1e-6
+
+    # constant group (zero variance) is excluded, leaving k=1: null
+    degen = [("a", 5.0)] * 10 + [("b", float(i)) for i in range(10)]
+    r3 = bartlett_test(
+        spark.createDataFrame(degen, "g string, v double"),
+        group_col="g", value_col="v",
+    ).collect()[0]
+    assert r3["k"] == 1 and r3["t_stat"] is None
