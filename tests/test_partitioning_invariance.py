@@ -106,6 +106,8 @@ SENSITIVE = [
     "x294_ljung_box",
     "x295_vocab_richness",
     "x296_runs_test",
+    "x297_cochran_q",
+    "x298_bartlett",
 ]
 
 

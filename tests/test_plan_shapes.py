@@ -1087,3 +1087,16 @@ def test_henderson_plans_single_window_exchange(spark):
     # Window node in the physical plan, not a cascade
     plan = plan_of(spark, "x292_henderson")
     assert plan.count("Window") <= 2  # logical node name appears once
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x297_cochran_q",  # two keyed count aggs + 1-row combines
+        "x298_bartlett",   # one decimal-moment agg + k-row algebra
+    ],
+)
+def test_r8_test_statistics_have_no_window(spark, name):
+    plan = plan_of(spark, name)
+    assert "Window" not in plan, name
+    assert "CartesianProduct" not in plan, name
