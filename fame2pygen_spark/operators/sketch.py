@@ -4064,3 +4064,103 @@ def bartlett_test(
         (F.col("k") - 1).cast("long").alias("dof"),
         F.round(F.when(ok, p), 6).alias("p_value"),
     )
+
+
+def friedman_test(
+    cells: DataFrame,
+    *,
+    subject_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test (1937) for k repeated measures: do the k
+    treatments differ when every subject scores ALL of them?  The
+    rank-based member of the within-subject family — Cochran's Q
+    (x297) for its binary case, Kruskal–Wallis (x217) for the
+    independent-groups case.
+
+    Only COMPLETE blocks enter (subjects with all b treatments — an
+    incomplete block would bias its ranks low), midranks break ties,
+    and with column rank sums R_j over n complete subjects:
+
+    ``χ²_F = 12/(n·b(b+1)) · Σ R_j² − 3n(b+1)``  (no ties-correction
+    denominator — cell values here are continuous aggregates where
+    exact ties are measure-zero; both engines rank identically either
+    way), chi-square(b−1) via the shared Wilson–Hilferty tail.
+
+    Cross-engine exactness: midrank = RANK() + (|equal|−1)/2 from two
+    portable windows, rank sums are exact halves (×2 stays integer),
+    and the closing formula is a fixed composition of those integers.
+
+    Scale shape: subject-keyed rank windows (frame bounded by b),
+    one treatment-keyed sum, b-row algebra — no global window, no
+    grid completion beyond the complete-block filter.
+
+    Output: one row ``(n, b, chi2, dof, p_value)``.
+    """
+    from .quality import normal_sf
+
+    base = cells.where(
+        F.col(subject_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(subject_col).alias("__s"),
+        F.col(treatment_col).alias("__tr"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    b_ct = base.agg(
+        F.count_distinct(F.col("__tr")).cast("long").alias("b")
+    )
+    ws = Window.partitionBy("__s")
+    complete = (
+        base.withColumn("__nt", F.count(F.lit(1)).over(ws))
+        .crossJoin(F.broadcast(b_ct))
+        .where(F.col("__nt") == F.col("b"))
+    )
+    wr = Window.partitionBy("__s").orderBy("__v")
+    weq = Window.partitionBy("__s", "__v")
+    ranked = complete.select(
+        "__s",
+        "__tr",
+        "b",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(weq).cast("double") - 1.0) / 2.0
+        ).alias("__r"),
+    )
+    sums = ranked.groupBy("__tr").agg(
+        F.max("b").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        # ×2 keeps midrank sums integer-exact across engines
+        F.sum((F.col("__r") * 2.0).cast("long")).cast("long").alias("__r2x"),
+    )
+    m = sums.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("b").cast("long").alias("b"),
+        F.sum(
+            F.col("__r2x").cast("double") * F.col("__r2x").cast("double")
+        ).alias("__sr2_4x"),
+    )
+    nd = F.col("n").cast("double")
+    bd = F.col("b").cast("double")
+    chi2 = (
+        F.lit(12.0)
+        / (nd * bd * (bd + 1.0))
+        * (F.col("__sr2_4x") / 4.0)
+        - 3.0 * nd * (bd + 1.0)
+    )
+    dof = bd - F.lit(1.0)
+    wh_z = (
+        F.exp(F.log(chi2 / dof) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    ok = (F.col("b") > 1) & (F.col("n") > 0)
+    p = F.when(chi2 <= 0, F.lit(1.0)).otherwise(normal_sf(wh_z))
+    return m.select(
+        "n",
+        "b",
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        (F.col("b") - 1).cast("long").alias("dof"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )

@@ -1891,3 +1891,105 @@ EXT12_ORACLES.update({
     "x297_cochran_q": _sql_x297(),
     "x298_bartlett": _sql_x298(),
 })
+
+
+# ----------------------------- x299: Friedman rank test
+
+
+def q_x299_friedman(spark, sf_dir):
+    """Friedman repeated-measures rank test (operators/sketch.py:
+    friedman_test): do event types differ in per-user mean value when
+    each complete user scores all of them — the rank-based member of
+    the within-subject family next to Cochran's Q (x297)."""
+    from .operators.sketch import friedman_test
+
+    ev = _read_events(spark, sf_dir)
+    cells = (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,12)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("v")
+        )
+    )
+    return friedman_test(
+        cells, subject_col="user_id", treatment_col="event_type",
+        value_col="v",
+    )
+
+
+def _sql_x299() -> str:
+    from .queries_ext9 import _normal_sf_sql
+
+    return f"""
+WITH t299_cells AS (
+  SELECT user_id AS s, event_type AS tr,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+t299_b AS (
+  SELECT CAST(COUNT(DISTINCT tr) AS BIGINT) AS b FROM t299_cells
+),
+t299_comp AS (
+  SELECT c.s, c.tr, c.v, bb.b
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY s) AS nt
+        FROM t299_cells) c
+  CROSS JOIN t299_b bb
+  WHERE c.nt = bb.b
+),
+t299_rank AS (
+  SELECT s, tr, b,
+         CAST(RANK() OVER (PARTITION BY s ORDER BY v) AS DOUBLE)
+         + (CAST(COUNT(*) OVER (PARTITION BY s, v) AS DOUBLE) - 1.0)
+           / 2.0 AS r
+  FROM t299_comp
+),
+t299_sums AS (
+  SELECT tr, MAX(b) AS b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(r * 2.0 AS BIGINT)) AS BIGINT) AS r2x
+  FROM t299_rank GROUP BY 1
+),
+t299_m AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(b) AS BIGINT) AS b,
+         SUM(CAST(r2x AS DOUBLE) * CAST(r2x AS DOUBLE)) AS sr2_4x
+  FROM t299_sums
+),
+t299_t AS (
+  SELECT n, b,
+         12.0 / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE)
+                 * (CAST(b AS DOUBLE) + 1.0))
+           * (sr2_4x / 4.0)
+         - 3.0 * CAST(n AS DOUBLE) * (CAST(b AS DOUBLE) + 1.0) AS chi2,
+         CAST(b AS DOUBLE) - 1.0 AS dofd,
+         (b > 1 AND n > 0) AS ok
+  FROM t299_m
+),
+t299_z AS (
+  SELECT *,
+         ((exp(ln(chi2 / dofd) / 3.0) - (1.0 - 2.0 / (9.0 * dofd)))
+          / sqrt(2.0 / (9.0 * dofd))) AS c_wh
+  FROM t299_t
+)
+SELECT n, b,
+       ROUND(CASE WHEN ok THEN chi2 END, 6) AS chi2,
+       CAST(b - 1 AS BIGINT) AS dof,
+       ROUND(CASE WHEN ok THEN
+         CASE WHEN chi2 <= 0 THEN 1.0 ELSE {_normal_sf_sql("c_wh")} END
+       END, 6) AS p_value
+FROM t299_z
+"""
+
+
+EXT12_QUERIES.update({"x299_friedman": q_x299_friedman})
+EXT12_ORACLES.update({"x299_friedman": _sql_x299()})

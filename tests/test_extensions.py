@@ -7866,3 +7866,34 @@ def test_bartlett_equal_vs_unequal_variance(spark):
         group_col="g", value_col="v",
     ).collect()[0]
     assert r3["k"] == 1 and r3["t_stat"] is None
+
+
+def test_friedman_hand_computed(spark):
+    from fame2pygen_spark.operators.sketch import friedman_test
+
+    # 4 subjects x 3 treatments, C always best, A always worst:
+    # per-subject ranks (A,B,C) = (1,2,3) -> R = (4,8,12)
+    # chi2 = 12/(4*3*4) * (16+64+144) - 3*4*4 = 224/4 - 48 = 8
+    rows = []
+    for i, s in enumerate(["s1", "s2", "s3", "s4"]):
+        rows += [(s, "A", 1.0 + i), (s, "B", 2.0 + i), (s, "C", 3.0 + i)]
+    # incomplete block must be excluded entirely
+    rows += [("s5", "A", 9.0), ("s5", "B", 1.0)]
+    df = spark.createDataFrame(rows, "s string, tr string, v double")
+    r = friedman_test(
+        df, subject_col="s", treatment_col="tr", value_col="v"
+    ).collect()[0]
+    assert r["n"] == 4 and r["b"] == 3 and r["dof"] == 2
+    assert r["chi2"] == 8.0
+    assert 0 < r["p_value"] < 0.05
+
+    # tie midranks: subject with two equal values ranks (1.5, 1.5, 3)
+    tie = []
+    for s in ["t1", "t2", "t3", "t4"]:
+        tie += [(s, "A", 1.0), (s, "B", 1.0), (s, "C", 3.0)]
+    rt = friedman_test(
+        spark.createDataFrame(tie, "s string, tr string, v double"),
+        subject_col="s", treatment_col="tr", value_col="v",
+    ).collect()[0]
+    # R = (6, 6, 12): chi2 = 12/48*(36+36+144) - 48 = 54 - 48 = 6
+    assert rt["chi2"] == 6.0
