@@ -108,6 +108,7 @@ SENSITIVE = [
     "x296_runs_test",
     "x297_cochran_q",
     "x298_bartlett",
+    "x299_friedman",
 ]
 
 

@@ -1100,3 +1100,10 @@ def test_r8_test_statistics_have_no_window(spark, name):
     plan = plan_of(spark, name)
     assert "Window" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_friedman_windows_are_subject_keyed(spark):
+    # rank/midrank windows must be partitioned (frames bounded by b);
+    # no cartesian anywhere
+    assert unpartitioned_windows(spark, "x299_friedman") == []
+    assert "CartesianProduct" not in plan_of(spark, "x299_friedman")
