@@ -101,10 +101,14 @@ def main() -> None:
         "sf": sf,
     }
 
-    # scale-validation tier: the three heaviest pipeline ops on a 10×
-    # replicated corpus (scripts/bench_scale.py).  Separate key — the
-    # headline total stays comparable to BASELINE.md.  Only runs at the
-    # default sf0.1 tier (at smaller SFs it would measure nothing).
+    # scale-validation tier: the heaviest pipeline ops on a 10×
+    # replicated corpus (scripts/bench_scale.py).  Printed on its OWN
+    # stdout line and mirrored to BENCH_SCALE.json BEFORE the headline
+    # line — the driver captures only the tail of stdout and parses the
+    # FINAL line, which must stay compact (<1 KB; round 4's combined
+    # line outgrew the tail buffer and the headline number was lost).
+    # Only runs at the default sf0.1 tier (at smaller SFs it would
+    # measure nothing).
     if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0" and sf == 0.1:
         try:
             sys.path.insert(
@@ -113,10 +117,22 @@ def main() -> None:
             )
             from bench_scale import run_scale_tier
 
-            result["scale_tier"] = run_scale_tier(spark)
+            scale = run_scale_tier(spark)
         except Exception as exc:  # tier failure must not sink the bench
-            result["scale_tier"] = {"error": str(exc)[:200]}
+            scale = {"error": str(exc)[:200]}
+        scale_line = json.dumps({"metric": "scale_tier", "queries": scale})
+        print(scale_line)
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+        )
+        try:
+            with open(side, "w") as fh:
+                fh.write(scale_line + "\n")
+        except OSError:
+            pass
 
+    # FINAL line: compact headline object only (~600 B) — keep it last
+    # and keep it small forever.
     print(json.dumps(result))
     spark.stop()
 

@@ -1013,14 +1013,18 @@ _ALL_QUERIES: dict[str, object] = {
 # The round driver hash-checks the FIRST 50 registry entries against
 # their oracles; later entries get at most a weaker rows-only check.
 # Order the dict so that window carries maximum signal: every SURVEY
-# §2 reference-surface query first, then one representative per
-# extension family (dedup, ANN, text, clustering, streaming,
-# multimodal, curation, mixing, decontamination, PII, web, temporal,
-# sketch, behavior, OLAP, linkage, panel) — the long tail of
-# within-family variants follows after position 50.
+# §2 reference-surface query first (pinned — these are THE parity
+# contract with the reference and stay driver-verified every round),
+# then 25 ROTATING extension slots.  The rotation is deterministic:
+# registry entries that have never appeared in a prior-round driver
+# CORRECTNESS_r*.json file come first (registry order), so each round
+# the driver-verified union grows by ~25 instead of re-verifying the
+# same representatives (r4 verdict item #2).  All registry entries are
+# strict-parity green locally (tests/test_oracle_parity.py), so any
+# rotation slice is safe to expose.
 # tests/test_registry_order.py pins this invariant.
-CHECKED_WINDOW: list[str] = [
-    # --- SURVEY §2 reference surface (24) ---
+PINNED_WINDOW: list[str] = [
+    # --- SURVEY §2 reference surface (24) + flagship ---
     "s01_projection_arithmetic", "e01_lag_lead", "e06_pct_diff",
     "s08_conditional", "s09_lsum_exists", "s07_date_window",
     "s06_point_in_time", "s16_first_last", "s04_scalar_broadcast",
@@ -1030,33 +1034,48 @@ CHECKED_WINDOW: list[str] = [
     "s14_convert_up", "s14_convert_formula", "s14_convert_business",
     "s14_convert_holiday", "s17_nlrx", "s20_local_db",
     "flagship_pricing_summary",
-    # --- extension family representatives (25) ---
-    "x01_dedup_exact",        # dedup: exact
-    "x03_dedup_minhash_lsh",  # dedup: MinHash-LSH
-    "x05_similarity_topk",    # ANN: brute-force cosine top-k
-    "x06_text_profile",       # text: quality profile
-    "x09_dedup_clusters",     # clustering: connected components
-    "x10_events_hourly",      # streaming: windowed agg (batch twin)
-    "x12_multimodal_binary",  # multimodal: binary column algebra
-    "x14_curation_pipeline",  # curation: end-to-end pipeline
-    "x17_corpus_mixing",      # mixing: weighted corpus blend
-    "x19_decontamination",    # decontamination
-    "x20_pii_scrub",          # PII scrubbing
-    "x23_url_domains",        # web: URL/domain parsing
-    "x24_stream_join",        # streaming: stream-stream join twin
-    "x25_asof_join",          # temporal: as-of join
-    "x96_dq_report",          # quality: declarative DQ audit (r3)
-    "x99_cdc_apply",          # maintenance: CDC snapshot merge (r3)
-    "x31_funnel",             # behavior: funnel
-    "x38_inter_arrival",      # behavior: nearest-rank gap quantiles
-    "x40_revenue_rollup",     # OLAP: rollup/cube
-    "x43_fuzzy_match",        # linkage: blocked fuzzy join
-    "x55_skew_profile",       # sketch: skew diagnostic
-    "x63_weighted_quantiles", # sketch: weighted quantiles
-    "x64_ks",                 # sketch: KS statistic
-    "x71_concentration",      # sketch: HHI concentration
-    "p01_panel_pct",          # panel (long-format) mode
 ]
+
+
+def _prior_driver_checked() -> set[str]:
+    """Query names with a driver row in any prior CORRECTNESS_r*.json.
+
+    Read-only peek at the repo root; resilient to absent/odd files so
+    the registry still imports in a bare checkout (falls back to an
+    empty set → rotation starts from the head of the extension tail).
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                doc = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        # file shape: {query_name: {rows_match: ..., ...}, ...}
+        if isinstance(doc, dict):
+            seen.update(
+                k for k, v in doc.items()
+                if isinstance(v, dict) and "rows_match" in v
+            )
+    return seen
+
+
+def _rotation_slots(n_slots: int = 25) -> list[str]:
+    seen = _prior_driver_checked() | set(PINNED_WINDOW)
+    fresh = [name for name in _ALL_QUERIES if name not in seen]
+    slots = fresh[:n_slots]
+    if len(slots) < n_slots:  # every entry driver-verified: cycle again
+        taken = set(slots) | set(PINNED_WINDOW)
+        slots += [n for n in _ALL_QUERIES if n not in taken][: n_slots - len(slots)]
+    return slots
+
+
+CHECKED_WINDOW: list[str] = PINNED_WINDOW + _rotation_slots()
 
 QUERIES: dict[str, object] = {n: _ALL_QUERIES[n] for n in CHECKED_WINDOW}
 QUERIES.update(
