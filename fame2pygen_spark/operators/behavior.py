@@ -3052,8 +3052,15 @@ def yuen_trimmed_test(
         F.col("__sw2").alias("__vb"),
     )
     j = a.crossJoin(b)
-    da = F.col("__va") / (F.col("__ha") * (F.col("__ha") - F.lit(1.0)))
-    db = F.col("__vb") / (F.col("__hb") * (F.col("__hb") - F.lit(1.0)))
+    # Yuen (1974)/Wilcox: d = (n-1) * s2_w / (h*(h-1)) — the winsorized
+    # sample variance is rescaled to the winsorized SSD over h(h-1).
+    # At trim=0 (h=n) this reduces to Welch's s2/n.
+    da = (F.col("n_a").cast("double") - F.lit(1.0)) * F.col("__va") / (
+        F.col("__ha") * (F.col("__ha") - F.lit(1.0))
+    )
+    db = (F.col("n_b").cast("double") - F.lit(1.0)) * F.col("__vb") / (
+        F.col("__hb") * (F.col("__hb") - F.lit(1.0))
+    )
     se = F.sqrt(da + db)
     t = F.try_divide(F.col("__ma") - F.col("__mb"), se)
     dfree = F.try_divide(
@@ -3275,6 +3282,18 @@ def bayes_ab_binomial(
     """
     dec = "decimal(38,18)"
     spark = arms.sparkSession
+    # loud-fail on arm cardinality: with >2 arms, every arm that isn't
+    # min(arm) would silently collapse into side 'b' and the per-side
+    # grid normalization would mix distinct posteriors into one
+    # meaningless result.  *arms* is a tiny aggregate (one row per
+    # arm), so this is a bounded 1-row pin, not a data-sized collect.
+    n_arms = arms.select(
+        F.countDistinct(F.col(arm_col)).alias("k")
+    ).first()["k"]
+    if n_arms != 2:
+        raise ValueError(
+            f"bayes_ab_binomial needs exactly 2 distinct arms, got {n_arms}"
+        )
     g = spark.range(int(grid)).select(F.col("id").alias("j"))
     p = (F.lit(2.0) * F.col("j").cast("double") + F.lit(1.0)) / F.lit(
         2.0 * grid

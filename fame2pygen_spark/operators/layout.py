@@ -338,12 +338,20 @@ def bloom_skip_audit(
     files = fb.select("file").distinct()
     word = F.expr("bit div 32")
     mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))")
-    pb = probes.select(
-        F.col(probe_col).alias("probe_key"),
-        F.explode(
-            _bloom_bits(F.col(probe_col), m_bits, kf, salt)
-        ).alias("bit"),
-    ).select("probe_key", word.alias("word"), mask.alias("mask"))
+    # distinct up front: duplicate probe rows would multiply the bit
+    # rows, breaking both the sum(__bit_set)==k membership test and the
+    # downstream per-probe file counts
+    pb = (
+        probes.select(F.col(probe_col).alias("probe_key"))
+        .distinct()
+        .select(
+            "probe_key",
+            F.explode(
+                _bloom_bits(F.col("probe_key"), m_bits, kf, salt)
+            ).alias("bit"),
+        )
+        .select("probe_key", word.alias("word"), mask.alias("mask"))
+    )
     cand = files.crossJoin(F.broadcast(pb))
     hit = cand.join(fb, ["file", "word"], "left").withColumn(
         "__bit_set",
@@ -365,10 +373,10 @@ def bloom_skip_audit(
         .distinct()
         .withColumn("actual", F.lit(1).cast("long"))
     )
-    joined = per_pf.join(
-        F.broadcast(probes.select(F.col(probe_col).alias("probe_key"))),
-        "probe_key",
-    ).join(truth, ["probe_key", "file"], "left")
+    # per_pf already carries exactly the (deduped) probe keys — no
+    # re-join against the raw probes frame (duplicate probe_key rows
+    # there would multiply per-file rows and inflate every count)
+    joined = per_pf.join(truth, ["probe_key", "file"], "left")
     return (
         joined.groupBy("probe_key")
         .agg(

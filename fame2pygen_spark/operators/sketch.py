@@ -3514,13 +3514,19 @@ def ams_join_size(
         .agg(F.count(F.lit(1)).alias("__nb"))
     )
     ex = ca.join(cb, "__k").agg(
-        F.sum(F.col("__na") * F.col("__nb")).cast("long").alias("exact_join_size")
+        F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_size")
     )
+    # try_divide: disjoint key sets give exact_join_size = 0 — rel_err
+    # must be NULL there, not IEEE Inf/NaN (matches sibling sketch ops)
     return out.crossJoin(ex).withColumn(
         "rel_err",
         F.round(
-            (F.col("est_join_size") - F.col("exact_join_size"))
-            / F.col("exact_join_size"),
+            F.try_divide(
+                F.col("est_join_size") - F.col("exact_join_size"),
+                F.col("exact_join_size"),
+            ),
             6,
         ),
     )

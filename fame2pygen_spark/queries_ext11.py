@@ -62,11 +62,12 @@ cb AS (
   SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS nb
   FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
 ),
-ex AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS exact FROM ca JOIN cb USING (k))
+ex AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS exact
+       FROM ca JOIN cb USING (k))
 SELECT CAST(9 AS BIGINT) AS rows,
        est AS est_join_size,
        exact AS exact_join_size,
-       ROUND((est - exact) / exact, 6) AS rel_err
+       ROUND((est - exact) / NULLIF(exact, 0), 6) AS rel_err
 FROM med CROSS JOIN ex
 """
 
@@ -2346,8 +2347,9 @@ flat AS (
 j AS (
   SELECT a.n AS n_a, b.n AS n_b, a.h AS ha, b.h AS hb,
          a.mt AS ma, b.mt AS mb,
-         a.sw2 / (a.h * (a.h - 1.0)) AS da,
-         b.sw2 / (b.h * (b.h - 1.0)) AS db
+         -- Yuen (1974): d = (n-1)*s2_w/(h*(h-1)); trim=0 -> Welch s2/n
+         (CAST(a.n AS DOUBLE) - 1.0) * a.sw2 / (a.h * (a.h - 1.0)) AS da,
+         (CAST(b.n AS DOUBLE) - 1.0) * b.sw2 / (b.h * (b.h - 1.0)) AS db
   FROM (SELECT * FROM flat WHERE arm = 'a') a
   CROSS JOIN (SELECT * FROM flat WHERE arm = 'b') b
 ),

@@ -6224,6 +6224,13 @@ def test_ams_join_size_exact_and_estimate(spark):
     slim = ams_join_size(a, "k", b, "k", rows=3, exact=False)
     assert slim.columns == ["rows", "est_join_size"]
 
+    # disjoint key sets: exact size 0 -> rel_err NULL, never Inf/NaN
+    e = spark.createDataFrame([(1,), (2,)], "k int")
+    f = spark.createDataFrame([(8,), (9,)], "k int")
+    row3 = ams_join_size(e, "k", f, "k", rows=3).collect()[0]
+    assert row3["exact_join_size"] == 0
+    assert row3["rel_err"] is None
+
 
 def test_als_user_step_python_replica(spark):
     import hashlib
@@ -7164,6 +7171,32 @@ def test_yuen_trimmed_test_whale_resistance(spark):
     assert r2["delta"] == 5.0 and r2["p_value"] < 0.001
 
 
+def test_yuen_trim_zero_reduces_to_welch(spark):
+    """At trim=0 Yuen's d-terms must collapse to Welch's s²/n — the r4
+    advisor caught da = s²/(n(n-1)) (a ~√n-understated SE) mirrored in
+    the oracle, so parity alone could never flag it."""
+    import statistics as st
+
+    from fame2pygen_spark.operators.behavior import yuen_trimmed_test
+
+    ya = [1.0, 4.0, 2.5, 7.0, 3.0, 5.5, 2.0, 6.0]
+    yb = [2.0, 3.0, 8.0, 1.5, 9.0, 4.0]
+    rows = [("a", v) for v in ya] + [("b", v) for v in yb]
+    df = spark.createDataFrame(rows, "arm string, y double")
+    r = yuen_trimmed_test(df, "arm", "y", trim=0.0).collect()[0]
+
+    da = st.variance(ya) / len(ya)
+    db = st.variance(yb) / len(yb)
+    se = (da + db) ** 0.5
+    t = (st.mean(ya) - st.mean(yb)) / se
+    dfree = (da + db) ** 2 / (
+        da * da / (len(ya) - 1) + db * db / (len(yb) - 1)
+    )
+    assert abs(r["se"] - se) < 1e-5
+    assert abs(r["t"] - t) < 1e-5
+    assert abs(r["df"] - dfree) < 1e-4
+
+
 def test_zone_map_skip_audit_layout_separation(spark):
     from fame2pygen_spark.operators.layout import zone_map_skip_audit
 
@@ -7248,6 +7281,26 @@ def test_ipw_ate_corrects_confounded_takeup(spark):
 
     eff_r = ipw_ate(units(5.0)).collect()[0]
     assert abs(eff_r["ate_ipw"] - 5.0) < abs(eff_r["ate_raw"] - 5.0)
+
+
+def test_bayes_ab_binomial_rejects_non_two_arm_input(spark):
+    """r4 advisor: >2 arms used to silently collapse every non-min arm
+    into side 'b', mixing posteriors — must loud-fail instead."""
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.behavior import bayes_ab_binomial
+
+    three = spark.createDataFrame(
+        [("a", 100, 10), ("b", 100, 12), ("c", 100, 14)],
+        "arm string, n long, s long",
+    )
+    with _pytest.raises(ValueError, match="exactly 2"):
+        bayes_ab_binomial(three)
+    one = spark.createDataFrame(
+        [("a", 100, 10)], "arm string, n long, s long"
+    )
+    with _pytest.raises(ValueError, match="exactly 2"):
+        bayes_ab_binomial(one)
 
 
 def test_bayes_ab_binomial_decision_quantities(spark):
@@ -7524,6 +7577,35 @@ def test_bloom_skip_audit_point_lookups(spark):
         ).collect()
     }
     assert sat[5]["files_maybe"] == 8 and sat[5]["files_skipped"] == 0
+
+
+def test_bloom_skip_audit_duplicate_probes_do_not_inflate(spark):
+    """r4 advisor: duplicate probe_key rows used to multiply per-file
+    rows through the re-join and inflate files_total/files_maybe —
+    dup probes must yield exactly the deduped result."""
+    from fame2pygen_spark.operators.layout import bloom_skip_audit
+
+    df = spark.createDataFrame(
+        [(k % 4, k) for k in range(80)], "file long, key long"
+    )
+    probes_dup = spark.createDataFrame(
+        [(5,), (5,), (5,), (9_999,), (9_999,)], "probe_key long"
+    )
+    probes_uniq = spark.createDataFrame(
+        [(5,), (9_999,)], "probe_key long"
+    )
+    kw = dict(m_bits=4096, k_hashes=3)
+    got = sorted(
+        tuple(r) for r in
+        bloom_skip_audit(df, "file", "key", probes_dup, **kw).collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        bloom_skip_audit(df, "file", "key", probes_uniq, **kw).collect()
+    )
+    assert got == want
+    by_key = {t[0]: t for t in got}
+    assert by_key[5][1] == 4  # files_total = 4, not 12
 
 
 def test_streaming_bloom_filter_matches_batch_build(spark, tmp_path):
