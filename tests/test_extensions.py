@@ -683,6 +683,73 @@ def test_multimodal_real_image_decode(spark):
     assert out[3]["decoded"] == "needs-codec" and out[3]["width"] is None
 
 
+def test_multimodal_png_decode_roundtrip(spark):
+    """PNG decode (r4 verdict item #3): every filter type and color
+    type round-trips bit-exactly through the independent stdlib-zlib
+    encoder, and a hand-built palette PNG resolves through PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        decode_image_bytes, encode_png_bytes, image_features,
+    )
+
+    rng = np.random.RandomState(42)
+    for h, w in [(8, 8), (5, 3), (1, 1), (11, 7)]:
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for ct in (0, 2, 6):
+            for fm in ("cycle", "none"):
+                src = rgb[:, :, 0] if ct == 0 else rgb
+                png = encode_png_bytes(src, color_type=ct, filter_mode=fm)
+                out = decode_image_bytes(png)
+                exp = np.repeat(rgb[:, :, :1], 3, axis=2) if ct == 0 else rgb
+                assert out.shape == (h, w, 3)
+                assert (out == exp).all(), (ct, fm)
+
+    # hand-built 2x2 palette PNG (color type 3) with explicit PLTE
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idat = zlib.compress(bytes([0, 0, 1, 0, 2, 1]))  # 2 filter-0 rows
+    png3 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image_bytes(png3).tolist() == [
+        [[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [0, 255, 0]]
+    ]
+
+    # 16-bit depth and interlaced PNGs stay behind the codec boundary
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(7)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_image_bytes(png16)
+
+    # image_features treats PNG as a first-class decodable format
+    rgb = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    png = encode_png_bytes(rgb, color_type=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "asset_id long, payload binary"
+    )
+    row = image_features(df, thumb=(1, 1)).collect()[0]
+    assert row["decoded"] == "ok"
+    assert (row["width"], row["height"]) == (2, 1)
+    assert row["mean_r"] == f"{(10 + 40) / 2:.6f}"
+
+
 def test_multimodal_real_audio_decode(spark):
     import math
 
