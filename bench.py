@@ -101,14 +101,20 @@ def main() -> None:
         "sf": sf,
     }
 
+    headline_line = json.dumps(result)
+    # print the compact headline (~600 B) IMMEDIATELY — if anything
+    # kills the process during the long scale tier below, this line is
+    # still the last complete one in the driver's tail capture
+    print(headline_line, flush=True)
+
     # scale-validation tier: the heaviest pipeline ops on a 10×
     # replicated corpus (scripts/bench_scale.py).  Printed on its OWN
     # stdout line and mirrored to BENCH_SCALE.json BEFORE the headline
-    # line — the driver captures only the tail of stdout and parses the
-    # FINAL line, which must stay compact (<1 KB; round 4's combined
-    # line outgrew the tail buffer and the headline number was lost).
-    # Only runs at the default sf0.1 tier (at smaller SFs it would
-    # measure nothing).
+    # line repeats — the driver captures only the tail of stdout and
+    # parses the FINAL line, which must stay compact (<1 KB; round 4's
+    # combined line outgrew the tail buffer and the headline number was
+    # lost).  Only runs at the default sf0.1 tier (at smaller SFs it
+    # would measure nothing).
     if os.environ.get("SPARK_GRAFT_SCALE_TIER", "1") != "0" and sf == 0.1:
         try:
             sys.path.insert(
@@ -121,7 +127,7 @@ def main() -> None:
         except Exception as exc:  # tier failure must not sink the bench
             scale = {"error": str(exc)[:200]}
         scale_line = json.dumps({"metric": "scale_tier", "queries": scale})
-        print(scale_line)
+        print(scale_line, flush=True)
         side = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
         )
@@ -131,9 +137,9 @@ def main() -> None:
         except OSError:
             pass
 
-    # FINAL line: compact headline object only (~600 B) — keep it last
-    # and keep it small forever.
-    print(json.dumps(result))
+    # FINAL line: the compact headline object again (~600 B) — keep it
+    # last and keep it small forever.
+    print(headline_line)
     spark.stop()
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+#: timed runs per tier entry — medians for comparison, min for the
+#: load-noise bound (set 1 for a quick single-shot local pass)
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # cached corpus + spark temp live INSIDE the repo (gitignored): host
 # /tmp reapers have deleted both cached corpora and active blockmgr
@@ -69,12 +73,23 @@ def run_scale_tier(spark) -> dict:
     n_docs = docs.count()
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     rows: dict[str, int] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 2)
+        # median-of-RUNS + per-query min (r4 verdict item #4): host
+        # load swings the single-shot tier by ±30% (x14 34.8 s driver
+        # vs 23.5 s idle in r4), masquerading as regressions.  The
+        # median is the comparison number; the min bounds how much of
+        # a tier entry is load noise vs plan cost.
+        walls = []
+        out = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            out = fn()
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(walls), 2)
+        mins[name] = round(min(walls), 2)
         # every tier lambda returns a .count() — record it so scaling
         # runs can normalize wall time by output volume (pair counts
         # grow quadratically in the replica factor by construction)
@@ -317,7 +332,9 @@ def run_scale_tier(spark) -> dict:
         "metric": "scale_tier_total_wall_sec",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
+        "runs": RUNS,
         "queries": timings,
+        "queries_min": mins,
         "rows": rows,
         "n_docs": n_docs,
         "n_events": n_events,
