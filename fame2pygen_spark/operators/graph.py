@@ -891,3 +891,113 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def grid_density_clusters(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    grid: int = 16,
+    min_pts: int = 8,
+) -> DataFrame:
+    """Grid-DBSCAN-style density clustering over two numeric features:
+    bin points into a ``grid × grid`` lattice (equal-width over the
+    observed range), call a cell CORE when it holds ≥ *min_pts*
+    points, and merge 8-adjacent core cells into clusters via
+    connected components.  The density-clustering answer that scales
+    where true DBSCAN's ε-neighborhood join does not: binning is one
+    map-side pass, and the component step runs on the CELL graph
+    (≤ grid² nodes, ≤ 8·grid² edges — metadata-sized regardless of
+    row count), never on points.
+
+    Labels are deterministic: a cluster is named by its minimum cell
+    id (``gx·grid + gy``).  Output: one row per core cell —
+    ``(cell_id, gx, gy, n_pts, cluster, cluster_cells,
+    cluster_pts)`` ordered by cell_id.  Border points (in non-core
+    cells) are intentionally unassigned — at the corpus scale this
+    operator targets, cluster MEMBERSHIP of dense regions is the
+    decision input, not per-point labels; join points back to cells
+    for that if needed.
+    """
+    from .dedup import connected_components
+
+    g = int(grid)
+    if g < 2:
+        raise ValueError("grid must be >= 2")
+    base = df.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    rng = base.agg(
+        F.min("__x").alias("__xlo"),
+        F.max("__x").alias("__xhi"),
+        F.min("__y").alias("__ylo"),
+        F.max("__y").alias("__yhi"),
+    )
+    binned = base.crossJoin(F.broadcast(rng))
+
+    def bucket(col, lo, hi):
+        width = (F.col(hi) - F.col(lo)) / F.lit(g)
+        raw = F.floor(F.try_divide(F.col(col) - F.col(lo), width)).cast("long")
+        return F.coalesce(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(g - 1)), F.lit(0)
+        )
+
+    cells = (
+        binned.select(
+            bucket("__x", "__xlo", "__xhi").alias("gx"),
+            bucket("__y", "__ylo", "__yhi").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pts"))
+    )
+    core = cells.where(F.col("n_pts") >= int(min_pts)).select(
+        (F.col("gx") * g + F.col("gy")).alias("cell_id"), "gx", "gy", "n_pts"
+    )
+    # 8-adjacency on the bounded core-cell set: a self-join keyed by
+    # nothing data-sized — both sides are ≤ grid² rows, broadcast
+    lhs = core.select(
+        F.col("cell_id").alias("id_a"),
+        F.col("gx").alias("__ax"),
+        F.col("gy").alias("__ay"),
+    )
+    rhs = core.select(
+        F.col("cell_id").alias("id_b"),
+        F.col("gx").alias("__bx"),
+        F.col("gy").alias("__by"),
+    )
+    edges = (
+        lhs.join(
+            F.broadcast(rhs),
+            (F.abs(F.col("__ax") - F.col("__bx")) <= 1)
+            & (F.abs(F.col("__ay") - F.col("__by")) <= 1)
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, "id_a", "id_b").select(
+        F.col("doc").alias("cell_id"), F.col("component").alias("cluster")
+    )
+    labeled = core.join(comp, "cell_id", "left").select(
+        "cell_id",
+        "gx",
+        "gy",
+        "n_pts",
+        # isolated core cells (no adjacent core neighbor) are their
+        # own singleton cluster
+        F.coalesce("cluster", "cell_id").alias("cluster"),
+    )
+    per_cluster = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_cells"),
+        F.sum("n_pts").cast("long").alias("cluster_pts"),
+    )
+    return (
+        labeled.join(F.broadcast(per_cluster), "cluster")
+        .select(
+            "cell_id", "gx", "gy", "n_pts",
+            F.col("cluster").cast("long").alias("cluster"),
+            "cluster_cells", "cluster_pts",
+        )
+        .orderBy("cell_id")
+    )

@@ -890,3 +890,151 @@ def raking_weights(
         ).alias("weight"),
         F.round(F.col("__w"), 6).alias("cell_weight"),
     )
+
+
+def cv_fold_stats(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    *,
+    k: int = 5,
+    salt: str = "cv",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation plumbing: assign every
+    UNIT (user, document — never raw rows, so all rows of a unit land
+    in one fold and no leakage crosses the boundary) to fold
+    ``hash(unit) % k``, then report per-fold ``(n_units, n_rows,
+    mean_value)`` plus the leave-one-fold-out complement mean — the
+    two numbers a training pipeline needs to (a) split shards and
+    (b) sanity-check that no fold drifted from the rest before
+    spending a training run on it.
+
+    Plan shape: one hash (no shuffle) + one groupBy to ≤k rows; the
+    LOO complement comes from a 1-row grand-total broadcast, not a
+    second scan.  Decimal-exact sums throughout.
+
+    Output: one row per fold — ``(fold, n_units, n_rows, fold_mean,
+    loo_mean)`` at 6 dp, ordered by fold.
+    """
+    kk = int(k)
+    if kk < 2:
+        raise ValueError("k must be >= 2")
+    dec = "decimal(38,12)"
+    from .sketch import _hash64
+
+    fold = (_hash64(F.col(unit_col), salt) % kk).cast("long")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        fold.alias("fold"),
+        F.col(unit_col).alias("__u"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    per_fold = rows.groupBy("fold").agg(
+        F.countDistinct("__u").cast("long").alias("n_units"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("__v").cast(dec)).alias("__s"),
+    )
+    grand = per_fold.agg(
+        F.sum("n_rows").alias("__tn"), F.sum(F.col("__s").cast(dec)).alias("__ts")
+    )
+    out = per_fold.crossJoin(F.broadcast(grand))
+    loo = F.try_divide(
+        (F.col("__ts") - F.col("__s")).cast("double"),
+        (F.col("__tn") - F.col("n_rows")).cast("double"),
+    )
+    return out.select(
+        "fold",
+        "n_units",
+        "n_rows",
+        F.round(
+            F.try_divide(
+                F.col("__s").cast("double"), F.col("n_rows").cast("double")
+            ),
+            6,
+        ).alias("fold_mean"),
+        F.round(loo, 6).alias("loo_mean"),
+    ).orderBy("fold")
+
+
+def unimax_plan(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    *,
+    budget: float,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax corpus-mixing allocation (Chung et al. 2023,
+    arXiv:2304.09151): split a total token *budget* across sources as
+    uniformly as possible subject to a per-source repeat cap — no
+    source is sampled beyond ``max_epochs`` passes over its
+    ``size_col`` tokens.  The principled alternative to ad-hoc
+    mixture weights when low-resource sources must not be memorized
+    into the model by over-repetition.
+
+    Closed form, no iteration: with per-source caps ``cap_i =
+    size_i · max_epochs`` sorted ascending, the shared water level is
+    ``λ = max_r (budget − Σ_{j<r} cap_j) / (n − r + 1)`` — candidate
+    *r* assumes the *r−1* smallest sources saturate their caps and
+    splits the remainder uniformly; the valid segment is exactly the
+    largest candidate — and the allocation is ``min(cap_i, max(λ,
+    0))``.  One ranked window pass over ≤|sources| rows (sources are
+    a handful at any scale; the per-source sizes arrive from one
+    groupBy of the corpus).
+
+    Output per source: ``(source, n_tokens, cap, alloc, epochs,
+    budget_frac)`` at 6 dp, ordered by source.
+    """
+    b = float(budget)
+    e = float(max_epochs)
+    if b <= 0 or e <= 0:
+        raise ValueError("budget and max_epochs must be positive")
+    dec = "decimal(38,6)"
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(size_col).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("n_tokens")
+    )
+    cap = F.round(F.col("n_tokens") * F.lit(e), 6)
+    sized = per_src.select("source", "n_tokens", cap.alias("cap"))
+    word = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    ranked = sized.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.row_number().over(word).alias("__i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+        F.coalesce(
+            F.sum(F.col("cap").cast(dec)).over(
+                word.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(dec),
+        ).alias("__prefix"),
+    )
+    share = F.round(
+        (F.lit(b) - F.col("__prefix").cast("double"))
+        / (F.col("__n") - F.col("__i") + 1).cast("double"),
+        6,
+    )
+    stepped = ranked.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.max(share).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__share"),
+    )
+    alloc = F.round(F.least(F.col("cap"), F.greatest(F.col("__share"), F.lit(0.0))), 6)
+    return stepped.select(
+        "source",
+        F.round("n_tokens", 6).alias("n_tokens"),
+        F.round("cap", 6).alias("cap"),
+        alloc.alias("alloc"),
+        F.round(F.try_divide(alloc, F.col("n_tokens")), 6).alias("epochs"),
+        F.round(alloc / F.lit(b), 6).alias("budget_frac"),
+    ).orderBy("source")

@@ -2077,3 +2077,95 @@ def corrected_prevalence(
         F.round(corrected, 6).alias("corrected"),
         F.round(se, 6).alias("se"),
     )
+
+
+def hbos_scores(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list,
+    *,
+    bins: int = 16,
+    top_n: int = 20,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012): per
+    feature, an equal-width histogram over the observed range turns
+    each value into a bin density ``p``; a row's outlier score is
+    ``Σ_f log10(1/p_f)`` — high where the row sits in thin bins on
+    many features at once.  The O(n) unsupervised outlier gauge to
+    run over a 100 TB metrics table BEFORE paying for anything
+    quadratic (isolation forests, kNN distances): density estimation
+    per feature is one aggregation, scoring is a broadcast join.
+
+    Plan shape: per feature one 1-row min/max broadcast + one ≤*bins*-
+    row count table broadcast back — no shuffle of the data by
+    feature, no window.  Rows with any null feature are excluded (a
+    null has no density).  Degenerate constant features (min == max)
+    collapse to one bin with p = 1, contributing 0 to every score.
+
+    Output: the *top_n* highest-scoring rows ``(id, score)`` at 6 dp,
+    score desc / id asc — deterministic under any partitioning.
+    """
+    b = int(bins)
+    if b < 2:
+        raise ValueError("bins must be >= 2")
+    feats = list(feature_cols)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).cast("double").alias(f"__f{i}") for i, c in enumerate(feats)],
+    )
+    for i in range(len(feats)):
+        base = base.where(F.col(f"__f{i}").isNotNull())
+    rng = base.agg(
+        *[
+            agg
+            for i in range(len(feats))
+            for agg in (
+                F.min(f"__f{i}").alias(f"__lo{i}"),
+                F.max(f"__f{i}").alias(f"__hi{i}"),
+            )
+        ]
+    )
+    binned = base.crossJoin(F.broadcast(rng))
+    score_terms = []
+    n_total = None
+    for i in range(len(feats)):
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        width = (hi - lo) / F.lit(b)
+        raw = F.floor(F.try_divide(F.col(f"__f{i}") - lo, width)).cast("long")
+        bucket = F.coalesce(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(b - 1)), F.lit(0)
+        )
+        binned = binned.withColumn(f"__b{i}", bucket)
+    counted = binned
+    for i in range(len(feats)):
+        hist = (
+            binned.groupBy(F.col(f"__b{i}").alias(f"__hb{i}"))
+            .agg(F.count(F.lit(1)).alias(f"__hc{i}"))
+        )
+        counted = counted.join(
+            F.broadcast(hist),
+            counted[f"__b{i}"] == hist[f"__hb{i}"],
+        ).drop(f"__hb{i}")
+    total = counted.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    # count the SCORED frame once (post-join row count equals the
+    # null-filtered base by construction: every bin has a hist row)
+    scored = counted.crossJoin(F.broadcast(total))
+    terms = [
+        F.round(
+            -F.log10(
+                F.col(f"__hc{i}").cast("double")
+                / F.col("__n").cast("double")
+            ),
+            9,
+        ).cast("decimal(28,12)")
+        for i in range(len(feats))
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    out = scored.select(
+        "id", F.round(expr.cast("double"), 6).alias("score")
+    )
+    return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(
+        int(top_n)
+    )

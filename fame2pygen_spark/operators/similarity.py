@@ -2224,3 +2224,180 @@ def jl_projection_audit(
             6,
         ).alias("frac_within_50pct"),
     )
+
+
+def rff_planes(
+    dim: int, n_features: int, *, gamma: float = 0.5, seed: int = 7
+) -> tuple:
+    """Deterministic random-Fourier-feature parameters for an RBF
+    kernel ``k(x,y) = exp(-gamma·|x-y|²)``: *n_features* pseudo-
+    Gaussian direction vectors (scaled by ``sqrt(2·gamma)``) and
+    uniform phase offsets in [0, 2π), generated with a seeded
+    Mersenne generator so the Spark plan and a SQL oracle embed the
+    SAME literals (the x07 seeded-plane idiom).  Values rounded to 6
+    dp so the literals survive any float→text→float round trip."""
+    import math
+    import random
+
+    rng = random.Random(int(seed))
+    scale = math.sqrt(2.0 * float(gamma))
+    planes = [
+        [round(rng.gauss(0.0, 1.0) * scale, 6) for _ in range(int(dim))]
+        for _ in range(int(n_features))
+    ]
+    phases = [
+        round(rng.random() * 2.0 * math.pi, 6) for _ in range(int(n_features))
+    ]
+    return planes, phases
+
+
+def mmd_rff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_features: int = 8,
+    gamma: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Kernel MMD² between two embedding samples via random Fourier
+    features (Gretton et al. 2012 §6; Rahimi & Recht 2007): map every
+    vector to ``z_j(x) = cos(w_j·x + b_j)`` for *n_features* seeded
+    planes, and ``MMD² ≈ (2/D)·Σ_j (mean_A z_j − mean_B z_j)²`` —
+    the embedding-space drift gauge between two corpus slices
+    (yesterday vs today, source A vs source B) that a mean-vector
+    diff misses whenever the shift is in shape, not location.
+
+    Why RFF at 100 TB: exact kernel MMD is O(n²) pairwise; the
+    feature map is one map-side pass (planes are broadcast literals)
+    plus ONE 2-group aggregation — no pair stage, no shuffle beyond
+    the final 2-row agg, trivially streamable.
+
+    Engine-exactness: the plane dot is the sequential fold every
+    scorer here uses, ``cos`` is rounded at 9 dp before the decimal
+    sum (1-ulp libm divergence dies at the gate), means divide exact
+    decimal sums, and the output rounds at 6 dp.
+
+    Output one row: ``(n_a, n_b, mmd2)``.
+    """
+    planes, phases = rff_planes(dim, n_features, gamma=gamma, seed=seed)
+    dec = "decimal(38,12)"
+    v = _as_double(F.col(vec_col))
+    tagged = (
+        df_a.select(F.lit("a").alias("__side"), v.alias("__v"))
+        .unionByName(df_b.select(F.lit("b").alias("__side"), v.alias("__v")))
+    )
+    feats = []
+    for j, (w, ph) in enumerate(zip(planes, phases)):
+        wlit = F.array(*[F.lit(float(x)) for x in w])
+        feats.append(
+            F.round(
+                F.cos(dot(F.col("__v"), wlit) + F.lit(float(ph))), 9
+            )
+            .cast(dec)
+            .alias(f"__z{j}")
+        )
+    z = tagged.select("__side", *feats)
+    agg = z.groupBy("__side").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(f"__z{j}").alias(f"__s{j}") for j in range(n_features)],
+    )
+    a = agg.where(F.col("__side") == "a").select(
+        F.col("__n").alias("n_a"),
+        *[F.col(f"__s{j}").alias(f"__sa{j}") for j in range(n_features)],
+    )
+    b = agg.where(F.col("__side") == "b").select(
+        F.col("__n").alias("n_b"),
+        *[F.col(f"__s{j}").alias(f"__sb{j}") for j in range(n_features)],
+    )
+    j2 = a.crossJoin(b)
+    diffs = [
+        (
+            F.col(f"__sa{j}").cast("double") / F.col("n_a").cast("double")
+            - F.col(f"__sb{j}").cast("double") / F.col("n_b").cast("double")
+        )
+        for j in range(n_features)
+    ]
+    sq = diffs[0] * diffs[0]
+    for d in diffs[1:]:
+        sq = sq + d * d
+    return j2.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.lit(2.0 / float(n_features)) * sq, 6).alias("mmd2"),
+    )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the facility-
+    location step of Sener & Savarese 2018 active learning): start
+    from the minimum-id vector, then *k−1* times pick the point
+    FARTHEST from the chosen set (max-min squared L2, ties to the
+    lowest id) — a 2-approximation of the optimal k-center cover and
+    the standard "most diverse k exemplars" pass over an embedding
+    corpus before expensive human/model inspection.
+
+    Distributed shape: each round is one map-side min-distance update
+    against the (≤k, literal-broadcast) chosen set plus ONE
+    TakeOrderedAndProject argmax — k bounded driver pins of one row
+    each (the ≤16-row centroid-pin policy; k defaults to 8), never a
+    data-sized collect.  Distances re-derive from literals each
+    round, so the plan stays stateless and partition-invariant.
+
+    Output k rows: ``(round, center_id, cover_radius)`` where
+    *cover_radius* is the max-min squared distance at selection time
+    (round 0 = seed, radius of the full set to it), 6 dp.
+    """
+    kk = int(k)
+    if kk < 1 or kk > 16:
+        raise ValueError("k must be in 1..16 (bounded driver pins)")
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+
+    def sqdist_to(lit_vec: list) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("__v"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    seed_row = base.orderBy(F.col("id").asc()).limit(1).collect()[0]
+    chosen = [(0, seed_row["id"], [float(x) for x in seed_row["__v"]])]
+    scored = base.withColumn("__d", sqdist_to(chosen[0][2]))
+    out_rows = []
+    for rnd in range(1, kk):
+        far = (
+            scored.orderBy(F.col("__d").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append((rnd - 1, chosen[-1][1], float(far["__d"])))
+        chosen.append((rnd, far["id"], [float(x) for x in far["__v"]]))
+        scored = scored.withColumn(
+            "__d", F.least(F.col("__d"), sqdist_to(chosen[-1][2]))
+        )
+    last = (
+        scored.orderBy(F.col("__d").desc(), F.col("id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    out_rows.append((kk - 1, chosen[-1][1], float(last["__d"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(r), int(c), float(d)) for r, c, d in out_rows],
+        "round long, center_id long, cover_radius double",
+    ).select(
+        "round", "center_id", F.round("cover_radius", 6).alias("cover_radius")
+    )

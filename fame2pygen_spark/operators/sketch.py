@@ -4170,3 +4170,213 @@ def friedman_test(
         (F.col("b") - 1).cast("long").alias("dof"),
         F.round(F.when(ok, p), 6).alias("p_value"),
     )
+
+
+def energy_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    quantize: int = 6,
+) -> DataFrame:
+    """Two-sample energy distance (Székely & Rizzo 2004, V-statistic
+    form): ``D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|`` — zero iff the
+    distributions coincide, metric-sensitive to BOTH location and
+    shape differences where KS (:func:`ks_statistic`) saturates at the
+    max ECDF gap and PSI needs bins.  The drift gauge to reach for
+    when "how far apart" matters, not just "are they different".
+
+    Exact in one pass over the value support: all three pairwise-mean
+    terms have closed forms on the value-aggregated frame.  With per-
+    value counts ``c_v`` and running (RANGE) sums ``CntLe/SumLe`` over
+    the pooled support, ``Σ_pairs |x−x'| = 2·Σ_v c_v·(v·CntLt −
+    SumLt)`` per side and the cross term analogously — no quadratic
+    pair stage anywhere.
+
+    Scale shape: values quantize to *quantize* dp (decimal-exact
+    arithmetic thereafter), one groupBy reduces the data to its
+    distinct support, and the only ordered window runs over the
+    support — the KS/ECDF-class bound (distinct quantized values, not
+    rows).  Output one row: ``(n_a, n_b, e_cross, e_within_a,
+    e_within_b, energy_dist)`` at 6 dp.
+    """
+    q = int(quantize)
+    dec = "decimal(38,12)"
+    v = F.round(F.col(value_col).cast("double"), q)
+    tagged = (
+        df_a.where(F.col(value_col).isNotNull())
+        .select(v.alias("v"), F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+        .unionByName(
+            df_b.where(F.col(value_col).isNotNull()).select(
+                v.alias("v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+            )
+        )
+    )
+    support = tagged.groupBy("v").agg(
+        F.sum("__a").cast("long").alias("ca"),
+        F.sum("__b").cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    vd = F.col("v").cast("decimal(28,6)")
+    run = support.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("__cale"),
+        F.sum("cb").over(w).alias("__cble"),
+        F.sum((vd * F.col("ca")).cast(dec)).over(w).alias("__sale"),
+        F.sum((vd * F.col("cb")).cast(dec)).over(w).alias("__sble"),
+    )
+    # strictly-below cumulative = at-or-below minus own mass
+    ca_lt = F.col("__cale") - F.col("ca")
+    cb_lt = F.col("__cble") - F.col("cb")
+    sa_lt = (F.col("__sale") - (vd * F.col("ca")).cast(dec)).cast(dec)
+    sb_lt = (F.col("__sble") - (vd * F.col("cb")).cast(dec)).cast(dec)
+    gaps = run.select(
+        "ca",
+        "cb",
+        # Σ over ordered pairs (one direction) of |x − x'| etc.;
+        # decimal all the way — order-insensitive exact sums
+        ((vd * F.col("ca")).cast(dec) * ca_lt - sa_lt * F.col("ca"))
+        .cast(dec)
+        .alias("__aa"),
+        ((vd * F.col("cb")).cast(dec) * cb_lt - sb_lt * F.col("cb"))
+        .cast(dec)
+        .alias("__bb"),
+        # cross: this side's value against the OTHER side's lower mass
+        (
+            (vd * F.col("cb")).cast(dec) * ca_lt
+            - sa_lt * F.col("cb")
+            + (vd * F.col("ca")).cast(dec) * cb_lt
+            - sb_lt * F.col("ca")
+        )
+        .cast(dec)
+        .alias("__ab"),
+    )
+    tot = gaps.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("__aa").cast(dec)).cast("double").alias("__saa"),
+        F.sum(F.col("__bb").cast(dec)).cast("double").alias("__sbb"),
+        F.sum(F.col("__ab").cast(dec)).cast("double").alias("__sab"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    e_cross = F.try_divide(F.col("__sab"), na * nb)
+    e_a = F.try_divide(F.lit(2.0) * F.col("__saa"), na * na)
+    e_b = F.try_divide(F.lit(2.0) * F.col("__sbb"), nb * nb)
+    return tot.select(
+        "n_a",
+        "n_b",
+        F.round(e_cross, 6).alias("e_cross"),
+        F.round(e_a, 6).alias("e_within_a"),
+        F.round(e_b, 6).alias("e_within_b"),
+        F.round(F.lit(2.0) * e_cross - e_a - e_b, 6).alias("energy_dist"),
+    )
+
+
+def countsketch_estimate(
+    df: DataFrame,
+    value_col: str,
+    probes: Sequence[str],
+    *,
+    depth: int = 5,
+    width: int = 64,
+    salt: str = "csk",
+) -> DataFrame:
+    """Count-sketch frequency estimates (Charikar, Chen &
+    Farach-Colton 2002): like :func:`countmin_estimate` but each
+    counter adds a ±1 sign per value, so collisions cancel in
+    expectation instead of only inflating — the estimate is the
+    MEDIAN over rows of ``sign·counter``, unbiased where count-min is
+    one-sided.  The right sketch when under-counting is as bad as
+    over-counting (e.g. frequency-threshold dedup decisions).
+
+    Same deterministic md5 column algebra as the count-min build: one
+    explode into *depth* (r, bucket, sign) keys, one groupBy to a
+    ``depth × width`` signed counter table (bounded state, mergeable
+    cell-wise), probe side joined broadcast.  Median of *depth* values
+    via ``array_sort`` over the collected row estimates — *depth* is a
+    literal constant, never data-sized.
+
+    Output per probe: ``(term, true_n, est_n)``.
+    """
+    probes = [str(p) for p in probes]
+    if depth < 1 or depth % 2 == 0:
+        raise ValueError("depth must be odd and positive (median of rows)")
+    sign = lambda col, r: (  # noqa: E731
+        F.lit(1) - F.lit(2) * (_hash64(col, f"{salt}s:{r}") % 2)
+    ).cast("long")
+    cells = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (_hash64(F.col(value_col), f"{salt}:{r}") % width)
+            .cast("long")
+            .alias("bucket"),
+            sign(F.col(value_col), r).alias("s"),
+        )
+        for r in range(depth)
+    ]
+    sketch = (
+        df.select(F.explode(F.array(*cells)).alias("cell"))
+        .groupBy(
+            F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+        )
+        .agg(F.sum("cell.s").cast("long").alias("c"))
+    )
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame([(p,) for p in probes], "term string")
+    keys = probe_df.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (_hash64(F.col("term"), f"{salt}:{r}") % width)
+                        .cast("long")
+                        .alias("bucket"),
+                        sign(F.col("term"), r).alias("s"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(
+        "term",
+        F.col("cell.r").alias("r"),
+        F.col("cell.bucket").alias("bucket"),
+        F.col("cell.s").alias("s"),
+    )
+    est = (
+        keys.join(F.broadcast(sketch), on=["r", "bucket"], how="left")
+        .groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.col("s") * F.coalesce(F.col("c"), F.lit(0))
+                )
+            ).alias("__ests")
+        )
+        .select(
+            "term",
+            F.element_at(F.col("__ests"), depth // 2 + 1)
+            .cast("long")
+            .alias("est_n"),
+        )
+    )
+    truth = (
+        df.select(F.col(value_col).cast("string").alias("term"))
+        .where(F.col("term").isin(probes))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("true_n"))
+    )
+    return (
+        est.join(F.broadcast(truth), "term", "left")
+        .select(
+            "term",
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+            "est_n",
+        )
+        .orderBy("term")
+    )

@@ -83,3 +83,582 @@ def _sql_x300() -> str:
 
 EXT13_QUERIES.update({"x300_png_ahash": q_x300_png_ahash})
 EXT13_ORACLES.update({"x300_png_ahash": _sql_x300()})
+
+
+# ----------------------------- x301: RFF-MMD embedding drift
+
+_MMD_DIM, _MMD_FEATS, _MMD_GAMMA, _MMD_SEED = 64, 8, 0.5, 7
+
+
+def q_x301_mmd_rff(spark, sf_dir):
+    """Kernel-MMD² drift between even- and odd-id embedding halves
+    (operators/similarity.py:mmd_rff, random Fourier features): an
+    A/A-style split, so the expected MMD² is near zero — the oracle
+    rebuilds the identical seeded feature map in SQL."""
+    from .operators.similarity import mmd_rff
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    return mmd_rff(
+        a, b, dim=_MMD_DIM, n_features=_MMD_FEATS,
+        gamma=_MMD_GAMMA, seed=_MMD_SEED,
+    )
+
+
+def _sql_x301() -> str:
+    from .operators.similarity import rff_planes
+
+    planes, phases = rff_planes(
+        _MMD_DIM, _MMD_FEATS, gamma=_MMD_GAMMA, seed=_MMD_SEED
+    )
+    zcols = []
+    for j, (w, ph) in enumerate(zip(planes, phases)):
+        wlit = "[" + ", ".join(f"{x!r}" for x in w) + "]"
+        zcols.append(
+            f"CAST(ROUND(cos(list_reduce(list_transform(range(1, 65), "
+            f"i -> v[CAST(i AS INTEGER)] * ({wlit})[CAST(i AS INTEGER)]), "
+            f"(acc, x) -> acc + x) + {ph!r}), 9) AS DECIMAL(38,12)) AS z{j}"
+        )
+    zsel = ",\n         ".join(zcols)
+    sums = ", ".join(f"SUM(z{j}) AS s{j}" for j in range(_MMD_FEATS))
+    diffs = " + ".join(
+        f"(CAST(a.s{j} AS DOUBLE) / a.n - CAST(b.s{j} AS DOUBLE) / b.n) * "
+        f"(CAST(a.s{j} AS DOUBLE) / a.n - CAST(b.s{j} AS DOUBLE) / b.n)"
+        for j in range(_MMD_FEATS)
+    )
+    return f"""
+WITH vv AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), z AS (
+  SELECT side,
+         {zsel}
+  FROM vv
+), agg AS (
+  SELECT side, CAST(COUNT(*) AS DOUBLE) AS n, {sums}
+  FROM z GROUP BY side
+)
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       ROUND({2.0 / _MMD_FEATS!r} * ({diffs}), 6) AS mmd2
+FROM (SELECT * FROM agg WHERE side = 'a') a
+CROSS JOIN (SELECT * FROM agg WHERE side = 'b') b
+"""
+
+
+EXT13_QUERIES.update({"x301_mmd_rff": q_x301_mmd_rff})
+EXT13_ORACLES.update({"x301_mmd_rff": _sql_x301()})
+
+
+# ----------------------------- x302: energy distance
+
+
+def q_x302_energy_distance(spark, sf_dir):
+    """Two-sample energy distance between urgent and low-priority
+    order totals (operators/sketch.py:energy_distance) — the exact
+    V-statistic from closed-form prefix sums over the value support,
+    no quadratic pair stage."""
+    from .operators.sketch import energy_distance
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_totalprice").alias("v")
+    )
+    b = orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_totalprice").alias("v")
+    )
+    return energy_distance(a, b, "v")
+
+
+SQL_X302 = """
+WITH tagged AS (
+  SELECT ROUND(CAST(o_totalprice AS DOUBLE), 6) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), support AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+  FROM tagged GROUP BY v
+), run AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER w AS cale,
+         SUM(cb) OVER w AS cble,
+         SUM(CAST(CAST(v AS DECIMAL(28,6)) * ca AS DECIMAL(38,12))) OVER w
+           AS sale,
+         SUM(CAST(CAST(v AS DECIMAL(28,6)) * cb AS DECIMAL(38,12))) OVER w
+           AS sble
+  FROM support
+  WINDOW w AS (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), gaps AS (
+  SELECT ca, cb,
+    CAST(CAST(CAST(v AS DECIMAL(28,6)) * ca AS DECIMAL(38,12))
+         * (cale - ca)
+         - CAST(sale - CAST(CAST(v AS DECIMAL(28,6)) * ca
+                            AS DECIMAL(38,12)) AS DECIMAL(38,12)) * ca
+         AS DECIMAL(38,12)) AS aa,
+    CAST(CAST(CAST(v AS DECIMAL(28,6)) * cb AS DECIMAL(38,12))
+         * (cble - cb)
+         - CAST(sble - CAST(CAST(v AS DECIMAL(28,6)) * cb
+                            AS DECIMAL(38,12)) AS DECIMAL(38,12)) * cb
+         AS DECIMAL(38,12)) AS bb,
+    CAST(CAST(CAST(v AS DECIMAL(28,6)) * cb AS DECIMAL(38,12))
+         * (cale - ca)
+         - CAST(sale - CAST(CAST(v AS DECIMAL(28,6)) * ca
+                            AS DECIMAL(38,12)) AS DECIMAL(38,12)) * cb
+         + CAST(CAST(v AS DECIMAL(28,6)) * ca AS DECIMAL(38,12))
+         * (cble - cb)
+         - CAST(sble - CAST(CAST(v AS DECIMAL(28,6)) * cb
+                            AS DECIMAL(38,12)) AS DECIMAL(38,12)) * ca
+         AS DECIMAL(38,12)) AS ab
+  FROM run
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(aa AS DECIMAL(38,12))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(bb AS DECIMAL(38,12))) AS DOUBLE) AS sbb,
+         CAST(SUM(CAST(ab AS DECIMAL(38,12))) AS DOUBLE) AS sab
+  FROM gaps
+)
+SELECT n_a, n_b,
+       ROUND(sab / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+         AS e_cross,
+       ROUND(2.0 * saa / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)), 6)
+         AS e_within_a,
+       ROUND(2.0 * sbb / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+         AS e_within_b,
+       ROUND(2.0 * (sab / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+             - (2.0 * saa / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)))
+             - (2.0 * sbb / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+         AS energy_dist
+FROM tot
+"""
+
+EXT13_QUERIES.update({"x302_energy_distance": q_x302_energy_distance})
+EXT13_ORACLES.update({"x302_energy_distance": SQL_X302})
+
+
+# ----------------------------- x303: CV fold assignment + stats
+
+
+def q_x303_cv_folds(spark, sf_dir):
+    """Deterministic unit-level 5-fold CV split over event users with
+    per-fold and leave-one-fold-out means
+    (operators/mixing.py:cv_fold_stats) — the no-leakage split + drift
+    sanity check a training pipeline runs before spending a run."""
+    from .operators.mixing import cv_fold_stats
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    return cv_fold_stats(
+        ev.where(F.col("value").isNotNull()), "user_id", "value", k=5
+    )
+
+
+SQL_X303 = """
+WITH rows_ AS (
+  SELECT ('0x' || substr(md5('cv:' || CAST(user_id AS VARCHAR)),
+          1, 8))::BIGINT % 5 AS fold,
+         user_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), per_fold AS (
+  SELECT fold,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_units,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(v AS DECIMAL(38,12))) AS s
+  FROM rows_ GROUP BY fold
+), grand AS (
+  SELECT SUM(n_rows) AS tn, SUM(CAST(s AS DECIMAL(38,12))) AS ts
+  FROM per_fold
+)
+SELECT fold, n_units, n_rows,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS fold_mean,
+       ROUND(CAST(ts - s AS DOUBLE) / CAST(tn - n_rows AS DOUBLE), 6)
+         AS loo_mean
+FROM per_fold CROSS JOIN grand
+ORDER BY fold
+"""
+
+EXT13_QUERIES.update({"x303_cv_folds": q_x303_cv_folds})
+EXT13_ORACLES.update({"x303_cv_folds": SQL_X303})
+
+
+# ----------------------------- x304: HBOS outlier scores
+
+
+def q_x304_hbos(spark, sf_dir):
+    """Histogram-based outlier scores over lineitem numerics
+    (operators/quality.py:hbos_scores, 16 bins): top-20 rows whose
+    (quantity, extendedprice, discount) all sit in thin histogram
+    bins — the O(n) outlier pass before anything quadratic."""
+    from .operators.quality import hbos_scores
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keyed = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("row_id"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    return hbos_scores(
+        keyed,
+        "row_id",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        bins=16,
+        top_n=20,
+    ).select(F.col("id").alias("row_id"), "score")
+
+
+def _sql_x304() -> str:
+    feats = ["l_quantity", "l_extendedprice", "l_discount"]
+    binexprs = []
+    for i, c in enumerate(feats):
+        binexprs.append(
+            f"COALESCE(LEAST(GREATEST(CAST(FLOOR((CAST({c} AS DOUBLE) - lo{i})"
+            f" / NULLIF((hi{i} - lo{i}) / 16, 0)) AS BIGINT), 0), 15), 0)"
+            f" AS b{i}"
+        )
+    bins = ",\n         ".join(binexprs)
+    rngsel = ", ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS lo{i}, MAX(CAST({c} AS DOUBLE)) AS hi{i}"
+        for i, c in enumerate(feats)
+    )
+    hists = "\n".join(
+        f"h{i} AS (SELECT b{i} AS hb{i}, CAST(COUNT(*) AS BIGINT) AS hc{i} "
+        f"FROM binned GROUP BY b{i}),"
+        for i in range(len(feats))
+    )
+    joins = " ".join(f"JOIN h{i} ON binned.b{i} = h{i}.hb{i}"
+                     for i in range(len(feats)))
+    terms = " + ".join(
+        f"CAST(ROUND(-log10(CAST(hc{i} AS DOUBLE) / CAST(nt AS DOUBLE)), 9)"
+        f" AS DECIMAL(28,12))"
+        for i in range(len(feats))
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in feats)
+    return f"""
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS row_id,
+         l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE {notnull}
+), rng AS (
+  SELECT {rngsel} FROM base
+), binned AS (
+  SELECT row_id,
+         {bins}
+  FROM base CROSS JOIN rng
+),
+{hists}
+nt_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM binned)
+SELECT row_id, ROUND(CAST({terms} AS DOUBLE), 6) AS score
+FROM binned {joins} CROSS JOIN nt_
+ORDER BY score DESC, row_id ASC
+LIMIT 20
+"""
+
+
+EXT13_QUERIES.update({"x304_hbos": q_x304_hbos})
+EXT13_ORACLES.update({"x304_hbos": _sql_x304()})
+
+
+# ----------------------------- x305: count-sketch estimates
+
+_CSK_PROBES = ["spark", "table", "the", "vector", "query", "zzz_absent"]
+_CSK_DEPTH, _CSK_WIDTH = 5, 64
+
+
+def q_x305_countsketch(spark, sf_dir):
+    """Count-sketch (signed-median) frequency estimates over the
+    document token stream (operators/sketch.py:countsketch_estimate,
+    5×64): the unbiased companion to count-min (x35) — collisions
+    cancel instead of inflating.  Every signed counter is md5-derived
+    column algebra, so the oracle rebuilds the sketch in SQL."""
+    from .operators.sketch import countsketch_estimate
+    from .operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    return countsketch_estimate(
+        words, "word", _CSK_PROBES, depth=_CSK_DEPTH, width=_CSK_WIDTH
+    )
+
+
+def _sql_x305() -> str:
+    w = _CSK_WIDTH
+
+    def bucket(expr: str, r: int) -> str:
+        return (
+            f"('0x' || substr(md5('csk:{r}:' || {expr}), 1, 8))::BIGINT"
+            f" % {w}"
+        )
+
+    def sign(expr: str, r: int) -> str:
+        return (
+            f"(1 - 2 * (('0x' || substr(md5('csks:{r}:' || {expr}), 1, 8))"
+            f"::BIGINT % 2))"
+        )
+
+    cell_rows = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket('word', r)} AS bucket,"
+        f" {sign('word', r)} AS s FROM words"
+        for r in range(_CSK_DEPTH)
+    )
+    key_rows = "\n  UNION ALL ".join(
+        f"SELECT term, {r} AS r, {bucket('term', r)} AS bucket,"
+        f" {sign('term', r)} AS s FROM probes"
+        for r in range(_CSK_DEPTH)
+    )
+    probe_list = ", ".join(f"'{p}'" for p in _CSK_PROBES)
+    return f"""
+WITH t AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), words AS (
+  SELECT unnest(string_split(nt, ' ')) AS word FROM t WHERE nt <> ''
+), cells AS (
+  {cell_rows}
+), sk AS (
+  SELECT r, bucket, CAST(SUM(s) AS BIGINT) AS c
+  FROM cells GROUP BY 1, 2
+), probes AS (
+  SELECT unnest([{probe_list}]) AS term
+), keys AS (
+  {key_rows}
+), est AS (
+  SELECT term,
+         CAST(list_sort(list(keys.s * COALESCE(sk.c, 0)))
+              [{_CSK_DEPTH // 2 + 1}] AS BIGINT) AS est_n
+  FROM keys LEFT JOIN sk USING (r, bucket) GROUP BY term
+), tr AS (
+  SELECT word AS term, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM words WHERE word IN ({probe_list}) GROUP BY 1
+)
+SELECT est.term,
+       CAST(COALESCE(tr.true_n, 0) AS BIGINT) AS true_n,
+       est.est_n
+FROM est LEFT JOIN tr ON est.term = tr.term
+ORDER BY est.term
+"""
+
+
+EXT13_QUERIES.update({"x305_countsketch": q_x305_countsketch})
+EXT13_ORACLES.update({"x305_countsketch": _sql_x305()})
+
+
+# ----------------------------- x306: UniMax mixing allocation
+
+_UNIMAX_BUDGET, _UNIMAX_EPOCHS = 270_000.0, 2.0
+
+
+def q_x306_unimax(spark, sf_dir):
+    """UniMax corpus-mixing allocation across document sources
+    (operators/mixing.py:unimax_plan): water-fill a 270k-char budget
+    uniformly subject to a 2-epoch per-source repeat cap — the
+    closed-form window pass, no iteration."""
+    from .operators.mixing import unimax_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sized = docs.select("source", F.length("text").alias("n_chars"))
+    return unimax_plan(
+        sized, "source", "n_chars",
+        budget=_UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS,
+    )
+
+
+SQL_X306 = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(CAST(length(text) AS DECIMAL(28,2))) AS DOUBLE)
+           AS n_tokens
+  FROM documents GROUP BY source
+), sized AS (
+  SELECT source, n_tokens,
+         ROUND(n_tokens * {_UNIMAX_EPOCHS!r}, 6) AS cap
+  FROM per_src
+), ranked AS (
+  SELECT source, n_tokens, cap,
+         ROW_NUMBER() OVER w AS i,
+         COUNT(*) OVER () AS n,
+         COALESCE(SUM(CAST(cap AS DECIMAL(38,6))) OVER
+                  (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  CAST(0 AS DECIMAL(38,6))) AS prefix
+  FROM sized
+  WINDOW w AS (ORDER BY cap ASC, source ASC)
+), stepped AS (
+  SELECT source, n_tokens, cap,
+         MAX(ROUND(({_UNIMAX_BUDGET!r} - CAST(prefix AS DOUBLE))
+                   / CAST(n - i + 1 AS DOUBLE), 6)) OVER () AS share
+  FROM ranked
+)
+SELECT source,
+       ROUND(n_tokens, 6) AS n_tokens,
+       ROUND(cap, 6) AS cap,
+       ROUND(LEAST(cap, GREATEST(share, 0.0)), 6) AS alloc,
+       ROUND(ROUND(LEAST(cap, GREATEST(share, 0.0)), 6) / n_tokens, 6)
+         AS epochs,
+       ROUND(ROUND(LEAST(cap, GREATEST(share, 0.0)), 6)
+             / {_UNIMAX_BUDGET!r}, 6) AS budget_frac
+FROM stepped
+ORDER BY source
+"""
+
+EXT13_QUERIES.update({"x306_unimax": q_x306_unimax})
+EXT13_ORACLES.update({"x306_unimax": SQL_X306})
+
+
+# ----------------------------- x308: greedy k-center coreset
+
+_KCENTER_K = 8
+
+
+def q_x308_kcenter(spark, sf_dir):
+    """Greedy k-center coreset over the embedding corpus
+    (operators/similarity.py:kcenter_greedy, k=8): the max-min
+    farthest-point sweep — k bounded 1-row argmax pins, distances
+    re-derived from broadcast literals each round.  The oracle chains
+    k argmax stages in SQL."""
+    from .operators.similarity import kcenter_greedy
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_greedy(emb, k=_KCENTER_K)
+
+
+def _sql_x308() -> str:
+    k = _KCENTER_K
+
+    def sqd(vexpr: str, cexpr: str) -> str:
+        return (
+            f"ROUND(list_reduce(list_transform(range(1, 65), i -> "
+            f"({vexpr}[CAST(i AS INTEGER)] - {cexpr}[CAST(i AS INTEGER)])"
+            f" * ({vexpr}[CAST(i AS INTEGER)] - {cexpr}[CAST(i AS INTEGER)])"
+            f"), (acc, x) -> acc + x), 9)"
+        )
+
+    parts = [
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec"
+        " FROM embeddings)",
+        "c0 AS (SELECT id, vec FROM v ORDER BY id ASC LIMIT 1)",
+        f"d0 AS (SELECT v.id, v.vec, {sqd('v.vec', 'c.vec')} AS d"
+        " FROM v CROSS JOIN c0 c)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"p{r} AS (SELECT id, vec, d FROM d{r - 1}"
+            f" ORDER BY d DESC, id ASC LIMIT 1)"
+        )
+        if r < k - 1 or True:
+            parts.append(
+                f"d{r} AS (SELECT s.id, s.vec,"
+                f" LEAST(s.d, {sqd('s.vec', 'p.vec')}) AS d"
+                f" FROM d{r - 1} s CROSS JOIN p{r} p)"
+            )
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS round,"
+        " CAST((SELECT id FROM c0) AS BIGINT) AS center_id,"
+        " ROUND((SELECT d FROM p1), 6) AS cover_radius"
+    ]
+    for r in range(1, k - 1):
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT),"
+            f" CAST((SELECT id FROM p{r}) AS BIGINT),"
+            f" ROUND((SELECT d FROM p{r + 1}), 6)"
+        )
+    rows.append(
+        f"SELECT CAST({k - 1} AS BIGINT),"
+        f" CAST((SELECT id FROM p{k - 1}) AS BIGINT),"
+        f" ROUND((SELECT MAX(d) FROM d{k - 1}), 6)"
+    )
+    return (
+        ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY round"
+    )
+
+
+EXT13_QUERIES.update({"x308_kcenter": q_x308_kcenter})
+EXT13_ORACLES.update({"x308_kcenter": _sql_x308()})
+
+
+# ----------------------------- x309: grid-density clusters
+
+_GRID_G, _GRID_MINPTS = 16, 40
+
+
+def q_x309_grid_clusters(spark, sf_dir):
+    """Grid-DBSCAN density clustering of orders in (totalprice,
+    order-day) space (operators/graph.py:grid_density_clusters, 16×16
+    grid, min_pts=40): binning is map-side, the component merge runs
+    on the ≤256-cell graph — density clustering that never joins
+    points.  The oracle closes the cell adjacency with a recursive
+    CTE (test-scale only; the operator is the 100 TB path)."""
+    from .operators.graph import grid_density_clusters
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feats = orders.select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("double")
+        .alias("day"),
+    )
+    return grid_density_clusters(
+        feats, "price", "day", grid=_GRID_G, min_pts=_GRID_MINPTS
+    )
+
+
+SQL_X309 = f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x,
+         CAST(datediff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) AS DOUBLE) AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+), rng AS (
+  SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
+  FROM base
+), cells AS (
+  SELECT COALESCE(LEAST(GREATEST(CAST(FLOOR((x - xlo)
+           / NULLIF((xhi - xlo) / {_GRID_G}, 0)) AS BIGINT), 0),
+           {_GRID_G - 1}), 0) AS gx,
+         COALESCE(LEAST(GREATEST(CAST(FLOOR((y - ylo)
+           / NULLIF((yhi - ylo) / {_GRID_G}, 0)) AS BIGINT), 0),
+           {_GRID_G - 1}), 0) AS gy
+  FROM base CROSS JOIN rng
+), counted AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_pts
+  FROM cells GROUP BY gx, gy
+), core AS (
+  SELECT CAST(gx * {_GRID_G} + gy AS BIGINT) AS cell_id, gx, gy, n_pts
+  FROM counted WHERE n_pts >= {_GRID_MINPTS}
+), edges AS (
+  SELECT a.cell_id AS ea, b.cell_id AS eb
+  FROM core a JOIN core b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+   AND a.cell_id <> b.cell_id
+), reach AS (
+  -- transitive closure over the bounded core-cell graph
+  SELECT cell_id AS a, cell_id AS b FROM core
+  UNION
+  SELECT r.a, e.eb
+  FROM reach r JOIN edges e ON r.b = e.ea
+), lab AS (
+  SELECT a AS cell_id, MIN(b) AS cluster FROM reach GROUP BY a
+), labeled AS (
+  SELECT c.cell_id, c.gx, c.gy, c.n_pts, l.cluster
+  FROM core c JOIN lab l ON l.cell_id = c.cell_id
+), per_cluster AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_cells,
+         CAST(SUM(n_pts) AS BIGINT) AS cluster_pts
+  FROM labeled GROUP BY cluster
+)
+SELECT labeled.cell_id, labeled.gx, labeled.gy, labeled.n_pts,
+       CAST(labeled.cluster AS BIGINT) AS cluster,
+       per_cluster.cluster_cells, per_cluster.cluster_pts
+FROM labeled JOIN per_cluster USING (cluster)
+ORDER BY cell_id
+"""
+
+EXT13_QUERIES.update({"x309_grid_clusters": q_x309_grid_clusters})
+EXT13_ORACLES.update({"x309_grid_clusters": SQL_X309})

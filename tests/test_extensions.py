@@ -8046,3 +8046,186 @@ def test_friedman_hand_computed(spark):
     ).collect()[0]
     # R = (6, 6, 12): chi2 = 12/48*(36+36+144) - 48 = 54 - 48 = 6
     assert rt["chi2"] == 6.0
+
+
+# ---------------------------------------------------------- round 5 ops
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    import itertools
+
+    from fame2pygen_spark.operators.sketch import energy_distance
+
+    xa = [1.0, 3.0, 3.0, 7.5, 2.25]
+    xb = [2.0, 2.0, 9.0]
+    a = spark.createDataFrame([(v,) for v in xa], "v double")
+    b = spark.createDataFrame([(v,) for v in xb], "v double")
+    r = energy_distance(a, b, "v").collect()[0]
+    e_cross = sum(abs(x - y) for x in xa for y in xb) / (len(xa) * len(xb))
+    e_a = sum(abs(x - y) for x in xa for y in xa) / len(xa) ** 2
+    e_b = sum(abs(x - y) for x in xb for y in xb) / len(xb) ** 2
+    assert r["n_a"] == 5 and r["n_b"] == 3
+    # outputs round at 6 dp
+    assert abs(r["e_cross"] - e_cross) < 1e-6
+    assert abs(r["e_within_a"] - e_a) < 1e-6
+    assert abs(r["e_within_b"] - e_b) < 1e-6
+    assert abs(r["energy_dist"] - (2 * e_cross - e_a - e_b)) < 2e-6
+
+    # identical distributions -> zero
+    same = energy_distance(a, a, "v").collect()[0]
+    assert same["energy_dist"] == 0.0
+
+
+def test_countsketch_exact_on_sparse_stream(spark):
+    from fame2pygen_spark.operators.sketch import countsketch_estimate
+
+    rows = (
+        [("alpha",)] * 40 + [("beta",)] * 7 + [("gamma",)] * 1
+    )
+    df = spark.createDataFrame(rows, "w string")
+    out = {
+        r["term"]: r
+        for r in countsketch_estimate(
+            df, "w", ["alpha", "beta", "gamma", "absent"],
+            depth=5, width=1024,
+        ).collect()
+    }
+    # 3 keys in 5x1024 cells: collisions are absent by construction,
+    # so the signed-median estimate is EXACT, including the absent key
+    assert out["alpha"]["true_n"] == 40 and out["alpha"]["est_n"] == 40
+    assert out["beta"]["est_n"] == 7
+    assert out["gamma"]["est_n"] == 1
+    assert out["absent"]["true_n"] == 0 and out["absent"]["est_n"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        countsketch_estimate(df, "w", ["a"], depth=4)
+
+
+def test_kcenter_greedy_picks_corners(spark):
+    from fame2pygen_spark.operators.similarity import kcenter_greedy
+
+    # unit square corners + a center point; seed = min id (corner 0,0)
+    pts = {
+        0: [0.0, 0.0],
+        1: [1.0, 0.0],
+        2: [0.0, 1.0],
+        3: [1.0, 1.0],
+        4: [0.5, 0.5],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    out = kcenter_greedy(df, k=3).collect()
+    rounds = {r["round"]: r for r in out}
+    assert rounds[0]["center_id"] == 0
+    # farthest from (0,0) is (1,1): sq dist 2
+    assert rounds[1]["center_id"] == 3
+    assert rounds[0]["cover_radius"] == 2.0
+    # next: (1,0) and (0,1) tie at min-dist 1 -> lowest id (1) wins
+    assert rounds[2]["center_id"] == 1
+    assert rounds[1]["cover_radius"] == 1.0
+    # final radius: max-min over {0,3,1}: point 2 at dist 1
+    assert rounds[2]["cover_radius"] == 1.0
+
+
+def test_unimax_plan_water_filling(spark):
+    from fame2pygen_spark.operators.mixing import unimax_plan
+
+    # caps [2, 20] (sizes x max_epochs 2), budget 5: the small source
+    # saturates its cap, the big one takes the remainder (3)
+    df = spark.createDataFrame(
+        [("small", 1), ("big", 10)], "source string, n long"
+    )
+    out = {
+        r["source"]: r
+        for r in unimax_plan(
+            df, "source", "n", budget=5.0, max_epochs=2.0
+        ).collect()
+    }
+    assert out["small"]["alloc"] == 2.0 and out["small"]["epochs"] == 2.0
+    assert out["big"]["alloc"] == 3.0
+    assert abs(out["big"]["epochs"] - 0.3) < 1e-9
+
+    # budget beyond all caps: everything saturates, nothing exceeds
+    rich = {
+        r["source"]: r
+        for r in unimax_plan(
+            df, "source", "n", budget=1000.0, max_epochs=2.0
+        ).collect()
+    }
+    assert rich["small"]["alloc"] == 2.0 and rich["big"]["alloc"] == 20.0
+    # no-cap-binding regime: uniform split
+    uni = {
+        r["source"]: r
+        for r in unimax_plan(
+            df, "source", "n", budget=3.0, max_epochs=100.0
+        ).collect()
+    }
+    assert uni["small"]["alloc"] == 1.5 and uni["big"]["alloc"] == 1.5
+
+
+def test_cv_fold_stats_unit_integrity(spark):
+    from fame2pygen_spark.operators.mixing import cv_fold_stats
+    from fame2pygen_spark.operators.sketch import _hash64
+
+    rows = [(u, float(u % 7)) for u in range(200) for _ in range(3)]
+    df = spark.createDataFrame(rows, "user long, v double")
+    out = cv_fold_stats(df, "user", "v", k=5).collect()
+    assert [r["fold"] for r in out] == [0, 1, 2, 3, 4]
+    assert sum(r["n_units"] for r in out) == 200
+    assert sum(r["n_rows"] for r in out) == 600
+    # every unit's rows land in exactly one fold: n_rows = 3 x n_units
+    for r in out:
+        assert r["n_rows"] == 3 * r["n_units"]
+    # loo mean complements the fold mean around the grand mean
+    grand = sum(r["fold_mean"] * r["n_rows"] for r in out) / 600
+    for r in out:
+        loo = (grand * 600 - r["fold_mean"] * r["n_rows"]) / (
+            600 - r["n_rows"]
+        )
+        assert abs(r["loo_mean"] - loo) < 1e-4
+
+
+def test_hbos_flags_planted_outlier(spark):
+    from fame2pygen_spark.operators.quality import hbos_scores
+
+    rows = [(i, 10.0 + (i % 5), 100.0 + (i % 7)) for i in range(500)]
+    rows.append((9999, 500.0, 9000.0))  # the planted outlier
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double")
+    top = hbos_scores(df, "id", ["f1", "f2"], bins=16, top_n=3).collect()
+    assert top[0]["id"] == 9999
+    assert top[0]["score"] > top[1]["score"]
+
+
+def test_mmd_rff_zero_on_identical_positive_on_shift(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.similarity import mmd_rff
+
+    base = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    same = mmd_rff(df, df, dim=8, n_features=6, gamma=0.3).collect()[0]
+    assert same["mmd2"] == 0.0
+    shifted = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(2.5)).alias("embedding"),
+    )
+    diff = mmd_rff(df, shifted, dim=8, n_features=6, gamma=0.3).collect()[0]
+    assert diff["mmd2"] > 0.01
+
+
+def test_grid_density_clusters_two_blobs(spark):
+    from fame2pygen_spark.operators.graph import grid_density_clusters
+
+    rows = [(0.0 + (i % 3) * 0.01, 0.0 + (i % 5) * 0.01) for i in range(50)]
+    rows += [(10.0 + (i % 3) * 0.01, 10.0 + (i % 5) * 0.01) for i in range(50)]
+    rows += [(5.0, 5.0)]  # lone midpoint, below min_pts
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = grid_density_clusters(df, "x", "y", grid=8, min_pts=10).collect()
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) == 2
+    assert sum(r["n_pts"] for r in out) == 100  # midpoint cell excluded
+    for r in out:
+        assert r["cluster_pts"] == 50

@@ -109,6 +109,12 @@ SENSITIVE = [
     "x297_cochran_q",
     "x298_bartlett",
     "x299_friedman",
+    "x301_mmd_rff",
+    "x302_energy_distance",
+    "x303_cv_folds",
+    "x304_hbos",
+    "x306_unimax",
+    "x308_kcenter",
 ]
 
 
