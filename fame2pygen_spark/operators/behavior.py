@@ -3530,3 +3530,115 @@ def rdd_sharp(
         F.round(se, 6).alias("se"),
         F.round(F.try_divide(tau, se), 6).alias("t"),
     )
+
+
+def qini_curve(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    score_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini curve for uplift targeting (Radcliffe 2007): rank units by
+    a targeting score descending, cut into *n_bins*, and at each
+    cumulative prefix compare treated conversions against the
+    control conversions RESCALED to the treated exposure —
+    ``qini_k = Y_T(k) − Y_C(k)·N_T(k)/N_C(k)``.  The incremental-
+    impact answer ("how many conversions did TARGETING cause at this
+    budget?") that the classifier-only gains table (gains_table)
+    cannot give, and the curve whose area picks between uplift
+    models.
+
+    Binning discipline is gains_table's: collapse to the distinct
+    6-dp score support, integer prior-count bins so a tie group lands
+    in one bin, no per-row global ntile (the skew_profile lesson).
+    Cumulatives run over ≤*n_bins* rows.  ``qini_random`` is the
+    straight line to the overall effect — the no-model baseline the
+    curve must clear.
+
+    Output per bin: ``(bin, n_treat_cum, n_ctrl_cum, y_treat_cum,
+    y_ctrl_cum, qini, qini_random)`` (6 dp; *qini* null while the
+    control prefix is empty).
+    """
+    b = int(n_bins)
+    if b < 1:
+        raise ValueError("n_bins must be >= 1")
+    dec = "decimal(38,12)"
+    score = F.round(F.col(score_col).cast("double"), 6)
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    cells = (
+        df.where(score.isNotNull() & t.isNotNull() & y.isNotNull())
+        .groupBy(score.alias("__s"))
+        .agg(
+            F.sum(t).cast("long").alias("__nt"),
+            F.sum(1 - t).cast("long").alias("__nc"),
+            F.sum(F.when(t == 1, y).otherwise(0.0).cast(dec)).alias("__yt"),
+            F.sum(F.when(t == 0, y).otherwise(0.0).cast(dec)).alias("__yc"),
+        )
+    )
+    wd = Window.orderBy(F.col("__s").desc())
+    prior = F.coalesce(
+        F.sum(F.col("__nt") + F.col("__nc")).over(
+            wd.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    total = cells.agg(
+        F.sum(F.col("__nt") + F.col("__nc")).alias("__n")
+    )
+    binned = (
+        cells.crossJoin(F.broadcast(total))
+        .withColumn("__prior", prior)
+        .withColumn(
+            "bin",
+            # integer div, not double-divide-then-cast: Spark truncates
+            # a double→long cast while DuckDB rounds it (gains_table
+            # idiom)
+            (F.lit(1) + F.expr(f"(__prior * {b}) div __n")).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("__nt").cast("long").alias("__bnt"),
+            F.sum("__nc").cast("long").alias("__bnc"),
+            F.sum(F.col("__yt").cast(dec)).alias("__byt"),
+            F.sum(F.col("__yc").cast(dec)).alias("__byc"),
+        )
+    )
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("__bnt").over(wb).cast("long").alias("n_treat_cum"),
+        F.sum("__bnc").over(wb).cast("long").alias("n_ctrl_cum"),
+        F.sum(F.col("__byt").cast(dec)).over(wb).alias("__YT"),
+        F.sum(F.col("__byc").cast(dec)).over(wb).alias("__YC"),
+        F.sum("__bnt").over(wall).cast("long").alias("__NT"),
+        F.sum("__bnc").over(wall).cast("long").alias("__NC"),
+        F.sum(F.col("__byt").cast(dec)).over(wall).alias("__YTT"),
+        F.sum(F.col("__byc").cast(dec)).over(wall).alias("__YCT"),
+    )
+    nt = F.col("n_treat_cum").cast("double")
+    nc = F.col("n_ctrl_cum").cast("double")
+    qini = F.col("__YT").cast("double") - F.try_divide(
+        F.col("__YC").cast("double") * nt, nc
+    )
+    overall = F.col("__YTT").cast("double") - F.try_divide(
+        F.col("__YCT").cast("double") * F.col("__NT").cast("double"),
+        F.col("__NC").cast("double"),
+    )
+    frac = (nt + nc) / (F.col("__NT") + F.col("__NC")).cast("double")
+    return cum.select(
+        "bin",
+        "n_treat_cum",
+        "n_ctrl_cum",
+        F.round(F.col("__YT").cast("double"), 6).alias("y_treat_cum"),
+        F.round(F.col("__YC").cast("double"), 6).alias("y_ctrl_cum"),
+        F.round(qini, 6).alias("qini"),
+        F.round(overall * frac, 6).alias("qini_random"),
+    ).orderBy("bin")

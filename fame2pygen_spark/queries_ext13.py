@@ -662,3 +662,102 @@ ORDER BY cell_id
 
 EXT13_QUERIES.update({"x309_grid_clusters": q_x309_grid_clusters})
 EXT13_ORACLES.update({"x309_grid_clusters": SQL_X309})
+
+
+# ----------------------------- x310: Qini uplift curve
+
+
+def q_x310_qini(spark, sf_dir):
+    """Qini uplift deciles over event users
+    (operators/behavior.py:qini_curve): hash-assigned A/B arms,
+    outcome = made-a-purchase, targeting score = per-user mean event
+    value — the incremental-conversions-at-budget curve vs the
+    no-model straight line."""
+    from .operators.behavior import qini_curve
+    from .operators.sketch import _hash64
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(25,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    units = per_user.select(
+        (_hash64(F.col("user_id"), "arm") % 2).cast("int").alias("t"),
+        "y",
+        "score",
+    )
+    return qini_curve(units, "t", "y", "score", n_bins=10)
+
+
+SQL_X310 = """
+WITH per_user AS (
+  SELECT user_id,
+         ROUND(CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(25,12)))
+               AS DOUBLE) / COUNT(*), 6) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), units AS (
+  SELECT ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+          1, 8))::BIGINT % 2 AS t,
+         y, score
+  FROM per_user
+), cells AS (
+  SELECT score AS s,
+         CAST(SUM(t) AS BIGINT) AS nt,
+         CAST(SUM(1 - t) AS BIGINT) AS nc,
+         SUM(CAST(CASE WHEN t = 1 THEN CAST(y AS DOUBLE) ELSE 0.0 END
+             AS DECIMAL(38,12))) AS yt,
+         SUM(CAST(CASE WHEN t = 0 THEN CAST(y AS DOUBLE) ELSE 0.0 END
+             AS DECIMAL(38,12))) AS yc
+  FROM units GROUP BY score
+), tot AS (SELECT SUM(nt + nc) AS n FROM cells),
+binned AS (
+  SELECT CAST(1 + (COALESCE(SUM(nt + nc) OVER
+           (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) * 10) // n AS BIGINT) AS bin,
+         nt, nc, yt, yc
+  FROM cells CROSS JOIN tot
+), per_bin AS (
+  SELECT bin,
+         CAST(SUM(nt) AS BIGINT) AS bnt, CAST(SUM(nc) AS BIGINT) AS bnc,
+         SUM(CAST(yt AS DECIMAL(38,12))) AS byt,
+         SUM(CAST(yc AS DECIMAL(38,12))) AS byc
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin,
+         CAST(SUM(bnt) OVER wc AS BIGINT) AS n_treat_cum,
+         CAST(SUM(bnc) OVER wc AS BIGINT) AS n_ctrl_cum,
+         SUM(CAST(byt AS DECIMAL(38,12))) OVER wc AS yt_cum,
+         SUM(CAST(byc AS DECIMAL(38,12))) OVER wc AS yc_cum,
+         CAST(SUM(bnt) OVER () AS BIGINT) AS ntt,
+         CAST(SUM(bnc) OVER () AS BIGINT) AS nct,
+         SUM(CAST(byt AS DECIMAL(38,12))) OVER () AS ytt,
+         SUM(CAST(byc AS DECIMAL(38,12))) OVER () AS yct
+  FROM per_bin
+  WINDOW wc AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+)
+SELECT bin, n_treat_cum, n_ctrl_cum,
+       ROUND(CAST(yt_cum AS DOUBLE), 6) AS y_treat_cum,
+       ROUND(CAST(yc_cum AS DOUBLE), 6) AS y_ctrl_cum,
+       ROUND(CAST(yt_cum AS DOUBLE)
+             - CAST(yc_cum AS DOUBLE) * CAST(n_treat_cum AS DOUBLE)
+               / NULLIF(CAST(n_ctrl_cum AS DOUBLE), 0), 6) AS qini,
+       ROUND((CAST(ytt AS DOUBLE)
+              - CAST(yct AS DOUBLE) * CAST(ntt AS DOUBLE)
+                / NULLIF(CAST(nct AS DOUBLE), 0))
+             * (CAST(n_treat_cum + n_ctrl_cum AS DOUBLE)
+                / CAST(ntt + nct AS DOUBLE)), 6) AS qini_random
+FROM cum
+ORDER BY bin
+"""
+
+EXT13_QUERIES.update({"x310_qini": q_x310_qini})
+EXT13_ORACLES.update({"x310_qini": SQL_X310})

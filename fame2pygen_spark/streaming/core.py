@@ -447,3 +447,49 @@ def streaming_ams_counters(
     return ams_sign_counters(
         stream, key_col, rows=rows, salt=salt, side=side
     )
+
+
+def streaming_countmin(
+    events: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 3,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Streaming count-min maintenance: the batch sketch's md5 cell
+    derivation (operators/sketch.py:countmin_sketch — one explode into
+    *depth* ``(r, bucket)`` keys) fed into a NATIVE streaming
+    aggregation in update mode.  Counters live in Spark's state store
+    — state is exactly ``depth × width`` cells regardless of stream
+    length, increments are associative/commutative so micro-batch
+    boundaries and replays cannot corrupt them, and after any prefix
+    of batches each counter equals the batch sketch on the union of
+    those batches (pytest pins cell-exact equality).
+
+    No Python state path on purpose: a counter table is what the
+    built-in streaming agg already does better (HashAggregate +
+    state store, whole-stage codegen) — ``applyInPandasWithState`` is
+    reserved for state the engine can't express (HLL registers,
+    mSPRT moments).
+    """
+    from ..operators.sketch import _hash64
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    cells = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (_hash64(F.col(value_col), f"{salt}:{r}") % width)
+            .cast("long")
+            .alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        events.select(F.explode(F.array(*cells)).alias("cell"))
+        .groupBy(
+            F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )

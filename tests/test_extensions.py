@@ -8229,3 +8229,83 @@ def test_grid_density_clusters_two_blobs(spark):
     assert sum(r["n_pts"] for r in out) == 100  # midpoint cell excluded
     for r in out:
         assert r["cluster_pts"] == 50
+
+
+def test_qini_curve_detects_planted_uplift(spark):
+    from fame2pygen_spark.operators.behavior import qini_curve
+
+    # high-score units respond only under treatment; low-score never
+    rows = []
+    for i in range(400):
+        score = 1.0 - i / 400.0
+        t = i % 2
+        y = 1.0 if (t == 1 and score > 0.75) else 0.0
+        rows.append((t, y, score))
+    df = spark.createDataFrame(rows, "t int, y double, score double")
+    out = qini_curve(df, "t", "y", "score", n_bins=10).collect()
+    assert [r["bin"] for r in out] == list(range(1, 11))
+    last = out[-1]
+    # all 50 treated responders counted, control contributes zero
+    assert last["y_treat_cum"] == 50.0 and last["y_ctrl_cum"] == 0.0
+    assert last["qini"] == 50.0
+    # model front-loads the uplift: half the gain inside the top 3 bins
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[3]["qini"] >= 0.9 * last["qini"]
+    assert by_bin[3]["qini"] > by_bin[3]["qini_random"]
+    # monotone exposure accounting
+    for a, b2 in zip(out, out[1:]):
+        assert b2["n_treat_cum"] >= a["n_treat_cum"]
+        assert b2["n_ctrl_cum"] >= a["n_ctrl_cum"]
+
+    # zero-effect A/A: qini hugs the random line at the end point
+    null_rows = [(i % 2, float((i * 7) % 3 == 0), 1.0 - i / 400.0)
+                 for i in range(400)]
+    nf = spark.createDataFrame(null_rows, "t int, y double, score double")
+    nl = qini_curve(nf, "t", "y", "score", n_bins=10).collect()[-1]
+    assert abs(nl["qini"] - nl["qini_random"]) < 1e-6
+
+
+def test_streaming_countmin_matches_batch_union(spark, tmp_path):
+    """Streaming count-min counters accumulate across micro-batches
+    and the final state equals the BATCH countmin_sketch on the union
+    — cell-exact, every (r, bucket)."""
+    from fame2pygen_spark.operators.sketch import countmin_sketch
+    from fame2pygen_spark.streaming.core import streaming_countmin
+
+    b1 = spark.createDataFrame(
+        [(f"w{i % 13}",) for i in range(200)], "word string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"w{i % 29}",) for i in range(150)], "word string"
+    )
+    path = str(tmp_path / "words")
+    b1.write.parquet(path)
+    b2.write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    q = (
+        streaming_countmin(stream, "word", depth=3, width=64)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    batch = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in countmin_sketch(
+            b1.unionByName(b2), "word", depth=3, width=64
+        ).collect()
+    }
+    assert streamed == batch
+    assert sum(streamed.values()) == 3 * 350

@@ -115,6 +115,7 @@ SENSITIVE = [
     "x304_hbos",
     "x306_unimax",
     "x308_kcenter",
+    "x310_qini",
 ]
 
 
