@@ -1107,3 +1107,62 @@ def test_friedman_windows_are_subject_keyed(spark):
     # no cartesian anywhere
     assert unpartitioned_windows(spark, "x299_friedman") == []
     assert "CartesianProduct" not in plan_of(spark, "x299_friedman")
+
+
+# ------------------------------------------------- round-5 operators
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x300_png_ahash",       # mapInPandas encode + decode lanes
+        "x301_mmd_rff",         # map-only features + 2-group agg
+        "x302_energy_distance", # prefix sums over the value support
+        "x303_cv_folds",        # hash folds + ≤k-row agg
+        "x304_hbos",            # broadcast bins, no pair stage
+        "x305_countsketch",     # KB sketch, broadcast probe join
+        "x306_unimax",          # ≤|sources|-row windows
+        "x309_grid_clusters",   # cell-graph CC, never points
+        "x310_qini",            # distinct-support bins, ≤n_bins cum
+    ],
+)
+def test_r5_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_mmd_rff_is_window_free_single_agg_pass(spark):
+    # the whole point of the RFF form: NO pair stage, NO window —
+    # one map-side feature projection and one grouped aggregate
+    plan = plan_of(spark, "x301_mmd_rff")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hbos_is_window_free_and_broadcasts_bins(spark):
+    plan = plan_of(spark, "x304_hbos")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-n is a heap, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_countsketch_probe_joins_broadcast(spark):
+    plan = plan_of(spark, "x305_countsketch")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_energy_distance_single_bounded_window(spark):
+    # the only ordered window runs over the distinct value support —
+    # exactly one Window chain, no joins at all
+    plan = plan_of(spark, "x302_energy_distance")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cv_folds_is_window_free(spark):
+    plan = plan_of(spark, "x303_cv_folds")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
