@@ -78,17 +78,22 @@ def sniff_media(payload: Column) -> Column:
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str) -> DataFrame:
-    """Append the ``media`` struct from payload bytes (columnar only)."""
+    """Append the ``media`` struct from payload bytes (columnar only).
+
+    width/height are real for PNG/BMP via :func:`image_dimensions` —
+    fixed header offsets, still zero decode and zero Python, so a
+    dimension filter prunes during the scan."""
     payload = F.col(payload_col)
     sniffed = sniff_media(payload)
+    dims = image_dimensions(payload)
     return df.withColumn(
         "media",
         F.struct(
             sniffed["kind"].alias("kind"),
             sniffed["mime"].alias("mime"),
             F.octet_length(payload).cast("long").alias("n_bytes"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            dims["width"].alias("width"),
+            dims["height"].alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(None).cast("long").alias("duration_ms"),
         ),
@@ -929,3 +934,77 @@ def vad_segments(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=VAD_SEGMENT_SCHEMA
     )
+
+
+def image_dimensions(payload: Column) -> Column:
+    """JVM-side width/height extraction from PNG and BMP headers —
+    pure column algebra (``substring``/``hex``/``conv``), NO decode,
+    NO Python: dimension filters ("drop thumbnails under 32px") can
+    run during the scan without ever shipping payload bytes to a
+    worker, the same scan-time metadata story as :func:`sniff_media`.
+
+    PNG: IHDR is mandatory-first, so width/height are the big-endian
+    u32 at fixed byte offsets 17/21 (1-indexed).  BMP: BITMAPINFOHEADER
+    little-endian i32 at 19/23 — bytes are reassembled in reverse;
+    a negative height (top-down DIB) is reported as its magnitude.
+    Returns ``struct<width int, height int>``, null fields for other
+    formats or truncated headers."""
+
+    def be32(off: int) -> Column:
+        return F.conv(F.hex(F.substring(payload, off, 4)), 16, 10).cast(
+            "long"
+        )
+
+    def le32(off: int) -> Column:
+        return F.conv(
+            F.concat(
+                *[F.hex(F.substring(payload, off + i, 1)) for i in (3, 2, 1, 0)]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    is_png = (F.octet_length(payload) >= 24) & (
+        F.hex(F.substring(payload, 1, 8)) == F.lit("89504E470D0A1A0A")
+    )
+    is_bmp = (F.octet_length(payload) >= 26) & (
+        F.hex(F.substring(payload, 1, 2)) == F.lit("424D")
+    )
+    bmp_h_raw = le32(23)
+    bmp_h = F.when(
+        bmp_h_raw > F.lit(2**31), F.lit(2**32) - bmp_h_raw
+    ).otherwise(bmp_h_raw)
+    width = (
+        F.when(is_png, be32(17)).when(is_bmp, le32(19)).cast("int")
+    )
+    height = (
+        F.when(is_png, be32(21)).when(is_bmp, bmp_h).cast("int")
+    )
+    return F.struct(width.alias("width"), height.alias("height"))
+
+
+def encode_bmp_bytes(arr):
+    """Encode an ``(h, w, 3)`` RGB (or ``(h, w)`` gray) uint8 array as
+    an uncompressed 24bpp bottom-up BI_RGB BMP — the writer
+    counterpart of the BMP branch in :func:`decode_image_bytes`,
+    used by fixtures and thumbnail export beside
+    :func:`encode_png_bytes`."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w = a.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up row order
+        line = a[r][:, ::-1].tobytes()  # (r,g,b) → (b,g,r)
+        rows.extend(line)
+        rows.extend(b"\x00" * (stride - w * 3))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(rows)

@@ -761,3 +761,68 @@ ORDER BY bin
 
 EXT13_QUERIES.update({"x310_qini": q_x310_qini})
 EXT13_ORACLES.update({"x310_qini": SQL_X310})
+
+
+# ----------------------------- x311: scan-time image dimensions
+
+
+def q_x311_media_dims(spark, sf_dir):
+    """Scan-time image dimension sniffing
+    (operators/multimodal.py:image_dimensions): every document renders
+    a real image payload — PNG (even doc_id) or BMP (odd) — with
+    dimensions derived from the doc_id (w = 1 + id%13, h = 1 + id%7),
+    and the JVM-side header probe (pure substring/hex/conv column
+    algebra, zero decode, zero Python) must read those exact numbers
+    back.  The oracle never sees the bytes: it recomputes the
+    dimension formula — an exact match proves encode → header-sniff
+    is lossless for both byte orders (PNG big-endian, BMP little-
+    endian bottom-up)."""
+    from .operators.multimodal import (
+        attach_media_metadata, encode_bmp_bytes, encode_png_bytes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 1 + i % 13, 1 + i % 7
+                gray = np.full((h, w), i % 256, dtype=np.uint8)
+                payloads.append(
+                    encode_png_bytes(gray, color_type=2)
+                    if i % 2 == 0
+                    else encode_bmp_bytes(gray)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_payload = staged.mapInPandas(encode, schema=_PNG_PAYLOAD_SCHEMA)
+    out = attach_media_metadata(with_payload, "payload")
+    return out.select(
+        "doc_id",
+        F.col("media.kind").alias("kind"),
+        F.col("media.mime").alias("mime"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+    ).orderBy("doc_id")
+
+
+SQL_X311 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'image' AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END
+         AS mime,
+       CAST(1 + doc_id % 13 AS INTEGER) AS width,
+       CAST(1 + doc_id % 7 AS INTEGER) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+EXT13_QUERIES.update({"x311_media_dims": q_x311_media_dims})
+EXT13_ORACLES.update({"x311_media_dims": SQL_X311})

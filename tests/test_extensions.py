@@ -8309,3 +8309,41 @@ def test_streaming_countmin_matches_batch_union(spark, tmp_path):
     }
     assert streamed == batch
     assert sum(streamed.values()) == 3 * 350
+
+
+def test_image_dimensions_column_algebra(spark):
+    """Scan-time PNG/BMP dimension sniffing: pure column algebra must
+    read back the encoded sizes, including the top-down (negative
+    height) BMP variant, and null out non-image payloads."""
+    import struct
+
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        encode_bmp_bytes, encode_png_bytes, image_dimensions,
+    )
+
+    png = encode_png_bytes(np.zeros((5, 9), dtype=np.uint8), color_type=0)
+    bmp = encode_bmp_bytes(np.zeros((3, 7), dtype=np.uint8))
+    # top-down BMP: height field negative
+    td = bytearray(bmp)
+    td[22:26] = struct.pack("<i", -3)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(bmp)),
+            (3, bytes(td)),
+            (4, bytearray(b"plain text payload")),
+        ],
+        "id long, payload binary",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", image_dimensions(F.col("payload")).alias("d")
+        ).select("id", "d.width", "d.height").collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (9, 5)
+    assert (out[2]["width"], out[2]["height"]) == (7, 3)
+    assert (out[3]["width"], out[3]["height"]) == (7, 3)
+    assert out[4]["width"] is None and out[4]["height"] is None
