@@ -80,12 +80,15 @@ def sniff_media(payload: Column) -> Column:
 def attach_media_metadata(df: DataFrame, payload_col: str) -> DataFrame:
     """Append the ``media`` struct from payload bytes (columnar only).
 
-    width/height are real for PNG/BMP via :func:`image_dimensions` —
-    fixed header offsets, still zero decode and zero Python, so a
-    dimension filter prunes during the scan."""
+    width/height are real for PNG/BMP via :func:`image_dimensions`,
+    sample_rate/duration_ms for canonical PCM WAV via
+    :func:`audio_params` — fixed header offsets, still zero decode and
+    zero Python, so dimension/duration filters prune during the
+    scan."""
     payload = F.col(payload_col)
     sniffed = sniff_media(payload)
     dims = image_dimensions(payload)
+    audio = audio_params(payload)
     return df.withColumn(
         "media",
         F.struct(
@@ -94,8 +97,8 @@ def attach_media_metadata(df: DataFrame, payload_col: str) -> DataFrame:
             F.octet_length(payload).cast("long").alias("n_bytes"),
             dims["width"].alias("width"),
             dims["height"].alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            audio["sample_rate"].alias("sample_rate"),
+            audio["duration_ms"].alias("duration_ms"),
         ),
     )
 
@@ -1008,3 +1011,48 @@ def encode_bmp_bytes(arr):
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
     )
     return header + dib + bytes(rows)
+
+
+def audio_params(payload: Column) -> Column:
+    """JVM-side sample-rate/duration extraction from CANONICAL PCM
+    WAV headers (RIFF → fmt at byte 13, data chunk at byte 37 — the
+    layout every standard writer and :mod:`queries_ext3`'s fixture
+    emit): pure substring/hex/conv column algebra, no decode, no
+    Python — the audio counterpart of :func:`image_dimensions`, so
+    "drop clips under 2 s" prunes during the scan.
+
+    duration is ``data_size · 1000 div byte_rate`` with INTEGER
+    division (matching :func:`decode_audio_bytes`); non-canonical
+    chunk layouts (extra LIST/fact chunks) yield null fields — decode
+    handles those, scan-time probing only promises the common case.
+    Returns ``struct<sample_rate int, duration_ms long>``."""
+
+    def le32(off: int) -> Column:
+        return F.conv(
+            F.concat(
+                *[F.hex(F.substring(payload, off + i, 1)) for i in (3, 2, 1, 0)]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    canonical = (
+        (F.octet_length(payload) >= 44)
+        & (F.hex(F.substring(payload, 1, 4)) == F.lit("52494646"))   # RIFF
+        & (F.hex(F.substring(payload, 9, 4)) == F.lit("57415645"))   # WAVE
+        & (F.hex(F.substring(payload, 13, 4)) == F.lit("666D7420"))  # fmt_
+        & (F.hex(F.substring(payload, 37, 4)) == F.lit("64617461"))  # data
+    )
+    rate = le32(25)
+    byte_rate = le32(29)
+    data_size = le32(41)
+    # exact integer division (x - x%b is an exact multiple of b, and
+    # longs here stay far below 2^53, so the double divide is exact —
+    # never double-divide-then-cast, Spark truncates where SQL engines
+    # round)
+    ms_total = (data_size * 1000).cast("long")
+    duration = F.try_divide(ms_total - (ms_total % byte_rate), byte_rate)
+    return F.struct(
+        F.when(canonical, rate).cast("int").alias("sample_rate"),
+        F.when(canonical, duration).cast("long").alias("duration_ms"),
+    )

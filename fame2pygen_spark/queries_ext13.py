@@ -826,3 +826,68 @@ ORDER BY doc_id
 
 EXT13_QUERIES.update({"x311_media_dims": q_x311_media_dims})
 EXT13_ORACLES.update({"x311_media_dims": SQL_X311})
+
+
+# ----------------------------- x312: scan-time WAV params
+
+
+def q_x312_wav_params(spark, sf_dir):
+    """Scan-time audio parameter sniffing
+    (operators/multimodal.py:audio_params): every document renders a
+    canonical PCM16 mono WAV with rate = 8000 + (id%4)·4000 and
+    50 + id%100 samples; the JVM-side header probe (pure column
+    algebra, zero decode) must read the exact sample rate and the
+    exact integer-division duration back.  Formula oracle — the SQL
+    never sees the bytes."""
+    from .operators.multimodal import attach_media_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 + (i % 4) * 4000
+                n = 50 + i % 100
+                data = b"".join(
+                    struct.pack("<h", ((i + j) % 200) - 100) for j in range(n)
+                )
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, rate, rate * 2, 2, 16
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_payload = staged.mapInPandas(encode, schema=_PNG_PAYLOAD_SCHEMA)
+    out = attach_media_metadata(with_payload, "payload")
+    return out.select(
+        "doc_id",
+        F.col("media.kind").alias("kind"),
+        F.col("media.sample_rate").alias("sample_rate"),
+        F.col("media.duration_ms").alias("duration_ms"),
+    ).orderBy("doc_id")
+
+
+SQL_X312 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'audio' AS kind,
+       CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+       CAST((2 * (50 + doc_id % 100) * 1000)
+            // (2 * (8000 + (doc_id % 4) * 4000)) AS BIGINT)
+         AS duration_ms
+FROM documents
+ORDER BY doc_id
+"""
+
+EXT13_QUERIES.update({"x312_wav_params": q_x312_wav_params})
+EXT13_ORACLES.update({"x312_wav_params": SQL_X312})
