@@ -8347,3 +8347,41 @@ def test_image_dimensions_column_algebra(spark):
     assert (out[2]["width"], out[2]["height"]) == (7, 3)
     assert (out[3]["width"], out[3]["height"]) == (7, 3)
     assert out[4]["width"] is None and out[4]["height"] is None
+
+
+def test_audio_params_column_algebra(spark):
+    """Scan-time WAV param sniffing: canonical PCM16 headers read back
+    exactly; non-canonical layouts and non-audio payloads yield
+    nulls."""
+    import struct
+
+    from fame2pygen_spark.operators.multimodal import audio_params
+
+    def wav(rate, n, extra_chunk=False):
+        data = b"\x00\x00" * n
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        head = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # LIST chunk displaces data: non-canonical
+            body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+        return head + body + b"data" + struct.pack("<I", len(data)) + data
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav(8000, 4000))),
+            (2, bytearray(wav(16000, 8000))),
+            (3, bytearray(wav(8000, 100, extra_chunk=True))),
+            (4, bytearray(b"not audio at all, definitely not")),
+        ],
+        "id long, payload binary",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", audio_params(F.col("payload")).alias("a")
+        ).select("id", "a.sample_rate", "a.duration_ms").collect()
+    }
+    assert (out[1]["sample_rate"], out[1]["duration_ms"]) == (8000, 500)
+    assert (out[2]["sample_rate"], out[2]["duration_ms"]) == (16000, 500)
+    assert out[3]["sample_rate"] is None  # non-canonical -> decoder path
+    assert out[4]["sample_rate"] is None and out[4]["duration_ms"] is None
