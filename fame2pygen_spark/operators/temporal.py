@@ -637,7 +637,18 @@ def theil_sen_trend(
     )
     slopes = pairs.groupBy("entity").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.expr("percentile(__slope, 0.5)"), 6).alias("ts_slope"),
+        # round via explicit *1e6 — NOT F.round(x, 6): Spark's scaled
+        # round is exact-binary HALF_UP while DuckDB's ROUND(x, 6)
+        # computes round(x*1e6)/1e6 in doubles, and near a 6-dp tie
+        # the 1e6 multiply's own error flips the digit (hypothesis
+        # found median -0.9460934999999999 → Spark -0.946093 vs
+        # DuckDB -0.946094).  Doing the multiply on BOTH sides makes
+        # the rounding input the identical double, so the results are
+        # bit-equal everywhere, ties included.
+        (
+            F.round(F.expr("percentile(__slope, 0.5)") * F.lit(1e6))
+            / F.lit(1e6)
+        ).alias("ts_slope"),
     )
     day_counts = recent.groupBy("entity").agg(
         F.count("*").cast("long").alias("n_days")

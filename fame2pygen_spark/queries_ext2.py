@@ -471,7 +471,10 @@ WITH s AS (
     ON a.user_id = b.user_id AND a.d < b.d
 ), sl AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope
+         -- explicit *1e6 round: identical rounding input double on
+         -- both engines, tie-safe (see operators/temporal.py)
+         ROUND(quantile_cont(slope, 0.5) * 1000000.0) / 1000000.0
+           AS ts_slope
   FROM pairs GROUP BY user_id
 ), dc AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days

@@ -275,17 +275,19 @@ def test_theil_sen_matches_reference(spark, vals):
         for i in range(len(qv))
         for j in range(i + 1, len(qv))
     ]
-    # final 6-dp rounding: python round() is half-even and a Decimal
-    # HALF_UP model of the DOUBLE mis-predicts on dyadic boundaries
-    # (-0.64453125 → both engines emit -0.644531).  The engines agree
-    # with EACH OTHER (the strict parity gate pins that), so use
-    # DuckDB's ROUND as the rounding reference for the python median.
-    import duckdb
+    # final rounding: the operator (and its oracle) round via an
+    # explicit *1e6 multiply so BOTH engines round the identical
+    # double — Spark's scaled F.round (exact-binary HALF_UP) and
+    # DuckDB's ROUND(x, 6) (round(x*1e6)/1e6 in doubles) disagree on
+    # 6-dp tie doubles like -0.9460934999999999.  Model exactly that:
+    # away-from-zero integer round of med*1e6.
+    import math
 
     med = statistics.median(slopes)
-    want = duckdb.sql(f"SELECT ROUND({med!r}::DOUBLE, 6)").fetchone()[0]
+    y = med * 1e6
+    want = math.copysign(math.floor(abs(y) + 0.5), y) / 1e6
     assert len(out) == 1
-    assert abs(out[0]["ts_slope"] - want) < 1e-9
+    assert abs(out[0]["ts_slope"] - want) < 1e-12
 
 
 @settings(
