@@ -12,7 +12,15 @@ Determinism rules (so value hashes match bit-for-bit):
 * both sides compute derived floats with the *same* expression shape,
   so IEEE-754 yields identical doubles;
 * all double outputs are rounded to 6 decimals on both sides, which
-  absorbs last-ulp differences in log/exp/library code.
+  absorbs last-ulp differences in log/exp/library code;
+* the 6-dp round itself is tie-fragile for RAW doubles: Spark rounds
+  the exact binary value HALF_UP while DuckDB computes
+  ``round(x*1e6)/1e6`` in doubles, so a value like
+  ``-0.9460934999999999`` can flip the last digit.  Values staged
+  through the 9-dp rules above avoid ties in practice; operators
+  whose final statistic is an unstaged double (theil_sen's slope
+  median) round via the EXPLICIT ``*1e6`` multiply on both sides —
+  identical rounding-input double, bit-equal results ties included.
 
 Operator → query mapping (SURVEY §2):
   S1/S2/S3  s01_projection_arithmetic     E1   e01_lag_lead
