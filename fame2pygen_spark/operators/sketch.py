@@ -156,9 +156,13 @@ def group_quantiles(
             q = F.expr(
                 f"approx_percentile(`{value_col}`, {float(p)}, {int(accuracy)})"
             )
+            cols.append(F.round(q, 6).alias(name))
         else:
             q = F.expr(f"percentile(`{value_col}`, {float(p)})")
-        cols.append(F.round(q, 6).alias(name))
+            # tie-safe cross-engine round for a RAW interpolated
+            # double: explicit *1e6 so Spark and the quantile_cont
+            # oracles round the identical double (see theil_sen)
+            cols.append((F.round(q * F.lit(1e6)) / F.lit(1e6)).alias(name))
     return df.groupBy(*group_cols).agg(
         F.count(value_col).cast("long").alias("n"), *cols
     )

@@ -1751,10 +1751,10 @@ def q_x30_group_quantiles(spark, sf_dir):
 SQL_X30 = """
 SELECT event_type,
        CAST(COUNT(value) AS BIGINT) AS n,
-       ROUND(quantile_cont(value, 0.25), 6) AS p25,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99
+       ROUND(quantile_cont(value, 0.25) * 1000000.0) / 1000000.0 AS p25,
+       ROUND(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0 AS p50,
+       ROUND(quantile_cont(value, 0.9) * 1000000.0) / 1000000.0 AS p90,
+       ROUND(quantile_cont(value, 0.99) * 1000000.0) / 1000000.0 AS p99
 FROM events GROUP BY event_type
 """
 

@@ -586,7 +586,7 @@ def _sql_x135() -> str:
     return f"""
 WITH {_sql_profile_ctes()},
 cuts AS (
-  SELECT lang_pred, ROUND(quantile_cont(quality, 0.25), 6) AS cutoff
+  SELECT lang_pred, ROUND(quantile_cont(quality, 0.25) * 1000000.0) / 1000000.0 AS cutoff
   FROM prof GROUP BY lang_pred
 )
 SELECT p.lang_pred,

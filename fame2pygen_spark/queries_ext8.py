@@ -1269,11 +1269,11 @@ WITH e AS (
 q AS (
   SELECT event_type, arm,
          COUNT(value) AS n,
-         ROUND(quantile_cont(value, 0.1), 6) AS q10,
-         ROUND(quantile_cont(value, 0.25), 6) AS q25,
-         ROUND(quantile_cont(value, 0.5), 6) AS q50,
-         ROUND(quantile_cont(value, 0.75), 6) AS q75,
-         ROUND(quantile_cont(value, 0.9), 6) AS q90
+         ROUND(quantile_cont(value, 0.1) * 1000000.0) / 1000000.0 AS q10,
+         ROUND(quantile_cont(value, 0.25) * 1000000.0) / 1000000.0 AS q25,
+         ROUND(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0 AS q50,
+         ROUND(quantile_cont(value, 0.75) * 1000000.0) / 1000000.0 AS q75,
+         ROUND(quantile_cont(value, 0.9) * 1000000.0) / 1000000.0 AS q90
   FROM e GROUP BY event_type, arm
 ),
 w AS (
