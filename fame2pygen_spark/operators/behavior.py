@@ -3642,3 +3642,84 @@ def qini_curve(
         F.round(qini, 6).alias("qini"),
         F.round(overall * frac, 6).alias("qini_random"),
     ).orderBy("bin")
+
+
+def ucb_allocation(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    *,
+    c: float = 2.0,
+) -> DataFrame:
+    """UCB1 bandit allocation audit (Auer, Cesa-Bianchi & Fischer
+    2002): from logged per-arm pull counts and mean rewards, compute
+    each arm's upper confidence bound ``mean_i + sqrt(c·ln N / n_i)``,
+    WHICH arm a UCB policy would pull next (max bound, ties to the
+    lexicographically first arm), and each arm's contribution to
+    realized regret against the best empirical arm — the adaptive-
+    experiment counterpart of the fixed-split A/B readouts (x31/x108):
+    run it on yesterday's log to see whether the live allocator is
+    still exploring or has converged, and what the exploration cost.
+
+    Plan shape: one grouped decimal-moment aggregation to ≤|arms|
+    rows, a 1-row broadcast of (N, best mean), row-local algebra —
+    no windows, no joins beyond the broadcast.  ln at 9 dp; the final
+    raw-double rounds use the explicit *1e6 multiply (tie-safe across
+    engines, the theil_sen idiom).
+
+    Output per arm: ``(arm, n, mean_reward, bonus, ucb, play_next,
+    regret_contrib)``, ordered by arm.
+    """
+    dec = "decimal(38,12)"
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    per_arm = (
+        df.where(F.col(reward_col).isNotNull())
+        .groupBy(F.col(arm_col).cast("string").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(reward_col).cast("double").cast(dec)).alias("__s"),
+        )
+        .withColumn(
+            "__mean",
+            F.col("__s").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    tot = per_arm.agg(
+        F.sum("n").cast("long").alias("__N"),
+        F.max("__mean").alias("__best"),
+    )
+    j = per_arm.crossJoin(F.broadcast(tot))
+    bonus = F.sqrt(
+        F.lit(float(c))
+        * F.round(F.log(F.col("__N").cast("double")), 9)
+        / F.col("n").cast("double")
+    )
+    scored = j.select(
+        "arm",
+        "n",
+        r6(F.col("__mean")).alias("mean_reward"),
+        r6(bonus).alias("bonus"),
+        r6(F.col("__mean") + bonus).alias("ucb"),
+        r6(
+            (F.col("__best") - F.col("__mean")) * F.col("n").cast("double")
+        ).alias("regret_contrib"),
+    )
+    # argmax via a broadcast of the max bound (≤|arms| rows each side)
+    mu = scored.agg(F.max("ucb").alias("__mu"))
+    with_max = scored.crossJoin(F.broadcast(mu))
+    first_best = with_max.where(F.col("ucb") == F.col("__mu")).agg(
+        F.min("arm").alias("__ba")
+    )
+    return (
+        with_max.crossJoin(F.broadcast(first_best))
+        .select(
+            "arm",
+            "n",
+            "mean_reward",
+            "bonus",
+            "ucb",
+            (F.col("arm") == F.col("__ba")).alias("play_next"),
+            "regret_contrib",
+        )
+        .orderBy("arm")
+    )

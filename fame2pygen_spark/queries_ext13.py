@@ -891,3 +891,55 @@ ORDER BY doc_id
 
 EXT13_QUERIES.update({"x312_wav_params": q_x312_wav_params})
 EXT13_ORACLES.update({"x312_wav_params": SQL_X312})
+
+
+# ----------------------------- x314: UCB1 bandit allocation audit
+
+
+def q_x314_ucb(spark, sf_dir):
+    """UCB1 allocation audit over event-type arms
+    (operators/behavior.py:ucb_allocation): per-arm mean value +
+    exploration bonus, which arm a UCB policy pulls next, and each
+    arm's realized-regret contribution — the adaptive-experiment
+    readout beside the fixed-split A/B family."""
+    from .operators.behavior import ucb_allocation
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    return ucb_allocation(ev, "event_type", "value", c=2.0)
+
+
+SQL_X314 = """
+WITH per_arm AS (
+  SELECT CAST(event_type AS VARCHAR) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) / COUNT(*) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, MAX(m) AS best FROM per_arm
+), scored AS (
+  SELECT arm, n,
+         ROUND(m * 1000000.0) / 1000000.0 AS mean_reward,
+         ROUND(sqrt(2.0 * ROUND(ln(CAST(nn AS DOUBLE)), 9)
+                    / CAST(n AS DOUBLE)) * 1000000.0) / 1000000.0
+           AS bonus,
+         ROUND((m + sqrt(2.0 * ROUND(ln(CAST(nn AS DOUBLE)), 9)
+                    / CAST(n AS DOUBLE))) * 1000000.0) / 1000000.0
+           AS ucb,
+         ROUND((best - m) * CAST(n AS DOUBLE) * 1000000.0) / 1000000.0
+           AS regret_contrib
+  FROM per_arm CROSS JOIN tot
+), mu AS (SELECT MAX(ucb) AS mu FROM scored),
+ba AS (
+  SELECT MIN(arm) AS ba FROM scored CROSS JOIN mu WHERE ucb = mu
+)
+SELECT arm, n, mean_reward, bonus, ucb,
+       arm = ba AS play_next,
+       regret_contrib
+FROM scored CROSS JOIN ba
+ORDER BY arm
+"""
+
+EXT13_QUERIES.update({"x314_ucb": q_x314_ucb})
+EXT13_ORACLES.update({"x314_ucb": SQL_X314})

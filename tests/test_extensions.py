@@ -8385,3 +8385,35 @@ def test_audio_params_column_algebra(spark):
     assert (out[2]["sample_rate"], out[2]["duration_ms"]) == (16000, 500)
     assert out[3]["sample_rate"] is None  # non-canonical -> decoder path
     assert out[4]["sample_rate"] is None and out[4]["duration_ms"] is None
+
+
+def test_ucb_allocation_explores_then_exploits(spark):
+    import math
+
+    from fame2pygen_spark.operators.behavior import ucb_allocation
+
+    # arm "good": high mean, many pulls; "rare": few pulls — UCB must
+    # pull the under-explored arm despite its lower mean
+    rows = (
+        [("good", 1.0)] * 400
+        + [("good", 0.0)] * 100          # mean 0.8
+        + [("rare", 1.0)] * 3 + [("rare", 0.0)] * 2   # mean 0.6, n=5
+    )
+    df = spark.createDataFrame(rows, "arm string, r double")
+    out = {r["arm"]: r for r in ucb_allocation(df, "arm", "r").collect()}
+    n_total = 505
+    want_bonus = math.sqrt(2.0 * round(math.log(n_total), 9) / 5)
+    assert abs(out["rare"]["bonus"] - want_bonus) < 1e-6
+    assert out["rare"]["play_next"] is True
+    assert out["good"]["play_next"] is False
+    assert out["rare"]["ucb"] > out["good"]["ucb"]
+    # regret: best mean 0.8; rare contributed (0.8-0.6)*5 = 1
+    assert abs(out["rare"]["regret_contrib"] - 1.0) < 1e-6
+    assert out["good"]["regret_contrib"] == 0.0
+
+    # converged regime: equal exploration -> exploit the better mean
+    rows2 = [("a", 1.0)] * 80 + [("a", 0.0)] * 20 + \
+            [("b", 1.0)] * 50 + [("b", 0.0)] * 50
+    df2 = spark.createDataFrame(rows2, "arm string, r double")
+    out2 = {r["arm"]: r for r in ucb_allocation(df2, "arm", "r").collect()}
+    assert out2["a"]["play_next"] is True and out2["b"]["play_next"] is False

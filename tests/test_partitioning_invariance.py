@@ -116,6 +116,7 @@ SENSITIVE = [
     "x306_unimax",
     "x308_kcenter",
     "x310_qini",
+    "x314_ucb",
 ]
 
 
