@@ -3723,3 +3723,135 @@ def ucb_allocation(
         )
         .orderBy("arm")
     )
+
+
+def best_arm_probability(
+    arms: DataFrame,
+    *,
+    arm_col: str = "arm",
+    n_col: str = "n",
+    s_col: str = "s",
+    grid: int = 400,
+    prior_a: float = 1.0,
+    prior_b: float = 1.0,
+    max_arms: int = 8,
+) -> DataFrame:
+    """Posterior probability that each of k arms is THE best —
+    the k-arm generalization of :func:`bayes_ab_binomial` (which it
+    reduces to at k=2): independent ``Beta(s+a, n-s+b)`` posteriors
+    evaluated on the shared midpoint grid, and
+    ``P(best=i) = Σ_j P_i(j) · Π_{k≠i} (F_k(j⁻) + P_k(j)/2)``
+    (the same half-tie rule, applied per competitor).  The quantity a
+    Thompson-sampling allocator actually needs — pairwise
+    ``p_b_gt_a`` readouts do not compose into "probability best"
+    when k > 2.
+
+    Same cross-engine bit discipline as x281: log-weights max-shifted
+    and 9-dp-rounded before ``exp``, 12 dp after, decimal
+    normalization and prefix sums; the per-grid-point competitor
+    product folds an arm-sorted array in deterministic order; final
+    terms are 15-dp-quantized decimal sums and the output rounds via
+    the tie-safe ``*1e6`` multiply.
+
+    Scale shape: *arms* is one row per arm (≤*max_arms*, loud-fail
+    otherwise — beyond that the grid product loses its bounded-array
+    guarantee); every window is arm-keyed over *grid* rows; the
+    product stage groups the grid into ≤*grid* bounded arrays.
+
+    Output per arm: ``(arm, n, s, post_mean, p_best)``, ordered by
+    arm; ``Σ p_best = 1`` up to grid discretization.
+    """
+    dec = "decimal(38,18)"
+    spark = arms.sparkSession
+    k = arms.select(
+        F.countDistinct(F.col(arm_col)).alias("k")
+    ).first()["k"]
+    if k < 2 or k > int(max_arms):
+        raise ValueError(
+            f"best_arm_probability needs 2..{max_arms} distinct arms, "
+            f"got {k}"
+        )
+    g = spark.range(int(grid)).select(F.col("id").alias("j"))
+    p = (F.lit(2.0) * F.col("j").cast("double") + F.lit(1.0)) / F.lit(
+        2.0 * grid
+    )
+    base = arms.select(
+        F.col(arm_col).cast("string").alias("arm"),
+        F.col(n_col).cast("double").alias("n"),
+        F.col(s_col).cast("double").alias("s"),
+    )
+    gridded = base.crossJoin(F.broadcast(g)).withColumn("p", p)
+    lw = (
+        (F.col("s") + F.lit(float(prior_a) - 1.0)) * F.log(F.col("p"))
+        + (F.col("n") - F.col("s") + F.lit(float(prior_b) - 1.0))
+        * F.log(F.lit(1.0) - F.col("p"))
+    )
+    w_arm = Window.partitionBy("arm")
+    shifted = gridded.withColumn("__lw", lw).withColumn(
+        "__w",
+        F.round(
+            F.exp(F.round(F.col("__lw") - F.max("__lw").over(w_arm), 9)),
+            12,
+        ),
+    )
+    normed = shifted.withColumn(
+        "__P",
+        F.col("__w")
+        / F.sum(F.col("__w").cast(dec)).over(w_arm).cast("double"),
+    )
+    w_prev = Window.partitionBy("arm").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = normed.withColumn(
+        "__G",
+        F.coalesce(
+            F.sum(F.col("__P").cast(dec)).over(w_prev).cast("double"),
+            F.lit(0.0),
+        )
+        + F.lit(0.5) * F.col("__P"),
+    )
+    per_j = staged.groupBy("j").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("arm").alias("arm"),
+                    F.col("__P").alias("pp"),
+                    F.col("__G").alias("gg"),
+                )
+            )
+        ).alias("__arr")
+    )
+    me = per_j.select("j", "__arr", F.explode("__arr").alias("__me"))
+    prod_others = F.aggregate(
+        F.filter(
+            F.col("__arr"),
+            lambda x: x["arm"] != F.col("__me.arm"),
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x["gg"],
+    )
+    terms = me.select(
+        F.col("__me.arm").alias("arm"),
+        F.round(F.col("__me.pp") * prod_others, 15)
+        .cast(dec)
+        .alias("__t"),
+    )
+    summed = terms.groupBy("arm").agg(
+        F.sum("__t").cast("double").alias("__pb")
+    )
+    pa0, pb0 = float(prior_a), float(prior_b)
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        base.join(summed, "arm")
+        .select(
+            "arm",
+            F.col("n").cast("long").alias("n"),
+            F.col("s").cast("long").alias("s"),
+            r6(
+                (F.col("s") + F.lit(pa0))
+                / (F.col("n") + F.lit(pa0 + pb0))
+            ).alias("post_mean"),
+            r6(F.col("__pb")).alias("p_best"),
+        )
+        .orderBy("arm")
+    )

@@ -943,3 +943,93 @@ ORDER BY arm
 
 EXT13_QUERIES.update({"x314_ucb": q_x314_ucb})
 EXT13_ORACLES.update({"x314_ucb": SQL_X314})
+
+
+# ----------------------------- x315: k-arm best-arm probability
+
+
+def q_x315_best_arm(spark, sf_dir):
+    """Posterior P(best) across the five event-type arms
+    (operators/behavior.py:best_arm_probability): Beta-Binomial
+    posteriors of the value≥50 conversion rate on the shared 400-point
+    grid, half-tie competitor products — the k-arm quantity a
+    Thompson allocator needs that pairwise x281 readouts can't
+    compose into."""
+    from .operators.behavior import best_arm_probability
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("value") >= 50.0, 1).otherwise(0)
+        ).cast("long").alias("s"),
+    )
+    return best_arm_probability(arms, grid=400)
+
+
+SQL_X315 = """
+WITH arms AS (
+  SELECT CAST(event_type AS VARCHAR) AS arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS s
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT CAST(r AS BIGINT) AS j,
+         (2.0 * r + 1.0) / 800.0 AS p
+  FROM (SELECT unnest(range(0, 400)) AS r)
+), gridded AS (
+  SELECT arm, n, s, j, p,
+         (s + 0.0) * ln(p) + (n - s + 0.0) * ln(1.0 - p) AS lw
+  FROM arms CROSS JOIN grid
+), shifted AS (
+  SELECT arm, n, s, j,
+         ROUND(exp(ROUND(lw - MAX(lw) OVER (PARTITION BY arm), 9)), 12)
+           AS w
+  FROM gridded
+), normed AS (
+  SELECT arm, n, s, j,
+         w / CAST(SUM(CAST(w AS DECIMAL(38,18)))
+                  OVER (PARTITION BY arm) AS DOUBLE) AS pp
+  FROM shifted
+), staged AS (
+  SELECT arm, n, s, j, pp,
+         COALESCE(CAST(SUM(CAST(pp AS DECIMAL(38,18))) OVER
+           (PARTITION BY arm ORDER BY j
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS DOUBLE), 0.0) + 0.5 * pp AS gg
+  FROM staged_src
+), per_j AS (
+  SELECT j,
+         list(struct_pack(arm := arm, pp := pp, gg := gg)
+              ORDER BY arm) AS arr
+  FROM staged GROUP BY j
+), exploded AS (
+  SELECT j, arr, unnest(arr) AS me FROM per_j
+), terms AS (
+  SELECT me.arm AS arm,
+         CAST(ROUND(me.pp * list_reduce(
+                list_transform(
+                  list_filter(arr, x -> x.arm != me.arm),
+                  x -> x.gg),
+                (a, b) -> a * b), 15) AS DECIMAL(38,18)) AS t
+  FROM exploded
+), summed AS (
+  SELECT arm, CAST(SUM(t) AS DOUBLE) AS pb FROM terms GROUP BY arm
+)
+SELECT arms.arm,
+       CAST(arms.n AS BIGINT) AS n,
+       CAST(arms.s AS BIGINT) AS s,
+       ROUND((arms.s + 1.0) / (arms.n + 2.0) * 1000000.0) / 1000000.0
+         AS post_mean,
+       ROUND(pb * 1000000.0) / 1000000.0 AS p_best
+FROM arms JOIN summed USING (arm)
+ORDER BY arms.arm
+"""
+
+# the staged CTE references normed — rename for DuckDB (no forward refs)
+SQL_X315 = SQL_X315.replace("FROM staged_src", "FROM normed")
+
+EXT13_QUERIES.update({"x315_best_arm": q_x315_best_arm})
+EXT13_ORACLES.update({"x315_best_arm": SQL_X315})

@@ -8417,3 +8417,42 @@ def test_ucb_allocation_explores_then_exploits(spark):
     df2 = spark.createDataFrame(rows2, "arm string, r double")
     out2 = {r["arm"]: r for r in ucb_allocation(df2, "arm", "r").collect()}
     assert out2["a"]["play_next"] is True and out2["b"]["play_next"] is False
+
+
+def test_best_arm_probability_k_arm_properties(spark):
+    from fame2pygen_spark.operators.behavior import (
+        bayes_ab_binomial, best_arm_probability,
+    )
+
+    # clear winner among 4 arms
+    arms = spark.createDataFrame(
+        [("a", 500, 50), ("b", 500, 60), ("c", 500, 55), ("d", 500, 120)],
+        "arm string, n long, s long",
+    )
+    out = {r["arm"]: r for r in best_arm_probability(arms).collect()}
+    assert out["d"]["p_best"] > 0.99
+    total = sum(r["p_best"] for r in out.values())
+    assert abs(total - 1.0) < 0.01  # grid/half-tie discretization only
+
+    # symmetric arms: equal shares
+    sym = spark.createDataFrame(
+        [("a", 400, 80), ("b", 400, 80), ("c", 400, 80)],
+        "arm string, n long, s long",
+    )
+    so = {r["arm"]: r for r in best_arm_probability(sym).collect()}
+    assert abs(so["a"]["p_best"] - so["b"]["p_best"]) < 1e-9
+    assert abs(so["a"]["p_best"] - so["c"]["p_best"]) < 1e-9
+
+    # k=2 reduces to bayes_ab_binomial's P(B>A) (same grid, same ties)
+    two = spark.createDataFrame(
+        [("a", 1000, 100), ("b", 1000, 130)], "arm string, n long, s long"
+    )
+    pair = bayes_ab_binomial(two).collect()[0]
+    kk = {r["arm"]: r for r in best_arm_probability(two).collect()}
+    assert abs(kk["b"]["p_best"] - pair["p_b_gt_a"]) < 1e-4
+
+    import pytest as _pytest
+
+    one = spark.createDataFrame([("a", 10, 1)], "arm string, n long, s long")
+    with _pytest.raises(ValueError, match="2..8"):
+        best_arm_probability(one)

@@ -117,6 +117,7 @@ SENSITIVE = [
     "x308_kcenter",
     "x310_qini",
     "x314_ucb",
+    "x315_best_arm",
 ]
 
 
