@@ -1166,3 +1166,24 @@ def test_cv_folds_is_window_free(spark):
     plan = plan_of(spark, "x303_cv_folds")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x311_media_dims",   # scan-time header sniffing, no joins
+        "x312_wav_params",   # same, audio
+        "x314_ucb",          # ≤|arms|-row agg + broadcasts
+        "x315_best_arm",     # arm-keyed grid windows only
+    ],
+)
+def test_r5b_operators_never_plan_cartesian_or_smj(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+def test_best_arm_windows_are_arm_keyed(spark):
+    # grid normalization/prefix windows must be partitioned by arm —
+    # a global grid window would serialize k·400 rows on one core
+    assert unpartitioned_windows(spark, "x315_best_arm") == []
