@@ -3287,12 +3287,23 @@ def bayes_ab_binomial(
     # grid normalization would mix distinct posteriors into one
     # meaningless result.  *arms* is a tiny aggregate (one row per
     # arm), so this is a bounded 1-row pin, not a data-sized collect.
-    n_arms = arms.select(
-        F.countDistinct(F.col(arm_col)).alias("k")
-    ).first()["k"]
-    if n_arms != 2:
+    card = arms.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col(arm_col)).alias("k"),
+    ).first()
+    if card["k"] != 2:
         raise ValueError(
-            f"bayes_ab_binomial needs exactly 2 distinct arms, got {n_arms}"
+            f"bayes_ab_binomial needs exactly 2 distinct arms, got {card['k']}"
+        )
+    if card["n_rows"] != card["k"]:
+        # duplicate rows per arm would pass the distinct check but each
+        # (arm, j) grid point then appears multiple times through the
+        # crossJoin, silently mixing both rows' Beta weights into one
+        # corrupted posterior — fail loud instead.
+        raise ValueError(
+            "bayes_ab_binomial needs exactly one row per arm, got "
+            f"{card['n_rows']} rows over {card['k']} arms — aggregate "
+            "n/s per arm first"
         )
     g = spark.range(int(grid)).select(F.col("id").alias("j"))
     p = (F.lit(2.0) * F.col("j").cast("double") + F.lit(1.0)) / F.lit(
@@ -3633,14 +3644,20 @@ def qini_curve(
         F.col("__NC").cast("double"),
     )
     frac = (nt + nc) / (F.col("__NT") + F.col("__NC")).cast("double")
+    # qini / qini_random are RAW doubles (try_divide over decimal-sum
+    # casts) — round via the explicit *1e6 multiply so the rounding
+    # input double is identical cross-engine near a 6-dp tie (same
+    # idiom as theil_sen, operators/temporal.py:640).
     return cum.select(
         "bin",
         "n_treat_cum",
         "n_ctrl_cum",
         F.round(F.col("__YT").cast("double"), 6).alias("y_treat_cum"),
         F.round(F.col("__YC").cast("double"), 6).alias("y_ctrl_cum"),
-        F.round(qini, 6).alias("qini"),
-        F.round(overall * frac, 6).alias("qini_random"),
+        (F.round(qini * F.lit(1e6)) / F.lit(1e6)).alias("qini"),
+        (F.round(overall * frac * F.lit(1e6)) / F.lit(1e6)).alias(
+            "qini_random"
+        ),
     ).orderBy("bin")
 
 
@@ -3763,13 +3780,24 @@ def best_arm_probability(
     """
     dec = "decimal(38,18)"
     spark = arms.sparkSession
-    k = arms.select(
-        F.countDistinct(F.col(arm_col)).alias("k")
-    ).first()["k"]
+    card = arms.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col(arm_col)).alias("k"),
+    ).first()
+    k = card["k"]
     if k < 2 or k > int(max_arms):
         raise ValueError(
             f"best_arm_probability needs 2..{max_arms} distinct arms, "
             f"got {k}"
+        )
+    if card["n_rows"] != k:
+        # same failure mode as bayes_ab_binomial: duplicate rows per
+        # arm duplicate every (arm, j) grid point through the crossJoin
+        # and the per-arm normalization/CDF mixes both rows' weights.
+        raise ValueError(
+            "best_arm_probability needs exactly one row per arm, got "
+            f"{card['n_rows']} rows over {k} arms — aggregate n/s per "
+            "arm first"
         )
     g = spark.range(int(grid)).select(F.col("id").alias("j"))
     p = (F.lit(2.0) * F.col("j").cast("double") + F.lit(1.0)) / F.lit(

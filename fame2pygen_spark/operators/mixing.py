@@ -989,12 +989,22 @@ def unimax_plan(
     if b <= 0 or e <= 0:
         raise ValueError("budget and max_epochs must be positive")
     dec = "decimal(38,6)"
+
+    # Tie-safe 6-dp round for RAW (unstaged) doubles: do the *1e6
+    # multiply explicitly on both engines so the rounding input is the
+    # identical double — F.round(x, 6) is exact-binary HALF_UP while
+    # DuckDB ROUND(x, 6) is round(x*1e6)/1e6 in doubles, and near a
+    # 6-dp tie (…4999999) they flip the final digit (see theil_sen,
+    # operators/temporal.py:640).
+    def _r6(x):
+        return F.round(x * F.lit(1e6)) / F.lit(1e6)
+
     per_src = df.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(F.col(size_col).cast("decimal(28,2)"))
         .cast("double")
         .alias("n_tokens")
     )
-    cap = F.round(F.col("n_tokens") * F.lit(e), 6)
+    cap = _r6(F.col("n_tokens") * F.lit(e))
     sized = per_src.select("source", "n_tokens", cap.alias("cap"))
     word = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
     ranked = sized.select(
@@ -1014,10 +1024,9 @@ def unimax_plan(
             F.lit(0).cast(dec),
         ).alias("__prefix"),
     )
-    share = F.round(
+    share = _r6(
         (F.lit(b) - F.col("__prefix").cast("double"))
-        / (F.col("__n") - F.col("__i") + 1).cast("double"),
-        6,
+        / (F.col("__n") - F.col("__i") + 1).cast("double")
     )
     stepped = ranked.select(
         "source",
@@ -1029,12 +1038,12 @@ def unimax_plan(
             )
         ).alias("__share"),
     )
-    alloc = F.round(F.least(F.col("cap"), F.greatest(F.col("__share"), F.lit(0.0))), 6)
+    alloc = _r6(F.least(F.col("cap"), F.greatest(F.col("__share"), F.lit(0.0))))
     return stepped.select(
         "source",
         F.round("n_tokens", 6).alias("n_tokens"),
         F.round("cap", 6).alias("cap"),
         alloc.alias("alloc"),
-        F.round(F.try_divide(alloc, F.col("n_tokens")), 6).alias("epochs"),
-        F.round(alloc / F.lit(b), 6).alias("budget_frac"),
+        _r6(F.try_divide(alloc, F.col("n_tokens"))).alias("epochs"),
+        _r6(alloc / F.lit(b)).alias("budget_frac"),
     ).orderBy("source")

@@ -2109,6 +2109,8 @@ def hbos_scores(
     if b < 2:
         raise ValueError("bins must be >= 2")
     feats = list(feature_cols)
+    if not feats:
+        raise ValueError("feature_cols must be non-empty")
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c).cast("double").alias(f"__f{i}") for i, c in enumerate(feats)],

@@ -2373,7 +2373,10 @@ def kcenter_greedy(
             9,
         )
 
-    seed_row = base.orderBy(F.col("id").asc()).limit(1).collect()[0]
+    seed = base.orderBy(F.col("id").asc()).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_greedy: input is empty — nothing to select")
+    seed_row = seed[0]
     chosen = [(0, seed_row["id"], [float(x) for x in seed_row["__v"]])]
     scored = base.withColumn("__d", sqdist_to(chosen[0][2]))
     out_rows = []

@@ -476,8 +476,11 @@ WITH per_src AS (
            AS n_tokens
   FROM documents GROUP BY source
 ), sized AS (
+  -- tie-safe 6-dp rounds mirror unimax_plan's explicit *1e6 idiom
+  -- (identical rounding-input double on both engines)
   SELECT source, n_tokens,
-         ROUND(n_tokens * {_UNIMAX_EPOCHS!r}, 6) AS cap
+         ROUND(n_tokens * {_UNIMAX_EPOCHS!r} * 1000000.0) / 1000000.0
+           AS cap
   FROM per_src
 ), ranked AS (
   SELECT source, n_tokens, cap,
@@ -491,18 +494,23 @@ WITH per_src AS (
 ), stepped AS (
   SELECT source, n_tokens, cap,
          MAX(ROUND(({_UNIMAX_BUDGET!r} - CAST(prefix AS DOUBLE))
-                   / CAST(n - i + 1 AS DOUBLE), 6)) OVER () AS share
+                   / CAST(n - i + 1 AS DOUBLE) * 1000000.0)
+             / 1000000.0) OVER () AS share
   FROM ranked
+), alloc AS (
+  SELECT source, n_tokens, cap,
+         ROUND(LEAST(cap, GREATEST(share, 0.0)) * 1000000.0)
+           / 1000000.0 AS alloc
+  FROM stepped
 )
 SELECT source,
        ROUND(n_tokens, 6) AS n_tokens,
        ROUND(cap, 6) AS cap,
-       ROUND(LEAST(cap, GREATEST(share, 0.0)), 6) AS alloc,
-       ROUND(ROUND(LEAST(cap, GREATEST(share, 0.0)), 6) / n_tokens, 6)
-         AS epochs,
-       ROUND(ROUND(LEAST(cap, GREATEST(share, 0.0)), 6)
-             / {_UNIMAX_BUDGET!r}, 6) AS budget_frac
-FROM stepped
+       alloc,
+       ROUND(alloc / n_tokens * 1000000.0) / 1000000.0 AS epochs,
+       ROUND(alloc / {_UNIMAX_BUDGET!r} * 1000000.0) / 1000000.0
+         AS budget_frac
+FROM alloc
 ORDER BY source
 """
 
@@ -747,14 +755,16 @@ binned AS (
 SELECT bin, n_treat_cum, n_ctrl_cum,
        ROUND(CAST(yt_cum AS DOUBLE), 6) AS y_treat_cum,
        ROUND(CAST(yc_cum AS DOUBLE), 6) AS y_ctrl_cum,
-       ROUND(CAST(yt_cum AS DOUBLE)
-             - CAST(yc_cum AS DOUBLE) * CAST(n_treat_cum AS DOUBLE)
-               / NULLIF(CAST(n_ctrl_cum AS DOUBLE), 0), 6) AS qini,
+       ROUND((CAST(yt_cum AS DOUBLE)
+              - CAST(yc_cum AS DOUBLE) * CAST(n_treat_cum AS DOUBLE)
+                / NULLIF(CAST(n_ctrl_cum AS DOUBLE), 0))
+             * 1000000.0) / 1000000.0 AS qini,
        ROUND((CAST(ytt AS DOUBLE)
               - CAST(yct AS DOUBLE) * CAST(ntt AS DOUBLE)
                 / NULLIF(CAST(nct AS DOUBLE), 0))
              * (CAST(n_treat_cum + n_ctrl_cum AS DOUBLE)
-                / CAST(ntt + nct AS DOUBLE)), 6) AS qini_random
+                / CAST(ntt + nct AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS qini_random
 FROM cum
 ORDER BY bin
 """

@@ -83,10 +83,15 @@ CORE_SUMMARIES = {
 
 
 def build_index() -> str:
-    from fame2pygen_spark.queries import ORACLES, QUERIES
+    # Iterate _ALL_QUERIES (fixed source/insertion order), NOT QUERIES:
+    # QUERIES is reordered by the CHECKED_WINDOW rotation, which globs
+    # untracked CORRECTNESS_r*.json at import time — indexing it would
+    # make the committed file depend on runtime driver artifacts and go
+    # stale after every driver round.
+    from fame2pygen_spark.queries import ORACLES, _ALL_QUERIES
 
     by_module: dict[str, list[tuple[str, str]]] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in _ALL_QUERIES.items():
         mod = fn.__module__.rsplit(".", 1)[-1]
         doc = (fn.__doc__ or "").strip().split("\n\n")[0]
         first = " ".join(doc.split())
@@ -105,7 +110,7 @@ def build_index() -> str:
     lines = [
         "# Query registry index",
         "",
-        f"{len(QUERIES)} oracle-checked queries "
+        f"{len(_ALL_QUERIES)} oracle-checked queries "
         "(`fame2pygen_spark/queries.py` aggregates all modules; every "
         "entry has a DuckDB oracle in the matching `*_ORACLES` dict).",
         "",

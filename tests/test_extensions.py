@@ -7370,6 +7370,35 @@ def test_bayes_ab_binomial_rejects_non_two_arm_input(spark):
         bayes_ab_binomial(one)
 
 
+def test_bayes_ab_binomial_rejects_duplicate_arm_rows(spark):
+    """r5 advisor: duplicate rows for the same arm pass the distinct
+    check but duplicate every (arm, j) grid point through the
+    crossJoin, silently corrupting the posterior — must loud-fail."""
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.behavior import bayes_ab_binomial
+
+    dup = spark.createDataFrame(
+        [("a", 100, 10), ("a", 50, 7), ("b", 100, 12)],
+        "arm string, n long, s long",
+    )
+    with _pytest.raises(ValueError, match="one row per arm"):
+        bayes_ab_binomial(dup)
+
+
+def test_best_arm_probability_rejects_duplicate_arm_rows(spark):
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.behavior import best_arm_probability
+
+    dup = spark.createDataFrame(
+        [("a", 100, 10), ("b", 100, 12), ("b", 40, 9)],
+        "arm string, n long, s long",
+    )
+    with _pytest.raises(ValueError, match="one row per arm"):
+        best_arm_probability(dup)
+
+
 def test_bayes_ab_binomial_decision_quantities(spark):
     from fame2pygen_spark.operators.behavior import bayes_ab_binomial
 
@@ -8197,6 +8226,30 @@ def test_hbos_flags_planted_outlier(spark):
     top = hbos_scores(df, "id", ["f1", "f2"], bins=16, top_n=3).collect()
     assert top[0]["id"] == 9999
     assert top[0]["score"] > top[1]["score"]
+
+
+def test_hbos_rejects_empty_feature_cols(spark):
+    """r5 advisor: empty feature_cols used to die with a bare
+    IndexError deep in term assembly — must be a clear ValueError."""
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.quality import hbos_scores
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, f1 double")
+    with _pytest.raises(ValueError, match="feature_cols"):
+        hbos_scores(df, "id", [])
+
+
+def test_kcenter_greedy_rejects_empty_input(spark):
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.similarity import kcenter_greedy
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        kcenter_greedy(empty, k=3)
 
 
 def test_mmd_rff_zero_on_identical_positive_on_shift(spark):
