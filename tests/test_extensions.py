@@ -8509,3 +8509,102 @@ def test_best_arm_probability_k_arm_properties(spark):
     one = spark.createDataFrame([("a", 10, 1)], "arm string, n long, s long")
     with _pytest.raises(ValueError, match="2..8"):
         best_arm_probability(one)
+
+
+# ---------------------------------------------------------------- spatial
+
+
+def test_geo_cell_stats_known_geometry(spark):
+    from fame2pygen_spark.operators.spatial import geo_cell_stats
+
+    # cell_deg=10: (0.5, 0.5) and (9.9, 9.9) share cell (y=9, x=18);
+    # (10.1, 0.5) is one lat-cell north; nulls/out-of-range excluded
+    df = spark.createDataFrame(
+        [
+            (0.5, 0.5, 10.0),
+            (9.9, 9.9, 20.0),
+            (10.1, 0.5, 5.0),
+            (None, 0.0, 1.0),
+            (95.0, 0.0, 1.0),
+            (0.0, 181.0, 1.0),
+        ],
+        "lat double, lon double, v double",
+    )
+    out = {r["cell_id"]: r for r in
+           geo_cell_stats(df, "lat", "lon", "v", cell_deg=10.0).collect()}
+    assert len(out) == 2
+    big = [r for r in out.values() if r["n"] == 2][0]
+    assert big["value_sum"] == 30.0 and big["value_mean"] == 15.0
+    assert abs(big["centroid_lat"] - 5.2) < 1e-6
+    # southwest corner decode
+    assert big["cell_lat"] == 0.0 and big["cell_lon"] == 0.0
+    north = [r for r in out.values() if r["n"] == 1][0]
+    assert north["cell_lat"] == 10.0
+
+
+def test_geo_radius_join_finds_cross_cell_pairs(spark):
+    from fame2pygen_spark.operators.spatial import geo_radius_join
+
+    # ~111.32 km per degree lat at ref_lat=0: B is ~55.7 km north of
+    # A (within 100 km, different points), C is ~556 km away (out)
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "id long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [(10, 0.5, 0.0), (11, 5.0, 0.0), (12, 0.0, 0.7)],
+        "id long, lat double, lon double",
+    )
+    # right ids surviving: 10 (55.66 km) and 12 (77.9 km), not 11
+    pairs = geo_radius_join(
+        left.withColumnRenamed("id", "lid"),
+        right.withColumnRenamed("id", "rid"),
+        left_id="lid", right_id="rid",
+        radius_km=100.0, ref_lat_deg=0.0,
+    ).collect()
+    assert sorted(p["rid"] for p in pairs) == [10, 12]
+    d = {p["rid"]: p["dist_km"] for p in pairs}
+    assert abs(d[10] - 55.66) < 0.01
+    assert abs(d[12] - 77.924) < 0.01
+
+
+def test_geo_radius_join_no_duplicate_pairs_near_cell_edges(spark):
+    from fame2pygen_spark.operators.spatial import geo_radius_join
+
+    # points straddling a cell boundary must appear exactly once
+    left = spark.createDataFrame(
+        [(i, float(i) * 0.11 - 0.5, 0.01) for i in range(10)],
+        "lid long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j) * 0.13 - 0.4, -0.01) for j in range(10)],
+        "rid long, lat double, lon double",
+    )
+    out = geo_radius_join(
+        left, right, left_id="lid", right_id="rid",
+        radius_km=60.0, ref_lat_deg=0.0,
+    ).collect()
+    keys = [(r["lid"], r["rid"]) for r in out]
+    assert len(keys) == len(set(keys))
+    assert len(keys) > 0
+
+
+def test_geo_radius_join_guards(spark):
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.spatial import geo_radius_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "id long, lat double, lon double"
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        geo_radius_join(pts, pts, left_id="id", right_id="rid",
+                        radius_km=0.0)
+    with _pytest.raises(ValueError, match="pole"):
+        geo_radius_join(pts, pts, left_id="id", right_id="rid",
+                        radius_km=10.0, ref_lat_deg=89.9)
+    with _pytest.raises(ValueError, match="neighbor"):
+        geo_radius_join(pts, pts, left_id="id", right_id="rid",
+                        radius_km=1000.0, cell_deg=0.1)
+    with _pytest.raises(ValueError, match="distinct output columns"):
+        geo_radius_join(pts, pts, left_id="id", right_id="id",
+                        radius_km=10.0)
