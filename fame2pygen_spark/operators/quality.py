@@ -33,7 +33,7 @@ __all__ = [
     "kappa_from_confusion", "t_closeness", "average_precision",
     "calibration_report", "krippendorff_alpha", "conformal_threshold",
     "clustering_agreement", "woe_iv", "normal_p_two_sided", "normal_sf", "bh_fdr",
-    "smd_balance", "wilson_intervals",
+    "smd_balance", "wilson_intervals", "isotonic_fit",
 ]
 
 
@@ -2170,4 +2170,146 @@ def hbos_scores(
     )
     return out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(
         int(top_n)
+    )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 20,
+) -> DataFrame:
+    """Weighted isotonic regression of *label_col* on binned
+    *score_col* (Barlow et al. 1972; the calibration map behind
+    isotonic probability calibration, Zadrozny & Elkan 2002) — the
+    monotone step function closest in weighted L2 to the per-bin
+    label means.
+
+    Computed via the minimax identity rather than the sequential PAVA
+    sweep: ``iso(i) = max_{a<=i} min_{b>=i} wmean(a..b)`` where
+    ``wmean(a..b)`` is the n-weighted label mean of the bin block
+    ``[a, b]`` — block means come from prefix sums, the max-min folds
+    over a bounded (i, a, b) grid.  Equivalent to PAVA's pooled
+    solution but expressible as pure relational algebra on BOTH
+    engines, so the oracle reproduces the math independently instead
+    of simulating a sequential pool loop.
+
+    Scale shape: ONE data shuffle (groupBy bin, map-side partial
+    aggs); everything after operates on <= *bins* rows, and the
+    (i, a, b) grid is <= bins^3 metadata rows (8k at the default 20)
+    — never data-sized.  This is why the operator bins first: exact
+    isotonic regression on raw points is inherently sequential, while
+    the binned fit is what a 100 TB calibration pass actually wants
+    (the monotone map is applied per bin anyway).
+
+    Determinism: block means are double/double divisions of exact
+    decimal prefix sums (IEEE-identical cross-engine); min/max are
+    exact selections; outputs round via the tie-safe ``*1e6``
+    multiply.  Rows with null score/label are excluded.
+
+    Output per non-empty bin: ``(bin, bin_lo, n, raw_mean,
+    iso_mean)`` ordered by bin; ``iso_mean`` is non-decreasing in
+    ``bin`` by construction.
+    """
+    b = int(bins)
+    if b < 2:
+        raise ValueError("bins must be >= 2")
+    dec = "decimal(38,9)"
+
+    def _r6(x: Column) -> Column:
+        return F.round(x * F.lit(1e6)) / F.lit(1e6)
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y")
+    )
+    rng = base.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(b - 1),
+                F.floor(
+                    (F.col("__s") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(b)))
+                ),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+        F.col("__lo"),
+        F.col("__hi"),
+        F.col("__y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("__y"), 9).cast(dec)).alias("__sy"),
+        F.first("__lo").alias("__lo"),
+        F.first("__hi").alias("__hi"),
+    )
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = per_bin.select(
+        "bin",
+        "n",
+        "__sy",
+        "__lo",
+        "__hi",
+        F.sum("n").over(wb).cast("long").alias("__cn"),
+        F.sum(F.col("__sy").cast(dec)).over(wb).alias("__cs"),
+    )
+    lohi = pref.select(
+        F.col("bin").alias("__a"),
+        (F.col("__cn") - F.col("n")).alias("__n_before"),
+        (F.col("__cs") - F.col("__sy")).cast(dec).alias("__s_before"),
+    )
+    ends = pref.select(
+        F.col("bin").alias("__b"),
+        F.col("__cn").alias("__n_upto"),
+        F.col("__cs").alias("__s_upto"),
+    )
+    # all blocks a <= b over the <= bins-row aggregate: bounded grid
+    blocks = lohi.join(ends, F.col("__a") <= F.col("__b")).select(
+        "__a",
+        "__b",
+        (
+            (F.col("__s_upto") - F.col("__s_before")).cast("double")
+            / (F.col("__n_upto") - F.col("__n_before")).cast("double")
+        ).alias("__bm"),
+    )
+    idx = pref.select(F.col("bin").alias("__i"))
+    inner = (
+        idx.join(
+            blocks,
+            (F.col("__a") <= F.col("__i")) & (F.col("__b") >= F.col("__i")),
+        )
+        .groupBy("__i", "__a")
+        .agg(F.min("__bm").alias("__minb"))
+        .groupBy("__i")
+        .agg(F.max("__minb").alias("__iso"))
+    )
+    return (
+        pref.join(inner, pref["bin"] == inner["__i"])
+        .select(
+            "bin",
+            _r6(
+                F.when(F.col("__hi") == F.col("__lo"), F.col("__lo"))
+                .otherwise(
+                    F.col("__lo")
+                    + F.col("bin").cast("double")
+                    * ((F.col("__hi") - F.col("__lo")) / F.lit(float(b)))
+                )
+            ).alias("bin_lo"),
+            "n",
+            _r6(
+                F.col("__sy").cast("double") / F.col("n").cast("double")
+            ).alias("raw_mean"),
+            _r6(F.col("__iso")).alias("iso_mean"),
+        )
+        .orderBy("bin")
     )

@@ -33,7 +33,7 @@ __all__ = [
     "detect_language", "normalized_text", "text_fingerprint",
     "text_profile", "tfidf_top_terms", "chunk_documents", "bm25_rank",
     "term_cooccurrence_pmi", "unigram_surprisal",
-    "source_js_divergence", "zipf_fit",
+    "source_js_divergence", "zipf_fit", "stupid_backoff_score",
 ]
 
 #: small deterministic stopword tables per language (marker words)
@@ -3449,4 +3449,146 @@ def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
         "f2",
         F.round(chao1, 6).alias("chao1"),
         F.round(ace, 6).alias("ace"),
+    )
+
+
+def stupid_backoff_score(
+    ref_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean trigram stupid-backoff log-score (Brants et
+    al. 2007, "Large Language Models in Machine Translation") of
+    *score_docs* under raw n-gram counts from *ref_docs* — the
+    cheapest cross-corpus LM quality signal: no discounting, no
+    normalization, just count ratios with a fixed backoff penalty.
+
+    ``S(w3 | w1 w2) = f(w1w2w3)/f(w1w2)`` when the trigram is seen in
+    the reference, else ``alpha * f(w2w3)/f(w2)`` when the bigram is,
+    else ``alpha^2 * (f(w3)+1)/(N+V)`` (add-one on the unigram floor
+    so out-of-vocabulary tokens stay finite — the one deviation from
+    the paper, which assumes an OOV-free vocabulary).  Splitting
+    reference and scored corpora is what makes backoff live: scoring
+    a corpus under its own counts never leaves level 3 (every scored
+    trigram counts itself).
+
+    Plan shape: reference counts are three keyed aggregations with
+    map-side combine (vocabulary-bounded outputs, Zipf-friendly);
+    the scored token stream builds trigrams with two ``lag`` steps
+    over one (doc, position) window — row-linear, never a token
+    self-join — then THREE stream joins (trigram-, bigram-, unigram-
+    keyed model tables, each pre-joined to its context counts so one
+    probe carries numerator and denominator).  N and V are 1-row
+    aggregates injected as literals.  Per-token log10 scores round at
+    9 dp and decimal-sum per doc (accumulation-order-insensitive).
+
+    Output per scored doc with >= 3 tokens: ``(doc_id, n_scored,
+    n_tri_hits, n_bi_backoffs, n_uni_backoffs, mean_log10_score)``
+    (6 dp, tie-safe).
+    """
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    dec = "decimal(38,9)"
+
+    ref_toks = _parallelize_input(ref_docs).select(
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    n_total = ref_toks.count()
+    vocab = ref_toks.select("w").distinct().count()
+    if n_total == 0:
+        raise ValueError("reference corpus has no tokens")
+
+    uni = ref_toks.groupBy(F.col("w").alias("w3")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c1")
+    )
+    rt = _parallelize_input(ref_docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w3"),
+    )
+    wref = Window.partitionBy("doc_id").orderBy("pos")
+    ref_tri = rt.select(
+        F.lag("w3", 2).over(wref).alias("w1"),
+        F.lag("w3", 1).over(wref).alias("w2"),
+        "w3",
+    )
+    bi_counts = (
+        ref_tri.where(F.col("w2").isNotNull())
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c2"))
+    )
+    bi_ctx = bi_counts.groupBy(F.col("w2")).agg(
+        F.sum("__c2").cast("long").alias("__c2ctx")
+    )
+    bi_model = bi_counts.join(bi_ctx, on="w2")
+    tri_counts = (
+        ref_tri.where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c3"))
+    )
+    tri_ctx = tri_counts.groupBy("w1", "w2").agg(
+        F.sum("__c3").cast("long").alias("__c3ctx")
+    )
+    tri_model = tri_counts.join(tri_ctx, on=["w1", "w2"])
+
+    st = _parallelize_input(score_docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w3"),
+    )
+    wsc = Window.partitionBy("doc_id").orderBy("pos")
+    stream = st.select(
+        "doc_id",
+        F.lag("w3", 2).over(wsc).alias("w1"),
+        F.lag("w3", 1).over(wsc).alias("w2"),
+        "w3",
+    ).where(F.col("w1").isNotNull())
+    probed = (
+        stream.join(tri_model, on=["w1", "w2", "w3"], how="left")
+        .join(bi_model, on=["w2", "w3"], how="left")
+        .join(uni, on="w3", how="left")
+    )
+    s_tri = F.col("__c3").cast("double") / F.col("__c3ctx").cast("double")
+    s_bi = (
+        F.lit(a)
+        * F.col("__c2").cast("double")
+        / F.col("__c2ctx").cast("double")
+    )
+    s_uni = (
+        F.lit(a * a)
+        * (F.coalesce(F.col("__c1"), F.lit(0)).cast("double") + F.lit(1.0))
+        / F.lit(float(n_total) + float(vocab))
+    )
+    level = F.when(F.col("__c3").isNotNull(), F.lit(3)).otherwise(
+        F.when(F.col("__c2").isNotNull(), F.lit(2)).otherwise(F.lit(1))
+    )
+    score = F.when(F.col("__c3").isNotNull(), s_tri).otherwise(
+        F.when(F.col("__c2").isNotNull(), s_bi).otherwise(s_uni)
+    )
+    logt = F.round(F.log10(score), 9).cast(dec)
+    return (
+        probed.select("doc_id", level.alias("__lvl"), logt.alias("__lg"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum((F.col("__lvl") == 3).cast("long")).alias("n_tri_hits"),
+            F.sum((F.col("__lvl") == 2).cast("long")).alias(
+                "n_bi_backoffs"
+            ),
+            F.sum((F.col("__lvl") == 1).cast("long")).alias(
+                "n_uni_backoffs"
+            ),
+            (
+                F.round(
+                    F.try_divide(
+                        F.sum("__lg").cast("double"),
+                        F.count(F.lit(1)).cast("double"),
+                    )
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("mean_log10_score"),
+        )
     )

@@ -198,3 +198,227 @@ SQL_X317 = _sql_x317()
 
 EXT14_QUERIES.update({"x317_geo_radius": q_x317_geo_radius})
 EXT14_ORACLES.update({"x317_geo_radius": SQL_X317})
+
+
+# ----------------------------- x318: isotonic regression (binned PAVA)
+
+_X318_BINS = 16
+
+
+def q_x318_isotonic(spark, sf_dir):
+    """Weighted isotonic regression of order finality on price
+    (operators/quality.py:isotonic_fit): the monotone calibration map
+    from o_totalprice to P(o_orderstatus = 'F'), fitted over 16
+    equal-width price bins via the minimax identity — one data
+    shuffle, then bounded <= bins^3 metadata algebra.  The oracle
+    recomputes the same math from prefix sums through independent SQL
+    joins."""
+    from .operators.quality import isotonic_fit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scored = orders.select(
+        F.col("o_totalprice").cast("double").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    return isotonic_fit(scored, "score", "label", bins=_X318_BINS)
+
+
+def _sql_x318() -> str:
+    b = _X318_BINS
+    return f"""
+WITH x318_base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+), x318_rng AS (
+  SELECT MIN(s) AS lo, MAX(s) AS hi FROM x318_base
+), x318_binned AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+              ELSE LEAST({b - 1}, CAST(FLOOR((s - lo)
+                   / ((hi - lo) / {float(b)!r})) AS BIGINT))
+              END AS BIGINT) AS bin,
+         lo, hi, y
+  FROM x318_base, x318_rng
+), x318_per_bin AS (
+  SELECT bin, COUNT(*)::BIGINT AS n,
+         SUM(CAST(ROUND(y, 9) AS DECIMAL(38,9))) AS sy,
+         MIN(lo) AS lo, MIN(hi) AS hi
+  FROM x318_binned GROUP BY bin
+), x318_pref AS (
+  SELECT bin, n, sy, lo, hi,
+         CAST(SUM(n) OVER w AS BIGINT) AS cn,
+         SUM(CAST(sy AS DECIMAL(38,9))) OVER w AS cs
+  FROM x318_per_bin
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), x318_blocks AS (
+  SELECT lo_end.bin AS ba, hi_end.bin AS bb,
+         CAST(hi_end.cs - (lo_end.cs - lo_end.sy) AS DOUBLE)
+           / CAST(hi_end.cn - (lo_end.cn - lo_end.n) AS DOUBLE) AS bm
+  FROM x318_pref lo_end
+  JOIN x318_pref hi_end ON lo_end.bin <= hi_end.bin
+), x318_inner AS (
+  SELECT i.bin AS bi, blk.ba, MIN(blk.bm) AS minb
+  FROM x318_pref i
+  JOIN x318_blocks blk ON blk.ba <= i.bin AND blk.bb >= i.bin
+  GROUP BY 1, 2
+), x318_iso AS (
+  SELECT bi AS bin, MAX(minb) AS isov FROM x318_inner GROUP BY 1
+)
+SELECT p.bin,
+       ROUND((CASE WHEN p.hi = p.lo THEN p.lo
+              ELSE p.lo + CAST(p.bin AS DOUBLE)
+                   * ((p.hi - p.lo) / {float(b)!r}) END)
+             * 1000000.0) / 1000000.0 AS bin_lo,
+       p.n,
+       ROUND(CAST(p.sy AS DOUBLE) / CAST(p.n AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS raw_mean,
+       ROUND(i.isov * 1000000.0) / 1000000.0 AS iso_mean
+FROM x318_pref p
+JOIN x318_iso i ON p.bin = i.bin
+ORDER BY p.bin
+"""
+
+
+SQL_X318 = _sql_x318()
+
+EXT14_QUERIES.update({"x318_isotonic": q_x318_isotonic})
+EXT14_ORACLES.update({"x318_isotonic": SQL_X318})
+
+
+# ----------------------------- x319: trigram stupid-backoff LM score
+
+_X319_ALPHA = 0.4
+
+
+def q_x319_stupid_backoff(spark, sf_dir):
+    """Cross-corpus trigram stupid-backoff scoring
+    (operators/text.py:stupid_backoff_score): even-doc_id documents
+    are the reference counts, odd-doc_id documents are scored — the
+    split is what makes the backoff ladder live (self-scoring never
+    leaves the trigram level).  Bottom-20 mean log10 score = the most
+    unusual held-out docs, plus per-level backoff tallies."""
+    from .operators.text import stupid_backoff_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    sc = docs.where(F.col("doc_id") % 2 == 1)
+    out = stupid_backoff_score(ref, sc, "text", "doc_id", alpha=_X319_ALPHA)
+    return (
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_scored",
+            "n_tri_hits",
+            "n_bi_backoffs",
+            "n_uni_backoffs",
+            "mean_log10_score",
+        )
+        .orderBy("mean_log10_score", "doc_id")
+        .limit(20)
+    )
+
+
+def _sql_x319() -> str:
+    a = _X319_ALPHA
+    return f"""
+WITH x319_toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           t -> t <> '') AS tk
+  FROM documents
+), x319_ref AS (
+  SELECT * FROM x319_toks WHERE doc_id % 2 = 0
+), x319_sc AS (
+  SELECT * FROM x319_toks WHERE doc_id % 2 = 1
+), x319_runi AS (
+  SELECT unnest(tk) AS w3 FROM x319_ref
+), x319_nv AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_total,
+         CAST(COUNT(DISTINCT w3) AS DOUBLE) AS vocab
+  FROM x319_runi
+), x319_c1 AS (
+  SELECT w3, COUNT(*)::BIGINT AS c1 FROM x319_runi GROUP BY 1
+), x319_rbi AS (
+  SELECT b.w2 AS w2, b.w3 AS w3
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+             i -> {{'w2': tk[CAST(i AS INTEGER)],
+                    'w3': tk[CAST(i AS INTEGER) + 1]}})) AS b
+    FROM x319_ref
+  )
+), x319_c2 AS (
+  SELECT w2, w3, COUNT(*)::BIGINT AS c2 FROM x319_rbi GROUP BY 1, 2
+), x319_c2ctx AS (
+  SELECT w2, CAST(SUM(c2) AS BIGINT) AS c2ctx FROM x319_c2 GROUP BY 1
+), x319_rtri AS (
+  SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk) - 1),
+             i -> {{'w1': tk[CAST(i AS INTEGER)],
+                    'w2': tk[CAST(i AS INTEGER) + 1],
+                    'w3': tk[CAST(i AS INTEGER) + 2]}})) AS t
+    FROM x319_ref
+  )
+), x319_c3 AS (
+  SELECT w1, w2, w3, COUNT(*)::BIGINT AS c3
+  FROM x319_rtri GROUP BY 1, 2, 3
+), x319_c3ctx AS (
+  SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c3ctx
+  FROM x319_c3 GROUP BY 1, 2
+), x319_stream AS (
+  SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) - 1),
+             i -> {{'w1': tk[CAST(i AS INTEGER)],
+                    'w2': tk[CAST(i AS INTEGER) + 1],
+                    'w3': tk[CAST(i AS INTEGER) + 2]}})) AS t
+    FROM x319_sc
+  )
+), x319_probed AS (
+  SELECT s.doc_id,
+         CASE WHEN c3.c3 IS NOT NULL THEN 3
+              WHEN c2.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+         CAST(ROUND(log10(
+           CASE
+             WHEN c3.c3 IS NOT NULL THEN
+               CAST(c3.c3 AS DOUBLE) / CAST(x3.c3ctx AS DOUBLE)
+             WHEN c2.c2 IS NOT NULL THEN
+               {a!r} * CAST(c2.c2 AS DOUBLE) / CAST(x2.c2ctx AS DOUBLE)
+             ELSE
+               {a * a!r} * (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 1.0)
+               / (nv.n_total + nv.vocab)
+           END), 9) AS DECIMAL(38,9)) AS lg
+  FROM x319_stream s
+  LEFT JOIN x319_c3 c3
+    ON s.w1 = c3.w1 AND s.w2 = c3.w2 AND s.w3 = c3.w3
+  LEFT JOIN x319_c3ctx x3 ON s.w1 = x3.w1 AND s.w2 = x3.w2
+  LEFT JOIN x319_c2 c2 ON s.w2 = c2.w2 AND s.w3 = c2.w3
+  LEFT JOIN x319_c2ctx x2 ON s.w2 = x2.w2
+  LEFT JOIN x319_c1 c1 ON s.w3 = c1.w3
+  CROSS JOIN x319_nv nv
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COUNT(*)::BIGINT AS n_scored,
+       CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tri_hits,
+       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bi_backoffs,
+       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uni_backoffs,
+       ROUND(CAST(SUM(lg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS mean_log10_score
+FROM x319_probed
+GROUP BY doc_id
+ORDER BY mean_log10_score, doc_id
+LIMIT 20
+"""
+
+
+SQL_X319 = _sql_x319()
+
+EXT14_QUERIES.update({"x319_stupid_backoff": q_x319_stupid_backoff})
+EXT14_ORACLES.update({"x319_stupid_backoff": SQL_X319})

@@ -41,8 +41,10 @@ MODULE_NOTES = {
                      "within-subject tests",
     "queries_ext12": "x278–x299: storage-layout economics, Bayesian "
                      "A/B, Friedman/Cochran",
-    "queries_ext13": "x300+: round-5 batch — codec ingest (PNG) and "
-                     "newer families",
+    "queries_ext13": "x300–x315: round-5 batch — codec ingest (PNG), "
+                     "bandits, scan-time media sniffing",
+    "queries_ext14": "x316+: round-6 batch — spatial grid ops and "
+                     "newer statistical families",
 }
 
 

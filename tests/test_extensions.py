@@ -8608,3 +8608,67 @@ def test_geo_radius_join_guards(spark):
     with _pytest.raises(ValueError, match="distinct output columns"):
         geo_radius_join(pts, pts, left_id="id", right_id="id",
                         radius_km=10.0)
+
+
+def test_isotonic_fit_pools_decreasing_segment(spark):
+    from fame2pygen_spark.operators.quality import isotonic_fit
+
+    # bins=3 over scores {0.1, 0.5, 0.9}: bin means [1, 3, 2] with
+    # weights [1, 1, 2] -> PAVA pools bins 1,2: (3 + 2*2)/3 = 7/3
+    df = spark.createDataFrame(
+        [(0.1, 1.0), (0.5, 3.0), (0.9, 2.0), (0.9, 2.0)],
+        "score double, label double",
+    )
+    out = isotonic_fit(df, "score", "label", bins=3).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2]
+    assert [r["n"] for r in out] == [1, 1, 2]
+    assert [r["raw_mean"] for r in out] == [1.0, 3.0, 2.0]
+    assert out[0]["iso_mean"] == 1.0
+    assert abs(out[1]["iso_mean"] - 7.0 / 3.0) < 1e-6
+    assert out[1]["iso_mean"] == out[2]["iso_mean"]
+    # already-monotone input is a fixed point
+    mono = spark.createDataFrame(
+        [(0.1, 1.0), (0.5, 2.0), (0.9, 3.0)], "score double, label double"
+    )
+    fx = isotonic_fit(mono, "score", "label", bins=3).collect()
+    assert [r["iso_mean"] for r in fx] == [1.0, 2.0, 3.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        isotonic_fit(df, "score", "label", bins=1)
+
+
+def test_stupid_backoff_ladder_hand_computed(spark):
+    import math
+
+    from fame2pygen_spark.operators.text import stupid_backoff_score
+
+    # ref corpus "a b c a b d": N=6, V=4; f(a,b)=2, f(b,c)=1, f(b,d)=1
+    ref = spark.createDataFrame([(0, "a b c a b d")], "doc_id long, text string")
+    sc = spark.createDataFrame(
+        [(1, "a b c x"), (3, "c b d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           stupid_backoff_score(ref, sc, "text", "doc_id", alpha=0.4).collect()}
+    # doc 1: (a,b,c) tri hit S=1/2; (b,c,x) falls to unigram floor
+    # S = 0.16*(0+1)/(6+4) = 0.016
+    d1 = out[1]
+    assert (d1["n_scored"], d1["n_tri_hits"], d1["n_bi_backoffs"],
+            d1["n_uni_backoffs"]) == (2, 1, 0, 1)
+    want = (math.log10(0.5) + math.log10(0.016)) / 2
+    assert abs(d1["mean_log10_score"] - want) < 1e-6
+    # doc 3: (c,b,d) tri unseen, bigram (b,d) seen with ctx f(b,.)=2
+    # -> S = 0.4 * 1/2 = 0.2
+    d3 = out[3]
+    assert (d3["n_scored"], d3["n_tri_hits"], d3["n_bi_backoffs"],
+            d3["n_uni_backoffs"]) == (1, 0, 1, 0)
+    assert abs(d3["mean_log10_score"] - math.log10(0.2)) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        stupid_backoff_score(ref, sc, "text", "doc_id", alpha=0.0)
+    empty = spark.createDataFrame([(9, " ")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        stupid_backoff_score(empty, sc, "text", "doc_id")
