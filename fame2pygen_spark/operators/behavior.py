@@ -3883,3 +3883,79 @@ def best_arm_probability(
         )
         .orderBy("arm")
     )
+
+
+def hoeffding_racing(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    *,
+    delta: float = 0.05,
+    reward_range: float = 1.0,
+) -> DataFrame:
+    """Racing-algorithm elimination audit (Maron & Moore 1994;
+    successive elimination, Even-Dar et al. 2006): per arm, a
+    Hoeffding confidence interval ``mean ± range·sqrt(ln(2/delta) /
+    (2n))``, and the elimination verdict — an arm is OUT when its
+    upper bound falls below the best lower bound.  The
+    distribution-free companion to the Bayesian x315 readout: no
+    prior, no grid, just a bound — the check a scheduler runs between
+    batches to stop spending traffic on provably-worse variants.
+    *delta* is per-arm (apply your own union-bound division for
+    family-wise control); ``ln`` is evaluated once in Python, so both
+    engines fold identical literals.
+
+    Plan shape: ONE groupBy(arm) over the reward log with map-side
+    partial aggregation (count + decimal sum), then an unpartitioned
+    max over the <= #arms aggregate rows — bounded metadata, the same
+    class as the KM/bin windows.  No driver collect, no grid join.
+
+    Output per arm: ``(arm, n, mean_reward, lcb, ucb, eliminated,
+    is_leader)`` at 6 dp (tie-safe), ordered by arm; *is_leader*
+    marks the arm(s) attaining the best lcb.
+    """
+    d = float(delta)
+    if not (0.0 < d < 1.0):
+        raise ValueError("delta must be in (0, 1)")
+    rng = float(reward_range)
+    if rng <= 0:
+        raise ValueError("reward_range must be positive")
+    import math as _math
+
+    log_term = _math.log(2.0 / d)
+    dec = "decimal(38,9)"
+
+    per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col(reward_col).cast("double"), 9).cast(dec))
+        .alias("__s"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n").cast("double")
+    radius = F.lit(rng) * F.sqrt(
+        F.lit(log_term) / (F.lit(2.0) * F.col("n").cast("double"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per_arm.select(
+        "arm",
+        "n",
+        mean.alias("__m"),
+        (mean - radius).alias("__lcb"),
+        (mean + radius).alias("__ucb"),
+    ).select(
+        "*", F.max("__lcb").over(wall).alias("__best_lcb")
+    )
+
+    def _r6(x):
+        return F.round(x * F.lit(1e6)) / F.lit(1e6)
+
+    return staged.select(
+        "arm",
+        "n",
+        _r6(F.col("__m")).alias("mean_reward"),
+        _r6(F.col("__lcb")).alias("lcb"),
+        _r6(F.col("__ucb")).alias("ucb"),
+        (F.col("__ucb") < F.col("__best_lcb")).alias("eliminated"),
+        (F.col("__lcb") == F.col("__best_lcb")).alias("is_leader"),
+    ).orderBy("arm")

@@ -40,6 +40,7 @@ __all__ = [
     "theil_sen_trend", "ewma_smooth", "scd2_merge",
     "prorate_intervals", "decayed_sum", "holt_winters",
     "henderson_weights", "henderson_trend", "ljung_box",
+    "croston_forecast",
 ]
 
 
@@ -3033,4 +3034,119 @@ def ljung_box(
         F.round(F.when(ok, q), 6).alias("q_stat"),
         F.lit(lags).cast("long").alias("dof"),
         F.round(F.when(ok, p), 6).alias("p_value"),
+    )
+
+
+def croston_forecast(
+    df: DataFrame,
+    entity_col: str,
+    period_col: str,
+    size_col: str,
+    *,
+    alpha: float = 0.2,
+    horizon: int = 12,
+) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972): per
+    entity, smooth the NON-ZERO demand sizes and the gaps BETWEEN
+    demands separately, and forecast the per-period rate as
+    ``z / p`` — the standard answer for sparse series (spare parts,
+    long-tail SKUs, rare events) where ordinary exponential smoothing
+    collapses toward zero between demands.
+
+    *df* holds one row per demand occurrence: ``(entity, period,
+    size)`` with integer periods (week index, day index, ...) and
+    positive sizes — build it with one groupBy of the raw feed.  Both
+    EWMAs use the adjusted (normalized-weight) form truncated at
+    *horizon* most-recent demands — the same distributable semantics
+    as :func:`ewma_smooth` (``ewm(adjust=True)``), exact to
+    ``(1-alpha)^horizon`` and free of the init convention the
+    recursive form needs.  Weights are PYTHON-computed literals
+    looked up by recency rank, so both engines fold identical
+    doubles.  The first demand of each entity has no interval and is
+    weight-renormalized away from ``p``; single-demand entities get a
+    null ``p`` and null forecast (``try_divide``).
+
+    Scale shape: one shuffle to aggregate demands (upstream), one
+    entity-keyed window for recency ranks and interval lags, one
+    groupBy for the weighted folds — never a sequential scan; state
+    per entity is the bounded *horizon* tail.
+
+    Output per entity: ``(entity, n_demands, z_size, p_interval,
+    forecast_rate)`` at 6 dp (tie-safe), ordered by entity.
+    """
+    a = float(alpha)
+    if not (0.0 < a < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    h = int(horizon)
+    if h < 1:
+        raise ValueError("horizon must be >= 1")
+    beta = 1.0 - a
+    weights = F.array(*[F.lit(beta**j) for j in range(h)])
+    dec = "decimal(38,9)"
+
+    w = Window.partitionBy("entity").orderBy(F.col("period").asc())
+    wdesc = Window.partitionBy("entity").orderBy(F.col("period").desc())
+    staged = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.col(period_col).cast("long").alias("period"),
+            F.col(size_col).cast("double").alias("size"),
+        )
+        .where(F.col("size").isNotNull() & (F.col("size") > 0))
+        .select(
+            "entity",
+            "period",
+            "size",
+            (F.col("period") - F.lag("period").over(w))
+            .cast("double")
+            .alias("interval"),
+        )
+        .select(
+            "*", F.row_number().over(wdesc).alias("__rk")
+        )
+    )
+    recent = staged.where(F.col("__rk") <= h).select(
+        "entity",
+        "size",
+        "interval",
+        F.element_at(weights, F.col("__rk").cast("int")).alias("__w"),
+    )
+    n_all = staged.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demands")
+    )
+    folded = recent.groupBy("entity").agg(
+        F.sum(F.round(F.col("__w") * F.col("size"), 9).cast(dec)).alias(
+            "__zn"
+        ),
+        F.sum(F.round(F.col("__w"), 9).cast(dec)).alias("__zd"),
+        F.sum(
+            F.when(
+                F.col("interval").isNotNull(),
+                F.round(F.col("__w") * F.col("interval"), 9),
+            ).cast(dec)
+        ).alias("__pn"),
+        F.sum(
+            F.when(
+                F.col("interval").isNotNull(), F.round(F.col("__w"), 9)
+            ).cast(dec)
+        ).alias("__pd"),
+    )
+
+    def _r6(x: Column) -> Column:
+        return F.round(x * F.lit(1e6)) / F.lit(1e6)
+
+    z = F.col("__zn").cast("double") / F.col("__zd").cast("double")
+    p = F.try_divide(
+        F.col("__pn").cast("double"), F.col("__pd").cast("double")
+    )
+    return (
+        folded.join(n_all, on="entity")
+        .select(
+            "entity",
+            "n_demands",
+            _r6(z).alias("z_size"),
+            _r6(p).alias("p_interval"),
+            _r6(F.try_divide(z, p)).alias("forecast_rate"),
+        )
+        .orderBy("entity")
     )

@@ -422,3 +422,169 @@ SQL_X319 = _sql_x319()
 
 EXT14_QUERIES.update({"x319_stupid_backoff": q_x319_stupid_backoff})
 EXT14_ORACLES.update({"x319_stupid_backoff": SQL_X319})
+
+
+# ----------------------------- x320: Croston intermittent demand
+
+_X320_ALPHA = 0.2
+_X320_HORIZON = 12
+
+
+def q_x320_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast
+    (operators/temporal.py:croston_forecast): weekly large-order
+    (qty >= 30) demand per part from lineitem — a genuinely sparse
+    series — smoothed into per-part demand size, inter-demand
+    interval, and forecast rate with horizon-truncated adjusted
+    EWMAs whose weights are Python literals on both engines."""
+    from .operators.temporal import croston_forecast
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    demand = (
+        li.where(F.col("l_quantity") >= 30)
+        .groupBy(
+            F.col("l_partkey").cast("long").alias("part"),
+            F.expr("datediff(l_shipdate, DATE '1992-01-01') div 7")
+            .cast("long")
+            .alias("week"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    return croston_forecast(
+        demand, "part", "week", "qty",
+        alpha=_X320_ALPHA, horizon=_X320_HORIZON,
+    )
+
+
+def _sql_x320() -> str:
+    a, h = _X320_ALPHA, _X320_HORIZON
+    beta = 1.0 - a
+    wlist = ", ".join(repr(beta**j) for j in range(h))
+    return f"""
+WITH x320_demand AS (
+  SELECT CAST(l_partkey AS BIGINT) AS entity,
+         CAST(date_diff('day', DATE '1992-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT) // 7
+           AS period,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS size
+  FROM lineitem
+  WHERE l_quantity >= 30
+  GROUP BY 1, 2
+), x320_staged AS (
+  SELECT entity, period, size,
+         CAST(period - LAG(period) OVER
+              (PARTITION BY entity ORDER BY period) AS DOUBLE)
+           AS itv,
+         ROW_NUMBER() OVER
+           (PARTITION BY entity ORDER BY period DESC) AS rk
+  FROM x320_demand
+  WHERE size IS NOT NULL AND size > 0
+), x320_recent AS (
+  SELECT entity, size, itv, ([{wlist}])[rk] AS w
+  FROM x320_staged
+  WHERE rk <= {h}
+), x320_folded AS (
+  SELECT entity,
+         SUM(CAST(ROUND(w * size, 9) AS DECIMAL(38,9))) AS zn,
+         SUM(CAST(ROUND(w, 9) AS DECIMAL(38,9))) AS zd,
+         SUM(CAST(CASE WHEN itv IS NOT NULL
+                  THEN ROUND(w * itv, 9) END AS DECIMAL(38,9))) AS pn,
+         SUM(CAST(CASE WHEN itv IS NOT NULL
+                  THEN ROUND(w, 9) END AS DECIMAL(38,9))) AS pd
+  FROM x320_recent
+  GROUP BY entity
+), x320_n AS (
+  SELECT entity, COUNT(*)::BIGINT AS n_demands
+  FROM x320_staged GROUP BY entity
+)
+SELECT f.entity,
+       n.n_demands,
+       ROUND(CAST(zn AS DOUBLE) / CAST(zd AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS z_size,
+       ROUND(CAST(pn AS DOUBLE) / NULLIF(CAST(pd AS DOUBLE), 0)
+             * 1000000.0) / 1000000.0 AS p_interval,
+       ROUND((CAST(zn AS DOUBLE) / CAST(zd AS DOUBLE))
+             / NULLIF(CAST(pn AS DOUBLE) / NULLIF(CAST(pd AS DOUBLE), 0),
+                      0) * 1000000.0) / 1000000.0 AS forecast_rate
+FROM x320_folded f
+JOIN x320_n n ON f.entity = n.entity
+ORDER BY f.entity
+"""
+
+
+SQL_X320 = _sql_x320()
+
+EXT14_QUERIES.update({"x320_croston": q_x320_croston})
+EXT14_ORACLES.update({"x320_croston": SQL_X320})
+
+
+# ----------------------------- x321: Hoeffding racing elimination
+
+_X321_DELTA = 0.05
+
+
+def q_x321_hoeffding_racing(spark, sf_dir):
+    """Distribution-free racing elimination audit
+    (operators/behavior.py:hoeffding_racing): event types as arms,
+    value clipped to [0, 1] as reward — per-arm Hoeffding bounds and
+    the eliminated/leader verdicts a bandit scheduler applies between
+    batches.  One keyed aggregation plus a bounded arm-row window."""
+    from .operators.behavior import hoeffding_racing
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    rewards = ev.select(
+        F.col("event_type").alias("arm"),
+        F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(0.0), F.col("value").cast("double") / 100.0),
+        ).alias("reward"),
+    )
+    return hoeffding_racing(rewards, "arm", "reward", delta=_X321_DELTA)
+
+
+def _sql_x321() -> str:
+    import math
+
+    lt = math.log(2.0 / _X321_DELTA)
+    return f"""
+WITH x321_rewards AS (
+  SELECT event_type AS arm,
+         LEAST(1.0, GREATEST(0.0, CAST(value AS DOUBLE) / 100.0))
+           AS reward
+  FROM events
+), x321_arms AS (
+  SELECT arm, COUNT(*)::BIGINT AS n,
+         SUM(CAST(ROUND(reward, 9) AS DECIMAL(38,9))) AS s
+  FROM x321_rewards GROUP BY arm
+), x321_staged AS (
+  SELECT arm, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           - sqrt({lt!r} / (2.0 * CAST(n AS DOUBLE))) AS lcb,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           + sqrt({lt!r} / (2.0 * CAST(n AS DOUBLE))) AS ucb
+  FROM x321_arms
+), x321_best AS (
+  SELECT arm, n, m, lcb, ucb, MAX(lcb) OVER () AS best_lcb
+  FROM x321_staged
+)
+SELECT arm, n,
+       ROUND(m * 1000000.0) / 1000000.0 AS mean_reward,
+       ROUND(lcb * 1000000.0) / 1000000.0 AS lcb,
+       ROUND(ucb * 1000000.0) / 1000000.0 AS ucb,
+       ucb < best_lcb AS eliminated,
+       lcb = best_lcb AS is_leader
+FROM x321_best
+ORDER BY arm
+"""
+
+
+SQL_X321 = _sql_x321()
+
+EXT14_QUERIES.update({"x321_hoeffding_racing": q_x321_hoeffding_racing})
+EXT14_ORACLES.update({"x321_hoeffding_racing": SQL_X321})

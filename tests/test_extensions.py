@@ -8672,3 +8672,56 @@ def test_stupid_backoff_ladder_hand_computed(spark):
     empty = spark.createDataFrame([(9, " ")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no tokens"):
         stupid_backoff_score(empty, sc, "text", "doc_id")
+
+
+def test_croston_forecast_hand_computed(spark):
+    from fame2pygen_spark.operators.temporal import croston_forecast
+
+    # entity A: demands at periods 0, 2, 6 with sizes 10, 20, 30;
+    # alpha=0.5 adjusted EWMA over all 3 (horizon covers everything):
+    # weights by recency [1, .5, .25] over sizes [30, 20, 10]
+    # z = (30 + 10 + 2.5) / 1.75 = 24.285714
+    # intervals (recency order): 4, 2, null -> p = (4 + 1)/1.5 = 10/3
+    df = spark.createDataFrame(
+        [("A", 0, 10.0), ("A", 2, 20.0), ("A", 6, 30.0), ("B", 5, 7.0)],
+        "e string, t long, q double",
+    )
+    out = {r["entity"]: r for r in
+           croston_forecast(df, "e", "t", "q", alpha=0.5, horizon=8).collect()}
+    a = out["A"]
+    assert a["n_demands"] == 3
+    assert abs(a["z_size"] - 42.5 / 1.75) < 1e-6
+    assert abs(a["p_interval"] - 5.0 / 1.5) < 1e-6
+    assert abs(a["forecast_rate"] - (42.5 / 1.75) / (5.0 / 1.5)) < 1e-6
+    # single-demand entity: no interval -> null p and forecast
+    b = out["B"]
+    assert b["z_size"] == 7.0
+    assert b["p_interval"] is None and b["forecast_rate"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        croston_forecast(df, "e", "t", "q", alpha=1.0)
+
+
+def test_hoeffding_racing_eliminates_clear_loser(spark):
+    from fame2pygen_spark.operators.behavior import hoeffding_racing
+
+    rows = [("good", 1.0)] * 180 + [("good", 0.0)] * 20 \
+        + [("bad", 1.0)] * 20 + [("bad", 0.0)] * 180
+    df = spark.createDataFrame(rows, "arm string, r double")
+    out = {r["arm"]: r for r in
+           hoeffding_racing(df, "arm", "r", delta=0.05).collect()}
+    assert out["good"]["is_leader"] and not out["good"]["eliminated"]
+    assert out["bad"]["eliminated"] and not out["bad"]["is_leader"]
+    # bound arithmetic: mean +/- sqrt(ln(40)/(2*200))
+    import math
+
+    rad = math.sqrt(math.log(2 / 0.05) / 400.0)
+    assert abs(out["good"]["lcb"] - (0.9 - rad)) < 1e-6
+    assert abs(out["bad"]["ucb"] - (0.1 + rad)) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delta"):
+        hoeffding_racing(df, "arm", "r", delta=1.0)
