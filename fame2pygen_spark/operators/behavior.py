@@ -3959,3 +3959,105 @@ def hoeffding_racing(
         (F.col("__ucb") < F.col("__best_lcb")).alias("eliminated"),
         (F.col("__lcb") == F.col("__best_lcb")).alias("is_leader"),
     ).orderBy("arm")
+
+
+def seq_pattern_support(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    top_types: int = 4,
+    min_support: int = 1,
+) -> DataFrame:
+    """Support counting for ordered 3-event SUBSEQUENCE patterns —
+    the candidate-evaluation core of sequential pattern mining
+    (GSP/PrefixSpan, Srikant & Agrawal 1996; Pei et al. 2001),
+    bounded to the ``top_types``³ candidate grid so the pass stays
+    relational.  Unlike :func:`event_transitions` (ADJACENT pairs)
+    or funnels (ONE fixed pattern), this scores every ordered triple
+    (a, b, c) over the candidate alphabet by the number of users
+    whose history contains a < b < c at strictly increasing
+    timestamps, gaps allowed.
+
+    Earliest-first greedy chaining (optimal for subsequence
+    existence) in three keyed stages:
+
+    1. per (user, a): earliest a-timestamp — one groupBy;
+    2. per (user, a, b): earliest b STRICTLY AFTER stage 1 — the one
+       events×|alphabet| join, user-keyed;
+    3. per (user, a, b, c): c exists after stage 2 ⟺ the user's LAST
+       c-timestamp is later — joins stage 2 against a per-(user, c)
+       max, so the third level never rescans events.
+
+    Timestamp ties never chain (strict inequalities throughout).
+    Scale shape: every stage shuffles on the user key; intermediate
+    width is |alphabet| (stage 2 probe) and |alphabet|² rows per user
+    (stage 3 metadata), both bounded by *top_types* ≤ 8; the final
+    support count is one |alphabet|³-group aggregation.
+
+    Output: ``(a, b, c, n_users, support_rate)`` (6 dp, tie-safe) for
+    triples with ``n_users >= min_support``, ordered by n_users desc,
+    then (a, b, c); ``support_rate`` divides by the total distinct
+    users in *df* (not just candidate-active ones).
+    """
+    m = int(top_types)
+    if not (1 <= m <= 8):
+        raise ValueError("top_types must be in 1..8")
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(type_col).cast("string").alias("e"),
+    ).where(F.col("t").isNotNull() & F.col("e").isNotNull())
+    n_users = base.select("u").distinct().count()
+    if n_users == 0:
+        raise ValueError("seq_pattern_support: input has no users")
+    cand = (
+        base.groupBy("e")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("e").asc())
+        .limit(m)
+        .select("e")
+    )
+    ev = base.join(F.broadcast(cand), on="e").select("u", "t", "e")
+    # stage 1: earliest occurrence per (user, a)
+    t1 = ev.groupBy("u", F.col("e").alias("a")).agg(
+        F.min("t").alias("__t1")
+    )
+    # stage 2: earliest b strictly after t1(a) — the events×m join
+    t2 = (
+        ev.select("u", F.col("e").alias("b"), F.col("t").alias("__tb"))
+        .join(t1, on="u")
+        .where(F.col("__tb") > F.col("__t1"))
+        .groupBy("u", "a", "b")
+        .agg(F.min("__tb").alias("__t2"))
+    )
+    # stage 3: c exists after t2 ⟺ last c-timestamp > t2
+    tmax = ev.groupBy("u", F.col("e").alias("c")).agg(
+        F.max("t").alias("__tc")
+    )
+    hits = (
+        t2.join(tmax, on="u")
+        .where(F.col("__tc") > F.col("__t2"))
+        .select("u", "a", "b", "c")
+    )
+    return (
+        hits.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .where(F.col("n_users") >= int(min_support))
+        .select(
+            "a",
+            "b",
+            "c",
+            "n_users",
+            (
+                F.round(
+                    F.col("n_users").cast("double")
+                    / F.lit(float(n_users))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("support_rate"),
+        )
+        .orderBy(F.col("n_users").desc(), "a", "b", "c")
+    )

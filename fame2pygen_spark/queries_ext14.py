@@ -588,3 +588,70 @@ SQL_X321 = _sql_x321()
 
 EXT14_QUERIES.update({"x321_hoeffding_racing": q_x321_hoeffding_racing})
 EXT14_ORACLES.update({"x321_hoeffding_racing": SQL_X321})
+
+
+# ----------------------------- x322: sequential 3-pattern support
+
+_X322_TOP_TYPES = 4
+
+
+def q_x322_seq_patterns(spark, sf_dir):
+    """Ordered 3-event subsequence support mining
+    (operators/behavior.py:seq_pattern_support): every ordered triple
+    over the 4 most frequent event types, scored by the number of
+    users whose history contains it with gaps allowed — earliest-
+    first greedy chaining in three user-keyed stages, never a
+    per-pattern pass."""
+    from .operators.behavior import seq_pattern_support
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    return seq_pattern_support(
+        ev, "user_id", "ts_us", "event_type",
+        top_types=_X322_TOP_TYPES,
+    )
+
+
+def _sql_x322() -> str:
+    m = _X322_TOP_TYPES
+    return f"""
+WITH x322_base AS (
+  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         CAST(event_type AS VARCHAR) AS e
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), x322_nu AS (
+  SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n_users FROM x322_base
+), x322_cand AS (
+  SELECT e FROM x322_base GROUP BY e
+  ORDER BY COUNT(*) DESC, e ASC LIMIT {m}
+), x322_ev AS (
+  SELECT b.u, b.t, b.e FROM x322_base b JOIN x322_cand c ON b.e = c.e
+), x322_t1 AS (
+  SELECT u, e AS a, MIN(t) AS t1 FROM x322_ev GROUP BY u, e
+), x322_t2 AS (
+  SELECT ev.u, t1.a, ev.e AS b, MIN(ev.t) AS t2
+  FROM x322_ev ev JOIN x322_t1 t1 ON ev.u = t1.u
+  WHERE ev.t > t1.t1
+  GROUP BY ev.u, t1.a, ev.e
+), x322_tmax AS (
+  SELECT u, e AS c, MAX(t) AS tc FROM x322_ev GROUP BY u, e
+), x322_hits AS (
+  SELECT t2.u, t2.a, t2.b, tm.c
+  FROM x322_t2 t2 JOIN x322_tmax tm ON t2.u = tm.u
+  WHERE tm.tc > t2.t2
+)
+SELECT a, b, c, COUNT(*)::BIGINT AS n_users,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / nu.n_users * 1000000.0)
+         / 1000000.0 AS support_rate
+FROM x322_hits CROSS JOIN x322_nu nu
+GROUP BY a, b, c, nu.n_users
+HAVING COUNT(*) >= 1
+ORDER BY n_users DESC, a, b, c
+"""
+
+
+SQL_X322 = _sql_x322()
+
+EXT14_QUERIES.update({"x322_seq_patterns": q_x322_seq_patterns})
+EXT14_ORACLES.update({"x322_seq_patterns": SQL_X322})

@@ -8725,3 +8725,33 @@ def test_hoeffding_racing_eliminates_clear_loser(spark):
 
     with _pytest.raises(ValueError, match="delta"):
         hoeffding_racing(df, "arm", "r", delta=1.0)
+
+
+def test_seq_pattern_support_greedy_chaining(spark):
+    from fame2pygen_spark.operators.behavior import seq_pattern_support
+
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "C"),   # supports (A,B,C)
+        (2, 1, "C"), (2, 2, "B"), (2, 3, "A"),   # supports (C,B,A)
+        (3, 5, "A"), (3, 5, "B"), (3, 5, "C"),   # ties never chain
+        (4, 1, "A"), (4, 2, "A"), (4, 3, "A"),   # supports (A,A,A)
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    out = {(r["a"], r["b"], r["c"]): r for r in
+           seq_pattern_support(df, "u", "t", "e", top_types=3).collect()}
+    assert out[("A", "B", "C")]["n_users"] == 1
+    assert out[("C", "B", "A")]["n_users"] == 1
+    assert out[("A", "A", "A")]["n_users"] == 1
+    assert ("B", "C", "A") not in out
+    # support_rate divides by ALL users (4), including never-chaining
+    assert abs(out[("A", "B", "C")]["support_rate"] - 0.25) < 1e-9
+    # min_support filters
+    kept = seq_pattern_support(
+        df, "u", "t", "e", top_types=3, min_support=2
+    ).collect()
+    assert kept == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_types"):
+        seq_pattern_support(df, "u", "t", "e", top_types=0)
