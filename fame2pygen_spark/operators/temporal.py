@@ -40,7 +40,7 @@ __all__ = [
     "theil_sen_trend", "ewma_smooth", "scd2_merge",
     "prorate_intervals", "decayed_sum", "holt_winters",
     "henderson_weights", "henderson_trend", "ljung_box",
-    "croston_forecast",
+    "croston_forecast", "dtw_pairs",
 ]
 
 
@@ -3149,4 +3149,152 @@ def croston_forecast(
             _r6(F.try_divide(z, p)).alias("forecast_rate"),
         )
         .orderBy("entity")
+    )
+
+
+def dtw_pairs(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    band: int | None = None,
+    max_len: int = 512,
+    max_entities: int = 64,
+) -> DataFrame:
+    """All-pairs dynamic time warping distance between per-entity
+    series (Sakoe & Chiba 1978): ``dtw(a, b)`` is the minimum summed
+    |Δvalue| over monotone alignments of the two ordered sequences —
+    the classic elastic similarity for series that drift in phase
+    (usage curves shifted by onboarding date, seasonal offsets) where
+    pointwise metrics mis-rank.
+
+    The DP is inherently sequential per pair, so this is a deliberate
+    Pandas-path operator: per-entity series aggregate into bounded
+    arrays (loud-fail past *max_len*; entity count loud-fails past
+    *max_entities* since the pair grid is quadratic — at scale, run
+    it on cluster representatives from k-means/k-center, not raw
+    entities), the a < b pair frame stays <= C(max_entities, 2) rows,
+    and ONE Arrow-batched ``mapInPandas`` stage fills the banded
+    O(n·band) table per pair with numpy.  *band* is the Sakoe-Chiba
+    half-width, widened per pair to at least |n−m| so the corner
+    stays reachable; ``None`` = exact full DP.
+
+    Determinism: the DP uses only +, abs and min of doubles — every
+    engine reproduces identical IEEE results; with integer-valued
+    inputs the distances are exact integers.
+
+    Output per pair (a < b by entity string): ``(entity_a, entity_b,
+    n_a, n_b, dtw)`` at 6 dp, ordered by (entity_a, entity_b).
+    """
+    if band is not None and int(band) < 1:
+        raise ValueError("band must be >= 1 or None")
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("e")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("o", "v"))),
+                lambda s: s["v"],
+            ).alias("vs")
+        )
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"), F.max(F.size("vs")).alias("ml")
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("dtw_pairs: input is empty")
+    if stats["k"] > int(max_entities):
+        raise ValueError(
+            f"dtw_pairs: {stats['k']} entities exceed max_entities="
+            f"{max_entities} — the pair grid is quadratic; pre-cluster "
+            "or raise the cap deliberately"
+        )
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"dtw_pairs: longest series ({stats['ml']}) exceeds "
+            f"max_len={max_len} — downsample the series first"
+        )
+    a = per_ent.select(
+        F.col("e").alias("entity_a"), F.col("vs").alias("__xa")
+    )
+    b = per_ent.select(
+        F.col("e").alias("entity_b"), F.col("vs").alias("__xb")
+    )
+    pairs = a.join(b, F.col("entity_a") < F.col("entity_b"))
+    bnd = None if band is None else int(band)
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "entity_a": [], "entity_b": [],
+                "n_a": [], "n_b": [], "dtw": [],
+            }
+            for ea, eb, xa, xb in zip(
+                pdf["entity_a"], pdf["entity_b"], pdf["__xa"], pdf["__xb"]
+            ):
+                x = np.asarray(list(xa), dtype=np.float64)
+                y = np.asarray(list(xb), dtype=np.float64)
+                n, m = len(x), len(y)
+                eff = None if bnd is None else max(bnd, abs(n - m))
+                inf = np.inf
+                prev = np.full(m + 1, inf)
+                prev[0] = 0.0
+                for i in range(1, n + 1):
+                    cur = np.full(m + 1, inf)
+                    jlo = 1 if eff is None else max(1, i - eff)
+                    jhi = m if eff is None else min(m, i + eff)
+                    for j in range(jlo, jhi + 1):
+                        c = abs(x[i - 1] - y[j - 1])
+                        cur[j] = c + min(
+                            prev[j], prev[j - 1], cur[j - 1]
+                        )
+                    prev = cur
+                d = prev[m]
+                out["entity_a"].append(ea)
+                out["entity_b"].append(eb)
+                out["n_a"].append(n)
+                out["n_b"].append(m)
+                out["dtw"].append(
+                    None if not np.isfinite(d) else float(d)
+                )
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity_a", StringType()),
+            StructField("entity_b", StringType()),
+            StructField("n_a", LongType()),
+            StructField("n_b", LongType()),
+            StructField("dtw", DoubleType()),
+        ]
+    )
+    return (
+        pairs.mapInPandas(compute, schema=schema)
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_a",
+            "n_b",
+            (F.round(F.col("dtw") * F.lit(1e6)) / F.lit(1e6)).alias(
+                "dtw"
+            ),
+        )
+        .orderBy("entity_a", "entity_b")
     )

@@ -655,3 +655,88 @@ SQL_X322 = _sql_x322()
 
 EXT14_QUERIES.update({"x322_seq_patterns": q_x322_seq_patterns})
 EXT14_ORACLES.update({"x322_seq_patterns": SQL_X322})
+
+
+# ----------------------------- x323: dynamic time warping pairs
+
+_X323_USERS = 12
+_US_PER_DAY = 86_400_000_000
+
+
+def q_x323_dtw(spark, sf_dir):
+    """All-pairs DTW distance between users' daily-activity series
+    (operators/temporal.py:dtw_pairs): 12 users' per-day event counts
+    aligned elastically — the bounded-pair Pandas-path operator with
+    an exact full DP (band=None).  The oracle replays the identical
+    DP as a diagonal-wavefront recursive CTE carrying each
+    anti-diagonal as a list, so both engines fold the same
+    +/abs/min chain (integer-valued costs — exact)."""
+    from .operators.temporal import dtw_pairs
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("user_id") < _X323_USERS)
+        .groupBy(
+            F.col("user_id").cast("string").alias("user"),
+            F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    )
+    return dtw_pairs(daily, "user", "day", "n_events")
+
+
+def _sql_x323() -> str:
+    return f"""
+WITH RECURSIVE x323_daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events
+  WHERE user_id < {_X323_USERS}
+  GROUP BY 1, 2
+), x323_arr AS (
+  SELECT e, list(v ORDER BY day, v) AS vs
+  FROM x323_daily GROUP BY e
+), x323_pairs AS (
+  SELECT a.e AS ea, b.e AS eb, a.vs AS x, b.vs AS y,
+         len(a.vs) AS n, len(b.vs) AS m
+  FROM x323_arr a JOIN x323_arr b ON a.e < b.e
+), x323_dp AS (
+  SELECT ea, eb, x, y, n, m, 2 AS d,
+         list_transform(range(1, n + 1),
+           i -> CASE WHEN i = 1 THEN abs(x[1] - y[1]) END) AS cur,
+         list_transform(range(1, n + 1),
+           i -> CAST(NULL AS DOUBLE)) AS prev
+  FROM x323_pairs
+  UNION ALL
+  SELECT ea, eb, x, y, n, m, d + 1,
+         list_transform(range(1, n + 1),
+           i -> CASE WHEN d + 1 - i BETWEEN 1 AND m
+                      AND i BETWEEN 1 AND n THEN
+                  abs(x[CAST(i AS INTEGER)]
+                      - y[CAST(d + 1 - i AS INTEGER)])
+                  + least(
+                      cur[CAST(i AS INTEGER)],
+                      CASE WHEN i > 1
+                           THEN cur[CAST(i - 1 AS INTEGER)] END,
+                      CASE WHEN i > 1
+                           THEN prev[CAST(i - 1 AS INTEGER)] END)
+                END) AS cur,
+         cur AS prev
+  FROM x323_dp
+  WHERE d < n + m
+)
+SELECT ea AS entity_a, eb AS entity_b,
+       CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       ROUND(cur[CAST(n AS INTEGER)] * 1000000.0) / 1000000.0 AS dtw
+FROM x323_dp
+WHERE d = n + m
+ORDER BY ea, eb
+"""
+
+
+SQL_X323 = _sql_x323()
+
+EXT14_QUERIES.update({"x323_dtw": q_x323_dtw})
+EXT14_ORACLES.update({"x323_dtw": SQL_X323})

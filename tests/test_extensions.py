@@ -8755,3 +8755,39 @@ def test_seq_pattern_support_greedy_chaining(spark):
 
     with _pytest.raises(ValueError, match="top_types"):
         seq_pattern_support(df, "u", "t", "e", top_types=0)
+
+
+def test_dtw_pairs_elastic_alignment_and_guards(spark):
+    from fame2pygen_spark.operators.temporal import dtw_pairs
+
+    # phase-shifted copies align to zero cost; a flat series doesn't
+    rows = []
+    for t in range(8):
+        rows.append(("a", t, float([0, 1, 3, 1, 0, 0, 0, 0][t])))
+        # a shifted by TWO steps (so a band of 1 cannot absorb it)
+        rows.append(("b", t, float([0, 0, 0, 1, 3, 1, 0, 0][t])))
+        rows.append(("c", t, 1.0))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {(r["entity_a"], r["entity_b"]): r
+           for r in dtw_pairs(df, "e", "t", "v").collect()}
+    assert out[("a", "b")]["dtw"] == 0.0
+    assert out[("a", "c")]["dtw"] > 0.0
+    assert out[("a", "b")]["n_a"] == 8 and out[("a", "b")]["n_b"] == 8
+    # a generous band reproduces the exact DP
+    banded = {(r["entity_a"], r["entity_b"]): r["dtw"]
+              for r in dtw_pairs(df, "e", "t", "v", band=8).collect()}
+    assert banded == {k: v["dtw"] for k, v in out.items()}
+    # band=1 constrains the warp: dtw(a,b) becomes positive
+    tight = {(r["entity_a"], r["entity_b"]): r["dtw"]
+             for r in dtw_pairs(df, "e", "t", "v", band=1).collect()}
+    assert tight[("a", "b")] > 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_entities"):
+        dtw_pairs(df, "e", "t", "v", max_entities=2)
+    with _pytest.raises(ValueError, match="max_len"):
+        dtw_pairs(df, "e", "t", "v", max_len=5)
+    empty = spark.createDataFrame([], "e string, t long, v double")
+    with _pytest.raises(ValueError, match="empty"):
+        dtw_pairs(empty, "e", "t", "v")
