@@ -118,6 +118,14 @@ SENSITIVE = [
     "x310_qini",
     "x314_ucb",
     "x315_best_arm",
+    "x316_geo_cells",
+    "x317_geo_radius",
+    "x318_isotonic",
+    "x319_stupid_backoff",
+    "x320_croston",
+    "x321_hoeffding_racing",
+    "x322_seq_patterns",
+    "x323_dtw",
 ]
 
 

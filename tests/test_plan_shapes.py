@@ -1187,3 +1187,65 @@ def test_best_arm_windows_are_arm_keyed(spark):
     # grid normalization/prefix windows must be partitioned by arm —
     # a global grid window would serialize k·400 rows on one core
     assert unpartitioned_windows(spark, "x315_best_arm") == []
+
+
+# ------------------------------------------------- round-6 operators
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x316_geo_cells",        # one cell-keyed agg, bounded decode
+        "x317_geo_radius",       # neighbor-cell equi-join
+        "x318_isotonic",         # one data shuffle + <=bins^3 grid
+        "x319_stupid_backoff",   # model-table stream joins
+        "x320_croston",          # entity-keyed windows + folds
+        "x321_hoeffding_racing", # one keyed agg + <=arms window
+        "x322_seq_patterns",     # user-keyed staged chaining
+        "x323_dtw",              # bounded pair mapInPandas
+    ],
+)
+def test_r6_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_geo_radius_join_is_one_equi_join_no_full_sort_join(spark):
+    # the spatial join must co-locate on the packed cell id — an
+    # equi-join (broadcast at this scale; shuffled-hash/SMJ on the
+    # cell key at cluster scale), never a cartesian distance scan
+    plan = plan_of(spark, "x317_geo_radius")
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_cell_stats_is_window_free_single_agg(spark):
+    plan = plan_of(spark, "x316_geo_cells")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_croston_windows_are_entity_keyed(spark):
+    # recency ranks and interval lags partition by entity — a global
+    # window would serialize the demand table on one core
+    assert unpartitioned_windows(spark, "x320_croston") == []
+
+
+def test_seq_pattern_windows_absent_and_joins_keyed(spark):
+    # the three greedy stages are groupBys and user-keyed joins —
+    # no window at all, no cartesian
+    plan = plan_of(spark, "x322_seq_patterns")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_isotonic_single_unbounded_window_is_bin_bounded(spark):
+    # the only ordered window runs over the <=bins-row aggregate;
+    # the (i, a, b) grid joins are metadata-sized — no SMJ of data
+    plan = plan_of(spark, "x318_isotonic")
+    assert "CartesianProduct" not in plan
