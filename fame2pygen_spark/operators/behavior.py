@@ -4061,3 +4061,99 @@ def seq_pattern_support(
         )
         .orderBy(F.col("n_users").desc(), "a", "b", "c")
     )
+
+
+def event_study(
+    df: DataFrame,
+    unit_col: str,
+    period_col: str,
+    outcome_col: str,
+    treated_col: str,
+    *,
+    event_period: int,
+    pre: int = 4,
+    post: int = 4,
+) -> DataFrame:
+    """Difference-in-differences event study (the dynamic-effects
+    companion to the single-coefficient DiD): for each relative
+    period ``k = period − event_period`` in ``[−pre, +post]``, the
+    means-based coefficient
+
+    ``att_k = (ȳ_T,k − ȳ_T,−1) − (ȳ_C,k − ȳ_C,−1)``
+
+    with k = −1 as the omitted base — the standard pre-trend /
+    dynamic-treatment readout plotted around a launch.  Significant
+    att at k < −1 is the pre-trend warning; k ≥ 0 traces the effect
+    as it phases in.
+
+    Plan shape: ONE groupBy((treated, k)) over the panel with
+    map-side decimal partial sums — the result is ≤ 2·(pre+post+1)
+    rows; base-period means attach via a window over that bounded
+    aggregate (never the panel).  Cells missing a base mean get null
+    att.
+
+    Output per k: ``(rel_period, n_treat, n_ctrl, mean_treat,
+    mean_ctrl, att)`` (6 dp, tie-safe), ordered by rel_period;
+    ``att = 0`` at k = −1 by construction.
+    """
+    p, q = int(pre), int(post)
+    if p < 1 or q < 0:
+        raise ValueError("need pre >= 1 (the base period) and post >= 0")
+    dec = "decimal(38,9)"
+    k = (F.col(period_col).cast("long") - F.lit(int(event_period))).alias(
+        "__k"
+    )
+    base = df.select(
+        k,
+        F.col(treated_col).cast("boolean").alias("__t"),
+        F.col(outcome_col).cast("double").alias("__y"),
+    ).where(
+        (F.col("__k") >= -p)
+        & (F.col("__k") <= q)
+        & F.col("__y").isNotNull()
+        & F.col("__t").isNotNull()
+    )
+    cells = base.groupBy("__k", "__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.round(F.col("__y"), 9).cast(dec)).alias("__s"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    wgrp = Window.partitionBy("__t")
+    staged = cells.select(
+        "__k",
+        "__t",
+        "__n",
+        mean.alias("__m"),
+        F.max(F.when(F.col("__k") == -1, mean)).over(wgrp).alias("__mb"),
+    )
+    t = staged.where(F.col("__t")).select(
+        "__k",
+        F.col("__n").alias("n_treat"),
+        F.col("__m").alias("__mt"),
+        F.col("__mb").alias("__mbt"),
+    )
+    c = staged.where(~F.col("__t")).select(
+        "__k",
+        F.col("__n").alias("n_ctrl"),
+        F.col("__m").alias("__mc"),
+        F.col("__mb").alias("__mbc"),
+    )
+
+    def _r6(x):
+        return F.round(x * F.lit(1e6)) / F.lit(1e6)
+
+    return (
+        t.join(c, on="__k", how="full")
+        .select(
+            F.col("__k").alias("rel_period"),
+            F.coalesce("n_treat", F.lit(0)).alias("n_treat"),
+            F.coalesce("n_ctrl", F.lit(0)).alias("n_ctrl"),
+            _r6(F.col("__mt")).alias("mean_treat"),
+            _r6(F.col("__mc")).alias("mean_ctrl"),
+            _r6(
+                (F.col("__mt") - F.col("__mbt"))
+                - (F.col("__mc") - F.col("__mbc"))
+            ).alias("att"),
+        )
+        .orderBy("rel_period")
+    )

@@ -95,3 +95,66 @@ def fuzzy_self_pairs(
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "text_a", "text_b", "distance")
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    agreement_cols: "list[str]",
+    m_probs: "list[float]",
+    u_probs: "list[float]",
+    *,
+    upper: float = 3.0,
+    lower: float = 0.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969): each candidate pair accumulates per-field log2
+    likelihood-ratio weights — ``log2(m_i/u_i)`` when field *i*
+    agrees, ``log2((1−m_i)/(1−u_i))`` when it disagrees — where
+    ``m_i``/``u_i`` are the field's agreement probabilities among
+    true matches / non-matches (estimate them from labeled pairs or
+    EM; supplied here as parameters).  The decision rule is the
+    classic three-band cut: ``match`` at ``score >= upper``,
+    ``possible`` in between, ``non_match`` below *lower*.
+
+    Pure map-side column algebra over an already-blocked candidate
+    frame (build one with a blocking equi-join or
+    :func:`fuzzy_self_pairs`) — no shuffle, no window, and every
+    log2 weight is a PYTHON literal, so both engines fold identical
+    doubles.  Null agreement values count as disagreement (the
+    conservative convention).
+
+    Output: the input columns plus ``fs_score`` (6 dp, tie-safe) and
+    ``fs_decision``.
+    """
+    if not agreement_cols:
+        raise ValueError("agreement_cols must be non-empty")
+    if not (len(agreement_cols) == len(m_probs) == len(u_probs)):
+        raise ValueError("agreement_cols, m_probs, u_probs lengths differ")
+    import math as _math
+
+    for m, u in zip(m_probs, u_probs):
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                "each field needs 0 < u < m < 1 (agreement must be "
+                "more likely among matches)"
+            )
+    if float(upper) < float(lower):
+        raise ValueError("upper must be >= lower")
+    score = None
+    for col, m, u in zip(agreement_cols, m_probs, u_probs):
+        w_agree = _math.log2(m / u)
+        w_disagree = _math.log2((1.0 - m) / (1.0 - u))
+        term = F.when(
+            F.col(col).cast("boolean") == F.lit(True), F.lit(w_agree)
+        ).otherwise(F.lit(w_disagree))
+        score = term if score is None else score + term
+    decision = (
+        F.when(score >= F.lit(float(upper)), F.lit("match"))
+        .when(score >= F.lit(float(lower)), F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+    )
+    return pairs.select(
+        "*",
+        (F.round(score * F.lit(1e6)) / F.lit(1e6)).alias("fs_score"),
+        decision.alias("fs_decision"),
+    )

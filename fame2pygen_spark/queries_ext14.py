@@ -740,3 +740,177 @@ SQL_X323 = _sql_x323()
 
 EXT14_QUERIES.update({"x323_dtw": q_x323_dtw})
 EXT14_ORACLES.update({"x323_dtw": SQL_X323})
+
+
+# ----------------------------- x324: DiD event study
+
+_X324_EVENT_DAY = 19738  # 2024-01-16 as an epoch-day index
+
+
+def q_x324_event_study(spark, sf_dir):
+    """Difference-in-differences event study
+    (operators/behavior.py:event_study): per-user daily mean value as
+    the panel, odd user_ids as the treated group, 2024-01-16 as the
+    event — att_k for k in [-4, +4] with k = -1 omitted, the standard
+    pre-trend / dynamic-effect readout.  One panel shuffle; the base
+    means attach over the bounded (group, k) aggregate."""
+    from .operators.behavior import event_study
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    panel = ev.groupBy(
+        F.col("user_id").alias("user"),
+        F.expr(f"ts_us div {_US_PER_DAY}").cast("long").alias("day"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("value").cast("double"), 9).cast(
+                "decimal(38,9)"
+            )).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("y")
+    ).withColumn("treated", F.col("user") % 2 == 1)
+    return event_study(
+        panel, "user", "day", "y", "treated",
+        event_period=_X324_EVENT_DAY, pre=4, post=4,
+    )
+
+
+def _sql_x324() -> str:
+    e = _X324_EVENT_DAY
+    return f"""
+WITH x324_panel AS (
+  SELECT user_id AS u,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 9)
+                  AS DECIMAL(38,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS y,
+         user_id % 2 = 1 AS t
+  FROM events
+  GROUP BY 1, 2, 4
+), x324_cells AS (
+  SELECT day - {e} AS k, t,
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(ROUND(y, 9) AS DECIMAL(38,9))) AS s
+  FROM x324_panel
+  WHERE day - {e} BETWEEN -4 AND 4 AND y IS NOT NULL
+  GROUP BY 1, 2
+), x324_staged AS (
+  SELECT k, t, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         MAX(CASE WHEN k = -1
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+           OVER (PARTITION BY t) AS mb
+  FROM x324_cells
+), x324_t AS (
+  SELECT k, n AS n_treat, m AS mt, mb AS mbt FROM x324_staged WHERE t
+), x324_c AS (
+  SELECT k, n AS n_ctrl, m AS mc, mb AS mbc
+  FROM x324_staged WHERE NOT t
+)
+SELECT COALESCE(tt.k, cc.k) AS rel_period,
+       COALESCE(n_treat, 0) AS n_treat,
+       COALESCE(n_ctrl, 0) AS n_ctrl,
+       ROUND(mt * 1000000.0) / 1000000.0 AS mean_treat,
+       ROUND(mc * 1000000.0) / 1000000.0 AS mean_ctrl,
+       ROUND(((mt - mbt) - (mc - mbc)) * 1000000.0) / 1000000.0 AS att
+FROM x324_t tt FULL JOIN x324_c cc ON tt.k = cc.k
+ORDER BY rel_period
+"""
+
+
+SQL_X324 = _sql_x324()
+
+EXT14_QUERIES.update({"x324_event_study": q_x324_event_study})
+EXT14_ORACLES.update({"x324_event_study": SQL_X324})
+
+
+# ----------------------------- x325: Fellegi-Sunter linkage scoring
+
+_X325_M = [0.95, 0.80, 0.70]
+_X325_U = [0.30, 0.40, 0.45]
+
+
+def q_x325_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage scoring
+    (operators/linkage.py:fellegi_sunter_score): customer-supplier
+    candidate pairs blocked on nationkey, three deterministic field
+    agreements (phone area prefix, balance proximity, name-length
+    parity), per-field log2 m/u weights folded map-side into the
+    classic match / possible / non_match bands."""
+    from .operators.linkage import fellegi_sunter_score
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("cust_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("c_bal"),
+        F.col("c_name").alias("c_name"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("supp_id"),
+        F.col("s_nationkey").alias("nation"),
+        F.col("s_acctbal").cast("double").alias("s_bal"),
+        F.col("s_name").alias("s_name"),
+    )
+    pairs = cust.join(supp, on="nation").select(
+        "cust_id",
+        "supp_id",
+        (
+            F.substring(F.col("c_name"), -1, 1)
+            == F.substring(F.col("s_name"), -1, 1)
+        ).alias("agree_area"),
+        (F.abs(F.col("c_bal") - F.col("s_bal")) < 1000.0).alias(
+            "agree_bal"
+        ),
+        (
+            F.length("c_name") % 2 == F.length("s_name") % 2
+        ).alias("agree_namelen"),
+    )
+    return fellegi_sunter_score(
+        pairs,
+        ["agree_area", "agree_bal", "agree_namelen"],
+        _X325_M,
+        _X325_U,
+        upper=2.0,
+        lower=0.0,
+    ).orderBy("cust_id", "supp_id")
+
+
+def _sql_x325() -> str:
+    import math
+
+    ws = [
+        (math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+        for m, u in zip(_X325_M, _X325_U)
+    ]
+    score = " + ".join(
+        f"(CASE WHEN {col} THEN {wa!r} ELSE {wd!r} END)"
+        for col, (wa, wd) in zip(
+            ["agree_area", "agree_bal", "agree_namelen"], ws
+        )
+    )
+    return f"""
+WITH x325_pairs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+         CAST(s_suppkey AS BIGINT) AS supp_id,
+         substr(c_name, -1, 1) = substr(s_name, -1, 1) AS agree_area,
+         abs(CAST(c_acctbal AS DOUBLE) - CAST(s_acctbal AS DOUBLE))
+           < 1000.0 AS agree_bal,
+         length(c_name) % 2 = length(s_name) % 2 AS agree_namelen
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+), x325_scored AS (
+  SELECT *, {score} AS raw_score FROM x325_pairs
+)
+SELECT cust_id, supp_id, agree_area, agree_bal, agree_namelen,
+       ROUND(raw_score * 1000000.0) / 1000000.0 AS fs_score,
+       CASE WHEN raw_score >= 2.0 THEN 'match'
+            WHEN raw_score >= 0.0 THEN 'possible'
+            ELSE 'non_match' END AS fs_decision
+FROM x325_scored
+ORDER BY cust_id, supp_id
+"""
+
+
+SQL_X325 = _sql_x325()
+
+EXT14_QUERIES.update({"x325_fellegi_sunter": q_x325_fellegi_sunter})
+EXT14_ORACLES.update({"x325_fellegi_sunter": SQL_X325})
