@@ -3999,7 +3999,10 @@ def seq_pattern_support(
     Output: ``(a, b, c, n_users, support_rate)`` (6 dp, tie-safe) for
     triples with ``n_users >= min_support``, ordered by n_users desc,
     then (a, b, c); ``support_rate`` divides by the total distinct
-    users in *df* (not just candidate-active ones).
+    non-null users in *df* (not just candidate-active ones — and
+    NULL user ids are excluded entirely, matching SQL
+    ``COUNT(DISTINCT u)`` semantics so cross-engine parity holds on
+    data containing null users).
     """
     m = int(top_types)
     if not (1 <= m <= 8):
@@ -4008,7 +4011,11 @@ def seq_pattern_support(
         F.col(user_col).alias("u"),
         F.col(ts_col).cast("long").alias("t"),
         F.col(type_col).cast("string").alias("e"),
-    ).where(F.col("t").isNotNull() & F.col("e").isNotNull())
+    ).where(
+        F.col("t").isNotNull()
+        & F.col("e").isNotNull()
+        & F.col("u").isNotNull()
+    )
     n_users = base.select("u").distinct().count()
     if n_users == 0:
         raise ValueError("seq_pattern_support: input has no users")

@@ -3467,7 +3467,10 @@ def stupid_backoff_score(
     normalization, just count ratios with a fixed backoff penalty.
 
     ``S(w3 | w1 w2) = f(w1w2w3)/f(w1w2)`` when the trigram is seen in
-    the reference, else ``alpha * f(w2w3)/f(w2)`` when the bigram is,
+    the reference, else ``alpha * f(w2w3)/ctx(w2)`` when the bigram
+    is — where ``ctx(w2)`` is the bigram-context count (occurrences
+    of w2 followed by another token, i.e. excluding document-final
+    w2, so the level-2 ratios over a fixed context sum to 1) —,
     else ``alpha^2 * (f(w3)+1)/(N+V)`` (add-one on the unigram floor
     so out-of-vocabulary tokens stay finite — the one deviation from
     the paper, which assumes an OOV-free vocabulary).  Splitting

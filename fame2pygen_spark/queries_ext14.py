@@ -620,6 +620,7 @@ WITH x322_base AS (
          CAST(event_type AS VARCHAR) AS e
   FROM events
   WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    AND user_id IS NOT NULL
 ), x322_nu AS (
   SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n_users FROM x322_base
 ), x322_cand AS (
@@ -883,7 +884,8 @@ def _sql_x325() -> str:
         for m, u in zip(_X325_M, _X325_U)
     ]
     score = " + ".join(
-        f"(CASE WHEN {col} THEN {wa!r} ELSE {wd!r} END)"
+        f"(CASE WHEN {col} THEN CAST({wa!r} AS DOUBLE)"
+        f" ELSE CAST({wd!r} AS DOUBLE) END)"
         for col, (wa, wd) in zip(
             ["agree_area", "agree_bal", "agree_namelen"], ws
         )
