@@ -8791,3 +8791,94 @@ def test_dtw_pairs_elastic_alignment_and_guards(spark):
     empty = spark.createDataFrame([], "e string, t long, v double")
     with _pytest.raises(ValueError, match="empty"):
         dtw_pairs(empty, "e", "t", "v")
+
+
+def test_event_study_recovers_planted_lift(spark):
+    from fame2pygen_spark.operators.behavior import event_study
+
+    # parallel trends: control y = 10 + k, treated = control + 1
+    # level shift pre-event, + 5 planted lift from k = 0 on.
+    # att_k must read 0 in every pre period and exactly 5 post.
+    rows = []
+    for unit, treated in [(1, True), (2, True), (3, False), (4, False)]:
+        for period in range(98, 102):  # k in [-2, 1]
+            k = period - 100
+            y = 10.0 + k + (1.0 if treated else 0.0)
+            if treated and k >= 0:
+                y += 5.0
+            rows.append((unit, period, y, treated))
+    # out-of-window rows must be ignored entirely
+    rows.append((1, 90, 999.0, True))
+    rows.append((3, 110, -999.0, False))
+    df = spark.createDataFrame(
+        rows, "unit long, period long, y double, treated boolean"
+    )
+    out = {
+        r["rel_period"]: r
+        for r in event_study(
+            df, "unit", "period", "y", "treated",
+            event_period=100, pre=2, post=1,
+        ).collect()
+    }
+    assert sorted(out) == [-2, -1, 0, 1]
+    for k in out:
+        assert out[k]["n_treat"] == 2 and out[k]["n_ctrl"] == 2
+    assert out[-2]["att"] == 0.0
+    assert out[-1]["att"] == 0.0  # omitted base period
+    assert out[0]["att"] == 5.0
+    assert out[1]["att"] == 5.0
+    assert out[0]["mean_treat"] == 16.0 and out[0]["mean_ctrl"] == 10.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        event_study(
+            df, "unit", "period", "y", "treated",
+            event_period=100, pre=0, post=1,
+        )
+
+
+def test_fellegi_sunter_textbook_weights_and_bands(spark):
+    import math
+
+    from fame2pygen_spark.operators.linkage import fellegi_sunter_score
+
+    # m = [0.9, 0.8], u = [0.1, 0.2]:
+    #   field 1: agree +log2(9) = 3.169925, disagree -log2(9)
+    #   field 2: agree +log2(4) = 2,        disagree -2
+    df = spark.createDataFrame(
+        [
+            (1, True, True),    # +log2(9) + 2 = 5.169925 -> match
+            (2, True, False),   # +log2(9) - 2 = 1.169925 -> possible
+            (3, False, False),  # -5.169925              -> non_match
+            (4, None, True),    # null = disagreement: -log2(9) + 2
+        ],
+        "pair long, f1 boolean, f2 boolean",
+    )
+    out = {
+        r["pair"]: r
+        for r in fellegi_sunter_score(
+            df, ["f1", "f2"], [0.9, 0.8], [0.1, 0.2],
+            upper=3.0, lower=0.0,
+        ).collect()
+    }
+    w1 = math.log2(9.0)
+    assert abs(out[1]["fs_score"] - (w1 + 2.0)) < 1e-6
+    assert out[1]["fs_decision"] == "match"
+    assert abs(out[2]["fs_score"] - (w1 - 2.0)) < 1e-6
+    assert out[2]["fs_decision"] == "possible"
+    assert abs(out[3]["fs_score"] + (w1 + 2.0)) < 1e-6
+    assert out[3]["fs_decision"] == "non_match"
+    assert abs(out[4]["fs_score"] - (2.0 - w1)) < 1e-6
+    assert out[4]["fs_decision"] == "non_match"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # u >= m is not a valid field
+        fellegi_sunter_score(df, ["f1"], [0.5], [0.5])
+    with _pytest.raises(ValueError):
+        fellegi_sunter_score(df, [], [], [])
+    with _pytest.raises(ValueError):
+        fellegi_sunter_score(
+            df, ["f1"], [0.9], [0.1], upper=0.0, lower=1.0
+        )

@@ -126,6 +126,8 @@ SENSITIVE = [
     "x321_hoeffding_racing",
     "x322_seq_patterns",
     "x323_dtw",
+    "x324_event_study",
+    "x325_fellegi_sunter",
 ]
 
 

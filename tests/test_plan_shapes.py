@@ -1203,6 +1203,8 @@ def test_best_arm_windows_are_arm_keyed(spark):
         "x321_hoeffding_racing", # one keyed agg + <=arms window
         "x322_seq_patterns",     # user-keyed staged chaining
         "x323_dtw",              # bounded pair mapInPandas
+        "x324_event_study",      # one panel agg, bounded cells
+        "x325_fellegi_sunter",   # blocked equi-join, map-side score
     ],
 )
 def test_r6_operators_never_plan_cartesian(spark, name):
@@ -1249,3 +1251,28 @@ def test_isotonic_single_unbounded_window_is_bin_bounded(spark):
     # the (i, a, b) grid joins are metadata-sized — no SMJ of data
     plan = plan_of(spark, "x318_isotonic")
     assert "CartesianProduct" not in plan
+
+
+def test_event_study_windows_are_group_keyed_over_bounded_cells(spark):
+    # the base-period mean attaches via a window PARTITIONed on the
+    # treated flag over the <= 2*(pre+post+1)-row cell aggregate —
+    # never a global window, never a window over the raw panel
+    assert unpartitioned_windows(spark, "x324_event_study") == []
+    plan = plan_of(spark, "x324_event_study")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fellegi_sunter_is_window_free_blocked_equi_join(spark):
+    # scoring is pure map-side column algebra over the blocked
+    # candidate frame: exactly the blocking equi-join, no window,
+    # no distance cross-join
+    plan = plan_of(spark, "x325_fellegi_sunter")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
