@@ -326,6 +326,69 @@ def run_scale_tier(spark) -> dict:
 
     timed("x246_ivfpq_emb10x", _ivfpq_10x)
 
+    # r7 addition — cross-corpus LM scoring at 10×: even replicas are
+    # the reference model (vocabulary stays sf0.1-sized by replica
+    # construction, so the model tables stay bounded while the scored
+    # token stream grows 10×), odd replicas are scored
+    from fame2pygen_spark.operators.text import stupid_backoff_score
+
+    timed(
+        "x319_stupid_backoff_docs10x",
+        lambda: stupid_backoff_score(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+            "text", "doc_id",
+        ).count(),
+    )
+
+    # r7 addition — spatial radius join with a deliberately densified
+    # city: 50k/side uniform over a 40°×40° box (~31 pts/side/cell at
+    # cell_deg=1) plus 3k/side packed into ONE 0.3° city block, so a
+    # single cell carries a ~9M-candidate |L|·|R| product — the skew
+    # direction the per-cell bound exists for; wall time is dominated
+    # by that one cell's pair stream, exactly as it would be at 100 TB
+    from fame2pygen_spark.operators.spatial import geo_radius_join
+
+    def _geo_city():
+        def synth(seed: int, n_uniform: int, n_city: int):
+            base = spark.range(n_uniform).select(
+                F.col("id").alias("pid"),
+                (
+                    F.pmod(
+                        (F.col("id") + seed) * 2654435761, 4294967296
+                    ).cast("double") / 4294967296.0 * 40.0
+                ).alias("lat"),
+                (
+                    F.pmod(
+                        (F.col("id") + seed) * 40503 + 17, 65536
+                    ).cast("double") / 65536.0 * 40.0
+                ).alias("lon"),
+            )
+            city = spark.range(n_city).select(
+                (F.col("id") + n_uniform).alias("pid"),
+                (
+                    20.0
+                    + F.pmod((F.col("id") + seed) * 7919, 3000)
+                    .cast("double") / 10000.0
+                ).alias("lat"),
+                (
+                    20.0
+                    + F.pmod((F.col("id") + seed) * 104729, 3000)
+                    .cast("double") / 10000.0
+                ).alias("lon"),
+            )
+            return base.unionByName(city).repartition(int(CPUS))
+
+        left = synth(1, 50_000, 3_000).withColumnRenamed("pid", "left_id")
+        right = synth(2, 50_000, 3_000).withColumnRenamed(
+            "pid", "right_id"
+        )
+        return geo_radius_join(
+            left, right, radius_km=30.0, cell_deg=1.0
+        ).count()
+
+    timed("x317_geo_radius_city10x", _geo_city)
+
     n_events = _events_tier(spark, timed)
 
     return {
@@ -514,6 +577,19 @@ def _events_tier(spark, timed) -> int:
         return segmented_trend(day, ["user_id"], "day", "x").count()
 
     timed("x268_segmented_trend_events10x", _segmented)
+
+    # r7 addition — subsequence support over 1M events: the three
+    # greedy user-keyed stages must parallelize across the 10× user
+    # population (per-user history depth is constant by replica
+    # construction — the real growth direction)
+    from fame2pygen_spark.operators.behavior import seq_pattern_support
+
+    timed(
+        "x322_seq_patterns_events10x",
+        lambda: seq_pattern_support(
+            big, "user_id", "ts_us", "event_type", top_types=4
+        ).count(),
+    )
     return n_events
 
 
