@@ -1,0 +1,335 @@
+"""Round-7 extension queries (x326+): the record-linkage evaluation
+family (blocking audit, unsupervised EM weights, Jaro-Winkler
+comparator) and the round's statistical additions.
+
+Same contract as :mod:`fame2pygen_spark.queries_ext`: every query is
+``(spark, sf_dir) -> DataFrame`` with column names/types matching its
+ANSI-SQL DuckDB oracle exactly (driver compare = exact stringified
+value hash after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+EXT15_QUERIES: dict = {}
+EXT15_ORACLES: dict = {}
+
+
+# ----------------------------- x326: blocking-scheme quality audit
+
+
+def q_x326_blocking_quality(spark, sf_dir):
+    """Blocking audit (operators/linkage.py:blocking_quality):
+    customer-supplier blocked on nationkey, ground truth = pairs
+    whose names share their last two characters with account
+    balances within 500 — the truth set deliberately crosses blocks,
+    so pairs_completeness measures what nationkey blocking loses.
+    Candidate volume is computed from per-block counts (never
+    materialized), reduction_ratio from the full |L|*|R| space."""
+    from .operators.linkage import blocking_quality
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    truth = (
+        cust.select(
+            F.col("c_custkey").cast("long").alias("cust_id"),
+            F.substring("c_name", -2, 2).alias("__sfx"),
+            F.col("c_acctbal").cast("double").alias("__cb"),
+        )
+        .join(
+            supp.select(
+                F.col("s_suppkey").cast("long").alias("supp_id"),
+                F.substring("s_name", -2, 2).alias("__sfx"),
+                F.col("s_acctbal").cast("double").alias("__sb"),
+            ),
+            on="__sfx",
+        )
+        .where(F.abs(F.col("__cb") - F.col("__sb")) < 500.0)
+        .select("cust_id", "supp_id")
+    )
+    return blocking_quality(
+        cust.select(
+            F.col("c_custkey").cast("long").alias("cust_id"),
+            F.col("c_nationkey").alias("nation"),
+        ),
+        supp.select(
+            F.col("s_suppkey").cast("long").alias("supp_id"),
+            F.col("s_nationkey").alias("nation"),
+        ),
+        truth,
+        left_id="cust_id",
+        right_id="supp_id",
+        left_block=F.col("nation").cast("long"),
+        right_block=F.col("nation").cast("long"),
+    )
+
+
+SQL_X326 = """
+WITH x326_truth AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+         CAST(s_suppkey AS BIGINT) AS supp_id,
+         CAST(c_nationkey AS BIGINT) AS bkl,
+         CAST(s_nationkey AS BIGINT) AS bkr
+  FROM customer JOIN supplier
+    ON substr(c_name, -2, 2) = substr(s_name, -2, 2)
+  WHERE abs(CAST(c_acctbal AS DOUBLE) - CAST(s_acctbal AS DOUBLE))
+        < 500.0
+), x326_lc AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS bk, COUNT(*) AS lc
+  FROM customer GROUP BY 1
+), x326_rc AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS bk, COUNT(*) AS rc
+  FROM supplier GROUP BY 1
+), x326_cand AS (
+  SELECT SUM(CAST(lc * rc AS DECIMAL(38,0))) AS cand,
+         MAX(lc * rc) AS maxprod
+  FROM x326_lc JOIN x326_rc USING (bk)
+), x326_lt AS (
+  SELECT COUNT(*) AS nl, COUNT(DISTINCT c_nationkey) AS kbl
+  FROM customer
+), x326_rt AS (
+  SELECT COUNT(*) AS nr, COUNT(DISTINCT s_nationkey) AS kbr
+  FROM supplier
+), x326_tb AS (
+  SELECT COUNT(*) AS nt,
+         SUM(CASE WHEN bkl = bkr THEN 1 ELSE 0 END) AS ntb
+  FROM x326_truth
+)
+SELECT nl AS n_left, nr AS n_right,
+       kbl AS n_blocks_left, kbr AS n_blocks_right,
+       CAST(COALESCE(cand, 0) AS DOUBLE) AS cand_pairs,
+       CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE) AS total_pairs,
+       ROUND((1.0 - CAST(COALESCE(cand, 0) AS DOUBLE)
+              / (CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS reduction_ratio,
+       CAST(COALESCE(maxprod, 0) AS BIGINT) AS max_block_product,
+       CAST(nt AS BIGINT) AS n_true,
+       CAST(COALESCE(ntb, 0) AS BIGINT) AS n_true_blocked,
+       ROUND((CAST(COALESCE(ntb, 0) AS DOUBLE) / CAST(nt AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS pairs_completeness
+FROM x326_cand, x326_lt, x326_rt, x326_tb
+"""
+
+EXT15_QUERIES.update({"x326_blocking_quality": q_x326_blocking_quality})
+EXT15_ORACLES.update({"x326_blocking_quality": SQL_X326})
+
+
+# ----------------------------- x327: EM-estimated Fellegi-Sunter weights
+
+_X327_FIELDS = ["agree_area", "agree_bal", "agree_namelen"]
+_X327_ITER = 5
+
+
+def _x327_pairs(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        cust.select(
+            F.col("c_custkey").cast("long").alias("cust_id"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_acctbal").cast("double").alias("c_bal"),
+            "c_name",
+        )
+        .join(
+            supp.select(
+                F.col("s_suppkey").cast("long").alias("supp_id"),
+                F.col("s_nationkey").alias("nation"),
+                F.col("s_acctbal").cast("double").alias("s_bal"),
+                "s_name",
+            ),
+            on="nation",
+        )
+        .select(
+            (
+                F.substring("c_name", -1, 1)
+                == F.substring("s_name", -1, 1)
+            ).alias("agree_area"),
+            (F.abs(F.col("c_bal") - F.col("s_bal")) < 1000.0).alias(
+                "agree_bal"
+            ),
+            (
+                F.length("c_name") % 2 == F.length("s_name") % 2
+            ).alias("agree_namelen"),
+        )
+    )
+
+
+def q_x327_fs_em_weights(spark, sf_dir):
+    """Unsupervised EM estimation of Fellegi-Sunter m/u weights
+    (operators/linkage.py:fs_em_weights): the same x325 candidate
+    pairs and agreement fields, but the per-field probabilities are
+    LEARNED by 5 EM iterations over the 2^3-pattern table instead of
+    supplied — the standard Winkler 1988 parameterization pass that
+    runs before fellegi_sunter_score in an unlabeled pipeline."""
+    from .operators.linkage import fs_em_weights
+
+    return fs_em_weights(
+        _x327_pairs(spark, sf_dir),
+        _X327_FIELDS,
+        init_m=0.9,
+        init_u=0.1,
+        init_p=0.1,
+        n_iter=_X327_ITER,
+    )
+
+
+def _sql_x327() -> str:
+    f = len(_X327_FIELDS)
+    gs = [f"g{i}" for i in range(f)]
+    pat_cols = ",\n         ".join(
+        f"COALESCE(CAST({c} AS BOOLEAN), FALSE) AS {g}"
+        for c, g in zip(
+            [
+                "substr(c_name, -1, 1) = substr(s_name, -1, 1)",
+                "abs(CAST(c_acctbal AS DOUBLE) - CAST(s_acctbal AS "
+                "DOUBLE)) < 1000.0",
+                "length(c_name) % 2 = length(s_name) % 2",
+            ],
+            gs,
+        )
+    )
+    parts = [
+        f"""x327_pat AS (
+  SELECT {pat_cols},
+         COUNT(*) AS n
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+  GROUP BY {", ".join(str(i + 1) for i in range(f))}
+), x327_s0 AS (
+  SELECT CAST(0.1 AS DOUBLE) AS p,
+         {", ".join(f"CAST(0.9 AS DOUBLE) AS m{i}" for i in range(f))},
+         {", ".join(f"CAST(0.1 AS DOUBLE) AS u{i}" for i in range(f))}
+)"""
+    ]
+    for t in range(1, _X327_ITER + 1):
+        a = "p"
+        b = "(1.0 - p)"
+        for i in range(f):
+            a += f" * (CASE WHEN {gs[i]} THEN m{i} ELSE 1.0 - m{i} END)"
+            b += f" * (CASE WHEN {gs[i]} THEN u{i} ELSE 1.0 - u{i} END)"
+        sums = [
+            "SUM(CAST(ROUND(w * CAST(n AS DOUBLE), 9) "
+            "AS DECIMAL(38,9))) AS sw",
+            "SUM(CAST(ROUND((1.0 - w) * CAST(n AS DOUBLE), 9) "
+            "AS DECIMAL(38,9))) AS swc",
+            "SUM(n) AS nn",
+        ]
+        for i in range(f):
+            gi = f"(CASE WHEN {gs[i]} THEN 1.0 ELSE 0.0 END)"
+            sums.append(
+                f"SUM(CAST(ROUND(w * CAST(n AS DOUBLE) * {gi}, 9) "
+                f"AS DECIMAL(38,9))) AS swg{i}"
+            )
+            sums.append(
+                f"SUM(CAST(ROUND((1.0 - w) * CAST(n AS DOUBLE) * {gi}, "
+                f"9) AS DECIMAL(38,9))) AS swcg{i}"
+            )
+        news = [
+            "CAST(sw AS DOUBLE) / CAST(nn AS DOUBLE) AS p",
+        ]
+        for i in range(f):
+            news.append(
+                f"CAST(swg{i} AS DOUBLE) / CAST(sw AS DOUBLE) AS m{i}"
+            )
+        for i in range(f):
+            news.append(
+                f"CAST(swcg{i} AS DOUBLE) / CAST(swc AS DOUBLE) AS u{i}"
+            )
+        parts.append(
+            f""", x327_w{t} AS (
+  SELECT {", ".join(gs)}, n, __a / (__a + __b) AS w
+  FROM (
+    SELECT {", ".join(gs)}, n,
+           {a} AS __a,
+           {b} AS __b
+    FROM x327_pat CROSS JOIN x327_s{t - 1}
+  )
+), x327_a{t} AS (
+  SELECT {", ".join(sums)}
+  FROM x327_w{t}
+), x327_s{t} AS (
+  SELECT {", ".join(news)}
+  FROM x327_a{t}
+)"""
+        )
+    eps = "CAST(0.000001 AS DOUBLE)"
+    rows = []
+    for i, c in enumerate(_X327_FIELDS):
+        m = f"GREATEST({eps}, LEAST(1.0 - {eps}, m{i}))"
+        u = f"GREATEST({eps}, LEAST(1.0 - {eps}, u{i}))"
+        rows.append(
+            f"""SELECT '{c}' AS field,
+       ROUND({m} * 1000000.0) / 1000000.0 AS m,
+       ROUND({u} * 1000000.0) / 1000000.0 AS u,
+       ROUND(ROUND(log2({m} / {u}), 12) * 1000000.0)
+         / 1000000.0 AS w_agree,
+       ROUND(ROUND(log2((1.0 - {m}) / (1.0 - {u})), 12) * 1000000.0)
+         / 1000000.0 AS w_disagree,
+       ROUND(p * 1000000.0) / 1000000.0 AS match_prevalence
+FROM x327_s{_X327_ITER}"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY field"
+    )
+
+
+SQL_X327 = _sql_x327()
+
+EXT15_QUERIES.update({"x327_fs_em_weights": q_x327_fs_em_weights})
+EXT15_ORACLES.update({"x327_fs_em_weights": SQL_X327})
+
+
+# ----------------------------- x328: Jaro-Winkler name comparator
+
+_X328_CUT = 0.75
+
+
+def q_x328_jaro_winkler(spark, sf_dir):
+    """Jaro-Winkler name similarity over nationkey-blocked
+    customer-supplier candidates (operators/linkage.py:
+    jaro_winkler_scores): the classic string comparator, Arrow-batched
+    and fuzz-verified bit-equal to DuckDB's builtin — pairs at
+    jw >= 0.75 with ids and the 6-dp score."""
+    from .operators.linkage import jaro_winkler_scores
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("cust_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_name").alias("c_name"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("supp_id"),
+        F.col("s_nationkey").alias("nation"),
+        F.col("s_name").alias("s_name"),
+    )
+    pairs = cust.join(supp, on="nation").select(
+        "cust_id", "supp_id", "c_name", "s_name"
+    )
+    scored = jaro_winkler_scores(pairs, "c_name", "s_name")
+    return (
+        scored.where(F.col("jw_score") >= F.lit(_X328_CUT))
+        .select("cust_id", "supp_id", "jw_score")
+        .orderBy("cust_id", "supp_id")
+    )
+
+
+SQL_X328 = f"""
+WITH x328_scored AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+         CAST(s_suppkey AS BIGINT) AS supp_id,
+         ROUND(jaro_winkler_similarity(c_name, s_name) * 1000000.0)
+           / 1000000.0 AS jw_score
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+)
+SELECT cust_id, supp_id, jw_score
+FROM x328_scored
+WHERE jw_score >= {_X328_CUT!r}
+ORDER BY cust_id, supp_id
+"""
+
+EXT15_QUERIES.update({"x328_jaro_winkler": q_x328_jaro_winkler})
+EXT15_ORACLES.update({"x328_jaro_winkler": SQL_X328})

@@ -8882,3 +8882,109 @@ def test_fellegi_sunter_textbook_weights_and_bands(spark):
         fellegi_sunter_score(
             df, ["f1"], [0.9], [0.1], upper=0.0, lower=1.0
         )
+
+
+def test_blocking_quality_hand_computed(spark):
+    from fame2pygen_spark.operators.linkage import blocking_quality
+
+    # left: 3 in block A, 1 in block B; right: 2 in A, 1 in C
+    left = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")], "lid long, bk string"
+    )
+    right = spark.createDataFrame(
+        [(10, "A"), (11, "A"), (12, "C")], "rid long, bk string"
+    )
+    # truth: (1,10) same block, (4,10) cross-block, (3,12) cross-block
+    truth = spark.createDataFrame(
+        [(1, 10), (4, 10), (3, 12)], "lid long, rid long"
+    )
+    r = blocking_quality(
+        left, right, truth,
+        left_id="lid", right_id="rid",
+        left_block=F.col("bk"), right_block=F.col("bk"),
+    ).collect()[0]
+    assert r["n_left"] == 4 and r["n_right"] == 3
+    assert r["n_blocks_left"] == 2 and r["n_blocks_right"] == 2
+    # candidates: only block A overlaps -> 3*2 = 6 of 12 total
+    assert r["cand_pairs"] == 6.0 and r["total_pairs"] == 12.0
+    assert r["reduction_ratio"] == 0.5
+    assert r["max_block_product"] == 6
+    assert r["n_true"] == 3 and r["n_true_blocked"] == 1
+    assert abs(r["pairs_completeness"] - 0.333333) < 1e-9
+
+
+def test_fs_em_weights_one_iteration_hand_computed(spark):
+    from fame2pygen_spark.operators.linkage import fs_em_weights
+
+    # single field, 50 agreeing / 50 disagreeing pairs, one EM step
+    # from (p=.1, m=.9, u=.1):
+    #   w_T = .1*.9 / (.1*.9 + .9*.1) = 0.5
+    #   w_F = .1*.1 / (.1*.1 + .9*.9) = 0.01/0.82
+    # sw = 50*.5 + 50*w_F; p1 = sw/100; m1 = 25/sw; u1 = 25/swc
+    rows = [(True,)] * 50 + [(False,)] * 50
+    df = spark.createDataFrame(rows, "g boolean")
+    out = fs_em_weights(df, ["g"], n_iter=1).collect()[0]
+    w_f = 0.01 / 0.82
+    sw = round(50 * 0.5, 9) + round(50 * w_f, 9)
+    swc = round(50 * 0.5, 9) + round(50 * (1 - w_f), 9)
+    assert abs(out["match_prevalence"] - round(sw / 100, 6)) < 1e-9
+    assert abs(out["m"] - round(round(50 * 0.5, 9) / sw, 6)) < 2e-6
+    assert abs(out["u"] - round(round(50 * 0.5, 9) / swc, 6)) < 2e-6
+
+
+def test_fs_em_weights_separates_planted_populations(spark):
+    from fame2pygen_spark.operators.linkage import fs_em_weights
+
+    # 30 planted matches agree on both fields; 270 non-matches agree
+    # on neither (with a little noise) — EM must drive m >> u and
+    # find prevalence near 0.1
+    rows = (
+        [(True, True)] * 28
+        + [(True, False)] * 2
+        + [(False, False)] * 260
+        + [(False, True)] * 10
+    )
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean")
+    out = {r["field"]: r for r in fs_em_weights(
+        df, ["f1", "f2"], n_iter=5
+    ).collect()}
+    assert out["f1"]["m"] > 0.8 and out["f1"]["u"] < 0.1
+    assert out["f1"]["w_agree"] > 2.0
+    assert 0.05 < out["f1"]["match_prevalence"] < 0.2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fs_em_weights(df, [], n_iter=5)
+    with _pytest.raises(ValueError):
+        fs_em_weights(df, ["f1"], n_iter=0)
+    with _pytest.raises(ValueError):
+        fs_em_weights(df, ["f1"], init_m=0.1, init_u=0.9)
+
+
+def test_jaro_winkler_textbook_values(spark):
+    from fame2pygen_spark.operators.linkage import jaro_winkler_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "martha", "marhta"),
+            (2, "dixon", "dicksonx"),
+            (3, "abc", "abc"),
+            (4, "", "abc"),
+            (5, "", ""),
+            (6, None, "abc"),
+            (7, "DWIGHT", "DUANE"),  # jaro <= 0.7: no prefix boost
+        ],
+        "pair long, a string, b string",
+    )
+    out = {
+        r["pair"]: r["jw_score"]
+        for r in jaro_winkler_scores(df, "a", "b").collect()
+    }
+    assert out[1] == 0.961111
+    assert out[2] == 0.813333
+    assert out[3] == 1.0
+    assert out[4] == 0.0
+    assert out[5] == 0.0  # DuckDB convention: empty scores 0
+    assert out[6] is None
+    assert abs(out[7] - 0.455556) < 1e-9

@@ -128,6 +128,8 @@ SENSITIVE = [
     "x323_dtw",
     "x324_event_study",
     "x325_fellegi_sunter",
+    "x327_fs_em_weights",
+    "x328_jaro_winkler",
 ]
 
 

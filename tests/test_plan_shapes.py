@@ -1276,3 +1276,47 @@ def test_fellegi_sunter_is_window_free_blocked_equi_join(spark):
         or "ShuffledHashJoin" in plan
         or "SortMergeJoin" in plan
     )
+
+
+# ------------------------------------------------- round-7 operators
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x326_blocking_quality",  # per-block count algebra, 1-row combine
+        "x327_fs_em_weights",     # one pattern agg + metadata EM chain
+        "x328_jaro_winkler",      # blocked equi-join + mapInPandas
+    ],
+)
+def test_r7_linkage_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_blocking_quality_never_materializes_pairs_no_window(spark):
+    # the candidate count comes from per-block COUNT products — the
+    # audit must stay linear even when the audited blocker would go
+    # quadratic, so no window and no pair-level join of the data
+    plan = plan_of(spark, "x326_blocking_quality")
+    assert "Window" not in plan
+
+
+def test_fs_em_pattern_table_is_the_only_data_pass(spark):
+    # EM iterations chain broadcast joins of metadata-sized frames;
+    # the checkpointed pattern aggregate is the single data pass, so
+    # the final plan carries no window and no sort-merge of the data
+    plan = plan_of(spark, "x327_fs_em_weights")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaro_winkler_is_one_blocked_join_plus_arrow_stage(spark):
+    plan = plan_of(spark, "x328_jaro_winkler")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
