@@ -2313,3 +2313,165 @@ def isotonic_fit(
         )
         .orderBy("bin")
     )
+
+
+def ransac_line(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    tol: float,
+    n_hypotheses: int = 16,
+    salt: str = "ransac",
+) -> DataFrame:
+    """RANSAC line fit (Fischler & Bolles 1981) with DETERMINISTIC
+    hypothesis sampling: the 2·H hypothesis points are the rows with
+    the smallest md5-derived hash of their id (the engine-portable
+    sampling idiom shared with the minhash family — both engines pick
+    identical points), paired in hash order into H two-point line
+    hypotheses; each point then votes for every hypothesis whose
+    line passes within *tol* of it, the hypothesis with the most
+    inliers wins (ties → lowest hypothesis id), and an ordinary
+    least-squares REFIT over the winner's inliers gives the final
+    line — the standard robust-fit answer when up to ~50% of the
+    rows are gross outliers that poison plain OLS (x254's
+    Cook's-distance readout flags them; this fits through them).
+
+    Scale shape: hypothesis selection is a TakeOrdered of 2·H ≤ 128
+    rows; scoring is ONE broadcast of the H-row hypothesis frame
+    against the data (n·H residual evaluations, map-side — the same
+    linear-in-n shape as x78's capped slopes); the winner reduces to
+    1 row broadcast back for the refit moments.  No data-sized
+    shuffle beyond the two aggregations; refit moments stage at 9 dp
+    into DECIMAL(38,9) so the fit is partitioning-invariant.
+
+    Output (ONE row): ``(best_hyp, n_points, n_inliers, inlier_rate,
+    hyp_slope, hyp_intercept, refit_slope, refit_intercept)``
+    (6 dp, tie-safe).
+    """
+    from .sketch import _hash64
+
+    h = int(n_hypotheses)
+    if not (1 <= h <= 64):
+        raise ValueError("n_hypotheses must be in 1..64")
+    if not (float(tol) > 0.0):
+        raise ValueError("tol must be positive")
+    dec = "decimal(38,9)"
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    seeds = (
+        base.select(
+            "__id", "__x", "__y",
+            _hash64(F.col("__id"), salt).alias("__h"),
+        )
+        .orderBy("__h", "__id")
+        .limit(2 * h)
+    )
+    wseed = Window.orderBy("__h", "__id")  # <= 2H rows — bounded
+    ranked = seeds.select(
+        "__x", "__y", F.row_number().over(wseed).alias("__rn")
+    )
+    hyps = (
+        ranked.groupBy(
+            F.expr("(__rn - 1) div 2").alias("__hyp")
+        )
+        .agg(
+            F.max(F.when(F.col("__rn") % 2 == 1, F.col("__x"))).alias(
+                "__x1"
+            ),
+            F.max(F.when(F.col("__rn") % 2 == 1, F.col("__y"))).alias(
+                "__y1"
+            ),
+            F.max(F.when(F.col("__rn") % 2 == 0, F.col("__x"))).alias(
+                "__x2"
+            ),
+            F.max(F.when(F.col("__rn") % 2 == 0, F.col("__y"))).alias(
+                "__y2"
+            ),
+        )
+        .where(
+            F.col("__x2").isNotNull() & (F.col("__x2") != F.col("__x1"))
+        )
+        .select(
+            "__hyp", "__x1", "__y1",
+            (
+                (F.col("__y2") - F.col("__y1"))
+                / (F.col("__x2") - F.col("__x1"))
+            ).alias("__slope"),
+        )
+        .select(
+            "__hyp",
+            "__slope",
+            (F.col("__y1") - F.col("__slope") * F.col("__x1")).alias(
+                "__icept"
+            ),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(hyps)).where(
+        F.abs(
+            F.col("__y")
+            - (F.col("__slope") * F.col("__x") + F.col("__icept"))
+        )
+        <= F.lit(float(tol))
+    )
+    counts = scored.groupBy("__hyp", "__slope", "__icept").agg(
+        F.count(F.lit(1)).alias("__ninl")
+    )
+    best = (
+        counts.orderBy(F.col("__ninl").desc(), F.col("__hyp").asc())
+        .limit(1)
+    )
+    refit = (
+        base.crossJoin(F.broadcast(best))
+        .where(
+            F.abs(
+                F.col("__y")
+                - (F.col("__slope") * F.col("__x") + F.col("__icept"))
+            )
+            <= F.lit(float(tol))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.round(F.col("__x"), 9).cast(dec)).alias("__sx"),
+            F.sum(F.round(F.col("__y"), 9).cast(dec)).alias("__sy"),
+            F.sum(
+                F.round(F.col("__x") * F.col("__y"), 9).cast(dec)
+            ).alias("__sxy"),
+            F.sum(
+                F.round(F.col("__x") * F.col("__x"), 9).cast(dec)
+            ).alias("__sxx"),
+        )
+    )
+    npts = base.agg(F.count(F.lit(1)).alias("__np"))
+
+    def _r6(v):
+        return F.round(v * F.lit(1e6)) / F.lit(1e6)
+
+    nd = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    det = nd * sxx - sx * sx
+    rslope = (nd * sxy - sx * sy) / det
+    return (
+        best.crossJoin(refit)
+        .crossJoin(F.broadcast(npts))
+        .select(
+            F.col("__hyp").alias("best_hyp"),
+            F.col("__np").alias("n_points"),
+            F.col("__ninl").alias("n_inliers"),
+            _r6(
+                F.col("__ninl").cast("double")
+                / F.col("__np").cast("double")
+            ).alias("inlier_rate"),
+            _r6(F.col("__slope")).alias("hyp_slope"),
+            _r6(F.col("__icept")).alias("hyp_intercept"),
+            _r6(rslope).alias("refit_slope"),
+            _r6((sy - rslope * sx) / nd).alias("refit_intercept"),
+        )
+    )

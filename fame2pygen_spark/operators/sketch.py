@@ -4384,3 +4384,71 @@ def countsketch_estimate(
         )
         .orderBy("term")
     )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    max_values: int = 64,
+) -> DataFrame:
+    """Per-group Hodges–Lehmann location estimate (Hodges & Lehmann
+    1963): the median of all Walsh averages ``(x_i + x_j)/2`` over
+    ``i <= j`` — the location estimator the Wilcoxon signed-rank test
+    inverts to, ~29% breakdown like the median but with much higher
+    Gaussian efficiency (0.955 vs 0.64), the natural "robust mean"
+    readout beside the MAD spread (x51) and Theil–Sen slope (x78).
+
+    Scale containment mirrors ``theil_sen_trend``: each group keeps
+    its *max_values* largest-hash representative values (md5-ranked
+    row_number window, group-partitioned — deterministic on both
+    engines), bounding the Walsh-pair stage at ``k(k+1)/2`` ≤ 2080
+    rows per group regardless of group size; the pair join is a
+    group-keyed equi-join, co-partitioned, no cross-group traffic.
+    The median uses the exact ``percentile`` aggregate (↔ DuckDB
+    ``quantile_cont``).
+
+    Output per group: ``(*group_cols, n_used, n_pairs, hl_estimate)``
+    (6 dp, tie-safe).
+    """
+    k = int(max_values)
+    if not (2 <= k <= 256):
+        raise ValueError("max_values must be in 2..256")
+    gs = list(group_cols)
+    base = df.select(
+        *gs, F.col(value_col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    w = Window.partitionBy(*gs).orderBy(
+        _hash64(F.col("__v"), "hl"), F.col("__v")
+    )
+    kept = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    a = kept.select(
+        *gs, F.col("__v").alias("__va"), F.col("__rn").alias("__ra")
+    )
+    b = kept.select(
+        *gs, F.col("__v").alias("__vb"), F.col("__rn").alias("__rb")
+    )
+    walsh = a.join(b, on=gs).where(F.col("__ra") <= F.col("__rb"))
+    return (
+        walsh.groupBy(*gs)
+        .agg(
+            F.max("__rb").alias("n_used"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "percentile((__va + __vb) / 2.0, 0.5)"
+            ).alias("__hl"),
+        )
+        .select(
+            *gs,
+            F.col("n_used").cast("long").alias("n_used"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            (F.round(F.col("__hl") * F.lit(1e6)) / F.lit(1e6)).alias(
+                "hl_estimate"
+            ),
+        )
+        .orderBy(*gs)
+    )

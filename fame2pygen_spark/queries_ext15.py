@@ -333,3 +333,235 @@ ORDER BY cust_id, supp_id
 
 EXT15_QUERIES.update({"x328_jaro_winkler": q_x328_jaro_winkler})
 EXT15_ORACLES.update({"x328_jaro_winkler": SQL_X328})
+
+
+# ----------------------------- x329: deterministic RANSAC line fit
+
+_X329_TOL = 5000.0
+_X329_H = 16
+
+
+def q_x329_ransac(spark, sf_dir):
+    """Deterministic-sampling RANSAC line fit (operators/quality.py:
+    ransac_line): lineitem quantity -> extendedprice, whose unit-price
+    fan makes plain OLS chase the expensive parts — RANSAC picks the
+    densest price band.  Hypothesis points come from the smallest
+    md5(id) hashes (engine-portable sampling), so both engines fit
+    the identical line."""
+    from .operators.quality import ransac_line
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey").cast("long") * 10
+         + F.col("l_linenumber").cast("long")).alias("rid"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    return ransac_line(
+        li, "rid", "qty", "price",
+        tol=_X329_TOL, n_hypotheses=_X329_H,
+    )
+
+
+SQL_X329 = f"""
+WITH x329_base AS (
+  SELECT CAST(l_orderkey AS BIGINT) * 10
+           + CAST(l_linenumber AS BIGINT) AS rid,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), x329_seed AS (
+  SELECT x, y,
+         ('0x' || substr(md5('ransac' || ':' || CAST(rid AS VARCHAR)),
+                         1, 8))::BIGINT AS h,
+         rid
+  FROM x329_base
+  ORDER BY h, rid LIMIT {2 * _X329_H}
+), x329_rank AS (
+  SELECT x, y, ROW_NUMBER() OVER (ORDER BY h, rid) AS rn
+  FROM x329_seed
+), x329_hyp0 AS (
+  SELECT (rn - 1) // 2 AS hyp,
+         MAX(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+         MAX(CASE WHEN rn % 2 = 1 THEN y END) AS y1,
+         MAX(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+         MAX(CASE WHEN rn % 2 = 0 THEN y END) AS y2
+  FROM x329_rank GROUP BY 1
+), x329_hyp1 AS (
+  SELECT hyp, x1, y1, (y2 - y1) / (x2 - x1) AS slope
+  FROM x329_hyp0
+  WHERE x2 IS NOT NULL AND x2 <> x1
+), x329_hyp AS (
+  SELECT hyp, slope, y1 - slope * x1 AS icept FROM x329_hyp1
+), x329_cnt AS (
+  SELECT hyp, slope, icept, COUNT(*) AS ninl
+  FROM x329_base CROSS JOIN x329_hyp
+  WHERE abs(y - (slope * x + icept)) <= CAST({_X329_TOL!r} AS DOUBLE)
+  GROUP BY 1, 2, 3
+), x329_best AS (
+  SELECT * FROM x329_cnt ORDER BY ninl DESC, hyp ASC LIMIT 1
+), x329_refit AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS sx,
+         SUM(CAST(ROUND(y, 9) AS DECIMAL(38,9))) AS sy,
+         SUM(CAST(ROUND(x * y, 9) AS DECIMAL(38,9))) AS sxy,
+         SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9))) AS sxx
+  FROM x329_base CROSS JOIN x329_best
+  WHERE abs(y - (slope * x + icept)) <= CAST({_X329_TOL!r} AS DOUBLE)
+), x329_np AS (
+  SELECT COUNT(*) AS np FROM x329_base
+)
+SELECT hyp AS best_hyp,
+       np AS n_points,
+       ninl AS n_inliers,
+       ROUND((CAST(ninl AS DOUBLE) / CAST(np AS DOUBLE)) * 1000000.0)
+         / 1000000.0 AS inlier_rate,
+       ROUND(slope * 1000000.0) / 1000000.0 AS hyp_slope,
+       ROUND(icept * 1000000.0) / 1000000.0 AS hyp_intercept,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS refit_slope,
+       ROUND(((CAST(sy AS DOUBLE)
+               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS refit_intercept
+FROM x329_best CROSS JOIN x329_refit CROSS JOIN x329_np
+"""
+
+EXT15_QUERIES.update({"x329_ransac": q_x329_ransac})
+EXT15_ORACLES.update({"x329_ransac": SQL_X329})
+
+
+# ----------------------------- x330: Hodges-Lehmann location
+
+
+def q_x330_hodges_lehmann(spark, sf_dir):
+    """Per-nation Hodges-Lehmann robust location of customer account
+    balances (operators/sketch.py:hodges_lehmann): the median of the
+    64-representative Walsh-average grid — the signed-rank robust
+    mean beside the MAD spread (x51)."""
+    from .operators.sketch import hodges_lehmann
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    return hodges_lehmann(cust, ["nation"], "bal", max_values=64)
+
+
+SQL_X330 = """
+WITH x330_base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(c_acctbal AS DOUBLE) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+), x330_kept AS (
+  SELECT nation, v, rn FROM (
+    SELECT nation, v,
+           ROW_NUMBER() OVER (
+             PARTITION BY nation
+             ORDER BY ('0x' || substr(
+                 md5('hl' || ':' || CAST(v AS VARCHAR)), 1, 8
+               ))::BIGINT, v
+           ) AS rn
+    FROM x330_base
+  ) WHERE rn <= 64
+)
+SELECT a.nation AS nation,
+       CAST(MAX(b.rn) AS BIGINT) AS n_used,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont((a.v + b.v) / 2.0, 0.5) * 1000000.0)
+         / 1000000.0 AS hl_estimate
+FROM x330_kept a JOIN x330_kept b
+  ON a.nation = b.nation AND a.rn <= b.rn
+GROUP BY 1
+ORDER BY 1
+"""
+
+EXT15_QUERIES.update({"x330_hodges_lehmann": q_x330_hodges_lehmann})
+EXT15_ORACLES.update({"x330_hodges_lehmann": SQL_X330})
+
+
+# ----------------------------- x331: Gumbel block-maxima return levels
+
+_X331_RP = (30, 365)
+
+
+def q_x331_gumbel(spark, sf_dir):
+    """Per-event-type extreme-value return levels from daily block
+    maxima (operators/temporal.py:gumbel_block_maxima): the
+    method-of-moments Gumbel fit with literal-pinned gamma / sqrt6/pi
+    / quantile factors — daily peaks exceeded once-a-month and
+    once-a-year."""
+    from .operators.temporal import gumbel_block_maxima
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    return gumbel_block_maxima(
+        ev, entity_col="event_type", ts_col="ts_us",
+        value_col="value", return_periods=_X331_RP,
+    )
+
+
+def _sql_x331() -> str:
+    import math
+
+    g = 0.5772156649015329
+    s6p = 0.7796968012336761
+    rl_cols = []
+    for t in _X331_RP:
+        q = -math.log(-math.log(1.0 - 1.0 / t))
+        rl_cols.append(
+            f"ROUND((mu + beta * CAST({q!r} AS DOUBLE)) * 1000000.0)"
+            f" / 1000000.0 AS rl_{t}"
+        )
+    return f"""
+WITH x331_blocks AS (
+  SELECT event_type AS entity,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+         MAX(CAST(value AS DOUBLE)) AS m
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), x331_mom AS (
+  SELECT entity, COUNT(*) AS n,
+         SUM(CAST(ROUND(m, 9) AS DECIMAL(38,9))) AS s1,
+         SUM(CAST(ROUND(m * m, 9) AS DECIMAL(38,9))) AS s2
+  FROM x331_blocks GROUP BY 1
+  HAVING COUNT(*) >= 5
+), x331_fit AS (
+  SELECT entity, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(GREATEST(
+           (CAST(s2 AS DOUBLE)
+            - CAST(n AS DOUBLE)
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS std
+  FROM x331_mom
+), x331_p AS (
+  SELECT entity, n, mean, std,
+         std * CAST({s6p!r} AS DOUBLE) AS beta,
+         mean - CAST({g!r} AS DOUBLE)
+              * (std * CAST({s6p!r} AS DOUBLE)) AS mu
+  FROM x331_fit
+)
+SELECT entity, CAST(n AS BIGINT) AS n_blocks,
+       ROUND(mean * 1000000.0) / 1000000.0 AS max_mean,
+       ROUND(std * 1000000.0) / 1000000.0 AS max_std,
+       ROUND(mu * 1000000.0) / 1000000.0 AS gumbel_mu,
+       ROUND(beta * 1000000.0) / 1000000.0 AS gumbel_beta,
+       {", ".join(rl_cols)}
+FROM x331_p
+ORDER BY entity
+"""
+
+
+SQL_X331 = _sql_x331()
+
+EXT15_QUERIES.update({"x331_gumbel": q_x331_gumbel})
+EXT15_ORACLES.update({"x331_gumbel": SQL_X331})

@@ -8988,3 +8988,92 @@ def test_jaro_winkler_textbook_values(spark):
     assert out[5] == 0.0  # DuckDB convention: empty scores 0
     assert out[6] is None
     assert abs(out[7] - 0.455556) < 1e-9
+
+
+def test_ransac_recovers_planted_line_through_outliers(spark):
+    from fame2pygen_spark.operators.quality import ransac_line
+
+    # 40 points exactly on y = 2x + 1, 10 gross outliers far above —
+    # OLS on everything would tilt up; RANSAC at tol=0.5 must refit
+    # to the planted line exactly
+    rows = [(i, float(i), 2.0 * i + 1.0) for i in range(40)]
+    rows += [(100 + i, float(i), 500.0 + 50.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "rid long, x double, y double")
+    r = ransac_line(df, "rid", "x", "y", tol=0.5, n_hypotheses=16)
+    out = r.collect()[0]
+    assert out["n_points"] == 50
+    assert out["n_inliers"] >= 40
+    assert out["refit_slope"] == 2.0
+    assert out["refit_intercept"] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ransac_line(df, "rid", "x", "y", tol=0.0)
+    with _pytest.raises(ValueError):
+        ransac_line(df, "rid", "x", "y", tol=1.0, n_hypotheses=0)
+
+
+def test_hodges_lehmann_hand_computed_and_robust(spark):
+    from fame2pygen_spark.operators.sketch import hodges_lehmann
+
+    # Walsh averages of [1, 2, 10] (i <= j):
+    # 1, 1.5, 5.5, 2, 6, 10 -> median = (2 + 5.5)/2 = 3.75
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 10.0)], "grp string, v double"
+    )
+    r = hodges_lehmann(df, ["grp"], "v").collect()[0]
+    assert r["n_used"] == 3 and r["n_pairs"] == 6
+    assert r["hl_estimate"] == 3.75
+
+    # the 10 is an outlier: HL (3.75) sits with the bulk, the mean
+    # (4.333) chases the spike — robustness is the point
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hodges_lehmann(df, ["grp"], "v", max_values=1)
+
+
+def test_gumbel_fit_known_moments(spark):
+    import math
+
+    from fame2pygen_spark.operators.temporal import gumbel_block_maxima
+
+    # one entity, 5 daily blocks with maxima exactly 10..50 (each
+    # block gets a smaller decoy so MAX is exercised)
+    day = 86_400_000_000
+    rows = []
+    for i, mx in enumerate([10.0, 20.0, 30.0, 40.0, 50.0]):
+        rows.append(("e", i * day + 1, mx))
+        rows.append(("e", i * day + 2, mx - 5.0))
+    df = spark.createDataFrame(rows, "entity string, ts_us long, value double")
+    out = gumbel_block_maxima(
+        df, entity_col="entity", ts_col="ts_us", value_col="value",
+        return_periods=(30,),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    mean, std = 30.0, math.sqrt(250.0)
+    beta = std * (math.sqrt(6.0) / math.pi)
+    mu = mean - 0.5772156649015329 * beta
+    q30 = -math.log(-math.log(1.0 - 1.0 / 30.0))
+    assert r["n_blocks"] == 5
+    assert abs(r["max_mean"] - 30.0) < 1e-9
+    assert abs(r["max_std"] - round(std, 6)) < 1e-6
+    assert abs(r["gumbel_mu"] - mu) < 1e-5
+    assert abs(r["rl_30"] - (mu + beta * q30)) < 1e-5
+
+    # below min_blocks -> filtered out entirely
+    few = spark.createDataFrame(
+        rows[:6], "entity string, ts_us long, value double"
+    )
+    assert gumbel_block_maxima(
+        few, entity_col="entity", ts_col="ts_us", value_col="value"
+    ).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gumbel_block_maxima(df, return_periods=(1,))
+    with _pytest.raises(ValueError):
+        gumbel_block_maxima(df, min_blocks=2)

@@ -130,6 +130,9 @@ SENSITIVE = [
     "x325_fellegi_sunter",
     "x327_fs_em_weights",
     "x328_jaro_winkler",
+    "x329_ransac",
+    "x330_hodges_lehmann",
+    "x331_gumbel",
 ]
 
 

@@ -1320,3 +1320,28 @@ def test_jaro_winkler_is_one_blocked_join_plus_arrow_stage(spark):
         or "ShuffledHashJoin" in plan
         or "SortMergeJoin" in plan
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x329_ransac",          # broadcast H-row hypothesis frame
+        "x330_hodges_lehmann",  # group-keyed capped Walsh join
+        "x331_gumbel",          # two-stage daily-max collapse
+    ],
+)
+def test_r7_stat_operators_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_hodges_lehmann_windows_are_group_keyed(spark):
+    # the representative cap partitions by the group key — a global
+    # window would serialize the value table
+    assert unpartitioned_windows(spark, "x330_hodges_lehmann") == []
+
+
+def test_gumbel_is_window_free_double_aggregation(spark):
+    plan = plan_of(spark, "x331_gumbel")
+    assert "Window" not in plan
+    assert "Join" not in plan
