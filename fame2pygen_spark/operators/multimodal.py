@@ -1056,3 +1056,253 @@ def audio_params(payload: Column) -> Column:
         F.when(canonical, rate).cast("int").alias("sample_rate"),
         F.when(canonical, duration).cast("long").alias("duration_ms"),
     )
+
+
+# ------------------------------------------------- perceptual DCT hash
+
+
+def _q14(x: float) -> int:
+    """Round-half-away-from-zero at Q14 (x * 16384) — NOT Python's
+    banker's round, so the table is reproducible from the formula in
+    any engine/language."""
+    import math as _m
+
+    s = 16384.0 * abs(x)
+    v = int(_m.floor(s + 0.5))
+    return -v if x < 0 else v
+
+
+def phash_dct_table() -> list:
+    """The 8x8 DCT-II cosine basis at Q14 integer scale:
+    ``Q[i][u] = round(cos((2u+1)·i·π/16) · 16384)`` (half-away).
+    Shared verbatim with the SQL oracle so both engines run the
+    IDENTICAL integer transform — the same literal-pinning idiom as
+    the Gumbel quantile factors."""
+    import math as _m
+
+    return [
+        [_q14(_m.cos((2 * u + 1) * i * _m.pi / 16.0)) for u in range(8)]
+        for i in range(8)
+    ]
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def phash64_bits(gray8x8) -> tuple[int, int]:
+    """64-bit integer-exact perceptual DCT hash of an 8x8 grayscale
+    grid: 2-D DCT-II via the Q14 integer basis (C = Q·G·Qᵀ — int64
+    exact: |C| ≤ 8²·16384²·255 < 2^43), threshold = the exact middle
+    element (31 below, 31 above) of the 63 AC coefficients, bit k set
+    when ``C[k//8][k%8] > median`` (DC participates in bits, not in
+    the median — the classic pHash convention).  Integer throughout,
+    so any engine reproduces it bit-for-bit."""
+    import numpy as _np
+
+    q = _np.asarray(phash_dct_table(), dtype=_np.int64)
+    g = _np.asarray(gray8x8, dtype=_np.int64).reshape(8, 8)
+    c = q @ g @ q.T
+    flat = [int(v) for v in c.reshape(-1)]
+    med = sorted(flat[1:])[31]
+    hi = lo = 0
+    for k, v in enumerate(flat):
+        if v > med:
+            if k < 32:
+                hi |= 1 << (31 - k)
+            else:
+                lo |= 1 << (63 - k)
+    return hi, lo
+
+
+def image_phash(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Perceptual DCT hash (pHash, Zauner 2010) of REAL image
+    payloads: decode (PNG/BMP/PPM, :func:`decode_image_bytes`),
+    nearest-neighbor thumbnail to 8×8, integer grayscale, then the
+    integer-exact Q14 DCT hash (:func:`phash64_bits`) — emitted as a
+    16-hex-char string.  Where :func:`image_ahash` thresholds raw
+    brightness (fooled by global exposure shifts), pHash thresholds
+    FREQUENCY structure, the standard near-duplicate-image signal.
+
+    Same Arrow-batched ``mapInPandas`` flow and banding-based usage
+    as ``image_ahash``; undecodable payloads yield null phash.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "h": [], "w": [], "phash": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    arr = decode_image_bytes(bytes(payload))
+                except ValueError:
+                    out["h"].append(None)
+                    out["w"].append(None)
+                    out["phash"].append(None)
+                    continue
+                h, w = arr.shape[:2]
+                thumb = resize_image(arr, 8, 8)
+                gray = (
+                    thumb[:, :, 0].astype(int)
+                    + thumb[:, :, 1].astype(int)
+                    + thumb[:, :, 2].astype(int)
+                ) // 3
+                hi, lo = phash64_bits(gray)
+                out["h"].append(h)
+                out["w"].append(w)
+                out["phash"].append(f"{hi:08x}{lo:08x}")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+# ------------------------------------------------- spectral profile
+
+
+def _q7(x: float) -> int:
+    import math as _m
+
+    s = 128.0 * abs(x)
+    v = int(_m.floor(s + 0.5))
+    return -v if x < 0 else v
+
+
+def spectral_tables(n_fft: int, n_bins: int) -> tuple:
+    """Q7 integer cos/sin DFT tables for bins 1..n_bins:
+    ``C[k][i] = round(cos(2π·k·i/n_fft)·128)`` (half-away), same for
+    sin — shared verbatim with the SQL oracle.  Q7 keeps the power
+    sum inside int64 for 16-bit PCM at n_fft ≤ 64:
+    |A| ≤ 64·32767·128 < 2^29, A²+B² < 2^59."""
+    import math as _m
+
+    cos_t = [
+        [
+            _q7(_m.cos(2.0 * _m.pi * k * i / float(n_fft)))
+            for i in range(n_fft)
+        ]
+        for k in range(1, n_bins + 1)
+    ]
+    sin_t = [
+        [
+            _q7(_m.sin(2.0 * _m.pi * k * i / float(n_fft)))
+            for i in range(n_fft)
+        ]
+        for k in range(1, n_bins + 1)
+    ]
+    return cos_t, sin_t
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("dominant_bin", IntegerType()),
+        StructField("p_dominant", LongType()),
+        StructField("p_total", LongType()),
+        StructField("centroid", DoubleType()),
+        StructField("peak_ratio", DoubleType()),
+    ]
+)
+
+
+def audio_spectral_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    n_fft: int = 64,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Integer-exact spectral profile of REAL PCM-WAV payloads: the
+    first *n_fft* decoded samples (zero-padded) go through a Q7
+    integer DFT at bins 1..*n_bins* (``P_k = A_k² + B_k²`` with the
+    :func:`spectral_tables` literal basis — int64 throughout), giving
+    the frequency-domain counterpart of :func:`audio_features`' RMS:
+    ``dominant_bin`` (argmax power, ties → lowest bin), spectral
+    ``centroid = Σ k·P_k / Σ P_k`` and ``peak_ratio = P_max / Σ P``
+    — the cheap tonality/bandwidth gates an audio-curation pipeline
+    runs before anything model-based.
+
+    Same Arrow-batched ``mapInPandas`` decode lane as the other audio
+    operators; non-canonical payloads yield null features.  All
+    integer until the two final divisions, so both engines agree
+    bit-for-bit.
+    """
+    if not (8 <= int(n_fft) <= 256):
+        raise ValueError("n_fft must be in 8..256")
+    if not (1 <= int(n_bins) <= int(n_fft) // 2):
+        raise ValueError("n_bins must be in 1..n_fft/2")
+    import numpy as _np
+
+    cos_t, sin_t = spectral_tables(int(n_fft), int(n_bins))
+    cq = _np.asarray(cos_t, dtype=_np.int64)
+    sq = _np.asarray(sin_t, dtype=_np.int64)
+    nf, nb = int(n_fft), int(n_bins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SPECTRAL_SCHEMA.fields}
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                out["asset_id"].append(int(aid))
+                try:
+                    samples, _sr = wav_samples(
+                        bytes(p) if p is not None else b""
+                    )
+                except ValueError:
+                    samples = None
+                if samples is None:
+                    for k in (
+                        "n_samples", "dominant_bin", "p_dominant",
+                        "p_total", "centroid", "peak_ratio",
+                    ):
+                        out[k].append(None)
+                    continue
+                s = _np.zeros(nf, dtype=_np.int64)
+                take = min(len(samples), nf)
+                # back to integer PCM units: the decoder normalizes
+                # by 32768 (16-bit) / 128 (8-bit) — both dyadic, so
+                # the re-scale is float-exact and rint lands on the
+                # original integers (8-bit scales by an exact 256)
+                s[:take] = _np.rint(
+                    _np.asarray(samples[:take]) * 32768.0
+                ).astype(_np.int64)
+                a = cq @ s
+                b = sq @ s
+                pw = a * a + b * b
+                total = int(pw.sum())
+                k_dom = int(_np.argmax(pw))  # first max = lowest bin
+                p_dom = int(pw[k_dom])
+                out["n_samples"].append(int(len(samples)))
+                out["dominant_bin"].append(k_dom + 1)
+                out["p_dominant"].append(p_dom)
+                out["p_total"].append(total)
+                if total > 0:
+                    wsum = int(
+                        sum((k + 1) * int(v) for k, v in enumerate(pw))
+                    )
+                    out["centroid"].append(float(wsum) / float(total))
+                    out["peak_ratio"].append(
+                        float(p_dom) / float(total)
+                    )
+                else:
+                    out["centroid"].append(None)
+                    out["peak_ratio"].append(None)
+            yield pd.DataFrame(out)
+
+    out = df.select(id_col, payload_col).mapInPandas(
+        run, schema=SPECTRAL_SCHEMA
+    )
+    r6 = lambda c: F.round(F.col(c) * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return out.withColumn("centroid", r6("centroid")).withColumn(
+        "peak_ratio", r6("peak_ratio")
+    )

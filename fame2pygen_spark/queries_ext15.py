@@ -565,3 +565,199 @@ SQL_X331 = _sql_x331()
 
 EXT15_QUERIES.update({"x331_gumbel": q_x331_gumbel})
 EXT15_ORACLES.update({"x331_gumbel": SQL_X331})
+
+
+# ----------------------------- x332: perceptual DCT hash (pHash)
+
+
+def q_x332_image_phash(spark, sf_dir):
+    """REAL-decode perceptual DCT hashing end to end
+    (operators/multimodal.py:image_phash): the x84 BMP fingerprint
+    payloads go through the real decode -> 8x8 thumbnail -> integer
+    Q14 DCT -> 63-AC-median threshold.  The oracle never sees the
+    bytes: it replays the identical integer transform from the pixel
+    formula and the shared literal cosine table — an exact match
+    proves the whole frequency-domain pipeline bit-correct."""
+    from .operators.multimodal import image_phash
+    from .queries_ext2 import _BMP88_HEADER_HEX, _ahash_pixel_counts_spark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), nt.alias("__nt")
+    )
+    counts = _ahash_pixel_counts_spark(F.col("__nt"))
+    pixel_hex = F.concat_ws(
+        "",
+        *[F.repeat(F.lpad(F.hex(c), 2, "0"), 3) for c in counts],
+    )
+    payload = F.concat(
+        F.unhex(F.lit(_BMP88_HEADER_HEX)), F.unhex(pixel_hex)
+    )
+    return image_phash(
+        staged.select("doc_id", payload.alias("payload")),
+        "doc_id",
+        "payload",
+    )
+
+
+def _sql_x332() -> str:
+    from .operators.multimodal import phash_dct_table
+    from .queries_ext2 import _AHASH_LETTERS
+
+    ql = [v for row in phash_dct_table() for v in row]
+    cols = []
+    for j in range(64):
+        if j < 26:
+            ch = _AHASH_LETTERS[j]
+            cols.append(
+                f"(length(nt) - length(replace(nt, '{ch}', ''))) % 256"
+            )
+        else:
+            cols.append(f"(length(nt) * {j + 1}) % 256")
+    px = ",\n           ".join(cols)
+    kidx = "[" + ", ".join(str(k) for k in range(64)) + "]"
+    qlit = "[" + ", ".join(str(v) for v in ql) + "]"
+    hi = " + ".join(
+        f"CASE WHEN cf[{k + 1}] > med THEN {1 << (31 - k)} ELSE 0 END"
+        for k in range(32)
+    )
+    lo = " + ".join(
+        f"CASE WHEN cf[{k + 1}] > med THEN {1 << (63 - k)} ELSE 0 END"
+        for k in range(32, 64)
+    )
+    return f"""
+WITH x332_t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), x332_c AS (
+  SELECT doc_id,
+         list_value(
+           {px}) AS px
+  FROM x332_t
+), x332_d AS (
+  SELECT doc_id,
+         list_transform({kidx}, k ->
+           list_reduce(list_transform({kidx}, m ->
+             CAST({qlit}[(k // 8) * 8 + (m // 8) + 1] AS BIGINT)
+             * CAST({qlit}[(k % 8) * 8 + (m % 8) + 1] AS BIGINT)
+             * CAST(px[m + 1] AS BIGINT)
+           ), (a, x) -> a + x)
+         ) AS cf
+  FROM x332_c
+), x332_m AS (
+  SELECT doc_id, cf, list_sort(cf[2:64])[32] AS med FROM x332_d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8 AS INTEGER) AS h,
+       CAST(8 AS INTEGER) AS w,
+       lpad(lower(hex({hi})), 8, '0') ||
+       lpad(lower(hex({lo})), 8, '0') AS phash
+FROM x332_m
+"""
+
+
+SQL_X332 = _sql_x332()
+
+EXT15_QUERIES.update({"x332_image_phash": q_x332_image_phash})
+EXT15_ORACLES.update({"x332_image_phash": SQL_X332})
+
+
+# ----------------------------- x333: audio spectral profile
+
+_X333_NFFT = 64
+_X333_NBINS = 8
+
+
+def q_x333_spectral(spark, sf_dir):
+    """REAL-decode spectral profiling end to end
+    (operators/multimodal.py:audio_spectral_profile): the x102
+    deterministic 64-sample PCM WAV payloads through the real RIFF
+    decode and the Q7 integer DFT — dominant bin, spectral centroid
+    and peak ratio, all integer until the two final divisions.  The
+    oracle replays the DFT from the sample formula and the shared
+    literal tables without ever seeing the bytes."""
+    from .operators.multimodal import audio_spectral_profile
+    from .queries_ext3 import _WAV_SAMPLE_HEX, _wav_header_hex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.concat(
+        F.unhex(F.lit(_wav_header_hex())),
+        F.unhex(F.concat_ws("", F.expr(_WAV_SAMPLE_HEX))),
+    )
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("asset_id"),
+        payload.alias("payload"),
+    )
+    return audio_spectral_profile(
+        staged, n_fft=_X333_NFFT, n_bins=_X333_NBINS
+    ).orderBy("asset_id")
+
+
+def _sql_x333() -> str:
+    from .operators.multimodal import spectral_tables
+
+    nf, nb = _X333_NFFT, _X333_NBINS
+    cos_t, sin_t = spectral_tables(nf, nb)
+    iidx = "[" + ", ".join(str(i) for i in range(nf)) + "]"
+    ab = []
+    for k in range(nb):
+        cl = "[" + ", ".join(str(v) for v in cos_t[k]) + "]"
+        sl = "[" + ", ".join(str(v) for v in sin_t[k]) + "]"
+        ab.append(
+            f"list_reduce(list_transform({iidx}, i -> "
+            f"CAST({cl}[i + 1] AS BIGINT) * sm[i + 1]), "
+            f"(a, x) -> a + x) AS a{k + 1}"
+        )
+        ab.append(
+            f"list_reduce(list_transform({iidx}, i -> "
+            f"CAST({sl}[i + 1] AS BIGINT) * sm[i + 1]), "
+            f"(a, x) -> a + x) AS b{k + 1}"
+        )
+    pw = ", ".join(
+        f"a{k + 1} * a{k + 1} + b{k + 1} * b{k + 1}"
+        for k in range(nb)
+    )
+    wsum = " + ".join(f"{k + 1} * pw[{k + 1}]" for k in range(nb))
+    abx = ",\n         ".join(ab)
+    return f"""
+WITH x333_s AS (
+  SELECT CAST(doc_id AS BIGINT) AS asset_id,
+         list_transform({iidx}, i ->
+           CAST((doc_id * 31 + i * 17) % 2001 - 1000 AS BIGINT)
+         ) AS sm
+  FROM documents
+), x333_ab AS (
+  SELECT asset_id,
+         {abx}
+  FROM x333_s
+), x333_p AS (
+  SELECT asset_id, [{pw}] AS pw FROM x333_ab
+), x333_f AS (
+  SELECT asset_id, pw,
+         list_reduce(pw, (a, x) -> a + x) AS total,
+         list_max(pw) AS pmax,
+         list_position(pw, list_max(pw)) AS kdom
+  FROM x333_p
+)
+SELECT asset_id,
+       CAST({nf} AS BIGINT) AS n_samples,
+       CAST(kdom AS INTEGER) AS dominant_bin,
+       CAST(pmax AS BIGINT) AS p_dominant,
+       CAST(total AS BIGINT) AS p_total,
+       CASE WHEN total > 0 THEN
+         ROUND((CAST({wsum} AS DOUBLE) / CAST(total AS DOUBLE))
+               * 1000000.0) / 1000000.0 END AS centroid,
+       CASE WHEN total > 0 THEN
+         ROUND((CAST(pmax AS DOUBLE) / CAST(total AS DOUBLE))
+               * 1000000.0) / 1000000.0 END AS peak_ratio
+FROM x333_f
+ORDER BY asset_id
+"""
+
+
+SQL_X333 = _sql_x333()
+
+EXT15_QUERIES.update({"x333_spectral": q_x333_spectral})
+EXT15_ORACLES.update({"x333_spectral": SQL_X333})

@@ -9077,3 +9077,100 @@ def test_gumbel_fit_known_moments(spark):
         gumbel_block_maxima(df, return_periods=(1,))
     with _pytest.raises(ValueError):
         gumbel_block_maxima(df, min_blocks=2)
+
+
+def test_phash_dct_known_grids(spark):
+    from fame2pygen_spark.operators.multimodal import (
+        phash64_bits, phash_dct_table,
+    )
+
+    # constant grid: every AC coefficient is 0 (basis rows sum to the
+    # alternating-symmetric table), only DC > median is impossible
+    # since median == 0 and DC > 0 -> exactly the DC bit set
+    flat = [100] * 64
+    hi, lo = phash64_bits(flat)
+    assert (hi, lo) == (1 << 31, 0)
+
+    # left-right gradient: energy concentrates in row-frequency 0 /
+    # column-frequency 1 — C[0][1] must dominate every other AC
+    import numpy as np
+
+    grid = np.tile(np.arange(0, 256, 32), (8, 1))
+    q = np.asarray(phash_dct_table(), dtype=np.int64)
+    c = q @ grid.astype(np.int64) @ q.T
+    ac = {(i, j): abs(int(c[i, j])) for i in range(8) for j in range(8)
+          if (i, j) != (0, 0)}
+    assert max(ac, key=ac.get) == (0, 1)
+
+    # the table itself is the documented half-away Q14 rounding
+    import math
+
+    assert q[1][0] == int(math.floor(
+        math.cos(math.pi / 16.0) * 16384.0 + 0.5))
+
+
+def test_phash_distinguishes_structure_ahash_misses(spark):
+    from fame2pygen_spark.operators.multimodal import (
+        ahash64_bits, phash64_bits,
+    )
+
+    # rising vs falling gradient: same brightness HISTOGRAM (aHash's
+    # per-pixel mean threshold sees mirrored patterns), but the DCT
+    # ramp coefficients flip sign, so pHash must split them
+    import numpy as np
+
+    rising = np.tile(np.arange(8) * 30, (8, 1)).astype(int)
+    falling = rising[:, ::-1].copy()
+    assert phash64_bits(rising) != phash64_bits(falling)
+    # ...while aHash cannot: both gradients have the same mirrored
+    # above/below-mean pattern COUNT, and mirrored bit layouts — the
+    # frequency-domain view is what separates orientation
+    assert sorted(bin(ahash64_bits(rising.reshape(-1))[0]).count("1")
+                  for _ in [0]) == sorted(
+        bin(ahash64_bits(falling.reshape(-1))[0]).count("1")
+        for _ in [0]
+    )
+
+
+def test_spectral_profile_pure_tone_lands_in_its_bin(spark):
+    import math
+
+    from fame2pygen_spark.operators.multimodal import (
+        audio_spectral_profile,
+    )
+
+    # render a canonical 16-bit PCM WAV of a pure bin-3 tone
+    # (3 cycles across 64 samples) and check the dominant bin
+    import struct
+
+    n = 64
+    samples = [
+        int(round(10000.0 * math.sin(2.0 * math.pi * 3.0 * i / n)))
+        for i in range(n)
+    ]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + data)), (2, bytearray(b"notawav"))],
+        "asset_id long, payload binary",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in audio_spectral_profile(df, n_fft=64, n_bins=8).collect()
+    }
+    assert out[1]["dominant_bin"] == 3
+    assert out[1]["peak_ratio"] > 0.95
+    assert abs(out[1]["centroid"] - 3.0) < 0.1
+    assert out[2]["p_total"] is None  # undecodable -> nulls
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_spectral_profile(df, n_fft=4)
+    with _pytest.raises(ValueError):
+        audio_spectral_profile(df, n_fft=64, n_bins=40)

@@ -1345,3 +1345,19 @@ def test_gumbel_is_window_free_double_aggregation(spark):
     plan = plan_of(spark, "x331_gumbel")
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x332_image_phash",  # column-algebra payload + mapInPandas
+        "x333_spectral",     # same, audio DFT lane
+    ],
+)
+def test_r7_multimodal_operators_are_arrow_batched_scan_pipelines(
+    spark, name
+):
+    plan = plan_of(spark, name)
+    assert "MapInPandas" in plan, name
+    assert "CartesianProduct" not in plan, name
+    assert "Join" not in plan, name  # payloads render in-row
