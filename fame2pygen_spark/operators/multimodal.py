@@ -360,15 +360,19 @@ def encode_png_bytes(arr, *, color_type: int = 2, filter_mode: str = "cycle"):
 
 
 def decode_image_bytes(payload: bytes):
-    """Decode BMP (uncompressed 24/32bpp), binary PPM (P6), or PNG
+    """Decode BMP (uncompressed 24/32bpp), binary PPM (P6), PNG
     (non-interlaced 8-bit gray/RGB/palette/gray+A/RGBA — pure
-    stdlib ``zlib`` + numpy unfiltering) to an ``(h, w, 3)`` uint8
+    stdlib ``zlib`` + numpy unfiltering), or baseline JPEG (SOF0/SOF1,
+    huffman + dequant + IDCT, gray / 4:4:4 / 4:2:0, restart markers —
+    :func:`_decode_jpeg`, stdlib + numpy) to an ``(h, w, 3)`` uint8
     numpy array (RGB).  Raises ``ValueError`` on formats that need an
-    external codec (JPEG/WebP/...)."""
+    external codec (WebP, progressive JPEG, ...)."""
     import struct
 
     import numpy as np
 
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"BM":
@@ -414,7 +418,543 @@ def decode_image_bytes(payload: bytes):
             .reshape(height, width, 3)
             .copy()
         )
-    raise ValueError("entropy-coded image format (JPEG/WebP/...) — needs PIL/opencv")
+    raise ValueError("image format needs an external codec (WebP/GIF/...)")
+
+
+# ------------------------------------------------ baseline JPEG codec
+#
+# Pure stdlib + numpy implementation of ITU-T T.81 baseline sequential
+# JPEG: the decoder handles SOF0/SOF1 frames with 1 or 3 components,
+# arbitrary DQT/DHT tables read from the stream, 8-bit quantization
+# tables, sampling factors h,v ∈ {1,2} (covers grayscale, YCbCr 4:4:4
+# and 4:2:0), restart intervals (DRI + RSTn), and 0xFF00 byte
+# unstuffing.  Progressive (SOF2) and arithmetic-coded frames raise
+# ``ValueError`` — they are a different entropy pipeline, not baseline.
+#
+# The matching encoder exists so tests and parity queries can fabricate
+# real multi-block JPEG streams with *known* quantized coefficients:
+# DC-only flat blocks give a bit-exact pixel roundtrip (IDCT of a pure
+# DC block is dc*q/8, exact in float64 when q is a power of two), which
+# is what lets the x334 oracle derive the hash arithmetically without
+# ever seeing the bytes.  Counterpart in the reference: its media
+# pipeline shells out to a codec library; here the codec IS the
+# operator, Arrow-batched inside mapInPandas.
+
+#: ITU T.81 Annex K.3.1 "typical" DC huffman tables (public spec).
+_JPG_DC_LUM_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPG_DC_CHR_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPG_DC_VALS = tuple(range(12))
+
+#: flat custom AC table: EOB, ZRL and every (run, size≤10) symbol at
+#: code length 8 — canonical, Kraft-feasible (162·2⁻⁸ < 1), and read
+#: from the DHT segment like any other table, so the decoder path is
+#: identical to one fed the Annex K tables.
+_JPG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPG_AC_VALS = tuple(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+#: zigzag scan order: _JPG_ZIGZAG[k] = (row, col) of the k-th coeff.
+def _jpg_zigzag() -> list:
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0],
+        ),
+    )
+    return order
+
+
+_JPG_ZIGZAG = _jpg_zigzag()
+
+
+def _jpg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix A (A @ x = DCT(x)); the IDCT
+    of block B is A.T @ B @ A."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def _huff_canonical(bits, vals):
+    """(code, length) per symbol from a DHT BITS/HUFFVAL spec —
+    canonical assignment per T.81 Annex C."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _jpg_magnitude(v: int):
+    """(category, appended-bits) encoding of a DC diff / AC coeff per
+    T.81 F.1.2.1: negative values store ``v - 1`` in category bits."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_coeffs(
+    comps,
+    *,
+    samplings,
+    qtables,
+    restart_interval: int = 0,
+):
+    """Serialize quantized coefficient blocks as a baseline JPEG.
+
+    ``comps``: list of per-component block grids — numpy arrays of
+    shape ``(by, bx, 64)`` (zigzag-ordered quantized coefficients).
+    ``samplings``: list of ``(h, v)`` factors aligned with ``comps``
+    (block grids must already be MCU-padded: ``by % v == 0`` etc.).
+    ``qtables``: list of 64-entry zigzag-ordered quant tables; table 0
+    is used by component 0, table 1 by the rest (chroma convention).
+    Component pixel geometry is inferred as ``(8*by, 8*bx)`` of the
+    first (luma) component.
+    """
+    import struct
+
+    import numpy as np
+
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    by0, bx0 = comps[0].shape[:2]
+    height, width = 8 * by0, 8 * bx0
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (one segment per table, Pq=0)
+    for tid, qt in enumerate(qtables[: 2 if ncomp == 3 else 1]):
+        out += struct.pack(">HH", 0xFFDB, 2 + 1 + 64)
+        out.append(tid)
+        out += bytes(int(q) for q in qt)
+    # SOF0
+    out += struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * ncomp, 8,
+                       height, width, ncomp)
+    for ci in range(ncomp):
+        h, v = samplings[ci]
+        out += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    # DHT: DC lum(0,0), AC flat(1,0); for color also DC chr(0,1), AC(1,1)
+    tables = [(0x00, _JPG_DC_LUM_BITS, _JPG_DC_VALS),
+              (0x10, _JPG_AC_BITS, _JPG_AC_VALS)]
+    if ncomp == 3:
+        tables += [(0x01, _JPG_DC_CHR_BITS, _JPG_DC_VALS),
+                   (0x11, _JPG_AC_BITS, _JPG_AC_VALS)]
+    for tc_th, bits, vals in tables:
+        out += struct.pack(">HH", 0xFFC4, 2 + 1 + 16 + len(vals))
+        out.append(tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+    # SOS
+    out += struct.pack(">HHB", 0xFFDA, 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += bytes([0, 63, 0])
+
+    dc_lum = _huff_canonical(_JPG_DC_LUM_BITS, _JPG_DC_VALS)
+    dc_chr = _huff_canonical(_JPG_DC_CHR_BITS, _JPG_DC_VALS)
+    ac_tab = _huff_canonical(_JPG_AC_BITS, _JPG_AC_VALS)
+    dc_for = [dc_lum] + [dc_chr] * (ncomp - 1)
+
+    w = _JpgBitWriter()
+    pred = [0] * ncomp
+    mcus_x = bx0 // samplings[0][0]
+    mcus_y = by0 // samplings[0][1]
+    mcu_index = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_index
+                    and mcu_index % restart_interval == 0):
+                w.align()
+                w.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                h, v = samplings[ci]
+                for byi in range(v):
+                    for bxi in range(h):
+                        blk = comps[ci][my * v + byi, mx * h + bxi]
+                        dc = int(blk[0])
+                        size, bits = _jpg_magnitude(dc - pred[ci])
+                        pred[ci] = dc
+                        code, length = dc_for[ci][size]
+                        w.put(code, length)
+                        w.put(bits, size)
+                        run = 0
+                        nz = [k for k in range(1, 64) if blk[k]]
+                        last = nz[-1] if nz else 0
+                        k = 1
+                        while k <= last:
+                            coef = int(blk[k])
+                            if coef == 0:
+                                run += 1
+                                k += 1
+                                continue
+                            while run >= 16:
+                                code, length = ac_tab[0xF0]
+                                w.put(code, length)
+                                run -= 16
+                            size, bits = _jpg_magnitude(coef)
+                            code, length = ac_tab[(run << 4) | size]
+                            w.put(code, length)
+                            w.put(bits, size)
+                            run = 0
+                            k += 1
+                        if last < 63:
+                            code, length = ac_tab[0x00]  # EOB
+                            w.put(code, length)
+            mcu_index += 1
+    w.align()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: quant tables for the flat-block encoder: DC step 8 makes the
+#: dequantized DC exactly ``8*(v-128)`` so IDCT(dc)/8 + 128 == v; AC
+#: steps are plausible-looking but unused by DC-only blocks.
+_JPG_QT_FLAT = tuple([8] + [16 + (k % 23) for k in range(1, 64)])
+
+
+def encode_jpeg_bytes(
+    block_values,
+    *,
+    mode: str = "gray",
+    restart_interval: int = 0,
+):
+    """Encode an image of flat 8×8 blocks (``block_values`` is a
+    ``(bh, bw)`` uint8 grid; output image is ``8*bh × 8*bw``) as a
+    real baseline JPEG whose decode roundtrips bit-exactly: DC-only
+    blocks with quant step 8 reconstruct to exactly the block value
+    (see the codec section comment).  ``mode``: ``gray`` (1
+    component), ``ycbcr444``, or ``ycbcr420`` (2×2 luma sampling —
+    ``bh``/``bw`` must be even; chroma is flat 128, so RGB == Y
+    exactly under the JFIF float conversion)."""
+    import numpy as np
+
+    vals = np.asarray(block_values, dtype=np.int64)
+    bh, bw = vals.shape
+    coeffs = np.zeros((bh, bw, 64), dtype=np.int64)
+    coeffs[:, :, 0] = vals - 128  # quantized DC at step 8
+    qt = list(_JPG_QT_FLAT)
+    if mode == "gray":
+        return encode_jpeg_coeffs(
+            [coeffs], samplings=[(1, 1)], qtables=[qt],
+            restart_interval=restart_interval,
+        )
+    zero = np.zeros((bh, bw, 64), dtype=np.int64)
+    if mode == "ycbcr444":
+        return encode_jpeg_coeffs(
+            [coeffs, zero, zero],
+            samplings=[(1, 1), (1, 1), (1, 1)], qtables=[qt, qt],
+            restart_interval=restart_interval,
+        )
+    if mode == "ycbcr420":
+        if bh % 2 or bw % 2:
+            raise ValueError("4:2:0 needs even block grid")
+        chroma = np.zeros((bh // 2, bw // 2, 64), dtype=np.int64)
+        return encode_jpeg_coeffs(
+            [coeffs, chroma, chroma],
+            samplings=[(2, 2), (1, 1), (1, 1)], qtables=[qt, qt],
+            restart_interval=restart_interval,
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+class _JpgBitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, RSTn handling
+    (the MCU loop calls :meth:`restart` at interval boundaries), stops
+    at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG scan")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise ValueError("unexpected RST marker mid-block")
+            else:
+                raise ValueError("marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, expect: int):
+        """Consume padding + the RSTn marker at a restart boundary."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            if d[self.pos + 1] != 0xD0 + (expect & 7):
+                raise ValueError("RST marker out of sequence")
+            self.pos += 2
+        else:
+            raise ValueError("missing RST marker at restart interval")
+
+
+def _jpg_decode_huffman(reader, codes):
+    """Read one symbol via the (code, length) → symbol inverse map."""
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = codes.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG scan")
+
+
+def _jpg_extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline JPEG → (h, w, 3) uint8 RGB.  See the codec section
+    comment for supported surface; raises ``ValueError`` (the callers'
+    'needs-codec' path) on progressive/arithmetic/12-bit streams."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtables: dict = {}
+    huff: dict = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(payload):
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG stream")
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if pos + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int32)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                if off + 17 + n > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                vals = list(body[off + 17 : off + 17 + n])
+                inv = {
+                    (code, length): sym
+                    for sym, (code, length) in _huff_canonical(
+                        bits, vals
+                    ).items()
+                }
+                huff[(tc, th)] = inv
+                off += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "non-baseline JPEG (progressive/arithmetic) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
+            pos += seglen
+            break
+        # APPn / COM / others: skip
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+
+    order = []  # (comp, dc-table, ac-table) per block within an MCU
+    for s in scan:
+        c = by_id[s["cs"]]
+        for _ in range(c["h"] * c["v"]):
+            order.append((c, huff[(0, s["td"])], huff[(1, s["ta"])]))
+
+    planes = {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+        )
+        for c in comps
+    }
+    zz_rows = np.array([rc[0] for rc in _JPG_ZIGZAG])
+    zz_cols = np.array([rc[1] for rc in _JPG_ZIGZAG])
+    A = _jpg_dct_matrix()
+
+    reader = _JpgBitReader(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart(rst)
+            rst += 1
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        blk_in_comp: dict = {}
+        for c, dct, act in order:
+            size = _jpg_decode_huffman(reader, dct)
+            diff = _jpg_extend(reader.bits(size), size)
+            pred[c["id"]] += diff
+            zz = np.zeros(64, dtype=np.int32)
+            zz[0] = pred[c["id"]]
+            k = 1
+            while k < 64:
+                rs = _jpg_decode_huffman(reader, act)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 15
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _jpg_extend(reader.bits(s), s)
+                k += 1
+            deq = zz * qtables[c["tq"]]
+            block = np.zeros((8, 8), dtype=np.float64)
+            block[zz_rows, zz_cols] = deq
+            spatial = A.T @ block @ A
+            bi = blk_in_comp.get(c["id"], 0)
+            blk_in_comp[c["id"]] = bi + 1
+            byi, bxi = divmod(bi, c["h"])
+            r0 = (my * c["v"] + byi) * 8
+            c0 = (mx * c["h"] + bxi) * 8
+            planes[c["id"]][r0 : r0 + 8, c0 : c0 + 8] = spatial
+
+    h, w = frame["h"], frame["w"]
+    full = []
+    for c in comps:
+        p = np.clip(np.round(planes[c["id"]] + 128.0), 0, 255)
+        p = np.repeat(p, vmax // c["v"], axis=0)
+        p = np.repeat(p, hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = full[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255) for ch in (r, g, b)], axis=2
+    )
+    return rgb.astype(np.uint8)
 
 
 def resize_image(arr, out_h: int, out_w: int):
@@ -582,12 +1122,14 @@ def audio_features(
 
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
-    """Column-level entropy-coded image decode (JPEG/WebP) requires a
-    codec library not present in this container; BMP/PPM/PNG decode IS
-    implemented — use :func:`image_features`."""
+    """Column-level image decode for formats needing an external codec
+    (WebP, progressive JPEG).  BMP/PPM/PNG *and baseline JPEG* decode
+    IS implemented — use :func:`image_features` / :func:`image_ahash`
+    (Arrow-batched ``mapInPandas`` over :func:`decode_image_bytes`)."""
     raise NotImplementedError(
-        "JPEG/WebP decoding needs PIL/opencv — not available here; "
-        "BMP/PPM/PNG are decoded for real via image_features()"
+        "WebP / progressive-JPEG decoding needs PIL/opencv — not "
+        "available here; BMP/PPM/PNG/baseline-JPEG are decoded for "
+        "real via image_features()"
     )
 
 

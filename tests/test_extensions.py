@@ -9174,3 +9174,136 @@ def test_spectral_profile_pure_tone_lands_in_its_bin(spark):
         audio_spectral_profile(df, n_fft=4)
     with _pytest.raises(ValueError):
         audio_spectral_profile(df, n_fft=64, n_bins=40)
+
+
+# --------------------------- r7: baseline JPEG codec (x334)
+
+
+def test_jpeg_dc_only_roundtrip_all_modes_bit_exact():
+    """DC-only flat blocks at quant step 8 reconstruct exactly for
+    grayscale, 4:4:4 and 4:2:0 frames, with and without restart
+    markers — the invariant the x334 oracle relies on."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        decode_image_bytes, encode_jpeg_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    for mode in ("gray", "ycbcr444", "ycbcr420"):
+        for ri in (0, 2, 3):
+            pay = encode_jpeg_bytes(vals, mode=mode, restart_interval=ri)
+            assert pay[:2] == b"\xff\xd8" and pay[-2:] == b"\xff\xd9"
+            img = decode_image_bytes(pay)
+            assert img.shape == (64, 64, 3)
+            for ch in range(3):
+                # flat blocks: every pixel of block (i,j) equals vals[i,j]
+                assert (img[::8, ::8, ch] == vals).all(), (mode, ri, ch)
+                assert (img[7::8, 3::8, ch] == vals).all(), (mode, ri, ch)
+
+
+def test_jpeg_general_ac_blocks_match_reference_idct():
+    """Random quantized AC coefficients decode to exactly the
+    dequant → IDCT → +128 → round → clip pixels computed by an
+    independent naive double-loop cosine-sum reference."""
+    import math
+
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        _JPG_QT_FLAT, _JPG_ZIGZAG, decode_image_bytes, encode_jpeg_coeffs,
+    )
+
+    rng = np.random.RandomState(11)
+    by, bx = 2, 3
+    coeffs = rng.randint(-40, 41, size=(by, bx, 64)).astype(np.int64)
+    qt = list(_JPG_QT_FLAT)
+    img = decode_image_bytes(
+        encode_jpeg_coeffs([coeffs], samplings=[(1, 1)], qtables=[qt])
+    )
+    assert img.shape == (8 * by, 8 * bx, 3)
+
+    def naive_idct(deq):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for k, (u, v) in enumerate(_JPG_ZIGZAG):
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    s += (
+                        0.25 * cu * cv * deq[k]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+                out[x, y] = s
+        return np.clip(np.round(out + 128.0), 0, 255)
+
+    q = np.asarray(qt)
+    for r in range(by):
+        for c in range(bx):
+            ref = naive_idct(coeffs[r, c] * q)
+            got = img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8, 0]
+            assert np.abs(ref - got.astype(float)).max() <= 1.0, (r, c)
+
+
+def test_jpeg_stream_has_stuffing_and_dri_markers():
+    """The fabricated streams genuinely exercise the entropy layer:
+    a payload containing an 0xFF data byte carries the 0xFF00 stuffed
+    form, and restart_interval emits DRI + in-scan RSTn markers."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import encode_jpeg_bytes
+
+    vals = np.arange(64, dtype=np.uint8).reshape(8, 8) * 4
+    pay = encode_jpeg_bytes(vals, mode="gray", restart_interval=2)
+    assert b"\xff\xdd" in pay  # DRI segment
+    body = pay[pay.index(b"\xff\xda") : -2]
+    assert any(
+        bytes([0xFF, 0xD0 + k]) in body for k in range(8)
+    )  # RSTn in scan
+
+
+def test_jpeg_decoder_rejects_non_baseline_and_truncated():
+    import numpy as np
+    import pytest
+
+    from fame2pygen_spark.operators.multimodal import (
+        decode_image_bytes, encode_jpeg_bytes,
+    )
+
+    with pytest.raises(ValueError, match="progressive|non-baseline"):
+        decode_image_bytes(b"\xff\xd8\xff\xc2\x00\x05aaa")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image_bytes(b"\xff\xd8\xff")
+    pay = encode_jpeg_bytes(
+        np.full((8, 8), 200, dtype=np.uint8), mode="gray"
+    )
+    with pytest.raises(ValueError):
+        decode_image_bytes(pay[: len(pay) // 2])
+
+
+def test_jpeg_undecodable_payloads_yield_null_ahash(spark):
+    """image_ahash's needs-codec lane: a WebP-ish payload and a
+    truncated JPEG produce null hashes, decodable JPEGs real ones."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        encode_jpeg_bytes, image_ahash,
+    )
+
+    good = encode_jpeg_bytes(
+        np.random.RandomState(3).randint(0, 256, (8, 8)).astype(np.uint8),
+        mode="ycbcr420",
+    )
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[:40])),
+        (3, bytearray(b"RIFF....WEBPVP8 ")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_ahash(df, "doc_id", "payload").collect()}
+    assert out[1]["ahash"] is not None and out[1]["h"] == 64
+    assert out[2]["ahash"] is None
+    assert out[3]["ahash"] is None

@@ -1352,6 +1352,7 @@ def test_gumbel_is_window_free_double_aggregation(spark):
     [
         "x332_image_phash",  # column-algebra payload + mapInPandas
         "x333_spectral",     # same, audio DFT lane
+        "x334_jpeg_ahash",   # baseline-JPEG encode/decode lanes
     ],
 )
 def test_r7_multimodal_operators_are_arrow_batched_scan_pipelines(
