@@ -41,6 +41,8 @@ __all__ = [
     "prorate_intervals", "decayed_sum", "holt_winters",
     "henderson_weights", "henderson_trend", "ljung_box",
     "croston_forecast", "dtw_pairs",
+    "baxter_king_weights", "bandpass_filter", "hp_filter",
+    "chow_break_test",
 ]
 
 
@@ -3461,3 +3463,383 @@ def max_drawdown(
     # decimal-exact values; the double casts are display-only (≤6 dp
     # decimals are exactly representable at these magnitudes)
     return out
+
+
+def baxter_king_weights(
+    low: int = 6, high: int = 32, k: int = 12
+) -> list[float]:
+    """Baxter–King band-pass filter weights (Baxter & King 1999,
+    REStat): the 2k+1-term symmetric truncation of the ideal band-pass
+    filter isolating cycles with period between *low* and *high*,
+
+    ``b_0 = (w2 - w1)/pi``, ``b_j = (sin(w2 j) - sin(w1 j))/(pi j)``
+    with ``w = 2*pi/period``, then every weight shifted by the same
+    constant so the weights sum to zero exactly — the zero-sum
+    adjustment that makes the filter remove unit roots and quadratic
+    trends.  Computed once in Python floats and injected as literals
+    into BOTH engines (the henderson_weights idiom), so parity never
+    depends on either engine's trig agreeing.
+    """
+    import math
+
+    if not (2 <= low < high):
+        raise ValueError("baxter_king_weights: need 2 <= low < high")
+    if k < 1:
+        raise ValueError("baxter_king_weights: k must be >= 1")
+    w1 = 2.0 * math.pi / high
+    w2 = 2.0 * math.pi / low
+    b = []
+    for j in range(-k, k + 1):
+        if j == 0:
+            b.append((w2 - w1) / math.pi)
+        else:
+            b.append((math.sin(w2 * j) - math.sin(w1 * j)) / (math.pi * j))
+    shift = -sum(b) / (2 * k + 1)
+    return [bj + shift for bj in b]
+
+
+def bandpass_filter(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    low: int = 6,
+    high: int = 32,
+    k: int = 12,
+) -> DataFrame:
+    """Baxter–King band-pass cycle extraction per entity: the
+    symmetric 2k+1-point zero-sum weighted moving average with
+    :func:`baxter_king_weights` — the business-cycle filter that
+    passes components with period in [low, high] and blocks trend and
+    high-frequency noise.  The deviation-cycle companion to the
+    Henderson trend (x292): Henderson estimates the trend, this
+    extracts the band-limited cycle directly.
+
+    Complete-window-only semantics exactly as henderson_trend: a row
+    is emitted only when the 2k+1 surrounding periods are consecutive
+    (``lag(t,k) = t-k`` and ``lead(t,k) = t+k``); gappy series emit
+    nothing rather than a cycle folded over the wrong neighbours.
+
+    Cross-engine exactness: fixed left-to-right fold of literal-weight
+    products, identical in the SQL oracle — no float reassociation.
+
+    Scale shape: ONE window shuffle partitioned by entity (all 2k+1
+    lags/leads share one frame → a single exchange + sort); per-row
+    state is O(k).  At 100 TB the filter is embarrassingly parallel
+    across entities.
+
+    Output: ``(entity_col, t_col, value, cycle)`` at 6 dp.
+    """
+    ws = baxter_king_weights(low, high, k)
+    w = Window.partitionBy(entity_col).orderBy(t_col)
+    v = F.col(value_col).cast("double")
+    acc = None
+    for idx, j in enumerate(range(-k, k + 1)):
+        term = (
+            F.lead(v, -j).over(w)
+            if j < 0
+            else (F.lag(v, j).over(w) if j > 0 else v)
+        )
+        piece = F.lit(ws[idx]) * term
+        acc = piece if acc is None else acc + piece
+    complete = (F.lag(F.col(t_col), k).over(w) == F.col(t_col) - k) & (
+        F.lead(F.col(t_col), k).over(w) == F.col(t_col) + k
+    )
+    return (
+        df.select(
+            F.col(entity_col),
+            F.col(t_col),
+            F.round(v, 6).alias("value"),
+            F.when(complete, F.round(acc, 6)).alias("cycle"),
+        )
+        .where(F.col("cycle").isNotNull())
+    )
+
+
+def _hp_coeffs(n: int, lam: float) -> tuple[list, list]:
+    """Pentadiagonal coefficients of ``A = I + lam * D'D`` (D = the
+    (n-2) x n second-difference matrix): returns (d, e) with
+    ``d[i] = A[i][i]`` and ``e[i] = A[i][i+1]``; the second
+    off-diagonal is the constant ``lam``.  1-based intent, 0-indexed
+    storage."""
+    d = []
+    for i in range(n):
+        c = 1 if i in (0, n - 1) else (5 if i in (1, n - 2) else 6)
+        d.append(1.0 + lam * c)
+    e = []
+    for i in range(n - 1):
+        e.append(-2.0 * lam if i in (0, n - 2) else -4.0 * lam)
+    return d, e
+
+
+def _hp_solve_series(ys: list, lam: float) -> list:
+    """Exact Hodrick–Prescott trend for one series: LDL' factorization
+    of the symmetric pentadiagonal ``I + lam*D'D`` (no pivoting —
+    the matrix is SPD) followed by forward/back substitution.  Plain
+    Python-float loops with a PINNED operation order; the x336 oracle
+    replays the identical recurrences as a recursive CTE, so the IEEE
+    doubles match bit-for-bit (the x323 DTW idiom, applied to a linear
+    solve instead of a DP)."""
+    n = len(ys)
+    d, e = _hp_coeffs(n, lam)
+    # forward: D/L factors and L z = y, one step per index
+    Ds = [d[0]]
+    L1 = [0.0]
+    L2 = [0.0]
+    Zs = [ys[0]]
+    for s in range(1, n):  # 0-indexed step s == 1-based i = s+1
+        D1 = Ds[s - 1]
+        D2 = Ds[s - 2] if s >= 2 else 0.0
+        l2 = lam / D2 if s >= 2 else 0.0
+        l1 = (e[s - 1] - l2 * D2 * L1[s - 1]) / D1
+        Dn = d[s] - l1 * l1 * D1 - l2 * l2 * D2
+        z = ys[s] - l1 * Zs[s - 1] - (l2 * Zs[s - 2] if s >= 2 else 0.0)
+        Ds.append(Dn)
+        L1.append(l1)
+        L2.append(l2)
+        Zs.append(z)
+    # back substitution: L' tau = z / D
+    tau = [0.0] * n
+    for i in range(n - 1, -1, -1):
+        a = L1[i + 1] * tau[i + 1] if i + 1 < n else 0.0
+        b = L2[i + 2] * tau[i + 2] if i + 2 < n else 0.0
+        tau[i] = Zs[i] / Ds[i] - a - b
+    return tau
+
+
+def hp_filter(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    lam: float = 1600.0,
+    max_len: int = 2048,
+) -> DataFrame:
+    """Exact Hodrick–Prescott trend/cycle decomposition per entity
+    (Hodrick & Prescott 1997): the trend ``tau`` minimizing
+    ``sum (y_t - tau_t)^2 + lam * sum (d2 tau_t)^2`` — the closed-form
+    solve of the SPD pentadiagonal system ``(I + lam*D'D) tau = y``,
+    NOT an iterative approximation.  The FAME-domain smoother the
+    reference's users run downstream of CONVERT/CHAIN pipelines
+    (reference surface: /root/reference/fame2pygen/ppl_commands.py
+    exposes no smoother — this extends the engine the way x292's
+    Henderson does, with an exact solver instead of a fixed kernel).
+
+    Spacing is observation order within the entity (run gap-fill x45
+    first for gappy series); series shorter than 4 points or longer
+    than *max_len* loud-fail rather than degrade.
+
+    Scale shape: per-entity series aggregate into bounded arrays (ONE
+    groupBy shuffle), then a single Arrow-batched ``mapInPandas``
+    stage runs the O(n) LDL' recursion per series — at 100 TB the
+    unit of parallelism is the entity and per-task state is O(n) with
+    n <= max_len, so millions of series stream through independently.
+    No window over an unpartitioned frame, no driver collect, no
+    per-row Python UDF.
+
+    Cross-engine exactness: the factorization/substitution loops fix
+    a left-to-right operation order reproduced verbatim by the x336
+    recursive-CTE oracle — bit-equal IEEE doubles before the final
+    tie-safe 6 dp round.
+
+    Output: ``(entity, t, value, trend, cycle)`` with
+    ``cycle = value - trend``, ordered by (entity, t).
+    """
+    if lam <= 0:
+        raise ValueError("hp_filter: lam must be > 0")
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("e")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("o", "v"))).alias("ovs")
+        )
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.size("ovs")).alias("ml"),
+        F.min(F.size("ovs")).alias("mn"),
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("hp_filter: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"hp_filter: longest series ({stats['ml']}) exceeds "
+            f"max_len={max_len} — window or downsample the series first"
+        )
+    if stats["mn"] < 4:
+        raise ValueError(
+            "hp_filter: a series has fewer than 4 points — the "
+            "second-difference penalty needs n >= 4; filter short "
+            "entities out explicitly"
+        )
+    lam_f = float(lam)
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"entity": [], "t": [], "value": [], "trend": []}
+            for ent, ovs in zip(pdf["e"], pdf["ovs"]):
+                ts = [int(s["o"]) for s in ovs]
+                ys = [float(s["v"]) for s in ovs]
+                tau = _hp_solve_series(ys, lam_f)
+                out["entity"].extend([ent] * len(ts))
+                out["t"].extend(ts)
+                out["value"].extend(ys)
+                out["trend"].extend(tau)
+            yield pd.DataFrame(
+                {
+                    "entity": pd.Series(out["entity"], dtype="object"),
+                    "t": pd.Series(out["t"], dtype="int64"),
+                    "value": pd.Series(out["value"], dtype="float64"),
+                    "trend": pd.Series(out["trend"], dtype="float64"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("t", LongType()),
+            StructField("value", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_ent.mapInPandas(compute, schema=schema)
+        .select(
+            "entity",
+            "t",
+            r6(F.col("value")).alias("value"),
+            r6(F.col("trend")).alias("trend"),
+            r6(F.col("value") - F.col("trend")).alias("cycle"),
+        )
+        .orderBy("entity", "t")
+    )
+
+
+def chow_break_test(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    f_crit: float = 3.0,
+) -> DataFrame:
+    """Chow structural-break test per entity (Chow 1960): fit
+    ``y ~ a + b*t`` by OLS on the full series, on the first half and
+    on the second half (split at the integer midpoint of the entity's
+    observed t-range, ``floor((min_t + max_t)/2)`` — deterministic,
+    no data-dependent search), and test whether the two halves share
+    one regression:
+
+    ``F = ((SSR_pooled - SSR_1 - SSR_2)/2) / ((SSR_1 + SSR_2)/(n-4))``
+
+    Everything reduces to per-segment sufficient statistics
+    (n, St, Sy, Stt, Sty, Syy) computed as DECIMAL(38,12)-exact
+    conditional aggregates in ONE groupBy pass — order-independent
+    sums, so the statistic is partitioning-invariant and matches the
+    SQL oracle exactly; the closed-form SSR algebra then runs in
+    doubles on those exact sums.  Segments need >= 3 points each and
+    nonzero t-variance; entities failing that emit NULL F.
+
+    Scale: one shuffle keyed by entity, O(1) state per entity — the
+    canonical 100 TB aggregation shape.
+
+    Output: ``(entity, n1, n2, break_t, f_stat, break_flag)``.
+    """
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("y"),
+    ).where(F.col("t").isNotNull() & F.col("y").isNotNull())
+    lim = base.groupBy("e").agg(
+        F.floor((F.min("t") + F.max("t")) / F.lit(2)).alias("break_t")
+    )
+    tagged = base.join(F.broadcast(lim), "e").withColumn(
+        "seg", F.when(F.col("t") <= F.col("break_t"), F.lit(1)).otherwise(F.lit(2))
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+
+    def seg_stats(s: int, tag: str):
+        m = F.col("seg") == s
+        td = F.when(m, F.col("t").cast("double"))
+        yd = F.when(m, F.col("y"))
+        return [
+            F.count(F.when(m, F.lit(1))).cast("double").alias(f"n{tag}"),
+            dec(td).alias(f"st{tag}"),
+            dec(yd).alias(f"sy{tag}"),
+            dec(td * F.col("t").cast("double")).alias(f"stt{tag}"),
+            dec(td * F.col("y")).alias(f"sty{tag}"),
+            dec(yd * F.col("y")).alias(f"syy{tag}"),
+        ]
+
+    td_all = F.col("t").cast("double")
+    agg = tagged.groupBy("e", "break_t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(td_all).alias("st"),
+        dec(F.col("y")).alias("sy"),
+        dec(td_all * td_all).alias("stt"),
+        dec(td_all * F.col("y")).alias("sty"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        *seg_stats(1, "1"),
+        *seg_stats(2, "2"),
+    )
+
+    def ssr(n, st, sy, stt, sty, syy):
+        # SSR of y ~ a + b t from sufficient statistics:
+        # Sxx = stt - st^2/n, Sxy = sty - st*sy/n, Syy_c = syy - sy^2/n
+        # SSR = Syy_c - Sxy^2/Sxx  (NULL-safe via when() on callers)
+        sxx = stt - st * st / n
+        sxy = sty - st * sy / n
+        syc = syy - sy * sy / n
+        return syc - sxy * sxy / sxx, sxx
+
+    ssr_p, sxx_p = ssr(
+        F.col("n"), F.col("st"), F.col("sy"),
+        F.col("stt"), F.col("sty"), F.col("syy"),
+    )
+    ssr_1, sxx_1 = ssr(
+        F.col("n1"), F.col("st1"), F.col("sy1"),
+        F.col("stt1"), F.col("sty1"), F.col("syy1"),
+    )
+    ssr_2, sxx_2 = ssr(
+        F.col("n2"), F.col("st2"), F.col("sy2"),
+        F.col("stt2"), F.col("sty2"), F.col("syy2"),
+    )
+    ok = (
+        (F.col("n1") >= 3) & (F.col("n2") >= 3)
+        & (sxx_p > 0) & (sxx_1 > 0) & (sxx_2 > 0)
+        # degenerate perfect fit in both halves: F is undefined (the
+        # residual denominator vanishes) -> NULL, not inf/ANSI error
+        & (ssr_1 + ssr_2 > 0)
+    )
+    fstat = ((ssr_p - ssr_1 - ssr_2) / F.lit(2.0)) / (
+        (ssr_1 + ssr_2) / (F.col("n") - F.lit(4.0))
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("e").alias("entity"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("break_t").cast("long").alias("break_t"),
+        r6(F.when(ok, fstat)).alias("f_stat"),
+        F.when(ok, (fstat > F.lit(float(f_crit))).cast("int")).alias(
+            "break_flag"
+        ),
+    ).orderBy("entity")

@@ -964,6 +964,7 @@ from .queries_ext13 import EXT13_ORACLES, EXT13_QUERIES  # noqa: E402
 from .queries_ext14 import EXT14_ORACLES, EXT14_QUERIES  # noqa: E402
 from .queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
 from .queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
+from .queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -982,6 +983,7 @@ ORACLES.update(EXT13_ORACLES)
 ORACLES.update(EXT14_ORACLES)
 ORACLES.update(EXT15_ORACLES)
 ORACLES.update(EXT16_ORACLES)
+ORACLES.update(EXT17_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -1028,6 +1030,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT14_QUERIES,
     **EXT15_QUERIES,
     **EXT16_QUERIES,
+    **EXT17_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against

@@ -1,0 +1,345 @@
+"""Round-7 extension queries, second session (x335+): econometric
+filter family — band-pass cycle extraction, exact Hodrick–Prescott
+trend/cycle, Chow structural-break testing — then the round's later
+operator families.
+
+Same contract as :mod:`fame2pygen_spark.queries_ext`: every query is
+``(spark, sf_dir) -> DataFrame`` with column names/types matching its
+ANSI-SQL DuckDB oracle exactly (driver compare = exact stringified
+value hash after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+EXT17_QUERIES: dict = {}
+EXT17_ORACLES: dict = {}
+
+_US_PER_DAY = 86_400_000_000
+
+
+# ------------------ x335: Baxter–King band-pass business-cycle filter
+
+
+def q_x335_bandpass(spark, sf_dir):
+    """Baxter–King band-pass cycle (operators/temporal.py:
+    bandpass_filter) of monthly order revenue per market segment —
+    the 25-term zero-sum literal-weight filter passing 6–32-month
+    cycles, complete-window-only (edge months and gap neighbours emit
+    nothing).  The deviation-cycle companion to x292's Henderson
+    trend; customer is the broadcast dimension side."""
+    from .operators.temporal import bandpass_filter
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    panel = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    out = bandpass_filter(
+        panel, entity_col="segment", t_col="midx", value_col="v",
+        low=6, high=32, k=12,
+    )
+    return out.select(
+        "segment", F.col("midx").cast("long").alias("midx"), "value",
+        "cycle",
+    )
+
+
+def _sql_x335() -> str:
+    from .operators.temporal import baxter_king_weights
+
+    ws = baxter_king_weights(6, 32, 12)
+    terms = []
+    for idx, j in enumerate(range(-12, 13)):
+        if j < 0:
+            t = f"LEAD(v, {-j}) OVER w"
+        elif j > 0:
+            t = f"LAG(v, {j}) OVER w"
+        else:
+            t = "v"
+        terms.append(f"{ws[idx]!r} * {t}")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return f"""
+WITH t335_panel AS (
+  SELECT c_mktsegment AS segment,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+t335_f AS (
+  SELECT segment, midx, ROUND(v, 6) AS value,
+         CASE WHEN LAG(midx, 12) OVER w = midx - 12
+               AND LEAD(midx, 12) OVER w = midx + 12
+              THEN ROUND({acc}, 6) END AS cycle
+  FROM t335_panel WINDOW w AS (PARTITION BY segment ORDER BY midx)
+)
+SELECT segment, CAST(midx AS BIGINT) AS midx, value, cycle
+FROM t335_f
+WHERE cycle IS NOT NULL
+ORDER BY segment, midx
+"""
+
+
+EXT17_QUERIES.update({"x335_bandpass": q_x335_bandpass})
+EXT17_ORACLES.update({"x335_bandpass": _sql_x335()})
+
+
+# --------------------- x336: exact Hodrick–Prescott trend/cycle
+
+
+def q_x336_hp_filter(spark, sf_dir):
+    """Exact Hodrick–Prescott decomposition (operators/temporal.py:
+    hp_filter) of each event type's daily value series: the SPD
+    pentadiagonal system ``(I + 1600 D'D) tau = y`` solved exactly by
+    an LDL' recursion inside ONE Arrow-batched mapInPandas stage.
+    The oracle replays the identical factorization / forward /
+    back-substitution recurrences as two recursive CTEs carrying the
+    factor lists (the x323 DTW wavefront idiom applied to a linear
+    solve), so both engines produce bit-equal IEEE doubles before the
+    tie-safe 6 dp round."""
+    from .operators.temporal import hp_filter
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    panel = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return hp_filter(
+        panel, entity_col="event_type", t_col="day", value_col="v",
+        lam=1600.0,
+    )
+
+
+def _sql_x336() -> str:
+    lam = "1600.0"
+    # pentadiagonal coefficients of I + lam*D'D at 1-based position s
+    # (mirrors operators/temporal.py:_hp_coeffs exactly)
+    dcoef = (
+        f"(CAST(1.0 AS DOUBLE) + CAST({lam} AS DOUBLE) * "
+        "(CASE WHEN s = 1 OR s = n THEN 1 "
+        "WHEN s = 2 OR s = n - 1 THEN 5 ELSE 6 END))"
+    )
+    ecoef = (
+        f"(CASE WHEN s = 2 OR s = n THEN CAST(-2.0 AS DOUBLE) * {lam} "
+        f"ELSE CAST(-4.0 AS DOUBLE) * {lam} END)"
+    )
+    return f"""
+WITH RECURSIVE x336_daily AS (
+  SELECT event_type AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), x336_arr AS (
+  SELECT e, list(t ORDER BY t) AS ts, list(v ORDER BY t) AS ys,
+         CAST(count(*) AS INTEGER) AS n
+  FROM x336_daily GROUP BY e
+), x336_fwd AS (
+  -- LDL' forward recursion, one list element per step:
+  -- Ds = pivots, L1s/L2s = unit-lower factors, Zs = L z = y solve
+  SELECT e, ts, ys, n, CAST(1 AS INTEGER) AS i,
+         [CAST(1.0 AS DOUBLE) + CAST({lam} AS DOUBLE) * 1] AS Ds,
+         [CAST(0.0 AS DOUBLE)] AS L1s,
+         [CAST(0.0 AS DOUBLE)] AS L2s,
+         [ys[1]] AS Zs
+  FROM x336_arr
+  UNION ALL
+  SELECT e, ts, ys, n, s AS i,
+         list_append(Ds, {dcoef} - l1 * l1 * d1 - l2 * l2 * d2) AS Ds,
+         list_append(L1s, l1) AS L1s,
+         list_append(L2s, l2) AS L2s,
+         list_append(Zs,
+           ys[s] - l1 * Zs[CAST(s - 1 AS INTEGER)]
+                 - l2 * COALESCE(Zs[CAST(s - 2 AS INTEGER)],
+                                 CAST(0.0 AS DOUBLE))) AS Zs
+  FROM (
+    SELECT e, ts, ys, n, s, Ds, L1s, L2s, Zs, d1, d2, l2,
+           ({ecoef} - l2 * d2 * L1s[CAST(s - 1 AS INTEGER)]) / d1 AS l1
+    FROM (
+      SELECT e, ts, ys, n, s, Ds, L1s, L2s, Zs, d1, d2,
+             CASE WHEN s >= 3 THEN CAST({lam} AS DOUBLE) / d2
+                  ELSE CAST(0.0 AS DOUBLE) END AS l2
+      FROM (
+        SELECT e, ts, ys, n, CAST(i + 1 AS INTEGER) AS s,
+               Ds, L1s, L2s, Zs,
+               Ds[i] AS d1,
+               COALESCE(Ds[CAST(i - 1 AS INTEGER)],
+                        CAST(0.0 AS DOUBLE)) AS d2
+        FROM x336_fwd WHERE i < n
+      )
+    )
+  )
+), x336_bwd AS (
+  -- back substitution L' tau = z / D, descending from i = n
+  SELECT e, ts, ys, n, Ds, L1s, L2s, Zs, n AS i,
+         [Zs[n] / Ds[n] - CAST(0.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)]
+           AS taus
+  FROM x336_fwd WHERE i = n
+  UNION ALL
+  SELECT e, ts, ys, n, Ds, L1s, L2s, Zs, CAST(i - 1 AS INTEGER) AS i,
+         list_prepend(
+           Zs[CAST(i - 1 AS INTEGER)] / Ds[CAST(i - 1 AS INTEGER)]
+           - L1s[i] * taus[1]
+           - CASE WHEN i + 1 <= n
+                  THEN L2s[CAST(i + 1 AS INTEGER)] * taus[2]
+                  ELSE CAST(0.0 AS DOUBLE) END,
+           taus) AS taus
+  FROM x336_bwd WHERE i > 1
+), x336_rows AS (
+  SELECT e AS entity, UNNEST(ts) AS t, UNNEST(ys) AS value,
+         UNNEST(taus) AS trend
+  FROM x336_bwd WHERE i = 1
+)
+SELECT entity, CAST(t AS BIGINT) AS t,
+       ROUND(value * 1000000.0) / 1000000.0 AS value,
+       ROUND(trend * 1000000.0) / 1000000.0 AS trend,
+       ROUND((value - trend) * 1000000.0) / 1000000.0 AS cycle
+FROM x336_rows
+ORDER BY entity, t
+"""
+
+
+EXT17_QUERIES.update({"x336_hp_filter": q_x336_hp_filter})
+EXT17_ORACLES.update({"x336_hp_filter": _sql_x336()})
+
+
+# ------------------------- x337: Chow structural-break test
+
+
+def q_x337_chow_break(spark, sf_dir):
+    """Chow structural-break F-test (operators/temporal.py:
+    chow_break_test) on each event type's daily value series, split
+    at the deterministic midpoint of the observed day range — did the
+    level/trend regime change between the two halves of the month?
+    One decimal-exact groupBy pass; all OLS algebra closed-form on
+    the sufficient statistics."""
+    from .operators.temporal import chow_break_test
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    panel = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return chow_break_test(
+        panel, entity_col="event_type", t_col="day", value_col="v",
+        f_crit=3.0,
+    )
+
+
+def _sql_x337() -> str:
+    dec = "DECIMAL(38,12)"
+
+    def seg_sums(cond: str, tag: str) -> str:
+        td = f"(CASE WHEN {cond} THEN CAST(t AS DOUBLE) END)"
+        yd = f"(CASE WHEN {cond} THEN y END)"
+        return f"""
+         CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS DOUBLE) AS n{tag},
+         CAST(SUM(CAST({td} AS {dec})) AS DOUBLE) AS st{tag},
+         CAST(SUM(CAST({yd} AS {dec})) AS DOUBLE) AS sy{tag},
+         CAST(SUM(CAST({td} * CAST(t AS DOUBLE) AS {dec})) AS DOUBLE)
+           AS stt{tag},
+         CAST(SUM(CAST({td} * y AS {dec})) AS DOUBLE) AS sty{tag},
+         CAST(SUM(CAST({yd} * y AS {dec})) AS DOUBLE) AS syy{tag}"""
+
+    def ssr(tag: str) -> str:
+        # mirrors chow_break_test's ssr(): left-to-right double
+        # algebra, fully parenthesized so the expansion composes
+        return (
+            f"((syy{tag} - sy{tag} * sy{tag} / n{tag})"
+            f" - (sty{tag} - st{tag} * sy{tag} / n{tag})"
+            f" * (sty{tag} - st{tag} * sy{tag} / n{tag})"
+            f" / (stt{tag} - st{tag} * st{tag} / n{tag}))"
+        )
+
+    def sxx(tag: str) -> str:
+        return f"(stt{tag} - st{tag} * st{tag} / n{tag})"
+
+    fstat = (
+        f"(({ssr('')} - {ssr('1')} - {ssr('2')}) / 2.0)"
+        f" / (({ssr('1')} + {ssr('2')}) / (n - 4.0))"
+    )
+    ok = (
+        f"n1 >= 3 AND n2 >= 3 AND {sxx('')} > 0"
+        f" AND {sxx('1')} > 0 AND {sxx('2')} > 0"
+        f" AND ({ssr('1')} + {ssr('2')}) > 0"
+    )
+    return f"""
+WITH x337_daily AS (
+  SELECT event_type AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), x337_lim AS (
+  SELECT e, CAST(floor((MIN(t) + MAX(t)) / 2) AS BIGINT) AS break_t
+  FROM x337_daily GROUP BY e
+), x337_agg AS (
+  SELECT d.e, l.break_t,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(t AS DOUBLE) AS {dec})) AS DOUBLE) AS st,
+         CAST(SUM(CAST(y AS {dec})) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) AS {dec}))
+              AS DOUBLE) AS stt,
+         CAST(SUM(CAST(CAST(t AS DOUBLE) * y AS {dec})) AS DOUBLE)
+           AS sty,
+         CAST(SUM(CAST(y * y AS {dec})) AS DOUBLE) AS syy,
+         {seg_sums('t <= l.break_t', '1')},
+         {seg_sums('t > l.break_t', '2')}
+  FROM x337_daily d JOIN x337_lim l ON d.e = l.e
+  GROUP BY d.e, l.break_t
+)
+SELECT e AS entity,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       break_t,
+       CASE WHEN {ok}
+            THEN ROUND(({fstat}) * 1000000.0) / 1000000.0 END AS f_stat,
+       CASE WHEN {ok}
+            THEN CAST(({fstat}) > 3.0 AS INTEGER) END AS break_flag
+FROM x337_agg
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x337_chow_break": q_x337_chow_break})
+EXT17_ORACLES.update({"x337_chow_break": _sql_x337()})

@@ -9307,3 +9307,137 @@ def test_jpeg_undecodable_payloads_yield_null_ahash(spark):
     assert out[1]["ahash"] is not None and out[1]["h"] == 64
     assert out[2]["ahash"] is None
     assert out[3]["ahash"] is None
+
+
+def test_baxter_king_weights_band_gain():
+    import math
+
+    from fame2pygen_spark.operators.temporal import baxter_king_weights
+
+    ws = baxter_king_weights(6, 32, 12)
+    assert len(ws) == 25
+    # zero-sum adjustment is exact up to float eps; symmetric kernel
+    assert abs(sum(ws)) < 1e-12
+    assert all(abs(ws[i] - ws[-1 - i]) < 1e-15 for i in range(12))
+
+    def gain(period):
+        w = 2 * math.pi / period
+        return sum(
+            ws[idx] * math.cos(w * j)
+            for idx, j in enumerate(range(-12, 13))
+        )
+
+    # pass-band (12-month cycles) near unit gain, stop-bands near zero
+    assert abs(gain(12) - 1.0) < 0.1
+    assert abs(gain(200)) < 0.05   # trend frequencies blocked
+    assert abs(gain(2.5)) < 0.1    # high-frequency noise blocked
+
+
+def test_bandpass_filter_passes_cycle_blocks_trend(spark):
+    import math
+
+    from fame2pygen_spark.operators.temporal import bandpass_filter
+
+    rows = []
+    for t in range(80):
+        rows.append(("cyc", t, 100.0 * math.sin(2 * math.pi * t / 12)))
+        rows.append(("lin", t, 5.0 * t + 3.0))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = bandpass_filter(
+        df, entity_col="e", t_col="t", value_col="v", low=6, high=32,
+        k=12,
+    ).collect()
+    # complete-window semantics: 80 - 2*12 rows per entity
+    per = {}
+    for r in out:
+        per.setdefault(r["e"], []).append(r)
+    assert len(per["cyc"]) == 56 and len(per["lin"]) == 56
+    # a 12-period sine is in the pass band: amplitude survives
+    cyc_amp = max(abs(r["cycle"]) for r in per["cyc"])
+    assert 85.0 < cyc_amp < 115.0
+    # a linear trend is removed by the zero-sum kernel (exactly, up
+    # to float eps scaled by the data)
+    assert all(abs(r["cycle"]) < 1e-9 for r in per["lin"])
+
+
+def test_hp_solve_matches_dense_solver():
+    import numpy as np
+
+    from fame2pygen_spark.operators.temporal import _hp_solve_series
+
+    rng = np.random.RandomState(42)
+    for n, lam in [(4, 10.0), (30, 1600.0), (200, 129600.0)]:
+        y = list(rng.randn(n) * 3.0 + np.linspace(0.0, 7.0, n))
+        tau = np.array(_hp_solve_series(y, lam))
+        D = np.zeros((n - 2, n))
+        for i in range(n - 2):
+            D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+        ref = np.linalg.solve(np.eye(n) + lam * D.T @ D, np.array(y))
+        assert np.max(np.abs(tau - ref)) < 1e-9, (n, lam)
+
+
+def test_hp_filter_reproduces_linear_series_and_guards(spark):
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.temporal import hp_filter
+
+    # (I + lam*D'D) y = y for linear y (second differences vanish),
+    # so the trend IS the series and the cycle is ~0
+    rows = [("a", t, 2.0 * t + 1.0) for t in range(40)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = hp_filter(
+        df, entity_col="e", t_col="t", value_col="v", lam=1600.0
+    ).collect()
+    assert len(out) == 40
+    assert all(abs(r["cycle"]) < 1e-5 for r in out)
+    assert all(abs(r["trend"] - r["value"]) < 1e-5 for r in out)
+
+    short = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0)],
+        "e string, t long, v double",
+    )
+    with _pytest.raises(ValueError, match="fewer than 4"):
+        hp_filter(short, entity_col="e", t_col="t", value_col="v")
+    with _pytest.raises(ValueError, match="max_len"):
+        hp_filter(
+            df, entity_col="e", t_col="t", value_col="v", max_len=10
+        )
+    with _pytest.raises(ValueError, match="lam"):
+        hp_filter(
+            df, entity_col="e", t_col="t", value_col="v", lam=0.0
+        )
+    empty = spark.createDataFrame([], "e string, t long, v double")
+    with _pytest.raises(ValueError, match="empty"):
+        hp_filter(empty, entity_col="e", t_col="t", value_col="v")
+
+
+def test_chow_break_detects_planted_level_shift(spark):
+    from fame2pygen_spark.operators.temporal import chow_break_test
+
+    rows = []
+    for t in range(40):
+        wig = 0.01 if t % 2 else -0.01
+        # 'shift': same slope + wiggle, +50 level jump at the midpoint
+        rows.append(
+            ("shift", t, 1.0 * t + wig + (50.0 if t >= 20 else 0.0))
+        )
+        # 'stable': one clean line with the same tiny wiggle
+        rows.append(("stable", t, 1.0 * t + wig))
+        # 'perfect': exactly linear halves -> zero residuals -> F is
+        # undefined and must come back NULL, not inf or an ANSI error
+        rows.append(("perfect", t, 2.0 * t))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in chow_break_test(
+            df, entity_col="e", t_col="t", value_col="v", f_crit=3.0
+        ).collect()
+    }
+    s = out["shift"]
+    # midpoint split: floor((0+39)/2) = 19 -> halves of 20/20
+    assert (s["n1"], s["n2"], s["break_t"]) == (20, 20, 19)
+    assert s["break_flag"] == 1 and s["f_stat"] > 100.0
+    st = out["stable"]
+    assert st["break_flag"] == 0 and st["f_stat"] < 3.0
+    p = out["perfect"]
+    assert p["f_stat"] is None and p["break_flag"] is None

@@ -133,6 +133,9 @@ SENSITIVE = [
     "x329_ransac",
     "x330_hodges_lehmann",
     "x331_gumbel",
+    "x335_bandpass",
+    "x336_hp_filter",
+    "x337_chow_break",
 ]
 
 

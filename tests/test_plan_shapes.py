@@ -1362,3 +1362,32 @@ def test_r7_multimodal_operators_are_arrow_batched_scan_pipelines(
     assert "MapInPandas" in plan, name
     assert "CartesianProduct" not in plan, name
     assert "Join" not in plan, name  # payloads render in-row
+
+
+def test_bandpass_is_one_entity_keyed_window_pass(spark):
+    # all 25 lag/lead taps share one (segment, midx) frame -> a single
+    # Window over a keyed exchange; the dimension join is broadcast
+    plan = plan_of(spark, "x335_bandpass")
+    assert unpartitioned_windows(spark, "x335_bandpass") == []
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hp_filter_is_arrow_batched_entity_solve(spark):
+    # per-entity bounded arrays -> ONE groupBy shuffle feeding a
+    # single mapInPandas LDL' stage; no window, no join, no cartesian
+    plan = plan_of(spark, "x336_hp_filter")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chow_break_is_single_pass_decimal_agg(spark):
+    # sufficient statistics in one keyed aggregation; the per-entity
+    # midpoint frame joins broadcast; closed-form algebra needs no
+    # window anywhere
+    plan = plan_of(spark, "x337_chow_break")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
