@@ -42,7 +42,8 @@ __all__ = [
     "henderson_weights", "henderson_trend", "ljung_box",
     "croston_forecast", "dtw_pairs",
     "baxter_king_weights", "bandpass_filter", "hp_filter",
-    "chow_break_test",
+    "chow_break_test", "hurst_rs", "permutation_entropy",
+    "sample_entropy",
 ]
 
 
@@ -3843,3 +3844,361 @@ def chow_break_test(
             "break_flag"
         ),
     ).orderBy("entity")
+
+
+#: natural logs of the R/S block sizes, injected as the SAME literals
+#: into both engines (the x327-family literal-pinning idiom)
+_HURST_BLOCK_SIZES = (8, 16, 32)
+_HURST_LN_N = {
+    8: 2.0794415416798357,
+    16: 2.772588722239781,
+    32: 3.4657359027997265,
+}
+
+
+def hurst_rs(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis per entity
+    (Hurst 1951; Mandelbrot & Wallis 1969): chop the ordered series
+    into complete blocks of n ∈ {8, 16, 32}, compute each block's
+    rescaled range ``R/S`` (range of cumulative mean-deviations over
+    population std), average per n, and fit ``ln(mean R/S) ~ H ln n``
+    — H≈0.5 for a random walk, >0.5 persistent, <0.5 anti-persistent.
+    The long-memory companion to x233's autocorrelation and x253's
+    Hill tail index.
+
+    Cross-engine exactness: block means come from DECIMAL(38,12)-exact
+    sums; cumulative deviations run over the pinned (entity, block,
+    rn) order in both engines; squared deviations and per-n averages
+    re-enter decimal before the ratio; ``ln n`` is a Python literal
+    and ``ln(mean R/S)`` is rounded to 6 dp on BOTH sides before the
+    3-point slope, so the only float divergence channel is the
+    engines' shared correctly-rounded-to-ulp log (the x-ln round-trip
+    discipline of queries.py:439).
+
+    Scale shape: one row_number window per entity, one groupBy per
+    (entity, n, block), one per (entity, n), one per entity — all
+    keyed, no global window, no join, no Python.  Blocks are
+    contiguous in the entity's own order, so at 100 TB the shuffles
+    stay entity-keyed end to end.
+
+    Output: ``(entity, n_points, mean_rs_8, mean_rs_16, mean_rs_32,
+    hurst)`` at 6 dp, ordered by entity.
+    """
+    w = Window.partitionBy("e").orderBy("o")
+    base = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w) - F.lit(1))
+    )
+    sizes = F.array(*[F.lit(n) for n in _HURST_BLOCK_SIZES])
+    blocks = base.select(
+        "e", "rn", "v", F.explode(sizes).alias("bs")
+    ).withColumn("blk", F.floor(F.col("rn") / F.col("bs")))
+    # block mean from a decimal-exact sum; only complete blocks count
+    wb = Window.partitionBy("e", "bs", "blk")
+    wbo = wb.orderBy("rn")
+    wcum = wbo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = F.sum(F.col("v").cast("decimal(38,12)")).over(wb)
+    cnt = F.count(F.lit(1)).over(wb)
+    enriched = (
+        blocks.withColumn("bmean", dec.cast("double") / F.col("bs"))
+        .withColumn("bn", cnt)
+        .where(F.col("bn") == F.col("bs"))
+        .withColumn("cumdev", F.sum(F.col("v") - F.col("bmean")).over(wcum))
+    )
+    per_block = enriched.groupBy("e", "bs", "blk").agg(
+        (F.max("cumdev") - F.min("cumdev")).alias("r"),
+        F.sqrt(
+            F.sum(
+                (
+                    (F.col("v") - F.col("bmean"))
+                    * (F.col("v") - F.col("bmean"))
+                ).cast("decimal(38,12)")
+            ).cast("double")
+            / F.first("bs")
+        ).alias("s"),
+    )
+    per_n = (
+        per_block.where(F.col("s") > 0)
+        .withColumn("rs", F.col("r") / F.col("s"))
+        .groupBy("e", "bs")
+        .agg(
+            (
+                F.sum(F.col("rs").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_rs")
+        )
+        # pin ln(mean R/S) at 6 dp on both sides BEFORE the slope
+        .withColumn("lz", F.round(F.log("mean_rs"), 6))
+        .withColumn(
+            "lx",
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for n in _HURST_BLOCK_SIZES
+                        for x in (F.lit(n), F.lit(_HURST_LN_N[n]))
+                    ]
+                ),
+                F.col("bs"),
+            ),
+        )
+    )
+    npoints = base.groupBy("e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    k = float(len(_HURST_BLOCK_SIZES))
+    # the 3-point slope sums re-enter decimal so the fold is
+    # order-independent under any partitioning
+    sd = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    slope = (
+        sd(F.col("lx") * F.col("lz"))
+        - sd(F.col("lx")) * sd(F.col("lz")) / F.lit(k)
+    ) / (
+        sd(F.col("lx") * F.col("lx"))
+        - sd(F.col("lx")) * sd(F.col("lx")) / F.lit(k)
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    out = per_n.groupBy("e").agg(
+        *[
+            r6(
+                F.max(F.when(F.col("bs") == n, F.col("mean_rs")))
+            ).alias(f"mean_rs_{n}")
+            for n in _HURST_BLOCK_SIZES
+        ],
+        F.when(F.count(F.lit(1)) == len(_HURST_BLOCK_SIZES), r6(slope))
+        .alias("hurst"),
+    )
+    return (
+        out.join(F.broadcast(npoints), "e")
+        .select(
+            F.col("e").alias("entity"),
+            "n_points",
+            *[f"mean_rs_{n}" for n in _HURST_BLOCK_SIZES],
+            "hurst",
+        )
+        .orderBy("entity")
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Order-3 permutation entropy per entity (Bandt & Pompe 2002):
+    slide a 3-point window over the ordered series, encode each
+    triple's ordinal pattern by its three strict pairwise comparisons
+    (``4·[a>b] + 2·[b>c] + [a>c]`` — ties collapse downward, the
+    deterministic convention both engines share), and report the
+    Shannon entropy of the pattern distribution normalized by ln 6 —
+    1.0 for white noise, →0 for monotone/deterministic dynamics.
+    The ordinal-complexity companion to x338's Hurst exponent: both
+    read regularity, but PE is rank-based and so invariant to any
+    monotone transform of the values.
+
+    Pure JVM pipeline: one lag window per entity, one groupBy per
+    (entity, pattern), one per entity; counts are exact integers and
+    the only float step is ``p ln p`` on exact rationals, rounded at
+    6 dp (the shared-libm log discipline).
+
+    Output: ``(entity, n_triples, n_patterns, perm_entropy)``
+    ordered by entity; entities with < 3 points emit nothing.
+    """
+    w = Window.partitionBy("e").orderBy("o")
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("o").isNotNull() & F.col("v").isNotNull())
+    tri = (
+        base.withColumn("a", F.lag("v", 2).over(w))
+        .withColumn("b", F.lag("v", 1).over(w))
+        .where(F.col("a").isNotNull())
+        .select(
+            "e",
+            (
+                (F.col("a") > F.col("b")).cast("int") * F.lit(4)
+                + (F.col("b") > F.col("v")).cast("int") * F.lit(2)
+                + (F.col("a") > F.col("v")).cast("int")
+            ).alias("pat"),
+        )
+    )
+    per_pat = tri.groupBy("e", "pat").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    # total per entity via a keyed window: integer-valued doubles sum
+    # exactly, so the total is order-free
+    per_pat = per_pat.withColumn(
+        "tot", F.sum("c").over(Window.partitionBy("e"))
+    )
+    # entropy of exact-rational p over ln 6; ln(6) as a literal.
+    # each p·ln p term re-enters decimal so the ≤8-term fold is
+    # order-independent under any partitioning
+    ln6 = 1.791759469228055
+    ent = -(
+        F.sum(
+            (
+                (F.col("c") / F.col("tot"))
+                * F.log(F.col("c") / F.col("tot"))
+            ).cast("decimal(38,12)")
+        ).cast("double")
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_pat.groupBy("e")
+        .agg(
+            F.max("tot").cast("long").alias("n_triples"),
+            F.count(F.lit(1)).cast("long").alias("n_patterns"),
+            r6(ent / F.lit(ln6)).alias("perm_entropy"),
+        )
+        .select(
+            F.col("e").alias("entity"), "n_triples", "n_patterns",
+            "perm_entropy",
+        )
+        .orderBy("entity")
+    )
+
+
+def sample_entropy(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    r_frac: float = 0.2,
+    max_len: int = 1024,
+) -> DataFrame:
+    """Sample entropy per entity (Richman & Moorman 2000), m=2:
+    ``SampEn = -ln(A/B)`` where B counts index pairs i<j whose
+    length-2 templates match within tolerance
+    ``r = r_frac * population_std`` (Chebyshev distance) and A counts
+    those still matching at length 3.  Low SampEn = self-similar /
+    regular series; high = unpredictable.  Completes the x338/x339
+    complexity triple: Hurst reads long memory, PE ordinal structure,
+    SampEn template regularity in the metric of the values.
+
+    The pair frame is quadratic per entity, so series loud-fail past
+    *max_len* (run on windows or downsample first — the same
+    deliberate cap discipline as dtw_pairs); the join itself is
+    entity-keyed (never cross-entity), so at 100 TB the cost is
+    sum over entities of n_e^2 with n_e bounded, embarrassingly
+    parallel across entities.
+
+    Cross-engine exactness: std comes from decimal-exact sums; the
+    tolerance comparisons are pure double comparisons both engines
+    evaluate identically; A and B are exact integers; the final
+    ``-ln(A/B)`` rounds at 6 dp.  Entities with B=0 or A=0 emit NULL
+    sampen (undefined), keeping the row for auditability.
+
+    Output: ``(entity, n_points, b_pairs, a_pairs, sampen)`` ordered
+    by entity.
+    """
+    w = Window.partitionBy("e").orderBy("o")
+    base = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+    )
+    stats = base.groupBy("e").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,12)")).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    over = stats.agg(F.max("n").alias("ml")).first()
+    if over["ml"] is None:
+        raise ValueError("sample_entropy: input is empty")
+    if over["ml"] > int(max_len):
+        raise ValueError(
+            f"sample_entropy: longest series ({over['ml']}) exceeds "
+            f"max_len={max_len} — the pair frame is quadratic; window "
+            "or downsample the series first"
+        )
+    tol = stats.select(
+        "e",
+        F.col("n").cast("long").alias("n_points"),
+        (
+            F.lit(float(r_frac))
+            # greatest(·, 0): a constant series can land at -1e-18 by
+            # float cancellation; sqrt of that is NaN here and an
+            # ERROR in DuckDB — clamp identically on both sides
+            * F.sqrt(
+                F.greatest(
+                    F.col("svv") / F.col("n")
+                    - (F.col("sv") / F.col("n"))
+                    * (F.col("sv") / F.col("n")),
+                    F.lit(0.0),
+                )
+            )
+        ).alias("r"),
+    )
+    # the standard Richman–Moorman convention: both A and B count
+    # pairs among the FIRST n-2 templates (v2 must exist), so the
+    # m and m+1 counts share a support set
+    seq = (
+        base.withColumn("v1", F.lead("v", 1).over(w))
+        .withColumn("v2", F.lead("v", 2).over(w))
+        .where(F.col("v2").isNotNull())
+    )
+    a = seq.select(
+        "e", F.col("rn").alias("i"), F.col("v").alias("xa0"),
+        F.col("v1").alias("xa1"), F.col("v2").alias("xa2"),
+    )
+    b = seq.select(
+        "e", F.col("rn").alias("j"), F.col("v").alias("xb0"),
+        F.col("v1").alias("xb1"), F.col("v2").alias("xb2"),
+    )
+    pairs = (
+        a.join(b, "e")
+        .where(F.col("i") < F.col("j"))
+        .join(F.broadcast(tol), "e")
+        .where(
+            (F.abs(F.col("xa0") - F.col("xb0")) <= F.col("r"))
+            & (F.abs(F.col("xa1") - F.col("xb1")) <= F.col("r"))
+        )
+    )
+    counts = pairs.groupBy("e", "n_points").agg(
+        F.count(F.lit(1)).cast("long").alias("b_pairs"),
+        F.count(
+            F.when(
+                F.abs(F.col("xa2") - F.col("xb2")) <= F.col("r"),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("a_pairs"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        tol.select("e", "n_points")
+        .join(counts, ["e", "n_points"], "left")
+        .select(
+            F.col("e").alias("entity"),
+            "n_points",
+            F.coalesce(F.col("b_pairs"), F.lit(0)).alias("b_pairs"),
+            F.coalesce(F.col("a_pairs"), F.lit(0)).alias("a_pairs"),
+            F.when(
+                F.coalesce(F.col("a_pairs"), F.lit(0)) > 0,
+                r6(-F.log(F.col("a_pairs") / F.col("b_pairs"))),
+            ).alias("sampen"),
+        )
+        .orderBy("entity")
+    )

@@ -343,3 +343,278 @@ ORDER BY entity
 
 EXT17_QUERIES.update({"x337_chow_break": q_x337_chow_break})
 EXT17_ORACLES.update({"x337_chow_break": _sql_x337()})
+
+
+# ------------------------------ x338: Hurst exponent (R/S analysis)
+
+
+def q_x338_hurst(spark, sf_dir):
+    """Rescaled-range Hurst exponent (operators/temporal.py:hurst_rs)
+    of monthly order revenue per market segment — long-memory readout
+    over the same panel as x335's band-pass cycle.  Decimal-exact
+    block moments, pinned cumulative-deviation order, literal ln n,
+    3-point log-log slope."""
+    from .operators.temporal import hurst_rs
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    panel = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return hurst_rs(panel, entity_col="segment", t_col="midx", value_col="v")
+
+
+def _sql_x338() -> str:
+    from .operators.temporal import _HURST_LN_N
+
+    lx = (
+        "CASE bs "
+        + " ".join(
+            f"WHEN {n} THEN CAST({_HURST_LN_N[n]!r} AS DOUBLE)"
+            for n in (8, 16, 32)
+        )
+        + " END"
+    )
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    slope = (
+        f"({sd('lx * lz')} - {sd('lx')} * {sd('lz')} / 3.0)"
+        f" / ({sd('lx * lx')} - {sd('lx')} * {sd('lx')} / 3.0)"
+    )
+    mrs = "ROUND(MAX(CASE WHEN bs = {n} THEN mean_rs END) * 1000000.0) / 1000000.0 AS mean_rs_{n}"
+    return f"""
+WITH x338_panel AS (
+  SELECT c_mktsegment AS e,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), x338_rn AS (
+  SELECT e, v,
+         ROW_NUMBER() OVER (PARTITION BY e ORDER BY midx) - 1 AS rn
+  FROM x338_panel
+), x338_np AS (
+  SELECT e, CAST(COUNT(*) AS BIGINT) AS n_points FROM x338_rn GROUP BY e
+), x338_blocks AS (
+  SELECT e, rn, v, bs, floor(rn / bs) AS blk
+  FROM x338_rn CROSS JOIN (VALUES (8), (16), (32)) AS s(bs)
+), x338_enriched AS (
+  SELECT e, bs, blk, rn, v,
+         CAST(SUM(CAST(v AS DECIMAL(38,12)))
+              OVER (PARTITION BY e, bs, blk) AS DOUBLE) / bs AS bmean,
+         COUNT(*) OVER (PARTITION BY e, bs, blk) AS bn
+  FROM x338_blocks
+), x338_cum AS (
+  SELECT e, bs, blk, v, bmean,
+         SUM(v - bmean) OVER (PARTITION BY e, bs, blk ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS cumdev
+  FROM x338_enriched WHERE bn = bs
+), x338_per_block AS (
+  SELECT e, bs, blk,
+         MAX(cumdev) - MIN(cumdev) AS r,
+         sqrt(CAST(SUM(CAST((v - bmean) * (v - bmean)
+                            AS DECIMAL(38,12))) AS DOUBLE) / bs) AS s
+  FROM x338_cum GROUP BY e, bs, blk
+), x338_per_n AS (
+  SELECT e, bs,
+         CAST(SUM(CAST(r / s AS DECIMAL(38,12))) AS DOUBLE)
+           / COUNT(*) AS mean_rs
+  FROM x338_per_block WHERE s > 0 GROUP BY e, bs
+), x338_lt AS (
+  SELECT e, bs, mean_rs, ROUND(ln(mean_rs), 6) AS lz, {lx} AS lx
+  FROM x338_per_n
+), x338_fit AS (
+  SELECT e,
+         {mrs.format(n=8)},
+         {mrs.format(n=16)},
+         {mrs.format(n=32)},
+         CASE WHEN COUNT(*) = 3
+              THEN ROUND(({slope}) * 1000000.0) / 1000000.0
+         END AS hurst
+  FROM x338_lt GROUP BY e
+)
+SELECT f.e AS entity, np.n_points, mean_rs_8, mean_rs_16, mean_rs_32,
+       hurst
+FROM x338_fit f JOIN x338_np np ON f.e = np.e
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x338_hurst": q_x338_hurst})
+EXT17_ORACLES.update({"x338_hurst": _sql_x338()})
+
+
+# ---------------------------- x339: permutation entropy (order 3)
+
+
+def q_x339_perm_entropy(spark, sf_dir):
+    """Order-3 permutation entropy (operators/temporal.py:
+    permutation_entropy) of each event type's daily value series —
+    rank-based dynamics complexity, the monotone-invariant companion
+    to x338.  Integer pattern counts; the only float step is p·ln p
+    on exact rationals."""
+    from .operators.temporal import permutation_entropy
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    panel = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return permutation_entropy(
+        panel, entity_col="event_type", t_col="day", value_col="v"
+    )
+
+
+def _sql_x339() -> str:
+    return f"""
+WITH x339_daily AS (
+  SELECT event_type AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), x339_tri AS (
+  SELECT e,
+         CAST(a > b AS INTEGER) * 4 + CAST(b > v AS INTEGER) * 2
+           + CAST(a > v AS INTEGER) AS pat
+  FROM (
+    SELECT e, v, LAG(v, 2) OVER w AS a, LAG(v, 1) OVER w AS b
+    FROM x339_daily WINDOW w AS (PARTITION BY e ORDER BY t)
+  ) WHERE a IS NOT NULL
+), x339_per_pat AS (
+  SELECT e, pat, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM x339_tri GROUP BY e, pat
+), x339_tot AS (
+  SELECT e, pat, c, SUM(c) OVER (PARTITION BY e) AS tot
+  FROM x339_per_pat
+)
+SELECT e AS entity,
+       CAST(MAX(tot) AS BIGINT) AS n_triples,
+       CAST(COUNT(*) AS BIGINT) AS n_patterns,
+       ROUND(((-(CAST(SUM(CAST((c / tot) * ln(c / tot)
+                              AS DECIMAL(38,12))) AS DOUBLE)))
+              / CAST(1.791759469228055 AS DOUBLE)) * 1000000.0)
+         / 1000000.0 AS perm_entropy
+FROM x339_tot GROUP BY e
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x339_perm_entropy": q_x339_perm_entropy})
+EXT17_ORACLES.update({"x339_perm_entropy": _sql_x339()})
+
+
+# --------------------------------- x340: sample entropy (m=2)
+
+
+def q_x340_sampen(spark, sf_dir):
+    """Sample entropy (operators/temporal.py:sample_entropy, m=2,
+    r=0.2·std) of each event type's daily value series — template
+    regularity in the value metric, closing the x338–x340 complexity
+    triple.  Entity-keyed quadratic pair frame under the loud-fail
+    length cap; exact integer match counts."""
+    from .operators.temporal import sample_entropy
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    panel = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return sample_entropy(
+        panel, entity_col="event_type", t_col="day", value_col="v",
+        r_frac=0.2,
+    )
+
+
+def _sql_x340() -> str:
+    return f"""
+WITH x340_daily AS (
+  SELECT event_type AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), x340_rn AS (
+  SELECT e, v, ROW_NUMBER() OVER (PARTITION BY e ORDER BY t) AS rn
+  FROM x340_daily
+), x340_stats AS (
+  SELECT e, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS svv
+  FROM x340_rn GROUP BY e
+), x340_tol AS (
+  SELECT e, CAST(n AS BIGINT) AS n_points,
+         CAST(0.2 AS DOUBLE)
+           * sqrt(greatest(svv / n - (sv / n) * (sv / n),
+                           CAST(0.0 AS DOUBLE))) AS r
+  FROM x340_stats
+), x340_seq AS (
+  SELECT * FROM (
+    SELECT e, rn AS i, v AS x0,
+           LEAD(v, 1) OVER w AS x1, LEAD(v, 2) OVER w AS x2
+    FROM x340_rn WINDOW w AS (PARTITION BY e ORDER BY rn)
+  ) WHERE x2 IS NOT NULL
+), x340_pairs AS (
+  SELECT a.e, t.n_points, t.r,
+         a.x2 AS xa2, b.x2 AS xb2
+  FROM x340_seq a
+  JOIN x340_seq b ON a.e = b.e AND a.i < b.i
+  JOIN x340_tol t ON a.e = t.e
+  WHERE abs(a.x0 - b.x0) <= t.r AND abs(a.x1 - b.x1) <= t.r
+), x340_counts AS (
+  SELECT e, n_points,
+         CAST(COUNT(*) AS BIGINT) AS b_pairs,
+         CAST(COUNT(CASE WHEN abs(xa2 - xb2) <= r THEN 1 END)
+              AS BIGINT) AS a_pairs
+  FROM x340_pairs GROUP BY e, n_points
+)
+SELECT t.e AS entity, t.n_points,
+       COALESCE(c.b_pairs, 0) AS b_pairs,
+       COALESCE(c.a_pairs, 0) AS a_pairs,
+       CASE WHEN COALESCE(c.a_pairs, 0) > 0
+            THEN ROUND((-ln(c.a_pairs / c.b_pairs)) * 1000000.0)
+                   / 1000000.0
+       END AS sampen
+FROM x340_tol t LEFT JOIN x340_counts c
+  ON t.e = c.e AND t.n_points = c.n_points
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x340_sampen": q_x340_sampen})
+EXT17_ORACLES.update({"x340_sampen": _sql_x340()})

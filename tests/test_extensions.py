@@ -9441,3 +9441,97 @@ def test_chow_break_detects_planted_level_shift(spark):
     assert st["break_flag"] == 0 and st["f_stat"] < 3.0
     p = out["perfect"]
     assert p["f_stat"] is None and p["break_flag"] is None
+
+
+def test_hurst_separates_trend_from_noise(spark):
+    import random
+
+    from fame2pygen_spark.operators.temporal import hurst_rs
+
+    random.seed(3)
+    rows = []
+    for t in range(96):
+        rows.append(("mono", t, float(t)))
+        rows.append(("noise", t, random.uniform(0.0, 1.0)))
+    # a short entity: no complete 32-block -> mean_rs_32 and hurst NULL
+    for t in range(20):
+        rows.append(("short", t, float(t * t % 7)))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in hurst_rs(
+            df, entity_col="e", t_col="t", value_col="v"
+        ).collect()
+    }
+    assert out["mono"]["n_points"] == 96
+    # a pure trend is maximally persistent; iid noise is not
+    assert out["mono"]["hurst"] > 0.9
+    assert out["noise"]["hurst"] < out["mono"]["hurst"] - 0.2
+    s = out["short"]
+    assert s["mean_rs_8"] is not None and s["mean_rs_32"] is None
+    assert s["hurst"] is None
+
+
+def test_permutation_entropy_known_patterns(spark):
+    import random
+
+    from fame2pygen_spark.operators.temporal import permutation_entropy
+
+    random.seed(11)
+    rows = []
+    for t in range(62):
+        rows.append(("mono", t, float(t)))
+        rows.append(("alt", t, float(t % 2)))
+        rows.append(("noise", t, random.uniform(0.0, 1.0)))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in permutation_entropy(
+            df, entity_col="e", t_col="t", value_col="v"
+        ).collect()
+    }
+    # monotone: a single ordinal pattern, zero entropy
+    assert out["mono"]["n_patterns"] == 1
+    assert out["mono"]["perm_entropy"] == 0.0
+    assert out["mono"]["n_triples"] == 60
+    # strict alternation: exactly two patterns, entropy ln2/ln6
+    assert out["alt"]["n_patterns"] == 2
+    assert abs(out["alt"]["perm_entropy"] - 0.386853) < 1e-5
+    # white noise approaches the normalized maximum of 1
+    assert out["noise"]["perm_entropy"] > 0.9
+
+
+def test_sample_entropy_regular_vs_noise_and_guards(spark):
+    import random
+
+    import pytest as _pytest
+
+    from fame2pygen_spark.operators.temporal import sample_entropy
+
+    random.seed(5)
+    rows = []
+    for t in range(60):
+        rows.append(("const", t, 7.5))
+        rows.append(("period", t, float(t % 2)))
+        rows.append(("noise", t, random.uniform(0.0, 1.0)))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in sample_entropy(
+            df, entity_col="e", t_col="t", value_col="v"
+        ).collect()
+    }
+    # constant: r=0 but every diff is 0 <= 0 -> perfect regularity
+    assert out["const"]["sampen"] == 0.0
+    # strict period-2: matching 2-templates always extend -> A == B
+    assert out["period"]["sampen"] == 0.0
+    assert out["period"]["b_pairs"] > 0
+    # iid noise: templates rarely extend
+    assert out["noise"]["sampen"] > 0.5
+    with _pytest.raises(ValueError, match="max_len"):
+        sample_entropy(
+            df, entity_col="e", t_col="t", value_col="v", max_len=10
+        )
+    empty = spark.createDataFrame([], "e string, t long, v double")
+    with _pytest.raises(ValueError, match="empty"):
+        sample_entropy(empty, entity_col="e", t_col="t", value_col="v")

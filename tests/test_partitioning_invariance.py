@@ -136,6 +136,9 @@ SENSITIVE = [
     "x335_bandpass",
     "x336_hp_filter",
     "x337_chow_break",
+    "x338_hurst",
+    "x339_perm_entropy",
+    "x340_sampen",
 ]
 
 

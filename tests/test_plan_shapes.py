@@ -1391,3 +1391,28 @@ def test_chow_break_is_single_pass_decimal_agg(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hurst_windows_all_entity_keyed_no_cartesian(spark):
+    # block-size explode is a generator, not a join; block moments and
+    # cumdev run in (entity, bs, blk)-keyed windows; dimension and
+    # n_points frames broadcast
+    plan = plan_of(spark, "x338_hurst")
+    assert unpartitioned_windows(spark, "x338_hurst") == []
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perm_entropy_is_pure_keyed_window_and_agg(spark):
+    plan = plan_of(spark, "x339_perm_entropy")
+    assert unpartitioned_windows(spark, "x339_perm_entropy") == []
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampen_pair_join_is_entity_keyed(spark):
+    # the quadratic pair frame joins on the entity key (bounded by the
+    # loud-fail cap) — never a cartesian across entities
+    plan = plan_of(spark, "x340_sampen")
+    assert unpartitioned_windows(spark, "x340_sampen") == []
+    assert "CartesianProduct" not in plan
