@@ -618,3 +618,356 @@ ORDER BY entity
 
 EXT17_QUERIES.update({"x340_sampen": q_x340_sampen})
 EXT17_ORACLES.update({"x340_sampen": _sql_x340()})
+
+
+# --------------------------- x341: grid-bucketed LOF density outliers
+
+
+def q_x341_lof(spark, sf_dir):
+    """Local Outlier Factor (operators/ml.py:lof_grid, k=5) over the
+    first two embedding components — the density-ratio outlier score
+    on the 2-D projection, grid-bucketed so the kNN join is one
+    equi-join on the packed cell id.  FLOAT→DOUBLE widening is exact,
+    so both engines score identical coordinates."""
+    from .operators.ml import lof_grid
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.element_at("embedding", 1).cast("double").alias("ex"),
+        F.element_at("embedding", 2).cast("double").alias("ey"),
+    ).where(F.col("ex").isNotNull() & F.col("ey").isNotNull())
+    return lof_grid(
+        pts, id_col="vid", x_col="ex", y_col="ey", k=5, cell=0.2
+    )
+
+
+def _sql_x341() -> str:
+    k = 5
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return f"""
+WITH x341_pts AS (
+  SELECT CAST(vec_id AS BIGINT) AS pid,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+    AND vec_id IS NOT NULL
+), x341_cells AS (
+  SELECT pid, x, y,
+         CAST(floor(x / CAST(0.2 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor(y / CAST(0.2 AS DOUBLE)) AS BIGINT) AS cy
+  FROM x341_pts
+), x341_probes AS (
+  SELECT pid AS a_id, x AS ax, y AS ay,
+         cx + dx AS jx, cy + dy AS jy
+  FROM x341_cells CROSS JOIN (VALUES {offs}) AS o(dx, dy)
+), x341_pairs AS (
+  SELECT p.a_id, b.pid AS b_id,
+         sqrt((p.ax - b.x) * (p.ax - b.x)
+              + (p.ay - b.y) * (p.ay - b.y)) AS dist
+  FROM x341_probes p JOIN x341_cells b
+    ON p.jx = b.cx AND p.jy = b.cy AND p.a_id <> b.pid
+), x341_edges AS (
+  SELECT a_id, b_id, dist FROM (
+    SELECT a_id, b_id, dist,
+           ROW_NUMBER() OVER (PARTITION BY a_id
+                              ORDER BY dist, b_id) AS rk
+    FROM x341_pairs
+  ) WHERE rk <= {k}
+), x341_per_pt AS (
+  SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+         MAX(dist) AS k_dist
+  FROM x341_edges GROUP BY a_id
+), x341_kdist AS (
+  SELECT a_id AS b_id, k_dist AS kd_b
+  FROM x341_per_pt WHERE n_cand = {k}
+), x341_reach AS (
+  SELECT e.a_id, e.b_id, greatest(kd.kd_b, e.dist) AS rd
+  FROM x341_edges e JOIN x341_kdist kd ON e.b_id = kd.b_id
+), x341_lrd AS (
+  SELECT a_id,
+         CASE WHEN COUNT(*) = {k}
+               AND CAST(SUM(CAST(rd AS DECIMAL(38,12))) AS DOUBLE) > 0
+              THEN CAST({float(k)!r} AS DOUBLE)
+                   / CAST(SUM(CAST(rd AS DECIMAL(38,12))) AS DOUBLE)
+         END AS lrd
+  FROM x341_reach GROUP BY a_id
+), x341_lof AS (
+  SELECT e.a_id, COUNT(*) AS n_l,
+         CAST(SUM(CAST(nl.lrd AS DECIMAL(38,12))) AS DOUBLE) AS s_l
+  FROM x341_edges e
+  JOIN x341_lrd nl ON e.b_id = nl.a_id
+  WHERE nl.lrd IS NOT NULL
+  GROUP BY e.a_id
+)
+SELECT p.pid AS id,
+       COALESCE(pp.n_cand, 0) AS n_cand,
+       ROUND(CASE WHEN pp.n_cand = {k} THEN pp.k_dist END
+             * 1000000.0) / 1000000.0 AS k_dist,
+       ROUND(l.lrd * 1000000.0) / 1000000.0 AS lrd,
+       ROUND(CASE WHEN l.lrd IS NOT NULL AND lo.n_l = {k}
+                  THEN (lo.s_l / CAST({float(k)!r} AS DOUBLE)) / l.lrd
+             END * 1000000.0) / 1000000.0 AS lof
+FROM x341_pts p
+LEFT JOIN x341_per_pt pp ON p.pid = pp.a_id
+LEFT JOIN x341_lrd l ON p.pid = l.a_id
+LEFT JOIN x341_lof lo ON p.pid = lo.a_id
+ORDER BY id
+"""
+
+
+EXT17_QUERIES.update({"x341_lof": q_x341_lof})
+EXT17_ORACLES.update({"x341_lof": _sql_x341()})
+
+
+# ------------------------------- x342: GMM EM step (two components)
+
+
+def q_x342_gmm_step(spark, sf_dir):
+    """One exact EM step of a two-component Gaussian mixture
+    (operators/ml.py:gmm_em_step) on customer account balances per
+    nation, from literal init (mu 0 / 5000, sigma 3000, pi 1/2) —
+    the E-step is one logistic per row, the M-step decimal-exact
+    weighted moments in a single groupBy."""
+    from .operators.ml import gmm_em_step
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = c.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return gmm_em_step(
+        base, group_col="nation", value_col="bal",
+        mu1=0.0, mu2=5000.0, sigma=3000.0, pi2=0.5,
+    )
+
+
+def _sql_x342() -> str:
+    two_s2 = 2.0 * 3000.0 * 3000.0
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    g = (
+        "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp("
+        "((v - 5000.0) * (v - 5000.0) - (v - 0.0) * (v - 0.0))"
+        f" / CAST({two_s2!r} AS DOUBLE) + CAST(0.0 AS DOUBLE))))"
+    )
+    return f"""
+WITH x342_base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS grp,
+         CAST(c_acctbal AS DOUBLE) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+), x342_g AS (
+  SELECT grp, v, {g} AS g FROM x342_base
+), x342_agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         {sd('g')} AS sg, {sd('g * v')} AS sgx,
+         {sd('g * v * v')} AS sgxx,
+         {sd('CAST(1.0 AS DOUBLE) - g')} AS sh,
+         {sd('(CAST(1.0 AS DOUBLE) - g) * v')} AS shx,
+         {sd('(CAST(1.0 AS DOUBLE) - g) * v * v')} AS shxx
+  FROM x342_g GROUP BY grp
+)
+SELECT grp AS "group", n,
+       ROUND((sg / n) * 1000000.0) / 1000000.0 AS pi2_new,
+       ROUND(CASE WHEN sh > 0 THEN shx / sh END * 1000000.0)
+         / 1000000.0 AS mu1_new,
+       ROUND(CASE WHEN sg > 0 THEN sgx / sg END * 1000000.0)
+         / 1000000.0 AS mu2_new,
+       ROUND(CASE WHEN sh > 0
+                  THEN shxx / sh - (shx / sh) * (shx / sh)
+             END * 1000000.0) / 1000000.0 AS var1_new,
+       ROUND(CASE WHEN sg > 0
+                  THEN sgxx / sg - (sgx / sg) * (sgx / sg)
+             END * 1000000.0) / 1000000.0 AS var2_new
+FROM x342_agg
+ORDER BY "group"
+"""
+
+
+EXT17_QUERIES.update({"x342_gmm_step": q_x342_gmm_step})
+EXT17_ORACLES.update({"x342_gmm_step": _sql_x342()})
+
+
+# ---------------------- x343: histogram decision stump split search
+
+
+def q_x343_stump(spark, sf_dir):
+    """Histogram decision-stump split (operators/ml.py:
+    decision_stump_hist): the Gini-optimal price threshold separating
+    urgent/high-priority orders, found LightGBM-style — 20 fixed
+    25k-wide bins, one groupBy, ordered scan over the ≤20 histogram
+    rows only."""
+    from .operators.ml import decision_stump_hist
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("y"),
+        F.col("o_totalprice").cast("double").alias("f"),
+    )
+    return decision_stump_hist(
+        base, label_col="y", feature_col="f", bin_width=25000.0,
+        n_bins=20,
+    )
+
+
+def _sql_x343() -> str:
+    gini = (
+        "(CAST(1.0 AS DOUBLE) - ({p} / {n}) * ({p} / {n})"
+        " - (CAST(1.0 AS DOUBLE) - {p} / {n})"
+        " * (CAST(1.0 AS DOUBLE) - {p} / {n}))"
+    )
+    g_split = (
+        "((nl / n) * " + gini.format(p="pl", n="nl")
+        + " + (nr / n) * " + gini.format(p="pr_cnt", n="nr") + ")"
+    )
+    g_root = gini.format(p="pos", n="n")
+    return f"""
+WITH x343_base AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CAST(o_totalprice AS DOUBLE) AS f
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+), x343_binned AS (
+  SELECT y,
+         least(greatest(CAST(floor(f / CAST(25000.0 AS DOUBLE))
+                             AS BIGINT), 0), 19) AS bin
+  FROM x343_base
+), x343_hist AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS pos_b
+  FROM x343_binned GROUP BY bin
+), x343_cum AS (
+  SELECT bin,
+         SUM(n_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(pos_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pl,
+         SUM(n_b) OVER () AS n,
+         SUM(pos_b) OVER () AS pos
+  FROM x343_hist
+), x343_splits AS (
+  SELECT bin, nl, pl, n, pos, n - nl AS nr, pos - pl AS pr_cnt
+  FROM x343_cum WHERE nl > 0 AND nl < n
+), x343_scored AS (
+  SELECT *, {g_split} AS gini_split FROM x343_splits
+), x343_best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY gini_split, bin) AS rk
+    FROM x343_scored
+  ) WHERE rk = 1
+)
+SELECT CAST(bin AS BIGINT) AS best_bin,
+       ROUND((bin + 1) * CAST(25000.0 AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS threshold,
+       nl AS n_left, nr AS n_right, pl AS pos_left,
+       pr_cnt AS pos_right,
+       ROUND({g_root} * 1000000.0) / 1000000.0 AS gini_root,
+       ROUND(gini_split * 1000000.0) / 1000000.0 AS gini_split,
+       ROUND(({g_root} - gini_split) * 1000000.0) / 1000000.0 AS gain
+FROM x343_best
+"""
+
+
+EXT17_QUERIES.update({"x343_stump": q_x343_stump})
+EXT17_ORACLES.update({"x343_stump": _sql_x343()})
+
+
+# -------------------- x344: logistic regression first Newton step
+
+
+def q_x344_logistic_newton(spark, sf_dir):
+    """Closed-form first Newton step of logistic regression
+    (operators/ml.py:logistic_newton_step): priority-urgency as a
+    function of binned order price and order date — nine decimal-exact
+    sufficient statistics, one 3×3 adjugate solve, no iteration.
+    Features are INTEGER-quantized (price in 1024-dollar bins, date in
+    64-day bins): integer features make every sufficient statistic an
+    exact integer/half-integer, so the DECIMAL→DOUBLE handoff is exact
+    in both engines and the cubic determinant algebra cannot amplify a
+    conversion ulp (raw 7-dp features showed exactly that: DuckDB's
+    decimal→double conversion differs from the JVM's by 1 ulp on
+    15-digit sums, and det() magnified it past the 6 dp round)."""
+    from .operators.ml import logistic_newton_step
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.where(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("y"),
+        F.floor(F.col("o_totalprice") / F.lit(1024.0))
+        .cast("double")
+        .alias("xp"),
+        F.floor(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+            / F.lit(64.0)
+        )
+        .cast("double")
+        .alias("xd"),
+    )
+    return logistic_newton_step(
+        base, label_col="y", f1_col="xp", f2_col="xd"
+    )
+
+
+def _sql_x344() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    det = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    d0 = det3("g0", "s1", "s2", "g1", "s11", "s12", "g2", "s12", "s22")
+    d1 = det3("n", "g0", "s2", "s1", "g1", "s12", "s2", "g2", "s22")
+    d2 = det3("n", "s1", "g0", "s1", "s11", "g1", "s2", "s12", "g2")
+    return f"""
+WITH x344_base AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+         END AS y,
+         CAST(floor(CAST(o_totalprice AS DOUBLE)
+                    / CAST(1024.0 AS DOUBLE)) AS DOUBLE) AS x1,
+         CAST(floor(date_diff('day', DATE '1992-01-01', o_orderdate)
+                    / CAST(64.0 AS DOUBLE)) AS DOUBLE) AS x2
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderdate IS NOT NULL
+), x344_agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('x1')} AS s1, {sd('x2')} AS s2,
+         {sd('x1 * x1')} AS s11, {sd('x2 * x2')} AS s22,
+         {sd('x1 * x2')} AS s12,
+         {sd('y - CAST(0.5 AS DOUBLE)')} AS g0,
+         {sd('x1 * (y - CAST(0.5 AS DOUBLE))')} AS g1,
+         {sd('x2 * (y - CAST(0.5 AS DOUBLE))')} AS g2
+  FROM x344_base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND({det} * 1000000.0) / 1000000.0 AS det,
+       ROUND(CASE WHEN abs({det}) > 0
+                  THEN CAST(4.0 AS DOUBLE) * {d0} / {det} END
+             * 1000000.0) / 1000000.0 AS w0,
+       ROUND(CASE WHEN abs({det}) > 0
+                  THEN CAST(4.0 AS DOUBLE) * {d1} / {det} END
+             * 1000000.0) / 1000000.0 AS w1,
+       ROUND(CASE WHEN abs({det}) > 0
+                  THEN CAST(4.0 AS DOUBLE) * {d2} / {det} END
+             * 1000000.0) / 1000000.0 AS w2
+FROM x344_agg
+"""
+
+
+EXT17_QUERIES.update({"x344_logistic_newton": q_x344_logistic_newton})
+EXT17_ORACLES.update({"x344_logistic_newton": _sql_x344()})

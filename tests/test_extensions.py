@@ -9535,3 +9535,126 @@ def test_sample_entropy_regular_vs_noise_and_guards(spark):
     empty = spark.createDataFrame([], "e string, t long, v double")
     with _pytest.raises(ValueError, match="empty"):
         sample_entropy(empty, entity_col="e", t_col="t", value_col="v")
+
+
+def test_lof_flags_planted_density_outlier(spark):
+    from fame2pygen_spark.operators.ml import lof_grid
+
+    # a tight 6x6 unit grid plus one point well off the cluster but
+    # inside the 3x3 cell neighborhood (cell=5)
+    rows = [(i * 6 + j, float(i), float(j)) for i in range(6)
+            for j in range(6)]
+    rows.append((99, 8.0, 8.0))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {
+        r["id"]: r
+        for r in lof_grid(
+            df, id_col="id", x_col="x", y_col="y", k=3, cell=5.0
+        ).collect()
+    }
+    # interior grid points sit in a uniform region -> LOF == 1
+    assert out[14]["lof"] == 1.0
+    # the isolated point's density is far below its neighbours'
+    assert out[99]["lof"] > 2.0
+    # deterministic kNN cardinality
+    assert all(r["n_cand"] in (0, 3) for r in out.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_cell_points"):
+        lof_grid(
+            df, id_col="id", x_col="x", y_col="y", k=3, cell=100.0,
+            max_cell_points=10,
+        )
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    with _pytest.raises(ValueError, match="empty"):
+        lof_grid(empty, id_col="id", x_col="x", y_col="y")
+
+
+def test_gmm_em_step_moves_toward_planted_components(spark):
+    import random
+
+    from fame2pygen_spark.operators.ml import gmm_em_step
+
+    random.seed(7)
+    rows = [("g", random.gauss(0.0, 5.0)) for _ in range(400)]
+    rows += [("g", random.gauss(100.0, 5.0)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = gmm_em_step(
+        df, group_col="grp", value_col="v",
+        mu1=20.0, mu2=80.0, sigma=30.0,
+    ).collect()[0]
+    # one EM step from a mediocre init already separates the modes
+    assert abs(r["mu1_new"] - 0.0) < 10.0
+    assert abs(r["mu2_new"] - 100.0) < 10.0
+    assert abs(r["pi2_new"] - 0.5) < 0.05
+    assert r["var1_new"] > 0 and r["var2_new"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sigma"):
+        gmm_em_step(
+            df, group_col="grp", value_col="v",
+            mu1=0.0, mu2=1.0, sigma=0.0,
+        )
+    with _pytest.raises(ValueError, match="pi2"):
+        gmm_em_step(
+            df, group_col="grp", value_col="v",
+            mu1=0.0, mu2=1.0, sigma=1.0, pi2=1.0,
+        )
+
+
+def test_decision_stump_finds_planted_threshold(spark):
+    from fame2pygen_spark.operators.ml import decision_stump_hist
+
+    rows = [(1 if f > 50 else 0, float(f)) for f in range(100)]
+    df = spark.createDataFrame(rows, "y int, f double")
+    r = decision_stump_hist(
+        df, label_col="y", feature_col="f", bin_width=10.0, n_bins=10
+    ).collect()[0]
+    # the boundary 50 is bin 4's upper edge; the split is near-pure
+    assert r["best_bin"] == 4 and r["threshold"] == 50.0
+    assert r["pos_left"] == 0 and r["n_left"] == 50
+    assert r["gain"] > 0.45
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        decision_stump_hist(
+            df, label_col="y", feature_col="f", bin_width=10.0,
+            n_bins=1,
+        )
+
+
+def test_logistic_newton_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from fame2pygen_spark.operators.ml import logistic_newton_step
+
+    rows = [
+        (1 if x1 + 0.3 * x2 > 5 else 0, float(x1), float(x2))
+        for x1 in range(10)
+        for x2 in range(10)
+    ]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    r = logistic_newton_step(
+        df, label_col="y", f1_col="x1", f2_col="x2"
+    ).collect()[0]
+    X = np.array([[1.0, x1, x2] for _, x1, x2 in rows])
+    y = np.array([v[0] for v in rows], dtype=float)
+    w = 4.0 * np.linalg.solve(X.T @ X, X.T @ (y - 0.5))
+    assert abs(r["w0"] - w[0]) < 1e-6
+    assert abs(r["w1"] - w[1]) < 1e-6
+    assert abs(r["w2"] - w[2]) < 1e-6
+    # separation is along x1 with a weaker x2 contribution
+    assert r["w1"] > 0 and r["w1"] > r["w2"]
+
+    # collinear features -> singular design -> NULL weights, not a crash
+    bad = spark.createDataFrame(
+        [(1, 1.0, 2.0), (0, 2.0, 4.0), (1, 3.0, 6.0)],
+        "y int, x1 double, x2 double",
+    )
+    rb = logistic_newton_step(
+        bad, label_col="y", f1_col="x1", f2_col="x2"
+    ).collect()[0]
+    assert rb["w0"] is None and rb["w1"] is None and rb["w2"] is None

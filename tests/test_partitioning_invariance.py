@@ -139,6 +139,10 @@ SENSITIVE = [
     "x338_hurst",
     "x339_perm_entropy",
     "x340_sampen",
+    "x341_lof",
+    "x342_gmm_step",
+    "x343_stump",
+    "x344_logistic_newton",
 ]
 
 

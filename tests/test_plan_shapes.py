@@ -1416,3 +1416,36 @@ def test_sampen_pair_join_is_entity_keyed(spark):
     plan = plan_of(spark, "x340_sampen")
     assert unpartitioned_windows(spark, "x340_sampen") == []
     assert "CartesianProduct" not in plan
+
+
+def test_lof_is_cell_equijoin_plus_keyed_edge_joins(spark):
+    # candidate generation is ONE equi-join on the (jx, jy) cell id
+    # after a 9-way map-side explode; kNN ranks in an a_id-keyed
+    # window; the reach/lrd joins run on the bounded edge frame
+    plan = plan_of(spark, "x341_lof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert unpartitioned_windows(spark, "x341_lof") == []
+
+
+def test_gmm_step_is_single_groupby_no_window_no_join(spark):
+    plan = plan_of(spark, "x342_gmm_step")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stump_windows_run_over_histogram_rows_only(spark):
+    # the only ordered pass is over the <= n_bins aggregate rows (the
+    # x318 isotonic precedent): data-side there is exactly one
+    # groupBy, no join, no cartesian
+    plan = plan_of(spark, "x343_stump")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logistic_newton_is_one_aggregation_pass(spark):
+    plan = plan_of(spark, "x344_logistic_newton")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
