@@ -971,3 +971,244 @@ FROM x344_agg
 
 EXT17_QUERIES.update({"x344_logistic_newton": q_x344_logistic_newton})
 EXT17_ORACLES.update({"x344_logistic_newton": _sql_x344()})
+
+
+# ------------------- x345: Unicode script-mixing / confusable audit
+
+_CYR_A = chr(0x0430)   # Cyrillic small a — the classic homoglyph
+_ZWSP = chr(0x200B)    # zero-width space
+
+
+def q_x345_script_mixing(spark, sf_dir):
+    """Script-mixing / confusable-spoofing audit (operators/text.py:
+    script_mixing_audit) over documents with deterministically
+    injected homoglyph poison: every third document has ASCII 'a'
+    swapped for Cyrillic а (translate — char-for-char in both
+    engines), every fifth gets a leading zero-width space.  The
+    synthesis-then-audit pattern of x334: the corpus is clean ASCII,
+    so the adversarial variants are fabricated identically in both
+    engines and the audit must recover exactly which documents were
+    poisoned and how much."""
+    from .operators.text import script_mixing_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    poisoned = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.translate(t, "a", _CYR_A),
+        )
+        .otherwise(t)
+        .alias("t2"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_ZWSP), F.col("t2")),
+        )
+        .otherwise(F.col("t2"))
+        .alias("text"),
+    )
+    return script_mixing_audit(
+        poisoned, id_col="doc_id", text_col="text"
+    )
+
+
+def _sql_x345() -> str:
+    from .operators.text import (
+        _CYRILLIC_CLASS,
+        _GREEK_CLASS,
+        _INVISIBLE_CLASS,
+    )
+
+    cnt = lambda pat: (  # noqa: E731
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+    )
+    return f"""
+WITH x345_poison AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_ZWSP}' || t2 ELSE t2 END
+           AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN translate(COALESCE(text, ''), 'a', '{_CYR_A}')
+                ELSE COALESCE(text, '') END AS t2
+    FROM documents
+  )
+), x345_counts AS (
+  SELECT id,
+         {cnt('[A-Za-z]')} AS n_latin,
+         {cnt(_CYRILLIC_CLASS)} AS n_cyrillic,
+         {cnt(_GREEK_CLASS)} AS n_greek,
+         {cnt('[0-9]')} AS n_digit,
+         {cnt(_INVISIBLE_CLASS)} AS n_invisible
+  FROM x345_poison
+)
+SELECT id, n_latin, n_cyrillic, n_greek, n_digit, n_invisible,
+       CAST(n_latin > 0 AND (n_cyrillic + n_greek) > 0 AS INTEGER)
+         AS mixed_script,
+       ROUND(CASE WHEN n_latin + n_cyrillic + n_greek > 0
+                  THEN CAST(n_cyrillic + n_greek AS DOUBLE)
+                       / (n_latin + n_cyrillic + n_greek)
+             END * 1000000.0) / 1000000.0 AS confusable_frac
+FROM x345_counts
+ORDER BY id
+"""
+
+
+EXT17_QUERIES.update({"x345_script_mixing": q_x345_script_mixing})
+EXT17_ORACLES.update({"x345_script_mixing": _sql_x345()})
+
+
+# ----------------------------- x346: code-vs-prose routing score
+
+
+def q_x346_code_prose(spark, sf_dir):
+    """Code-vs-prose detection (operators/text.py:code_prose_score)
+    with deterministic code synthesis: every fourth document is
+    wrapped into a function body (keywords, indentation, snake_case,
+    symbols) by identical concat algebra in both engines — the audit
+    must route exactly those documents to the code mixer."""
+    from .operators.text import code_prose_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("def fn():\n    x_val = ("),
+                F.translate(t, " ", "_"),
+                F.lit(");\n    return x_val;"),
+            ),
+        )
+        .otherwise(t)
+        .alias("text"),
+    )
+    return code_prose_score(staged, id_col="doc_id", text_col="text")
+
+
+def _sql_x346() -> str:
+    from .operators.text import (
+        _CAMEL,
+        _CODE_KEYWORDS,
+        _CODE_SYMBOLS,
+        _INDENT_LINES,
+        _SNAKE,
+    )
+
+    # DuckDB standard strings do NOT process backslash escapes, so the
+    # single-backslash regex source strings embed verbatim; only
+    # quotes need doubling
+    esc = lambda p: p.replace("'", "''")  # noqa: E731
+    cnt = lambda pat: (  # noqa: E731
+        f"CAST(len(regexp_extract_all(text, '{esc(pat)}')) AS BIGINT)"
+    )
+    return f"""
+WITH x346_staged AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'def fn():' || chr(10) || '    x_val = ('
+                   || translate(COALESCE(text, ''), ' ', '_')
+                   || ');' || chr(10) || '    return x_val;'
+              ELSE COALESCE(text, '') END AS text
+  FROM documents
+), x346_counts AS (
+  SELECT id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {cnt(_CODE_SYMBOLS)} AS sym_count,
+         {cnt(_CODE_KEYWORDS)} AS kw_count,
+         {cnt(_INDENT_LINES)} AS indent_count,
+         {cnt(_SNAKE)} AS snake_count,
+         {cnt(_CAMEL)} AS camel_count
+  FROM x346_staged
+)
+SELECT id, n_chars, sym_count, kw_count, indent_count, snake_count,
+       camel_count,
+       ROUND((CAST(4.0 AS DOUBLE) * sym_count
+              / CAST(greatest(n_chars, 1) AS DOUBLE)
+              + CAST(0.05 AS DOUBLE) * kw_count
+              + CAST(0.03 AS DOUBLE) * indent_count
+              + CAST(0.02 AS DOUBLE) * snake_count
+              + CAST(0.02 AS DOUBLE) * camel_count) * 1000000.0)
+         / 1000000.0 AS code_score,
+       CAST((CAST(4.0 AS DOUBLE) * sym_count
+             / CAST(greatest(n_chars, 1) AS DOUBLE)
+             + CAST(0.05 AS DOUBLE) * kw_count
+             + CAST(0.03 AS DOUBLE) * indent_count
+             + CAST(0.02 AS DOUBLE) * snake_count
+             + CAST(0.02 AS DOUBLE) * camel_count)
+            > CAST(0.5 AS DOUBLE) AS INTEGER) AS is_code
+FROM x346_counts
+ORDER BY id
+"""
+
+
+EXT17_QUERIES.update({"x346_code_prose": q_x346_code_prose})
+EXT17_ORACLES.update({"x346_code_prose": _sql_x346()})
+
+
+# --------------------------- x347: fill-in-the-middle span planning
+
+
+def q_x347_fim_spans(spark, sf_dir):
+    """Deterministic FIM span planning (operators/text.py:
+    fim_span_plan): md5-derived prefix/middle/suffix cuts with
+    alternating PSM/SPM format and per-segment md5 digests — the
+    replayable fill-in-the-middle transform, certified byte-exact by
+    the digests."""
+    from .operators.text import fim_span_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fim_span_plan(docs, id_col="doc_id", text_col="text")
+
+
+def _sql_x347() -> str:
+    u = lambda tag: (  # noqa: E731
+        "(CAST(CAST(('0x' || substr(md5('fim-" + tag + ":' ||"
+        " CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+        " / CAST(4294967296.0 AS DOUBLE))"
+    )
+    return f"""
+WITH x347_base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, COALESCE(text, '') AS t
+  FROM documents
+), x347_cuts AS (
+  SELECT id, t, CAST(length(t) AS BIGINT) AS n,
+         CAST(1 + floor({u('a')}
+              * CAST(length(t) - 2 AS DOUBLE)) AS BIGINT) AS p_end
+  FROM x347_base
+), x347_cuts2 AS (
+  SELECT id, t, n, p_end,
+         CAST(p_end + 1 + floor({u('b')}
+              * CAST(n - p_end - 1 AS DOUBLE)) AS BIGINT) AS m_end
+  FROM x347_cuts
+)
+SELECT id, n AS n_chars,
+       CASE WHEN n >= 8 THEN
+         CASE WHEN id % 2 = 0 THEN 'psm' ELSE 'spm' END END
+         AS fim_format,
+       CASE WHEN n >= 8 THEN p_end END AS prefix_len,
+       CASE WHEN n >= 8 THEN m_end - p_end END AS middle_len,
+       CASE WHEN n >= 8 THEN n - m_end END AS suffix_len,
+       CASE WHEN n >= 8
+            THEN substr(md5(substr(t, 1, CAST(p_end AS INTEGER))),
+                        1, 8) END AS prefix_md5,
+       CASE WHEN n >= 8
+            THEN substr(md5(substr(t, CAST(p_end + 1 AS INTEGER),
+                                   CAST(m_end - p_end AS INTEGER))),
+                        1, 8) END AS middle_md5,
+       CASE WHEN n >= 8
+            THEN substr(md5(substr(t, CAST(m_end + 1 AS INTEGER),
+                                   CAST(n - m_end AS INTEGER))),
+                        1, 8) END AS suffix_md5
+FROM x347_cuts2
+ORDER BY id
+"""
+
+
+EXT17_QUERIES.update({"x347_fim_spans": q_x347_fim_spans})
+EXT17_ORACLES.update({"x347_fim_spans": _sql_x347()})

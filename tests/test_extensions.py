@@ -9658,3 +9658,105 @@ def test_logistic_newton_matches_numpy_closed_form(spark):
         bad, label_col="y", f1_col="x1", f2_col="x2"
     ).collect()[0]
     assert rb["w0"] is None and rb["w1"] is None and rb["w2"] is None
+
+
+def test_script_mixing_audit_catches_homoglyphs(spark):
+    from fame2pygen_spark.operators.text import script_mixing_audit
+
+    cyr_a = chr(0x0430)
+    zwsp = chr(0x200B)
+    rows = [
+        (1, "normal english data text"),
+        (2, f"d{cyr_a}ta with cyrillic {cyr_a} and greek " + chr(0x03B1)),
+        (3, f"zero{zwsp}width here"),
+        (4, "1234 digits only"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in script_mixing_audit(
+            df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert out[1]["mixed_script"] == 0 and out[1]["n_cyrillic"] == 0
+    r2 = out[2]
+    assert (r2["n_cyrillic"], r2["n_greek"], r2["mixed_script"]) == (
+        2, 1, 1,
+    )
+    assert abs(r2["confusable_frac"] - 3.0 / 26.0) < 1e-6
+    assert out[3]["n_invisible"] == 1
+    # digits alone are not letters: fraction NULL-safe at 0 latin? no
+    # — latin letters exist in "digits only"; doc 5 (NULL) is empty
+    assert out[5]["n_latin"] == 0 and out[5]["confusable_frac"] is None
+
+
+def test_code_prose_score_routes_synthetic_code(spark):
+    from fame2pygen_spark.operators.text import code_prose_score
+
+    rows = [
+        (1, "plain prose about the weather and tea"),
+        (2, "def f():\n    total_x = (a + b);\n    return total_x;"),
+        (3, "camelCase prose with someVariable mention"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in code_prose_score(
+            df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert out[1]["is_code"] == 0 and out[1]["sym_count"] == 0
+    r2 = out[2]
+    assert r2["is_code"] == 1
+    assert r2["kw_count"] == 2          # def, return
+    assert r2["indent_count"] == 2      # two 4-space lines
+    assert r2["snake_count"] == 2       # total_x twice
+    # camelCase digrams alone must not flip the flag
+    assert out[3]["camel_count"] >= 2 and out[3]["is_code"] == 0
+
+
+def test_fim_span_plan_partitions_exactly(spark):
+    import hashlib
+
+    from fame2pygen_spark.operators.text import fim_span_plan
+
+    rows = [(i, f"document number {i} with some filler text") for i in
+            range(6)]
+    rows.append((7, "tiny"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in fim_span_plan(
+            df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    texts = dict(rows)
+    for i, t in texts.items():
+        r = out[i]
+        if len(t) < 8:
+            assert r["fim_format"] is None and r["prefix_len"] is None
+            continue
+        # segments tile the document exactly and are all non-empty
+        assert (
+            r["prefix_len"] + r["middle_len"] + r["suffix_len"]
+            == len(t)
+        )
+        assert min(
+            r["prefix_len"], r["middle_len"], r["suffix_len"]
+        ) >= 1
+        # digests certify byte-identical splits
+        p = t[: r["prefix_len"]]
+        m = t[r["prefix_len"]: r["prefix_len"] + r["middle_len"]]
+        s = t[r["prefix_len"] + r["middle_len"]:]
+        for seg, col in ((p, "prefix_md5"), (m, "middle_md5"),
+                         (s, "suffix_md5")):
+            assert (
+                hashlib.md5(seg.encode()).hexdigest()[:8] == r[col]
+            )
+        assert r["fim_format"] == ("psm" if i % 2 == 0 else "spm")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_len"):
+        fim_span_plan(df, id_col="doc_id", text_col="text", min_len=2)

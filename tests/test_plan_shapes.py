@@ -1449,3 +1449,20 @@ def test_logistic_newton_is_one_aggregation_pass(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x345_script_mixing",  # literal-class regexp counts
+        "x346_code_prose",     # literal-weight heuristic fold
+        "x347_fim_spans",      # md5-cut substring digests
+    ],
+)
+def test_r7_text_audits_are_map_only_scans(spark, name):
+    # synthesis + audit are pure column algebra riding the scan: no
+    # join, no window, no cartesian anywhere
+    plan = plan_of(spark, name)
+    assert "Join" not in plan, name
+    assert "Window" not in plan, name
+    assert "CartesianProduct" not in plan, name
