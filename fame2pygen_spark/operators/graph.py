@@ -1001,3 +1001,128 @@ def grid_density_clusters(
         )
         .orderBy("cell_id")
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 4,
+    min_weight: int = 1,
+) -> DataFrame:
+    """One k-truss peeling pass (Cohen 2008, "Trusses: cohesive
+    subgraphs for social network analysis"): compute each edge's
+    SUPPORT — the number of triangles it participates in — and keep
+    edges with ``support >= k - 2``, the edge-centric cohesion
+    criterion that is strictly stronger than k-core's node degrees
+    (an edge can join two high-degree nodes yet close no triangle —
+    k-core keeps it, the truss drops it).  This is the single
+    support-and-filter pass; the full k-truss fixpoint re-applies it
+    until stable (each pass is one Spark job over the surviving
+    edges, the pagerank_step iteration idiom).
+
+    Triangles enumerate once via the same degree-ordered wedge join
+    as :func:`triangle_count` (per-pivot fan-out O(√m) under hub
+    skew), then each triangle's three edges re-canonicalize to
+    ``u < v`` and a single groupBy counts support — all integers,
+    engine-exact.
+
+    Output: ``(u, v, support, keep)`` for every sparsified edge
+    (support 0 when the edge closes nothing), ordered by (u, v).
+    """
+    if k < 3:
+        raise ValueError("ktruss_edges: k must be >= 3")
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .where(F.col("__w") >= F.lit(int(min_weight)))
+        .select("u", "v")
+    )
+    canon = canon.localCheckpoint(eager=True)
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    ).localCheckpoint(eager=True)
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    lower = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                lower,
+                F.struct(
+                    F.col("u").alias("a"), F.col("v").alias("b"),
+                    F.col("__dv").alias("db"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("a"), F.col("u").alias("b"),
+                    F.col("__du").alias("db"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b", "e.db")
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(
+        F.col("a").alias("p"), F.col("b").alias("x"),
+        F.col("db").alias("dx"),
+    )
+    e2 = oriented.select(
+        F.col("a").alias("p"), F.col("b").alias("y"),
+        F.col("db").alias("dy"),
+    )
+    wedges = e1.join(e2, "p").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closure = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tri = wedges.join(closure, ["x", "y"]).select("p", "x", "y")
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("p", "x").alias("u"),
+                    F.greatest("p", "x").alias("v"),
+                ),
+                F.struct(
+                    F.least("p", "y").alias("u"),
+                    F.greatest("p", "y").alias("v"),
+                ),
+                F.struct(
+                    F.least("x", "y").alias("u"),
+                    F.greatest("x", "y").alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    support = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    out = canon.join(support, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+        (
+            F.coalesce(F.col("support"), F.lit(0))
+            >= F.lit(int(k) - 2)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+    return out.orderBy("u", "v")

@@ -1212,3 +1212,228 @@ ORDER BY id
 
 EXT17_QUERIES.update({"x347_fim_spans": q_x347_fim_spans})
 EXT17_ORACLES.update({"x347_fim_spans": _sql_x347()})
+
+
+# --------------------- x348: CUBE grouping-sets revenue summary
+
+
+def q_x348_cube_revenue(spark, sf_dir):
+    """CUBE grouping-sets summary (operators/olap.py:cube_summary):
+    order revenue and counts over every subset of
+    {priority, segment} — 4 grouping sets in ONE pass via Spark's
+    native cube (partial aggregation per set, no union of
+    re-scans); ``grouping_id`` disambiguates subtotal levels with
+    the same bit convention both engines share."""
+    from .operators.olap import cube_summary
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+    )
+    out = cube_summary(
+        base,
+        ["priority", "segment"],
+        {
+            "n_orders": F.count(F.lit(1)).cast("long"),
+            "revenue": F.round(
+                F.sum(F.col("price").cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                2,
+            ),
+        },
+    )
+    return out.select(
+        "priority", "segment", "grouping_id", "n_orders", "revenue"
+    ).orderBy("grouping_id", "priority", "segment")
+
+
+def _sql_x348() -> str:
+    return """
+SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+       CAST(GROUPING(o_orderpriority, c_mktsegment) AS BIGINT)
+         AS grouping_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                  AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(o_orderpriority, c_mktsegment)
+ORDER BY grouping_id, priority, segment
+"""
+
+
+EXT17_QUERIES.update({"x348_cube_revenue": q_x348_cube_revenue})
+EXT17_ORACLES.update({"x348_cube_revenue": _sql_x348()})
+
+
+# ----------------------- x349: native unpivot (wide→long round trip)
+
+_X349_PRIOS = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def q_x349_unpivot(spark, sf_dir):
+    """Native wide→long unpivot (sources/reshape.py:wide_to_long —
+    Spark's JVM-side ``melt``, no UDF, no explode hand-rolling):
+    pivot per-nation order counts into five explicit priority
+    columns, then melt them back to (nation, priority, n).  The
+    round trip certifies the reshape pair is lossless; the oracle
+    reproduces the long form directly."""
+    from .sources.reshape import wide_to_long
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    wide = (
+        base.groupBy("nation")
+        .pivot("prio", _X349_PRIOS)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide_to_long(
+        wide,
+        _X349_PRIOS,
+        date_col="nation",
+        entity_col="priority",
+        value_col="n",
+    )
+    return long.select(
+        "nation",
+        "priority",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    ).orderBy("nation", "priority")
+
+
+def _sql_x349() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT nation, '{p}' AS priority,"
+        f" CAST(COALESCE(\"{p}\", 0) AS BIGINT) AS n FROM x349_wide"
+        for p in _X349_PRIOS
+    )
+    cols = ",\n         ".join(
+        f"COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END)"
+        f' AS "{p}"'
+        for p in _X349_PRIOS
+    )
+    return f"""
+WITH x349_wide AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         {cols}
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+{arms}
+ORDER BY nation, priority
+"""
+
+
+EXT17_QUERIES.update({"x349_unpivot": q_x349_unpivot})
+EXT17_ORACLES.update({"x349_unpivot": _sql_x349()})
+
+
+# ------------------------------ x350: k-truss edge support peel
+
+
+def q_x350_ktruss(spark, sf_dir):
+    """k-truss peeling pass (operators/graph.py:ktruss_edges, k=4)
+    on the supplier co-occurrence graph (same sparsified graph as
+    x148's triangle census): per-edge triangle support and the
+    keep/drop verdict — edge-centric cohesion strictly stronger than
+    k-core.  Top 50 edges by (support desc, u, v) keeps the output
+    stable and bounded."""
+    from .operators.graph import ktruss_edges
+
+    ls = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"),
+        F.col("b.l_suppkey").alias("dst"),
+    )
+    out = ktruss_edges(pairs, k=4, min_weight=2)
+    return (
+        out.orderBy(F.desc("support"), "u", "v")
+        .limit(50)
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            "support",
+            "keep",
+        )
+    )
+
+
+def _sql_x350() -> str:
+    return """
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+pairs AS (
+  SELECT a.s AS u, b.s AS v FROM ls a JOIN ls b
+  ON a.o = b.o AND a.s < b.s
+),
+canon AS (
+  SELECT u, v FROM (
+    SELECT u, v, count(*) AS w FROM pairs GROUP BY u, v
+  ) WHERE w >= 2
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+  FROM (
+    SELECT c.u, c.v, d1.degree AS du, d2.degree AS dv
+    FROM canon c
+    JOIN deg d1 ON d1.node = c.u
+    JOIN deg d2 ON d2.node = c.v
+  )
+),
+wedges AS (
+  SELECT e1.a AS p, e1.b AS x, e2.b AS y
+  FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a
+  WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)
+),
+tri AS (
+  SELECT w.p, w.x, w.y
+  FROM wedges w JOIN oriented c ON c.a = w.x AND c.b = w.y
+),
+tri_edges AS (
+  SELECT least(p, x) AS u, greatest(p, x) AS v FROM tri
+  UNION ALL
+  SELECT least(p, y) AS u, greatest(p, y) AS v FROM tri
+  UNION ALL
+  SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri
+),
+support AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM tri_edges GROUP BY u, v
+)
+SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+       COALESCE(s.support, 0) AS support,
+       CAST(COALESCE(s.support, 0) >= 2 AS INTEGER) AS keep
+FROM canon c LEFT JOIN support s ON c.u = s.u AND c.v = s.v
+ORDER BY support DESC, u, v
+LIMIT 50
+"""
+
+
+EXT17_QUERIES.update({"x350_ktruss": q_x350_ktruss})
+EXT17_ORACLES.update({"x350_ktruss": _sql_x350()})

@@ -9760,3 +9760,68 @@ def test_fim_span_plan_partitions_exactly(spark):
 
     with _pytest.raises(ValueError, match="min_len"):
         fim_span_plan(df, id_col="doc_id", text_col="text", min_len=2)
+
+
+def test_ktruss_k4_keeps_clique_drops_pendant(spark):
+    from fame2pygen_spark.operators.graph import ktruss_edges
+
+    # K4 on {1,2,3,4}: every edge closes 2 triangles -> keep at k=4;
+    # pendant edge (4,5) closes none -> support 0, dropped
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["u"], r["v"]): r for r in
+           ktruss_edges(df, k=4).collect()}
+    assert len(out) == 7
+    for e in k4:
+        assert out[e]["support"] == 2 and out[e]["keep"] == 1
+    assert out[(4, 5)]["support"] == 0 and out[(4, 5)]["keep"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ktruss_edges(df, k=2)
+
+
+def test_cube_summary_produces_all_grouping_sets(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.olap import cube_summary
+
+    df = spark.createDataFrame(
+        [("p", "x", 1.0), ("p", "y", 2.0), ("q", "x", 4.0)],
+        "a string, b string, v double",
+    )
+    out = cube_summary(
+        df, ["a", "b"], {"s": F.sum("v")}
+    ).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["grouping_id"], []).append(r)
+    # 4 grouping sets: detail(0), a-only(1), b-only(2), grand(3)
+    assert sorted(by_gid) == [0, 1, 2, 3]
+    grand = by_gid[3][0]
+    assert grand["a"] is None and grand["b"] is None
+    assert grand["s"] == 7.0
+    a_only = {r["a"]: r["s"] for r in by_gid[1]}
+    assert a_only == {"p": 3.0, "q": 4.0}
+
+
+def test_wide_to_long_roundtrip_is_lossless(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.sources.reshape import (
+        long_to_wide,
+        wide_to_long,
+    )
+
+    long0 = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0),
+         (2, "b", 40.0)],
+        "DATE long, SERIES string, VALUE double",
+    )
+    wide = long_to_wide(long0, series=["a", "b"])
+    back = wide_to_long(wide, ["a", "b"]).orderBy("DATE", "SERIES")
+    assert [tuple(r) for r in back.collect()] == [
+        (1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0),
+    ]

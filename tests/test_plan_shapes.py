@@ -1466,3 +1466,30 @@ def test_r7_text_audits_are_map_only_scans(spark, name):
     assert "Join" not in plan, name
     assert "Window" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_cube_runs_as_native_expand_not_scan_union(spark):
+    # Spark's cube plans an Expand over ONE scan — 2^n grouping sets
+    # without 2^n re-reads; the dimension join broadcasts
+    plan = plan_of(spark, "x348_cube_revenue")
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_jvm_expand_no_python(spark):
+    # melt lowers to Expand (JVM-side row replication) — never a UDF
+    # or an exploded struct comprehension
+    plan = plan_of(spark, "x349_unpivot")
+    assert "Expand" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ktruss_reuses_degree_ordered_wedge_shape(spark):
+    # same anti-skew discipline as the x148 triangle census: no
+    # cartesian, no nested-loop join anywhere in the support pass
+    plan = plan_of(spark, "x350_ktruss")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
