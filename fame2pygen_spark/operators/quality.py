@@ -2475,3 +2475,77 @@ def ransac_line(
             _r6((sy - rslope * sx) / nd).alias("refit_intercept"),
         )
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jarque–Bera normality test per group (Jarque & Bera 1980):
+    sample skewness S and excess kurtosis K−3 from central moments,
+
+        ``JB = n/6 · (S² + (K−3)²/4)``,  JB ~ χ²(2) under normality
+        (5 % critical value 5.991465 — flag above it).
+
+    Two passes: a decimal-exact mean, then central moments over
+    INTEGER-rounded deviations (``d = round(v − mean)`` — whole-unit
+    deviations keep d⁴ ≤ ~1e14 exactly representable in doubles AND
+    decimal-exact in the sums, so both engines fold identical
+    integers; the quantization error is O(1/|d|) ≪ the test's own
+    sampling noise for the panel magnitudes this runs on, and the
+    SAME definition is computed by the oracle — no approximation gap
+    between engines).  The moments-based companion to x99's KS
+    distribution distance: KS compares to an empirical reference,
+    JB asks the shape question directly from S and K.
+
+    Output: ``(group, n, skewness, kurtosis, jb_stat, non_normal)``
+    at 6 dp, ordered by group; NULL stats when the variance
+    collapses (m2 = 0) or n < 8.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    means = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (dec(F.col("v")) / F.count(F.lit(1))).alias("mean"),
+    )
+    d = F.round(F.col("v") - F.col("mean"))
+    dev = base.join(F.broadcast(means), "g").select(
+        "g", "n", d.alias("d")
+    )
+    mom = dev.groupBy("g", "n").agg(
+        dec(F.col("d") * F.col("d")).alias("s2"),
+        dec(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+        dec(
+            F.col("d") * F.col("d") * F.col("d") * F.col("d")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = (
+        n / F.lit(6.0)
+        * (
+            skew * skew
+            + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+        )
+    )
+    ok = (F.col("s2") > 0) & (n >= 8)
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return mom.select(
+        F.col("g").alias("group"),
+        n.cast("long").alias("n"),
+        r6(F.when(ok, skew)).alias("skewness"),
+        r6(F.when(ok, kurt)).alias("kurtosis"),
+        r6(F.when(ok, jb)).alias("jb_stat"),
+        F.when(ok, (jb > F.lit(5.991465)).cast("int")).alias(
+            "non_normal"
+        ),
+    ).orderBy("group")

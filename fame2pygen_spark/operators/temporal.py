@@ -43,7 +43,8 @@ __all__ = [
     "croston_forecast", "dtw_pairs",
     "baxter_king_weights", "bandpass_filter", "hp_filter",
     "chow_break_test", "hurst_rs", "permutation_entropy",
-    "sample_entropy",
+    "sample_entropy", "granger_1lag", "engle_granger_step",
+    "breusch_pagan",
 ]
 
 
@@ -4202,3 +4203,324 @@ def sample_entropy(
         )
         .orderBy("entity")
     )
+
+
+def _det3_cols(a, b, c, d, e, f_, g_, h, i):
+    """3×3 determinant in PINNED expansion order (the x344 idiom):
+    ``a(ei−fh) − b(di−fg) + c(dh−eg)`` — both engines fold the same
+    IEEE products and sums."""
+    return (
+        a * (e * i - f_ * h) - b * (d * i - f_ * g_)
+        + c * (d * h - e * g_)
+    )
+
+
+def granger_1lag(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    f_crit: float = 3.9,
+) -> DataFrame:
+    """Pairwise one-lag Granger causality (Granger 1969) between
+    entity series on a shared clock: for every ordered pair (a, b),
+    does ``x = b`` help predict ``y = a`` beyond a's own past?
+
+        unrestricted:  y_t ~ 1 + y_{t-1} + x_{t-1}   (SSR_u)
+        restricted:    y_t ~ 1 + y_{t-1}             (SSR_r)
+        F = (SSR_r - SSR_u) / (SSR_u / (n - 3))
+
+    Everything is closed form: the pair frame aligns the two series
+    by an entity-keyed self-join on t-1, ONE groupBy collects the
+    decimal-exact sufficient statistics (inputs are low-dp panel
+    values, so every pairwise product is decimal-exact — the x337
+    regime), and the 3×3 normal equations solve by the pinned
+    adjugate.  SSR_u = Syy − β·(X'y) with β from Cramer; guards emit
+    NULL on singular designs, degenerate fits, or n < 8.
+
+    Scale: the join and aggregation key on the (a, b) pair — at
+    100 TB this is k² bounded pair frames over entity-local data,
+    never a data cartesian.
+
+    Output: ``(entity_y, entity_x, n, f_stat, causes)`` ordered by
+    (entity_y, entity_x).
+    """
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("t").isNotNull() & F.col("v").isNotNull())
+    y_now = base.select(
+        F.col("e").alias("ey"), F.col("t").alias("t"),
+        F.col("v").alias("y"),
+    )
+    y_lag = base.select(
+        F.col("e").alias("ey"), (F.col("t") + 1).alias("t"),
+        F.col("v").alias("ylag"),
+    )
+    x_lag = base.select(
+        F.col("e").alias("ex"), (F.col("t") + 1).alias("t"),
+        F.col("v").alias("xlag"),
+    )
+    rows = (
+        y_now.join(y_lag, ["ey", "t"])
+        .join(x_lag, "t")
+        .where(F.col("ex") != F.col("ey"))
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    y, yl, xl = F.col("y"), F.col("ylag"), F.col("xlag")
+    agg = rows.groupBy("ey", "ex").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(yl).alias("s1"),
+        dec(xl).alias("s2"),
+        dec(yl * yl).alias("s11"),
+        dec(xl * xl).alias("s22"),
+        dec(yl * xl).alias("s12"),
+        dec(y).alias("sy"),
+        dec(yl * y).alias("sy1"),
+        dec(xl * y).alias("sy2"),
+        dec(y * y).alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy, sy1, sy2, syy = (
+        F.col("sy"), F.col("sy1"), F.col("sy2"), F.col("syy"),
+    )
+    # NULL-propagating safe denominators: a singular design makes the
+    # divisor NULL, every downstream stat NULL, and the flags NULL —
+    # never an ANSI divide-by-zero (Spark's AND does not short-circuit
+    # in codegen, so guarding with `ok` alone is not enough)
+    det_u = _det3_cols(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    det_u_safe = F.when(F.abs(det_u) > 0, det_u)
+    b0 = (
+        _det3_cols(sy, s1, s2, sy1, s11, s12, sy2, s12, s22)
+        / det_u_safe
+    )
+    b1 = (
+        _det3_cols(n, sy, s2, s1, sy1, s12, s2, sy2, s22) / det_u_safe
+    )
+    b2 = (
+        _det3_cols(n, s1, sy, s1, s11, sy1, s2, s12, sy2) / det_u_safe
+    )
+    ssr_u = syy - (b0 * sy + b1 * sy1 + b2 * sy2)
+    det_r = n * s11 - s1 * s1
+    det_r_safe = F.when(F.abs(det_r) > 0, det_r)
+    a0 = (sy * s11 - s1 * sy1) / det_r_safe
+    a1 = (n * sy1 - s1 * sy) / det_r_safe
+    ssr_r = syy - (a0 * sy + a1 * sy1)
+    fstat = F.when(
+        (F.col("n") >= 8) & (ssr_u > 0),
+        (ssr_r - ssr_u) / (ssr_u / (n - F.lit(3.0))),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("ey").alias("entity_y"),
+        F.col("ex").alias("entity_x"),
+        F.col("n").cast("long").alias("n"),
+        r6(fstat).alias("f_stat"),
+        F.when(
+            fstat.isNotNull(),
+            (fstat > F.lit(float(f_crit))).cast("int"),
+        ).alias("causes"),
+    ).orderBy("entity_y", "entity_x")
+
+
+def engle_granger_step(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Engle–Granger two-step cointegration screen (Engle & Granger
+    1987) for every ordered pair of entity series on a shared clock:
+    (1) the cointegrating OLS ``y_t ~ a + b x_t`` in closed form,
+    (2) the no-constant Dickey–Fuller regression on its residuals,
+    ``Δe_t = γ e_{t-1}``, whose t-statistic is the unit-root screen
+    (γ significantly < 0 → residuals mean-revert → cointegrated; the
+    5 % DF critical value for this two-variable case is ≈ −3.34).
+
+        gamma = Σ e_{t-1} Δe_t / Σ e_{t-1}²
+        s²    = (ΣΔe² − (Σe_{t-1}Δe)²/Σe_{t-1}²) / (n_d − 1)
+        t     = gamma / sqrt(s² / Σe_{t-1}²)
+
+    Cross-engine exactness: the stage-1 fit uses decimal-exact sums
+    (low-dp panel inputs); the residuals are PINNED to 6 dp before
+    stage 2 (``round(e·10⁶)/10⁶`` in both engines), so every stage-2
+    product is a ≤12-dp rational that decimal-casts exactly — the
+    x344 lesson applied preemptively.
+
+    Scale: one pair-keyed join, one aggregate, a broadcast of the
+    k²-row coefficient frame back onto the pair rows, one pair-keyed
+    lag window, one final aggregate.
+
+    Output: ``(entity_y, entity_x, n, beta, gamma, df_t,
+    cointegrated)`` ordered by (entity_y, entity_x); NULL stats on
+    degenerate designs.
+    """
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("t").isNotNull() & F.col("v").isNotNull())
+    a = base.select(
+        F.col("e").alias("ey"), "t", F.col("v").alias("y")
+    )
+    b = base.select(
+        F.col("e").alias("ex"), "t", F.col("v").alias("x")
+    )
+    rows = a.join(b, "t").where(F.col("ex") != F.col("ey"))
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    fit = rows.groupBy("ey", "ex").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = fit.select(
+        "ey", "ex", "n",
+        F.when(
+            F.abs(det) > 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / det,
+        ).alias("beta"),
+        F.when(
+            F.abs(det) > 0,
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            / det,
+        ).alias("alpha"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    resid = (
+        rows.join(F.broadcast(fit), ["ey", "ex"])
+        .where(F.col("beta").isNotNull())
+        .select(
+            "ey", "ex", "t", "n", "beta",
+            r6(
+                F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")
+            ).alias("res"),
+        )
+    )
+    w = Window.partitionBy("ey", "ex").orderBy("t")
+    dfr = resid.withColumn("elag", F.lag("res").over(w)).where(
+        F.col("elag").isNotNull()
+    )
+    de = F.col("res") - F.col("elag")
+    st2 = dfr.groupBy("ey", "ex", "n", "beta").agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        dec(F.col("elag") * de).alias("sed"),
+        dec(F.col("elag") * F.col("elag")).alias("see"),
+        dec(de * de).alias("sdd"),
+    )
+    see, sed, sdd, nd = (
+        F.col("see"), F.col("sed"), F.col("sdd"), F.col("nd"),
+    )
+    # NULL-propagating safe denominators (the x351 discipline)
+    see_safe = F.when((see > 0) & (nd >= 8), see)
+    gamma = sed / see_safe
+    s2 = (sdd - sed * sed / see_safe) / F.when(nd > 1, nd - F.lit(1.0))
+    tstat = gamma / F.sqrt(F.when(s2 > 0, s2) / see_safe)
+    return st2.select(
+        F.col("ey").alias("entity_y"),
+        F.col("ex").alias("entity_x"),
+        F.col("n").cast("long").alias("n"),
+        r6(F.col("beta")).alias("beta"),
+        r6(gamma).alias("gamma"),
+        r6(tstat).alias("df_t"),
+        F.when(
+            tstat.isNotNull(), (tstat < F.lit(-3.34)).cast("int")
+        ).alias("cointegrated"),
+    ).orderBy("entity_y", "entity_x")
+
+
+def breusch_pagan(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity test per entity (Breusch &
+    Pagan 1979, Koenker's studentized LM form): fit ``y ~ a + b t``
+    by OLS, regress the squared residuals on t, and report
+    ``LM = n · R²`` of that auxiliary regression — under
+    homoskedasticity LM ~ χ²(1), so LM > 3.841459 rejects at 5 %.
+    The variance-drift companion to x236's Durbin–Watson (serial
+    correlation) on the same regression frame.
+
+    Exactness: stage-1 sums are decimal-exact; residuals pin to 6 dp
+    and their squares to 6 dp again before the auxiliary sums (every
+    stage-2 product ≤12 dp → exact decimal casts — the x344 lesson).
+
+    Output: ``(entity, n, lm_stat, heteroskedastic)`` ordered by
+    entity; NULL on degenerate designs (constant t, zero-variance
+    residual squares).
+    """
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("y"),
+    ).where(F.col("t").isNotNull() & F.col("y").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    td = F.col("t").cast("double")
+    fit = base.groupBy("e").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(td).alias("st"),
+        dec(F.col("y")).alias("sy"),
+        dec(td * td).alias("stt"),
+        dec(td * F.col("y")).alias("sty"),
+    )
+    det = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    fit = fit.select(
+        "e", "n",
+        F.when(
+            F.abs(det) > 0,
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            / det,
+        ).alias("b"),
+        F.when(
+            F.abs(det) > 0,
+            (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty"))
+            / det,
+        ).alias("a"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    resid = (
+        base.join(F.broadcast(fit), "e")
+        .where(F.col("b").isNotNull())
+        .select(
+            "e", "n", "t",
+            r6(
+                F.col("y") - F.col("a") - F.col("b") * td
+            ).alias("res"),
+        )
+        .select(
+            "e", "n", "t",
+            r6(F.col("res") * F.col("res")).alias("u"),
+        )
+    )
+    aux = resid.groupBy("e", "n").agg(
+        dec(td).alias("st"),
+        dec(F.col("u")).alias("su"),
+        dec(td * td).alias("stt"),
+        dec(td * F.col("u")).alias("stu"),
+        dec(F.col("u") * F.col("u")).alias("suu"),
+    )
+    n = F.col("n")
+    sxx = F.col("stt") - F.col("st") * F.col("st") / n
+    sxu = F.col("stu") - F.col("st") * F.col("su") / n
+    suu_c = F.col("suu") - F.col("su") * F.col("su") / n
+    ok = (sxx > 0) & (suu_c > 0)
+    r2 = (sxu * sxu / sxx) / suu_c
+    lm = n * r2
+    return aux.select(
+        F.col("e").alias("entity"),
+        n.cast("long").alias("n"),
+        r6(F.when(ok, lm)).alias("lm_stat"),
+        F.when(ok, (lm > F.lit(3.841459)).cast("int")).alias(
+            "heteroskedastic"
+        ),
+    ).orderBy("entity")

@@ -1437,3 +1437,336 @@ LIMIT 50
 
 EXT17_QUERIES.update({"x350_ktruss": q_x350_ktruss})
 EXT17_ORACLES.update({"x350_ktruss": _sql_x350()})
+
+
+# --------------------- x351: pairwise one-lag Granger causality
+
+_X351_DAILY = f"""
+  SELECT event_type AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS t,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+
+def _daily_panel(spark, sf_dir):
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            F.expr(f"ts_us div {_US_PER_DAY}").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+
+
+def q_x351_granger(spark, sf_dir):
+    """Pairwise one-lag Granger causality (operators/temporal.py:
+    granger_1lag) between event types' daily value series — does one
+    stream's yesterday improve another's today beyond its own
+    autoregression?  Closed-form 3×3 adjugate on decimal-exact
+    sufficient statistics; NULL-propagating guards on singular
+    designs."""
+    from .operators.temporal import granger_1lag
+
+    return granger_1lag(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+        f_crit=3.9,
+    )
+
+
+def _sql_x351() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    det_u = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    det_us = f"(CASE WHEN abs({det_u}) > 0 THEN {det_u} END)"
+    b0 = det3("sy", "s1", "s2", "sy1", "s11", "s12", "sy2", "s12", "s22")
+    b1 = det3("n", "sy", "s2", "s1", "sy1", "s12", "s2", "sy2", "s22")
+    b2 = det3("n", "s1", "sy", "s1", "s11", "sy1", "s2", "s12", "sy2")
+    ssr_u = (
+        f"(syy - (({b0} / {det_us}) * sy + ({b1} / {det_us}) * sy1"
+        f" + ({b2} / {det_us}) * sy2))"
+    )
+    det_r = "(n * s11 - s1 * s1)"
+    det_rs = f"(CASE WHEN abs({det_r}) > 0 THEN {det_r} END)"
+    ssr_r = (
+        f"(syy - (((sy * s11 - s1 * sy1) / {det_rs}) * sy"
+        f" + ((n * sy1 - s1 * sy) / {det_rs}) * sy1))"
+    )
+    fstat = (
+        f"(CASE WHEN n >= 8 AND {ssr_u} > 0 THEN"
+        f" ({ssr_r} - {ssr_u}) / ({ssr_u} / (n - 3.0)) END)"
+    )
+    return f"""
+WITH x351_daily AS ({_X351_DAILY}),
+x351_rows AS (
+  SELECT a.e AS ey, bl.e AS ex, a.v AS y, al.v AS ylag, bl.v AS xlag
+  FROM x351_daily a
+  JOIN x351_daily al ON al.e = a.e AND al.t = a.t - 1
+  JOIN x351_daily bl ON bl.t = a.t - 1 AND bl.e <> a.e
+), x351_agg AS (
+  SELECT ey, ex, CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('ylag')} AS s1, {sd('xlag')} AS s2,
+         {sd('ylag * ylag')} AS s11, {sd('xlag * xlag')} AS s22,
+         {sd('ylag * xlag')} AS s12,
+         {sd('y')} AS sy, {sd('ylag * y')} AS sy1,
+         {sd('xlag * y')} AS sy2, {sd('y * y')} AS syy
+  FROM x351_rows GROUP BY ey, ex
+)
+SELECT ey AS entity_y, ex AS entity_x, CAST(n AS BIGINT) AS n,
+       ROUND({fstat} * 1000000.0) / 1000000.0 AS f_stat,
+       CASE WHEN {fstat} IS NOT NULL
+            THEN CAST({fstat} > 3.9 AS INTEGER) END AS causes
+FROM x351_agg
+ORDER BY entity_y, entity_x
+"""
+
+
+EXT17_QUERIES.update({"x351_granger": q_x351_granger})
+EXT17_ORACLES.update({"x351_granger": _sql_x351()})
+
+
+# ------------------ x352: Engle–Granger cointegration screen
+
+
+def q_x352_coint(spark, sf_dir):
+    """Engle–Granger cointegration screen (operators/temporal.py:
+    engle_granger_step) over event-type daily value pairs: closed-form
+    cointegrating OLS, residuals pinned at 6 dp, then the no-constant
+    Dickey–Fuller t on the residuals — mean-reverting spread =
+    cointegrated pair."""
+    from .operators.temporal import engle_granger_step
+
+    return engle_granger_step(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+    )
+
+
+def _sql_x352() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x352_daily AS ({_X351_DAILY}),
+x352_rows AS (
+  SELECT a.e AS ey, b.e AS ex, a.t, a.v AS y, b.v AS x
+  FROM x352_daily a JOIN x352_daily b ON a.t = b.t AND b.e <> a.e
+), x352_fit AS (
+  SELECT ey, ex, CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('x')} AS sx, {sd('y')} AS sy,
+         {sd('x * x')} AS sxx, {sd('x * y')} AS sxy
+  FROM x352_rows GROUP BY ey, ex
+), x352_coef AS (
+  SELECT ey, ex, n,
+         (n * sxy - sx * sy)
+           / (CASE WHEN abs(n * sxx - sx * sx) > 0
+                   THEN n * sxx - sx * sx END) AS beta,
+         (sy * sxx - sx * sxy)
+           / (CASE WHEN abs(n * sxx - sx * sx) > 0
+                   THEN n * sxx - sx * sx END) AS alpha
+  FROM x352_fit
+), x352_resid AS (
+  SELECT r.ey, r.ex, r.t, c.n, c.beta,
+         ROUND((r.y - c.alpha - c.beta * r.x) * 1000000.0)
+           / 1000000.0 AS res
+  FROM x352_rows r JOIN x352_coef c ON r.ey = c.ey AND r.ex = c.ex
+  WHERE c.beta IS NOT NULL
+), x352_lag AS (
+  SELECT * FROM (
+    SELECT ey, ex, n, beta, res,
+           LAG(res) OVER (PARTITION BY ey, ex ORDER BY t) AS elag
+    FROM x352_resid
+  ) WHERE elag IS NOT NULL
+), x352_st2 AS (
+  SELECT ey, ex, n, beta, CAST(COUNT(*) AS DOUBLE) AS nd,
+         {sd('elag * (res - elag)')} AS sed,
+         {sd('elag * elag')} AS see,
+         {sd('(res - elag) * (res - elag)')} AS sdd
+  FROM x352_lag GROUP BY ey, ex, n, beta
+), x352_out AS (
+  SELECT ey, ex, n, beta, nd, sed, sdd,
+         CASE WHEN see > 0 AND nd >= 8 THEN see END AS see_safe
+  FROM x352_st2
+), x352_stats AS (
+  SELECT ey, ex, n, beta,
+         sed / see_safe AS gamma,
+         (sed / see_safe)
+           / sqrt((CASE WHEN (sdd - sed * sed / see_safe)
+                             / (CASE WHEN nd > 1 THEN nd - 1.0 END) > 0
+                        THEN (sdd - sed * sed / see_safe)
+                             / (CASE WHEN nd > 1 THEN nd - 1.0 END)
+                   END) / see_safe) AS df_t
+  FROM x352_out
+)
+SELECT ey AS entity_y, ex AS entity_x, CAST(n AS BIGINT) AS n,
+       ROUND(beta * 1000000.0) / 1000000.0 AS beta,
+       ROUND(gamma * 1000000.0) / 1000000.0 AS gamma,
+       ROUND(df_t * 1000000.0) / 1000000.0 AS df_t,
+       CASE WHEN df_t IS NOT NULL
+            THEN CAST(df_t < -3.34 AS INTEGER) END AS cointegrated
+FROM x352_stats
+ORDER BY entity_y, entity_x
+"""
+
+
+EXT17_QUERIES.update({"x352_coint": q_x352_coint})
+EXT17_ORACLES.update({"x352_coint": _sql_x352()})
+
+
+# ---------------------- x353: Breusch–Pagan heteroskedasticity
+
+
+def q_x353_breusch_pagan(spark, sf_dir):
+    """Breusch–Pagan LM heteroskedasticity test (operators/
+    temporal.py:breusch_pagan) per event type's daily value trend —
+    is the variance itself drifting over the month?  Residuals and
+    their squares pinned at 6 dp so stage-2 decimal casts are
+    exact."""
+    from .operators.temporal import breusch_pagan
+
+    return breusch_pagan(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+    )
+
+
+def _sql_x353() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x353_daily AS ({_X351_DAILY}),
+x353_fit AS (
+  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('CAST(t AS DOUBLE)')} AS st, {sd('v')} AS sy,
+         {sd('CAST(t AS DOUBLE) * CAST(t AS DOUBLE)')} AS stt,
+         {sd('CAST(t AS DOUBLE) * v')} AS sty
+  FROM x353_daily GROUP BY e
+), x353_coef AS (
+  SELECT e, n,
+         (n * sty - st * sy)
+           / (CASE WHEN abs(n * stt - st * st) > 0
+                   THEN n * stt - st * st END) AS b,
+         (sy * stt - st * sty)
+           / (CASE WHEN abs(n * stt - st * st) > 0
+                   THEN n * stt - st * st END) AS a
+  FROM x353_fit
+), x353_resid AS (
+  SELECT d.e, c.n, d.t,
+         ROUND((ROUND((d.v - c.a - c.b * CAST(d.t AS DOUBLE))
+                      * 1000000.0) / 1000000.0)
+               * (ROUND((d.v - c.a - c.b * CAST(d.t AS DOUBLE))
+                        * 1000000.0) / 1000000.0) * 1000000.0)
+           / 1000000.0 AS u
+  FROM x353_daily d JOIN x353_coef c ON d.e = c.e
+  WHERE c.b IS NOT NULL
+), x353_aux AS (
+  SELECT e, n,
+         {sd('CAST(t AS DOUBLE)')} AS st, {sd('u')} AS su,
+         {sd('CAST(t AS DOUBLE) * CAST(t AS DOUBLE)')} AS stt,
+         {sd('CAST(t AS DOUBLE) * u')} AS stu,
+         {sd('u * u')} AS suu
+  FROM x353_resid GROUP BY e, n
+)
+SELECT e AS entity, CAST(n AS BIGINT) AS n,
+       CASE WHEN (stt - st * st / n) > 0
+             AND (suu - su * su / n) > 0
+            THEN ROUND(n * (((stu - st * su / n) * (stu - st * su / n)
+                             / (stt - st * st / n))
+                            / (suu - su * su / n)) * 1000000.0)
+                 / 1000000.0
+       END AS lm_stat,
+       CASE WHEN (stt - st * st / n) > 0
+             AND (suu - su * su / n) > 0
+            THEN CAST(n * (((stu - st * su / n) * (stu - st * su / n)
+                            / (stt - st * st / n))
+                           / (suu - su * su / n)) > 3.841459
+                      AS INTEGER)
+       END AS heteroskedastic
+FROM x353_aux
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x353_breusch_pagan": q_x353_breusch_pagan})
+EXT17_ORACLES.update({"x353_breusch_pagan": _sql_x353()})
+
+
+# ----------------------------- x354: Jarque–Bera normality test
+
+
+def q_x354_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality test (operators/quality.py:jarque_bera)
+    of customer account balances per nation — skewness and kurtosis
+    from integer-rounded central deviations (exact decimal folds in
+    both engines), JB ~ χ²(2).  TPC-H balances are uniform, so every
+    nation should reject normality via the platykurtic branch."""
+    from .operators.quality import jarque_bera
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return jarque_bera(
+        c.select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_acctbal").alias("bal"),
+        ),
+        group_col="nation",
+        value_col="bal",
+    )
+
+
+def _sql_x354() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x354_base AS (
+  SELECT CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS g,
+         CAST(c_acctbal AS DOUBLE) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+), x354_means AS (
+  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('v')} / COUNT(*) AS mean
+  FROM x354_base GROUP BY g
+), x354_dev AS (
+  SELECT b.g, m.n, ROUND(b.v - m.mean) AS d
+  FROM x354_base b JOIN x354_means m ON b.g = m.g
+), x354_mom AS (
+  SELECT g, n,
+         {sd('d * d')} AS s2, {sd('d * d * d')} AS s3,
+         {sd('d * d * d * d')} AS s4
+  FROM x354_dev GROUP BY g, n
+), x354_stats AS (
+  SELECT g, n, s2,
+         (s3 / n) / ((s2 / n) * sqrt(s2 / n)) AS skew,
+         (s4 / n) / ((s2 / n) * (s2 / n)) AS kurt
+  FROM x354_mom WHERE s2 > 0 AND n >= 8
+)
+SELECT m.g AS "group", CAST(m.n AS BIGINT) AS n,
+       ROUND(s.skew * 1000000.0) / 1000000.0 AS skewness,
+       ROUND(s.kurt * 1000000.0) / 1000000.0 AS kurtosis,
+       ROUND((m.n / 6.0 * (s.skew * s.skew
+              + (s.kurt - 3.0) * (s.kurt - 3.0) / 4.0)) * 1000000.0)
+         / 1000000.0 AS jb_stat,
+       CASE WHEN s.skew IS NOT NULL
+            THEN CAST((m.n / 6.0 * (s.skew * s.skew
+                       + (s.kurt - 3.0) * (s.kurt - 3.0) / 4.0))
+                      > 5.991465 AS INTEGER) END AS non_normal
+FROM x354_mom m LEFT JOIN x354_stats s ON m.g = s.g
+ORDER BY "group"
+"""
+
+
+EXT17_QUERIES.update({"x354_jarque_bera": q_x354_jarque_bera})
+EXT17_ORACLES.update({"x354_jarque_bera": _sql_x354()})

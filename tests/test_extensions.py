@@ -9825,3 +9825,111 @@ def test_wide_to_long_roundtrip_is_lossless(spark):
     assert [tuple(r) for r in back.collect()] == [
         (1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0),
     ]
+
+
+def test_granger_detects_planted_causal_direction(spark):
+    import random
+
+    from fame2pygen_spark.operators.temporal import granger_1lag
+
+    random.seed(13)
+    rows = []
+    x_prev = 0.0
+    for t in range(120):
+        x = round(random.uniform(0.0, 10.0), 2)
+        # y_t is driven by x_{t-1}; z is independent noise
+        y = round(x_prev * 2.0 + random.uniform(0.0, 0.5), 2)
+        z = round(random.uniform(0.0, 10.0), 2)
+        rows += [("x", t, x), ("y", t, y), ("z", t, z)]
+        x_prev = x
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        (r["entity_y"], r["entity_x"]): r
+        for r in granger_1lag(
+            df, entity_col="e", t_col="t", value_col="v"
+        ).collect()
+    }
+    assert out[("y", "x")]["causes"] == 1
+    assert out[("y", "x")]["f_stat"] > 50.0
+    # reverse direction and the independent pair stay quiet
+    assert out[("x", "y")]["causes"] == 0
+    assert out[("y", "z")]["causes"] == 0
+
+
+def test_engle_granger_flags_planted_cointegration(spark):
+    import random
+
+    from fame2pygen_spark.operators.temporal import engle_granger_step
+
+    random.seed(23)
+    rows = []
+    xw = zw = 50.0
+    for t in range(150):
+        xw = round(xw + random.uniform(-1.0, 1.0), 2)
+        zw = round(zw + random.uniform(-1.0, 1.0), 2)  # independent walk
+        y = round(2.0 * xw + random.uniform(-0.3, 0.3), 2)  # coint with x
+        rows += [("x", t, xw), ("y", t, y), ("z", t, zw)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        (r["entity_y"], r["entity_x"]): r
+        for r in engle_granger_step(
+            df, entity_col="e", t_col="t", value_col="v"
+        ).collect()
+    }
+    yx = out[("y", "x")]
+    assert yx["cointegrated"] == 1 and yx["df_t"] < -3.34
+    assert abs(yx["beta"] - 2.0) < 0.1
+    # two independent walks do not mean-revert
+    assert out[("y", "z")]["cointegrated"] == 0
+
+
+def test_breusch_pagan_flags_variance_drift(spark):
+    import random
+
+    from fame2pygen_spark.operators.temporal import breusch_pagan
+
+    random.seed(31)
+    rows = []
+    for t in range(200):
+        # heteroskedastic: noise amplitude grows with t
+        het = round(5.0 * t + random.uniform(-1.0, 1.0) * (t / 10.0), 2)
+        hom = round(5.0 * t + random.uniform(-3.0, 3.0), 2)
+        rows += [("het", t, het), ("hom", t, hom)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in breusch_pagan(
+            df, entity_col="e", t_col="t", value_col="v"
+        ).collect()
+    }
+    assert out["het"]["heteroskedastic"] == 1
+    assert out["het"]["lm_stat"] > 3.841459
+    assert out["hom"]["heteroskedastic"] == 0
+
+
+def test_jarque_bera_separates_shapes(spark):
+    import random
+
+    from fame2pygen_spark.operators.quality import jarque_bera
+
+    random.seed(41)
+    rows = []
+    for _ in range(600):
+        # uniform: platykurtic (kurtosis ~ 1.8) -> strong rejection
+        rows.append(("unif", round(random.uniform(0.0, 2000.0), 2)))
+        # gaussian: should usually NOT reject
+        rows.append(("norm", round(random.gauss(1000.0, 200.0), 2)))
+        # exponential-ish: right-skewed -> rejection via skew branch
+        rows.append(("expo", round(random.expovariate(1 / 300.0), 2)))
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["group"]: r
+        for r in jarque_bera(
+            df, group_col="g", value_col="v"
+        ).collect()
+    }
+    u = out["unif"]
+    assert u["non_normal"] == 1 and u["kurtosis"] < 2.2
+    assert out["norm"]["non_normal"] == 0
+    e = out["expo"]
+    assert e["non_normal"] == 1 and e["skewness"] > 1.0

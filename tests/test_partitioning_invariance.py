@@ -143,6 +143,10 @@ SENSITIVE = [
     "x342_gmm_step",
     "x343_stump",
     "x344_logistic_newton",
+    "x351_granger",
+    "x352_coint",
+    "x353_breusch_pagan",
+    "x354_jarque_bera",
 ]
 
 

@@ -1493,3 +1493,27 @@ def test_ktruss_reuses_degree_ordered_wedge_shape(spark):
     plan = plan_of(spark, "x350_ktruss")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x351_granger",        # clock-keyed pair joins, one agg
+        "x352_coint",          # + pair-keyed residual lag window
+        "x353_breusch_pagan",  # two aggs bridged by broadcast coefs
+        "x354_jarque_bera",    # mean broadcast + moment agg
+    ],
+)
+def test_r7_econometric_diagnostics_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_coint_residual_window_is_pair_keyed(spark):
+    assert unpartitioned_windows(spark, "x352_coint") == []
+
+
+def test_breusch_pagan_and_jb_are_window_free(spark):
+    for name in ("x353_breusch_pagan", "x354_jarque_bera"):
+        assert "Window" not in plan_of(spark, name), name
