@@ -44,7 +44,8 @@ __all__ = [
     "baxter_king_weights", "bandpass_filter", "hp_filter",
     "chow_break_test", "hurst_rs", "permutation_entropy",
     "sample_entropy", "granger_1lag", "engle_granger_step",
-    "breusch_pagan",
+    "breusch_pagan", "kalman_level", "smooth_disagg",
+    "smooth_disagg_weights", "theta_forecast",
 ]
 
 
@@ -4524,3 +4525,358 @@ def breusch_pagan(
             "heteroskedastic"
         ),
     ).orderBy("entity")
+
+
+def _kalman_level_series(ys: list, q: float, r: float, p0: float) -> tuple:
+    """Local-level Kalman recursion for one series, PINNED operation
+    order (the x336 idiom): state x̂ initialized at the first
+    observation, then for each subsequent y:
+
+        Pp = P + q;  K = Pp / (Pp + r)
+        x̂ = x̂ + K * (y - x̂);  P = (1 - K) * Pp
+
+    Returns (levels, gains) lists; gains[0] is 0.0 by convention
+    (the init step uses no gain)."""
+    x = ys[0]
+    p = p0
+    levels = [x]
+    gains = [0.0]
+    for t in range(1, len(ys)):
+        pp = p + q
+        k = pp / (pp + r)
+        x = x + k * (ys[t] - x)
+        p = (1.0 - k) * pp
+        levels.append(x)
+        gains.append(k)
+    return levels, gains
+
+
+def kalman_level(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    q: float = 4.0,
+    r: float = 16.0,
+    p0: float = 100.0,
+    max_len: int = 4096,
+) -> DataFrame:
+    """Local-level (random-walk-plus-noise) Kalman filter per entity
+    (Harvey 1989 "structural time series", the simplest state-space
+    smoother): process variance *q*, observation variance *r*, prior
+    variance *p0*, state initialized at the first observation.  The
+    adaptive alternative to a fixed-alpha EWMA (x44): the gain starts
+    high while the level is uncertain and settles to the steady-state
+    q/r ratio — exactly what a metric-monitoring pipeline wants after
+    a cold start or a gap.
+
+    The recursion is inherently sequential per entity, so this is an
+    Arrow-batched ``mapInPandas`` operator over bounded per-entity
+    arrays (ONE groupBy shuffle, loud-fail past *max_len*) — the
+    hp_filter execution shape with a scalar recursion instead of a
+    solve.  The oracle replays the identical pinned-order float
+    recursion as a recursive CTE, so the doubles match bit-for-bit.
+
+    Output: ``(entity, t, value, level, gain)`` at 6 dp, ordered by
+    (entity, t).
+    """
+    if q <= 0 or r <= 0 or p0 <= 0:
+        raise ValueError("kalman_level: q, r, p0 must be positive")
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("e")
+        .agg(F.sort_array(F.collect_list(F.struct("o", "v"))).alias("ovs"))
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"), F.max(F.size("ovs")).alias("ml")
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("kalman_level: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"kalman_level: longest series ({stats['ml']}) exceeds "
+            f"max_len={max_len} — window the series first"
+        )
+    qf, rf, p0f = float(q), float(r), float(p0)
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"entity": [], "t": [], "value": [], "level": [],
+                   "gain": []}
+            for ent, ovs in zip(pdf["e"], pdf["ovs"]):
+                ts = [int(s["o"]) for s in ovs]
+                ys = [float(s["v"]) for s in ovs]
+                levels, gains = _kalman_level_series(ys, qf, rf, p0f)
+                out["entity"].extend([ent] * len(ts))
+                out["t"].extend(ts)
+                out["value"].extend(ys)
+                out["level"].extend(levels)
+                out["gain"].extend(gains)
+            yield pd.DataFrame(
+                {
+                    "entity": pd.Series(out["entity"], dtype="object"),
+                    "t": pd.Series(out["t"], dtype="int64"),
+                    "value": pd.Series(out["value"], dtype="float64"),
+                    "level": pd.Series(out["level"], dtype="float64"),
+                    "gain": pd.Series(out["gain"], dtype="float64"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("t", LongType()),
+            StructField("value", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("gain", DoubleType()),
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_ent.mapInPandas(compute, schema=schema)
+        .select(
+            "entity", "t",
+            r6(F.col("value")).alias("value"),
+            r6(F.col("level")).alias("level"),
+            r6(F.col("gain")).alias("gain"),
+        )
+        .orderBy("entity", "t")
+    )
+
+
+def smooth_disagg_weights() -> list:
+    """4×3 literal weight matrix for smooth annual→quarterly
+    disaggregation on a 3-year stencil (the Boot–Feibes–Lisman
+    construction, 1967): over a 3-year window the 12 quarterly values
+    minimize the sum of squared second differences subject to each
+    year's quarters summing to its annual total; the middle year's 4
+    rows of the resulting linear map (quarters as a function of
+    ``(A_prev, A_cur, A_next)``) are returned.  Derived ONCE in
+    Python by solving the 15×15 KKT system with a deterministic
+    dense solve and injected as literals into BOTH engines — the
+    henderson_weights/baxter_king idiom for a constrained-smoothness
+    kernel.  Each row's weights sum to ≈ A_cur's share: the middle
+    year's four quarters sum to exactly its annual total up to float
+    eps (asserted in tests at 1e-9)."""
+    import numpy as np
+
+    n = 12  # quarters in the 3-year stencil
+    # second-difference penalty D'D (n-2 x n rows of [1,-2,1])
+    D = np.zeros((n - 2, n))
+    for i in range(n - 2):
+        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+    H = D.T @ D
+    # constraints: quarters of year j sum to A_j, j = 0..2
+    A = np.zeros((3, n))
+    for j in range(3):
+        A[j, 4 * j: 4 * j + 4] = 1.0
+    # KKT: [[H, A'], [A, 0]] [x; lam] = [0; a]; x depends linearly
+    # on the annual vector a -> extract the middle year's rows
+    K = np.zeros((n + 3, n + 3))
+    K[:n, :n] = H
+    K[:n, n:] = A.T
+    K[n:, :n] = A
+    rhs = np.zeros((n + 3, 3))
+    rhs[n:, :] = np.eye(3)
+    sol = np.linalg.solve(K, rhs)  # rows 0..n-1: dx/da
+    W = sol[4:8, :]  # middle year's quarters
+    return [[float(W[i, j]) for j in range(3)] for i in range(4)]
+
+
+def smooth_disagg(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    year_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Smooth annual→quarterly temporal disaggregation per entity
+    with the :func:`smooth_disagg_weights` literal kernel — the
+    official-statistics benchmark operation (FAME's CONVERT
+    down-frequency family, reference formulas_generator.py CONVERT
+    handling, produces step/spline splits; this adds the
+    minimal-curvature split that statistical agencies use when no
+    indicator series exists).  Complete-stencil semantics: a year is
+    emitted only when both neighbours exist and are consecutive
+    (henderson-style complete-window discipline); each emitted year's
+    four quarters sum back to its annual value to float eps — the
+    movement-preservation contract, checked in tests.
+
+    One entity-keyed lag/lead window + a 4-way literal-weight
+    projection: pure JVM, one shuffle.
+
+    Output: ``(entity, year, quarter, annual, q_value)`` at 6 dp.
+    """
+    W = smooth_disagg_weights()
+    w = Window.partitionBy("e").orderBy("yr")
+    base = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(year_col).cast("long").alias("yr"),
+            F.col(value_col).cast("double").alias("a"),
+        )
+        .where(F.col("yr").isNotNull() & F.col("a").isNotNull())
+        .withColumn("ap", F.lag("a").over(w))
+        .withColumn("an", F.lead("a").over(w))
+        .withColumn("yp", F.lag("yr").over(w))
+        .withColumn("yn", F.lead("yr").over(w))
+        .where(
+            (F.col("yp") == F.col("yr") - 1)
+            & (F.col("yn") == F.col("yr") + 1)
+        )
+    )
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(qi + 1).alias("q"),
+                (
+                    F.lit(W[qi][0]) * F.col("ap")
+                    + F.lit(W[qi][1]) * F.col("a")
+                    + F.lit(W[qi][2]) * F.col("an")
+                ).alias("qv"),
+            )
+            for qi in range(4)
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        base.select(
+            "e", "yr", "a", F.explode(quarters).alias("s")
+        )
+        .select(
+            F.col("e").alias("entity"),
+            F.col("yr").alias("year"),
+            F.col("s.q").cast("long").alias("quarter"),
+            r6(F.col("a")).alias("annual"),
+            r6(F.col("s.qv")).alias("q_value"),
+        )
+        .orderBy("entity", "year", "quarter")
+    )
+
+
+def theta_forecast(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    horizons: int = 4,
+) -> DataFrame:
+    """Theta-method forecast per entity (Assimakopoulos &
+    Nikolopoulos 2000 — the M3-competition winner): the average of
+    (a) the linear-trend extrapolation (theta = 0) and (b) simple
+    exponential smoothing of the theta = 2 line
+    ``y'_t = 2 y_t − (a + b t)``, with ``alpha = 1/2`` EXACTLY so
+    every smoothing weight is a dyadic rational both engines
+    represent bit-identically (``0.5^k`` costs no libm trust).
+
+    Closed forms throughout: the trend fit from decimal-exact sums;
+    the SES level as the ORDER-PINNED fold
+    ``l_n = Σ_t 0.5^(n−t+1) · y'_t  +  0.5^n · y'_1`` evaluated as a
+    running window sum in ascending-t order (both engines fold the
+    identical doubles left-to-right — the x338 cumdev discipline;
+    a decimal fold is NOT usable here because dyadic-weight × 6-dp
+    terms land EXACTLY on 1e-12 rounding boundaries and the engines'
+    double→decimal tie rules differ — observed, not theoretical);
+    the h-step forecast ``0.5·(a + b(t_max+h)) + 0.5·l_n`` (flat SES
+    continuation).  One groupBy for the fit, one entity-keyed window
+    for the fold — no Python.
+
+    Output: ``(entity, h, forecast)`` for h = 1..horizons, at 6 dp;
+    NULL forecasts for degenerate (constant-t) entities.
+    """
+    if horizons < 1:
+        raise ValueError("theta_forecast: horizons must be >= 1")
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("y"),
+    ).where(F.col("t").isNotNull() & F.col("y").isNotNull())
+    # SCALE-4 decimals, deliberately: panel inputs are <= 2 dp, so
+    # scale-4 casts are exact AND the scaled integer stays far below
+    # 2^53 — DuckDB's decimal->double conversion is a float division
+    # of the scaled int and drops a ulp past 2^53 (observed: a scale-12
+    # sum of t*v at ~2e9 came back 1 ulp different and the trend
+    # extrapolation amplified it past the 6 dp round)
+    dec = lambda c: F.sum(c.cast("decimal(38,4)")).cast("double")  # noqa: E731
+    td = F.col("t").cast("double")
+    w = Window.partitionBy("e").orderBy("t")
+    rn = base.withColumn("rn", F.row_number().over(w))
+    fit = rn.groupBy("e").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.max("t").cast("double").alias("tmax"),
+        dec(td).alias("st"),
+        dec(F.col("y")).alias("sy"),
+        dec(td * td).alias("stt"),
+        dec(td * F.col("y")).alias("sty"),
+    )
+    det = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    fit = fit.select(
+        "e", "n", "tmax",
+        F.when(
+            F.abs(det) > 0,
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+            / det,
+        ).alias("b"),
+        F.when(
+            F.abs(det) > 0,
+            (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty"))
+            / det,
+        ).alias("a"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    theta = (
+        rn.join(F.broadcast(fit), "e")
+        .where(F.col("b").isNotNull())
+        .select(
+            "e", "n", "rn", "tmax", "a", "b",
+            r6(
+                F.lit(2.0) * F.col("y")
+                - (F.col("a") + F.col("b") * td)
+            ).alias("yth"),
+        )
+    )
+    # pinned dyadic fold: 0.5^(n-rn+1) per term, + 0.5^n * first
+    # term, accumulated in ascending-rn order (order-pinned running
+    # sum, NOT a decimal fold — see docstring)
+    term = F.pow(F.lit(0.5), F.col("n") - F.col("rn") + 1) * F.col(
+        "yth"
+    )
+    init = F.when(
+        F.col("rn") == 1,
+        F.pow(F.lit(0.5), F.col("n")) * F.col("yth"),
+    ).otherwise(F.lit(0.0))
+    wsum = (
+        Window.partitionBy("e")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl = (
+        theta.withColumn("lacc", F.sum(term + init).over(wsum))
+        .where(F.col("rn") == F.col("n"))
+        .select("e", "tmax", "a", "b", F.col("lacc").alias("l"))
+    )
+    hs = F.explode(
+        F.array(*[F.lit(h) for h in range(1, int(horizons) + 1)])
+    )
+    out = lvl.select("e", "tmax", "a", "b", "l", hs.alias("h"))
+    fc = F.lit(0.5) * (
+        F.col("a") + F.col("b") * (F.col("tmax") + F.col("h"))
+    ) + F.lit(0.5) * F.col("l")
+    return out.select(
+        F.col("e").alias("entity"),
+        F.col("h").cast("long").alias("h"),
+        r6(fc).alias("forecast"),
+    ).orderBy("entity", "h")

@@ -1770,3 +1770,217 @@ ORDER BY "group"
 
 EXT17_QUERIES.update({"x354_jarque_bera": q_x354_jarque_bera})
 EXT17_ORACLES.update({"x354_jarque_bera": _sql_x354()})
+
+
+# ------------------------- x355: Kalman local-level filter
+
+
+def q_x355_kalman(spark, sf_dir):
+    """Local-level Kalman filter (operators/temporal.py:kalman_level,
+    q=4, r=16, p0=100) over each event type's daily value series —
+    the adaptive-gain level tracker; the recursion runs in one
+    Arrow-batched mapInPandas stage and the oracle replays it as a
+    recursive CTE in identical pinned float order (the x336
+    idiom with a scalar recursion)."""
+    from .operators.temporal import kalman_level
+
+    return kalman_level(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+        q=4.0, r=16.0, p0=100.0,
+    )
+
+
+def _sql_x355() -> str:
+    q, r, p0 = "CAST(4.0 AS DOUBLE)", "CAST(16.0 AS DOUBLE)", \
+        "CAST(100.0 AS DOUBLE)"
+    return f"""
+WITH RECURSIVE x355_daily AS ({_X351_DAILY}),
+x355_arr AS (
+  SELECT e, list(t ORDER BY t) AS ts, list(v ORDER BY t) AS ys,
+         CAST(count(*) AS INTEGER) AS n
+  FROM x355_daily GROUP BY e
+), x355_rec AS (
+  SELECT e, ts, ys, n, CAST(1 AS INTEGER) AS i,
+         ys[1] AS x, {p0} AS p,
+         [ys[1]] AS levels, [CAST(0.0 AS DOUBLE)] AS gains
+  FROM x355_arr
+  UNION ALL
+  SELECT e, ts, ys, n, CAST(i + 1 AS INTEGER) AS i,
+         x + k * (ys[CAST(i + 1 AS INTEGER)] - x) AS x,
+         (CAST(1.0 AS DOUBLE) - k) * pp AS p,
+         list_append(levels,
+           x + k * (ys[CAST(i + 1 AS INTEGER)] - x)) AS levels,
+         list_append(gains, k) AS gains
+  FROM (
+    SELECT e, ts, ys, n, i, x, levels, gains, pp,
+           pp / (pp + {r}) AS k
+    FROM (
+      SELECT e, ts, ys, n, i, x, levels, gains, p + {q} AS pp
+      FROM x355_rec WHERE i < n
+    )
+  )
+), x355_rows AS (
+  SELECT e AS entity, UNNEST(ts) AS t, UNNEST(ys) AS value,
+         UNNEST(levels) AS level, UNNEST(gains) AS gain
+  FROM x355_rec WHERE i = n
+)
+SELECT entity, CAST(t AS BIGINT) AS t,
+       ROUND(value * 1000000.0) / 1000000.0 AS value,
+       ROUND(level * 1000000.0) / 1000000.0 AS level,
+       ROUND(gain * 1000000.0) / 1000000.0 AS gain
+FROM x355_rows
+ORDER BY entity, t
+"""
+
+
+EXT17_QUERIES.update({"x355_kalman": q_x355_kalman})
+EXT17_ORACLES.update({"x355_kalman": _sql_x355()})
+
+
+# ---------------- x356: smooth annual→quarterly disaggregation
+
+
+def q_x356_smooth_disagg(spark, sf_dir):
+    """Smooth temporal disaggregation (operators/temporal.py:
+    smooth_disagg): annual order revenue per market segment split
+    into minimal-curvature quarters with the Boot–Feibes–Lisman
+    literal kernel — the no-indicator CONVERT-down companion the
+    reference's spline path doesn't cover.  Interior years only;
+    quarters re-sum to the annual value to float eps."""
+    from .operators.temporal import smooth_disagg
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    panel = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("a")
+        )
+    )
+    return smooth_disagg(
+        panel, entity_col="segment", year_col="yr", value_col="a"
+    )
+
+
+def _sql_x356() -> str:
+    from .operators.temporal import smooth_disagg_weights
+
+    W = smooth_disagg_weights()
+    arms = " ".join(
+        f"WHEN {qi + 1} THEN {W[qi][0]!r} * ap + {W[qi][1]!r} * a"
+        f" + {W[qi][2]!r} * an"
+        for qi in range(4)
+    )
+    return f"""
+WITH x356_panel AS (
+  SELECT c_mktsegment AS e, year(o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), x356_win AS (
+  SELECT e, yr, a,
+         LAG(a) OVER w AS ap, LEAD(a) OVER w AS an,
+         LAG(yr) OVER w AS yp, LEAD(yr) OVER w AS yn
+  FROM x356_panel WINDOW w AS (PARTITION BY e ORDER BY yr)
+), x356_mid AS (
+  SELECT e, yr, a, ap, an FROM x356_win
+  WHERE yp = yr - 1 AND yn = yr + 1
+)
+SELECT e AS entity, CAST(yr AS BIGINT) AS year,
+       CAST(qi AS BIGINT) AS quarter,
+       ROUND(a * 1000000.0) / 1000000.0 AS annual,
+       ROUND((CASE qi {arms} END) * 1000000.0) / 1000000.0 AS q_value
+FROM x356_mid CROSS JOIN (VALUES (1), (2), (3), (4)) AS s(qi)
+ORDER BY entity, year, quarter
+"""
+
+
+EXT17_QUERIES.update({"x356_smooth_disagg": q_x356_smooth_disagg})
+EXT17_ORACLES.update({"x356_smooth_disagg": _sql_x356()})
+
+
+# ------------------------------- x357: Theta-method forecast
+
+
+def q_x357_theta(spark, sf_dir):
+    """Theta-method forecast (operators/temporal.py:theta_forecast,
+    alpha = 1/2 exactly): 4-step-ahead daily forecasts per event
+    type — trend extrapolation averaged with a dyadic-weight SES of
+    the theta=2 line, every smoothing weight an exact power of two."""
+    from .operators.temporal import theta_forecast
+
+    return theta_forecast(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+        horizons=4,
+    )
+
+
+def _sql_x357() -> str:
+    # scale-4 sums: exact for the 2-dp panel AND below the 2^53
+    # decimal->double conversion cliff (see theta_forecast docstring)
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,4))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x357_daily AS ({_X351_DAILY}),
+x357_rn AS (
+  SELECT e, t, v,
+         ROW_NUMBER() OVER (PARTITION BY e ORDER BY t) AS rn
+  FROM x357_daily
+), x357_fit AS (
+  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(MAX(t) AS DOUBLE) AS tmax,
+         {sd('CAST(t AS DOUBLE)')} AS st, {sd('v')} AS sy,
+         {sd('CAST(t AS DOUBLE) * CAST(t AS DOUBLE)')} AS stt,
+         {sd('CAST(t AS DOUBLE) * v')} AS sty
+  FROM x357_rn GROUP BY e
+), x357_coef AS (
+  SELECT e, n, tmax,
+         (n * sty - st * sy)
+           / (CASE WHEN abs(n * stt - st * st) > 0
+                   THEN n * stt - st * st END) AS b,
+         (sy * stt - st * sty)
+           / (CASE WHEN abs(n * stt - st * st) > 0
+                   THEN n * stt - st * st END) AS a
+  FROM x357_fit
+), x357_theta AS (
+  SELECT r.e, c.n, r.rn, c.tmax, c.a, c.b,
+         ROUND((CAST(2.0 AS DOUBLE) * r.v
+                - (c.a + c.b * CAST(r.t AS DOUBLE))) * 1000000.0)
+           / 1000000.0 AS yth
+  FROM x357_rn r JOIN x357_coef c ON r.e = c.e
+  WHERE c.b IS NOT NULL
+), x357_acc AS (
+  SELECT e, tmax, a, b, rn, n,
+         SUM(pow(CAST(0.5 AS DOUBLE), n - rn + 1) * yth
+             + CASE WHEN rn = 1
+                    THEN pow(CAST(0.5 AS DOUBLE), n) * yth
+                    ELSE CAST(0.0 AS DOUBLE) END)
+           OVER (PARTITION BY e ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) AS lacc
+  FROM x357_theta
+), x357_lvl AS (
+  SELECT e, tmax, a, b, lacc AS l FROM x357_acc WHERE rn = n
+)
+SELECT e AS entity, CAST(h AS BIGINT) AS h,
+       ROUND((CAST(0.5 AS DOUBLE) * (a + b * (tmax + h))
+              + CAST(0.5 AS DOUBLE) * l) * 1000000.0)
+         / 1000000.0 AS forecast
+FROM x357_lvl CROSS JOIN (VALUES (1), (2), (3), (4)) AS s(h)
+ORDER BY entity, h
+"""
+
+
+EXT17_QUERIES.update({"x357_theta": q_x357_theta})
+EXT17_ORACLES.update({"x357_theta": _sql_x357()})

@@ -9933,3 +9933,92 @@ def test_jarque_bera_separates_shapes(spark):
     assert out["norm"]["non_normal"] == 0
     e = out["expo"]
     assert e["non_normal"] == 1 and e["skewness"] > 1.0
+
+
+def test_kalman_level_tracks_step_and_converges(spark):
+    from fame2pygen_spark.operators.temporal import kalman_level
+
+    rows = [("const", t, 50.0) for t in range(40)]
+    rows += [("step", t, 10.0 if t < 20 else 60.0) for t in range(40)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = kalman_level(
+        df, entity_col="e", t_col="t", value_col="v",
+        q=4.0, r=16.0, p0=100.0,
+    ).collect()
+    const = [r for r in out if r["entity"] == "const"]
+    step = [r for r in out if r["entity"] == "step"]
+    # constant series: the level IS the constant; the gain decays
+    # from its uncertain start toward the steady state
+    assert all(r["level"] == 50.0 for r in const)
+    gains = [r["gain"] for r in const[1:]]
+    assert gains[0] > gains[-1] > 0.3
+    # step series: the filter closes most of the 50-unit gap fast
+    # but lags the jump (that's the point of filtering)
+    at_jump = next(r for r in step if r["t"] == 20)
+    at_end = step[-1]
+    assert 10.0 < at_jump["level"] < 50.0
+    assert abs(at_end["level"] - 60.0) < 2.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        kalman_level(
+            df, entity_col="e", t_col="t", value_col="v", q=0.0
+        )
+    empty = spark.createDataFrame([], "e string, t long, v double")
+    with _pytest.raises(ValueError, match="empty"):
+        kalman_level(empty, entity_col="e", t_col="t", value_col="v")
+
+
+def test_smooth_disagg_preserves_annual_totals(spark):
+    from fame2pygen_spark.operators.temporal import smooth_disagg
+
+    rows = [("s", 2000 + j, 400.0 + 40.0 * j) for j in range(6)]
+    df = spark.createDataFrame(rows, "e string, yr long, a double")
+    out = smooth_disagg(
+        df, entity_col="e", year_col="yr", value_col="a"
+    ).collect()
+    # interior years only: 6 years -> 4 interior -> 16 quarter rows
+    years = sorted({r["year"] for r in out})
+    assert years == [2001, 2002, 2003, 2004]
+    by_year = {}
+    for r in out:
+        by_year.setdefault(r["year"], []).append(r["q_value"])
+    for yr, qs in by_year.items():
+        annual = next(r["annual"] for r in out if r["year"] == yr)
+        assert len(qs) == 4
+        # movement preservation: the four quarters re-sum to the year
+        assert abs(sum(qs) - annual) < 1e-5
+    # a linearly growing annual series yields monotone quarters
+    seq = [r["q_value"] for r in sorted(
+        out, key=lambda r: (r["year"], r["quarter"]))]
+    assert all(a < b for a, b in zip(seq, seq[1:]))
+
+
+def test_theta_forecast_recovers_linear_trend(spark):
+    from fame2pygen_spark.operators.temporal import theta_forecast
+
+    # exactly linear series: the theta=2 line equals the series, SES
+    # lags it, but the trend half dominates -> forecasts continue the
+    # line closely
+    rows = [("lin", t, 10.0 + 3.0 * t) for t in range(60)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {r["h"]: r["forecast"] for r in theta_forecast(
+        df, entity_col="e", t_col="t", value_col="v", horizons=4
+    ).collect()}
+    for h in range(1, 5):
+        expected = 10.0 + 3.0 * (59 + h)
+        # analytic behavior: the SES half is flat at ~ y_n - slope,
+        # so the forecast trails the true line by 0.5*(slope + slope*h)
+        lag = 0.5 * (3.0 + 3.0 * h)
+        assert abs(out[h] - (expected - lag)) < 0.5
+    # successive horizons step by half the slope (trend half moves,
+    # SES half is flat)
+    assert 1.3 < out[2] - out[1] < 1.7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizons"):
+        theta_forecast(
+            df, entity_col="e", t_col="t", value_col="v", horizons=0
+        )

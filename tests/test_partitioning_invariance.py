@@ -147,6 +147,9 @@ SENSITIVE = [
     "x352_coint",
     "x353_breusch_pagan",
     "x354_jarque_bera",
+    "x355_kalman",
+    "x356_smooth_disagg",
+    "x357_theta",
 ]
 
 

@@ -1517,3 +1517,24 @@ def test_coint_residual_window_is_pair_keyed(spark):
 def test_breusch_pagan_and_jb_are_window_free(spark):
     for name in ("x353_breusch_pagan", "x354_jarque_bera"):
         assert "Window" not in plan_of(spark, name), name
+
+
+def test_kalman_is_arrow_batched_entity_recursion(spark):
+    plan = plan_of(spark, "x355_kalman")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_smooth_disagg_is_one_keyed_window_plus_literal_explode(spark):
+    plan = plan_of(spark, "x356_smooth_disagg")
+    assert unpartitioned_windows(spark, "x356_smooth_disagg") == []
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # dimension join only
+
+
+def test_theta_fold_windows_are_entity_keyed(spark):
+    assert unpartitioned_windows(spark, "x357_theta") == []
+    plan = plan_of(spark, "x357_theta")
+    assert "CartesianProduct" not in plan
