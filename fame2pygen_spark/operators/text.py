@@ -3827,3 +3827,176 @@ def fim_span_plan(
         F.when(eligible, dig(mid)).alias("middle_md5"),
         F.when(eligible, dig(sfx)).alias("suffix_md5"),
     ).orderBy("id")
+
+
+#: chat-format marker regexes — literal, engine-portable
+_CHATML_MARK = r"<\|im_start\|>"
+_INST_MARK = r"\[INST\]"
+_ROLE_LINE = r"(?m)^(system|user|assistant): "
+_JSON_ROLE = r'"role"\s*:\s*"(system|user|assistant)"'
+
+
+def chat_template_detect(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Chat/instruction-format detection per document: counts of the
+    four marker families a pretraining pipeline must route away from
+    the plain-text mixer (or strip) — ChatML ``<|im_start|>`` blocks,
+    Llama-style ``[INST]`` tags, ``role:``-prefixed transcript lines,
+    and serialized-JSON role keys.  Dominant format by count with a
+    fixed precedence tie-break (chatml > inst > role_lines > json),
+    NULL for plain documents.  Map-only literal-regex scan, the
+    x345/x346 family's fourth member.
+
+    Output: ``(id, chatml_count, inst_count, role_line_count,
+    json_role_count, is_chat, chat_format)``.
+    """
+    cnt = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("t"), F.lit(pat), 0)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    scored = base.select(
+        "id",
+        cnt(_CHATML_MARK).alias("chatml_count"),
+        cnt(_INST_MARK).alias("inst_count"),
+        cnt(_ROLE_LINE).alias("role_line_count"),
+        cnt(_JSON_ROLE).alias("json_role_count"),
+    )
+    counts = [
+        ("chatml", F.col("chatml_count")),
+        ("inst", F.col("inst_count")),
+        ("role_lines", F.col("role_line_count")),
+        ("json_roles", F.col("json_role_count")),
+    ]
+    any_chat = None
+    for _, c in counts:
+        any_chat = c > 0 if any_chat is None else (any_chat | (c > 0))
+    # fixed-precedence argmax: first family with the maximal count
+    mx = F.greatest(*[c for _, c in counts])
+    fmt = F.when(F.lit(False), F.lit(""))
+    for name, c in counts:
+        fmt = fmt.when(c == mx, F.lit(name))
+    return scored.select(
+        "*",
+        any_chat.cast("int").alias("is_chat"),
+        F.when(any_chat, fmt).alias("chat_format"),
+    ).orderBy("id")
+
+
+def negative_sampling_plan(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_neg: int = 5,
+    salt: str = "neg",
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """word2vec-style negative-sampling plan (Mikolov et al. 2013):
+    draw *n_neg* deterministic negatives per document from the
+    unigram^(3/4) distribution — the replayable version of the
+    sampling a skip-gram/contrastive pipeline performs, so shards
+    rebuilt incrementally draw the SAME negatives.
+
+    Mechanism, all engine-exact:
+
+    * unigram weights ``w = sqrt(sqrt(cnt³))`` — cnt^(3/4) via two
+      IEEE-exact sqrts, never libm ``pow`` (the x184 discipline);
+    * an ORDER-PINNED running sum over the vocabulary (sorted by
+      word) lays the words out on a line; boundaries snap to an
+      integer lattice at 1e-6 grain via ``lag(cum)`` (NOT ``cum−w``,
+      which float-drifts off the previous boundary), making intervals
+      exactly contiguous;
+    * each (doc, k) draw is an md5-derived integer in [0, total) —
+      pure integer arithmetic, no float in the draw;
+    * draws land on words through :func:`..temporal.range_join_points`
+      — the bucketed interval join, never a nested-loop range scan.
+
+    The vocabulary-sized window is metadata-scale (the x343 histogram
+    precedent); the draw frame is docs × n_neg and joins by bucket.
+
+    Output: ``(id, k, neg_word)`` ordered by (id, k).
+    """
+    if n_neg < 1:
+        raise ValueError("negative_sampling_plan: n_neg must be >= 1")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    toks = base.select(
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("t")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("w")
+    ).where(F.col("w") != "")
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    wgt = F.sqrt(F.sqrt(F.col("cnt") * F.col("cnt") * F.col("cnt")))
+    wv = Window.orderBy("w")
+    wcum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lattice = (
+        vocab.withColumn("cum", F.sum(wgt).over(wcum))
+        .withColumn("hi", F.round(F.col("cum") * F.lit(1e6)).cast("long"))
+        .withColumn(
+            "lo",
+            F.coalesce(
+                F.round(F.lag("cum").over(wv) * F.lit(1e6)).cast("long"),
+                F.lit(0),
+            ),
+        )
+        .select("w", "lo", "hi")
+    )
+    total = lattice.agg(F.max("hi").alias("total"))
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(1, int(n_neg) + 1)])
+    )
+    draws = (
+        base.select("id", ks.alias("k"))
+        .join(F.broadcast(total))
+        .select(
+            "id",
+            "k",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(salt),
+                                F.col("id").cast("string"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("total")
+            ).alias("target"),
+        )
+    )
+    from .temporal import range_join_points
+
+    joined = range_join_points(
+        draws,
+        lattice,
+        point_col="target",
+        start_col="lo",
+        end_col="hi",
+        bucket_width=int(bucket_width),
+    )
+    return joined.select(
+        F.col("id"),
+        F.col("k").cast("long").alias("k"),
+        F.col("w").alias("neg_word"),
+    ).orderBy("id", "k")

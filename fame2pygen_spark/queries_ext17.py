@@ -1984,3 +1984,165 @@ ORDER BY entity, h
 
 EXT17_QUERIES.update({"x357_theta": q_x357_theta})
 EXT17_ORACLES.update({"x357_theta": _sql_x357()})
+
+
+# ---------------------- x358: chat/instruction format detection
+
+
+def q_x358_chat_detect(spark, sf_dir):
+    """Chat-format routing audit (operators/text.py:
+    chat_template_detect) with deterministic synthesis: documents are
+    wrapped into ChatML / [INST] / role-line / JSON-role shapes by
+    doc_id stratum (identical concat algebra in both engines) and the
+    audit must recover exactly which format each document carries."""
+    from .operators.text import chat_template_detect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    m = F.col("doc_id") % 5
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit("<|im_start|>user\n"), t, F.lit("<|im_end|>")
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("[INST] "), t, F.lit(" [/INST]")))
+        .when(
+            m == 3,
+            F.concat(F.lit("system: be brief\nuser: "), t),
+        )
+        .when(
+            m == 4,
+            F.concat(
+                F.lit('{"role": "user", "content": "'), t, F.lit('"}')
+            ),
+        )
+        .otherwise(t)
+        .alias("text"),
+    )
+    return chat_template_detect(staged, id_col="doc_id", text_col="text")
+
+
+def _sql_x358() -> str:
+    from .operators.text import (
+        _CHATML_MARK,
+        _INST_MARK,
+        _JSON_ROLE,
+        _ROLE_LINE,
+    )
+
+    esc = lambda p: p.replace("'", "''")  # noqa: E731
+    cnt = lambda pat: (  # noqa: E731
+        f"CAST(len(regexp_extract_all(text, '{esc(pat)}')) AS BIGINT)"
+    )
+    return f"""
+WITH x358_staged AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CASE doc_id % 5
+           WHEN 1 THEN '<|im_start|>user' || chr(10)
+                       || COALESCE(text, '') || '<|im_end|>'
+           WHEN 2 THEN '[INST] ' || COALESCE(text, '') || ' [/INST]'
+           WHEN 3 THEN 'system: be brief' || chr(10) || 'user: '
+                       || COALESCE(text, '')
+           WHEN 4 THEN '{{"role": "user", "content": "'
+                       || COALESCE(text, '') || '"}}'
+           ELSE COALESCE(text, '')
+         END AS text
+  FROM documents
+), x358_counts AS (
+  SELECT id,
+         {cnt(_CHATML_MARK)} AS chatml_count,
+         {cnt(_INST_MARK)} AS inst_count,
+         {cnt(_ROLE_LINE)} AS role_line_count,
+         {cnt(_JSON_ROLE)} AS json_role_count
+  FROM x358_staged
+)
+SELECT id, chatml_count, inst_count, role_line_count, json_role_count,
+       CAST(chatml_count > 0 OR inst_count > 0 OR role_line_count > 0
+            OR json_role_count > 0 AS INTEGER) AS is_chat,
+       CASE WHEN chatml_count > 0 OR inst_count > 0
+              OR role_line_count > 0 OR json_role_count > 0
+            THEN CASE greatest(chatml_count, inst_count,
+                               role_line_count, json_role_count)
+                   WHEN chatml_count THEN 'chatml'
+                   WHEN inst_count THEN 'inst'
+                   WHEN role_line_count THEN 'role_lines'
+                   ELSE 'json_roles'
+                 END
+       END AS chat_format
+FROM x358_counts
+ORDER BY id
+"""
+
+
+EXT17_QUERIES.update({"x358_chat_detect": q_x358_chat_detect})
+EXT17_ORACLES.update({"x358_chat_detect": _sql_x358()})
+
+
+# ---------------------- x359: word2vec negative-sampling plan
+
+
+def q_x359_neg_sampling(spark, sf_dir):
+    """Deterministic unigram^(3/4) negative-sampling plan
+    (operators/text.py:negative_sampling_plan, 5 draws/doc):
+    cnt^(3/4) via two IEEE sqrts, order-pinned cumulative lattice,
+    integer md5 draws, bucketed interval join (range_join_points) —
+    the replayable skip-gram negative sampler."""
+    from .operators.text import negative_sampling_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return negative_sampling_plan(
+        docs, id_col="doc_id", text_col="text", n_neg=5
+    )
+
+
+def _sql_x359() -> str:
+    w = 65536
+    return rf"""
+WITH x359_toks AS (
+  SELECT UNNEST(string_split(
+           trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ')),
+           ' ')) AS w
+  FROM documents
+), x359_vocab AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM x359_toks WHERE w <> '' GROUP BY w
+), x359_cum AS (
+  SELECT w,
+         SUM(sqrt(sqrt(cnt * cnt * cnt)))
+           OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS cum
+  FROM x359_vocab
+), x359_lattice AS (
+  SELECT w,
+         COALESCE(CAST(ROUND((LAG(cum) OVER (ORDER BY w)) * 1000000.0)
+                       AS BIGINT), 0) AS lo,
+         CAST(ROUND(cum * 1000000.0) AS BIGINT) AS hi
+  FROM x359_cum
+), x359_total AS (
+  SELECT MAX(hi) AS total FROM x359_lattice
+), x359_draws AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS id, k.k,
+         CAST(('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
+               || ':' || CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % t.total AS target
+  FROM documents d
+  CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS k(k)
+  CROSS JOIN x359_total t
+), x359_iv AS (
+  SELECT w, lo, hi,
+         UNNEST(range(lo // {w}, ((hi - 1) // {w}) + 1)) AS b
+  FROM x359_lattice WHERE hi > lo
+)
+SELECT d.id, CAST(d.k AS BIGINT) AS k, i.w AS neg_word
+FROM x359_draws d
+JOIN x359_iv i
+  ON d.target // {w} = i.b
+ AND i.lo <= d.target AND d.target < i.hi
+ORDER BY id, k
+"""
+
+
+EXT17_QUERIES.update({"x359_neg_sampling": q_x359_neg_sampling})
+EXT17_ORACLES.update({"x359_neg_sampling": _sql_x359()})

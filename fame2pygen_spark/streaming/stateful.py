@@ -784,3 +784,105 @@ def streaming_bloom_filter(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------- streaming Kalman local-level twin
+
+KALMAN_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("level", DoubleType()),
+        StructField("gain", DoubleType()),
+    ]
+)
+
+KALMAN_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("x", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("k", DoubleType()),
+    ]
+)
+
+
+def _kalman_update_factory(q: float, r: float, p0: float):
+    """Per-key cross-batch Kalman update — BYTE-IDENTICAL recursion to
+    the batch operator (operators/temporal.py:_kalman_level_series):
+    micro-batch rows sort by (ts_us, event_id) so replaying N batches
+    equals one batch over the concatenation, and the state tuple is
+    exactly the (n, x̂, P, K) the batch recursion holds after the same
+    prefix."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, x, p, k = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for v in rows["value"]:
+            if v is None or pd.isna(v):
+                continue
+            y = float(v)
+            if n == 0:
+                x, p, k = y, p0, 0.0
+            else:
+                pp = p + q
+                k = pp / (pp + r)
+                x = x + k * (y - x)
+                p = (1.0 - k) * pp
+            n += 1
+        state.update((n, x, p, k))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "level": [None if n == 0 else x],
+                "gain": [None if n == 0 else k],
+            }
+        )
+
+    return update
+
+
+def streaming_kalman_level(
+    events: DataFrame,
+    *,
+    q: float = 4.0,
+    r: float = 16.0,
+    p0: float = 100.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Cross-batch local-level Kalman filter per event type — the
+    streaming twin of the batch operator behind x355
+    (operators/temporal.py:kalman_level): the state store carries one
+    (n, x̂, P, K) tuple per key, each micro-batch folds its rows in
+    (ts_us, event_id) order through the identical pinned recursion,
+    and the emitted level after the final batch is BIT-EQUAL to the
+    batch filter over the concatenated stream (asserted in tests).
+    State is O(keys); replaying from a checkpoint reproduces the same
+    floats because the recursion order is total.
+
+    Input needs ``ts_us`` (µs epoch long), ``event_id``,
+    ``event_type``, ``value``.  Output mode: update.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    cols = src.select(
+        "ts", "ts_us", "event_id", "event_type", "value"
+    ) if "ts" in src.columns else src.select(
+        "ts_us", "event_id", "event_type", "value"
+    )
+    return cols.groupBy("event_type").applyInPandasWithState(
+        _kalman_update_factory(float(q), float(r), float(p0)),
+        outputStructType=KALMAN_OUTPUT,
+        stateStructType=KALMAN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

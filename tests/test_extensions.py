@@ -10022,3 +10022,129 @@ def test_theta_forecast_recovers_linear_trend(spark):
         theta_forecast(
             df, entity_col="e", t_col="t", value_col="v", horizons=0
         )
+
+
+def test_streaming_kalman_matches_batch_filter_bitwise(
+    spark, tmp_path
+):
+    """The streaming Kalman twin folded over two micro-batches must
+    land on the SAME level/gain as the batch kalman_level over the
+    concatenated data — cross-batch state carries the exact floats."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.temporal import kalman_level
+    from fame2pygen_spark.streaming.stateful import (
+        streaming_kalman_level,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    schema = ("event_id long, ts timestamp, ts_us long, "
+              "event_type string, value double")
+    vals = [10.0, 12.5, 9.0, 14.0, 11.0, 50.0, 48.0, 52.0, 49.5, 51.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i),
+         int((t0 + dt.timedelta(minutes=i)).timestamp() * 1_000_000),
+         "click", v)
+        for i, v in enumerate(vals)
+    ]
+    b1 = spark.createDataFrame(rows[:5], schema)
+    b2 = spark.createDataFrame(rows[5:], schema)
+    path = str(tmp_path / "events_kalman")
+    # one part-file per micro-batch: the filter is order-sensitive, so
+    # each trigger must carry a contiguous, time-ordered slice
+    b1.coalesce(1).sortWithinPartitions("ts_us").write.parquet(path)
+    b2.coalesce(1).sortWithinPartitions("ts_us").write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    qh = (
+        streaming_kalman_level(stream, q=4.0, r=16.0, p0=100.0)
+        .writeStream.format("memory")
+        .queryName("kalman_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    emitted = spark.sql("select * from kalman_stream").collect()
+    final = max(emitted, key=lambda r: r["n_seen"])
+    assert final["n_seen"] == 10
+
+    batch = kalman_level(
+        b1.unionByName(b2).select(
+            "event_type", F.col("ts_us").alias("t"), "value"
+        ),
+        entity_col="event_type", t_col="t", value_col="value",
+        q=4.0, r=16.0, p0=100.0,
+    ).collect()
+    last = max(batch, key=lambda r: r["t"])
+    # 6-dp-rounded equality == the raw floats agreed (both sides round
+    # the same double)
+    assert round(final["level"] * 1e6) / 1e6 == last["level"]
+    assert round(final["gain"] * 1e6) / 1e6 == last["gain"]
+
+
+def test_chat_template_detect_routes_formats(spark):
+    from fame2pygen_spark.operators.text import chat_template_detect
+
+    rows = [
+        (1, "plain text about nothing"),
+        (2, "<|im_start|>user\nhi<|im_end|><|im_start|>assistant\n"),
+        (3, "[INST] do the thing [/INST]"),
+        (4, "system: be brief\nuser: hello\nassistant: hi"),
+        (5, '{"role": "user", "content": "hey"}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in chat_template_detect(
+            df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert out[1]["is_chat"] == 0 and out[1]["chat_format"] is None
+    assert out[2]["chat_format"] == "chatml"
+    assert out[2]["chatml_count"] == 2
+    assert out[3]["chat_format"] == "inst"
+    assert out[4]["chat_format"] == "role_lines"
+    assert out[4]["role_line_count"] == 3
+    assert out[5]["chat_format"] == "json_roles"
+
+
+def test_negative_sampling_plan_is_deterministic_and_weighted(spark):
+    from fame2pygen_spark.operators.text import negative_sampling_plan
+
+    # 'common' appears 30x, 'rare' once per doc: cnt^0.75 weighting
+    # must make 'common' dominate the draws
+    rows = [
+        (i, ("common " * 30) + f"rare{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = negative_sampling_plan(
+        df, id_col="doc_id", text_col="text", n_neg=4
+    ).collect()
+    out2 = negative_sampling_plan(
+        df, id_col="doc_id", text_col="text", n_neg=4
+    ).collect()
+    # exactly n_neg draws per doc, bitwise replayable
+    assert len(out1) == 160
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    words = [r["neg_word"] for r in out1]
+    frac_common = words.count("common") / len(words)
+    # weight share of 'common': 1200^0.75 vs 40 rare words each 1^0.75
+    # -> ~ 0.83; allow generous band
+    assert 0.6 < frac_common < 0.95
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_neg"):
+        negative_sampling_plan(
+            df, id_col="doc_id", text_col="text", n_neg=0
+        )

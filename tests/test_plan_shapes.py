@@ -1538,3 +1538,20 @@ def test_theta_fold_windows_are_entity_keyed(spark):
     assert unpartitioned_windows(spark, "x357_theta") == []
     plan = plan_of(spark, "x357_theta")
     assert "CartesianProduct" not in plan
+
+
+def test_chat_detect_is_map_only_scan(spark):
+    plan = plan_of(spark, "x358_chat_detect")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neg_sampling_joins_by_bucket_never_nested_range(spark):
+    # the draw->word landing is range_join_points' bucket equi-join;
+    # the only nested-loop is the one-row total attach (scalar
+    # broadcast); no cartesian of data frames
+    plan = plan_of(spark, "x359_neg_sampling")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
