@@ -308,6 +308,27 @@ def run_scale_tier(spark) -> dict:
     timed("x05b_lsh_topk_emb10x", _lsh_topk_10x)
     timed("x05c_ivf_topk_emb10x", _ivf_topk_10x)
 
+    def _lof_10x():
+        # r7 second session: grid LOF on the 10x corpus's 2-D
+        # projection — cell 0.05 keeps the 3x3 neighborhoods a few
+        # hundred points, so the kNN rank window stays bucket-local
+        # while the edge joins key on the point id
+        from pyspark.sql import functions as FF
+
+        from fame2pygen_spark.operators.ml import lof_grid
+
+        rep, _, _ = _ann_corpus()
+        pts = rep.select(
+            FF.col("vec_id").alias("vid"),
+            FF.element_at("embedding", 1).cast("double").alias("ex"),
+            FF.element_at("embedding", 2).cast("double").alias("ey"),
+        )
+        return lof_grid(
+            pts, id_col="vid", x_col="ex", y_col="ey", k=5, cell=0.05
+        ).count()
+
+    timed("x341_lof_emb10x", _lof_10x)
+
     def _ivfpq_10x():
         # codes-only scoring must stay near-flat as the corpus grows:
         # the per-row work is m LUT lookups, never a 64-dim fold
@@ -590,6 +611,50 @@ def _events_tier(spark, timed) -> int:
             big, "user_id", "ts_us", "event_type", top_types=4
         ).count(),
     )
+
+    # r7 second session — the heavy new operators, scaled in their
+    # real 100 TB growth directions
+    from fame2pygen_spark.operators.temporal import (
+        hp_filter, sample_entropy,
+    )
+
+    def _user_daily():
+        return (
+            big.where(F.col("value").isNotNull())
+            .groupBy(
+                "user_id",
+                F.expr("ts_us div 86400000000").cast("long").alias("day"),
+            )
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("v")
+            )
+        )
+
+    def _hp_10x():
+        # entity count scales 10x (one bounded series per user) — the
+        # mapInPandas LDL' solve must parallelize across users
+        daily = _user_daily().groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("nn")
+        ).where(F.col("nn") >= 4).select("user_id")
+        keep = _user_daily().join(daily, "user_id")
+        return hp_filter(
+            keep, entity_col="user_id", t_col="day", value_col="v",
+            lam=1600.0,
+        ).count()
+
+    timed("x336_hp_filter_users10x", _hp_10x)
+
+    def _sampen_10x():
+        # quadratic-per-entity pair frame, entity-parallel: sum over
+        # users of n_u^2 with n_u <= 30 days
+        return sample_entropy(
+            _user_daily(), entity_col="user_id", t_col="day",
+            value_col="v",
+        ).count()
+
+    timed("x340_sampen_users10x", _sampen_10x)
     return n_events
 
 
