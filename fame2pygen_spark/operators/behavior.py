@@ -4164,3 +4164,349 @@ def event_study(
         )
         .orderBy("rel_period")
     )
+
+
+def psm_match(
+    treated: DataFrame,
+    controls: DataFrame,
+    *,
+    id_col: str,
+    score_col: str,
+    outcome_col: str,
+    caliper: float,
+) -> DataFrame:
+    """Propensity-score matching, 1-nearest-control WITH replacement
+    (Rosenbaum & Rubin 1983): every treated unit matches the control
+    with the closest score within *caliper* (deterministic tie-break
+    on the control id), and the matched-pair differences average into
+    the ATT.  With-replacement matching is the formulation that
+    parallelizes: each treated unit's match is independent, so the
+    search is a bucketed join — greedy without-replacement matching
+    is inherently sequential and does NOT belong on a cluster (run it
+    on the matched subset driver-side if the design demands it; the
+    standard errors differ, not the estimand).
+
+    The candidate join buckets both sides at *caliper* width and
+    probes own+adjacent buckets (the geo_radius/lof_grid cell
+    pattern), so candidates are exactly the units within one caliper
+    — never a score cross product.  Unmatched treated units (no
+    control within the caliper) are reported, not silently dropped:
+    the match RATE is part of the estimand's honesty.
+
+    Output: ONE row ``(n_treated, n_matched, match_rate, att,
+    mean_abs_score_gap)`` at 6 dp — decimal-exact sums over the
+    matched pairs; ATT NULL when nothing matches.
+    """
+    c = float(caliper)
+    if c <= 0:
+        raise ValueError("psm_match: caliper must be positive")
+    t = treated.select(
+        F.col(id_col).cast("long").alias("tid"),
+        F.col(score_col).cast("double").alias("ts"),
+        F.col(outcome_col).cast("double").alias("ty"),
+    ).where(F.col("ts").isNotNull() & F.col("ty").isNotNull())
+    u = controls.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(score_col).cast("double").alias("cs"),
+        F.col(outcome_col).cast("double").alias("cy"),
+    ).where(F.col("cs").isNotNull() & F.col("cy").isNotNull())
+    probes = t.select(
+        "tid", "ts", "ty",
+        F.explode(
+            F.array(F.lit(-1), F.lit(0), F.lit(1))
+        ).alias("off"),
+    ).select(
+        "tid", "ts", "ty",
+        (F.floor(F.col("ts") / F.lit(c)).cast("long")
+         + F.col("off")).alias("b"),
+    )
+    cands = u.withColumn(
+        "b", F.floor(F.col("cs") / F.lit(c)).cast("long")
+    )
+    pairs = (
+        probes.join(cands, "b")
+        .where(F.abs(F.col("ts") - F.col("cs")) <= F.lit(c))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("tid").orderBy(
+                    F.abs(F.col("ts") - F.col("cs")), F.col("cid")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    dec = lambda col: F.sum(col.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    n_treated = t.count()
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        dec(F.col("ty") - F.col("cy")).alias("sdiff"),
+        dec(F.abs(F.col("ts") - F.col("cs"))).alias("sgap"),
+    )
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.lit(int(n_treated)).alias("n_treated"),
+        F.col("n_matched"),
+        r6(
+            F.col("n_matched") / F.lit(float(max(n_treated, 1)))
+        ).alias("match_rate"),
+        r6(
+            F.when(
+                F.col("n_matched") > 0,
+                F.col("sdiff") / F.col("n_matched"),
+            )
+        ).alias("att"),
+        r6(
+            F.when(
+                F.col("n_matched") > 0,
+                F.col("sgap") / F.col("n_matched"),
+            )
+        ).alias("mean_abs_score_gap"),
+    )
+
+
+def reg_discontinuity(
+    df: DataFrame,
+    *,
+    group_col: str,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression discontinuity per group (Thistlethwaite &
+    Campbell 1960; local-linear form): fit ``y ~ a + b(x - cutoff)``
+    separately on each side of the cutoff within ±*bandwidth* and
+    report the jump ``tau = a_right - a_left`` — the treatment effect
+    at the threshold.  The x337 Chow machinery pointed at a different
+    estimand: Chow asks "did the regime change", RD measures the
+    LEVEL step exactly at an assignment cutoff.
+
+    One decimal-exact conditional aggregation (the x337 pattern:
+    per-side sufficient statistics in a single groupBy); closed-form
+    side fits; NULL tau when either side is degenerate (< 3 points
+    or zero running-variable variance).
+
+    Output: ``(group, n_left, n_right, tau, slope_left,
+    slope_right)`` at 6 dp, ordered by group.
+    """
+    bw = float(bandwidth)
+    if bw <= 0:
+        raise ValueError("reg_discontinuity: bandwidth must be positive")
+    cut = float(cutoff)
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        (F.col(running_col).cast("double") - F.lit(cut)).alias("x"),
+        F.col(outcome_col).cast("double").alias("y"),
+    ).where(
+        F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+        & (F.abs(F.col("x")) <= F.lit(bw))
+    )
+    dec = lambda col: F.sum(col.cast("decimal(38,12)")).cast("double")  # noqa: E731
+
+    def side(cond, tag):
+        xd = F.when(cond, F.col("x"))
+        yd = F.when(cond, F.col("y"))
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("double").alias(
+                f"n{tag}"
+            ),
+            dec(xd).alias(f"sx{tag}"),
+            dec(yd).alias(f"sy{tag}"),
+            dec(xd * F.col("x")).alias(f"sxx{tag}"),
+            dec(xd * F.col("y")).alias(f"sxy{tag}"),
+        ]
+
+    agg = base.groupBy("g").agg(
+        *side(F.col("x") < 0, "l"),
+        *side(F.col("x") >= 0, "r"),
+    )
+
+    def fit(tag):
+        n = F.col(f"n{tag}")
+        sx, sy = F.col(f"sx{tag}"), F.col(f"sy{tag}")
+        sxx, sxy = F.col(f"sxx{tag}"), F.col(f"sxy{tag}")
+        det = n * sxx - sx * sx
+        det_safe = F.when((n >= 3) & (F.abs(det) > 0), det)
+        b = (n * sxy - sx * sy) / det_safe
+        a = (sy * sxx - sx * sxy) / det_safe
+        return a, b
+
+    al, bl = fit("l")
+    ar, br = fit("r")
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("g").alias("group"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        r6(ar - al).alias("tau"),
+        r6(bl).alias("slope_left"),
+        r6(br).alias("slope_right"),
+    ).orderBy("group")
+
+
+def twfe_within(
+    df: DataFrame,
+    *,
+    unit_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-way fixed-effects within estimator (the panel workhorse):
+    ``beta = Σ x̃ ỹ / Σ x̃²`` over the double-demeaned variables
+    ``z̃ = z - z̄_unit - z̄_time + z̄`` — absorbing unit and time
+    fixed effects without materializing a dummy for each (the
+    Frisch–Waugh–Lovell projection for the two-way design).
+
+    Three decimal-exact mean frames (unit, time, grand) broadcast
+    onto the rows; the demeaned products are pinned at 6 dp before
+    the final decimal fold (the x344/x352 discipline — the means are
+    full-precision ratios).  Completes the causal family around
+    x109's DiD: DiD is the 2×2 special case, this handles the full
+    N×T panel.
+
+    Output: ONE row ``(n, n_units, n_times, beta, se_naive)`` at
+    6 dp; NULL beta on zero within-variance.
+    """
+    base = df.select(
+        F.col(unit_col).cast("string").alias("i"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(
+        F.col("i").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    dec = lambda col: F.sum(col.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    mean_of = lambda keys, tag: base.groupBy(*keys).agg(  # noqa: E731
+        (dec(F.col("x")) / F.count(F.lit(1))).alias(f"mx_{tag}"),
+        (dec(F.col("y")) / F.count(F.lit(1))).alias(f"my_{tag}"),
+    )
+    mi = mean_of(["i"], "i")
+    mt = mean_of(["t"], "t")
+    mg = base.agg(
+        (dec(F.col("x")) / F.count(F.lit(1))).alias("mx_g"),
+        (dec(F.col("y")) / F.count(F.lit(1))).alias("my_g"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("i").cast("long").alias("n_units"),
+        F.countDistinct("t").cast("long").alias("n_times"),
+    )
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    xt = r6(
+        F.col("x") - F.col("mx_i") - F.col("mx_t") + F.col("mx_g")
+    )
+    yt = r6(
+        F.col("y") - F.col("my_i") - F.col("my_t") + F.col("my_g")
+    )
+    rows = (
+        base.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mt), "t")
+        .join(F.broadcast(mg))
+        .select(
+            F.col("n"), F.col("n_units"), F.col("n_times"),
+            xt.alias("xt"), yt.alias("yt"),
+        )
+    )
+    agg = rows.groupBy("n", "n_units", "n_times").agg(
+        dec(F.col("xt") * F.col("yt")).alias("sxy"),
+        dec(F.col("xt") * F.col("xt")).alias("sxx"),
+        dec(F.col("yt") * F.col("yt")).alias("syy"),
+    )
+    sxx_safe = F.when(F.col("sxx") > 0, F.col("sxx"))
+    beta = F.col("sxy") / sxx_safe
+    dof = (
+        F.col("n").cast("double")
+        - F.col("n_units").cast("double")
+        - F.col("n_times").cast("double")
+        + F.lit(1.0)
+    )
+    ssr = F.col("syy") - F.col("sxy") * F.col("sxy") / sxx_safe
+    se = F.sqrt(
+        F.when(ssr > 0, ssr) / F.when(dof > 0, dof) / sxx_safe
+    )
+    return agg.select(
+        "n", "n_units", "n_times",
+        r6(beta).alias("beta"),
+        r6(se).alias("se_naive"),
+    )
+
+
+def oaxaca_blinder(
+    df: DataFrame,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-fold Oaxaca–Blinder decomposition (Oaxaca 1973; Blinder
+    1973), single regressor, B-coefficients reference: the A−B gap in
+    mean outcomes splits into
+
+        explained   = (x̄_A − x̄_B) · b_B      (endowment difference)
+        unexplained = x̄_A·(b_A − b_B) + (a_A − a_B)
+
+    with each group's ``y ~ a + b x`` fit closed-form from
+    decimal-exact sums in ONE conditional aggregation pass (the x337
+    shape).  The canonical audit for "is the metric gap between two
+    cohorts composition or treatment?" — the distribution-level
+    sibling of x109 DiD and x360 matching.
+
+    Output: ONE row ``(n_a, n_b, gap, explained, unexplained)`` at
+    6 dp; NULL decomposition when either side's fit is degenerate.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(
+        F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+        & F.col("g").isin(str(group_a), str(group_b))
+    )
+    dec = lambda col: F.sum(col.cast("decimal(38,12)")).cast("double")  # noqa: E731
+
+    def side(name, tag):
+        cond = F.col("g") == name
+        xd = F.when(cond, F.col("x"))
+        yd = F.when(cond, F.col("y"))
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("double").alias(
+                f"n{tag}"
+            ),
+            dec(xd).alias(f"sx{tag}"),
+            dec(yd).alias(f"sy{tag}"),
+            dec(xd * F.col("x")).alias(f"sxx{tag}"),
+            dec(xd * F.col("y")).alias(f"sxy{tag}"),
+        ]
+
+    agg = base.agg(*side(str(group_a), "a"), *side(str(group_b), "b"))
+
+    def fit(tag):
+        n = F.col(f"n{tag}")
+        sx, sy = F.col(f"sx{tag}"), F.col(f"sy{tag}")
+        sxx, sxy = F.col(f"sxx{tag}"), F.col(f"sxy{tag}")
+        det = n * sxx - sx * sx
+        det_safe = F.when((n >= 3) & (F.abs(det) > 0), det)
+        b = (n * sxy - sx * sy) / det_safe
+        a = (sy * sxx - sx * sxy) / det_safe
+        return a, b, sx / F.when(n > 0, n), sy / F.when(n > 0, n)
+
+    aa, ba, mxa, mya = fit("a")
+    ab, bb, mxb, myb = fit("b")
+    gap = mya - myb
+    explained = (mxa - mxb) * bb
+    unexplained = mxa * (ba - bb) + (aa - ab)
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        r6(gap).alias("gap"),
+        r6(explained).alias("explained"),
+        r6(unexplained).alias("unexplained"),
+    )

@@ -2146,3 +2146,341 @@ ORDER BY id, k
 
 EXT17_QUERIES.update({"x359_neg_sampling": q_x359_neg_sampling})
 EXT17_ORACLES.update({"x359_neg_sampling": _sql_x359()})
+
+
+# ------------------------ x360: propensity-score matching (ATT)
+
+
+def q_x360_psm_match(spark, sf_dir):
+    """1-NN-with-replacement propensity matching (operators/
+    behavior.py:psm_match): BUILDING-segment customers matched to
+    non-BUILDING controls on account balance within a ±50 caliper;
+    ATT on total order spend.  Bucketed candidate join (the
+    lof_grid/geo cell pattern), deterministic tie-break, match rate
+    reported."""
+    from .operators.behavior import psm_match
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("spend")
+    )
+    base = c.join(
+        spend, c["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+    )
+    treated = base.where(F.col("seg") == "BUILDING")
+    controls = base.where(F.col("seg") != "BUILDING")
+    return psm_match(
+        treated, controls,
+        id_col="cust", score_col="bal", outcome_col="spend",
+        caliper=50.0,
+    )
+
+
+def _sql_x360() -> str:
+    return """
+WITH x360_spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                         AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), x360_base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS cust, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal,
+         COALESCE(s.spend, CAST(0.0 AS DOUBLE)) AS spend
+  FROM customer c LEFT JOIN x360_spend s ON c.c_custkey = s.o_custkey
+), x360_t AS (
+  SELECT cust AS tid, bal AS ts, spend AS ty FROM x360_base
+  WHERE seg = 'BUILDING' AND bal IS NOT NULL AND spend IS NOT NULL
+), x360_c AS (
+  SELECT cust AS cid, bal AS cs, spend AS cy,
+         CAST(floor(cs / CAST(50.0 AS DOUBLE)) AS BIGINT) AS b
+  FROM x360_base
+  WHERE seg <> 'BUILDING' AND bal IS NOT NULL AND spend IS NOT NULL
+), x360_probes AS (
+  SELECT tid, ts, ty,
+         CAST(floor(ts / CAST(50.0 AS DOUBLE)) AS BIGINT) + off AS b
+  FROM x360_t CROSS JOIN (VALUES (-1), (0), (1)) AS o(off)
+), x360_pairs AS (
+  SELECT * FROM (
+    SELECT p.tid, p.ts, p.ty, c.cid, c.cs, c.cy,
+           ROW_NUMBER() OVER (PARTITION BY p.tid
+                              ORDER BY abs(p.ts - c.cs), c.cid) AS rk
+    FROM x360_probes p JOIN x360_c c ON p.b = c.b
+    WHERE abs(p.ts - c.cs) <= CAST(50.0 AS DOUBLE)
+  ) WHERE rk = 1
+), x360_nt AS (SELECT COUNT(*) AS n_treated FROM x360_t)
+SELECT CAST(nt.n_treated AS BIGINT) AS n_treated,
+       CAST(COUNT(a.tid) AS BIGINT) AS n_matched,
+       ROUND((COUNT(a.tid) / CAST(greatest(nt.n_treated, 1) AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS match_rate,
+       ROUND(CASE WHEN COUNT(a.tid) > 0
+                  THEN CAST(SUM(CAST(a.ty - a.cy AS DECIMAL(38,12)))
+                            AS DOUBLE) / COUNT(a.tid) END
+             * 1000000.0) / 1000000.0 AS att,
+       ROUND(CASE WHEN COUNT(a.tid) > 0
+                  THEN CAST(SUM(CAST(abs(a.ts - a.cs)
+                                     AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(a.tid) END
+             * 1000000.0) / 1000000.0 AS mean_abs_score_gap
+FROM x360_nt nt LEFT JOIN x360_pairs a ON TRUE
+GROUP BY nt.n_treated
+"""
+
+
+EXT17_QUERIES.update({"x360_psm_match": q_x360_psm_match})
+EXT17_ORACLES.update({"x360_psm_match": _sql_x360()})
+
+
+# ----------------------- x361: sharp regression discontinuity
+
+
+def q_x361_rdd(spark, sf_dir):
+    """Sharp RD at the mid-month cutoff (operators/behavior.py:
+    reg_discontinuity): local-linear level jump in each event type's
+    daily value at day 19737, bandwidth ±15 — the assignment-threshold
+    estimand the x337 Chow test doesn't measure."""
+    from .operators.behavior import reg_discontinuity
+
+    return reg_discontinuity(
+        _daily_panel(spark, sf_dir),
+        group_col="event_type", running_col="day", outcome_col="v",
+        cutoff=19737.0, bandwidth=15.0,
+    )
+
+
+def _sql_x361() -> str:
+    dec = "DECIMAL(38,12)"
+
+    def side(cond, tag):
+        xd = f"(CASE WHEN {cond} THEN x END)"
+        yd = f"(CASE WHEN {cond} THEN y END)"
+        return f"""
+         CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS DOUBLE) AS n{tag},
+         CAST(SUM(CAST({xd} AS {dec})) AS DOUBLE) AS sx{tag},
+         CAST(SUM(CAST({yd} AS {dec})) AS DOUBLE) AS sy{tag},
+         CAST(SUM(CAST({xd} * x AS {dec})) AS DOUBLE) AS sxx{tag},
+         CAST(SUM(CAST({xd} * y AS {dec})) AS DOUBLE) AS sxy{tag}"""
+
+    def fit(tag):
+        det = f"(n{tag} * sxx{tag} - sx{tag} * sx{tag})"
+        det_s = (
+            f"(CASE WHEN n{tag} >= 3 AND abs({det}) > 0"
+            f" THEN {det} END)"
+        )
+        b = f"((n{tag} * sxy{tag} - sx{tag} * sy{tag}) / {det_s})"
+        a = f"((sy{tag} * sxx{tag} - sx{tag} * sxy{tag}) / {det_s})"
+        return a, b
+
+    al, bl = fit("l")
+    ar, br = fit("r")
+    return f"""
+WITH x361_daily AS ({_X351_DAILY}),
+x361_base AS (
+  SELECT e AS g, CAST(t AS DOUBLE) - CAST(19737.0 AS DOUBLE) AS x,
+         v AS y
+  FROM x361_daily
+  WHERE abs(CAST(t AS DOUBLE) - CAST(19737.0 AS DOUBLE))
+        <= CAST(15.0 AS DOUBLE)
+), x361_agg AS (
+  SELECT g, {side('x < 0', 'l')}, {side('x >= 0', 'r')}
+  FROM x361_base GROUP BY g
+)
+SELECT g AS "group",
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       ROUND(({ar} - {al}) * 1000000.0) / 1000000.0 AS tau,
+       ROUND({bl} * 1000000.0) / 1000000.0 AS slope_left,
+       ROUND({br} * 1000000.0) / 1000000.0 AS slope_right
+FROM x361_agg
+ORDER BY "group"
+"""
+
+
+EXT17_QUERIES.update({"x361_rdd": q_x361_rdd})
+EXT17_ORACLES.update({"x361_rdd": _sql_x361()})
+
+
+# ------------------- x362: two-way fixed-effects within estimator
+
+
+def q_x362_twfe(spark, sf_dir):
+    """Two-way FE within estimator (operators/behavior.py:
+    twfe_within): the quantity→extended-price slope inside the
+    supplier × ship-month panel, absorbing both fixed effects by
+    double demeaning — the N×T generalization of x109's DiD."""
+    from .operators.behavior import twfe_within
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.where(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.col("l_suppkey").alias("supp"),
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        ).alias("midx"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return twfe_within(
+        base, unit_col="supp", time_col="midx",
+        x_col="qty", y_col="price",
+    )
+
+
+def _sql_x362() -> str:
+    dec = "DECIMAL(38,12)"
+    sd = lambda x: f"CAST(SUM(CAST({x} AS {dec})) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x362_base AS (
+  SELECT CAST(CAST(l_suppkey AS BIGINT) AS VARCHAR) AS i,
+         year(l_shipdate) * 12 + month(l_shipdate) AS t,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+), x362_mi AS (
+  SELECT i, {sd('x')} / COUNT(*) AS mx_i, {sd('y')} / COUNT(*) AS my_i
+  FROM x362_base GROUP BY i
+), x362_mt AS (
+  SELECT t, {sd('x')} / COUNT(*) AS mx_t, {sd('y')} / COUNT(*) AS my_t
+  FROM x362_base GROUP BY t
+), x362_mg AS (
+  SELECT {sd('x')} / COUNT(*) AS mx_g, {sd('y')} / COUNT(*) AS my_g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT i) AS BIGINT) AS n_units,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS n_times
+  FROM x362_base
+), x362_rows AS (
+  SELECT g.n, g.n_units, g.n_times,
+         ROUND((b.x - i.mx_i - t.mx_t + g.mx_g) * 1000000.0)
+           / 1000000.0 AS xt,
+         ROUND((b.y - i.my_i - t.my_t + g.my_g) * 1000000.0)
+           / 1000000.0 AS yt
+  FROM x362_base b
+  JOIN x362_mi i ON b.i = i.i
+  JOIN x362_mt t ON b.t = t.t
+  CROSS JOIN x362_mg g
+), x362_agg AS (
+  SELECT n, n_units, n_times,
+         {sd('xt * yt')} AS sxy, {sd('xt * xt')} AS sxx,
+         {sd('yt * yt')} AS syy
+  FROM x362_rows GROUP BY n, n_units, n_times
+)
+SELECT n, n_units, n_times,
+       ROUND((sxy / (CASE WHEN sxx > 0 THEN sxx END)) * 1000000.0)
+         / 1000000.0 AS beta,
+       ROUND(sqrt((CASE WHEN (syy - sxy * sxy
+                              / (CASE WHEN sxx > 0 THEN sxx END)) > 0
+                        THEN syy - sxy * sxy
+                             / (CASE WHEN sxx > 0 THEN sxx END)
+                   END)
+                  / (CASE WHEN (CAST(n AS DOUBLE)
+                                - CAST(n_units AS DOUBLE)
+                                - CAST(n_times AS DOUBLE) + 1.0) > 0
+                          THEN CAST(n AS DOUBLE)
+                               - CAST(n_units AS DOUBLE)
+                               - CAST(n_times AS DOUBLE) + 1.0 END)
+                  / (CASE WHEN sxx > 0 THEN sxx END)) * 1000000.0)
+         / 1000000.0 AS se_naive
+FROM x362_agg
+"""
+
+
+EXT17_QUERIES.update({"x362_twfe": q_x362_twfe})
+EXT17_ORACLES.update({"x362_twfe": _sql_x362()})
+
+
+# ------------------------- x363: Oaxaca–Blinder decomposition
+
+
+def q_x363_oaxaca(spark, sf_dir):
+    """Two-fold Oaxaca–Blinder decomposition (operators/behavior.py:
+    oaxaca_blinder): the AUTOMOBILE-vs-FURNITURE gap in mean customer
+    spend split into the part explained by account-balance endowments
+    and the unexplained coefficient gap."""
+    from .operators.behavior import oaxaca_blinder
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("spend")
+    )
+    base = c.join(
+        spend, c["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+    )
+    return oaxaca_blinder(
+        base, group_col="seg", x_col="bal", y_col="spend",
+        group_a="AUTOMOBILE", group_b="FURNITURE",
+    )
+
+
+def _sql_x363() -> str:
+    dec = "DECIMAL(38,12)"
+
+    def side(name, tag):
+        cond = f"g = '{name}'"
+        xd = f"(CASE WHEN {cond} THEN x END)"
+        yd = f"(CASE WHEN {cond} THEN y END)"
+        return f"""
+         CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS DOUBLE) AS n{tag},
+         CAST(SUM(CAST({xd} AS {dec})) AS DOUBLE) AS sx{tag},
+         CAST(SUM(CAST({yd} AS {dec})) AS DOUBLE) AS sy{tag},
+         CAST(SUM(CAST({xd} * x AS {dec})) AS DOUBLE) AS sxx{tag},
+         CAST(SUM(CAST({xd} * y AS {dec})) AS DOUBLE) AS sxy{tag}"""
+
+    def fit(tag):
+        det = f"(n{tag} * sxx{tag} - sx{tag} * sx{tag})"
+        det_s = (
+            f"(CASE WHEN n{tag} >= 3 AND abs({det}) > 0"
+            f" THEN {det} END)"
+        )
+        b = f"((n{tag} * sxy{tag} - sx{tag} * sy{tag}) / {det_s})"
+        a = f"((sy{tag} * sxx{tag} - sx{tag} * sxy{tag}) / {det_s})"
+        mx = f"(sx{tag} / (CASE WHEN n{tag} > 0 THEN n{tag} END))"
+        my = f"(sy{tag} / (CASE WHEN n{tag} > 0 THEN n{tag} END))"
+        return a, b, mx, my
+
+    aa, ba, mxa, mya = fit("a")
+    ab, bb, mxb, myb = fit("b")
+    return f"""
+WITH x363_spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                         AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), x363_base AS (
+  SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS x,
+         COALESCE(s.spend, CAST(0.0 AS DOUBLE)) AS y
+  FROM customer c LEFT JOIN x363_spend s ON c.c_custkey = s.o_custkey
+  WHERE c_acctbal IS NOT NULL
+    AND c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
+), x363_agg AS (
+  SELECT {side('AUTOMOBILE', 'a')}, {side('FURNITURE', 'b')}
+  FROM x363_base
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(({mya} - {myb}) * 1000000.0) / 1000000.0 AS gap,
+       ROUND((({mxa} - {mxb}) * {bb}) * 1000000.0) / 1000000.0
+         AS explained,
+       ROUND(({mxa} * ({ba} - {bb}) + ({aa} - {ab})) * 1000000.0)
+         / 1000000.0 AS unexplained
+FROM x363_agg
+"""
+
+
+EXT17_QUERIES.update({"x363_oaxaca": q_x363_oaxaca})
+EXT17_ORACLES.update({"x363_oaxaca": _sql_x363()})

@@ -10148,3 +10148,110 @@ def test_negative_sampling_plan_is_deterministic_and_weighted(spark):
         negative_sampling_plan(
             df, id_col="doc_id", text_col="text", n_neg=0
         )
+
+
+def test_psm_match_recovers_planted_att(spark):
+    import random
+
+    from fame2pygen_spark.operators.behavior import psm_match
+
+    random.seed(51)
+    # treated outcome = score + 10 (planted effect); controls = score;
+    # scores overlap so every treated unit has a close control
+    tr = [(i, round(random.uniform(0.0, 100.0), 2), 0.0)
+          for i in range(200)]
+    tr = [(i, s, s + 10.0) for i, s, _ in tr]
+    co = [(1000 + i, round(random.uniform(0.0, 100.0), 2), 0.0)
+          for i in range(400)]
+    co = [(i, s, s) for i, s, _ in co]
+    t = spark.createDataFrame(tr, "id long, score double, y double")
+    c = spark.createDataFrame(co, "id long, score double, y double")
+    r = psm_match(
+        t, c, id_col="id", score_col="score", outcome_col="y",
+        caliper=5.0,
+    ).collect()[0]
+    assert r["n_treated"] == 200 and r["match_rate"] > 0.95
+    # ATT ~ effect + E[score gap] which is < caliper
+    assert 9.0 < r["att"] < 11.0
+    assert r["mean_abs_score_gap"] < 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="caliper"):
+        psm_match(
+            t, c, id_col="id", score_col="score", outcome_col="y",
+            caliper=0.0,
+        )
+
+
+def test_reg_discontinuity_measures_planted_jump(spark):
+    from fame2pygen_spark.operators.behavior import reg_discontinuity
+
+    rows = []
+    for x in range(-20, 21):
+        # slope 2 both sides, +30 level jump at the cutoff
+        rows.append(("j", x, 2.0 * x + (30.0 if x >= 0 else 0.0)))
+        rows.append(("flat", x, 2.0 * x))
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {
+        r["group"]: r
+        for r in reg_discontinuity(
+            df, group_col="g", running_col="x", outcome_col="y",
+            cutoff=0.0, bandwidth=20.0,
+        ).collect()
+    }
+    j = out["j"]
+    assert abs(j["tau"] - 30.0) < 1e-6
+    assert abs(j["slope_left"] - 2.0) < 1e-6
+    assert abs(j["slope_right"] - 2.0) < 1e-6
+    assert abs(out["flat"]["tau"]) < 1e-6
+
+
+def test_twfe_within_recovers_slope_under_fixed_effects(spark):
+    import random
+
+    from fame2pygen_spark.operators.behavior import twfe_within
+
+    random.seed(61)
+    ai = {i: random.uniform(-50.0, 50.0) for i in range(20)}
+    gt = {t: random.uniform(-30.0, 30.0) for t in range(12)}
+    rows = []
+    for i in range(20):
+        for t in range(12):
+            x = round(random.uniform(0.0, 10.0), 2)
+            # y = 3x + unit FE + time FE (+0 noise): within-beta = 3
+            y = 3.0 * x + ai[i] + gt[t]
+            rows.append((str(i), t, x, round(y, 6)))
+    df = spark.createDataFrame(rows, "i string, t long, x double, y double")
+    r = twfe_within(
+        df, unit_col="i", time_col="t", x_col="x", y_col="y"
+    ).collect()[0]
+    assert r["n"] == 240 and r["n_units"] == 20 and r["n_times"] == 12
+    assert abs(r["beta"] - 3.0) < 1e-3
+    assert r["se_naive"] < 0.01
+
+
+def test_oaxaca_blinder_decomposes_planted_gap(spark):
+    import random
+
+    from fame2pygen_spark.operators.behavior import oaxaca_blinder
+
+    random.seed(71)
+    rows = []
+    # group A: x ~ U(10,20), y = 5x  (higher endowment, same coefs)
+    for _ in range(300):
+        x = round(random.uniform(10.0, 20.0), 2)
+        rows.append(("A", x, 5.0 * x))
+    # group B: x ~ U(0,10), y = 5x
+    for _ in range(300):
+        x = round(random.uniform(0.0, 10.0), 2)
+        rows.append(("B", x, 5.0 * x))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = oaxaca_blinder(
+        df, group_col="g", x_col="x", y_col="y",
+        group_a="A", group_b="B",
+    ).collect()[0]
+    # identical coefficients -> the entire gap is explained
+    assert abs(r["gap"] - r["explained"]) < 0.5
+    assert abs(r["unexplained"]) < 0.5
+    assert r["gap"] > 40.0

@@ -150,6 +150,10 @@ SENSITIVE = [
     "x355_kalman",
     "x356_smooth_disagg",
     "x357_theta",
+    "x360_psm_match",
+    "x361_rdd",
+    "x362_twfe",
+    "x363_oaxaca",
 ]
 
 

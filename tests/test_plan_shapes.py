@@ -1555,3 +1555,25 @@ def test_neg_sampling_joins_by_bucket_never_nested_range(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_psm_match_is_bucketed_join_with_keyed_rank(spark):
+    # candidates come from the caliper-bucket equi-join; the 1-NN rank
+    # partitions by treated id; no score cross product
+    plan = plan_of(spark, "x360_psm_match")
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_windows(spark, "x360_psm_match") == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x361_rdd",     # one conditional aggregation per group
+        "x362_twfe",    # mean frames broadcast onto the panel
+        "x363_oaxaca",  # single conditional aggregation pass
+    ],
+)
+def test_r7_causal_estimators_are_agg_shaped(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "Window" not in plan, name
