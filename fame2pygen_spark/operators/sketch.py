@@ -4452,3 +4452,267 @@ def hodges_lehmann(
         )
         .orderBy(*gs)
     )
+
+
+def gini_lorenz(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col,
+) -> DataFrame:
+    """Gini coefficient + Lorenz summary per group — the
+    rank-weighted inequality measure the x71 Herfindahl index
+    doesn't capture (HHI reads squared shares; Gini reads the whole
+    Lorenz curve: a market of 100 equal minnows and 2 whales can
+    share an HHI with very different Ginis).  Non-negative weights
+    sorted ascending with the deterministic tie-break (value, member
+    order via row_number):
+
+        ``G = 2·Σ i·w_(i) / (n·Σw) − (n+1)/n``
+
+    plus the top-decile share (share of the largest ceil(n/10)
+    members).  The rank window is group-keyed; all folds are
+    decimal-exact (integer ranks × ≤6-dp weights), so the statistic
+    is partitioning-invariant by construction.
+
+    Output: ``(group_cols…, n_members, total, gini, top10_share)``
+    at 6 dp; NULL gini for groups with zero total.
+    """
+    group_cols = list(group_cols)
+    w = (
+        value_col
+        if isinstance(value_col, Column)
+        else F.col(value_col)
+    )
+    base = df.select(
+        *group_cols, w.cast("double").alias("__w")
+    ).where(F.col("__w").isNotNull() & (F.col("__w") >= 0))
+    win = Window.partitionBy(*group_cols).orderBy("__w")
+    ranked = base.withColumn("__i", F.row_number().over(win))
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    nwin = Window.partitionBy(*group_cols)
+    ranked = ranked.withColumn("__n", F.count(F.lit(1)).over(nwin))
+    topk = F.ceil(F.col("__n") / F.lit(10)).cast("long")
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        dec(F.col("__w")).alias("total"),
+        dec(F.col("__i").cast("double") * F.col("__w")).alias("siw"),
+        dec(
+            F.when(
+                F.col("__i") > F.col("__n") - topk, F.col("__w")
+            )
+        ).alias("wtop"),
+    )
+    n = F.col("n_members").cast("double")
+    tot_safe = F.when(F.col("total") > 0, F.col("total"))
+    gini = (
+        F.lit(2.0) * F.col("siw") / (n * tot_safe)
+        - (n + F.lit(1.0)) / n
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *group_cols,
+        "n_members",
+        r6(F.col("total")).alias("total"),
+        r6(gini).alias("gini"),
+        r6(F.coalesce(F.col("wtop"), F.lit(0.0)) / tot_safe).alias(
+            "top10_share"
+        ),
+    ).orderBy(*group_cols)
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    *,
+    sample_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic for every ordered pair
+    of samples within an entity frame (Anderson 1962 rank form):
+    with pooled ranks ``r_i`` of sample A (sizes n, m),
+
+        ``U = n·Σ(r_i − i)² + m·Σ(s_j − j)²``
+        ``T = U/(n·m·(n+m)) − (4·n·m − 1)/(6·(n+m))``
+
+    — the INTEGRATED distribution distance that weights the whole
+    CDF gap, where x99's KS reads only the supremum (KS misses
+    distributed small shifts CvM accumulates).  Ranks break ties
+    deterministically by (value, sample, intra-rank), making the
+    statistic engine-exact integer algebra end to end; the pair
+    frame and both rank windows key on the (entity, pair) so the
+    shuffles stay pair-local.
+
+    Output: ``(entity_a, entity_b, n_a, n_b, cvm_t, shifted)``
+    (``shifted`` = T above the 5 % critical value 0.461) ordered by
+    (entity_a, entity_b).
+    """
+    base = df.select(
+        F.col(sample_col).cast("string").alias("s"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(order_col).alias("ord0"),
+    ).where(F.col("v").isNotNull())
+    a = base.select(
+        F.col("s").alias("sa"), F.col("v").alias("va"),
+        F.col("ord0").alias("oa"),
+    )
+    b = base.select(
+        F.col("s").alias("sb"), F.col("v").alias("vb"),
+        F.col("ord0").alias("ob"),
+    )
+    pairs_a = (
+        a.join(
+            b.select("sb").distinct(),
+            F.col("sa") < F.col("sb"),
+        )
+        .select("sa", "sb", F.col("va").alias("v"),
+                F.col("oa").alias("o"), F.lit(0).alias("side"))
+    )
+    pairs_b = (
+        b.join(
+            a.select("sa").distinct(),
+            F.col("sa") < F.col("sb"),
+        )
+        .select("sa", "sb", F.col("vb").alias("v"),
+                F.col("ob").alias("o"), F.lit(1).alias("side"))
+    )
+    pooled = pairs_a.unionByName(pairs_b)
+    wp = Window.partitionBy("sa", "sb").orderBy(
+        "v", "side", "o"
+    )
+    ws = Window.partitionBy("sa", "sb", "side").orderBy(
+        "v", "side", "o"
+    )
+    ranked = pooled.withColumn(
+        "r", F.row_number().over(wp)
+    ).withColumn("i", F.row_number().over(ws))
+    d = (F.col("r") - F.col("i")).cast("double")
+    agg = ranked.groupBy("sa", "sb").agg(
+        F.count(F.when(F.col("side") == 0, F.lit(1)))
+        .cast("double")
+        .alias("n"),
+        F.count(F.when(F.col("side") == 1, F.lit(1)))
+        .cast("double")
+        .alias("m"),
+        F.sum(
+            F.when(F.col("side") == 0, d * d).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("da"),
+        F.sum(
+            F.when(F.col("side") == 1, d * d).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("db"),
+    )
+    n, m = F.col("n"), F.col("m")
+    u = n * F.col("da") + m * F.col("db")
+    nm_safe = F.when((n > 0) & (m > 0), n * m * (n + m))
+    t = u / nm_safe - (F.lit(4.0) * n * m - F.lit(1.0)) / (
+        F.lit(6.0) * (n + m)
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("sa").alias("entity_a"),
+        F.col("sb").alias("entity_b"),
+        n.cast("long").alias("n_a"),
+        m.cast("long").alias("n_b"),
+        r6(t).alias("cvm_t"),
+        F.when(t.isNotNull(), (t > F.lit(0.461)).cast("int")).alias(
+            "shifted"
+        ),
+    ).orderBy("entity_a", "entity_b")
+
+
+def rank_biased_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    item_col: str,
+    rank_col: str,
+    depth: int = 50,
+    p: float = 0.5,
+) -> DataFrame:
+    """Rank-biased overlap of two rankings (Webber, Moffat & Zobel
+    2010), truncated at *depth*:
+
+        ``RBO@D = (1−p) · Σ_{d=1..D} p^(d−1) · |A_d ∩ B_d| / d``
+
+    plus the residual mass ``p^D`` bounding what deeper prefixes
+    could add — the top-weighted agreement measure for comparing two
+    rankers WITHOUT relevance labels (x230's retrieval_eval needs
+    judgments; RBO compares the rankers directly).  Default
+    ``p = 1/2`` keeps every weight an exact dyadic (the theta/x357
+    discipline — pass 0.9 only when you accept libm pow variance).
+
+    Mechanism: inner-join the two rank frames on the item, explode
+    each item into the depths ``max(rank_a, rank_b) ≤ d ≤ D`` it is
+    common at (a bounded sequence — the item contributes to every
+    deeper prefix), ONE groupBy over d, and the weighted fold over
+    ≤D aggregate rows (metadata-scale, the x343 precedent).
+
+    Output: ONE row ``(depth, n_common_items, rbo, residual)`` at
+    6 dp.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError("rank_biased_overlap: p must be in (0, 1)")
+    if depth < 1:
+        raise ValueError("rank_biased_overlap: depth must be >= 1")
+    D = int(depth)
+    la = left.select(
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("ra"),
+    ).where(F.col("ra") <= D)
+    lb = right.select(
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("rb"),
+    ).where(F.col("rb") <= D)
+    common = la.join(lb, "item").select(
+        "item", F.greatest("ra", "rb").alias("dmin")
+    )
+    n_common = common.count()
+    per_d = (
+        common.select(
+            F.explode(
+                F.sequence(F.col("dmin"), F.lit(D))
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    pw = F.pow(F.lit(float(p)), F.col("d") - 1)
+    # ORDER-PINNED fold over the <=D aggregate rows (ascending d):
+    # dyadic-weight terms land exactly on decimal rounding boundaries
+    # where engine tie rules differ (the x357 lesson), so the fold is
+    # a running window sum, not a decimal cast
+    wacc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fold = (
+        per_d.withColumn(
+            "lacc",
+            F.sum(pw * F.col("x") / F.col("d").cast("double")).over(
+                wacc
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("d"))),
+        )
+        .where(F.col("rk") == 1)
+        .select(F.col("lacc").alias("s"), F.lit(1).alias("__one"))
+    )
+    # disjoint top lists leave the fold empty — anchor the summary on
+    # a literal one-row frame so the operator always emits its row
+    anchor = left.sparkSession.range(1).select(
+        F.lit(1).alias("__one")
+    )
+    agg = anchor.join(F.broadcast(fold), "__one", "left")
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.lit(D).alias("depth"),
+        F.lit(int(n_common)).alias("n_common_items"),
+        r6(
+            F.lit(1.0 - float(p)) * F.coalesce(F.col("s"), F.lit(0.0))
+        ).alias("rbo"),
+        r6(F.lit(float(p) ** D)).alias("residual"),
+    )

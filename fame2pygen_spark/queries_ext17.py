@@ -11,7 +11,7 @@ value hash after sorting columns by name).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 EXT17_QUERIES: dict = {}
 EXT17_ORACLES: dict = {}
@@ -2484,3 +2484,232 @@ FROM x363_agg
 
 EXT17_QUERIES.update({"x363_oaxaca": q_x363_oaxaca})
 EXT17_ORACLES.update({"x363_oaxaca": _sql_x363()})
+
+
+# ---------------------------- x364: Gini / Lorenz inequality
+
+
+def q_x364_gini(spark, sf_dir):
+    """Gini coefficient + top-decile share (operators/sketch.py:
+    gini_lorenz) of customer order spend per market segment — the
+    Lorenz-curve inequality x71's Herfindahl can't see.  Group-keyed
+    rank window, decimal-exact rank-weight folds."""
+    from .operators.sketch import gini_lorenz
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("spend")
+    )
+    base = c.join(
+        spend, c["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+    )
+    return gini_lorenz(base, ["segment"], "spend")
+
+
+def _sql_x364() -> str:
+    return """
+WITH x364_spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                         AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), x364_base AS (
+  SELECT c_mktsegment AS segment,
+         COALESCE(s.spend, CAST(0.0 AS DOUBLE)) AS w
+  FROM customer c LEFT JOIN x364_spend s ON c.c_custkey = s.o_custkey
+  WHERE COALESCE(s.spend, CAST(0.0 AS DOUBLE)) >= 0
+), x364_ranked AS (
+  SELECT segment, w,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY w) AS i,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM x364_base
+), x364_agg AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS total,
+         CAST(SUM(CAST(CAST(i AS DOUBLE) * w AS DECIMAL(38,6)))
+              AS DOUBLE) AS siw,
+         CAST(SUM(CAST(CASE WHEN i > n - CAST(ceil(n / 10.0) AS BIGINT)
+                            THEN w END AS DECIMAL(38,6)))
+              AS DOUBLE) AS wtop
+  FROM x364_ranked GROUP BY segment
+)
+SELECT segment, n_members,
+       ROUND(total * 1000000.0) / 1000000.0 AS total,
+       ROUND((CAST(2.0 AS DOUBLE) * siw
+              / (CAST(n_members AS DOUBLE)
+                 * (CASE WHEN total > 0 THEN total END))
+              - (CAST(n_members AS DOUBLE) + 1.0)
+                / CAST(n_members AS DOUBLE)) * 1000000.0)
+         / 1000000.0 AS gini,
+       ROUND((COALESCE(wtop, CAST(0.0 AS DOUBLE))
+              / (CASE WHEN total > 0 THEN total END)) * 1000000.0)
+         / 1000000.0 AS top10_share
+FROM x364_agg
+ORDER BY segment
+"""
+
+
+EXT17_QUERIES.update({"x364_gini": q_x364_gini})
+EXT17_ORACLES.update({"x364_gini": _sql_x364()})
+
+
+# ----------------------- x365: two-sample Cramér–von Mises
+
+
+def q_x365_cvm(spark, sf_dir):
+    """Pairwise Cramér–von Mises distribution distance (operators/
+    sketch.py:cramer_von_mises) between event types' daily values —
+    the integrated CDF gap that accumulates shifts x99's KS supremum
+    misses.  Exact integer rank algebra, pair-keyed windows."""
+    from .operators.sketch import cramer_von_mises
+
+    return cramer_von_mises(
+        _daily_panel(spark, sf_dir),
+        sample_col="event_type", order_col="day", value_col="v",
+    )
+
+
+def _sql_x365() -> str:
+    return f"""
+WITH x365_daily AS ({_X351_DAILY}),
+x365_names AS (SELECT DISTINCT e FROM x365_daily),
+x365_pooled AS (
+  SELECT a.e AS sa, nb.e AS sb, a.v, a.t AS o, 0 AS side
+  FROM x365_daily a JOIN x365_names nb ON a.e < nb.e
+  UNION ALL
+  SELECT na.e AS sa, b.e AS sb, b.v, b.t AS o, 1 AS side
+  FROM x365_daily b JOIN x365_names na ON na.e < b.e
+), x365_ranked AS (
+  SELECT sa, sb, side,
+         ROW_NUMBER() OVER (PARTITION BY sa, sb
+                            ORDER BY v, side, o) AS r,
+         ROW_NUMBER() OVER (PARTITION BY sa, sb, side
+                            ORDER BY v, side, o) AS i
+  FROM x365_pooled
+), x365_agg AS (
+  SELECT sa, sb,
+         CAST(COUNT(CASE WHEN side = 0 THEN 1 END) AS DOUBLE) AS n,
+         CAST(COUNT(CASE WHEN side = 1 THEN 1 END) AS DOUBLE) AS m,
+         CAST(SUM(CAST(CASE WHEN side = 0
+                            THEN CAST(r - i AS DOUBLE)
+                                 * CAST(r - i AS DOUBLE) END
+                       AS DECIMAL(38,6))) AS DOUBLE) AS da,
+         CAST(SUM(CAST(CASE WHEN side = 1
+                            THEN CAST(r - i AS DOUBLE)
+                                 * CAST(r - i AS DOUBLE) END
+                       AS DECIMAL(38,6))) AS DOUBLE) AS db
+  FROM x365_ranked GROUP BY sa, sb
+)
+SELECT sa AS entity_a, sb AS entity_b,
+       CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       ROUND(((n * da + m * db)
+              / (CASE WHEN n > 0 AND m > 0
+                      THEN n * m * (n + m) END)
+              - (CAST(4.0 AS DOUBLE) * n * m - 1.0)
+                / (CAST(6.0 AS DOUBLE) * (n + m))) * 1000000.0)
+         / 1000000.0 AS cvm_t,
+       CASE WHEN n > 0 AND m > 0
+            THEN CAST(((n * da + m * db) / (n * m * (n + m))
+                       - (CAST(4.0 AS DOUBLE) * n * m - 1.0)
+                         / (CAST(6.0 AS DOUBLE) * (n + m)))
+                      > CAST(0.461 AS DOUBLE) AS INTEGER) END
+         AS shifted
+FROM x365_agg
+ORDER BY entity_a, entity_b
+"""
+
+
+EXT17_QUERIES.update({"x365_cvm": q_x365_cvm})
+EXT17_ORACLES.update({"x365_cvm": _sql_x365()})
+
+
+# --------------------------- x366: rank-biased overlap
+
+
+def q_x366_rbo(spark, sf_dir):
+    """Rank-biased overlap (operators/sketch.py:rank_biased_overlap,
+    p = 1/2, depth 50) between two supplier rankings — by total
+    lineitem revenue vs by total shipped quantity: do the two
+    business lenses agree at the top?  Dyadic weights, order-pinned
+    fold, metadata-scale depth frame."""
+    from .operators.sketch import rank_biased_overlap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("qty"),
+    )
+    by_rev = per_supp.select(
+        F.col("l_suppkey").alias("item"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), F.asc("l_suppkey")))
+        .alias("rk"),
+    )
+    by_qty = per_supp.select(
+        F.col("l_suppkey").alias("item"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("qty"), F.asc("l_suppkey")))
+        .alias("rk"),
+    )
+    return rank_biased_overlap(
+        by_rev, by_qty, item_col="item", rank_col="rk",
+        depth=50, p=0.5,
+    )
+
+
+def _sql_x366() -> str:
+    return """
+WITH x366_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12)))
+              AS DOUBLE) AS rev,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+           AS qty
+  FROM lineitem GROUP BY l_suppkey
+), x366_ra AS (
+  SELECT l_suppkey AS item,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS ra
+  FROM x366_supp
+), x366_rb AS (
+  SELECT l_suppkey AS item,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, l_suppkey) AS rb
+  FROM x366_supp
+), x366_common AS (
+  SELECT a.item, greatest(a.ra, b.rb) AS dmin
+  FROM x366_ra a JOIN x366_rb b ON a.item = b.item
+  WHERE a.ra <= 50 AND b.rb <= 50
+), x366_perd AS (
+  SELECT d, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM (
+    SELECT UNNEST(range(dmin, 51)) AS d FROM x366_common
+  ) GROUP BY d
+), x366_acc AS (
+  SELECT d,
+         SUM(pow(CAST(0.5 AS DOUBLE), d - 1) * x / CAST(d AS DOUBLE))
+           OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS lacc,
+         ROW_NUMBER() OVER (ORDER BY d DESC) AS rk
+  FROM x366_perd
+)
+SELECT CAST(50 AS INTEGER) AS depth,
+       CAST((SELECT COUNT(*) FROM x366_common) AS INTEGER)
+         AS n_common_items,
+       ROUND((CAST(0.5 AS DOUBLE) * COALESCE(
+                (SELECT lacc FROM x366_acc WHERE rk = 1),
+                CAST(0.0 AS DOUBLE))) * 1000000.0) / 1000000.0 AS rbo,
+       ROUND(CAST(8.881784197001252e-16 AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS residual
+"""
+
+
+EXT17_QUERIES.update({"x366_rbo": q_x366_rbo})
+EXT17_ORACLES.update({"x366_rbo": _sql_x366()})

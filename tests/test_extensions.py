@@ -10255,3 +10255,73 @@ def test_oaxaca_blinder_decomposes_planted_gap(spark):
     assert abs(r["gap"] - r["explained"]) < 0.5
     assert abs(r["unexplained"]) < 0.5
     assert r["gap"] > 40.0
+
+
+def test_gini_known_distributions(spark):
+    from fame2pygen_spark.operators.sketch import gini_lorenz
+
+    rows = [("equal", 10.0)] * 10
+    rows += [("onehot", 0.0)] * 9 + [("onehot", 100.0)]
+    df = spark.createDataFrame(rows, "g string, w double")
+    out = {
+        r["g"]: r for r in gini_lorenz(df, ["g"], "w").collect()
+    }
+    # perfectly equal: G = 0; single holder of everything: G = (n-1)/n
+    assert out["equal"]["gini"] == 0.0
+    assert abs(out["onehot"]["gini"] - 0.9) < 1e-9
+    assert out["onehot"]["top10_share"] == 1.0
+    assert out["equal"]["top10_share"] == 0.1
+
+
+def test_cvm_separates_shifted_distribution(spark):
+    import random
+
+    from fame2pygen_spark.operators.sketch import cramer_von_mises
+
+    random.seed(81)
+    rows = []
+    for t in range(120):
+        rows.append(("base", t, round(random.uniform(0.0, 10.0), 3)))
+        rows.append(("same", t, round(random.uniform(0.0, 10.0), 3)))
+        rows.append(("shift", t, round(random.uniform(3.0, 13.0), 3)))
+    df = spark.createDataFrame(rows, "s string, t long, v double")
+    out = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in cramer_von_mises(
+            df, sample_col="s", order_col="t", value_col="v"
+        ).collect()
+    }
+    assert out[("base", "shift")]["shifted"] == 1
+    assert out[("base", "shift")]["cvm_t"] > 1.0
+    assert out[("base", "same")]["shifted"] == 0
+
+
+def test_rbo_identity_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.sketch import rank_biased_overlap
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 21)], "item long, rk long"
+    )
+    # identical rankings -> RBO@D = (1-p) sum p^(d-1) = 1 - p^D
+    r = rank_biased_overlap(
+        a, a, item_col="item", rank_col="rk", depth=20, p=0.5
+    ).collect()[0]
+    assert abs(r["rbo"] - (1.0 - 0.5 ** 20)) < 1e-6  # 6 dp output
+    assert r["n_common_items"] == 20
+    # disjoint top lists -> RBO = 0
+    b = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 21)], "item long, rk long"
+    )
+    r0 = rank_biased_overlap(
+        a, b, item_col="item", rank_col="rk", depth=20, p=0.5
+    ).collect()[0]
+    assert r0["rbo"] == 0.0 and r0["n_common_items"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="p must"):
+        rank_biased_overlap(
+            a, a, item_col="item", rank_col="rk", p=1.0
+        )

@@ -154,6 +154,9 @@ SENSITIVE = [
     "x361_rdd",
     "x362_twfe",
     "x363_oaxaca",
+    "x364_gini",
+    "x365_cvm",
+    "x366_rbo",
 ]
 
 

@@ -1577,3 +1577,13 @@ def test_r7_causal_estimators_are_agg_shaped(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "Window" not in plan, name
+
+
+def test_gini_rank_windows_are_group_keyed(spark):
+    assert unpartitioned_windows(spark, "x364_gini") == []
+    assert "CartesianProduct" not in plan_of(spark, "x364_gini")
+
+
+def test_cvm_rank_windows_are_pair_keyed(spark):
+    assert unpartitioned_windows(spark, "x365_cvm") == []
+    assert "CartesianProduct" not in plan_of(spark, "x365_cvm")
