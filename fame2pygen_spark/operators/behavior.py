@@ -4510,3 +4510,65 @@ def oaxaca_blinder(
         r6(explained).alias("explained"),
         r6(unexplained).alias("unexplained"),
     )
+
+
+def iv_wald(
+    df: DataFrame,
+    *,
+    instrument_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Instrumental-variables Wald estimator (the 2SLS closed form
+    for one binary-or-continuous instrument):
+
+        ``beta_iv = cov(z, y) / cov(z, x)``
+
+    — consistent when OLS is confounded, identified by the exclusion
+    restriction.  Reported alongside the naive OLS slope so the
+    confounding bias is visible in one row, plus the first-stage
+    slope cov(z,x)/var(z) (a weak instrument shows up here, not in a
+    crash).  One decimal-exact aggregation; all covariances from the
+    same sufficient-statistic pass.  Completes the x109/x360–x363
+    causal family with the endogeneity case.
+
+    Output: ONE row ``(n, first_stage, beta_ols, beta_iv)`` at 6 dp;
+    NULL beta_iv when cov(z,x) = 0 (irrelevant instrument), NULL
+    first_stage when var(z) = 0.
+    """
+    base = df.select(
+        F.col(instrument_col).cast("double").alias("z"),
+        F.col(treatment_col).cast("double").alias("x"),
+        F.col(outcome_col).cast("double").alias("y"),
+    ).where(
+        F.col("z").isNotNull()
+        & F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("z")).alias("sz"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("z") * F.col("x")).alias("szx"),
+        dec(F.col("z") * F.col("y")).alias("szy"),
+        dec(F.col("z") * F.col("z")).alias("szz"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov_zy = F.col("szy") - F.col("sz") * F.col("sy") / n
+    cov_zx = F.col("szx") - F.col("sz") * F.col("sx") / n
+    var_z = F.col("szz") - F.col("sz") * F.col("sz") / n
+    cov_xy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        n.cast("long").alias("n"),
+        r6(cov_zx / F.when(var_z > 0, var_z)).alias("first_stage"),
+        r6(cov_xy / F.when(var_x > 0, var_x)).alias("beta_ols"),
+        r6(
+            cov_zy / F.when(F.abs(cov_zx) > 0, cov_zx)
+        ).alias("beta_iv"),
+    )

@@ -2404,3 +2404,225 @@ def kcenter_greedy(
     ).select(
         "round", "center_id", F.round("cover_radius", 6).alias("cover_radius")
     )
+
+
+def procrustes_2d(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Orthogonal Procrustes alignment of two 2-D point clouds paired
+    by id (Schönemann 1966, rotation-only planar case): the rotation
+    minimizing Σ‖R·aᵢ − bᵢ‖² has the closed form
+
+        ``cos θ = A/√(A²+B²),  sin θ = B/√(A²+B²)``
+        with ``A = Σ(ax·bx + ay·by)``, ``B = Σ(ax·by − ay·bx)``
+
+    after centering both clouds — sqrt is IEEE-exact, so no libm
+    atan2 enters the parity surface (the x184 discipline).  The
+    embedding-migration primitive: when a model upgrade re-embeds the
+    corpus, the residual AFTER the best rotation separates "same
+    geometry, rotated basis" (cheap re-index) from genuine drift
+    (x129's centroid_drift reads shift; this reads shape).
+
+    One decimal-exact aggregation over the paired rows for means and
+    cross-moments; residual = Σ‖a‖² + Σ‖b‖² − 2√(A²+B²) evaluated on
+    the centered moments (no second pass over the data).
+
+    Output: ONE row ``(n_pairs, cos_theta, sin_theta,
+    rms_residual_before, rms_residual_after)`` at 6 dp; NULL rotation
+    when the clouds are degenerate (A = B = 0).
+    """
+    a = left.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("ax"),
+        F.col(y_col).cast("double").alias("ay"),
+    )
+    b = right.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("bx"),
+        F.col(y_col).cast("double").alias("by"),
+    )
+    rows = a.join(b, "pid").where(
+        F.col("ax").isNotNull()
+        & F.col("ay").isNotNull()
+        & F.col("bx").isNotNull()
+        & F.col("by").isNotNull()
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("ax")).alias("sax"),
+        dec(F.col("ay")).alias("say"),
+        dec(F.col("bx")).alias("sbx"),
+        dec(F.col("by")).alias("sby"),
+        dec(F.col("ax") * F.col("bx")).alias("sxx"),
+        dec(F.col("ay") * F.col("by")).alias("syy"),
+        dec(F.col("ax") * F.col("by")).alias("sxy"),
+        dec(F.col("ay") * F.col("bx")).alias("syx"),
+        dec(
+            F.col("ax") * F.col("ax") + F.col("ay") * F.col("ay")
+        ).alias("saa"),
+        dec(
+            F.col("bx") * F.col("bx") + F.col("by") * F.col("by")
+        ).alias("sbb"),
+        dec(
+            F.col("ax") * F.col("bx") + F.col("ay") * F.col("by")
+        ).alias("sab"),
+    )
+    n = F.col("n")
+    # centered cross-moments
+    A = (
+        (F.col("sxx") - F.col("sax") * F.col("sbx") / n)
+        + (F.col("syy") - F.col("say") * F.col("sby") / n)
+    )
+    B = (
+        (F.col("sxy") - F.col("sax") * F.col("sby") / n)
+        - (F.col("syx") - F.col("say") * F.col("sbx") / n)
+    )
+    caa = F.col("saa") - (
+        F.col("sax") * F.col("sax") + F.col("say") * F.col("say")
+    ) / n
+    cbb = F.col("sbb") - (
+        F.col("sbx") * F.col("sbx") + F.col("sby") * F.col("sby")
+    ) / n
+    cab = F.col("sab") - (
+        F.col("sax") * F.col("sbx") + F.col("say") * F.col("sby")
+    ) / n
+    hyp = F.sqrt(A * A + B * B)
+    hyp_safe = F.when(hyp > 0, hyp)
+    rss_before = caa + cbb - F.lit(2.0) * cab
+    rss_after = caa + cbb - F.lit(2.0) * hyp
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    rms = lambda ss: F.sqrt(  # noqa: E731
+        F.greatest(ss, F.lit(0.0)) / F.when(n > 0, n)
+    )
+    return agg.select(
+        n.cast("long").alias("n_pairs"),
+        r6(A / hyp_safe).alias("cos_theta"),
+        r6(B / hyp_safe).alias("sin_theta"),
+        r6(rms(rss_before)).alias("rms_residual_before"),
+        r6(rms(rss_after)).alias("rms_residual_after"),
+    )
+
+
+def matryoshka_audit(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    prefix_dim: int,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): how much
+    retrieval quality survives truncating embeddings to their first
+    *prefix_dim* components?  For each query, the exact cosine top-k
+    under the FULL dimension and under the PREFIX are compared by
+    Jaccard overlap; the corpus-level mean is the go/no-go for
+    serving the cheaper index.  Exact brute-force scoring on both
+    lanes (this is an audit — run it on a sampled query set, the
+    x05-family ANN operators are the serving path).
+
+    Broadcast query side, one scoring pass computing BOTH dot
+    products (the prefix fold is a prefix of the full fold — one
+    data read), two keyed rank windows, exact integer overlap
+    counts.  Ranking ties break on the candidate id, so the top-k
+    sets are engine-deterministic.
+
+    Output: ``(query_id, k, n_overlap, jaccard)`` per query plus the
+    ordering column, ordered by query_id.
+    """
+    if not (1 <= prefix_dim < dim):
+        raise ValueError(
+            "matryoshka_audit: need 1 <= prefix_dim < dim"
+        )
+    if k < 1:
+        raise ValueError("matryoshka_audit: k must be >= 1")
+    cand = df.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).alias("cv"),
+    )
+    qs = queries.select(
+        F.col(query_id_col).cast("long").alias("qid"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    pairs = cand.join(F.broadcast(qs))
+
+    def dot(n_terms):
+        acc = None
+        for i in range(1, n_terms + 1):
+            term = (
+                F.element_at("cv", i).cast("double")
+                * F.element_at("qv", i).cast("double")
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
+    def norm(col, n_terms):
+        acc = None
+        for i in range(1, n_terms + 1):
+            term = (
+                F.element_at(col, i).cast("double")
+                * F.element_at(col, i).cast("double")
+            )
+            acc = term if acc is None else acc + term
+        return F.sqrt(acc)
+
+    scored = pairs.select(
+        "qid",
+        "cid",
+        (
+            dot(int(dim))
+            / F.when(
+                norm("cv", int(dim)) * norm("qv", int(dim)) > 0,
+                norm("cv", int(dim)) * norm("qv", int(dim)),
+            )
+        ).alias("cos_full"),
+        (
+            dot(int(prefix_dim))
+            / F.when(
+                norm("cv", int(prefix_dim))
+                * norm("qv", int(prefix_dim))
+                > 0,
+                norm("cv", int(prefix_dim))
+                * norm("qv", int(prefix_dim)),
+            )
+        ).alias("cos_pfx"),
+    ).where(F.col("qid") != F.col("cid"))
+    wf = Window.partitionBy("qid").orderBy(
+        F.desc("cos_full"), F.asc("cid")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc("cos_pfx"), F.asc("cid")
+    )
+    ranked = scored.select(
+        "qid",
+        "cid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    ).where((F.col("rf") <= k) | (F.col("rp") <= k))
+    agg = ranked.groupBy("qid").agg(
+        F.count(
+            F.when((F.col("rf") <= k) & (F.col("rp") <= k), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_overlap")
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    kk = F.lit(int(k))
+    return agg.select(
+        F.col("qid").alias("query_id"),
+        kk.cast("long").alias("k"),
+        "n_overlap",
+        r6(
+            F.col("n_overlap")
+            / (kk * 2 - F.col("n_overlap")).cast("double")
+        ).alias("jaccard"),
+    ).orderBy("query_id")

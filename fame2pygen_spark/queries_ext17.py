@@ -2713,3 +2713,286 @@ SELECT CAST(50 AS INTEGER) AS depth,
 
 EXT17_QUERIES.update({"x366_rbo": q_x366_rbo})
 EXT17_ORACLES.update({"x366_rbo": _sql_x366()})
+
+
+# ------------------------------ x367: IV Wald estimator
+
+_X367_U = (
+    lambda tag: (
+        "(CAST(CAST(('0x' || substr(md5('" + tag + ":' ||"
+        " CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+        " / CAST(4294967296.0 AS DOUBLE))"
+    )
+)
+
+
+def q_x367_iv_wald(spark, sf_dir):
+    """IV Wald estimator (operators/behavior.py:iv_wald) on a
+    deterministically synthesized confounded design over customers:
+    instrument z = custkey parity, confounder u1 (md5-uniform) drives
+    BOTH the treatment x = 2z + 3u1 and the outcome
+    y = 4x + 8u1 + u2 — OLS is biased upward by the confounder, the
+    instrument recovers the true slope 4 (the synthesis-then-audit
+    x345 pattern applied to causal identification)."""
+    from .operators.behavior import iv_wald
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def u01(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(tag),
+                            F.col("c_custkey").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    z = (F.col("c_custkey") % 2).cast("double")
+    u1 = u01("cf")
+    u2 = u01("n2")
+    x = F.lit(2.0) * z + F.lit(3.0) * u1
+    y = F.lit(4.0) * x + F.lit(8.0) * u1 + u2
+    staged = c.select(
+        z.alias("z"), x.alias("x"), y.alias("y")
+    )
+    return iv_wald(
+        staged, instrument_col="z", treatment_col="x",
+        outcome_col="y",
+    )
+
+
+def _sql_x367() -> str:
+    u1 = _X367_U("cf")
+    u2 = _X367_U("n2")
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x367_staged AS (
+  SELECT z, x,
+         CAST(4.0 AS DOUBLE) * x + CAST(8.0 AS DOUBLE) * u1 + u2 AS y
+  FROM (
+    SELECT z, u1, {u2} AS u2,
+           CAST(2.0 AS DOUBLE) * z + CAST(3.0 AS DOUBLE) * u1 AS x
+    FROM (
+      SELECT CAST(c_custkey % 2 AS DOUBLE) AS z, {u1} AS u1, c_custkey
+      FROM customer
+    )
+  )
+), x367_agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('z')} AS sz, {sd('x')} AS sx, {sd('y')} AS sy,
+         {sd('z * x')} AS szx, {sd('z * y')} AS szy,
+         {sd('z * z')} AS szz, {sd('x * x')} AS sxx,
+         {sd('x * y')} AS sxy
+  FROM x367_staged
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(((szx - sz * sx / n)
+              / (CASE WHEN (szz - sz * sz / n) > 0
+                      THEN szz - sz * sz / n END)) * 1000000.0)
+         / 1000000.0 AS first_stage,
+       ROUND(((sxy - sx * sy / n)
+              / (CASE WHEN (sxx - sx * sx / n) > 0
+                      THEN sxx - sx * sx / n END)) * 1000000.0)
+         / 1000000.0 AS beta_ols,
+       ROUND(((szy - sz * sy / n)
+              / (CASE WHEN abs(szx - sz * sx / n) > 0
+                      THEN szx - sz * sx / n END)) * 1000000.0)
+         / 1000000.0 AS beta_iv
+FROM x367_agg
+"""
+
+
+EXT17_QUERIES.update({"x367_iv_wald": q_x367_iv_wald})
+EXT17_ORACLES.update({"x367_iv_wald": _sql_x367()})
+
+
+# --------------------- x368: 2-D orthogonal Procrustes alignment
+
+
+def q_x368_procrustes(spark, sf_dir):
+    """Planar Procrustes alignment (operators/similarity.py:
+    procrustes_2d): the embedding 2-D projection vs the SAME cloud
+    rotated by the exact 3-4-5 angle (cos 0.8, sin 0.6) and
+    translated — the operator must recover the rotation and drive
+    the after-alignment residual to ~0, certifying the closed form
+    end to end on real data (the embedding-migration drill)."""
+    from .operators.similarity import procrustes_2d
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("pid"),
+        F.element_at("embedding", 1).cast("double").alias("px"),
+        F.element_at("embedding", 2).cast("double").alias("py"),
+    )
+    rotated = pts.select(
+        "pid",
+        (
+            F.lit(0.8) * F.col("px") - F.lit(0.6) * F.col("py")
+            + F.lit(0.05)
+        ).alias("px"),
+        (
+            F.lit(0.6) * F.col("px") + F.lit(0.8) * F.col("py")
+            - F.lit(0.02)
+        ).alias("py"),
+    )
+    return procrustes_2d(
+        pts, rotated, id_col="pid", x_col="px", y_col="py"
+    )
+
+
+def _sql_x368() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x368_a AS (
+  SELECT CAST(vec_id AS BIGINT) AS pid,
+         CAST(embedding[1] AS DOUBLE) AS ax,
+         CAST(embedding[2] AS DOUBLE) AS ay
+  FROM embeddings
+), x368_b AS (
+  SELECT pid,
+         CAST(0.8 AS DOUBLE) * ax - CAST(0.6 AS DOUBLE) * ay
+           + CAST(0.05 AS DOUBLE) AS bx,
+         CAST(0.6 AS DOUBLE) * ax + CAST(0.8 AS DOUBLE) * ay
+           - CAST(0.02 AS DOUBLE) AS by
+  FROM x368_a
+), x368_rows AS (
+  SELECT a.ax, a.ay, b.bx, b.by
+  FROM x368_a a JOIN x368_b b ON a.pid = b.pid
+  WHERE a.ax IS NOT NULL AND a.ay IS NOT NULL
+    AND b.bx IS NOT NULL AND b.by IS NOT NULL
+), x368_agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('ax')} AS sax, {sd('ay')} AS say,
+         {sd('bx')} AS sbx, {sd('by')} AS sby,
+         {sd('ax * bx')} AS sxx, {sd('ay * by')} AS syy,
+         {sd('ax * by')} AS sxy, {sd('ay * bx')} AS syx,
+         {sd('ax * ax + ay * ay')} AS saa,
+         {sd('bx * bx + by * by')} AS sbb,
+         {sd('ax * bx + ay * by')} AS sab
+  FROM x368_rows
+), x368_stats AS (
+  SELECT n,
+         ((sxx - sax * sbx / n) + (syy - say * sby / n)) AS A,
+         ((sxy - sax * sby / n) - (syx - say * sbx / n)) AS B,
+         (saa - (sax * sax + say * say) / n) AS caa,
+         (sbb - (sbx * sbx + sby * sby) / n) AS cbb,
+         (sab - (sax * sbx + say * sby) / n) AS cab
+  FROM x368_agg
+), x368_fin AS (
+  SELECT n, A, B, caa, cbb, cab, sqrt(A * A + B * B) AS hyp
+  FROM x368_stats
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       ROUND((A / (CASE WHEN hyp > 0 THEN hyp END)) * 1000000.0)
+         / 1000000.0 AS cos_theta,
+       ROUND((B / (CASE WHEN hyp > 0 THEN hyp END)) * 1000000.0)
+         / 1000000.0 AS sin_theta,
+       ROUND(sqrt(greatest(caa + cbb - CAST(2.0 AS DOUBLE) * cab,
+                           CAST(0.0 AS DOUBLE))
+                  / (CASE WHEN n > 0 THEN n END)) * 1000000.0)
+         / 1000000.0 AS rms_residual_before,
+       ROUND(sqrt(greatest(caa + cbb - CAST(2.0 AS DOUBLE) * hyp,
+                           CAST(0.0 AS DOUBLE))
+                  / (CASE WHEN n > 0 THEN n END)) * 1000000.0)
+         / 1000000.0 AS rms_residual_after
+FROM x368_fin
+"""
+
+
+EXT17_QUERIES.update({"x368_procrustes": q_x368_procrustes})
+EXT17_ORACLES.update({"x368_procrustes": _sql_x368()})
+
+
+# ---------------------- x369: Matryoshka truncation audit
+
+
+def q_x369_matryoshka(spark, sf_dir):
+    """Matryoshka truncation audit (operators/similarity.py:
+    matryoshka_audit): exact cosine top-10 under the full 64 dims vs
+    the first 16, per query (vec_id < 16), Jaccard overlap — the
+    go/no-go for serving the 4× cheaper prefix index."""
+    from .operators.similarity import matryoshka_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return matryoshka_audit(
+        emb, qs,
+        id_col="vec_id", vec_col="embedding",
+        query_id_col="qid", query_vec_col="qv",
+        dim=64, prefix_dim=16, k=10,
+    )
+
+
+def _sql_x369() -> str:
+    def cos(nt):
+        dot = (
+            f"list_reduce(list_transform(range(1, {nt + 1}),"
+            " i -> CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)"
+            " * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)),"
+            " (acc, x) -> acc + x)"
+        )
+        nc = (
+            f"sqrt(list_reduce(list_transform(range(1, {nt + 1}),"
+            " i -> CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)"
+            " * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)),"
+            " (acc, x) -> acc + x))"
+        )
+        nq = (
+            f"sqrt(list_reduce(list_transform(range(1, {nt + 1}),"
+            " i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)"
+            " * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)),"
+            " (acc, x) -> acc + x))"
+        )
+        return (
+            f"({dot} / (CASE WHEN {nc} * {nq} > 0"
+            f" THEN {nc} * {nq} END))"
+        )
+
+    return f"""
+WITH x369_q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < 16
+), x369_c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+), x369_scored AS (
+  SELECT CAST(q.qid AS BIGINT) AS qid, CAST(c.cid AS BIGINT) AS cid,
+         {cos(64)} AS cos_full,
+         {cos(16)} AS cos_pfx
+  FROM x369_c c CROSS JOIN x369_q q
+  WHERE c.cid <> q.qid
+), x369_ranked AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_full DESC, cid ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_pfx DESC, cid ASC) AS rp
+  FROM x369_scored
+)
+SELECT qid AS query_id, CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 END)
+            AS BIGINT) AS n_overlap,
+       ROUND((COUNT(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 END)
+              / CAST(20 - COUNT(CASE WHEN rf <= 10 AND rp <= 10
+                                     THEN 1 END) AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS jaccard
+FROM x369_ranked
+WHERE rf <= 10 OR rp <= 10
+GROUP BY qid
+ORDER BY query_id
+"""
+
+
+EXT17_QUERIES.update({"x369_matryoshka": q_x369_matryoshka})
+EXT17_ORACLES.update({"x369_matryoshka": _sql_x369()})

@@ -10325,3 +10325,85 @@ def test_rbo_identity_and_disjoint(spark):
         rank_biased_overlap(
             a, a, item_col="item", rank_col="rk", p=1.0
         )
+
+
+def test_iv_wald_recovers_true_slope_under_confounding(spark):
+    import random
+
+    from fame2pygen_spark.operators.behavior import iv_wald
+
+    random.seed(91)
+    rows = []
+    for i in range(2000):
+        z = float(i % 2)
+        u1 = random.uniform(0.0, 1.0)   # confounder
+        u2 = random.uniform(0.0, 0.1)
+        x = 2.0 * z + 3.0 * u1
+        y = 4.0 * x + 8.0 * u1 + u2
+        rows.append((z, x, y))
+    df = spark.createDataFrame(rows, "z double, x double, y double")
+    r = iv_wald(
+        df, instrument_col="z", treatment_col="x", outcome_col="y"
+    ).collect()[0]
+    # OLS is polluted by u1 (bias ~ +8*cov(u1,x)/var(x) > 0.5);
+    # the instrument isolates the z-driven variation -> ~4
+    assert abs(r["beta_iv"] - 4.0) < 0.15
+    assert r["beta_ols"] > 4.5
+    assert abs(r["first_stage"] - 2.0) < 0.2
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    import random
+
+    from fame2pygen_spark.operators.similarity import procrustes_2d
+
+    random.seed(101)
+    pts = [(i, random.uniform(-1.0, 1.0), random.uniform(-1.0, 1.0))
+           for i in range(300)]
+    a = spark.createDataFrame(pts, "pid long, x double, y double")
+    rot = [(i, 0.8 * x - 0.6 * y + 0.3, 0.6 * x + 0.8 * y - 0.1)
+           for i, x, y in pts]
+    b = spark.createDataFrame(rot, "pid long, x double, y double")
+    r = procrustes_2d(
+        a, b, id_col="pid", x_col="x", y_col="y"
+    ).collect()[0]
+    assert abs(r["cos_theta"] - 0.8) < 1e-6
+    assert abs(r["sin_theta"] - 0.6) < 1e-6
+    # translation is absorbed by centering; rotation explains the rest
+    assert r["rms_residual_after"] < 1e-5
+    assert r["rms_residual_before"] > 0.1
+
+
+def test_matryoshka_audit_full_prefix_extremes(spark):
+    from fame2pygen_spark.operators.similarity import matryoshka_audit
+
+    # vectors whose first 4 dims ARE the geometry: prefix_dim=4 must
+    # reproduce the full ranking exactly (jaccard 1)
+    import random
+
+    random.seed(111)
+    rows = []
+    for i in range(60):
+        head = [random.uniform(-1, 1) for _ in range(4)]
+        rows.append((i, head + [0.0] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where("vec_id < 5").selectExpr(
+        "vec_id as qid", "embedding as qv"
+    )
+    out = matryoshka_audit(
+        df, qs, id_col="vec_id", vec_col="embedding",
+        query_id_col="qid", query_vec_col="qv",
+        dim=8, prefix_dim=4, k=5,
+    ).collect()
+    assert len(out) == 5
+    assert all(r["jaccard"] == 1.0 and r["n_overlap"] == 5
+               for r in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prefix_dim"):
+        matryoshka_audit(
+            df, qs, id_col="vec_id", vec_col="embedding",
+            query_id_col="qid", query_vec_col="qv",
+            dim=8, prefix_dim=8,
+        )

@@ -157,6 +157,9 @@ SENSITIVE = [
     "x364_gini",
     "x365_cvm",
     "x366_rbo",
+    "x367_iv_wald",
+    "x368_procrustes",
+    "x369_matryoshka",
 ]
 
 

@@ -1587,3 +1587,23 @@ def test_gini_rank_windows_are_group_keyed(spark):
 def test_cvm_rank_windows_are_pair_keyed(spark):
     assert unpartitioned_windows(spark, "x365_cvm") == []
     assert "CartesianProduct" not in plan_of(spark, "x365_cvm")
+
+
+def test_iv_wald_is_single_aggregation(spark):
+    plan = plan_of(spark, "x367_iv_wald")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_procrustes_is_keyed_join_plus_one_agg(spark):
+    plan = plan_of(spark, "x368_procrustes")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_rank_windows_are_query_keyed(spark):
+    # the brute-force score join is the deliberate broadcast audit
+    # lane (x05 precedent); both rank windows key on the query
+    assert unpartitioned_windows(spark, "x369_matryoshka") == []
+    assert "CartesianProduct" not in plan_of(spark, "x369_matryoshka")
