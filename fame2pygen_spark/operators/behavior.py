@@ -4572,3 +4572,178 @@ def iv_wald(
             cov_zy / F.when(F.abs(cov_zx) > 0, cov_zx)
         ).alias("beta_iv"),
     )
+
+
+def competing_risks_cif(
+    durations: DataFrame,
+    *,
+    t_col: str = "t",
+    risk_col: str = "risk",
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence for two competing risks
+    (Aalen & Johansen 1978): with per-time all-cause survival
+    ``S(t⁻)`` (the x57 Kaplan–Meier product, exp-of-decimal-log-sum
+    idiom) and cause-specific event counts ``d_k(t)``,
+
+        ``CIF_k(t) = Σ_{s<=t} S(s⁻) · d_k(s) / n(s)``
+
+    — the probability of failing FROM cause k by t while the other
+    cause competes.  Naively running a separate KM per cause and
+    taking 1−S overstates every cause (the competing event removes
+    subjects KM would count as censored-at-random); AJ is the
+    estimator that makes the causes sum correctly:
+    ``CIF_1 + CIF_2 + S = 1`` at every step (asserted in tests).
+
+    Input: one row per subject — integer duration and ``risk`` ∈
+    {0 = censored, 1, 2}.  Plan shape exactly KM's: one duration-
+    keyed aggregation (bounded by the time range), then ordered
+    windows over those bounded rows; the CIF cumulations are
+    order-pinned running sums.
+
+    Output: ``(t, n_at_risk, d1, d2, n_censored, survival, cif1,
+    cif2)`` for event times, 6 dp, ordered by t.
+    """
+    lifed = durations.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(risk_col).cast("int").alias("risk"),
+    ).where(F.col("t").isNotNull() & F.col("risk").isin(0, 1, 2))
+    per_t = lifed.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_t"),
+        F.sum((F.col("risk") == 1).cast("int")).cast("long").alias("d1"),
+        F.sum((F.col("risk") == 2).cast("int")).cast("long").alias("d2"),
+        F.sum((F.col("risk") == 0).cast("int"))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_t.agg(F.sum("__n_t").alias("__N"))
+    risked = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        (
+            F.col("__N")
+            - F.coalesce(F.sum("__n_t").over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    d_all = (F.col("d1") + F.col("d2")).cast("double")
+    n_risk = F.col("n_at_risk").cast("double")
+    frac = F.try_divide(d_all, n_risk)
+    log_term = F.when(
+        F.col("d1") + F.col("d2") < F.col("n_at_risk"),
+        F.log(F.lit(1.0) - frac).cast("decimal(28,18)"),
+    ).otherwise(F.lit(0).cast("decimal(28,18)"))
+    zero_flag = F.max(
+        (
+            F.col("d1") + F.col("d2") >= F.col("n_at_risk")
+        ).cast("int")
+    ).over(w_cum)
+    s_prev = F.coalesce(
+        F.when(
+            F.max(
+                (
+                    F.col("d1") + F.col("d2") >= F.col("n_at_risk")
+                ).cast("int")
+            ).over(w_prev)
+            == 1,
+            F.lit(0.0),
+        ).otherwise(
+            F.exp(
+                F.coalesce(
+                    F.sum(log_term).over(w_prev),
+                    F.lit(0).cast("decimal(28,18)"),
+                ).cast("double")
+            )
+        ),
+        F.lit(1.0),
+    )
+    surv = F.when(zero_flag == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(w_cum).cast("double"))
+    )
+    # order-pinned running CIF sums over the bounded time rows; the
+    # per-term hazard share is pinned at 6 dp so both engines fold
+    # identical doubles (the x357 discipline)
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    term1 = r6(
+        s_prev * F.try_divide(F.col("d1").cast("double"), n_risk)
+    )
+    term2 = r6(
+        s_prev * F.try_divide(F.col("d2").cast("double"), n_risk)
+    )
+    out = (
+        risked.withColumn("survival", F.round(surv, 6))
+        .withColumn("cif1", r6(F.sum(term1).over(w_cum)))
+        .withColumn("cif2", r6(F.sum(term2).over(w_cum)))
+        .where(F.col("d1") + F.col("d2") > 0)
+    )
+    return out.select(
+        "t", "n_at_risk", "d1", "d2", "n_censored", "survival",
+        "cif1", "cif2",
+    ).orderBy("t")
+
+
+def newsvendor_stock(
+    df: DataFrame,
+    *,
+    group_col: str,
+    demand_col: str,
+    underage_cost: float,
+    overage_cost: float,
+) -> DataFrame:
+    """Newsvendor optimal stocking per group (Arrow–Harris–Marschak
+    1951): the cost-minimizing stock is the demand quantile at the
+    critical ratio ``cu/(cu+co)``; reported with the expected
+    per-period cost at that stock,
+
+        ``E[cost] = mean(cu·max(d−S, 0) + co·max(S−d, 0))``
+
+    — the decision-theoretic readout on top of the x39 quantile
+    machinery: not "what is the distribution" but "how much to
+    provision" (works unchanged for compute capacity / cache sizing
+    from demand histories).  The quantile is Spark's exact
+    ``percentile`` (linear interpolation, identical to DuckDB's
+    quantile_cont — the x39 parity pair); the stock pins to 6 dp so
+    every cost term is an exact ≤6-dp rational and the cost fold is
+    decimal-exact.
+
+    Output: ``(group, n_periods, critical_ratio, stock,
+    expected_cost)`` at 6 dp, ordered by group.
+    """
+    cu, co = float(underage_cost), float(overage_cost)
+    if cu <= 0 or co <= 0:
+        raise ValueError(
+            "newsvendor_stock: costs must be positive"
+        )
+    ratio = cu / (cu + co)
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(demand_col).cast("double").alias("d"),
+    ).where(F.col("d").isNotNull())
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    stocks = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        r6(
+            F.expr(f"percentile(d, {ratio!r})")
+        ).alias("stock"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    cost = (
+        F.lit(cu)
+        * F.greatest(F.col("d") - F.col("stock"), F.lit(0.0))
+        + F.lit(co)
+        * F.greatest(F.col("stock") - F.col("d"), F.lit(0.0))
+    )
+    joined = base.join(F.broadcast(stocks), "g")
+    agg = joined.groupBy("g", "n_periods", "stock").agg(
+        (dec(cost) / F.col("n_periods")).alias("ec")
+    )
+    return agg.select(
+        F.col("g").alias("group"),
+        "n_periods",
+        r6(F.lit(ratio)).alias("critical_ratio"),
+        "stock",
+        r6(F.col("ec")).alias("expected_cost"),
+    ).orderBy("group")

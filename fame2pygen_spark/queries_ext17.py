@@ -2996,3 +2996,193 @@ ORDER BY query_id
 
 EXT17_QUERIES.update({"x369_matryoshka": q_x369_matryoshka})
 EXT17_ORACLES.update({"x369_matryoshka": _sql_x369()})
+
+
+# ---------------- x370: Aalen–Johansen competing-risks incidence
+
+
+def q_x370_competing_risks(spark, sf_dir):
+    """Aalen–Johansen cumulative incidence (operators/behavior.py:
+    competing_risks_cif): users race toward first PURCHASE (risk 1)
+    vs first ERROR (risk 2) from their first activity day; neither =
+    censored at the observation span.  The estimator under which
+    cif1 + cif2 + survival = 1 exactly at every step — a per-cause
+    Kaplan–Meier would overstate both causes."""
+    from .operators.behavior import competing_risks_cif
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    day = F.expr(f"ts_us div {_US_PER_DAY}")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("fd"),
+        F.max(day).alias("ld"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("pd"),
+        F.min(F.when(F.col("event_type") == "error", day)).alias("ed"),
+    )
+    big = F.lit(1 << 60)
+    pd_f = F.coalesce(F.col("pd"), big)
+    ed_f = F.coalesce(F.col("ed"), big)
+    durations = per_user.select(
+        F.when(
+            F.least(pd_f, ed_f) < big,
+            F.least(pd_f, ed_f) - F.col("fd"),
+        )
+        .otherwise(F.col("ld") - F.col("fd"))
+        .alias("t"),
+        F.when(F.least(pd_f, ed_f) >= big, F.lit(0))
+        .when(pd_f <= ed_f, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("risk"),
+    )
+    return competing_risks_cif(durations)
+
+
+def _sql_x370() -> str:
+    big = 1 << 60
+    return f"""
+WITH x370_pu AS (
+  SELECT user_id,
+         min(epoch_us(ts) // {_US_PER_DAY}) AS fd,
+         max(epoch_us(ts) // {_US_PER_DAY}) AS ld,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // {_US_PER_DAY} END) AS pd,
+         min(CASE WHEN event_type = 'error'
+                  THEN epoch_us(ts) // {_US_PER_DAY} END) AS ed
+  FROM events GROUP BY user_id
+), x370_lifed AS (
+  SELECT CASE WHEN least(coalesce(pd, {big}), coalesce(ed, {big}))
+                   < {big}
+              THEN least(coalesce(pd, {big}), coalesce(ed, {big})) - fd
+              ELSE ld - fd END AS t,
+         CASE WHEN least(coalesce(pd, {big}), coalesce(ed, {big}))
+                   >= {big} THEN 0
+              WHEN coalesce(pd, {big}) <= coalesce(ed, {big}) THEN 1
+              ELSE 2 END AS risk
+  FROM x370_pu
+), x370_per_t AS (
+  SELECT t, count(*) AS n_t,
+         sum(CASE WHEN risk = 1 THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN risk = 2 THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN risk = 0 THEN 1 ELSE 0 END) AS n_censored
+  FROM x370_lifed GROUP BY t
+), x370_tot AS (SELECT sum(n_t) AS N FROM x370_per_t),
+x370_risked AS (
+  SELECT p.t, p.d1, p.d2, p.n_censored,
+         CAST(t0.N - coalesce(sum(p.n_t) OVER (
+           ORDER BY p.t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM x370_per_t p CROSS JOIN x370_tot t0
+), x370_surv AS (
+  SELECT t, n_at_risk, d1, d2, n_censored,
+         max(CASE WHEN d1 + d2 >= n_at_risk THEN 1 ELSE 0 END)
+           OVER wc AS zflag,
+         coalesce(max(CASE WHEN d1 + d2 >= n_at_risk THEN 1 ELSE 0
+                      END) OVER wp, 0) AS zflag_prev,
+         CAST(sum(CASE WHEN d1 + d2 < n_at_risk
+             THEN CAST(ln(1.0 - CAST(d1 + d2 AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE))
+                       AS DECIMAL(28,18))
+             ELSE CAST(0 AS DECIMAL(28,18)) END) OVER wc AS DOUBLE)
+           AS lsum,
+         CAST(coalesce(sum(CASE WHEN d1 + d2 < n_at_risk
+             THEN CAST(ln(1.0 - CAST(d1 + d2 AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE))
+                       AS DECIMAL(28,18))
+             ELSE CAST(0 AS DECIMAL(28,18)) END) OVER wp,
+             CAST(0 AS DECIMAL(28,18))) AS DOUBLE) AS lsum_prev
+  FROM x370_risked
+  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW),
+         wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+), x370_terms AS (
+  SELECT t, n_at_risk, d1, d2, n_censored, zflag, lsum,
+         ROUND((CASE WHEN zflag_prev = 1 THEN 0.0
+                     ELSE exp(lsum_prev) END
+                * CAST(d1 AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+               * 1000000.0) / 1000000.0 AS term1,
+         ROUND((CASE WHEN zflag_prev = 1 THEN 0.0
+                     ELSE exp(lsum_prev) END
+                * CAST(d2 AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+               * 1000000.0) / 1000000.0 AS term2
+  FROM x370_surv
+)
+SELECT CAST(t AS BIGINT) AS t, n_at_risk,
+       CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       ROUND(CASE WHEN zflag = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+         AS survival,
+       ROUND(sum(term1) OVER wc * 1000000.0) / 1000000.0 AS cif1,
+       ROUND(sum(term2) OVER wc * 1000000.0) / 1000000.0 AS cif2
+FROM x370_terms
+WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)
+QUALIFY d1 + d2 > 0
+ORDER BY t
+"""
+
+
+EXT17_QUERIES.update({"x370_competing_risks": q_x370_competing_risks})
+EXT17_ORACLES.update({"x370_competing_risks": _sql_x370()})
+
+
+# ----------------------------- x371: newsvendor provisioning
+
+
+def q_x371_newsvendor(spark, sf_dir):
+    """Newsvendor optimal provisioning (operators/behavior.py:
+    newsvendor_stock, cu=2, co=1): per event type, the daily-demand
+    quantile at the 2/3 critical ratio plus the expected cost at
+    that stock — the capacity-planning readout on top of exact
+    quantiles."""
+    from .operators.behavior import newsvendor_stock
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    demand = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_US_PER_DAY}").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return newsvendor_stock(
+        demand, group_col="event_type", demand_col="n",
+        underage_cost=2.0, overage_cost=1.0,
+    )
+
+
+def _sql_x371() -> str:
+    ratio = 2.0 / 3.0
+    return f"""
+WITH x371_demand AS (
+  SELECT event_type AS g,
+         CAST(COUNT(*) AS DOUBLE) AS d
+  FROM events
+  GROUP BY event_type, epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY}
+), x371_stock AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_periods,
+         ROUND(quantile_cont(d, CAST({ratio!r} AS DOUBLE))
+               * 1000000.0) / 1000000.0 AS stock
+  FROM x371_demand GROUP BY g
+), x371_cost AS (
+  SELECT d.g, s.n_periods, s.stock,
+         CAST(SUM(CAST(CAST(2.0 AS DOUBLE)
+                       * greatest(d.d - s.stock, CAST(0.0 AS DOUBLE))
+                       + CAST(1.0 AS DOUBLE)
+                       * greatest(s.stock - d.d, CAST(0.0 AS DOUBLE))
+                       AS DECIMAL(38,12))) AS DOUBLE)
+           / s.n_periods AS ec
+  FROM x371_demand d JOIN x371_stock s ON d.g = s.g
+  GROUP BY d.g, s.n_periods, s.stock
+)
+SELECT g AS "group", n_periods,
+       ROUND(CAST({ratio!r} AS DOUBLE) * 1000000.0) / 1000000.0
+         AS critical_ratio,
+       stock,
+       ROUND(ec * 1000000.0) / 1000000.0 AS expected_cost
+FROM x371_cost
+ORDER BY "group"
+"""
+
+
+EXT17_QUERIES.update({"x371_newsvendor": q_x371_newsvendor})
+EXT17_ORACLES.update({"x371_newsvendor": _sql_x371()})

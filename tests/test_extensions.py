@@ -10407,3 +10407,61 @@ def test_matryoshka_audit_full_prefix_extremes(spark):
             query_id_col="qid", query_vec_col="qv",
             dim=8, prefix_dim=8,
         )
+
+
+def test_competing_risks_cifs_sum_with_survival_to_one(spark):
+    from fame2pygen_spark.operators.behavior import competing_risks_cif
+
+    # 12 subjects, two causes and censoring interleaved
+    rows = [
+        (1, 1), (1, 2), (2, 1), (2, 0), (3, 2), (3, 1), (4, 0),
+        (5, 1), (5, 2), (6, 0), (7, 1), (8, 2),
+    ]
+    df = spark.createDataFrame(rows, "t long, risk int")
+    out = competing_risks_cif(df).collect()
+    assert out, "no event rows"
+    for r in out:
+        # the Aalen-Johansen identity: causes + survival tile unity
+        assert abs(r["cif1"] + r["cif2"] + r["survival"] - 1.0) < 1e-5
+    # monotone non-decreasing incidences
+    c1 = [r["cif1"] for r in out]
+    c2 = [r["cif2"] for r in out]
+    assert c1 == sorted(c1) and c2 == sorted(c2)
+    # a lone-cause variant reduces to 1 - KM
+    solo = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)], "t long, risk int"
+    )
+    sout = competing_risks_cif(solo).collect()
+    for r in sout:
+        assert abs(r["cif1"] - (1.0 - r["survival"])) < 1e-5
+        assert r["cif2"] == 0.0
+
+
+def test_newsvendor_known_uniform_demand(spark):
+    from fame2pygen_spark.operators.behavior import newsvendor_stock
+
+    # demand 1..9 equally likely: the 2/3-quantile (quantile_cont on
+    # 9 points) is 1 + (2/3)*8 = 6.333333
+    rows = [("a", float(d)) for d in range(1, 10)]
+    df = spark.createDataFrame(rows, "g string, d double")
+    r = newsvendor_stock(
+        df, group_col="g", demand_col="d",
+        underage_cost=2.0, overage_cost=1.0,
+    ).collect()[0]
+    assert abs(r["critical_ratio"] - 2.0 / 3.0) < 1e-6
+    assert abs(r["stock"] - 6.333333) < 1e-5
+    # expected cost at S: mean over d of 2*max(d-S,0)+1*max(S-d,0)
+    s = 6.333333
+    exp_cost = sum(
+        2.0 * max(d - s, 0.0) + 1.0 * max(s - d, 0.0)
+        for d in range(1, 10)
+    ) / 9.0
+    assert abs(r["expected_cost"] - exp_cost) < 1e-4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="costs"):
+        newsvendor_stock(
+            df, group_col="g", demand_col="d",
+            underage_cost=0.0, overage_cost=1.0,
+        )

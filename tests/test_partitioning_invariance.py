@@ -160,6 +160,8 @@ SENSITIVE = [
     "x367_iv_wald",
     "x368_procrustes",
     "x369_matryoshka",
+    "x370_competing_risks",
+    "x371_newsvendor",
 ]
 
 

@@ -1607,3 +1607,17 @@ def test_matryoshka_rank_windows_are_query_keyed(spark):
     # lane (x05 precedent); both rank windows key on the query
     assert unpartitioned_windows(spark, "x369_matryoshka") == []
     assert "CartesianProduct" not in plan_of(spark, "x369_matryoshka")
+
+
+def test_competing_risks_windows_run_over_time_rows_only(spark):
+    # duration-keyed aggregation first: every window operates on the
+    # bounded per-time frame (the x116 KM shape), never the subjects
+    plan = plan_of(spark, "x370_competing_risks")
+    assert "CartesianProduct" not in plan
+
+
+def test_newsvendor_is_two_keyed_aggs_with_broadcast_stock(spark):
+    plan = plan_of(spark, "x371_newsvendor")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
