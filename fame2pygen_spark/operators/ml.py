@@ -36,6 +36,7 @@ __all__ = [
     "gmm_em_step",
     "decision_stump_hist",
     "logistic_newton_step",
+    "shapley_r2_3",
 ]
 
 _r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
@@ -477,4 +478,120 @@ def logistic_newton_step(
         _r6(F.when(ok, F.lit(4.0) * d0 / det)).alias("w0"),
         _r6(F.when(ok, F.lit(4.0) * d1 / det)).alias("w1"),
         _r6(F.when(ok, F.lit(4.0) * d2 / det)).alias("w2"),
+    )
+
+
+def shapley_r2_3(
+    df: DataFrame,
+    *,
+    f1_col: str,
+    f2_col: str,
+    f3_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Shapley decomposition of R² across three features (the
+    LMG / dominance-analysis estimator, Lindeman–Merenda–Gold 1980):
+    fit OLS on every subset of {x1, x2, x3} in closed form from ONE
+    sufficient-statistic pass, then average each feature's marginal
+    R² contribution over all orderings with the exact 3-player
+    Shapley weights (1/3, 1/6, 1/6, 1/3).  The three shares sum to
+    the full-model R² by construction (asserted in tests) — the
+    answer to "which feature drives the fit" that raw per-feature
+    R²s double-count under correlation.
+
+    All seven subset R²s come from centered moments via 1×1 / 2×2 /
+    Cramer-3×3 solves in pinned-order double algebra; singular
+    subsets NULL their value and propagate (the x351 safe-denominator
+    discipline).  Feed INTEGER-quantized features and outcome for
+    bit parity (the x344 lesson — quantization is the caller's
+    binning choice, the estimator is exact for whatever it is fed).
+
+    Output: ONE row ``(n, r2_full, shap1, shap2, shap3)`` at 6 dp.
+    """
+    base = df.select(
+        F.col(f1_col).cast("double").alias("x1"),
+        F.col(f2_col).cast("double").alias("x2"),
+        F.col(f3_col).cast("double").alias("x3"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(
+        F.col("x1").isNotNull()
+        & F.col("x2").isNotNull()
+        & F.col("x3").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    names = ["x1", "x2", "x3", "y"]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, a in enumerate(names):
+        aggs.append(_dec(F.col(a)).alias(f"s_{a}"))
+        for b in names[i:]:
+            aggs.append(_dec(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
+    agg = base.agg(*aggs)
+    n = F.col("n")
+
+    def c(a, b):
+        key = f"s_{a}{b}" if f"s_{a}{b}" in agg.columns else f"s_{b}{a}"
+        return F.col(key) - F.col(f"s_{a}") * F.col(f"s_{b}") / n
+
+    cyy = c("y", "y")
+    cyy_safe = F.when(cyy > 0, cyy)
+
+    def v1(i):
+        cii = c(i, i)
+        ciy = c(i, "y")
+        return (ciy * ciy / F.when(cii > 0, cii)) / cyy_safe
+
+    def v2(i, j):
+        cii, cjj, cij = c(i, i), c(j, j), c(i, j)
+        ciy, cjy = c(i, "y"), c(j, "y")
+        det2 = cii * cjj - cij * cij
+        det2_safe = F.when(F.abs(det2) > 0, det2)
+        expl = (
+            ciy * (cjj * ciy - cij * cjy)
+            + cjy * (cii * cjy - cij * ciy)
+        ) / det2_safe
+        return expl / cyy_safe
+
+    def v3():
+        c11, c22, c33 = c("x1", "x1"), c("x2", "x2"), c("x3", "x3")
+        c12, c13, c23 = c("x1", "x2"), c("x1", "x3"), c("x2", "x3")
+        g1, g2, g3 = c("x1", "y"), c("x2", "y"), c("x3", "y")
+
+        def det3(a, b, cc, d, e, f_, g_, h, i):
+            return (
+                a * (e * i - f_ * h) - b * (d * i - f_ * g_)
+                + cc * (d * h - e * g_)
+            )
+
+        detC = det3(c11, c12, c13, c12, c22, c23, c13, c23, c33)
+        detC_safe = F.when(F.abs(detC) > 0, detC)
+        b1 = det3(g1, c12, c13, g2, c22, c23, g3, c23, c33) / detC_safe
+        b2 = det3(c11, g1, c13, c12, g2, c23, c13, g3, c33) / detC_safe
+        b3 = det3(c11, c12, g1, c12, c22, g2, c13, c23, g3) / detC_safe
+        return (g1 * b1 + g2 * b2 + g3 * b3) / cyy_safe
+
+    va, vb, vc_ = v1("x1"), v1("x2"), v1("x3")
+    vab, vac, vbc = v2("x1", "x2"), v2("x1", "x3"), v2("x2", "x3")
+    vabc = v3()
+    third, sixth = F.lit(1.0 / 3.0), F.lit(1.0 / 6.0)
+    shap1 = (
+        third * va
+        + sixth * ((vab - vb) + (vac - vc_))
+        + third * (vabc - vbc)
+    )
+    shap2 = (
+        third * vb
+        + sixth * ((vab - va) + (vbc - vc_))
+        + third * (vabc - vac)
+    )
+    shap3 = (
+        third * vc_
+        + sixth * ((vac - va) + (vbc - vb))
+        + third * (vabc - vab)
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        _r6(vabc).alias("r2_full"),
+        _r6(shap1).alias("shap1"),
+        _r6(shap2).alias("shap2"),
+        _r6(shap3).alias("shap3"),
     )

@@ -4880,3 +4880,96 @@ def theta_forecast(
         F.col("h").cast("long").alias("h"),
         r6(fc).alias("forecast"),
     ).orderBy("entity", "h")
+
+
+def haar_energy(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    levels: int = 3,
+) -> DataFrame:
+    """Haar wavelet energy decomposition per entity (Haar 1910;
+    Mallat's pyramid): iteratively pair consecutive observations into
+    averages ``a = (v₀+v₁)/2`` and details ``d = (v₀−v₁)/2``, and
+    report each level's detail ENERGY ``Σd²`` — "how much variance
+    lives at the 2-day / 4-day / 8-day scale", the multi-resolution
+    companion to x211's periodicity and x67's seasonal decomposition
+    (those find A period; this budgets variance across ALL dyadic
+    scales at once).
+
+    Every Haar coefficient is a dyadic combination of the inputs
+    (division by 2 is exact in IEEE), so the pyramid is bit-exact in
+    any engine; details pin to 6 dp before squaring so the energy
+    folds are decimal-exact (the x353 squared-residual discipline).
+    Incomplete pairs at a level simply don't produce a coefficient
+    (complete-pair semantics, henderson-style).
+
+    Plan shape: *levels* chained entity-keyed aggregations, each half
+    the size of the last — O(levels) shuffles on the entity key, no
+    window over data, no Python.
+
+    Output: ``(entity, level, n_details, energy, energy_share)`` at
+    6 dp, ordered by (entity, level); share is of the total detail
+    energy across the reported levels.
+    """
+    if not (1 <= int(levels) <= 16):
+        raise ValueError("haar_energy: levels must be in 1..16")
+    w = Window.partitionBy("e").orderBy("o")
+    cur = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w) - F.lit(1))
+        .select("e", "rn", "v")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    level_frames = []
+    for lvl in range(1, int(levels) + 1):
+        paired = cur.groupBy(
+            "e", (F.col("rn") / 2).cast("long").alias("blk")
+        ).agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                F.when(F.col("rn") % 2 == 0, F.col("v"))
+            ).alias("v0"),
+            F.sum(
+                F.when(F.col("rn") % 2 == 1, F.col("v"))
+            ).alias("v1"),
+        ).where(F.col("np") == 2)
+        coeffs = paired.select(
+            "e",
+            F.col("blk").alias("rn"),
+            ((F.col("v0") + F.col("v1")) / F.lit(2.0)).alias("v"),
+            r6((F.col("v0") - F.col("v1")) / F.lit(2.0)).alias("d"),
+        )
+        level_frames.append(
+            coeffs.groupBy("e").agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_details"),
+                dec(F.col("d") * F.col("d")).alias("energy"),
+            )
+        )
+        cur = coeffs.select("e", "rn", "v")
+    out = level_frames[0]
+    for fr in level_frames[1:]:
+        out = out.unionByName(fr)
+    wtot = Window.partitionBy("e")
+    out = out.withColumn(
+        "tot", F.sum(F.col("energy").cast("decimal(38,6)")).over(wtot)
+        .cast("double")
+    )
+    return out.select(
+        F.col("e").alias("entity"),
+        "level",
+        "n_details",
+        r6(F.col("energy")).alias("energy"),
+        r6(
+            F.col("energy") / F.when(F.col("tot") > 0, F.col("tot"))
+        ).alias("energy_share"),
+    ).orderBy("entity", "level")

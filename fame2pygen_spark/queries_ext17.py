@@ -3186,3 +3186,217 @@ ORDER BY "group"
 
 EXT17_QUERIES.update({"x371_newsvendor": q_x371_newsvendor})
 EXT17_ORACLES.update({"x371_newsvendor": _sql_x371()})
+
+
+# ---------------------- x372: Haar wavelet energy decomposition
+
+
+def q_x372_haar(spark, sf_dir):
+    """Haar multi-resolution energy budget (operators/temporal.py:
+    haar_energy, 3 levels): where each event type's daily variance
+    lives — 2-day noise vs 4-day vs 8-day structure.  Dyadic-exact
+    pyramid, 6-dp-pinned details, decimal-exact energies."""
+    from .operators.temporal import haar_energy
+
+    return haar_energy(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+        levels=3,
+    )
+
+
+def _sql_x372() -> str:
+    lvl = """
+x372_p{l} AS (
+  SELECT e, blk AS rn,
+         (v0 + v1) / CAST(2.0 AS DOUBLE) AS v,
+         ROUND(((v0 - v1) / CAST(2.0 AS DOUBLE)) * 1000000.0)
+           / 1000000.0 AS d
+  FROM (
+    SELECT e, rn // 2 AS blk, count(*) AS np,
+           sum(CASE WHEN rn % 2 = 0 THEN v END) AS v0,
+           sum(CASE WHEN rn % 2 = 1 THEN v END) AS v1
+    FROM {src} GROUP BY e, rn // 2
+  ) WHERE np = 2
+), x372_e{l} AS (
+  SELECT e, CAST({l} AS BIGINT) AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_details,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS energy
+  FROM x372_p{l} GROUP BY e
+)"""
+    return f"""
+WITH x372_daily AS ({_X351_DAILY}),
+x372_rn AS (
+  SELECT e, v,
+         ROW_NUMBER() OVER (PARTITION BY e ORDER BY t) - 1 AS rn
+  FROM x372_daily
+),{lvl.format(l=1, src="x372_rn")},{lvl.format(l=2, src="x372_p1")},{lvl.format(l=3, src="x372_p2")},
+x372_all AS (
+  SELECT * FROM x372_e1
+  UNION ALL SELECT * FROM x372_e2
+  UNION ALL SELECT * FROM x372_e3
+), x372_tot AS (
+  SELECT e, level, n_details, energy,
+         CAST(SUM(CAST(energy AS DECIMAL(38,6)))
+              OVER (PARTITION BY e) AS DOUBLE) AS tot
+  FROM x372_all
+)
+SELECT e AS entity, level, n_details,
+       ROUND(energy * 1000000.0) / 1000000.0 AS energy,
+       ROUND((energy / (CASE WHEN tot > 0 THEN tot END)) * 1000000.0)
+         / 1000000.0 AS energy_share
+FROM x372_tot
+ORDER BY entity, level
+"""
+
+
+EXT17_QUERIES.update({"x372_haar": q_x372_haar})
+EXT17_ORACLES.update({"x372_haar": _sql_x372()})
+
+
+# ------------------- x373: exact Shapley R² feature attribution
+
+
+def q_x373_shapley_r2(spark, sf_dir):
+    """Exact LMG/Shapley decomposition of R² (operators/ml.py:
+    shapley_r2_3): how much of binned order value is explained by
+    date, priority urgency, and customer balance — all seven subset
+    fits from one sufficient-statistic pass, Shapley-averaged.
+    Features and outcome integer-quantized (the x344 parity
+    discipline)."""
+    from .operators.ml import shapley_r2_3
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("c_acctbal").isNotNull()
+        )
+        .select(
+            F.floor(
+                F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+                / F.lit(64.0)
+            )
+            .cast("double")
+            .alias("f1"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .cast("double")
+            .alias("f2"),
+            F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(64.0))
+            .cast("double")
+            .alias("f3"),
+            F.floor(F.col("o_totalprice") / F.lit(256.0))
+            .cast("double")
+            .alias("yq"),
+        )
+    )
+    return shapley_r2_3(
+        base, f1_col="f1", f2_col="f2", f3_col="f3", y_col="yq"
+    )
+
+
+def _sql_x373() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    third = repr(1.0 / 3.0)
+    sixth = repr(1.0 / 6.0)
+    cm = lambda a, b: f"(s_{a}{b} - s_{a} * s_{b} / n)"  # noqa: E731
+    cyy_s = f"(CASE WHEN {cm('y','y')} > 0 THEN {cm('y','y')} END)"
+
+    def v1(i):
+        cii, ciy = cm(i, i), cm(i, "y")
+        return (
+            f"(({ciy} * {ciy}"
+            f" / (CASE WHEN {cii} > 0 THEN {cii} END)) / {cyy_s})"
+        )
+
+    def v2(i, j):
+        cii, cjj, cij = cm(i, i), cm(j, j), cm(i, j)
+        ciy, cjy = cm(i, "y"), cm(j, "y")
+        det2 = f"({cii} * {cjj} - {cij} * {cij})"
+        det2_s = f"(CASE WHEN abs({det2}) > 0 THEN {det2} END)"
+        expl = (
+            f"(({ciy} * ({cjj} * {ciy} - {cij} * {cjy})"
+            f" + {cjy} * ({cii} * {cjy} - {cij} * {ciy}))"
+            f" / {det2_s})"
+        )
+        return f"({expl} / {cyy_s})"
+
+    def det3(a, b, c_, d, e, f, g, h, i):
+        return (
+            f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c_} * ({d} * {h} - {e} * {g}))"
+        )
+
+    c11, c22, c33 = cm("x1", "x1"), cm("x2", "x2"), cm("x3", "x3")
+    c12, c13, c23 = cm("x1", "x2"), cm("x1", "x3"), cm("x2", "x3")
+    g1, g2, g3 = cm("x1", "y"), cm("x2", "y"), cm("x3", "y")
+    detC = det3(c11, c12, c13, c12, c22, c23, c13, c23, c33)
+    detC_s = f"(CASE WHEN abs({detC}) > 0 THEN {detC} END)"
+    b1 = f"({det3(g1, c12, c13, g2, c22, c23, g3, c23, c33)} / {detC_s})"
+    b2 = f"({det3(c11, g1, c13, c12, g2, c23, c13, g3, c33)} / {detC_s})"
+    b3 = f"({det3(c11, c12, g1, c12, c22, g2, c13, c23, g3)} / {detC_s})"
+    vabc = f"((({g1} * {b1} + {g2} * {b2} + {g3} * {b3})) / {cyy_s})"
+    va, vb, vc = v1("x1"), v1("x2"), v1("x3")
+    vab, vac, vbc = v2("x1", "x2"), v2("x1", "x3"), v2("x2", "x3")
+    T = f"CAST({third} AS DOUBLE)"
+    S = f"CAST({sixth} AS DOUBLE)"
+    shap1 = (
+        f"({T} * va + {S} * ((vab - vb) + (vac - vc))"
+        f" + {T} * (vabc - vbc))"
+    )
+    shap2 = (
+        f"({T} * vb + {S} * ((vab - va) + (vbc - vc))"
+        f" + {T} * (vabc - vac))"
+    )
+    shap3 = (
+        f"({T} * vc + {S} * ((vac - va) + (vbc - vb))"
+        f" + {T} * (vabc - vab))"
+    )
+    return f"""
+WITH x373_base AS (
+  SELECT CAST(floor(date_diff('day', DATE '1992-01-01', o_orderdate)
+                    / CAST(64.0 AS DOUBLE)) AS DOUBLE) AS x1,
+         CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END AS DOUBLE) AS x2,
+         CAST(floor((CAST(c_acctbal AS DOUBLE)
+                     + CAST(1000.0 AS DOUBLE))
+                    / CAST(64.0 AS DOUBLE)) AS DOUBLE) AS x3,
+         CAST(floor(CAST(o_totalprice AS DOUBLE)
+                    / CAST(256.0 AS DOUBLE)) AS DOUBLE) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    AND c_acctbal IS NOT NULL
+), x373_sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('x1')} AS s_x1, {sd('x2')} AS s_x2,
+         {sd('x3')} AS s_x3, {sd('y')} AS s_y,
+         {sd('x1 * x1')} AS s_x1x1, {sd('x1 * x2')} AS s_x1x2,
+         {sd('x1 * x3')} AS s_x1x3, {sd('x1 * y')} AS s_x1y,
+         {sd('x2 * x2')} AS s_x2x2, {sd('x2 * x3')} AS s_x2x3,
+         {sd('x2 * y')} AS s_x2y, {sd('x3 * x3')} AS s_x3x3,
+         {sd('x3 * y')} AS s_x3y, {sd('y * y')} AS s_yy
+  FROM x373_base
+), x373_vals AS (
+  SELECT n,
+         {va} AS va, {vb} AS vb, {vc} AS vc,
+         {vab} AS vab, {vac} AS vac, {vbc} AS vbc,
+         {vabc} AS vabc
+  FROM x373_sums
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(vabc * 1000000.0) / 1000000.0 AS r2_full,
+       ROUND({shap1} * 1000000.0) / 1000000.0 AS shap1,
+       ROUND({shap2} * 1000000.0) / 1000000.0 AS shap2,
+       ROUND({shap3} * 1000000.0) / 1000000.0 AS shap3
+FROM x373_vals
+"""
+
+
+EXT17_QUERIES.update({"x373_shapley_r2": q_x373_shapley_r2})
+EXT17_ORACLES.update({"x373_shapley_r2": _sql_x373()})

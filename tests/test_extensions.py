@@ -10465,3 +10465,68 @@ def test_newsvendor_known_uniform_demand(spark):
             df, group_col="g", demand_col="d",
             underage_cost=0.0, overage_cost=1.0,
         )
+
+
+def test_haar_energy_isolates_planted_scale(spark):
+    import math
+
+    from fame2pygen_spark.operators.temporal import haar_energy
+
+    rows = []
+    for t in range(64):
+        # period-2 alternation: all detail energy at level 1
+        rows.append(("fast", t, float(t % 2)))
+        # period-8 square wave: energy concentrates at level 3
+        rows.append(("slow", t, 1.0 if (t // 4) % 2 else 0.0))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        (r["entity"], r["level"]): r
+        for r in haar_energy(
+            df, entity_col="e", t_col="t", value_col="v", levels=3
+        ).collect()
+    }
+    assert out[("fast", 1)]["energy_share"] == 1.0
+    assert out[("fast", 2)]["energy"] == 0.0
+    # the period-8 wave has zero level-1/2 detail (constant pairs and
+    # quads) and all its energy at level 3
+    assert out[("slow", 1)]["energy"] == 0.0
+    assert out[("slow", 2)]["energy"] == 0.0
+    assert out[("slow", 3)]["energy_share"] == 1.0
+    assert out[("slow", 3)]["n_details"] == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="levels"):
+        haar_energy(
+            df, entity_col="e", t_col="t", value_col="v", levels=0
+        )
+
+
+def test_shapley_r2_sums_to_full_and_attributes_orthogonal(spark):
+    import random
+
+    from fame2pygen_spark.operators.ml import shapley_r2_3
+
+    random.seed(121)
+    rows = []
+    for _ in range(600):
+        x1 = float(random.randint(0, 9))
+        x2 = float(random.randint(0, 9))
+        x3 = float(random.randint(0, 9))
+        # y loads on x1 twice as hard as x2; x3 is pure noise
+        y = 2.0 * x1 + 1.0 * x2 + float(random.randint(0, 1))
+        rows.append((x1, x2, x3, y))
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, y double"
+    )
+    r = shapley_r2_3(
+        df, f1_col="x1", f2_col="x2", f3_col="x3", y_col="y"
+    ).collect()[0]
+    # efficiency: the shares tile the full-model R^2
+    assert abs(
+        r["shap1"] + r["shap2"] + r["shap3"] - r["r2_full"]
+    ) < 1e-5
+    # attribution ordering: x1 >> x2 >> x3 ~ 0
+    assert r["shap1"] > 2.5 * r["shap2"]
+    assert r["shap2"] > 5.0 * max(r["shap3"], 1e-9)
+    assert r["r2_full"] > 0.9

@@ -162,6 +162,8 @@ SENSITIVE = [
     "x369_matryoshka",
     "x370_competing_risks",
     "x371_newsvendor",
+    "x372_haar",
+    "x373_shapley_r2",
 ]
 
 

@@ -1621,3 +1621,16 @@ def test_newsvendor_is_two_keyed_aggs_with_broadcast_stock(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_haar_pyramid_is_chained_entity_keyed_aggs(spark):
+    plan = plan_of(spark, "x372_haar")
+    assert unpartitioned_windows(spark, "x372_haar") == []
+    assert "CartesianProduct" not in plan
+
+
+def test_shapley_r2_is_single_sufficient_statistic_pass(spark):
+    plan = plan_of(spark, "x373_shapley_r2")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # dimension join only
