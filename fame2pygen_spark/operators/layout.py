@@ -407,3 +407,181 @@ def bloom_skip_audit(
             ).alias("skip_frac"),
         )
     )
+
+
+def delta_compression_audit(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Gorilla-style TSDB compression audit per series (Pelkonen et
+    al., VLDB 2015): how many bits would delta and delta-of-delta
+    encoding spend on this series vs raw 64-bit storage?  Values
+    quantize to integers at *scale* (matching the store's actual
+    resolution), then per timestep
+
+        ``bits(x) = 1              if x = 0   (the '0' control bit)
+                  = msb(zigzag(x)) + 2  otherwise``
+
+    with ``msb`` taken from the EXACT binary-string length
+    (``length(bin(n))`` — integer algebra, no libm log2 anywhere),
+    zigzag folding signs the way protobuf/Gorilla do.  The verdict
+    column picks the cheapest encoding per series — the "should this
+    metric family use DoD" input to a storage plan, sibling to the
+    zone-map and compaction audits in this module.
+
+    One entity-keyed lag window, integer-exact sums.
+
+    Output: ``(entity, n_points, raw_bits, delta_bits, dod_bits,
+    best_encoding, savings_pct)`` ordered by entity.
+    """
+    if scale < 1:
+        raise ValueError("delta_compression_audit: scale must be >= 1")
+    w = Window.partitionBy("e").orderBy("o")
+    base = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).alias("o"),
+            F.round(F.col(value_col).cast("double") * F.lit(int(scale)))
+            .cast("long")
+            .alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .withColumn("d1", F.col("v") - F.lag("v").over(w))
+        .withColumn("d2", F.col("d1") - F.lag("d1").over(w))
+    )
+
+    def zz(c):
+        # zigzag: 2x for x>=0, -2x-1 for x<0 — exact long algebra
+        return F.when(c >= 0, c * 2).otherwise(-c * 2 - 1)
+
+    def bits(c):
+        # NULL (no predecessor) -> stored raw: 64 bits
+        return F.when(c.isNull(), F.lit(64)).otherwise(
+            F.when(c == 0, F.lit(1)).otherwise(
+                F.length(F.bin(zz(c))) + F.lit(2)
+            )
+        )
+
+    agg = base.groupBy("e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (F.count(F.lit(1)) * 64).cast("long").alias("raw_bits"),
+        F.sum(bits(F.col("d1"))).cast("long").alias("delta_bits"),
+        F.sum(bits(F.col("d2"))).cast("long").alias("dod_bits"),
+    )
+    best = (
+        F.when(
+            (F.col("dod_bits") <= F.col("delta_bits"))
+            & (F.col("dod_bits") <= F.col("raw_bits")),
+            F.lit("delta_of_delta"),
+        )
+        .when(F.col("delta_bits") <= F.col("raw_bits"), F.lit("delta"))
+        .otherwise(F.lit("raw"))
+    )
+    mn = F.least("raw_bits", "delta_bits", "dod_bits")
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("e").alias("entity"),
+        "n_points", "raw_bits", "delta_bits", "dod_bits",
+        best.alias("best_encoding"),
+        r6(
+            (F.col("raw_bits") - mn).cast("double")
+            / F.col("raw_bits").cast("double")
+        ).alias("savings_pct"),
+    ).orderBy("entity")
+
+
+def roaring_container_census(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Roaring-bitmap container planning per group (Chambi, Lemire
+    et al. 2016): partition each group's distinct 32-bit ids into
+    2¹⁶-value containers and, per container, pick the cheapest
+    physical representation by the ACTUAL serialized sizes
+
+        ``array  = 2·n`` bytes (16-bit values, n ≤ 4096 only)
+        ``bitmap = 8192`` bytes
+        ``run    = 2 + 4·runs`` bytes
+
+    (runs counted exactly via an id-ordered lag within the
+    container).  The census answers "what will this id set cost as a
+    roaring index, and which containers are run-friendly" — the
+    bitmap-index sibling of this module's zone-map/Bloom planning,
+    and the audit behind choosing roaring vs Bloom for a semi-join
+    column.  Ties in size break array > run > bitmap (roaring's own
+    preference for the static form).
+
+    Integer-exact throughout; windows key on (group, container).
+
+    Output: ``(group, n_ids, n_containers, n_array, n_bitmap, n_run,
+    roaring_bytes, naive_bytes, compression_ratio)`` ordered by
+    group.
+    """
+    base = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(id_col).cast("long").alias("i"),
+        )
+        .where(F.col("i").isNotNull() & (F.col("i") >= 0))
+        .distinct()
+        .withColumn("c", (F.col("i") / F.lit(65536)).cast("long"))
+    )
+    w = Window.partitionBy("g", "c").orderBy("i")
+    runs = base.withColumn(
+        "newrun",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.lag("i").over(w) != F.col("i") - 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    per_c = runs.groupBy("g", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("newrun").cast("long").alias("nr"),
+    )
+    sz_array = F.when(F.col("n") <= 4096, F.col("n") * 2)
+    sz_bitmap = F.lit(8192)
+    sz_run = F.lit(2) + F.col("nr") * 4
+    best_sz = F.least(
+        F.coalesce(sz_array, F.lit(1 << 30)), sz_bitmap, sz_run
+    )
+    cls = (
+        F.when(F.coalesce(sz_array, F.lit(1 << 30)) == best_sz,
+               F.lit("array"))
+        .when(sz_run == best_sz, F.lit("run"))
+        .otherwise(F.lit("bitmap"))
+    )
+    sized = per_c.select(
+        "g", "n", best_sz.alias("bytes"), cls.alias("cls")
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    agg = sized.groupBy("g").agg(
+        F.sum("n").cast("long").alias("n_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_containers"),
+        F.count(F.when(F.col("cls") == "array", 1))
+        .cast("long")
+        .alias("n_array"),
+        F.count(F.when(F.col("cls") == "bitmap", 1))
+        .cast("long")
+        .alias("n_bitmap"),
+        F.count(F.when(F.col("cls") == "run", 1))
+        .cast("long")
+        .alias("n_run"),
+        F.sum("bytes").cast("long").alias("roaring_bytes"),
+    )
+    return agg.select(
+        F.col("g").alias("group"),
+        "n_ids", "n_containers", "n_array", "n_bitmap", "n_run",
+        "roaring_bytes",
+        (F.col("n_ids") * 4).alias("naive_bytes"),
+        r6(
+            (F.col("n_ids") * 4).cast("double")
+            / F.col("roaring_bytes").cast("double")
+        ).alias("compression_ratio"),
+    ).orderBy("group")

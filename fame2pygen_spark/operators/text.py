@@ -4000,3 +4000,120 @@ def negative_sampling_plan(
         F.col("k").cast("long").alias("k"),
         F.col("w").alias("neg_word"),
     ).orderBy("id", "k")
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking dedup profile (the FastCDC/LBFS idea
+    at word granularity, Muthitacharoen et al. 2001): a word ENDS a
+    chunk whenever its content hash satisfies
+    ``md5_32('cdc:'+word) % boundary_mod == 0`` — boundaries depend
+    only on LOCAL content, so inserting a sentence shifts no
+    boundary outside its own chunk (fixed-size blocks reshuffle
+    everything; x21's passage windows slide).  Chunks fingerprint by
+    md5 and dedup across the corpus: the storage/backup dedup
+    mechanism, and the detector for shared boilerplate that
+    whole-doc MinHash dilutes below threshold.
+
+    Per document: chunk count, chunks shared with ANY other document,
+    and the fraction of the document's words sitting inside shared
+    chunks — the "how much of this doc is template" score.
+
+    Shapes: one posexplode, one (doc, chunk) aggregation with an
+    ordered string_agg, one corpus-wide chunk-count aggregation
+    joined back (hash-keyed).  Expected chunk length is
+    *boundary_mod* words.
+
+    Output: ``(id, n_words, n_chunks, dup_chunks, dup_word_frac)``
+    at 6 dp, ordered by id.
+    """
+    if boundary_mod < 2:
+        raise ValueError(
+            "cdc_chunk_dedup: boundary_mod must be >= 2"
+        )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    words = base.select(
+        "id",
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col("t")), r"\s+", " "
+                        )
+                    ),
+                    " ",
+                ),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("pos", "w"),
+    )
+    flag = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cdc:"), F.col("w"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(boundary_mod))
+        == 0
+    ).cast("long")
+    wseq = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = words.withColumn("f", flag).withColumn(
+        "chunk", F.sum("f").over(wseq) - F.col("f")
+    )
+    chunks = chunked.groupBy("id", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("c_words"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ),
+            1,
+            8,
+        ).alias("h"),
+    )
+    corpus = chunks.groupBy("h").agg(
+        F.countDistinct("id").cast("long").alias("n_docs")
+    )
+    tagged = chunks.join(corpus, "h")
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    agg = tagged.groupBy("id").agg(
+        F.sum("c_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
+        .cast("long")
+        .alias("dup_chunks"),
+        F.sum(
+            F.when(F.col("n_docs") > 1, F.col("c_words")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("dup_words"),
+    )
+    return agg.select(
+        "id", "n_words", "n_chunks", "dup_chunks",
+        r6(
+            F.col("dup_words").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("dup_word_frac"),
+    ).orderBy("id")

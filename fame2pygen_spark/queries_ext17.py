@@ -3400,3 +3400,234 @@ FROM x373_vals
 
 EXT17_QUERIES.update({"x373_shapley_r2": q_x373_shapley_r2})
 EXT17_ORACLES.update({"x373_shapley_r2": _sql_x373()})
+
+
+# -------------------- x374: content-defined chunk dedup profile
+
+_X374_BOILER = (
+    "standard corporate disclaimer the contents of this document are "
+    "provided as is without warranty of any kind for internal use only"
+)
+
+
+def q_x374_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (operators/text.py:
+    cdc_chunk_dedup): every document gets the SAME literal
+    boilerplate paragraph prepended (the header/footer pattern), so
+    the boilerplate chunks dedup corpus-wide while body chunks stay
+    unique — the audit must report a dup_word_frac concentrated at
+    the boilerplate share, which whole-doc MinHash would dilute."""
+    from .operators.text import cdc_chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit(_X374_BOILER), F.lit(" "),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("text"),
+    )
+    return cdc_chunk_dedup(
+        staged, id_col="doc_id", text_col="text", boundary_mod=8
+    )
+
+
+def _sql_x374() -> str:
+    return rf"""
+WITH x374_staged AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         '{_X374_BOILER}' || ' ' || COALESCE(text, '') AS t
+  FROM documents
+), x374_arr AS (
+  SELECT id,
+         string_split(trim(regexp_replace(lower(t), '\s+', ' ')),
+                      ' ') AS a
+  FROM x374_staged
+), x374_words AS (
+  SELECT id, pos - 1 AS pos, w
+  FROM (
+    SELECT id, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS w
+    FROM x374_arr
+  ) WHERE w <> ''
+), x374_flagged AS (
+  SELECT id, pos, w,
+         CAST(CAST(('0x' || substr(md5('cdc:' || w), 1, 8)) AS BIGINT)
+              % 8 = 0 AS BIGINT) AS f
+  FROM x374_words
+), x374_chunked AS (
+  SELECT id, pos, w,
+         SUM(f) OVER (PARTITION BY id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) - f AS chunk
+  FROM x374_flagged
+), x374_chunks AS (
+  SELECT id, chunk, CAST(COUNT(*) AS BIGINT) AS c_words,
+         substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 8) AS h
+  FROM x374_chunked GROUP BY id, chunk
+), x374_corpus AS (
+  SELECT h, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+  FROM x374_chunks GROUP BY h
+), x374_tagged AS (
+  SELECT c.id, c.c_words, co.n_docs
+  FROM x374_chunks c JOIN x374_corpus co ON c.h = co.h
+)
+SELECT id,
+       CAST(SUM(c_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(CASE WHEN n_docs > 1 THEN 1 END) AS BIGINT)
+         AS dup_chunks,
+       ROUND((CAST(SUM(CASE WHEN n_docs > 1 THEN c_words ELSE 0 END)
+                   AS DOUBLE) / CAST(SUM(c_words) AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS dup_word_frac
+FROM x374_tagged
+GROUP BY id
+ORDER BY id
+"""
+
+
+EXT17_QUERIES.update({"x374_cdc_chunks": q_x374_cdc_chunks})
+EXT17_ORACLES.update({"x374_cdc_chunks": _sql_x374()})
+
+
+# ----------------- x375: Gorilla delta/DoD compression audit
+
+
+def q_x375_delta_bits(spark, sf_dir):
+    """Gorilla-style compression audit (operators/layout.py:
+    delta_compression_audit): would each event type's daily value
+    series compress better as deltas or delta-of-deltas?  Exact
+    integer bit accounting via binary-string lengths — no libm log2
+    anywhere."""
+    from .operators.layout import delta_compression_audit
+
+    return delta_compression_audit(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+        scale=100,
+    )
+
+
+def _sql_x375() -> str:
+    zz = lambda c: (  # noqa: E731
+        f"(CASE WHEN {c} >= 0 THEN {c} * 2 ELSE -{c} * 2 - 1 END)"
+    )
+    bits = lambda c: (  # noqa: E731
+        f"(CASE WHEN {c} IS NULL THEN 64"
+        f" WHEN {c} = 0 THEN 1"
+        f" ELSE length(bin({zz(c)})) + 2 END)"
+    )
+    return f"""
+WITH x375_daily AS ({_X351_DAILY}),
+x375_int AS (
+  SELECT e, t,
+         CAST(ROUND(v * 100) AS BIGINT) AS v
+  FROM x375_daily
+), x375_d1 AS (
+  SELECT e, t, v, v - LAG(v) OVER w AS d1
+  FROM x375_int WINDOW w AS (PARTITION BY e ORDER BY t)
+), x375_lag AS (
+  SELECT e, v, d1, d1 - LAG(d1) OVER w AS d2
+  FROM x375_d1 WINDOW w AS (PARTITION BY e ORDER BY t)
+), x375_agg AS (
+  SELECT e, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
+         CAST(SUM({bits('d1')}) AS BIGINT) AS delta_bits,
+         CAST(SUM({bits('d2')}) AS BIGINT) AS dod_bits
+  FROM x375_lag GROUP BY e
+)
+SELECT e AS entity, n_points, raw_bits, delta_bits, dod_bits,
+       CASE WHEN dod_bits <= delta_bits AND dod_bits <= raw_bits
+            THEN 'delta_of_delta'
+            WHEN delta_bits <= raw_bits THEN 'delta'
+            ELSE 'raw' END AS best_encoding,
+       ROUND((CAST(raw_bits - least(raw_bits, delta_bits, dod_bits)
+                   AS DOUBLE) / CAST(raw_bits AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS savings_pct
+FROM x375_agg
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x375_delta_bits": q_x375_delta_bits})
+EXT17_ORACLES.update({"x375_delta_bits": _sql_x375()})
+
+
+# ------------------------ x376: roaring container census
+
+
+def q_x376_roaring(spark, sf_dir):
+    """Roaring-bitmap container census (operators/layout.py:
+    roaring_container_census): per event type, the daily-active-user
+    id set spread across 2¹⁶ containers (ids deterministically
+    widened so multiple container classes appear) — array vs bitmap
+    vs run byte-accounting against the naive 4-byte list."""
+    from .operators.layout import roaring_container_census
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    staged = ev.select(
+        F.col("event_type").alias("g"),
+        (
+            (F.col("user_id") * F.lit(7919)) % F.lit(1 << 20)
+        ).alias("wide_id"),
+    )
+    return roaring_container_census(
+        staged, group_col="g", id_col="wide_id"
+    )
+
+
+def _sql_x376() -> str:
+    return f"""
+WITH x376_base AS (
+  SELECT DISTINCT event_type AS g,
+         (user_id * 7919) % {1 << 20} AS i
+  FROM events WHERE user_id IS NOT NULL AND user_id >= 0
+), x376_cont AS (
+  SELECT g, i, CAST(i // 65536 AS BIGINT) AS c
+  FROM x376_base WHERE i >= 0
+), x376_runs AS (
+  SELECT g, c,
+         CASE WHEN LAG(i) OVER w IS NULL OR LAG(i) OVER w <> i - 1
+              THEN 1 ELSE 0 END AS newrun
+  FROM x376_cont WINDOW w AS (PARTITION BY g, c ORDER BY i)
+), x376_per_c AS (
+  SELECT g, c, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(newrun) AS BIGINT) AS nr
+  FROM x376_runs GROUP BY g, c
+), x376_sized AS (
+  SELECT g, n,
+         least(CASE WHEN n <= 4096 THEN n * 2 ELSE {1 << 30} END,
+               8192, 2 + nr * 4) AS bytes,
+         CASE WHEN (CASE WHEN n <= 4096 THEN n * 2
+                         ELSE {1 << 30} END)
+                   = least(CASE WHEN n <= 4096 THEN n * 2
+                                ELSE {1 << 30} END, 8192, 2 + nr * 4)
+              THEN 'array'
+              WHEN (2 + nr * 4)
+                   = least(CASE WHEN n <= 4096 THEN n * 2
+                                ELSE {1 << 30} END, 8192, 2 + nr * 4)
+              THEN 'run'
+              ELSE 'bitmap' END AS cls
+  FROM x376_per_c
+)
+SELECT g AS "group",
+       CAST(SUM(n) AS BIGINT) AS n_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_containers,
+       CAST(COUNT(CASE WHEN cls = 'array' THEN 1 END) AS BIGINT)
+         AS n_array,
+       CAST(COUNT(CASE WHEN cls = 'bitmap' THEN 1 END) AS BIGINT)
+         AS n_bitmap,
+       CAST(COUNT(CASE WHEN cls = 'run' THEN 1 END) AS BIGINT)
+         AS n_run,
+       CAST(SUM(bytes) AS BIGINT) AS roaring_bytes,
+       CAST(SUM(n) * 4 AS BIGINT) AS naive_bytes,
+       ROUND((CAST(SUM(n) * 4 AS DOUBLE)
+              / CAST(SUM(bytes) AS DOUBLE)) * 1000000.0)
+         / 1000000.0 AS compression_ratio
+FROM x376_sized
+GROUP BY g
+ORDER BY "group"
+"""
+
+
+EXT17_QUERIES.update({"x376_roaring": q_x376_roaring})
+EXT17_ORACLES.update({"x376_roaring": _sql_x376()})

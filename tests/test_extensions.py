@@ -10530,3 +10530,94 @@ def test_shapley_r2_sums_to_full_and_attributes_orthogonal(spark):
     assert r["shap1"] > 2.5 * r["shap2"]
     assert r["shap2"] > 5.0 * max(r["shap3"], 1e-9)
     assert r["r2_full"] > 0.9
+
+
+def test_cdc_chunks_survive_insertion_and_flag_boilerplate(spark):
+    from fame2pygen_spark.operators.text import cdc_chunk_dedup
+
+    boiler = "shared header words repeated in every single document here"
+    rows = [
+        (1, boiler + " alpha beta gamma delta unique one"),
+        (2, boiler + " epsilon zeta eta theta unique two"),
+        # doc 3: same as doc 1 body with an INSERTION mid-body —
+        # content-defined boundaries keep the tail chunks identical
+        (3, boiler + " alpha beta inserted gamma delta unique one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in cdc_chunk_dedup(
+            df, id_col="doc_id", text_col="text", boundary_mod=4
+        ).collect()
+    }
+    # every doc shares the boilerplate chunks -> nonzero dup fraction
+    for r in out.values():
+        assert r["dup_chunks"] >= 1
+        assert r["dup_word_frac"] > 0.3
+    # chunk counting is exact
+    assert out[1]["n_words"] == 15
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boundary_mod"):
+        cdc_chunk_dedup(
+            df, id_col="doc_id", text_col="text", boundary_mod=1
+        )
+
+
+def test_delta_compression_audit_known_series(spark):
+    from fame2pygen_spark.operators.layout import (
+        delta_compression_audit,
+    )
+
+    rows = []
+    for t in range(50):
+        # perfectly linear: all DoD = 0 -> 1 bit each after warmup
+        rows.append(("linear", t, float(10 + 3 * t)))
+        # constant: all deltas 0
+        rows.append(("const", t, 7.0))
+        # white noise in a wide range: deltas cost real bits
+        rows.append(("noisy", t, float((t * 2654435761) % 100000)))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in delta_compression_audit(
+            df, entity_col="e", t_col="t", value_col="v", scale=1
+        ).collect()
+    }
+    lin = out["linear"]
+    # first point raw (64) + second delta (const 3 -> bits) + 48 x 1
+    assert lin["best_encoding"] == "delta_of_delta"
+    assert lin["dod_bits"] == 64 + 64 + 48 * 1
+    con = out["const"]
+    assert con["delta_bits"] == 64 + 49 * 1
+    assert con["savings_pct"] > 0.9
+    assert out["noisy"]["delta_bits"] > out["linear"]["dod_bits"]
+
+
+def test_roaring_census_classifies_containers(spark):
+    from fame2pygen_spark.operators.layout import (
+        roaring_container_census,
+    )
+
+    rows = []
+    # group 'runs': one dense consecutive run of 6000 ids -> run wins
+    rows += [("runs", i) for i in range(6000)]
+    # group 'sparse': 100 scattered ids -> array wins
+    rows += [("sparse", i * 613) for i in range(100)]
+    # group 'dense_random': 5000 spread ids in one container, > 4096
+    # and many runs -> bitmap wins
+    rows += [("dense_random", (i * 13) % 65536) for i in range(5040)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out = {
+        r["group"]: r
+        for r in roaring_container_census(
+            df, group_col="g", id_col="i"
+        ).collect()
+    }
+    assert out["runs"]["n_run"] == out["runs"]["n_containers"]
+    assert out["runs"]["roaring_bytes"] == 6  # one run in one container
+    assert out["sparse"]["n_array"] == out["sparse"]["n_containers"]
+    assert out["dense_random"]["n_bitmap"] == 1
+    assert out["dense_random"]["roaring_bytes"] == 8192
+    assert out["runs"]["compression_ratio"] > 1000.0

@@ -1634,3 +1634,22 @@ def test_shapley_r2_is_single_sufficient_statistic_pass(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # dimension join only
+
+
+def test_cdc_chunks_windows_are_doc_keyed(spark):
+    assert unpartitioned_windows(spark, "x374_cdc_chunks") == []
+    assert "CartesianProduct" not in plan_of(spark, "x374_cdc_chunks")
+
+
+def test_delta_audit_is_one_lag_window_one_agg(spark):
+    assert unpartitioned_windows(spark, "x375_delta_bits") == []
+    plan = plan_of(spark, "x375_delta_bits")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_roaring_census_windows_key_on_container(spark):
+    assert unpartitioned_windows(spark, "x376_roaring") == []
+    plan = plan_of(spark, "x376_roaring")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
