@@ -1126,3 +1126,94 @@ def ktruss_edges(
         .alias("keep"),
     )
     return out.orderBy("u", "v")
+
+
+def wl_refinement(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Weisfeiler–Leman color refinement (1-WL, Weisfeiler & Leman
+    1968): start every node at its degree, then repeatedly recolor
+    each node by hashing its own color with the SORTED multiset of
+    neighbor colors — the graph-isomorphism fingerprint behind WL
+    graph kernels and GNN expressiveness.  The color-count sequence
+    (how many distinct colors after 0, 1, 2… rounds) is a structural
+    signature: two graphs differing anywhere in it are certainly
+    non-isomorphic, and a round that stops adding colors has
+    STABILIZED — more rounds (or a more expressive model) buy
+    nothing.  md5 hashing of the canonical sorted string makes every
+    color engine-portable.
+
+    Each iteration is one edge join + one sorted collect per node —
+    all keyed by node id; *iterations* is a literal (each round is a
+    Spark job, the pagerank_step idiom).
+
+    Output: ``(iteration, n_colors, max_color_class)`` for
+    iteration = 0..*iterations*, ordered by iteration.
+    """
+    if not (1 <= int(iterations) <= 8):
+        raise ValueError("wl_refinement: iterations must be in 1..8")
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .where(F.col("__w") >= F.lit(int(min_weight)))
+        .select("u", "v")
+    ).localCheckpoint(eager=True)
+    und = canon.unionAll(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    colors = (
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select("node", F.col("deg").cast("string").alias("color"))
+    ).localCheckpoint(eager=True)
+
+    def census(cframe, it):
+        return cframe.groupBy("color").agg(
+            F.count(F.lit(1)).alias("cc")
+        ).agg(
+            F.lit(it).cast("long").alias("iteration"),
+            F.count(F.lit(1)).cast("long").alias("n_colors"),
+            F.max("cc").cast("long").alias("max_color_class"),
+        )
+
+    out = census(colors, 0)
+    cur = colors
+    for it in range(1, int(iterations) + 1):
+        nbr = und.join(
+            cur.withColumnRenamed("node", "v"), "v"
+        ).select(
+            F.col("u").alias("node"),
+            F.col("color").alias("ncolor"),
+        )
+        recolored = (
+            cur.join(nbr, "node")
+            .groupBy("node", "color")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("ncolor")), ","
+                ).alias("nbrs")
+            )
+            .select(
+                "node",
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.col("color"), F.col("nbrs"))
+                    ),
+                    1,
+                    12,
+                ).alias("color"),
+            )
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(census(recolored, it))
+        cur = recolored
+    return out.orderBy("iteration")

@@ -45,7 +45,8 @@ __all__ = [
     "chow_break_test", "hurst_rs", "permutation_entropy",
     "sample_entropy", "granger_1lag", "engle_granger_step",
     "breusch_pagan", "kalman_level", "smooth_disagg",
-    "smooth_disagg_weights", "theta_forecast",
+    "smooth_disagg_weights", "theta_forecast", "haar_energy",
+    "savgol_weights", "savgol_smooth", "goertzel_power",
 ]
 
 
@@ -4973,3 +4974,206 @@ def haar_energy(
             F.col("energy") / F.when(F.col("tot") > 0, F.col("tot"))
         ).alias("energy_share"),
     ).orderBy("entity", "level")
+
+
+def savgol_weights(window: int = 11, degree: int = 3) -> tuple:
+    """Savitzky–Golay convolution weights (Savitzky & Golay 1964):
+    fit a *degree* polynomial to each 2m+1 window by least squares
+    and read off (a) the smoothed center value and (b) the center
+    derivative — both are LINEAR in the window, so they are fixed
+    kernels: rows 0 and 1 of ``(A'A)^{-1}A'`` for the Vandermonde A
+    over offsets −m..m.  Derived once with a deterministic dense
+    solve and literal-injected into both engines (the
+    henderson/smooth_disagg idiom).  Returns (smooth_weights,
+    deriv_weights)."""
+    import numpy as np
+
+    if window < 5 or window % 2 == 0:
+        raise ValueError("savgol_weights: window must be odd >= 5")
+    if not (1 <= degree < window - 1):
+        raise ValueError("savgol_weights: need 1 <= degree < window-1")
+    m = window // 2
+    A = np.vander(
+        np.arange(-m, m + 1, dtype=float), degree + 1,
+        increasing=True,
+    )
+    H = np.linalg.solve(A.T @ A, A.T)
+    return (
+        [float(x) for x in H[0]],
+        [float(x) for x in H[1]],
+    )
+
+
+def savgol_smooth(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    window: int = 11,
+    degree: int = 3,
+) -> DataFrame:
+    """Savitzky–Golay smoothing + derivative per entity: the
+    polynomial-preserving filter (exact through degree-3 features —
+    a Henderson/moving average flattens peaks SG keeps) AND the
+    local slope estimate from the same window, both as literal-weight
+    folds over ONE entity-keyed window with complete-window-only
+    semantics (the henderson_trend contract).  The derivative column
+    is the calculus-free trend-velocity readout feeding change-rate
+    alerts.
+
+    Output: ``(entity, t, value, smooth, deriv)`` at 6 dp.
+    """
+    ws, wd = savgol_weights(window, degree)
+    m = window // 2
+    w = Window.partitionBy(entity_col).orderBy(t_col)
+    v = F.col(value_col).cast("double")
+
+    def fold(weights):
+        # weight index idx belongs to offset j = idx - m, and offset
+        # j means the value at t + j: lead for the future, lag for
+        # the past.  (The symmetric henderson/BK kernels are
+        # orientation-blind; the ANTIsymmetric derivative kernel is
+        # not — a reversed fold silently negates the slope.)
+        acc = None
+        for idx, j in enumerate(range(-m, m + 1)):
+            term = (
+                F.lag(v, -j).over(w)
+                if j < 0
+                else (F.lead(v, j).over(w) if j > 0 else v)
+            )
+            piece = F.lit(weights[idx]) * term
+            acc = piece if acc is None else acc + piece
+        return acc
+
+    complete = (F.lag(F.col(t_col), m).over(w) == F.col(t_col) - m) & (
+        F.lead(F.col(t_col), m).over(w) == F.col(t_col) + m
+    )
+    return (
+        df.select(
+            F.col(entity_col),
+            F.col(t_col),
+            F.round(v, 6).alias("value"),
+            F.when(complete, F.round(fold(ws), 6)).alias("smooth"),
+            F.when(complete, F.round(fold(wd), 6)).alias("deriv"),
+        )
+        .where(F.col("smooth").isNotNull())
+    )
+
+
+def _goertzel_series(ys: list, coeff: float) -> tuple:
+    """Goertzel recursion for one mean-removed series at a literal
+    ``coeff = 2 cos(omega)`` — pinned order (the x355 idiom):
+    ``s = y + coeff*s1 - s2``; power =
+    ``s1² + s2² − coeff·s1·s2`` after the final step."""
+    s1 = 0.0
+    s2 = 0.0
+    for y in ys:
+        s = y + coeff * s1 - s2
+        s2 = s1
+        s1 = s
+    power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+    return power, s1, s2
+
+
+def goertzel_power(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    coeff: float,
+    max_len: int = 4096,
+) -> DataFrame:
+    """Single-bin spectral power per entity via the Goertzel
+    algorithm (Goertzel 1958): the O(n) recursion that evaluates ONE
+    DFT bin — the right tool when the question is "how much weekly
+    periodicity", not "the whole spectrum" (x211's periodicity scan
+    and x333's full integer DFT answer different questions at
+    different costs).  ``coeff = 2·cos(2π/period)`` is computed once
+    in Python and literal-injected; the series is mean-removed with
+    a decimal-exact mean and 6-dp-pinned deviations before the
+    recursion so both engines fold identical doubles (the x336
+    discipline), and the oracle replays the recursion as a recursive
+    CTE.
+
+    Output: ``(entity, n, power, power_per_point)`` at 6 dp, ordered
+    by entity; series cap loud-fails (sequential state per series).
+    """
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("e")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("o", "v"))).alias(
+                "ovs"
+            ),
+            (
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean"),
+        )
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"), F.max(F.size("ovs")).alias("ml")
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("goertzel_power: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"goertzel_power: longest series ({stats['ml']}) exceeds "
+            f"max_len={max_len} — window the series first"
+        )
+    cf = float(coeff)
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"entity": [], "n": [], "power": []}
+            for ent, ovs, mean in zip(
+                pdf["e"], pdf["ovs"], pdf["mean"]
+            ):
+                ys = [
+                    round((float(s["v"]) - float(mean)) * 1e6) / 1e6
+                    for s in ovs
+                ]
+                power, _, _ = _goertzel_series(ys, cf)
+                out["entity"].append(ent)
+                out["n"].append(len(ys))
+                out["power"].append(power)
+            yield pd.DataFrame(
+                {
+                    "entity": pd.Series(out["entity"], dtype="object"),
+                    "n": pd.Series(out["n"], dtype="int64"),
+                    "power": pd.Series(out["power"], dtype="float64"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("n", LongType()),
+            StructField("power", DoubleType()),
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_ent.mapInPandas(compute, schema=schema)
+        .select(
+            "entity", "n",
+            r6(F.col("power")).alias("power"),
+            r6(
+                F.col("power") / F.col("n").cast("double")
+            ).alias("power_per_point"),
+        )
+        .orderBy("entity")
+    )

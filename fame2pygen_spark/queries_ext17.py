@@ -3631,3 +3631,230 @@ ORDER BY "group"
 
 EXT17_QUERIES.update({"x376_roaring": q_x376_roaring})
 EXT17_ORACLES.update({"x376_roaring": _sql_x376()})
+
+
+# ------------------- x377: Savitzky–Golay smoothing + derivative
+
+
+def q_x377_savgol(spark, sf_dir):
+    """Savitzky–Golay smooth + derivative (operators/temporal.py:
+    savgol_smooth, 11-point cubic) over monthly order revenue per
+    segment — the peak-preserving smoother with its slope readout,
+    literal kernel weights derived from the least-squares closed
+    form."""
+    from .operators.temporal import savgol_smooth
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    panel = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    out = savgol_smooth(
+        panel, entity_col="segment", t_col="midx", value_col="v",
+        window=11, degree=3,
+    )
+    return out.select(
+        "segment", F.col("midx").cast("long").alias("midx"),
+        "value", "smooth", "deriv",
+    )
+
+
+def _sql_x377() -> str:
+    from .operators.temporal import savgol_weights
+
+    ws, wd = savgol_weights(11, 3)
+
+    def fold(weights):
+        # offset j -> value at t + j (see savgol_smooth: the
+        # derivative kernel is antisymmetric, orientation matters)
+        terms = []
+        for idx, j in enumerate(range(-5, 6)):
+            if j < 0:
+                t = f"LAG(v, {-j}) OVER w"
+            elif j > 0:
+                t = f"LEAD(v, {j}) OVER w"
+            else:
+                t = "v"
+            terms.append(f"{weights[idx]!r} * {t}")
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return acc
+
+    return f"""
+WITH x377_panel AS (
+  SELECT c_mktsegment AS segment,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), x377_f AS (
+  SELECT segment, midx, ROUND(v, 6) AS value,
+         CASE WHEN LAG(midx, 5) OVER w = midx - 5
+               AND LEAD(midx, 5) OVER w = midx + 5
+              THEN ROUND({fold(ws)}, 6) END AS smooth,
+         CASE WHEN LAG(midx, 5) OVER w = midx - 5
+               AND LEAD(midx, 5) OVER w = midx + 5
+              THEN ROUND({fold(wd)}, 6) END AS deriv
+  FROM x377_panel WINDOW w AS (PARTITION BY segment ORDER BY midx)
+)
+SELECT segment, CAST(midx AS BIGINT) AS midx, value, smooth, deriv
+FROM x377_f
+WHERE smooth IS NOT NULL
+ORDER BY segment, midx
+"""
+
+
+EXT17_QUERIES.update({"x377_savgol": q_x377_savgol})
+EXT17_ORACLES.update({"x377_savgol": _sql_x377()})
+
+
+# --------------------- x378: Goertzel weekly-bin spectral power
+
+_X378_COEFF = 1.2469796037174672  # 2*cos(2*pi/7), literal-pinned
+
+
+def q_x378_goertzel(spark, sf_dir):
+    """Goertzel single-bin power at the weekly frequency
+    (operators/temporal.py:goertzel_power): O(n) recursion per event
+    type over mean-removed daily values — "how much weekly rhythm"
+    without a full DFT.  Recursive-CTE oracle (the x355 idiom)."""
+    from .operators.temporal import goertzel_power
+
+    return goertzel_power(
+        _daily_panel(spark, sf_dir),
+        entity_col="event_type", t_col="day", value_col="v",
+        coeff=_X378_COEFF,
+    )
+
+
+def _sql_x378() -> str:
+    c = f"CAST({_X378_COEFF!r} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE x378_daily AS ({_X351_DAILY}),
+x378_arr AS (
+  SELECT e, list(v ORDER BY t) AS raw,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS mean,
+         CAST(count(*) AS INTEGER) AS n
+  FROM x378_daily GROUP BY e
+), x378_pinned AS (
+  SELECT e, n,
+         list_transform(raw,
+           x -> ROUND((x - mean) * 1000000.0) / 1000000.0) AS ys
+  FROM x378_arr
+), x378_rec AS (
+  SELECT e, ys, n, CAST(0 AS INTEGER) AS i,
+         CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2
+  FROM x378_pinned
+  UNION ALL
+  SELECT e, ys, n, CAST(i + 1 AS INTEGER) AS i,
+         ys[CAST(i + 1 AS INTEGER)] + {c} * s1 - s2 AS s1,
+         s1 AS s2
+  FROM x378_rec WHERE i < n
+)
+SELECT e AS entity, CAST(n AS BIGINT) AS n,
+       ROUND((s1 * s1 + s2 * s2 - {c} * s1 * s2) * 1000000.0)
+         / 1000000.0 AS power,
+       ROUND(((s1 * s1 + s2 * s2 - {c} * s1 * s2)
+              / CAST(n AS DOUBLE)) * 1000000.0) / 1000000.0
+         AS power_per_point
+FROM x378_rec WHERE i = n
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x378_goertzel": q_x378_goertzel})
+EXT17_ORACLES.update({"x378_goertzel": _sql_x378()})
+
+
+# ------------------- x379: Weisfeiler–Leman color refinement
+
+
+def q_x379_wl(spark, sf_dir):
+    """1-WL color refinement (operators/graph.py:wl_refinement, 2
+    rounds) of the supplier co-occurrence graph — the structural
+    fingerprint sequence (distinct colors per round) behind WL graph
+    kernels; a stabilized round means further rounds buy nothing."""
+    from .operators.graph import wl_refinement
+
+    ls = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"),
+        F.col("b.l_suppkey").alias("dst"),
+    )
+    return wl_refinement(pairs, iterations=2, min_weight=2)
+
+
+def _sql_x379() -> str:
+    recolor = """
+x379_c{o} AS (
+  SELECT cur.node,
+         substr(md5(cur.color || '|' ||
+                    string_agg(nc.color, ',' ORDER BY nc.color)),
+                1, 12) AS color
+  FROM x379_c{i} cur
+  JOIN x379_und u ON u.u = cur.node
+  JOIN x379_c{i} nc ON nc.node = u.v
+  GROUP BY cur.node, cur.color
+)"""
+    census = (
+        "SELECT CAST({it} AS BIGINT) AS iteration,"
+        " CAST(COUNT(*) AS BIGINT) AS n_colors,"
+        " CAST(MAX(cc) AS BIGINT) AS max_color_class"
+        " FROM (SELECT color, COUNT(*) AS cc FROM x379_c{src}"
+        " GROUP BY color)"
+    )
+    return f"""
+WITH ls AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+), pairs AS (
+  SELECT a.s AS u, b.s AS v FROM ls a JOIN ls b
+  ON a.o = b.o AND a.s < b.s
+), x379_canon AS (
+  SELECT u, v FROM (
+    SELECT u, v, count(*) AS w FROM pairs GROUP BY u, v
+  ) WHERE w >= 2
+), x379_und AS (
+  SELECT u, v FROM x379_canon
+  UNION ALL SELECT v AS u, u AS v FROM x379_canon
+), x379_c0 AS (
+  SELECT u AS node, CAST(COUNT(*) AS VARCHAR) AS color
+  FROM x379_und GROUP BY u
+),{recolor.format(o=1, i=0)},{recolor.format(o=2, i=1)}
+{census.format(it=0, src=0)}
+UNION ALL
+{census.format(it=1, src=1)}
+UNION ALL
+{census.format(it=2, src=2)}
+ORDER BY iteration
+"""
+
+
+EXT17_QUERIES.update({"x379_wl": q_x379_wl})
+EXT17_ORACLES.update({"x379_wl": _sql_x379()})

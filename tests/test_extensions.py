@@ -10621,3 +10621,161 @@ def test_roaring_census_classifies_containers(spark):
     assert out["dense_random"]["n_bitmap"] == 1
     assert out["dense_random"]["roaring_bytes"] == 8192
     assert out["runs"]["compression_ratio"] > 1000.0
+
+
+def test_streaming_space_saving_brackets_true_counts(spark, tmp_path):
+    """SpaceSaving across two micro-batches: estimates bracket the
+    exact batch counts within the tracked error, and every user above
+    the n/k frequency guarantee is tracked."""
+    import datetime as dt
+
+    from fame2pygen_spark.streaming.stateful import (
+        streaming_space_saving,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    schema = ("event_id long, ts timestamp, ts_us long, "
+              "event_type string, user_id long")
+    # skewed stream: user 1 dominates, users 2/3 heavy, tail of 40
+    seq = ([1] * 60 + [2] * 25 + [3] * 15
+           + [100 + i for i in range(40)])
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i),
+         int((t0 + dt.timedelta(seconds=i)).timestamp() * 1_000_000),
+         "click", u)
+        for i, u in enumerate(seq)
+    ]
+    b1 = spark.createDataFrame(rows[:70], schema)
+    b2 = spark.createDataFrame(rows[70:], schema)
+    path = str(tmp_path / "events_ss")
+    b1.coalesce(1).sortWithinPartitions("ts_us").write.parquet(path)
+    b2.coalesce(1).sortWithinPartitions("ts_us").write.mode(
+        "append"
+    ).parquet(path)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    q = (
+        streaming_space_saving(stream, k=8)
+        .writeStream.format("memory")
+        .queryName("ss_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from ss_stream").collect()
+    n_final = max(r["n_seen"] for r in emitted)
+    assert n_final == len(seq)
+    final = {
+        r["item"]: r for r in emitted if r["n_seen"] == n_final
+    }
+    true = {u: seq.count(u) for u in set(seq)}
+    # guarantee: every user with true count > n/k is tracked
+    thresh = len(seq) / 8
+    for u, c in true.items():
+        if c > thresh:
+            assert u in final, (u, c)
+    # bracketing: true <= est <= true + err for tracked items
+    for item, r in final.items():
+        t = true.get(item, 0)
+        assert t <= r["est_count"] <= t + r["max_err"] + 0
+
+    # heavy hitters ranked correctly at the top
+    top = max(final.values(), key=lambda r: r["est_count"])
+    assert top["item"] == 1
+
+
+def test_savgol_preserves_cubic_and_reads_slope(spark):
+    from fame2pygen_spark.operators.temporal import savgol_smooth
+
+    rows = []
+    for t in range(40):
+        x = float(t)
+        # an exact cubic: SG(degree 3) must reproduce it EXACTLY
+        rows.append(("cubic", t, 0.01 * x**3 - 0.3 * x**2 + 2 * x))
+        rows.append(("line", t, 5.0 + 2.5 * x))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = savgol_smooth(
+        df, entity_col="e", t_col="t", value_col="v",
+        window=11, degree=3,
+    ).collect()
+    cub = [r for r in out if r["e"] == "cubic"]
+    lin = [r for r in out if r["e"] == "line"]
+    assert len(cub) == 30  # complete-window rows only
+    for r in cub:
+        assert abs(r["smooth"] - r["value"]) < 1e-6
+    # the derivative channel reads the line's slope exactly
+    for r in lin:
+        assert abs(r["deriv"] - 2.5) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        savgol_smooth(
+            df, entity_col="e", t_col="t", value_col="v", window=4
+        )
+
+
+def test_goertzel_separates_tone_from_noise(spark):
+    import math
+
+    from fame2pygen_spark.operators.temporal import goertzel_power
+
+    coeff = 2 * math.cos(2 * math.pi / 7)
+    rows = []
+    for t in range(70):
+        rows.append(
+            ("tone", t, round(10.0 + math.cos(2 * math.pi * t / 7), 3))
+        )
+        rows.append(
+            ("noise", t, round(((t * 2654435761) % 97) / 97.0, 3))
+        )
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in goertzel_power(
+            df, entity_col="e", t_col="t", value_col="v", coeff=coeff
+        ).collect()
+    }
+    # a unit-amplitude tone at the probed bin: power ~ (n/2)^2
+    assert out["tone"]["power"] > 1000.0
+    assert out["noise"]["power"] < 50.0
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "e string, t long, v double")
+    with _pytest.raises(ValueError, match="empty"):
+        goertzel_power(
+            empty, entity_col="e", t_col="t", value_col="v",
+            coeff=coeff,
+        )
+
+
+def test_wl_refinement_separates_structures(spark):
+    from fame2pygen_spark.operators.graph import wl_refinement
+
+    # a 6-cycle (all nodes look identical forever: 1 color at every
+    # round) unioned with a star (center vs leaves: 2 colors)
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    star = [(100, 100 + i) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        cycle + star, "src long, dst long"
+    )
+    out = {
+        r["iteration"]: r
+        for r in wl_refinement(df, iterations=2).collect()
+    }
+    # degree census: cycle nodes (2), star center (5), leaves (1)
+    assert out[0]["n_colors"] == 3
+    # refinement cannot merge classes; the structures stay separated
+    assert out[1]["n_colors"] >= 3
+    assert out[2]["n_colors"] == out[1]["n_colors"]  # stabilized
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        wl_refinement(df, iterations=0)

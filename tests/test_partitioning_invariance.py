@@ -164,6 +164,8 @@ SENSITIVE = [
     "x371_newsvendor",
     "x372_haar",
     "x373_shapley_r2",
+    "x377_savgol",
+    "x378_goertzel",
 ]
 
 

@@ -1653,3 +1653,22 @@ def test_roaring_census_windows_key_on_container(spark):
     plan = plan_of(spark, "x376_roaring")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_savgol_is_one_entity_keyed_window(spark):
+    assert unpartitioned_windows(spark, "x377_savgol") == []
+    plan = plan_of(spark, "x377_savgol")
+    assert "CartesianProduct" not in plan
+
+
+def test_goertzel_is_arrow_batched_entity_recursion(spark):
+    plan = plan_of(spark, "x378_goertzel")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wl_refinement_joins_stay_node_keyed(spark):
+    plan = plan_of(spark, "x379_wl")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
