@@ -525,3 +525,85 @@ def jaro_winkler_scores(
     return out.withColumn(
         out_col, F.round(F.col(out_col) * F.lit(1e6)) / F.lit(1e6)
     )
+
+
+#: simplified-Soundex consonant classes for a-z (Russell core:
+#: vowels+hwy→0, bfpv→1, cgjkqsxz→2, dt→3, l→4, mn→5, r→6) — the
+#: SAME literal translate table in both engines
+_SOUNDEX_MAP = "01230120022455012623010202"
+_SOUNDEX_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def soundex_code(col: Column) -> Column:
+    """Simplified Soundex of the FIRST word (Russell 1918 core, no
+    H/W-separator refinement): initial letter + the first three
+    consonant-class digits after collapsing adjacent duplicates and
+    dropping vowels, zero-padded.  Pure portable column algebra —
+    ``translate`` + six literal repeat-collapse regexes (RE2 has no
+    backreferences, so ``(\\d)\\1+`` is NOT portable; six explicit
+    patterns are).  The phonetic blocking key that pairs with x328's
+    Jaro–Winkler: block on sound, verify on edit similarity.
+    """
+    w = F.lower(F.regexp_extract(col, r"[A-Za-z]+", 0))
+    digits = F.translate(w, _SOUNDEX_ALPHABET, _SOUNDEX_MAP)
+    collapsed = digits
+    for d in "0123456":
+        collapsed = F.regexp_replace(collapsed, f"{d}{d}+", d)
+    tail = F.regexp_replace(
+        F.substring(collapsed, 2, 1000), "0", ""
+    )
+    return F.when(
+        F.length(w) > 0,
+        F.concat(
+            F.upper(F.substring(w, 1, 1)),
+            F.rpad(F.substring(tail, 1, 3), 3, "0"),
+        ),
+    )
+
+
+def phonetic_block_stats(
+    df: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """Phonetic blocking audit: Soundex-code each name's first word
+    and profile the resulting blocks — size, distinct surface forms,
+    and the block's pair budget (C(n,2), what a within-block
+    verifier would score).  The record-linkage planning companion to
+    x326's blocking-quality audit: THAT one scores a chosen key,
+    this one proposes the phonetic key and shows what it costs.
+    Top-*top_k* blocks by (size desc, code) keeps output bounded and
+    deterministic.
+
+    Output: ``(soundex, n_items, n_distinct_names, pair_budget)``
+    ordered by (n_items desc, soundex), ≤ top_k rows.
+    """
+    if top_k < 1:
+        raise ValueError("phonetic_block_stats: top_k must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("i"),
+        F.lower(
+            F.regexp_extract(F.col(name_col), r"[A-Za-z]+", 0)
+        ).alias("w"),
+        soundex_code(F.col(name_col)).alias("sx"),
+    ).where(F.col("sx").isNotNull())
+    agg = base.groupBy("sx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.countDistinct("w").cast("long").alias("n_distinct_names"),
+    )
+    return (
+        agg.select(
+            F.col("sx").alias("soundex"),
+            "n_items",
+            "n_distinct_names",
+            (
+                F.col("n_items") * (F.col("n_items") - 1) / F.lit(2)
+            )
+            .cast("long")
+            .alias("pair_budget"),
+        )
+        .orderBy(F.desc("n_items"), "soundex")
+        .limit(int(top_k))
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "breusch_pagan", "kalman_level", "smooth_disagg",
     "smooth_disagg_weights", "theta_forecast", "haar_energy",
     "savgol_weights", "savgol_smooth", "goertzel_power",
+    "sa_quality_m",
 ]
 
 
@@ -5177,3 +5178,138 @@ def goertzel_power(
         )
         .orderBy("entity")
     )
+
+
+def sa_quality_m(
+    decomposed: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    period: int = 12,
+) -> DataFrame:
+    """X-11 seasonal-adjustment quality diagnostics (the M-statistics
+    of Lothian & Morry 1978) over a :func:`seasonal_decompose`
+    OUTPUT frame: per group,
+
+    * ``ic_ratio`` — mean |Δ irregular| / mean |Δ trend| (the M1/MCD
+      ingredient: how jittery is the series relative to its trend);
+    * ``f_stable`` / ``f_moving`` — the two-way ANOVA F tests of the
+      SI (detrended) values for stable seasonality across phases and
+      moving seasonality across years (one observation per
+      phase×year cell, SS_resid = SS_tot − SS_phase − SS_year);
+    * ``m7 = sqrt(0.5·(3/F_s + 7·F_m/F_s))`` — the combined test: a
+      value below 1 means identifiable seasonality, the go/no-go for
+      publishing a seasonally adjusted series.
+
+    The FAME-domain quality gate downstream of x292/x67: those
+    PRODUCE the decomposition; this says whether it deserves to be
+    used.  Complete phase×year cells only; SI values pin at 6 dp so
+    all ANOVA folds are decimal-exact.
+
+    Output: ``(*group_cols, n, ic_ratio, f_stable, f_moving, m7,
+    seasonal_ok)`` at 6 dp; NULL diagnostics on degenerate designs.
+    """
+    g = list(group_cols)
+    if not g:
+        raise ValueError("sa_quality_m: group_cols must be non-empty")
+    w = Window.partitionBy(*g).orderBy(ts_col)
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    base = decomposed.where(
+        F.col("trend").isNotNull() & F.col("resid").isNotNull()
+    ).select(
+        *g,
+        F.col(ts_col).alias("ts"),
+        r6(F.col("y") - F.col("trend")).alias("si"),
+        F.col("trend"),
+        F.col("resid"),
+        (F.col(ts_col) % period).alias("ph"),
+        F.floor(F.col(ts_col) / period).alias("yr"),
+    )
+    moves = base.select(
+        *g,
+        F.abs(
+            r6(F.col("resid") - F.lag("resid").over(w))
+        ).alias("di"),
+        F.abs(
+            r6(F.col("trend") - F.lag("trend").over(w))
+        ).alias("dt"),
+    ).where(F.col("di").isNotNull())
+    ic = moves.groupBy(*g).agg(
+        (dec(F.col("di")) / F.when(
+            dec(F.col("dt")) > 0, dec(F.col("dt"))
+        )).alias("ic_ratio")
+    )
+    # two-way ANOVA of SI on (phase, year) over COMPLETE years only
+    # (the balanced grid the additive SS decomposition requires —
+    # edge years missing phases can push SS_resid negative)
+    cell0 = base.groupBy(*g, "ph", "yr").agg(
+        F.first("si").alias("si")
+    )
+    full_years = (
+        cell0.groupBy(*g, "yr")
+        .agg(F.count(F.lit(1)).alias("nph"))
+        .where(F.col("nph") == period)
+        .select(*g, "yr")
+    )
+    cell = cell0.join(full_years, g + ["yr"])
+    tot = cell.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.countDistinct("ph").cast("double").alias("p"),
+        F.countDistinct("yr").cast("double").alias("q"),
+        dec(F.col("si")).alias("s"),
+        dec(F.col("si") * F.col("si")).alias("ss"),
+    )
+    ph_m = cell.groupBy(*g, "ph").agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        dec(F.col("si")).alias("sp"),
+    )
+    ph_ss = ph_m.groupBy(*g).agg(
+        dec(F.col("sp") * F.col("sp") / F.col("np")).alias("ssp")
+    )
+    yr_m = cell.groupBy(*g, "yr").agg(
+        F.count(F.lit(1)).cast("double").alias("nq"),
+        dec(F.col("si")).alias("sq"),
+    )
+    yr_ss = yr_m.groupBy(*g).agg(
+        dec(F.col("sq") * F.col("sq") / F.col("nq")).alias("ssq")
+    )
+    j = (
+        tot.join(ph_ss, g)
+        .join(yr_ss, g)
+        .join(ic, g, "left")
+    )
+    n, p, q = F.col("n"), F.col("p"), F.col("q")
+    cf = F.col("s") * F.col("s") / n
+    ss_tot = F.col("ss") - cf
+    ss_ph = F.col("ssp") - cf
+    ss_yr = F.col("ssq") - cf
+    ss_res = ss_tot - ss_ph - ss_yr
+    df_ph = p - F.lit(1.0)
+    df_yr = q - F.lit(1.0)
+    df_res = (p - F.lit(1.0)) * (q - F.lit(1.0))
+    ok = (
+        (p >= 2) & (q >= 2)
+        & (ss_res > 0) & (df_ph > 0) & (df_yr > 0) & (df_res > 0)
+    )
+    msr = ss_res / F.when(df_res > 0, df_res)
+    f_s = (ss_ph / F.when(df_ph > 0, df_ph)) / F.when(msr > 0, msr)
+    f_m = (ss_yr / F.when(df_yr > 0, df_yr)) / F.when(msr > 0, msr)
+    m7 = F.sqrt(
+        F.lit(0.5)
+        * (
+            F.lit(3.0) / F.when(f_s > 0, f_s)
+            + F.lit(7.0) * f_m / F.when(f_s > 0, f_s)
+        )
+    )
+    return j.select(
+        *g,
+        n.cast("long").alias("n"),
+        r6(F.col("ic_ratio")).alias("ic_ratio"),
+        r6(F.when(ok, f_s)).alias("f_stable"),
+        r6(F.when(ok, f_m)).alias("f_moving"),
+        r6(F.when(ok, m7)).alias("m7"),
+        F.when(ok, (m7 < F.lit(1.0)).cast("int")).alias(
+            "seasonal_ok"
+        ),
+    ).orderBy(*g)

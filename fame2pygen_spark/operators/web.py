@@ -16,7 +16,7 @@ oracle) match identically — the portability is part of the contract.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: scheme://host[:port][/path] — host captured by a later extract
 URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?"
@@ -143,4 +143,54 @@ def canonical_url_counts(
         .agg(F.count("*").cast("long").alias("n_refs"))
         .orderBy(F.col("n_refs").desc(), F.col("canonical_url").asc())
         .limit(int(top_n))
+    )
+
+
+def robots_rules_eval(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str,
+    path_col: str = "path",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """robots.txt-style longest-match evaluation (REP, RFC 9309 §2.2.2):
+    each URL path is checked against a prefix-rule table and the
+    LONGEST matching rule wins (allow beats disallow only by being
+    more specific; an empty-match URL is allowed by default).  The
+    crawler-side gate every web-scale corpus ingest runs before
+    fetching — rules are a tiny broadcast table, the match is a
+    broadcast join + ``startswith`` + a longest-prefix rank, never a
+    regex engine in the hot path.
+
+    *rules* columns: *path_col* (the prefix) and *allow_col*
+    (boolean-ish).  Ties on length break toward ALLOW (RFC 9309's
+    least-restrictive rule).
+
+    Output: ``(url, matched_rule, allowed)`` one row per input URL,
+    ordered by url.
+    """
+    u = urls.select(F.col(url_col).alias("url")).where(
+        F.col("url").isNotNull()
+    )
+    r = rules.select(
+        F.col(path_col).alias("rp"),
+        F.col(allow_col).cast("int").alias("ra"),
+    )
+    cand = u.join(
+        F.broadcast(r), F.col("url").startswith(F.col("rp")), "left"
+    )
+    wm = Window.partitionBy("url").orderBy(
+        F.desc(F.length(F.coalesce(F.col("rp"), F.lit("")))),
+        F.desc(F.coalesce(F.col("ra"), F.lit(1))),
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wm))
+        .where(F.col("rk") == 1)
+        .select(
+            "url",
+            F.col("rp").alias("matched_rule"),
+            F.coalesce(F.col("ra"), F.lit(1)).alias("allowed"),
+        )
+        .orderBy("url")
     )

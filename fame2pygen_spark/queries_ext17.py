@@ -3858,3 +3858,326 @@ ORDER BY iteration
 
 EXT17_QUERIES.update({"x379_wl": q_x379_wl})
 EXT17_ORACLES.update({"x379_wl": _sql_x379()})
+
+
+# ----------------------- x380: Soundex phonetic blocking audit
+
+
+def q_x380_soundex(spark, sf_dir):
+    """Phonetic blocking audit (operators/linkage.py:
+    phonetic_block_stats): Soundex-code part names' first words and
+    profile the top blocks — the record-linkage key proposal that
+    pairs with x328's Jaro–Winkler verifier.  Portable pure-column
+    Soundex (translate + literal collapse regexes; RE2 has no
+    backreferences, so no ``(\\d)\\1``)."""
+    from .operators.linkage import phonetic_block_stats
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return phonetic_block_stats(
+        part, id_col="p_partkey", name_col="p_name", top_k=50
+    )
+
+
+def _sql_x380() -> str:
+    from .operators.linkage import _SOUNDEX_ALPHABET, _SOUNDEX_MAP
+
+    collapse = "digits"
+    for d in "0123456":
+        collapse = f"regexp_replace({collapse}, '{d}{d}+', '{d}', 'g')"
+    return f"""
+WITH x380_base AS (
+  SELECT p_partkey AS i, w,
+         CASE WHEN length(w) > 0 THEN
+           upper(substr(w, 1, 1))
+           || rpad(substr(regexp_replace(substr({collapse}, 2, 1000),
+                                         '0', '', 'g'),
+                          1, 3), 3, '0')
+         END AS sx
+  FROM (
+    SELECT p_partkey,
+           lower(regexp_extract(p_name, '[A-Za-z]+', 0)) AS w,
+           translate(lower(regexp_extract(p_name, '[A-Za-z]+', 0)),
+                     '{_SOUNDEX_ALPHABET}', '{_SOUNDEX_MAP}') AS digits
+    FROM part
+  )
+), x380_agg AS (
+  SELECT sx AS soundex,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_names
+  FROM x380_base WHERE sx IS NOT NULL
+  GROUP BY sx
+)
+SELECT soundex, n_items, n_distinct_names,
+       CAST(n_items * (n_items - 1) / 2 AS BIGINT) AS pair_budget
+FROM x380_agg
+ORDER BY n_items DESC, soundex
+LIMIT 50
+"""
+
+
+EXT17_QUERIES.update({"x380_soundex": q_x380_soundex})
+EXT17_ORACLES.update({"x380_soundex": _sql_x380()})
+
+
+# ---------------------- x381: robots.txt longest-match gate
+
+_X381_RULES = [
+    ("/src0/", 0),
+    ("/src0/en/", 1),
+    ("/admin", 0),
+    ("/", 1),
+]
+
+
+def q_x381_robots(spark, sf_dir):
+    """robots.txt longest-match evaluation (operators/web.py:
+    robots_rules_eval, RFC 9309 semantics): URLs synthesized
+    deterministically from document metadata run against a literal
+    ruleset — /src0/ disallowed EXCEPT /src0/en/, /admin always
+    blocked, everything else allowed; the most specific rule wins."""
+    from .operators.web import robots_rules_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(
+            F.lit("/"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/doc"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/admin"))
+            .otherwise(F.lit("")),
+        ).alias("url")
+    )
+    rules = docs.sparkSession.createDataFrame(
+        _X381_RULES, "path string, allow int"
+    )
+    return robots_rules_eval(
+        urls, rules, url_col="url", path_col="path",
+        allow_col="allow",
+    )
+
+
+def _sql_x381() -> str:
+    vals = ", ".join(f"('{p}', {a})" for p, a in _X381_RULES)
+    return f"""
+WITH x381_urls AS (
+  SELECT '/' || source || '/' || lang || '/doc'
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN '/admin' ELSE '' END AS url
+  FROM documents
+), x381_rules AS (
+  SELECT * FROM (VALUES {vals}) AS r(rp, ra)
+), x381_cand AS (
+  SELECT u.url, r.rp, r.ra
+  FROM x381_urls u LEFT JOIN x381_rules r
+    ON starts_with(u.url, r.rp)
+)
+SELECT url, rp AS matched_rule,
+       COALESCE(ra, 1) AS allowed
+FROM (
+  SELECT url, rp, ra,
+         ROW_NUMBER() OVER (
+           PARTITION BY url
+           ORDER BY length(COALESCE(rp, '')) DESC,
+                    COALESCE(ra, 1) DESC) AS rk
+  FROM x381_cand
+) WHERE rk = 1
+ORDER BY url
+"""
+
+
+EXT17_QUERIES.update({"x381_robots": q_x381_robots})
+EXT17_ORACLES.update({"x381_robots": _sql_x381()})
+
+
+# ----------------- x382: X-11 M-statistics seasonal-adjustment QA
+
+
+def q_x382_sa_quality(spark, sf_dir):
+    """X-11 M-statistics (operators/temporal.py:sa_quality_m) over
+    the classical decomposition of monthly segment revenue: I/C
+    movement ratio, stable/moving seasonality F tests from the
+    phase×year two-way ANOVA of the SI values, and the combined
+    M7 < 1 go/no-go for publishing the adjusted series — the
+    quality gate downstream of x186/x292."""
+    from .operators.temporal import sa_quality_m, seasonal_decompose
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    monthly = (
+        o.where(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("midx"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(38,12)")
+                ).cast("double"),
+                6,
+            ).alias("rev")
+        )
+    )
+    dec = seasonal_decompose(
+        monthly, "midx", "rev", ("segment",), period=12
+    )
+    return sa_quality_m(
+        dec, group_cols=["segment"], ts_col="ts", period=12
+    )
+
+
+def _sql_x382() -> str:
+    over = "OVER (PARTITION BY segment ORDER BY midx)"
+    terms = [f"lag(y, 6) {over} * 0.5"]
+    terms += [f"lag(y, {i}) {over}" for i in range(5, 0, -1)]
+    terms += ["y"]
+    terms += [f"lead(y, {i}) {over}" for i in range(1, 6)]
+    terms += [f"lead(y, 6) {over} * 0.5"]
+    ma = " + ".join(terms)
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x382_monthly AS (
+  SELECT c_mktsegment AS segment,
+         year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                    AS DOUBLE), 6) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), x382_staged AS (
+  SELECT segment, midx AS ts, y,
+         (ROW_NUMBER() {over} - 1) % 12 AS phase,
+         ROUND(({ma}) / 12.0, 6) AS trend
+  FROM x382_monthly
+), x382_detr AS (SELECT *, y - trend AS d FROM x382_staged),
+x382_ph AS (
+  SELECT segment, phase,
+         ROUND({sd('d')} / CAST(COUNT(*) AS DOUBLE), 6) AS sraw
+  FROM x382_detr WHERE d IS NOT NULL GROUP BY segment, phase
+), x382_center AS (
+  SELECT segment,
+         ROUND({sd('sraw')} / CAST(COUNT(*) AS DOUBLE), 6) AS c
+  FROM x382_ph GROUP BY segment
+), x382_seas AS (
+  SELECT p.segment, p.phase, ROUND(p.sraw - ce.c, 6) AS seasonal
+  FROM x382_ph p JOIN x382_center ce USING (segment)
+), x382_dec AS (
+  SELECT d.segment, d.ts, ROUND(d.y, 6) AS y, d.trend, s.seasonal,
+         ROUND(d.y - d.trend - s.seasonal, 6) AS resid
+  FROM x382_detr d LEFT JOIN x382_seas s
+    ON s.segment = d.segment AND s.phase = d.phase
+), x382_base AS (
+  SELECT segment, ts,
+         ROUND((y - trend) * 1000000.0) / 1000000.0 AS si,
+         trend, resid,
+         ts % 12 AS ph, ts // 12 AS yr
+  FROM x382_dec
+  WHERE trend IS NOT NULL AND resid IS NOT NULL
+), x382_moves AS (
+  SELECT segment,
+         abs(ROUND((resid - LAG(resid) OVER ws) * 1000000.0)
+             / 1000000.0) AS di,
+         abs(ROUND((trend - LAG(trend) OVER ws) * 1000000.0)
+             / 1000000.0) AS dt
+  FROM x382_base
+  WINDOW ws AS (PARTITION BY segment ORDER BY ts)
+), x382_ic AS (
+  SELECT segment,
+         {sd('di')} / (CASE WHEN {sd('dt')} > 0
+                            THEN {sd('dt')} END) AS ic_ratio
+  FROM x382_moves WHERE di IS NOT NULL GROUP BY segment
+), x382_cell0 AS (
+  SELECT segment, ph, yr, MAX(si) AS si
+  FROM x382_base GROUP BY segment, ph, yr
+), x382_full_years AS (
+  SELECT segment, yr FROM x382_cell0
+  GROUP BY segment, yr HAVING COUNT(*) = 12
+), x382_cell AS (
+  SELECT c.segment, c.ph, c.yr, c.si
+  FROM x382_cell0 c JOIN x382_full_years f
+    ON c.segment = f.segment AND c.yr = f.yr
+), x382_tot AS (
+  SELECT segment, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(COUNT(DISTINCT ph) AS DOUBLE) AS p,
+         CAST(COUNT(DISTINCT yr) AS DOUBLE) AS q,
+         {sd('si')} AS s, {sd('si * si')} AS ss
+  FROM x382_cell GROUP BY segment
+), x382_phm AS (
+  SELECT segment, ph, CAST(COUNT(*) AS DOUBLE) AS np,
+         {sd('si')} AS sp
+  FROM x382_cell GROUP BY segment, ph
+), x382_phss AS (
+  SELECT segment, {sd('sp * sp / np')} AS ssp
+  FROM x382_phm GROUP BY segment
+), x382_yrm AS (
+  SELECT segment, yr, CAST(COUNT(*) AS DOUBLE) AS nq,
+         {sd('si')} AS sq
+  FROM x382_cell GROUP BY segment, yr
+), x382_yrss AS (
+  SELECT segment, {sd('sq * sq / nq')} AS ssq
+  FROM x382_yrm GROUP BY segment
+), x382_j AS (
+  SELECT t.segment, t.n, t.p, t.q,
+         (t.ss - t.s * t.s / t.n) AS ss_tot,
+         (ps.ssp - t.s * t.s / t.n) AS ss_ph,
+         (ys.ssq - t.s * t.s / t.n) AS ss_yr,
+         i.ic_ratio
+  FROM x382_tot t
+  JOIN x382_phss ps ON t.segment = ps.segment
+  JOIN x382_yrss ys ON t.segment = ys.segment
+  LEFT JOIN x382_ic i ON t.segment = i.segment
+), x382_f AS (
+  SELECT segment, n, p, q, ic_ratio,
+         (ss_tot - ss_ph - ss_yr) AS ss_res,
+         (p - 1.0) AS df_ph, (q - 1.0) AS df_yr,
+         (p - 1.0) * (q - 1.0) AS df_res,
+         ss_ph, ss_yr
+  FROM x382_j
+), x382_stats AS (
+  SELECT segment, n, ic_ratio,
+         p >= 2 AND q >= 2 AND ss_res > 0 AND df_ph > 0
+           AND df_yr > 0 AND df_res > 0 AS ok,
+         (ss_ph / (CASE WHEN df_ph > 0 THEN df_ph END))
+           / (CASE WHEN (ss_res / (CASE WHEN df_res > 0
+                                        THEN df_res END)) > 0
+                   THEN ss_res / (CASE WHEN df_res > 0
+                                       THEN df_res END) END) AS f_s,
+         (ss_yr / (CASE WHEN df_yr > 0 THEN df_yr END))
+           / (CASE WHEN (ss_res / (CASE WHEN df_res > 0
+                                        THEN df_res END)) > 0
+                   THEN ss_res / (CASE WHEN df_res > 0
+                                       THEN df_res END) END) AS f_m
+  FROM x382_f
+)
+SELECT segment, CAST(n AS BIGINT) AS n,
+       ROUND(ic_ratio * 1000000.0) / 1000000.0 AS ic_ratio,
+       ROUND(CASE WHEN ok THEN f_s END * 1000000.0) / 1000000.0
+         AS f_stable,
+       ROUND(CASE WHEN ok THEN f_m END * 1000000.0) / 1000000.0
+         AS f_moving,
+       ROUND(CASE WHEN ok THEN
+               sqrt(CAST(0.5 AS DOUBLE)
+                    * (CAST(3.0 AS DOUBLE)
+                       / (CASE WHEN f_s > 0 THEN f_s END)
+                       + CAST(7.0 AS DOUBLE) * f_m
+                         / (CASE WHEN f_s > 0 THEN f_s END)))
+             END * 1000000.0) / 1000000.0 AS m7,
+       CASE WHEN ok THEN
+         CAST(sqrt(CAST(0.5 AS DOUBLE)
+                   * (CAST(3.0 AS DOUBLE)
+                      / (CASE WHEN f_s > 0 THEN f_s END)
+                      + CAST(7.0 AS DOUBLE) * f_m
+                        / (CASE WHEN f_s > 0 THEN f_s END)))
+              < CAST(1.0 AS DOUBLE) AS INTEGER) END AS seasonal_ok
+FROM x382_stats
+ORDER BY segment
+"""
+
+
+EXT17_QUERIES.update({"x382_sa_quality": q_x382_sa_quality})
+EXT17_ORACLES.update({"x382_sa_quality": _sql_x382()})

@@ -10779,3 +10779,92 @@ def test_wl_refinement_separates_structures(spark):
 
     with _pytest.raises(ValueError, match="iterations"):
         wl_refinement(df, iterations=0)
+
+
+def test_soundex_textbook_values_and_blocking(spark):
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.linkage import (
+        phonetic_block_stats, soundex_code,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Robert"), (2, "Rupert"), (3, "Ashcraft"), (4, "Tymczak"),
+         (5, "Pfister"), (6, "Honeyman"), (7, "")],
+        "id long, name string",
+    )
+    out = {r["name"]: r["sx"] for r in df.select(
+        "name", soundex_code(F.col("name")).alias("sx")
+    ).collect()}
+    # classic pairs: Robert/Rupert share R163
+    assert out["Robert"] == "R163" and out["Rupert"] == "R163"
+    assert out["Tymczak"].startswith("T")
+    assert out[""] is None
+    # simplified variant (no H/W separator rule): Ashcraft -> A226
+    assert out["Ashcraft"] == "A226"
+
+    blocks = phonetic_block_stats(
+        df, id_col="id", name_col="name", top_k=10
+    ).collect()
+    top = blocks[0]
+    assert top["soundex"] == "R163" and top["n_items"] == 2
+    assert top["pair_budget"] == 1
+
+
+def test_robots_longest_match_semantics(spark):
+    from fame2pygen_spark.operators.web import robots_rules_eval
+
+    urls = spark.createDataFrame(
+        [("/src0/en/doc1",), ("/src0/de/doc2",), ("/other/doc3",),
+         ("/other/admin/x",)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("/src0/", 0), ("/src0/en/", 1), ("/other/admin", 0),
+         ("/", 1)],
+        "path string, allow int",
+    )
+    out = {
+        r["url"]: r
+        for r in robots_rules_eval(
+            urls, rules, url_col="url"
+        ).collect()
+    }
+    # the MORE SPECIFIC allow overrides the broad disallow
+    assert out["/src0/en/doc1"]["allowed"] == 1
+    assert out["/src0/en/doc1"]["matched_rule"] == "/src0/en/"
+    assert out["/src0/de/doc2"]["allowed"] == 0
+    assert out["/other/doc3"]["allowed"] == 1
+    assert out["/other/admin/x"]["allowed"] == 0
+
+
+def test_sa_quality_m_flags_planted_seasonality(spark):
+    import random
+
+    from fame2pygen_spark.operators.temporal import (
+        sa_quality_m, seasonal_decompose,
+    )
+
+    random.seed(131)
+    season = [20.0, 10.0, 0.0, -10.0, -20.0, -10.0,
+              0.0, 10.0, 20.0, 10.0, 0.0, -10.0]
+    rows = []
+    for t in range(72):
+        noise = round(random.uniform(-1.0, 1.0), 2)
+        rows.append(("seasonal", t, 100.0 + season[t % 12] + noise))
+        rows.append(
+            ("flat", t, round(100.0 + random.uniform(-5.0, 5.0), 2))
+        )
+    df = spark.createDataFrame(rows, "g string, ts long, y double")
+    dec = seasonal_decompose(df, "ts", "y", ("g",), period=12)
+    out = {
+        r["g"]: r
+        for r in sa_quality_m(
+            dec, group_cols=["g"], period=12
+        ).collect()
+    }
+    s = out["seasonal"]
+    assert s["seasonal_ok"] == 1 and s["m7"] < 1.0
+    assert s["f_stable"] > 7.0
+    f = out["flat"]
+    assert f["seasonal_ok"] == 0 and f["m7"] > 1.0

@@ -166,6 +166,7 @@ SENSITIVE = [
     "x373_shapley_r2",
     "x377_savgol",
     "x378_goertzel",
+    "x382_sa_quality",
 ]
 
 

@@ -1672,3 +1672,22 @@ def test_wl_refinement_joins_stay_node_keyed(spark):
     plan = plan_of(spark, "x379_wl")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_soundex_blocking_is_map_then_one_agg(spark):
+    plan = plan_of(spark, "x380_soundex")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robots_eval_broadcasts_rules(spark):
+    # a 4-row ruleset joins broadcast; the longest-match rank keys on
+    # the url
+    assert unpartitioned_windows(spark, "x381_robots") == []
+    assert "CartesianProduct" not in plan_of(spark, "x381_robots")
+
+
+def test_sa_quality_windows_are_group_keyed(spark):
+    assert unpartitioned_windows(spark, "x382_sa_quality") == []
+    assert "CartesianProduct" not in plan_of(spark, "x382_sa_quality")
