@@ -2626,3 +2626,107 @@ def matryoshka_audit(
             / (kk * 2 - F.col("n_overlap")).cast("double")
         ).alias("jaccard"),
     ).orderBy("query_id")
+
+
+def item_item_cf(
+    baskets: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    min_cooccur: int = 2,
+    max_basket: int = 512,
+) -> DataFrame:
+    """Item–item collaborative filtering by co-occurrence cosine
+    (Sarwar et al., WWW 2001 — the Amazon "customers also bought"
+    workhorse): with binary baskets, the similarity between items i
+    and j is ``cooc(i,j) / sqrt(n_i · n_j)``, computed by the
+    user-keyed basket self-join — each user contributes their
+    basket's item pairs, so the cost is Σ_u |basket_u|² bounded by
+    the *max_basket* loud-fail (a pathological power-user is a data
+    bug, not a reason to square the catalog).  *min_cooccur* prunes
+    coincidence pairs before ranking; top-*k* per item with the
+    (similarity desc, neighbor id) total order.
+
+    All counts are exact integers; cosine = integer / sqrt(integer ·
+    integer) is engine-exact.  At 100 TB the shuffles key on user
+    (pair generation) then item pair (counting) then item (ranking) —
+    never the catalog cross product; this is the memory-light
+    complement to x151's ALS step (model-based) and the x05 ANN
+    family (embedding-based).
+
+    Output: ``(item, neighbor, cooccur, cosine, rank)`` ordered by
+    (item, rank), ≤ k rows per item.
+    """
+    if k < 1:
+        raise ValueError("item_item_cf: k must be >= 1")
+    if min_cooccur < 1:
+        raise ValueError("item_item_cf: min_cooccur must be >= 1")
+    base = (
+        baskets.select(
+            F.col(user_col).cast("long").alias("u"),
+            F.col(item_col).cast("long").alias("it"),
+        )
+        .where(F.col("u").isNotNull() & F.col("it").isNotNull())
+        .distinct()
+    )
+    sizes = base.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
+    worst = sizes.agg(F.max("bs").alias("mx")).first()
+    if worst["mx"] is None:
+        raise ValueError("item_item_cf: input is empty")
+    if worst["mx"] > int(max_basket):
+        raise ValueError(
+            f"item_item_cf: largest basket ({worst['mx']}) exceeds "
+            f"max_basket={max_basket} — cap or sample power users "
+            "upstream"
+        )
+    pop = base.groupBy(F.col("it")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = base.select("u", F.col("it").alias("ia"))
+    b = base.select("u", F.col("it").alias("ib"))
+    cooc = (
+        a.join(b, "u")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= int(min_cooccur))
+    )
+    # symmetrize once so each item ranks over ALL its neighbors
+    sym = cooc.select("ia", "ib", "c").unionByName(
+        cooc.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "c"
+        )
+    )
+    na = pop.select(F.col("it").alias("ia"), F.col("n").alias("na"))
+    nb = pop.select(F.col("it").alias("ib"), F.col("n").alias("nb"))
+    scored = (
+        sym.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            "ia", "ib", "c",
+            (
+                F.col("c").cast("double")
+                / F.sqrt(
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                )
+            ).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("ia").orderBy(
+        F.desc("cos"), F.asc("ib")
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("ia").alias("item"),
+            F.col("ib").alias("neighbor"),
+            F.col("c").alias("cooccur"),
+            r6(F.col("cos")).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("item", "rank")
+    )

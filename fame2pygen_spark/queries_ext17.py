@@ -4181,3 +4181,70 @@ ORDER BY segment
 
 EXT17_QUERIES.update({"x382_sa_quality": q_x382_sa_quality})
 EXT17_ORACLES.update({"x382_sa_quality": _sql_x382()})
+
+
+# ---------------------- x383: item-item collaborative filtering
+
+
+def q_x383_item_cf(spark, sf_dir):
+    """Item–item co-occurrence cosine recommendations
+    (operators/similarity.py:item_item_cf, k=5, min co-occurrence 2):
+    "customers who bought this part also bought" over the
+    customer×part baskets — the memory-light recsys workhorse beside
+    x151's ALS step and the x05 embedding ANN family."""
+    from .operators.similarity import item_item_cf
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+    )
+    return item_item_cf(
+        baskets, user_col="cust", item_col="part",
+        k=5, min_cooccur=2,
+    )
+
+
+def _sql_x383() -> str:
+    return """
+WITH x383_base AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+         CAST(l_partkey AS BIGINT) AS it
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+), x383_pop AS (
+  SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM x383_base GROUP BY it
+), x383_cooc AS (
+  SELECT a.it AS ia, b.it AS ib, CAST(COUNT(*) AS BIGINT) AS c
+  FROM x383_base a JOIN x383_base b
+    ON a.u = b.u AND a.it < b.it
+  GROUP BY a.it, b.it
+  HAVING COUNT(*) >= 2
+), x383_sym AS (
+  SELECT ia, ib, c FROM x383_cooc
+  UNION ALL SELECT ib AS ia, ia AS ib, c FROM x383_cooc
+), x383_scored AS (
+  SELECT s.ia, s.ib, s.c,
+         CAST(s.c AS DOUBLE)
+           / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS cos
+  FROM x383_sym s
+  JOIN x383_pop na ON s.ia = na.it
+  JOIN x383_pop nb ON s.ib = nb.it
+)
+SELECT ia AS item, ib AS neighbor, c AS cooccur,
+       ROUND(cos * 1000000.0) / 1000000.0 AS cosine,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+                               ORDER BY cos DESC, ib ASC) AS rk
+  FROM x383_scored
+) WHERE rk <= 5
+ORDER BY item, rank
+"""
+
+
+EXT17_QUERIES.update({"x383_item_cf": q_x383_item_cf})
+EXT17_ORACLES.update({"x383_item_cf": _sql_x383()})

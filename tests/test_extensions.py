@@ -10868,3 +10868,37 @@ def test_sa_quality_m_flags_planted_seasonality(spark):
     assert s["f_stable"] > 7.0
     f = out["flat"]
     assert f["seasonal_ok"] == 0 and f["m7"] > 1.0
+
+
+def test_item_item_cf_hand_computed(spark):
+    from fame2pygen_spark.operators.similarity import item_item_cf
+
+    # baskets: items 1,2 co-occur in 3 of 4 baskets; item 3 appears
+    # once with each
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2),
+        (13, 1), (13, 3),
+    ]
+    df = spark.createDataFrame(rows, "u long, it long")
+    out = item_item_cf(
+        df, user_col="u", item_col="it", k=3, min_cooccur=2
+    ).collect()
+    top = {(r["item"], r["neighbor"]): r for r in out}
+    # cooc(1,2)=3, n1=4, n2=3 -> cos = 3/sqrt(12)
+    r12 = top[(1, 2)]
+    assert r12["cooccur"] == 3
+    assert abs(r12["cosine"] - 3.0 / (12.0 ** 0.5)) < 1e-6
+    assert r12["rank"] == 1
+    # symmetric listing exists for item 2
+    assert (2, 1) in top and top[(2, 1)]["cooccur"] == 3
+    # pair (1,3) co-occurs twice -> kept; (2,3) once -> pruned
+    assert (1, 3) in top and (2, 3) not in top
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_basket"):
+        item_item_cf(
+            df, user_col="u", item_col="it", max_basket=2
+        )

@@ -1691,3 +1691,12 @@ def test_robots_eval_broadcasts_rules(spark):
 def test_sa_quality_windows_are_group_keyed(spark):
     assert unpartitioned_windows(spark, "x382_sa_quality") == []
     assert "CartesianProduct" not in plan_of(spark, "x382_sa_quality")
+
+
+def test_item_cf_pairs_key_on_user_then_item(spark):
+    # pair generation joins on the USER key (bounded by the basket
+    # cap) — never an item-catalog cross product
+    plan = plan_of(spark, "x383_item_cf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert unpartitioned_windows(spark, "x383_item_cf") == []
