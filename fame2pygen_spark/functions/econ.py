@@ -397,3 +397,67 @@ def growth_contributions(
             6,
         ).alias("total_growth"),
     )
+
+
+def elementary_price_indices(
+    df: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    period_col: str,
+    price_col: str,
+) -> DataFrame:
+    """Elementary (unweighted) price indices per group and adjacent
+    period pair — the lowest level of a CPI aggregation, where no
+    expenditure weights exist yet (ILO CPI manual ch. 20):
+
+        Jevons  J = exp(mean ln(p_t/p_{t-1}))   (geometric — the
+                    standard, transitive, no formula bias)
+        Dutot   D = mean(p_t) / mean(p_{t-1})
+        Carli   C = mean(p_t / p_{t-1})          (arithmetic — upward
+                    biased; C >= J always, the gap IS the dispersion)
+
+    over the MATCHED sample (items priced in both periods).  The
+    C−J gap per period is the chain-drift early warning the
+    aggregate Törnqvist/Fisher pair (x291/s13) can't see at their
+    level.  Log ratios pin at 6 dp before the decimal-exact fold
+    (the shared-libm x-ln discipline); means of matched prices are
+    decimal-exact.
+
+    Output: ``(group, period, n_matched, jevons, dutot, carli)`` at
+    6 dp, ordered by (group, period); periods with no matched items
+    emit nothing.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(item_col).alias("i"),
+        F.col(period_col).cast("long").alias("t"),
+        F.col(price_col).cast("double").alias("p"),
+    ).where(F.col("p").isNotNull() & (F.col("p") > 0))
+    prev = base.select(
+        "g", "i", (F.col("t") + 1).alias("t"),
+        F.col("p").alias("p0"),
+    )
+    matched = base.join(prev, ["g", "i", "t"])
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    lr = r6(F.log(F.col("p") / F.col("p0")))
+    rr = r6(F.col("p") / F.col("p0"))
+    agg = matched.groupBy("g", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        dec(lr).alias("slr"),
+        dec(rr).alias("srr"),
+        dec(F.col("p")).alias("sp"),
+        dec(F.col("p0")).alias("sp0"),
+    )
+    n = F.col("n_matched").cast("double")
+    return agg.select(
+        F.col("g").alias("group"),
+        F.col("t").alias("period"),
+        "n_matched",
+        r6(F.exp(F.col("slr") / n)).alias("jevons"),
+        r6(
+            F.col("sp") / F.when(F.col("sp0") > 0, F.col("sp0"))
+        ).alias("dutot"),
+        r6(F.col("srr") / n).alias("carli"),
+    ).orderBy("group", "period")

@@ -4747,3 +4747,101 @@ def newsvendor_stock(
         "stock",
         r6(F.col("ec")).alias("expected_cost"),
     ).orderBy("group")
+
+
+def simpsons_paradox_scan(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Simpson's-paradox (amalgamation-reversal) scan: compare the
+    POOLED OLS slope of y on x against every stratum's own slope and
+    the within-strata (stratum-demeaned) slope — the one-row audit
+    that catches the classic failure where every subgroup trends one
+    way and the aggregate trends the other (Simpson 1951; the
+    Berkeley-admissions shape).  Flags:
+
+    * ``reversal_strata`` — strata whose slope sign opposes the
+      pooled slope's (sign(0) never counts);
+    * ``pooled_vs_within`` — 1 when the pooled and within slopes
+      disagree in sign: the amalgamation is doing the work, so any
+      causal read of the pooled slope must go through the x362 TWFE
+      / x360 matching machinery instead.
+
+    One conditional-aggregation pass for the per-stratum sufficient
+    statistics (decimal-exact); pooled and within slopes are algebra
+    over the same frame — no second scan.
+
+    Output: ONE row ``(n, n_strata, pooled_slope, within_slope,
+    reversal_strata, pooled_vs_within)`` at 6 dp.
+    """
+    base = df.select(
+        F.col(stratum_col).cast("string").alias("s"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(
+        F.col("s").isNotNull()
+        & F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    per_s = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    slope_s = sxy_c / F.when(sxx_c > 0, sxx_c)
+    enriched = per_s.select(
+        "n", "sx", "sy", "sxx", "sxy",
+        sxx_c.alias("cxx"), sxy_c.alias("cxy"),
+        slope_s.alias("b_s"),
+    )
+    tot = enriched.agg(
+        dec(F.col("n")).alias("N"),
+        dec(F.col("sx")).alias("SX"),
+        dec(F.col("sy")).alias("SY"),
+        dec(F.col("sxx")).alias("SXX"),
+        dec(F.col("sxy")).alias("SXY"),
+        dec(F.col("cxx")).alias("WXX"),
+        dec(F.col("cxy")).alias("WXY"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.count(
+            F.when(F.col("b_s").isNotNull(), F.lit(1))
+        ).alias("n_sloped"),
+        # reversal counting needs the pooled sign — fold the per-sign
+        # counts and resolve after the pooled slope is known
+        F.count(F.when(F.col("b_s") > 0, F.lit(1)))
+        .cast("long")
+        .alias("n_pos"),
+        F.count(F.when(F.col("b_s") < 0, F.lit(1)))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    pooled_num = F.col("SXY") - F.col("SX") * F.col("SY") / F.col("N")
+    pooled_den = F.col("SXX") - F.col("SX") * F.col("SX") / F.col("N")
+    pooled = pooled_num / F.when(pooled_den > 0, pooled_den)
+    within = F.col("WXY") / F.when(F.col("WXX") > 0, F.col("WXX"))
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    reversal = F.when(pooled > 0, F.col("n_neg")).when(
+        pooled < 0, F.col("n_pos")
+    )
+    return tot.select(
+        F.col("N").cast("long").alias("n"),
+        "n_strata",
+        r6(pooled).alias("pooled_slope"),
+        r6(within).alias("within_slope"),
+        reversal.alias("reversal_strata"),
+        F.when(
+            pooled.isNotNull() & within.isNotNull(),
+            (
+                (pooled > 0) & (within < 0)
+                | ((pooled < 0) & (within > 0))
+            ).cast("int"),
+        ).alias("pooled_vs_within"),
+    )

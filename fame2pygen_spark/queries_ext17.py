@@ -4248,3 +4248,176 @@ ORDER BY item, rank
 
 EXT17_QUERIES.update({"x383_item_cf": q_x383_item_cf})
 EXT17_ORACLES.update({"x383_item_cf": _sql_x383()})
+
+
+# ------------------ x384: elementary price indices (CPI bottom level)
+
+
+def q_x384_elementary_idx(spark, sf_dir):
+    """Jevons/Dutot/Carli elementary indices (functions/econ.py:
+    elementary_price_indices) over matched monthly unit prices per
+    part brand — the CPI bottom level below the aggregate
+    Törnqvist/Fisher pair (x291/s13); the Carli−Jevons gap is the
+    chain-drift early warning."""
+    from .functions.econ import elementary_price_indices
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    monthly = (
+        li.where(
+            F.col("l_shipdate").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & (F.col("l_quantity") > 0)
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("part"),
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            ).alias("midx"),
+        )
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") / F.col("l_quantity")
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("price")
+        )
+    )
+    return elementary_price_indices(
+        monthly, group_col="brand", item_col="part",
+        period_col="midx", price_col="price",
+    )
+
+
+def _sql_x384() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x384_monthly AS (
+  SELECT p_brand AS g, l_partkey AS i,
+         year(l_shipdate) * 12 + month(l_shipdate) AS t,
+         {sd('CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)')}
+           / COUNT(*) AS p
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity > 0
+  GROUP BY 1, 2, 3
+), x384_matched AS (
+  SELECT c.g, c.i, c.t, c.p, pr.p AS p0
+  FROM x384_monthly c
+  JOIN x384_monthly pr
+    ON pr.g = c.g AND pr.i = c.i AND pr.t = c.t - 1
+  WHERE c.p IS NOT NULL AND c.p > 0 AND pr.p IS NOT NULL AND pr.p > 0
+), x384_agg AS (
+  SELECT g, t, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         {sd('ROUND(ln(p / p0) * 1000000.0) / 1000000.0')} AS slr,
+         {sd('ROUND((p / p0) * 1000000.0) / 1000000.0')} AS srr,
+         {sd('p')} AS sp, {sd('p0')} AS sp0
+  FROM x384_matched GROUP BY g, t
+)
+SELECT g AS "group", t AS period, n_matched,
+       ROUND(exp(slr / CAST(n_matched AS DOUBLE)) * 1000000.0)
+         / 1000000.0 AS jevons,
+       ROUND((sp / (CASE WHEN sp0 > 0 THEN sp0 END)) * 1000000.0)
+         / 1000000.0 AS dutot,
+       ROUND((srr / CAST(n_matched AS DOUBLE)) * 1000000.0)
+         / 1000000.0 AS carli
+FROM x384_agg
+ORDER BY "group", period
+"""
+
+
+EXT17_QUERIES.update({"x384_elementary_idx": q_x384_elementary_idx})
+EXT17_ORACLES.update({"x384_elementary_idx": _sql_x384()})
+
+
+# --------------------- x385: Simpson's-paradox amalgamation scan
+
+
+def q_x385_simpsons(spark, sf_dir):
+    """Simpson's-paradox scan (operators/behavior.py:
+    simpsons_paradox_scan): pooled vs per-segment vs within-strata
+    slope of customer spend on account balance — the one-row audit
+    for whether the pooled trend is composition or signal."""
+    from .operators.behavior import simpsons_paradox_scan
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("spend")
+    )
+    base = c.join(
+        spend, c["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+    )
+    return simpsons_paradox_scan(
+        base, stratum_col="seg", x_col="bal", y_col="spend"
+    )
+
+
+def _sql_x385() -> str:
+    sd = lambda x: f"CAST(SUM(CAST({x} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH x385_spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                         AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), x385_base AS (
+  SELECT c_mktsegment AS s, CAST(c_acctbal AS DOUBLE) AS x,
+         COALESCE(sp.spend, CAST(0.0 AS DOUBLE)) AS y
+  FROM customer c LEFT JOIN x385_spend sp
+    ON c.c_custkey = sp.o_custkey
+  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+), x385_per_s AS (
+  SELECT s, CAST(COUNT(*) AS DOUBLE) AS n,
+         {sd('x')} AS sx, {sd('y')} AS sy,
+         {sd('x * x')} AS sxx, {sd('x * y')} AS sxy
+  FROM x385_base GROUP BY s
+), x385_enr AS (
+  SELECT n, sx, sy, sxx, sxy,
+         (sxx - sx * sx / n) AS cxx,
+         (sxy - sx * sy / n) AS cxy,
+         (sxy - sx * sy / n)
+           / (CASE WHEN (sxx - sx * sx / n) > 0
+                   THEN sxx - sx * sx / n END) AS b_s
+  FROM x385_per_s
+), x385_tot AS (
+  SELECT {sd('n')} AS N, {sd('sx')} AS SX, {sd('sy')} AS SY,
+         {sd('sxx')} AS SXX, {sd('sxy')} AS SXY,
+         {sd('cxx')} AS WXX, {sd('cxy')} AS WXY,
+         CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(COUNT(CASE WHEN b_s > 0 THEN 1 END) AS BIGINT) AS n_pos,
+         CAST(COUNT(CASE WHEN b_s < 0 THEN 1 END) AS BIGINT) AS n_neg
+  FROM x385_enr
+), x385_f AS (
+  SELECT N, n_strata, n_pos, n_neg,
+         (SXY - SX * SY / N)
+           / (CASE WHEN (SXX - SX * SX / N) > 0
+                   THEN SXX - SX * SX / N END) AS pooled,
+         WXY / (CASE WHEN WXX > 0 THEN WXX END) AS within
+  FROM x385_tot
+)
+SELECT CAST(N AS BIGINT) AS n, n_strata,
+       ROUND(pooled * 1000000.0) / 1000000.0 AS pooled_slope,
+       ROUND(within * 1000000.0) / 1000000.0 AS within_slope,
+       CASE WHEN pooled > 0 THEN n_neg
+            WHEN pooled < 0 THEN n_pos END AS reversal_strata,
+       CASE WHEN pooled IS NOT NULL AND within IS NOT NULL
+            THEN CAST((pooled > 0 AND within < 0)
+                      OR (pooled < 0 AND within > 0) AS INTEGER) END
+         AS pooled_vs_within
+FROM x385_f
+"""
+
+
+EXT17_QUERIES.update({"x385_simpsons": q_x385_simpsons})
+EXT17_ORACLES.update({"x385_simpsons": _sql_x385()})

@@ -10902,3 +10902,58 @@ def test_item_item_cf_hand_computed(spark):
         item_item_cf(
             df, user_col="u", item_col="it", max_basket=2
         )
+
+
+def test_elementary_indices_known_values(spark):
+    from fame2pygen_spark.functions.econ import elementary_price_indices
+
+    rows = [
+        # two items, prices double vs halve month 1 -> 2
+        ("g", 1, 1, 10.0), ("g", 1, 2, 20.0),
+        ("g", 2, 1, 10.0), ("g", 2, 2, 5.0),
+        # item 3 appears only in month 2: excluded (matched sample)
+        ("g", 3, 2, 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, i long, t long, p double"
+    )
+    r = elementary_price_indices(
+        df, group_col="g", item_col="i", period_col="t",
+        price_col="p",
+    ).collect()
+    assert len(r) == 1 and r[0]["period"] == 2
+    assert r[0]["n_matched"] == 2
+    # Jevons of (2, 1/2) = 1 exactly; Carli = (2 + 0.5)/2 = 1.25 > J
+    assert abs(r[0]["jevons"] - 1.0) < 1e-5
+    assert abs(r[0]["carli"] - 1.25) < 1e-6
+    # Dutot = 25/20
+    assert abs(r[0]["dutot"] - 1.25) < 1e-6
+
+
+def test_simpsons_paradox_detected_on_planted_reversal(spark):
+    from fame2pygen_spark.operators.behavior import (
+        simpsons_paradox_scan,
+    )
+
+    rows = []
+    # two strata, each with SLOPE -1, but stratum B sits far up-right
+    # of A -> the pooled slope flips positive (classic amalgamation)
+    for x in range(10):
+        rows.append(("A", float(x), 10.0 - x))
+        rows.append(("B", 100.0 + x, 200.0 - x))
+    df = spark.createDataFrame(rows, "s string, x double, y double")
+    r = simpsons_paradox_scan(
+        df, stratum_col="s", x_col="x", y_col="y"
+    ).collect()[0]
+    assert r["pooled_slope"] > 0 and r["within_slope"] < 0
+    assert r["pooled_vs_within"] == 1
+    assert r["reversal_strata"] == 2
+
+    # aligned strata: no reversal
+    rows2 = [("A", float(x), float(x)) for x in range(10)]
+    rows2 += [("B", 100.0 + x, 100.0 + x) for x in range(10)]
+    df2 = spark.createDataFrame(rows2, "s string, x double, y double")
+    r2 = simpsons_paradox_scan(
+        df2, stratum_col="s", x_col="x", y_col="y"
+    ).collect()[0]
+    assert r2["pooled_vs_within"] == 0 and r2["reversal_strata"] == 0

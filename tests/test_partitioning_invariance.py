@@ -167,6 +167,8 @@ SENSITIVE = [
     "x377_savgol",
     "x378_goertzel",
     "x382_sa_quality",
+    "x384_elementary_idx",
+    "x385_simpsons",
 ]
 
 

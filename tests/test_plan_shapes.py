@@ -1700,3 +1700,15 @@ def test_item_cf_pairs_key_on_user_then_item(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert unpartitioned_windows(spark, "x383_item_cf") == []
+
+
+def test_elementary_indices_join_is_item_keyed(spark):
+    plan = plan_of(spark, "x384_elementary_idx")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_simpsons_scan_is_two_stacked_aggs(spark):
+    plan = plan_of(spark, "x385_simpsons")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
