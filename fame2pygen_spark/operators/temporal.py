@@ -47,7 +47,7 @@ __all__ = [
     "breusch_pagan", "kalman_level", "smooth_disagg",
     "smooth_disagg_weights", "theta_forecast", "haar_energy",
     "savgol_weights", "savgol_smooth", "goertzel_power",
-    "sa_quality_m",
+    "sa_quality_m", "kleinberg_bursts",
 ]
 
 
@@ -5313,3 +5313,222 @@ def sa_quality_m(
             "seasonal_ok"
         ),
     ).orderBy(*g)
+
+
+def _burst_series(
+    ds: list, ns: list, p0: float, s: float, gamma_cost: float
+) -> list:
+    """Kleinberg 2-state Viterbi for one series, pinned order: emit
+    costs are 6-dp-pinned negative binomial log-likelihoods at base
+    rate p0 (state 0) and burst rate min(s·p0, 0.999999) (state 1);
+    entering the burst state costs *gamma_cost*; ties prefer staying
+    in the current state.  Returns the 0/1 state path."""
+    import math
+
+    p1 = min(s * p0, 0.999999)
+
+    def emit(d, n, p):
+        ll = d * math.log(p) + (n - d) * math.log(1.0 - p)
+        return round(-ll * 1e6) / 1e6
+
+    n_days = len(ds)
+    c0 = emit(ds[0], ns[0], p0)
+    c1 = emit(ds[0], ns[0], p1) + gamma_cost
+    from0 = [False]  # state1's predecessor flag per step
+    to0_from1 = [False]
+    for t in range(1, n_days):
+        e0 = emit(ds[t], ns[t], p0)
+        e1 = emit(ds[t], ns[t], p1)
+        enter = c0 + gamma_cost
+        if enter < c1:
+            n1 = enter + e1
+            f0 = True
+        else:
+            n1 = c1 + e1
+            f0 = False
+        if c1 < c0:
+            n0 = c1 + e0
+            f1 = True
+        else:
+            n0 = c0 + e0
+            f1 = False
+        c0, c1 = n0, n1
+        from0.append(f0)
+        to0_from1.append(f1)
+    # backtrace; ties end in state 0
+    state = 1 if c1 < c0 else 0
+    path = [0] * n_days
+    for t in range(n_days - 1, -1, -1):
+        path[t] = state
+        if state == 1:
+            state = 0 if from0[t] else 1
+        else:
+            state = 1 if to0_from1[t] else 0
+    return path
+
+
+def kleinberg_bursts(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    hits_col: str,
+    total_col: str,
+    s: float = 2.0,
+    gamma: float = 1.0,
+    max_len: int = 4096,
+) -> DataFrame:
+    """Kleinberg 2-state burst detection per entity (Kleinberg 2003,
+    "Bursty and hierarchical structure in streams", batch variant):
+    a hidden 2-state automaton where the burst state emits the
+    entity's hits at rate ``s × its base rate`` and entering it costs
+    ``gamma · ln(n_days)``; the Viterbi path labels each period
+    burst/normal.  Where x188's burstiness INDEX scores the whole
+    series one number, this SEGMENTS it — which days, how long, when
+    the burst started: the trending-topics primitive.
+
+    Per-entity sequential DP ⇒ the hp_filter execution shape: one
+    groupBy into bounded arrays, one Arrow-batched ``mapInPandas``
+    forward-Viterbi + backtrace, loud-fail length cap.  Emit costs
+    pin at 6 dp and ties prefer the incumbent state, so the path is
+    engine-deterministic; the oracle replays the identical DP as a
+    recursive CTE carrying the cost lists and predecessor flags.
+
+    Output: ``(entity, n_days, base_rate, burst_days, n_bursts,
+    longest_burst, first_burst_t)`` at 6 dp, ordered by entity;
+    NULL first_burst_t when nothing bursts.
+    """
+    if s <= 1.0:
+        raise ValueError("kleinberg_bursts: s must be > 1")
+    if gamma <= 0:
+        raise ValueError("kleinberg_bursts: gamma must be positive")
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(hits_col).cast("long").alias("d"),
+            F.col(total_col).cast("long").alias("nt"),
+        )
+        .where(
+            F.col("o").isNotNull()
+            & F.col("d").isNotNull()
+            & (F.col("nt") > 0)
+            & (F.col("d") <= F.col("nt"))
+        )
+        .groupBy("e")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("o", "d", "nt"))
+            ).alias("rows"),
+            F.sum("d").cast("double").alias("R"),
+            F.sum("nt").cast("double").alias("N"),
+        )
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.size("rows")).alias("ml"),
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("kleinberg_bursts: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"kleinberg_bursts: longest series ({stats['ml']}) "
+            f"exceeds max_len={max_len} — window the series first"
+        )
+    sf_, gm = float(s), float(gamma)
+
+    def compute(batches):
+        import math
+
+        import pandas as pd
+
+        out = {
+            "entity": [], "n_days": [], "base_rate": [],
+            "burst_days": [], "n_bursts": [], "longest_burst": [],
+            "first_burst_t": [],
+        }
+        for pdf in batches:
+            for ent, rows, R, N in zip(
+                pdf["e"], pdf["rows"], pdf["R"], pdf["N"]
+            ):
+                ts = [int(r["o"]) for r in rows]
+                ds = [int(r["d"]) for r in rows]
+                ns = [int(r["nt"]) for r in rows]
+                nd = len(ts)
+                p0 = max(min(R / N, 0.999999), 1e-9)
+                # pinned base rate and transition cost
+                p0 = round(p0 * 1e6) / 1e6
+                gcost = round(gm * math.log(nd) * 1e6) / 1e6 \
+                    if nd > 1 else gm
+                path = _burst_series(ds, ns, p0, sf_, gcost)
+                bursts = []
+                run = 0
+                first = None
+                for t, st in zip(ts, path):
+                    if st == 1:
+                        run += 1
+                        if first is None:
+                            first = t
+                    elif run:
+                        bursts.append(run)
+                        run = 0
+                if run:
+                    bursts.append(run)
+                out["entity"].append(ent)
+                out["n_days"].append(nd)
+                out["base_rate"].append(p0)
+                out["burst_days"].append(sum(bursts))
+                out["n_bursts"].append(len(bursts))
+                out["longest_burst"].append(
+                    max(bursts) if bursts else 0
+                )
+                out["first_burst_t"].append(first)
+            yield pd.DataFrame(
+                {
+                    "entity": pd.Series(out["entity"], dtype="object"),
+                    "n_days": pd.Series(out["n_days"], dtype="int64"),
+                    "base_rate": pd.Series(
+                        out["base_rate"], dtype="float64"
+                    ),
+                    "burst_days": pd.Series(
+                        out["burst_days"], dtype="int64"
+                    ),
+                    "n_bursts": pd.Series(
+                        out["n_bursts"], dtype="int64"
+                    ),
+                    "longest_burst": pd.Series(
+                        out["longest_burst"], dtype="int64"
+                    ),
+                    "first_burst_t": pd.Series(
+                        out["first_burst_t"], dtype="object"
+                    ),
+                }
+            )
+            out = {k: [] for k in out}
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("n_days", LongType()),
+            StructField("base_rate", DoubleType()),
+            StructField("burst_days", LongType()),
+            StructField("n_bursts", LongType()),
+            StructField("longest_burst", LongType()),
+            StructField("first_burst_t", LongType()),
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_ent.mapInPandas(compute, schema=schema)
+        .select(
+            "entity", "n_days",
+            r6(F.col("base_rate")).alias("base_rate"),
+            "burst_days", "n_bursts", "longest_burst",
+            "first_burst_t",
+        )
+        .orderBy("entity")
+    )

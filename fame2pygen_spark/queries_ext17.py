@@ -4421,3 +4421,158 @@ FROM x385_f
 
 EXT17_QUERIES.update({"x385_simpsons": q_x385_simpsons})
 EXT17_ORACLES.update({"x385_simpsons": _sql_x385()})
+
+
+# -------------------- x386: Kleinberg 2-state burst detection
+
+
+def q_x386_bursts(spark, sf_dir):
+    """Kleinberg burst segmentation (operators/temporal.py:
+    kleinberg_bursts, s=2, gamma=1): which event types burst above
+    their own share of the daily stream, which days, and for how
+    long — the trending-topics primitive x188's burstiness index
+    can't segment.  Viterbi + backtrace per entity in mapInPandas;
+    the oracle replays the DP as recursive CTEs carrying costs and
+    predecessor flags, then gaps-and-islands the path."""
+    from .operators.temporal import kleinberg_bursts
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    day = F.expr(f"ts_us div {_US_PER_DAY}")
+    per_type = ev.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("d"))
+    totals = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    joined = per_type.join(F.broadcast(totals), "day")
+    return kleinberg_bursts(
+        joined, entity_col="event_type", t_col="day",
+        hits_col="d", total_col="nt", s=2.0, gamma=1.0,
+    )
+
+
+def _sql_x386() -> str:
+    emit = lambda p: (  # noqa: E731
+        "ROUND(-(CAST(d AS DOUBLE) * ln({p})"
+        " + CAST(nt - d AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) - {p}))"
+        " * 1000000.0) / 1000000.0"
+    ).format(p=p)
+    e_arr = lambda p, idx: (  # noqa: E731
+        "ROUND(-(CAST(ds[{i}] AS DOUBLE) * ln({p})"
+        " + CAST(ns[{i}] - ds[{i}] AS DOUBLE)"
+        " * ln(CAST(1.0 AS DOUBLE) - {p}))"
+        " * 1000000.0) / 1000000.0"
+    ).format(p=p, i=idx)
+    return f"""
+WITH RECURSIVE x386_pt AS (
+  SELECT event_type AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS t,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+), x386_tot AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY} AS t,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events GROUP BY 1
+), x386_rows AS (
+  SELECT p.e, p.t, p.d, tt.nt
+  FROM x386_pt p JOIN x386_tot tt ON p.t = tt.t
+  WHERE p.d <= tt.nt AND tt.nt > 0
+), x386_arr AS (
+  SELECT e, list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+         list(nt ORDER BY t) AS ns,
+         CAST(count(*) AS INTEGER) AS nd,
+         ROUND(greatest(least(CAST(SUM(d) AS DOUBLE)
+                              / CAST(SUM(nt) AS DOUBLE),
+                              CAST(0.999999 AS DOUBLE)),
+                        CAST(0.000000001 AS DOUBLE)) * 1000000.0)
+           / 1000000.0 AS p0,
+         CASE WHEN count(*) > 1
+              THEN ROUND(CAST(1.0 AS DOUBLE)
+                         * ln(CAST(count(*) AS DOUBLE)) * 1000000.0)
+                   / 1000000.0
+              ELSE CAST(1.0 AS DOUBLE) END AS gcost
+  FROM x386_rows GROUP BY e
+), x386_p AS (
+  SELECT *, least(CAST(2.0 AS DOUBLE) * p0,
+                  CAST(0.999999 AS DOUBLE)) AS p1
+  FROM x386_arr
+), x386_fwd AS (
+  SELECT e, ts, ds, ns, nd, p0, p1, gcost, CAST(1 AS INTEGER) AS i,
+         {e_arr('p0', 1)} AS c0,
+         {e_arr('p1', 1)} + gcost AS c1,
+         [false] AS F0s, [false] AS F1s
+  FROM x386_p
+  UNION ALL
+  SELECT e, ts, ds, ns, nd, p0, p1, gcost, s AS i,
+         CASE WHEN c1 < c0 THEN c1 + e0 ELSE c0 + e0 END AS c0,
+         CASE WHEN c0 + gcost < c1 THEN (c0 + gcost) + e1
+              ELSE c1 + e1 END AS c1,
+         list_append(F0s, c0 + gcost < c1) AS F0s,
+         list_append(F1s, c1 < c0) AS F1s
+  FROM (
+    SELECT e, ts, ds, ns, nd, p0, p1, gcost,
+           CAST(i + 1 AS INTEGER) AS s, c0, c1, F0s, F1s,
+           (SELECT ROUND(-(CAST(x.ds[CAST(x.i + 1 AS INTEGER)]
+                                AS DOUBLE) * ln(x.p0)
+                 + CAST(x.ns[CAST(x.i + 1 AS INTEGER)]
+                        - x.ds[CAST(x.i + 1 AS INTEGER)] AS DOUBLE)
+                   * ln(CAST(1.0 AS DOUBLE) - x.p0)) * 1000000.0)
+               / 1000000.0) AS e0,
+           (SELECT ROUND(-(CAST(x.ds[CAST(x.i + 1 AS INTEGER)]
+                                AS DOUBLE) * ln(x.p1)
+                 + CAST(x.ns[CAST(x.i + 1 AS INTEGER)]
+                        - x.ds[CAST(x.i + 1 AS INTEGER)] AS DOUBLE)
+                   * ln(CAST(1.0 AS DOUBLE) - x.p1)) * 1000000.0)
+               / 1000000.0) AS e1
+    FROM x386_fwd x WHERE i < nd
+  )
+), x386_bwd AS (
+  SELECT e, ts, nd, F0s, F1s, nd AS i,
+         CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS state,
+         [CASE WHEN c1 < c0 THEN 1 ELSE 0 END] AS path
+  FROM x386_fwd WHERE i = nd
+  UNION ALL
+  SELECT e, ts, nd, F0s, F1s, CAST(i - 1 AS INTEGER) AS i,
+         CASE WHEN state = 1
+              THEN CASE WHEN F0s[i] THEN 0 ELSE 1 END
+              ELSE CASE WHEN F1s[i] THEN 1 ELSE 0 END END AS state,
+         list_prepend(
+           CASE WHEN state = 1
+                THEN CASE WHEN F0s[i] THEN 0 ELSE 1 END
+                ELSE CASE WHEN F1s[i] THEN 1 ELSE 0 END END,
+           path) AS path
+  FROM x386_bwd WHERE i > 1
+), x386_path AS (
+  SELECT e, UNNEST(range(1, nd + 1)) AS idx,
+         UNNEST(ts) AS t, UNNEST(path) AS st
+  FROM x386_bwd WHERE i = 1
+), x386_runs AS (
+  SELECT e, t, idx,
+         idx - ROW_NUMBER() OVER (PARTITION BY e
+                                  ORDER BY idx) AS grp
+  FROM x386_path WHERE st = 1
+), x386_islands AS (
+  SELECT e, grp, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(t) AS t0
+  FROM x386_runs GROUP BY e, grp
+), x386_stats AS (
+  SELECT e, CAST(SUM(len) AS BIGINT) AS burst_days,
+         CAST(COUNT(*) AS BIGINT) AS n_bursts,
+         CAST(MAX(len) AS BIGINT) AS longest_burst,
+         CAST(MIN(t0) AS BIGINT) AS first_burst_t
+  FROM x386_islands GROUP BY e
+)
+SELECT a.e AS entity, CAST(a.nd AS BIGINT) AS n_days,
+       ROUND(a.p0 * 1000000.0) / 1000000.0 AS base_rate,
+       COALESCE(s.burst_days, 0) AS burst_days,
+       COALESCE(s.n_bursts, 0) AS n_bursts,
+       COALESCE(s.longest_burst, 0) AS longest_burst,
+       s.first_burst_t
+FROM x386_arr a LEFT JOIN x386_stats s ON a.e = s.e
+ORDER BY entity
+"""
+
+
+EXT17_QUERIES.update({"x386_bursts": q_x386_bursts})
+EXT17_ORACLES.update({"x386_bursts": _sql_x386()})

@@ -10957,3 +10957,40 @@ def test_simpsons_paradox_detected_on_planted_reversal(spark):
         df2, stratum_col="s", x_col="x", y_col="y"
     ).collect()[0]
     assert r2["pooled_vs_within"] == 0 and r2["reversal_strata"] == 0
+
+
+def test_kleinberg_bursts_segments_planted_burst(spark):
+    from fame2pygen_spark.operators.temporal import kleinberg_bursts
+
+    rows = []
+    for t in range(30):
+        total = 100
+        # 'hot' runs at ~12.5% base but 40% on days 10-14
+        hot = 40 if 10 <= t <= 14 else 10
+        # 'calm' holds a steady share
+        rows.append(("hot", t, hot, total))
+        rows.append(("calm", t, 12, total))
+    df = spark.createDataFrame(
+        rows, "e string, t long, d long, nt long"
+    )
+    out = {
+        r["entity"]: r
+        for r in kleinberg_bursts(
+            df, entity_col="e", t_col="t", hits_col="d",
+            total_col="nt", s=2.0, gamma=1.0,
+        ).collect()
+    }
+    h = out["hot"]
+    assert h["n_bursts"] == 1
+    assert h["burst_days"] == 5 and h["longest_burst"] == 5
+    assert h["first_burst_t"] == 10
+    c = out["calm"]
+    assert c["burst_days"] == 0 and c["first_burst_t"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="s must"):
+        kleinberg_bursts(
+            df, entity_col="e", t_col="t", hits_col="d",
+            total_col="nt", s=1.0,
+        )

@@ -169,6 +169,7 @@ SENSITIVE = [
     "x382_sa_quality",
     "x384_elementary_idx",
     "x385_simpsons",
+    "x386_bursts",
 ]
 
 

@@ -1712,3 +1712,10 @@ def test_simpsons_scan_is_two_stacked_aggs(spark):
     plan = plan_of(spark, "x385_simpsons")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kleinberg_is_arrow_batched_entity_viterbi(spark):
+    plan = plan_of(spark, "x386_bursts")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
