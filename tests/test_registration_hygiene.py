@@ -77,6 +77,20 @@ def test_plan_pin_exemptions_do_not_rot():
     assert not stale, f"PLAN_PIN_EXEMPT names no registry query: {stale}"
 
 
+def test_readme_registry_count_is_current():
+    """README's front-door 'N-query registry' claim must equal the
+    live registry size (r7 verdict #3: the count rotted 402 vs 417
+    because only queries_index.md was gated)."""
+    src = (REPO / "README.md").read_text()
+    claims = re.findall(r"(\d+)-query registry", src)
+    assert claims, "README no longer states an 'N-query registry' count"
+    for c in claims:
+        assert int(c) == len(NAMES), (
+            f"README says {c}-query registry but the registry has "
+            f"{len(NAMES)} queries — update README.md"
+        )
+
+
 def test_every_query_is_invariance_swept_or_explicitly_exempt():
     covered = set(SENSITIVE) | set(FLOAT_INSENSITIVE)
     uncovered = sorted(NAMES - covered)
