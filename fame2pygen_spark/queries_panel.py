@@ -350,3 +350,181 @@ JOIN year_info yi ON b.REGION = yi.REGION AND year(b.DATE) = yi.y
 
 PANEL_QUERIES.update({"p05_panel_chain": q_p05_panel_chain})
 PANEL_ORACLES.update({"p05_panel_chain": SQL_P05})
+
+
+def q_p06_panel_statespace(spark, sf_dir):
+    """State-space smoothers in panel mode (r7 verdict #7): the exact
+    Hodrick-Prescott decomposition (operators/temporal.py:hp_filter,
+    lam=1600) AND the local-level Kalman filter (kalman_level, q=4,
+    r=16, p0=100) over each nation's monthly revenue series — 25
+    independent entities proving the multi-entity path of the
+    entity-keyed ``mapInPandas`` lane end-to-end under the driver
+    contract.  Both operators shuffle ONCE on the entity key into
+    bounded per-series arrays; the sequential recursions (LDL'
+    pentadiagonal solve, adaptive-gain scalar recursion) run inside
+    Arrow batches, one series per loop step — at 100 TB the unit of
+    parallelism is the entity, so millions of series stream through
+    independently with per-task state bounded by ``max_len``.  The
+    final join is keyed on (entity, t): an entity-hash shuffle join
+    of two already-entity-partitioned frames.  The oracle replays
+    both pinned-order float recursions as recursive CTEs with
+    ``GROUP BY`` on the nation key — bit-equal IEEE doubles per
+    entity before the tie-safe 6 dp round."""
+    from .operators.temporal import hp_filter, kalman_level
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    hp = hp_filter(
+        base, entity_col="NATION", t_col="T", value_col="REV", lam=1600.0
+    ).select(
+        F.col("entity").alias("NATION"),
+        F.col("t").alias("T"),
+        F.col("value").alias("REV"),
+        F.col("trend").alias("HP_TREND"),
+        F.col("cycle").alias("HP_CYCLE"),
+    )
+    kf = kalman_level(
+        base,
+        entity_col="NATION",
+        t_col="T",
+        value_col="REV",
+        q=4.0,
+        r=16.0,
+        p0=100.0,
+    ).select(
+        F.col("entity").alias("NATION"),
+        F.col("t").alias("T"),
+        F.col("level").alias("KF_LEVEL"),
+        F.col("gain").alias("KF_GAIN"),
+    )
+    return hp.join(kf, ["NATION", "T"])
+
+
+def _sql_p06() -> str:
+    lam = "1600.0"
+    q, r, p0 = (
+        "CAST(4.0 AS DOUBLE)",
+        "CAST(16.0 AS DOUBLE)",
+        "CAST(100.0 AS DOUBLE)",
+    )
+    # pentadiagonal coefficients of I + lam*D'D at 1-based position s
+    # (mirrors operators/temporal.py:_hp_coeffs exactly — the x336
+    # oracle applied to the nation-monthly panel)
+    dcoef = (
+        f"(CAST(1.0 AS DOUBLE) + CAST({lam} AS DOUBLE) * "
+        "(CASE WHEN s = 1 OR s = n THEN 1 "
+        "WHEN s = 2 OR s = n - 1 THEN 5 ELSE 6 END))"
+    )
+    ecoef = (
+        f"(CASE WHEN s = 2 OR s = n THEN CAST(-2.0 AS DOUBLE) * {lam} "
+        f"ELSE CAST(-4.0 AS DOUBLE) * {lam} END)"
+    )
+    return f"""
+WITH RECURSIVE p06_base AS (
+  SELECT n_name AS e,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), p06_arr AS (
+  SELECT e, list(t ORDER BY t) AS ts, list(v ORDER BY t) AS ys,
+         CAST(count(*) AS INTEGER) AS n
+  FROM p06_base GROUP BY e
+), p06_fwd AS (
+  SELECT e, ts, ys, n, CAST(1 AS INTEGER) AS i,
+         [CAST(1.0 AS DOUBLE) + CAST({lam} AS DOUBLE) * 1] AS Ds,
+         [CAST(0.0 AS DOUBLE)] AS L1s,
+         [CAST(0.0 AS DOUBLE)] AS L2s,
+         [ys[1]] AS Zs
+  FROM p06_arr
+  UNION ALL
+  SELECT e, ts, ys, n, s AS i,
+         list_append(Ds, {dcoef} - l1 * l1 * d1 - l2 * l2 * d2) AS Ds,
+         list_append(L1s, l1) AS L1s,
+         list_append(L2s, l2) AS L2s,
+         list_append(Zs,
+           ys[s] - l1 * Zs[CAST(s - 1 AS INTEGER)]
+                 - l2 * COALESCE(Zs[CAST(s - 2 AS INTEGER)],
+                                 CAST(0.0 AS DOUBLE))) AS Zs
+  FROM (
+    SELECT e, ts, ys, n, s, Ds, L1s, L2s, Zs, d1, d2, l2,
+           ({ecoef} - l2 * d2 * L1s[CAST(s - 1 AS INTEGER)]) / d1 AS l1
+    FROM (
+      SELECT e, ts, ys, n, s, Ds, L1s, L2s, Zs, d1, d2,
+             CASE WHEN s >= 3 THEN CAST({lam} AS DOUBLE) / d2
+                  ELSE CAST(0.0 AS DOUBLE) END AS l2
+      FROM (
+        SELECT e, ts, ys, n, CAST(i + 1 AS INTEGER) AS s,
+               Ds, L1s, L2s, Zs,
+               Ds[i] AS d1,
+               COALESCE(Ds[CAST(i - 1 AS INTEGER)],
+                        CAST(0.0 AS DOUBLE)) AS d2
+        FROM p06_fwd WHERE i < n
+      )
+    )
+  )
+), p06_bwd AS (
+  SELECT e, ts, ys, n, Ds, L1s, L2s, Zs, n AS i,
+         [Zs[n] / Ds[n] - CAST(0.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)]
+           AS taus
+  FROM p06_fwd WHERE i = n
+  UNION ALL
+  SELECT e, ts, ys, n, Ds, L1s, L2s, Zs, CAST(i - 1 AS INTEGER) AS i,
+         list_prepend(
+           Zs[CAST(i - 1 AS INTEGER)] / Ds[CAST(i - 1 AS INTEGER)]
+           - L1s[i] * taus[1]
+           - CASE WHEN i + 1 <= n
+                  THEN L2s[CAST(i + 1 AS INTEGER)] * taus[2]
+                  ELSE CAST(0.0 AS DOUBLE) END,
+           taus) AS taus
+  FROM p06_bwd WHERE i > 1
+), p06_hp AS (
+  SELECT e, UNNEST(ts) AS t, UNNEST(ys) AS v, UNNEST(taus) AS trend
+  FROM p06_bwd WHERE i = 1
+), p06_kf_rec AS (
+  SELECT e, ts, ys, n, CAST(1 AS INTEGER) AS i,
+         ys[1] AS x, {p0} AS p,
+         [ys[1]] AS levels, [CAST(0.0 AS DOUBLE)] AS gains
+  FROM p06_arr
+  UNION ALL
+  SELECT e, ts, ys, n, CAST(i + 1 AS INTEGER) AS i,
+         x + k * (ys[CAST(i + 1 AS INTEGER)] - x) AS x,
+         (CAST(1.0 AS DOUBLE) - k) * pp AS p,
+         list_append(levels,
+           x + k * (ys[CAST(i + 1 AS INTEGER)] - x)) AS levels,
+         list_append(gains, k) AS gains
+  FROM (
+    SELECT e, ts, ys, n, i, x, levels, gains, pp,
+           pp / (pp + {r}) AS k
+    FROM (
+      SELECT e, ts, ys, n, i, x, levels, gains, p + {q} AS pp
+      FROM p06_kf_rec WHERE i < n
+    )
+  )
+), p06_kf AS (
+  SELECT e, UNNEST(ts) AS t, UNNEST(levels) AS level,
+         UNNEST(gains) AS gain
+  FROM p06_kf_rec WHERE i = n
+)
+SELECT h.e AS NATION, CAST(h.t AS BIGINT) AS T,
+       ROUND(h.v * 1000000.0) / 1000000.0 AS REV,
+       ROUND(h.trend * 1000000.0) / 1000000.0 AS HP_TREND,
+       ROUND((h.v - h.trend) * 1000000.0) / 1000000.0 AS HP_CYCLE,
+       ROUND(k.level * 1000000.0) / 1000000.0 AS KF_LEVEL,
+       ROUND(k.gain * 1000000.0) / 1000000.0 AS KF_GAIN
+FROM p06_hp h
+JOIN p06_kf k ON h.e = k.e AND h.t = k.t
+ORDER BY 1, 2
+"""
+
+
+PANEL_QUERIES.update({"p06_panel_statespace": q_p06_panel_statespace})
+PANEL_ORACLES.update({"p06_panel_statespace": _sql_p06()})

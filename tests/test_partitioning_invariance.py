@@ -170,6 +170,7 @@ SENSITIVE = [
     "x384_elementary_idx",
     "x385_simpsons",
     "x386_bursts",
+    "p06_panel_statespace",
 ]
 
 

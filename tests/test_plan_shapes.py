@@ -1719,3 +1719,15 @@ def test_kleinberg_is_arrow_batched_entity_viterbi(spark):
     assert "MapInPandas" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_panel_statespace_is_two_entity_keyed_arrow_lanes(spark):
+    # two mapInPandas branches (HP solve, Kalman recursion), each fed
+    # by ONE entity-keyed groupBy shuffle; the final join is keyed on
+    # (entity, t) — no window anywhere, no cartesian, and the only
+    # broadcast join is the 25-row nation dimension
+    plan = plan_of(spark, "p06_panel_statespace")
+    assert plan.count("MapInPandas") >= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
