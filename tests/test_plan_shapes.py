@@ -1731,3 +1731,172 @@ def test_panel_statespace_is_two_entity_keyed_arrow_lanes(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- r8: retire the pre-r5 PLAN_PIN_EXEMPT grandfather block (r7
+# verdict #4) — real pins for the heavy dedup/ANN/pipeline queries
+# whose formulations have been stable since r4/r5.
+
+
+def test_dedup_exact_is_one_keyed_agg_no_join(spark):
+    # 128-bit fingerprint groupBy: ONE uniform shuffle, no join, no
+    # window survives into the executed plan, nothing quadratic
+    plan = plan_of(spark, "x01_dedup_exact")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_is_banded_explode_join(spark):
+    # shingle/band Generate feeds an equi-join on the band hash; the
+    # survivor window is keyed; the only broadcast is the stats frame
+    for name in ("x03_dedup_minhash_lsh", "x126_incremental_dedup"):
+        plan = plan_of(spark, name)
+        assert "Generate" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_dedup_clusters_iterations_stay_pair_keyed(spark):
+    # alternating-star component steps run on the PAIR list (tiny
+    # vs corpus); windows keyed, no cartesian anywhere
+    plan = plan_of(spark, "x09_dedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert unpartitioned_windows(spark, "x09_dedup_clusters") == []
+
+
+def test_curation_final_stage_is_broadcast_antijoin(spark):
+    # post-checkpoint plan: the drop list joins broadcast onto the
+    # deduped corpus — no cartesian, no shuffle join of corpus vs drop
+    plan = plan_of(spark, "x14_curation_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_brute_force_broadcasts_the_bounded_probe_side(spark):
+    # the top-k baseline is probe×corpus by construction — the pin is
+    # that the BOUNDED probe side rides a broadcast nested-loop, never
+    # a cartesian shuffle, and the rank window is keyed by probe
+    plan = plan_of(spark, "x05_similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_windows(spark, "x05_similarity_topk") == []
+
+
+def test_ann_bucketed_variants_equi_join_not_nested_loop(spark):
+    # LSH/IVF cut the candidate set with an equi-join on the bucket
+    # id — the scale path must NOT fall back to nested-loop scans
+    for name in ("x05b_similarity_lsh", "x05c_similarity_ivf"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Generate" in plan, name
+        assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_embedding_neardup_is_bucketed_pair_join(spark):
+    plan = plan_of(spark, "x07_embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert unpartitioned_windows(spark, "x07_embedding_neardup") == []
+
+
+def test_decontamination_probes_broadcast_benchmark(spark):
+    # benchmark n-gram set broadcast to the corpus side; no shuffle
+    # join of corpus vs benchmark, no window anywhere
+    plan = plan_of(spark, "x19_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_passage_dedup_windows_stay_keyed(spark):
+    plan = plan_of(spark, "x21_passage_dedup")
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_windows(spark, "x21_passage_dedup") == []
+
+
+def test_corpus_mixing_is_map_side_hash_filter(spark):
+    # deterministic stratified sampling: the rate table inlines as a
+    # literal map and the draw is a scan-side predicate — no join, no
+    # window, no aggregation anywhere in the plan
+    plan = plan_of(spark, "x17_corpus_mixing")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_shard_and_pack_cumsums_are_source_keyed(spark):
+    # the ordered cumsum serializes globally if the window loses its
+    # partition key — THE failure mode of packing at 100 TB
+    for name in ("x18_token_shards", "x28_context_windows"):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_asof_join_is_union_window_not_nested_loop(spark):
+    # as-of via union + keyed last-value window: no join operator at
+    # all, so nothing can degrade to a range nested-loop
+    plan = plan_of(spark, "x25_asof_join")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_windows(spark, "x25_asof_join") == []
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # interval bucketing: Generate explodes bounded bucket spans into
+    # an equi-join — never a BroadcastNestedLoopJoin range predicate
+    plan = plan_of(spark, "x26_range_join")
+    assert "Generate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_profile_is_map_only(spark):
+    plan = plan_of(spark, "x06_text_profile")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_tfidf_and_gopher_windows_keyed_no_cartesian(spark):
+    for name in ("x13_tfidf_top_terms", "x16_gopher_filter"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_events_hourly_is_one_agg_pass(spark):
+    plan = plan_of(spark, "x10_events_hourly")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_sessionization_windows_are_user_keyed(spark):
+    plan = plan_of(spark, "x11_events_sessions")
+    assert "Join" not in plan
+    assert unpartitioned_windows(spark, "x11_events_sessions") == []
+
+
+def test_sketches_aggregate_without_cartesian(spark):
+    for name in ("x29_kmv_distinct", "x73_hll_distinct"):
+        plan = plan_of(spark, name)
+        assert "HashAggregate" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert unpartitioned_windows(spark, name) == [], name
+
+
+def test_image_ahash_is_arrow_batched_decode(spark):
+    # pure-Python decoders run ONLY inside mapInPandas Arrow batches —
+    # no per-row Python UDF, no join, no window
+    plan = plan_of(spark, "x84_image_ahash")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
