@@ -707,6 +707,324 @@ def encode_jpeg_bytes(
     raise ValueError(f"unknown mode {mode!r}")
 
 
+#: progressive AC huffman table: every EOBn (r<<4, r ≤ 14), ZRL, and
+#: (run, size ≤ 10) symbol at code length 8 — 176 codes, canonical,
+#: Kraft-feasible, all-ones code unused.
+_JPG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPG_PROG_AC_VALS = tuple(
+    sorted(
+        [r << 4 for r in range(16)]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+)
+
+
+def _jpg_default_prog_scans(ncomp: int):
+    """Default progressive scan script (the libjpeg-shaped spectral-
+    selection + successive-approximation ladder, T.81 Annex G): DC
+    first at Al=1 interleaved, per-component AC bands at Al=1, the AC
+    refinement pass to Al=0, the DC refinement bit, trailing AC
+    refinements for chroma."""
+    scans = [([0, 1, 2][:ncomp], 0, 0, 0, 1)]  # DC first, Al=1
+    scans.append(([0], 1, 5, 0, 1))  # luma AC band 1-5 at Al=1
+    scans.append(([0], 6, 63, 0, 1))  # luma AC band 6-63 at Al=1
+    for ci in range(1, ncomp):
+        scans.append(([ci], 1, 63, 0, 1))
+    scans.append(([0], 1, 63, 1, 0))  # luma AC refine → Al=0
+    scans.append(([0, 1, 2][:ncomp], 0, 0, 1, 0))  # DC refine
+    for ci in range(1, ncomp):
+        scans.append(([ci], 1, 63, 1, 0))
+    return scans
+
+
+class _JpgProgWriter(_JpgBitWriter):
+    """Bit writer with the progressive encoder's deferred-emission
+    state: EOB runs and buffered correction bits (T.81 G.1.2.2-3)."""
+
+    def __init__(self, ac_codes):
+        super().__init__()
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.corr = []  # correction bits buffered behind the EOB run
+
+    def put_sym(self, sym: int):
+        code, length = self.ac[sym]
+        self.put(code, length)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.put_sym(nbits << 4)
+            if nbits:
+                self.put(self.eobrun, nbits)
+            self.eobrun = 0
+        for b in self.corr:
+            self.put(b, 1)
+        self.corr = []
+
+
+def encode_jpeg_coeffs_progressive(
+    comps,
+    *,
+    samplings,
+    qtables,
+    scans=None,
+    restart_interval: int = 0,
+):
+    """Serialize quantized coefficient blocks as a PROGRESSIVE JPEG
+    (SOF2): the :func:`encode_jpeg_coeffs` surface with a scan script.
+    Each script entry is ``(comp_indices, Ss, Se, Ah, Al)``; the
+    default ladder exercises spectral selection AND successive
+    approximation in both DC and AC (first + refinement scans, EOB
+    runs, buffered correction bits — T.81 G.1.2).  The decoder
+    (:func:`_decode_jpeg`) accumulates the scans bit-exactly, so
+    progressive and baseline encodings of the same coefficients decode
+    to identical pixels (pinned by the differential pytest)."""
+    import struct
+
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    if scans is None:
+        scans = _jpg_default_prog_scans(ncomp)
+    by0, bx0 = comps[0].shape[:2]
+    height, width = 8 * by0, 8 * bx0
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in enumerate(qtables[: 2 if ncomp == 3 else 1]):
+        out += struct.pack(">HH", 0xFFDB, 2 + 1 + 64)
+        out.append(tid)
+        out += bytes(int(q) for q in qt)
+    out += struct.pack(">HHBHHB", 0xFFC2, 8 + 3 * ncomp, 8,
+                       height, width, ncomp)
+    for ci in range(ncomp):
+        h, v = samplings[ci]
+        out += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    tables = [(0x00, _JPG_DC_LUM_BITS, _JPG_DC_VALS),
+              (0x10, _JPG_PROG_AC_BITS, _JPG_PROG_AC_VALS)]
+    if ncomp == 3:
+        tables += [(0x01, _JPG_DC_CHR_BITS, _JPG_DC_VALS)]
+    for tc_th, bits, vals in tables:
+        out += struct.pack(">HH", 0xFFC4, 2 + 1 + 16 + len(vals))
+        out.append(tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+
+    dc_lum = _huff_canonical(_JPG_DC_LUM_BITS, _JPG_DC_VALS)
+    dc_chr = _huff_canonical(_JPG_DC_CHR_BITS, _JPG_DC_VALS)
+    ac_tab = _huff_canonical(_JPG_PROG_AC_BITS, _JPG_PROG_AC_VALS)
+    dc_for = [dc_lum] + [dc_chr] * (ncomp - 1)
+
+    # natural (non-interleaved) block grids, T.81 A.1.1
+    nat = []
+    for ci in range(ncomp):
+        h, v = samplings[ci]
+        cw = -(-(width * h) // hmax)
+        ch = -(-(height * v) // vmax)
+        nat.append((-(-cw // 8), -(-ch // 8)))
+
+    for comp_idx, ss, se, ah, al in scans:
+        out += struct.pack(">HHB", 0xFFDA, 6 + 2 * len(comp_idx),
+                           len(comp_idx))
+        for ci in comp_idx:
+            out += bytes([ci + 1, (0x00 if ci == 0 else 0x10) | 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        out += _jpg_encode_prog_scan(
+            comps, samplings, comp_idx, ss, se, ah, al,
+            dc_for, ac_tab, nat, restart_interval,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpg_encode_prog_scan(
+    comps, samplings, comp_idx, ss, se, ah, al,
+    dc_for, ac_tab, nat, restart_interval,
+):
+    """Entropy-code one progressive scan (T.81 G.1.2 encoder
+    procedures: DC first/refine, AC first with EOB runs, AC refine
+    with buffered correction bits)."""
+    w = _JpgProgWriter(ac_tab)
+    interleaved = len(comp_idx) > 1
+    by0, bx0 = comps[0].shape[:2]
+    h0, v0 = samplings[0]
+    mcus_x, mcus_y = bx0 // h0, by0 // v0
+    pred = [0] * len(comps)
+    rst = 0
+
+    def dc_first(ci, blk):
+        v = int(blk[0]) >> al  # DC point transform: arithmetic shift
+        size, bits = _jpg_magnitude(v - pred[ci])
+        pred[ci] = v
+        code, length = dc_for[ci][size]
+        w.put(code, length)
+        w.put(bits, size)
+
+    def dc_refine(ci, blk):
+        w.put((int(blk[0]) >> al) & 1, 1)
+
+    def ac_first(blk):
+        run = 0
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            t = abs(c) >> al  # AC point transform: magnitude shift
+            if t == 0:
+                run += 1
+                continue
+            w.flush_eobrun()
+            while run > 15:
+                w.put_sym(0xF0)
+                run -= 16
+            size, _ = _jpg_magnitude(t)
+            w.put_sym((run << 4) | size)
+            # appended bits per F.1.2.1 on the transformed magnitude
+            w.put(t if c > 0 else (~t) & ((1 << size) - 1), size)
+            run = 0
+        if run > 0:
+            w.eobrun += 1
+            if w.eobrun == 0x7FFF:
+                w.flush_eobrun()
+
+    def ac_refine(blk):
+        # events since the last emitted symbol, in scan order:
+        # ("z",) = zero-history slot, ("c", bit) = correction bit for
+        # an already-nonzero coefficient.  The decoder consumes
+        # correction bits INTERLEAVED while advancing past a symbol's
+        # zero span, so a ZRL flushes only the bits positioned before
+        # its 16th zero-history slot — the remainder stays queued for
+        # the next symbol's advance segment.
+        queue: list = []
+
+        def emit_segment(nzeros, trailing):
+            # pop `nzeros` zero events, emitting the correction bits
+            # interleaved before the boundary; then `trailing` bits
+            seen = 0
+            while queue:
+                ev = queue[0]
+                if ev[0] == "z":
+                    if seen == nzeros:
+                        break
+                    seen += 1
+                    queue.pop(0)
+                else:
+                    if seen == nzeros and not trailing:
+                        break
+                    w.put(ev[1], 1)
+                    queue.pop(0)
+
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            t = abs(c) >> al
+            if t == 0:
+                queue.append(("z",))
+                continue
+            if t > 1:  # already nonzero: correction bit in place
+                queue.append(("c", t & 1))
+                continue
+            # newly nonzero (t == 1)
+            nz = sum(1 for ev in queue if ev[0] == "z")
+            while nz > 15:
+                w.flush_eobrun()
+                w.put_sym(0xF0)
+                emit_segment(16, trailing=False)
+                nz -= 16
+            w.flush_eobrun()
+            w.put_sym((nz << 4) | 1)
+            w.put(1 if c > 0 else 0, 1)
+            emit_segment(nz, trailing=True)
+            queue = []
+        if queue:
+            w.eobrun += 1
+            w.corr.extend(ev[1] for ev in queue if ev[0] == "c")
+            if w.eobrun == 0x7FFF or len(w.corr) > 900:
+                w.flush_eobrun()
+
+    def do_block(ci, blk):
+        if ss == 0 and ah == 0:
+            dc_first(ci, blk)
+        elif ss == 0:
+            dc_refine(ci, blk)
+        elif ah == 0:
+            ac_first(blk)
+        else:
+            ac_refine(blk)
+
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        units = nat[comp_idx[0]][0] * nat[comp_idx[0]][1]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            w.flush_eobrun()
+            w.align()
+            w.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = [0] * len(comps)
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for ci in comp_idx:
+                h, v = samplings[ci]
+                for byi in range(v):
+                    for bxi in range(h):
+                        do_block(
+                            ci, comps[ci][my * v + byi, mx * h + bxi]
+                        )
+        else:
+            ci = comp_idx[0]
+            nbx = nat[ci][0]
+            by, bx = divmod(u, nbx)
+            do_block(ci, comps[ci][by, bx])
+    w.flush_eobrun()
+    w.align()
+    return bytes(w.out)
+
+
+def encode_progressive_jpeg_bytes(
+    block_values,
+    *,
+    mode: str = "gray",
+    restart_interval: int = 0,
+):
+    """Progressive twin of :func:`encode_jpeg_bytes`: the same flat
+    8×8-block image as a SOF2 stream using the default spectral-
+    selection + successive-approximation scan ladder.  DC-only blocks
+    at quant step 8 round-trip bit-exactly through
+    :func:`_decode_jpeg`, so the x334 arithmetic-oracle construction
+    applies unchanged."""
+    import numpy as np
+
+    vals = np.asarray(block_values, dtype=np.int64)
+    bh, bw = vals.shape
+    coeffs = np.zeros((bh, bw, 64), dtype=np.int64)
+    coeffs[:, :, 0] = vals - 128
+    qt = list(_JPG_QT_FLAT)
+    if mode == "gray":
+        return encode_jpeg_coeffs_progressive(
+            [coeffs], samplings=[(1, 1)], qtables=[qt],
+            restart_interval=restart_interval,
+        )
+    zero = np.zeros((bh, bw, 64), dtype=np.int64)
+    if mode == "ycbcr444":
+        return encode_jpeg_coeffs_progressive(
+            [coeffs, zero, zero],
+            samplings=[(1, 1), (1, 1), (1, 1)], qtables=[qt, qt],
+            restart_interval=restart_interval,
+        )
+    if mode == "ycbcr420":
+        if bh % 2 or bw % 2:
+            raise ValueError("4:2:0 needs even block grid")
+        chroma = np.zeros((bh // 2, bw // 2, 64), dtype=np.int64)
+        return encode_jpeg_coeffs_progressive(
+            [coeffs, chroma, chroma],
+            samplings=[(2, 2), (1, 1), (1, 1)], qtables=[qt, qt],
+            restart_interval=restart_interval,
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 class _JpgBitReader:
     """Entropy-segment bit reader: 0xFF00 unstuffing, RSTn handling
     (the MCU loop calls :meth:`restart` at interval boundaries), stops
@@ -780,10 +1098,205 @@ def _jpg_extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _jpg_next_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy-segment padding to the next real marker
+    (skipping stuffed 0xFF00 byte pairs)."""
+    d = payload
+    while pos + 1 < len(d):
+        if d[pos] == 0xFF and d[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG stream after scan")
+
+
+def _jpg_decode_scan(
+    payload: bytes,
+    pos: int,
+    *,
+    scan,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff,
+    coeff,
+    geom,
+    restart_interval: int,
+    progressive: bool,
+) -> int:
+    """Decode ONE entropy-coded scan segment into the per-component
+    quantized-coefficient store ``coeff`` (T.81 F.2 sequential and
+    G.2 progressive control procedures: DC first/refine, AC
+    first/refine with EOB runs).  Returns the stream position of the
+    next marker."""
+    mcus_x, mcus_y = geom["mcus_x"], geom["mcus_y"]
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        c = scan[0]["c"]
+        nbx, nby = geom["nat"][c["id"]]
+        units = nbx * nby
+
+    reader = _JpgBitReader(payload, pos)
+    pred = {s["c"]["id"]: 0 for s in scan}
+    eobrun = 0
+    rst = 0
+
+    def block_for(c, by, bx):
+        return coeff[c["id"]][by, bx]
+
+    def decode_dc(blk, s):
+        nonlocal pred
+        dct = huff[(0, s["td"])]
+        size = _jpg_decode_huffman(reader, dct)
+        diff = _jpg_extend(reader.bits(size), size)
+        pred[s["c"]["id"]] += diff
+        blk[0] = pred[s["c"]["id"]] << al
+
+    def decode_baseline_ac(blk, s):
+        act = huff[(1, s["ta"])]
+        k = 1
+        while k < 64:
+            rs = _jpg_decode_huffman(reader, act)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            sz = rs & 15
+            if k > 63:
+                raise ValueError("AC run past block end")
+            blk[k] = _jpg_extend(reader.bits(sz), sz)
+            k += 1
+
+    def decode_ac_first(blk, s):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        act = huff[(1, s["ta"])]
+        k = ss
+        while k <= se:
+            rs = _jpg_decode_huffman(reader, act)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r != 15:  # EOBn: run of 2^r + appended-bits blocks
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    eobrun -= 1  # this block is the run's first member
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _jpg_extend(reader.bits(sz), sz) << al
+            k += 1
+
+    def decode_ac_refine(blk, s):
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        act = huff[(1, s["ta"])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpg_decode_huffman(reader, act)
+                r, sz = rs >> 4, rs & 15
+                if sz:
+                    if sz != 1:
+                        raise ValueError("bad refinement magnitude")
+                    newval = p1 if reader.bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break  # tail handled by the EOB-run pass
+                    newval = 0  # ZRL: skip 16 zero-history coeffs
+                # advance over coefficients: correction bits for
+                # already-nonzero ones, count down r zero-history slots
+                while k <= se:
+                    c0 = int(blk[k])
+                    if c0 != 0:
+                        if reader.bit() and (c0 & p1) == 0:
+                            blk[k] = c0 + (p1 if c0 >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c0 = int(blk[k])
+                if c0 != 0:
+                    if reader.bit() and (c0 & p1) == 0:
+                        blk[k] = c0 + (p1 if c0 >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.restart(rst)
+            rst += 1
+            pred = {s["c"]["id"]: 0 for s in scan}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for s in scan:
+                c = s["c"]
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        blk = block_for(
+                            c, my * c["v"] + byi, mx * c["h"] + bxi
+                        )
+                        if ss == 0 and not progressive:
+                            decode_dc(blk, s)
+                            decode_baseline_ac(blk, s)
+                        elif ss == 0 and ah == 0:
+                            decode_dc(blk, s)
+                        elif ss == 0:
+                            if reader.bit():  # DC refinement bit
+                                blk[0] = int(blk[0]) | (1 << al)
+                        else:
+                            raise ValueError(
+                                "interleaved AC scan is invalid"
+                            )
+        else:
+            s = scan[0]
+            c = s["c"]
+            nbx = geom["nat"][c["id"]][0]
+            by, bx = divmod(u, nbx)
+            blk = block_for(c, by, bx)
+            if ss == 0 and not progressive:
+                decode_dc(blk, s)
+                decode_baseline_ac(blk, s)
+            elif ss == 0 and ah == 0:
+                decode_dc(blk, s)
+            elif ss == 0:
+                if reader.bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:
+                decode_ac_first(blk, s)
+            else:
+                decode_ac_refine(blk, s)
+    return _jpg_next_marker(payload, reader.pos)
+
+
 def _decode_jpeg(payload: bytes):
-    """Baseline JPEG → (h, w, 3) uint8 RGB.  See the codec section
-    comment for supported surface; raises ``ValueError`` (the callers'
-    'needs-codec' path) on progressive/arithmetic/12-bit streams."""
+    """Baseline (SOF0/SOF1) AND progressive (SOF2) JPEG → (h, w, 3)
+    uint8 RGB.  Multi-scan architecture: every SOS decodes into a
+    per-component quantized-coefficient store (spectral-selection
+    bands and successive-approximation bit refinements accumulate
+    across scans per T.81 Annex G), then ONE dequantize + IDCT pass
+    reconstructs the planes.  Raises ``ValueError`` (the callers'
+    'needs-codec' path) on arithmetic-coded/lossless/12-bit
+    streams."""
     import struct
 
     import numpy as np
@@ -794,8 +1307,11 @@ def _decode_jpeg(payload: bytes):
     qtables: dict = {}
     huff: dict = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coeff: dict = {}
+    geom: dict = {}
+    nscans = 0
     while pos < len(payload):
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG stream")
@@ -840,7 +1356,8 @@ def _decode_jpeg(payload: bytes):
                 }
                 huff[(tc, th)] = inv
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -851,91 +1368,94 @@ def _decode_jpeg(payload: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise ValueError("sampling factors beyond 2 unsupported")
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            geom = {
+                "mcus_x": mcus_x,
+                "mcus_y": mcus_y,
+                "hmax": hmax,
+                "vmax": vmax,
+                # natural (non-interleaved) block grid per component:
+                # ceil(ceil(dim·sampling/max) / 8), T.81 A.1.1
+                "nat": {
+                    c["id"]: (
+                        -(-(-(-(w * c["h"]) // hmax)) // 8),
+                        -(-(-(-(h * c["v"]) // vmax)) // 8),
+                    )
+                    for c in comps
+                },
+            }
+            coeff = {
+                c["id"]: np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "non-baseline JPEG (progressive/arithmetic) unsupported"
+                "non-baseline JPEG (arithmetic/lossless) unsupported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            by_id = {c["id"]: c for c in frame["comps"]}
             ns = body[0]
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
-                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 15})
-            pos += seglen
-            break
+                scan.append(
+                    {"c": by_id[cs], "td": tdta >> 4, "ta": tdta & 15}
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _jpg_decode_scan(
+                payload,
+                pos + seglen,
+                scan=scan,
+                ss=ss,
+                se=se,
+                ah=ahal >> 4,
+                al=ahal & 15,
+                huff=huff,
+                coeff=coeff,
+                geom=geom,
+                restart_interval=restart_interval,
+                progressive=progressive,
+            )
+            nscans += 1
+            continue
         # APPn / COM / others: skip
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or nscans == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
     comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise ValueError("sampling factors beyond 2 unsupported")
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-
-    order = []  # (comp, dc-table, ac-table) per block within an MCU
-    for s in scan:
-        c = by_id[s["cs"]]
-        for _ in range(c["h"] * c["v"]):
-            order.append((c, huff[(0, s["td"])], huff[(1, s["ta"])]))
-
-    planes = {
-        c["id"]: np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
-        )
-        for c in comps
-    }
+    hmax, vmax = geom["hmax"], geom["vmax"]
     zz_rows = np.array([rc[0] for rc in _JPG_ZIGZAG])
     zz_cols = np.array([rc[1] for rc in _JPG_ZIGZAG])
     A = _jpg_dct_matrix()
 
-    reader = _JpgBitReader(payload, pos)
-    pred = {c["id"]: 0 for c in comps}
-    rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            reader.restart(rst)
-            rst += 1
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        blk_in_comp: dict = {}
-        for c, dct, act in order:
-            size = _jpg_decode_huffman(reader, dct)
-            diff = _jpg_extend(reader.bits(size), size)
-            pred[c["id"]] += diff
-            zz = np.zeros(64, dtype=np.int32)
-            zz[0] = pred[c["id"]]
-            k = 1
-            while k < 64:
-                rs = _jpg_decode_huffman(reader, act)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                s = rs & 15
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _jpg_extend(reader.bits(s), s)
-                k += 1
-            deq = zz * qtables[c["tq"]]
-            block = np.zeros((8, 8), dtype=np.float64)
-            block[zz_rows, zz_cols] = deq
-            spatial = A.T @ block @ A
-            bi = blk_in_comp.get(c["id"], 0)
-            blk_in_comp[c["id"]] = bi + 1
-            byi, bxi = divmod(bi, c["h"])
-            r0 = (my * c["v"] + byi) * 8
-            c0 = (mx * c["h"] + bxi) * 8
-            planes[c["id"]][r0 : r0 + 8, c0 : c0 + 8] = spatial
+    planes = {}
+    for c in comps:
+        grid = coeff[c["id"]]
+        by, bx = grid.shape[:2]
+        deq = (grid.reshape(-1, 64) * qtables[c["tq"]]).astype(np.float64)
+        blocks = np.zeros((deq.shape[0], 8, 8), dtype=np.float64)
+        blocks[:, zz_rows, zz_cols] = deq
+        spatial = A.T @ blocks @ A  # batched IDCT over all blocks
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        planes[c["id"]] = plane
 
     h, w = frame["h"], frame["w"]
     full = []
@@ -1123,12 +1643,13 @@ def audio_features(
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     """Column-level image decode for formats needing an external codec
-    (WebP, progressive JPEG).  BMP/PPM/PNG *and baseline JPEG* decode
-    IS implemented — use :func:`image_features` / :func:`image_ahash`
-    (Arrow-batched ``mapInPandas`` over :func:`decode_image_bytes`)."""
+    (WebP only, as of r8).  BMP/PPM/PNG *and baseline + progressive
+    JPEG* decode IS implemented — use :func:`image_features` /
+    :func:`image_ahash` (Arrow-batched ``mapInPandas`` over
+    :func:`decode_image_bytes`)."""
     raise NotImplementedError(
-        "WebP / progressive-JPEG decoding needs PIL/opencv — not "
-        "available here; BMP/PPM/PNG/baseline-JPEG are decoded for "
+        "WebP decoding needs PIL/opencv — not available here; "
+        "BMP/PPM/PNG/baseline-JPEG/progressive-JPEG are decoded for "
         "real via image_features()"
     )
 

@@ -965,6 +965,7 @@ from .queries_ext14 import EXT14_ORACLES, EXT14_QUERIES  # noqa: E402
 from .queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
 from .queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
 from .queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
+from .queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -984,6 +985,7 @@ ORACLES.update(EXT14_ORACLES)
 ORACLES.update(EXT15_ORACLES)
 ORACLES.update(EXT16_ORACLES)
 ORACLES.update(EXT17_ORACLES)
+ORACLES.update(EXT18_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -1031,6 +1033,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT15_QUERIES,
     **EXT16_QUERIES,
     **EXT17_QUERIES,
+    **EXT18_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against

@@ -9273,8 +9273,10 @@ def test_jpeg_decoder_rejects_non_baseline_and_truncated():
         decode_image_bytes, encode_jpeg_bytes,
     )
 
-    with pytest.raises(ValueError, match="progressive|non-baseline"):
-        decode_image_bytes(b"\xff\xd8\xff\xc2\x00\x05aaa")
+    # SOF9 (arithmetic) stays rejected; SOF2 (progressive) decodes
+    # for real since r8 — see test_progressive_jpeg_* below
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_image_bytes(b"\xff\xd8\xff\xc9\x00\x05aaa")
     with pytest.raises(ValueError, match="truncated"):
         decode_image_bytes(b"\xff\xd8\xff")
     pay = encode_jpeg_bytes(
@@ -10994,3 +10996,133 @@ def test_kleinberg_bursts_segments_planted_burst(spark):
             df, entity_col="e", t_col="t", hits_col="d",
             total_col="nt", s=1.0,
         )
+
+
+def test_progressive_jpeg_flat_blocks_roundtrip_exact():
+    """SOF2 flat-block streams decode bit-exactly in every frame
+    layout: the DC successive-approximation ladder (first scan at
+    Al=1, refinement bit to Al=0) plus per-band AC scans (pure EOB
+    runs for DC-only blocks) reconstruct the same pixels as the
+    baseline encoding — including restart markers mid-scan."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_jpeg_bytes,
+        encode_progressive_jpeg_bytes,
+    )
+
+    rng = np.random.RandomState(42)
+    for mode in ("gray", "ycbcr444", "ycbcr420"):
+        for ri in (0, 2):
+            vals = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+            img_b = decode_image_bytes(
+                encode_jpeg_bytes(vals, mode=mode, restart_interval=ri)
+            )
+            img_p = decode_image_bytes(
+                encode_progressive_jpeg_bytes(
+                    vals, mode=mode, restart_interval=ri
+                )
+            )
+            exp = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            assert (img_p[:, :, 0] == exp).all(), (mode, ri)
+            assert (img_b == img_p).all(), (mode, ri)
+
+
+def test_progressive_jpeg_differential_random_coeffs():
+    """Differential oracle for the full T.81 Annex G surface: random
+    quantized coefficient grids (dense AND sparse, signed, multi-bit
+    magnitudes) encoded baseline AND progressive must decode to
+    identical pixels — this drives EOB runs, ZRL-in-refinement,
+    correction-bit interleaving, 4:2:0 interleaved DC scans, and
+    restart boundaries through both codec paths."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_jpeg_coeffs,
+        encode_jpeg_coeffs_progressive,
+    )
+
+    qt = [8] + [16 + (k % 23) for k in range(1, 64)]
+    rng = np.random.RandomState(7)
+
+    def grid(by, bx, density):
+        g = np.zeros((by, bx, 64), dtype=np.int64)
+        mask = rng.rand(by, bx, 64) < density
+        vals = rng.randint(-400, 401, size=(by, bx, 64))
+        g[mask] = vals[mask]
+        g[:, :, 0] = rng.randint(-600, 601, size=(by, bx))
+        return g
+
+    for trial in range(12):
+        bh, bw = 2 * rng.randint(1, 3), 2 * rng.randint(1, 3)
+        density = [0.05, 0.3, 0.9][trial % 3]
+        ncomp = [1, 3, 3][trial % 3]
+        if ncomp == 1:
+            comps, samp, qts = [grid(bh, bw, density)], [(1, 1)], [qt]
+        elif trial % 2:
+            comps = [grid(bh, bw, density),
+                     grid(bh // 2, bw // 2, density),
+                     grid(bh // 2, bw // 2, density)]
+            samp, qts = [(2, 2), (1, 1), (1, 1)], [qt, qt]
+        else:
+            comps = [grid(bh, bw, density) for _ in range(3)]
+            samp, qts = [(1, 1)] * 3, [qt, qt]
+        ri = [0, 1, 3][trial % 3]
+        img_b = decode_image_bytes(
+            encode_jpeg_coeffs(
+                comps, samplings=samp, qtables=qts, restart_interval=ri
+            )
+        )
+        img_p = decode_image_bytes(
+            encode_jpeg_coeffs_progressive(
+                comps, samplings=samp, qtables=qts, restart_interval=ri
+            )
+        )
+        assert (img_b == img_p).all(), (trial, bh, bw, ncomp, ri)
+
+
+def test_progressive_jpeg_deep_sa_ladder():
+    """A 3-level successive-approximation script (Al=2 → 1 → 0 for
+    both DC and AC) refines already-nonzero coefficients twice — the
+    correction-bit path of G.1.2.3 in both encoder and decoder."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_jpeg_coeffs,
+        encode_jpeg_coeffs_progressive,
+    )
+
+    qt = [8] + [16 + (k % 23) for k in range(1, 64)]
+    scans = [
+        ([0], 0, 0, 0, 2),
+        ([0], 1, 10, 0, 2),
+        ([0], 11, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0], 0, 0, 2, 1),
+        ([0], 1, 63, 1, 0),
+        ([0], 0, 0, 1, 0),
+    ]
+    rng = np.random.RandomState(11)
+    for trial in range(6):
+        bh, bw = rng.randint(1, 7), rng.randint(1, 7)
+        g = np.zeros((bh, bw, 64), dtype=np.int64)
+        mask = rng.rand(bh, bw, 64) < [0.02, 0.2, 0.7][trial % 3]
+        vals = rng.randint(-500, 501, size=(bh, bw, 64))
+        g[mask] = vals[mask]
+        g[:, :, 0] = rng.randint(-900, 901, size=(bh, bw))
+        ri = [0, 2][trial % 2]
+        img_b = decode_image_bytes(
+            encode_jpeg_coeffs(
+                [g], samplings=[(1, 1)], qtables=[qt], restart_interval=ri
+            )
+        )
+        img_p = decode_image_bytes(
+            encode_jpeg_coeffs_progressive(
+                [g], samplings=[(1, 1)], qtables=[qt],
+                scans=scans, restart_interval=ri,
+            )
+        )
+        assert (img_b == img_p).all(), (trial, bh, bw, ri)

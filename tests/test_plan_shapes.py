@@ -1900,3 +1900,12 @@ def test_image_ahash_is_arrow_batched_decode(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_progressive_jpeg_is_arrow_batched_decode(spark):
+    # encode AND decode both live in mapInPandas Arrow batches riding
+    # the document scan — no join, no window, no per-row Python
+    plan = plan_of(spark, "x387_progressive_jpeg")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
