@@ -362,17 +362,23 @@ def encode_png_bytes(arr, *, color_type: int = 2, filter_mode: str = "cycle"):
 def decode_image_bytes(payload: bytes):
     """Decode BMP (uncompressed 24/32bpp), binary PPM (P6), PNG
     (non-interlaced 8-bit gray/RGB/palette/gray+A/RGBA — pure
-    stdlib ``zlib`` + numpy unfiltering), or baseline JPEG (SOF0/SOF1,
-    huffman + dequant + IDCT, gray / 4:4:4 / 4:2:0, restart markers —
-    :func:`_decode_jpeg`, stdlib + numpy) to an ``(h, w, 3)`` uint8
-    numpy array (RGB).  Raises ``ValueError`` on formats that need an
-    external codec (WebP, progressive JPEG, ...)."""
+    stdlib ``zlib`` + numpy unfiltering), baseline OR progressive JPEG
+    (SOF0/SOF1/SOF2, huffman + dequant + IDCT, gray / 4:4:4 / 4:2:0,
+    restart markers, spectral selection + successive approximation —
+    :func:`_decode_jpeg`, stdlib + numpy), or lossless WebP (VP8L,
+    :mod:`.webp`) to an ``(h, w, 3)`` uint8 numpy array (RGB).
+    Raises ``ValueError`` on formats that need an external codec
+    (lossy WebP, ...)."""
     import struct
 
     import numpy as np
 
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp_lossless
+
+        return decode_webp_lossless(payload)[:, :, :3]
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"BM":
@@ -1643,14 +1649,14 @@ def audio_features(
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     """Column-level image decode for formats needing an external codec
-    (WebP only, as of r8).  BMP/PPM/PNG *and baseline + progressive
-    JPEG* decode IS implemented — use :func:`image_features` /
-    :func:`image_ahash` (Arrow-batched ``mapInPandas`` over
-    :func:`decode_image_bytes`)."""
+    (LOSSY WebP only, as of r8).  BMP/PPM/PNG, baseline + progressive
+    JPEG *and lossless WebP (VP8L)* decode IS implemented — use
+    :func:`image_features` / :func:`image_ahash` (Arrow-batched
+    ``mapInPandas`` over :func:`decode_image_bytes`)."""
     raise NotImplementedError(
-        "WebP decoding needs PIL/opencv — not available here; "
-        "BMP/PPM/PNG/baseline-JPEG/progressive-JPEG are decoded for "
-        "real via image_features()"
+        "lossy-WebP (VP8) decoding needs a DCT/loop-filter codec — "
+        "not available here; BMP/PPM/PNG/JPEG(baseline+progressive)/"
+        "lossless-WebP are decoded for real via image_features()"
     )
 
 

@@ -92,3 +92,73 @@ def _sql_x387() -> str:
 
 EXT18_QUERIES.update({"x387_progressive_jpeg": q_x387_progressive_jpeg})
 EXT18_ORACLES.update({"x387_progressive_jpeg": _sql_x387()})
+
+
+# ------------------------- x388: lossless WebP decode → perceptual hash
+
+
+def q_x388_webp_ahash(spark, sf_dir):
+    """REAL lossless-WebP (VP8L) decode end to end
+    (operators/webp.py → decode_image_bytes → image_ahash): each
+    document's 8×8 fingerprint (the x84 pixel definition) encoded as
+    a genuine VP8L stream inside Arrow-batched ``mapInPandas``, with
+    ``doc_id`` rotating the bitstream features so every decoder path
+    runs over the corpus — plain literals, subtract-green, a uniform
+    predictor transform, a ≤256-color palette (color-indexing), a
+    color cache with row-repeat LZ77 references, the color transform,
+    and a meta-prefix group table.  VP8L is integer-exact, so the
+    oracle derives the hash arithmetically from the pixel definition
+    (x84's oracle verbatim: the image IS 8×8, the thumbnail is the
+    identity): an exact match proves prefix-decode → LZ77/cache →
+    inverse transforms is lossless for every variant.  Shrinks the
+    codec boundary declared "env-limited" in r7 to lossy VP8 only."""
+    from .operators.multimodal import image_ahash
+    from .operators.webp import encode_webp_lossless
+    from .queries_ext2 import _ahash_pixel_counts_spark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array(*_ahash_pixel_counts_spark(nt)).alias("px"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+                g = np.asarray(list(px), dtype=np.uint8).reshape(8, 8)
+                img = np.stack(
+                    [g, g, g, np.full_like(g, 255)], axis=2
+                )
+                variant = int(doc_id) % 6
+                kw = [
+                    {},
+                    {"use_subtract_green": True},
+                    {"predictor_mode": 11},
+                    {"palette": True},
+                    {"cache_bits": 4, "lz77_rows": True},
+                    {"color_transform": (40, 200, 17),
+                     "meta_prefix": True},
+                ][variant]
+                payloads.append(encode_webp_lossless(img, **kw))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    with_webp = staged.mapInPandas(encode, schema=_PROG_PAYLOAD_SCHEMA)
+    return image_ahash(with_webp, "doc_id", "payload")
+
+
+def _sql_x388() -> str:
+    # the VP8L image is the 8×8 fingerprint itself — x84's oracle
+    # applies verbatim (8×8 dims, identity thumbnail)
+    from .queries_ext2 import _sql_x84
+
+    return _sql_x84()
+
+
+EXT18_QUERIES.update({"x388_webp_ahash": q_x388_webp_ahash})
+EXT18_ORACLES.update({"x388_webp_ahash": _sql_x388()})

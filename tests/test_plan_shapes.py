@@ -1909,3 +1909,10 @@ def test_progressive_jpeg_is_arrow_batched_decode(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_webp_ahash_is_arrow_batched_decode(spark):
+    plan = plan_of(spark, "x388_webp_ahash")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

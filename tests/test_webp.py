@@ -1,0 +1,100 @@
+"""VP8L (lossless WebP) codec round-trips: every decoder path is
+exercised by the module's own encoder (operators/webp.py — see its
+interop caveat: self-consistency + spec-reading is the strongest
+check this container allows, the same position as the JPEG RSTn
+surface)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fame2pygen_spark.operators.webp import (
+    decode_webp_lossless,
+    encode_webp_lossless,
+)
+
+
+def _rt(img, **kw):
+    out = decode_webp_lossless(encode_webp_lossless(img, **kw))
+    assert out.shape == img.shape
+    assert (out == img).all(), kw
+    return out
+
+
+def _rand_img(rng, h=13, w=17):
+    img = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    img[:, :, 3] = 255
+    return img
+
+
+def test_webp_literals_subtract_green_cache_roundtrip():
+    rng = np.random.RandomState(3)
+    img = _rand_img(rng)
+    _rt(img)
+    _rt(img, use_subtract_green=True)
+    _rt(img, cache_bits=6)
+
+
+def test_webp_all_predictor_modes_roundtrip():
+    rng = np.random.RandomState(4)
+    img = _rand_img(rng)
+    for mode in range(1, 14):
+        _rt(img, predictor_mode=mode)
+
+
+def test_webp_palette_all_bundle_widths():
+    # 2/4/16 colors exercise 1-/2-/4-bit pixel bundling; 60 and 250
+    # the unbundled index path
+    rng = np.random.RandomState(5)
+    for ncol in (2, 4, 16, 60, 250):
+        cols = rng.randint(0, 256, size=(ncol, 4), dtype=np.uint8)
+        img = cols[rng.randint(0, ncol, size=(11, 23))]
+        _rt(img, palette=True)
+
+
+def test_webp_lz77_row_references():
+    rng = np.random.RandomState(6)
+    img = np.repeat(
+        rng.randint(0, 256, size=(4, 17, 4), dtype=np.uint8), 4, axis=0
+    )
+    pay_plain = encode_webp_lossless(img)
+    pay_lz = encode_webp_lossless(img, lz77_rows=True)
+    assert len(pay_lz) < len(pay_plain)  # the refs actually fire
+    assert (decode_webp_lossless(pay_lz) == img).all()
+
+
+def test_webp_color_transform_and_meta_prefix():
+    rng = np.random.RandomState(7)
+    img = _rand_img(rng)
+    _rt(img, color_transform=(40, 200, 17))
+    _rt(img, meta_prefix=True)
+    _rt(img, color_transform=(99, 3, 250), predictor_mode=7,
+        use_subtract_green=True)
+    _rt(
+        np.repeat(img[:4], 4, axis=0),
+        meta_prefix=True, cache_bits=5, lz77_rows=True,
+    )
+
+
+def test_webp_dispatches_through_decode_image_bytes():
+    from fame2pygen_spark.operators.multimodal import decode_image_bytes
+
+    rng = np.random.RandomState(8)
+    img = _rand_img(rng, 6, 9)
+    rgb = decode_image_bytes(encode_webp_lossless(img))
+    assert rgb.shape == (6, 9, 3)
+    assert (rgb == img[:, :, :3]).all()
+    # lossy VP8 stays the declared boundary
+    with pytest.raises(ValueError, match="lossy"):
+        decode_image_bytes(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+
+
+def test_webp_distance_map_has_120_entries():
+    from fame2pygen_spark.operators.webp import _DIST_MAP
+
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+    # closest-first by squared distance (the spec's construction)
+    d2 = [dx * dx + dy * dy for dx, dy in _DIST_MAP]
+    assert d2 == sorted(d2)
