@@ -4117,3 +4117,93 @@ def cdc_chunk_dedup(
             / F.col("n_words").cast("double")
         ).alias("dup_word_frac"),
     ).orderBy("id")
+
+
+def repeated_span_extents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    max_gram_docs: int = 20,
+    min_span_tokens: int = 10,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans — the EXTENT form
+    of the ExactSubstr criterion (Lee et al. 2022): where
+    :func:`dup_span_profile` scores each document by how much of it is
+    corpus-duplicated, this returns WHICH spans are shared between
+    WHICH document pairs and how long they run — the actionable
+    output an exact-substring dedup pass cuts (licence blocks,
+    templates, mirrored articles).
+
+    Mechanism: positional *k*-shingle fingerprints; shingles shared by
+    2..*max_gram_docs* documents (the cap drops ubiquitous boilerplate
+    grams whose pair sets grow quadratically — raise it consciously,
+    the way the LSH ``max_bucket`` caps work) pair up via ONE
+    fingerprint-keyed equi-join; within a document pair, matches on
+    one diagonal (``pos_a − pos_b`` constant) that sit at consecutive
+    positions belong to one maximal span — the classic
+    gaps-and-islands grouping ``pos_a − row_number()`` over a
+    (pair, diagonal)-keyed window.  A run of ``m`` consecutive shared
+    k-shingles certifies a shared span of ``m + k − 1`` tokens.
+
+    Scale shape: the explode rides the scan; two shuffles on uniform
+    keys (shingle hash, then the pair+diagonal window key); the pair
+    join is frequency-capped so nothing is quadratic in the corpus.
+    All outputs are integers — partitioning cannot change them.
+
+    Output: ``doc_a < doc_b``, ``diag``, ``start_a``, ``start_b``
+    (0-based token offsets), ``matched_grams``, ``span_tokens``
+    (= matched_grams + k − 1), spans of at least *min_span_tokens*.
+    """
+    toked = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).where(F.size("__toks") >= k)
+    pos = toked.select(
+        "doc",
+        F.posexplode(token_ngrams(F.col("__toks"), k)).alias(
+            "pos", "__g"
+        ),
+    )
+    freq = (
+        pos.groupBy("__g")
+        .agg(F.count_distinct("doc").alias("__nd"))
+        .where(
+            (F.col("__nd") >= 2) & (F.col("__nd") <= int(max_gram_docs))
+        )
+        .select("__g")
+    )
+    occ = pos.join(freq, on="__g")
+    a = occ.select(
+        "__g", F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = occ.select(
+        "__g", F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = a.join(b, on="__g").where(F.col("doc_a") < F.col("doc_b"))
+    diag = pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        "pos_a",
+        "pos_b",
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = diag.withColumn(
+        "__island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "__island")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            F.count("*").cast("long").alias("matched_grams"),
+        )
+        .withColumn(
+            "span_tokens",
+            (F.col("matched_grams") + F.lit(k - 1)).cast("long"),
+        )
+        .where(F.col("span_tokens") >= int(min_span_tokens))
+        .drop("__island")
+    )

@@ -162,3 +162,74 @@ def _sql_x388() -> str:
 
 EXT18_QUERIES.update({"x388_webp_ahash": q_x388_webp_ahash})
 EXT18_ORACLES.update({"x388_webp_ahash": _sql_x388()})
+
+
+# ---------------- x389: cross-document repeated-span extents
+
+
+def q_x389_repeated_spans(spark, sf_dir):
+    """Maximal cross-document shared token spans
+    (operators/text.py:repeated_span_extents): the ExactSubstr dedup
+    criterion of Lee et al. 2022 in EXTENT form — which spans, between
+    which document pairs, how long — via positional 8-shingle
+    fingerprints, a frequency-capped fingerprint equi-join, and the
+    gaps-and-islands diagonal merge in a (pair, diagonal)-keyed
+    window.  Integer-only output; the oracle replays the identical
+    construction with DuckDB window functions."""
+    from .operators.text import repeated_span_extents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeated_span_extents(
+        docs, "text", "doc_id", k=8, max_gram_docs=20,
+        min_span_tokens=10,
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("diag").cast("long").alias("diag"),
+        "start_a", "start_b", "matched_grams", "span_tokens",
+    )
+
+
+SQL_X389 = """
+WITH t AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), p AS (
+  SELECT doc, i - 1 AS pos,
+         array_to_string(toks[i : i + 7], ' ') AS g
+  FROM t, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+  WHERE len(toks) >= 8
+), f AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc) AS nd FROM p GROUP BY g
+  ) WHERE nd BETWEEN 2 AND 20
+), o AS (
+  SELECT p.* FROM p JOIN f USING (g)
+), pr AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         a.pos - b.pos AS diag, a.pos AS pos_a, b.pos AS pos_b
+  FROM o a JOIN o b USING (g)
+  WHERE a.doc < b.doc
+), isl AS (
+  SELECT *, pos_a - ROW_NUMBER() OVER (
+    PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+  FROM pr
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(diag AS BIGINT) AS diag,
+       CAST(MIN(pos_a) AS BIGINT) AS start_a,
+       CAST(MIN(pos_b) AS BIGINT) AS start_b,
+       CAST(COUNT(*) AS BIGINT) AS matched_grams,
+       CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_a, doc_b, diag, island
+HAVING COUNT(*) + 7 >= 10
+"""
+
+
+EXT18_QUERIES.update({"x389_repeated_spans": q_x389_repeated_spans})
+EXT18_ORACLES.update({"x389_repeated_spans": SQL_X389})

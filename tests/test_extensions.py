@@ -11126,3 +11126,33 @@ def test_progressive_jpeg_deep_sa_ladder():
             )
         )
         assert (img_b == img_p).all(), (trial, bh, bw, ri)
+
+
+def test_repeated_span_extents_planted_span(spark):
+    """Two documents sharing one planted 14-token run (at different
+    offsets) yield exactly one span with the right extent; a third
+    unrelated doc contributes nothing; a boilerplate gram present in
+    many docs is killed by the frequency cap."""
+    from fame2pygen_spark.operators.text import repeated_span_extents
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi"
+    rows = [
+        (1, "intro words here " + shared + " tail one"),
+        (2, shared + " completely different ending text"),
+        (3, "nothing in common with the others at all truly"),
+    ]
+    # boilerplate 8-gram in >max_gram_docs docs must be capped away
+    boiler = "one two three four five six seven eight"
+    rows += [(10 + i, f"doc {i} filler " + boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_span_extents(
+        df, "text", "doc_id", k=8, max_gram_docs=3, min_span_tokens=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # doc1 offset 3 (after 3 intro tokens), doc2 offset 0
+    assert (r["start_a"], r["start_b"], r["diag"]) == (3, 0, 3)
+    # 14 shared tokens -> 7 consecutive 8-grams -> span 7 + 8 - 1 = 14
+    assert r["matched_grams"] == 7
+    assert r["span_tokens"] == 14

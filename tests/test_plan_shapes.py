@@ -1916,3 +1916,12 @@ def test_webp_ahash_is_arrow_batched_decode(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_repeated_spans_pair_join_is_fingerprint_keyed(spark):
+    # frequency-capped equi-join on the shingle fingerprint; the
+    # islands window is (pair, diagonal)-keyed; nothing cartesian
+    plan = plan_of(spark, "x389_repeated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert unpartitioned_windows(spark, "x389_repeated_spans") == []
