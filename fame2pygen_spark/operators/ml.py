@@ -37,6 +37,7 @@ __all__ = [
     "decision_stump_hist",
     "logistic_newton_step",
     "shapley_r2_3",
+    "pav_fit",
 ]
 
 _r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
@@ -594,4 +595,120 @@ def shapley_r2_3(
         _r6(shap1).alias("shap1"),
         _r6(shap2).alias("shap2"),
         _r6(shap3).alias("shap3"),
+    )
+
+
+def pav_fit(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    max_len: int = 4096,
+) -> DataFrame:
+    """EXACT isotonic (non-decreasing) least-squares fit per entity
+    via pool-adjacent-violators (Barlow et al. 1972) at full point
+    resolution — the stack-cascade complement to ``quality.
+    isotonic_fit`` (x318), which solves the BINNED problem through
+    the minimax identity over <= 16 aggregate cells: blocks of consecutive points merge while a
+    block mean drops below its predecessor's, and every point's fit
+    is its final block's mean.
+
+    Execution: the hp_filter/kalman shape — ONE entity-keyed groupBy
+    into bounded sorted arrays, the sequential PAV stack inside
+    Arrow-batched ``mapInPandas``, loud-fail past *max_len*.  At
+    100 TB the unit of parallelism is the entity (one calibration
+    curve per segment/model/cohort), each an O(n) stack pass.
+
+    Cross-engine exactness: violation tests compare block means as
+    cross-products (``s_top·w_prev < s_prev·w_top``) — with 6-dp
+    inputs and n ≤ max_len these products are integer-exact in
+    float64, so the oracle's recursive-CTE state machine (one push OR
+    one merge per recursion step) replays the identical branch
+    sequence; the final division is the only rounding, identical on
+    both sides.
+
+    Output: ``(entity, t, value, fit)`` at 6 dp, ordered by
+    (entity, t).
+    """
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("e")
+        .agg(F.sort_array(F.collect_list(F.struct("o", "v"))).alias("ovs"))
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"), F.max(F.size("ovs")).alias("ml")
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("pav_fit: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"pav_fit: longest series ({stats['ml']}) exceeds "
+            f"max_len={max_len} — window the series first"
+        )
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"entity": [], "t": [], "value": [], "fit": []}
+            for ent, ovs in zip(pdf["e"], pdf["ovs"]):
+                ts = [int(s["o"]) for s in ovs]
+                ys = [float(s["v"]) for s in ovs]
+                ss: list = []  # block sums
+                ws: list = []  # block widths
+                for y in ys:
+                    ss.append(y)
+                    ws.append(1.0)
+                    # merge while the top block's mean violates
+                    while (
+                        len(ss) >= 2
+                        and ss[-1] * ws[-2] < ss[-2] * ws[-1]
+                    ):
+                        ss[-2] += ss[-1]
+                        ws[-2] += ws[-1]
+                        ss.pop()
+                        ws.pop()
+                fits = []
+                for s, w_ in zip(ss, ws):
+                    fits.extend([s / w_] * int(w_))
+                out["entity"].extend([ent] * len(ts))
+                out["t"].extend(ts)
+                out["value"].extend(ys)
+                out["fit"].extend(fits)
+            yield pd.DataFrame(
+                {
+                    "entity": pd.Series(out["entity"], dtype="object"),
+                    "t": pd.Series(out["t"], dtype="int64"),
+                    "value": pd.Series(out["value"], dtype="float64"),
+                    "fit": pd.Series(out["fit"], dtype="float64"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("t", LongType()),
+            StructField("value", DoubleType()),
+            StructField("fit", DoubleType()),
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_ent.mapInPandas(compute, schema=schema)
+        .select(
+            "entity", "t",
+            r6(F.col("value")).alias("value"),
+            r6(F.col("fit")).alias("fit"),
+        )
+        .orderBy("entity", "t")
     )

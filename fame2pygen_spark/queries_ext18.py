@@ -233,3 +233,97 @@ HAVING COUNT(*) + 7 >= 10
 
 EXT18_QUERIES.update({"x389_repeated_spans": q_x389_repeated_spans})
 EXT18_ORACLES.update({"x389_repeated_spans": SQL_X389})
+
+
+# ---------------- x390: isotonic regression (pool-adjacent-violators)
+
+
+def q_x390_isotonic(spark, sf_dir):
+    """Isotonic least-squares fit of each nation's monthly revenue
+    series (operators/ml.py:pav_fit): EXACT full-resolution
+    pool-adjacent-violators (vs x318's 16-bin minimax variant) in
+    the entity-keyed Arrow lane.  The oracle replays PAV as a
+    recursive-CTE STATE MACHINE — one block push or one violating
+    merge per recursion step, stack carried as lists (the x336 idiom
+    for a data-dependent control flow), with violation tests as
+    integer-exact cross-products so both engines take the identical
+    branch sequence."""
+    from .operators.ml import pav_fit
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    return pav_fit(
+        base, entity_col="NATION", t_col="T", value_col="REV"
+    )
+
+
+SQL_X390 = """
+WITH RECURSIVE x390_base AS (
+  SELECT n_name AS e,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), x390_arr AS (
+  SELECT e, list(t ORDER BY t) AS ts, list(v ORDER BY t) AS ys,
+         CAST(count(*) AS INTEGER) AS n
+  FROM x390_base GROUP BY e
+), x390_pav AS (
+  SELECT e, ts, ys, n, CAST(1 AS INTEGER) AS i,
+         [ys[1]] AS ss, [CAST(1.0 AS DOUBLE)] AS ws
+  FROM x390_arr
+  UNION ALL
+  SELECT e, ts, ys, n,
+         CASE WHEN viol THEN i ELSE CAST(i + 1 AS INTEGER) END,
+         CASE WHEN viol
+              THEN ss[1 : m - 2] || [ss[CAST(m - 1 AS INTEGER)] + ss[m]]
+              ELSE list_append(ss, ys[CAST(i + 1 AS INTEGER)]) END,
+         CASE WHEN viol
+              THEN ws[1 : m - 2] || [ws[CAST(m - 1 AS INTEGER)] + ws[m]]
+              ELSE list_append(ws, CAST(1.0 AS DOUBLE)) END
+  FROM (
+    SELECT *, CAST(len(ss) AS INTEGER) AS m,
+           (len(ss) >= 2 AND
+            ss[CAST(len(ss) AS INTEGER)]
+              * ws[CAST(len(ss) - 1 AS INTEGER)]
+            < ss[CAST(len(ss) - 1 AS INTEGER)]
+              * ws[CAST(len(ss) AS INTEGER)]) AS viol
+    FROM x390_pav
+  )
+  WHERE viol OR i < n
+), x390_term AS (
+  SELECT * FROM (
+    SELECT *, CAST(len(ss) AS INTEGER) AS m,
+           (len(ss) >= 2 AND
+            ss[CAST(len(ss) AS INTEGER)]
+              * ws[CAST(len(ss) - 1 AS INTEGER)]
+            < ss[CAST(len(ss) - 1 AS INTEGER)]
+              * ws[CAST(len(ss) AS INTEGER)]) AS viol
+    FROM x390_pav
+  ) WHERE i = n AND NOT viol
+)
+SELECT e AS entity, CAST(ts[p] AS BIGINT) AS t,
+       ROUND(ys[p] * 1000000.0) / 1000000.0 AS value,
+       ROUND(ss[j] / ws[j] * 1000000.0) / 1000000.0 AS fit
+FROM x390_term,
+     unnest(range(1, m + 1)) AS bj(j),
+     unnest(range(
+       1 + CAST(COALESCE(list_sum(ws[1 : CAST(j - 1 AS INTEGER)]), 0)
+                AS INTEGER),
+       1 + CAST(COALESCE(list_sum(ws[1 : CAST(j AS INTEGER)]), 0)
+                AS INTEGER))) AS bp(p)
+ORDER BY entity, t
+"""
+
+
+EXT18_QUERIES.update({"x390_isotonic": q_x390_isotonic})
+EXT18_ORACLES.update({"x390_isotonic": SQL_X390})

@@ -11156,3 +11156,20 @@ def test_repeated_span_extents_planted_span(spark):
     # 14 shared tokens -> 7 consecutive 8-grams -> span 7 + 8 - 1 = 14
     assert r["matched_grams"] == 7
     assert r["span_tokens"] == 14
+
+
+def test_pav_fit_hand_computed(spark):
+    """PAV on [3, 1, 2, 5, 4, 4]: blocks pool to [2, 2, 2, 13/3,
+    13/3, 13/3] — the textbook cascade (3,1 merge to 2; 2 joins to
+    keep means non-decreasing exactly at the tie; 5,4,4 pool to
+    13/3)."""
+    from fame2pygen_spark.operators.ml import pav_fit
+
+    rows = [("a", i, v) for i, v in enumerate([3.0, 1.0, 2.0, 5.0, 4.0, 4.0])]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = pav_fit(df, entity_col="e", t_col="t", value_col="v")
+    fits = [r["fit"] for r in out.collect()]
+    assert fits == [2.0, 2.0, 2.0, round(13 / 3, 6), round(13 / 3, 6),
+                    round(13 / 3, 6)]
+    # monotone non-decreasing by construction
+    assert fits == sorted(fits)

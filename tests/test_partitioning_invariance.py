@@ -171,6 +171,7 @@ SENSITIVE = [
     "x385_simpsons",
     "x386_bursts",
     "p06_panel_statespace",
+    "x390_isotonic",
 ]
 
 

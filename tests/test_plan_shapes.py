@@ -1925,3 +1925,10 @@ def test_repeated_spans_pair_join_is_fingerprint_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert unpartitioned_windows(spark, "x389_repeated_spans") == []
+
+
+def test_isotonic_is_arrow_batched_entity_stack(spark):
+    plan = plan_of(spark, "x390_isotonic")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
