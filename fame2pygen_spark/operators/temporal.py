@@ -5532,3 +5532,170 @@ def kleinberg_bursts(
         )
         .orderBy("entity")
     )
+
+
+def matrix_profile(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    m: int = 6,
+    max_len: int = 2048,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Matrix profile per entity (Yeh et al. 2016, ICDM "Matrix
+    Profile I"): for every length-*m* subsequence, the z-normalized
+    Euclidean distance to its nearest non-trivial neighbor within the
+    same series, plus that neighbor's position — THE primitive behind
+    motif discovery (minima) and discord/anomaly detection (maxima).
+
+    Declarative formulation (no Python lane — the STOMP recursion is
+    replaced by algebra Catalyst can plan): per-subsequence moments
+    come from decimal-exact sliding sums; the dot products QT(i, i+d)
+    are, along each diagonal d, sliding sums of the lag-d product
+    series v_k · v_{k+d} — ONE entity-keyed self-join producing the
+    lagged products, then a (entity, diagonal)-keyed window.  Distance
+    is the textbook identity
+
+        d²(i,j) = 2m · (1 − (QT − m·μ_i·μ_j) / (m·σ_i·σ_j))
+
+    evaluated as the identical scalar expression in both engines over
+    identical decimal-exact sums, so the floats match bitwise and the
+    argmin tie-break (smallest neighbor position) is total.  The
+    trivial-match exclusion zone is |i − j| > m/2; flat subsequences
+    (σ = 0) are excluded from both roles, as is standard.
+
+    Scale shape: the self-join is entity-keyed with Σ n_e² pairs,
+    n_e ≤ *max_len* loud-fail (the sample-entropy contract — window
+    or downsample longer series upstream); every window is
+    (entity, diagonal)-keyed.  At 100 TB this parallelizes across
+    millions of series with per-series quadratic cost capped.
+
+    Output: ``(entity, pos, mp, nn_pos)`` — 0-based subsequence
+    positions, distance at 6 dp.
+    """
+    if m < 2:
+        raise ValueError("matrix_profile: m must be >= 2")
+    base = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+    )
+    lens = base.groupBy("e").agg(F.count(F.lit(1)).alias("n"))
+    ml = lens.agg(F.max("n").alias("ml")).first()["ml"]
+    if ml is None:
+        raise ValueError("matrix_profile: input is empty")
+    if ml > int(max_len):
+        raise ValueError(
+            f"matrix_profile: longest series ({ml}) exceeds "
+            f"max_len={max_len} — window or downsample first"
+        )
+    w_pos = Window.partitionBy("e").orderBy("o")
+    pos = base.withColumn(
+        "p", (F.row_number().over(w_pos) - 1).cast("long")
+    ).select("e", "p", "v")
+
+    # per-subsequence decimal-exact moments over [p, p+m-1]
+    w_m = Window.partitionBy("e").orderBy("p").rowsBetween(0, m - 1)
+    # decimal(18, value_decimals) staging: the pairwise products must
+    # stay inside DuckDB's int64 multiply (|v|·10^s < ~3e9) AND inside
+    # Spark's precision-38 cap without scale loss — s=2 covers
+    # currency-style series; raise consciously for finer data
+    sd = int(value_decimals)
+    dec = F.col("v").cast(f"decimal(18,{sd})")
+    stats = (
+        pos.withColumn("s1", F.sum(dec).over(w_m).cast("double"))
+        .withColumn(
+            "s2", F.sum(dec * dec).over(w_m).cast("double")
+        )
+        .withColumn("cnt", F.count(F.lit(1)).over(w_m))
+        .where(F.col("cnt") == m)
+        .withColumn("mu", F.col("s1") / m)
+        .withColumn(
+            "sig2", F.col("s2") / m - F.col("mu") * F.col("mu")
+        )
+        .select("e", "p", "mu", "sig2")
+    )
+
+    # lag-d products, then QT(i, i+d) as a diagonal sliding sum
+    a = pos.select("e", F.col("p").alias("pa"), F.col("v").alias("va"))
+    b = pos.select("e", F.col("p").alias("pb"), F.col("v").alias("vb"))
+    excl = m // 2 + 1
+    prods = (
+        a.join(b, on="e")
+        .where(F.col("pb") - F.col("pa") >= excl)
+        .select(
+            "e",
+            (F.col("pb") - F.col("pa")).alias("d"),
+            F.col("pa").alias("k"),
+            (
+                F.col("va").cast(f"decimal(18,{sd})")
+                * F.col("vb").cast(f"decimal(18,{sd})")
+            ).alias("prod"),
+        )
+    )
+    w_d = (
+        Window.partitionBy("e", "d").orderBy("k").rowsBetween(0, m - 1)
+    )
+    qt = (
+        prods.withColumn("qt", F.sum("prod").over(w_d).cast("double"))
+        .withColumn("qc", F.count(F.lit(1)).over(w_d))
+        .where(F.col("qc") == m)
+        .select("e", F.col("k").alias("i"), (F.col("k") + F.col("d")).alias("j"), "qt")
+    )
+
+    si = stats.select(
+        "e", F.col("p").alias("i"),
+        F.col("mu").alias("mu_i"), F.col("sig2").alias("sig2_i"),
+    )
+    sj = stats.select(
+        "e", F.col("p").alias("j"),
+        F.col("mu").alias("mu_j"), F.col("sig2").alias("sig2_j"),
+    )
+    dists = (
+        qt.join(si, on=["e", "i"])
+        .join(sj, on=["e", "j"])
+        .where((F.col("sig2_i") > 0) & (F.col("sig2_j") > 0))
+        .withColumn(
+            "dist2",
+            2.0
+            * m
+            * (
+                1.0
+                - (F.col("qt") - m * F.col("mu_i") * F.col("mu_j"))
+                / (
+                    m
+                    * F.sqrt(F.col("sig2_i"))
+                    * F.sqrt(F.col("sig2_j"))
+                )
+            ),
+        )
+        .select("e", "i", "j", "dist2")
+    )
+    both = dists.union(
+        dists.select("e", F.col("j").alias("i"), F.col("i").alias("j"), "dist2")
+    )
+    w_min = Window.partitionBy("e", "i").orderBy(
+        F.col("dist2").asc(), F.col("j").asc()
+    )
+    return (
+        both.withColumn("rn", F.row_number().over(w_min))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("e").alias("entity"),
+            F.col("i").cast("long").alias("pos"),
+            (
+                F.round(
+                    F.sqrt(F.greatest(F.col("dist2"), F.lit(0.0)))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("mp"),
+            F.col("j").cast("long").alias("nn_pos"),
+        )
+        .orderBy("entity", "pos")
+    )

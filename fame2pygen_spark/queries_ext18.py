@@ -327,3 +327,97 @@ ORDER BY entity, t
 
 EXT18_QUERIES.update({"x390_isotonic": q_x390_isotonic})
 EXT18_ORACLES.update({"x390_isotonic": SQL_X390})
+
+
+# ---------------- x391: matrix profile (motif/discord discovery)
+
+
+def q_x391_matrix_profile(spark, sf_dir):
+    """Matrix profile of each nation's monthly revenue series
+    (operators/temporal.py:matrix_profile, m=6): nearest-neighbor
+    z-normalized subsequence distances as a FULLY DECLARATIVE plan —
+    decimal-exact sliding moments, lag-d product diagonals summed in
+    (entity, diagonal)-keyed windows, the textbook distance identity
+    as one scalar expression, argmin with a total tie order.  The
+    oracle is the identical algebra in DuckDB window functions; both
+    engines produce bit-equal doubles before the 6-dp round."""
+    from .operators.temporal import matrix_profile
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    return matrix_profile(
+        base, entity_col="NATION", t_col="T", value_col="REV", m=6
+    )
+
+
+SQL_X391 = """
+WITH x391_base AS (
+  SELECT n_name AS e,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), x391_pos AS (
+  SELECT e, ROW_NUMBER() OVER (PARTITION BY e ORDER BY t) - 1 AS p, v
+  FROM x391_base
+), x391_stats AS (
+  SELECT e, p,
+         CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)))
+              OVER w AS DOUBLE) AS s2,
+         COUNT(*) OVER w AS cnt
+  FROM x391_pos
+  WINDOW w AS (PARTITION BY e ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+), x391_st AS (
+  SELECT e, p, s1 / 6 AS mu,
+         s2 / 6 - (s1 / 6) * (s1 / 6) AS sig2
+  FROM x391_stats WHERE cnt = 6
+), x391_prods AS (
+  SELECT a.e, b.p - a.p AS d, a.p AS k,
+         CAST(a.v AS DECIMAL(18,2)) * CAST(b.v AS DECIMAL(18,2)) AS prod
+  FROM x391_pos a JOIN x391_pos b
+    ON a.e = b.e AND b.p - a.p >= 4
+), x391_qt AS (
+  SELECT e, k AS i, k + d AS j,
+         CAST(SUM(prod) OVER wd AS DOUBLE) AS qt,
+         COUNT(*) OVER wd AS qc
+  FROM x391_prods
+  WINDOW wd AS (PARTITION BY e, d ORDER BY k
+                ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+), x391_dists AS (
+  SELECT q.e, q.i, q.j,
+         2.0 * 6 * (1.0 - (q.qt - 6 * si.mu * sj.mu)
+                    / (6 * sqrt(si.sig2) * sqrt(sj.sig2))) AS dist2
+  FROM (SELECT * FROM x391_qt WHERE qc = 6) q
+  JOIN x391_st si ON si.e = q.e AND si.p = q.i
+  JOIN x391_st sj ON sj.e = q.e AND sj.p = q.j
+  WHERE si.sig2 > 0 AND sj.sig2 > 0
+), x391_both AS (
+  SELECT e, i, j, dist2 FROM x391_dists
+  UNION ALL
+  SELECT e, j AS i, i AS j, dist2 FROM x391_dists
+), x391_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY e, i ORDER BY dist2 ASC, j ASC) AS rn
+  FROM x391_both
+)
+SELECT e AS entity, CAST(i AS BIGINT) AS pos,
+       ROUND(sqrt(greatest(dist2, 0.0)) * 1000000.0) / 1000000.0 AS mp,
+       CAST(j AS BIGINT) AS nn_pos
+FROM x391_ranked WHERE rn = 1
+ORDER BY 1, 2
+"""
+
+
+EXT18_QUERIES.update({"x391_matrix_profile": q_x391_matrix_profile})
+EXT18_ORACLES.update({"x391_matrix_profile": SQL_X391})

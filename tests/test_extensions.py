@@ -11173,3 +11173,48 @@ def test_pav_fit_hand_computed(spark):
                     round(13 / 3, 6)]
     # monotone non-decreasing by construction
     assert fits == sorted(fits)
+
+
+def test_matrix_profile_matches_numpy_brute_force(spark):
+    """Declarative matrix profile == O(n²m) numpy reference on a
+    planted series: the repeated motif gets the minimum profile value
+    and mutually-nearest positions."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.temporal import matrix_profile
+
+    rng = np.random.RandomState(9)
+    motif = [5.0, 1.0, 4.0, 2.0]
+    v = list(np.round(rng.uniform(0, 100, 40), 2))
+    v[3:7] = motif
+    v[27:31] = motif
+    rows = [("s", i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    m = 4
+    out = {
+        r["pos"]: (r["mp"], r["nn_pos"])
+        for r in matrix_profile(
+            df, entity_col="e", t_col="t", value_col="v", m=m
+        ).collect()
+    }
+    arr = np.array(v)
+    subs = np.array([arr[i : i + m] for i in range(len(arr) - m + 1)])
+    mu, sd = subs.mean(1), subs.std(1)
+    n = len(subs)
+    D = np.full((n, n), np.inf)
+    for i in range(n):
+        for j in range(n):
+            if abs(i - j) >= m // 2 + 1 and sd[i] > 0 and sd[j] > 0:
+                d2 = 2 * m * (
+                    1
+                    - (subs[i] @ subs[j] - m * mu[i] * mu[j])
+                    / (m * sd[i] * sd[j])
+                )
+                D[i, j] = max(d2, 0)
+    ref = np.sqrt(D.min(1))
+    refj = D.argmin(1)
+    for i in range(n):
+        assert abs(out[i][0] - ref[i]) < 1e-5, i
+        assert out[i][1] == refj[i], i
+    # the planted motif is each copy's nearest neighbor, distance ~0
+    assert out[3] == (0.0, 27) and out[27] == (0.0, 3)

@@ -172,6 +172,7 @@ SENSITIVE = [
     "x386_bursts",
     "p06_panel_statespace",
     "x390_isotonic",
+    "x391_matrix_profile",
 ]
 
 

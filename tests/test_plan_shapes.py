@@ -1932,3 +1932,13 @@ def test_isotonic_is_arrow_batched_entity_stack(spark):
     assert "MapInPandas" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_matrix_profile_is_declarative_diagonal_windows(spark):
+    # no Python lane at all: the quadratic term is an entity-keyed
+    # self-join, QT is a (entity, diagonal)-keyed window, and the
+    # argmin is a keyed rank — nothing cartesian, nothing in Arrow
+    plan = plan_of(spark, "x391_matrix_profile")
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_windows(spark, "x391_matrix_profile") == []
