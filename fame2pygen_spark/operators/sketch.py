@@ -37,6 +37,7 @@ __all__ = [
     "weighted_quantiles", "ks_statistic", "trimmed_mean",
     "concentration_index", "chi_square_independence",
     "quantile_normalize",
+    "quantile_sketch",
 ]
 
 #: 2^32 — range of the 8-hex-digit md5-prefix hash (same construction
@@ -4715,4 +4716,141 @@ def rank_biased_overlap(
             F.lit(1.0 - float(p)) * F.coalesce(F.col("s"), F.lit(0.0))
         ).alias("rbo"),
         r6(F.lit(float(p) ** D)).alias("residual"),
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    *,
+    k: int = 8,
+    probs: tuple = (0.25, 0.5, 0.9),
+    max_len: int = 8192,
+) -> DataFrame:
+    """Mergeable bounded-memory quantile sketch per group — a
+    DETERMINISTIC KLL/MRL-style compactor ladder (Karnin-Lang-Liberty
+    2016 with the randomized coin replaced by a fixed odd-index rule,
+    Manku-Rajagopalan-Lindsay 1998 lineage): values stream in *t*
+    order into a level-0 buffer of capacity *k*; a full level sorts
+    and keeps its 1-based ODD-index half at double weight on the next
+    level, cascading.  Memory is O(k·log(n/k)) per group versus the
+    exact path's O(n) (see :func:`group_quantiles` for the trade),
+    and two sketches merge by concatenating levels and re-compacting
+    — the shuffle-free path for 100 TB per-partition pre-aggregation.
+
+    The fixed compaction rule makes the whole structure a pure
+    function of the (group, t-ordered) value sequence: the oracle
+    replays insert/compact as a recursive-CTE state machine (ONE
+    insert or ONE lowest-full-level compaction per step — the x390
+    PAV idiom with a compactor ladder for state), and the streaming
+    twin (``streaming/stateful.py:streaming_quantile_sketch``) holds
+    the identical ladder per key, so batch, oracle, and stream agree
+    bitwise.  Estimate for probability p: the smallest value whose
+    cumulative weight (2^level per element) reaches p·W.
+
+    Output: one row per (group, p): ``est`` (6 dp), ``n`` processed,
+    ``summary_size`` (elements retained across levels).
+    """
+    if k < 2 or k % 2:
+        raise ValueError("quantile_sketch: k must be even and >= 2")
+    per_grp = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("o", "v"))).alias("ovs"))
+    )
+    stats = per_grp.agg(
+        F.count(F.lit(1)).alias("ng"), F.max(F.size("ovs")).alias("ml")
+    ).first()
+    if stats["ng"] == 0:
+        raise ValueError("quantile_sketch: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"quantile_sketch: longest group ({stats['ml']}) exceeds "
+            f"max_len={max_len} — pre-aggregate or raise consciously"
+        )
+    kk = int(k)
+    ps = [float(p) for p in probs]
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"g": [], "p": [], "est": [], "n": [], "size": []}
+            for g, ovs in zip(pdf["g"], pdf["ovs"]):
+                levels: list = [[]]
+                n = 0
+                for s in ovs:
+                    levels[0].append(float(s["v"]))
+                    n += 1
+                    lev = 0
+                    while len(levels[lev]) >= kk:
+                        buf = sorted(levels[lev])
+                        keep = buf[0::2]  # 1-based odd indices
+                        levels[lev] = []
+                        if lev + 1 == len(levels):
+                            levels.append([])
+                        levels[lev + 1].extend(keep)
+                        lev += 1
+                weighted = sorted(
+                    (v, 1 << ell)
+                    for ell, buf in enumerate(levels)
+                    for v in buf
+                )
+                total = sum(w for _, w in weighted)
+                size = len(weighted)
+                for p in ps:
+                    target = p * total
+                    cum = 0
+                    est = weighted[-1][0]
+                    for v, w_ in weighted:
+                        cum += w_
+                        if cum >= target:
+                            est = v
+                            break
+                    out["g"].append(g)
+                    out["p"].append(p)
+                    out["est"].append(est)
+                    out["n"].append(n)
+                    out["size"].append(size)
+            yield pd.DataFrame(
+                {
+                    "g": pd.Series(out["g"], dtype="object"),
+                    "p": pd.Series(out["p"], dtype="float64"),
+                    "est": pd.Series(out["est"], dtype="float64"),
+                    "n": pd.Series(out["n"], dtype="int64"),
+                    "size": pd.Series(out["size"], dtype="int64"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("p", DoubleType()),
+            StructField("est", DoubleType()),
+            StructField("n", LongType()),
+            StructField("size", LongType()),
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_grp.mapInPandas(compute, schema=schema)
+        .select(
+            F.col("g").alias("grp"),
+            r6(F.col("p")).alias("p"),
+            r6(F.col("est")).alias("est"),
+            F.col("n"),
+            F.col("size").alias("summary_size"),
+        )
+        .orderBy("grp", "p")
     )

@@ -421,3 +421,125 @@ ORDER BY 1, 2
 
 EXT18_QUERIES.update({"x391_matrix_profile": q_x391_matrix_profile})
 EXT18_ORACLES.update({"x391_matrix_profile": SQL_X391})
+
+
+# ---------------- x392: deterministic mergeable quantile sketch
+
+
+def q_x392_quantile_sketch(spark, sf_dir):
+    """Deterministic KLL-style quantile sketch of each nation's
+    monthly revenue (operators/sketch.py:quantile_sketch, k=8): the
+    compactor ladder — insert in t order, full levels sort and keep
+    their odd-index half at doubled weight — replayed by the oracle
+    as a recursive-CTE state machine over a LIST-of-LIST state (one
+    insert or one lowest-full-level compaction per step; the x390
+    PAV idiom with nested-list state), then the weighted-rank
+    estimate read off identically in both engines."""
+    from .operators.sketch import quantile_sketch
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    return quantile_sketch(
+        base, "NATION", "T", "REV", k=8, probs=(0.25, 0.5, 0.9)
+    )
+
+
+SQL_X392 = """
+WITH RECURSIVE x392_base AS (
+  SELECT n_name AS g,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), x392_arr AS (
+  SELECT g, list(v ORDER BY t) AS vs, CAST(count(*) AS INTEGER) AS n
+  FROM x392_base GROUP BY g
+), x392_mach AS (
+  SELECT g, vs, n, CAST(0 AS INTEGER) AS i,
+         [CAST([] AS DOUBLE[])] AS bufs
+  FROM x392_arr
+  UNION ALL
+  SELECT g, vs, n,
+         CASE WHEN fl IS NOT NULL THEN i
+              ELSE CAST(i + 1 AS INTEGER) END,
+         CASE
+           WHEN fl IS NULL THEN
+             -- insert vs[i+1] into level 1
+             [list_append(bufs[1], vs[CAST(i + 1 AS INTEGER)])]
+               || bufs[2:]
+           WHEN fl < len(bufs) THEN
+             bufs[1 : CAST(fl - 1 AS INTEGER)]
+               || [CAST([] AS DOUBLE[])]
+               || [list_concat(bufs[CAST(fl + 1 AS INTEGER)], keep)]
+               || bufs[CAST(fl + 2 AS INTEGER) :]
+           ELSE
+             bufs[1 : CAST(fl - 1 AS INTEGER)]
+               || [CAST([] AS DOUBLE[])]
+               || [keep]
+         END
+  FROM (
+    SELECT *, CASE WHEN fl IS NOT NULL THEN
+           list_select(
+             list_sort(bufs[fl]),
+             list_filter(range(1, len(bufs[fl]) + 1), x -> x % 2 = 1))
+         END AS keep
+    FROM (
+      SELECT *, CAST(NULLIF(list_position(
+               list_transform(bufs, b -> len(b) >= 8), true), 0)
+             AS INTEGER) AS fl
+      FROM x392_mach
+    )
+  )
+  WHERE fl IS NOT NULL OR i < n
+), x392_term AS (
+  SELECT * FROM (
+    SELECT *, NULLIF(list_position(
+        list_transform(bufs, b -> len(b) >= 8), true), 0) AS fl
+    FROM x392_mach
+  ) WHERE i = n AND fl IS NULL
+), x392_weighted AS (
+  SELECT g, uv.v AS v, CAST(1 AS BIGINT) << (lv.ell - 1) AS w
+  FROM x392_term,
+       unnest(range(1, len(bufs) + 1)) AS lv(ell),
+       unnest(bufs[CAST(lv.ell AS INTEGER)]) AS uv(v)
+), x392_tot AS (
+  SELECT g, SUM(w) AS tw, COUNT(*) AS size FROM x392_weighted GROUP BY g
+), x392_cum AS (
+  SELECT w.g, w.v,
+         SUM(w.w) OVER (PARTITION BY w.g ORDER BY w.v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM x392_weighted w
+), x392_probs AS (
+  SELECT * FROM (VALUES (0.25), (0.5), (0.9)) AS pr(p)
+), x392_est AS (
+  SELECT c.g, pr.p, MIN(c.v) AS est
+  FROM x392_cum c
+  JOIN x392_tot tt ON tt.g = c.g
+  CROSS JOIN x392_probs pr
+  WHERE c.cum >= pr.p * tt.tw
+  GROUP BY c.g, pr.p
+)
+SELECT e.g AS grp,
+       ROUND(e.p * 1000000.0) / 1000000.0 AS p,
+       ROUND(e.est * 1000000.0) / 1000000.0 AS est,
+       CAST(a.n AS BIGINT) AS n,
+       CAST(tt.size AS BIGINT) AS summary_size
+FROM x392_est e
+JOIN x392_arr a ON a.g = e.g
+JOIN x392_tot tt ON tt.g = e.g
+ORDER BY 1, 2
+"""
+
+
+EXT18_QUERIES.update({"x392_quantile_sketch": q_x392_quantile_sketch})
+EXT18_ORACLES.update({"x392_quantile_sketch": SQL_X392})

@@ -1000,3 +1000,124 @@ def streaming_space_saving(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QSKETCH_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("p", DoubleType()),
+        StructField("est", DoubleType()),
+        StructField("summary_size", LongType()),
+    ]
+)
+
+QSKETCH_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("levels", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _qsketch_update_factory(k: int, probs: tuple):
+    """Deterministic KLL/MRL compactor ladder (the
+    operators/sketch.py:quantile_sketch rule: full level sorts, keeps
+    its 1-based odd-index half at doubled weight) held per key as
+    flattened (level, value) arrays — O(k·log n) state, bitwise
+    replayable because insertion order is pinned to
+    (ts_us, event_id) and the compaction rule has no randomness."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, lv, va = state.get
+            nlev = (max(lv) + 1) if lv else 1
+            levels = [[] for _ in range(nlev)]
+            for ell, v in zip(lv, va):
+                levels[int(ell)].append(float(v))
+        else:
+            n, levels = 0, [[]]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for v in rows["value"]:
+            if v is None or pd.isna(v):
+                continue
+            levels[0].append(float(v))
+            n += 1
+            lev = 0
+            while len(levels[lev]) >= k:
+                buf = sorted(levels[lev])
+                keep = buf[0::2]
+                levels[lev] = []
+                if lev + 1 == len(levels):
+                    levels.append([])
+                levels[lev + 1].extend(keep)
+                lev += 1
+        lv_out, va_out = [], []
+        for ell, buf in enumerate(levels):
+            for v in buf:
+                lv_out.append(ell)
+                va_out.append(v)
+        state.update((n, lv_out, va_out))
+        weighted = sorted(
+            (v, 1 << ell) for ell, v in zip(lv_out, va_out)
+        )
+        total = sum(w for _, w in weighted)
+        out = {"event_type": [], "n_seen": [], "p": [], "est": [],
+               "summary_size": []}
+        for p in probs:
+            target = p * total
+            cum = 0
+            est = weighted[-1][0] if weighted else None
+            for v, w in weighted:
+                cum += w
+                if cum >= target:
+                    est = v
+                    break
+            out["event_type"].append(key[0])
+            out["n_seen"].append(n)
+            out["p"].append(p)
+            out["est"].append(est)
+            out["summary_size"].append(len(weighted))
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def streaming_quantile_sketch(
+    events: DataFrame,
+    *,
+    k: int = 8,
+    probs: tuple = (0.25, 0.5, 0.9),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Cross-batch mergeable quantile sketch per event type — the
+    streaming twin of :func:`~fame2pygen_spark.operators.sketch.
+    quantile_sketch`: the identical deterministic compactor ladder
+    held in the state store (O(k·log n) per key vs the exact path's
+    O(n) buffering), so a stream that folds the same rows in the same
+    pinned order lands on the SAME estimates as the batch operator
+    over the concatenated data (asserted bitwise in tests).
+
+    Output mode: update; emits the per-probability estimates each
+    micro-batch.
+    """
+    if k < 2 or k % 2:
+        raise ValueError("streaming_quantile_sketch: k must be even >= 2")
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    cols = [c for c in ("ts", "ts_us", "event_id", "event_type",
+                        "value") if c in src.columns]
+    return src.select(*cols).groupBy("event_type").applyInPandasWithState(
+        _qsketch_update_factory(int(k), tuple(float(p) for p in probs)),
+        outputStructType=QSKETCH_OUTPUT,
+        stateStructType=QSKETCH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

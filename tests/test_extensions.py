@@ -11218,3 +11218,77 @@ def test_matrix_profile_matches_numpy_brute_force(spark):
         assert out[i][1] == refj[i], i
     # the planted motif is each copy's nearest neighbor, distance ~0
     assert out[3] == (0.0, 27) and out[27] == (0.0, 3)
+
+
+def test_streaming_quantile_sketch_matches_batch_bitwise(spark, tmp_path):
+    """The streaming compactor ladder folded over two micro-batches
+    lands on the SAME estimates as the batch quantile_sketch over the
+    concatenated data — identical deterministic compaction, identical
+    pinned insertion order, bitwise-equal state."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.sketch import quantile_sketch
+    from fame2pygen_spark.streaming.stateful import (
+        streaming_quantile_sketch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    schema = ("event_id long, ts timestamp, ts_us long, "
+              "event_type string, value double")
+    vals = [float(v) for v in (
+        31, 7, 55, 2, 90, 14, 41, 68, 23, 5, 77, 36, 59, 12, 84, 48,
+        19, 66, 3, 28,
+    )]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i),
+         int((t0 + dt.timedelta(minutes=i)).timestamp() * 1_000_000),
+         "click", v)
+        for i, v in enumerate(vals)
+    ]
+    b1 = spark.createDataFrame(rows[:11], schema)
+    b2 = spark.createDataFrame(rows[11:], schema)
+    path = str(tmp_path / "events_qsketch")
+    b1.coalesce(1).sortWithinPartitions("ts_us").write.parquet(path)
+    b2.coalesce(1).sortWithinPartitions("ts_us").write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path)
+    )
+    qh = (
+        streaming_quantile_sketch(stream, k=4, probs=(0.5, 0.9))
+        .writeStream.format("memory")
+        .queryName("qsketch_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    emitted = spark.sql("select * from qsketch_stream").collect()
+    final = {
+        r["p"]: r
+        for r in emitted
+        if r["n_seen"] == 20
+    }
+    assert final, "no final-batch rows emitted"
+
+    batch = quantile_sketch(
+        b1.unionByName(b2).select(
+            "event_type", F.col("ts_us").alias("t"), "value"
+        ),
+        "event_type", "t", "value", k=4, probs=(0.5, 0.9),
+    ).collect()
+    bat = {r["p"]: r for r in batch}
+    for p in (0.5, 0.9):
+        assert round(final[p]["est"] * 1e6) / 1e6 == bat[p]["est"]
+        assert final[p]["summary_size"] == bat[p]["summary_size"]
+        assert final[p]["n_seen"] == bat[p]["n"]
+    # sketch error contract on this prefix: estimate is an actual
+    # stream element
+    assert all(final[p]["est"] in vals for p in (0.5, 0.9))

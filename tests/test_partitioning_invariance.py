@@ -173,6 +173,7 @@ SENSITIVE = [
     "p06_panel_statespace",
     "x390_isotonic",
     "x391_matrix_profile",
+    "x392_quantile_sketch",
 ]
 
 

@@ -1942,3 +1942,10 @@ def test_matrix_profile_is_declarative_diagonal_windows(spark):
     assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert unpartitioned_windows(spark, "x391_matrix_profile") == []
+
+
+def test_quantile_sketch_is_one_grouped_arrow_pass(spark):
+    plan = plan_of(spark, "x392_quantile_sketch")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
