@@ -4207,3 +4207,97 @@ def repeated_span_extents(
         .where(F.col("span_tokens") >= int(min_span_tokens))
         .drop("__island")
     )
+
+
+def local_align_pairs(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    toks_a: str,
+    toks_b: str,
+    *,
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Smith-Waterman local alignment score over token sequences
+    (Smith & Waterman 1981) for a pre-paired frame — the gap-tolerant
+    complement to :func:`repeated_span_extents`: exact-substring
+    extents miss near-identical spans with an insertion/edit inside;
+    local alignment scores them (plagiarism/mirror detection, fuzzy
+    boilerplate, template drift between document versions).
+
+    ``H(i,j) = max(0, H(i-1,j-1)+s, H(i-1,j)+gap, H(i,j-1)+gap)`` —
+    integer DP, so both engines are exact.  Sequences are truncated to
+    *max_tokens* (loud in the schema: ``n_a``/``n_b`` carry the
+    aligned lengths) — the pair frame is expected to come from a
+    candidate generator (LSH buckets, repeated-span hits), never a
+    full cross join.
+
+    Execution: the x323 DTW shape — each pair's DP runs inside ONE
+    Arrow batch; the oracle replays the identical recursion as an
+    anti-diagonal wavefront recursive CTE and reads the argmax with
+    the same total tie order (score desc, then smallest end_i,
+    end_j).
+
+    Output: ``(doc_a, doc_b, n_a, n_b, score, end_i, end_j)`` with
+    1-based end positions of the best local alignment (0/0 when the
+    best score is 0).
+    """
+    staged = pairs.select(
+        F.col(id_a).cast("long").alias("doc_a"),
+        F.col(id_b).cast("long").alias("doc_b"),
+        F.slice(F.col(toks_a), 1, int(max_tokens)).alias("xa"),
+        F.slice(F.col(toks_b), 1, int(max_tokens)).alias("xb"),
+    )
+    ms, mm, gp = int(match), int(mismatch), int(gap)
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_a": [], "doc_b": [], "n_a": [], "n_b": [],
+                   "score": [], "end_i": [], "end_j": []}
+            for da, db, xa, xb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["xa"], pdf["xb"]
+            ):
+                a, b = list(xa), list(xb)
+                n, m = len(a), len(b)
+                prev = [0] * (m + 1)
+                best, bi, bj = 0, 0, 0
+                for i in range(1, n + 1):
+                    cur = [0] * (m + 1)
+                    for j in range(1, m + 1):
+                        s = ms if a[i - 1] == b[j - 1] else mm
+                        h = max(
+                            0,
+                            prev[j - 1] + s,
+                            prev[j] + gp,
+                            cur[j - 1] + gp,
+                        )
+                        cur[j] = h
+                        if h > best:
+                            best, bi, bj = h, i, j
+                    prev = cur
+                out["doc_a"].append(int(da))
+                out["doc_b"].append(int(db))
+                out["n_a"].append(n)
+                out["n_b"].append(m)
+                out["score"].append(best)
+                out["end_i"].append(bi)
+                out["end_j"].append(bj)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(c, LongType()) for c in
+         ("doc_a", "doc_b", "n_a", "n_b", "score", "end_i", "end_j")]
+    )
+    return (
+        staged.mapInPandas(compute, schema=schema)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -543,3 +543,107 @@ ORDER BY 1, 2
 
 EXT18_QUERIES.update({"x392_quantile_sketch": q_x392_quantile_sketch})
 EXT18_ORACLES.update({"x392_quantile_sketch": SQL_X392})
+
+
+# ---------------- x393: Smith-Waterman local alignment
+
+
+def q_x393_local_align(spark, sf_dir):
+    """Smith-Waterman local alignment (operators/text.py:
+    local_align_pairs, match=2/mismatch=-1/gap=-1, 64-token cap) over
+    a deterministic candidate pairing (doc i vs doc i+250): the
+    gap-tolerant near-dup scorer.  The oracle replays the integer DP
+    as an anti-diagonal wavefront recursive CTE (the x323 idiom with
+    a zero floor and argmax tracking) and reads the best cell with
+    the identical total tie order."""
+    from .operators.text import local_align_pairs, tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= 1)
+    a = toked.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    ).where(F.col("doc_a") < 250)
+    b = toked.select(
+        (F.col("doc_id") - 250).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+    ).where(F.col("doc_b") >= 250)
+    pairs = a.join(b, on="doc_a")
+    return local_align_pairs(
+        pairs, "doc_a", "doc_b", "ta", "tb",
+        match=2, mismatch=-1, gap=-1, max_tokens=64,
+    )
+
+
+SQL_X393 = """
+WITH RECURSIVE x393_t AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '')[1:64] AS toks
+  FROM documents
+), x393_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.toks AS x, b.toks AS y,
+         CAST(len(a.toks) AS INTEGER) AS n,
+         CAST(len(b.toks) AS INTEGER) AS m
+  FROM x393_t a JOIN x393_t b ON b.doc_id = a.doc_id + 250
+  WHERE a.doc_id < 250 AND len(a.toks) >= 1 AND len(b.toks) >= 1
+), x393_dp AS (
+  SELECT doc_a, doc_b, x, y, n, m, 1 AS d,
+         list_transform(range(1, n + 1),
+           i -> CAST(NULL AS BIGINT)) AS cur,
+         list_transform(range(1, n + 1),
+           i -> CAST(NULL AS BIGINT)) AS prev
+  FROM x393_pairs
+  UNION ALL
+  SELECT doc_a, doc_b, x, y, n, m, d + 1,
+         list_transform(range(1, n + 1),
+           i -> CASE WHEN d + 1 - i BETWEEN 1 AND m
+                      AND i BETWEEN 1 AND n THEN
+                  greatest(
+                    CAST(0 AS BIGINT),
+                    COALESCE(CASE WHEN i > 1
+                             THEN prev[CAST(i - 1 AS INTEGER)] END,
+                             CAST(0 AS BIGINT))
+                      + CASE WHEN x[CAST(i AS INTEGER)]
+                                  = y[CAST(d + 1 - i AS INTEGER)]
+                             THEN 2 ELSE -1 END,
+                    COALESCE(CASE WHEN i > 1
+                             THEN cur[CAST(i - 1 AS INTEGER)] END,
+                             CAST(0 AS BIGINT)) - 1,
+                    COALESCE(cur[CAST(i AS INTEGER)],
+                             CAST(0 AS BIGINT)) - 1)
+                END) AS cur,
+         cur AS prev
+  FROM x393_dp
+  WHERE d < n + m
+), x393_cells AS (
+  SELECT doc_a, doc_b, n, m,
+         CAST(i AS BIGINT) AS i, CAST(d - i AS BIGINT) AS j,
+         cur[CAST(i AS INTEGER)] AS h
+  FROM x393_dp, unnest(range(1, n + 1)) AS u(i)
+  WHERE d >= 2 AND d - i BETWEEN 1 AND m AND i <= n
+    AND cur[CAST(i AS INTEGER)] IS NOT NULL
+), x393_best AS (
+  SELECT doc_a, doc_b, n, m, h, i, j,
+         ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                            ORDER BY h DESC, i ASC, j ASC) AS rn
+  FROM x393_cells
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       CAST(h AS BIGINT) AS score,
+       CASE WHEN h > 0 THEN i ELSE 0 END AS end_i,
+       CASE WHEN h > 0 THEN j ELSE 0 END AS end_j
+FROM x393_best WHERE rn = 1
+ORDER BY 1, 2
+"""
+
+
+EXT18_QUERIES.update({"x393_local_align": q_x393_local_align})
+EXT18_ORACLES.update({"x393_local_align": SQL_X393})

@@ -11292,3 +11292,38 @@ def test_streaming_quantile_sketch_matches_batch_bitwise(spark, tmp_path):
     # sketch error contract on this prefix: estimate is an actual
     # stream element
     assert all(final[p]["est"] in vals for p in (0.5, 0.9))
+
+
+def test_local_align_pairs_hand_computed(spark):
+    """SW on planted sequences: identical runs score 2 per token;
+    one substitution inside a run costs the mismatch but alignment
+    continues (the gap-tolerant case exact-substring extents miss);
+    disjoint token sets score 0 with (0,0) endpoints."""
+    from fame2pygen_spark.operators.text import local_align_pairs
+
+    rows = [
+        # 5 identical tokens -> score 10, ends at (5, 5)
+        (1, 2, "a b c d e".split(), "a b c d e".split()),
+        # substitution mid-run: 2+2 + (-1) + 2+2 = 7
+        (3, 4, "a b c d e".split(), "a b X d e".split()),
+        # no overlap at all
+        (5, 6, "p q r".split(), "x y z".split()),
+        # local: best window ignores noisy prefixes
+        (7, 8, "n1 n2 a b c".split(), "m1 a b c m2".split()),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_a long, doc_b long, ta array<string>, tb array<string>"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in local_align_pairs(
+            df, "doc_a", "doc_b", "ta", "tb"
+        ).collect()
+    }
+    assert (out[(1, 2)]["score"], out[(1, 2)]["end_i"],
+            out[(1, 2)]["end_j"]) == (10, 5, 5)
+    assert out[(3, 4)]["score"] == 7
+    assert (out[(5, 6)]["score"], out[(5, 6)]["end_i"],
+            out[(5, 6)]["end_j"]) == (0, 0, 0)
+    assert (out[(7, 8)]["score"], out[(7, 8)]["end_i"],
+            out[(7, 8)]["end_j"]) == (6, 5, 4)

@@ -1949,3 +1949,12 @@ def test_quantile_sketch_is_one_grouped_arrow_pass(spark):
     assert "MapInPandas" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_local_align_is_arrow_batched_pair_dp(spark):
+    # candidate pairs equi-join on the pairing key, DP inside Arrow
+    # batches; nothing cartesian, no window
+    plan = plan_of(spark, "x393_local_align")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
