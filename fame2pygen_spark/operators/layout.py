@@ -585,3 +585,106 @@ def roaring_container_census(
             / F.col("roaring_bytes").cast("double")
         ).alias("compression_ratio"),
     ).orderBy("group")
+
+
+def rendezvous_reshard_audit(
+    df: DataFrame,
+    key_col: str,
+    *,
+    shards_before: int,
+    shards_after: int,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit
+    (Thaler & Ravishankar 1998 — the consistent-placement scheme
+    behind cache/shard routing): each key goes to the shard with the
+    highest ``md5(salt:key:shard)`` weight, so growing the ring from
+    *shards_before* to *shards_after* moves ONLY the keys whose new
+    winner is one of the added shards (expected n·(after−before)/after
+    — the minimal-disruption property this audit MEASURES instead of
+    assuming; contrast hash-mod partitioning, which moves ~all keys).
+
+    Declarative shape: distinct keys explode over the after-ring once
+    (bounded ×shards_after), ONE groupBy(key) picks both argmax
+    assignments via ``max_by`` on a total (weight, −shard) order, one
+    bounded per-shard rollup.  The md5 weight rule is engine-portable
+    (the ``uniform_hash01`` idiom), so the oracle replays assignments
+    exactly.
+
+    Output, one row per after-shard: ``n_before`` (keys routed here
+    under the old ring; 0 for new shards), ``n_after``, ``gained``,
+    ``lost``, ``stayed``.
+    """
+    kb, ka = int(shards_before), int(shards_after)
+    if not 1 <= kb <= ka:
+        raise ValueError(
+            "rendezvous_reshard_audit: need 1 <= shards_before <= "
+            "shards_after"
+        )
+    keys = df.select(
+        F.col(key_col).cast("long").alias("k")
+    ).where(F.col("k").isNotNull()).distinct()
+    cand = keys.select(
+        "k",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ka - 1))
+        ).alias("s"),
+    ).withColumn(
+        # 56-bit md5 weight with the shard id folded into the low
+        # nibble as a total tie order (weight desc, shard asc) —
+        # portable to the oracle without struct-ordered argmax
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("k"), F.col("s")
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * 16
+        + (F.lit(15) - F.col("s")),
+    )
+    assign = cand.groupBy("k").agg(
+        F.max_by(F.col("s"), F.col("w")).alias("after"),
+        F.max_by(
+            F.when(F.col("s") < kb, F.col("s")),
+            F.when(F.col("s") < kb, F.col("w")),
+        ).alias("before"),
+    )
+    shards = df.sparkSession.range(ka).select(
+        F.col("id").cast("long").alias("shard")
+    )
+    per_after = assign.groupBy(F.col("after").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(
+            F.when(F.col("before") != F.col("after"), 1).otherwise(0)
+        ).cast("long").alias("gained"),
+        F.sum(
+            F.when(F.col("before") == F.col("after"), 1).otherwise(0)
+        ).cast("long").alias("stayed"),
+    )
+    per_before = assign.groupBy(F.col("before").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(
+            F.when(F.col("before") != F.col("after"), 1).otherwise(0)
+        ).cast("long").alias("lost"),
+    )
+    return (
+        shards.join(F.broadcast(per_before), on="shard", how="left")
+        .join(F.broadcast(per_after), on="shard", how="left")
+        .select(
+            "shard",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("gained", F.lit(0)).alias("gained"),
+            F.coalesce("lost", F.lit(0)).alias("lost"),
+            F.coalesce("stayed", F.lit(0)).alias("stayed"),
+        )
+        .orderBy("shard")
+    )

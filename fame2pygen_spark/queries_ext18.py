@@ -647,3 +647,67 @@ ORDER BY 1, 2
 
 EXT18_QUERIES.update({"x393_local_align": q_x393_local_align})
 EXT18_ORACLES.update({"x393_local_align": SQL_X393})
+
+
+# ---------------- x394: rendezvous-hash reshard audit
+
+
+def q_x394_rendezvous(spark, sf_dir):
+    """Rendezvous (HRW) reshard audit over customer keys
+    (operators/layout.py:rendezvous_reshard_audit, 7 → 8 shards):
+    measures the minimal-disruption property — only keys whose
+    highest-weight shard is the NEW one move.  One bounded explode,
+    one max_by per key on a total (weight, −shard) order, bounded
+    per-shard rollups; the oracle replays the identical md5 weights
+    with DuckDB arg_max."""
+    from .operators.layout import rendezvous_reshard_audit
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return rendezvous_reshard_audit(
+        cust, "c_custkey", shards_before=7, shards_after=8
+    )
+
+
+SQL_X394 = """
+WITH x394_keys AS (
+  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k FROM customer
+  WHERE c_custkey IS NOT NULL
+), x394_cand AS (
+  SELECT k, s,
+         ('0x' || substr(md5('hrw:' || CAST(k AS VARCHAR) || ':'
+                             || CAST(s AS VARCHAR)), 1, 14))::BIGINT
+           * 16 + (15 - s) AS w
+  FROM x394_keys, unnest(range(0, 8)) AS u(s)
+), x394_assign AS (
+  SELECT k,
+         arg_max(s, w) AS after,
+         arg_max(CASE WHEN s < 7 THEN s END,
+                 CASE WHEN s < 7 THEN w END) AS before
+  FROM x394_cand GROUP BY k
+), x394_shards AS (
+  SELECT CAST(s AS BIGINT) AS shard FROM unnest(range(0, 8)) AS u(s)
+), x394_after AS (
+  SELECT after AS shard, COUNT(*) AS n_after,
+         SUM(CASE WHEN before <> after THEN 1 ELSE 0 END) AS gained,
+         SUM(CASE WHEN before = after THEN 1 ELSE 0 END) AS stayed
+  FROM x394_assign GROUP BY after
+), x394_before AS (
+  SELECT before AS shard, COUNT(*) AS n_before,
+         SUM(CASE WHEN before <> after THEN 1 ELSE 0 END) AS lost
+  FROM x394_assign GROUP BY before
+)
+SELECT s.shard,
+       CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(a.gained, 0) AS BIGINT) AS gained,
+       CAST(COALESCE(b.lost, 0) AS BIGINT) AS lost,
+       CAST(COALESCE(a.stayed, 0) AS BIGINT) AS stayed
+FROM x394_shards s
+LEFT JOIN x394_before b ON b.shard = s.shard
+LEFT JOIN x394_after a ON a.shard = s.shard
+ORDER BY 1
+"""
+
+
+EXT18_QUERIES.update({"x394_rendezvous": q_x394_rendezvous})
+EXT18_ORACLES.update({"x394_rendezvous": SQL_X394})

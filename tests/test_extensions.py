@@ -11327,3 +11327,34 @@ def test_local_align_pairs_hand_computed(spark):
             out[(5, 6)]["end_j"]) == (0, 0, 0)
     assert (out[(7, 8)]["score"], out[(7, 8)]["end_i"],
             out[(7, 8)]["end_j"]) == (6, 5, 4)
+
+
+def test_rendezvous_minimal_disruption_property(spark):
+    """HRW growth 4 -> 5: keys either stay or move to the NEW shard —
+    no key moves between surviving shards (the property that makes
+    rendezvous placement reshard-cheap); per-shard accounting is
+    self-consistent."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.layout import (
+        rendezvous_reshard_audit,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    out = rendezvous_reshard_audit(
+        df, "k", shards_before=4, shards_after=5
+    ).collect()
+    rows = {r["shard"]: r for r in out}
+    assert set(rows) == set(range(5))
+    # every move lands on the new shard (shard 4)
+    for s in range(4):
+        assert rows[s]["gained"] == 0, s
+        assert rows[s]["n_after"] == rows[s]["stayed"]
+    assert rows[4]["n_before"] == 0
+    assert rows[4]["gained"] == rows[4]["n_after"] > 0
+    # global conservation: moves out == moves in, totals match
+    assert sum(r["lost"] for r in out) == rows[4]["gained"]
+    assert sum(r["n_after"] for r in out) == 500
+    assert sum(r["n_before"] for r in out) == 500
+    # expected move fraction ~ 1/5 (allow wide slack on 500 keys)
+    assert 0.1 < rows[4]["gained"] / 500 < 0.35

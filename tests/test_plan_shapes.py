@@ -1958,3 +1958,11 @@ def test_local_align_is_arrow_batched_pair_dp(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_rendezvous_is_bounded_explode_one_agg(spark):
+    plan = plan_of(spark, "x394_rendezvous")
+    assert "Generate" in plan  # the bounded ring explode
+    assert "BroadcastHashJoin" in plan  # per-shard rollups broadcast
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
