@@ -688,3 +688,111 @@ def rendezvous_reshard_audit(
         )
         .orderBy("shard")
     )
+
+
+def merkle_tree(
+    df: DataFrame,
+    key_col: str,
+    value_cols: "Sequence[str]",
+    *,
+    n_leaves: int = 64,
+    fanout: int = 4,
+    salt: str = "mrk",
+) -> DataFrame:
+    """Merkle digest tree over a keyed table — the anti-entropy /
+    snapshot-integrity primitive (Merkle 1987; the Cassandra-repair /
+    rsync construction): rows land in ``key % n_leaves`` buckets
+    whose digest is the XOR of per-row md5 digests (XOR is
+    commutative, so the leaf is order- and partitioning-insensitive
+    with NO sort), and each parent hashes its children's digests in
+    index order, up to a single root.  Comparing two snapshots' trees
+    localizes every difference to its leaf in O(log) node
+    comparisons instead of a full-table diff — the 100 TB story is
+    one scan per snapshot plus metadata-sized tree algebra.
+
+    Output: ``(level, idx, digest)`` for every node; level 0 = leaves
+    (absent buckets carry digest '0'), the root at the top level.
+    """
+    import math
+
+    nl, fo = int(n_leaves), int(fanout)
+    if nl < 1 or fo < 2:
+        raise ValueError("merkle_tree: need n_leaves >= 1, fanout >= 2")
+    row_digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col(key_col).cast("string"),
+                    *[F.col(c).cast("string") for c in value_cols],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    leaves = (
+        df.select(
+            (F.col(key_col).cast("long") % nl).alias("idx"),
+            row_digest.alias("h"),
+        )
+        .groupBy("idx")
+        .agg(F.expr("bit_xor(h)").alias("hx"))
+    )
+    spark = df.sparkSession
+    all_leaves = (
+        spark.range(nl)
+        .select(F.col("id").alias("idx"))
+        .join(F.broadcast(leaves), on="idx", how="left")
+        .select(
+            F.lit(0).alias("level"),
+            F.col("idx").cast("long").alias("idx"),
+            F.coalesce(F.col("hx").cast("string"), F.lit("0")).alias(
+                "digest"
+            ),
+        )
+    )
+    levels = [all_leaves]
+    width = nl
+    lvl = 0
+    while width > 1:
+        width = math.ceil(width / fo)
+        lvl += 1
+        child = levels[-1]
+        parent = (
+            child.groupBy(
+                (F.col("idx") / fo).cast("long").alias("idx")
+            )
+            .agg(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.sort_array(
+                                    F.collect_list(
+                                        F.struct("idx", "digest")
+                                    )
+                                ),
+                                lambda s: s["digest"],
+                            ),
+                        )
+                    ),
+                    1,
+                    16,
+                ).alias("digest")
+            )
+            .select(
+                F.lit(lvl).alias("level"),
+                F.col("idx"),
+                "digest",
+            )
+        )
+        levels.append(parent)
+    out = levels[0]
+    for p in levels[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("level", "idx")

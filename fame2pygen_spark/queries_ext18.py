@@ -711,3 +711,113 @@ ORDER BY 1
 
 EXT18_QUERIES.update({"x394_rendezvous": q_x394_rendezvous})
 EXT18_ORACLES.update({"x394_rendezvous": SQL_X394})
+
+
+# ---------------- x395: Merkle snapshot diff
+
+
+def q_x395_merkle_diff(spark, sf_dir):
+    """Merkle-tree snapshot integrity diff
+    (operators/layout.py:merkle_tree, 64 leaves, fanout 4): the
+    orders table vs a deterministically corrupted twin (+1 on
+    o_totalprice where o_orderkey % 997 = 0) — every tree node where
+    the digests disagree, which is exactly the O(log) drill-down
+    path an anti-entropy repair walks.  XOR leaf digests make the
+    scan order- and partitioning-insensitive; parents hash children
+    in index order."""
+    from .operators.layout import merkle_tree
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 997 == 0,
+            F.col("price") + F.lit(1).cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("price"))
+        .cast("decimal(12,2)")
+        .alias("price"),
+    )
+    ta = merkle_tree(orders, "o_orderkey", ["price"])
+    tb = merkle_tree(corrupted, "o_orderkey", ["price"])
+    return (
+        ta.withColumnRenamed("digest", "digest_a")
+        .join(
+            tb.withColumnRenamed("digest", "digest_b"),
+            on=["level", "idx"],
+        )
+        .where(F.col("digest_a") != F.col("digest_b"))
+        .select(
+            F.col("level").cast("long").alias("level"),
+            "idx",
+            "digest_a",
+            "digest_b",
+        )
+        .orderBy("level", "idx")
+    )
+
+
+SQL_X395 = """
+WITH x395_rows AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS pa,
+         CAST(CASE WHEN o_orderkey % 997 = 0
+              THEN CAST(o_totalprice AS DECIMAL(12,2))
+                   + CAST(1 AS DECIMAL(12,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END
+              AS DECIMAL(12,2)) AS pb
+  FROM orders
+), x395_leafa AS (
+  SELECT k % 64 AS idx,
+         bit_xor(('0x' || substr(md5('mrk:' || CAST(k AS VARCHAR)
+           || ':' || CAST(pa AS VARCHAR)), 1, 15))::BIGINT) AS hx
+  FROM x395_rows GROUP BY 1
+), x395_leafb AS (
+  SELECT k % 64 AS idx,
+         bit_xor(('0x' || substr(md5('mrk:' || CAST(k AS VARCHAR)
+           || ':' || CAST(pb AS VARCHAR)), 1, 15))::BIGINT) AS hx
+  FROM x395_rows GROUP BY 1
+), x395_l0 AS (
+  SELECT 0 AS level, CAST(u.i AS BIGINT) AS idx,
+         COALESCE(CAST(a.hx AS VARCHAR), '0') AS digest_a,
+         COALESCE(CAST(b.hx AS VARCHAR), '0') AS digest_b
+  FROM unnest(range(0, 64)) AS u(i)
+  LEFT JOIN x395_leafa a ON a.idx = u.i
+  LEFT JOIN x395_leafb b ON b.idx = u.i
+), x395_l1 AS (
+  SELECT 1 AS level, idx // 4 AS idx,
+         substr(md5(string_agg(digest_a, ',' ORDER BY idx)), 1, 16)
+           AS digest_a,
+         substr(md5(string_agg(digest_b, ',' ORDER BY idx)), 1, 16)
+           AS digest_b
+  FROM x395_l0 GROUP BY idx // 4
+), x395_l2 AS (
+  SELECT 2 AS level, idx // 4 AS idx,
+         substr(md5(string_agg(digest_a, ',' ORDER BY idx)), 1, 16)
+           AS digest_a,
+         substr(md5(string_agg(digest_b, ',' ORDER BY idx)), 1, 16)
+           AS digest_b
+  FROM x395_l1 GROUP BY idx // 4
+), x395_l3 AS (
+  SELECT 3 AS level, idx // 4 AS idx,
+         substr(md5(string_agg(digest_a, ',' ORDER BY idx)), 1, 16)
+           AS digest_a,
+         substr(md5(string_agg(digest_b, ',' ORDER BY idx)), 1, 16)
+           AS digest_b
+  FROM x395_l2 GROUP BY idx // 4
+), x395_all AS (
+  SELECT * FROM x395_l0 UNION ALL SELECT * FROM x395_l1
+  UNION ALL SELECT * FROM x395_l2 UNION ALL SELECT * FROM x395_l3
+)
+SELECT CAST(level AS BIGINT) AS level, idx, digest_a, digest_b
+FROM x395_all
+WHERE digest_a <> digest_b
+ORDER BY 1, 2
+"""
+
+
+EXT18_QUERIES.update({"x395_merkle_diff": q_x395_merkle_diff})
+EXT18_ORACLES.update({"x395_merkle_diff": SQL_X395})

@@ -11358,3 +11358,46 @@ def test_rendezvous_minimal_disruption_property(spark):
     assert sum(r["n_before"] for r in out) == 500
     # expected move fraction ~ 1/5 (allow wide slack on 500 keys)
     assert 0.1 < rows[4]["gained"] / 500 < 0.35
+
+
+def test_merkle_diff_localizes_single_corruption(spark):
+    """Corrupting ONE key flips exactly the root-to-leaf path: one
+    node per level, and the leaf index is key % n_leaves."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.layout import merkle_tree
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    bad = df.withColumn(
+        "v", F.when(F.col("k") == 421, F.lit(-1)).otherwise(F.col("v"))
+    )
+    ta = merkle_tree(df, "k", ["v"], n_leaves=64, fanout=4)
+    tb = merkle_tree(bad, "k", ["v"], n_leaves=64, fanout=4)
+    diff = (
+        ta.withColumnRenamed("digest", "da")
+        .join(tb.withColumnRenamed("digest", "db"), on=["level", "idx"])
+        .where(F.col("da") != F.col("db"))
+        .collect()
+    )
+    by_level = {r["level"]: r["idx"] for r in diff}
+    # 64 leaves, fanout 4 -> levels 0..3, one mismatch per level
+    assert len(diff) == 4 and set(by_level) == {0, 1, 2, 3}
+    leaf = 421 % 64
+    assert by_level[0] == leaf
+    assert by_level[1] == leaf // 4
+    assert by_level[2] == leaf // 16
+    assert by_level[3] == 0
+    # identical snapshots -> zero mismatches
+    same = (
+        ta.withColumnRenamed("digest", "da")
+        .join(
+            merkle_tree(df, "k", ["v"], n_leaves=64, fanout=4)
+            .withColumnRenamed("digest", "db"),
+            on=["level", "idx"],
+        )
+        .where(F.col("da") != F.col("db"))
+        .count()
+    )
+    assert same == 0

@@ -1966,3 +1966,11 @@ def test_rendezvous_is_bounded_explode_one_agg(spark):
     assert "BroadcastHashJoin" in plan  # per-shard rollups broadcast
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_merkle_diff_tree_algebra_is_metadata_scale(spark):
+    # one scan + leaf aggregation per snapshot; every tree level is a
+    # bounded metadata aggregate; the node join broadcasts
+    plan = plan_of(spark, "x395_merkle_diff")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
