@@ -1047,3 +1047,79 @@ def unimax_plan(
         _r6(F.try_divide(alloc, F.col("n_tokens"))).alias("epochs"),
         _r6(alloc / F.lit(b)).alias("budget_frac"),
     ).orderBy("source")
+
+
+def pps_systematic(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    size_col: str,
+    *,
+    n_per_stratum: int,
+    size_decimals: int = 2,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling per
+    stratum (Madow 1949 — the official-statistics πps workhorse, and
+    the size-weighted document sampler a corpus pipeline uses when
+    "sample 1k docs per source ∝ token count" must be reproducible):
+    units in pinned *id* order accumulate their integer-scaled sizes;
+    selection points sit at ``(2k+1)·T/(2n)`` for k = 0..n−1 (the
+    fixed mid-interval start — no RNG, documented), and unit i is hit
+    once per point falling in its cumulative span.  Units larger than
+    one interval are certainty units with multiple hits.
+
+    Everything is 64-bit integer arithmetic (sizes scaled by
+    10^*size_decimals*, the point condition cross-multiplied — no
+    division until the reported inclusion expectation), so both
+    engines agree exactly and partitioning cannot change the sample.
+    The cumulative window is STRATUM-keyed: at 100 TB each stratum's
+    cumsum streams independently; never run this with one global
+    stratum.
+
+    Output per unit: ``stratum, id, size_scaled, cum, hits, pi``
+    (expected inclusions ``n·size/T`` at 6 dp), ordered.
+    """
+    n = int(n_per_stratum)
+    if n < 1:
+        raise ValueError("pps_systematic: n_per_stratum must be >= 1")
+    scale = 10 ** int(size_decimals)
+    base = df.select(
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.col(id_col).cast("long").alias("id"),
+        F.round(F.col(size_col).cast("double") * scale)
+        .cast("long")
+        .alias("sz"),
+    ).where(F.col("sz") > 0)
+    w_cum = (
+        Window.partitionBy("stratum")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("stratum")
+    cum = base.withColumn("cum", F.sum("sz").over(w_cum)).withColumn(
+        "tot", F.sum("sz").over(w_tot)
+    )
+    # odd o in [1, 2n-1] with o*T >= A (A = 2n*cumprev) and o*T < B
+    # (B = 2n*cum): lo = ceil(A/T), hi = ceil(B/T) - 1, clamped; the
+    # count of odds <= x is (x+1) div 2
+    a = 2 * n * (F.col("cum") - F.col("sz"))
+    b = 2 * n * F.col("cum")
+    t = F.col("tot")
+    lo = F.greatest(-F.floor(-a / t).cast("long"), F.lit(1))
+    hi = F.least(
+        (-F.floor(-b / t) - 1).cast("long"), F.lit(2 * n - 1)
+    )
+    odds_leq = lambda x: F.floor((x + 1) / 2).cast("long")  # noqa: E731
+    hits = F.when(
+        hi >= lo, odds_leq(hi) - odds_leq(lo - 1)
+    ).otherwise(F.lit(0))
+    return cum.select(
+        "stratum",
+        "id",
+        F.col("sz").alias("size_scaled"),
+        "cum",
+        hits.cast("long").alias("hits"),
+        F.round(
+            F.lit(n) * F.col("sz").cast("double") / F.col("tot"), 6
+        ).alias("pi"),
+    ).orderBy("stratum", "id")

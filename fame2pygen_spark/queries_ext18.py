@@ -821,3 +821,60 @@ ORDER BY 1, 2
 
 EXT18_QUERIES.update({"x395_merkle_diff": q_x395_merkle_diff})
 EXT18_ORACLES.update({"x395_merkle_diff": SQL_X395})
+
+
+# ---------------- x396: systematic PPS sampling
+
+
+def q_x396_pps(spark, sf_dir):
+    """Stratified systematic πps sample of parts ∝ retail price
+    (operators/mixing.py:pps_systematic, 8 draws per brand,
+    mid-interval start): the Madow official-statistics sampler made
+    reproducible — pure 64-bit integer point arithmetic
+    (cross-multiplied cumulative conditions, odds-counting), so the
+    oracle is the identical algebra and the sample cannot drift with
+    partitioning."""
+    from .operators.mixing import pps_systematic
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return pps_systematic(
+        part, "p_brand", "p_partkey", "p_retailprice", n_per_stratum=8
+    )
+
+
+SQL_X396 = """
+WITH x396_base AS (
+  SELECT CAST(p_brand AS VARCHAR) AS stratum,
+         CAST(p_partkey AS BIGINT) AS id,
+         CAST(round(CAST(p_retailprice AS DOUBLE) * 100) AS BIGINT)
+           AS sz
+  FROM part
+  WHERE round(CAST(p_retailprice AS DOUBLE) * 100) > 0
+), x396_cum AS (
+  SELECT stratum, id, sz,
+         SUM(sz) OVER (PARTITION BY stratum ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum,
+         SUM(sz) OVER (PARTITION BY stratum) AS tot
+  FROM x396_base
+), x396_hits AS (
+  SELECT stratum, id, sz, cum, tot,
+         greatest(CAST(-floor(-(16 * (cum - sz)) / tot) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS lo,
+         least(CAST(-floor(-(16 * cum) / tot) - 1 AS BIGINT),
+               CAST(15 AS BIGINT)) AS hi
+  FROM x396_cum
+)
+SELECT stratum, id, sz AS size_scaled, cum,
+       CAST(CASE WHEN hi >= lo
+            THEN CAST(floor((hi + 1) / 2) AS BIGINT)
+                 - CAST(floor(((lo - 1) + 1) / 2) AS BIGINT)
+            ELSE 0 END AS BIGINT) AS hits,
+       ROUND(8 * CAST(sz AS DOUBLE) / tot, 6) AS pi
+FROM x396_hits
+ORDER BY 1, 2
+"""
+
+
+EXT18_QUERIES.update({"x396_pps": q_x396_pps})
+EXT18_ORACLES.update({"x396_pps": SQL_X396})

@@ -11401,3 +11401,30 @@ def test_merkle_diff_localizes_single_corruption(spark):
         .count()
     )
     assert same == 0
+
+
+def test_pps_systematic_properties(spark):
+    """Per stratum: total hits == n exactly (systematic sampling
+    draws exactly n points), hits ∝ size in expectation, and a unit
+    bigger than one interval is a certainty multi-hit."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.mixing import pps_systematic
+
+    rows = [("s1", i, 10.0) for i in range(1, 21)]  # uniform sizes
+    rows += [("s2", 1, 500.0)] + [("s2", i, 10.0) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "st string, id long, sz double")
+    out = pps_systematic(
+        df, "st", "id", "sz", n_per_stratum=5
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stratum"], []).append(r)
+    for st in ("s1", "s2"):
+        assert sum(r["hits"] for r in by[st]) == 5, st
+    # s2's dominant unit (500 of 600 total) takes most points
+    big = next(r for r in by["s2"] if r["id"] == 1)
+    assert big["hits"] >= 4
+    assert abs(big["pi"] - 5 * 500.0 / 600.0) < 1e-6
+    # uniform stratum: no unit hit twice
+    assert max(r["hits"] for r in by["s1"]) == 1

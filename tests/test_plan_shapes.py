@@ -1974,3 +1974,10 @@ def test_merkle_diff_tree_algebra_is_metadata_scale(spark):
     plan = plan_of(spark, "x395_merkle_diff")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_pps_cumsum_is_stratum_keyed(spark):
+    plan = plan_of(spark, "x396_pps")
+    assert unpartitioned_windows(spark, "x396_pps") == []
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
