@@ -1217,3 +1217,65 @@ def wl_refinement(
         out = out.unionByName(census(recolored, it))
         cur = recolored
     return out.orderBy("iteration")
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Bounded-hop single-source(-set) shortest paths — Bellman-Ford
+    relaxation as *max_hops* unrolled Pregel supersteps (the weighted
+    upgrade of :func:`bfs_depths`): after step k every node carries
+    the cheapest cost reachable from the seed set using ≤ k edges.
+    Supply-chain cost horizons, weighted influence radii, cheapest
+    k-hop routing over co-occurrence graphs.
+
+    Each superstep is ONE join of the current distance table against
+    the adjacency list plus ONE keyed min-aggregation — no frontier
+    tracking needed because min() absorbs non-improvements; lineage
+    truncates per superstep (``localCheckpoint``, the BFS/CC
+    discipline).  Integer weights → exact distances, and a FIXED hop
+    bound → deterministic output regardless of convergence (document
+    the bound; this is bounded-hop SSSP, not full convergence).
+
+    Edges are directed as given; pass a symmetrized frame for
+    undirected semantics.  Output: ``(node, dist)``.
+    """
+    max_hops = int(max_hops)
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).where(
+        F.col("__s").isNotNull()
+        & F.col("__d").isNotNull()
+        & F.col("__w").isNotNull()
+    )
+    dists = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relax = (
+            dists.join(e, dists["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("dist") + F.col("__w")).alias("dist"),
+            )
+        )
+        dists = (
+            dists.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dists.orderBy("node")

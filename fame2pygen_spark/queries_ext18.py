@@ -878,3 +878,96 @@ ORDER BY 1, 2
 
 EXT18_QUERIES.update({"x396_pps": q_x396_pps})
 EXT18_ORACLES.update({"x396_pps": SQL_X396})
+
+
+# ---------------- x397: bounded-hop weighted shortest paths
+
+
+def q_x397_sssp(spark, sf_dir):
+    """Bounded-hop Bellman-Ford (operators/graph.py:sssp_bounded,
+    3 supersteps) over the supplier–part bipartite graph from
+    lineitem (edge weight = min extended-price cents per pair,
+    decimal-exact), seeded at suppliers with suppkey % 37 = 0: the
+    cheapest ≤3-edge supply cost from the watchlist to every
+    reachable node.  The oracle unrolls the identical relaxations as
+    three min-join layers — integer distances, no recursion
+    needed."""
+    from .operators.graph import sssp_bounded
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pair = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.min(
+                F.round(
+                    F.col("l_extendedprice").cast("double") * 100
+                ).cast("long")
+            ).alias("w")
+        )
+    )
+    e1 = pair.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        "w",
+    )
+    edges = e1.unionByName(
+        e1.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        li.select(F.col("l_suppkey").cast("long").alias("sk"))
+        .where(F.col("sk") % 37 == 0)
+        .distinct()
+        .select(F.concat(F.lit("s"), F.col("sk").cast("string")).alias("node"))
+    )
+    return sssp_bounded(
+        edges, seeds, max_hops=3, src_col="src", dst_col="dst",
+        weight_col="w", seed_col="node",
+    )
+
+
+SQL_X397 = """
+WITH x397_pair AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         MIN(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+             AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), x397_edges AS (
+  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+         'p' || CAST(pk AS VARCHAR) AS dst, w FROM x397_pair
+  UNION ALL
+  SELECT 'p' || CAST(pk AS VARCHAR), 's' || CAST(sk AS VARCHAR), w
+  FROM x397_pair
+), x397_d0 AS (
+  SELECT DISTINCT 's' || CAST(sk AS VARCHAR) AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM x397_pair WHERE sk % 37 = 0
+), x397_d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM x397_d0
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM x397_d0 d JOIN x397_edges e ON e.src = d.node
+  ) GROUP BY node
+), x397_d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM x397_d1
+    UNION ALL
+    SELECT e.dst, d.dist + e.w
+    FROM x397_d1 d JOIN x397_edges e ON e.src = d.node
+  ) GROUP BY node
+), x397_d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM x397_d2
+    UNION ALL
+    SELECT e.dst, d.dist + e.w
+    FROM x397_d2 d JOIN x397_edges e ON e.src = d.node
+  ) GROUP BY node
+)
+SELECT node, dist FROM x397_d3 ORDER BY node
+"""
+
+
+EXT18_QUERIES.update({"x397_sssp": q_x397_sssp})
+EXT18_ORACLES.update({"x397_sssp": SQL_X397})

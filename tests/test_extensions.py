@@ -11428,3 +11428,29 @@ def test_pps_systematic_properties(spark):
     assert abs(big["pi"] - 5 * 500.0 / 600.0) < 1e-6
     # uniform stratum: no unit hit twice
     assert max(r["hits"] for r in by["s1"]) == 1
+
+
+def test_sssp_bounded_hand_computed(spark):
+    """Line graph a-b-c-d with weights 1,10,1 plus a 5-cost shortcut
+    a-c: 3 hops from a reach d via the shortcut (5+1=6), 2 hops stop
+    at c=5; unreachable-within-bound nodes stay absent."""
+    from fame2pygen_spark.operators.graph import sssp_bounded
+
+    e = [("a", "b", 1), ("b", "c", 10), ("c", "d", 1), ("a", "c", 5),
+         ("x", "y", 1)]
+    edges = spark.createDataFrame(e, "src string, dst string, w long")
+    sym = edges.union(
+        edges.selectExpr("dst as src", "src as dst", "w")
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    two = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(sym, seeds, max_hops=2).collect()
+    }
+    assert two == {"a": 0, "b": 1, "c": 5, "d": 6}
+    three = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(sym, seeds, max_hops=3).collect()
+    }
+    assert three == {"a": 0, "b": 1, "c": 5, "d": 6}
+    assert "x" not in three and "y" not in three

@@ -1981,3 +1981,9 @@ def test_pps_cumsum_is_stratum_keyed(spark):
     assert unpartitioned_windows(spark, "x396_pps") == []
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sssp_supersteps_are_checkpointed_min_joins(spark):
+    plan = plan_of(spark, "x397_sssp")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
