@@ -5699,3 +5699,124 @@ def matrix_profile(
         )
         .orderBy("entity", "pos")
     )
+
+
+def lz76_complexity(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    max_len: int = 4096,
+) -> DataFrame:
+    """Lempel-Ziv (LZ76) complexity of each entity's binarized series
+    (Lempel & Ziv 1976; Kaspar & Schuster 1987 normalization) — the
+    compressibility-based randomness score (EEG/physiology staple,
+    and a strong template/periodicity detector for metric streams: a
+    repeating pattern parses into few phrases, noise into ~n/log n).
+
+    Binarization is above/below the entity's decimal-exact MEAN (not
+    the median — the mean is order-insensitive in both engines).  The
+    parse rule is pinned precisely: at position p, the next phrase
+    copies the longest prefix ``s[p..p+l−1]`` that occurs anywhere
+    starting before p (overlap into the phrase allowed — the
+    exhaustive-history variant), then extends it by one symbol;
+    ``c`` counts phrases.  The oracle replays the identical parse as
+    a recursive-CTE state machine whose per-step longest-match is a
+    ``list_max`` over strpos probes — same rule, same integers.
+
+    Execution: the entity-keyed Arrow lane (ONE groupBy shuffle,
+    loud-fail past *max_len*).  Output per entity: ``n`` bits,
+    ``c`` phrases, ``norm`` = c·log2(n)/n at 6 dp (n ≥ 2).
+    """
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("e")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("o", "v"))).alias("ovs"),
+            (
+                F.sum(F.col("v").cast("decimal(27,6)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("mu"),
+        )
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"), F.max(F.size("ovs")).alias("ml")
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("lz76_complexity: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"lz76_complexity: longest series ({stats['ml']}) exceeds "
+            f"max_len={max_len} — window the series first"
+        )
+
+    def compute(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"entity": [], "n": [], "c": [], "norm": []}
+            for ent, ovs, mu in zip(pdf["e"], pdf["ovs"], pdf["mu"]):
+                s = "".join(
+                    "1" if float(x["v"]) > mu else "0" for x in ovs
+                )
+                n = len(s)
+                p, c = 1, 0  # 1-based
+                while p <= n:
+                    lmax = 0
+                    # match length is monotone (an occurrence of the
+                    # longer prefix contains the shorter), so the
+                    # first failure is final — and equals the oracle's
+                    # global max over all matching lengths
+                    for ell in range(1, n - p + 2):
+                        if s[: p + ell - 2].find(
+                            s[p - 1 : p - 1 + ell]
+                        ) >= 0:
+                            lmax = ell
+                        else:
+                            break
+                    p += lmax + 1
+                    c += 1
+                norm = (
+                    c * math.log2(n) / n if n >= 2 else float(c)
+                )
+                out["entity"].append(ent)
+                out["n"].append(n)
+                out["c"].append(c)
+                out["norm"].append(norm)
+            yield pd.DataFrame(
+                {
+                    "entity": pd.Series(out["entity"], dtype="object"),
+                    "n": pd.Series(out["n"], dtype="int64"),
+                    "c": pd.Series(out["c"], dtype="int64"),
+                    "norm": pd.Series(out["norm"], dtype="float64"),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("n", LongType()),
+            StructField("c", LongType()),
+            StructField("norm", DoubleType()),
+        ]
+    )
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_ent.mapInPandas(compute, schema=schema)
+        .select("entity", "n", "c", r6(F.col("norm")).alias("norm"))
+        .orderBy("entity")
+    )

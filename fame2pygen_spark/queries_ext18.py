@@ -971,3 +971,79 @@ SELECT node, dist FROM x397_d3 ORDER BY node
 
 EXT18_QUERIES.update({"x397_sssp": q_x397_sssp})
 EXT18_ORACLES.update({"x397_sssp": SQL_X397})
+
+
+# ---------------- x398: LZ76 complexity
+
+
+def q_x398_lz76(spark, sf_dir):
+    """LZ76 complexity of each nation's mean-binarized monthly
+    revenue series (operators/temporal.py:lz76_complexity): the
+    compressibility randomness score.  The oracle replays the pinned
+    exhaustive-history parse as a recursive-CTE state machine whose
+    per-step longest match is a list_max over strpos probes —
+    integer phrase counts, one shared log2 normalization."""
+    from .operators.temporal import lz76_complexity
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    return lz76_complexity(
+        base, entity_col="NATION", t_col="T", value_col="REV"
+    )
+
+
+SQL_X398 = """
+WITH RECURSIVE x398_base AS (
+  SELECT n_name AS e,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), x398_bits AS (
+  SELECT e,
+         string_agg(CASE WHEN v > mu THEN '1' ELSE '0' END,
+                    '' ORDER BY t) AS s,
+         CAST(count(*) AS INTEGER) AS n
+  FROM (
+    SELECT e, t, v,
+           CAST(SUM(CAST(v AS DECIMAL(27,6))) OVER (PARTITION BY e)
+                / COUNT(*) OVER (PARTITION BY e) AS DOUBLE) AS mu
+    FROM x398_base
+  ) GROUP BY e
+), x398_parse AS (
+  SELECT e, s, n, CAST(1 AS INTEGER) AS p, CAST(0 AS INTEGER) AS c
+  FROM x398_bits
+  UNION ALL
+  SELECT e, s, n,
+         CAST(p + lmax + 1 AS INTEGER), CAST(c + 1 AS INTEGER)
+  FROM (
+    SELECT e, s, n, p, c,
+           list_max(list_prepend(0,
+             list_filter(range(1, n - p + 2),
+               l -> strpos(s[1 : CAST(p + l - 2 AS INTEGER)],
+                           s[p : CAST(p + l - 1 AS INTEGER)]) > 0)))
+             AS lmax
+    FROM x398_parse WHERE p <= n
+  )
+)
+SELECT e AS entity, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+       ROUND(CASE WHEN n >= 2 THEN c * log2(n) / n
+                  ELSE CAST(c AS DOUBLE) END * 1000000.0)
+         / 1000000.0 AS norm
+FROM x398_parse
+WHERE p > n
+ORDER BY entity
+"""
+
+
+EXT18_QUERIES.update({"x398_lz76": q_x398_lz76})
+EXT18_ORACLES.update({"x398_lz76": SQL_X398})

@@ -11454,3 +11454,37 @@ def test_sssp_bounded_hand_computed(spark):
     }
     assert three == {"a": 0, "b": 1, "c": 5, "d": 6}
     assert "x" not in three and "y" not in three
+
+
+def test_lz76_complexity_known_strings(spark):
+    """Canonical LZ76 parses: a constant string parses into 2 phrases
+    (first symbol + one maximal copy), a period-2 alternation into 3,
+    and a de-Bruijn-ish irregular string into more phrases than
+    either — complexity orders as constant < periodic < irregular."""
+    from fame2pygen_spark.operators.temporal import lz76_complexity
+
+    # values above/below mean produce the target bit strings
+    def series(bits, e):
+        return [
+            (e, i, 10.0 if b == "1" else 0.0)
+            for i, b in enumerate(bits)
+        ]
+
+    rows = (
+        series("0000000011111111", "const-ish")  # 0^8 1^8
+        + series("0101010101010101", "periodic")
+        + series("0011101001011100", "irregular")
+    )
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {
+        r["entity"]: r
+        for r in lz76_complexity(
+            df, entity_col="e", t_col="t", value_col="v"
+        ).collect()
+    }
+    # 0^8 1^8: phrases 0 | 0000000 1 | 1111111 -> 3
+    assert out["const-ish"]["c"] == 3
+    # 0101...: phrases 0 | 1 | 01010101010101 -> 3
+    assert out["periodic"]["c"] == 3
+    assert out["irregular"]["c"] > 3
+    assert out["irregular"]["norm"] > out["periodic"]["norm"]

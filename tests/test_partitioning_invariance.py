@@ -174,6 +174,7 @@ SENSITIVE = [
     "x390_isotonic",
     "x391_matrix_profile",
     "x392_quantile_sketch",
+    "x398_lz76",
 ]
 
 

@@ -1987,3 +1987,9 @@ def test_sssp_supersteps_are_checkpointed_min_joins(spark):
     plan = plan_of(spark, "x397_sssp")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_lz76_is_arrow_batched_entity_parse(spark):
+    plan = plan_of(spark, "x398_lz76")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
