@@ -38,6 +38,7 @@ __all__ = [
     "logistic_newton_step",
     "shapley_r2_3",
     "pav_fit",
+    "split_conformal_interval",
 ]
 
 _r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
@@ -711,4 +712,120 @@ def pav_fit(
             r6(F.col("fit")).alias("fit"),
         )
         .orderBy("entity", "t")
+    )
+
+
+def split_conformal_interval(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    train_frac: float = 0.6,
+    cal_frac: float = 0.2,
+) -> DataFrame:
+    """Split conformal prediction audit per entity (Vovk et al. 2005;
+    Lei et al. 2018 — the distribution-free interval recipe): fit the
+    simplest point model (the train-window mean, decimal-exact) on
+    the first *train_frac* of each series, take the
+    ``ceil((1−α)(n_cal+1))``-th smallest absolute calibration
+    residual as the interval half-width ``qhat`` (the NATIVE rank
+    rule — an actual residual, no interpolation, so both engines
+    select the identical value), and measure empirical coverage of
+    ``mean ± qhat`` on the held-out tail.  The finite-sample theorem
+    says coverage ≥ 1−α in expectation under exchangeability — this
+    operator MEASURES it per entity instead of assuming it, which is
+    the monitoring question ("are my intervals still valid on this
+    segment?").
+
+    Fully declarative: entity-keyed row numbers split the series,
+    one decimal aggregate per entity fits the model, rank selection
+    is one keyed window with a total (residual, t) order, coverage
+    one conditional aggregate.  Output per entity: ``n, n_cal,
+    n_test, qhat, covered, coverage`` (6 dp).
+    """
+    a, tf, cf = float(alpha), float(train_frac), float(cal_frac)
+    if not 0 < a < 1 or not 0 < tf < 1 or not 0 < cf < 1 or tf + cf >= 1:
+        raise ValueError("split_conformal_interval: bad fractions")
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).cast("long").alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("o").isNotNull() & F.col("v").isNotNull())
+    w_rn = Window.partitionBy("e").orderBy("o")
+    w_e = Window.partitionBy("e")
+    rn = base.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count(F.lit(1)).over(w_e)
+    )
+    rn = rn.withColumn(
+        "n_train", F.floor(F.col("n") * tf).cast("long")
+    ).withColumn("n_cal", F.floor(F.col("n") * cf).cast("long"))
+    mu = (
+        rn.where(F.col("rn") <= F.col("n_train"))
+        .groupBy("e")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+    )
+    scored = rn.join(F.broadcast(mu), on="e").withColumn(
+        "resid", F.abs(F.col("v") - F.col("mu"))
+    )
+    cal = scored.where(
+        (F.col("rn") > F.col("n_train"))
+        & (F.col("rn") <= F.col("n_train") + F.col("n_cal"))
+    )
+    w_rank = Window.partitionBy("e").orderBy(
+        F.col("resid").asc(), F.col("o").asc()
+    )
+    qhat = (
+        cal.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "k",
+            F.least(
+                F.ceil((1.0 - a) * (F.col("n_cal") + 1)).cast("long"),
+                F.col("n_cal"),
+            ),
+        )
+        .where(F.col("rk") == F.col("k"))
+        .select("e", F.col("resid").alias("qhat"))
+    )
+    test = scored.where(
+        F.col("rn") > F.col("n_train") + F.col("n_cal")
+    ).join(F.broadcast(qhat), on="e")
+    return (
+        test.groupBy("e")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("qhat").alias("__q"),
+            F.sum(
+                F.when(F.col("resid") <= F.col("qhat"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+        .select(
+            F.col("e").alias("entity"),
+            "n",
+            "n_cal",
+            "n_test",
+            (F.round(F.col("__q") * F.lit(1e6)) / F.lit(1e6)).alias(
+                "qhat"
+            ),
+            "covered",
+            (
+                F.round(
+                    F.col("covered").cast("double")
+                    / F.col("n_test")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("coverage"),
+        )
+        .orderBy("entity")
     )

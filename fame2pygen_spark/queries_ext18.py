@@ -1047,3 +1047,86 @@ ORDER BY entity
 
 EXT18_QUERIES.update({"x398_lz76": q_x398_lz76})
 EXT18_ORACLES.update({"x398_lz76": SQL_X398})
+
+
+# ---------------- x399: split conformal coverage audit
+
+
+def q_x399_conformal(spark, sf_dir):
+    """Split-conformal interval audit of each nation's monthly
+    revenue (operators/ml.py:split_conformal_interval, α=0.1,
+    60/20/20 split): distribution-free interval half-widths via the
+    native ceil-rank residual rule, empirical coverage on the
+    held-out tail.  Fully declarative; the oracle is the identical
+    split/rank/coverage algebra."""
+    from .operators.ml import split_conformal_interval
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    return split_conformal_interval(
+        base, entity_col="NATION", t_col="T", value_col="REV"
+    )
+
+
+SQL_X399 = """
+WITH x399_base AS (
+  SELECT n_name AS e,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), x399_rn AS (
+  SELECT e, t, v,
+         ROW_NUMBER() OVER (PARTITION BY e ORDER BY t) AS rn,
+         COUNT(*) OVER (PARTITION BY e) AS n
+  FROM x399_base
+), x399_split AS (
+  SELECT *, CAST(floor(n * 0.6) AS BIGINT) AS n_train,
+         CAST(floor(n * 0.2) AS BIGINT) AS n_cal
+  FROM x399_rn
+), x399_mu AS (
+  SELECT e,
+         CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM x399_split WHERE rn <= n_train GROUP BY e
+), x399_scored AS (
+  SELECT s.*, m.mu, abs(s.v - m.mu) AS resid
+  FROM x399_split s JOIN x399_mu m ON m.e = s.e
+), x399_qhat AS (
+  SELECT e, resid AS qhat FROM (
+    SELECT e, resid,
+           ROW_NUMBER() OVER (PARTITION BY e
+                              ORDER BY resid ASC, t ASC) AS rk,
+           least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal) AS k
+    FROM x399_scored
+    WHERE rn > n_train AND rn <= n_train + n_cal
+  ) WHERE rk = k
+)
+SELECT s.e AS entity,
+       CAST(MAX(s.n) AS BIGINT) AS n,
+       CAST(MAX(s.n_cal) AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(MAX(q.qhat) * 1000000.0) / 1000000.0 AS qhat,
+       CAST(SUM(CASE WHEN s.resid <= q.qhat THEN 1 ELSE 0 END)
+            AS BIGINT) AS covered,
+       ROUND(CAST(SUM(CASE WHEN s.resid <= q.qhat THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1000000.0)
+         / 1000000.0 AS coverage
+FROM x399_scored s
+JOIN x399_qhat q ON q.e = s.e
+WHERE s.rn > s.n_train + s.n_cal
+GROUP BY s.e
+ORDER BY 1
+"""
+
+
+EXT18_QUERIES.update({"x399_conformal": q_x399_conformal})
+EXT18_ORACLES.update({"x399_conformal": SQL_X399})

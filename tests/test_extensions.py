@@ -11488,3 +11488,25 @@ def test_lz76_complexity_known_strings(spark):
     assert out["periodic"]["c"] == 3
     assert out["irregular"]["c"] > 3
     assert out["irregular"]["norm"] > out["periodic"]["norm"]
+
+
+def test_split_conformal_hand_computed(spark):
+    """Deterministic series: train mean, the ceil-rank calibration
+    residual, and exact test coverage all verifiable by hand.
+    n=10 -> 6 train / 2 cal / 2 test; k = ceil(0.9*3) = 3 -> clamped
+    to n_cal=2 -> qhat = larger calibration residual."""
+    from fame2pygen_spark.operators.ml import split_conformal_interval
+
+    vals = [10.0, 12.0, 8.0, 11.0, 9.0, 10.0,  # train, mean = 10
+            13.0, 9.5,                          # cal: resid 3, 0.5
+            12.0, 20.0]                         # test: resid 2, 10
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = split_conformal_interval(
+        df, entity_col="e", t_col="t", value_col="v"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["n_cal"], r["n_test"]) == (10, 2, 2)
+    assert r["qhat"] == 3.0
+    assert r["covered"] == 1 and r["coverage"] == 0.5

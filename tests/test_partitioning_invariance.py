@@ -175,6 +175,7 @@ SENSITIVE = [
     "x391_matrix_profile",
     "x392_quantile_sketch",
     "x398_lz76",
+    "x399_conformal",
 ]
 
 

@@ -1993,3 +1993,10 @@ def test_lz76_is_arrow_batched_entity_parse(spark):
     plan = plan_of(spark, "x398_lz76")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_conformal_is_keyed_windows_and_broadcast_stats(spark):
+    plan = plan_of(spark, "x399_conformal")
+    assert unpartitioned_windows(spark, "x399_conformal") == []
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
