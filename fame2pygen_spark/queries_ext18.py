@@ -1130,3 +1130,225 @@ ORDER BY 1
 
 EXT18_QUERIES.update({"x399_conformal": q_x399_conformal})
 EXT18_ORACLES.update({"x399_conformal": SQL_X399})
+
+
+# ---------------- x400-x402: classic decision-support (TPC-H shapes)
+
+
+def _ts(sf_dir, spark, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_x400_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) on the synthetic schema: segment
+    filter pushes into the customer scan, both joins are key-equi
+    (AQE broadcasts while the filtered build side is small), revenue
+    is a decimal-exact sum, and the top-10 order carries a full tie
+    (revenue desc, date, orderkey) so both engines pick the same
+    rows.  Dates re-parameterized to the generator's range."""
+    cust = _ts(sf_dir, spark, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _ts(sf_dir, spark, "orders").where(
+        F.col("o_orderdate") < "1997-03-15"
+    )
+    li = _ts(sf_dir, spark, "lineitem").where(
+        F.col("l_shipdate") > "1997-03-15"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,6)")
+                        - F.col("l_discount").cast("decimal(18,6)")
+                    )
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            (F.round(F.col("revenue") * 1e6) / 1e6).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+SQL_X400 = """
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,6))
+                    - CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(28,8))) AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_x401_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-table join with the
+    region→nation chain broadcast and the customer/supplier
+    SAME-nation equi-constraint; one decimal-exact revenue rollup per
+    nation over a one-year date window."""
+    region = _ts(sf_dir, spark, "region").where(F.col("r_name") == "ASIA")
+    nation = _ts(sf_dir, spark, "nation")
+    cust = _ts(sf_dir, spark, "customer")
+    supp = _ts(sf_dir, spark, "supplier")
+    orders = _ts(sf_dir, spark, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _ts(sf_dir, spark, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,6)")
+                        - F.col("l_discount").cast("decimal(18,6)")
+                    )
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "n_name",
+            (F.round(F.col("revenue") * 1e6) / 1e6).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_X401 = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,6))
+                    - CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(28,8))) AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_x402_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting, trimmed to the synthetic
+    schema's columns): quarter of orders, returned lineitems only,
+    revenue per customer with the nation dimension broadcast; top 20
+    under a full tie order."""
+    cust = _ts(sf_dir, spark, "customer")
+    nation = _ts(sf_dir, spark, "nation")
+    orders = _ts(sf_dir, spark, "orders").where(
+        (F.col("o_orderdate") >= "1997-10-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _ts(sf_dir, spark, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,6)")
+                        - F.col("l_discount").cast("decimal(18,6)")
+                    )
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name",
+            (F.round(F.col("revenue") * 1e6) / 1e6).alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_X402 = """
+SELECT c_custkey, c_name,
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,6))
+                    - CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(28,8))) AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, CAST(c_acctbal AS DOUBLE), n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+EXT18_QUERIES.update({
+    "x400_tpch_q3": q_x400_tpch_q3,
+    "x401_tpch_q5": q_x401_tpch_q5,
+    "x402_tpch_q10": q_x402_tpch_q10,
+})
+EXT18_ORACLES.update({
+    "x400_tpch_q3": SQL_X400,
+    "x401_tpch_q5": SQL_X401,
+    "x402_tpch_q10": SQL_X402,
+})

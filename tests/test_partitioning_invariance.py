@@ -176,6 +176,9 @@ SENSITIVE = [
     "x392_quantile_sketch",
     "x398_lz76",
     "x399_conformal",
+    "x400_tpch_q3",
+    "x401_tpch_q5",
+    "x402_tpch_q10",
 ]
 
 

@@ -2000,3 +2000,20 @@ def test_conformal_is_keyed_windows_and_broadcast_stats(spark):
     assert unpartitioned_windows(spark, "x399_conformal") == []
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_shapes_no_cartesian_broadcast_dims(spark):
+    for name in ("x400_tpch_q3", "x401_tpch_q5", "x402_tpch_q10"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # the region->nation chain and the nation dim ride broadcasts
+    assert "BroadcastHashJoin" in plan_of(spark, "x401_tpch_q5")
+    assert "BroadcastHashJoin" in plan_of(spark, "x402_tpch_q10")
+
+
+def test_tpch_q3_filters_push_into_scans(spark):
+    # segment/date predicates must reach the parquet scans
+    plan = plan_of(spark, "x400_tpch_q3")
+    assert "PushedFilters" in plan
+    assert "BUILDING" in plan
