@@ -461,3 +461,69 @@ def elementary_price_indices(
         ).alias("dutot"),
         r6(F.col("srr") / n).alias("carli"),
     ).orderBy("group", "period")
+
+
+def ols_reconcile_one_level(
+    bottom: "DataFrame",
+    *,
+    series_col: str,
+    yhat_col: str,
+    top_yhat,
+) -> "DataFrame":
+    """One-level hierarchical forecast reconciliation (Hyndman et al.
+    2011, OLS / MinT-identity): bottom-series forecasts plus an
+    independently-made total forecast rarely cohere; the OLS
+    projection onto the coherent subspace has, for k bottom series
+    under S = [I_k; 1'], the Sherman-Morrison CLOSED FORM
+
+        b̃_i = ŷ_i + (ŷ_top − Σ_j ŷ_j) / (k + 1)
+
+    — the aggregate discrepancy distributes equally, and the
+    reconciled total is exactly Σ b̃ (coherence by construction, no
+    matrix literals, no solver).  This is the statistical-agency /
+    demand-planning primitive for publishing internally consistent
+    forecasts.
+
+    Scale shape: ONE aggregate over the bottom frame (broadcast
+    back), map-side algebra; at 100 TB reconcile per hierarchy node
+    by keying the aggregate on the parent.  Exactness: Σŷ through
+    decimal(27,6); the shared closed-form expression evaluates
+    identically in the SQL oracle.
+
+    Output: ``(series, yhat, reconciled, adjustment)`` plus one
+    ``__total__`` row carrying (ŷ_top, Σb̃, ŷ_top − Σŷ).
+    """
+    top = float(top_yhat)
+    base = bottom.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(yhat_col).cast("double").alias("yhat"),
+    )
+    tot = base.agg(
+        F.sum(F.col("yhat").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_y"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    adj = (F.lit(top) - F.col("sum_y")) / (F.col("k") + 1)
+    recon = (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "series",
+            r6(F.col("yhat")).alias("yhat"),
+            r6(F.col("yhat") + adj).alias("reconciled"),
+            r6(adj).alias("adjustment"),
+        )
+    )
+    total_row = tot.select(
+        F.lit("__total__").alias("series"),
+        r6(F.lit(top)).alias("yhat"),
+        r6(
+            F.col("sum_y")
+            + (F.lit(top) - F.col("sum_y"))
+            * F.col("k")
+            / (F.col("k") + 1)
+        ).alias("reconciled"),
+        r6(F.lit(top) - F.col("sum_y")).alias("adjustment"),
+    )
+    return recon.unionByName(total_row).orderBy("series")

@@ -1352,3 +1352,115 @@ EXT18_ORACLES.update({
     "x401_tpch_q5": SQL_X401,
     "x402_tpch_q10": SQL_X402,
 })
+
+
+# ---------------- x403: hierarchical forecast reconciliation
+
+
+def q_x403_reconcile(spark, sf_dir):
+    """One-level OLS forecast reconciliation (functions/econ.py:
+    ols_reconcile_one_level): per-region forecasts (all-history mean
+    of monthly revenue) vs an independent total forecast (mean of the
+    LAST 12 months' totals — a different model, hence incoherent),
+    reconciled by the Sherman-Morrison closed form that distributes
+    the discrepancy equally.  The oracle recomputes both model means
+    and the identical closed-form algebra."""
+    from .functions.econ import ols_reconcile_one_level
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("REGION"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("M"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+    )
+    bottoms = monthly.groupBy("REGION").agg(
+        (
+            F.sum(F.col("rev").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("yhat")
+    )
+    months = monthly.groupBy("M").agg(
+        F.sum(F.col("rev").cast("decimal(27,6)")).alias("tot")
+    )
+    last12 = months.orderBy(F.desc("M")).limit(12)
+    top = last12.agg(
+        (
+            F.sum(F.col("tot").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("y")
+    ).first()["y"]
+    return ols_reconcile_one_level(
+        bottoms, series_col="REGION", yhat_col="yhat", top_yhat=top
+    )
+
+
+SQL_X403 = """
+WITH x403_monthly AS (
+  SELECT r_name AS region,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), x403_bottom AS (
+  SELECT region AS series,
+         CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+           AS yhat
+  FROM x403_monthly GROUP BY region
+), x403_top AS (
+  SELECT CAST(SUM(CAST(tot AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+           AS top_y
+  FROM (
+    SELECT m, SUM(CAST(rev AS DECIMAL(27,6))) AS tot
+    FROM x403_monthly GROUP BY m
+    ORDER BY m DESC LIMIT 12
+  )
+), x403_tot AS (
+  SELECT CAST(SUM(CAST(yhat AS DECIMAL(27,6))) AS DOUBLE) AS sum_y,
+         COUNT(*) AS k
+  FROM x403_bottom
+)
+SELECT series,
+       ROUND(yhat * 1000000.0) / 1000000.0 AS yhat,
+       ROUND((yhat + (top_y - sum_y) / (k + 1)) * 1000000.0)
+         / 1000000.0 AS reconciled,
+       ROUND((top_y - sum_y) / (k + 1) * 1000000.0)
+         / 1000000.0 AS adjustment
+FROM x403_bottom, x403_tot, x403_top
+UNION ALL
+SELECT '__total__',
+       ROUND(top_y * 1000000.0) / 1000000.0,
+       ROUND((sum_y + (top_y - sum_y) * k / (k + 1)) * 1000000.0)
+         / 1000000.0,
+       ROUND((top_y - sum_y) * 1000000.0) / 1000000.0
+FROM x403_tot, x403_top
+ORDER BY 1
+"""
+
+
+EXT18_QUERIES.update({"x403_reconcile": q_x403_reconcile})
+EXT18_ORACLES.update({"x403_reconcile": SQL_X403})

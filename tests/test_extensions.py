@@ -11510,3 +11510,30 @@ def test_split_conformal_hand_computed(spark):
     assert (r["n"], r["n_cal"], r["n_test"]) == (10, 2, 2)
     assert r["qhat"] == 3.0
     assert r["covered"] == 1 and r["coverage"] == 0.5
+
+
+def test_ols_reconcile_closed_form(spark):
+    """k=3 bottoms (10, 20, 30) vs top 72: discrepancy 12 distributes
+    12/4 = 3 to each bottom; reconciled total = 69 = sum of
+    reconciled bottoms (coherence by construction)."""
+    from fame2pygen_spark.functions.econ import ols_reconcile_one_level
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0)],
+        "s string, y double",
+    )
+    out = {
+        r["series"]: r
+        for r in ols_reconcile_one_level(
+            df, series_col="s", yhat_col="y", top_yhat=72.0
+        ).collect()
+    }
+    assert out["a"]["reconciled"] == 13.0
+    assert out["b"]["reconciled"] == 23.0
+    assert out["c"]["reconciled"] == 33.0
+    assert out["__total__"]["reconciled"] == 69.0
+    assert out["__total__"]["adjustment"] == 12.0
+    bottoms = sum(
+        out[s]["reconciled"] for s in ("a", "b", "c")
+    )
+    assert bottoms == out["__total__"]["reconciled"]

@@ -179,6 +179,7 @@ SENSITIVE = [
     "x400_tpch_q3",
     "x401_tpch_q5",
     "x402_tpch_q10",
+    "x403_reconcile",
 ]
 
 

@@ -2017,3 +2017,9 @@ def test_tpch_q3_filters_push_into_scans(spark):
     plan = plan_of(spark, "x400_tpch_q3")
     assert "PushedFilters" in plan
     assert "BUILDING" in plan
+
+
+def test_reconcile_is_one_agg_plus_broadcast(spark):
+    plan = plan_of(spark, "x403_reconcile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
