@@ -128,8 +128,13 @@ def main() -> None:
             scale = {"error": str(exc)[:200]}
         scale_line = json.dumps({"metric": "scale_tier", "queries": scale})
         print(scale_line, flush=True)
+        # mirror to a DRIVER-RUN side file — never BENCH_SCALE.json,
+        # which is the committed builder-idle protocol artifact
+        # (BASELINE.md r8 section: the r7 close accidentally shipped a
+        # driver-run tier because this mirror used to clobber it)
         side = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_SCALE_driver.json",
         )
         try:
             with open(side, "w") as fh:
