@@ -5820,3 +5820,160 @@ def lz76_complexity(
         .select("entity", "n", "c", r6(F.col("norm")).alias("norm"))
         .orderBy("entity")
     )
+
+
+def optimal_partitioning(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    penalty: float | None = None,
+    max_len: int = 512,
+) -> DataFrame:
+    """EXACT multiple-changepoint segmentation per entity by optimal
+    partitioning (Jackson et al. 2005 — the un-pruned exact DP that
+    PELT, Killick et al. 2012, accelerates): minimize total
+    within-segment squared error plus β per segment,
+
+        F(t) = min_{0≤s<t} F(s) + cost(s+1..t) + β,   F(0) = −β,
+
+    with full backtrace — WHERE the mean shifts and HOW MANY times,
+    where x163's binary segmentation returns only the single
+    most-likely split.  β defaults to the BIC-style ``2·σ̂²·ln n``
+    per entity (σ̂² the series variance, decimal-exact moments).
+
+    Cross-engine exactness: segment costs come from decimal-exact
+    prefix sums cast to double once, and the DP evaluates the
+    IDENTICAL float expression in identical order in both engines
+    (the oracle carries F and the argmin backpointers as lists in a
+    forward recursive CTE, then walks the backtrace in a second
+    recursion — the x386 Kleinberg idiom with a data-dependent
+    candidate set per step).  Ties take the smallest split point.
+
+    Execution: entity-keyed Arrow lane, O(n²) per series with the
+    loud-fail *max_len* cap — at 100 TB the unit of parallelism is
+    the entity; window longer series upstream.
+
+    Output: one row per segment — ``entity, seg_idx, start_t, end_t,
+    n_points, seg_mean`` (positions are the entity's 1-based
+    observation ranks; mean at 6 dp).
+    """
+    per_ent = (
+        df.select(
+            F.col(entity_col).cast("string").alias("e"),
+            F.col(t_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("o").isNotNull() & F.col("v").isNotNull())
+        .groupBy("e")
+        .agg(F.sort_array(F.collect_list(F.struct("o", "v"))).alias("ovs"))
+    )
+    stats = per_ent.agg(
+        F.count(F.lit(1)).alias("k"), F.max(F.size("ovs")).alias("ml")
+    ).first()
+    if stats["k"] == 0:
+        raise ValueError("optimal_partitioning: input is empty")
+    if stats["ml"] > int(max_len):
+        raise ValueError(
+            f"optimal_partitioning: longest series ({stats['ml']}) "
+            f"exceeds max_len={max_len} — window the series first"
+        )
+    pen = None if penalty is None else float(penalty)
+
+    def compute(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"entity": [], "seg_idx": [], "start_t": [],
+                   "end_t": [], "n_points": [], "seg_mean": []}
+            for ent, ovs in zip(pdf["e"], pdf["ovs"]):
+                ys = [float(s["v"]) for s in ovs]
+                n = len(ys)
+                # decimal-exact prefix sums at 6 dp quantum, then
+                # doubles (mirrors the oracle's decimal windows)
+                q = 10 ** 6
+                p1i, p2i = [0], [0]
+                for y in ys:
+                    yq = int(round(y * q))
+                    p1i.append(p1i[-1] + yq)
+                    p2i.append(p2i[-1] + yq * yq)
+                # two-step rounding (int -> double, then the divide)
+                # mirrors the oracle's CAST(HUGEINT AS DOUBLE)/1e12 —
+                # Python's one-step rational division can differ by
+                # an ulp on >2^53 squared sums
+                p1 = [float(x) / float(q) for x in p1i]
+                p2 = [float(x) / float(q * q) for x in p2i]
+                if pen is None:
+                    var = (p2[n] - p1[n] * p1[n] / n) / n
+                    beta = 2.0 * var * math.log(n) if n > 1 else 0.0
+                else:
+                    beta = pen
+                Fv = [-beta] + [0.0] * n
+                cp = [0] * (n + 1)
+                for t in range(1, n + 1):
+                    best, bs = None, 0
+                    for s in range(0, t):
+                        cost = (p2[t] - p2[s]) - (
+                            p1[t] - p1[s]
+                        ) * (p1[t] - p1[s]) / (t - s)
+                        cand = Fv[s] + cost + beta
+                        if best is None or cand < best:
+                            best, bs = cand, s
+                    Fv[t], cp[t] = best, bs
+                segs = []
+                t = n
+                while t > 0:
+                    s = cp[t]
+                    segs.append((s + 1, t))
+                    t = s
+                segs.reverse()
+                for i, (a, b) in enumerate(segs, 1):
+                    out["entity"].append(ent)
+                    out["seg_idx"].append(i)
+                    out["start_t"].append(a)
+                    out["end_t"].append(b)
+                    out["n_points"].append(b - a + 1)
+                    out["seg_mean"].append(
+                        (p1[b] - p1[a - 1]) / (b - a + 1)
+                    )
+            yield pd.DataFrame(
+                {
+                    "entity": pd.Series(out["entity"], dtype="object"),
+                    "seg_idx": pd.Series(out["seg_idx"], dtype="int64"),
+                    "start_t": pd.Series(out["start_t"], dtype="int64"),
+                    "end_t": pd.Series(out["end_t"], dtype="int64"),
+                    "n_points": pd.Series(
+                        out["n_points"], dtype="int64"
+                    ),
+                    "seg_mean": pd.Series(
+                        out["seg_mean"], dtype="float64"
+                    ),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("seg_idx", LongType()),
+            StructField("start_t", LongType()),
+            StructField("end_t", LongType()),
+            StructField("n_points", LongType()),
+            StructField("seg_mean", DoubleType()),
+        ]
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_ent.mapInPandas(compute, schema=schema)
+        .select(
+            "entity", "seg_idx", "start_t", "end_t", "n_points",
+            r6(F.col("seg_mean")).alias("seg_mean"),
+        )
+        .orderBy("entity", "seg_idx")
+    )

@@ -1464,3 +1464,119 @@ ORDER BY 1
 
 EXT18_QUERIES.update({"x403_reconcile": q_x403_reconcile})
 EXT18_ORACLES.update({"x403_reconcile": SQL_X403})
+
+
+# ---------------- x404: exact optimal-partitioning changepoints
+
+
+def q_x404_changepoints(spark, sf_dir):
+    """Exact multiple-changepoint segmentation of each nation's
+    monthly revenue (operators/temporal.py:optimal_partitioning,
+    BIC-style auto penalty): the un-pruned PELT DP with full
+    backtrace.  The oracle runs the identical forward DP as a
+    recursive CTE carrying (F, backpointer) lists — the candidate
+    set at step t is a list_transform over all prior split points —
+    then walks the backtrace in a second recursion (the x386
+    Kleinberg two-phase idiom)."""
+    from .operators.temporal import optimal_partitioning
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    return optimal_partitioning(
+        base, entity_col="NATION", t_col="T", value_col="REV"
+    )
+
+
+SQL_X404 = """
+WITH RECURSIVE x404_rows AS (
+  SELECT e, rn,
+         CAST(SUM(yq) OVER w AS DOUBLE) / 1000000 AS c1,
+         CAST(SUM(yq * yq) OVER w AS DOUBLE) / 1000000000000 AS c2
+  FROM (
+    SELECT n_name AS e,
+           ROW_NUMBER() OVER (
+             PARTITION BY n_name
+             ORDER BY date_trunc('month', o_orderdate)) AS rn,
+           CAST(round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) * 1000000) AS HUGEINT) AS yq
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, date_trunc('month', o_orderdate)
+  )
+  WINDOW w AS (PARTITION BY e ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), x404_arr AS (
+  SELECT e,
+         list_prepend(CAST(0 AS DOUBLE), list(c1 ORDER BY rn)) AS p1,
+         list_prepend(CAST(0 AS DOUBLE), list(c2 ORDER BY rn)) AS p2,
+         CAST(count(*) AS INTEGER) AS n
+  FROM x404_rows GROUP BY e
+), x404_beta AS (
+  SELECT e, p1, p2, n,
+         CASE WHEN n > 1 THEN
+           2.0 * ((p2[CAST(n + 1 AS INTEGER)]
+                   - p1[CAST(n + 1 AS INTEGER)]
+                     * p1[CAST(n + 1 AS INTEGER)] / n) / n) * ln(n)
+         ELSE CAST(0 AS DOUBLE) END AS beta
+  FROM x404_arr
+), x404_dp AS (
+  SELECT e, p1, p2, n, beta, CAST(0 AS INTEGER) AS t,
+         [-beta] AS fs, [CAST(0 AS INTEGER)] AS cps
+  FROM x404_beta
+  UNION ALL
+  SELECT e, p1, p2, n, beta, CAST(t + 1 AS INTEGER),
+         list_append(fs, m),
+         list_append(cps, CAST(list_position(cands, m) - 1 AS INTEGER))
+  FROM (
+    SELECT *, list_min(cands) AS m FROM (
+      SELECT e, p1, p2, n, beta, t, fs, cps,
+             list_transform(range(0, t + 1), s ->
+               fs[CAST(s + 1 AS INTEGER)]
+               + ((p2[CAST(t + 2 AS INTEGER)]
+                   - p2[CAST(s + 1 AS INTEGER)])
+                  - (p1[CAST(t + 2 AS INTEGER)]
+                     - p1[CAST(s + 1 AS INTEGER)])
+                    * (p1[CAST(t + 2 AS INTEGER)]
+                       - p1[CAST(s + 1 AS INTEGER)])
+                    / (t + 1 - s))
+               + beta) AS cands
+      FROM x404_dp WHERE t < n
+    )
+  )
+), x404_bt AS (
+  SELECT e, p1, cps, n, n AS t,
+         CAST([] AS INTEGER[]) AS starts,
+         CAST([] AS INTEGER[]) AS ends
+  FROM x404_dp WHERE t = n
+  UNION ALL
+  SELECT e, p1, cps, n, cps[CAST(t + 1 AS INTEGER)] AS t,
+         list_prepend(CAST(cps[CAST(t + 1 AS INTEGER)] + 1
+                      AS INTEGER), starts),
+         list_prepend(CAST(t AS INTEGER), ends)
+  FROM x404_bt WHERE t > 0
+)
+SELECT e AS entity, CAST(si.i AS BIGINT) AS seg_idx,
+       CAST(starts[CAST(si.i AS INTEGER)] AS BIGINT) AS start_t,
+       CAST(ends[CAST(si.i AS INTEGER)] AS BIGINT) AS end_t,
+       CAST(ends[CAST(si.i AS INTEGER)]
+            - starts[CAST(si.i AS INTEGER)] + 1 AS BIGINT) AS n_points,
+       ROUND((p1[CAST(ends[CAST(si.i AS INTEGER)] + 1 AS INTEGER)]
+              - p1[CAST(starts[CAST(si.i AS INTEGER)] AS INTEGER)])
+             / (ends[CAST(si.i AS INTEGER)]
+                - starts[CAST(si.i AS INTEGER)] + 1)
+             * 1000000.0) / 1000000.0 AS seg_mean
+FROM x404_bt, unnest(range(1, len(starts) + 1)) AS si(i)
+WHERE t = 0
+ORDER BY entity, seg_idx
+"""
+
+
+EXT18_QUERIES.update({"x404_changepoints": q_x404_changepoints})
+EXT18_ORACLES.update({"x404_changepoints": SQL_X404})

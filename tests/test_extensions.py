@@ -11537,3 +11537,34 @@ def test_ols_reconcile_closed_form(spark):
         out[s]["reconciled"] for s in ("a", "b", "c")
     )
     assert bottoms == out["__total__"]["reconciled"]
+
+
+def test_optimal_partitioning_planted_shifts(spark):
+    """Three planted mean levels (0, 50, 10) of 20 points each with
+    tiny within-level wiggle: the exact DP recovers exactly the two
+    true changepoints and the level means; a constant series stays
+    one segment."""
+    from fame2pygen_spark.operators.temporal import optimal_partitioning
+
+    vals = (
+        [0.0 + (i % 3) * 0.1 for i in range(20)]
+        + [50.0 + (i % 3) * 0.1 for i in range(20)]
+        + [10.0 + (i % 3) * 0.1 for i in range(20)]
+    )
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    rows += [("flat", i, 7.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = optimal_partitioning(
+        df, entity_col="e", t_col="t", value_col="v"
+    ).collect()
+    a = [r for r in out if r["entity"] == "a"]
+    assert [(r["start_t"], r["end_t"]) for r in a] == [
+        (1, 20), (21, 40), (41, 60)
+    ]
+    # (i % 3)*0.1 over 20 points: residues 0/1/2 hit 7/7/6 times ->
+    # wiggle mean (7*0 + 7*0.1 + 6*0.2)/20 = 0.095
+    assert abs(a[0]["seg_mean"] - 0.095) < 1e-6
+    assert abs(a[1]["seg_mean"] - 50.095) < 1e-6
+    assert abs(a[2]["seg_mean"] - 10.095) < 1e-6
+    flat = [r for r in out if r["entity"] == "flat"]
+    assert len(flat) == 1 and flat[0]["n_points"] == 30

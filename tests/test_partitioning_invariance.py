@@ -180,6 +180,7 @@ SENSITIVE = [
     "x401_tpch_q5",
     "x402_tpch_q10",
     "x403_reconcile",
+    "x404_changepoints",
 ]
 
 

@@ -2023,3 +2023,10 @@ def test_reconcile_is_one_agg_plus_broadcast(spark):
     plan = plan_of(spark, "x403_reconcile")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_optimal_partitioning_is_arrow_batched_dp(spark):
+    plan = plan_of(spark, "x404_changepoints")
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
