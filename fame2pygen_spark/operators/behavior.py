@@ -4845,3 +4845,140 @@ def simpsons_paradox_scan(
             ).cast("int"),
         ).alias("pooled_vs_within"),
     )
+
+
+#: O'Brien-Fleming two-sided z boundaries for K=4 equally-spaced
+#: looks at overall alpha 0.05 (Pocock/OBF tables — public spec
+#: constants, injected as literals into BOTH engines).
+OBF_4LOOK_BOUNDS = (4.049, 2.863, 2.337, 2.024)
+
+
+def group_sequential_obf(
+    events: DataFrame,
+    *,
+    salt: str = "gs",
+    target_event: str = "purchase",
+) -> DataFrame:
+    """Group-sequential two-proportion monitoring with O'Brien-
+    Fleming boundaries (O'Brien & Fleming 1979; the interim-analysis
+    discipline that lets an experiment peek K times while holding
+    overall α — the fixed-boundary complement to x256's always-valid
+    mSPRT): users enter at their first event; four equally-spaced
+    calendar looks accumulate each variant's converters; each look's
+    pooled two-proportion z compares against its OBF bound, and the
+    decision is the FIRST crossing look (or 'continue').
+
+    Fully declarative: one per-user aggregate (first timestamp,
+    converted flag, md5 hash variant — the x66 split), a broadcast
+    time-range frame, one bounded 4-row cumulative window
+    (metadata-scale by construction, the x343 precedent), literal
+    boundaries.  Integer counts → identical z floats in the oracle.
+
+    Output per look: ``look, n_a, n_b, conv_a, conv_b, z, bound,
+    reject, decision``.
+    """
+    from .mixing import uniform_hash01
+
+    per_user = events.groupBy(
+        F.col("user_id").cast("long").alias("u")
+    ).agg(
+        F.min("ts_us").alias("first_ts"),
+        F.max(
+            F.when(F.col("event_type") == target_event, 1).otherwise(0)
+        ).alias("conv"),
+    )
+    rng = per_user.agg(
+        F.min("first_ts").alias("lo"), F.max("first_ts").alias("hi")
+    )
+    assigned = per_user.crossJoin(F.broadcast(rng)).select(
+        "u",
+        "conv",
+        F.when(
+            uniform_hash01(F.col("u"), salt) < 0.5, F.lit("a")
+        )
+        .otherwise(F.lit("b"))
+        .alias("variant"),
+        F.least(
+            F.lit(4),
+            (
+                1
+                + F.floor(
+                    (F.col("first_ts") - F.col("lo"))
+                    * 4
+                    / (F.col("hi") - F.col("lo") + 1)
+                )
+            ).cast("int"),
+        ).alias("look"),
+    )
+    per_look = assigned.groupBy("look", "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("cv"),
+    )
+    looks = events.sparkSession.range(1, 5).select(
+        F.col("id").cast("int").alias("look")
+    )
+    grid = (
+        looks.join(
+            per_look.where(F.col("variant") == "a").select(
+                "look", F.col("n").alias("na_i"), F.col("cv").alias("ca_i")
+            ),
+            on="look",
+            how="left",
+        )
+        .join(
+            per_look.where(F.col("variant") == "b").select(
+                "look", F.col("n").alias("nb_i"), F.col("cv").alias("cb_i")
+            ),
+            on="look",
+            how="left",
+        )
+        .fillna(0)
+    )
+    w = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "look",
+        F.sum("na_i").over(w).cast("long").alias("n_a"),
+        F.sum("nb_i").over(w).cast("long").alias("n_b"),
+        F.sum("ca_i").over(w).cast("long").alias("conv_a"),
+        F.sum("cb_i").over(w).cast("long").alias("conv_b"),
+    )
+    bounds = F.element_at(
+        F.array(*[F.lit(b) for b in OBF_4LOOK_BOUNDS]), F.col("look")
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    # degenerate looks (pooled rate 0 or 1, or an empty arm) have no
+    # z: try_divide yields NULL, matching the oracle's NULL division
+    z = F.try_divide(
+        pa - pb,
+        F.sqrt(
+            pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    scored = cum.select(
+        F.col("look").cast("long").alias("look"),
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        r6(z).alias("z"),
+        bounds.alias("bound"),
+        F.coalesce(
+            (F.abs(r6(z)) >= bounds).cast("int"), F.lit(0)
+        ).cast("long").alias("reject"),
+    )
+    w_dec = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return scored.select(
+        "*",
+        F.when(F.sum("reject").over(w_dec) > 0, F.lit("stop"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("look")

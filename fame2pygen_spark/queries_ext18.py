@@ -1580,3 +1580,84 @@ ORDER BY entity, seg_idx
 
 EXT18_QUERIES.update({"x404_changepoints": q_x404_changepoints})
 EXT18_ORACLES.update({"x404_changepoints": SQL_X404})
+
+
+# ---------------- x405: group-sequential O'Brien-Fleming monitoring
+
+
+def q_x405_group_sequential(spark, sf_dir):
+    """Four-look O'Brien-Fleming interim analysis of the hash-split
+    A/A purchase experiment (operators/behavior.py:
+    group_sequential_obf): calendar-quartile entry looks, cumulative
+    two-proportion z per look against the literal OBF bounds, the
+    first-crossing stopping rule.  All counts integer; the oracle
+    rebuilds the identical z and decision algebra."""
+    from .operators.behavior import group_sequential_obf
+    from .queries_ext import _read_events
+
+    return group_sequential_obf(_read_events(spark, sf_dir))
+
+
+SQL_X405 = """
+WITH x405_pu AS (
+  SELECT user_id AS u, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+), x405_rng AS (
+  SELECT MIN(first_ts) AS lo, MAX(first_ts) AS hi FROM x405_pu
+), x405_asg AS (
+  SELECT u, conv,
+         CASE WHEN ('0x' || substr(md5('gs:' || CAST(u AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'a' ELSE 'b' END AS variant,
+         least(4, CAST(1 + floor((first_ts - lo) * 4
+                                 / (hi - lo + 1)) AS INTEGER)) AS look
+  FROM x405_pu, x405_rng
+), x405_grid AS (
+  SELECT lk.look,
+         COALESCE(a.n, 0) AS na_i, COALESCE(a.cv, 0) AS ca_i,
+         COALESCE(b.n, 0) AS nb_i, COALESCE(b.cv, 0) AS cb_i
+  FROM (SELECT CAST(i AS INTEGER) AS look
+        FROM unnest(range(1, 5)) AS u(i)) lk
+  LEFT JOIN (SELECT look, COUNT(*) AS n, SUM(conv) AS cv
+             FROM x405_asg WHERE variant = 'a' GROUP BY look) a
+    ON a.look = lk.look
+  LEFT JOIN (SELECT look, COUNT(*) AS n, SUM(conv) AS cv
+             FROM x405_asg WHERE variant = 'b' GROUP BY look) b
+    ON b.look = lk.look
+), x405_cum AS (
+  SELECT look,
+         CAST(SUM(na_i) OVER w AS BIGINT) AS n_a,
+         CAST(SUM(nb_i) OVER w AS BIGINT) AS n_b,
+         CAST(SUM(ca_i) OVER w AS BIGINT) AS conv_a,
+         CAST(SUM(cb_i) OVER w AS BIGINT) AS conv_b
+  FROM x405_grid
+  WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), x405_sc AS (
+  SELECT CAST(look AS BIGINT) AS look, n_a, n_b, conv_a, conv_b,
+         ROUND(((conv_a / CAST(n_a AS DOUBLE))
+                - (conv_b / CAST(n_b AS DOUBLE)))
+               / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - (conv_a + conv_b)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / n_a + 1.0 / n_b)) * 1000000.0)
+           / 1000000.0 AS z,
+         [4.049, 2.863, 2.337, 2.024][CAST(look AS INTEGER)] AS bound
+  FROM x405_cum
+)
+SELECT look, n_a, n_b, conv_a, conv_b, z, bound,
+       CAST(CASE WHEN abs(z) >= bound THEN 1 ELSE 0 END AS BIGINT)
+         AS reject,
+       CASE WHEN SUM(CASE WHEN abs(z) >= bound THEN 1 ELSE 0 END)
+                 OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) > 0
+            THEN 'stop' ELSE 'continue' END AS decision
+FROM x405_sc
+ORDER BY look
+"""
+
+
+EXT18_QUERIES.update({"x405_group_sequential": q_x405_group_sequential})
+EXT18_ORACLES.update({"x405_group_sequential": SQL_X405})

@@ -11568,3 +11568,50 @@ def test_optimal_partitioning_planted_shifts(spark):
     assert abs(a[2]["seg_mean"] - 10.095) < 1e-6
     flat = [r for r in out if r["entity"] == "flat"]
     assert len(flat) == 1 and flat[0]["n_points"] == 30
+
+
+def test_group_sequential_obf_stops_on_planted_effect(spark):
+    """A planted strong effect (variant-dependent conversion) crosses
+    the late OBF bounds and flips the decision to 'stop' from the
+    first crossing look onward; the conservative early bound (4.049)
+    is the hardest to cross."""
+    import datetime as dt
+
+    from fame2pygen_spark.operators.behavior import group_sequential_obf
+    from fame2pygen_spark.operators.mixing import uniform_hash01
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(400):
+        ts = t0 + dt.timedelta(hours=u)
+        rows.append(
+            (eid, ts, int(ts.timestamp() * 1e6), "visit", u, 1.0)
+        )
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, ts_us long, event_type string,"
+        " user_id long, value double",
+    )
+    # conversion only for variant 'a' users (hash < 0.5): max effect
+    conv = ev.where(
+        uniform_hash01(F.col("user_id"), "gs") < 0.5
+    ).select(
+        (F.col("event_id") + 100000).alias("event_id"),
+        "ts", "ts_us",
+        F.lit("purchase").alias("event_type"),
+        "user_id", "value",
+    )
+    out = group_sequential_obf(ev.unionByName(conv)).collect()
+    assert [r["look"] for r in out] == [1, 2, 3, 4]
+    assert out[-1]["decision"] == "stop"
+    # once stopped, stays stopped
+    decs = [r["decision"] for r in out]
+    if "stop" in decs:
+        first = decs.index("stop")
+        assert all(d == "stop" for d in decs[first:])
+    # bounds are the OBF literals, monotone decreasing
+    bounds = [r["bound"] for r in out]
+    assert bounds == [4.049, 2.863, 2.337, 2.024]

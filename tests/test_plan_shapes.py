@@ -2030,3 +2030,11 @@ def test_optimal_partitioning_is_arrow_batched_dp(spark):
     assert "MapInPandas" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_group_sequential_is_bounded_lookup_frame(spark):
+    # per-user aggregate -> 4-row cumulative frame; no cartesian,
+    # range/stat frames broadcast
+    plan = plan_of(spark, "x405_group_sequential")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
