@@ -1661,3 +1661,62 @@ ORDER BY look
 
 EXT18_QUERIES.update({"x405_group_sequential": q_x405_group_sequential})
 EXT18_ORACLES.update({"x405_group_sequential": SQL_X405})
+
+
+# ---------------- x406: Jonckheere-Terpstra ordered trend test
+
+
+def q_x406_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative test
+    (operators/quality.py:jonckheere_terpstra): does order value
+    increase across the 1-URGENT → 5-LOW priority tiers?  Values
+    bucket to $1000 so the pair statistic is a bounded
+    count-frame join; 2·JT stays integer under the ½-tie convention;
+    the oracle mirrors the count algebra and the shared z
+    expression."""
+    from .operators.quality import jonckheere_terpstra
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("tier"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    return jonckheere_terpstra(
+        orders, "prio", "tier", "price", bucket_width=1000.0
+    )
+
+
+SQL_X406 = """
+WITH x406_base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS ord,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+           AS bk
+  FROM orders
+), x406_cnt AS (
+  SELECT ord, bk, COUNT(*) AS n FROM x406_base GROUP BY 1, 2
+), x406_jt AS (
+  SELECT CAST(SUM(CASE WHEN a.bk < b.bk THEN 2 * a.n * b.n
+                       WHEN a.bk = b.bk THEN a.n * b.n
+                       ELSE 0 END) AS BIGINT) AS jt2
+  FROM x406_cnt a JOIN x406_cnt b ON a.ord < b.ord
+), x406_sz AS (
+  SELECT ord, COUNT(*) AS nk FROM x406_base GROUP BY ord
+), x406_m AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(nk * nk) AS BIGINT) AS s2,
+         CAST(SUM(nk * nk * (2 * nk + 3)) AS BIGINT) AS s3
+  FROM x406_sz
+)
+SELECT jt2,
+       CAST((n_total * n_total - s2) / 2 AS BIGINT) AS e2,
+       n_total, n_groups,
+       ROUND(((jt2 - (n_total * n_total - s2) / 2) / 2.0)
+             / sqrt((n_total * n_total * (2 * n_total + 3) - s3)
+                    / 72.0) * 1000000.0) / 1000000.0 AS z
+FROM x406_jt, x406_m
+"""
+
+
+EXT18_QUERIES.update({"x406_jonckheere": q_x406_jonckheere})
+EXT18_ORACLES.update({"x406_jonckheere": SQL_X406})

@@ -11615,3 +11615,31 @@ def test_group_sequential_obf_stops_on_planted_effect(spark):
     # bounds are the OBF literals, monotone decreasing
     bounds = [r["bound"] for r in out]
     assert bounds == [4.049, 2.863, 2.337, 2.024]
+
+
+def test_jonckheere_terpstra_hand_computed(spark):
+    """Three ordered groups with a perfect increasing trend: every
+    cross-pair is concordant, so 2·JT = 2·Σ n_i·n_j and z is the
+    maximal value for these sizes; a flat configuration (identical
+    buckets everywhere) gives 2·JT = Σ n_i·n_j (all ties) and z < the
+    trend z."""
+    from fame2pygen_spark.operators.quality import jonckheere_terpstra
+
+    up = (
+        [("g1", 1, 10.0)] * 3
+        + [("g2", 2, 50.0)] * 3
+        + [("g3", 3, 90.0)] * 3
+    )
+    up = [(g, o, v + i) for i, (g, o, v) in enumerate(up)]
+    df = spark.createDataFrame(up, "g string, o long, v double")
+    r = jonckheere_terpstra(df, "g", "o", "v", bucket_width=30.0).first()
+    # pairs: (g1,g2) 9, (g1,g3) 9, (g2,g3) 9 -> all strictly less
+    assert r["jt2"] == 2 * 27
+    assert r["e2"] == (81 - 27) // 2  # 2E = (N^2 - sum nk^2)/2 = 27
+    assert r["z"] > 2.6
+
+    flat = [(g, o, 10.0) for (g, o, _) in up]
+    df2 = spark.createDataFrame(flat, "g string, o long, v double")
+    r2 = jonckheere_terpstra(df2, "g", "o", "v", bucket_width=30.0).first()
+    assert r2["jt2"] == 27  # all ties at half weight
+    assert abs(r2["z"]) < abs(r["z"])

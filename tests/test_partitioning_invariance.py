@@ -181,6 +181,7 @@ SENSITIVE = [
     "x402_tpch_q10",
     "x403_reconcile",
     "x404_changepoints",
+    "x406_jonckheere",
 ]
 
 

@@ -2038,3 +2038,9 @@ def test_group_sequential_is_bounded_lookup_frame(spark):
     plan = plan_of(spark, "x405_group_sequential")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_jonckheere_is_bucketed_count_frame_join(spark):
+    plan = plan_of(spark, "x406_jonckheere")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
