@@ -2651,3 +2651,127 @@ def jonckheere_terpstra(
             )
         ).alias("z"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    x_bucket: float,
+    y_bucket: float,
+    max_cells: int = 65536,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation (Kendall 1945 tie-corrected
+    form) over bucketed supports — the robust monotone-association
+    complement to Spearman (x119): concordant/discordant PAIR counts
+    instead of rank moments, which makes it exactly computable from a
+    contingency-style count frame with NO row-quadratic term.
+
+    Values bucket to ``floor(v / bucket)`` per axis (part of the
+    statistic's definition here, as in x406); the (x, y) cell-count
+    frame self-joins once (``Σ cells²`` bounded by *max_cells*
+    loud-fail) and every pair of rows lands in exactly one of
+    concordant / discordant / tie-x / tie-y / tie-both — all
+    integers.  τ-b = (C − D)/√((P − Tx)(P − Ty)) with P = n(n−1)/2,
+    Tx/Ty the within-axis tie pair counts; one shared float
+    expression for the final ratio.
+
+    Output (one row): ``n, concordant, discordant, tie_x, tie_y,
+    tau_b`` (6 dp).
+    """
+    bx, by = float(x_bucket), float(y_bucket)
+    if bx <= 0 or by <= 0:
+        raise ValueError("kendall_tau_b: buckets must be > 0")
+    base = df.select(
+        F.floor(F.col(x_col).cast("double") / bx).cast("long").alias("xb"),
+        F.floor(F.col(y_col).cast("double") / by).cast("long").alias("yb"),
+    ).where(F.col("xb").isNotNull() & F.col("yb").isNotNull())
+    cells = base.groupBy("xb", "yb").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ncells = cells.count()
+    if ncells > int(max_cells):
+        raise ValueError(
+            f"kendall_tau_b: {ncells} cells exceeds "
+            f"max_cells={max_cells} — widen the buckets"
+        )
+    a = cells.select(
+        F.col("xb").alias("x1"), F.col("yb").alias("y1"),
+        F.col("n").alias("n1"),
+    )
+    b = cells.select(
+        F.col("xb").alias("x2"), F.col("yb").alias("y2"),
+        F.col("n").alias("n2"),
+    )
+    # unordered pairs of distinct cells, counted once via a total
+    # order on (x, y); same-cell pairs are tie-both and drop out
+    pairs = a.join(
+        b,
+        (F.col("x1") < F.col("x2"))
+        | ((F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))),
+    )
+    agg = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("x1") != F.col("x2"))
+                & (
+                    ((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2")))
+                    | ((F.col("x1") > F.col("x2")) & (F.col("y1") > F.col("y2")))
+                ),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("x1") != F.col("x2"))
+                & (F.col("y1") != F.col("y2"))
+                & (
+                    ((F.col("x1") < F.col("x2")) & (F.col("y1") > F.col("y2")))
+                    | ((F.col("x1") > F.col("x2")) & (F.col("y1") < F.col("y2")))
+                ),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("discordant"),
+        F.sum(
+            F.when(
+                (F.col("x1") == F.col("x2")) & (F.col("y1") != F.col("y2")),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("tie_x_cross"),
+        F.sum(
+            F.when(
+                (F.col("y1") == F.col("y2")) & (F.col("x1") != F.col("x2")),
+                F.col("n1") * F.col("n2"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("tie_y_cross"),
+    )
+    nn = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    same = cells.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2)
+        .cast("long")
+        .alias("tie_both")
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    out = agg.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(same))
+    p_tot = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    tx = F.col("tie_x_cross") + F.col("tie_both")
+    ty = F.col("tie_y_cross") + F.col("tie_both")
+    return out.select(
+        "n",
+        "concordant",
+        "discordant",
+        tx.cast("long").alias("tie_x"),
+        ty.cast("long").alias("tie_y"),
+        r6(
+            F.try_divide(
+                (F.col("concordant") - F.col("discordant")).cast(
+                    "double"
+                ),
+                F.sqrt(
+                    (p_tot - tx).cast("double")
+                    * (p_tot - ty).cast("double")
+                ),
+            )
+        ).alias("tau_b"),
+    )

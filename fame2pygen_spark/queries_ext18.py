@@ -1720,3 +1720,69 @@ FROM x406_jt, x406_m
 
 EXT18_QUERIES.update({"x406_jonckheere": q_x406_jonckheere})
 EXT18_ORACLES.update({"x406_jonckheere": SQL_X406})
+
+
+# ---------------- x407: Kendall tau-b
+
+
+def q_x407_kendall(spark, sf_dir):
+    """Kendall τ-b between order month and order value
+    (operators/quality.py:kendall_tau_b, $1000 × 1-month buckets):
+    concordant/discordant pair counting on the bounded cell frame —
+    the tie-corrected monotone-association complement to x119's
+    Spearman.  Integer counts; one shared ratio."""
+    from .operators.quality import kendall_tau_b
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("double").alias("mo"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    return kendall_tau_b(
+        orders, "mo", "price", x_bucket=1.0, y_bucket=1000.0
+    )
+
+
+SQL_X407 = """
+WITH x407_base AS (
+  SELECT CAST(floor(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+              AS DOUBLE) / 1.0) AS BIGINT) AS xb,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)
+           AS yb
+  FROM orders
+), x407_cells AS (
+  SELECT xb, yb, COUNT(*) AS n FROM x407_base GROUP BY 1, 2
+), x407_pairs AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.xb < b.xb AND a.yb < b.yb
+             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(SUM(CASE WHEN a.xb < b.xb AND a.yb > b.yb
+             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS discordant,
+    CAST(SUM(CASE WHEN a.xb = b.xb AND a.yb <> b.yb
+             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS tie_x_cross,
+    CAST(SUM(CASE WHEN a.yb = b.yb AND a.xb <> b.xb
+             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS tie_y_cross
+  FROM x407_cells a JOIN x407_cells b
+    ON a.xb < b.xb OR (a.xb = b.xb AND a.yb < b.yb)
+), x407_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x407_base
+), x407_same AS (
+  SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS tie_both
+  FROM x407_cells
+)
+SELECT n, concordant, discordant,
+       CAST(tie_x_cross + tie_both AS BIGINT) AS tie_x,
+       CAST(tie_y_cross + tie_both AS BIGINT) AS tie_y,
+       ROUND(CAST(concordant - discordant AS DOUBLE)
+             / sqrt(CAST(CAST(n * (n - 1) / 2 AS BIGINT)
+                         - (tie_x_cross + tie_both) AS DOUBLE)
+                    * CAST(CAST(n * (n - 1) / 2 AS BIGINT)
+                           - (tie_y_cross + tie_both) AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS tau_b
+FROM x407_pairs, x407_n, x407_same
+"""
+
+
+EXT18_QUERIES.update({"x407_kendall": q_x407_kendall})
+EXT18_ORACLES.update({"x407_kendall": SQL_X407})

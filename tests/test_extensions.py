@@ -11643,3 +11643,30 @@ def test_jonckheere_terpstra_hand_computed(spark):
     r2 = jonckheere_terpstra(df2, "g", "o", "v", bucket_width=30.0).first()
     assert r2["jt2"] == 27  # all ties at half weight
     assert abs(r2["z"]) < abs(r["z"])
+
+
+def test_kendall_tau_b_known_configurations(spark):
+    """Perfect monotone data gives τ-b = 1; perfect reversal −1;
+    scipy-checkable tied case by hand: x = [1,1,2,2], y = [1,2,3,3]
+    -> C=4, D=0, tie_x=2, tie_y=1, P=6 -> τ-b = 4/sqrt(4*5)."""
+    import math
+
+    from fame2pygen_spark.operators.quality import kendall_tau_b
+
+    inc = [(float(i), float(i * 2)) for i in range(10)]
+    df = spark.createDataFrame(inc, "x double, y double")
+    r = kendall_tau_b(df, "x", "y", x_bucket=1.0, y_bucket=1.0).first()
+    assert r["tau_b"] == 1.0 and r["discordant"] == 0
+
+    dec = [(float(i), float(100 - i)) for i in range(10)]
+    df2 = spark.createDataFrame(dec, "x double, y double")
+    r2 = kendall_tau_b(df2, "x", "y", x_bucket=1.0, y_bucket=1.0).first()
+    assert r2["tau_b"] == -1.0 and r2["concordant"] == 0
+
+    tied = [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 3.0)]
+    df3 = spark.createDataFrame(tied, "x double, y double")
+    r3 = kendall_tau_b(df3, "x", "y", x_bucket=1.0, y_bucket=1.0).first()
+    assert (r3["concordant"], r3["discordant"]) == (4, 0)
+    assert (r3["tie_x"], r3["tie_y"]) == (2, 1)
+    expect = round(4 / math.sqrt(4 * 5) * 1e6) / 1e6
+    assert r3["tau_b"] == expect

@@ -182,6 +182,7 @@ SENSITIVE = [
     "x403_reconcile",
     "x404_changepoints",
     "x406_jonckheere",
+    "x407_kendall",
 ]
 
 

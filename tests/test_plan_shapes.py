@@ -2044,3 +2044,9 @@ def test_jonckheere_is_bucketed_count_frame_join(spark):
     plan = plan_of(spark, "x406_jonckheere")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_kendall_is_bounded_cell_frame_join(spark):
+    plan = plan_of(spark, "x407_kendall")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
