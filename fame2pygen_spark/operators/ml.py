@@ -39,6 +39,7 @@ __all__ = [
     "shapley_r2_3",
     "pav_fit",
     "split_conformal_interval",
+    "james_stein_shrinkage",
 ]
 
 _r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
@@ -829,3 +830,130 @@ def split_conformal_interval(
         )
         .orderBy("entity")
     )
+
+
+def james_stein_shrinkage(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    value_col: str,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Positive-part James-Stein shrinkage of per-entity means toward
+    the grand mean (James & Stein 1961; Efron & Morris 1975 — the
+    small-area / empirical-Bayes estimator that dominates the raw
+    per-entity means whenever there are ≥ 4 entities): with k entity
+    means, pooled within-entity variance σ̂² and between-entity sum of
+    squares SSB,
+
+        w = max(0, 1 − (k−3)·(σ̂²/n̄) / SSB),
+        shrunk_i = grand + w·(m_i − grand)
+
+    — noisy segment estimates borrow strength from the ensemble, the
+    everyday fix for per-segment metrics with wildly different
+    support.
+
+    Determinism discipline: per-entity means come from decimal-exact
+    sums; the CROSS-ENTITY folds (grand mean, SSB) re-enter
+    DECIMAL(38,12) after rounding each term to 6 dp, so accumulation
+    order cannot move them; every remaining float op is one shared
+    expression with the oracle.
+
+    ``value_decimals`` stages the squared sums (the matrix-profile
+    int64-product constraint: |v|·10^s must stay < ~3e9 for the
+    oracle's DECIMAL(18) multiply).
+
+    Output per entity: ``entity, n_i, mean, shrunk, w`` (6 dp), plus
+    one ``__grand__`` row carrying (N, grand, w).
+    """
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull())
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    per = base.groupBy("e").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        (
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m_raw"),
+        F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum(
+            (
+                F.col("v").cast(f"decimal(18,{int(value_decimals)})")
+                * F.col("v").cast(f"decimal(18,{int(value_decimals)})")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("syy"),
+    ).withColumn("m6", r6(F.col("m_raw")))
+    stats = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        (
+            F.sum(F.col("m6").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("grand"),
+        F.sum(
+            (
+                F.col("syy")
+                - F.col("sy") * F.col("sy") / F.col("n_i")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("within_ss"),
+    )
+    joined = per.crossJoin(F.broadcast(stats)).withColumn(
+        "dev2",
+        (
+            (F.col("m6") - F.col("grand"))
+            * (F.col("m6") - F.col("grand"))
+        ).cast("decimal(38,12)"),
+    )
+    ssb = joined.agg(
+        F.sum("dev2").cast("double").alias("ssb")
+    )
+    full = joined.crossJoin(F.broadcast(ssb))
+    sigma2 = F.col("within_ss") / (F.col("n_total") - F.col("k"))
+    nbar = F.col("n_total") / F.col("k")
+    w = F.greatest(
+        F.lit(0.0),
+        1.0
+        - F.try_divide(
+            (F.col("k") - 3) * (sigma2 / nbar), F.col("ssb")
+        ),
+    )
+    ent = full.select(
+        F.col("e").alias("entity"),
+        "n_i",
+        F.col("m6").alias("mean"),
+        r6(F.col("grand") + w * (F.col("m6") - F.col("grand"))).alias(
+            "shrunk"
+        ),
+        r6(w).alias("w"),
+    )
+    grand_row = (
+        stats.crossJoin(F.broadcast(ssb))
+        .select(
+            F.lit("__grand__").alias("entity"),
+            F.col("n_total").alias("n_i"),
+            r6(F.col("grand")).alias("mean"),
+            r6(F.col("grand")).alias("shrunk"),
+            r6(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0
+                    - F.try_divide(
+                        (F.col("k") - 3)
+                        * (
+                            F.col("within_ss")
+                            / (F.col("n_total") - F.col("k"))
+                            / (F.col("n_total") / F.col("k"))
+                        ),
+                        F.col("ssb"),
+                    ),
+                )
+            ).alias("w"),
+        )
+    )
+    return ent.unionByName(grand_row).orderBy("entity")

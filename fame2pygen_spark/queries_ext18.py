@@ -1786,3 +1786,79 @@ FROM x407_pairs, x407_n, x407_same
 
 EXT18_QUERIES.update({"x407_kendall": q_x407_kendall})
 EXT18_ORACLES.update({"x407_kendall": SQL_X407})
+
+
+# ---------------- x408: James-Stein shrinkage
+
+
+def q_x408_james_stein(spark, sf_dir):
+    """Positive-part James-Stein shrinkage of per-nation monthly
+    revenue means toward the grand mean (operators/ml.py:
+    james_stein_shrinkage): the empirical-Bayes segment estimator.
+    Cross-entity folds re-enter DECIMAL(38,12) after a 6-dp term
+    round; the oracle reproduces the identical staging."""
+    from .operators.ml import james_stein_shrinkage
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION", F.col("REV").alias("v")
+    )
+    return james_stein_shrinkage(
+        base, entity_col="NATION", value_col="v"
+    )
+
+
+SQL_X408 = """
+WITH x408_base AS (
+  SELECT n_name AS e,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('month', o_orderdate)
+), x408_per AS (
+  SELECT e, CAST(COUNT(*) AS BIGINT) AS n_i,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*) * 1000000.0) / 1000000.0 AS m6,
+         CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(v AS DECIMAL(18,2))
+                       * CAST(v AS DECIMAL(18,2))
+                  AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM x408_base GROUP BY e
+), x408_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_i) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(m6 AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+           AS grand,
+         CAST(SUM(CAST(syy - sy * sy / n_i AS DECIMAL(38,12)))
+              AS DOUBLE) AS within_ss
+  FROM x408_per
+), x408_ssb AS (
+  SELECT CAST(SUM(CAST((m6 - grand) * (m6 - grand)
+              AS DECIMAL(38,12))) AS DOUBLE) AS ssb
+  FROM x408_per, x408_stats
+), x408_w AS (
+  SELECT greatest(CAST(0 AS DOUBLE),
+           1.0 - ((k - 3) * ((within_ss / (n_total - k))
+                             / (n_total / CAST(k AS DOUBLE))) / ssb))
+           AS w, grand, k, n_total
+  FROM x408_stats, x408_ssb
+)
+SELECT e AS entity, n_i,
+       m6 AS mean,
+       ROUND((grand + w * (m6 - grand)) * 1000000.0) / 1000000.0
+         AS shrunk,
+       ROUND(w * 1000000.0) / 1000000.0 AS w
+FROM x408_per, x408_w
+UNION ALL
+SELECT '__grand__', n_total,
+       ROUND(grand * 1000000.0) / 1000000.0,
+       ROUND(grand * 1000000.0) / 1000000.0,
+       ROUND(w * 1000000.0) / 1000000.0
+FROM x408_w
+ORDER BY 1
+"""
+
+
+EXT18_QUERIES.update({"x408_james_stein": q_x408_james_stein})
+EXT18_ORACLES.update({"x408_james_stein": SQL_X408})

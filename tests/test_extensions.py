@@ -11670,3 +11670,37 @@ def test_kendall_tau_b_known_configurations(spark):
     assert (r3["tie_x"], r3["tie_y"]) == (2, 1)
     expect = round(4 / math.sqrt(4 * 5) * 1e6) / 1e6
     assert r3["tau_b"] == expect
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark):
+    """Noisy entity means move toward the grand mean by the common
+    factor w ∈ (0,1); ordering is preserved; with huge between-group
+    separation relative to noise, w approaches 1 (almost no
+    shrinkage)."""
+    import numpy as np
+
+    from fame2pygen_spark.operators.ml import james_stein_shrinkage
+
+    rng = np.random.RandomState(13)
+    rows = []
+    for i, mu in enumerate([10.0, 12.0, 14.0, 16.0, 18.0]):
+        for _ in range(30):
+            rows.append((f"e{i}", float(round(mu + rng.normal(0, 4), 2))))
+    df = spark.createDataFrame(rows, "e string, v double")
+    out = {r["entity"]: r for r in james_stein_shrinkage(
+        df, entity_col="e", value_col="v").collect()}
+    g = out["__grand__"]["mean"]
+    w = out["__grand__"]["w"]
+    assert 0.0 < w < 1.0
+    for e in (f"e{i}" for i in range(5)):
+        m, s = out[e]["mean"], out[e]["shrunk"]
+        # shrunk lies between the raw mean and the grand mean
+        assert min(m, g) - 1e-9 <= s <= max(m, g) + 1e-9
+        assert abs(s - (g + w * (m - g))) < 1e-5
+    # well-separated groups, tiny noise: w ~ 1
+    rows2 = [(f"g{i}", 1000.0 * i + j * 0.01)
+             for i in range(5) for j in range(10)]
+    df2 = spark.createDataFrame(rows2, "e string, v double")
+    out2 = {r["entity"]: r for r in james_stein_shrinkage(
+        df2, entity_col="e", value_col="v").collect()}
+    assert out2["__grand__"]["w"] > 0.999

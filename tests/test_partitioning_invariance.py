@@ -183,6 +183,7 @@ SENSITIVE = [
     "x404_changepoints",
     "x406_jonckheere",
     "x407_kendall",
+    "x408_james_stein",
 ]
 
 

@@ -2050,3 +2050,9 @@ def test_kendall_is_bounded_cell_frame_join(spark):
     plan = plan_of(spark, "x407_kendall")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_james_stein_is_two_aggs_plus_broadcasts(spark):
+    plan = plan_of(spark, "x408_james_stein")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
