@@ -2775,3 +2775,105 @@ def kendall_tau_b(
             )
         ).alias("tau_b"),
     )
+
+
+def breslow_day(
+    tables: DataFrame,
+    *,
+    stratum_col: str = "stratum",
+    a_col: str = "a",
+    b_col: str = "b",
+    c_col: str = "c",
+    d_col: str = "d",
+) -> DataFrame:
+    """Breslow-Day homogeneity-of-odds-ratios test (Breslow & Day
+    1980 §IV.4) over per-stratum 2×2 tables — the companion question
+    to Mantel-Haenszel (x251): MH estimates the COMMON odds ratio,
+    Breslow-Day asks whether a common one is even defensible
+    (treatment-by-segment interaction detection).
+
+    Per stratum with margins (r1 = a+b, r2 = c+d, c1 = a+c) and the
+    MH pooled odds ratio ψ̂, the expected count Â solves the quadratic
+    ``ψ̂ = Â(r2−c1+Â) / ((r1−Â)(c1−Â))`` — the root inside
+    ``(max(0, c1−r2), min(r1, c1))``, selected by the same closed
+    form and range test in both engines; the variance is the
+    harmonic term ``1/(1/Â + 1/(r1−Â) + 1/(c1−Â) + 1/(r2−c1+Â))``
+    and ``X² = Σ (a−Â)²/V``.
+
+    Cross-engine determinism: all counts integer; ψ̂'s two cross-
+    product sums and the X² fold re-enter DECIMAL(38,12) per term
+    (bounded strata), every other float is one shared expression.
+
+    Output (one row): ``n_strata, or_mh, bd_chi2`` (6 dp) plus the
+    degrees of freedom ``df = n_strata − 1``.
+    """
+    t = tables.select(
+        F.col(stratum_col).alias("s"),
+        F.col(a_col).cast("double").alias("a"),
+        F.col(b_col).cast("double").alias("b"),
+        F.col(c_col).cast("double").alias("c"),
+        F.col(d_col).cast("double").alias("d"),
+    ).withColumn("tt", F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+    mh = t.agg(
+        F.sum(
+            (F.col("a") * F.col("d") / F.col("tt")).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            (F.col("b") * F.col("c") / F.col("tt")).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    ).withColumn("psi", F.try_divide(F.col("num"), F.col("den")))
+    j = t.crossJoin(F.broadcast(mh))
+    r1 = F.col("a") + F.col("b")
+    r2 = F.col("c") + F.col("d")
+    c1 = F.col("a") + F.col("c")
+    # quadratic (psi-1)A^2 - (psi(r1+c1) + r2 - c1)A + psi*r1*c1 = 0
+    qa = F.col("psi") - 1.0
+    qb = -(F.col("psi") * (r1 + c1) + (r2 - c1))
+    qc = F.col("psi") * r1 * c1
+    disc = F.sqrt(F.greatest(qb * qb - 4.0 * qa * qc, F.lit(0.0)))
+    root1 = F.try_divide(-qb - disc, 2.0 * qa)
+    root2 = F.try_divide(-qb + disc, 2.0 * qa)
+    lin = F.try_divide(-qc, qb)  # psi == 1 degenerate: linear case
+    lo = F.greatest(F.lit(0.0), c1 - r2)
+    hi = F.least(r1, c1)
+    def _valid(r):
+        return r.isNotNull() & (r > lo) & (r < hi)
+    ahat = (
+        F.when(F.abs(qa) < 1e-12, lin)
+        .when(_valid(root1), root1)
+        .otherwise(root2)
+    )
+    var = F.try_divide(
+        F.lit(1.0),
+        1.0 / ahat
+        + 1.0 / (r1 - ahat)
+        + 1.0 / (c1 - ahat)
+        + 1.0 / (r2 - c1 + ahat),
+    )
+    terms = j.select(
+        "n_strata",
+        "psi",
+        (
+            F.try_divide(
+                (F.col("a") - ahat) * (F.col("a") - ahat), var
+            )
+        ).cast("decimal(38,12)").alias("term"),
+    )
+    r6 = lambda col: F.round(col * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return terms.groupBy("n_strata", "psi").agg(
+        F.sum("term").cast("double").alias("chi2")
+    ).select(
+        "n_strata",
+        (F.col("n_strata") - 1).cast("long").alias("df"),
+        r6(F.col("psi")).alias("or_mh"),
+        r6(F.col("chi2")).alias("bd_chi2"),
+    )

@@ -1862,3 +1862,132 @@ ORDER BY 1
 
 EXT18_QUERIES.update({"x408_james_stein": q_x408_james_stein})
 EXT18_ORACLES.update({"x408_james_stein": SQL_X408})
+
+
+# ---------------- x409: Breslow-Day odds-ratio homogeneity
+
+
+def q_x409_breslow_day(spark, sf_dir):
+    """Breslow-Day homogeneity of odds ratios
+    (operators/quality.py:breslow_day) across hour-of-day strata:
+    exposure = odd user id, outcome = purchase event — does the
+    exposure odds ratio vary by hour, or is x251's pooled MH estimate
+    defensible?  Integer 2×2 counts per stratum; quadratic expected
+    counts via the shared closed form."""
+    from .operators.quality import breslow_day
+    from .queries_ext import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    cells = (
+        ev.withColumn(
+            "hr",
+            (
+                (F.col("ts_us") - (F.col("ts_us") % F.lit(3_600_000_000)))
+                / F.lit(3_600_000_000)
+            ).cast("long")
+            % 24,
+        )
+        .groupBy("hr")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 1)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("a"),
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 1)
+                    & (F.col("event_type") != "purchase"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("b"),
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 0)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("c"),
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 0)
+                    & (F.col("event_type") != "purchase"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("d"),
+        )
+        .where(
+            (F.col("a") + F.col("b") > 0)
+            & (F.col("c") + F.col("d") > 0)
+        )
+    )
+    return breslow_day(cells, stratum_col="hr")
+
+
+SQL_X409 = """
+WITH x409_cells AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP))
+          - (epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000))
+           / 3600000000 % 24 AS hr,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type <> 'purchase'
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase'
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS d
+  FROM events GROUP BY 1
+  HAVING SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+), x409_mh AS (
+  SELECT CAST(SUM(CAST(a * d / (a + b + c + d) AS DECIMAL(38,12)))
+              AS DOUBLE)
+         / CAST(SUM(CAST(b * c / (a + b + c + d) AS DECIMAL(38,12)))
+                AS DOUBLE) AS psi,
+         CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM x409_cells
+), x409_terms AS (
+  SELECT n_strata, psi,
+         CAST((a - ahat) * (a - ahat)
+              / (1.0 / (1.0 / ahat + 1.0 / (r1 - ahat)
+                        + 1.0 / (c1 - ahat)
+                        + 1.0 / (r2 - c1 + ahat)))
+              AS DECIMAL(38,12)) AS term
+  FROM (
+    SELECT *,
+           CASE WHEN abs(qa) < 1e-12 THEN -qc / qb
+                WHEN root1 IS NOT NULL AND root1 > lo AND root1 < hi
+                THEN root1 ELSE root2 END AS ahat
+    FROM (
+      SELECT *,
+             (-qb - sqrt(greatest(qb * qb - 4.0 * qa * qc, 0.0)))
+               / (2.0 * qa) AS root1,
+             (-qb + sqrt(greatest(qb * qb - 4.0 * qa * qc, 0.0)))
+               / (2.0 * qa) AS root2,
+             greatest(0.0, c1 - r2) AS lo, least(r1, c1) AS hi
+      FROM (
+        SELECT n_strata, psi, a,
+               a + b AS r1, c + d AS r2, a + c AS c1,
+               psi - 1.0 AS qa,
+               -(psi * ((a + b) + (a + c)) + ((c + d) - (a + c)))
+                 AS qb,
+               psi * (a + b) * (a + c) AS qc
+        FROM x409_cells, x409_mh
+      )
+    )
+  )
+)
+SELECT n_strata, CAST(n_strata - 1 AS BIGINT) AS df,
+       ROUND(psi * 1000000.0) / 1000000.0 AS or_mh,
+       ROUND(CAST(SUM(term) AS DOUBLE) * 1000000.0) / 1000000.0
+         AS bd_chi2
+FROM x409_terms
+GROUP BY n_strata, psi
+"""
+
+
+EXT18_QUERIES.update({"x409_breslow_day": q_x409_breslow_day})
+EXT18_ORACLES.update({"x409_breslow_day": SQL_X409})

@@ -11704,3 +11704,28 @@ def test_james_stein_shrinks_toward_grand_mean(spark):
     out2 = {r["entity"]: r for r in james_stein_shrinkage(
         df2, entity_col="e", value_col="v").collect()}
     assert out2["__grand__"]["w"] > 0.999
+
+
+def test_breslow_day_homogeneous_vs_heterogeneous(spark):
+    """Strata sharing one OR give a small BD chi-square; flipping the
+    association direction in half the strata inflates it by orders of
+    magnitude; MH OR lands between the stratum ORs."""
+    from fame2pygen_spark.operators.quality import breslow_day
+
+    # OR = 4 in every stratum (a*d/(b*c) = 80*60/(20*60) = 4)
+    homog = [(k, 80, 20, 60, 60) for k in range(6)]
+    df = spark.createDataFrame(
+        homog, "stratum long, a long, b long, c long, d long"
+    )
+    r = breslow_day(df).first()
+    assert r["n_strata"] == 6 and r["df"] == 5
+    assert abs(r["or_mh"] - 4.0) < 0.01
+    assert r["bd_chi2"] < 1.0  # identical tables: ~0
+
+    heter = [(k, 80, 20, 60, 60) for k in range(3)]
+    heter += [(k, 20, 80, 60, 60) for k in range(3, 6)]  # OR = 1/4
+    df2 = spark.createDataFrame(
+        heter, "stratum long, a long, b long, c long, d long"
+    )
+    r2 = breslow_day(df2).first()
+    assert r2["bd_chi2"] > 30.0

@@ -184,6 +184,7 @@ SENSITIVE = [
     "x406_jonckheere",
     "x407_kendall",
     "x408_james_stein",
+    "x409_breslow_day",
 ]
 
 

@@ -2056,3 +2056,9 @@ def test_james_stein_is_two_aggs_plus_broadcasts(spark):
     plan = plan_of(spark, "x408_james_stein")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_breslow_day_is_bounded_stratum_algebra(spark):
+    plan = plan_of(spark, "x409_breslow_day")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
