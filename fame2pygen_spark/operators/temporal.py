@@ -5977,3 +5977,115 @@ def optimal_partitioning(
         )
         .orderBy("entity", "seg_idx")
     )
+
+
+def newey_west_lrv(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    t_col: str,
+    value_col: str,
+    max_lag: int = 4,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Newey-West / HAC long-run variance of each entity's series
+    (Newey & West 1987, Bartlett kernel): autocorrelation-robust
+    uncertainty for a time-series mean —
+
+        LRV = gamma_0 + 2 * sum_{l=1..L} (1 - l/(L+1)) * gamma_l,
+        se(mean) = sqrt(LRV / n)
+
+    — the difference between honest and naive error bars on any
+    autocorrelated metric (x236 estimates the AR(1) half-life; this
+    turns persistence into a corrected standard error).
+
+    Determinism discipline (the sufficient-statistic rule): each
+    autocovariance comes from EXACT decimal cross-moments —
+    ``gamma_l * n = Sxy_l − mu*(Sx_l + Sy_l) + cnt_l*mu²`` with Sxy
+    a decimal(36,2·d) product sum (``value_decimals`` bounds the
+    int64 products, the matrix-profile constraint) — so every float
+    op downstream is ONE shared closed-form expression and no
+    per-row double ever passes through an engine-specific decimal
+    cast.  Output per entity: ``n, gamma0, se_mean, inflation``
+    (= LRV/gamma_0; 6 dp).
+    """
+    L = int(max_lag)
+    if L < 1:
+        raise ValueError("newey_west_lrv: max_lag must be >= 1")
+    sd = int(value_decimals)
+    base = df.select(
+        F.col(entity_col).cast("string").alias("e"),
+        F.col(t_col).cast("long").alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where(F.col("o").isNotNull() & F.col("v").isNotNull())
+    mu = base.groupBy("e").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("e").orderBy("o")
+    lagged = base.select(
+        "e",
+        "v",
+        *[
+            F.lag("v", lag).over(w).alias(f"v{lag}")
+            for lag in range(1, L + 1)
+        ],
+    )
+    dec = lambda c: c.cast(f"decimal(18,{sd})")  # noqa: E731
+    aggs = [
+        F.sum((dec(F.col("v")) * dec(F.col("v"))))
+        .cast("double")
+        .alias("sxy0"),
+        F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("sx0"),
+        F.count(F.lit(1)).cast("long").alias("c0"),
+    ]
+    for lag in range(1, L + 1):
+        vl = F.col(f"v{lag}")
+        aggs += [
+            F.sum(dec(F.col("v")) * dec(vl)).cast("double").alias(f"sxy{lag}"),
+            F.sum(
+                F.when(vl.isNotNull(), F.col("v")).cast("decimal(27,6)")
+            ).cast("double").alias(f"sx{lag}"),
+            F.sum(vl.cast("decimal(27,6)")).cast("double").alias(f"sy{lag}"),
+            F.count(vl).cast("long").alias(f"c{lag}"),
+        ]
+    gsums = lagged.groupBy("e").agg(*aggs).join(
+        F.broadcast(mu), on="e"
+    )
+
+    def gamma(lag):
+        if lag == 0:
+            sxy, sx, sy, cnt = (
+                F.col("sxy0"), F.col("sx0"), F.col("sx0"), F.col("c0")
+            )
+        else:
+            sxy, sx, sy, cnt = (
+                F.col(f"sxy{lag}"), F.col(f"sx{lag}"),
+                F.col(f"sy{lag}"), F.col(f"c{lag}"),
+            )
+        m = F.col("mu")
+        return (
+            sxy - m * (sx + sy) + cnt * m * m
+        ) / F.col("n")
+
+    g0 = gamma(0)
+    lrv = g0
+    for lag in range(1, L + 1):
+        lrv = lrv + 2.0 * (1.0 - lag / (L + 1.0)) * gamma(lag)
+    r6 = lambda c: F.round(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    # sd (not gamma0) is emitted: at 1e11 magnitudes a 6-dp double
+    # demands 17 significant digits — more than float64 carries — so
+    # engine-equal expressions can still print differently; the sqrt
+    # compresses ulp noise far below the 6-dp grid
+    return gsums.select(
+        F.col("e").alias("entity"),
+        "n",
+        r6(F.sqrt(F.greatest(g0, F.lit(0.0)))).alias("sd"),
+        r6(F.sqrt(F.greatest(lrv, F.lit(0.0)) / F.col("n"))).alias(
+            "se_mean"
+        ),
+        r6(F.try_divide(lrv, g0)).alias("inflation"),
+    ).orderBy("entity")

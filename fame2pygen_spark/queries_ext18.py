@@ -1991,3 +1991,112 @@ GROUP BY n_strata, psi
 
 EXT18_QUERIES.update({"x409_breslow_day": q_x409_breslow_day})
 EXT18_ORACLES.update({"x409_breslow_day": SQL_X409})
+
+
+# ---------------- x410: Newey-West long-run variance
+
+
+def q_x410_newey_west(spark, sf_dir):
+    """HAC long-run variance of each nation's monthly revenue
+    (operators/temporal.py:newey_west_lrv, Bartlett L=4): the
+    autocorrelation-robust standard error of the mean and its
+    variance-inflation factor.  Lag products re-enter DECIMAL(38,12)
+    before the fold; the oracle mirrors the lag windows and the
+    literal Bartlett weights."""
+    from .operators.temporal import newey_west_lrv
+    from .queries_panel import nation_monthly
+
+    base = nation_monthly(spark, sf_dir).select(
+        "NATION",
+        F.datediff(F.col("DATE"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("T"),
+        "REV",
+    )
+    return newey_west_lrv(
+        base, entity_col="NATION", t_col="T", value_col="REV", max_lag=4
+    )
+
+
+SQL_X410 = """
+WITH x410_base AS (
+  SELECT n_name AS e,
+         CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), x410_mu AS (
+  SELECT e, CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+           AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x410_base GROUP BY e
+), x410_lag AS (
+  SELECT e, v,
+         LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2,
+         LAG(v, 3) OVER w AS v3, LAG(v, 4) OVER w AS v4
+  FROM x410_base
+  WINDOW w AS (PARTITION BY e ORDER BY t)
+), x410_s AS (
+  SELECT e,
+    CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2)))
+         AS DOUBLE) AS sxy0,
+    CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sx0,
+    CAST(COUNT(*) AS BIGINT) AS c0,
+    CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v1 AS DECIMAL(18,2)))
+         AS DOUBLE) AS sxy1,
+    CAST(SUM(CAST(CASE WHEN v1 IS NOT NULL THEN v END
+             AS DECIMAL(27,6))) AS DOUBLE) AS sx1,
+    CAST(SUM(CAST(v1 AS DECIMAL(27,6))) AS DOUBLE) AS sy1,
+    CAST(COUNT(v1) AS BIGINT) AS c1,
+    CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v2 AS DECIMAL(18,2)))
+         AS DOUBLE) AS sxy2,
+    CAST(SUM(CAST(CASE WHEN v2 IS NOT NULL THEN v END
+             AS DECIMAL(27,6))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(v2 AS DECIMAL(27,6))) AS DOUBLE) AS sy2,
+    CAST(COUNT(v2) AS BIGINT) AS c2,
+    CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v3 AS DECIMAL(18,2)))
+         AS DOUBLE) AS sxy3,
+    CAST(SUM(CAST(CASE WHEN v3 IS NOT NULL THEN v END
+             AS DECIMAL(27,6))) AS DOUBLE) AS sx3,
+    CAST(SUM(CAST(v3 AS DECIMAL(27,6))) AS DOUBLE) AS sy3,
+    CAST(COUNT(v3) AS BIGINT) AS c3,
+    CAST(SUM(CAST(v AS DECIMAL(18,2)) * CAST(v4 AS DECIMAL(18,2)))
+         AS DOUBLE) AS sxy4,
+    CAST(SUM(CAST(CASE WHEN v4 IS NOT NULL THEN v END
+             AS DECIMAL(27,6))) AS DOUBLE) AS sx4,
+    CAST(SUM(CAST(v4 AS DECIMAL(27,6))) AS DOUBLE) AS sy4,
+    CAST(COUNT(v4) AS BIGINT) AS c4
+  FROM x410_lag GROUP BY e
+), x410_g AS (
+  SELECT s.e, m.n, m.mu,
+    (sxy0 - mu * (sx0 + sx0) + c0 * mu * mu) / n AS g0,
+    (sxy1 - mu * (sx1 + sy1) + c1 * mu * mu) / n AS g1,
+    (sxy2 - mu * (sx2 + sy2) + c2 * mu * mu) / n AS g2,
+    (sxy3 - mu * (sx3 + sy3) + c3 * mu * mu) / n AS g3,
+    (sxy4 - mu * (sx4 + sy4) + c4 * mu * mu) / n AS g4
+  FROM x410_s s JOIN x410_mu m ON m.e = s.e
+)
+SELECT e AS entity, n,
+       ROUND(sqrt(greatest(g0, 0.0)) * 1000000.0)
+         / 1000000.0 AS sd,
+       ROUND(sqrt(greatest(
+               g0 + 2.0 * (1.0 - 1.0 / 5.0) * g1
+                  + 2.0 * (1.0 - 2.0 / 5.0) * g2
+                  + 2.0 * (1.0 - 3.0 / 5.0) * g3
+                  + 2.0 * (1.0 - 4.0 / 5.0) * g4, 0.0) / n)
+             * 1000000.0) / 1000000.0 AS se_mean,
+       ROUND((g0 + 2.0 * (1.0 - 1.0 / 5.0) * g1
+                 + 2.0 * (1.0 - 2.0 / 5.0) * g2
+                 + 2.0 * (1.0 - 3.0 / 5.0) * g3
+                 + 2.0 * (1.0 - 4.0 / 5.0) * g4) / g0
+             * 1000000.0) / 1000000.0 AS inflation
+FROM x410_g
+ORDER BY 1
+"""
+
+
+EXT18_QUERIES.update({"x410_newey_west": q_x410_newey_west})
+EXT18_ORACLES.update({"x410_newey_west": SQL_X410})

@@ -11729,3 +11729,33 @@ def test_breslow_day_homogeneous_vs_heterogeneous(spark):
     )
     r2 = breslow_day(df2).first()
     assert r2["bd_chi2"] > 30.0
+
+
+def test_newey_west_inflates_for_persistent_series(spark):
+    """A strongly autocorrelated series (slow sine) gets inflation
+    >> 1; an alternating series has negative lag-1 autocovariance and
+    inflation < 1; white-ish noise sits near 1."""
+    import math
+
+    import numpy as np
+
+    from fame2pygen_spark.operators.temporal import newey_west_lrv
+
+    rng = np.random.RandomState(17)
+    noise_vals = np.round(100 + rng.normal(0, 10, 200), 2)
+    rows = []
+    for i in range(200):
+        rows.append(
+            ("persist", i, float(round(100 + 50 * math.sin(i / 15.0), 2)))
+        )
+        rows.append(("alternate", i, 100.0 + (10.0 if i % 2 else -10.0)))
+        rows.append(("noise", i, float(noise_vals[i])))
+    df = spark.createDataFrame(rows, "e string, t long, v double")
+    out = {r["entity"]: r for r in newey_west_lrv(
+        df, entity_col="e", t_col="t", value_col="v").collect()}
+    assert out["persist"]["inflation"] > 3.0
+    assert out["alternate"]["inflation"] < 0.3
+    assert 0.4 < out["noise"]["inflation"] < 2.5
+    for e in out:
+        assert out[e]["se_mean"] >= 0.0
+        assert out[e]["n"] == 200

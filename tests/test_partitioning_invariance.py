@@ -185,6 +185,7 @@ SENSITIVE = [
     "x407_kendall",
     "x408_james_stein",
     "x409_breslow_day",
+    "x410_newey_west",
 ]
 
 

@@ -2062,3 +2062,9 @@ def test_breslow_day_is_bounded_stratum_algebra(spark):
     plan = plan_of(spark, "x409_breslow_day")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_newey_west_is_keyed_lags_one_agg(spark):
+    plan = plan_of(spark, "x410_newey_west")
+    assert unpartitioned_windows(spark, "x410_newey_west") == []
+    assert "CartesianProduct" not in plan
