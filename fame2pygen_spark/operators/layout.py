@@ -621,6 +621,17 @@ def rendezvous_reshard_audit(
             "rendezvous_reshard_audit: need 1 <= shards_before <= "
             "shards_after"
         )
+    if ka > 128:
+        # the tie-fold below packs the shard id under a 56-bit md5
+        # weight: 2^56 * 128 + 127 is exactly long-max, so 128 shards
+        # is the largest ring the single-long total order supports
+        raise ValueError(
+            "rendezvous_reshard_audit: shards_after must be <= 128 "
+            "(56-bit weight x shard tie-fold overflows a long beyond)"
+        )
+    fold = 16
+    while fold < ka:
+        fold *= 2
     keys = df.select(
         F.col(key_col).cast("long").alias("k")
     ).where(F.col("k").isNotNull()).distinct()
@@ -631,8 +642,10 @@ def rendezvous_reshard_audit(
         ).alias("s"),
     ).withColumn(
         # 56-bit md5 weight with the shard id folded into the low
-        # nibble as a total tie order (weight desc, shard asc) —
-        # portable to the oracle without struct-ordered argmax
+        # bits as a total tie order (weight desc, shard asc) — the
+        # fold width is the next power of two >= shards_after (min
+        # 16), so ids never collide or go negative; portable to the
+        # oracle without struct-ordered argmax
         "w",
         F.conv(
             F.substring(
@@ -647,8 +660,8 @@ def rendezvous_reshard_audit(
             16,
             10,
         ).cast("long")
-        * 16
-        + (F.lit(15) - F.col("s")),
+        * fold
+        + (F.lit(fold - 1) - F.col("s")),
     )
     assign = cand.groupBy("k").agg(
         F.max_by(F.col("s"), F.col("w")).alias("after"),

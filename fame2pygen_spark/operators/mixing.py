@@ -1069,8 +1069,9 @@ def pps_systematic(
     one interval are certainty units with multiple hits.
 
     Everything is 64-bit integer arithmetic (sizes scaled by
-    10^*size_decimals*, the point condition cross-multiplied — no
-    division until the reported inclusion expectation), so both
+    10^*size_decimals*, the point condition cross-multiplied, the
+    interval bounds via integer ceil-division ``(X+T-1) DIV T`` — no
+    floating point until the reported inclusion expectation), so both
     engines agree exactly and partitioning cannot change the sample.
     The cumulative window is STRATUM-keyed: at 100 TB each stratum's
     cumsum streams independently; never run this with one global
@@ -1101,13 +1102,16 @@ def pps_systematic(
     )
     # odd o in [1, 2n-1] with o*T >= A (A = 2n*cumprev) and o*T < B
     # (B = 2n*cum): lo = ceil(A/T), hi = ceil(B/T) - 1, clamped; the
-    # count of odds <= x is (x+1) div 2
-    a = 2 * n * (F.col("cum") - F.col("sz"))
-    b = 2 * n * F.col("cum")
+    # count of odds <= x is (x+1) div 2.  ceil is pure 64-bit integer
+    # arithmetic ((X + T - 1) DIV T) — a float -floor(-X/T) loses
+    # exactness once 2n*cum exceeds 2^53
     t = F.col("tot")
-    lo = F.greatest(-F.floor(-a / t).cast("long"), F.lit(1))
+    cum = cum.withColumn(
+        "__a1", 2 * n * (F.col("cum") - F.col("sz")) + t - 1
+    ).withColumn("__b1", 2 * n * F.col("cum") + t - 1)
+    lo = F.greatest(F.expr("__a1 DIV tot").cast("long"), F.lit(1))
     hi = F.least(
-        (-F.floor(-b / t) - 1).cast("long"), F.lit(2 * n - 1)
+        (F.expr("__b1 DIV tot") - 1).cast("long"), F.lit(2 * n - 1)
     )
     odds_leq = lambda x: F.floor((x + 1) / 2).cast("long")  # noqa: E731
     hits = F.when(

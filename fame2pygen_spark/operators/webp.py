@@ -396,10 +396,10 @@ def _predict(mode, x, y, xsize, out, pos):
         a = pack([(ch(left, i) + ch(tl, i)) >> 1 for i in range(4)])
         b = pack([(ch(top, i) + ch(tr, i)) >> 1 for i in range(4)])
         return pack([(ch(a, i) + ch(b, i)) >> 1 for i in range(4)])
-    if mode == 11:  # Select(L, T, TL)
+    if mode == 11:  # Select(L, T, TL) — spec ties go to TOP (pl < pt)
         pl = sum(abs(ch(top, i) - ch(tl, i)) for i in range(4))
         pt = sum(abs(ch(left, i) - ch(tl, i)) for i in range(4))
-        return left if pl <= pt else top
+        return left if pl < pt else top
     if mode == 12:  # ClampAddSubtractFull
         return pack(
             [
@@ -407,11 +407,14 @@ def _predict(mode, x, y, xsize, out, pos):
                 for i in range(4)
             ]
         )
-    if mode == 13:  # ClampAddSubtractHalf
+    if mode == 13:  # ClampAddSubtractHalf — C truncation toward zero,
+        # not Python floor division (they differ by 1 for odd d < 0)
         vals = []
         for i in range(4):
             a = (ch(left, i) + ch(top, i)) >> 1
-            vals.append(max(0, min(255, a + (a - ch(tl, i)) // 2)))
+            d = a - ch(tl, i)
+            half = abs(d) >> 1
+            vals.append(max(0, min(255, a + (half if d >= 0 else -half))))
         return pack(vals)
     raise ValueError(f"bad VP8L predictor mode {mode}")
 

@@ -859,9 +859,9 @@ WITH x396_base AS (
   FROM x396_base
 ), x396_hits AS (
   SELECT stratum, id, sz, cum, tot,
-         greatest(CAST(-floor(-(16 * (cum - sz)) / tot) AS BIGINT),
+         greatest(CAST((16 * (cum - sz) + tot - 1) // tot AS BIGINT),
                   CAST(1 AS BIGINT)) AS lo,
-         least(CAST(-floor(-(16 * cum) / tot) - 1 AS BIGINT),
+         least(CAST((16 * cum + tot - 1) // tot - 1 AS BIGINT),
                CAST(15 AS BIGINT)) AS hi
   FROM x396_cum
 )
