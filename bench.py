@@ -81,10 +81,21 @@ def main() -> None:
         except ValueError:
             sf = tail
 
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
+    )
+    from bench_scale import warm_read
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        fn(spark, SF_DIR).count()  # warm-up: JIT + file listing
+        # untimed warm-read pass (r8 verdict item #2): byte-read the
+        # inputs so a host page-cache eviction mid-bench can't land a
+        # cold parquet read on the next query's timed runs, then one
+        # untimed execution for JIT + file listing
+        warm_read(SF_DIR)
+        fn(spark, SF_DIR).count()
         runs = []
         for _ in range(WARM_RUNS):
             t0 = time.perf_counter()

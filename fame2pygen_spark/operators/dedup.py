@@ -412,15 +412,81 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_keyed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    partition_col: str,
+    *,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Entity-scoped near-duplicate pairs: :func:`minhash_lsh_pairs`
+    with every LSH bucket keyed by *partition_col* — the bucket cap,
+    the band self-join, and the candidate set all carry the entity
+    key, so no candidate pair ever crosses an entity boundary and no
+    cross-entity candidate is ever generated (contrast filtering a
+    global pair list, which still pays the cross-entity join).
+
+    This is the panel lane for per-source dedup at 100 TB: the band
+    shuffle partitions on (entity, band, bh), each entity's buckets
+    stream independently, and a pathological entity (all-identical
+    docs) is bounded by its own ``max_bucket`` cap without touching
+    any other entity's candidates.
+
+    Output: ``(partition_col, id_a, id_b, jaccard)`` — both ids share
+    the entity value; ids are orderable (id_a < id_b).
+    """
+    df = _parallelize_input(df)
+    keys = df.select(
+        F.col(id_col).alias("doc"), F.col(partition_col).alias("__pk")
+    ).dropDuplicates(["doc"])
+    sigs = minhash_signatures(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+    banded = _banded_buckets(sigs, num_hashes, bands, max_bucket, keys=keys)
+
+    left = banded.select("__pk", "band", "bh", F.col("doc").alias("id_a"))
+    right = banded.select("__pk", "band", "bh", F.col("doc").alias("id_b"))
+    cand = (
+        left.join(right, on=["__pk", "band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("__pk", "id_a", "id_b")
+        .dropDuplicates(["__pk", "id_a", "id_b"])
+    )
+    verified = _prefilter_and_verify(
+        df, cand.select("id_a", "id_b"), sigs, text_col, id_col,
+        n=n, num_hashes=num_hashes, threshold=threshold,
+    )
+    # both members of a pair share one entity value (the band join is
+    # key-equi and doc→key is unique), so this re-attach is 1:1
+    return verified.join(
+        cand.select(
+            F.col("__pk").alias(partition_col), "id_a", "id_b"
+        ),
+        on=["id_a", "id_b"],
+    ).select(partition_col, "id_a", "id_b", "jaccard")
+
+
 def _banded_buckets(
-    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band, bh) LSH bucket membership from bulk signatures.
 
     Buckets are capped at *max_bucket* members (row_number within the
     bucket, doc-ordered — deterministic, so an oracle can reproduce the
     cap) to bound the candidate join on pathological all-identical
-    corpora."""
+    corpora.  With *keys* (a unique ``(doc, __pk)`` map) the bucket —
+    and therefore the cap window — is additionally keyed by ``__pk``
+    (the entity-scoped lane)."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
@@ -438,7 +504,11 @@ def _banded_buckets(
         "doc", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    wb = Window.partitionBy("band", "bh").orderBy("doc")
+    if keys is not None:
+        banded = banded.join(keys, on="doc")
+        wb = Window.partitionBy("__pk", "band", "bh").orderBy("doc")
+    else:
+        wb = Window.partitionBy("band", "bh").orderBy("doc")
     return banded.withColumn("__rn", F.row_number().over(wb)).where(
         F.col("__rn") <= max_bucket
     ).drop("__rn")

@@ -966,6 +966,7 @@ from .queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
 from .queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
 from .queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
 from .queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
+from .queries_ext19 import EXT19_ORACLES, EXT19_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -986,6 +987,7 @@ ORACLES.update(EXT15_ORACLES)
 ORACLES.update(EXT16_ORACLES)
 ORACLES.update(EXT17_ORACLES)
 ORACLES.update(EXT18_ORACLES)
+ORACLES.update(EXT19_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -1034,6 +1036,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT16_QUERIES,
     **EXT17_QUERIES,
     **EXT18_QUERIES,
+    **EXT19_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against
@@ -1091,9 +1094,20 @@ def _prior_driver_checked() -> set[str]:
     return seen
 
 
+#: never-driver-checked queries that jump the rotation queue — entries
+#: a verdict explicitly asked to see a driver row for (r8 item #3: the
+#: capstone's composed ANSWER needs a builder-independent check).
+#: Only effective while the entry has no prior CORRECTNESS row; once
+#: checked it drops out like any other name.
+ROTATION_PRIORITY: list[str] = [
+    "x411_pretraining_capstone",
+]
+
+
 def _rotation_slots(n_slots: int = 25) -> list[str]:
     seen = _prior_driver_checked() | set(PINNED_WINDOW)
     fresh = [name for name in _ALL_QUERIES if name not in seen]
+    fresh.sort(key=lambda n: (n not in ROTATION_PRIORITY))
     slots = fresh[:n_slots]
     if len(slots) < n_slots:  # every entry driver-verified: cycle again
         taken = set(slots) | set(PINNED_WINDOW)

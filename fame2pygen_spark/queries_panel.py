@@ -528,3 +528,113 @@ ORDER BY 1, 2
 
 PANEL_QUERIES.update({"p06_panel_statespace": q_p06_panel_statespace})
 PANEL_ORACLES.update({"p06_panel_statespace": _sql_p06()})
+
+
+# ------------- p07: per-source (entity-scoped) MinHash-LSH dedup
+
+
+def q_p07_panel_dedup(spark, sf_dir):
+    """The dedup family in panel mode (r8 verdict item #7): MinHash-LSH
+    near-dup pairs with every band bucket scoped to its ``lang``
+    entity (operators/dedup.py:minhash_lsh_pairs_keyed) — the band
+    shuffle keys on (lang, band, bh), the bucket cap windows
+    PARTITION BY (lang, band, bh), and no candidate pair ever
+    crosses a language.  At 100 TB this is per-corpus / per-tenant
+    dedup: adding entities adds partitions, not bucket width.  The
+    oracle replays the identical md5 shingle hashes, affine MinHash
+    family, entity-keyed banding, and exact Jaccard verify."""
+    from .operators.dedup import minhash_lsh_pairs_keyed
+
+    docs = _read(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs_keyed(
+        docs, "text", "doc_id", "lang",
+        n=5, num_hashes=64, bands=16, threshold=0.6,
+    )
+    return out.select(
+        "lang",
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _sql_p07() -> str:
+    from .operators.dedup import (
+        MERSENNE_31,
+        _affine_params,
+        min_sig_matches,
+    )
+
+    params = _affine_params(64, seed=42)
+    values = ", ".join(
+        f"({j}, {a}::BIGINT, {b}::BIGINT)"
+        for j, (a, b) in enumerate(params)
+    )
+    min_match = min_sig_matches(0.6, 64)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang AS pk,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT d.doc_id, substr(d.t, CAST(i.i AS INTEGER), 5) AS sh
+  FROM docs d,
+       LATERAL (SELECT unnest(range(1, greatest(length(d.t) - 4, 0) + 1)) AS i) i
+  WHERE length(d.t) >= 5
+),
+hashed AS (
+  SELECT doc_id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+  FROM shingles
+),
+params(j, a, b) AS (VALUES {values}),
+minh AS (
+  SELECT h.doc_id, p.j, MIN((p.a * h.h + p.b) % {MERSENNE_31}) AS mh
+  FROM hashed h CROSS JOIN params p
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY j) AS sig FROM minh GROUP BY 1
+),
+bands AS (
+  SELECT s.doc_id, d.pk, b.band,
+         md5(array_to_string(s.sig[b.band * 4 + 1 : b.band * 4 + 4], ',')) AS bh
+  FROM sigs s
+  JOIN docs d ON d.doc_id = s.doc_id,
+       LATERAL (SELECT unnest(range(0, 16)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.pk, l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l
+  JOIN bands r ON l.pk = r.pk AND l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id < r.doc_id
+),
+pref AS (
+  SELECT c.pk, c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(range(1, 65),
+            i -> sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)]))
+        >= {min_match}
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1)
+SELECT c.pk AS lang,
+       CAST(c.id_a AS BIGINT) AS id_a,
+       CAST(c.id_b AS BIGINT) AS id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM pref c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.6
+"""
+
+
+PANEL_QUERIES.update({"p07_panel_dedup": q_p07_panel_dedup})
+PANEL_ORACLES.update({"p07_panel_dedup": _sql_p07()})

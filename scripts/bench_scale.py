@@ -40,6 +40,36 @@ _SPARK_TMP = os.path.join(_REPO, ".spark-tmp")
 os.makedirs(_SPARK_TMP, exist_ok=True)
 
 
+def warm_read(*paths) -> None:
+    """Untimed page-cache warm pass: byte-read every file under each
+    path so timed runs never pay a host-evicted cold parquet read.
+    BASELINE.md's r8 section shows the cache dropping to ~1 GB between
+    idle sessions and swinging heavy entries up to 2.8× in opposite
+    directions; with the inputs re-read immediately before each entry
+    the timed runs measure the plan, not whichever entry happened to
+    land on a cold read."""
+    buf = 1 << 22
+    for p in paths:
+        if not p or not os.path.exists(p):
+            continue
+        files = (
+            [p]
+            if os.path.isfile(p)
+            else [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(p)
+                for f in fs
+            ]
+        )
+        for fpath in files:
+            try:
+                with open(fpath, "rb") as fh:
+                    while fh.read(buf):
+                        pass
+            except OSError:
+                pass
+
+
 def build_corpus(spark):
     """Replicate sf0.1 documents REPLICAS× (cached as parquet)."""
     from pyspark.sql import functions as F
@@ -77,11 +107,15 @@ def run_scale_tier(spark) -> dict:
     rows: dict[str, int] = {}
 
     def timed(name, fn):
-        # median-of-RUNS + per-query min (r4 verdict item #4): host
-        # load swings the single-shot tier by ±30% (x14 34.8 s driver
-        # vs 23.5 s idle in r4), masquerading as regressions.  The
-        # median is the comparison number; the min bounds how much of
-        # a tier entry is load noise vs plan cost.
+        # warm-read median protocol (r8 verdict item #2): an UNTIMED
+        # pass first — byte-read the inputs (re-warms the page cache
+        # even if the host evicted it mid-tier) and one untimed
+        # execution (absorbs JIT/codegen/file-listing) — then
+        # median-of-RUNS + per-query min.  The median is the
+        # comparison number; the min bounds how much of an entry is
+        # residual load noise vs plan cost.
+        warm_read(CORPUS, SF_DIR)
+        fn()
         walls = []
         out = None
         for _ in range(RUNS):

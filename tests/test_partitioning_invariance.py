@@ -186,6 +186,11 @@ SENSITIVE = [
     "x408_james_stein",
     "x409_breslow_day",
     "x410_newey_west",
+    "x411_pretraining_capstone",
+    "x412_tpch_q1",
+    "x413_tpch_q18",
+    "x414_tpch_q21",
+    "p07_panel_dedup",
 ]
 
 

@@ -2068,3 +2068,49 @@ def test_newey_west_is_keyed_lags_one_agg(spark):
     plan = plan_of(spark, "x410_newey_west")
     assert unpartitioned_windows(spark, "x410_newey_west") == []
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_is_one_pushed_scan_one_agg(spark):
+    """x412: the wide agg sweep is a single-table plan — shipdate
+    pushed into the scan, one partial→final aggregate exchange, and
+    no join operator of any kind."""
+    plan = plan_of(spark, "x412_tpch_q1")
+    assert "PushedFilters" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_tpch_q18_having_semijoin_broadcasts(spark):
+    """x413: the qualifying-orderkey HAVING aggregate is tiny and must
+    ride a broadcast into the orders join, never a cartesian."""
+    plan = plan_of(spark, "x413_tpch_q18")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_and_anti_join_paths(spark):
+    """x414: the exists/not-exists chain must plan as a LeftSemi and a
+    LeftAnti hash join over the shared per-order frame."""
+    plan = plan_of(spark, "x414_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p07_band_join_carries_entity_key(spark):
+    """p07: the entity-scoped LSH lane — the band self-join and bucket
+    cap must key on the entity (__pk) so no cross-entity candidate is
+    ever generated."""
+    plan = plan_of(spark, "p07_panel_dedup")
+    assert "__pk" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x411_capstone_composes_without_cartesian(spark):
+    """x411: the composed pretraining pipeline — broadcast probes for
+    decontamination/anti-join, no cartesian anywhere in the chain."""
+    plan = plan_of(spark, "x411_pretraining_capstone")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
