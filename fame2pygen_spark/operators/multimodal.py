@@ -376,6 +376,11 @@ def decode_image_bytes(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        if payload[12:16] == b"VP8 ":
+            from .vp8 import decode_vp8_rgb
+
+            size = struct.unpack_from("<I", payload, 16)[0]
+            return decode_vp8_rgb(payload[20 : 20 + size])
         from .webp import decode_webp_lossless
 
         return decode_webp_lossless(payload)[:, :, :3]
@@ -1649,14 +1654,17 @@ def audio_features(
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     """Column-level image decode for formats needing an external codec
-    (LOSSY WebP only, as of r8).  BMP/PPM/PNG, baseline + progressive
-    JPEG *and lossless WebP (VP8L)* decode IS implemented — use
-    :func:`image_features` / :func:`image_ahash` (Arrow-batched
+    (animated/extended WebP VP8X and VP8 interframes only, as of r9).
+    BMP/PPM/PNG, baseline + progressive JPEG, lossless WebP (VP8L)
+    *and lossy-WebP key frames (VP8 intra — :mod:`.vp8`, see its
+    honesty boundary on the probability tables)* decode for real —
+    use :func:`image_features` / :func:`image_ahash` (Arrow-batched
     ``mapInPandas`` over :func:`decode_image_bytes`)."""
     raise NotImplementedError(
-        "lossy-WebP (VP8) decoding needs a DCT/loop-filter codec — "
-        "not available here; BMP/PPM/PNG/JPEG(baseline+progressive)/"
-        "lossless-WebP are decoded for real via image_features()"
+        "animated/extended WebP (VP8X) and VP8 interframes need a "
+        "full video codec — not available here; every still format "
+        "(BMP/PPM/PNG/JPEG baseline+progressive/VP8L/VP8 key frames) "
+        "is decoded for real via image_features()"
     )
 
 

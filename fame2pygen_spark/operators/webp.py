@@ -445,10 +445,14 @@ def decode_webp_lossless(payload: bytes):
         if tag == b"VP8L":
             vp8l = body
             break
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
             raise ValueError(
-                "lossy/extended WebP needs an external codec; only "
-                "lossless VP8L is implemented"
+                "lossy WebP: decode the 'VP8 ' chunk via operators.vp8 "
+                "(multimodal.decode_image_bytes routes it there)"
+            )
+        if tag == b"VP8X":
+            raise ValueError(
+                "extended/animated WebP (VP8X) needs an external codec"
             )
         pos += 8 + size + (size & 1)
     if vp8l is None or not vp8l or vp8l[0] != 0x2F:
