@@ -2123,3 +2123,55 @@ def test_x411_capstone_composes_without_cartesian(spark):
     plan = plan_of(spark, "x411_pretraining_capstone")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+#: r9 exemption-retirement pins (verdict #4): per-entry physical-plan
+#: markers observed via scripts/probe_plan_markers.py and pinned —
+#: every entry also asserts no CartesianProduct.  BroadcastNestedLoop
+#: joins in these plans are the repo's bounded 1-row-aggregate cross
+#: pattern (audited r7/r8), not data×data products.
+RETIRED_EXEMPTION_PINS = {
+    "x252_kn_continuation": ("BroadcastHashJoin", "Window"),
+    "x256_msprt": ("Window", "HashAggregate"),
+    "x258_capture_recapture": ("BroadcastHashJoin", "HashAggregate"),
+    "x260_shot_boundaries": ("MapInPandas", "Window"),
+    "x265_tail_dependence": ("BroadcastHashJoin", "Window"),
+    "x267_holm": ("Window", "HashAggregate"),
+    "x269_hitting_prob": ("HashAggregate", "Window"),
+    "x272_threshold_sweep": ("HashAggregate", "Window"),
+    "x273_schnabel": ("BroadcastHashJoin", "Window"),
+    "x275_strength": ("HashAggregate",),
+    "x277_yuen": ("HashAggregate", "Window"),
+    "x281_bayes_ab": ("HashAggregate", "Window"),
+    "x290_corrected_prevalence": ("HashAggregate",),
+    "x30_group_quantiles": ("ObjectHashAggregate",),
+    "x31_funnel": ("BroadcastHashJoin", "HashAggregate"),
+    "x32_cohort_retention": ("BroadcastHashJoin", "HashAggregate"),
+    "x34_event_transitions": ("HashAggregate", "Window"),
+    "x36_group_sample": ("Window",),
+    "x43_fuzzy_match": ("BroadcastHashJoin", "Window"),
+    "x45_gap_fill": ("BroadcastHashJoin", "Window", "Generate"),
+    "x46_pivot": ("BroadcastHashJoin", "HashAggregate"),
+    "x47_attribution": ("Window",),
+    "x50_surprisal": ("BroadcastHashJoin", "HashAggregate", "Generate"),
+    "x52_source_overlap": ("BroadcastHashJoin", "HashAggregate"),
+    "x53_corr": ("HashAggregate", "Generate"),
+    "x54_time_weighted_avg": ("HashAggregate", "Window"),
+    "x61_js_divergence": ("BroadcastHashJoin", "HashAggregate", "Generate"),
+    "x66_ab_test": ("HashAggregate",),
+    "x67_survival": ("HashAggregate", "Generate"),
+    "x68_trimmed_mean": ("ObjectHashAggregate",),
+    "x69_cusum": ("BroadcastHashJoin", "Window"),
+    "x70_autocorr": ("HashAggregate", "Window"),
+    "x71_concentration": ("BroadcastHashJoin", "Window"),
+    "x75_kmeans_step": ("BroadcastHashJoin", "HashAggregate"),
+    "x76_rrf_fusion": ("Window",),
+}
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED_EXEMPTION_PINS))
+def test_retired_exemption_plan_markers(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    for marker in RETIRED_EXEMPTION_PINS[name]:
+        assert marker in plan, (name, marker)
