@@ -609,3 +609,200 @@ def _sql_x415() -> str:
 
 EXT19_QUERIES.update({"x415_vp8_ahash": q_x415_vp8_ahash})
 EXT19_ORACLES.update({"x415_vp8_ahash": _sql_x415()})
+
+
+# -------------- x416: TPC-H Q4 shape (EXISTS semi-join, ordered agg)
+
+
+def q_x416_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking) adapted to the generator's
+    columns (no commit/receipt dates → the existence predicate is "at
+    least one line shipped within 30 days of the order date"): a
+    quarter of orders semi-joined against the derived lineitem
+    condition, counted per priority — the EXISTS → LeftSemi planning
+    path over a derived join condition."""
+    orders = _ts(sf_dir, spark, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _ts(sf_dir, spark, "lineitem").select("l_orderkey", "l_shipdate")
+    fast = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate.cast("date")
+            <= F.date_add(orders.o_orderdate.cast("date"), 30)
+        ),
+        how="left_semi",
+    )
+    return (
+        fast.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_X416 = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE)
+            <= CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+EXT19_QUERIES.update({"x416_tpch_q4": q_x416_tpch_q4})
+EXT19_ORACLES.update({"x416_tpch_q4": SQL_X416})
+
+
+# ---- x417: TPC-H Q16 shape (anti-join + count-distinct per group)
+
+
+def q_x417_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship) adapted (no partsupp →
+    lineitem is the part↔supplier bridge; the excluded-supplier
+    subquery is "suppliers with ≥ 210 R-returned lines" (the ~p80 of the
+    generator's per-supplier return counts), standing in
+    for the complaints LIKE-filter): distinct supplier count per
+    (brand, size band) after a broadcast anti-join — the NOT-IN →
+    LeftAnti plus count-distinct aggregation paths."""
+    li = _ts(sf_dir, spark, "lineitem")
+    part = _ts(sf_dir, spark, "part")
+    bad = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 210)
+        .select(F.col("l_suppkey").alias("bad_suppkey"))
+    )
+    pairs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            (F.col("p_size") - F.col("p_size") % 10)
+            .cast("long")
+            .alias("size_band"),
+            "l_suppkey",
+        )
+        .dropDuplicates(["p_brand", "size_band", "l_suppkey"])
+    )
+    kept = pairs.join(
+        F.broadcast(bad),
+        pairs.l_suppkey == bad.bad_suppkey,
+        how="left_anti",
+    )
+    return (
+        kept.groupBy("p_brand", "size_band")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("size_band")
+        )
+    )
+
+
+SQL_X417 = """
+WITH bad AS (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+  GROUP BY l_suppkey HAVING COUNT(*) >= 210
+), pairs AS (
+  SELECT DISTINCT p_brand,
+         CAST(p_size - p_size % 10 AS BIGINT) AS size_band,
+         l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand, size_band,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+WHERE l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+GROUP BY p_brand, size_band
+ORDER BY supplier_cnt DESC, p_brand ASC, size_band ASC
+"""
+
+
+EXT19_QUERIES.update({"x417_tpch_q16": q_x417_tpch_q16})
+EXT19_ORACLES.update({"x417_tpch_q16": SQL_X417})
+
+
+# ---- x418: TPC-H Q22 shape (scalar-subquery filter + anti-join)
+
+
+def q_x418_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity) adapted (country code →
+    nationkey mod 10): customers with above-average positive account
+    balance and no ORDER SINCE 1999 (the generator gives every
+    customer at least one lifetime order, so the dormancy predicate is
+    time-scoped) — the scalar-subquery threshold (a 1-row broadcast
+    nested-loop join, the repo's bounded cross pattern) plus the
+    NOT-EXISTS → LeftAnti path, with decimal-staged balance sums."""
+    cust = _ts(sf_dir, spark, "customer")
+    orders = (
+        _ts(sf_dir, spark, "orders")
+        .where(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal").cast("double") > F.col("__avg")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, how="left_anti"
+    )
+    return (
+        no_orders.groupBy(
+            (F.col("c_nationkey") % 10).cast("long").alias("cntrycode")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("c_acctbal").cast("decimal(18,2)")
+                    ).cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+SQL_X418 = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS totacctbal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > avg_bal.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c_nationkey % 10
+ORDER BY 1
+"""
+
+
+EXT19_QUERIES.update({"x418_tpch_q22": q_x418_tpch_q22})
+EXT19_ORACLES.update({"x418_tpch_q22": SQL_X418})

@@ -190,6 +190,9 @@ SENSITIVE = [
     "x412_tpch_q1",
     "x413_tpch_q18",
     "x414_tpch_q21",
+    "x416_tpch_q4",
+    "x417_tpch_q16",
+    "x418_tpch_q22",
     "p07_panel_dedup",
 ]
 

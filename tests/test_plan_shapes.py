@@ -2175,3 +2175,25 @@ def test_retired_exemption_plan_markers(spark, name):
     assert "CartesianProduct" not in plan, name
     for marker in RETIRED_EXEMPTION_PINS[name]:
         assert marker in plan, (name, marker)
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    plan = plan_of(spark, "x416_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "x417_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_scalar_threshold_plus_anti_join(spark):
+    # the 1-row average rides a broadcast nested-loop (bounded cross
+    # pattern); dormancy is a LeftAnti against the date-filtered scan
+    plan = plan_of(spark, "x418_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
