@@ -80,3 +80,60 @@ def curate_documents(
         .select(F.col("doc").alias(id_col))
     )
     return exact_kept.join(F.broadcast(drop), on=id_col, how="left_anti")
+
+
+def quality_survivors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    near_dup_threshold: float = 0.6,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup clusters resolved with a QUALITY-aware survivor policy
+    (r9): instead of :func:`~.dedup.duplicate_clusters`' min-id
+    canonical, each cluster keeps its highest-``quality`` member
+    (ties → smaller id) — the policy a production corpus actually
+    wants, since near-dup groups usually contain one clean copy and
+    several boilerplate-damaged ones.
+
+    Scale shape: the LSH pair list is tiny relative to the corpus, so
+    the survivor election is one ``max_by`` over a (quality, −id)
+    total order per component plus one broadcastable profile join —
+    no new wide shuffle beyond the x03/x09 machinery it composes.
+
+    Output, one row per CLUSTER: ``component, survivor,
+    survivor_quality, cluster_size, dropped``.
+    """
+    from .dedup import duplicate_clusters, minhash_lsh_pairs
+    from .text import text_profile
+
+    prof = text_profile(df, text_col).select(
+        F.col(id_col).alias("doc"), "quality"
+    )
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        n=shingle_n, num_hashes=num_hashes, bands=bands,
+        threshold=near_dup_threshold,
+    )
+    clusters = duplicate_clusters(pairs)
+    scored = clusters.join(prof, on="doc")
+    return (
+        scored.groupBy("component")
+        .agg(
+            F.max_by(
+                F.col("doc"),
+                F.struct(F.col("quality"), -F.col("doc")),
+            ).cast("long").alias("survivor"),
+            F.max("quality").alias("survivor_quality"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("dropped"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            "survivor", "survivor_quality", "cluster_size", "dropped",
+        )
+        .orderBy("component")
+    )

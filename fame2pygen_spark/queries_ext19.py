@@ -806,3 +806,48 @@ ORDER BY 1
 
 EXT19_QUERIES.update({"x418_tpch_q22": q_x418_tpch_q22})
 EXT19_ORACLES.update({"x418_tpch_q22": SQL_X418})
+
+
+# ----------- x419: quality-aware near-dup survivor election
+
+
+def q_x419_quality_canonical(spark, sf_dir):
+    """Quality-aware dedup survivor policy
+    (operators/curation.py:quality_survivors): LSH near-dup clusters
+    keep their highest-quality member (ties → smaller id) instead of
+    the min-id canonical — the survivor election a production corpus
+    runs so the clean copy wins over boilerplate-damaged near-dups.
+    One max_by over a (quality, −id) total order per component on top
+    of the proved x03/x09 machinery; the oracle replays the identical
+    clusters and profile quality, electing with arg_max over the same
+    composite order."""
+    from .operators.curation import quality_survivors
+
+    docs = _ts(sf_dir, spark, "documents")
+    return quality_survivors(docs, "text", "doc_id")
+
+
+def _sql_x419() -> str:
+    return f"""
+WITH RECURSIVE {_sql_profile_ctes()},
+{_sql_x03_ctes()},
+{_SQL_COMPONENT_CTES},
+x419_ranked AS (
+  SELECT s.doc, s.component, p.quality,
+         COUNT(*) OVER (PARTITION BY s.component) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY s.component
+                            ORDER BY p.quality DESC, s.doc ASC) AS rn
+  FROM comp s JOIN prof p ON p.doc_id = s.doc
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc AS BIGINT) AS survivor,
+       quality AS survivor_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS dropped
+FROM x419_ranked WHERE rn = 1
+ORDER BY 1
+"""
+
+
+EXT19_QUERIES.update({"x419_quality_canonical": q_x419_quality_canonical})
+EXT19_ORACLES.update({"x419_quality_canonical": _sql_x419()})

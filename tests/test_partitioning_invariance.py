@@ -193,6 +193,7 @@ SENSITIVE = [
     "x416_tpch_q4",
     "x417_tpch_q16",
     "x418_tpch_q22",
+    "x419_quality_canonical",
     "p07_panel_dedup",
 ]
 

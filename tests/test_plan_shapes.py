@@ -2197,3 +2197,11 @@ def test_tpch_q22_scalar_threshold_plus_anti_join(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_canonical_survivor_is_one_maxby(spark):
+    # profile join + one max_by per component on top of the pinned
+    # x03/x09 machinery — no cartesian, components stay checkpointed
+    plan = plan_of(spark, "x419_quality_canonical")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
