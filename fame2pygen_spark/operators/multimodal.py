@@ -379,6 +379,8 @@ def decode_image_bytes(payload: bytes):
         if payload[12:16] == b"VP8 ":
             from .vp8 import decode_vp8_rgb
 
+            if len(payload) < 20:
+                raise ValueError("truncated WebP VP8 chunk header")
             size = struct.unpack_from("<I", payload, 16)[0]
             return decode_vp8_rgb(payload[20 : 20 + size])
         from .webp import decode_webp_lossless

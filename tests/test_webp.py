@@ -85,9 +85,18 @@ def test_webp_dispatches_through_decode_image_bytes():
     rgb = decode_image_bytes(encode_webp_lossless(img))
     assert rgb.shape == (6, 9, 3)
     assert (rgb == img[:, :, :3]).all()
-    # lossy VP8 stays the declared boundary
-    with pytest.raises(ValueError, match="lossy"):
+    # lossy VP8 key frames decode for real as of r9 (operators/vp8.py);
+    # a garbage VP8 chunk raises cleanly into the needs-codec lane
+    with pytest.raises(ValueError, match="truncated"):
         decode_image_bytes(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+    from fame2pygen_spark.operators.vp8 import (
+        encode_vp8_keyframe, wrap_webp_vp8,
+    )
+
+    gray = np.full((16, 16), 99, dtype=np.uint8)
+    rgb = decode_image_bytes(wrap_webp_vp8(encode_vp8_keyframe(gray.tolist())))
+    assert rgb.shape == (16, 16, 3)
+    assert (rgb[:, :, 0] == gray).all()
 
 
 def test_webp_distance_map_has_120_entries():
