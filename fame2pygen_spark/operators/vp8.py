@@ -318,6 +318,32 @@ SPEC_TABLES = {
 }
 
 
+class use_spec_tables:
+    """Context manager swapping :data:`SPEC_TABLES` entries — THE
+    substitution point for external-stream interop: drop the RFC 6386
+    constants in (``token_probs``, ``token_update_probs``,
+    ``kf_bmode_probs``) and every header/coefficient path uses them;
+    nothing else in the module changes.  The test suite proves the
+    machinery is table-agnostic by round-tripping under an unrelated
+    deterministic table set."""
+
+    def __init__(self, tables: dict):
+        self._new = tables
+        self._old: dict = {}
+
+    def __enter__(self):
+        for k, v in self._new.items():
+            if k not in SPEC_TABLES:
+                raise KeyError(f"unknown SPEC_TABLES entry {k!r}")
+            self._old[k] = SPEC_TABLES[k]
+            SPEC_TABLES[k] = v
+        return SPEC_TABLES
+
+    def __exit__(self, *exc):
+        SPEC_TABLES.update(self._old)
+        return False
+
+
 # ------------------------------------------------------------- transforms
 
 

@@ -69,6 +69,8 @@ def main() -> None:
     from fame2pygen_spark.operators import dedup as dd
 
     # --- capped pair run (the measured quantity) ---
+    # untimed warm-read pass first (r9 protocol — see bench_scale)
+    bench_scale.warm_read(bench_scale.CORPUS, SF_DIR)
     t0 = time.perf_counter()
     n_pairs = dd.minhash_lsh_pairs(
         docs, "text", "doc_id", n=5, num_hashes=64, bands=16,

@@ -283,3 +283,49 @@ def test_loop_filter_uniform_region_is_identity():
         encode_vp8_keyframe(img.tolist(), filter_level=40)
     )
     assert (np.array(f["y"], dtype=np.uint8) == img).all()
+
+
+def test_spec_tables_substitution_point():
+    """The machinery is table-agnostic: swap in an unrelated
+    deterministic probability set (as the RFC constants would be) and
+    the encoder/decoder pair still round-trips bit-exactly — the
+    documented single substitution point for external interop."""
+    from fame2pygen_spark.operators.vp8 import SPEC_TABLES, use_spec_tables
+
+    img = _flat_image(seed=21)
+    alt = {
+        "token_probs": [
+            [
+                [
+                    [max(1, min(254, (37 * (p + 2) * (b + 3) * (c + 1)
+                                      + 11 * n) % 253 + 1))
+                     for n in range(11)]
+                    for c in range(3)
+                ]
+                for b in range(8)
+            ]
+            for p in range(4)
+        ],
+        "token_update_probs": [
+            [[[max(1, (171 + p + b + c + n) % 255) for n in range(11)]
+              for c in range(3)] for b in range(8)]
+            for p in range(4)
+        ],
+        "kf_bmode_probs": [
+            [[max(1, (a * 13 + l * 7 + n * 3) % 254 + 1)
+              for n in range(9)] for l in range(10)]
+            for a in range(10)
+        ],
+    }
+    import numpy as np
+
+    with use_spec_tables(alt):
+        data = encode_vp8_keyframe(
+            img.tolist(),
+            update_probs=((0, 0, 0, 3, 50),),
+            n_partitions=2,
+        )
+        f = decode_vp8_keyframe(data)
+        assert (np.array(f["y"], dtype=np.uint8) == img).all()
+    # restored afterwards
+    assert SPEC_TABLES["kf_bmode_probs"][0][0][0] == 128
