@@ -106,6 +106,63 @@ def cosine_topk(
     )
 
 
+def cosine_topk_keyed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    partition_col: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Entity-scoped exact top-k cosine neighbors (the panel lane of
+    :func:`cosine_topk`, r9): both sides carry *partition_col* and the
+    score join is KEY-EQUI on it — never a global broadcast cross — so
+    each entity's query×corpus block computes independently and the
+    pair space is Σ_e |Q_e|·|C_e| instead of |Q|·|C|.  At 100 TB this
+    is per-tenant / per-shard retrieval: the join shuffles once on the
+    entity hash, adding entities adds partitions, and a hot entity is
+    bounded by its own block, not the corpus.
+
+    Output: (partition_col, query_id, neighbor_id, rank, score) with
+    the same 6-dp deterministic (score desc, neighbor_id) rank order
+    as the global operator.
+    """
+    c = corpus.select(
+        F.col(partition_col).alias("__pk"),
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__nv", l2_norm(F.col("__v")))
+    q = queries.select(
+        F.col(partition_col).alias("__pk"),
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("__q"),
+    ).withColumn("__nq", l2_norm(F.col("__q")))
+    scored = c.join(q, on="__pk")
+    if not include_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "score",
+        prenormed_cosine(
+            F.col("__v"), F.col("__q"), F.col("__nv"), F.col("__nq")
+        ),
+    )
+    w = Window.partitionBy("__pk", "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__pk").alias(partition_col),
+            "query_id", "neighbor_id", "rank", "score",
+        )
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side constants)."""
     import random

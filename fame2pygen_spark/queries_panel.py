@@ -638,3 +638,74 @@ WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) >= 0.6
 
 PANEL_QUERIES.update({"p07_panel_dedup": q_p07_panel_dedup})
 PANEL_ORACLES.update({"p07_panel_dedup": _sql_p07()})
+
+
+# -------------- p08: entity-scoped exact ANN (similarity panel lane)
+
+
+def q_p08_panel_ann(spark, sf_dir):
+    """The similarity family in panel mode: exact top-3 cosine
+    neighbors per query vector scoped to the query's ``label`` entity
+    (operators/similarity.py:cosine_topk_keyed) — the score join is
+    key-equi on the entity, so the pair space is per-entity blocks and
+    the rank windows PARTITION BY (entity, query).  Queries are the
+    deterministic vec_id % 25 slice; the oracle replays the identical
+    double-fold cosine with a label-equi join and PARTITION BY
+    ranking."""
+    from .operators.similarity import cosine_topk_keyed
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        "label",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk_keyed(emb, queries, "label", k=3)
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
+SQL_P08 = """
+WITH q AS (
+  SELECT label, vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT label, vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.label, q.query_id, c.neighbor_id,
+         ROUND(
+           list_reduce(list_transform(range(1, 65),
+                       i -> cv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]),
+                       (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+                        i -> cv[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)]),
+                        (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                        i -> qv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]),
+                        (acc, x) -> acc + x))), 6) AS score
+  FROM c JOIN q ON c.label = q.label
+  WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label, query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 3
+"""
+
+
+PANEL_QUERIES.update({"p08_panel_ann": q_p08_panel_ann})
+PANEL_ORACLES.update({"p08_panel_ann": SQL_P08})

@@ -195,6 +195,7 @@ SENSITIVE = [
     "x418_tpch_q22",
     "x419_quality_canonical",
     "p07_panel_dedup",
+    "p08_panel_ann",
 ]
 
 

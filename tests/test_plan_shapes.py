@@ -2205,3 +2205,12 @@ def test_quality_canonical_survivor_is_one_maxby(spark):
     plan = plan_of(spark, "x419_quality_canonical")
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_p08_ann_join_is_entity_keyed(spark):
+    # the panel similarity lane: score join must be key-equi on the
+    # entity — never a nested-loop broadcast cross of query x corpus
+    plan = plan_of(spark, "p08_panel_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__pk" in plan
