@@ -4301,3 +4301,63 @@ def local_align_pairs(
         staged.mapInPandas(compute, schema=schema)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    partition_col: str,
+) -> DataFrame:
+    """Per-entity Heaps-law vocabulary growth (r9 panel text lane):
+    for each *partition_col* entity, documents in *id_col* order
+    accumulate the count of DISTINCT tokens seen so far — the corpus
+    diagnostic behind "how much new vocabulary does each source still
+    contribute", which drives dedup/mixture decisions at ingest time.
+
+    Declarative shape, no per-entity iteration: a token's first
+    appearance is one ``groupBy(entity, token).min(id)`` (uniform
+    keys, map-side combinable), new-token counts re-key by (entity,
+    first_doc), and the running vocabulary is a PARTITION BY entity
+    cumulative window — each entity's curve computes independently, so
+    at 100 TB adding sources adds partitions, never rows-per-window.
+
+    Output per document: ``(partition_col, id_col, n_tokens, n_new,
+    vocab_cum)``, ordered.
+    """
+    base = df.select(
+        F.col(partition_col).alias("__pk"),
+        F.col(id_col).cast("long").alias("__doc"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = base.select(
+        "__pk", "__doc", F.explode("__toks").alias("__tok")
+    )
+    firsts = (
+        toks.groupBy("__pk", "__tok")
+        .agg(F.min("__doc").alias("__doc"))
+        .groupBy("__pk", "__doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    per_doc = base.select(
+        "__pk", "__doc", F.size("__toks").cast("long").alias("n_tokens")
+    ).join(firsts, on=["__pk", "__doc"], how="left")
+    w = (
+        Window.partitionBy("__pk")
+        .orderBy("__doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = per_doc.withColumn(
+        "n_new", F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    )
+    return (
+        filled.withColumn(
+            "vocab_cum", F.sum("n_new").over(w).cast("long")
+        )
+        .select(
+            F.col("__pk").alias(partition_col),
+            F.col("__doc").alias(id_col),
+            "n_tokens", "n_new", "vocab_cum",
+        )
+        .orderBy(partition_col, id_col)
+    )

@@ -709,3 +709,55 @@ FROM ranked WHERE rank <= 3
 
 PANEL_QUERIES.update({"p08_panel_ann": q_p08_panel_ann})
 PANEL_ORACLES.update({"p08_panel_ann": SQL_P08})
+
+
+# ------------- p09: per-source vocabulary growth (text panel lane)
+
+
+def q_p09_panel_vocab(spark, sf_dir):
+    """The text family in panel mode: per-source Heaps-law vocabulary
+    growth (operators/text.py:vocab_growth) — each source's documents
+    in id order accumulate distinct-token counts through a PARTITION
+    BY source cumulative window; token first-appearances are one
+    (source, token) min-aggregate, so nothing iterates per entity.
+    The oracle replays the identical tokenization, first-appearance
+    min, and partitioned cumsum."""
+    from .operators.text import vocab_growth
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_growth(docs, "text", "doc_id", "source")
+
+
+SQL_P09 = """
+WITH t AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT source, doc_id, unnest(toks) AS tok FROM t
+), firsts AS (
+  SELECT source, MIN(doc_id) AS doc_id, tok
+  FROM tok GROUP BY source, tok
+), n_new AS (
+  SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY source, doc_id
+), per_doc AS (
+  SELECT t.source, t.doc_id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+  FROM t LEFT JOIN n_new n
+    ON n.source = t.source AND n.doc_id = t.doc_id
+)
+SELECT source, doc_id, n_tokens, n_new,
+       CAST(SUM(n_new) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS vocab_cum
+FROM per_doc
+ORDER BY source, doc_id
+"""
+
+
+PANEL_QUERIES.update({"p09_panel_vocab": q_p09_panel_vocab})
+PANEL_ORACLES.update({"p09_panel_vocab": SQL_P09})

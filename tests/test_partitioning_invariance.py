@@ -196,6 +196,7 @@ SENSITIVE = [
     "x419_quality_canonical",
     "p07_panel_dedup",
     "p08_panel_ann",
+    "p09_panel_vocab",
 ]
 
 

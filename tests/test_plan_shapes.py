@@ -2214,3 +2214,12 @@ def test_p08_ann_join_is_entity_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__pk" in plan
+
+
+def test_p09_vocab_growth_windows_are_entity_keyed(spark):
+    # first-appearance is one (entity, token) aggregate; the cumsum
+    # window must be PARTITION BY entity — no global window anywhere
+    plan = plan_of(spark, "p09_panel_vocab")
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_windows(spark, "p09_panel_vocab") == []
+    assert "HashAggregate" in plan
