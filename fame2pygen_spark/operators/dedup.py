@@ -440,11 +440,42 @@ def minhash_lsh_pairs_keyed(
 
     Output: ``(partition_col, id_a, id_b, jaccard)`` — both ids share
     the entity value; ids are orderable (id_a < id_b).
+
+    Precondition: each *id_col* value maps to exactly ONE
+    *partition_col* value.  This is asserted in-plan (same shuffle as
+    the doc→key dedup it replaces; no extra driver action): an id
+    appearing under conflicting entities raises at execution time
+    instead of being silently scoped to an arbitrary one.
     """
     df = _parallelize_input(df)
-    keys = df.select(
-        F.col(id_col).alias("doc"), F.col(partition_col).alias("__pk")
-    ).dropDuplicates(["doc"])
+    # distinct (doc, pk) then 1-row-per-doc with an in-plan uniqueness
+    # guard — executor-side raise_error, no collect()
+    keys = (
+        df.select(
+            F.col(id_col).alias("doc"), F.col(partition_col).alias("__pk")
+        )
+        .dropDuplicates(["doc", "__pk"])
+        .groupBy("doc")
+        .agg(F.min("__pk").alias("__pk"), F.count(F.lit(1)).alias("__nk"))
+        .select(
+            "doc",
+            F.when(
+                F.col("__nk") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "minhash_lsh_pairs_keyed: id maps to "
+                            "multiple partition values (doc="
+                        ),
+                        F.col("doc").cast("string"),
+                        F.lit(") — the (id, entity) mapping must be unique"),
+                    )
+                ).cast(df.schema[partition_col].dataType),
+            )
+            .otherwise(F.col("__pk"))
+            .alias("__pk"),
+        )
+    )
     sigs = minhash_signatures(
         df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
     )

@@ -359,7 +359,7 @@ def encode_png_bytes(arr, *, color_type: int = 2, filter_mode: str = "cycle"):
     )
 
 
-def decode_image_bytes(payload: bytes):
+def decode_image_bytes(payload: bytes, *, allow_fixture_vp8: bool = False):
     """Decode BMP (uncompressed 24/32bpp), binary PPM (P6), PNG
     (non-interlaced 8-bit gray/RGB/palette/gray+A/RGBA — pure
     stdlib ``zlib`` + numpy unfiltering), baseline OR progressive JPEG
@@ -367,8 +367,16 @@ def decode_image_bytes(payload: bytes):
     restart markers, spectral selection + successive approximation —
     :func:`_decode_jpeg`, stdlib + numpy), or lossless WebP (VP8L,
     :mod:`.webp`) to an ``(h, w, 3)`` uint8 numpy array (RGB).
-    Raises ``ValueError`` on formats that need an external codec
-    (lossy WebP, ...)."""
+    Raises ``ValueError`` on formats that need an external codec.
+
+    Lossy WebP (VP8 key frames): the :mod:`.vp8` decoder's machinery
+    is real but its probability tables are fixture-grade (see that
+    module's honesty boundary), so externally-encoded VP8 streams
+    would decode to silently wrong pixels.  The route therefore
+    raises ``ValueError`` unless ``allow_fixture_vp8=True`` (for
+    streams produced by :func:`~.vp8.encode_vp8_keyframe`, which
+    round-trip bit-exactly) or :func:`~.vp8.install_rfc_tables` has
+    substituted the real RFC 6386 constants."""
     import struct
 
     import numpy as np
@@ -377,12 +385,34 @@ def decode_image_bytes(payload: bytes):
         return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         if payload[12:16] == b"VP8 ":
-            from .vp8 import decode_vp8_rgb
+            from . import vp8
 
             if len(payload) < 20:
                 raise ValueError("truncated WebP VP8 chunk header")
             size = struct.unpack_from("<I", payload, 16)[0]
-            return decode_vp8_rgb(payload[20 : 20 + size])
+            if size < 10:
+                # a valid key frame carries at least the 3-byte frame
+                # tag, 3-byte start code and 4 bytes of dimensions
+                raise ValueError(
+                    f"truncated WebP VP8 chunk: {size}-byte body cannot "
+                    f"hold a frame header"
+                )
+            if 20 + size > len(payload):
+                # a short slice would let BoolDecoder zero-fill past
+                # end-of-data and decode garbage — fail loudly instead
+                raise ValueError(
+                    f"truncated WebP VP8 chunk body: header declares "
+                    f"{size} bytes, payload carries {len(payload) - 20}"
+                )
+            if vp8.TABLES_ARE_FIXTURE and not allow_fixture_vp8:
+                raise ValueError(
+                    "lossy WebP (VP8) decode runs on fixture-grade "
+                    "probability tables — external streams would decode "
+                    "to wrong pixels; pass allow_fixture_vp8=True for "
+                    "encode_vp8_keyframe round-trips or call "
+                    "vp8.install_rfc_tables() for real interop"
+                )
+            return vp8.decode_vp8_rgb(payload[20 : 20 + size])
         from .webp import decode_webp_lossless
 
         return decode_webp_lossless(payload)[:, :, :3]
@@ -1568,12 +1598,17 @@ def image_features(
     id_col: str = "asset_id",
     payload_col: str = "payload",
     thumb: tuple[int, int] = (8, 8),
+    allow_fixture_vp8: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract + thumbnail over binary image payloads
     via ``mapInPandas`` — REAL for BMP/PPM; compressed formats yield a
     ``decoded='needs-codec'`` row instead of failing the batch, so one
-    JPEG in a 100 TB corpus cannot poison a partition."""
+    JPEG in a 100 TB corpus cannot poison a partition.
+    ``allow_fixture_vp8`` opts lossy-WebP payloads into the fixture
+    decode lane (see :func:`decode_image_bytes`); closure-captured so
+    it reaches every Arrow worker."""
     th, tw = int(thumb[1]), int(thumb[0])
+    fixture_vp8 = bool(allow_fixture_vp8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1581,7 +1616,10 @@ def image_features(
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
                 out["asset_id"].append(int(aid))
                 try:
-                    arr = decode_image_bytes(bytes(p) if p is not None else b"")
+                    arr = decode_image_bytes(
+                        bytes(p) if p is not None else b"",
+                        allow_fixture_vp8=fixture_vp8,
+                    )
                     small = resize_image(arr, th, tw)
                     means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
                     out["width"].append(int(arr.shape[1]))
@@ -1656,17 +1694,22 @@ def audio_features(
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     """Column-level image decode for formats needing an external codec
-    (animated/extended WebP VP8X and VP8 interframes only, as of r9).
-    BMP/PPM/PNG, baseline + progressive JPEG, lossless WebP (VP8L)
-    *and lossy-WebP key frames (VP8 intra — :mod:`.vp8`, see its
-    honesty boundary on the probability tables)* decode for real —
-    use :func:`image_features` / :func:`image_ahash` (Arrow-batched
-    ``mapInPandas`` over :func:`decode_image_bytes`)."""
+    (animated/extended WebP VP8X and VP8 interframes, plus external
+    lossy-WebP VP8 streams until real RFC 6386 tables are installed).
+    BMP/PPM/PNG, baseline + progressive JPEG and lossless WebP (VP8L)
+    decode for real; VP8 key frames decode in the *fixture lane* only
+    (:mod:`.vp8` honesty boundary — ``encode_vp8_keyframe``
+    round-trips bit-exactly, external streams raise unless
+    ``install_rfc_tables()`` has run) — use :func:`image_features` /
+    :func:`image_ahash` (Arrow-batched ``mapInPandas`` over
+    :func:`decode_image_bytes`)."""
     raise NotImplementedError(
         "animated/extended WebP (VP8X) and VP8 interframes need a "
-        "full video codec — not available here; every still format "
-        "(BMP/PPM/PNG/JPEG baseline+progressive/VP8L/VP8 key frames) "
-        "is decoded for real via image_features()"
+        "full video codec — not available here; BMP/PPM/PNG/JPEG "
+        "baseline+progressive/VP8L decode for real via "
+        "image_features(); VP8 key frames decode in the fixture lane "
+        "(opt-in allow_fixture_vp8 for encode_vp8_keyframe streams, "
+        "vp8.install_rfc_tables() for external interop)"
     )
 
 
@@ -1706,7 +1749,8 @@ AHASH_SCHEMA = StructType(
 
 
 def image_ahash(
-    df: DataFrame, id_col: str, payload_col: str
+    df: DataFrame, id_col: str, payload_col: str,
+    *, allow_fixture_vp8: bool = False,
 ) -> DataFrame:
     """Perceptual average-hash of REAL image payloads: decode
     (BMP/PPM, :func:`decode_image_bytes`), nearest-neighbor thumbnail
@@ -1718,7 +1762,10 @@ def image_ahash(
     compare 16-bit bands, verify with ``bit_count(xor)``) mark
     visually-identical thumbnails; the banding shape is the SimHash
     pipeline (dedup.py) applied to pixels instead of tokens.
+    ``allow_fixture_vp8`` opts lossy-WebP payloads into the fixture
+    decode lane (see :func:`decode_image_bytes`).
     """
+    fixture_vp8 = bool(allow_fixture_vp8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1728,7 +1775,9 @@ def image_ahash(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 out["doc_id"].append(doc_id)
                 try:
-                    arr = decode_image_bytes(bytes(payload))
+                    arr = decode_image_bytes(
+                        bytes(payload), allow_fixture_vp8=fixture_vp8
+                    )
                 except ValueError:
                     out["h"].append(None)
                     out["w"].append(None)

@@ -317,6 +317,51 @@ SPEC_TABLES = {
     ],
 }
 
+#: True while :data:`SPEC_TABLES` holds the documented fixture-grade
+#: values.  External VP8 streams decoded under fixture tables produce
+#: silently wrong pixels, so :func:`~.multimodal.decode_image_bytes`
+#: refuses the lossy-WebP route unless the caller opts in (streams
+#: from :func:`encode_vp8_keyframe` round-trip bit-exactly) or
+#: :func:`install_rfc_tables` has substituted the real constants.
+TABLES_ARE_FIXTURE = True
+
+
+def install_rfc_tables(
+    token_probs, token_update_probs, kf_bmode_probs
+) -> None:
+    """Permanently substitute the real RFC 6386 constant tables,
+    unlocking external-stream decode (``TABLES_ARE_FIXTURE`` → False).
+
+    Shape-validated: ``token_probs`` and ``token_update_probs`` are
+    [4][8][3][11], ``kf_bmode_probs`` is [10][10][9], every entry an
+    int in [1, 255].  This is the production interop hook the module
+    docstring's honesty boundary points at — nothing else changes.
+    """
+    global TABLES_ARE_FIXTURE
+
+    def _check(tbl, dims, name):
+        def walk(node, ds):
+            if not ds:
+                if not isinstance(node, int) or not (1 <= node <= 255):
+                    raise ValueError(f"{name}: entry {node!r} not in [1,255]")
+                return
+            if len(node) != ds[0]:
+                raise ValueError(
+                    f"{name}: axis length {len(node)} != {ds[0]}"
+                )
+            for sub in node:
+                walk(sub, ds[1:])
+
+        walk(tbl, dims)
+
+    _check(token_probs, (4, 8, 3, 11), "token_probs")
+    _check(token_update_probs, (4, 8, 3, 11), "token_update_probs")
+    _check(kf_bmode_probs, (10, 10, 9), "kf_bmode_probs")
+    SPEC_TABLES["token_probs"] = token_probs
+    SPEC_TABLES["token_update_probs"] = token_update_probs
+    SPEC_TABLES["kf_bmode_probs"] = kf_bmode_probs
+    TABLES_ARE_FIXTURE = False
+
 
 class use_spec_tables:
     """Context manager swapping :data:`SPEC_TABLES` entries — THE

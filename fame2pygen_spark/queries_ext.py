@@ -158,6 +158,7 @@ bands AS (
   SELECT s.doc_id, b.band,
          md5(array_to_string(s.sig[b.band * 4 + 1 : b.band * 4 + 4], ',')) AS bh
   FROM sigs s, LATERAL (SELECT unnest(range(0, 16)) AS band) b
+  QUALIFY row_number() OVER (PARTITION BY b.band, bh ORDER BY s.doc_id) <= 1000
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b

@@ -596,7 +596,10 @@ def q_x415_vp8_ahash(spark, sf_dir):
             )
 
     with_vp8 = staged.mapInPandas(encode, schema=_PROG_PAYLOAD_SCHEMA)
-    return image_ahash(with_vp8, "doc_id", "payload")
+    # fixture-lane opt-in: these streams come from encode_vp8_keyframe,
+    # the one provenance that round-trips bit-exactly under the
+    # fixture-grade probability tables (vp8.py honesty boundary)
+    return image_ahash(with_vp8, "doc_id", "payload", allow_fixture_vp8=True)
 
 
 def _sql_x415() -> str:

@@ -602,6 +602,8 @@ bands AS (
   FROM sigs s
   JOIN docs d ON d.doc_id = s.doc_id,
        LATERAL (SELECT unnest(range(0, 16)) AS band) b
+  QUALIFY row_number() OVER (PARTITION BY d.pk, b.band, bh ORDER BY s.doc_id)
+          <= 1000
 ),
 cand AS (
   SELECT DISTINCT l.pk, l.doc_id AS id_a, r.doc_id AS id_b

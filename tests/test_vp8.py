@@ -193,7 +193,9 @@ def test_rgb_and_container_path():
     payload = wrap_webp_vp8(encode_vp8_keyframe(img.tolist()))
     from fame2pygen_spark.operators.multimodal import decode_image_bytes
 
-    rgb = decode_image_bytes(payload)
+    # fixture-lane opt-in: this stream comes from encode_vp8_keyframe,
+    # the one provenance that round-trips under fixture tables (r10 gate)
+    rgb = decode_image_bytes(payload, allow_fixture_vp8=True)
     assert rgb.shape == (64, 64, 3)
     for ch in range(3):  # gray: R = G = B = Y exactly
         assert (rgb[:, :, ch] == img).all()
