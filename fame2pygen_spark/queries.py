@@ -1101,6 +1101,12 @@ def _prior_driver_checked() -> set[str]:
 #: checked it drops out like any other name.
 ROTATION_PRIORITY: list[str] = [
     "x411_pretraining_capstone",
+    # r9 verdict item #2: the round-9 additions take an early rotation
+    # slot instead of waiting ~10 rounds at the registry tail — the
+    # TPC-H planning shapes, the VP8 lane, and the survivor policy.
+    "x412_tpch_q1", "x413_tpch_q18", "x414_tpch_q21", "x415_vp8_ahash",
+    "x416_tpch_q4", "x417_tpch_q16", "x418_tpch_q22",
+    "x419_quality_canonical",
 ]
 
 
