@@ -85,9 +85,10 @@ def main() -> None:
         0,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
     )
-    from bench_scale import warm_read
+    from bench_scale import steal_ms_now, warm_read
 
     timings: dict[str, float] = {}
+    steal0 = steal_ms_now()
     for name in HEADLINE:
         fn = QUERIES[name]
         # untimed warm-read pass (r8 verdict item #2): byte-read the
@@ -110,6 +111,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # hypervisor steal across the whole headline loop (one number:
+        # the final line must stay compact) — r9's +22% elevation was
+        # adjudicated from prose; this makes host contention readable
+        # from the artifact.  Per-entry detail: BENCH_SCALE.json.
+        "steal_ms_total": round(steal_ms_now() - steal0, 1),
     }
 
     headline_line = json.dumps(result)

@@ -70,6 +70,25 @@ def warm_read(*paths) -> None:
                 pass
 
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def steal_ms_now() -> float:
+    """Cumulative hypervisor steal time in ms from /proc/stat (field 8
+    of the aggregate ``cpu`` line: user nice system idle iowait irq
+    softirq STEAL).  0.0 where the file or field is unavailable (bare
+    metal, non-Linux).  The r9 diagnosis of bench elevation — bursty
+    steal while the repo's plans were unchanged — lived as prose in
+    BASELINE.md; recording the per-entry delta makes a future "entry X
+    got 40% slower" adjudicable from the artifact alone."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) * 1000.0 / _CLK_TCK
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 def build_corpus(spark):
     """Replicate sf0.1 documents REPLICAS× (cached as parquet)."""
     from pyspark.sql import functions as F
@@ -105,6 +124,7 @@ def run_scale_tier(spark) -> dict:
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     rows: dict[str, int] = {}
+    steals: dict[str, float] = {}
 
     def timed(name, fn):
         # warm-read median protocol (r8 verdict item #2): an UNTIMED
@@ -117,13 +137,23 @@ def run_scale_tier(spark) -> dict:
         warm_read(CORPUS, SF_DIR)
         fn()
         walls = []
+        run_steals = []
         out = None
         for _ in range(RUNS):
+            s0 = steal_ms_now()
             t0 = time.perf_counter()
             out = fn()
             walls.append(time.perf_counter() - t0)
+            run_steals.append(steal_ms_now() - s0)
         timings[name] = round(statistics.median(walls), 2)
         mins[name] = round(min(walls), 2)
+        # steal delta of the median-wall run (the run the comparison
+        # number comes from), so a regressed median can be read against
+        # the host contention it ran under
+        med_idx = sorted(range(len(walls)), key=walls.__getitem__)[
+            len(walls) // 2
+        ]
+        steals[name] = round(run_steals[med_idx], 1)
         # every tier lambda returns a .count() — record it so scaling
         # runs can normalize wall time by output volume (pair counts
         # grow quadratically in the replica factor by construction)
@@ -474,6 +504,7 @@ def run_scale_tier(spark) -> dict:
         "runs": RUNS,
         "queries": timings,
         "queries_min": mins,
+        "steal_ms": steals,
         "rows": rows,
         "n_docs": n_docs,
         "n_events": n_events,
