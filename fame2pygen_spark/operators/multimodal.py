@@ -66,7 +66,9 @@ _MAGIC = [
 
 def sniff_media(payload: Column) -> Column:
     """JVM-side media-type sniffing from magic bytes → (kind, mime)
-    struct; no payload decode, no Python."""
+    struct; no payload decode, no Python.  RIFF containers are
+    disambiguated on the form type at bytes 9–12 (``WEBP`` → image,
+    ``WAVE``/other → the audio default)."""
     head = F.lower(F.hex(F.substring(payload, 1, 8)))
     kind = F.lit("unknown")
     mime = F.lit("application/octet-stream")
@@ -74,6 +76,11 @@ def sniff_media(payload: Column) -> Column:
         is_match = head.startswith(prefix.upper()) | head.startswith(prefix)
         kind = F.when(is_match, F.lit(k)).otherwise(kind)
         mime = F.when(is_match, F.lit(m)).otherwise(mime)
+    is_webp = head.startswith("52494646") & (
+        F.hex(F.substring(payload, 9, 4)) == F.lit("57454250")
+    )
+    kind = F.when(is_webp, F.lit("image")).otherwise(kind)
+    mime = F.when(is_webp, F.lit("image/webp")).otherwise(mime)
     return F.struct(kind.alias("kind"), mime.alias("mime"))
 
 
@@ -1694,22 +1701,26 @@ def audio_features(
 
 def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     """Column-level image decode for formats needing an external codec
-    (animated/extended WebP VP8X and VP8 interframes, plus external
-    lossy-WebP VP8 streams until real RFC 6386 tables are installed).
-    BMP/PPM/PNG, baseline + progressive JPEG and lossless WebP (VP8L)
-    decode for real; VP8 key frames decode in the *fixture lane* only
-    (:mod:`.vp8` honesty boundary — ``encode_vp8_keyframe``
-    round-trips bit-exactly, external streams raise unless
-    ``install_rfc_tables()`` has run) — use :func:`image_features` /
-    :func:`image_ahash` (Arrow-batched ``mapInPandas`` over
-    :func:`decode_image_bytes`)."""
+    (ANIMATED WebP — ANIM/ANMF frame compositing — and VP8
+    interframes, plus external lossy-VP8 streams until real RFC 6386
+    tables are installed).  BMP/PPM/PNG, baseline + progressive JPEG,
+    lossless WebP (VP8L) and STILL extended WebP (VP8X wrapping VP8L —
+    metadata chunks are skipped, r10) decode for real; VP8X containers
+    also parse scan-time via :func:`vp8x_info` with zero decode.  VP8
+    key frames decode in the *fixture lane* only (:mod:`.vp8` honesty
+    boundary — ``encode_vp8_keyframe`` round-trips bit-exactly,
+    external streams raise unless ``install_rfc_tables()`` has run) —
+    use :func:`image_features` / :func:`image_ahash` (Arrow-batched
+    ``mapInPandas`` over :func:`decode_image_bytes`)."""
     raise NotImplementedError(
-        "animated/extended WebP (VP8X) and VP8 interframes need a "
-        "full video codec — not available here; BMP/PPM/PNG/JPEG "
-        "baseline+progressive/VP8L decode for real via "
-        "image_features(); VP8 key frames decode in the fixture lane "
-        "(opt-in allow_fixture_vp8 for encode_vp8_keyframe streams, "
-        "vp8.install_rfc_tables() for external interop)"
+        "animated WebP (ANIM/ANMF compositing) and VP8 interframes "
+        "need a full video codec — not available here; "
+        "BMP/PPM/PNG/JPEG baseline+progressive/VP8L/still-VP8X decode "
+        "for real via image_features(); VP8 key frames decode in the "
+        "fixture lane (opt-in allow_fixture_vp8 for "
+        "encode_vp8_keyframe streams, vp8.install_rfc_tables() for "
+        "external interop); VP8X metadata parses scan-time via "
+        "vp8x_info()"
     )
 
 
@@ -2078,8 +2089,13 @@ def image_dimensions(payload: Column) -> Column:
     u32 at fixed byte offsets 17/21 (1-indexed).  BMP: BITMAPINFOHEADER
     little-endian i32 at 19/23 — bytes are reassembled in reverse;
     a negative height (top-down DIB) is reported as its magnitude.
-    Returns ``struct<width int, height int>``, null fields for other
-    formats or truncated headers."""
+    WebP (all three flavors, first chunk mandatory-first like IHDR):
+    VP8X canvas = u24 LE minus-one fields at 25/28; VP8L = two 14-bit
+    fields bit-packed LSB-first in the u32 after the 0x2F signature
+    (extracted with pmod/floor-div — still no decode); lossy VP8 key
+    frame = 14 low bits of the u16 LE pairs after the 9D012A start
+    code.  Returns ``struct<width int, height int>``, null fields for
+    other formats or truncated headers."""
 
     def be32(off: int) -> Column:
         return F.conv(F.hex(F.substring(payload, off, 4)), 16, 10).cast(
@@ -2095,23 +2111,179 @@ def image_dimensions(payload: Column) -> Column:
             10,
         ).cast("long")
 
+    def le24(off: int) -> Column:
+        return F.conv(
+            F.concat(
+                *[F.hex(F.substring(payload, off + i, 1)) for i in (2, 1, 0)]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def le16(off: int) -> Column:
+        return F.conv(
+            F.concat(
+                *[F.hex(F.substring(payload, off + i, 1)) for i in (1, 0)]
+            ),
+            16,
+            10,
+        ).cast("long")
+
     is_png = (F.octet_length(payload) >= 24) & (
         F.hex(F.substring(payload, 1, 8)) == F.lit("89504E470D0A1A0A")
     )
     is_bmp = (F.octet_length(payload) >= 26) & (
         F.hex(F.substring(payload, 1, 2)) == F.lit("424D")
     )
+    is_webp = (F.octet_length(payload) >= 30) & (
+        F.hex(F.substring(payload, 1, 4)) == F.lit("52494646")
+    ) & (F.hex(F.substring(payload, 9, 4)) == F.lit("57454250"))
+    first_tag = F.hex(F.substring(payload, 13, 4))
+    is_vp8x = is_webp & (first_tag == F.lit("56503858"))
+    is_vp8l = is_webp & (first_tag == F.lit("5650384C")) & (
+        F.hex(F.substring(payload, 21, 1)) == F.lit("2F")
+    )
+    is_vp8 = is_webp & (first_tag == F.lit("56503820")) & (
+        F.hex(F.substring(payload, 24, 3)) == F.lit("9D012A")
+    )
     bmp_h_raw = le32(23)
     bmp_h = F.when(
         bmp_h_raw > F.lit(2**31), F.lit(2**32) - bmp_h_raw
     ).otherwise(bmp_h_raw)
+    vp8l_packed = le32(22)  # 14-bit w-1 then 14-bit h-1, LSB-first
     width = (
-        F.when(is_png, be32(17)).when(is_bmp, le32(19)).cast("int")
+        F.when(is_png, be32(17))
+        .when(is_bmp, le32(19))
+        .when(is_vp8x, le24(25) + 1)
+        .when(is_vp8l, F.pmod(vp8l_packed, F.lit(16384)) + 1)
+        .when(is_vp8, F.pmod(le16(27), F.lit(16384)))
+        .cast("int")
     )
     height = (
-        F.when(is_png, be32(21)).when(is_bmp, bmp_h).cast("int")
+        F.when(is_png, be32(21))
+        .when(is_bmp, bmp_h)
+        .when(is_vp8x, le24(28) + 1)
+        .when(
+            is_vp8l,
+            F.pmod(F.floor(vp8l_packed / F.lit(16384)), F.lit(16384)) + 1,
+        )
+        .when(is_vp8, F.pmod(le16(29), F.lit(16384)))
+        .cast("int")
     )
     return F.struct(width.alias("width"), height.alias("height"))
+
+
+def vp8x_info(payload: Column, max_chunks: int = 64) -> Column:
+    """Scan-time extended-WebP (VP8X) chunk-table parse — pure column
+    algebra (``substring``/``hex``/``conv`` + one bounded
+    ``F.aggregate`` fold), NO decode, NO Python: animation filters
+    ("drop animated assets", "keep ≤ N frames") prune during the scan
+    without shipping payload bytes to a Python worker, extending the
+    :func:`image_dimensions` story to the container the decoders
+    treat as a codec boundary.
+
+    Layout (1-indexed): RIFF header 1–12, mandatory-first VP8X chunk
+    tag 13–16, size 17–20, flags byte 21 (ICC 0x20, alpha 0x10, EXIF
+    0x08, XMP 0x04, animation 0x02), u24 LE canvas width-1 / height-1
+    at 25/28.  The fold walks the remaining chunk table (each chunk:
+    tag, u32 LE size, body, even padding) counting chunks and ANMF
+    animation frames; the walk is bounded at *max_chunks* steps and
+    stops cleanly on a truncated header or body.
+
+    Returns ``struct<width int, height int, animated boolean,
+    alpha boolean, icc boolean, exif boolean, xmp boolean,
+    n_frames int, n_chunks int>`` — all fields null for non-VP8X
+    payloads.  ``n_frames`` is the ANMF count for animations, 1 for a
+    still; ``n_chunks`` includes the VP8X chunk itself."""
+
+    def le24(off: int) -> Column:
+        return F.conv(
+            F.concat(
+                *[F.hex(F.substring(payload, off + i, 1)) for i in (2, 1, 0)]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def le32_at(off: Column) -> Column:
+        return F.conv(
+            F.concat(
+                F.hex(F.substring(payload, off + 3, F.lit(1))),
+                F.hex(F.substring(payload, off + 2, F.lit(1))),
+                F.hex(F.substring(payload, off + 1, F.lit(1))),
+                F.hex(F.substring(payload, off, F.lit(1))),
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    n_bytes = F.octet_length(payload).cast("long")
+    is_vp8x = (
+        (n_bytes >= 30)
+        & (F.hex(F.substring(payload, 1, 4)) == F.lit("52494646"))
+        & (F.hex(F.substring(payload, 9, 8)) == F.lit("5745425056503858"))
+    )
+    flags = F.conv(F.hex(F.substring(payload, 21, 1)), 16, 10).cast("int")
+
+    def walk_step(acc: Column, _: Column) -> Column:
+        off = acc["off"]
+        size = le32_at(off + 4)
+        # stop (carry acc forward) once the next header or body would
+        # run past end-of-payload — a truncated table parses cleanly
+        # to the chunks seen so far
+        incomplete = (off + 7 > n_bytes) | (
+            off + 7 + size > n_bytes
+        )
+        tag = F.hex(F.substring(payload, off, F.lit(4)))
+        return F.when(incomplete, acc).otherwise(
+            F.struct(
+                (off + 8 + size + F.pmod(size, F.lit(2)))
+                .cast("long")
+                .alias("off"),
+                (
+                    acc["anmf"]
+                    + F.when(tag == F.lit("414E4D46"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("int")
+                .alias("anmf"),
+                (acc["chunks"] + F.lit(1)).cast("int").alias("chunks"),
+            )
+        )
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_chunks))),
+        F.struct(
+            F.lit(31).cast("long").alias("off"),
+            F.lit(0).cast("int").alias("anmf"),
+            F.lit(0).cast("int").alias("chunks"),
+        ),
+        walk_step,
+    )
+
+    def bit(mask: int) -> Column:
+        return F.when(
+            is_vp8x, F.pmod(F.floor(flags / F.lit(mask)), F.lit(2)) == 1
+        )
+
+    animated = bit(0x02)
+    return F.struct(
+        F.when(is_vp8x, le24(25) + 1).cast("int").alias("width"),
+        F.when(is_vp8x, le24(28) + 1).cast("int").alias("height"),
+        animated.alias("animated"),
+        bit(0x10).alias("alpha"),
+        bit(0x20).alias("icc"),
+        bit(0x08).alias("exif"),
+        bit(0x04).alias("xmp"),
+        F.when(
+            is_vp8x,
+            F.when(animated, walk["anmf"]).otherwise(F.lit(1)),
+        )
+        .cast("int")
+        .alias("n_frames"),
+        F.when(is_vp8x, walk["chunks"] + 1).cast("int").alias("n_chunks"),
+    )
 
 
 def encode_bmp_bytes(arr):

@@ -451,9 +451,14 @@ def decode_webp_lossless(payload: bytes):
                 "(multimodal.decode_image_bytes routes it there)"
             )
         if tag == b"VP8X":
-            raise ValueError(
-                "extended/animated WebP (VP8X) needs an external codec"
-            )
+            # extended container: a STILL image (animation flag clear)
+            # is just metadata chunks around a VP8L payload — keep
+            # walking; only animation remains a true codec boundary
+            if size >= 1 and body[0] & 0x02:
+                raise ValueError(
+                    "animated WebP (VP8X + ANIM/ANMF) needs an "
+                    "external codec"
+                )
         pos += 8 + size + (size & 1)
     if vp8l is None or not vp8l or vp8l[0] != 0x2F:
         raise ValueError("missing/odd VP8L chunk")
@@ -909,4 +914,131 @@ def encode_webp_lossless(
     if len(vp8l) & 1:
         vp8l += b"\x00"
     riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ------------------------------------------------- VP8X container
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    """RIFF chunk: 4-byte tag + LE u32 size + body + even padding
+    (pad byte NOT counted in size, per the container spec)."""
+    import struct
+
+    return (
+        tag
+        + struct.pack("<I", len(body))
+        + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def _vp8l_chunk_body(frame: bytes) -> bytes:
+    """VP8L chunk body from a simple lossless-WebP payload (an
+    :func:`encode_webp_lossless` output); raw VP8L bitstreams
+    (leading 0x2F) pass through unchanged."""
+    import struct
+
+    if frame[:1] == b"\x2f":
+        return frame
+    if frame[:4] != b"RIFF" or frame[8:12] != b"WEBP":
+        raise ValueError("frame is not a RIFF/WEBP payload")
+    pos = 12
+    while pos + 8 <= len(frame):
+        tag = frame[pos : pos + 4]
+        size = struct.unpack_from("<I", frame, pos + 4)[0]
+        if tag == b"VP8L":
+            return frame[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk in frame payload")
+
+
+def _vp8l_dims(body: bytes) -> tuple:
+    """(w, h) from a VP8L bitstream header: signature byte 0x2F, then
+    14-bit width-1 and 14-bit height-1, LSB-first."""
+    if len(body) < 5 or body[0] != 0x2F:
+        raise ValueError("missing/odd VP8L chunk")
+    v = body[1] | body[2] << 8 | body[3] << 16 | body[4] << 24
+    return (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+
+
+def encode_webp_vp8x(
+    frames,
+    *,
+    canvas: tuple | None = None,
+    icc: bytes | None = None,
+    exif: bytes | None = None,
+    xmp: bytes | None = None,
+    animated: bool | None = None,
+    loop_count: int = 0,
+    duration_ms: int = 100,
+    alpha: bool = False,
+) -> bytes:
+    """Extended-WebP (VP8X) container writer — the fixture/export
+    counterpart of the scan-time parser
+    (:func:`~.multimodal.vp8x_info`) and the still-VP8X branch of
+    :func:`decode_webp_lossless`.
+
+    *frames*: lossless-WebP payloads (or raw VP8L bitstreams).  One
+    frame with ``animated`` unset/False emits a STILL extended file
+    (VP8X [ICCP] VP8L [EXIF] [XMP]); multiple frames (or
+    ``animated=True``) emit an animation (VP8X [ICCP] ANIM ANMF…),
+    every frame at canvas origin with a constant *duration_ms*.
+    *canvas* defaults to the first frame's dimensions.  Flag bits
+    follow the spec byte: ICC 0x20, alpha 0x10, EXIF 0x08, XMP 0x04,
+    animation 0x02.
+
+    Reference parity: the reference pipeline delegates container
+    handling to its codec library; here the container is column-
+    parseable metadata (scan-time pruning at 100 TB) and this writer
+    exists so that claim is tested against real encoded bytes.
+    """
+    import struct
+
+    bodies = [_vp8l_chunk_body(f) for f in frames]
+    if not bodies:
+        raise ValueError("need at least one frame")
+    dims = [_vp8l_dims(b) for b in bodies]
+    cw, ch = canvas if canvas is not None else dims[0]
+    if not (1 <= cw <= 1 << 24 and 1 <= ch <= 1 << 24):
+        raise ValueError("canvas out of VP8X 24-bit range")
+    anim = bool(animated) if animated is not None else len(bodies) > 1
+
+    flags = 0
+    flags |= 0x20 if icc is not None else 0
+    flags |= 0x10 if alpha else 0
+    flags |= 0x08 if exif is not None else 0
+    flags |= 0x04 if xmp is not None else 0
+    flags |= 0x02 if anim else 0
+
+    def u24(v: int) -> bytes:
+        return struct.pack("<I", v)[:3]
+
+    vp8x = bytes([flags]) + b"\x00\x00\x00" + u24(cw - 1) + u24(ch - 1)
+    out = _riff_chunk(b"VP8X", vp8x)
+    if icc is not None:
+        out += _riff_chunk(b"ICCP", icc)
+    if anim:
+        out += _riff_chunk(
+            b"ANIM", struct.pack("<IH", 0xFFFFFFFF, loop_count)
+        )
+        for body, (fw, fh) in zip(bodies, dims):
+            hdr = (
+                u24(0)                 # x / 2
+                + u24(0)               # y / 2
+                + u24(fw - 1)
+                + u24(fh - 1)
+                + u24(duration_ms)
+                + b"\x00"              # blend over, no dispose
+            )
+            out += _riff_chunk(b"ANMF", hdr + _riff_chunk(b"VP8L", body))
+    else:
+        if len(bodies) != 1:
+            raise ValueError("a still VP8X carries exactly one frame")
+        out += _riff_chunk(b"VP8L", bodies[0])
+    if exif is not None:
+        out += _riff_chunk(b"EXIF", exif)
+    if xmp is not None:
+        out += _riff_chunk(b"XMP ", xmp)
+    riff = b"WEBP" + out
     return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -854,3 +854,103 @@ ORDER BY 1
 
 EXT19_QUERIES.update({"x419_quality_canonical": q_x419_quality_canonical})
 EXT19_ORACLES.update({"x419_quality_canonical": _sql_x419()})
+
+
+# ------- x420: scan-time VP8X chunk-table parse (zero decode, r9 #5)
+
+
+def q_x420_vp8x_dims(spark, sf_dir):
+    """Scan-time extended-WebP parsing
+    (operators/multimodal.py:vp8x_info): every document renders a REAL
+    VP8X container — canvas 1+id%13 × 1+id%7, animated with 2+id%4
+    frames when id%3=0 (still otherwise), ICC/EXIF/XMP/alpha flags on
+    id%7/id%2/id%5/id%11 — and the JVM-side chunk-table walk (pure
+    substring/hex/conv column algebra plus one bounded F.aggregate
+    fold, zero decode, zero Python at read time) must read every
+    property back exactly.  The oracle never sees the bytes: it
+    recomputes the construction formulas, so a hash match proves
+    encode → chunk-walk is lossless for flags, 24-bit canvas fields,
+    ANMF frame counts, and total chunk counts.  This is the x311 idiom
+    extended to the one still-image container whose PIXELS remain a
+    codec boundary (animation) — at 100 TB, "drop animated assets" or
+    "keep ≤ N frames" prunes during the scan without shipping payload
+    bytes to a worker."""
+    import pandas as pd
+
+    from .operators.multimodal import vp8x_info
+    from .operators.webp import encode_webp_lossless, encode_webp_vp8x
+    from .queries_ext18 import _PROG_PAYLOAD_SCHEMA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                fw, fh = 1 + i % 13, 1 + i % 7
+                img = np.full((fh, fw, 4), i % 256, dtype=np.uint8)
+                img[:, :, 3] = 255
+                frame = encode_webp_lossless(img)
+                animated = i % 3 == 0
+                n_frames = 2 + i % 4 if animated else 1
+                payloads.append(
+                    encode_webp_vp8x(
+                        [frame] * n_frames,
+                        animated=animated,
+                        duration_ms=10 + i % 90,
+                        icc=(b"icc!" * 3 if i % 7 == 0 else None),
+                        exif=(b"ex" * 4 if i % 2 == 0 else None),
+                        xmp=(b"<x/>" if i % 5 == 0 else None),
+                        alpha=i % 11 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    with_payload = staged.mapInPandas(encode, schema=_PROG_PAYLOAD_SCHEMA)
+    v = vp8x_info(F.col("payload"))
+    return with_payload.select(
+        "doc_id",
+        v["width"].alias("width"),
+        v["height"].alias("height"),
+        v["animated"].cast("int").alias("animated"),
+        v["alpha"].cast("int").alias("alpha"),
+        v["icc"].cast("int").alias("icc"),
+        v["exif"].cast("int").alias("exif"),
+        v["xmp"].cast("int").alias("xmp"),
+        v["n_frames"].alias("n_frames"),
+        v["n_chunks"].alias("n_chunks"),
+    ).orderBy("doc_id")
+
+
+SQL_X420 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 + doc_id % 13 AS INTEGER) AS width,
+       CAST(1 + doc_id % 7 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS animated,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS alpha,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS icc,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS exif,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) AS xmp,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 + doc_id % 4 ELSE 1 END
+            AS INTEGER) AS n_frames,
+       CAST(1
+            + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4 ELSE 1 END
+            + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_chunks
+FROM documents
+ORDER BY doc_id
+"""
+
+EXT19_QUERIES.update({"x420_vp8x_dims": q_x420_vp8x_dims})
+EXT19_ORACLES.update({"x420_vp8x_dims": SQL_X420})

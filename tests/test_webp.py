@@ -152,3 +152,111 @@ def test_webp_distance_map_has_120_entries():
     # closest-first by squared distance (the spec's construction)
     d2 = [dx * dx + dy * dy for dx, dy in _DIST_MAP]
     assert d2 == sorted(d2)
+
+
+# ------------------------------------------------- VP8X container (r10)
+
+
+def test_vp8x_still_roundtrip_and_animation_boundary():
+    from fame2pygen_spark.operators.multimodal import decode_image_bytes
+    from fame2pygen_spark.operators.webp import (
+        decode_webp_lossless, encode_webp_lossless, encode_webp_vp8x,
+    )
+
+    rng = np.random.RandomState(12)
+    img = _rand_img(rng, 7, 11)
+    still = encode_webp_lossless(img)
+    # still VP8X: metadata chunks wrap the same VP8L payload — the
+    # walk must skip VP8X/ICCP/EXIF/XMP and decode identical pixels
+    boxed = encode_webp_vp8x(
+        [still], icc=b"iccpfixture!", exif=b"exifdata", xmp=b"<x:xmpmeta/>"
+    )
+    assert boxed[12:16] == b"VP8X"
+    assert (decode_webp_lossless(boxed) == img).all()
+    assert (decode_image_bytes(boxed) == img[:, :, :3]).all()
+    # animation is the remaining true codec boundary — loud, specific
+    anim = encode_webp_vp8x([still, still], duration_ms=40)
+    with pytest.raises(ValueError, match="animated"):
+        decode_webp_lossless(anim)
+    # a still container carries exactly one frame
+    with pytest.raises(ValueError, match="exactly one"):
+        encode_webp_vp8x([still, still], animated=False)
+
+
+def test_vp8x_layout_hand_computed():
+    """Byte-level layout of the writer, checked against the spec by
+    hand: flags byte, u24 LE minus-one canvas fields, chunk sizes."""
+    import struct
+
+    from fame2pygen_spark.operators.webp import (
+        encode_webp_lossless, encode_webp_vp8x,
+    )
+
+    img = np.zeros((3, 5, 4), dtype=np.uint8)
+    img[:, :, 3] = 255
+    still = encode_webp_lossless(img)
+    p = encode_webp_vp8x([still], canvas=(300, 200), exif=b"abc")
+    # RIFF size covers everything after the first 8 bytes
+    assert struct.unpack_from("<I", p, 4)[0] == len(p) - 8
+    assert p[12:16] == b"VP8X"
+    assert struct.unpack_from("<I", p, 16)[0] == 10
+    assert p[20] == 0x08  # EXIF only
+    assert int.from_bytes(p[24:27], "little") == 299   # width - 1
+    assert int.from_bytes(p[27:30], "little") == 199   # height - 1
+    assert p[30:34] == b"VP8L"
+    # odd-sized EXIF body gets a pad byte not counted in its size
+    vp8l_size = struct.unpack_from("<I", p, 34)[0]
+    exif_off = 38 + vp8l_size + (vp8l_size & 1)
+    assert p[exif_off : exif_off + 4] == b"EXIF"
+    assert struct.unpack_from("<I", p, exif_off + 4)[0] == 3
+    assert len(p) == exif_off + 8 + 4  # 3-byte body + 1 pad
+
+
+def test_vp8x_info_column_parse(spark):
+    """The scan-time chunk-table walk reads back exactly what the
+    writer put in — canvas, flags, ANMF count, chunk count — and
+    returns all-null for non-VP8X payloads."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.multimodal import (
+        image_dimensions, sniff_media, vp8x_info,
+    )
+    from fame2pygen_spark.operators.webp import (
+        encode_webp_lossless, encode_webp_vp8x,
+    )
+
+    rng = np.random.RandomState(4)
+    frame = encode_webp_lossless(_rand_img(rng, 6, 9))
+    rows = [
+        (1, encode_webp_vp8x([frame], exif=b"e!", xmp=b"<x/>")),
+        (2, encode_webp_vp8x([frame] * 3, icc=b"icc", alpha=True)),
+        (3, frame),                      # plain VP8L: not VP8X
+        (4, b"RIFF\x04\x00\x00\x00WAVE"),  # RIFF but not WebP
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            vp8x_info(F.col("payload")).alias("v"),
+            image_dimensions(F.col("payload")).alias("d"),
+            sniff_media(F.col("payload")).alias("s"),
+        ).collect()
+    }
+    v1 = got[1]["v"]
+    assert (v1["width"], v1["height"]) == (9, 6)
+    assert (v1["animated"], v1["exif"], v1["xmp"], v1["icc"]) == (
+        False, True, True, False,
+    )
+    assert (v1["n_frames"], v1["n_chunks"]) == (1, 4)  # VP8X VP8L EXIF XMP
+    v2 = got[2]["v"]
+    assert (v2["animated"], v2["alpha"], v2["icc"]) == (True, True, True)
+    assert v2["n_frames"] == 3
+    assert v2["n_chunks"] == 6  # VP8X ICCP ANIM + 3x ANMF
+    # plain VP8L: vp8x_info null, but dims + sniff still real
+    assert got[3]["v"]["width"] is None
+    assert (got[3]["d"]["width"], got[3]["d"]["height"]) == (9, 6)
+    assert got[3]["s"]["mime"] == "image/webp"
+    # RIFF/WAVE stays on the audio lane
+    assert got[4]["s"]["mime"] == "audio/wav"
+    assert got[4]["v"]["n_chunks"] is None
