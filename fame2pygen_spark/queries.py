@@ -967,6 +967,7 @@ from .queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
 from .queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
 from .queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
 from .queries_ext19 import EXT19_ORACLES, EXT19_QUERIES  # noqa: E402
+from .queries_ext20 import EXT20_ORACLES, EXT20_QUERIES  # noqa: E402
 from .queries_panel import PANEL_ORACLES, PANEL_QUERIES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
@@ -988,6 +989,7 @@ ORACLES.update(EXT16_ORACLES)
 ORACLES.update(EXT17_ORACLES)
 ORACLES.update(EXT18_ORACLES)
 ORACLES.update(EXT19_ORACLES)
+ORACLES.update(EXT20_ORACLES)
 ORACLES.update(PANEL_ORACLES)
 
 _ALL_QUERIES: dict[str, object] = {
@@ -1037,6 +1039,7 @@ _ALL_QUERIES: dict[str, object] = {
     **EXT17_QUERIES,
     **EXT18_QUERIES,
     **EXT19_QUERIES,
+    **EXT20_QUERIES,
 }
 
 # The round driver hash-checks the FIRST 50 registry entries against
@@ -1107,6 +1110,8 @@ ROTATION_PRIORITY: list[str] = [
     "x412_tpch_q1", "x413_tpch_q18", "x414_tpch_q21", "x415_vp8_ahash",
     "x416_tpch_q4", "x417_tpch_q16", "x418_tpch_q22",
     "x419_quality_canonical",
+    # r10 additions follow the same early-exposure rule
+    "x420_vp8x_dims", "x421_tpch_q2", "x422_tpch_q13", "x423_tpch_q15",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Round-10 extension queries (x421+): the decision-support planning
+paths the r9 verdict listed as unpinned — correlated scalar subquery
+(Q2 shape), left-outer count distribution (Q13 shape), and
+window-over-aggregate top-1 (Q15 shape).
+
+Same contract as :mod:`fame2pygen_spark.queries_ext`: every query is
+``(spark, sf_dir) -> DataFrame`` with column names/types matching its
+ANSI-SQL DuckDB oracle exactly (driver compare = exact stringified
+value hash after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+EXT20_QUERIES: dict = {}
+EXT20_ORACLES: dict = {}
+
+
+def _ts(sf_dir, spark, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c):
+    return F.round(c.cast("double") * 1e6) / 1e6
+
+
+# ----------- x421: TPC-H Q2 shape (correlated scalar subquery)
+
+
+def q_x421_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier) on the synthetic schema: the
+    correlated-scalar-subquery planning path — ``cost = (SELECT
+    MIN(cost) ... WHERE partkey = outer.partkey)`` — exercised through
+    ``spark.sql`` so Catalyst's decorrelation (rewrite to a per-key
+    MIN aggregate re-joined to the outer query) is what actually
+    plans, not a hand-built join.  The testdata has no partsupp table,
+    so supply cost per (part, supplier) is derived first: the minimum
+    unit price (``l_extendedprice / l_quantity``) across their
+    lineitems — a map-side-combinable two-key aggregate.  At 100 TB
+    the decorrelated plan is one extra aggregate over the already-
+    shuffled (part, supplier) frame plus a key-equi join; the naive
+    interpretation (re-scan per outer row) would be quadratic, which
+    is exactly why this path needs a pin.  All minimum-cost ties are
+    kept (no LIMIT) so the result is deterministic."""
+    li = _ts(sf_dir, spark, "lineitem")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+            ).alias("cost")
+        )
+    )
+    ps.createOrReplaceTempView("x421_ps")
+    _ts(sf_dir, spark, "part").createOrReplaceTempView("x421_part")
+    _ts(sf_dir, spark, "supplier").createOrReplaceTempView("x421_supplier")
+    _ts(sf_dir, spark, "nation").createOrReplaceTempView("x421_nation")
+    return spark.sql(
+        """
+        SELECT p.p_partkey,
+               p.p_brand,
+               s.s_suppkey,
+               n.n_name AS nation,
+               ROUND(ps.cost * 1000000.0) / 1000000.0 AS min_cost
+        FROM x421_part p
+        JOIN x421_ps ps ON ps.l_partkey = p.p_partkey
+        JOIN x421_supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN x421_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size % 5 = 0
+          AND ps.cost = (SELECT MIN(ps2.cost)
+                         FROM x421_ps ps2
+                         WHERE ps2.l_partkey = p.p_partkey)
+        ORDER BY p.p_partkey, s.s_suppkey
+        """
+    )
+
+
+SQL_X421 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey,
+       p.p_brand,
+       s.s_suppkey,
+       n.n_name AS nation,
+       ROUND(ps.cost * 1000000.0) / 1000000.0 AS min_cost
+FROM part p
+JOIN ps ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size % 5 = 0
+  AND ps.cost = (SELECT MIN(ps2.cost)
+                 FROM ps ps2
+                 WHERE ps2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, s.s_suppkey
+"""
+
+EXT20_QUERIES.update({"x421_tpch_q2": q_x421_tpch_q2})
+EXT20_ORACLES.update({"x421_tpch_q2": SQL_X421})
+
+
+# -------- x422: TPC-H Q13 shape (left-outer count distribution)
+
+
+def q_x422_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): customers LEFT
+    OUTER JOIN orders with a predicate on the ORDER side of the ON
+    clause (urgent orders excluded) — the planning path where the
+    filter must stay inside the outer join (pushing it below keeps
+    the join outer; pulling it above would silently turn the join
+    inner and drop zero-order customers, the r9 verdict's missing
+    LeftOuter pin).  Two aggregates stack: orders-per-customer
+    (count of the nullable right key, so NULL → 0), then the
+    distribution over that count.  At 100 TB the first aggregate
+    shuffles on c_custkey (same key as the join — one exchange), the
+    second is over ≤ max-orders-per-customer rows: metadata-scale."""
+    cust = _ts(sf_dir, spark, "customer")
+    orders = _ts(sf_dir, spark, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_X422 = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+EXT20_QUERIES.update({"x422_tpch_q13": q_x422_tpch_q13})
+EXT20_ORACLES.update({"x422_tpch_q13": SQL_X422})
+
+
+# --------- x423: TPC-H Q15 shape (window-over-aggregate top-1)
+
+
+def q_x423_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue): the revenue view
+    is one supplier-keyed decimal aggregate over a pushed shipdate
+    range; the top-1 is a MAX window over that AGGREGATE frame —
+    window-over-agg, the third planning shape the r9 verdict listed
+    as unpinned.  The window is single-partition BY CONSTRUCTION over
+    ≤ |suppliers| rows (100 at any SF — supplier count is fixed by
+    the schema, not the fact volume), the same metadata-scale-window
+    argument as the x343/x366 precedents; the fact-scale work is all
+    in the pushed-filter aggregate below it.  Revenue sums stage
+    through decimal(28,8) (the x412 convention) so accumulation order
+    cannot move the 6-dp boundary; ties for the maximum are all
+    kept."""
+    li = _ts(sf_dir, spark, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(18,6)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((price * (one - disc)).cast("decimal(28,8)")).alias("__rev")
+    )
+    w = Window.partitionBy(F.lit(1))  # ≤ |suppliers| aggregate rows
+    top = rev.withColumn("__mx", F.max("__rev").over(w)).where(
+        F.col("__rev") == F.col("__mx")
+    )
+    sup = _ts(sf_dir, spark, "supplier")
+    return (
+        top.join(sup, top["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            _r6(F.col("__rev")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_X423 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,6))
+                     - CAST(l_discount AS DECIMAL(18,6)))
+                  AS DECIMAL(28,8))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey,
+       s.s_name,
+       ROUND(CAST(r.rev AS DOUBLE) * 1000000.0) / 1000000.0
+         AS total_revenue
+FROM supplier s
+JOIN revenue r ON r.l_suppkey = s.s_suppkey
+WHERE r.rev = (SELECT MAX(rev) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+EXT20_QUERIES.update({"x423_tpch_q15": q_x423_tpch_q15})
+EXT20_ORACLES.update({"x423_tpch_q15": SQL_X423})

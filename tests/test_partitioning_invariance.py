@@ -194,6 +194,8 @@ SENSITIVE = [
     "x417_tpch_q16",
     "x418_tpch_q22",
     "x419_quality_canonical",
+    "x421_tpch_q2",
+    "x423_tpch_q15",
     "p07_panel_dedup",
     "p08_panel_ann",
     "p09_panel_vocab",

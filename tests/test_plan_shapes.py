@@ -2223,3 +2223,48 @@ def test_p09_vocab_growth_windows_are_entity_keyed(spark):
     assert "CartesianProduct" not in plan
     assert unpartitioned_windows(spark, "p09_panel_vocab") == []
     assert "HashAggregate" in plan
+
+
+def test_vp8x_parse_rides_the_scan(spark):
+    # r10: the VP8X chunk-table walk is column algebra over the
+    # payload — one Arrow encode stage, then pure projection: no join,
+    # no window, no second Python stage for the parse itself
+    plan = plan_of(spark, "x420_vp8x_dims")
+    assert "MapInPandas" in plan  # the fixture encoder only
+    # the parse itself is a Project over the encode stage — exactly
+    # one Python node in the tree (formatted plans print each node
+    # twice: once in the tree, once in the details section)
+    assert plan.count("MapInPandas") == 2
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q2_correlated_subquery_decorrelates_to_joins(spark):
+    # r10: the correlated scalar subquery (min cost per part) must be
+    # rewritten by Catalyst into a per-key MIN aggregate re-joined
+    # key-equi — never a per-outer-row re-scan (quadratic) and never
+    # a nested-loop/cartesian fallback
+    plan = plan_of(spark, "x421_tpch_q2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q13_filter_stays_inside_left_outer(spark):
+    # the ON-clause predicate on the orders side must not collapse the
+    # join to inner (which would drop zero-order customers)
+    plan = plan_of(spark, "x422_tpch_q13")
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_window_rides_the_aggregate(spark):
+    # window-over-agg: the MAX window sits ABOVE the supplier-keyed
+    # revenue aggregate (metadata-scale frame, <= |suppliers| rows);
+    # the fact-scale work is the pushed-filter aggregate below it
+    plan = plan_of(spark, "x423_tpch_q15")
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "CartesianProduct" not in plan
