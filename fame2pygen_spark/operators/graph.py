@@ -1279,3 +1279,97 @@ def sssp_bounded(
             .localCheckpoint(eager=True)
         )
     return dists.orderBy("node")
+
+
+def pagerank_keyed(
+    edges: DataFrame,
+    *,
+    partition_col: str = "pk",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Entity-scoped PageRank (r9 verdict item #8 — the graph family's
+    panel lane): :func:`pagerank` with every superstep join, message
+    aggregate, node universe, and teleport constant keyed by
+    *partition_col* — one call ranks EVERY entity's graph, and no rank
+    mass ever crosses an entity boundary.
+
+    Per entity e with n_e nodes: ranks start uniform (``1/n_e``), each
+    superstep distributes ``rank·w/wout`` along (entity, src)-keyed
+    out-edges and combines by (entity, dst) in decimal(28,18)
+    (order-insensitive — an external engine replays every iteration
+    bitwise); nodes receiving no mass fall back to their entity's
+    teleport floor ``0.15/n_e``.
+
+    At 100 TB this is per-source / per-tenant graph analytics: the
+    two shuffles per superstep key on (entity, node), so adding
+    entities adds partitions — never join width — and a dense entity's
+    supersteps cannot skew another's.  Lineage is truncated per
+    iteration with ``localCheckpoint`` (the :func:`pagerank` / x09 CC
+    discipline).
+
+    Returns ``(partition_col, node, rank)`` for every node of every
+    entity after *n_iter* supersteps.
+    """
+    pk = partition_col
+    nodes = (
+        edges.select(pk, F.col(src_col).alias("node"))
+        .union(edges.select(pk, F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    tps = nodes.groupBy(pk).agg(F.count(F.lit(1)).alias("__n")).select(
+        pk,
+        (F.lit(0.15) / F.col("__n").cast("double")).alias("__tp"),
+        (F.lit(1.0) / F.col("__n").cast("double")).alias("__r0"),
+    )
+    ranks = nodes.join(tps, on=pk).select(
+        pk, "node", F.col("__r0").alias("rank")
+    )
+    outw = edges.groupBy(pk, src_col).agg(
+        F.sum(weight_col).cast("long").alias("__wout")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(outw, on=[pk, src_col])
+            .join(
+                ranks.select(
+                    pk,
+                    F.col("node").alias(src_col),
+                    F.col("rank").alias("__r"),
+                ),
+                on=[pk, src_col],
+            )
+            .select(
+                pk,
+                F.col(dst_col).alias("node"),
+                (
+                    F.col("__r")
+                    * (F.col(weight_col).cast("double") / F.col("__wout"))
+                )
+                .cast("decimal(28,18)")
+                .alias("__c"),
+            )
+        )
+        stepped = contribs.groupBy(pk, "node").agg(
+            F.sum("__c").alias("__s")
+        )
+        ranks = (
+            nodes.join(tps, on=pk)
+            .join(stepped, on=[pk, "node"], how="left")
+            .select(
+                pk,
+                "node",
+                F.when(
+                    F.col("__s").isNotNull(),
+                    F.col("__tp")
+                    + F.lit(float(damping)) * F.col("__s").cast("double"),
+                )
+                .otherwise(F.col("__tp"))
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

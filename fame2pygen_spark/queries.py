@@ -1112,6 +1112,7 @@ ROTATION_PRIORITY: list[str] = [
     "x419_quality_canonical",
     # r10 additions follow the same early-exposure rule
     "x420_vp8x_dims", "x421_tpch_q2", "x422_tpch_q13", "x423_tpch_q15",
+    "p10_panel_graph",
 ]
 
 

@@ -763,3 +763,150 @@ ORDER BY source, doc_id
 
 PANEL_QUERIES.update({"p09_panel_vocab": q_p09_panel_vocab})
 PANEL_ORACLES.update({"p09_panel_vocab": SQL_P09})
+
+
+# ---------- p10: per-source co-occurrence PageRank (graph panel lane)
+
+
+def q_p10_panel_graph(spark, sf_dir):
+    """The graph family in panel mode (r9 verdict item #8): 3
+    supersteps of entity-scoped PageRank
+    (operators/graph.py:pagerank_keyed) over each source's token
+    bigram graph — every superstep join, message aggregate, and
+    teleport constant is keyed by ``source``, so rank mass never
+    crosses a source and each entity's n_e/teleport are its own.
+    At 100 TB this is per-corpus graph analytics: the per-superstep
+    shuffles key on (source, node), adding sources adds partitions.
+    Contributions combine in decimal(28,18), so the oracle — a
+    WITH RECURSIVE CTE whose recursive term replays the exact
+    superstep (entity-keyed message join + GROUP BY + teleport
+    fallback via zero-weight self-edges) — matches every iteration
+    bitwise.  Output: top-5 tokens per source by final rank
+    (PARTITION BY source rank window over the ≤|vocab| rank frame)."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import normalized_text
+    from .operators.graph import pagerank_keyed
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(normalized_text(F.col("text")), " "),
+        lambda t: t != F.lit(""),
+    )
+    with_toks = docs.select("source", toks.alias("__toks")).where(
+        F.size("__toks") >= 2
+    )
+    # consecutive-token pairs: zip the array with its own tail — the
+    # trailing (last, null) pair is filtered out
+    pairs = F.filter(
+        F.zip_with(
+            F.col("__toks"),
+            F.slice(
+                F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(1))
+            ),
+            lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+        ),
+        lambda p: p["dst"].isNotNull(),
+    )
+    edges = (
+        with_toks.select("source", F.explode(pairs).alias("p"))
+        .groupBy(
+            "source",
+            F.col("p.src").alias("src"),
+            F.col("p.dst").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks = pagerank_keyed(
+        edges, partition_col="source", n_iter=3
+    )
+    w5 = Window.partitionBy("source").orderBy(
+        F.desc("rank"), F.asc("node")
+    )
+    return (
+        ranks.withColumn("pos", F.row_number().over(w5))
+        .where(F.col("pos") <= 5)
+        .select(
+            "source",
+            F.col("node").alias("token"),
+            F.round("rank", 6).alias("pagerank"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .orderBy("source", "pos")
+    )
+
+
+SQL_P10 = """
+WITH RECURSIVE t AS (
+  SELECT source,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents
+), edges AS (
+  SELECT source,
+         toks[CAST(i.i AS INTEGER)] AS src,
+         toks[CAST(i.i AS INTEGER) + 1] AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2, 3
+), nodes AS (
+  -- the UNION nests in a subquery: inside a WITH RECURSIVE block
+  -- DuckDB treats any CTE with a TOP-LEVEL set operation as
+  -- self-recursive, which silently duplicates the row set
+  SELECT DISTINCT source, node FROM (
+    SELECT source, src AS node FROM edges
+    UNION ALL
+    SELECT source, dst FROM edges
+  )
+), tp AS (
+  SELECT source,
+         0.15 / CAST(COUNT(*) AS DOUBLE) AS tp,
+         1.0 / CAST(COUNT(*) AS DOUBLE) AS r0
+  FROM nodes GROUP BY source
+), outw AS (
+  SELECT source, src, CAST(SUM(w) AS BIGINT) AS wout
+  FROM edges GROUP BY source, src
+), aug AS (
+  -- real edges plus a zero-weight self-edge per node, so every node
+  -- appears as a message destination each superstep (the teleport
+  -- fallback the Spark side expresses as a left join + coalesce);
+  -- nested for the same top-level-set-operation reason as nodes
+  SELECT * FROM (
+    SELECT source, src, dst, w FROM edges
+    UNION ALL
+    SELECT source, node, node, 0 FROM nodes
+  )
+), ranks AS (
+  SELECT 0 AS iter, n.source, n.node, t2.r0 AS rank
+  FROM nodes n JOIN tp t2 ON t2.source = n.source
+  UNION ALL
+  SELECT m.iter + 1, m.source, m.node,
+         t3.tp + 0.85 * COALESCE(CAST(m.s AS DOUBLE), 0.0) AS rank
+  FROM (
+    SELECT r.iter AS iter, a.source, a.dst AS node,
+           SUM(CAST(r.rank * (CAST(a.w AS DOUBLE) / o.wout)
+                    AS DECIMAL(28,18))) AS s
+    FROM ranks r
+    JOIN aug a ON a.source = r.source AND a.src = r.node
+    LEFT JOIN outw o ON o.source = a.source AND o.src = a.src
+    WHERE r.iter < 3
+    GROUP BY r.iter, a.source, a.dst
+  ) m
+  JOIN tp t3 ON t3.source = m.source
+)
+SELECT source, node AS token,
+       ROUND(rank, 6) AS pagerank,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY rank DESC, node ASC)
+            AS BIGINT) AS pos
+FROM ranks
+WHERE iter = 3
+QUALIFY pos <= 5
+ORDER BY source, pos
+"""
+
+
+PANEL_QUERIES.update({"p10_panel_graph": q_p10_panel_graph})
+PANEL_ORACLES.update({"p10_panel_graph": SQL_P10})

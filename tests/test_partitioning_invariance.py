@@ -199,6 +199,7 @@ SENSITIVE = [
     "p07_panel_dedup",
     "p08_panel_ann",
     "p09_panel_vocab",
+    "p10_panel_graph",
 ]
 
 

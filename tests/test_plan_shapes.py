@@ -2268,3 +2268,13 @@ def test_q15_window_rides_the_aggregate(spark):
     assert "HashAggregate" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_p10_pagerank_supersteps_are_entity_keyed(spark):
+    # the panel graph lane: every superstep join and message aggregate
+    # carries the source key; the top-5 window is PARTITION BY source;
+    # nothing cartesian anywhere in 3 unrolled supersteps
+    plan = plan_of(spark, "p10_panel_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert unpartitioned_windows(spark, "p10_panel_graph") == []

@@ -40,3 +40,32 @@ def test_minhash_lsh_pairs_keyed_duplicate_rows_same_entity_ok(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = minhash_lsh_pairs_keyed(df, "text", "doc_id", "source").collect()
     assert [(r["id_a"], r["id_b"], r["source"]) for r in out] == [(1, 2, "s1")]
+
+
+def test_pagerank_keyed_entities_are_independent(spark):
+    """Hand-computed: a 2-cycle in entity A (ranks stay at the 2-node
+    fixpoint) and a 3-chain in entity B — B's dangling tail must not
+    leak mass into A, and each entity uses its OWN n_e teleport."""
+    from fame2pygen_spark.operators.graph import pagerank_keyed
+
+    edges = spark.createDataFrame(
+        [
+            ("A", 1, 2, 1), ("A", 2, 1, 1),          # 2-cycle
+            ("B", 10, 11, 1), ("B", 11, 12, 1),      # chain, 12 dangles
+        ],
+        "pk string, src long, dst long, w long",
+    )
+    out = {
+        (r["pk"], r["node"]): r["rank"]
+        for r in pagerank_keyed(edges, n_iter=1).collect()
+    }
+    # A: n=2, r0=0.5, tp=0.075 -> rank = 0.075 + 0.85*0.5 = 0.5 (fixpoint)
+    assert abs(out[("A", 1)] - 0.5) < 1e-12
+    assert abs(out[("A", 2)] - 0.5) < 1e-12
+    # B: n=3, r0=1/3, tp=0.05; node 10 receives nothing -> teleport
+    # floor; 11 and 12 each receive one full third
+    third = 1.0 / 3.0
+    assert abs(out[("B", 10)] - 0.05) < 1e-12
+    assert abs(out[("B", 11)] - (0.05 + 0.85 * third)) < 1e-12
+    assert abs(out[("B", 12)] - (0.05 + 0.85 * third)) < 1e-12
+    assert len(out) == 5  # no cross-entity nodes invented
