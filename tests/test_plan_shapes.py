@@ -2166,6 +2166,33 @@ RETIRED_EXEMPTION_PINS = {
     "x71_concentration": ("BroadcastHashJoin", "Window"),
     "x75_kmeans_step": ("BroadcastHashJoin", "HashAggregate"),
     "x76_rrf_fusion": ("Window",),
+    # r10 tranche (verdict #3): probed via scripts/probe_plan_markers.py
+    "x02_dedup_near_charset": ("BroadcastHashJoin",),
+    "x04_simhash_signatures": ("BroadcastHashJoin", "HashAggregate", "Generate"),
+    "x08_ngram_jaccard": ("BroadcastHashJoin",),
+    "x102_audio_features": ("MapInPandas",),
+    "x106_rake_keywords": ("ObjectHashAggregate", "Window", "Generate"),
+    "x113_lang_confusion": ("HashAggregate", "Window"),
+    "x116_kaplan_meier": ("HashAggregate", "Window"),
+    "x118_interval_overlap": ("BroadcastHashJoin", "HashAggregate", "Generate"),
+    "x124_source_scorecard": ("BroadcastHashJoin", "HashAggregate"),
+    "x125_split_leakage": ("ObjectHashAggregate", "Window", "Generate"),
+    "x127_m4_downsample": ("SortAggregate", "Window", "Generate"),
+    "x134_hard_negatives": ("Window",),
+    "x135_quality_cutoff": ("BroadcastHashJoin", "ObjectHashAggregate"),
+    "x136_lang_spans": ("BroadcastHashJoin", "HashAggregate", "Window"),
+    "x137_lpa_step": ("BroadcastHashJoin", "SortMergeJoin", "Window"),
+    "x139_bpe_fertility": ("BroadcastHashJoin", "HashAggregate", "Generate"),
+    "x140_mutual_knn": ("SortMergeJoin", "Window", "Generate"),
+    "x141_mixture_plan": ("HashAggregate",),
+    "x142_dsir_resample": ("BroadcastHashJoin", "HashAggregate"),
+    "x143_corpus_manifest": ("HashAggregate",),
+    "x144_l_diversity": ("HashAggregate",),
+    "x150_holt_winters": ("BroadcastHashJoin", "ObjectHashAggregate"),
+    "x154_split_audit": ("HashAggregate", "Window"),
+    "x157_assortativity": ("BroadcastHashJoin", "HashAggregate"),
+    "x158_readability": ("HashAggregate",),
+    "x15_running_totals": ("Window",),
 }
 
 
