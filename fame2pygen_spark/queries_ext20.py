@@ -222,3 +222,237 @@ ORDER BY s.s_suppkey
 
 EXT20_QUERIES.update({"x423_tpch_q15": q_x423_tpch_q15})
 EXT20_ORACLES.update({"x423_tpch_q15": SQL_X423})
+
+
+# --------------- x424: TPC-H Q3 shape (join-agg top-k pipeline)
+
+
+def q_x424_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): segment-filtered 3-way join,
+    decimal revenue aggregate per order, top-10 — the join→agg→top-k
+    pipeline whose plan must end in ``TakeOrderedAndProject`` (sort
+    truncated to k rows on the map side, merged on one reducer) and
+    never a global Sort of the full aggregate.  The cut is
+    deterministic cross-engine: the ORDER BY is a total order
+    (decimal revenue desc, orderdate, orderkey), so boundary ties
+    cannot reorder between engines."""
+    cust = _ts(sf_dir, spark, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _ts(sf_dir, spark, "orders").where(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = _ts(sf_dir, spark, "lineitem").where(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(18,6)")
+    joined = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).join(cust, orders["o_custkey"] == cust["c_custkey"])
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg(
+        F.sum((price * (one - disc)).cast("decimal(28,8)")).alias("__rev")
+    )
+    return (
+        agg.orderBy(
+            F.desc("__rev"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            _r6(F.col("__rev")).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_X424 = """
+SELECT l_orderkey,
+       ROUND(CAST(rev AS DOUBLE) * 1000000.0) / 1000000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM (
+  SELECT l.l_orderkey,
+         CAST(o.o_orderdate AS DATE) AS o_orderdate,
+         o.o_orderpriority,
+         SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,6))
+                     - CAST(l.l_discount AS DECIMAL(18,6)))
+                  AS DECIMAL(28,8))) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    AND l.l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2, 3
+)
+ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+EXT20_QUERIES.update({"x424_tpch_q3": q_x424_tpch_q3})
+EXT20_ORACLES.update({"x424_tpch_q3": SQL_X424})
+
+
+# ------- x425: TPC-H Q11 shape (HAVING vs global scalar subquery)
+
+
+def q_x425_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock): per-part inventory value filtered
+    against a fraction of the GLOBAL total — the uncorrelated scalar
+    subquery path, run through ``spark.sql`` so the planner's
+    subquery machinery (one broadcast scalar, evaluated once, reused
+    by the filter) is what plans.  Both the per-part values and the
+    global total are exact decimal sums; only the final fraction
+    compare happens in doubles, computed from the identical decimal
+    on both engines.  At 100 TB the wrong plan here is re-computing
+    the total per row — the pin asserts the single-subquery shape."""
+    li = _ts(sf_dir, spark, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(18,6)")
+    val = li.groupBy("l_partkey").agg(
+        F.sum((price * (one - disc)).cast("decimal(28,8)")).alias("v")
+    )
+    val.createOrReplaceTempView("x425_val")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               ROUND(CAST(v AS DOUBLE) * 1000000.0) / 1000000.0 AS value
+        FROM x425_val
+        WHERE CAST(v AS DOUBLE) >
+              CAST((SELECT SUM(v) FROM x425_val) AS DOUBLE) * 0.001
+        ORDER BY l_partkey
+        """
+    )
+
+
+SQL_X425 = """
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,6))
+                     - CAST(l_discount AS DECIMAL(18,6)))
+                  AS DECIMAL(28,8))) AS v
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey,
+       ROUND(CAST(v AS DOUBLE) * 1000000.0) / 1000000.0 AS value
+FROM val
+WHERE CAST(v AS DOUBLE) >
+      CAST((SELECT SUM(v) FROM val) AS DOUBLE) * 0.001
+ORDER BY l_partkey
+"""
+
+EXT20_QUERIES.update({"x425_tpch_q11": q_x425_tpch_q11})
+EXT20_ORACLES.update({"x425_tpch_q11": SQL_X425})
+
+
+# ------ x426: TPC-H Q17 shape (correlated AVG scalar subquery)
+
+
+def q_x426_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): lineitems below 20%
+    of their part's average quantity — the correlated AGGREGATE
+    subquery path (Q2/x421 decorrelates a MIN; this decorrelates an
+    AVG computed as exact-decimal-sum / count, never a float ``avg``
+    whose partial-merge order differs between engines).  One output
+    row; the per-part average re-joins the fact by partkey after
+    Catalyst's rewrite, which is the plan the pin asserts — the
+    naive per-row re-aggregation would be quadratic in lineitem."""
+    _ts(sf_dir, spark, "lineitem").createOrReplaceTempView("x426_li")
+    _ts(sf_dir, spark, "part").createOrReplaceTempView("x426_part")
+    return spark.sql(
+        """
+        SELECT ROUND(
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0 * 1000000.0
+               ) / 1000000.0 AS avg_yearly
+        FROM x426_li l
+        JOIN x426_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_quantity <
+              (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                           AS DOUBLE) / COUNT(*) * 0.2
+               FROM x426_li l2
+               WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+SQL_X426 = """
+SELECT ROUND(
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / 7.0 * 1000000.0
+       ) / 1000000.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity <
+      (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(*) * 0.2
+       FROM lineitem l2
+       WHERE l2.l_partkey = p.p_partkey)
+"""
+
+EXT20_QUERIES.update({"x426_tpch_q17": q_x426_tpch_q17})
+EXT20_ORACLES.update({"x426_tpch_q17": SQL_X426})
+
+
+# ------ x427: TPC-H Q19 shape (disjunctive cross-table predicate)
+
+
+def q_x427_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): an OR of three conjunct groups
+    mixing part and lineitem attributes — the disjunctive-predicate
+    planning path.  The OR cannot push below the join (it spans both
+    tables), but the join key equality still plans a hash join and
+    each branch's single-table conjuncts stay evaluable post-join in
+    one Filter; the pin asserts no nested-loop fallback.  One decimal
+    revenue row."""
+    li = _ts(sf_dir, spark, "lineitem")
+    part = _ts(sf_dir, spark, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 10) & qty.between(1, 11))
+        | ((brand == "Brand#14") & size.between(5, 20) & qty.between(10, 20))
+        | ((brand == "Brand#15") & size.between(20, 35) & qty.between(20, 30))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(18,6)")
+    return j.where(cond).agg(
+        _r6(
+            F.sum((price * (one - disc)).cast("decimal(28,8)"))
+        ).alias("revenue")
+    )
+
+
+SQL_X427 = """
+SELECT ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,6))
+                              - CAST(l_discount AS DECIMAL(18,6)))
+                           AS DECIMAL(28,8))) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+EXT20_QUERIES.update({"x427_tpch_q19": q_x427_tpch_q19})
+EXT20_ORACLES.update({"x427_tpch_q19": SQL_X427})

@@ -196,6 +196,10 @@ SENSITIVE = [
     "x419_quality_canonical",
     "x421_tpch_q2",
     "x423_tpch_q15",
+    "x424_tpch_q3",
+    "x425_tpch_q11",
+    "x426_tpch_q17",
+    "x427_tpch_q19",
     "p07_panel_dedup",
     "p08_panel_ann",
     "p09_panel_vocab",

@@ -2305,3 +2305,42 @@ def test_p10_pagerank_supersteps_are_entity_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert unpartitioned_windows(spark, "p10_panel_graph") == []
+
+
+def test_q3_top_k_is_take_ordered(spark):
+    # join -> agg -> top-10 must plan TakeOrderedAndProject (per-
+    # partition heaps + one merge), never a full global Sort + limit
+    plan = plan_of(spark, "x424_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_global_total_is_one_scalar_subquery(spark):
+    # the HAVING threshold evaluates the global total ONCE as a
+    # scalar subquery broadcast to the filter — re-computing it per
+    # row would re-scan the aggregate per part
+    plan = plan_of(spark, "x425_tpch_q11")
+    assert "Subquery" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    # the per-part AVG correlated subquery must be rewritten into a
+    # per-key aggregate re-joined (NO scalar-subquery node survives) —
+    # the surviving-subquery form would re-aggregate lineitem per row
+    plan = plan_of(spark, "x426_tpch_q17")
+    assert "Subquery" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunctive_predicate_keeps_hash_join(spark):
+    # the OR spans both tables so it evaluates post-join, but the
+    # equi-key must still plan a hash join — never nested-loop
+    plan = plan_of(spark, "x427_tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
