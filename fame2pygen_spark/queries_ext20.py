@@ -456,3 +456,313 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
 
 EXT20_QUERIES.update({"x427_tpch_q19": q_x427_tpch_q19})
 EXT20_ORACLES.update({"x427_tpch_q19": SQL_X427})
+
+
+# -------- x428: TPC-H Q5 shape (dimension-chain co-located join)
+
+
+def q_x428_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-table dimension chain —
+    fact lineitem joins orders and supplier, then the c/s nation
+    EQUALITY (customer and supplier in the same nation) closes the
+    loop through nation→region.  Planning path: every dimension here
+    is fixed-cardinality (nation 25, region 5, supplier 100 by
+    schema), so the whole chain must broadcast around the single fact
+    scan — one shuffle for the final nation aggregate, nothing else.
+    Ordering is total (decimal revenue desc, name) so the output is
+    deterministic."""
+    li = _ts(sf_dir, spark, "lineitem")
+    orders = _ts(sf_dir, spark, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _ts(sf_dir, spark, "customer")
+    sup = _ts(sf_dir, spark, "supplier")
+    nation = _ts(sf_dir, spark, "nation")
+    region = _ts(sf_dir, spark, "region").where(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(sup),
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum((price * (one - disc)).cast("decimal(28,8)")).alias("__rev")
+        )
+        .select("n_name", _r6(F.col("__rev")).alias("revenue"))
+        .orderBy(F.desc("__rev"), F.asc("n_name"))
+    )
+
+
+SQL_X428 = """
+SELECT n_name,
+       ROUND(CAST(rev AS DOUBLE) * 1000000.0) / 1000000.0 AS revenue
+FROM (
+  SELECT n.n_name,
+         SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,6))
+                     - CAST(l.l_discount AS DECIMAL(18,6)))
+                  AS DECIMAL(28,8))) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 AND s.s_nationkey = c.c_nationkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY n.n_name
+)
+ORDER BY rev DESC, n_name ASC
+"""
+
+EXT20_QUERIES.update({"x428_tpch_q5": q_x428_tpch_q5})
+EXT20_ORACLES.update({"x428_tpch_q5": SQL_X428})
+
+
+# ------- x429: TPC-H Q7 shape (one dimension in two join roles)
+
+
+def q_x429_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): the nation dimension joins TWICE in
+    different roles — supplier nation and customer nation — with a
+    symmetric two-country filter, grouped by (supp_nation,
+    cust_nation, year).  Planning path: a self-aliased dimension must
+    produce two independent broadcast joins (Catalyst disambiguates
+    the duplicate attributes); collapsing the roles into one join is
+    the classic aliasing bug this pin guards against."""
+    li = _ts(sf_dir, spark, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _ts(sf_dir, spark, "orders")
+    cust = _ts(sf_dir, spark, "customer")
+    sup = _ts(sf_dir, spark, "supplier")
+    n1 = _ts(sf_dir, spark, "nation").select(
+        F.col("n_nationkey").alias("__n1key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _ts(sf_dir, spark, "nation").select(
+        F.col("n_nationkey").alias("__n2key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(18,6)")
+    a, b = "NATION_3", "NATION_7"
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("__n1key"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("__n2key"))
+        .where(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum((price * (one - disc)).cast("decimal(28,8)")).alias("__rev")
+        )
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            _r6(F.col("__rev")).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_X429 = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,6))
+                              - CAST(l.l_discount AS DECIMAL(18,6)))
+                           AS DECIMAL(28,8))) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+EXT20_QUERIES.update({"x429_tpch_q7": q_x429_tpch_q7})
+EXT20_ORACLES.update({"x429_tpch_q7": SQL_X429})
+
+
+# ------ x430: TPC-H Q8 shape (conditional-numerator market share)
+
+
+def q_x430_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): one joined frame, two decimal
+    sums per year — the conditional numerator (volume where the
+    supplier is the focus nation) over the total — finished as a
+    double ratio.  Planning path: the share must compute as ONE
+    aggregate with a CASE'd numerator, never two scans joined on
+    year; both sums are decimal-exact so the ratio is IEEE-identical
+    cross-engine."""
+    li = _ts(sf_dir, spark, "lineitem")
+    orders = _ts(sf_dir, spark, "orders")
+    part = _ts(sf_dir, spark, "part").where(F.col("p_type") == "PROMO")
+    sup = _ts(sf_dir, spark, "supplier")
+    nation = _ts(sf_dir, spark, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(18,6)")
+    vol = (price * (one - disc)).cast("decimal(28,8)")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(
+            F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"]
+        )
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("n_name") == "NATION_3", vol).otherwise(
+                F.lit(0).cast("decimal(28,8)")
+            )
+        ).alias("__num"),
+        F.sum(vol).alias("__den"),
+    )
+    return agg.select(
+        "o_year",
+        _r6(
+            F.col("__num").cast("double")
+            / F.col("__den").cast("double")
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+SQL_X430 = """
+SELECT o_year,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         SUM(CASE WHEN n.n_name = 'NATION_3'
+                  THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,6))
+                               - CAST(l.l_discount AS DECIMAL(18,6)))
+                            AS DECIMAL(28,8))
+                  ELSE CAST(0 AS DECIMAL(28,8)) END) AS num,
+         SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,6))
+                     - CAST(l.l_discount AS DECIMAL(18,6)))
+                  AS DECIMAL(28,8))) AS den
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY 1
+)
+ORDER BY o_year
+"""
+
+EXT20_QUERIES.update({"x430_tpch_q8": q_x430_tpch_q8})
+EXT20_ORACLES.update({"x430_tpch_q8": SQL_X430})
+
+
+# ----- x431: TPC-H Q20 shape (nested semi-join + correlated share)
+
+
+def q_x431_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): suppliers whose 1997
+    shipments of a large-size part carried more than 30% of that
+    part's total 1997 flow — a nested IN chain (supplier ∈ qualifying
+    (part, supplier) pairs; part ∈ size-filtered parts) around a
+    correlated share threshold.  Run through ``spark.sql`` so the
+    planner sees the nested-IN form: the pin asserts both IN levels
+    become LeftSemi hash joins and the correlated total decorrelates
+    (no per-row re-aggregation of the flow table)."""
+    _ts(sf_dir, spark, "lineitem").createOrReplaceTempView("x431_li")
+    _ts(sf_dir, spark, "part").createOrReplaceTempView("x431_part")
+    _ts(sf_dir, spark, "supplier").createOrReplaceTempView("x431_sup")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+          FROM x431_li
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM x431_sup s
+        WHERE s.s_suppkey IN (
+          SELECT ps.l_suppkey FROM ps
+          WHERE ps.l_partkey IN (
+                  SELECT p_partkey FROM x431_part WHERE p_size > 40
+                )
+            AND CAST(ps.qty AS DOUBLE) >
+                CAST((SELECT SUM(ps2.qty) FROM ps ps2
+                      WHERE ps2.l_partkey = ps.l_partkey) AS DOUBLE)
+                * 0.3
+        )
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+SQL_X431 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT ps.l_suppkey FROM ps
+  WHERE ps.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_size > 40
+        )
+    AND CAST(ps.qty AS DOUBLE) >
+        CAST((SELECT SUM(ps2.qty) FROM ps ps2
+              WHERE ps2.l_partkey = ps.l_partkey) AS DOUBLE) * 0.3
+)
+ORDER BY s.s_suppkey
+"""
+
+EXT20_QUERIES.update({"x431_tpch_q20": q_x431_tpch_q20})
+EXT20_ORACLES.update({"x431_tpch_q20": SQL_X431})

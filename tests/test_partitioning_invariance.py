@@ -200,6 +200,10 @@ SENSITIVE = [
     "x425_tpch_q11",
     "x426_tpch_q17",
     "x427_tpch_q19",
+    "x428_tpch_q5",
+    "x429_tpch_q7",
+    "x430_tpch_q8",
+    "x431_tpch_q20",
     "p07_panel_dedup",
     "p08_panel_ann",
     "p09_panel_vocab",

@@ -2344,3 +2344,40 @@ def test_q19_disjunctive_predicate_keeps_hash_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q5_dimension_chain_broadcasts(spark):
+    # all five dimensions are fixed-cardinality: the chain must
+    # broadcast around the single fact scan — one shuffle (the final
+    # nation aggregate), no sort-merge join anywhere
+    plan = plan_of(spark, "x428_tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_nation_joins_in_two_roles(spark):
+    # the self-aliased dimension must survive as TWO independent
+    # broadcast joins with disambiguated outputs
+    plan = plan_of(spark, "x429_tpch_q7")
+    assert "supp_nation" in plan and "cust_nation" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_market_share_is_one_aggregate(spark):
+    # conditional numerator and total compute in ONE aggregate pass —
+    # two scans joined on year would double the fact read
+    plan = plan_of(spark, "x430_tpch_q8")
+    assert plan.count("HashAggregate") <= 4  # one partial+final pair x2 print
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark):
+    # both IN levels plan LeftSemi; the correlated 30%-share total
+    # decorrelates (no scalar-subquery node survives)
+    plan = plan_of(spark, "x431_tpch_q20")
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan
