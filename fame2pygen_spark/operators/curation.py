@@ -137,3 +137,68 @@ def quality_survivors(
         )
         .orderBy("component")
     )
+
+
+def quality_survivors_keyed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    partition_col: str,
+    *,
+    near_dup_threshold: float = 0.6,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Entity-scoped survivor election (the curation panel lane):
+    :func:`quality_survivors` with the pair generation keyed by
+    *partition_col* (:func:`~.dedup.minhash_lsh_pairs_keyed`), so a
+    document can only be deduplicated against its own entity — the
+    per-tenant / per-source policy a multi-corpus ingest needs, where
+    the same boilerplate in two tenants' corpora must NOT elect one
+    tenant's copy over the other's.
+
+    The component machinery runs UNKEYED on purpose: keyed pairs never
+    cross an entity, so connected components are entity-local by edge
+    construction and re-keying the star rounds would add a shuffle
+    column for no semantic gain — the entity re-attaches at election
+    time via the unique (id, entity) map the keyed pair stage already
+    asserted in-plan.
+
+    Output, one row per (entity, cluster): ``partition_col, component,
+    survivor, survivor_quality, cluster_size, dropped``.
+    """
+    from .dedup import duplicate_clusters, minhash_lsh_pairs_keyed
+    from .text import text_profile
+
+    prof = text_profile(df, text_col).select(
+        F.col(id_col).alias("doc"), "quality"
+    )
+    pairs = minhash_lsh_pairs_keyed(
+        df, text_col, id_col, partition_col,
+        n=shingle_n, num_hashes=num_hashes, bands=bands,
+        threshold=near_dup_threshold,
+    )
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    keys = df.select(
+        F.col(id_col).alias("doc"), F.col(partition_col).alias("__pk")
+    ).dropDuplicates(["doc"])
+    scored = clusters.join(prof, on="doc").join(keys, on="doc")
+    return (
+        scored.groupBy("__pk", "component")
+        .agg(
+            F.max_by(
+                F.col("doc"),
+                F.struct(F.col("quality"), -F.col("doc")),
+            ).cast("long").alias("survivor"),
+            F.max("quality").alias("survivor_quality"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("dropped"),
+        )
+        .select(
+            F.col("__pk").alias(partition_col),
+            F.col("component").cast("long").alias("component"),
+            "survivor", "survivor_quality", "cluster_size", "dropped",
+        )
+        .orderBy(partition_col, "component")
+    )

@@ -910,3 +910,129 @@ ORDER BY source, pos
 
 PANEL_QUERIES.update({"p10_panel_graph": q_p10_panel_graph})
 PANEL_ORACLES.update({"p10_panel_graph": SQL_P10})
+
+
+# ----- p11: per-source quality survivor election (curation lane)
+
+
+def q_p11_panel_survivors(spark, sf_dir):
+    """The curation family in panel mode: near-dup survivor election
+    scoped to ``source`` (operators/curation.py:quality_survivors_keyed)
+    — pair generation is the entity-keyed LSH (p07's machinery, so no
+    candidate pair ever crosses a source), components are entity-local
+    BY EDGE CONSTRUCTION (the star rounds run unkeyed on purpose —
+    keyed pairs cannot connect entities, and re-keying the iteration
+    would add a shuffle column for no semantic gain), and each
+    (source, cluster) keeps its highest-quality member.  At 100 TB
+    this is per-tenant dedup policy: one tenant's boilerplate can
+    never elect a survivor in another tenant's corpus.  The oracle
+    rebuilds the whole chain — keyed MinHash-LSH, recursive-CTE
+    closure, text_profile quality, PARTITION BY election — in SQL."""
+    from .operators.curation import quality_survivors_keyed
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_survivors_keyed(docs, "text", "doc_id", "source")
+
+
+def _sql_p11() -> str:
+    from .operators.dedup import (
+        MERSENNE_31,
+        _affine_params,
+        min_sig_matches,
+    )
+    from .queries_ext import _SQL_COMPONENT_CTES, _sql_profile_ctes
+
+    params = _affine_params(64, seed=42)
+    values = ", ".join(
+        f"({j}, {a}::BIGINT, {b}::BIGINT)"
+        for j, (a, b) in enumerate(params)
+    )
+    min_match = min_sig_matches(0.6, 64)
+    return f"""
+WITH RECURSIVE {_sql_profile_ctes()},
+kdocs AS (
+  SELECT doc_id, source AS pk,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+kshingles AS (
+  SELECT DISTINCT d.doc_id, substr(d.t, CAST(i.i AS INTEGER), 5) AS sh
+  FROM kdocs d,
+       LATERAL (SELECT unnest(range(1, greatest(length(d.t) - 4, 0) + 1)) AS i) i
+  WHERE length(d.t) >= 5
+),
+khashed AS (
+  SELECT doc_id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+  FROM kshingles
+),
+kparams(j, a, b) AS (VALUES {values}),
+kminh AS (
+  SELECT h.doc_id, p.j, MIN((p.a * h.h + p.b) % {MERSENNE_31}) AS mh
+  FROM khashed h CROSS JOIN kparams p
+  GROUP BY 1, 2
+),
+ksigs AS (
+  SELECT doc_id, list(mh ORDER BY j) AS sig FROM kminh GROUP BY 1
+),
+kbands AS (
+  SELECT s.doc_id, d.pk, b.band,
+         md5(array_to_string(s.sig[b.band * 4 + 1 : b.band * 4 + 4], ',')) AS bh
+  FROM ksigs s
+  JOIN kdocs d ON d.doc_id = s.doc_id,
+       LATERAL (SELECT unnest(range(0, 16)) AS band) b
+  QUALIFY row_number() OVER (PARTITION BY d.pk, b.band, bh ORDER BY s.doc_id)
+          <= 1000
+),
+kcand AS (
+  SELECT DISTINCT l.pk, l.doc_id AS id_a, r.doc_id AS id_b
+  FROM kbands l
+  JOIN kbands r ON l.pk = r.pk AND l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id < r.doc_id
+),
+kpref AS (
+  SELECT c.pk, c.id_a, c.id_b
+  FROM kcand c
+  JOIN ksigs sa ON sa.doc_id = c.id_a
+  JOIN ksigs sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(range(1, 65),
+            i -> sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)]))
+        >= {min_match}
+),
+kinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM kshingles a JOIN kshingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ksizes AS (SELECT doc_id, COUNT(*) AS n FROM kshingles GROUP BY 1),
+lsh_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM kpref c
+  JOIN kinter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN ksizes sa ON sa.doc_id = c.id_a
+  JOIN ksizes sb ON sb.doc_id = c.id_b
+  WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+        >= 0.6
+),
+{_SQL_COMPONENT_CTES},
+p11_ranked AS (
+  SELECT k.pk, s.doc, s.component, p.quality,
+         COUNT(*) OVER (PARTITION BY s.component) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY s.component
+                            ORDER BY p.quality DESC, s.doc ASC) AS rn
+  FROM comp s
+  JOIN prof p ON p.doc_id = s.doc
+  JOIN kdocs k ON k.doc_id = s.doc
+)
+SELECT pk AS source,
+       CAST(component AS BIGINT) AS component,
+       CAST(doc AS BIGINT) AS survivor,
+       quality AS survivor_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS dropped
+FROM p11_ranked WHERE rn = 1
+ORDER BY 1, 2
+"""
+
+
+PANEL_QUERIES.update({"p11_panel_survivors": q_p11_panel_survivors})
+PANEL_ORACLES.update({"p11_panel_survivors": _sql_p11()})

@@ -208,6 +208,7 @@ SENSITIVE = [
     "p08_panel_ann",
     "p09_panel_vocab",
     "p10_panel_graph",
+    "p11_panel_survivors",
 ]
 
 

@@ -2381,3 +2381,12 @@ def test_q20_nested_in_becomes_semi_joins(spark):
     assert "LeftSemi" in plan
     assert "Subquery" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_p11_survivor_election_pairs_are_entity_keyed(spark):
+    # the curation panel lane: pair generation carries the entity key
+    # (p07's band machinery), the bucket-cap window partitions by it,
+    # and nothing in the election goes cartesian
+    plan = plan_of(spark, "p11_panel_survivors")
+    assert "__pk" in plan
+    assert "CartesianProduct" not in plan

@@ -69,3 +69,41 @@ def test_pagerank_keyed_entities_are_independent(spark):
     assert abs(out[("B", 11)] - (0.05 + 0.85 * third)) < 1e-12
     assert abs(out[("B", 12)] - (0.05 + 0.85 * third)) < 1e-12
     assert len(out) == 5  # no cross-entity nodes invented
+
+
+def test_quality_survivors_keyed_elects_per_entity(spark):
+    """Hand-computed: the same near-dup text in two sources must
+    produce TWO clusters (one per source) each electing its own
+    highest-quality member — the global operator would collapse them
+    into one cluster with one survivor."""
+    from fame2pygen_spark.operators.curation import (
+        quality_survivors, quality_survivors_keyed,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps going "
+        "through the quiet forest until the morning light arrives"
+    )
+    degraded = base + " spark spark spark spark spark spark spark"
+    rows = [
+        (1, base, "s1"),
+        (2, degraded, "s1"),
+        (11, base, "s2"),
+        (12, degraded, "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    keyed = {
+        (r["source"], r["component"]): (r["survivor"], r["cluster_size"])
+        for r in quality_survivors_keyed(
+            df, "text", "doc_id", "source"
+        ).collect()
+    }
+    # one cluster per source, two members each; the survivor is the
+    # higher-quality member of ITS OWN source
+    assert len(keyed) == 2
+    assert keyed[("s1", 1)][1] == 2 and keyed[("s2", 11)][1] == 2
+    assert keyed[("s1", 1)][0] in (1, 2)
+    assert keyed[("s2", 11)][0] in (11, 12)
+    # the global operator merges all four docs into ONE cluster
+    global_out = quality_survivors(df, "text", "doc_id").collect()
+    assert len(global_out) == 1 and global_out[0]["cluster_size"] == 4
