@@ -1713,14 +1713,14 @@ def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     use :func:`image_features` / :func:`image_ahash` (Arrow-batched
     ``mapInPandas`` over :func:`decode_image_bytes`)."""
     raise NotImplementedError(
-        "animated WebP (ANIM/ANMF compositing) and VP8 interframes "
-        "need a full video codec — not available here; "
+        "only partial-frame ANMF compositing (blend/dispose of "
+        "sub-canvas patches) and VP8 interframes need a video codec; "
         "BMP/PPM/PNG/JPEG baseline+progressive/VP8L/still-VP8X decode "
-        "for real via image_features(); VP8 key frames decode in the "
-        "fixture lane (opt-in allow_fixture_vp8 for "
-        "encode_vp8_keyframe streams, vp8.install_rfc_tables() for "
-        "external interop); VP8X metadata parses scan-time via "
-        "vp8x_info()"
+        "for real via image_features(), animated-WebP FRAMES decode "
+        "for real via webp_frame_features() (container-level split), "
+        "VP8 key frames decode in the fixture lane (opt-in "
+        "allow_fixture_vp8, vp8.install_rfc_tables() for external "
+        "interop), and VP8X metadata parses scan-time via vp8x_info()"
     )
 
 
@@ -2606,3 +2606,96 @@ def audio_spectral_profile(
     return out.withColumn("centroid", r6("centroid")).withColumn(
         "peak_ratio", r6("peak_ratio")
     )
+
+
+WEBP_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("y", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("decoded", StringType()),
+    ]
+)
+
+
+def webp_frame_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    every_k: int = 1,
+    allow_fixture_vp8: bool = False,
+) -> DataFrame:
+    """Per-frame features of WebP payloads — animated OR still — via
+    Arrow-batched ``mapInPandas``: frames split at the CONTAINER level
+    (:func:`~.webp.extract_webp_frames`, pure chunk repackaging, no
+    codec), every *every_k*-th frame decoded through the ordinary
+    still lane and reduced to dims + mean red channel.  This is the
+    Y4M frame-sample idiom (x93) applied to animated WebP, and it
+    retires "animated WebP needs a video codec" down to the true
+    residue: partial-frame compositing (a frame's x/y offsets are
+    returned so callers can detect when that residue matters).
+    Undecodable frames yield a ``decoded='needs-codec'`` row instead
+    of failing the batch."""
+    k = max(1, int(every_k))
+    fixture_vp8 = bool(allow_fixture_vp8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .webp import extract_webp_frames
+
+        for pdf in batches:
+            out = {f.name: [] for f in WEBP_FRAMES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = extract_webp_frames(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    frames = None
+                if frames is None:
+                    _append_frame_row(
+                        out, doc_id, -1, 0, 0, 0, None, None, None,
+                        "needs-codec",
+                    )
+                    continue
+                for idx, fr in enumerate(frames):
+                    if idx % k:
+                        continue
+                    try:
+                        arr = decode_image_bytes(
+                            fr["still"], allow_fixture_vp8=fixture_vp8
+                        )
+                        _append_frame_row(
+                            out, doc_id, idx, fr["x"], fr["y"],
+                            fr["duration_ms"], int(arr.shape[1]),
+                            int(arr.shape[0]),
+                            float(arr[:, :, 0].mean()), "real",
+                        )
+                    except ValueError:
+                        _append_frame_row(
+                            out, doc_id, idx, fr["x"], fr["y"],
+                            fr["duration_ms"], None, None, None,
+                            "needs-codec",
+                        )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=WEBP_FRAMES_SCHEMA)
+
+
+def _append_frame_row(
+    out, doc_id, idx, x, y, dur, w, h, mean_r, decoded
+) -> None:
+    out["doc_id"].append(int(doc_id))
+    out["frame_idx"].append(idx)
+    out["x"].append(x)
+    out["y"].append(y)
+    out["duration_ms"].append(dur)
+    out["width"].append(w)
+    out["height"].append(h)
+    out["mean_r"].append(mean_r)
+    out["decoded"].append(decoded)

@@ -1042,3 +1042,80 @@ def encode_webp_vp8x(
         out += _riff_chunk(b"XMP ", xmp)
     riff = b"WEBP" + out
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def extract_webp_frames(payload: bytes) -> list:
+    """Split a WebP payload into its frames WITHOUT any pixel decode —
+    pure chunk-table repackaging: each animation frame's image
+    sub-chunk (VP8L/VP8) is re-wrapped as a standalone still WebP that
+    the ordinary still decoders handle.  This moves animated WebP from
+    "needs an external codec" to "frames decode for real"; only
+    partial-frame COMPOSITING (blend/dispose of sub-canvas patches
+    onto prior frames) remains undone, and each frame's offsets and
+    flags are returned so a caller can detect when compositing would
+    matter (x/y ≠ 0 or frame smaller than canvas).
+
+    Returns a list of dicts per frame, in stream order:
+    ``{x, y, w, h, duration_ms, blend, dispose, still}`` where
+    ``still`` is a standalone RIFF/WEBP payload.  A plain still WebP
+    (VP8L/VP8 first chunk) or a still VP8X returns exactly one frame
+    at (0, 0) with duration 0.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+
+    def wrap(tag: bytes, body: bytes) -> bytes:
+        riff = b"WEBP" + _riff_chunk(tag, body)
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    frames = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag in (b"VP8L", b"VP8 "):
+            # still image (plain or inside a still VP8X): one frame
+            frames.append(
+                {
+                    "x": 0, "y": 0, "w": None, "h": None,
+                    "duration_ms": 0, "blend": 0, "dispose": 0,
+                    "still": wrap(tag, body),
+                }
+            )
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated ANMF frame header")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            # frame data: sub-chunk table ([ALPH] VP8/VP8L)
+            sp = 16
+            still = None
+            while sp + 8 <= len(body):
+                stag = body[sp : sp + 4]
+                ssize = struct.unpack_from("<I", body, sp + 4)[0]
+                if stag in (b"VP8L", b"VP8 "):
+                    still = wrap(stag, body[sp + 8 : sp + 8 + ssize])
+                    break
+                sp += 8 + ssize + (ssize & 1)
+            if still is None:
+                raise ValueError("ANMF frame carries no VP8/VP8L chunk")
+            frames.append(
+                {
+                    "x": fx, "y": fy, "w": fw, "h": fh,
+                    "duration_ms": dur,
+                    "blend": (flags >> 1) & 1,
+                    "dispose": flags & 1,
+                    "still": still,
+                }
+            )
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("no image frames in WebP payload")
+    return frames

@@ -766,3 +766,81 @@ ORDER BY s.s_suppkey
 
 EXT20_QUERIES.update({"x431_tpch_q20": q_x431_tpch_q20})
 EXT20_ORACLES.update({"x431_tpch_q20": SQL_X431})
+
+
+# ------ x432: animated-WebP frame features (container-level split)
+
+
+def q_x432_webp_frames(spark, sf_dir):
+    """Animated-WebP frame sampling
+    (operators/multimodal.py:webp_frame_features): every document
+    renders a REAL animated VP8X container — 2+id%3 full-canvas
+    lossless frames of 1+id%6 × 1+id%4 pixels, frame k filled with
+    (id·7 + k·31) % 256, per-frame duration 10+id%50 ms — then the
+    frames are split back out at the CONTAINER level
+    (webp.extract_webp_frames, pure chunk repackaging, zero codec)
+    and each decodes through the ordinary still VP8L lane.  The
+    oracle recomputes the construction formulas, so a hash match
+    proves encode → chunk-split → still-decode is lossless for frame
+    order, durations, dims, and pixel content (mean red = the fill
+    value exactly).  At 100 TB this is the frame-sample path for
+    animated assets: sampling happens after a byte-range chunk walk,
+    never after a full animation decode."""
+    import pandas as pd
+
+    from .operators.multimodal import webp_frame_features
+    from .operators.webp import encode_webp_lossless, encode_webp_vp8x
+    from .queries_ext18 import _PROG_PAYLOAD_SCHEMA
+
+    docs = _ts(sf_dir, spark, "documents")
+    staged = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 1 + i % 6, 1 + i % 4
+                frames = []
+                for k in range(2 + i % 3):
+                    img = np.full(
+                        (h, w, 4), (i * 7 + k * 31) % 256, dtype=np.uint8
+                    )
+                    img[:, :, 3] = 255
+                    frames.append(encode_webp_lossless(img))
+                payloads.append(
+                    encode_webp_vp8x(
+                        frames, animated=True, duration_ms=10 + i % 50
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    with_payload = staged.mapInPandas(encode, schema=_PROG_PAYLOAD_SCHEMA)
+    out = webp_frame_features(with_payload, "doc_id", "payload")
+    return out.select(
+        "doc_id", "frame_idx", "duration_ms", "width", "height",
+        F.round(F.col("mean_r"), 6).alias("mean_r"), "decoded",
+    ).orderBy("doc_id", "frame_idx")
+
+
+SQL_X432 = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(k.k AS INTEGER) AS frame_idx,
+       CAST(10 + d.doc_id % 50 AS INTEGER) AS duration_ms,
+       CAST(1 + d.doc_id % 6 AS INTEGER) AS width,
+       CAST(1 + d.doc_id % 4 AS INTEGER) AS height,
+       ROUND(CAST((d.doc_id * 7 + k.k * 31) % 256 AS DOUBLE), 6)
+         AS mean_r,
+       'real' AS decoded
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, 2 + d.doc_id % 3)) AS k) k
+ORDER BY doc_id, frame_idx
+"""
+
+EXT20_QUERIES.update({"x432_webp_frames": q_x432_webp_frames})
+EXT20_ORACLES.update({"x432_webp_frames": SQL_X432})

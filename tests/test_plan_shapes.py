@@ -2390,3 +2390,12 @@ def test_p11_survivor_election_pairs_are_entity_keyed(spark):
     plan = plan_of(spark, "p11_panel_survivors")
     assert "__pk" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_webp_frame_sampling_rides_arrow_batches(spark):
+    # r10: container-level frame split + still decode is one Arrow
+    # lane over the scan — no join, no window, no driver loop
+    plan = plan_of(spark, "x432_webp_frames")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

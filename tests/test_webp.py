@@ -260,3 +260,72 @@ def test_vp8x_info_column_parse(spark):
     # RIFF/WAVE stays on the audio lane
     assert got[4]["s"]["mime"] == "audio/wav"
     assert got[4]["v"]["n_chunks"] is None
+
+
+def test_extract_webp_frames_roundtrip_and_metadata():
+    """Container-level frame split: every animated frame re-wraps as a
+    standalone still that decodes bit-exactly; offsets/durations and
+    blend/dispose flags surface for the compositing-residue check."""
+    from fame2pygen_spark.operators.webp import (
+        decode_webp_lossless, encode_webp_lossless, encode_webp_vp8x,
+        extract_webp_frames,
+    )
+
+    rng = np.random.RandomState(21)
+    imgs = [_rand_img(rng, 4, 6) for _ in range(3)]
+    anim = encode_webp_vp8x(
+        [encode_webp_lossless(i) for i in imgs], duration_ms=44,
+        icc=b"icc-profile", loop_count=2,
+    )
+    frames = extract_webp_frames(anim)
+    assert len(frames) == 3
+    for k, fr in enumerate(frames):
+        assert (fr["x"], fr["y"]) == (0, 0)
+        assert (fr["w"], fr["h"]) == (6, 4)
+        assert fr["duration_ms"] == 44
+        assert (decode_webp_lossless(fr["still"]) == imgs[k]).all()
+    # still payloads: exactly one frame, zero duration
+    still = encode_webp_lossless(imgs[0])
+    (f0,) = extract_webp_frames(still)
+    assert f0["duration_ms"] == 0
+    assert (decode_webp_lossless(f0["still"]) == imgs[0]).all()
+    (f1,) = extract_webp_frames(encode_webp_vp8x([still], xmp=b"<x/>"))
+    assert (decode_webp_lossless(f1["still"]) == imgs[0]).all()
+    # malformed containers fail loudly
+    with pytest.raises(ValueError, match="not a RIFF"):
+        extract_webp_frames(b"nope")
+    with pytest.raises(ValueError, match="no image frames"):
+        extract_webp_frames(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_webp_frame_features_batch_lane(spark):
+    """The Arrow lane: animated payloads yield one row per frame with
+    exact dims/means; garbage payloads fall into the needs-codec lane
+    without failing the batch."""
+    from pyspark.sql import functions as F
+
+    from fame2pygen_spark.operators.multimodal import webp_frame_features
+    from fame2pygen_spark.operators.webp import (
+        encode_webp_lossless, encode_webp_vp8x,
+    )
+
+    def fill(v, h=2, w=3):
+        a = np.full((h, w, 4), v, dtype=np.uint8)
+        a[:, :, 3] = 255
+        return encode_webp_lossless(a)
+
+    anim = encode_webp_vp8x([fill(10), fill(20), fill(30)], duration_ms=5)
+    rows = [(1, anim), (2, b"not a webp at all")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in webp_frame_features(df, "doc_id", "payload").collect()
+    }
+    assert [got[(1, k)]["mean_r"] for k in range(3)] == [10.0, 20.0, 30.0]
+    assert got[(1, 1)]["duration_ms"] == 5
+    assert got[(2, -1)]["decoded"] == "needs-codec"
+    # every_k sampling keeps frames 0 and 2 only
+    sampled = webp_frame_features(
+        df.where(F.col("doc_id") == 1), "doc_id", "payload", every_k=2
+    ).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
