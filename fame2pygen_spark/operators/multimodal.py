@@ -1713,14 +1713,15 @@ def decode_image(payload: Column) -> Column:  # pragma: no cover - stub
     use :func:`image_features` / :func:`image_ahash` (Arrow-batched
     ``mapInPandas`` over :func:`decode_image_bytes`)."""
     raise NotImplementedError(
-        "only partial-frame ANMF compositing (blend/dispose of "
-        "sub-canvas patches) and VP8 interframes need a video codec; "
-        "BMP/PPM/PNG/JPEG baseline+progressive/VP8L/still-VP8X decode "
-        "for real via image_features(), animated-WebP FRAMES decode "
-        "for real via webp_frame_features() (container-level split), "
-        "VP8 key frames decode in the fixture lane (opt-in "
-        "allow_fixture_vp8, vp8.install_rfc_tables() for external "
-        "interop), and VP8X metadata parses scan-time via vp8x_info()"
+        "only VP8 interframes (and ffmpeg-class video) need a video "
+        "codec; BMP/PPM/PNG/JPEG baseline+progressive/VP8L/still-VP8X "
+        "decode for real via image_features(), animated lossless WebP "
+        "decodes FULLY COMPOSITED via webp_composited_features() "
+        "(offsets, alpha-over/overwrite blending, background "
+        "disposal) or per-frame via webp_frame_features(), VP8 key "
+        "frames decode in the fixture lane (opt-in allow_fixture_vp8, "
+        "vp8.install_rfc_tables() for external interop), and VP8X "
+        "metadata parses scan-time via vp8x_info()"
     )
 
 
@@ -2699,3 +2700,60 @@ def _append_frame_row(
     out["height"].append(h)
     out["mean_r"].append(mean_r)
     out["decoded"].append(decoded)
+
+
+COMPOSITED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("decoded", StringType()),
+    ]
+)
+
+
+def webp_composited_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Fully-COMPOSITED per-frame features of lossless animated WebP
+    (:func:`~.webp.decode_animated_webp` — offsets, alpha-over /
+    overwrite blending, background disposal all applied), one row per
+    composited canvas: ``(doc_id, frame_idx, width, height, mean_r,
+    decoded)``.  Same Arrow ``mapInPandas`` lane and needs-codec
+    fallback discipline as :func:`webp_frame_features`; the
+    difference is that THESE means are of the full canvas as a viewer
+    would see it, not of the raw patch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .webp import decode_animated_webp
+
+        for pdf in batches:
+            out = {f.name: [] for f in COMPOSITED_SCHEMA.fields}
+
+            def add(doc_id, idx, w, h, mean_r, decoded):
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(mean_r)
+                out["decoded"].append(decoded)
+
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    stack = decode_animated_webp(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    add(doc_id, -1, None, None, None, "needs-codec")
+                    continue
+                for idx in range(stack.shape[0]):
+                    add(
+                        doc_id, idx,
+                        int(stack.shape[2]), int(stack.shape[1]),
+                        float(stack[idx, :, :, 0].mean()), "real",
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=COMPOSITED_SCHEMA)

@@ -973,6 +973,10 @@ def encode_webp_vp8x(
     loop_count: int = 0,
     duration_ms: int = 100,
     alpha: bool = False,
+    offsets: list | None = None,
+    blends: list | None = None,
+    disposals: list | None = None,
+    background: int = 0xFFFFFFFF,
 ) -> bytes:
     """Extended-WebP (VP8X) container writer — the fixture/export
     counterpart of the scan-time parser
@@ -1019,17 +1023,27 @@ def encode_webp_vp8x(
     if icc is not None:
         out += _riff_chunk(b"ICCP", icc)
     if anim:
+        n = len(bodies)
+        offs = offsets if offsets is not None else [(0, 0)] * n
+        bls = blends if blends is not None else [0] * n
+        dis = disposals if disposals is not None else [0] * n
+        if not (len(offs) == len(bls) == len(dis) == n):
+            raise ValueError("offsets/blends/disposals must match frames")
         out += _riff_chunk(
-            b"ANIM", struct.pack("<IH", 0xFFFFFFFF, loop_count)
+            b"ANIM", struct.pack("<IH", background & 0xFFFFFFFF, loop_count)
         )
-        for body, (fw, fh) in zip(bodies, dims):
+        for body, (fw, fh), (fx, fy), bl, dp in zip(
+            bodies, dims, offs, bls, dis
+        ):
+            if fx % 2 or fy % 2:
+                raise ValueError("ANMF frame offsets must be even")
             hdr = (
-                u24(0)                 # x / 2
-                + u24(0)               # y / 2
+                u24(fx // 2)
+                + u24(fy // 2)
                 + u24(fw - 1)
                 + u24(fh - 1)
                 + u24(duration_ms)
-                + b"\x00"              # blend over, no dispose
+                + bytes([(1 if bl else 0) << 1 | (1 if dp else 0)])
             )
             out += _riff_chunk(b"ANMF", hdr + _riff_chunk(b"VP8L", body))
     else:
@@ -1119,3 +1133,82 @@ def extract_webp_frames(payload: bytes) -> list:
     if not frames:
         raise ValueError("no image frames in WebP payload")
     return frames
+
+
+def decode_animated_webp(payload: bytes):
+    """Fully composited animated-WebP decode for LOSSLESS (VP8L)
+    frames: ``(n_frames, canvas_h, canvas_w, 4)`` uint8 RGBA, one
+    composited canvas per frame — the previously-declared compositing
+    residue implemented for real (spec "Animation" section): frames
+    paste at their (x, y) offsets, the blending flag selects alpha-
+    OVER (0) or overwrite (1), and the disposal flag restores the
+    frame rectangle to the ANIM background color after capture.
+    Frames carrying lossy VP8 data still raise (the one true codec
+    boundary).
+
+    Alpha-over follows the spec formula in straight (non-
+    premultiplied) alpha with round-half-up integer quantization:
+    ``A = As + Ad·(1−As)``; ``C = (Cs·As + Cd·Ad·(1−As)) / A``.
+    """
+    import struct
+
+    import numpy as np
+
+    frames = extract_webp_frames(payload)
+    if payload[12:16] != b"VP8X":
+        # plain still: one "frame", its own canvas
+        rgba = decode_webp_lossless(frames[0]["still"])
+        return rgba[None, :, :, :]
+    cw = int.from_bytes(payload[24:27], "little") + 1
+    ch = int.from_bytes(payload[27:30], "little") + 1
+    # ANIM background color (BGRA u32); white when no ANIM chunk
+    bg = (255, 255, 255, 255)
+    pos = 30
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if tag == b"ANIM" and size >= 6:
+            b_, g_, r_, a_ = payload[pos + 8 : pos + 12]
+            bg = (r_, g_, b_, a_)
+            break
+        pos += 8 + size + (size & 1)
+
+    canvas = np.empty((ch, cw, 4), dtype=np.uint8)
+    canvas[:, :] = bg
+    out = []
+    for fr in frames:
+        patch = decode_webp_lossless(fr["still"])
+        fh, fw = patch.shape[:2]
+        x, y = fr["x"], fr["y"]
+        if y + fh > ch or x + fw > cw:
+            raise ValueError("ANMF frame exceeds canvas bounds")
+        region = canvas[y : y + fh, x : x + fw]
+        if fr["blend"]:  # blending flag 1 = do not blend (overwrite)
+            region[:] = patch
+        else:
+            a_s = patch[:, :, 3:4].astype(np.int64)
+            a_d = region[:, :, 3:4].astype(np.int64)
+            # straight-alpha OVER at 255-scale integer arithmetic:
+            # A·255 = As·255 + Ad·(255−As); numerators carry ·255²
+            a_num = a_s * 255 + a_d * (255 - a_s)          # A · 255
+            c_num = (
+                patch[:, :, :3].astype(np.int64) * a_s * 255
+                + region[:, :, :3].astype(np.int64) * a_d * (255 - a_s)
+            )                                              # C·A·255²... /255
+            blended = np.zeros_like(region)
+            nz = a_num[:, :, 0] > 0
+            blended[:, :, 3] = ((a_num[:, :, 0] + 127) // 255).astype(
+                np.uint8
+            )
+            for c in range(3):
+                num = c_num[:, :, c]
+                den = a_num[:, :, 0]
+                blended[nz, c] = (
+                    (num[nz] + den[nz] // 2) // den[nz]
+                ).astype(np.uint8)
+            region[:] = blended
+        out.append(canvas.copy())
+        if fr["dispose"]:
+            region_full = canvas[y : y + fh, x : x + fw]
+            region_full[:, :] = bg
+    return np.stack(out, axis=0)

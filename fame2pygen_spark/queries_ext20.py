@@ -844,3 +844,88 @@ ORDER BY doc_id, frame_idx
 
 EXT20_QUERIES.update({"x432_webp_frames": q_x432_webp_frames})
 EXT20_ORACLES.update({"x432_webp_frames": SQL_X432})
+
+
+# ---- x433: composited animated-WebP canvases (the full residue)
+
+
+def q_x433_webp_composited(spark, sf_dir):
+    """Composited animated-WebP decode
+    (operators/webp.py:decode_animated_webp via
+    multimodal.webp_composited_features): every document renders an
+    animation whose SECOND frame is a PARTIAL 2×1 patch pasted at an
+    even x-offset over the first full-canvas frame — the compositing
+    semantics (offsets + overwrite blending) that were a declared
+    stub until r10.  The canvas mean after the paste is exactly
+    ``(v0·(area−2) + v1·2) / area`` with integer fills, so the
+    oracle recomputes the composition arithmetically and a hash
+    match proves encode → chunk-split → VP8L decode → paste is
+    lossless end to end, partial frames included."""
+    import pandas as pd
+
+    from .operators.multimodal import webp_composited_features
+    from .operators.webp import encode_webp_lossless, encode_webp_vp8x
+    from .queries_ext18 import _PROG_PAYLOAD_SCHEMA
+
+    docs = _ts(sf_dir, spark, "documents")
+    staged = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ch = 2 + i % 3
+                v0, v1 = (i * 11) % 256, (i * 13 + 7) % 256
+                full = np.full((ch, 4, 4), v0, dtype=np.uint8)
+                full[:, :, 3] = 255
+                patch = np.full((1, 2, 4), v1, dtype=np.uint8)
+                patch[:, :, 3] = 255
+                payloads.append(
+                    encode_webp_vp8x(
+                        [
+                            encode_webp_lossless(full),
+                            encode_webp_lossless(patch),
+                        ],
+                        canvas=(4, ch),
+                        animated=True,
+                        offsets=[(0, 0), (2 * (i % 2), 0)],
+                        blends=[1, 1],
+                        duration_ms=20,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    with_payload = staged.mapInPandas(encode, schema=_PROG_PAYLOAD_SCHEMA)
+    out = webp_composited_features(with_payload, "doc_id", "payload")
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round(F.col("mean_r"), 6).alias("mean_r"), "decoded",
+    ).orderBy("doc_id", "frame_idx")
+
+
+SQL_X433 = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(k.k AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS width,
+       CAST(2 + d.doc_id % 3 AS INTEGER) AS height,
+       ROUND(CASE WHEN k.k = 0
+                  THEN CAST((d.doc_id * 11) % 256 AS DOUBLE)
+                  ELSE (CAST((d.doc_id * 11) % 256 AS DOUBLE)
+                        * (4 * (2 + d.doc_id % 3) - 2)
+                        + CAST((d.doc_id * 13 + 7) % 256 AS DOUBLE) * 2)
+                       / (4 * (2 + d.doc_id % 3))
+             END, 6) AS mean_r,
+       'real' AS decoded
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, 2)) AS k) k
+ORDER BY doc_id, frame_idx
+"""
+
+EXT20_QUERIES.update({"x433_webp_composited": q_x433_webp_composited})
+EXT20_ORACLES.update({"x433_webp_composited": SQL_X433})

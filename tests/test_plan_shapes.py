@@ -2399,3 +2399,12 @@ def test_webp_frame_sampling_rides_arrow_batches(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_webp_compositing_rides_arrow_batches(spark):
+    # r10: the full composite (split + decode + paste) is still one
+    # Arrow lane over the scan — no join, no window, no driver loop
+    plan = plan_of(spark, "x433_webp_composited")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

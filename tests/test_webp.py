@@ -329,3 +329,61 @@ def test_webp_frame_features_batch_lane(spark):
         df.where(F.col("doc_id") == 1), "doc_id", "payload", every_k=2
     ).collect()
     assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
+
+
+def test_decode_animated_webp_compositing_hand_computed():
+    """Offsets, overwrite vs alpha-over blending, and background
+    disposal, each checked against hand-computed canvases."""
+    from fame2pygen_spark.operators.webp import (
+        decode_animated_webp, encode_webp_lossless, encode_webp_vp8x,
+    )
+
+    def img(v, h, w, a=255):
+        x = np.full((h, w, 4), v, dtype=np.uint8)
+        x[:, :, 3] = a
+        return x
+
+    f0 = encode_webp_lossless(img(100, 4, 6))
+    f1 = encode_webp_lossless(img(200, 2, 2))
+    anim = encode_webp_vp8x(
+        [f0, f1], canvas=(6, 4), animated=True,
+        offsets=[(0, 0), (2, 0)], blends=[1, 1],
+    )
+    out = decode_animated_webp(anim)
+    assert out.shape == (2, 4, 6, 4)
+    assert (out[0, :, :, 0] == 100).all()
+    expect = np.full((4, 6), 100)
+    expect[0:2, 2:4] = 200
+    assert (out[1, :, :, 0] == expect).all()
+    # alpha-over: 200@a128 over opaque 100 →
+    # C = (200·128·255 + 100·255·127) / (128·255 + 255·127), half-up
+    f1a = encode_webp_lossless(img(200, 2, 2, a=128))
+    anim2 = encode_webp_vp8x(
+        [f0, f1a], canvas=(6, 4), animated=True,
+        offsets=[(0, 0), (2, 0)], blends=[1, 0],
+    )
+    out2 = decode_animated_webp(anim2)
+    a_num = 128 * 255 + 255 * 127
+    exp_c = (200 * 128 * 255 + 100 * 255 * 127 + a_num // 2) // a_num
+    assert out2[1, 0, 2, 0] == exp_c == 150
+    assert out2[1, 0, 2, 3] == 255  # over opaque stays opaque
+    # dispose=1 restores the ANIM background under the patch
+    anim3 = encode_webp_vp8x(
+        [f0, f1, f0], canvas=(6, 4), animated=True,
+        offsets=[(0, 0), (2, 0), (0, 0)], blends=[1, 1, 1],
+        disposals=[0, 1, 0],
+    )
+    out3 = decode_animated_webp(anim3)
+    assert (out3[1, 0:2, 2:4, 0] == 200).all()
+    assert (out3[2, :, :, 0] == 100).all()
+    # a still payload is a 1-frame stack
+    still = decode_animated_webp(f0)
+    assert still.shape == (1, 4, 6, 4)
+    # out-of-bounds patches fail loudly
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        decode_animated_webp(
+            encode_webp_vp8x(
+                [f0, f1], canvas=(3, 2), animated=True,
+                offsets=[(0, 0), (2, 0)], blends=[1, 1],
+            )
+        )
