@@ -423,6 +423,10 @@ def decode_image_bytes(payload: bytes, *, allow_fixture_vp8: bool = False):
         from .webp import decode_webp_lossless
 
         return decode_webp_lossless(payload)[:, :, :3]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_frames
+
+        return decode_gif_frames(payload)[0, :, :, :3]
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"BM":
@@ -2095,7 +2099,7 @@ def image_dimensions(payload: Column) -> Column:
     fields bit-packed LSB-first in the u32 after the 0x2F signature
     (extracted with pmod/floor-div — still no decode); lossy VP8 key
     frame = 14 low bits of the u16 LE pairs after the 9D012A start
-    code.  Returns ``struct<width int, height int>``, null fields for
+    code.  GIF: logical-screen u16 LE at 7/9.  Returns ``struct<width int, height int>``, null fields for
     other formats or truncated headers."""
 
     def be32(off: int) -> Column:
@@ -2136,6 +2140,9 @@ def image_dimensions(payload: Column) -> Column:
     is_bmp = (F.octet_length(payload) >= 26) & (
         F.hex(F.substring(payload, 1, 2)) == F.lit("424D")
     )
+    is_gif = (F.octet_length(payload) >= 13) & (
+        F.hex(F.substring(payload, 1, 4)) == F.lit("47494638")
+    )
     is_webp = (F.octet_length(payload) >= 30) & (
         F.hex(F.substring(payload, 1, 4)) == F.lit("52494646")
     ) & (F.hex(F.substring(payload, 9, 4)) == F.lit("57454250"))
@@ -2158,6 +2165,7 @@ def image_dimensions(payload: Column) -> Column:
         .when(is_vp8x, le24(25) + 1)
         .when(is_vp8l, F.pmod(vp8l_packed, F.lit(16384)) + 1)
         .when(is_vp8, F.pmod(le16(27), F.lit(16384)))
+        .when(is_gif, le16(7))
         .cast("int")
     )
     height = (
@@ -2169,6 +2177,7 @@ def image_dimensions(payload: Column) -> Column:
             F.pmod(F.floor(vp8l_packed / F.lit(16384)), F.lit(16384)) + 1,
         )
         .when(is_vp8, F.pmod(le16(29), F.lit(16384)))
+        .when(is_gif, le16(9))
         .cast("int")
     )
     return F.struct(width.alias("width"), height.alias("height"))
@@ -2743,6 +2752,69 @@ def webp_composited_features(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     stack = decode_animated_webp(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    add(doc_id, -1, None, None, None, "needs-codec")
+                    continue
+                for idx in range(stack.shape[0]):
+                    add(
+                        doc_id, idx,
+                        int(stack.shape[2]), int(stack.shape[1]),
+                        float(stack[idx, :, :, 0].mean()), "real",
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=COMPOSITED_SCHEMA)
+
+
+def decode_animation_bytes(payload: bytes):
+    """Composited animation decode for every container this module
+    owns end-to-end: GIF87a/89a (:mod:`.gif`) and lossless animated
+    WebP (:func:`~.webp.decode_animated_webp`); a still payload of
+    any decodable format returns a 1-frame stack.  Returns
+    ``(n_frames, h, w, 4)`` uint8 RGBA composited canvases."""
+    import numpy as np
+
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_frames
+
+        return decode_gif_frames(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_animated_webp
+
+        return decode_animated_webp(payload)
+    rgb = decode_image_bytes(payload)
+    rgba = np.empty(rgb.shape[:2] + (4,), dtype=np.uint8)
+    rgba[:, :, :3] = rgb
+    rgba[:, :, 3] = 255
+    return rgba[None, :, :, :]
+
+
+def animation_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Format-dispatching composited animation features — the
+    :func:`webp_composited_features` lane generalized over
+    :func:`decode_animation_bytes` (GIF + animated WebP + any
+    decodable still), same Arrow batching, same needs-codec
+    fallback, same output schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in COMPOSITED_SCHEMA.fields}
+
+            def add(doc_id, idx, w, h, mean_r, decoded):
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(mean_r)
+                out["decoded"].append(decoded)
+
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    stack = decode_animation_bytes(
                         bytes(payload) if payload is not None else b""
                     )
                 except ValueError:

@@ -929,3 +929,85 @@ ORDER BY doc_id, frame_idx
 
 EXT20_QUERIES.update({"x433_webp_composited": q_x433_webp_composited})
 EXT20_ORACLES.update({"x433_webp_composited": SQL_X433})
+
+
+# ----------- x434: GIF decode + animation compositing (real codec)
+
+
+def q_x434_gif_composited(spark, sf_dir):
+    """GIF87a/89a decode end-to-end (operators/gif.py — full GIF-LZW,
+    color tables, offsets, disposal; the remaining ubiquitous web
+    image format, implemented like PNG/JPEG/VP8L rather than shelled
+    out): every document renders a REAL two-frame GIF89a — full
+    4×(2+id%3) canvas at gray (id·17)%256, then a 2×1 patch at
+    x-offset id%3 in gray (id·17+29)%256 — and the composited canvas
+    means must match the construction arithmetic exactly
+    (multimodal.animation_features, the format-dispatching Arrow
+    lane).  A hash match proves encode → LZW decode → palette →
+    paste is lossless, partial frames and odd offsets included (GIF
+    offsets are not even-constrained like WebP's)."""
+    import pandas as pd
+
+    from .operators.gif import encode_gif
+    from .operators.multimodal import animation_features
+    from .queries_ext18 import _PROG_PAYLOAD_SCHEMA
+
+    docs = _ts(sf_dir, spark, "documents")
+    staged = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ch = 2 + i % 3
+                pal = np.stack(
+                    [
+                        np.full(3, (i * 17 + j * 29) % 256, dtype=np.uint8)
+                        for j in range(4)
+                    ]
+                )
+                full = np.zeros((ch, 4), dtype=int)
+                patch = np.ones((1, 2), dtype=int)
+                payloads.append(
+                    encode_gif(
+                        [full, patch], pal, canvas=(4, ch),
+                        offsets=[(0, 0), (i % 3, 0)],
+                        delays_ms=[40, 40],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": payloads}
+            )
+
+    with_payload = staged.mapInPandas(encode, schema=_PROG_PAYLOAD_SCHEMA)
+    out = animation_features(with_payload, "doc_id", "payload")
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round(F.col("mean_r"), 6).alias("mean_r"), "decoded",
+    ).orderBy("doc_id", "frame_idx")
+
+
+SQL_X434 = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(k.k AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS width,
+       CAST(2 + d.doc_id % 3 AS INTEGER) AS height,
+       ROUND(CASE WHEN k.k = 0
+                  THEN CAST((d.doc_id * 17) % 256 AS DOUBLE)
+                  ELSE (CAST((d.doc_id * 17) % 256 AS DOUBLE)
+                        * (4 * (2 + d.doc_id % 3) - 2)
+                        + CAST((d.doc_id * 17 + 29) % 256 AS DOUBLE) * 2)
+                       / (4 * (2 + d.doc_id % 3))
+             END, 6) AS mean_r,
+       'real' AS decoded
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, 2)) AS k) k
+ORDER BY doc_id, frame_idx
+"""
+
+EXT20_QUERIES.update({"x434_gif_composited": q_x434_gif_composited})
+EXT20_ORACLES.update({"x434_gif_composited": SQL_X434})

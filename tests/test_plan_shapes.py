@@ -2408,3 +2408,11 @@ def test_webp_compositing_rides_arrow_batches(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_gif_compositing_rides_arrow_batches(spark):
+    # r10: GIF LZW decode + compositing is one Arrow lane on the scan
+    plan = plan_of(spark, "x434_gif_composited")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
