@@ -1011,3 +1011,83 @@ ORDER BY doc_id, frame_idx
 
 EXT20_QUERIES.update({"x434_gif_composited": q_x434_gif_composited})
 EXT20_ORACLES.update({"x434_gif_composited": SQL_X434})
+
+
+# ----------- x435: WARC ingestion (Common-Crawl-shaped entry point)
+
+
+def q_x435_warc_ingest(spark, sf_dir):
+    """WARC ingestion end-to-end (sources/warc.py): documents are
+    packed ~20 per blob into REAL WARC/1.0 files — a warcinfo record
+    plus one HTTP/1.1 response record per document wrapping the
+    html-escaped text in a page with script/style/comment boilerplate
+    — with every odd bucket stored as per-record gzip members (the
+    .warc.gz layout real crawls ship, unsplittable by byte range:
+    parallelism comes from blob count, exactly this plan).  The Arrow
+    record splitter + HTML stripper must recover every document's
+    whitespace-normalized text, URI-encoded id, status and content
+    type; the oracle recomputes all four from the documents table, so
+    a hash match proves build → gzip → split → HTTP parse → entity
+    decode → tag strip is lossless."""
+    import pandas as pd
+
+    from .sources.warc import build_warc, http_response, warc_documents
+
+    docs = _ts(sf_dir, spark, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    bucketed = docs.withColumn("bucket", (F.col("doc_id") / 20).cast("long"))
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import html as _h
+
+        (bucket,) = key
+        recs = [(
+            {"WARC-Type": "warcinfo",
+             "WARC-Date": "2026-01-01T00:00:00Z"},
+            b"software: fixture\r\n",
+        )]
+        for doc_id, text in sorted(
+            zip(pdf["doc_id"], pdf["text"]), key=lambda t: t[0]
+        ):
+            page = (
+                "<html><head><script>var p = '<p>';</script>"
+                "<style>a{color:red}</style></head><body>"
+                "<!-- boilerplate --><p>"
+                + _h.escape(str(text)) + "</p></body></html>"
+            ).encode()
+            recs.append((
+                {"WARC-Type": "response",
+                 "WARC-Target-URI": f"https://example.org/doc/{int(doc_id)}",
+                 "WARC-Date": "2026-01-01T00:00:00Z"},
+                http_response(page),
+            ))
+        return pd.DataFrame(
+            {"bucket": [int(bucket)],
+             "blob": [build_warc(recs, gzip_per_record=bool(bucket % 2))]}
+        )
+
+    blobs = bucketed.groupBy("bucket").applyInPandas(
+        pack, schema="bucket long, blob binary"
+    )
+    out = warc_documents(blobs, "blob")
+    return out.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "status",
+        "content_type",
+        F.col("text").alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+SQL_X435 = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(200 AS INTEGER) AS status,
+       'text/html' AS content_type,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text
+FROM documents
+ORDER BY doc_id
+"""
+
+EXT20_QUERIES.update({"x435_warc_ingest": q_x435_warc_ingest})
+EXT20_ORACLES.update({"x435_warc_ingest": SQL_X435})

@@ -2416,3 +2416,13 @@ def test_gif_compositing_rides_arrow_batches(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_warc_ingest_is_two_arrow_stages(spark):
+    # r10: pack (grouped) + split (mapInPandas) — the binaryFile plan
+    # shape; no join, no window, parallelism from blob count
+    plan = plan_of(spark, "x435_warc_ingest")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
