@@ -2787,3 +2787,84 @@ def item_item_cf(
         )
         .orderBy("item", "rank")
     )
+
+
+def ivf_topk_keyed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    partition_col: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Entity-scoped IVF approximate top-k — the SCALE path of the
+    keyed similarity family (:func:`cosine_topk_keyed` is the exact
+    lane, p08): one SHARED coarse quantizer for every entity (the
+    multi-tenant vector-store design — per-tenant codebooks would
+    retrain k-means per tenant and shatter the cell-partitioned list
+    files), with the candidate join keyed on ``(entity, cell)`` so a
+    query only ever scores ITS OWN entity's vectors in its probed
+    cells.
+
+    At 100 TB the list file is bucketed by (entity, cell): adding
+    tenants adds partitions, probing stays ~nprobe/n_clusters of ONE
+    tenant's data, and no cross-tenant candidate is ever generated —
+    the same never-generate guarantee as the keyed LSH lane (contrast
+    post-filtering a global candidate list).
+
+    Output: ``(partition_col, query_id, neighbor_id, rank, score)``.
+    """
+    pk = partition_col
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, vec_col=vec_col, k=n_clusters, seed=seed
+        )
+    c = corpus.select(
+        pk,
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn(
+        "__cell", F.array_min(_centroid_dists(F.col("__v"), centroids))["cid"]
+    ).withColumn("__nv", l2_norm(F.col("__v")))
+    q = queries.select(
+        pk,
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("__q"),
+    ).withColumn("__nq", l2_norm(F.col("__q"))).withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_centroid_dists(F.col("__q"), centroids)),
+                    1, nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    cand = c.join(F.broadcast(q), on=[pk, "__cell"])
+    if not include_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "score",
+        prenormed_cosine(
+            F.col("__v"), F.col("__q"), F.col("__nv"), F.col("__nq")
+        ),
+    )
+    w = Window.partitionBy(pk, "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(pk, "query_id", "neighbor_id", "rank", "score")
+    )

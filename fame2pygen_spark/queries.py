@@ -1116,6 +1116,7 @@ ROTATION_PRIORITY: list[str] = [
     "x427_tpch_q19", "x428_tpch_q5", "x429_tpch_q7", "x430_tpch_q8",
     "x431_tpch_q20", "p11_panel_survivors", "x432_webp_frames",
     "x433_webp_composited", "x434_gif_composited", "x435_warc_ingest",
+    "p12_panel_ivf",
 ]
 
 

@@ -1036,3 +1036,117 @@ ORDER BY 1, 2
 
 PANEL_QUERIES.update({"p11_panel_survivors": q_p11_panel_survivors})
 PANEL_ORACLES.update({"p11_panel_survivors": _sql_p11()})
+
+
+# -------- p12: entity-scoped IVF ANN (the keyed similarity SCALE path)
+
+
+def q_p12_panel_ivf(spark, sf_dir):
+    """The similarity family's SCALE lane in panel mode
+    (operators/similarity.py:ivf_topk_keyed): IVF approximate top-3
+    per query with ONE shared coarse quantizer (centroids pinned to
+    the vec_id<16 embeddings — the x05c rule, so the oracle
+    reproduces them from the same view) and the candidate join keyed
+    on (label, cell) — a query scores only its own entity's vectors
+    in its nprobe probed cells, so no cross-entity candidate is ever
+    generated and the pair space is per-entity cell blocks.  p08 is
+    the exact twin; this is what actually runs at 100 TB."""
+    from .operators.similarity import ivf_topk_keyed
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        "label",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_topk_keyed(
+        emb, queries, "label", dim=64, k=3, nprobe=4, centroids=cents
+    )
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "score",
+    )
+
+
+SQL_P12 = """
+WITH e AS (
+  SELECT label, vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT id AS cid, v AS cv,
+         list_reduce(list_transform(range(1, 65),
+             i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)]),
+             (a, x) -> a + x) AS c2
+  FROM e WHERE id < 16
+),
+dists AS (
+  SELECT e.label, e.id, cent.cid,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.v[CAST(i AS INTEGER)] * e.v[CAST(i AS INTEGER)]),
+             (a, x) -> a + x)
+         - 2.0 * list_reduce(list_transform(range(1, 65),
+             i -> e.v[CAST(i AS INTEGER)] * cent.cv[CAST(i AS INTEGER)]),
+             (a, x) -> a + x)
+         + cent.c2 AS d2
+  FROM e CROSS JOIN cent
+),
+cells AS (
+  SELECT label, id, cid AS cell FROM (
+    SELECT label, id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT label, id AS query_id, cid AS cell FROM (
+    SELECT label, id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM dists WHERE id % 25 = 0
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT q.label, q.query_id, c.id AS neighbor_id
+  FROM qprobe q
+  JOIN cells c ON c.cell = q.cell AND c.label = q.label
+  WHERE c.id <> q.query_id
+),
+scored AS (
+  SELECT cd.label, cd.query_id, cd.neighbor_id,
+         ROUND(
+           list_reduce(list_transform(range(1, 65),
+               i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+               (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> b.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)]),
+                   (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                   i -> a.v[CAST(i AS INTEGER)] * a.v[CAST(i AS INTEGER)]),
+                   (acc, x) -> acc + x))), 6) AS score
+  FROM cand cd
+  JOIN e a ON a.id = cd.query_id
+  JOIN e b ON b.id = cd.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label, query_id
+                               ORDER BY score DESC, neighbor_id ASC)
+            AS rank
+  FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 3
+"""
+
+
+PANEL_QUERIES.update({"p12_panel_ivf": q_p12_panel_ivf})
+PANEL_ORACLES.update({"p12_panel_ivf": SQL_P12})

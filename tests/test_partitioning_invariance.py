@@ -209,6 +209,7 @@ SENSITIVE = [
     "p09_panel_vocab",
     "p10_panel_graph",
     "p11_panel_survivors",
+    "p12_panel_ivf",
 ]
 
 

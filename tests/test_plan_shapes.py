@@ -2426,3 +2426,13 @@ def test_warc_ingest_is_two_arrow_stages(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_p12_ivf_candidate_join_is_entity_and_cell_keyed(spark):
+    # the keyed IVF lane: candidates join on (entity, cell) — never a
+    # cross of query x corpus, and the rank windows carry the entity
+    plan = plan_of(spark, "p12_panel_ivf")
+    assert "__cell" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert unpartitioned_windows(spark, "p12_panel_ivf") == []

@@ -107,3 +107,43 @@ def test_quality_survivors_keyed_elects_per_entity(spark):
     # the global operator merges all four docs into ONE cluster
     global_out = quality_survivors(df, "text", "doc_id").collect()
     assert len(global_out) == 1 and global_out[0]["cluster_size"] == 4
+
+
+def test_ivf_topk_keyed_blocks_cross_entity_neighbors(spark):
+    """Hand-built: identical vectors in two entities share the same
+    IVF cell under the shared codebook, but the keyed join must never
+    surface a cross-entity neighbor; the unkeyed operator does."""
+    from fame2pygen_spark.operators.similarity import (
+        ivf_topk, ivf_topk_keyed,
+    )
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.9, 0.1, 0.0, 0.0]
+    far = [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        ("A", 1, e1), ("A", 2, e2), ("B", 3, e1), ("B", 4, far),
+    ]
+    emb = spark.createDataFrame(
+        rows, "pk string, vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [("A", 1, e1), ("B", 3, e1)],
+        "pk string, query_id long, query_vec array<double>",
+    )
+    cents = [e1, far]
+    keyed = ivf_topk_keyed(
+        emb, queries, "pk", dim=4, k=2, nprobe=1, centroids=cents
+    ).collect()
+    got = {(r["pk"], r["query_id"]): r["neighbor_id"] for r in keyed}
+    # A's query finds A's near-dup; B's query finds NOTHING in its
+    # probed cell except itself-excluded doc 3's entity-mate... doc 4
+    # lives in the far cell, so B gets no neighbor at nprobe=1
+    assert got == {("A", 1): 2}
+    # the UNKEYED operator happily returns B's doc 3 for A's query
+    global_out = ivf_topk(
+        emb, queries.select("query_id", "query_vec"), dim=4, k=2,
+        nprobe=1, centroids=cents,
+    ).collect()
+    assert any(
+        r["query_id"] == 1 and r["neighbor_id"] == 3 for r in global_out
+    )
