@@ -1877,15 +1877,28 @@ def _sql_x356() -> str:
     from .operators.temporal import smooth_disagg_weights
 
     W = smooth_disagg_weights()
+    # weights MUST be spelled in exponent notation so DuckDB types the
+    # literal DOUBLE: a plain 18-digit literal parses as DECIMAL(19,18)
+    # and BOTH the decimal×double path and CAST(decimal AS DOUBLE)
+    # (int128/10^18 in float arithmetic) land up to 2 ulps away from
+    # the IEEE double the Spark side (F.lit) uses — enough to flip the
+    # 6-dp round on boundary rows (r10 inherited-state fix; verified
+    # bitwise: {w:.17e} * DOUBLE == Python/Spark l2r on the failing row)
     arms = " ".join(
-        f"WHEN {qi + 1} THEN {W[qi][0]!r} * ap + {W[qi][1]!r} * a"
-        f" + {W[qi][2]!r} * an"
+        f"WHEN {qi + 1} THEN {W[qi][0]:.17e} * ap"
+        f" + {W[qi][1]:.17e} * a"
+        f" + {W[qi][2]:.17e} * an"
         for qi in range(4)
     )
     return f"""
 WITH x356_panel AS (
   SELECT c_mktsegment AS e, year(o_orderdate) AS yr,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS a
+         -- VARCHAR-staged cast: DuckDB's direct DECIMAL(38,12)->DOUBLE
+         -- double-rounds (int128->double, then /1e12) and can land 1 ulp
+         -- off Spark's correctly-rounded decimal cast; the string parse
+         -- is correctly rounded (r10 inherited-state fix)
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS VARCHAR)
+              AS DOUBLE) AS a
   FROM orders JOIN customer ON o_custkey = c_custkey
   WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
   GROUP BY 1, 2
