@@ -69,6 +69,17 @@ def run_pipeline(
 
     counts: dict[str, int] = {"ingest": docs.count()}
 
+    # Stage materialization (r10, guide §5/§3.3): every stage below is
+    # consumed by SEVERAL actions/branches — its own stage count, the
+    # next stage's lineage, and (for `clean`/`sampled`) 2-4 sibling
+    # subplans.  Without a checkpoint each consumer re-executes the
+    # whole upstream chain (the counts alone re-ran Gopher+curation
+    # 5×); one localCheckpoint per stage makes every stage compute
+    # exactly once and turns the stage counts into cached-RDD counts.
+    # At 100 TB each checkpoint is the parquet stage boundary the
+    # module docstring already prescribes.  Results are unchanged —
+    # same frames, same lineage semantics.
+
     # 1. Gopher repetition rules — row-local profile, no shuffle; cut
     #    the corpus before anything wide runs.
     keep = (
@@ -76,20 +87,26 @@ def run_pipeline(
         .where(F.col("keep"))
         .select(F.col("doc").alias("doc_id"))
     )
-    gophered = docs.join(keep, on="doc_id", how="left_semi")
+    gophered = docs.join(keep, on="doc_id", how="left_semi").localCheckpoint(
+        eager=True
+    )
     counts["gopher"] = gophered.count()
 
     # 2. Quality/language curation + exact dedup + LSH near-dedup —
     #    the curate_documents composition (one fingerprint shuffle,
     #    banded LSH, alternating-star components, broadcast anti-join).
-    curated = curate_documents(gophered, "text", "doc_id")
+    curated = curate_documents(gophered, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
     counts["curated_deduped"] = curated.count()
 
     # 3. Benchmark decontamination — broadcast the benchmark's 8-gram
     #    set, drop any doc sharing one.
     if bench_df is None:
         bench_df = docs.where(F.col("doc_id") % 997 == 0).select("text")
-    clean = decontaminate(curated, bench_df, "text", "doc_id")
+    clean = decontaminate(curated, bench_df, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
     counts["decontaminated"] = clean.count()
 
     # 4-5. The training mixture: a deterministic stratified BASE
@@ -114,7 +131,7 @@ def run_pipeline(
     ).select("doc_id")
     sampled = clean.join(
         base_ids.union(boost_ids).distinct(), on="doc_id", how="left_semi"
-    )
+    ).localCheckpoint(eager=True)
     counts["mixture_sampled"] = sampled.count()
 
     # 6. Token-budget shard assignment, keyed by source.
@@ -128,7 +145,7 @@ def run_pipeline(
     packed = pack_context_windows(
         sampled, "text", "doc_id",
         window_tokens=window_tokens, partition_col="source",
-    )
+    ).localCheckpoint(eager=True)
     counts["packed_rows"] = packed.count()
 
     # 8. Training-shard manifest: what the run hands to the loader.
