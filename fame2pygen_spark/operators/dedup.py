@@ -357,6 +357,36 @@ def minhash_signatures(
     return exploded.groupBy("doc").agg(*aggs)
 
 
+def _signatures_with_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """``(doc, mh0..mh{k-1}, sh)`` — :func:`minhash_signatures` plus the
+    exact-verify shingle set from ONE explode+md5 aggregation.
+
+    The LSH pipeline needs both the MinHash mins (banding, prefilter)
+    and the distinct-shingle sets (exact Jaccard verify).  Computing
+    them in one ``groupBy(doc)`` hashes and shuffles the exploded
+    corpus once; the ``collect_set`` rides the aggregation the mins
+    already pay for (measured: the combined aggregation costs the same
+    as the mins-only one).  Consumers ``select`` their columns from
+    this frame so the shared subtree stays identical and AQE reuses
+    the single aggregation exchange across all of them (guide §2.4)."""
+    exploded = exploded_shingles(df, text_col, id_col, n).withColumn(
+        "h", shingle_hash(F.col("s"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_affine_params(num_hashes, seed))
+    ]
+    return exploded.groupBy("doc").agg(*aggs, F.collect_set("s").alias("sh"))
+
+
 def min_sig_matches(threshold: float, num_hashes: int, margin: float = 0.15) -> int:
     """Deterministic signature-agreement floor for the LSH prefilter:
     the number of matching MinHash components a pair must show before
@@ -390,11 +420,30 @@ def minhash_lsh_pairs(
     Scale notes: the band join carries only (band, bh, id) — 3 narrow
     columns; shingle arrays are joined on *after* candidate dedup, when
     the pair set is small.
+
+    One-pass corpus hashing (r10): the 64 ``min`` aggregates AND the
+    exact-verify ``collect_set`` come from a SINGLE explode+md5
+    aggregation (``_signatures_with_shingles``), and every consumer
+    (banding, prefilter, verify) selects from that one frame — the
+    subtrees stay identical, so AQE materializes the aggregation
+    exchange once and reuses it, where the previous two-aggregation
+    formulation exploded and hashed the corpus twice (and a pushed
+    ``isnotnull`` filter kept even the duplicated subtrees from
+    unifying).  The ``id IS NOT NULL`` head filter makes all branches
+    canonicalize identically; it drops no output — both joins on the
+    id and ``id_a < id_b`` already discard null ids.
+    Measured (local[32], interleaved with the old formulation, idle
+    host): sf0.1 3.67 s vs 4.77 s (-23%); 10× dense tier 15.84 s vs
+    16.64 s.  A localCheckpoint of the combined aggregation instead of
+    relying on stage reuse LOSES at the 10× tier (19.43 s) — the
+    shingle sets are the heavy column and checkpointing moves them to
+    block storage for no saved compute.
     """
-    df = _parallelize_input(df)
-    sigs = minhash_signatures(
+    df = _parallelize_input(df.where(F.col(id_col).isNotNull()))
+    sigs_sh = _signatures_with_shingles(
         df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
     )
+    sigs = sigs_sh.select("doc", *[f"mh{j}" for j in range(num_hashes)])
     banded = _banded_buckets(sigs, num_hashes, bands, max_bucket)
 
     left = banded.select("band", "bh", F.col("doc").alias("id_a"))
@@ -409,6 +458,7 @@ def minhash_lsh_pairs(
     return _prefilter_and_verify(
         df, cand, sigs, text_col, id_col,
         n=n, num_hashes=num_hashes, threshold=threshold,
+        shingle_sets=sigs_sh.select("doc", "sh"),
     )
 
 
@@ -447,7 +497,7 @@ def minhash_lsh_pairs_keyed(
     appearing under conflicting entities raises at execution time
     instead of being silently scoped to an arbitrary one.
     """
-    df = _parallelize_input(df)
+    df = _parallelize_input(df.where(F.col(id_col).isNotNull()))
     # distinct (doc, pk) then 1-row-per-doc with an in-plan uniqueness
     # guard — executor-side raise_error, no collect()
     keys = (
@@ -476,9 +526,10 @@ def minhash_lsh_pairs_keyed(
             .alias("__pk"),
         )
     )
-    sigs = minhash_signatures(
+    sigs_sh = _signatures_with_shingles(
         df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
     )
+    sigs = sigs_sh.select("doc", *[f"mh{j}" for j in range(num_hashes)])
     banded = _banded_buckets(sigs, num_hashes, bands, max_bucket, keys=keys)
 
     left = banded.select("__pk", "band", "bh", F.col("doc").alias("id_a"))
@@ -492,6 +543,7 @@ def minhash_lsh_pairs_keyed(
     verified = _prefilter_and_verify(
         df, cand.select("id_a", "id_b"), sigs, text_col, id_col,
         n=n, num_hashes=num_hashes, threshold=threshold,
+        shingle_sets=sigs_sh.select("doc", "sh"),
     )
     # both members of a pair share one entity value (the band join is
     # key-equi and doc→key is unique), so this re-attach is 1:1
@@ -556,20 +608,28 @@ def _prefilter_and_verify(
     num_hashes: int,
     threshold: float,
     participants_only: bool = False,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Signature-agreement prefilter + exact shingle-Jaccard verify of
     an (id_a, id_b) candidate pair set.
 
+    *shingle_sets*: optional precomputed ``(doc, sh)`` distinct-shingle
+    frame.  Callers that already paid one combined corpus aggregation
+    (:func:`_signatures_with_shingles`) pass its projection here so the
+    verify join shares that aggregation instead of re-deriving the
+    sets; when both *sigs* and *shingle_sets* are selections of the
+    same frame, AQE materializes the underlying exchange once.
+
     *participants_only*: restrict shingle-set construction to docs
-    appearing in *cand*.  Default False — when the caller just
-    computed signatures from *df*, the unrestricted
-    exploded_shingles→groupBy subtree is IDENTICAL to the one inside
-    minhash_signatures, Catalyst reuses that exchange, and a semi-join
-    restriction measurably loses (see the inline note below).  Set
-    True when signatures came from a PERSISTED table instead: there is
-    no exchange to reuse, and re-shingling the whole corpus to verify
-    a small pair set would dominate the cost the persisted signatures
-    just saved.
+    appearing in *cand* (ignored when *shingle_sets* is given).
+    Default False — when the caller just computed signatures from
+    *df*, the unrestricted exploded_shingles→groupBy subtree is
+    IDENTICAL to the one inside minhash_signatures, Catalyst reuses
+    that exchange, and a semi-join restriction measurably loses (see
+    the inline note below).  Set True when signatures came from a
+    PERSISTED table instead: there is no exchange to reuse, and
+    re-shingling the whole corpus to verify a small pair set would
+    dominate the cost the persisted signatures just saved.
 
     Prefilter: band collisions admit ~2% of all pairs on
     template-heavy corpora; exact verification ships two ~3 KB shingle
@@ -612,7 +672,9 @@ def _prefilter_and_verify(
     # (semi-join ~3% better); 10× dense near-dup corpus 33.7 s vs
     # 50.1 s (semi-join 1.5× WORSE).  Exchange reuse wins.
     base = df
-    if participants_only:
+    if shingle_sets is not None:
+        participants_only = False
+    elif participants_only:
         # the surviving pair set feeds THREE plan branches below (two
         # participant projections + the verify join); without
         # materialization each branch re-evaluates the whole
@@ -627,9 +689,12 @@ def _prefilter_and_verify(
         base = df.join(
             participants, on=F.col(id_col) == F.col("__pid"), how="leftsemi"
         )
-    sh = exploded_shingles(base, text_col, id_col, n).groupBy("doc").agg(
-        F.collect_set("s").alias("sh")
-    )
+    if shingle_sets is not None:
+        sh = shingle_sets
+    else:
+        sh = exploded_shingles(base, text_col, id_col, n).groupBy("doc").agg(
+            F.collect_set("s").alias("sh")
+        )
     verified = (
         prefiltered
         .join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
