@@ -770,11 +770,18 @@ def incremental_lsh_pairs(
     double-append corruption; id sets alone cannot see it), all over
     ids only, raising ``ValueError`` with the drift counts.
     """
-    df = _parallelize_input(df)
+    df = _parallelize_input(df.where(F.col(id_col).isNotNull()))
+    shingle_sets = None
     if corpus_sigs is None:
-        sigs = minhash_signatures(
+        # self-contained path: same one-pass corpus hashing as
+        # minhash_lsh_pairs — the 64 mins and the exact-verify shingle
+        # set come from ONE explode+md5 aggregation, all consumers
+        # select from it, AQE reuses the single aggregation exchange
+        sigs_sh = _signatures_with_shingles(
             df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
         )
+        sigs = sigs_sh.select("doc", *[f"mh{j}" for j in range(num_hashes)])
+        shingle_sets = sigs_sh.select("doc", "sh")
     else:
         if validate_corpus:
             old_ids = df.where(~is_new).select(F.col(id_col).alias("doc"))
@@ -835,6 +842,7 @@ def incremental_lsh_pairs(
         df, cand, sigs, text_col, id_col,
         n=n, num_hashes=num_hashes, threshold=threshold,
         participants_only=corpus_sigs is not None,
+        shingle_sets=shingle_sets,
     )
 
 
