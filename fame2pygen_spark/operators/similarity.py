@@ -1854,9 +1854,13 @@ def ivf_pq_topk(
 
     Scale shape: base assigns to cells and PQ-encodes in the scan
     (row-local, broadcast centroid literals); the probe table
-    (|queries|·nprobe rows) and the LUT broadcast; candidates =
-    one equi-join on the cell id, then the x245 melt + pivoted
-    fixed-order ADC sum and a query-keyed rank window.
+    (|queries|·nprobe rows) and the per-query LUT arrays broadcast;
+    candidates = one equi-join on the cell id, then the ADC distance
+    is a ROW-LOCAL fixed-order sum of m array lookups (r10: replaces
+    the melt + broadcast-LUT-join + groupBy pivot, which shuffled
+    |candidates|·m rows per scoring pass — same doubles, same
+    addition order, zero scoring shuffles) and a query-keyed rank
+    window.
 
     Output: ``(query_id, id, cell, adist, rank)`` for rank ≤ k.
     """
@@ -1886,52 +1890,39 @@ def ivf_pq_topk(
             )
         ).alias("cell"),
     )
-    entries = []
-    for s, cset in enumerate(pq_centroids):
-        sub = F.slice(qv, s * sub_dims + 1, sub_dims)
-        for code, c in enumerate(cset):
-            carr = F.array(*[F.lit(float(w)) for w in c])
-            entries.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.lit(code).alias("code"),
-                    _fold_sq_dist(sub, carr).alias("d2"),
-                )
-            )
-    lut = queries.select(
+    # Per-query ADC lookup tables as m code-indexed ARRAY columns
+    # (entry `code` of `__lut{s}` = the same sequential-fold
+    # ‖q_s − centroid_s[code]‖² the previous melted LUT computed).
+    # The previous shape melted every candidate into m (qid, s, code)
+    # rows, broadcast-joined the exploded LUT, and re-aggregated with
+    # a groupBy pivot — a full shuffle of |candidates|·m narrow rows
+    # per scoring pass.  Array lookups keep the scoring ROW-LOCAL:
+    # one broadcast equi-join on qid attaches the m arrays, and the
+    # ADC sum is m element_at's added in the same fixed left-to-right
+    # order the pivoted sum used, so every double is bit-identical
+    # (guide §2.3 "aggregate before you shuffle" / §2.4 remove
+    # shuffles outright — here the pivot shuffle disappears).
+    lut_arrays = queries.select(
         F.col(query_id_col).alias("qid"),
-        F.explode(F.array(*entries)).alias("e"),
-    ).select("qid", F.col("e.s").alias("s"),
-             F.col("e.code").alias("code"), F.col("e.d2").alias("d2"))
-    cand = coded.join(F.broadcast(qcells), "cell")
-    melted = cand.select(
-        "qid",
-        "id",
-        "cell",
-        F.explode(
+        *[
             F.array(
                 *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.col(f"c{s}").alias("code"),
+                    _fold_sq_dist(
+                        F.slice(qv, s * sub_dims + 1, sub_dims),
+                        F.array(*[F.lit(float(w)) for w in c]),
                     )
-                    for s in range(m)
+                    for c in cset
                 ]
-            )
-        ).alias("e"),
-    ).select("qid", "id", "cell", F.col("e.s").alias("s"),
-             F.col("e.code").alias("code"))
-    joined = melted.join(F.broadcast(lut), ["qid", "s", "code"])
-    per = joined.groupBy("qid", "id", "cell").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"__d{s}")
-            for s in range(m)
-        ]
+            ).alias(f"__lut{s}")
+            for s, cset in enumerate(pq_centroids)
+        ],
     )
-    total = F.col("__d0")
+    cand = coded.join(F.broadcast(qcells), "cell")
+    withlut = cand.join(F.broadcast(lut_arrays), "qid")
+    total = F.element_at(F.col("__lut0"), F.col("c0") + 1)
     for s in range(1, m):
-        total = total + F.col(f"__d{s}")
-    scored = per.select(
+        total = total + F.element_at(F.col(f"__lut{s}"), F.col(f"c{s}") + 1)
+    scored = withlut.select(
         F.col("qid").alias(query_id_col),
         "id",
         F.col("cell").cast("long").alias("cell"),
