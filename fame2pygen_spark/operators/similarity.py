@@ -1750,16 +1750,20 @@ def pq_topk(
     prunes WHICH vectors to score, this scores them WITHOUT ever
     touching the original floats.
 
-    Scale shape: the LUT is |queries|·m·|codebook| tiny rows built
-    row-locally from broadcast centroid literals; base codes melt to
-    (id, subspace, code) and take ONE broadcast join against the LUT
-    — cost O(|base|·m·|queries|) narrow rows into a pivoted
-    fixed-order sum; top-k per query is a query-keyed rank window on
-    the 6-dp-rounded distance with an id tiebreak (engine-stable).
+    Scale shape: the per-query LUT is m code-indexed ARRAY columns
+    built row-locally from broadcast centroid literals; the ADC
+    distance of every (base, query) pair is a ROW-LOCAL fixed-order
+    sum of m array lookups under one broadcast of the query-sized LUT
+    frame (r10: replaces the melt + broadcast-LUT-join + groupBy
+    pivot, which shuffled O(|base|·m·|queries|) narrow rows — same
+    doubles, same addition order, zero scoring shuffles); top-k per
+    query is a query-keyed rank window on the 6-dp-rounded distance
+    with an id tiebreak (engine-stable).
 
     Engine-exactness: every LUT entry is the sequential index-order
-    fold (the x75/x114 idiom); the m-term ADC sum is pivoted into a
-    FIXED addition order, so no aggregation order exists to drift.
+    fold (the x75/x114 idiom); the m-term ADC sum keeps the FIXED
+    left-to-right addition order, so no aggregation order exists to
+    drift.
 
     Output: ``(query_id, id, adist, rank)`` for rank ≤ k.
     """
@@ -1769,48 +1773,26 @@ def pq_topk(
         vec_col=vec_col, id_col=id_col,
     )
     qv = _as_double(F.col(query_vec_col))
-    entries = []
-    for s, cset in enumerate(centroids):
-        sub = F.slice(qv, s * sub_dims + 1, sub_dims)
-        for code, c in enumerate(cset):
-            carr = F.array(*[F.lit(float(w)) for w in c])
-            entries.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.lit(code).alias("code"),
-                    _fold_sq_dist(sub, carr).alias("d2"),
-                )
-            )
-    lut = queries.select(
+    lut_arrays = queries.select(
         F.col(query_id_col).alias("qid"),
-        F.explode(F.array(*entries)).alias("e"),
-    ).select("qid", F.col("e.s").alias("s"), F.col("e.code").alias("code"),
-             F.col("e.d2").alias("d2"))
-    melted = codes.select(
-        "id",
-        F.explode(
+        *[
             F.array(
                 *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.col(f"c{s}").alias("code"),
+                    _fold_sq_dist(
+                        F.slice(qv, s * sub_dims + 1, sub_dims),
+                        F.array(*[F.lit(float(w)) for w in c]),
                     )
-                    for s in range(m)
+                    for c in cset
                 ]
-            )
-        ).alias("e"),
-    ).select("id", F.col("e.s").alias("s"), F.col("e.code").alias("code"))
-    joined = melted.join(F.broadcast(lut), ["s", "code"])
-    per = joined.groupBy("qid", "id").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"__d{s}")
-            for s in range(m)
-        ]
+            ).alias(f"__lut{s}")
+            for s, cset in enumerate(centroids)
+        ],
     )
-    total = F.col("__d0")
+    withlut = codes.crossJoin(F.broadcast(lut_arrays))
+    total = F.element_at(F.col("__lut0"), F.col("c0") + 1)
     for s in range(1, m):
-        total = total + F.col(f"__d{s}")
-    scored = per.select(
+        total = total + F.element_at(F.col(f"__lut{s}"), F.col(f"c{s}") + 1)
+    scored = withlut.select(
         F.col("qid").alias(query_id_col),
         "id",
         F.round(total, 6).alias("adist"),

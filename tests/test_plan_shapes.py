@@ -900,11 +900,15 @@ def test_gap_sweep_is_one_window_pass(spark):
 
 
 def test_pq_search_lut_join_broadcasts(spark):
-    # the ADC lookup table must broadcast onto the melted code
-    # table — a shuffle there re-partitions the compressed base
+    # the per-query ADC lookup-table ARRAYS must broadcast onto the
+    # compressed base (r10 row-local scoring: one
+    # BroadcastNestedLoopJoin of the query-sized LUT frame, scoring is
+    # m element_at sums per row) — any shuffle or melt+pivot here
+    # re-partitions O(|base|·m) rows
     plan = plan_of(spark, "x245_pq_search")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_ivfpq_probe_and_lut_broadcast(spark):
