@@ -85,9 +85,10 @@ def main() -> None:
         0,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
     )
-    from bench_scale import steal_ms_now, warm_read
+    from bench_scale import cpu_probe_s, steal_ms_now, warm_read
 
     timings: dict[str, float] = {}
+    probe_start = cpu_probe_s()
     steal0 = steal_ms_now()
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -116,6 +117,12 @@ def main() -> None:
         # adjudicated from prose; this makes host contention readable
         # from the artifact.  Per-entry detail: BENCH_SCALE.json.
         "steal_ms_total": round(steal_ms_now() - steal0, 1),
+        # host-floor spin probe at loop start/end (bench_scale.
+        # cpu_probe_s, ~0.22 s healthy): steal alone missed a 3x
+        # sustained-degradation session (11.8 core-s steal, 31.6 s
+        # total) in the r10 post-close verification — the probe makes
+        # that host state readable from the artifact
+        "cpu_probe_s": [probe_start, cpu_probe_s()],
     }
 
     headline_line = json.dumps(result)

@@ -89,6 +89,24 @@ def steal_ms_now() -> float:
         return 0.0
 
 
+def cpu_probe_s(iters: int = 5_000_000) -> float:
+    """Single-core CPython spin probe (seconds for a fixed integer
+    loop): the host-FLOOR companion to :func:`steal_ms_now`.  The r10
+    post-close verification session showed why steal alone cannot
+    adjudicate a session: headline steal read only 11.8 core-s while
+    this probe ran 2.8-3.1 s against its ~0.9 s idle-host norm (20M
+    iters; 5M here ≈ 0.22 s healthy) — sustained hypervisor
+    degradation that inflates every wall number ~3x without a matching
+    steal burst.  Recording the probe beside each session's timings
+    makes "entry X got 40% slower" adjudicable even when /proc/stat
+    steal is quiet."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def build_corpus(spark):
     """Replicate sf0.1 documents REPLICAS× (cached as parquet)."""
     from pyspark.sql import functions as F
@@ -121,6 +139,7 @@ def run_scale_tier(spark) -> dict:
     docs = build_corpus(spark)
     n_docs = docs.count()
 
+    probe_start = cpu_probe_s()
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -508,6 +527,10 @@ def run_scale_tier(spark) -> dict:
         "rows": rows,
         "n_docs": n_docs,
         "n_events": n_events,
+        # host floor at tier start/end (see cpu_probe_s): ~0.22 s on an
+        # idle healthy host; 3x that means every wall above is inflated
+        # by sustained degradation the steal counter may not show
+        "cpu_probe_s": [probe_start, cpu_probe_s()],
     }
 
 
