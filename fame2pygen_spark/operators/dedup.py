@@ -948,7 +948,17 @@ def connected_components(
     prev_sig = None
     converged = False
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # eager=False fuses the checkpoint with the convergence check
+        # (the pagerank idiom): the signature aggregation below is the
+        # round's ONLY action — it computes every partition (global
+        # agg), materializing the checkpoint blocks and truncating
+        # lineage in the same job, where eager=True ran a separate
+        # internal count() job first.  One job per round instead of
+        # two; the iteration chain is serial, so each saved job launch
+        # is wall time off x09/x14/capstone and every cluster-resolving
+        # lane.  Results identical: same star rounds, same signature,
+        # same fixpoint test.
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig = edges.agg(
             F.count("*").alias("n"),
             # decimal sum: int64 hash values overflow an ANSI long sum

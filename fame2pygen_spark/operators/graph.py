@@ -436,7 +436,11 @@ def label_propagation(
             dst_col=dst_col,
             weight_col=weight_col,
         ).select("node", "label")
-        stepped = stepped.localCheckpoint(eager=True)
+        # eager=False (the CC/pagerank fusion): the early-stop changed
+        # count — or, without early stop, the next superstep / the
+        # caller's action — is the job that materializes this round's
+        # checkpoint; eager=True ran a separate count() job per round
+        stepped = stepped.localCheckpoint(eager=False)
         if early_stop and labels is not None:
             changed = (
                 stepped.alias("new")
@@ -796,7 +800,10 @@ def bfs_depths(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
-            .localCheckpoint(eager=True)
+            # eager=False: the visited-union checkpoint below is the
+            # round's materializing job and computes every partition
+            # of nxt in the same pass — one job per depth, not two
+            .localCheckpoint(eager=False)
         )
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
