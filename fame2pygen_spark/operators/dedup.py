@@ -117,12 +117,13 @@ def exploded_shingles(
     lambdas, which makes the array formulation (``char_shingles``)
     re-normalize per shingle.
 
-    Rows are NOT deduplicated — both consumers are duplicate-
-    insensitive (``min`` aggregates for MinHash, ``collect_set`` for
-    exact verification), and skipping the distinct saves a full
-    shuffle of the exploded shingle strings; the remaining aggregates
-    combine map-side, so the only wide exchange carries one partial
-    row per (partition, doc)."""
+    Rows are NOT deduplicated — consumers of this helper (streaming
+    signature twins, span profiling) are duplicate-insensitive, and
+    skipping the distinct saves a full shuffle of the exploded shingle
+    strings.  The batch MinHash path dedups IN-ROW instead
+    (:func:`_doc_shingle_sets` + explode): ``min`` over the distinct
+    set equals ``min`` over the multiset, with the corpus' repeat
+    factor fewer rows through md5 + the 64 affine aggregates."""
     nt = df.select(
         F.col(id_col).alias("doc"),
         normalized_text(F.col(text_col)).alias("__nt"),
@@ -346,9 +347,29 @@ def minhash_signatures(
     *num_hashes* ``min`` aggregates.  The mins combine map-side, so the
     shuffle carries one partial row per (partition, doc); the groupBy
     key is the document id — uniformly distributed, no skew.
+
+    The explode runs over the per-document DISTINCT shingle array
+    (:func:`_doc_shingle_sets`): ``min`` is duplicate-insensitive, so
+    deduping in-row first is result-identical and cuts the md5 +
+    64-affine aggregation input by the corpus' repeat factor
+    (measured 1.43x on the sf0.1 documents corpus, r11).
     """
-    exploded = exploded_shingles(df, text_col, id_col, n).withColumn(
-        "h", shingle_hash(F.col("s"))
+    # explode_OUTER, then drop the null rows it emits for empty arrays:
+    # result-identical to a plain explode (docs shorter than n still
+    # produce no signature row), but a plain explode makes Catalyst
+    # infer a `size(sh) > 0 AND isnotnull(sh)` filter below the
+    # Generate, substitute sh's full defining expression into it, and
+    # push THAT below the repartition exchange — re-running the
+    # normalization regex per shingle position, twice, on the
+    # pre-repartition partitioning (measured r11: a 16+ core-second
+    # single-task scan stage at sf0.1).  No filter is inferred for an
+    # outer generate, and the explicit null filter binds to the
+    # GENERATED attribute, which cannot be pushed below the explode.
+    exploded = (
+        _doc_shingle_sets(df, text_col, id_col, n)
+        .select("doc", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+        .withColumn("h", shingle_hash(F.col("s")))
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{j}")
@@ -357,34 +378,41 @@ def minhash_signatures(
     return exploded.groupBy("doc").agg(*aggs)
 
 
-def _signatures_with_shingles(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    *,
-    n: int = 5,
-    num_hashes: int = 64,
-    seed: int = 42,
+def _doc_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
 ) -> DataFrame:
-    """``(doc, mh0..mh{k-1}, sh)`` — :func:`minhash_signatures` plus the
-    exact-verify shingle set from ONE explode+md5 aggregation.
+    """``(doc, sh)`` — per-document DISTINCT shingle array, row-local.
 
-    The LSH pipeline needs both the MinHash mins (banding, prefilter)
-    and the distinct-shingle sets (exact Jaccard verify).  Computing
-    them in one ``groupBy(doc)`` hashes and shuffles the exploded
-    corpus once; the ``collect_set`` rides the aggregation the mins
-    already pay for (measured: the combined aggregation costs the same
-    as the mins-only one).  Consumers ``select`` their columns from
-    this frame so the shared subtree stays identical and AQE reuses
-    the single aggregation exchange across all of them (guide §2.4)."""
-    exploded = exploded_shingles(df, text_col, id_col, n).withColumn(
-        "h", shingle_hash(F.col("s"))
+    The exact-verify shingle SET is a pure function of the document
+    row, so it needs no aggregation at all: normalization is staged
+    once per doc, the n-gram positions expand inside one ``transform``
+    over the staged column (no per-element re-normalization — the
+    lambda reads a bound column, not the normalization subtree), and
+    ``array_distinct`` dedups in-row.
+
+    This replaces the r10 formulation that re-exploded the corpus into
+    a ``collect_set`` ObjectHashAggregate: column pruning split that
+    combined aggregation into two separate aggregates at planning time
+    (the runtime plan shows a second Generate + ObjectHashAggregate +
+    its own Exchange), and per AppStatusStore stage metrics (r11) the
+    collect_set branch cost ~26x the entire codegen'd MinHash
+    explode+md5+64-min aggregation on the same input.  A projection
+    produces the identical set (``collect_set`` over exploded rows =
+    in-row distinct; downstream Jaccard is order-insensitive) with
+    zero shuffles and zero extra corpus passes.
+    """
+    nt = df.select(
+        F.col(id_col).alias("doc"),
+        normalized_text(F.col(text_col)).alias("__nt"),
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh{j}")
-        for j, (a, b) in enumerate(_affine_params(num_hashes, seed))
-    ]
-    return exploded.groupBy("doc").agg(*aggs, F.collect_set("s").alias("sh"))
+    idx = F.when(
+        F.length("__nt") >= n,
+        F.sequence(F.lit(1), F.length("__nt") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.col("__nt").substr(i, F.lit(n)))
+    )
+    return nt.select("doc", sh.alias("sh"))
 
 
 def min_sig_matches(threshold: float, num_hashes: int, margin: float = 0.15) -> int:
@@ -421,29 +449,33 @@ def minhash_lsh_pairs(
     columns; shingle arrays are joined on *after* candidate dedup, when
     the pair set is small.
 
-    One-pass corpus hashing (r10): the 64 ``min`` aggregates AND the
-    exact-verify ``collect_set`` come from a SINGLE explode+md5
-    aggregation (``_signatures_with_shingles``), and every consumer
-    (banding, prefilter, verify) selects from that one frame — the
-    subtrees stay identical, so AQE materializes the aggregation
-    exchange once and reuses it, where the previous two-aggregation
-    formulation exploded and hashed the corpus twice (and a pushed
-    ``isnotnull`` filter kept even the duplicated subtrees from
-    unifying).  The ``id IS NOT NULL`` head filter makes all branches
-    canonicalize identically; it drops no output — both joins on the
-    id and ``id_a < id_b`` already discard null ids.
-    Measured (local[32], interleaved with the old formulation, idle
-    host): sf0.1 3.67 s vs 4.77 s (-23%); 10× dense tier 15.84 s vs
-    16.64 s.  A localCheckpoint of the combined aggregation instead of
-    relying on stage reuse LOSES at the 10× tier (19.43 s) — the
-    shingle sets are the heavy column and checkpointing moves them to
-    block storage for no saved compute.
+    One-pass shingling (r11, supersedes the r10 combined aggregation):
+    the exact-verify shingle sets are a row-local projection
+    (:func:`_doc_shingle_sets` — no aggregation, no exchange, no
+    second corpus explode), and the signatures explode that same
+    distinct array into the codegen'd 64-min aggregation.  The r10
+    single-``groupBy`` formulation was split back into two aggregates
+    by column pruning at planning time, and its ``collect_set``
+    ObjectHashAggregate branch measured ~26x the cost of the entire
+    MinHash aggregation (AppStatusStore stage metrics, r11).  The
+    ``id IS NOT NULL`` head filter keeps all branches canonicalizing
+    identically; it drops no output — both joins on the id and
+    ``id_a < id_b`` already discard null ids.
+
+    The candidate set is explicitly repartitioned by (id_a, id_b)
+    before the distinct: AQE coalesces post-shuffle partitions by
+    BYTES, and the candidate pairs are a few narrow MB whose
+    downstream work (signature zip_with prefilter + exact
+    array_intersect Jaccard) is CPU-heavy per row — measured r11, the
+    whole dedup+prefilter+verify tail ran in ONE task.  The explicit
+    keyed repartition satisfies the distinct's clustering requirement
+    (no extra exchange) and spreads the verify across the cluster;
+    pair keys are uniformly distributed, no skew.
     """
     df = _parallelize_input(df.where(F.col(id_col).isNotNull()))
-    sigs_sh = _signatures_with_shingles(
+    sigs = minhash_signatures(
         df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
     )
-    sigs = sigs_sh.select("doc", *[f"mh{j}" for j in range(num_hashes)])
     banded = _banded_buckets(sigs, num_hashes, bands, max_bucket)
 
     left = banded.select("band", "bh", F.col("doc").alias("id_a"))
@@ -452,13 +484,16 @@ def minhash_lsh_pairs(
         left.join(right, on=["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 
     return _prefilter_and_verify(
         df, cand, sigs, text_col, id_col,
         n=n, num_hashes=num_hashes, threshold=threshold,
-        shingle_sets=sigs_sh.select("doc", "sh"),
+        shingle_sets=_doc_shingle_sets(df, text_col, id_col, n),
     )
 
 
@@ -526,24 +561,31 @@ def minhash_lsh_pairs_keyed(
             .alias("__pk"),
         )
     )
-    sigs_sh = _signatures_with_shingles(
+    sigs = minhash_signatures(
         df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
     )
-    sigs = sigs_sh.select("doc", *[f"mh{j}" for j in range(num_hashes)])
     banded = _banded_buckets(sigs, num_hashes, bands, max_bucket, keys=keys)
 
     left = banded.select("__pk", "band", "bh", F.col("doc").alias("id_a"))
     right = banded.select("__pk", "band", "bh", F.col("doc").alias("id_b"))
+    # keyed repartition before the distinct for the same reason as
+    # minhash_lsh_pairs: spread the CPU-heavy prefilter+verify tail
+    # that AQE's byte-based coalescing serializes.  (id_a, id_b) is a
+    # subset of the distinct keys, so the clustering requirement is
+    # still satisfied with no extra exchange.
     cand = (
         left.join(right, on=["__pk", "band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("__pk", "id_a", "id_b")
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .dropDuplicates(["__pk", "id_a", "id_b"])
     )
     verified = _prefilter_and_verify(
         df, cand.select("id_a", "id_b"), sigs, text_col, id_col,
         n=n, num_hashes=num_hashes, threshold=threshold,
-        shingle_sets=sigs_sh.select("doc", "sh"),
+        shingle_sets=_doc_shingle_sets(df, text_col, id_col, n),
     )
     # both members of a pair share one entity value (the band join is
     # key-equi and doc→key is unique), so this re-attach is 1:1
@@ -614,22 +656,15 @@ def _prefilter_and_verify(
     an (id_a, id_b) candidate pair set.
 
     *shingle_sets*: optional precomputed ``(doc, sh)`` distinct-shingle
-    frame.  Callers that already paid one combined corpus aggregation
-    (:func:`_signatures_with_shingles`) pass its projection here so the
-    verify join shares that aggregation instead of re-deriving the
-    sets; when both *sigs* and *shingle_sets* are selections of the
-    same frame, AQE materializes the underlying exchange once.
+    frame (:func:`_doc_shingle_sets` — a row-local projection, not an
+    aggregation); callers over the full corpus pass it so this
+    function does not re-derive the sets.
 
     *participants_only*: restrict shingle-set construction to docs
-    appearing in *cand* (ignored when *shingle_sets* is given).
-    Default False — when the caller just computed signatures from
-    *df*, the unrestricted exploded_shingles→groupBy subtree is
-    IDENTICAL to the one inside minhash_signatures, Catalyst reuses
-    that exchange, and a semi-join restriction measurably loses (see
-    the inline note below).  Set True when signatures came from a
-    PERSISTED table instead: there is no exchange to reuse, and
-    re-shingling the whole corpus to verify a small pair set would
-    dominate the cost the persisted signatures just saved.
+    appearing in *cand* (ignored when *shingle_sets* is given).  Set
+    True when signatures came from a PERSISTED table: shingling the
+    whole corpus to verify a small pair set would dominate the cost
+    the persisted signatures just saved.
 
     Prefilter: band collisions admit ~2% of all pairs on
     template-heavy corpora; exact verification ships two ~3 KB shingle
@@ -661,16 +696,8 @@ def _prefilter_and_verify(
         .where(matches >= min_match)
         .select("id_a", "id_b")
     )
-    # exact verification: shingle arrays from the same exploded
-    # formulation as the signatures.  Deliberately NOT restricted to
-    # surviving docs: the exploded_shingles→groupBy(doc) subtree below
-    # is identical to the one inside minhash_signatures, so Catalyst
-    # reuses that exchange and the collect_set is one extra reduce over
-    # already-shuffled data — a survivor semi-join breaks the subtree
-    # identity, loses the reuse, and re-scans + re-shuffles the corpus.
-    # Measured (local[32]): sf0.1 sparse corpus 8.05 s vs 7.83 s
-    # (semi-join ~3% better); 10× dense near-dup corpus 33.7 s vs
-    # 50.1 s (semi-join 1.5× WORSE).  Exchange reuse wins.
+    # exact verification: shingle sets are a row-local projection
+    # (no aggregation — see _doc_shingle_sets)
     base = df
     if shingle_sets is not None:
         participants_only = False
@@ -692,9 +719,7 @@ def _prefilter_and_verify(
     if shingle_sets is not None:
         sh = shingle_sets
     else:
-        sh = exploded_shingles(base, text_col, id_col, n).groupBy("doc").agg(
-            F.collect_set("s").alias("sh")
-        )
+        sh = _doc_shingle_sets(base, text_col, id_col, n)
     verified = (
         prefiltered
         .join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
@@ -773,15 +798,14 @@ def incremental_lsh_pairs(
     df = _parallelize_input(df.where(F.col(id_col).isNotNull()))
     shingle_sets = None
     if corpus_sigs is None:
-        # self-contained path: same one-pass corpus hashing as
-        # minhash_lsh_pairs — the 64 mins and the exact-verify shingle
-        # set come from ONE explode+md5 aggregation, all consumers
-        # select from it, AQE reuses the single aggregation exchange
-        sigs_sh = _signatures_with_shingles(
+        # self-contained path: same one-pass shingling as
+        # minhash_lsh_pairs — signatures from the codegen'd 64-min
+        # aggregation over the distinct-shingle explode, exact-verify
+        # sets from the row-local projection (no aggregation)
+        sigs = minhash_signatures(
             df, text_col, id_col, n=n, num_hashes=num_hashes, seed=seed
         )
-        sigs = sigs_sh.select("doc", *[f"mh{j}" for j in range(num_hashes)])
-        shingle_sets = sigs_sh.select("doc", "sh")
+        shingle_sets = _doc_shingle_sets(df, text_col, id_col, n)
     else:
         if validate_corpus:
             old_ids = df.where(~is_new).select(F.col(id_col).alias("doc"))
@@ -835,6 +859,12 @@ def incremental_lsh_pairs(
         .select(
             F.least("pid", "iid").alias("id_a"),
             F.greatest("pid", "iid").alias("id_b"),
+        )
+        # spread the CPU-heavy prefilter+verify tail (see
+        # minhash_lsh_pairs: AQE coalesces the few-MB candidate
+        # shuffle into one task otherwise)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
         )
         .dropDuplicates(["id_a", "id_b"])
     )
