@@ -410,10 +410,20 @@ def label_propagation(
     """Multi-superstep label propagation: ``n_iter`` synchronous
     :func:`label_propagation_step` rounds from the identity labeling —
     the full LPA community detector rather than the single x137
-    superstep.  Each round's labels are eagerly ``localCheckpoint``-ed
-    (the repo's iterative-operator discipline: truncate lineage so the
-    plan does not double per round and sf-scale retries re-read a
-    materialized frame, not the whole prefix).
+    superstep.  Each round's labels are lazily ``localCheckpoint``-ed
+    (eager=False): lineage is truncated at checkpoint creation, and
+    the blocks are materialized by the round's own action — the
+    early-stop changed count, the next superstep, or the caller's
+    final action — instead of a separate per-round count() job (the
+    CC/pagerank fusion, r10).  Note the constraint this leaves:
+    without *early_stop* no action runs per superstep, so round RDDs
+    are only computed at the caller's final action, and with
+    ``spark.checkpoint.checkpointAllMarkedAncestors=false`` (the
+    default) intermediate rounds are cached but not truncated at the
+    RDD level — RDD lineage grows linearly with *n_iter* while
+    logical-PLAN truncation (the thing that doubles planning time)
+    still holds per round.  For very large *n_iter* add a periodic
+    eager checkpoint.
 
     *early_stop* adds a convergence probe — an anti-join count of
     changed labels per round, stopping when zero.  It is OFF for

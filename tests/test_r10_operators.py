@@ -160,10 +160,15 @@ def test_iterative_loops_checkpoint_rounds_lazily(spark, monkeypatch):
     5 LPA supersteps, 51→45 for a 6-depth BFS — one job per round,
     results byte-identical.  This pins the discipline so a future
     edit cannot silently reintroduce the per-round eager job."""
-    # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame,
-    # which OVERRIDES the abstract base's localCheckpoint — patch the
-    # concrete class or the spy never fires
-    from pyspark.sql.classic.dataframe import DataFrame
+    # Spark 4 classic mode: instances are a concrete subclass that
+    # OVERRIDES the abstract base's localCheckpoint — patch the
+    # concrete class or the spy never fires.  Resolve it from a live
+    # frame instead of a hard-coded module path (which breaks under
+    # Spark Connect or a module rename); skip where localCheckpoint
+    # is not overridden on the concrete class (e.g. Connect).
+    DataFrame = type(spark.range(1))
+    if "localCheckpoint" not in vars(DataFrame):
+        pytest.skip("concrete DataFrame class does not own localCheckpoint")
 
     calls: list[bool] = []
     orig = DataFrame.localCheckpoint
